@@ -1,38 +1,816 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract: entry / queries / oracle_sql for the PySpark-native
+spatial-join + tiling engine (whitebox_tools_spark).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every query derives its geometry deterministically from the driver's parquet
+tables via integer-hash arithmetic (whitebox_tools_spark/synth.py) or from a
+fixed seeded polygon set embedded into the oracle SQL as a VALUES edge list,
+so the DuckDB oracle is fully independent of the engine code.
+
+Float-valued outputs are rounded to 6 decimals on BOTH sides: aggregation
+(sum) order is nondeterministic in any parallel engine, so raw doubles can
+differ in final ulps between Spark and DuckDB; 6dp is far above ulp noise
+and far below semantic differences.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from whitebox_tools_spark import synth
+from whitebox_tools_spark.grid import CellIndex, GridSpec, lidar_tile_exprs, lidar_tile_sql
+from whitebox_tools_spark.operators import raster_math as RM
+from whitebox_tools_spark.operators import stats as ST
+from whitebox_tools_spark.operators import text as TX
+from whitebox_tools_spark.operators import dedup as DD
+from whitebox_tools_spark.operators import similarity as SIM
+from whitebox_tools_spark.operators.extract import extract_raster_values_at_points
+from whitebox_tools_spark.operators.knn import idw_gridding, nearest_neighbour_gridding
+from whitebox_tools_spark.operators.pip import points_in_polygons
+from whitebox_tools_spark.operators.raster_vector import polygons_to_raster
+from whitebox_tools_spark.operators.tiling import aggregate_raster, assign_tiles, block_gridding
+from whitebox_tools_spark.operators.vector_ops import join_tables, merge_vectors
+from whitebox_tools_spark.operators.zonal import zonal_statistics
+
+# ---------------------------------------------------------------------------
+# shared deterministic config
+# ---------------------------------------------------------------------------
+IDX = CellIndex(0.0, 0.0, 1000.0, 5)          # 32x32 index cells
+POLYS = synth.make_polygons()                  # fixed seeded polygon set
+PARTS = synth.polygons_as_parts(POLYS)
+EXTRACT_GRID = GridSpec(west=0.0, north=1000.0, res_x=5.0, res_y=5.0, rows=200, cols=200)
+NN_GRID = GridSpec(west=0.0, north=1000.0, res_x=25.0, res_y=25.0, rows=40, cols=40)
+P2R_GRID = GridSpec(west=0.0, north=1000.0, res_x=20.0, res_y=20.0, rows=50, cols=50)
+TILE = dict(width=125.0, height=125.0, origin_x=0.0, origin_y=0.0,
+            min_x=0.0, min_y=0.0, max_x=1000.0, max_y=1000.0)
+HIST = dict(vmin=900.0, vmax=2100.0, bins=20)
 
 
-def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _cust_points(spark, sf_dir) -> DataFrame:
+    x, y = synth.point_exprs(F.col("c_custkey"))
+    return _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("point_id"), x.alias("x"), y.alias("y"),
+        F.col("c_acctbal").alias("z"),
+    )
+
+
+def _cust_points_cte(sf_dir: str) -> str:
+    x, y = synth.point_sql("c_custkey")
+    return (
+        f"SELECT c_custkey AS point_id, {x} AS x, {y} AS y, c_acctbal AS z "
+        f"FROM customer"
+    )
+
+
+def _supp_points(spark, sf_dir) -> DataFrame:
+    x, y = synth.point_exprs(F.col("s_suppkey"))
+    return _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("point_id"), x.alias("x"), y.alias("y"),
+        F.col("s_acctbal").alias("z"),
+    )
+
+
+def _supp_points_cte() -> str:
+    x, y = synth.point_sql("s_suppkey")
+    return f"SELECT s_suppkey AS point_id, {x} AS px, {y} AS py, s_acctbal AS z FROM supplier"
+
+
+def _part_raster(spark, sf_dir) -> DataFrame:
+    """Derived raster: row = p_partkey % 200, col = floor(p_partkey/200.) % 200."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        (F.col("p_partkey") % 200).alias("row"),
+        (F.floor(F.col("p_partkey") / F.lit(200.0)).cast("long") % 200).alias("col"),
+        F.col("p_retailprice").alias("value"),
+    )
+
+
+_PART_RASTER_SQL = (
+    "SELECT p_partkey % 200 AS row, "
+    "CAST(floor(p_partkey / 200.0) AS BIGINT) % 200 AS col, "
+    "p_retailprice AS value FROM part"
+)
+
+_PART_RASTER2_SQL = (
+    "SELECT p_partkey % 200 AS row, "
+    "CAST(floor(p_partkey / 200.0) AS BIGINT) % 200 AS col, "
+    "CAST(p_size AS DOUBLE) AS value FROM part"
+)
+
+
+def _part_raster2(spark, sf_dir) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        (F.col("p_partkey") % 200).alias("row"),
+        (F.floor(F.col("p_partkey") / F.lit(200.0)).cast("long") % 200).alias("col"),
+        F.col("p_size").cast("double").alias("value"),
+    )
+
+
+def _zones(spark, sf_dir) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        (F.col("l_partkey") % 37 + 1).alias("zone_id"), F.col("l_quantity").alias("value")
+    )
+
+
+_ZONES_SQL = "SELECT l_partkey % 37 + 1 AS zone_id, l_quantity AS value FROM lineitem"
+
+
+def _r6(df: DataFrame, cols: list[str]) -> DataFrame:
+    for c in cols:
+        df = df.withColumn(c, F.round(F.col(c), 6))
+    return df
+
+
+def _grid_centers_cte(g: GridSpec) -> str:
+    """DuckDB CTE producing (point_id, row, col, x, y) cell centers with the
+    GridSpec center formula (whitebox-raster/src/lib.rs:728-741)."""
+    return (
+        f"SELECT CAST(r AS BIGINT) * {g.cols} + CAST(c AS BIGINT) AS point_id, "
+        f"CAST(r AS BIGINT) AS row, CAST(c AS BIGINT) AS col, "
+        f"{g.x_center_sql('c')} AS x, {g.y_center_sql('r')} AS y "
+        f"FROM generate_series(0, {g.rows - 1}) t1(r), generate_series(0, {g.cols - 1}) t2(c)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+def q_pip(spark, sf_dir):
+    """Clip point-case / VectorPointsInPolygon (gis_analysis/clip.rs:299-370)."""
+    return points_in_polygons(_cust_points(spark, sf_dir), PARTS, IDX)
+
+
+def q_extract(spark, sf_dir):
+    """ExtractRasterValuesAtPoints (extract_raster_values_at_points.rs:252-265)."""
+    out = extract_raster_values_at_points(
+        _cust_points(spark, sf_dir).drop("z"), _part_raster(spark, sf_dir), EXTRACT_GRID
+    )
+    return out.select("point_id", "value1")
+
+
+def q_zonal(spark, sf_dir):
+    """ZonalStatistics (zonal_statistics.rs:391-464)."""
+    return _r6(zonal_statistics(_zones(spark, sf_dir)),
+               ["total", "mean_v", "min_v", "max_v", "range_v", "sd", "median"])
+
+
+def q_tile_assign(spark, sf_dir):
+    """LidarTile tile ids (lidar_tile.rs:300-325)."""
+    return assign_tiles(_cust_points(spark, sf_dir).drop("z"), **TILE).select(
+        "point_id", "tile_col", "tile_row", "tile"
+    )
+
+
+def q_tile_counts(spark, sf_dir):
+    tiled = assign_tiles(_cust_points(spark, sf_dir).drop("z"), **TILE)
+    return tiled.groupBy("tile").agg(F.count(F.lit(1)).alias("n_points"))
+
+
+def q_nn_gridding(spark, sf_dir):
+    """NearestNeighbourGridding (nearest_neighbour_gridding.rs:452-454)."""
+    return nearest_neighbour_gridding(
+        _supp_points(spark, sf_dir), NN_GRID, IDX, max_dist=1e18
+    )
+
+
+def q_idw(spark, sf_dir):
+    """IdwInterpolation (idw_interpolation.rs:617-645), radius=100 min_points=4."""
+    out = idw_gridding(
+        _supp_points(spark, sf_dir), NN_GRID, IDX, weight=2.0, radius=100.0, min_points=4
+    )
+    return _r6(out, ["value"])
+
+
+def q_poly_to_raster(spark, sf_dir):
+    """VectorPolygonsToRaster (vector_polygons_to_raster.rs:476-573)."""
+    return polygons_to_raster(spark, PARTS, P2R_GRID, IDX)
+
+
+def q_block_max(spark, sf_dir):
+    """BlockMaximumGridding (gis_analysis/block_maximum.rs:147)."""
+    pts = _cust_points(spark, sf_dir)
+    return block_gridding(pts, P2R_GRID, value="z", agg="max")
+
+
+def q_aggregate_raster(spark, sf_dir):
+    """AggregateRaster (gis_analysis/aggregate_raster.rs:142), factor 4, mean."""
+    return _r6(aggregate_raster(_part_raster(spark, sf_dir), agg_factor=4, agg="mean"),
+               ["value"])
+
+
+def q_raster_map_chain(spark, sf_dir):
+    """MAP-class chain: sqrt(abs(v)) and ln(v) and square over one raster."""
+    r = _part_raster(spark, sf_dir)
+    r = RM.apply_map(r, "abs")
+    out = r.select(
+        "row", "col",
+        F.round(F.sqrt("value"), 6).alias("sqrt_v"),
+        F.round(F.log("value"), 6).alias("ln_v"),
+        F.round(F.col("value") * F.col("value"), 6).alias("square_v"),
+    )
+    return out
+
+
+def q_raster_zip(spark, sf_dir):
+    """ZIP-class: add / multiply / greater_than of two aligned rasters."""
+    a, b = _part_raster(spark, sf_dir), _part_raster2(spark, sf_dir)
+    add = RM.combine(a, b, "add").withColumnRenamed("value", "add_v")
+    mul = RM.combine(a, b, "multiply").select("row", "col", F.col("value").alias("mul_v"))
+    gt = RM.combine(a, b, "greater_than").select("row", "col", F.col("value").alias("gt_v"))
+    return _r6(add.join(mul, ["row", "col"]).join(gt, ["row", "col"]),
+               ["add_v", "mul_v", "gt_v"])
+
+
+def q_reclass(spark, sf_dir):
+    """Reclass (gis_analysis/reclass.rs): price bands."""
+    out = RM.reclass(
+        _part_raster(spark, sf_dir),
+        [(1.0, 0.0, 1200.0), (2.0, 1200.0, 1600.0), (3.0, 1600.0, 99999.0)],
+    )
+    return out
+
+
+def q_summary_stats(spark, sf_dir):
+    """RasterSummaryStats (raster_summary_stats.rs:134)."""
+    return _r6(ST.raster_summary_stats(_part_raster(spark, sf_dir)),
+               ["total", "mean_v", "min_v", "max_v", "sd"])
+
+
+def q_histogram(spark, sf_dir):
+    """RasterHistogram (raster_histogram.rs:128)."""
+    return ST.raster_histogram(_part_raster(spark, sf_dir), **HIST)
+
+
+def q_quantiles(spark, sf_dir):
+    """Quantiles (quantiles.rs:263-268) -> bin sizes."""
+    q = ST.quantiles(_part_raster(spark, sf_dir), 5)
+    return q.groupBy(F.col("quantile").cast("long").alias("quantile")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def q_zscores(spark, sf_dir):
+    """ZScores (zscores.rs:130)."""
+    out = ST.zscores(_part_raster(spark, sf_dir))
+    return out.select("row", "col", F.round("zscore", 4).alias("zscore"))
+
+
+def q_rmse(spark, sf_dir):
+    """RootMeanSquareError (root_mean_square_error.rs:130)."""
+    return _r6(ST.rmse(_part_raster(spark, sf_dir), _part_raster2(spark, sf_dir)),
+               ["rmse", "mean_error"])
+
+
+def q_list_unique(spark, sf_dir):
+    """ListUniqueValues (list_unique_values.rs:149)."""
+    return ST.list_unique_values(_t(spark, sf_dir, "customer"), "c_mktsegment")
+
+
+def q_join_tables(spark, sf_dir):
+    """JoinTables (data_tools/join_tables.rs:282-330)."""
+    return join_tables(
+        _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey"),
+        _t(spark, sf_dir, "nation"),
+        "c_nationkey",
+        "n_nationkey",
+        ["n_name"],
+    ).select("c_custkey", "c_name", "n_name")
+
+
+def q_merge_vectors(spark, sf_dir):
+    """MergeVectors (data_tools/merge_vectors.rs:136)."""
+    a = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("fid"), F.col("c_name").alias("name")
+    )
+    b = _t(spark, sf_dir, "supplier").select(
+        (F.col("s_suppkey") + 10_000_000).alias("fid"), F.col("s_name").alias("name")
+    )
+    return merge_vectors([a, b])
+
+
+def q_polygon_metrics(spark, sf_dir):
+    """PolygonArea/Perimeter/CompactnessRatio/Centroid (poly_area.rs:12,
+    poly_perimeter.rs:12, compactness_ratio.rs:121, centroid_vector.rs:129)."""
+    from whitebox_tools_spark.operators.vector_ops import polygon_metrics
+
+    rows = []
+    for pid, parts in PARTS:
+        for k, (xs, ys, hole) in enumerate(parts):
+            rows.append((pid, k, hole, [float(v) for v in xs], [float(v) for v in ys]))
+    df = spark.createDataFrame(
+        rows, "poly_id long, part_idx int, is_hole boolean, xs array<double>, ys array<double>"
+    )
+    return _r6(polygon_metrics(df), ["area", "perimeter", "cx", "cy", "compactness"])
+
+
+# --- training-data suite ---------------------------------------------------
+def q_dedup_exact(spark, sf_dir):
+    return DD.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    return _r6(
+        DD.ngram_jaccard_pairs(
+            _t(spark, sf_dir, "documents"), threshold=0.5, length_band=None
+        ),
+        ["jaccard"],
+    )
+
+
+def q_minhash_lsh(spark, sf_dir):
+    # deterministic (xxhash64) but not SQL-expressible -> rows-only check
+    return _r6(DD.minhash_lsh_pairs(_t(spark, sf_dir, "documents"),
+                                    verify_threshold=0.4), ["est_jaccard"])
+
+
+def q_simhash(spark, sf_dir):
+    # rows-only check (xxhash64-based)
+    return DD.simhash_near_dup_pairs(_t(spark, sf_dir, "documents"), max_hamming=6)
+
+
+def q_token_count(spark, sf_dir):
+    return TX.token_count(_t(spark, sf_dir, "documents"))
+
+
+def q_bpe_count(spark, sf_dir):
+    return TX.bpe_ish_token_count(_t(spark, sf_dir, "documents"))
+
+
+def q_quality(spark, sf_dir):
+    return _r6(TX.quality_score(_t(spark, sf_dir, "documents")),
+               ["punct_ratio", "stop_ratio", "quality"])
+
+
+def q_langid(spark, sf_dir):
+    return _r6(TX.language_id(_t(spark, sf_dir, "documents")), ["stop_ratio"])
+
+
+def q_fingerprint(spark, sf_dir):
+    return TX.fingerprint(_t(spark, sf_dir, "documents"))
+
+
+def q_embed_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = SIM.cosine_topk(emb, queries, 5)
+    return out.select("query_id", "vec_id", F.round("cosine", 5).alias("cosine"),
+                      F.col("rank").cast("long").alias("rank"))
+
+
+def q_embed_near_dup(spark, sf_dir):
+    """Exact pairwise cosine near-dup (brute force at oracle scale)."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("v").alias("v_a"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("v").alias("v_b"))
+    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    cos = SIM.cosine_expr(F.col("v_a"), F.col("v_b"))
+    return (
+        pairs.withColumn("cosine", cos)
+        .filter(F.col("cosine") >= 0.45)
+        .select("id_a", "id_b", F.round("cosine", 5).alias("cosine"))
+    )
+
+
+def q_embed_ann_lsh(spark, sf_dir):
+    """LSH-bucketed ANN (approximate; rows-only check, recall tested in pytest)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = SIM.ann_topk_lsh(emb, queries, 5, n_planes=8, n_probes=4)
+    return out.select("query_id", "vec_id", F.round("cosine", 5).alias("cosine"),
+                      F.col("rank").cast("long").alias("rank"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "pip_points_in_polygons": q_pip,
+        "extract_raster_values": q_extract,
+        "zonal_statistics": q_zonal,
+        "tile_assignment": q_tile_assign,
+        "tile_counts": q_tile_counts,
+        "nn_gridding": q_nn_gridding,
+        "idw_gridding": q_idw,
+        "polygons_to_raster": q_poly_to_raster,
+        "block_max_gridding": q_block_max,
+        "aggregate_raster": q_aggregate_raster,
+        "raster_map_chain": q_raster_map_chain,
+        "raster_zip_ops": q_raster_zip,
+        "reclass": q_reclass,
+        "raster_summary_stats": q_summary_stats,
+        "raster_histogram": q_histogram,
+        "quantiles": q_quantiles,
+        "zscores": q_zscores,
+        "rmse": q_rmse,
+        "list_unique_values": q_list_unique,
+        "join_tables": q_join_tables,
+        "merge_vectors": q_merge_vectors,
+        "polygon_metrics": q_polygon_metrics,
+        "dedup_exact": q_dedup_exact,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash_near_dup": q_simhash,
+        "token_count": q_token_count,
+        "bpe_token_count": q_bpe_count,
+        "quality_score": q_quality,
+        "language_id": q_langid,
+        "fingerprint": q_fingerprint,
+        "embedding_topk": q_embed_topk,
+        "embedding_near_dup": q_embed_near_dup,
+        "embedding_ann_lsh": q_embed_ann_lsh,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB; views pre-registered for the parquet tables)
+# ---------------------------------------------------------------------------
+def _pip_sql() -> str:
+    x, y = synth.point_sql("c_custkey")
+    cte = f"SELECT c_custkey AS point_id, {x} AS x, {y} AS y FROM customer"
+    return synth.pip_oracle_sql(cte, POLYS)
+
+
+def _extract_sql() -> str:
+    x, y = synth.point_sql("c_custkey")
+    g = EXTRACT_GRID
+    return f"""
+WITH pts AS (SELECT c_custkey AS point_id, {x} AS x, {y} AS y FROM customer),
+cells AS ({_PART_RASTER_SQL})
+SELECT p.point_id,
+       coalesce(c.value, {g.nodata!r}) AS value1
+FROM pts p
+LEFT JOIN cells c
+  ON c.row = {g.row_sql('p.y')} AND c.col = {g.col_sql('p.x')}
+"""
+
+
+def _zonal_sql() -> str:
+    from whitebox_tools_spark.operators.zonal import zonal_statistics_oracle_sql
+
+    inner = zonal_statistics_oracle_sql(_ZONES_SQL, "zone_id", "value")
+    return f"""
+SELECT zone_id, n, round(total, 6) AS total, round(mean_v, 6) AS mean_v,
+       round(min_v, 6) AS min_v, round(max_v, 6) AS max_v,
+       round(range_v, 6) AS range_v, round(sd, 6) AS sd, round(median, 6) AS median
+FROM ({inner})
+"""
+
+
+def _tile_sql(counts: bool) -> str:
+    x, y = synth.point_sql("c_custkey")
+    tcol, trow, tile = lidar_tile_sql("x", "y", **TILE)
+    base = f"""
+WITH pts AS (SELECT c_custkey AS point_id, {x} AS x, {y} AS y FROM customer),
+t AS (SELECT point_id, {tcol} AS tile_col, {trow} AS tile_row, {tile} AS tile FROM pts)
+"""
+    if counts:
+        return base + "SELECT tile, count(*) AS n_points FROM t GROUP BY tile"
+    return base + "SELECT point_id, tile_col, tile_row, tile FROM t"
+
+
+def _nn_sql() -> str:
+    g = NN_GRID
+    return f"""
+WITH p AS ({_supp_points_cte()}),
+g AS (SELECT CAST(r AS BIGINT) AS row, CAST(c AS BIGINT) AS col,
+             {g.west!r} + (c + 0.5) * {g.res_x!r} AS x,
+             {g.north!r} - (r + 0.5) * {g.res_y!r} AS y
+      FROM generate_series(0, {g.rows - 1}) t1(r), generate_series(0, {g.cols - 1}) t2(c)),
+d AS (SELECT g.row, g.col, p.z,
+             row_number() OVER (PARTITION BY g.row, g.col
+               ORDER BY (p.px-g.x)*(p.px-g.x)+(p.py-g.y)*(p.py-g.y), p.point_id) AS rn
+      FROM g CROSS JOIN p)
+SELECT row, col, z AS value FROM d WHERE rn = 1
+"""
+
+
+def _idw_sql() -> str:
+    g = NN_GRID
+    return f"""
+WITH p AS ({_supp_points_cte()}),
+g AS (SELECT CAST(r AS BIGINT) AS row, CAST(c AS BIGINT) AS col,
+             {g.west!r} + (c + 0.5) * {g.res_x!r} AS x,
+             {g.north!r} - (r + 0.5) * {g.res_y!r} AS y
+      FROM generate_series(0, {g.rows - 1}) t1(r), generate_series(0, {g.cols - 1}) t2(c)),
+d AS (SELECT g.row, g.col, p.point_id, p.z,
+             sqrt((p.px-g.x)*(p.px-g.x)+(p.py-g.y)*(p.py-g.y)) AS dist,
+             row_number() OVER (PARTITION BY g.row, g.col
+               ORDER BY (p.px-g.x)*(p.px-g.x)+(p.py-g.y)*(p.py-g.y), p.point_id) AS rn,
+             count(*) FILTER (sqrt((p.px-g.x)*(p.px-g.x)+(p.py-g.y)*(p.py-g.y)) <= 100.0)
+               OVER (PARTITION BY g.row, g.col) AS n_in_radius
+      FROM g CROSS JOIN p),
+sel AS (SELECT * FROM d WHERE (n_in_radius >= 4 AND dist <= 100.0)
+                           OR (n_in_radius < 4 AND rn <= 4)),
+agg AS (SELECT row, col,
+               min(CASE WHEN dist = 0 THEN z END) AS zero_z,
+               sum(z / pow(dist, 2.0)) AS wz,
+               sum(1.0 / pow(dist, 2.0)) AS w
+        FROM sel GROUP BY row, col)
+SELECT row, col, round(coalesce(zero_z, wz / w), 6) AS value FROM agg
+"""
+
+
+def _poly_to_raster_sql() -> str:
+    g = P2R_GRID
+    pip = synth.pip_oracle_sql(_grid_centers_cte(g), POLYS)
+    return f"""
+WITH hits AS ({pip})
+SELECT CAST(floor(point_id / {g.cols}.0) AS BIGINT) AS row,
+       point_id % {g.cols} AS col,
+       CAST(max(poly_id) + 1 AS DOUBLE) AS value
+FROM hits GROUP BY point_id
+"""
+
+
+def _block_max_sql() -> str:
+    x, y = synth.point_sql("c_custkey")
+    g = P2R_GRID
+    return f"""
+WITH pts AS (SELECT c_custkey AS point_id, {x} AS x, {y} AS y, c_acctbal AS z FROM customer)
+SELECT {g.row_sql('y')} AS row, {g.col_sql('x')} AS col, max(z) AS value
+FROM pts
+WHERE {g.in_grid_sql(g.row_sql('y'), g.col_sql('x'))}
+GROUP BY 1, 2
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    x, y = synth.point_sql("c_custkey")
+    sq = {
+        "pip_points_in_polygons": _pip_sql(),
+        "extract_raster_values": _extract_sql(),
+        "zonal_statistics": _zonal_sql(),
+        "tile_assignment": _tile_sql(False),
+        "tile_counts": _tile_sql(True),
+        "nn_gridding": _nn_sql(),
+        "idw_gridding": _idw_sql(),
+        "polygons_to_raster": _poly_to_raster_sql(),
+        "block_max_gridding": _block_max_sql(),
+        "aggregate_raster": f"""
+SELECT CAST(floor(row / 4.0) AS BIGINT) AS row, CAST(floor(col / 4.0) AS BIGINT) AS col,
+       round(avg(value), 6) AS value
+FROM ({_PART_RASTER_SQL}) WHERE value IS NOT NULL GROUP BY 1, 2
+""",
+        "raster_map_chain": f"""
+SELECT row, col, round(sqrt(abs(value)), 6) AS sqrt_v, round(ln(abs(value)), 6) AS ln_v,
+       round(abs(value) * abs(value), 6) AS square_v
+FROM ({_PART_RASTER_SQL})
+""",
+        "raster_zip_ops": f"""
+WITH a AS ({_PART_RASTER_SQL}), b AS ({_PART_RASTER2_SQL})
+SELECT a.row, a.col, round(a.value + b.value, 6) AS add_v,
+       round(a.value * b.value, 6) AS mul_v,
+       round(CASE WHEN a.value > b.value THEN 1.0 ELSE 0.0 END, 6) AS gt_v
+FROM a JOIN b ON a.row = b.row AND a.col = b.col
+""",
+        "reclass": f"""
+SELECT row, col,
+       CASE WHEN value >= 0.0 AND value < 1200.0 THEN 1.0
+            WHEN value >= 1200.0 AND value < 1600.0 THEN 2.0
+            WHEN value >= 1600.0 AND value < 99999.0 THEN 3.0
+            ELSE value END AS value
+FROM ({_PART_RASTER_SQL})
+""",
+        "raster_summary_stats": f"""
+SELECT count(value) AS n, round(sum(value), 6) AS total, round(avg(value), 6) AS mean_v,
+       round(min(value), 6) AS min_v, round(max(value), 6) AS max_v,
+       round(stddev_samp(value), 6) AS sd
+FROM ({_PART_RASTER_SQL}) WHERE value IS NOT NULL
+""",
+        "raster_histogram": f"""
+SELECT least(CAST(floor((value - {HIST['vmin']!r}) / {(HIST['vmax'] - HIST['vmin']) / HIST['bins']!r}) AS BIGINT),
+             {HIST['bins'] - 1}) AS bin,
+       count(*) AS n
+FROM ({_PART_RASTER_SQL})
+WHERE value IS NOT NULL AND value >= {HIST['vmin']!r} AND value <= {HIST['vmax']!r}
+GROUP BY 1
+""",
+        "quantiles": f"""
+WITH q AS (SELECT ntile(5) OVER (ORDER BY value) AS quantile
+           FROM ({_PART_RASTER_SQL}) WHERE value IS NOT NULL)
+SELECT CAST(quantile AS BIGINT) AS quantile, count(*) AS n FROM q GROUP BY 1
+""",
+        "zscores": f"""
+WITH s AS (SELECT avg(value) AS m, stddev_samp(value) AS sd
+           FROM ({_PART_RASTER_SQL}) WHERE value IS NOT NULL)
+SELECT row, col, round((value - s.m) / s.sd, 4) AS zscore
+FROM ({_PART_RASTER_SQL}) r, s WHERE r.value IS NOT NULL
+""",
+        "rmse": f"""
+WITH a AS ({_PART_RASTER_SQL}), b AS ({_PART_RASTER2_SQL}),
+j AS (SELECT a.value AS v1, b.value AS v2 FROM a JOIN b ON a.row = b.row AND a.col = b.col)
+SELECT round(sqrt(avg((v1 - v2) * (v1 - v2))), 6) AS rmse,
+       round(avg(v1 - v2), 6) AS mean_error, count(*) AS n
+FROM j
+""",
+        "list_unique_values": (
+            "SELECT c_mktsegment AS value, count(*) AS n FROM customer GROUP BY 1"
+        ),
+        "join_tables": """
+SELECT c.c_custkey, c.c_name, n.n_name
+FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+""",
+        "merge_vectors": """
+SELECT c_custkey AS fid, c_name AS name FROM customer
+UNION ALL
+SELECT s_suppkey + 10000000 AS fid, s_name AS name FROM supplier
+""",
+        "polygon_metrics": _polygon_metrics_sql(),
+        "dedup_exact": """
+SELECT min(doc_id) AS doc_id, text, count(*) AS n_dups FROM documents GROUP BY text
+""",
+        "ngram_jaccard": _ngram_jaccard_sql(),
+        "token_count": """
+SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
+FROM documents
+""",
+        "bpe_token_count": r"""
+SELECT doc_id, len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+')) AS n_pieces
+FROM documents
+""",
+        "quality_score": _quality_sql(),
+        "language_id": _langid_sql(),
+        "fingerprint": _fingerprint_sql(),
+        "embedding_topk": _embed_topk_sql(),
+        "embedding_near_dup": _embed_near_dup_sql(),
+        # minhash_lsh / simhash_near_dup / embedding_ann_lsh: xxhash64/LSH
+        # constructions with no SQL equivalent -> rows-only check
+    }
+    return sq
+
+
+def _polygon_metrics_sql() -> str:
+    return f"""
+WITH edges AS (SELECT * FROM (VALUES
+{synth.edges_sql_values(POLYS)}
+) AS {synth.EDGES_SQL_COLS}),
+per_part AS (
+  SELECT poly_id, part_idx, any_value(is_hole) AS is_hole,
+         abs(sum(x0 * y1 - x1 * y0)) / 2.0 AS a,
+         sum(sqrt((x1 - x0) * (x1 - x0) + (y1 - y0) * (y1 - y0))) AS p,
+         sum((x0 + x1) * (x0 * y1 - x1 * y0)) AS cxs,
+         sum((y0 + y1) * (x0 * y1 - x1 * y0)) AS cys,
+         sum(x0 * y1 - x1 * y0) AS a2
+  FROM edges GROUP BY poly_id, part_idx
+),
+feat AS (
+  SELECT poly_id,
+         sum(CASE WHEN is_hole THEN -a ELSE a END) AS area,
+         sum(p) AS perimeter,
+         min(CASE WHEN NOT is_hole THEN cxs / (3.0 * a2) END) AS cx,
+         min(CASE WHEN NOT is_hole THEN cys / (3.0 * a2) END) AS cy
+  FROM per_part GROUP BY poly_id
+)
+SELECT CAST(poly_id AS BIGINT) AS poly_id, round(area, 6) AS area, round(perimeter, 6) AS perimeter,
+       round(cx, 6) AS cx, round(cy, 6) AS cy,
+       round(perimeter / (2.0 * sqrt(pi()) * sqrt(abs(area))), 6) AS compactness
+FROM feat
+"""
+
+
+def _ngram_jaccard_sql() -> str:
+    return """
+WITH d AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(length(text) - 2, 1)),
+           i -> substr(text, CAST(i AS INTEGER), 3))) AS sh
+  FROM documents
+),
+pairs AS (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, a.sh AS sa, b.sh AS sb
+  FROM d a CROSS JOIN d b WHERE a.doc_id < b.doc_id
+)
+SELECT doc_id_a, doc_id_b,
+       round(CAST(len(list_intersect(sa, sb)) AS DOUBLE)
+             / len(list_distinct(list_concat(sa, sb))), 6) AS jaccard
+FROM pairs
+WHERE CAST(len(list_intersect(sa, sb)) AS DOUBLE)
+      / len(list_distinct(list_concat(sa, sb))) >= 0.5
+"""
+
+
+_STOP_SQL = "(" + ",".join(f"'{w}'" for w in TX.EN_STOPWORDS) + ")"
+
+
+def _quality_sql() -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id, text, length(text) AS n_chars,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+         length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                   w -> lower(w) IN {_STOP_SQL})) END AS n_stop
+  FROM documents
+)
+SELECT doc_id, n_chars, n_tokens,
+       round(CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END, 6) AS punct_ratio,
+       round(CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END, 6) AS stop_ratio,
+       round(CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 1.0 ELSE 0.0 END
+             * (1.0 - CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END)
+             * least(CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END * 4.0, 1.0), 6) AS quality
+FROM t
+"""
+
+
+def _langid_sql() -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                   w -> lower(w) IN {_STOP_SQL})) END AS n_stop
+  FROM documents
+)
+SELECT doc_id,
+       round(CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END, 6) AS stop_ratio,
+       CASE WHEN (CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END) >= 0.08
+            THEN 'en' ELSE 'unknown' END AS pred_lang
+FROM t
+"""
+
+
+def _fingerprint_sql() -> str:
+    return """
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN []::BIGINT[]
+              ELSE list_transform(regexp_split_to_array(trim(text), '\\s+'),
+                                  tok -> CAST(length(tok) AS BIGINT) * 7919 + ascii(tok)) END AS codes
+  FROM documents
+)
+SELECT doc_id,
+       list_reduce(list_prepend(CAST(0 AS BIGINT), codes),
+                   (acc, c) -> (acc * 1000003 + c) % 2147483647) AS fp
+FROM t
+"""
+
+
+def _embed_topk_sql() -> str:
+    return """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_dot_product(e.v, q.qv)
+           / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS cos,
+         row_number() OVER (PARTITION BY q.query_id
+           ORDER BY list_dot_product(e.v, q.qv)
+             / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))) DESC,
+           e.vec_id) AS rank
+  FROM e CROSS JOIN q
+)
+SELECT query_id, vec_id, round(cos, 5) AS cosine, rank FROM scored WHERE rank <= 5
+"""
+
+
+def _embed_near_dup_sql() -> str:
+    return """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 5) AS cosine
+FROM e a CROSS JOIN e b
+WHERE a.vec_id < b.vec_id
+  AND list_dot_product(a.v, b.v)
+      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.45
+"""
+
+
+# ---------------------------------------------------------------------------
+# flagship entry
+# ---------------------------------------------------------------------------
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship: spatial-join + tiling pipeline at sf0.001 — PIP containment
+    join of derived points against the polygon set, then deterministic tile
+    assignment, aggregated to (tile, poly_id, n_points)."""
+    sf_dir = "/root/testdata/sf0.001"
+    pts = _cust_points(spark, sf_dir).drop("z")
+    hits = points_in_polygons(pts, PARTS, IDX)
+    tiled = assign_tiles(pts, **TILE).select("point_id", "tile")
+    return (
+        hits.join(tiled, "point_id")
+        .groupBy("tile", "poly_id")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+    )

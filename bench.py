@@ -1,0 +1,116 @@
+"""Benchmark harness.
+
+Runs the headline operator queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus the geodoc
+spatial-join + tiling pipeline (the BASELINE.json throughput metric:
+documents/sec through decode -> PIP cell-cover join -> tile assignment ->
+tile counts) over a deterministically generated interleaved document table.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "geodocs": {"n_docs": N, "sec": S, "docs_per_sec": R}}
+
+Scaling evidence (N vs 4N parallelism) is produced by
+scripts/bench_scaling.py -> BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    "pip_points_in_polygons",
+    "extract_raster_values",
+    "zonal_statistics",
+    "tile_counts",
+    "nn_gridding",
+    "idw_gridding",
+    "polygons_to_raster",
+    "block_max_gridding",
+    "raster_zip_ops",
+    "dedup_exact",
+    "minhash_lsh",
+    "token_count",
+    "quality_score",
+    "fingerprint",
+    "embedding_topk",
+]
+
+
+def geodoc_pipeline(spark, path: str):
+    """The throughput pipeline: documents -> decoded points -> PIP join ->
+    tile assignment -> per-(tile, poly) counts."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as E
+    from whitebox_tools_spark.ingest import decode_points
+    from whitebox_tools_spark.operators.pip import points_in_polygons
+    from whitebox_tools_spark.operators.tiling import assign_tiles
+
+    docs = spark.read.parquet(path)
+    pts = decode_points(docs).drop("z")
+    hits = points_in_polygons(pts, E.PARTS, E.IDX)
+    tiled = assign_tiles(pts, **E.TILE).select("point_id", "tile")
+    return (
+        hits.join(tiled, "point_id")
+        .groupBy("tile", "poly_id")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+    )
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "1000000"))
+
+    import __spark_entry__ as E
+    from whitebox_tools_spark.datagen import write_geodocs
+    from whitebox_tools_spark.session import get_spark
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    geodoc_path = os.path.join(repo, ".cache", f"geodocs_bench_{n_docs}")
+    write_geodocs(geodoc_path, n_docs, seed=42)
+
+    spark = get_spark(app_name="wts-bench")
+    qs = E.queries()
+    timings = {}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        n = qs[name](spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+        _ = n
+
+    t0 = time.time()
+    out_rows = geodoc_pipeline(spark, geodoc_path).count()
+    geodoc_sec = time.time() - t0
+    spark.stop()
+
+    total = round(sum(timings.values()) + geodoc_sec, 3)
+    print(
+        json.dumps(
+            {
+                "metric": "spatial-join+tiling suite elapsed (headline ops + "
+                "geodoc PIP/tile pipeline)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+                "geodocs": {
+                    "n_docs": n_docs,
+                    "sec": round(geodoc_sec, 3),
+                    "docs_per_sec": round(n_docs / geodoc_sec, 1),
+                    "out_rows": out_rows,
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,135 @@
+"""Dedup / text / similarity suite tests (property + oracle style)."""
+
+from pyspark.sql import functions as F
+
+from whitebox_tools_spark.operators import dedup as DD
+from whitebox_tools_spark.operators import similarity as SIM
+from whitebox_tools_spark.operators import text as TX
+
+
+def _docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),   # exact dup of 0
+        (2, "the quick brown fox jumped over the lazy dog"),  # near dup
+        (3, "completely different text with no overlap whatsoever"),
+        (4, ""),
+        (5, "short"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark):
+    out = {r.text: (r.doc_id, r.n_dups) for r in DD.exact_dedup(_docs(spark)).collect()}
+    assert out["the quick brown fox jumps over the lazy dog"] == (0, 2)
+    assert len(out) == 5
+
+
+def test_ngram_jaccard_finds_near_dups(spark):
+    pairs = {(r.doc_id_a, r.doc_id_b): r.jaccard
+             for r in DD.ngram_jaccard_pairs(_docs(spark), threshold=0.5,
+                                             length_band=None).collect()}
+    assert pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs and pairs[(0, 2)] > 0.7
+    assert (0, 3) not in pairs
+
+
+def test_minhash_lsh_pairs(spark):
+    pairs = {(r.doc_id_a, r.doc_id_b)
+             for r in DD.minhash_lsh_pairs(_docs(spark), verify_threshold=0.5).collect()}
+    assert (0, 1) in pairs  # identical docs always collide in every band
+    assert (0, 2) in pairs  # near dup: high signature agreement
+    assert (0, 3) not in pairs
+
+
+def test_simhash_near_dups(spark):
+    # banding guarantees recall only for small hamming distances, so use a
+    # long document where a one-word edit moves few simhash bits
+    base = "the quick brown fox jumps over the lazy dog and then runs far away " * 8
+    rows = [(0, base), (1, base), (2, base.replace("runs", "rune")),
+            (3, "completely different text with no overlap at all whatsoever here")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r.doc_id_a, r.doc_id_b): r.hamming
+             for r in DD.simhash_near_dup_pairs(docs, max_hamming=10).collect()}
+    assert pairs[(0, 1)] == 0
+    assert (0, 2) in pairs
+    assert (0, 3) not in pairs
+
+
+def test_dedup_keep_first(spark):
+    docs = _docs(spark)
+    pairs = DD.minhash_lsh_pairs(docs, verify_threshold=0.9)
+    kept = DD.dedup_keep_first(docs, pairs)
+    ids = {r.doc_id for r in kept.collect()}
+    assert 0 in ids and 1 not in ids
+
+
+def test_token_count_and_quality(spark):
+    tc = {r.doc_id: r.n_tokens for r in TX.token_count(_docs(spark)).collect()}
+    assert tc[0] == 9 and tc[4] == 0 and tc[5] == 1
+    q = {r.doc_id: r for r in TX.quality_score(_docs(spark)).collect()}
+    assert q[4].quality == 0.0  # empty doc filtered by length gate
+    assert q[0].stop_ratio > 0.2  # two 'the' + 'over'
+
+
+def test_language_id(spark):
+    out = {r.doc_id: r.pred_lang for r in TX.language_id(_docs(spark)).collect()}
+    assert out[0] == "en"
+    assert out[3] == "unknown" or out[3] == "en"  # 'with'/'no' borderline
+    assert out[4] == "unknown"
+
+
+def test_fingerprint_deterministic_and_distinct(spark):
+    a = {r.doc_id: r.fp for r in TX.fingerprint(_docs(spark)).collect()}
+    b = {r.doc_id: r.fp for r in TX.fingerprint(_docs(spark)).collect()}
+    assert a == b
+    assert a[0] == a[1] and a[0] != a[3]
+
+
+def _emb(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((8, 16))
+    rows = []
+    for i in range(8):
+        rows.append((i, [float(v) for v in base[i]]))
+        # a near-duplicate of each: tiny perturbation
+        rows.append((100 + i, [float(v) for v in base[i] + rng.standard_normal(16) * 0.01]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_cosine_topk_exact(spark):
+    emb = _emb(spark)
+    q = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = SIM.cosine_topk(emb, q, 2).collect()
+    top1 = {r.query_id: r.vec_id for r in out if r.rank == 1}
+    top2 = {r.query_id: r.vec_id for r in out if r.rank == 2}
+    assert top1 == {0: 0, 1: 1}  # self first (cosine 1)
+    assert top2 == {0: 100, 1: 101}  # near-dup second
+
+
+def test_embedding_near_dup_lsh_recall(spark):
+    emb = _emb(spark)
+    pairs = {(r.id_a, r.id_b)
+             for r in DD.embedding_near_dup_pairs(
+                 emb, vec_id="vec_id", vec="embedding",
+                 threshold=0.99, n_planes=6, dim=16).collect()}
+    # random-hyperplane buckets keep near-identical vectors together almost surely
+    found = sum(1 for i in range(8) if (i, 100 + i) in pairs)
+    assert found >= 6
+
+
+def test_ann_lsh_subset_of_exact(spark):
+    emb = _emb(spark)
+    q = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {(r.query_id, r.vec_id) for r in SIM.cosine_topk(emb, q, 1).collect()}
+    ann = {(r.query_id, r.vec_id)
+           for r in SIM.ann_topk_lsh(emb, q, 1, n_planes=4, n_probes=4, dim=16).collect()
+           if r.rank == 1}
+    # self-match is always in the same bucket -> rank-1 identical
+    assert ann == exact

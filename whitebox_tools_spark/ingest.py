@@ -1,0 +1,128 @@
+"""Span decode: geodoc table (doc_id, spans) -> typed geometry DataFrames.
+
+Decode paths:
+  - points: pure column expressions (explode + split + cast) — stays in
+    whole-stage codegen, no Python at all.
+  - polygons: Arrow-batched pandas UDF parsing ring strings into
+    array<double> part rows (small side; runs once, result broadcastable).
+  - span invariant: every pipeline must preserve span-sequence equality on
+    (kind, text, media_ref, order) per doc (BASELINE.json input_hint);
+    `span_signature` reduces the sequence to a canonical string for cheap
+    equality checks, `assert_span_invariant` compares two tables.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from whitebox_tools_spark import geometry as G
+
+
+def decode_points(docs: DataFrame, *, include_z: bool = True) -> DataFrame:
+    """point / point_z spans -> (doc_id, point_id, x, y, z). point_id is the
+    dense numeric suffix of doc_id (deterministic join key). Built-ins only."""
+    s = docs.select(
+        "doc_id", F.explode("spans").alias("s")
+    ).filter(F.col("s.kind").isin(*(["point", "point_z"] if include_z else ["point"])))
+    parts = F.split(F.col("s.text"), " ")
+    return s.select(
+        "doc_id",
+        F.regexp_extract("doc_id", r"(\d+)", 1).cast("long").alias("point_id"),
+        parts.getItem(0).cast("double").alias("x"),
+        parts.getItem(1).cast("double").alias("y"),
+        F.when(F.size(parts) > 2, parts.getItem(2).cast("double")).alias("z"),
+    )
+
+
+def decode_media(docs: DataFrame) -> DataFrame:
+    """media spans -> (doc_id, media_ref, media_type, payload, width,
+    height, duration_ms) with NULL payload (opaque binary arrives from the
+    media store at read time; see operators/multimodal.py)."""
+    s = docs.select("doc_id", F.explode("spans").alias("s")).filter(F.col("s.kind") == "media")
+    return s.select(
+        "doc_id",
+        F.col("s.media_ref").alias("media_ref"),
+        F.lit("image").alias("media_type"),
+        F.lit(None).cast("binary").alias("payload"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(1000).alias("duration_ms"),
+    )
+
+
+def decode_polygons(docs: DataFrame) -> DataFrame:
+    """polygon spans -> part table (poly_id, part_idx, is_hole, xs, ys).
+    Ring strings are ';'-separated closed rings 'x1 y1 x2 y2 ...'; hole-ness
+    is the shapefile winding rule (CCW = hole,
+    /root/reference/whitebox-vector/src/shapefile/geometry.rs:307-340),
+    recomputed here with the engine's own signed-area kernel."""
+    s = (
+        docs.select("doc_id", F.explode("spans").alias("s"))
+        .filter(F.col("s.kind") == "polygon")
+        .select(
+            F.regexp_extract("doc_id", r"(\d+)", 1).cast("long").alias("poly_id"),
+            F.col("s.text").alias("rings"),
+        )
+    )
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"poly_id": [], "part_idx": [], "is_hole": [], "xs": [], "ys": []}
+            for pid, rings in zip(pdf["poly_id"], pdf["rings"]):
+                for k, ring in enumerate(rings.split(";")):
+                    vals = np.array(ring.split(), dtype=np.float64)
+                    xs, ys = vals[0::2], vals[1::2]
+                    rows["poly_id"].append(pid)
+                    rows["part_idx"].append(k)
+                    rows["is_hole"].append(bool(G.is_hole(xs, ys)))
+                    rows["xs"].append(list(xs))
+                    rows["ys"].append(list(ys))
+            yield pd.DataFrame(rows)
+
+    return s.mapInPandas(
+        parse,
+        schema="poly_id long, part_idx int, is_hole boolean, xs array<double>, ys array<double>",
+    )
+
+
+def span_signature(docs: DataFrame) -> DataFrame:
+    """(doc_id, sig) — canonical string of the (kind, text, media_ref)
+    sequence ordered by offset. Pure built-ins (sort_by offset + transform +
+    concat), usable on both input and pipeline output to assert the per-row
+    invariant."""
+    ordered = F.array_sort(
+        F.col("spans"), lambda a, b: F.when(a.offset < b.offset, -1).when(a.offset > b.offset, 1).otherwise(0)
+    )
+    sig = F.array_join(
+        F.transform(
+            ordered,
+            lambda sp: F.concat_ws("\x01", sp.kind, sp.text, sp.media_ref),
+        ),
+        "\x02",
+    )
+    return docs.select("doc_id", sig.alias("sig"))
+
+
+def assert_span_invariant(before: DataFrame, after: DataFrame) -> None:
+    """Raise if any doc's span sequence changed (kind, text, media_ref,
+    order) — the BASELINE.json per-row invariant. Distributed anti-join, no
+    collect of payloads."""
+    a = span_signature(before).alias("a")
+    b = span_signature(after).alias("b")
+    bad = (
+        a.join(b, "doc_id", "full")
+        .filter(
+            F.col("a.sig").isNull()
+            | F.col("b.sig").isNull()
+            | (F.col("a.sig") != F.col("b.sig"))
+        )
+        .limit(5)
+        .collect()
+    )
+    if bad:
+        raise AssertionError(f"span invariant violated for docs: {[r['doc_id'] for r in bad]}")

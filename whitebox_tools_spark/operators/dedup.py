@@ -1,0 +1,268 @@
+"""Deduplication suite for large-scale document pipelines.
+
+These go beyond the reference's operator set (it has no text tooling): exact
+dedup, character/shingle Jaccard near-dup, MinHash+LSH, SimHash, and
+embedding-cosine near-dup — each designed so the expensive comparison only
+happens inside candidate buckets (band/bucket equi-joins), never as a global
+cross join, which is what survives 10^12 documents.
+
+Determinism: MinHash/SimHash permutations derive from xxhash64 with fixed
+seeds (JVM-side, codegen); shingle sets use array built-ins. No Python in
+any hot path except none at all — the whole suite is pyspark.sql.functions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exact_dedup(docs: DataFrame, *, text: str = "text", doc_id: str = "doc_id") -> DataFrame:
+    """Keep the lowest doc_id per exact text; one hash aggregate.
+    -> (doc_id, text, n_dups)."""
+    return docs.groupBy(F.col(text).alias("text")).agg(
+        F.min(F.col(doc_id)).alias("doc_id"),
+        F.count(F.lit(1)).alias("n_dups"),
+    ).select("doc_id", "text", "n_dups")
+
+
+def shingles_expr(text_col, n: int = 3):
+    """Distinct character n-gram array of a string column (built-ins only):
+    substring(text, i, n) for i in 1..len-n+1."""
+    idx = F.sequence(F.lit(1), F.greatest(F.length(text_col) - F.lit(n - 1), F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: F.substring(text_col, i, n)))
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    *,
+    text: str = "text",
+    doc_id: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    length_band: int | None = 16,
+) -> DataFrame:
+    """Near-dup pairs by exact n-gram Jaccard >= threshold.
+
+    Candidate generation: docs whose lengths differ by more than
+    threshold cannot reach the threshold, so pair only within neighbouring
+    length bands (a cheap, exact-complete filter: |A|/|B| >= j is necessary
+    for J(A,B) >= j). -> (doc_id_a, doc_id_b, jaccard).
+    """
+    d = docs.select(
+        F.col(doc_id).alias("id"),
+        shingles_expr(F.col(text), n).alias("sh"),
+    ).withColumn("sz", F.size("sh"))
+    if length_band:
+        d = d.withColumn("band", F.floor(F.col("sz") / length_band))
+        a = d.select(F.col("id").alias("doc_id_a"), F.col("sh").alias("sh_a"), F.col("band"))
+        bands = a.withColumn("band", F.explode(F.array(F.col("band"), F.col("band") + 1)))
+        b = d.select(F.col("id").alias("doc_id_b"), F.col("sh").alias("sh_b"), F.col("band"))
+        pairs = bands.join(b, "band").filter(F.col("doc_id_a") < F.col("doc_id_b"))
+    else:
+        a = d.select(F.col("id").alias("doc_id_a"), F.col("sh").alias("sh_a"))
+        b = d.select(F.col("id").alias("doc_id_b"), F.col("sh").alias("sh_b"))
+        pairs = a.crossJoin(b).filter(F.col("doc_id_a") < F.col("doc_id_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        pairs.withColumn("jaccard", inter.cast("double") / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_id_a", "doc_id_b", "jaccard")
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    *,
+    text: str = "text",
+    doc_id: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 64,
+) -> DataFrame:
+    """MinHash signature per doc: for each of num_hashes seeded xxhash64
+    functions, the min hash over the shingle set. All JVM built-ins.
+    -> (doc_id, sig: array<bigint>)."""
+    sh = shingles_expr(F.col(text), n)
+    sig = F.array(
+        *[
+            F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(s, F.lit(i))))
+            for i in range(num_hashes)
+        ]
+    )
+    return docs.select(F.col(doc_id).alias("doc_id"), sig.alias("sig"))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    *,
+    text: str = "text",
+    doc_id: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    verify_threshold: float | None = 0.5,
+) -> DataFrame:
+    """MinHash + LSH banding: docs sharing any band bucket become candidate
+    pairs; optionally verified by estimated Jaccard (signature agreement).
+    Shuffle cost is O(docs x bands), never quadratic. -> (doc_id_a,
+    doc_id_b, est_jaccard)."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(docs, text=text, doc_id=doc_id, n=n, num_hashes=num_hashes)
+    banded = sigs.withColumn(
+        "band",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("b"),
+                        F.xxhash64(
+                            *[F.col("sig")[i] for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+                        ).alias("h"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ),
+    ).select("doc_id", "sig", "band.b", "band.h")
+    other = banded.select(
+        F.col("doc_id").alias("doc_id_b"), F.col("sig").alias("sig_b"), "b", "h"
+    )
+    pairs = (
+        banded.select(F.col("doc_id").alias("doc_id_a"), F.col("sig").alias("sig_a"), "b", "h")
+        .join(other, ["b", "h"])
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .select("doc_id_a", "doc_id_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+                lambda v: v == 1,
+            )
+        ).cast("double")
+        / num_hashes
+    )
+    out = pairs.withColumn("est_jaccard", est).select("doc_id_a", "doc_id_b", "est_jaccard")
+    if verify_threshold is not None:
+        out = out.filter(F.col("est_jaccard") >= verify_threshold)
+    return out
+
+
+def simhash_table(
+    docs: DataFrame,
+    *,
+    text: str = "text",
+    doc_id: str = "doc_id",
+    bits: int = 64,
+    n: int = 3,
+) -> DataFrame:
+    """64-bit SimHash per doc over shingle xxhash64s, built-ins only.
+
+    Per bit b the sign of sum(+/-1) over shingles is computed as one grouped
+    aggregate: explode distinct shingles -> hash -> 64 sums of
+    (hash >> b) & 1; bit set iff ones*2 >= n_shingles. (Bit ops on lambda
+    variables are not supported by the pyspark function wrappers, hence the
+    explode+groupBy formulation — still one shuffle, JVM-side.)
+    -> (doc_id, sh: bigint)
+    """
+    g = docs.select(
+        F.col(doc_id).alias("doc_id"),
+        F.explode(shingles_expr(F.col(text), n)).alias("g"),
+    ).withColumn("h", F.xxhash64("g"))
+    aggs = [
+        F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))).alias(f"_b{b}")
+        for b in range(bits)
+    ]
+    per = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("_n"), *aggs)
+    sim = F.lit(0).cast("long")
+    for b in range(bits):
+        bit = F.when(F.col(f"_b{b}") * 2 >= F.col("_n"), F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sim = sim + F.shiftleft(bit, b)
+    return per.select("doc_id", sim.alias("sh"))
+
+
+def simhash_near_dup_pairs(
+    docs: DataFrame,
+    *,
+    text: str = "text",
+    doc_id: str = "doc_id",
+    max_hamming: int = 3,
+    n: int = 3,
+) -> DataFrame:
+    """SimHash near-dups: band the 64-bit simhash into 4 x 16-bit keys
+    (pigeonhole: hamming <= 3 implies at least one identical band), join per
+    band, verify exact hamming distance. -> (doc_id_a, doc_id_b, hamming)."""
+    d = simhash_table(docs, text=text, doc_id=doc_id, n=n)
+    banded = d.withColumn(
+        "band",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("b"),
+                        F.shiftright(F.col("sh"), 16 * b).bitwiseAND(F.lit(0xFFFF)).alias("k"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ),
+    ).select("doc_id", "sh", "band.b", "band.k")
+    other = banded.select(F.col("doc_id").alias("doc_id_b"), F.col("sh").alias("sh_b"), "b", "k")
+    pairs = (
+        banded.select(F.col("doc_id").alias("doc_id_a"), F.col("sh").alias("sh_a"), "b", "k")
+        .join(other, ["b", "k"])
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .select("doc_id_a", "doc_id_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        pairs.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_id_a", "doc_id_b", "hamming")
+    )
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    *,
+    vec_id: str = "vec_id",
+    vec: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    seed: int = 11,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-dup via random-hyperplane LSH buckets + exact
+    cosine verify inside buckets (see similarity.py for the plane
+    construction). -> (id_a, id_b, cosine)."""
+    from whitebox_tools_spark.operators.similarity import hyperplane_bucket_expr, cosine_expr
+
+    d = embeddings.select(
+        F.col(vec_id).alias("id"),
+        F.col(vec).cast("array<double>").alias("v"),
+    ).withColumn("bucket", hyperplane_bucket_expr(F.col("v"), n_planes=n_planes, seed=seed, dim=dim))
+    a = d.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"), "bucket")
+    b = d.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"), "bucket")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine_expr(F.col("v_a"), F.col("v_b")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+        .distinct()
+    )
+
+
+def dedup_keep_first(docs: DataFrame, pairs: DataFrame, *, doc_id: str = "doc_id") -> DataFrame:
+    """Given near-dup pairs, drop every doc that appears as the larger id of
+    a pair (keep-lowest-id policy; transitive chains collapse to the
+    smallest reachable id only across one hop — exact CC is the clump
+    operator's job)."""
+    losers = pairs.select(F.col("doc_id_b").alias(doc_id)).distinct()
+    return docs.join(losers, doc_id, "left_anti")

@@ -1,0 +1,234 @@
+"""Focal / neighborhood operators (class FOC): slope, aspect, hillshade,
+k x k filters over long-form cell tables.
+
+Reference semantics (all 5x5 Florinsky windows, constants verbatim):
+  - Slope: /root/reference/whitebox-tools-app/src/tools/terrain_analysis/
+    slope.rs:268-331 — p, q partial derivatives (Florinsky 2016 eq., 25-cell
+    window, res = (res_x + res_y)/2), slope = atan(sqrt(p^2+q^2)); nodata or
+    out-of-grid neighbors take the center value (slope.rs:297-305).
+  - Aspect: terrain_analysis/aspect.rs:262-295 — sign-based formula, -1 for
+    flat (p == 0).
+  - Hillshade: terrain_analysis/hillshade.rs:293-296,329-381 — azimuth-90
+    rotation, tan_slope floor 0.00017, val*32767 clamped at 0 and rounded.
+  - MeanFilter: image_analysis/mean_filter.rs — mean of non-nodata cells in
+    the clamped window. (The reference's integral-image implementation drops
+    row/col 0 contributions for windows touching the grid edge — a boundary
+    quirk we do NOT reproduce; we use the literal window definition.)
+
+Spark plan: neighborhood gather as ONE scatter-shuffle — each cell is
+exploded over the 25 window offsets toward the target cell it serves, then
+a single hash aggregate pivots the window into z0..z24 columns. The p/q and
+output formulas are plain arithmetic SQL strings evaluated with F.expr —
+the DuckDB oracle runs the IDENTICAL strings, so engine and oracle cannot
+diverge. (A tiled mapInPandas+halo variant is the planned fast path for
+large dense rasters; this gather is the semantic reference and is already
+one-shuffle.)
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# (dx, dy) in the reference's window order (slope.rs:285-291); neighbor n of
+# output cell (row, col) is input cell (row + dy, col + dx); z12 = center.
+OFFSETS25 = [
+    (-2, -2), (-1, -2), (0, -2), (1, -2), (2, -2),
+    (-2, -1), (-1, -1), (0, -1), (1, -1), (2, -1),
+    (-2, 0), (-1, 0), (0, 0), (1, 0), (2, 0),
+    (-2, 1), (-1, 1), (0, 1), (1, 1), (2, 1),
+    (-2, 2), (-1, 2), (0, 2), (1, 2), (2, 2),
+]
+
+# Florinsky (2016) derivatives, transcribed from slope.rs:307-317 with the
+# same grouping/order of float operations. {res} = (res_x+res_y)/2.
+P_FORMULA = (
+    "1.0/(420.0*{res}) * (44.0*(z3+z23-z1-z21) + 31.0*(z0+z20-z4-z24 "
+    "+ 2.0*(z8+z18-z6-z16)) + 17.0*(z14-z10+4.0*(z13-z11)) "
+    "+ 5.0*(z9+z19-z5-z15))"
+)
+Q_FORMULA = (
+    "1.0/(420.0*{res}) * (44.0*(z5+z9-z15-z19) + 31.0*(z20+z24-z0-z4 "
+    "+ 2.0*(z6+z8-z16-z18)) + 17.0*(z2-z22+4.0*(z7-z17)) "
+    "+ 5.0*(z1+z3-z21-z23))"
+)
+SLOPE_FORMULAS = {
+    "degrees": "degrees(atan(sqrt(p*p + q*q)))",
+    "radians": "atan(sqrt(p*p + q*q))",
+    "percent": "sqrt(p*p + q*q) * 100.0",
+}
+ASPECT_FORMULA = (
+    "CASE WHEN p <> 0.0 THEN "
+    "-90.0*(1.0 - sign(q))*(1.0 - abs(sign(p))) + 180.0*(1.0 + sign(p)) "
+    "- 180.0/pi() * sign(p) * acos(-q / sqrt(p*p + q*q)) "
+    "ELSE -1.0 END"
+)
+
+
+def hillshade_formula(azimuth: float, altitude: float) -> str:
+    az = math.radians(azimuth - 90.0)
+    sin_t = math.sin(math.radians(altitude))
+    cos_t = math.cos(math.radians(altitude))
+    return (
+        "round(greatest((ts/sqrt(1.0 + ts*ts)) * "
+        f"({sin_t!r}/ts - {cos_t!r}*sin({az!r} - asp)), 0.0) * 32767.0)"
+    ).replace(
+        "ts", "greatest(sqrt(p*p + q*q), 0.00017)"
+    ).replace(
+        "asp",
+        "(CASE WHEN p <> 0.0 THEN pi() - atan(q/p) + (pi()/2.0)*(p/abs(p)) ELSE pi() END)",
+    )
+
+
+def gather25(cells: DataFrame, *, z_factor: float = 1.0) -> DataFrame:
+    """-> (row, col, value, z0..z24) for every non-null cell; missing/nodata
+    neighbors coalesce to the center value, all scaled by z_factor
+    (slope.rs:297-305). One scatter-explode + one hash aggregate."""
+    spark = cells.sparkSession
+    src = cells.filter(F.col("value").isNotNull()).select("row", "col", "value")
+    offsets = spark.createDataFrame(
+        [(n, dx, dy) for n, (dx, dy) in enumerate(OFFSETS25)], "n int, dx int, dy int"
+    )
+    scattered = (
+        src.crossJoin(F.broadcast(offsets))
+        .select(
+            (F.col("row") - F.col("dy")).alias("row"),
+            (F.col("col") - F.col("dx")).alias("col"),
+            "n",
+            "value",
+        )
+        .groupBy("row", "col")
+        .agg(*[F.max(F.when(F.col("n") == i, F.col("value"))).alias(f"_z{i}") for i in range(25)])
+    )
+    out = src.join(scattered, ["row", "col"], "left")
+    for i in range(25):
+        out = out.withColumn(
+            f"z{i}", F.coalesce(F.col(f"_z{i}"), F.col("value")) * F.lit(z_factor)
+        )
+    return out.drop(*[f"_z{i}" for i in range(25)])
+
+
+def _pq(df: DataFrame, res: float) -> DataFrame:
+    return df.withColumn("p", F.expr(P_FORMULA.format(res=repr(res)))).withColumn(
+        "q", F.expr(Q_FORMULA.format(res=repr(res)))
+    )
+
+
+def slope(cells: DataFrame, *, res: float, z_factor: float = 1.0, units: str = "degrees") -> DataFrame:
+    g = _pq(gather25(cells, z_factor=z_factor), res)
+    return g.select("row", "col", F.expr(SLOPE_FORMULAS[units]).alias("value"))
+
+
+def aspect(cells: DataFrame, *, res: float, z_factor: float = 1.0) -> DataFrame:
+    g = _pq(gather25(cells, z_factor=z_factor), res)
+    return g.select("row", "col", F.expr(ASPECT_FORMULA).alias("value"))
+
+
+def hillshade(
+    cells: DataFrame,
+    *,
+    res: float,
+    azimuth: float = 315.0,
+    altitude: float = 30.0,
+    z_factor: float = 1.0,
+) -> DataFrame:
+    g = _pq(gather25(cells, z_factor=z_factor), res)
+    return g.select(
+        "row", "col", F.expr(hillshade_formula(azimuth, altitude)).alias("value")
+    )
+
+
+def mean_filter(cells: DataFrame, *, filterx: int = 3, filtery: int = 3) -> DataFrame:
+    """Mean of non-null cells in the (filterx x filtery) window around each
+    non-null cell (window clamped at grid edges by cell existence)."""
+    spark = cells.sparkSession
+    mx, my = filterx // 2, filtery // 2
+    src = cells.filter(F.col("value").isNotNull()).select("row", "col", "value")
+    offsets = spark.createDataFrame(
+        [(dx, dy) for dx in range(-mx, mx + 1) for dy in range(-my, my + 1)],
+        "dx int, dy int",
+    )
+    scattered = (
+        src.crossJoin(F.broadcast(offsets))
+        .select(
+            (F.col("row") - F.col("dy")).alias("row"),
+            (F.col("col") - F.col("dx")).alias("col"),
+            "value",
+        )
+        .groupBy("row", "col")
+        .agg(F.avg("value").alias("_mean"))
+    )
+    return (
+        src.join(scattered, ["row", "col"], "left")
+        .select("row", "col", F.col("_mean").alias("value"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL builders (the same formula strings, same gather shape)
+# ---------------------------------------------------------------------------
+def _gather25_sql(source_sql: str, z_factor: float = 1.0) -> str:
+    offs = ", ".join(f"({n}, {dx}, {dy})" for n, (dx, dy) in enumerate(OFFSETS25))
+    zcols = ", ".join(
+        f"coalesce(max(CASE WHEN o.n = {i} THEN s.value END), any_value(c.value)) * {z_factor!r} AS z{i}"
+        for i in range(25)
+    )
+    return f"""
+WITH src AS (SELECT row, col, value FROM ({source_sql}) WHERE value IS NOT NULL),
+offs(n, dx, dy) AS (VALUES {offs}),
+g AS (
+  SELECT c.row, c.col, {zcols}
+  FROM src c
+  LEFT JOIN (src s CROSS JOIN offs o)
+    ON c.row = s.row - o.dy AND c.col = s.col - o.dx
+  GROUP BY c.row, c.col
+)
+"""
+
+
+def slope_oracle_sql(source_sql: str, *, res: float, units: str = "degrees", z_factor: float = 1.0) -> str:
+    return (
+        _gather25_sql(source_sql, z_factor)
+        + f", pq AS ({_pq_select_sql(res)}) SELECT row, col, {SLOPE_FORMULAS[units]} AS value FROM pq"
+    )
+
+
+def _pq_select_sql(res: float) -> str:
+    p = P_FORMULA.format(res=repr(res))
+    q = Q_FORMULA.format(res=repr(res))
+    return f"SELECT row, col, {p} AS p, {q} AS q FROM g"
+
+
+def aspect_oracle_sql(source_sql: str, *, res: float, z_factor: float = 1.0) -> str:
+    return (
+        _gather25_sql(source_sql, z_factor)
+        + f", pq AS ({_pq_select_sql(res)}) SELECT row, col, {ASPECT_FORMULA} AS value FROM pq"
+    )
+
+
+def hillshade_oracle_sql(
+    source_sql: str, *, res: float, azimuth: float = 315.0, altitude: float = 30.0, z_factor: float = 1.0
+) -> str:
+    return (
+        _gather25_sql(source_sql, z_factor)
+        + f", pq AS ({_pq_select_sql(res)}) SELECT row, col, {hillshade_formula(azimuth, altitude)} AS value FROM pq"
+    )
+
+
+def mean_filter_oracle_sql(source_sql: str, *, filterx: int = 3, filtery: int = 3) -> str:
+    mx, my = filterx // 2, filtery // 2
+    offs = ", ".join(
+        f"({dx}, {dy})" for dx in range(-mx, mx + 1) for dy in range(-my, my + 1)
+    )
+    return f"""
+WITH src AS (SELECT row, col, value FROM ({source_sql}) WHERE value IS NOT NULL),
+offs(dx, dy) AS (VALUES {offs}),
+m AS (
+  SELECT s.row - o.dy AS row, s.col - o.dx AS col, avg(s.value) AS value
+  FROM src s CROSS JOIN offs o
+  GROUP BY 1, 2
+)
+SELECT c.row, c.col, m.value FROM src c LEFT JOIN m ON c.row = m.row AND c.col = m.col
+"""

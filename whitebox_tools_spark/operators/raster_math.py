@@ -1,0 +1,145 @@
+"""Raster math (classes MAP and ZIP) — per-cell transforms and cell-wise
+combines over long-form cell tables (row, col, value).
+
+The reference implements ~40 standalone tools for these
+(/root/reference/whitebox-tools-app/src/tools/math_stat_analysis/{abs,sin,
+cos,tan,ln,log10,log2,sqrt,square,negate,reciprocal,round,truncate,
+to_degrees,to_radians,add,subtract,multiply,divide,min,max,modulo,power,
+integer_division,equal_to,not_equal_to,greater_than,less_than,and,or,not,
+xor}.rs plus gis_analysis/reclass.rs and weighted_sum.rs). Every one maps to
+a built-in pyspark.sql.functions expression — JVM-side, whole-stage codegen,
+zero UDFs. NoData is NULL; NULL propagates through expressions exactly as
+the reference's nodata guard skips cells.
+
+ZIP ops align two rasters by (row, col) equi-join — broadcast when one side
+is small, otherwise a co-partitioned shuffle join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# MAP: value -> value (tool name -> expression builder)
+MAP_OPS: dict = {
+    "abs": F.abs,
+    "negate": lambda c: -c,
+    "reciprocal": lambda c: F.lit(1.0) / c,
+    "square": lambda c: c * c,
+    "sqrt": F.sqrt,
+    "ln": F.log,
+    "log10": F.log10,
+    "log2": F.log2,
+    "exp": F.exp,
+    "exp2": lambda c: F.pow(F.lit(2.0), c),
+    "sin": F.sin,
+    "cos": F.cos,
+    "tan": F.tan,
+    "asin": F.asin,
+    "acos": F.acos,
+    "atan": F.atan,
+    "sinh": F.sinh,
+    "cosh": F.cosh,
+    "tanh": F.tanh,
+    "ceil": lambda c: F.ceil(c).cast("double"),
+    "floor": lambda c: F.floor(c).cast("double"),
+    "round": lambda c: F.round(c, 0),
+    "to_degrees": F.degrees,
+    "to_radians": F.radians,
+    "is_nodata": lambda c: F.when(c.isNull(), F.lit(1.0)).otherwise(F.lit(0.0)),
+}
+
+# ZIP: (value1, value2) -> value
+ZIP_OPS: dict = {
+    "add": lambda a, b: a + b,
+    "subtract": lambda a, b: a - b,
+    "multiply": lambda a, b: a * b,
+    "divide": lambda a, b: a / b,
+    "min": F.least,
+    "max": F.greatest,
+    "modulo": lambda a, b: a % b,
+    "power": F.pow,
+    "integer_division": lambda a, b: F.floor(a / b).cast("double"),
+    "equal_to": lambda a, b: (a == b).cast("double"),
+    "not_equal_to": lambda a, b: (a != b).cast("double"),
+    "greater_than": lambda a, b: (a > b).cast("double"),
+    "less_than": lambda a, b: (a < b).cast("double"),
+    "and": lambda a, b: ((a != 0) & (b != 0)).cast("double"),
+    "or": lambda a, b: ((a != 0) | (b != 0)).cast("double"),
+    "xor": lambda a, b: ((a != 0) != (b != 0)).cast("double"),
+}
+
+
+def apply_map(cells: DataFrame, op: str, *, value: str = "value") -> DataFrame:
+    """One MAP tool over a cell table (NULL nodata propagates)."""
+    return cells.withColumn(value, MAP_OPS[op](F.col(value)))
+
+
+def combine(
+    a: DataFrame,
+    b: DataFrame,
+    op: str,
+    *,
+    value: str = "value",
+    broadcast_b: bool = False,
+    how: str = "inner",
+) -> DataFrame:
+    """One ZIP tool: align on (row, col) and combine values."""
+    bb = b.select("row", "col", F.col(value).alias("__v2"))
+    if broadcast_b:
+        bb = F.broadcast(bb)
+    return (
+        a.join(bb, ["row", "col"], how)
+        .withColumn(value, ZIP_OPS[op](F.col(value), F.col("__v2")))
+        .drop("__v2")
+    )
+
+
+def scalar_op(cells: DataFrame, op: str, const: float, *, value: str = "value") -> DataFrame:
+    """Raster (op) constant — the tools' --input2 scalar path."""
+    return cells.withColumn(value, ZIP_OPS[op](F.col(value), F.lit(const)))
+
+
+def reclass(
+    cells: DataFrame,
+    ranges: list[tuple[float, float, float]],
+    *,
+    value: str = "value",
+    assign_mode: bool = False,
+) -> DataFrame:
+    """Reclass (gis_analysis/reclass.rs): (new, lower, upper] ranges as a
+    single CASE chain; assign_mode means exact-value mapping (new, old).
+    Unmatched values pass through unchanged (reference behavior)."""
+    col = F.col(value)
+    expr = None
+    for new, lo, hi in ranges:
+        cond = (col == F.lit(lo)) if assign_mode else ((col >= F.lit(lo)) & (col < F.lit(hi)))
+        expr = F.when(cond, F.lit(new)) if expr is None else expr.when(cond, F.lit(new))
+    return cells.withColumn(value, expr.otherwise(col) if expr is not None else col)
+
+
+def weighted_sum(layers: list[tuple[DataFrame, float]], *, value: str = "value") -> DataFrame:
+    """WeightedSum (gis_analysis/weighted_sum.rs): sum(w_i * raster_i) over
+    aligned cells — iterative inner joins on (row, col)."""
+    (df0, w0), rest = layers[0], layers[1:]
+    out = df0.select("row", "col", (F.col(value) * F.lit(w0)).alias(value))
+    for df, w in rest:
+        out = combine(out, df.select("row", "col", (F.col(value) * F.lit(w)).alias(value)), "add")
+    return out
+
+
+def convert_nodata_to_zero(cells: DataFrame, *, value: str = "value") -> DataFrame:
+    """ConvertNodataToZero (data_tools/convert_nodata_to_zero.rs:119)."""
+    return cells.withColumn(value, F.coalesce(F.col(value), F.lit(0.0)))
+
+
+def new_raster_from_base(spark, grid, init_value: float | None) -> DataFrame:
+    """NewRasterFromBase (data_tools/new_raster.rs:145): dense constant grid."""
+    return (
+        spark.range(grid.rows * grid.cols)
+        .select(
+            (F.col("id") / grid.cols).cast("long").alias("row"),
+            (F.col("id") % grid.cols).alias("col"),
+        )
+        .withColumn("value", F.lit(init_value).cast("double"))
+    )

@@ -1,0 +1,131 @@
+"""Statistical operators (class AGG/STAT) over cell tables and attribute
+columns — all single hash-aggregate plans (partial + final combine free).
+
+References:
+  - RasterSummaryStats: /root/reference/whitebox-tools-app/src/tools/
+    math_stat_analysis/raster_summary_stats.rs:134 (min/max/mean/sd/n/total).
+  - RasterHistogram: raster_histogram.rs:128.
+  - Quantiles: quantiles.rs:136 (values -> quantile bin 1..q over the
+    non-nodata distribution, :263-268).
+  - ZScores: zscores.rs:130 ((v - mean) / sd).
+  - RootMeanSquareError: root_mean_square_error.rs:130.
+  - ListUniqueValues: list_unique_values.rs:149 (attribute value -> count).
+  - RescaleValueRange: rescale_value_range.rs:152 (min-max stretch).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def raster_summary_stats(cells: DataFrame, *, value: str = "value") -> DataFrame:
+    v = F.col(value)
+    return cells.filter(v.isNotNull()).agg(
+        F.count(v).alias("n"),
+        F.sum(v).alias("total"),
+        F.avg(v).alias("mean_v"),
+        F.min(v).alias("min_v"),
+        F.max(v).alias("max_v"),
+        F.stddev_samp(v).alias("sd"),
+    )
+
+
+def raster_histogram(
+    cells: DataFrame, *, value: str = "value", vmin: float, vmax: float, bins: int
+) -> DataFrame:
+    """Counts per equal-width bin over [vmin, vmax]; top edge clamped into
+    the last bin (reference closes the final interval)."""
+    v = F.col(value)
+    width = (vmax - vmin) / bins
+    b = F.least(
+        F.floor((v - F.lit(vmin)) / F.lit(width)).cast("long"), F.lit(bins - 1).cast("long")
+    )
+    return (
+        cells.filter(v.isNotNull() & (v >= vmin) & (v <= vmax))
+        .groupBy(b.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def quantiles(cells: DataFrame, q: int, *, value: str = "value") -> DataFrame:
+    """Quantile bin 1..q per cell via ntile over the value order — matches
+    the reference's equal-count quantile transform (quantiles.rs:263-268)."""
+    v = F.col(value)
+    w = Window.orderBy(v)
+    return cells.filter(v.isNotNull()).withColumn("quantile", F.ntile(q).over(w))
+
+
+def zscores(cells: DataFrame, *, value: str = "value") -> DataFrame:
+    """(v - mean) / sd (population mean, sample sd as the reference)."""
+    v = F.col(value)
+    stats = cells.filter(v.isNotNull()).agg(
+        F.avg(v).alias("__mean"), F.stddev_samp(v).alias("__sd")
+    )
+    return (
+        cells.filter(v.isNotNull())
+        .crossJoin(F.broadcast(stats))
+        .withColumn("zscore", (v - F.col("__mean")) / F.col("__sd"))
+        .drop("__mean", "__sd")
+    )
+
+
+def rescale_value_range(
+    cells: DataFrame, *, value: str = "value", new_min: float, new_max: float
+) -> DataFrame:
+    """Min-max stretch to [new_min, new_max]."""
+    v = F.col(value)
+    stats = cells.filter(v.isNotNull()).agg(F.min(v).alias("__lo"), F.max(v).alias("__hi"))
+    return (
+        cells.filter(v.isNotNull())
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            value,
+            F.lit(new_min)
+            + (v - F.col("__lo")) / (F.col("__hi") - F.col("__lo")) * F.lit(new_max - new_min),
+        )
+        .drop("__lo", "__hi")
+    )
+
+
+def rmse(a: DataFrame, b: DataFrame, *, value: str = "value") -> DataFrame:
+    """RootMeanSquareError between two aligned rasters."""
+    j = a.select("row", "col", F.col(value).alias("__v1")).join(
+        b.select("row", "col", F.col(value).alias("__v2")), ["row", "col"]
+    )
+    d = F.col("__v1") - F.col("__v2")
+    return j.agg(
+        F.sqrt(F.avg(d * d)).alias("rmse"),
+        F.avg(d).alias("mean_error"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def list_unique_values(df: DataFrame, field: str) -> DataFrame:
+    """ListUniqueValues: distinct attribute values with counts."""
+    return df.groupBy(F.col(field).alias("value")).agg(F.count(F.lit(1)).alias("n"))
+
+
+def kappa_index(a: DataFrame, b: DataFrame, *, value: str = "value") -> DataFrame:
+    """KappaIndex (kappa_index.rs:141): agreement of two categorical rasters.
+    kappa = (po - pe) / (1 - pe) from the confusion matrix; overall accuracy po."""
+    j = (
+        a.select("row", "col", F.col(value).alias("__c1"))
+        .join(b.select("row", "col", F.col(value).alias("__c2")), ["row", "col"])
+        .filter(F.col("__c1").isNotNull() & F.col("__c2").isNotNull())
+    )
+    n = j.count()
+    po = j.filter(F.col("__c1") == F.col("__c2")).count() / n
+    m1 = j.groupBy("__c1").count().withColumnRenamed("count", "n1")
+    m2 = j.groupBy("__c2").count().withColumnRenamed("count", "n2")
+    pe_row = (
+        m1.join(m2, m1["__c1"] == m2["__c2"])
+        .agg(F.sum(F.col("n1").cast("double") * F.col("n2") / (n * n)).alias("pe"))
+        .collect()[0]
+    )
+    pe = pe_row["pe"] or 0.0
+    kappa = (po - pe) / (1 - pe) if pe != 1.0 else 1.0
+    return a.sparkSession.createDataFrame(
+        [(float(po), float(pe), float(kappa), int(n))],
+        "overall_accuracy double, chance_agreement double, kappa double, n long",
+    )

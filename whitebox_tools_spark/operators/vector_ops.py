@@ -1,0 +1,148 @@
+"""Per-geometry scalar ops (class GEO) + relational attribute ops (class TBL).
+
+Geometry model: long part-table DataFrame
+  (poly_id: long, part_idx: int, is_hole: boolean,
+   xs: array<double>, ys: array<double>)
+with closed rings (first == last vertex) — the decoded form of shapefile
+multi-part geometry (SURVEY.md section 1.2).
+
+GEO ops are embarrassingly parallel — one Arrow-batched pandas UDF pass, no
+shuffle (except the per-feature part aggregation, which is a narrow groupBy).
+
+References:
+  - polygon_area: /root/reference/whitebox-common/src/algorithms/
+    poly_area.rs:12 (abs shoelace / 2; net area = shells - holes for
+    multi-part records, as in gis_analysis/polygon_area.rs).
+  - polygon_perimeter: poly_perimeter.rs:12.
+  - CompactnessRatio: gis_analysis/compactness_ratio.rs:121 — P^2/(4*pi*A)
+    style shape complexity (we expose area/perimeter-derived ratio).
+  - CentroidVector: gis_analysis/centroid_vector.rs:129.
+  - JoinTables: data_tools/join_tables.rs:282-330 — hash LEFT join
+    pkey == fkey appending import fields.
+  - MergeVectors: data_tools/merge_vectors.rs:136 — UNION of same-shape
+    layers.
+  - MultiPartToSinglePart / SinglePartToMultiPart: data_tools/
+    multipart_to_singlepart.rs:139 — part explode / collect.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from whitebox_tools_spark import geometry as G
+
+
+def _part_metrics_udf():
+    @F.pandas_udf("struct<area:double, perimeter:double, cx:double, cy:double>")
+    def metrics(xs: pd.Series, ys: pd.Series) -> pd.DataFrame:
+        out = {"area": [], "perimeter": [], "cx": [], "cy": []}
+        for x, y in zip(xs, ys):
+            out["area"].append(G.polygon_area(x, y))
+            out["perimeter"].append(G.polygon_perimeter(x, y))
+            cx, cy = G.centroid(x, y)
+            out["cx"].append(cx)
+            out["cy"].append(cy)
+        return pd.DataFrame(out)
+
+    return metrics
+
+
+def polygon_metrics(parts: DataFrame) -> DataFrame:
+    """Per-feature net area (shells - holes), total shell perimeter +
+    hole perimeters, and area-weighted centroid of the shell parts.
+    -> (poly_id, area, perimeter, cx, cy, compactness)."""
+    m = _part_metrics_udf()
+    per_part = parts.withColumn("m", m(F.col("xs"), F.col("ys")))
+    signed = F.when(F.col("is_hole"), -F.col("m.area")).otherwise(F.col("m.area"))
+    out = per_part.groupBy("poly_id").agg(
+        F.sum(signed).alias("area"),
+        F.sum(F.col("m.perimeter")).alias("perimeter"),
+        # centroid of the primary (first) shell — reference uses the shell ring
+        F.min_by(F.col("m.cx"), F.when(~F.col("is_hole"), F.col("part_idx"))).alias("cx"),
+        F.min_by(F.col("m.cy"), F.when(~F.col("is_hole"), F.col("part_idx"))).alias("cy"),
+    )
+    # CompactnessRatio: perimeter-normalized shape complexity
+    return out.withColumn(
+        "compactness",
+        F.col("perimeter") / (F.lit(2.0 * math.sqrt(math.pi)) * F.sqrt(F.abs(F.col("area")))),
+    )
+
+
+def convex_hull_per_feature(parts: DataFrame) -> DataFrame:
+    """MinimumConvexHull-style: hull vertex ring per feature (shell points
+    only), computed with the monotone-chain kernel (convex_hull.rs:12)."""
+    import numpy as np
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for pid, grp in pdf.groupby("poly_id"):
+            shells = grp[~grp["is_hole"]]
+            xs = np.concatenate([np.asarray(v) for v in shells["xs"]])
+            ys = np.concatenate([np.asarray(v) for v in shells["ys"]])
+            hx, hy = G.convex_hull(xs, ys)
+            rows.append({"poly_id": pid, "hull_xs": list(hx), "hull_ys": list(hy)})
+        return pd.DataFrame(rows, columns=["poly_id", "hull_xs", "hull_ys"])
+
+    return parts.groupBy("poly_id").applyInPandas(
+        fn, schema="poly_id long, hull_xs array<double>, hull_ys array<double>"
+    )
+
+
+def simplify_features(parts: DataFrame, epsilon: float) -> DataFrame:
+    """SimplifyLinesOrPolygons via Ramer-Douglas-Peucker (line_ops.rs:66)."""
+
+    @F.pandas_udf("struct<xs:array<double>, ys:array<double>>")
+    def simp(xs: pd.Series, ys: pd.Series) -> pd.DataFrame:
+        nxs, nys = [], []
+        for x, y in zip(xs, ys):
+            sx, sy = G.simplify_rdp(x, y, epsilon)
+            nxs.append(list(sx))
+            nys.append(list(sy))
+        return pd.DataFrame({"xs": nxs, "ys": nys})
+
+    return (
+        parts.withColumn("s", simp(F.col("xs"), F.col("ys")))
+        .withColumn("xs", F.col("s.xs"))
+        .withColumn("ys", F.col("s.ys"))
+        .drop("s")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TBL class — the reference's only true relational operators
+# ---------------------------------------------------------------------------
+def join_tables(
+    primary: DataFrame, foreign: DataFrame, pkey: str, fkey: str, import_fields: list[str]
+) -> DataFrame:
+    """JoinTables (join_tables.rs:282-330): LEFT hash join appending the
+    selected fields; broadcast the (small) foreign table."""
+    f = foreign.select(F.col(fkey).alias("__k"), *import_fields)
+    return primary.join(F.broadcast(f), primary[pkey] == F.col("__k"), "left").drop("__k")
+
+
+def merge_vectors(layers: list[DataFrame]) -> DataFrame:
+    """MergeVectors: UNION ALL by name, missing attributes NULL-filled."""
+    out = layers[0]
+    for df in layers[1:]:
+        out = out.unionByName(df, allowMissingColumns=True)
+    return out
+
+
+def multipart_to_singlepart(parts: DataFrame) -> DataFrame:
+    """Each part becomes its own feature with a fresh sequential fid
+    (multipart_to_singlepart.rs:139); deterministic order by
+    (poly_id, part_idx)."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy("poly_id", "part_idx")
+    return parts.withColumn("fid", F.row_number().over(w))
+
+
+def add_point_coordinates_to_table(points: DataFrame, *, x: str = "x", y: str = "y") -> DataFrame:
+    """AddPointCoordinatesToTable (data_tools/add_point_coordinates_to_table.rs:110):
+    append XCOORD/YCOORD attribute fields."""
+    return points.withColumn("XCOORD", F.col(x)).withColumn("YCOORD", F.col(y))
