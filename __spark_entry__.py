@@ -315,6 +315,44 @@ def q_polygon_metrics(spark, sf_dir):
     return _r6(polygon_metrics(df), ["area", "perimeter", "cx", "cy", "compactness"])
 
 
+def q_slope(spark, sf_dir):
+    """Slope (terrain_analysis/slope.rs:268-331, Florinsky 5x5 window)."""
+    from whitebox_tools_spark.operators import focal as FO
+
+    from pyspark.sql import functions as FF
+
+    g = FO._pq(FO.gather25(_part_raster(spark, sf_dir)), 5.0)
+    # p, q are pure arithmetic (bit-identical across engines); the atan/degrees
+    # output is transcendental, so it is checked at 3dp (libm differs by 1 ulp)
+    return g.select(
+        "row", "col",
+        FF.round("p", 9).alias("p"), FF.round("q", 9).alias("q"),
+        FF.round(FF.expr(FO.SLOPE_FORMULAS["degrees"]), 3).alias("value"),
+    )
+
+
+def q_aspect(spark, sf_dir):
+    """Aspect (terrain_analysis/aspect.rs:262-295)."""
+    from whitebox_tools_spark.operators import focal as FO
+
+    out = FO.aspect(_part_raster(spark, sf_dir), res=5.0)
+    return out.withColumn("value", F.round("value", 3))
+
+
+def q_hillshade(spark, sf_dir):
+    """Hillshade (terrain_analysis/hillshade.rs:293-381), az 315 alt 30."""
+    from whitebox_tools_spark.operators import focal as FO
+
+    return FO.hillshade(_part_raster(spark, sf_dir), res=5.0)
+
+
+def q_mean_filter(spark, sf_dir):
+    """MeanFilter (image_analysis/mean_filter.rs), 3x3."""
+    from whitebox_tools_spark.operators import focal as FO
+
+    return _r6(FO.mean_filter(_part_raster(spark, sf_dir)), ["value"])
+
+
 # --- training-data suite ---------------------------------------------------
 def q_dedup_exact(spark, sf_dir):
     return DD.exact_dedup(_t(spark, sf_dir, "documents"))
@@ -422,6 +460,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_tables": q_join_tables,
         "merge_vectors": q_merge_vectors,
         "polygon_metrics": q_polygon_metrics,
+        "slope": q_slope,
+        "aspect": q_aspect,
+        "hillshade": q_hillshade,
+        "mean_filter": q_mean_filter,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
@@ -632,6 +674,10 @@ UNION ALL
 SELECT s_suppkey + 10000000 AS fid, s_name AS name FROM supplier
 """,
         "polygon_metrics": _polygon_metrics_sql(),
+        "slope": _focal_sql("slope"),
+        "aspect": _focal_sql("aspect"),
+        "hillshade": _focal_sql("hillshade"),
+        "mean_filter": _focal_sql("mean_filter"),
         "dedup_exact": """
 SELECT min(doc_id) AS doc_id, text, count(*) AS n_dups FROM documents GROUP BY text
 """,
@@ -654,6 +700,26 @@ FROM documents
         # constructions with no SQL equivalent -> rows-only check
     }
     return sq
+
+
+def _focal_sql(which: str) -> str:
+    from whitebox_tools_spark.operators import focal as FO
+
+    if which == "slope":
+        gather = FO._gather25_sql(_PART_RASTER_SQL)
+        pq = FO._pq_select_sql(5.0)
+        return (
+            gather
+            + f", pq AS ({pq}) SELECT row, col, round(p, 9) AS p, round(q, 9) AS q, "
+            + f"round({FO.SLOPE_FORMULAS['degrees']}, 3) AS value FROM pq"
+        )
+    if which == "aspect":
+        inner = FO.aspect_oracle_sql(_PART_RASTER_SQL, res=5.0)
+        return f"SELECT row, col, round(value, 3) AS value FROM ({inner})"
+    if which == "hillshade":
+        return FO.hillshade_oracle_sql(_PART_RASTER_SQL, res=5.0)
+    inner = FO.mean_filter_oracle_sql(_PART_RASTER_SQL)
+    return f"SELECT row, col, round(value, 6) AS value FROM ({inner})"
 
 
 def _polygon_metrics_sql() -> str:

@@ -43,17 +43,26 @@ OFFSETS25 = [
 ]
 
 # Florinsky (2016) derivatives, transcribed from slope.rs:307-317 with the
-# same grouping/order of float operations. {res} = (res_x+res_y)/2.
+# same grouping/order of float operations. {recip} = the Python-precomputed
+# double 1.0/(420.0*res) — embedded as a literal because Spark SQL parses
+# bare float literals as DECIMAL, and a constant-only decimal division
+# (1.0/2100.0) truncates at ~11 digits before promotion to double. Embedding
+# the exact reciprocal keeps both engines (and the Rust reference, which
+# multiplies by the same reciprocal) bit-identical.
 P_FORMULA = (
-    "1.0/(420.0*{res}) * (44.0*(z3+z23-z1-z21) + 31.0*(z0+z20-z4-z24 "
+    "{recip} * (44.0*(z3+z23-z1-z21) + 31.0*(z0+z20-z4-z24 "
     "+ 2.0*(z8+z18-z6-z16)) + 17.0*(z14-z10+4.0*(z13-z11)) "
     "+ 5.0*(z9+z19-z5-z15))"
 )
 Q_FORMULA = (
-    "1.0/(420.0*{res}) * (44.0*(z5+z9-z15-z19) + 31.0*(z20+z24-z0-z4 "
+    "{recip} * (44.0*(z5+z9-z15-z19) + 31.0*(z20+z24-z0-z4 "
     "+ 2.0*(z6+z8-z16-z18)) + 17.0*(z2-z22+4.0*(z7-z17)) "
     "+ 5.0*(z1+z3-z21-z23))"
 )
+
+
+def _recip(res: float) -> str:
+    return repr(1.0 / (420.0 * res))
 SLOPE_FORMULAS = {
     "degrees": "degrees(atan(sqrt(p*p + q*q)))",
     "radians": "atan(sqrt(p*p + q*q))",
@@ -111,8 +120,8 @@ def gather25(cells: DataFrame, *, z_factor: float = 1.0) -> DataFrame:
 
 
 def _pq(df: DataFrame, res: float) -> DataFrame:
-    return df.withColumn("p", F.expr(P_FORMULA.format(res=repr(res)))).withColumn(
-        "q", F.expr(Q_FORMULA.format(res=repr(res)))
+    return df.withColumn("p", F.expr(P_FORMULA.format(recip=_recip(res)))).withColumn(
+        "q", F.expr(Q_FORMULA.format(recip=_recip(res)))
     )
 
 
@@ -196,8 +205,8 @@ def slope_oracle_sql(source_sql: str, *, res: float, units: str = "degrees", z_f
 
 
 def _pq_select_sql(res: float) -> str:
-    p = P_FORMULA.format(res=repr(res))
-    q = Q_FORMULA.format(res=repr(res))
+    p = P_FORMULA.format(recip=_recip(res))
+    q = Q_FORMULA.format(recip=_recip(res))
     return f"SELECT row, col, {p} AS p, {q} AS q FROM g"
 
 
