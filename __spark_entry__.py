@@ -353,6 +353,109 @@ def q_mean_filter(spark, sf_dir):
     return _r6(FO.mean_filter(_part_raster(spark, sf_dir)), ["value"])
 
 
+def q_hexbin(spark, sf_dir):
+    """VectorHexBinning (gis_analysis/vector_hex_bin.rs:157-190)."""
+    from whitebox_tools_spark.operators.tiling import hex_binning
+
+    return hex_binning(
+        _cust_points(spark, sf_dir).drop("z"),
+        width=80.0, min_x=0.0, max_x=1000.0, min_y=0.0, max_y=1000.0,
+    )
+
+
+def q_median_filter(spark, sf_dir):
+    """MedianFilter (image_analysis/median_filter.rs; exact order statistic)."""
+    from whitebox_tools_spark.operators import focal as FO
+
+    return _r6(FO.stat_filter(_part_raster(spark, sf_dir), "median"), ["value"])
+
+
+def q_range_filter(spark, sf_dir):
+    """RangeFilter (image_analysis/range_filter.rs)."""
+    from whitebox_tools_spark.operators import focal as FO
+
+    return _r6(FO.stat_filter(_part_raster(spark, sf_dir), "range"), ["value"])
+
+
+def q_clip_points(spark, sf_dir):
+    """Clip point case (gis_analysis/clip.rs:299-370)."""
+    from whitebox_tools_spark.operators.pip import clip_points
+
+    return clip_points(_cust_points(spark, sf_dir).drop("z"), PARTS, IDX)
+
+
+def q_erase_points(spark, sf_dir):
+    """Erase point case (gis_analysis/erase.rs)."""
+    from whitebox_tools_spark.operators.pip import erase_points
+
+    return erase_points(_cust_points(spark, sf_dir).drop("z"), PARTS, IDX)
+
+
+def q_trend_surface(spark, sf_dir):
+    """TrendSurfaceVectorPoints (math_stat_analysis/
+    trend_surface_vector_points.rs:159) order 1 over derived points; fitted
+    values (rows-only driver check; coefficients pinned in pytest)."""
+    from whitebox_tools_spark.operators.stats import trend_surface
+
+    pts = _cust_points(spark, sf_dir)
+    cells = pts.select(
+        F.col("point_id").alias("row"), F.lit(0).cast("long").alias("col"),
+        F.col("z").alias("value"), "x", "y",
+    )
+    fitted, _ = trend_surface(cells, EXTRACT_GRID, order=1, x="x", y="y")
+    return _r6(fitted, ["value"])
+
+
+def q_raster_to_polygons(spark, sf_dir):
+    """RasterToVectorPolygons (data_tools/raster_to_vector_polygons.rs:131).
+    Rows-only driver check (ring stitching checked by pytest round-trip)."""
+    from whitebox_tools_spark.operators.raster_vector import raster_to_vector_polygons
+
+    cells = RM.reclass(
+        _part_raster(spark, sf_dir),
+        [(1.0, 0.0, 1500.0), (2.0, 1500.0, 99999.0)],
+    )
+    return raster_to_vector_polygons(cells, EXTRACT_GRID).select(
+        "fid", "value", "part_idx", "is_hole", F.size("xs").alias("n_vertices")
+    )
+
+
+def q_clump(spark, sf_dir):
+    """Clump (gis_analysis/clump.rs), 8-connectivity; scan-order ids."""
+    from whitebox_tools_spark.operators.raster_vector import clump
+
+    cells = RM.reclass(
+        _part_raster(spark, sf_dir),
+        [(1.0, 0.0, 1500.0), (2.0, 1500.0, 99999.0)],
+    )
+    return clump(cells)
+
+
+def q_kmeans(spark, sf_dir):
+    """KMeansClustering (image_analysis/k_means_clustering.rs) via Spark ML
+    (rows-only: assignment depends on seeded init)."""
+    from whitebox_tools_spark.operators.ml import kmeans_clusters
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", *[F.col("embedding")[i].alias(f"f{i}") for i in range(8)]
+    )
+    out, _ = kmeans_clusters(emb, [f"f{i}" for i in range(8)], 4)
+    return out.select("vec_id", F.col("cluster").cast("long").alias("cluster"))
+
+
+def q_pca(spark, sf_dir):
+    """PrincipalComponentAnalysis (math_stat_analysis/
+    principal_component_analysis.rs) via Spark ML (rows-only: component
+    sign indeterminacy)."""
+    from whitebox_tools_spark.operators.ml import pca_components
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", *[F.col("embedding")[i].alias(f"f{i}") for i in range(8)]
+    )
+    scores, _ = pca_components(emb, [f"f{i}" for i in range(8)], 2)
+    return scores.select("vec_id", F.round("pc1", 4).alias("pc1"), F.round("pc2", 4).alias("pc2"))
+
+
 # --- training-data suite ---------------------------------------------------
 def q_dedup_exact(spark, sf_dir):
     return DD.exact_dedup(_t(spark, sf_dir, "documents"))
@@ -464,6 +567,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "aspect": q_aspect,
         "hillshade": q_hillshade,
         "mean_filter": q_mean_filter,
+        "hex_binning": q_hexbin,
+        "median_filter": q_median_filter,
+        "range_filter": q_range_filter,
+        "clip_points": q_clip_points,
+        "erase_points": q_erase_points,
+        "trend_surface": q_trend_surface,
+        "raster_to_polygons": q_raster_to_polygons,
+        "clump": q_clump,
+        "kmeans_clustering": q_kmeans,
+        "pca": q_pca,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
@@ -678,6 +791,14 @@ SELECT s_suppkey + 10000000 AS fid, s_name AS name FROM supplier
         "aspect": _focal_sql("aspect"),
         "hillshade": _focal_sql("hillshade"),
         "mean_filter": _focal_sql("mean_filter"),
+        "hex_binning": _hexbin_sql(),
+        "median_filter": _stat_filter_sql("median"),
+        "range_filter": _stat_filter_sql("range"),
+        "clip_points": _clip_erase_sql(erase=False),
+        "erase_points": _clip_erase_sql(erase=True),
+        # trend_surface / raster_to_polygons / clump / kmeans / pca:
+        # iterative or model-based -> rows-only driver check; semantics
+        # pinned by pytest oracles
         "dedup_exact": """
 SELECT min(doc_id) AS doc_id, text, count(*) AS n_dups FROM documents GROUP BY text
 """,
@@ -720,6 +841,37 @@ def _focal_sql(which: str) -> str:
         return FO.hillshade_oracle_sql(_PART_RASTER_SQL, res=5.0)
     inner = FO.mean_filter_oracle_sql(_PART_RASTER_SQL)
     return f"SELECT row, col, round(value, 6) AS value FROM ({inner})"
+
+
+def _stat_filter_sql(stat: str) -> str:
+    from whitebox_tools_spark.operators.focal import stat_filter_oracle_sql
+
+    inner = stat_filter_oracle_sql(_PART_RASTER_SQL, stat)
+    return f"SELECT row, col, round(value, 6) AS value FROM ({inner})"
+
+
+def _clip_erase_sql(*, erase: bool) -> str:
+    x, y = synth.point_sql("c_custkey")
+    cte = f"SELECT c_custkey AS point_id, {x} AS x, {y} AS y FROM customer"
+    pip = synth.pip_oracle_sql(cte, POLYS)
+    op = "NOT IN" if erase else "IN"
+    return f"""
+WITH pts AS ({cte}),
+hits AS ({pip})
+SELECT point_id, x, y,
+       CAST(row_number() OVER (ORDER BY point_id) AS INTEGER) AS FID
+FROM pts WHERE point_id {op} (SELECT DISTINCT point_id FROM hits)
+"""
+
+
+def _hexbin_sql() -> str:
+    from whitebox_tools_spark.operators.tiling import hex_binning_oracle_sql
+
+    x, y = synth.point_sql("c_custkey")
+    cte = f"SELECT c_custkey AS point_id, {x} AS x, {y} AS y FROM customer"
+    return hex_binning_oracle_sql(
+        cte, width=80.0, min_x=0.0, max_x=1000.0, min_y=0.0, max_y=1000.0
+    )
 
 
 def _polygon_metrics_sql() -> str:
@@ -872,11 +1024,6 @@ def entry(spark: SparkSession) -> DataFrame:
     join of derived points against the polygon set, then deterministic tile
     assignment, aggregated to (tile, poly_id, n_points)."""
     sf_dir = "/root/testdata/sf0.001"
-    pts = _cust_points(spark, sf_dir).drop("z")
-    hits = points_in_polygons(pts, PARTS, IDX)
-    tiled = assign_tiles(pts, **TILE).select("point_id", "tile")
-    return (
-        hits.join(tiled, "point_id")
-        .groupBy("tile", "poly_id")
-        .agg(F.count(F.lit(1)).alias("n_points"))
-    )
+    pts = assign_tiles(_cust_points(spark, sf_dir).drop("z"), **TILE)
+    hits = points_in_polygons(pts, PARTS, IDX, carry_cols=["tile"])
+    return hits.groupBy("tile", "poly_id").agg(F.count(F.lit(1)).alias("n_points"))

@@ -1,0 +1,189 @@
+"""Tests: focal, hexbin, sources, shape tools, trend surface, streaming, ML."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from whitebox_tools_spark.grid import GridSpec
+
+
+GRID = GridSpec(west=0.0, north=100.0, res_x=10.0, res_y=10.0, rows=10, cols=10)
+
+
+def _dense_raster(spark, rows=8, cols=8):
+    rng = np.random.default_rng(11)
+    vals = rng.uniform(0, 100, (rows, cols))
+    recs = [(r, c, float(vals[r, c])) for r in range(rows) for c in range(cols)]
+    return spark.createDataFrame(recs, "row long, col long, value double"), vals
+
+
+def test_slope_flat_surface_is_zero(spark):
+    recs = [(r, c, 5.0) for r in range(6) for c in range(6)]
+    cells = spark.createDataFrame(recs, "row long, col long, value double")
+    from whitebox_tools_spark.operators.focal import slope
+
+    out = slope(cells, res=10.0).collect()
+    assert all(r.value == 0.0 for r in out)
+
+
+def test_slope_matches_numpy_oracle(spark):
+    from whitebox_tools_spark.operators.focal import OFFSETS25, slope
+
+    cells, vals = _dense_raster(spark)
+    res = 10.0
+    out = {(r.row, r.col): r.value for r in slope(cells, res=res).collect()}
+
+    def z(r, c, rr, cc):
+        if 0 <= rr < 8 and 0 <= cc < 8:
+            return vals[rr, cc]
+        return vals[r, c]
+
+    for (r, c) in [(0, 0), (3, 4), (7, 7)]:
+        zz = [z(r, c, r + dy, c + dx) for dx, dy in OFFSETS25]
+        recip = 1.0 / (420.0 * res)
+        p = recip * (44*(zz[3]+zz[23]-zz[1]-zz[21]) + 31*(zz[0]+zz[20]-zz[4]-zz[24]
+            + 2*(zz[8]+zz[18]-zz[6]-zz[16])) + 17*(zz[14]-zz[10]+4*(zz[13]-zz[11]))
+            + 5*(zz[9]+zz[19]-zz[5]-zz[15]))
+        q = recip * (44*(zz[5]+zz[9]-zz[15]-zz[19]) + 31*(zz[20]+zz[24]-zz[0]-zz[4]
+            + 2*(zz[6]+zz[8]-zz[16]-zz[18])) + 17*(zz[2]-zz[22]+4*(zz[7]-zz[17]))
+            + 5*(zz[1]+zz[3]-zz[21]-zz[23]))
+        expect = np.degrees(np.arctan(np.sqrt(p * p + q * q)))
+        assert abs(out[(r, c)] - expect) < 1e-9
+
+
+def test_mean_filter(spark):
+    cells = spark.createDataFrame(
+        [(0, 0, 1.0), (0, 1, 3.0), (1, 0, 5.0), (1, 1, 7.0)],
+        "row long, col long, value double",
+    )
+    from whitebox_tools_spark.operators.focal import mean_filter
+
+    out = {(r.row, r.col): r.value for r in mean_filter(cells).collect()}
+    assert out[(0, 0)] == 4.0  # all four cells in window
+
+
+def test_hex_binning_counts_total(spark):
+    from whitebox_tools_spark.operators.tiling import hex_binning
+
+    rng = np.random.default_rng(4)
+    pts = spark.createDataFrame(
+        [(i, float(x), float(y)) for i, (x, y) in enumerate(rng.uniform(0, 100, (50, 2)))],
+        "point_id long, x double, y double",
+    )
+    out = hex_binning(pts, width=25.0, min_x=0.0, max_x=100.0, min_y=0.0, max_y=100.0)
+    rows = out.collect()
+    assert sum(r["count"] for r in rows) == 50
+    assert all(r.fid >= 1 for r in rows)
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    from whitebox_tools_spark.sources import csv_points_to_vector
+
+    p = tmp_path / "pts.csv"
+    p.write_text("x,y,name\n1.5,2.5,a\n3.0,4.0,b\n")
+    df = csv_points_to_vector(spark, str(p))
+    rows = sorted((r.x, r.y, r.name) for r in df.collect())
+    assert rows == [(1.5, 2.5, "a"), (3.0, 4.0, "b")]
+
+
+def test_ascii_grid_roundtrip(spark, tmp_path):
+    from whitebox_tools_spark.sources import read_ascii_grid, write_ascii_grid
+
+    cells = spark.createDataFrame(
+        [(0, 0, 1.5), (0, 1, None), (1, 0, 3.5), (1, 1, 4.5)],
+        "row long, col long, value double",
+    )
+    g = GridSpec(west=0.0, north=20.0, res_x=10.0, res_y=10.0, rows=2, cols=2)
+    path = str(tmp_path / "grid.asc")
+    write_ascii_grid(cells, g, path)
+    df2, g2 = read_ascii_grid(spark, path)
+    assert g2 == g
+    vals = {(r.row, r.col): r.value for r in df2.collect()}
+    assert vals[(0, 0)] == 1.5 and vals[(0, 1)] is None and vals[(1, 1)] == 4.5
+
+
+def test_shape_tools(spark):
+    from whitebox_tools_spark.operators.vector_ops import (
+        clean_vector,
+        lines_to_polygons,
+        polygons_to_lines,
+        remove_polygon_holes,
+    )
+
+    parts = spark.createDataFrame(
+        [
+            (1, 0, False, [0.0, 0.0, 5.0, 0.0], [0.0, 5.0, 5.0, 0.0]),
+            (1, 1, True, [1.0, 3.0, 3.0, 1.0, 1.0], [1.0, 1.0, 3.0, 3.0, 1.0]),
+            (2, 0, False, [0.0, 1.0], [0.0, 1.0]),  # degenerate
+        ],
+        "poly_id long, part_idx int, is_hole boolean, xs array<double>, ys array<double>",
+    )
+    assert remove_polygon_holes(parts).count() == 2
+    assert clean_vector(parts).count() == 2
+    lines = polygons_to_lines(parts)
+    assert lines.count() == 3
+    polys = lines_to_polygons(lines.filter(F.col("fid") == 1))
+    r = polys.collect()[0]
+    assert r.xs[0] == r.xs[-1] and r.ys[0] == r.ys[-1]
+
+
+def test_trend_surface_recovers_plane(spark):
+    from whitebox_tools_spark.operators.stats import trend_surface
+
+    recs = []
+    for r in range(10):
+        for c in range(10):
+            x = GRID.x_center(c)
+            y = GRID.y_center(r)
+            recs.append((r, c, 2.0 + 0.5 * x - 0.25 * y))
+    cells = spark.createDataFrame(recs, "row long, col long, value double")
+    fitted, coef = trend_surface(cells, GRID, order=1)
+    # terms ordered [(0,0),(1,0),(0,1)] -> [a, b, c]
+    assert abs(coef[0] - 2.0) < 1e-6
+    assert abs(coef[1] - 0.5) < 1e-9
+    assert abs(coef[2] + 0.25) < 1e-9
+    out = {(r.row, r.col): r.value for r in fitted.collect()}
+    for (r, c, v) in recs[:5]:
+        assert abs(out[(r, c)] - v) < 1e-6
+
+
+def test_event_window_counts_batch(spark, sf_dir):
+    from whitebox_tools_spark.streaming import event_window_counts
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = event_window_counts(events, window="1 hour")
+    total = out.agg(F.sum("n")).collect()[0][0]
+    assert total == events.count()
+
+
+def test_streaming_pip_tiles(spark, geodocs_path):
+    import __spark_entry__ as E
+    from whitebox_tools_spark.streaming import incremental_pip_tiles, run_to_memory
+
+    sdf = incremental_pip_tiles(spark, geodocs_path, E.PARTS, E.IDX, E.TILE)
+    assert sdf.isStreaming
+    run_to_memory(sdf, "pip_tiles_test")
+    got = spark.sql("SELECT sum(n_points) AS n FROM pip_tiles_test").collect()[0].n
+    # batch equivalence
+    from whitebox_tools_spark.ingest import decode_points
+    from whitebox_tools_spark.operators.pip import points_in_polygons
+
+    docs = spark.read.parquet(geodocs_path)
+    pts = decode_points(docs).drop("z")
+    expect = points_in_polygons(pts, E.PARTS, E.IDX).count()
+    assert got == expect
+
+
+def test_kmeans_and_pca(spark, sf_dir):
+    from whitebox_tools_spark.operators.ml import kmeans_clusters, pca_components
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", *[F.col("embedding")[i].alias(f"f{i}") for i in range(8)]
+    )
+    feats = [f"f{i}" for i in range(8)]
+    clustered, centers = kmeans_clusters(emb, feats, 3)
+    assert clustered.select("cluster").distinct().count() <= 3
+    assert len(centers) == 3
+    scores, var = pca_components(emb, feats, 2)
+    assert {"pc1", "pc2"} <= set(scores.columns)
+    assert len(var) == 2 and var[0] >= var[1] >= 0.0

@@ -241,3 +241,66 @@ m AS (
 )
 SELECT c.row, c.col, m.value FROM src c LEFT JOIN m ON c.row = m.row AND c.col = m.col
 """
+
+
+_FILTER_AGGS = {
+    "min": "min(value)",
+    "max": "max(value)",
+    "range": "max(value) - min(value)",
+    "mean": "avg(value)",
+    "median": "percentile(value, 0.5)",
+    "sd": "stddev_samp(value)",
+    "sum": "sum(value)",
+    "count": "count(value)",
+}
+
+
+def stat_filter(cells: DataFrame, stat: str, *, filterx: int = 3, filtery: int = 3) -> DataFrame:
+    """Generic k x k neighborhood statistic filter over non-null cells —
+    covers the reference's Minimum/Maximum/Range/Mean/Median/Total filter
+    tools (image_analysis/{minimum,maximum,range,median,total}_filter.rs).
+    NOTE: the reference's MedianFilter/PercentileFilter use binned
+    histograms (approximate for continuous data); this engine computes the
+    exact order statistic. -> (row, col, value)."""
+    expr = _FILTER_AGGS[stat]
+    spark = cells.sparkSession
+    mx, my = filterx // 2, filtery // 2
+    src = cells.filter(F.col("value").isNotNull()).select("row", "col", "value")
+    offsets = spark.createDataFrame(
+        [(dx, dy) for dx in range(-mx, mx + 1) for dy in range(-my, my + 1)],
+        "dx int, dy int",
+    )
+    scattered = (
+        src.crossJoin(F.broadcast(offsets))
+        .select(
+            (F.col("row") - F.col("dy")).alias("row"),
+            (F.col("col") - F.col("dx")).alias("col"),
+            "value",
+        )
+        .groupBy("row", "col")
+        .agg(F.expr(expr).alias("_stat"))
+    )
+    return src.join(scattered, ["row", "col"], "left").select(
+        "row", "col", F.col("_stat").alias("value")
+    )
+
+
+def stat_filter_oracle_sql(
+    source_sql: str, stat: str, *, filterx: int = 3, filtery: int = 3
+) -> str:
+    """DuckDB mirror of stat_filter (quantile_cont for the exact median)."""
+    expr = {**_FILTER_AGGS, "median": "quantile_cont(value, 0.5)"}[stat]
+    mx, my = filterx // 2, filtery // 2
+    offs = ", ".join(
+        f"({dx}, {dy})" for dx in range(-mx, mx + 1) for dy in range(-my, my + 1)
+    )
+    return f"""
+WITH src AS (SELECT row, col, value FROM ({source_sql}) WHERE value IS NOT NULL),
+offs(dx, dy) AS (VALUES {offs}),
+m AS (
+  SELECT s.row - o.dy AS row, s.col - o.dx AS col, {expr} AS value
+  FROM src s CROSS JOIN offs o
+  GROUP BY 1, 2
+)
+SELECT c.row, c.col, m.value FROM src c LEFT JOIN m ON c.row = m.row AND c.col = m.col
+"""

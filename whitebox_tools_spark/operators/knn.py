@@ -207,9 +207,12 @@ def knn_join(
 def _grid_targets(spark, grid: GridSpec) -> DataFrame:
     """All output cells with centers at west+(col+0.5)*res_x,
     north-(row+0.5)*res_y — the exact IDW/NN center formula
-    (idw_interpolation.rs:620-621)."""
+    (idw_interpolation.rs:620-621). Partition count scales with the grid
+    (1 partition per ~256k cells) so small grids don't pay 32-task overhead
+    and huge grids still parallelize."""
+    n = grid.rows * grid.cols
     return (
-        spark.range(grid.rows * grid.cols)
+        spark.range(n, numPartitions=max(1, n // 262144))
         .select(
             (F.col("id") / grid.cols).cast("long").alias("row"),
             (F.col("id") % grid.cols).alias("col"),

@@ -41,8 +41,9 @@ def polygons_to_raster(
     """-> (row, col, value): FID (= poly_id + 1, vector_polygons_to_raster.rs
     record_num+1 convention) of the last covering record per cell center;
     uncovered cells absent (nodata)."""
+    n = grid.rows * grid.cols
     centers = (
-        spark.range(grid.rows * grid.cols)
+        spark.range(n, numPartitions=max(1, n // 262144))
         .select(
             (F.col("id") / grid.cols).cast("long").alias("row"),
             (F.col("id") % grid.cols).alias("col"),
@@ -75,31 +76,48 @@ def clump(
     cells: DataFrame,
     *,
     diagonals: bool = True,
-    max_iterations: int = 64,
+    max_iterations: int = 48,
 ) -> DataFrame:
     """Connected components of equal-valued, non-null cells
     (8-connectivity when diagonals=True) -> (row, col, value, clump_id) with
     clump ids 1..n densely numbered in scan order (raster scan of the
     component's minimum row*BIG+col), matching clump.rs scan-order ids.
+
+    Algorithm: iterative min-label propagation with POINTER DOUBLING — each
+    round takes the min label over the 4/8-neighborhood, then twice replaces
+    each cell's label by the label OF the cell the label points at
+    (labels encode cells as row*2^31+col). Neighbor-min alone advances one
+    cell per round (O(diameter)); the shortcut hops double the reach, giving
+    O(log diameter) rounds. localCheckpoint truncates lineage per round.
     """
+    BIG = F.lit(1 << 31).cast("long")
     base = (
         cells.filter(F.col("value").isNotNull())
         .select("row", "col", "value")
-        .withColumn("label", F.col("row") * F.lit(1 << 31) + F.col("col"))
+        .withColumn("label", F.col("row") * (1 << 31) + F.col("col"))
         .localCheckpoint(eager=True)
     )
     offsets = [(-1, 0), (1, 0), (0, -1), (0, 1)]
     if diagonals:
         offsets += [(-1, -1), (-1, 1), (1, -1), (1, 1)]
 
+    def shortcut(df: DataFrame) -> DataFrame:
+        ref = df.select(
+            (F.col("row") * (1 << 31) + F.col("col")).alias("__key"),
+            F.col("label").alias("__l2"),
+        )
+        return (
+            df.join(ref, df["label"] == ref["__key"], "left")
+            .withColumn("label", F.least(F.col("label"), F.coalesce(F.col("__l2"), F.col("label"))))
+            .drop("__key", "__l2")
+        )
+
     cur = base
     for _ in range(max_iterations):
-        nb = None
         right = cur.select(
             F.col("row").alias("r2"), F.col("col").alias("c2"),
             F.col("value").alias("v2"), F.col("label").alias("l2"),
         )
-        # one join per pass: explode neighbor coordinates
         exploded = cur.withColumn(
             "nbr",
             F.explode(
@@ -108,7 +126,8 @@ def clump(
                     (F.col("col") + F.lit(dc)).alias("c2"),
                 ) for dr, dc in offsets])
             ),
-        ).select("row", "col", "value", "label", F.col("nbr.r2").alias("r2"), F.col("nbr.c2").alias("c2"))
+        ).select("row", "col", "value", "label",
+                 F.col("nbr.r2").alias("r2"), F.col("nbr.c2").alias("c2"))
         nb = (
             exploded.join(right, ["r2", "c2"])
             .filter(F.col("value") == F.col("v2"))
@@ -117,21 +136,183 @@ def clump(
         )
         nxt = (
             cur.join(nb, ["row", "col"], "left")
-            .withColumn("new_label", F.least(F.col("label"), F.coalesce(F.col("nbl"), F.col("label"))))
-            .select("row", "col", "value", F.col("new_label").alias("label"))
-            .localCheckpoint(eager=True)
+            .withColumn("label", F.least(F.col("label"), F.coalesce(F.col("nbl"), F.col("label"))))
+            .drop("nbl")
         )
-        changed = nxt.join(
-            cur.select("row", "col", F.col("label").alias("old")), ["row", "col"]
-        ).filter(F.col("label") != F.col("old")).limit(1).count()
+        nxt = shortcut(shortcut(nxt)).localCheckpoint(eager=True)
+        changed = (
+            nxt.join(cur.select("row", "col", F.col("label").alias("old")), ["row", "col"])
+            .filter(F.col("label") != F.col("old"))
+            .limit(1)
+            .count()
+        )
         cur = nxt
         if changed == 0:
             break
 
     # dense renumbering in scan order of component minimum (row-major)
-    comp = cur.groupBy("label").agg(F.min(F.col("row") * F.lit(1 << 31) + F.col("col")).alias("scan"))
+    comp = cur.groupBy("label").agg(
+        F.min(F.col("row") * (1 << 31) + F.col("col")).alias("scan")
+    )
     from pyspark.sql import Window
 
     w = Window.orderBy("scan")
     ids = comp.withColumn("clump_id", F.row_number().over(w)).select("label", "clump_id")
+    _ = BIG
     return cur.join(F.broadcast(ids), "label").select("row", "col", "value", "clump_id")
+
+
+def boundary_edges(clumped: DataFrame, grid: GridSpec) -> DataFrame:
+    """Directed boundary edges of each clump (raster_to_vector_polygons.rs:
+    306-342: one segment per cell edge whose neighbor belongs to a different
+    clump, endpoints on cell corners).
+
+    Direction convention: clump interior on the LEFT of the directed edge
+    (top: E->W, bottom: W->E, left: N->S, right: S->N), which makes shells
+    trace counter-clockwise; orientation is normalized to shapefile winding
+    (shells CW, holes CCW) during stitching. Pure DataFrame: explode the 4
+    sides + one left anti-ish join against the neighbor cell.
+    -> (clump_id, value, x0, y0, x1, y1)
+    """
+    c = clumped.select("row", "col", "value", "clump_id")
+    nbr = c.select(
+        F.col("row").alias("nr"), F.col("col").alias("nc"), F.col("clump_id").alias("n_clump")
+    )
+    sides = F.array(
+        # side, dr, dc  (neighbor offset)
+        F.struct(F.lit("top").alias("side"), F.lit(-1).alias("dr"), F.lit(0).alias("dc")),
+        F.struct(F.lit("bottom").alias("side"), F.lit(1).alias("dr"), F.lit(0).alias("dc")),
+        F.struct(F.lit("left").alias("side"), F.lit(0).alias("dr"), F.lit(-1).alias("dc")),
+        F.struct(F.lit("right").alias("side"), F.lit(0).alias("dr"), F.lit(1).alias("dc")),
+    )
+    e = (
+        c.withColumn("s", F.explode(sides))
+        .withColumn("nr", F.col("row") + F.col("s.dr"))
+        .withColumn("nc", F.col("col") + F.col("s.dc"))
+        .join(nbr, ["nr", "nc"], "left")
+        .filter(F.col("n_clump").isNull() | (F.col("n_clump") != F.col("clump_id")))
+    )
+    xw = F.lit(grid.west) + F.col("col").cast("double") * F.lit(grid.res_x)
+    xe = xw + F.lit(grid.res_x)
+    yn = F.lit(grid.north) - F.col("row").cast("double") * F.lit(grid.res_y)
+    ys = yn - F.lit(grid.res_y)
+    side = F.col("s.side")
+    return e.select(
+        "clump_id",
+        "value",
+        F.when(side == "top", xe).when(side == "bottom", xw)
+        .when(side == "left", xw).otherwise(xe).alias("x0"),
+        F.when(side == "top", yn).when(side == "bottom", ys)
+        .when(side == "left", yn).otherwise(ys).alias("y0"),
+        F.when(side == "top", xw).when(side == "bottom", xe)
+        .when(side == "left", xw).otherwise(xe).alias("x1"),
+        F.when(side == "top", yn).when(side == "bottom", ys)
+        .when(side == "left", ys).otherwise(yn).alias("y1"),
+    )
+
+
+def _stitch_rings(pdf):
+    """Assemble directed boundary edges of ONE clump into closed rings.
+
+    Endpoints are exact doubles (cell-corner arithmetic), so matching is
+    exact. At pinch vertices (diagonally-touching cells) two outgoing edges
+    exist; the leftmost turn relative to the incoming direction is taken,
+    keeping each ring maximally tight (same role as the reference's
+    max-deflection choice, raster_to_vector_polygons.rs:352-430).
+    Deterministic: rings start at their lexicographically smallest (x, y)
+    vertex; shells re-wound CW, holes CCW (shapefile winding).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from whitebox_tools_spark import geometry as G
+
+    edges = list(
+        zip(pdf["x0"].to_numpy(), pdf["y0"].to_numpy(), pdf["x1"].to_numpy(), pdf["y1"].to_numpy())
+    )
+    out_map: dict = {}
+    for i, (x0, y0, x1, y1) in enumerate(edges):
+        out_map.setdefault((x0, y0), []).append(i)
+    used = [False] * len(edges)
+    rings = []
+    order = sorted(range(len(edges)), key=lambda i: (edges[i][0], edges[i][1], edges[i][2], edges[i][3]))
+    for start in order:
+        if used[start]:
+            continue
+        ring_x, ring_y = [edges[start][0]], [edges[start][1]]
+        cur = start
+        while True:
+            used[cur] = True
+            x0, y0, x1, y1 = edges[cur]
+            ring_x.append(x1)
+            ring_y.append(y1)
+            if (x1, y1) == (ring_x[0], ring_y[0]):
+                break
+            cands = [i for i in out_map.get((x1, y1), []) if not used[i]]
+            if not cands:
+                break  # open chain (shouldn't happen on valid masks)
+            if len(cands) == 1:
+                cur = cands[0]
+            else:
+                # leftmost turn: maximize cross(in_dir, out_dir), then prefer
+                # straight over right
+                din = (x1 - x0, y1 - y0)
+
+                def turn(i):
+                    ox = edges[i][2] - edges[i][0]
+                    oy = edges[i][3] - edges[i][1]
+                    return din[0] * oy - din[1] * ox
+
+                cur = max(cands, key=lambda i: (turn(i), -i))
+        if len(ring_x) >= 4 and (ring_x[0], ring_y[0]) == (ring_x[-1], ring_y[-1]):
+            rings.append((np.array(ring_x), np.array(ring_y)))
+
+    clump_id = int(pdf["clump_id"].iloc[0])
+    value = float(pdf["value"].iloc[0])
+    rows = []
+    # interior-left tracing makes shells CCW; normalize to shapefile winding
+    ring_info = []
+    for xs, ys in rings:
+        ccw = G.signed_area2(xs, ys) > 0.0
+        is_hole = not ccw  # holes traced CW under interior-left
+        if ccw == (not is_hole):  # shells CCW -> reverse to CW; holes CW -> reverse to CCW
+            xs, ys = xs[::-1], ys[::-1]
+        ring_info.append((is_hole, xs, ys))
+    ring_info.sort(key=lambda t: (t[0], t[1][0], t[2][0]))  # shells first
+    for k, (is_hole, xs, ys) in enumerate(ring_info):
+        rows.append(
+            {
+                "clump_id": clump_id,
+                "value": value,
+                "part_idx": k,
+                "is_hole": bool(is_hole),
+                "xs": [float(v) for v in xs],
+                "ys": [float(v) for v in ys],
+            }
+        )
+    import pandas as pd  # noqa: F811
+
+    return pd.DataFrame(rows, columns=["clump_id", "value", "part_idx", "is_hole", "xs", "ys"])
+
+
+def raster_to_vector_polygons(cells: DataFrame, grid: GridSpec) -> DataFrame:
+    """RasterToVectorPolygons (data_tools/raster_to_vector_polygons.rs:131):
+    clump equal-valued cells (8-connectivity), trace each clump's boundary
+    into closed rings on cell corners. -> (fid, value, part_idx, is_hole,
+    xs, ys) with fid = clump id (scan order, 1..n).
+
+    Pipeline: iterative min-label clump -> one-shuffle edge extraction ->
+    per-clump applyInPandas ring stitching (clump boundaries are small even
+    when the raster is huge — the heavy lifting stays in joins)."""
+    labeled = clump(cells)
+    edges = boundary_edges(labeled, grid)
+    rings = edges.groupBy("clump_id").applyInPandas(
+        _stitch_rings,
+        schema=(
+            "clump_id long, value double, part_idx int, is_hole boolean, "
+            "xs array<double>, ys array<double>"
+        ),
+    )
+    return rings.select(
+        F.col("clump_id").alias("fid"), "value", "part_idx", "is_hole", "xs", "ys"
+    )

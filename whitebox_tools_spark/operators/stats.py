@@ -129,3 +129,59 @@ def kappa_index(a: DataFrame, b: DataFrame, *, value: str = "value") -> DataFram
         [(float(po), float(pe), float(kappa), int(n))],
         "overall_accuracy double, chance_agreement double, kappa double, n long",
     )
+
+
+def trend_surface(
+    cells: DataFrame,
+    grid,
+    *,
+    order: int = 1,
+    x: str | None = None,
+    y: str | None = None,
+) -> tuple[DataFrame, list[float]]:
+    """TrendSurface (math_stat_analysis/trend_surface.rs:138): least-squares
+    polynomial surface z = f(x, y) of the given order over cell centers,
+    returning (fitted cell table, coefficients).
+
+    Spark plan: the normal equations X'X / X'y are sums of products —
+    ONE aggregate over the data (partial+final combine); the tiny
+    (terms x terms) system is solved driver-side with numpy; fitted values
+    are a pure column expression. No data leaves the cluster except the
+    moment matrix."""
+    import numpy as np
+
+    xs = grid.x_center_expr(F.col("col")) if x is None else F.col(x)
+    ys = grid.y_center_expr(F.col("row")) if y is None else F.col(y)
+    src = (
+        cells.filter(F.col("value").isNotNull())
+        .withColumn("__x", xs)
+        .withColumn("__y", ys)
+    )
+    terms = [(i, j) for j in range(order + 1) for i in range(order + 1 - j)]
+    term_cols = [
+        (F.pow(F.col("__x"), F.lit(float(i))) * F.pow(F.col("__y"), F.lit(float(j)))).alias(f"t{k}")
+        for k, (i, j) in enumerate(terms)
+    ]
+    t = src.select(F.col("value").alias("z"), *term_cols)
+    aggs = []
+    for a in range(len(terms)):
+        for b in range(a, len(terms)):
+            aggs.append(F.sum(F.col(f"t{a}") * F.col(f"t{b}")).alias(f"xx_{a}_{b}"))
+        aggs.append(F.sum(F.col(f"t{a}") * F.col("z")).alias(f"xy_{a}"))
+    row = t.agg(*aggs).collect()[0]
+    n = len(terms)
+    xtx = np.zeros((n, n))
+    xty = np.zeros(n)
+    for a in range(n):
+        xty[a] = row[f"xy_{a}"]
+        for b in range(a, n):
+            xtx[a, b] = xtx[b, a] = row[f"xx_{a}_{b}"]
+    coef, *_ = np.linalg.lstsq(xtx, xty, rcond=None)
+    fitted = None
+    for k, (i, j) in enumerate(terms):
+        term = F.lit(float(coef[k])) * F.pow(F.col("__x"), F.lit(float(i))) * F.pow(
+            F.col("__y"), F.lit(float(j))
+        )
+        fitted = term if fitted is None else fitted + term
+    out = src.select("row", "col", fitted.alias("value"))
+    return out, [float(c) for c in coef]

@@ -112,3 +112,129 @@ def aggregate_raster(
         )
         .agg(fn("value").alias("value"))
     )
+
+
+def hex_centers(
+    *,
+    min_x: float,
+    max_x: float,
+    min_y: float,
+    max_y: float,
+    width: float,
+) -> list[tuple[int, int, int, float, float]]:
+    """Horizontal-orientation hexagon center lattice
+    (gis_analysis/vector_hex_bin.rs:281-340): returns
+    [(hex_index, row, col, cx, cy), ...] in the reference's insertion order
+    (scan order; the FID/tie-break order)."""
+    import math
+
+    half_width = 0.5 * width
+    size = half_width / math.cos(math.radians(60.0))
+    height = size * 2.0
+    three_quarter_height = 0.75 * height
+    ext_h = max_y - min_y
+    ext_w = max_x - min_x
+    center_x_0 = min_x + half_width
+    center_y_0 = max_y - 0.25 * height
+    rows = math.ceil(ext_h / three_quarter_height)
+    out = []
+    hex_index = 0
+    for r in range(rows):
+        cy = center_y_0 - r * three_quarter_height
+        cols = math.ceil((ext_w + half_width * (r % 2)) / width)
+        for c in range(cols):
+            cx = (center_x_0 - half_width * (r % 2)) + c * width
+            out.append((hex_index, r, c, cx, cy))
+            hex_index += 1
+    return out
+
+
+def hex_binning(
+    points: DataFrame,
+    *,
+    width: float,
+    min_x: float,
+    max_x: float,
+    min_y: float,
+    max_y: float,
+    point_id: str = "point_id",
+    x: str = "x",
+    y: str = "y",
+) -> DataFrame:
+    """VectorHexBinning (vector_hex_bin.rs:157-190,326-397): assign each
+    point to its nearest hexagon center (the reference's FRS knn-1; ties by
+    hex insertion order), then count per hex. Emits EVERY hex (count 0
+    included) as (fid, hex_row, hex_col, count).
+
+    Spark plan: the center lattice is tiny (<=100k in the reference) ->
+    broadcast; assignment reuses the exact k-ring kNN join with centers as
+    the searchable side.
+    """
+    from whitebox_tools_spark.grid import CellIndex
+    from whitebox_tools_spark.operators.knn import knn_join
+
+    spark = points.sparkSession
+    centers = hex_centers(min_x=min_x, max_x=max_x, min_y=min_y, max_y=max_y, width=width)
+    cdf = spark.createDataFrame(
+        centers, "hex_index long, hex_row int, hex_col int, cx double, cy double"
+    )
+    # index sized so one ring reaches the nearest center (spacing ~ width)
+    extent = max(max_x - min_x, max_y - min_y)
+    import math as _m
+
+    zoom = max(0, min(12, int(_m.floor(_m.log2(max(extent / (2.0 * width), 1.0))))))
+    idx = CellIndex(min_x, min_y, extent * 1.0000001, zoom)
+    nn = knn_join(
+        points,
+        cdf,
+        1,
+        idx,
+        target_id=point_id,
+        tx=x,
+        ty=y,
+        point_id="hex_index",
+        px="cx",
+        py="cy",
+        z="hex_index",
+    )
+    counts = nn.groupBy(F.col("point_id").alias("hex_index")).agg(
+        F.count(F.lit(1)).alias("count")
+    )
+    return (
+        cdf.join(counts, "hex_index", "left")
+        .select(
+            (F.col("hex_index") + 1).alias("fid"),
+            F.col("hex_row"),
+            F.col("hex_col"),
+            F.coalesce(F.col("count"), F.lit(0)).cast("long").alias("count"),
+        )
+    )
+
+
+def hex_binning_oracle_sql(
+    points_cte: str,
+    *,
+    width: float,
+    min_x: float,
+    max_x: float,
+    min_y: float,
+    max_y: float,
+) -> str:
+    """DuckDB mirror: centers as VALUES (same python-generated lattice),
+    nearest center by (squared distance, hex_index) per point."""
+    centers = hex_centers(min_x=min_x, max_x=max_x, min_y=min_y, max_y=max_y, width=width)
+    vals = ", ".join(f"({h}, {r}, {c}, {cx!r}, {cy!r})" for h, r, c, cx, cy in centers)
+    return f"""
+WITH pts AS ({points_cte}),
+centers(hex_index, hex_row, hex_col, cx, cy) AS (VALUES {vals}),
+assign AS (
+  SELECT p.point_id, c.hex_index,
+         row_number() OVER (PARTITION BY p.point_id
+           ORDER BY (p.x-c.cx)*(p.x-c.cx) + (p.y-c.cy)*(p.y-c.cy), c.hex_index) AS rn
+  FROM pts p CROSS JOIN centers c
+),
+counts AS (SELECT hex_index, count(*) AS n FROM assign WHERE rn = 1 GROUP BY hex_index)
+SELECT CAST(c.hex_index + 1 AS BIGINT) AS fid, c.hex_row, c.hex_col,
+       CAST(coalesce(n.n, 0) AS BIGINT) AS count
+FROM centers c LEFT JOIN counts n ON c.hex_index = n.hex_index
+"""

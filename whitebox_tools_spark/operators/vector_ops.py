@@ -146,3 +146,57 @@ def add_point_coordinates_to_table(points: DataFrame, *, x: str = "x", y: str = 
     """AddPointCoordinatesToTable (data_tools/add_point_coordinates_to_table.rs:110):
     append XCOORD/YCOORD attribute fields."""
     return points.withColumn("XCOORD", F.col(x)).withColumn("YCOORD", F.col(y))
+
+
+# ---------------------------------------------------------------------------
+# shape conversion / cleaning data tools
+# ---------------------------------------------------------------------------
+def polygons_to_lines(parts: DataFrame) -> DataFrame:
+    """PolygonsToLines (data_tools/polygons_to_lines.rs:121): each ring
+    becomes a polyline feature; ring vertex order preserved."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy("poly_id", "part_idx")
+    return parts.select(
+        F.row_number().over(w).cast("long").alias("fid"),
+        F.col("poly_id").alias("src_id"),
+        "part_idx",
+        "xs",
+        "ys",
+    )
+
+
+def lines_to_polygons(lines: DataFrame) -> DataFrame:
+    """LinesToPolygons (data_tools/lines_to_polygons.rs:127): close each
+    polyline (append first vertex when open) and emit as a polygon shell."""
+    open_ring = (F.element_at("xs", 1) != F.element_at("xs", -1)) | (
+        F.element_at("ys", 1) != F.element_at("ys", -1)
+    )
+    return lines.select(
+        F.col("fid").alias("poly_id"),
+        F.lit(0).alias("part_idx"),
+        F.lit(False).alias("is_hole"),
+        F.when(open_ring, F.concat("xs", F.array(F.element_at("xs", 1)))).otherwise(F.col("xs")).alias("xs"),
+        F.when(open_ring, F.concat("ys", F.array(F.element_at("ys", 1)))).otherwise(F.col("ys")).alias("ys"),
+    )
+
+
+def remove_polygon_holes(parts: DataFrame) -> DataFrame:
+    """RemovePolygonHoles (data_tools/remove_polygon_holes.rs:122)."""
+    return parts.filter(~F.col("is_hole"))
+
+
+def clean_vector(parts: DataFrame, *, min_vertices: int = 3) -> DataFrame:
+    """CleanVector (data_tools/clean_vector.rs:120): drop null geometries and
+    rings with fewer than the required distinct vertices (closed ring of a
+    triangle has 4 stored points)."""
+    return parts.filter(
+        F.col("xs").isNotNull() & (F.size("xs") >= min_vertices + 1)
+    )
+
+
+def reinitialize_attribute_table(df: DataFrame, *, fid: str = "fid") -> DataFrame:
+    """ReinitializeAttributeTable (data_tools/reinitialize_attribute_table.rs:108):
+    keep only the feature id + geometry columns."""
+    geom_cols = [c for c in df.columns if c in {fid, "poly_id", "part_idx", "is_hole", "xs", "ys", "x", "y"}]
+    return df.select(*geom_cols)

@@ -36,6 +36,13 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = max(ncores, 8)
 
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+    # Pin the heap (-Xms == -Xmx, pre-touched) and use ParallelGC: G1's
+    # periodic heap uncommit causes mmap/madvise storms on microVM kernels
+    # (observed: 80%+ system time and 5-20x slowdowns at 32 threads until
+    # the heap was pinned; see BENCH/BASELINE.md).
+    java_opts = f"-Xms{driver_mem} -XX:+AlwaysPreTouch -XX:+UseParallelGC"
+
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
@@ -47,7 +54,8 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", driver_mem)
+        .config("spark.driver.extraJavaOptions", java_opts)
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # IEEE float semantics (inf/nan propagate) + wrapping integer hashes:
