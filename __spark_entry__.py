@@ -456,6 +456,45 @@ def q_pca(spark, sf_dir):
     return scores.select("vec_id", F.round("pc1", 4).alias("pc1"), F.round("pc2", 4).alias("pc2"))
 
 
+def _order_cloud(spark, sf_dir):
+    """Derived point cloud: orders -> (point_id, x, y, z, classification)."""
+    x, y = synth.point_exprs(F.col("o_orderkey"))
+    return _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("point_id"), x.alias("x"), y.alias("y"),
+        (F.col("o_totalprice") / 1000.0).alias("z"),
+        F.when(F.col("o_orderstatus") == "F", 2).otherwise(1).alias("classification"),
+    )
+
+
+_ORDER_CLOUD_SQL = None  # built in oracle_sql()
+
+
+def q_lidar_point_stats(spark, sf_dir):
+    """LidarPointStats (lidar_analysis/lidar_point_stats.rs): per-cell
+    count/min/max/mean z."""
+    from whitebox_tools_spark.operators.lidar import point_stats
+
+    out = point_stats(_order_cloud(spark, sf_dir), EXTRACT_GRID)
+    return _r6(out, ["min_z", "max_z", "mean_z"])
+
+
+def q_lidar_thin(spark, sf_dir):
+    """LidarThin (lidar_analysis/lidar_thin.rs): lowest point per cell,
+    ties by point_id."""
+    from whitebox_tools_spark.operators.lidar import lidar_thin
+
+    out = lidar_thin(_order_cloud(spark, sf_dir), EXTRACT_GRID, method="lowest")
+    return out.select("point_id", "row", "col", F.round("z", 6).alias("z"))
+
+
+def q_elevation_slice(spark, sf_dir):
+    """LidarElevationSlice (lidar_analysis/lidar_elevation_slice.rs)."""
+    from whitebox_tools_spark.operators.lidar import elevation_slice
+
+    out = elevation_slice(_order_cloud(spark, sf_dir), minz=100.0, maxz=200.0)
+    return out.select("point_id", F.round("z", 6).alias("z"))
+
+
 # --- training-data suite ---------------------------------------------------
 def q_dedup_exact(spark, sf_dir):
     return DD.exact_dedup(_t(spark, sf_dir, "documents"))
@@ -577,6 +616,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clump": q_clump,
         "kmeans_clustering": q_kmeans,
         "pca": q_pca,
+        "lidar_point_stats": q_lidar_point_stats,
+        "lidar_thin": q_lidar_thin,
+        "lidar_elevation_slice": q_elevation_slice,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
@@ -796,6 +838,9 @@ SELECT s_suppkey + 10000000 AS fid, s_name AS name FROM supplier
         "range_filter": _stat_filter_sql("range"),
         "clip_points": _clip_erase_sql(erase=False),
         "erase_points": _clip_erase_sql(erase=True),
+        "lidar_point_stats": _lidar_sql("stats"),
+        "lidar_thin": _lidar_sql("thin"),
+        "lidar_elevation_slice": _lidar_sql("slice"),
         # trend_surface / raster_to_polygons / clump / kmeans / pca:
         # iterative or model-based -> rows-only driver check; semantics
         # pinned by pytest oracles
@@ -841,6 +886,38 @@ def _focal_sql(which: str) -> str:
         return FO.hillshade_oracle_sql(_PART_RASTER_SQL, res=5.0)
     inner = FO.mean_filter_oracle_sql(_PART_RASTER_SQL)
     return f"SELECT row, col, round(value, 6) AS value FROM ({inner})"
+
+
+def _order_cloud_cte() -> str:
+    x, y = synth.point_sql("o_orderkey")
+    return (
+        f"SELECT o_orderkey AS point_id, {x} AS x, {y} AS y, "
+        f"o_totalprice / 1000.0 AS z, "
+        f"CASE WHEN o_orderstatus = 'F' THEN 2 ELSE 1 END AS classification "
+        f"FROM orders"
+    )
+
+
+def _lidar_sql(which: str) -> str:
+    g = EXTRACT_GRID
+    cloud = _order_cloud_cte()
+    rc = f"{g.row_sql('y')} AS row, {g.col_sql('x')} AS col"
+    if which == "stats":
+        return f"""
+WITH c AS (SELECT point_id, z, {rc} FROM ({cloud}))
+SELECT row, col, count(*) AS n_points, round(min(z), 6) AS min_z,
+       round(max(z), 6) AS max_z, round(avg(z), 6) AS mean_z
+FROM c WHERE {g.in_grid_sql('row', 'col')} GROUP BY row, col
+"""
+    if which == "thin":
+        return f"""
+WITH c AS (SELECT point_id, z, x, y, {rc} FROM ({cloud})),
+r AS (SELECT *, row_number() OVER (PARTITION BY row, col ORDER BY z, point_id) AS rn FROM c)
+SELECT point_id, row, col, round(z, 6) AS z FROM r WHERE rn = 1
+"""
+    return f"""
+SELECT point_id, round(z, 6) AS z FROM ({cloud}) WHERE z >= 100.0 AND z <= 200.0
+"""
 
 
 def _stat_filter_sql(stat: str) -> str:

@@ -1,0 +1,59 @@
+"""Point-cloud operator tests."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from whitebox_tools_spark.grid import CellIndex, GridSpec
+from whitebox_tools_spark.operators import lidar as L
+
+GRID = GridSpec(west=0.0, north=100.0, res_x=25.0, res_y=25.0, rows=4, cols=4)
+IDX = CellIndex(0.0, 0.0, 100.0, 3)
+
+
+def _cloud(spark):
+    rng = np.random.default_rng(21)
+    rows = []
+    for i in range(200):
+        x, y = rng.uniform(0, 100, 2)
+        ground_z = 10.0 + 0.05 * x
+        cls = 2 if i % 3 == 0 else 1
+        z = ground_z if cls == 2 else ground_z + rng.uniform(1, 20)
+        rows.append((i, float(x), float(y), float(z), int(cls)))
+    return spark.createDataFrame(
+        rows, "point_id long, x double, y double, z double, classification int"
+    )
+
+
+def test_shift_slice_filter(spark):
+    pts = _cloud(spark)
+    shifted = L.lidar_shift(pts, dx=5.0, dz=-1.0)
+    a = pts.agg(F.sum("x"), F.sum("z")).collect()[0]
+    b = shifted.agg(F.sum("x"), F.sum("z")).collect()[0]
+    assert abs((b[0] - a[0]) - 5.0 * 200) < 1e-6
+    assert abs((b[1] - a[1]) + 1.0 * 200) < 1e-6
+    ground = L.filter_classes(pts, [2])
+    assert ground.count() == 67
+    sl = L.elevation_slice(pts, minz=0.0, maxz=12.0)
+    assert 0 < sl.count() < 200
+
+
+def test_point_stats_and_thin(spark):
+    pts = _cloud(spark)
+    stats = L.point_stats(pts, GRID)
+    total = stats.agg(F.sum("n_points")).collect()[0][0]
+    assert total == 200
+    thin = L.lidar_thin(pts, GRID, method="lowest")
+    assert thin.count() == stats.count()  # one per occupied cell
+    # each kept point is the min z of its cell
+    j = thin.join(stats, ["row", "col"])
+    assert j.filter(F.col("z") != F.col("min_z")).count() == 0
+
+
+def test_normalize_height(spark):
+    pts = _cloud(spark)
+    out = L.normalize_height(pts, IDX, GRID, ground_class=2, min_points=3)
+    h = out.filter(F.col("classification") == 2).agg(F.avg(F.abs(F.col("height")))).collect()[0][0]
+    # ground points sit near the interpolated ground surface
+    assert h is not None and h < 2.0
+    nonground = out.filter((F.col("classification") == 1)).agg(F.avg("height")).collect()[0][0]
+    assert nonground > 2.0

@@ -112,13 +112,16 @@ def _lorem(h: np.ndarray) -> np.ndarray:
         "the a of and to in raster vector tile cell index join scan".split()
     )
     w = words[(h[:, None] // np.array([1, 7, 13, 19, 29])) % len(words)]
-    return np.array([" ".join(r) for r in w])
+    out = w[:, 0]
+    for k in range(1, w.shape[1]):
+        out = np.char.add(np.char.add(out, " "), w[:, k])
+    return out
 
 
 def generate_chunk(start: int, count: int, seed: int) -> pa.Table:
-    """Docs [start, start+count): each doc -> [text, point|polygon, media]
-    spans (offsets 0,1,2); every 1000th doc carries a polygon span instead
-    of a point; doc 0 of each chunk-of-100k carries the raster_meta span."""
+    """Docs [start, start+count): each doc -> [text, point|point_z|polygon,
+    media] spans (offsets 0,1,2); every 1000th doc carries a polygon span;
+    fully vectorized (numpy -> pyarrow), no per-doc Python loop."""
     idx = np.arange(start, start + count, dtype=np.int64)
     doc_ids = np.char.mod("doc-%012d", idx)
     x, y, z = doc_points(idx, seed)
@@ -130,31 +133,34 @@ def generate_chunk(start: int, count: int, seed: int) -> pa.Table:
     ptz = np.char.add(np.char.add(pts, " "), _fmt9(z))
     media = np.char.mod("media://img/%d", h)
 
-    polys = make_polygons(seed=7)
-
-    kinds, texts_col, refs, offsets, doc_off = [], [], [], [], [0]
-    for i in range(count):
-        # span 0: text
-        kinds.append("text"); texts_col.append(texts[i]); refs.append(""); offsets.append(0)
-        # span 1: geometry
-        gi = int(idx[i])
-        if gi % 1000 == 999:
-            p = polys[gi % len(polys)]
-            rings = ";".join(
+    # span 1 payloads: point / point_z / polygon
+    kind1 = np.where(is_z, "point_z", "point").astype(object)
+    text1 = np.where(is_z, ptz, pts).astype(object)
+    is_poly = idx % 1000 == 999
+    if is_poly.any():
+        polys = make_polygons(seed=7)
+        ring_strs = [
+            ";".join(
                 " ".join(f"{vx!r} {vy!r}" for vx, vy in zip(part.xs, part.ys))
                 for part in p.parts
             )
-            kinds.append("polygon"); texts_col.append(rings); refs.append(""); offsets.append(1)
-        elif is_z[i]:
-            kinds.append("point_z"); texts_col.append(str(ptz[i])); refs.append(""); offsets.append(1)
-        else:
-            kinds.append("point"); texts_col.append(str(pts[i])); refs.append(""); offsets.append(1)
-        # span 2: media
-        kinds.append("media"); texts_col.append(""); refs.append(str(media[i])); offsets.append(2)
-        doc_off.append(len(kinds))
+            for p in polys
+        ]
+        for i in np.nonzero(is_poly)[0]:
+            kind1[i] = "polygon"
+            text1[i] = ring_strs[int(idx[i]) % len(ring_strs)]
+
+    # interleave the 3 spans row-major: (doc0 s0, doc0 s1, doc0 s2, doc1 s0, ...)
+    kinds = np.empty(3 * count, dtype=object)
+    texts_col = np.empty(3 * count, dtype=object)
+    refs = np.empty(3 * count, dtype=object)
+    kinds[0::3] = "text"; kinds[1::3] = kind1; kinds[2::3] = "media"
+    texts_col[0::3] = texts; texts_col[1::3] = text1; texts_col[2::3] = ""
+    refs[0::3] = ""; refs[1::3] = ""; refs[2::3] = media
+    offsets = np.tile(np.array([0, 1, 2], dtype=np.int32), count)
 
     spans = pa.ListArray.from_arrays(
-        pa.array(doc_off, type=pa.int32()),
+        pa.array(np.arange(0, 3 * count + 1, 3, dtype=np.int32)),
         pa.StructArray.from_arrays(
             [
                 pa.array(kinds, type=pa.string()),
