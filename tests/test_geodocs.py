@@ -88,3 +88,28 @@ def test_span_signature_orders_by_offset(spark):
     df = spark.createDataFrame(rows, schema)
     sig = span_signature(df).collect()[0].sig
     assert sig.startswith("a\x011")
+
+
+def test_decode_attrs(geodocs_path, spark):
+    from whitebox_tools_spark.ingest import decode_attrs
+
+    docs = spark.read.parquet(geodocs_path)
+    attrs = decode_attrs(docs).collect()
+    assert len(attrs) == 2  # docs 999 and 1999 (polygon docs) carry attrs
+    for r in attrs:
+        assert r.name == "category" and r.type == "int"
+        assert r.value_num == float(r.value_str)
+
+
+def test_decode_raster_cells(geodocs_path, spark):
+    from whitebox_tools_spark.ingest import decode_raster_cells
+
+    docs = spark.read.parquet(geodocs_path)
+    meta, cells = decode_raster_cells(docs)
+    m = meta.collect()
+    assert len(m) == 1  # doc 17
+    assert m[0].west == 0.0 and m[0].rows == 200 and m[0].nodata == -32768.0
+    c = cells.collect()
+    assert len(c) == 4  # one 2x2 tile
+    rows = {(r.row, r.col) for r in c}
+    assert len(rows) == 4

@@ -150,7 +150,7 @@ def generate_chunk(start: int, count: int, seed: int) -> pa.Table:
             kind1[i] = "polygon"
             text1[i] = ring_strs[int(idx[i]) % len(ring_strs)]
 
-    # interleave the 3 spans row-major: (doc0 s0, doc0 s1, doc0 s2, doc1 s0, ...)
+    # interleave the 3 base spans row-major: (doc0 s0, doc0 s1, doc0 s2, ...)
     kinds = np.empty(3 * count, dtype=object)
     texts_col = np.empty(3 * count, dtype=object)
     refs = np.empty(3 * count, dtype=object)
@@ -159,8 +159,52 @@ def generate_chunk(start: int, count: int, seed: int) -> pa.Table:
     refs[0::3] = ""; refs[1::3] = ""; refs[2::3] = media
     offsets = np.tile(np.array([0, 1, 2], dtype=np.int32), count)
 
+    # extra spans for a sparse subset (FIXTURES.md kinds: attr on polygon
+    # docs; raster_meta + raster_tile on every 10,000th doc). Assembled via
+    # per-doc splicing over only the affected docs.
+    extras: dict[int, list[tuple[str, str, str]]] = {}
+    for i in np.nonzero(is_poly)[0]:
+        extras.setdefault(int(i), []).append(
+            ("attr", f"category:int:{int(h[i]) % 7}", "")
+        )
+    is_raster = idx % 10000 == 17
+    for i in np.nonzero(is_raster)[0]:
+        r0, c0 = int(h[i]) % 190, int((h[i] // 7)) % 190
+        vals = " ".join(f"{(int(h[i]) * (j + 1)) % 1000 / 10.0!r}" for j in range(4))
+        extras.setdefault(int(i), []).append(
+            ("raster_meta", "0.0 1000.0 5.0 5.0 200 200 -32768.0", "")
+        )
+        extras.setdefault(int(i), []).append(
+            ("raster_tile", f"{r0} {c0} 2 2 {vals}", "")
+        )
+
+    if not extras:
+        list_offsets = np.arange(0, 3 * count + 1, 3, dtype=np.int32)
+    else:
+        n_extra = np.zeros(count, dtype=np.int32)
+        for i, ex in extras.items():
+            n_extra[i] = len(ex)
+        per_doc = 3 + n_extra
+        list_offsets = np.concatenate([[0], np.cumsum(per_doc)]).astype(np.int32)
+        total = int(list_offsets[-1])
+        k2 = np.empty(total, dtype=object)
+        t2 = np.empty(total, dtype=object)
+        r2 = np.empty(total, dtype=object)
+        o2 = np.empty(total, dtype=np.int32)
+        base_pos = list_offsets[:-1]
+        for j in range(3):
+            k2[base_pos + j] = kinds[j::3]
+            t2[base_pos + j] = texts_col[j::3]
+            r2[base_pos + j] = refs[j::3]
+            o2[base_pos + j] = j
+        for i, ex in extras.items():
+            for e, (kk, tt, rr) in enumerate(ex):
+                pos = base_pos[i] + 3 + e
+                k2[pos], t2[pos], r2[pos], o2[pos] = kk, tt, rr, 3 + e
+        kinds, texts_col, refs, offsets = k2, t2, r2, o2
+
     spans = pa.ListArray.from_arrays(
-        pa.array(np.arange(0, 3 * count + 1, 3, dtype=np.int32)),
+        pa.array(list_offsets),
         pa.StructArray.from_arrays(
             [
                 pa.array(kinds, type=pa.string()),
@@ -180,7 +224,7 @@ def write_geodocs(path: str, n_docs: int, *, seed: int = 42, chunk: int = 250_00
     marker = os.path.join(path, "_DONE")
     if os.path.exists(marker):
         with open(marker) as fh:
-            if fh.read().strip() == f"{n_docs}:{seed}":
+            if fh.read().strip() == f"v2:{n_docs}:{seed}":
                 return path
     for f in os.listdir(path):
         if f.endswith(".parquet"):
@@ -191,5 +235,5 @@ def write_geodocs(path: str, n_docs: int, *, seed: int = 42, chunk: int = 250_00
         pq.write_table(tbl, os.path.join(path, f"part-{part:05d}.parquet"))
         part += 1
     with open(marker, "w") as fh:
-        fh.write(f"{n_docs}:{seed}")
+        fh.write(f"v2:{n_docs}:{seed}")
     return path

@@ -126,3 +126,64 @@ def assert_span_invariant(before: DataFrame, after: DataFrame) -> None:
     )
     if bad:
         raise AssertionError(f"span invariant violated for docs: {[r['doc_id'] for r in bad]}")
+
+
+def decode_attrs(docs: DataFrame) -> DataFrame:
+    """attr spans ('name:type:value', FIXTURES.md) -> typed attribute rows
+    (doc_id, name, type, value_str, value_num). Built-ins only."""
+    s = docs.select("doc_id", F.explode("spans").alias("s")).filter(F.col("s.kind") == "attr")
+    parts = F.split(F.col("s.text"), ":")
+    vtype = parts.getItem(1)
+    vstr = parts.getItem(2)
+    return s.select(
+        "doc_id",
+        parts.getItem(0).alias("name"),
+        vtype.alias("type"),
+        vstr.alias("value_str"),
+        F.when(vtype.isin("int", "real"), vstr.cast("double")).alias("value_num"),
+    )
+
+
+def decode_raster_cells(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """raster_meta + raster_tile spans -> (meta df, long cell table).
+
+    raster_meta: 'west north res_x res_y rows cols nodata' (one row per doc
+    carrying it). raster_tile: 'row0 col0 nrows ncols v00 v01 ...' row-major
+    -> (doc_id, row, col, value) with nodata values as NULL. Pure built-ins:
+    the row-major expansion is posexplode over the value array.
+    """
+    meta_s = docs.select("doc_id", F.explode("spans").alias("s")).filter(
+        F.col("s.kind") == "raster_meta"
+    )
+    mp = F.split(F.col("s.text"), " ")
+    meta = meta_s.select(
+        "doc_id",
+        mp.getItem(0).cast("double").alias("west"),
+        mp.getItem(1).cast("double").alias("north"),
+        mp.getItem(2).cast("double").alias("res_x"),
+        mp.getItem(3).cast("double").alias("res_y"),
+        mp.getItem(4).cast("int").alias("rows"),
+        mp.getItem(5).cast("int").alias("cols"),
+        mp.getItem(6).cast("double").alias("nodata"),
+    )
+
+    tile_s = docs.select("doc_id", F.explode("spans").alias("s")).filter(
+        F.col("s.kind") == "raster_tile"
+    )
+    tp = F.split(F.col("s.text"), " ")
+    vals = F.slice(tp, 5, 1_000_000)
+    t = tile_s.select(
+        "doc_id",
+        tp.getItem(0).cast("long").alias("row0"),
+        tp.getItem(1).cast("long").alias("col0"),
+        tp.getItem(2).cast("int").alias("nrows"),
+        tp.getItem(3).cast("int").alias("ncols"),
+        F.posexplode(vals).alias("pos", "v"),
+    )
+    cells = t.select(
+        "doc_id",
+        (F.col("row0") + (F.col("pos") / F.col("ncols")).cast("long")).alias("row"),
+        (F.col("col0") + F.col("pos") % F.col("ncols")).alias("col"),
+        F.when(F.col("v").cast("double") != -32768.0, F.col("v").cast("double")).alias("value"),
+    )
+    return meta, cells
