@@ -117,3 +117,30 @@ def test_join_merge(spark, sf_dir):
     assert j.filter(F.col("n_name").isNull()).count() == 0
     m = merge_vectors([cust.limit(10), cust.limit(5)])
     assert m.count() == 15
+
+
+def test_mosaic(spark):
+    a = spark.createDataFrame([(0, 0, 1.0), (0, 1, 2.0)], "row long, col long, value double")
+    b = spark.createDataFrame([(0, 1, 9.0), (1, 1, 4.0)], "row long, col long, value double")
+    out = {(r.row, r.col): r.value for r in RM.mosaic([a, b], method="last").collect()}
+    assert out == {(0, 0): 1.0, (0, 1): 9.0, (1, 1): 4.0}
+    out = {(r.row, r.col): r.value for r in RM.mosaic([a, b], method="first").collect()}
+    assert out[(0, 1)] == 2.0
+
+
+def test_minimum_bounding_box(spark):
+    from whitebox_tools_spark.operators.vector_ops import minimum_bounding_box_per_feature
+
+    # rotated 2x1 rectangle at 45 degrees: MBB area must be ~2, not bbox 4.5
+    import math
+    c, s = math.cos(math.pi / 4), math.sin(math.pi / 4)
+    base = [(0.0, 0.0), (2.0, 0.0), (2.0, 1.0), (0.0, 1.0), (0.0, 0.0)]
+    xs = [x * c - y * s for x, y in base]
+    ys = [x * s + y * c for x, y in base]
+    parts = spark.createDataFrame(
+        [(1, 0, False, xs, ys)],
+        "poly_id long, part_idx int, is_hole boolean, xs array<double>, ys array<double>",
+    )
+    r = minimum_bounding_box_per_feature(parts).collect()[0]
+    assert abs(r.mbb_area - 2.0) < 1e-9
+    assert len(r.mbb_xs) == 4

@@ -172,3 +172,38 @@ def bbox_of(xs, ys) -> tuple[float, float, float, float]:
     xs = np.asarray(xs, dtype=np.float64)
     ys = np.asarray(ys, dtype=np.float64)
     return float(xs.min()), float(ys.min()), float(xs.max()), float(ys.max())
+
+
+def minimum_bounding_box(xs, ys) -> tuple[np.ndarray, np.ndarray, float]:
+    """Minimum-area oriented bounding box via rotating calipers over the
+    convex hull (same approach as whitebox-common/src/algorithms/
+    minimum_bounding_box.rs:28). Returns (corner_xs, corner_ys, area) with
+    4 corners in order."""
+    hx, hy = convex_hull(xs, ys)
+    n = len(hx)
+    if n <= 2:
+        xmin, ymin, xmax, ymax = bbox_of(xs, ys)
+        cx = np.array([xmin, xmax, xmax, xmin])
+        cy = np.array([ymin, ymin, ymax, ymax])
+        return cx, cy, (xmax - xmin) * (ymax - ymin)
+    pts = np.column_stack([hx, hy])
+    best = (np.inf, None)
+    for i in range(n):
+        e = pts[(i + 1) % n] - pts[i]
+        norm = np.hypot(e[0], e[1])
+        if norm == 0:
+            continue
+        ux, uy = e / norm            # edge direction
+        vx, vy = -uy, ux             # perpendicular
+        pu = pts @ np.array([ux, uy])
+        pv = pts @ np.array([vx, vy])
+        w = pu.max() - pu.min()
+        h = pv.max() - pv.min()
+        area = w * h
+        if area < best[0]:
+            best = (area, (ux, uy, vx, vy, pu.min(), pu.max(), pv.min(), pv.max()))
+    area, (ux, uy, vx, vy, u0, u1, v0, v1) = best
+    corners_uv = [(u0, v0), (u1, v0), (u1, v1), (u0, v1)]
+    cx = np.array([u * ux + v * vx for u, v in corners_uv])
+    cy = np.array([u * uy + v * vy for u, v in corners_uv])
+    return cx, cy, float(area)

@@ -143,3 +143,25 @@ def new_raster_from_base(spark, grid, init_value: float | None) -> DataFrame:
         )
         .withColumn("value", F.lit(init_value).cast("double"))
     )
+
+
+def mosaic(layers: list[DataFrame], *, method: str = "last") -> DataFrame:
+    """Mosaic (image_analysis/mosaic.rs): merge overlapping rasters into one.
+    method='last' mirrors the reference's later-input-wins resolution for
+    nearest-neighbour resampling on shared cells; 'first'/'min'/'max'/'mean'
+    offered as the distributed generalizations. One union + one aggregate."""
+    tagged = [
+        df.select("row", "col", "value", F.lit(i).alias("__src"))
+        for i, df in enumerate(layers)
+    ]
+    u = tagged[0]
+    for t in tagged[1:]:
+        u = u.unionByName(t)
+    u = u.filter(F.col("value").isNotNull())
+    if method in ("last", "first"):
+        pick = F.max_by("value", F.col("__src")) if method == "last" else F.min_by(
+            "value", F.col("__src")
+        )
+        return u.groupBy("row", "col").agg(pick.alias("value"))
+    fn = {"min": F.min, "max": F.max, "mean": F.avg}[method]
+    return u.groupBy("row", "col").agg(fn("value").alias("value"))

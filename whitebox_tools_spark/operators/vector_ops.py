@@ -200,3 +200,25 @@ def reinitialize_attribute_table(df: DataFrame, *, fid: str = "fid") -> DataFram
     keep only the feature id + geometry columns."""
     geom_cols = [c for c in df.columns if c in {fid, "poly_id", "part_idx", "is_hole", "xs", "ys", "x", "y"}]
     return df.select(*geom_cols)
+
+
+def minimum_bounding_box_per_feature(parts: DataFrame) -> DataFrame:
+    """MinimumBoundingBox (data_tools/../minimum_bounding_box.rs:28):
+    minimum-area oriented box per feature over shell vertices.
+    -> (poly_id, mbb_xs, mbb_ys, mbb_area)."""
+    import numpy as np
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for pid, grp in pdf.groupby("poly_id"):
+            shells = grp[~grp["is_hole"]]
+            xs = np.concatenate([np.asarray(v) for v in shells["xs"]])
+            ys = np.concatenate([np.asarray(v) for v in shells["ys"]])
+            cx, cy, area = G.minimum_bounding_box(xs, ys)
+            rows.append({"poly_id": pid, "mbb_xs": list(cx), "mbb_ys": list(cy),
+                         "mbb_area": float(area)})
+        return pd.DataFrame(rows, columns=["poly_id", "mbb_xs", "mbb_ys", "mbb_area"])
+
+    return parts.groupBy("poly_id").applyInPandas(
+        fn, schema="poly_id long, mbb_xs array<double>, mbb_ys array<double>, mbb_area double"
+    )
