@@ -501,9 +501,12 @@ def q_dedup_exact(spark, sf_dir):
 
 
 def q_ngram_jaccard(spark, sf_dir):
+    # banded=True is the scale path (log-ratio length bands, 3x fan-out,
+    # never quadratic) — exact-complete, so the all-pairs DuckDB oracle
+    # certifies it directly.
     return _r6(
         DD.ngram_jaccard_pairs(
-            _t(spark, sf_dir, "documents"), threshold=0.5, length_band=None
+            _t(spark, sf_dir, "documents"), threshold=0.5, banded=True
         ),
         ["jaccard"],
     )
@@ -530,7 +533,7 @@ def q_bpe_count(spark, sf_dir):
 
 def q_quality(spark, sf_dir):
     return _r6(TX.quality_score(_t(spark, sf_dir, "documents")),
-               ["punct_ratio", "stop_ratio", "quality"])
+               ["mean_tok_len", "punct_ratio", "stop_ratio", "quality"])
 
 
 def q_langid(spark, sf_dir):
@@ -936,7 +939,7 @@ def _clip_erase_sql(*, erase: bool) -> str:
 WITH pts AS ({cte}),
 hits AS ({pip})
 SELECT point_id, x, y,
-       CAST(row_number() OVER (ORDER BY point_id) AS INTEGER) AS FID
+       CAST(row_number() OVER (ORDER BY point_id) AS BIGINT) AS FID
 FROM pts WHERE point_id {op} (SELECT DISTINCT point_id FROM hits)
 """
 
@@ -1018,6 +1021,7 @@ WITH t AS (
   FROM documents
 )
 SELECT doc_id, n_chars, n_tokens,
+       round(CASE WHEN n_tokens > 0 THEN CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens ELSE 0.0 END, 6) AS mean_tok_len,
        round(CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END, 6) AS punct_ratio,
        round(CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END, 6) AS stop_ratio,
        round(CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 1.0 ELSE 0.0 END

@@ -28,10 +28,45 @@ def test_exact_dedup(spark):
 def test_ngram_jaccard_finds_near_dups(spark):
     pairs = {(r.doc_id_a, r.doc_id_b): r.jaccard
              for r in DD.ngram_jaccard_pairs(_docs(spark), threshold=0.5,
-                                             length_band=None).collect()}
+                                             banded=False).collect()}
     assert pairs[(0, 1)] == 1.0
     assert (0, 2) in pairs and pairs[(0, 2)] > 0.7
     assert (0, 3) not in pairs
+
+
+def test_ngram_jaccard_banded_equals_all_pairs(spark):
+    """The banded candidate generator must be exact-complete, including
+    long documents (>> any fixed band width) and near-threshold pairs with
+    large absolute size differences — the round-1 defect class."""
+    base = "word%04d " * 400
+    long_a = base % tuple(range(400))
+    # ~12.5% of shingles changed -> jaccard well above 0.5 but sizes differ
+    long_b = (base % tuple(range(400))).replace("word00", "wort00")
+    # a doc 20% shorter: size ratio 0.8, near the threshold boundary
+    long_c = ("word%04d " * 320) % tuple(range(320))
+    rows = [
+        (0, long_a), (1, long_a), (2, long_b), (3, long_c),
+        (4, "tiny doc"), (5, "another tiny doc"),
+        (6, "the quick brown fox jumps over the lazy dog"),
+        (7, "the quick brown fox jumped over the lazy dog"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for t in (0.5, 0.8):
+        exact = {(r.doc_id_a, r.doc_id_b, r.jaccard)
+                 for r in DD.ngram_jaccard_pairs(docs, threshold=t,
+                                                 banded=False).collect()}
+        banded = {(r.doc_id_a, r.doc_id_b, r.jaccard)
+                  for r in DD.ngram_jaccard_pairs(docs, threshold=t,
+                                                  banded=True).collect()}
+        assert banded == exact, f"threshold={t}: banded != all-pairs"
+    assert any(a == 0 and b == 1 for a, b, _ in exact)  # sanity: dups found
+
+
+def test_simhash_pigeonhole_guard(spark):
+    import pytest
+
+    with pytest.raises(ValueError):
+        DD.simhash_near_dup_pairs(_docs(spark), max_hamming=6, bands=4)
 
 
 def test_minhash_lsh_pairs(spark):

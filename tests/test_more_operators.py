@@ -76,6 +76,73 @@ def test_hex_binning_counts_total(spark):
     assert all(r.fid >= 1 for r in rows)
 
 
+def test_hex_centers_match_reference_formula():
+    """Pin the lattice geometry to vector_hex_bin.rs:280-284: the Rust
+    variable `sixty_degrees` is PI/6, so size = half_width / cos(30 deg),
+    height = 2*size, row pitch = 0.75*height ~ 0.866*width."""
+    import math
+
+    from whitebox_tools_spark.operators.tiling import hex_centers
+
+    width = 25.0
+    size = (0.5 * width) / math.cos(math.pi / 6.0)
+    tqh = 0.75 * 2.0 * size
+    centers = hex_centers(min_x=0.0, max_x=100.0, min_y=0.0, max_y=100.0, width=width)
+    rows = {r for _, r, _, _, _ in centers}
+    assert len(rows) == math.ceil(100.0 / tqh) == 5
+    # row 0: even row, 4 columns at x = 12.5 + 25*c, y = 100 - height/4
+    r0 = [(cx, cy) for _, r, _, cx, cy in centers if r == 0]
+    assert len(r0) == 4
+    assert abs(r0[0][0] - 12.5) < 1e-12
+    assert abs(r0[0][1] - (100.0 - 0.25 * 2.0 * size)) < 1e-12
+    # row 1: odd row is offset by half a width and one column wider
+    r1 = [(cx, cy) for _, r, _, cx, cy in centers if r == 1]
+    assert len(r1) == 5
+    assert abs(r1[0][0] - 0.0) < 1e-12
+    assert abs(r1[0][1] - (r0[0][1] - tqh)) < 1e-12
+
+
+def test_with_global_seq_matches_global_window(spark):
+    from whitebox_tools_spark.distributed import with_global_seq
+
+    rng = np.random.default_rng(9)
+    df = spark.createDataFrame(
+        [(int(i), float(v)) for i, v in enumerate(rng.uniform(0, 1, 500))],
+        "id long, v double",
+    )
+    out = {r.id: r.seq for r in with_global_seq(df, ["v"], out_col="seq").collect()}
+    expect = {
+        r.id: i + 1
+        for i, r in enumerate(sorted(df.collect(), key=lambda r: r.v))
+    }
+    assert out == expect
+
+
+def test_quantiles_match_ntile(spark):
+    """Distributed quantile transform must reproduce SQL ntile bin sizes."""
+    from pyspark.sql import Window
+
+    from whitebox_tools_spark.operators import stats as ST
+
+    rng = np.random.default_rng(2)
+    cells = spark.createDataFrame(
+        [(int(i), 0, float(v)) for i, v in enumerate(rng.uniform(0, 10, 103))],
+        "row long, col long, value double",
+    )
+    for q in (2, 4, 5, 7):
+        mine = (
+            ST.quantiles(cells, q)
+            .groupBy("quantile").count().orderBy("quantile").collect()
+        )
+        ref = (
+            cells.withColumn("quantile", F.ntile(q).over(Window.orderBy("value")))
+            .groupBy("quantile").count().orderBy("quantile").collect()
+        )
+        assert [(r.quantile, r["count"]) for r in mine] == [
+            (r.quantile, r["count"]) for r in ref
+        ], f"q={q}"
+
+
 def test_csv_roundtrip(spark, tmp_path):
     from whitebox_tools_spark.sources import csv_points_to_vector
 

@@ -1,0 +1,66 @@
+"""Distributed patterns that replace single-partition global windows.
+
+A plain ``Window.orderBy(...)`` with no partition key funnels every row
+through ONE task — correct, but a bottleneck/OOM at 10^9+ rows. The helpers
+here produce the same sequential ids / global ranks with a fully
+distributed plan:
+
+  1. ``repartitionByRange`` on the order columns (range exchange — Spark
+     samples boundaries, so partitions are balanced),
+  2. ``row_number`` within each range partition (Window PARTITIONED by the
+     physical partition id — parallel),
+  3. offsets = cumulative row-count over the tiny per-partition count table
+     (#partitions rows, broadcast back).
+
+Net cost: one range shuffle + one broadcast join — no global sort on a
+single task anywhere. Used by clip/erase FID renumbering (clip.rs:345-360
+semantics), clump dense relabeling, multipart explode fids and quantile
+ranks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_PID = "__wts_pid"
+_RN = "__wts_rn"
+_OFF = "__wts_off"
+
+
+def with_global_seq(
+    df: DataFrame,
+    order_cols: list[str],
+    *,
+    out_col: str = "seq",
+    start: int = 1,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Append ``out_col`` = start, start+1, ... in ``order_cols`` order
+    without a single-partition global window.
+
+    Ties in ``order_cols`` get an arbitrary but stable-within-run order
+    (same contract as ``row_number`` over a global window). Every other
+    column passes through untouched.
+    """
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(n, *[F.col(c) for c in order_cols]).withColumn(
+        _PID, F.spark_partition_id()
+    )
+    w = Window.partitionBy(_PID).orderBy(*[F.col(c) for c in order_cols])
+    numbered = ranged.withColumn(_RN, F.row_number().over(w))
+    counts = numbered.groupBy(_PID).agg(F.count(F.lit(1)).alias("__cnt"))
+    # cumulative offsets over the tiny (#partitions-row) count table — a
+    # triangular self-join (P^2 <= ~1k rows) instead of a global window, so
+    # NO single-partition exchange exists anywhere in the plan
+    prior = counts.select(F.col(_PID).alias("__p2"), F.col("__cnt").alias("__c2"))
+    offsets = (
+        counts.join(prior, F.col("__p2") < F.col(_PID), "left")
+        .groupBy(_PID)
+        .agg(F.coalesce(F.sum("__c2"), F.lit(0)).alias(_OFF))
+    )
+    return (
+        numbered.join(F.broadcast(offsets), _PID)
+        .withColumn(out_col, (F.col(_OFF) + F.col(_RN) + F.lit(start - 1)).cast("long"))
+        .drop(_PID, _RN, _OFF)
+    )

@@ -144,13 +144,20 @@ def decode_attrs(docs: DataFrame) -> DataFrame:
     )
 
 
-def decode_raster_cells(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+def decode_raster_cells(
+    docs: DataFrame, *, nodata: float | None = None
+) -> tuple[DataFrame, DataFrame]:
     """raster_meta + raster_tile spans -> (meta df, long cell table).
 
     raster_meta: 'west north res_x res_y rows cols nodata' (one row per doc
     carrying it). raster_tile: 'row0 col0 nrows ncols v00 v01 ...' row-major
     -> (doc_id, row, col, value) with nodata values as NULL. Pure built-ins:
     the row-major expansion is posexplode over the value array.
+
+    nodata: sentinel to NULL out. When None, it is taken from the decoded
+    raster_meta span (broadcast single-row agg — one raster per decode call
+    is the geodoc contract), falling back to the reference default -32768
+    (whitebox-raster/src/lib.rs:1304) if no meta span exists.
     """
     meta_s = docs.select("doc_id", F.explode("spans").alias("s")).filter(
         F.col("s.kind") == "raster_meta"
@@ -180,10 +187,17 @@ def decode_raster_cells(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
         tp.getItem(3).cast("int").alias("ncols"),
         F.posexplode(vals).alias("pos", "v"),
     )
+    if nodata is None:
+        nd_col = F.coalesce(F.col("__nd"), F.lit(-32768.0))
+        t = t.join(
+            F.broadcast(meta.agg(F.min("nodata").alias("__nd"))), how="cross"
+        )
+    else:
+        nd_col = F.lit(float(nodata))
     cells = t.select(
         "doc_id",
         (F.col("row0") + (F.col("pos") / F.col("ncols")).cast("long")).alias("row"),
         (F.col("col0") + F.col("pos") % F.col("ncols")).alias("col"),
-        F.when(F.col("v").cast("double") != -32768.0, F.col("v").cast("double")).alias("value"),
+        F.when(F.col("v").cast("double") != nd_col, F.col("v").cast("double")).alias("value"),
     )
     return meta, cells

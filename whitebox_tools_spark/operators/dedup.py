@@ -40,25 +40,54 @@ def ngram_jaccard_pairs(
     doc_id: str = "doc_id",
     n: int = 3,
     threshold: float = 0.8,
-    length_band: int | None = 16,
+    banded: bool = True,
 ) -> DataFrame:
     """Near-dup pairs by exact n-gram Jaccard >= threshold.
 
-    Candidate generation: docs whose lengths differ by more than
-    threshold cannot reach the threshold, so pair only within neighbouring
-    length bands (a cheap, exact-complete filter: |A|/|B| >= j is necessary
-    for J(A,B) >= j). -> (doc_id_a, doc_id_b, jaccard).
+    Candidate generation (banded=True, the scale path): J(A,B) >= t implies
+    t <= |A|/|B| <= 1/t, i.e. |log|A| - log|B|| <= log(1/t). Band each doc
+    on floor(log(sz)/log(1/t)); qualifying pairs then differ by at most one
+    band, so exploding ONE side to {band-1, band, band+1} and equi-joining
+    on the other side's single band is exact-complete with a constant 3x
+    fan-out (never quadratic). An exact size-ratio prefilter rejects most
+    candidates before the shingle-set intersection. banded=False is the
+    O(n^2) all-pairs oracle path. -> (doc_id_a, doc_id_b, jaccard).
     """
+    import math
+
     d = docs.select(
         F.col(doc_id).alias("id"),
         shingles_expr(F.col(text), n).alias("sh"),
     ).withColumn("sz", F.size("sh"))
-    if length_band:
-        d = d.withColumn("band", F.floor(F.col("sz") / length_band))
-        a = d.select(F.col("id").alias("doc_id_a"), F.col("sh").alias("sh_a"), F.col("band"))
-        bands = a.withColumn("band", F.explode(F.array(F.col("band"), F.col("band") + 1)))
-        b = d.select(F.col("id").alias("doc_id_b"), F.col("sh").alias("sh_b"), F.col("band"))
-        pairs = bands.join(b, "band").filter(F.col("doc_id_a") < F.col("doc_id_b"))
+    if banded:
+        if threshold >= 1.0:
+            # J = 1 requires equal set sizes: band on the size itself
+            band = F.col("sz").cast("double")
+        else:
+            band = F.floor(
+                F.log(F.col("sz").cast("double")) / F.lit(math.log(1.0 / threshold))
+            ).cast("double")
+        d = d.withColumn("band", band)
+        a = d.select(
+            F.col("id").alias("doc_id_a"), F.col("sh").alias("sh_a"),
+            F.col("sz").alias("sz_a"), F.col("band"),
+        ).withColumn(
+            "band",
+            F.explode(F.array(F.col("band") - 1, F.col("band"), F.col("band") + 1)),
+        )
+        b = d.select(
+            F.col("id").alias("doc_id_b"), F.col("sh").alias("sh_b"),
+            F.col("sz").alias("sz_b"), F.col("band"),
+        )
+        pairs = (
+            a.join(b, "band")
+            .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+            # necessary size-ratio bound: min/max >= J >= t
+            .filter(
+                (F.col("sz_b") >= F.lit(threshold) * F.col("sz_a"))
+                & (F.col("sz_a") >= F.lit(threshold) * F.col("sz_b"))
+            )
+        )
     else:
         a = d.select(F.col("id").alias("doc_id_a"), F.col("sh").alias("sh_a"))
         b = d.select(F.col("id").alias("doc_id_b"), F.col("sh").alias("sh_b"))
@@ -193,10 +222,26 @@ def simhash_near_dup_pairs(
     doc_id: str = "doc_id",
     max_hamming: int = 3,
     n: int = 3,
+    bands: int | None = None,
 ) -> DataFrame:
-    """SimHash near-dups: band the 64-bit simhash into 4 x 16-bit keys
-    (pigeonhole: hamming <= 3 implies at least one identical band), join per
-    band, verify exact hamming distance. -> (doc_id_a, doc_id_b, hamming)."""
+    """SimHash near-dups: band the 64-bit simhash into B contiguous bit
+    chunks (pigeonhole: hamming <= B-1 implies at least one identical
+    band), join per band, verify exact hamming distance. B defaults to
+    max(4, max_hamming + 1) so recall is complete for ANY max_hamming —
+    with fewer bands than max_hamming + 1 the differing bits could spread
+    across every band and qualifying pairs would be silently missed.
+    -> (doc_id_a, doc_id_b, hamming)."""
+    B = bands if bands is not None else max(4, max_hamming + 1)
+    if B <= max_hamming:
+        raise ValueError(
+            f"bands={B} cannot guarantee recall for max_hamming={max_hamming}; "
+            "pigeonhole requires bands > max_hamming"
+        )
+    if B > 64:
+        raise ValueError("bands cannot exceed 64 (one bit per band)")
+    # near-equal bit widths: first (64 % B) bands get one extra bit
+    widths = [64 // B + (1 if i < 64 % B else 0) for i in range(B)]
+    starts = [sum(widths[:i]) for i in range(B)]
     d = simhash_table(docs, text=text, doc_id=doc_id, n=n)
     banded = d.withColumn(
         "band",
@@ -205,9 +250,11 @@ def simhash_near_dup_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("b"),
-                        F.shiftright(F.col("sh"), 16 * b).bitwiseAND(F.lit(0xFFFF)).alias("k"),
+                        F.shiftright(F.col("sh"), starts[b])
+                        .bitwiseAND(F.lit((1 << widths[b]) - 1))
+                        .alias("k"),
                     )
-                    for b in range(4)
+                    for b in range(B)
                 ]
             )
         ),

@@ -244,8 +244,10 @@ def clip_points(
     """Clip, point case (gis_analysis/clip.rs:299-370): keep input points
     contained in ANY clip polygon (per-polygon hole/part order already
     applied by the refine). Input record order preserved (sort on point_id);
-    FID renumbered sequentially from 1 (clip.rs:345-360). Left-semi join."""
-    from pyspark.sql import Window
+    FID renumbered sequentially from 1 (clip.rs:345-360) via the
+    distributed range-partition + offset pattern — no single-partition
+    global window. Left-semi join."""
+    from whitebox_tools_spark.distributed import with_global_seq
 
     hits = points_in_polygons(
         points, polys_parts, index, point_id=point_id, x=x, y=y
@@ -253,8 +255,7 @@ def clip_points(
     kept = points.join(
         hits.withColumnRenamed("point_id", point_id), point_id, "left_semi"
     )
-    w = Window.orderBy(point_id)
-    return kept.withColumn("FID", F.row_number().over(w))
+    return with_global_seq(kept, [point_id], out_col="FID")
 
 
 def erase_points(
@@ -267,8 +268,9 @@ def erase_points(
     y: str = "y",
 ) -> DataFrame:
     """Erase, point case (gis_analysis/erase.rs): drop points contained in
-    any erase polygon — the anti-join dual of clip_points."""
-    from pyspark.sql import Window
+    any erase polygon — the anti-join dual of clip_points. FID renumbering
+    uses the same distributed sequence pattern as clip_points."""
+    from whitebox_tools_spark.distributed import with_global_seq
 
     hits = points_in_polygons(
         points, polys_parts, index, point_id=point_id, x=x, y=y
@@ -276,5 +278,4 @@ def erase_points(
     kept = points.join(
         hits.withColumnRenamed("point_id", point_id), point_id, "left_anti"
     )
-    w = Window.orderBy(point_id)
-    return kept.withColumn("FID", F.row_number().over(w))
+    return with_global_seq(kept, [point_id], out_col="FID")

@@ -150,14 +150,15 @@ def clump(
         if changed == 0:
             break
 
-    # dense renumbering in scan order of component minimum (row-major)
+    # dense renumbering in scan order of component minimum (row-major) —
+    # distributed offset pattern, not a global window (a speckled raster can
+    # have ~1e9 components)
+    from whitebox_tools_spark.distributed import with_global_seq
+
     comp = cur.groupBy("label").agg(
         F.min(F.col("row") * (1 << 31) + F.col("col")).alias("scan")
     )
-    from pyspark.sql import Window
-
-    w = Window.orderBy("scan")
-    ids = comp.withColumn("clump_id", F.row_number().over(w)).select("label", "clump_id")
+    ids = with_global_seq(comp, ["scan"], out_col="clump_id").select("label", "clump_id")
     _ = BIG
     return cur.join(F.broadcast(ids), "label").select("row", "col", "value", "clump_id")
 

@@ -49,11 +49,28 @@ def raster_histogram(
 
 
 def quantiles(cells: DataFrame, q: int, *, value: str = "value") -> DataFrame:
-    """Quantile bin 1..q per cell via ntile over the value order — matches
-    the reference's equal-count quantile transform (quantiles.rs:263-268)."""
+    """Quantile bin 1..q per cell — equal-count quantile transform
+    (quantiles.rs:263-268), same bin sizes as SQL ntile(q).
+
+    Scale path: a global ntile window would funnel every cell through one
+    task; instead the global rank comes from the distributed
+    range-partition + offset pattern and the ntile arithmetic (first n % q
+    tiles get ceil(n/q) rows) is a pure expression on (rank, n)."""
+    from whitebox_tools_spark.distributed import with_global_seq
+
     v = F.col(value)
-    w = Window.orderBy(v)
-    return cells.filter(v.isNotNull()).withColumn("quantile", F.ntile(q).over(w))
+    src = cells.filter(v.isNotNull())
+    ranked = with_global_seq(src, [value], out_col="__rank")
+    total = src.agg(F.count(F.lit(1)).alias("__n"))
+    j = ranked.join(F.broadcast(total), how="cross")
+    big = F.floor(F.col("__n") / q) + 1           # size of the first n % q tiles
+    r = F.col("__n") % q                          # number of big tiles
+    cutoff = r * big
+    small = F.greatest(big - 1, F.lit(1).cast("long"))
+    tile = F.when(
+        F.col("__rank") <= cutoff, F.floor((F.col("__rank") - 1) / big)
+    ).otherwise(r + F.floor((F.col("__rank") - 1 - cutoff) / small))
+    return j.withColumn("quantile", (tile + 1).cast("int")).drop("__rank", "__n")
 
 
 def zscores(cells: DataFrame, *, value: str = "value") -> DataFrame:

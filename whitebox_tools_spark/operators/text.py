@@ -71,6 +71,7 @@ def quality_score(docs: DataFrame, *, text: str = "text", doc_id: str = "doc_id"
         F.col(doc_id).alias("doc_id"),
         n_chars.alias("n_chars"),
         n_tokens.alias("n_tokens"),
+        mean_tok_len.alias("mean_tok_len"),
         punct_ratio.alias("punct_ratio"),
         stop_ratio.alias("stop_ratio"),
         score.alias("quality"),

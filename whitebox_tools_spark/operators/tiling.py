@@ -128,8 +128,11 @@ def hex_centers(
     (scan order; the FID/tie-break order)."""
     import math
 
+    # NOTE: the reference's variable `sixty_degrees` is actually PI/6 = 30
+    # degrees (vector_hex_bin.rs:280-282): size = w / (2 cos(PI/6)), the
+    # circumradius of a regular hexagon of width w.
     half_width = 0.5 * width
-    size = half_width / math.cos(math.radians(60.0))
+    size = half_width / math.cos(math.radians(30.0))
     height = size * 2.0
     three_quarter_height = 0.75 * height
     ext_h = max_y - min_y

@@ -135,11 +135,10 @@ def merge_vectors(layers: list[DataFrame]) -> DataFrame:
 def multipart_to_singlepart(parts: DataFrame) -> DataFrame:
     """Each part becomes its own feature with a fresh sequential fid
     (multipart_to_singlepart.rs:139); deterministic order by
-    (poly_id, part_idx)."""
-    from pyspark.sql import Window
+    (poly_id, part_idx). Distributed sequence — no global window."""
+    from whitebox_tools_spark.distributed import with_global_seq
 
-    w = Window.orderBy("poly_id", "part_idx")
-    return parts.withColumn("fid", F.row_number().over(w))
+    return with_global_seq(parts, ["poly_id", "part_idx"], out_col="fid")
 
 
 def add_point_coordinates_to_table(points: DataFrame, *, x: str = "x", y: str = "y") -> DataFrame:
@@ -153,12 +152,12 @@ def add_point_coordinates_to_table(points: DataFrame, *, x: str = "x", y: str = 
 # ---------------------------------------------------------------------------
 def polygons_to_lines(parts: DataFrame) -> DataFrame:
     """PolygonsToLines (data_tools/polygons_to_lines.rs:121): each ring
-    becomes a polyline feature; ring vertex order preserved."""
-    from pyspark.sql import Window
+    becomes a polyline feature; ring vertex order preserved. Distributed
+    sequence — no global window."""
+    from whitebox_tools_spark.distributed import with_global_seq
 
-    w = Window.orderBy("poly_id", "part_idx")
-    return parts.select(
-        F.row_number().over(w).cast("long").alias("fid"),
+    return with_global_seq(parts, ["poly_id", "part_idx"], out_col="fid").select(
+        F.col("fid"),
         F.col("poly_id").alias("src_id"),
         "part_idx",
         "xs",
