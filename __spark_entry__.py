@@ -35,6 +35,7 @@ from whitebox_tools_spark.operators.knn import idw_gridding, nearest_neighbour_g
 from whitebox_tools_spark.operators.pip import points_in_polygons
 from whitebox_tools_spark.operators.raster_vector import polygons_to_raster
 from whitebox_tools_spark.operators.tiling import aggregate_raster, assign_tiles, block_gridding
+from whitebox_tools_spark.operators import overlay as _ovl
 from whitebox_tools_spark.operators.vector_ops import join_tables, merge_vectors
 from whitebox_tools_spark.operators.zonal import zonal_statistics
 
@@ -44,6 +45,26 @@ from whitebox_tools_spark.operators.zonal import zonal_statistics
 IDX = CellIndex(0.0, 0.0, 1000.0, 5)          # 32x32 index cells
 POLYS = synth.make_polygons()                  # fixed seeded polygon set
 PARTS = synth.polygons_as_parts(POLYS)
+PARTS_A = synth.polygons_as_parts(synth.make_polygons(24, seed=13))  # overlay A side
+# maximal bbox-disjoint prefix of POLYS — valid clip layer for additive
+# per-feature clipped area (greedy, deterministic)
+def _disjoint_parts(parts_list):
+    import numpy as np
+
+    chosen, out = [], []
+    for pid, parts in parts_list:
+        xs = np.concatenate([p[0] for p in parts]); ys = np.concatenate([p[1] for p in parts])
+        bb = (xs.min(), ys.min(), xs.max(), ys.max())
+        if all(
+            not (bb[0] <= c[2] and bb[2] >= c[0] and bb[1] <= c[3] and bb[3] >= c[1])
+            for c in chosen
+        ):
+            chosen.append(bb)
+            out.append((pid, parts))
+    return out
+
+
+PARTS_DISJOINT = _disjoint_parts(PARTS)
 EXTRACT_GRID = GridSpec(west=0.0, north=1000.0, res_x=5.0, res_y=5.0, rows=200, cols=200)
 NN_GRID = GridSpec(west=0.0, north=1000.0, res_x=25.0, res_y=25.0, rows=40, cols=40)
 P2R_GRID = GridSpec(west=0.0, north=1000.0, res_x=20.0, res_y=20.0, rows=50, cols=50)
@@ -581,6 +602,104 @@ def q_embed_ann_lsh(spark, sf_dir):
                       F.col("rank").cast("long").alias("rank"))
 
 
+# ---------------------------------------------------------------------------
+# OVL overlay queries (clip/erase polylines, polygon intersect/diff/union)
+# ---------------------------------------------------------------------------
+def _cust_lines(spark, sf_dir) -> DataFrame:
+    """Deterministic polylines: consecutive customer hash-points chained in
+    groups of 6 (line_id = floor(c_custkey/6), vertex order = c_custkey%6)."""
+    x, y = synth.point_exprs(F.col("c_custkey"))
+    pts = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"), x.alias("x"), y.alias("y")
+    )
+    v = pts.withColumn("line_id", F.floor(F.col("k") / 6).cast("long")).groupBy(
+        "line_id"
+    ).agg(
+        F.sort_array(F.collect_list(F.struct((F.col("k") % 6).alias("ord"), "x", "y"))).alias("v")
+    )
+    return v.filter(F.size("v") >= 2).select(
+        "line_id",
+        F.transform("v", lambda s: s["x"]).alias("xs"),
+        F.transform("v", lambda s: s["y"]).alias("ys"),
+    )
+
+
+def _cust_segs_cte() -> str:
+    """DuckDB mirror: the same lines as exploded segments
+    segs(line_id, seg_idx, px0, py0, px1, py1)."""
+    x, y = synth.point_sql("c_custkey")
+    return (
+        f"WITH p AS (SELECT c_custkey AS k, {x} AS x, {y} AS y, "
+        f"CAST(floor(c_custkey / 6) AS BIGINT) AS line_id FROM customer) "
+        f"SELECT p1.line_id, CAST(p1.k % 6 AS INT) AS seg_idx, "
+        f"p1.x AS px0, p1.y AS py0, p2.x AS px1, p2.y AS py1 "
+        f"FROM p p1 JOIN p p2 ON p2.k = p1.k + 1 AND p2.line_id = p1.line_id"
+    )
+
+
+def _lines_to_segments(out: DataFrame) -> DataFrame:
+    """Merged output polylines -> rounded segment rows (the oracle's shape)."""
+    i = F.explode(F.sequence(F.lit(1), F.size("xs") - 1)).alias("i")
+    e = out.select("line_id", "xs", "ys", i)
+    return e.select(
+        "line_id",
+        F.round(F.element_at("xs", F.col("i")), 6).alias("x0"),
+        F.round(F.element_at("ys", F.col("i")), 6).alias("y0"),
+        F.round(F.element_at("xs", F.col("i") + 1), 6).alias("x1"),
+        F.round(F.element_at("ys", F.col("i") + 1), 6).alias("y1"),
+    )
+
+
+def q_clip_lines(spark, sf_dir):
+    """Clip polyline case (gis_analysis/clip.rs:524, line_ops.rs:138)."""
+    from whitebox_tools_spark.operators.overlay import clip_lines
+
+    return _lines_to_segments(clip_lines(_cust_lines(spark, sf_dir), PARTS, IDX))
+
+
+def q_erase_lines(spark, sf_dir):
+    """Erase polyline case (gis_analysis/erase.rs) — midpoint-outside dual."""
+    from whitebox_tools_spark.operators.overlay import erase_lines
+
+    return _lines_to_segments(erase_lines(_cust_lines(spark, sf_dir), PARTS, IDX))
+
+
+def _parts_a_df(spark) -> DataFrame:
+    rows = []
+    for pid, parts in PARTS_A:
+        for k, (xs, ys, hole) in enumerate(parts):
+            rows.append((pid, k, bool(hole), [float(v) for v in xs], [float(v) for v in ys]))
+    return spark.createDataFrame(
+        rows, "poly_id long, part_idx int, is_hole boolean, xs array<double>, ys array<double>"
+    )
+
+
+def q_polygon_overlay(spark, sf_dir):
+    """Intersect/Difference/Union areas per candidate polygon pair
+    (gis_analysis/intersect.rs, difference.rs, union.rs) via the
+    split-boundary shoelace sum — no ring stitching, no cross join."""
+    from whitebox_tools_spark.operators.overlay import polygon_overlay_areas
+
+    out = polygon_overlay_areas(_parts_a_df(spark), PARTS, IDX)
+    return out.select(
+        "a_id", "b_id",
+        F.round("inter_area", 6).alias("inter_area"),
+        F.round(F.col("a_area") - F.col("inter_area"), 6).alias("diff_area"),
+        F.round(F.col("a_area") + F.col("b_area") - F.col("inter_area"), 6).alias("union_area"),
+    )
+
+
+def q_clip_polygons(spark, sf_dir):
+    """Clip polygon case (gis_analysis/clip.rs:571+): area of each input
+    polygon clipped to a DISJOINT clip layer (areas add per clip feature)."""
+    from whitebox_tools_spark.operators.overlay import polygon_overlay_areas
+
+    out = polygon_overlay_areas(_parts_a_df(spark), PARTS_DISJOINT, IDX)
+    return out.groupBy("a_id").agg(
+        F.round(F.sum("inter_area"), 6).alias("clipped_area")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pip_points_in_polygons": q_pip,
@@ -634,6 +753,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embed_topk,
         "embedding_near_dup": q_embed_near_dup,
         "embedding_ann_lsh": q_embed_ann_lsh,
+        "clip_lines": q_clip_lines,
+        "erase_lines": q_erase_lines,
+        "polygon_overlay": q_polygon_overlay,
+        "clip_polygons": q_clip_polygons,
     }
 
 
@@ -867,6 +990,10 @@ FROM documents
         "embedding_near_dup": _embed_near_dup_sql(),
         # minhash_lsh / simhash_near_dup / embedding_ann_lsh: xxhash64/LSH
         # constructions with no SQL equivalent -> rows-only check
+        "clip_lines": _ovl.clip_lines_oracle_sql(_cust_segs_cte(), PARTS, erase=False),
+        "erase_lines": _ovl.clip_lines_oracle_sql(_cust_segs_cte(), PARTS, erase=True),
+        "polygon_overlay": _ovl.overlay_oracle_sql(PARTS_A, PARTS),
+        "clip_polygons": _ovl.clip_polygons_oracle_sql(PARTS_A, PARTS_DISJOINT),
     }
     return sq
 

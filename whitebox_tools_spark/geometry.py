@@ -62,6 +62,30 @@ def point_in_parts(px, py, parts: list[tuple[np.ndarray, np.ndarray, bool]]) -> 
     return keep
 
 
+def segment_split_ts(
+    px0: float, py0: float, px1: float, py1: float,
+    ex0: np.ndarray, ey0: np.ndarray, ex1: np.ndarray, ey1: np.ndarray,
+) -> np.ndarray:
+    """Parametric positions t in (0, 1) where segment P = p0 + t*(p1-p0)
+    properly crosses any of the edges (e0 -> e1), vectorized over edges.
+
+    Same role as the reference's find_split_points_at_line_intersections
+    (whitebox-common/src/algorithms/line_ops.rs:138). t is rounded to 9
+    decimals (and deduplicated) so the DuckDB oracle — which evaluates the
+    *identical* IEEE-754 expression — produces bit-equal split points;
+    rounding also collapses the duplicate hit when a crossing lands exactly
+    on a shared edge vertex (u = 1 on one edge, u = 0 on the next).
+    """
+    dx, dy = px1 - px0, py1 - py0
+    fx, fy = ex1 - ex0, ey1 - ey0
+    denom = dx * fy - dy * fx
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = ((ex0 - px0) * fy - (ey0 - py0) * fx) / denom
+        u = ((ex0 - px0) * dy - (ey0 - py0) * dx) / denom
+    ok = (denom != 0.0) & (t > 0.0) & (t < 1.0) & (u >= 0.0) & (u <= 1.0)
+    return np.unique(np.round(t[ok], 9))
+
+
 # ---------------------------------------------------------------------------
 # Ring orientation / hole detection
 # (whitebox-vector/src/shapefile/geometry.rs:307-340 — shapefile winding:
