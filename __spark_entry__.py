@@ -36,6 +36,9 @@ from whitebox_tools_spark.operators.pip import points_in_polygons
 from whitebox_tools_spark.operators.raster_vector import polygons_to_raster
 from whitebox_tools_spark.operators.tiling import aggregate_raster, assign_tiles, block_gridding
 from whitebox_tools_spark.operators import overlay as _ovl
+from whitebox_tools_spark.operators import random as _rnd
+from whitebox_tools_spark.operators import hydro as _hyd
+from whitebox_tools_spark.operators import buffer as _buf
 from whitebox_tools_spark.operators.vector_ops import join_tables, merge_vectors
 from whitebox_tools_spark.operators.zonal import zonal_statistics
 
@@ -398,6 +401,204 @@ def q_range_filter(spark, sf_dir):
     return _r6(FO.stat_filter(_part_raster(spark, sf_dir), "range"), ["value"])
 
 
+def q_lines_to_raster(spark, sf_dir):
+    """VectorLinesToRaster (data_tools/vector_lines_to_raster.rs:173):
+    scanline crossings at cell-center lines, FID values, last record wins."""
+    from whitebox_tools_spark.operators.raster_vector import vector_lines_to_raster
+
+    return vector_lines_to_raster(_cust_lines(spark, sf_dir), P2R_GRID)
+
+
+def _lines_to_raster_sql() -> str:
+    g = P2R_GRID
+    segs = _cust_segs_cte()
+    yc = g.y_center_sql("row")
+    xc = g.x_center_sql("col")
+    xp = f"(px0 + (({yc}) - py0) / (py1 - py0) * (px1 - px0))"
+    yp = f"(py0 + (({xc}) - px0) / (px1 - px0) * (py1 - py0))"
+    return f"""
+WITH segs AS ({segs}),
+rr AS (
+  SELECT line_id, CAST(line_id + 1 AS DOUBLE) AS v, px0, py0, px1, py1,
+         unnest(generate_series(
+           greatest(0, least({g.rows - 1}, {g.row_sql('greatest(py0, py1)')})),
+           greatest(0, least({g.rows - 1}, {g.row_sql('least(py0, py1)')}))
+         )) AS row
+  FROM segs
+),
+rowx AS (
+  SELECT line_id, v, row, {g.col_sql(xp)} AS col
+  FROM rr
+  WHERE ({yc}) >= least(py0, py1) AND ({yc}) <= greatest(py0, py1) AND py1 <> py0
+),
+cc AS (
+  SELECT line_id, CAST(line_id + 1 AS DOUBLE) AS v, px0, py0, px1, py1,
+         unnest(generate_series(
+           greatest(0, least({g.cols - 1}, {g.col_sql('least(px0, px1)')})),
+           greatest(0, least({g.cols - 1}, {g.col_sql('greatest(px0, px1)')}))
+         )) AS col
+  FROM segs
+),
+colx AS (
+  SELECT line_id, v, {g.row_sql(yp)} AS row, col
+  FROM cc
+  WHERE ({xc}) >= least(px0, px1) AND ({xc}) <= greatest(px0, px1) AND px1 <> px0
+),
+marks AS (
+  SELECT * FROM rowx UNION ALL SELECT * FROM colx
+)
+SELECT row, col, arg_max(v, line_id) AS value
+FROM marks
+WHERE row >= 0 AND row <= {g.rows - 1} AND col >= 0 AND col <= {g.cols - 1}
+GROUP BY 1, 2
+"""
+
+
+def _parts_df_b(spark) -> DataFrame:
+    rows = []
+    for pid, parts in PARTS:
+        for k, (xs, ys, hole) in enumerate(parts):
+            rows.append((pid, k, bool(hole), [float(v) for v in xs], [float(v) for v in ys]))
+    return spark.createDataFrame(
+        rows, "poly_id long, part_idx int, is_hole boolean, xs array<double>, ys array<double>"
+    )
+
+
+def q_singlepart_to_multipart(spark, sf_dir):
+    """SinglePartToMultiPart (data_tools/singlepart_to_multipart.rs:151):
+    group the polygon set by poly_id % 5 into multi-part features."""
+    from whitebox_tools_spark.operators.vector_ops import singlepart_to_multipart
+
+    src = _parts_df_b(spark).withColumn("grp", (F.col("poly_id") % 5).cast("long"))
+    out = singlepart_to_multipart(src, "grp")
+    return out.select(
+        "poly_id", F.col("part_idx").cast("long").alias("part_idx"),
+        F.col("group_value").alias("grp"), F.size("xs").cast("long").alias("n_vertices"),
+    )
+
+
+def _sp_to_mp_sql() -> str:
+    vals = ", ".join(
+        f"({pid}, {k}, {len(parts[k][0])})"
+        for pid, parts in PARTS
+        for k in range(len(parts))
+    )
+    return f"""
+WITH p(src_id, part_idx, nv) AS (VALUES {vals}),
+g AS (SELECT *, src_id % 5 AS grp FROM p),
+ids AS (SELECT grp, CAST(row_number() OVER (ORDER BY grp) AS BIGINT) AS new_id
+        FROM (SELECT DISTINCT grp FROM g)),
+renum AS (
+  SELECT i.new_id AS poly_id,
+         CAST(row_number() OVER (PARTITION BY g.grp ORDER BY g.src_id, g.part_idx) - 1 AS BIGINT)
+           AS part_idx,
+         CAST(g.grp AS BIGINT) AS grp, CAST(g.nv AS BIGINT) AS n_vertices
+  FROM g JOIN ids i ON g.grp = i.grp
+)
+SELECT * FROM renum
+"""
+
+
+def q_buffer_raster(spark, sf_dir):
+    """BufferRaster (gis_analysis/buffer_raster.rs:210-221): 1.0 within the
+    buffer distance of any non-background cell, exact nearest-source
+    distance in the reference's mean-cell-size metric."""
+    from whitebox_tools_spark.operators.buffer import buffer_raster
+
+    src = _part_raster(spark, sf_dir).withColumn(
+        "value", F.when(F.col("value") > 1900.0, F.lit(1.0)).otherwise(F.lit(0.0))
+    )
+    return buffer_raster(src, EXTRACT_GRID, size=12.0)
+
+
+_BUFFER_SRC_SQL = (
+    "SELECT row, col, CASE WHEN value > 1900.0 THEN 1.0 ELSE 0.0 END AS value "
+    f"FROM ({_PART_RASTER_SQL})"
+)
+
+
+def _noise_raster(spark, sf_dir) -> DataFrame:
+    """Hash-noise DEM: the price raster is monotone within columns (flow
+    chains as long as the grid), so D8 uses a scrambled surface whose
+    drainage paths are short — the peel loop's round count is the DAG
+    depth, and noise keeps it O(10)."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        (F.col("p_partkey") % 200).alias("row"),
+        (F.floor(F.col("p_partkey") / F.lit(200.0)).cast("long") % 200).alias("col"),
+        (((F.col("p_partkey") * 48271) % 100000).cast("double") / 100.0).alias("value"),
+    )
+
+
+_NOISE_RASTER_SQL = (
+    "SELECT p_partkey % 200 AS row, "
+    "CAST(floor(p_partkey / 200.0) AS BIGINT) % 200 AS col, "
+    "CAST((p_partkey * 48271) % 100000 AS DOUBLE) / 100.0 AS value FROM part"
+)
+
+
+def q_d8_pointer(spark, sf_dir):
+    """D8Pointer (hydro_analysis/d8_pointer.rs:268-296): steepest-descent
+    pointer grid, 2^dir encoding, 0 at pits/flats."""
+    from whitebox_tools_spark.operators.hydro import d8_pointer
+
+    return d8_pointer(_noise_raster(spark, sf_dir), EXTRACT_GRID)
+
+
+def q_d8_flow_accum(spark, sf_dir):
+    """D8FlowAccumulation (hydro_analysis/d8_flow_accum.rs:525-570) in
+    cell-count units via distributed topological peel."""
+    from whitebox_tools_spark.operators.hydro import d8_flow_accumulation
+
+    return d8_flow_accumulation(_noise_raster(spark, sf_dir), EXTRACT_GRID)
+
+
+def q_normalized_difference(spark, sf_dir):
+    """Multi-band cell table -> normalized difference index (a-b)/(a+b)
+    (image_analysis band composites; multi-band schema per SURVEY 1.1)."""
+    b1 = _part_raster(spark, sf_dir).withColumn("band", F.lit(1))
+    b2 = _part_raster2(spark, sf_dir).withColumn("band", F.lit(2))
+    banded = b1.unionByName(b2)
+    out = RM.normalized_difference(banded, 1, 2)
+    return _r6(out, ["value"])
+
+
+def q_random_field(spark, sf_dir):
+    """RandomField (math_stat_analysis/random_field.rs) — deterministic
+    seeded hash variant (reference is entropy-seeded, irreproducible)."""
+    from whitebox_tools_spark.operators.random import random_field
+
+    return _r6(random_field(spark, NN_GRID, seed=7), ["value"])
+
+
+def q_random_sample(spark, sf_dir):
+    """RandomSample (math_stat_analysis/random_sample.rs): 100 cells with
+    unique sample ids, deterministic hash order."""
+    from whitebox_tools_spark.operators.random import random_sample
+
+    return random_sample(_part_raster(spark, sf_dir), 100, seed=3)
+
+
+def _q_curv(which):
+    def q(spark, sf_dir):
+        from whitebox_tools_spark.operators.focal import curvature
+
+        out = curvature(_part_raster(spark, sf_dir), which, res=5.0)
+        # + 0.0 canonicalizes IEEE -0.0 (flat cells) on both engines
+        return _r6(out, ["value"]).withColumn("value", F.col("value") + F.lit(0.0))
+
+    q.__doc__ = f"{which} curvature (terrain_analysis/*_curvature.rs, Florinsky r/s/t)"
+    return q
+
+
+q_plan_curvature = _q_curv("plan")
+q_profile_curvature = _q_curv("profile")
+q_tangential_curvature = _q_curv("tangential")
+q_total_curvature = _q_curv("total")
+q_mean_curvature = _q_curv("mean")
+q_gaussian_curvature = _q_curv("gaussian")
+
+
 def q_clip_points(spark, sf_dir):
     """Clip point case (gis_analysis/clip.rs:299-370)."""
     from whitebox_tools_spark.operators.pip import clip_points
@@ -415,7 +616,7 @@ def q_erase_points(spark, sf_dir):
 def q_trend_surface(spark, sf_dir):
     """TrendSurfaceVectorPoints (math_stat_analysis/
     trend_surface_vector_points.rs:159) order 1 over derived points; fitted
-    values (rows-only driver check; coefficients pinned in pytest)."""
+    values hash-checked against the DuckDB Cramer-rule oracle."""
     from whitebox_tools_spark.operators.stats import trend_surface
 
     pts = _cust_points(spark, sf_dir)
@@ -429,15 +630,34 @@ def q_trend_surface(spark, sf_dir):
 
 def q_raster_to_polygons(spark, sf_dir):
     """RasterToVectorPolygons (data_tools/raster_to_vector_polygons.rs:131).
-    Rows-only driver check (ring stitching checked by pytest round-trip)."""
+
+    Output: per-feature invariants that a SQL oracle can derive from the
+    cell table WITHOUT stitching — boundary segment count (each boundary
+    cell edge becomes exactly one ring segment) and net shoelace area of the
+    stitched rings (mathematically = clump cell count x cell area). A wrong
+    ring topology breaks either invariant; vertex-exact ring geometry is
+    additionally pinned by the pytest round-trip."""
     from whitebox_tools_spark.operators.raster_vector import raster_to_vector_polygons
 
     cells = RM.reclass(
         _part_raster(spark, sf_dir),
         [(1.0, 0.0, 1500.0), (2.0, 1500.0, 99999.0)],
     )
-    return raster_to_vector_polygons(cells, EXTRACT_GRID).select(
-        "fid", "value", "part_idx", "is_hole", F.size("xs").alias("n_vertices")
+    rings = raster_to_vector_polygons(cells, EXTRACT_GRID)
+    seg_sa = F.aggregate(
+        F.sequence(F.lit(1), F.size("xs") - 1),
+        F.lit(0.0),
+        lambda acc, k: acc
+        + F.element_at("xs", k) * F.element_at("ys", k + 1)
+        - F.element_at("xs", k + 1) * F.element_at("ys", k),
+    )
+    per_ring = rings.select(
+        "fid", "value", (F.size("xs") - 1).alias("n_seg"), seg_sa.alias("sa")
+    )
+    return per_ring.groupBy("fid").agg(
+        F.first("value").alias("value"),
+        F.sum("n_seg").cast("long").alias("n_segments"),
+        F.round(F.lit(-0.5) * F.sum("sa"), 6).alias("area"),
     )
 
 
@@ -731,6 +951,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hex_binning": q_hexbin,
         "median_filter": q_median_filter,
         "range_filter": q_range_filter,
+        "d8_pointer": q_d8_pointer,
+        "d8_flow_accumulation": q_d8_flow_accum,
+        "buffer_raster": q_buffer_raster,
+        "lines_to_raster": q_lines_to_raster,
+        "singlepart_to_multipart": q_singlepart_to_multipart,
+        "normalized_difference": q_normalized_difference,
+        "random_field": q_random_field,
+        "random_sample": q_random_sample,
+        "plan_curvature": q_plan_curvature,
+        "profile_curvature": q_profile_curvature,
+        "tangential_curvature": q_tangential_curvature,
+        "total_curvature": q_total_curvature,
+        "mean_curvature": q_mean_curvature,
+        "gaussian_curvature": q_gaussian_curvature,
         "clip_points": q_clip_points,
         "erase_points": q_erase_points,
         "trend_surface": q_trend_surface,
@@ -962,14 +1196,34 @@ SELECT s_suppkey + 10000000 AS fid, s_name AS name FROM supplier
         "hex_binning": _hexbin_sql(),
         "median_filter": _stat_filter_sql("median"),
         "range_filter": _stat_filter_sql("range"),
+        **{
+            f"{w}_curvature": _curvature_sql(w)
+            for w in ("plan", "profile", "tangential", "total", "mean", "gaussian")
+        },
+        "normalized_difference": f"""
+WITH a AS ({_PART_RASTER_SQL}), b AS ({_PART_RASTER2_SQL})
+SELECT a.row, a.col,
+       round(CASE WHEN a.value + b.value <> 0.0
+                  THEN (a.value - b.value) / (a.value + b.value) END, 6) AS value
+FROM a JOIN b ON a.row = b.row AND a.col = b.col
+""",
+        "random_field": _rnd.random_field_oracle_sql(NN_GRID, seed=7),
+        "random_sample": _rnd.random_sample_oracle_sql(_PART_RASTER_SQL, 100, seed=3),
+        "d8_pointer": _hyd.d8_pointer_oracle_sql(_NOISE_RASTER_SQL, EXTRACT_GRID),
+        "d8_flow_accumulation": _hyd.d8_flow_accum_oracle_sql(_NOISE_RASTER_SQL, EXTRACT_GRID),
+        "buffer_raster": _buf.buffer_raster_oracle_sql(_BUFFER_SRC_SQL, EXTRACT_GRID, size=12.0),
+        "lines_to_raster": _lines_to_raster_sql(),
+        "singlepart_to_multipart": _sp_to_mp_sql(),
         "clip_points": _clip_erase_sql(erase=False),
         "erase_points": _clip_erase_sql(erase=True),
+        "trend_surface": _trend_surface_sql(),
+        "clump": _clump_sql(),
+        "raster_to_polygons": _raster_to_polygons_sql(),
         "lidar_point_stats": _lidar_sql("stats"),
         "lidar_thin": _lidar_sql("thin"),
         "lidar_elevation_slice": _lidar_sql("slice"),
-        # trend_surface / raster_to_polygons / clump / kmeans / pca:
-        # iterative or model-based -> rows-only driver check; semantics
-        # pinned by pytest oracles
+        # raster_to_polygons / kmeans / pca: iterative or model-based ->
+        # rows-only driver check; semantics pinned by pytest oracles
         "dedup_exact": """
 SELECT min(doc_id) AS doc_id, text, count(*) AS n_dups FROM documents GROUP BY text
 """,
@@ -996,6 +1250,92 @@ FROM documents
         "clip_polygons": _ovl.clip_polygons_oracle_sql(PARTS_A, PARTS_DISJOINT),
     }
     return sq
+
+
+_RECLASS2_SQL = (
+    "SELECT row, col, CASE WHEN value >= 0.0 AND value < 1500.0 THEN 1.0 "
+    "WHEN value >= 1500.0 AND value < 99999.0 THEN 2.0 ELSE value END AS value "
+    f"FROM ({_PART_RASTER_SQL})"
+)
+
+_CLUMP_CTES = f"""
+WITH RECURSIVE cells AS (
+  SELECT row, col, value FROM ({_RECLASS2_SQL}) WHERE value IS NOT NULL
+),
+r(row, col, value, label) AS (
+  SELECT row, col, value, row * 2147483648 + col FROM cells
+  UNION
+  SELECT c.row, c.col, c.value, r.label
+  FROM r JOIN cells c
+    ON abs(c.row - r.row) <= 1 AND abs(c.col - r.col) <= 1
+   AND NOT (c.row = r.row AND c.col = r.col) AND c.value = r.value
+),
+lab AS (SELECT row, col, any_value(value) AS value, min(label) AS lab FROM r GROUP BY 1, 2),
+comp AS (SELECT lab, min(row * 2147483648 + col) AS scan FROM lab GROUP BY 1),
+ids AS (SELECT lab, CAST(row_number() OVER (ORDER BY scan) AS BIGINT) AS clump_id FROM comp),
+labeled AS (SELECT l.row, l.col, l.value, i.clump_id FROM lab l JOIN ids i ON l.lab = i.lab)
+"""
+
+
+def _clump_sql() -> str:
+    """Clump oracle: min-label closure as a recursive CTE (8-connectivity,
+    same-value flood) + dense scan-order renumbering — mirrors
+    raster_vector.clump exactly."""
+    return _CLUMP_CTES + "SELECT row, col, value, clump_id FROM labeled"
+
+
+def _raster_to_polygons_sql() -> str:
+    """RasterToVectorPolygons oracle: the stitched rings' segment count and
+    net shoelace area equal the per-clump boundary-edge count and
+    n_cells x cell area, both derivable from the cell table alone."""
+    g = EXTRACT_GRID
+    return _CLUMP_CTES + f""",
+dirs(dr, dc) AS (VALUES (-1, 0), (1, 0), (0, -1), (0, 1)),
+bnd AS (
+  SELECT a.clump_id, count(*) AS n_segments
+  FROM labeled a CROSS JOIN dirs d
+  LEFT JOIN labeled b ON b.row = a.row + d.dr AND b.col = a.col + d.dc
+  WHERE b.row IS NULL OR b.clump_id <> a.clump_id
+  GROUP BY 1
+),
+cnt AS (SELECT clump_id, any_value(value) AS value, count(*) AS n_cells FROM labeled GROUP BY 1)
+SELECT c.clump_id AS fid, c.value, CAST(b.n_segments AS BIGINT) AS n_segments,
+       round(CAST(c.n_cells AS DOUBLE) * {g.res_x * g.res_y!r}, 6) AS area
+FROM cnt c JOIN bnd b USING (clump_id)
+"""
+
+
+def _trend_surface_sql() -> str:
+    """Order-1 trend surface: centered normal equations solved by Cramer's
+    rule — the same 3x3 system trend_surface() solves with numpy (centered
+    basis makes both solves agree to ~1e-12 relative, far under round-6)."""
+    x, y = synth.point_sql("c_custkey")
+    d = ("(n*(sxx*syy - sxy*sxy) - sx*(sx*syy - sxy*sy) + sy*(sx*sxy - sxx*sy))")
+    c0 = ("(sz*(sxx*syy - sxy*sxy) - sx*(sxz*syy - sxy*syz) + sy*(sxz*sxy - sxx*syz))")
+    c1 = ("(n*(sxz*syy - sxy*syz) - sz*(sx*syy - sxy*sy) + sy*(sx*syz - sxz*sy))")
+    c2 = ("(n*(sxx*syz - sxz*sxy) - sx*(sx*syz - sxz*sy) + sz*(sx*sxy - sxx*sy))")
+    return f"""
+WITH src AS (SELECT c_custkey AS row, CAST(0 AS BIGINT) AS col,
+                    c_acctbal AS value, {x} AS x, {y} AS y FROM customer),
+m AS (SELECT avg(x) AS mx, avg(y) AS my, avg(value) AS mz FROM src),
+s AS (SELECT count(*) AS n,
+             sum(x - mx) AS sx, sum(y - my) AS sy, sum(value - mz) AS sz,
+             sum((x - mx)*(x - mx)) AS sxx, sum((x - mx)*(y - my)) AS sxy,
+             sum((y - my)*(y - my)) AS syy,
+             sum((x - mx)*(value - mz)) AS sxz, sum((y - my)*(value - mz)) AS syz
+      FROM src, m),
+c AS (SELECT {c0} / {d} AS c0, {c1} / {d} AS c1, {c2} / {d} AS c2 FROM s)
+SELECT src.row, src.col,
+       round(m.mz + c.c0 + c.c1*(src.x - m.mx) + c.c2*(src.y - m.my), 6) AS value
+FROM src, m, c
+"""
+
+
+def _curvature_sql(which: str) -> str:
+    from whitebox_tools_spark.operators.focal import curvature_oracle_sql
+
+    inner = curvature_oracle_sql(_PART_RASTER_SQL, which, res=5.0)
+    return f"SELECT row, col, round(value, 6) + 0.0 AS value FROM ({inner}) t"
 
 
 def _focal_sql(which: str) -> str:

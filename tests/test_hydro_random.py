@@ -1,0 +1,140 @@
+"""D8 pointer / flow accumulation, RND operators, multi-band tests."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from whitebox_tools_spark.grid import GridSpec
+
+G5 = GridSpec(west=0.0, north=25.0, res_x=5.0, res_y=5.0, rows=5, cols=5)
+
+
+def _dem(spark, vals):
+    rows = [
+        (r, c, float(vals[r][c]))
+        for r in range(len(vals))
+        for c in range(len(vals[0]))
+        if vals[r][c] is not None
+    ]
+    return spark.createDataFrame(rows, "row long, col long, value double")
+
+
+def test_d8_pointer_simple_slope(spark):
+    from whitebox_tools_spark.operators.hydro import d8_pointer
+
+    # elevation increases with row -> everything drains N (dir 7 -> 128);
+    # top row has no downslope -> 0
+    vals = [[10 * r + 1 for c in range(3)] for r in range(3)]
+    out = {(r.row, r.col): r.pointer for r in d8_pointer(_dem(spark, vals), G5).collect()}
+    assert out[(0, 0)] == 0 and out[(0, 2)] == 0
+    assert out[(1, 1)] == 128 and out[(2, 1)] == 128
+
+
+def test_d8_pointer_tie_breaks_lowest_index(spark):
+    from whitebox_tools_spark.operators.hydro import d8_pointer
+
+    # center higher than all equal neighbors: diagonal slopes are smaller
+    # (longer run), so E (index 1, value 2) wins among the cardinal ties
+    vals = [[1, 1, 1], [1, 5, 1], [1, 1, 1]]
+    out = {(r.row, r.col): r.pointer for r in d8_pointer(_dem(spark, vals), G5).collect()}
+    assert out[(1, 1)] == 2
+
+
+def test_d8_flow_accumulation_chain_and_merge(spark):
+    from whitebox_tools_spark.operators.hydro import d8_flow_accumulation
+
+    # single column decreasing southward: strict chain 1,2,3
+    vals = [[30.0], [20.0], [10.0]]
+    out = {(r.row, r.col): r.value for r in
+           d8_flow_accumulation(_dem(spark, vals), G5).collect()}
+    assert out == {(0, 0): 1.0, (1, 0): 2.0, (2, 0): 3.0}
+
+
+def test_d8_flow_accumulation_matches_bfs_oracle(spark):
+    """Random surface: compare against a python topological-sum oracle."""
+    from whitebox_tools_spark.operators.hydro import D8_DX, D8_DY, d8_flow_accumulation
+
+    rng = np.random.default_rng(5)
+    n = 8
+    vals = rng.uniform(0, 100, (n, n))
+    out = {(r.row, r.col): r.value for r in
+           d8_flow_accumulation(_dem(spark, vals), G5).collect()}
+
+    import math
+    lens = [math.sqrt(50.0), 5.0, math.sqrt(50.0), 5.0] * 2
+    succ = {}
+    for r in range(n):
+        for c in range(n):
+            best = None
+            for i in range(8):
+                rr, cc = r + D8_DY[i], c + D8_DX[i]
+                if 0 <= rr < n and 0 <= cc < n:
+                    s = (vals[r][c] - vals[rr][cc]) / lens[i]
+                    if s > 0 and (best is None or s > best[0]):
+                        best = (s, (rr, cc))
+            succ[(r, c)] = best[1] if best else None
+    acc = {k: 1.0 for k in succ}
+    for start in succ:
+        cur = succ[start]
+        while cur is not None:
+            acc[cur] += 1.0
+            cur = succ[cur]
+    assert out == acc
+
+
+def test_random_field_distribution(spark):
+    from whitebox_tools_spark.operators.random import random_field
+
+    g = GridSpec(west=0.0, north=500.0, res_x=5.0, res_y=5.0, rows=100, cols=100)
+    vals = [r.value for r in random_field(spark, g, seed=11).collect()]
+    assert len(vals) == 10_000
+    m, sd = float(np.mean(vals)), float(np.std(vals))
+    assert abs(m) < 0.05 and abs(sd - 1.0) < 0.05
+    # determinism
+    vals2 = [r.value for r in random_field(spark, g, seed=11).collect()]
+    assert vals == vals2
+
+
+def test_random_sample_deterministic_and_valid(spark):
+    from whitebox_tools_spark.operators.random import random_sample
+
+    cells = spark.createDataFrame(
+        [(r, c, float(r * 10 + c)) for r in range(20) for c in range(20)],
+        "row long, col long, value double",
+    )
+    a = sorted((r.row, r.col, r.sample_id) for r in random_sample(cells, 30, seed=2).collect())
+    b = sorted((r.row, r.col, r.sample_id) for r in random_sample(cells, 30, seed=2).collect())
+    assert a == b and len(a) == 30
+    assert {s for _, _, s in a} == set(range(1, 31))
+
+
+def test_tiled_gather_bit_identical(spark):
+    """gather25_tiled must equal gather25 bit-for-bit (it only moves
+    values), so slope via the tiled path equals the scatter path exactly —
+    including grid edges and nodata holes, with a tile size that forces
+    multiple tiles and halo crossings."""
+    from whitebox_tools_spark.operators.focal import gather25, gather25_tiled, slope
+
+    rng = np.random.default_rng(17)
+    rows = [
+        (r, c, float(rng.uniform(0, 1000)))
+        for r in range(20) for c in range(20)
+        if (r, c) not in {(3, 3), (10, 11), (0, 19)}  # nodata holes
+    ]
+    cells = spark.createDataFrame(rows, "row long, col long, value double")
+    a = sorted(tuple(r) for r in gather25(cells, z_factor=2.0).collect())
+    b = sorted(tuple(r) for r in gather25_tiled(cells, z_factor=2.0, tile=8).collect())
+    assert a == b
+    sa = sorted(tuple(r) for r in slope(cells, res=5.0).collect())
+    sb = sorted(tuple(r) for r in slope(cells, res=5.0, tiled=True, tile=8).collect())
+    assert sa == sb
+
+
+def test_normalized_difference(spark):
+    from whitebox_tools_spark.operators.raster_math import normalized_difference
+
+    rows = [(1, 0, 0, 8.0), (2, 0, 0, 2.0), (1, 0, 1, 3.0), (2, 0, 1, -3.0)]
+    banded = spark.createDataFrame(rows, "band int, row long, col long, value double")
+    out = {(r.row, r.col): r.value for r in normalized_difference(banded, 1, 2).collect()}
+    assert out[(0, 0)] == pytest.approx(0.6)
+    assert out[(0, 1)] is None  # a + b == 0 -> nodata

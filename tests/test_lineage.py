@@ -49,6 +49,25 @@ def test_manifest_metrics(spark, sf_dir, tmp_path):
         assert m["content_hash"] is not None
 
 
+def test_concurrent_buckets_match_serial(spark, sf_dir, tmp_path):
+    """Overlapped bucket submission (thread pool -> Spark scheduler) must
+    produce byte-identical results + manifests vs the serial path."""
+    fn = _stage_fn(spark, sf_dir)
+    r_ser = str(tmp_path / "serial")
+    r_par = str(tmp_path / "parallel")
+    ran_s = lineage.run_stage(fn, [0, 1, 2, 3], r_ser, max_concurrent=1)
+    ran_p = lineage.run_stage(fn, [0, 1, 2, 3], r_par, max_concurrent=4)
+    assert sorted(ran_s) == sorted(ran_p) == [0, 1, 2, 3]
+    a = sorted(tuple(r) for r in lineage.read_stage(spark, r_ser).collect())
+    b = sorted(tuple(r) for r in lineage.read_stage(spark, r_par).collect())
+    assert a == b
+    hs = {m["bucket"]: m["content_hash"] for m in lineage.stage_metrics(r_ser)}
+    hp = {m["bucket"]: m["content_hash"] for m in lineage.stage_metrics(r_par)}
+    assert hs == hp
+    # resume after concurrent run is still a no-op
+    assert lineage.run_stage(fn, [0, 1, 2, 3], r_par, max_concurrent=4) == []
+
+
 def test_content_hash_detects_difference(spark, sf_dir, tmp_path):
     fn = _stage_fn(spark, sf_dir)
     r1 = str(tmp_path / "a")

@@ -46,6 +46,52 @@ def completed_buckets(root: str) -> set[int]:
     return out
 
 
+def _run_bucket(
+    df_for_bucket: Callable[[int], DataFrame],
+    b: int,
+    root: str,
+    cell_col: str,
+    progress: Callable[[str], None] | None,
+) -> int:
+    out_path = os.path.join(root, f"bucket={b}")
+    df = df_for_bucket(b)
+    df.write.mode("overwrite").parquet(out_path)
+    written = df.sparkSession.read.parquet(out_path)
+    cols = written.columns
+    stats = (
+        written.withColumn(
+            # order-insensitive content hash: sum of 31-bit-masked row
+            # hashes — commutative, duplicate-sensitive, and overflow-free
+            # for < 2^31 rows per bucket even under ANSI mode
+            "__h",
+            F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(2147483647)),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.min(cell_col) if cell_col in cols else F.lit(None)).alias("cmin"),
+            (F.max(cell_col) if cell_col in cols else F.lit(None)).alias("cmax"),
+            F.sum("__h").alias("h"),
+        )
+        .collect()[0]
+    )
+    manifest = {
+        "bucket": b,
+        "cell_min": stats["cmin"],
+        "cell_max": stats["cmax"],
+        "row_count": stats["n"],
+        "content_hash": str(stats["h"]),
+    }
+    # atomic publish: a manifest only ever exists complete (kill-safe)
+    mpath = os.path.join(_manifest_dir(root), f"{b}.json")
+    tmp = mpath + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    os.replace(tmp, mpath)
+    if progress:
+        progress(f"bucket {b}: {stats['n']} rows")
+    return b
+
+
 def run_stage(
     df_for_bucket: Callable[[int], DataFrame],
     buckets: list[int],
@@ -53,49 +99,35 @@ def run_stage(
     *,
     cell_col: str = "cell_id",
     progress: Callable[[str], None] | None = None,
+    max_concurrent: int = 4,
 ) -> list[int]:
     """Execute a stage bucket-by-bucket with lineage; skip buckets whose
-    manifest already exists (resume). Returns the buckets actually run."""
+    manifest already exists (resume). Returns the buckets actually run.
+
+    Buckets run CONCURRENTLY (max_concurrent submitter threads): Spark's
+    scheduler interleaves their jobs across the executor pool (FIFO works;
+    a fair scheduler pool sharpens it), so a bucket whose write stalls on a
+    skewed partition no longer serializes the whole stage. Each bucket
+    still publishes its own manifest atomically, so kill/resume semantics
+    are unchanged — a killed run leaves any subset of complete buckets."""
     os.makedirs(root, exist_ok=True)
     done = completed_buckets(root)
-    ran = []
-    for b in buckets:
-        if b in done:
-            continue
-        out_path = os.path.join(root, f"bucket={b}")
-        df = df_for_bucket(b)
-        df.write.mode("overwrite").parquet(out_path)
-        written = df.sparkSession.read.parquet(out_path)
-        cols = written.columns
-        stats = (
-            written.withColumn(
-                # order-insensitive content hash: sum of 31-bit-masked row
-                # hashes — commutative, duplicate-sensitive, and overflow-free
-                # for < 2^31 rows per bucket even under ANSI mode
-                "__h",
-                F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(2147483647)),
-            )
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                (F.min(cell_col) if cell_col in cols else F.lit(None)).alias("cmin"),
-                (F.max(cell_col) if cell_col in cols else F.lit(None)).alias("cmax"),
-                F.sum("__h").alias("h"),
-            )
-            .collect()[0]
-        )
-        manifest = {
-            "bucket": b,
-            "cell_min": stats["cmin"],
-            "cell_max": stats["cmax"],
-            "row_count": stats["n"],
-            "content_hash": str(stats["h"]),
-        }
-        with open(os.path.join(_manifest_dir(root), f"{b}.json"), "w") as fh:
-            json.dump(manifest, fh)
-        ran.append(b)
-        if progress:
-            progress(f"bucket {b}: {stats['n']} rows")
-    return ran
+    todo = [b for b in buckets if b not in done]
+    if not todo:
+        return []
+    if max_concurrent <= 1 or len(todo) == 1:
+        return [
+            _run_bucket(df_for_bucket, b, root, cell_col, progress) for b in todo
+        ]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=max_concurrent) as ex:
+        futs = [
+            ex.submit(_run_bucket, df_for_bucket, b, root, cell_col, progress)
+            for b in todo
+        ]
+        # propagate the first failure after letting others finish
+        return [f.result() for f in futs]
 
 
 def read_stage(spark, root: str) -> DataFrame:

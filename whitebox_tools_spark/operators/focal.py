@@ -119,19 +119,93 @@ def gather25(cells: DataFrame, *, z_factor: float = 1.0) -> DataFrame:
     return out.drop(*[f"_z{i}" for i in range(25)])
 
 
+def gather25_tiled(
+    cells: DataFrame, *, z_factor: float = 1.0, tile: int = 256
+) -> DataFrame:
+    """Tiled-with-halo variant of gather25 (SURVEY 2.1 FOC idiom b) —
+    BIT-IDENTICAL output.
+
+    gather25 amplifies every cell 25x through the shuffle; at a 100-TB
+    raster that is 25x shuffle volume. Here each cell is exploded only to
+    the <=4 tiles whose (tile+2-halo) region contains it (duplication
+    factor ~ (T+4)^2/T^2 ~ 1.03 at T=256), grouped per tile, and the 25
+    window slots are gathered by a numpy kernel per dense block. The kernel
+    only MOVES values (and multiplies by z_factor, same single IEEE
+    multiply as the scatter path), so z0..z24 are bit-identical and every
+    downstream formula (slope/aspect/hillshade/curvature) stays in the same
+    JVM whole-stage-codegen expressions.
+    """
+    src = cells.filter(F.col("value").isNotNull()).select("row", "col", "value")
+    T = tile
+    tr = F.explode(
+        F.sequence(F.floor((F.col("row") - 2) / T), F.floor((F.col("row") + 2) / T))
+    ).alias("tr")
+    e1 = src.select("row", "col", "value", tr)
+    tc = F.explode(
+        F.sequence(F.floor((F.col("col") - 2) / T), F.floor((F.col("col") + 2) / T))
+    ).alias("tc")
+    e2 = e1.select("row", "col", "value", "tr", tc)
+
+    zf = float(z_factor)
+    n_off = list(enumerate(OFFSETS25))
+
+    def kernel(pdf):
+        import numpy as np
+        import pandas as pd
+
+        t_r = int(pdf["tr"].iloc[0])
+        t_c = int(pdf["tc"].iloc[0])
+        r0, c0 = t_r * T - 2, t_c * T - 2
+        dense = np.full((T + 4, T + 4), np.nan)
+        rr = pdf["row"].to_numpy() - r0
+        cc = pdf["col"].to_numpy() - c0
+        vals = pdf["value"].to_numpy()
+        dense[rr, cc] = vals
+        core = (rr >= 2) & (rr < T + 2) & (cc >= 2) & (cc < T + 2)
+        crow, ccol, cval = rr[core], cc[core], vals[core]
+        out = {
+            "row": crow + r0,
+            "col": ccol + c0,
+            "value": cval,
+        }
+        for n, (dx, dy) in n_off:
+            zn = dense[crow + dy, ccol + dx]
+            out[f"z{n}"] = np.where(np.isnan(zn), cval, zn) * zf
+        return pd.DataFrame(out)
+
+    schema = "row long, col long, value double, " + ", ".join(
+        f"z{i} double" for i in range(25)
+    )
+    return e2.groupBy("tr", "tc").applyInPandas(
+        lambda key, pdf: kernel(pdf), schema=schema
+    )
+
+
 def _pq(df: DataFrame, res: float) -> DataFrame:
     return df.withColumn("p", F.expr(P_FORMULA.format(recip=_recip(res)))).withColumn(
         "q", F.expr(Q_FORMULA.format(recip=_recip(res)))
     )
 
 
-def slope(cells: DataFrame, *, res: float, z_factor: float = 1.0, units: str = "degrees") -> DataFrame:
-    g = _pq(gather25(cells, z_factor=z_factor), res)
+def _gather(cells: DataFrame, z_factor: float, tiled: bool, tile: int) -> DataFrame:
+    if tiled:
+        return gather25_tiled(cells, z_factor=z_factor, tile=tile)
+    return gather25(cells, z_factor=z_factor)
+
+
+def slope(
+    cells: DataFrame, *, res: float, z_factor: float = 1.0, units: str = "degrees",
+    tiled: bool = False, tile: int = 256,
+) -> DataFrame:
+    g = _pq(_gather(cells, z_factor, tiled, tile), res)
     return g.select("row", "col", F.expr(SLOPE_FORMULAS[units]).alias("value"))
 
 
-def aspect(cells: DataFrame, *, res: float, z_factor: float = 1.0) -> DataFrame:
-    g = _pq(gather25(cells, z_factor=z_factor), res)
+def aspect(
+    cells: DataFrame, *, res: float, z_factor: float = 1.0,
+    tiled: bool = False, tile: int = 256,
+) -> DataFrame:
+    g = _pq(_gather(cells, z_factor, tiled, tile), res)
     return g.select("row", "col", F.expr(ASPECT_FORMULA).alias("value"))
 
 
@@ -142,10 +216,127 @@ def hillshade(
     azimuth: float = 315.0,
     altitude: float = 30.0,
     z_factor: float = 1.0,
+    tiled: bool = False,
+    tile: int = 256,
 ) -> DataFrame:
-    g = _pq(gather25(cells, z_factor=z_factor), res)
+    g = _pq(_gather(cells, z_factor, tiled, tile), res)
     return g.select(
         "row", "col", F.expr(hillshade_formula(azimuth, altitude)).alias("value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Curvature family (terrain_analysis/{plan,prof,tan,total,mean,gaussian,
+# minimal,maximal}_curvature.rs) — same gather25 + Florinsky second
+# derivatives r, s, t (plan_curvature.rs:340-356); every output formula is
+# one shared SQL string evaluated identically by Spark and the DuckDB
+# oracle. powi(3) is spelled X*X*X (not power()) so both engines use plain
+# multiplication, bit-identical to the reference's powi.
+# ---------------------------------------------------------------------------
+R_FORMULA = (
+    "{recip2} * (2.0*(z0+z4+z5+z9+z10+z14+z15+z19+z20+z24) "
+    "- 2.0*(z2+z7+z12+z17+z22) - z1-z3-z6-z8-z11-z13-z16-z18-z21-z23)"
+)
+T_FORMULA = (
+    "{recip2} * (2.0*(z0+z1+z2+z3+z4+z20+z21+z22+z23+z24) "
+    "- 2.0*(z10+z11+z12+z13+z14) - z5-z6-z7-z8-z9-z15-z16-z17-z18-z19)"
+)
+S_FORMULA = (
+    "{recip100} * (z8+z16-z6-z18 + 4.0*(z4+z20-z0-z24) "
+    "+ 2.0*(z3+z9+z15+z21-z1-z5-z19-z23))"
+)
+
+_PQ3 = "((p*p + q*q) * (p*p + q*q) * (p*p + q*q))"          # (p^2+q^2)^3
+_W = "(1.0 + p*p + q*q)"
+_W3 = f"({_W} * {_W} * {_W})"
+_MEAN_C = f"(-((1.0 + q*q)*r - 2.0*p*q*s + (1.0 + p*p)*t) / (2.0 * sqrt({_W3})))"
+_GAUSS_C = f"((r*t - s*s) / ({_W} * {_W}))"
+
+CURVATURE_FORMULAS = {
+    # plan_curvature.rs:359 (flat guard :357-365)
+    "plan": (
+        "CASE WHEN abs(p + q) > 0.0 THEN "
+        f"-(q*q*r - 2.0*p*q*s + p*p*t) / sqrt({_PQ3}) ELSE 0.0 END"
+    ),
+    # prof_curvature.rs:356
+    "profile": (
+        "CASE WHEN abs(p + q) > 0.0 THEN "
+        f"-(p*p*r + 2.0*p*q*s + q*q*t) / ((p*p + q*q) * sqrt({_W3})) ELSE 0.0 END"
+    ),
+    # tan_curvature.rs:367
+    "tangential": (
+        "CASE WHEN abs(p + q) > 0.0 THEN "
+        f"-(q*q*r - 2.0*p*q*s + p*p*t) / ((p*p + q*q) * sqrt({_W})) ELSE 0.0 END"
+    ),
+    # total_curvature.rs:344
+    "total": "r*r + 2.0*s*s + t*t",
+    # mean_curvature.rs:357
+    "mean": _MEAN_C,
+    # gaussian_curvature.rs:354
+    "gaussian": _GAUSS_C,
+    # minimal_curvature.rs:357-359 / maximal_curvature.rs
+    "minimal": f"{_MEAN_C} - sqrt({_MEAN_C}*{_MEAN_C} - {_GAUSS_C})",
+    "maximal": f"{_MEAN_C} + sqrt({_MEAN_C}*{_MEAN_C} - {_GAUSS_C})",
+}
+
+
+def _rst_sql(res: float) -> tuple[str, str, str]:
+    recip2 = repr(1.0 / (35.0 * res * res))
+    recip100 = repr(1.0 / (100.0 * res * res))
+    return (
+        R_FORMULA.format(recip2=recip2),
+        S_FORMULA.format(recip100=recip100),
+        T_FORMULA.format(recip2=recip2),
+    )
+
+
+def _log_wrap(expr: str, log_transform: bool, log_multiplier: float) -> str:
+    if not log_transform:
+        return expr
+    # Florinsky (2016) pg. 244 eq. 8.1 (plan_curvature.rs:362)
+    return f"sign({expr}) * ln(1.0 + {log_multiplier!r} * abs({expr}))"
+
+
+def curvature(
+    cells: DataFrame,
+    which: str,
+    *,
+    res: float,
+    z_factor: float = 1.0,
+    log_transform: bool = False,
+    log_multiplier: float = 1e6,
+    tiled: bool = False,
+    tile: int = 256,
+) -> DataFrame:
+    """Any of the 8 Florinsky curvature rasters over a long cell table."""
+    g = _pq(_gather(cells, z_factor, tiled, tile), res)
+    r, s, t = _rst_sql(res)
+    g = (
+        g.withColumn("r", F.expr(r))
+        .withColumn("s", F.expr(s))
+        .withColumn("t", F.expr(t))
+    )
+    expr = _log_wrap(CURVATURE_FORMULAS[which], log_transform, log_multiplier)
+    return g.select("row", "col", F.expr(expr).alias("value"))
+
+
+def curvature_oracle_sql(
+    source_sql: str,
+    which: str,
+    *,
+    res: float,
+    z_factor: float = 1.0,
+    log_transform: bool = False,
+    log_multiplier: float = 1e6,
+) -> str:
+    r, s, t = _rst_sql(res)
+    p = P_FORMULA.format(recip=_recip(res))
+    q = Q_FORMULA.format(recip=_recip(res))
+    expr = _log_wrap(CURVATURE_FORMULAS[which], log_transform, log_multiplier)
+    return (
+        _gather25_sql(source_sql, z_factor)
+        + f""", pq AS (SELECT row, col, {p} AS p, {q} AS q, {r} AS r, {s} AS s, {t} AS t FROM g)
+SELECT row, col, {expr} AS value FROM pq"""
     )
 
 

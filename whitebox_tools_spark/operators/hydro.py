@@ -1,0 +1,202 @@
+"""Hydrology operators (class ITR down-payment): D8Pointer +
+D8FlowAccumulation.
+
+Reference semantics (hydro_analysis/d8_pointer.rs:252-300,
+d8_flow_accum.rs:483-570):
+  - directions 0..7 = NE, E, SE, S, SW, W, NW, N
+    (d_x = [1,1,1,0,-1,-1,-1,0], d_y = [-1,0,1,1,1,0,-1,-1]);
+  - per cell, the steepest POSITIVE downslope neighbor wins, slope =
+    (z - z_n) / grid_length (diagonal length sqrt(rx^2 + ry^2)); ties break
+    to the LOWEST direction index (strict '>' scan order);
+  - pointer value = 2^dir (whitebox style; ESRI style rotates), 0 for
+    pits/flats (no positive downslope);
+  - flow accumulation starts at 1 per cell and pushes along pointers in
+    topological order; a cell's value = 1 + number of upslope cells whose
+    flow path passes through it.
+
+Spark plan:
+  - the 8-neighbor gather is ONE scatter-explode + hash aggregate (the
+    FOC idiom), argmax by (slope, -dir) as an array_max over structs —
+    pure expressions;
+  - accumulation is the distributed topological peel: each superstep
+    resolves every current source (in-degree-0 cell), pushes its count to
+    its target, and drops its edge — a few joins per round, localCheckpoint
+    truncating lineage. Rounds = longest flow-path length (the DAG depth),
+    the same bound as the reference's stack sweep, but each round is a
+    bulk-parallel join instead of a serial pop.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from whitebox_tools_spark.grid import GridSpec
+
+# direction index -> (dx, dy) per d8_pointer.rs:252-253
+D8_DX = [1, 1, 1, 0, -1, -1, -1, 0]
+D8_DY = [-1, 0, 1, 1, 1, 0, -1, -1]
+
+
+def _grid_lengths(grid: GridSpec) -> list[float]:
+    diag = math.sqrt(grid.res_x * grid.res_x + grid.res_y * grid.res_y)
+    return [diag, grid.res_x, diag, grid.res_y, diag, grid.res_x, diag, grid.res_y]
+
+
+def _neighbor_slopes(cells: DataFrame, grid: GridSpec) -> DataFrame:
+    """-> (row, col, value, s0..s7): slope toward each of the 8 neighbors
+    (NULL where the neighbor is missing/nodata)."""
+    spark = cells.sparkSession
+    lens = _grid_lengths(grid)
+    src = cells.filter(F.col("value").isNotNull()).select("row", "col", "value")
+    offsets = spark.createDataFrame(
+        [(i, D8_DX[i], D8_DY[i]) for i in range(8)], "i int, dx int, dy int"
+    )
+    # neighbor cell n serves target (n.row - dy, n.col - dx) in slot i
+    scattered = (
+        src.crossJoin(F.broadcast(offsets))
+        .select(
+            (F.col("row") - F.col("dy")).alias("row"),
+            (F.col("col") - F.col("dx")).alias("col"),
+            "i",
+            F.col("value").alias("zn"),
+        )
+        .groupBy("row", "col")
+        .agg(*[F.max(F.when(F.col("i") == i, F.col("zn"))).alias(f"_n{i}") for i in range(8)])
+    )
+    out = src.join(scattered, ["row", "col"], "left")
+    for i in range(8):
+        out = out.withColumn(
+            f"s{i}", (F.col("value") - F.col(f"_n{i}")) / F.lit(lens[i])
+        )
+    return out.drop(*[f"_n{i}" for i in range(8)])
+
+
+def _winner_dir(sl) -> object:
+    """argmax over positive slopes with lowest-index tie-break: array_max of
+    (slope, -i) structs; NULL when no positive slope exists."""
+    entries = F.array(
+        *[
+            F.when(
+                sl(i).isNotNull() & (sl(i) > 0.0),
+                F.struct(sl(i).alias("slope"), F.lit(-i).alias("negi")),
+            )
+            for i in range(8)
+        ]
+    )
+    best = F.array_max(F.array_compact(entries))
+    return -best["negi"]
+
+
+def d8_pointer(cells: DataFrame, grid: GridSpec, *, esri_style: bool = False) -> DataFrame:
+    """-> (row, col, pointer): 2^dir of the steepest downslope neighbor,
+    0 for pits/flats (d8_pointer.rs:268-296)."""
+    out_vals = [128, 1, 2, 4, 8, 16, 32, 64] if esri_style else [1, 2, 4, 8, 16, 32, 64, 128]
+    g = _neighbor_slopes(cells, grid)
+    d = _winner_dir(lambda i: F.col(f"s{i}"))
+    ptr = F.coalesce(
+        *[F.when(d == i, F.lit(out_vals[i])) for i in range(8)], F.lit(0)
+    )
+    return g.select("row", "col", ptr.cast("long").alias("pointer"))
+
+
+def _flow_edges(cells: DataFrame, grid: GridSpec) -> DataFrame:
+    """-> (row, col, trow, tcol) one edge per cell with a downslope target."""
+    g = _neighbor_slopes(cells, grid)
+    d = _winner_dir(lambda i: F.col(f"s{i}"))
+    g = g.withColumn("dir", d).filter(F.col("dir").isNotNull())
+    trow = F.coalesce(*[F.when(F.col("dir") == i, F.col("row") + F.lit(D8_DY[i])) for i in range(8)])
+    tcol = F.coalesce(*[F.when(F.col("dir") == i, F.col("col") + F.lit(D8_DX[i])) for i in range(8)])
+    return g.select("row", "col", trow.alias("trow"), tcol.alias("tcol"))
+
+
+def d8_flow_accumulation(
+    cells: DataFrame, grid: GridSpec, *, max_iterations: int = 10_000
+) -> DataFrame:
+    """-> (row, col, value): number of cells draining through each cell
+    (itself included), cell-count units (d8_flow_accum.rs:525-570).
+
+    Distributed topological peel; iteration count = DAG depth (longest
+    flow path), each iteration a handful of joins over the REMAINING edge
+    set (shrinking every round)."""
+    acc = (
+        cells.filter(F.col("value").isNotNull())
+        .select("row", "col", F.lit(1.0).alias("fa"))
+        .localCheckpoint(eager=True)
+    )
+    edges = _flow_edges(cells, grid).localCheckpoint(eager=True)
+    for _ in range(max_iterations):
+        if edges.isEmpty():
+            break
+        targets = edges.select(F.col("trow").alias("row"), F.col("tcol").alias("col")).distinct()
+        # sources: cells with outgoing edge and NO incoming edge remaining
+        src_edges = edges.join(targets, ["row", "col"], "left_anti")
+        pushed = (
+            src_edges.join(acc, ["row", "col"])
+            .groupBy(F.col("trow").alias("row"), F.col("tcol").alias("col"))
+            .agg(F.sum("fa").alias("inflow"))
+        )
+        acc = (
+            acc.join(pushed, ["row", "col"], "left")
+            .withColumn("fa", F.col("fa") + F.coalesce(F.col("inflow"), F.lit(0.0)))
+            .drop("inflow")
+            .localCheckpoint(eager=True)
+        )
+        edges = edges.join(
+            src_edges.select("row", "col"), ["row", "col"], "left_anti"
+        ).localCheckpoint(eager=True)
+    return acc.select("row", "col", F.col("fa").alias("value"))
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL
+# ---------------------------------------------------------------------------
+def _fd_ctes(source_sql: str, grid: GridSpec) -> str:
+    lens = _grid_lengths(grid)
+    dirs = ", ".join(
+        f"({i}, {D8_DX[i]}, {D8_DY[i]}, {lens[i]!r})" for i in range(8)
+    )
+    return f"""
+cells AS (SELECT row, col, value FROM ({source_sql}) WHERE value IS NOT NULL),
+dirs(i, dx, dy, len) AS (VALUES {dirs}),
+slopes AS (
+  SELECT c.row, c.col, d.i,
+         (c.value - n.value) / d.len AS slope,
+         c.row + d.dy AS trow, c.col + d.dx AS tcol
+  FROM cells c CROSS JOIN dirs d
+  JOIN cells n ON n.row = c.row + d.dy AND n.col = c.col + d.dx
+),
+winner AS (
+  SELECT row, col, i, trow, tcol,
+         row_number() OVER (PARTITION BY row, col ORDER BY slope DESC, i ASC) AS rn
+  FROM slopes WHERE slope > 0.0
+),
+fd AS (SELECT row, col, i, trow, tcol FROM winner WHERE rn = 1)
+"""
+
+
+def d8_pointer_oracle_sql(source_sql: str, grid: GridSpec, *, esri_style: bool = False) -> str:
+    out_vals = [128, 1, 2, 4, 8, 16, 32, 64] if esri_style else [1, 2, 4, 8, 16, 32, 64, 128]
+    case = "CASE f.i " + " ".join(f"WHEN {i} THEN {out_vals[i]}" for i in range(8)) + " END"
+    return f"""
+WITH {_fd_ctes(source_sql, grid)}
+SELECT c.row, c.col, CAST(coalesce({case}, 0) AS BIGINT) AS pointer
+FROM cells c LEFT JOIN fd f ON f.row = c.row AND f.col = c.col
+"""
+
+
+def d8_flow_accum_oracle_sql(source_sql: str, grid: GridSpec) -> str:
+    """Accumulation via recursive path closure: value(c) = number of cells
+    whose pointer path reaches c (self included)."""
+    return f"""
+WITH RECURSIVE {_fd_ctes(source_sql, grid)},
+walk(orow, ocol, row, col) AS (
+  SELECT row, col, row, col FROM cells
+  UNION
+  SELECT w.orow, w.ocol, f.trow, f.tcol
+  FROM walk w JOIN fd f ON f.row = w.row AND f.col = w.col
+)
+SELECT row, col, CAST(count(*) AS DOUBLE) AS value FROM walk GROUP BY 1, 2
+"""

@@ -165,3 +165,37 @@ def mosaic(layers: list[DataFrame], *, method: str = "last") -> DataFrame:
         return u.groupBy("row", "col").agg(pick.alias("value"))
     fn = {"min": F.min, "max": F.max, "mean": F.avg}[method]
     return u.groupBy("row", "col").agg(fn("value").alias("value"))
+
+
+# ---------------------------------------------------------------------------
+# Multi-band cell tables: (band, row, col, value) — SURVEY.md section 1.1
+# maps RasterConfigs.bands explicitly; these cover the image_analysis
+# band-composite tools (e.g. normalized-difference indices over RGB/NIR
+# composites) without widening the single-band schema elsewhere.
+# ---------------------------------------------------------------------------
+def band_select(cells: DataFrame, band: int, *, band_col: str = "band") -> DataFrame:
+    """One band of a multi-band cell table as a plain (row, col, value)."""
+    return cells.filter(F.col(band_col) == band).drop(band_col)
+
+
+def combine_bands(
+    cells: DataFrame, band_a: int, band_b: int, op: str, *, band_col: str = "band"
+) -> DataFrame:
+    """ZIP of two bands of ONE multi-band table — a self-aligned combine;
+    a single shuffle on (row, col) when not pre-bucketed."""
+    return combine(band_select(cells, band_a, band_col=band_col),
+                   band_select(cells, band_b, band_col=band_col), op)
+
+
+def normalized_difference(
+    cells: DataFrame, band_a: int, band_b: int, *, band_col: str = "band"
+) -> DataFrame:
+    """(a - b) / (a + b) — the NDVI-style normalized difference index
+    (image_analysis band composites); a + b == 0 -> NULL (nodata)."""
+    a = band_select(cells, band_a, band_col=band_col)
+    b = band_select(cells, band_b, band_col=band_col).select(
+        "row", "col", F.col("value").alias("__v2")
+    )
+    s = F.col("value") + F.col("__v2")
+    nd = F.when(s != 0.0, (F.col("value") - F.col("__v2")) / s)
+    return a.join(b, ["row", "col"]).withColumn("value", nd).drop("__v2")

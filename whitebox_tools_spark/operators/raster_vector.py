@@ -62,6 +62,73 @@ def polygons_to_raster(
     return out
 
 
+def vector_lines_to_raster(
+    lines: DataFrame,
+    grid: GridSpec,
+    *,
+    line_id: str = "line_id",
+    value: str | None = None,
+) -> DataFrame:
+    """VectorLinesToRaster (data_tools/vector_lines_to_raster.rs:173):
+    for every line segment, mark the cell at each crossing of a row's
+    center y-line (col = col_of(x at y_r)) and each column's center x-line
+    (row = row_of(y at x_c)); later records overwrite earlier ones.
+
+    lines: (line_id, xs, ys). value defaults to FID = line_id + 1.
+    Pure expressions: segments explode over their own clamped row/col
+    ranges (equivalent to the reference's part-bbox scan — rows outside a
+    segment's span fail its is_between test), winner per cell =
+    max_by(line order). -> (row, col, value)."""
+    # consecutive vertices form segments — array indexing, no window
+    seg_i = F.explode(F.sequence(F.lit(1), F.size("xs") - 1)).alias("i")
+    segs = lines.select(F.col(line_id).alias("lid"), "xs", "ys", seg_i).select(
+        "lid", "i",
+        F.element_at("xs", F.col("i")).alias("x0"),
+        F.element_at("ys", F.col("i")).alias("y0"),
+        F.element_at("xs", F.col("i") + 1).alias("x1"),
+        F.element_at("ys", F.col("i") + 1).alias("y1"),
+    )
+    val = (F.col("lid") + 1).cast("double") if value is None else F.col(value)
+    segs = segs.withColumn("v", val)
+
+    rows_m1 = grid.rows - 1
+    cols_m1 = grid.cols - 1
+    clamp_r = lambda c: F.greatest(F.lit(0).cast("long"), F.least(F.lit(rows_m1).cast("long"), c))  # noqa: E731
+    clamp_c = lambda c: F.greatest(F.lit(0).cast("long"), F.least(F.lit(cols_m1).cast("long"), c))  # noqa: E731
+
+    # row-line crossings
+    r_top = clamp_r(grid.row_expr(F.greatest("y0", "y1")))
+    r_bot = clamp_r(grid.row_expr(F.least("y0", "y1")))
+    rc = segs.withColumn("row", F.explode(F.sequence(r_top, r_bot)))
+    y_r = grid.y_center_expr(F.col("row"))
+    between_y = (y_r >= F.least("y0", "y1")) & (y_r <= F.greatest("y0", "y1"))
+    x_prime = F.col("x0") + (y_r - F.col("y0")) / (F.col("y1") - F.col("y0")) * (
+        F.col("x1") - F.col("x0")
+    )
+    rc = rc.filter(between_y & (F.col("y1") != F.col("y0"))).select(
+        "lid", "v", "row", grid.col_expr(x_prime).alias("col")
+    )
+
+    # column-line crossings
+    c_left = clamp_c(grid.col_expr(F.least("x0", "x1")))
+    c_right = clamp_c(grid.col_expr(F.greatest("x0", "x1")))
+    cc = segs.withColumn("col", F.explode(F.sequence(c_left, c_right)))
+    x_c = grid.x_center_expr(F.col("col"))
+    between_x = (x_c >= F.least("x0", "x1")) & (x_c <= F.greatest("x0", "x1"))
+    y_prime = F.col("y0") + (x_c - F.col("x0")) / (F.col("x1") - F.col("x0")) * (
+        F.col("y1") - F.col("y0")
+    )
+    cc = cc.filter(between_x & (F.col("x1") != F.col("x0"))).select(
+        "lid", "v", grid.row_expr(y_prime).alias("row"), "col"
+    )
+
+    marks = rc.unionByName(cc).filter(
+        (F.col("row") >= 0) & (F.col("row") <= rows_m1)
+        & (F.col("col") >= 0) & (F.col("col") <= cols_m1)
+    )
+    return marks.groupBy("row", "col").agg(F.max_by("v", "lid").alias("value"))
+
+
 def raster_to_vector_points(cells: DataFrame, grid: GridSpec) -> DataFrame:
     """Non-nodata cells -> point features at cell centers."""
     return cells.filter(F.col("value").isNotNull()).select(

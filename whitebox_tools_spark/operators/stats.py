@@ -164,7 +164,16 @@ def trend_surface(
     ONE aggregate over the data (partial+final combine); the tiny
     (terms x terms) system is solved driver-side with numpy; fitted values
     are a pure column expression. No data leaves the cluster except the
-    moment matrix."""
+    moment matrix.
+
+    Numerics: the solve runs in the CENTERED basis (x-mean_x, y-mean_y,
+    z-mean_z) — raw moments of world-scale coordinates make the normal
+    matrix ill-conditioned (cond ~ extent^order), which loses ~cond*eps of
+    the fitted precision; centering makes the system O(1)-conditioned so
+    engine and DuckDB oracle agree far below the round-6 gate. Returned
+    coefficients are re-expanded to the RAW x/y basis (binomial shift)."""
+    import math as _math
+
     import numpy as np
 
     xs = grid.x_center_expr(F.col("col")) if x is None else F.col(x)
@@ -174,12 +183,18 @@ def trend_surface(
         .withColumn("__x", xs)
         .withColumn("__y", ys)
     )
+    means = src.agg(
+        F.avg("__x").alias("mx"), F.avg("__y").alias("my"), F.avg("value").alias("mz")
+    ).collect()[0]
+    mx, my, mz = float(means.mx), float(means.my), float(means.mz)
+
     terms = [(i, j) for j in range(order + 1) for i in range(order + 1 - j)]
+    cx, cy = F.col("__x") - F.lit(mx), F.col("__y") - F.lit(my)
     term_cols = [
-        (F.pow(F.col("__x"), F.lit(float(i))) * F.pow(F.col("__y"), F.lit(float(j)))).alias(f"t{k}")
+        (F.pow(cx, F.lit(float(i))) * F.pow(cy, F.lit(float(j)))).alias(f"t{k}")
         for k, (i, j) in enumerate(terms)
     ]
-    t = src.select(F.col("value").alias("z"), *term_cols)
+    t = src.select((F.col("value") - F.lit(mz)).alias("z"), *term_cols)
     aggs = []
     for a in range(len(terms)):
         for b in range(a, len(terms)):
@@ -194,11 +209,25 @@ def trend_surface(
         for b in range(a, n):
             xtx[a, b] = xtx[b, a] = row[f"xx_{a}_{b}"]
     coef, *_ = np.linalg.lstsq(xtx, xty, rcond=None)
-    fitted = None
+
+    fitted = F.lit(mz)
     for k, (i, j) in enumerate(terms):
-        term = F.lit(float(coef[k])) * F.pow(F.col("__x"), F.lit(float(i))) * F.pow(
-            F.col("__y"), F.lit(float(j))
+        fitted = fitted + F.lit(float(coef[k])) * F.pow(cx, F.lit(float(i))) * F.pow(
+            cy, F.lit(float(j))
         )
-        fitted = term if fitted is None else fitted + term
     out = src.select("row", "col", fitted.alias("value"))
-    return out, [float(c) for c in coef]
+
+    # re-expand centered coefficients to the raw basis:
+    # (x-mx)^i (y-my)^j = sum C(i,a) C(j,b) (-mx)^(i-a) (-my)^(j-b) x^a y^b
+    index = {t_: k for k, t_ in enumerate(terms)}
+    raw = np.zeros(n)
+    for k, (i, j) in enumerate(terms):
+        for a in range(i + 1):
+            for b in range(j + 1):
+                raw[index[(a, b)]] += (
+                    coef[k]
+                    * _math.comb(i, a) * _math.comb(j, b)
+                    * ((-mx) ** (i - a)) * ((-my) ** (j - b))
+                )
+    raw[index[(0, 0)]] += mz
+    return out, [float(c) for c in raw]

@@ -141,6 +141,31 @@ def multipart_to_singlepart(parts: DataFrame) -> DataFrame:
     return with_global_seq(parts, ["poly_id", "part_idx"], out_col="fid")
 
 
+def singlepart_to_multipart(parts: DataFrame, group_field: str) -> DataFrame:
+    """SinglePartToMultiPart (data_tools/singlepart_to_multipart.rs:151):
+    merge features sharing a group-field value into one multi-part feature;
+    new feature ids are 1..n in ascending group-value order, parts
+    renumbered by (source poly_id, part_idx). Distributed sequence for the
+    ids, per-group window (bounded by group size) for part indexes."""
+    from pyspark.sql import Window
+
+    from whitebox_tools_spark.distributed import with_global_seq
+
+    groups = parts.select(group_field).distinct()
+    ids = with_global_seq(groups, [group_field], out_col="new_id")
+    w = Window.partitionBy(group_field).orderBy("poly_id", "part_idx")
+    return (
+        parts.join(F.broadcast(ids), group_field)
+        .withColumn("new_part_idx", F.row_number().over(w) - 1)
+        .select(
+            F.col("new_id").alias("poly_id"),
+            F.col("new_part_idx").alias("part_idx"),
+            "is_hole", "xs", "ys",
+            F.col(group_field).alias("group_value"),
+        )
+    )
+
+
 def add_point_coordinates_to_table(points: DataFrame, *, x: str = "x", y: str = "y") -> DataFrame:
     """AddPointCoordinatesToTable (data_tools/add_point_coordinates_to_table.rs:110):
     append XCOORD/YCOORD attribute fields."""
