@@ -754,9 +754,13 @@ def q_ngram_jaccard(spark, sf_dir):
 
 
 def q_minhash_lsh(spark, sf_dir):
-    # deterministic (xxhash64) but not SQL-expressible -> rows-only check
+    # deterministic (xxhash64) but not SQL-expressible -> rows-only check.
+    # The synthetic corpus is heavily templated (a third of all pairs sit
+    # above jaccard 0.5), so the query uses a steep band curve (8 bands x
+    # 8 rows: collision prob 0.03 at j=0.5, 0.99 at j=0.9) — the realistic
+    # "find the strong dups in a sea of mild similarity" configuration.
     return _r6(DD.minhash_lsh_pairs(_t(spark, sf_dir, "documents"),
-                                    verify_threshold=0.4), ["est_jaccard"])
+                                    bands=8, verify_threshold=0.7), ["est_jaccard"])
 
 
 def q_simhash(spark, sf_dir):

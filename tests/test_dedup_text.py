@@ -69,6 +69,26 @@ def test_simhash_pigeonhole_guard(spark):
         DD.simhash_near_dup_pairs(_docs(spark), max_hamming=6, bands=4)
 
 
+def test_minhash_signature_value_dependence(spark):
+    """Regression for the PySpark 4.1 HOF bug: F.xxhash64(lambda_var, lit)
+    inside transform() ignores the element value (position-only hashes),
+    which silently turned MinHash into length-hashing. Same-length docs
+    with different content MUST get different signatures, and the
+    signature-agreement estimate must track the true Jaccard."""
+    rows = [
+        (0, "abcdefghijklmnopqrstuvwxyz"),
+        (1, "abcdefghijklmnopqrstuvwxyz"),
+        (2, "abcdefghijklmnop0123456789"),   # same length, ~40% 3-gram overlap
+        (3, "zyxwvutsrqponmlkjihgfedcba"),   # same length, ~0% overlap
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    s = {r.doc_id: r.sig for r in DD.minhash_signatures(docs, num_hashes=128).collect()}
+    est = lambda a, b: sum(1 for u, v in zip(s[a], s[b]) if u == v) / 128  # noqa: E731
+    assert est(0, 1) == 1.0
+    assert 0.2 < est(0, 2) < 0.65   # true jaccard ~0.41
+    assert est(0, 3) < 0.1
+
+
 def test_minhash_lsh_pairs(spark):
     pairs = {(r.doc_id_a, r.doc_id_b)
              for r in DD.minhash_lsh_pairs(_docs(spark), verify_threshold=0.5).collect()}

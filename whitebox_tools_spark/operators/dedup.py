@@ -112,15 +112,37 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signature per doc: for each of num_hashes seeded xxhash64
     functions, the min hash over the shingle set. All JVM built-ins.
-    -> (doc_id, sig: array<bigint>)."""
-    sh = shingles_expr(F.col(text), n)
+    -> (doc_id, sig: array<bigint>).
+
+    Cost shape: each STRING shingle is hashed exactly once
+    (xxhash64(string)); the num_hashes permutations re-hash that 64-bit
+    integer (xxhash64(long, seed)) — hashing a fixed-width long is ~10x
+    cheaper than re-hashing variable-length strings per permutation, so
+    signature cost is O(shingles + shingles*num_hashes*cheap) instead of
+    O(shingles*num_hashes*strlen).
+
+    IMPORTANT — Spark HOF pitfall: `F.xxhash64(lambda_var, F.lit(seed))`
+    built through the PYTHON wrapper silently ignores the lambda
+    variable's VALUE inside transform() (position-dependent output only;
+    seeds beyond the first are ignored too) on PySpark 4.1.x. The
+    SQL-parsed form `expr("transform(hs, h -> xxhash64(h, i))")` is
+    correct, so the seeded re-hash is built via F.expr; a regression test
+    (test_minhash_signature_value_dependence) pins this."""
+    spark = docs.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < par:
+        # signature hashing is the CPU-heavy stage (shingles x num_hashes
+        # integer hashes per doc); a small file count must not serialize it
+        docs = docs.repartition(par)
+    base = F.transform(shingles_expr(F.col(text), n), lambda s: F.xxhash64(s))
+    d = docs.select(F.col(doc_id).alias("doc_id"), base.alias("__mh_hs"))
     sig = F.array(
         *[
-            F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(s, F.lit(i))))
+            F.expr(f"array_min(transform(__mh_hs, h -> xxhash64(h, {i})))")
             for i in range(num_hashes)
         ]
     )
-    return docs.select(F.col(doc_id).alias("doc_id"), sig.alias("sig"))
+    return d.select("doc_id", sig.alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -162,8 +184,10 @@ def minhash_lsh_pairs(
         banded.select(F.col("doc_id").alias("doc_id_a"), F.col("sig").alias("sig_a"), "b", "h")
         .join(other, ["b", "h"])
         .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        # dedupe multi-band collisions on the ids alone — hashing the two
+        # 64-element signature arrays through the exchange is pure waste
+        .dropDuplicates(["doc_id_a", "doc_id_b"])
         .select("doc_id_a", "doc_id_b", "sig_a", "sig_b")
-        .distinct()
     )
     est = (
         F.size(
