@@ -499,6 +499,66 @@ SELECT * FROM renum
 """
 
 
+_TIN_KEYS = 150
+_TIN_PLANE = (2.0, 0.01, 0.02)  # z = a + b*x + c*y
+
+
+def _tin_points(spark) -> DataFrame:
+    """Deterministic sf-independent TIN points: synth hash points of keys
+    1..150 carrying an exact plane z (any correct triangulation
+    interpolates a plane exactly — the oracle needs no triangulation)."""
+    a, b, c = _TIN_PLANE
+    x, y = synth.point_exprs(F.col("id"))
+    return spark.range(1, _TIN_KEYS + 1).select(
+        x.alias("x"), y.alias("y")
+    ).withColumn("z", F.lit(a) + F.lit(b) * F.col("x") + F.lit(c) * F.col("y"))
+
+
+def q_tin_gridding(spark, sf_dir):
+    """TINGridding (gis_analysis/tin_gridding.rs): Delaunay TIN over the
+    deterministic plane points, barycentric interpolation at cell centers;
+    hash-checked against the direct plane formula inside the convex hull."""
+    from whitebox_tools_spark.operators.tin import tin_gridding
+
+    out = tin_gridding(_tin_points(spark), NN_GRID)
+    return _r6(out, ["value"])
+
+
+def q_construct_tin(spark, sf_dir):
+    """ConstructVectorTIN (gis_analysis/construct_vector_tin.rs:170):
+    triangle features (rows-only: a specific Delaunay triangulation is not
+    SQL-derivable; Euler/circumcircle invariants pinned in pytest)."""
+    from whitebox_tools_spark.operators.tin import construct_tin
+
+    out = construct_tin(_tin_points(spark))
+    return _r6(out, ["ax", "ay", "bx", "by", "cx", "cy", "az", "bz", "cz"])
+
+
+def _tin_gridding_sql() -> str:
+    import numpy as np
+
+    from whitebox_tools_spark import geometry as G
+
+    a, b, c = _TIN_PLANE
+    keys = np.arange(1, _TIN_KEYS + 1)
+    px, py = synth.point_np(keys)
+    hx, hy = G.convex_hull(px, py)
+    hx = np.append(hx, hx[0])
+    hy = np.append(hy, hy[0])
+    g = NN_GRID
+    hull_poly = synth.Poly(
+        0, (synth.Part(tuple(float(v) for v in hx), tuple(float(v) for v in hy), False),)
+    )
+    pip = synth.pip_oracle_sql(_grid_centers_cte(g), [hull_poly])
+    return f"""
+WITH centers AS ({_grid_centers_cte(g)}),
+inside AS ({pip})
+SELECT c.row, c.col,
+       round({a!r} + {b!r} * c.x + {c!r} * c.y, 6) AS value
+FROM centers c SEMI JOIN inside i ON c.point_id = i.point_id
+"""
+
+
 def q_buffer_raster(spark, sf_dir):
     """BufferRaster (gis_analysis/buffer_raster.rs:210-221): 1.0 within the
     buffer distance of any non-background cell, exact nearest-source
@@ -960,6 +1020,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "buffer_raster": q_buffer_raster,
         "lines_to_raster": q_lines_to_raster,
         "singlepart_to_multipart": q_singlepart_to_multipart,
+        "tin_gridding": q_tin_gridding,
+        "construct_tin": q_construct_tin,
         "normalized_difference": q_normalized_difference,
         "random_field": q_random_field,
         "random_sample": q_random_sample,
@@ -1218,6 +1280,9 @@ FROM a JOIN b ON a.row = b.row AND a.col = b.col
         "buffer_raster": _buf.buffer_raster_oracle_sql(_BUFFER_SRC_SQL, EXTRACT_GRID, size=12.0),
         "lines_to_raster": _lines_to_raster_sql(),
         "singlepart_to_multipart": _sp_to_mp_sql(),
+        "tin_gridding": _tin_gridding_sql(),
+        # construct_tin: a specific triangulation is not SQL-derivable ->
+        # rows-only; Euler + empty-circumcircle invariants pinned in pytest
         "clip_points": _clip_erase_sql(erase=False),
         "erase_points": _clip_erase_sql(erase=True),
         "trend_surface": _trend_surface_sql(),

@@ -1,0 +1,254 @@
+"""TIN construction + TIN gridding (class NNI).
+
+Re-answers ConstructVectorTIN (gis_analysis/construct_vector_tin.rs:170 —
+Delaunay triangulation of a point set, one polygon feature per triangle)
+and TINGridding (gis_analysis/tin_gridding.rs — linear interpolation of
+grid cell centers from the containing triangle's plane). The reference
+builds one global in-memory triangulation; the Spark shape is per-tile
+triangulation with a halo (points within `halo` of the tile boundary are
+shared by neighboring tiles), so each tile's interior triangles match the
+global TIN wherever the halo exceeds the local Delaunay edge length — the
+standard distributed-Delaunay construction.
+
+The Delaunay kernel is a from-scratch numpy Bowyer-Watson (no scipy in
+this environment): super-triangle, incremental insertion, cavity
+re-triangulation. Exactness note: co-circular degeneracies pick an
+arbitrary diagonal — any such triangulation interpolates LINEAR surfaces
+identically, which is what the plane-recovery oracle checks.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from whitebox_tools_spark.grid import GridSpec
+
+
+def delaunay(xs: np.ndarray, ys: np.ndarray) -> list[tuple[int, int, int]]:
+    """Bowyer-Watson Delaunay triangulation -> list of vertex-index
+    triples (counter-clockwise)."""
+    n = len(xs)
+    if n < 3:
+        return []
+    xmin, xmax = float(xs.min()), float(xs.max())
+    ymin, ymax = float(ys.min()), float(ys.max())
+    span = max(xmax - xmin, ymax - ymin, 1.0)
+    cx, cy = (xmin + xmax) / 2.0, (ymin + ymax) / 2.0
+    # The super-triangle must enclose every CIRCUMCIRCLE of the final
+    # triangulation, not just the points — near-collinear hull triples have
+    # circumradii ~ span^2 / height, so a merely "20x span" super-triangle
+    # silently dropped hull slivers (observed: hull-interior cells falling
+    # through a coverage hole). 1e9x span covers any sliver these
+    # coordinates can produce.
+    big = 1e9 * span
+    sx = np.array([cx - 2.0 * big, cx + 2.0 * big, cx])
+    sy = np.array([cy - big, cy - big, cy + 2.0 * big])
+    px = np.concatenate([xs, sx]).astype(np.float64)
+    py = np.concatenate([ys, sy]).astype(np.float64)
+    tris: list[tuple[int, int, int]] = [(n, n + 1, n + 2)]
+
+    # Floating-point-filtered exact predicates: float64 fast path; when a
+    # determinant's magnitude falls under a conservative relative error
+    # bound, its sign is re-derived in EXACT rational arithmetic (every
+    # float is an exact rational), so topology decisions are never wrong —
+    # the huge super-triangle costs fast-path precision, never correctness.
+    from fractions import Fraction
+
+    def _det_incircle(ax, ay, bx, by, cx_, cy_):
+        return (
+            (ax * ax + ay * ay) * (bx * cy_ - cx_ * by)
+            - (bx * bx + by * by) * (ax * cy_ - cx_ * ay)
+            + (cx_ * cx_ + cy_ * cy_) * (ax * by - bx * ay)
+        )
+
+    def circum_contains(t, i):
+        a, b, c = t
+        ax, ay = px[a] - px[i], py[a] - py[i]
+        bx, by = px[b] - px[i], py[b] - py[i]
+        cx_, cy_ = px[c] - px[i], py[c] - py[i]
+        det = _det_incircle(ax, ay, bx, by, cx_, cy_)
+        mag = (
+            (ax * ax + ay * ay) * (abs(bx * cy_) + abs(cx_ * by))
+            + (bx * bx + by * by) * (abs(ax * cy_) + abs(cx_ * ay))
+            + (cx_ * cx_ + cy_ * cy_) * (abs(ax * by) + abs(bx * ay))
+        )
+        if abs(det) > 1e-12 * mag:
+            return det > 0.0
+        F_ = Fraction
+        exact = _det_incircle(
+            F_(px[a]) - F_(px[i]), F_(py[a]) - F_(py[i]),
+            F_(px[b]) - F_(px[i]), F_(py[b]) - F_(py[i]),
+            F_(px[c]) - F_(px[i]), F_(py[c]) - F_(py[i]),
+        )
+        return exact > 0
+
+    def ccw(t):
+        a, b, c = t
+        d = (px[b] - px[a]) * (py[c] - py[a]) - (px[c] - px[a]) * (py[b] - py[a])
+        mag = abs((px[b] - px[a]) * (py[c] - py[a])) + abs(
+            (px[c] - px[a]) * (py[b] - py[a])
+        )
+        if abs(d) <= 1e-12 * mag:
+            F_ = Fraction
+            d = (F_(px[b]) - F_(px[a])) * (F_(py[c]) - F_(py[a])) - (
+                F_(px[c]) - F_(px[a])
+            ) * (F_(py[b]) - F_(py[a]))
+        if d < 0:
+            return (a, c, b)
+        return t
+
+    tris[0] = ccw(tris[0])
+    for i in range(n):
+        bad = [t for t in tris if circum_contains(t, i)]
+        if not bad:
+            # point duplicates an existing vertex or precision corner:
+            # skip (duplicate points add nothing to a TIN)
+            continue
+        # cavity boundary = edges appearing exactly once among bad tris
+        edges: dict = {}
+        for t in bad:
+            for e in ((t[0], t[1]), (t[1], t[2]), (t[2], t[0])):
+                key = (min(e), max(e))
+                if key in edges:
+                    edges.pop(key)
+                else:
+                    edges[key] = e
+        tris = [t for t in tris if t not in bad]
+        for e in edges.values():
+            tris.append(ccw((e[0], e[1], i)))
+    # drop triangles touching the super-triangle
+    return [t for t in tris if max(t) < n]
+
+
+def _tin_rows(pdf: pd.DataFrame, with_z: bool) -> pd.DataFrame:
+    xs = pdf["x"].to_numpy(dtype=np.float64)
+    ys = pdf["y"].to_numpy(dtype=np.float64)
+    tris = delaunay(xs, ys)
+    rows = []
+    for k, (a, b, c) in enumerate(tris):
+        row = {
+            "tri_idx": k,
+            "ax": xs[a], "ay": ys[a], "bx": xs[b], "by": ys[b],
+            "cx": xs[c], "cy": ys[c],
+        }
+        if with_z:
+            zs = pdf["z"].to_numpy(dtype=np.float64)
+            row.update({"az": zs[a], "bz": zs[b], "cz": zs[c]})
+        rows.append(row)
+    cols = ["tri_idx", "ax", "ay", "bx", "by", "cx", "cy"] + (
+        ["az", "bz", "cz"] if with_z else []
+    )
+    return pd.DataFrame(rows, columns=cols)
+
+
+def construct_tin(points: DataFrame, *, x: str = "x", y: str = "y", z: str | None = "z") -> DataFrame:
+    """ConstructVectorTIN: -> one row per triangle with its vertex coords
+    (and z when given). Single-group triangulation (a base TIN is a small
+    side input at engine scale; tile the input upstream for huge clouds)."""
+    with_z = z is not None
+    cols = [F.col(x).alias("x"), F.col(y).alias("y")]
+    if with_z:
+        cols.append(F.col(z).alias("z"))
+    src = points.select(*cols).withColumn("__g", F.lit(0))
+    schema = "tri_idx long, ax double, ay double, bx double, by double, cx double, cy double"
+    if with_z:
+        schema += ", az double, bz double, cz double"
+    return src.groupBy("__g").applyInPandas(
+        lambda key, pdf: _tin_rows(pdf, with_z), schema=schema
+    )
+
+
+def tin_gridding(
+    points: DataFrame,
+    grid: GridSpec,
+    *,
+    x: str = "x",
+    y: str = "y",
+    z: str = "z",
+    tile: int | None = None,
+    halo: float | None = None,
+) -> DataFrame:
+    """TINGridding: grid cell centers linearly interpolated from the
+    containing Delaunay triangle's plane; centers outside the hull are
+    nodata (absent). -> (row, col, value).
+
+    tile=None triangulates globally in one group (correct, bounded by the
+    point count); tile=k splits the grid into k x k CELL blocks whose
+    points (+ halo distance) triangulate independently — interior
+    triangles match the global TIN when halo >= the local Delaunay edge
+    length, the distributed trade-off the module docstring describes."""
+    pts = points.select(
+        F.col(x).alias("x"), F.col(y).alias("y"), F.col(z).alias("z")
+    )
+    if tile is None:
+        src = pts.withColumn("__tr", F.lit(0)).withColumn("__tc", F.lit(0))
+        tiles = [(0, 0, grid.west, grid.west + grid.cols * grid.res_x,
+                  grid.north - grid.rows * grid.res_y, grid.north)]
+    else:
+        if halo is None:
+            halo = 4.0 * max(grid.res_x, grid.res_y) * tile ** 0.5
+        tiles = []
+        tw = grid.cols * grid.res_x / tile
+        th = grid.rows * grid.res_y / tile
+        for tr in range(tile):
+            for tc in range(tile):
+                x0 = grid.west + tc * tw
+                y1 = grid.north - tr * th
+                tiles.append((tr, tc, x0, x0 + tw, y1 - th, y1))
+        # explode points into every tile whose halo-extended box covers them
+        spark = pts.sparkSession
+        tdf = F.broadcast(spark.createDataFrame(
+            tiles, "tr int, tc int, x0 double, x1 double, y0 double, y1 double"
+        ))
+        src = pts.crossJoin(tdf).filter(
+            (F.col("x") >= F.col("x0") - halo) & (F.col("x") <= F.col("x1") + halo)
+            & (F.col("y") >= F.col("y0") - halo) & (F.col("y") <= F.col("y1") + halo)
+        ).select("x", "y", "z", F.col("tr").alias("__tr"), F.col("tc").alias("__tc"))
+
+    gw, gn, rx, ry = grid.west, grid.north, grid.res_x, grid.res_y
+    nrows, ncols = grid.rows, grid.cols
+    tile_boxes = {(tr, tc): (x0, x1, y0, y1) for tr, tc, x0, x1, y0, y1 in tiles}
+
+    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        tr, tc = int(key[0]), int(key[1])
+        x0, x1, y0, y1 = tile_boxes[(tr, tc)]
+        xs = pdf["x"].to_numpy(dtype=np.float64)
+        ys = pdf["y"].to_numpy(dtype=np.float64)
+        zs = pdf["z"].to_numpy(dtype=np.float64)
+        tris = delaunay(xs, ys)
+        # cell centers whose center lies in THIS tile's core box
+        c0 = max(0, int(np.floor((x0 - gw) / rx)))
+        c1 = min(ncols - 1, int(np.ceil((x1 - gw) / rx)))
+        r0 = max(0, int(np.floor((gn - y1) / ry)))
+        r1 = min(nrows - 1, int(np.ceil((gn - y0) / ry)))
+        if c1 < c0 or r1 < r0 or not tris:
+            return pd.DataFrame(columns=["row", "col", "value"])
+        cc, rr = np.meshgrid(np.arange(c0, c1 + 1), np.arange(r0, r1 + 1))
+        cc, rr = cc.ravel(), rr.ravel()
+        cxs = gw + (cc + 0.5) * rx
+        cys = gn - (rr + 0.5) * ry
+        core = (cxs >= x0) & (cxs < x1) & (cys >= y0) & (cys < y1)
+        cc, rr, cxs, cys = cc[core], rr[core], cxs[core], cys[core]
+        out_val = np.full(len(cc), np.nan)
+        for a, b, c in tris:
+            ax_, ay_, bx_, by_, cx_, cy_ = xs[a], ys[a], xs[b], ys[b], xs[c], ys[c]
+            det = (by_ - cy_) * (ax_ - cx_) + (cx_ - bx_) * (ay_ - cy_)
+            if det == 0.0:
+                continue
+            w1 = ((by_ - cy_) * (cxs - cx_) + (cx_ - bx_) * (cys - cy_)) / det
+            w2 = ((cy_ - ay_) * (cxs - cx_) + (ax_ - cx_) * (cys - cy_)) / det
+            w3 = 1.0 - w1 - w2
+            inside = (w1 >= 0) & (w2 >= 0) & (w3 >= 0) & np.isnan(out_val)
+            if inside.any():
+                out_val[inside] = (
+                    w1[inside] * zs[a] + w2[inside] * zs[b] + w3[inside] * zs[c]
+                )
+        keep = ~np.isnan(out_val)
+        return pd.DataFrame({"row": rr[keep], "col": cc[keep], "value": out_val[keep]})
+
+    return src.groupBy("__tr", "__tc").applyInPandas(
+        kernel, schema="row long, col long, value double"
+    )
