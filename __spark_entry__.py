@@ -613,6 +613,15 @@ def q_d8_flow_accum(spark, sf_dir):
     return d8_flow_accumulation(_noise_raster(spark, sf_dir), EXTRACT_GRID)
 
 
+def q_fill_depressions(spark, sf_dir):
+    """FillDepressions (hydro_analysis/fill_depressions.rs) via the
+    distributed Planchon-Darboux fixpoint; oracle = recursive-CTE minimax
+    path cost to the outlets."""
+    from whitebox_tools_spark.operators.hydro import fill_depressions
+
+    return fill_depressions(_noise_raster(spark, sf_dir))
+
+
 def q_normalized_difference(spark, sf_dir):
     """Multi-band cell table -> normalized difference index (a-b)/(a+b)
     (image_analysis band composites; multi-band schema per SURVEY 1.1)."""
@@ -637,6 +646,40 @@ def q_random_sample(spark, sf_dir):
     from whitebox_tools_spark.operators.random import random_sample
 
     return random_sample(_part_raster(spark, sf_dir), 100, seed=3)
+
+
+def q_sobel(spark, sf_dir):
+    """SobelFilter (image_analysis/sobel_filter.rs:316-331)."""
+    from whitebox_tools_spark.operators.focal import sobel_filter
+
+    return _r6(sobel_filter(_part_raster(spark, sf_dir)), ["value"])
+
+
+def _q_conv(kernel_name):
+    def q(spark, sf_dir):
+        from whitebox_tools_spark.operators import focal as FO
+
+        k = _CONV_KERNELS[kernel_name]
+        return _r6(FO.conv_filter(_part_raster(spark, sf_dir), k), ["value"])
+
+    q.__doc__ = f"{kernel_name} convolution (image_analysis/{kernel_name}_filter.rs)"
+    return q
+
+
+def _conv_kernels():
+    from whitebox_tools_spark.operators import focal as FO
+
+    return {
+        "emboss": FO.EMBOSS,
+        "laplacian": FO.LAPLACIAN,
+        "gaussian": FO.gaussian_kernel(0.8),
+    }
+
+
+_CONV_KERNELS = _conv_kernels()
+q_emboss = _q_conv("emboss")
+q_laplacian = _q_conv("laplacian")
+q_gaussian = _q_conv("gaussian")
 
 
 def _q_curv(which):
@@ -1018,6 +1061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d8_pointer": q_d8_pointer,
         "d8_flow_accumulation": q_d8_flow_accum,
         "buffer_raster": q_buffer_raster,
+        "fill_depressions": q_fill_depressions,
         "lines_to_raster": q_lines_to_raster,
         "singlepart_to_multipart": q_singlepart_to_multipart,
         "tin_gridding": q_tin_gridding,
@@ -1025,6 +1069,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalized_difference": q_normalized_difference,
         "random_field": q_random_field,
         "random_sample": q_random_sample,
+        "sobel_filter": q_sobel,
+        "emboss_filter": q_emboss,
+        "laplacian_filter": q_laplacian,
+        "gaussian_filter": q_gaussian,
         "plan_curvature": q_plan_curvature,
         "profile_curvature": q_profile_curvature,
         "tangential_curvature": q_tangential_curvature,
@@ -1266,6 +1314,10 @@ SELECT s_suppkey + 10000000 AS fid, s_name AS name FROM supplier
             f"{w}_curvature": _curvature_sql(w)
             for w in ("plan", "profile", "tangential", "total", "mean", "gaussian")
         },
+        "sobel_filter": _sobel_sql(),
+        **{
+            f"{k}_filter": _conv_sql(k) for k in ("emboss", "laplacian", "gaussian")
+        },
         "normalized_difference": f"""
 WITH a AS ({_PART_RASTER_SQL}), b AS ({_PART_RASTER2_SQL})
 SELECT a.row, a.col,
@@ -1280,6 +1332,7 @@ FROM a JOIN b ON a.row = b.row AND a.col = b.col
         "buffer_raster": _buf.buffer_raster_oracle_sql(_BUFFER_SRC_SQL, EXTRACT_GRID, size=12.0),
         "lines_to_raster": _lines_to_raster_sql(),
         "singlepart_to_multipart": _sp_to_mp_sql(),
+        "fill_depressions": _hyd.fill_depressions_oracle_sql(_NOISE_RASTER_SQL),
         "tin_gridding": _tin_gridding_sql(),
         # construct_tin: a specific triangulation is not SQL-derivable ->
         # rows-only; Euler + empty-circumcircle invariants pinned in pytest
@@ -1398,6 +1451,20 @@ SELECT src.row, src.col,
        round(m.mz + c.c0 + c.c1*(src.x - m.mx) + c.c2*(src.y - m.my), 6) AS value
 FROM src, m, c
 """
+
+
+def _sobel_sql() -> str:
+    from whitebox_tools_spark.operators.focal import sobel_oracle_sql
+
+    inner = sobel_oracle_sql(_PART_RASTER_SQL)
+    return f"SELECT row, col, round(value, 6) AS value FROM ({inner}) t"
+
+
+def _conv_sql(kernel_name: str) -> str:
+    from whitebox_tools_spark.operators.focal import conv_filter_oracle_sql
+
+    inner = conv_filter_oracle_sql(_PART_RASTER_SQL, _CONV_KERNELS[kernel_name])
+    return f"SELECT row, col, round(value, 6) AS value FROM ({inner}) t"
 
 
 def _curvature_sql(which: str) -> str:

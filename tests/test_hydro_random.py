@@ -82,6 +82,61 @@ def test_d8_flow_accumulation_matches_bfs_oracle(spark):
     assert out == acc
 
 
+def test_fill_depressions_bowl(spark):
+    from whitebox_tools_spark.operators.hydro import fill_depressions
+
+    # 5x5 rim at 10 with an interior pit (1) whose pour path runs through
+    # a channel (4, 3) to a border outlet at 7 -> the whole depression
+    # fills to the pour elevation 7
+    vals = [[10.0] * 5 for _ in range(5)]
+    vals[2][2] = 1.0
+    vals[1][2] = 3.0
+    vals[2][1] = 4.0
+    vals[2][0] = 7.0
+    out = {(r.row, r.col): r.value for r in
+           fill_depressions(_dem(spark, vals)).collect()}
+    assert out[(2, 2)] == 7.0   # raised to the pour elevation
+    assert out[(2, 1)] == 7.0
+    assert out[(1, 2)] == 7.0
+    assert out[(2, 0)] == 7.0   # border outlet keeps its own z
+    assert out[(0, 0)] == 10.0
+
+
+def test_fill_depressions_matches_priority_flood(spark):
+    """Random DEM vs a python priority-flood (heapq) reference."""
+    import heapq
+
+    from whitebox_tools_spark.operators.hydro import fill_depressions
+
+    rng = np.random.default_rng(13)
+    n = 10
+    vals = rng.uniform(0, 100, (n, n))
+    out = {(r.row, r.col): r.value for r in
+           fill_depressions(_dem(spark, vals)).collect()}
+
+    filled = np.full((n, n), np.inf)
+    heap = []
+    for r in range(n):
+        for c in range(n):
+            if r in (0, n - 1) or c in (0, n - 1):
+                filled[r][c] = vals[r][c]
+                heapq.heappush(heap, (vals[r][c], r, c))
+    while heap:
+        w, r, c = heapq.heappop(heap)
+        if w > filled[r][c]:
+            continue
+        for dr in (-1, 0, 1):
+            for dc in (-1, 0, 1):
+                rr, cc = r + dr, c + dc
+                if (dr or dc) and 0 <= rr < n and 0 <= cc < n:
+                    nw = max(vals[rr][cc], w)
+                    if nw < filled[rr][cc]:
+                        filled[rr][cc] = nw
+                        heapq.heappush(heap, (nw, rr, cc))
+    expect = {(r, c): filled[r][c] for r in range(n) for c in range(n)}
+    assert out == expect
+
+
 def test_random_field_distribution(spark):
     from whitebox_tools_spark.operators.random import random_field
 

@@ -254,3 +254,26 @@ def test_kmeans_and_pca(spark, sf_dir):
     scores, var = pca_components(emb, feats, 2)
     assert {"pc1", "pc2"} <= set(scores.columns)
     assert len(var) == 2 and var[0] >= var[1] >= 0.0
+
+
+def test_conv_filter_identity_and_sobel_ramp(spark):
+    from whitebox_tools_spark.operators.focal import conv_filter, sobel_filter
+
+    cells, vals = _dense_raster(spark)
+    ident = [[0.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 0.0]]
+    out = {(r.row, r.col): r.value for r in conv_filter(cells, ident).collect()}
+    assert out == {(r, c): vals[r, c] for r in range(8) for c in range(8)}
+    # ramp z = 3*col: interior Sobel-x response = 3*8 = 24, y response 0
+    ramp = spark.createDataFrame(
+        [(r, c, 3.0 * c) for r in range(6) for c in range(6)],
+        "row long, col long, value double",
+    )
+    s = {(r.row, r.col): r.value for r in sobel_filter(ramp).collect()}
+    assert s[(2, 2)] == 24.0 and s[(3, 3)] == 24.0
+
+
+def test_gaussian_kernel_normalized():
+    from whitebox_tools_spark.operators.focal import gaussian_kernel
+
+    k = gaussian_kernel(1.2)
+    assert abs(sum(sum(r) for r in k) - 1.0) < 1e-12

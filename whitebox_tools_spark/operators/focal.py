@@ -495,3 +495,140 @@ m AS (
 )
 SELECT c.row, c.col, m.value FROM src c LEFT JOIN m ON c.row = m.row AND c.col = m.col
 """
+
+
+# ---------------------------------------------------------------------------
+# Generic convolution filter bank (image_analysis/{sobel,emboss,laplacian,
+# gaussian}_filter.rs): out = sum(w_i * z_i) over a k x k window with
+# nodata/out-of-grid neighbors replaced by the center value
+# (sobel_filter.rs:323-327) — the same gather as slope, arbitrary weights.
+# ---------------------------------------------------------------------------
+def gather_offsets(cells: DataFrame, offsets: list[tuple[int, int]]) -> DataFrame:
+    """-> (row, col, value, z0..zN) for the given (dx, dy) offsets; missing
+    neighbors coalesce to the center value. One scatter + hash aggregate."""
+    spark = cells.sparkSession
+    src = cells.filter(F.col("value").isNotNull()).select("row", "col", "value")
+    off = spark.createDataFrame(
+        [(i, dx, dy) for i, (dx, dy) in enumerate(offsets)], "n int, dx int, dy int"
+    )
+    scattered = (
+        src.crossJoin(F.broadcast(off))
+        .select(
+            (F.col("row") - F.col("dy")).alias("row"),
+            (F.col("col") - F.col("dx")).alias("col"),
+            "n",
+            "value",
+        )
+        .groupBy("row", "col")
+        .agg(*[
+            F.max(F.when(F.col("n") == i, F.col("value"))).alias(f"_z{i}")
+            for i in range(len(offsets))
+        ])
+    )
+    out = src.join(scattered, ["row", "col"], "left")
+    for i in range(len(offsets)):
+        out = out.withColumn(f"z{i}", F.coalesce(F.col(f"_z{i}"), F.col("value")))
+    return out.drop(*[f"_z{i}" for i in range(len(offsets))])
+
+
+def _kernel_offsets(kernel: list[list[float]]) -> list[tuple[int, int, float]]:
+    ky, kx = len(kernel), len(kernel[0])
+    my, mx = ky // 2, kx // 2
+    return [
+        (dx - mx, dy - my, float(kernel[dy][dx]))
+        for dy in range(ky) for dx in range(kx)
+    ]
+
+
+def conv_filter(cells: DataFrame, kernel: list[list[float]]) -> DataFrame:
+    """Single-kernel convolution -> (row, col, value)."""
+    items = _kernel_offsets(kernel)
+    g = gather_offsets(cells, [(dx, dy) for dx, dy, _ in items])
+    expr = None
+    for i, (_, _, w) in enumerate(items):
+        term = F.col(f"z{i}") * F.lit(w)
+        expr = term if expr is None else expr + term
+    return g.select("row", "col", expr.alias("value"))
+
+
+# 3x3 Sobel masks in (dy, dx) raster order (sobel_filter.rs variant 3x3)
+SOBEL_X = [[-1.0, 0.0, 1.0], [-2.0, 0.0, 2.0], [-1.0, 0.0, 1.0]]
+SOBEL_Y = [[1.0, 2.0, 1.0], [0.0, 0.0, 0.0], [-1.0, -2.0, -1.0]]
+EMBOSS = [[-1.0, -1.0, 0.0], [-1.0, 0.0, 1.0], [0.0, 1.0, 1.0]]
+LAPLACIAN = [[0.0, -1.0, 0.0], [-1.0, 4.0, -1.0], [0.0, -1.0, 0.0]]
+
+
+def sobel_filter(cells: DataFrame) -> DataFrame:
+    """SobelFilter (image_analysis/sobel_filter.rs:316-331):
+    sqrt(gx^2 + gy^2) of the two 3x3 Sobel responses."""
+    items = _kernel_offsets(SOBEL_X)
+    g = gather_offsets(cells, [(dx, dy) for dx, dy, _ in items])
+    gx = gy = None
+    flat_y = [w for row_ in SOBEL_Y for w in row_]
+    for i, (_, _, wx) in enumerate(items):
+        tx_ = F.col(f"z{i}") * F.lit(wx)
+        ty_ = F.col(f"z{i}") * F.lit(flat_y[i])
+        gx = tx_ if gx is None else gx + tx_
+        gy = ty_ if gy is None else gy + ty_
+    return g.select("row", "col", F.sqrt(gx * gx + gy * gy).alias("value"))
+
+
+def gaussian_kernel(sigma: float, radius: int | None = None) -> list[list[float]]:
+    """Normalized Gaussian weights (gaussian_filter.rs)."""
+    import math as _math
+
+    if radius is None:
+        radius = max(1, int(_math.ceil(2.0 * sigma)))
+    size = 2 * radius + 1
+    w = [
+        [
+            _math.exp(-((dx - radius) ** 2 + (dy - radius) ** 2) / (2.0 * sigma * sigma))
+            for dx in range(size)
+        ]
+        for dy in range(size)
+    ]
+    s = sum(sum(r) for r in w)
+    return [[v / s for v in r] for r in w]
+
+
+def conv_filter_oracle_sql(source_sql: str, kernel: list[list[float]]) -> str:
+    """DuckDB mirror of conv_filter (same gather + weight sum)."""
+    items = _kernel_offsets(kernel)
+    offs = ", ".join(f"({i}, {dx}, {dy})" for i, (dx, dy, _) in enumerate(items))
+    zsum = " + ".join(
+        f"coalesce(max(CASE WHEN o.n = {i} THEN s.value END), any_value(c.value)) * {w!r}"
+        for i, (_, _, w) in enumerate(items)
+    )
+    return f"""
+WITH src AS (SELECT row, col, value FROM ({source_sql}) WHERE value IS NOT NULL),
+offs(n, dx, dy) AS (VALUES {offs}),
+g AS (
+  SELECT c.row, c.col, {zsum} AS value
+  FROM src c
+  LEFT JOIN (src s CROSS JOIN offs o)
+    ON c.row = s.row - o.dy AND c.col = s.col - o.dx
+  GROUP BY c.row, c.col
+)
+SELECT row, col, value FROM g
+"""
+
+
+def sobel_oracle_sql(source_sql: str) -> str:
+    items = _kernel_offsets(SOBEL_X)
+    flat_y = [w for row_ in SOBEL_Y for w in row_]
+    offs = ", ".join(f"({i}, {dx}, {dy})" for i, (dx, dy, _) in enumerate(items))
+    z = lambda i: f"coalesce(max(CASE WHEN o.n = {i} THEN s.value END), any_value(c.value))"  # noqa: E731
+    gx = " + ".join(f"{z(i)} * {w!r}" for i, (_, _, w) in enumerate(items))
+    gy = " + ".join(f"{z(i)} * {flat_y[i]!r}" for i in range(len(items)))
+    return f"""
+WITH src AS (SELECT row, col, value FROM ({source_sql}) WHERE value IS NOT NULL),
+offs(n, dx, dy) AS (VALUES {offs}),
+g AS (
+  SELECT c.row, c.col, ({gx}) AS gx, ({gy}) AS gy
+  FROM src c
+  LEFT JOIN (src s CROSS JOIN offs o)
+    ON c.row = s.row - o.dy AND c.col = s.col - o.dx
+  GROUP BY c.row, c.col
+)
+SELECT row, col, sqrt(gx * gx + gy * gy) AS value FROM g
+"""

@@ -150,6 +150,83 @@ def d8_flow_accumulation(
     return acc.select("row", "col", F.col("fa").alias("value"))
 
 
+def fill_depressions(
+    cells: DataFrame, *, max_iterations: int = 10_000
+) -> DataFrame:
+    """FillDepressions (hydro_analysis/fill_depressions.rs): raise every
+    depression to its pour-point elevation (no flat_increment — flats stay
+    flat, the reference's base behavior).
+
+    Distributed formulation = Planchon-Darboux: W(c) starts at +inf except
+    grid-BORDER cells (W = z, water can always leave there); iterate
+        W(c) <- max(z(c), min over 8-neighbors W(n))
+    to fixpoint. This monotone iteration converges to exactly the
+    priority-flood result the reference computes with a serial heap; each
+    round is one neighbor-gather join, localCheckpoint truncates lineage.
+    Round count = the longest monotone drainage path — O(grid diameter)
+    worst case on a spiral-bowl DEM but O(depression diameter) typically.
+    -> (row, col, value) with value = filled elevation."""
+    src = cells.filter(F.col("value").isNotNull()).select("row", "col", "value")
+    stats = src.agg(
+        F.min("row").alias("r0"), F.max("row").alias("r1"),
+        F.min("col").alias("c0"), F.max("col").alias("c1"),
+    ).collect()[0]
+    border = (
+        (F.col("row") == stats.r0) | (F.col("row") == stats.r1)
+        | (F.col("col") == stats.c0) | (F.col("col") == stats.c1)
+    )
+    # cells adjacent to a missing (nodata) neighbor are also outlets, like
+    # the reference's region-growing from every edge of the data area
+    spark = cells.sparkSession
+    offsets = spark.createDataFrame(
+        [(D8_DX[i], D8_DY[i]) for i in range(8)], "dx int, dy int"
+    )
+    nbr_count = (
+        src.crossJoin(F.broadcast(offsets))
+        .select((F.col("row") + F.col("dy")).alias("row"), (F.col("col") + F.col("dx")).alias("col"))
+        .groupBy("row", "col")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    cur = (
+        src.join(nbr_count, ["row", "col"], "left")
+        .withColumn(
+            "w",
+            F.when(border | (F.coalesce(F.col("__n"), F.lit(0)) < 8), F.col("value"))
+            .otherwise(F.lit(float("inf"))),
+        )
+        .drop("__n")
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        nb = (
+            cur.crossJoin(F.broadcast(offsets))
+            .select(
+                (F.col("row") - F.col("dy")).alias("row"),
+                (F.col("col") - F.col("dx")).alias("col"),
+                F.col("w").alias("nw"),
+            )
+            .groupBy("row", "col")
+            .agg(F.min("nw").alias("min_nw"))
+        )
+        nxt = (
+            cur.join(nb, ["row", "col"], "left")
+            .withColumn(
+                "w2",
+                F.greatest(
+                    F.col("value"),
+                    F.least(F.col("w"), F.coalesce(F.col("min_nw"), F.col("w"))),
+                ),
+            )
+        )
+        changed = nxt.filter(F.col("w2") != F.col("w")).limit(1).isEmpty()
+        cur = nxt.select("row", "col", "value", F.col("w2").alias("w")).localCheckpoint(
+            eager=True
+        )
+        if changed:
+            break
+    return cur.select("row", "col", F.col("w").alias("value"))
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle SQL
 # ---------------------------------------------------------------------------
@@ -184,6 +261,34 @@ def d8_pointer_oracle_sql(source_sql: str, grid: GridSpec, *, esri_style: bool =
 WITH {_fd_ctes(source_sql, grid)}
 SELECT c.row, c.col, CAST(coalesce({case}, 0) AS BIGINT) AS pointer
 FROM cells c LEFT JOIN fd f ON f.row = c.row AND f.col = c.col
+"""
+
+
+def fill_depressions_oracle_sql(source_sql: str) -> str:
+    """Oracle: the filled elevation equals the MINIMAX path cost —
+    W(c) = min over paths c -> outlet of max(z along the path) — grown
+    outlet-inward by a recursive CTE (finite w alphabet => terminates)."""
+    return f"""
+WITH RECURSIVE cells AS (
+  SELECT row, col, value FROM ({source_sql}) WHERE value IS NOT NULL
+),
+bounds AS (SELECT min(row) AS r0, max(row) AS r1, min(col) AS c0, max(col) AS c1 FROM cells),
+outlets AS (
+  SELECT c.row, c.col, c.value FROM cells c, bounds b
+  WHERE c.row = b.r0 OR c.row = b.r1 OR c.col = b.c0 OR c.col = b.c1
+     OR (SELECT count(*) FROM cells n
+         WHERE abs(n.row - c.row) <= 1 AND abs(n.col - c.col) <= 1
+           AND NOT (n.row = c.row AND n.col = c.col)) < 8
+),
+f(row, col, w) AS (
+  SELECT row, col, value FROM outlets
+  UNION
+  SELECT c.row, c.col, greatest(c.value, f.w)
+  FROM f JOIN cells c
+    ON abs(c.row - f.row) <= 1 AND abs(c.col - f.col) <= 1
+   AND NOT (c.row = f.row AND c.col = f.col)
+)
+SELECT row, col, min(w) AS value FROM f GROUP BY 1, 2
 """
 
 
