@@ -613,6 +613,33 @@ def q_d8_flow_accum(spark, sf_dir):
     return d8_flow_accumulation(_noise_raster(spark, sf_dir), EXTRACT_GRID)
 
 
+def q_basins(spark, sf_dir):
+    """Basins (hydro_analysis/basins.rs): terminal-cell drainage labeling
+    via successor pointer doubling; oracle = recursive pointer walk."""
+    from whitebox_tools_spark.operators.hydro import basins
+
+    return basins(_noise_raster(spark, sf_dir), EXTRACT_GRID)
+
+
+def q_cost_distance(spark, sf_dir):
+    """CostDistance (gis_analysis/cost_distance.rs:332-340) — distributed
+    Bellman-Ford supersteps (rows-only; pinned vs python Dijkstra in
+    pytest). Superstep count = least-cost path hop count, so the query
+    runs on a compact 20x20 hash-noise surface (sf-independent) rather
+    than the 200-row column raster whose paths are 200 hops long."""
+    from whitebox_tools_spark.operators.hydro import cost_distance
+
+    cost = spark.range(400).select(
+        (F.col("id") / 20).cast("long").alias("row"),
+        (F.col("id") % 20).alias("col"),
+        (((F.col("id") * 48271 + 7) % 1000).cast("double") / 100.0 + 1.0).alias("value"),
+    )
+    sources = spark.createDataFrame([(0, 0), (19, 19)], "row long, col long")
+    out = cost_distance(cost, sources, GridSpec(west=0.0, north=100.0, res_x=5.0,
+                                                res_y=5.0, rows=20, cols=20))
+    return _r6(out, ["value"])
+
+
 def q_fill_depressions(spark, sf_dir):
     """FillDepressions (hydro_analysis/fill_depressions.rs) via the
     distributed Planchon-Darboux fixpoint; oracle = recursive-CTE minimax
@@ -1062,6 +1089,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d8_flow_accumulation": q_d8_flow_accum,
         "buffer_raster": q_buffer_raster,
         "fill_depressions": q_fill_depressions,
+        "basins": q_basins,
+        "cost_distance": q_cost_distance,
         "lines_to_raster": q_lines_to_raster,
         "singlepart_to_multipart": q_singlepart_to_multipart,
         "tin_gridding": q_tin_gridding,
@@ -1333,6 +1362,10 @@ FROM a JOIN b ON a.row = b.row AND a.col = b.col
         "lines_to_raster": _lines_to_raster_sql(),
         "singlepart_to_multipart": _sp_to_mp_sql(),
         "fill_depressions": _hyd.fill_depressions_oracle_sql(_NOISE_RASTER_SQL),
+        "basins": _hyd.basins_oracle_sql(_NOISE_RASTER_SQL, EXTRACT_GRID),
+        # cost_distance: least-cost paths are not recursively enumerable in
+        # SQL without exponential path states -> rows-only; Dijkstra pin in
+        # pytest
         "tin_gridding": _tin_gridding_sql(),
         # construct_tin: a specific triangulation is not SQL-derivable ->
         # rows-only; Euler + empty-circumcircle invariants pinned in pytest
@@ -1381,18 +1414,26 @@ _RECLASS2_SQL = (
 )
 
 _CLUMP_CTES = f"""
-WITH RECURSIVE cells AS (
+WITH RECURSIVE cells AS MATERIALIZED (
   SELECT row, col, value FROM ({_RECLASS2_SQL}) WHERE value IS NOT NULL
 ),
-r(row, col, value, label) AS (
-  SELECT row, col, value, row * 2147483648 + col FROM cells
-  UNION
-  SELECT c.row, c.col, c.value, r.label
-  FROM r JOIN cells c
-    ON abs(c.row - r.row) <= 1 AND abs(c.col - r.col) <= 1
-   AND NOT (c.row = r.row AND c.col = r.col) AND c.value = r.value
+adj AS MATERIALIZED (
+  -- 8-neighbor same-value adjacency, computed ONCE (the recursion below
+  -- then only equi-joins against it; re-evaluating the non-equi join per
+  -- iteration is ~100x slower)
+  SELECT a.row AS ur, a.col AS uc, b.row AS vr, b.col AS vc
+  FROM cells a JOIN cells b
+    ON abs(b.row - a.row) <= 1 AND abs(b.col - a.col) <= 1
+   AND NOT (b.row = a.row AND b.col = a.col) AND b.value = a.value
 ),
-lab AS (SELECT row, col, any_value(value) AS value, min(label) AS lab FROM r GROUP BY 1, 2),
+r(row, col, label) AS (
+  SELECT row, col, row * 2147483648 + col FROM cells
+  UNION
+  SELECT e.vr, e.vc, r.label
+  FROM r JOIN adj e ON e.ur = r.row AND e.uc = r.col
+),
+lab AS (SELECT r.row, r.col, any_value(c.value) AS value, min(r.label) AS lab
+        FROM r JOIN cells c ON c.row = r.row AND c.col = r.col GROUP BY 1, 2),
 comp AS (SELECT lab, min(row * 2147483648 + col) AS scan FROM lab GROUP BY 1),
 ids AS (SELECT lab, CAST(row_number() OVER (ORDER BY scan) AS BIGINT) AS clump_id FROM comp),
 labeled AS (SELECT l.row, l.col, l.value, i.clump_id FROM lab l JOIN ids i ON l.lab = i.lab)

@@ -82,6 +82,72 @@ def test_d8_flow_accumulation_matches_bfs_oracle(spark):
     assert out == acc
 
 
+def test_basins_matches_walk_oracle(spark):
+    from whitebox_tools_spark.operators.hydro import D8_DX, D8_DY, basins
+
+    rng = np.random.default_rng(21)
+    n = 9
+    vals = rng.uniform(0, 100, (n, n))
+    out = {(r.row, r.col): r.basin_id for r in basins(_dem(spark, vals), G5).collect()}
+
+    import math
+    lens = [math.sqrt(50.0), 5.0, math.sqrt(50.0), 5.0] * 2
+    succ = {}
+    for r in range(n):
+        for c in range(n):
+            best = None
+            for i in range(8):
+                rr, cc = r + D8_DY[i], c + D8_DX[i]
+                if 0 <= rr < n and 0 <= cc < n:
+                    s = (vals[r][c] - vals[rr][cc]) / lens[i]
+                    if s > 0 and (best is None or s > best[0]):
+                        best = (s, (rr, cc))
+            succ[(r, c)] = best[1] if best else None
+    term = {}
+    for start in succ:
+        cur = start
+        while succ[cur] is not None:
+            cur = succ[cur]
+        term[start] = cur
+    terminals = sorted({t for t in term.values()}, key=lambda t: t[0] * (1 << 31) + t[1])
+    ids = {t: i + 1 for i, t in enumerate(terminals)}
+    expect = {k: ids[v] for k, v in term.items()}
+    assert out == expect
+
+
+def test_cost_distance_matches_dijkstra(spark):
+    import heapq
+    import math
+
+    from whitebox_tools_spark.operators.hydro import D8_DX, D8_DY, cost_distance
+
+    rng = np.random.default_rng(31)
+    n = 8
+    vals = rng.uniform(1, 10, (n, n))
+    cost = _dem(spark, vals)
+    sources = spark.createDataFrame([(0, 0), (7, 7)], "row long, col long")
+    out = {(r.row, r.col): r.value for r in
+           cost_distance(cost, sources, G5).collect()}
+
+    lens = [math.sqrt(50.0), 5.0, math.sqrt(50.0), 5.0] * 2
+    dist = {(0, 0): 0.0, (7, 7): 0.0}
+    heap = [(0.0, 0, 0), (0.0, 7, 7)]
+    while heap:
+        d, r, c = heapq.heappop(heap)
+        if d > dist.get((r, c), float("inf")):
+            continue
+        for i in range(8):
+            rr, cc = r + D8_DY[i], c + D8_DX[i]
+            if 0 <= rr < n and 0 <= cc < n:
+                nd = d + (vals[r][c] + vals[rr][cc]) / 2.0 * lens[i]
+                if nd < dist.get((rr, cc), float("inf")):
+                    dist[(rr, cc)] = nd
+                    heapq.heappush(heap, (nd, rr, cc))
+    assert set(out) == set(dist)
+    for k in dist:
+        assert out[k] == pytest.approx(dist[k], abs=1e-9)
+
+
 def test_fill_depressions_bowl(spark):
     from whitebox_tools_spark.operators.hydro import fill_depressions
 

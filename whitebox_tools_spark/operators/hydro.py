@@ -269,24 +269,29 @@ def fill_depressions_oracle_sql(source_sql: str) -> str:
     W(c) = min over paths c -> outlet of max(z along the path) — grown
     outlet-inward by a recursive CTE (finite w alphabet => terminates)."""
     return f"""
-WITH RECURSIVE cells AS (
+WITH RECURSIVE cells AS MATERIALIZED (
   SELECT row, col, value FROM ({source_sql}) WHERE value IS NOT NULL
 ),
+adj AS MATERIALIZED (
+  SELECT a.row AS ur, a.col AS uc, b.row AS vr, b.col AS vc, b.value AS vz
+  FROM cells a JOIN cells b
+    ON abs(b.row - a.row) <= 1 AND abs(b.col - a.col) <= 1
+   AND NOT (b.row = a.row AND b.col = a.col)
+),
 bounds AS (SELECT min(row) AS r0, max(row) AS r1, min(col) AS c0, max(col) AS c1 FROM cells),
+deg AS (SELECT ur AS row, uc AS col, count(*) AS n FROM adj GROUP BY 1, 2),
 outlets AS (
-  SELECT c.row, c.col, c.value FROM cells c, bounds b
+  SELECT c.row, c.col, c.value
+  FROM cells c CROSS JOIN bounds b
+  LEFT JOIN deg d ON d.row = c.row AND d.col = c.col
   WHERE c.row = b.r0 OR c.row = b.r1 OR c.col = b.c0 OR c.col = b.c1
-     OR (SELECT count(*) FROM cells n
-         WHERE abs(n.row - c.row) <= 1 AND abs(n.col - c.col) <= 1
-           AND NOT (n.row = c.row AND n.col = c.col)) < 8
+     OR coalesce(d.n, 0) < 8
 ),
 f(row, col, w) AS (
   SELECT row, col, value FROM outlets
   UNION
-  SELECT c.row, c.col, greatest(c.value, f.w)
-  FROM f JOIN cells c
-    ON abs(c.row - f.row) <= 1 AND abs(c.col - f.col) <= 1
-   AND NOT (c.row = f.row AND c.col = f.col)
+  SELECT e.vr, e.vc, greatest(e.vz, f.w)
+  FROM f JOIN adj e ON e.ur = f.row AND e.uc = f.col
 )
 SELECT row, col, min(w) AS value FROM f GROUP BY 1, 2
 """
@@ -305,3 +310,143 @@ walk(orow, ocol, row, col) AS (
 )
 SELECT row, col, CAST(count(*) AS DOUBLE) AS value FROM walk GROUP BY 1, 2
 """
+
+
+def basins(cells: DataFrame, grid: GridSpec, *, max_doublings: int = 48) -> DataFrame:
+    """Basins (hydro_analysis/basins.rs): label every cell with the drainage
+    basin that carries it to its terminal cell (a pit or an edge outlet —
+    any cell with no positive downslope), basins numbered 1..n in raster
+    scan order of their terminal cells.
+
+    Spark plan: successor POINTER DOUBLING on the D8 flow graph — each
+    round replaces every cell's successor with its successor's successor,
+    reaching the terminal in O(log path-length) self-joins (the same
+    shortcut trick as clump), then one dense renumbering of terminals.
+    -> (row, col, basin_id)."""
+    BIG = 1 << 31
+    src = cells.filter(F.col("value").isNotNull()).select("row", "col")
+    edges = _flow_edges(cells, grid)
+    key = (F.col("row") * BIG + F.col("col")).alias("key")
+    skey = (F.col("trow") * BIG + F.col("tcol")).alias("skey")
+    succ = src.join(edges, ["row", "col"], "left").select(
+        key,
+        F.coalesce(F.col("trow") * BIG + F.col("tcol"),
+                   F.col("row") * BIG + F.col("col")).alias("skey"),
+    ).localCheckpoint(eager=True)
+    _ = skey
+    for _i in range(max_doublings):
+        s2 = succ.select(F.col("key").alias("k2"), F.col("skey").alias("s2"))
+        nxt = (
+            succ.join(s2, succ["skey"] == s2["k2"])
+            .select("key", F.col("s2").alias("skey"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            nxt.join(succ.select("key", F.col("skey").alias("old")), "key")
+            .filter(F.col("skey") != F.col("old"))
+            .limit(1)
+            .isEmpty()
+        )
+        succ = nxt
+        if changed:
+            break
+    from whitebox_tools_spark.distributed import with_global_seq
+
+    terms = succ.select(F.col("skey").alias("t")).distinct()
+    ids = with_global_seq(terms, ["t"], out_col="basin_id")
+    return (
+        succ.join(F.broadcast(ids), succ["skey"] == ids["t"])
+        .select(
+            F.floor(F.col("key") / BIG).cast("long").alias("row"),
+            (F.col("key") % BIG).alias("col"),
+            "basin_id",
+        )
+    )
+
+
+def basins_oracle_sql(source_sql: str, grid: GridSpec) -> str:
+    """Oracle: walk every cell down the D8 pointers (recursive CTE) to its
+    terminal; basins renumbered densely by terminal scan order."""
+    return f"""
+WITH RECURSIVE {_fd_ctes(source_sql, grid)},
+walk(orow, ocol, row, col) AS (
+  SELECT row, col, row, col FROM cells
+  UNION
+  SELECT w.orow, w.ocol, f.trow, f.tcol
+  FROM walk w JOIN fd f ON f.row = w.row AND f.col = w.col
+),
+term AS (
+  SELECT w.orow, w.ocol, w.row AS trow, w.col AS tcol
+  FROM walk w ANTI JOIN fd f ON f.row = w.row AND f.col = w.col
+),
+ids AS (
+  SELECT trow, tcol,
+         CAST(row_number() OVER (ORDER BY trow * 2147483648 + tcol) AS BIGINT) AS basin_id
+  FROM (SELECT DISTINCT trow, tcol FROM term)
+)
+SELECT t.orow AS row, t.ocol AS col, i.basin_id
+FROM term t JOIN ids i ON t.trow = i.trow AND t.tcol = i.tcol
+"""
+
+
+def cost_distance(
+    cost: DataFrame,
+    sources: DataFrame,
+    grid: GridSpec,
+    *,
+    max_iterations: int = 10_000,
+) -> DataFrame:
+    """CostDistance (gis_analysis/cost_distance.rs:332-340): least
+    accumulated cost from any source cell, edge weight =
+    (cost(a) + cost(b)) / 2 * grid_length(direction).
+
+    Distributed Bellman-Ford supersteps: every round relaxes ALL 8-neighbor
+    edges at once (one gather join); rounds = hop count of the longest
+    least-cost path. The reference's Dijkstra heap is serial; this is the
+    bulk-synchronous equivalent (pinned against a python Dijkstra in
+    pytest). -> (row, col, value) accumulated cost; unreachable cells
+    absent."""
+    lens = _grid_lengths(grid)
+    spark = cost.sparkSession
+    offsets = spark.createDataFrame(
+        [(D8_DX[i], D8_DY[i], lens[i]) for i in range(8)], "dx int, dy int, len double"
+    )
+    c = cost.filter(F.col("value").isNotNull()).select("row", "col", F.col("value").alias("cost"))
+    acc = (
+        c.join(sources.select("row", "col").withColumn("__s", F.lit(1)), ["row", "col"], "left")
+        .withColumn("acc", F.when(F.col("__s").isNotNull(), F.lit(0.0)))
+        .drop("__s")
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        nb = (
+            acc.filter(F.col("acc").isNotNull())
+            .crossJoin(F.broadcast(offsets))
+            .select(
+                (F.col("row") + F.col("dy")).alias("row"),
+                (F.col("col") + F.col("dx")).alias("col"),
+                (F.col("acc") + F.col("cost") * F.lit(0.5) * F.col("len")).alias("half"),
+                (F.lit(0.5) * F.col("len")).alias("w"),
+            )
+        )
+        relax = (
+            nb.join(acc.select("row", "col", F.col("cost").alias("tcost")), ["row", "col"])
+            .select("row", "col", (F.col("half") + F.col("tcost") * F.col("w")).alias("cand"))
+            .groupBy("row", "col")
+            .agg(F.min("cand").alias("cand"))
+        )
+        nxt = (
+            acc.join(relax, ["row", "col"], "left")
+            .withColumn("acc2", F.least(F.coalesce(F.col("acc"), F.lit(float("inf"))),
+                                        F.coalesce(F.col("cand"), F.lit(float("inf")))))
+        )
+        changed = nxt.filter(
+            F.col("acc2") != F.coalesce(F.col("acc"), F.lit(float("inf")))
+        ).limit(1).isEmpty()
+        acc = nxt.select(
+            "row", "col", "cost",
+            F.when(F.col("acc2") != float("inf"), F.col("acc2")).alias("acc"),
+        ).localCheckpoint(eager=True)
+        if changed:
+            break
+    return acc.filter(F.col("acc").isNotNull()).select("row", "col", F.col("acc").alias("value"))
