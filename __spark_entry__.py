@@ -867,6 +867,51 @@ def q_elevation_slice(spark, sf_dir):
 
 
 # --- training-data suite ---------------------------------------------------
+def q_lidar_ground_filter(spark, sf_dir):
+    """LidarGroundPointFilter slope mode
+    (lidar_analysis/lidar_ground_point_filter.rs:513-538) on a thinned
+    cloud (radius pass + kNN fallback for sparse neighborhoods)."""
+    from whitebox_tools_spark.operators.lidar import ground_point_filter
+
+    cloud = _order_cloud(spark, sf_dir).filter(F.col("point_id") % 40 == 0)
+    return ground_point_filter(cloud, radius=30.0, slope_threshold=15.0,
+                               min_neighbours=4)
+
+
+def _lidar_ground_sql() -> str:
+    import math as _math
+
+    t = _math.tan(_math.radians(15.0))
+    cloud = _order_cloud_cte() + " WHERE o_orderkey % 40 = 0"
+    return f"""
+WITH pts AS ({cloud}),
+pr AS (
+  SELECT a.point_id AS pid, a.z AS pz, b.point_id AS nid, b.z AS nz,
+         (a.x - b.x)*(a.x - b.x) + (a.y - b.y)*(a.y - b.y) AS dsq,
+         sqrt((a.x - b.x)*(a.x - b.x) + (a.y - b.y)*(a.y - b.y)) AS d
+  FROM pts a CROSS JOIN pts b
+),
+inr AS (
+  SELECT pid, count(*) AS n,
+         max(CASE WHEN d > 0 THEN (pz - nz) / d END) AS ms
+  FROM pr WHERE d <= 30.0 GROUP BY 1
+),
+knn AS (
+  SELECT pid, max(CASE WHEN d > 0 THEN (pz - nz) / d END) AS ms
+  -- rank by SQUARED distance: sqrt can collapse 1-ulp-distinct dsq values
+  -- into an exact tie, flipping the tie-break vs the engine's dist_sq rank
+  FROM (SELECT pid, pz, nz, d,
+               row_number() OVER (PARTITION BY pid ORDER BY dsq, nid) AS rn
+        FROM pr) q
+  WHERE rn <= 4 GROUP BY 1
+)
+SELECT i.pid AS point_id,
+       CASE WHEN i.n >= 4 THEN coalesce(i.ms, -1e308) > {t!r}
+            ELSE coalesce(k.ms, -1e308) > {t!r} END AS is_off_terrain
+FROM inr i LEFT JOIN knn k ON k.pid = i.pid
+"""
+
+
 def q_dedup_exact(spark, sf_dir):
     return DD.exact_dedup(_t(spark, sf_dir, "documents"))
 
@@ -1117,6 +1162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pca": q_pca,
         "lidar_point_stats": q_lidar_point_stats,
         "lidar_thin": q_lidar_thin,
+        "lidar_ground_filter": q_lidar_ground_filter,
         "lidar_elevation_slice": q_elevation_slice,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1376,6 +1422,7 @@ FROM a JOIN b ON a.row = b.row AND a.col = b.col
         "raster_to_polygons": _raster_to_polygons_sql(),
         "lidar_point_stats": _lidar_sql("stats"),
         "lidar_thin": _lidar_sql("thin"),
+        "lidar_ground_filter": _lidar_ground_sql(),
         "lidar_elevation_slice": _lidar_sql("slice"),
         # raster_to_polygons / kmeans / pca: iterative or model-based ->
         # rows-only driver check; semantics pinned by pytest oracles

@@ -57,3 +57,33 @@ def test_normalize_height(spark):
     assert h is not None and h < 2.0
     nonground = out.filter((F.col("classification") == 1)).agg(F.avg("height")).collect()[0][0]
     assert nonground > 2.0
+
+
+def test_ground_point_filter_spike(spark):
+    from whitebox_tools_spark.operators.lidar import ground_point_filter
+
+    # flat 10m-grid plane with one 50m spike: only the spike is off-terrain
+    rows = [(r * 10 + c, float(c * 10), float(r * 10), 1.0)
+            for r in range(10) for c in range(10)]
+    rows[55] = (rows[55][0], rows[55][1], rows[55][2], 50.0)
+    pts = spark.createDataFrame(rows, "point_id long, x double, y double, z double")
+    out = {r.point_id: r.is_off_terrain
+           for r in ground_point_filter(pts, radius=15.0, slope_threshold=20.0,
+                                        min_neighbours=3).collect()}
+    assert out[rows[55][0]] is True
+    assert sum(1 for v in out.values() if v) == 1
+
+
+def test_ground_point_filter_knn_fallback(spark):
+    from whitebox_tools_spark.operators.lidar import ground_point_filter
+
+    # isolated high point with no radius neighbors: kNN fallback must still
+    # compare against the distant flat cluster and flag it
+    rows = [(i, float(i), 0.0, 1.0) for i in range(5)]
+    rows.append((99, 500.0, 500.0, 400.0))
+    pts = spark.createDataFrame(rows, "point_id long, x double, y double, z double")
+    out = {r.point_id: r.is_off_terrain
+           for r in ground_point_filter(pts, radius=10.0, slope_threshold=20.0,
+                                        min_neighbours=3).collect()}
+    assert out[99] is True
+    assert out[0] is False

@@ -102,3 +102,100 @@ def normalize_height(
         )
         .drop("ground_z")
     )
+
+
+def ground_point_filter(
+    points: DataFrame,
+    *,
+    radius: float,
+    slope_threshold: float = 15.0,
+    min_neighbours: int = 0,
+    point_id: str = "point_id",
+    x: str = "x",
+    y: str = "y",
+    z: str = "z",
+) -> DataFrame:
+    """LidarGroundPointFilter, base slope mode
+    (lidar_analysis/lidar_ground_point_filter.rs:513-538): a point is
+    OFF-terrain iff its maximum inter-point slope (z_p - z_n)/dist over the
+    radius neighborhood exceeds tan(slope_threshold deg); neighborhoods
+    with fewer than min_neighbours points (self included, matching
+    FixedRadiusSearch) extend to the min_neighbours nearest points. The
+    reference additionally gates on late-return/non-noise flags, which the
+    synthetic cloud does not carry.
+
+    Spark plan: radius pass = block-binned 3x3 candidate join (one
+    shuffle); only DEFICIENT points (count < min_neighbours) run the exact
+    kNN join fallback. -> (point_id, is_off_terrain)."""
+    import math as _math
+
+    t = _math.tan(_math.radians(slope_threshold))
+    p = points.select(
+        F.col(point_id).alias("pid"), F.col(x).alias("px"),
+        F.col(y).alias("py"), F.col(z).alias("pz"),
+    )
+    k = radius
+    a = p.withColumn("br", F.explode(F.sequence(
+        F.floor(F.col("py") / k) - 1, F.floor(F.col("py") / k) + 1
+    ))).withColumn("bc", F.explode(F.sequence(
+        F.floor(F.col("px") / k) - 1, F.floor(F.col("px") / k) + 1
+    )))
+    b = p.select(
+        F.col("pid").alias("nid"), F.col("px").alias("nx"),
+        F.col("py").alias("ny"), F.col("pz").alias("nz"),
+    ).withColumn("br", F.floor(F.col("ny") / k)).withColumn("bc", F.floor(F.col("nx") / k))
+    d = F.sqrt(
+        (F.col("px") - F.col("nx")) * (F.col("px") - F.col("nx"))
+        + (F.col("py") - F.col("ny")) * (F.col("py") - F.col("ny"))
+    )
+    pairs = a.join(b, ["br", "bc"]).withColumn("d", d).filter(F.col("d") <= radius)
+    slope_ = F.when(F.col("d") > 0.0, (F.col("pz") - F.col("nz")) / F.col("d"))
+    per = pairs.groupBy("pid").agg(
+        F.count(F.lit(1)).alias("n"),            # self included (d = 0 row)
+        F.max(slope_).alias("max_slope"),
+    )
+    out_radius = per.filter(F.col("n") >= F.lit(max(min_neighbours, 1)))
+    deficient = per.filter(F.col("n") < F.lit(max(min_neighbours, 1))).select("pid")
+
+    parts = [
+        out_radius.select(
+            "pid", (F.coalesce(F.col("max_slope"), F.lit(float("-inf"))) > t).alias("off")
+        )
+    ]
+    if min_neighbours > 0 and not deficient.isEmpty():
+        from whitebox_tools_spark.grid import CellIndex
+        from whitebox_tools_spark.operators.knn import knn_join
+
+        stats = p.agg(
+            F.min("px").alias("x0"), F.max("px").alias("x1"),
+            F.min("py").alias("y0"), F.max("py").alias("y1"),
+        ).collect()[0]
+        extent = max(stats.x1 - stats.x0, stats.y1 - stats.y0, 1.0) * 1.0000001
+        idx = CellIndex(float(stats.x0), float(stats.y0), extent, 4)
+        targets = p.join(deficient, "pid").select(
+            F.col("pid").alias("target_id"), F.col("px").alias("x"),
+            F.col("py").alias("y"), F.col("pz").alias("tz"),
+        )
+        nn = knn_join(
+            targets.select("target_id", "x", "y"), p.select(
+                F.col("pid").alias("point_id"), F.col("px").alias("x"),
+                F.col("py").alias("y"), F.col("pz").alias("z"),
+            ), min_neighbours, idx,
+        )
+        tz = targets.select("target_id", "tz")
+        fb = (
+            nn.join(tz, "target_id")
+            .withColumn("s", F.when(F.col("dist") > 0.0,
+                                    (F.col("tz") - F.col("z")) / F.col("dist")))
+            .groupBy("target_id")
+            .agg(F.max("s").alias("max_slope"))
+            .select(
+                F.col("target_id").alias("pid"),
+                (F.coalesce(F.col("max_slope"), F.lit(float("-inf"))) > t).alias("off"),
+            )
+        )
+        parts.append(fb)
+    out = parts[0]
+    for q_ in parts[1:]:
+        out = out.unionByName(q_)
+    return out.select(F.col("pid").alias(point_id), F.col("off").alias("is_off_terrain"))
