@@ -1088,6 +1088,29 @@ def q_polygon_overlay(spark, sf_dir):
     )
 
 
+def q_intersect_rings(spark, sf_dir):
+    """Intersect with RING geometry (gis_analysis/intersect.rs): net
+    shoelace area of the STITCHED rings per pair, checked against the
+    stitch-free boundary-sum oracle. Junction vertices keep one of two
+    per-side parametrization variants (~1e-7 apart), so the check rounds
+    to whole area units — a mis-stitched or dropped ring shifts the value
+    by >= the ring's area."""
+    from whitebox_tools_spark.operators.overlay import intersect_polygons_rings
+
+    rings = intersect_polygons_rings(_parts_a_df(spark), PARTS, IDX)
+    sa = F.aggregate(
+        F.sequence(F.lit(1), F.size("xs") - 1),
+        F.lit(0.0),
+        lambda acc, k: acc
+        + F.element_at("xs", k) * F.element_at("ys", k + 1)
+        - F.element_at("xs", k + 1) * F.element_at("ys", k),
+    )
+    per = rings.select("a_id", "b_id", sa.alias("sa"))
+    return per.groupBy("a_id", "b_id").agg(
+        F.round(F.lit(-0.5) * F.sum("sa"), 0).alias("area")
+    )
+
+
 def q_clip_polygons(spark, sf_dir):
     """Clip polygon case (gis_analysis/clip.rs:571+): area of each input
     polygon clipped to a DISJOINT clip layer (areas add per clip feature)."""
@@ -1179,6 +1202,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clip_lines": q_clip_lines,
         "erase_lines": q_erase_lines,
         "polygon_overlay": q_polygon_overlay,
+        "intersect_rings": q_intersect_rings,
         "clip_polygons": q_clip_polygons,
     }
 
@@ -1449,6 +1473,10 @@ FROM documents
         "clip_lines": _ovl.clip_lines_oracle_sql(_cust_segs_cte(), PARTS, erase=False),
         "erase_lines": _ovl.clip_lines_oracle_sql(_cust_segs_cte(), PARTS, erase=True),
         "polygon_overlay": _ovl.overlay_oracle_sql(PARTS_A, PARTS),
+        "intersect_rings": f"""
+SELECT a_id, b_id, round(inter, 0) AS area
+FROM ({_ovl._overlay_core_sql(PARTS_A, PARTS)}) q
+""",
         "clip_polygons": _ovl.clip_polygons_oracle_sql(PARTS_A, PARTS_DISJOINT),
     }
     return sq

@@ -148,3 +148,74 @@ def test_overlay_synth_polygons_pairwise_symmetry():
             if ab > 1.0:
                 hits += 1
     assert hits >= 1  # the 1000x1000 world with ~60-180 unit shapes overlaps
+
+
+def test_intersect_rings_squares(spark):
+    from whitebox_tools_spark.operators.overlay import intersect_polygons_rings
+
+    rows = [(0, 0, False, [0.0, 0.0, 10.0, 10.0, 0.0], [0.0, 10.0, 10.0, 0.0, 0.0])]
+    a = spark.createDataFrame(
+        rows, "poly_id long, part_idx int, is_hole boolean, xs array<double>, ys array<double>"
+    )
+    b = [(5, [_sq(5, 5, 15, 15)])]
+    out = intersect_polygons_rings(a, b, IDX).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.a_id, r.b_id, r.is_hole) == (0, 5, False)
+    assert len(r.xs) == 5  # closed square ring
+    assert G.signed_area2(np.array(r.xs), np.array(r.ys)) / -2.0 == pytest.approx(25.0)
+    assert set(zip(r.xs, r.ys)) == {(5.0, 5.0), (5.0, 10.0), (10.0, 10.0), (10.0, 5.0)}
+
+
+def test_intersect_rings_hole_case(spark):
+    from whitebox_tools_spark.operators.overlay import intersect_polygons_rings
+
+    # A = big square with a hole entirely inside B -> intersection keeps the
+    # hole as a CCW ring
+    rows = [
+        (0, 0, False, [0.0, 0.0, 20.0, 20.0, 0.0], [0.0, 20.0, 20.0, 0.0, 0.0]),
+    ]
+    hx, hy, _ = _sq(4, 4, 8, 8, hole=True)
+    rows.append((0, 1, True, [float(v) for v in hx], [float(v) for v in hy]))
+    a = spark.createDataFrame(
+        rows, "poly_id long, part_idx int, is_hole boolean, xs array<double>, ys array<double>"
+    )
+    b = [(3, [_sq(2, 2, 12, 12)])]
+    out = sorted(intersect_polygons_rings(a, b, IDX).collect(), key=lambda r: r.part_idx)
+    assert [r.is_hole for r in out] == [False, True]
+    net = sum(-0.5 * G.signed_area2(np.array(r.xs), np.array(r.ys)) for r in out)
+    assert net == pytest.approx(100.0 - 16.0)
+
+
+def test_intersect_rings_area_matches_boundary_sum(spark):
+    """Stitched-ring net area must equal the stitch-free boundary-sum area
+    for every overlapping synth pair (the two computations share only the
+    kept pieces)."""
+    from whitebox_tools_spark.operators.overlay import (
+        intersect_polygons_rings,
+        polygon_overlay_areas,
+    )
+
+    polys = synth.polygons_as_parts(synth.make_polygons(16, seed=13))
+    rows = []
+    for pid, parts in polys[:8]:
+        for k, (xs, ys, h) in enumerate(parts):
+            rows.append((pid, k, bool(h), [float(v) for v in xs], [float(v) for v in ys]))
+    a = spark.createDataFrame(
+        rows, "poly_id long, part_idx int, is_hole boolean, xs array<double>, ys array<double>"
+    )
+    b = synth.polygons_as_parts(synth.make_polygons(16, seed=7))
+    areas = {(r.a_id, r.b_id): r.inter_area
+             for r in polygon_overlay_areas(a, b, IDX).collect()}
+    rings = intersect_polygons_rings(a, b, IDX).collect()
+    net = {}
+    for r in rings:
+        net[(r.a_id, r.b_id)] = net.get((r.a_id, r.b_id), 0.0) + (
+            -0.5 * G.signed_area2(np.array(r.xs), np.array(r.ys))
+        )
+    assert set(net) == set(areas)
+    for k in areas:
+        # each junction keeps one of its two per-side parametrization
+        # variants (round-9 t => <= ~1e-7 apart at world scale), so the two
+        # area computations agree to ~n_vertices * 1e-7 * scale
+        assert net[k] == pytest.approx(areas[k], abs=1e-3)
