@@ -401,6 +401,107 @@ def q_range_filter(spark, sf_dir):
     return _r6(FO.stat_filter(_part_raster(spark, sf_dir), "range"), ["value"])
 
 
+def q_minimum_filter(spark, sf_dir):
+    """MinFilter (image_analysis/min_filter.rs)."""
+    from whitebox_tools_spark.operators import focal as FO
+
+    return _r6(FO.stat_filter(_part_raster(spark, sf_dir), "min"), ["value"])
+
+
+def q_maximum_filter(spark, sf_dir):
+    """MaxFilter (image_analysis/max_filter.rs)."""
+    from whitebox_tools_spark.operators import focal as FO
+
+    return _r6(FO.stat_filter(_part_raster(spark, sf_dir), "max"), ["value"])
+
+
+def q_total_filter(spark, sf_dir):
+    """TotalFilter (image_analysis/total_filter.rs)."""
+    from whitebox_tools_spark.operators import focal as FO
+
+    return _r6(FO.stat_filter(_part_raster(spark, sf_dir), "sum"), ["value"])
+
+
+def q_stdev_filter(spark, sf_dir):
+    """StandardDeviationFilter (image_analysis/stdev_filter.rs; sample sd)."""
+    from whitebox_tools_spark.operators import focal as FO
+
+    return _r6(FO.stat_filter(_part_raster(spark, sf_dir), "sd"), ["value"])
+
+
+def q_diversity_filter(spark, sf_dir):
+    """DiversityFilter (image_analysis/diversity_filter.rs): count of
+    distinct window values. Raster is coarsened to integer classes first
+    (diversity on continuous data is degenerate)."""
+    from whitebox_tools_spark.operators import focal as FO
+
+    classes = _part_raster(spark, sf_dir).select(
+        "row", "col", F.floor(F.col("value") / 500.0).cast("double").alias("value")
+    )
+    return FO.stat_filter(classes, "diversity")
+
+
+def q_majority_filter(spark, sf_dir):
+    """MajorityFilter (image_analysis/majority_filter.rs:329-366), on the
+    same coarsened classes; ties break toward the smallest value."""
+    from whitebox_tools_spark.operators import focal as FO
+
+    classes = _part_raster(spark, sf_dir).select(
+        "row", "col", F.floor(F.col("value") / 500.0).cast("double").alias("value")
+    )
+    return FO.majority_filter(classes)
+
+
+def q_elev_percentile(spark, sf_dir):
+    """ElevPercentile (terrain_analysis/elev_percentile.rs:450-470), exact
+    (the reference bins into a histogram first — approximate)."""
+    from whitebox_tools_spark.operators import focal as FO
+
+    return _r6(FO.elev_percentile(_part_raster(spark, sf_dir)), ["value"])
+
+
+def q_ruggedness_index(spark, sf_dir):
+    """RuggednessIndex (terrain_analysis/ruggedness_index.rs:270-281)."""
+    from whitebox_tools_spark.operators import focal as FO
+
+    return _r6(FO.ruggedness_index(_part_raster(spark, sf_dir)), ["value"])
+
+
+def q_diff_from_mean(spark, sf_dir):
+    """DiffFromMeanElev (terrain_analysis/diff_from_mean_elev.rs:440-445)."""
+    from whitebox_tools_spark.operators import focal as FO
+
+    return _r6(FO.diff_from_mean(_part_raster(spark, sf_dir)), ["value"])
+
+
+def q_dev_from_mean(spark, sf_dir):
+    """DevFromMeanElev (terrain_analysis/dev_from_mean_elev.rs:449-466)."""
+    from whitebox_tools_spark.operators import focal as FO
+
+    return _r6(FO.dev_from_mean(_part_raster(spark, sf_dir)), ["value"])
+
+
+def q_opening(spark, sf_dir):
+    """Opening (image_analysis/opening.rs): dilate(erode(x))."""
+    from whitebox_tools_spark.operators import focal as FO
+
+    return _r6(FO.morphology(_part_raster(spark, sf_dir), "opening"), ["value"])
+
+
+def q_closing(spark, sf_dir):
+    """Closing (image_analysis/closing.rs): erode(dilate(x))."""
+    from whitebox_tools_spark.operators import focal as FO
+
+    return _r6(FO.morphology(_part_raster(spark, sf_dir), "closing"), ["value"])
+
+
+def q_tophat(spark, sf_dir):
+    """TophatTransform (image_analysis/tophat.rs): x - opening(x)."""
+    from whitebox_tools_spark.operators import focal as FO
+
+    return _r6(FO.morphology(_part_raster(spark, sf_dir), "tophat"), ["value"])
+
+
 def q_lines_to_raster(spark, sf_dir):
     """VectorLinesToRaster (data_tools/vector_lines_to_raster.rs:173):
     scanline crossings at cell-center lines, FID values, last record wins."""
@@ -1153,6 +1254,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hex_binning": q_hexbin,
         "median_filter": q_median_filter,
         "range_filter": q_range_filter,
+        "minimum_filter": q_minimum_filter,
+        "maximum_filter": q_maximum_filter,
+        "total_filter": q_total_filter,
+        "stdev_filter": q_stdev_filter,
+        "diversity_filter": q_diversity_filter,
+        "majority_filter": q_majority_filter,
+        "elev_percentile": q_elev_percentile,
+        "ruggedness_index": q_ruggedness_index,
+        "diff_from_mean_elev": q_diff_from_mean,
+        "dev_from_mean_elev": q_dev_from_mean,
+        "opening": q_opening,
+        "closing": q_closing,
+        "tophat_transform": q_tophat,
         "d8_pointer": q_d8_pointer,
         "d8_flow_accumulation": q_d8_flow_accum,
         "buffer_raster": q_buffer_raster,
@@ -1409,6 +1523,19 @@ SELECT s_suppkey + 10000000 AS fid, s_name AS name FROM supplier
         "hex_binning": _hexbin_sql(),
         "median_filter": _stat_filter_sql("median"),
         "range_filter": _stat_filter_sql("range"),
+        "minimum_filter": _stat_filter_sql("min"),
+        "maximum_filter": _stat_filter_sql("max"),
+        "total_filter": _stat_filter_sql("sum"),
+        "stdev_filter": _stat_filter_sql("sd"),
+        "diversity_filter": _focal_cls_sql("diversity"),
+        "majority_filter": _focal_cls_sql("majority"),
+        "elev_percentile": _focal_r6_sql("elev_percentile"),
+        "ruggedness_index": _focal_r6_sql("ruggedness"),
+        "diff_from_mean_elev": _focal_r6_sql("diff_from_mean"),
+        "dev_from_mean_elev": _focal_r6_sql("dev_from_mean"),
+        "opening": _focal_r6_sql("opening"),
+        "closing": _focal_r6_sql("closing"),
+        "tophat_transform": _focal_r6_sql("tophat"),
         **{
             f"{w}_curvature": _curvature_sql(w)
             for w in ("plan", "profile", "tangential", "total", "mean", "gaussian")
@@ -1646,6 +1773,37 @@ def _stat_filter_sql(stat: str) -> str:
     from whitebox_tools_spark.operators.focal import stat_filter_oracle_sql
 
     inner = stat_filter_oracle_sql(_PART_RASTER_SQL, stat)
+    return f"SELECT row, col, round(value, 6) AS value FROM ({inner})"
+
+
+_CLS_RASTER_SQL = (
+    "SELECT row, col, floor(value / 500.0)::DOUBLE AS value "
+    f"FROM ({_PART_RASTER_SQL})"
+)
+
+
+def _focal_cls_sql(which: str) -> str:
+    """Class-valued focal oracles (diversity / majority) on the coarsened
+    integer-class raster that the matching queries use."""
+    from whitebox_tools_spark.operators import focal as FO
+
+    if which == "diversity":
+        return FO.stat_filter_oracle_sql(_CLS_RASTER_SQL, "diversity")
+    return FO.majority_oracle_sql(_CLS_RASTER_SQL)
+
+
+def _focal_r6_sql(which: str) -> str:
+    from whitebox_tools_spark.operators import focal as FO
+
+    inner = {
+        "elev_percentile": lambda: FO.elev_percentile_oracle_sql(_PART_RASTER_SQL),
+        "ruggedness": lambda: FO.ruggedness_oracle_sql(_PART_RASTER_SQL),
+        "diff_from_mean": lambda: FO.diff_from_mean_oracle_sql(_PART_RASTER_SQL),
+        "dev_from_mean": lambda: FO.dev_from_mean_oracle_sql(_PART_RASTER_SQL),
+        "opening": lambda: FO.morphology_oracle_sql(_PART_RASTER_SQL, "opening"),
+        "closing": lambda: FO.morphology_oracle_sql(_PART_RASTER_SQL, "closing"),
+        "tophat": lambda: FO.morphology_oracle_sql(_PART_RASTER_SQL, "tophat"),
+    }[which]()
     return f"SELECT row, col, round(value, 6) AS value FROM ({inner})"
 
 

@@ -277,3 +277,58 @@ def test_gaussian_kernel_normalized():
 
     k = gaussian_kernel(1.2)
     assert abs(sum(sum(r) for r in k) - 1.0) < 1e-12
+
+
+def test_terrain_position_family(spark):
+    """elev_percentile / TRI / diff-dev-from-mean vs a direct numpy oracle."""
+    from whitebox_tools_spark.operators.focal import (
+        dev_from_mean, diff_from_mean, elev_percentile, ruggedness_index,
+    )
+
+    cells, vals = _dense_raster(spark, 6, 6)
+    ep = {(r.row, r.col): r.value for r in elev_percentile(cells).collect()}
+    tri = {(r.row, r.col): r.value for r in ruggedness_index(cells).collect()}
+    dfm = {(r.row, r.col): r.value for r in diff_from_mean(cells).collect()}
+    dvm = {(r.row, r.col): r.value for r in dev_from_mean(cells).collect()}
+    for (r, c) in [(0, 0), (2, 3), (5, 5)]:
+        win = [vals[rr, cc] for rr in range(r - 1, r + 2) for cc in range(c - 1, c + 2)
+               if 0 <= rr < 6 and 0 <= cc < 6]
+        z = vals[r, c]
+        assert ep[(r, c)] == pytest.approx(sum(1 for v in win if v < z) / len(win) * 100)
+        nb = [v for i, v in enumerate(win) if v != z or win.index(v) != i or True]
+        nbrs = [vals[rr, cc] for rr in range(r - 1, r + 2) for cc in range(c - 1, c + 2)
+                if 0 <= rr < 6 and 0 <= cc < 6 and (rr, cc) != (r, c)]
+        assert tri[(r, c)] == pytest.approx(
+            float(np.sqrt(np.mean([(v - z) ** 2 for v in nbrs]))))
+        mean = float(np.mean(win))
+        assert dfm[(r, c)] == pytest.approx(z - mean)
+        sd = float(np.std(win))
+        assert dvm[(r, c)] == pytest.approx((z - mean) / sd if sd > 0 else 0.0)
+
+
+def test_morphology_and_majority(spark):
+    from whitebox_tools_spark.operators.focal import majority_filter, morphology
+
+    cells, vals = _dense_raster(spark, 6, 6)
+    opened = {(r.row, r.col): r.value for r in morphology(cells, "opening").collect()}
+    tophat = {(r.row, r.col): r.value for r in morphology(cells, "tophat").collect()}
+
+    def win_stat(arr, r, c, fn):
+        return fn([arr[rr, cc] for rr in range(r - 1, r + 2) for cc in range(c - 1, c + 2)
+                   if 0 <= rr < 6 and 0 <= cc < 6])
+
+    eroded = np.array([[win_stat(vals, r, c, min) for c in range(6)] for r in range(6)])
+    for (r, c) in [(0, 0), (2, 3), (5, 5)]:
+        assert opened[(r, c)] == pytest.approx(win_stat(eroded, r, c, max))
+        assert tophat[(r, c)] == pytest.approx(vals[r, c] - win_stat(eroded, r, c, max))
+
+    # majority on a 3-class raster: ties break toward the smallest class
+    classes = spark.createDataFrame(
+        [(r, c, float((r + c) % 2)) for r in range(4) for c in range(4)],
+        "row long, col long, value double",
+    )
+    maj = {(r.row, r.col): r.value for r in majority_filter(classes).collect()}
+    # interior cell (1,1): window has 5 cells of class (r+c)%2==0? count both
+    win = [float((rr + cc) % 2) for rr in range(0, 3) for cc in range(0, 3)]
+    expect = sorted(((win.count(v), -v) for v in set(win)), reverse=True)[0][1] * -1
+    assert maj[(1, 1)] == expect

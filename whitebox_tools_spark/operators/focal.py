@@ -29,7 +29,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # (dx, dy) in the reference's window order (slope.rs:285-291); neighbor n of
@@ -443,6 +443,9 @@ _FILTER_AGGS = {
     "sd": "stddev_samp(value)",
     "sum": "sum(value)",
     "count": "count(value)",
+    # DiversityFilter (image_analysis/diversity_filter.rs): number of
+    # distinct values in the window
+    "diversity": "count(DISTINCT value)",
 }
 
 
@@ -632,3 +635,211 @@ g AS (
 )
 SELECT row, col, sqrt(gx * gx + gy * gy) AS value FROM g
 """
+
+
+# ---------------------------------------------------------------------------
+# Local topographic position + morphology family. All are one scatter-shuffle
+# joined back to the center cell, entirely in pyspark.sql.functions — the
+# same single-exchange shape as stat_filter, so they inherit its 100-TB
+# story (and the tiled mapInPandas path applies if ever needed).
+# ---------------------------------------------------------------------------
+def _scatter_with_center(
+    cells: DataFrame, *, filterx: int = 3, filtery: int = 3, exclude_center: bool = False
+) -> DataFrame:
+    """Window members attached to their center cell:
+    -> (row, col, center, value) with one row per (center cell, valid window
+    member). Off-grid / nodata neighbors are simply absent (reference
+    convention for the window-statistic tools, unlike the convolution bank's
+    coalesce-to-center)."""
+    spark = cells.sparkSession
+    mx, my = filterx // 2, filtery // 2
+    src = cells.filter(F.col("value").isNotNull()).select("row", "col", "value")
+    offs = [
+        (dx, dy)
+        for dx in range(-mx, mx + 1)
+        for dy in range(-my, my + 1)
+        if not (exclude_center and dx == 0 and dy == 0)
+    ]
+    offsets = spark.createDataFrame(offs, "dx int, dy int")
+    scattered = src.crossJoin(F.broadcast(offsets)).select(
+        (F.col("row") - F.col("dy")).alias("row"),
+        (F.col("col") - F.col("dx")).alias("col"),
+        "value",
+    )
+    return scattered.join(
+        src.withColumnRenamed("value", "center"), ["row", "col"]
+    ).select("row", "col", "center", "value")
+
+
+def _member_cte(
+    source_sql: str, *, filterx: int = 3, filtery: int = 3, exclude_center: bool = False
+) -> str:
+    mx, my = filterx // 2, filtery // 2
+    offs = ", ".join(
+        f"({dx}, {dy})"
+        for dx in range(-mx, mx + 1)
+        for dy in range(-my, my + 1)
+        if not (exclude_center and dx == 0 and dy == 0)
+    )
+    return f"""
+src AS (SELECT row, col, value FROM ({source_sql}) WHERE value IS NOT NULL),
+offs(dx, dy) AS (VALUES {offs}),
+m AS (
+  SELECT c.row, c.col, c.value AS center, s.value
+  FROM src c JOIN (SELECT s0.row - o.dy AS row, s0.col - o.dx AS col, s0.value
+                   FROM src s0 CROSS JOIN offs o) s
+    ON c.row = s.row AND c.col = s.col
+)"""
+
+
+def elev_percentile(cells: DataFrame, *, filterx: int = 3, filtery: int = 3) -> DataFrame:
+    """ElevPercentile (terrain_analysis/elev_percentile.rs:450-470:
+    n_less_than / n * 100 over the window, center included in n). The
+    reference bins values into a histogram first (approximate for
+    continuous data); this computes the exact count. -> (row, col, value)."""
+    m = _scatter_with_center(cells, filterx=filterx, filtery=filtery)
+    return m.groupBy("row", "col").agg(
+        (
+            F.sum(F.when(F.col("value") < F.col("center"), 1).otherwise(0))
+            / F.count(F.lit(1))
+            * 100.0
+        ).alias("value")
+    )
+
+
+def elev_percentile_oracle_sql(source_sql: str, *, filterx: int = 3, filtery: int = 3) -> str:
+    return f"""
+WITH {_member_cte(source_sql, filterx=filterx, filtery=filtery)}
+SELECT row, col,
+       sum(CASE WHEN value < center THEN 1 ELSE 0 END)::DOUBLE / count(*) * 100.0 AS value
+FROM m GROUP BY row, col
+"""
+
+
+def ruggedness_index(cells: DataFrame) -> DataFrame:
+    """Riley et al. (1999) TRI (terrain_analysis/ruggedness_index.rs:270-281):
+    sqrt(mean((z_n - z)^2)) over the valid 8-neighborhood (center excluded);
+    cells with no valid neighbor yield NULL. -> (row, col, value)."""
+    m = _scatter_with_center(cells, exclude_center=True)
+    out = m.groupBy("row", "col").agg(
+        F.sqrt(F.avg(F.pow(F.col("value") - F.col("center"), 2))).alias("value")
+    )
+    src = cells.filter(F.col("value").isNotNull()).select("row", "col")
+    return src.join(out, ["row", "col"], "left").select("row", "col", "value")
+
+
+def ruggedness_oracle_sql(source_sql: str) -> str:
+    return f"""
+WITH {_member_cte(source_sql, exclude_center=True)},
+g AS (
+  SELECT row, col, sqrt(avg((value - center) * (value - center))) AS value
+  FROM m GROUP BY row, col
+)
+SELECT c.row, c.col, g.value FROM src c LEFT JOIN g ON c.row = g.row AND c.col = g.col
+"""
+
+
+def diff_from_mean(cells: DataFrame, *, filterx: int = 3, filtery: int = 3) -> DataFrame:
+    """DiffFromMeanElev (terrain_analysis/diff_from_mean_elev.rs:440-445:
+    z - mean(window), a high-pass filter). -> (row, col, value)."""
+    m = _scatter_with_center(cells, filterx=filterx, filtery=filtery)
+    return m.groupBy("row", "col").agg(
+        (F.first("center") - F.avg("value")).alias("value")
+    )
+
+
+def diff_from_mean_oracle_sql(source_sql: str, *, filterx: int = 3, filtery: int = 3) -> str:
+    return f"""
+WITH {_member_cte(source_sql, filterx=filterx, filtery=filtery)}
+SELECT row, col, any_value(center) - avg(value) AS value FROM m GROUP BY row, col
+"""
+
+
+def dev_from_mean(cells: DataFrame, *, filterx: int = 3, filtery: int = 3) -> DataFrame:
+    """DevFromMeanElev (terrain_analysis/dev_from_mean_elev.rs:449-466):
+    (z - mean) / s with the POPULATION standard deviation of the window;
+    0 where the window variance is 0. -> (row, col, value)."""
+    m = _scatter_with_center(cells, filterx=filterx, filtery=filtery)
+    sd = F.stddev_pop("value")
+    return m.groupBy("row", "col").agg(
+        F.when(sd > 0, (F.first("center") - F.avg("value")) / sd)
+        .otherwise(F.lit(0.0))
+        .alias("value")
+    )
+
+
+def dev_from_mean_oracle_sql(source_sql: str, *, filterx: int = 3, filtery: int = 3) -> str:
+    return f"""
+WITH {_member_cte(source_sql, filterx=filterx, filtery=filtery)}
+SELECT row, col,
+       CASE WHEN stddev_pop(value) > 0
+            THEN (any_value(center) - avg(value)) / stddev_pop(value)
+            ELSE 0.0 END AS value
+FROM m GROUP BY row, col
+"""
+
+
+def majority_filter(cells: DataFrame, *, filterx: int = 3, filtery: int = 3) -> DataFrame:
+    """MajorityFilter (image_analysis/majority_filter.rs:329-366): modal
+    value of the window. The reference leaves ties order-dependent; this
+    engine breaks ties deterministically toward the SMALLEST value (needed
+    for reproducibility under re-partitioning). -> (row, col, value)."""
+    m = _scatter_with_center(cells, filterx=filterx, filtery=filtery)
+    counts = m.groupBy("row", "col", "value").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("row", "col").orderBy(F.desc("cnt"), F.asc("value"))
+    return (
+        counts.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select("row", "col", "value")
+    )
+
+
+def majority_oracle_sql(source_sql: str, *, filterx: int = 3, filtery: int = 3) -> str:
+    return f"""
+WITH {_member_cte(source_sql, filterx=filterx, filtery=filtery)},
+cnts AS (SELECT row, col, value, count(*) AS cnt FROM m GROUP BY row, col, value),
+rk AS (SELECT row, col, value,
+              row_number() OVER (PARTITION BY row, col ORDER BY cnt DESC, value ASC) AS _rk
+       FROM cnts)
+SELECT row, col, value FROM rk WHERE _rk = 1
+"""
+
+
+def morphology(cells: DataFrame, op: str, *, filterx: int = 3, filtery: int = 3) -> DataFrame:
+    """Grayscale morphology (image_analysis/{opening,closing,tophat}.rs):
+    opening = dilate(erode(x)), closing = erode(dilate(x)),
+    tophat = x - opening (white top-hat). Two chained stat_filter passes —
+    two scatter-shuffles, still all-JVM. -> (row, col, value)."""
+    kw = dict(filterx=filterx, filtery=filtery)
+    if op == "opening":
+        return stat_filter(stat_filter(cells, "min", **kw), "max", **kw)
+    if op == "closing":
+        return stat_filter(stat_filter(cells, "max", **kw), "min", **kw)
+    if op == "tophat":
+        opened = morphology(cells, "opening", **kw).withColumnRenamed("value", "opened")
+        return (
+            cells.filter(F.col("value").isNotNull())
+            .join(opened, ["row", "col"])
+            .select("row", "col", (F.col("value") - F.col("opened")).alias("value"))
+        )
+    raise ValueError(op)
+
+
+def morphology_oracle_sql(source_sql: str, op: str, *, filterx: int = 3, filtery: int = 3) -> str:
+    kw = dict(filterx=filterx, filtery=filtery)
+    opening = stat_filter_oracle_sql(
+        stat_filter_oracle_sql(source_sql, "min", **kw), "max", **kw
+    )
+    if op == "opening":
+        return opening
+    if op == "closing":
+        return stat_filter_oracle_sql(
+            stat_filter_oracle_sql(source_sql, "max", **kw), "min", **kw
+        )
+    if op == "tophat":
+        return f"""
+SELECT c.row, c.col, c.value - o.value AS value
+FROM ({source_sql}) c JOIN ({opening}) o ON c.row = o.row AND c.col = o.col
+WHERE c.value IS NOT NULL
+"""
+    raise ValueError(op)
