@@ -904,14 +904,17 @@ def q_clump(spark, sf_dir):
 
 
 def q_kmeans(spark, sf_dir):
-    """KMeansClustering (image_analysis/k_means_clustering.rs) via Spark ML
-    (rows-only: assignment depends on seeded init)."""
-    from whitebox_tools_spark.operators.ml import kmeans_clusters
+    """KMeansClustering (image_analysis/k_means_clustering.rs — plain Lloyd
+    with fixed iterations): deterministic distributed Lloyd's with
+    smallest-k-ids init and rounded-centroid trajectory, hash-checked
+    against an unrolled-CTE DuckDB mirror. (Spark ML KMeans remains in
+    ml.kmeans_clusters for seeded production use.)"""
+    from whitebox_tools_spark.operators.ml import lloyd_kmeans
 
     emb = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", *[F.col("embedding")[i].alias(f"f{i}") for i in range(8)]
+        "vec_id", *[F.col("embedding")[i].cast("double").alias(f"f{i}") for i in range(8)]
     )
-    out, _ = kmeans_clusters(emb, [f"f{i}" for i in range(8)], 4)
+    out = lloyd_kmeans(emb, [f"f{i}" for i in range(8)], 4, id_col="vec_id", iters=8)
     return out.select("vec_id", F.col("cluster").cast("long").alias("cluster"))
 
 
@@ -1030,18 +1033,26 @@ def q_ngram_jaccard(spark, sf_dir):
 
 
 def q_minhash_lsh(spark, sf_dir):
-    # deterministic (xxhash64) but not SQL-expressible -> rows-only check.
-    # The synthetic corpus is heavily templated (a third of all pairs sit
-    # above jaccard 0.5), so the query uses a steep band curve (8 bands x
-    # 8 rows: collision prob 0.03 at j=0.5, 0.99 at j=0.9) — the realistic
-    # "find the strong dups in a sea of mild similarity" configuration.
-    return _r6(DD.minhash_lsh_pairs(_t(spark, sf_dir, "documents"),
-                                    bands=8, verify_threshold=0.7), ["est_jaccard"])
+    """MinHash+LSH with the engine-portable md5 hash family — the full
+    pipeline (shingle hash, 32 universal-hash permutations, 8-band keys,
+    signature-agreement verify) is hash-checked against a DuckDB mirror.
+    The synthetic corpus is heavily templated (a third of all pairs sit
+    above jaccard 0.5), so the query uses a steep band curve (8 bands x
+    4 rows) with verify 0.7 — "find the strong dups in a sea of mild
+    similarity". bench.py separately times the xxhash64 production path."""
+    return DD.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"),
+        num_hashes=32, bands=8, verify_threshold=0.7, hash_family="md5",
+    )
 
 
 def q_simhash(spark, sf_dir):
-    # rows-only check (xxhash64-based)
-    return DD.simhash_near_dup_pairs(_t(spark, sf_dir, "documents"), max_hamming=6)
+    """SimHash near-dups with the portable md5 family (60-bit fingerprints,
+    7 pigeonhole bands for max_hamming=6) — hash-checked vs DuckDB."""
+    out = DD.simhash_near_dup_pairs(
+        _t(spark, sf_dir, "documents"), max_hamming=6, bits=60, hash_family="md5"
+    )
+    return out.select("doc_id_a", "doc_id_b", F.col("hamming").cast("long").alias("hamming"))
 
 
 def q_token_count(spark, sf_dir):
@@ -1575,8 +1586,9 @@ FROM a JOIN b ON a.row = b.row AND a.col = b.col
         "lidar_thin": _lidar_sql("thin"),
         "lidar_ground_filter": _lidar_ground_sql(),
         "lidar_elevation_slice": _lidar_sql("slice"),
-        # raster_to_polygons / kmeans / pca: iterative or model-based ->
-        # rows-only driver check; semantics pinned by pytest oracles
+        # pca: model-based (eigenvector extraction is not SQL-derivable;
+        # sign indeterminacy) -> rows-only driver check, pytest-pinned
+        "kmeans_clustering": _kmeans_sql(),
         "dedup_exact": """
 SELECT min(doc_id) AS doc_id, text, count(*) AS n_dups FROM documents GROUP BY text
 """,
@@ -1595,8 +1607,16 @@ FROM documents
         "fingerprint": _fingerprint_sql(),
         "embedding_topk": _embed_topk_sql(),
         "embedding_near_dup": _embed_near_dup_sql(),
-        # minhash_lsh / simhash_near_dup / embedding_ann_lsh: xxhash64/LSH
-        # constructions with no SQL equivalent -> rows-only check
+        "embedding_ann_lsh": _embed_ann_sql(),
+        "minhash_lsh": DD.minhash_lsh_oracle_sql(
+            "SELECT doc_id, text FROM documents",
+            num_hashes=32, bands=8, verify_threshold=0.7,
+        ),
+        "simhash_near_dup": "SELECT doc_id_a, doc_id_b, hamming::BIGINT AS hamming FROM ("
+        + DD.simhash_near_dup_oracle_sql(
+            "SELECT doc_id, text FROM documents", max_hamming=6, bits=60
+        )
+        + ")",
         "clip_lines": _ovl.clip_lines_oracle_sql(_cust_segs_cte(), PARTS, erase=False),
         "erase_lines": _ovl.clip_lines_oracle_sql(_cust_segs_cte(), PARTS, erase=True),
         "polygon_overlay": _ovl.overlay_oracle_sql(PARTS_A, PARTS),
@@ -1958,6 +1978,65 @@ scored AS (
   FROM e CROSS JOIN q
 )
 SELECT query_id, vec_id, round(cos, 5) AS cosine, rank FROM scored WHERE rank <= 5
+"""
+
+
+def _kmeans_sql() -> str:
+    from whitebox_tools_spark.operators.ml import lloyd_kmeans_oracle_sql
+
+    fc = [f"f{i}" for i in range(8)]
+    src = (
+        "SELECT vec_id, "
+        + ", ".join(f"embedding[{i + 1}]::DOUBLE AS f{i}" for i in range(8))
+        + " FROM embeddings"
+    )
+    inner = lloyd_kmeans_oracle_sql(src, fc, 4, id_col="vec_id", iters=8)
+    return f"SELECT vec_id, cluster::BIGINT AS cluster FROM ({inner})"
+
+
+def _embed_ann_sql() -> str:
+    """DuckDB mirror of q_embed_ann_lsh: the hyperplanes are Python-derived
+    literal constants (similarity._planes), so the same plane literals are
+    embedded here and the whole multi-probe LSH pipeline is SQL-expressible.
+    Sign decisions / tie orders depend on float summation only at the
+    ~1e-15 level — far below the 5-decimal comparison grain."""
+    from whitebox_tools_spark.operators.similarity import _planes
+
+    planes = _planes(64, 8, 11)
+
+    def bucket(v: str) -> str:
+        bits = []
+        for i, p in enumerate(planes):
+            lit = "[" + ", ".join(repr(float(x)) for x in p) + "]::DOUBLE[]"
+            bits.append(
+                f"(CASE WHEN list_dot_product({v}, {lit}) >= 0 "
+                f"THEN 1::BIGINT ELSE 0::BIGINT END << {i})"
+            )
+        return " + ".join(bits)
+
+    cos = (
+        "list_dot_product(c.v, qp.qv) / "
+        "(sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(qp.qv, qp.qv)))"
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (SELECT vec_id, v, ({bucket('v')}) AS bucket FROM e),
+q0 AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+q AS (SELECT query_id, qv, ({bucket('qv')}) AS bucket0 FROM q0),
+qp AS (
+  SELECT query_id, qv, xor(bucket0, m.x) AS bucket
+  FROM q CROSS JOIN (VALUES (0::BIGINT), (1), (2), (4)) m(x)
+),
+scored AS (
+  SELECT DISTINCT qp.query_id, c.vec_id, {cos} AS cos
+  FROM qp JOIN c USING (bucket)
+),
+rk AS (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, round(cos, 5) AS cosine, rank FROM rk WHERE rank <= 5
 """
 
 

@@ -84,10 +84,20 @@ def main():
     E.q_pip(spark, sf_dir).limit(1).count()
 
     qs = E.queries()
+
+    def bench_minhash_xx(spark, sf_dir):
+        # q_minhash_lsh runs the portable md5 hash family for the oracle
+        # gate; the production scale path is xxhash64 — time that one here
+        from whitebox_tools_spark.operators import dedup as DD
+
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        return DD.minhash_lsh_pairs(docs, bands=8, verify_threshold=0.7)
+
     timings = {}
     for name in BENCH_QUERIES:
+        fn = bench_minhash_xx if name == "minhash_lsh" else qs[name]
         t0 = time.time()
-        n = qs[name](spark, sf_dir).count()
+        n = fn(spark, sf_dir).count()
         timings[name] = round(time.time() - t0, 3)
         _ = n
 

@@ -188,3 +188,54 @@ def test_ann_lsh_subset_of_exact(spark):
            if r.rank == 1}
     # self-match is always in the same bucket -> rank-1 identical
     assert ann == exact
+
+
+def test_portable_md5_family_pipelines(spark):
+    """The md5 hash family (oracle-checkable path) preserves the pipeline
+    semantics: exact duplicates collide at est_jaccard 1.0 / hamming 0, and
+    unrelated docs don't pair at a strict threshold."""
+    from whitebox_tools_spark.operators.dedup import (
+        minhash_lsh_pairs, simhash_near_dup_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "the quick brown fox jumps over the lazy dog again and again"),
+            (3, "a completely different document about spark physical plans"),
+            (4, "zzzz qqqq vvvv wwww kkkk jjjj xxxx yyyy uuuu mmmm nnnn oooo"),
+        ],
+        "doc_id long, text string",
+    )
+    mh = minhash_lsh_pairs(
+        docs, num_hashes=32, bands=8, verify_threshold=0.9, hash_family="md5"
+    ).collect()
+    assert {(r.doc_id_a, r.doc_id_b) for r in mh} == {(1, 2)}
+    assert mh[0].est_jaccard == 1.0
+
+    sh = simhash_near_dup_pairs(
+        docs, max_hamming=3, bits=60, hash_family="md5"
+    ).collect()
+    assert {(r.doc_id_a, r.doc_id_b) for r in sh} == {(1, 2)}
+    assert sh[0].hamming == 0
+
+
+def test_lloyd_kmeans_partitions_ids(spark):
+    from whitebox_tools_spark.operators.ml import lloyd_kmeans
+
+    import numpy as np
+    rng = np.random.default_rng(5)
+    centers = np.array([[0.0, 0.0], [10.0, 10.0], [0.0, 10.0]])
+    pts = [
+        (i, *(centers[i % 3] + rng.normal(0, 0.3, 2)).tolist())
+        for i in range(90)
+    ]
+    df = spark.createDataFrame(pts, "pid long, x double, y double")
+    out = lloyd_kmeans(df, ["x", "y"], 3, id_col="pid", iters=6).collect()
+    assert len(out) == 90
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r.cluster, set()).add(r.pid % 3)
+    # converged: each cluster contains exactly one generator center
+    assert all(len(v) == 1 for v in by_cluster.values())
+    assert len(by_cluster) == 3

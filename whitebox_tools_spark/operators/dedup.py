@@ -33,6 +33,37 @@ def shingles_expr(text_col, n: int = 3):
     return F.array_distinct(F.transform(idx, lambda i: F.substring(text_col, i, n)))
 
 
+# Engine-portable 60-bit hash: integer value of the first 15 hex chars of
+# md5(x). Identical in Spark (conv) and DuckDB (hex-literal cast), which
+# lets the full MinHash/SimHash pipelines run under the DuckDB oracle gate.
+_PORTABLE64_SPARK = "cast(conv(substr(md5({x}),1,15),16,10) as bigint)"
+_PORTABLE64_DUCK = "('0x'||substr(md5({x}),1,15))::BIGINT"
+_P31 = 2147483647  # 2^31 - 1 (Mersenne prime): products stay inside int64
+
+
+def _perm_consts(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a_j, b_j) for the universal-hash permutations
+    h_j(x) = (a_j*x + b_j) mod P31, derived from md5 so any engine that
+    re-derives them gets identical literals."""
+    import hashlib
+
+    def h64(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    return [
+        (h64(f"a:{j}") % (_P31 - 1) + 1, h64(f"b:{j}") % _P31)
+        for j in range(num_hashes)
+    ]
+
+
+def _shingles_duck(text_expr: str, n: int = 3) -> str:
+    """DuckDB mirror of shingles_expr: distinct character n-grams."""
+    return (
+        f"list_distinct([substr({text_expr}, i, {n}) "
+        f"for i in range(1, greatest(length({text_expr}) - {n - 1}, 1) + 1)])"
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     *,
@@ -109,10 +140,19 @@ def minhash_signatures(
     doc_id: str = "doc_id",
     n: int = 3,
     num_hashes: int = 64,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
-    """MinHash signature per doc: for each of num_hashes seeded xxhash64
+    """MinHash signature per doc: for each of num_hashes seeded hash
     functions, the min hash over the shingle set. All JVM built-ins.
     -> (doc_id, sig: array<bigint>).
+
+    hash_family:
+      - "xxhash64" (default): fastest, JVM codegen — the production path.
+      - "md5": engine-portable — shingle -> first 15 hex chars of md5 as a
+        60-bit int, permutations as (a_j*x + b_j) mod (2^31-1) with
+        hashlib-derived literal constants. Identical in any engine with
+        md5() (DuckDB mirrors it in minhash_lsh_oracle_sql), which turns
+        the whole MinHash+LSH pipeline into a hash-checkable query.
 
     Cost shape: each STRING shingle is hashed exactly once
     (xxhash64(string)); the num_hashes permutations re-hash that 64-bit
@@ -134,6 +174,20 @@ def minhash_signatures(
         # signature hashing is the CPU-heavy stage (shingles x num_hashes
         # integer hashes per doc); a small file count must not serialize it
         docs = docs.repartition(par)
+    if hash_family == "md5":
+        d = docs.select(
+            F.col(doc_id).alias("doc_id"), shingles_expr(F.col(text), n).alias("__mh_sh")
+        ).withColumn(
+            "__mh_hs",
+            F.expr(f"transform(__mh_sh, s -> {_PORTABLE64_SPARK.format(x='s')} % {_P31}L)"),
+        )
+        sig = F.array(
+            *[
+                F.expr(f"array_min(transform(__mh_hs, x -> ({a}L * x + {b}L) % {_P31}L))")
+                for a, b in _perm_consts(num_hashes)
+            ]
+        )
+        return d.select("doc_id", sig.alias("sig"))
     base = F.transform(shingles_expr(F.col(text), n), lambda s: F.xxhash64(s))
     d = docs.select(F.col(doc_id).alias("doc_id"), base.alias("__mh_hs"))
     sig = F.array(
@@ -154,24 +208,32 @@ def minhash_lsh_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     verify_threshold: float | None = 0.5,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """MinHash + LSH banding: docs sharing any band bucket become candidate
     pairs; optionally verified by estimated Jaccard (signature agreement).
     Shuffle cost is O(docs x bands), never quadratic. -> (doc_id_a,
-    doc_id_b, est_jaccard)."""
+    doc_id_b, est_jaccard). hash_family as in minhash_signatures; "md5"
+    additionally makes the band keys portable (md5 of the joined band
+    slice) so the whole pipeline is oracle-checkable."""
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(docs, text=text, doc_id=doc_id, n=n, num_hashes=num_hashes)
+    sigs = minhash_signatures(
+        docs, text=text, doc_id=doc_id, n=n, num_hashes=num_hashes, hash_family=hash_family
+    )
+
+    def band_key(b: int):
+        lo, hi = b * rows_per_band, (b + 1) * rows_per_band
+        if hash_family == "md5":
+            parts = ", ".join(f"cast(sig[{i}] as string)" for i in range(lo, hi))
+            return F.expr(f"md5(concat_ws(',', {parts}))")
+        return F.xxhash64(*[F.col("sig")[i] for i in range(lo, hi)])
+
     banded = sigs.withColumn(
         "band",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("b"),
-                        F.xxhash64(
-                            *[F.col("sig")[i] for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
-                        ).alias("h"),
-                    )
+                    F.struct(F.lit(b).alias("b"), band_key(b).alias("h"))
                     for b in range(bands)
                 ]
             )
@@ -204,6 +266,62 @@ def minhash_lsh_pairs(
     return out
 
 
+def minhash_lsh_oracle_sql(
+    docs_sql: str,
+    *,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    verify_threshold: float = 0.5,
+) -> str:
+    """DuckDB mirror of minhash_lsh_pairs(hash_family="md5") — the exact
+    same md5-derived shingle hashes, permutation constants, band keys and
+    signature-agreement estimate, so the driver can hash-compare the full
+    MinHash+LSH pipeline."""
+    rows_per_band = num_hashes // bands
+    consts = _perm_consts(num_hashes)
+    port = _PORTABLE64_DUCK.format(x="s")
+    sig_cols = ",\n  ".join(
+        f"list_min(list_transform(xs, x -> ({a} * x + {b}) % {_P31})) AS s{j}"
+        for j, (a, b) in enumerate(consts)
+    )
+    key_cols = ",\n  ".join(
+        "md5(concat_ws(',', "
+        + ", ".join(
+            f"s{i}::VARCHAR" for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+        )
+        + f")) AS k{b}"
+        for b in range(bands)
+    )
+    key_case = " ".join(f"WHEN {b} THEN k{b}" for b in range(bands))
+    matches = " + ".join(
+        f"CASE WHEN sa.s{j} = sb.s{j} THEN 1 ELSE 0 END" for j in range(num_hashes)
+    )
+    return f"""
+WITH d AS (SELECT doc_id, {_shingles_duck('text', n)} AS sh FROM ({docs_sql})),
+hs AS (SELECT doc_id, list_transform(sh, s -> {port} % {_P31}) AS xs FROM d),
+sig AS (SELECT doc_id,
+  {sig_cols}
+  FROM hs),
+keyed AS (SELECT doc_id,
+  {key_cols}
+  FROM sig),
+banded AS (
+  SELECT doc_id, t.b, CASE t.b {key_case} END AS h
+  FROM keyed CROSS JOIN (SELECT unnest(range(0, {bands})) AS b) t
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+  FROM banded a JOIN banded b ON a.b = b.b AND a.h = b.h AND a.doc_id < b.doc_id
+)
+SELECT c.doc_id_a, c.doc_id_b, ({matches})::DOUBLE / {num_hashes} AS est_jaccard
+FROM cand c
+JOIN sig sa ON sa.doc_id = c.doc_id_a
+JOIN sig sb ON sb.doc_id = c.doc_id_b
+WHERE ({matches})::DOUBLE / {num_hashes} >= {verify_threshold}
+"""
+
+
 def simhash_table(
     docs: DataFrame,
     *,
@@ -211,8 +329,11 @@ def simhash_table(
     doc_id: str = "doc_id",
     bits: int = 64,
     n: int = 3,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """64-bit SimHash per doc over shingle xxhash64s, built-ins only.
+    hash_family="md5" switches to the portable 60-bit md5-prefix hash
+    (use bits=60 with it) so DuckDB can mirror the table.
 
     Per bit b the sign of sum(+/-1) over shingles is computed as one grouped
     aggregate: explode distinct shingles -> hash -> 64 sums of
@@ -221,10 +342,13 @@ def simhash_table(
     explode+groupBy formulation — still one shuffle, JVM-side.)
     -> (doc_id, sh: bigint)
     """
+    hash_col = (
+        F.expr(_PORTABLE64_SPARK.format(x="g")) if hash_family == "md5" else F.xxhash64("g")
+    )
     g = docs.select(
         F.col(doc_id).alias("doc_id"),
         F.explode(shingles_expr(F.col(text), n)).alias("g"),
-    ).withColumn("h", F.xxhash64("g"))
+    ).withColumn("h", hash_col)
     aggs = [
         F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))).alias(f"_b{b}")
         for b in range(bits)
@@ -239,6 +363,11 @@ def simhash_table(
     return per.select("doc_id", sim.alias("sh"))
 
 
+def _simhash_bands(bits: int, B: int) -> tuple[list[int], list[int]]:
+    widths = [bits // B + (1 if i < bits % B else 0) for i in range(B)]
+    return widths, [sum(widths[:i]) for i in range(B)]
+
+
 def simhash_near_dup_pairs(
     docs: DataFrame,
     *,
@@ -247,6 +376,8 @@ def simhash_near_dup_pairs(
     max_hamming: int = 3,
     n: int = 3,
     bands: int | None = None,
+    bits: int = 64,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """SimHash near-dups: band the 64-bit simhash into B contiguous bit
     chunks (pigeonhole: hamming <= B-1 implies at least one identical
@@ -261,12 +392,11 @@ def simhash_near_dup_pairs(
             f"bands={B} cannot guarantee recall for max_hamming={max_hamming}; "
             "pigeonhole requires bands > max_hamming"
         )
-    if B > 64:
-        raise ValueError("bands cannot exceed 64 (one bit per band)")
-    # near-equal bit widths: first (64 % B) bands get one extra bit
-    widths = [64 // B + (1 if i < 64 % B else 0) for i in range(B)]
-    starts = [sum(widths[:i]) for i in range(B)]
-    d = simhash_table(docs, text=text, doc_id=doc_id, n=n)
+    if B > bits:
+        raise ValueError(f"bands cannot exceed bits={bits} (one bit per band)")
+    # near-equal bit widths: first (bits % B) bands get one extra bit
+    widths, starts = _simhash_bands(bits, B)
+    d = simhash_table(docs, text=text, doc_id=doc_id, n=n, bits=bits, hash_family=hash_family)
     banded = d.withColumn(
         "band",
         F.explode(
@@ -297,6 +427,53 @@ def simhash_near_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_id_a", "doc_id_b", "hamming")
     )
+
+
+def simhash_near_dup_oracle_sql(
+    docs_sql: str,
+    *,
+    max_hamming: int = 6,
+    n: int = 3,
+    bits: int = 60,
+    bands: int | None = None,
+) -> str:
+    """DuckDB mirror of simhash_near_dup_pairs(hash_family="md5", bits=60):
+    same portable shingle hash, same per-bit majority vote, same band
+    widths, same pigeonhole join + exact hamming verify."""
+    B = bands if bands is not None else max(4, max_hamming + 1)
+    widths, starts = _simhash_bands(bits, B)
+    port = _PORTABLE64_DUCK.format(x="s")
+    bit_sums = ",\n  ".join(
+        f"sum((h >> {b}) & 1) AS b{b}" for b in range(bits)
+    )
+    sim = " + ".join(
+        f"(CASE WHEN 2 * b{b} >= n THEN 1::BIGINT ELSE 0::BIGINT END << {b})"
+        for b in range(bits)
+    )
+    key_case = " ".join(
+        f"WHEN {i} THEN (sh >> {starts[i]}) & {(1 << widths[i]) - 1}" for i in range(B)
+    )
+    return f"""
+WITH g AS (
+  SELECT doc_id, unnest({_shingles_duck('text', n)}) AS s FROM ({docs_sql})
+),
+h AS (SELECT doc_id, {port} AS h FROM g),
+per AS (SELECT doc_id, count(*) AS n,
+  {bit_sums}
+  FROM h GROUP BY doc_id),
+sim AS (SELECT doc_id, ({sim}) AS sh FROM per),
+banded AS (
+  SELECT doc_id, sh, t.b, CASE t.b {key_case} END AS k
+  FROM sim CROSS JOIN (SELECT unnest(range(0, {B})) AS b) t
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+         a.sh AS sh_a, b.sh AS sh_b
+  FROM banded a JOIN banded b ON a.b = b.b AND a.k = b.k AND a.doc_id < b.doc_id
+)
+SELECT doc_id_a, doc_id_b, bit_count(xor(sh_a, sh_b)) AS hamming
+FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= {max_hamming}
+"""
 
 
 def embedding_near_dup_pairs(

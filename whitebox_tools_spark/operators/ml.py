@@ -66,3 +66,105 @@ def vector_to_array_expr(col: str):
     from pyspark.ml.functions import vector_to_array
 
     return vector_to_array(F.col(col))
+
+
+def lloyd_kmeans(
+    wide: DataFrame,
+    feature_cols: list[str],
+    k: int,
+    *,
+    id_col: str,
+    iters: int = 8,
+) -> DataFrame:
+    """Deterministic distributed Lloyd's k-means (the reference's
+    image_analysis/k_means_clustering.rs is also plain Lloyd with seeded
+    init; this engine pins init to the k rows with the SMALLEST id so any
+    engine reproduces it bit-for-bit).
+
+    Each iteration is one broadcast join (k x d centroid table) + one
+    hash aggregate — the canonical scale shape; no data-sized collect.
+    Centroids are rounded to 9 decimals per update so independent engines
+    (different float summation orders) stay on the identical trajectory.
+    -> (id, cluster) after `iters` fixed iterations."""
+    d = wide.select(F.col(id_col).alias("_id"), *feature_cols).dropna()
+    # init = k smallest ids via distributed take-ordered (no global window);
+    # re-rank the tiny k-row result locally
+    seed_rows = d.orderBy("_id").limit(k)
+    spark = wide.sparkSession
+    cent = spark.createDataFrame(
+        [
+            (i, *[float(r[c]) for c in feature_cols])
+            for i, r in enumerate(sorted(seed_rows.collect(), key=lambda r: r["_id"]))
+        ],
+        ["cluster"] + [f"_c_{c}" for c in feature_cols],
+    )
+    for _ in range(iters):
+        dist = sum(
+            (F.col(c) - F.col(f"_c_{c}")) * (F.col(c) - F.col(f"_c_{c}"))
+            for c in feature_cols
+        )
+        assigned = (
+            d.crossJoin(F.broadcast(cent))
+            .withColumn("_dist", dist)
+            .groupBy("_id", *feature_cols)
+            .agg(F.expr("min_by(cluster, struct(_dist, cluster))").alias("cluster"))
+        )
+        cent = assigned.groupBy("cluster").agg(
+            *[F.round(F.avg(c), 9).alias(f"_c_{c}") for c in feature_cols]
+        )
+    dist = sum(
+        (F.col(c) - F.col(f"_c_{c}")) * (F.col(c) - F.col(f"_c_{c}"))
+        for c in feature_cols
+    )
+    final = (
+        d.crossJoin(F.broadcast(cent))
+        .withColumn("_dist", dist)
+        .groupBy("_id")
+        .agg(F.expr("min_by(cluster, struct(_dist, cluster))").alias("cluster"))
+    )
+    return final.select(F.col("_id").alias(id_col), "cluster")
+
+
+def lloyd_kmeans_oracle_sql(
+    source_sql: str,
+    feature_cols: list[str],
+    k: int,
+    *,
+    id_col: str,
+    iters: int = 8,
+) -> str:
+    """DuckDB mirror of lloyd_kmeans: same init, same rounded-centroid
+    trajectory, unrolled as chained CTEs (aggregates are not allowed in a
+    recursive term, but a FIXED iteration count needs no recursion)."""
+    fc = feature_cols
+    dist = " + ".join(f"(d.{c} - c.c_{c}) * (d.{c} - c.c_{c})" for c in fc)
+    def assign(prev: str, keep_features: bool) -> str:
+        inner_feats = (", " + ", ".join("d." + c for c in fc)) if keep_features else ""
+        outer_feats = (", " + ", ".join(fc)) if keep_features else ""
+        return (
+            f"SELECT _id{outer_feats}, cluster FROM ("
+            f"SELECT d._id{inner_feats}, c.cluster, "
+            f"row_number() OVER (PARTITION BY d._id ORDER BY ({dist}) ASC, c.cluster ASC) AS _rk "
+            f"FROM d CROSS JOIN {prev} c) WHERE _rk = 1"
+        )
+
+    parts = [
+        f"d AS (SELECT {id_col} AS _id, {', '.join(fc)} FROM ({source_sql}))",
+        "init AS (SELECT row_number() OVER (ORDER BY _id) - 1 AS cluster, "
+        + ", ".join(f"{c} AS c_{c}" for c in fc)
+        + f" FROM (SELECT * FROM d ORDER BY _id LIMIT {k}))",
+    ]
+    prev = "init"
+    for t in range(iters):
+        parts.append(f"a{t} AS ({assign(prev, keep_features=True)})")
+        parts.append(
+            f"c{t} AS (SELECT cluster, "
+            + ", ".join(f"round(avg({c}), 9) AS c_{c}" for c in fc)
+            + f" FROM a{t} GROUP BY cluster)"
+        )
+        prev = f"c{t}"
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT _id AS {id_col}, cluster FROM ({assign(prev, keep_features=False)})"
+    )
