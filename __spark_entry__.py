@@ -38,6 +38,7 @@ from whitebox_tools_spark.operators.tiling import aggregate_raster, assign_tiles
 from whitebox_tools_spark.operators import overlay as _ovl
 from whitebox_tools_spark.operators import random as _rnd
 from whitebox_tools_spark.operators import hydro as _hyd
+from whitebox_tools_spark.operators import streams as _str
 from whitebox_tools_spark.operators import buffer as _buf
 from whitebox_tools_spark.operators.vector_ops import join_tables, merge_vectors
 from whitebox_tools_spark.operators.zonal import zonal_statistics
@@ -698,6 +699,96 @@ _NOISE_RASTER_SQL = (
 )
 
 
+STREAM_GRID = GridSpec(west=0.0, north=100.0, res_x=5.0, res_y=5.0, rows=20, cols=25)
+
+
+def _valley_dem(spark, sf_dir) -> DataFrame:
+    """Fishbone valley DEM (dense 20x25 from the first 500 part keys): a
+    main stem along row 10 draining east, lowered tributary channels every
+    4th column — gives the stream suite real confluences (Strahler > 1)
+    while keeping the flow-DAG depth ~35 so the topological peel stays
+    fast. All arithmetic is integer-derived and mirrored term-for-term in
+    _VALLEY_DEM_SQL, so both engines build bit-identical elevations."""
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_partkey") >= 1) & (F.col("p_partkey") <= 500)
+    )
+    pk = F.col("p_partkey") - 1
+    row = pk % 20
+    col = F.floor(pk / F.lit(20)).cast("long")
+    base = (
+        F.abs(row - 10).cast("double") * 50.0
+        + (25 - col).cast("double") * 2.0
+        + ((F.col("p_partkey") * 31) % 7).cast("double") * 0.1
+    )
+    trib = F.when((col % 4 == 1) & (row != 10), F.lit(-45.0)).otherwise(F.lit(0.0))
+    return p.select(row.alias("row"), col.alias("col"), (base + trib).alias("value"))
+
+
+_VALLEY_DEM_SQL = """
+SELECT (p_partkey - 1) % 20 AS row,
+       CAST(floor((p_partkey - 1) / 20) AS BIGINT) AS col,
+       CAST(abs((p_partkey - 1) % 20 - 10) AS DOUBLE) * 50.0
+         + CAST(25 - CAST(floor((p_partkey - 1) / 20) AS BIGINT) AS DOUBLE) * 2.0
+         + CAST((p_partkey * 31) % 7 AS DOUBLE) * 0.1
+         + CASE WHEN CAST(floor((p_partkey - 1) / 20) AS BIGINT) % 4 = 1
+                     AND (p_partkey - 1) % 20 <> 10
+                THEN -45.0 ELSE 0.0 END AS value
+FROM part WHERE p_partkey BETWEEN 1 AND 500
+"""
+
+_POUR = [(10, 20, 1), (10, 12, 2)]
+
+
+def q_extract_streams(spark, sf_dir):
+    """ExtractStreams (stream_network_analysis/extract_streams.rs:23-33)."""
+    from whitebox_tools_spark.operators.streams import extract_streams
+
+    return extract_streams(_valley_dem(spark, sf_dir), STREAM_GRID, threshold=4.0)
+
+
+def q_shreve(spark, sf_dir):
+    """ShreveStreamMagnitude (stream_network_analysis/shreve_magnitude.rs)."""
+    from whitebox_tools_spark.operators.streams import shreve_magnitude
+
+    return shreve_magnitude(_valley_dem(spark, sf_dir), STREAM_GRID, threshold=4.0)
+
+
+def q_strahler(spark, sf_dir):
+    """StrahlerStreamOrder (stream_network_analysis/strahler_order.rs)."""
+    from whitebox_tools_spark.operators.streams import strahler_order
+
+    return strahler_order(_valley_dem(spark, sf_dir), STREAM_GRID, threshold=4.0)
+
+
+def q_stream_link(spark, sf_dir):
+    """StreamLinkIdentifier (links renumbered by terminal scan order)."""
+    from whitebox_tools_spark.operators.streams import stream_link_identifier
+
+    return stream_link_identifier(_valley_dem(spark, sf_dir), STREAM_GRID, threshold=4.0)
+
+
+def q_watershed(spark, sf_dir):
+    """Watershed (hydro_analysis/watershed.rs): first-pour-point labels."""
+    from whitebox_tools_spark.operators.streams import watershed
+
+    pour = spark.createDataFrame(_POUR, "row long, col long, pour_id long")
+    return watershed(_valley_dem(spark, sf_dir), STREAM_GRID, pour)
+
+
+def q_flowpath_length(spark, sf_dir):
+    """DownslopeFlowpathLength (hydro_analysis/downslope_flowpath_length.rs)."""
+    from whitebox_tools_spark.operators.streams import downslope_flowpath_length
+
+    return _r6(downslope_flowpath_length(_valley_dem(spark, sf_dir), STREAM_GRID), ["value"])
+
+
+def q_num_inflowing(spark, sf_dir):
+    """NumInflowingNeighbours (hydro_analysis/num_inflowing_neighbours.rs)."""
+    from whitebox_tools_spark.operators.streams import num_inflowing_neighbours
+
+    return num_inflowing_neighbours(_valley_dem(spark, sf_dir), STREAM_GRID)
+
+
 def q_d8_pointer(spark, sf_dir):
     """D8Pointer (hydro_analysis/d8_pointer.rs:268-296): steepest-descent
     pointer grid, 2^dir encoding, 0 at pits/flats."""
@@ -1284,6 +1375,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fill_depressions": q_fill_depressions,
         "basins": q_basins,
         "cost_distance": q_cost_distance,
+        "extract_streams": q_extract_streams,
+        "shreve_magnitude": q_shreve,
+        "strahler_order": q_strahler,
+        "stream_link_id": q_stream_link,
+        "watershed": q_watershed,
+        "downslope_flowpath_length": q_flowpath_length,
+        "num_inflowing_neighbours": q_num_inflowing,
         "lines_to_raster": q_lines_to_raster,
         "singlepart_to_multipart": q_singlepart_to_multipart,
         "tin_gridding": q_tin_gridding,
@@ -1571,6 +1669,15 @@ FROM a JOIN b ON a.row = b.row AND a.col = b.col
         "singlepart_to_multipart": _sp_to_mp_sql(),
         "fill_depressions": _hyd.fill_depressions_oracle_sql(_NOISE_RASTER_SQL),
         "basins": _hyd.basins_oracle_sql(_NOISE_RASTER_SQL, EXTRACT_GRID),
+        "extract_streams": _str.extract_streams_oracle_sql(
+            _VALLEY_DEM_SQL, STREAM_GRID, threshold=4.0
+        ),
+        "shreve_magnitude": _str.shreve_oracle_sql(_VALLEY_DEM_SQL, STREAM_GRID, threshold=4.0),
+        "strahler_order": _str.strahler_oracle_sql(_VALLEY_DEM_SQL, STREAM_GRID, threshold=4.0),
+        "stream_link_id": _str.stream_link_oracle_sql(_VALLEY_DEM_SQL, STREAM_GRID, threshold=4.0),
+        "watershed": _str.watershed_oracle_sql(_VALLEY_DEM_SQL, STREAM_GRID, _POUR),
+        "downslope_flowpath_length": _str.flowpath_length_oracle_sql(_VALLEY_DEM_SQL, STREAM_GRID),
+        "num_inflowing_neighbours": _str.num_inflowing_oracle_sql(_VALLEY_DEM_SQL, STREAM_GRID),
         # cost_distance: least-cost paths are not recursively enumerable in
         # SQL without exponential path states -> rows-only; Dijkstra pin in
         # pytest

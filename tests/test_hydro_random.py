@@ -259,3 +259,55 @@ def test_normalized_difference(spark):
     out = {(r.row, r.col): r.value for r in normalized_difference(banded, 1, 2).collect()}
     assert out[(0, 0)] == pytest.approx(0.6)
     assert out[(0, 1)] is None  # a + b == 0 -> nodata
+
+
+def test_stream_network_suite_semantics(spark):
+    """Fishbone valley: tributaries join a main stem — checks confluence
+    semantics (Shreve sums, Strahler promotion, link segmentation,
+    first-pour-point watersheds, monotone flowpath lengths)."""
+    from whitebox_tools_spark.grid import GridSpec
+    from whitebox_tools_spark.operators import streams as S
+    from pyspark.sql import functions as F
+
+    R, C = 14, 11
+    recs = []
+    for r in range(R):
+        for c in range(C):
+            v = abs(c - 5) * 50.0 + (R - r) * 2.0 + ((r * 31 + c * 17) % 7) * 0.1
+            if r % 4 == 1 and c != 5:
+                v -= 45.0
+            recs.append((r, c, v))
+    cells = spark.createDataFrame(recs, "row long, col long, value double")
+    grid = GridSpec(west=0.0, north=100.0, res_x=5.0, res_y=5.0, rows=R, cols=C)
+    th = 4.0
+
+    sm = {(r.row, r.col): r.value for r in S.shreve_magnitude(cells, grid, threshold=th).collect()}
+    li = S.stream_link_identifier(cells, grid, threshold=th).collect()
+    so = S.strahler_order(cells, grid, threshold=th).collect()
+    assert max(sm.values()) > 1.0  # confluences sum magnitudes
+    assert set(sm) == {(r.row, r.col) for r in li}  # same stream cells
+    assert max(r.value for r in so) == 2.0  # fishbone promotes stem to 2
+    # links partition the stream cells; ids dense 1..n
+    ids = {r.link_id for r in li}
+    assert ids == set(range(1, len(ids) + 1))
+
+    # Shreve magnitude is non-decreasing downstream along the stem (col 5)
+    stem = sorted((rc[0], v) for rc, v in sm.items() if rc[1] == 5)
+    assert all(v2 >= v1 for (_, v1), (_, v2) in zip(stem, stem[1:]))
+
+    pour = spark.createDataFrame(
+        [(11, 5, 7), (3, 5, 9)], "row long, col long, pour_id long"
+    )
+    ws = S.watershed(cells, grid, pour).collect()
+    sizes = {}
+    for r in ws:
+        sizes[r.pour_id] = sizes.get(r.pour_id, 0) + 1
+    # upstream pour point captures its own watershed; cells above it do NOT
+    # reach the downstream pour point (first-pour wins)
+    assert set(sizes) == {7, 9} and sizes[9] > 0 and sizes[7] > 0
+    assert sizes[7] + sizes[9] < R * C  # cells below the last pour stay unlabeled
+
+    fl = {(r.row, r.col): r.value for r in S.downslope_flowpath_length(cells, grid).collect()}
+    # along the stem the remaining distance decreases going downstream
+    stem_fl = sorted((rc[0], v) for rc, v in fl.items() if rc[1] == 5)
+    assert all(v2 <= v1 for (_, v1), (_, v2) in zip(stem_fl, stem_fl[1:]))

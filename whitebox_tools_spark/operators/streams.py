@@ -1,0 +1,534 @@
+"""Stream-network analysis suite (class ITR), built on the D8 machinery in
+hydro.py.
+
+References (semantics only; architecture is Spark-native):
+  - ExtractStreams: stream_network_analysis/extract_streams.rs:23-33 —
+    stream cells are those with flow accumulation > threshold.
+  - ShreveStreamMagnitude: stream_network_analysis/shreve_magnitude.rs:17-20
+    — magnitude = number of headwater links upstream; headwaters are 1.
+  - StrahlerStreamOrder: stream_network_analysis/strahler_order.rs — order =
+    max of inflowing link orders, +1 when two or more tie at the max.
+  - StreamLinkIdentifier: stream_network_analysis (link id per channel
+    between junctions; the junction cell starts the downstream link).
+  - Watershed: hydro_analysis/watershed.rs:18-30 — cells labelled with the
+    id of the first pour point their D8 flow path reaches.
+  - DownslopeFlowpathLength: hydro_analysis/downslope_flowpath_length.rs —
+    along-path distance from each cell to its terminal (pit/outlet).
+  - NumInflowingNeighbours: hydro_analysis/num_inflowing_neighbours.rs.
+
+Distributed shapes: flow accumulation / Shreve are topological peels
+(rounds = DAG depth); link membership, watersheds and flowpath lengths are
+successor pointer-doubling (O(log path) self-joins); Strahler is an
+iterative wave over the LINK tree (rounds = link-tree depth, each one small
+join+aggregate). Nothing here materializes a path set or funnels data
+through a single partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from whitebox_tools_spark.grid import GridSpec
+from whitebox_tools_spark.operators.hydro import (
+    _flow_edges,
+    _grid_lengths,
+    _fd_ctes,
+    d8_flow_accumulation,
+    D8_DX,
+    D8_DY,
+)
+
+_BIG = 1 << 31
+
+
+def _key(r, c):
+    return r * _BIG + c
+
+
+def extract_streams(
+    cells: DataFrame, grid: GridSpec, *, threshold: float, zero_background: bool = True
+) -> DataFrame:
+    """-> (row, col, value): 1.0 where flow accumulation > threshold, else
+    0.0 (zero_background) or absent."""
+    fa = d8_flow_accumulation(cells, grid)
+    out = fa.select(
+        "row", "col",
+        F.when(F.col("value") > threshold, F.lit(1.0)).otherwise(F.lit(0.0)).alias("value"),
+    )
+    if not zero_background:
+        out = out.filter(F.col("value") == 1.0)
+    return out
+
+
+def num_inflowing_neighbours(cells: DataFrame, grid: GridSpec) -> DataFrame:
+    """-> (row, col, value): count of D8 neighbors flowing into each cell."""
+    edges = _flow_edges(cells, grid)
+    cnt = edges.groupBy(F.col("trow").alias("row"), F.col("tcol").alias("col")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    src = cells.filter(F.col("value").isNotNull()).select("row", "col")
+    return src.join(cnt, ["row", "col"], "left").select(
+        "row", "col", F.coalesce(F.col("n"), F.lit(0)).cast("double").alias("value")
+    )
+
+
+def _stream_set(cells: DataFrame, grid: GridSpec, threshold: float):
+    """-> (stream cells (row,col), stream-to-stream flow edges)."""
+    fa = d8_flow_accumulation(cells, grid)
+    sc = fa.filter(F.col("value") > threshold).select("row", "col")
+    e = (
+        _flow_edges(cells, grid)
+        .join(sc, ["row", "col"])
+        .join(
+            sc.select(F.col("row").alias("trow"), F.col("col").alias("tcol")),
+            ["trow", "tcol"],
+        )
+    )
+    return sc.localCheckpoint(eager=True), e.localCheckpoint(eager=True)
+
+
+def shreve_magnitude(cells: DataFrame, grid: GridSpec, *, threshold: float) -> DataFrame:
+    """-> (row, col, value): Shreve magnitude per stream cell = number of
+    headwater stream cells upstream (heads count themselves as 1).
+    Topological peel over the stream subgraph."""
+    sc, edges = _stream_set(cells, grid, threshold)
+    targets = edges.select(F.col("trow").alias("row"), F.col("tcol").alias("col")).distinct()
+    heads = sc.join(targets, ["row", "col"], "left_anti")
+    acc = sc.join(heads.withColumn("__h", F.lit(1)), ["row", "col"], "left").select(
+        "row", "col",
+        F.when(F.col("__h").isNotNull(), F.lit(1.0)).otherwise(F.lit(0.0)).alias("fa"),
+    ).localCheckpoint(eager=True)
+    rem = edges
+    while not rem.isEmpty():
+        tgt = rem.select(F.col("trow").alias("row"), F.col("tcol").alias("col")).distinct()
+        src_edges = rem.join(tgt, ["row", "col"], "left_anti")
+        pushed = (
+            src_edges.join(acc, ["row", "col"])
+            .groupBy(F.col("trow").alias("row"), F.col("tcol").alias("col"))
+            .agg(F.sum("fa").alias("inflow"))
+        )
+        acc = (
+            acc.join(pushed, ["row", "col"], "left")
+            .withColumn("fa", F.col("fa") + F.coalesce(F.col("inflow"), F.lit(0.0)))
+            .drop("inflow")
+            .localCheckpoint(eager=True)
+        )
+        rem = rem.join(src_edges.select("row", "col"), ["row", "col"], "left_anti").localCheckpoint(
+            eager=True
+        )
+    return acc.select("row", "col", F.col("fa").alias("value"))
+
+
+def _chain_terminals(nodes: DataFrame, edges: DataFrame, *, max_doublings: int = 48) -> DataFrame:
+    """Successor pointer-doubling: follow (row,col)->(trow,tcol) edges (at
+    most one outgoing per node) to each node's terminal.
+    -> (row, col, trow, tcol) terminal per node."""
+    succ = nodes.join(edges, ["row", "col"], "left").select(
+        _key(F.col("row"), F.col("col")).alias("key"),
+        F.coalesce(_key(F.col("trow"), F.col("tcol")), _key(F.col("row"), F.col("col"))).alias(
+            "skey"
+        ),
+    ).localCheckpoint(eager=True)
+    for _ in range(max_doublings):
+        s2 = succ.select(F.col("key").alias("k2"), F.col("skey").alias("s2"))
+        nxt = (
+            succ.join(s2, succ["skey"] == s2["k2"])
+            .select("key", F.col("s2").alias("skey"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            nxt.join(succ.select("key", F.col("skey").alias("old")), "key")
+            .filter(F.col("skey") != F.col("old"))
+            .limit(1)
+            .isEmpty()
+        )
+        succ = nxt
+        if changed:
+            break
+    return succ.select(
+        F.floor(F.col("key") / _BIG).cast("long").alias("row"),
+        (F.col("key") % _BIG).alias("col"),
+        F.floor(F.col("skey") / _BIG).cast("long").alias("trow"),
+        (F.col("skey") % _BIG).alias("tcol"),
+    )
+
+
+def _link_edges(sc: DataFrame, edges: DataFrame):
+    """Stream edges with junction-entering edges cut (a junction cell — 2+
+    stream inflows — begins the next link downstream)."""
+    infl = edges.groupBy(F.col("trow"), F.col("tcol")).agg(F.count(F.lit(1)).alias("n"))
+    junctions = infl.filter(F.col("n") >= 2).select("trow", "tcol")
+    return edges.join(junctions, ["trow", "tcol"], "left_anti"), edges
+
+
+def stream_link_identifier(
+    cells: DataFrame, grid: GridSpec, *, threshold: float
+) -> DataFrame:
+    """-> (row, col, link_id): dense 1..n link ids, numbered by raster scan
+    order of each link's terminal cell (deterministic under any
+    partitioning; the reference numbers by encounter order instead)."""
+    from whitebox_tools_spark.distributed import with_global_seq
+
+    sc, edges = _stream_set(cells, grid, threshold)
+    chain_edges, _ = _link_edges(sc, edges)
+    term = _chain_terminals(sc, chain_edges)
+    terms = term.select(_key(F.col("trow"), F.col("tcol")).alias("t")).distinct()
+    ids = with_global_seq(terms, ["t"], out_col="link_id")
+    return term.join(
+        F.broadcast(ids), _key(F.col("trow"), F.col("tcol")) == ids["t"]
+    ).select("row", "col", "link_id")
+
+
+def _link_tree(cells: DataFrame, grid: GridSpec, threshold: float):
+    """-> (links df (row,col,link_id), tree df (link_id, ds_link_id nullable))."""
+    from whitebox_tools_spark.distributed import with_global_seq
+
+    sc, edges = _stream_set(cells, grid, threshold)
+    chain_edges, all_edges = _link_edges(sc, edges)
+    term = _chain_terminals(sc, chain_edges)
+    terms = term.select(_key(F.col("trow"), F.col("tcol")).alias("t")).distinct()
+    ids = with_global_seq(terms, ["t"], out_col="link_id")
+    links = term.join(
+        F.broadcast(ids), _key(F.col("trow"), F.col("tcol")) == ids["t"]
+    ).select("row", "col", "link_id")
+    # each link's terminal cell either ends the network or has a (cut) edge
+    # into a junction cell that belongs to the downstream link
+    cut = all_edges.join(chain_edges, ["row", "col", "trow", "tcol"], "left_anti")
+    down = (
+        links.join(cut, ["row", "col"])
+        .join(
+            links.select(
+                F.col("row").alias("trow"), F.col("col").alias("tcol"),
+                F.col("link_id").alias("ds_link_id"),
+            ),
+            ["trow", "tcol"],
+        )
+        .select("link_id", "ds_link_id")
+        .distinct()
+    )
+    tree = (
+        links.select("link_id").distinct()
+        .join(down, "link_id", "left")
+        .select("link_id", "ds_link_id")
+    )
+    return links.localCheckpoint(eager=True), tree.localCheckpoint(eager=True)
+
+
+def strahler_order(
+    cells: DataFrame, grid: GridSpec, *, threshold: float, max_rounds: int = 64
+) -> DataFrame:
+    """-> (row, col, value): Strahler order of each stream cell's link.
+    Iterative wave over the link tree: leaves are order 1; a link whose
+    children are all ordered gets max(child) + (1 if >= 2 children tie at
+    the max). Rounds = link-tree depth; every round is one join+aggregate
+    over the (tiny relative to cells) link table."""
+    links, tree = _link_tree(cells, grid, threshold)
+    children = tree.filter(F.col("ds_link_id").isNotNull())
+    n_children = children.groupBy(F.col("ds_link_id").alias("link_id")).agg(
+        F.count(F.lit(1)).alias("n_ch")
+    )
+    all_links = tree.select("link_id").distinct()
+    # leaves: links that are nobody's ds_link
+    assigned = (
+        all_links.join(n_children, "link_id", "left_anti")
+        .withColumn("ord", F.lit(1))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        todo = all_links.join(assigned.select("link_id"), "link_id", "left_anti")
+        if todo.isEmpty():
+            break
+        ch_ord = (
+            children.select(F.col("link_id").alias("ch"), "ds_link_id")
+            .join(assigned.select(F.col("link_id").alias("ch"), "ord"), "ch")
+            .select(F.col("ds_link_id").alias("link_id"), "ord")
+        )
+        # n_at_max needs the per-group max: two-step aggregate
+        mx = ch_ord.groupBy("link_id").agg(
+            F.count(F.lit(1)).alias("n_done"), F.max("ord").alias("mx")
+        )
+        at_max = (
+            ch_ord.join(mx, "link_id")
+            .filter(F.col("ord") == F.col("mx"))
+            .groupBy("link_id", "n_done", "mx")
+            .agg(F.count(F.lit(1)).alias("n_at_max"))
+        )
+        newly = (
+            at_max.join(n_children, "link_id")
+            .filter(F.col("n_done") == F.col("n_ch"))
+            .join(todo, "link_id")
+            .select(
+                "link_id",
+                (F.col("mx") + F.when(F.col("n_at_max") >= 2, 1).otherwise(0)).alias("ord"),
+            )
+        )
+        if newly.isEmpty():
+            break
+        assigned = assigned.unionByName(newly).localCheckpoint(eager=True)
+    return links.join(assigned, "link_id").select(
+        "row", "col", F.col("ord").cast("double").alias("value")
+    )
+
+
+def watershed(cells: DataFrame, grid: GridSpec, pour: DataFrame) -> DataFrame:
+    """Watershed (hydro_analysis/watershed.rs): label each cell with the id
+    of the FIRST pour cell its D8 flow path reaches; cells draining to no
+    pour point are absent. pour: (row, col, pour_id).
+    -> (row, col, pour_id)."""
+    src = cells.filter(F.col("value").isNotNull()).select("row", "col")
+    edges = _flow_edges(cells, grid)
+    # pour cells terminate their path: cut their outgoing edges
+    edges = edges.join(pour.select("row", "col"), ["row", "col"], "left_anti")
+    term = _chain_terminals(src, edges)
+    return term.join(
+        pour.select(
+            F.col("row").alias("trow"), F.col("col").alias("tcol"), "pour_id"
+        ),
+        ["trow", "tcol"],
+    ).select("row", "col", "pour_id")
+
+
+def downslope_flowpath_length(cells: DataFrame, grid: GridSpec) -> DataFrame:
+    """DownslopeFlowpathLength: along-path distance from each cell to its
+    terminal (pit/edge outlet). Distance-accumulating pointer doubling:
+    state (succ, dist); each round dist += dist[succ], succ = succ[succ].
+    -> (row, col, value)."""
+    lens = _grid_lengths(grid)
+    spark = cells.sparkSession
+    src = cells.filter(F.col("value").isNotNull()).select("row", "col")
+    g = _flow_edges(cells, grid)
+    dircase = F.coalesce(
+        *[
+            F.when(
+                (F.col("trow") - F.col("row") == D8_DY[i])
+                & (F.col("tcol") - F.col("col") == D8_DX[i]),
+                F.lit(lens[i]),
+            )
+            for i in range(8)
+        ]
+    )
+    e = g.withColumn("len", dircase)
+    state = src.join(e, ["row", "col"], "left").select(
+        _key(F.col("row"), F.col("col")).alias("key"),
+        F.coalesce(_key(F.col("trow"), F.col("tcol")), _key(F.col("row"), F.col("col"))).alias(
+            "skey"
+        ),
+        F.coalesce(F.col("len"), F.lit(0.0)).alias("dist"),
+    ).localCheckpoint(eager=True)
+    for _ in range(48):
+        s2 = state.select(
+            F.col("key").alias("k2"), F.col("skey").alias("s2"), F.col("dist").alias("d2")
+        )
+        nxt = (
+            state.join(s2, state["skey"] == s2["k2"])
+            .select("key", F.col("s2").alias("skey"), (F.col("dist") + F.col("d2")).alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            nxt.join(state.select("key", F.col("skey").alias("old")), "key")
+            .filter(F.col("skey") != F.col("old"))
+            .limit(1)
+            .isEmpty()
+        )
+        state = nxt
+        if changed:
+            break
+    return state.select(
+        F.floor(F.col("key") / _BIG).cast("long").alias("row"),
+        (F.col("key") % _BIG).alias("col"),
+        F.col("dist").alias("value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL (driver correctness gate). The walk CTEs are linear in
+# total path length (the graph is functional: one successor per cell).
+# ---------------------------------------------------------------------------
+def _stream_ctes(source_sql: str, grid: GridSpec, threshold: float) -> str:
+    """Shared prefix: cells/dirs/fd (from hydro) + accumulation walk + the
+    stream cell set and stream-to-stream edges."""
+    return f"""{_fd_ctes(source_sql, grid)},
+walk(orow, ocol, row, col) AS (
+  SELECT row, col, row, col FROM cells
+  UNION
+  SELECT w.orow, w.ocol, f.trow, f.tcol
+  FROM walk w JOIN fd f ON f.row = w.row AND f.col = w.col
+),
+fa AS MATERIALIZED (SELECT row, col, CAST(count(*) AS DOUBLE) AS value FROM walk GROUP BY 1, 2),
+sc AS MATERIALIZED (SELECT row, col FROM fa WHERE value > {threshold}),
+se AS MATERIALIZED (
+  SELECT f.row, f.col, f.i, f.trow, f.tcol
+  FROM fd f
+  JOIN sc a ON a.row = f.row AND a.col = f.col
+  JOIN sc b ON b.row = f.trow AND b.col = f.tcol
+),
+infl AS MATERIALIZED (SELECT trow, tcol, count(*) AS n FROM se GROUP BY 1, 2)"""
+
+
+def extract_streams_oracle_sql(source_sql: str, grid: GridSpec, *, threshold: float) -> str:
+    return f"""
+WITH RECURSIVE {_fd_ctes(source_sql, grid)},
+walk(orow, ocol, row, col) AS (
+  SELECT row, col, row, col FROM cells
+  UNION
+  SELECT w.orow, w.ocol, f.trow, f.tcol
+  FROM walk w JOIN fd f ON f.row = w.row AND f.col = w.col
+)
+SELECT row, col,
+       CASE WHEN count(*) > {threshold} THEN 1.0 ELSE 0.0 END AS value
+FROM walk GROUP BY 1, 2
+"""
+
+
+def num_inflowing_oracle_sql(source_sql: str, grid: GridSpec) -> str:
+    return f"""
+WITH {_fd_ctes(source_sql, grid)},
+cnt AS (SELECT trow AS row, tcol AS col, count(*) AS n FROM fd GROUP BY 1, 2)
+SELECT c.row, c.col, CAST(coalesce(cnt.n, 0) AS DOUBLE) AS value
+FROM cells c LEFT JOIN cnt ON cnt.row = c.row AND cnt.col = c.col
+"""
+
+
+def shreve_oracle_sql(source_sql: str, grid: GridSpec, *, threshold: float) -> str:
+    return f"""
+WITH RECURSIVE {_stream_ctes(source_sql, grid, threshold)},
+heads AS (
+  SELECT s.row, s.col FROM sc s
+  ANTI JOIN infl i ON i.trow = s.row AND i.tcol = s.col
+),
+swalk(hrow, hcol, row, col) AS (
+  SELECT row, col, row, col FROM heads
+  UNION
+  SELECT w.hrow, w.hcol, e.trow, e.tcol
+  FROM swalk w JOIN se e ON e.row = w.row AND e.col = w.col
+)
+SELECT row, col, CAST(count(*) AS DOUBLE) AS value FROM swalk GROUP BY 1, 2
+"""
+
+
+_LINK_CTES = """
+junc AS (SELECT trow, tcol FROM infl WHERE n >= 2),
+ce AS MATERIALIZED (SELECT row, col, trow, tcol FROM se ANTI JOIN junc USING (trow, tcol)),
+lwalk(orow, ocol, row, col) AS (
+  SELECT row, col, row, col FROM sc
+  UNION
+  SELECT w.orow, w.ocol, e.trow, e.tcol
+  FROM lwalk w JOIN ce e ON e.row = w.row AND e.col = w.col
+),
+lterm AS (
+  SELECT w.orow, w.ocol, w.row AS trow, w.col AS tcol
+  FROM lwalk w ANTI JOIN ce e ON e.row = w.row AND e.col = w.col
+),
+ids AS (
+  SELECT trow, tcol,
+         CAST(row_number() OVER (ORDER BY trow * 2147483648 + tcol) AS BIGINT) AS link_id
+  FROM (SELECT DISTINCT trow, tcol FROM lterm)
+),
+linkcell AS MATERIALIZED (
+  SELECT t.orow AS row, t.ocol AS col, i.link_id
+  FROM lterm t JOIN ids i ON i.trow = t.trow AND i.tcol = t.tcol
+)"""
+
+
+def stream_link_oracle_sql(source_sql: str, grid: GridSpec, *, threshold: float) -> str:
+    return f"""
+WITH RECURSIVE {_stream_ctes(source_sql, grid, threshold)},{_LINK_CTES}
+SELECT row, col, link_id FROM linkcell
+"""
+
+
+def strahler_oracle_sql(
+    source_sql: str, grid: GridSpec, *, threshold: float, max_rounds: int = 16
+) -> str:
+    """Strahler via a FIXED unrolled iteration over the link tree (chained
+    CTEs; aggregates are not allowed inside a recursive term). max_rounds
+    bounds the link-tree depth the oracle can resolve."""
+    parts = [
+        f"""down AS MATERIALIZED (
+  SELECT DISTINCT lc.link_id, lc2.link_id AS ds
+  FROM linkcell lc
+  JOIN (SELECT row, col, trow, tcol FROM se ANTI JOIN ce USING (row, col, trow, tcol)) cut
+    ON cut.row = lc.row AND cut.col = lc.col
+  JOIN linkcell lc2 ON lc2.row = cut.trow AND lc2.col = cut.tcol
+),
+nch AS MATERIALIZED (SELECT ds AS link_id, count(*) AS n_ch FROM down GROUP BY ds),
+l0 AS MATERIALIZED (
+  SELECT link_id, 1 AS ord
+  FROM (SELECT DISTINCT link_id FROM linkcell) ANTI JOIN nch USING (link_id)
+)"""
+    ]
+    prev = "l0"
+    for t in range(max_rounds):
+        parts.append(
+            f"""s{t} AS MATERIALIZED (
+  SELECT d.ds AS link_id, count(*) AS n_done, max(o.ord) AS mx
+  FROM down d JOIN {prev} o ON o.link_id = d.link_id GROUP BY d.ds
+),
+am{t} AS MATERIALIZED (
+  SELECT d.ds AS link_id, any_value(s.mx) AS mx, count(*) AS n_at_max
+  FROM down d
+  JOIN {prev} o ON o.link_id = d.link_id
+  JOIN s{t} s ON s.link_id = d.ds
+  WHERE o.ord = s.mx GROUP BY d.ds
+),
+l{t + 1} AS MATERIALIZED (
+  SELECT * FROM {prev}
+  UNION ALL
+  SELECT a.link_id, a.mx + CASE WHEN a.n_at_max >= 2 THEN 1 ELSE 0 END AS ord
+  FROM am{t} a
+  JOIN s{t} s ON s.link_id = a.link_id
+  JOIN nch n ON n.link_id = a.link_id
+  WHERE s.n_done = n.n_ch
+    AND a.link_id NOT IN (SELECT link_id FROM {prev})
+)"""
+        )
+        prev = f"l{t + 1}"
+    body = ",\n".join(parts)
+    return f"""
+WITH RECURSIVE {_stream_ctes(source_sql, grid, threshold)},{_LINK_CTES},
+{body}
+SELECT lc.row, lc.col, CAST(o.ord AS DOUBLE) AS value
+FROM linkcell lc JOIN {prev} o ON o.link_id = lc.link_id
+"""
+
+
+def watershed_oracle_sql(
+    source_sql: str, grid: GridSpec, pour: list[tuple[int, int, int]]
+) -> str:
+    vals = ", ".join(f"({r}, {c}, {pid})" for r, c, pid in pour)
+    return f"""
+WITH RECURSIVE {_fd_ctes(source_sql, grid)},
+pour(prow, pcol, pour_id) AS (VALUES {vals}),
+we AS (
+  SELECT f.row, f.col, f.trow, f.tcol FROM fd f
+  ANTI JOIN pour p ON p.prow = f.row AND p.pcol = f.col
+),
+wwalk(orow, ocol, row, col) AS (
+  SELECT row, col, row, col FROM cells
+  UNION
+  SELECT w.orow, w.ocol, e.trow, e.tcol
+  FROM wwalk w JOIN we e ON e.row = w.row AND e.col = w.col
+),
+wterm AS (
+  SELECT w.orow, w.ocol, w.row, w.col
+  FROM wwalk w ANTI JOIN we e ON e.row = w.row AND e.col = w.col
+)
+SELECT t.orow AS row, t.ocol AS col, CAST(p.pour_id AS BIGINT) AS pour_id
+FROM wterm t JOIN pour p ON p.prow = t.row AND p.pcol = t.col
+"""
+
+
+def flowpath_length_oracle_sql(source_sql: str, grid: GridSpec) -> str:
+    return f"""
+WITH RECURSIVE {_fd_ctes(source_sql, grid)},
+fwalk(orow, ocol, row, col, dist) AS (
+  SELECT row, col, row, col, CAST(0.0 AS DOUBLE) FROM cells
+  UNION
+  SELECT w.orow, w.ocol, f.trow, f.tcol, w.dist + d.len
+  FROM fwalk w
+  JOIN fd f ON f.row = w.row AND f.col = w.col
+  JOIN dirs d ON d.i = f.i
+)
+SELECT orow AS row, ocol AS col, round(max(dist), 6) AS value
+FROM fwalk GROUP BY 1, 2
+"""
