@@ -668,15 +668,54 @@ def q_buffer_raster(spark, sf_dir):
     from whitebox_tools_spark.operators.buffer import buffer_raster
 
     src = _part_raster(spark, sf_dir).withColumn(
-        "value", F.when(F.col("value") > 1900.0, F.lit(1.0)).otherwise(F.lit(0.0))
+        "value", F.when(F.col("value") > 990.0, F.lit(1.0)).otherwise(F.lit(0.0))
     )
     return buffer_raster(src, EXTRACT_GRID, size=12.0)
 
 
 _BUFFER_SRC_SQL = (
-    "SELECT row, col, CASE WHEN value > 1900.0 THEN 1.0 ELSE 0.0 END AS value "
+    "SELECT row, col, CASE WHEN value > 990.0 THEN 1.0 ELSE 0.0 END AS value "
     f"FROM ({_PART_RASTER_SQL})"
 )
+
+_ALLOC_SRC_SQL = (
+    "SELECT row, col, CASE WHEN value > 990.0 THEN value ELSE 0.0 END AS value "
+    f"FROM ({_PART_RASTER_SQL})"
+)
+
+
+def q_euclidean_distance(spark, sf_dir):
+    """EuclideanDistance (gis_analysis/euclidean_distance.rs): exact
+    nearest-source map-unit distance via the kNN annulus join."""
+    from whitebox_tools_spark.operators.buffer import euclidean_distance
+
+    src = _part_raster(spark, sf_dir).withColumn(
+        "value", F.when(F.col("value") > 990.0, F.lit(1.0)).otherwise(F.lit(0.0))
+    )
+    return _r6(euclidean_distance(src, EXTRACT_GRID, IDX), ["value"])
+
+
+def q_euclidean_allocation(spark, sf_dir):
+    """EuclideanAllocation (gis_analysis/euclidean_allocation.rs): nearest
+    non-background cell's value, ties by (distance, scan order)."""
+    from whitebox_tools_spark.operators.buffer import euclidean_allocation
+
+    src = _part_raster(spark, sf_dir).withColumn(
+        "value", F.when(F.col("value") > 990.0, F.col("value")).otherwise(F.lit(0.0))
+    )
+    return euclidean_allocation(src, EXTRACT_GRID, IDX)
+
+
+def q_raster_to_points(spark, sf_dir):
+    """RasterToVectorPoints (data_tools/raster_to_vector_points.rs): one
+    point per valid cell at its center, scan-order FIDs."""
+    g = EXTRACT_GRID
+    return _part_raster(spark, sf_dir).filter(F.col("value").isNotNull()).select(
+        (F.col("row") * g.cols + F.col("col")).alias("fid"),
+        (F.lit(g.west + g.res_x / 2.0) + F.col("col") * F.lit(g.res_x)).alias("x"),
+        (F.lit(g.north - g.res_y / 2.0) - F.col("row") * F.lit(g.res_y)).alias("y"),
+        "value",
+    )
 
 
 def _noise_raster(spark, sf_dir) -> DataFrame:
@@ -1375,6 +1414,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fill_depressions": q_fill_depressions,
         "basins": q_basins,
         "cost_distance": q_cost_distance,
+        "euclidean_distance": q_euclidean_distance,
+        "euclidean_allocation": q_euclidean_allocation,
+        "raster_to_points": q_raster_to_points,
         "extract_streams": q_extract_streams,
         "shreve_magnitude": q_shreve,
         "strahler_order": q_strahler,
@@ -1665,6 +1707,17 @@ FROM a JOIN b ON a.row = b.row AND a.col = b.col
         "d8_pointer": _hyd.d8_pointer_oracle_sql(_NOISE_RASTER_SQL, EXTRACT_GRID),
         "d8_flow_accumulation": _hyd.d8_flow_accum_oracle_sql(_NOISE_RASTER_SQL, EXTRACT_GRID),
         "buffer_raster": _buf.buffer_raster_oracle_sql(_BUFFER_SRC_SQL, EXTRACT_GRID, size=12.0),
+        "euclidean_distance": "SELECT row, col, value FROM ("
+        + _buf.euclidean_distance_oracle_sql(_BUFFER_SRC_SQL, EXTRACT_GRID)
+        + ")",
+        "euclidean_allocation": _buf.euclidean_allocation_oracle_sql(_ALLOC_SRC_SQL, EXTRACT_GRID),
+        "raster_to_points": f"""
+SELECT row * 200 + col AS fid,
+       0.0 + 2.5 + col * 5.0 AS x,
+       1000.0 - 2.5 - row * 5.0 AS y,
+       value
+FROM ({_PART_RASTER_SQL}) WHERE value IS NOT NULL
+""",
         "lines_to_raster": _lines_to_raster_sql(),
         "singlepart_to_multipart": _sp_to_mp_sql(),
         "fill_depressions": _hyd.fill_depressions_oracle_sql(_NOISE_RASTER_SQL),

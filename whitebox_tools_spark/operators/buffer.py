@@ -82,3 +82,98 @@ SELECT c.row, c.col,
             ) THEN 1.0 ELSE 0.0 END AS DOUBLE) AS value
 FROM cells c
 """
+
+
+def _source_points(cells: DataFrame, grid: GridSpec) -> DataFrame:
+    """Non-background cells as points at their centers, keyed by scan order."""
+    return cells.filter(F.col("value").isNotNull() & (F.col("value") != 0.0)).select(
+        (F.col("row") * F.lit(grid.cols).cast("long") + F.col("col")).alias("point_id"),
+        (F.lit(grid.west + grid.res_x / 2.0) + F.col("col") * F.lit(grid.res_x)).alias("x"),
+        (F.lit(grid.north - grid.res_y / 2.0) - F.col("row") * F.lit(grid.res_y)).alias("y"),
+        F.col("value").alias("z"),
+    )
+
+
+def _cell_targets(cells: DataFrame, grid: GridSpec) -> DataFrame:
+    return cells.filter(F.col("value").isNotNull()).select(
+        "row", "col",
+        (F.col("row") * F.lit(grid.cols).cast("long") + F.col("col")).alias("target_id"),
+        (F.lit(grid.west + grid.res_x / 2.0) + F.col("col") * F.lit(grid.res_x)).alias("x"),
+        (F.lit(grid.north - grid.res_y / 2.0) - F.col("row") * F.lit(grid.res_y)).alias("y"),
+    )
+
+
+def euclidean_distance(cells: DataFrame, grid: GridSpec, index) -> DataFrame:
+    """EuclideanDistance (gis_analysis/euclidean_distance.rs): map-unit
+    distance from every valid cell center to the nearest non-background
+    cell center (sources are 0). The reference's two-pass Shih&Wu
+    transform is exact, so nearest-source search gives identical values;
+    here it is the engine's exact kNN join (geometric annulus expansion —
+    one broadcast-able candidate join per ring, never all-pairs).
+    -> (row, col, value)."""
+    from whitebox_tools_spark.operators.knn import knn_join
+
+    t = _cell_targets(cells, grid)
+    nn = knn_join(t.select("target_id", "x", "y"), _source_points(cells, grid), 1, index)
+    return t.join(nn.select("target_id", "dist"), "target_id", "left").select(
+        "row", "col", F.col("dist").alias("value")
+    )
+
+
+def euclidean_allocation(cells: DataFrame, grid: GridSpec, index) -> DataFrame:
+    """EuclideanAllocation (gis_analysis/euclidean_allocation.rs): every
+    valid cell takes the VALUE of its nearest non-background cell (ties
+    by (distance, source scan order) — deterministic under partitioning).
+    -> (row, col, value)."""
+    from whitebox_tools_spark.operators.knn import knn_join
+
+    t = _cell_targets(cells, grid)
+    nn = knn_join(t.select("target_id", "x", "y"), _source_points(cells, grid), 1, index)
+    return t.join(nn.select("target_id", "z"), "target_id", "left").select(
+        "row", "col", F.col("z").alias("value")
+    )
+
+
+def _euclid_ctes(source_sql: str, grid: GridSpec) -> str:
+    return f"""
+cells AS (SELECT row, col, value FROM ({source_sql}) WHERE value IS NOT NULL),
+pts AS (
+  SELECT row * {grid.cols} + col AS pid,
+         {grid.west!r} + {grid.res_x / 2.0!r} + col * {grid.res_x!r} AS x,
+         {grid.north!r} - {grid.res_y / 2.0!r} - row * {grid.res_y!r} AS y,
+         value
+  FROM cells WHERE value <> 0.0
+),
+tgt AS (
+  SELECT row, col,
+         {grid.west!r} + {grid.res_x / 2.0!r} + col * {grid.res_x!r} AS x,
+         {grid.north!r} - {grid.res_y / 2.0!r} - row * {grid.res_y!r} AS y
+  FROM cells
+),
+nn AS (
+  SELECT row, col, dist, value FROM (
+    SELECT t.row, t.col,
+           sqrt((t.x - p.x) * (t.x - p.x) + (t.y - p.y) * (t.y - p.y)) AS dist,
+           p.value,
+           row_number() OVER (
+             PARTITION BY t.row, t.col
+             ORDER BY (t.x - p.x) * (t.x - p.x) + (t.y - p.y) * (t.y - p.y) ASC,
+                      p.pid ASC
+           ) AS rk
+    FROM tgt t CROSS JOIN pts p
+  ) WHERE rk = 1
+)"""
+
+
+def euclidean_distance_oracle_sql(source_sql: str, grid: GridSpec) -> str:
+    return f"""
+WITH {_euclid_ctes(source_sql, grid)}
+SELECT row, col, round(dist, 6) AS value FROM nn
+"""
+
+
+def euclidean_allocation_oracle_sql(source_sql: str, grid: GridSpec) -> str:
+    return f"""
+WITH {_euclid_ctes(source_sql, grid)}
+SELECT row, col, value FROM nn
+"""
