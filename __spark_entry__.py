@@ -39,6 +39,7 @@ from whitebox_tools_spark.operators import overlay as _ovl
 from whitebox_tools_spark.operators import random as _rnd
 from whitebox_tools_spark.operators import hydro as _hyd
 from whitebox_tools_spark.operators import streams as _str
+from whitebox_tools_spark.operators import viewshed as _vsh
 from whitebox_tools_spark.operators import buffer as _buf
 from whitebox_tools_spark.operators.vector_ops import join_tables, merge_vectors
 from whitebox_tools_spark.operators.zonal import zonal_statistics
@@ -682,6 +683,29 @@ _ALLOC_SRC_SQL = (
     "SELECT row, col, CASE WHEN value > 990.0 THEN value ELSE 0.0 END AS value "
     f"FROM ({_PART_RASTER_SQL})"
 )
+
+
+def q_viewshed(spark, sf_dir):
+    """Viewshed (terrain_analysis/viewshed.rs:345-380): exact R3
+    line-of-sight (the reference's XDraw sweep approximates this); station
+    at (100, 5), height 2.0, view-angle metric dz/dist*1000."""
+    from whitebox_tools_spark.operators.viewshed import viewshed
+
+    return viewshed(
+        _part_raster(spark, sf_dir), EXTRACT_GRID,
+        station_row=100, station_col=5, station_height=2.0,
+    )
+
+
+def q_horizon_angle(spark, sf_dir):
+    """HorizonAngle (terrain_analysis/horizon_angle.rs), east azimuth,
+    max search distance 100 map units."""
+    from whitebox_tools_spark.operators.viewshed import horizon_angle_east
+
+    return _r6(
+        horizon_angle_east(_part_raster(spark, sf_dir), EXTRACT_GRID, max_dist=100.0),
+        ["value"],
+    )
 
 
 def q_euclidean_distance(spark, sf_dir):
@@ -1414,6 +1438,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fill_depressions": q_fill_depressions,
         "basins": q_basins,
         "cost_distance": q_cost_distance,
+        "viewshed": q_viewshed,
+        "horizon_angle": q_horizon_angle,
         "euclidean_distance": q_euclidean_distance,
         "euclidean_allocation": q_euclidean_allocation,
         "raster_to_points": q_raster_to_points,
@@ -1452,6 +1478,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lidar_thin": q_lidar_thin,
         "lidar_ground_filter": q_lidar_ground_filter,
         "lidar_elevation_slice": q_elevation_slice,
+        "lidar_shift": q_lidar_shift,
+        "lidar_filter_classes": q_lidar_filter_classes,
+        "lidar_block_minimum": q_lidar_block_minimum,
+        "lidar_block_maximum": q_lidar_block_maximum,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
@@ -1707,6 +1737,13 @@ FROM a JOIN b ON a.row = b.row AND a.col = b.col
         "d8_pointer": _hyd.d8_pointer_oracle_sql(_NOISE_RASTER_SQL, EXTRACT_GRID),
         "d8_flow_accumulation": _hyd.d8_flow_accum_oracle_sql(_NOISE_RASTER_SQL, EXTRACT_GRID),
         "buffer_raster": _buf.buffer_raster_oracle_sql(_BUFFER_SRC_SQL, EXTRACT_GRID, size=12.0),
+        "viewshed": _vsh.viewshed_oracle_sql(
+            _PART_RASTER_SQL, EXTRACT_GRID,
+            station_row=100, station_col=5, station_height=2.0,
+        ),
+        "horizon_angle": "SELECT row, col, round(value, 6) AS value FROM ("
+        + _vsh.horizon_angle_east_oracle_sql(_PART_RASTER_SQL, EXTRACT_GRID, max_dist=100.0)
+        + ")",
         "euclidean_distance": "SELECT row, col, value FROM ("
         + _buf.euclidean_distance_oracle_sql(_BUFFER_SRC_SQL, EXTRACT_GRID)
         + ")",
@@ -1746,6 +1783,10 @@ FROM ({_PART_RASTER_SQL}) WHERE value IS NOT NULL
         "lidar_thin": _lidar_sql("thin"),
         "lidar_ground_filter": _lidar_ground_sql(),
         "lidar_elevation_slice": _lidar_sql("slice"),
+        "lidar_shift": _lidar_sql("shift"),
+        "lidar_filter_classes": _lidar_sql("classes"),
+        "lidar_block_minimum": _lidar_sql("block_min"),
+        "lidar_block_maximum": _lidar_sql("block_max"),
         # pca: model-based (eigenvector extraction is not SQL-derivable;
         # sign indeterminacy) -> rows-only driver check, pytest-pinned
         "kmeans_clustering": _kmeans_sql(),
@@ -1927,6 +1968,53 @@ def _order_cloud_cte() -> str:
     )
 
 
+def q_lidar_shift(spark, sf_dir):
+    """LidarShift (lidar_analysis/lidar_shift.rs): rigid x/y/z offset."""
+    from whitebox_tools_spark.operators.lidar import lidar_shift
+
+    out = lidar_shift(_order_cloud(spark, sf_dir), dx=12.5, dy=-3.25, dz=1.5)
+    return out.select(
+        "point_id", F.round("x", 6).alias("x"), F.round("y", 6).alias("y"),
+        F.round("z", 6).alias("z"),
+    )
+
+
+def q_lidar_filter_classes(spark, sf_dir):
+    """FilterLidarClasses (lidar_analysis/filter_lidar_classes.rs)."""
+    from whitebox_tools_spark.operators.lidar import filter_classes
+
+    return filter_classes(_order_cloud(spark, sf_dir), [2]).select(
+        "point_id", F.col("classification").cast("long").alias("classification")
+    )
+
+
+def q_lidar_block_minimum(spark, sf_dir):
+    """LidarBlockMinimum (lidar_analysis/block_minimum.rs): lowest return
+    per grid cell as a raster."""
+    cloud = _order_cloud(spark, sf_dir)
+    g = EXTRACT_GRID
+    return (
+        cloud.withColumn("col", g.col_expr(F.col("x")))
+        .withColumn("row", g.row_expr(F.col("y")))
+        .filter(g.in_grid_expr(F.col("row"), F.col("col")))
+        .groupBy("row", "col")
+        .agg(F.round(F.min("z"), 6).alias("value"))
+    )
+
+
+def q_lidar_block_maximum(spark, sf_dir):
+    """LidarBlockMaximum (lidar_analysis/block_maximum.rs)."""
+    cloud = _order_cloud(spark, sf_dir)
+    g = EXTRACT_GRID
+    return (
+        cloud.withColumn("col", g.col_expr(F.col("x")))
+        .withColumn("row", g.row_expr(F.col("y")))
+        .filter(g.in_grid_expr(F.col("row"), F.col("col")))
+        .groupBy("row", "col")
+        .agg(F.round(F.max("z"), 6).alias("value"))
+    )
+
+
 def _lidar_sql(which: str) -> str:
     g = EXTRACT_GRID
     cloud = _order_cloud_cte()
@@ -1943,6 +2031,24 @@ FROM c WHERE {g.in_grid_sql('row', 'col')} GROUP BY row, col
 WITH c AS (SELECT point_id, z, x, y, {rc} FROM ({cloud})),
 r AS (SELECT *, row_number() OVER (PARTITION BY row, col ORDER BY z, point_id) AS rn FROM c)
 SELECT point_id, row, col, round(z, 6) AS z FROM r WHERE rn = 1
+"""
+    if which == "shift":
+        return f"""
+SELECT point_id, round(x + 12.5, 6) AS x, round(y + -3.25, 6) AS y,
+       round(z + 1.5, 6) AS z
+FROM ({cloud})
+"""
+    if which == "classes":
+        return f"""
+SELECT point_id, CAST(classification AS BIGINT) AS classification
+FROM ({cloud}) WHERE classification IN (2)
+"""
+    if which in ("block_min", "block_max"):
+        fn = "min" if which == "block_min" else "max"
+        return f"""
+WITH c AS (SELECT z, {rc} FROM ({cloud}))
+SELECT row, col, round({fn}(z), 6) AS value
+FROM c WHERE {g.in_grid_sql('row', 'col')} GROUP BY row, col
 """
     return f"""
 SELECT point_id, round(z, 6) AS z FROM ({cloud}) WHERE z >= 100.0 AND z <= 200.0

@@ -332,3 +332,37 @@ def test_morphology_and_majority(spark):
     win = [float((rr + cc) % 2) for rr in range(0, 3) for cc in range(0, 3)]
     expect = sorted(((win.count(v), -v) for v in set(win)), reverse=True)[0][1] * -1
     assert maj[(1, 1)] == expect
+
+
+def test_viewshed_wall_blocks(spark):
+    """A tall wall between station and far cells hides everything behind it;
+    cells in front stay visible."""
+    from whitebox_tools_spark.grid import GridSpec
+    from whitebox_tools_spark.operators.viewshed import viewshed
+
+    R, C = 1, 12
+    recs = [(0, c, 100.0 if c == 6 else 10.0) for c in range(C)]
+    cells = spark.createDataFrame(recs, "row long, col long, value double")
+    grid = GridSpec(west=0.0, north=100.0, res_x=5.0, res_y=5.0, rows=R, cols=C)
+    vis = {
+        (r.row, r.col): r.value
+        for r in viewshed(cells, grid, station_row=0, station_col=0).collect()
+    }
+    assert vis[(0, 0)] == 1.0 and vis[(0, 5)] == 1.0
+    assert vis[(0, 6)] == 1.0           # the wall top itself is visible
+    assert all(vis[(0, c)] == 0.0 for c in range(7, C))  # shadowed
+
+
+def test_horizon_angle_east_monotone_case(spark):
+    from whitebox_tools_spark.grid import GridSpec
+    from whitebox_tools_spark.operators.viewshed import horizon_angle_east
+
+    import math
+    recs = [(0, c, float(c * c)) for c in range(6)]  # convex rise east
+    cells = spark.createDataFrame(recs, "row long, col long, value double")
+    grid = GridSpec(west=0.0, north=100.0, res_x=10.0, res_y=10.0, rows=1, cols=6)
+    out = {(r.row, r.col): r.value for r in horizon_angle_east(cells, grid).collect()}
+    # from col 0 the steepest angle is to the farthest cell (convexity)
+    expect = math.degrees(math.atan((25.0 - 0.0) / (5 * 10.0)))
+    assert out[(0, 0)] == pytest.approx(expect)
+    assert out[(0, 5)] is None  # no cell further east

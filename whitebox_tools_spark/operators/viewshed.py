@@ -1,0 +1,177 @@
+"""Visibility operators (class ITR/FOC hybrid).
+
+References (semantics; architecture is Spark-native):
+  - Viewshed: terrain_analysis/viewshed.rs:345-380 — per-cell view angle
+    dz/dist*1000 from the station, visibility by comparing against the max
+    view angle along the sight line. The reference propagates max angles
+    with the XDraw interpolated sweep (an approximation with sequential
+    ring dependencies); this engine computes the EXACT R3 line-of-sight:
+    a cell is visible iff its view angle is >= every angle sampled along
+    the straight line to the station (nearest-cell stepping on the
+    dominant axis). Embarrassingly parallel: one explode + one join + one
+    aggregate — no sequential wavefront, so it distributes cleanly.
+  - HorizonAngle: terrain_analysis/horizon_angle.rs — max vertical angle
+    (degrees) toward any cell along a fixed-azimuth ray, ray-traced with
+    an optional max search distance.
+
+Scale shape: per-target work is O(path length); total O(n * diameter)
+sampled-line rows flow through one shuffle. For planet-scale DEMs the
+XDraw sweep (O(n) total but diameter-many supersteps) becomes preferable;
+at the 10^8-cell tile sizes viewsheds are actually computed on, the
+explode shape wins because it needs no iteration.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from whitebox_tools_spark.grid import GridSpec
+
+
+def viewshed(
+    cells: DataFrame,
+    grid: GridSpec,
+    *,
+    station_row: int,
+    station_col: int,
+    station_height: float = 0.0,
+) -> DataFrame:
+    """-> (row, col, value): 1.0 where the cell center is visible from the
+    station (placed station_height above the DEM surface), else 0.0.
+
+    View angle metric mirrors viewshed.rs:361-364: (z - stn_z)/dist*1000
+    with dist in map units. Sight-line sampling: L = max(|drow|,|dcol|)
+    steps; sample t picks the nearest cell to the ideal point (floor(x+.5)
+    rounding, mirrored exactly in the DuckDB oracle)."""
+    src = cells.filter(F.col("value").isNotNull()).select("row", "col", "value")
+    stn = src.filter(
+        (F.col("row") == station_row) & (F.col("col") == station_col)
+    ).select(F.col("value").alias("stn_z"))
+    d = src.crossJoin(F.broadcast(stn))
+    dr = F.col("row") - F.lit(station_row)
+    dc = F.col("col") - F.lit(station_col)
+    dist = F.sqrt(
+        (dr * F.lit(grid.res_y)) * (dr * F.lit(grid.res_y))
+        + (dc * F.lit(grid.res_x)) * (dc * F.lit(grid.res_x))
+    )
+    va = F.when(
+        dist != 0.0,
+        (F.col("value") + F.lit(0.0) - (F.col("stn_z") + F.lit(station_height)))
+        / dist * 1000.0,
+    ).otherwise(F.lit(0.0))
+    t = d.withColumn("va", va).withColumn(
+        "L", F.greatest(F.abs(dr), F.abs(dc)).cast("long")
+    )
+    # intermediate samples t=1..L-1 at the nearest cell to the ideal point
+    steps = t.filter(F.col("L") >= 2).withColumn(
+        "t", F.explode(F.sequence(F.lit(1), F.col("L") - 1))
+    )
+    srow = F.floor(
+        F.lit(station_row)
+        + (F.col("row") - F.lit(station_row)) * F.col("t") / F.col("L")
+        + F.lit(0.5)
+    ).cast("long")
+    scol = F.floor(
+        F.lit(station_col)
+        + (F.col("col") - F.lit(station_col)) * F.col("t") / F.col("L")
+        + F.lit(0.5)
+    ).cast("long")
+    samples = steps.select(
+        "row", "col", "va", srow.alias("srow"), scol.alias("scol")
+    )
+    sva_src = t.select(
+        F.col("row").alias("srow"), F.col("col").alias("scol"), F.col("va").alias("sva")
+    )
+    blocked = (
+        samples.join(sva_src, ["srow", "scol"])
+        .groupBy("row", "col")
+        .agg(F.max("sva").alias("max_sva"))
+    )
+    out = t.join(blocked, ["row", "col"], "left").select(
+        "row", "col",
+        F.when(
+            F.col("max_sva").isNull() | (F.col("va") >= F.col("max_sva")),
+            F.lit(1.0),
+        ).otherwise(F.lit(0.0)).alias("value"),
+    )
+    return out
+
+
+def viewshed_oracle_sql(
+    source_sql: str,
+    grid: GridSpec,
+    *,
+    station_row: int,
+    station_col: int,
+    station_height: float = 0.0,
+) -> str:
+    sr, sc = station_row, station_col
+    return f"""
+WITH src AS (SELECT row, col, value FROM ({source_sql}) WHERE value IS NOT NULL),
+stn AS (SELECT value AS stn_z FROM src WHERE row = {sr} AND col = {sc}),
+t AS (
+  SELECT row, col,
+         CASE WHEN sqrt((row - {sr}) * {grid.res_y!r} * ((row - {sr}) * {grid.res_y!r})
+                      + (col - {sc}) * {grid.res_x!r} * ((col - {sc}) * {grid.res_x!r})) <> 0.0
+              THEN (value + 0.0 - (stn_z + {station_height!r}))
+                   / sqrt((row - {sr}) * {grid.res_y!r} * ((row - {sr}) * {grid.res_y!r})
+                        + (col - {sc}) * {grid.res_x!r} * ((col - {sc}) * {grid.res_x!r})) * 1000.0
+              ELSE 0.0 END AS va,
+         greatest(abs(row - {sr}), abs(col - {sc})) AS L
+  FROM src CROSS JOIN stn
+),
+steps AS (
+  SELECT row, col, va,
+         CAST(floor({sr} + (row - {sr}) * tt.t / L + 0.5) AS BIGINT) AS srow,
+         CAST(floor({sc} + (col - {sc}) * tt.t / L + 0.5) AS BIGINT) AS scol
+  FROM t CROSS JOIN LATERAL unnest(range(1, CAST(L AS BIGINT))) AS tt(t)
+  WHERE L >= 2
+),
+blocked AS (
+  SELECT s.row, s.col, max(v.va) AS max_sva
+  FROM steps s JOIN t v ON v.row = s.srow AND v.col = s.scol
+  GROUP BY s.row, s.col
+)
+SELECT t.row, t.col,
+       CASE WHEN b.max_sva IS NULL OR t.va >= b.max_sva THEN 1.0 ELSE 0.0 END AS value
+FROM t LEFT JOIN blocked b ON b.row = t.row AND b.col = t.col
+"""
+
+
+def horizon_angle_east(
+    cells: DataFrame, grid: GridSpec, *, max_dist: float = float("inf")
+) -> DataFrame:
+    """HorizonAngle, east azimuth: per cell, the maximum vertical angle
+    (degrees) to any cell further east in the same row within max_dist;
+    cells with no eastern neighbor in range get 0 slope's floor -90? The
+    reference leaves them at the flat horizon -> 0 tangent is wrong for
+    pits, so this engine emits degrees(atan(max dz/dist)) and NULL when no
+    candidate exists. -> (row, col, value)."""
+    src = cells.filter(F.col("value").isNotNull()).select("row", "col", "value")
+    east = src.select(
+        F.col("row"), F.col("col").alias("ecol"), F.col("value").alias("ez")
+    )
+    pairs = src.join(east, "row").filter(F.col("ecol") > F.col("col"))
+    dist = (F.col("ecol") - F.col("col")) * F.lit(grid.res_x)
+    pairs = pairs.filter(dist <= F.lit(max_dist))
+    ang = (F.col("ez") - F.col("value")) / dist
+    agg = pairs.groupBy("row", "col").agg(F.max(ang).alias("mx"))
+    return src.join(agg, ["row", "col"], "left").select(
+        "row", "col", F.degrees(F.atan(F.col("mx"))).alias("value")
+    )
+
+
+def horizon_angle_east_oracle_sql(
+    source_sql: str, grid: GridSpec, *, max_dist: float = 1e18
+) -> str:
+    return f"""
+WITH src AS (SELECT row, col, value FROM ({source_sql}) WHERE value IS NOT NULL),
+agg AS (
+  SELECT a.row, a.col, max((b.value - a.value) / ((b.col - a.col) * {grid.res_x!r})) AS mx
+  FROM src a JOIN src b ON b.row = a.row AND b.col > a.col
+  WHERE (b.col - a.col) * {grid.res_x!r} <= {max_dist!r}
+  GROUP BY a.row, a.col
+)
+SELECT s.row, s.col, degrees(atan(agg.mx)) AS value
+FROM src s LEFT JOIN agg ON agg.row = s.row AND agg.col = s.col
+"""
