@@ -685,6 +685,55 @@ _ALLOC_SRC_SQL = (
 )
 
 
+def q_subbasins(spark, sf_dir):
+    """SubBasins (hydro_analysis/subbasins.rs): each cell labeled with the
+    link id of the first stream cell on its D8 flow path."""
+    from whitebox_tools_spark.operators.streams import subbasins
+
+    return subbasins(_valley_dem(spark, sf_dir), STREAM_GRID, threshold=4.0)
+
+
+def q_elev_above_stream(spark, sf_dir):
+    """ElevationAboveStream (hydro_analysis/elevation_above_stream.rs)."""
+    from whitebox_tools_spark.operators.streams import elevation_above_stream
+
+    return _r6(
+        elevation_above_stream(_valley_dem(spark, sf_dir), STREAM_GRID, threshold=4.0),
+        ["value"],
+    )
+
+
+def q_dist_to_stream(spark, sf_dir):
+    """DownslopeDistanceToStream (hydro_analysis/downslope_distance_to_stream.rs)."""
+    from whitebox_tools_spark.operators.streams import downslope_distance_to_stream
+
+    return _r6(
+        downslope_distance_to_stream(_valley_dem(spark, sf_dir), STREAM_GRID, threshold=4.0),
+        ["value"],
+    )
+
+
+def q_depth_in_sink(spark, sf_dir):
+    """DepthInSink (hydro_analysis/depth_in_sink.rs): fill - DEM."""
+    from whitebox_tools_spark.operators.streams import depth_in_sink
+
+    return _r6(depth_in_sink(_noise_raster(spark, sf_dir)), ["value"])
+
+
+def q_elev_rel_minmax(spark, sf_dir):
+    """ElevRelativeToMinMax (terrain_analysis/elev_relative_to_min_max.rs):
+    (z - min) / (max - min) over the whole raster."""
+    dem = _part_raster(spark, sf_dir).filter(F.col("value").isNotNull())
+    stats = dem.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+    return _r6(
+        dem.crossJoin(F.broadcast(stats)).select(
+            "row", "col",
+            ((F.col("value") - F.col("mn")) / (F.col("mx") - F.col("mn"))).alias("value"),
+        ),
+        ["value"],
+    )
+
+
 def q_viewshed(spark, sf_dir):
     """Viewshed (terrain_analysis/viewshed.rs:345-380): exact R3
     line-of-sight (the reference's XDraw sweep approximates this); station
@@ -1440,6 +1489,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cost_distance": q_cost_distance,
         "viewshed": q_viewshed,
         "horizon_angle": q_horizon_angle,
+        "subbasins": q_subbasins,
+        "elevation_above_stream": q_elev_above_stream,
+        "downslope_distance_to_stream": q_dist_to_stream,
+        "depth_in_sink": q_depth_in_sink,
+        "elev_relative_to_min_max": q_elev_rel_minmax,
         "euclidean_distance": q_euclidean_distance,
         "euclidean_allocation": q_euclidean_allocation,
         "raster_to_points": q_raster_to_points,
@@ -1768,6 +1822,24 @@ FROM ({_PART_RASTER_SQL}) WHERE value IS NOT NULL
         "watershed": _str.watershed_oracle_sql(_VALLEY_DEM_SQL, STREAM_GRID, _POUR),
         "downslope_flowpath_length": _str.flowpath_length_oracle_sql(_VALLEY_DEM_SQL, STREAM_GRID),
         "num_inflowing_neighbours": _str.num_inflowing_oracle_sql(_VALLEY_DEM_SQL, STREAM_GRID),
+        "subbasins": _str.subbasins_oracle_sql(_VALLEY_DEM_SQL, STREAM_GRID, threshold=4.0),
+        "elevation_above_stream": "SELECT row, col, round(value, 6) AS value FROM ("
+        + _str.elevation_above_stream_oracle_sql(_VALLEY_DEM_SQL, STREAM_GRID, threshold=4.0)
+        + ")",
+        "downslope_distance_to_stream": _str.distance_to_stream_oracle_sql(
+            _VALLEY_DEM_SQL, STREAM_GRID, threshold=4.0
+        ),
+        "depth_in_sink": f"""
+WITH fill AS ({_hyd.fill_depressions_oracle_sql(_NOISE_RASTER_SQL)}),
+dem AS (SELECT row, col, value FROM ({_NOISE_RASTER_SQL}) WHERE value IS NOT NULL)
+SELECT d.row, d.col, round(f.value - d.value, 6) AS value
+FROM dem d JOIN fill f ON f.row = d.row AND f.col = d.col
+""",
+        "elev_relative_to_min_max": f"""
+WITH dem AS (SELECT row, col, value FROM ({_PART_RASTER_SQL}) WHERE value IS NOT NULL),
+s AS (SELECT min(value) AS mn, max(value) AS mx FROM dem)
+SELECT row, col, round((value - mn) / (mx - mn), 6) AS value FROM dem CROSS JOIN s
+""",
         # cost_distance: least-cost paths are not recursively enumerable in
         # SQL without exponential path states -> rows-only; Dijkstra pin in
         # pytest

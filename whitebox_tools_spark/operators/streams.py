@@ -532,3 +532,193 @@ fwalk(orow, ocol, row, col, dist) AS (
 SELECT orow AS row, ocol AS col, round(max(dist), 6) AS value
 FROM fwalk GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# Stream-relative operators: every cell's flow path is cut at the FIRST
+# stream cell it reaches (stream cells' outgoing edges removed), then
+# pointer-doubling finds that terminal in O(log path) rounds.
+#   - SubBasins (hydro_analysis/subbasins.rs): label = the terminal stream
+#     cell's link id.
+#   - ElevationAboveStream (hydro_analysis/elevation_above_stream.rs):
+#     z(cell) - z(terminal stream cell).
+#   - DownslopeDistanceToStream (hydro_analysis/downslope_distance_to_stream.rs):
+#     along-path distance to the terminal stream cell (stream cells = 0).
+# Cells whose path never meets a stream are absent (reference nodata).
+# ---------------------------------------------------------------------------
+def _edge_lengths(edges: DataFrame, grid: GridSpec) -> DataFrame:
+    lens = _grid_lengths(grid)
+    dircase = F.coalesce(
+        *[
+            F.when(
+                (F.col("trow") - F.col("row") == D8_DY[i])
+                & (F.col("tcol") - F.col("col") == D8_DX[i]),
+                F.lit(lens[i]),
+            )
+            for i in range(8)
+        ]
+    )
+    return edges.withColumn("len", dircase)
+
+
+def _chain_terminals_with_dist(
+    nodes: DataFrame, edges_len: DataFrame, *, max_doublings: int = 48
+) -> DataFrame:
+    """Like _chain_terminals but accumulates along-path distance.
+    edges_len: (row, col, trow, tcol, len). -> (row, col, trow, tcol, dist)."""
+    state = nodes.join(edges_len, ["row", "col"], "left").select(
+        _key(F.col("row"), F.col("col")).alias("key"),
+        F.coalesce(_key(F.col("trow"), F.col("tcol")), _key(F.col("row"), F.col("col"))).alias(
+            "skey"
+        ),
+        F.coalesce(F.col("len"), F.lit(0.0)).alias("dist"),
+    ).localCheckpoint(eager=True)
+    for _ in range(max_doublings):
+        s2 = state.select(
+            F.col("key").alias("k2"), F.col("skey").alias("s2"), F.col("dist").alias("d2")
+        )
+        nxt = (
+            state.join(s2, state["skey"] == s2["k2"])
+            .select("key", F.col("s2").alias("skey"), (F.col("dist") + F.col("d2")).alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            nxt.join(state.select("key", F.col("skey").alias("old")), "key")
+            .filter(F.col("skey") != F.col("old"))
+            .limit(1)
+            .isEmpty()
+        )
+        state = nxt
+        if changed:
+            break
+    return state.select(
+        F.floor(F.col("key") / _BIG).cast("long").alias("row"),
+        (F.col("key") % _BIG).alias("col"),
+        F.floor(F.col("skey") / _BIG).cast("long").alias("trow"),
+        (F.col("skey") % _BIG).alias("tcol"),
+        "dist",
+    )
+
+
+def _stream_terminals(cells: DataFrame, grid: GridSpec, threshold: float):
+    """-> (term df (row,col,trow,tcol,dist), stream cell set): flow paths
+    cut at stream cells, so trow/tcol is the FIRST stream cell reached
+    (or a pit/outlet when the path never meets a stream)."""
+    sc, _ = _stream_set(cells, grid, threshold)
+    src = cells.filter(F.col("value").isNotNull()).select("row", "col")
+    edges = _flow_edges(cells, grid).join(sc, ["row", "col"], "left_anti")
+    term = _chain_terminals_with_dist(src, _edge_lengths(edges, grid))
+    return term, sc
+
+
+def subbasins(cells: DataFrame, grid: GridSpec, *, threshold: float) -> DataFrame:
+    """-> (row, col, basin_id): the link id of the first stream cell on
+    each cell's flow path (reference assigns each stream link's watershed
+    its link id)."""
+    term, _ = _stream_terminals(cells, grid, threshold)
+    links = stream_link_identifier(cells, grid, threshold=threshold)
+    return term.join(
+        links.select(
+            F.col("row").alias("trow"), F.col("col").alias("tcol"),
+            F.col("link_id").alias("basin_id"),
+        ),
+        ["trow", "tcol"],
+    ).select("row", "col", "basin_id")
+
+
+def elevation_above_stream(
+    cells: DataFrame, grid: GridSpec, *, threshold: float
+) -> DataFrame:
+    """-> (row, col, value): z(cell) - z(first stream cell on the flow
+    path); stream cells are 0."""
+    term, sc = _stream_terminals(cells, grid, threshold)
+    z = cells.filter(F.col("value").isNotNull()).select("row", "col", "value")
+    tz = z.select(
+        F.col("row").alias("trow"), F.col("col").alias("tcol"), F.col("value").alias("tz")
+    )
+    on_stream = sc.select(F.col("row").alias("trow"), F.col("col").alias("tcol"))
+    return (
+        term.join(on_stream, ["trow", "tcol"])
+        .join(z, ["row", "col"])
+        .join(tz, ["trow", "tcol"])
+        .select("row", "col", (F.col("value") - F.col("tz")).alias("value"))
+    )
+
+
+def downslope_distance_to_stream(
+    cells: DataFrame, grid: GridSpec, *, threshold: float
+) -> DataFrame:
+    """-> (row, col, value): along-path distance to the first stream cell;
+    stream cells are 0; cells never reaching a stream absent."""
+    term, sc = _stream_terminals(cells, grid, threshold)
+    on_stream = sc.select(F.col("row").alias("trow"), F.col("col").alias("tcol"))
+    return term.join(on_stream, ["trow", "tcol"]).select(
+        "row", "col", F.col("dist").alias("value")
+    )
+
+
+def depth_in_sink(cells: DataFrame, *, max_iterations: int = 10_000) -> DataFrame:
+    """DepthInSink (hydro_analysis/depth_in_sink.rs): filled elevation
+    minus original elevation (0 outside depressions)."""
+    from whitebox_tools_spark.operators.hydro import fill_depressions
+
+    filled = fill_depressions(cells, max_iterations=max_iterations).select(
+        "row", "col", F.col("value").alias("w")
+    )
+    return (
+        cells.filter(F.col("value").isNotNull())
+        .join(filled, ["row", "col"])
+        .select("row", "col", (F.col("w") - F.col("value")).alias("value"))
+    )
+
+
+def _cut_walk_ctes(threshold_unused=None) -> str:
+    """Recursive walk over stream-cut flow edges, with distances."""
+    return """
+cutfd AS MATERIALIZED (
+  SELECT f.row, f.col, f.i, f.trow, f.tcol FROM fd f
+  ANTI JOIN sc s ON s.row = f.row AND s.col = f.col
+),
+twalk(orow, ocol, row, col, dist) AS (
+  SELECT row, col, row, col, CAST(0.0 AS DOUBLE) FROM cells
+  UNION
+  SELECT w.orow, w.ocol, f.trow, f.tcol, w.dist + d.len
+  FROM twalk w
+  JOIN cutfd f ON f.row = w.row AND f.col = w.col
+  JOIN dirs d ON d.i = f.i
+),
+tterm AS MATERIALIZED (
+  SELECT w.orow, w.ocol, w.row AS trow, w.col AS tcol, w.dist
+  FROM twalk w ANTI JOIN cutfd f ON f.row = w.row AND f.col = w.col
+)"""
+
+
+def subbasins_oracle_sql(source_sql: str, grid: GridSpec, *, threshold: float) -> str:
+    return f"""
+WITH RECURSIVE {_stream_ctes(source_sql, grid, threshold)},{_LINK_CTES},{_cut_walk_ctes()}
+SELECT t.orow AS row, t.ocol AS col, lc.link_id AS basin_id
+FROM tterm t JOIN linkcell lc ON lc.row = t.trow AND lc.col = t.tcol
+"""
+
+
+def elevation_above_stream_oracle_sql(
+    source_sql: str, grid: GridSpec, *, threshold: float
+) -> str:
+    return f"""
+WITH RECURSIVE {_stream_ctes(source_sql, grid, threshold)},{_cut_walk_ctes()}
+SELECT t.orow AS row, t.ocol AS col, zo.value - zt.value AS value
+FROM tterm t
+JOIN sc s ON s.row = t.trow AND s.col = t.tcol
+JOIN cells zo ON zo.row = t.orow AND zo.col = t.ocol
+JOIN cells zt ON zt.row = t.trow AND zt.col = t.tcol
+"""
+
+
+def distance_to_stream_oracle_sql(
+    source_sql: str, grid: GridSpec, *, threshold: float
+) -> str:
+    return f"""
+WITH RECURSIVE {_stream_ctes(source_sql, grid, threshold)},{_cut_walk_ctes()}
+SELECT t.orow AS row, t.ocol AS col, round(t.dist, 6) AS value
+FROM tterm t JOIN sc s ON s.row = t.trow AND s.col = t.tcol
+"""
