@@ -917,6 +917,15 @@ def q_d8_flow_accum(spark, sf_dir):
     return d8_flow_accumulation(_noise_raster(spark, sf_dir), EXTRACT_GRID)
 
 
+def q_dinf_pointer(spark, sf_dir):
+    """DInfPointer (hydro_analysis/dinf_pointer.rs:225-320, Tarboton 1997):
+    8-facet closed form; the facet formulas are one SQL text parsed by
+    both Spark and DuckDB, so the oracle is the same arithmetic."""
+    from whitebox_tools_spark.operators.hydro import dinf_pointer
+
+    return _r6(dinf_pointer(_noise_raster(spark, sf_dir), EXTRACT_GRID), ["value"])
+
+
 def q_basins(spark, sf_dir):
     """Basins (hydro_analysis/basins.rs): terminal-cell drainage labeling
     via successor pointer doubling; oracle = recursive pointer walk."""
@@ -1487,6 +1496,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fill_depressions": q_fill_depressions,
         "basins": q_basins,
         "cost_distance": q_cost_distance,
+        "dinf_pointer": q_dinf_pointer,
         "viewshed": q_viewshed,
         "horizon_angle": q_horizon_angle,
         "subbasins": q_subbasins,
@@ -1813,6 +1823,9 @@ FROM ({_PART_RASTER_SQL}) WHERE value IS NOT NULL
         "singlepart_to_multipart": _sp_to_mp_sql(),
         "fill_depressions": _hyd.fill_depressions_oracle_sql(_NOISE_RASTER_SQL),
         "basins": _hyd.basins_oracle_sql(_NOISE_RASTER_SQL, EXTRACT_GRID),
+        "dinf_pointer": "SELECT row, col, round(value, 6) AS value FROM ("
+        + _hyd.dinf_pointer_oracle_sql(_NOISE_RASTER_SQL, EXTRACT_GRID)
+        + ")",
         "extract_streams": _str.extract_streams_oracle_sql(
             _VALLEY_DEM_SQL, STREAM_GRID, threshold=4.0
         ),

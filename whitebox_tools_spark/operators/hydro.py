@@ -450,3 +450,140 @@ def cost_distance(
         if changed:
             break
     return acc.filter(F.col("acc").isNotNull()).select("row", "col", F.col("acc").alias("value"))
+
+
+# ---------------------------------------------------------------------------
+# D-infinity pointer (Tarboton 1997), hydro_analysis/dinf_pointer.rs:225-320.
+# Per-cell closed-form over 8 triangular facets — pure expressions, one
+# scatter-shuffle. The facet formulas are generated ONCE as SQL text that
+# parses identically in Spark SQL and DuckDB, so the oracle is the same
+# arithmetic by construction.
+# ---------------------------------------------------------------------------
+# (ac, af, e1 neighbor (dx,dy), e2 neighbor (dx,dy)) per facet, in the
+# reference's iteration order (ties keep the LATER facet: s >= max_slope)
+_DINF_FACETS = [
+    (0, 1, (1, 0), (1, -1)),
+    (1, -1, (0, -1), (1, -1)),
+    (1, 1, (0, -1), (-1, -1)),
+    (2, -1, (-1, 0), (-1, -1)),
+    (2, 1, (-1, 0), (-1, 1)),
+    (3, -1, (0, 1), (-1, 1)),
+    (3, 1, (0, 1), (1, 1)),
+    (4, -1, (1, 0), (1, 1)),
+]
+
+_DINF_NBRS = sorted({f[2] for f in _DINF_FACETS} | {f[3] for f in _DINF_FACETS})
+
+
+def _nb_name(dx: int, dy: int) -> str:
+    return "n_" + str(dx).replace("-", "m") + "_" + str(dy).replace("-", "m")
+
+
+def _dinf_facet_sql(grid: GridSpec) -> list[tuple[str, str]]:
+    """-> [(s_expr, dir_expr)] per facet, over columns e0 and n_{dx}_{dy}."""
+    G = (grid.res_x + grid.res_y) / 2.0
+    D = (grid.res_x**2 + grid.res_y**2) ** 0.5
+    out = []
+    for ac, af, (dx1, dy1), (dx2, dy2) in _DINF_FACETS:
+        e1, e2 = _nb_name(dx1, dy1), _nb_name(dx2, dy2)
+        s1 = f"((e0 - {e1}) / {G!r})"
+        s2 = f"(({e1} - {e2}) / {G!r})"
+        r0 = f"(CASE WHEN {s1} <> 0.0 THEN atan({s2} / {s1}) ELSE pi() / 2.0 END)"
+        r = f"(CASE WHEN {r0} < 0.0 THEN 0.0 WHEN {r0} > atan(1.0) THEN atan(1.0) ELSE {r0} END)"
+        s_full = (
+            f"(CASE WHEN {r0} < 0.0 THEN {s1} "
+            f"WHEN {r0} > atan(1.0) THEN ((e0 - {e2}) / {D!r}) "
+            f"ELSE sqrt({s1} * {s1} + {s2} * {s2}) END)"
+        )
+        s = (
+            f"(CASE WHEN {e1} IS NULL OR {e2} IS NULL THEN NULL "
+            f"WHEN e0 > {e1} AND e0 > {e2} THEN {s_full} "
+            f"WHEN e0 > {e1} THEN {s1} "
+            f"WHEN e0 > {e2} THEN ((e0 - {e2}) / {D!r}) "
+            f"ELSE NULL END)"
+        )
+        rr = (
+            f"(CASE WHEN e0 > {e1} AND e0 > {e2} THEN {r} "
+            f"WHEN e0 > {e1} THEN 0.0 ELSE atan(1.0) END)"
+        )
+        d = f"({af!r} * {rr} + {ac!r} * pi() / 2.0)"
+        # the reference skips candidates whose slope is exactly 0.00001
+        s = f"(CASE WHEN {s} = 0.00001 THEN NULL ELSE {s} END)"
+        out.append((s, d))
+    return out
+
+
+def _dinf_out_sql(grid: GridSpec) -> str:
+    """Winner selection + angle normalization over facet columns s_0..s_7 /
+    d_0..d_7 (dinf_pointer.rs:311-318); -1.0 for cells with no downslope."""
+    best = "greatest(" + ", ".join(f"coalesce(s_{i}, -1e308)" for i in range(8)) + ")"
+    pick = " ".join(
+        f"WHEN coalesce(s_{i}, -1e308) = __best THEN d_{i}" for i in range(7, -1, -1)
+    )
+    return (
+        f"CASE WHEN __best > 0.0 THEN "
+        f"(CASE WHEN (360.0 - degrees(CASE {pick} END) + 90.0) > 360.0 "
+        f"THEN 360.0 - degrees(CASE {pick} END) + 90.0 - 360.0 "
+        f"ELSE 360.0 - degrees(CASE {pick} END) + 90.0 END) "
+        f"ELSE -1.0 END"
+    ).replace("__best", best)
+
+
+def dinf_pointer(cells: DataFrame, grid: GridSpec) -> DataFrame:
+    """-> (row, col, value): D-infinity flow direction in degrees
+    (clockwise from north, reference convention), -1.0 for pits/flats."""
+    spark = cells.sparkSession
+    src = cells.filter(F.col("value").isNotNull()).select("row", "col", F.col("value").alias("e0"))
+    offs = spark.createDataFrame(list(_DINF_NBRS), "dx int, dy int")
+    scattered = (
+        src.crossJoin(F.broadcast(offs))
+        .select(
+            (F.col("row") - F.col("dy")).alias("row"),
+            (F.col("col") - F.col("dx")).alias("col"),
+            "dx", "dy", F.col("e0").alias("nv"),
+        )
+    )
+    pivoted = scattered.groupBy("row", "col").agg(
+        *[
+            F.max(
+                F.when((F.col("dx") == dx) & (F.col("dy") == dy), F.col("nv"))
+            ).alias(_nb_name(dx, dy))
+            for dx, dy in _DINF_NBRS
+        ]
+    )
+    wide = src.join(pivoted, ["row", "col"], "left")
+    for i, (s_sql, d_sql) in enumerate(_dinf_facet_sql(grid)):
+        wide = wide.withColumn(f"s_{i}", F.expr(s_sql)).withColumn(f"d_{i}", F.expr(d_sql))
+    return wide.select("row", "col", F.expr(_dinf_out_sql(grid)).alias("value"))
+
+
+def dinf_pointer_oracle_sql(source_sql: str, grid: GridSpec) -> str:
+    nbr_cols = ",\n  ".join(
+        f"max(CASE WHEN o.dx = {dx} AND o.dy = {dy} THEN s.e0 END) AS {_nb_name(dx, dy)}"
+        for dx, dy in _DINF_NBRS
+    )
+    offs = ", ".join(f"({dx}, {dy})" for dx, dy in _DINF_NBRS)
+    facet_cols = ",\n  ".join(
+        f"{s} AS s_{i},\n  {d} AS d_{i}"
+        for i, (s, d) in enumerate(_dinf_facet_sql(grid))
+    )
+    return f"""
+WITH src AS (SELECT row, col, value AS e0 FROM ({source_sql}) WHERE value IS NOT NULL),
+offs(dx, dy) AS (VALUES {offs}),
+piv AS (
+  SELECT s.row - o.dy AS row, s.col - o.dx AS col,
+  {nbr_cols}
+  FROM src s CROSS JOIN offs o
+  GROUP BY 1, 2
+),
+wide AS (
+  SELECT c.row, c.col, c.e0, p.* EXCLUDE (row, col)
+  FROM src c LEFT JOIN piv p ON p.row = c.row AND p.col = c.col
+),
+facets AS (
+  SELECT row, col, e0,
+  {facet_cols}
+  FROM wide
+)
+SELECT row, col, {_dinf_out_sql(grid)} AS value FROM facets
+"""
