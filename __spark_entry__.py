@@ -40,6 +40,7 @@ from whitebox_tools_spark.operators import random as _rnd
 from whitebox_tools_spark.operators import hydro as _hyd
 from whitebox_tools_spark.operators import streams as _str
 from whitebox_tools_spark.operators import viewshed as _vsh
+from whitebox_tools_spark.operators import image as _img
 from whitebox_tools_spark.operators import buffer as _buf
 from whitebox_tools_spark.operators.vector_ops import join_tables, merge_vectors
 from whitebox_tools_spark.operators.zonal import zonal_statistics
@@ -683,6 +684,37 @@ _ALLOC_SRC_SQL = (
     "SELECT row, col, CASE WHEN value > 990.0 THEN value ELSE 0.0 END AS value "
     f"FROM ({_PART_RASTER_SQL})"
 )
+
+
+def q_flip_image(spark, sf_dir):
+    """FlipImage (image_analysis/flip_image.rs:229-250), both axes."""
+    from whitebox_tools_spark.operators.image import flip_image
+
+    return flip_image(_part_raster(spark, sf_dir), EXTRACT_GRID, direction="both")
+
+
+def q_gamma_correction(spark, sf_dir):
+    """GammaCorrection (image_analysis/gamma_correction.rs:279): z^gamma."""
+    from whitebox_tools_spark.operators.image import gamma_correction
+
+    return _r6(gamma_correction(_part_raster(spark, sf_dir), gamma=0.5), ["value"])
+
+
+def q_min_max_stretch(spark, sf_dir):
+    """MinMaxContrastStretch (image_analysis/min_max_contrast_stretch.rs:367-373)."""
+    from whitebox_tools_spark.operators.image import min_max_contrast_stretch
+
+    return min_max_contrast_stretch(
+        _part_raster(spark, sf_dir), min_val=900.0, max_val=1000.0, num_tones=256.0
+    )
+
+
+def q_hist_equalization(spark, sf_dir):
+    """HistogramEqualization (image_analysis/histogram_equalization.rs:272-387),
+    grayscale branch, 256 tones."""
+    from whitebox_tools_spark.operators.image import histogram_equalization
+
+    return histogram_equalization(_part_raster(spark, sf_dir), num_tones=256)
 
 
 def q_subbasins(spark, sf_dir):
@@ -1499,6 +1531,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dinf_pointer": q_dinf_pointer,
         "viewshed": q_viewshed,
         "horizon_angle": q_horizon_angle,
+        "flip_image": q_flip_image,
+        "gamma_correction": q_gamma_correction,
+        "min_max_contrast_stretch": q_min_max_stretch,
+        "histogram_equalization": q_hist_equalization,
         "subbasins": q_subbasins,
         "elevation_above_stream": q_elev_above_stream,
         "downslope_distance_to_stream": q_dist_to_stream,
@@ -1835,6 +1871,17 @@ FROM ({_PART_RASTER_SQL}) WHERE value IS NOT NULL
         "watershed": _str.watershed_oracle_sql(_VALLEY_DEM_SQL, STREAM_GRID, _POUR),
         "downslope_flowpath_length": _str.flowpath_length_oracle_sql(_VALLEY_DEM_SQL, STREAM_GRID),
         "num_inflowing_neighbours": _str.num_inflowing_oracle_sql(_VALLEY_DEM_SQL, STREAM_GRID),
+        "flip_image": _img.flip_image_oracle_sql(_PART_RASTER_SQL, EXTRACT_GRID, direction="both"),
+        "gamma_correction": f"""
+SELECT row, col, round(pow(value, 0.5), 6) AS value
+FROM ({_PART_RASTER_SQL}) WHERE value IS NOT NULL
+""",
+        "min_max_contrast_stretch": _img.min_max_stretch_oracle_sql(
+            _PART_RASTER_SQL, min_val=900.0, max_val=1000.0, num_tones=256.0
+        ),
+        "histogram_equalization": _img.histogram_equalization_oracle_sql(
+            _PART_RASTER_SQL, num_tones=256
+        ),
         "subbasins": _str.subbasins_oracle_sql(_VALLEY_DEM_SQL, STREAM_GRID, threshold=4.0),
         "elevation_above_stream": "SELECT row, col, round(value, 6) AS value FROM ("
         + _str.elevation_above_stream_oracle_sql(_VALLEY_DEM_SQL, STREAM_GRID, threshold=4.0)
