@@ -41,6 +41,7 @@ from whitebox_tools_spark.operators import hydro as _hyd
 from whitebox_tools_spark.operators import streams as _str
 from whitebox_tools_spark.operators import viewshed as _vsh
 from whitebox_tools_spark.operators import image as _img
+from whitebox_tools_spark.operators import focal as _foc
 from whitebox_tools_spark.operators import buffer as _buf
 from whitebox_tools_spark.operators.vector_ops import join_tables, merge_vectors
 from whitebox_tools_spark.operators.zonal import zonal_statistics
@@ -684,6 +685,60 @@ _ALLOC_SRC_SQL = (
     "SELECT row, col, CASE WHEN value > 990.0 THEN value ELSE 0.0 END AS value "
     f"FROM ({_PART_RASTER_SQL})"
 )
+
+
+def q_fd8_pointer(spark, sf_dir):
+    """FD8Pointer (hydro_analysis/fd8_pointer.rs:227-247): bitmask of all
+    strictly-downslope neighbors."""
+    from whitebox_tools_spark.operators.hydro import fd8_pointer
+
+    return fd8_pointer(_noise_raster(spark, sf_dir), EXTRACT_GRID)
+
+
+def q_percent_elev_range(spark, sf_dir):
+    """PercentElevRange (terrain_analysis/percent_elev_range.rs:375-385)."""
+    from whitebox_tools_spark.operators import focal as FO
+
+    return _r6(FO.percent_elev_range(_part_raster(spark, sf_dir)), ["value"])
+
+
+def q_relative_aspect(spark, sf_dir):
+    """RelativeAspect (terrain_analysis/relative_aspect.rs:330-333):
+    angular distance between aspect and azimuth 135, folded to [0, 180];
+    flat cells (aspect -1) are nodata."""
+    from whitebox_tools_spark.operators import focal as FO
+
+    asp = FO.aspect(_part_raster(spark, sf_dir), res=5.0)
+    ra = F.abs(F.col("value") - F.lit(135.0))
+    ra = F.when(ra > 180.0, F.lit(360.0) - ra).otherwise(ra)
+    return _r6(
+        asp.select(
+            "row", "col",
+            F.when(F.col("value") == -1.0, F.lit(None).cast("double"))
+            .otherwise(ra).alias("value"),
+        ),
+        ["value"],
+    )
+
+
+def q_max_upslope_flowpath(spark, sf_dir):
+    """MaxUpslopeFlowpathLength (hydro_analysis/max_upslope_flowpath.rs)."""
+    from whitebox_tools_spark.operators.streams import max_upslope_flowpath
+
+    return _r6(max_upslope_flowpath(_valley_dem(spark, sf_dir), STREAM_GRID), ["value"])
+
+
+_SNAP_POUR = [(8, 10, 1), (15, 18, 2)]
+
+
+def q_snap_pour_points(spark, sf_dir):
+    """SnapPourPoints (hydro_analysis/snap_pour_points.rs semantics over
+    accumulation): move each pour point to the highest-accumulation cell
+    within the snap window; ties to the smallest (row, col)."""
+    from whitebox_tools_spark.operators.streams import snap_pour_points
+
+    pour = spark.createDataFrame(_SNAP_POUR, "row long, col long, pour_id long")
+    return snap_pour_points(_valley_dem(spark, sf_dir), STREAM_GRID, pour, snap_cells=2)
 
 
 def q_flip_image(spark, sf_dir):
@@ -1531,6 +1586,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dinf_pointer": q_dinf_pointer,
         "viewshed": q_viewshed,
         "horizon_angle": q_horizon_angle,
+        "fd8_pointer": q_fd8_pointer,
+        "percent_elev_range": q_percent_elev_range,
+        "relative_aspect": q_relative_aspect,
+        "max_upslope_flowpath": q_max_upslope_flowpath,
+        "snap_pour_points": q_snap_pour_points,
         "flip_image": q_flip_image,
         "gamma_correction": q_gamma_correction,
         "min_max_contrast_stretch": q_min_max_stretch,
@@ -1871,6 +1931,22 @@ FROM ({_PART_RASTER_SQL}) WHERE value IS NOT NULL
         "watershed": _str.watershed_oracle_sql(_VALLEY_DEM_SQL, STREAM_GRID, _POUR),
         "downslope_flowpath_length": _str.flowpath_length_oracle_sql(_VALLEY_DEM_SQL, STREAM_GRID),
         "num_inflowing_neighbours": _str.num_inflowing_oracle_sql(_VALLEY_DEM_SQL, STREAM_GRID),
+        "fd8_pointer": _hyd.fd8_pointer_oracle_sql(_NOISE_RASTER_SQL),
+        "percent_elev_range": "SELECT row, col, round(value, 6) AS value FROM ("
+        + _foc.percent_elev_range_oracle_sql(_PART_RASTER_SQL)
+        + ")",
+        "relative_aspect": f"""
+WITH asp AS ({_foc.aspect_oracle_sql(_PART_RASTER_SQL, res=5.0)})
+SELECT row, col,
+       round(CASE WHEN value = -1.0 THEN NULL
+                  WHEN abs(value - 135.0) > 180.0 THEN 360.0 - abs(value - 135.0)
+                  ELSE abs(value - 135.0) END, 6) AS value
+FROM asp
+""",
+        "max_upslope_flowpath": _str.max_upslope_oracle_sql(_VALLEY_DEM_SQL, STREAM_GRID),
+        "snap_pour_points": _str.snap_pour_oracle_sql(
+            _VALLEY_DEM_SQL, STREAM_GRID, _SNAP_POUR, snap_cells=2
+        ),
         "flip_image": _img.flip_image_oracle_sql(_PART_RASTER_SQL, EXTRACT_GRID, direction="both"),
         "gamma_correction": f"""
 SELECT row, col, round(pow(value, 0.5), 6) AS value

@@ -843,3 +843,27 @@ FROM ({source_sql}) c JOIN ({opening}) o ON c.row = o.row AND c.col = o.col
 WHERE c.value IS NOT NULL
 """
     raise ValueError(op)
+
+
+def percent_elev_range(cells: DataFrame, *, filterx: int = 3, filtery: int = 3) -> DataFrame:
+    """PercentElevRange (terrain_analysis/percent_elev_range.rs:375-385):
+    (z - min) / (max - min) * 100 over the window; 0 where the window is
+    flat. -> (row, col, value)."""
+    m = _scatter_with_center(cells, filterx=filterx, filtery=filtery)
+    rng = F.max("value") - F.min("value")
+    return m.groupBy("row", "col").agg(
+        F.when(rng > 0.0, (F.first("center") - F.min("value")) / rng * 100.0)
+        .otherwise(F.lit(0.0))
+        .alias("value")
+    )
+
+
+def percent_elev_range_oracle_sql(source_sql: str, *, filterx: int = 3, filtery: int = 3) -> str:
+    return f"""
+WITH {_member_cte(source_sql, filterx=filterx, filtery=filtery)}
+SELECT row, col,
+       CASE WHEN max(value) - min(value) > 0.0
+            THEN (any_value(center) - min(value)) / (max(value) - min(value)) * 100.0
+            ELSE 0.0 END AS value
+FROM m GROUP BY row, col
+"""

@@ -587,3 +587,60 @@ facets AS (
 )
 SELECT row, col, {_dinf_out_sql(grid)} AS value FROM facets
 """
+
+
+def fd8_pointer(cells: DataFrame, grid: GridSpec) -> DataFrame:
+    """FD8Pointer (hydro_analysis/fd8_pointer.rs:227-247): bitmask of ALL
+    strictly-downslope neighbors, bit n set iff z(neighbor_n) < z, neighbor
+    order dx=[1,1,1,0,-1,-1,-1,0], dy=[-1,0,1,1,1,0,-1,-1]. Pure
+    expressions over one scatter-pivot. -> (row, col, pointer)."""
+    spark = cells.sparkSession
+    dxs = [1, 1, 1, 0, -1, -1, -1, 0]
+    dys = [-1, 0, 1, 1, 1, 0, -1, -1]
+    src = cells.filter(F.col("value").isNotNull()).select("row", "col", "value")
+    offs = spark.createDataFrame(
+        [(n, dxs[n], dys[n]) for n in range(8)], "n int, dx int, dy int"
+    )
+    scattered = src.crossJoin(F.broadcast(offs)).select(
+        (F.col("row") - F.col("dy")).alias("row"),
+        (F.col("col") - F.col("dx")).alias("col"),
+        "n", F.col("value").alias("zn"),
+    )
+    piv = scattered.groupBy("row", "col").agg(
+        *[F.max(F.when(F.col("n") == n, F.col("zn"))).alias(f"z{n}") for n in range(8)]
+    )
+    bits = None
+    for n in range(8):
+        b = F.when(
+            F.col(f"z{n}").isNotNull() & (F.col(f"z{n}") < F.col("value")),
+            F.lit(1 << n),
+        ).otherwise(F.lit(0))
+        bits = b if bits is None else bits + b
+    return (
+        src.join(piv, ["row", "col"], "left")
+        .select("row", "col", bits.cast("long").alias("pointer"))
+    )
+
+
+def fd8_pointer_oracle_sql(source_sql: str) -> str:
+    dxs = [1, 1, 1, 0, -1, -1, -1, 0]
+    dys = [-1, 0, 1, 1, 1, 0, -1, -1]
+    offs = ", ".join(f"({n}, {dxs[n]}, {dys[n]})" for n in range(8))
+    zcols = ",\n  ".join(
+        f"max(CASE WHEN o.n = {n} THEN s.value END) AS z{n}" for n in range(8)
+    )
+    bits = " + ".join(
+        f"CASE WHEN z{n} IS NOT NULL AND z{n} < c.value THEN {1 << n} ELSE 0 END"
+        for n in range(8)
+    )
+    return f"""
+WITH src AS (SELECT row, col, value FROM ({source_sql}) WHERE value IS NOT NULL),
+offs(n, dx, dy) AS (VALUES {offs}),
+piv AS (
+  SELECT s.row - o.dy AS row, s.col - o.dx AS col,
+  {zcols}
+  FROM src s CROSS JOIN offs o GROUP BY 1, 2
+)
+SELECT c.row, c.col, CAST({bits} AS BIGINT) AS pointer
+FROM src c LEFT JOIN piv ON piv.row = c.row AND piv.col = c.col
+"""

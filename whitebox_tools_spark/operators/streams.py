@@ -26,7 +26,7 @@ through a single partition.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from whitebox_tools_spark.grid import GridSpec
 from whitebox_tools_spark.operators.hydro import (
@@ -721,4 +721,110 @@ def distance_to_stream_oracle_sql(
 WITH RECURSIVE {_stream_ctes(source_sql, grid, threshold)},{_cut_walk_ctes()}
 SELECT t.orow AS row, t.ocol AS col, round(t.dist, 6) AS value
 FROM tterm t JOIN sc s ON s.row = t.trow AND s.col = t.tcol
+"""
+
+
+def max_upslope_flowpath(cells: DataFrame, grid: GridSpec) -> DataFrame:
+    """MaxUpslopeFlowpathLength (hydro_analysis/max_upslope_flowpath.rs):
+    length of the longest flow path draining TO each cell (0 at heads).
+    Topological peel propagating max(L + edge length). -> (row, col, value)."""
+    src = cells.filter(F.col("value").isNotNull()).select("row", "col")
+    edges = _edge_lengths(_flow_edges(cells, grid), grid)
+    acc = src.select("row", "col", F.lit(0.0).alias("fa")).localCheckpoint(eager=True)
+    rem = edges.localCheckpoint(eager=True)
+    while not rem.isEmpty():
+        tgt = rem.select(F.col("trow").alias("row"), F.col("tcol").alias("col")).distinct()
+        src_edges = rem.join(tgt, ["row", "col"], "left_anti")
+        pushed = (
+            src_edges.join(acc, ["row", "col"])
+            .groupBy(F.col("trow").alias("row"), F.col("tcol").alias("col"))
+            .agg(F.max(F.col("fa") + F.col("len")).alias("inflow"))
+        )
+        acc = (
+            acc.join(pushed, ["row", "col"], "left")
+            .withColumn("fa", F.greatest(F.col("fa"), F.coalesce(F.col("inflow"), F.col("fa"))))
+            .drop("inflow")
+            .localCheckpoint(eager=True)
+        )
+        rem = rem.join(src_edges.select("row", "col"), ["row", "col"], "left_anti").localCheckpoint(
+            eager=True
+        )
+    return acc.select("row", "col", F.col("fa").alias("value"))
+
+
+def max_upslope_oracle_sql(source_sql: str, grid: GridSpec) -> str:
+    return f"""
+WITH RECURSIVE {_fd_ctes(source_sql, grid)},
+fwalk(orow, ocol, row, col, dist) AS (
+  SELECT row, col, row, col, CAST(0.0 AS DOUBLE) FROM cells
+  UNION
+  SELECT w.orow, w.ocol, f.trow, f.tcol, w.dist + d.len
+  FROM fwalk w
+  JOIN fd f ON f.row = w.row AND f.col = w.col
+  JOIN dirs d ON d.i = f.i
+)
+SELECT row, col, round(max(dist), 6) AS value FROM fwalk GROUP BY 1, 2
+"""
+
+
+def snap_pour_points(
+    cells: DataFrame, grid: GridSpec, pour: DataFrame, *, snap_cells: int = 2
+) -> DataFrame:
+    """JensonSnapPourPoints-style snap (hydro_analysis/jenson_snap_pour_points.rs
+    semantics over accumulation like snap_pour_points.rs): move each pour
+    point to the cell with the HIGHEST flow accumulation within the
+    snap window; ties to the smallest (row, col). pour: (row, col, pour_id).
+    -> (pour_id, row, col)."""
+    spark = cells.sparkSession
+    fa = d8_flow_accumulation(cells, grid)
+    offs = spark.createDataFrame(
+        [
+            (dx, dy)
+            for dx in range(-snap_cells, snap_cells + 1)
+            for dy in range(-snap_cells, snap_cells + 1)
+        ],
+        "dx int, dy int",
+    )
+    cand = (
+        pour.crossJoin(F.broadcast(offs))
+        .select(
+            "pour_id",
+            (F.col("row") + F.col("dy")).alias("row"),
+            (F.col("col") + F.col("dx")).alias("col"),
+        )
+        .join(fa, ["row", "col"])
+    )
+    w = Window.partitionBy("pour_id").orderBy(
+        F.desc("value"), F.asc("row"), F.asc("col")
+    )
+    return (
+        cand.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select("pour_id", "row", "col")
+    )
+
+
+def snap_pour_oracle_sql(
+    source_sql: str, grid: GridSpec, pour: list, *, snap_cells: int = 2
+) -> str:
+    vals = ", ".join(f"({r}, {c}, {pid})" for r, c, pid in pour)
+    return f"""
+WITH RECURSIVE {_fd_ctes(source_sql, grid)},
+walk(orow, ocol, row, col) AS (
+  SELECT row, col, row, col FROM cells
+  UNION
+  SELECT w.orow, w.ocol, f.trow, f.tcol
+  FROM walk w JOIN fd f ON f.row = w.row AND f.col = w.col
+),
+fa AS (SELECT row, col, CAST(count(*) AS DOUBLE) AS value FROM walk GROUP BY 1, 2),
+pour(prow, pcol, pour_id) AS (VALUES {vals}),
+cand AS (
+  SELECT p.pour_id, f.row, f.col, f.value,
+         row_number() OVER (PARTITION BY p.pour_id
+                            ORDER BY f.value DESC, f.row ASC, f.col ASC) AS _rk
+  FROM pour p JOIN fa f
+    ON f.row BETWEEN p.prow - {snap_cells} AND p.prow + {snap_cells}
+   AND f.col BETWEEN p.pcol - {snap_cells} AND p.pcol + {snap_cells}
+)
+SELECT pour_id, row, col FROM cand WHERE _rk = 1
 """
