@@ -671,18 +671,18 @@ def q_buffer_raster(spark, sf_dir):
     from whitebox_tools_spark.operators.buffer import buffer_raster
 
     src = _part_raster(spark, sf_dir).withColumn(
-        "value", F.when(F.col("value") > 990.0, F.lit(1.0)).otherwise(F.lit(0.0))
+        "value", F.when((F.col("row") * 7 + F.col("col") * 3) % 17 == 0, F.lit(1.0)).otherwise(F.lit(0.0))
     )
     return buffer_raster(src, EXTRACT_GRID, size=12.0)
 
 
 _BUFFER_SRC_SQL = (
-    "SELECT row, col, CASE WHEN value > 990.0 THEN 1.0 ELSE 0.0 END AS value "
+    "SELECT row, col, CASE WHEN (row * 7 + col * 3) % 17 = 0 THEN 1.0 ELSE 0.0 END AS value "
     f"FROM ({_PART_RASTER_SQL})"
 )
 
 _ALLOC_SRC_SQL = (
-    "SELECT row, col, CASE WHEN value > 990.0 THEN value ELSE 0.0 END AS value "
+    "SELECT row, col, CASE WHEN (row * 7 + col * 3) % 17 = 0 THEN value ELSE 0.0 END AS value "
     f"FROM ({_PART_RASTER_SQL})"
 )
 
@@ -850,7 +850,7 @@ def q_euclidean_distance(spark, sf_dir):
     from whitebox_tools_spark.operators.buffer import euclidean_distance
 
     src = _part_raster(spark, sf_dir).withColumn(
-        "value", F.when(F.col("value") > 990.0, F.lit(1.0)).otherwise(F.lit(0.0))
+        "value", F.when((F.col("row") * 7 + F.col("col") * 3) % 17 == 0, F.lit(1.0)).otherwise(F.lit(0.0))
     )
     return _r6(euclidean_distance(src, EXTRACT_GRID, IDX), ["value"])
 
@@ -861,7 +861,7 @@ def q_euclidean_allocation(spark, sf_dir):
     from whitebox_tools_spark.operators.buffer import euclidean_allocation
 
     src = _part_raster(spark, sf_dir).withColumn(
-        "value", F.when(F.col("value") > 990.0, F.col("value")).otherwise(F.lit(0.0))
+        "value", F.when((F.col("row") * 7 + F.col("col") * 3) % 17 == 0, F.col("value")).otherwise(F.lit(0.0))
     )
     return euclidean_allocation(src, EXTRACT_GRID, IDX)
 
