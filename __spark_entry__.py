@@ -687,6 +687,32 @@ _ALLOC_SRC_SQL = (
 )
 
 
+def q_olympic_filter(spark, sf_dir):
+    """OlympicFilter (image_analysis/olympic_filter.rs:388-410)."""
+    return _r6(_foc.olympic_filter(_part_raster(spark, sf_dir)), ["value"])
+
+
+def q_highpass_filter(spark, sf_dir):
+    """HighPassFilter (image_analysis/highpass_filter.rs): z - window mean."""
+    return _r6(_foc.highpass_filter(_part_raster(spark, sf_dir)), ["value"])
+
+
+def q_conservative_smoothing(spark, sf_dir):
+    """ConservativeSmoothingFilter (image_analysis/
+    conservative_smoothing_filter.rs:380-400)."""
+    return _r6(_foc.conservative_smoothing(_part_raster(spark, sf_dir)), ["value"])
+
+
+def q_streams_to_vector(spark, sf_dir):
+    """RasterStreamsToVector (stream_network_analysis/
+    raster_streams_to_vector.rs): per-link polylines, vertices ordered
+    upstream->downstream by remaining chain distance."""
+    from whitebox_tools_spark.operators.streams import raster_streams_to_vector
+
+    out = raster_streams_to_vector(_valley_dem(spark, sf_dir), STREAM_GRID, threshold=4.0)
+    return out.select("link_id", "seq", F.round("x", 6).alias("x"), F.round("y", 6).alias("y"))
+
+
 def q_fd8_pointer(spark, sf_dir):
     """FD8Pointer (hydro_analysis/fd8_pointer.rs:227-247): bitmask of all
     strictly-downslope neighbors."""
@@ -1586,6 +1612,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dinf_pointer": q_dinf_pointer,
         "viewshed": q_viewshed,
         "horizon_angle": q_horizon_angle,
+        "olympic_filter": q_olympic_filter,
+        "highpass_filter": q_highpass_filter,
+        "conservative_smoothing": q_conservative_smoothing,
+        "raster_streams_to_vector": q_streams_to_vector,
         "fd8_pointer": q_fd8_pointer,
         "percent_elev_range": q_percent_elev_range,
         "relative_aspect": q_relative_aspect,
@@ -1931,6 +1961,18 @@ FROM ({_PART_RASTER_SQL}) WHERE value IS NOT NULL
         "watershed": _str.watershed_oracle_sql(_VALLEY_DEM_SQL, STREAM_GRID, _POUR),
         "downslope_flowpath_length": _str.flowpath_length_oracle_sql(_VALLEY_DEM_SQL, STREAM_GRID),
         "num_inflowing_neighbours": _str.num_inflowing_oracle_sql(_VALLEY_DEM_SQL, STREAM_GRID),
+        "olympic_filter": "SELECT row, col, round(value, 6) AS value FROM ("
+        + _foc.olympic_oracle_sql(_PART_RASTER_SQL)
+        + ")",
+        "highpass_filter": "SELECT row, col, round(value, 6) AS value FROM ("
+        + _foc.highpass_oracle_sql(_PART_RASTER_SQL)
+        + ")",
+        "conservative_smoothing": "SELECT row, col, round(value, 6) AS value FROM ("
+        + _foc.conservative_smoothing_oracle_sql(_PART_RASTER_SQL)
+        + ")",
+        "raster_streams_to_vector": "SELECT link_id, seq, round(x, 6) AS x, round(y, 6) AS y FROM ("
+        + _str.streams_to_vector_oracle_sql(_VALLEY_DEM_SQL, STREAM_GRID, threshold=4.0)
+        + ")",
         "fd8_pointer": _hyd.fd8_pointer_oracle_sql(_NOISE_RASTER_SQL),
         "percent_elev_range": "SELECT row, col, round(value, 6) AS value FROM ("
         + _foc.percent_elev_range_oracle_sql(_PART_RASTER_SQL)

@@ -867,3 +867,80 @@ SELECT row, col,
             ELSE 0.0 END AS value
 FROM m GROUP BY row, col
 """
+
+
+def olympic_filter(cells: DataFrame, *, filterx: int = 3, filtery: int = 3) -> DataFrame:
+    """OlympicFilter (image_analysis/olympic_filter.rs:388-410): window mean
+    after dropping one min and one max. -> (row, col, value)."""
+    m = _scatter_with_center(cells, filterx=filterx, filtery=filtery)
+    return m.groupBy("row", "col").agg(
+        (
+            (F.sum("value") - F.min("value") - F.max("value"))
+            / (F.count(F.lit(1)) - 2)
+        ).alias("value")
+    )
+
+
+def olympic_oracle_sql(source_sql: str, *, filterx: int = 3, filtery: int = 3) -> str:
+    return f"""
+WITH {_member_cte(source_sql, filterx=filterx, filtery=filtery)}
+SELECT row, col,
+       (sum(value) - min(value) - max(value)) / (count(*) - 2) AS value
+FROM m GROUP BY row, col
+"""
+
+
+def highpass_filter(cells: DataFrame, *, filterx: int = 3, filtery: int = 3) -> DataFrame:
+    """HighPassFilter (image_analysis/highpass_filter.rs): z - window mean."""
+    m = _scatter_with_center(cells, filterx=filterx, filtery=filtery)
+    return m.groupBy("row", "col").agg(
+        (F.first("center") - F.avg("value")).alias("value")
+    )
+
+
+def highpass_oracle_sql(source_sql: str, *, filterx: int = 3, filtery: int = 3) -> str:
+    return f"""
+WITH {_member_cte(source_sql, filterx=filterx, filtery=filtery)}
+SELECT row, col, any_value(center) - avg(value) AS value FROM m GROUP BY row, col
+"""
+
+
+def conservative_smoothing(cells: DataFrame, *, filterx: int = 3, filtery: int = 3) -> DataFrame:
+    """ConservativeSmoothingFilter (image_analysis/
+    conservative_smoothing_filter.rs:380-400): clamp the center into the
+    [min, max] of its neighbors (center excluded)."""
+    m = _scatter_with_center(cells, filterx=filterx, filtery=filtery, exclude_center=True)
+    agg = m.groupBy("row", "col").agg(
+        F.first("center").alias("center"),
+        F.min("value").alias("mn"), F.max("value").alias("mx"),
+    )
+    out = agg.select(
+        "row", "col",
+        F.when(F.col("center") > F.col("mx"), F.col("mx"))
+        .when(F.col("center") < F.col("mn"), F.col("mn"))
+        .otherwise(F.col("center"))
+        .alias("value"),
+    )
+    # isolated cells (no neighbors) keep their value
+    src = cells.filter(F.col("value").isNotNull()).select("row", "col", "value")
+    return (
+        src.join(out.withColumnRenamed("value", "sm"), ["row", "col"], "left")
+        .select("row", "col", F.coalesce(F.col("sm"), F.col("value")).alias("value"))
+    )
+
+
+def conservative_smoothing_oracle_sql(
+    source_sql: str, *, filterx: int = 3, filtery: int = 3
+) -> str:
+    return f"""
+WITH {_member_cte(source_sql, filterx=filterx, filtery=filtery, exclude_center=True)},
+agg AS (
+  SELECT row, col, any_value(center) AS center, min(value) AS mn, max(value) AS mx
+  FROM m GROUP BY row, col
+)
+SELECT s.row, s.col,
+       coalesce(CASE WHEN a.center > a.mx THEN a.mx
+                     WHEN a.center < a.mn THEN a.mn
+                     ELSE a.center END, s.value) AS value
+FROM src s LEFT JOIN agg a ON a.row = s.row AND a.col = s.col
+"""

@@ -828,3 +828,61 @@ cand AS (
 )
 SELECT pour_id, row, col FROM cand WHERE _rk = 1
 """
+
+
+def raster_streams_to_vector(
+    cells: DataFrame, grid: GridSpec, *, threshold: float
+) -> DataFrame:
+    """RasterStreamsToVector (stream_network_analysis/
+    raster_streams_to_vector.rs): one polyline per stream link, vertices at
+    cell centers ordered upstream->downstream. Vertex order comes from each
+    cell's remaining along-chain distance to the link terminal (strictly
+    decreasing along a chain), so the ordering is partition-independent.
+    -> (link_id, seq, x, y)."""
+    from whitebox_tools_spark.distributed import with_global_seq
+
+    sc, edges = _stream_set(cells, grid, threshold)
+    chain_edges, _ = _link_edges(sc, edges)
+    term = _chain_terminals_with_dist(sc, _edge_lengths(chain_edges, grid))
+    terms = term.select(_key(F.col("trow"), F.col("tcol")).alias("t")).distinct()
+    ids = with_global_seq(terms, ["t"], out_col="link_id")
+    labeled = term.join(
+        F.broadcast(ids), _key(F.col("trow"), F.col("tcol")) == ids["t"]
+    ).select("row", "col", "link_id", "dist")
+    w = Window.partitionBy("link_id").orderBy(F.desc("dist"), F.asc("row"), F.asc("col"))
+    return labeled.withColumn("seq", F.row_number().over(w).cast("long")).select(
+        "link_id", "seq",
+        (F.lit(grid.west + grid.res_x / 2.0) + F.col("col") * F.lit(grid.res_x)).alias("x"),
+        (F.lit(grid.north - grid.res_y / 2.0) - F.col("row") * F.lit(grid.res_y)).alias("y"),
+    )
+
+
+def streams_to_vector_oracle_sql(source_sql: str, grid: GridSpec, *, threshold: float) -> str:
+    return f"""
+WITH RECURSIVE {_stream_ctes(source_sql, grid, threshold)},
+junc AS (SELECT trow, tcol FROM infl WHERE n >= 2),
+ce AS MATERIALIZED (SELECT row, col, i, trow, tcol FROM se ANTI JOIN junc USING (trow, tcol)),
+dwalk(orow, ocol, row, col, dist) AS (
+  SELECT row, col, row, col, CAST(0.0 AS DOUBLE) FROM sc
+  UNION
+  SELECT w.orow, w.ocol, e.trow, e.tcol, w.dist + d.len
+  FROM dwalk w
+  JOIN ce e ON e.row = w.row AND e.col = w.col
+  JOIN dirs d ON d.i = e.i
+),
+dterm AS MATERIALIZED (
+  SELECT w.orow, w.ocol, w.row AS trow, w.col AS tcol, w.dist
+  FROM dwalk w ANTI JOIN ce e ON e.row = w.row AND e.col = w.col
+),
+ids AS (
+  SELECT trow, tcol,
+         CAST(row_number() OVER (ORDER BY trow * 2147483648 + tcol) AS BIGINT) AS link_id
+  FROM (SELECT DISTINCT trow, tcol FROM dterm)
+)
+SELECT i.link_id,
+       CAST(row_number() OVER (PARTITION BY i.link_id
+                               ORDER BY t.dist DESC, t.orow ASC, t.ocol ASC) AS BIGINT) AS seq,
+       {grid.west!r} + {grid.res_x / 2.0!r} + t.ocol * {grid.res_x!r} AS x,
+       {grid.north!r} - {grid.res_y / 2.0!r} - t.orow * {grid.res_y!r} AS y
+FROM dterm t JOIN ids i ON i.trow = t.trow AND i.tcol = t.tcol
+"""
