@@ -985,6 +985,14 @@ def q_strahler(spark, sf_dir):
     return strahler_order(_valley_dem(spark, sf_dir), STREAM_GRID, threshold=4.0)
 
 
+def q_horton(spark, sf_dir):
+    """HortonStreamOrder (stream_network_analysis/horton_order.rs):
+    main-stem inheritance by longest channel-head flow distance."""
+    from whitebox_tools_spark.operators.streams import horton_order
+
+    return horton_order(_valley_dem(spark, sf_dir), STREAM_GRID, threshold=4.0)
+
+
 def q_stream_link(spark, sf_dir):
     """StreamLinkIdentifier (links renumbered by terminal scan order)."""
     from whitebox_tools_spark.operators.streams import stream_link_identifier
@@ -1073,6 +1081,15 @@ def q_fill_depressions(spark, sf_dir):
     from whitebox_tools_spark.operators.hydro import fill_depressions
 
     return fill_depressions(_noise_raster(spark, sf_dir))
+
+
+def q_sink(spark, sf_dir):
+    """Sink (hydro_analysis/sink.rs): 8-connected components of the cells
+    raised by depression filling, scan-order ids (shared with the oracle's
+    min-label closure + dense renumbering)."""
+    from whitebox_tools_spark.operators.hydro import sink
+
+    return sink(_noise_raster(spark, sf_dir))
 
 
 def q_normalized_difference(spark, sf_dir):
@@ -1607,6 +1624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d8_flow_accumulation": q_d8_flow_accum,
         "buffer_raster": q_buffer_raster,
         "fill_depressions": q_fill_depressions,
+        "sink": q_sink,
         "basins": q_basins,
         "cost_distance": q_cost_distance,
         "dinf_pointer": q_dinf_pointer,
@@ -1636,6 +1654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_streams": q_extract_streams,
         "shreve_magnitude": q_shreve,
         "strahler_order": q_strahler,
+        "horton_order": q_horton,
         "stream_link_id": q_stream_link,
         "watershed": q_watershed,
         "downslope_flowpath_length": q_flowpath_length,
@@ -1948,6 +1967,16 @@ FROM ({_PART_RASTER_SQL}) WHERE value IS NOT NULL
         "lines_to_raster": _lines_to_raster_sql(),
         "singlepart_to_multipart": _sp_to_mp_sql(),
         "fill_depressions": _hyd.fill_depressions_oracle_sql(_NOISE_RASTER_SQL),
+        "sink": _clump_ctes_for(
+            f"""
+WITH fill AS ({_hyd.fill_depressions_oracle_sql(_NOISE_RASTER_SQL)}),
+dem AS (SELECT row, col, value FROM ({_NOISE_RASTER_SQL}) WHERE value IS NOT NULL)
+SELECT d.row, d.col, 1.0 AS value
+FROM dem d JOIN fill f ON f.row = d.row AND f.col = d.col
+WHERE round(f.value - d.value, 6) > 0
+"""
+        )
+        + "SELECT row, col, clump_id AS sink_id FROM labeled",
         "basins": _hyd.basins_oracle_sql(_NOISE_RASTER_SQL, EXTRACT_GRID),
         "dinf_pointer": "SELECT row, col, round(value, 6) AS value FROM ("
         + _hyd.dinf_pointer_oracle_sql(_NOISE_RASTER_SQL, EXTRACT_GRID)
@@ -1957,6 +1986,7 @@ FROM ({_PART_RASTER_SQL}) WHERE value IS NOT NULL
         ),
         "shreve_magnitude": _str.shreve_oracle_sql(_VALLEY_DEM_SQL, STREAM_GRID, threshold=4.0),
         "strahler_order": _str.strahler_oracle_sql(_VALLEY_DEM_SQL, STREAM_GRID, threshold=4.0),
+        "horton_order": _str.horton_oracle_sql(_VALLEY_DEM_SQL, STREAM_GRID, threshold=4.0),
         "stream_link_id": _str.stream_link_oracle_sql(_VALLEY_DEM_SQL, STREAM_GRID, threshold=4.0),
         "watershed": _str.watershed_oracle_sql(_VALLEY_DEM_SQL, STREAM_GRID, _POUR),
         "downslope_flowpath_length": _str.flowpath_length_oracle_sql(_VALLEY_DEM_SQL, STREAM_GRID),
@@ -2085,6 +2115,33 @@ _RECLASS2_SQL = (
     "WHEN value >= 1500.0 AND value < 99999.0 THEN 2.0 ELSE value END AS value "
     f"FROM ({_PART_RASTER_SQL})"
 )
+
+def _clump_ctes_for(source_sql: str) -> str:
+    """Min-label closure CC (8-connectivity, same-value flood) + dense
+    scan-order renumbering over an arbitrary cell source."""
+    return f"""
+WITH RECURSIVE cells AS MATERIALIZED (
+  SELECT row, col, value FROM ({source_sql}) WHERE value IS NOT NULL
+),
+adj AS MATERIALIZED (
+  SELECT a.row AS ur, a.col AS uc, b.row AS vr, b.col AS vc
+  FROM cells a JOIN cells b
+    ON abs(b.row - a.row) <= 1 AND abs(b.col - a.col) <= 1
+   AND NOT (b.row = a.row AND b.col = a.col) AND b.value = a.value
+),
+r(row, col, label) AS (
+  SELECT row, col, row * 2147483648 + col FROM cells
+  UNION
+  SELECT e.vr, e.vc, r.label
+  FROM r JOIN adj e ON e.ur = r.row AND e.uc = r.col
+),
+lab AS (SELECT r.row, r.col, any_value(c.value) AS value, min(r.label) AS lab
+        FROM r JOIN cells c ON c.row = r.row AND c.col = r.col GROUP BY 1, 2),
+comp AS (SELECT lab, min(row * 2147483648 + col) AS scan FROM lab GROUP BY 1),
+ids AS (SELECT lab, CAST(row_number() OVER (ORDER BY scan) AS BIGINT) AS clump_id FROM comp),
+labeled AS (SELECT l.row, l.col, l.value, i.clump_id FROM lab l JOIN ids i ON l.lab = i.lab)
+"""
+
 
 _CLUMP_CTES = f"""
 WITH RECURSIVE cells AS MATERIALIZED (

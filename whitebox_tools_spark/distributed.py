@@ -28,6 +28,37 @@ _RN = "__wts_rn"
 _OFF = "__wts_off"
 
 
+def loop_checkpoint(df: DataFrame) -> DataFrame:
+    """localCheckpoint for ITERATIVE loops: materialize AND drop the
+    carried origin statistics.
+
+    Spark >= 3.4 copies the origin plan's Statistics into the checkpoint's
+    LogicalRDD (SPARK-39834). When a loop's round plan references the
+    carried state k >= 2 times, each round MULTIPLIES the carried
+    sizeInBytes estimates (SizeInBytesOnlyStatsPlanVisitor multiplies
+    across joins), so the stat's BIT LENGTH grows ~k-fold per round and
+    catalyst planning degenerates into minutes of BigInteger
+    multiplications after ~10 rounds (observed: a 39-link Horton wave
+    spending 150 s PER ROUND in stats while tasks were idle). Rebuilding
+    the Dataset from the checkpointed InternalRow RDD resets the leaf to
+    the default size estimate, which keeps stats O(plan size) per round.
+
+    The rebuilt leaf loses its real size estimate (defaults to
+    Long.MaxValue), so joins against it never auto-broadcast — inside the
+    loops that is what we want anyway; broadcast the genuinely-small sides
+    explicitly with F.broadcast."""
+    ck = df.localCheckpoint(eager=True)
+    spark = df.sparkSession
+    try:
+        jdf = ck._jdf
+        jnew = spark._jsparkSession.internalCreateDataFrame(
+            jdf.queryExecution().toRdd(), jdf.schema(), False
+        )
+        return DataFrame(jnew, spark)
+    except Exception:  # pragma: no cover - e.g. Spark Connect: no _jdf
+        return ck
+
+
 def with_global_seq(
     df: DataFrame,
     order_cols: list[str],

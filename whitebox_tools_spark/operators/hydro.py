@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from whitebox_tools_spark.grid import GridSpec
+from whitebox_tools_spark.distributed import loop_checkpoint
 
 # direction index -> (dx, dy) per d8_pointer.rs:252-253
 D8_DX = [1, 1, 1, 0, -1, -1, -1, 0]
@@ -142,11 +143,11 @@ def d8_flow_accumulation(
             acc.join(pushed, ["row", "col"], "left")
             .withColumn("fa", F.col("fa") + F.coalesce(F.col("inflow"), F.lit(0.0)))
             .drop("inflow")
-            .localCheckpoint(eager=True)
+            .transform(loop_checkpoint)
         )
         edges = edges.join(
             src_edges.select("row", "col"), ["row", "col"], "left_anti"
-        ).localCheckpoint(eager=True)
+        ).transform(loop_checkpoint)
     return acc.select("row", "col", F.col("fa").alias("value"))
 
 
@@ -219,8 +220,8 @@ def fill_depressions(
             )
         )
         changed = nxt.filter(F.col("w2") != F.col("w")).limit(1).isEmpty()
-        cur = nxt.select("row", "col", "value", F.col("w2").alias("w")).localCheckpoint(
-            eager=True
+        cur = nxt.select("row", "col", "value", F.col("w2").alias("w")).transform(
+            loop_checkpoint
         )
         if changed:
             break
@@ -312,6 +313,29 @@ SELECT row, col, CAST(count(*) AS DOUBLE) AS value FROM walk GROUP BY 1, 2
 """
 
 
+def sink(cells: DataFrame, *, max_iterations: int = 10_000) -> DataFrame:
+    """Sink (hydro_analysis/sink.rs): label the depressions of a DEM.
+    A depression is an 8-connected component of cells strictly raised by
+    depression filling (filled > DEM, the reference's `flats` marking at
+    sink.rs:383-395). Ids are densely numbered 1..n in raster-scan order
+    of each component's minimum cell; the reference instead numbers by
+    outlet-stack pop order (sink.rs:425-440), which depends on its serial
+    processing order — the component SETS are identical.
+    -> (row, col, sink_id)."""
+    from whitebox_tools_spark.operators.raster_vector import clump
+
+    filled = fill_depressions(cells, max_iterations=max_iterations).select(
+        "row", "col", F.col("value").alias("w")
+    )
+    dep = (
+        cells.filter(F.col("value").isNotNull())
+        .join(filled, ["row", "col"])
+        .filter(F.round(F.col("w") - F.col("value"), 6) > 0)
+        .select("row", "col", F.lit(1.0).alias("value"))
+    )
+    return clump(dep).select("row", "col", F.col("clump_id").alias("sink_id"))
+
+
 def basins(cells: DataFrame, grid: GridSpec, *, max_doublings: int = 48) -> DataFrame:
     """Basins (hydro_analysis/basins.rs): label every cell with the drainage
     basin that carries it to its terminal cell (a pit or an edge outlet —
@@ -339,7 +363,7 @@ def basins(cells: DataFrame, grid: GridSpec, *, max_doublings: int = 48) -> Data
         nxt = (
             succ.join(s2, succ["skey"] == s2["k2"])
             .select("key", F.col("s2").alias("skey"))
-            .localCheckpoint(eager=True)
+            .transform(loop_checkpoint)
         )
         changed = (
             nxt.join(succ.select("key", F.col("skey").alias("old")), "key")
@@ -446,7 +470,7 @@ def cost_distance(
         acc = nxt.select(
             "row", "col", "cost",
             F.when(F.col("acc2") != float("inf"), F.col("acc2")).alias("acc"),
-        ).localCheckpoint(eager=True)
+        ).transform(loop_checkpoint)
         if changed:
             break
     return acc.filter(F.col("acc").isNotNull()).select("row", "col", F.col("acc").alias("value"))

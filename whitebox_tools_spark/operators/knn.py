@@ -45,6 +45,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from whitebox_tools_spark.grid import CellIndex, GridSpec
+from whitebox_tools_spark.distributed import loop_checkpoint
 
 
 def _with_cells(df: DataFrame, index: CellIndex, x: str, y: str) -> DataFrame:
@@ -177,7 +178,7 @@ def knn_join(
             cand.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .drop("rank")
-            .localCheckpoint(eager=True)
+            .transform(loop_checkpoint)
         )
         reach = (r * index.cell_size) ** 2
         resolved_ids = (
@@ -191,7 +192,7 @@ def knn_join(
         done_parts.append(topk.join(F.broadcast(resolved_ids), "target_id"))
         unresolved = unresolved.join(
             F.broadcast(resolved_ids), "target_id", "left_anti"
-        ).localCheckpoint(eager=True)
+        ).transform(loop_checkpoint)
         topk = topk.join(F.broadcast(resolved_ids), "target_id", "left_anti")
         prev_r = r
         if unresolved.isEmpty():
@@ -313,10 +314,10 @@ def idw_gridding(
         )
         counts = cand.groupBy("target_id").agg(F.count(F.lit(1)).alias("__n"))
         satisfied = counts.filter(F.col("__n") >= min_points).select("target_id")
-        cand = cand.join(F.broadcast(satisfied), "target_id").localCheckpoint(eager=True)
+        cand = cand.join(F.broadcast(satisfied), "target_id").transform(loop_checkpoint)
         under = targets.join(
             F.broadcast(satisfied), "target_id", "left_anti"
-        ).localCheckpoint(eager=True)
+        ).transform(loop_checkpoint)
     else:
         under = targets
 

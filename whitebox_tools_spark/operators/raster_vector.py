@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from whitebox_tools_spark.grid import CellIndex, GridSpec
+from whitebox_tools_spark.distributed import loop_checkpoint
 from whitebox_tools_spark.operators.pip import points_in_polygons
 
 
@@ -206,7 +207,7 @@ def clump(
             .withColumn("label", F.least(F.col("label"), F.coalesce(F.col("nbl"), F.col("label"))))
             .drop("nbl")
         )
-        nxt = shortcut(shortcut(nxt)).localCheckpoint(eager=True)
+        nxt = shortcut(shortcut(nxt)).transform(loop_checkpoint)
         changed = (
             nxt.join(cur.select("row", "col", F.col("label").alias("old")), ["row", "col"])
             .filter(F.col("label") != F.col("old"))

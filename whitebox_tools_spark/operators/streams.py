@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 from whitebox_tools_spark.grid import GridSpec
+from whitebox_tools_spark.distributed import loop_checkpoint
 from whitebox_tools_spark.operators.hydro import (
     _flow_edges,
     _grid_lengths,
@@ -111,10 +112,10 @@ def shreve_magnitude(cells: DataFrame, grid: GridSpec, *, threshold: float) -> D
             acc.join(pushed, ["row", "col"], "left")
             .withColumn("fa", F.col("fa") + F.coalesce(F.col("inflow"), F.lit(0.0)))
             .drop("inflow")
-            .localCheckpoint(eager=True)
+            .transform(loop_checkpoint)
         )
-        rem = rem.join(src_edges.select("row", "col"), ["row", "col"], "left_anti").localCheckpoint(
-            eager=True
+        rem = rem.join(src_edges.select("row", "col"), ["row", "col"], "left_anti").transform(
+            loop_checkpoint
         )
     return acc.select("row", "col", F.col("fa").alias("value"))
 
@@ -134,7 +135,7 @@ def _chain_terminals(nodes: DataFrame, edges: DataFrame, *, max_doublings: int =
         nxt = (
             succ.join(s2, succ["skey"] == s2["k2"])
             .select("key", F.col("s2").alias("skey"))
-            .localCheckpoint(eager=True)
+            .transform(loop_checkpoint)
         )
         changed = (
             nxt.join(succ.select("key", F.col("skey").alias("old")), "key")
@@ -223,6 +224,14 @@ def strahler_order(
     the max). Rounds = link-tree depth; every round is one join+aggregate
     over the (tiny relative to cells) link table."""
     links, tree = _link_tree(cells, grid, threshold)
+    assigned = _strahler_link_orders(tree, max_rounds=max_rounds)
+    return links.join(assigned, "link_id").select(
+        "row", "col", F.col("ord").cast("double").alias("value")
+    )
+
+
+def _strahler_link_orders(tree: DataFrame, *, max_rounds: int = 64) -> DataFrame:
+    """-> (link_id, ord): Strahler order per link (see strahler_order)."""
     children = tree.filter(F.col("ds_link_id").isNotNull())
     n_children = children.groupBy(F.col("ds_link_id").alias("link_id")).agg(
         F.count(F.lit(1)).alias("n_ch")
@@ -264,9 +273,188 @@ def strahler_order(
         )
         if newly.isEmpty():
             break
-        assigned = assigned.unionByName(newly).localCheckpoint(eager=True)
-    return links.join(assigned, "link_id").select(
-        "row", "col", F.col("ord").cast("double").alias("value")
+        # coalesce: unionByName concatenates partition lists, so an
+        # uncoalesced loop grows +P partitions per round and checkpoint
+        # cost climbs linearly with the round number
+        assigned = (
+            assigned.unionByName(newly)
+            .coalesce(assigned.sparkSession.sparkContext.defaultParallelism)
+            .transform(loop_checkpoint)
+        )
+    return assigned
+
+
+def horton_order(
+    cells: DataFrame, grid: GridSpec, *, threshold: float, max_rounds: int = 64
+) -> DataFrame:
+    """HortonOrder (stream_network_analysis/horton_order.rs): every stream
+    link takes the Strahler order of the main stem it belongs to. At each
+    junction the main stem continues upstream through the tributary with
+    the greatest maximum channel-head flow distance (the reference's
+    longest-tributary rule, horton_order.rs:413-417); a link that is not
+    its parent's main tributary starts a new tributary whose Horton order
+    is its own Strahler order (the downstream end of a tributary carries
+    its maximum Strahler order). Distances compare rounded to 1e-6 and
+    ties break to the smaller link id — the reference's tie outcome
+    depends on its serial stack order instead.
+    -> (row, col, value) with value = Horton order."""
+    from pyspark.sql import Window
+    from whitebox_tools_spark.distributed import with_global_seq
+
+    sc, edges = _stream_set(cells, grid, threshold)
+    chain_edges, all_edges = _link_edges(sc, edges)
+    term = _chain_terminals(sc, chain_edges)
+    terms = term.select(_key(F.col("trow"), F.col("tcol")).alias("t")).distinct()
+    ids = with_global_seq(terms, ["t"], out_col="link_id")
+    links = (
+        term.join(F.broadcast(ids), _key(F.col("trow"), F.col("tcol")) == ids["t"])
+        .select("row", "col", "link_id")
+        .localCheckpoint(eager=True)
+    )
+    cut = all_edges.join(chain_edges, ["row", "col", "trow", "tcol"], "left_anti")
+    # child -> parent with the junction-entering edge's length (each link's
+    # terminal has exactly one D8 outflow, so at most one parent)
+    children = (
+        links.join(_edge_lengths(cut, grid), ["row", "col"])
+        .join(
+            links.select(
+                F.col("row").alias("trow"), F.col("col").alias("tcol"),
+                F.col("link_id").alias("ds_link_id"),
+            ),
+            ["trow", "tcol"],
+        )
+        .select("link_id", "ds_link_id", F.col("len").alias("cutlen"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    all_links = links.select("link_id").distinct().localCheckpoint(eager=True)
+    total = all_links.count()
+
+    # internal chain length per link (0 for single-cell links)
+    intlen = (
+        links.join(
+            _edge_lengths(chain_edges, grid).select("row", "col", "len"), ["row", "col"]
+        )
+        .groupBy("link_id")
+        .agg(F.sum("len").alias("intlen"))
+    )
+    intl = (
+        all_links.join(intlen, "link_id", "left")
+        .withColumn("intlen", F.coalesce("intlen", F.lit(0.0)))
+        .localCheckpoint(eager=True)
+    )
+    # ONE bottom-up wave computes both the Strahler order and the max
+    # channel-head flow distance D(link) = intlen + max(D(child) + cutlen):
+    # a parent resolves when all its children have, so the two recurrences
+    # share rounds. Remaining work is tracked by driver-side counts (one
+    # materialization + one cheap count per round, not join-and-isEmpty).
+    n_children = children.groupBy(F.col("ds_link_id").alias("link_id")).agg(
+        F.count(F.lit(1)).alias("n_ch")
+    )
+    state = (
+        all_links.join(n_children, "link_id", "left_anti")
+        .join(intl, "link_id")
+        .select("link_id", F.lit(1).alias("ord"), F.col("intlen").alias("d"))
+        .localCheckpoint(eager=True)
+    )
+    done = state.count()
+    for _ in range(max_rounds):
+        if done >= total:
+            break
+        ch = (
+            children.select(F.col("link_id").alias("ch"), "ds_link_id", "cutlen")
+            .join(state.select(F.col("link_id").alias("ch"), "ord", "d"), "ch")
+            .select(
+                F.col("ds_link_id").alias("link_id"),
+                "ord",
+                (F.col("d") + F.col("cutlen")).alias("s"),
+            )
+        )
+        agg = ch.groupBy("link_id").agg(
+            F.count(F.lit(1)).alias("n_done"),
+            F.max("ord").alias("mx"),
+            F.max("s").alias("mxs"),
+        )
+        at_max = (
+            ch.join(agg, "link_id")
+            .filter(F.col("ord") == F.col("mx"))
+            .groupBy("link_id", "n_done", "mx", "mxs")
+            .agg(F.count(F.lit(1)).alias("n_at_max"))
+        )
+        newly = (
+            at_max.join(n_children, "link_id")
+            .filter(F.col("n_done") == F.col("n_ch"))
+            .join(state.select("link_id"), "link_id", "left_anti")
+            .join(intl, "link_id")
+            .select(
+                "link_id",
+                (F.col("mx") + F.when(F.col("n_at_max") >= 2, 1).otherwise(0)).alias("ord"),
+                (F.col("mxs") + F.col("intlen")).alias("d"),
+            )
+        )
+        # coalesce: see _strahler_link_orders — avoid per-round partition growth
+        state = (
+            state.unionByName(newly)
+            .coalesce(state.sparkSession.sparkContext.defaultParallelism)
+            .transform(loop_checkpoint)
+        )
+        new_done = state.count()
+        if new_done == done:
+            break
+        done = new_done
+
+    # main tributary per junction: argmax of the head distance entering it
+    # (window partitioned by junction — fan-in is at most 8, scale-safe)
+    scored = (
+        children.select(F.col("link_id").alias("ch"), "ds_link_id", "cutlen")
+        .join(state.select(F.col("link_id").alias("ch"), "d"), "ch")
+        .withColumn("s", F.round(F.col("d") + F.col("cutlen"), 6))
+    )
+    w = Window.partitionBy("ds_link_id").orderBy(F.desc("s"), F.asc("ch"))
+    rel = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .select("ch", "ds_link_id", (F.col("rk") == 1).alias("is_main"))
+        .localCheckpoint(eager=True)
+    )
+    strahler = state.select("link_id", "ord").localCheckpoint(eager=True)
+
+    # top-down: roots take their own Strahler order; a main child inherits
+    # the parent's Horton order, a side tributary restarts at its Strahler
+    horton = (
+        all_links.join(rel.select(F.col("ch").alias("link_id")), "link_id", "left_anti")
+        .join(strahler, "link_id")
+        .select("link_id", F.col("ord").alias("h"))
+        .localCheckpoint(eager=True)
+    )
+    done = horton.count()
+    for _ in range(max_rounds):
+        if done >= total:
+            break
+        newly = (
+            rel.join(horton.select(F.col("link_id").alias("ch")), "ch", "left_anti")
+            .join(
+                horton.select(
+                    F.col("link_id").alias("ds_link_id"), F.col("h").alias("ph")
+                ),
+                "ds_link_id",
+            )
+            .join(strahler.select(F.col("link_id").alias("ch"), "ord"), "ch")
+            .select(
+                F.col("ch").alias("link_id"),
+                F.when(F.col("is_main"), F.col("ph")).otherwise(F.col("ord")).alias("h"),
+            )
+        )
+        horton = (
+            horton.unionByName(newly)
+            .coalesce(horton.sparkSession.sparkContext.defaultParallelism)
+            .transform(loop_checkpoint)
+        )
+        new_done = horton.count()
+        if new_done == done:
+            break
+        done = new_done
+    return links.join(horton, "link_id").select(
+        "row", "col", F.col("h").cast("double").alias("value")
     )
 
 
@@ -322,7 +510,7 @@ def downslope_flowpath_length(cells: DataFrame, grid: GridSpec) -> DataFrame:
         nxt = (
             state.join(s2, state["skey"] == s2["k2"])
             .select("key", F.col("s2").alias("skey"), (F.col("dist") + F.col("d2")).alias("dist"))
-            .localCheckpoint(eager=True)
+            .transform(loop_checkpoint)
         )
         changed = (
             nxt.join(state.select("key", F.col("skey").alias("old")), "key")
@@ -437,12 +625,10 @@ SELECT row, col, link_id FROM linkcell
 """
 
 
-def strahler_oracle_sql(
-    source_sql: str, grid: GridSpec, *, threshold: float, max_rounds: int = 16
-) -> str:
-    """Strahler via a FIXED unrolled iteration over the link tree (chained
-    CTEs; aggregates are not allowed inside a recursive term). max_rounds
-    bounds the link-tree depth the oracle can resolve."""
+def _strahler_cte_parts(max_rounds: int) -> tuple[list[str], str]:
+    """Shared unrolled Strahler-over-links CTE chain (requires the
+    _LINK_CTES prefix). -> (cte part list, final per-link order CTE name
+    with columns (link_id, ord))."""
     parts = [
         f"""down AS MATERIALIZED (
   SELECT DISTINCT lc.link_id, lc2.link_id AS ds
@@ -483,12 +669,115 @@ l{t + 1} AS MATERIALIZED (
 )"""
         )
         prev = f"l{t + 1}"
+    return parts, prev
+
+
+def strahler_oracle_sql(
+    source_sql: str, grid: GridSpec, *, threshold: float, max_rounds: int = 16
+) -> str:
+    """Strahler via a FIXED unrolled iteration over the link tree (chained
+    CTEs; aggregates are not allowed inside a recursive term). max_rounds
+    bounds the link-tree depth the oracle can resolve."""
+    parts, prev = _strahler_cte_parts(max_rounds)
     body = ",\n".join(parts)
     return f"""
 WITH RECURSIVE {_stream_ctes(source_sql, grid, threshold)},{_LINK_CTES},
 {body}
 SELECT lc.row, lc.col, CAST(o.ord AS DOUBLE) AS value
 FROM linkcell lc JOIN {prev} o ON o.link_id = lc.link_id
+"""
+
+
+def horton_oracle_sql(
+    source_sql: str, grid: GridSpec, *, threshold: float, max_rounds: int = 16
+) -> str:
+    """Horton via the same unrolled link-tree machinery as Strahler plus
+    (a) an unrolled bottom-up longest-channel-head-distance pass, (b) the
+    main-tributary argmax per junction (round 1e-6, ties to smaller link
+    id — same rule as the engine), and (c) an unrolled top-down pass where
+    main children inherit the parent's Horton order."""
+    sparts, sfinal = _strahler_cte_parts(max_rounds)
+    parts = list(sparts)
+    parts.append(
+        """downl AS MATERIALIZED (
+  SELECT DISTINCT lc.link_id, lc2.link_id AS ds, d.len AS cutlen
+  FROM linkcell lc
+  JOIN (SELECT row, col, i, trow, tcol FROM se ANTI JOIN ce USING (row, col, trow, tcol)) cut
+    ON cut.row = lc.row AND cut.col = lc.col
+  JOIN linkcell lc2 ON lc2.row = cut.trow AND lc2.col = cut.tcol
+  JOIN dirs d ON d.i = cut.i
+),
+chainlen AS MATERIALIZED (
+  SELECT lc.link_id, sum(d.len) AS v
+  FROM se
+  JOIN ce ON ce.row = se.row AND ce.col = se.col
+         AND ce.trow = se.trow AND ce.tcol = se.tcol
+  JOIN linkcell lc ON lc.row = se.row AND lc.col = se.col
+  JOIN dirs d ON d.i = se.i GROUP BY 1
+),
+intlen AS MATERIALIZED (
+  SELECT al.link_id, coalesce(s.v, 0.0) AS intlen
+  FROM (SELECT DISTINCT link_id FROM linkcell) al
+  LEFT JOIN chainlen s ON s.link_id = al.link_id
+),
+d0 AS MATERIALIZED (
+  SELECT link_id, intlen AS d FROM intlen ANTI JOIN nch USING (link_id)
+)"""
+    )
+    prev = "d0"
+    for t in range(max_rounds):
+        parts.append(
+            f"""ds{t} AS MATERIALIZED (
+  SELECT dl.ds AS link_id, count(*) AS n_done, max(o.d + dl.cutlen) AS mx
+  FROM downl dl JOIN {prev} o ON o.link_id = dl.link_id GROUP BY dl.ds
+),
+d{t + 1} AS MATERIALIZED (
+  SELECT * FROM {prev}
+  UNION ALL
+  SELECT s.link_id, s.mx + il.intlen AS d
+  FROM ds{t} s
+  JOIN nch n ON n.link_id = s.link_id
+  JOIN intlen il ON il.link_id = s.link_id
+  WHERE s.n_done = n.n_ch AND s.link_id NOT IN (SELECT link_id FROM {prev})
+)"""
+        )
+        prev = f"d{t + 1}"
+    parts.append(
+        f"""rel AS MATERIALIZED (
+  SELECT ch, ds, rk = 1 AS is_main FROM (
+    SELECT dl.link_id AS ch, dl.ds,
+           row_number() OVER (
+             PARTITION BY dl.ds
+             ORDER BY round(o.d + dl.cutlen, 6) DESC, dl.link_id ASC
+           ) AS rk
+    FROM downl dl JOIN {prev} o ON o.link_id = dl.link_id
+  )
+),
+h0 AS MATERIALIZED (
+  SELECT o.link_id, o.ord AS h FROM {sfinal} o
+  WHERE o.link_id NOT IN (SELECT ch FROM rel)
+)"""
+    )
+    hprev = "h0"
+    for t in range(max_rounds):
+        parts.append(
+            f"""h{t + 1} AS MATERIALIZED (
+  SELECT * FROM {hprev}
+  UNION ALL
+  SELECT r.ch AS link_id, CASE WHEN r.is_main THEN p.h ELSE o.ord END AS h
+  FROM rel r
+  JOIN {hprev} p ON p.link_id = r.ds
+  JOIN {sfinal} o ON o.link_id = r.ch
+  WHERE r.ch NOT IN (SELECT link_id FROM {hprev})
+)"""
+        )
+        hprev = f"h{t + 1}"
+    body = ",\n".join(parts)
+    return f"""
+WITH RECURSIVE {_stream_ctes(source_sql, grid, threshold)},{_LINK_CTES},
+{body}
+SELECT lc.row, lc.col, CAST(h.h AS DOUBLE) AS value
+FROM linkcell lc JOIN {hprev} h ON h.link_id = lc.link_id
 """
 
 
@@ -580,7 +869,7 @@ def _chain_terminals_with_dist(
         nxt = (
             state.join(s2, state["skey"] == s2["k2"])
             .select("key", F.col("s2").alias("skey"), (F.col("dist") + F.col("d2")).alias("dist"))
-            .localCheckpoint(eager=True)
+            .transform(loop_checkpoint)
         )
         changed = (
             nxt.join(state.select("key", F.col("skey").alias("old")), "key")
@@ -744,10 +1033,10 @@ def max_upslope_flowpath(cells: DataFrame, grid: GridSpec) -> DataFrame:
             acc.join(pushed, ["row", "col"], "left")
             .withColumn("fa", F.greatest(F.col("fa"), F.coalesce(F.col("inflow"), F.col("fa"))))
             .drop("inflow")
-            .localCheckpoint(eager=True)
+            .transform(loop_checkpoint)
         )
-        rem = rem.join(src_edges.select("row", "col"), ["row", "col"], "left_anti").localCheckpoint(
-            eager=True
+        rem = rem.join(src_edges.select("row", "col"), ["row", "col"], "left_anti").transform(
+            loop_checkpoint
         )
     return acc.select("row", "col", F.col("fa").alias("value"))
 
