@@ -993,6 +993,79 @@ def q_horton(spark, sf_dir):
     return horton_order(_valley_dem(spark, sf_dir), STREAM_GRID, threshold=4.0)
 
 
+def q_hack(spark, sf_dir):
+    """HackStreamOrder: outlet tributary 1, side tributaries +1."""
+    from whitebox_tools_spark.operators.streams import hack_order
+
+    return hack_order(_valley_dem(spark, sf_dir), STREAM_GRID, threshold=4.0)
+
+
+def q_topological(spark, sf_dir):
+    """TopologicalStreamOrder: link count to the outlet."""
+    from whitebox_tools_spark.operators.streams import topological_stream_order
+
+    return topological_stream_order(_valley_dem(spark, sf_dir), STREAM_GRID, threshold=4.0)
+
+
+def q_tributary_id(spark, sf_dir):
+    """TributaryIdentifier: longest-path tributary identity, head-scan ids."""
+    from whitebox_tools_spark.operators.streams import tributary_id
+
+    return tributary_id(_valley_dem(spark, sf_dir), STREAM_GRID, threshold=4.0)
+
+
+def q_find_main_stem(spark, sf_dir):
+    """FindMainStem: 1.0 on the outlet's main channel."""
+    from whitebox_tools_spark.operators.streams import find_main_stem
+
+    return find_main_stem(_valley_dem(spark, sf_dir), STREAM_GRID, threshold=4.0)
+
+
+def q_farthest_head(spark, sf_dir):
+    """FarthestChannelHead: max upstream head distance per stream cell."""
+    from whitebox_tools_spark.operators.streams import farthest_channel_head
+
+    return farthest_channel_head(_valley_dem(spark, sf_dir), STREAM_GRID, threshold=4.0)
+
+
+def q_total_length_channels(spark, sf_dir):
+    """TotalLengthOfUpstreamChannels per stream cell."""
+    from whitebox_tools_spark.operators.streams import total_length_channels
+
+    return total_length_channels(_valley_dem(spark, sf_dir), STREAM_GRID, threshold=4.0)
+
+
+def q_stream_link_length(spark, sf_dir):
+    """StreamLinkLength: per-link out-edge length sum painted on cells."""
+    from whitebox_tools_spark.operators.streams import stream_link_length
+
+    return stream_link_length(_valley_dem(spark, sf_dir), STREAM_GRID, threshold=4.0)
+
+
+def q_stream_link_slope(spark, sf_dir):
+    """StreamLinkSlope: 100*(zmax-zmin)/length per link."""
+    from whitebox_tools_spark.operators.streams import stream_link_slope
+
+    return stream_link_slope(_valley_dem(spark, sf_dir), STREAM_GRID, threshold=4.0)
+
+
+def q_remove_short_streams(spark, sf_dir):
+    """RemoveShortStreams: prune tributaries with total length <= 25 map
+    units (5 cells at res 5.0)."""
+    from whitebox_tools_spark.operators.streams import remove_short_streams
+
+    return remove_short_streams(
+        _valley_dem(spark, sf_dir), STREAM_GRID, threshold=4.0, min_length=25.0
+    )
+
+
+def q_distance_to_outlet(spark, sf_dir):
+    """DistanceToOutlet: along-stream distance to the outlet cell."""
+    from whitebox_tools_spark.operators.streams import distance_to_outlet
+
+    return distance_to_outlet(_valley_dem(spark, sf_dir), STREAM_GRID, threshold=4.0)
+
+
 def q_stream_link(spark, sf_dir):
     """StreamLinkIdentifier (links renumbered by terminal scan order)."""
     from whitebox_tools_spark.operators.streams import stream_link_identifier
@@ -1655,6 +1728,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shreve_magnitude": q_shreve,
         "strahler_order": q_strahler,
         "horton_order": q_horton,
+        "hack_order": q_hack,
+        "topological_stream_order": q_topological,
+        "tributary_id": q_tributary_id,
+        "find_main_stem": q_find_main_stem,
+        "farthest_channel_head": q_farthest_head,
+        "total_length_channels": q_total_length_channels,
+        "stream_link_length": q_stream_link_length,
+        "stream_link_slope": q_stream_link_slope,
+        "remove_short_streams": q_remove_short_streams,
+        "distance_to_outlet": q_distance_to_outlet,
         "stream_link_id": q_stream_link,
         "watershed": q_watershed,
         "downslope_flowpath_length": q_flowpath_length,
@@ -1987,6 +2070,34 @@ WHERE round(f.value - d.value, 6) > 0
         "shreve_magnitude": _str.shreve_oracle_sql(_VALLEY_DEM_SQL, STREAM_GRID, threshold=4.0),
         "strahler_order": _str.strahler_oracle_sql(_VALLEY_DEM_SQL, STREAM_GRID, threshold=4.0),
         "horton_order": _str.horton_oracle_sql(_VALLEY_DEM_SQL, STREAM_GRID, threshold=4.0),
+        "hack_order": _str.hack_oracle_sql(_VALLEY_DEM_SQL, STREAM_GRID, threshold=4.0),
+        "topological_stream_order": _str.topological_oracle_sql(
+            _VALLEY_DEM_SQL, STREAM_GRID, threshold=4.0
+        ),
+        "tributary_id": _str.tributary_id_oracle_sql(
+            _VALLEY_DEM_SQL, STREAM_GRID, threshold=4.0
+        ),
+        "find_main_stem": _str.find_main_stem_oracle_sql(
+            _VALLEY_DEM_SQL, STREAM_GRID, threshold=4.0
+        ),
+        "farthest_channel_head": _str.farthest_head_oracle_sql(
+            _VALLEY_DEM_SQL, STREAM_GRID, threshold=4.0
+        ),
+        "total_length_channels": _str.total_length_oracle_sql(
+            _VALLEY_DEM_SQL, STREAM_GRID, threshold=4.0
+        ),
+        "stream_link_length": _str.stream_link_length_oracle_sql(
+            _VALLEY_DEM_SQL, STREAM_GRID, threshold=4.0
+        ),
+        "stream_link_slope": _str.stream_link_slope_oracle_sql(
+            _VALLEY_DEM_SQL, STREAM_GRID, threshold=4.0
+        ),
+        "remove_short_streams": _str.remove_short_streams_oracle_sql(
+            _VALLEY_DEM_SQL, STREAM_GRID, threshold=4.0, min_length=25.0
+        ),
+        "distance_to_outlet": _str.dist_to_outlet_oracle_sql(
+            _VALLEY_DEM_SQL, STREAM_GRID, threshold=4.0
+        ),
         "stream_link_id": _str.stream_link_oracle_sql(_VALLEY_DEM_SQL, STREAM_GRID, threshold=4.0),
         "watershed": _str.watershed_oracle_sql(_VALLEY_DEM_SQL, STREAM_GRID, _POUR),
         "downslope_flowpath_length": _str.flowpath_length_oracle_sql(_VALLEY_DEM_SQL, STREAM_GRID),

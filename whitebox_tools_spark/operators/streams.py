@@ -284,36 +284,42 @@ def _strahler_link_orders(tree: DataFrame, *, max_rounds: int = 64) -> DataFrame
     return assigned
 
 
-def horton_order(
+def _link_forest(
     cells: DataFrame, grid: GridSpec, *, threshold: float, max_rounds: int = 64
-) -> DataFrame:
-    """HortonOrder (stream_network_analysis/horton_order.rs): every stream
-    link takes the Strahler order of the main stem it belongs to. At each
-    junction the main stem continues upstream through the tributary with
-    the greatest maximum channel-head flow distance (the reference's
-    longest-tributary rule, horton_order.rs:413-417); a link that is not
-    its parent's main tributary starts a new tributary whose Horton order
-    is its own Strahler order (the downstream end of a tributary carries
-    its maximum Strahler order). Distances compare rounded to 1e-6 and
-    ties break to the smaller link id — the reference's tie outcome
-    depends on its serial stack order instead.
-    -> (row, col, value) with value = Horton order."""
-    from pyspark.sql import Window
-    from whitebox_tools_spark.distributed import with_global_seq
+):
+    """Shared stream-link-tree machinery for the ordering/metric tools.
+
+    Builds, with ONE bottom-up wave over the link tree (rounds = junction
+    depth, not cell count), per link:
+      - ord: Strahler order;
+      - d:   max channel-head flow distance at the link terminal (the
+             reference tools' trib_length longest-path quantity);
+      - tu:  total upstream channel length at the link terminal (every
+             upstream stream cell's out-edge length, cut edges included).
+    Plus: rel (child -> parent with is_main = the child is the junction's
+    main tributary by greatest d, 1e-6 rounding, smaller-link-id ties),
+    chaindist (per stream cell: its link and along-chain distance to the
+    link terminal, via successor pointer doubling), intl, outlen (length
+    of each link terminal's D8 out-edge, 0 when the terminal is a pit).
+
+    Returns a SimpleNamespace; every returned DataFrame is checkpointed.
+    """
+    from types import SimpleNamespace
+    from whitebox_tools_spark.distributed import loop_checkpoint, with_global_seq
 
     sc, edges = _stream_set(cells, grid, threshold)
     chain_edges, all_edges = _link_edges(sc, edges)
-    term = _chain_terminals(sc, chain_edges)
-    terms = term.select(_key(F.col("trow"), F.col("tcol")).alias("t")).distinct()
+    cd = _chain_terminals_with_dist(sc, _edge_lengths(chain_edges, grid))
+    terms = cd.select(_key(F.col("trow"), F.col("tcol")).alias("t")).distinct()
     ids = with_global_seq(terms, ["t"], out_col="link_id")
-    links = (
-        term.join(F.broadcast(ids), _key(F.col("trow"), F.col("tcol")) == ids["t"])
-        .select("row", "col", "link_id")
+    # per-cell link id AND distance-to-terminal in one pass
+    chaindist = (
+        cd.join(F.broadcast(ids), _key(F.col("trow"), F.col("tcol")) == ids["t"])
+        .select("row", "col", "link_id", F.col("dist").alias("dist_term"))
         .localCheckpoint(eager=True)
     )
+    links = chaindist.select("row", "col", "link_id")
     cut = all_edges.join(chain_edges, ["row", "col", "trow", "tcol"], "left_anti")
-    # child -> parent with the junction-entering edge's length (each link's
-    # terminal has exactly one D8 outflow, so at most one parent)
     children = (
         links.join(_edge_lengths(cut, grid), ["row", "col"])
         .join(
@@ -329,32 +335,39 @@ def horton_order(
     )
     all_links = links.select("link_id").distinct().localCheckpoint(eager=True)
     total = all_links.count()
-
-    # internal chain length per link (0 for single-cell links)
-    intlen = (
-        links.join(
-            _edge_lengths(chain_edges, grid).select("row", "col", "len"), ["row", "col"]
-        )
-        .groupBy("link_id")
-        .agg(F.sum("len").alias("intlen"))
-    )
     intl = (
-        all_links.join(intlen, "link_id", "left")
+        all_links.join(
+            chaindist.groupBy("link_id").agg(F.max("dist_term").alias("intlen")),
+            "link_id", "left",
+        )
         .withColumn("intlen", F.coalesce("intlen", F.lit(0.0)))
         .localCheckpoint(eager=True)
     )
-    # ONE bottom-up wave computes both the Strahler order and the max
-    # channel-head flow distance D(link) = intlen + max(D(child) + cutlen):
-    # a parent resolves when all its children have, so the two recurrences
-    # share rounds. Remaining work is tracked by driver-side counts (one
-    # materialization + one cheap count per round, not join-and-isEmpty).
+    # terminal out-edge length (any D8 downslope target, stream or not):
+    # StreamLinkLength counts it (stream_link_length.rs:323) and
+    # RemoveShortStreams' tributary totals end with it
+    term_cells = chaindist.filter(F.col("dist_term") == 0.0).select("row", "col", "link_id")
+    outlen = (
+        all_links.join(
+            term_cells.join(
+                _edge_lengths(_flow_edges(cells, grid), grid).select("row", "col", "len"),
+                ["row", "col"],
+            ).groupBy("link_id").agg(F.max("len").alias("outlen")),
+            "link_id", "left",
+        )
+        .withColumn("outlen", F.coalesce("outlen", F.lit(0.0)))
+        .localCheckpoint(eager=True)
+    )
     n_children = children.groupBy(F.col("ds_link_id").alias("link_id")).agg(
         F.count(F.lit(1)).alias("n_ch")
     )
     state = (
         all_links.join(n_children, "link_id", "left_anti")
         .join(intl, "link_id")
-        .select("link_id", F.lit(1).alias("ord"), F.col("intlen").alias("d"))
+        .select(
+            "link_id", F.lit(1).alias("ord"),
+            F.col("intlen").alias("d"), F.col("intlen").alias("tu"),
+        )
         .localCheckpoint(eager=True)
     )
     done = state.count()
@@ -363,22 +376,24 @@ def horton_order(
             break
         ch = (
             children.select(F.col("link_id").alias("ch"), "ds_link_id", "cutlen")
-            .join(state.select(F.col("link_id").alias("ch"), "ord", "d"), "ch")
+            .join(state.select(F.col("link_id").alias("ch"), "ord", "d", "tu"), "ch")
             .select(
                 F.col("ds_link_id").alias("link_id"),
                 "ord",
                 (F.col("d") + F.col("cutlen")).alias("s"),
+                (F.col("tu") + F.col("cutlen")).alias("t"),
             )
         )
         agg = ch.groupBy("link_id").agg(
             F.count(F.lit(1)).alias("n_done"),
             F.max("ord").alias("mx"),
             F.max("s").alias("mxs"),
+            F.sum("t").alias("sumt"),
         )
         at_max = (
             ch.join(agg, "link_id")
             .filter(F.col("ord") == F.col("mx"))
-            .groupBy("link_id", "n_done", "mx", "mxs")
+            .groupBy("link_id", "n_done", "mx", "mxs", "sumt")
             .agg(F.count(F.lit(1)).alias("n_at_max"))
         )
         newly = (
@@ -390,21 +405,18 @@ def horton_order(
                 "link_id",
                 (F.col("mx") + F.when(F.col("n_at_max") >= 2, 1).otherwise(0)).alias("ord"),
                 (F.col("mxs") + F.col("intlen")).alias("d"),
+                (F.col("sumt") + F.col("intlen")).alias("tu"),
             )
         )
-        # coalesce: see _strahler_link_orders — avoid per-round partition growth
-        state = (
-            state.unionByName(newly)
-            .coalesce(state.sparkSession.sparkContext.defaultParallelism)
-            .transform(loop_checkpoint)
-        )
+        state = state.unionByName(newly).coalesce(
+            state.sparkSession.sparkContext.defaultParallelism
+        ).transform(loop_checkpoint)
         new_done = state.count()
         if new_done == done:
             break
         done = new_done
+    state = state.localCheckpoint(eager=True)
 
-    # main tributary per junction: argmax of the head distance entering it
-    # (window partitioned by junction — fan-in is at most 8, scale-safe)
     scored = (
         children.select(F.col("link_id").alias("ch"), "ds_link_id", "cutlen")
         .join(state.select(F.col("link_id").alias("ch"), "d"), "ch")
@@ -416,46 +428,317 @@ def horton_order(
         .select("ch", "ds_link_id", (F.col("rk") == 1).alias("is_main"))
         .localCheckpoint(eager=True)
     )
-    strahler = state.select("link_id", "ord").localCheckpoint(eager=True)
-
-    # top-down: roots take their own Strahler order; a main child inherits
-    # the parent's Horton order, a side tributary restarts at its Strahler
-    horton = (
-        all_links.join(rel.select(F.col("ch").alias("link_id")), "link_id", "left_anti")
-        .join(strahler, "link_id")
-        .select("link_id", F.col("ord").alias("h"))
-        .localCheckpoint(eager=True)
+    return SimpleNamespace(
+        links=links, chaindist=chaindist, children=children,
+        all_links=all_links, total=total, intl=intl, outlen=outlen,
+        state=state, rel=rel, max_rounds=max_rounds,
     )
-    done = horton.count()
-    for _ in range(max_rounds):
-        if done >= total:
+
+
+def _topdown_orders(fr, init_df, step_fn):
+    """Generic top-down wave over the link tree: init_df = (link_id, h) for
+    the roots; step_fn(todo) maps the frontier (rel rows joined with the
+    parent's h as ph and the child's Strahler ord) to (link_id, h)."""
+    from whitebox_tools_spark.distributed import loop_checkpoint
+
+    h = init_df.localCheckpoint(eager=True)
+    done = h.count()
+    for _ in range(fr.max_rounds):
+        if done >= fr.total:
             break
-        newly = (
-            rel.join(horton.select(F.col("link_id").alias("ch")), "ch", "left_anti")
+        frontier = (
+            fr.rel.join(h.select(F.col("link_id").alias("ch")), "ch", "left_anti")
             .join(
-                horton.select(
-                    F.col("link_id").alias("ds_link_id"), F.col("h").alias("ph")
-                ),
+                h.select(F.col("link_id").alias("ds_link_id"), F.col("h").alias("ph")),
                 "ds_link_id",
             )
-            .join(strahler.select(F.col("link_id").alias("ch"), "ord"), "ch")
-            .select(
-                F.col("ch").alias("link_id"),
-                F.when(F.col("is_main"), F.col("ph")).otherwise(F.col("ord")).alias("h"),
-            )
+            .join(fr.state.select(F.col("link_id").alias("ch"), "ord"), "ch")
         )
-        horton = (
-            horton.unionByName(newly)
-            .coalesce(horton.sparkSession.sparkContext.defaultParallelism)
-            .transform(loop_checkpoint)
-        )
-        new_done = horton.count()
+        newly = step_fn(frontier)
+        h = h.unionByName(newly).coalesce(
+            h.sparkSession.sparkContext.defaultParallelism
+        ).transform(loop_checkpoint)
+        new_done = h.count()
         if new_done == done:
             break
         done = new_done
-    return links.join(horton, "link_id").select(
+    return h
+
+
+def _roots(fr):
+    return fr.all_links.join(
+        fr.rel.select(F.col("ch").alias("link_id")), "link_id", "left_anti"
+    )
+
+
+def horton_order(
+    cells: DataFrame, grid: GridSpec, *, threshold: float, max_rounds: int = 64
+) -> DataFrame:
+    """HortonOrder (stream_network_analysis/horton_order.rs): every stream
+    link takes the Strahler order of the main stem it belongs to. At each
+    junction the main stem continues upstream through the tributary with
+    the greatest maximum channel-head flow distance (the reference's
+    longest-tributary rule, horton_order.rs:413-417); a link that is not
+    its parent's main tributary starts a new tributary whose Horton order
+    is its own Strahler order (the downstream end of a tributary carries
+    its maximum Strahler order). Distances compare rounded to 1e-6 and
+    ties break to the smaller link id — the reference's tie outcome
+    depends on its serial stack order instead.
+    -> (row, col, value) with value = Horton order."""
+    fr = _link_forest(cells, grid, threshold=threshold, max_rounds=max_rounds)
+    init = _roots(fr).join(fr.state, "link_id").select("link_id", F.col("ord").alias("h"))
+    h = _topdown_orders(
+        fr, init,
+        lambda fro: fro.select(
+            F.col("ch").alias("link_id"),
+            F.when(F.col("is_main"), F.col("ph")).otherwise(F.col("ord")).alias("h"),
+        ),
+    )
+    return fr.links.join(h, "link_id").select(
         "row", "col", F.col("h").cast("double").alias("value")
     )
+
+
+def hack_order(
+    cells: DataFrame, grid: GridSpec, *, threshold: float, max_rounds: int = 64
+) -> DataFrame:
+    """HackStreamOrder (stream_network_analysis/hack_order.rs): the outlet
+    tributary is order 1 and each side tributary entering it is one order
+    higher, recursively; the main stem at each junction is the tributary
+    with the greatest channel-head flow distance (hack_order.rs trib_length
+    rule — same main-stem relation as horton_order, same deterministic
+    tie-break deviation). -> (row, col, value)."""
+    fr = _link_forest(cells, grid, threshold=threshold, max_rounds=max_rounds)
+    init = _roots(fr).select("link_id", F.lit(1).alias("h"))
+    h = _topdown_orders(
+        fr, init,
+        lambda fro: fro.select(
+            F.col("ch").alias("link_id"),
+            F.when(F.col("is_main"), F.col("ph")).otherwise(F.col("ph") + 1).alias("h"),
+        ),
+    )
+    return fr.links.join(h, "link_id").select(
+        "row", "col", F.col("h").cast("double").alias("value")
+    )
+
+
+def topological_stream_order(
+    cells: DataFrame, grid: GridSpec, *, threshold: float, max_rounds: int = 64
+) -> DataFrame:
+    """TopologicalStreamOrder (stream_network_analysis/
+    topological_stream_order.rs): the link draining to the outlet is order
+    1, every tributary link is its downstream link's order + 1 (link count
+    along the path to the outlet). -> (row, col, value)."""
+    fr = _link_forest(cells, grid, threshold=threshold, max_rounds=max_rounds)
+    init = _roots(fr).select("link_id", F.lit(1).alias("h"))
+    h = _topdown_orders(
+        fr, init,
+        lambda fro: fro.select(F.col("ch").alias("link_id"), (F.col("ph") + 1).alias("h")),
+    )
+    return fr.links.join(h, "link_id").select(
+        "row", "col", F.col("h").cast("double").alias("value")
+    )
+
+
+def _trib_chains(fr):
+    """Tributary chains = maximal runs of links connected by is_main
+    edges. -> (link_id, up_leaf, down_last): the chain's most upstream
+    (leaf) link and most downstream link, via pointer doubling on the
+    link graph (links encoded as one-cell nodes)."""
+    main_edges = fr.rel.filter(F.col("is_main"))
+    nodes = fr.all_links.select(F.col("link_id").alias("row"), F.lit(0).alias("col"))
+    down = main_edges.select(
+        F.col("ch").alias("row"), F.lit(0).alias("col"),
+        F.col("ds_link_id").alias("trow"), F.lit(0).alias("tcol"),
+    )
+    last = _chain_terminals(nodes, down).select(
+        F.col("row").alias("link_id"), F.col("trow").alias("down_last")
+    )
+    up = main_edges.select(
+        F.col("ds_link_id").alias("row"), F.lit(0).alias("col"),
+        F.col("ch").alias("trow"), F.lit(0).alias("tcol"),
+    )
+    leaf = _chain_terminals(nodes, up).select(
+        F.col("row").alias("link_id"), F.col("trow").alias("up_leaf")
+    )
+    return last.join(leaf, "link_id").localCheckpoint(eager=True)
+
+
+def tributary_id(
+    cells: DataFrame, grid: GridSpec, *, threshold: float, max_rounds: int = 64
+) -> DataFrame:
+    """TributaryIdentifier (stream_network_analysis/tributary_id.rs): every
+    stream cell is labelled with the id of the tributary it belongs to; a
+    tributary keeps its identity through a junction when it is the main
+    stem (greatest channel-head flow distance). Ids are densely numbered
+    in raster-scan order of each tributary's channel-head cell (the
+    reference numbers heads in the same row-major scan)."""
+    from whitebox_tools_spark.distributed import with_global_seq
+
+    fr = _link_forest(cells, grid, threshold=threshold, max_rounds=max_rounds)
+    chains = _trib_chains(fr)
+    # head cell of each LEAF link = its cell farthest from the terminal
+    leaf_ids = chains.select(F.col("up_leaf").alias("link_id")).distinct()
+    heads = (
+        fr.chaindist.join(leaf_ids, "link_id")
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("link_id").orderBy(F.desc("dist_term"))
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .select("link_id", _key(F.col("row"), F.col("col")).alias("hkey"))
+    )
+    hid = with_global_seq(heads, ["hkey"], out_col="trib").select(
+        F.col("link_id").alias("up_leaf"), "trib"
+    )
+    lab = chains.join(F.broadcast(hid), "up_leaf").select("link_id", "trib")
+    return fr.links.join(lab, "link_id").select(
+        "row", "col", F.col("trib").cast("double").alias("value")
+    )
+
+
+def find_main_stem(
+    cells: DataFrame, grid: GridSpec, *, threshold: float, max_rounds: int = 64
+) -> DataFrame:
+    """FindMainStem (stream_network_analysis/find_main_stem.rs): 1.0 for
+    stream cells on the main channel (the tributary chain that reaches the
+    outlet link), 0.0 for other stream cells; main-stem selection by the
+    greatest channel-head flow distance at each junction."""
+    fr = _link_forest(cells, grid, threshold=threshold, max_rounds=max_rounds)
+    chains = _trib_chains(fr)
+    root_set = _roots(fr).select(F.col("link_id").alias("down_last"))
+    main_links = chains.join(root_set, "down_last").select("link_id")
+    return (
+        fr.links.join(main_links.withColumn("__m", F.lit(1.0)), "link_id", "left")
+        .select("row", "col", F.coalesce(F.col("__m"), F.lit(0.0)).alias("value"))
+    )
+
+
+def farthest_channel_head(
+    cells: DataFrame, grid: GridSpec, *, threshold: float, max_rounds: int = 64
+) -> DataFrame:
+    """FarthestChannelHead (stream_network_analysis/farthest_channel_head
+    .rs): per stream cell, the along-network flow distance from the most
+    distant upstream channel head (heads are 0). Computed as the link
+    wave's d minus the cell's along-chain distance to the link terminal."""
+    fr = _link_forest(cells, grid, threshold=threshold, max_rounds=max_rounds)
+    return (
+        fr.chaindist.join(fr.state.select("link_id", "d"), "link_id")
+        .select(
+            "row", "col",
+            F.round(F.col("d") - F.col("dist_term"), 6).alias("value"),
+        )
+    )
+
+
+def total_length_channels(
+    cells: DataFrame, grid: GridSpec, *, threshold: float, max_rounds: int = 64
+) -> DataFrame:
+    """TotalLengthOfUpstreamChannels (stream_network_analysis/
+    total_length_channels.rs): per stream cell, the summed length of every
+    upstream channel segment (each upstream stream cell's out-edge, cut
+    edges included). = the link wave's tu minus the cell's along-chain
+    distance to the link terminal."""
+    fr = _link_forest(cells, grid, threshold=threshold, max_rounds=max_rounds)
+    return (
+        fr.chaindist.join(fr.state.select("link_id", "tu"), "link_id")
+        .select(
+            "row", "col",
+            F.round(F.col("tu") - F.col("dist_term"), 6).alias("value"),
+        )
+    )
+
+
+def stream_link_length(
+    cells: DataFrame, grid: GridSpec, *, threshold: float, max_rounds: int = 64
+) -> DataFrame:
+    """StreamLinkLength (stream_network_analysis/stream_link_length.rs):
+    per stream cell, the length of its link = the sum over the link's
+    cells of each cell's D8 out-edge length (stream_link_length.rs:323 —
+    the terminal's outflow edge counts even into a non-stream cell)."""
+    fr = _link_forest(cells, grid, threshold=threshold, max_rounds=max_rounds)
+    out_edges = _edge_lengths(_flow_edges(cells, grid), grid).select("row", "col", "len")
+    lens = (
+        fr.links.join(out_edges, ["row", "col"], "left")
+        .groupBy("link_id")
+        .agg(F.sum(F.coalesce(F.col("len"), F.lit(0.0))).alias("ll"))
+    )
+    return fr.links.join(lens, "link_id").select(
+        "row", "col", F.round(F.col("ll"), 6).alias("value")
+    )
+
+
+def stream_link_slope(
+    cells: DataFrame, grid: GridSpec, *, threshold: float, max_rounds: int = 64
+) -> DataFrame:
+    """StreamLinkSlope (stream_network_analysis/stream_link_slope.rs): per
+    stream cell, the average slope of its link in PERCENT =
+    100 * (max DEM - min DEM over the link's cells) / link length, 0 when
+    the link length is 0 (stream_link_slope.rs:385-398)."""
+    fr = _link_forest(cells, grid, threshold=threshold, max_rounds=max_rounds)
+    out_edges = _edge_lengths(_flow_edges(cells, grid), grid).select("row", "col", "len")
+    dem = cells.filter(F.col("value").isNotNull()).select("row", "col", "value")
+    per_link = (
+        fr.links.join(dem, ["row", "col"])
+        .join(out_edges, ["row", "col"], "left")
+        .groupBy("link_id")
+        .agg(
+            F.min("value").alias("zmin"), F.max("value").alias("zmax"),
+            F.sum(F.coalesce(F.col("len"), F.lit(0.0))).alias("ll"),
+        )
+        .select(
+            "link_id",
+            F.when(
+                F.col("ll") > 0.0,
+                (F.col("zmax") - F.col("zmin")) / F.col("ll") * 100.0,
+            ).otherwise(F.lit(0.0)).alias("sl"),
+        )
+    )
+    return fr.links.join(per_link, "link_id").select(
+        "row", "col", F.round(F.col("sl"), 6).alias("value")
+    )
+
+
+def remove_short_streams(
+    cells: DataFrame, grid: GridSpec, *, threshold: float, min_length: float,
+    max_rounds: int = 64
+) -> DataFrame:
+    """RemoveShortStreams (stream_network_analysis/remove_short_streams
+    .rs): prune every stream cell whose TRIBUTARY (longest-path identity,
+    same main-stem relation as the ordering tools) has total length
+    <= min_length; a tributary's length is the wave's d at its last link
+    plus that terminal's out-edge length (remove_short_streams.rs:392-397
+    accumulates the out-edge before recording). Kept stream cells are 1.0,
+    pruned ones 0.0."""
+    fr = _link_forest(cells, grid, threshold=threshold, max_rounds=max_rounds)
+    chains = _trib_chains(fr)
+    trib_len = (
+        chains.select("link_id", "down_last")
+        .join(
+            fr.state.select(F.col("link_id").alias("down_last"), "d"), "down_last"
+        )
+        .join(fr.outlen.select(F.col("link_id").alias("down_last"), "outlen"), "down_last")
+        .select("link_id", (F.col("d") + F.col("outlen")).alias("tl"))
+    )
+    return fr.links.join(trib_len, "link_id").select(
+        "row", "col",
+        F.when(F.round(F.col("tl"), 6) > min_length, F.lit(1.0))
+        .otherwise(F.lit(0.0)).alias("value"),
+    )
+
+
+def distance_to_outlet(
+    cells: DataFrame, grid: GridSpec, *, threshold: float
+) -> DataFrame:
+    """DistanceToOutlet (stream_network_analysis/dist_to_outlet.rs): per
+    stream cell, the along-stream flow distance to its network outlet (the
+    last stream cell of its D8 path; the outlet itself is 0). Successor
+    pointer doubling over the stream edge set with accumulated length."""
+    sc, edges = _stream_set(cells, grid, threshold)
+    cd = _chain_terminals_with_dist(sc, _edge_lengths(edges, grid))
+    return cd.select("row", "col", F.round(F.col("dist"), 6).alias("value"))
 
 
 def watershed(cells: DataFrame, grid: GridSpec, pour: DataFrame) -> DataFrame:
@@ -778,6 +1061,293 @@ WITH RECURSIVE {_stream_ctes(source_sql, grid, threshold)},{_LINK_CTES},
 {body}
 SELECT lc.row, lc.col, CAST(h.h AS DOUBLE) AS value
 FROM linkcell lc JOIN {hprev} h ON h.link_id = lc.link_id
+"""
+
+
+def _forest_cte_parts(max_rounds: int) -> list[str]:
+    """Oracle mirror of _link_forest (requires the _LINK_CTES prefix):
+    downl/nch (child->parent with cut-edge length), chainlen/intlen,
+    per-cell along-chain distance to the link terminal (distterm), and an
+    unrolled bottom-up pass computing per link both d (max channel-head
+    flow distance) and tu (total upstream channel length); final pass CTE
+    is named dfin, the main-tributary relation relm (ch, ds, is_main)."""
+    parts = [
+        """downl AS MATERIALIZED (
+  SELECT DISTINCT lc.link_id, lc2.link_id AS ds, d.len AS cutlen
+  FROM linkcell lc
+  JOIN (SELECT row, col, i, trow, tcol FROM se ANTI JOIN ce USING (row, col, trow, tcol)) cut
+    ON cut.row = lc.row AND cut.col = lc.col
+  JOIN linkcell lc2 ON lc2.row = cut.trow AND lc2.col = cut.tcol
+  JOIN dirs d ON d.i = cut.i
+),
+nch AS MATERIALIZED (SELECT ds AS link_id, count(*) AS n_ch FROM downl GROUP BY ds),
+celen AS MATERIALIZED (
+  SELECT se.row, se.col, se.trow, se.tcol, d.len
+  FROM se
+  JOIN ce ON ce.row = se.row AND ce.col = se.col
+         AND ce.trow = se.trow AND ce.tcol = se.tcol
+  JOIN dirs d ON d.i = se.i
+),
+wdist(row0, col0, row, col, dist) AS (
+  SELECT row, col, row, col, CAST(0.0 AS DOUBLE) FROM sc
+  UNION
+  SELECT w.row0, w.col0, e.trow, e.tcol, w.dist + e.len
+  FROM wdist w JOIN celen e ON e.row = w.row AND e.col = w.col
+),
+distterm AS MATERIALIZED (
+  SELECT row0 AS row, col0 AS col, max(dist) AS dist_term FROM wdist GROUP BY 1, 2
+),
+intlen AS MATERIALIZED (
+  SELECT al.link_id, coalesce(s.v, 0.0) AS intlen
+  FROM (SELECT DISTINCT link_id FROM linkcell) al
+  LEFT JOIN (
+    SELECT lc.link_id, max(dt.dist_term) AS v
+    FROM linkcell lc JOIN distterm dt ON dt.row = lc.row AND dt.col = lc.col
+    GROUP BY 1
+  ) s ON s.link_id = al.link_id
+),
+d0 AS MATERIALIZED (
+  SELECT link_id, intlen AS d, intlen AS tu FROM intlen ANTI JOIN nch USING (link_id)
+)"""
+    ]
+    prev = "d0"
+    for t in range(max_rounds):
+        parts.append(
+            f"""fs{t} AS MATERIALIZED (
+  SELECT dl.ds AS link_id, count(*) AS n_done,
+         max(o.d + dl.cutlen) AS mx, sum(o.tu + dl.cutlen) AS sumt
+  FROM downl dl JOIN {prev} o ON o.link_id = dl.link_id GROUP BY dl.ds
+),
+d{t + 1} AS MATERIALIZED (
+  SELECT * FROM {prev}
+  UNION ALL
+  SELECT s.link_id, s.mx + il.intlen AS d, s.sumt + il.intlen AS tu
+  FROM fs{t} s
+  JOIN nch n ON n.link_id = s.link_id
+  JOIN intlen il ON il.link_id = s.link_id
+  WHERE s.n_done = n.n_ch AND s.link_id NOT IN (SELECT link_id FROM {prev})
+)"""
+        )
+        prev = f"d{t + 1}"
+    parts.append(
+        f"""dfin AS MATERIALIZED (SELECT * FROM {prev}),
+relm AS MATERIALIZED (
+  SELECT ch, ds, rk = 1 AS is_main FROM (
+    SELECT dl.link_id AS ch, dl.ds,
+           row_number() OVER (
+             PARTITION BY dl.ds
+             ORDER BY round(o.d + dl.cutlen, 6) DESC, dl.link_id ASC
+           ) AS rk
+    FROM downl dl JOIN dfin o ON o.link_id = dl.link_id
+  )
+),
+roots AS MATERIALIZED (
+  SELECT DISTINCT link_id FROM linkcell
+  WHERE link_id NOT IN (SELECT ch FROM relm)
+)"""
+    )
+    return parts
+
+
+def _forest_sql(source_sql, grid, threshold, max_rounds, tail):
+    body = ",\n".join(_forest_cte_parts(max_rounds))
+    return f"""
+WITH RECURSIVE {_stream_ctes(source_sql, grid, threshold)},{_LINK_CTES},
+{body},
+{tail}
+"""
+
+
+def hack_oracle_sql(
+    source_sql: str, grid: GridSpec, *, threshold: float, max_rounds: int = 16
+) -> str:
+    tail = """hk(link_id, h) AS (
+  SELECT link_id, 1 FROM roots
+  UNION
+  SELECT r.ch, CASE WHEN r.is_main THEN k.h ELSE k.h + 1 END
+  FROM relm r JOIN hk k ON k.link_id = r.ds
+)
+SELECT lc.row, lc.col, CAST(k.h AS DOUBLE) AS value
+FROM linkcell lc JOIN hk k ON k.link_id = lc.link_id"""
+    return _forest_sql(source_sql, grid, threshold, max_rounds, tail)
+
+
+def topological_oracle_sql(
+    source_sql: str, grid: GridSpec, *, threshold: float, max_rounds: int = 16
+) -> str:
+    tail = """tp(link_id, h) AS (
+  SELECT link_id, 1 FROM roots
+  UNION
+  SELECT dl.link_id, t.h + 1 FROM downl dl JOIN tp t ON t.link_id = dl.ds
+)
+SELECT lc.row, lc.col, CAST(t.h AS DOUBLE) AS value
+FROM linkcell lc JOIN tp t ON t.link_id = lc.link_id"""
+    return _forest_sql(source_sql, grid, threshold, max_rounds, tail)
+
+
+_TRIB_CHAIN_TAIL = """mainrel AS MATERIALIZED (SELECT ch, ds FROM relm WHERE is_main),
+trv(link_id, leaf) AS (
+  SELECT link_id, link_id FROM (SELECT DISTINCT link_id FROM linkcell)
+  WHERE link_id NOT IN (SELECT ds FROM mainrel)
+  UNION
+  SELECT m.ds, t.leaf FROM mainrel m JOIN trv t ON t.link_id = m.ch
+),
+dnv(link_id, last) AS (
+  SELECT link_id, link_id FROM (SELECT DISTINCT link_id FROM linkcell)
+  WHERE link_id NOT IN (SELECT ch FROM mainrel)
+  UNION
+  SELECT m.ch, d.last FROM mainrel m JOIN dnv d ON d.link_id = m.ds
+)"""
+
+
+def tributary_id_oracle_sql(
+    source_sql: str, grid: GridSpec, *, threshold: float, max_rounds: int = 16
+) -> str:
+    tail = _TRIB_CHAIN_TAIL + """,
+headcell AS MATERIALIZED (
+  SELECT link_id, row, col FROM (
+    SELECT lc.link_id, lc.row, lc.col,
+           row_number() OVER (PARTITION BY lc.link_id ORDER BY dt.dist_term DESC) AS rk
+    FROM linkcell lc
+    JOIN distterm dt ON dt.row = lc.row AND dt.col = lc.col
+    WHERE lc.link_id IN (SELECT DISTINCT leaf FROM trv)
+  ) WHERE rk = 1
+),
+hid AS MATERIALIZED (
+  SELECT link_id AS leaf,
+         CAST(row_number() OVER (ORDER BY row * 2147483648 + col) AS BIGINT) AS trib
+  FROM headcell
+)
+SELECT lc.row, lc.col, CAST(h.trib AS DOUBLE) AS value
+FROM linkcell lc
+JOIN trv t ON t.link_id = lc.link_id
+JOIN hid h ON h.leaf = t.leaf"""
+    return _forest_sql(source_sql, grid, threshold, max_rounds, tail)
+
+
+def find_main_stem_oracle_sql(
+    source_sql: str, grid: GridSpec, *, threshold: float, max_rounds: int = 16
+) -> str:
+    tail = _TRIB_CHAIN_TAIL + """
+SELECT lc.row, lc.col,
+       CASE WHEN d.last IN (SELECT link_id FROM roots) THEN 1.0 ELSE 0.0 END AS value
+FROM linkcell lc JOIN dnv d ON d.link_id = lc.link_id"""
+    return _forest_sql(source_sql, grid, threshold, max_rounds, tail)
+
+
+def farthest_head_oracle_sql(
+    source_sql: str, grid: GridSpec, *, threshold: float, max_rounds: int = 16
+) -> str:
+    tail = """fh AS (SELECT 1)
+SELECT lc.row, lc.col, round(o.d - dt.dist_term, 6) AS value
+FROM linkcell lc
+JOIN dfin o ON o.link_id = lc.link_id
+JOIN distterm dt ON dt.row = lc.row AND dt.col = lc.col"""
+    return _forest_sql(source_sql, grid, threshold, max_rounds, tail)
+
+
+def total_length_oracle_sql(
+    source_sql: str, grid: GridSpec, *, threshold: float, max_rounds: int = 16
+) -> str:
+    tail = """tl AS (SELECT 1)
+SELECT lc.row, lc.col, round(o.tu - dt.dist_term, 6) AS value
+FROM linkcell lc
+JOIN dfin o ON o.link_id = lc.link_id
+JOIN distterm dt ON dt.row = lc.row AND dt.col = lc.col"""
+    return _forest_sql(source_sql, grid, threshold, max_rounds, tail)
+
+
+_OUT_EDGE_CTE = """oe AS MATERIALIZED (
+  SELECT f.row, f.col, d.len FROM fd f JOIN dirs d ON d.i = f.i
+)"""
+
+
+def stream_link_length_oracle_sql(
+    source_sql: str, grid: GridSpec, *, threshold: float
+) -> str:
+    return f"""
+WITH RECURSIVE {_stream_ctes(source_sql, grid, threshold)},{_LINK_CTES},
+{_OUT_EDGE_CTE},
+ll AS (
+  SELECT lc.link_id, sum(CAST(coalesce(oe.len, 0.0) AS DOUBLE)) AS v
+  FROM linkcell lc
+  LEFT JOIN oe ON oe.row = lc.row AND oe.col = lc.col
+  GROUP BY 1
+)
+SELECT lc.row, lc.col, round(l.v, 6) AS value
+FROM linkcell lc JOIN ll l ON l.link_id = lc.link_id
+"""
+
+
+def stream_link_slope_oracle_sql(
+    source_sql: str, grid: GridSpec, *, threshold: float
+) -> str:
+    return f"""
+WITH RECURSIVE {_stream_ctes(source_sql, grid, threshold)},{_LINK_CTES},
+{_OUT_EDGE_CTE},
+sl AS (
+  SELECT lc.link_id,
+         CASE WHEN sum(coalesce(oe.len, 0.0)) > 0.0
+              THEN (max(c.value) - min(c.value)) / sum(coalesce(oe.len, 0.0)) * 100.0
+              ELSE 0.0 END AS v
+  FROM linkcell lc
+  JOIN cells c ON c.row = lc.row AND c.col = lc.col
+  LEFT JOIN oe ON oe.row = lc.row AND oe.col = lc.col
+  GROUP BY 1
+)
+SELECT lc.row, lc.col, round(s.v, 6) AS value
+FROM linkcell lc JOIN sl s ON s.link_id = lc.link_id
+"""
+
+
+def remove_short_streams_oracle_sql(
+    source_sql: str, grid: GridSpec, *, threshold: float, min_length: float,
+    max_rounds: int = 16
+) -> str:
+    tail = _TRIB_CHAIN_TAIL + """,
+termout AS MATERIALIZED (
+  SELECT al.link_id, coalesce(s.v, 0.0) AS outlen
+  FROM (SELECT DISTINCT link_id FROM linkcell) al
+  LEFT JOIN (
+    SELECT lc.link_id, max(oe2.len) AS v
+    FROM linkcell lc
+    JOIN distterm dt ON dt.row = lc.row AND dt.col = lc.col AND dt.dist_term = 0.0
+    JOIN (SELECT f.row, f.col, d.len FROM fd f JOIN dirs d ON d.i = f.i) oe2
+      ON oe2.row = lc.row AND oe2.col = lc.col
+    GROUP BY 1
+  ) s ON s.link_id = al.link_id
+),
+triblen AS MATERIALIZED (
+  SELECT d.link_id, o.d + t.outlen AS tl
+  FROM dnv d
+  JOIN dfin o ON o.link_id = d.last
+  JOIN termout t ON t.link_id = d.last
+)
+SELECT lc.row, lc.col,
+       CASE WHEN round(t.tl, 6) > {MINLEN} THEN 1.0 ELSE 0.0 END AS value
+FROM linkcell lc JOIN triblen t ON t.link_id = lc.link_id""".replace(
+        "{MINLEN}", repr(min_length)
+    )
+    return _forest_sql(source_sql, grid, threshold, max_rounds, tail)
+
+
+def dist_to_outlet_oracle_sql(
+    source_sql: str, grid: GridSpec, *, threshold: float
+) -> str:
+    return f"""
+WITH RECURSIVE {_stream_ctes(source_sql, grid, threshold)},
+selen AS MATERIALIZED (
+  SELECT se.row, se.col, se.trow, se.tcol, d.len
+  FROM se JOIN dirs d ON d.i = se.i
+),
+swalk(row0, col0, row, col, dist) AS (
+  SELECT row, col, row, col, CAST(0.0 AS DOUBLE) FROM sc
+  UNION
+  SELECT w.row0, w.col0, e.trow, e.tcol, w.dist + e.len
+  FROM swalk w JOIN selen e ON e.row = w.row AND e.col = w.col
+)
+SELECT row0 AS row, col0 AS col, round(max(dist), 6) AS value
+FROM swalk GROUP BY 1, 2
 """
 
 
