@@ -301,9 +301,156 @@ def q_rmse(spark, sf_dir):
                ["rmse", "mean_error"])
 
 
+def q_image_correlation(spark, sf_dir):
+    """ImageCorrelation (math_stat_analysis/image_correlation.rs)."""
+    return ST.image_correlation(_part_raster(spark, sf_dir), _part_raster2(spark, sf_dir))
+
+
+def q_image_regression(spark, sf_dir):
+    """ImageRegression (math_stat_analysis/image_regression.rs)."""
+    return ST.image_regression(_part_raster(spark, sf_dir), _part_raster2(spark, sf_dir))
+
+
+def q_image_autocorrelation(spark, sf_dir):
+    """ImageAutocorrelation (math_stat_analysis/image_autocorrelation.rs):
+    global Moran's I, rook contiguity."""
+    return ST.image_autocorrelation(_part_raster(spark, sf_dir), contiguity="rook")
+
+
+def q_cross_tabulation(spark, sf_dir):
+    """CrossTabulation (math_stat_analysis/cross_tabulation.rs): part-size
+    raster vs the price raster bucketed to 1000-wide classes."""
+    priced = _part_raster(spark, sf_dir).select(
+        "row", "col", F.floor(F.col("value") / 1000.0).alias("value")
+    )
+    return ST.cross_tabulation(_part_raster2(spark, sf_dir), priced)
+
+
+def q_cumulative_distribution(spark, sf_dir):
+    """CumulativeDistribution (math_stat_analysis/cumulative_dist.rs) via
+    the distributed running-sum pattern."""
+    return ST.cumulative_distribution(_part_raster(spark, sf_dir))
+
+
+def q_two_sample_ks(spark, sf_dir):
+    """TwoSampleKsTest (math_stat_analysis/two_sample_ks_test.rs): price
+    raster vs the price raster shifted by +50 (deterministic alternative
+    sample with a real distribution difference)."""
+    b = _part_raster(spark, sf_dir).select(
+        "row", "col", (F.col("value") * 1.02 + 50.0).alias("value")
+    )
+    return ST.two_sample_ks_test(_part_raster(spark, sf_dir), b)
+
+
+def q_attribute_correlation(spark, sf_dir):
+    """AttributeCorrelation (math_stat_analysis/attribute_correlation.rs)
+    over lineitem's numeric attributes."""
+    li = _t(spark, sf_dir, "lineitem")
+    return ST.attribute_correlation(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )
+
+
+def q_anova(spark, sf_dir):
+    """Anova (math_stat_analysis/anova.rs:400-446) of lineitem quantity
+    grouped into 37 zones."""
+    return ST.anova(_zones(spark, sf_dir))
+
+
+def q_paired_t(spark, sf_dir):
+    """PairedSampleTTest (math_stat_analysis/paired_sample_t_test.rs)."""
+    return ST.paired_sample_t_test(
+        _part_raster(spark, sf_dir), _part_raster2(spark, sf_dir)
+    )
+
+
+def q_wilcoxon(spark, sf_dir):
+    """WilcoxonSignedRankTest (math_stat_analysis/
+    wilcoxon_signed_rank_test.rs:382-432)."""
+    return ST.wilcoxon_signed_rank_test(
+        _part_raster(spark, sf_dir), _part_raster2(spark, sf_dir)
+    )
+
+
+def q_ks_normality(spark, sf_dir):
+    """KsTestForNormality (math_stat_analysis/ks_normality_test.rs:233-386)."""
+    return ST.ks_normality_test(_part_raster(spark, sf_dir))
+
+
 def q_list_unique(spark, sf_dir):
     """ListUniqueValues (list_unique_values.rs:149)."""
     return ST.list_unique_values(_t(spark, sf_dir, "customer"), "c_mktsegment")
+
+
+def q_list_unique_raster(spark, sf_dir):
+    """ListUniqueValuesRaster (math_stat_analysis/list_unique_values_raster.rs):
+    distinct cell values with counts over the integer-class raster."""
+    return ST.list_unique_values(_part_raster2(spark, sf_dir), "value")
+
+
+def q_kappa_index(spark, sf_dir):
+    """KappaIndex (math_stat_analysis/kappa_index.rs:141): p_size classes vs
+    1000-wide price classes."""
+    priced = _part_raster(spark, sf_dir).select(
+        "row", "col", F.floor(F.col("value") / 1000.0).cast("double").alias("value")
+    )
+    out = ST.kappa_index(_part_raster2(spark, sf_dir), priced)
+    return _r6(out, ["overall_accuracy", "chance_agreement", "kappa"])
+
+
+def q_crispness_index(spark, sf_dir):
+    """CrispnessIndex (math_stat_analysis/crispness_index.rs:271-340) on a
+    deterministic membership-probability raster in [0, 1)."""
+    unit = _part_raster(spark, sf_dir).select(
+        "row", "col", (F.col("value") % 1000.0 / 1000.0).alias("value")
+    )
+    return ST.crispness_index(unit)
+
+
+def q_stdev_stretch(spark, sf_dir):
+    """StandardDeviationContrastStretch (image_analysis/
+    stdev_contrast_stretch.rs:278-285,368-381)."""
+    from whitebox_tools_spark.operators import image as IM
+
+    return IM.stdev_contrast_stretch(_part_raster(spark, sf_dir), clip_stdev=1.5)
+
+
+def q_percentage_stretch(spark, sf_dir):
+    """PercentageContrastStretch (image_analysis/
+    percentage_contrast_stretch.rs:278-296)."""
+    from whitebox_tools_spark.operators import image as IM
+
+    return IM.percentage_contrast_stretch(_part_raster(spark, sf_dir), clip=2.0)
+
+
+def q_sigmoidal_stretch(spark, sf_dir):
+    """SigmoidalContrastStretch (image_analysis/
+    sigmoidal_contrast_stretch.rs:300-312)."""
+    from whitebox_tools_spark.operators import image as IM
+
+    return IM.sigmoidal_contrast_stretch(
+        _part_raster(spark, sf_dir), cutoff=0.4, gain=2.0
+    )
+
+
+def q_rescale_value_range(spark, sf_dir):
+    """RescaleValueRange (math_stat_analysis/rescale_value_range.rs:254-266)."""
+    from whitebox_tools_spark.operators import image as IM
+
+    return _r6(
+        IM.rescale_value_range(
+            _part_raster(spark, sf_dir), out_min=0.0, out_max=100.0,
+            clip_min=950.0, clip_max=1950.0,
+        ),
+        ["value"],
+    )
+
+
+def q_integral_image(spark, sf_dir):
+    """IntegralImage (image_analysis/integral_image.rs:196-211)."""
+    from whitebox_tools_spark.operators import image as IM
+
+    return _r6(IM.integral_image(_part_raster(spark, sf_dir)), ["value"])
 
 
 def q_join_tables(spark, sf_dir):
@@ -1216,6 +1363,9 @@ def _conv_kernels():
         "emboss": FO.EMBOSS,
         "laplacian": FO.LAPLACIAN,
         "gaussian": FO.gaussian_kernel(0.8),
+        "dog": FO.dog_kernel(0.8, 1.2),
+        "log": FO.log_kernel(0.8),
+        "line_v": FO.LINE_DETECTION_KERNELS["vertical"],
     }
 
 
@@ -1223,6 +1373,50 @@ _CONV_KERNELS = _conv_kernels()
 q_emboss = _q_conv("emboss")
 q_laplacian = _q_conv("laplacian")
 q_gaussian = _q_conv("gaussian")
+q_dog = _q_conv("dog")
+q_log = _q_conv("log")
+q_line_detection = _q_conv("line_v")
+
+
+def q_prewitt(spark, sf_dir):
+    """PrewittFilter (image_analysis/prewitt_filter.rs:287-309)."""
+    from whitebox_tools_spark.operators import focal as FO
+
+    return _r6(FO.prewitt_filter(_part_raster(spark, sf_dir)), ["value"])
+
+
+def q_scharr(spark, sf_dir):
+    """ScharrFilter (image_analysis/scharr_filter.rs:288-309)."""
+    from whitebox_tools_spark.operators import focal as FO
+
+    return _r6(FO.scharr_filter(_part_raster(spark, sf_dir)), ["value"])
+
+
+def q_roberts(spark, sf_dir):
+    """RobertsCrossFilter (image_analysis/roberts_filter.rs:295-316)."""
+    from whitebox_tools_spark.operators import focal as FO
+
+    return _r6(FO.roberts_filter(_part_raster(spark, sf_dir)), ["value"])
+
+
+def q_unsharp(spark, sf_dir):
+    """UnsharpMasking (image_analysis/unsharp_masking.rs:257,400-414)."""
+    from whitebox_tools_spark.operators import focal as FO
+
+    return _r6(
+        FO.unsharp_masking(_part_raster(spark, sf_dir), sigma=0.8, amount=50.0),
+        ["value"],
+    )
+
+
+def q_percentile_filter(spark, sf_dir):
+    """PercentileFilter (image_analysis/percentile_filter.rs:315-455)."""
+    from whitebox_tools_spark.operators import focal as FO
+
+    return _r6(
+        FO.percentile_filter(_part_raster(spark, sf_dir), filterx=5, filtery=5),
+        ["value"],
+    )
 
 
 def _q_curv(which):
@@ -1669,7 +1863,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantiles": q_quantiles,
         "zscores": q_zscores,
         "rmse": q_rmse,
+        "image_correlation": q_image_correlation,
+        "image_regression": q_image_regression,
+        "image_autocorrelation": q_image_autocorrelation,
+        "cross_tabulation": q_cross_tabulation,
+        "cumulative_distribution": q_cumulative_distribution,
+        "two_sample_ks_test": q_two_sample_ks,
+        "attribute_correlation": q_attribute_correlation,
+        "anova": q_anova,
+        "paired_sample_t_test": q_paired_t,
+        "wilcoxon_signed_rank_test": q_wilcoxon,
+        "ks_normality_test": q_ks_normality,
         "list_unique_values": q_list_unique,
+        "list_unique_values_raster": q_list_unique_raster,
+        "kappa_index": q_kappa_index,
+        "crispness_index": q_crispness_index,
+        "stdev_contrast_stretch": q_stdev_stretch,
+        "percentage_contrast_stretch": q_percentage_stretch,
+        "sigmoidal_contrast_stretch": q_sigmoidal_stretch,
+        "rescale_value_range": q_rescale_value_range,
+        "integral_image": q_integral_image,
         "join_tables": q_join_tables,
         "merge_vectors": q_merge_vectors,
         "polygon_metrics": q_polygon_metrics,
@@ -1753,6 +1966,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emboss_filter": q_emboss,
         "laplacian_filter": q_laplacian,
         "gaussian_filter": q_gaussian,
+        "dog_filter": q_dog,
+        "log_filter": q_log,
+        "line_detection_filter": q_line_detection,
+        "prewitt_filter": q_prewitt,
+        "scharr_filter": q_scharr,
+        "roberts_filter": q_roberts,
+        "unsharp_masking": q_unsharp,
+        "percentile_filter": q_percentile_filter,
         "plan_curvature": q_plan_curvature,
         "profile_curvature": q_profile_curvature,
         "tangential_curvature": q_tangential_curvature,
@@ -1976,9 +2197,131 @@ SELECT round(sqrt(avg((v1 - v2) * (v1 - v2))), 6) AS rmse,
        round(avg(v1 - v2), 6) AS mean_error, count(*) AS n
 FROM j
 """,
+        "image_correlation": f"""
+WITH a AS ({_PART_RASTER_SQL}), b AS ({_PART_RASTER2_SQL})
+SELECT count(*) AS n, round(corr(a.value, b.value), 6) AS r
+FROM a JOIN b ON a.row = b.row AND a.col = b.col
+WHERE a.value IS NOT NULL AND b.value IS NOT NULL
+""",
+        "image_regression": f"""
+WITH a AS ({_PART_RASTER_SQL}), b AS ({_PART_RASTER2_SQL}),
+j AS (SELECT a.value AS x, b.value AS y FROM a JOIN b ON a.row = b.row AND a.col = b.col
+      WHERE a.value IS NOT NULL AND b.value IS NOT NULL)
+SELECT count(*) AS n,
+       round(covar_samp(x, y) / var_samp(x), 6) AS slope,
+       round(avg(y) - covar_samp(x, y) / var_samp(x) * avg(x), 6) AS intercept,
+       round(corr(x, y) * corr(x, y), 6) AS r_square
+FROM j
+""",
+        "image_autocorrelation": f"""
+WITH r AS (SELECT * FROM ({_PART_RASTER_SQL}) WHERE value IS NOT NULL),
+s AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(value) AS mu FROM r),
+td AS (SELECT sum((value - s.mu) * (value - s.mu)) AS t FROM r, s),
+offs(dy, dx) AS (VALUES (0, 1), (0, -1), (1, 0), (-1, 0)),
+nbr AS (SELECT a.value AS z, b.value AS zn
+        FROM r a CROSS JOIN offs o
+        JOIN r b ON b.row = a.row + o.dy AND b.col = a.col + o.dx),
+agg AS (SELECT CAST(count(*) AS DOUBLE) AS w,
+               sum((z - s.mu) * (zn - s.mu)) AS num FROM nbr, s)
+SELECT CAST(s.n AS BIGINT) AS n, CAST(agg.w AS BIGINT) AS w,
+       round(s.n * agg.num / (td.t * agg.w), 6) AS moran_i
+FROM s, td, agg
+""",
+        "cross_tabulation": f"""
+WITH a AS ({_PART_RASTER2_SQL}),
+b AS (SELECT row, col, CAST(floor(value / 1000.0) AS BIGINT) AS value
+      FROM ({_PART_RASTER_SQL}))
+SELECT a.value AS value_a, b.value AS value_b, count(*) AS n
+FROM a JOIN b ON a.row = b.row AND a.col = b.col
+WHERE a.value IS NOT NULL AND b.value IS NOT NULL
+GROUP BY 1, 2
+""",
+        "cumulative_distribution": f"""
+SELECT row, col, round(cume_dist() OVER (ORDER BY value), 6) AS value
+FROM ({_PART_RASTER_SQL}) WHERE value IS NOT NULL
+""",
+        "two_sample_ks_test": f"""
+WITH a AS (SELECT value FROM ({_PART_RASTER_SQL}) WHERE value IS NOT NULL),
+b AS (SELECT value * 1.02 + 50.0 AS value FROM ({_PART_RASTER_SQL})
+      WHERE value IS NOT NULL),
+ca AS (SELECT value, CAST(count(*) AS DOUBLE) AS c1 FROM a GROUP BY 1),
+cb AS (SELECT value, CAST(count(*) AS DOUBLE) AS c2 FROM b GROUP BY 1),
+pooled AS (SELECT coalesce(ca.value, cb.value) AS value,
+                  coalesce(c1, 0) AS c1, coalesce(c2, 0) AS c2
+           FROM ca FULL OUTER JOIN cb ON ca.value = cb.value),
+ns AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM a) AS n1,
+              (SELECT CAST(count(*) AS DOUBLE) FROM b) AS n2),
+cum AS (SELECT sum(c1) OVER (ORDER BY value) AS cc1,
+               sum(c2) OVER (ORDER BY value) AS cc2 FROM pooled),
+d AS (SELECT max(abs(cc1 / ns.n1 - cc2 / ns.n2)) AS d FROM cum, ns),
+lam AS (SELECT sqrt(ns.n1 * ns.n2 / (ns.n1 + ns.n2)) * d.d AS l FROM ns, d),
+p AS (SELECT 2.0 * sum((CASE WHEN j % 2 = 1 THEN 1.0 ELSE -1.0 END)
+                       * exp(-2.0 * j * j * lam.l * lam.l)) AS p
+      FROM generate_series(1, 100) t(j), lam)
+SELECT CAST(ns.n1 AS BIGINT) AS n1, CAST(ns.n2 AS BIGINT) AS n2,
+       round(d.d, 6) AS ks_d,
+       round(CASE WHEN lam.l < 0.05 THEN 1.0
+                  ELSE greatest(least(p.p, 1.0), 0.0) END, 6) AS p_value
+FROM ns, d, p, lam
+""",
+        "attribute_correlation": """
+SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+       round(corr(l_quantity, l_extendedprice), 6) AS r FROM lineitem
+UNION ALL SELECT 'l_quantity', 'l_discount',
+       round(corr(l_quantity, l_discount), 6) FROM lineitem
+UNION ALL SELECT 'l_quantity', 'l_tax',
+       round(corr(l_quantity, l_tax), 6) FROM lineitem
+UNION ALL SELECT 'l_extendedprice', 'l_discount',
+       round(corr(l_extendedprice, l_discount), 6) FROM lineitem
+UNION ALL SELECT 'l_extendedprice', 'l_tax',
+       round(corr(l_extendedprice, l_tax), 6) FROM lineitem
+UNION ALL SELECT 'l_discount', 'l_tax',
+       round(corr(l_discount, l_tax), 6) FROM lineitem
+""",
         "list_unique_values": (
             "SELECT c_mktsegment AS value, count(*) AS n FROM customer GROUP BY 1"
         ),
+        "anova": _anova_sql(),
+        "paired_sample_t_test": _paired_t_sql(),
+        "wilcoxon_signed_rank_test": _wilcoxon_sql(),
+        "ks_normality_test": _ks_normality_sql(),
+        "list_unique_values_raster": f"""
+SELECT value, count(*) AS n FROM ({_PART_RASTER2_SQL})
+WHERE value IS NOT NULL GROUP BY 1
+""",
+        "kappa_index": f"""
+WITH a AS ({_PART_RASTER2_SQL}),
+b AS (SELECT row, col, CAST(floor(value / 1000.0) AS DOUBLE) AS value
+      FROM ({_PART_RASTER_SQL})),
+j AS (SELECT a.value AS c1, b.value AS c2
+      FROM a JOIN b ON a.row = b.row AND a.col = b.col
+      WHERE a.value IS NOT NULL AND b.value IS NOT NULL),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM j),
+po AS (SELECT avg(CASE WHEN c1 = c2 THEN 1.0 ELSE 0.0 END) AS po FROM j),
+m1 AS (SELECT c1 AS c, CAST(count(*) AS DOUBLE) AS n1 FROM j GROUP BY 1),
+m2 AS (SELECT c2 AS c, CAST(count(*) AS DOUBLE) AS n2 FROM j GROUP BY 1),
+pe AS (SELECT coalesce(sum(n1 * n2 / (n.n * n.n)), 0.0) AS pe
+       FROM m1 JOIN m2 ON m1.c = m2.c, n)
+SELECT round(po.po, 6) AS overall_accuracy, round(pe.pe, 6) AS chance_agreement,
+       round((po.po - pe.pe) / (1.0 - pe.pe), 6) AS kappa,
+       CAST(n.n AS BIGINT) AS n
+FROM po, pe, n
+""",
+        "crispness_index": f"""
+WITH u AS (SELECT row, col, value % 1000.0 / 1000.0 AS value
+           FROM ({_PART_RASTER_SQL}) WHERE value IS NOT NULL),
+agg AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(value) AS s, avg(value) AS mu,
+               sum(value * value) AS ss FROM u)
+SELECT CAST(n AS BIGINT) AS n,
+       round((ss - n * mu * mu)
+             / (s * (1.0 - mu) * (1.0 - mu) + (n - s) * mu * mu), 6) AS crispness
+FROM agg
+""",
+        "stdev_contrast_stretch": _stdev_stretch_sql(),
+        "percentage_contrast_stretch": _percentage_stretch_sql(),
+        "sigmoidal_contrast_stretch": _sigmoidal_stretch_sql(),
+        "rescale_value_range": _rescale_sql(),
+        "integral_image": _integral_sql(),
         "join_tables": """
 SELECT c.c_custkey, c.c_name, n.n_name
 FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -2015,8 +2358,15 @@ SELECT s_suppkey + 10000000 AS fid, s_name AS name FROM supplier
         },
         "sobel_filter": _sobel_sql(),
         **{
-            f"{k}_filter": _conv_sql(k) for k in ("emboss", "laplacian", "gaussian")
+            f"{k}_filter": _conv_sql(k)
+            for k in ("emboss", "laplacian", "gaussian", "dog", "log")
         },
+        "line_detection_filter": _conv_sql("line_v"),
+        "prewitt_filter": _gradient_sql("prewitt"),
+        "scharr_filter": _gradient_sql("scharr"),
+        "roberts_filter": _roberts_sql(),
+        "unsharp_masking": _unsharp_sql(),
+        "percentile_filter": _percentile_filter_sql(),
         "normalized_difference": f"""
 WITH a AS ({_PART_RASTER_SQL}), b AS ({_PART_RASTER2_SQL})
 SELECT a.row, a.col,
@@ -2339,6 +2689,163 @@ def _sobel_sql() -> str:
     from whitebox_tools_spark.operators.focal import sobel_oracle_sql
 
     inner = sobel_oracle_sql(_PART_RASTER_SQL)
+    return f"SELECT row, col, round(value, 6) AS value FROM ({inner}) t"
+
+
+def _gradient_sql(which: str) -> str:
+    from whitebox_tools_spark.operators import focal as FO
+
+    kx, ky = {
+        "prewitt": (FO.PREWITT_X, FO.PREWITT_Y),
+        "scharr": (FO.SCHARR_X, FO.SCHARR_Y),
+    }[which]
+    inner = FO.gradient_magnitude_oracle_sql(_PART_RASTER_SQL, kx, ky)
+    return f"SELECT row, col, round(value, 6) AS value FROM ({inner}) t"
+
+
+def _roberts_sql() -> str:
+    from whitebox_tools_spark.operators.focal import roberts_oracle_sql
+
+    inner = roberts_oracle_sql(_PART_RASTER_SQL)
+    return f"SELECT row, col, round(value, 6) AS value FROM ({inner}) t"
+
+
+def _unsharp_sql() -> str:
+    from whitebox_tools_spark.operators.focal import unsharp_oracle_sql
+
+    inner = unsharp_oracle_sql(_PART_RASTER_SQL, sigma=0.8, amount=50.0)
+    return f"SELECT row, col, round(value, 6) AS value FROM ({inner}) t"
+
+
+def _percentile_filter_sql() -> str:
+    from whitebox_tools_spark.operators.focal import percentile_filter_oracle_sql
+
+    inner = percentile_filter_oracle_sql(_PART_RASTER_SQL, filterx=5, filtery=5)
+    return f"SELECT row, col, round(value, 6) AS value FROM ({inner}) t"
+
+
+def _anova_sql() -> str:
+    return f"""
+WITH src AS (SELECT zone_id, value FROM ({_ZONES_SQL})
+             WHERE value IS NOT NULL AND zone_id IS NOT NULL),
+per AS (SELECT zone_id, CAST(count(*) AS DOUBLE) AS cn, sum(value) AS cs,
+               sum(value * value) AS css FROM src GROUP BY 1),
+g AS (SELECT CAST(count(*) AS DOUBLE) AS k, sum(cn) AS n, sum(cs) AS s,
+             sum(css) AS ss, sum(cs * cs / cn) AS sb FROM per)
+SELECT CAST(k AS BIGINT) AS num_classes, CAST(n AS BIGINT) AS n,
+       round(sb - s * s / n, 6) AS ss_between,
+       CAST(k - 1 AS BIGINT) AS df_between,
+       round((sb - s * s / n) / (k - 1), 6) AS ms_between,
+       round(ss - sb, 6) AS ss_within,
+       CAST(n - k AS BIGINT) AS df_within,
+       round((ss - sb) / (n - k), 6) AS ms_within,
+       round(((sb - s * s / n) / (k - 1)) / ((ss - sb) / (n - k)), 6) AS f_stat
+FROM g
+"""
+
+
+def _paired_t_sql() -> str:
+    return f"""
+WITH a AS ({_PART_RASTER_SQL}), b AS ({_PART_RASTER2_SQL}),
+d AS (SELECT a.value - b.value AS d
+      FROM a JOIN b ON a.row = b.row AND a.col = b.col
+      WHERE a.value IS NOT NULL AND b.value IS NOT NULL),
+g AS (SELECT count(*) AS n, avg(d) AS md, stddev_samp(d) AS sd FROM d)
+SELECT n, round(md, 6) AS mean_diff, round(sd, 6) AS sd_diff,
+       round(md / (sd / sqrt(CAST(n AS DOUBLE))), 6) AS t_stat
+FROM g
+"""
+
+
+def _wilcoxon_sql() -> str:
+    from whitebox_tools_spark.operators.stats import _erfc_sql
+
+    return f"""
+WITH a AS ({_PART_RASTER_SQL}), b AS ({_PART_RASTER2_SQL}),
+d AS (SELECT a.value - b.value AS d
+      FROM a JOIN b ON a.row = b.row AND a.col = b.col
+      WHERE a.value IS NOT NULL AND b.value IS NOT NULL
+        AND a.value - b.value <> 0.0),
+per AS (SELECT abs(d) AS ad, CAST(count(*) AS DOUBLE) AS cnt,
+               CAST(sum(sign(d)) AS DOUBLE) AS net,
+               sum(CASE WHEN d > 0 THEN 1.0 ELSE 0.0 END) AS pos,
+               sum(CASE WHEN d < 0 THEN 1.0 ELSE 0.0 END) AS neg
+        FROM d GROUP BY 1),
+cum AS (SELECT *, sum(cnt) OVER (ORDER BY ad) AS cum_cnt FROM per),
+agg AS (SELECT sum(net * (cum_cnt - (cnt - 1.0) / 2.0)) AS w,
+               sum(pos * (cum_cnt - (cnt - 1.0) / 2.0)) AS w_plus,
+               sum(neg * (cum_cnt - (cnt - 1.0) / 2.0)) AS w_neg,
+               sum(cnt) AS nr FROM cum),
+zs AS (SELECT nr, w_plus, w_neg,
+              w / sqrt(nr * (nr + 1.0) * (2.0 * nr + 1.0) / 6.0) AS z FROM agg)
+SELECT CAST(nr AS BIGINT) AS nr, round(w_plus, 6) AS w_plus,
+       round(w_neg, 6) AS w_minus, round(z, 6) AS z_value,
+       round({_erfc_sql("abs(z) / sqrt(2.0)")}, 6) AS p_value
+FROM zs
+"""
+
+
+def _ks_normality_sql() -> str:
+    return f"""
+WITH src AS (SELECT value FROM ({_PART_RASTER_SQL}) WHERE value IS NOT NULL),
+st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(value) AS mu,
+              stddev_samp(value) AS sd, min(value) AS mn, max(value) AS mx
+       FROM src),
+hist AS (SELECT least(CAST(floor((value - st.mn) / ((st.mx - st.mn) / 10000.0)) AS BIGINT),
+                      9999) AS bin,
+                CAST(count(*) AS DOUBLE) AS h
+         FROM src, st GROUP BY 1),
+dense AS (SELECT b.bin, coalesce(h.h, 0.0) AS h,
+                 st.mn + b.bin * ((st.mx - st.mn) / 10000.0) AS z, st.n, st.mu, st.sd
+          FROM generate_series(0, 9999) b(bin)
+          LEFT JOIN hist h ON h.bin = b.bin CROSS JOIN st),
+cum AS (SELECT bin,
+               sum(h) OVER (ORDER BY bin) / any_value(n) OVER () AS ecdf,
+               sum(1.0 / (sd * sqrt(2.0 * pi()))
+                   * exp(-(z - mu) * (z - mu) / (2.0 * sd * sd)))
+                 OVER (ORDER BY bin) AS npcum
+        FROM dense),
+tot AS (SELECT max(npcum) AS last FROM cum),
+dm AS (SELECT max(abs(ecdf - CASE WHEN bin = 0 THEN npcum ELSE npcum / tot.last END)) AS dmax
+       FROM cum, tot)
+SELECT CAST(st.n AS BIGINT) AS n, round(dm.dmax, 6) AS dmax,
+       round(2.0 * exp(-(2.000071 + 0.331 / sqrt(st.n) + 1.409 / st.n)
+                       * st.n * dm.dmax * dm.dmax), 6) AS p_value
+FROM st, dm
+"""
+
+
+def _stdev_stretch_sql() -> str:
+    from whitebox_tools_spark.operators.image import stdev_stretch_oracle_sql
+
+    return stdev_stretch_oracle_sql(_PART_RASTER_SQL, clip_stdev=1.5)
+
+
+def _percentage_stretch_sql() -> str:
+    from whitebox_tools_spark.operators.image import percentage_stretch_oracle_sql
+
+    return percentage_stretch_oracle_sql(_PART_RASTER_SQL, clip=2.0)
+
+
+def _sigmoidal_stretch_sql() -> str:
+    from whitebox_tools_spark.operators.image import sigmoidal_stretch_oracle_sql
+
+    return sigmoidal_stretch_oracle_sql(_PART_RASTER_SQL, cutoff=0.4, gain=2.0)
+
+
+def _rescale_sql() -> str:
+    from whitebox_tools_spark.operators.image import rescale_oracle_sql
+
+    inner = rescale_oracle_sql(
+        _PART_RASTER_SQL, out_min=0.0, out_max=100.0, clip_min=950.0, clip_max=1950.0
+    )
+    return f"SELECT row, col, round(value, 6) AS value FROM ({inner}) t"
+
+
+def _integral_sql() -> str:
+    from whitebox_tools_spark.operators.image import integral_image_oracle_sql
+
+    inner = integral_image_oracle_sql(_PART_RASTER_SQL)
     return f"SELECT row, col, round(value, 6) AS value FROM ({inner}) t"
 
 

@@ -1,5 +1,7 @@
 """Tests: focal, hexbin, sources, shape tools, trend surface, streaming, ML."""
 
+import math
+
 import numpy as np
 import pytest
 from pyspark.sql import functions as F
@@ -366,3 +368,177 @@ def test_horizon_angle_east_monotone_case(spark):
     expect = math.degrees(math.atan((25.0 - 0.0) / (5 * 10.0)))
     assert out[(0, 0)] == pytest.approx(expect)
     assert out[(0, 5)] is None  # no cell further east
+
+
+def test_with_running_sum_matches_numpy_prefix(spark):
+    from whitebox_tools_spark.distributed import with_running_sum
+
+    rng = np.random.default_rng(13)
+    vals = rng.uniform(0, 10, 400)
+    df = spark.createDataFrame(
+        [(float(v), float(v) * 2.0, 1.0) for v in vals],
+        "value double, a double, b double",
+    ).dropDuplicates(["value"])
+    out = with_running_sum(df, ["value"], ["a", "b"], num_partitions=7).collect()
+    rows = sorted(out, key=lambda r: r.value)
+    exp_a = np.cumsum([r.a for r in rows])
+    exp_b = np.cumsum([r.b for r in rows])
+    got_a = np.array([r.cum_a for r in rows])
+    got_b = np.array([r.cum_b for r in rows])
+    assert np.allclose(got_a, exp_a) and np.allclose(got_b, exp_b)
+
+
+def test_two_sample_ks_identical_and_shifted(spark):
+    from whitebox_tools_spark.operators.stats import two_sample_ks_test
+
+    rng = np.random.default_rng(17)
+    recs = [
+        (i % 20, i // 20, float(v))
+        for i, v in enumerate(rng.normal(50, 10, 300))
+    ]
+    a = spark.createDataFrame(recs, "row long, col long, value double")
+    same = two_sample_ks_test(a, a).collect()[0]
+    assert same.ks_d == 0.0 and same.p_value == 1.0
+    b = a.select("row", "col", (F.col("value") + 30.0).alias("value"))
+    shifted = two_sample_ks_test(a, b).collect()[0]
+    # scipy-free oracle: numpy two-sample KS D on the same data
+    av = np.sort(np.array([r[2] for r in recs]))
+    bv = av + 30.0
+    pooled = np.concatenate([av, bv])
+    d = np.max(
+        np.abs(
+            np.searchsorted(av, pooled, side="right") / len(av)
+            - np.searchsorted(bv, pooled, side="right") / len(bv)
+        )
+    )
+    assert shifted.ks_d == pytest.approx(d, abs=1e-6)
+    assert shifted.p_value < 1e-6
+
+
+def test_cumulative_distribution_small(spark):
+    from whitebox_tools_spark.operators.stats import cumulative_distribution
+
+    recs = [(0, 0, 1.0), (0, 1, 2.0), (0, 2, 2.0), (0, 3, 5.0)]
+    cells = spark.createDataFrame(recs, "row long, col long, value double")
+    out = {(r.row, r.col): r.value for r in cumulative_distribution(cells).collect()}
+    assert out == {(0, 0): 0.25, (0, 1): 0.75, (0, 2): 0.75, (0, 3): 1.0}
+
+
+def test_moran_i_checkerboard_negative(spark):
+    from whitebox_tools_spark.operators.stats import image_autocorrelation
+
+    recs = [
+        (r, c, float((r + c) % 2)) for r in range(8) for c in range(8)
+    ]
+    cells = spark.createDataFrame(recs, "row long, col long, value double")
+    out = image_autocorrelation(cells, contiguity="rook").collect()[0]
+    # perfect checkerboard: I = -1 under rook contiguity
+    assert out.moran_i == pytest.approx(-1.0, abs=1e-6)
+    assert out.n == 64 and out.w == 2 * (7 * 8 + 8 * 7)
+
+
+def test_integral_image_matches_numpy(spark):
+    from whitebox_tools_spark.operators.image import integral_image
+
+    rng = np.random.default_rng(21)
+    vals = rng.uniform(0, 50, (6, 5))
+    recs = [
+        (r, c, float(vals[r, c]))
+        for r in range(6) for c in range(5)
+        if (r, c) != (2, 3)  # hole: contributes 0 but still gets output
+    ]
+    cells = spark.createDataFrame(recs, "row long, col long, value double")
+    dense = vals.copy()
+    dense[2, 3] = 0.0
+    expect = dense.cumsum(axis=1).cumsum(axis=0)
+    out = {(r.row, r.col): r.value for r in integral_image(cells).collect()}
+    assert len(out) == 30
+    for r in range(6):
+        for c in range(5):
+            assert out[(r, c)] == pytest.approx(expect[r, c], rel=1e-12)
+
+
+def test_anova_matches_numpy(spark):
+    from whitebox_tools_spark.operators.stats import anova
+
+    rng = np.random.default_rng(23)
+    zones = rng.integers(1, 5, 200)
+    vals = rng.normal(10, 3, 200) + zones * 2.0
+    df = spark.createDataFrame(
+        [(int(z), float(v)) for z, v in zip(zones, vals)], "zone_id int, value double"
+    )
+    out = anova(df).collect()[0]
+    groups = [vals[zones == z] for z in np.unique(zones)]
+    gm = vals.mean()
+    ssb = sum(len(g) * (g.mean() - gm) ** 2 for g in groups)
+    ssw = sum(((g - g.mean()) ** 2).sum() for g in groups)
+    k, n = len(groups), len(vals)
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert out.num_classes == k and out.n == n
+    assert out.ss_between == pytest.approx(ssb, abs=1e-4)
+    assert out.ss_within == pytest.approx(ssw, abs=1e-4)
+    assert out.f_stat == pytest.approx(f, abs=1e-4)
+
+
+def test_wilcoxon_signed_rank_small(spark):
+    from whitebox_tools_spark.operators.stats import wilcoxon_signed_rank_test
+
+    # hand-computed example with a tie and a zero difference
+    a_vals = [5.0, 3.0, 8.0, 4.0, 7.0, 2.0]
+    b_vals = [3.0, 3.0, 4.0, 6.0, 3.0, 4.0]
+    recs_a = [(0, i, v) for i, v in enumerate(a_vals)]
+    recs_b = [(0, i, v) for i, v in enumerate(b_vals)]
+    a = spark.createDataFrame(recs_a, "row long, col long, value double")
+    b = spark.createDataFrame(recs_b, "row long, col long, value double")
+    out = wilcoxon_signed_rank_test(a, b).collect()[0]
+    # diffs: 2, 0(drop), 4, -2, 4, -2 -> |d|: 2,4,2,4,2 ranks avg: 2s->(1+2+3)/3=2, 4s->(4+5)/2=4.5
+    # signed: +2, +4.5, -2, +4.5, -2 -> W = 7, w_plus = 11, w_minus = 4
+    assert out.nr == 5
+    assert out.w_plus == pytest.approx(11.0)
+    assert out.w_minus == pytest.approx(4.0)
+    sigma = math.sqrt(5 * 6 * 11 / 6)
+    assert out.z_value == pytest.approx(round(7.0 / sigma, 6))
+
+
+def test_paired_t_matches_numpy(spark):
+    from whitebox_tools_spark.operators.stats import paired_sample_t_test
+
+    rng = np.random.default_rng(29)
+    x = rng.normal(10, 2, 150)
+    y = x + rng.normal(0.5, 1, 150)
+    a = spark.createDataFrame(
+        [(0, i, float(v)) for i, v in enumerate(x)], "row long, col long, value double"
+    )
+    b = spark.createDataFrame(
+        [(0, i, float(v)) for i, v in enumerate(y)], "row long, col long, value double"
+    )
+    out = paired_sample_t_test(a, b).collect()[0]
+    d = x - y
+    t = d.mean() / (d.std(ddof=1) / math.sqrt(len(d)))
+    assert out.n == 150
+    assert out.t_stat == pytest.approx(t, abs=1e-5)
+
+
+def test_contrast_stretch_properties(spark):
+    from whitebox_tools_spark.operators.image import (
+        percentage_contrast_stretch,
+        sigmoidal_contrast_stretch,
+        stdev_contrast_stretch,
+    )
+
+    rng = np.random.default_rng(31)
+    recs = [
+        (i % 20, i // 20, float(v))
+        for i, v in enumerate(rng.normal(100, 25, 400))
+    ]
+    cells = spark.createDataFrame(recs, "row long, col long, value double")
+    for fn in (
+        lambda: stdev_contrast_stretch(cells, clip_stdev=1.0, num_tones=64),
+        lambda: percentage_contrast_stretch(cells, clip=5.0, num_tones=64),
+        lambda: sigmoidal_contrast_stretch(cells, cutoff=0.3, gain=3.0, num_tones=64),
+    ):
+        vals = [r.value for r in fn().collect()]
+        assert len(vals) == 400
+        assert min(vals) >= 0.0 and max(vals) <= 64.0
+        assert all(v == math.floor(v) for v in vals)
+        assert len(set(vals)) > 10  # actually stretches, not constant

@@ -95,3 +95,49 @@ def with_global_seq(
         .withColumn(out_col, (F.col(_OFF) + F.col(_RN) + F.lit(start - 1)).cast("long"))
         .drop(_PID, _RN, _OFF)
     )
+
+
+def with_running_sum(
+    df: DataFrame,
+    order_cols: list[str],
+    sum_cols: list[str],
+    *,
+    prefix: str = "cum_",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Append ``prefix + c`` = running (inclusive) sum of each column in
+    ``sum_cols`` in ``order_cols`` order, with the same distributed shape
+    as with_global_seq: range repartition + per-partition window + tiny
+    triangular offset join — no single-partition exchange. ``order_cols``
+    must be unique per row (e.g. distinct values) so the prefix sum is
+    well-defined."""
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(n, *[F.col(c) for c in order_cols]).withColumn(
+        _PID, F.spark_partition_id()
+    )
+    w = (
+        Window.partitionBy(_PID)
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = ranged
+    for c in sum_cols:
+        out = out.withColumn(f"__w_{c}", F.sum(F.col(c)).over(w))
+    totals = out.groupBy(_PID).agg(
+        *[F.sum(F.col(c)).alias(f"__t_{c}") for c in sum_cols]
+    )
+    prior = totals.select(
+        F.col(_PID).alias("__p2"),
+        *[F.col(f"__t_{c}").alias(f"__pt_{c}") for c in sum_cols],
+    )
+    offsets = (
+        totals.join(prior, F.col("__p2") < F.col(_PID), "left")
+        .groupBy(_PID)
+        .agg(*[F.coalesce(F.sum(f"__pt_{c}"), F.lit(0.0) * 0).alias(f"__o_{c}") for c in sum_cols])
+    )
+    out = out.join(F.broadcast(offsets), _PID)
+    for c in sum_cols:
+        out = out.withColumn(
+            prefix + c, F.coalesce(F.col(f"__o_{c}"), F.lit(0)) + F.col(f"__w_{c}")
+        ).drop(f"__w_{c}", f"__o_{c}")
+    return out.drop(_PID)

@@ -944,3 +944,234 @@ SELECT s.row, s.col,
                      ELSE a.center END, s.value) AS value
 FROM src s LEFT JOIN agg a ON a.row = s.row AND a.col = s.col
 """
+
+
+# ---------------------------------------------------------------------------
+# Gradient / edge-detection convolution family (image_analysis). All share
+# the single scatter-shuffle of gather_offsets with the reference's
+# nodata->center substitution, entirely in codegen expressions.
+# ---------------------------------------------------------------------------
+# 3x3 masks in (dy, dx) raster order, transcribed from the reference's
+# flat (dx, dy, mask) arrays.
+PREWITT_X = [[-1.0, 0.0, 1.0], [-1.0, 0.0, 1.0], [-1.0, 0.0, 1.0]]
+PREWITT_Y = [[-1.0, -1.0, -1.0], [0.0, 0.0, 0.0], [1.0, 1.0, 1.0]]
+SCHARR_X = [[3.0, 0.0, -3.0], [10.0, 0.0, -10.0], [3.0, 0.0, -3.0]]
+SCHARR_Y = [[3.0, 10.0, 3.0], [0.0, 0.0, 0.0], [-3.0, -10.0, -3.0]]
+# line_detection_filter.rs:309-317 variants (row-major over dy=-1..1, dx=-1..1)
+LINE_DETECTION_KERNELS = {
+    "vertical": [[-1.0, 2.0, -1.0], [-1.0, 2.0, -1.0], [-1.0, 2.0, -1.0]],
+    "horizontal": [[-1.0, -1.0, -1.0], [2.0, 2.0, 2.0], [-1.0, -1.0, -1.0]],
+    "45": [[2.0, -1.0, -1.0], [-1.0, 2.0, -1.0], [-1.0, -1.0, 2.0]],
+    "135": [[-1.0, -1.0, 2.0], [-1.0, 2.0, -1.0], [2.0, -1.0, -1.0]],
+}
+
+
+def gradient_magnitude_filter(
+    cells: DataFrame, kernel_x: list[list[float]], kernel_y: list[list[float]]
+) -> DataFrame:
+    """sqrt(gx^2 + gy^2) of two convolution responses sharing one gather
+    (prewitt_filter.rs:287-309 / scharr_filter.rs:288-309 shape)."""
+    items = _kernel_offsets(kernel_x)
+    g = gather_offsets(cells, [(dx, dy) for dx, dy, _ in items])
+    flat_y = [w for row_ in kernel_y for w in row_]
+    gx = gy = None
+    for i, (_, _, wx) in enumerate(items):
+        tx_ = F.col(f"z{i}") * F.lit(wx)
+        ty_ = F.col(f"z{i}") * F.lit(flat_y[i])
+        gx = tx_ if gx is None else gx + tx_
+        gy = ty_ if gy is None else gy + ty_
+    return g.select("row", "col", F.sqrt(gx * gx + gy * gy).alias("value"))
+
+
+def gradient_magnitude_oracle_sql(
+    source_sql: str, kernel_x: list[list[float]], kernel_y: list[list[float]]
+) -> str:
+    items = _kernel_offsets(kernel_x)
+    flat_y = [w for row_ in kernel_y for w in row_]
+    offs = ", ".join(f"({i}, {dx}, {dy})" for i, (dx, dy, _) in enumerate(items))
+    z = lambda i: f"coalesce(max(CASE WHEN o.n = {i} THEN s.value END), any_value(c.value))"  # noqa: E731
+    gx = " + ".join(f"{z(i)} * {w!r}" for i, (_, _, w) in enumerate(items))
+    gy = " + ".join(f"{z(i)} * {flat_y[i]!r}" for i in range(len(items)))
+    return f"""
+WITH src AS (SELECT row, col, value FROM ({source_sql}) WHERE value IS NOT NULL),
+offs(n, dx, dy) AS (VALUES {offs}),
+g AS (
+  SELECT c.row, c.col, ({gx}) AS gx, ({gy}) AS gy
+  FROM src c
+  LEFT JOIN (src s CROSS JOIN offs o)
+    ON c.row = s.row - o.dy AND c.col = s.col - o.dx
+  GROUP BY c.row, c.col
+)
+SELECT row, col, sqrt(gx * gx + gy * gy) AS value FROM g
+"""
+
+
+def prewitt_filter(cells: DataFrame) -> DataFrame:
+    """PrewittFilter (image_analysis/prewitt_filter.rs:287-309)."""
+    return gradient_magnitude_filter(cells, PREWITT_X, PREWITT_Y)
+
+
+def scharr_filter(cells: DataFrame) -> DataFrame:
+    """ScharrFilter (image_analysis/scharr_filter.rs:288-309)."""
+    return gradient_magnitude_filter(cells, SCHARR_X, SCHARR_Y)
+
+
+def roberts_filter(cells: DataFrame) -> DataFrame:
+    """RobertsCrossFilter (image_analysis/roberts_filter.rs:295-316):
+    |z1 - z4| + |z2 - z3| over the 2x2 window anchored at the cell
+    (z1=center, z2=E, z3=S, z4=SE), nodata neighbors -> z1."""
+    g = gather_offsets(cells, [(1, 0), (0, 1), (1, 1)])
+    return g.select(
+        "row", "col",
+        (
+            F.abs(F.col("value") - F.col("z2")) + F.abs(F.col("z0") - F.col("z1"))
+        ).alias("value"),
+    )
+
+
+def roberts_oracle_sql(source_sql: str) -> str:
+    z = lambda i: f"coalesce(max(CASE WHEN o.n = {i} THEN s.value END), any_value(c.value))"  # noqa: E731
+    return f"""
+WITH src AS (SELECT row, col, value FROM ({source_sql}) WHERE value IS NOT NULL),
+offs(n, dx, dy) AS (VALUES (0, 1, 0), (1, 0, 1), (2, 1, 1)),
+g AS (
+  SELECT c.row, c.col, any_value(c.value) AS z1,
+         {z(0)} AS z2, {z(1)} AS z3, {z(2)} AS z4
+  FROM src c
+  LEFT JOIN (src s CROSS JOIN offs o)
+    ON c.row = s.row - o.dy AND c.col = s.col - o.dx
+  GROUP BY c.row, c.col
+)
+SELECT row, col, abs(z1 - z4) + abs(z2 - z3) AS value FROM g
+"""
+
+
+def line_detection_filter(cells: DataFrame, *, variant: str = "vertical") -> DataFrame:
+    """LineDetectionFilter (image_analysis/line_detection_filter.rs:309-335):
+    plain 3x3 convolution with the variant's template kernel."""
+    return conv_filter(cells, LINE_DETECTION_KERNELS[variant])
+
+
+def log_kernel(sigma: float) -> list[list[float]]:
+    """Laplacian-of-Gaussian weights (image_analysis/log_filter.rs:251-269):
+    w = -1/(pi*sigma^4) * (1 - d2/(2 sigma^2)) * exp(-d2/(2 sigma^2)), filter
+    size from the reference's 0.001 weight cutoff, normalized by the total
+    kernel sum (the reference divides the response by the sum of the valid
+    weights — identical for full windows; at edges this engine substitutes
+    the center value instead of renormalizing)."""
+    import math as _math
+
+    recip = 1.0 / (_math.sqrt(2.0 * _math.pi) * sigma)
+    ts = 2.0 * sigma * sigma
+    size = 3
+    for i in range(250):
+        if recip * _math.exp(-i * i / ts) <= 0.001:
+            size = i * 2 + 1
+            break
+    if size % 2 == 0:
+        size += 1
+    size = max(size, 3)
+    half = size // 2
+    t1 = -1.0 / (_math.pi * sigma ** 4)
+    w = [
+        [
+            t1 * (1.0 - (x * x + y * y) / ts) * _math.exp(-(x * x + y * y) / ts)
+            for x in range(-half, half + 1)
+        ]
+        for y in range(-half, half + 1)
+    ]
+    s = sum(sum(r) for r in w)
+    return [[v / s for v in r] for r in w]
+
+
+def dog_kernel(sigma1: float, sigma2: float) -> list[list[float]]:
+    """Difference-of-Gaussians weights (image_analysis/dog_filter.rs):
+    each Gaussian normalized to unit sum (the reference divides each
+    response by its own valid-weight sum), then differenced into ONE kernel
+    so the whole filter is a single convolution pass."""
+    g1 = gaussian_kernel(sigma1)
+    g2 = gaussian_kernel(sigma2)
+    n1, n2 = len(g1), len(g2)
+    n = max(n1, n2)
+    pad1, pad2 = (n - n1) // 2, (n - n2) // 2
+    out = [[0.0] * n for _ in range(n)]
+    for i in range(n1):
+        for j in range(n1):
+            out[i + pad1][j + pad1] += g1[i][j]
+    for i in range(n2):
+        for j in range(n2):
+            out[i + pad2][j + pad2] -= g2[i][j]
+    return out
+
+
+def unsharp_masking(
+    cells: DataFrame, *, sigma: float = 2.0, amount: float = 100.0, threshold: float = 0.0
+) -> DataFrame:
+    """UnsharpMasking (image_analysis/unsharp_masking.rs:257,400-414):
+    blurred = Gaussian(sigma); diff = z - blurred; out = z + diff * (1 +
+    amount/100) when diff > |threshold| else z (the reference's one-sided
+    threshold test is mirrored verbatim)."""
+    g = gaussian_kernel(sigma)
+    blurred = conv_filter(cells, g).withColumnRenamed("value", "blur")
+    src = cells.filter(F.col("value").isNotNull()).select("row", "col", "value")
+    amt = amount / 100.0 + 1.0
+    j = src.join(blurred, ["row", "col"])
+    diff = F.col("value") - F.col("blur")
+    return j.select(
+        "row", "col",
+        F.when(diff > abs(threshold), F.col("value") + diff * F.lit(amt))
+        .otherwise(F.col("value"))
+        .alias("value"),
+    )
+
+
+def unsharp_oracle_sql(
+    source_sql: str, *, sigma: float = 2.0, amount: float = 100.0, threshold: float = 0.0
+) -> str:
+    g = gaussian_kernel(sigma)
+    amt = amount / 100.0 + 1.0
+    return f"""
+WITH blur AS ({conv_filter_oracle_sql(source_sql, g)}),
+src2 AS (SELECT row, col, value FROM ({source_sql}) WHERE value IS NOT NULL)
+SELECT s.row, s.col,
+       CASE WHEN s.value - b.value > {abs(threshold)!r}
+            THEN s.value + (s.value - b.value) * {amt!r}
+            ELSE s.value END AS value
+FROM src2 s JOIN blur b ON b.row = s.row AND b.col = s.col
+"""
+
+
+def percentile_filter(
+    cells: DataFrame, *, filterx: int = 3, filtery: int = 3, sig_digits: int = 2
+) -> DataFrame:
+    """PercentileFilter (image_analysis/percentile_filter.rs:315-455):
+    per cell, 100 * (# window cells whose binned value < the center's
+    binned value) / n, binning = floor(z * 10^sig_digits) (the reference's
+    histogram bins), center included in n."""
+    mult = float(10 ** sig_digits)
+    m = _scatter_with_center(cells, filterx=filterx, filtery=filtery)
+    binned = m.select(
+        "row", "col",
+        F.floor(F.col("center") * mult).alias("cb"),
+        F.floor(F.col("value") * mult).alias("vb"),
+    )
+    return binned.groupBy("row", "col").agg(
+        (
+            F.sum(F.when(F.col("vb") < F.col("cb"), 1).otherwise(0))
+            / F.count(F.lit(1))
+            * 100.0
+        ).alias("value")
+    )
+
+
+def percentile_filter_oracle_sql(
+    source_sql: str, *, filterx: int = 3, filtery: int = 3, sig_digits: int = 2
+) -> str:
+    mult = float(10 ** sig_digits)
+    return f"""
+WITH {_member_cte(source_sql, filterx=filterx, filtery=filtery)}
+SELECT row, col,
+       sum(CASE WHEN floor(value * {mult!r}) < floor(center * {mult!r})
+                THEN 1 ELSE 0 END)::DOUBLE / count(*) * 100.0 AS value
+FROM m GROUP BY row, col
+"""

@@ -146,3 +146,231 @@ SELECT b.row, b.col,
        CAST(round((c.cdf - h0.h0) / (b.n - h0.h0) * {num_tones - 1.0!r}) AS DOUBLE) AS value
 FROM binned b JOIN cdf c ON c.bin = b.bin CROSS JOIN h0
 """
+
+
+def _tone_map(z, mn, mx, num_tones: int):
+    """floor((z - mn)/(mx - mn) * num_tones) clamped to [0, num_tones-1]
+    (the shared linear mapping of the contrast-stretch family,
+    stdev_contrast_stretch.rs:368-381)."""
+    out = F.floor((z - mn) / (mx - mn) * F.lit(float(num_tones)))
+    return F.least(
+        F.greatest(out, F.lit(0.0)), F.lit(float(num_tones - 1))
+    ).cast("double")
+
+
+def stdev_contrast_stretch(
+    cells: DataFrame, *, clip_stdev: float = 2.0, num_tones: int = 256
+) -> DataFrame:
+    """StandardDeviationContrastStretch (image_analysis/
+    stdev_contrast_stretch.rs:278-285,368-381): linear stretch between
+    mean -/+ clip_stdev * sd(n-1). -> (row, col, value)."""
+    src = cells.filter(F.col("value").isNotNull()).select("row", "col", "value")
+    s = src.agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sd")
+    )
+    j = src.crossJoin(F.broadcast(s))
+    mn = F.col("mu") - F.col("sd") * F.lit(clip_stdev)
+    mx = F.col("mu") + F.col("sd") * F.lit(clip_stdev)
+    return j.select(
+        "row", "col", _tone_map(F.col("value"), mn, mx, num_tones).alias("value")
+    )
+
+
+def stdev_stretch_oracle_sql(
+    source_sql: str, *, clip_stdev: float = 2.0, num_tones: int = 256
+) -> str:
+    return f"""
+WITH src AS (SELECT row, col, value FROM ({source_sql}) WHERE value IS NOT NULL),
+s AS (SELECT avg(value) AS mu, stddev_samp(value) AS sd FROM src)
+SELECT row, col,
+       least(greatest(floor((value - (mu - sd * {clip_stdev!r}))
+                            / ((mu + sd * {clip_stdev!r}) - (mu - sd * {clip_stdev!r}))
+                            * {float(num_tones)!r}), 0.0), {float(num_tones - 1)!r}) AS value
+FROM src CROSS JOIN s
+"""
+
+
+def percentage_contrast_stretch(
+    cells: DataFrame, *, clip: float = 1.0, tail: str = "both", num_tones: int = 256
+) -> DataFrame:
+    """PercentageContrastStretch (image_analysis/
+    percentage_contrast_stretch.rs:278-296): linear stretch between the
+    clip%% tail values. Tail values are defined exactly (the reference's
+    calculate_clip_values walks a binned histogram): min_val = smallest
+    value whose cumulative count >= n*clip/100; max_val = smallest value
+    whose cumulative count >= n*(1 - clip/100). Distributed via the
+    range-partitioned running-sum pattern. -> (row, col, value)."""
+    from whitebox_tools_spark.distributed import with_running_sum
+
+    src = cells.filter(F.col("value").isNotNull()).select("row", "col", "value")
+    n = src.count()
+    vc = src.groupBy("value").agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+    cum = with_running_sum(vc, ["value"], ["cnt"])
+    lo_t = n * clip / 100.0
+    hi_t = n * (1.0 - clip / 100.0)
+    bounds = cum.agg(
+        F.min(F.when(F.col("cum_cnt") >= lo_t, F.col("value"))).alias("mn"),
+        F.min(F.when(F.col("cum_cnt") >= hi_t, F.col("value"))).alias("mx"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+    )
+    j = src.crossJoin(F.broadcast(bounds))
+    mn = F.col("vmin") if tail == "upper" else F.col("mn")
+    mx = F.col("vmax") if tail == "lower" else F.col("mx")
+    return j.select(
+        "row", "col", _tone_map(F.col("value"), mn, mx, num_tones).alias("value")
+    )
+
+
+def percentage_stretch_oracle_sql(
+    source_sql: str, *, clip: float = 1.0, tail: str = "both", num_tones: int = 256
+) -> str:
+    mn = "min(value)" if tail == "upper" else f"min(CASE WHEN cum >= n * {clip / 100.0!r} THEN value END)"
+    mx = "max(value)" if tail == "lower" else f"min(CASE WHEN cum >= n * {1.0 - clip / 100.0!r} THEN value END)"
+    return f"""
+WITH src AS (SELECT row, col, value FROM ({source_sql}) WHERE value IS NOT NULL),
+vc AS (SELECT value, CAST(count(*) AS DOUBLE) AS cnt FROM src GROUP BY value),
+cum AS (SELECT value, sum(cnt) OVER (ORDER BY value) AS cum,
+               (SELECT CAST(count(*) AS DOUBLE) FROM src) AS n FROM vc),
+b AS (SELECT {mn} AS mn, {mx} AS mx FROM cum)
+SELECT row, col,
+       least(greatest(floor((value - mn) / (mx - mn) * {float(num_tones)!r}), 0.0),
+             {float(num_tones - 1)!r}) AS value
+FROM src CROSS JOIN b
+"""
+
+
+def sigmoidal_contrast_stretch(
+    cells: DataFrame, *, cutoff: float = 0.0, gain: float = 1.0, num_tones: int = 256
+) -> DataFrame:
+    """SigmoidalContrastStretch (image_analysis/
+    sigmoidal_contrast_stretch.rs:300-312): z = (z_in - min)/range;
+    s = (1/(1+exp(gain*(cutoff-z))) - a)/b clamped to [0,1];
+    out = floor(s * num_tones), where a = 1/(1+exp(gain*cutoff)),
+    b = 1/(1+exp(gain*(cutoff-1))) - a. -> (row, col, value)."""
+    import math as _math
+
+    a = 1.0 / (1.0 + _math.exp(gain * cutoff))
+    b = 1.0 / (1.0 + _math.exp(gain * (cutoff - 1.0))) - a
+    src = cells.filter(F.col("value").isNotNull()).select("row", "col", "value")
+    s = src.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+    j = src.crossJoin(F.broadcast(s))
+    zn = (F.col("value") - F.col("mn")) / (F.col("mx") - F.col("mn"))
+    sig = (
+        F.lit(1.0) / (F.lit(1.0) + F.exp(F.lit(gain) * (F.lit(cutoff) - zn))) - F.lit(a)
+    ) / F.lit(b)
+    clamped = F.least(F.greatest(sig, F.lit(0.0)), F.lit(1.0))
+    return j.select(
+        "row", "col",
+        F.floor(clamped * F.lit(float(num_tones))).cast("double").alias("value"),
+    )
+
+
+def sigmoidal_stretch_oracle_sql(
+    source_sql: str, *, cutoff: float = 0.0, gain: float = 1.0, num_tones: int = 256
+) -> str:
+    import math as _math
+
+    a = 1.0 / (1.0 + _math.exp(gain * cutoff))
+    b = 1.0 / (1.0 + _math.exp(gain * (cutoff - 1.0))) - a
+    return f"""
+WITH src AS (SELECT row, col, value FROM ({source_sql}) WHERE value IS NOT NULL),
+s AS (SELECT min(value) AS mn, max(value) AS mx FROM src)
+SELECT row, col,
+       floor(least(greatest(
+         (1.0 / (1.0 + exp({gain!r} * ({cutoff!r} - (value - mn) / (mx - mn)))) - {a!r}) / {b!r},
+         0.0), 1.0) * {float(num_tones)!r}) AS value
+FROM src CROSS JOIN s
+"""
+
+
+def rescale_value_range(
+    cells: DataFrame,
+    *,
+    out_min: float,
+    out_max: float,
+    clip_min: float | None = None,
+    clip_max: float | None = None,
+) -> DataFrame:
+    """RescaleValueRange (math_stat_analysis/rescale_value_range.rs:254-266):
+    z clamped to [clip_min, clip_max] (image min/max when unset), then
+    mapped linearly onto [out_min, out_max]. -> (row, col, value)."""
+    src = cells.filter(F.col("value").isNotNull()).select("row", "col", "value")
+    s = src.agg(F.min("value").alias("vmin"), F.max("value").alias("vmax"))
+    j = src.crossJoin(F.broadcast(s))
+    mn = F.lit(clip_min) if clip_min is not None else F.col("vmin")
+    mx = F.lit(clip_max) if clip_max is not None else F.col("vmax")
+    z = F.least(F.greatest(F.col("value"), mn), mx)
+    out = F.lit(out_min) + (z - mn) / (mx - mn) * F.lit(out_max - out_min)
+    return j.select("row", "col", out.alias("value"))
+
+
+def rescale_oracle_sql(
+    source_sql: str,
+    *,
+    out_min: float,
+    out_max: float,
+    clip_min: float | None = None,
+    clip_max: float | None = None,
+) -> str:
+    mn = repr(clip_min) if clip_min is not None else "mn0"
+    mx = repr(clip_max) if clip_max is not None else "mx0"
+    return f"""
+WITH src AS (SELECT row, col, value FROM ({source_sql}) WHERE value IS NOT NULL),
+s AS (SELECT min(value) AS mn0, max(value) AS mx0 FROM src)
+SELECT row, col,
+       {out_min!r} + (least(greatest(value, {mn}), {mx}) - {mn}) / ({mx} - {mn})
+                     * {out_max - out_min!r} AS value
+FROM src CROSS JOIN s
+"""
+
+
+def integral_image(cells: DataFrame) -> DataFrame:
+    """IntegralImage (image_analysis/integral_image.rs:196-211): summed-area
+    table I(r,c) = sum of all values with row<=r, col<=c; nodata/absent
+    cells contribute 0 but still receive an output value (the output is
+    inherently dense, so the grid extent [0..max_row]x[0..max_col] is
+    materialized). Two partitioned-window cumulative sums (within-row then
+    within-column) — no single-partition exchange. -> (row, col, value)."""
+    spark = cells.sparkSession
+    src = cells.filter(F.col("value").isNotNull()).select("row", "col", "value")
+    b = src.agg(
+        F.max("row").alias("mr"), F.max("col").alias("mc")
+    ).collect()[0]
+    rows_df = spark.range(0, int(b.mr) + 1).select(F.col("id").alias("row"))
+    cols_df = spark.range(0, int(b.mc) + 1).select(F.col("id").alias("col"))
+    dense = rows_df.crossJoin(cols_df).join(src, ["row", "col"], "left").select(
+        "row", "col", F.coalesce(F.col("value"), F.lit(0.0)).alias("v")
+    )
+    wr = (
+        Window.partitionBy("row").orderBy("col")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wc = (
+        Window.partitionBy("col").orderBy("row")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        dense.withColumn("rp", F.sum("v").over(wr))
+        .withColumn("value", F.sum("rp").over(wc))
+        .select("row", "col", "value")
+    )
+
+
+def integral_image_oracle_sql(source_sql: str) -> str:
+    return f"""
+WITH RECURSIVE
+src AS (SELECT row, col, value FROM ({source_sql}) WHERE value IS NOT NULL),
+b AS (SELECT max(row) AS mr, max(col) AS mc FROM src),
+rs(row) AS (SELECT CAST(0 AS BIGINT)
+            UNION ALL SELECT row + 1 FROM rs WHERE row < (SELECT mr FROM b)),
+cs(col) AS (SELECT CAST(0 AS BIGINT)
+            UNION ALL SELECT col + 1 FROM cs WHERE col < (SELECT mc FROM b)),
+dense AS (
+  SELECT rs.row, cs.col, coalesce(s.value, 0.0) AS v
+  FROM rs CROSS JOIN cs
+  LEFT JOIN src s ON s.row = rs.row AND s.col = cs.col
+),
+rp AS (SELECT row, col, sum(v) OVER (PARTITION BY row ORDER BY col) AS rp FROM dense)
+SELECT row, col, sum(rp) OVER (PARTITION BY col ORDER BY row) AS value FROM rp
+"""

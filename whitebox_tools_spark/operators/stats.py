@@ -15,6 +15,8 @@ References:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -231,3 +233,438 @@ def trend_surface(
                 )
     raw[index[(0, 0)]] += mz
     return out, [float(c) for c in raw]
+
+
+def image_correlation(a: DataFrame, b: DataFrame) -> DataFrame:
+    """ImageCorrelation (math_stat_analysis/image_correlation.rs): sample
+    Pearson r between two rasters over cells valid in BOTH.
+    -> one row (n, r)."""
+    j = (
+        a.filter(F.col("value").isNotNull())
+        .select("row", "col", F.col("value").alias("x"))
+        .join(
+            b.filter(F.col("value").isNotNull())
+            .select("row", "col", F.col("value").alias("y")),
+            ["row", "col"],
+        )
+    )
+    return j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.corr("x", "y"), 6).alias("r"),
+    )
+
+
+def image_regression(a: DataFrame, b: DataFrame) -> DataFrame:
+    """ImageRegression (math_stat_analysis/image_regression.rs): OLS of
+    raster b (dependent) on raster a (independent) over cells valid in
+    both. -> one row (n, slope, intercept, r_square)."""
+    j = (
+        a.filter(F.col("value").isNotNull())
+        .select("row", "col", F.col("value").alias("x"))
+        .join(
+            b.filter(F.col("value").isNotNull())
+            .select("row", "col", F.col("value").alias("y")),
+            ["row", "col"],
+        )
+    )
+    agg = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.covar_samp("x", "y").alias("cv"),
+        F.var_samp("x").alias("vx"),
+        F.avg("x").alias("mx"),
+        F.avg("y").alias("my"),
+        F.corr("x", "y").alias("r"),
+    )
+    return agg.select(
+        "n",
+        F.round(F.col("cv") / F.col("vx"), 6).alias("slope"),
+        F.round(F.col("my") - F.col("cv") / F.col("vx") * F.col("mx"), 6).alias("intercept"),
+        F.round(F.col("r") * F.col("r"), 6).alias("r_square"),
+    )
+
+
+_CONTIGUITY = {
+    "rook": [(0, 1), (0, -1), (1, 0), (-1, 0)],
+    "bishop": [(1, 1), (1, -1), (-1, 1), (-1, -1)],
+    "queen": [(0, 1), (0, -1), (1, 0), (-1, 0), (1, 1), (1, -1), (-1, 1), (-1, -1)],
+}
+
+
+def image_autocorrelation(
+    cells: DataFrame, *, contiguity: str = "rook"
+) -> DataFrame:
+    """ImageAutocorrelation (math_stat_analysis/image_autocorrelation.rs
+    :383-425): global Moran's I with binary contiguity weights,
+    I = n * sum_pairs((z_i - mean)(z_j - mean)) / (sum((z_i - mean)^2) * W)
+    where W counts DIRECTED valid neighbor pairs (the reference increments
+    w once per ordered pair). -> one row (n, w, moran_i)."""
+    offs = _CONTIGUITY[contiguity]
+    src = cells.filter(F.col("value").isNotNull()).select("row", "col", "value")
+    spark = cells.sparkSession
+    off_df = spark.createDataFrame(offs, "dy int, dx int").toDF("dy", "dx")
+    nbr = (
+        src.crossJoin(F.broadcast(off_df))
+        .select(
+            (F.col("row") + F.col("dy")).alias("row"),
+            (F.col("col") + F.col("dx")).alias("col"),
+            F.col("value").alias("zn"),
+        )
+        .join(src, ["row", "col"])  # keep only pairs whose center is valid
+    )
+    stats = src.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("value").alias("mu"),
+        F.sum(F.col("value") * F.col("value")).alias("ss"),
+    ).collect()[0]
+    n, mu = float(stats.n), float(stats.mu)
+    td = src.agg(
+        F.sum((F.col("value") - F.lit(mu)) ** 2).alias("td")
+    ).collect()[0].td
+    agg = nbr.agg(
+        F.count(F.lit(1)).alias("w"),
+        F.sum((F.col("value") - F.lit(mu)) * (F.col("zn") - F.lit(mu))).alias("num"),
+    )
+    return agg.select(
+        F.lit(int(n)).cast("long").alias("n"),
+        F.col("w").cast("long").alias("w"),
+        F.round(F.lit(n) * F.col("num") / (F.lit(td) * F.col("w")), 6).alias("moran_i"),
+    )
+
+
+def cross_tabulation(a: DataFrame, b: DataFrame) -> DataFrame:
+    """CrossTabulation (math_stat_analysis/cross_tabulation.rs): the
+    contingency table of two categorical rasters over cells valid in both.
+    -> (value_a, value_b, n)."""
+    j = (
+        a.filter(F.col("value").isNotNull())
+        .select("row", "col", F.col("value").alias("value_a"))
+        .join(
+            b.filter(F.col("value").isNotNull())
+            .select("row", "col", F.col("value").alias("value_b")),
+            ["row", "col"],
+        )
+    )
+    return j.groupBy("value_a", "value_b").agg(F.count(F.lit(1)).alias("n"))
+
+
+def cumulative_distribution(cells: DataFrame) -> DataFrame:
+    """CumulativeDistribution (math_stat_analysis/cumulative_dist.rs): per
+    cell, the fraction of valid cells with value <= the cell's value.
+    Distributed: per-value counts + the range-partitioned running-sum
+    pattern (no single-partition exchange). -> (row, col, value=cdf)."""
+    from whitebox_tools_spark.distributed import with_running_sum
+
+    src = cells.filter(F.col("value").isNotNull()).select("row", "col", "value")
+    total = src.count()
+    vc = src.groupBy("value").agg(F.count(F.lit(1)).alias("cnt"))
+    cum = with_running_sum(vc, ["value"], ["cnt"]).select(
+        "value", (F.col("cum_cnt") / F.lit(float(total))).alias("cdf")
+    )
+    return src.join(cum, "value").select(
+        "row", "col", F.round(F.col("cdf"), 6).alias("value")
+    )
+
+
+def _ks_p_terms(lam_col, terms: int = 100):
+    """Kolmogorov-Smirnov tail probability Q_KS(lambda) =
+    2 * sum_{j>=1} (-1)^(j-1) exp(-2 j^2 lambda^2), fixed truncation (the
+    reference's probks loop, two_sample_ks_test.rs:575-596, stops early by
+    tolerance and returns 1.0 outright when 100 terms fail to converge —
+    which happens exactly for small lambda, where the true Q is 1.0 to
+    well past the 1e-6 rounding both engines apply; elsewhere a fixed
+    100-term sum differs from the early-stopped sum by < 1e-8)."""
+    a2 = -2.0 * lam_col * lam_col
+    total = None
+    for j in range(1, terms + 1):
+        term = F.exp(a2 * F.lit(float(j * j))) * F.lit(2.0 * (-1.0) ** (j - 1))
+        total = term if total is None else total + term
+    clamped = F.greatest(F.least(total, F.lit(1.0)), F.lit(0.0))
+    return F.when(lam_col < 0.05, F.lit(1.0)).otherwise(clamped)
+
+
+def two_sample_ks_test(a: DataFrame, b: DataFrame) -> DataFrame:
+    """TwoSampleKsTest (math_stat_analysis/two_sample_ks_test.rs): D =
+    max |F1(v) - F2(v)| over the pooled values (CDFs evaluated after all
+    ties at v on both sides — the reference's merge walk can probe between
+    cross-sample ties; equal-to-the-reference on tie-free data), p-value
+    from Q_KS(sqrt(n1*n2/(n1+n2)) * D). -> one row (n1, n2, ks_d, p_value).
+    """
+    from whitebox_tools_spark.distributed import with_running_sum
+
+    va = a.filter(F.col("value").isNotNull()).select("value")
+    vb = b.filter(F.col("value").isNotNull()).select("value")
+    n1 = va.count()
+    n2 = vb.count()
+    ca = va.groupBy("value").agg(F.count(F.lit(1)).cast("double").alias("c1"))
+    cb = vb.groupBy("value").agg(F.count(F.lit(1)).cast("double").alias("c2"))
+    pooled = (
+        ca.join(cb, "value", "full_outer")
+        .select(
+            "value",
+            F.coalesce(F.col("c1"), F.lit(0.0)).alias("c1"),
+            F.coalesce(F.col("c2"), F.lit(0.0)).alias("c2"),
+        )
+    )
+    cum = with_running_sum(pooled, ["value"], ["c1", "c2"])
+    dmax = cum.agg(
+        F.max(
+            F.abs(F.col("cum_c1") / F.lit(float(n1)) - F.col("cum_c2") / F.lit(float(n2)))
+        ).alias("d")
+    )
+    en = math.sqrt(n1 * n2 / float(n1 + n2))
+    return dmax.select(
+        F.lit(n1).cast("long").alias("n1"),
+        F.lit(n2).cast("long").alias("n2"),
+        F.round(F.col("d"), 6).alias("ks_d"),
+        F.round(_ks_p_terms(F.lit(en) * F.col("d")), 6).alias("p_value"),
+    )
+
+
+def attribute_correlation(df: DataFrame, cols: list[str]) -> DataFrame:
+    """AttributeCorrelation (math_stat_analysis/attribute_correlation.rs):
+    pairwise sample Pearson r between the numeric attribute columns of one
+    table. -> (col_a, col_b, r) for every a < b pair, ordered names."""
+    pairs = [(x, y) for i, x in enumerate(cols) for y in cols[i + 1:]]
+    agg = df.agg(
+        *[F.round(F.corr(x, y), 6).alias(f"__r_{i}") for i, (x, y) in enumerate(pairs)]
+    )
+    rows = [
+        F.struct(
+            F.lit(x).alias("col_a"), F.lit(y).alias("col_b"),
+            F.col(f"__r_{i}").alias("r"),
+        )
+        for i, (x, y) in enumerate(pairs)
+    ]
+    return agg.select(F.explode(F.array(*rows)).alias("p")).select(
+        "p.col_a", "p.col_b", "p.r"
+    )
+
+
+def crispness_index(cells: DataFrame) -> DataFrame:
+    """CrispnessIndex (math_stat_analysis/crispness_index.rs:271-340):
+    C = sum((z - mean)^2) / (sum(z)*(1-mean)^2 + (n - sum(z))*mean^2) for a
+    membership-probability image (values in [0,1]). One aggregate.
+    -> one row (n, crispness)."""
+    src = cells.filter(F.col("value").isNotNull()).select("value")
+    agg = src.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value").alias("s"),
+        F.avg("value").alias("mu"),
+        F.sum(F.col("value") * F.col("value")).alias("ss"),
+    )
+    # sum((z-mu)^2) = ss - n*mu^2
+    td = F.col("ss") - F.col("n") * F.col("mu") * F.col("mu")
+    denom = (
+        F.col("s") * (F.lit(1.0) - F.col("mu")) ** 2
+        + (F.col("n") - F.col("s")) * F.col("mu") * F.col("mu")
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(td / denom, 6).alias("crispness"),
+    )
+
+
+# Abramowitz & Stegun 7.1.26 erfc polynomial (max abs error 1.5e-7) — the
+# SAME closed form is emitted on the Spark and DuckDB sides so the engines
+# agree bit-for-bit well below the round-6 gate. Valid for x >= 0.
+_ERFC_A = (0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429)
+_ERFC_P = 0.3275911
+
+
+def _erfc_expr(x):
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(_ERFC_P) * x)
+    poly = None
+    for i, a in enumerate(_ERFC_A, start=1):
+        term = F.lit(a) * t ** i
+        poly = term if poly is None else poly + term
+    return poly * F.exp(-x * x)
+
+
+def _erfc_sql(x: str) -> str:
+    t = f"(1.0 / (1.0 + {_ERFC_P!r} * {x}))"
+    poly = " + ".join(f"{a!r} * power({t}, {i})" for i, a in enumerate(_ERFC_A, start=1))
+    return f"(({poly}) * exp(-({x}) * ({x})))"
+
+
+def anova(df: DataFrame, *, zone: str = "zone_id", value: str = "value") -> DataFrame:
+    """Anova (math_stat_analysis/anova.rs:400-446): one-way analysis of
+    variance of `value` grouped by `zone`. Two chained aggregates (per-class
+    then global). The reference's p-value (an iterative incomplete-beta
+    series, anova.rs:674-736) is intentionally omitted — the F statistic
+    and both mean squares are the SQL-checkable substance.
+    -> one row (num_classes, n, ss_between, df_between, ms_between,
+    ss_within, df_within, ms_within, f_stat)."""
+    src = df.filter(F.col(value).isNotNull() & F.col(zone).isNotNull())
+    per = src.groupBy(zone).agg(
+        F.count(F.lit(1)).cast("double").alias("cn"),
+        F.sum(value).alias("cs"),
+        F.sum(F.col(value) * F.col(value)).alias("css"),
+    )
+    g = per.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("cn").alias("n"),
+        F.sum("cs").alias("s"),
+        F.sum("css").alias("ss"),
+        F.sum(F.col("cs") * F.col("cs") / F.col("cn")).alias("sb"),
+    )
+    ssb = F.col("sb") - F.col("s") * F.col("s") / F.col("n")
+    ssw = F.col("ss") - F.col("sb")
+    dfb = (F.col("k") - 1).cast("double")
+    dfw = (F.col("n") - F.col("k")).cast("double")
+    return g.select(
+        F.col("k").cast("long").alias("num_classes"),
+        F.col("n").cast("long").alias("n"),
+        F.round(ssb, 6).alias("ss_between"),
+        dfb.cast("long").alias("df_between"),
+        F.round(ssb / dfb, 6).alias("ms_between"),
+        F.round(ssw, 6).alias("ss_within"),
+        dfw.cast("long").alias("df_within"),
+        F.round(ssw / dfw, 6).alias("ms_within"),
+        F.round((ssb / dfb) / (ssw / dfw), 6).alias("f_stat"),
+    )
+
+
+def paired_sample_t_test(a: DataFrame, b: DataFrame) -> DataFrame:
+    """PairedSampleTTest (math_stat_analysis/paired_sample_t_test.rs):
+    t = mean(d) / (sd(d)/sqrt(n)) over the per-cell differences d = a - b.
+    The reference's Student-t p-value (incomplete beta) is omitted; the
+    statistic and df are the SQL-checkable substance.
+    -> one row (n, mean_diff, sd_diff, t_stat)."""
+    j = (
+        a.filter(F.col("value").isNotNull())
+        .select("row", "col", F.col("value").alias("x"))
+        .join(
+            b.filter(F.col("value").isNotNull())
+            .select("row", "col", F.col("value").alias("y")),
+            ["row", "col"],
+        )
+        .select((F.col("x") - F.col("y")).alias("d"))
+    )
+    agg = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("d").alias("md"),
+        F.stddev_samp("d").alias("sd"),
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("md"), 6).alias("mean_diff"),
+        F.round(F.col("sd"), 6).alias("sd_diff"),
+        F.round(
+            F.col("md") / (F.col("sd") / F.sqrt(F.col("n").cast("double"))), 6
+        ).alias("t_stat"),
+    )
+
+
+def wilcoxon_signed_rank_test(a: DataFrame, b: DataFrame) -> DataFrame:
+    """WilcoxonSignedRankTest (math_stat_analysis/
+    wilcoxon_signed_rank_test.rs:382-432): signed average ranks of the
+    non-zero |d|, W = sum(signed ranks), sigma_w =
+    sqrt(nr(nr+1)(2nr+1)/6), z = W / sigma_w, p = 2(1 - Phi(|z|)) (the
+    reference's exact normal CDF is mirrored by the A&S 7.1.26 erfc
+    polynomial, within 1.5e-7). Average ranks come from per-distinct-|d|
+    cumulative counts (range-partitioned running sum — no global window).
+    -> one row (nr, w_plus, w_minus, z_value, p_value)."""
+    from whitebox_tools_spark.distributed import with_running_sum
+
+    d = (
+        a.filter(F.col("value").isNotNull())
+        .select("row", "col", F.col("value").alias("x"))
+        .join(
+            b.filter(F.col("value").isNotNull())
+            .select("row", "col", F.col("value").alias("y")),
+            ["row", "col"],
+        )
+        .select((F.col("x") - F.col("y")).alias("d"))
+        .filter(F.col("d") != 0.0)
+        .select(F.abs(F.col("d")).alias("ad"), F.signum("d").alias("sgn"))
+    )
+    per = d.groupBy("ad").agg(
+        F.count(F.lit(1)).cast("double").alias("cnt"),
+        F.sum("sgn").alias("net"),
+        F.sum(F.when(F.col("sgn") > 0, 1.0).otherwise(0.0)).alias("pos"),
+        F.sum(F.when(F.col("sgn") < 0, 1.0).otherwise(0.0)).alias("neg"),
+    )
+    cum = with_running_sum(per, ["ad"], ["cnt"])
+    # average rank of a tie group ending at cumulative count c with size k:
+    # (c-k+1 + ... + c)/k = c - (k-1)/2
+    avg_rank = F.col("cum_cnt") - (F.col("cnt") - 1.0) / 2.0
+    agg = cum.select(
+        (F.col("net") * avg_rank).alias("wr"),
+        (F.col("pos") * avg_rank).alias("wp"),
+        (F.col("neg") * avg_rank).alias("wn"),
+        F.col("cnt"),
+    ).agg(
+        F.sum("wr").alias("w"),
+        F.sum("wp").alias("w_plus"),
+        F.sum("wn").alias("w_minus"),
+        F.sum("cnt").alias("nr"),
+    )
+    sigma = F.sqrt(
+        F.col("nr") * (F.col("nr") + 1.0) * (2.0 * F.col("nr") + 1.0) / 6.0
+    )
+    z = F.col("w") / sigma
+    return agg.select(
+        F.col("nr").cast("long").alias("nr"),
+        F.round(F.col("w_plus"), 6).alias("w_plus"),
+        F.round(F.col("w_minus"), 6).alias("w_minus"),
+        F.round(z, 6).alias("z_value"),
+        F.round(_erfc_expr(F.abs(z) / F.lit(math.sqrt(2.0))), 6).alias("p_value"),
+    )
+
+
+def ks_normality_test(cells: DataFrame) -> DataFrame:
+    """KsTestForNormality (math_stat_analysis/ks_normality_test.rs:233-386):
+    the reference's binned algorithm reproduced exactly — 10,000 equal
+    bins over [min, max], empirical CDF per bin, "normal CDF" as the
+    normalized cumulative of the pdf sampled at bin lower edges (with the
+    reference's quirk that bin 0 is never normalized), D = max |ecdf -
+    ncdf|, p = 2 exp(-(2.000071 + 0.331/sqrt(n) + 1.409/n) n D^2).
+    The bin axis is a CONSTANT 10,000 rows regardless of raster size, so
+    the ordered window over it is bounded. -> one row (n, dmax, p_value)."""
+    nb = 10000
+    src = cells.filter(F.col("value").isNotNull()).select("value")
+    st = src.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("value").alias("mu"),
+        F.stddev_samp("value").alias("sd"),
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+    ).collect()[0]
+    n, mu, sd, mn, mx = (float(st.n), float(st.mu), float(st.sd), float(st.mn), float(st.mx))
+    bin_size = (mx - mn) / nb
+    hist = src.groupBy(
+        F.least(
+            F.floor((F.col("value") - F.lit(mn)) / F.lit(bin_size)).cast("long"),
+            F.lit(nb - 1),
+        ).alias("bin")
+    ).agg(F.count(F.lit(1)).cast("double").alias("h"))
+    spark = cells.sparkSession
+    bins = spark.range(nb).select(F.col("id").alias("bin"))
+    dense = bins.join(hist, "bin", "left").select(
+        "bin", F.coalesce(F.col("h"), F.lit(0.0)).alias("h")
+    )
+    zc = F.lit(mn) + F.col("bin").cast("double") * F.lit(bin_size)
+    pdf = (
+        F.lit(1.0 / (sd * math.sqrt(2.0 * math.pi)))
+        * F.exp(-(zc - F.lit(mu)) * (zc - F.lit(mu)) / F.lit(2.0 * sd * sd))
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = dense.select(
+        "bin",
+        (F.sum("h").over(w) / F.lit(n)).alias("ecdf"),
+        F.sum(pdf).over(w).alias("npcum"),
+    )
+    tot = cum.agg(F.max("npcum").alias("last"))
+    j = cum.crossJoin(F.broadcast(tot))
+    ncdf = F.when(F.col("bin") == 0, F.col("npcum")).otherwise(
+        F.col("npcum") / F.col("last")
+    )
+    dmax_df = j.agg(F.max(F.abs(F.col("ecdf") - ncdf)).alias("dmax"))
+    coef = 2.000071 + 0.331 / math.sqrt(n) + 1.409 / n
+    return dmax_df.select(
+        F.lit(int(n)).cast("long").alias("n"),
+        F.round(F.col("dmax"), 6).alias("dmax"),
+        F.round(
+            F.lit(2.0) * F.exp(-F.lit(coef) * F.lit(n) * F.col("dmax") * F.col("dmax")),
+            6,
+        ).alias("p_value"),
+    )
