@@ -351,6 +351,106 @@ def q_attribute_correlation(spark, sf_dir):
     )
 
 
+def _slope_raster(spark, sf_dir):
+    """Slope raster input for the terrain indices, MATERIALIZED via
+    localCheckpoint — mirroring the reference, where WetnessIndex et al.
+    read a slope.tif previously written by the Slope tool. Composing the
+    unmaterialized Florinsky gather lazily inlines its expression into
+    every downstream use site and catalyst optimization time explodes
+    (observed >200 s for a 200-cell wetness plan vs 0.7 s checkpointed)."""
+    from whitebox_tools_spark.operators.focal import slope
+
+    return slope(_part_raster(spark, sf_dir), res=5.0).localCheckpoint()
+
+
+def q_wetness_index(spark, sf_dir):
+    """WetnessIndex (terrain_analysis/wetness_index.rs): ln(sca/tan(slope))
+    with the price raster standing in as SCA."""
+    from whitebox_tools_spark.operators import terrain as TE
+
+    return _r6(
+        TE.wetness_index(_part_raster(spark, sf_dir), _slope_raster(spark, sf_dir)),
+        ["value"],
+    )
+
+
+def q_stream_power(spark, sf_dir):
+    """RelativeStreamPowerIndex (terrain_analysis/
+    relative_stream_power_index.rs)."""
+    from whitebox_tools_spark.operators import terrain as TE
+
+    return _r6(
+        TE.stream_power_index(
+            _part_raster(spark, sf_dir), _slope_raster(spark, sf_dir), exponent=1.1
+        ),
+        ["value"],
+    )
+
+
+def q_sediment_transport(spark, sf_dir):
+    """SedimentTransportIndex (terrain_analysis/
+    sediment_transport_index.rs:313-315)."""
+    from whitebox_tools_spark.operators import terrain as TE
+
+    return _r6(
+        TE.sediment_transport_index(
+            _part_raster(spark, sf_dir), _slope_raster(spark, sf_dir)
+        ),
+        ["value"],
+    )
+
+
+def q_num_downslope_nbrs(spark, sf_dir):
+    """NumDownslopeNeighbours (terrain_analysis/num_downslope_neighbours.rs)."""
+    from whitebox_tools_spark.operators import terrain as TE
+
+    return TE.num_downslope_neighbours(_part_raster(spark, sf_dir))
+
+
+def q_num_upslope_nbrs(spark, sf_dir):
+    """NumUpslopeNeighbours (terrain_analysis/num_upslope_neighbours.rs)."""
+    from whitebox_tools_spark.operators import terrain as TE
+
+    return TE.num_upslope_neighbours(_part_raster(spark, sf_dir))
+
+
+def q_max_downslope_change(spark, sf_dir):
+    """MaxDownslopeElevChange (terrain_analysis/max_downslope_elev_change.rs)."""
+    from whitebox_tools_spark.operators import terrain as TE
+
+    return _r6(TE.max_downslope_elev_change(_part_raster(spark, sf_dir), res=5.0), ["value"])
+
+
+def q_min_downslope_change(spark, sf_dir):
+    """MinDownslopeElevChange (terrain_analysis/min_downslope_elev_change.rs)."""
+    from whitebox_tools_spark.operators import terrain as TE
+
+    return _r6(TE.min_downslope_elev_change(_part_raster(spark, sf_dir), res=5.0), ["value"])
+
+
+def q_max_upslope_change(spark, sf_dir):
+    """MaxUpslopeElevChange (terrain_analysis/max_upslope_elev_change.rs)."""
+    from whitebox_tools_spark.operators import terrain as TE
+
+    return _r6(TE.max_upslope_elev_change(_part_raster(spark, sf_dir), res=5.0), ["value"])
+
+
+def q_multidirectional_hillshade(spark, sf_dir):
+    """MultidirectionalHillshade (terrain_analysis/
+    multidirectional_hillshade.rs, 4-azimuth weighted mode)."""
+    from whitebox_tools_spark.operators.focal import multidirectional_hillshade
+
+    return multidirectional_hillshade(_part_raster(spark, sf_dir), res=5.0)
+
+
+def q_stdev_of_slope(spark, sf_dir):
+    """StandardDeviationOfSlope (terrain_analysis/
+    standard_deviation_of_slope.rs): sd(n-1) filter over the slope raster."""
+    from whitebox_tools_spark.operators.focal import stat_filter
+
+    return _r6(stat_filter(_slope_raster(spark, sf_dir), "sd"), ["value"])
+
+
 def q_anova(spark, sf_dir):
     """Anova (math_stat_analysis/anova.rs:400-446) of lineitem quantity
     grouped into 37 zones."""
@@ -1870,6 +1970,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cumulative_distribution": q_cumulative_distribution,
         "two_sample_ks_test": q_two_sample_ks,
         "attribute_correlation": q_attribute_correlation,
+        "wetness_index": q_wetness_index,
+        "stream_power_index": q_stream_power,
+        "sediment_transport_index": q_sediment_transport,
+        "num_downslope_neighbours": q_num_downslope_nbrs,
+        "num_upslope_neighbours": q_num_upslope_nbrs,
+        "max_downslope_elev_change": q_max_downslope_change,
+        "min_downslope_elev_change": q_min_downslope_change,
+        "max_upslope_elev_change": q_max_upslope_change,
+        "multidirectional_hillshade": q_multidirectional_hillshade,
+        "stdev_of_slope": q_stdev_of_slope,
         "anova": q_anova,
         "paired_sample_t_test": q_paired_t,
         "wilcoxon_signed_rank_test": q_wilcoxon,
@@ -2281,6 +2391,16 @@ UNION ALL SELECT 'l_discount', 'l_tax',
         "list_unique_values": (
             "SELECT c_mktsegment AS value, count(*) AS n FROM customer GROUP BY 1"
         ),
+        "wetness_index": _terrain_zip_sql("wetness"),
+        "stream_power_index": _terrain_zip_sql("spi"),
+        "sediment_transport_index": _terrain_zip_sql("sti"),
+        "num_downslope_neighbours": _num_nbrs_sql("down"),
+        "num_upslope_neighbours": _num_nbrs_sql("up"),
+        "max_downslope_elev_change": _elev_change_sql("max_down"),
+        "min_downslope_elev_change": _elev_change_sql("min_down"),
+        "max_upslope_elev_change": _elev_change_sql("max_up"),
+        "multidirectional_hillshade": _multi_hs_sql(),
+        "stdev_of_slope": _stdev_slope_sql(),
         "anova": _anova_sql(),
         "paired_sample_t_test": _paired_t_sql(),
         "wilcoxon_signed_rank_test": _wilcoxon_sql(),
@@ -2721,6 +2841,53 @@ def _percentile_filter_sql() -> str:
     from whitebox_tools_spark.operators.focal import percentile_filter_oracle_sql
 
     inner = percentile_filter_oracle_sql(_PART_RASTER_SQL, filterx=5, filtery=5)
+    return f"SELECT row, col, round(value, 6) AS value FROM ({inner}) t"
+
+
+def _slope_cte_sql() -> str:
+    from whitebox_tools_spark.operators.focal import slope_oracle_sql
+
+    return slope_oracle_sql(_PART_RASTER_SQL, res=5.0)
+
+
+def _terrain_zip_sql(which: str) -> str:
+    from whitebox_tools_spark.operators import terrain as TE
+
+    slope_sql = _slope_cte_sql()
+    if which == "wetness":
+        inner = TE.wetness_index_oracle_sql(_PART_RASTER_SQL, slope_sql)
+    elif which == "spi":
+        inner = TE.stream_power_oracle_sql(_PART_RASTER_SQL, slope_sql, exponent=1.1)
+    else:
+        inner = TE.sediment_transport_oracle_sql(_PART_RASTER_SQL, slope_sql)
+    return f"SELECT row, col, round(value, 6) AS value FROM ({inner}) t"
+
+
+def _num_nbrs_sql(direction: str) -> str:
+    from whitebox_tools_spark.operators import terrain as TE
+
+    return TE.num_neighbours_oracle_sql(_PART_RASTER_SQL, direction=direction)
+
+
+def _elev_change_sql(mode: str) -> str:
+    from whitebox_tools_spark.operators import terrain as TE
+
+    inner = TE.elev_change_oracle_sql(_PART_RASTER_SQL, res=5.0, mode=mode)
+    return f"SELECT row, col, round(value, 6) AS value FROM ({inner}) t"
+
+
+def _multi_hs_sql() -> str:
+    from whitebox_tools_spark.operators.focal import (
+        multidirectional_hillshade_oracle_sql,
+    )
+
+    return multidirectional_hillshade_oracle_sql(_PART_RASTER_SQL, res=5.0)
+
+
+def _stdev_slope_sql() -> str:
+    from whitebox_tools_spark.operators.focal import stat_filter_oracle_sql
+
+    inner = stat_filter_oracle_sql(_slope_cte_sql(), "sd")
     return f"SELECT row, col, round(value, 6) AS value FROM ({inner}) t"
 
 

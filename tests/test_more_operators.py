@@ -542,3 +542,42 @@ def test_contrast_stretch_properties(spark):
         assert min(vals) >= 0.0 and max(vals) <= 64.0
         assert all(v == math.floor(v) for v in vals)
         assert len(set(vals)) > 10  # actually stretches, not constant
+
+
+def test_terrain_indices_and_neighbour_counts(spark):
+    from whitebox_tools_spark.operators import terrain as TE
+
+    # 3x3 pyramid: center highest
+    z = [[1.0, 2.0, 1.0], [2.0, 5.0, 2.0], [1.0, 2.0, 1.0]]
+    cells = spark.createDataFrame(
+        [(r, c, z[r][c]) for r in range(3) for c in range(3)],
+        "row long, col long, value double",
+    )
+    down = {(r.row, r.col): r.value for r in TE.num_downslope_neighbours(cells).collect()}
+    assert down[(1, 1)] == 8.0  # peak: everything lower
+    assert down[(0, 0)] == 0.0  # corner pit
+    up = {(r.row, r.col): r.value for r in TE.num_upslope_neighbours(cells).collect()}
+    assert up[(1, 1)] == 0.0 and up[(0, 0)] == 3.0
+
+    # max downslope change at the peak: steepest is the cardinal drop 5->2
+    # (slope 3/res) vs diagonal 4/(res*sqrt2)=2.83/res -> zc = 3
+    mx = {(r.row, r.col): r.value for r in
+          TE.max_downslope_elev_change(cells, res=1.0).collect()}
+    assert mx[(1, 1)] == pytest.approx(3.0)
+    # min downslope (gentlest non-negative): corner 1 -> ties at slope 0? none:
+    # corner has no lower/equal neighbor except itself -> zc from equal? corner
+    # (0,0): neighbors 2,2,5 all higher -> no candidate -> 0.0
+    mn = {(r.row, r.col): r.value for r in
+          TE.min_downslope_elev_change(cells, res=1.0).collect()}
+    assert mn[(0, 0)] == 0.0
+
+    # wetness: ln(sca/tan(rad(slope))), checked against python math
+    slope_df = spark.createDataFrame(
+        [(0, 0, 30.0), (0, 1, 0.0)], "row long, col long, value double"
+    )
+    sca = spark.createDataFrame(
+        [(0, 0, 100.0), (0, 1, 100.0)], "row long, col long, value double"
+    )
+    wi = {(r.row, r.col): r.value for r in TE.wetness_index(sca, slope_df).collect()}
+    assert wi[(0, 0)] == pytest.approx(math.log(100.0 / math.tan(math.radians(30.0))))
+    assert wi[(0, 1)] is None

@@ -1175,3 +1175,54 @@ SELECT row, col,
                 THEN 1 ELSE 0 END)::DOUBLE / count(*) * 100.0 AS value
 FROM m GROUP BY row, col
 """
+
+
+MULTI_HS_AZIMUTHS = (225.0, 270.0, 315.0, 360.0)
+MULTI_HS_WEIGHTS = (0.1, 0.4, 0.4, 0.1)
+
+
+def multidirectional_hillshade_formula(altitude: float = 45.0) -> str:
+    """MultidirectionalHillshade (terrain_analysis/
+    multidirectional_hillshade.rs:343-420, non-360 mode): weighted sum of
+    the four azimuth responses (225/270/315/360 at 0.1/0.4/0.4/0.1),
+    clamped at zero AFTER the sum (unlike the single-azimuth tool) and
+    scaled by 32767."""
+    sin_t = math.sin(math.radians(altitude))
+    cos_t = math.cos(math.radians(altitude))
+    terms = []
+    for az, w in zip(MULTI_HS_AZIMUTHS, MULTI_HS_WEIGHTS):
+        azr = math.radians(az - 90.0)
+        terms.append(
+            f"{w!r} * (ts/sqrt(1.0 + ts*ts)) * "
+            f"({sin_t!r}/ts - {cos_t!r}*sin({azr!r} - asp))"
+        )
+    return (
+        f"round(greatest(({' + '.join(terms)}), 0.0) * 32767.0)"
+    ).replace(
+        "ts", "greatest(sqrt(p*p + q*q), 0.00017)"
+    ).replace(
+        "asp",
+        "(CASE WHEN p <> 0.0 THEN pi() - atan(q/p) + (pi()/2.0)*(p/abs(p)) ELSE pi() END)",
+    )
+
+
+def multidirectional_hillshade(
+    cells: DataFrame, *, res: float, altitude: float = 45.0, z_factor: float = 1.0,
+    tiled: bool = False, tile: int = 256,
+) -> DataFrame:
+    g = _pq(_gather(cells, z_factor, tiled, tile), res)
+    return g.select(
+        "row", "col",
+        F.expr(multidirectional_hillshade_formula(altitude)).alias("value"),
+    )
+
+
+def multidirectional_hillshade_oracle_sql(
+    source_sql: str, *, res: float, altitude: float = 45.0, z_factor: float = 1.0
+) -> str:
+    return (
+        _gather25_sql(source_sql, z_factor)
+        + f", pq AS ({_pq_select_sql(res)}) SELECT row, col, "
+        + multidirectional_hillshade_formula(altitude)
+        + " AS value FROM pq"
+    )

@@ -1,0 +1,255 @@
+"""Terrain index operators (class MAP/ZIP/FOC) over cell tables.
+
+References (reference = depowered/whitebox-tools):
+  - WetnessIndex: terrain_analysis/wetness_index.rs (ln(sca/tan(slope_rad)),
+    zero slope -> NULL).
+  - RelativeStreamPowerIndex: terrain_analysis/relative_stream_power_index.rs
+    (sca^p * tan(slope_rad)).
+  - SedimentTransportIndex: terrain_analysis/sediment_transport_index.rs:313-315
+    ((n+1)(sca/22.13)^n (sin(slope_rad)/0.0896)^m).
+  - NumDownslopeNeighbours / NumUpslopeNeighbours:
+    terrain_analysis/num_downslope_neighbours.rs (count of 8-neighbors with
+    zn < z / zn > z; only VALID neighbors are compared here, whereas the
+    reference's raw sentinel compare also counts nodata cells).
+  - Max/MinDownslopeElevChange, MaxUpslopeElevChange:
+    terrain_analysis/max_downslope_elev_change.rs (z-change of the
+    steepest/gentlest neighbor by slope over the grid length; slope ties
+    break by z-change, engine and oracle alike, where the reference takes
+    its fixed loop order).
+
+All are single-join ZIP expressions or one scatter-shuffle focal
+aggregates — the same 100-TB shapes as raster_math/focal.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_OFFS8 = [(-1, -1), (0, -1), (1, -1), (-1, 0), (1, 0), (-1, 1), (0, 1), (1, 1)]
+
+
+def _zip_join(sca: DataFrame, slope_df: DataFrame) -> DataFrame:
+    return (
+        sca.filter(F.col("value").isNotNull())
+        .select("row", "col", F.col("value").alias("sca"))
+        .join(
+            slope_df.filter(F.col("value").isNotNull())
+            .select("row", "col", F.col("value").alias("slp")),
+            ["row", "col"],
+        )
+    )
+
+
+def wetness_index(sca: DataFrame, slope_df: DataFrame) -> DataFrame:
+    """TWI = ln(sca / tan(radians(slope_deg))); slope 0 -> NULL."""
+    j = _zip_join(sca, slope_df)
+    return j.select(
+        "row", "col",
+        F.when(
+            F.col("slp") != 0.0,
+            F.log(F.col("sca") / F.tan(F.radians(F.col("slp")))),
+        ).alias("value"),
+    )
+
+
+def wetness_index_oracle_sql(sca_sql: str, slope_sql: str) -> str:
+    return f"""
+WITH sca AS (SELECT row, col, value FROM ({sca_sql}) WHERE value IS NOT NULL),
+slp AS (SELECT row, col, value FROM ({slope_sql}) WHERE value IS NOT NULL)
+SELECT sca.row, sca.col,
+       CASE WHEN slp.value <> 0.0
+            THEN ln(sca.value / tan(radians(slp.value))) END AS value
+FROM sca JOIN slp ON sca.row = slp.row AND sca.col = slp.col
+"""
+
+
+def stream_power_index(
+    sca: DataFrame, slope_df: DataFrame, *, exponent: float = 1.0
+) -> DataFrame:
+    """RSP = sca^p * tan(radians(slope_deg))."""
+    j = _zip_join(sca, slope_df)
+    return j.select(
+        "row", "col",
+        (F.pow(F.col("sca"), F.lit(exponent)) * F.tan(F.radians(F.col("slp"))))
+        .alias("value"),
+    )
+
+
+def stream_power_oracle_sql(sca_sql: str, slope_sql: str, *, exponent: float = 1.0) -> str:
+    return f"""
+WITH sca AS (SELECT row, col, value FROM ({sca_sql}) WHERE value IS NOT NULL),
+slp AS (SELECT row, col, value FROM ({slope_sql}) WHERE value IS NOT NULL)
+SELECT sca.row, sca.col,
+       power(sca.value, {exponent!r}) * tan(radians(slp.value)) AS value
+FROM sca JOIN slp ON sca.row = slp.row AND sca.col = slp.col
+"""
+
+
+def sediment_transport_index(
+    sca: DataFrame, slope_df: DataFrame, *, sca_exponent: float = 0.4,
+    slope_exponent: float = 1.3,
+) -> DataFrame:
+    """STI = (n+1)(sca/22.13)^n (sin(radians(slope))/0.0896)^m."""
+    j = _zip_join(sca, slope_df)
+    return j.select(
+        "row", "col",
+        (
+            F.lit(sca_exponent + 1.0)
+            * F.pow(F.col("sca") / 22.13, F.lit(sca_exponent))
+            * F.pow(F.sin(F.radians(F.col("slp"))) / 0.0896, F.lit(slope_exponent))
+        ).alias("value"),
+    )
+
+
+def sediment_transport_oracle_sql(
+    sca_sql: str, slope_sql: str, *, sca_exponent: float = 0.4,
+    slope_exponent: float = 1.3,
+) -> str:
+    return f"""
+WITH sca AS (SELECT row, col, value FROM ({sca_sql}) WHERE value IS NOT NULL),
+slp AS (SELECT row, col, value FROM ({slope_sql}) WHERE value IS NOT NULL)
+SELECT sca.row, sca.col,
+       {sca_exponent + 1.0!r} * power(sca.value / 22.13, {sca_exponent!r})
+       * power(sin(radians(slp.value)) / 0.0896, {slope_exponent!r}) AS value
+FROM sca JOIN slp ON sca.row = slp.row AND sca.col = slp.col
+"""
+
+
+def _nbr8(cells: DataFrame, res: float) -> DataFrame:
+    """-> (row, col, center, zn, dist): one row per (cell, VALID 8-neighbor)."""
+    spark = cells.sparkSession
+    diag = res * math.sqrt(2.0)
+    offs = spark.createDataFrame(
+        [(dx, dy, diag if dx != 0 and dy != 0 else res) for dx, dy in _OFFS8],
+        "dx int, dy int, dist double",
+    )
+    src = cells.filter(F.col("value").isNotNull()).select("row", "col", "value")
+    scattered = src.crossJoin(F.broadcast(offs)).select(
+        (F.col("row") - F.col("dy")).alias("row"),
+        (F.col("col") - F.col("dx")).alias("col"),
+        F.col("value").alias("zn"),
+        "dist",
+    )
+    return scattered.join(
+        src.withColumnRenamed("value", "center"), ["row", "col"]
+    ).select("row", "col", "center", "zn", "dist")
+
+
+def _nbr8_cte(source_sql: str, res: float) -> str:
+    diag = res * math.sqrt(2.0)
+    offs = ", ".join(
+        f"({dx}, {dy}, {diag if dx != 0 and dy != 0 else float(res)!r})"
+        for dx, dy in _OFFS8
+    )
+    return f"""
+src AS (SELECT row, col, value FROM ({source_sql}) WHERE value IS NOT NULL),
+offs(dx, dy, dist) AS (VALUES {offs}),
+m AS (
+  SELECT c.row, c.col, c.value AS center, s.zn, s.dist
+  FROM src c JOIN (SELECT s0.row - o.dy AS row, s0.col - o.dx AS col,
+                          s0.value AS zn, o.dist
+                   FROM src s0 CROSS JOIN offs o) s
+    ON c.row = s.row AND c.col = s.col
+)"""
+
+
+def num_downslope_neighbours(cells: DataFrame) -> DataFrame:
+    m = _nbr8(cells, 1.0)
+    out = m.groupBy("row", "col").agg(
+        F.sum(F.when(F.col("zn") < F.col("center"), 1).otherwise(0))
+        .cast("double").alias("value")
+    )
+    src = cells.filter(F.col("value").isNotNull()).select("row", "col")
+    return src.join(out, ["row", "col"], "left").select(
+        "row", "col", F.coalesce(F.col("value"), F.lit(0.0)).alias("value")
+    )
+
+
+def num_upslope_neighbours(cells: DataFrame) -> DataFrame:
+    m = _nbr8(cells, 1.0)
+    out = m.groupBy("row", "col").agg(
+        F.sum(F.when(F.col("zn") > F.col("center"), 1).otherwise(0))
+        .cast("double").alias("value")
+    )
+    src = cells.filter(F.col("value").isNotNull()).select("row", "col")
+    return src.join(out, ["row", "col"], "left").select(
+        "row", "col", F.coalesce(F.col("value"), F.lit(0.0)).alias("value")
+    )
+
+
+def num_neighbours_oracle_sql(source_sql: str, *, direction: str) -> str:
+    cmp = "<" if direction == "down" else ">"
+    return f"""
+WITH {_nbr8_cte(source_sql, 1.0)},
+agg AS (
+  SELECT row, col,
+         CAST(sum(CASE WHEN zn {cmp} center THEN 1 ELSE 0 END) AS DOUBLE) AS value
+  FROM m GROUP BY row, col
+)
+SELECT s.row, s.col, coalesce(a.value, 0.0) AS value
+FROM src s LEFT JOIN agg a ON a.row = s.row AND a.col = s.col
+"""
+
+
+def _elev_change(cells: DataFrame, res: float, mode: str) -> DataFrame:
+    m = _nbr8(cells, res)
+    if mode == "max_down":
+        cand = m.filter(F.col("zn") < F.col("center")).select(
+            "row", "col",
+            ((F.col("center") - F.col("zn")) / F.col("dist")).alias("s"),
+            (F.col("center") - F.col("zn")).alias("zc"),
+        )
+        pick = F.max(F.struct(F.col("s"), F.col("zc"))).getField("zc")
+    elif mode == "max_up":
+        cand = m.filter(F.col("zn") > F.col("center")).select(
+            "row", "col",
+            ((F.col("zn") - F.col("center")) / F.col("dist")).alias("s"),
+            (F.col("zn") - F.col("center")).alias("zc"),
+        )
+        pick = F.max(F.struct(F.col("s"), F.col("zc"))).getField("zc")
+    else:  # min_down: gentlest non-negative downslope
+        cand = m.filter(F.col("zn") <= F.col("center")).select(
+            "row", "col",
+            ((F.col("center") - F.col("zn")) / F.col("dist")).alias("s"),
+            (F.col("center") - F.col("zn")).alias("zc"),
+        )
+        pick = F.min(F.struct(F.col("s"), F.col("zc"))).getField("zc")
+    out = cand.groupBy("row", "col").agg(pick.alias("value"))
+    src = cells.filter(F.col("value").isNotNull()).select("row", "col")
+    return src.join(out, ["row", "col"], "left").select(
+        "row", "col", F.coalesce(F.col("value"), F.lit(0.0)).alias("value")
+    )
+
+
+def max_downslope_elev_change(cells: DataFrame, *, res: float = 1.0) -> DataFrame:
+    return _elev_change(cells, res, "max_down")
+
+
+def min_downslope_elev_change(cells: DataFrame, *, res: float = 1.0) -> DataFrame:
+    return _elev_change(cells, res, "min_down")
+
+
+def max_upslope_elev_change(cells: DataFrame, *, res: float = 1.0) -> DataFrame:
+    return _elev_change(cells, res, "max_up")
+
+
+def elev_change_oracle_sql(source_sql: str, *, res: float = 1.0, mode: str) -> str:
+    if mode == "max_down":
+        flt, s, zc, agg = "zn < center", "(center - zn) / dist", "center - zn", "max"
+    elif mode == "max_up":
+        flt, s, zc, agg = "zn > center", "(zn - center) / dist", "zn - center", "max"
+    else:
+        flt, s, zc, agg = "zn <= center", "(center - zn) / dist", "center - zn", "min"
+    return f"""
+WITH {_nbr8_cte(source_sql, res)},
+cand AS (SELECT row, col, {s} AS s, {zc} AS zc FROM m WHERE {flt}),
+agg AS (
+  SELECT row, col, {agg}(struct_pack(s := s, zc := zc)) AS pick
+  FROM cand GROUP BY row, col
+)
+SELECT sr.row, sr.col, coalesce(a.pick.zc, 0.0) AS value
+FROM src sr LEFT JOIN agg a ON a.row = sr.row AND a.col = sr.col
+"""
