@@ -1509,6 +1509,63 @@ def q_unsharp(spark, sf_dir):
     )
 
 
+def q_bilateral(spark, sf_dir):
+    """BilateralFilter (image_analysis/bilateral_filter.rs)."""
+    from whitebox_tools_spark.operators import focal as FO
+
+    return _r6(
+        FO.bilateral_filter(_part_raster(spark, sf_dir), sigma_dist=0.75, sigma_int=50.0),
+        ["value"],
+    )
+
+
+def q_adaptive_filter(spark, sf_dir):
+    """AdaptiveFilter (image_analysis/adaptive_filter.rs)."""
+    from whitebox_tools_spark.operators import focal as FO
+
+    return _r6(
+        FO.adaptive_filter(_part_raster(spark, sf_dir), threshold=1.5), ["value"]
+    )
+
+
+def q_lee_filter(spark, sf_dir):
+    """LeeSigmaFilter (image_analysis/lee_filter.rs:379-420)."""
+    from whitebox_tools_spark.operators import focal as FO
+
+    return _r6(
+        FO.lee_filter(_part_raster(spark, sf_dir), sigma=200.0, min_n=3.0), ["value"]
+    )
+
+
+def q_k_nearest_mean(spark, sf_dir):
+    """KNearestMeanFilter (image_analysis/k_nearest_mean_filter.rs)."""
+    from whitebox_tools_spark.operators import focal as FO
+
+    return _r6(
+        FO.k_nearest_mean_filter(_part_raster(spark, sf_dir), filterx=5, filtery=5, k=5),
+        ["value"],
+    )
+
+
+def q_edge_preserving_mean(spark, sf_dir):
+    """EdgePreservingMeanFilter (image_analysis/edge_preserving_mean_filter.rs)."""
+    from whitebox_tools_spark.operators import focal as FO
+
+    return _r6(
+        FO.edge_preserving_mean_filter(_part_raster(spark, sf_dir), threshold=300.0),
+        ["value"],
+    )
+
+
+def q_highpass_median(spark, sf_dir):
+    """HighPassMedianFilter (image_analysis/highpass_median_filter.rs)."""
+    from whitebox_tools_spark.operators import focal as FO
+
+    return _r6(
+        FO.highpass_median_filter(_part_raster(spark, sf_dir)), ["value"]
+    )
+
+
 def q_percentile_filter(spark, sf_dir):
     """PercentileFilter (image_analysis/percentile_filter.rs:315-455)."""
     from whitebox_tools_spark.operators import focal as FO
@@ -2084,6 +2141,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roberts_filter": q_roberts,
         "unsharp_masking": q_unsharp,
         "percentile_filter": q_percentile_filter,
+        "bilateral_filter": q_bilateral,
+        "adaptive_filter": q_adaptive_filter,
+        "lee_filter": q_lee_filter,
+        "k_nearest_mean_filter": q_k_nearest_mean,
+        "edge_preserving_mean_filter": q_edge_preserving_mean,
+        "highpass_median_filter": q_highpass_median,
         "plan_curvature": q_plan_curvature,
         "profile_curvature": q_profile_curvature,
         "tangential_curvature": q_tangential_curvature,
@@ -2487,6 +2550,12 @@ SELECT s_suppkey + 10000000 AS fid, s_name AS name FROM supplier
         "roberts_filter": _roberts_sql(),
         "unsharp_masking": _unsharp_sql(),
         "percentile_filter": _percentile_filter_sql(),
+        "bilateral_filter": _weighted_focal_sql("bilateral"),
+        "adaptive_filter": _weighted_focal_sql("adaptive"),
+        "lee_filter": _weighted_focal_sql("lee"),
+        "k_nearest_mean_filter": _weighted_focal_sql("knm"),
+        "edge_preserving_mean_filter": _weighted_focal_sql("epm"),
+        "highpass_median_filter": _weighted_focal_sql("hpm"),
         "normalized_difference": f"""
 WITH a AS ({_PART_RASTER_SQL}), b AS ({_PART_RASTER2_SQL})
 SELECT a.row, a.col,
@@ -2980,6 +3049,26 @@ SELECT CAST(st.n AS BIGINT) AS n, round(dm.dmax, 6) AS dmax,
                        * st.n * dm.dmax * dm.dmax), 6) AS p_value
 FROM st, dm
 """
+
+
+def _weighted_focal_sql(which: str) -> str:
+    from whitebox_tools_spark.operators import focal as FO
+
+    inner = {
+        "bilateral": lambda: FO.bilateral_oracle_sql(
+            _PART_RASTER_SQL, sigma_dist=0.75, sigma_int=50.0
+        ),
+        "adaptive": lambda: FO.adaptive_oracle_sql(_PART_RASTER_SQL, threshold=1.5),
+        "lee": lambda: FO.lee_oracle_sql(_PART_RASTER_SQL, sigma=200.0, min_n=3.0),
+        "knm": lambda: FO.k_nearest_mean_oracle_sql(
+            _PART_RASTER_SQL, filterx=5, filtery=5, k=5
+        ),
+        "epm": lambda: FO.edge_preserving_mean_oracle_sql(
+            _PART_RASTER_SQL, threshold=300.0
+        ),
+        "hpm": lambda: FO.highpass_median_oracle_sql(_PART_RASTER_SQL),
+    }[which]()
+    return f"SELECT row, col, round(value, 6) AS value FROM ({inner}) t"
 
 
 def _stdev_stretch_sql() -> str:

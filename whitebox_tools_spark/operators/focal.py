@@ -1226,3 +1226,301 @@ def multidirectional_hillshade_oracle_sql(
         + multidirectional_hillshade_formula(altitude)
         + " AS value FROM pq"
     )
+
+
+# ---------------------------------------------------------------------------
+# Value-weighted / adaptive focal family (image_analysis). One
+# scatter-shuffle each via _scatter_with_center (window membership, center
+# included), with all weighting math in codegen expressions.
+# ---------------------------------------------------------------------------
+def _scatter_with_center_w(
+    cells: DataFrame, offsets: list[tuple[int, int, float]]
+) -> DataFrame:
+    """Like _scatter_with_center but each (dx, dy) carries a weight column.
+    -> (row, col, center, value, wd)."""
+    spark = cells.sparkSession
+    src = cells.filter(F.col("value").isNotNull()).select("row", "col", "value")
+    offs = spark.createDataFrame(offsets, "dx int, dy int, wd double")
+    scattered = src.crossJoin(F.broadcast(offs)).select(
+        (F.col("row") - F.col("dy")).alias("row"),
+        (F.col("col") - F.col("dx")).alias("col"),
+        "value",
+        "wd",
+    )
+    return scattered.join(
+        src.withColumnRenamed("value", "center"), ["row", "col"]
+    ).select("row", "col", "center", "value", "wd")
+
+
+def bilateral_offsets(sigma_dist: float) -> list[tuple[int, int, float]]:
+    """Distance-kernel offsets and weights (bilateral_filter.rs): w_d =
+    1/(sqrt(2 pi) sigma_d) * exp(-d^2 / (2 sigma_d^2)), symmetric square
+    window sized by the reference's 0.001 weight cutoff."""
+    import math as _math
+
+    recip = 1.0 / (_math.sqrt(2.0 * _math.pi) * sigma_dist)
+    ts = 2.0 * sigma_dist * sigma_dist
+    size = 3
+    for i in range(250):
+        if recip * _math.exp(-i * i / ts) <= 0.001:
+            size = i * 2 + 1
+            break
+    if size % 2 == 0:
+        size += 1
+    size = max(size, 3)
+    half = size // 2
+    return [
+        (dx, dy, recip * _math.exp(-(dx * dx + dy * dy) / ts))
+        for dx in range(-half, half + 1)
+        for dy in range(-half, half + 1)
+    ]
+
+
+def bilateral_filter(
+    cells: DataFrame, *, sigma_dist: float = 0.75, sigma_int: float = 1.0
+) -> DataFrame:
+    """BilateralFilter (image_analysis/bilateral_filter.rs): edge-preserving
+    blur, w = w_d(dx,dy) * 1/(sqrt(2 pi) sigma_i) exp(-(zn-z)^2 /
+    (2 sigma_i^2)); out = sum(w*zn)/sum(w) over valid window members."""
+    import math as _math
+
+    m = _scatter_with_center_w(cells, bilateral_offsets(sigma_dist))
+    recip_i = 1.0 / (_math.sqrt(2.0 * _math.pi) * sigma_int)
+    wi = F.lit(recip_i) * F.exp(
+        -(F.col("value") - F.col("center")) ** 2 / F.lit(2.0 * sigma_int * sigma_int)
+    )
+    w = F.col("wd") * wi
+    return m.groupBy("row", "col").agg(
+        (F.sum(w * F.col("value")) / F.sum(w)).alias("value")
+    )
+
+
+def bilateral_oracle_sql(
+    source_sql: str, *, sigma_dist: float = 0.75, sigma_int: float = 1.0
+) -> str:
+    import math as _math
+
+    offs = ", ".join(
+        f"({dx}, {dy}, {wd!r})" for dx, dy, wd in bilateral_offsets(sigma_dist)
+    )
+    recip_i = 1.0 / (_math.sqrt(2.0 * _math.pi) * sigma_int)
+    wi = (
+        f"{recip_i!r} * exp(-(value - center) * (value - center)"
+        f" / {2.0 * sigma_int * sigma_int!r})"
+    )
+    return f"""
+WITH src AS (SELECT row, col, value FROM ({source_sql}) WHERE value IS NOT NULL),
+offs(dx, dy, wd) AS (VALUES {offs}),
+m AS (
+  SELECT c.row, c.col, c.value AS center, s.value, s.wd
+  FROM src c JOIN (SELECT s0.row - o.dy AS row, s0.col - o.dx AS col,
+                          s0.value, o.wd
+                   FROM src s0 CROSS JOIN offs o) s
+    ON c.row = s.row AND c.col = s.col
+)
+SELECT row, col, sum(wd * ({wi}) * value) / sum(wd * ({wi})) AS value
+FROM m GROUP BY row, col
+"""
+
+
+def adaptive_filter(
+    cells: DataFrame, *, filterx: int = 3, filtery: int = 3, threshold: float = 2.0
+) -> DataFrame:
+    """AdaptiveFilter (image_analysis/adaptive_filter.rs): window mean and
+    POPULATION sd over valid members (center included); out = mean when
+    |z - mean| / s > threshold (an outlier) else z."""
+    m = _scatter_with_center(cells, filterx=filterx, filtery=filtery)
+    agg = m.groupBy("row", "col").agg(
+        F.any_value(F.col("center")).alias("z"),
+        F.avg("value").alias("mean"),
+        F.stddev_pop("value").alias("s"),
+    )
+    return agg.select(
+        "row", "col",
+        F.when(
+            (F.col("s") > 0.0)
+            & (F.abs((F.col("z") - F.col("mean")) / F.col("s")) > threshold),
+            F.col("mean"),
+        ).otherwise(F.col("z")).alias("value"),
+    )
+
+
+def adaptive_oracle_sql(
+    source_sql: str, *, filterx: int = 3, filtery: int = 3, threshold: float = 2.0
+) -> str:
+    return f"""
+WITH {_member_cte(source_sql, filterx=filterx, filtery=filtery)},
+agg AS (
+  SELECT row, col, any_value(center) AS z, avg(value) AS mean,
+         stddev_pop(value) AS s
+  FROM m GROUP BY row, col
+)
+SELECT row, col,
+       CASE WHEN s > 0.0 AND abs((z - mean) / s) > {threshold!r}
+            THEN mean ELSE z END AS value
+FROM agg
+"""
+
+
+def lee_filter(
+    cells: DataFrame, *, filterx: int = 3, filtery: int = 3, sigma: float = 10.0,
+    min_n: float = 5.0,
+) -> DataFrame:
+    """LeeSigmaFilter (image_analysis/lee_filter.rs:379-420): mean of window
+    members within z +/- sigma when more than min_n qualify, else the mean
+    of the valid 8-neighbors."""
+    m = _scatter_with_center(cells, filterx=filterx, filtery=filtery)
+    in_band = (F.col("value") >= F.col("center") - sigma) & (
+        F.col("value") <= F.col("center") + sigma
+    )
+    agg = m.groupBy("row", "col").agg(
+        F.sum(F.when(in_band, 1.0).otherwise(0.0)).alias("n"),
+        F.sum(F.when(in_band, F.col("value")).otherwise(0.0)).alias("s"),
+    )
+    fb = _scatter_with_center(cells, exclude_center=True)
+    fallback = fb.groupBy("row", "col").agg(F.avg("value").alias("fbv"))
+    out = agg.join(fallback, ["row", "col"], "left")
+    return out.select(
+        "row", "col",
+        F.when(F.col("n") > min_n, F.col("s") / F.col("n"))
+        .otherwise(F.col("fbv"))
+        .alias("value"),
+    )
+
+
+def lee_oracle_sql(
+    source_sql: str, *, filterx: int = 3, filtery: int = 3, sigma: float = 10.0,
+    min_n: float = 5.0,
+) -> str:
+    return f"""
+WITH {_member_cte(source_sql, filterx=filterx, filtery=filtery)},
+agg AS (
+  SELECT row, col,
+         sum(CASE WHEN value >= center - {sigma!r} AND value <= center + {sigma!r}
+                  THEN 1.0 ELSE 0.0 END) AS n,
+         sum(CASE WHEN value >= center - {sigma!r} AND value <= center + {sigma!r}
+                  THEN value ELSE 0.0 END) AS s
+  FROM m GROUP BY row, col
+),
+nb AS (
+  SELECT c.row, c.col, avg(s.value) AS fbv
+  FROM src c JOIN (SELECT s0.row - o.dy AS row, s0.col - o.dx AS col, s0.value
+                   FROM src s0 CROSS JOIN (VALUES (-1,-1),(0,-1),(1,-1),(-1,0),
+                                                  (1,0),(-1,1),(0,1),(1,1)) o(dx, dy)) s
+    ON c.row = s.row AND c.col = s.col
+  GROUP BY c.row, c.col
+)
+SELECT a.row, a.col,
+       CASE WHEN a.n > {min_n!r} THEN a.s / a.n ELSE nb.fbv END AS value
+FROM agg a LEFT JOIN nb ON nb.row = a.row AND nb.col = a.col
+"""
+
+
+def k_nearest_mean_filter(
+    cells: DataFrame, *, filterx: int = 3, filtery: int = 3, k: int = 5
+) -> DataFrame:
+    """KNearestMeanFilter (image_analysis/k_nearest_mean_filter.rs): mean of
+    the k window members (center included) closest in value to the center;
+    value ties sort ascending (the reference keeps scan order — documented
+    deviation on exact ties)."""
+    m = _scatter_with_center(cells, filterx=filterx, filtery=filtery)
+    pair = F.struct(
+        ((F.col("value") - F.col("center")) ** 2).alias("d2"),
+        F.col("value").alias("v"),
+    )
+    agg = m.groupBy("row", "col").agg(F.collect_list(pair).alias("ps"))
+    topk = F.slice(F.array_sort(F.col("ps")), 1, k)
+    return agg.select(
+        "row", "col",
+        F.aggregate(
+            topk, F.lit(0.0), lambda acc, x: acc + x.getField("v")
+        ).alias("s"),
+        F.size(topk).alias("n"),
+    ).select(
+        "row", "col", (F.col("s") / F.col("n")).alias("value")
+    )
+
+
+def k_nearest_mean_oracle_sql(
+    source_sql: str, *, filterx: int = 3, filtery: int = 3, k: int = 5
+) -> str:
+    return f"""
+WITH {_member_cte(source_sql, filterx=filterx, filtery=filtery)},
+ranked AS (
+  SELECT row, col, value,
+         row_number() OVER (PARTITION BY row, col
+                            ORDER BY (value - center) * (value - center), value) AS rk
+  FROM m
+)
+SELECT row, col, avg(value) AS value FROM ranked WHERE rk <= {k} GROUP BY row, col
+"""
+
+
+def edge_preserving_mean_filter(
+    cells: DataFrame, *, filterx: int = 3, filtery: int = 3, threshold: float = 15.0
+) -> DataFrame:
+    """EdgePreservingMeanFilter (image_analysis/
+    edge_preserving_mean_filter.rs): mean of window members with
+    |zn - z| <= threshold (center always qualifies)."""
+    m = _scatter_with_center(cells, filterx=filterx, filtery=filtery)
+    ok = F.abs(F.col("value") - F.col("center")) <= threshold
+    return m.groupBy("row", "col").agg(
+        (
+            F.sum(F.when(ok, F.col("value")).otherwise(0.0))
+            / F.sum(F.when(ok, 1.0).otherwise(0.0))
+        ).alias("value")
+    )
+
+
+def edge_preserving_mean_oracle_sql(
+    source_sql: str, *, filterx: int = 3, filtery: int = 3, threshold: float = 15.0
+) -> str:
+    return f"""
+WITH {_member_cte(source_sql, filterx=filterx, filtery=filtery)}
+SELECT row, col,
+       sum(CASE WHEN abs(value - center) <= {threshold!r} THEN value ELSE 0.0 END)
+       / sum(CASE WHEN abs(value - center) <= {threshold!r} THEN 1.0 ELSE 0.0 END) AS value
+FROM m GROUP BY row, col
+"""
+
+
+def highpass_median_filter(
+    cells: DataFrame, *, filterx: int = 3, filtery: int = 3, sig_digits: int = 2
+) -> DataFrame:
+    """HighPassMedianFilter (image_analysis/highpass_median_filter.rs):
+    z minus the window median; the reference medians over
+    floor(z*10^sig_digits) bins, mirrored here on the binned values
+    (interpolated between the two middle bins for even counts, matching the
+    repo's exact median convention on the binned scale, then unscaled)."""
+    mult = float(10 ** sig_digits)
+    binned = cells.filter(F.col("value").isNotNull()).select(
+        "row", "col", "value", F.floor(F.col("value") * mult).alias("bv")
+    )
+    m = _scatter_with_center(
+        binned.select("row", "col", F.col("bv").cast("double").alias("value")),
+        filterx=filterx, filtery=filtery,
+    )
+    med = m.groupBy("row", "col").agg(
+        F.median("value").alias("medb")
+    )
+    return binned.join(med, ["row", "col"]).select(
+        "row", "col",
+        (F.col("value") - F.col("medb") / F.lit(mult)).alias("value"),
+    )
+
+
+def highpass_median_oracle_sql(
+    source_sql: str, *, filterx: int = 3, filtery: int = 3, sig_digits: int = 2
+) -> str:
+    mult = float(10 ** sig_digits)
+    binned_src = (
+        f"SELECT row, col, CAST(floor(value * {mult!r}) AS DOUBLE) AS value "
+        f"FROM ({source_sql}) WHERE value IS NOT NULL"
+    )
+    return f"""
+WITH {_member_cte(binned_src, filterx=filterx, filtery=filtery)},
+med AS (SELECT row, col, median(value) AS medb FROM m GROUP BY row, col),
+orig AS (SELECT row, col, value FROM ({source_sql}) WHERE value IS NOT NULL)
+SELECT o.row, o.col, o.value - med.medb / {mult!r} AS value
+FROM orig o JOIN med ON med.row = o.row AND med.col = o.col
+"""
