@@ -145,6 +145,22 @@ def _part_raster2(spark, sf_dir) -> DataFrame:
     )
 
 
+_PART_RASTER3_SQL = (
+    "SELECT p_partkey % 200 AS row, "
+    "CAST(floor(p_partkey / 200.0) AS BIGINT) % 200 AS col, "
+    "CAST(p_partkey % 97 AS DOUBLE) AS value FROM part"
+)
+
+
+def _part_raster3(spark, sf_dir) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        (F.col("p_partkey") % 200).alias("row"),
+        (F.floor(F.col("p_partkey") / F.lit(200.0)).cast("long") % 200).alias("col"),
+        (F.col("p_partkey") % 97).cast("double").alias("value"),
+    )
+
+
 def _zones(spark, sf_dir) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     return li.select(
@@ -1509,6 +1525,66 @@ def q_unsharp(spark, sf_dir):
     )
 
 
+def q_rgb_to_ihs(spark, sf_dir):
+    """RgbToIhs (image_analysis/rgb_to_ihs.rs:810-830)."""
+    from whitebox_tools_spark.operators import color as CO
+
+    out = CO.rgb_to_ihs(
+        _part_raster(spark, sf_dir), _part_raster2(spark, sf_dir),
+        _part_raster3(spark, sf_dir),
+    )
+    return _r6(out, ["intensity", "hue", "saturation"])
+
+
+def q_ihs_to_rgb(spark, sf_dir):
+    """IhsToRgb (image_analysis/ihs_to_rgb.rs:640-681): round-trip through
+    RgbToIhs."""
+    from whitebox_tools_spark.operators import color as CO
+
+    ihs = CO.rgb_to_ihs(
+        _part_raster(spark, sf_dir), _part_raster2(spark, sf_dir),
+        _part_raster3(spark, sf_dir),
+    )
+    return CO.ihs_to_rgb(ihs)
+
+
+def q_create_composite(spark, sf_dir):
+    """CreateColourComposite (image_analysis/create_colour_composite.rs:380-424)."""
+    from whitebox_tools_spark.operators import color as CO
+
+    return CO.create_colour_composite(
+        _part_raster(spark, sf_dir), _part_raster2(spark, sf_dir),
+        _part_raster3(spark, sf_dir),
+    )
+
+
+def q_split_composite(spark, sf_dir):
+    """SplitColourComposite: unpack of the packed composite (round-trip)."""
+    from whitebox_tools_spark.operators import color as CO
+
+    comp = CO.create_colour_composite(
+        _part_raster(spark, sf_dir), _part_raster2(spark, sf_dir),
+        _part_raster3(spark, sf_dir),
+    )
+    return CO.split_colour_composite(comp)
+
+
+def q_change_vector_analysis(spark, sf_dir):
+    """ChangeVectorAnalysis (image_analysis/change_vector_analysis.rs:266-365):
+    2-band dates; date2 shifts band 0 up and band 1 down."""
+    from whitebox_tools_spark.operators import color as CO
+
+    b0 = _part_raster(spark, sf_dir).withColumn("band", F.lit(0))
+    b1 = _part_raster2(spark, sf_dir).withColumn("band", F.lit(1))
+    d1 = b0.unionByName(b1)
+    d2 = d1.withColumn(
+        "value",
+        F.when(F.col("band") == 0, F.col("value") + 25.0)
+        .otherwise(F.col("value") - 3.0),
+    )
+    return _r6(CO.change_vector_analysis(d1, d2), ["magnitude", "direction"])
+
+
 def q_bilateral(spark, sf_dir):
     """BilateralFilter (image_analysis/bilateral_filter.rs)."""
     from whitebox_tools_spark.operators import focal as FO
@@ -2141,6 +2217,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roberts_filter": q_roberts,
         "unsharp_masking": q_unsharp,
         "percentile_filter": q_percentile_filter,
+        "rgb_to_ihs": q_rgb_to_ihs,
+        "ihs_to_rgb": q_ihs_to_rgb,
+        "create_colour_composite": q_create_composite,
+        "split_colour_composite": q_split_composite,
+        "change_vector_analysis": q_change_vector_analysis,
         "bilateral_filter": q_bilateral,
         "adaptive_filter": q_adaptive_filter,
         "lee_filter": q_lee_filter,
@@ -2550,6 +2631,11 @@ SELECT s_suppkey + 10000000 AS fid, s_name AS name FROM supplier
         "roberts_filter": _roberts_sql(),
         "unsharp_masking": _unsharp_sql(),
         "percentile_filter": _percentile_filter_sql(),
+        "rgb_to_ihs": _rgb_ihs_sql(),
+        "ihs_to_rgb": _ihs_rgb_sql(),
+        "create_colour_composite": _composite_sql(),
+        "split_colour_composite": _split_composite_sql(),
+        "change_vector_analysis": _cva_sql(),
         "bilateral_filter": _weighted_focal_sql("bilateral"),
         "adaptive_filter": _weighted_focal_sql("adaptive"),
         "lee_filter": _weighted_focal_sql("lee"),
@@ -3049,6 +3135,63 @@ SELECT CAST(st.n AS BIGINT) AS n, round(dm.dmax, 6) AS dmax,
                        * st.n * dm.dmax * dm.dmax), 6) AS p_value
 FROM st, dm
 """
+
+
+def _rgb_ihs_sql() -> str:
+    from whitebox_tools_spark.operators.color import rgb_to_ihs_oracle_sql
+
+    inner = rgb_to_ihs_oracle_sql(
+        _PART_RASTER_SQL, _PART_RASTER2_SQL, _PART_RASTER3_SQL
+    )
+    return (
+        f"SELECT row, col, round(intensity, 6) AS intensity, round(hue, 6) AS hue, "
+        f"round(saturation, 6) AS saturation FROM ({inner}) t"
+    )
+
+
+def _ihs_rgb_sql() -> str:
+    from whitebox_tools_spark.operators.color import (
+        ihs_to_rgb_oracle_sql,
+        rgb_to_ihs_oracle_sql,
+    )
+
+    ihs = rgb_to_ihs_oracle_sql(_PART_RASTER_SQL, _PART_RASTER2_SQL, _PART_RASTER3_SQL)
+    return ihs_to_rgb_oracle_sql(ihs)
+
+
+def _composite_sql() -> str:
+    from whitebox_tools_spark.operators.color import composite_oracle_sql
+
+    return composite_oracle_sql(_PART_RASTER_SQL, _PART_RASTER2_SQL, _PART_RASTER3_SQL)
+
+
+def _split_composite_sql() -> str:
+    from whitebox_tools_spark.operators.color import (
+        composite_oracle_sql,
+        split_composite_oracle_sql,
+    )
+
+    comp = composite_oracle_sql(_PART_RASTER_SQL, _PART_RASTER2_SQL, _PART_RASTER3_SQL)
+    return split_composite_oracle_sql(comp)
+
+
+def _cva_sql() -> str:
+    from whitebox_tools_spark.operators.color import cva_oracle_sql
+
+    d1 = (
+        f"SELECT 0 AS band, row, col, value FROM ({_PART_RASTER_SQL}) "
+        f"UNION ALL SELECT 1 AS band, row, col, value FROM ({_PART_RASTER2_SQL})"
+    )
+    d2 = (
+        f"SELECT band, row, col, "
+        f"CASE WHEN band = 0 THEN value + 25.0 ELSE value - 3.0 END AS value "
+        f"FROM ({d1}) t"
+    )
+    inner = cva_oracle_sql(d1, d2)
+    return (
+        f"SELECT row, col, round(magnitude, 6) AS magnitude, "
+        f"round(direction, 6) AS direction FROM ({inner}) t"
+    )
 
 
 def _weighted_focal_sql(which: str) -> str:

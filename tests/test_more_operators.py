@@ -581,3 +581,36 @@ def test_terrain_indices_and_neighbour_counts(spark):
     wi = {(r.row, r.col): r.value for r in TE.wetness_index(sca, slope_df).collect()}
     assert wi[(0, 0)] == pytest.approx(math.log(100.0 / math.tan(math.radians(30.0))))
     assert wi[(0, 1)] is None
+
+
+def test_color_composite_roundtrip_and_ihs(spark):
+    from whitebox_tools_spark.operators import color as CO
+
+    rng = np.random.default_rng(37)
+    def band(seed_off):
+        return spark.createDataFrame(
+            [(i % 10, i // 10, float(v)) for i, v in
+             enumerate(rng.uniform(seed_off, seed_off + 100, 100))],
+            "row long, col long, value double",
+        )
+    r, g, b = band(0), band(50), band(100)
+    comp = CO.create_colour_composite(r, g, b)
+    back = CO.split_colour_composite(comp)
+    rows = back.collect()
+    assert len(rows) == 100
+    assert all(x.a == 255.0 for x in rows)
+    assert all(0 <= x.r <= 255 and 0 <= x.g <= 255 and 0 <= x.b <= 255 for x in rows)
+    # channel extremes: min maps to 0, max to 255
+    rc = {(x.row, x.col): x.r for x in rows}
+    rv = {(x.row, x.col): v for (x, v) in
+          ((q, q.value) for q in r.collect())}
+    lo = min(rv, key=rv.get); hi = max(rv, key=rv.get)
+    assert rc[lo] == 0.0 and rc[hi] == 255.0
+
+    ihs = CO.rgb_to_ihs(r, g, b)
+    out = ihs.collect()
+    assert all(0.0 <= x.saturation <= 1.0 + 1e-9 for x in out)
+    assert all(0.0 <= x.intensity <= 1.0 + 1e-9 for x in out)
+    assert all(0.0 <= x.hue <= 2 * math.pi + 1e-9 for x in out)
+    rgb2 = CO.ihs_to_rgb(ihs).collect()
+    assert len(rgb2) == 100

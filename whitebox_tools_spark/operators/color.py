@@ -1,0 +1,270 @@
+"""Colour-composite operators (image_analysis) over single-band cell tables.
+
+References (reference = depowered/whitebox-tools):
+  - RgbToIhs: image_analysis/rgb_to_ihs.rs:810-830 — bands normalized to
+    [0,1] by their own min/max, then i=(r+g+b)/3, h from the acos chromatic
+    formula (b>g mirrored to 2pi-h), s=1-3*min(rn,gn,bn).
+  - IhsToRgb: image_analysis/ihs_to_rgb.rs:640-681 — piecewise inverse on
+    thirds of the hue circle, *255 rounded and clamped.
+  - CreateColourComposite: image_analysis/create_colour_composite.rs:380-424
+    — per-band (v-min)/range*255 clamped, truncated, packed
+    (a<<24)|(b<<16)|(g<<8)|r.
+  - SplitColourComposite: the unpack of the same layout.
+  - ChangeVectorAnalysis: image_analysis/change_vector_analysis.rs:266-365 —
+    magnitude = sqrt(sum_b (z2-z1)^2), direction code = sum over bands with
+    nonneg change of 2^band_index.
+
+All are per-cell ZIP joins / per-band aggregates — embarrassingly parallel.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _norm(df: DataFrame, name: str) -> DataFrame:
+    """(row, col, <name>) normalized to [0,1] by the band's min/max."""
+    src = df.filter(F.col("value").isNotNull()).select("row", "col", "value")
+    s = src.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+    return src.crossJoin(F.broadcast(s)).select(
+        "row", "col",
+        ((F.col("value") - F.col("mn")) / (F.col("mx") - F.col("mn"))).alias(name),
+    )
+
+
+_H_EXPR = (
+    "CASE WHEN rn <> gn OR rn <> bn THEN "
+    "acos((0.5 * ((rn - gn) + (rn - bn))) / "
+    "sqrt((rn - gn) * (rn - gn) + (rn - bn) * (gn - bn))) "
+    "ELSE 0.0 END"
+)
+
+
+def rgb_to_ihs(r: DataFrame, g: DataFrame, b: DataFrame) -> DataFrame:
+    """-> (row, col, intensity, hue, saturation)."""
+    j = (
+        _norm(r, "r").join(_norm(g, "g"), ["row", "col"])
+        .join(_norm(b, "b"), ["row", "col"])
+        .withColumn("rn", F.col("r") / (F.col("r") + F.col("g") + F.col("b")))
+        .withColumn("gn", F.col("g") / (F.col("r") + F.col("g") + F.col("b")))
+        .withColumn("bn", F.col("b") / (F.col("r") + F.col("g") + F.col("b")))
+    )
+    h0 = F.expr(_H_EXPR)
+    h = F.when(F.col("b") > F.col("g"), F.lit(2.0 * math.pi) - h0).otherwise(h0)
+    return j.select(
+        "row", "col",
+        ((F.col("r") + F.col("g") + F.col("b")) / 3.0).alias("intensity"),
+        h.alias("hue"),
+        (F.lit(1.0) - 3.0 * F.least("rn", "gn", "bn")).alias("saturation"),
+    )
+
+
+def rgb_to_ihs_oracle_sql(r_sql: str, g_sql: str, b_sql: str) -> str:
+    def norm(src, name):
+        return f"""
+{name}0 AS (SELECT row, col, value FROM ({src}) WHERE value IS NOT NULL),
+{name}s AS (SELECT min(value) AS mn, max(value) AS mx FROM {name}0),
+{name}n AS (SELECT row, col, (value - mn) / (mx - mn) AS {name} FROM {name}0, {name}s)"""
+
+    return f"""
+WITH {norm(r_sql, "r")}, {norm(g_sql, "g")}, {norm(b_sql, "b")},
+j AS (
+  SELECT rn.row, rn.col, rn.r, gn.g, bn.b,
+         rn.r / (rn.r + gn.g + bn.b) AS rn,
+         gn.g / (rn.r + gn.g + bn.b) AS gn,
+         bn.b / (rn.r + gn.g + bn.b) AS bn
+  FROM rn JOIN gn ON gn.row = rn.row AND gn.col = rn.col
+          JOIN bn ON bn.row = rn.row AND bn.col = rn.col
+),
+h AS (SELECT row, col, r, g, b, rn, gn, bn, {_H_EXPR} AS h0 FROM j)
+SELECT row, col, (r + g + b) / 3.0 AS intensity,
+       CASE WHEN b > g THEN 2.0 * pi() - h0 ELSE h0 END AS hue,
+       1.0 - 3.0 * least(rn, gn, bn) AS saturation
+FROM h
+"""
+
+
+def _hsi_branch(hshift: str):
+    """(x, y, z) component expressions for one third of the hue circle,
+    with h already shifted into [0, 2pi/3)."""
+    y = f"(i * (1.0 + (s * cos({hshift})) / cos(pi() / 3.0 - ({hshift}))))"
+    return y
+
+
+def ihs_to_rgb(ihs: DataFrame) -> DataFrame:
+    """Input (row, col, intensity, hue, saturation) -> (row, col, r, g, b)
+    as 0-255 rounded/clamped doubles."""
+    third = 2.0 * math.pi / 3.0
+    x = "(i * (1.0 - s))"
+
+    def clamp(e):
+        return f"least(greatest(round(round({e}, 9) * 255.0), 0.0), 255.0)"
+
+    def branch(shift):
+        y = _hsi_branch(f"h - {shift!r}")
+        z = f"(3.0 * i - ({x} + {y}))"
+        return x, y, z
+
+    x1, y1, z1 = branch(0.0)
+    x2, y2, z2 = branch(third)
+    x3, y3, z3 = branch(2.0 * third)
+    r = (
+        f"CASE WHEN h < {third!r} THEN {clamp(y1)} "
+        f"WHEN h < {2.0 * third!r} THEN {clamp(x2)} ELSE {clamp(z3)} END"
+    )
+    g = (
+        f"CASE WHEN h < {third!r} THEN {clamp(z1)} "
+        f"WHEN h < {2.0 * third!r} THEN {clamp(y2)} ELSE {clamp(x3)} END"
+    )
+    b = (
+        f"CASE WHEN h < {third!r} THEN {clamp(x1)} "
+        f"WHEN h < {2.0 * third!r} THEN {clamp(z2)} ELSE {clamp(y3)} END"
+    )
+    j = ihs.select(
+        "row", "col",
+        F.col("intensity").alias("i"), F.col("hue").alias("h"),
+        F.col("saturation").alias("s"),
+    )
+    return j.select(
+        "row", "col",
+        F.expr(r).alias("r"), F.expr(g).alias("g"), F.expr(b).alias("b"),
+    )
+
+
+def ihs_to_rgb_oracle_sql(ihs_sql: str) -> str:
+    third = 2.0 * math.pi / 3.0
+    x = "(i * (1.0 - s))"
+
+    def clamp(e):
+        return f"least(greatest(round(round({e}, 9) * 255.0), 0.0), 255.0)"
+
+    def branch(shift):
+        y = _hsi_branch(f"h - {shift!r}")
+        z = f"(3.0 * i - ({x} + {y}))"
+        return x, y, z
+
+    x1, y1, z1 = branch(0.0)
+    x2, y2, z2 = branch(third)
+    x3, y3, z3 = branch(2.0 * third)
+    return f"""
+WITH ihs AS (SELECT row, col, intensity AS i, hue AS h, saturation AS s
+             FROM ({ihs_sql}) t)
+SELECT row, col,
+       CASE WHEN h < {third!r} THEN {clamp(y1)}
+            WHEN h < {2.0 * third!r} THEN {clamp(x2)} ELSE {clamp(z3)} END AS r,
+       CASE WHEN h < {third!r} THEN {clamp(z1)}
+            WHEN h < {2.0 * third!r} THEN {clamp(y2)} ELSE {clamp(x3)} END AS g,
+       CASE WHEN h < {third!r} THEN {clamp(x1)}
+            WHEN h < {2.0 * third!r} THEN {clamp(z2)} ELSE {clamp(y3)} END AS b
+FROM ihs
+"""
+
+
+def _chan255(df: DataFrame, name: str) -> DataFrame:
+    """(row, col, <name>) as 0-255 truncated ints, (v-min)/range*255 clamped."""
+    src = df.filter(F.col("value").isNotNull()).select("row", "col", "value")
+    s = src.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+    v = (F.col("value") - F.col("mn")) / (F.col("mx") - F.col("mn")) * 255.0
+    return src.crossJoin(F.broadcast(s)).select(
+        "row", "col",
+        F.floor(F.least(F.greatest(v, F.lit(0.0)), F.lit(255.0))).cast("long").alias(name),
+    )
+
+
+def create_colour_composite(
+    r: DataFrame, g: DataFrame, b: DataFrame, a: DataFrame | None = None
+) -> DataFrame:
+    """-> (row, col, value) with value = (a<<24)|(b<<16)|(g<<8)|r as double."""
+    j = (
+        _chan255(r, "r").join(_chan255(g, "g"), ["row", "col"])
+        .join(_chan255(b, "b"), ["row", "col"])
+    )
+    if a is not None:
+        j = j.join(_chan255(a, "a"), ["row", "col"])
+        av = F.col("a")
+    else:
+        av = F.lit(255).cast("long")
+    packed = (
+        F.shiftleft(av, 24) + F.shiftleft(F.col("b"), 16)
+        + F.shiftleft(F.col("g"), 8) + F.col("r")
+    )
+    return j.select("row", "col", packed.cast("double").alias("value"))
+
+
+def composite_oracle_sql(r_sql: str, g_sql: str, b_sql: str) -> str:
+    def chan(src, name):
+        return f"""
+{name}0 AS (SELECT row, col, value FROM ({src}) WHERE value IS NOT NULL),
+{name}s AS (SELECT min(value) AS mn, max(value) AS mx FROM {name}0),
+{name}c AS (SELECT row, col,
+            CAST(floor(least(greatest((value - mn) / (mx - mn) * 255.0, 0.0), 255.0)) AS BIGINT) AS {name}
+            FROM {name}0, {name}s)"""
+
+    return f"""
+WITH {chan(r_sql, "r")}, {chan(g_sql, "g")}, {chan(b_sql, "b")}
+SELECT rc.row, rc.col,
+       CAST(CAST(255 AS BIGINT) * 16777216 + bc.b * 65536 + gc.g * 256 + rc.r AS DOUBLE) AS value
+FROM rc JOIN gc ON gc.row = rc.row AND gc.col = rc.col
+        JOIN bc ON bc.row = rc.row AND bc.col = rc.col
+"""
+
+
+def split_colour_composite(comp: DataFrame) -> DataFrame:
+    """-> (row, col, r, g, b, a) unpacked from the packed composite."""
+    v = F.col("value").cast("long")
+    return comp.filter(F.col("value").isNotNull()).select(
+        "row", "col",
+        (v % 256).cast("double").alias("r"),
+        (F.floor(v / 256) % 256).cast("double").alias("g"),
+        (F.floor(v / 65536) % 256).cast("double").alias("b"),
+        (F.floor(v / 16777216) % 256).cast("double").alias("a"),
+    )
+
+
+def split_composite_oracle_sql(comp_sql: str) -> str:
+    return f"""
+SELECT row, col,
+       CAST(CAST(value AS BIGINT) % 256 AS DOUBLE) AS r,
+       CAST((CAST(value AS BIGINT) // 256) % 256 AS DOUBLE) AS g,
+       CAST((CAST(value AS BIGINT) // 65536) % 256 AS DOUBLE) AS b,
+       CAST((CAST(value AS BIGINT) // 16777216) % 256 AS DOUBLE) AS a
+FROM ({comp_sql}) t WHERE value IS NOT NULL
+"""
+
+
+def change_vector_analysis(date1: DataFrame, date2: DataFrame) -> DataFrame:
+    """Inputs are multi-band cell tables (band, row, col, value), band
+    indices 0-based -> (row, col, magnitude, direction)."""
+    j = (
+        date1.filter(F.col("value").isNotNull())
+        .select("band", "row", "col", F.col("value").alias("z1"))
+        .join(
+            date2.filter(F.col("value").isNotNull())
+            .select("band", "row", "col", F.col("value").alias("z2")),
+            ["band", "row", "col"],
+        )
+        .select(
+            "row", "col",
+            (F.col("z2") - F.col("z1")).alias("d"),
+            F.pow(F.lit(2.0), F.col("band").cast("double")).alias("code"),
+        )
+    )
+    return j.groupBy("row", "col").agg(
+        F.sqrt(F.sum(F.col("d") * F.col("d"))).alias("magnitude"),
+        F.sum(F.when(F.col("d") >= 0.0, F.col("code")).otherwise(0.0)).alias("direction"),
+    )
+
+
+def cva_oracle_sql(date1_sql: str, date2_sql: str) -> str:
+    return f"""
+WITH a AS (SELECT band, row, col, value FROM ({date1_sql}) WHERE value IS NOT NULL),
+b AS (SELECT band, row, col, value FROM ({date2_sql}) WHERE value IS NOT NULL),
+d AS (SELECT a.row, a.col, b.value - a.value AS d, power(2.0, a.band) AS code
+      FROM a JOIN b ON b.band = a.band AND b.row = a.row AND b.col = a.col)
+SELECT row, col, sqrt(sum(d * d)) AS magnitude,
+       sum(CASE WHEN d >= 0.0 THEN code ELSE 0.0 END) AS direction
+FROM d GROUP BY row, col
+"""
