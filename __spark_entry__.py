@@ -1374,6 +1374,26 @@ def q_d8_flow_accum(spark, sf_dir):
     return d8_flow_accumulation(_noise_raster(spark, sf_dir), EXTRACT_GRID)
 
 
+def q_fd8_flow_accum(spark, sf_dir):
+    """FD8FlowAccumulation (hydro_analysis/fd8_flow_accum.rs:400-470):
+    slope^1.1-proportioned multi-directional flow, weighted topological
+    peel. No SQL oracle (weighted transitive closure enumerates paths);
+    pinned exactly vs the reference's stack algorithm in numpy by
+    tests/test_hydro_random.py."""
+    from whitebox_tools_spark.operators.hydro import fd8_flow_accum
+
+    return _r6(fd8_flow_accum(_noise_raster(spark, sf_dir), EXTRACT_GRID), ["value"])
+
+
+def q_dinf_flow_accum(spark, sf_dir):
+    """DInfFlowAccumulation (hydro_analysis/dinf_flow_accum.rs:532-646,
+    Tarboton 1997 two-neighbor split). Rows-only for the driver; exact
+    numpy-oracle pin in tests/test_hydro_random.py."""
+    from whitebox_tools_spark.operators.hydro import dinf_flow_accum
+
+    return _r6(dinf_flow_accum(_noise_raster(spark, sf_dir), EXTRACT_GRID), ["value"])
+
+
 def q_dinf_pointer(spark, sf_dir):
     """DInfPointer (hydro_analysis/dinf_pointer.rs:225-320, Tarboton 1997):
     8-facet closed form; the facet formulas are one SQL text parsed by
@@ -1408,6 +1428,40 @@ def q_cost_distance(spark, sf_dir):
     out = cost_distance(cost, sources, GridSpec(west=0.0, north=100.0, res_x=5.0,
                                                 res_y=5.0, rows=20, cols=20))
     return _r6(out, ["value"])
+
+
+def q_fill_pits(spark, sf_dir):
+    """FillPits (hydro_analysis/fill_pits.rs:208-230)."""
+    from whitebox_tools_spark.operators.hydro import fill_pits
+
+    return fill_pits(_noise_raster(spark, sf_dir))
+
+
+def q_find_noflow(spark, sf_dir):
+    """FindNoFlowCells (hydro_analysis/find_noflow_cells.rs:205-224)."""
+    from whitebox_tools_spark.operators.hydro import find_noflow_cells
+
+    return find_noflow_cells(_noise_raster(spark, sf_dir))
+
+
+def q_flow_length_diff(spark, sf_dir):
+    """FlowLengthDiff (hydro_analysis/flow_length_diff.rs:325-346)."""
+    from whitebox_tools_spark.operators.hydro import flow_length_diff
+
+    return _r6(flow_length_diff(_valley_dem(spark, sf_dir), STREAM_GRID), ["value"])
+
+
+def q_points_to_raster(spark, sf_dir):
+    """VectorPointsToRaster (data_tools/vector_points_to_raster.rs),
+    assign=mean over the customer account-balance points."""
+    from whitebox_tools_spark.operators.raster_vector import points_to_raster
+
+    return _r6(
+        points_to_raster(
+            _cust_points(spark, sf_dir), NN_GRID, field="z", assign="mean"
+        ),
+        ["value"],
+    )
 
 
 def q_fill_depressions(spark, sf_dir):
@@ -2151,8 +2205,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tophat_transform": q_tophat,
         "d8_pointer": q_d8_pointer,
         "d8_flow_accumulation": q_d8_flow_accum,
+        "fd8_flow_accumulation": q_fd8_flow_accum,
+        "dinf_flow_accumulation": q_dinf_flow_accum,
         "buffer_raster": q_buffer_raster,
         "fill_depressions": q_fill_depressions,
+        "fill_pits": q_fill_pits,
+        "find_noflow_cells": q_find_noflow,
+        "flow_length_diff": q_flow_length_diff,
+        "points_to_raster": q_points_to_raster,
         "sink": q_sink,
         "basins": q_basins,
         "cost_distance": q_cost_distance,
@@ -2675,6 +2735,10 @@ FROM ({_PART_RASTER_SQL}) WHERE value IS NOT NULL
         "lines_to_raster": _lines_to_raster_sql(),
         "singlepart_to_multipart": _sp_to_mp_sql(),
         "fill_depressions": _hyd.fill_depressions_oracle_sql(_NOISE_RASTER_SQL),
+        "fill_pits": _hyd.fill_pits_oracle_sql(_NOISE_RASTER_SQL),
+        "find_noflow_cells": _hyd.find_noflow_oracle_sql(_NOISE_RASTER_SQL),
+        "flow_length_diff": _fld_sql(),
+        "points_to_raster": _pts_to_raster_sql(),
         "sink": _clump_ctes_for(
             f"""
 WITH fill AS ({_hyd.fill_depressions_oracle_sql(_NOISE_RASTER_SQL)}),
@@ -3043,6 +3107,25 @@ def _stdev_slope_sql() -> str:
     from whitebox_tools_spark.operators.focal import stat_filter_oracle_sql
 
     inner = stat_filter_oracle_sql(_slope_cte_sql(), "sd")
+    return f"SELECT row, col, round(value, 6) AS value FROM ({inner}) t"
+
+
+def _fld_sql() -> str:
+    from whitebox_tools_spark.operators import hydro as _h
+    from whitebox_tools_spark.operators import streams as _s
+
+    inner = _h.flow_length_diff_oracle_sql(
+        _s.flowpath_length_oracle_sql(_VALLEY_DEM_SQL, STREAM_GRID)
+    )
+    return f"SELECT row, col, round(value, 6) AS value FROM ({inner}) t"
+
+
+def _pts_to_raster_sql() -> str:
+    from whitebox_tools_spark.operators.raster_vector import points_to_raster_oracle_sql
+
+    inner = points_to_raster_oracle_sql(
+        _cust_points_cte(""), NN_GRID, field="z", assign="mean"
+    )
     return f"SELECT row, col, round(value, 6) AS value FROM ({inner}) t"
 
 

@@ -311,3 +311,88 @@ def test_stream_network_suite_semantics(spark):
     # along the stem the remaining distance decreases going downstream
     stem_fl = sorted((rc[0], v) for rc, v in fl.items() if rc[1] == 5)
     assert all(v2 <= v1 for (_, v1), (_, v2) in zip(stem_fl, stem_fl[1:]))
+
+
+def test_fd8_flow_accum_matches_numpy(spark):
+    import numpy as np
+
+    from whitebox_tools_spark.grid import GridSpec
+    from whitebox_tools_spark.operators.hydro import fd8_flow_accum
+
+    rng = np.random.default_rng(41)
+    R, C = 12, 9
+    z = rng.uniform(0, 100, (R, C))
+    grid = GridSpec(west=0.0, north=R * 5.0, res_x=5.0, res_y=5.0, rows=R, cols=C)
+    cells = spark.createDataFrame(
+        [(r, c, float(z[r, c])) for r in range(R) for c in range(C)],
+        "row long, col long, value double",
+    )
+    exponent = 1.1
+    out = {(r.row, r.col): r.value
+           for r in fd8_flow_accum(cells, grid, exponent=exponent).collect()}
+
+    # numpy oracle: process in decreasing elevation (a topological order of
+    # the strictly-downhill flow DAG), reference weights slope^p over lower
+    # valid neighbors (fd8_flow_accum.rs:424-470)
+    dxs = [1, 1, 1, 0, -1, -1, -1, 0]
+    dys = [-1, 0, 1, 1, 1, 0, -1, -1]
+    diag = 5.0 * np.sqrt(2.0)
+    lens = [diag, 5.0, diag, 5.0, diag, 5.0, diag, 5.0]
+    fa = np.ones((R, C))
+    order = np.argsort(-z, axis=None)
+    for idx in order:
+        r, c = divmod(idx, C)
+        w = np.zeros(8)
+        for i in range(8):
+            rn, cn = r + dys[i], c + dxs[i]
+            if 0 <= rn < R and 0 <= cn < C and z[rn, cn] < z[r, c]:
+                w[i] = ((z[r, c] - z[rn, cn]) / lens[i]) ** exponent
+        tw = w.sum()
+        if tw > 0:
+            for i in range(8):
+                if w[i] > 0:
+                    fa[r + dys[i], c + dxs[i]] += fa[r, c] * w[i] / tw
+    for r in range(R):
+        for c in range(C):
+            assert out[(r, c)] == pytest.approx(fa[r, c], rel=1e-9), (r, c)
+
+
+def test_dinf_flow_accum_matches_numpy(spark):
+    import numpy as np
+
+    from whitebox_tools_spark.grid import GridSpec
+    from whitebox_tools_spark.operators.hydro import dinf_flow_accum, dinf_pointer
+
+    rng = np.random.default_rng(43)
+    R, C = 10, 10
+    z = rng.uniform(0, 50, (R, C))
+    grid = GridSpec(west=0.0, north=R * 5.0, res_x=5.0, res_y=5.0, rows=R, cols=C)
+    cells = spark.createDataFrame(
+        [(r, c, float(z[r, c])) for r in range(R) for c in range(C)],
+        "row long, col long, value double",
+    )
+    dirs = {(r.row, r.col): r.value for r in dinf_pointer(cells, grid).collect()}
+    out = {(r.row, r.col): r.value for r in dinf_flow_accum(cells, grid).collect()}
+
+    # numpy oracle: elevation-desc order + the sector proportion table
+    # (dinf_flow_accum.rs:545-603); flow to off-grid targets vanishes
+    offs = [(0, -1), (1, -1), (1, 0), (1, 1), (0, 1), (-1, 1), (-1, 0), (-1, -1)]
+    fa = np.ones((R, C))
+    order = np.argsort(-z, axis=None)
+    for idx in order:
+        r, c = divmod(idx, C)
+        d = dirs[(r, c)]
+        if d is None or d < 0:
+            continue
+        k = min(int(d // 45.0), 7)
+        p2 = (d - k * 45.0) / 45.0
+        p1 = 1.0 - p2
+        for (kk, p) in ((k, p1), ((k + 1) % 8, p2)):
+            if p <= 0.0:
+                continue
+            rn, cn = r + offs[kk][1], c + offs[kk][0]
+            if 0 <= rn < R and 0 <= cn < C:
+                fa[rn, cn] += fa[r, c] * p
+    for r in range(R):
+        for c in range(C):
+            assert out[(r, c)] == pytest.approx(fa[r, c], rel=1e-9), (r, c)

@@ -668,3 +668,269 @@ piv AS (
 SELECT c.row, c.col, CAST({bits} AS BIGINT) AS pointer
 FROM src c LEFT JOIN piv ON piv.row = c.row AND piv.col = c.col
 """
+
+
+# ---------------------------------------------------------------------------
+# Fractional flow accumulation (FD8, D-infinity): the same distributed
+# topological peel as d8_flow_accumulation, generalized to weighted
+# multi-edges. Each round resolves every remaining cell with no unresolved
+# inflow — iteration count = flow-DAG depth, each round a handful of joins
+# over the SHRINKING edge set. No DuckDB oracle exists (weighted transitive
+# closure enumerates paths, which explode combinatorially in SQL); the
+# pytest oracle runs the reference's stack algorithm in numpy instead.
+# ---------------------------------------------------------------------------
+def _weighted_flow_accum(
+    cells: DataFrame, edges: DataFrame, *, max_iterations: int = 10_000
+) -> DataFrame:
+    """edges: (row, col, trow, tcol, frac); frac sums to <= 1 per source
+    (flow to off-grid/nodata targets vanishes, as in the reference)."""
+    from whitebox_tools_spark.distributed import loop_checkpoint
+
+    acc = (
+        cells.filter(F.col("value").isNotNull())
+        .select("row", "col", F.lit(1.0).alias("fa"))
+        .localCheckpoint(eager=True)
+    )
+    edges = edges.localCheckpoint(eager=True)
+    for _ in range(max_iterations):
+        if edges.isEmpty():
+            break
+        targets = edges.select(F.col("trow").alias("row"), F.col("tcol").alias("col")).distinct()
+        src_edges = edges.join(targets, ["row", "col"], "left_anti")
+        pushed = (
+            src_edges.join(acc, ["row", "col"])
+            .groupBy(F.col("trow").alias("row"), F.col("tcol").alias("col"))
+            .agg(F.sum(F.col("fa") * F.col("frac")).alias("inflow"))
+        )
+        acc = (
+            acc.join(pushed, ["row", "col"], "left")
+            .withColumn("fa", F.col("fa") + F.coalesce(F.col("inflow"), F.lit(0.0)))
+            .drop("inflow")
+            .transform(loop_checkpoint)
+        )
+        edges = edges.join(
+            src_edges.select("row", "col").distinct(), ["row", "col"], "left_anti"
+        ).transform(loop_checkpoint)
+    return acc.select("row", "col", F.col("fa").alias("value"))
+
+
+def fd8_flow_accum(
+    cells: DataFrame, grid: GridSpec, *, exponent: float = 1.1,
+    max_iterations: int = 10_000,
+) -> DataFrame:
+    """FD8FlowAccumulation (hydro_analysis/fd8_flow_accum.rs:400-470,
+    convergence threshold disabled = pure FD8): flow split among ALL
+    strictly-lower valid neighbors proportional to slope^exponent.
+    -> (row, col, value) in cell-count units (cell's own unit included)."""
+    g = _neighbor_slopes(cells, grid)
+    w = [
+        F.when(F.col(f"s{i}").isNotNull() & (F.col(f"s{i}") > 0.0),
+               F.pow(F.col(f"s{i}"), F.lit(exponent))).otherwise(F.lit(0.0))
+        for i in range(8)
+    ]
+    total = sum(w[1:], w[0])
+    g = g.withColumn("__tw", total).filter(F.col("__tw") > 0.0)
+    parts = []
+    for i in range(8):
+        parts.append(
+            g.filter(w[i] > 0.0).select(
+                "row", "col",
+                (F.col("row") + F.lit(D8_DY[i])).alias("trow"),
+                (F.col("col") + F.lit(D8_DX[i])).alias("tcol"),
+                (w[i] / F.col("__tw")).alias("frac"),
+            )
+        )
+    edges = parts[0]
+    for p in parts[1:]:
+        edges = edges.unionByName(p)
+    valid = cells.filter(F.col("value").isNotNull()).select(
+        F.col("row").alias("trow"), F.col("col").alias("tcol")
+    )
+    edges = edges.join(valid, ["trow", "tcol"])  # drop flow into the void
+    return _weighted_flow_accum(cells, edges, max_iterations=max_iterations)
+
+
+# sector k covers dir in [k*45, (k+1)*45); target1 = direction k*45,
+# target2 = (k+1)*45 (mod 360). Offsets (dx, dy) per 45-degree direction,
+# clockwise from north (dinf_flow_accum.rs:545-603).
+_DINF_DIRS = [
+    (0, -1), (1, -1), (1, 0), (1, 1), (0, 1), (-1, 1), (-1, 0), (-1, -1)
+]
+
+
+def dinf_flow_accum(
+    cells: DataFrame, grid: GridSpec, *, max_iterations: int = 10_000
+) -> DataFrame:
+    """DInfFlowAccumulation (hydro_analysis/dinf_flow_accum.rs:532-646,
+    convergence threshold disabled): the Tarboton (1997) split — each
+    cell's flow divides between the two neighbors bracketing its D-inf
+    angle with proportions linear in the 45-degree offset.
+    -> (row, col, value) in cell-count units."""
+    # materialize the pointer raster first (the reference computes the
+    # flow_dir array as a whole before accumulating): deriving the two
+    # targets inlines the 8-facet closed form ~30x otherwise and catalyst
+    # optimization time explodes
+    ptr = dinf_pointer(cells, grid).withColumnRenamed("value", "dir").localCheckpoint()
+    flows = ptr.filter(F.col("dir") >= 0.0)
+    k = F.least(F.floor(F.col("dir") / 45.0).cast("int"), F.lit(7))
+    p2 = (F.col("dir") - k.cast("double") * 45.0) / 45.0
+    p1 = F.lit(1.0) - p2
+    t1row = F.col("row") + F.coalesce(*[F.when(k == i, F.lit(_DINF_DIRS[i][1])) for i in range(8)])
+    t1col = F.col("col") + F.coalesce(*[F.when(k == i, F.lit(_DINF_DIRS[i][0])) for i in range(8)])
+    k2 = (k + 1) % 8
+    t2row = F.col("row") + F.coalesce(*[F.when(k2 == i, F.lit(_DINF_DIRS[i][1])) for i in range(8)])
+    t2col = F.col("col") + F.coalesce(*[F.when(k2 == i, F.lit(_DINF_DIRS[i][0])) for i in range(8)])
+    e1 = flows.filter(p1 > 0.0).select(
+        "row", "col", t1row.alias("trow"), t1col.alias("tcol"), p1.alias("frac")
+    )
+    e2 = flows.filter(p2 > 0.0).select(
+        "row", "col", t2row.alias("trow"), t2col.alias("tcol"), p2.alias("frac")
+    )
+    edges = e1.unionByName(e2)
+    valid = cells.filter(F.col("value").isNotNull()).select(
+        F.col("row").alias("trow"), F.col("col").alias("tcol")
+    )
+    edges = edges.join(valid, ["trow", "tcol"])
+    return _weighted_flow_accum(cells, edges, max_iterations=max_iterations)
+
+
+def fill_pits(cells: DataFrame) -> DataFrame:
+    """FillPits (hydro_analysis/fill_pits.rs:208-230): raise single-cell
+    pits (z below every valid 8-neighbor) to the lowest neighbor's
+    elevation. One scatter-aggregate ZIP. -> (row, col, value)."""
+    spark = cells.sparkSession
+    src = cells.filter(F.col("value").isNotNull()).select("row", "col", "value")
+    offs = spark.createDataFrame(
+        [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1) if (dx, dy) != (0, 0)],
+        "dx int, dy int",
+    )
+    mins = (
+        src.crossJoin(F.broadcast(offs))
+        .select(
+            (F.col("row") - F.col("dy")).alias("row"),
+            (F.col("col") - F.col("dx")).alias("col"),
+            F.col("value").alias("zn"),
+        )
+        .groupBy("row", "col")
+        .agg(F.min("zn").alias("min_zn"))
+    )
+    return src.join(mins, ["row", "col"], "left").select(
+        "row", "col",
+        F.when(
+            F.col("min_zn").isNotNull() & (F.col("value") < F.col("min_zn")),
+            F.col("min_zn"),
+        ).otherwise(F.col("value")).alias("value"),
+    )
+
+
+def fill_pits_oracle_sql(source_sql: str) -> str:
+    offs = ", ".join(
+        f"({dx}, {dy})" for dx in (-1, 0, 1) for dy in (-1, 0, 1) if (dx, dy) != (0, 0)
+    )
+    return f"""
+WITH src AS (SELECT row, col, value FROM ({source_sql}) WHERE value IS NOT NULL),
+offs(dx, dy) AS (VALUES {offs}),
+mins AS (
+  SELECT s.row - o.dy AS row, s.col - o.dx AS col, min(s.value) AS min_zn
+  FROM src s CROSS JOIN offs o GROUP BY 1, 2
+)
+SELECT c.row, c.col,
+       CASE WHEN m.min_zn IS NOT NULL AND c.value < m.min_zn
+            THEN m.min_zn ELSE c.value END AS value
+FROM src c LEFT JOIN mins m ON m.row = c.row AND m.col = c.col
+"""
+
+
+def find_noflow_cells(cells: DataFrame) -> DataFrame:
+    """FindNoFlowCells (hydro_analysis/find_noflow_cells.rs:205-224): 1.0
+    where the DEM cell has NO strictly-lower valid 8-neighbor, NULL
+    elsewhere."""
+    spark = cells.sparkSession
+    src = cells.filter(F.col("value").isNotNull()).select("row", "col", "value")
+    offs = spark.createDataFrame(
+        [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1) if (dx, dy) != (0, 0)],
+        "dx int, dy int",
+    )
+    mins = (
+        src.crossJoin(F.broadcast(offs))
+        .select(
+            (F.col("row") - F.col("dy")).alias("row"),
+            (F.col("col") - F.col("dx")).alias("col"),
+            F.col("value").alias("zn"),
+        )
+        .groupBy("row", "col")
+        .agg(F.min("zn").alias("min_zn"))
+    )
+    return src.join(mins, ["row", "col"], "left").select(
+        "row", "col",
+        F.when(
+            F.col("min_zn").isNull() | (F.col("min_zn") >= F.col("value")), F.lit(1.0)
+        ).alias("value"),
+    )
+
+
+def find_noflow_oracle_sql(source_sql: str) -> str:
+    offs = ", ".join(
+        f"({dx}, {dy})" for dx in (-1, 0, 1) for dy in (-1, 0, 1) if (dx, dy) != (0, 0)
+    )
+    return f"""
+WITH src AS (SELECT row, col, value FROM ({source_sql}) WHERE value IS NOT NULL),
+offs(dx, dy) AS (VALUES {offs}),
+mins AS (
+  SELECT s.row - o.dy AS row, s.col - o.dx AS col, min(s.value) AS min_zn
+  FROM src s CROSS JOIN offs o GROUP BY 1, 2
+)
+SELECT c.row, c.col,
+       CASE WHEN m.min_zn IS NULL OR m.min_zn >= c.value THEN 1.0 END AS value
+FROM src c LEFT JOIN mins m ON m.row = c.row AND m.col = c.col
+"""
+
+
+def flow_length_diff(cells: DataFrame, grid: GridSpec) -> DataFrame:
+    """FlowLengthDiff (hydro_analysis/flow_length_diff.rs:325-346): max
+    |dfl(c) - dfl(n)| over the 4 cardinal neighbors of the downslope
+    flowpath length raster; NULL where no valid cardinal neighbor. The
+    dfl input is materialized (localCheckpoint) before the focal pass —
+    the reference likewise computes it as an intermediate raster."""
+    from whitebox_tools_spark.operators.streams import downslope_flowpath_length
+
+    dfl = (
+        downslope_flowpath_length(cells, grid)
+        .withColumn("value", F.round(F.col("value"), 6))  # match the dfl oracle's 6dp
+        .localCheckpoint()
+    )
+    spark = cells.sparkSession
+    offs = spark.createDataFrame(
+        [(1, 0), (-1, 0), (0, 1), (0, -1)], "dx int, dy int"
+    )
+    nbr = (
+        dfl.crossJoin(F.broadcast(offs))
+        .select(
+            (F.col("row") - F.col("dy")).alias("row"),
+            (F.col("col") - F.col("dx")).alias("col"),
+            F.col("value").alias("zn"),
+        )
+    )
+    agg = nbr.join(
+        dfl.withColumnRenamed("value", "z"), ["row", "col"]
+    ).groupBy("row", "col").agg(
+        F.max(F.abs(F.col("z") - F.col("zn"))).alias("value")
+    )
+    return dfl.select("row", "col").join(agg, ["row", "col"], "left")
+
+
+def flow_length_diff_oracle_sql(dfl_sql: str) -> str:
+    """dfl_sql: an oracle producing the downslope-flowpath-length raster."""
+    return f"""
+WITH dfl AS (SELECT row, col, value FROM ({dfl_sql}) t),
+nbr AS (
+  SELECT c.row, c.col, max(abs(c.value - s.zn)) AS value
+  FROM dfl c JOIN (SELECT d.row - o.dy AS row, d.col - o.dx AS col,
+                          d.value AS zn
+                   FROM dfl d CROSS JOIN (VALUES (1,0),(-1,0),(0,1),(0,-1)) o(dx, dy)) s
+    ON c.row = s.row AND c.col = s.col
+  GROUP BY c.row, c.col
+)
+SELECT d.row, d.col, n.value
+FROM dfl d LEFT JOIN nbr n ON n.row = d.row AND n.col = d.col
+"""

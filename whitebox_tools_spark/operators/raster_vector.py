@@ -385,3 +385,68 @@ def raster_to_vector_polygons(cells: DataFrame, grid: GridSpec) -> DataFrame:
     return rings.select(
         F.col("clump_id").alias("fid"), "value", "part_idx", "is_hole", "xs", "ys"
     )
+
+
+def points_to_raster(
+    points: DataFrame, grid, *, field: str = "value", assign: str = "last",
+    id_col: str = "point_id",
+) -> DataFrame:
+    """VectorPointsToRaster (data_tools/vector_points_to_raster.rs): assign
+    each occupied cell first/last/min/max/sum/mean/number of its contained
+    points' field values ("last" = highest record id, the reference
+    default). Only occupied cells are emitted (the reference fills the
+    rest with a background constant). -> (row, col, value)."""
+    from pyspark.sql import functions as F
+
+    src = points.filter(F.col(field).isNotNull()).select(
+        grid.row_expr(F.col("y")).alias("row"),
+        grid.col_expr(F.col("x")).alias("col"),
+        F.col(field).alias("v"),
+        F.col(id_col).alias("pid"),
+    ).filter(
+        (F.col("row") >= 0) & (F.col("row") < grid.rows)
+        & (F.col("col") >= 0) & (F.col("col") < grid.cols)
+    )
+    g = src.groupBy("row", "col")
+    if assign == "first":
+        out = g.agg(F.min(F.struct("pid", "v")).getField("v").alias("value"))
+    elif assign == "last":
+        out = g.agg(F.max(F.struct("pid", "v")).getField("v").alias("value"))
+    elif assign == "min":
+        out = g.agg(F.min("v").alias("value"))
+    elif assign == "max":
+        out = g.agg(F.max("v").alias("value"))
+    elif assign == "sum":
+        out = g.agg(F.sum("v").alias("value"))
+    elif assign == "mean":
+        out = g.agg(F.avg("v").alias("value"))
+    elif assign == "number":
+        out = g.agg(F.count(F.lit(1)).cast("double").alias("value"))
+    else:
+        raise ValueError(assign)
+    return out
+
+
+def points_to_raster_oracle_sql(
+    points_sql: str, grid, *, field: str = "value", assign: str = "last"
+) -> str:
+    row = grid.row_sql("y")
+    col = grid.col_sql("x")
+    agg = {
+        "first": "min(struct_pack(pid := pid, v := v)).v",
+        "last": "max(struct_pack(pid := pid, v := v)).v",
+        "min": "min(v)",
+        "max": "max(v)",
+        "sum": "sum(v)",
+        "mean": "avg(v)",
+        "number": "CAST(count(*) AS DOUBLE)",
+    }[assign]
+    return f"""
+WITH src AS (
+  SELECT {row} AS row, {col} AS col, {field} AS v, point_id AS pid
+  FROM ({points_sql}) t WHERE {field} IS NOT NULL
+)
+SELECT row, col, {agg} AS value FROM src
+WHERE row >= 0 AND row < {grid.rows} AND col >= 0 AND col < {grid.cols}
+GROUP BY row, col
+"""
