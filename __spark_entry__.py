@@ -467,6 +467,39 @@ def q_stdev_of_slope(spark, sf_dir):
     return _r6(stat_filter(_slope_raster(spark, sf_dir), "sd"), ["value"])
 
 
+def q_histogram_matching(spark, sf_dir):
+    """HistogramMatchingTwoImages (image_analysis/
+    histogram_matching_two_images.rs:285-440): price raster reshaped to
+    the size raster's distribution."""
+    from whitebox_tools_spark.operators.image import histogram_matching_two_images
+
+    return _r6(
+        histogram_matching_two_images(
+            _part_raster(spark, sf_dir), _part_raster2(spark, sf_dir)
+        ),
+        ["value"],
+    )
+
+
+def q_pennock(spark, sf_dir):
+    """PennockLandformClass (terrain_analysis/pennock_landform_class.rs:
+    380-462)."""
+    from whitebox_tools_spark.operators.terrain import pennock_landform_class
+
+    return pennock_landform_class(_part_raster(spark, sf_dir), res=5.0)
+
+
+def q_circular_variance_aspect(spark, sf_dir):
+    """CircularVarianceOfAspect (terrain_analysis/
+    circular_variance_of_aspect.rs:512-640, no pre-smoothing)."""
+    from whitebox_tools_spark.operators.terrain import circular_variance_of_aspect
+
+    return _r6(
+        circular_variance_of_aspect(_part_raster(spark, sf_dir), res=5.0, filterx=5, filtery=5),
+        ["value"],
+    )
+
+
 def q_anova(spark, sf_dir):
     """Anova (math_stat_analysis/anova.rs:400-446) of lineitem quantity
     grouped into 37 zones."""
@@ -2157,6 +2190,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cumulative_distribution": q_cumulative_distribution,
         "two_sample_ks_test": q_two_sample_ks,
         "attribute_correlation": q_attribute_correlation,
+        "histogram_matching": q_histogram_matching,
+        "pennock_landform_class": q_pennock,
+        "circular_variance_of_aspect": q_circular_variance_aspect,
         "wetness_index": q_wetness_index,
         "stream_power_index": q_stream_power,
         "sediment_transport_index": q_sediment_transport,
@@ -2595,6 +2631,9 @@ UNION ALL SELECT 'l_discount', 'l_tax',
         "list_unique_values": (
             "SELECT c_mktsegment AS value, count(*) AS n FROM customer GROUP BY 1"
         ),
+        "histogram_matching": _hist_match_sql(),
+        "pennock_landform_class": _pennock_sql(),
+        "circular_variance_of_aspect": _cva_aspect_sql(),
         "wetness_index": _terrain_zip_sql("wetness"),
         "stream_power_index": _terrain_zip_sql("spi"),
         "sediment_transport_index": _terrain_zip_sql("sti"),
@@ -3060,6 +3099,26 @@ def _percentile_filter_sql() -> str:
     from whitebox_tools_spark.operators.focal import percentile_filter_oracle_sql
 
     inner = percentile_filter_oracle_sql(_PART_RASTER_SQL, filterx=5, filtery=5)
+    return f"SELECT row, col, round(value, 6) AS value FROM ({inner}) t"
+
+
+def _hist_match_sql() -> str:
+    from whitebox_tools_spark.operators.image import histogram_matching_oracle_sql
+
+    inner = histogram_matching_oracle_sql(_PART_RASTER_SQL, _PART_RASTER2_SQL)
+    return f"SELECT row, col, round(value, 6) AS value FROM ({inner}) t"
+
+
+def _pennock_sql() -> str:
+    from whitebox_tools_spark.operators.terrain import pennock_oracle_sql
+
+    return pennock_oracle_sql(_PART_RASTER_SQL, res=5.0)
+
+
+def _cva_aspect_sql() -> str:
+    from whitebox_tools_spark.operators.terrain import circular_variance_oracle_sql
+
+    inner = circular_variance_oracle_sql(_PART_RASTER_SQL, res=5.0, filterx=5, filtery=5)
     return f"SELECT row, col, round(value, 6) AS value FROM ({inner}) t"
 
 

@@ -374,3 +374,129 @@ dense AS (
 rp AS (SELECT row, col, sum(v) OVER (PARTITION BY row ORDER BY col) AS rp FROM dense)
 SELECT row, col, sum(rp) OVER (PARTITION BY col ORDER BY row) AS value FROM rp
 """
+
+
+def histogram_matching_two_images(src: DataFrame, ref: DataFrame) -> DataFrame:
+    """HistogramMatchingTwoImages (image_analysis/
+    histogram_matching_two_images.rs:285-440): map each source cell's CDF
+    position onto the reference image's value distribution by linear
+    interpolation between the dense-CDF bins bracketing p. Bins =
+    ceil(max(range, 1024)) per image. Two documented deviations from the
+    reference's literal code: image 2 is binned with ITS OWN bin width
+    (the reference reuses image 1's bin_size — an apparent bug), and
+    p >= 1 maps to the reference maximum (the reference leaves a stale
+    loop variable). Only nonempty reference bins are materialized — the
+    first dense bin with cdf > p is always nonempty (or bin 0), and the
+    bracketing dense-bin values are recovered arithmetically.
+    -> (row, col, value)."""
+    from whitebox_tools_spark.distributed import with_running_sum
+
+    s1 = src.filter(F.col("value").isNotNull()).select("row", "col", "value")
+    s2 = ref.filter(F.col("value").isNotNull()).select("value")
+    st1 = s1.agg(
+        F.min("value").alias("mn"), F.max("value").alias("mx"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+    ).collect()[0]
+    st2 = s2.agg(
+        F.min("value").alias("mn"), F.max("value").alias("mx"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+    ).collect()[0]
+    import math as _math
+
+    nb1 = int(_math.ceil(max(st1.mx - st1.mn, 1024.0)))
+    bs1 = (st1.mx - st1.mn) / nb1
+    nb2 = int(_math.ceil(max(st2.mx - st2.mn, 1024.0)))
+    bs2 = (st2.mx - st2.mn) / nb2
+
+    def binexpr(v, mn, bs, nb):
+        return F.least(F.floor((v - F.lit(mn)) / F.lit(bs)).cast("long"), F.lit(nb - 1))
+
+    h1 = s1.groupBy(binexpr(F.col("value"), st1.mn, bs1, nb1).alias("bin")).agg(
+        F.count(F.lit(1)).cast("double").alias("cnt")
+    )
+    c1 = with_running_sum(h1, ["bin"], ["cnt"]).select(
+        "bin", (F.col("cum_cnt") / F.lit(float(st1.n))).alias("p")
+    )
+    h2 = s2.groupBy(binexpr(F.col("value"), st2.mn, bs2, nb2).alias("i")).agg(
+        F.count(F.lit(1)).cast("double").alias("cnt2")
+    )
+    c2 = with_running_sum(h2, ["i"], ["cnt2"]).select(
+        "i",
+        (F.col("cum_cnt2") / F.lit(float(st2.n))).alias("p2"),
+        ((F.col("cum_cnt2") - F.col("cnt2")) / F.lit(float(st2.n))).alias("p2_prev"),
+        (F.lit(st2.mn) + F.col("i") / F.lit(float(nb2)) * F.lit(st2.mx - st2.mn)).alias("x2"),
+        (F.lit(st2.mn) + (F.col("i") - 1) / F.lit(float(nb2)) * F.lit(st2.mx - st2.mn)).alias("x1"),
+    )
+    # per distinct source-cdf value, the first reference bin with cdf > p
+    ps = c1.select("bin", "p")
+    match = (
+        ps.join(c2, c2["p2"] > ps["p"])
+        .groupBy("bin", "p")
+        .agg(F.min(F.struct("i", "x1", "x2", "p2_prev", "p2")).alias("m"))
+        .select(
+            "bin", "p",
+            F.when(F.col("m.i") == 0, F.col("m.x2"))
+            .when(
+                F.col("m.p2_prev") != F.col("m.p2"),
+                F.col("m.x1")
+                + (F.col("m.x2") - F.col("m.x1"))
+                * (F.col("p") - F.col("m.p2_prev"))
+                / (F.col("m.p2") - F.col("m.p2_prev")),
+            )
+            .otherwise(F.col("m.x1"))
+            .alias("xval"),
+        )
+    )
+    cells = s1.select(
+        "row", "col", binexpr(F.col("value"), st1.mn, bs1, nb1).alias("bin")
+    )
+    out = cells.join(match, "bin", "left").select(
+        "row", "col", F.coalesce(F.col("xval"), F.lit(float(st2.mx))).alias("value")
+    )
+    return out
+
+
+def histogram_matching_oracle_sql(src_sql: str, ref_sql: str) -> str:
+    return f"""
+WITH s1 AS (SELECT row, col, value FROM ({src_sql}) WHERE value IS NOT NULL),
+s2 AS (SELECT value FROM ({ref_sql}) WHERE value IS NOT NULL),
+st1 AS (SELECT min(value) AS mn, max(value) AS mx,
+               CAST(count(*) AS DOUBLE) AS n,
+               CAST(ceil(greatest(max(value) - min(value), 1024.0)) AS BIGINT) AS nb
+        FROM s1),
+st2 AS (SELECT min(value) AS mn, max(value) AS mx,
+               CAST(count(*) AS DOUBLE) AS n,
+               CAST(ceil(greatest(max(value) - min(value), 1024.0)) AS BIGINT) AS nb
+        FROM s2),
+h1 AS (SELECT least(CAST(floor((value - st1.mn) / ((st1.mx - st1.mn) / st1.nb)) AS BIGINT),
+                    st1.nb - 1) AS bin,
+              CAST(count(*) AS DOUBLE) AS cnt
+       FROM s1, st1 GROUP BY 1),
+c1 AS (SELECT bin, sum(cnt) OVER (ORDER BY bin) / (SELECT n FROM st1) AS p FROM h1),
+h2 AS (SELECT least(CAST(floor((value - st2.mn) / ((st2.mx - st2.mn) / st2.nb)) AS BIGINT),
+                    st2.nb - 1) AS i,
+              CAST(count(*) AS DOUBLE) AS cnt2
+       FROM s2, st2 GROUP BY 1),
+c2 AS (SELECT i,
+              sum(cnt2) OVER (ORDER BY i) / st2.n AS p2,
+              (sum(cnt2) OVER (ORDER BY i) - cnt2) / st2.n AS p2_prev,
+              st2.mn + i * 1.0 / st2.nb * (st2.mx - st2.mn) AS x2,
+              st2.mn + (i - 1) * 1.0 / st2.nb * (st2.mx - st2.mn) AS x1
+       FROM h2, st2),
+m AS (SELECT c1.bin, c1.p,
+             min(struct_pack(i := c2.i, x1 := c2.x1, x2 := c2.x2,
+                             p2_prev := c2.p2_prev, p2 := c2.p2)) AS m
+      FROM c1 JOIN c2 ON c2.p2 > c1.p GROUP BY c1.bin, c1.p),
+mx AS (SELECT bin, p,
+              CASE WHEN m.i = 0 THEN m.x2
+                   WHEN m.p2_prev <> m.p2
+                   THEN m.x1 + (m.x2 - m.x1) * (p - m.p2_prev) / (m.p2 - m.p2_prev)
+                   ELSE m.x1 END AS xval
+       FROM m),
+cells AS (SELECT s1.row, s1.col,
+                 least(CAST(floor((s1.value - st1.mn) / ((st1.mx - st1.mn) / st1.nb)) AS BIGINT),
+                       st1.nb - 1) AS bin
+          FROM s1, st1)
+SELECT c.row, c.col, coalesce(mx.xval, (SELECT mx FROM st2)) AS value
+FROM cells c LEFT JOIN mx ON mx.bin = c.bin
+"""

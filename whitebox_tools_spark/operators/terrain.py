@@ -253,3 +253,216 @@ agg AS (
 SELECT sr.row, sr.col, coalesce(a.pick.zc, 0.0) AS value
 FROM src sr LEFT JOIN agg a ON a.row = sr.row AND a.col = sr.col
 """
+
+
+# 8-neighbor gather in the reference's dx/dy slot order
+# dx=[1,1,1,0,-1,-1,-1,0], dy=[-1,0,1,1,1,0,-1,-1] with nodata -> center.
+_SLOT_DX = [1, 1, 1, 0, -1, -1, -1, 0]
+_SLOT_DY = [-1, 0, 1, 1, 1, 0, -1, -1]
+
+
+def _gather8(cells: DataFrame) -> DataFrame:
+    """-> (row, col, z, n0..n7) with missing neighbors coalesced to z."""
+    spark = cells.sparkSession
+    src = cells.filter(F.col("value").isNotNull()).select(
+        "row", "col", F.col("value").alias("z")
+    )
+    offs = spark.createDataFrame(
+        [(i, _SLOT_DX[i], _SLOT_DY[i]) for i in range(8)], "i int, dx int, dy int"
+    )
+    scattered = (
+        src.crossJoin(F.broadcast(offs))
+        .select(
+            (F.col("row") - F.col("dy")).alias("row"),
+            (F.col("col") - F.col("dx")).alias("col"),
+            "i", F.col("z").alias("zn"),
+        )
+        .groupBy("row", "col")
+        .agg(*[F.max(F.when(F.col("i") == i, F.col("zn"))).alias(f"_n{i}") for i in range(8)])
+    )
+    out = src.join(scattered, ["row", "col"], "left")
+    for i in range(8):
+        out = out.withColumn(f"n{i}", F.coalesce(F.col(f"_n{i}"), F.col("z")))
+    return out.drop(*[f"_n{i}" for i in range(8)])
+
+
+def _gather8_cte(source_sql: str) -> str:
+    offs = ", ".join(f"({i}, {_SLOT_DX[i]}, {_SLOT_DY[i]})" for i in range(8))
+    ncols = ",\n  ".join(
+        f"coalesce(max(CASE WHEN s.i = {i} THEN s.zn END), any_value(c.z)) AS n{i}"
+        for i in range(8)
+    )
+    return f"""
+src AS (SELECT row, col, value AS z FROM ({source_sql}) WHERE value IS NOT NULL),
+offs(i, dx, dy) AS (VALUES {offs}),
+g AS (
+  SELECT c.row, c.col, any_value(c.z) AS z,
+  {ncols}
+  FROM src c
+  LEFT JOIN (SELECT s0.row - o.dy AS row, s0.col - o.dx AS col, o.i, s0.z AS zn
+             FROM src s0 CROSS JOIN offs o) s
+    ON c.row = s.row AND c.col = s.col
+  GROUP BY c.row, c.col
+)"""
+
+
+def _pennock_case_sql(res: float, slope_t: float, prof_t: float, plan_t: float) -> str:
+    c2 = 2.0 * res
+    c_sq = res * res
+    c4 = 4.0 * res * res
+    e8 = 8.0 * res
+    defs = f"""
+  (n1 - n5) / {c2!r} AS zx, (n7 - n3) / {c2!r} AS zy,
+  (n1 - 2.0 * z + n5) / {c_sq!r} AS zxx, (n7 - 2.0 * z + n3) / {c_sq!r} AS zyy,
+  (-n6 + n0 + n4 - n2) / {c4!r} AS zxy,
+  (n2 - n4 + 2.0 * (n1 - n5) + n0 - n6) / {e8!r} AS fx,
+  (n6 - n4 + 2.0 * (n7 - n3) + n0 - n2) / {e8!r} AS fy
+"""
+    cls = f"""
+  CASE WHEN p <= 0.0 THEN NULL
+       WHEN prof < -{prof_t!r} AND plan <= -{plan_t!r} AND slope > {slope_t!r} THEN 1.0
+       WHEN prof < -{prof_t!r} AND plan >  {plan_t!r} AND slope > {slope_t!r} THEN 2.0
+       WHEN prof >  {prof_t!r} AND plan <= {plan_t!r} AND slope > {slope_t!r} THEN 3.0
+       WHEN prof >  {prof_t!r} AND plan >  {plan_t!r} AND slope > {slope_t!r} THEN 4.0
+       WHEN prof >= -{prof_t!r} AND prof < {prof_t!r} AND slope > {slope_t!r}
+            AND plan <= -{plan_t!r} THEN 5.0
+       WHEN prof >= -{prof_t!r} AND prof < {prof_t!r} AND slope > {slope_t!r}
+            AND plan > {plan_t!r} THEN 6.0
+       WHEN slope <= {slope_t!r} THEN 7.0
+       ELSE NULL END
+"""
+    return defs, cls
+
+
+def pennock_landform_class(
+    cells: DataFrame, *, res: float, slope_threshold: float = 3.0,
+    prof_threshold: float = 0.1, plan_threshold: float = 0.0,
+) -> DataFrame:
+    """PennockLandformClass (terrain_analysis/pennock_landform_class.rs:
+    380-462): 7-class slope/curvature classification (1=CFS, 2=DFS, 3=CSH,
+    4=DSH, 5=CBS, 6=DBS, 7=Level), NULL where the gradient is flat
+    (p = 0, unclassifiable in the reference too). -> (row, col, value)."""
+    g = _gather8(cells)
+    defs, cls = _pennock_case_sql(res, slope_threshold, prof_threshold, plan_threshold)
+    items = [d.strip() for d in defs.replace("\n", " ").split(",") if d.strip()]
+    mid = g.selectExpr("row", "col", "z", *items)
+    mid = mid.selectExpr(
+        "row", "col",
+        "zx * zx + zy * zy AS p",
+        "zx * zx + zy * zy + 1.0 AS q",
+        "zxx", "zyy", "zxy", "zx", "zy", "fx", "fy",
+    ).selectExpr(
+        "row", "col", "p",
+        "degrees(atan(sqrt(fx * fx + fy * fy))) AS slope",
+        "-degrees((zxx * zy * zy - 2.0 * zxy * zx * zy + zyy * zx * zx)"
+        " / (p * power(q, 1.5))) AS plan",
+        "-degrees((zxx * zx * zx - 2.0 * zxy * zx * zy + zyy * zy * zy)"
+        " / (p * power(q, 1.5))) AS prof",
+    )
+    return mid.selectExpr("row", "col", f"{cls} AS value")
+
+
+def pennock_oracle_sql(
+    source_sql: str, *, res: float, slope_threshold: float = 3.0,
+    prof_threshold: float = 0.1, plan_threshold: float = 0.0,
+) -> str:
+    defs, cls = _pennock_case_sql(res, slope_threshold, prof_threshold, plan_threshold)
+    return f"""
+WITH {_gather8_cte(source_sql)},
+d AS (SELECT row, col, z, {defs} FROM g),
+pq AS (SELECT row, col, zx * zx + zy * zy AS p, zx * zx + zy * zy + 1.0 AS q,
+              zxx, zyy, zxy, zx, zy, fx, fy FROM d),
+spp AS (SELECT row, col, p,
+               degrees(atan(sqrt(fx * fx + fy * fy))) AS slope,
+               -degrees((zxx * zy * zy - 2.0 * zxy * zx * zy + zyy * zx * zx)
+                        / (p * power(q, 1.5))) AS plan,
+               -degrees((zxx * zx * zx - 2.0 * zxy * zx * zy + zyy * zy * zy)
+                        / (p * power(q, 1.5))) AS prof
+        FROM pq)
+SELECT row, col, {cls} AS value FROM spp
+"""
+
+
+def circular_variance_of_aspect(
+    cells: DataFrame, *, res: float, filterx: int = 3, filtery: int = 3
+) -> DataFrame:
+    """CircularVarianceOfAspect (terrain_analysis/
+    circular_variance_of_aspect.rs:512-640, WITHOUT the reference's
+    Gaussian pre-smoothing — compose a filter first if wanted): per cell
+    the unit aspect vector (fx, fy)/|grad| (zero when fx == 0, the
+    reference's flat flag), then over the window variance = 1 - R/n with
+    R = |sum of unit vectors|, n = count of non-flat members; NULL when
+    n = 0. -> (row, col, value)."""
+    e8 = 8.0 * res
+    g = _gather8(cells)
+    g = g.selectExpr(
+        "row", "col",
+        f"(n2 - n4 + 2.0 * (n1 - n5) + n0 - n6) / {e8!r} AS fx",
+        f"(n6 - n4 + 2.0 * (n7 - n3) + n0 - n2) / {e8!r} AS fy",
+    ).selectExpr(
+        "row", "col",
+        "CASE WHEN fx <> 0.0 THEN fx / sqrt(fx * fx + fy * fy) ELSE 0.0 END AS ux",
+        "CASE WHEN fx <> 0.0 THEN fy / sqrt(fx * fx + fy * fy) ELSE 0.0 END AS uy",
+    )
+    spark = cells.sparkSession
+    mx, my = filterx // 2, filtery // 2
+    offs = spark.createDataFrame(
+        [(dx, dy) for dx in range(-mx, mx + 1) for dy in range(-my, my + 1)],
+        "dx int, dy int",
+    )
+    scattered = g.crossJoin(F.broadcast(offs)).select(
+        (F.col("row") - F.col("dy")).alias("row"),
+        (F.col("col") - F.col("dx")).alias("col"),
+        "ux", "uy",
+    )
+    centers = g.select("row", "col")
+    agg = scattered.join(centers, ["row", "col"]).groupBy("row", "col").agg(
+        F.sum("ux").alias("sx"), F.sum("uy").alias("sy"),
+        F.sum(
+            F.when((F.col("ux") != 0.0) | (F.col("uy") != 0.0), 1.0).otherwise(0.0)
+        ).alias("n"),
+    )
+    return agg.select(
+        "row", "col",
+        F.when(
+            F.col("n") > 0.0,
+            F.lit(1.0) - F.sqrt(F.col("sx") ** 2 + F.col("sy") ** 2) / F.col("n"),
+        ).alias("value"),
+    )
+
+
+def circular_variance_oracle_sql(
+    source_sql: str, *, res: float, filterx: int = 3, filtery: int = 3
+) -> str:
+    e8 = 8.0 * res
+    mx, my = filterx // 2, filtery // 2
+    offs = ", ".join(
+        f"({dx}, {dy})" for dx in range(-mx, mx + 1) for dy in range(-my, my + 1)
+    )
+    return f"""
+WITH {_gather8_cte(source_sql)},
+grad AS (
+  SELECT row, col,
+         (n2 - n4 + 2.0 * (n1 - n5) + n0 - n6) / {e8!r} AS fx,
+         (n6 - n4 + 2.0 * (n7 - n3) + n0 - n2) / {e8!r} AS fy
+  FROM g
+),
+u AS (
+  SELECT row, col,
+         CASE WHEN fx <> 0.0 THEN fx / sqrt(fx * fx + fy * fy) ELSE 0.0 END AS ux,
+         CASE WHEN fx <> 0.0 THEN fy / sqrt(fx * fx + fy * fy) ELSE 0.0 END AS uy
+  FROM grad
+),
+w(dx, dy) AS (VALUES {offs}),
+agg AS (
+  SELECT c.row, c.col, sum(s.ux) AS sx, sum(s.uy) AS sy,
+         sum(CASE WHEN s.ux <> 0.0 OR s.uy <> 0.0 THEN 1.0 ELSE 0.0 END) AS n
+  FROM u c JOIN (SELECT u0.row - o.dy AS row, u0.col - o.dx AS col, u0.ux, u0.uy
+                 FROM u u0 CROSS JOIN w o) s
+    ON c.row = s.row AND c.col = s.col
+  GROUP BY c.row, c.col
+)
+SELECT row, col,
+       CASE WHEN n > 0.0 THEN 1.0 - sqrt(sx * sx + sy * sy) / n END AS value
+FROM agg
+"""
