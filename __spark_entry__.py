@@ -1260,6 +1260,17 @@ FROM part WHERE p_partkey BETWEEN 1 AND 500
 _POUR = [(10, 20, 1), (10, 12, 2)]
 
 
+def q_stream_slope_continuous(spark, sf_dir):
+    """StreamSlopeContinuous (stream_network_analysis/
+    stream_slope_continuous.rs:380-427)."""
+    from whitebox_tools_spark.operators.streams import stream_slope_continuous
+
+    return _r6(
+        stream_slope_continuous(_valley_dem(spark, sf_dir), STREAM_GRID, threshold=4.0),
+        ["value"],
+    )
+
+
 def q_extract_streams(spark, sf_dir):
     """ExtractStreams (stream_network_analysis/extract_streams.rs:23-33)."""
     from whitebox_tools_spark.operators.streams import extract_streams
@@ -1461,6 +1472,17 @@ def q_cost_distance(spark, sf_dir):
     out = cost_distance(cost, sources, GridSpec(west=0.0, north=100.0, res_x=5.0,
                                                 res_y=5.0, rows=20, cols=20))
     return _r6(out, ["value"])
+
+
+def q_avg_upslope_flowpath(spark, sf_dir):
+    """AverageUpslopeFlowpathLength (hydro_analysis/
+    average_upslope_flowpath_length.rs:349-391)."""
+    from whitebox_tools_spark.operators.hydro import average_upslope_flowpath_length
+
+    return _r6(
+        average_upslope_flowpath_length(_valley_dem(spark, sf_dir), STREAM_GRID),
+        ["value"],
+    )
 
 
 def q_fill_pits(spark, sf_dir):
@@ -2245,6 +2267,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dinf_flow_accumulation": q_dinf_flow_accum,
         "buffer_raster": q_buffer_raster,
         "fill_depressions": q_fill_depressions,
+        "average_upslope_flowpath_length": q_avg_upslope_flowpath,
         "fill_pits": q_fill_pits,
         "find_noflow_cells": q_find_noflow,
         "flow_length_diff": q_flow_length_diff,
@@ -2277,6 +2300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "euclidean_allocation": q_euclidean_allocation,
         "raster_to_points": q_raster_to_points,
         "extract_streams": q_extract_streams,
+        "stream_slope_continuous": q_stream_slope_continuous,
         "shreve_magnitude": q_shreve,
         "strahler_order": q_strahler,
         "horton_order": q_horton,
@@ -2774,6 +2798,11 @@ FROM ({_PART_RASTER_SQL}) WHERE value IS NOT NULL
         "lines_to_raster": _lines_to_raster_sql(),
         "singlepart_to_multipart": _sp_to_mp_sql(),
         "fill_depressions": _hyd.fill_depressions_oracle_sql(_NOISE_RASTER_SQL),
+        "average_upslope_flowpath_length": (
+            "SELECT row, col, round(value, 6) AS value FROM ("
+            + _hyd.avg_upslope_flowpath_oracle_sql(_VALLEY_DEM_SQL, STREAM_GRID)
+            + ") t"
+        ),
         "fill_pits": _hyd.fill_pits_oracle_sql(_NOISE_RASTER_SQL),
         "find_noflow_cells": _hyd.find_noflow_oracle_sql(_NOISE_RASTER_SQL),
         "flow_length_diff": _fld_sql(),
@@ -2794,6 +2823,13 @@ WHERE round(f.value - d.value, 6) > 0
         + ")",
         "extract_streams": _str.extract_streams_oracle_sql(
             _VALLEY_DEM_SQL, STREAM_GRID, threshold=4.0
+        ),
+        "stream_slope_continuous": (
+            "SELECT row, col, round(value, 6) AS value FROM ("
+            + _str.stream_slope_continuous_oracle_sql(
+                _VALLEY_DEM_SQL, STREAM_GRID, threshold=4.0
+            )
+            + ") t"
         ),
         "shreve_magnitude": _str.shreve_oracle_sql(_VALLEY_DEM_SQL, STREAM_GRID, threshold=4.0),
         "strahler_order": _str.strahler_oracle_sql(_VALLEY_DEM_SQL, STREAM_GRID, threshold=4.0),

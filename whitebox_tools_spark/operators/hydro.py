@@ -934,3 +934,91 @@ nbr AS (
 SELECT d.row, d.col, n.value
 FROM dfl d LEFT JOIN nbr n ON n.row = d.row AND n.col = d.col
 """
+
+
+def average_upslope_flowpath_length(
+    cells: DataFrame, grid: GridSpec, *, max_iterations: int = 10_000
+) -> DataFrame:
+    """AverageUpslopeFlowpathLength (hydro_analysis/
+    average_upslope_flowpath_length.rs:349-391): the reference's recurrence
+    S_n = sum_in(S_c + L_cn), N_n = 1 + sum_in(N_c), out = S/N — which
+    unfolds to (total upslope flow-tree edge length) / (upslope cell count,
+    self included). Same topological peel as d8_flow_accumulation, carrying
+    the (S, N) pair. -> (row, col, value)."""
+    from whitebox_tools_spark.distributed import loop_checkpoint
+
+    lens = _grid_lengths(grid)
+    g = _flow_edges(cells, grid)
+    lencase = F.coalesce(
+        *[
+            F.when(
+                (F.col("trow") - F.col("row") == D8_DY[i])
+                & (F.col("tcol") - F.col("col") == D8_DX[i]),
+                F.lit(lens[i]),
+            )
+            for i in range(8)
+        ]
+    )
+    valid = cells.filter(F.col("value").isNotNull()).select(
+        F.col("row").alias("trow"), F.col("col").alias("tcol")
+    )
+    edges = (
+        g.withColumn("len", lencase).join(valid, ["trow", "tcol"])
+        .localCheckpoint(eager=True)
+    )
+    acc = (
+        cells.filter(F.col("value").isNotNull())
+        .select("row", "col", F.lit(0.0).alias("s"), F.lit(1.0).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        if edges.isEmpty():
+            break
+        targets = edges.select(F.col("trow").alias("row"), F.col("tcol").alias("col")).distinct()
+        src_edges = edges.join(targets, ["row", "col"], "left_anti")
+        pushed = (
+            src_edges.join(acc, ["row", "col"])
+            .groupBy(F.col("trow").alias("row"), F.col("tcol").alias("col"))
+            .agg(
+                F.sum(F.col("s") + F.col("len")).alias("ds"),
+                F.sum(F.col("n")).alias("dn"),
+            )
+        )
+        acc = (
+            acc.join(pushed, ["row", "col"], "left")
+            .withColumn("s", F.col("s") + F.coalesce(F.col("ds"), F.lit(0.0)))
+            .withColumn("n", F.col("n") + F.coalesce(F.col("dn"), F.lit(0.0)))
+            .drop("ds", "dn")
+            .transform(loop_checkpoint)
+        )
+        edges = edges.join(
+            src_edges.select("row", "col"), ["row", "col"], "left_anti"
+        ).transform(loop_checkpoint)
+    return acc.select("row", "col", (F.col("s") / F.col("n")).alias("value"))
+
+
+def avg_upslope_flowpath_oracle_sql(source_sql: str, grid: GridSpec) -> str:
+    """S_c = sum of L(a) over cells a that reach c (a != c, one outgoing
+    edge each); N_c = count reaching c including itself."""
+    return f"""
+WITH RECURSIVE {_fd_ctes(source_sql, grid)},
+walk(orow, ocol, row, col) AS (
+  SELECT row, col, row, col FROM cells
+  UNION
+  SELECT w.orow, w.ocol, f.trow, f.tcol
+  FROM walk w JOIN fd f ON f.row = w.row AND f.col = w.col
+),
+lens AS (
+  SELECT f.row, f.col, d.len FROM fd f JOIN dirs d ON d.i = f.i
+),
+agg AS (
+  SELECT w.row, w.col,
+         CAST(count(*) AS DOUBLE) AS n,
+         coalesce(sum(CASE WHEN NOT (w.orow = w.row AND w.ocol = w.col)
+                           THEN l.len END), 0.0) AS s
+  FROM walk w
+  LEFT JOIN lens l ON l.row = w.orow AND l.col = w.ocol
+  GROUP BY w.row, w.col
+)
+SELECT row, col, s / n AS value FROM agg
+"""

@@ -1745,3 +1745,76 @@ SELECT i.link_id,
        {grid.north!r} - {grid.res_y / 2.0!r} - t.orow * {grid.res_y!r} AS y
 FROM dterm t JOIN ids i ON i.trow = t.trow AND i.tcol = t.tcol
 """
+
+
+def stream_slope_continuous(
+    cells: DataFrame, grid: GridSpec, *, threshold: float
+) -> DataFrame:
+    """StreamSlopeContinuous (stream_network_analysis/
+    stream_slope_continuous.rs:380-427): per stream cell, slope in degrees
+    between the average inflowing stream neighbor elevation (falling back
+    to the cell's own z) and the D8 downslope target elevation, over the
+    average inflow hop length plus the outflow hop length; 0 where the
+    total distance is 0. -> (row, col, value) for stream cells only."""
+    sc, se = _stream_set(cells, grid, threshold)
+    dem = cells.filter(F.col("value").isNotNull()).select("row", "col", "value")
+    se_len = _edge_lengths(se, grid)
+    infl = (
+        se_len.join(
+            dem.select(F.col("row"), F.col("col"), F.col("value").alias("zs")),
+            ["row", "col"],
+        )
+        .groupBy(F.col("trow").alias("row"), F.col("tcol").alias("col"))
+        .agg(F.avg("zs").alias("z_in"), F.avg("len").alias("d_in"))
+    )
+    own = (
+        _edge_lengths(_flow_edges(cells, grid), grid)
+        .join(
+            dem.select(
+                F.col("row").alias("trow"), F.col("col").alias("tcol"),
+                F.col("value").alias("z_dn"),
+            ),
+            ["trow", "tcol"],
+        )
+        .select("row", "col", "z_dn", F.col("len").alias("d_out"))
+    )
+    base = sc.join(dem, ["row", "col"])
+    j = base.join(infl, ["row", "col"], "left").join(own, ["row", "col"], "left")
+    z_in = F.coalesce(F.col("z_in"), F.col("value"))
+    z_dn = F.coalesce(F.col("z_dn"), F.col("value"))
+    dist = F.coalesce(F.col("d_in"), F.lit(0.0)) + F.coalesce(F.col("d_out"), F.lit(0.0))
+    return j.select(
+        "row", "col",
+        F.when(dist > 0.0, F.degrees(F.atan((z_in - z_dn) / dist)))
+        .otherwise(F.lit(0.0)).alias("value"),
+    )
+
+
+def stream_slope_continuous_oracle_sql(
+    source_sql: str, grid: GridSpec, *, threshold: float
+) -> str:
+    return f"""
+WITH RECURSIVE {_stream_ctes(source_sql, grid, threshold)},
+sel AS (
+  SELECT e.*, d.len FROM se e JOIN dirs d ON d.i = e.i
+),
+inflow AS (
+  SELECT e.trow AS row, e.tcol AS col, avg(c.value) AS z_in, avg(e.len) AS d_in
+  FROM sel e JOIN cells c ON c.row = e.row AND c.col = e.col
+  GROUP BY 1, 2
+),
+own AS (
+  SELECT f.row, f.col, t.value AS z_dn, d.len AS d_out
+  FROM fd f JOIN dirs d ON d.i = f.i
+  JOIN cells t ON t.row = f.trow AND t.col = f.tcol
+)
+SELECT s.row, s.col,
+       CASE WHEN coalesce(i.d_in, 0.0) + coalesce(o.d_out, 0.0) > 0.0
+            THEN degrees(atan((coalesce(i.z_in, c.value) - coalesce(o.z_dn, c.value))
+                              / (coalesce(i.d_in, 0.0) + coalesce(o.d_out, 0.0))))
+            ELSE 0.0 END AS value
+FROM sc s
+JOIN cells c ON c.row = s.row AND c.col = s.col
+LEFT JOIN inflow i ON i.row = s.row AND i.col = s.col
+LEFT JOIN own o ON o.row = s.row AND o.col = s.col
+"""
