@@ -467,6 +467,32 @@ def q_stdev_of_slope(spark, sf_dir):
     return _r6(stat_filter(_slope_raster(spark, sf_dir), "sd"), ["value"])
 
 
+# upsampling destination (2x finer) over the part raster's occupied corner
+RESAMPLE_DST = GridSpec(west=0.0, north=1000.0, res_x=2.5, res_y=2.5, rows=80, cols=16)
+
+
+def q_resample_nn(spark, sf_dir):
+    """Resample nearest-neighbour (image_analysis/resample.rs:397-430)."""
+    from whitebox_tools_spark.operators.image import resample
+
+    return resample(
+        _part_raster(spark, sf_dir), EXTRACT_GRID, RESAMPLE_DST, method="nn"
+    )
+
+
+def q_resample_bilinear(spark, sf_dir):
+    """Resample bilinear (image_analysis/resample.rs:459-510, 4-neighbor
+    inverse-square-distance blend)."""
+    from whitebox_tools_spark.operators.image import resample
+
+    return _r6(
+        resample(
+            _part_raster(spark, sf_dir), EXTRACT_GRID, RESAMPLE_DST, method="bilinear"
+        ),
+        ["value"],
+    )
+
+
 def q_histogram_matching(spark, sf_dir):
     """HistogramMatchingTwoImages (image_analysis/
     histogram_matching_two_images.rs:285-440): price raster reshaped to
@@ -479,6 +505,11 @@ def q_histogram_matching(spark, sf_dir):
         ),
         ["value"],
     )
+
+
+def q_hypsometric(spark, sf_dir):
+    """HypsometricAnalysis (terrain_analysis/hypsometric_analysis.rs:265-306)."""
+    return ST.hypsometric_analysis(_part_raster(spark, sf_dir))
 
 
 def q_pennock(spark, sf_dir):
@@ -2212,9 +2243,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cumulative_distribution": q_cumulative_distribution,
         "two_sample_ks_test": q_two_sample_ks,
         "attribute_correlation": q_attribute_correlation,
+        "resample_nn": q_resample_nn,
+        "resample_bilinear": q_resample_bilinear,
         "histogram_matching": q_histogram_matching,
         "pennock_landform_class": q_pennock,
         "circular_variance_of_aspect": q_circular_variance_aspect,
+        "hypsometric_analysis": q_hypsometric,
         "wetness_index": q_wetness_index,
         "stream_power_index": q_stream_power,
         "sediment_transport_index": q_sediment_transport,
@@ -2655,9 +2689,12 @@ UNION ALL SELECT 'l_discount', 'l_tax',
         "list_unique_values": (
             "SELECT c_mktsegment AS value, count(*) AS n FROM customer GROUP BY 1"
         ),
+        "resample_nn": _resample_sql("nn"),
+        "resample_bilinear": _resample_sql("bilinear"),
         "histogram_matching": _hist_match_sql(),
         "pennock_landform_class": _pennock_sql(),
         "circular_variance_of_aspect": _cva_aspect_sql(),
+        "hypsometric_analysis": ST.hypsometric_oracle_sql(_PART_RASTER_SQL),
         "wetness_index": _terrain_zip_sql("wetness"),
         "stream_power_index": _terrain_zip_sql("spi"),
         "sediment_transport_index": _terrain_zip_sql("sti"),
@@ -3135,6 +3172,17 @@ def _percentile_filter_sql() -> str:
     from whitebox_tools_spark.operators.focal import percentile_filter_oracle_sql
 
     inner = percentile_filter_oracle_sql(_PART_RASTER_SQL, filterx=5, filtery=5)
+    return f"SELECT row, col, round(value, 6) AS value FROM ({inner}) t"
+
+
+def _resample_sql(method: str) -> str:
+    from whitebox_tools_spark.operators.image import resample_oracle_sql
+
+    inner = resample_oracle_sql(
+        _PART_RASTER_SQL, EXTRACT_GRID, RESAMPLE_DST, method=method
+    )
+    if method == "nn":
+        return inner
     return f"SELECT row, col, round(value, 6) AS value FROM ({inner}) t"
 
 

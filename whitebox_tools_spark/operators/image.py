@@ -500,3 +500,132 @@ cells AS (SELECT s1.row, s1.col,
 SELECT c.row, c.col, coalesce(mx.xval, (SELECT mx FROM st2)) AS value
 FROM cells c LEFT JOIN mx ON mx.bin = c.bin
 """
+
+
+def resample(
+    src: DataFrame, src_grid: GridSpec, dst_grid: GridSpec, *, method: str = "nn"
+) -> DataFrame:
+    """Resample (image_analysis/resample.rs:397-510): regrid src onto
+    dst_grid. 'nn' = source cell containing the destination cell center
+    (floor indexing, whitebox-raster/src/lib.rs:743-749); 'bilinear' = the
+    reference's 4-neighbor inverse-square-distance blend around the
+    fractional source index (an exact index hit takes that value — the
+    reference's dx+dy==0 test is tightened to dx==0 AND dy==0, a
+    documented fix of an apparent quirk). Only destination cells that
+    resolve to a valid source value are emitted. -> (row, col, value)."""
+    spark = src.sparkSession
+    s = src.filter(F.col("value").isNotNull()).select(
+        F.col("row").alias("srow"), F.col("col").alias("scol"), "value"
+    )
+    dest = (
+        spark.range(dst_grid.rows).select(F.col("id").alias("row"))
+        .crossJoin(spark.range(dst_grid.cols).select(F.col("id").alias("col")))
+    )
+    x = dst_grid.x_center_expr(F.col("col"))
+    y = dst_grid.y_center_expr(F.col("row"))
+    rs = (F.lit(src_grid.north) - y) / F.lit(src_grid.res_y)
+    cs = (x - F.lit(src_grid.west)) / F.lit(src_grid.res_x)
+    if method == "nn":
+        d = dest.select(
+            "row", "col",
+            F.floor(rs).cast("long").alias("srow"),
+            F.floor(cs).cast("long").alias("scol"),
+        )
+        return d.join(s, ["srow", "scol"]).select("row", "col", "value")
+    # bilinear
+    d = dest.select(
+        "row", "col", rs.alias("rs"), cs.alias("cs"),
+        F.floor(rs).cast("long").alias("orow"),
+        F.floor(cs).cast("long").alias("ocol"),
+    )
+    for n, (sx, sy) in enumerate([(0, 0), (1, 0), (0, 1), (1, 1)]):
+        sn = s.select(
+            (F.col("srow") - sy).alias("orow"), (F.col("scol") - sx).alias("ocol"),
+            F.col("value").alias(f"z{n}"),
+        )
+        d = d.join(sn, ["orow", "ocol"], "left")
+    exprs = []
+    wsum = None
+    zsum = None
+    for n, (sx, sy) in enumerate([(0, 0), (1, 0), (0, 1), (1, 1)]):
+        dyn = (F.col("orow") + sy).cast("double") - F.col("rs")
+        dxn = (F.col("ocol") + sx).cast("double") - F.col("cs")
+        w = F.when(
+            F.col(f"z{n}").isNotNull(), F.lit(1.0) / (dxn * dxn + dyn * dyn)
+        ).otherwise(F.lit(0.0))
+        exact = F.col(f"z{n}").isNotNull() & (dxn == 0.0) & (dyn == 0.0)
+        exprs.append((exact, F.col(f"z{n}")))
+        wsum = w if wsum is None else wsum + w
+        zsum = (
+            F.coalesce(F.col(f"z{n}"), F.lit(0.0)) * w
+            if zsum is None
+            else zsum + F.coalesce(F.col(f"z{n}"), F.lit(0.0)) * w
+        )
+    val = F.when(exprs[0][0], exprs[0][1])
+    for exact, z in exprs[1:]:
+        val = val.when(exact, z)
+    val = val.otherwise(
+        F.when(wsum > 0.0, zsum / wsum)
+    )
+    return d.select("row", "col", val.alias("value")).filter(F.col("value").isNotNull())
+
+
+def resample_oracle_sql(
+    src_sql: str, src_grid: GridSpec, dst_grid: GridSpec, *, method: str = "nn"
+) -> str:
+    x = dst_grid.x_center_sql("col")
+    y = dst_grid.y_center_sql("row")
+    rs = f"(({src_grid.north!r} - {y}) / {src_grid.res_y!r})"
+    cs = f"(({x} - {src_grid.west!r}) / {src_grid.res_x!r})"
+    if method == "nn":
+        return f"""
+WITH RECURSIVE
+s AS (SELECT row AS srow, col AS scol, value FROM ({src_sql}) WHERE value IS NOT NULL),
+dr(row) AS (SELECT CAST(0 AS BIGINT)
+            UNION ALL SELECT row + 1 FROM dr WHERE row < {dst_grid.rows - 1}),
+dc(col) AS (SELECT CAST(0 AS BIGINT)
+            UNION ALL SELECT col + 1 FROM dc WHERE col < {dst_grid.cols - 1}),
+d AS (SELECT dr.row, dc.col,
+             CAST(floor({rs}) AS BIGINT) AS srow,
+             CAST(floor({cs}) AS BIGINT) AS scol
+      FROM dr CROSS JOIN dc)
+SELECT d.row, d.col, s.value
+FROM d JOIN s ON s.srow = d.srow AND s.scol = d.scol
+"""
+    joins = []
+    terms_w = []
+    terms_z = []
+    exacts = []
+    for n, (sx, sy) in enumerate([(0, 0), (1, 0), (0, 1), (1, 1)]):
+        joins.append(
+            f"LEFT JOIN s s{n} ON s{n}.srow = d.orow + {sy} AND s{n}.scol = d.ocol + {sx}"
+        )
+        dyn = f"(CAST(d.orow + {sy} AS DOUBLE) - d.rs)"
+        dxn = f"(CAST(d.ocol + {sx} AS DOUBLE) - d.cs)"
+        w = f"(CASE WHEN s{n}.value IS NOT NULL THEN 1.0 / ({dxn} * {dxn} + {dyn} * {dyn}) ELSE 0.0 END)"
+        terms_w.append(w)
+        terms_z.append(f"coalesce(s{n}.value, 0.0) * {w}")
+        exacts.append(
+            f"WHEN s{n}.value IS NOT NULL AND {dxn} = 0.0 AND {dyn} = 0.0 THEN s{n}.value"
+        )
+    wsum = " + ".join(terms_w)
+    zsum = " + ".join(terms_z)
+    return f"""
+WITH RECURSIVE
+s AS (SELECT row AS srow, col AS scol, value FROM ({src_sql}) WHERE value IS NOT NULL),
+dr(row) AS (SELECT CAST(0 AS BIGINT)
+            UNION ALL SELECT row + 1 FROM dr WHERE row < {dst_grid.rows - 1}),
+dc(col) AS (SELECT CAST(0 AS BIGINT)
+            UNION ALL SELECT col + 1 FROM dc WHERE col < {dst_grid.cols - 1}),
+d AS (SELECT dr.row, dc.col, {rs} AS rs, {cs} AS cs,
+             CAST(floor({rs}) AS BIGINT) AS orow,
+             CAST(floor({cs}) AS BIGINT) AS ocol
+      FROM dr CROSS JOIN dc)
+SELECT row, col, value FROM (
+  SELECT d.row, d.col,
+         CASE {' '.join(exacts)}
+              ELSE CASE WHEN {wsum} > 0.0 THEN ({zsum}) / ({wsum}) END
+         END AS value
+  FROM d {' '.join(joins)}
+) t WHERE value IS NOT NULL
+"""

@@ -668,3 +668,60 @@ def ks_normality_test(cells: DataFrame) -> DataFrame:
             6,
         ).alias("p_value"),
     )
+
+
+def hypsometric_analysis(cells: DataFrame) -> DataFrame:
+    """HypsometricAnalysis (terrain_analysis/hypsometric_analysis.rs:
+    265-306): the 101-bin area-altitude curve exactly as the reference
+    builds it for its plot — bin = floor(100 (z - min)/range), relative
+    elevation 0.0001 at bin 0 then i/101, relative area 1 - cdf (the last
+    bin forced to 0.0001, the reference's axis hack).
+    -> (bin, rel_elev, rel_area), 101 rows."""
+    src = cells.filter(F.col("value").isNotNull()).select("value")
+    st = src.agg(
+        F.min("value").alias("mn"), F.max("value").alias("mx"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+    ).collect()[0]
+    rng = st.mx - st.mn
+    hist = src.groupBy(
+        F.floor(100.0 * (F.col("value") - F.lit(st.mn)) / F.lit(rng))
+        .cast("long").alias("bin")
+    ).agg(F.count(F.lit(1)).cast("double").alias("h"))
+    spark = cells.sparkSession
+    bins = spark.range(101).select(F.col("id").alias("bin"))
+    dense = bins.join(hist, "bin", "left").select(
+        "bin", F.coalesce(F.col("h"), F.lit(0.0)).alias("h")
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    out = dense.select(
+        "bin",
+        F.when(F.col("bin") == 0, 0.0001)
+        .otherwise(F.col("bin").cast("double") / 101.0).alias("rel_elev"),
+        (F.lit(1.0) - F.sum("h").over(w) / F.lit(float(st.n))).alias("ra"),
+    )
+    return out.select(
+        "bin", F.round(F.col("rel_elev"), 6).alias("rel_elev"),
+        F.round(
+            F.when(F.col("bin") == 100, 0.0001).otherwise(F.col("ra")), 6
+        ).alias("rel_area"),
+    )
+
+
+def hypsometric_oracle_sql(source_sql: str) -> str:
+    return f"""
+WITH src AS (SELECT value FROM ({source_sql}) WHERE value IS NOT NULL),
+st AS (SELECT min(value) AS mn, max(value) AS mx,
+              CAST(count(*) AS DOUBLE) AS n FROM src),
+hist AS (SELECT CAST(floor(100.0 * (value - st.mn) / (st.mx - st.mn)) AS BIGINT) AS bin,
+                CAST(count(*) AS DOUBLE) AS h
+         FROM src, st GROUP BY 1),
+dense AS (SELECT b.bin, coalesce(h.h, 0.0) AS h
+          FROM generate_series(0, 100) b(bin) LEFT JOIN hist h ON h.bin = b.bin),
+cum AS (SELECT bin,
+               CASE WHEN bin = 0 THEN 0.0001 ELSE bin / 101.0 END AS rel_elev,
+               1.0 - sum(h) OVER (ORDER BY bin) / (SELECT n FROM st) AS ra
+        FROM dense)
+SELECT bin, round(rel_elev, 6) AS rel_elev,
+       round(CASE WHEN bin = 100 THEN 0.0001 ELSE ra END, 6) AS rel_area
+FROM cum
+"""
