@@ -507,6 +507,57 @@ def q_histogram_matching(spark, sf_dir):
     )
 
 
+def q_rtp(spark, sf_dir):
+    """RelativeTopographicPosition (terrain_analysis/
+    relative_topographic_position.rs:390-415)."""
+    from whitebox_tools_spark.operators.terrain import relative_topographic_position
+
+    return _r6(
+        relative_topographic_position(_part_raster(spark, sf_dir), filterx=5, filtery=5),
+        ["value"],
+    )
+
+
+def q_extract_valleys_jandr(spark, sf_dir):
+    """ExtractValleys JandR (stream_network_analysis/extract_valleys.rs)."""
+    from whitebox_tools_spark.operators.terrain import extract_valleys
+
+    return extract_valleys(_part_raster(spark, sf_dir), variant="JandR")
+
+
+def q_extract_valleys_pandd(spark, sf_dir):
+    """ExtractValleys PandD (stream_network_analysis/extract_valleys.rs:456-486)."""
+    from whitebox_tools_spark.operators.terrain import extract_valleys
+
+    return extract_valleys(_part_raster(spark, sf_dir), variant="PandD")
+
+
+def q_elev_above_pit(spark, sf_dir):
+    """ElevAbovePit (terrain_analysis/elev_above_pit.rs)."""
+    from whitebox_tools_spark.operators.hydro import elev_above_pit
+
+    return _r6(elev_above_pit(_noise_raster(spark, sf_dir), EXTRACT_GRID), ["value"])
+
+
+def _mass_flux_inputs(spark, sf_dir):
+    dem = _valley_dem(spark, sf_dir)
+    loading = dem.select("row", "col", (F.lit(1.0) + F.col("value") / 100.0).alias("value"))
+    eff = dem.select(
+        "row", "col", (F.lit(0.9) - (F.col("row") % 3).cast("double") * 0.1).alias("value")
+    )
+    ab = dem.select("row", "col", F.lit(0.05).alias("value"))
+    return dem, loading, eff, ab
+
+
+def q_d8_mass_flux(spark, sf_dir):
+    """D8MassFlux (hydro_analysis/d8_mass_flux.rs): deterministic loading/
+    efficiency/absorption rasters derived from the valley DEM."""
+    from whitebox_tools_spark.operators.hydro import d8_mass_flux
+
+    dem, loading, eff, ab = _mass_flux_inputs(spark, sf_dir)
+    return _r6(d8_mass_flux(dem, STREAM_GRID, loading, eff, ab), ["value"])
+
+
 def q_hypsometric(spark, sf_dir):
     """HypsometricAnalysis (terrain_analysis/hypsometric_analysis.rs:265-306)."""
     return ST.hypsometric_analysis(_part_raster(spark, sf_dir))
@@ -2249,6 +2300,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pennock_landform_class": q_pennock,
         "circular_variance_of_aspect": q_circular_variance_aspect,
         "hypsometric_analysis": q_hypsometric,
+        "relative_topographic_position": q_rtp,
+        "extract_valleys_jandr": q_extract_valleys_jandr,
+        "extract_valleys_pandd": q_extract_valleys_pandd,
+        "elev_above_pit": q_elev_above_pit,
+        "d8_mass_flux": q_d8_mass_flux,
         "wetness_index": q_wetness_index,
         "stream_power_index": q_stream_power,
         "sediment_transport_index": q_sediment_transport,
@@ -2695,6 +2751,15 @@ UNION ALL SELECT 'l_discount', 'l_tax',
         "pennock_landform_class": _pennock_sql(),
         "circular_variance_of_aspect": _cva_aspect_sql(),
         "hypsometric_analysis": ST.hypsometric_oracle_sql(_PART_RASTER_SQL),
+        "relative_topographic_position": _rtp_sql(),
+        "extract_valleys_jandr": _valleys_sql("JandR"),
+        "extract_valleys_pandd": _valleys_sql("PandD"),
+        "elev_above_pit": (
+            "SELECT row, col, round(value, 6) AS value FROM ("
+            + _hyd.elev_above_pit_oracle_sql(_NOISE_RASTER_SQL, EXTRACT_GRID)
+            + ") t"
+        ),
+        "d8_mass_flux": _mass_flux_sql(),
         "wetness_index": _terrain_zip_sql("wetness"),
         "stream_power_index": _terrain_zip_sql("spi"),
         "sediment_transport_index": _terrain_zip_sql("sti"),
@@ -3190,6 +3255,34 @@ def _hist_match_sql() -> str:
     from whitebox_tools_spark.operators.image import histogram_matching_oracle_sql
 
     inner = histogram_matching_oracle_sql(_PART_RASTER_SQL, _PART_RASTER2_SQL)
+    return f"SELECT row, col, round(value, 6) AS value FROM ({inner}) t"
+
+
+def _rtp_sql() -> str:
+    from whitebox_tools_spark.operators.terrain import rtp_oracle_sql
+
+    inner = rtp_oracle_sql(_PART_RASTER_SQL, filterx=5, filtery=5)
+    return f"SELECT row, col, round(value, 6) AS value FROM ({inner}) t"
+
+
+def _valleys_sql(variant: str) -> str:
+    from whitebox_tools_spark.operators.terrain import extract_valleys_oracle_sql
+
+    return extract_valleys_oracle_sql(_PART_RASTER_SQL, variant=variant)
+
+
+def _mass_flux_sql() -> str:
+    from whitebox_tools_spark.operators import hydro as _h
+
+    loading = (
+        f"SELECT row, col, 1.0 + value / 100.0 AS value FROM ({_VALLEY_DEM_SQL}) t"
+    )
+    eff = (
+        f"SELECT row, col, 0.9 - CAST(row % 3 AS DOUBLE) * 0.1 AS value "
+        f"FROM ({_VALLEY_DEM_SQL}) t"
+    )
+    ab = f"SELECT row, col, 0.05 AS value FROM ({_VALLEY_DEM_SQL}) t"
+    inner = _h.d8_mass_flux_oracle_sql(_VALLEY_DEM_SQL, STREAM_GRID, loading, eff, ab)
     return f"SELECT row, col, round(value, 6) AS value FROM ({inner}) t"
 
 

@@ -1022,3 +1022,129 @@ agg AS (
 )
 SELECT row, col, s / n AS value FROM agg
 """
+
+
+def elev_above_pit(cells: DataFrame, grid: GridSpec) -> DataFrame:
+    """ElevAbovePit (terrain_analysis/elev_above_pit.rs): z minus the
+    elevation of the pit at the end of the cell's D8 flow path (pits and
+    flats are their own terminal -> 0). Successor pointer doubling.
+    -> (row, col, value)."""
+    from whitebox_tools_spark.operators.streams import _chain_terminals
+
+    src = cells.filter(F.col("value").isNotNull()).select("row", "col", "value")
+    term = _chain_terminals(
+        src.select("row", "col"), _flow_edges(cells, grid)
+    )
+    tz = src.select(
+        F.col("row").alias("trow"), F.col("col").alias("tcol"),
+        F.col("value").alias("tz"),
+    )
+    return (
+        src.join(term, ["row", "col"])
+        .join(tz, ["trow", "tcol"])
+        .select("row", "col", (F.col("value") - F.col("tz")).alias("value"))
+    )
+
+
+def elev_above_pit_oracle_sql(source_sql: str, grid: GridSpec) -> str:
+    return f"""
+WITH RECURSIVE {_fd_ctes(source_sql, grid)},
+walk(orow, ocol, row, col) AS (
+  SELECT row, col, row, col FROM cells
+  UNION
+  SELECT w.orow, w.ocol, f.trow, f.tcol
+  FROM walk w JOIN fd f ON f.row = w.row AND f.col = w.col
+),
+term AS (
+  SELECT w.orow AS row, w.ocol AS col, w.row AS trow, w.col AS tcol
+  FROM walk w
+  LEFT JOIN fd f ON f.row = w.row AND f.col = w.col
+  WHERE f.row IS NULL
+)
+SELECT c.row, c.col, c.value - t.value AS value
+FROM cells c
+JOIN term ON term.row = c.row AND term.col = c.col
+JOIN cells t ON t.row = term.trow AND t.col = term.tcol
+"""
+
+
+def d8_mass_flux(
+    cells: DataFrame, grid: GridSpec, loading: DataFrame, efficiency: DataFrame,
+    absorption: DataFrame, *, max_iterations: int = 10_000,
+) -> DataFrame:
+    """D8MassFlux (hydro_analysis/d8_mass_flux.rs): accumulated mass per
+    cell — out(c) = load(c) + sum over inflowing neighbors i of
+    (out(i) - absorption(i)) * efficiency(i). Topological peel carrying
+    the running mass. -> (row, col, value)."""
+    from whitebox_tools_spark.distributed import loop_checkpoint
+
+    aux = (
+        loading.select("row", "col", F.col("value").alias("ld"))
+        .join(efficiency.select("row", "col", F.col("value").alias("eff")), ["row", "col"])
+        .join(absorption.select("row", "col", F.col("value").alias("ab")), ["row", "col"])
+    )
+    acc = (
+        cells.filter(F.col("value").isNotNull())
+        .select("row", "col")
+        .join(aux, ["row", "col"])
+        .select("row", "col", F.col("ld").alias("m"), "eff", "ab")
+        .localCheckpoint(eager=True)
+    )
+    edges = _flow_edges(cells, grid).localCheckpoint(eager=True)
+    for _ in range(max_iterations):
+        if edges.isEmpty():
+            break
+        targets = edges.select(F.col("trow").alias("row"), F.col("tcol").alias("col")).distinct()
+        src_edges = edges.join(targets, ["row", "col"], "left_anti")
+        pushed = (
+            src_edges.join(acc, ["row", "col"])
+            .groupBy(F.col("trow").alias("row"), F.col("tcol").alias("col"))
+            .agg(F.sum((F.col("m") - F.col("ab")) * F.col("eff")).alias("dm"))
+        )
+        acc = (
+            acc.join(pushed, ["row", "col"], "left")
+            .withColumn("m", F.col("m") + F.coalesce(F.col("dm"), F.lit(0.0)))
+            .drop("dm")
+            .transform(loop_checkpoint)
+        )
+        edges = edges.join(
+            src_edges.select("row", "col"), ["row", "col"], "left_anti"
+        ).transform(loop_checkpoint)
+    return acc.select("row", "col", F.col("m").alias("value"))
+
+
+def d8_mass_flux_oracle_sql(
+    source_sql: str, grid: GridSpec, loading_sql: str, efficiency_sql: str,
+    absorption_sql: str,
+) -> str:
+    """Closed form: out(c) = load(c) + sum over upslope origins o != c of
+    (load(o) - abs(o)) * product of eff over the path cells o..pred(c) —
+    the walk carries the efficiency product (paths are unique in a D8
+    forest, so UNION ALL enumerates each (origin, cell) pair once)."""
+    return f"""
+WITH RECURSIVE {_fd_ctes(source_sql, grid)},
+ld AS (SELECT row, col, value AS ld FROM ({loading_sql}) t),
+ef AS (SELECT row, col, value AS eff FROM ({efficiency_sql}) t),
+ab AS (SELECT row, col, value AS ab FROM ({absorption_sql}) t),
+walk(orow, ocol, row, col, prod) AS (
+  SELECT row, col, row, col, CAST(1.0 AS DOUBLE) FROM cells
+  UNION ALL
+  SELECT w.orow, w.ocol, f.trow, f.tcol, w.prod * e.eff
+  FROM walk w
+  JOIN fd f ON f.row = w.row AND f.col = w.col
+  JOIN ef e ON e.row = w.row AND e.col = w.col
+),
+contrib AS (
+  SELECT w.row, w.col,
+         sum((l.ld - a.ab) * w.prod) AS s
+  FROM walk w
+  JOIN ld l ON l.row = w.orow AND l.col = w.ocol
+  JOIN ab a ON a.row = w.orow AND a.col = w.ocol
+  WHERE NOT (w.orow = w.row AND w.ocol = w.col)
+  GROUP BY w.row, w.col
+)
+SELECT c.row, c.col, l.ld + coalesce(ct.s, 0.0) AS value
+FROM cells c
+JOIN ld l ON l.row = c.row AND l.col = c.col
+LEFT JOIN contrib ct ON ct.row = c.row AND ct.col = c.col
+"""

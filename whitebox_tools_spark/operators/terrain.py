@@ -466,3 +466,134 @@ SELECT row, col,
        CASE WHEN n > 0.0 THEN 1.0 - sqrt(sx * sx + sy * sy) / n END AS value
 FROM agg
 """
+
+
+def relative_topographic_position(
+    cells: DataFrame, *, filterx: int = 3, filtery: int = 3
+) -> DataFrame:
+    """RelativeTopographicPosition (terrain_analysis/
+    relative_topographic_position.rs:390-415): (z-mean)/(mean-min) below
+    the window mean, (z-mean)/(max-mean) above it, 0 for flat windows.
+    -> (row, col, value) in [-1, 1]."""
+    from whitebox_tools_spark.operators.focal import _scatter_with_center
+
+    m = _scatter_with_center(cells, filterx=filterx, filtery=filtery)
+    agg = m.groupBy("row", "col").agg(
+        F.any_value("center").alias("z"),
+        F.avg("value").alias("mean"),
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+    )
+    return agg.select(
+        "row", "col",
+        F.when(
+            F.col("z") < F.col("mean"),
+            (F.col("z") - F.col("mean")) / (F.col("mean") - F.col("mn")),
+        )
+        .when(
+            F.col("mx") > F.col("mean"),
+            (F.col("z") - F.col("mean")) / (F.col("mx") - F.col("mean")),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("value"),
+    )
+
+
+def rtp_oracle_sql(source_sql: str, *, filterx: int = 3, filtery: int = 3) -> str:
+    from whitebox_tools_spark.operators.focal import _member_cte
+
+    return f"""
+WITH {_member_cte(source_sql, filterx=filterx, filtery=filtery)},
+agg AS (
+  SELECT row, col, any_value(center) AS z, avg(value) AS mean,
+         min(value) AS mn, max(value) AS mx
+  FROM m GROUP BY row, col
+)
+SELECT row, col,
+       CASE WHEN z < mean THEN (z - mean) / (mean - mn)
+            WHEN mx > mean THEN (z - mean) / (mx - mean)
+            ELSE 0.0 END AS value
+FROM agg
+"""
+
+
+def extract_valleys(cells: DataFrame, *, variant: str = "JandR") -> DataFrame:
+    """ExtractValleys (stream_network_analysis/extract_valleys.rs):
+    - JandR (Johnston & Rosenfeld 1975): cell = 1 when BOTH the north and
+      south neighbors are higher, or both east and west are (3x3 pass).
+    - PandD (Peucker & Douglas 1975, :456-486): for every 2x2 group the
+      highest member is flagged (ties prefer the group's bottom-right
+      anchor, then upper-left, upper, left — the reference's scan order);
+      cells never flagged in any group = 1, flagged = 0.
+    No line-thinning post-pass. -> (row, col, value)."""
+    spark = cells.sparkSession
+    src = cells.filter(F.col("value").isNotNull()).select("row", "col", "value")
+    if variant == "JandR":
+        g = _gather8(cells)  # n1=E, n5=W, n7=N, n3=S in slot order
+        cond = (
+            (F.col("n7") > F.col("z")) & (F.col("n3") > F.col("z"))
+        ) | ((F.col("n1") > F.col("z")) & (F.col("n5") > F.col("z")))
+        return g.select(
+            "row", "col", F.when(cond, 1.0).otherwise(0.0).alias("value")
+        )
+    # PandD: members of the 2x2 anchored at (row, col): offsets and their
+    # tie priorities (center 3 > (-1,-1) 2 > (0,-1) 1 > (-1,0) 0)
+    offs = [(0, 0, 3), (-1, -1, 2), (0, -1, 1), (-1, 0, 0)]
+    odf = spark.createDataFrame(offs, "dx int, dy int, prio int")
+    members = (
+        src.crossJoin(F.broadcast(odf))
+        .select(
+            (F.col("row") - F.col("dy")).alias("arow"),
+            (F.col("col") - F.col("dx")).alias("acol"),
+            "row", "col", "value", "prio",
+        )
+    )
+    anchors = src.select(F.col("row").alias("arow"), F.col("col").alias("acol"))
+    win = (
+        members.join(anchors, ["arow", "acol"])
+        .groupBy("arow", "acol")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("value").alias("z"), F.col("prio").alias("p"),
+                    F.col("row").alias("r"), F.col("col").alias("c"),
+                )
+            ).alias("w")
+        )
+        .select(F.col("w.r").alias("row"), F.col("w.c").alias("col"))
+        .distinct()
+    )
+    return src.join(win.withColumn("__f", F.lit(1)), ["row", "col"], "left").select(
+        "row", "col",
+        F.when(F.col("__f").isNotNull(), 0.0).otherwise(1.0).alias("value"),
+    )
+
+
+def extract_valleys_oracle_sql(source_sql: str, *, variant: str = "JandR") -> str:
+    if variant == "JandR":
+        return f"""
+WITH {_gather8_cte(source_sql)}
+SELECT row, col,
+       CASE WHEN (n7 > z AND n3 > z) OR (n1 > z AND n5 > z)
+            THEN 1.0 ELSE 0.0 END AS value
+FROM g
+"""
+    return f"""
+WITH src AS (SELECT row, col, value FROM ({source_sql}) WHERE value IS NOT NULL),
+offs(dx, dy, prio) AS (VALUES (0, 0, 3), (-1, -1, 2), (0, -1, 1), (-1, 0, 0)),
+members AS (
+  SELECT s.row - o.dy AS arow, s.col - o.dx AS acol,
+         s.row, s.col, s.value, o.prio
+  FROM src s CROSS JOIN offs o
+),
+win AS (
+  SELECT DISTINCT (max(struct_pack(z := m.value, p := m.prio,
+                                   r := m.row, c := m.col))).r AS row,
+         (max(struct_pack(z := m.value, p := m.prio, r := m.row, c := m.col))).c AS col
+  FROM members m JOIN src a ON a.row = m.arow AND a.col = m.acol
+  GROUP BY m.arow, m.acol
+)
+SELECT s.row, s.col,
+       CASE WHEN w.row IS NOT NULL THEN 0.0 ELSE 1.0 END AS value
+FROM src s LEFT JOIN win w ON w.row = s.row AND w.col = s.col
+"""
