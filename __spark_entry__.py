@@ -1237,6 +1237,28 @@ def q_viewshed(spark, sf_dir):
     )
 
 
+def q_directional_relief(spark, sf_dir):
+    """DirectionalRelief (terrain_analysis/directional_relief.rs), east
+    azimuth."""
+    from whitebox_tools_spark.operators.viewshed import directional_relief_east
+
+    return _r6(
+        directional_relief_east(_part_raster(spark, sf_dir), EXTRACT_GRID),
+        ["value"],
+    )
+
+
+def q_fetch_analysis(spark, sf_dir):
+    """FetchAnalysis (terrain_analysis/fetch_analysis.rs:330-428), east
+    azimuth, height increment 0.05."""
+    from whitebox_tools_spark.operators.viewshed import fetch_analysis_east
+
+    return _r6(
+        fetch_analysis_east(_part_raster(spark, sf_dir), EXTRACT_GRID),
+        ["value"],
+    )
+
+
 def q_horizon_angle(spark, sf_dir):
     """HorizonAngle (terrain_analysis/horizon_angle.rs), east azimuth,
     max search distance 100 map units."""
@@ -2368,6 +2390,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dinf_pointer": q_dinf_pointer,
         "viewshed": q_viewshed,
         "horizon_angle": q_horizon_angle,
+        "directional_relief": q_directional_relief,
+        "fetch_analysis": q_fetch_analysis,
         "olympic_filter": q_olympic_filter,
         "highpass_filter": q_highpass_filter,
         "conservative_smoothing": q_conservative_smoothing,
@@ -2456,6 +2480,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lidar_ground_filter": q_lidar_ground_filter,
         "lidar_elevation_slice": q_elevation_slice,
         "lidar_shift": q_lidar_shift,
+        "lidar_point_density": q_lidar_point_density,
+        "lidar_remove_outliers": q_lidar_remove_outliers,
         "lidar_filter_classes": q_lidar_filter_classes,
         "lidar_block_minimum": q_lidar_block_minimum,
         "lidar_block_maximum": q_lidar_block_maximum,
@@ -2886,6 +2912,12 @@ FROM a JOIN b ON a.row = b.row AND a.col = b.col
         "horizon_angle": "SELECT row, col, round(value, 6) AS value FROM ("
         + _vsh.horizon_angle_east_oracle_sql(_PART_RASTER_SQL, EXTRACT_GRID, max_dist=100.0)
         + ")",
+        "directional_relief": "SELECT row, col, round(value, 6) AS value FROM ("
+        + _vsh.directional_relief_east_oracle_sql(_PART_RASTER_SQL, EXTRACT_GRID)
+        + ")",
+        "fetch_analysis": "SELECT row, col, round(value, 6) AS value FROM ("
+        + _vsh.fetch_analysis_east_oracle_sql(_PART_RASTER_SQL, EXTRACT_GRID)
+        + ")",
         "euclidean_distance": "SELECT row, col, value FROM ("
         + _buf.euclidean_distance_oracle_sql(_BUFFER_SRC_SQL, EXTRACT_GRID)
         + ")",
@@ -3041,6 +3073,8 @@ SELECT row, col, round((value - mn) / (mx - mn), 6) AS value FROM dem CROSS JOIN
         "lidar_ground_filter": _lidar_ground_sql(),
         "lidar_elevation_slice": _lidar_sql("slice"),
         "lidar_shift": _lidar_sql("shift"),
+        "lidar_point_density": _lidar_density_sql(),
+        "lidar_remove_outliers": _lidar_outliers_sql(),
         "lidar_filter_classes": _lidar_sql("classes"),
         "lidar_block_minimum": _lidar_sql("block_min"),
         "lidar_block_maximum": _lidar_sql("block_max"),
@@ -3611,6 +3645,29 @@ def _order_cloud_cte() -> str:
     )
 
 
+def q_lidar_point_density(spark, sf_dir):
+    """LidarPointDensity (lidar_analysis/lidar_point_density.rs): counts
+    within 50 units of each NN_GRID cell center over pi r^2."""
+    from whitebox_tools_spark.operators.lidar import lidar_point_density
+
+    return _r6(
+        lidar_point_density(_order_cloud(spark, sf_dir), NN_GRID, radius=50.0),
+        ["value"],
+    )
+
+
+def q_lidar_remove_outliers(spark, sf_dir):
+    """LidarRemoveOutliers (lidar_analysis/lidar_outliers.rs): mean-z
+    difference over a 60-unit radius, 50-unit threshold."""
+    from whitebox_tools_spark.operators.lidar import lidar_outliers
+
+    out = lidar_outliers(_order_cloud(spark, sf_dir), radius=60.0, elev_diff=50.0)
+    return out.select(
+        "point_id", F.round("x", 6).alias("x"), F.round("y", 6).alias("y"),
+        F.round("z", 6).alias("z"), "classification",
+    )
+
+
 def q_lidar_shift(spark, sf_dir):
     """LidarShift (lidar_analysis/lidar_shift.rs): rigid x/y/z offset."""
     from whitebox_tools_spark.operators.lidar import lidar_shift
@@ -3655,6 +3712,23 @@ def q_lidar_block_maximum(spark, sf_dir):
         .filter(g.in_grid_expr(F.col("row"), F.col("col")))
         .groupBy("row", "col")
         .agg(F.round(F.max("z"), 6).alias("value"))
+    )
+
+
+def _lidar_density_sql() -> str:
+    from whitebox_tools_spark.operators.lidar import lidar_point_density_oracle_sql
+
+    inner = lidar_point_density_oracle_sql(_order_cloud_cte(), NN_GRID, radius=50.0)
+    return f"SELECT row, col, round(value, 6) AS value FROM ({inner}) t"
+
+
+def _lidar_outliers_sql() -> str:
+    from whitebox_tools_spark.operators.lidar import lidar_outliers_oracle_sql
+
+    inner = lidar_outliers_oracle_sql(_order_cloud_cte(), radius=60.0, elev_diff=50.0)
+    return (
+        f"SELECT point_id, round(x, 6) AS x, round(y, 6) AS y, round(z, 6) AS z, "
+        f"classification FROM ({inner}) t"
     )
 
 

@@ -199,3 +199,149 @@ def ground_point_filter(
     for q_ in parts[1:]:
         out = out.unionByName(q_)
     return out.select(F.col("pid").alias(point_id), F.col("off").alias("is_off_terrain"))
+
+
+def _radius_pairs(points: DataFrame, radius: float, *, with_self: bool) -> DataFrame:
+    """Block-binned candidate join: -> (point_id, z, nid, nz, d) for all
+    pairs within `radius` (one scatter to <= 9 bins, then an equi-join on
+    bin — the scale-invariant radius-search shape used by buffer.py)."""
+    src = points.select(
+        "point_id", "x", "y", "z",
+        F.floor(F.col("x") / radius).cast("long").alias("bx"),
+        F.floor(F.col("y") / radius).cast("long").alias("by"),
+    )
+    spark = points.sparkSession
+    offs = spark.createDataFrame(
+        [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)], "dx int, dy int"
+    )
+    probes = src.crossJoin(F.broadcast(offs)).select(
+        "point_id", "x", "y", "z",
+        (F.col("bx") + F.col("dx")).alias("bx"),
+        (F.col("by") + F.col("dy")).alias("by"),
+    )
+    cand = probes.join(
+        src.select(
+            F.col("point_id").alias("nid"), F.col("x").alias("nx"),
+            F.col("y").alias("ny"), F.col("z").alias("nz"), "bx", "by",
+        ),
+        ["bx", "by"],
+    )
+    d = F.sqrt(
+        (F.col("x") - F.col("nx")) ** 2 + (F.col("y") - F.col("ny")) ** 2
+    )
+    out = cand.filter(d <= radius).select("point_id", "z", "nid", "nz", d.alias("d"))
+    if not with_self:
+        out = out.filter(F.col("point_id") != F.col("nid"))
+    return out
+
+
+def lidar_point_density(
+    points: DataFrame, grid: GridSpec, *, radius: float
+) -> DataFrame:
+    """LidarPointDensity (lidar_analysis/lidar_point_density.rs): per grid
+    cell, points within `radius` of the CELL CENTER divided by pi r^2.
+    Destination-driven: each point scatters to the bins its radius
+    touches, cells probe their bin. -> (row, col, value)."""
+    import math as _math
+
+    spark = points.sparkSession
+    src = points.select(
+        "x", "y",
+        F.floor(F.col("x") / radius).cast("long").alias("bx"),
+        F.floor(F.col("y") / radius).cast("long").alias("by"),
+    )
+    offs = spark.createDataFrame(
+        [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)], "dx int, dy int"
+    )
+    scat = src.crossJoin(F.broadcast(offs)).select(
+        "x", "y",
+        (F.col("bx") + F.col("dx")).alias("bx"),
+        (F.col("by") + F.col("dy")).alias("by"),
+    )
+    cells = (
+        spark.range(grid.rows).select(F.col("id").alias("row"))
+        .crossJoin(spark.range(grid.cols).select(F.col("id").alias("col")))
+        .select(
+            "row", "col",
+            grid.x_center_expr(F.col("col")).alias("cx"),
+            grid.y_center_expr(F.col("row")).alias("cy"),
+        )
+        .select(
+            "row", "col", "cx", "cy",
+            F.floor(F.col("cx") / radius).cast("long").alias("bx"),
+            F.floor(F.col("cy") / radius).cast("long").alias("by"),
+        )
+    )
+    d = F.sqrt((F.col("cx") - F.col("x")) ** 2 + (F.col("cy") - F.col("y")) ** 2)
+    cnt = (
+        cells.join(scat, ["bx", "by"])
+        .filter(d <= radius)
+        .groupBy("row", "col")
+        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+    )
+    area = _math.pi * radius * radius
+    return cells.select("row", "col").join(cnt, ["row", "col"], "left").select(
+        "row", "col",
+        (F.coalesce(F.col("n"), F.lit(0.0)) / F.lit(area)).alias("value"),
+    )
+
+
+def lidar_point_density_oracle_sql(
+    points_sql: str, grid: GridSpec, *, radius: float
+) -> str:
+    import math as _math
+
+    area = _math.pi * radius * radius
+    return f"""
+WITH RECURSIVE
+pts AS (SELECT x, y FROM ({points_sql}) t),
+dr(row) AS (SELECT CAST(0 AS BIGINT)
+            UNION ALL SELECT row + 1 FROM dr WHERE row < {grid.rows - 1}),
+dc(col) AS (SELECT CAST(0 AS BIGINT)
+            UNION ALL SELECT col + 1 FROM dc WHERE col < {grid.cols - 1}),
+cells AS (SELECT row, col, {grid.x_center_sql("col")} AS cx,
+                 {grid.y_center_sql("row")} AS cy
+          FROM dr CROSS JOIN dc),
+cnt AS (
+  SELECT c.row, c.col, CAST(count(*) AS DOUBLE) AS n
+  FROM cells c JOIN pts p
+    ON sqrt((c.cx - p.x) * (c.cx - p.x) + (c.cy - p.y) * (c.cy - p.y)) <= {radius!r}
+  GROUP BY 1, 2
+)
+SELECT c.row, c.col, coalesce(cnt.n, 0.0) / {area!r} AS value
+FROM cells c LEFT JOIN cnt ON cnt.row = c.row AND cnt.col = c.col
+"""
+
+
+def lidar_outliers(
+    points: DataFrame, *, radius: float, elev_diff: float, use_median: bool = False
+) -> DataFrame:
+    """LidarRemoveOutliers (lidar_analysis/lidar_outliers.rs): drop points
+    whose |z - mean (or median) z of the OTHER points within radius|
+    exceeds elev_diff; points with no neighbor are kept. -> the filtered
+    cloud."""
+    pairs = _radius_pairs(points, radius, with_self=False)
+    stat = F.median("nz") if use_median else F.avg("nz")
+    agg = pairs.groupBy("point_id").agg(stat.alias("mz"))
+    j = points.join(agg, "point_id", "left")
+    return j.filter(
+        F.col("mz").isNull() | (F.abs(F.col("z") - F.col("mz")) <= elev_diff)
+    ).select(*points.columns)
+
+
+def lidar_outliers_oracle_sql(
+    points_sql: str, *, radius: float, elev_diff: float, use_median: bool = False
+) -> str:
+    stat = "median(b.z)" if use_median else "avg(b.z)"
+    return f"""
+WITH pts AS ({points_sql}),
+agg AS (
+  SELECT a.point_id, {stat} AS mz
+  FROM pts a JOIN pts b
+    ON a.point_id <> b.point_id
+   AND sqrt((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)) <= {radius!r}
+  GROUP BY a.point_id
+)
+SELECT p.* FROM pts p LEFT JOIN agg ON agg.point_id = p.point_id
+WHERE agg.mz IS NULL OR abs(p.z - agg.mz) <= {elev_diff!r}
+"""

@@ -175,3 +175,91 @@ agg AS (
 SELECT s.row, s.col, degrees(atan(agg.mx)) AS value
 FROM src s LEFT JOIN agg ON agg.row = s.row AND agg.col = s.col
 """
+
+
+def directional_relief_east(
+    cells: DataFrame, grid: GridSpec, *, max_dist: float = float("inf")
+) -> DataFrame:
+    """DirectionalRelief (terrain_analysis/directional_relief.rs), east
+    azimuth (the exact-row case of the reference's interpolated ray walk):
+    mean elevation of the valid cells east of the cell (within max_dist)
+    minus the cell's own elevation; NULL when no eastern cell exists.
+    -> (row, col, value)."""
+    src = cells.filter(F.col("value").isNotNull()).select("row", "col", "value")
+    east = src.select(
+        F.col("row"), F.col("col").alias("ecol"), F.col("value").alias("ez")
+    )
+    pairs = src.join(east, "row").filter(F.col("ecol") > F.col("col"))
+    dist = (F.col("ecol") - F.col("col")) * F.lit(grid.res_x)
+    pairs = pairs.filter(dist <= F.lit(max_dist))
+    agg = pairs.groupBy("row", "col").agg(F.avg("ez").alias("mz"))
+    return src.join(agg, ["row", "col"], "left").select(
+        "row", "col", (F.col("mz") - F.col("value")).alias("value")
+    )
+
+
+def directional_relief_east_oracle_sql(
+    source_sql: str, grid: GridSpec, *, max_dist: float = 1e18
+) -> str:
+    return f"""
+WITH src AS (SELECT row, col, value FROM ({source_sql}) WHERE value IS NOT NULL),
+agg AS (
+  SELECT a.row, a.col, avg(b.value) AS mz
+  FROM src a JOIN src b ON b.row = a.row AND b.col > a.col
+  WHERE (b.col - a.col) * {grid.res_x!r} <= {max_dist!r}
+  GROUP BY a.row, a.col
+)
+SELECT s.row, s.col, agg.mz - s.value AS value
+FROM src s LEFT JOIN agg ON agg.row = s.row AND agg.col = s.col
+"""
+
+
+def fetch_analysis_east(
+    cells: DataFrame, grid: GridSpec, *, height_increment: float = 0.05
+) -> DataFrame:
+    """FetchAnalysis (terrain_analysis/fetch_analysis.rs:330-428), east
+    azimuth: distance to the first eastern cell with
+    z >= z_core + dist * height_increment; with no obstacle, minus the
+    distance to the grid's east edge (the reference's negative edge-fetch
+    convention, using the raster's max column). -> (row, col, value)."""
+    src = cells.filter(F.col("value").isNotNull()).select("row", "col", "value")
+    mc = src.agg(F.max("col").alias("maxc"))
+    east = src.select(
+        F.col("row"), F.col("col").alias("ecol"), F.col("value").alias("ez")
+    )
+    pairs = src.join(east, "row").filter(F.col("ecol") > F.col("col"))
+    dist = (F.col("ecol") - F.col("col")).cast("double") * F.lit(grid.res_x)
+    hits = pairs.filter(
+        F.col("ez") >= F.col("value") + dist * F.lit(height_increment)
+    ).groupBy("row", "col").agg(F.min(dist).alias("hit"))
+    return (
+        src.join(hits, ["row", "col"], "left")
+        .crossJoin(F.broadcast(mc))
+        .select(
+            "row", "col",
+            F.coalesce(
+                F.col("hit"),
+                -(F.col("maxc") - F.col("col")).cast("double") * F.lit(grid.res_x),
+            ).alias("value"),
+        )
+    )
+
+
+def fetch_analysis_east_oracle_sql(
+    source_sql: str, grid: GridSpec, *, height_increment: float = 0.05
+) -> str:
+    return f"""
+WITH src AS (SELECT row, col, value FROM ({source_sql}) WHERE value IS NOT NULL),
+mc AS (SELECT max(col) AS maxc FROM src),
+hits AS (
+  SELECT a.row, a.col,
+         min((b.col - a.col) * {grid.res_x!r}) AS hit
+  FROM src a JOIN src b ON b.row = a.row AND b.col > a.col
+  WHERE b.value >= a.value + (b.col - a.col) * {grid.res_x!r} * {height_increment!r}
+  GROUP BY a.row, a.col
+)
+SELECT s.row, s.col,
+       coalesce(h.hit, -CAST(mc.maxc - s.col AS DOUBLE) * {grid.res_x!r}) AS value
+FROM src s CROSS JOIN mc
+LEFT JOIN hits h ON h.row = s.row AND h.col = s.col
+"""
