@@ -507,6 +507,16 @@ def q_histogram_matching(spark, sf_dir):
     )
 
 
+def q_surface_area_ratio(spark, sf_dir):
+    """SurfaceAreaRatio (terrain_analysis/surface_area_ratio.rs:215-330)."""
+    from whitebox_tools_spark.operators.terrain import surface_area_ratio
+
+    return _r6(
+        surface_area_ratio(_part_raster(spark, sf_dir), res_x=5.0, res_y=5.0),
+        ["value"],
+    )
+
+
 def q_rtp(spark, sf_dir):
     """RelativeTopographicPosition (terrain_analysis/
     relative_topographic_position.rs:390-415)."""
@@ -2322,6 +2332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pennock_landform_class": q_pennock,
         "circular_variance_of_aspect": q_circular_variance_aspect,
         "hypsometric_analysis": q_hypsometric,
+        "surface_area_ratio": q_surface_area_ratio,
         "relative_topographic_position": q_rtp,
         "extract_valleys_jandr": q_extract_valleys_jandr,
         "extract_valleys_pandd": q_extract_valleys_pandd,
@@ -2480,6 +2491,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lidar_ground_filter": q_lidar_ground_filter,
         "lidar_elevation_slice": q_elevation_slice,
         "lidar_shift": q_lidar_shift,
+        "lidar_remove_duplicates": q_lidar_remove_duplicates,
+        "add_point_coordinates_to_table": q_add_point_coordinates,
         "lidar_point_density": q_lidar_point_density,
         "lidar_remove_outliers": q_lidar_remove_outliers,
         "lidar_filter_classes": q_lidar_filter_classes,
@@ -2777,6 +2790,7 @@ UNION ALL SELECT 'l_discount', 'l_tax',
         "pennock_landform_class": _pennock_sql(),
         "circular_variance_of_aspect": _cva_aspect_sql(),
         "hypsometric_analysis": ST.hypsometric_oracle_sql(_PART_RASTER_SQL),
+        "surface_area_ratio": _sar_sql(),
         "relative_topographic_position": _rtp_sql(),
         "extract_valleys_jandr": _valleys_sql("JandR"),
         "extract_valleys_pandd": _valleys_sql("PandD"),
@@ -3073,6 +3087,15 @@ SELECT row, col, round((value - mn) / (mx - mn), 6) AS value FROM dem CROSS JOIN
         "lidar_ground_filter": _lidar_ground_sql(),
         "lidar_elevation_slice": _lidar_sql("slice"),
         "lidar_shift": _lidar_sql("shift"),
+        "lidar_remove_duplicates": (
+            "WITH pts AS (" + _order_cloud_cte() + "), "
+            "doubled AS (SELECT * FROM pts UNION ALL "
+            "SELECT point_id + 10000000, x, y, z, classification FROM pts) "
+            "SELECT min(point_id) AS point_id, round(x, 6) AS x, round(y, 6) AS y, "
+            "round(min(z), 6) AS z, min(classification) AS classification "
+            "FROM doubled GROUP BY x, y"
+        ),
+        "add_point_coordinates_to_table": _add_coords_sql(),
         "lidar_point_density": _lidar_density_sql(),
         "lidar_remove_outliers": _lidar_outliers_sql(),
         "lidar_filter_classes": _lidar_sql("classes"),
@@ -3289,6 +3312,13 @@ def _hist_match_sql() -> str:
     from whitebox_tools_spark.operators.image import histogram_matching_oracle_sql
 
     inner = histogram_matching_oracle_sql(_PART_RASTER_SQL, _PART_RASTER2_SQL)
+    return f"SELECT row, col, round(value, 6) AS value FROM ({inner}) t"
+
+
+def _sar_sql() -> str:
+    from whitebox_tools_spark.operators.terrain import surface_area_ratio_oracle_sql
+
+    inner = surface_area_ratio_oracle_sql(_PART_RASTER_SQL, res_x=5.0, res_y=5.0)
     return f"SELECT row, col, round(value, 6) AS value FROM ({inner}) t"
 
 
@@ -3645,6 +3675,36 @@ def _order_cloud_cte() -> str:
     )
 
 
+def q_lidar_remove_duplicates(spark, sf_dir):
+    """RemoveDuplicates (lidar_analysis/remove_duplicates.rs): the cloud
+    unioned with a re-keyed copy of itself collapses back to one point per
+    (x, y) with the lowest id."""
+    from whitebox_tools_spark.operators.lidar import remove_duplicates
+
+    c = _order_cloud(spark, sf_dir)
+    doubled = c.unionByName(
+        c.withColumn("point_id", F.col("point_id") + 10_000_000)
+    )
+    out = remove_duplicates(doubled)
+    return out.select(
+        "point_id", F.round("x", 6).alias("x"), F.round("y", 6).alias("y"),
+        F.round("z", 6).alias("z"), "classification",
+    )
+
+
+def q_add_point_coordinates(spark, sf_dir):
+    """AddPointCoordinatesToTable (data_tools/
+    add_point_coordinates_to_table.rs): append XCoord/YCoord fields."""
+    p = _cust_points(spark, sf_dir)
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("point_id"), "c_name", "c_mktsegment"
+    )
+    return cust.join(p.select("point_id", "x", "y"), "point_id").select(
+        "point_id", "c_name", "c_mktsegment",
+        F.round("x", 6).alias("XCoord"), F.round("y", 6).alias("YCoord"),
+    )
+
+
 def q_lidar_point_density(spark, sf_dir):
     """LidarPointDensity (lidar_analysis/lidar_point_density.rs): counts
     within 50 units of each NN_GRID cell center over pi r^2."""
@@ -3712,6 +3772,14 @@ def q_lidar_block_maximum(spark, sf_dir):
         .filter(g.in_grid_expr(F.col("row"), F.col("col")))
         .groupBy("row", "col")
         .agg(F.round(F.max("z"), 6).alias("value"))
+    )
+
+
+def _add_coords_sql() -> str:
+    x, y = synth.point_sql("c_custkey")
+    return (
+        f"SELECT c_custkey AS point_id, c_name, c_mktsegment, "
+        f"round({x}, 6) AS XCoord, round({y}, 6) AS YCoord FROM customer"
     )
 
 

@@ -345,3 +345,19 @@ agg AS (
 SELECT p.* FROM pts p LEFT JOIN agg ON agg.point_id = p.point_id
 WHERE agg.mz IS NULL OR abs(p.z - agg.mz) <= {elev_diff!r}
 """
+
+
+def remove_duplicates(points: DataFrame, *, include_z: bool = False) -> DataFrame:
+    """RemoveDuplicates (lidar_analysis/remove_duplicates.rs): one point
+    per duplicated (x, y[, z]) location, keeping the lowest point_id (the
+    reference keeps its first-scanned point). -> the deduplicated cloud
+    (point_id, x, y, z, classification subset)."""
+    keys = ["x", "y"] + (["z"] if include_z else [])
+    others = [c for c in points.columns if c not in keys]
+    agg = points.groupBy(*keys).agg(
+        F.min(F.struct(*[F.col(c) for c in ["point_id"] + [o for o in others if o != "point_id"]])).alias("w")
+    )
+    return agg.select(
+        *[F.col(f"w.{c}") for c in ["point_id"] + [o for o in others if o != "point_id"]],
+        *keys,
+    ).select(*points.columns)

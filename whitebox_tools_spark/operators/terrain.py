@@ -597,3 +597,103 @@ SELECT s.row, s.col,
        CASE WHEN w.row IS NOT NULL THEN 0.0 ELSE 1.0 END AS value
 FROM src s LEFT JOIN win w ON w.row = s.row AND w.col = s.col
 """
+
+
+# Jenness (2004) 3x3 ordering: row-major indices 0..8, center = 4.
+_J_DX = [-1, 0, 1, -1, 0, 1, -1, 0, 1]
+_J_DY = [-1, -1, -1, 0, 0, 0, 1, 1, 1]
+_J_DIST_PAIRS = [
+    (0, 1), (1, 2), (3, 4), (4, 5), (6, 7), (7, 8),
+    (0, 3), (1, 4), (2, 5), (3, 6), (4, 7), (5, 8),
+    (4, 0), (4, 2), (4, 6), (4, 8),
+]
+_J_TRIANGLES = [
+    (0, 7, 12), (1, 7, 13), (2, 6, 12), (3, 8, 13),
+    (2, 9, 14), (3, 11, 15), (4, 10, 14), (5, 10, 15),
+]
+
+
+def _sar_formula_sql(res_x: float, res_y: float) -> str:
+    """The shared surface-area-ratio expression over columns j0..j8
+    (NULL = missing/nodata); j4 is the center (always non-null)."""
+    diag = math.sqrt(res_x * res_x + res_y * res_y)
+    planar = [res_x] * 6 + [res_y] * 6 + [diag] * 4
+    dists = []
+    for c, (a, b) in enumerate(_J_DIST_PAIRS):
+        dp = planar[c]
+        dists.append(
+            f"(CASE WHEN j{a} IS NOT NULL AND j{b} IS NOT NULL "
+            f"THEN sqrt({dp * dp!r} + (j{a} - j{b}) * (j{a} - j{b})) / 2.0 "
+            f"ELSE 0.0 END)"
+        )
+    cell_area = res_x * res_y
+    eighth = cell_area / 8.0
+    tri_areas = []
+    tri_missing = []
+    for (p_, q_, r_) in _J_TRIANGLES:
+        p, q, r = dists[p_], dists[q_], dists[r_]
+        s = f"(({p} + {q} + {r}) / 2.0)"
+        tri_areas.append(
+            f"(CASE WHEN {p} * {q} * {r} <> 0.0 "
+            f"THEN sqrt({s} * ({s} - {p}) * ({s} - {q}) * ({s} - {r})) ELSE 0.0 END)"
+        )
+        tri_missing.append(
+            f"(CASE WHEN {p} * {q} * {r} <> 0.0 THEN 0.0 ELSE {eighth!r} END)"
+        )
+    area = " + ".join(tri_areas)
+    missing = " + ".join(tri_missing)
+    return (
+        f"CASE WHEN {cell_area!r} - ({missing}) > 0.0 "
+        f"THEN ({area}) / ({cell_area!r} - ({missing})) END"
+    )
+
+
+def surface_area_ratio(
+    cells: DataFrame, *, res_x: float, res_y: float
+) -> DataFrame:
+    """SurfaceAreaRatio (terrain_analysis/surface_area_ratio.rs:215-330,
+    Jenness 2004): the eight triangular facet areas (Heron, half-distances)
+    over the planar cell area, shrunk by 1/8 per facet with a missing
+    vertex; NULL when all facets are missing. One 3x3 gather + one shared
+    SQL formula. -> (row, col, value)."""
+    spark = cells.sparkSession
+    src = cells.filter(F.col("value").isNotNull()).select("row", "col", "value")
+    offs = spark.createDataFrame(
+        [(i, _J_DX[i], _J_DY[i]) for i in range(9)], "i int, dx int, dy int"
+    )
+    piv = (
+        src.crossJoin(F.broadcast(offs))
+        .select(
+            (F.col("row") - F.col("dy")).alias("row"),
+            (F.col("col") - F.col("dx")).alias("col"),
+            "i", F.col("value").alias("zn"),
+        )
+        .groupBy("row", "col")
+        .agg(*[F.max(F.when(F.col("i") == i, F.col("zn"))).alias(f"j{i}") for i in range(9)])
+    )
+    g = src.select("row", "col").join(piv, ["row", "col"], "left")
+    return g.selectExpr("row", "col", f"{_sar_formula_sql(res_x, res_y)} AS value")
+
+
+def surface_area_ratio_oracle_sql(
+    source_sql: str, *, res_x: float, res_y: float
+) -> str:
+    offs = ", ".join(f"({i}, {_J_DX[i]}, {_J_DY[i]})" for i in range(9))
+    jcols = ",\n  ".join(
+        f"max(CASE WHEN s.i = {i} THEN s.zn END) AS j{i}" for i in range(9)
+    )
+    return f"""
+WITH src AS (SELECT row, col, value FROM ({source_sql}) WHERE value IS NOT NULL),
+offs(i, dx, dy) AS (VALUES {offs}),
+g AS (
+  SELECT c.row, c.col,
+  {jcols}
+  FROM src c
+  LEFT JOIN (SELECT s0.row - o.dy AS row, s0.col - o.dx AS col, o.i,
+                    s0.value AS zn
+             FROM src s0 CROSS JOIN offs o) s
+    ON c.row = s.row AND c.col = s.col
+  GROUP BY c.row, c.col
+)
+SELECT row, col, {_sar_formula_sql(res_x, res_y)} AS value FROM g
+"""
