@@ -1487,6 +1487,29 @@ def q_distance_to_outlet(spark, sf_dir):
     return distance_to_outlet(_valley_dem(spark, sf_dir), STREAM_GRID, threshold=4.0)
 
 
+def q_long_profile(spark, sf_dir):
+    """LongProfile (stream_network_analysis/long_profile.rs): the plotted
+    (distance-to-outlet, elevation) pairs per stream cell."""
+    from whitebox_tools_spark.operators.streams import distance_to_outlet
+
+    d = distance_to_outlet(_valley_dem(spark, sf_dir), STREAM_GRID, threshold=4.0)
+    dem = _valley_dem(spark, sf_dir).select("row", "col", F.col("value").alias("z"))
+    return d.withColumnRenamed("value", "dist").join(dem, ["row", "col"]).select(
+        "row", "col", F.round("dist", 6).alias("dist"), F.round("z", 6).alias("z")
+    )
+
+
+def q_elev_rel_watershed(spark, sf_dir):
+    """ElevRelativeToWatershedMinMax (terrain_analysis/
+    elev_relative_to_watershed_min_max.rs:300-316)."""
+    from whitebox_tools_spark.operators.hydro import elev_relative_to_watershed_min_max
+
+    return _r6(
+        elev_relative_to_watershed_min_max(_noise_raster(spark, sf_dir), EXTRACT_GRID),
+        ["value"],
+    )
+
+
 def q_stream_link(spark, sf_dir):
     """StreamLinkIdentifier (links renumbered by terminal scan order)."""
     from whitebox_tools_spark.operators.streams import stream_link_identifier
@@ -2439,6 +2462,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_link_slope": q_stream_link_slope,
         "remove_short_streams": q_remove_short_streams,
         "distance_to_outlet": q_distance_to_outlet,
+        "long_profile": q_long_profile,
+        "elev_relative_to_watershed_min_max": q_elev_rel_watershed,
         "stream_link_id": q_stream_link,
         "watershed": q_watershed,
         "downslope_flowpath_length": q_flowpath_length,
@@ -3009,6 +3034,19 @@ WHERE round(f.value - d.value, 6) > 0
         ),
         "distance_to_outlet": _str.dist_to_outlet_oracle_sql(
             _VALLEY_DEM_SQL, STREAM_GRID, threshold=4.0
+        ),
+        "long_profile": (
+            "WITH d AS ("
+            + _str.dist_to_outlet_oracle_sql(_VALLEY_DEM_SQL, STREAM_GRID, threshold=4.0)
+            + f"), dem AS (SELECT row, col, value AS z FROM ({_VALLEY_DEM_SQL}) t "
+            "WHERE value IS NOT NULL) "
+            "SELECT d.row, d.col, round(d.value, 6) AS dist, round(dem.z, 6) AS z "
+            "FROM d JOIN dem ON dem.row = d.row AND dem.col = d.col"
+        ),
+        "elev_relative_to_watershed_min_max": (
+            "SELECT row, col, round(value, 6) AS value FROM ("
+            + _hyd.elev_rel_watershed_oracle_sql(_NOISE_RASTER_SQL, EXTRACT_GRID)
+            + ") t"
         ),
         "stream_link_id": _str.stream_link_oracle_sql(_VALLEY_DEM_SQL, STREAM_GRID, threshold=4.0),
         "watershed": _str.watershed_oracle_sql(_VALLEY_DEM_SQL, STREAM_GRID, _POUR),

@@ -1148,3 +1148,33 @@ FROM cells c
 JOIN ld l ON l.row = c.row AND l.col = c.col
 LEFT JOIN contrib ct ON ct.row = c.row AND ct.col = c.col
 """
+
+
+def elev_relative_to_watershed_min_max(cells: DataFrame, grid: GridSpec) -> DataFrame:
+    """ElevRelativeToWatershedMinMax (terrain_analysis/
+    elev_relative_to_watershed_min_max.rs:300-316): (z - basin_min) /
+    (basin_max - basin_min) with basins labeled by the engine's `basins`
+    operator (pointer-doubling to the D8 terminal). The basin raster is
+    materialized before the per-basin aggregate. -> (row, col, value)."""
+    b = basins(cells, grid).withColumnRenamed("basin_id", "bid").localCheckpoint()
+    dem = cells.filter(F.col("value").isNotNull()).select("row", "col", "value")
+    j = dem.join(b, ["row", "col"])
+    mm = j.groupBy("bid").agg(
+        F.min("value").alias("mn"), F.max("value").alias("mx")
+    )
+    return j.join(mm, "bid").select(
+        "row", "col",
+        ((F.col("value") - F.col("mn")) / (F.col("mx") - F.col("mn"))).alias("value"),
+    )
+
+
+def elev_rel_watershed_oracle_sql(source_sql: str, grid: GridSpec) -> str:
+    return f"""
+WITH b AS ({basins_oracle_sql(source_sql, grid)}),
+dem AS (SELECT row, col, value FROM ({source_sql}) WHERE value IS NOT NULL),
+j AS (SELECT d.row, d.col, d.value, b.basin_id AS bid
+      FROM dem d JOIN b ON b.row = d.row AND b.col = d.col),
+mm AS (SELECT bid, min(value) AS mn, max(value) AS mx FROM j GROUP BY bid)
+SELECT j.row, j.col, (j.value - mm.mn) / (mm.mx - mm.mn) AS value
+FROM j JOIN mm ON mm.bid = j.bid
+"""
