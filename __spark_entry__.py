@@ -779,6 +779,51 @@ def q_hexbin(spark, sf_dir):
     )
 
 
+def q_lidar_hex_bin(spark, sf_dir):
+    """LidarHexBinning (lidar_analysis/lidar_hex_bin.rs): the same hex
+    lattice machinery over the point cloud."""
+    from whitebox_tools_spark.operators.tiling import hex_binning
+
+    return hex_binning(
+        _order_cloud(spark, sf_dir).select("point_id", "x", "y"),
+        width=120.0, min_x=0.0, max_x=1000.0, min_y=0.0, max_y=1000.0,
+    )
+
+
+def q_lidar_tile_footprint(spark, sf_dir):
+    """LidarTileFootprint (lidar_analysis/lidar_tile_footprint.rs): per
+    tile, the point count and bounding box of its points."""
+    from whitebox_tools_spark.operators.tiling import assign_tiles
+
+    pts = assign_tiles(
+        _order_cloud(spark, sf_dir).select("point_id", "x", "y"),
+        width=250.0, height=250.0, origin_x=0.0, origin_y=0.0,
+        min_x=0.0, min_y=0.0, max_x=1000.0, max_y=1000.0,
+    )
+    return pts.groupBy("tile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("x"), 6).alias("min_x"), F.round(F.max("x"), 6).alias("max_x"),
+        F.round(F.min("y"), 6).alias("min_y"), F.round(F.max("y"), 6).alias("max_y"),
+    )
+
+
+def q_find_ridges(spark, sf_dir):
+    """FindRidges (terrain_analysis/find_ridges.rs:225-245)."""
+    from whitebox_tools_spark.operators.terrain import find_ridges
+
+    return find_ridges(_part_raster(spark, sf_dir))
+
+
+def q_attribute_histogram(spark, sf_dir):
+    """AttributeHistogram (math_stat_analysis/attribute_histogram.rs):
+    equal-width bins over lineitem extended price."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.lit(0).alias("row"), F.lit(0).alias("col"),
+        F.col("l_extendedprice").alias("value"),
+    )
+    return ST.raster_histogram(li, vmin=900.0, vmax=105000.0, bins=20)
+
+
 def q_median_filter(spark, sf_dir):
     """MedianFilter (image_analysis/median_filter.rs; exact order statistic)."""
     from whitebox_tools_spark.operators import focal as FO
@@ -2392,6 +2437,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hillshade": q_hillshade,
         "mean_filter": q_mean_filter,
         "hex_binning": q_hexbin,
+        "lidar_hex_bin": q_lidar_hex_bin,
+        "lidar_tile_footprint": q_lidar_tile_footprint,
+        "find_ridges": q_find_ridges,
+        "attribute_histogram": q_attribute_histogram,
         "median_filter": q_median_filter,
         "range_filter": q_range_filter,
         "minimum_filter": q_minimum_filter,
@@ -2891,6 +2940,17 @@ SELECT s_suppkey + 10000000 AS fid, s_name AS name FROM supplier
         "hillshade": _focal_sql("hillshade"),
         "mean_filter": _focal_sql("mean_filter"),
         "hex_binning": _hexbin_sql(),
+        "lidar_hex_bin": _lidar_hexbin_sql(),
+        "lidar_tile_footprint": _lidar_footprint_sql(),
+        "find_ridges": _find_ridges_sql(),
+        "attribute_histogram": """
+SELECT least(CAST(floor((l_extendedprice - 900.0) / 5205.0) AS BIGINT), 19) AS bin,
+       count(*) AS n
+FROM lineitem
+WHERE l_extendedprice IS NOT NULL
+  AND l_extendedprice >= 900.0 AND l_extendedprice <= 105000.0
+GROUP BY 1
+""",
         "median_filter": _stat_filter_sql("median"),
         "range_filter": _stat_filter_sql("range"),
         "minimum_filter": _stat_filter_sql("min"),
@@ -3928,6 +3988,36 @@ SELECT point_id, x, y,
        CAST(row_number() OVER (ORDER BY point_id) AS BIGINT) AS FID
 FROM pts WHERE point_id {op} (SELECT DISTINCT point_id FROM hits)
 """
+
+
+def _lidar_hexbin_sql() -> str:
+    from whitebox_tools_spark.operators.tiling import hex_binning_oracle_sql
+
+    cte = "SELECT point_id, x, y FROM (" + _order_cloud_cte() + ") t"
+    return hex_binning_oracle_sql(
+        cte, width=120.0, min_x=0.0, max_x=1000.0, min_y=0.0, max_y=1000.0
+    )
+
+
+def _lidar_footprint_sql() -> str:
+    tcol, trow, tile = lidar_tile_sql(
+        "x", "y", width=250.0, height=250.0, origin_x=0.0, origin_y=0.0,
+        min_x=0.0, min_y=0.0, max_x=1000.0, max_y=1000.0,
+    )
+    return f"""
+WITH pts AS ({_order_cloud_cte()}),
+t AS (SELECT point_id, x, y, {tile} AS tile FROM pts)
+SELECT tile, count(*) AS n,
+       round(min(x), 6) AS min_x, round(max(x), 6) AS max_x,
+       round(min(y), 6) AS min_y, round(max(y), 6) AS max_y
+FROM t GROUP BY tile
+"""
+
+
+def _find_ridges_sql() -> str:
+    from whitebox_tools_spark.operators.terrain import find_ridges_oracle_sql
+
+    return find_ridges_oracle_sql(_PART_RASTER_SQL)
 
 
 def _hexbin_sql() -> str:

@@ -697,3 +697,24 @@ g AS (
 )
 SELECT row, col, {_sar_formula_sql(res_x, res_y)} AS value FROM g
 """
+
+
+def find_ridges(cells: DataFrame) -> DataFrame:
+    """FindRidges (terrain_analysis/find_ridges.rs:225-245, no line
+    thinning): 1 where both N and S neighbors are valid and lower, or both
+    E and W are; else 0. -> (row, col, value)."""
+    g = _gather8(cells)  # slots: n1=E, n5=W, n7=N, n3=S; missing -> center
+    cond = (
+        (F.col("n7") < F.col("z")) & (F.col("n3") < F.col("z"))
+    ) | ((F.col("n1") < F.col("z")) & (F.col("n5") < F.col("z")))
+    return g.select("row", "col", F.when(cond, 1.0).otherwise(0.0).alias("value"))
+
+
+def find_ridges_oracle_sql(source_sql: str) -> str:
+    return f"""
+WITH {_gather8_cte(source_sql)}
+SELECT row, col,
+       CASE WHEN (n7 < z AND n3 < z) OR (n1 < z AND n5 < z)
+            THEN 1.0 ELSE 0.0 END AS value
+FROM g
+"""

@@ -181,12 +181,24 @@ def hex_binning(
     cdf = spark.createDataFrame(
         centers, "hex_index long, hex_row int, hex_col int, cx double, cy double"
     )
-    # index sized so one ring reaches the nearest center (spacing ~ width)
-    extent = max(max_x - min_x, max_y - min_y)
+    # index sized so one ring reaches the nearest center (spacing ~ width).
+    # The lattice OVERHANGS the point extent by up to one pitch (the last
+    # row/column of centers sits past max_x/max_y) — the index extent must
+    # cover the centers too, or edge centers land in a clamped cell and the
+    # ring search never finds them (observed: count-0 hexes on the east
+    # edge while their points were assigned to the next column in).
     import math as _m
 
+    max_cx = max(c[3] for c in centers)
+    max_cy = max(c[4] for c in centers)
+    min_cx = min(c[3] for c in centers)
+    min_cy = min(c[4] for c in centers)
+    west = min(min_x, min_cx)
+    south = min(min_y, min_cy)
+    extent = max(max_x, max_cx) - west
+    extent = max(extent, max(max_y, max_cy) - south)
     zoom = max(0, min(12, int(_m.floor(_m.log2(max(extent / (2.0 * width), 1.0))))))
-    idx = CellIndex(min_x, min_y, extent * 1.0000001, zoom)
+    idx = CellIndex(west, south, extent * 1.0000001, zoom)
     nn = knn_join(
         points,
         cdf,
