@@ -1816,6 +1816,102 @@ def q_unsharp(spark, sf_dir):
     )
 
 
+def _stack3(spark, sf_dir) -> DataFrame:
+    """3-band stack: 1=price, 2=size, 3=partkey%97."""
+    return (
+        _part_raster(spark, sf_dir).withColumn("band", F.lit(1))
+        .unionByName(_part_raster2(spark, sf_dir).withColumn("band", F.lit(2)))
+        .unionByName(_part_raster3(spark, sf_dir).withColumn("band", F.lit(3)))
+    )
+
+
+_STACK3_SQL = (
+    f"SELECT 1 AS band, row, col, value FROM ({_PART_RASTER_SQL}) t1 "
+    f"UNION ALL SELECT 2, row, col, value FROM ({_PART_RASTER2_SQL}) t2 "
+    f"UNION ALL SELECT 3, row, col, value FROM ({_PART_RASTER3_SQL}) t3"
+)
+
+
+def _q_stack(op):
+    def q(spark, sf_dir):
+        from whitebox_tools_spark.operators.raster_math import stack_overlay
+
+        return _r6(stack_overlay(_stack3(spark, sf_dir), op), ["value"])
+
+    q.__doc__ = f"{op} overlay (gis_analysis/{op}_overlay.rs) over the 3-band stack"
+    return q
+
+
+q_max_overlay = _q_stack("max")
+q_min_overlay = _q_stack("min")
+q_sum_overlay = _q_stack("sum")
+q_average_overlay = _q_stack("average")
+q_multiply_overlay = _q_stack("multiply")
+
+
+def q_highest_pos(spark, sf_dir):
+    """HighestPosition (gis_analysis/highest_pos.rs)."""
+    from whitebox_tools_spark.operators.raster_math import stack_position
+
+    return stack_position(_stack3(spark, sf_dir), highest=True)
+
+
+def q_lowest_pos(spark, sf_dir):
+    """LowestPosition (gis_analysis/lowest_pos.rs)."""
+    from whitebox_tools_spark.operators.raster_math import stack_position
+
+    return stack_position(_stack3(spark, sf_dir), highest=False)
+
+
+def q_count_if(spark, sf_dir):
+    """CountIf (gis_analysis/count_if.rs): bands equal to 5.0 per cell."""
+    from whitebox_tools_spark.operators.raster_math import count_if
+
+    return count_if(_stack3(spark, sf_dir), value=5.0)
+
+
+def q_percent_greater_than(spark, sf_dir):
+    """PercentGreaterThan (gis_analysis/percent_greater_than.rs): stack vs
+    the size raster."""
+    from whitebox_tools_spark.operators.raster_math import percent_compare
+
+    return _r6(
+        percent_compare(_stack3(spark, sf_dir), _part_raster2(spark, sf_dir), op="gt"),
+        ["value"],
+    )
+
+
+def q_percent_less_than(spark, sf_dir):
+    """PercentLessThan (gis_analysis/percent_less_than.rs)."""
+    from whitebox_tools_spark.operators.raster_math import percent_compare
+
+    return _r6(
+        percent_compare(_stack3(spark, sf_dir), _part_raster2(spark, sf_dir), op="lt"),
+        ["value"],
+    )
+
+
+def q_percent_equal_to(spark, sf_dir):
+    """PercentEqualTo (gis_analysis/percent_equal_to.rs)."""
+    from whitebox_tools_spark.operators.raster_math import percent_compare
+
+    return _r6(
+        percent_compare(_stack3(spark, sf_dir), _part_raster2(spark, sf_dir), op="eq"),
+        ["value"],
+    )
+
+
+def q_pick_from_list(spark, sf_dir):
+    """PickFromList (gis_analysis/pick_from_list.rs): position raster =
+    1 + (partkey % 3)."""
+    from whitebox_tools_spark.operators.raster_math import pick_from_list
+
+    pos = _part_raster3(spark, sf_dir).select(
+        "row", "col", (F.col("value") % 3 + 1).alias("value")
+    )
+    return pick_from_list(_stack3(spark, sf_dir), pos)
+
+
 def q_rgb_to_ihs(spark, sf_dir):
     """RgbToIhs (image_analysis/rgb_to_ihs.rs:810-830)."""
     from whitebox_tools_spark.operators import color as CO
@@ -2536,6 +2632,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roberts_filter": q_roberts,
         "unsharp_masking": q_unsharp,
         "percentile_filter": q_percentile_filter,
+        "max_overlay": q_max_overlay,
+        "min_overlay": q_min_overlay,
+        "sum_overlay": q_sum_overlay,
+        "average_overlay": q_average_overlay,
+        "multiply_overlay": q_multiply_overlay,
+        "highest_position": q_highest_pos,
+        "lowest_position": q_lowest_pos,
+        "count_if": q_count_if,
+        "percent_greater_than": q_percent_greater_than,
+        "percent_less_than": q_percent_less_than,
+        "percent_equal_to": q_percent_equal_to,
+        "pick_from_list": q_pick_from_list,
         "rgb_to_ihs": q_rgb_to_ihs,
         "ihs_to_rgb": q_ihs_to_rgb,
         "create_colour_composite": q_create_composite,
@@ -2981,6 +3089,29 @@ GROUP BY 1
         "roberts_filter": _roberts_sql(),
         "unsharp_masking": _unsharp_sql(),
         "percentile_filter": _percentile_filter_sql(),
+        **{
+            f"{op}_overlay": (
+                "SELECT row, col, round(value, 6) AS value FROM ("
+                + RM.stack_overlay_oracle_sql(_STACK3_SQL, op)
+                + ") t"
+            )
+            for op in ("max", "min", "sum", "average", "multiply")
+        },
+        "highest_position": RM.stack_position_oracle_sql(_STACK3_SQL, highest=True),
+        "lowest_position": RM.stack_position_oracle_sql(_STACK3_SQL, highest=False),
+        "count_if": RM.count_if_oracle_sql(_STACK3_SQL, value=5.0),
+        **{
+            f"percent_{nm}": (
+                "SELECT row, col, round(value, 6) AS value FROM ("
+                + RM.percent_compare_oracle_sql(_STACK3_SQL, _PART_RASTER2_SQL, op=op)
+                + ") t"
+            )
+            for nm, op in (("greater_than", "gt"), ("less_than", "lt"), ("equal_to", "eq"))
+        },
+        "pick_from_list": RM.pick_from_list_oracle_sql(
+            _STACK3_SQL,
+            f"SELECT row, col, value % 3 + 1 AS value FROM ({_PART_RASTER3_SQL}) t",
+        ),
         "rgb_to_ihs": _rgb_ihs_sql(),
         "ihs_to_rgb": _ihs_rgb_sql(),
         "create_colour_composite": _composite_sql(),

@@ -199,3 +199,171 @@ def normalized_difference(
     s = F.col("value") + F.col("__v2")
     nd = F.when(s != 0.0, (F.col("value") - F.col("__v2")) / s)
     return a.join(b, ["row", "col"]).withColumn("value", nd).drop("__v2")
+
+
+# ---------------------------------------------------------------------------
+# Image-stack overlay family (gis_analysis/{max,min,sum,average,max_abs,
+# min_abs,multiply}_overlay.rs, highest_pos.rs, lowest_pos.rs, count_if.rs,
+# percent_{equal_to,greater_than,less_than}.rs, pick_from_list.rs) over the
+# multi-band cell table (band, row, col, value); band = 1-based stack
+# position. All are one hash aggregate (or one equi-join) per cell.
+# ---------------------------------------------------------------------------
+def stack_overlay(cells: DataFrame, op: str) -> DataFrame:
+    """-> (row, col, value) combining all bands per cell: max, min, sum,
+    average, max_abs, min_abs (the reference returns the magnitude), or
+    multiply."""
+    from pyspark.sql import functions as F
+
+    src = cells.filter(F.col("value").isNotNull())
+    g = src.groupBy("row", "col")
+    if op == "max":
+        out = g.agg(F.max("value").alias("value"))
+    elif op == "min":
+        out = g.agg(F.min("value").alias("value"))
+    elif op == "sum":
+        out = g.agg(F.sum("value").alias("value"))
+    elif op == "average":
+        out = g.agg(F.avg("value").alias("value"))
+    elif op == "max_abs":
+        out = g.agg(F.max(F.abs(F.col("value"))).alias("value"))
+    elif op == "min_abs":
+        out = g.agg(F.min(F.abs(F.col("value"))).alias("value"))
+    elif op == "multiply":
+        # product via sign-aware exp/sum/log: exact for reasonable stacks
+        # would lose precision; use aggregate over collect_list instead
+        out = g.agg(
+            F.aggregate(
+                F.collect_list("value"), F.lit(1.0), lambda acc, x: acc * x
+            ).alias("value")
+        )
+    else:
+        raise ValueError(op)
+    return out
+
+
+def stack_overlay_oracle_sql(stack_sql: str, op: str) -> str:
+    agg = {
+        "max": "max(value)",
+        "min": "min(value)",
+        "sum": "sum(value)",
+        "average": "avg(value)",
+        "max_abs": "max(abs(value))",
+        "min_abs": "min(abs(value))",
+        "multiply": "product(value)",
+    }[op]
+    return f"""
+SELECT row, col, {agg} AS value FROM ({stack_sql}) t
+WHERE value IS NOT NULL GROUP BY row, col
+"""
+
+
+def stack_position(cells: DataFrame, *, highest: bool = True) -> DataFrame:
+    """HighestPosition / LowestPosition: the 1-based band index of the
+    extreme value per cell; ties break to the LOWEST band (the reference's
+    scan order). -> (row, col, value)."""
+    from pyspark.sql import functions as F
+
+    src = cells.filter(F.col("value").isNotNull())
+    if highest:
+        pick = F.max(
+            F.struct(F.col("value").alias("v"), (-F.col("band")).alias("nb"))
+        )
+    else:
+        pick = F.min(
+            F.struct(F.col("value").alias("v"), F.col("band").alias("nb"))
+        )
+    out = src.groupBy("row", "col").agg(pick.alias("w"))
+    band = F.when(F.lit(highest), -F.col("w.nb")).otherwise(F.col("w.nb"))
+    return out.select("row", "col", F.abs(F.col("w.nb")).cast("double").alias("value"))
+
+
+def stack_position_oracle_sql(stack_sql: str, *, highest: bool = True) -> str:
+    if highest:
+        pick = "max(struct_pack(v := value, nb := -band))"
+    else:
+        pick = "min(struct_pack(v := value, nb := band))"
+    return f"""
+SELECT row, col, CAST(abs(({pick}).nb) AS DOUBLE) AS value
+FROM ({stack_sql}) t WHERE value IS NOT NULL GROUP BY row, col
+"""
+
+
+def count_if(cells: DataFrame, *, value: float) -> DataFrame:
+    """CountIf (gis_analysis/count_if.rs): per cell, how many stack bands
+    equal `value`. -> (row, col, value)."""
+    from pyspark.sql import functions as F
+
+    return (
+        cells.filter(F.col("value").isNotNull())
+        .groupBy("row", "col")
+        .agg(
+            F.sum(F.when(F.col("value") == value, 1).otherwise(0))
+            .cast("double").alias("value")
+        )
+    )
+
+
+def count_if_oracle_sql(stack_sql: str, *, value: float) -> str:
+    return f"""
+SELECT row, col,
+       CAST(sum(CASE WHEN value = {value!r} THEN 1 ELSE 0 END) AS DOUBLE) AS value
+FROM ({stack_sql}) t WHERE value IS NOT NULL GROUP BY row, col
+"""
+
+
+def percent_compare(cells: DataFrame, comp: DataFrame, *, op: str) -> DataFrame:
+    """PercentEqualTo / PercentGreaterThan / PercentLessThan: per cell,
+    100 * (# bands with value <op> comparison) / (# valid bands).
+    -> (row, col, value)."""
+    from pyspark.sql import functions as F
+
+    c = comp.filter(F.col("value").isNotNull()).select(
+        "row", "col", F.col("value").alias("cv")
+    )
+    j = cells.filter(F.col("value").isNotNull()).join(c, ["row", "col"])
+    cond = {
+        "eq": F.col("value") == F.col("cv"),
+        "gt": F.col("value") > F.col("cv"),
+        "lt": F.col("value") < F.col("cv"),
+    }[op]
+    return j.groupBy("row", "col").agg(
+        (
+            F.sum(F.when(cond, 1.0).otherwise(0.0)) / F.count(F.lit(1)) * 100.0
+        ).alias("value")
+    )
+
+
+def percent_compare_oracle_sql(stack_sql: str, comp_sql: str, *, op: str) -> str:
+    cmp_op = {"eq": "=", "gt": ">", "lt": "<"}[op]
+    return f"""
+WITH s AS (SELECT band, row, col, value FROM ({stack_sql}) t WHERE value IS NOT NULL),
+c AS (SELECT row, col, value AS cv FROM ({comp_sql}) t WHERE value IS NOT NULL)
+SELECT s.row, s.col,
+       sum(CASE WHEN s.value {cmp_op} c.cv THEN 1.0 ELSE 0.0 END) / count(*) * 100.0 AS value
+FROM s JOIN c ON c.row = s.row AND c.col = s.col
+GROUP BY s.row, s.col
+"""
+
+
+def pick_from_list(cells: DataFrame, pos: DataFrame) -> DataFrame:
+    """PickFromList (gis_analysis/pick_from_list.rs): per cell, the value
+    of the band named by the position raster (1-based).
+    -> (row, col, value)."""
+    from pyspark.sql import functions as F
+
+    p = pos.filter(F.col("value").isNotNull()).select(
+        "row", "col", F.col("value").cast("long").alias("band")
+    )
+    return cells.filter(F.col("value").isNotNull()).join(
+        p, ["row", "col", "band"]
+    ).select("row", "col", "value")
+
+
+def pick_from_list_oracle_sql(stack_sql: str, pos_sql: str) -> str:
+    return f"""
+WITH s AS (SELECT band, row, col, value FROM ({stack_sql}) t WHERE value IS NOT NULL),
+p AS (SELECT row, col, CAST(value AS BIGINT) AS band FROM ({pos_sql}) t
+      WHERE value IS NOT NULL)
+SELECT s.row, s.col, s.value
+FROM s JOIN p ON p.row = s.row AND p.col = s.col AND p.band = s.band
+"""
