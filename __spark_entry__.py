@@ -1832,6 +1832,40 @@ _STACK3_SQL = (
 )
 
 
+def q_raster_area(spark, sf_dir):
+    """RasterArea (gis_analysis/raster_area.rs) over the size-class raster."""
+    return RM.raster_area(_part_raster2(spark, sf_dir), res_x=5.0, res_y=5.0)
+
+
+def q_raster_perimeter(spark, sf_dir):
+    """RasterPerimeter (gis_analysis/raster_perimeter.rs:517-600,
+    Prewitt-Mendelsohn LUT) over the size-class raster."""
+    return _r6(
+        RM.raster_perimeter(_part_raster2(spark, sf_dir), res_x=5.0, res_y=5.0),
+        ["perimeter"],
+    )
+
+
+def q_find_patch_edge_cells(spark, sf_dir):
+    """FindPatchOrClassEdgeCells (gis_analysis/find_patch_edge_cells.rs)."""
+    return RM.find_patch_edge_cells(_part_raster2(spark, sf_dir))
+
+
+def q_update_nodata_cells(spark, sf_dir):
+    """UpdateNodataCells (gis_analysis/update_nodata_cells.rs): the price
+    raster with odd rows nulled, filled from the size raster."""
+    a = _part_raster(spark, sf_dir).select(
+        "row", "col",
+        F.when(F.col("row") % 2 == 0, F.col("value")).alias("value"),
+    )
+    return RM.update_nodata_cells(a, _part_raster2(spark, sf_dir))
+
+
+def q_reclass_equal_interval(spark, sf_dir):
+    """ReclassEqualInterval (gis_analysis/reclass_equal_interval.rs)."""
+    return RM.reclass_equal_interval(_part_raster(spark, sf_dir), interval=250.0)
+
+
 def _q_stack(op):
     def q(spark, sf_dir):
         from whitebox_tools_spark.operators.raster_math import stack_overlay
@@ -2632,6 +2666,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roberts_filter": q_roberts,
         "unsharp_masking": q_unsharp,
         "percentile_filter": q_percentile_filter,
+        "raster_area": q_raster_area,
+        "raster_perimeter": q_raster_perimeter,
+        "find_patch_edge_cells": q_find_patch_edge_cells,
+        "update_nodata_cells": q_update_nodata_cells,
+        "reclass_equal_interval": q_reclass_equal_interval,
         "max_overlay": q_max_overlay,
         "min_overlay": q_min_overlay,
         "sum_overlay": q_sum_overlay,
@@ -3089,6 +3128,21 @@ GROUP BY 1
         "roberts_filter": _roberts_sql(),
         "unsharp_masking": _unsharp_sql(),
         "percentile_filter": _percentile_filter_sql(),
+        "raster_area": RM.raster_area_oracle_sql(_PART_RASTER2_SQL, res_x=5.0, res_y=5.0),
+        "raster_perimeter": (
+            "SELECT value, CAST(round(perimeter, 6) AS DOUBLE) AS perimeter FROM ("
+            + RM.raster_perimeter_oracle_sql(_PART_RASTER2_SQL, res_x=5.0, res_y=5.0)
+            + ") t"
+        ),
+        "find_patch_edge_cells": RM.find_patch_edge_oracle_sql(_PART_RASTER2_SQL),
+        "update_nodata_cells": RM.update_nodata_oracle_sql(
+            f"SELECT row, col, CASE WHEN row % 2 = 0 THEN value END AS value "
+            f"FROM ({_PART_RASTER_SQL}) t",
+            _PART_RASTER2_SQL,
+        ),
+        "reclass_equal_interval": RM.reclass_equal_interval_oracle_sql(
+            _PART_RASTER_SQL, interval=250.0
+        ),
         **{
             f"{op}_overlay": (
                 "SELECT row, col, round(value, 6) AS value FROM ("

@@ -367,3 +367,236 @@ p AS (SELECT row, col, CAST(value AS BIGINT) AS band FROM ({pos_sql}) t
 SELECT s.row, s.col, s.value
 FROM s JOIN p ON p.row = s.row AND p.col = s.col AND p.band = s.band
 """
+
+
+# Prewitt & Mendelsohn perimeter-estimation lookup (raster_perimeter.rs:258-516):
+# index = 8-neighbor same-class bitmask (bit n set iff neighbor n matches,
+# n in the reference's dx=[1,1,1,0,-1,-1,-1,0], dy=[-1,0,1,1,1,0,-1,-1] order).
+_PERIM_LUT = [
+    4.0, 2.828427125, 2.236067977, 2.414213562, 2.828427125, 3.0, 2.414213562, 2.236067977,
+    2.236067977, 2.414213562, 2.0, 2.0, 2.828427125, 1.414213562, 1.414213562, 1.414213562,
+    2.236067977, 2.828427125, 2.0, 1.414213562, 2.414213562, 1.414213562, 2.0, 1.414213562,
+    2.0, 2.0, 1.0, 2.0, 2.0, 2.0, 2.0, 1.0,
+    2.828427125, 3.0, 2.828427125, 1.414213562, 2.0, 4.0, 2.236067977, 2.236067977,
+    2.414213562, 2.236067977, 1.414213562, 1.414213562, 2.236067977, 2.236067977, 1.414213562, 1.414213562,
+    2.828427125, 2.236067977, 1.414213562, 1.414213562, 2.236067977, 2.414213562, 2.0, 1.414213562,
+    2.0, 2.0, 1.0, 1.414213562, 2.0, 2.0, 1.0, 1.0,
+    2.236067977, 2.828427125, 2.0, 2.0, 2.828427125, 2.236067977, 2.0, 2.0,
+    2.0, 1.414213562, 1.0, 2.0, 1.414213562, 1.414213562, 1.0, 1.414213562,
+    2.0, 1.414213562, 1.0, 1.0, 1.414213562, 1.414213562, 2.0, 1.414213562,
+    1.0, 1.0, 0.0, 0.0, 1.0, 1.0, 0.0, 0.0,
+    2.414213562, 1.414213562, 2.0, 2.0, 2.236067977, 2.414213562, 2.0, 2.0,
+    2.0, 1.414213562, 2.0, 1.0, 2.0, 1.414213562, 1.0, 1.0,
+    1.414213562, 1.414213562, 1.0, 1.0, 1.414213562, 1.414213562, 1.0, 1.0,
+    2.0, 1.414213562, 0.0, 0.0, 1.0, 1.0, 0.0, 0.0,
+    2.828427125, 2.0, 2.828427125, 2.236067977, 3.0, 4.0, 1.414213562, 2.236067977,
+    2.828427125, 2.236067977, 1.414213562, 2.0, 2.236067977, 2.414213562, 1.414213562, 1.414213562,
+    2.414213562, 2.236067977, 1.414213562, 1.414213562, 2.236067977, 2.236067977, 1.414213562, 1.414213562,
+    2.0, 2.0, 1.0, 1.0, 2.0, 2.0, 1.414213562, 1.0,
+    3.0, 4.0, 2.236067977, 2.414213562, 4.0, 4.0, 2.414213562, 2.236067977,
+    1.414213562, 2.236067977, 1.414213562, 1.414213562, 2.414213562, 2.236067977, 1.414213562, 1.414213562,
+    1.414213562, 2.414213562, 1.414213562, 1.414213562, 2.236067977, 2.236067977, 1.414213562, 1.414213562,
+    2.0, 2.0, 1.0, 1.0, 2.0, 2.0, 1.0, 1.0,
+    2.414213562, 2.0, 2.236067977, 2.0, 1.414213562, 2.414213562, 2.0, 2.0,
+    1.414213562, 1.414213562, 1.0, 1.0, 1.414213562, 1.414213562, 1.0, 1.0,
+    2.0, 2.0, 2.0, 1.0, 1.414213562, 1.414213562, 1.0, 1.0,
+    2.0, 1.0, 0.0, 0.0, 1.414213562, 1.0, 0.0, 0.0,
+    2.236067977, 2.236067977, 2.0, 2.0, 2.236067977, 2.236067977, 2.0, 2.0,
+    1.414213562, 1.414213562, 1.414213562, 1.0, 1.414213562, 1.414213562, 1.0, 1.0,
+    1.414213562, 1.414213562, 1.414213562, 1.0, 1.414213562, 1.414213562, 1.0, 1.0,
+    1.0, 1.0, 0.0, 0.0, 1.0, 1.0, 0.0, 0.0,
+]
+
+
+def raster_area(cells: DataFrame, *, res_x: float, res_y: float) -> DataFrame:
+    """RasterArea (gis_analysis/raster_area.rs): per class value, cell
+    count times the cell area. -> (value, area)."""
+    from pyspark.sql import functions as F
+
+    return (
+        cells.filter(F.col("value").isNotNull())
+        .groupBy("value")
+        .agg((F.count(F.lit(1)) * F.lit(res_x * res_y)).alias("area"))
+    )
+
+
+def raster_area_oracle_sql(source_sql: str, *, res_x: float, res_y: float) -> str:
+    return f"""
+SELECT value, count(*) * {res_x * res_y!r} AS area
+FROM ({source_sql}) t WHERE value IS NOT NULL GROUP BY value
+"""
+
+
+def raster_perimeter(cells: DataFrame, *, res_x: float, res_y: float) -> DataFrame:
+    """RasterPerimeter (gis_analysis/raster_perimeter.rs:517-600): per
+    class, the Prewitt-Mendelsohn perimeter estimate — each cell
+    contributes LUT[same-class 8-neighbor bitmask] * avg_res (grid-cell
+    units scaled once more by avg_res as the reference does).
+    -> (value, perimeter)."""
+    from pyspark.sql import functions as F
+
+    dxs = [1, 1, 1, 0, -1, -1, -1, 0]
+    dys = [-1, 0, 1, 1, 1, 0, -1, -1]
+    spark = cells.sparkSession
+    src = cells.filter(F.col("value").isNotNull()).select("row", "col", "value")
+    offs = spark.createDataFrame(
+        [(n, dxs[n], dys[n]) for n in range(8)], "n int, dx int, dy int"
+    )
+    piv = (
+        src.crossJoin(F.broadcast(offs))
+        .select(
+            (F.col("row") - F.col("dy")).alias("row"),
+            (F.col("col") - F.col("dx")).alias("col"),
+            "n", F.col("value").alias("zn"),
+        )
+        .groupBy("row", "col")
+        .agg(*[F.max(F.when(F.col("n") == n, F.col("zn"))).alias(f"z{n}") for n in range(8)])
+    )
+    g = src.join(piv, ["row", "col"], "left")
+    mask = None
+    for n in range(8):
+        b = F.when(F.col(f"z{n}") == F.col("value"), F.lit(1 << n)).otherwise(F.lit(0))
+        mask = b if mask is None else mask + b
+    avg_res = (res_x + res_y) / 2.0
+    lut = F.array(*[F.lit(v) for v in _PERIM_LUT])
+    per_cell = F.element_at(lut, mask + 1) * F.lit(avg_res)
+    return g.groupBy("value").agg(F.sum(per_cell).alias("perimeter"))
+
+
+def raster_perimeter_oracle_sql(source_sql: str, *, res_x: float, res_y: float) -> str:
+    dxs = [1, 1, 1, 0, -1, -1, -1, 0]
+    dys = [-1, 0, 1, 1, 1, 0, -1, -1]
+    offs = ", ".join(f"({n}, {dxs[n]}, {dys[n]})" for n in range(8))
+    zcols = ",\n  ".join(
+        f"max(CASE WHEN s.n = {n} THEN s.zn END) AS z{n}" for n in range(8)
+    )
+    mask = " + ".join(
+        f"CASE WHEN z{n} = c.value THEN {1 << n} ELSE 0 END" for n in range(8)
+    )
+    lut_list = "[" + ", ".join(repr(v) for v in _PERIM_LUT) + "]"
+    avg_res = (res_x + res_y) / 2.0
+    return f"""
+WITH src AS (SELECT row, col, value FROM ({source_sql}) t WHERE value IS NOT NULL),
+offs(n, dx, dy) AS (VALUES {offs}),
+g AS (
+  SELECT c.row, c.col, any_value(c.value) AS value,
+  {zcols}
+  FROM src c
+  LEFT JOIN (SELECT s0.row - o.dy AS row, s0.col - o.dx AS col, o.n,
+                    s0.value AS zn
+             FROM src s0 CROSS JOIN offs o) s
+    ON c.row = s.row AND c.col = s.col
+  GROUP BY c.row, c.col
+),
+m AS (SELECT value, ({mask}) AS msk FROM (SELECT *, value AS cvalue FROM g) c)
+SELECT value,
+       sum(list_extract({lut_list}, msk + 1) * {avg_res!r}) AS perimeter
+FROM m GROUP BY value
+"""
+
+
+def find_patch_edge_cells(cells: DataFrame) -> DataFrame:
+    """FindPatchOrClassEdgeCells (gis_analysis/find_patch_edge_cells.rs):
+    1 where any 4-neighbor has a different class (or is absent), else 0.
+    -> (row, col, value)."""
+    from pyspark.sql import functions as F
+
+    spark = cells.sparkSession
+    src = cells.filter(F.col("value").isNotNull()).select("row", "col", "value")
+    offs = spark.createDataFrame(
+        [(1, 0), (-1, 0), (0, 1), (0, -1)], "dx int, dy int"
+    )
+    nbr = (
+        src.crossJoin(F.broadcast(offs))
+        .select(
+            (F.col("row") - F.col("dy")).alias("row"),
+            (F.col("col") - F.col("dx")).alias("col"),
+            F.col("value").alias("zn"),
+        )
+    )
+    agg = nbr.join(src, ["row", "col"]).groupBy("row", "col").agg(
+        F.sum(F.when(F.col("zn") != F.col("value"), 1).otherwise(0)).alias("ndiff"),
+        F.count(F.lit(1)).alias("nvalid"),
+    )
+    return src.join(agg, ["row", "col"], "left").select(
+        "row", "col",
+        F.when(
+            F.coalesce(F.col("ndiff"), F.lit(0)) > 0, 1.0
+        ).when(F.coalesce(F.col("nvalid"), F.lit(0)) < 4, 1.0).otherwise(0.0)
+        .alias("value"),
+    )
+
+
+def find_patch_edge_oracle_sql(source_sql: str) -> str:
+    return f"""
+WITH src AS (SELECT row, col, value FROM ({source_sql}) t WHERE value IS NOT NULL),
+nbr AS (
+  SELECT c.row, c.col,
+         sum(CASE WHEN s.zn <> c.value THEN 1 ELSE 0 END) AS ndiff,
+         count(*) AS nvalid
+  FROM src c JOIN (SELECT s0.row - o.dy AS row, s0.col - o.dx AS col, s0.value AS zn
+                   FROM src s0 CROSS JOIN (VALUES (1,0),(-1,0),(0,1),(0,-1)) o(dx, dy)) s
+    ON c.row = s.row AND c.col = s.col
+  GROUP BY c.row, c.col
+)
+SELECT s.row, s.col,
+       CASE WHEN coalesce(n.ndiff, 0) > 0 THEN 1.0
+            WHEN coalesce(n.nvalid, 0) < 4 THEN 1.0
+            ELSE 0.0 END AS value
+FROM src s LEFT JOIN nbr n ON n.row = s.row AND n.col = s.col
+"""
+
+
+def update_nodata_cells(a: DataFrame, b: DataFrame) -> DataFrame:
+    """UpdateNodataCells (gis_analysis/update_nodata_cells.rs): a's nodata
+    cells filled from b. -> (row, col, value) over the union of valid
+    cells."""
+    from pyspark.sql import functions as F
+
+    av = a.select("row", "col", F.col("value").alias("va"))
+    bv = b.filter(F.col("value").isNotNull()).select(
+        "row", "col", F.col("value").alias("vb")
+    )
+    return av.join(bv, ["row", "col"], "full_outer").select(
+        "row", "col", F.coalesce(F.col("va"), F.col("vb")).alias("value")
+    )
+
+
+def update_nodata_oracle_sql(a_sql: str, b_sql: str) -> str:
+    return f"""
+WITH a AS (SELECT row, col, value AS va FROM ({a_sql}) t),
+b AS (SELECT row, col, value AS vb FROM ({b_sql}) t WHERE value IS NOT NULL)
+SELECT coalesce(a.row, b.row) AS row, coalesce(a.col, b.col) AS col,
+       coalesce(a.va, b.vb) AS value
+FROM a FULL OUTER JOIN b ON b.row = a.row AND b.col = a.col
+"""
+
+
+def reclass_equal_interval(
+    cells: DataFrame, *, interval: float, start_val: float = float("-inf"),
+    end_val: float = float("inf"),
+) -> DataFrame:
+    """ReclassEqualInterval (gis_analysis/reclass_equal_interval.rs):
+    z in [start_val, end_val] -> floor(z / interval) * interval, else z
+    unchanged. -> (row, col, value)."""
+    from pyspark.sql import functions as F
+
+    z = F.col("value")
+    out = F.when(
+        (z >= start_val) & (z <= end_val),
+        F.floor(z / interval) * F.lit(interval),
+    ).otherwise(z)
+    return cells.filter(z.isNotNull()).select("row", "col", out.alias("value"))
+
+
+def reclass_equal_interval_oracle_sql(
+    source_sql: str, *, interval: float, start_val: float = -1e308,
+    end_val: float = 1e308,
+) -> str:
+    return f"""
+SELECT row, col,
+       CASE WHEN value >= {start_val!r} AND value <= {end_val!r}
+            THEN floor(value / {interval!r}) * {interval!r}
+            ELSE value END AS value
+FROM ({source_sql}) t WHERE value IS NOT NULL
+"""
