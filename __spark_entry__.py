@@ -1832,6 +1832,44 @@ _STACK3_SQL = (
 )
 
 
+def _parts_df(spark):
+    rows = []
+    for pid, parts in PARTS:
+        for k, (xs, ys, hole) in enumerate(parts):
+            rows.append((pid, k, hole, [float(v) for v in xs], [float(v) for v in ys]))
+    return spark.createDataFrame(
+        rows, "poly_id long, part_idx int, is_hole boolean, xs array<double>, ys array<double>"
+    )
+
+
+def q_perimeter_area_ratio(spark, sf_dir):
+    """PerimeterAreaRatio (gis_analysis/perimeter_area_ratio.rs)."""
+    from whitebox_tools_spark.operators.vector_ops import perimeter_area_ratio
+
+    return _r6(perimeter_area_ratio(_parts_df(spark)), ["ratio"])
+
+
+def q_hole_proportion(spark, sf_dir):
+    """HoleProportion (gis_analysis/hole_proportion.rs)."""
+    from whitebox_tools_spark.operators.vector_ops import hole_proportion
+
+    return _r6(hole_proportion(_parts_df(spark)), ["hole_prop"])
+
+
+def q_linearity_index(spark, sf_dir):
+    """LinearityIndex (gis_analysis/linearity_index.rs:225-260)."""
+    from whitebox_tools_spark.operators.vector_ops import linearity_index
+
+    return _r6(linearity_index(_parts_df(spark)), ["linearity"])
+
+
+def q_patch_orientation(spark, sf_dir):
+    """PatchOrientation (gis_analysis/patch_orientation.rs, RMA slope)."""
+    from whitebox_tools_spark.operators.vector_ops import patch_orientation
+
+    return _r6(patch_orientation(_parts_df(spark)), ["orientation"])
+
+
 def q_raster_area(spark, sf_dir):
     """RasterArea (gis_analysis/raster_area.rs) over the size-class raster."""
     return RM.raster_area(_part_raster2(spark, sf_dir), res_x=5.0, res_y=5.0)
@@ -2666,6 +2704,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roberts_filter": q_roberts,
         "unsharp_masking": q_unsharp,
         "percentile_filter": q_percentile_filter,
+        "perimeter_area_ratio": q_perimeter_area_ratio,
+        "hole_proportion": q_hole_proportion,
+        "linearity_index": q_linearity_index,
+        "patch_orientation": q_patch_orientation,
         "raster_area": q_raster_area,
         "raster_perimeter": q_raster_perimeter,
         "find_patch_edge_cells": q_find_patch_edge_cells,
@@ -3128,6 +3170,10 @@ GROUP BY 1
         "roberts_filter": _roberts_sql(),
         "unsharp_masking": _unsharp_sql(),
         "percentile_filter": _percentile_filter_sql(),
+        "perimeter_area_ratio": _par_ratio_sql(),
+        "hole_proportion": _hole_prop_sql(),
+        "linearity_index": _shape_idx_sql("linearity"),
+        "patch_orientation": _shape_idx_sql("orientation"),
         "raster_area": RM.raster_area_oracle_sql(_PART_RASTER2_SQL, res_x=5.0, res_y=5.0),
         "raster_perimeter": (
             "SELECT value, CAST(round(perimeter, 6) AS DOUBLE) AS perimeter FROM ("
@@ -4212,6 +4258,73 @@ def _hexbin_sql() -> str:
     cte = f"SELECT c_custkey AS point_id, {x} AS x, {y} AS y FROM customer"
     return hex_binning_oracle_sql(
         cte, width=80.0, min_x=0.0, max_x=1000.0, min_y=0.0, max_y=1000.0
+    )
+
+
+def _edges_cte() -> str:
+    return (
+        "edges AS (SELECT * FROM (VALUES\n"
+        + synth.edges_sql_values(POLYS)
+        + f"\n) AS {synth.EDGES_SQL_COLS})"
+    )
+
+
+def _par_ratio_sql() -> str:
+    return f"""
+WITH {_edges_cte()},
+per_part AS (
+  SELECT poly_id, part_idx, any_value(is_hole) AS is_hole,
+         abs(sum(x0 * y1 - x1 * y0)) / 2.0 AS a,
+         sum(sqrt((x1 - x0) * (x1 - x0) + (y1 - y0) * (y1 - y0))) AS p
+  FROM edges GROUP BY poly_id, part_idx
+),
+feat AS (
+  SELECT poly_id,
+         sum(CASE WHEN is_hole THEN -a ELSE a END) AS area,
+         sum(p) AS perimeter
+  FROM per_part GROUP BY poly_id
+)
+SELECT CAST(poly_id AS BIGINT) AS poly_id,
+       round(perimeter / area, 6) AS ratio
+FROM feat
+"""
+
+
+def _hole_prop_sql() -> str:
+    return f"""
+WITH {_edges_cte()},
+per_part AS (
+  SELECT poly_id, part_idx, any_value(is_hole) AS is_hole,
+         abs(sum(x0 * y1 - x1 * y0)) / 2.0 AS a
+  FROM edges GROUP BY poly_id, part_idx
+),
+feat AS (
+  SELECT poly_id,
+         sum(CASE WHEN is_hole THEN a ELSE 0.0 END) AS ha,
+         sum(CASE WHEN NOT is_hole THEN a ELSE 0.0 END) AS sa
+  FROM per_part GROUP BY poly_id
+)
+SELECT CAST(poly_id AS BIGINT) AS poly_id, round(ha / sa, 6) AS hole_prop
+FROM feat
+"""
+
+
+def _shape_idx_sql(which: str) -> str:
+    from whitebox_tools_spark.operators.vector_ops import shape_indices_oracle_sql
+
+    rows = []
+    for pid, parts in PARTS:
+        xs, ys, _hole = parts[0]
+        for x, y in zip(xs, ys):
+            rows.append(f"({pid}, {float(x)!r}, {float(y)!r})")
+    cte = (
+        "SELECT * FROM (VALUES\n" + ",\n".join(rows) + "\n) AS t(poly_id, x, y)"
+    )
+    inner = shape_indices_oracle_sql(cte, which)
+    col = "linearity" if which == "linearity" else "orientation"
+    return (
+        f"SELECT CAST(poly_id AS BIGINT) AS poly_id, round({col}, 6) AS {col} "
+        f"FROM ({inner}) t"
     )
 
 

@@ -246,3 +246,111 @@ def minimum_bounding_box_per_feature(parts: DataFrame) -> DataFrame:
     return parts.groupBy("poly_id").applyInPandas(
         fn, schema="poly_id long, mbb_xs array<double>, mbb_ys array<double>, mbb_area double"
     )
+
+
+def _ring0_vertices(parts: DataFrame) -> DataFrame:
+    """Exploded vertices of each polygon's FIRST shell ring
+    -> (poly_id, x, y)."""
+    r0 = parts.filter((F.col("part_idx") == 0) & (~F.col("is_hole")))
+    return r0.select(
+        "poly_id",
+        F.explode(F.arrays_zip(F.col("xs").alias("x"), F.col("ys").alias("y"))).alias("v"),
+    ).select("poly_id", F.col("v.x").alias("x"), F.col("v.y").alias("y"))
+
+
+def perimeter_area_ratio(parts: DataFrame) -> DataFrame:
+    """PerimeterAreaRatio (gis_analysis/perimeter_area_ratio.rs): P / A per
+    feature (net area, total perimeter). -> (poly_id, ratio)."""
+    m = polygon_metrics(parts)
+    return m.select(
+        "poly_id", (F.col("perimeter") / F.col("area")).alias("ratio")
+    )
+
+
+def hole_proportion(parts: DataFrame) -> DataFrame:
+    """HoleProportion (gis_analysis/hole_proportion.rs): total hole area /
+    shell area. -> (poly_id, hole_prop)."""
+    mm = _part_metrics_udf()
+    per = parts.withColumn("m", mm(F.col("xs"), F.col("ys")))
+    agg = per.groupBy("poly_id").agg(
+        F.sum(F.when(F.col("is_hole"), F.col("m.area")).otherwise(0.0)).alias("ha"),
+        F.sum(F.when(~F.col("is_hole"), F.col("m.area")).otherwise(0.0)).alias("sa"),
+    )
+    return agg.select("poly_id", (F.col("ha") / F.col("sa")).alias("hole_prop"))
+
+
+def linearity_index(parts: DataFrame) -> DataFrame:
+    """LinearityIndex (gis_analysis/linearity_index.rs:225-260): r^2 of the
+    first ring's vertex coordinates (translation-invariant, so centering by
+    the vertex mean reproduces the reference's midpoint-centered sums).
+    -> (poly_id, linearity)."""
+    v = _ring0_vertices(parts)
+    agg = v.groupBy("poly_id").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg("x").alias("mx"), F.avg("y").alias("my"),
+        F.avg(F.col("x") * F.col("y")).alias("mxy"),
+        F.avg(F.col("x") * F.col("x")).alias("mxx"),
+        F.avg(F.col("y") * F.col("y")).alias("myy"),
+    )
+    sxx = F.col("mxx") - F.col("mx") ** 2
+    syy = F.col("myy") - F.col("my") ** 2
+    sxy = F.col("mxy") - F.col("mx") * F.col("my")
+    return agg.select(
+        "poly_id",
+        F.when(
+            F.sqrt(sxx * syy) != 0.0, (sxy / F.sqrt(sxx * syy)) ** 2
+        ).otherwise(0.0).alias("linearity"),
+    )
+
+
+def patch_orientation(parts: DataFrame) -> DataFrame:
+    """PatchOrientation (gis_analysis/patch_orientation.rs): 90 -
+    degrees(atan(sign(sxy) * sqrt(syy/sxx))) over the first ring's
+    vertices. -> (poly_id, orientation)."""
+    v = _ring0_vertices(parts)
+    agg = v.groupBy("poly_id").agg(
+        F.avg("x").alias("mx"), F.avg("y").alias("my"),
+        F.avg(F.col("x") * F.col("y")).alias("mxy"),
+        F.avg(F.col("x") * F.col("x")).alias("mxx"),
+        F.avg(F.col("y") * F.col("y")).alias("myy"),
+    )
+    sxx = F.col("mxx") - F.col("mx") ** 2
+    syy = F.col("myy") - F.col("my") ** 2
+    sxy = F.col("mxy") - F.col("mx") * F.col("my")
+    slope = F.when(sxy < 0.0, -F.sqrt(syy / sxx)).otherwise(F.sqrt(syy / sxx))
+    return agg.select(
+        "poly_id", (F.lit(90.0) - F.degrees(F.atan(slope))).alias("orientation")
+    )
+
+
+def shape_indices_oracle_sql(vertices_cte: str, which: str) -> str:
+    """vertices_cte must yield (poly_id, x, y) of the first shell ring."""
+    base = f"""
+v AS ({vertices_cte}),
+agg AS (
+  SELECT poly_id, CAST(count(*) AS DOUBLE) AS n,
+         avg(x) AS mx, avg(y) AS my, avg(x * y) AS mxy,
+         avg(x * x) AS mxx, avg(y * y) AS myy
+  FROM v GROUP BY poly_id
+),
+s AS (
+  SELECT poly_id, mxx - mx * mx AS sxx, myy - my * my AS syy,
+         mxy - mx * my AS sxy
+  FROM agg
+)"""
+    if which == "linearity":
+        return f"""
+WITH {base}
+SELECT poly_id,
+       CASE WHEN sqrt(sxx * syy) <> 0.0
+            THEN (sxy / sqrt(sxx * syy)) * (sxy / sqrt(sxx * syy))
+            ELSE 0.0 END AS linearity
+FROM s
+"""
+    return f"""
+WITH {base}
+SELECT poly_id,
+       90.0 - degrees(atan(CASE WHEN sxy < 0.0 THEN -sqrt(syy / sxx)
+                                ELSE sqrt(syy / sxx) END)) AS orientation
+FROM s
+"""
