@@ -1870,6 +1870,44 @@ def q_patch_orientation(spark, sf_dir):
     return _r6(patch_orientation(_parts_df(spark)), ["orientation"])
 
 
+def q_minimum_bounding_envelope(spark, sf_dir):
+    """MinimumBoundingEnvelope (gis_analysis/minimum_bounding_envelope.rs)."""
+    from whitebox_tools_spark.operators.vector_ops import minimum_bounding_envelope
+
+    return _r6(
+        minimum_bounding_envelope(_parts_df(spark)),
+        ["min_x", "max_x", "min_y", "max_y"],
+    )
+
+
+def q_extract_nodes(spark, sf_dir):
+    """ExtractNodes (gis_analysis/extract_nodes.rs)."""
+    from whitebox_tools_spark.operators.vector_ops import extract_nodes
+
+    return _r6(extract_nodes(_parts_df(spark)), ["x", "y"])
+
+
+def q_smooth_vectors(spark, sf_dir):
+    """SmoothVectors (gis_analysis/smooth_vectors.rs:250-280, filter 3,
+    endpoints pinned)."""
+    from whitebox_tools_spark.operators.vector_ops import smooth_vectors
+
+    return _r6(smooth_vectors(_parts_df(spark), filter_size=3), ["x", "y"])
+
+
+def q_radius_of_gyration(spark, sf_dir):
+    """RadiusOfGyration (gis_analysis/radius_of_gyration.rs:230-330)."""
+    return _r6(
+        RM.radius_of_gyration(_part_raster2(spark, sf_dir), res_x=5.0, res_y=5.0),
+        ["rog"],
+    )
+
+
+def q_edge_proportion(spark, sf_dir):
+    """EdgeProportion (gis_analysis/edge_proportion.rs)."""
+    return _r6(RM.edge_proportion(_part_raster2(spark, sf_dir)), ["proportion"])
+
+
 def q_raster_area(spark, sf_dir):
     """RasterArea (gis_analysis/raster_area.rs) over the size-class raster."""
     return RM.raster_area(_part_raster2(spark, sf_dir), res_x=5.0, res_y=5.0)
@@ -2704,6 +2742,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roberts_filter": q_roberts,
         "unsharp_masking": q_unsharp,
         "percentile_filter": q_percentile_filter,
+        "minimum_bounding_envelope": q_minimum_bounding_envelope,
+        "extract_nodes": q_extract_nodes,
+        "smooth_vectors": q_smooth_vectors,
+        "radius_of_gyration": q_radius_of_gyration,
+        "edge_proportion": q_edge_proportion,
         "perimeter_area_ratio": q_perimeter_area_ratio,
         "hole_proportion": q_hole_proportion,
         "linearity_index": q_linearity_index,
@@ -3170,6 +3213,19 @@ GROUP BY 1
         "roberts_filter": _roberts_sql(),
         "unsharp_masking": _unsharp_sql(),
         "percentile_filter": _percentile_filter_sql(),
+        "minimum_bounding_envelope": _envelope_sql(),
+        "extract_nodes": _extract_nodes_sql(),
+        "smooth_vectors": _smooth_vectors_sql(),
+        "radius_of_gyration": (
+            "SELECT value, round(rog, 6) AS rog FROM ("
+            + RM.radius_of_gyration_oracle_sql(_PART_RASTER2_SQL, res_x=5.0, res_y=5.0)
+            + ") t"
+        ),
+        "edge_proportion": (
+            "SELECT value, round(proportion, 6) AS proportion FROM ("
+            + RM.edge_proportion_oracle_sql(_PART_RASTER2_SQL)
+            + ") t"
+        ),
         "perimeter_area_ratio": _par_ratio_sql(),
         "hole_proportion": _hole_prop_sql(),
         "linearity_index": _shape_idx_sql("linearity"),
@@ -4267,6 +4323,58 @@ def _edges_cte() -> str:
         + synth.edges_sql_values(POLYS)
         + f"\n) AS {synth.EDGES_SQL_COLS})"
     )
+
+
+def _vertices_values_cte() -> str:
+    rows = []
+    for pid, parts in PARTS:
+        for k, (xs, ys, hole) in enumerate(parts):
+            for i, (x, y) in enumerate(zip(xs, ys)):
+                rows.append(
+                    f"({pid}, {k}, {str(bool(hole)).lower()}, {i}, {float(x)!r}, {float(y)!r})"
+                )
+    return (
+        "verts AS (SELECT * FROM (VALUES\n" + ",\n".join(rows)
+        + "\n) AS t(poly_id, part_idx, is_hole, idx, x, y))"
+    )
+
+
+def _envelope_sql() -> str:
+    return f"""
+WITH {_vertices_values_cte()}
+SELECT CAST(poly_id AS BIGINT) AS poly_id,
+       round(min(x), 6) AS min_x, round(max(x), 6) AS max_x,
+       round(min(y), 6) AS min_y, round(max(y), 6) AS max_y
+FROM verts WHERE NOT is_hole GROUP BY poly_id
+"""
+
+
+def _extract_nodes_sql() -> str:
+    return f"""
+WITH {_vertices_values_cte()}
+SELECT CAST(poly_id AS BIGINT) AS poly_id, part_idx,
+       CAST(idx AS BIGINT) AS idx, round(x, 6) AS x, round(y, 6) AS y
+FROM verts
+"""
+
+
+def _smooth_vectors_sql() -> str:
+    return f"""
+WITH {_vertices_values_cte()},
+cnt AS (SELECT poly_id, part_idx, max(idx) AS last FROM verts GROUP BY 1, 2),
+sm AS (
+  SELECT v.poly_id, v.part_idx, v.idx, v.x, v.y, c.last,
+         avg(v.x) OVER (PARTITION BY v.poly_id, v.part_idx ORDER BY v.idx
+                        ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS sx,
+         avg(v.y) OVER (PARTITION BY v.poly_id, v.part_idx ORDER BY v.idx
+                        ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS sy
+  FROM verts v JOIN cnt c ON c.poly_id = v.poly_id AND c.part_idx = v.part_idx
+)
+SELECT CAST(poly_id AS BIGINT) AS poly_id, part_idx, CAST(idx AS BIGINT) AS idx,
+       round(CASE WHEN idx > 0 AND idx < last AND last > 2 THEN sx ELSE x END, 6) AS x,
+       round(CASE WHEN idx > 0 AND idx < last AND last > 2 THEN sy ELSE y END, 6) AS y
+FROM sm
+"""
 
 
 def _par_ratio_sql() -> str:

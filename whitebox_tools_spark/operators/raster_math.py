@@ -600,3 +600,64 @@ SELECT row, col,
             ELSE value END AS value
 FROM ({source_sql}) t WHERE value IS NOT NULL
 """
+
+
+def radius_of_gyration(
+    cells: DataFrame, *, res_x: float, res_y: float
+) -> DataFrame:
+    """RadiusOfGyration (gis_analysis/radius_of_gyration.rs:230-330): per
+    class value, sqrt(mean of squared map-unit distance of its cells from
+    the class centroid (in cell-index space, scaled by resolution)).
+    -> (value, rog)."""
+    from pyspark.sql import functions as F
+
+    src = cells.filter(F.col("value").isNotNull())
+    cen = src.groupBy("value").agg(
+        F.avg(F.col("col").cast("double")).alias("cx"),
+        F.avg(F.col("row").cast("double")).alias("cy"),
+    )
+    j = src.join(cen, "value")
+    d2 = (
+        ((F.col("col") - F.col("cx")) * res_x) ** 2
+        + ((F.col("row") - F.col("cy")) * res_y) ** 2
+    )
+    return j.groupBy("value").agg(F.sqrt(F.avg(d2)).alias("rog"))
+
+
+def radius_of_gyration_oracle_sql(
+    source_sql: str, *, res_x: float, res_y: float
+) -> str:
+    return f"""
+WITH src AS (SELECT row, col, value FROM ({source_sql}) t WHERE value IS NOT NULL),
+cen AS (SELECT value, avg(CAST(col AS DOUBLE)) AS cx,
+               avg(CAST(row AS DOUBLE)) AS cy FROM src GROUP BY value)
+SELECT s.value,
+       sqrt(avg(((s.col - c.cx) * {res_x!r}) * ((s.col - c.cx) * {res_x!r})
+                + ((s.row - c.cy) * {res_y!r}) * ((s.row - c.cy) * {res_y!r}))) AS rog
+FROM src s JOIN cen c ON c.value = s.value
+GROUP BY s.value
+"""
+
+
+def edge_proportion(cells: DataFrame) -> DataFrame:
+    """EdgeProportion (gis_analysis/edge_proportion.rs): per class, the
+    proportion of its cells that are edge cells (any differing or absent
+    4-neighbor). -> (value, proportion)."""
+    from pyspark.sql import functions as F
+
+    edges = find_patch_edge_cells(cells).withColumnRenamed("value", "is_edge")
+    src = cells.filter(F.col("value").isNotNull())
+    j = src.join(edges, ["row", "col"])
+    return j.groupBy("value").agg(
+        (F.sum("is_edge") / F.count(F.lit(1))).alias("proportion")
+    )
+
+
+def edge_proportion_oracle_sql(source_sql: str) -> str:
+    return f"""
+WITH e AS ({find_patch_edge_oracle_sql(source_sql)}),
+src AS (SELECT row, col, value FROM ({source_sql}) t WHERE value IS NOT NULL)
+SELECT s.value, sum(e.value) / count(*) AS proportion
+FROM src s JOIN e ON e.row = s.row AND e.col = s.col
+GROUP BY s.value
+"""

@@ -354,3 +354,56 @@ SELECT poly_id,
                                 ELSE sqrt(syy / sxx) END)) AS orientation
 FROM s
 """
+
+
+def minimum_bounding_envelope(parts: DataFrame) -> DataFrame:
+    """MinimumBoundingEnvelope (gis_analysis/minimum_bounding_envelope.rs):
+    axis-aligned bbox per feature (shell parts).
+    -> (poly_id, min_x, max_x, min_y, max_y)."""
+    v = parts.filter(~F.col("is_hole")).select(
+        "poly_id",
+        F.explode(F.arrays_zip(F.col("xs").alias("x"), F.col("ys").alias("y"))).alias("v"),
+    ).select("poly_id", F.col("v.x").alias("x"), F.col("v.y").alias("y"))
+    return v.groupBy("poly_id").agg(
+        F.min("x").alias("min_x"), F.max("x").alias("max_x"),
+        F.min("y").alias("min_y"), F.max("y").alias("max_y"),
+    )
+
+
+def extract_nodes(parts: DataFrame) -> DataFrame:
+    """ExtractNodes (gis_analysis/extract_nodes.rs): one point per vertex
+    of every part. -> (poly_id, part_idx, idx, x, y)."""
+    return parts.select(
+        "poly_id", "part_idx",
+        F.posexplode(F.arrays_zip(F.col("xs").alias("x"), F.col("ys").alias("y"))).alias("idx", "v"),
+    ).select(
+        "poly_id", "part_idx", F.col("idx").cast("long").alias("idx"),
+        F.col("v.x").alias("x"), F.col("v.y").alias("y"),
+    )
+
+
+def smooth_vectors(parts: DataFrame, *, filter_size: int = 3) -> DataFrame:
+    """SmoothVectors (gis_analysis/smooth_vectors.rs:250-280, polyline
+    semantics): per part, each INTERIOR vertex becomes the moving average
+    of the window (clamped to the part, endpoints pinned); parts with < 4
+    vertices unchanged. Partitioned window over (poly_id, part_idx) —
+    scale-safe. -> (poly_id, part_idx, idx, x, y)."""
+    from pyspark.sql import Window
+
+    h = filter_size // 2
+    v = extract_nodes(parts)
+    counts = v.groupBy("poly_id", "part_idx").agg(F.max("idx").alias("last"))
+    w = (
+        Window.partitionBy("poly_id", "part_idx").orderBy("idx")
+        .rowsBetween(-h, h)
+    )
+    sm = v.select(
+        "poly_id", "part_idx", "idx", "x", "y",
+        F.avg("x").over(w).alias("sx"), F.avg("y").over(w).alias("sy"),
+    ).join(counts, ["poly_id", "part_idx"])
+    interior = (F.col("idx") > 0) & (F.col("idx") < F.col("last")) & (F.col("last") > 2)
+    return sm.select(
+        "poly_id", "part_idx", "idx",
+        F.when(interior, F.col("sx")).otherwise(F.col("x")).alias("x"),
+        F.when(interior, F.col("sy")).otherwise(F.col("y")).alias("y"),
+    )
