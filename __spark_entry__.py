@@ -1870,6 +1870,43 @@ def q_patch_orientation(spark, sf_dir):
     return _r6(patch_orientation(_parts_df(spark)), ["orientation"])
 
 
+def _edges_df(spark, parts_list):
+    rows = []
+    for pid, parts in parts_list:
+        for xs, ys, _hole in parts:
+            for i in range(len(xs) - 1):
+                rows.append(
+                    (pid, float(xs[i]), float(ys[i]), float(xs[i + 1]), float(ys[i + 1]))
+                )
+    return spark.createDataFrame(
+        rows, "poly_id long, x0 double, y0 double, x1 double, y1 double"
+    )
+
+
+def q_medoid(spark, sf_dir):
+    """Medoid (gis_analysis/medoid.rs:230-280) of the customer points."""
+    from whitebox_tools_spark.operators.vector_ops import medoid
+
+    return _r6(medoid(_cust_points(spark, sf_dir).drop("z")), ["x", "y"])
+
+
+def q_line_intersections(spark, sf_dir):
+    """LineIntersections (gis_analysis/line_intersections.rs) between the
+    two seeded polygon layers' boundaries."""
+    from whitebox_tools_spark.operators.vector_ops import line_intersections
+
+    return line_intersections(
+        _edges_df(spark, PARTS_A), _edges_df(spark, PARTS)
+    )
+
+
+def q_class_centroid(spark, sf_dir):
+    """Centroid (gis_analysis/centroid.rs) of raster classes."""
+    return _r6(
+        RM.class_centroid(_part_raster2(spark, sf_dir), EXTRACT_GRID), ["cx", "cy"]
+    )
+
+
 def q_minimum_bounding_envelope(spark, sf_dir):
     """MinimumBoundingEnvelope (gis_analysis/minimum_bounding_envelope.rs)."""
     from whitebox_tools_spark.operators.vector_ops import minimum_bounding_envelope
@@ -2742,6 +2779,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roberts_filter": q_roberts,
         "unsharp_masking": q_unsharp,
         "percentile_filter": q_percentile_filter,
+        "medoid": q_medoid,
+        "line_intersections": q_line_intersections,
+        "class_centroid": q_class_centroid,
         "minimum_bounding_envelope": q_minimum_bounding_envelope,
         "extract_nodes": q_extract_nodes,
         "smooth_vectors": q_smooth_vectors,
@@ -3213,6 +3253,13 @@ GROUP BY 1
         "roberts_filter": _roberts_sql(),
         "unsharp_masking": _unsharp_sql(),
         "percentile_filter": _percentile_filter_sql(),
+        "medoid": _medoid_sql(),
+        "line_intersections": _line_intersections_sql(),
+        "class_centroid": (
+            "SELECT value, round(cx, 6) AS cx, round(cy, 6) AS cy FROM ("
+            + RM.class_centroid_oracle_sql(_PART_RASTER2_SQL, EXTRACT_GRID)
+            + ") t"
+        ),
         "minimum_bounding_envelope": _envelope_sql(),
         "extract_nodes": _extract_nodes_sql(),
         "smooth_vectors": _smooth_vectors_sql(),
@@ -4322,6 +4369,39 @@ def _edges_cte() -> str:
         "edges AS (SELECT * FROM (VALUES\n"
         + synth.edges_sql_values(POLYS)
         + f"\n) AS {synth.EDGES_SQL_COLS})"
+    )
+
+
+def _medoid_sql() -> str:
+    from whitebox_tools_spark.operators.vector_ops import medoid_oracle_sql
+
+    pts = _cust_points_cte("")
+    inner = medoid_oracle_sql(pts)
+    return (
+        f"SELECT point_id, round(x, 6) AS x, round(y, 6) AS y FROM ({inner}) t"
+    )
+
+
+def _edges_values_sql(parts_list) -> str:
+    rows = []
+    for pid, parts in parts_list:
+        for xs, ys, _hole in parts:
+            for i in range(len(xs) - 1):
+                rows.append(
+                    f"({pid}, {float(xs[i])!r}, {float(ys[i])!r}, "
+                    f"{float(xs[i + 1])!r}, {float(ys[i + 1])!r})"
+                )
+    return (
+        "SELECT * FROM (VALUES\n" + ",\n".join(rows)
+        + "\n) AS t(poly_id, x0, y0, x1, y1)"
+    )
+
+
+def _line_intersections_sql() -> str:
+    from whitebox_tools_spark.operators.vector_ops import line_intersections_oracle_sql
+
+    return line_intersections_oracle_sql(
+        _edges_values_sql(PARTS_A), _edges_values_sql(PARTS)
     )
 
 

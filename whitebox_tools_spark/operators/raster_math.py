@@ -661,3 +661,23 @@ SELECT s.value, sum(e.value) / count(*) AS proportion
 FROM src s JOIN e ON e.row = s.row AND e.col = s.col
 GROUP BY s.value
 """
+
+
+def class_centroid(cells: DataFrame, grid) -> DataFrame:
+    """Centroid (gis_analysis/centroid.rs): average cell-center location
+    per raster class. -> (value, cx, cy)."""
+    from pyspark.sql import functions as F
+
+    src = cells.filter(F.col("value").isNotNull())
+    return src.groupBy("value").agg(
+        F.avg(grid.x_center_expr(F.col("col"))).alias("cx"),
+        F.avg(grid.y_center_expr(F.col("row"))).alias("cy"),
+    )
+
+
+def class_centroid_oracle_sql(source_sql: str, grid) -> str:
+    return f"""
+SELECT value, avg({grid.x_center_sql("col")}) AS cx,
+       avg({grid.y_center_sql("row")}) AS cy
+FROM ({source_sql}) t WHERE value IS NOT NULL GROUP BY value
+"""

@@ -407,3 +407,116 @@ def smooth_vectors(parts: DataFrame, *, filter_size: int = 3) -> DataFrame:
         F.when(interior, F.col("sx")).otherwise(F.col("x")).alias("x"),
         F.when(interior, F.col("sy")).otherwise(F.col("y")).alias("y"),
     )
+
+
+def medoid(points: DataFrame, *, id_col: str = "point_id") -> DataFrame:
+    """Medoid (gis_analysis/medoid.rs:230-280, point input): the member
+    point nearest to the (median x, median y); squared-distance ties break
+    to the lowest id (the reference's scan order). -> one row (point_id,
+    x, y)."""
+    med = points.agg(
+        F.median("x").alias("mx"), F.median("y").alias("my")
+    )
+    j = points.crossJoin(F.broadcast(med))
+    d2 = (F.col("x") - F.col("mx")) ** 2 + (F.col("y") - F.col("my")) ** 2
+    pick = j.agg(
+        F.min(
+            F.struct(d2.alias("d"), F.col(id_col).alias("pid"),
+                     F.col("x").alias("px"), F.col("y").alias("py"))
+        ).alias("w")
+    )
+    return pick.select(
+        F.col("w.pid").alias("point_id"), F.col("w.px").alias("x"),
+        F.col("w.py").alias("y"),
+    )
+
+
+def medoid_oracle_sql(points_sql: str) -> str:
+    return f"""
+WITH pts AS ({points_sql}),
+med AS (SELECT median(x) AS mx, median(y) AS my FROM pts),
+pick AS (
+  SELECT min(struct_pack(
+           d := (p.x - m.mx) * (p.x - m.mx) + (p.y - m.my) * (p.y - m.my),
+           pid := p.point_id, px := p.x, py := p.y)) AS w
+  FROM pts p, med m
+)
+SELECT (w).pid AS point_id, (w).px AS x, (w).py AS y FROM pick
+"""
+
+
+def line_intersections(a_edges: DataFrame, b_edges: DataFrame) -> DataFrame:
+    """LineIntersections (gis_analysis/line_intersections.rs,
+    line_ops.rs:95): proper/touching POINT intersections between every
+    segment of layer A and layer B (collinear-overlap segments are not
+    reported — documented deviation). Inputs: (poly_id, x0, y0, x1, y1)
+    segment tables. A bbox predicate prunes the pair join.
+    -> distinct (parent1, parent2, x, y) with 6dp coordinates."""
+    a = a_edges.select(
+        F.col("poly_id").alias("parent1"),
+        F.col("x0").alias("ax0"), F.col("y0").alias("ay0"),
+        F.col("x1").alias("ax1"), F.col("y1").alias("ay1"),
+    )
+    b = b_edges.select(
+        F.col("poly_id").alias("parent2"),
+        F.col("x0").alias("bx0"), F.col("y0").alias("by0"),
+        F.col("x1").alias("bx1"), F.col("y1").alias("by1"),
+    )
+    bbox = (
+        (F.least("ax0", "ax1") <= F.greatest("bx0", "bx1"))
+        & (F.greatest("ax0", "ax1") >= F.least("bx0", "bx1"))
+        & (F.least("ay0", "ay1") <= F.greatest("by0", "by1"))
+        & (F.greatest("ay0", "ay1") >= F.least("by0", "by1"))
+    )
+    j = a.crossJoin(b).filter(bbox)
+    rx = F.col("ax1") - F.col("ax0")
+    ry = F.col("ay1") - F.col("ay0")
+    sx = F.col("bx1") - F.col("bx0")
+    sy = F.col("by1") - F.col("by0")
+    den = rx * sy - ry * sx
+    qpx = F.col("bx0") - F.col("ax0")
+    qpy = F.col("by0") - F.col("ay0")
+    t = (qpx * sy - qpy * sx) / den
+    u = (qpx * ry - qpy * rx) / den
+    hit = j.filter(
+        (den != 0.0) & (t >= 0.0) & (t <= 1.0) & (u >= 0.0) & (u <= 1.0)
+    )
+    return hit.select(
+        "parent1", "parent2",
+        F.round(F.col("ax0") + t * rx, 6).alias("x"),
+        F.round(F.col("ay0") + t * ry, 6).alias("y"),
+    ).distinct()
+
+
+def line_intersections_oracle_sql(a_edges_sql: str, b_edges_sql: str) -> str:
+    return f"""
+WITH a AS (SELECT poly_id AS parent1, x0 AS ax0, y0 AS ay0, x1 AS ax1, y1 AS ay1
+           FROM ({a_edges_sql}) t),
+b AS (SELECT poly_id AS parent2, x0 AS bx0, y0 AS by0, x1 AS bx1, y1 AS by1
+      FROM ({b_edges_sql}) t),
+j AS (
+  SELECT * FROM a CROSS JOIN b
+  WHERE least(ax0, ax1) <= greatest(bx0, bx1)
+    AND greatest(ax0, ax1) >= least(bx0, bx1)
+    AND least(ay0, ay1) <= greatest(by0, by1)
+    AND greatest(ay0, ay1) >= least(by0, by1)
+),
+c AS (
+  SELECT parent1, parent2,
+         (ax1 - ax0) AS rx, (ay1 - ay0) AS ry,
+         (bx1 - bx0) AS sx, (by1 - by0) AS sy,
+         (bx0 - ax0) AS qpx, (by0 - ay0) AS qpy,
+         ax0, ay0,
+         (ax1 - ax0) * (by1 - by0) - (ay1 - ay0) * (bx1 - bx0) AS den
+  FROM j
+),
+hit AS (
+  SELECT parent1, parent2, ax0, ay0, rx, ry,
+         (qpx * sy - qpy * sx) / den AS t,
+         (qpx * ry - qpy * rx) / den AS u
+  FROM c WHERE den <> 0.0
+)
+SELECT DISTINCT parent1, parent2,
+       round(ax0 + t * rx, 6) AS x, round(ay0 + t * ry, 6) AS y
+FROM hit WHERE t >= 0.0 AND t <= 1.0 AND u >= 0.0 AND u <= 1.0
+"""
