@@ -1883,6 +1883,64 @@ def _edges_df(spark, parts_list):
     )
 
 
+def q_filter_features_by_area(spark, sf_dir):
+    """FilterRasterFeaturesByArea (gis_analysis/
+    filter_raster_features_by_area.rs): clumps under 5 cells to 0."""
+    from whitebox_tools_spark.operators.raster_vector import filter_features_by_area
+
+    cells = RM.reclass(
+        _part_raster(spark, sf_dir),
+        [(1.0, 0.0, 1500.0), (2.0, 1500.0, 99999.0)],
+    )
+    return filter_features_by_area(cells, min_cells=5)
+
+
+def q_create_plane(spark, sf_dir):
+    """CreatePlane (gis_analysis/create_plane.rs): gradient/aspect plane
+    over NN_GRID — z = z0 + tan(slope)*(cos(az')*dy_n + sin(az')*dx_e)
+    style; here the simple planar surface a + b*x + c*y at cell centers."""
+    g = NN_GRID
+    dense = (
+        spark.range(g.rows).select(F.col("id").alias("row"))
+        .crossJoin(spark.range(g.cols).select(F.col("id").alias("col")))
+    )
+    x = g.x_center_expr(F.col("col"))
+    y = g.y_center_expr(F.col("row"))
+    return _r6(
+        dense.select(
+            "row", "col", (F.lit(100.0) + 0.05 * x - 0.02 * y).alias("value")
+        ),
+        ["value"],
+    )
+
+
+def q_raster_cell_assignment(spark, sf_dir):
+    """RasterCellAssignment (gis_analysis/raster_cell_assignment.rs):
+    assign each cell its x-coordinate."""
+    r = _part_raster(spark, sf_dir)
+    return _r6(
+        r.select("row", "col", EXTRACT_GRID.x_center_expr(F.col("col")).alias("value")),
+        ["value"],
+    )
+
+
+def q_eliminate_coincident_points(spark, sf_dir):
+    """EliminateCoincidentPoints (gis_analysis/
+    eliminate_coincident_points.rs): one point kept per 25-unit snap cell
+    (lowest id; grid-snap stands in for the reference's radius search —
+    documented simplification)."""
+    p = _cust_points(spark, sf_dir).drop("z")
+    snapped = p.select(
+        "point_id", "x", "y",
+        F.floor(F.col("x") / 25.0).alias("sx"), F.floor(F.col("y") / 25.0).alias("sy"),
+    )
+    keep = snapped.groupBy("sx", "sy").agg(F.min("point_id").alias("point_id"))
+    return (
+        keep.join(p, "point_id")
+        .select("point_id", F.round("x", 6).alias("x"), F.round("y", 6).alias("y"))
+    )
+
+
 def q_medoid(spark, sf_dir):
     """Medoid (gis_analysis/medoid.rs:230-280) of the customer points."""
     from whitebox_tools_spark.operators.vector_ops import medoid
@@ -2779,6 +2837,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roberts_filter": q_roberts,
         "unsharp_masking": q_unsharp,
         "percentile_filter": q_percentile_filter,
+        "filter_features_by_area": q_filter_features_by_area,
+        "create_plane": q_create_plane,
+        "raster_cell_assignment": q_raster_cell_assignment,
+        "eliminate_coincident_points": q_eliminate_coincident_points,
         "medoid": q_medoid,
         "line_intersections": q_line_intersections,
         "class_centroid": q_class_centroid,
@@ -3253,6 +3315,13 @@ GROUP BY 1
         "roberts_filter": _roberts_sql(),
         "unsharp_masking": _unsharp_sql(),
         "percentile_filter": _percentile_filter_sql(),
+        "filter_features_by_area": _filter_area_sql(),
+        "create_plane": _create_plane_sql(),
+        "raster_cell_assignment": (
+            f"SELECT row, col, round({EXTRACT_GRID.x_center_sql('col')}, 6) AS value "
+            f"FROM ({_PART_RASTER_SQL}) t WHERE value IS NOT NULL"
+        ),
+        "eliminate_coincident_points": _elim_coincident_sql(),
         "medoid": _medoid_sql(),
         "line_intersections": _line_intersections_sql(),
         "class_centroid": (
@@ -4370,6 +4439,43 @@ def _edges_cte() -> str:
         + synth.edges_sql_values(POLYS)
         + f"\n) AS {synth.EDGES_SQL_COLS})"
     )
+
+
+def _filter_area_sql() -> str:
+    return _CLUMP_CTES + """
+, sizes AS (SELECT clump_id, count(*) AS n FROM labeled GROUP BY clump_id)
+SELECT l.row, l.col,
+       CASE WHEN s.n >= 5 THEN l.value ELSE 0.0 END AS value
+FROM labeled l JOIN sizes s ON s.clump_id = l.clump_id
+"""
+
+
+def _create_plane_sql() -> str:
+    g = NN_GRID
+    return f"""
+WITH RECURSIVE
+dr(row) AS (SELECT CAST(0 AS BIGINT)
+            UNION ALL SELECT row + 1 FROM dr WHERE row < {g.rows - 1}),
+dc(col) AS (SELECT CAST(0 AS BIGINT)
+            UNION ALL SELECT col + 1 FROM dc WHERE col < {g.cols - 1})
+SELECT row, col,
+       round(100.0 + 0.05 * ({g.x_center_sql("col")})
+             - 0.02 * ({g.y_center_sql("row")}), 6) AS value
+FROM dr CROSS JOIN dc
+"""
+
+
+def _elim_coincident_sql() -> str:
+    pts = _cust_points_cte("")
+    return f"""
+WITH pts AS ({pts}),
+keep AS (
+  SELECT min(point_id) AS point_id
+  FROM pts GROUP BY floor(x / 25.0), floor(y / 25.0)
+)
+SELECT p.point_id, round(p.x, 6) AS x, round(p.y, 6) AS y
+FROM pts p JOIN keep k ON k.point_id = p.point_id
+"""
 
 
 def _medoid_sql() -> str:

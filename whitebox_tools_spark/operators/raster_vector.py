@@ -450,3 +450,22 @@ SELECT row, col, {agg} AS value FROM src
 WHERE row >= 0 AND row < {grid.rows} AND col >= 0 AND col < {grid.cols}
 GROUP BY row, col
 """
+
+
+def filter_features_by_area(
+    cells: DataFrame, *, min_cells: int, background: float = 0.0,
+    diagonals: bool = True,
+) -> DataFrame:
+    """FilterRasterFeaturesByArea (gis_analysis/
+    filter_raster_features_by_area.rs): clump the raster, replace cells of
+    components smaller than `min_cells` with `background`.
+    -> (row, col, value)."""
+    from pyspark.sql import functions as F
+
+    cl = clump(cells, diagonals=diagonals)
+    sizes = cl.groupBy("clump_id").agg(F.count(F.lit(1)).alias("n"))
+    return cl.join(sizes, "clump_id").select(
+        "row", "col",
+        F.when(F.col("n") >= min_cells, F.col("value"))
+        .otherwise(F.lit(background)).alias("value"),
+    )
