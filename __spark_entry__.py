@@ -493,6 +493,32 @@ def q_resample_bilinear(spark, sf_dir):
     )
 
 
+def q_correct_vignetting(spark, sf_dir):
+    """CorrectVignetting (image_analysis/correct_vignetting.rs), principal
+    point (100, 5), 10-column scale."""
+    from whitebox_tools_spark.operators.image import correct_vignetting
+
+    out = correct_vignetting(
+        _part_raster(spark, sf_dir), pp_row=100.0, pp_col=5.0, cols=10
+    )
+    # 4dp: the 1/cos^4 amplification (up to ~1e5x) puts 1-ulp libm cos/pow
+    # differences on the 6dp rounding cliff
+    return out.withColumn("value", F.round(F.col("value"), 4))
+
+
+def q_mosaic_with_feathering(spark, sf_dir):
+    """MosaicWithFeathering (image_analysis/mosaic_with_feathering.rs):
+    price raster blended with the size raster shifted (+3, +2)."""
+    from whitebox_tools_spark.operators.image import mosaic_with_feathering
+
+    b = _part_raster2(spark, sf_dir).select(
+        (F.col("row") + 3).alias("row"), (F.col("col") + 2).alias("col"), "value"
+    )
+    return _r6(
+        mosaic_with_feathering(_part_raster(spark, sf_dir), b), ["value"]
+    )
+
+
 def q_histogram_matching(spark, sf_dir):
     """HistogramMatchingTwoImages (image_analysis/
     histogram_matching_two_images.rs:285-440): price raster reshaped to
@@ -2697,6 +2723,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribute_correlation": q_attribute_correlation,
         "resample_nn": q_resample_nn,
         "resample_bilinear": q_resample_bilinear,
+        "correct_vignetting": q_correct_vignetting,
+        "mosaic_with_feathering": q_mosaic_with_feathering,
         "histogram_matching": q_histogram_matching,
         "pennock_landform_class": q_pennock,
         "circular_variance_of_aspect": q_circular_variance_aspect,
@@ -3194,6 +3222,8 @@ UNION ALL SELECT 'l_discount', 'l_tax',
         ),
         "resample_nn": _resample_sql("nn"),
         "resample_bilinear": _resample_sql("bilinear"),
+        "correct_vignetting": _vignetting_sql(),
+        "mosaic_with_feathering": _mosaic_feather_sql(),
         "histogram_matching": _hist_match_sql(),
         "pennock_landform_class": _pennock_sql(),
         "circular_variance_of_aspect": _cva_aspect_sql(),
@@ -3806,6 +3836,25 @@ def _resample_sql(method: str) -> str:
     )
     if method == "nn":
         return inner
+    return f"SELECT row, col, round(value, 6) AS value FROM ({inner}) t"
+
+
+def _vignetting_sql() -> str:
+    from whitebox_tools_spark.operators.image import correct_vignetting_oracle_sql
+
+    inner = correct_vignetting_oracle_sql(
+        _PART_RASTER_SQL, pp_row=100.0, pp_col=5.0, cols=10
+    )
+    return f"SELECT row, col, round(value, 4) AS value FROM ({inner}) t"
+
+
+def _mosaic_feather_sql() -> str:
+    from whitebox_tools_spark.operators.image import mosaic_feathering_oracle_sql
+
+    b = (
+        f"SELECT row + 3 AS row, col + 2 AS col, value FROM ({_PART_RASTER2_SQL}) t"
+    )
+    inner = mosaic_feathering_oracle_sql(_PART_RASTER_SQL, b)
     return f"SELECT row, col, round(value, 6) AS value FROM ({inner}) t"
 
 

@@ -629,3 +629,103 @@ SELECT row, col, value FROM (
   FROM d {' '.join(joins)}
 ) t WHERE value IS NOT NULL
 """
+
+
+def correct_vignetting(
+    cells: DataFrame, *, pp_row: float, pp_col: float, focal_length: float = 304.8,
+    image_width: float = 228.6, n_param: float = 4.0, cols: int | None = None,
+) -> DataFrame:
+    """CorrectVignetting (image_analysis/correct_vignetting.rs): z /
+    cos(atan(d * scale / f))^n with d the cell-index distance from the
+    principal point and scale = image_width / raster columns.
+    -> (row, col, value)."""
+    src = cells.filter(F.col("value").isNotNull()).select("row", "col", "value")
+    if cols is None:
+        b = src.agg(F.max("col").alias("mc")).collect()[0]
+        cols = int(b.mc) + 1
+    scale = image_width / cols
+    d = F.sqrt(
+        (F.col("row") - F.lit(pp_row)) ** 2 + (F.col("col") - F.lit(pp_col)) ** 2
+    )
+    theta = F.atan(d * F.lit(scale) / F.lit(focal_length))
+    return src.select(
+        "row", "col",
+        (F.col("value") / F.pow(F.cos(theta), F.lit(n_param))).alias("value"),
+    )
+
+
+def correct_vignetting_oracle_sql(
+    source_sql: str, *, pp_row: float, pp_col: float, focal_length: float = 304.8,
+    image_width: float = 228.6, n_param: float = 4.0, cols: int = 1,
+) -> str:
+    scale = image_width / cols
+    return f"""
+SELECT row, col,
+       value / power(cos(atan(sqrt((row - {pp_row!r}) * (row - {pp_row!r})
+                                   + (col - {pp_col!r}) * (col - {pp_col!r}))
+                              * {scale!r} / {focal_length!r})), {n_param!r}) AS value
+FROM ({source_sql}) t WHERE value IS NOT NULL
+"""
+
+
+def mosaic_with_feathering(
+    a: DataFrame, b: DataFrame, *, power: float = 4.0
+) -> DataFrame:
+    """MosaicWithFeathering (image_analysis/mosaic_with_feathering.rs):
+    in the overlap, blend by normalized (distance-to-own-extent-edge)^p
+    weights; outside it, whichever image covers the cell. Extents are the
+    rasters' occupied bounding boxes (the reference feathers against
+    nodata edges — equivalent for rectangular coverage).
+    -> (row, col, value)."""
+    def with_edge(df, vname, dname):
+        src = df.filter(F.col("value").isNotNull()).select(
+            "row", "col", F.col("value").alias(vname)
+        )
+        bounds = src.agg(
+            F.min("row").alias("r0"), F.max("row").alias("r1"),
+            F.min("col").alias("c0"), F.max("col").alias("c1"),
+        )
+        j = src.crossJoin(F.broadcast(bounds))
+        d = (
+            F.least(
+                F.col("row") - F.col("r0"), F.col("r1") - F.col("row"),
+                F.col("col") - F.col("c0"), F.col("c1") - F.col("col"),
+            ).cast("double")
+            + 1.0
+        )
+        return j.select("row", "col", vname, d.alias(dname))
+
+    av = with_edge(a, "va", "da")
+    bv = with_edge(b, "vb", "db")
+    j = av.join(bv, ["row", "col"], "full_outer")
+    wa = F.pow(F.col("da"), F.lit(power))
+    wb = F.pow(F.col("db"), F.lit(power))
+    blended = (wa * F.col("va") + wb * F.col("vb")) / (wa + wb)
+    return j.select(
+        "row", "col",
+        F.when(F.col("va").isNull(), F.col("vb"))
+        .when(F.col("vb").isNull(), F.col("va"))
+        .otherwise(blended)
+        .alias("value"),
+    )
+
+
+def mosaic_feathering_oracle_sql(a_sql: str, b_sql: str, *, power: float = 4.0) -> str:
+    def edge(src, v, d):
+        return f"""
+{v}0 AS (SELECT row, col, value FROM ({src}) t WHERE value IS NOT NULL),
+{v}b AS (SELECT min(row) AS r0, max(row) AS r1, min(col) AS c0, max(col) AS c1 FROM {v}0),
+{v}e AS (SELECT row, col, value AS {v},
+                CAST(least(row - r0, r1 - row, col - c0, c1 - col) AS DOUBLE) + 1.0 AS {d}
+         FROM {v}0, {v}b)"""
+
+    return f"""
+WITH {edge(a_sql, "va", "da")},
+{edge(b_sql, "vb", "db")}
+SELECT coalesce(a.row, b.row) AS row, coalesce(a.col, b.col) AS col,
+       CASE WHEN a.va IS NULL THEN b.vb
+            WHEN b.vb IS NULL THEN a.va
+            ELSE (power(a.da, {power!r}) * a.va + power(b.db, {power!r}) * b.vb)
+                 / (power(a.da, {power!r}) + power(b.db, {power!r})) END AS value
+FROM vae a FULL OUTER JOIN vbe b ON b.row = a.row AND b.col = a.col
+"""
