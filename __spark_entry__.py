@@ -1663,6 +1663,26 @@ def q_basins(spark, sf_dir):
     return basins(_noise_raster(spark, sf_dir), EXTRACT_GRID)
 
 
+def q_cost_allocation(spark, sf_dir):
+    """CostAllocation (gis_analysis/cost_allocation.rs) — the cost_distance
+    supersteps carrying the claiming source (rows-only; pinned vs a
+    multi-source Dijkstra in pytest)."""
+    from whitebox_tools_spark.operators.hydro import cost_allocation
+
+    cost = spark.range(400).select(
+        (F.col("id") / 20).cast("long").alias("row"),
+        (F.col("id") % 20).alias("col"),
+        (((F.col("id") * 48271 + 7) % 1000).cast("double") / 100.0 + 1.0).alias("value"),
+    )
+    sources = spark.createDataFrame(
+        [(0, 0, 1), (19, 19, 2)], "row long, col long, source_id long"
+    )
+    return cost_allocation(
+        cost, sources,
+        GridSpec(west=0.0, north=100.0, res_x=5.0, res_y=5.0, rows=20, cols=20),
+    )
+
+
 def q_cost_distance(spark, sf_dir):
     """CostDistance (gis_analysis/cost_distance.rs:332-340) — distributed
     Bellman-Ford supersteps (rows-only; pinned vs python Dijkstra in
@@ -2799,6 +2819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sink": q_sink,
         "basins": q_basins,
         "cost_distance": q_cost_distance,
+        "cost_allocation": q_cost_allocation,
         "dinf_pointer": q_dinf_pointer,
         "viewshed": q_viewshed,
         "horizon_angle": q_horizon_angle,

@@ -396,3 +396,40 @@ def test_dinf_flow_accum_matches_numpy(spark):
     for r in range(R):
         for c in range(C):
             assert out[(r, c)] == pytest.approx(fa[r, c], rel=1e-9), (r, c)
+
+
+def test_cost_allocation_matches_dijkstra(spark):
+    import heapq
+    import math
+
+    from whitebox_tools_spark.operators.hydro import D8_DX, D8_DY, cost_allocation
+
+    rng = np.random.default_rng(33)
+    n = 8
+    vals = rng.uniform(1, 10, (n, n))
+    cost = _dem(spark, vals)
+    sources = spark.createDataFrame(
+        [(0, 0, 1), (7, 7, 2)], "row long, col long, source_id long"
+    )
+    out = {(r.row, r.col): r.value for r in
+           cost_allocation(cost, sources, G5).collect()}
+
+    lens = [math.sqrt(50.0), 5.0, math.sqrt(50.0), 5.0] * 2
+    # multi-source Dijkstra carrying the claiming source; cost ties break to
+    # the lowest source id (the engine's documented rule)
+    dist = {(0, 0): (0.0, 1), (7, 7): (0.0, 2)}
+    heap = [(0.0, 1, 0, 0), (0.0, 2, 7, 7)]
+    while heap:
+        d, sid, r, c = heapq.heappop(heap)
+        if (d, sid) > dist.get((r, c), (float("inf"), 99)):
+            continue
+        for i in range(8):
+            rr, cc = r + D8_DY[i], c + D8_DX[i]
+            if 0 <= rr < n and 0 <= cc < n:
+                nd = d + (vals[r][c] + vals[rr][cc]) / 2.0 * lens[i]
+                if (nd, sid) < dist.get((rr, cc), (float("inf"), 99)):
+                    dist[(rr, cc)] = (nd, sid)
+                    heapq.heappush(heap, (nd, sid, rr, cc))
+    assert set(out) == set(dist)
+    for k, (d, sid) in dist.items():
+        assert out[k] == sid, (k, out[k], dist[k])

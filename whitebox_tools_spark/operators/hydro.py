@@ -1178,3 +1178,83 @@ mm AS (SELECT bid, min(value) AS mn, max(value) AS mx FROM j GROUP BY bid)
 SELECT j.row, j.col, (j.value - mm.mn) / (mm.mx - mm.mn) AS value
 FROM j JOIN mm ON mm.bid = j.bid
 """
+
+
+def cost_allocation(
+    cost: DataFrame,
+    sources: DataFrame,
+    grid: GridSpec,
+    *,
+    max_iterations: int = 10_000,
+) -> DataFrame:
+    """CostAllocation (gis_analysis/cost_allocation.rs): each cell labeled
+    by the source of its least accumulated cost (the same Bellman-Ford
+    supersteps as cost_distance, carrying the claiming source id;
+    equal-cost ties break to the LOWEST source id — the reference keeps
+    its heap's settle order). sources: (row, col, source_id).
+    -> (row, col, value = source id); unreachable cells absent."""
+    lens = _grid_lengths(grid)
+    spark = cost.sparkSession
+    offsets = spark.createDataFrame(
+        [(D8_DX[i], D8_DY[i], lens[i]) for i in range(8)], "dx int, dy int, len double"
+    )
+    c = cost.filter(F.col("value").isNotNull()).select(
+        "row", "col", F.col("value").alias("cost")
+    )
+    acc = (
+        c.join(
+            sources.select("row", "col", F.col("source_id").alias("__sid")),
+            ["row", "col"], "left",
+        )
+        .withColumn("acc", F.when(F.col("__sid").isNotNull(), F.lit(0.0)))
+        .withColumn("sid", F.col("__sid").cast("double"))
+        .drop("__sid")
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        nb = (
+            acc.filter(F.col("acc").isNotNull())
+            .crossJoin(F.broadcast(offsets))
+            .select(
+                (F.col("row") + F.col("dy")).alias("row"),
+                (F.col("col") + F.col("dx")).alias("col"),
+                (F.col("acc") + F.col("cost") * F.lit(0.5) * F.col("len")).alias("half"),
+                (F.lit(0.5) * F.col("len")).alias("w"),
+                "sid",
+            )
+        )
+        relax = (
+            nb.join(acc.select("row", "col", F.col("cost").alias("tcost")), ["row", "col"])
+            .select(
+                "row", "col", "sid",
+                (F.col("half") + F.col("tcost") * F.col("w")).alias("cand"),
+            )
+            .groupBy("row", "col")
+            .agg(F.min(F.struct(F.col("cand"), F.col("sid"))).alias("m"))
+            .select("row", "col", F.col("m.cand").alias("cand"), F.col("m.sid").alias("csid"))
+        )
+        nxt = (
+            acc.join(relax, ["row", "col"], "left")
+            .withColumn(
+                "better",
+                F.coalesce(F.col("cand"), F.lit(float("inf")))
+                < F.coalesce(F.col("acc"), F.lit(float("inf"))),
+            )
+            .withColumn(
+                "tie_lower",
+                F.col("cand").isNotNull() & F.col("acc").isNotNull()
+                & (F.col("cand") == F.col("acc")) & (F.col("csid") < F.col("sid")),
+            )
+        )
+        changed = nxt.filter(F.col("better") | F.col("tie_lower")).limit(1).isEmpty()
+        acc = nxt.select(
+            "row", "col", "cost",
+            F.when(F.col("better"), F.col("cand")).otherwise(F.col("acc")).alias("acc"),
+            F.when(F.col("better") | F.col("tie_lower"), F.col("csid"))
+            .otherwise(F.col("sid")).alias("sid"),
+        ).transform(loop_checkpoint)
+        if changed:
+            break
+    return acc.filter(F.col("sid").isNotNull()).select(
+        "row", "col", F.col("sid").alias("value")
+    )
