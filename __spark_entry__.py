@@ -599,6 +599,14 @@ def q_hypsometric(spark, sf_dir):
     return ST.hypsometric_analysis(_part_raster(spark, sf_dir))
 
 
+def q_max_elev_deviation(spark, sf_dir):
+    """MaxElevationDeviation (terrain_analysis/max_elev_deviation.rs),
+    scales 3/5/9."""
+    from whitebox_tools_spark.operators.focal import max_elev_deviation
+
+    return _r6(max_elev_deviation(_part_raster(spark, sf_dir)), ["magnitude"])
+
+
 def q_pennock(spark, sf_dir):
     """PennockLandformClass (terrain_analysis/pennock_landform_class.rs:
     380-462)."""
@@ -2749,6 +2757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pennock_landform_class": q_pennock,
         "circular_variance_of_aspect": q_circular_variance_aspect,
         "hypsometric_analysis": q_hypsometric,
+        "max_elev_deviation": q_max_elev_deviation,
         "surface_area_ratio": q_surface_area_ratio,
         "relative_topographic_position": q_rtp,
         "extract_valleys_jandr": q_extract_valleys_jandr,
@@ -3249,6 +3258,7 @@ UNION ALL SELECT 'l_discount', 'l_tax',
         "pennock_landform_class": _pennock_sql(),
         "circular_variance_of_aspect": _cva_aspect_sql(),
         "hypsometric_analysis": ST.hypsometric_oracle_sql(_PART_RASTER_SQL),
+        "max_elev_deviation": _max_elev_dev_sql(),
         "surface_area_ratio": _sar_sql(),
         "relative_topographic_position": _rtp_sql(),
         "extract_valleys_jandr": _valleys_sql("JandR"),
@@ -3919,6 +3929,16 @@ def _mass_flux_sql() -> str:
     ab = f"SELECT row, col, 0.05 AS value FROM ({_VALLEY_DEM_SQL}) t"
     inner = _h.d8_mass_flux_oracle_sql(_VALLEY_DEM_SQL, STREAM_GRID, loading, eff, ab)
     return f"SELECT row, col, round(value, 6) AS value FROM ({inner}) t"
+
+
+def _max_elev_dev_sql() -> str:
+    from whitebox_tools_spark.operators.focal import max_elev_deviation_oracle_sql
+
+    inner = max_elev_deviation_oracle_sql(_PART_RASTER_SQL)
+    return (
+        f"SELECT row, col, round(magnitude, 6) AS magnitude, scale "
+        f"FROM ({inner}) t"
+    )
 
 
 def _pennock_sql() -> str:

@@ -1524,3 +1524,56 @@ orig AS (SELECT row, col, value FROM ({source_sql}) WHERE value IS NOT NULL)
 SELECT o.row, o.col, o.value - med.medb / {mult!r} AS value
 FROM orig o JOIN med ON med.row = o.row AND med.col = o.col
 """
+
+
+def max_elev_deviation(
+    cells: DataFrame, *, scales: list[int] = (3, 5, 9)
+) -> DataFrame:
+    """MaxElevationDeviation (terrain_analysis/max_elev_deviation.rs):
+    across the given square window sizes, the DEV value with the largest
+    |DEV| per cell plus the winning scale (|DEV| ties break to the
+    smallest scale). -> (row, col, magnitude, scale)."""
+    parts = []
+    for s in scales:
+        parts.append(
+            dev_from_mean(cells, filterx=s, filtery=s).select(
+                "row", "col", F.col("value").alias("dev"),
+                F.lit(int(s)).alias("scale"),
+            )
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    pick = u.groupBy("row", "col").agg(
+        F.max(
+            F.struct(
+                F.abs(F.col("dev")).alias("a"), (-F.col("scale")).alias("ns"),
+                F.col("dev").alias("dev"), F.col("scale").alias("scale"),
+            )
+        ).alias("w")
+    )
+    return pick.select(
+        "row", "col", F.col("w.dev").alias("magnitude"),
+        F.col("w.scale").cast("long").alias("scale"),
+    )
+
+
+def max_elev_deviation_oracle_sql(
+    source_sql: str, *, scales: list[int] = (3, 5, 9)
+) -> str:
+    unions = "\nUNION ALL\n".join(
+        f"SELECT row, col, value AS dev, {int(s)} AS scale FROM ("
+        + dev_from_mean_oracle_sql(source_sql, filterx=s, filtery=s)
+        + ") t"
+        for s in scales
+    )
+    return f"""
+WITH u AS ({unions}),
+pick AS (
+  SELECT row, col,
+         max(struct_pack(a := abs(dev), ns := -scale, dev := dev, scale := scale)) AS w
+  FROM u GROUP BY row, col
+)
+SELECT row, col, (w).dev AS magnitude, CAST((w).scale AS BIGINT) AS scale
+FROM pick
+"""
