@@ -1710,6 +1710,18 @@ def q_cost_distance(spark, sf_dir):
     return _r6(out, ["value"])
 
 
+_TRACE_SEEDS = [(2, 3), (5, 18), (14, 9)]
+
+
+def q_trace_flowpaths(spark, sf_dir):
+    """TraceDownslopeFlowpaths (hydro_analysis/
+    trace_downslope_flowpaths.rs:365-390): three seeds on the valley DEM."""
+    from whitebox_tools_spark.operators.hydro import trace_downslope_flowpaths
+
+    seeds = spark.createDataFrame(_TRACE_SEEDS, "row long, col long")
+    return trace_downslope_flowpaths(_valley_dem(spark, sf_dir), STREAM_GRID, seeds)
+
+
 def q_avg_upslope_flowpath(spark, sf_dir):
     """AverageUpslopeFlowpathLength (hydro_analysis/
     average_upslope_flowpath_length.rs:349-391)."""
@@ -2820,6 +2832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dinf_flow_accumulation": q_dinf_flow_accum,
         "buffer_raster": q_buffer_raster,
         "fill_depressions": q_fill_depressions,
+        "trace_downslope_flowpaths": q_trace_flowpaths,
         "average_upslope_flowpath_length": q_avg_upslope_flowpath,
         "fill_pits": q_fill_pits,
         "find_noflow_cells": q_find_noflow,
@@ -3495,6 +3508,9 @@ FROM ({_PART_RASTER_SQL}) WHERE value IS NOT NULL
         "lines_to_raster": _lines_to_raster_sql(),
         "singlepart_to_multipart": _sp_to_mp_sql(),
         "fill_depressions": _hyd.fill_depressions_oracle_sql(_NOISE_RASTER_SQL),
+        "trace_downslope_flowpaths": _hyd.trace_flowpaths_oracle_sql(
+            _VALLEY_DEM_SQL, STREAM_GRID, _TRACE_SEEDS
+        ),
         "average_upslope_flowpath_length": (
             "SELECT row, col, round(value, 6) AS value FROM ("
             + _hyd.avg_upslope_flowpath_oracle_sql(_VALLEY_DEM_SQL, STREAM_GRID)

@@ -1258,3 +1258,64 @@ def cost_allocation(
     return acc.filter(F.col("sid").isNotNull()).select(
         "row", "col", F.col("sid").alias("value")
     )
+
+
+def trace_downslope_flowpaths(
+    cells: DataFrame, grid: GridSpec, seeds: DataFrame, *, max_iterations: int = 10_000
+) -> DataFrame:
+    """TraceDownslopeFlowpaths (hydro_analysis/trace_downslope_flowpaths
+    .rs:365-390): per cell, how many seed flow paths pass through it
+    (each seed walks its D8 path; the reference increments per visit).
+    Same topological peel as flow accumulation with seed-indicator initial
+    mass. seeds: (row, col). -> (row, col, value) for visited cells."""
+    from whitebox_tools_spark.distributed import loop_checkpoint
+
+    acc = (
+        cells.filter(F.col("value").isNotNull())
+        .select("row", "col")
+        .join(seeds.select("row", "col").withColumn("__s", F.lit(1)), ["row", "col"], "left")
+        .select(
+            "row", "col",
+            F.when(F.col("__s").isNotNull(), F.lit(1.0)).otherwise(F.lit(0.0)).alias("fa"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    edges = _flow_edges(cells, grid).localCheckpoint(eager=True)
+    for _ in range(max_iterations):
+        if edges.isEmpty():
+            break
+        targets = edges.select(F.col("trow").alias("row"), F.col("tcol").alias("col")).distinct()
+        src_edges = edges.join(targets, ["row", "col"], "left_anti")
+        pushed = (
+            src_edges.join(acc, ["row", "col"])
+            .groupBy(F.col("trow").alias("row"), F.col("tcol").alias("col"))
+            .agg(F.sum("fa").alias("inflow"))
+        )
+        acc = (
+            acc.join(pushed, ["row", "col"], "left")
+            .withColumn("fa", F.col("fa") + F.coalesce(F.col("inflow"), F.lit(0.0)))
+            .drop("inflow")
+            .transform(loop_checkpoint)
+        )
+        edges = edges.join(
+            src_edges.select("row", "col"), ["row", "col"], "left_anti"
+        ).transform(loop_checkpoint)
+    return acc.filter(F.col("fa") > 0.0).select("row", "col", F.col("fa").alias("value"))
+
+
+def trace_flowpaths_oracle_sql(source_sql: str, grid: GridSpec, seeds: list) -> str:
+    """seeds: [(row, col), ...] literal seed cells."""
+    vals = ", ".join(f"({r}, {c})" for r, c in seeds)
+    return f"""
+WITH RECURSIVE {_fd_ctes(source_sql, grid)},
+seeds(srow, scol) AS (VALUES {vals}),
+walk(orow, ocol, row, col) AS (
+  SELECT srow, scol, srow, scol FROM seeds
+  JOIN cells ON cells.row = seeds.srow AND cells.col = seeds.scol
+  UNION
+  SELECT w.orow, w.ocol, f.trow, f.tcol
+  FROM walk w JOIN fd f ON f.row = w.row AND f.col = w.col
+)
+SELECT row, col, CAST(count(*) AS DOUBLE) AS value
+FROM walk GROUP BY row, col
+"""
