@@ -1713,6 +1713,37 @@ def q_cost_distance(spark, sf_dir):
 _TRACE_SEEDS = [(2, 3), (5, 18), (14, 9)]
 
 
+_JENSON_POUR = [(1, 3, 6), (2, 10, 14), (3, 17, 4)]
+
+
+def q_jenson_snap_pour(spark, sf_dir):
+    """JensonSnapPourPoints (hydro_analysis/jenson_snap_pour_points.rs):
+    snap to the nearest stream cell within 3 cells."""
+    from whitebox_tools_spark.operators.streams import jenson_snap_pour_points
+
+    pour = spark.createDataFrame(
+        [(r, c, pid) for pid, r, c in _JENSON_POUR], "row long, col long, pour_id long"
+    )
+    return jenson_snap_pour_points(
+        _valley_dem(spark, sf_dir), STREAM_GRID, pour, threshold=4.0
+    )
+
+
+def q_elev_above_stream_euclidean(spark, sf_dir):
+    """ElevationAboveStreamEuclidean (hydro_analysis/
+    elevation_above_stream_euclidean.rs)."""
+    from whitebox_tools_spark.grid import CellIndex
+    from whitebox_tools_spark.operators.streams import elevation_above_stream_euclidean
+
+    idx = CellIndex(0.0, 0.0, 130.0, 3)
+    return _r6(
+        elevation_above_stream_euclidean(
+            _valley_dem(spark, sf_dir), STREAM_GRID, idx, threshold=4.0
+        ),
+        ["value"],
+    )
+
+
 def q_trace_flowpaths(spark, sf_dir):
     """TraceDownslopeFlowpaths (hydro_analysis/
     trace_downslope_flowpaths.rs:365-390): three seeds on the valley DEM."""
@@ -2832,6 +2863,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dinf_flow_accumulation": q_dinf_flow_accum,
         "buffer_raster": q_buffer_raster,
         "fill_depressions": q_fill_depressions,
+        "jenson_snap_pour_points": q_jenson_snap_pour,
+        "elevation_above_stream_euclidean": q_elev_above_stream_euclidean,
         "trace_downslope_flowpaths": q_trace_flowpaths,
         "average_upslope_flowpath_length": q_avg_upslope_flowpath,
         "fill_pits": q_fill_pits,
@@ -3508,6 +3541,16 @@ FROM ({_PART_RASTER_SQL}) WHERE value IS NOT NULL
         "lines_to_raster": _lines_to_raster_sql(),
         "singlepart_to_multipart": _sp_to_mp_sql(),
         "fill_depressions": _hyd.fill_depressions_oracle_sql(_NOISE_RASTER_SQL),
+        "jenson_snap_pour_points": _str.jenson_snap_oracle_sql(
+            _VALLEY_DEM_SQL, STREAM_GRID, _JENSON_POUR, threshold=4.0
+        ),
+        "elevation_above_stream_euclidean": (
+            "SELECT row, col, round(value, 6) AS value FROM ("
+            + _str.elev_above_stream_euclid_oracle_sql(
+                _VALLEY_DEM_SQL, STREAM_GRID, threshold=4.0
+            )
+            + ") t"
+        ),
         "trace_downslope_flowpaths": _hyd.trace_flowpaths_oracle_sql(
             _VALLEY_DEM_SQL, STREAM_GRID, _TRACE_SEEDS
         ),

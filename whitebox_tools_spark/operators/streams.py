@@ -1818,3 +1818,139 @@ JOIN cells c ON c.row = s.row AND c.col = s.col
 LEFT JOIN inflow i ON i.row = s.row AND i.col = s.col
 LEFT JOIN own o ON o.row = s.row AND o.col = s.col
 """
+
+
+def jenson_snap_pour_points(
+    cells: DataFrame, grid: GridSpec, pour: DataFrame, *,
+    threshold: float, snap_cells: int = 3,
+) -> DataFrame:
+    """JensonSnapPourPoints (hydro_analysis/jenson_snap_pour_points.rs):
+    move each pour point to the NEAREST stream cell within the snap
+    window (squared-cell-distance ties to the smallest (row, col)).
+    pour: (row, col, pour_id). -> (pour_id, row, col)."""
+    spark = cells.sparkSession
+    sc, _ = _stream_set(cells, grid, threshold)
+    offs = spark.createDataFrame(
+        [
+            (dx, dy)
+            for dx in range(-snap_cells, snap_cells + 1)
+            for dy in range(-snap_cells, snap_cells + 1)
+        ],
+        "dx int, dy int",
+    )
+    cand = (
+        pour.crossJoin(F.broadcast(offs))
+        .select(
+            "pour_id", F.col("row").alias("prow"), F.col("col").alias("pcol"),
+            (F.col("row") + F.col("dy")).alias("row"),
+            (F.col("col") + F.col("dx")).alias("col"),
+        )
+        .join(sc, ["row", "col"])
+    )
+    d2 = (
+        (F.col("row") - F.col("prow")) ** 2 + (F.col("col") - F.col("pcol")) ** 2
+    )
+    w = Window.partitionBy("pour_id").orderBy(
+        d2.asc(), F.asc("row"), F.asc("col")
+    )
+    snapped = (
+        cand.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select("pour_id", "row", "col")
+    )
+    # points with no stream cell in range stay at their original location
+    return pour.select("pour_id", F.col("row").alias("orow"), F.col("col").alias("ocol")).join(
+        snapped, "pour_id", "left"
+    ).select(
+        "pour_id",
+        F.coalesce(F.col("row"), F.col("orow")).alias("row"),
+        F.coalesce(F.col("col"), F.col("ocol")).alias("col"),
+    )
+
+
+def jenson_snap_oracle_sql(
+    source_sql: str, grid: GridSpec, pour: list, *, threshold: float,
+    snap_cells: int = 3,
+) -> str:
+    vals = ", ".join(f"({pid}, {r}, {c})" for pid, r, c in pour)
+    return f"""
+WITH RECURSIVE {_stream_ctes(source_sql, grid, threshold)},
+pour(pour_id, prow, pcol) AS (VALUES {vals}),
+cand AS (
+  SELECT p.pour_id, p.prow, p.pcol, s.row, s.col,
+         (s.row - p.prow) * (s.row - p.prow)
+         + (s.col - p.pcol) * (s.col - p.pcol) AS d2
+  FROM pour p JOIN sc s
+    ON abs(s.row - p.prow) <= {snap_cells} AND abs(s.col - p.pcol) <= {snap_cells}
+),
+pick AS (
+  SELECT pour_id, row, col,
+         row_number() OVER (PARTITION BY pour_id ORDER BY d2, row, col) AS rk
+  FROM cand
+)
+SELECT CAST(p.pour_id AS BIGINT) AS pour_id,
+       coalesce(k.row, p.prow) AS row, coalesce(k.col, p.pcol) AS col
+FROM pour p LEFT JOIN (SELECT pour_id, row, col FROM pick WHERE rk = 1) k
+  ON k.pour_id = p.pour_id
+"""
+
+
+def elevation_above_stream_euclidean(
+    cells: DataFrame, grid: GridSpec, index, *, threshold: float
+) -> DataFrame:
+    """ElevationAboveStreamEuclidean (hydro_analysis/
+    elevation_above_stream_euclidean.rs): z minus the elevation of the
+    EUCLIDEAN-nearest stream cell (exact kNN annulus join).
+    -> (row, col, value)."""
+    from whitebox_tools_spark.operators.knn import knn_join
+
+    sc, _ = _stream_set(cells, grid, threshold)
+    dem = cells.filter(F.col("value").isNotNull()).select("row", "col", "value")
+    srcs = sc.join(dem, ["row", "col"]).select(
+        (F.col("row") * grid.cols + F.col("col")).alias("point_id"),
+        grid.x_center_expr(F.col("col")).alias("px"),
+        grid.y_center_expr(F.col("row")).alias("py"),
+        F.col("value").alias("z"),
+    )
+    targets = dem.select(
+        (F.col("row") * grid.cols + F.col("col")).alias("target_id"),
+        grid.x_center_expr(F.col("col")).alias("x"),
+        grid.y_center_expr(F.col("row")).alias("y"),
+    )
+    nn = knn_join(targets, srcs, 1, index, px="px", py="py")
+    return (
+        dem.withColumn(
+            "target_id", F.col("row") * grid.cols + F.col("col")
+        )
+        .join(nn.select("target_id", F.col("z").alias("sz")), "target_id")
+        .select("row", "col", (F.col("value") - F.col("sz")).alias("value"))
+    )
+
+
+def elev_above_stream_euclid_oracle_sql(
+    source_sql: str, grid: GridSpec, *, threshold: float
+) -> str:
+    return f"""
+WITH RECURSIVE {_stream_ctes(source_sql, grid, threshold)},
+dem AS (SELECT row, col, value FROM ({source_sql}) WHERE value IS NOT NULL),
+srcs AS (
+  SELECT s.row * {grid.cols} + s.col AS pid,
+         {grid.x_center_sql("s.col")} AS px, {grid.y_center_sql("s.row")} AS py,
+         d.value AS z
+  FROM sc s JOIN dem d ON d.row = s.row AND d.col = s.col
+),
+nn AS (
+  SELECT row, col, z FROM (
+    SELECT t.row, t.col, p.z,
+           row_number() OVER (
+             PARTITION BY t.row, t.col
+             ORDER BY ({grid.x_center_sql("t.col")} - p.px) * ({grid.x_center_sql("t.col")} - p.px)
+                      + ({grid.y_center_sql("t.row")} - p.py) * ({grid.y_center_sql("t.row")} - p.py),
+                      p.pid
+           ) AS rk
+    FROM dem t CROSS JOIN srcs p
+  ) WHERE rk = 1
+)
+SELECT d.row, d.col, d.value - nn.z AS value
+FROM dem d JOIN nn ON nn.row = d.row AND nn.col = d.col
+"""
