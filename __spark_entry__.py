@@ -982,8 +982,20 @@ def q_lines_to_raster(spark, sf_dir):
 
 
 def _lines_to_raster_sql() -> str:
-    g = P2R_GRID
-    segs = _cust_segs_cte()
+    return _lines_raster_from_segs(_cust_segs_cte(), P2R_GRID)
+
+
+def _rasterize_streams_sql() -> str:
+    rsv = _str.streams_to_vector_oracle_sql(_VALLEY_DEM_SQL, STREAM_GRID, threshold=4.0)
+    segs = f"""
+SELECT a.link_id AS line_id, a.x AS px0, a.y AS py0, b.x AS px1, b.y AS py1
+FROM ({rsv}) a JOIN ({rsv}) b
+  ON b.link_id = a.link_id AND b.seq = a.seq + 1
+"""
+    return _lines_raster_from_segs(segs, STREAM_GRID)
+
+
+def _lines_raster_from_segs(segs: str, g) -> str:
     yc = g.y_center_sql("row")
     xc = g.x_center_sql("col")
     xp = f"(px0 + (({yc}) - py0) / (py1 - py0) * (px1 - px0))"
@@ -1714,6 +1726,28 @@ _TRACE_SEEDS = [(2, 3), (5, 18), (14, 9)]
 
 
 _JENSON_POUR = [(1, 3, 6), (2, 10, 14), (3, 17, 4)]
+
+
+def q_rasterize_streams(spark, sf_dir):
+    """RasterizeStreams (stream_network_analysis/rasterize_streams.rs):
+    the vectorized stream links scan-converted back onto the grid (FID =
+    link_id + 1, later links win)."""
+    from whitebox_tools_spark.operators.raster_vector import vector_lines_to_raster
+    from whitebox_tools_spark.operators.streams import raster_streams_to_vector
+
+    v = raster_streams_to_vector(_valley_dem(spark, sf_dir), STREAM_GRID, threshold=4.0)
+    lines = (
+        v.groupBy("link_id")
+        .agg(F.sort_array(F.collect_list(F.struct("seq", "x", "y"))).alias("vs"))
+        .filter(F.size("vs") >= 2)  # single-vertex links have no segment
+        .select(
+            F.col("link_id").alias("line_id"),
+            F.transform("vs", lambda s: s.getField("x")).alias("xs"),
+            F.transform("vs", lambda s: s.getField("y")).alias("ys"),
+        )
+        .localCheckpoint()
+    )
+    return vector_lines_to_raster(lines, STREAM_GRID, line_id="line_id")
 
 
 def q_jenson_snap_pour(spark, sf_dir):
@@ -2863,6 +2897,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dinf_flow_accumulation": q_dinf_flow_accum,
         "buffer_raster": q_buffer_raster,
         "fill_depressions": q_fill_depressions,
+        "rasterize_streams": q_rasterize_streams,
         "jenson_snap_pour_points": q_jenson_snap_pour,
         "elevation_above_stream_euclidean": q_elev_above_stream_euclidean,
         "trace_downslope_flowpaths": q_trace_flowpaths,
@@ -3541,6 +3576,7 @@ FROM ({_PART_RASTER_SQL}) WHERE value IS NOT NULL
         "lines_to_raster": _lines_to_raster_sql(),
         "singlepart_to_multipart": _sp_to_mp_sql(),
         "fill_depressions": _hyd.fill_depressions_oracle_sql(_NOISE_RASTER_SQL),
+        "rasterize_streams": _rasterize_streams_sql(),
         "jenson_snap_pour_points": _str.jenson_snap_oracle_sql(
             _VALLEY_DEM_SQL, STREAM_GRID, _JENSON_POUR, threshold=4.0
         ),
