@@ -599,6 +599,14 @@ def q_hypsometric(spark, sf_dir):
     return ST.hypsometric_analysis(_part_raster(spark, sf_dir))
 
 
+def q_geomorphons(spark, sf_dir):
+    """Geomorphons forms (terrain_analysis/geomorphons.rs:600-670): 8
+    line-of-sight profiles via banded self-joins, 10-landform lookup."""
+    from whitebox_tools_spark.operators.terrain import geomorphons
+
+    return geomorphons(_part_raster(spark, sf_dir), res=5.0, search_cells=8)
+
+
 def q_max_elev_deviation(spark, sf_dir):
     """MaxElevationDeviation (terrain_analysis/max_elev_deviation.rs),
     scales 3/5/9."""
@@ -2835,6 +2843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "circular_variance_of_aspect": q_circular_variance_aspect,
         "hypsometric_analysis": q_hypsometric,
         "max_elev_deviation": q_max_elev_deviation,
+        "geomorphons": q_geomorphons,
         "surface_area_ratio": q_surface_area_ratio,
         "relative_topographic_position": q_rtp,
         "extract_valleys_jandr": q_extract_valleys_jandr,
@@ -3340,6 +3349,7 @@ UNION ALL SELECT 'l_discount', 'l_tax',
         "circular_variance_of_aspect": _cva_aspect_sql(),
         "hypsometric_analysis": ST.hypsometric_oracle_sql(_PART_RASTER_SQL),
         "max_elev_deviation": _max_elev_dev_sql(),
+        "geomorphons": _geomorphons_sql(),
         "surface_area_ratio": _sar_sql(),
         "relative_topographic_position": _rtp_sql(),
         "extract_valleys_jandr": _valleys_sql("JandR"),
@@ -4024,6 +4034,12 @@ def _mass_flux_sql() -> str:
     ab = f"SELECT row, col, 0.05 AS value FROM ({_VALLEY_DEM_SQL}) t"
     inner = _h.d8_mass_flux_oracle_sql(_VALLEY_DEM_SQL, STREAM_GRID, loading, eff, ab)
     return f"SELECT row, col, round(value, 6) AS value FROM ({inner}) t"
+
+
+def _geomorphons_sql() -> str:
+    from whitebox_tools_spark.operators.terrain import geomorphons_oracle_sql
+
+    return geomorphons_oracle_sql(_PART_RASTER_SQL, res=5.0, search_cells=8)
 
 
 def _max_elev_dev_sql() -> str:

@@ -718,3 +718,171 @@ SELECT row, col,
             THEN 1.0 ELSE 0.0 END AS value
 FROM g
 """
+
+
+# Jasiewicz & Stepinski (2013) geomorphon forms lookup,
+# classes[count_neg][count_pos] (geomorphons.rs:543-554), flattened row-major.
+_GEOMORPHON_CLASSES = [
+    1, 1, 1, 8, 8, 9, 9, 9, 10,
+    1, 1, 8, 8, 8, 9, 9, 9, 0,
+    1, 4, 6, 6, 7, 7, 9, 0, 0,
+    4, 4, 6, 6, 6, 7, 0, 0, 0,
+    4, 4, 5, 6, 6, 0, 0, 0, 0,
+    3, 3, 5, 5, 0, 0, 0, 0, 0,
+    3, 3, 3, 0, 0, 0, 0, 0, 0,
+    3, 3, 0, 0, 0, 0, 0, 0, 0,
+    2, 0, 0, 0, 0, 0, 0, 0, 0,
+]
+
+
+def geomorphons(
+    cells: DataFrame, *, res: float, search_cells: int = 10,
+    flat_threshold_deg: float = 1.0,
+) -> DataFrame:
+    """Geomorphons forms mode (terrain_analysis/geomorphons.rs:600-670):
+    per cell, 8 compass line-of-sight profiles (skip 1, distance <
+    search_cells * res) give zenith (max) and nadir (min) elevation
+    angles; each direction contributes +1 when |nadir| < |zenith| (and
+    either exceeds the flatness threshold), -1 when greater; the (count-,
+    count+) pair indexes the 10-landform lookup. Cells within 1 cell of
+    the raster's bounding box (the reference's edge buffer) and cells
+    with all-flat profiles return 1 (Flat). The 8 profiles are FOUR
+    grouped self-joins (row / column / diagonal / anti-diagonal bands) —
+    no per-cell ray loops. -> (row, col, value)."""
+    spark = cells.sparkSession
+    src = cells.filter(F.col("value").isNotNull()).select("row", "col", "value")
+    L = float(search_cells) * res
+    diag = res * math.sqrt(2.0)
+    thresh = math.radians(flat_threshold_deg)
+
+    a = src.select(
+        F.col("row").alias("r"), F.col("col").alias("c"), F.col("value").alias("z")
+    )
+    b = src.select(
+        F.col("row").alias("r2"), F.col("col").alias("c2"), F.col("value").alias("z2")
+    )
+
+    def fam(cond, dir_pos, dir_neg, key, dist_expr):
+        j = a.join(b, cond)
+        d = dist_expr
+        j = j.filter((d > 0.0) & (d < L))
+        direction = F.when(key > 0, F.lit(dir_pos)).otherwise(F.lit(dir_neg))
+        return j.select(
+            "r", "c",
+            direction.alias("dir"),
+            F.atan2(F.col("z2") - F.col("z"), d).alias("ang"),
+        )
+
+    dc = F.col("c2") - F.col("c")
+    dr = F.col("r2") - F.col("r")
+    fams = [
+        fam((a["r"] == b["r2"]) & (a["c"] != b["c2"]), 2, 6, dc,
+            F.abs(dc).cast("double") * res),
+        fam((a["c"] == b["c2"]) & (a["r"] != b["r2"]), 4, 0, dr,
+            F.abs(dr).cast("double") * res),
+        fam((dr == dc) & (dr != 0), 3, 7, dr, F.abs(dr).cast("double") * diag),
+        fam((dr == -dc) & (dr != 0), 5, 1, dr, F.abs(dr).cast("double") * diag),
+    ]
+    u = fams[0]
+    for f_ in fams[1:]:
+        u = u.unionByName(f_)
+    per_dir = u.groupBy("r", "c", "dir").agg(
+        F.max("ang").alias("zen"), F.min("ang").alias("nad")
+    )
+    sig = per_dir.select(
+        "r", "c",
+        F.when(
+            (F.abs(F.col("zen")) > thresh) | (F.abs(F.col("nad")) > thresh),
+            F.when(F.abs(F.col("nad")) < F.abs(F.col("zen")), 1)
+            .when(F.abs(F.col("nad")) > F.abs(F.col("zen")), -1)
+            .otherwise(0),
+        ).otherwise(0).alias("s"),
+    )
+    counts = sig.groupBy("r", "c").agg(
+        F.sum(F.when(F.col("s") == 1, 1).otherwise(0)).alias("cp"),
+        F.sum(F.when(F.col("s") == -1, 1).otherwise(0)).alias("cn"),
+    )
+    bounds = src.agg(
+        F.min("row").alias("r0"), F.max("row").alias("r1"),
+        F.min("col").alias("c0"), F.max("col").alias("c1"),
+    )
+    lut = F.array(*[F.lit(float(v)) for v in _GEOMORPHON_CLASSES])
+    out = (
+        src.join(
+            counts.select(F.col("r").alias("row"), F.col("c").alias("col"), "cp", "cn"),
+            ["row", "col"], "left",
+        )
+        .crossJoin(F.broadcast(bounds))
+    )
+    interior = (
+        (F.col("row") > F.col("r0")) & (F.col("row") < F.col("r1"))
+        & (F.col("col") > F.col("c0")) & (F.col("col") < F.col("c1"))
+    )
+    idx = F.coalesce(F.col("cn"), F.lit(0)) * 9 + F.coalesce(F.col("cp"), F.lit(0)) + 1
+    return out.select(
+        "row", "col",
+        F.when(interior, F.element_at(lut, idx.cast("int"))).otherwise(F.lit(1.0))
+        .alias("value"),
+    )
+
+
+def geomorphons_oracle_sql(
+    source_sql: str, *, res: float, search_cells: int = 10,
+    flat_threshold_deg: float = 1.0,
+) -> str:
+    L = float(search_cells) * res
+    diag = res * math.sqrt(2.0)
+    thresh = math.radians(flat_threshold_deg)
+    lut = "[" + ", ".join(repr(float(v)) for v in _GEOMORPHON_CLASSES) + "]"
+    return f"""
+WITH src AS (SELECT row, col, value FROM ({source_sql}) t WHERE value IS NOT NULL),
+pairs AS (
+  SELECT a.row AS r, a.col AS c,
+         CASE WHEN b.row = a.row THEN (CASE WHEN b.col > a.col THEN 2 ELSE 6 END)
+              WHEN b.col = a.col THEN (CASE WHEN b.row > a.row THEN 4 ELSE 0 END)
+              WHEN b.row - a.row = b.col - a.col
+                   THEN (CASE WHEN b.row > a.row THEN 3 ELSE 7 END)
+              ELSE (CASE WHEN b.row > a.row THEN 5 ELSE 1 END) END AS dir,
+         atan2(b.value - a.value,
+               CASE WHEN b.row = a.row THEN abs(b.col - a.col) * {res!r}
+                    WHEN b.col = a.col THEN abs(b.row - a.row) * {res!r}
+                    ELSE abs(b.row - a.row) * {diag!r} END) AS ang,
+         CASE WHEN b.row = a.row THEN abs(b.col - a.col) * {res!r}
+              WHEN b.col = a.col THEN abs(b.row - a.row) * {res!r}
+              ELSE abs(b.row - a.row) * {diag!r} END AS dist
+  FROM src a JOIN src b
+    ON (a.row = b.row AND a.col <> b.col)
+    OR (a.col = b.col AND a.row <> b.row)
+    OR (b.row - a.row = b.col - a.col AND a.row <> b.row)
+    OR (b.row - a.row = -(b.col - a.col) AND a.row <> b.row)
+),
+per_dir AS (
+  SELECT r, c, dir, max(ang) AS zen, min(ang) AS nad
+  FROM pairs WHERE dist > 0.0 AND dist < {L!r}
+  GROUP BY r, c, dir
+),
+sig AS (
+  SELECT r, c,
+         CASE WHEN abs(zen) > {thresh!r} OR abs(nad) > {thresh!r}
+              THEN CASE WHEN abs(nad) < abs(zen) THEN 1
+                        WHEN abs(nad) > abs(zen) THEN -1 ELSE 0 END
+              ELSE 0 END AS s
+  FROM per_dir
+),
+counts AS (
+  SELECT r AS row, c AS col,
+         sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS cp,
+         sum(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS cn
+  FROM sig GROUP BY r, c
+),
+bounds AS (SELECT min(row) AS r0, max(row) AS r1, min(col) AS c0, max(col) AS c1
+           FROM src)
+SELECT s.row, s.col,
+       CASE WHEN s.row > b.r0 AND s.row < b.r1 AND s.col > b.c0 AND s.col < b.c1
+            THEN list_extract({lut},
+                   CAST(coalesce(ct.cn, 0) * 9 + coalesce(ct.cp, 0) + 1 AS BIGINT))
+            ELSE 1.0 END AS value
+FROM src s
+LEFT JOIN counts ct ON ct.row = s.row AND ct.col = s.col
+CROSS JOIN bounds b
+"""
