@@ -1736,6 +1736,14 @@ _TRACE_SEEDS = [(2, 3), (5, 18), (14, 9)]
 _JENSON_POUR = [(1, 3, 6), (2, 10, 14), (3, 17, 4)]
 
 
+def q_stream_link_class(spark, sf_dir):
+    """StreamLinkClass (stream_network_analysis/stream_link_class.rs:
+    289-402)."""
+    from whitebox_tools_spark.operators.streams import stream_link_class
+
+    return stream_link_class(_valley_dem(spark, sf_dir), STREAM_GRID, threshold=4.0)
+
+
 def q_rasterize_streams(spark, sf_dir):
     """RasterizeStreams (stream_network_analysis/rasterize_streams.rs):
     the vectorized stream links scan-converted back onto the grid (FID =
@@ -2906,6 +2914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dinf_flow_accumulation": q_dinf_flow_accum,
         "buffer_raster": q_buffer_raster,
         "fill_depressions": q_fill_depressions,
+        "stream_link_class": q_stream_link_class,
         "rasterize_streams": q_rasterize_streams,
         "jenson_snap_pour_points": q_jenson_snap_pour,
         "elevation_above_stream_euclidean": q_elev_above_stream_euclidean,
@@ -3586,6 +3595,9 @@ FROM ({_PART_RASTER_SQL}) WHERE value IS NOT NULL
         "lines_to_raster": _lines_to_raster_sql(),
         "singlepart_to_multipart": _sp_to_mp_sql(),
         "fill_depressions": _hyd.fill_depressions_oracle_sql(_NOISE_RASTER_SQL),
+        "stream_link_class": _str.stream_link_class_oracle_sql(
+            _VALLEY_DEM_SQL, STREAM_GRID, threshold=4.0
+        ),
         "rasterize_streams": _rasterize_streams_sql(),
         "jenson_snap_pour_points": _str.jenson_snap_oracle_sql(
             _VALLEY_DEM_SQL, STREAM_GRID, _JENSON_POUR, threshold=4.0

@@ -1954,3 +1954,64 @@ nn AS (
 SELECT d.row, d.col, d.value - nn.z AS value
 FROM dem d JOIN nn ON nn.row = d.row AND nn.col = d.col
 """
+
+
+def stream_link_class(
+    cells: DataFrame, grid: GridSpec, *, threshold: float, max_rounds: int = 64
+) -> DataFrame:
+    """StreamLinkClass (stream_network_analysis/stream_link_class.rs:
+    289-402): per stream cell — 5 sink node (no downstream STREAM cell),
+    4 link node (2+ stream inflows), 3 source node (no stream inflow),
+    1 exterior link (its link contains a source node), 2 interior link.
+    -> (row, col, value)."""
+    sc, se = _stream_set(cells, grid, threshold)
+    infl = se.groupBy(F.col("trow").alias("row"), F.col("tcol").alias("col")).agg(
+        F.count(F.lit(1)).alias("n_in")
+    )
+    outs = se.select("row", "col").withColumn("__o", F.lit(1)).distinct()
+    fr = _link_forest(cells, grid, threshold=threshold, max_rounds=max_rounds)
+    base = (
+        sc.join(infl, ["row", "col"], "left")
+        .join(outs, ["row", "col"], "left")
+        .join(fr.links, ["row", "col"])
+    )
+    n_in = F.coalesce(F.col("n_in"), F.lit(0))
+    heads_per_link = base.groupBy("link_id").agg(
+        F.max(F.when(n_in == 0, 1).otherwise(0)).alias("has_head")
+    )
+    j = base.join(heads_per_link, "link_id")
+    cls = (
+        F.when(F.col("__o").isNull(), 5.0)
+        .when(n_in >= 2, 4.0)
+        .when(n_in == 0, 3.0)
+        .when(F.col("has_head") == 1, 1.0)
+        .otherwise(2.0)
+    )
+    return j.select("row", "col", cls.alias("value"))
+
+
+def stream_link_class_oracle_sql(
+    source_sql: str, grid: GridSpec, *, threshold: float
+) -> str:
+    return f"""
+WITH RECURSIVE {_stream_ctes(source_sql, grid, threshold)},{_LINK_CTES},
+outs AS (SELECT DISTINCT row, col FROM se),
+base AS (
+  SELECT s.row, s.col, l.link_id,
+         coalesce(i.n, 0) AS n_in,
+         CASE WHEN o.row IS NOT NULL THEN 1 ELSE 0 END AS has_out
+  FROM sc s
+  JOIN linkcell l ON l.row = s.row AND l.col = s.col
+  LEFT JOIN infl i ON i.trow = s.row AND i.tcol = s.col
+  LEFT JOIN outs o ON o.row = s.row AND o.col = s.col
+),
+hh AS (SELECT link_id, max(CASE WHEN n_in = 0 THEN 1 ELSE 0 END) AS has_head
+       FROM base GROUP BY link_id)
+SELECT b.row, b.col,
+       CASE WHEN b.has_out = 0 THEN 5.0
+            WHEN b.n_in >= 2 THEN 4.0
+            WHEN b.n_in = 0 THEN 3.0
+            WHEN h.has_head = 1 THEN 1.0
+            ELSE 2.0 END AS value
+FROM base b JOIN hh h ON h.link_id = b.link_id
+"""
