@@ -493,6 +493,13 @@ def q_resample_bilinear(spark, sf_dir):
     )
 
 
+def q_gaussian_stretch(spark, sf_dir):
+    """GaussianContrastStretch (image_analysis/gaussian_contrast_stretch.rs)."""
+    from whitebox_tools_spark.operators.image import gaussian_contrast_stretch
+
+    return _r6(gaussian_contrast_stretch(_part_raster(spark, sf_dir)), ["value"])
+
+
 def q_correct_vignetting(spark, sf_dir):
     """CorrectVignetting (image_analysis/correct_vignetting.rs), principal
     point (100, 5), 10-column scale."""
@@ -2844,6 +2851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attribute_correlation": q_attribute_correlation,
         "resample_nn": q_resample_nn,
         "resample_bilinear": q_resample_bilinear,
+        "gaussian_contrast_stretch": q_gaussian_stretch,
         "correct_vignetting": q_correct_vignetting,
         "mosaic_with_feathering": q_mosaic_with_feathering,
         "histogram_matching": q_histogram_matching,
@@ -3351,6 +3359,7 @@ UNION ALL SELECT 'l_discount', 'l_tax',
         ),
         "resample_nn": _resample_sql("nn"),
         "resample_bilinear": _resample_sql("bilinear"),
+        "gaussian_contrast_stretch": _gauss_stretch_sql(),
         "correct_vignetting": _vignetting_sql(),
         "mosaic_with_feathering": _mosaic_feather_sql(),
         "histogram_matching": _hist_match_sql(),
@@ -3984,6 +3993,13 @@ def _resample_sql(method: str) -> str:
     )
     if method == "nn":
         return inner
+    return f"SELECT row, col, round(value, 6) AS value FROM ({inner}) t"
+
+
+def _gauss_stretch_sql() -> str:
+    from whitebox_tools_spark.operators.image import gaussian_stretch_oracle_sql
+
+    inner = gaussian_stretch_oracle_sql(_PART_RASTER_SQL)
     return f"SELECT row, col, round(value, 6) AS value FROM ({inner}) t"
 
 

@@ -729,3 +729,114 @@ SELECT coalesce(a.row, b.row) AS row, coalesce(a.col, b.col) AS col,
                  / (power(a.da, {power!r}) + power(b.db, {power!r})) END AS value
 FROM vae a FULL OUTER JOIN vbe b ON b.row = a.row AND b.col = a.col
 """
+
+
+def _gaussian_ref_cdf(num_tones: int):
+    """The reference's sampled standard-normal CDF over x in [-3, 3]
+    (gaussian_contrast_stretch.rs:325-343): num_tones pdf samples,
+    cumulated and normalized by the last value."""
+    import math as _math
+
+    step = 6.0 / (num_tones - 1.0)
+    xs, ps = [], []
+    c = 0.0
+    for a in range(num_tones):
+        x = -3.0 + a * step
+        c += (1.0 / _math.sqrt(2.0 * _math.pi)) * _math.exp(-(x * x) / 2.0)
+        xs.append(x)
+        ps.append(c)
+    total = ps[-1]
+    return [(i, xs[i], ps[i] / total, ps[i - 1] / total if i > 0 else 0.0)
+            for i in range(num_tones)]
+
+
+def gaussian_contrast_stretch(cells: DataFrame, *, num_tones: int = 256) -> DataFrame:
+    """GaussianContrastStretch (image_analysis/gaussian_contrast_stretch
+    .rs): histogram-match the image onto the sampled standard normal —
+    output is the interpolated normal deviate in [-3, 3]. Bins =
+    ceil(max(range, 2048)); p >= 1 maps to the last sample (the
+    reference's stale-variable quirk resolved as in histogram matching).
+    -> (row, col, value)."""
+    import math as _math
+
+    from whitebox_tools_spark.distributed import with_running_sum
+
+    s1 = cells.filter(F.col("value").isNotNull()).select("row", "col", "value")
+    st = s1.agg(
+        F.min("value").alias("mn"), F.max("value").alias("mx"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+    ).collect()[0]
+    nb = int(_math.ceil(max(st.mx - st.mn, 2048.0)))
+    bs = (st.mx - st.mn) / nb
+    binexpr = F.least(
+        F.floor((F.col("value") - F.lit(st.mn)) / F.lit(bs)).cast("long"), F.lit(nb - 1)
+    )
+    h1 = s1.groupBy(binexpr.alias("bin")).agg(
+        F.count(F.lit(1)).cast("double").alias("cnt")
+    )
+    c1 = with_running_sum(h1, ["bin"], ["cnt"]).select(
+        "bin", (F.col("cum_cnt") / F.lit(float(st.n))).alias("p")
+    )
+    spark = cells.sparkSession
+    ref = spark.createDataFrame(
+        _gaussian_ref_cdf(num_tones), "i long, x double, p2 double, p2_prev double"
+    )
+    last_x = 3.0
+    match = (
+        c1.join(F.broadcast(ref), ref["p2"] > c1["p"])
+        .groupBy("bin", "p")
+        .agg(F.min(F.struct("i", "x", "p2_prev", "p2")).alias("m"))
+        .select(
+            "bin",
+            F.when(F.col("m.i") == 0, F.col("m.x"))
+            .when(
+                F.col("m.p2_prev") != F.col("m.p2"),
+                (F.col("m.x") - F.lit(6.0 / (num_tones - 1.0)))
+                + F.lit(6.0 / (num_tones - 1.0))
+                * (F.col("p") - F.col("m.p2_prev"))
+                / (F.col("m.p2") - F.col("m.p2_prev")),
+            )
+            .otherwise(F.col("m.x") - F.lit(6.0 / (num_tones - 1.0)))
+            .alias("xval"),
+        )
+    )
+    out = s1.select("row", "col", binexpr.alias("bin")).join(match, "bin", "left")
+    return out.select(
+        "row", "col", F.coalesce(F.col("xval"), F.lit(last_x)).alias("value")
+    )
+
+
+def gaussian_stretch_oracle_sql(source_sql: str, *, num_tones: int = 256) -> str:
+    step = 6.0 / (num_tones - 1.0)
+    rows = ", ".join(
+        f"({i}, {x!r}, {p2!r}, {p2p!r})" for i, x, p2, p2p in _gaussian_ref_cdf(num_tones)
+    )
+    return f"""
+WITH s1 AS (SELECT row, col, value FROM ({source_sql}) t WHERE value IS NOT NULL),
+st AS (SELECT min(value) AS mn, max(value) AS mx,
+              CAST(count(*) AS DOUBLE) AS n,
+              CAST(ceil(greatest(max(value) - min(value), 2048.0)) AS BIGINT) AS nb
+       FROM s1),
+h1 AS (SELECT least(CAST(floor((value - st.mn) / ((st.mx - st.mn) / st.nb)) AS BIGINT),
+                    st.nb - 1) AS bin,
+              CAST(count(*) AS DOUBLE) AS cnt
+       FROM s1, st GROUP BY 1),
+c1 AS (SELECT bin, sum(cnt) OVER (ORDER BY bin) / (SELECT n FROM st) AS p FROM h1),
+ref(i, x, p2, p2_prev) AS (VALUES {rows}),
+m AS (SELECT c1.bin, c1.p,
+             min(struct_pack(i := ref.i, x := ref.x,
+                             p2_prev := ref.p2_prev, p2 := ref.p2)) AS m
+      FROM c1 JOIN ref ON ref.p2 > c1.p GROUP BY c1.bin, c1.p),
+mx AS (SELECT bin,
+              CASE WHEN m.i = 0 THEN m.x
+                   WHEN m.p2_prev <> m.p2
+                   THEN (m.x - {step!r}) + {step!r} * (p - m.p2_prev) / (m.p2 - m.p2_prev)
+                   ELSE m.x - {step!r} END AS xval
+       FROM m),
+cells AS (SELECT s1.row, s1.col,
+                 least(CAST(floor((s1.value - st.mn) / ((st.mx - st.mn) / st.nb)) AS BIGINT),
+                       st.nb - 1) AS bin
+          FROM s1, st)
+SELECT c.row, c.col, coalesce(mx.xval, 3.0) AS value
+FROM cells c LEFT JOIN mx ON mx.bin = c.bin
+"""
