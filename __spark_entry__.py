@@ -1996,6 +1996,13 @@ def _parts_df(spark):
     )
 
 
+def q_shape_complexity_index(spark, sf_dir):
+    """ShapeComplexityIndex (gis_analysis/shape_complexity_index.rs:218-245)."""
+    from whitebox_tools_spark.operators.vector_ops import shape_complexity_index
+
+    return _r6(shape_complexity_index(_parts_df(spark)), ["sci"])
+
+
 def q_perimeter_area_ratio(spark, sf_dir):
     """PerimeterAreaRatio (gis_analysis/perimeter_area_ratio.rs)."""
     from whitebox_tools_spark.operators.vector_ops import perimeter_area_ratio
@@ -3014,6 +3021,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "smooth_vectors": q_smooth_vectors,
         "radius_of_gyration": q_radius_of_gyration,
         "edge_proportion": q_edge_proportion,
+        "shape_complexity_index": q_shape_complexity_index,
         "perimeter_area_ratio": q_perimeter_area_ratio,
         "hole_proportion": q_hole_proportion,
         "linearity_index": q_linearity_index,
@@ -3512,6 +3520,7 @@ GROUP BY 1
             + RM.edge_proportion_oracle_sql(_PART_RASTER2_SQL)
             + ") t"
         ),
+        "shape_complexity_index": _sci_sql(),
         "perimeter_area_ratio": _par_ratio_sql(),
         "hole_proportion": _hole_prop_sql(),
         "linearity_index": _shape_idx_sql("linearity"),
@@ -4789,6 +4798,62 @@ SELECT CAST(poly_id AS BIGINT) AS poly_id, part_idx, CAST(idx AS BIGINT) AS idx,
        round(CASE WHEN idx > 0 AND idx < last AND last > 2 THEN sx ELSE x END, 6) AS x,
        round(CASE WHEN idx > 0 AND idx < last AND last > 2 THEN sy ELSE y END, 6) AS y
 FROM sm
+"""
+
+
+def _sci_sql() -> str:
+    """Hull areas precomputed by an INDEPENDENT monotone-chain + shoelace
+    implementation (not the engine's geometry kernel); shell areas from the
+    edges CTE in SQL."""
+    def hull_area(pts):
+        pts = sorted(set(pts))
+        if len(pts) < 3:
+            return 0.0
+
+        def half(points):
+            h = []
+            for p in points:
+                while len(h) >= 2 and (
+                    (h[-1][0] - h[-2][0]) * (p[1] - h[-2][1])
+                    - (h[-1][1] - h[-2][1]) * (p[0] - h[-2][0])
+                ) <= 0:
+                    h.pop()
+                h.append(p)
+            return h
+
+        lower = half(pts)
+        upper = half(list(reversed(pts)))
+        ring = lower[:-1] + upper[:-1]
+        a = 0.0
+        for i in range(len(ring)):
+            x0, y0 = ring[i]
+            x1, y1 = ring[(i + 1) % len(ring)]
+            a += x0 * y1 - x1 * y0
+        return abs(a) / 2.0
+
+    rows = []
+    for pid, parts in PARTS:
+        pts = []
+        for xs, ys, hole in parts:
+            if not hole:
+                pts.extend(zip([float(v) for v in xs], [float(v) for v in ys]))
+        rows.append(f"({pid}, {hull_area(pts)!r})")
+    hulls = "hulls(poly_id, hull_area) AS (VALUES " + ", ".join(rows) + ")"
+    return f"""
+WITH {_edges_cte()},
+{hulls},
+per_part AS (
+  SELECT poly_id, part_idx, any_value(is_hole) AS is_hole,
+         abs(sum(x0 * y1 - x1 * y0)) / 2.0 AS a
+  FROM edges GROUP BY poly_id, part_idx
+),
+feat AS (
+  SELECT poly_id, sum(CASE WHEN NOT is_hole THEN a ELSE 0.0 END) AS area
+  FROM per_part GROUP BY poly_id
+)
+SELECT CAST(f.poly_id AS BIGINT) AS poly_id,
+       round(1.0 - f.area / h.hull_area, 6) AS sci
+FROM feat f JOIN hulls h ON h.poly_id = f.poly_id
 """
 
 

@@ -520,3 +520,22 @@ SELECT DISTINCT parent1, parent2,
        round(ax0 + t * rx, 6) AS x, round(ay0 + t * ry, 6) AS y
 FROM hit WHERE t >= 0.0 AND t <= 1.0 AND u >= 0.0 AND u <= 1.0
 """
+
+
+def shape_complexity_index(parts: DataFrame) -> DataFrame:
+    """ShapeComplexityIndex (gis_analysis/shape_complexity_index.rs:218-245):
+    1 - shell area / convex hull area per feature (one hull over all shell
+    vertices; the reference hulls each part separately — identical for
+    single-shell features). -> (poly_id, sci)."""
+    hull = convex_hull_per_feature(parts)
+    m = _part_metrics_udf()
+    hull_area = hull.withColumn(
+        "hm", m(F.col("hull_xs"), F.col("hull_ys"))
+    ).select("poly_id", F.col("hm.area").alias("hull_area"))
+    per = parts.withColumn("m", m(F.col("xs"), F.col("ys")))
+    shells = per.filter(~F.col("is_hole")).groupBy("poly_id").agg(
+        F.sum("m.area").alias("area")
+    )
+    return shells.join(hull_area, "poly_id").select(
+        "poly_id", (F.lit(1.0) - F.col("area") / F.col("hull_area")).alias("sci")
+    )
