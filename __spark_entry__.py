@@ -1996,6 +1996,14 @@ def _parts_df(spark):
     )
 
 
+def q_elongation_ratio(spark, sf_dir):
+    """ElongationRatio (gis_analysis/elongation_ratio.rs): 1 - S/L of the
+    minimum-area oriented bounding box."""
+    from whitebox_tools_spark.operators.vector_ops import elongation_ratio
+
+    return _r6(elongation_ratio(_parts_df(spark)), ["elongation"])
+
+
 def q_shape_complexity_index(spark, sf_dir):
     """ShapeComplexityIndex (gis_analysis/shape_complexity_index.rs:218-245)."""
     from whitebox_tools_spark.operators.vector_ops import shape_complexity_index
@@ -3021,6 +3029,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "smooth_vectors": q_smooth_vectors,
         "radius_of_gyration": q_radius_of_gyration,
         "edge_proportion": q_edge_proportion,
+        "elongation_ratio": q_elongation_ratio,
         "shape_complexity_index": q_shape_complexity_index,
         "perimeter_area_ratio": q_perimeter_area_ratio,
         "hole_proportion": q_hole_proportion,
@@ -3520,6 +3529,7 @@ GROUP BY 1
             + RM.edge_proportion_oracle_sql(_PART_RASTER2_SQL)
             + ") t"
         ),
+        "elongation_ratio": _elongation_sql(),
         "shape_complexity_index": _sci_sql(),
         "perimeter_area_ratio": _par_ratio_sql(),
         "hole_proportion": _hole_prop_sql(),
@@ -4799,6 +4809,68 @@ SELECT CAST(poly_id AS BIGINT) AS poly_id, part_idx, CAST(idx AS BIGINT) AS idx,
        round(CASE WHEN idx > 0 AND idx < last AND last > 2 THEN sy ELSE y END, 6) AS y
 FROM sm
 """
+
+
+def _elongation_sql() -> str:
+    """Independent rotating-calipers min-area box per feature (its own
+    hull + projection sweep, not the engine's numpy kernel), emitted as
+    literal elongation values."""
+    import math as _m
+
+    def hull(pts):
+        pts = sorted(set(pts))
+        if len(pts) < 3:
+            return pts
+
+        def half(points):
+            h = []
+            for p in points:
+                while len(h) >= 2 and (
+                    (h[-1][0] - h[-2][0]) * (p[1] - h[-2][1])
+                    - (h[-1][1] - h[-2][1]) * (p[0] - h[-2][0])
+                ) <= 0:
+                    h.pop()
+                h.append(p)
+            return h
+
+        lower = half(pts)
+        upper = half(list(reversed(pts)))
+        return lower[:-1] + upper[:-1]
+
+    def elong(pts):
+        h = hull(pts)
+        if len(h) < 3:
+            return 0.0
+        best = None
+        for i in range(len(h)):
+            x0, y0 = h[i]
+            x1, y1 = h[(i + 1) % len(h)]
+            ex, ey = x1 - x0, y1 - y0
+            n = _m.hypot(ex, ey)
+            if n == 0:
+                continue
+            ux, uy = ex / n, ey / n
+            proj_u = [p[0] * ux + p[1] * uy for p in h]
+            proj_v = [-p[0] * uy + p[1] * ux for p in h]
+            w = max(proj_u) - min(proj_u)
+            ht = max(proj_v) - min(proj_v)
+            if best is None or w * ht < best[0]:
+                best = (w * ht, w, ht)
+        _, w, ht = best
+        s, l = min(w, ht), max(w, ht)
+        return 1.0 - s / l
+
+    rows = []
+    for pid, parts in PARTS:
+        pts = []
+        for xs, ys, hole in parts:
+            if not hole:
+                pts.extend(zip([float(v) for v in xs], [float(v) for v in ys]))
+        rows.append(f"({pid}, {round(elong(pts), 6)!r})")
+    return (
+        "SELECT CAST(poly_id AS BIGINT) AS poly_id, CAST(elongation AS DOUBLE) AS elongation FROM (VALUES "
+        + ", ".join(rows) + ") AS t(poly_id, elongation)"
+    )
 
 
 def _sci_sql() -> str:

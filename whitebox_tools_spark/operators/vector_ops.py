@@ -539,3 +539,19 @@ def shape_complexity_index(parts: DataFrame) -> DataFrame:
     return shells.join(hull_area, "poly_id").select(
         "poly_id", (F.lit(1.0) - F.col("area") / F.col("hull_area")).alias("sci")
     )
+
+
+def elongation_ratio(parts: DataFrame) -> DataFrame:
+    """ElongationRatio (gis_analysis/elongation_ratio.rs): E = 1 - S/L
+    with S/L the short/long side of the minimum-area oriented bounding
+    box over shell vertices. -> (poly_id, elongation)."""
+    mbb = minimum_bounding_box_per_feature(parts)
+    d = lambda i, j: F.sqrt(  # noqa: E731
+        (F.element_at("mbb_xs", i) - F.element_at("mbb_xs", j)) ** 2
+        + (F.element_at("mbb_ys", i) - F.element_at("mbb_ys", j)) ** 2
+    )
+    s1, s2 = d(1, 2), d(2, 3)
+    return mbb.select(
+        "poly_id",
+        (F.lit(1.0) - F.least(s1, s2) / F.greatest(s1, s2)).alias("elongation"),
+    )
