@@ -561,6 +561,14 @@ def q_rtp(spark, sf_dir):
     )
 
 
+def q_extract_valleys_lq(spark, sf_dir):
+    """ExtractValleys LQ (stream_network_analysis/extract_valleys.rs,
+    Lindsay 2006 lower-quartile method, square 5x5 window)."""
+    from whitebox_tools_spark.operators.terrain import extract_valleys_lq
+
+    return extract_valleys_lq(_part_raster(spark, sf_dir))
+
+
 def q_extract_valleys_jandr(spark, sf_dir):
     """ExtractValleys JandR (stream_network_analysis/extract_valleys.rs)."""
     from whitebox_tools_spark.operators.terrain import extract_valleys
@@ -2877,6 +2885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geomorphons": q_geomorphons,
         "surface_area_ratio": q_surface_area_ratio,
         "relative_topographic_position": q_rtp,
+        "extract_valleys_lq": q_extract_valleys_lq,
         "extract_valleys_jandr": q_extract_valleys_jandr,
         "extract_valleys_pandd": q_extract_valleys_pandd,
         "elev_above_pit": q_elev_above_pit,
@@ -3387,6 +3396,7 @@ UNION ALL SELECT 'l_discount', 'l_tax',
         "geomorphons": _geomorphons_sql(),
         "surface_area_ratio": _sar_sql(),
         "relative_topographic_position": _rtp_sql(),
+        "extract_valleys_lq": _valleys_lq_sql(),
         "extract_valleys_jandr": _valleys_sql("JandR"),
         "extract_valleys_pandd": _valleys_sql("PandD"),
         "elev_above_pit": (
@@ -4060,6 +4070,12 @@ def _rtp_sql() -> str:
 
     inner = rtp_oracle_sql(_PART_RASTER_SQL, filterx=5, filtery=5)
     return f"SELECT row, col, round(value, 6) AS value FROM ({inner}) t"
+
+
+def _valleys_lq_sql() -> str:
+    from whitebox_tools_spark.operators.terrain import extract_valleys_lq_oracle_sql
+
+    return extract_valleys_lq_oracle_sql(_PART_RASTER_SQL)
 
 
 def _valleys_sql(variant: str) -> str:

@@ -886,3 +886,31 @@ FROM src s
 LEFT JOIN counts ct ON ct.row = s.row AND ct.col = s.col
 CROSS JOIN bounds b
 """
+
+
+def extract_valleys_lq(
+    cells: DataFrame, *, filterx: int = 5, filtery: int = 5
+) -> DataFrame:
+    """ExtractValleys 'lower quartile' variant (stream_network_analysis/
+    extract_valleys.rs, Lindsay 2006): 1 where the cell sits in the lower
+    quartile of its neighborhood's elevation distribution (exact
+    percentile over a SQUARE window; the reference uses a circular one —
+    documented deviation). -> (row, col, value)."""
+    from whitebox_tools_spark.operators.focal import elev_percentile
+
+    p = elev_percentile(cells, filterx=filterx, filtery=filtery)
+    return p.select(
+        "row", "col", F.when(F.col("value") < 25.0, 1.0).otherwise(0.0).alias("value")
+    )
+
+
+def extract_valleys_lq_oracle_sql(
+    source_sql: str, *, filterx: int = 5, filtery: int = 5
+) -> str:
+    from whitebox_tools_spark.operators.focal import elev_percentile_oracle_sql
+
+    inner = elev_percentile_oracle_sql(source_sql, filterx=filterx, filtery=filtery)
+    return f"""
+SELECT row, col, CASE WHEN value < 25.0 THEN 1.0 ELSE 0.0 END AS value
+FROM ({inner}) t
+"""
