@@ -2229,6 +2229,8 @@ q_min_overlay = _q_stack("min")
 q_sum_overlay = _q_stack("sum")
 q_average_overlay = _q_stack("average")
 q_multiply_overlay = _q_stack("multiply")
+q_max_abs_overlay = _q_stack("max_abs")
+q_min_abs_overlay = _q_stack("min_abs")
 
 
 def q_highest_pos(spark, sf_dir):
@@ -3054,6 +3056,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sum_overlay": q_sum_overlay,
         "average_overlay": q_average_overlay,
         "multiply_overlay": q_multiply_overlay,
+        "max_abs_overlay": q_max_abs_overlay,
+        "min_abs_overlay": q_min_abs_overlay,
         "highest_position": q_highest_pos,
         "lowest_position": q_lowest_pos,
         "count_if": q_count_if,
@@ -3566,7 +3570,7 @@ GROUP BY 1
                 + RM.stack_overlay_oracle_sql(_STACK3_SQL, op)
                 + ") t"
             )
-            for op in ("max", "min", "sum", "average", "multiply")
+            for op in ("max", "min", "sum", "average", "multiply", "max_abs", "min_abs")
         },
         "highest_position": RM.stack_position_oracle_sql(_STACK3_SQL, highest=True),
         "lowest_position": RM.stack_position_oracle_sql(_STACK3_SQL, highest=False),
