@@ -1352,12 +1352,14 @@ def q_elev_rel_minmax(spark, sf_dir):
 def q_viewshed(spark, sf_dir):
     """Viewshed (terrain_analysis/viewshed.rs:345-380): exact R3
     line-of-sight (the reference's XDraw sweep approximates this); station
-    at (100, 5), height 2.0, view-angle metric dz/dist*1000."""
-    from whitebox_tools_spark.operators.viewshed import viewshed
+    derived from the data (median populated cell, so the fixture is
+    non-vacuous at every SF), height 2.0, view-angle metric dz/dist*1000."""
+    from whitebox_tools_spark.operators.viewshed import median_station, viewshed
 
+    dem = _part_raster(spark, sf_dir)
+    sr, sc = median_station(dem)
     return viewshed(
-        _part_raster(spark, sf_dir), EXTRACT_GRID,
-        station_row=100, station_col=5, station_height=2.0,
+        dem, EXTRACT_GRID, station_row=sr, station_col=sc, station_height=2.0
     )
 
 
@@ -2847,7 +2849,76 @@ def q_clip_polygons(spark, sf_dir):
     )
 
 
+# The driver's correctness harness checks the FIRST 50 queries() entries each
+# round.  Rounds 1+2 certified 82 distinct queries; this window rotates the
+# round-3 slots onto never-driver-checked families (overlay, stream network,
+# lidar, ANN, image, curvature) plus the one red row from r02
+# (relative_topographic_position, FP-branch determinism fixed in terrain.py)
+# and the new round-3 operators.
+_DRIVER_WINDOW: list[str] = [
+    "relative_topographic_position",
+    # overlay family (never driver-checked before r03)
+    "polygon_overlay",
+    "intersect_rings",
+    "clip_polygons",
+    "clip_lines",
+    "erase_lines",
+    "line_intersections",
+    # vector shape metrics
+    "medoid",
+    "smooth_vectors",
+    "extract_nodes",
+    "minimum_bounding_envelope",
+    "elongation_ratio",
+    "shape_complexity_index",
+    "patch_orientation",
+    # stream-network suite
+    "extract_streams",
+    "shreve_magnitude",
+    "strahler_order",
+    "horton_order",
+    "hack_order",
+    "topological_stream_order",
+    "tributary_id",
+    "find_main_stem",
+    "stream_link_length",
+    "stream_link_slope",
+    "distance_to_outlet",
+    "watershed",
+    # lidar
+    "lidar_ground_filter",
+    "lidar_remove_duplicates",
+    "lidar_point_density",
+    "lidar_remove_outliers",
+    "lidar_block_minimum",
+    "lidar_block_maximum",
+    "lidar_hex_bin",
+    "lidar_tile_footprint",
+    # ANN / dedup
+    "embedding_ann_lsh",
+    # image ops
+    "rgb_to_ihs",
+    "ihs_to_rgb",
+    "change_vector_analysis",
+    "histogram_equalization",
+    "gamma_correction",
+    "min_max_contrast_stretch",
+    # curvature family
+    "plan_curvature",
+    "profile_curvature",
+    "tangential_curvature",
+    # round-3 additions fill the remaining slots (appended as implemented)
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    base = _base_queries()
+    window = [k for k in _DRIVER_WINDOW if k in base]
+    rest = [k for k in base if k not in set(window)]
+    return {k: base[k] for k in window + rest}
+
+
+def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "pip_points_in_polygons": q_pip,
         "extract_raster_values": q_extract,
@@ -3611,8 +3682,7 @@ FROM a JOIN b ON a.row = b.row AND a.col = b.col
         "d8_flow_accumulation": _hyd.d8_flow_accum_oracle_sql(_NOISE_RASTER_SQL, EXTRACT_GRID),
         "buffer_raster": _buf.buffer_raster_oracle_sql(_BUFFER_SRC_SQL, EXTRACT_GRID, size=12.0),
         "viewshed": _vsh.viewshed_oracle_sql(
-            _PART_RASTER_SQL, EXTRACT_GRID,
-            station_row=100, station_col=5, station_height=2.0,
+            _PART_RASTER_SQL, EXTRACT_GRID, station_height=2.0,
         ),
         "horizon_angle": "SELECT row, col, round(value, 6) AS value FROM ("
         + _vsh.horizon_angle_east_oracle_sql(_PART_RASTER_SQL, EXTRACT_GRID, max_dist=100.0)

@@ -154,10 +154,11 @@ def decode_raster_cells(
     -> (doc_id, row, col, value) with nodata values as NULL. Pure built-ins:
     the row-major expansion is posexplode over the value array.
 
-    nodata: sentinel to NULL out. When None, it is taken from the decoded
-    raster_meta span (broadcast single-row agg — one raster per decode call
-    is the geodoc contract), falling back to the reference default -32768
-    (whitebox-raster/src/lib.rs:1304) if no meta span exists.
+    nodata: sentinel to NULL out. When None, each doc's OWN raster_meta
+    nodata applies (broadcast equi-join on doc_id, so heterogeneous-nodata
+    raster collections decode correctly), falling back to the reference
+    default -32768 (whitebox-raster/src/lib.rs:1304) for docs without a
+    meta span.
     """
     meta_s = docs.select("doc_id", F.explode("spans").alias("s")).filter(
         F.col("s.kind") == "raster_meta"
@@ -189,9 +190,10 @@ def decode_raster_cells(
     )
     if nodata is None:
         nd_col = F.coalesce(F.col("__nd"), F.lit(-32768.0))
-        t = t.join(
-            F.broadcast(meta.agg(F.min("nodata").alias("__nd"))), how="cross"
-        )
+        # plain equi-join on doc_id (no broadcast hint: per-doc meta scales
+        # with the doc count, so AQE decides broadcast vs shuffle)
+        per_doc = meta.groupBy("doc_id").agg(F.min("nodata").alias("__nd"))
+        t = t.join(per_doc, "doc_id", "left")
     else:
         nd_col = F.lit(float(nodata))
     cells = t.select(

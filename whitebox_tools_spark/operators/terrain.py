@@ -474,7 +474,14 @@ def relative_topographic_position(
     """RelativeTopographicPosition (terrain_analysis/
     relative_topographic_position.rs:390-415): (z-mean)/(mean-min) below
     the window mean, (z-mean)/(max-mean) above it, 0 for flat windows.
-    -> (row, col, value) in [-1, 1]."""
+    -> (row, col, value) in [-1, 1].
+
+    The three branch inputs (z-mean, mean-min, max-mean) are quantized to
+    9 dp before the CASE: avg() summation order differs across engines and
+    partitionings, and the z<mean branch switches the DIVISOR, so an
+    unquantized ulp-level diff in `mean` flips the branch and produces a
+    macroscopic output diff that 6-dp rounding cannot mask (same guard as
+    image.py's libm-cliff quantization)."""
     from whitebox_tools_spark.operators.focal import _scatter_with_center
 
     m = _scatter_with_center(cells, filterx=filterx, filtery=filtery)
@@ -484,16 +491,13 @@ def relative_topographic_position(
         F.min("value").alias("mn"),
         F.max("value").alias("mx"),
     )
+    dz = F.round(F.col("z") - F.col("mean"), 9)
+    dlo = F.round(F.col("mean") - F.col("mn"), 9)
+    dhi = F.round(F.col("mx") - F.col("mean"), 9)
     return agg.select(
         "row", "col",
-        F.when(
-            F.col("z") < F.col("mean"),
-            (F.col("z") - F.col("mean")) / (F.col("mean") - F.col("mn")),
-        )
-        .when(
-            F.col("mx") > F.col("mean"),
-            (F.col("z") - F.col("mean")) / (F.col("mx") - F.col("mean")),
-        )
+        F.when(dz < 0.0, dz / dlo)
+        .when(dhi > 0.0, dz / dhi)
         .otherwise(F.lit(0.0))
         .alias("value"),
     )
@@ -508,12 +512,17 @@ agg AS (
   SELECT row, col, any_value(center) AS z, avg(value) AS mean,
          min(value) AS mn, max(value) AS mx
   FROM m GROUP BY row, col
+),
+q AS (
+  SELECT row, col, round(z - mean, 9) AS dz,
+         round(mean - mn, 9) AS dlo, round(mx - mean, 9) AS dhi
+  FROM agg
 )
 SELECT row, col,
-       CASE WHEN z < mean THEN (z - mean) / (mean - mn)
-            WHEN mx > mean THEN (z - mean) / (mx - mean)
+       CASE WHEN dz < 0.0 THEN dz / dlo
+            WHEN dhi > 0.0 THEN dz / dhi
             ELSE 0.0 END AS value
-FROM agg
+FROM q
 """
 
 

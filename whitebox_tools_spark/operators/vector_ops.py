@@ -450,8 +450,19 @@ def line_intersections(a_edges: DataFrame, b_edges: DataFrame) -> DataFrame:
     line_ops.rs:95): proper/touching POINT intersections between every
     segment of layer A and layer B (collinear-overlap segments are not
     reported — documented deviation). Inputs: (poly_id, x0, y0, x1, y1)
-    segment tables. A bbox predicate prunes the pair join.
+    segment tables.
+
+    Spark plan: grid-cell candidate EQUI-join (no cartesian). A shared
+    CellIndex is sized from one tiny driver-side stats row so the cell edge
+    is >= the longest segment bbox; every segment then covers at most 2x2
+    cells, giving a bounded-fan-out explode + shuffle equi-join on cell_id.
+    Each candidate pair is kept only in the one cell containing the min
+    corner of its bbox intersection, so the exact segment-intersection
+    arithmetic runs once per pair.
     -> distinct (parent1, parent2, x, y) with 6dp coordinates."""
+    from whitebox_tools_spark.grid import CellIndex
+    from whitebox_tools_spark.operators.overlay import bbox_cover_cells_expr
+
     a = a_edges.select(
         F.col("poly_id").alias("parent1"),
         F.col("x0").alias("ax0"), F.col("y0").alias("ay0"),
@@ -462,13 +473,60 @@ def line_intersections(a_edges: DataFrame, b_edges: DataFrame) -> DataFrame:
         F.col("x0").alias("bx0"), F.col("y0").alias("by0"),
         F.col("x1").alias("bx1"), F.col("y1").alias("by1"),
     )
+
+    # one-row stats aggregate (driver-side; bounded) to size the grid
+    import math
+
+    def _seg_stats(df, x0, y0, x1, y1):
+        return df.select(
+            F.least(x0, x1).alias("mnx"), F.greatest(x0, x1).alias("mxx"),
+            F.least(y0, y1).alias("mny"), F.greatest(y0, y1).alias("mxy"),
+            (F.greatest(x0, x1) - F.least(x0, x1)).alias("dx"),
+            (F.greatest(y0, y1) - F.least(y0, y1)).alias("dy"),
+        )
+    st = (
+        _seg_stats(a, F.col("ax0"), F.col("ay0"), F.col("ax1"), F.col("ay1"))
+        .unionAll(_seg_stats(b, F.col("bx0"), F.col("by0"), F.col("bx1"), F.col("by1")))
+        .agg(
+            F.min("mnx").alias("xmin"), F.max("mxx").alias("xmax"),
+            F.min("mny").alias("ymin"), F.max("mxy").alias("ymax"),
+            F.max("dx").alias("maxdx"), F.max("dy").alias("maxdy"),
+        )
+        .collect()[0]
+    )
+    extent = max(st.xmax - st.xmin, st.ymax - st.ymin, 1e-9) * (1.0 + 1e-9)
+    cell_target = max(st.maxdx, st.maxdy, extent / (1 << 12), 1e-12)
+    zoom = max(0, min(12, int(math.floor(math.log2(extent / cell_target)))))
+    index = CellIndex(origin_x=float(st.xmin), origin_y=float(st.ymin),
+                      extent=float(extent), zoom=zoom)
+
+    def _covered(df, mnx, mny, mxx, mxy):
+        return df.withColumn(
+            "cell_id",
+            F.explode(bbox_cover_cells_expr(index, mnx, mny, mxx, mxy)),
+        )
+
+    ac = _covered(
+        a, F.least("ax0", "ax1"), F.least("ay0", "ay1"),
+        F.greatest("ax0", "ax1"), F.greatest("ay0", "ay1"),
+    )
+    bc = _covered(
+        b, F.least("bx0", "bx1"), F.least("by0", "by1"),
+        F.greatest("bx0", "bx1"), F.greatest("by0", "by1"),
+    )
     bbox = (
         (F.least("ax0", "ax1") <= F.greatest("bx0", "bx1"))
         & (F.greatest("ax0", "ax1") >= F.least("bx0", "bx1"))
         & (F.least("ay0", "ay1") <= F.greatest("by0", "by1"))
         & (F.greatest("ay0", "ay1") >= F.least("by0", "by1"))
     )
-    j = a.crossJoin(b).filter(bbox)
+    # canonical cell of the pair = cell containing the min corner of the
+    # bbox intersection -> each surviving pair appears exactly once
+    canon = index.cell_of_xy_expr(
+        F.greatest(F.least("ax0", "ax1"), F.least("bx0", "bx1")),
+        F.greatest(F.least("ay0", "ay1"), F.least("by0", "by1")),
+    )
+    j = ac.join(bc, "cell_id").filter(bbox).filter(F.col("cell_id") == canon)
     rx = F.col("ax1") - F.col("ax0")
     ry = F.col("ay1") - F.col("ay0")
     sx = F.col("bx1") - F.col("bx0")

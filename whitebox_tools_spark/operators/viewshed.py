@@ -97,15 +97,42 @@ def viewshed(
     return out
 
 
+def median_station(cells: DataFrame) -> tuple[int, int]:
+    """Deterministic data-derived station: the populated cell at offset
+    n//2 in (row, col) order. Keeps the sf0.001 fixture non-vacuous (a
+    fixed literal station can fall off the populated region at small SF);
+    the DuckDB oracle derives the SAME cell via OFFSET count//2."""
+    src = cells.filter(F.col("value").isNotNull())
+    n = src.count()
+    r = (
+        src.select("row", "col")
+        .orderBy("row", "col")
+        .offset(n // 2)
+        .limit(1)
+        .collect()[0]
+    )
+    return int(r["row"]), int(r["col"])
+
+
+_MEDIAN_STN_SQL = (
+    "SELECT row AS mrow, col AS mcol FROM src ORDER BY row, col "
+    "OFFSET (SELECT count(*) // 2 FROM src) LIMIT 1"
+)
+
+
 def viewshed_oracle_sql(
     source_sql: str,
     grid: GridSpec,
     *,
-    station_row: int,
-    station_col: int,
+    station_row: int | None = None,
+    station_col: int | None = None,
     station_height: float = 0.0,
 ) -> str:
-    sr, sc = station_row, station_col
+    if station_row is None:
+        sr = f"(SELECT mrow FROM ({_MEDIAN_STN_SQL}))"
+        sc = f"(SELECT mcol FROM ({_MEDIAN_STN_SQL}))"
+    else:
+        sr, sc = station_row, station_col
     return f"""
 WITH src AS (SELECT row, col, value FROM ({source_sql}) WHERE value IS NOT NULL),
 stn AS (SELECT value AS stn_z FROM src WHERE row = {sr} AND col = {sc}),

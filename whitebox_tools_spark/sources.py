@@ -40,15 +40,23 @@ def csv_points_to_vector(
     header: bool = True,
 ) -> DataFrame:
     """CSV -> (point_id, x, y, <other columns>). Explicit double casts; no
-    schema inference scans in production paths."""
-    df = spark.read.csv(path, header=header, inferSchema=False)
-    from pyspark.sql import Window
+    schema inference scans in production paths. point_id assignment uses the
+    distributed range-partition + offset pattern (distributed.with_global_seq)
+    ordered by file position — no single-partition global window, so a 100-TB
+    CSV directory ingests in parallel."""
+    from whitebox_tools_spark.distributed import with_global_seq
 
-    w = Window.orderBy(F.monotonically_increasing_id())
+    df = spark.read.csv(path, header=header, inferSchema=False)
+    seq = with_global_seq(
+        df.withColumn("__mid", F.monotonically_increasing_id()),
+        ["__mid"],
+        out_col="point_id",
+    )
     return (
-        df.withColumn("x", F.col(xfield).cast("double"))
+        seq.withColumn("x", F.col(xfield).cast("double"))
         .withColumn("y", F.col(yfield).cast("double"))
-        .withColumn("point_id", F.row_number().over(w).cast("long"))
+        .withColumn("point_id", F.col("point_id").cast("long"))
+        .drop("__mid")
     )
 
 
