@@ -1665,10 +1665,14 @@ def q_d8_pointer(spark, sf_dir):
 
 def q_d8_flow_accum(spark, sf_dir):
     """D8FlowAccumulation (hydro_analysis/d8_flow_accum.rs:525-570) in
-    cell-count units via distributed topological peel."""
-    from whitebox_tools_spark.operators.hydro import d8_flow_accumulation
+    cell-count units via the hierarchical tile stitch (flow_stitch.solve_fa:
+    O(log n) supersteps; bit-matches the superstep peel — pytest-pinned).
+    block=16 so the multi-tile stitch path is what the oracle certifies."""
+    from whitebox_tools_spark.operators.flow_stitch import d8_flow_accumulation_tiled
 
-    return d8_flow_accumulation(_noise_raster(spark, sf_dir), EXTRACT_GRID)
+    return d8_flow_accumulation_tiled(
+        _noise_raster(spark, sf_dir), EXTRACT_GRID, block=16
+    )
 
 
 def q_fd8_flow_accum(spark, sf_dir):
@@ -1866,12 +1870,15 @@ def q_points_to_raster(spark, sf_dir):
 
 
 def q_fill_depressions(spark, sf_dir):
-    """FillDepressions (hydro_analysis/fill_depressions.rs) via the
-    distributed Planchon-Darboux fixpoint; oracle = recursive-CTE minimax
-    path cost to the outlets."""
-    from whitebox_tools_spark.operators.hydro import fill_depressions
+    """FillDepressions (hydro_analysis/fill_depressions.rs) via Barnes'
+    parallel priority-flood tile stitch (flow_stitch: O(1) tile passes +
+    spill-graph minimax instead of O(drainage path) fixpoint rounds;
+    bit-matches hydro.fill_depressions — pytest-pinned); oracle =
+    recursive-CTE minimax path cost to the outlets. block=16 so the
+    multi-tile stitch path is what the oracle certifies."""
+    from whitebox_tools_spark.operators.flow_stitch import fill_depressions_tiled
 
-    return fill_depressions(_noise_raster(spark, sf_dir))
+    return fill_depressions_tiled(_noise_raster(spark, sf_dir), block=16)
 
 
 def q_sink(spark, sf_dir):
@@ -2908,6 +2915,8 @@ _DRIVER_WINDOW: list[str] = [
     "profile_curvature",
     "tangential_curvature",
     # round-3 additions fill the remaining slots (appended as implemented)
+    "d8_flow_accumulation",
+    "fill_depressions",
 ]
 
 

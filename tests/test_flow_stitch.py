@@ -1,0 +1,178 @@
+"""Tile-stitched hydrology (flow_stitch) pinned bit-for-bit against the
+superstep-peel / fixpoint implementations that are themselves oracle-green,
+plus an independent serial priority-flood ground truth."""
+
+import heapq
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from whitebox_tools_spark.grid import GridSpec
+
+N8 = [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1)]
+
+
+def _random_dem(spark, rows, cols, seed, holes=0.0):
+    rng = np.random.RandomState(seed)
+    z = rng.rand(rows, cols) * 100.0
+    recs = []
+    for r in range(rows):
+        for c in range(cols):
+            if holes and rng.rand() < holes:
+                continue
+            recs.append((r, c, float(z[r, c])))
+    return spark.createDataFrame(recs, "row long, col long, value double")
+
+
+def _serial_fill(rows_list):
+    """Independent ground truth: serial priority flood (Barnes/Wang-Liu)."""
+    z = {(r, c): v for r, c, v in rows_list}
+    r0 = min(k[0] for k in z)
+    r1 = max(k[0] for k in z)
+    c0 = min(k[1] for k in z)
+    c1 = max(k[1] for k in z)
+
+    def outlet(k):
+        r, c = k
+        if r in (r0, r1) or c in (c0, c1):
+            return True
+        return any((r + dr, c + dc) not in z for dr, dc in N8)
+
+    fill = {}
+    h = [(z[k], k) for k in z if outlet(k)]
+    heapq.heapify(h)
+    while h:
+        lvl, k = heapq.heappop(h)
+        if k in fill:
+            continue
+        fill[k] = lvl
+        for dr, dc in N8:
+            k2 = (k[0] + dr, k[1] + dc)
+            if k2 in z and k2 not in fill:
+                heapq.heappush(h, (max(lvl, z[k2]), k2))
+    return fill
+
+
+def _serial_accum(rows_list, grid):
+    """Independent ground truth: D8 accumulation via direct pointer chase."""
+    import math
+
+    z = {(r, c): v for r, c, v in rows_list}
+    diag = math.sqrt(grid.res_x**2 + grid.res_y**2)
+    dx = [1, 1, 1, 0, -1, -1, -1, 0]
+    dy = [-1, 0, 1, 1, 1, 0, -1, -1]
+    lens = [diag, grid.res_x, diag, grid.res_y, diag, grid.res_x, diag, grid.res_y]
+    nxt = {}
+    for (r, c), v in z.items():
+        best = None
+        for i in range(8):
+            k2 = (r + dy[i], c + dx[i])
+            if k2 in z:
+                s = (v - z[k2]) / lens[i]
+                if s > 0 and (best is None or s > best[0]):
+                    best = (s, k2)
+        if best:
+            nxt[(r, c)] = best[1]
+    fa = {k: 1.0 for k in z}
+    indeg = {k: 0 for k in z}
+    for k, t in nxt.items():
+        indeg[t] += 1
+    stack = [k for k in z if indeg[k] == 0]
+    while stack:
+        k = stack.pop()
+        if k in nxt:
+            t = nxt[k]
+            fa[t] += fa[k]
+            indeg[t] -= 1
+            if indeg[t] == 0:
+                stack.append(t)
+    return fa
+
+
+@pytest.mark.parametrize("block", [4, 7, 16])
+def test_d8_accum_tiled_matches_serial(spark, block):
+    from whitebox_tools_spark.operators.flow_stitch import d8_flow_accumulation_tiled
+
+    grid = GridSpec(west=0.0, north=100.0, res_x=2.0, res_y=2.0, rows=30, cols=24)
+    dem = _random_dem(spark, 30, 24, seed=11, holes=0.05)
+    rows_list = [(r.row, r.col, r.value) for r in dem.collect()]
+    truth = _serial_accum(rows_list, grid)
+    out = {
+        (r.row, r.col): r.value
+        for r in d8_flow_accumulation_tiled(dem, grid, block=block).collect()
+    }
+    assert set(out) == set(truth)
+    for k in truth:
+        assert out[k] == truth[k], (k, out[k], truth[k])
+
+
+@pytest.mark.parametrize("block", [4, 7, 16])
+def test_fill_tiled_matches_serial(spark, block):
+    from whitebox_tools_spark.operators.flow_stitch import fill_depressions_tiled
+
+    dem = _random_dem(spark, 30, 24, seed=23, holes=0.05)
+    rows_list = [(r.row, r.col, r.value) for r in dem.collect()]
+    truth = _serial_fill(rows_list)
+    out = {
+        (r.row, r.col): r.value
+        for r in fill_depressions_tiled(dem, block=block).collect()
+    }
+    assert set(out) == set(truth)
+    for k in truth:
+        assert out[k] == pytest.approx(truth[k], abs=0.0), k
+
+
+def test_tiled_matches_peel_and_fixpoint(spark):
+    """Bit-match against the oracle-green superstep implementations."""
+    from whitebox_tools_spark.operators.flow_stitch import (
+        d8_flow_accumulation_tiled,
+        fill_depressions_tiled,
+    )
+    from whitebox_tools_spark.operators.hydro import (
+        d8_flow_accumulation,
+        fill_depressions,
+    )
+
+    grid = GridSpec(west=0.0, north=100.0, res_x=5.0, res_y=5.0, rows=20, cols=20)
+    dem = _random_dem(spark, 20, 20, seed=5).localCheckpoint()
+
+    a = d8_flow_accumulation(dem, grid).withColumnRenamed("value", "v1")
+    b = d8_flow_accumulation_tiled(dem, grid, block=6).withColumnRenamed("value", "v2")
+    j = a.join(b, ["row", "col"], "full")
+    assert (
+        j.filter(
+            (F.col("v1") != F.col("v2")) | F.col("v1").isNull() | F.col("v2").isNull()
+        ).count()
+        == 0
+    )
+
+    a = fill_depressions(dem).withColumnRenamed("value", "v1")
+    b = fill_depressions_tiled(dem, block=6).withColumnRenamed("value", "v2")
+    j = a.join(b, ["row", "col"], "full")
+    assert (
+        j.filter(
+            (F.col("v1") != F.col("v2")) | F.col("v1").isNull() | F.col("v2").isNull()
+        ).count()
+        == 0
+    )
+
+
+def test_solve_fa_weighted_recursion(spark):
+    """Deep recursion path: chain graph forcing multiple stitch levels,
+    weighted seeds."""
+    from whitebox_tools_spark.operators.flow_stitch import solve_fa
+
+    n = 500
+    recs = [(0, c, float(c + 1), 0 if c + 1 < n else None, c + 1 if c + 1 < n else None)
+            for c in range(n)]
+    nodes = spark.createDataFrame(
+        recs, "row long, col long, w double, nrow long, ncol long"
+    )
+    out = {
+        r.col: r.fa
+        for r in solve_fa(nodes, block=8, scale=4, direct_threshold=10).collect()
+    }
+    # fa(c) = sum of w over cells 0..c = (c+1)(c+2)/2
+    for c in range(n):
+        assert out[c] == (c + 1) * (c + 2) / 2

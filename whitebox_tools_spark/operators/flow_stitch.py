@@ -1,0 +1,506 @@
+"""Tile-stitched iterative hydrology (class ITR, scale path).
+
+The superstep-peel formulations of D8 flow accumulation and depression
+filling are exact but need O(longest-flow-path) Spark rounds — wall-clock
+death on a continental DEM even though each round is cheap. This module
+re-answers the same two tools with a HIERARCHICAL tile decomposition whose
+driver-visible superstep count is O(log n):
+
+1. ``solve_fa`` — accumulation over a functional flow graph (out-degree
+   <= 1, a DAG: exactly the D8 pointer graph,
+   hydro_analysis/d8_flow_accum.rs:525-570). Per spatial tile, one
+   Arrow-batched numpy kernel resolves all in-tile flow (topological
+   accumulate + path-exit mapping). Flow that crosses tiles reduces to the
+   SAME problem on the much smaller inlet graph (nodes = cells receiving
+   cross-tile flow, next = the cross-edge their in-tile path exits
+   through), which recurses with 8x coarser blocks until the graph fits a
+   single kernel task. Unwinding re-runs each tile kernel once with the
+   solved external inflows injected at the inlets. Supersteps per level:
+   O(1); levels: O(log_8 of tile count). The result is exactly the
+   reference's accumulation (integer flows in f64 are order-independent).
+
+2. ``fill_depressions_tiled`` — R. Barnes, "Parallel non-blocking
+   deterministic algorithm for priority-flood depression filling"
+   (2016, public paper): per tile, a multi-source priority flood from the
+   tile perimeter labels every cell with its best outlet and the fill
+   level relative to it; adjacent-label spill elevations form a tiny graph
+   over perimeter seeds whose minimax distance to the real DEM border
+   gives each seed's global water level; one final per-tile pass takes
+   max(local fill, seed level). Matches the Planchon-Darboux fixpoint
+   (hydro.fill_depressions) bit-for-bit — pytest-pinned.
+
+Both kernels run inside applyInPandas tasks: the per-tile work is
+single-pass numpy over <= tile^2 cells, no Python-per-row in any shuffle.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from whitebox_tools_spark.grid import GridSpec
+
+_FA_SCHEMA = (
+    "row long, col long, fa double, xrow long, xcol long, erow long, ecol long"
+)
+# xrow/xcol: node's OWN next when it leaves the group (a direct cross edge)
+# erow/ecol: target of the cross edge the node's downstream PATH exits by
+
+
+def _fa_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-group flow accumulation over a functional graph.
+
+    Input columns: row, col, w, nrow, ncol (next pointers; NaN = terminal).
+    In-group edges are resolved positionally; edges leaving the group are
+    reported as cross edges. Returns fa (in-group accumulation of w) and
+    the path-exit mapping for every node."""
+    n = len(pdf)
+    row = pdf["row"].to_numpy(np.int64)
+    col = pdf["col"].to_numpy(np.int64)
+    w = pdf["w"].to_numpy(np.float64)
+    nrow = pdf["nrow"].to_numpy(np.float64)
+    ncol = pdf["ncol"].to_numpy(np.float64)
+    has_next = ~np.isnan(nrow)
+
+    # map next -> in-group index (row-major key hash via sorted search)
+    key = row * np.int64(1 << 32) + col
+    order = np.argsort(key, kind="stable")
+    skey = key[order]
+    nr = nrow[has_next].astype(np.int64)
+    nc = ncol[has_next].astype(np.int64)
+    nkey = nr * np.int64(1 << 32) + nc
+    pos = np.searchsorted(skey, nkey)
+    pos_c = np.clip(pos, 0, n - 1)
+    in_group = skey[pos_c] == nkey
+    nxt = np.full(n, -1, np.int64)
+    idx_has = np.flatnonzero(has_next)
+    nxt[idx_has[in_group]] = order[pos_c[in_group]]
+    # direct cross edges: node has a next but it is not in this group
+    cross = np.zeros(n, bool)
+    cross[idx_has[~in_group]] = True
+
+    # Kahn topological accumulate (frontier chunks saved for the reverse
+    # exit-propagation pass); loop count = in-group DAG depth, numpy-only
+    fa = w.copy()
+    indeg = np.bincount(nxt[nxt >= 0], minlength=n)
+    frontier = np.flatnonzero(indeg == 0)
+    chunks = []
+    while frontier.size:
+        chunks.append(frontier)
+        t = nxt[frontier]
+        valid = t >= 0
+        tv = t[valid]
+        np.add.at(fa, tv, fa[frontier[valid]])
+        indeg -= np.bincount(tv, minlength=n)
+        cand = np.unique(tv)
+        frontier = cand[indeg[cand] == 0]
+
+    # exit propagation in reverse topological order: a node's path-exit is
+    # its own cross edge, else its in-group next's path-exit
+    erow = np.full(n, -1, np.int64)
+    ecol = np.full(n, -1, np.int64)
+    has_exit = np.zeros(n, bool)
+    xr = np.where(cross, nrow, np.nan)
+    xc = np.where(cross, ncol, np.nan)
+    for ch in reversed(chunks):
+        c_cross = ch[cross[ch]]
+        erow[c_cross] = xr[c_cross].astype(np.int64)
+        ecol[c_cross] = xc[c_cross].astype(np.int64)
+        has_exit[c_cross] = True
+        c_in = ch[nxt[ch] >= 0]
+        t = nxt[c_in]
+        erow[c_in] = erow[t]
+        ecol[c_in] = ecol[t]
+        has_exit[c_in] = has_exit[t]
+
+    out = pd.DataFrame(
+        {
+            "row": row,
+            "col": col,
+            "fa": fa,
+            "xrow": np.where(cross, nrow, np.nan),
+            "xcol": np.where(cross, ncol, np.nan),
+            "erow": np.where(has_exit, erow, np.nan).astype("float64"),
+            "ecol": np.where(has_exit, ecol, np.nan).astype("float64"),
+        }
+    )
+    out["xrow"] = out["xrow"].astype("Int64")
+    out["xcol"] = out["xcol"].astype("Int64")
+    out["erow"] = out["erow"].astype("Int64")
+    out["ecol"] = out["ecol"].astype("Int64")
+    return out
+
+
+def _grouped_fa(nodes: DataFrame, block: int) -> DataFrame:
+    """Run the per-tile kernel grouped by spatial block."""
+    keyed = nodes.withColumn("gr", F.floor(F.col("row") / F.lit(block))).withColumn(
+        "gc", F.floor(F.col("col") / F.lit(block))
+    )
+    return keyed.groupBy("gr", "gc").applyInPandas(
+        lambda pdf: _fa_kernel(pdf), _FA_SCHEMA
+    )
+
+
+def solve_fa(
+    nodes: DataFrame,
+    *,
+    block: int = 256,
+    scale: int = 8,
+    direct_threshold: int = 200_000,
+    max_levels: int = 12,
+) -> DataFrame:
+    """Accumulate ``w`` over a functional flow graph.
+
+    nodes: (row, col, w, nrow, ncol) with (nrow, ncol) the unique downslope
+    target (NULL = terminal). Returns (row, col, fa) with
+    fa(c) = sum of w(a) over every node a whose flow path passes through c
+    (a = c included) — the reference's flow-accumulation semantics.
+
+    Recursion: tile kernels solve everything in-tile; the inlet graph
+    (one node per cell that receives cross-tile flow) recurses at 8x
+    coarser blocks. Each level adds O(1) Spark jobs, so the whole solve is
+    O(log) supersteps instead of O(longest flow path).
+    """
+    n = nodes.count()
+    if n == 0:
+        return nodes.sparkSession.createDataFrame([], "row long, col long, fa double")
+    if n <= direct_threshold:
+        # single kernel task solves the whole graph
+        one = nodes.withColumn("gr", F.lit(0)).withColumn("gc", F.lit(0))
+        solved = one.groupBy("gr", "gc").applyInPandas(
+            lambda pdf: _fa_kernel(pdf), _FA_SCHEMA
+        )
+        return solved.select("row", "col", "fa")
+
+    local = _grouped_fa(nodes, block).localCheckpoint(eager=True)
+
+    # cross edges u -> v: flow = fa_local(u)
+    cross = local.filter(F.col("xrow").isNotNull()).select(
+        F.col("xrow").alias("row"), F.col("xcol").alias("col"), F.col("fa").alias("flow")
+    )
+    base = cross.groupBy("row", "col").agg(F.sum("flow").alias("w"))
+    if max_levels <= 1:
+        raise RuntimeError("solve_fa: recursion limit hit (graph too deep)")
+    # sub-graph over inlets: next = target of the cross edge the inlet's
+    # path exits through (itself an inlet, or terminal)
+    sub_nodes = base.join(
+        local.select("row", "col", F.col("erow").alias("nrow"), F.col("ecol").alias("ncol")),
+        ["row", "col"],
+        "left",
+    )
+    sub_fa = solve_fa(
+        sub_nodes,
+        block=block * scale,
+        scale=scale,
+        direct_threshold=direct_threshold,
+        max_levels=max_levels - 1,
+    )
+
+    # unwind: inject solved external inflow at the inlets and re-run tiles
+    seeded = nodes.join(
+        sub_fa.select("row", "col", F.col("fa").alias("__in")), ["row", "col"], "left"
+    ).withColumn("w", F.col("w") + F.coalesce(F.col("__in"), F.lit(0.0))).drop("__in")
+    final = _grouped_fa(seeded, block)
+    return final.select("row", "col", "fa")
+
+
+def d8_flow_accumulation_tiled(
+    cells: DataFrame, grid: GridSpec, *, block: int = 256
+) -> DataFrame:
+    """D8FlowAccumulation (hydro_analysis/d8_flow_accum.rs:525-570) via the
+    hierarchical tile stitch — exact same output as the superstep peel
+    (pytest-pinned bit-match), O(log n) Spark rounds."""
+    from whitebox_tools_spark.operators.hydro import _flow_edges
+
+    src = cells.filter(F.col("value").isNotNull()).select("row", "col")
+    edges = _flow_edges(cells, grid)
+    nodes = src.join(edges, ["row", "col"], "left").select(
+        "row",
+        "col",
+        F.lit(1.0).alias("w"),
+        F.col("trow").alias("nrow"),
+        F.col("tcol").alias("ncol"),
+    )
+    return solve_fa(nodes, block=block).select(
+        "row", "col", F.col("fa").alias("value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Parallel priority-flood depression filling (Barnes 2016)
+# ---------------------------------------------------------------------------
+_N8 = [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1)]
+
+# union schema: kind 0 = cell rows (row/col/z/fill/seed), kind 1 = spill
+# edge rows (a/b/lvl over seed ids; -2 = the virtual ocean)
+_PF_SCHEMA = (
+    "kind int, row long, col long, z double, fill double, seed long, "
+    "a long, b long, lvl double"
+)
+
+
+def _pf_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-tile multi-source priority flood.
+
+    Input: row, col, z, outlet(bool: cell is a GLOBAL outlet — DEM border
+    or nodata-adjacent), sid(long: globally unique seed id for perimeter
+    seeds and outlets; -1 for interior cells).
+    Emits per-cell local fill level + owning seed, and the in-tile spill
+    graph over seeds (seed id -2 = the virtual ocean). Tie order in the
+    flood can vary the LABEL but never the filled level: if a cell is
+    reachable from two seeds at the same level, the spill graph links the
+    seeds at <= that level, so max(fill, D(label)) is label-invariant.
+    """
+    rows = pdf["row"].to_numpy(np.int64)
+    cols = pdf["col"].to_numpy(np.int64)
+    z = pdf["z"].to_numpy(np.float64)
+    outlet = pdf["outlet"].to_numpy(bool)
+    sid = pdf["sid"].to_numpy(np.int64)
+
+    r0, c0 = rows.min(), cols.min()
+    h = int(rows.max() - r0 + 1)
+    wdt = int(cols.max() - c0 + 1)
+    zi = np.full((h, wdt), np.nan)
+    sidg = np.full((h, wdt), np.int64(-1))
+    outg = np.zeros((h, wdt), bool)
+    ri, ci = rows - r0, cols - c0
+    zi[ri, ci] = z
+    sidg[ri, ci] = sid
+    outg[ri, ci] = outlet
+
+    fill = np.full((h, wdt), np.inf)
+    label = np.full((h, wdt), np.int64(-1))
+    heap: list = []
+    # seeds: every cell carrying a seed id (tile perimeter or global outlet)
+    for i in range(len(rows)):
+        if sid[i] >= 0:
+            lab = np.int64(-2) if outlet[i] else sid[i]
+            heapq.heappush(heap, (z[i], int(ri[i]), int(ci[i]), int(lab)))
+    while heap:
+        lvl, rr, cc, lab = heapq.heappop(heap)
+        if fill[rr, cc] <= lvl:
+            continue
+        fill[rr, cc] = lvl
+        label[rr, cc] = lab
+        for dr, dc in _N8:
+            r2, c2 = rr + dr, cc + dc
+            if 0 <= r2 < h and 0 <= c2 < wdt and not np.isnan(zi[r2, c2]):
+                if fill[r2, c2] == np.inf:
+                    heapq.heappush(
+                        heap, (max(lvl, zi[r2, c2]), r2, c2, lab)
+                    )
+
+    # spill edges between adjacent distinct labels (and label<->ocean)
+    edges: dict = {}
+    # a seed whose own cell was claimed by another basin (level tie) would
+    # otherwise be disconnected from the basin that owns its location —
+    # link seed <-> owning label at the cell's fill level
+    for i in range(len(rows)):
+        if sid[i] >= 0:
+            own = np.int64(-2) if outlet[i] else sid[i]
+            lab = label[ri[i], ci[i]]
+            if lab != own:
+                kk = (int(min(own, lab)), int(max(own, lab)))
+                v = float(fill[ri[i], ci[i]])
+                if kk not in edges or v < edges[kk]:
+                    edges[kk] = v
+    valid = ~np.isnan(zi)
+    for dr, dc in [(0, 1), (1, -1), (1, 0), (1, 1)]:
+        rs0 = max(0, -dr)
+        rs1 = h - max(0, dr)
+        cs0 = max(0, -dc)
+        cs1 = wdt - max(0, dc)
+        a_lab = label[rs0:rs1, cs0:cs1]
+        b_lab = label[rs0 + dr : rs1 + dr, cs0 + dc : cs1 + dc]
+        a_f = fill[rs0:rs1, cs0:cs1]
+        b_f = fill[rs0 + dr : rs1 + dr, cs0 + dc : cs1 + dc]
+        m = (
+            valid[rs0:rs1, cs0:cs1]
+            & valid[rs0 + dr : rs1 + dr, cs0 + dc : cs1 + dc]
+            & (a_lab != b_lab)
+        )
+        if not m.any():
+            continue
+        la, lb = a_lab[m], b_lab[m]
+        lv = np.maximum(a_f[m], b_f[m])
+        lo = np.minimum(la, lb)
+        hi = np.maximum(la, lb)
+        for k in range(len(lv)):
+            kk = (int(lo[k]), int(hi[k]))
+            v = float(lv[k])
+            if kk not in edges or v < edges[kk]:
+                edges[kk] = v
+
+    cells_out = pd.DataFrame(
+        {
+            "kind": np.zeros(len(rows), np.int32),
+            "row": rows,
+            "col": cols,
+            "z": z,
+            "fill": fill[ri, ci],
+            "seed": label[ri, ci],
+            "a": np.zeros(len(rows), np.int64),
+            "b": np.zeros(len(rows), np.int64),
+            "lvl": np.zeros(len(rows), np.float64),
+        }
+    )
+    if edges:
+        ea, eb = zip(*edges.keys())
+        ne = len(ea)
+        edges_out = pd.DataFrame(
+            {
+                "kind": np.ones(ne, np.int32),
+                "row": np.zeros(ne, np.int64),
+                "col": np.zeros(ne, np.int64),
+                "z": np.zeros(ne, np.float64),
+                "fill": np.zeros(ne, np.float64),
+                "seed": np.zeros(ne, np.int64),
+                "a": np.array(ea, np.int64),
+                "b": np.array(eb, np.int64),
+                "lvl": np.array(list(edges.values()), np.float64),
+            }
+        )
+        return pd.concat([cells_out, edges_out], ignore_index=True)
+    return cells_out
+
+
+def fill_depressions_tiled(cells: DataFrame, *, block: int = 256) -> DataFrame:
+    """FillDepressions (hydro_analysis/fill_depressions.rs) via Barnes'
+    parallel priority-flood: O(1) tile passes + one minimax solve on the
+    seed spill graph (graph size ~ perimeter cells / tile, solved with a
+    driver-side Dijkstra below 2M nodes; the DEM-wide fixpoint this
+    replaces needed O(drainage path) Spark rounds).
+
+    Output = (row, col, value = filled elevation), bit-identical to
+    hydro.fill_depressions (pytest-pinned)."""
+    spark = cells.sparkSession
+    src = cells.filter(F.col("value").isNotNull()).select(
+        "row", "col", F.col("value").alias("z")
+    )
+    st = src.agg(
+        F.min("row").alias("r0"), F.max("row").alias("r1"),
+        F.min("col").alias("c0"), F.max("col").alias("c1"),
+    ).collect()[0]
+
+    # global outlets: DEM border cells + cells adjacent to missing data
+    offsets = spark.createDataFrame(_N8, "dy int, dx int")
+    nbr_count = (
+        src.crossJoin(F.broadcast(offsets))
+        .select((F.col("row") + F.col("dy")).alias("row"),
+                (F.col("col") + F.col("dx")).alias("col"))
+        .groupBy("row", "col")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    border = (
+        (F.col("row") == st.r0) | (F.col("row") == st.r1)
+        | (F.col("col") == st.c0) | (F.col("col") == st.c1)
+    )
+    marked = src.join(nbr_count, ["row", "col"], "left").withColumn(
+        "outlet", border | (F.coalesce(F.col("__n"), F.lit(0)) < 8)
+    ).drop("__n")
+
+    # perimeter seeds: cells on a tile edge; globally unique seed id
+    on_perim = (
+        (F.col("row") % block == 0) | (F.col("row") % block == block - 1)
+        | (F.col("col") % block == 0) | (F.col("col") % block == block - 1)
+    )
+    width = int(st.c1 - st.c0 + 1)
+    seeded = marked.withColumn(
+        "sid",
+        F.when(
+            on_perim | F.col("outlet"),
+            (F.col("row") - F.lit(int(st.r0))) * F.lit(width)
+            + (F.col("col") - F.lit(int(st.c0))),
+        ).otherwise(F.lit(-1)).cast("long"),
+    )
+
+    keyed = seeded.withColumn("gr", F.floor(F.col("row") / F.lit(block))).withColumn(
+        "gc", F.floor(F.col("col") / F.lit(block))
+    )
+
+    both = keyed.groupBy("gr", "gc").applyInPandas(
+        lambda pdf: _pf_kernel(pdf), _PF_SCHEMA
+    ).localCheckpoint(eager=True)
+    flooded = both.filter(F.col("kind") == 0).select("row", "col", "z", "fill", "seed")
+    spill = both.filter(F.col("kind") == 1).select("a", "b", "lvl")
+
+    # cross-tile-boundary adjacency is never inside a tile kernel: both
+    # endpoints of a boundary-crossing 8-adjacency are perimeter SEEDS, so
+    # link them directly at level max(z_a, z_b)
+    perim = seeded.filter(F.col("sid") >= 0).select(
+        "row", "col", "z",
+        F.when(F.col("outlet"), F.lit(-2)).otherwise(F.col("sid")).alias("lab"),
+        F.floor(F.col("row") / F.lit(block)).alias("gr"),
+        F.floor(F.col("col") / F.lit(block)).alias("gc"),
+    )
+    nb = perim.crossJoin(F.broadcast(offsets)).select(
+        (F.col("row") + F.col("dy")).alias("row"),
+        (F.col("col") + F.col("dx")).alias("col"),
+        F.col("z").alias("z2"),
+        F.col("lab").alias("lab2"),
+        F.col("gr").alias("gr2"),
+        F.col("gc").alias("gc2"),
+    )
+    xedges = (
+        perim.join(nb, ["row", "col"])
+        .filter((F.col("gr") != F.col("gr2")) | (F.col("gc") != F.col("gc2")))
+        .filter(F.col("lab") != F.col("lab2"))
+        .select(
+            F.least("lab", "lab2").alias("a"),
+            F.greatest("lab", "lab2").alias("b"),
+            F.greatest("z", "z2").alias("lvl"),
+        )
+    )
+
+    # minimax distance from every seed to the ocean over the spill graph.
+    # Graph size = O(perimeter cells) = n * 4/block; driver Dijkstra here
+    # (publish the threshold honestly — a distributed delta-step relaxation
+    # replaces this beyond ~2M seeds).
+    edges = (
+        spill.unionAll(xedges).groupBy("a", "b").agg(F.min("lvl").alias("lvl")).collect()
+    )
+    adj: dict = {}
+    for e in edges:
+        adj.setdefault(e.a, []).append((e.b, e.lvl))
+        adj.setdefault(e.b, []).append((e.a, e.lvl))
+    dist = {-2: float("-inf")}
+    pq = [(float("-inf"), -2)]
+    while pq:
+        d, u = heapq.heappop(pq)
+        if d > dist.get(u, float("inf")):
+            continue
+        for v, lvl in adj.get(u, ()):  # minimax relaxation
+            nd = max(d, lvl)
+            if nd < dist.get(v, float("inf")):
+                dist[v] = nd
+                heapq.heappush(pq, (nd, v))
+    seed_lvl = [
+        (int(s), float(d)) for s, d in dist.items() if s != -2
+    ]
+    lvl_df = spark.createDataFrame(
+        seed_lvl or [(-(10**9), 0.0)], "seed long, ocean_lvl double"
+    )
+
+    out = (
+        flooded.join(F.broadcast(lvl_df), "seed", "left")
+        .withColumn(
+            "value",
+            F.greatest(
+                F.col("z"),
+                F.when(
+                    F.col("seed") == -2, F.col("fill")
+                ).otherwise(
+                    F.greatest(
+                        F.col("fill"),
+                        F.coalesce(F.col("ocean_lvl"), F.col("fill")),
+                    )
+                ),
+            ),
+        )
+        .select("row", "col", "value")
+    )
+    return out
