@@ -1881,6 +1881,26 @@ def q_fill_depressions(spark, sf_dir):
     return fill_depressions_tiled(_noise_raster(spark, sf_dir), block=16)
 
 
+def q_breach_depressions(spark, sf_dir):
+    """BreachDepressions (hydro_analysis/breach_depressions.rs, Lindsay 2016
+    unconstrained hybrid breach): carve trenches so every cell drains.
+    Deterministic (W, plateau-hops, lex) flood forest + canonical min-plus
+    carve via the flow_stitch hierarchy (block=16 exercises the multi-tile
+    stitch); oracle = recursive-CTE mirror of the same contract."""
+    from whitebox_tools_spark.operators.breach import breach_depressions
+
+    return _r6(
+        breach_depressions(_noise_raster(spark, sf_dir), EXTRACT_GRID, block=16),
+        ["value"],
+    )
+
+
+def _breach_oracle() -> str:
+    from whitebox_tools_spark.operators.breach import breach_oracle_sql
+
+    return breach_oracle_sql(_NOISE_RASTER_SQL, EXTRACT_GRID)
+
+
 def q_sink(spark, sf_dir):
     """Sink (hydro_analysis/sink.rs): 8-connected components of the cells
     raised by depression filling, scan-order ids (shared with the oracle's
@@ -2917,6 +2937,7 @@ _DRIVER_WINDOW: list[str] = [
     # round-3 additions fill the remaining slots (appended as implemented)
     "d8_flow_accumulation",
     "fill_depressions",
+    "breach_depressions",
 ]
 
 
@@ -3028,6 +3049,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dinf_flow_accumulation": q_dinf_flow_accum,
         "buffer_raster": q_buffer_raster,
         "fill_depressions": q_fill_depressions,
+        "breach_depressions": q_breach_depressions,
         "stream_link_class": q_stream_link_class,
         "rasterize_streams": q_rasterize_streams,
         "jenson_snap_pour_points": q_jenson_snap_pour,
@@ -3716,6 +3738,7 @@ FROM ({_PART_RASTER_SQL}) WHERE value IS NOT NULL
         "lines_to_raster": _lines_to_raster_sql(),
         "singlepart_to_multipart": _sp_to_mp_sql(),
         "fill_depressions": _hyd.fill_depressions_oracle_sql(_NOISE_RASTER_SQL),
+        "breach_depressions": _breach_oracle(),
         "stream_link_class": _str.stream_link_class_oracle_sql(
             _VALLEY_DEM_SQL, STREAM_GRID, threshold=4.0
         ),

@@ -231,6 +231,216 @@ def d8_flow_accumulation_tiled(
 
 
 # ---------------------------------------------------------------------------
+# min-plus variant: carve propagation for BreachDepressions
+# ---------------------------------------------------------------------------
+_MIN_SCHEMA = (
+    "row long, col long, fa double, v0 double, steps long, "
+    "xrow long, xcol long, xlen long, erow long, ecol long, elen long"
+)
+
+
+def _minplus_kernel(pdf: pd.DataFrame, s: float) -> pd.DataFrame:
+    """Per-group min-plus accumulation over a functional graph.
+
+    Propagates the best (origin value v0, step count) pair along next
+    pointers; every comparison and the emitted fa use the CANONICAL form
+    v0 - s * steps (one multiply, one subtract), so the result is
+    bit-identical no matter how the path is chunked across stitch levels —
+    required for exact agreement with the SQL oracle, which computes
+    z(origin) - s * depth directly. Input: row, col, v0, steps, nrow,
+    ncol, len. Emits the in-group best per node, the direct cross edge
+    (xrow/xcol/xlen) and the path-exit target + step count (erow/ecol/
+    elen)."""
+    n = len(pdf)
+    row = pdf["row"].to_numpy(np.int64)
+    col = pdf["col"].to_numpy(np.int64)
+    v0 = pdf["v0"].to_numpy(np.float64)
+    steps = pdf["steps"].to_numpy(np.int64)
+    nrow = pdf["nrow"].to_numpy(np.float64)
+    ncol = pdf["ncol"].to_numpy(np.float64)
+    elen = pdf["len"].to_numpy(np.float64)
+    has_next = ~np.isnan(nrow)
+
+    key = row * np.int64(1 << 32) + col
+    order = np.argsort(key, kind="stable")
+    skey = key[order]
+    nr = nrow[has_next].astype(np.int64)
+    nc = ncol[has_next].astype(np.int64)
+    nkey = nr * np.int64(1 << 32) + nc
+    pos = np.searchsorted(skey, nkey)
+    pos_c = np.clip(pos, 0, n - 1)
+    in_group = skey[pos_c] == nkey
+    nxt = np.full(n, -1, np.int64)
+    idx_has = np.flatnonzero(has_next)
+    nxt[idx_has[in_group]] = order[pos_c[in_group]]
+    cross = np.zeros(n, bool)
+    cross[idx_has[~in_group]] = True
+
+    best_v0 = v0.copy()
+    best_st = steps.copy()
+
+    def canon(v, k):
+        return v - s * k
+
+    indeg = np.bincount(nxt[nxt >= 0], minlength=n)
+    frontier = np.flatnonzero(indeg == 0)
+    chunks = []
+    while frontier.size:
+        chunks.append(frontier)
+        t = nxt[frontier]
+        valid = t >= 0
+        fu = frontier[valid]
+        tv = t[valid]
+        if tv.size == 0:
+            break
+        c_v0 = best_v0[fu]
+        c_st = best_st[fu] + elen[fu].astype(np.int64)
+        cand = canon(c_v0, c_st)
+        # grouped argmin over shared targets (ties: lower v0 then steps)
+        srt = np.lexsort((c_st, c_v0, cand, tv))
+        tv_s = tv[srt]
+        first = np.flatnonzero(np.r_[True, tv_s[1:] != tv_s[:-1]])
+        pick = srt[first]
+        tgt = tv[pick]
+        better = canon(c_v0[pick], c_st[pick]) < canon(best_v0[tgt], best_st[tgt])
+        upd = tgt[better]
+        best_v0[upd] = c_v0[pick][better]
+        best_st[upd] = c_st[pick][better]
+        indeg -= np.bincount(tv, minlength=n)
+        frontier = tgt[indeg[tgt] == 0]
+
+    erow = np.full(n, -1, np.int64)
+    ecol = np.full(n, -1, np.int64)
+    elen_out = np.zeros(n, np.int64)
+    has_exit = np.zeros(n, bool)
+    for ch in reversed(chunks):
+        c_cross = ch[cross[ch]]
+        erow[c_cross] = nrow[c_cross].astype(np.int64)
+        ecol[c_cross] = ncol[c_cross].astype(np.int64)
+        elen_out[c_cross] = elen[c_cross].astype(np.int64)
+        has_exit[c_cross] = True
+        c_in = ch[nxt[ch] >= 0]
+        t = nxt[c_in]
+        erow[c_in] = erow[t]
+        ecol[c_in] = ecol[t]
+        elen_out[c_in] = elen[c_in].astype(np.int64) + elen_out[t]
+        has_exit[c_in] = has_exit[t]
+
+    out = pd.DataFrame(
+        {
+            "row": row,
+            "col": col,
+            "fa": canon(best_v0, best_st),
+            "v0": best_v0,
+            "steps": best_st,
+            "xrow": np.where(cross, nrow, np.nan),
+            "xcol": np.where(cross, ncol, np.nan),
+            "xlen": np.where(cross, elen, np.nan),
+            "erow": np.where(has_exit, erow, np.nan).astype("float64"),
+            "ecol": np.where(has_exit, ecol, np.nan).astype("float64"),
+            "elen": np.where(has_exit, elen_out, np.nan).astype("float64"),
+        }
+    )
+    for c in ("xrow", "xcol", "xlen", "erow", "ecol", "elen"):
+        out[c] = out[c].astype("Int64")
+    return out
+
+
+def solve_min(
+    nodes: DataFrame,
+    s: float,
+    *,
+    block: int = 256,
+    scale: int = 8,
+    direct_threshold: int = 200_000,
+    max_levels: int = 12,
+) -> DataFrame:
+    """Min-plus accumulation over a functional flow graph: returns
+    fa(c) = min over every node a whose pointer path passes through c of
+    (v0(a) - s * (steps(a) + pathlen(a -> c))), evaluated canonically.
+    nodes: (row, col, v0, steps, nrow, ncol, len); top-level callers pass
+    steps = 0 and len = 1. Same hierarchical tile recursion as solve_fa —
+    O(log) supersteps."""
+    n = nodes.count()
+    if n == 0:
+        return nodes.sparkSession.createDataFrame(
+            [], "row long, col long, fa double, v0 double, steps long"
+        )
+    if n <= direct_threshold:
+        one = nodes.withColumn("gr", F.lit(0)).withColumn("gc", F.lit(0))
+        solved = one.groupBy("gr", "gc").applyInPandas(
+            lambda pdf: _minplus_kernel(pdf, s), _MIN_SCHEMA
+        )
+        return solved.select("row", "col", "fa", "v0", "steps")
+
+    def grouped(nd):
+        keyed = nd.withColumn("gr", F.floor(F.col("row") / F.lit(block))).withColumn(
+            "gc", F.floor(F.col("col") / F.lit(block))
+        )
+        return keyed.groupBy("gr", "gc").applyInPandas(
+            lambda pdf: _minplus_kernel(pdf, s), _MIN_SCHEMA
+        )
+
+    local = grouped(nodes).localCheckpoint(eager=True)
+    # cross edges carry the best (v0, steps) across the boundary; argmin
+    # per target by the canonical value (min_by on a canonical/v0/steps
+    # struct keeps the comparison form identical everywhere)
+    cross = local.filter(F.col("xrow").isNotNull()).select(
+        F.col("xrow").alias("row"),
+        F.col("xcol").alias("col"),
+        F.col("v0"),
+        (F.col("steps") + F.col("xlen")).alias("steps"),
+    ).withColumn("cval", F.col("v0") - F.lit(s) * F.col("steps"))
+    base = cross.groupBy("row", "col").agg(
+        F.min(F.struct("cval", "v0", "steps")).alias("b")
+    ).select("row", "col", F.col("b.v0").alias("v0"), F.col("b.steps").alias("steps"))
+    if max_levels <= 1:
+        raise RuntimeError("solve_min: recursion limit hit (graph too deep)")
+    sub_nodes = base.join(
+        local.select(
+            "row", "col",
+            F.col("erow").alias("nrow"), F.col("ecol").alias("ncol"),
+            F.col("elen").alias("len"),
+        ),
+        ["row", "col"],
+        "left",
+    )
+    sub = solve_min(
+        sub_nodes.select("row", "col", "v0", "steps", "nrow", "ncol", "len"),
+        s,
+        block=block * scale,
+        scale=scale,
+        direct_threshold=direct_threshold,
+        max_levels=max_levels - 1,
+    )
+    seeded = (
+        nodes.join(
+            sub.select(
+                "row", "col",
+                F.col("v0").alias("__v0"), F.col("steps").alias("__st"),
+                F.col("fa").alias("__c"),
+            ),
+            ["row", "col"],
+            "left",
+        )
+        .withColumn(
+            "__own", F.col("v0") - F.lit(s) * F.col("steps")
+        )
+        .withColumn(
+            "__take",
+            F.col("__c").isNotNull() & (F.col("__c") < F.col("__own")),
+        )
+        .select(
+            "row", "col",
+            F.when(F.col("__take"), F.col("__v0")).otherwise(F.col("v0")).alias("v0"),
+            F.when(F.col("__take"), F.col("__st")).otherwise(F.col("steps")).alias("steps"),
+            "nrow", "ncol", "len",
+        )
+    )
+    return grouped(seeded).select("row", "col", "fa", "v0", "steps")
+
+
+# ---------------------------------------------------------------------------
 # Parallel priority-flood depression filling (Barnes 2016)
 # ---------------------------------------------------------------------------
 _N8 = [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1), (1, -1), (1, 0), (1, 1)]
