@@ -2865,6 +2865,96 @@ def q_intersect_rings(spark, sf_dir):
     )
 
 
+def _ring_net_area(rings, ids):
+    sa = F.aggregate(
+        F.sequence(F.lit(1), F.size("xs") - 1),
+        F.lit(0.0),
+        lambda acc, k: acc
+        + F.element_at("xs", k) * F.element_at("ys", k + 1)
+        - F.element_at("xs", k + 1) * F.element_at("ys", k),
+    )
+    per = rings.select(*ids, sa.alias("sa"))
+    return per.groupBy(*ids).agg(
+        F.round(F.lit(-0.5) * F.sum("sa"), 0).alias("area")
+    )
+
+
+def _overlapping_pairs(spark):
+    """(a_id, b_id) pairs with a genuine intersection — the overlay tools'
+    working set (disjoint candidate pairs pass through unchanged)."""
+    from whitebox_tools_spark.operators.overlay import polygon_overlay_areas
+
+    return polygon_overlay_areas(_parts_a_df(spark), PARTS, IDX).select(
+        "a_id", "b_id"
+    )
+
+
+def q_union_rings(spark, sf_dir):
+    """Union with RING geometry (gis_analysis/union.rs): net shoelace area
+    of the stitched A∪B rings per intersecting pair vs the stitch-free
+    inclusion-exclusion oracle (a + b - inter), rounded to whole units."""
+    from whitebox_tools_spark.operators.overlay import overlay_polygons_rings
+
+    rings = overlay_polygons_rings(_parts_a_df(spark), PARTS, IDX, mode="union")
+    return _ring_net_area(rings, ["a_id", "b_id"]).join(
+        _overlapping_pairs(spark), ["a_id", "b_id"], "semi"
+    )
+
+
+def q_symmetric_difference_rings(spark, sf_dir):
+    """SymmetricalDifference rings (gis_analysis/symmetrical_difference.rs):
+    net stitched area per intersecting pair vs a + b - 2*inter."""
+    from whitebox_tools_spark.operators.overlay import overlay_polygons_rings
+
+    rings = overlay_polygons_rings(
+        _parts_a_df(spark), PARTS, IDX, mode="symmetric_difference"
+    )
+    return _ring_net_area(rings, ["a_id", "b_id"]).join(
+        _overlapping_pairs(spark), ["a_id", "b_id"], "semi"
+    )
+
+
+def q_difference_rings(spark, sf_dir):
+    """Difference rings (gis_analysis/difference.rs): net stitched area of
+    A - B per intersecting pair vs a - inter."""
+    from whitebox_tools_spark.operators.overlay import overlay_polygons_rings
+
+    rings = overlay_polygons_rings(
+        _parts_a_df(spark), PARTS, IDX, mode="difference"
+    )
+    return _ring_net_area(rings, ["a_id", "b_id"]).join(
+        _overlapping_pairs(spark), ["a_id", "b_id"], "semi"
+    )
+
+
+def _dissolve_groups():
+    """Deterministic grouping of the A-side synth layer for Dissolve:
+    gid = poly_id % 5."""
+    return [(pid % 5, pid, parts) for pid, parts in PARTS_A]
+
+
+def q_dissolve(spark, sf_dir):
+    """Dissolve (gis_analysis/dissolve.rs): per attribute group, stitched
+    union rings of the group's features; net shoelace area per group vs
+    the n-way stitch-free boundary-sum oracle."""
+    from whitebox_tools_spark.operators.overlay import dissolve_rings
+
+    rows = []
+    for gid, pid, parts in _dissolve_groups():
+        for k, (xs, ys, hole) in enumerate(parts):
+            rows.append(
+                (gid, pid, k, bool(hole),
+                 [float(v) for v in xs], [float(v) for v in ys])
+            )
+    parts_df = spark.createDataFrame(
+        rows,
+        "gid long, poly_id long, part_idx int, is_hole boolean, "
+        "xs array<double>, ys array<double>",
+    )
+    rings = dissolve_rings(parts_df, group_col="gid")
+    return _ring_net_area(rings, ["gid"])
+
+
 def q_clip_polygons(spark, sf_dir):
     """Clip polygon case (gis_analysis/clip.rs:571+): area of each input
     polygon clipped to a DISJOINT clip layer (areas add per clip feature)."""
@@ -2938,6 +3028,10 @@ _DRIVER_WINDOW: list[str] = [
     "d8_flow_accumulation",
     "fill_depressions",
     "breach_depressions",
+    "union_rings",
+    "symmetric_difference_rings",
+    "difference_rings",
+    "dissolve",
 ]
 
 
@@ -3219,6 +3313,10 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "erase_lines": q_erase_lines,
         "polygon_overlay": q_polygon_overlay,
         "intersect_rings": q_intersect_rings,
+        "union_rings": q_union_rings,
+        "symmetric_difference_rings": q_symmetric_difference_rings,
+        "difference_rings": q_difference_rings,
+        "dissolve": q_dissolve,
         "clip_polygons": q_clip_polygons,
     }
 
@@ -3963,6 +4061,12 @@ SELECT a_id, b_id, round(inter, 0) AS area
 FROM ({_ovl._overlay_core_sql(PARTS_A, PARTS)}) q
 """,
         "clip_polygons": _ovl.clip_polygons_oracle_sql(PARTS_A, PARTS_DISJOINT),
+        "union_rings": _ovl.union_rings_oracle_sql(PARTS_A, PARTS),
+        "symmetric_difference_rings": _ovl.symmetric_difference_rings_oracle_sql(PARTS_A, PARTS),
+        "difference_rings": _ovl.difference_rings_oracle_sql(PARTS_A, PARTS),
+        "dissolve": _ovl.dissolve_oracle_sql(
+            [(g, p, parts) for g, p, parts in _dissolve_groups()]
+        ),
     }
     return sq
 

@@ -369,6 +369,73 @@ def _boundary_inside_pieces(src_parts, other_parts, other_edges):
     return out
 
 
+def _boundary_pieces(
+    src_parts, other_parts, other_edges, *, keep_inside: bool = True,
+    reverse: bool = False,
+):
+    """Directed pieces of src's boundary split at other's boundary, kept by
+    midpoint-inside (keep_inside=True) or midpoint-outside test; reverse
+    flips each piece (for difference/symmetric-difference winding)."""
+    out = []
+    for xs, ys, _hole in src_parts:
+        xs = np.asarray(xs, dtype=np.float64)
+        ys = np.asarray(ys, dtype=np.float64)
+        for i in range(len(xs) - 1):
+            p0x, p0y, p1x, p1y = xs[i], ys[i], xs[i + 1], ys[i + 1]
+            ts = G.segment_split_ts(p0x, p0y, p1x, p1y, *other_edges)
+            breaks = np.concatenate([[0.0], ts, [1.0]])
+            t0s, t1s = breaks[:-1], breaks[1:]
+            tm = (t0s + t1s) / 2.0
+            mx = p0x + tm * (p1x - p0x)
+            my = p0y + tm * (p1y - p0y)
+            inside = G.point_in_parts(mx, my, other_parts)
+            keep = inside if keep_inside else ~inside
+            for k in np.nonzero(keep)[0]:
+                sx0 = p0x + t0s[k] * (p1x - p0x) if t0s[k] > 0 else p0x
+                sy0 = p0y + t0s[k] * (p1y - p0y) if t0s[k] > 0 else p0y
+                sx1 = p0x + t1s[k] * (p1x - p0x) if t1s[k] < 1 else p1x
+                sy1 = p0y + t1s[k] * (p1y - p0y) if t1s[k] < 1 else p1y
+                if reverse:
+                    out.append((sx1, sy1, sx0, sy0))
+                else:
+                    out.append((sx0, sy0, sx1, sy1))
+    return out
+
+
+def _pair_pieces(a_parts, b_parts, a_edges, b_edges, mode: str):
+    """Boundary pieces of the pairwise overlay result for one (A, B) pair.
+
+    intersect:            ∂A in B   + ∂B in A
+    union:                ∂A out B  + ∂B out A
+    difference (A - B):   ∂A out B  + reversed(∂B in A)
+    symmetric_difference: (A - B) pieces + (B - A) pieces
+    The shoelace additivity over directed pieces makes the stitched rings
+    wind correctly (shells CW, holes CCW) in every mode."""
+    if mode == "intersect":
+        return (
+            _boundary_pieces(a_parts, b_parts, b_edges, keep_inside=True)
+            + _boundary_pieces(b_parts, a_parts, a_edges, keep_inside=True)
+        )
+    if mode == "union":
+        return (
+            _boundary_pieces(a_parts, b_parts, b_edges, keep_inside=False)
+            + _boundary_pieces(b_parts, a_parts, a_edges, keep_inside=False)
+        )
+    if mode == "difference":
+        return (
+            _boundary_pieces(a_parts, b_parts, b_edges, keep_inside=False)
+            + _boundary_pieces(b_parts, a_parts, a_edges, keep_inside=True, reverse=True)
+        )
+    if mode == "symmetric_difference":
+        return (
+            _boundary_pieces(a_parts, b_parts, b_edges, keep_inside=False)
+            + _boundary_pieces(b_parts, a_parts, a_edges, keep_inside=True, reverse=True)
+            + _boundary_pieces(b_parts, a_parts, a_edges, keep_inside=False)
+            + _boundary_pieces(a_parts, b_parts, b_edges, keep_inside=True, reverse=True)
+        )
+    raise ValueError(f"unknown overlay mode {mode!r}")
+
+
 def _stitch_float_rings(pieces, tol: float = 1e-5):
     """Assemble directed float pieces into closed rings.
 
@@ -431,15 +498,18 @@ def _stitch_float_rings(pieces, tol: float = 1e-5):
     return rings
 
 
-def intersect_polygons_rings(
+def overlay_polygons_rings(
     a_parts_df: DataFrame,
     b_polys_parts: list,
     index: CellIndex,
     *,
     a_id: str = "poly_id",
+    mode: str = "intersect",
 ) -> DataFrame:
-    """Intersect (gis_analysis/intersect.rs) with RING output: the stitched
-    boundary polygons of every candidate pair's intersection.
+    """Pairwise polygon overlay with RING output: the stitched boundary
+    polygons of every candidate pair's intersect / union / difference /
+    symmetric_difference (gis_analysis/intersect.rs, union.rs,
+    difference.rs, symmetrical_difference.rs).
     -> (a_id, b_id, part_idx, is_hole, xs, ys) in shapefile winding
     (shells CW, holes CCW), parts ordered shells-first."""
     spark = a_parts_df.sparkSession
@@ -471,9 +541,9 @@ def intersect_polygons_rings(
                 a_edges = _edges_of(a_parts)
                 for b_id in sorted(int(c) for c in r.cand_ids):
                     b_parts = lookup[b_id]
-                    pieces = _boundary_inside_pieces(
-                        a_parts, b_parts, _edges_of(b_parts)
-                    ) + _boundary_inside_pieces(b_parts, a_parts, a_edges)
+                    pieces = _pair_pieces(
+                        a_parts, b_parts, a_edges, _edges_of(b_parts), mode
+                    )
                     if not pieces:
                         continue
                     rings = _stitch_float_rings(pieces)
@@ -498,6 +568,135 @@ def intersect_polygons_rings(
         kernel,
         schema=(
             "a_id long, b_id long, part_idx int, is_hole boolean, "
+            "xs array<double>, ys array<double>"
+        ),
+    )
+
+
+def intersect_polygons_rings(
+    a_parts_df: DataFrame,
+    b_polys_parts: list,
+    index: CellIndex,
+    *,
+    a_id: str = "poly_id",
+) -> DataFrame:
+    """Intersect (gis_analysis/intersect.rs) ring output — see
+    overlay_polygons_rings."""
+    return overlay_polygons_rings(
+        a_parts_df, b_polys_parts, index, a_id=a_id, mode="intersect"
+    )
+
+
+def dissolve_rings(parts_df: DataFrame, *, group_col: str = "gid") -> DataFrame:
+    """Dissolve (gis_analysis/dissolve.rs): remove shared/interior
+    boundaries among each attribute group's features; output the stitched
+    boundary rings of the group's union.
+
+    Per-group Arrow kernel: pieces of each member's boundary split at every
+    OTHER member's boundary, kept when the midpoint lies inside no other
+    member (exact duplicate opposite shared edges cancel before stitching),
+    then stitched to rings. Groups shuffle once (groupBy + applyInPandas);
+    per-group cost is O(boundary x candidate pairs) with bbox pruning —
+    dissolve groups are attribute classes, bounded in practice.
+
+    parts_df: (gid, poly_id, part_idx, is_hole, xs, ys).
+    -> (gid, ring_idx, is_hole, xs, ys)."""
+    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        gid = int(key[0])
+        feats: dict = {}
+        for r in pdf.itertuples(index=False):
+            feats.setdefault(int(r.poly_id), []).append(
+                (int(r.part_idx), bool(r.is_hole),
+                 np.asarray(r.xs, np.float64), np.asarray(r.ys, np.float64))
+            )
+        polys = {
+            pid: [(xs, ys, h) for _, h, xs, ys in sorted(ps, key=lambda t: t[0])]
+            for pid, ps in feats.items()
+        }
+        edges = {pid: _edges_of(parts) for pid, parts in polys.items()}
+        bbox = {
+            pid: (
+                min(float(np.min(xs)) for xs, _, _ in parts),
+                min(float(np.min(ys)) for _, ys, _ in parts),
+                max(float(np.max(xs)) for xs, _, _ in parts),
+                max(float(np.max(ys)) for _, ys, _ in parts),
+            )
+            for pid, parts in polys.items()
+        }
+        pieces = []
+        for pid, parts in sorted(polys.items()):
+            others = [
+                q for q in polys
+                if q != pid
+                and bbox[q][0] <= bbox[pid][2] and bbox[q][2] >= bbox[pid][0]
+                and bbox[q][1] <= bbox[pid][3] and bbox[q][3] >= bbox[pid][1]
+            ]
+            if not others:
+                for xs, ys, _h in parts:
+                    for i in range(len(xs) - 1):
+                        pieces.append((xs[i], ys[i], xs[i + 1], ys[i + 1]))
+                continue
+            all_edges = tuple(
+                np.concatenate([edges[q][k] for q in others]) for k in range(4)
+            )
+            for xs, ys, _h in parts:
+                xs = np.asarray(xs, np.float64)
+                ys = np.asarray(ys, np.float64)
+                for i in range(len(xs) - 1):
+                    p0x, p0y, p1x, p1y = xs[i], ys[i], xs[i + 1], ys[i + 1]
+                    ts = G.segment_split_ts(p0x, p0y, p1x, p1y, *all_edges)
+                    breaks = np.concatenate([[0.0], ts, [1.0]])
+                    t0s, t1s = breaks[:-1], breaks[1:]
+                    tm = (t0s + t1s) / 2.0
+                    mx = p0x + tm * (p1x - p0x)
+                    my = p0y + tm * (p1y - p0y)
+                    inside_any = np.zeros(len(tm), bool)
+                    for q in others:
+                        inside_any |= G.point_in_parts(mx, my, polys[q])
+                    for k in np.nonzero(~inside_any)[0]:
+                        sx0 = p0x + t0s[k] * (p1x - p0x) if t0s[k] > 0 else p0x
+                        sy0 = p0y + t0s[k] * (p1y - p0y) if t0s[k] > 0 else p0y
+                        sx1 = p0x + t1s[k] * (p1x - p0x) if t1s[k] < 1 else p1x
+                        sy1 = p0y + t1s[k] * (p1y - p0y) if t1s[k] < 1 else p1y
+                        pieces.append((sx0, sy0, sx1, sy1))
+        # exact duplicate opposite directed edges (shared borders between
+        # edge-adjacent members) cancel pairwise before stitching
+        from collections import Counter
+
+        cnt = Counter(pieces)
+        kept = []
+        done = set()
+        for p in cnt:
+            if p in done:
+                continue
+            rp = (p[2], p[3], p[0], p[1])
+            if rp == p:
+                done.add(p)
+                continue  # zero-length
+            c, rc = cnt[p], cnt.get(rp, 0)
+            done.add(p)
+            done.add(rp)
+            m = min(c, rc)
+            kept.extend([p] * (c - m))
+            kept.extend([rp] * (rc - m))
+        rings = _stitch_float_rings(kept)
+        info = []
+        for xs, ys in rings:
+            info.append((G.signed_area2(xs, ys) > 0.0, xs, ys))
+        info.sort(key=lambda t: (t[0], t[1][0], t[2][0]))
+        rows = []
+        for k, (is_hole, xs, ys) in enumerate(info):
+            rows.append(
+                (gid, k, bool(is_hole), [float(v) for v in xs], [float(v) for v in ys])
+            )
+        return pd.DataFrame(
+            rows, columns=["gid", "ring_idx", "is_hole", "xs", "ys"]
+        )
+
+    return parts_df.groupBy(group_col).applyInPandas(
+        kernel,
+        schema=(
+            "gid long, ring_idx int, is_hole boolean, "
             "xs array<double>, ys array<double>"
         ),
     )
@@ -692,6 +891,108 @@ SELECT CAST(m.aid AS BIGINT) AS a_id, CAST(m.bid AS BIGINT) AS b_id,
        m.inter, a.a_area, b.b_area
 FROM merged m JOIN areas_a a ON a.aid = m.aid JOIN areas_b b ON b.bid = m.bid
 WHERE m.inter > 1e-9
+"""
+
+
+def union_rings_oracle_sql(a_polys, b_polys) -> str:
+    """Oracle for q_union_rings: union area per candidate pair by
+    inclusion-exclusion from the stitch-free boundary-sum core, rounded to
+    whole units (the stitched-ring net shoelace matches to ~1e-7)."""
+    return f"""
+SELECT a_id, b_id, round(a_area + b_area - inter, 0) AS area
+FROM ({_overlay_core_sql(a_polys, b_polys)}) q
+"""
+
+
+def symmetric_difference_rings_oracle_sql(a_polys, b_polys) -> str:
+    """Oracle for q_symmetric_difference_rings: a + b - 2*inter per pair."""
+    return f"""
+SELECT a_id, b_id, round(a_area + b_area - 2 * inter, 0) AS area
+FROM ({_overlay_core_sql(a_polys, b_polys)}) q
+"""
+
+
+def difference_rings_oracle_sql(a_polys, b_polys) -> str:
+    """Oracle for q_difference_rings: a - inter per pair."""
+    return f"""
+SELECT a_id, b_id, round(a_area - inter, 0) AS area
+FROM ({_overlay_core_sql(a_polys, b_polys)}) q
+"""
+
+
+def _dissolve_edges_values(polys_with_gid) -> str:
+    rows = []
+    for gid, fid, parts in polys_with_gid:
+        for k, (xs, ys, hole) in enumerate(parts):
+            for i in range(len(xs) - 1):
+                rows.append(
+                    f"({gid},{fid},{k},{i},{str(bool(hole)).lower()},"
+                    f"{float(xs[i])!r},{float(ys[i])!r},"
+                    f"{float(xs[i + 1])!r},{float(ys[i + 1])!r})"
+                )
+    return ",\n".join(rows)
+
+
+def dissolve_oracle_sql(polys_with_gid) -> str:
+    """Oracle for q_dissolve: per-group union AREA via the stitch-free
+    n-way boundary sum — pieces of each member's boundary split at every
+    same-group other member's boundary, kept when inside NO other member,
+    shoelace-summed. Mirrors the kernel's split/PIP expressions exactly.
+    polys_with_gid: [(gid, fid, parts)]."""
+    return f"""
+WITH es AS (SELECT * FROM (VALUES
+{_dissolve_edges_values(polys_with_gid)}
+) AS t(gid, fid, pidx, eidx, is_hole, px0, py0, px1, py1)),
+ts AS (
+  SELECT s.gid, s.fid, s.pidx, s.eidx, round({_t_expr('s', 'e')}, 9) AS t
+  FROM es s JOIN (SELECT gid, fid, px0 AS x0, py0 AS y0, px1 AS x1, py1 AS y1 FROM es) e
+    ON e.gid = s.gid AND e.fid <> s.fid
+   AND {_denom_expr('s', 'e')} <> 0
+   AND {_t_expr('s', 'e')} > 0 AND {_t_expr('s', 'e')} < 1
+   AND {_u_expr('s', 'e')} >= 0 AND {_u_expr('s', 'e')} <= 1
+),
+brk AS (
+  SELECT gid, fid, pidx, eidx, list_sort(list_distinct(list(t))) AS ts
+  FROM ts GROUP BY 1, 2, 3, 4
+),
+allb AS (
+  SELECT s.gid, s.fid, s.pidx, s.eidx, s.px0, s.py0, s.px1, s.py1,
+         list_concat(list_concat([CAST(0.0 AS DOUBLE)], coalesce(b.ts, [])),
+                     [CAST(1.0 AS DOUBLE)]) AS bl
+  FROM es s LEFT JOIN brk b
+    ON b.gid = s.gid AND b.fid = s.fid AND b.pidx = s.pidx AND b.eidx = s.eidx
+),
+pieces AS (
+  SELECT gid, fid, pidx, eidx, i, px0, py0, px1, py1, bl[i] AS t0, bl[i+1] AS t1,
+         px0 + ((bl[i]+bl[i+1])/2.0)*(px1-px0) AS mx,
+         py0 + ((bl[i]+bl[i+1])/2.0)*(py1-py0) AS my
+  FROM (SELECT *, unnest(generate_series(1, len(bl) - 1)) AS i FROM allb)
+),
+wn AS (
+  SELECT p.gid, p.fid, p.pidx, p.eidx, p.i, e.fid AS ofid, e.pidx AS opart,
+         any_value(e.is_hole) AS is_hole, SUM({_WN_CASE}) AS wn
+  FROM pieces p JOIN (SELECT gid, fid, pidx, is_hole,
+                             px0 AS x0, py0 AS y0, px1 AS x1, py1 AS y1 FROM es) e
+    ON e.gid = p.gid AND e.fid <> p.fid
+  GROUP BY 1, 2, 3, 4, 5, 6, 7
+),
+inside_any AS (
+  SELECT DISTINCT gid, fid, pidx, eidx, i
+  FROM (
+    SELECT gid, fid, pidx, eidx, i, ofid, arg_max(is_hole, opart) AS hole
+    FROM wn WHERE (wn % 2) <> 0 GROUP BY 1, 2, 3, 4, 5, 6
+  ) WHERE NOT hole
+)
+SELECT p.gid, round(-0.5 * SUM(
+         (CASE WHEN p.t0 > 0 THEN p.px0 + p.t0*(p.px1-p.px0) ELSE p.px0 END)
+         * (CASE WHEN p.t1 < 1 THEN p.py0 + p.t1*(p.py1-p.py0) ELSE p.py1 END)
+       - (CASE WHEN p.t1 < 1 THEN p.px0 + p.t1*(p.px1-p.px0) ELSE p.px1 END)
+         * (CASE WHEN p.t0 > 0 THEN p.py0 + p.t0*(p.py1-p.py0) ELSE p.py0 END)
+       ), 0) AS area
+FROM pieces p ANTI JOIN inside_any i
+  ON p.gid = i.gid AND p.fid = i.fid AND p.pidx = i.pidx
+ AND p.eidx = i.eidx AND p.i = i.i
+GROUP BY p.gid
 """
 
 
