@@ -1131,6 +1131,54 @@ def q_tin_gridding(spark, sf_dir):
     return _r6(out, ["value"])
 
 
+def q_natural_neighbour_gridding(spark, sf_dir):
+    """NaturalNeighbourInterpolation (gis_analysis/
+    natural_neighbour_interpolation.rs, Sibson 1981): area-stealing
+    weights from a virtual Bowyer-Watson insertion; Sibson coordinates
+    have linear precision, so the plane fixture is recovered exactly
+    inside the hull (weights themselves pinned in pytest against a
+    brute-force pixel-Voronoi estimate)."""
+    from whitebox_tools_spark.operators.tin import natural_neighbour_gridding
+
+    out = natural_neighbour_gridding(_tin_points(spark), NN_GRID)
+    return _r6(out, ["value"])
+
+
+def _holey_noise_raster(spark, sf_dir):
+    """Noise raster with deterministic punched gaps for FillMissingData."""
+    return _noise_raster(spark, sf_dir).filter(
+        (F.col("row") * 13 + F.col("col") * 7) % 29 != 0
+    )
+
+
+_HOLEY_NOISE_SQL = (
+    "SELECT row, col, value FROM ({src}) t "
+    "WHERE (row * 13 + col * 7) % 29 <> 0"
+)
+
+
+def q_fill_missing_data(spark, sf_dir):
+    """FillMissingData (terrain_analysis/fill_missing_data.rs): IDW gap
+    fill from the gap-edge cells, radius 11 cells, weight 2."""
+    from whitebox_tools_spark.operators.fill_missing import fill_missing_data
+
+    return _r6(
+        fill_missing_data(
+            _holey_noise_raster(spark, sf_dir), filter_size=11, weight=2.0
+        ),
+        ["value"],
+    )
+
+
+def _fill_missing_sql() -> str:
+    from whitebox_tools_spark.operators.fill_missing import fill_missing_data_oracle_sql
+
+    inner = fill_missing_data_oracle_sql(
+        _HOLEY_NOISE_SQL.format(src=_NOISE_RASTER_SQL), filter_size=11, weight=2.0
+    )
+    return f"SELECT row, col, round(value, 6) AS value FROM ({inner}) t"
+
+
 def q_construct_tin(spark, sf_dir):
     """ConstructVectorTIN (gis_analysis/construct_vector_tin.rs:170):
     triangle features (rows-only: a specific Delaunay triangulation is not
@@ -3032,6 +3080,8 @@ _DRIVER_WINDOW: list[str] = [
     "symmetric_difference_rings",
     "difference_rings",
     "dissolve",
+    "natural_neighbour_gridding",
+    "fill_missing_data",
 ]
 
 
@@ -3208,6 +3258,8 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lines_to_raster": q_lines_to_raster,
         "singlepart_to_multipart": q_singlepart_to_multipart,
         "tin_gridding": q_tin_gridding,
+        "natural_neighbour_gridding": q_natural_neighbour_gridding,
+        "fill_missing_data": q_fill_missing_data,
         "construct_tin": q_construct_tin,
         "normalized_difference": q_normalized_difference,
         "random_field": q_random_field,
@@ -3996,6 +4048,8 @@ SELECT row, col, round((value - mn) / (mx - mn), 6) AS value FROM dem CROSS JOIN
         # SQL without exponential path states -> rows-only; Dijkstra pin in
         # pytest
         "tin_gridding": _tin_gridding_sql(),
+        "natural_neighbour_gridding": _tin_gridding_sql(),
+        "fill_missing_data": _fill_missing_sql(),
         # construct_tin: a specific triangulation is not SQL-derivable ->
         # rows-only; Euler + empty-circumcircle invariants pinned in pytest
         "clip_points": _clip_erase_sql(erase=False),

@@ -86,3 +86,37 @@ def test_tin_gridding_tiled_matches_global_interior(spark):
     diff = [abs(tiled[k] - glob[k]) for k in glob]
     assert float(np.median(diff)) < 1e-12
     assert sum(1 for d in diff if d > 1e-9) < len(glob) * 0.02
+
+
+def test_sibson_weights_match_pixel_voronoi():
+    """Sibson area-stealing weights vs an independent brute-force pixel
+    Voronoi before/after estimate (resolution-limited to ~1e-3)."""
+    import numpy as np
+
+    from whitebox_tools_spark.operators.tin import delaunay, sibson_weights
+
+    rng = np.random.RandomState(7)
+    xs = rng.rand(40) * 100
+    ys = rng.rand(40) * 100
+    tris = delaunay(xs, ys)
+
+    def brute(qx, qy, res=700):
+        gx, gy = np.meshgrid(np.linspace(0, 100, res), np.linspace(0, 100, res))
+        gx, gy = gx.ravel(), gy.ravel()
+        d = (gx[:, None] - xs[None, :]) ** 2 + (gy[:, None] - ys[None, :]) ** 2
+        before = np.argmin(d, axis=1)
+        dq = (gx - qx) ** 2 + (gy - qy) ** 2
+        taken = dq < d.min(axis=1)
+        stolen = np.bincount(before[taken], minlength=len(xs)).astype(float)
+        return stolen / stolen.sum()
+
+    for qx, qy in [(50, 50), (30, 70), (62, 41), (20, 20), (80, 55)]:
+        w = sibson_weights(xs, ys, tris, qx, qy)
+        assert w is not None
+        assert abs(sum(w.values()) - 1.0) < 1e-12
+        bw = brute(qx, qy)
+        for p, wt in w.items():
+            assert abs(wt - bw[p]) < 0.02, (qx, qy, p)
+        for i in range(len(xs)):
+            if i not in w:
+                assert bw[i] < 0.02

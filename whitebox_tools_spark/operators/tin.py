@@ -161,6 +161,223 @@ def construct_tin(points: DataFrame, *, x: str = "x", y: str = "y", z: str | Non
     )
 
 
+def _circumcenter(ax, ay, bx, by, cx, cy):
+    d = 2.0 * (ax * (by - cy) + bx * (cy - ay) + cx * (ay - by))
+    if d == 0.0:
+        return None
+    ux = (
+        (ax * ax + ay * ay) * (by - cy)
+        + (bx * bx + by * by) * (cy - ay)
+        + (cx * cx + cy * cy) * (ay - by)
+    ) / d
+    uy = (
+        (ax * ax + ay * ay) * (cx - bx)
+        + (bx * bx + by * by) * (ax - cx)
+        + (cx * cx + cy * cy) * (bx - ax)
+    ) / d
+    return ux, uy
+
+
+def sibson_weights(xs, ys, tris, qx: float, qy: float):
+    """Sibson natural-neighbour weights of query point (qx, qy) inside the
+    hull of the triangulation `tris` over points (xs, ys).
+
+    Area-stealing via virtual Bowyer-Watson insertion
+    (gis_analysis/natural_neighbour_interpolation.rs, Sibson 1981): the
+    cavity = triangles whose circumcircle contains q; q's new Voronoi cell
+    is bounded by circumcenters of the new triangles (edge, q); the area
+    stolen from each cavity-boundary vertex p is the polygon
+    [cc(u,p,q), old cavity circumcenters around p, cc(p,v,q)].
+    Returns dict vertex_index -> weight (sums to 1), or None when q is
+    outside the hull / degenerate."""
+    # cavity by circumcircle containment
+    cavity = []
+    for t in tris:
+        a, b, c = t
+        cc = _circumcenter(xs[a], ys[a], xs[b], ys[b], xs[c], ys[c])
+        if cc is None:
+            continue
+        r2 = (xs[a] - cc[0]) ** 2 + (ys[a] - cc[1]) ** 2
+        d2 = (qx - cc[0]) ** 2 + (qy - cc[1]) ** 2
+        if d2 < r2 * (1.0 - 1e-12):
+            cavity.append((t, cc))
+    if not cavity:
+        return None
+    # directed cavity boundary edges (triangles are CCW; an edge kept once)
+    cnt: dict = {}
+    for (a, b, c), _cc in cavity:
+        for e in ((a, b), (b, c), (c, a)):
+            k = (min(e), max(e))
+            cnt[k] = cnt.get(k, 0) + 1
+    boundary = {}
+    for (a, b, c), _cc in cavity:
+        for e in ((a, b), (b, c), (c, a)):
+            if cnt[(min(e), max(e))] == 1:
+                boundary[e[0]] = e[1]
+    if not boundary:
+        return None
+    # cyclic order: p's incoming edge is (u, p), outgoing (p, v)
+    prev = {v: u for u, v in boundary.items()}
+    # old cavity triangles incident to each vertex, keyed by their two
+    # vertex-adjacent edges for the fan walk
+    at_p: dict = {}
+    for t, cc in cavity:
+        a, b, c = t
+        for p, q1, q2 in ((a, b, c), (b, c, a), (c, a, b)):
+            at_p.setdefault(p, {})[frozenset((p, q1))] = (t, cc, frozenset((p, q2)))
+    weights: dict = {}
+    total = 0.0
+    for p, v in boundary.items():
+        u = prev.get(p)
+        if u is None:
+            return None
+        cc1 = _circumcenter(xs[u], ys[u], xs[p], ys[p], qx, qy)
+        cc2 = _circumcenter(xs[p], ys[p], xs[v], ys[v], qx, qy)
+        if cc1 is None or cc2 is None:
+            return None
+        # fan walk around p: the at_p map chains each cavity triangle from
+        # its clockwise-most p-edge to its CCW p-edge, so starting at the
+        # OUTGOING boundary edge (p, v) sweeps the cavity interior and ends
+        # at the incoming edge (p, u); [cc2, fan..., cc1] is rotationally
+        # ordered (orientation handled by abs below)
+        poly = [cc2]
+        fan = at_p.get(p, {})
+        edge = frozenset((p, v))
+        guard = 0
+        while edge in fan and guard <= len(fan) + 1:
+            _t, cc, nxt_edge = fan[edge]
+            poly.append(cc)
+            edge = nxt_edge
+            guard += 1
+        poly.append(cc1)
+        s = 0.0
+        for i in range(len(poly)):
+            x0, y0 = poly[i]
+            x1, y1 = poly[(i + 1) % len(poly)]
+            s += x0 * y1 - x1 * y0
+        w = abs(s) / 2.0
+        weights[p] = weights.get(p, 0.0) + w
+        total += w
+    if total <= 0.0:
+        return None
+    return {p: w / total for p, w in weights.items()}
+
+
+def natural_neighbour_gridding(
+    points: DataFrame,
+    grid: GridSpec,
+    *,
+    x: str = "x",
+    y: str = "y",
+    z: str = "z",
+    tile: int | None = None,
+    halo: float | None = None,
+) -> DataFrame:
+    """NaturalNeighbourInterpolation (gis_analysis/
+    natural_neighbour_interpolation.rs, Sibson 1981 area-stealing): grid
+    cell centers interpolated with Sibson weights from the Delaunay
+    natural neighbours; centers outside the hull are nodata (absent) — the
+    reference's --clip behavior. Same per-tile + halo distribution as
+    tin_gridding. -> (row, col, value)."""
+    pts = points.select(
+        F.col(x).alias("x"), F.col(y).alias("y"), F.col(z).alias("z")
+    )
+    if tile is None:
+        src = pts.withColumn("__tr", F.lit(0)).withColumn("__tc", F.lit(0))
+        tiles = [(0, 0, grid.west, grid.west + grid.cols * grid.res_x,
+                  grid.north - grid.rows * grid.res_y, grid.north)]
+    else:
+        if halo is None:
+            halo = 4.0 * max(grid.res_x, grid.res_y) * tile ** 0.5
+        tiles = []
+        tw = grid.cols * grid.res_x / tile
+        th = grid.rows * grid.res_y / tile
+        for tr in range(tile):
+            for tc in range(tile):
+                x0 = grid.west + tc * tw
+                y1 = grid.north - tr * th
+                tiles.append((tr, tc, x0, x0 + tw, y1 - th, y1))
+        spark = pts.sparkSession
+        tdf = F.broadcast(spark.createDataFrame(
+            tiles, "tr int, tc int, x0 double, x1 double, y0 double, y1 double"
+        ))
+        src = pts.crossJoin(tdf).filter(
+            (F.col("x") >= F.col("x0") - halo) & (F.col("x") <= F.col("x1") + halo)
+            & (F.col("y") >= F.col("y0") - halo) & (F.col("y") <= F.col("y1") + halo)
+        ).select("x", "y", "z", F.col("tr").alias("__tr"), F.col("tc").alias("__tc"))
+
+    gw, gn, rx, ry = grid.west, grid.north, grid.res_x, grid.res_y
+    nrows, ncols = grid.rows, grid.cols
+    tile_boxes = {(tr, tc): (x0, x1, y0, y1) for tr, tc, x0, x1, y0, y1 in tiles}
+
+    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        tr, tc = int(key[0]), int(key[1])
+        x0, x1, y0, y1 = tile_boxes[(tr, tc)]
+        xs = pdf["x"].to_numpy(dtype=np.float64)
+        ys = pdf["y"].to_numpy(dtype=np.float64)
+        zs = pdf["z"].to_numpy(dtype=np.float64)
+        tris = delaunay(xs, ys)
+        c0 = max(0, int(np.floor((x0 - gw) / rx)))
+        c1 = min(ncols - 1, int(np.ceil((x1 - gw) / rx)))
+        r0 = max(0, int(np.floor((gn - y1) / ry)))
+        r1 = min(nrows - 1, int(np.ceil((gn - y0) / ry)))
+        if c1 < c0 or r1 < r0 or not tris:
+            return pd.DataFrame(columns=["row", "col", "value"])
+        cc_, rr_ = np.meshgrid(np.arange(c0, c1 + 1), np.arange(r0, r1 + 1))
+        cc_, rr_ = cc_.ravel(), rr_.ravel()
+        cxs = gw + (cc_ + 0.5) * rx
+        cys = gn - (rr_ + 0.5) * ry
+        core = (cxs >= x0) & (cxs < x1) & (cys >= y0) & (cys < y1)
+        cc_, rr_, cxs, cys = cc_[core], rr_[core], cxs[core], cys[core]
+        # hull containment: q must lie inside some triangle
+        in_hull = np.zeros(len(cc_), bool)
+        for a, b, c in tris:
+            ax_, ay_, bx_, by_, cx2, cy2 = xs[a], ys[a], xs[b], ys[b], xs[c], ys[c]
+            det = (by_ - cy2) * (ax_ - cx2) + (cx2 - bx_) * (ay_ - cy2)
+            if det == 0.0:
+                continue
+            w1 = ((by_ - cy2) * (cxs - cx2) + (cx2 - bx_) * (cys - cy2)) / det
+            w2 = ((cy2 - ay_) * (cxs - cx2) + (ax_ - cx2) * (cys - cy2)) / det
+            in_hull |= (w1 >= 0) & (w2 >= 0) & (1.0 - w1 - w2 >= 0)
+        rows = []
+        for i in np.nonzero(in_hull)[0]:
+            qx, qy = float(cxs[i]), float(cys[i])
+            d2 = (xs - qx) ** 2 + (ys - qy) ** 2
+            jmin = int(np.argmin(d2))
+            if d2[jmin] < 1e-18:
+                rows.append((int(rr_[i]), int(cc_[i]), float(zs[jmin])))
+                continue
+            w = sibson_weights(xs, ys, tris, qx, qy)
+            if w is not None:
+                val = sum(wt * zs[p] for p, wt in w.items())
+            else:
+                # degenerate cavity (hull-edge grazing): fall back to the
+                # containing triangle's barycentric plane — identical for
+                # any surface with linear precision
+                val = None
+                for a, b, c in tris:
+                    ax_, ay_ = xs[a], ys[a]
+                    bx_, by_ = xs[b], ys[b]
+                    cx2, cy2 = xs[c], ys[c]
+                    det = (by_ - cy2) * (ax_ - cx2) + (cx2 - bx_) * (ay_ - cy2)
+                    if det == 0.0:
+                        continue
+                    w1 = ((by_ - cy2) * (qx - cx2) + (cx2 - bx_) * (qy - cy2)) / det
+                    w2 = ((cy2 - ay_) * (qx - cx2) + (ax_ - cx2) * (qy - cy2)) / det
+                    w3 = 1.0 - w1 - w2
+                    if w1 >= 0 and w2 >= 0 and w3 >= 0:
+                        val = w1 * zs[a] + w2 * zs[b] + w3 * zs[c]
+                        break
+                if val is None:
+                    continue
+            rows.append((int(rr_[i]), int(cc_[i]), float(val)))
+        return pd.DataFrame(rows, columns=["row", "col", "value"])
+
+    return src.groupBy("__tr", "__tc").applyInPandas(
+        kernel, schema="row long, col long, value double"
+    )
+
+
 def tin_gridding(
     points: DataFrame,
     grid: GridSpec,
