@@ -40,6 +40,7 @@ from whitebox_tools_spark.operators import random as _rnd
 from whitebox_tools_spark.operators import hydro as _hyd
 from whitebox_tools_spark.operators import streams as _str
 from whitebox_tools_spark.operators import viewshed as _vsh
+from whitebox_tools_spark.operators import multiscale as _ms
 from whitebox_tools_spark.operators import image as _img
 from whitebox_tools_spark.operators import focal as _foc
 from whitebox_tools_spark.operators import buffer as _buf
@@ -612,6 +613,129 @@ def q_d8_mass_flux(spark, sf_dir):
 def q_hypsometric(spark, sf_dir):
     """HypsometricAnalysis (terrain_analysis/hypsometric_analysis.rs:265-306)."""
     return ST.hypsometric_analysis(_part_raster(spark, sf_dir))
+
+
+def q_max_diff_from_mean(spark, sf_dir):
+    """MaxDifferenceFromMean (terrain_analysis/max_diff_from_mean.rs):
+    z - mean across window scales 5/7/9, argmax |diff| + winning scale."""
+    from whitebox_tools_spark.operators.multiscale import max_difference_from_mean
+
+    return _r6(
+        max_difference_from_mean(_valley_dem(spark, sf_dir), scales=(2, 3, 4)),
+        ["magnitude"],
+    )
+
+
+def q_multiscale_elev_percentile(spark, sf_dir):
+    """MultiscaleElevationPercentile (terrain_analysis/
+    multiscale_elev_percentile.rs): EP across scales, argmax |EP-50|
+    (exact values, not the reference's histogram quantization)."""
+    from whitebox_tools_spark.operators.multiscale import multiscale_elev_percentile
+
+    return _r6(
+        multiscale_elev_percentile(_valley_dem(spark, sf_dir), scales=(2, 3, 4)),
+        ["magnitude"],
+    )
+
+
+def q_max_anisotropy_dev(spark, sf_dir):
+    """MaxAnisotropyDev (terrain_analysis/max_anisotropy_dev.rs:370-620):
+    directional-pane DEV anisotropy across scales."""
+    from whitebox_tools_spark.operators.multiscale import max_anisotropy_dev
+
+    return _r6(
+        max_anisotropy_dev(_valley_dem(spark, sf_dir), scales=(2, 3)),
+        ["magnitude"],
+    )
+
+
+def q_multiscale_roughness(spark, sf_dir):
+    """MultiscaleRoughness (terrain_analysis/multiscale_roughness.rs):
+    normal-vector angular deviation vs the box-smoothed surface, box-
+    averaged, argmax across scales."""
+    from whitebox_tools_spark.operators.multiscale import multiscale_roughness
+
+    return _r6(
+        multiscale_roughness(
+            _valley_dem(spark, sf_dir), STREAM_GRID, scales=(2, 3)
+        ),
+        ["magnitude"],
+    )
+
+
+def q_mtpi_image(spark, sf_dir):
+    """MultiscaleTopographicPositionImage (terrain_analysis/
+    multiscale_topographic_position_image.rs:384-396): DEVmax at
+    local/meso/broad scales -> logistic byte composite."""
+    from whitebox_tools_spark.operators.focal import max_elev_deviation
+    from whitebox_tools_spark.operators.multiscale import mtpi_image
+
+    dem = _valley_dem(spark, sf_dir)
+    return mtpi_image(
+        max_elev_deviation(dem, scales=[3]).select("row", "col", "magnitude"),
+        max_elev_deviation(dem, scales=[5]).select("row", "col", "magnitude"),
+        max_elev_deviation(dem, scales=[9]).select("row", "col", "magnitude"),
+    )
+
+
+def q_max_elev_dev_signature(spark, sf_dir):
+    """MaxElevDevSignature (terrain_analysis/max_elev_dev_signature.rs):
+    DEV at each scale sampled at deterministic signature points."""
+    from whitebox_tools_spark.operators.focal import dev_from_mean
+    from whitebox_tools_spark.operators.multiscale import signature_at_points
+
+    dem = _valley_dem(spark, sf_dir)
+    pts = dem.filter((F.col("row") * 7 + F.col("col")) % 97 == 0).select(
+        (F.col("row") * 1000 + F.col("col")).alias("point_id"), "row", "col"
+    )
+    parts = []
+    for s in (3, 5, 9):
+        parts.append(
+            dev_from_mean(dem, filterx=s, filtery=s).select(
+                "row", "col", F.col("value"), F.lit(s).cast("long").alias("scale")
+            )
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return _r6(signature_at_points(u, pts), ["value"])
+
+
+def _mtpi_sql() -> str:
+    from whitebox_tools_spark.operators.focal import max_elev_deviation_oracle_sql
+
+    def dev(s):
+        return max_elev_deviation_oracle_sql(_VALLEY_DEM_SQL, scales=[s])
+
+    byte = (
+        "CAST(least(greatest(floor(512.0 / (1.0 + exp(-1.2 * abs({v})))) - 256.0,"
+        " 0.0), 255.0) AS BIGINT)"
+    )
+    return f"""
+WITH l AS ({dev(3)}), m AS ({dev(5)}), b AS ({dev(9)})
+SELECT l.row, l.col,
+       {byte.format(v='b.magnitude')} AS red,
+       {byte.format(v='m.magnitude')} AS green,
+       {byte.format(v='l.magnitude')} AS blue
+FROM l JOIN m ON m.row = l.row AND m.col = l.col
+JOIN b ON b.row = l.row AND b.col = l.col
+"""
+
+
+def _mes_signature_sql() -> str:
+    from whitebox_tools_spark.operators.focal import dev_from_mean_oracle_sql
+
+    unions = "\nUNION ALL\n".join(
+        f"SELECT row, col, value, CAST({s} AS BIGINT) AS scale FROM ("
+        + dev_from_mean_oracle_sql(_VALLEY_DEM_SQL, filterx=s, filtery=s)
+        + ") t"
+        for s in (3, 5, 9)
+    )
+    return f"""
+WITH u AS ({unions})
+SELECT row * 1000 + col AS point_id, scale, round(value, 6) AS value
+FROM u WHERE (row * 7 + col) % 97 = 0
+"""
 
 
 def q_geomorphons(spark, sf_dir):
@@ -3082,6 +3206,8 @@ _DRIVER_WINDOW: list[str] = [
     "dissolve",
     "natural_neighbour_gridding",
     "fill_missing_data",
+    "max_anisotropy_dev",
+    "multiscale_roughness",
 ]
 
 
@@ -3130,6 +3256,12 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hypsometric_analysis": q_hypsometric,
         "max_elev_deviation": q_max_elev_deviation,
         "geomorphons": q_geomorphons,
+        "max_diff_from_mean": q_max_diff_from_mean,
+        "multiscale_elev_percentile": q_multiscale_elev_percentile,
+        "max_anisotropy_dev": q_max_anisotropy_dev,
+        "multiscale_roughness": q_multiscale_roughness,
+        "mtpi_image": q_mtpi_image,
+        "max_elev_dev_signature": q_max_elev_dev_signature,
         "surface_area_ratio": q_surface_area_ratio,
         "relative_topographic_position": q_rtp,
         "extract_valleys_lq": q_extract_valleys_lq,
@@ -3650,6 +3782,12 @@ UNION ALL SELECT 'l_discount', 'l_tax',
         "hypsometric_analysis": ST.hypsometric_oracle_sql(_PART_RASTER_SQL),
         "max_elev_deviation": _max_elev_dev_sql(),
         "geomorphons": _geomorphons_sql(),
+        "max_diff_from_mean": _ms.max_diff_from_mean_oracle_sql(_VALLEY_DEM_SQL, scales=(2, 3, 4)),
+        "multiscale_elev_percentile": _ms.multiscale_ep_oracle_sql(_VALLEY_DEM_SQL, scales=(2, 3, 4)),
+        "max_anisotropy_dev": _ms.max_anisotropy_dev_oracle_sql(_VALLEY_DEM_SQL, scales=(2, 3)),
+        "multiscale_roughness": _ms.multiscale_roughness_oracle_sql(_VALLEY_DEM_SQL, STREAM_GRID, scales=(2, 3)),
+        "mtpi_image": _mtpi_sql(),
+        "max_elev_dev_signature": _mes_signature_sql(),
         "surface_area_ratio": _sar_sql(),
         "relative_topographic_position": _rtp_sql(),
         "extract_valleys_lq": _valleys_lq_sql(),

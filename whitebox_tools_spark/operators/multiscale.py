@@ -1,0 +1,545 @@
+"""Multiscale terrain signatures (class FOC).
+
+Re-answers the reference's scale-sweep family, all built on the same
+Spark shape as max_elev_deviation (focal.py): per-scale windowed stats by
+offset scatter + hash aggregate, scales unioned, per-cell argmax by a
+struct max — no window function, no iteration, one shuffle per scale.
+
+  - MaxDifferenceFromMean (terrain_analysis/max_diff_from_mean.rs):
+    (z - mean) with the largest |diff| across scales + winning scale.
+  - MultiscaleElevationPercentile (terrain_analysis/
+    multiscale_elev_percentile.rs:477-585): EP = % of window cells below
+    the center, argmax |EP - 50| across scales (first scale wins ties).
+    Deviation: the reference quantizes values into a running histogram
+    (num_sig_digits) as a speed optimization; this engine compares exact
+    values.
+  - MaxAnisotropyDev (terrain_analysis/max_anisotropy_dev.rs:370-620):
+    per scale, DEV over the full window and over 4 directional panes
+    (N-S, E-W, NE-SW, NW-SE; pane half-width = (2m+1)/6); anisotropy =
+    sqrt(mean of squared (pane DEV - full DEV))); argmax by squared
+    magnitude. Cells whose full window leaves the data extent get no
+    value at that scale (the reference's edge restriction).
+  - MultiscaleRoughness (terrain_analysis/multiscale_roughness.rs):
+    per scale, smooth the DEM with the (2m+1) box mean, compare cell
+    normals (a = -(v2-v4+2(v1-v5)+v0-v6), b = -(v6-v4+2(v7-v3)+v0-v2),
+    c = 8*res; nodata neighbors fall back to the center z) between the
+    raw and smoothed surfaces (degrees), box-average the angular
+    deviation over the same window; argmax across scales.
+  - MultiscaleTopographicPositionImage (terrain_analysis/
+    multiscale_topographic_position_image.rs:384-396): three DEVmax
+    rasters (local/meso/broad) -> logistic byte mapping
+    floor(512/(1+exp(-cutoff*|dev|)))-256 clamped to [0,255] ->
+    blue/green/red components.
+  - MaxElevDevSignature / MaxAnisotropyDevSignature /
+    MultiscaleRoughnessSignature: the same per-scale values sampled at
+    given points, one row per (point, scale).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from whitebox_tools_spark.grid import GridSpec
+
+D8_DX = [1, 1, 1, 0, -1, -1, -1, 0]
+D8_DY = [-1, 0, 1, 1, 1, 0, -1, -1]
+
+
+def _offsets_df(spark, offsets):
+    return F.broadcast(
+        spark.createDataFrame([(int(dy), int(dx)) for dy, dx in offsets], "dy int, dx int")
+    )
+
+
+def _window_stats(cells: DataFrame, offsets, *, out_prefix: str) -> DataFrame:
+    """(row, col, {p}n, {p}sum, {p}sumsq) over the given offsets (valid
+    neighbors only) — scatter-explode + one hash aggregate."""
+    spark = cells.sparkSession
+    src = cells.filter(F.col("value").isNotNull()).select("row", "col", "value")
+    sc = (
+        src.crossJoin(_offsets_df(spark, offsets))
+        .select(
+            (F.col("row") - F.col("dy")).alias("row"),
+            (F.col("col") - F.col("dx")).alias("col"),
+            F.col("value").alias("nz"),
+        )
+        .groupBy("row", "col")
+        .agg(
+            F.count(F.lit(1)).alias(f"{out_prefix}n"),
+            F.sum("nz").alias(f"{out_prefix}sum"),
+            F.sum(F.col("nz") * F.col("nz")).alias(f"{out_prefix}sumsq"),
+        )
+    )
+    return sc
+
+
+def _full_offsets(m: int):
+    return [(dy, dx) for dy in range(-m, m + 1) for dx in range(-m, m + 1)]
+
+
+def _pane_offsets(m: int):
+    """The 4 directional pane offset sets of max_anisotropy_dev.rs."""
+    mpr = (2 * m + 1) // 6
+    ns = [(dy, dx) for dy in range(-m, m + 1) for dx in range(-mpr, mpr + 1)]
+    ew = [(dy, dx) for dy in range(-mpr, mpr + 1) for dx in range(-m, m + 1)]
+    center = [(dy, dx) for dy in range(-mpr, mpr + 1) for dx in range(-mpr, mpr + 1)]
+    ne = (
+        [(dy, dx) for dy in range(-m, -mpr) for dx in range(mpr + 1, m + 1)]
+        + center
+        + [(dy, dx) for dy in range(mpr + 1, m + 1) for dx in range(-m, -mpr)]
+    )
+    nw = (
+        [(dy, dx) for dy in range(-m, -mpr) for dx in range(-m, -mpr)]
+        + center
+        + [(dy, dx) for dy in range(mpr + 1, m + 1) for dx in range(mpr + 1, m + 1)]
+    )
+    return {"ns": ns, "ew": ew, "ne": ne, "nw": nw}
+
+
+def _dev_expr(prefix: str):
+    n = F.col(f"{prefix}n")
+    s = F.col(f"{prefix}sum")
+    s2 = F.col(f"{prefix}sumsq")
+    v = (s2 - (s * s) / n) / n
+    mean = s / n
+    return (
+        F.when((n > 3) & (v > 0.0), (F.col("value") - mean) / F.sqrt(v)),
+        v,
+        n,
+    )
+
+
+def max_difference_from_mean(cells: DataFrame, *, scales=(2, 3, 4)) -> DataFrame:
+    """-> (row, col, magnitude, scale): diff = z - window mean, argmax
+    |diff| across (2m+1) windows, smallest scale on ties."""
+    parts = []
+    for m in scales:
+        st = _window_stats(cells, _full_offsets(m), out_prefix="w")
+        src = cells.filter(F.col("value").isNotNull()).join(st, ["row", "col"])
+        diff = F.col("value") - F.col("wsum") / F.col("wn")
+        parts.append(
+            src.select(
+                "row", "col", diff.alias("d"), F.lit(int(m)).alias("scale")
+            )
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    pick = u.groupBy("row", "col").agg(
+        F.max(
+            F.struct(
+                F.abs("d").alias("a"), (-F.col("scale")).alias("ns"),
+                F.col("d").alias("d"), F.col("scale").alias("scale"),
+            )
+        ).alias("w")
+    )
+    return pick.select(
+        "row", "col", F.col("w.d").alias("magnitude"),
+        F.col("w.scale").cast("long").alias("scale"),
+    )
+
+
+def multiscale_elev_percentile(cells: DataFrame, *, scales=(2, 3, 4)) -> DataFrame:
+    """-> (row, col, magnitude, scale): EP per (2m+1) window, argmax
+    |EP - 50| (first/smallest scale keeps ties)."""
+    spark = cells.sparkSession
+    src = cells.filter(F.col("value").isNotNull()).select("row", "col", "value")
+    parts = []
+    for m in scales:
+        offs = _full_offsets(m)
+        sc = (
+            src.crossJoin(_offsets_df(spark, offs))
+            .select(
+                (F.col("row") - F.col("dy")).alias("row"),
+                (F.col("col") - F.col("dx")).alias("col"),
+                F.col("value").alias("nz"),
+            )
+        )
+        j = src.join(sc, ["row", "col"]).groupBy("row", "col").agg(
+            (
+                F.sum(F.when(F.col("nz") < F.col("value"), 1.0).otherwise(0.0))
+                / F.count(F.lit(1)) * 100.0
+            ).alias("ep")
+        )
+        parts.append(j.select("row", "col", "ep", F.lit(int(m)).alias("scale")))
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    pick = u.groupBy("row", "col").agg(
+        F.max(
+            F.struct(
+                F.abs(F.col("ep") - 50.0).alias("a"), (-F.col("scale")).alias("ns"),
+                F.col("ep").alias("ep"), F.col("scale").alias("scale"),
+            )
+        ).alias("w")
+    )
+    return pick.select(
+        "row", "col", F.col("w.ep").alias("magnitude"),
+        F.col("w.scale").cast("long").alias("scale"),
+    )
+
+
+def _anisotropy_per_scale(cells: DataFrame, m: int) -> DataFrame:
+    src = cells.filter(F.col("value").isNotNull()).select("row", "col", "value")
+    st = src.agg(
+        F.min("row").alias("r0"), F.max("row").alias("r1"),
+        F.min("col").alias("c0"), F.max("col").alias("c1"),
+    ).collect()[0]
+    full = _window_stats(cells, _full_offsets(m), out_prefix="w")
+    j = src.join(full, ["row", "col"])
+    panes = _pane_offsets(m)
+    for key, offs in panes.items():
+        j = j.join(
+            _window_stats(cells, offs, out_prefix=key), ["row", "col"], "left"
+        )
+    dev0, v0, n0 = _dev_expr("w")
+    j = j.withColumn("dev0", dev0).filter(F.col("dev0").isNotNull())
+    # the reference's edge restriction: full window inside the data extent
+    j = j.filter(
+        (F.col("row") - m >= st.r0) & (F.col("row") + m <= st.r1)
+        & (F.col("col") - m >= st.c0) & (F.col("col") + m <= st.c1)
+    )
+    sq_terms = []
+    valid_terms = []
+    for key in panes:
+        d, v, n = _dev_expr(key)
+        pane_dev = F.when(d.isNotNull(), d - F.col("dev0"))
+        sq_terms.append(F.coalesce(pane_dev * pane_dev, F.lit(0.0)))
+        valid_terms.append(F.when(d.isNotNull(), 1.0).otherwise(0.0))
+    total_sq = sq_terms[0]
+    for t in sq_terms[1:]:
+        total_sq = total_sq + t
+    nvalid = valid_terms[0]
+    for t in valid_terms[1:]:
+        nvalid = nvalid + t
+    return j.select(
+        "row", "col",
+        F.when(nvalid > 0.0, F.sqrt(total_sq / nvalid)).alias("aniso"),
+        F.lit(int(m)).alias("scale"),
+    ).filter(F.col("aniso").isNotNull())
+
+
+def max_anisotropy_dev(cells: DataFrame, *, scales=(2, 3, 4)) -> DataFrame:
+    """-> (row, col, magnitude, scale)."""
+    parts = [_anisotropy_per_scale(cells, m) for m in scales]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    pick = u.groupBy("row", "col").agg(
+        F.max(
+            F.struct(
+                (F.col("aniso") * F.col("aniso")).alias("a"),
+                (-F.col("scale")).alias("ns"),
+                F.col("aniso").alias("aniso"), F.col("scale").alias("scale"),
+            )
+        ).alias("w")
+    )
+    return pick.select(
+        "row", "col", F.col("w.aniso").alias("magnitude"),
+        F.col("w.scale").cast("long").alias("scale"),
+    )
+
+
+def _normals(cells: DataFrame, grid: GridSpec) -> DataFrame:
+    """-> (row, col, na, nb, nc): multiscale_roughness.rs:295-345 normals
+    with center-z fallback for missing neighbors."""
+    spark = cells.sparkSession
+    src = cells.filter(F.col("value").isNotNull()).select("row", "col", "value")
+    offs = spark.createDataFrame(
+        [(i, D8_DX[i], D8_DY[i]) for i in range(8)], "i int, dx int, dy int"
+    )
+    sc = (
+        src.crossJoin(F.broadcast(offs))
+        .select(
+            (F.col("row") - F.col("dy")).alias("row"),
+            (F.col("col") - F.col("dx")).alias("col"),
+            "i",
+            F.col("value").alias("nz"),
+        )
+        .groupBy("row", "col")
+        .agg(*[F.max(F.when(F.col("i") == i, F.col("nz"))).alias(f"v{i}") for i in range(8)])
+    )
+    g = src.join(sc, ["row", "col"], "left")
+    v = [F.coalesce(F.col(f"v{i}"), F.col("value")) for i in range(8)]
+    a = -(v[2] - v[4] + 2.0 * (v[1] - v[5]) + v[0] - v[6])
+    b = -(v[6] - v[4] + 2.0 * (v[7] - v[3]) + v[0] - v[2])
+    return g.select(
+        "row", "col", "value",
+        a.alias("na"), b.alias("nb"), F.lit(8.0 * grid.res_x).alias("nc"),
+    )
+
+
+def _roughness_per_scale(cells: DataFrame, grid: GridSpec, m: int) -> DataFrame:
+    src = cells.filter(F.col("value").isNotNull()).select("row", "col", "value")
+    # (2m+1) box mean smoothing over valid cells
+    st = _window_stats(cells, _full_offsets(m), out_prefix="w")
+    smoothed = src.join(st, ["row", "col"]).select(
+        "row", "col", (F.col("wsum") / F.col("wn")).alias("value")
+    )
+    n_raw = _normals(src, grid).select(
+        "row", "col",
+        F.col("na").alias("a1"), F.col("nb").alias("b1"), F.col("nc").alias("c1"),
+    )
+    n_sm = _normals(smoothed, grid).select(
+        "row", "col",
+        F.col("na").alias("a2"), F.col("nb").alias("b2"), F.col("nc").alias("c2"),
+    )
+    dot = F.col("a1") * F.col("a2") + F.col("b1") * F.col("b2") + F.col("c1") * F.col("c2")
+    mag = F.sqrt(
+        (F.col("a1") * F.col("a1") + F.col("b1") * F.col("b1") + F.col("c1") * F.col("c1"))
+        * (F.col("a2") * F.col("a2") + F.col("b2") * F.col("b2") + F.col("c2") * F.col("c2"))
+    )
+    cosang = F.least(F.greatest(dot / mag, F.lit(-1.0)), F.lit(1.0))
+    diff = n_raw.join(n_sm, ["row", "col"]).select(
+        "row", "col", (F.degrees(F.acos(cosang))).alias("value")
+    )
+    rough = _window_stats(diff, _full_offsets(m), out_prefix="r")
+    return src.join(rough, ["row", "col"]).select(
+        "row", "col",
+        (F.col("rsum") / F.col("rn")).alias("rough"),
+        F.lit(int(m)).alias("scale"),
+    )
+
+
+def multiscale_roughness(
+    cells: DataFrame, grid: GridSpec, *, scales=(2, 3, 4)
+) -> DataFrame:
+    """-> (row, col, magnitude, scale)."""
+    parts = [_roughness_per_scale(cells, grid, m) for m in scales]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    pick = u.groupBy("row", "col").agg(
+        F.max(
+            F.struct(
+                F.col("rough").alias("a"), (-F.col("scale")).alias("ns"),
+                F.col("rough").alias("rough"), F.col("scale").alias("scale"),
+            )
+        ).alias("w")
+    )
+    return pick.select(
+        "row", "col", F.col("w.rough").alias("magnitude"),
+        F.col("w.scale").cast("long").alias("scale"),
+    )
+
+
+def mtpi_image(
+    local_dev: DataFrame, meso_dev: DataFrame, broad_dev: DataFrame,
+    *, cutoff: float = 1.2,
+) -> DataFrame:
+    """MultiscaleTopographicPositionImage: three DEVmax magnitude rasters
+    -> (row, col, red, green, blue) with the logistic byte mapping."""
+    def byte(col):
+        val = F.floor(512.0 / (1.0 + F.exp(-cutoff * F.abs(col)))) - 256.0
+        return F.least(F.greatest(val, F.lit(0.0)), F.lit(255.0)).cast("long")
+
+    b = local_dev.select("row", "col", F.col("magnitude").alias("lv"))
+    g = meso_dev.select("row", "col", F.col("magnitude").alias("mv"))
+    r = broad_dev.select("row", "col", F.col("magnitude").alias("bv"))
+    return (
+        b.join(g, ["row", "col"]).join(r, ["row", "col"])
+        .select(
+            "row", "col",
+            byte(F.col("bv")).alias("red"),
+            byte(F.col("mv")).alias("green"),
+            byte(F.col("lv")).alias("blue"),
+        )
+    )
+
+
+def signature_at_points(
+    per_scale: DataFrame, points: DataFrame
+) -> DataFrame:
+    """Signature variant shared by MaxElevDevSignature /
+    MaxAnisotropyDevSignature / MultiscaleRoughnessSignature: sample the
+    per-scale raster values at point cells. per_scale: (row, col, value,
+    scale); points: (point_id, row, col). -> (point_id, scale, value)."""
+    return points.join(per_scale, ["row", "col"]).select(
+        "point_id", "scale", "value"
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL
+# ---------------------------------------------------------------------------
+def _members_sql(source_sql: str, m: int, offsets=None) -> str:
+    cond = (
+        f"abs(b.row - a.row) <= {m} AND abs(b.col - a.col) <= {m}"
+        if offsets is None
+        else "(b.row - a.row, b.col - a.col) IN ("
+        + ", ".join(f"({dy},{dx})" for dy, dx in offsets)
+        + ")"
+    )
+    return f"""
+cells AS MATERIALIZED (SELECT row, col, value FROM ({source_sql}) WHERE value IS NOT NULL),
+mem AS (SELECT a.row, a.col, a.value, b.value AS nz
+        FROM cells a JOIN cells b ON {cond})
+"""
+
+
+def max_diff_from_mean_oracle_sql(source_sql: str, *, scales=(2, 3, 4)) -> str:
+    unions = "\nUNION ALL\n".join(
+        f"""SELECT row, col, any_value(value) - avg(nz) AS d, {int(m)} AS scale
+FROM (WITH {_members_sql(source_sql, m)} SELECT * FROM mem) GROUP BY row, col"""
+        for m in scales
+    )
+    return f"""
+WITH u AS ({unions}),
+pick AS (SELECT row, col,
+         max(struct_pack(a := abs(d), ns := -scale, d := d, scale := scale)) AS w
+         FROM u GROUP BY row, col)
+SELECT row, col, round((w).d, 6) AS magnitude, CAST((w).scale AS BIGINT) AS scale
+FROM pick
+"""
+
+
+def multiscale_ep_oracle_sql(source_sql: str, *, scales=(2, 3, 4)) -> str:
+    unions = "\nUNION ALL\n".join(
+        f"""SELECT row, col,
+       SUM(CASE WHEN nz < value THEN 1.0 ELSE 0.0 END) / count(*) * 100.0 AS ep,
+       {int(m)} AS scale
+FROM (WITH {_members_sql(source_sql, m)} SELECT * FROM mem) GROUP BY row, col, value"""
+        for m in scales
+    )
+    return f"""
+WITH u AS ({unions}),
+pick AS (SELECT row, col,
+         max(struct_pack(a := abs(ep - 50.0), ns := -scale, ep := ep, scale := scale)) AS w
+         FROM u GROUP BY row, col)
+SELECT row, col, round((w).ep, 6) AS magnitude, CAST((w).scale AS BIGINT) AS scale
+FROM pick
+"""
+
+
+def max_anisotropy_dev_oracle_sql(source_sql: str, *, scales=(2, 3, 4)) -> str:
+    per_scale = []
+    for m in scales:
+        panes = _pane_offsets(m)
+        pane_sel = []
+        for key, offs in panes.items():
+            inlist = ", ".join(f"({dy},{dx})" for dy, dx in offs)
+            pane_sel.append(f"""
+{key} AS (
+  SELECT a.row, a.col,
+         count(*) AS n, SUM(b.value) AS s, SUM(b.value * b.value) AS s2
+  FROM cells a JOIN cells b
+    ON (b.row - a.row, b.col - a.col) IN ({inlist})
+  GROUP BY a.row, a.col
+)""")
+        dev = lambda p: (  # noqa: E731
+            f"CASE WHEN {p}.n > 3 AND ({p}.s2 - {p}.s * {p}.s / {p}.n) / {p}.n > 0 "
+            f"THEN (c.value - {p}.s / {p}.n) / sqrt(({p}.s2 - {p}.s * {p}.s / {p}.n) / {p}.n) END"
+        )
+        pane_dev_cols = ",\n".join(
+            f"       ({dev(k)}) - dev0 AS d_{k}" for k in panes
+        )
+        per_scale.append(f"""
+SELECT row, col, sqrt((coalesce(d_ns*d_ns,0) + coalesce(d_ew*d_ew,0)
+                     + coalesce(d_ne*d_ne,0) + coalesce(d_nw*d_nw,0))
+       / (CASE WHEN d_ns IS NULL THEN 0 ELSE 1 END + CASE WHEN d_ew IS NULL THEN 0 ELSE 1 END
+        + CASE WHEN d_ne IS NULL THEN 0 ELSE 1 END + CASE WHEN d_nw IS NULL THEN 0 ELSE 1 END)) AS aniso,
+       {int(m)} AS scale
+FROM (
+  WITH cells AS MATERIALIZED (SELECT row, col, value FROM ({source_sql}) WHERE value IS NOT NULL),
+  bnd AS (SELECT min(row) AS r0, max(row) AS r1, min(col) AS c0, max(col) AS c1 FROM cells),
+  w AS (
+    SELECT a.row, a.col, count(*) AS n, SUM(b.value) AS s, SUM(b.value * b.value) AS s2
+    FROM cells a JOIN cells b ON abs(b.row - a.row) <= {m} AND abs(b.col - a.col) <= {m}
+    GROUP BY a.row, a.col
+  ),
+  {", ".join(s.strip() for s in pane_sel)}
+  SELECT c.row, c.col,
+         ({dev('w')}) AS dev0,
+{pane_dev_cols}
+  FROM cells c
+  JOIN w ON w.row = c.row AND w.col = c.col
+  CROSS JOIN bnd
+  LEFT JOIN ns ON ns.row = c.row AND ns.col = c.col
+  LEFT JOIN ew ON ew.row = c.row AND ew.col = c.col
+  LEFT JOIN ne ON ne.row = c.row AND ne.col = c.col
+  LEFT JOIN nw ON nw.row = c.row AND nw.col = c.col
+  WHERE c.row - {m} >= bnd.r0 AND c.row + {m} <= bnd.r1
+    AND c.col - {m} >= bnd.c0 AND c.col + {m} <= bnd.c1
+)
+WHERE dev0 IS NOT NULL
+  AND (CASE WHEN d_ns IS NULL THEN 0 ELSE 1 END + CASE WHEN d_ew IS NULL THEN 0 ELSE 1 END
+     + CASE WHEN d_ne IS NULL THEN 0 ELSE 1 END + CASE WHEN d_nw IS NULL THEN 0 ELSE 1 END) > 0""")
+    unions = "\nUNION ALL\n".join(per_scale)
+    return f"""
+WITH u AS ({unions}),
+pick AS (SELECT row, col,
+         max(struct_pack(a := aniso * aniso, ns := -scale, aniso := aniso, scale := scale)) AS w
+         FROM u GROUP BY row, col)
+SELECT row, col, round((w).aniso, 6) AS magnitude, CAST((w).scale AS BIGINT) AS scale
+FROM pick
+"""
+
+
+def multiscale_roughness_oracle_sql(
+    source_sql: str, grid: GridSpec, *, scales=(2, 3, 4)
+) -> str:
+    dirs = ", ".join(
+        f"({i}, {D8_DX[i]}, {D8_DY[i]})" for i in range(8)
+    )
+    res8 = 8.0 * grid.res_x
+
+    def normals_cte(src: str, name: str) -> str:
+        vs = ",\n".join(
+            f"         max(CASE WHEN d.i = {i} THEN n.value END) AS v{i}"
+            for i in range(8)
+        )
+        return f"""
+{name}_nb AS (
+  SELECT c.row, c.col, any_value(c.value) AS z,
+{vs}
+  FROM {src} c
+  CROSS JOIN (VALUES {dirs}) d(i, dx, dy)
+  LEFT JOIN {src} n ON n.row = c.row + d.dy AND n.col = c.col + d.dx
+  GROUP BY c.row, c.col
+),
+{name} AS (
+  SELECT row, col,
+         -( coalesce(v2, z) - coalesce(v4, z) + 2.0 * (coalesce(v1, z) - coalesce(v5, z))
+          + coalesce(v0, z) - coalesce(v6, z)) AS na,
+         -( coalesce(v6, z) - coalesce(v4, z) + 2.0 * (coalesce(v7, z) - coalesce(v3, z))
+          + coalesce(v0, z) - coalesce(v2, z)) AS nb,
+         {res8!r} AS nc
+  FROM {name}_nb
+)"""
+
+    per_scale = []
+    for m in scales:
+        per_scale.append(f"""
+SELECT row, col, rough, {int(m)} AS scale FROM (
+  WITH cells AS MATERIALIZED (SELECT row, col, value FROM ({source_sql}) WHERE value IS NOT NULL),
+  sm AS (
+    SELECT a.row, a.col, SUM(b.value) / count(*) AS value
+    FROM cells a JOIN cells b ON abs(b.row - a.row) <= {m} AND abs(b.col - a.col) <= {m}
+    GROUP BY a.row, a.col
+  ),
+  {normals_cte('cells', 'n1').lstrip()},
+  {normals_cte('sm', 'n2').lstrip()},
+  diff AS (
+    SELECT a.row, a.col,
+           degrees(acos(least(greatest(
+             (a.na * b.na + a.nb * b.nb + a.nc * b.nc)
+             / sqrt((a.na * a.na + a.nb * a.nb + a.nc * a.nc)
+                  * (b.na * b.na + b.nb * b.nb + b.nc * b.nc)), -1.0), 1.0))) AS value
+    FROM n1 a JOIN n2 b ON a.row = b.row AND a.col = b.col
+  )
+  SELECT a.row, a.col, SUM(b.value) / count(*) AS rough
+  FROM cells a JOIN diff b ON abs(b.row - a.row) <= {m} AND abs(b.col - a.col) <= {m}
+  GROUP BY a.row, a.col
+)""")
+    unions = "\nUNION ALL\n".join(per_scale)
+    return f"""
+WITH u AS ({unions}),
+pick AS (SELECT row, col,
+         max(struct_pack(a := rough, ns := -scale, rough := rough, scale := scale)) AS w
+         FROM u GROUP BY row, col)
+SELECT row, col, round((w).rough, 6) AS magnitude, CAST((w).scale AS BIGINT) AS scale
+FROM pick
+"""
