@@ -738,6 +738,219 @@ FROM u WHERE (row * 7 + col) % 97 = 0
 """
 
 
+# Every MAP_OPS / ZIP_OPS registry entry, each with a domain-safe input
+# expression and its literal DuckDB mirror. u = value / 1000 (part raster
+# prices -> u in (0.9, 2.1)).
+_MAP_DOMAINS = {
+    # op: (spark input builder over u, sql input string over u)
+    "abs": (lambda u: -u, "-({u})"),
+    "negate": (lambda u: u, "{u}"),
+    "reciprocal": (lambda u: u, "{u}"),
+    "square": (lambda u: u, "{u}"),
+    "sqrt": (lambda u: u, "{u}"),
+    "ln": (lambda u: u, "{u}"),
+    "log10": (lambda u: u, "{u}"),
+    "log2": (lambda u: u, "{u}"),
+    "exp": (lambda u: u, "{u}"),
+    "exp2": (lambda u: u, "{u}"),
+    "sin": (lambda u: u, "{u}"),
+    "cos": (lambda u: u, "{u}"),
+    "tan": (lambda u: u, "{u}"),
+    "asin": (lambda u: F.sin(u) * 0.9, "sin({u}) * 0.9"),
+    "acos": (lambda u: F.sin(u) * 0.9, "sin({u}) * 0.9"),
+    "atan": (lambda u: u, "{u}"),
+    "sinh": (lambda u: u, "{u}"),
+    "cosh": (lambda u: u, "{u}"),
+    "tanh": (lambda u: u, "{u}"),
+    "ceil": (lambda u: u, "{u}"),
+    "floor": (lambda u: u, "{u}"),
+    "round": (lambda u: u, "{u}"),
+    "to_degrees": (lambda u: u, "{u}"),
+    "to_radians": (lambda u: u, "{u}"),
+    "is_nodata": (lambda u: u, "{u}"),
+    "arcosh": (lambda u: u + 1.0, "{u} + 1.0"),
+    "arsinh": (lambda u: u, "{u}"),
+    "artanh": (lambda u: F.sin(u) * 0.9, "sin({u}) * 0.9"),
+    "truncate": (lambda u: -u * 3.0, "-({u}) * 3.0"),
+    "increment": (lambda u: u, "{u}"),
+    "decrement": (lambda u: u, "{u}"),
+    "not": (lambda u: F.round(u, 0) - 1.0, "round({u}, 0) - 1.0"),
+}
+
+_MAP_SQL = {
+    "abs": "abs({x})",
+    "negate": "-({x})",
+    "reciprocal": "1.0 / ({x})",
+    "square": "({x}) * ({x})",
+    "sqrt": "sqrt({x})",
+    "ln": "ln({x})",
+    "log10": "log10({x})",
+    "log2": "log2({x})",
+    "exp": "exp({x})",
+    "exp2": "pow(2.0, {x})",
+    "sin": "sin({x})",
+    "cos": "cos({x})",
+    "tan": "tan({x})",
+    "asin": "asin({x})",
+    "acos": "acos({x})",
+    "atan": "atan({x})",
+    "sinh": "(exp({x}) - exp(-({x}))) / 2.0",
+    "cosh": "(exp({x}) + exp(-({x}))) / 2.0",
+    "tanh": "(exp(2.0 * ({x})) - 1.0) / (exp(2.0 * ({x})) + 1.0)",
+    "ceil": "CAST(ceil({x}) AS DOUBLE)",
+    "floor": "CAST(floor({x}) AS DOUBLE)",
+    "round": "round({x}, 0)",
+    "to_degrees": "degrees({x})",
+    "to_radians": "radians({x})",
+    "is_nodata": "CASE WHEN ({x}) IS NULL THEN 1.0 ELSE 0.0 END",
+    "arcosh": "ln(({x}) + sqrt(({x}) * ({x}) - 1.0))",
+    "arsinh": "ln(({x}) + sqrt(({x}) * ({x}) + 1.0))",
+    "artanh": "0.5 * ln((1.0 + ({x})) / (1.0 - ({x})))",
+    "truncate": "trunc({x})",
+    "increment": "({x}) + 1.0",
+    "decrement": "({x}) - 1.0",
+    "not": "CASE WHEN ({x}) = 0.0 THEN 1.0 ELSE 0.0 END",
+}
+
+_ZIP_SQL = {
+    "add": "(a) + (b)",
+    "subtract": "(a) - (b)",
+    "multiply": "(a) * (b)",
+    "divide": "(a) / (b)",
+    "min": "least(a, b)",
+    "max": "greatest(a, b)",
+    "modulo": "fmod(a, b)",
+    "power": "pow(a, b)",
+    "integer_division": "CAST(floor((a) / (b)) AS DOUBLE)",
+    "equal_to": "CASE WHEN a = b THEN 1.0 ELSE 0.0 END",
+    "not_equal_to": "CASE WHEN a <> b THEN 1.0 ELSE 0.0 END",
+    "greater_than": "CASE WHEN a > b THEN 1.0 ELSE 0.0 END",
+    "less_than": "CASE WHEN a < b THEN 1.0 ELSE 0.0 END",
+    "and": "CASE WHEN a <> 0 AND b <> 0 THEN 1.0 ELSE 0.0 END",
+    "or": "CASE WHEN a <> 0 OR b <> 0 THEN 1.0 ELSE 0.0 END",
+    "xor": "CASE WHEN (a <> 0) <> (b <> 0) THEN 1.0 ELSE 0.0 END",
+    "atan2": "atan2(a, b)",
+}
+
+
+def q_map_ops_all(spark, sf_dir):
+    """Every MAP_OPS registry entry (math_stat_analysis/{abs..not}.rs), one
+    per-cell result block per op over a domain-safe input — flips every
+    'indirect' registry row to individually oracle-checked."""
+    base = _part_raster(spark, sf_dir).withColumn("u", F.col("value") / 1000.0)
+    parts = []
+    for op, (dom, _sql) in _MAP_DOMAINS.items():
+        parts.append(
+            base.select(
+                F.lit(op).alias("op"), "row", "col",
+                F.round(RM.MAP_OPS[op](dom(F.col("u"))), 6).alias("value"),
+            )
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return u
+
+
+def q_zip_ops_all(spark, sf_dir):
+    """Every ZIP_OPS registry entry over two aligned rasters (a = u,
+    b = noise-derived, nonzero)."""
+    base = _part_raster(spark, sf_dir).select(
+        "row", "col",
+        (F.col("value") / 1000.0).alias("a"),
+        ((F.col("row") * 7 + F.col("col") * 3) % 5 + 1.0).cast("double").alias("b"),
+    )
+    parts = []
+    for op in RM.ZIP_OPS:
+        parts.append(
+            base.select(
+                F.lit(op).alias("op"), "row", "col",
+                F.round(RM.ZIP_OPS[op](F.col("a"), F.col("b")), 6).alias("value"),
+            )
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return u
+
+
+def q_weighted_overlay(spark, sf_dir):
+    """WeightedOverlay (gis_analysis/weighted_overlay.rs): two factors (one
+    cost) + one constraint, scale_max=100, weights auto-normalized."""
+    from whitebox_tools_spark.operators.raster_math import weighted_overlay
+
+    f1 = _part_raster(spark, sf_dir)
+    f2 = _part_raster2(spark, sf_dir)
+    con = _part_raster3(spark, sf_dir).withColumn(
+        "value", (F.col("value") > 5.0).cast("double")
+    )
+    return _r6(
+        weighted_overlay(
+            [(f1, 2.0, False), (f2, 1.0, True)], scale_max=100.0, constraints=[con]
+        ),
+        ["value"],
+    )
+
+
+def q_conditional_evaluation(spark, sf_dir):
+    """conditional_evaluation plugin: CASE WHEN value > 1500 THEN 1
+    ELSE value / 100 END."""
+    from whitebox_tools_spark.operators.raster_math import conditional_evaluation
+
+    out = conditional_evaluation(
+        _part_raster(spark, sf_dir).withColumn("value", F.col("value") / 100.0),
+        "value > 15.0",
+        true_value=1.0,
+    )
+    return _r6(out, ["value"])
+
+
+def _map_ops_all_sql() -> str:
+    blocks = []
+    for op, (_dom, dom_sql) in _MAP_DOMAINS.items():
+        x = dom_sql.format(u="(value / 1000.0)")
+        blocks.append(
+            f"SELECT '{op}' AS op, row, col, round({_MAP_SQL[op].format(x=x)}, 6) AS value\n"
+            f"FROM ({_PART_RASTER_SQL}) t"
+        )
+    return "\nUNION ALL\n".join(blocks)
+
+
+def _zip_ops_all_sql() -> str:
+    base = (
+        f"SELECT row, col, value / 1000.0 AS a, "
+        f"CAST((row * 7 + col * 3) % 5 + 1.0 AS DOUBLE) AS b "
+        f"FROM ({_PART_RASTER_SQL}) t"
+    )
+    blocks = []
+    for op, sql in _ZIP_SQL.items():
+        blocks.append(
+            f"SELECT '{op}' AS op, row, col, round({sql}, 6) AS value FROM ({base})"
+        )
+    return "\nUNION ALL\n".join(blocks)
+
+
+def _weighted_overlay_sql() -> str:
+    return f"""
+WITH f1 AS (SELECT row, col, value FROM ({_PART_RASTER_SQL}) WHERE value IS NOT NULL),
+f2 AS (SELECT row, col, value FROM ({_PART_RASTER2_SQL}) WHERE value IS NOT NULL),
+con AS (SELECT row, col, CASE WHEN value > 5.0 THEN 1.0 ELSE 0.0 END AS value
+        FROM ({_PART_RASTER3_SQL})),
+s1 AS (SELECT min(value) AS mn, max(value) AS mx FROM f1),
+s2 AS (SELECT min(value) AS mn, max(value) AS mx FROM f2),
+j AS (
+  SELECT f1.row, f1.col,
+         100.0 * ((f1.value - s1.mn) / (s1.mx - s1.mn)) * (2.0 / 3.0)
+       + 100.0 * (1.0 - (f2.value - s2.mn) / (s2.mx - s2.mn)) * (1.0 / 3.0) AS value
+  FROM f1 JOIN f2 ON f2.row = f1.row AND f2.col = f1.col
+  CROSS JOIN s1 CROSS JOIN s2
+)
+SELECT j.row, j.col,
+       round(CASE WHEN con.value <= 0.0 THEN 0.0 ELSE j.value END, 6) AS value
+FROM j JOIN con ON con.row = j.row AND con.col = j.col
+"""
+
+
 def q_geomorphons(spark, sf_dir):
     """Geomorphons forms (terrain_analysis/geomorphons.rs:600-670): 8
     line-of-sight profiles via banded self-joins, 10-landform lookup."""
@@ -3179,8 +3392,6 @@ _DRIVER_WINDOW: list[str] = [
     "lidar_remove_duplicates",
     "lidar_point_density",
     "lidar_remove_outliers",
-    "lidar_block_minimum",
-    "lidar_block_maximum",
     "lidar_hex_bin",
     "lidar_tile_footprint",
     # ANN / dedup
@@ -3189,9 +3400,6 @@ _DRIVER_WINDOW: list[str] = [
     "rgb_to_ihs",
     "ihs_to_rgb",
     "change_vector_analysis",
-    "histogram_equalization",
-    "gamma_correction",
-    "min_max_contrast_stretch",
     # curvature family
     "plan_curvature",
     "profile_curvature",
@@ -3231,6 +3439,10 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "block_max_gridding": q_block_max,
         "aggregate_raster": q_aggregate_raster,
         "raster_map_chain": q_raster_map_chain,
+        "map_ops_all": q_map_ops_all,
+        "zip_ops_all": q_zip_ops_all,
+        "weighted_overlay": q_weighted_overlay,
+        "conditional_evaluation": q_conditional_evaluation,
         "raster_zip_ops": q_raster_zip,
         "reclass": q_reclass,
         "raster_summary_stats": q_summary_stats,
@@ -3782,6 +3994,13 @@ UNION ALL SELECT 'l_discount', 'l_tax',
         "hypsometric_analysis": ST.hypsometric_oracle_sql(_PART_RASTER_SQL),
         "max_elev_deviation": _max_elev_dev_sql(),
         "geomorphons": _geomorphons_sql(),
+        "map_ops_all": _map_ops_all_sql(),
+        "zip_ops_all": _zip_ops_all_sql(),
+        "weighted_overlay": _weighted_overlay_sql(),
+        "conditional_evaluation": (
+            "SELECT row, col, round(CASE WHEN value / 100.0 > 15.0 THEN 1.0 "
+            "ELSE value / 100.0 END, 6) AS value FROM (" + _PART_RASTER_SQL + ") t"
+        ),
         "max_diff_from_mean": _ms.max_diff_from_mean_oracle_sql(_VALLEY_DEM_SQL, scales=(2, 3, 4)),
         "multiscale_elev_percentile": _ms.multiscale_ep_oracle_sql(_VALLEY_DEM_SQL, scales=(2, 3, 4)),
         "max_anisotropy_dev": _ms.max_anisotropy_dev_oracle_sql(_VALLEY_DEM_SQL, scales=(2, 3)),

@@ -47,6 +47,17 @@ MAP_OPS: dict = {
     "to_degrees": F.degrees,
     "to_radians": F.radians,
     "is_nodata": lambda c: F.when(c.isNull(), F.lit(1.0)).otherwise(F.lit(0.0)),
+    # math_stat_analysis/{arcosh,arsinh,artanh,truncate,increment,decrement,
+    # not}.rs
+    "arcosh": F.acosh,
+    "arsinh": F.asinh,
+    "artanh": F.atanh,
+    "truncate": lambda c: (
+        F.floor(F.abs(c)) * F.when(c < 0, F.lit(-1.0)).otherwise(F.lit(1.0))
+    ).cast("double"),
+    "increment": lambda c: c + F.lit(1.0),
+    "decrement": lambda c: c - F.lit(1.0),
+    "not": lambda c: (c == 0.0).cast("double"),
 }
 
 # ZIP: (value1, value2) -> value
@@ -67,6 +78,10 @@ ZIP_OPS: dict = {
     "and": lambda a, b: ((a != 0) & (b != 0)).cast("double"),
     "or": lambda a, b: ((a != 0) | (b != 0)).cast("double"),
     "xor": lambda a, b: ((a != 0) != (b != 0)).cast("double"),
+    # math_stat_analysis/atan2.rs; in_place_{add,subtract,multiply,divide}.rs
+    # are the same cellwise combines writing onto input1 — combine() with
+    # the base op IS the in-place tool in a DataFrame engine
+    "atan2": F.atan2,
 }
 
 
@@ -126,6 +141,70 @@ def weighted_sum(layers: list[tuple[DataFrame, float]], *, value: str = "value")
     for df, w in rest:
         out = combine(out, df.select("row", "col", (F.col(value) * F.lit(w)).alias(value)), "add")
     return out
+
+
+def weighted_overlay(
+    layers: list[tuple[DataFrame, float, bool]],
+    *,
+    scale_max: float = 1.0,
+    constraints: list[DataFrame] | None = None,
+    value: str = "value",
+) -> DataFrame:
+    """WeightedOverlay (gis_analysis/weighted_overlay.rs:350-460): each
+    factor rescaled to [0,1] by its own min/range (cost factors inverted),
+    scaled to scale_max, summed with weights normalized to 1; constraint
+    rasters zero the output where constraint <= 0. NoData in any input ->
+    NoData (inner-join semantics). layers: [(df, weight, is_cost)]."""
+    wsum = sum(w for _df, w, _c in layers)
+    out = None
+    for df, w, cost in layers:
+        st = df.filter(F.col(value).isNotNull()).agg(
+            F.min(value).alias("mn"), F.max(value).alias("mx")
+        )
+        scaled = df.crossJoin(F.broadcast(st)).select(
+            "row", "col",
+            (
+                F.lit(scale_max)
+                * (
+                    F.when(
+                        F.lit(cost),
+                        1.0 - (F.col(value) - F.col("mn")) / (F.col("mx") - F.col("mn")),
+                    ).otherwise(
+                        (F.col(value) - F.col("mn")) / (F.col("mx") - F.col("mn"))
+                    )
+                )
+                * F.lit(w / wsum)
+            ).alias(value),
+        )
+        out = scaled if out is None else combine(out, scaled, "add")
+    for c in constraints or []:
+        out = (
+            out.join(
+                c.select("row", "col", F.col(value).alias("__con")), ["row", "col"]
+            )
+            .withColumn(
+                value, F.when(F.col("__con") <= 0.0, F.lit(0.0)).otherwise(F.col(value))
+            )
+            .drop("__con")
+        )
+    return out
+
+
+def conditional_evaluation(
+    cells: DataFrame,
+    cond_sql: str,
+    *,
+    true_value: float,
+    false_value: float | None = None,
+    value: str = "value",
+) -> DataFrame:
+    """conditional_evaluation plugin (whitebox-plugins/conditional_evaluation):
+    per-cell CASE WHEN <cond on `value`> THEN true ELSE false/input END —
+    the condition is an SQL expression, evaluated JVM-side."""
+    els = F.lit(false_value) if false_value is not None else F.col(value)
+    return cells.withColumn(
+        value, F.when(F.expr(cond_sql), F.lit(true_value)).otherwise(els)
+    )
 
 
 def convert_nodata_to_zero(cells: DataFrame, *, value: str = "value") -> DataFrame:
