@@ -41,6 +41,7 @@ from whitebox_tools_spark.operators import hydro as _hyd
 from whitebox_tools_spark.operators import streams as _str
 from whitebox_tools_spark.operators import viewshed as _vsh
 from whitebox_tools_spark.operators import multiscale as _ms
+from whitebox_tools_spark.operators import lidar as _lid
 from whitebox_tools_spark.operators import image as _img
 from whitebox_tools_spark.operators import focal as _foc
 from whitebox_tools_spark.operators import buffer as _buf
@@ -3687,6 +3688,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lidar_elevation_slice": q_elevation_slice,
         "lidar_shift": q_lidar_shift,
         "lidar_remove_duplicates": q_lidar_remove_duplicates,
+        "height_above_ground": q_height_above_ground,
         "add_point_coordinates_to_table": q_add_point_coordinates,
         "lidar_point_density": q_lidar_point_density,
         "lidar_remove_outliers": q_lidar_remove_outliers,
@@ -4428,6 +4430,14 @@ SELECT row, col, round((value - mn) / (mx - mn), 6) AS value FROM dem CROSS JOIN
             "FROM doubled GROUP BY x, y"
         ),
         "add_point_coordinates_to_table": _add_coords_sql(),
+        "height_above_ground": (
+            "SELECT point_id, round(x, 6) AS x, round(y, 6) AS y, "
+            "round(z, 6) AS z, classification FROM ("
+            + _lid.height_above_ground_oracle_sql(
+                _order_cloud_cte() + " WHERE o_orderkey % 10 = 0"
+            )
+            + ") t"
+        ),
         "lidar_point_density": _lidar_density_sql(),
         "lidar_remove_outliers": _lidar_outliers_sql(),
         "lidar_filter_classes": _lidar_sql("classes"),
@@ -5059,6 +5069,17 @@ def _order_cloud_cte() -> str:
         f"CASE WHEN o_orderstatus = 'F' THEN 2 ELSE 1 END AS classification "
         f"FROM orders"
     )
+
+
+def q_height_above_ground(spark, sf_dir):
+    """HeightAboveGround (lidar_analysis/height_above_ground.rs) /
+    normalize_lidar plugin: z -> height above the nearest ground-classified
+    point (exact kNN join; subsampled cloud keeps the oracle's cross join
+    tractable)."""
+    from whitebox_tools_spark.operators.lidar import height_above_ground
+
+    cloud = _order_cloud(spark, sf_dir).filter(F.col("point_id") % 10 == 0)
+    return _r6(height_above_ground(cloud, IDX), ["x", "y", "z"])
 
 
 def q_lidar_remove_duplicates(spark, sf_dir):

@@ -1,6 +1,7 @@
 """Point-cloud operator tests."""
 
 import numpy as np
+import pytest
 from pyspark.sql import functions as F
 
 from whitebox_tools_spark.grid import CellIndex, GridSpec
@@ -87,3 +88,71 @@ def test_ground_point_filter_knn_fallback(spark):
                                         min_neighbours=3).collect()}
     assert out[99] is True
     assert out[0] is False
+
+
+def test_las_roundtrip(spark, tmp_path):
+    """LAS 1.2 format-0 write -> distributed binaryFile read round trip."""
+    import numpy as np
+    import pandas as pd
+
+    from whitebox_tools_spark.lidar_io import decode_las, encode_las, read_las
+
+    rng = np.random.RandomState(3)
+    pdf = pd.DataFrame(
+        {
+            "x": rng.rand(500) * 1000.0,
+            "y": rng.rand(500) * 1000.0,
+            "z": rng.rand(500) * 80.0,
+            "intensity": rng.randint(0, 255, 500),
+            "return_number": rng.randint(1, 4, 500),
+            "number_of_returns": rng.randint(1, 4, 500),
+            "classification": rng.randint(0, 6, 500),
+        }
+    )
+    # two tile files to exercise the distributed read path
+    for i, part in enumerate((pdf.iloc[:250], pdf.iloc[250:])):
+        with open(tmp_path / f"tile{i}.las", "wb") as fh:
+            fh.write(encode_las(part.reset_index(drop=True)))
+    # direct decode equality
+    back = decode_las(encode_las(pdf))
+    assert len(back) == 500
+    assert np.allclose(back["x"], pdf["x"], atol=0.001)
+    assert np.allclose(back["z"], pdf["z"], atol=0.001)
+    assert (back["classification"].to_numpy() == pdf["classification"].to_numpy()).all()
+    assert (back["return_number"].to_numpy() == pdf["return_number"].to_numpy()).all()
+    # spark read
+    df = read_las(spark, str(tmp_path) + "/*.las")
+    assert df.count() == 500
+    got = df.toPandas().sort_values(["x", "y"]).reset_index(drop=True)
+    want = pdf.sort_values(["x", "y"]).reset_index(drop=True)
+    assert np.allclose(got["x"], want["x"], atol=0.001)
+    assert np.allclose(got["z"], want["z"], atol=0.001)
+    assert (
+        got["classification"].to_numpy() == want["classification"].to_numpy()
+    ).all()
+
+
+def test_height_above_ground(spark):
+    """HAG vs brute-force nearest ground point."""
+    import numpy as np
+
+    from whitebox_tools_spark.grid import CellIndex
+    from whitebox_tools_spark.operators.lidar import height_above_ground
+
+    rng = np.random.RandomState(5)
+    recs = []
+    for i in range(300):
+        recs.append(
+            (i, float(rng.rand() * 1000), float(rng.rand() * 1000),
+             float(rng.rand() * 50 + 10), 2 if i % 3 == 0 else 1)
+        )
+    cloud = spark.createDataFrame(
+        recs, "point_id long, x double, y double, z double, classification int"
+    )
+    idx = CellIndex(0.0, 0.0, 1000.0, 5)
+    out = {r.point_id: r.z for r in height_above_ground(cloud, idx).collect()}
+    ground = [(x, y, z) for i, x, y, z, c in recs if c == 2]
+    for i, x, y, z, c in recs:
+        d2 = [(gx - x) ** 2 + (gy - y) ** 2 for gx, gy, _gz in ground]
+        gz = ground[int(np.argmin(d2))][2]
+        assert out[i] == pytest.approx(z - gz, abs=1e-9), i

@@ -361,3 +361,55 @@ def remove_duplicates(points: DataFrame, *, include_z: bool = False) -> DataFram
         *[F.col(f"w.{c}") for c in ["point_id"] + [o for o in others if o != "point_id"]],
         *keys,
     ).select(*points.columns)
+
+
+def height_above_ground(
+    points: DataFrame, index, *, ground_class: int = 2
+) -> DataFrame:
+    """HeightAboveGround (lidar_analysis/height_above_ground.rs:250-270)
+    and the normalize_lidar plugin: replace each point's z with its height
+    above the NEAREST ground-classified point (2D nearest, kd-tree in the
+    reference; the exact annulus-expansion kNN join here — same result,
+    ties to the lowest point id). Raises if no ground points exist, like
+    the reference. -> (point_id, x, y, z, classification) with z = HAG."""
+    from whitebox_tools_spark.operators.knn import knn_join
+
+    ground = points.filter(F.col("classification") == ground_class)
+    if ground.isEmpty():
+        raise ValueError(
+            "no ground-classified points in input (height_above_ground.rs:230)"
+        )
+    nn = knn_join(
+        points.select(F.col("point_id").alias("target_id"), "x", "y"),
+        ground.select("point_id", "x", "y", "z"),
+        1,
+        index,
+    ).select(F.col("target_id").alias("point_id"), F.col("z").alias("gz"))
+    return (
+        points.join(nn, "point_id")
+        .select(
+            "point_id", "x", "y",
+            (F.col("z") - F.col("gz")).alias("z"),
+            "classification",
+        )
+    )
+
+
+def height_above_ground_oracle_sql(cloud_sql: str, *, ground_class: int = 2) -> str:
+    return f"""
+WITH pts AS ({cloud_sql}),
+g AS (SELECT * FROM pts WHERE classification = {ground_class}),
+nn AS (
+  SELECT point_id, gz FROM (
+    SELECT p.point_id, g.z AS gz,
+           row_number() OVER (
+             PARTITION BY p.point_id
+             ORDER BY (g.x - p.x) * (g.x - p.x) + (g.y - p.y) * (g.y - p.y),
+                      g.point_id
+           ) AS rn
+    FROM pts p CROSS JOIN g
+  ) WHERE rn = 1
+)
+SELECT p.point_id, p.x, p.y, p.z - nn.gz AS z, p.classification
+FROM pts p JOIN nn ON nn.point_id = p.point_id
+"""
