@@ -1694,6 +1694,31 @@ def q_subbasins(spark, sf_dir):
     return subbasins(_valley_dem(spark, sf_dir), STREAM_GRID, threshold=4.0)
 
 
+def q_strahler_order_basins(spark, sf_dir):
+    """StrahlerOrderBasins (hydro_analysis/strahler_order_basins.rs)."""
+    from whitebox_tools_spark.operators.streams import strahler_order_basins
+
+    return strahler_order_basins(_valley_dem(spark, sf_dir), STREAM_GRID, threshold=4.0)
+
+
+def q_longest_flowpath(spark, sf_dir):
+    """LongestFlowpath (hydro_analysis/longest_flowpath.rs, scalar form):
+    per-basin longest flow path length."""
+    from whitebox_tools_spark.operators.streams import longest_flowpath
+
+    return _r6(longest_flowpath(_noise_raster(spark, sf_dir), EXTRACT_GRID), ["value"])
+
+
+def q_average_flowpath_slope(spark, sf_dir):
+    """AverageFlowpathSlope (hydro_analysis/average_flowpath_slope.rs):
+    three flow_stitch.solve_fa accumulations + the atan combine."""
+    from whitebox_tools_spark.operators.hydro import average_flowpath_slope
+
+    return _r6(
+        average_flowpath_slope(_valley_dem(spark, sf_dir), STREAM_GRID), ["value"]
+    )
+
+
 def q_elev_above_stream(spark, sf_dir):
     """ElevationAboveStream (hydro_analysis/elevation_above_stream.rs)."""
     from whitebox_tools_spark.operators.streams import elevation_above_stream
@@ -3573,6 +3598,9 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "histogram_equalization": q_hist_equalization,
         "subbasins": q_subbasins,
         "elevation_above_stream": q_elev_above_stream,
+        "strahler_order_basins": q_strahler_order_basins,
+        "longest_flowpath": q_longest_flowpath,
+        "average_flowpath_slope": q_average_flowpath_slope,
         "downslope_distance_to_stream": q_dist_to_stream,
         "depth_in_sink": q_depth_in_sink,
         "elev_relative_to_min_max": q_elev_rel_minmax,
@@ -4386,6 +4414,19 @@ FROM ({_PART_RASTER_SQL}) WHERE value IS NOT NULL
             _PART_RASTER_SQL, num_tones=256
         ),
         "subbasins": _str.subbasins_oracle_sql(_VALLEY_DEM_SQL, STREAM_GRID, threshold=4.0),
+        "strahler_order_basins": _str.strahler_order_basins_oracle_sql(
+            _VALLEY_DEM_SQL, STREAM_GRID, threshold=4.0
+        ),
+        "longest_flowpath": (
+            "SELECT basin_id, round(value, 6) AS value FROM ("
+            + _str.longest_flowpath_oracle_sql(_NOISE_RASTER_SQL, EXTRACT_GRID)
+            + ") t"
+        ),
+        "average_flowpath_slope": (
+            "SELECT row, col, round(value, 6) AS value FROM ("
+            + _hyd.average_flowpath_slope_oracle_sql(_VALLEY_DEM_SQL, STREAM_GRID)
+            + ") t"
+        ),
         "elevation_above_stream": "SELECT row, col, round(value, 6) AS value FROM ("
         + _str.elevation_above_stream_oracle_sql(_VALLEY_DEM_SQL, STREAM_GRID, threshold=4.0)
         + ")",

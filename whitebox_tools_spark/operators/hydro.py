@@ -1319,3 +1319,104 @@ walk(orow, ocol, row, col) AS (
 SELECT row, col, CAST(count(*) AS DOUBLE) AS value
 FROM walk GROUP BY row, col
 """
+
+
+def average_flowpath_slope(cells: DataFrame, grid: GridSpec) -> DataFrame:
+    """AverageFlowpathSlope (hydro_analysis/average_flowpath_slope.rs:
+    320-405): per cell, degrees(atan((mean upslope-divide elevation - z)
+    / mean flowpath length)), where the three upslope accumulations are
+      num(c)   = # divide cells (in-degree 0) whose paths pass through c,
+      elev(c)  = sum of their elevations,
+      len(c)   = sum of gridlen over every upstream EDGE (the reference
+                 adds each edge once per child push, not once per path —
+                 mirrored exactly).
+    Divide cells themselves evaluate 0/0 -> NULL (reference NaN).
+    All three run on flow_stitch.solve_fa, so the whole tool is
+    O(log n) supersteps at scale."""
+    from whitebox_tools_spark.operators.flow_stitch import solve_fa
+
+    src = cells.filter(F.col("value").isNotNull()).select("row", "col", "value")
+    edges = _flow_edges(cells, grid)
+    lens = _grid_lengths(grid)
+    dlen = F.coalesce(
+        *[
+            F.when(
+                (F.col("trow") - F.col("row") == D8_DY[i])
+                & (F.col("tcol") - F.col("col") == D8_DX[i]),
+                F.lit(lens[i]),
+            )
+            for i in range(8)
+        ]
+    )
+    base = src.join(edges, ["row", "col"], "left")
+    # divide cells: no inflowing edge
+    targets = edges.select(
+        F.col("trow").alias("row"), F.col("tcol").alias("col")
+    ).distinct()
+    divides = src.join(targets, ["row", "col"], "left_anti").select(
+        "row", "col", F.lit(1.0).alias("is_div")
+    )
+    seeded = base.join(divides, ["row", "col"], "left")
+
+    def acc(wcol):
+        nodes = seeded.select(
+            "row", "col", wcol.alias("w"),
+            F.col("trow").alias("nrow"), F.col("tcol").alias("ncol"),
+        )
+        return solve_fa(nodes)
+
+    num = acc(F.coalesce(F.col("is_div"), F.lit(0.0))).withColumnRenamed("fa", "num")
+    elev = acc(
+        F.when(F.col("is_div").isNotNull(), F.col("value")).otherwise(F.lit(0.0))
+    ).withColumnRenamed("fa", "esum")
+    tlen = acc(F.coalesce(dlen, F.lit(0.0))).withColumnRenamed("fa", "lsum_raw")
+    out = (
+        src.join(num, ["row", "col"])
+        .join(elev, ["row", "col"])
+        .join(tlen, ["row", "col"])
+        .join(base.select("row", "col", dlen.alias("own_len")), ["row", "col"])
+    )
+    # lsum_raw counts the cell's own out-edge too; the reference's total at
+    # c covers only edges strictly upstream
+    lsum = F.col("lsum_raw") - F.coalesce(F.col("own_len"), F.lit(0.0))
+    z_mean = F.col("esum") / F.col("num")
+    val = F.degrees(F.atan((z_mean - F.col("value")) / (lsum / F.col("num"))))
+    return out.select(
+        "row", "col",
+        F.when(lsum > 0.0, val).alias("value"),
+    )
+
+
+def average_flowpath_slope_oracle_sql(source_sql: str, grid: GridSpec) -> str:
+    return f"""
+WITH RECURSIVE {_fd_ctes(source_sql, grid)},
+walk(orow, ocol, row, col) AS (
+  SELECT row, col, row, col FROM cells
+  UNION
+  SELECT w.orow, w.ocol, f.trow, f.tcol
+  FROM walk w JOIN fd f ON f.row = w.row AND f.col = w.col
+),
+targets AS (SELECT DISTINCT trow AS row, tcol AS col FROM fd),
+divides AS (
+  SELECT c.row, c.col, c.value FROM cells c
+  ANTI JOIN targets t ON t.row = c.row AND t.col = c.col
+),
+upacc AS (
+  SELECT w.row, w.col,
+         SUM(CASE WHEN d.row IS NOT NULL THEN 1.0 ELSE 0.0 END) AS num,
+         SUM(CASE WHEN d.row IS NOT NULL THEN d.value ELSE 0.0 END) AS esum,
+         SUM(CASE WHEN NOT (w.orow = w.row AND w.ocol = w.col)
+                  THEN coalesce(el.len, 0.0) ELSE 0.0 END) AS lsum
+  FROM walk w
+  LEFT JOIN divides d ON d.row = w.orow AND d.col = w.ocol
+  LEFT JOIN (
+    SELECT f.row, f.col, dd.len FROM fd f JOIN dirs dd ON dd.i = f.i
+  ) el ON el.row = w.orow AND el.col = w.ocol
+  GROUP BY w.row, w.col
+)
+SELECT c.row, c.col,
+       CASE WHEN u.lsum > 0.0
+            THEN degrees(atan((u.esum / u.num - c.value) / (u.lsum / u.num)))
+            END AS value
+FROM cells c JOIN upacc u ON u.row = c.row AND u.col = c.col
+"""

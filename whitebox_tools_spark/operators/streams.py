@@ -2015,3 +2015,67 @@ SELECT b.row, b.col,
             ELSE 2.0 END AS value
 FROM base b JOIN hh h ON h.link_id = b.link_id
 """
+
+
+def strahler_order_basins(
+    cells: DataFrame, grid: GridSpec, *, threshold: float
+) -> DataFrame:
+    """StrahlerOrderBasins (hydro_analysis/strahler_order_basins.rs): each
+    cell labeled with the Strahler order of the stream link its flow path
+    first reaches (the Subbasins partition relabeled by order).
+    -> (row, col, value)."""
+    term, _sc = _stream_terminals(cells, grid, threshold)
+    orders = strahler_order(cells, grid, threshold=threshold)
+    return term.join(
+        orders.select(
+            F.col("row").alias("trow"), F.col("col").alias("tcol"),
+            F.col("value"),
+        ),
+        ["trow", "tcol"],
+    ).select("row", "col", "value")
+
+
+def strahler_order_basins_oracle_sql(
+    source_sql: str, grid: GridSpec, *, threshold: float, max_rounds: int = 16
+) -> str:
+    parts, prev = _strahler_cte_parts(max_rounds)
+    body = ",\n".join(parts)
+    return f"""
+WITH RECURSIVE {_stream_ctes(source_sql, grid, threshold)},{_LINK_CTES},
+{body},{_cut_walk_ctes()}
+SELECT t.orow AS row, t.ocol AS col, CAST(o.ord AS DOUBLE) AS value
+FROM tterm t
+JOIN linkcell lc ON lc.row = t.trow AND lc.col = t.tcol
+JOIN {prev} o ON o.link_id = lc.link_id
+"""
+
+
+def longest_flowpath(cells: DataFrame, grid: GridSpec) -> DataFrame:
+    """LongestFlowpath (hydro_analysis/longest_flowpath.rs, scalar form):
+    per D8 basin, the length of the longest flow path draining to the
+    basin outlet. The reference emits the path as a vector feature with
+    LENGTH attribute; this engine reports (basin_id, value = max length) —
+    the attribute table of that layer.
+    """
+    from whitebox_tools_spark.operators.hydro import basins
+
+    b = basins(cells, grid)
+    fl = downslope_flowpath_length(cells, grid)
+    return (
+        b.select("row", "col", "basin_id")
+        .join(fl, ["row", "col"])
+        .groupBy("basin_id")
+        .agg(F.max("value").alias("value"))
+    )
+
+
+def longest_flowpath_oracle_sql(source_sql: str, grid: GridSpec) -> str:
+    from whitebox_tools_spark.operators.hydro import basins_oracle_sql
+
+    return f"""
+WITH b AS ({basins_oracle_sql(source_sql, grid)}),
+fl AS ({flowpath_length_oracle_sql(source_sql, grid)})
+SELECT b.basin_id, max(fl.value) AS value
+FROM b JOIN fl ON fl.row = b.row AND fl.col = b.col
+GROUP BY b.basin_id
+"""
