@@ -2796,6 +2796,71 @@ def q_change_vector_analysis(spark, sf_dir):
     return _r6(CO.change_vector_analysis(d1, d2), ["magnitude", "direction"])
 
 
+_UDW_KERNEL = [[0.5, -1.0, 0.5], [2.0, 0.25, -2.0], [0.5, 1.0, -0.5]]
+
+
+def q_user_defined_weights_filter(spark, sf_dir):
+    """UserDefinedWeightsFilter (image_analysis/user_defined_weights_filter.rs):
+    the generic k x k convolution bank with a custom kernel."""
+    from whitebox_tools_spark.operators.focal import conv_filter
+
+    return _r6(conv_filter(_part_raster(spark, sf_dir), _UDW_KERNEL), ["value"])
+
+
+def q_balance_contrast_enhancement(spark, sf_dir):
+    """BalanceContrastEnhancement (image_analysis/
+    balance_contrast_enhancement.rs, Liu 1991 parabolic stretch, E=100)."""
+    from whitebox_tools_spark.operators import color as CO
+
+    comp = CO.create_colour_composite(
+        _part_raster(spark, sf_dir), _part_raster2(spark, sf_dir),
+        _part_raster3(spark, sf_dir),
+    )
+    return CO.balance_contrast_enhancement(comp, band_mean=100.0)
+
+
+def q_pan_sharpening_brovey(spark, sf_dir):
+    """PanchromaticSharpening, Brovey (image_analysis/pan_sharpening.rs)."""
+    from whitebox_tools_spark.operators import color as CO
+
+    comp = CO.create_colour_composite(
+        _part_raster(spark, sf_dir), _part_raster2(spark, sf_dir),
+        _part_raster3(spark, sf_dir),
+    )
+    return CO.pan_sharpening_brovey(comp, _noise_raster(spark, sf_dir))
+
+
+def q_fast_almost_gaussian(spark, sf_dir):
+    """FastAlmostGaussianFilter (image_analysis/fast_almost_gaussian_filter.rs),
+    sigma 2.0 -> five iterated box means."""
+    from whitebox_tools_spark.operators.image import fast_almost_gaussian_filter
+
+    return _r6(
+        fast_almost_gaussian_filter(_part_raster(spark, sf_dir), sigma=2.0), ["value"]
+    )
+
+
+def q_highpass_bilateral(spark, sf_dir):
+    """HighPassBilateralFilter (image_analysis/high_pass_bilateral_filter.rs)."""
+    from whitebox_tools_spark.operators.image import highpass_bilateral_filter
+
+    return _r6(
+        highpass_bilateral_filter(
+            _part_raster(spark, sf_dir), sigma_dist=0.75, sigma_int=50.0
+        ),
+        ["value"],
+    )
+
+
+def q_mosaic_nn(spark, sf_dir):
+    """Mosaic, nearest-image-center variant (image_analysis/mosaic.rs)."""
+    from whitebox_tools_spark.operators.image import mosaic_nn
+
+    a = _part_raster(spark, sf_dir)
+    b = _part_raster2(spark, sf_dir).withColumn("row", F.col("row") + 100)
+    return mosaic_nn([(a, 100.0, 5.0), (b, 200.0, 5.0)])
+
+
 def q_bilateral(spark, sf_dir):
     """BilateralFilter (image_analysis/bilateral_filter.rs)."""
     from whitebox_tools_spark.operators import focal as FO
@@ -3692,6 +3757,12 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_colour_composite": q_split_composite,
         "change_vector_analysis": q_change_vector_analysis,
         "bilateral_filter": q_bilateral,
+        "user_defined_weights_filter": q_user_defined_weights_filter,
+        "balance_contrast_enhancement": q_balance_contrast_enhancement,
+        "pan_sharpening_brovey": q_pan_sharpening_brovey,
+        "fast_almost_gaussian_filter": q_fast_almost_gaussian,
+        "highpass_bilateral_filter": q_highpass_bilateral,
+        "mosaic_nn": q_mosaic_nn,
         "adaptive_filter": q_adaptive_filter,
         "lee_filter": q_lee_filter,
         "k_nearest_mean_filter": q_k_nearest_mean,
@@ -4229,6 +4300,26 @@ GROUP BY 1
         "rgb_to_ihs": _rgb_ihs_sql(),
         "ihs_to_rgb": _ihs_rgb_sql(),
         "create_colour_composite": _composite_sql(),
+        "user_defined_weights_filter": (
+            "SELECT row, col, round(value, 6) AS value FROM ("
+            + _foc.conv_filter_oracle_sql(_PART_RASTER_SQL, _UDW_KERNEL)
+            + ") t"
+        ),
+        "balance_contrast_enhancement": _bce_sql(),
+        "pan_sharpening_brovey": _pan_sharp_sql(),
+        "fast_almost_gaussian_filter": (
+            "SELECT row, col, round(value, 6) AS value FROM ("
+            + _img.fast_almost_gaussian_oracle_sql(_PART_RASTER_SQL, sigma=2.0)
+            + ") t"
+        ),
+        "highpass_bilateral_filter": (
+            "SELECT row, col, round(value, 6) AS value FROM ("
+            + _img.highpass_bilateral_oracle_sql(
+                _PART_RASTER_SQL, sigma_dist=0.75, sigma_int=50.0
+            )
+            + ") t"
+        ),
+        "mosaic_nn": _mosaic_nn_sql(),
         "split_colour_composite": _split_composite_sql(),
         "change_vector_analysis": _cva_sql(),
         "bilateral_filter": _weighted_focal_sql("bilateral"),
@@ -4977,6 +5068,42 @@ def _ihs_rgb_sql() -> str:
 
     ihs = rgb_to_ihs_oracle_sql(_PART_RASTER_SQL, _PART_RASTER2_SQL, _PART_RASTER3_SQL)
     return ihs_to_rgb_oracle_sql(ihs)
+
+
+def _bce_sql() -> str:
+    from whitebox_tools_spark.operators.color import bce_oracle_sql, composite_oracle_sql
+
+    comp = composite_oracle_sql(_PART_RASTER_SQL, _PART_RASTER2_SQL, _PART_RASTER3_SQL)
+    return bce_oracle_sql(comp, band_mean=100.0)
+
+
+def _pan_sharp_sql() -> str:
+    from whitebox_tools_spark.operators.color import (
+        composite_oracle_sql,
+        pan_sharpening_brovey_oracle_sql,
+    )
+
+    comp = composite_oracle_sql(_PART_RASTER_SQL, _PART_RASTER2_SQL, _PART_RASTER3_SQL)
+    return pan_sharpening_brovey_oracle_sql(comp, _NOISE_RASTER_SQL)
+
+
+def _mosaic_nn_sql() -> str:
+    return f"""
+WITH a AS (SELECT row, col, value FROM ({_PART_RASTER_SQL}) WHERE value IS NOT NULL),
+b AS (SELECT row + 100 AS row, col, value FROM ({_PART_RASTER2_SQL}) WHERE value IS NOT NULL),
+u AS (
+  SELECT row, col, struct_pack(
+           d2 := (row - 100.0) * (row - 100.0) + (col - 5.0) * (col - 5.0),
+           idx := 0, v := value) AS w
+  FROM a
+  UNION ALL
+  SELECT row, col, struct_pack(
+           d2 := (row - 200.0) * (row - 200.0) + (col - 5.0) * (col - 5.0),
+           idx := 1, v := value) AS w
+  FROM b
+)
+SELECT row, col, (min(w)).v AS value FROM u GROUP BY row, col
+"""
 
 
 def _composite_sql() -> str:

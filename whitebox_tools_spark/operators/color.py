@@ -268,3 +268,178 @@ SELECT row, col, sqrt(sum(d * d)) AS magnitude,
        sum(CASE WHEN d >= 0.0 THEN code ELSE 0.0 END) AS direction
 FROM d GROUP BY row, col
 """
+
+
+def _unpack(comp: DataFrame):
+    v = F.col("value").cast("long")
+    return (
+        comp.filter(F.col("value").isNotNull())
+        .select(
+            "row", "col",
+            (v % 256).alias("r"),
+            ((v / 256).cast("long") % 256).alias("g"),
+            ((v / 65536).cast("long") % 256).alias("b"),
+            ((v / 16777216).cast("long") % 256).alias("a"),
+        )
+    )
+
+
+def balance_contrast_enhancement(
+    comp: DataFrame, *, band_mean: float = 100.0
+) -> DataFrame:
+    """BalanceContrastEnhancement (image_analysis/
+    balance_contrast_enhancement.rs:370-450, Liu 1991): per band of the
+    packed composite, the parabola y = a(x-b)^2 + c whose output min/max/
+    mean are (0, 255, E); coefficients from the band's min (l), max (h),
+    mean (e) and mean square (s). Output repacked with the input alpha."""
+    e_out = float(band_mean)
+    u = _unpack(comp)
+    stats = u.agg(
+        *[
+            agg(c).alias(f"{c}_{n}")
+            for c in ("r", "g", "b")
+            for n, agg in (
+                ("l", F.min),
+                ("h", F.max),
+                ("e", F.avg),
+                ("s", lambda col: F.avg(F.col(col) * F.col(col))),
+            )
+        ]
+    )
+    j = u.crossJoin(F.broadcast(stats))
+
+    def band_out(c):
+        lo, hi = F.lit(0.0), F.lit(255.0)
+        bl = F.col(f"{c}_l").cast("double")
+        bh = F.col(f"{c}_h").cast("double")
+        be = F.col(f"{c}_e")
+        bs = F.col(f"{c}_s")
+        bb = (
+            bh * bh * (F.lit(e_out) - lo) - bs * (hi - lo) + bl * bl * (hi - F.lit(e_out))
+        ) / (2.0 * (bh * (F.lit(e_out) - lo) - be * (hi - lo) + bl * (hi - F.lit(e_out))))
+        ba = (hi - lo) / ((bh - bl) * (bh + bl - 2.0 * bb))
+        bc = lo - ba * ((bl - bb) * (bl - bb))
+        x = F.col(c).cast("double")
+        y = ba * (x - bb) * (x - bb) + bc
+        return F.floor(F.least(F.greatest(y, F.lit(0.0)), F.lit(255.0))).cast("long")
+
+    return j.select(
+        "row", "col",
+        (
+            F.col("a") * 16777216 + band_out("b") * 65536
+            + band_out("g") * 256 + band_out("r")
+        ).cast("double").alias("value"),
+    )
+
+
+def bce_oracle_sql(comp_sql: str, *, band_mean: float = 100.0) -> str:
+    e = float(band_mean)
+    bands = ""
+    for c in ("r", "g", "b"):
+        bands += f"""
+{c}_bb AS (
+  SELECT ({c}_h * {c}_h * ({e!r} - 0.0) - {c}_s * (255.0 - 0.0) + {c}_l * {c}_l * (255.0 - {e!r}))
+       / (2.0 * ({c}_h * ({e!r} - 0.0) - {c}_e * (255.0 - 0.0) + {c}_l * (255.0 - {e!r}))) AS bb,
+         {c}_l AS bl, {c}_h AS bh
+  FROM st
+),
+{c}_co AS (
+  SELECT bb, (255.0 - 0.0) / ((bh - bl) * (bh + bl - 2.0 * bb)) AS ba,
+         0.0 - ((255.0 - 0.0) / ((bh - bl) * (bh + bl - 2.0 * bb)))
+             * ((bl - bb) * (bl - bb)) AS bc
+  FROM {c}_bb
+),"""
+
+    def out(c):
+        return (
+            f"CAST(floor(least(greatest("
+            f"{c}_co.ba * (u.{c} - {c}_co.bb) * (u.{c} - {c}_co.bb) + {c}_co.bc"
+            f", 0.0), 255.0)) AS BIGINT)"
+        )
+
+    return f"""
+WITH u AS (
+  SELECT row, col,
+         CAST(value AS BIGINT) % 256 AS r,
+         (CAST(value AS BIGINT) // 256) % 256 AS g,
+         (CAST(value AS BIGINT) // 65536) % 256 AS b,
+         (CAST(value AS BIGINT) // 16777216) % 256 AS a
+  FROM ({comp_sql}) WHERE value IS NOT NULL
+),
+st AS (
+  SELECT CAST(min(r) AS DOUBLE) AS r_l, CAST(max(r) AS DOUBLE) AS r_h,
+         avg(r) AS r_e, avg(CAST(r AS DOUBLE) * r) AS r_s,
+         CAST(min(g) AS DOUBLE) AS g_l, CAST(max(g) AS DOUBLE) AS g_h,
+         avg(g) AS g_e, avg(CAST(g AS DOUBLE) * g) AS g_s,
+         CAST(min(b) AS DOUBLE) AS b_l, CAST(max(b) AS DOUBLE) AS b_h,
+         avg(b) AS b_e, avg(CAST(b AS DOUBLE) * b) AS b_s
+  FROM u
+),{bands.rstrip(",")}
+SELECT u.row, u.col,
+       CAST(CAST(u.a AS BIGINT) * 16777216 + {out('b')} * 65536
+          + {out('g')} * 256 + {out('r')} AS DOUBLE) AS value
+FROM u CROSS JOIN r_co CROSS JOIN g_co CROSS JOIN b_co
+"""
+
+
+def pan_sharpening_brovey(comp: DataFrame, pan: DataFrame) -> DataFrame:
+    """PanchromaticSharpening, Brovey method (image_analysis/
+    pan_sharpening.rs:440-505): p = clamp((pan - min)/range, 0, 1);
+    band_out = clamp(band * p / ((r+g+b)/3) * 255) truncated; repacked
+    with alpha 255. Pan and composite aligned on (row, col) — the
+    reference resamples the MS grid onto the pan grid; the aligned case
+    is the identity resample."""
+    u = _unpack(comp)
+    ps = pan.filter(F.col("value").isNotNull()).agg(
+        F.min("value").alias("pmn"), F.max("value").alias("pmx")
+    )
+    p = pan.filter(F.col("value").isNotNull()).crossJoin(F.broadcast(ps)).select(
+        "row", "col",
+        F.least(
+            F.greatest(
+                (F.col("value") - F.col("pmn")) / (F.col("pmx") - F.col("pmn")),
+                F.lit(0.0),
+            ),
+            F.lit(1.0),
+        ).alias("p"),
+    )
+    j = u.join(p, ["row", "col"])
+    adj = (F.col("r") + F.col("g") + F.col("b")).cast("double") / 3.0
+
+    def band_out(c):
+        y = F.col(c).cast("double") * F.col("p") / adj * 255.0
+        return F.least(F.floor(y).cast("long"), F.lit(255))
+
+    return j.select(
+        "row", "col",
+        (
+            F.lit(255).cast("long") * 16777216 + band_out("b") * 65536
+            + band_out("g") * 256 + band_out("r")
+        ).cast("double").alias("value"),
+    )
+
+
+def pan_sharpening_brovey_oracle_sql(comp_sql: str, pan_sql: str) -> str:
+    def out(c):
+        return (
+            f"least(CAST(floor(CAST({c} AS DOUBLE) * p / "
+            f"(CAST(r + g + b AS DOUBLE) / 3.0) * 255.0) AS BIGINT), 255)"
+        )
+
+    return f"""
+WITH u AS (
+  SELECT row, col,
+         CAST(value AS BIGINT) % 256 AS r,
+         (CAST(value AS BIGINT) // 256) % 256 AS g,
+         (CAST(value AS BIGINT) // 65536) % 256 AS b
+  FROM ({comp_sql}) WHERE value IS NOT NULL
+),
+pp AS (SELECT row, col, value FROM ({pan_sql}) WHERE value IS NOT NULL),
+ps AS (SELECT min(value) AS pmn, max(value) AS pmx FROM pp),
+p AS (SELECT row, col,
+             least(greatest((value - pmn) / (pmx - pmn), 0.0), 1.0) AS p
+      FROM pp CROSS JOIN ps)
+SELECT u.row, u.col,
+       CAST(CAST(255 AS BIGINT) * 16777216 + {out('b')} * 65536 + {out('g')} * 256 + {out('r')} AS DOUBLE) AS value
+FROM u JOIN p ON p.row = u.row AND p.col = u.col
+"""

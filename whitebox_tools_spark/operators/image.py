@@ -840,3 +840,110 @@ cells AS (SELECT s1.row, s1.col,
 SELECT c.row, c.col, coalesce(mx.xval, 3.0) AS value
 FROM cells c LEFT JOIN mx ON mx.bin = c.bin
 """
+
+
+def fast_almost_gaussian_filter(cells, *, sigma: float = 1.8):
+    """FastAlmostGaussianFilter (image_analysis/
+    fast_almost_gaussian_filter.rs:205-300): five iterated box means whose
+    widths approximate a Gaussian of the given sigma (wl for the first
+    m+1 passes, wu after; exact reference width arithmetic)."""
+    import math
+
+    from whitebox_tools_spark.operators.focal import mean_filter
+
+    s = max(float(sigma), 1.8)
+    n = 5
+    w_ideal = math.sqrt(12.0 * s * s / n + 1.0)
+    wl = int(math.floor(w_ideal))
+    if wl % 2 == 0:
+        wl -= 1
+    wu = wl + 2
+    m = round(
+        (12.0 * s * s - n * wl * wl - 4.0 * n * wl - 3.0 * n) / (-4.0 * wl - 4.0)
+    )
+    out = cells
+    for i in range(n):
+        size = wl if i <= m else wu
+        out = mean_filter(out, filterx=size, filtery=size)
+    return out
+
+
+def fast_almost_gaussian_oracle_sql(source_sql: str, *, sigma: float = 1.8) -> str:
+    import math
+
+    from whitebox_tools_spark.operators.focal import mean_filter_oracle_sql
+
+    s = max(float(sigma), 1.8)
+    n = 5
+    w_ideal = math.sqrt(12.0 * s * s / n + 1.0)
+    wl = int(math.floor(w_ideal))
+    if wl % 2 == 0:
+        wl -= 1
+    wu = wl + 2
+    m = round(
+        (12.0 * s * s - n * wl * wl - 4.0 * n * wl - 3.0 * n) / (-4.0 * wl - 4.0)
+    )
+    sql = source_sql
+    for i in range(n):
+        size = wl if i <= m else wu
+        sql = mean_filter_oracle_sql(sql, filterx=size, filtery=size)
+    return sql
+
+
+def highpass_bilateral_filter(cells, *, sigma_dist: float = 0.75, sigma_int: float = 50.0):
+    """HighPassBilateralFilter (image_analysis/high_pass_bilateral_filter.rs):
+    input minus its bilateral smoothing."""
+    from pyspark.sql import functions as F
+
+    from whitebox_tools_spark.operators.focal import bilateral_filter
+
+    sm = bilateral_filter(cells, sigma_dist=sigma_dist, sigma_int=sigma_int)
+    z = cells.filter(F.col("value").isNotNull()).select(
+        "row", "col", F.col("value").alias("z")
+    )
+    return z.join(sm, ["row", "col"]).select(
+        "row", "col", (F.col("z") - F.col("value")).alias("value")
+    )
+
+
+def highpass_bilateral_oracle_sql(
+    source_sql: str, *, sigma_dist: float = 0.75, sigma_int: float = 50.0
+) -> str:
+    from whitebox_tools_spark.operators.focal import bilateral_oracle_sql
+
+    sm = bilateral_oracle_sql(source_sql, sigma_dist=sigma_dist, sigma_int=sigma_int)
+    return f"""
+WITH z AS (SELECT row, col, value FROM ({source_sql}) WHERE value IS NOT NULL),
+sm AS ({sm})
+SELECT z.row, z.col, z.value - sm.value AS value
+FROM z JOIN sm ON sm.row = z.row AND sm.col = z.col
+"""
+
+
+def mosaic_nn(rasters_with_centers):
+    """Mosaic, nearest-neighbour variant (image_analysis/mosaic.rs): where
+    images overlap, the value comes from the image whose CENTER is nearest
+    to the cell (ties to the lower image index).
+    rasters_with_centers: [(df, center_row, center_col)]."""
+    from pyspark.sql import functions as F
+
+    parts = []
+    for i, (df, cr, cc) in enumerate(rasters_with_centers):
+        d2 = (
+            (F.col("row") - F.lit(float(cr))) * (F.col("row") - F.lit(float(cr)))
+            + (F.col("col") - F.lit(float(cc))) * (F.col("col") - F.lit(float(cc)))
+        )
+        parts.append(
+            df.filter(F.col("value").isNotNull()).select(
+                "row", "col",
+                F.struct(
+                    d2.alias("d2"), F.lit(i).alias("idx"), F.col("value").alias("v")
+                ).alias("w"),
+            )
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return u.groupBy("row", "col").agg(F.min("w").alias("w")).select(
+        "row", "col", F.col("w.v").alias("value")
+    )
