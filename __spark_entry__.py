@@ -952,6 +952,34 @@ FROM j JOIN con ON con.row = j.row AND con.col = j.col
 """
 
 
+def q_anvad(spark, sf_dir):
+    """AverageNormalVectorAngularDeviation (terrain_analysis/
+    average_normal_vector_angular_deviation.rs, filter 9)."""
+    from whitebox_tools_spark.operators.multiscale import (
+        average_normal_vector_angular_deviation,
+    )
+
+    return _r6(
+        average_normal_vector_angular_deviation(
+            _valley_dem(spark, sf_dir), STREAM_GRID, filter_size=9
+        ),
+        ["value"],
+    )
+
+
+def q_ssdn(spark, sf_dir):
+    """SphericalStdDevOfNormals (terrain_analysis/
+    spherical_std_dev_of_normals.rs, filter 9)."""
+    from whitebox_tools_spark.operators.multiscale import spherical_std_dev_of_normals
+
+    return _r6(
+        spherical_std_dev_of_normals(
+            _valley_dem(spark, sf_dir), STREAM_GRID, filter_size=9
+        ),
+        ["value"],
+    )
+
+
 def q_geomorphons(spark, sf_dir):
     """Geomorphons forms (terrain_analysis/geomorphons.rs:600-670): 8
     line-of-sight profiles via banded self-joins, 10-landform lookup."""
@@ -2444,6 +2472,37 @@ def _parts_df(spark):
     )
 
 
+def q_polygon_long_axis(spark, sf_dir):
+    """PolygonLongAxis (gis_analysis/polygon_long_axis.rs): longer MBB
+    axis length per feature (the reference draws it as a line)."""
+    from whitebox_tools_spark.operators.vector_ops import polygon_long_axis
+
+    return _r6(polygon_long_axis(_parts_df(spark)), ["length"])
+
+
+def q_polygon_short_axis(spark, sf_dir):
+    """PolygonShortAxis (gis_analysis/polygon_short_axis.rs)."""
+    from whitebox_tools_spark.operators.vector_ops import polygon_short_axis
+
+    return _r6(polygon_short_axis(_parts_df(spark)), ["length"])
+
+
+def q_minimum_bounding_circle(spark, sf_dir):
+    """MinimumBoundingCircle (gis_analysis/minimum_bounding_circle.rs):
+    smallest enclosing circle per feature."""
+    from whitebox_tools_spark.operators.vector_ops import minimum_bounding_circle
+
+    return _r6(minimum_bounding_circle(_parts_df(spark)), ["cx", "cy", "radius"])
+
+
+def q_related_circumscribing_circle(spark, sf_dir):
+    """RelatedCircumscribingCircle (gis_analysis/
+    related_circumscribing_circle.rs:220-240): 1 - area/circle area."""
+    from whitebox_tools_spark.operators.vector_ops import related_circumscribing_circle
+
+    return _r6(related_circumscribing_circle(_parts_df(spark)), ["value"])
+
+
 def q_elongation_ratio(spark, sf_dir):
     """ElongationRatio (gis_analysis/elongation_ratio.rs): 1 - S/L of the
     minimum-area oriented bounding box."""
@@ -3565,6 +3624,8 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multiscale_roughness": q_multiscale_roughness,
         "mtpi_image": q_mtpi_image,
         "max_elev_dev_signature": q_max_elev_dev_signature,
+        "average_normal_vector_angular_deviation": q_anvad,
+        "spherical_std_dev_of_normals": q_ssdn,
         "surface_area_ratio": q_surface_area_ratio,
         "relative_topographic_position": q_rtp,
         "extract_valleys_lq": q_extract_valleys_lq,
@@ -3727,6 +3788,10 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "radius_of_gyration": q_radius_of_gyration,
         "edge_proportion": q_edge_proportion,
         "elongation_ratio": q_elongation_ratio,
+        "polygon_long_axis": q_polygon_long_axis,
+        "polygon_short_axis": q_polygon_short_axis,
+        "minimum_bounding_circle": q_minimum_bounding_circle,
+        "related_circumscribing_circle": q_related_circumscribing_circle,
         "shape_complexity_index": q_shape_complexity_index,
         "perimeter_area_ratio": q_perimeter_area_ratio,
         "hole_proportion": q_hole_proportion,
@@ -4108,6 +4173,16 @@ UNION ALL SELECT 'l_discount', 'l_tax',
         "multiscale_roughness": _ms.multiscale_roughness_oracle_sql(_VALLEY_DEM_SQL, STREAM_GRID, scales=(2, 3)),
         "mtpi_image": _mtpi_sql(),
         "max_elev_dev_signature": _mes_signature_sql(),
+        "average_normal_vector_angular_deviation": (
+            "SELECT row, col, round(value, 6) AS value FROM ("
+            + _ms.anvad_oracle_sql(_VALLEY_DEM_SQL, STREAM_GRID, filter_size=9)
+            + ") t"
+        ),
+        "spherical_std_dev_of_normals": (
+            "SELECT row, col, round(value, 6) AS value FROM ("
+            + _ms.ssdn_oracle_sql(_VALLEY_DEM_SQL, STREAM_GRID, filter_size=9)
+            + ") t"
+        ),
         "surface_area_ratio": _sar_sql(),
         "relative_topographic_position": _rtp_sql(),
         "extract_valleys_lq": _valleys_lq_sql(),
@@ -4254,6 +4329,10 @@ GROUP BY 1
             + ") t"
         ),
         "elongation_ratio": _elongation_sql(),
+        "polygon_long_axis": _axis_sql(long=True),
+        "polygon_short_axis": _axis_sql(long=False),
+        "minimum_bounding_circle": _mbc_sql(),
+        "related_circumscribing_circle": _rcc_sql(),
         "shape_complexity_index": _sci_sql(),
         "perimeter_area_ratio": _par_ratio_sql(),
         "hole_proportion": _hole_prop_sql(),
@@ -5696,6 +5775,156 @@ def _elongation_sql() -> str:
     return (
         "SELECT CAST(poly_id AS BIGINT) AS poly_id, CAST(elongation AS DOUBLE) AS elongation FROM (VALUES "
         + ", ".join(rows) + ") AS t(poly_id, elongation)"
+    )
+
+
+def _mbb_axes(pts):
+    """Independent rotating-calipers min-area box axis lengths."""
+    import math as _m
+
+    def hull(pts):
+        pts = sorted(set(pts))
+        if len(pts) < 3:
+            return pts
+
+        def half(points):
+            h = []
+            for p in points:
+                while len(h) >= 2 and (
+                    (h[-1][0] - h[-2][0]) * (p[1] - h[-2][1])
+                    - (h[-1][1] - h[-2][1]) * (p[0] - h[-2][0])
+                ) <= 0:
+                    h.pop()
+                h.append(p)
+            return h
+
+        lower = half(pts)
+        upper = half(list(reversed(pts)))
+        return lower[:-1] + upper[:-1]
+
+    h = hull(pts)
+    best = None
+    for i in range(len(h)):
+        x0, y0 = h[i]
+        x1, y1 = h[(i + 1) % len(h)]
+        ex, ey = x1 - x0, y1 - y0
+        n = _m.hypot(ex, ey)
+        if n == 0:
+            continue
+        ux, uy = ex / n, ey / n
+        proj_u = [p[0] * ux + p[1] * uy for p in h]
+        proj_v = [-p[0] * uy + p[1] * ux for p in h]
+        w = max(proj_u) - min(proj_u)
+        ht = max(proj_v) - min(proj_v)
+        if best is None or w * ht < best[0]:
+            best = (w * ht, w, ht)
+    _, w, ht = best
+    return min(w, ht), max(w, ht)
+
+
+def _axis_sql(*, long: bool) -> str:
+    rows = []
+    for pid, parts in PARTS:
+        pts = []
+        for xs, ys, hole in parts:
+            if not hole:
+                pts.extend(zip([float(v) for v in xs], [float(v) for v in ys]))
+        s, l = _mbb_axes(pts)
+        rows.append(f"({pid}, {round(l if long else s, 6)!r})")
+    return (
+        "SELECT CAST(poly_id AS BIGINT) AS poly_id, CAST(length AS DOUBLE) AS length "
+        "FROM (VALUES " + ", ".join(rows) + ") AS t(poly_id, length)"
+    )
+
+
+def _indep_mbc(pts):
+    """Independent brute-force smallest enclosing circle (pairs+triples)."""
+    import math as _m
+
+    pts = sorted(set(pts))
+    if len(pts) == 1:
+        return pts[0][0], pts[0][1], 0.0
+    eps = 1e-9
+    best = None
+
+    def covers(cx, cy, r):
+        return all((x - cx) ** 2 + (y - cy) ** 2 <= (r + eps) ** 2 for x, y in pts)
+
+    n = len(pts)
+    for i in range(n):
+        for j in range(i + 1, n):
+            cx = (pts[i][0] + pts[j][0]) / 2.0
+            cy = (pts[i][1] + pts[j][1]) / 2.0
+            r = _m.hypot(pts[i][0] - cx, pts[i][1] - cy)
+            if (best is None or r < best[2]) and covers(cx, cy, r):
+                best = (cx, cy, r)
+    for i in range(n):
+        for j in range(i + 1, n):
+            for k in range(j + 1, n):
+                (ax, ay), (bx, by), (cx_, cy_) = pts[i], pts[j], pts[k]
+                d = 2.0 * (ax * (by - cy_) + bx * (cy_ - ay) + cx_ * (ay - by))
+                if d == 0.0:
+                    continue
+                ux = ((ax * ax + ay * ay) * (by - cy_) + (bx * bx + by * by) * (cy_ - ay)
+                      + (cx_ * cx_ + cy_ * cy_) * (ay - by)) / d
+                uy = ((ax * ax + ay * ay) * (cx_ - bx) + (bx * bx + by * by) * (ax - cx_)
+                      + (cx_ * cx_ + cy_ * cy_) * (bx - ax)) / d
+                r = _m.hypot(ax - ux, ay - uy)
+                if (best is None or r < best[2]) and covers(ux, uy, r):
+                    best = (ux, uy, r)
+    return best
+
+
+def _round_half_up(v, nd=6):
+    """Mirror Spark's ROUND (half away from zero) for literal oracles —
+    python round() is banker's and diverges on exact .5 boundaries."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(v)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP))
+
+
+def _mbc_sql() -> str:
+    rows = []
+    for pid, parts in PARTS:
+        pts = []
+        for xs, ys, hole in parts:
+            if not hole:
+                pts.extend(zip([float(v) for v in xs], [float(v) for v in ys]))
+        cx, cy, r = _indep_mbc(pts)
+        rows.append(
+            f"({pid}, {_round_half_up(cx)!r}, {_round_half_up(cy)!r}, {_round_half_up(r)!r})"
+        )
+    return (
+        "SELECT CAST(poly_id AS BIGINT) AS poly_id, CAST(cx AS DOUBLE) AS cx, "
+        "CAST(cy AS DOUBLE) AS cy, CAST(radius AS DOUBLE) AS radius "
+        "FROM (VALUES " + ", ".join(rows) + ") AS t(poly_id, cx, cy, radius)"
+    )
+
+
+def _rcc_sql() -> str:
+    import math as _m
+
+    def sh_area(xs, ys):
+        s = 0.0
+        for i in range(len(xs) - 1):
+            s += xs[i] * ys[i + 1] - xs[i + 1] * ys[i]
+        return abs(s) / 2.0
+
+    rows = []
+    for pid, parts in PARTS:
+        area = 0.0
+        area_c = 0.0
+        for xs, ys, hole in parts:
+            a = sh_area([float(v) for v in xs], [float(v) for v in ys])
+            area += -a if hole else a
+            _cx, _cy, r = _indep_mbc(
+                list(zip([float(v) for v in xs], [float(v) for v in ys]))
+            )
+            area_c += _m.pi * r * r
+        rows.append(f"({pid}, {round(1.0 - area / area_c, 6)!r})")
+    return (
+        "SELECT CAST(poly_id AS BIGINT) AS poly_id, CAST(value AS DOUBLE) AS value "
+        "FROM (VALUES " + ", ".join(rows) + ") AS t(poly_id, value)"
     )
 
 

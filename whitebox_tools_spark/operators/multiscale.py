@@ -543,3 +543,254 @@ pick AS (SELECT row, col,
 SELECT row, col, round((w).rough, 6) AS magnitude, CAST((w).scale AS BIGINT) AS scale
 FROM pick
 """
+
+
+def _quirk_gaussian_offsets(filter_size: int):
+    """The ANVAD/SSDN gaussian smoothing table
+    (terrain_analysis/average_normal_vector_angular_deviation.rs:256-306,
+    spherical_std_dev_of_normals.rs same block): sigma = (midpoint+0.5)/3;
+    support radius from the 0.001 weight cutoff; offsets are built with
+    midpoint_smoothed = floor(fs_smooth/2) + 1 over a filter_size^2 loop —
+    the reference's asymmetric window is mirrored verbatim."""
+    if filter_size % 2 == 0:
+        filter_size += 1
+    midpoint = filter_size // 2
+    sigma = max((midpoint + 0.5) / 3.0, 1.0)
+    if sigma >= 1.8:
+        raise ValueError(
+            "filter sizes >= 11 switch the reference to fast-almost-gaussian "
+            "smoothing; use fast_almost_gaussian_filter for those"
+        )
+    recip = 1.0 / (math.sqrt(2.0 * math.pi) * sigma)
+    two_sig2 = 2.0 * sigma * sigma
+    fs_smooth = 0
+    for i in range(250):
+        if recip * math.exp(-(i * i) / two_sig2) <= 0.001:
+            fs_smooth = i * 2 + 1
+            break
+    if fs_smooth % 2 == 0:
+        fs_smooth += 1
+    fs_smooth = max(fs_smooth, 3)
+    mps = fs_smooth // 2 + 1
+    out = []
+    for r in range(filter_size):
+        for c in range(filter_size):
+            x, y = c - mps, r - mps
+            w = recip * math.exp(-(x * x + y * y) / two_sig2)
+            out.append((y, x, w))
+    return midpoint, out
+
+
+def _quirk_gaussian_smooth(cells: DataFrame, filter_size: int) -> DataFrame:
+    spark = cells.sparkSession
+    _mid, offs = _quirk_gaussian_offsets(filter_size)
+    odf = F.broadcast(
+        spark.createDataFrame(offs, "dy int, dx int, w double")
+    )
+    src = cells.filter(F.col("value").isNotNull()).select("row", "col", "value")
+    sc = (
+        src.crossJoin(odf)
+        .select(
+            (F.col("row") - F.col("dy")).alias("row"),
+            (F.col("col") - F.col("dx")).alias("col"),
+            (F.col("w") * F.col("value")).alias("wz"),
+            F.col("w").alias("w"),
+        )
+        .groupBy("row", "col")
+        .agg(F.sum("wz").alias("swz"), F.sum("w").alias("sw"))
+    )
+    return src.join(sc, ["row", "col"]).select(
+        "row", "col", (F.col("swz") / F.col("sw")).alias("value")
+    )
+
+
+def _quirk_gaussian_smooth_sql(source_sql: str, filter_size: int) -> str:
+    _mid, offs = _quirk_gaussian_offsets(filter_size)
+    vals = ", ".join(f"({dy},{dx},{w!r})" for dy, dx, w in offs)
+    return f"""
+SELECT a.row, a.col, SUM(o.w * b.value) / SUM(o.w) AS value
+FROM (SELECT row, col, value FROM ({source_sql}) WHERE value IS NOT NULL) a
+CROSS JOIN (VALUES {vals}) o(dy, dx, w)
+JOIN (SELECT row, col, value FROM ({source_sql}) WHERE value IS NOT NULL) b
+  ON b.row = a.row + o.dy AND b.col = a.col + o.dx
+GROUP BY a.row, a.col
+"""
+
+
+def average_normal_vector_angular_deviation(
+    cells: DataFrame, grid: GridSpec, *, filter_size: int = 9
+) -> DataFrame:
+    """AverageNormalVectorAngularDeviation (terrain_analysis/
+    average_normal_vector_angular_deviation.rs, Ko et al. 2016): angular
+    deviation (degrees) between raw and gaussian-smoothed surface normals,
+    box-averaged over the filter window. -> (row, col, value)."""
+    midpoint = (filter_size if filter_size % 2 else filter_size + 1) // 2
+    src = cells.filter(F.col("value").isNotNull()).select("row", "col", "value")
+    smoothed = _quirk_gaussian_smooth(src, filter_size)
+    n_raw = _normals(src, grid).select(
+        "row", "col",
+        F.col("na").alias("a1"), F.col("nb").alias("b1"), F.col("nc").alias("c1"),
+    )
+    n_sm = _normals(smoothed, grid).select(
+        "row", "col",
+        F.col("na").alias("a2"), F.col("nb").alias("b2"), F.col("nc").alias("c2"),
+    )
+    dot = F.col("a1") * F.col("a2") + F.col("b1") * F.col("b2") + F.col("c1") * F.col("c2")
+    mag = F.sqrt(
+        (F.col("a1") * F.col("a1") + F.col("b1") * F.col("b1") + F.col("c1") * F.col("c1"))
+        * (F.col("a2") * F.col("a2") + F.col("b2") * F.col("b2") + F.col("c2") * F.col("c2"))
+    )
+    cosang = F.least(F.greatest(dot / mag, F.lit(-1.0)), F.lit(1.0))
+    diff = n_raw.join(n_sm, ["row", "col"]).select(
+        "row", "col", F.degrees(F.acos(cosang)).alias("value")
+    )
+    st = _window_stats(diff, _full_offsets(midpoint), out_prefix="r")
+    return src.join(st, ["row", "col"]).select(
+        "row", "col", (F.col("rsum") / F.col("rn")).alias("value")
+    )
+
+
+def anvad_oracle_sql(
+    source_sql: str, grid: GridSpec, *, filter_size: int = 9
+) -> str:
+    midpoint = (filter_size if filter_size % 2 else filter_size + 1) // 2
+    res8 = 8.0 * grid.res_x
+    dirs = ", ".join(f"({i}, {D8_DX[i]}, {D8_DY[i]})" for i in range(8))
+
+    def normals_cte(src: str, name: str) -> str:
+        vs = ",\n".join(
+            f"         max(CASE WHEN d.i = {i} THEN n.value END) AS v{i}"
+            for i in range(8)
+        )
+        return f"""
+{name}_nb AS (
+  SELECT c.row, c.col, any_value(c.value) AS z,
+{vs}
+  FROM {src} c
+  CROSS JOIN (VALUES {dirs}) d(i, dx, dy)
+  LEFT JOIN {src} n ON n.row = c.row + d.dy AND n.col = c.col + d.dx
+  GROUP BY c.row, c.col
+),
+{name} AS (
+  SELECT row, col,
+         -( coalesce(v2, z) - coalesce(v4, z) + 2.0 * (coalesce(v1, z) - coalesce(v5, z))
+          + coalesce(v0, z) - coalesce(v6, z)) AS na,
+         -( coalesce(v6, z) - coalesce(v4, z) + 2.0 * (coalesce(v7, z) - coalesce(v3, z))
+          + coalesce(v0, z) - coalesce(v2, z)) AS nb,
+         {res8!r} AS nc
+  FROM {name}_nb
+)"""
+
+    return f"""
+WITH cells AS MATERIALIZED (SELECT row, col, value FROM ({source_sql}) WHERE value IS NOT NULL),
+sm AS MATERIALIZED ({_quirk_gaussian_smooth_sql(source_sql, filter_size)}),
+{normals_cte('cells', 'n1').lstrip()},
+{normals_cte('sm', 'n2').lstrip()},
+diff AS (
+  SELECT a.row, a.col,
+         degrees(acos(least(greatest(
+           (a.na * b.na + a.nb * b.nb + a.nc * b.nc)
+           / sqrt((a.na * a.na + a.nb * a.nb + a.nc * a.nc)
+                * (b.na * b.na + b.nb * b.nb + b.nc * b.nc)), -1.0), 1.0))) AS value
+  FROM n1 a JOIN n2 b ON a.row = b.row AND a.col = b.col
+)
+SELECT a.row, a.col, SUM(b.value) / count(*) AS value
+FROM cells a JOIN diff b
+  ON abs(b.row - a.row) <= {midpoint} AND abs(b.col - a.col) <= {midpoint}
+GROUP BY a.row, a.col
+"""
+
+
+def spherical_std_dev_of_normals(
+    cells: DataFrame, grid: GridSpec, *, filter_size: int = 9
+) -> DataFrame:
+    """SphericalStdDevOfNormals (terrain_analysis/
+    spherical_std_dev_of_normals.rs:520-710, Lindsay et al. 2019):
+    gaussian-smooth, unit normals ((-fx,-fy,1)/|.|, fx=(...)/8resx), box
+    sums of the components, s = sqrt(-2 ln(R/N)) degrees."""
+    midpoint = (filter_size if filter_size % 2 else filter_size + 1) // 2
+    src = cells.filter(F.col("value").isNotNull()).select("row", "col", "value")
+    smoothed = _quirk_gaussian_smooth(src, filter_size)
+    g = _normals(smoothed, grid)
+    fx = -F.col("na") / F.lit(8.0 * grid.res_x)
+    fy = -F.col("nb") / F.lit(8.0 * grid.res_y)
+    # _normals returns a = -(...), b = -(...); the SSDN fx has no leading
+    # minus, so undo it here
+    mag = F.sqrt(fx * fx + fy * fy + 1.0)
+    flat = (fx == 0.0) & (fy == 0.0)
+    comp = g.select(
+        "row", "col",
+        F.when(flat, 0.0).otherwise(-fx / mag).alias("ux"),
+        F.when(flat, 0.0).otherwise(-fy / mag).alias("uy"),
+        F.when(flat, 1.0).otherwise(1.0 / mag).alias("uz"),
+    )
+    spark = cells.sparkSession
+    offs = _offsets_df(spark, _full_offsets(midpoint))
+    sc = (
+        comp.crossJoin(offs)
+        .select(
+            (F.col("row") - F.col("dy")).alias("row"),
+            (F.col("col") - F.col("dx")).alias("col"),
+            "ux", "uy", "uz",
+        )
+        .groupBy("row", "col")
+        .agg(
+            F.sum("ux").alias("sx"), F.sum("uy").alias("sy"),
+            F.sum("uz").alias("sz"), F.count(F.lit(1)).alias("n"),
+        )
+    )
+    mean = F.least(
+        F.sqrt(F.col("sx") * F.col("sx") + F.col("sy") * F.col("sy") + F.col("sz") * F.col("sz"))
+        / F.col("n"),
+        F.lit(1.0),
+    )
+    return src.join(sc, ["row", "col"]).select(
+        "row", "col",
+        F.degrees(F.sqrt(-2.0 * F.log(mean))).alias("value"),
+    )
+
+
+def ssdn_oracle_sql(
+    source_sql: str, grid: GridSpec, *, filter_size: int = 9
+) -> str:
+    midpoint = (filter_size if filter_size % 2 else filter_size + 1) // 2
+    dirs = ", ".join(f"({i}, {D8_DX[i]}, {D8_DY[i]})" for i in range(8))
+    vs = ",\n".join(
+        f"         max(CASE WHEN d.i = {i} THEN n.value END) AS v{i}"
+        for i in range(8)
+    )
+    return f"""
+WITH sm AS MATERIALIZED ({_quirk_gaussian_smooth_sql(source_sql, filter_size)}),
+nb AS (
+  SELECT c.row, c.col, any_value(c.value) AS z,
+{vs}
+  FROM sm c
+  CROSS JOIN (VALUES {dirs}) d(i, dx, dy)
+  LEFT JOIN sm n ON n.row = c.row + d.dy AND n.col = c.col + d.dx
+  GROUP BY c.row, c.col
+),
+comp AS (
+  SELECT row, col,
+         CASE WHEN fx = 0.0 AND fy = 0.0 THEN 0.0
+              ELSE -fx / sqrt(fx * fx + fy * fy + 1.0) END AS ux,
+         CASE WHEN fx = 0.0 AND fy = 0.0 THEN 0.0
+              ELSE -fy / sqrt(fx * fx + fy * fy + 1.0) END AS uy,
+         CASE WHEN fx = 0.0 AND fy = 0.0 THEN 1.0
+              ELSE 1.0 / sqrt(fx * fx + fy * fy + 1.0) END AS uz
+  FROM (
+    SELECT row, col,
+           (coalesce(v2, z) - coalesce(v4, z) + 2.0 * (coalesce(v1, z) - coalesce(v5, z))
+          + coalesce(v0, z) - coalesce(v6, z)) / {8.0 * grid.res_x!r} AS fx,
+           (coalesce(v6, z) - coalesce(v4, z) + 2.0 * (coalesce(v7, z) - coalesce(v3, z))
+          + coalesce(v0, z) - coalesce(v2, z)) / {8.0 * grid.res_y!r} AS fy
+    FROM nb
+  )
+)
+SELECT a.row, a.col,
+       degrees(sqrt(-2.0 * ln(least(
+         sqrt(SUM(b.ux) * SUM(b.ux) + SUM(b.uy) * SUM(b.uy) + SUM(b.uz) * SUM(b.uz))
+         / count(*), 1.0)))) AS value
+FROM comp a JOIN comp b
+  ON abs(b.row - a.row) <= {midpoint} AND abs(b.col - a.col) <= {midpoint}
+GROUP BY a.row, a.col
+"""

@@ -613,3 +613,131 @@ def elongation_ratio(parts: DataFrame) -> DataFrame:
         "poly_id",
         (F.lit(1.0) - F.least(s1, s2) / F.greatest(s1, s2)).alias("elongation"),
     )
+
+
+def polygon_long_axis(parts: DataFrame) -> DataFrame:
+    """PolygonLongAxis (gis_analysis/polygon_long_axis.rs): the longer
+    primary axis of the minimum-area oriented bounding box; this engine
+    reports its LENGTH per feature (the reference draws the line feature).
+    -> (poly_id, length)."""
+    mbb = minimum_bounding_box_per_feature(parts)
+    d = lambda i, j: F.sqrt(  # noqa: E731
+        (F.element_at("mbb_xs", i) - F.element_at("mbb_xs", j)) ** 2
+        + (F.element_at("mbb_ys", i) - F.element_at("mbb_ys", j)) ** 2
+    )
+    return mbb.select(
+        "poly_id", F.greatest(d(1, 2), d(2, 3)).alias("length")
+    )
+
+
+def polygon_short_axis(parts: DataFrame) -> DataFrame:
+    """PolygonShortAxis (gis_analysis/polygon_short_axis.rs): the shorter
+    MBB axis length per feature. -> (poly_id, length)."""
+    mbb = minimum_bounding_box_per_feature(parts)
+    d = lambda i, j: F.sqrt(  # noqa: E731
+        (F.element_at("mbb_xs", i) - F.element_at("mbb_xs", j)) ** 2
+        + (F.element_at("mbb_ys", i) - F.element_at("mbb_ys", j)) ** 2
+    )
+    return mbb.select(
+        "poly_id", F.least(d(1, 2), d(2, 3)).alias("length")
+    )
+
+
+def _welzl_mbc(xs, ys):
+    """Smallest enclosing circle, deterministic O(n^3) exact form: the
+    minimal-radius circle through 2 (diameter) or 3 points covering all
+    (whitebox-common/src/algorithms/smallest_enclosing_circle — same
+    geometry, brute-force instead of Welzl recursion; features are small)."""
+    import numpy as np
+
+    pts = np.stack([np.asarray(xs, float), np.asarray(ys, float)], axis=1)
+    pts = np.unique(pts, axis=0)
+    n = len(pts)
+    if n == 1:
+        return float(pts[0, 0]), float(pts[0, 1]), 0.0
+    best = None
+    eps = 1e-9
+
+    def covers(cx, cy, r):
+        return np.all((pts[:, 0] - cx) ** 2 + (pts[:, 1] - cy) ** 2 <= (r + eps) ** 2)
+
+    for i in range(n):
+        for j in range(i + 1, n):
+            cx = (pts[i, 0] + pts[j, 0]) / 2.0
+            cy = (pts[i, 1] + pts[j, 1]) / 2.0
+            r = math.hypot(pts[i, 0] - cx, pts[i, 1] - cy)
+            if (best is None or r < best[2]) and covers(cx, cy, r):
+                best = (cx, cy, r)
+    for i in range(n):
+        for j in range(i + 1, n):
+            for k in range(j + 1, n):
+                ax, ay = pts[i]
+                bx, by = pts[j]
+                cx_, cy_ = pts[k]
+                d = 2.0 * (ax * (by - cy_) + bx * (cy_ - ay) + cx_ * (ay - by))
+                if d == 0.0:
+                    continue
+                ux = (
+                    (ax * ax + ay * ay) * (by - cy_)
+                    + (bx * bx + by * by) * (cy_ - ay)
+                    + (cx_ * cx_ + cy_ * cy_) * (ay - by)
+                ) / d
+                uy = (
+                    (ax * ax + ay * ay) * (cx_ - bx)
+                    + (bx * bx + by * by) * (ax - cx_)
+                    + (cx_ * cx_ + cy_ * cy_) * (bx - ax)
+                ) / d
+                r = math.hypot(ax - ux, ay - uy)
+                if (best is None or r < best[2]) and covers(ux, uy, r):
+                    best = (ux, uy, r)
+    return float(best[0]), float(best[1]), float(best[2])
+
+
+def minimum_bounding_circle(parts: DataFrame) -> DataFrame:
+    """MinimumBoundingCircle (gis_analysis/minimum_bounding_circle.rs):
+    smallest enclosing circle of each feature's shell vertices.
+    -> (poly_id, cx, cy, radius)."""
+    import pandas as pd
+
+    shells = parts.filter(~F.col("is_hole")).select("poly_id", "xs", "ys")
+
+    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        xs = np.concatenate([np.asarray(v, float) for v in pdf["xs"]])
+        ys = np.concatenate([np.asarray(v, float) for v in pdf["ys"]])
+        cx, cy, r = _welzl_mbc(xs, ys)
+        return pd.DataFrame(
+            {"poly_id": [int(key[0])], "cx": [cx], "cy": [cy], "radius": [r]}
+        )
+
+    return shells.groupBy("poly_id").applyInPandas(
+        kernel, "poly_id long, cx double, cy double, radius double"
+    )
+
+
+def related_circumscribing_circle(parts: DataFrame) -> DataFrame:
+    """RelatedCircumscribingCircle (gis_analysis/
+    related_circumscribing_circle.rs:220-240): 1 - area / sum over PARTS
+    of the part's smallest-enclosing-circle area. -> (poly_id, value)."""
+    import pandas as pd
+
+    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        area = 0.0
+        area_circ = 0.0
+        for r in pdf.itertuples(index=False):
+            xs = np.asarray(r.xs, float)
+            ys = np.asarray(r.ys, float)
+            a = abs(G.signed_area2(xs, ys)) / 2.0
+            area += -a if r.is_hole else a
+            _cx, _cy, rad = _welzl_mbc(xs, ys)
+            area_circ += math.pi * rad * rad
+        return pd.DataFrame(
+            {"poly_id": [int(key[0])], "value": [1.0 - area / area_circ]}
+        )
+
+    return parts.groupBy("poly_id").applyInPandas(
+        kernel, "poly_id long, value double"
+    )
