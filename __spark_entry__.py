@@ -1117,6 +1117,108 @@ def q_integral_image(spark, sf_dir):
     return _r6(IM.integral_image(_part_raster(spark, sf_dir)), ["value"])
 
 
+def q_modify_nodata_value(spark, sf_dir):
+    """ModifyNoDataValue (data_tools/modify_no_data_value.rs)."""
+    from whitebox_tools_spark.operators.raster_math import modify_nodata_value
+
+    # sentinel-carrying interchange raster: -32768 -> -9999
+    src = _part_raster(spark, sf_dir).withColumn(
+        "value",
+        F.when((F.col("row") * 3 + F.col("col")) % 11 == 0, F.lit(-32768.0)).otherwise(
+            F.col("value")
+        ),
+    )
+    return modify_nodata_value(src, old_value=-32768.0, new_value=-9999.0)
+
+
+def q_set_nodata_value(spark, sf_dir):
+    """SetNodataValue (data_tools/set_nodata_value.rs): background value
+    0 becomes nodata (row dropped)."""
+    from whitebox_tools_spark.operators.raster_math import set_nodata_value
+
+    src = _part_raster(spark, sf_dir).withColumn(
+        "value",
+        F.when((F.col("row") + F.col("col")) % 7 == 0, F.lit(0.0)).otherwise(
+            F.col("value")
+        ),
+    )
+    return set_nodata_value(src, back_value=0.0)
+
+
+def q_merge_table_with_csv(spark, sf_dir):
+    """MergeTableWithCsv (data_tools/merge_table_with_csv.rs): JoinTables
+    against a CSV-sourced attribute table (customer as the CSV side)."""
+    from whitebox_tools_spark.operators.vector_ops import merge_table_with_csv
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    csv_side = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_mktsegment"
+    )
+    return merge_table_with_csv(
+        orders, csv_side, "o_custkey", "c_custkey", ["c_acctbal", "c_mktsegment"]
+    ).select("o_orderkey", "o_custkey", F.round("o_totalprice", 6).alias("o_totalprice"),
+             F.round("c_acctbal", 6).alias("c_acctbal"), "c_mktsegment")
+
+
+def q_create_rectangular_grid(spark, sf_dir):
+    """CreateRectangularVectorGrid (gis_analysis/
+    create_rectangular_vector_grid.rs): 1000x1000 extent, 125-unit cells;
+    emitted as corner coordinates."""
+    from whitebox_tools_spark.operators.vector_ops import create_rectangular_vector_grid
+
+    g = create_rectangular_vector_grid(
+        spark, min_x=0.0, min_y=0.0, max_x=1000.0, max_y=1000.0,
+        width=125.0, height=125.0,
+    )
+    return g.select(
+        "fid", "col", "row",
+        F.element_at("xs", 1).alias("x0"), F.element_at("ys", 1).alias("y0"),
+        F.element_at("xs", 3).alias("x1"), F.element_at("ys", 3).alias("y1"),
+    )
+
+
+def q_create_hexagonal_grid(spark, sf_dir):
+    """CreateHexagonalVectorGrid (gis_analysis/
+    create_hexagonal_vector_grid.rs): pointy-top lattice; centers emitted."""
+    from whitebox_tools_spark.operators.vector_ops import create_hexagonal_vector_grid
+
+    g = create_hexagonal_vector_grid(
+        spark, min_x=0.0, min_y=0.0, max_x=1000.0, max_y=1000.0, width=125.0,
+    )
+    return g.select("fid", "col", "row", F.round("cx", 6).alias("cx"),
+                    F.round("cy", 6).alias("cy"))
+
+
+def _rect_grid_sql() -> str:
+    return """
+SELECT CAST(r.row * 8 + c.col + 1 AS BIGINT) AS fid,
+       c.col, r.row,
+       0.0 + c.col * 125.0 AS x0, 0.0 + r.row * 125.0 AS y0,
+       0.0 + c.col * 125.0 + 125.0 AS x1, 0.0 + r.row * 125.0 + 125.0 AS y1
+FROM (SELECT unnest(generate_series(0, 7)) AS row) r
+CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS col) c
+"""
+
+
+def _hex_grid_sql() -> str:
+    import math as _m
+
+    size = 125.0 / 2.0
+    half_w = _m.cos(_m.pi / 6.0) * size
+    ncols = int(_m.ceil(1000.0 / (2.0 * half_w))) + 1
+    nrows = int(_m.ceil(1000.0 / (1.5 * size))) + 1
+    return f"""
+SELECT CAST(r.row * {ncols} + c.col + 1 AS BIGINT) AS fid,
+       c.col, r.row,
+       CAST(round(0.0 + c.col * {2.0 * half_w!r} + (r.row % 2) * {half_w!r}, 6) AS DOUBLE) AS cx,
+       CAST(round(0.0 + r.row * {1.5 * size!r}, 6) AS DOUBLE) AS cy
+FROM (SELECT unnest(generate_series(0, {nrows - 1})) AS row) r
+CROSS JOIN (SELECT unnest(generate_series(0, {ncols - 1})) AS col) c
+"""
+
+
 def q_join_tables(spark, sf_dir):
     """JoinTables (data_tools/join_tables.rs:282-330)."""
     return join_tables(
@@ -3657,6 +3759,11 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rescale_value_range": q_rescale_value_range,
         "integral_image": q_integral_image,
         "join_tables": q_join_tables,
+        "modify_nodata_value": q_modify_nodata_value,
+        "set_nodata_value": q_set_nodata_value,
+        "merge_table_with_csv": q_merge_table_with_csv,
+        "create_rectangular_grid": q_create_rectangular_grid,
+        "create_hexagonal_grid": q_create_hexagonal_grid,
         "merge_vectors": q_merge_vectors,
         "polygon_metrics": q_polygon_metrics,
         "slope": q_slope,
@@ -4254,6 +4361,27 @@ SELECT c_custkey AS fid, c_name AS name FROM customer
 UNION ALL
 SELECT s_suppkey + 10000000 AS fid, s_name AS name FROM supplier
 """,
+        "modify_nodata_value": f"""
+SELECT row, col,
+       CASE WHEN v = -32768.0 THEN -9999.0 ELSE v END AS value
+FROM (SELECT row, col,
+             CASE WHEN (row * 3 + col) % 11 = 0 THEN -32768.0 ELSE value END AS v
+      FROM ({_PART_RASTER_SQL}) t) q
+""",
+        "set_nodata_value": f"""
+SELECT row, col, v AS value
+FROM (SELECT row, col,
+             CASE WHEN (row + col) % 7 = 0 THEN 0.0 ELSE value END AS v
+      FROM ({_PART_RASTER_SQL}) t) q
+WHERE v <> 0.0
+""",
+        "merge_table_with_csv": """
+SELECT o.o_orderkey, o.o_custkey, round(o.o_totalprice, 6) AS o_totalprice,
+       round(c.c_acctbal, 6) AS c_acctbal, c.c_mktsegment
+FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+""",
+        "create_rectangular_grid": _rect_grid_sql(),
+        "create_hexagonal_grid": _hex_grid_sql(),
         "polygon_metrics": _polygon_metrics_sql(),
         "slope": _focal_sql("slope"),
         "aspect": _focal_sql("aspect"),

@@ -760,3 +760,27 @@ SELECT value, avg({grid.x_center_sql("col")}) AS cx,
        avg({grid.y_center_sql("row")}) AS cy
 FROM ({source_sql}) t WHERE value IS NOT NULL GROUP BY value
 """
+
+
+def modify_nodata_value(
+    cells: DataFrame, *, old_value: float, new_value: float, value: str = "value"
+) -> DataFrame:
+    """ModifyNoDataValue (data_tools/modify_no_data_value.rs:116): cells
+    holding the old nodata sentinel take the new sentinel. In the NULL-
+    nodata cell-table model the sentinel is materialized only in
+    sentinel-carrying interchange tables."""
+    return cells.withColumn(
+        value,
+        F.when(F.col(value) == F.lit(old_value), F.lit(new_value)).otherwise(
+            F.col(value)
+        ),
+    )
+
+
+def set_nodata_value(
+    cells: DataFrame, *, back_value: float, value: str = "value"
+) -> DataFrame:
+    """SetNodataValue (data_tools/set_nodata_value.rs:143): declare a
+    sentinel on a raster without one — matching cells become nodata
+    (NULL rows are dropped from the cell table)."""
+    return cells.filter(F.col(value) != F.lit(back_value))

@@ -741,3 +741,80 @@ def related_circumscribing_circle(parts: DataFrame) -> DataFrame:
     return parts.groupBy("poly_id").applyInPandas(
         kernel, "poly_id long, value double"
     )
+
+
+def merge_table_with_csv(
+    primary: DataFrame, csv_table: DataFrame, pkey: str, fkey: str,
+    import_fields: list[str],
+) -> DataFrame:
+    """MergeTableWithCsv (data_tools/merge_table_with_csv.rs:185): the
+    JoinTables left-join with a CSV-sourced foreign table (load with
+    sources.csv_points_to_vector / spark.read.csv)."""
+    return join_tables(primary, csv_table, pkey, fkey, import_fields)
+
+
+def create_rectangular_vector_grid(
+    spark, *, min_x: float, min_y: float, max_x: float, max_y: float,
+    width: float, height: float,
+) -> DataFrame:
+    """CreateRectangularVectorGrid (gis_analysis/
+    create_rectangular_vector_grid.rs): grid cell polygons anchored at
+    (min_x, min_y). -> (fid, col, row, xs, ys) with fid scan-ordered
+    (row-major from the south-west), pure sequence expressions."""
+    import math as _m
+
+    ncols = int(_m.ceil((max_x - min_x) / width))
+    nrows = int(_m.ceil((max_y - min_y) / height))
+    cols = spark.range(ncols).select(F.col("id").alias("col"))
+    rows = spark.range(nrows).select(F.col("id").alias("row"))
+    g = rows.crossJoin(cols)
+    x0 = F.lit(min_x) + F.col("col") * F.lit(width)
+    y0 = F.lit(min_y) + F.col("row") * F.lit(height)
+    x1 = x0 + F.lit(width)
+    y1 = y0 + F.lit(height)
+    return g.select(
+        (F.col("row") * ncols + F.col("col") + 1).alias("fid"),
+        "col", "row",
+        F.array(x0, x1, x1, x0, x0).alias("xs"),
+        F.array(y0, y0, y1, y1, y0).alias("ys"),
+    )
+
+
+def create_hexagonal_vector_grid(
+    spark, *, min_x: float, min_y: float, max_x: float, max_y: float,
+    width: float,
+) -> DataFrame:
+    """CreateHexagonalVectorGrid (gis_analysis/
+    create_hexagonal_vector_grid.rs): pointy-top hexagon lattice covering
+    the extent (the hex_binning lattice geometry: horizontal pitch
+    1.5*size... mirrored from tiling.py's cos30 lattice). -> (fid, col,
+    row, cx, cy) hexagon centers plus the 6-vertex ring."""
+    import math as _m
+
+    size = width / 2.0
+    half_w = _m.cos(_m.pi / 6.0) * size  # sqrt(3)/2 * size
+    # column pitch = 2*half_w (flat horizontal packing), row pitch 1.5*size
+    ncols = int(_m.ceil((max_x - min_x) / (2.0 * half_w))) + 1
+    nrows = int(_m.ceil((max_y - min_y) / (1.5 * size))) + 1
+    cols = spark.range(ncols).select(F.col("id").alias("col"))
+    rows = spark.range(nrows).select(F.col("id").alias("row"))
+    g = rows.crossJoin(cols)
+    cx = (
+        F.lit(min_x)
+        + F.col("col") * F.lit(2.0 * half_w)
+        + (F.col("row") % 2) * F.lit(half_w)
+    )
+    cy = F.lit(min_y) + F.col("row") * F.lit(1.5 * size)
+    xs = F.array(
+        *[cx + F.lit(half_w * v) for v in (0.0, 1.0, 1.0, 0.0, -1.0, -1.0, 0.0)]
+    )
+    ys = F.array(
+        *[
+            cy + F.lit(size * v)
+            for v in (-1.0, -0.5, 0.5, 1.0, 0.5, -0.5, -1.0)
+        ]
+    )
+    return g.select(
+        (F.col("row") * ncols + F.col("col") + 1).alias("fid"),
+        "col", "row", cx.alias("cx"), cy.alias("cy"), xs.alias("xs"), ys.alias("ys"),
+    )
