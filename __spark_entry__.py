@@ -3022,6 +3022,55 @@ def q_mosaic_nn(spark, sf_dir):
     return mosaic_nn([(a, 100.0, 5.0), (b, 200.0, 5.0)])
 
 
+def q_rho8_pointer(spark, sf_dir):
+    """Rho8Pointer (hydro_analysis/rho8_pointer.rs), deterministic minstd
+    uniforms (documented deviation: the reference is unseeded)."""
+    from whitebox_tools_spark.operators.hydro import rho8_pointer
+
+    return rho8_pointer(_noise_raster(spark, sf_dir), EXTRACT_GRID, seed=7)
+
+
+def q_direct_decorrelation_stretch(spark, sf_dir):
+    """DirectDecorrelationStretch (image_analysis/
+    direct_decorrelation_stretch.rs, Liu & Moore 1996), k=0.5, 1% clip."""
+    from whitebox_tools_spark.operators import color as CO
+
+    comp = CO.create_colour_composite(
+        _part_raster(spark, sf_dir), _part_raster2(spark, sf_dir),
+        _part_raster3(spark, sf_dir),
+    )
+    return CO.direct_decorrelation_stretch(comp, k=0.5, clip_percent=0.01)
+
+
+def q_image_stack_profile(spark, sf_dir):
+    """ImageStackProfile (image_analysis/image_stack_profile.rs): 3-image
+    stack sampled at deterministic point cells."""
+    from whitebox_tools_spark.operators import color as CO
+
+    pts = _part_raster(spark, sf_dir).filter(
+        (F.col("row") * 11 + F.col("col")) % 59 == 0
+    ).select((F.col("row") * 1000 + F.col("col")).alias("point_id"), "row", "col")
+    return _r6(
+        CO.image_stack_profile(
+            [_part_raster(spark, sf_dir), _part_raster2(spark, sf_dir),
+             _part_raster3(spark, sf_dir)],
+            pts,
+        ),
+        ["value"],
+    )
+
+
+def q_write_function_memory_insertion(spark, sf_dir):
+    """WriteFunctionMemoryInsertion (image_analysis/
+    write_function_memory_insertion.rs): two-date change composite
+    (blue = date 2)."""
+    from whitebox_tools_spark.operators import color as CO
+
+    return CO.write_function_memory_insertion(
+        _part_raster(spark, sf_dir), _part_raster2(spark, sf_dir)
+    )
+
+
 def q_bilateral(spark, sf_dir):
     """BilateralFilter (image_analysis/bilateral_filter.rs)."""
     from whitebox_tools_spark.operators import focal as FO
@@ -3935,6 +3984,10 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fast_almost_gaussian_filter": q_fast_almost_gaussian,
         "highpass_bilateral_filter": q_highpass_bilateral,
         "mosaic_nn": q_mosaic_nn,
+        "rho8_pointer": q_rho8_pointer,
+        "direct_decorrelation_stretch": q_direct_decorrelation_stretch,
+        "image_stack_profile": q_image_stack_profile,
+        "write_function_memory_insertion": q_write_function_memory_insertion,
         "adaptive_filter": q_adaptive_filter,
         "lee_filter": q_lee_filter,
         "k_nearest_mean_filter": q_k_nearest_mean,
@@ -4527,6 +4580,24 @@ GROUP BY 1
             + ") t"
         ),
         "mosaic_nn": _mosaic_nn_sql(),
+        "rho8_pointer": _hyd.rho8_pointer_oracle_sql(
+            _NOISE_RASTER_SQL, EXTRACT_GRID, seed=7
+        ),
+        "direct_decorrelation_stretch": _dds_sql(),
+        "image_stack_profile": f"""
+WITH pts AS (
+  SELECT row * 1000 + col AS point_id, row, col
+  FROM ({_PART_RASTER_SQL}) WHERE (row * 11 + col) % 59 = 0
+),
+r1 AS ({_PART_RASTER_SQL}), r2 AS ({_PART_RASTER2_SQL}), r3 AS ({_PART_RASTER3_SQL})
+SELECT p.point_id, 1 AS image_num, round(r1.value, 6) AS value
+FROM pts p JOIN r1 ON r1.row = p.row AND r1.col = p.col
+UNION ALL
+SELECT p.point_id, 2, round(r2.value, 6) FROM pts p JOIN r2 ON r2.row = p.row AND r2.col = p.col
+UNION ALL
+SELECT p.point_id, 3, round(r3.value, 6) FROM pts p JOIN r3 ON r3.row = p.row AND r3.col = p.col
+""",
+        "write_function_memory_insertion": _wfmi_sql(),
         "split_colour_composite": _split_composite_sql(),
         "change_vector_analysis": _cva_sql(),
         "bilateral_filter": _weighted_focal_sql("bilateral"),
@@ -5311,6 +5382,19 @@ u AS (
 )
 SELECT row, col, (min(w)).v AS value FROM u GROUP BY row, col
 """
+
+
+def _dds_sql() -> str:
+    from whitebox_tools_spark.operators.color import composite_oracle_sql, dds_oracle_sql
+
+    comp = composite_oracle_sql(_PART_RASTER_SQL, _PART_RASTER2_SQL, _PART_RASTER3_SQL)
+    return dds_oracle_sql(comp, k=0.5, clip_percent=0.01)
+
+
+def _wfmi_sql() -> str:
+    from whitebox_tools_spark.operators.color import composite_oracle_sql
+
+    return composite_oracle_sql(_PART_RASTER_SQL, _PART_RASTER2_SQL, _PART_RASTER2_SQL)
 
 
 def _composite_sql() -> str:

@@ -443,3 +443,159 @@ SELECT u.row, u.col,
        CAST(CAST(255 AS BIGINT) * 16777216 + {out('b')} * 65536 + {out('g')} * 256 + {out('r')} AS DOUBLE) AS value
 FROM u JOIN p ON p.row = u.row AND p.col = u.col
 """
+
+
+def direct_decorrelation_stretch(
+    comp: DataFrame, *, k: float = 0.5, clip_percent: float = 0.01
+) -> DataFrame:
+    """DirectDecorrelationStretch (image_analysis/
+    direct_decorrelation_stretch.rs:242-500, Liu & Moore 1996): subtract
+    k * min(r,g,b) per pixel (clamped, truncated to u8), then a combined
+    three-band percent-clip linear stretch whose bounds come from the
+    reference's interleaved histogram scan (equivalent closed form: the
+    extreme bin where ANY band's tail count exceeds clip). The tiny 256-bin
+    histogram is collected to the driver; everything per-pixel stays in
+    expressions."""
+    u = _unpack(comp)
+    mn = F.least("r", "g", "b").cast("double")
+
+    def band1(c):
+        y = F.col(c).cast("double") - F.lit(float(k)) * mn
+        return F.floor(F.least(F.greatest(y, F.lit(0.0)), F.lit(255.0))).cast("long")
+
+    step1 = u.select(
+        "row", "col",
+        band1("r").alias("r"), band1("g").alias("g"), band1("b").alias("b"),
+    ).localCheckpoint(eager=True)
+    n = step1.count()
+    tail = int(n * float(clip_percent))
+    hist = {c: [0] * 256 for c in ("r", "g", "b")}
+    for c in ("r", "g", "b"):
+        for rw in step1.groupBy(c).count().collect():
+            hist[c][int(rw[c])] = rw["count"]
+    smax = 255.0
+    cnt = {c: 0 for c in hist}
+    for i in range(255, -1, -1):
+        hit = False
+        for c in ("r", "g", "b"):
+            if cnt[c] + hist[c][i] > tail:
+                smax = float(i + 1)
+                hit = True
+                break
+            cnt[c] += hist[c][i]
+        if hit:
+            break
+    smax = min(smax, 255.0)
+    smin = 0.0
+    cnt = {c: 0 for c in hist}
+    for i in range(256):
+        hit = False
+        for c in ("r", "g", "b"):
+            if cnt[c] + hist[c][i] > tail:
+                smin = float(i - 1) if i > 0 else 0.0
+                hit = True
+                break
+            cnt[c] += hist[c][i]
+        if hit:
+            break
+    rng = smax - smin
+
+    def band2(c):
+        clamped = F.least(F.greatest(F.col(c), F.lit(int(smin))), F.lit(int(smax)))
+        return F.floor(
+            (clamped.cast("double") - F.lit(smin)) / F.lit(rng) * 255.0
+        ).cast("long")
+
+    return step1.select(
+        "row", "col",
+        (
+            F.lit(255).cast("long") * 16777216 + band2("b") * 65536
+            + band2("g") * 256 + band2("r")
+        ).cast("double").alias("value"),
+    )
+
+
+def image_stack_profile(
+    rasters: list[DataFrame], points: DataFrame
+) -> DataFrame:
+    """ImageStackProfile (image_analysis/image_stack_profile.rs): sample
+    every image of the stack at the given point cells.
+    points: (point_id, row, col). -> (point_id, image_num, value)."""
+    parts = []
+    for i, df in enumerate(rasters):
+        parts.append(
+            points.join(df, ["row", "col"]).select(
+                "point_id", F.lit(i + 1).alias("image_num"), "value"
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def write_function_memory_insertion(
+    date1: DataFrame, date2: DataFrame, date3: DataFrame | None = None
+) -> DataFrame:
+    """WriteFunctionMemoryInsertion (image_analysis/
+    write_function_memory_insertion.rs): change-detection composite —
+    red = date 1, green = date 2, blue = date 3 (or date 2 again),
+    each min/max-scaled to bytes, packed like CreateColourComposite."""
+    return create_colour_composite(
+        date1, date2, date3 if date3 is not None else date2
+    )
+
+
+def dds_oracle_sql(comp_sql: str, *, k: float = 0.5, clip_percent: float = 0.01) -> str:
+    """DuckDB mirror of direct_decorrelation_stretch: the interleaved
+    histogram scan reduces to 'extreme bin where any band's running count
+    exceeds the clip tail' (suffix/prefix window sums — exact equivalence
+    derived in the operator docstring)."""
+    band1 = (
+        "CAST(floor(least(greatest(CAST({c} AS DOUBLE) - {k} * mnv, 0.0), 255.0)) AS BIGINT)"
+    )
+    return f"""
+WITH u0 AS (
+  SELECT row, col,
+         CAST(value AS BIGINT) % 256 AS r,
+         (CAST(value AS BIGINT) // 256) % 256 AS g,
+         (CAST(value AS BIGINT) // 65536) % 256 AS b
+  FROM ({comp_sql}) WHERE value IS NOT NULL
+),
+u AS (
+  SELECT row, col,
+         {band1.format(c="r", k=float(k))} AS r,
+         {band1.format(c="g", k=float(k))} AS g,
+         {band1.format(c="b", k=float(k))} AS b
+  FROM (SELECT row, col, r, g, b, CAST(least(r, g, b) AS DOUBLE) AS mnv FROM u0)
+),
+tailv AS (SELECT CAST(floor(count(*) * {float(clip_percent)!r}) AS BIGINT) AS tail FROM u),
+hist AS (
+  SELECT 'r' AS band, r AS bin, count(*) AS cnt FROM u GROUP BY r
+  UNION ALL
+  SELECT 'g', g, count(*) FROM u GROUP BY g
+  UNION ALL
+  SELECT 'b', b, count(*) FROM u GROUP BY b
+),
+cums AS (
+  SELECT band, bin,
+         SUM(cnt) OVER (PARTITION BY band ORDER BY bin DESC) AS suf,
+         SUM(cnt) OVER (PARTITION BY band ORDER BY bin ASC) AS pre
+  FROM hist
+),
+bounds AS (
+  SELECT least(coalesce((SELECT max(bin) + 1 FROM cums, tailv WHERE suf > tail), 255), 255) AS smax,
+         coalesce((SELECT CASE WHEN min(bin) > 0 THEN min(bin) - 1 ELSE 0 END
+                   FROM cums, tailv WHERE pre > tail), 0) AS smin
+)
+SELECT row, col,
+       CAST(CAST(255 AS BIGINT) * 16777216
+          + CAST(floor((CAST(least(greatest(b, smin), smax) AS DOUBLE) - smin)
+                 / (smax - smin) * 255.0) AS BIGINT) * 65536
+          + CAST(floor((CAST(least(greatest(g, smin), smax) AS DOUBLE) - smin)
+                 / (smax - smin) * 255.0) AS BIGINT) * 256
+          + CAST(floor((CAST(least(greatest(r, smin), smax) AS DOUBLE) - smin)
+                 / (smax - smin) * 255.0) AS BIGINT)
+        AS DOUBLE) AS value
+FROM u CROSS JOIN bounds
+"""

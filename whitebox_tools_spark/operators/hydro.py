@@ -1420,3 +1420,97 @@ SELECT c.row, c.col,
             END AS value
 FROM cells c JOIN upacc u ON u.row = c.row AND u.col = c.col
 """
+
+
+def rho8_pointer(
+    cells: DataFrame, grid: GridSpec, *, seed: int = 7, esri_style: bool = False
+) -> DataFrame:
+    """Rho8Pointer (hydro_analysis/rho8_pointer.rs:255-290, Fairfield &
+    Leymarie 1991): like D8 but diagonal slopes are divided by
+    (2 - U(0,1)), randomizing diagonal preference. The reference uses an
+    unseeded thread RNG; this engine derives the uniform from the repo's
+    deterministic minstd hash stream keyed by (cell, direction) so both
+    engines reproduce the same field (documented deviation: seeded).
+    -> (row, col, pointer)."""
+    from whitebox_tools_spark.operators.random import _hash_u_expr
+
+    out_vals = [128, 1, 2, 4, 8, 16, 32, 64] if esri_style else [1, 2, 4, 8, 16, 32, 64, 128]
+    spark = cells.sparkSession
+    src = cells.filter(F.col("value").isNotNull()).select("row", "col", "value")
+    offsets = spark.createDataFrame(
+        [(i, D8_DX[i], D8_DY[i]) for i in range(8)], "i int, dx int, dy int"
+    )
+    scattered = (
+        src.crossJoin(F.broadcast(offsets))
+        .select(
+            (F.col("row") - F.col("dy")).alias("row"),
+            (F.col("col") - F.col("dx")).alias("col"),
+            "i",
+            F.col("value").alias("zn"),
+        )
+        .groupBy("row", "col")
+        .agg(*[F.max(F.when(F.col("i") == i, F.col("zn"))).alias(f"_n{i}") for i in range(8)])
+    )
+    g = src.join(scattered, ["row", "col"], "left")
+    key = F.col("row") * F.lit(1 << 20) + F.col("col")
+    entries = []
+    for i in range(8):
+        drop = F.col("value") - F.col(f"_n{i}")
+        if i % 2 == 1:  # cardinal slots (1,3,5,7 in the reference's order)
+            slope = drop
+        else:
+            u = _hash_u_expr(key * 8 + F.lit(i), seed, 2)
+            slope = drop / (F.lit(2.0) - u)
+        entries.append(
+            F.when(
+                F.col(f"_n{i}").isNotNull() & (slope > 0.0),
+                F.struct(slope.alias("slope"), F.lit(-i).alias("negi")),
+            )
+        )
+    best = F.array_max(F.array_compact(F.array(*entries)))
+    d = -best["negi"]
+    ptr = F.coalesce(
+        *[F.when(d == i, F.lit(out_vals[i])) for i in range(8)], F.lit(0)
+    )
+    return g.select("row", "col", ptr.cast("long").alias("pointer"))
+
+
+def rho8_pointer_oracle_sql(
+    source_sql: str, grid: GridSpec, *, seed: int = 7
+) -> str:
+    from whitebox_tools_spark.operators.random import _hash_u_sql
+
+    lens = _grid_lengths(grid)
+    out_vals = [1, 2, 4, 8, 16, 32, 64, 128]
+    arms = []
+    for i in range(8):
+        dxi, dyi = D8_DX[i], D8_DY[i]
+        drop = f"(c.value - n{i}.value)"
+        if i % 2 == 1:
+            slope = drop
+        else:
+            u = _hash_u_sql(f"(c.row * {1 << 20} + c.col) * 8 + {i}", seed, 2)
+            slope = f"({drop} / (2.0 - {u}))"
+        arms.append(
+            f"CASE WHEN n{i}.value IS NOT NULL AND {slope} > 0.0 "
+            f"THEN struct_pack(slope := {slope}, negi := {-i}) END"
+        )
+    joins = "\n".join(
+        f"LEFT JOIN cells n{i} ON n{i}.row = c.row + {D8_DY[i]} AND n{i}.col = c.col + {D8_DX[i]}"
+        for i in range(8)
+    )
+    ptr_case = " ".join(
+        f"WHEN (best).negi = {-i} THEN {out_vals[i]}" for i in range(8)
+    )
+    return f"""
+WITH cells AS MATERIALIZED (SELECT row, col, value FROM ({source_sql}) WHERE value IS NOT NULL),
+j AS (
+  SELECT c.row, c.col,
+         list_max(list_filter([{", ".join(arms)}], x -> x IS NOT NULL)) AS best
+  FROM cells c
+{joins}
+)
+SELECT row, col,
+       CAST(CASE WHEN best IS NULL THEN 0 {ptr_case} ELSE 0 END AS BIGINT) AS pointer
+FROM j
+"""
