@@ -980,6 +980,34 @@ def q_ssdn(spark, sf_dir):
     )
 
 
+def _mrs_signature_sql() -> str:
+    import re as _re
+
+    parts = []
+    for m in (2, 3):
+        inner = _ms.multiscale_roughness_oracle_sql(
+            _VALLEY_DEM_SQL, STREAM_GRID, scales=[m]
+        )
+        parts.append(
+            f"SELECT row * 1000 + col AS point_id, CAST(scale AS BIGINT) AS scale, "
+            f"round(magnitude, 6) AS value FROM ({inner}) t "
+            f"WHERE (row * 7 + col) % 97 = 0"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+def _mads_signature_sql() -> str:
+    parts = []
+    for m in (2, 3):
+        inner = _ms.max_anisotropy_dev_oracle_sql(_VALLEY_DEM_SQL, scales=[m])
+        parts.append(
+            f"SELECT row * 1000 + col AS point_id, CAST(scale AS BIGINT) AS scale, "
+            f"round(magnitude, 6) AS value FROM ({inner}) t "
+            f"WHERE (row * 7 + col) % 97 = 0"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
 def q_geomorphons(spark, sf_dir):
     """Geomorphons forms (terrain_analysis/geomorphons.rs:600-670): 8
     line-of-sight profiles via banded self-joins, 10-landform lookup."""
@@ -2442,6 +2470,96 @@ def _breach_oracle() -> str:
     return breach_oracle_sql(_NOISE_RASTER_SQL, EXTRACT_GRID)
 
 
+def q_breach_single_cell_pits(spark, sf_dir):
+    """BreachSingleCellPits (hydro_analysis/breach_pits.rs:199-235)."""
+    from whitebox_tools_spark.operators.hydro import breach_single_cell_pits
+
+    return _r6(
+        breach_single_cell_pits(_noise_raster(spark, sf_dir), EXTRACT_GRID), ["value"]
+    )
+
+
+def q_multiscale_std_dev_normals(spark, sf_dir):
+    """MultiscaleStdDevNormals (terrain_analysis/
+    multiscale_std_dev_normals.rs), filters 5/7/9 (gaussian branch)."""
+    from whitebox_tools_spark.operators.multiscale import multiscale_std_dev_normals
+
+    return _r6(
+        multiscale_std_dev_normals(
+            _valley_dem(spark, sf_dir), STREAM_GRID, filters=(5, 7, 9)
+        ),
+        ["magnitude"],
+    )
+
+
+def q_multiscale_roughness_signature(spark, sf_dir):
+    """MultiscaleRoughnessSignature (terrain_analysis/
+    multiscale_roughness_signature.rs): per-scale roughness at points."""
+    from whitebox_tools_spark.operators.multiscale import (
+        _roughness_per_scale,
+        signature_at_points,
+    )
+
+    dem = _valley_dem(spark, sf_dir)
+    pts = dem.filter((F.col("row") * 7 + F.col("col")) % 97 == 0).select(
+        (F.col("row") * 1000 + F.col("col")).alias("point_id"), "row", "col"
+    )
+    parts = []
+    for m in (2, 3):
+        parts.append(
+            _roughness_per_scale(dem, STREAM_GRID, m).select(
+                "row", "col", F.col("rough").alias("value"),
+                F.col("scale").cast("long").alias("scale"),
+            )
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return _r6(signature_at_points(u, pts), ["value"])
+
+
+def q_max_anisotropy_dev_signature(spark, sf_dir):
+    """MaxAnisotropyDevSignature (terrain_analysis/
+    max_anisotropy_dev_signature.rs): per-scale anisotropy at points."""
+    from whitebox_tools_spark.operators.multiscale import (
+        _anisotropy_per_scale,
+        signature_at_points,
+    )
+
+    dem = _valley_dem(spark, sf_dir)
+    pts = dem.filter((F.col("row") * 7 + F.col("col")) % 97 == 0).select(
+        (F.col("row") * 1000 + F.col("col")).alias("point_id"), "row", "col"
+    )
+    parts = []
+    for m in (2, 3):
+        parts.append(
+            _anisotropy_per_scale(dem, m).select(
+                "row", "col", F.col("aniso").alias("value"),
+                F.col("scale").cast("long").alias("scale"),
+            )
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return _r6(signature_at_points(u, pts), ["value"])
+
+
+def q_find_lowest_highest_points(spark, sf_dir):
+    """FindLowestOrHighestPoints (gis_analysis/
+    find_lowest_or_highest_points.rs): the raster's min and max cells as
+    points (out_type=both)."""
+    dem = _noise_raster(spark, sf_dir).filter(F.col("value").isNotNull())
+    st = dem.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+    j = dem.crossJoin(F.broadcast(st))
+    lo = j.filter(F.col("value") == F.col("mn")).select(
+        F.lit(1).alias("point_id"), "row", "col", "value"
+    )
+    hi = j.filter(F.col("value") == F.col("mx")).select(
+        F.lit(2).alias("point_id"), "row", "col", "value"
+    )
+    return lo.unionByName(hi)
+
+
 def q_sink(spark, sf_dir):
     """Sink (hydro_analysis/sink.rs): 8-connected components of the cells
     raised by depression filling, scan-order ids (shared with the oracle's
@@ -3846,6 +3964,11 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "buffer_raster": q_buffer_raster,
         "fill_depressions": q_fill_depressions,
         "breach_depressions": q_breach_depressions,
+        "breach_single_cell_pits": q_breach_single_cell_pits,
+        "multiscale_std_dev_normals": q_multiscale_std_dev_normals,
+        "multiscale_roughness_signature": q_multiscale_roughness_signature,
+        "max_anisotropy_dev_signature": q_max_anisotropy_dev_signature,
+        "find_lowest_highest_points": q_find_lowest_highest_points,
         "stream_link_class": q_stream_link_class,
         "rasterize_streams": q_rasterize_streams,
         "jenson_snap_pour_points": q_jenson_snap_pour,
@@ -4645,6 +4768,23 @@ FROM ({_PART_RASTER_SQL}) WHERE value IS NOT NULL
         "singlepart_to_multipart": _sp_to_mp_sql(),
         "fill_depressions": _hyd.fill_depressions_oracle_sql(_NOISE_RASTER_SQL),
         "breach_depressions": _breach_oracle(),
+        "breach_single_cell_pits": (
+            "SELECT row, col, round(value, 6) AS value FROM ("
+            + _hyd.breach_single_cell_pits_oracle_sql(_NOISE_RASTER_SQL, EXTRACT_GRID)
+            + ") t"
+        ),
+        "multiscale_std_dev_normals": _ms.msdn_oracle_sql(
+            _VALLEY_DEM_SQL, STREAM_GRID, filters=(5, 7, 9)
+        ),
+        "multiscale_roughness_signature": _mrs_signature_sql(),
+        "max_anisotropy_dev_signature": _mads_signature_sql(),
+        "find_lowest_highest_points": f"""
+WITH dem AS (SELECT row, col, value FROM ({_NOISE_RASTER_SQL}) WHERE value IS NOT NULL),
+st AS (SELECT min(value) AS mn, max(value) AS mx FROM dem)
+SELECT 1 AS point_id, row, col, value FROM dem, st WHERE value = mn
+UNION ALL
+SELECT 2, row, col, value FROM dem, st WHERE value = mx
+""",
         "stream_link_class": _str.stream_link_class_oracle_sql(
             _VALLEY_DEM_SQL, STREAM_GRID, threshold=4.0
         ),

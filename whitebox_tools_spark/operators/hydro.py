@@ -1514,3 +1514,106 @@ SELECT row, col,
        CAST(CASE WHEN best IS NULL THEN 0 {ptr_case} ELSE 0 END AS BIGINT) AS pointer
 FROM j
 """
+
+
+_D8_DX2 = [2, 2, 2, 2, 2, 1, 0, -1, -2, -2, -2, -2, -2, -1, 0, 1]
+_D8_DY2 = [-2, -1, 0, 1, 2, 2, 2, 2, 2, 1, 0, -1, -2, -2, -2, -2]
+_BREACHCELL = [0, 0, 1, 1, 2, 2, 3, 3, 4, 4, 5, 5, 6, 6, 7, 0]
+
+
+def breach_single_cell_pits(cells: DataFrame, grid: GridSpec) -> DataFrame:
+    """BreachSingleCellPits (hydro_analysis/breach_pits.rs:199-235): for
+    every pit (no lower 8-neighbor), each ring-2 cell lower than the pit
+    breaches the intervening ring-1 cell to (z_pit + z_ring2)/2. The
+    reference's last-write-in-scan-order conflict rule is mirrored with a
+    (pit row, pit col, ring index) argmax."""
+    spark = cells.sparkSession
+    src = cells.filter(F.col("value").isNotNull()).select("row", "col", "value")
+    offsets = spark.createDataFrame(
+        [(i, D8_DX[i], D8_DY[i]) for i in range(8)], "i int, dx int, dy int"
+    )
+    nb_min = (
+        src.crossJoin(F.broadcast(offsets))
+        .select(
+            (F.col("row") - F.col("dy")).alias("row"),
+            (F.col("col") - F.col("dx")).alias("col"),
+            F.col("value").alias("zn"),
+        )
+        .groupBy("row", "col")
+        .agg(F.min("zn").alias("min_nb"))
+    )
+    pits = (
+        src.join(nb_min, ["row", "col"], "left")
+        .filter(F.col("min_nb").isNull() | (F.col("min_nb") >= F.col("value")))
+        .select(F.col("row").alias("prow"), F.col("col").alias("pcol"),
+                F.col("value").alias("pz"))
+    )
+    ring2 = spark.createDataFrame(
+        [
+            (i, _D8_DX2[i], _D8_DY2[i], D8_DX[_BREACHCELL[i]], D8_DY[_BREACHCELL[i]])
+            for i in range(16)
+        ],
+        "i int, dx2 int, dy2 int, bdx int, bdy int",
+    )
+    z2 = src.select(
+        F.col("row").alias("r2"), F.col("col").alias("c2"), F.col("value").alias("z2")
+    )
+    writes = (
+        pits.crossJoin(F.broadcast(ring2))
+        .join(
+            z2,
+            (F.col("r2") == F.col("prow") + F.col("dy2"))
+            & (F.col("c2") == F.col("pcol") + F.col("dx2")),
+        )
+        .filter(F.col("z2") < F.col("pz"))
+        .select(
+            (F.col("prow") + F.col("bdy")).alias("row"),
+            (F.col("pcol") + F.col("bdx")).alias("col"),
+            F.struct(
+                F.col("prow").alias("pr"), F.col("pcol").alias("pc"),
+                F.col("i").alias("i"),
+                ((F.col("pz") + F.col("z2")) / 2.0).alias("v"),
+            ).alias("w"),
+        )
+        .groupBy("row", "col")
+        .agg(F.max("w").alias("w"))
+        .select("row", "col", F.col("w.v").alias("bv"))
+    )
+    return src.join(writes, ["row", "col"], "left").select(
+        "row", "col", F.coalesce(F.col("bv"), F.col("value")).alias("value")
+    )
+
+
+def breach_single_cell_pits_oracle_sql(source_sql: str, grid: GridSpec) -> str:
+    ring2 = ", ".join(
+        f"({i},{_D8_DX2[i]},{_D8_DY2[i]},{D8_DX[_BREACHCELL[i]]},{D8_DY[_BREACHCELL[i]]})"
+        for i in range(16)
+    )
+    nbrs = ", ".join(f"({D8_DX[i]},{D8_DY[i]})" for i in range(8))
+    return f"""
+WITH cells AS MATERIALIZED (SELECT row, col, value FROM ({source_sql}) WHERE value IS NOT NULL),
+pits AS (
+  SELECT c.row AS prow, c.col AS pcol, c.value AS pz
+  FROM cells c
+  LEFT JOIN (
+    SELECT a.row, a.col, min(b.value) AS min_nb
+    FROM cells a
+    CROSS JOIN (VALUES {nbrs}) o(dx, dy)
+    JOIN cells b ON b.row = a.row + o.dy AND b.col = a.col + o.dx
+    GROUP BY a.row, a.col
+  ) nb ON nb.row = c.row AND nb.col = c.col
+  WHERE nb.min_nb IS NULL OR nb.min_nb >= c.value
+),
+writes AS (
+  SELECT p.prow + r.bdy AS row, p.pcol + r.bdx AS col,
+         max(struct_pack(pr := p.prow, pc := p.pcol, i := r.i,
+                         v := (p.pz + z2.value) / 2.0)) AS w
+  FROM pits p
+  CROSS JOIN (VALUES {ring2}) r(i, dx2, dy2, bdx, bdy)
+  JOIN cells z2 ON z2.row = p.prow + r.dy2 AND z2.col = p.pcol + r.dx2
+  WHERE z2.value < p.pz
+  GROUP BY 1, 2
+)
+SELECT c.row, c.col, coalesce((w.w).v, c.value) AS value
+FROM cells c LEFT JOIN writes w ON w.row = c.row AND w.col = c.col
+"""

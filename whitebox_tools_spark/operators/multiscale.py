@@ -744,7 +744,9 @@ def spherical_std_dev_of_normals(
         / F.col("n"),
         F.lit(1.0),
     )
-    return src.join(sc, ["row", "col"]).select(
+    # output domain = cells with a smoothed value (the reference leaves
+    # cells whose quirk-gaussian window found no valid neighbor as nodata)
+    return comp.select("row", "col").join(sc, ["row", "col"]).select(
         "row", "col",
         F.degrees(F.sqrt(-2.0 * F.log(mean))).alias("value"),
     )
@@ -793,4 +795,56 @@ SELECT a.row, a.col,
 FROM comp a JOIN comp b
   ON abs(b.row - a.row) <= {midpoint} AND abs(b.col - a.col) <= {midpoint}
 GROUP BY a.row, a.col
+"""
+
+
+def multiscale_std_dev_normals(
+    cells: DataFrame, grid: GridSpec, *, filters=(5, 7, 9)
+) -> DataFrame:
+    """MultiscaleStdDevNormals (terrain_analysis/
+    multiscale_std_dev_normals.rs): SphericalStdDevOfNormals swept across
+    filter scales, per-cell argmax magnitude + winning scale (this engine
+    sweeps the gaussian-branch filter sizes; the reference's large-filter
+    branch swaps in a fast-almost-gaussian smoother)."""
+    parts = []
+    for fs in filters:
+        parts.append(
+            spherical_std_dev_of_normals(cells, grid, filter_size=fs).select(
+                "row", "col", F.col("value").alias("s"),
+                F.lit(int(fs)).alias("scale"),
+            )
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    # 9-dp quantized comparator: SSDN magnitudes differ at ulp level
+    # between engines (summation order), which would flip near-tie argmaxes
+    pick = u.groupBy("row", "col").agg(
+        F.max(
+            F.struct(
+                F.round(F.col("s"), 9).alias("a"), (-F.col("scale")).alias("ns"),
+                F.col("s").alias("s"), F.col("scale").alias("scale"),
+            )
+        ).alias("w")
+    )
+    return pick.select(
+        "row", "col", F.col("w.s").alias("magnitude"),
+        F.col("w.scale").cast("long").alias("scale"),
+    )
+
+
+def msdn_oracle_sql(source_sql: str, grid: GridSpec, *, filters=(5, 7, 9)) -> str:
+    unions = "\nUNION ALL\n".join(
+        f"SELECT row, col, value AS s, {int(fs)} AS scale FROM ("
+        + ssdn_oracle_sql(source_sql, grid, filter_size=fs)
+        + ") t"
+        for fs in filters
+    )
+    return f"""
+WITH u AS ({unions}),
+pick AS (SELECT row, col,
+         max(struct_pack(a := round(s, 9), ns := -scale, s := s, scale := scale)) AS w
+         FROM u GROUP BY row, col)
+SELECT row, col, round((w).s, 6) AS magnitude, CAST((w).scale AS BIGINT) AS scale
+FROM pick
 """
