@@ -2560,6 +2560,102 @@ def q_find_lowest_highest_points(spark, sf_dir):
     return lo.unionByName(hi)
 
 
+_WALL_LINES = [(0, [2.0, 48.0], [10.0, 990.0]), (1, [1.0, 49.0], [500.0, 520.0])]
+_LAKES = [
+    (0, [([5.0, 5.0, 45.0, 45.0, 5.0], [100.0, 300.0, 300.0, 100.0, 100.0], False)]),
+    (1, [([10.0, 10.0, 40.0, 40.0, 10.0], [600.0, 800.0, 800.0, 600.0, 600.0], False)]),
+]
+
+
+def q_raise_walls(spark, sf_dir):
+    """RaiseWalls (hydro_analysis/raise_walls.rs): +100 on wall-line cells."""
+    from whitebox_tools_spark.operators.raster_vector import raise_walls
+
+    walls = spark.createDataFrame(
+        _WALL_LINES, "line_id long, xs array<double>, ys array<double>"
+    )
+    return _r6(
+        raise_walls(_noise_raster(spark, sf_dir), walls, EXTRACT_GRID, height=100.0),
+        ["value"],
+    )
+
+
+def q_flatten_lakes(spark, sf_dir):
+    """FlattenLakes (hydro_analysis/flatten_lakes.rs): lake interiors set
+    to the minimum perimeter elevation."""
+    from whitebox_tools_spark.operators.raster_vector import flatten_lakes
+
+    return _r6(
+        flatten_lakes(_noise_raster(spark, sf_dir), EXTRACT_GRID, _LAKES, IDX),
+        ["value"],
+    )
+
+
+def _wall_segs_cte() -> str:
+    segs = []
+    for lid, xs, ys in _WALL_LINES:
+        for i in range(len(xs) - 1):
+            segs.append(
+                f"({lid}, {i}, {xs[i]!r}, {ys[i]!r}, {xs[i + 1]!r}, {ys[i + 1]!r})"
+            )
+    return (
+        "SELECT * FROM (VALUES " + ", ".join(segs)
+        + ") AS t(line_id, seg_idx, px0, py0, px1, py1)"
+    )
+
+
+def _raise_walls_sql() -> str:
+    wall_cells = _lines_raster_from_segs(_wall_segs_cte(), EXTRACT_GRID)
+    return f"""
+WITH dem AS (SELECT row, col, value FROM ({_NOISE_RASTER_SQL}) WHERE value IS NOT NULL),
+w AS (SELECT DISTINCT row, col FROM ({wall_cells}) t)
+SELECT d.row, d.col,
+       round(CASE WHEN w.row IS NOT NULL THEN d.value + 100.0 ELSE d.value END, 6) AS value
+FROM dem d LEFT JOIN w ON w.row = d.row AND w.col = d.col
+"""
+
+
+def _flatten_lakes_sql() -> str:
+    segs = []
+    for pid, parts in _LAKES:
+        for xs, ys, hole in parts:
+            for i in range(len(xs) - 1):
+                segs.append(
+                    f"({pid}, {i}, {xs[i]!r}, {ys[i]!r}, {xs[i + 1]!r}, {ys[i + 1]!r})"
+                )
+    seg_cte = (
+        "SELECT * FROM (VALUES " + ", ".join(segs)
+        + ") AS t(line_id, seg_idx, px0, py0, px1, py1)"
+    )
+    per_cells = _lines_raster_from_segs(seg_cte, EXTRACT_GRID)
+    lake_polys = [
+        synth.Poly(pid, tuple(
+            synth.Part(tuple(xs), tuple(ys), hole) for xs, ys, hole in parts
+        ))
+        for pid, parts in _LAKES
+    ]
+    pip = synth.pip_oracle_sql(_grid_centers_cte(EXTRACT_GRID), lake_polys)
+    g = EXTRACT_GRID
+    return f"""
+WITH dem AS (SELECT row, col, value FROM ({_NOISE_RASTER_SQL}) WHERE value IS NOT NULL),
+per AS (SELECT row, col, CAST(value - 1 AS BIGINT) AS lake FROM ({per_cells}) t),
+mn AS (SELECT per.lake, min(dem.value) AS lake_z
+       FROM per JOIN dem ON dem.row = per.row AND dem.col = per.col
+       GROUP BY per.lake),
+hits AS ({pip}),
+interior AS (
+  SELECT CAST(floor(point_id / {g.cols}.0) AS BIGINT) AS row,
+         point_id % {g.cols} AS col,
+         CAST(max(poly_id) AS BIGINT) AS lake
+  FROM hits GROUP BY point_id
+)
+SELECT d.row, d.col, round(coalesce(mn.lake_z, d.value), 6) AS value
+FROM dem d
+LEFT JOIN interior i ON i.row = d.row AND i.col = d.col
+LEFT JOIN mn ON mn.lake = i.lake
+"""
+
+
 def q_sink(spark, sf_dir):
     """Sink (hydro_analysis/sink.rs): 8-connected components of the cells
     raised by depression filling, scan-order ids (shared with the oracle's
@@ -3969,6 +4065,8 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multiscale_roughness_signature": q_multiscale_roughness_signature,
         "max_anisotropy_dev_signature": q_max_anisotropy_dev_signature,
         "find_lowest_highest_points": q_find_lowest_highest_points,
+        "raise_walls": q_raise_walls,
+        "flatten_lakes": q_flatten_lakes,
         "stream_link_class": q_stream_link_class,
         "rasterize_streams": q_rasterize_streams,
         "jenson_snap_pour_points": q_jenson_snap_pour,
@@ -4768,6 +4866,8 @@ FROM ({_PART_RASTER_SQL}) WHERE value IS NOT NULL
         "singlepart_to_multipart": _sp_to_mp_sql(),
         "fill_depressions": _hyd.fill_depressions_oracle_sql(_NOISE_RASTER_SQL),
         "breach_depressions": _breach_oracle(),
+        "raise_walls": _raise_walls_sql(),
+        "flatten_lakes": _flatten_lakes_sql(),
         "breach_single_cell_pits": (
             "SELECT row, col, round(value, 6) AS value FROM ("
             + _hyd.breach_single_cell_pits_oracle_sql(_NOISE_RASTER_SQL, EXTRACT_GRID)

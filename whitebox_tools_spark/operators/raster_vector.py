@@ -469,3 +469,58 @@ def filter_features_by_area(
         F.when(F.col("n") >= min_cells, F.col("value"))
         .otherwise(F.lit(background)).alias("value"),
     )
+
+
+def raise_walls(
+    dem: DataFrame, walls: DataFrame, grid: GridSpec, *, height: float = 100.0
+) -> DataFrame:
+    """RaiseWalls (hydro_analysis/raise_walls.rs): add `height` to every
+    DEM cell crossed by a wall line (vector_lines_to_raster cell set).
+    walls: (line_id, xs, ys) polylines. -> (row, col, value)."""
+    wcells = vector_lines_to_raster(walls, grid).select("row", "col").distinct()
+    marked = dem.join(wcells.withColumn("__w", F.lit(1)), ["row", "col"], "left")
+    return marked.select(
+        "row", "col",
+        F.when(F.col("__w").isNotNull(), F.col("value") + F.lit(height))
+        .otherwise(F.col("value"))
+        .alias("value"),
+    )
+
+
+def flatten_lakes(
+    dem: DataFrame,
+    grid: GridSpec,
+    lake_polys_parts: list,
+    index,
+) -> DataFrame:
+    """FlattenLakes (hydro_analysis/flatten_lakes.rs): every lake
+    polygon's interior takes the minimum DEM elevation found along the
+    lake's rasterized perimeter (the assumed outlet elevation).
+    -> (row, col, value)."""
+    spark = dem.sparkSession
+    # perimeter cells per lake: shell rings rasterized as lines
+    rows = []
+    for pid, parts in lake_polys_parts:
+        for xs, ys, hole in parts:
+            if not hole:
+                rows.append((pid, [float(v) for v in xs], [float(v) for v in ys]))
+    walls = spark.createDataFrame(
+        rows, "line_id long, xs array<double>, ys array<double>"
+    )
+    per_cells = vector_lines_to_raster(walls, grid).select(
+        "row", "col", (F.col("value") - 1).cast("long").alias("lake")
+    )
+    min_elev = (
+        per_cells.join(dem, ["row", "col"])
+        .groupBy("lake")
+        .agg(F.min(dem["value"]).alias("lake_z"))
+    )
+    interior = polygons_to_raster(spark, lake_polys_parts, grid, index).select(
+        "row", "col", (F.col("value") - 1).alias("lake")
+    )
+    repl = interior.join(F.broadcast(min_elev), "lake").select(
+        "row", "col", F.col("lake_z")
+    )
+    return dem.join(repl, ["row", "col"], "left").select(
+        "row", "col", F.coalesce(F.col("lake_z"), F.col("value")).alias("value")
+    )
