@@ -2567,6 +2567,17 @@ _LAKES = [
 ]
 
 
+def q_downslope_index(spark, sf_dir):
+    """DownslopeIndex (terrain_analysis/downslope_index.rs, Hjerdt 2004),
+    drop=10, tangent output."""
+    from whitebox_tools_spark.operators.hydro import downslope_index
+
+    return _r6(
+        downslope_index(_valley_dem(spark, sf_dir), STREAM_GRID, drop=10.0),
+        ["value"],
+    )
+
+
 def q_raise_walls(spark, sf_dir):
     """RaiseWalls (hydro_analysis/raise_walls.rs): +100 on wall-line cells."""
     from whitebox_tools_spark.operators.raster_vector import raise_walls
@@ -3283,6 +3294,155 @@ def q_write_function_memory_insertion(spark, sf_dir):
     return CO.write_function_memory_insertion(
         _part_raster(spark, sf_dir), _part_raster2(spark, sf_dir)
     )
+
+
+def _binary_grid(spark):
+    """sf-independent 40x40 binary fixture: thick crossing line bands."""
+    n = 40
+    g = spark.range(n * n).select(
+        (F.col("id") / n).cast("long").alias("row"),
+        (F.col("id") % n).alias("col"),
+    )
+    return g.withColumn(
+        "value",
+        F.when((F.col("row") % 7 < 2) | (F.col("col") % 9 < 2), 1.0).otherwise(0.0),
+    )
+
+
+def _binary_grid_np():
+    import numpy as np
+
+    n = 40
+    g = np.zeros((n, n))
+    for r in range(n):
+        for c in range(n):
+            if r % 7 < 2 or c % 9 < 2:
+                g[r, c] = 1.0
+    return g
+
+
+def _grid_literal_sql(out) -> str:
+    rows = []
+    n = out.shape[0]
+    for r in range(n):
+        for c in range(n):
+            rows.append(f"({r},{c},{float(out[r, c])!r})")
+    return (
+        "SELECT CAST(row AS BIGINT) AS row, CAST(col AS BIGINT) AS col, "
+        "CAST(value AS DOUBLE) AS value FROM (VALUES "
+        + ", ".join(rows) + ") AS t(row, col, value)"
+    )
+
+
+def _thin_oracle_py(g):
+    """Independent dict-based transcription of line_thin.rs (separate from
+    the engine's binary_morph kernel)."""
+    e1 = [[6, 7, 0, 4, 3, 2], [0, 1, 2, 4, 5, 6], [2, 3, 4, 6, 7, 0], [4, 5, 6, 0, 1, 2]]
+    e2 = [[7, 0, 1, 3, 5], [1, 2, 3, 5, 7], [3, 4, 5, 7, 1], [5, 6, 7, 1, 3]]
+    v1 = [0.0, 0.0, 0.0, 1.0, 1.0, 1.0]
+    v2 = [0.0, 0.0, 0.0, 1.0, 1.0]
+    dx = [1, 1, 1, 0, -1, -1, -1, 0]
+    dy = [-1, 0, 1, 1, 1, 0, -1, -1]
+    n = g.shape[0]
+    d = {(r, c): g[r, c] for r in range(n) for c in range(n)}
+    changed = True
+    while changed:
+        changed = False
+        for a in range(4):
+            for r in range(n):
+                for c in range(n):
+                    if d[(r, c)] > 0.0:
+                        nb = [d.get((r + dy[i], c + dx[i]), 0.0) for i in range(8)]
+                        m1 = all(nb[e1[a][i]] == v1[i] for i in range(6))
+                        m2 = all(nb[e2[a][i]] == v2[i] for i in range(5))
+                        if m1 or m2:
+                            d[(r, c)] = 0.0
+                            changed = True
+    import numpy as np
+
+    out = np.zeros_like(g)
+    for (r, c), v in d.items():
+        out[r, c] = v
+    return out
+
+
+def _spurs_oracle_py(g, max_iterations=10):
+    el = [
+        [0, 1, 4, 5, 6, 7], [0, 1, 2, 5, 6, 7], [0, 1, 2, 3, 6, 7],
+        [0, 1, 2, 3, 4, 7], [0, 1, 2, 3, 4, 5], [1, 2, 3, 4, 5, 6],
+        [2, 3, 4, 5, 6, 7], [0, 3, 4, 5, 6, 7],
+    ]
+    dx = [1, 1, 1, 0, -1, -1, -1, 0]
+    dy = [-1, 0, 1, 1, 1, 0, -1, -1]
+    n = g.shape[0]
+    d = {(r, c): g[r, c] for r in range(n) for c in range(n)}
+    for loop_num in range(max_iterations):
+        changed = False
+        rr = range(n) if loop_num % 2 == 1 else range(n - 1, -1, -1)
+        cc = list(range(n)) if loop_num % 2 == 1 else list(range(n - 1, -1, -1))
+        for a in range(8):
+            for r in rr:
+                for c in cc:
+                    if d[(r, c)] > 0.0:
+                        nb = [d.get((r + dy[i], c + dx[i]), 0.0) for i in range(8)]
+                        if all(nb[j] == 0.0 for j in el[a]):
+                            d[(r, c)] = 0.0
+                            changed = True
+        if not changed:
+            break
+    import numpy as np
+
+    out = np.zeros_like(g)
+    for (r, c), v in d.items():
+        out[r, c] = v
+    return out
+
+
+def _thicken_oracle_py(g):
+    n1 = [(0, -1), (1, 0), (0, 1), (-1, 0)]
+    n2 = [(1, -1), (1, 1), (-1, 1), (-1, -1)]
+    n3 = [(1, 0), (0, 1), (-1, 0), (0, -1)]
+    n = g.shape[0]
+    d = {(r, c): g[r, c] for r in range(n) for c in range(n)}
+    src = dict(d)
+    for r in range(n):
+        for c in range(n):
+            if src[(r, c)] == 0.0:
+                for i in range(4):
+                    z1 = d.get((r + n1[i][1], c + n1[i][0]), 0.0)
+                    z2 = d.get((r + n2[i][1], c + n2[i][0]), 0.0)
+                    z3 = d.get((r + n3[i][1], c + n3[i][0]), 0.0)
+                    if z1 > 0.0 and z3 > 0.0 and z2 == 0.0:
+                        d[(r, c)] = z1
+                        break
+    import numpy as np
+
+    out = np.zeros_like(g)
+    for (r, c), v in d.items():
+        out[r, c] = v
+    return out
+
+
+def q_line_thinning(spark, sf_dir):
+    """LineThinning (image_analysis/line_thin.rs): mask-pass skeleton of
+    the binary fixture."""
+    from whitebox_tools_spark.operators.binary_morph import line_thinning
+
+    return line_thinning(_binary_grid(spark))
+
+
+def q_remove_spurs(spark, sf_dir):
+    """RemoveSpurs (image_analysis/remove_spurs.rs), 10 iterations."""
+    from whitebox_tools_spark.operators.binary_morph import remove_spurs
+
+    return remove_spurs(_binary_grid(spark), max_iterations=10)
+
+
+def q_thicken_raster_line(spark, sf_dir):
+    """ThickenRasterLine (image_analysis/thicken_line.rs)."""
+    from whitebox_tools_spark.operators.binary_morph import thicken_raster_line
+
+    return thicken_raster_line(_binary_grid(spark))
 
 
 def q_bilateral(spark, sf_dir):
@@ -4066,6 +4226,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "max_anisotropy_dev_signature": q_max_anisotropy_dev_signature,
         "find_lowest_highest_points": q_find_lowest_highest_points,
         "raise_walls": q_raise_walls,
+        "downslope_index": q_downslope_index,
         "flatten_lakes": q_flatten_lakes,
         "stream_link_class": q_stream_link_class,
         "rasterize_streams": q_rasterize_streams,
@@ -4209,6 +4370,9 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "direct_decorrelation_stretch": q_direct_decorrelation_stretch,
         "image_stack_profile": q_image_stack_profile,
         "write_function_memory_insertion": q_write_function_memory_insertion,
+        "line_thinning": q_line_thinning,
+        "remove_spurs": q_remove_spurs,
+        "thicken_raster_line": q_thicken_raster_line,
         "adaptive_filter": q_adaptive_filter,
         "lee_filter": q_lee_filter,
         "k_nearest_mean_filter": q_k_nearest_mean,
@@ -4819,6 +4983,9 @@ UNION ALL
 SELECT p.point_id, 3, round(r3.value, 6) FROM pts p JOIN r3 ON r3.row = p.row AND r3.col = p.col
 """,
         "write_function_memory_insertion": _wfmi_sql(),
+        "line_thinning": _grid_literal_sql(_thin_oracle_py(_binary_grid_np())),
+        "remove_spurs": _grid_literal_sql(_spurs_oracle_py(_binary_grid_np())),
+        "thicken_raster_line": _grid_literal_sql(_thicken_oracle_py(_binary_grid_np())),
         "split_colour_composite": _split_composite_sql(),
         "change_vector_analysis": _cva_sql(),
         "bilateral_filter": _weighted_focal_sql("bilateral"),
@@ -4867,6 +5034,11 @@ FROM ({_PART_RASTER_SQL}) WHERE value IS NOT NULL
         "fill_depressions": _hyd.fill_depressions_oracle_sql(_NOISE_RASTER_SQL),
         "breach_depressions": _breach_oracle(),
         "raise_walls": _raise_walls_sql(),
+        "downslope_index": (
+            "SELECT row, col, round(value, 6) AS value FROM ("
+            + _hyd.downslope_index_oracle_sql(_VALLEY_DEM_SQL, STREAM_GRID, drop=10.0)
+            + ") t"
+        ),
         "flatten_lakes": _flatten_lakes_sql(),
         "breach_single_cell_pits": (
             "SELECT row, col, round(value, 6) AS value FROM ("

@@ -1,0 +1,167 @@
+"""Sequential binary-image morphology (image_analysis/{line_thin,
+remove_spurs, thicken_line}.rs).
+
+The reference updates these rasters IN PLACE during a scan-order sweep
+(a cell's removal changes decisions for later cells in the same pass), so
+the semantics are inherently sequential per pass. The Spark shape is one
+Arrow kernel over the (small, structure-bounded) raster — the same
+single-task contract as the geotiff writer; a tiled halo-iteration variant
+is the scale path if ever needed. All three mirror the reference's masks,
+pass structure, and scan orders verbatim.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DX = [1, 1, 1, 0, -1, -1, -1, 0]
+DY = [-1, 0, 1, 1, 1, 0, -1, -1]
+
+_THIN_E1 = [
+    [6, 7, 0, 4, 3, 2],
+    [0, 1, 2, 4, 5, 6],
+    [2, 3, 4, 6, 7, 0],
+    [4, 5, 6, 0, 1, 2],
+]
+_THIN_E2 = [
+    [7, 0, 1, 3, 5],
+    [1, 2, 3, 5, 7],
+    [3, 4, 5, 7, 1],
+    [5, 6, 7, 1, 3],
+]
+_THIN_V1 = [0.0, 0.0, 0.0, 1.0, 1.0, 1.0]
+_THIN_V2 = [0.0, 0.0, 0.0, 1.0, 1.0]
+
+_SPUR_ELEMENTS = [
+    [0, 1, 4, 5, 6, 7],
+    [0, 1, 2, 5, 6, 7],
+    [0, 1, 2, 3, 6, 7],
+    [0, 1, 2, 3, 4, 7],
+    [0, 1, 2, 3, 4, 5],
+    [1, 2, 3, 4, 5, 6],
+    [2, 3, 4, 5, 6, 7],
+    [0, 3, 4, 5, 6, 7],
+]
+
+
+def _to_grid(pdf: pd.DataFrame):
+    rows = pdf["row"].to_numpy(np.int64)
+    cols = pdf["col"].to_numpy(np.int64)
+    vals = pdf["value"].to_numpy(np.float64)
+    r0, c0 = rows.min(), cols.min()
+    h = int(rows.max() - r0 + 1)
+    w = int(cols.max() - c0 + 1)
+    g = np.zeros((h, w))
+    g[rows - r0, cols - c0] = vals
+    return g, r0, c0, rows, cols
+
+
+def _nbr(g, r, c, i):
+    rr, cc = r + DY[i], c + DX[i]
+    if 0 <= rr < g.shape[0] and 0 <= cc < g.shape[1]:
+        return g[rr, cc]
+    return 0.0
+
+
+def thin_grid(g: np.ndarray) -> np.ndarray:
+    """line_thin.rs:234-300: repeat 4 sub-passes (in-place, row-major)
+    matching either mask family until a full sweep changes nothing."""
+    g = g.copy()
+    did = True
+    while did:
+        did = False
+        for a in range(4):
+            for r in range(g.shape[0]):
+                for c in range(g.shape[1]):
+                    if g[r, c] > 0.0:
+                        nb = [_nbr(g, r, c, i) for i in range(8)]
+                        if all(
+                            nb[_THIN_E1[a][i]] == _THIN_V1[i] for i in range(6)
+                        ) or all(
+                            nb[_THIN_E2[a][i]] == _THIN_V2[i] for i in range(5)
+                        ):
+                            g[r, c] = 0.0
+                            did = True
+    return g
+
+
+def remove_spurs_grid(g: np.ndarray, max_iterations: int = 10) -> np.ndarray:
+    """remove_spurs.rs:195-260: alternating forward/reverse scan passes of
+    8 endpoint masks; stop at max_iterations or a no-change sweep."""
+    g = g.copy()
+    for loop_num in range(max_iterations):
+        did = False
+        rng_r = range(g.shape[0]) if loop_num % 2 == 1 else range(g.shape[0] - 1, -1, -1)
+        rng_c = list(range(g.shape[1])) if loop_num % 2 == 1 else list(range(g.shape[1] - 1, -1, -1))
+        for a in range(8):
+            for r in rng_r:
+                for c in rng_c:
+                    if g[r, c] > 0.0:
+                        nb = [_nbr(g, r, c, i) for i in range(8)]
+                        if all(nb[j] == 0.0 for j in _SPUR_ELEMENTS[a]):
+                            g[r, c] = 0.0
+                            did = True
+        if not did:
+            break
+    return g
+
+
+def thicken_grid(g: np.ndarray) -> np.ndarray:
+    """thicken_line.rs:216-246: single row-major pass; a zero cell whose
+    two orthogonal neighbors (n1, n3) are line cells with the diagonal
+    between them (n2) empty takes n1's value (in-place, so earlier fills
+    feed later decisions)."""
+    n1x = [0, 1, 0, -1]
+    n1y = [-1, 0, 1, 0]
+    n2x = [1, 1, -1, -1]
+    n2y = [-1, 1, 1, -1]
+    n3x = [1, 0, -1, 0]
+    n3y = [0, 1, 0, -1]
+    src = g.copy()
+    out = g.copy()
+
+    def val(a, r, c):
+        if 0 <= r < a.shape[0] and 0 <= c < a.shape[1]:
+            return a[r, c]
+        return 0.0
+
+    for r in range(g.shape[0]):
+        for c in range(g.shape[1]):
+            if src[r, c] == 0.0:
+                for i in range(4):
+                    zn1 = val(out, r + n1y[i], c + n1x[i])
+                    zn2 = val(out, r + n2y[i], c + n2x[i])
+                    zn3 = val(out, r + n3y[i], c + n3x[i])
+                    if zn1 > 0.0 and zn3 > 0.0 and zn2 == 0.0:
+                        out[r, c] = zn1
+                        break
+    return out
+
+
+def _apply_grid_op(cells: DataFrame, fn) -> DataFrame:
+    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        g, r0, c0, rows, cols = _to_grid(pdf)
+        out = fn(g)
+        return pd.DataFrame(
+            {"row": rows, "col": cols, "value": out[rows - r0, cols - c0]}
+        )
+
+    src = cells.filter(F.col("value").isNotNull()).withColumn("__g", F.lit(0))
+    return src.groupBy("__g").applyInPandas(
+        kernel, "row long, col long, value double"
+    )
+
+
+def line_thinning(cells: DataFrame) -> DataFrame:
+    return _apply_grid_op(cells, thin_grid)
+
+
+def remove_spurs(cells: DataFrame, *, max_iterations: int = 10) -> DataFrame:
+    return _apply_grid_op(cells, lambda g: remove_spurs_grid(g, max_iterations))
+
+
+def thicken_raster_line(cells: DataFrame) -> DataFrame:
+    return _apply_grid_op(cells, thicken_grid)

@@ -1617,3 +1617,158 @@ writes AS (
 SELECT c.row, c.col, coalesce((w.w).v, c.value) AS value
 FROM cells c LEFT JOIN writes w ON w.row = c.row AND w.col = c.col
 """
+
+
+def downslope_index(
+    cells: DataFrame,
+    grid: GridSpec,
+    *,
+    drop: float = 2.0,
+    out_type: str = "tangent",
+    max_iterations: int = 1000,
+) -> DataFrame:
+    """DownslopeIndex (terrain_analysis/downslope_index.rs, Hjerdt et al.
+    2004): walk each cell's D8 flowpath until the cumulative elevation
+    drop reaches `drop` (linear interpolation inside the final step);
+    tangent = drop / distance. Paths that end earlier use the actual drop
+    observed. Superstep rounds are bounded by the number of cells needed
+    to fall `drop` meters — a local property of the drop parameter, not
+    the DEM size."""
+    from whitebox_tools_spark.distributed import loop_checkpoint
+
+    src = cells.filter(F.col("value").isNotNull()).select("row", "col", "value")
+    edges = _edge_drops(cells, grid).localCheckpoint(eager=True)
+    state = src.select(
+        F.col("row").alias("orow"), F.col("col").alias("ocol"),
+        F.col("row"), F.col("col"),
+        F.lit(0.0).alias("dist"), F.lit(0.0).alias("dropped"),
+        F.col("value").alias("z0"),
+    ).localCheckpoint(eager=True)
+    resolved = None
+    for _ in range(max_iterations):
+        step = state.join(edges, ["row", "col"], "left")
+        # terminal: no out-edge -> resolve with actual drop
+        term = step.filter(F.col("trow").isNull()).select(
+            "orow", "ocol", "dist", F.col("dropped").alias("eff_drop")
+        )
+        adv = step.filter(F.col("trow").isNotNull())
+        new_drop = F.col("dropped") + F.col("dz")
+        crossing = adv.filter(new_drop >= F.lit(drop)).select(
+            "orow", "ocol",
+            (
+                F.col("dist")
+                + F.when(
+                    F.col("dz") > 0.0,
+                    (F.lit(drop) - F.col("dropped")) / F.col("dz") * F.col("len"),
+                ).otherwise(F.col("len"))
+            ).alias("dist"),
+            F.lit(drop).alias("eff_drop"),
+        )
+        done = term.unionByName(crossing)
+        resolved = done if resolved is None else resolved.unionByName(done)
+        resolved = loop_checkpoint(resolved)
+        state = (
+            adv.filter(new_drop < F.lit(drop))
+            .select(
+                "orow", "ocol",
+                F.col("trow").alias("row"), F.col("tcol").alias("col"),
+                (F.col("dist") + F.col("len")).alias("dist"),
+                new_drop.alias("dropped"),
+                "z0",
+            )
+            .transform(loop_checkpoint)
+        )
+        if state.isEmpty():
+            break
+    tan = F.col("eff_drop") / F.col("dist")
+    val = {
+        "tangent": tan,
+        "degrees": F.degrees(F.atan(tan)),
+        "radians": F.atan(tan),
+        "distance": F.col("dist"),
+    }[out_type]
+    return resolved.select(
+        F.col("orow").alias("row"), F.col("ocol").alias("col"),
+        F.when(F.col("dist") > 0.0, val).alias("value"),
+    )
+
+
+def _edge_drops(cells: DataFrame, grid: GridSpec) -> DataFrame:
+    """(row, col, trow, tcol, len, dz): the D8 edge with its grid length
+    and elevation drop."""
+    lens = _grid_lengths(grid)
+    edges = _flow_edges(cells, grid)
+    z = cells.filter(F.col("value").isNotNull()).select("row", "col", "value")
+    tz = z.select(
+        F.col("row").alias("trow"), F.col("col").alias("tcol"),
+        F.col("value").alias("tzv"),
+    )
+    dircase = F.coalesce(
+        *[
+            F.when(
+                (F.col("trow") - F.col("row") == D8_DY[i])
+                & (F.col("tcol") - F.col("col") == D8_DX[i]),
+                F.lit(lens[i]),
+            )
+            for i in range(8)
+        ]
+    )
+    return (
+        edges.join(z, ["row", "col"])
+        .join(tz, ["trow", "tcol"])
+        .select(
+            "row", "col", "trow", "tcol",
+            dircase.alias("len"),
+            (F.col("value") - F.col("tzv")).alias("dz"),
+        )
+    )
+
+
+def downslope_index_oracle_sql(
+    source_sql: str, grid: GridSpec, *, drop: float = 2.0, out_type: str = "tangent"
+) -> str:
+    val = {
+        "tangent": "eff_drop / dist",
+        "degrees": "degrees(atan(eff_drop / dist))",
+        "radians": "atan(eff_drop / dist)",
+        "distance": "dist",
+    }[out_type]
+    return f"""
+WITH RECURSIVE {_fd_ctes(source_sql, grid)},
+ed AS (
+  SELECT f.row, f.col, f.trow, f.tcol, d.len,
+         c1.value - c2.value AS dz
+  FROM fd f
+  JOIN dirs d ON d.i = f.i
+  JOIN cells c1 ON c1.row = f.row AND c1.col = f.col
+  JOIN cells c2 ON c2.row = f.trow AND c2.col = f.tcol
+),
+walk(orow, ocol, row, col, dist, dropped, steps) AS (
+  SELECT row, col, row, col, CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE), 0
+  FROM cells
+  UNION
+  SELECT w.orow, w.ocol, e.trow, e.tcol, w.dist + e.len, w.dropped + e.dz, w.steps + 1
+  FROM walk w JOIN ed e ON e.row = w.row AND e.col = w.col
+  WHERE w.dropped + e.dz < {float(drop)!r}
+),
+-- resolution: the step out of the deepest surviving walk row
+last_step AS (
+  SELECT orow, ocol, row, col, dist, dropped
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY orow, ocol ORDER BY steps DESC) AS rn
+    FROM walk
+  ) WHERE rn = 1
+),
+res AS (
+  SELECT l.orow, l.ocol,
+         CASE WHEN e.trow IS NULL THEN l.dist
+              WHEN e.dz > 0.0 THEN l.dist + ({float(drop)!r} - l.dropped) / e.dz * e.len
+              ELSE l.dist + e.len END AS dist,
+         CASE WHEN e.trow IS NULL THEN l.dropped ELSE {float(drop)!r} END AS eff_drop
+  FROM last_step l
+  LEFT JOIN ed e ON e.row = l.row AND e.col = l.col
+)
+SELECT orow AS row, ocol AS col,
+       CASE WHEN dist > 0.0 THEN {val} END AS value
+FROM res
+"""
