@@ -3594,6 +3594,36 @@ def q_raster_to_polygons(spark, sf_dir):
     )
 
 
+def _patch_raster(spark, sf_dir):
+    """Patch-id raster for the patch-shape tools: clump of the reclassed
+    part raster (ids > 0)."""
+    from whitebox_tools_spark.operators.raster_vector import clump
+
+    cells = RM.reclass(
+        _part_raster(spark, sf_dir),
+        [(1.0, 0.0, 1500.0), (2.0, 1500.0, 99999.0)],
+    )
+    return clump(cells).select("row", "col", F.col("clump_id").cast("double").alias("value"))
+
+
+def q_shape_complexity_index_raster(spark, sf_dir):
+    """ShapeComplexityIndexRaster (gis_analysis/shape_complexity_raster.rs):
+    transect run starts / (bbox h + w) per clump patch."""
+    from whitebox_tools_spark.operators.raster_vector import (
+        shape_complexity_index_raster,
+    )
+
+    return _r6(shape_complexity_index_raster(_patch_raster(spark, sf_dir)), ["sci"])
+
+
+def q_narrowness_index(spark, sf_dir):
+    """NarrownessIndex (gis_analysis/narrowness_index.rs): A/(pi*MD^2)
+    per clump patch."""
+    from whitebox_tools_spark.operators.raster_vector import narrowness_index
+
+    return _r6(narrowness_index(_patch_raster(spark, sf_dir)), ["ni"])
+
+
 def q_clump(spark, sf_dir):
     """Clump (gis_analysis/clump.rs), 8-connectivity; scan-order ids."""
     from whitebox_tools_spark.operators.raster_vector import clump
@@ -4389,6 +4419,8 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trend_surface": q_trend_surface,
         "raster_to_polygons": q_raster_to_polygons,
         "clump": q_clump,
+        "shape_complexity_index_raster": q_shape_complexity_index_raster,
+        "narrowness_index": q_narrowness_index,
         "kmeans_clustering": q_kmeans,
         "pca": q_pca,
         "lidar_point_stats": q_lidar_point_stats,
@@ -5237,6 +5269,8 @@ SELECT row, col, round((value - mn) / (mx - mn), 6) AS value FROM dem CROSS JOIN
         "erase_points": _clip_erase_sql(erase=True),
         "trend_surface": _trend_surface_sql(),
         "clump": _clump_sql(),
+        "shape_complexity_index_raster": _scir_sql(),
+        "narrowness_index": _narrowness_sql(),
         "raster_to_polygons": _raster_to_polygons_sql(),
         "lidar_point_stats": _lidar_sql("stats"),
         "lidar_thin": _lidar_sql("thin"),
@@ -5372,6 +5406,26 @@ comp AS (SELECT lab, min(row * 2147483648 + col) AS scan FROM lab GROUP BY 1),
 ids AS (SELECT lab, CAST(row_number() OVER (ORDER BY scan) AS BIGINT) AS clump_id FROM comp),
 labeled AS (SELECT l.row, l.col, l.value, i.clump_id FROM lab l JOIN ids i ON l.lab = i.lab)
 """
+
+
+def _patch_sql() -> str:
+    return _CLUMP_CTES + "SELECT row, col, CAST(clump_id AS DOUBLE) AS value FROM labeled"
+
+
+def _scir_sql() -> str:
+    from whitebox_tools_spark.operators.raster_vector import (
+        shape_complexity_index_raster_oracle_sql,
+    )
+
+    inner = shape_complexity_index_raster_oracle_sql(_patch_sql())
+    return f"SELECT row, col, round(sci, 6) AS sci FROM ({inner}) t"
+
+
+def _narrowness_sql() -> str:
+    from whitebox_tools_spark.operators.raster_vector import narrowness_index_oracle_sql
+
+    inner = narrowness_index_oracle_sql(_patch_sql())
+    return f"SELECT row, col, round(ni, 6) AS ni FROM ({inner}) t"
 
 
 def _clump_sql() -> str:

@@ -524,3 +524,141 @@ def flatten_lakes(
     return dem.join(repl, ["row", "col"], "left").select(
         "row", "col", F.coalesce(F.col("lake_z"), F.col("value")).alias("value")
     )
+
+
+def shape_complexity_index_raster(patches: DataFrame) -> DataFrame:
+    """ShapeComplexityIndexRaster (gis_analysis/shape_complexity_raster.rs:
+    210-310): per patch id, (horizontal run starts + vertical run starts)
+    / (bbox height + bbox width); every patch cell takes its patch's
+    index. patches: (row, col, value) with positive integer ids."""
+    src = patches.filter(F.col("value").isNotNull() & (F.col("value") > 0)).select(
+        "row", "col", "value"
+    )
+    left = src.select(
+        F.col("row").alias("row"), (F.col("col") + 1).alias("col"),
+        F.col("value").alias("lv"),
+    )
+    up = src.select(
+        (F.col("row") + 1).alias("row"), F.col("col").alias("col"),
+        F.col("value").alias("uv"),
+    )
+    runs = (
+        src.join(left, ["row", "col"], "left")
+        .join(up, ["row", "col"], "left")
+        .groupBy("value")
+        .agg(
+            (
+                F.sum(
+                    F.when(
+                        F.col("lv").isNull() | (F.col("lv") != F.col("value")), 1.0
+                    ).otherwise(0.0)
+                )
+                + F.sum(
+                    F.when(
+                        F.col("uv").isNull() | (F.col("uv") != F.col("value")), 1.0
+                    ).otherwise(0.0)
+                )
+            ).alias("runs"),
+            (F.max("row") - F.min("row") + 1).alias("h"),
+            (F.max("col") - F.min("col") + 1).alias("w"),
+        )
+        .select(
+            "value", (F.col("runs") / (F.col("h") + F.col("w"))).alias("index")
+        )
+    )
+    return src.join(runs, "value").select("row", "col", F.col("index").alias("sci"))
+
+
+def shape_complexity_index_raster_oracle_sql(patch_sql: str) -> str:
+    return f"""
+WITH src AS (SELECT row, col, value FROM ({patch_sql}) WHERE value IS NOT NULL AND value > 0),
+runs AS (
+  SELECT s.value,
+         SUM(CASE WHEN l.value IS NULL OR l.value <> s.value THEN 1.0 ELSE 0.0 END)
+       + SUM(CASE WHEN u.value IS NULL OR u.value <> s.value THEN 1.0 ELSE 0.0 END) AS runs,
+         max(s.row) - min(s.row) + 1 AS h, max(s.col) - min(s.col) + 1 AS w
+  FROM src s
+  LEFT JOIN src l ON l.row = s.row AND l.col = s.col - 1
+  LEFT JOIN src u ON u.row = s.row - 1 AND u.col = s.col
+  GROUP BY s.value
+)
+SELECT s.row, s.col, r.runs / (r.h + r.w) AS sci
+FROM src s JOIN runs r ON r.value = s.value
+"""
+
+
+def narrowness_index(patches: DataFrame) -> DataFrame:
+    """NarrownessIndex (gis_analysis/narrowness_index.rs): NI = A /
+    (pi * MD^2) with A the patch cell count and MD the maximum
+    distance-to-edge (Euclidean cell units to the nearest cell not
+    carrying the id; off-grid ring counts as edge). Every patch cell takes
+    its patch's NI. Distance via a bounded candidate join (patch radius
+    bounds the search window)."""
+    import math
+
+    src = patches.filter(F.col("value").isNotNull() & (F.col("value") > 0)).select(
+        "row", "col", "value"
+    )
+    spark = patches.sparkSession
+    # exterior cells: 8-ring around patch cells not sharing the id
+    offs = spark.createDataFrame(
+        [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1) if dy or dx],
+        "dy int, dx int",
+    )
+    ring = (
+        src.crossJoin(F.broadcast(offs))
+        .select(
+            F.col("value").alias("pid"),
+            (F.col("row") + F.col("dy")).alias("erow"),
+            (F.col("col") + F.col("dx")).alias("ecol"),
+        )
+        .distinct()
+        .join(
+            src.select(
+                F.col("row").alias("erow"), F.col("col").alias("ecol"),
+                F.col("value").alias("pid"),
+            ),
+            ["erow", "ecol", "pid"],
+            "left_anti",
+        )
+    )
+    d2 = (
+        src.join(ring, src["value"] == ring["pid"])
+        .groupBy("row", "col", "value")
+        .agg(
+            F.min(
+                (F.col("row") - F.col("erow")) * (F.col("row") - F.col("erow"))
+                + (F.col("col") - F.col("ecol")) * (F.col("col") - F.col("ecol"))
+            ).alias("d2")
+        )
+    )
+    ni = d2.groupBy("value").agg(
+        (F.count(F.lit(1)) / (F.lit(math.pi) * F.max("d2"))).alias("ni")
+    )
+    return src.join(ni, "value").select("row", "col", F.col("ni").alias("ni"))
+
+
+def narrowness_index_oracle_sql(patch_sql: str) -> str:
+    import math
+
+    return f"""
+WITH src AS (SELECT row, col, value FROM ({patch_sql}) WHERE value IS NOT NULL AND value > 0),
+ring AS (
+  SELECT DISTINCT s.value AS pid, s.row + o.dy AS erow, s.col + o.dx AS ecol
+  FROM src s
+  CROSS JOIN (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,1),(1,-1),(1,0),(1,1)) o(dy, dx)
+),
+ext AS (
+  SELECT r.pid, r.erow, r.ecol FROM ring r
+  ANTI JOIN src s ON s.row = r.erow AND s.col = r.ecol AND s.value = r.pid
+),
+d2 AS (
+  SELECT s.row, s.col, s.value,
+         min((s.row - e.erow) * (s.row - e.erow) + (s.col - e.ecol) * (s.col - e.ecol)) AS d2
+  FROM src s JOIN ext e ON e.pid = s.value
+  GROUP BY s.row, s.col, s.value
+),
+ni AS (SELECT value, count(*) / ({math.pi!r} * max(d2)) AS ni FROM d2 GROUP BY value)
+SELECT s.row, s.col, ni.ni
+FROM src s JOIN ni ON ni.value = s.value
+"""
