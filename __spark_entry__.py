@@ -1954,6 +1954,19 @@ def q_fetch_analysis(spark, sf_dir):
     )
 
 
+def q_visibility_index(spark, sf_dir):
+    """VisibilityIndex (terrain_analysis/visibility_index.rs): proportion
+    of sampled stations (every 5th cell) seeing each cell."""
+    from whitebox_tools_spark.operators.viewshed import visibility_index
+
+    return _r6(
+        visibility_index(
+            _valley_dem(spark, sf_dir), STREAM_GRID, res_factor=5,
+        ),
+        ["value"],
+    )
+
+
 def q_horizon_angle(spark, sf_dir):
     """HorizonAngle (terrain_analysis/horizon_angle.rs), east azimuth,
     max search distance 100 map units."""
@@ -4275,6 +4288,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dinf_pointer": q_dinf_pointer,
         "viewshed": q_viewshed,
         "horizon_angle": q_horizon_angle,
+        "visibility_index": q_visibility_index,
         "directional_relief": q_directional_relief,
         "fetch_analysis": q_fetch_analysis,
         "olympic_filter": q_olympic_filter,
@@ -5040,6 +5054,13 @@ FROM a JOIN b ON a.row = b.row AND a.col = b.col
         "buffer_raster": _buf.buffer_raster_oracle_sql(_BUFFER_SRC_SQL, EXTRACT_GRID, size=12.0),
         "viewshed": _vsh.viewshed_oracle_sql(
             _PART_RASTER_SQL, EXTRACT_GRID, station_height=2.0,
+        ),
+        "visibility_index": (
+            "SELECT row, col, round(value, 6) AS value FROM ("
+            + _vsh.visibility_index_oracle_sql(
+                _VALLEY_DEM_SQL, STREAM_GRID, res_factor=5
+            )
+            + ") t"
         ),
         "horizon_angle": "SELECT row, col, round(value, 6) AS value FROM ("
         + _vsh.horizon_angle_east_oracle_sql(_PART_RASTER_SQL, EXTRACT_GRID, max_dist=100.0)

@@ -290,3 +290,108 @@ SELECT s.row, s.col,
 FROM src s CROSS JOIN mc
 LEFT JOIN hits h ON h.row = s.row AND h.col = s.col
 """
+
+
+def visibility_index(
+    cells: DataFrame, grid: GridSpec, *, res_factor: int = 2,
+    station_height: float = 2.0,
+) -> DataFrame:
+    """VisibilityIndex (terrain_analysis/visibility_index.rs): the
+    proportion of sampled stations (every res_factor-th cell in both
+    axes) that can see each cell; per-station visibility uses the same
+    exact R3 line-of-sight as `viewshed`. One explode + join + aggregate
+    per the whole station set — no per-station iteration.
+    -> (row, col, value in [0, 1])."""
+    src = cells.filter(F.col("value").isNotNull()).select("row", "col", "value")
+    stn = src.filter(
+        (F.col("row") % res_factor == 0) & (F.col("col") % res_factor == 0)
+    ).select(
+        F.col("row").alias("sr"), F.col("col").alias("sc"),
+        F.col("value").alias("stn_z"),
+    )
+    d = src.crossJoin(stn)
+    dr = F.col("row") - F.col("sr")
+    dc = F.col("col") - F.col("sc")
+    dist = F.sqrt(
+        (dr * F.lit(grid.res_y)) * (dr * F.lit(grid.res_y))
+        + (dc * F.lit(grid.res_x)) * (dc * F.lit(grid.res_x))
+    )
+    va = F.when(
+        dist != 0.0,
+        (F.col("value") - (F.col("stn_z") + F.lit(station_height))) / dist * 1000.0,
+    ).otherwise(F.lit(0.0))
+    t = d.withColumn("va", va).withColumn(
+        "L", F.greatest(F.abs(dr), F.abs(dc)).cast("long")
+    )
+    steps = t.filter(F.col("L") >= 2).withColumn(
+        "t", F.explode(F.sequence(F.lit(1), F.col("L") - 1))
+    )
+    srow = F.floor(
+        F.col("sr") + (F.col("row") - F.col("sr")) * F.col("t") / F.col("L") + F.lit(0.5)
+    ).cast("long")
+    scol = F.floor(
+        F.col("sc") + (F.col("col") - F.col("sc")) * F.col("t") / F.col("L") + F.lit(0.5)
+    ).cast("long")
+    samples = steps.select(
+        "sr", "sc", "row", "col", "va", srow.alias("srow"), scol.alias("scol")
+    )
+    sva_src = t.select(
+        F.col("sr").alias("sr"), F.col("sc").alias("sc"),
+        F.col("row").alias("srow"), F.col("col").alias("scol"),
+        F.col("va").alias("sva"),
+    )
+    blocked = (
+        samples.join(sva_src, ["sr", "sc", "srow", "scol"])
+        .groupBy("sr", "sc", "row", "col")
+        .agg(F.max("sva").alias("max_sva"))
+    )
+    vis = t.join(blocked, ["sr", "sc", "row", "col"], "left").select(
+        "row", "col",
+        F.when(
+            F.col("max_sva").isNull() | (F.col("va") >= F.col("max_sva")), 1.0
+        ).otherwise(0.0).alias("v"),
+    )
+    return vis.groupBy("row", "col").agg(F.avg("v").alias("value"))
+
+
+def visibility_index_oracle_sql(
+    source_sql: str, grid: GridSpec, *, res_factor: int = 2,
+    station_height: float = 2.0,
+) -> str:
+    ry, rx = grid.res_y, grid.res_x
+    return f"""
+WITH src AS (SELECT row, col, value FROM ({source_sql}) WHERE value IS NOT NULL),
+stn AS (SELECT row AS sr, col AS sc, value AS stn_z FROM src
+        WHERE row % {res_factor} = 0 AND col % {res_factor} = 0),
+t AS (
+  SELECT s.sr, s.sc, c.row, c.col,
+         CASE WHEN sqrt((c.row - s.sr) * {ry!r} * ((c.row - s.sr) * {ry!r})
+                      + (c.col - s.sc) * {rx!r} * ((c.col - s.sc) * {rx!r})) <> 0.0
+              THEN (c.value - (s.stn_z + {station_height!r}))
+                   / sqrt((c.row - s.sr) * {ry!r} * ((c.row - s.sr) * {ry!r})
+                        + (c.col - s.sc) * {rx!r} * ((c.col - s.sc) * {rx!r})) * 1000.0
+              ELSE 0.0 END AS va,
+         greatest(abs(c.row - s.sr), abs(c.col - s.sc)) AS L
+  FROM src c CROSS JOIN stn s
+),
+steps AS (
+  SELECT sr, sc, row, col, va,
+         CAST(floor(sr + (row - sr) * tt.t / L + 0.5) AS BIGINT) AS srow,
+         CAST(floor(sc + (col - sc) * tt.t / L + 0.5) AS BIGINT) AS scol
+  FROM t CROSS JOIN LATERAL unnest(range(1, CAST(L AS BIGINT))) AS tt(t)
+  WHERE L >= 2
+),
+blocked AS (
+  SELECT s.sr, s.sc, s.row, s.col, max(v.va) AS max_sva
+  FROM steps s JOIN t v
+    ON v.sr = s.sr AND v.sc = s.sc AND v.row = s.srow AND v.col = s.scol
+  GROUP BY s.sr, s.sc, s.row, s.col
+),
+vis AS (
+  SELECT t.row, t.col,
+         CASE WHEN b.max_sva IS NULL OR t.va >= b.max_sva THEN 1.0 ELSE 0.0 END AS v
+  FROM t LEFT JOIN blocked b
+    ON b.sr = t.sr AND b.sc = t.sc AND b.row = t.row AND b.col = t.col
+)
+SELECT row, col, avg(v) AS value FROM vis GROUP BY row, col
+"""
