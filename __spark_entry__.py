@@ -1008,6 +1008,17 @@ def _mads_signature_sql() -> str:
     return "\nUNION ALL\n".join(parts)
 
 
+def q_slope_vs_elevation_plot(spark, sf_dir):
+    """SlopeVsElevationPlot (terrain_analysis/slope_vs_elev_plot.rs): the
+    binned mean-slope-by-elevation data series behind the HTML plot."""
+    from whitebox_tools_spark.operators.terrain import slope_vs_elevation_plot
+
+    return _r6(
+        slope_vs_elevation_plot(_valley_dem(spark, sf_dir), STREAM_GRID),
+        ["elev", "mean_slope"],
+    )
+
+
 def q_geomorphons(spark, sf_dir):
     """Geomorphons forms (terrain_analysis/geomorphons.rs:600-670): 8
     line-of-sight profiles via banded self-joins, 10-landform lookup."""
@@ -2463,6 +2474,53 @@ def q_fill_depressions(spark, sf_dir):
     return fill_depressions_tiled(_noise_raster(spark, sf_dir), block=16)
 
 
+def _heat_map_sql() -> str:
+    from whitebox_tools_spark.operators.plugins import heat_map_oracle_sql
+
+    x, y = synth.point_sql("c_custkey")
+    pts = f"SELECT {x} AS x, {y} AS y FROM customer"
+    inner = heat_map_oracle_sql(pts, NN_GRID, radius=60.0)
+    return f"SELECT row, col, round(value, 6) AS value FROM ({inner}) t"
+
+
+def _otsu_sql() -> str:
+    from whitebox_tools_spark.operators.plugins import otsu_oracle_sql
+
+    return otsu_oracle_sql(_PART_RASTER_SQL)
+
+
+def _itd_sql() -> str:
+    from whitebox_tools_spark.operators.plugins import (
+        individual_tree_detection_oracle_sql,
+    )
+
+    inner = individual_tree_detection_oracle_sql(
+        _order_cloud_cte(), min_height=5.0, radius=40.0
+    )
+    return (
+        "SELECT point_id, round(x, 6) AS x, round(y, 6) AS y, round(z, 6) AS z "
+        f"FROM ({inner}) t"
+    )
+
+
+def _muv_sql() -> str:
+    from whitebox_tools_spark.operators.plugins import max_upslope_value_oracle_sql
+
+    vals = (
+        f"SELECT row, col, CAST((row * 13 + col * 7) % 101 AS DOUBLE) AS value "
+        f"FROM ({_NOISE_RASTER_SQL}) t WHERE value IS NOT NULL"
+    )
+    inner = max_upslope_value_oracle_sql(_NOISE_RASTER_SQL, vals, EXTRACT_GRID)
+    return f"SELECT row, col, round(value, 6) AS value FROM ({inner}) t"
+
+
+def _edge_contam_sql() -> str:
+    from whitebox_tools_spark.operators.plugins import edge_contamination_oracle_sql
+
+    inner = edge_contamination_oracle_sql(_NOISE_RASTER_SQL, EXTRACT_GRID)
+    return f"SELECT row, col, round(value, 6) AS value FROM ({inner}) t"
+
+
 def q_breach_depressions(spark, sf_dir):
     """BreachDepressions (hydro_analysis/breach_depressions.rs, Lindsay 2016
     unconstrained hybrid breach): carve trenches so every cell drains.
@@ -2481,6 +2539,96 @@ def _breach_oracle() -> str:
     from whitebox_tools_spark.operators.breach import breach_oracle_sql
 
     return breach_oracle_sql(_NOISE_RASTER_SQL, EXTRACT_GRID)
+
+
+_PROFILE_SEEDS = [(1, 3, 3), (2, 15, 7)]
+
+
+def q_long_profile_from_points(spark, sf_dir):
+    """LongProfileFromPoints (stream_network_analysis/
+    long_profile_from_points.rs): per-seed (distance, z) profile."""
+    from whitebox_tools_spark.operators.streams import long_profile_from_points
+
+    seeds = spark.createDataFrame(_PROFILE_SEEDS, "seed_id long, row long, col long")
+    return _r6(
+        long_profile_from_points(_valley_dem(spark, sf_dir), STREAM_GRID, seeds),
+        ["dist", "z"],
+    )
+
+
+def q_stochastic_depression_analysis(spark, sf_dir):
+    """StochasticDepressionAnalysis (hydro_analysis/
+    stochastic_depression_analysis.rs): pdep over 5 deterministic
+    minstd-noise realizations, rmse 5."""
+    from whitebox_tools_spark.operators.hydro import stochastic_depression_analysis
+
+    return _r6(
+        stochastic_depression_analysis(
+            _noise_raster(spark, sf_dir), rmse=5.0, n_iterations=5, block=64
+        ),
+        ["value"],
+    )
+
+
+def q_heat_map(spark, sf_dir):
+    """heat_map plugin: quartic KDE of customer points on NN_GRID,
+    radius 60."""
+    from whitebox_tools_spark.operators.plugins import heat_map
+
+    pts = _cust_points(spark, sf_dir).select("x", "y")
+    return _r6(heat_map(pts, NN_GRID, radius=60.0), ["value"])
+
+
+def q_otsu_thresholding(spark, sf_dir):
+    """otsu_thresholding plugin (Otsu 1979) over the part raster."""
+    from whitebox_tools_spark.operators.plugins import otsu_thresholding
+
+    return otsu_thresholding(_part_raster(spark, sf_dir))
+
+
+def q_extract_by_attribute(spark, sf_dir):
+    """extract_by_attribute plugin: SQL predicate filter."""
+    from whitebox_tools_spark.operators.plugins import extract_by_attribute
+
+    t = _t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal", "c_mktsegment")
+    out = extract_by_attribute(t, "c_acctbal > 5000.0 AND c_mktsegment = 'BUILDING'")
+    return out.select("c_custkey", F.round("c_acctbal", 6).alias("c_acctbal"), "c_mktsegment")
+
+
+def q_individual_tree_detection(spark, sf_dir):
+    """individual_tree_detection plugin: strict local maxima of the cloud
+    within 40 units, z >= 5."""
+    from whitebox_tools_spark.operators.plugins import individual_tree_detection
+
+    return _r6(
+        individual_tree_detection(
+            _order_cloud(spark, sf_dir), min_height=5.0, radius=40.0
+        ),
+        ["x", "y", "z"],
+    )
+
+
+def q_max_upslope_value(spark, sf_dir):
+    """max_upslope_value plugin: max of a value raster over upslope cells
+    (solve_fa, max semiring)."""
+    from whitebox_tools_spark.operators.plugins import max_upslope_value
+
+    dem = _noise_raster(spark, sf_dir)
+    vals = _noise_raster(spark, sf_dir).withColumn(
+        "value", ((F.col("row") * 13 + F.col("col") * 7) % 101).cast("double")
+    )
+    return _r6(max_upslope_value(dem, vals, EXTRACT_GRID, block=16), ["value"])
+
+
+def q_edge_contamination(spark, sf_dir):
+    """edge_contamination plugin: 1 where the upslope catchment touches
+    the data-extent edge."""
+    from whitebox_tools_spark.operators.plugins import edge_contamination
+
+    return _r6(
+        edge_contamination(_noise_raster(spark, sf_dir), EXTRACT_GRID, block=16),
+        ["value"],
+    )
 
 
 def q_breach_single_cell_pits(spark, sf_dir):
@@ -4195,6 +4343,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "average_normal_vector_angular_deviation": q_anvad,
         "spherical_std_dev_of_normals": q_ssdn,
         "surface_area_ratio": q_surface_area_ratio,
+        "slope_vs_elevation_plot": q_slope_vs_elevation_plot,
         "relative_topographic_position": q_rtp,
         "extract_valleys_lq": q_extract_valleys_lq,
         "extract_valleys_jandr": q_extract_valleys_jandr,
@@ -4264,6 +4413,14 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fill_depressions": q_fill_depressions,
         "breach_depressions": q_breach_depressions,
         "breach_single_cell_pits": q_breach_single_cell_pits,
+        "long_profile_from_points": q_long_profile_from_points,
+        "stochastic_depression_analysis": q_stochastic_depression_analysis,
+        "heat_map": q_heat_map,
+        "otsu_thresholding": q_otsu_thresholding,
+        "extract_by_attribute": q_extract_by_attribute,
+        "individual_tree_detection": q_individual_tree_detection,
+        "max_upslope_value": q_max_upslope_value,
+        "edge_contamination": q_edge_contamination,
         "multiscale_std_dev_normals": q_multiscale_std_dev_normals,
         "multiscale_roughness_signature": q_multiscale_roughness_signature,
         "max_anisotropy_dev_signature": q_max_anisotropy_dev_signature,
@@ -4444,6 +4601,17 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lidar_shift": q_lidar_shift,
         "lidar_remove_duplicates": q_lidar_remove_duplicates,
         "height_above_ground": q_height_above_ground,
+        "filter_lidar_scan_angles": q_filter_lidar_scan_angles,
+        "flightline_overlap": q_flightline_overlap,
+        "classify_overlap_points": q_classify_overlap_points,
+        "lidar_colourize": q_lidar_colourize,
+        "lidar_histogram": q_lidar_histogram,
+        "lidar_kappa_index": q_lidar_kappa_index,
+        "clip_lidar_to_polygon": q_clip_lidar_to_polygon,
+        "erase_polygon_from_lidar": q_erase_polygon_from_lidar,
+        "clip_raster_to_polygon": q_clip_raster_to_polygon,
+        "erase_polygon_from_raster": q_erase_polygon_from_raster,
+        "select_tiles_by_polygon": q_select_tiles_by_polygon,
         "add_point_coordinates_to_table": q_add_point_coordinates,
         "lidar_point_density": q_lidar_point_density,
         "lidar_remove_outliers": q_lidar_remove_outliers,
@@ -4775,6 +4943,7 @@ UNION ALL SELECT 'l_discount', 'l_tax',
             + ") t"
         ),
         "surface_area_ratio": _sar_sql(),
+        "slope_vs_elevation_plot": _sve_sql(),
         "relative_topographic_position": _rtp_sql(),
         "extract_valleys_lq": _valleys_lq_sql(),
         "extract_valleys_jandr": _valleys_sql("JandR"),
@@ -5093,6 +5262,29 @@ FROM ({_PART_RASTER_SQL}) WHERE value IS NOT NULL
             + ") t"
         ),
         "flatten_lakes": _flatten_lakes_sql(),
+        "heat_map": _heat_map_sql(),
+        "otsu_thresholding": _otsu_sql(),
+        "extract_by_attribute": (
+            "SELECT c_custkey, round(c_acctbal, 6) AS c_acctbal, c_mktsegment "
+            "FROM customer WHERE c_acctbal > 5000.0 AND c_mktsegment = 'BUILDING'"
+        ),
+        "individual_tree_detection": _itd_sql(),
+        "max_upslope_value": _muv_sql(),
+        "edge_contamination": _edge_contam_sql(),
+        "long_profile_from_points": (
+            "SELECT seed_id, seq, round(dist, 6) AS dist, round(z, 6) AS z FROM ("
+            + _str.long_profile_from_points_oracle_sql(
+                _VALLEY_DEM_SQL, STREAM_GRID, _PROFILE_SEEDS
+            )
+            + ") t"
+        ),
+        "stochastic_depression_analysis": (
+            "SELECT row, col, round(value, 6) AS value FROM ("
+            + _hyd.stochastic_depression_oracle_sql(
+                _NOISE_RASTER_SQL, rmse=5.0, n_iterations=5
+            )
+            + ") t"
+        ),
         "breach_single_cell_pits": (
             "SELECT row, col, round(value, 6) AS value FROM ("
             + _hyd.breach_single_cell_pits_oracle_sql(_NOISE_RASTER_SQL, EXTRACT_GRID)
@@ -5307,6 +5499,21 @@ SELECT row, col, round((value - mn) / (mx - mn), 6) AS value FROM dem CROSS JOIN
             "FROM doubled GROUP BY x, y"
         ),
         "add_point_coordinates_to_table": _add_coords_sql(),
+        "filter_lidar_scan_angles": f"""
+SELECT point_id, round(x, 6) AS x, round(y, 6) AS y, round(z, 6) AS z,
+       classification, scan_angle, point_source_id
+FROM ({_cloud_ext_cte()}) t WHERE abs(scan_angle) <= 10.0
+""",
+        "flightline_overlap": _flightline_overlap_sql(),
+        "classify_overlap_points": _classify_overlap_sql(),
+        "lidar_colourize": _lidar_colourize_sql(),
+        "lidar_histogram": _lidar_histogram_sql(),
+        "lidar_kappa_index": _lidar_kappa_sql(),
+        "clip_lidar_to_polygon": _clip_lidar_sql(erase=False),
+        "erase_polygon_from_lidar": _clip_lidar_sql(erase=True),
+        "clip_raster_to_polygon": _clip_raster_poly_sql(erase=False),
+        "erase_polygon_from_raster": _clip_raster_poly_sql(erase=True),
+        "select_tiles_by_polygon": _select_tiles_sql(),
         "height_above_ground": (
             "SELECT point_id, round(x, 6) AS x, round(y, 6) AS y, "
             "round(z, 6) AS z, classification FROM ("
@@ -5584,6 +5791,16 @@ def _hist_match_sql() -> str:
 
     inner = histogram_matching_oracle_sql(_PART_RASTER_SQL, _PART_RASTER2_SQL)
     return f"SELECT row, col, round(value, 6) AS value FROM ({inner}) t"
+
+
+def _sve_sql() -> str:
+    from whitebox_tools_spark.operators.terrain import slope_vs_elevation_oracle_sql
+
+    inner = slope_vs_elevation_oracle_sql(_VALLEY_DEM_SQL, STREAM_GRID)
+    return (
+        "SELECT bin, round(elev, 6) AS elev, round(mean_slope, 6) AS mean_slope, n "
+        f"FROM ({inner}) t"
+    )
 
 
 def _sar_sql() -> str:
@@ -6026,6 +6243,277 @@ def q_height_above_ground(spark, sf_dir):
 
     cloud = _order_cloud(spark, sf_dir).filter(F.col("point_id") % 10 == 0)
     return _r6(height_above_ground(cloud, IDX), ["x", "y", "z"])
+
+
+def _cloud_ext(spark, sf_dir):
+    """Order cloud + derived scan_angle / point_source_id columns."""
+    return _order_cloud(spark, sf_dir).withColumn(
+        "scan_angle", (F.col("point_id") % 31 - 15).cast("int")
+    ).withColumn("point_source_id", (F.col("point_id") % 5).cast("int"))
+
+
+_CLOUD_EXT_SQL_SUFFIX = (
+    ", CAST(point_id % 31 - 15 AS INT) AS scan_angle, "
+    "CAST(point_id % 5 AS INT) AS point_source_id"
+)
+
+
+def _cloud_ext_cte() -> str:
+    inner = _order_cloud_cte()
+    return f"SELECT t.*{_CLOUD_EXT_SQL_SUFFIX} FROM ({inner}) t"
+
+
+def q_filter_lidar_scan_angles(spark, sf_dir):
+    """FilterLidarScanAngles (lidar_analysis/filter_lidar_scan_angles.rs),
+    threshold 10."""
+    from whitebox_tools_spark.operators.lidar import filter_scan_angles
+
+    return _r6(
+        filter_scan_angles(_cloud_ext(spark, sf_dir), threshold=10.0),
+        ["x", "y", "z"],
+    )
+
+
+def q_flightline_overlap(spark, sf_dir):
+    """FlightlineOverlap (lidar_analysis/flightline_overlap.rs): distinct
+    point-source count per NN_GRID cell."""
+    from whitebox_tools_spark.operators.lidar import flightline_overlap
+
+    return flightline_overlap(_cloud_ext(spark, sf_dir), NN_GRID)
+
+
+def q_classify_overlap_points(spark, sf_dir):
+    """ClassifyOverlapPoints (lidar_analysis/classify_overlap_points.rs):
+    class 12 where the cell holds > 1 flightline."""
+    from whitebox_tools_spark.operators.lidar import classify_overlap_points
+
+    out = classify_overlap_points(_cloud_ext(spark, sf_dir), NN_GRID)
+    return _r6(out.select("point_id", "x", "y", "z", "classification"), ["x", "y", "z"])
+
+
+def q_lidar_colourize(spark, sf_dir):
+    """LidarColourize (lidar_analysis/lidar_colourize.rs): RGB from the
+    packed composite at each point's EXTRACT_GRID cell (points off the
+    image drop, per the reference's coverage requirement)."""
+    from whitebox_tools_spark.operators import color as CO
+    from whitebox_tools_spark.operators.lidar import lidar_colourize
+
+    comp = CO.create_colour_composite(
+        _part_raster(spark, sf_dir), _part_raster2(spark, sf_dir),
+        _part_raster3(spark, sf_dir),
+    )
+    out = lidar_colourize(_order_cloud(spark, sf_dir), comp, EXTRACT_GRID)
+    return _r6(
+        out.select("point_id", "x", "y", "z", "red", "green", "blue"),
+        ["x", "y", "z"],
+    )
+
+
+def q_lidar_histogram(spark, sf_dir):
+    """LidarHistogram (lidar_analysis/lidar_histogram.rs), z, 20 bins."""
+    from whitebox_tools_spark.operators.lidar import lidar_histogram
+
+    return _r6(lidar_histogram(_order_cloud(spark, sf_dir), bins=20), ["lo", "hi"])
+
+
+def q_lidar_kappa_index(spark, sf_dir):
+    """LidarKappaIndex (lidar_analysis/lidar_kappa.rs): Cohen's kappa of
+    the cloud vs a deterministically perturbed reclassification."""
+    from whitebox_tools_spark.operators.lidar import lidar_kappa_index
+
+    a = _order_cloud(spark, sf_dir)
+    b = a.withColumn(
+        "classification",
+        F.when(F.col("point_id") % 7 == 0, F.lit(1)).otherwise(F.col("classification")),
+    )
+    return _r6(lidar_kappa_index(a, b), ["kappa", "overall_accuracy"])
+
+
+def q_clip_lidar_to_polygon(spark, sf_dir):
+    """ClipLidarToPolygon (lidar_analysis/clip_lidar_to_polygon.rs)."""
+    from whitebox_tools_spark.operators.pip import clip_lidar_to_polygon
+
+    return _r6(
+        clip_lidar_to_polygon(_order_cloud(spark, sf_dir), PARTS, IDX),
+        ["x", "y", "z"],
+    )
+
+
+def q_erase_polygon_from_lidar(spark, sf_dir):
+    """ErasePolygonFromLidar (lidar_analysis/erase_polygon_from_lidar.rs)."""
+    from whitebox_tools_spark.operators.pip import clip_lidar_to_polygon
+
+    return _r6(
+        clip_lidar_to_polygon(_order_cloud(spark, sf_dir), PARTS, IDX, erase=True),
+        ["x", "y", "z"],
+    )
+
+
+def q_clip_raster_to_polygon(spark, sf_dir):
+    """ClipRasterToPolygon (gis_analysis/clip_raster_to_polygon.rs):
+    noise raster clipped to the lake polygons (cell-center PIP)."""
+    from whitebox_tools_spark.operators.extract import clip_raster_to_polygon
+
+    return _r6(
+        clip_raster_to_polygon(
+            _noise_raster(spark, sf_dir), EXTRACT_GRID, _LAKES, IDX
+        ),
+        ["value"],
+    )
+
+
+def q_erase_polygon_from_raster(spark, sf_dir):
+    """ErasePolygonFromRaster (gis_analysis/erase_polygon_from_raster.rs)."""
+    from whitebox_tools_spark.operators.extract import clip_raster_to_polygon
+
+    return _r6(
+        clip_raster_to_polygon(
+            _noise_raster(spark, sf_dir), EXTRACT_GRID, _LAKES, IDX, erase=True
+        ),
+        ["value"],
+    )
+
+
+def q_select_tiles_by_polygon(spark, sf_dir):
+    """SelectTilesByPolygon (lidar_analysis/select_tiles_by_polygon.rs):
+    keep 125-unit tiles whose center lies in a synth polygon."""
+    from whitebox_tools_spark.operators.pip import select_tiles_by_polygon
+
+    tiles = spark.range(64).select(
+        F.col("id").alias("tile"),
+        (F.lit(62.5) + (F.col("id") % 8) * 125.0).alias("cx"),
+        (F.lit(62.5) + (F.col("id") / 8).cast("long") * 125.0).alias("cy"),
+    )
+    return select_tiles_by_polygon(tiles, PARTS, IDX).select(
+        "tile", F.round("cx", 6).alias("cx"), F.round("cy", 6).alias("cy")
+    )
+
+
+def _flightline_overlap_sql() -> str:
+    g = NN_GRID
+    return f"""
+WITH pts AS ({_cloud_ext_cte()}),
+k AS (SELECT {g.row_sql('y')} AS row, {g.col_sql('x')} AS col, point_source_id FROM pts)
+SELECT row, col, CAST(count(DISTINCT point_source_id) AS DOUBLE) AS value
+FROM k WHERE {g.in_grid_sql('row', 'col')}
+GROUP BY row, col
+"""
+
+
+def _classify_overlap_sql() -> str:
+    g = NN_GRID
+    return f"""
+WITH pts AS ({_cloud_ext_cte()}),
+k AS (SELECT pts.*, {g.row_sql('y')} AS grow, {g.col_sql('x')} AS gcol FROM pts),
+ov AS (
+  SELECT grow, gcol FROM k WHERE {g.in_grid_sql('grow', 'gcol')}
+  GROUP BY grow, gcol HAVING count(DISTINCT point_source_id) > 1
+)
+SELECT k.point_id, round(k.x, 6) AS x, round(k.y, 6) AS y, round(k.z, 6) AS z,
+       CASE WHEN ov.grow IS NOT NULL THEN 12 ELSE k.classification END AS classification
+FROM k LEFT JOIN ov ON ov.grow = k.grow AND ov.gcol = k.gcol
+"""
+
+
+def _lidar_colourize_sql() -> str:
+    from whitebox_tools_spark.operators.color import composite_oracle_sql
+
+    comp = composite_oracle_sql(_PART_RASTER_SQL, _PART_RASTER2_SQL, _PART_RASTER3_SQL)
+    g = EXTRACT_GRID
+    return f"""
+WITH pts AS ({_order_cloud_cte()}),
+comp AS ({comp}),
+rgb AS (SELECT row, col,
+               CAST(value AS BIGINT) % 256 AS red,
+               (CAST(value AS BIGINT) // 256) % 256 AS green,
+               (CAST(value AS BIGINT) // 65536) % 256 AS blue
+        FROM comp)
+SELECT p.point_id, round(p.x, 6) AS x, round(p.y, 6) AS y, round(p.z, 6) AS z,
+       rgb.red, rgb.green, rgb.blue
+FROM pts p JOIN rgb ON rgb.row = {g.row_sql('p.y')} AND rgb.col = {g.col_sql('p.x')}
+"""
+
+
+def _lidar_histogram_sql() -> str:
+    return f"""
+WITH pts AS ({_order_cloud_cte()}),
+st AS (SELECT min(z) AS mn, max(z) AS mx FROM pts),
+b AS (SELECT least(CAST(floor((z - mn) / ((mx - mn) / 20.0)) AS BIGINT), 19) AS bin,
+             mn, mx
+      FROM pts CROSS JOIN st)
+SELECT bin,
+       round(min(mn) + bin * (min(mx) - min(mn)) / 20, 6) AS lo,
+       round(min(mn) + (bin + 1) * (min(mx) - min(mn)) / 20, 6) AS hi,
+       count(*) AS n
+FROM b GROUP BY bin
+"""
+
+
+def _lidar_kappa_sql() -> str:
+    return f"""
+WITH a AS ({_order_cloud_cte()}),
+b AS (SELECT point_id,
+             CASE WHEN point_id % 7 = 0 THEN 1 ELSE classification END AS cb
+      FROM a),
+j AS (SELECT a.classification AS ca, b.cb FROM a JOIN b ON b.point_id = a.point_id),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM j),
+pa AS (SELECT CAST(SUM(CASE WHEN ca = cb THEN 1 ELSE 0 END) AS DOUBLE) AS agree FROM j),
+marg AS (
+  SELECT SUM(CAST(na.cnt AS DOUBLE) * nb.cnt / (nn.n * nn.n)) AS pe
+  FROM (SELECT ca AS cls, count(*) AS cnt FROM j GROUP BY ca) na
+  JOIN (SELECT cb AS cls, count(*) AS cnt FROM j GROUP BY cb) nb ON nb.cls = na.cls
+  CROSS JOIN nn
+)
+SELECT round((pa.agree / nn.n - marg.pe) / (1.0 - marg.pe), 6) AS kappa,
+       round(pa.agree / nn.n, 6) AS overall_accuracy
+FROM pa CROSS JOIN nn CROSS JOIN marg
+"""
+
+
+def _clip_lidar_sql(*, erase: bool) -> str:
+    cte = _order_cloud_cte()
+    pip = synth.pip_oracle_sql(cte, POLYS)
+    op = "NOT IN" if erase else "IN"
+    return f"""
+WITH pts AS ({cte}),
+hits AS ({pip})
+SELECT point_id, round(x, 6) AS x, round(y, 6) AS y, round(z, 6) AS z, classification
+FROM pts WHERE point_id {op} (SELECT DISTINCT point_id FROM hits)
+"""
+
+
+def _clip_raster_poly_sql(*, erase: bool) -> str:
+    g = EXTRACT_GRID
+    lake_polys = [
+        synth.Poly(pid, tuple(
+            synth.Part(tuple(xs), tuple(ys), hole) for xs, ys, hole in parts
+        ))
+        for pid, parts in _LAKES
+    ]
+    pip = synth.pip_oracle_sql(_grid_centers_cte(g), lake_polys)
+    op = "NOT IN" if erase else "IN"
+    return f"""
+WITH dem AS (SELECT row, col, value FROM ({_NOISE_RASTER_SQL}) WHERE value IS NOT NULL),
+hits AS ({pip})
+SELECT row, col, round(value, 6) AS value
+FROM dem WHERE row * {g.cols} + col {op} (SELECT DISTINCT point_id FROM hits)
+"""
+
+
+def _select_tiles_sql() -> str:
+    cte = (
+        "SELECT CAST(i AS BIGINT) AS point_id, "
+        "62.5 + (i % 8) * 125.0 AS x, "
+        "62.5 + CAST(floor(i / 8) AS BIGINT) * 125.0 AS y "
+        "FROM generate_series(0, 63) t(i)"
+    )
+    pip = synth.pip_oracle_sql(cte, POLYS)
+    return f"""
+WITH tiles AS ({cte}),
+hits AS ({pip})
+SELECT point_id AS tile, round(x, 6) AS cx, round(y, 6) AS cy
+FROM tiles WHERE point_id IN (SELECT DISTINCT point_id FROM hits)
+"""
 
 
 def q_lidar_remove_duplicates(spark, sf_dir):

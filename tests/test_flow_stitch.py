@@ -230,3 +230,52 @@ def test_breach_carves_minimally(spark):
     # cone apex path is monotone so nothing deepens below 0 - s*diameter
     assert out.agg(F.min("value")).collect()[0][0] >= -1.0
     assert changed < 144
+
+
+def test_solve_fa_max_semiring(spark):
+    """max-upslope propagation vs a serial pointer chase."""
+    import numpy as np
+
+    from whitebox_tools_spark.operators.flow_stitch import solve_fa
+
+    rng = np.random.RandomState(17)
+    n = 24
+    z = rng.rand(n, n) * 100
+    w = rng.rand(n, n) * 50
+    grid = GridSpec(west=0.0, north=100.0, res_x=2.0, res_y=2.0, rows=n, cols=n)
+    dem = spark.createDataFrame(
+        [(r, c, float(z[r, c])) for r in range(n) for c in range(n)],
+        "row long, col long, value double",
+    )
+    from whitebox_tools_spark.operators.hydro import _flow_edges
+
+    edges = _flow_edges(dem, grid)
+    nodes = spark.createDataFrame(
+        [(r, c, float(w[r, c])) for r in range(n) for c in range(n)],
+        "row long, col long, w double",
+    ).join(edges, ["row", "col"], "left").select(
+        "row", "col", "w",
+        F.col("trow").alias("nrow"), F.col("tcol").alias("ncol"),
+    )
+    got = {
+        (r.row, r.col): r.fa
+        for r in solve_fa(nodes, block=7, scale=4, direct_threshold=20, op="max").collect()
+    }
+    # serial truth
+    nxt = {(r.row, r.col): (r.trow, r.tcol) for r in edges.collect()}
+    best = {(r, c): w[r, c] for r in range(n) for c in range(n)}
+    import collections
+
+    indeg = collections.Counter(nxt.values())
+    stack = [k for k in best if indeg.get(k, 0) == 0]
+    seen_in = collections.Counter()
+    while stack:
+        k = stack.pop()
+        if k in nxt:
+            t = nxt[k]
+            best[t] = max(best[t], best[k])
+            seen_in[t] += 1
+            if seen_in[t] == indeg[t]:
+                stack.append(t)
+    for k, v in best.items():
+        assert got[k] == v, k

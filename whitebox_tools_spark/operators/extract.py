@@ -48,3 +48,23 @@ def extract_raster_values_at_points(
         .withColumn(out_col, F.coalesce(F.col("__val"), F.lit(grid.nodata)))
         .drop("__row", "__col", "__val")
     )
+
+
+def clip_raster_to_polygon(
+    cells, grid, polys_parts, index, *, erase: bool = False
+):
+    """ClipRasterToPolygon / ErasePolygonFromRaster (gis_analysis/
+    clip_raster_to_polygon.rs, erase_polygon_from_raster.rs): keep (or
+    drop) cells whose CENTER falls inside any polygon — the
+    polygons_to_raster center-PIP machinery re-used as a semi/anti join."""
+    from pyspark.sql import functions as F
+
+    from whitebox_tools_spark.operators.raster_vector import polygons_to_raster
+
+    covered = polygons_to_raster(
+        cells.sparkSession, polys_parts, grid, index
+    ).select("row", "col")
+    how = "left_anti" if erase else "semi"
+    return cells.filter(F.col("value").isNotNull()).join(
+        covered, ["row", "col"], how
+    )

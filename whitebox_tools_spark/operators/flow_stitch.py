@@ -51,8 +51,10 @@ _FA_SCHEMA = (
 # erow/ecol: target of the cross edge the node's downstream PATH exits by
 
 
-def _fa_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Per-group flow accumulation over a functional graph.
+def _fa_kernel(pdf: pd.DataFrame, op: str = "sum") -> pd.DataFrame:
+    """Per-group accumulation over a functional graph in the (op, identity)
+    monoid — op='sum' (flow accumulation) or 'max' (max-upslope
+    propagation; identity is the seed itself).
 
     Input columns: row, col, w, nrow, ncol (next pointers; NaN = terminal).
     In-group edges are resolved positionally; edges leaving the group are
@@ -94,7 +96,10 @@ def _fa_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         t = nxt[frontier]
         valid = t >= 0
         tv = t[valid]
-        np.add.at(fa, tv, fa[frontier[valid]])
+        if op == "sum":
+            np.add.at(fa, tv, fa[frontier[valid]])
+        else:
+            np.maximum.at(fa, tv, fa[frontier[valid]])
         indeg -= np.bincount(tv, minlength=n)
         cand = np.unique(tv)
         frontier = cand[indeg[cand] == 0]
@@ -135,13 +140,13 @@ def _fa_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
-def _grouped_fa(nodes: DataFrame, block: int) -> DataFrame:
+def _grouped_fa(nodes: DataFrame, block: int, op: str = "sum") -> DataFrame:
     """Run the per-tile kernel grouped by spatial block."""
     keyed = nodes.withColumn("gr", F.floor(F.col("row") / F.lit(block))).withColumn(
         "gc", F.floor(F.col("col") / F.lit(block))
     )
     return keyed.groupBy("gr", "gc").applyInPandas(
-        lambda pdf: _fa_kernel(pdf), _FA_SCHEMA
+        lambda pdf: _fa_kernel(pdf, op), _FA_SCHEMA
     )
 
 
@@ -152,6 +157,7 @@ def solve_fa(
     scale: int = 8,
     direct_threshold: int = 200_000,
     max_levels: int = 12,
+    op: str = "sum",
 ) -> DataFrame:
     """Accumulate ``w`` over a functional flow graph.
 
@@ -172,17 +178,18 @@ def solve_fa(
         # single kernel task solves the whole graph
         one = nodes.withColumn("gr", F.lit(0)).withColumn("gc", F.lit(0))
         solved = one.groupBy("gr", "gc").applyInPandas(
-            lambda pdf: _fa_kernel(pdf), _FA_SCHEMA
+            lambda pdf: _fa_kernel(pdf, op), _FA_SCHEMA
         )
         return solved.select("row", "col", "fa")
 
-    local = _grouped_fa(nodes, block).localCheckpoint(eager=True)
+    local = _grouped_fa(nodes, block, op).localCheckpoint(eager=True)
 
     # cross edges u -> v: flow = fa_local(u)
     cross = local.filter(F.col("xrow").isNotNull()).select(
         F.col("xrow").alias("row"), F.col("xcol").alias("col"), F.col("fa").alias("flow")
     )
-    base = cross.groupBy("row", "col").agg(F.sum("flow").alias("w"))
+    agg_fn = F.sum if op == "sum" else F.max
+    base = cross.groupBy("row", "col").agg(agg_fn("flow").alias("w"))
     if max_levels <= 1:
         raise RuntimeError("solve_fa: recursion limit hit (graph too deep)")
     # sub-graph over inlets: next = target of the cross edge the inlet's
@@ -198,13 +205,23 @@ def solve_fa(
         scale=scale,
         direct_threshold=direct_threshold,
         max_levels=max_levels - 1,
+        op=op,
     )
 
     # unwind: inject solved external inflow at the inlets and re-run tiles
     seeded = nodes.join(
         sub_fa.select("row", "col", F.col("fa").alias("__in")), ["row", "col"], "left"
-    ).withColumn("w", F.col("w") + F.coalesce(F.col("__in"), F.lit(0.0))).drop("__in")
-    final = _grouped_fa(seeded, block)
+    )
+    if op == "sum":
+        seeded = seeded.withColumn(
+            "w", F.col("w") + F.coalesce(F.col("__in"), F.lit(0.0))
+        )
+    else:
+        seeded = seeded.withColumn(
+            "w", F.greatest(F.col("w"), F.coalesce(F.col("__in"), F.col("w")))
+        )
+    seeded = seeded.drop("__in")
+    final = _grouped_fa(seeded, block, op)
     return final.select("row", "col", "fa")
 
 

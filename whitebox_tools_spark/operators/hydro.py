@@ -1772,3 +1772,75 @@ SELECT orow AS row, ocol AS col,
        CASE WHEN dist > 0.0 THEN {val} END AS value
 FROM res
 """
+
+
+def stochastic_depression_analysis(
+    cells: DataFrame, *, rmse: float = 1.0, n_iterations: int = 5,
+    seed: int = 11, block: int = 256,
+) -> DataFrame:
+    """StochasticDepressionAnalysis (hydro_analysis/
+    stochastic_depression_analysis.rs, Lindsay & Creed 2005 'pdep'):
+    probability a cell belongs to a depression over Monte-Carlo DEM
+    realizations (dem + gaussian error, sigma = rmse). The reference draws
+    unseeded histogram-matched autocorrelated error fields; this engine
+    uses the repo's deterministic minstd Box-Muller hash normals
+    (documented deviation: white seeded noise), so both engines reproduce
+    the field exactly. Each realization fills with the Barnes tile stitch.
+    -> (row, col, value = pdep)."""
+    import math
+
+    from whitebox_tools_spark.operators.flow_stitch import fill_depressions_tiled
+    from whitebox_tools_spark.operators.random import _hash_u_expr
+
+    src = cells.filter(F.col("value").isNotNull()).select("row", "col", "value")
+    acc = None
+    key = F.col("row") * F.lit(1 << 20) + F.col("col")
+    for i in range(n_iterations):
+        u1 = _hash_u_expr(key * n_iterations + F.lit(i), seed, 2)
+        u2 = _hash_u_expr(key * n_iterations + F.lit(i), seed, 3)
+        err = (
+            F.sqrt(F.lit(-2.0) * F.log(u1))
+            * F.cos(F.lit(2.0 * math.pi) * u2) * F.lit(rmse)
+        )
+        dem_i = src.select("row", "col", (F.col("value") + err).alias("value"))
+        filled = fill_depressions_tiled(dem_i, block=block).select(
+            "row", "col", F.col("value").alias("w")
+        )
+        dep = dem_i.join(filled, ["row", "col"]).select(
+            "row", "col",
+            F.when(F.col("w") > F.col("value"), 1.0).otherwise(0.0).alias("d"),
+        )
+        acc = dep if acc is None else acc.unionByName(dep)
+    return acc.groupBy("row", "col").agg(
+        (F.sum("d") / float(n_iterations)).alias("value")
+    )
+
+
+def stochastic_depression_oracle_sql(
+    source_sql: str, *, rmse: float = 1.0, n_iterations: int = 5, seed: int = 11
+) -> str:
+    import math
+
+    from whitebox_tools_spark.operators.random import _hash_u_sql
+
+    parts = []
+    for i in range(n_iterations):
+        key = f"(row * {1 << 20} + col) * {n_iterations} + {i}"
+        u1 = _hash_u_sql(key, seed, 2)
+        u2 = _hash_u_sql(key, seed, 3)
+        err = f"(sqrt(-2.0 * ln({u1})) * cos({2.0 * math.pi!r} * ({u2})) * {float(rmse)!r})"
+        dem_i = (
+            f"SELECT row, col, value + {err} AS value "
+            f"FROM ({source_sql}) WHERE value IS NOT NULL"
+        )
+        parts.append(f"""
+SELECT d.row, d.col,
+       CASE WHEN f.value > d.value THEN 1.0 ELSE 0.0 END AS d
+FROM ({dem_i}) d
+JOIN ({fill_depressions_oracle_sql(dem_i)}) f
+  ON f.row = d.row AND f.col = d.col""")
+    unions = "\nUNION ALL\n".join(parts)
+    return f"""
+SELECT row, col, SUM(d) / {float(n_iterations)!r} AS value
+FROM ({unions}) t GROUP BY row, col
+"""

@@ -413,3 +413,117 @@ nn AS (
 SELECT p.point_id, p.x, p.y, p.z - nn.gz AS z, p.classification
 FROM pts p JOIN nn ON nn.point_id = p.point_id
 """
+
+
+def filter_scan_angles(points: DataFrame, *, threshold: float) -> DataFrame:
+    """FilterLidarScanAngles (lidar_analysis/filter_lidar_scan_angles.rs):
+    drop points with |scan_angle| above the threshold."""
+    return points.filter(F.abs(F.col("scan_angle")) <= F.lit(threshold))
+
+
+def flightline_overlap(points: DataFrame, grid, *, source: str = "point_source_id") -> DataFrame:
+    """FlightlineOverlap (lidar_analysis/flightline_overlap.rs): per grid
+    cell, the number of DISTINCT flightlines (point source ids) with
+    points in the cell. -> (row, col, value)."""
+    return (
+        points.select(
+            grid.row_expr(F.col("y")).alias("row"),
+            grid.col_expr(F.col("x")).alias("col"),
+            F.col(source),
+        )
+        .filter(grid.in_grid_expr(F.col("row"), F.col("col")))
+        .groupBy("row", "col")
+        .agg(F.countDistinct(source).cast("double").alias("value"))
+    )
+
+
+def classify_overlap_points(points: DataFrame, grid, *, source: str = "point_source_id") -> DataFrame:
+    """ClassifyOverlapPoints (lidar_analysis/classify_overlap_points.rs):
+    flag (classification 12) every point lying in a grid cell containing
+    more than one flightline."""
+    cells = flightline_overlap(points, grid, source=source).filter(
+        F.col("value") > 1.0
+    ).select("row", "col")
+    keyed = points.withColumn("row", grid.row_expr(F.col("y"))).withColumn(
+        "col", grid.col_expr(F.col("x"))
+    )
+    return (
+        keyed.join(cells.withColumn("__o", F.lit(1)), ["row", "col"], "left")
+        .withColumn(
+            "classification",
+            F.when(F.col("__o").isNotNull(), F.lit(12)).otherwise(
+                F.col("classification")
+            ),
+        )
+        .drop("row", "col", "__o")
+    )
+
+
+def lidar_colourize(points: DataFrame, composite: DataFrame, grid) -> DataFrame:
+    """LidarColourize (lidar_analysis/lidar_colourize.rs): attach the
+    packed-composite RGB at each point's raster cell. Points off the image
+    are dropped (the reference requires coverage)."""
+    keyed = points.withColumn("row", grid.row_expr(F.col("y"))).withColumn(
+        "col", grid.col_expr(F.col("x"))
+    )
+    v = F.col("value").cast("long")
+    rgb = composite.select(
+        "row", "col",
+        (v % 256).alias("red"),
+        ((v / 256).cast("long") % 256).alias("green"),
+        ((v / 65536).cast("long") % 256).alias("blue"),
+    )
+    return keyed.join(rgb, ["row", "col"]).drop("row", "col")
+
+
+def lidar_histogram(points: DataFrame, *, field: str = "z", bins: int = 20) -> DataFrame:
+    """LidarHistogram (lidar_analysis/lidar_histogram.rs): equal-width
+    histogram of a point attribute. -> (bin, lo, hi, n)."""
+    st = points.agg(F.min(field).alias("mn"), F.max(field).alias("mx"))
+    j = points.crossJoin(F.broadcast(st))
+    width = (F.col("mx") - F.col("mn")) / F.lit(float(bins))
+    b = F.least(
+        F.floor((F.col(field) - F.col("mn")) / width).cast("long"),
+        F.lit(bins - 1),
+    )
+    return (
+        j.withColumn("bin", b)
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("mn").alias("mn"), F.min("mx").alias("mx"),
+        )
+        .select(
+            "bin",
+            (F.col("mn") + F.col("bin") * (F.col("mx") - F.col("mn")) / bins).alias("lo"),
+            (F.col("mn") + (F.col("bin") + 1) * (F.col("mx") - F.col("mn")) / bins).alias("hi"),
+            "n",
+        )
+    )
+
+
+def lidar_kappa_index(a: DataFrame, b: DataFrame) -> DataFrame:
+    """LidarKappaIndex (lidar_analysis/lidar_kappa.rs): Cohen's kappa of
+    two clouds' classifications joined on point_id.
+    -> single row (kappa, overall_accuracy)."""
+    j = a.select("point_id", F.col("classification").alias("ca")).join(
+        b.select("point_id", F.col("classification").alias("cb")), "point_id"
+    )
+    n = j.count()
+    agree = j.filter(F.col("ca") == F.col("cb")).count()
+    pa = agree / n
+    marg = (
+        j.groupBy("ca").agg(F.count(F.lit(1)).alias("na"))
+        .join(
+            j.groupBy("cb").agg(F.count(F.lit(1)).alias("nb")),
+            F.col("ca") == F.col("cb"),
+        )
+        .agg(F.sum(F.col("na").cast("double") * F.col("nb") / (n * n)))
+        .collect()[0][0]
+        or 0.0
+    )
+    spark = a.sparkSession
+    kappa = (pa - marg) / (1.0 - marg) if marg < 1.0 else 1.0
+    return spark.createDataFrame(
+        [(float(kappa), float(pa))], "kappa double, overall_accuracy double"
+    )

@@ -279,3 +279,29 @@ def erase_points(
         hits.withColumnRenamed("point_id", point_id), point_id, "left_anti"
     )
     return with_global_seq(kept, [point_id], out_col="FID")
+
+
+def clip_lidar_to_polygon(points, polys_parts, index, *, erase: bool = False):
+    """ClipLidarToPolygon / ErasePolygonFromLidar (lidar_analysis/
+    clip_lidar_to_polygon.rs, erase_polygon_from_lidar.rs): the point
+    clip/erase machinery over a cloud (all columns pass through)."""
+    keep = clip_points(
+        points.select("point_id", "x", "y"), polys_parts, index
+    ) if not erase else erase_points(
+        points.select("point_id", "x", "y"), polys_parts, index
+    )
+    return points.join(keep.select("point_id"), "point_id", "semi")
+
+
+def select_tiles_by_polygon(tiles, polys_parts, index, *, cx: str = "cx", cy: str = "cy"):
+    """SelectTilesByPolygon (lidar_analysis/select_tiles_by_polygon.rs):
+    keep tiles whose center point falls inside any polygon."""
+    from pyspark.sql import functions as F
+
+    pts = tiles.select(
+        F.col("tile").alias("point_id"), F.col(cx).alias("x"), F.col(cy).alias("y")
+    )
+    keep = clip_points(pts, polys_parts, index)
+    return tiles.join(
+        keep.select(F.col("point_id").alias("tile")), "tile", "semi"
+    )

@@ -2079,3 +2079,75 @@ SELECT b.basin_id, max(fl.value) AS value
 FROM b JOIN fl ON fl.row = b.row AND fl.col = b.col
 GROUP BY b.basin_id
 """
+
+
+def long_profile_from_points(
+    cells: DataFrame, grid: GridSpec, seeds: DataFrame, *, max_iterations: int = 10_000
+) -> DataFrame:
+    """LongProfileFromPoints (stream_network_analysis/
+    long_profile_from_points.rs): for each seed point's D8 flow path, the
+    (cumulative distance from the seed, elevation) profile series.
+    seeds: (seed_id, row, col). -> (seed_id, seq, dist, z)."""
+    from whitebox_tools_spark.distributed import loop_checkpoint
+    from whitebox_tools_spark.operators.hydro import _edge_drops
+
+    src = cells.filter(F.col("value").isNotNull()).select("row", "col", "value")
+    edges = _edge_drops(cells, grid).localCheckpoint(eager=True)
+    state = (
+        seeds.join(src, ["row", "col"])
+        .select(
+            "seed_id", "row", "col",
+            F.lit(0).alias("seq"), F.lit(0.0).alias("dist"),
+            F.col("value").alias("z"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    out = state
+    for _ in range(max_iterations):
+        step = (
+            state.join(edges, ["row", "col"])
+            .join(
+                src.select(
+                    F.col("row").alias("trow"), F.col("col").alias("tcol"),
+                    F.col("value").alias("tz"),
+                ),
+                ["trow", "tcol"],
+            )
+            .select(
+                "seed_id",
+                F.col("trow").alias("row"), F.col("tcol").alias("col"),
+                (F.col("seq") + 1).alias("seq"),
+                (F.col("dist") + F.col("len")).alias("dist"),
+                F.col("tz").alias("z"),
+            )
+            .transform(loop_checkpoint)
+        )
+        if step.isEmpty():
+            break
+        out = loop_checkpoint(out.unionByName(step))
+        state = step
+    return out
+
+
+def long_profile_from_points_oracle_sql(
+    source_sql: str, grid: GridSpec, seeds: list[tuple[int, int, int]]
+) -> str:
+    from whitebox_tools_spark.operators.hydro import _fd_ctes
+
+    seed_vals = ", ".join(f"({sid},{r},{c})" for sid, r, c in seeds)
+    return f"""
+WITH RECURSIVE {_fd_ctes(source_sql, grid)},
+seeds AS (SELECT * FROM (VALUES {seed_vals}) t(seed_id, row, col)),
+walk(seed_id, row, col, seq, dist) AS (
+  SELECT s.seed_id, s.row, s.col, 0, CAST(0.0 AS DOUBLE)
+  FROM seeds s JOIN cells c ON c.row = s.row AND c.col = s.col
+  UNION
+  SELECT w.seed_id, f.trow, f.tcol, w.seq + 1, w.dist + d.len
+  FROM walk w
+  JOIN fd f ON f.row = w.row AND f.col = w.col
+  JOIN dirs d ON d.i = f.i
+  JOIN cells c2 ON c2.row = f.trow AND c2.col = f.tcol
+)
+SELECT w.seed_id, w.seq, w.dist, c.value AS z
+FROM walk w JOIN cells c ON c.row = w.row AND c.col = w.col
+"""

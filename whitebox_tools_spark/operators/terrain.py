@@ -923,3 +923,106 @@ def extract_valleys_lq_oracle_sql(
 SELECT row, col, CASE WHEN value < 25.0 THEN 1.0 ELSE 0.0 END AS value
 FROM ({inner}) t
 """
+
+
+def slope_vs_elevation_plot(cells: DataFrame, grid, *, z_factor: float = 1.0) -> DataFrame:
+    """SlopeVsElevationPlot (terrain_analysis/slope_vs_elev_plot.rs:
+    290-400): the data series behind the reference's HTML plot — per
+    elevation bin (width = range / max((max-min)/5, ceil(log2 n)+1)),
+    the mean 3x3-Horn slope (degrees) of the bin's cells. The top-of-range
+    cell is clamped into the last bin (the reference's unclamped floor
+    indexes one past the array). -> (bin, elev, mean_slope, n)."""
+    import math
+
+    from whitebox_tools_spark.operators.multiscale import _normals
+
+    src = cells.filter(F.col("value").isNotNull()).select("row", "col", "value")
+    g8 = 8.0 * grid.res_x
+    nrm = _normals(src, grid)  # na = -(fx*8res), nb = -(fy*8res)
+    slope = nrm.select(
+        "row", "col", "value",
+        F.degrees(
+            F.atan(
+                F.sqrt(
+                    (F.col("na") / g8) * (F.col("na") / g8)
+                    + (F.col("nb") / g8) * (F.col("nb") / g8)
+                )
+            )
+        ).alias("slope"),
+    )
+    st = src.agg(
+        F.min("value").alias("mn"), F.max("value").alias("mx"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    num_bins = max(
+        int(st.mx - st.mn) // 5, int(math.ceil(math.log2(st.n))) + 1
+    )
+    bw = (st.mx - st.mn) / num_bins
+    b = F.least(
+        F.floor((F.col("value") - F.lit(st.mn)) / F.lit(bw)).cast("long"),
+        F.lit(num_bins - 1),
+    )
+    return (
+        slope.withColumn("bin", b)
+        .groupBy("bin")
+        .agg(F.avg("slope").alias("mean_slope"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "bin",
+            (F.lit(st.mn) + F.col("bin") * F.lit(bw)).alias("elev"),
+            "mean_slope", "n",
+        )
+    )
+
+
+def slope_vs_elevation_oracle_sql(source_sql: str, grid) -> str:
+    dirs = ", ".join(
+        f"({i}, {[1, 1, 1, 0, -1, -1, -1, 0][i]}, {[-1, 0, 1, 1, 1, 0, -1, -1][i]})"
+        for i in range(8)
+    )
+    vs = ",\n".join(
+        f"         max(CASE WHEN d.i = {i} THEN n.value END) AS v{i}"
+        for i in range(8)
+    )
+    g8 = 8.0 * grid.res_x
+    return f"""
+WITH cells AS MATERIALIZED (SELECT row, col, value FROM ({source_sql}) WHERE value IS NOT NULL),
+nb AS (
+  SELECT c.row, c.col, any_value(c.value) AS z,
+{vs}
+  FROM cells c
+  CROSS JOIN (VALUES {dirs}) d(i, dx, dy)
+  LEFT JOIN cells n ON n.row = c.row + d.dy AND n.col = c.col + d.dx
+  GROUP BY c.row, c.col
+),
+sl AS (
+  SELECT row, col, z AS value,
+         degrees(atan(sqrt(
+           ((coalesce(v2, z) - coalesce(v4, z) + 2.0 * (coalesce(v1, z) - coalesce(v5, z))
+            + coalesce(v0, z) - coalesce(v6, z)) / {g8!r})
+         * ((coalesce(v2, z) - coalesce(v4, z) + 2.0 * (coalesce(v1, z) - coalesce(v5, z))
+            + coalesce(v0, z) - coalesce(v6, z)) / {g8!r})
+         + ((coalesce(v6, z) - coalesce(v4, z) + 2.0 * (coalesce(v7, z) - coalesce(v3, z))
+            + coalesce(v0, z) - coalesce(v2, z)) / {g8!r})
+         * ((coalesce(v6, z) - coalesce(v4, z) + 2.0 * (coalesce(v7, z) - coalesce(v3, z))
+            + coalesce(v0, z) - coalesce(v2, z)) / {g8!r})
+         ))) AS slope
+  FROM nb
+),
+st AS (
+  SELECT min(value) AS mn, max(value) AS mx, count(*) AS n,
+         greatest(CAST(floor(max(value) - min(value)) AS BIGINT) // 5,
+                  CAST(ceil(log2(count(*))) AS BIGINT) + 1) AS num_bins
+  FROM cells
+)
+SELECT b AS bin,
+       mn + b * ((mx - mn) / num_bins) AS elev,
+       avg(slope) AS mean_slope, count(*) AS n
+FROM (
+  SELECT s.slope,
+         least(CAST(floor((s.value - st.mn) / ((st.mx - st.mn) / st.num_bins)) AS BIGINT),
+               st.num_bins - 1) AS b,
+         st.mn, st.mx, st.num_bins
+  FROM sl s CROSS JOIN st
+)
+GROUP BY b, mn, mx, num_bins
+"""
