@@ -2550,10 +2550,8 @@ def q_long_profile_from_points(spark, sf_dir):
     from whitebox_tools_spark.operators.streams import long_profile_from_points
 
     seeds = spark.createDataFrame(_PROFILE_SEEDS, "seed_id long, row long, col long")
-    return _r6(
-        long_profile_from_points(_valley_dem(spark, sf_dir), STREAM_GRID, seeds),
-        ["dist", "z"],
-    )
+    out = long_profile_from_points(_valley_dem(spark, sf_dir), STREAM_GRID, seeds)
+    return _r6(out.select("seed_id", "seq", "dist", "z"), ["dist", "z"])
 
 
 def q_stochastic_depression_analysis(spark, sf_dir):
@@ -2723,7 +2721,7 @@ def q_find_lowest_highest_points(spark, sf_dir):
 
 _WALL_LINES = [(0, [2.0, 48.0], [10.0, 990.0]), (1, [1.0, 49.0], [500.0, 520.0])]
 _LAKES = [
-    (0, [([5.0, 5.0, 45.0, 45.0, 5.0], [100.0, 300.0, 300.0, 100.0, 100.0], False)]),
+    (0, [([1.0, 1.0, 45.0, 45.0, 1.0], [100.0, 300.0, 300.0, 100.0, 100.0], False)]),
     (1, [([10.0, 10.0, 40.0, 40.0, 10.0], [600.0, 800.0, 800.0, 600.0, 600.0], False)]),
 ]
 
