@@ -2989,6 +2989,29 @@ def q_related_circumscribing_circle(spark, sf_dir):
     return _r6(related_circumscribing_circle(_parts_df(spark)), ["value"])
 
 
+def q_extend_vector_lines(spark, sf_dir):
+    """ExtendVectorLines (gis_analysis/extend_vector_lines.rs), 15 units,
+    both ends; emitted as terminal coordinates per line."""
+    from whitebox_tools_spark.operators.vector_ops import extend_vector_lines
+
+    out = extend_vector_lines(_cust_lines(spark, sf_dir), dist=15.0)
+    return out.select(
+        "line_id",
+        F.round(F.element_at("xs", 1), 6).alias("sx"),
+        F.round(F.element_at("ys", 1), 6).alias("sy"),
+        F.round(F.element_at("xs", F.size("xs")), 6).alias("ex"),
+        F.round(F.element_at("ys", F.size("ys")), 6).alias("ey"),
+        F.size("xs").cast("long").alias("nv"),
+    )
+
+
+def q_layer_footprint(spark, sf_dir):
+    """LayerFootprint (gis_analysis/layer_footprint.rs): layer extent."""
+    from whitebox_tools_spark.operators.vector_ops import layer_footprint
+
+    return _r6(layer_footprint(_parts_df(spark)), ["xmin", "ymin", "xmax", "ymax"])
+
+
 def q_elongation_ratio(spark, sf_dir):
     """ElongationRatio (gis_analysis/elongation_ratio.rs): 1 - S/L of the
     minimum-area oriented bounding box."""
@@ -4526,6 +4549,8 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edge_proportion": q_edge_proportion,
         "elongation_ratio": q_elongation_ratio,
         "polygon_long_axis": q_polygon_long_axis,
+        "extend_vector_lines": q_extend_vector_lines,
+        "layer_footprint": q_layer_footprint,
         "polygon_short_axis": q_polygon_short_axis,
         "minimum_bounding_circle": q_minimum_bounding_circle,
         "related_circumscribing_circle": q_related_circumscribing_circle,
@@ -5109,6 +5134,8 @@ GROUP BY 1
         ),
         "elongation_ratio": _elongation_sql(),
         "polygon_long_axis": _axis_sql(long=True),
+        "extend_vector_lines": _extend_lines_sql(),
+        "layer_footprint": _layer_footprint_sql(),
         "polygon_short_axis": _axis_sql(long=False),
         "minimum_bounding_circle": _mbc_sql(),
         "related_circumscribing_circle": _rcc_sql(),
@@ -7005,6 +7032,42 @@ def _mbb_axes(pts):
             best = (w * ht, w, ht)
     _, w, ht = best
     return min(w, ht), max(w, ht)
+
+
+def _extend_lines_sql() -> str:
+    segs = _cust_segs_cte()
+    return f"""
+WITH segs AS ({segs}),
+ends AS (
+  SELECT line_id,
+         min_by(px0, seg_idx) AS x1, min_by(py0, seg_idx) AS y1,
+         min_by(px1, seg_idx) AS x2, min_by(py1, seg_idx) AS y2,
+         max_by(px1, seg_idx) AS xn, max_by(py1, seg_idx) AS yn,
+         max_by(px0, seg_idx) AS xm, max_by(py0, seg_idx) AS ym,
+         count(*) + 1 AS nv
+  FROM segs GROUP BY line_id
+)
+SELECT line_id,
+       round(x1 + 15.0 * (x1 - x2) / sqrt((x1 - x2) * (x1 - x2) + (y1 - y2) * (y1 - y2)), 6) AS sx,
+       round(y1 + 15.0 * (y1 - y2) / sqrt((x1 - x2) * (x1 - x2) + (y1 - y2) * (y1 - y2)), 6) AS sy,
+       round(xn + 15.0 * (xn - xm) / sqrt((xn - xm) * (xn - xm) + (yn - ym) * (yn - ym)), 6) AS ex,
+       round(yn + 15.0 * (yn - ym) / sqrt((xn - xm) * (xn - xm) + (yn - ym) * (yn - ym)), 6) AS ey,
+       CAST(nv AS BIGINT) AS nv
+FROM ends
+"""
+
+
+def _layer_footprint_sql() -> str:
+    vals = []
+    for pid, parts in PARTS:
+        for xs, ys, hole in parts:
+            for x, y in zip(xs, ys):
+                vals.append(f"({float(x)!r}, {float(y)!r})")
+    return (
+        "SELECT round(min(x), 6) AS xmin, round(min(y), 6) AS ymin, "
+        "round(max(x), 6) AS xmax, round(max(y), 6) AS ymax "
+        "FROM (VALUES " + ", ".join(vals) + ") AS t(x, y)"
+    )
 
 
 def _axis_sql(*, long: bool) -> str:

@@ -818,3 +818,51 @@ def create_hexagonal_vector_grid(
         (F.col("row") * ncols + F.col("col") + 1).alias("fid"),
         "col", "row", cx.alias("cx"), cy.alias("cy"), xs.alias("xs"), ys.alias("ys"),
     )
+
+
+def extend_vector_lines(
+    lines: DataFrame, *, dist: float, mode: str = "both"
+) -> DataFrame:
+    """ExtendVectorLines (gis_analysis/extend_vector_lines.rs): move each
+    polyline's first/last vertex outward by `dist` along its terminal
+    segment direction. lines: (line_id, xs, ys); mode in
+    {'both', 'starts', 'ends'}."""
+    xs, ys = F.col("xs"), F.col("ys")
+    n = F.size(xs)
+    dx0 = F.element_at(xs, 1) - F.element_at(xs, 2)
+    dy0 = F.element_at(ys, 1) - F.element_at(ys, 2)
+    l0 = F.sqrt(dx0 * dx0 + dy0 * dy0)
+    dxn = F.element_at(xs, n) - F.element_at(xs, n - 1)
+    dyn = F.element_at(ys, n) - F.element_at(ys, n - 1)
+    ln = F.sqrt(dxn * dxn + dyn * dyn)
+    sx = F.element_at(xs, 1) + F.lit(dist) * dx0 / l0
+    sy = F.element_at(ys, 1) + F.lit(dist) * dy0 / l0
+    ex = F.element_at(xs, n) + F.lit(dist) * dxn / ln
+    ey = F.element_at(ys, n) + F.lit(dist) * dyn / ln
+    do_start = mode in ("both", "starts")
+    do_end = mode in ("both", "ends")
+    new_xs = xs
+    new_ys = ys
+    if do_start:
+        new_xs = F.concat(F.array(sx), F.slice(new_xs, 2, 1_000_000))
+        new_ys = F.concat(F.array(sy), F.slice(new_ys, 2, 1_000_000))
+    if do_end:
+        new_xs = F.concat(F.slice(new_xs, 1, F.size(new_xs) - 1), F.array(ex))
+        new_ys = F.concat(F.slice(new_ys, 1, F.size(new_ys) - 1), F.array(ey))
+    # single projection: both replacements must resolve against the
+    # ORIGINAL xs/ys (sequential withColumn would rebind by name)
+    others = [c for c in lines.columns if c not in ("xs", "ys")]
+    return lines.select(*others, new_xs.alias("xs"), new_ys.alias("ys"))
+
+
+def layer_footprint(parts: DataFrame) -> DataFrame:
+    """LayerFootprint (gis_analysis/layer_footprint.rs, bounding-box mode):
+    one rectangle feature covering the layer's full extent.
+    -> single row (xmin, ymin, xmax, ymax)."""
+    return parts.select(
+        F.explode("xs").alias("x")
+    ).agg(F.min("x").alias("xmin"), F.max("x").alias("xmax")).crossJoin(
+        parts.select(F.explode("ys").alias("y")).agg(
+            F.min("y").alias("ymin"), F.max("y").alias("ymax")
+        )
+    ).select("xmin", "ymin", "xmax", "ymax")
