@@ -3627,6 +3627,26 @@ def q_thicken_raster_line(spark, sf_dir):
     return thicken_raster_line(_binary_grid(spark))
 
 
+def q_corner_detection(spark, sf_dir):
+    """CornerDetection (image_analysis/corner_detection.rs): hit-and-miss
+    corner masks over the binary fixture."""
+    from whitebox_tools_spark.operators.binary_morph import corner_detection
+
+    return corner_detection(_binary_grid(spark))
+
+
+def _corner_sql() -> str:
+    from whitebox_tools_spark.operators.binary_morph import corner_detection_oracle_sql
+
+    n = 40
+    grid_sql = (
+        "SELECT CAST(r AS BIGINT) AS row, CAST(c AS BIGINT) AS col, "
+        "CASE WHEN r % 7 < 2 OR c % 9 < 2 THEN 1.0 ELSE 0.0 END AS value "
+        f"FROM generate_series(0, {n - 1}) t1(r), generate_series(0, {n - 1}) t2(c)"
+    )
+    return corner_detection_oracle_sql(grid_sql)
+
+
 def q_bilateral(spark, sf_dir):
     """BilateralFilter (image_analysis/bilateral_filter.rs)."""
     from whitebox_tools_spark.operators import focal as FO
@@ -4595,6 +4615,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_stack_profile": q_image_stack_profile,
         "write_function_memory_insertion": q_write_function_memory_insertion,
         "line_thinning": q_line_thinning,
+        "corner_detection": q_corner_detection,
         "remove_spurs": q_remove_spurs,
         "thicken_raster_line": q_thicken_raster_line,
         "adaptive_filter": q_adaptive_filter,
@@ -5224,6 +5245,7 @@ SELECT p.point_id, 3, round(r3.value, 6) FROM pts p JOIN r3 ON r3.row = p.row AN
 """,
         "write_function_memory_insertion": _wfmi_sql(),
         "line_thinning": _grid_literal_sql(_thin_oracle_py(_binary_grid_np())),
+        "corner_detection": _corner_sql(),
         "remove_spurs": _grid_literal_sql(_spurs_oracle_py(_binary_grid_np())),
         "thicken_raster_line": _grid_literal_sql(_thicken_oracle_py(_binary_grid_np())),
         "split_colour_composite": _split_composite_sql(),

@@ -165,3 +165,79 @@ def remove_spurs(cells: DataFrame, *, max_iterations: int = 10) -> DataFrame:
 
 def thicken_raster_line(cells: DataFrame) -> DataFrame:
     return _apply_grid_op(cells, thicken_grid)
+
+
+_CORNER_ELEMENTS = [
+    [1, 7, 3, 4, 5],
+    [5, 7, 1, 2, 3],
+    [3, 5, 0, 1, 7],
+    [1, 3, 5, 6, 7],
+]
+_CORNER_VALS = [1.0, 1.0, 0.0, 0.0, 0.0]
+
+
+def corner_detection(cells: DataFrame) -> DataFrame:
+    """CornerDetection (image_analysis/corner_detection.rs:208-250):
+    hit-and-miss matching of 4 corner masks over a boolean image — a pure
+    parallel 8-neighbor gather (reads input, writes output; no scan-order
+    dependence). -> (row, col, value 1/0)."""
+    spark = cells.sparkSession
+    src = cells.filter(F.col("value").isNotNull()).select("row", "col", "value")
+    offs = spark.createDataFrame(
+        [(i, DX[i], DY[i]) for i in range(8)], "i int, dx int, dy int"
+    )
+    sc = (
+        src.crossJoin(F.broadcast(offs))
+        .select(
+            (F.col("row") - F.col("dy")).alias("row"),
+            (F.col("col") - F.col("dx")).alias("col"),
+            "i",
+            F.when(F.col("value") > 0.0, 1.0).otherwise(0.0).alias("nb"),
+        )
+        .groupBy("row", "col")
+        .agg(*[
+            F.coalesce(F.max(F.when(F.col("i") == i, F.col("nb"))), F.lit(0.0)).alias(f"n{i}")
+            for i in range(8)
+        ])
+    )
+    g = src.join(sc, ["row", "col"], "left")
+    match_any = None
+    for el in _CORNER_ELEMENTS:
+        m = None
+        for idx, want in zip(el, _CORNER_VALS):
+            c = F.coalesce(F.col(f"n{idx}"), F.lit(0.0)) == F.lit(want)
+            m = c if m is None else (m & c)
+        match_any = m if match_any is None else (match_any | m)
+    return g.select(
+        "row", "col",
+        F.when(
+            F.col("value") > 0.0,
+            F.when(match_any, 1.0).otherwise(0.0),
+        ).otherwise(F.lit(0.0)).alias("value"),
+    )
+
+
+def corner_detection_oracle_sql(source_sql: str) -> str:
+    joins = "\n".join(
+        f"LEFT JOIN src n{i} ON n{i}.row = c.row + {DY[i]} AND n{i}.col = c.col + {DX[i]}"
+        for i in range(8)
+    )
+    def nb(i):
+        return f"(CASE WHEN coalesce(n{i}.value, 0.0) > 0.0 THEN 1.0 ELSE 0.0 END)"
+
+    masks = []
+    for el in _CORNER_ELEMENTS:
+        conds = " AND ".join(
+            f"{nb(idx)} = {want!r}" for idx, want in zip(el, _CORNER_VALS)
+        )
+        masks.append(f"({conds})")
+    any_match = " OR ".join(masks)
+    return f"""
+WITH src AS (SELECT row, col, value FROM ({source_sql}) WHERE value IS NOT NULL)
+SELECT c.row, c.col,
+       CASE WHEN c.value > 0.0
+            THEN CASE WHEN {any_match} THEN 1.0 ELSE 0.0 END
+            ELSE 0.0 END AS value
+FROM src c
+{joins}
+"""
