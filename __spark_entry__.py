@@ -381,6 +381,20 @@ def _slope_raster(spark, sf_dir):
     return slope(_part_raster(spark, sf_dir), res=5.0).localCheckpoint()
 
 
+def q_dinf_mass_flux(spark, sf_dir):
+    """DInfMassFlux (hydro_analysis/dinf_mass_flux.rs); rows-only (weighted
+    transitive closure), numpy-pinned in tests."""
+    from whitebox_tools_spark.operators.hydro import dinf_mass_flux
+
+    dem = _noise_raster(spark, sf_dir)
+    loading = dem.withColumn("value", F.lit(1.0))
+    eff = dem.withColumn("value", F.lit(0.9))
+    ab = dem.withColumn("value", F.lit(0.05))
+    return _r6(
+        dinf_mass_flux(dem, EXTRACT_GRID, loading, eff, ab), ["value"]
+    )
+
+
 def q_wetness_index(spark, sf_dir):
     """WetnessIndex (terrain_analysis/wetness_index.rs): ln(sca/tan(slope))
     with the price raster standing in as SCA."""
@@ -4391,6 +4405,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_valleys_pandd": q_extract_valleys_pandd,
         "elev_above_pit": q_elev_above_pit,
         "d8_mass_flux": q_d8_mass_flux,
+        "dinf_mass_flux": q_dinf_mass_flux,
         "wetness_index": q_wetness_index,
         "stream_power_index": q_stream_power,
         "sediment_transport_index": q_sediment_transport,

@@ -1844,3 +1844,76 @@ JOIN ({fill_depressions_oracle_sql(dem_i)}) f
 SELECT row, col, SUM(d) / {float(n_iterations)!r} AS value
 FROM ({unions}) t GROUP BY row, col
 """
+
+
+def _dinf_edges(cells: DataFrame, grid: GridSpec) -> DataFrame:
+    """(row, col, trow, tcol, frac): the Tarboton two-target split edges
+    (shared by DInfFlowAccumulation and DInfMassFlux)."""
+    ptr = dinf_pointer(cells, grid).withColumnRenamed("value", "dir").localCheckpoint()
+    flows = ptr.filter(F.col("dir") >= 0.0)
+    k = F.least(F.floor(F.col("dir") / 45.0).cast("int"), F.lit(7))
+    p2 = (F.col("dir") - k.cast("double") * 45.0) / 45.0
+    p1 = F.lit(1.0) - p2
+    t1row = F.col("row") + F.coalesce(*[F.when(k == i, F.lit(_DINF_DIRS[i][1])) for i in range(8)])
+    t1col = F.col("col") + F.coalesce(*[F.when(k == i, F.lit(_DINF_DIRS[i][0])) for i in range(8)])
+    k2 = (k + 1) % 8
+    t2row = F.col("row") + F.coalesce(*[F.when(k2 == i, F.lit(_DINF_DIRS[i][1])) for i in range(8)])
+    t2col = F.col("col") + F.coalesce(*[F.when(k2 == i, F.lit(_DINF_DIRS[i][0])) for i in range(8)])
+    e1 = flows.filter(p1 > 0.0).select(
+        "row", "col", t1row.alias("trow"), t1col.alias("tcol"), p1.alias("frac")
+    )
+    e2 = flows.filter(p2 > 0.0).select(
+        "row", "col", t2row.alias("trow"), t2col.alias("tcol"), p2.alias("frac")
+    )
+    edges = e1.unionByName(e2)
+    valid = cells.filter(F.col("value").isNotNull()).select(
+        F.col("row").alias("trow"), F.col("col").alias("tcol")
+    )
+    return edges.join(valid, ["trow", "tcol"])
+
+
+def dinf_mass_flux(
+    cells: DataFrame, grid: GridSpec, loading: DataFrame, efficiency: DataFrame,
+    absorption: DataFrame, *, max_iterations: int = 10_000,
+) -> DataFrame:
+    """DInfMassFlux (hydro_analysis/dinf_mass_flux.rs): mass accumulation
+    over the Tarboton split — out(c) = load(c) + sum over inflow edges of
+    (out(i) - absorption(i)) * efficiency(i) * frac(i). Topological peel
+    over the fractional edge set (rows-only: the weighted transitive
+    closure enumerates combinatorially many paths; pytest-pinned against
+    a serial numpy re-run). -> (row, col, value)."""
+    from whitebox_tools_spark.distributed import loop_checkpoint
+
+    aux = (
+        loading.select("row", "col", F.col("value").alias("ld"))
+        .join(efficiency.select("row", "col", F.col("value").alias("eff")), ["row", "col"])
+        .join(absorption.select("row", "col", F.col("value").alias("ab")), ["row", "col"])
+    )
+    acc = (
+        cells.filter(F.col("value").isNotNull())
+        .select("row", "col")
+        .join(aux, ["row", "col"])
+        .select("row", "col", F.col("ld").alias("m"), "eff", "ab")
+        .localCheckpoint(eager=True)
+    )
+    edges = _dinf_edges(cells, grid).localCheckpoint(eager=True)
+    for _ in range(max_iterations):
+        if edges.isEmpty():
+            break
+        targets = edges.select(F.col("trow").alias("row"), F.col("tcol").alias("col")).distinct()
+        src_edges = edges.join(targets, ["row", "col"], "left_anti")
+        pushed = (
+            src_edges.join(acc, ["row", "col"])
+            .groupBy(F.col("trow").alias("row"), F.col("tcol").alias("col"))
+            .agg(F.sum((F.col("m") - F.col("ab")) * F.col("eff") * F.col("frac")).alias("dm"))
+        )
+        acc = (
+            acc.join(pushed, ["row", "col"], "left")
+            .withColumn("m", F.col("m") + F.coalesce(F.col("dm"), F.lit(0.0)))
+            .drop("dm")
+            .transform(loop_checkpoint)
+        )
+        edges = edges.join(
+            src_edges.select("row", "col").distinct(), ["row", "col"], "left_anti"
+        ).transform(loop_checkpoint)
+    return acc.select("row", "col", F.col("m").alias("value"))
