@@ -24,6 +24,9 @@ HEADLINE = [
     "dedup_exact",
     "minhash_lsh",
     "embedding_topk",
+    "line_intersections",
+    "d8_flow_accumulation",
+    "union_rings",
 ]
 
 
