@@ -381,6 +381,18 @@ def _slope_raster(spark, sf_dir):
     return slope(_part_raster(spark, sf_dir), res=5.0).localCheckpoint()
 
 
+def q_find_parallel_flow(spark, sf_dir):
+    """FindParallelFlow (hydro_analysis/find_parallel_flow.rs) over the
+    valley DEM's D8 pointers + extracted streams."""
+    from whitebox_tools_spark.operators.hydro import d8_pointer, find_parallel_flow
+    from whitebox_tools_spark.operators.streams import extract_streams
+
+    dem = _valley_dem(spark, sf_dir)
+    ptr = d8_pointer(dem, STREAM_GRID)
+    streams = extract_streams(dem, STREAM_GRID, threshold=4.0)
+    return find_parallel_flow(ptr, streams)
+
+
 def q_dinf_mass_flux(spark, sf_dir):
     """DInfMassFlux (hydro_analysis/dinf_mass_flux.rs); rows-only (weighted
     transitive closure), numpy-pinned in tests."""
@@ -2535,6 +2547,18 @@ def _edge_contam_sql() -> str:
     return f"SELECT row, col, round(value, 6) AS value FROM ({inner}) t"
 
 
+def _find_parallel_sql() -> str:
+    from whitebox_tools_spark.operators.hydro import (
+        d8_pointer_oracle_sql,
+        find_parallel_flow_oracle_sql,
+    )
+    from whitebox_tools_spark.operators.streams import extract_streams_oracle_sql
+
+    ptr = d8_pointer_oracle_sql(_VALLEY_DEM_SQL, STREAM_GRID)
+    streams = extract_streams_oracle_sql(_VALLEY_DEM_SQL, STREAM_GRID, threshold=4.0)
+    return find_parallel_flow_oracle_sql(ptr, streams)
+
+
 def q_breach_depressions(spark, sf_dir):
     """BreachDepressions (hydro_analysis/breach_depressions.rs, Lindsay 2016
     unconstrained hybrid breach): carve trenches so every cell drains.
@@ -4406,6 +4430,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "elev_above_pit": q_elev_above_pit,
         "d8_mass_flux": q_d8_mass_flux,
         "dinf_mass_flux": q_dinf_mass_flux,
+        "find_parallel_flow": q_find_parallel_flow,
         "wetness_index": q_wetness_index,
         "stream_power_index": q_stream_power,
         "sediment_transport_index": q_sediment_transport,
@@ -5317,6 +5342,7 @@ FROM ({_PART_RASTER_SQL}) WHERE value IS NOT NULL
         "singlepart_to_multipart": _sp_to_mp_sql(),
         "fill_depressions": _hyd.fill_depressions_oracle_sql(_NOISE_RASTER_SQL),
         "breach_depressions": _breach_oracle(),
+        "find_parallel_flow": _find_parallel_sql(),
         "raise_walls": _raise_walls_sql(),
         "downslope_index": (
             "SELECT row, col, round(value, 6) AS value FROM ("

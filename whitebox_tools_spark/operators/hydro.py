@@ -1917,3 +1917,63 @@ def dinf_mass_flux(
             src_edges.select("row", "col").distinct(), ["row", "col"], "left_anti"
         ).transform(loop_checkpoint)
     return acc.select("row", "col", F.col("m").alias("value"))
+
+
+def find_parallel_flow(
+    pointers: DataFrame, streams: DataFrame
+) -> DataFrame:
+    """FindParallelFlow (hydro_analysis/find_parallel_flow.rs:248-280):
+    1.0 at stream cells whose D8 pointer matches a neighboring stream
+    cell's pointer (excluding the cell's own outflow direction and
+    neighbors that flow INTO the cell), else 0.0. Pure 8-neighbor gather.
+    pointers: (row, col, pointer); streams: (row, col, value > 0)."""
+    spark = pointers.sparkSession
+    out_vals = [1, 2, 4, 8, 16, 32, 64, 128]
+    in_vals = [16, 32, 64, 128, 1, 2, 4, 8]
+    stream_cells = streams.filter(
+        F.col("value").isNotNull() & (F.col("value") > 0)
+    ).select("row", "col")
+    p = pointers.join(stream_cells, ["row", "col"], "semi")
+    offs = spark.createDataFrame(
+        [(i, D8_DX[i], D8_DY[i], out_vals[i], in_vals[i]) for i in range(8)],
+        "i int, dx int, dy int, outv long, inv long",
+    )
+    nb = p.crossJoin(F.broadcast(offs)).select(
+        (F.col("row") - F.col("dy")).alias("row"),
+        (F.col("col") - F.col("dx")).alias("col"),
+        F.col("pointer").alias("zn"),
+        "i", "outv", "inv",
+    )
+    j = p.join(nb, ["row", "col"]).filter(
+        (F.col("pointer") != F.col("outv"))
+        & (F.col("zn") == F.col("pointer"))
+        & (F.col("zn") != F.col("inv"))
+    )
+    hits = j.select("row", "col").distinct().withColumn("__h", F.lit(1))
+    return p.join(hits, ["row", "col"], "left").select(
+        "row", "col",
+        F.when(F.col("__h").isNotNull(), 1.0).otherwise(0.0).alias("value"),
+    )
+
+
+def find_parallel_flow_oracle_sql(pointer_sql: str, streams_sql: str) -> str:
+    out_vals = [1, 2, 4, 8, 16, 32, 64, 128]
+    in_vals = [16, 32, 64, 128, 1, 2, 4, 8]
+    offs = ", ".join(
+        f"({i},{D8_DX[i]},{D8_DY[i]},{out_vals[i]},{in_vals[i]})" for i in range(8)
+    )
+    return f"""
+WITH ptr AS ({pointer_sql}),
+sc AS (SELECT row, col FROM ({streams_sql}) t WHERE value IS NOT NULL AND value > 0),
+p AS (SELECT ptr.* FROM ptr SEMI JOIN sc ON sc.row = ptr.row AND sc.col = ptr.col),
+hits AS (
+  SELECT DISTINCT c.row, c.col
+  FROM p c
+  CROSS JOIN (VALUES {offs}) o(i, dx, dy, outv, inv)
+  JOIN p n ON n.row = c.row + o.dy AND n.col = c.col + o.dx
+  WHERE c.pointer <> o.outv AND n.pointer = c.pointer AND n.pointer <> o.inv
+)
+SELECT p.row, p.col,
+       CASE WHEN h.row IS NOT NULL THEN 1.0 ELSE 0.0 END AS value
+FROM p LEFT JOIN hits h ON h.row = p.row AND h.col = p.col
+"""
