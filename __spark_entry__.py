@@ -4696,6 +4696,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clip_raster_to_polygon": q_clip_raster_to_polygon,
         "erase_polygon_from_raster": q_erase_polygon_from_raster,
         "select_tiles_by_polygon": q_select_tiles_by_polygon,
+        "lidar_thin_high_density": q_lidar_thin_high_density,
         "add_point_coordinates_to_table": q_add_point_coordinates,
         "lidar_point_density": q_lidar_point_density,
         "lidar_remove_outliers": q_lidar_remove_outliers,
@@ -5602,6 +5603,14 @@ FROM ({_cloud_ext_cte()}) t WHERE abs(scan_angle) <= 10.0
         "clip_raster_to_polygon": _clip_raster_poly_sql(erase=False),
         "erase_polygon_from_raster": _clip_raster_poly_sql(erase=True),
         "select_tiles_by_polygon": _select_tiles_sql(),
+        "lidar_thin_high_density": (
+            "SELECT point_id, round(x, 6) AS x, round(y, 6) AS y, "
+            "round(z, 6) AS z, classification FROM ("
+            + _lid.thin_high_density_oracle_sql(
+                _order_cloud_cte(), resolution=100.0, density=0.0003
+            )
+            + ") t"
+        ),
         "height_above_ground": (
             "SELECT point_id, round(x, 6) AS x, round(y, 6) AS y, "
             "round(z, 6) AS z, classification FROM ("
@@ -6602,6 +6611,17 @@ hits AS ({pip})
 SELECT point_id AS tile, round(x, 6) AS cx, round(y, 6) AS cy
 FROM tiles WHERE point_id IN (SELECT DISTINCT point_id FROM hits)
 """
+
+
+def q_lidar_thin_high_density(spark, sf_dir):
+    """LidarThinHighDensity (lidar_analysis/lidar_thin_high_density.rs),
+    resolution 100, density 0.0003 (thins the densest xy/z bins)."""
+    from whitebox_tools_spark.operators.lidar import thin_high_density
+
+    out = thin_high_density(
+        _order_cloud(spark, sf_dir), resolution=100.0, density=0.0003
+    )
+    return _r6(out.select("point_id", "x", "y", "z", "classification"), ["x", "y", "z"])
 
 
 def q_lidar_remove_duplicates(spark, sf_dir):

@@ -527,3 +527,60 @@ def lidar_kappa_index(a: DataFrame, b: DataFrame) -> DataFrame:
     return spark.createDataFrame(
         [(float(kappa), float(pa))], "kappa double, overall_accuracy double"
     )
+
+
+def thin_high_density(
+    points: DataFrame, *, resolution: float, density: float
+) -> DataFrame:
+    """LidarThinHighDensity (lidar_analysis/lidar_thin_high_density.rs:
+    288-340): per (xy grid cell, z bin of height `resolution`), when the
+    bin's count exceeds threshold = resolution^2 * density, keep only
+    every (skip+1)-th point in point order (skip = floor(count/threshold));
+    reference order = file order, here the deterministic point_id order.
+    -> the thinned cloud."""
+    from pyspark.sql import Window
+
+    thr = resolution * resolution * density
+    keyed = points.withColumn(
+        "cx", F.floor(F.col("x") / F.lit(resolution))
+    ).withColumn("cy", F.floor(F.col("y") / F.lit(resolution)))
+    # z bins are cell-relative: bin = floor((z - min_z_in_cell)/res)
+    zmin = keyed.groupBy("cx", "cy").agg(F.min("z").alias("mz"))
+    b = keyed.join(zmin, ["cx", "cy"]).withColumn(
+        "zb", F.floor((F.col("z") - F.col("mz")) / F.lit(resolution))
+    )
+    w = Window.partitionBy("cx", "cy", "zb")
+    cnt = F.count(F.lit(1)).over(w)
+    rank = F.row_number().over(w.orderBy("point_id"))
+    skip = F.floor(cnt / F.lit(thr)).cast("long")
+    keep = (cnt <= F.lit(thr)) | (rank % (skip + 1) == 0)
+    return (
+        b.withColumn("__keep", keep)
+        .filter(F.col("__keep"))
+        .drop("cx", "cy", "mz", "zb", "__keep")
+    )
+
+
+def thin_high_density_oracle_sql(
+    cloud_sql: str, *, resolution: float, density: float
+) -> str:
+    thr = float(resolution * resolution * density)
+    return f"""
+WITH pts AS ({cloud_sql}),
+k AS (SELECT pts.*, CAST(floor(x / {float(resolution)!r}) AS BIGINT) AS cx,
+             CAST(floor(y / {float(resolution)!r}) AS BIGINT) AS cy
+      FROM pts),
+zm AS (SELECT cx, cy, min(z) AS mz FROM k GROUP BY cx, cy),
+b AS (SELECT k.*, CAST(floor((k.z - zm.mz) / {float(resolution)!r}) AS BIGINT) AS zb
+      FROM k JOIN zm ON zm.cx = k.cx AND zm.cy = k.cy),
+r AS (
+  SELECT b.*,
+         count(*) OVER (PARTITION BY cx, cy, zb) AS cnt,
+         row_number() OVER (PARTITION BY cx, cy, zb ORDER BY point_id) AS rnk
+  FROM b
+)
+SELECT point_id, x, y, z, classification
+FROM r
+WHERE cnt <= {thr!r}
+   OR rnk % (CAST(floor(cnt / {thr!r}) AS BIGINT) + 1) = 0
+"""
