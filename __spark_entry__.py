@@ -583,9 +583,11 @@ def q_rtp(spark, sf_dir):
     relative_topographic_position.rs:390-415)."""
     from whitebox_tools_spark.operators.terrain import relative_topographic_position
 
-    return _r6(
-        relative_topographic_position(_part_raster(spark, sf_dir), filterx=5, filtery=5),
-        ["value"],
+    # No float re-round here: the operator's output is already exactly 6-dp
+    # quantized via integer round-half-away (terrain.py) — a further round()
+    # would be the only engine-dependent float op in the pipeline.
+    return relative_topographic_position(
+        _part_raster(spark, sf_dir), filterx=5, filtery=5
     )
 
 
@@ -5910,8 +5912,7 @@ def _sar_sql() -> str:
 def _rtp_sql() -> str:
     from whitebox_tools_spark.operators.terrain import rtp_oracle_sql
 
-    inner = rtp_oracle_sql(_PART_RASTER_SQL, filterx=5, filtery=5)
-    return f"SELECT row, col, round(value, 6) AS value FROM ({inner}) t"
+    return rtp_oracle_sql(_PART_RASTER_SQL, filterx=5, filtery=5)
 
 
 def _valleys_lq_sql() -> str:

@@ -189,3 +189,44 @@ def test_curvature_golden(fixture, which, key):
     got = _collect(curvature(cells, which, res=RES))
     for k, g in golden.items():
         assert got[k] == pytest.approx(g[key], abs=1e-9), k
+
+
+def test_rtp_golden_integer_exact(fixture):
+    """RelativeTopographicPosition vs an independent numpy oracle that
+    mirrors the reference semantics (relative_topographic_position.rs:
+    390-415: (z-mean)/(mean-min) below the mean, (z-mean)/(max-mean)
+    above, 0 flat) computed in exact scaled-integer arithmetic.  The
+    engine output must be BIT-IDENTICAL (== not approx): every value is
+    q/1e6 for an integer q, so any engine/partitioning float drift is a
+    hard failure."""
+    from whitebox_tools_spark.operators.terrain import (
+        relative_topographic_position,
+    )
+
+    cells, _ = fixture
+    got = _collect(relative_topographic_position(cells, filterx=5, filtery=5))
+    dem = _dem()
+    zi = np.rint(dem * 1e6).astype(np.int64)
+    for row in range(N):
+        for col in range(N):
+            mem = [
+                zi[row + dy, col + dx]
+                for dx, dy in OFFSETS
+                if 0 <= row + dy < N and 0 <= col + dx < N
+            ]
+            s = int(sum(int(v) for v in mem))
+            n = len(mem)
+            z = int(zi[row, col])
+            num = z * n - s
+            if num < 0:
+                den = s - int(min(mem)) * n
+                q = (2 * 1000000 * (-num) + den) // (2 * den)
+                want = -q / 1e6
+            else:
+                den = int(max(mem)) * n - s
+                if den > 0:
+                    q = (2 * 1000000 * num + den) // (2 * den)
+                    want = q / 1e6
+                else:
+                    want = 0.0
+            assert got[(row, col)] == want, (row, col)

@@ -476,28 +476,35 @@ def relative_topographic_position(
     the window mean, (z-mean)/(max-mean) above it, 0 for flat windows.
     -> (row, col, value) in [-1, 1].
 
-    The three branch inputs (z-mean, mean-min, max-mean) are quantized to
-    9 dp before the CASE: avg() summation order differs across engines and
-    partitionings, and the z<mean branch switches the DIVISOR, so an
-    unquantized ulp-level diff in `mean` flips the branch and produces a
-    macroscopic output diff that 6-dp rounding cannot mask (same guard as
-    image.py's libm-cliff quantization)."""
+    Engine-invariant by construction: every window statistic is computed on
+    exact scaled integers (zi = round(z*1e6) as bigint; integer sums are
+    associative, so the window mean is the exact rational sum/n in every
+    engine and partitioning), the branch compares are integer compares
+    (z < mean  <=>  zi*n < sum), and the ratio is quantized to 6 dp with
+    integer round-half-away (q = (2*1e6*|num| + den) div (2*den), den > 0)
+    before the single float op — q/1e6.0, a correctly-rounded IEEE division
+    of exact integers, bit-identical across engines.  This replaced a 9-dp
+    float quantization that still driver-diverged (VERDICT r03 item 1)."""
     from whitebox_tools_spark.operators.focal import _scatter_with_center
 
     m = _scatter_with_center(cells, filterx=filterx, filtery=filtery)
+    vi = F.round(F.col("value") * 1e6, 0).cast("long")
     agg = m.groupBy("row", "col").agg(
-        F.any_value("center").alias("z"),
-        F.avg("value").alias("mean"),
-        F.min("value").alias("mn"),
-        F.max("value").alias("mx"),
+        F.round(F.any_value("center") * 1e6, 0).cast("long").alias("zi"),
+        F.sum(vi).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+        F.min(vi).alias("mni"),
+        F.max(vi).alias("mxi"),
     )
-    dz = F.round(F.col("z") - F.col("mean"), 9)
-    dlo = F.round(F.col("mean") - F.col("mn"), 9)
-    dhi = F.round(F.col("mx") - F.col("mean"), 9)
+    num = F.col("zi") * F.col("n") - F.col("s")      # (z - mean) * n * 1e6
+    dlo = F.col("s") - F.col("mni") * F.col("n")     # (mean - mn) * n * 1e6
+    dhi = F.col("mxi") * F.col("n") - F.col("s")     # (mx - mean) * n * 1e6
+    q_lo = F.expr("(2000000 * (s - zi * n) + (s - mni * n)) div (2 * (s - mni * n))")
+    q_hi = F.expr("(2000000 * (zi * n - s) + (mxi * n - s)) div (2 * (mxi * n - s))")
     return agg.select(
         "row", "col",
-        F.when(dz < 0.0, dz / dlo)
-        .when(dhi > 0.0, dz / dhi)
+        F.when(num < 0, -q_lo / F.lit(1e6))
+        .when(dhi > 0, q_hi / F.lit(1e6))
         .otherwise(F.lit(0.0))
         .alias("value"),
     )
@@ -509,20 +516,23 @@ def rtp_oracle_sql(source_sql: str, *, filterx: int = 3, filtery: int = 3) -> st
     return f"""
 WITH {_member_cte(source_sql, filterx=filterx, filtery=filtery)},
 agg AS (
-  SELECT row, col, any_value(center) AS z, avg(value) AS mean,
-         min(value) AS mn, max(value) AS mx
+  SELECT row, col,
+         CAST(round(any_value(center) * 1e6) AS BIGINT) AS zi,
+         sum(CAST(round(value * 1e6) AS BIGINT)) AS s,
+         count(*) AS n,
+         min(CAST(round(value * 1e6) AS BIGINT)) AS mni,
+         max(CAST(round(value * 1e6) AS BIGINT)) AS mxi
   FROM m GROUP BY row, col
-),
-q AS (
-  SELECT row, col, round(z - mean, 9) AS dz,
-         round(mean - mn, 9) AS dlo, round(mx - mean, 9) AS dhi
-  FROM agg
 )
 SELECT row, col,
-       CASE WHEN dz < 0.0 THEN dz / dlo
-            WHEN dhi > 0.0 THEN dz / dhi
+       CASE WHEN zi * n - s < 0
+              THEN -(((2000000 * (s - zi * n) + (s - mni * n))
+                      // (2 * (s - mni * n))) / 1e6)
+            WHEN mxi * n - s > 0
+              THEN ((2000000 * (zi * n - s) + (mxi * n - s))
+                    // (2 * (mxi * n - s))) / 1e6
             ELSE 0.0 END AS value
-FROM q
+FROM agg
 """
 
 
