@@ -2298,22 +2298,42 @@ def q_d8_flow_accum(spark, sf_dir):
 
 def q_fd8_flow_accum(spark, sf_dir):
     """FD8FlowAccumulation (hydro_analysis/fd8_flow_accum.rs:400-470):
-    slope^1.1-proportioned multi-directional flow, weighted topological
-    peel. No SQL oracle (weighted transitive closure enumerates paths);
-    pinned exactly vs the reference's stack algorithm in numpy by
-    tests/test_hydro_random.py."""
-    from whitebox_tools_spark.operators.hydro import fd8_flow_accum
+    slope^1.1-proportioned multi-directional flow via the weighted-semiring
+    tile stitch (flow_stitch.solve_wfa, O(log n) supersteps; block=16 +
+    tiny direct_threshold so the multi-level stitch path is what runs).
+    No SQL oracle (weighted transitive closure enumerates paths); pinned
+    vs the reference's stack algorithm in numpy (tests/test_hydro_random.py,
+    peel) and vs an independent serial FD8 + the peel
+    (tests/test_flow_stitch.py, stitch)."""
+    from whitebox_tools_spark.operators.flow_stitch import fd8_flow_accumulation_tiled
 
-    return _r6(fd8_flow_accum(_noise_raster(spark, sf_dir), EXTRACT_GRID), ["value"])
+    return _r6(
+        fd8_flow_accumulation_tiled(
+            _noise_raster(spark, sf_dir), EXTRACT_GRID, block=16,
+            direct_threshold=64,
+        ),
+        ["value"],
+    )
 
 
 def q_dinf_flow_accum(spark, sf_dir):
     """DInfFlowAccumulation (hydro_analysis/dinf_flow_accum.rs:532-646,
-    Tarboton 1997 two-neighbor split). Rows-only for the driver; exact
-    numpy-oracle pin in tests/test_hydro_random.py."""
-    from whitebox_tools_spark.operators.hydro import dinf_flow_accum
+    Tarboton 1997 two-neighbor split) via the weighted-semiring tile
+    stitch (flow_stitch.solve_wfa, O(log n) supersteps; block=16 + tiny
+    direct_threshold certifies the multi-level path). Rows-only for the
+    driver; numpy-oracle pin in tests/test_hydro_random.py (peel) and
+    stitch-vs-peel agreement in tests/test_flow_stitch.py."""
+    from whitebox_tools_spark.operators.flow_stitch import (
+        dinf_flow_accumulation_tiled,
+    )
 
-    return _r6(dinf_flow_accum(_noise_raster(spark, sf_dir), EXTRACT_GRID), ["value"])
+    return _r6(
+        dinf_flow_accumulation_tiled(
+            _noise_raster(spark, sf_dir), EXTRACT_GRID, block=16,
+            direct_threshold=64,
+        ),
+        ["value"],
+    )
 
 
 def q_dinf_pointer(spark, sf_dir):

@@ -279,3 +279,92 @@ def test_solve_fa_max_semiring(spark):
                 stack.append(t)
     for k, v in best.items():
         assert got[k] == v, k
+
+
+def _serial_fd8(rows_list, grid, exponent=1.1):
+    """Independent ground truth: FD8 fractions computed from scratch
+    (slope^exponent proportioning, fd8_flow_accum.rs:400-470) + a serial
+    topological accumulate."""
+    import math
+
+    z = {(r, c): v for r, c, v in rows_list}
+    diag = math.sqrt(grid.res_x**2 + grid.res_y**2)
+    dx = [1, 1, 1, 0, -1, -1, -1, 0]
+    dy = [-1, 0, 1, 1, 1, 0, -1, -1]
+    lens = [diag, grid.res_x, diag, grid.res_y, diag, grid.res_x, diag, grid.res_y]
+    edges = {}
+    for (r, c), v in z.items():
+        ws = []
+        for i in range(8):
+            k2 = (r + dy[i], c + dx[i])
+            s = (v - z[k2]) / lens[i] if k2 in z else 0.0
+            ws.append((k2, s**exponent if s > 0 else 0.0))
+        tot = sum(w for _, w in ws)
+        if tot > 0:
+            edges[(r, c)] = [
+                (k2, w / tot) for k2, w in ws if w > 0 and k2 in z
+            ]
+    fa = {k: 1.0 for k in z}
+    indeg = {k: 0 for k in z}
+    for k, outs in edges.items():
+        for t, _ in outs:
+            indeg[t] += 1
+    stack = [k for k in z if indeg[k] == 0]
+    while stack:
+        k = stack.pop()
+        for t, f in edges.get(k, ()):  # push
+            fa[t] += fa[k] * f
+            indeg[t] -= 1
+            if indeg[t] == 0:
+                stack.append(t)
+    return fa
+
+
+@pytest.mark.parametrize("block", [4, 7, 16])
+def test_fd8_tiled_matches_serial(spark, block):
+    """solve_wfa (weighted-semiring tile stitch) vs an independent serial
+    FD8 — recursion FORCED via a tiny direct_threshold so the multi-level
+    inlet-graph path is what's certified."""
+    from whitebox_tools_spark.operators.flow_stitch import (
+        fd8_flow_accumulation_tiled,
+    )
+
+    grid = GridSpec(west=0.0, north=100.0, res_x=2.0, res_y=2.0, rows=30, cols=24)
+    dem = _random_dem(spark, 30, 24, seed=31, holes=0.05)
+    rows_list = [(r.row, r.col, r.value) for r in dem.collect()]
+    truth = _serial_fd8(rows_list, grid)
+    out = {
+        (r.row, r.col): r.value
+        for r in fd8_flow_accumulation_tiled(
+            dem, grid, block=block, direct_threshold=10
+        ).collect()
+    }
+    assert set(out) == set(truth)
+    for k in truth:
+        assert out[k] == pytest.approx(truth[k], rel=1e-9), k
+
+
+def test_weighted_tiled_matches_peel(spark):
+    """FD8 and DInf: tile stitch vs the oracle-green superstep peel on the
+    same edge set (two independent solvers of one linear system)."""
+    from whitebox_tools_spark.operators.flow_stitch import (
+        dinf_flow_accumulation_tiled,
+        fd8_flow_accumulation_tiled,
+    )
+    from whitebox_tools_spark.operators.hydro import dinf_flow_accum, fd8_flow_accum
+
+    grid = GridSpec(west=0.0, north=100.0, res_x=5.0, res_y=5.0, rows=20, cols=20)
+    dem = _random_dem(spark, 20, 20, seed=7).localCheckpoint()
+
+    for peel, tiled in (
+        (fd8_flow_accum, fd8_flow_accumulation_tiled),
+        (dinf_flow_accum, dinf_flow_accumulation_tiled),
+    ):
+        a = {(r.row, r.col): r.value for r in peel(dem, grid).collect()}
+        b = {
+            (r.row, r.col): r.value
+            for r in tiled(dem, grid, block=6, direct_threshold=10).collect()
+        }
+        assert set(a) == set(b)
+        for k in a:
+            assert b[k] == pytest.approx(a[k], rel=1e-9), k

@@ -714,14 +714,11 @@ def _weighted_flow_accum(
     return acc.select("row", "col", F.col("fa").alias("value"))
 
 
-def fd8_flow_accum(
-    cells: DataFrame, grid: GridSpec, *, exponent: float = 1.1,
-    max_iterations: int = 10_000,
-) -> DataFrame:
-    """FD8FlowAccumulation (hydro_analysis/fd8_flow_accum.rs:400-470,
-    convergence threshold disabled = pure FD8): flow split among ALL
-    strictly-lower valid neighbors proportional to slope^exponent.
-    -> (row, col, value) in cell-count units (cell's own unit included)."""
+def fd8_edges(cells: DataFrame, grid: GridSpec, *, exponent: float = 1.1) -> DataFrame:
+    """FD8 fractional flow edges (hydro_analysis/fd8_flow_accum.rs:400-470):
+    flow split among ALL strictly-lower valid neighbors proportional to
+    slope^exponent. -> (row, col, trow, tcol, frac), filtered to valid
+    targets (flow to off-grid/nodata vanishes, as in the reference)."""
     g = _neighbor_slopes(cells, grid)
     w = [
         F.when(F.col(f"s{i}").isNotNull() & (F.col(f"s{i}") > 0.0),
@@ -746,7 +743,18 @@ def fd8_flow_accum(
     valid = cells.filter(F.col("value").isNotNull()).select(
         F.col("row").alias("trow"), F.col("col").alias("tcol")
     )
-    edges = edges.join(valid, ["trow", "tcol"])  # drop flow into the void
+    return edges.join(valid, ["trow", "tcol"])  # drop flow into the void
+
+
+def fd8_flow_accum(
+    cells: DataFrame, grid: GridSpec, *, exponent: float = 1.1,
+    max_iterations: int = 10_000,
+) -> DataFrame:
+    """FD8FlowAccumulation (hydro_analysis/fd8_flow_accum.rs:400-470,
+    convergence threshold disabled = pure FD8) via the superstep peel.
+    -> (row, col, value) in cell-count units (cell's own unit included).
+    Scale path: flow_stitch.fd8_flow_accumulation_tiled (O(log n) rounds)."""
+    edges = fd8_edges(cells, grid, exponent=exponent)
     return _weighted_flow_accum(cells, edges, max_iterations=max_iterations)
 
 
@@ -758,14 +766,11 @@ _DINF_DIRS = [
 ]
 
 
-def dinf_flow_accum(
-    cells: DataFrame, grid: GridSpec, *, max_iterations: int = 10_000
-) -> DataFrame:
-    """DInfFlowAccumulation (hydro_analysis/dinf_flow_accum.rs:532-646,
-    convergence threshold disabled): the Tarboton (1997) split — each
-    cell's flow divides between the two neighbors bracketing its D-inf
-    angle with proportions linear in the 45-degree offset.
-    -> (row, col, value) in cell-count units."""
+def dinf_edges(cells: DataFrame, grid: GridSpec) -> DataFrame:
+    """D-infinity fractional flow edges (hydro_analysis/dinf_flow_accum.rs:
+    532-646): the Tarboton (1997) split — each cell's flow divides between
+    the two neighbors bracketing its D-inf angle with proportions linear in
+    the 45-degree offset. -> (row, col, trow, tcol, frac)."""
     # materialize the pointer raster first (the reference computes the
     # flow_dir array as a whole before accumulating): deriving the two
     # targets inlines the 8-facet closed form ~30x otherwise and catalyst
@@ -790,7 +795,16 @@ def dinf_flow_accum(
     valid = cells.filter(F.col("value").isNotNull()).select(
         F.col("row").alias("trow"), F.col("col").alias("tcol")
     )
-    edges = edges.join(valid, ["trow", "tcol"])
+    return edges.join(valid, ["trow", "tcol"])
+
+
+def dinf_flow_accum(
+    cells: DataFrame, grid: GridSpec, *, max_iterations: int = 10_000
+) -> DataFrame:
+    """DInfFlowAccumulation via the superstep peel (see dinf_edges).
+    -> (row, col, value) in cell-count units. Scale path:
+    flow_stitch.dinf_flow_accumulation_tiled (O(log n) rounds)."""
+    edges = dinf_edges(cells, grid)
     return _weighted_flow_accum(cells, edges, max_iterations=max_iterations)
 
 
