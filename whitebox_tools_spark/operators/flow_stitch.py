@@ -595,12 +595,16 @@ def _pf_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
     return cells_out
 
 
-def fill_depressions_tiled(cells: DataFrame, *, block: int = 256) -> DataFrame:
+def fill_depressions_tiled(
+    cells: DataFrame, *, block: int = 256, spill_threshold: int = 2_000_000
+) -> DataFrame:
     """FillDepressions (hydro_analysis/fill_depressions.rs) via Barnes'
     parallel priority-flood: O(1) tile passes + one minimax solve on the
-    seed spill graph (graph size ~ perimeter cells / tile, solved with a
-    driver-side Dijkstra below 2M nodes; the DEM-wide fixpoint this
-    replaces needed O(drainage path) Spark rounds).
+    seed spill graph (graph size ~ perimeter cells / tile), itself solved
+    hierarchically (spill_minimax: per-coarse-block MSF contraction +
+    recursion; only the sub-``spill_threshold`` root graph touches the
+    driver — the DEM-wide fixpoint this replaces needed O(drainage path)
+    Spark rounds).
 
     Output = (row, col, value = filled elevation), bit-identical to
     hydro.fill_depressions (pytest-pinned)."""
@@ -683,34 +687,22 @@ def fill_depressions_tiled(cells: DataFrame, *, block: int = 256) -> DataFrame:
         )
     )
 
-    # minimax distance from every seed to the ocean over the spill graph.
-    # Graph size = O(perimeter cells) = n * 4/block; driver Dijkstra here
-    # (publish the threshold honestly — a distributed delta-step relaxation
-    # replaces this beyond ~2M seeds).
-    edges = (
-        spill.unionAll(xedges).groupBy("a", "b").agg(F.min("lvl").alias("lvl")).collect()
+    # minimax distance from every seed to the ocean over the spill graph
+    # (graph size = O(perimeter cells) = n * 4/block), solved DISTRIBUTED:
+    # spill_minimax groups seeds by coarse spatial block, contracts each
+    # group's minimum spanning forest onto its boundary terminals, and
+    # recurses 8x coarser — only the final sub-threshold graph (default
+    # 2M edges) touches the driver. See spill_minimax below.
+    edge_df = (
+        spill.unionAll(xedges).groupBy("a", "b").agg(F.min("lvl").alias("lvl"))
     )
-    adj: dict = {}
-    for e in edges:
-        adj.setdefault(e.a, []).append((e.b, e.lvl))
-        adj.setdefault(e.b, []).append((e.a, e.lvl))
-    dist = {-2: float("-inf")}
-    pq = [(float("-inf"), -2)]
-    while pq:
-        d, u = heapq.heappop(pq)
-        if d > dist.get(u, float("inf")):
-            continue
-        for v, lvl in adj.get(u, ()):  # minimax relaxation
-            nd = max(d, lvl)
-            if nd < dist.get(v, float("inf")):
-                dist[v] = nd
-                heapq.heappush(pq, (nd, v))
-    seed_lvl = [
-        (int(s), float(d)) for s, d in dist.items() if s != -2
-    ]
-    lvl_df = spark.createDataFrame(
-        seed_lvl or [(-(10**9), 0.0)], "seed long, ocean_lvl double"
+    lvl_df = spill_minimax(
+        edge_df, width, block=block * 8, direct_threshold=spill_threshold
     )
+    if lvl_df.isEmpty():
+        lvl_df = spark.createDataFrame(
+            [(-(10**9), 0.0)], "seed long, ocean_lvl double"
+        )
 
     out = (
         flooded.join(F.broadcast(lvl_df), "seed", "left")
@@ -1132,3 +1124,283 @@ def dinf_flow_accumulation_tiled(
     return solve_wfa(nodes, edges, block=block, direct_threshold=direct_threshold).select(
         "row", "col", F.col("fa").alias("value")
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed spill-graph minimax (removes fill_depressions_tiled's driver
+# collect, VERDICT r03 item 4)
+# ---------------------------------------------------------------------------
+# The seed spill graph is O(perimeter cells); its minimax-distance-from-
+# ocean solve used a driver Dijkstra, i.e. a collect of O(tiles x perimeter
+# labels). The hierarchical solve below keeps it distributed: group seeds
+# by coarse spatial block (seed ids are row-major positions, so the graph
+# is spatially local); per group, the minimax structure is fully captured
+# by the group's minimum spanning forest (minimax distance = max edge on
+# the MST path), CONTRACTED onto the group's boundary terminals (seeds
+# with cross-group edges, plus the virtual ocean -2) -> O(terminals)
+# reduced edges. Recurse 8x coarser until the edge set fits one task;
+# unwind top-down with a per-group multi-source minimax Dijkstra from the
+# solved terminals. Same shape as solve_fa's boundary recursion.
+
+_SPILL_SCHEMA = "a long, b long, lvl double"
+
+
+def _mst_contract_kernel(nodes: pd.DataFrame, edges: pd.DataFrame) -> pd.DataFrame:
+    """Per-group: Kruskal MSF over (a, b, lvl), then contract onto the
+    terminal set (nodes['term'] == True; -2 is always a terminal):
+    prune non-terminal leaves, splice degree-2 non-terminal nodes keeping
+    the max weight of the merged pair. Emits the reduced terminal-to-
+    terminal edge list."""
+    if not len(edges):
+        return pd.DataFrame({"a": [], "b": [], "lvl": []}).astype(
+            {"a": np.int64, "b": np.int64, "lvl": np.float64}
+        )
+    a = edges["a"].to_numpy(np.int64)
+    b = edges["b"].to_numpy(np.int64)
+    w = edges["lvl"].to_numpy(np.float64)
+    term_ids = set(nodes.loc[nodes["term"].astype(bool), "a"].astype(np.int64))
+    term_ids.add(-2)
+
+    ids = np.unique(np.concatenate([a, b]))
+    idx = {int(v): i for i, v in enumerate(ids)}
+    n = len(ids)
+    parent = list(range(n))
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    order = np.argsort(w, kind="stable")
+    adj: dict = {}
+    for e in order:
+        ua, ub = idx[int(a[e])], idx[int(b[e])]
+        ra, rb = find(ua), find(ub)
+        if ra != rb:
+            parent[ra] = rb
+            adj.setdefault(ua, []).append([ub, float(w[e])])
+            adj.setdefault(ub, []).append([ua, float(w[e])])
+
+    is_term = np.array([int(v) in term_ids for v in ids], bool)
+    deg = {u: len(v) for u, v in adj.items()}
+    # prune non-terminal leaves
+    stack = [u for u, d in deg.items() if d == 1 and not is_term[u]]
+    dead = set()
+    while stack:
+        u = stack.pop()
+        if u in dead or deg.get(u, 0) != 1:
+            continue
+        dead.add(u)
+        for v, _ in adj[u]:
+            if v in dead:
+                continue
+            deg[v] -= 1
+            if deg[v] == 1 and not is_term[v]:
+                stack.append(v)
+    # splice degree-2 non-terminal nodes: walk maximal chains
+    out_a, out_b, out_w = [], [], []
+    seen_pairs = set()
+    for u in adj:
+        if u in dead or not (is_term[u] or deg[u] > 2):
+            continue
+        # u is a kept junction/terminal: walk each incident live edge
+        for v0, w0 in adj[u]:
+            if v0 in dead:
+                continue
+            prev, cur, mx = u, v0, w0
+            while cur not in dead and not is_term[cur] and deg[cur] == 2:
+                nxts = [(t, tw) for t, tw in adj[cur] if t != prev and t not in dead]
+                if not nxts:
+                    break
+                prev, (cur, cw) = cur, nxts[0]
+                mx = max(mx, cw)
+            if cur in dead:
+                continue
+            key = (min(u, cur), max(u, cur), mx)
+            if u != cur and key not in seen_pairs:
+                seen_pairs.add(key)
+                out_a.append(int(ids[u]))
+                out_b.append(int(ids[cur]))
+                out_w.append(mx)
+    if not out_a:
+        return pd.DataFrame({"a": [], "b": [], "lvl": []}).astype(
+            {"a": np.int64, "b": np.int64, "lvl": np.float64}
+        )
+    df = pd.DataFrame(
+        {
+            "a": np.array(out_a, np.int64),
+            "b": np.array(out_b, np.int64),
+            "lvl": np.array(out_w, np.float64),
+        }
+    )
+    # dedup symmetric duplicates (each chain walked from both ends)
+    lo = np.minimum(df["a"], df["b"])
+    hi = np.maximum(df["a"], df["b"])
+    df = (
+        pd.DataFrame({"a": lo, "b": hi, "lvl": df["lvl"]})
+        .groupby(["a", "b"], as_index=False)["lvl"]
+        .min()
+    )
+    return df
+
+
+def _minimax_dijkstra(edge_rows, seed_dist):
+    """Plain minimax Dijkstra over an edge list from pre-seeded sources.
+    seed_dist: dict node -> starting level. Returns dict node -> level."""
+    adj: dict = {}
+    for ea, eb, lvl in edge_rows:
+        adj.setdefault(ea, []).append((eb, lvl))
+        adj.setdefault(eb, []).append((ea, lvl))
+    dist = dict(seed_dist)
+    pq = [(d, u) for u, d in seed_dist.items()]
+    heapq.heapify(pq)
+    while pq:
+        d, u = heapq.heappop(pq)
+        if d > dist.get(u, float("inf")):
+            continue
+        for v, lvl in adj.get(u, ()):
+            nd = max(d, lvl)
+            if nd < dist.get(v, float("inf")):
+                dist[v] = nd
+                heapq.heappush(pq, (nd, v))
+    return dist
+
+
+def _unwind_kernel(bound: pd.DataFrame, edges: pd.DataFrame) -> pd.DataFrame:
+    """Per-group final pass: minimax Dijkstra over the group's ORIGINAL
+    edges from {solved boundary terminals} u {ocean}. bound: (a, lvl) =
+    solved terminal levels (-2 rows may appear; ocean always level -inf)."""
+    seeds = {int(r.a): float(r.lvl) for r in bound.itertuples()}
+    seeds[-2] = float("-inf")
+    rows = list(
+        zip(
+            edges["a"].to_numpy(np.int64),
+            edges["b"].to_numpy(np.int64),
+            edges["lvl"].to_numpy(np.float64),
+        )
+    )
+    dist = _minimax_dijkstra(rows, seeds)
+    items = [(int(k), float(v)) for k, v in dist.items() if k != -2]
+    if not items:
+        return pd.DataFrame({"a": [], "b": [], "lvl": []}).astype(
+            {"a": np.int64, "b": np.int64, "lvl": np.float64}
+        )
+    ka, kv = zip(*items)
+    return pd.DataFrame(
+        {
+            "a": np.array(ka, np.int64),
+            "b": np.zeros(len(ka), np.int64),
+            "lvl": np.array(kv, np.float64),
+        }
+    )
+
+
+def spill_minimax(
+    edges: DataFrame,
+    width: int,
+    *,
+    block: int = 4096,
+    scale: int = 8,
+    direct_threshold: int = 2_000_000,
+    max_levels: int = 12,
+) -> DataFrame:
+    """Minimax distance from the virtual ocean (-2) for every node of the
+    spill graph, computed distributed. edges: (a, b, lvl) over row-major
+    seed ids (id // width, id % width = position); -2 = ocean. Returns
+    (seed long, ocean_lvl double)."""
+    spark = edges.sparkSession
+    edges = edges.select("a", "b", "lvl").localCheckpoint(eager=True)
+    n_e = edges.count()
+    if n_e == 0:
+        return spark.createDataFrame([], "seed long, ocean_lvl double")
+    if n_e <= direct_threshold:
+        dist = _minimax_dijkstra(
+            [(r.a, r.b, r.lvl) for r in edges.collect()], {-2: float("-inf")}
+        )
+        rows = [(int(s), float(d)) for s, d in dist.items() if s != -2]
+        return spark.createDataFrame(
+            rows or [(-(10**9), 0.0)], "seed long, ocean_lvl double"
+        )
+    if max_levels <= 1:
+        raise RuntimeError("spill_minimax: recursion limit hit")
+
+    gb = block
+    grp = lambda node: F.struct(  # noqa: E731
+        F.floor((node / width) / gb).alias("gr"),
+        F.floor((node % width) / gb).alias("gc"),
+    )
+    # ocean edges follow their real endpoint's group
+    e2 = edges.withColumn(
+        "ga", F.when(F.col("a") == -2, grp(F.col("b"))).otherwise(grp(F.col("a")))
+    ).withColumn(
+        "gb_", F.when(F.col("b") == -2, grp(F.col("a"))).otherwise(grp(F.col("b")))
+    )
+    ing = e2.filter(F.col("ga") == F.col("gb_"))
+    crossg = e2.filter(F.col("ga") != F.col("gb_")).select("a", "b", "lvl")
+
+    # terminals: nodes incident to a cross-group edge
+    terms = (
+        crossg.select(F.col("a").alias("t"))
+        .unionAll(crossg.select(F.col("b").alias("t")))
+        .filter(F.col("t") != -2)
+        .distinct()
+        .withColumn("term", F.lit(True))
+    )
+    # node list per group (from in-group edges)
+    nd = (
+        ing.select(F.col("a").alias("node"), F.col("ga").alias("g"))
+        .unionAll(ing.select(F.col("b").alias("node"), F.col("ga").alias("g")))
+        .filter(F.col("node") != -2)
+        .distinct()
+        .join(terms, F.col("node") == F.col("t"), "left")
+        .select(
+            F.col("node").alias("a"),
+            F.col("g"),
+            F.coalesce("term", F.lit(False)).alias("term"),
+        )
+    )
+    reduced = (
+        nd.groupBy("g")
+        .cogroup(ing.select("a", "b", "lvl", F.col("ga").alias("g")).groupBy("g"))
+        .applyInPandas(
+            lambda left, right: _mst_contract_kernel(left, right[["a", "b", "lvl"]]),
+            _SPILL_SCHEMA,
+        )
+    )
+    sub = spill_minimax(
+        reduced.unionByName(crossg),
+        width,
+        block=block * scale,
+        scale=scale,
+        direct_threshold=direct_threshold,
+        max_levels=max_levels - 1,
+    )
+    # unwind: per group, Dijkstra from the solved terminals over the
+    # ORIGINAL in-group edges
+    tsolved = sub.join(
+        terms.select(F.col("t").alias("seed")), "seed"
+    ).select(F.col("seed").alias("a"), F.col("ocean_lvl").alias("lvl"))
+    tg2 = tsolved.withColumn(
+        "g",
+        F.struct(
+            F.floor((F.col("a") / width) / gb).alias("gr"),
+            F.floor((F.col("a") % width) / gb).alias("gc"),
+        ),
+    )
+    solved = (
+        tg2.groupBy("g")
+        .cogroup(ing.select("a", "b", "lvl", F.col("ga").alias("g")).groupBy("g"))
+        .applyInPandas(
+            lambda left, right: _unwind_kernel(
+                left[["a", "lvl"]], right[["a", "b", "lvl"]]
+            ),
+            _SPILL_SCHEMA,
+        )
+        .select(F.col("a").alias("seed"), F.col("lvl").alias("ocean_lvl"))
+    )
+    # nodes only touched by cross edges are already solved in `sub`
+    extra = sub.join(solved.select("seed"), "seed", "left_anti")
+    return solved.unionByName(extra)

@@ -1036,3 +1036,170 @@ FROM (
 )
 GROUP BY b, mn, mx, num_bins
 """
+
+
+def contour_segments(
+    cells: DataFrame, grid, *, interval: float = 10.0, base: float = 0.0
+) -> DataFrame:
+    """ContoursFromRaster (terrain_analysis/contours_from_raster.rs:174,
+    366: cells are quantized to bands floor((z - base) / interval) and
+    contours trace the band boundaries; smoothing/tolerance = 0 here).
+
+    Emits the contour SEGMENT multiset on cell cracks: one segment per
+    4-adjacent cell pair whose bands differ, per crossed level, with
+    height = base + level * interval. Two equi-self-joins (right + down
+    neighbor), sequence()+explode for multi-level crossings — all
+    JVM-side, no UDF; the segment set is what the reference's crack
+    follower stitches. -> (height, x1, y1, x2, y2)."""
+    src = (
+        cells.filter(F.col("value").isNotNull())
+        .select(
+            "row", "col",
+            F.floor((F.col("value") - F.lit(base)) / F.lit(interval))
+            .cast("long").alias("band"),
+        )
+    )
+    nbr = src.select(
+        F.col("row").alias("nrow"), F.col("col").alias("ncol"),
+        F.col("band").alias("nband"),
+    )
+    segs = []
+    for dr, dc in ((0, 1), (1, 0)):
+        pair = src.join(
+            nbr,
+            (F.col("nrow") == F.col("row") + dr)
+            & (F.col("ncol") == F.col("col") + dc),
+        ).filter(F.col("band") != F.col("nband"))
+        lo = F.least("band", "nband")
+        hi = F.greatest("band", "nband")
+        lev = pair.select(
+            "row", "col",
+            F.explode(F.sequence(lo + 1, hi)).alias("level"),
+        )
+        if dc == 1:  # shared VERTICAL edge at x = west + (col+1)*res_x
+            x = F.lit(grid.west) + (F.col("col") + 1) * F.lit(grid.res_x)
+            y1 = F.lit(grid.north) - F.col("row") * F.lit(grid.res_y)
+            y2 = F.lit(grid.north) - (F.col("row") + 1) * F.lit(grid.res_y)
+            seg = lev.select(
+                (F.lit(base) + F.col("level") * F.lit(interval)).alias("height"),
+                x.alias("x1"), y1.alias("y1"), x.alias("x2"), y2.alias("y2"),
+            )
+        else:  # shared HORIZONTAL edge at y = north - (row+1)*res_y
+            y = F.lit(grid.north) - (F.col("row") + 1) * F.lit(grid.res_y)
+            x1 = F.lit(grid.west) + F.col("col") * F.lit(grid.res_x)
+            x2 = F.lit(grid.west) + (F.col("col") + 1) * F.lit(grid.res_x)
+            seg = lev.select(
+                (F.lit(base) + F.col("level") * F.lit(interval)).alias("height"),
+                x1.alias("x1"), y.alias("y1"), x2.alias("x2"), y.alias("y2"),
+            )
+        segs.append(seg)
+    return segs[0].unionByName(segs[1])
+
+
+def contour_segments_oracle_sql(
+    source_sql: str, grid, *, interval: float = 10.0, base: float = 0.0
+) -> str:
+    return f"""
+WITH src AS (
+  SELECT row, col,
+         CAST(floor((value - {base!r}) / {interval!r}) AS BIGINT) AS band
+  FROM ({source_sql}) WHERE value IS NOT NULL
+),
+vpair AS (
+  SELECT a.row, a.col, a.band, b.band AS nband
+  FROM src a JOIN src b ON b.row = a.row AND b.col = a.col + 1
+  WHERE a.band <> b.band
+),
+hpair AS (
+  SELECT a.row, a.col, a.band, b.band AS nband
+  FROM src a JOIN src b ON b.row = a.row + 1 AND b.col = a.col
+  WHERE a.band <> b.band
+),
+vseg AS (
+  SELECT {base!r} + level * {interval!r} AS height,
+         {grid.west!r} + (col + 1) * {grid.res_x!r} AS x1,
+         {grid.north!r} - row * {grid.res_y!r} AS y1,
+         {grid.west!r} + (col + 1) * {grid.res_x!r} AS x2,
+         {grid.north!r} - (row + 1) * {grid.res_y!r} AS y2
+  FROM vpair, unnest(generate_series(least(band, nband) + 1,
+                                     greatest(band, nband))) AS t(level)
+),
+hseg AS (
+  SELECT {base!r} + level * {interval!r} AS height,
+         {grid.west!r} + col * {grid.res_x!r} AS x1,
+         {grid.north!r} - (row + 1) * {grid.res_y!r} AS y1,
+         {grid.west!r} + (col + 1) * {grid.res_x!r} AS x2,
+         {grid.north!r} - (row + 1) * {grid.res_y!r} AS y2
+  FROM hpair, unnest(generate_series(least(band, nband) + 1,
+                                     greatest(band, nband))) AS t(level)
+)
+SELECT * FROM vseg UNION ALL SELECT * FROM hseg
+"""
+
+
+def contour_polylines(
+    cells: DataFrame, grid, *, interval: float = 10.0, base: float = 0.0
+) -> DataFrame:
+    """ContoursFromRaster, stitched output: per height level, chain the
+    crack segments into maximal polylines (closed loops around band
+    regions; open chains ending at the raster border). Per-(height)
+    applyInPandas stitcher over the segment multiset — contour levels
+    partition the segment set, so the stitch parallelizes across levels
+    (at continental scale, group by (height, coarse tile) and stitch
+    tile-locally first). -> (height, part_idx, xs, ys)."""
+    import numpy as np
+    import pandas as pd
+
+    segs = contour_segments(cells, grid, interval=interval, base=base)
+
+    def _stitch(pdf: pd.DataFrame) -> pd.DataFrame:
+        height = float(pdf["height"].iloc[0])
+        # endpoint adjacency over quantized coordinates
+        def key(x, y):
+            return (round(float(x), 9), round(float(y), 9))
+
+        adj: dict = {}
+        used = [False] * len(pdf)
+        x1 = pdf["x1"].to_numpy(); y1 = pdf["y1"].to_numpy()
+        x2 = pdf["x2"].to_numpy(); y2 = pdf["y2"].to_numpy()
+        for i in range(len(pdf)):
+            adj.setdefault(key(x1[i], y1[i]), []).append(i)
+            adj.setdefault(key(x2[i], y2[i]), []).append(i)
+        deg1 = [k for k, v in adj.items() if len(v) % 2 == 1]
+        rows = []
+
+        def walk(start_seg, start_pt):
+            pts = [start_pt]
+            i = start_seg
+            cur = start_pt
+            while True:
+                used[i] = True
+                a, b = key(x1[i], y1[i]), key(x2[i], y2[i])
+                cur = b if cur == a else a
+                pts.append(cur)
+                nxt = [j for j in adj[cur] if not used[j]]
+                if not nxt:
+                    return pts
+                i = min(nxt)
+
+        part = 0
+        # open chains first (start at odd-degree endpoints), then loops
+        for k in sorted(deg1):
+            for i in sorted(adj[k]):
+                if not used[i]:
+                    pts = walk(i, k)
+                    rows.append((height, part, [p[0] for p in pts], [p[1] for p in pts]))
+                    part += 1
+        for i in range(len(pdf)):
+            if not used[i]:
+                pts = walk(i, key(x1[i], y1[i]))
+                rows.append((height, part, [p[0] for p in pts], [p[1] for p in pts]))
+                part += 1
+        return pd.DataFrame(
+            rows, columns=["height", "part_idx", "xs", "ys"]
+        )
+
+    return segs.groupBy("height").applyInPandas(
+        _stitch,
+        schema="height double, part_idx int, xs array<double>, ys array<double>",
+    )
