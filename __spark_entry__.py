@@ -568,6 +568,45 @@ def q_histogram_matching(spark, sf_dir):
     )
 
 
+def q_contours_from_raster(spark, sf_dir):
+    """ContoursFromRaster (terrain_analysis/contours_from_raster.rs:174):
+    contour segment multiset on cell cracks (band boundaries of
+    floor((z-base)/interval)), height = base + level*interval. Full SQL
+    oracle; the stitched polyline product is q_contour_polylines."""
+    from whitebox_tools_spark.operators.terrain import contour_segments
+
+    return contour_segments(
+        _part_raster(spark, sf_dir), EXTRACT_GRID, interval=1.0, base=0.0
+    )
+
+
+def q_contour_polylines(spark, sf_dir):
+    """ContoursFromRaster stitched polylines: per-height chained cracks.
+    Oracle checks per-height polyline/vertex conservation invariants that
+    SQL can derive from the segment multiset without stitching: segment
+    count (= sum of (vertices-1) over parts) and part endpoint parity;
+    vertex-exact stitching is pinned by tests/test_more_operators.py."""
+    from whitebox_tools_spark.operators.terrain import contour_polylines
+
+    out = contour_polylines(
+        _part_raster(spark, sf_dir), EXTRACT_GRID, interval=1.0, base=0.0
+    )
+    # SQL-derivable invariants of a correct stitch: every crack segment is
+    # used exactly once (n_segments = sum of vertices-1), and the open-
+    # chain count equals half the odd-degree vertex count of the segment
+    # graph (crack-corner degrees are even except at the raster border).
+    return out.groupBy("height").agg(
+        F.sum(F.size("xs") - 1).cast("long").alias("n_segments"),
+        F.sum(
+            F.when(
+                (F.col("xs")[0] != F.element_at("xs", -1))
+                | (F.col("ys")[0] != F.element_at("ys", -1)),
+                1,
+            ).otherwise(0)
+        ).cast("long").alias("n_open"),
+    )
+
+
 def q_surface_area_ratio(spark, sf_dir):
     """SurfaceAreaRatio (terrain_analysis/surface_area_ratio.rs:215-330)."""
     from whitebox_tools_spark.operators.terrain import surface_area_ratio
@@ -4444,6 +4483,8 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "average_normal_vector_angular_deviation": q_anvad,
         "spherical_std_dev_of_normals": q_ssdn,
         "surface_area_ratio": q_surface_area_ratio,
+        "contours_from_raster": q_contours_from_raster,
+        "contour_polylines": q_contour_polylines,
         "slope_vs_elevation_plot": q_slope_vs_elevation_plot,
         "relative_topographic_position": q_rtp,
         "extract_valleys_lq": q_extract_valleys_lq,
@@ -5050,6 +5091,8 @@ UNION ALL SELECT 'l_discount', 'l_tax',
             + ") t"
         ),
         "surface_area_ratio": _sar_sql(),
+        "contours_from_raster": _contours_sql(),
+        "contour_polylines": _contour_polylines_sql(),
         "slope_vs_elevation_plot": _sve_sql(),
         "relative_topographic_position": _rtp_sql(),
         "extract_valleys_lq": _valleys_lq_sql(),
@@ -5933,6 +5976,36 @@ def _rtp_sql() -> str:
     from whitebox_tools_spark.operators.terrain import rtp_oracle_sql
 
     return rtp_oracle_sql(_PART_RASTER_SQL, filterx=5, filtery=5)
+
+
+def _contours_sql() -> str:
+    from whitebox_tools_spark.operators.terrain import contour_segments_oracle_sql
+
+    return contour_segments_oracle_sql(
+        _PART_RASTER_SQL, EXTRACT_GRID, interval=1.0, base=0.0
+    )
+
+
+def _contour_polylines_sql() -> str:
+    """Stitch invariants from the segment multiset: per height, segment
+    count + open-chain count = (odd-degree crack vertices) / 2 (interior
+    crack corners always have even degree — see q_contour_polylines)."""
+    seg = _contours_sql()
+    return f"""
+WITH seg AS ({seg}),
+verts AS (
+  SELECT height, x1 AS x, y1 AS y FROM seg
+  UNION ALL
+  SELECT height, x2 AS x, y2 AS y FROM seg
+),
+deg AS (SELECT height, x, y, count(*) AS d FROM verts GROUP BY 1, 2, 3),
+odd AS (
+  SELECT height, count(*) // 2 AS n_open FROM deg WHERE d % 2 = 1 GROUP BY height
+)
+SELECT s.height, s.n_segments, CAST(coalesce(o.n_open, 0) AS BIGINT) AS n_open
+FROM (SELECT height, count(*) AS n_segments FROM seg GROUP BY height) s
+LEFT JOIN odd o ON o.height = s.height
+"""
 
 
 def _valleys_lq_sql() -> str:

@@ -614,3 +614,64 @@ def test_color_composite_roundtrip_and_ihs(spark):
     assert all(0.0 <= x.hue <= 2 * math.pi + 1e-9 for x in out)
     rgb2 = CO.ihs_to_rgb(ihs).collect()
     assert len(rgb2) == 100
+
+
+def test_contours_segments_and_stitch(spark):
+    """ContoursFromRaster: a 1-cell island one band higher than its
+    surroundings must yield exactly its 4 crack edges, stitched into one
+    closed loop; and on a random DEM the polylines' consecutive-vertex
+    pairs must reproduce the segment multiset exactly."""
+    from whitebox_tools_spark.grid import GridSpec
+    from whitebox_tools_spark.operators.terrain import (
+        contour_polylines,
+        contour_segments,
+    )
+
+    g = GridSpec(west=0.0, north=100.0, res_x=10.0, res_y=10.0, rows=5, cols=5)
+    recs = [
+        (r, c, 25.0 if (r, c) == (2, 2) else 5.0)
+        for r in range(5)
+        for c in range(5)
+    ]
+    dem = spark.createDataFrame(recs, "row long, col long, value double")
+    segs = contour_segments(dem, g, interval=10.0, base=0.0).collect()
+    # island cell (2,2): x in [20,30], y in [70,80]; bands 0 vs 2 -> levels 1,2
+    want = set()
+    for lvl in (10.0, 20.0):
+        want |= {
+            (lvl, 20.0, 80.0, 20.0, 70.0),  # left crack (col 1|2 boundary)
+            (lvl, 30.0, 80.0, 30.0, 70.0),  # right
+            (lvl, 20.0, 80.0, 30.0, 80.0),  # top
+            (lvl, 20.0, 70.0, 30.0, 70.0),  # bottom
+        }
+    got = {(r.height, r.x1, r.y1, r.x2, r.y2) for r in segs}
+    assert got == want
+    lines = contour_polylines(dem, g, interval=10.0, base=0.0).collect()
+    assert len(lines) == 2  # one closed loop per level
+    for ln in lines:
+        assert (ln.xs[0], ln.ys[0]) == (ln.xs[-1], ln.ys[-1])
+        assert len(ln.xs) == 5  # 4 segments + closing vertex
+
+    # random DEM: stitched polylines conserve the segment multiset
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    recs = [
+        (r, c, float(rng.rand() * 40.0))
+        for r in range(12)
+        for c in range(12)
+        if rng.rand() > 0.04
+    ]
+    dem = spark.createDataFrame(recs, "row long, col long, value double")
+    g2 = GridSpec(west=0.0, north=120.0, res_x=10.0, res_y=10.0, rows=12, cols=12)
+    seg_ms = {}
+    for r in contour_segments(dem, g2, interval=10.0, base=0.0).collect():
+        k = (r.height, min((r.x1, r.y1), (r.x2, r.y2)), max((r.x1, r.y1), (r.x2, r.y2)))
+        seg_ms[k] = seg_ms.get(k, 0) + 1
+    line_ms = {}
+    for ln in contour_polylines(dem, g2, interval=10.0, base=0.0).collect():
+        pts = list(zip(ln.xs, ln.ys))
+        for a, b in zip(pts, pts[1:]):
+            k = (ln.height, min(a, b), max(a, b))
+            line_ms[k] = line_ms.get(k, 0) + 1
+    assert seg_ms == line_ms
