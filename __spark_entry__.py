@@ -1930,6 +1930,54 @@ def q_subbasins(spark, sf_dir):
     return subbasins(_valley_dem(spark, sf_dir), STREAM_GRID, threshold=4.0)
 
 
+def q_isobasins(spark, sf_dir):
+    """Isobasins (hydro_analysis/isobasins.rs): ~equal-area watershed
+    subdivision (size=12 cells). Rows-only for the driver (the cut sweep
+    is order-dependent sequential logic); partition-pinned against an
+    independent serial transcription in tests/test_hydro_random.py."""
+    from whitebox_tools_spark.operators.hydro import isobasins
+
+    return isobasins(_valley_dem(spark, sf_dir), STREAM_GRID, size=12)
+
+
+def q_max_branch_length(spark, sf_dir):
+    """MaxBranchLength (terrain_analysis/max_branch_length.rs, Gardner's
+    Bmax): batched binary-lifting LCA over the flow forest (O(log path)
+    equi-join rounds)."""
+    from whitebox_tools_spark.operators.streams import max_branch_length
+
+    return _r6(max_branch_length(_valley_dem(spark, sf_dir), STREAM_GRID), ["value"])
+
+
+def q_unnest_basins(spark, sf_dir):
+    """UnnestBasins (hydro_analysis/unnest_basins.rs): un-truncated
+    watershed per pour point + nesting level. Pour points = the 4
+    highest-accumulation cells of the valley DEM (deterministic and
+    nested along the main channel, exercising levels 1..4)."""
+    from whitebox_tools_spark.operators.hydro import d8_flow_accumulation
+    from whitebox_tools_spark.operators.streams import unnest_basins
+    from pyspark.sql import Window
+
+    dem = _valley_dem(spark, sf_dir)
+    fa = d8_flow_accumulation(dem, STREAM_GRID)
+    w = Window.orderBy(F.desc("value"), "row", "col")
+    pour = (
+        fa.withColumn("pour_id", F.row_number().over(w))
+        .filter(F.col("pour_id") <= 4)
+        .select("row", "col", F.col("pour_id").cast("long").alias("pour_id"))
+    )
+    return unnest_basins(dem, STREAM_GRID, pour)
+
+
+def q_hillslopes(spark, sf_dir):
+    """Hillslopes (hydro_analysis/hillslopes.rs:144): left-bank/right-bank/
+    channel-head catchments per stream link; stream cells 0; ids in scan
+    order of each hillslope's minimum cell."""
+    from whitebox_tools_spark.operators.streams import hillslopes
+
+    return hillslopes(_valley_dem(spark, sf_dir), STREAM_GRID, threshold=4.0)
+
+
 def q_strahler_order_basins(spark, sf_dir):
     """StrahlerOrderBasins (hydro_analysis/strahler_order_basins.rs)."""
     from whitebox_tools_spark.operators.streams import strahler_order_basins
@@ -4606,6 +4654,10 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "min_max_contrast_stretch": q_min_max_stretch,
         "histogram_equalization": q_hist_equalization,
         "subbasins": q_subbasins,
+        "hillslopes": q_hillslopes,
+        "unnest_basins": q_unnest_basins,
+        "max_branch_length": q_max_branch_length,
+        "isobasins": q_isobasins,
         "elevation_above_stream": q_elev_above_stream,
         "strahler_order_basins": q_strahler_order_basins,
         "longest_flowpath": q_longest_flowpath,
@@ -5594,6 +5646,14 @@ FROM ({_PART_RASTER_SQL}) WHERE value IS NOT NULL
             _PART_RASTER_SQL, num_tones=256
         ),
         "subbasins": _str.subbasins_oracle_sql(_VALLEY_DEM_SQL, STREAM_GRID, threshold=4.0),
+        "hillslopes": _str.hillslopes_oracle_sql(_VALLEY_DEM_SQL, STREAM_GRID, threshold=4.0),
+        "max_branch_length": _str.max_branch_length_oracle_sql(_VALLEY_DEM_SQL, STREAM_GRID),
+        "unnest_basins": _str.unnest_basins_oracle_sql(
+            _VALLEY_DEM_SQL, STREAM_GRID,
+            "SELECT row AS prow, col AS pcol, "
+            "CAST(row_number() OVER (ORDER BY value DESC, row, col) AS BIGINT) AS pour_id "
+            "FROM fa ORDER BY value DESC, row, col LIMIT 4",
+        ),
         "strahler_order_basins": _str.strahler_order_basins_oracle_sql(
             _VALLEY_DEM_SQL, STREAM_GRID, threshold=4.0
         ),

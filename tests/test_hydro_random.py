@@ -483,3 +483,106 @@ def test_dinf_mass_flux_pinned(spark):
                 stack.append((tr, tc))
     for k, v in m.items():
         assert got[k] == pytest.approx(v, rel=1e-9), k
+
+
+def test_isobasins_matches_serial(spark):
+    """Isobasins vs an independent serial transcription of the reference
+    sweep (isobasins.rs:392-470), compared as PARTITIONS (ids canonicalized
+    to each basin's outlet cell; the reference numbers by stack order, the
+    engine by outlet scan order)."""
+    import numpy as np
+
+    from whitebox_tools_spark.grid import GridSpec
+    from whitebox_tools_spark.operators.hydro import isobasins
+
+    rng = np.random.RandomState(17)
+    R, C = 18, 15
+    grid = GridSpec(west=0.0, north=100.0, res_x=5.0, res_y=5.0, rows=R, cols=C)
+    recs = [
+        (r, c, float(rng.rand() * 50.0 + 0.3 * r + 0.2 * c))
+        for r in range(R) for c in range(C) if rng.rand() > 0.03
+    ]
+    dem = spark.createDataFrame(recs, "row long, col long, value double")
+    size = 12
+
+    # --- serial reference transcription ---
+    import math
+
+    z = {(r, c): v for r, c, v in recs}
+    diag = math.sqrt(grid.res_x**2 + grid.res_y**2)
+    dx = [1, 1, 1, 0, -1, -1, -1, 0]
+    dy = [-1, 0, 1, 1, 1, 0, -1, -1]
+    lens = [diag, grid.res_x, diag, grid.res_y, diag, grid.res_x, diag, grid.res_y]
+    nxt = {}
+    for (r, c), v in z.items():
+        best = None
+        for i in range(8):
+            k2 = (r + dy[i], c + dx[i])
+            if k2 in z:
+                s = (v - z[k2]) / lens[i]
+                if s > 0 and (best is None or s > best[0]):
+                    best = (s, k2)
+        if best:
+            nxt[(r, c)] = best[1]
+    indeg = {k: 0 for k in z}
+    for k, t in nxt.items():
+        indeg[t] += 1
+    order = [k for k in z if indeg[k] == 0]
+    accum = {k: 1.0 for k in z}
+    outlets = set()
+    qi = 0
+    deg = dict(indeg)
+    while qi < len(order):
+        k = order[qi]
+        qi += 1
+        fa = accum[k]
+        if fa >= size:
+            inla, inla_k = 0.0, None
+            for i in range(8):
+                k2 = (k[0] + dy[i], k[1] + dx[i])
+                if k2 in z and nxt.get(k2) == k and accum[k2] > inla:
+                    inla, inla_k = accum[k2], k2
+            if inla <= size and (size - inla) < (fa - size) and inla_k is not None:
+                fa -= inla
+                outlets.add(inla_k)
+            else:
+                fa = 1.0
+                outlets.add(k)
+        if k in nxt:
+            t = nxt[k]
+            accum[t] += fa
+            deg[t] -= 1
+            if deg[t] == 0:
+                order.append(t)
+        else:
+            outlets.add(k)
+    # serial watershed: first outlet on path
+    def first_outlet(k):
+        while True:
+            if k in outlets:
+                return k
+            if k not in nxt:
+                return None
+            k = nxt[k]
+
+    truth = {k: first_outlet(k) for k in z}
+
+    out = isobasins(dem, grid, size=size).collect()
+    # canonicalize engine ids back to outlet cells via each basin's outlet:
+    # the outlet cell of basin b is the unique cell whose value is b and
+    # whose flow target has a different (or no) basin... simpler: id ->
+    # outlet = the basin's cell that equals its own first_outlet in truth.
+    got = {(r.row, r.col): r.value for r in out}
+    # partition comparison: same-basin iff same-truth-outlet
+    ids_by_outlet = {}
+    for k, o in truth.items():
+        if o is None:
+            assert k not in got, k
+            continue
+        assert k in got, k
+        if o in ids_by_outlet:
+            assert got[k] == ids_by_outlet[o], (k, o)
+        else:
+            ids_by_outlet[o] = got[k]
+    # distinct outlets map to distinct ids
+    assert len(set(ids_by_outlet.values())) == len(ids_by_outlet)

@@ -1991,3 +1991,123 @@ SELECT p.row, p.col,
        CASE WHEN h.row IS NOT NULL THEN 1.0 ELSE 0.0 END AS value
 FROM p LEFT JOIN hits h ON h.row = p.row AND h.col = p.col
 """
+
+
+def isobasins(
+    cells: DataFrame, grid: GridSpec, *, size: int, max_iterations: int = 10_000
+) -> DataFrame:
+    """Isobasins (hydro_analysis/isobasins.rs:392-470): divide the DEM into
+    nearly-equal-area watersheds. Topological sweep down the D8 DAG: at a
+    cell with residual accumulation fa >= size, cut an outlet — at the
+    largest-inflow neighbor when (size - inla) < (fa - size) (residual
+    resets to fa - inla), else at the cell itself (residual resets to 1);
+    terminals always become outlets. The reference numbers outlets by its
+    stack pop order; outlet ids here are raster-scan-order of the outlet
+    cells (deterministic, same partition). Cells are then labeled by the
+    first outlet cell on their flow path (watershed). -> (row, col, value).
+
+    Distributed topological peel (O(DAG-depth) rounds over a shrinking
+    edge set — the cut decision depends on residual inflow values, so it
+    is not expressible in the linear-semiring tile stitch; documented
+    superstep path like the reference's other order-dependent sweeps)."""
+    from whitebox_tools_spark.distributed import loop_checkpoint, with_global_seq
+    from whitebox_tools_spark.operators.streams import watershed
+
+    src = cells.filter(F.col("value").isNotNull()).select("row", "col")
+    edges = _flow_edges(cells, grid).localCheckpoint(eager=True)
+    # inflow direction index i of source around its TARGET (reference loop
+    # order tie-break: lowest i wins among equal inflow accumulations)
+    iexpr = F.coalesce(
+        *[
+            F.when(
+                (F.col("row") - F.col("trow") == D8_DY[i])
+                & (F.col("col") - F.col("tcol") == D8_DX[i]),
+                F.lit(i),
+            )
+            for i in range(8)
+        ]
+    )
+    edges = edges.withColumn("i", iexpr)
+
+    contribs = None  # (row, col, i, val): resolved inflow into (row, col)
+    outlets = None  # (row, col)
+    rem = edges
+    spark = cells.sparkSession
+    empty_c = spark.createDataFrame([], "row long, col long, i int, val double")
+    contribs = empty_c.localCheckpoint(eager=True)
+    outlets = spark.createDataFrame([], "row long, col long").localCheckpoint(eager=True)
+    remaining = src
+    for _ in range(max_iterations):
+        if remaining.isEmpty():
+            break
+        tgt = rem.select(F.col("trow").alias("row"), F.col("tcol").alias("col")).distinct()
+        frontier = remaining.join(tgt, ["row", "col"], "left_anti").localCheckpoint(
+            eager=True
+        )
+        fin = (
+            frontier.join(contribs, ["row", "col"], "left")
+            .groupBy("row", "col")
+            .agg(
+                (F.lit(1.0) + F.coalesce(F.sum("val"), F.lit(0.0))).alias("fa"),
+                F.max_by(
+                    F.struct(F.col("val"), F.col("i")),
+                    F.when(F.col("val").isNotNull(), F.struct(F.col("val"), -F.col("i"))),
+                ).alias("mx"),
+            )
+            .select(
+                "row", "col", "fa",
+                F.coalesce(F.col("mx.val"), F.lit(0.0)).alias("inla"),
+                F.col("mx.i").alias("inla_i"),
+            )
+        )
+        big = F.col("fa") >= F.lit(float(size))
+        # `target_fa - inla_mag` is usize math in the reference: when
+        # inla > size it wraps huge and the comparison goes FALSE (self
+        # cut) — mirrored by the inla <= size guard
+        cut_nbr = big & (
+            (F.lit(float(size)) - F.col("inla")) < (F.col("fa") - F.lit(float(size)))
+        ) & (F.col("inla") > 0.0) & (F.col("inla") <= F.lit(float(size)))
+        cut_self = big & ~cut_nbr
+        dec = fin.select(
+            "row", "col",
+            F.when(cut_nbr, F.col("fa") - F.col("inla"))
+            .when(cut_self, F.lit(1.0))
+            .otherwise(F.col("fa")).alias("out"),
+            cut_nbr.alias("cn"), cut_self.alias("cs"), "inla_i",
+        ).localCheckpoint(eager=True)
+        # outlet cells: the max-inflow NEIGHBOR for cut_nbr, the cell for cut_self
+        o_nbr = dec.filter(F.col("cn")).select(
+            (F.col("row") + F.coalesce(*[F.when(F.col("inla_i") == i, F.lit(D8_DY[i])) for i in range(8)])).alias("row"),
+            (F.col("col") + F.coalesce(*[F.when(F.col("inla_i") == i, F.lit(D8_DX[i])) for i in range(8)])).alias("col"),
+        )
+        o_self = dec.filter(F.col("cs")).select("row", "col")
+        # terminals (no outgoing edge) always become outlets
+        o_term = dec.join(
+            edges.select("row", "col"), ["row", "col"], "left_anti"
+        ).select("row", "col")
+        outlets = (
+            outlets.unionByName(o_nbr).unionByName(o_self).unionByName(o_term)
+            .distinct().localCheckpoint(eager=True)
+        )
+        # push each frontier cell's residual to its target
+        pushed = dec.join(edges, ["row", "col"]).select(
+            F.col("trow").alias("row"), F.col("tcol").alias("col"),
+            "i", F.col("out").alias("val"),
+        )
+        contribs = contribs.unionByName(pushed).transform(loop_checkpoint)
+        remaining = remaining.join(frontier, ["row", "col"], "left_anti").transform(
+            loop_checkpoint
+        )
+        rem = rem.join(frontier, ["row", "col"], "left_anti").transform(loop_checkpoint)
+
+    ids = with_global_seq(
+        outlets.select((F.col("row") * F.lit(1 << 31) + F.col("col")).alias("t")),
+        ["t"], out_col="pour_id",
+    )
+    pour = outlets.join(
+        F.broadcast(ids),
+        (F.col("row") * F.lit(1 << 31) + F.col("col")) == F.col("t"),
+    ).select("row", "col", "pour_id")
+    return watershed(cells, grid, pour).select(
+        "row", "col", F.col("pour_id").cast("double").alias("value")
+    )

@@ -2151,3 +2151,568 @@ walk(seed_id, row, col, seq, dist) AS (
 SELECT w.seed_id, w.seq, w.dist, c.value AS z
 FROM walk w JOIN cells c ON c.row = w.row AND c.col = w.col
 """
+
+
+def _cc_min_label(nodes: DataFrame, edges: DataFrame, *, max_iterations: int = 48) -> DataFrame:
+    """Connected components over an explicit UNDIRECTED edge list by
+    min-label propagation + pointer-doubling shortcut (same O(log diameter)
+    trick as raster_vector.clump, but adjacency is caller-defined).
+    nodes: (key,); edges: (key, key2). -> (key, label) with label = the
+    component's minimum key."""
+    from whitebox_tools_spark.distributed import loop_checkpoint
+
+    both = edges.unionByName(
+        edges.select(F.col("key2").alias("key"), F.col("key").alias("key2"))
+    ).localCheckpoint(eager=True)
+    cur = nodes.select("key", F.col("key").alias("label")).localCheckpoint(eager=True)
+    for _ in range(max_iterations):
+        nbr_min = (
+            both.join(cur.select(F.col("key").alias("key2"), F.col("label").alias("l2")), "key2")
+            .groupBy("key")
+            .agg(F.min("l2").alias("nl"))
+        )
+        step = cur.join(nbr_min, "key", "left").select(
+            "key", F.least(F.col("label"), F.coalesce(F.col("nl"), F.col("label"))).alias("label")
+        )
+        for _s in range(2):  # label-of-label shortcut, doubling reach
+            ref = step.select(F.col("key").alias("__k"), F.col("label").alias("__l"))
+            step = (
+                step.join(ref, step["label"] == ref["__k"], "left")
+                .select(
+                    "key",
+                    F.least(F.col("label"), F.coalesce(F.col("__l"), F.col("label"))).alias("label"),
+                )
+            )
+        step = step.localCheckpoint(eager=True)
+        changed = (
+            step.join(cur.select("key", F.col("label").alias("old")), "key")
+            .filter(F.col("label") != F.col("old"))
+            .limit(1)
+            .isEmpty()
+        )
+        cur = step
+        if changed:
+            break
+    _ = loop_checkpoint
+    return cur
+
+
+def hillslopes(cells: DataFrame, grid: GridSpec, *, threshold: float) -> DataFrame:
+    """Hillslopes (hydro_analysis/hillslopes.rs:144): catchments draining
+    to the left bank, right bank and channel head of every stream link.
+    Stream cells output 0; every other draining cell gets its hillslope's
+    id, ids densely numbered 1..n in raster scan order of each hillslope's
+    minimum cell (the reference renumbers by scan order of first
+    encounter — same partition, same ordering rule).
+
+    Spark pipeline: pour ids on stream cells (link id; channel heads get
+    their own id) -> each non-stream cell takes the pour id of the FIRST
+    stream cell on its D8 path (_stream_terminals cut walk) -> connected
+    components of equal pour id with 8-connectivity, where a diagonal step
+    is blocked when BOTH flanking cardinal cells are stream cells (the
+    reference's no-crossing-streams-on-diagonals rule) -> left and right
+    banks fall apart as separate components. -> (row, col, value)."""
+    from whitebox_tools_spark.distributed import with_global_seq
+
+    term, sc = _stream_terminals(cells, grid, threshold)
+    links = stream_link_identifier(cells, grid, threshold=threshold)
+    _, s_edges = _stream_set(cells, grid, threshold)
+    heads = sc.join(
+        s_edges.select(F.col("trow").alias("row"), F.col("tcol").alias("col")).distinct(),
+        ["row", "col"],
+        "left_anti",
+    )
+    n_links = links.agg(F.max("link_id")).collect()[0][0] or 0
+    head_ids = with_global_seq(
+        heads.select(_key(F.col("row"), F.col("col")).alias("t")), ["t"], out_col="hid"
+    ).select("t", (F.col("hid") + F.lit(int(n_links))).alias("pour"))
+    pour = (
+        links.join(
+            F.broadcast(head_ids), _key(F.col("row"), F.col("col")) == F.col("t"), "left"
+        )
+        .select("row", "col", F.coalesce("pour", F.col("link_id")).alias("pour"))
+        .localCheckpoint(eager=True)
+    )
+
+    lab = (
+        term.join(
+            pour.select(
+                F.col("row").alias("trow"), F.col("col").alias("tcol"), "pour"
+            ),
+            ["trow", "tcol"],
+        )
+        .join(sc, ["row", "col"], "left_anti")  # stream cells handled below
+        .select("row", "col", "pour")
+        .localCheckpoint(eager=True)
+    )
+
+    # constrained 8-adjacency among equal-pour non-stream cells
+    stream_flag = sc.select(
+        F.col("row").alias("fr"), F.col("col").alias("fc"), F.lit(True).alias("is_s")
+    )
+    nbr = lab.select(
+        F.col("row").alias("r2"), F.col("col").alias("c2"), F.col("pour").alias("p2")
+    )
+    pairs = None
+    for dr, dc in [(0, 1), (1, 0), (1, -1), (1, 1)]:  # forward half-plane
+        p = lab.join(
+            nbr,
+            (F.col("r2") == F.col("row") + dr)
+            & (F.col("c2") == F.col("col") + dc)
+            & (F.col("p2") == F.col("pour")),
+        )
+        if dr != 0 and dc != 0:
+            f1 = stream_flag.withColumnRenamed("is_s", "s1")
+            f2 = stream_flag.select(
+                F.col("fr").alias("gr"), F.col("fc").alias("gc"),
+                F.col("is_s").alias("s2"),
+            )
+            p = (
+                p.join(
+                    f1,
+                    (F.col("fr") == F.col("row") + dr) & (F.col("fc") == F.col("col")),
+                    "left",
+                )
+                .join(
+                    f2,
+                    (F.col("gr") == F.col("row")) & (F.col("gc") == F.col("col") + dc),
+                    "left",
+                )
+                .filter(F.col("s1").isNull() | F.col("s2").isNull())
+                .drop("fr", "fc", "gr", "gc", "s1", "s2")
+            )
+        e = p.select(
+            _key(F.col("row"), F.col("col")).alias("key"),
+            _key(F.col("r2"), F.col("c2")).alias("key2"),
+        )
+        pairs = e if pairs is None else pairs.unionByName(e)
+
+    nodes = lab.select(_key(F.col("row"), F.col("col")).alias("key"))
+    comp = _cc_min_label(nodes, pairs)
+    ids = with_global_seq(
+        comp.select(F.col("label").alias("t")).distinct(), ["t"], out_col="hs_id"
+    )
+    out_hs = comp.join(F.broadcast(ids), comp["label"] == ids["t"]).select(
+        F.floor(F.col("key") / _BIG).cast("long").alias("row"),
+        (F.col("key") % _BIG).alias("col"),
+        F.col("hs_id").cast("double").alias("value"),
+    )
+    out_sc = sc.select("row", "col", F.lit(0.0).alias("value"))
+    return out_hs.unionByName(out_sc)
+
+
+def hillslopes_oracle_sql(source_sql: str, grid: GridSpec, *, threshold: float) -> str:
+    """Independent DuckDB mirror: stream/link/cut-walk CTEs + recursive
+    min-label closure over the constrained adjacency (diagonals blocked
+    between two stream flanks), renumbered by scan order."""
+    return f"""
+WITH RECURSIVE {_stream_ctes(source_sql, grid, threshold)},{_LINK_CTES},{_cut_walk_ctes()},
+maxlink AS (SELECT coalesce(max(link_id), 0) AS m FROM linkcell),
+heads AS (
+  SELECT s.row, s.col FROM sc s
+  ANTI JOIN (SELECT DISTINCT trow, tcol FROM se) t
+    ON t.trow = s.row AND t.tcol = s.col
+),
+headids AS (
+  SELECT row, col,
+         CAST(row_number() OVER (ORDER BY row * 2147483648 + col) AS BIGINT)
+           + (SELECT m FROM maxlink) AS pour
+  FROM heads
+),
+pour AS MATERIALIZED (
+  SELECT l.row, l.col, coalesce(h.pour, l.link_id) AS pour
+  FROM linkcell l LEFT JOIN headids h ON h.row = l.row AND h.col = l.col
+),
+lab AS MATERIALIZED (
+  SELECT t.orow AS row, t.ocol AS col, p.pour
+  FROM tterm t
+  JOIN pour p ON p.row = t.trow AND p.col = t.tcol
+  ANTI JOIN sc s ON s.row = t.orow AND s.col = t.ocol
+),
+offs(dr, dc) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,1),(1,-1),(1,0),(1,1)),
+adjc AS MATERIALIZED (
+  SELECT a.row AS ur, a.col AS uc, b.row AS vr, b.col AS vc
+  FROM lab a CROSS JOIN offs o
+  JOIN lab b ON b.row = a.row + o.dr AND b.col = a.col + o.dc
+            AND b.pour = a.pour
+  WHERE o.dr = 0 OR o.dc = 0
+     OR NOT (
+       EXISTS (SELECT 1 FROM sc s WHERE s.row = a.row + o.dr AND s.col = a.col)
+       AND EXISTS (SELECT 1 FROM sc s WHERE s.row = a.row AND s.col = a.col + o.dc)
+     )
+),
+r(row, col, label) AS (
+  SELECT row, col, row * 2147483648 + col FROM lab
+  UNION
+  SELECT e.vr, e.vc, r.label
+  FROM r JOIN adjc e ON e.ur = r.row AND e.uc = r.col
+),
+mlab AS (SELECT row, col, min(label) AS lab FROM r GROUP BY 1, 2),
+comp AS (SELECT lab, min(row * 2147483648 + col) AS scan FROM mlab GROUP BY 1),
+cids AS (SELECT lab, CAST(row_number() OVER (ORDER BY scan) AS BIGINT) AS hs_id FROM comp)
+SELECT m.row, m.col, CAST(c.hs_id AS DOUBLE) AS value
+FROM mlab m JOIN cids c ON c.lab = m.lab
+UNION ALL
+SELECT row, col, 0.0 AS value FROM sc
+"""
+
+
+def unnest_basins(cells: DataFrame, grid: GridSpec, pour: DataFrame) -> DataFrame:
+    """UnnestBasins (hydro_analysis/unnest_basins.rs): full (un-truncated)
+    watershed of every pour point, organized by nesting level. The
+    reference writes one raster per level; this emits the union with the
+    level column: one row per (cell, pour point on its D8 flow path).
+    Within a level no two pour points share a path (a nested pair always
+    differs in level), so each (cell, level) pair is unique — exactly the
+    reference's per-level watershed rasters. nest_level(p) = number of
+    pour points at-or-downstream of p on p's own path (1 = outermost).
+
+    Spark plan: pour-set accumulation along the flow forest by pointer
+    doubling — state (succ, array of pour keys met so far); each round
+    concatenates the successor window's array and squares the successor,
+    so the whole closure is O(log path) self-joins (arrays stay tiny:
+    <= nesting depth). -> (row, col, nest_level, pour_id)."""
+    from whitebox_tools_spark.distributed import loop_checkpoint
+
+    src = cells.filter(F.col("value").isNotNull()).select("row", "col")
+    edges = _flow_edges(cells, grid)
+    pk = pour.select(_key(F.col("row"), F.col("col")).alias("pkey"), "pour_id")
+    state = (
+        src.join(edges, ["row", "col"], "left")
+        .select(
+            _key(F.col("row"), F.col("col")).alias("key"),
+            F.coalesce(
+                _key(F.col("trow"), F.col("tcol")),
+                _key(F.col("row"), F.col("col")),
+            ).alias("skey"),
+        )
+        .join(
+            F.broadcast(pk.select(F.col("pkey"), F.lit(1).alias("__p"))),
+            F.col("key") == F.col("pkey"),
+            "left",
+        )
+        .select(
+            "key", "skey",
+            F.when(F.col("__p").isNotNull(), F.array(F.col("key")))
+            .otherwise(F.array().cast("array<bigint>")).alias("arr"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(48):
+        s2 = state.select(
+            F.col("key").alias("k2"), F.col("skey").alias("s2"),
+            F.col("arr").alias("a2"),
+        )
+        nxt = (
+            state.join(s2, state["skey"] == s2["k2"])
+            .select(
+                "key",
+                F.col("s2").alias("skey"),
+                F.array_distinct(F.concat(F.col("arr"), F.col("a2"))).alias("arr"),
+            )
+            .transform(loop_checkpoint)
+        )
+        changed = (
+            nxt.join(
+                state.select(
+                    "key", F.col("skey").alias("old"), F.col("arr").alias("aold")
+                ),
+                "key",
+            )
+            .filter(
+                (F.col("skey") != F.col("old"))
+                | (F.size("arr") != F.size("aold"))
+            )
+            .limit(1)
+            .isEmpty()
+        )
+        state = nxt
+        if changed:
+            break
+    hits = state.select(
+        F.floor(F.col("key") / _BIG).cast("long").alias("row"),
+        (F.col("key") % _BIG).alias("col"),
+        F.explode(F.col("arr")).alias("pkey"),
+    )
+    lvl = state.select("key", F.size("arr").alias("nest_level")).join(
+        F.broadcast(pk), F.col("key") == F.col("pkey")
+    ).select("pkey", "pour_id", "nest_level")
+    return hits.join(F.broadcast(lvl), "pkey").select(
+        "row", "col", "nest_level", "pour_id"
+    )
+
+
+def unnest_basins_oracle_sql(source_sql: str, grid: GridSpec, pour_sql: str) -> str:
+    """pour_sql: subquery text producing (prow, pcol, pour_id); it may
+    reference the walk closure's fa (cells/walk CTEs are in scope)."""
+    from whitebox_tools_spark.operators.hydro import _fd_ctes
+
+    return f"""
+WITH RECURSIVE {_fd_ctes(source_sql, grid)},
+walk(orow, ocol, row, col) AS (
+  SELECT row, col, row, col FROM cells
+  UNION
+  SELECT w.orow, w.ocol, f.trow, f.tcol
+  FROM walk w JOIN fd f ON f.row = w.row AND f.col = w.col
+),
+fa AS MATERIALIZED (
+  SELECT row, col, CAST(count(*) AS DOUBLE) AS value FROM walk GROUP BY 1, 2
+),
+pour AS ({pour_sql}),
+hits AS (
+  SELECT w.orow, w.ocol, p.pour_id, p.prow, p.pcol
+  FROM walk w JOIN pour p ON p.prow = w.row AND p.pcol = w.col
+),
+lvl AS (
+  SELECT p.pour_id, CAST(count(*) AS INT) AS nest_level
+  FROM pour p
+  JOIN walk w ON w.orow = p.prow AND w.ocol = p.pcol
+  JOIN pour q ON q.prow = w.row AND q.pcol = w.col
+  GROUP BY 1
+)
+SELECT h.orow AS row, h.ocol AS col, l.nest_level, h.pour_id
+FROM hits h JOIN lvl l ON l.pour_id = h.pour_id
+"""
+
+
+def max_branch_length(cells: DataFrame, grid: GridSpec, *, max_doublings: int = 48) -> DataFrame:
+    """MaxBranchLength (terrain_analysis/max_branch_length.rs:343-470,
+    Gardner's Bmax): for each CARDINAL pair of flow cells, both flowpaths
+    are traced to their first common cell (or their termini when the paths
+    never meet); each cell's output is the max over its pairs of the
+    distance from the cell to that meeting point. Cells with no downslope
+    direction (pits) output 0, as in the reference (output reinitialized
+    to 0, pairs require both dirs >= 0).
+
+    Spark plan (O(log path) supersteps, all equi-joins):
+      dist(u -> meet) = dpl(u) - dpl(meet) with dpl = downslope flowpath
+      length, and meet = the pair's lowest common ancestor in the flow
+      in-forest (paths are suffixes; same terminus <=> they meet).
+      LCA for ALL pairs at once by binary lifting: jump tables
+      J_k = 2^k-step successors built by pointer doubling, then the
+      classic align-depths + co-descend, each phase a batched sequence of
+      K equi-joins over the whole pair table. -> (row, col, value)."""
+    src = cells.filter(F.col("value").isNotNull()).select("row", "col")
+    edges = _flow_edges(cells, grid)
+    dpl = downslope_flowpath_length(cells, grid).select(
+        "row", "col", F.col("value").alias("dpl")
+    )
+
+    # jump tables J_k (key -> 2^k-th successor); terminals self-loop
+    j0 = src.join(edges, ["row", "col"], "left").select(
+        _key(F.col("row"), F.col("col")).alias("key"),
+        F.coalesce(
+            _key(F.col("trow"), F.col("tcol")), _key(F.col("row"), F.col("col"))
+        ).alias("skey"),
+    ).localCheckpoint(eager=True)
+    jumps = [j0]
+    # depth in steps to terminus: doubling alongside the jump tables
+    depth = j0.select(
+        "key",
+        F.when(F.col("skey") != F.col("key"), F.lit(1)).otherwise(F.lit(0))
+        .cast("long").alias("d"),
+        "skey",
+    ).localCheckpoint(eager=True)
+    for _ in range(max_doublings):
+        prev = jumps[-1]
+        ref = prev.select(F.col("key").alias("k2"), F.col("skey").alias("s2"))
+        nxt = prev.join(ref, prev["skey"] == ref["k2"]).select(
+            "key", F.col("s2").alias("skey")
+        ).localCheckpoint(eager=True)
+        stable = (
+            nxt.join(prev.select("key", F.col("skey").alias("old")), "key")
+            .filter(F.col("skey") != F.col("old")).limit(1).isEmpty()
+        )
+        dref = depth.select(
+            F.col("key").alias("k2"), F.col("d").alias("d2"), F.col("skey").alias("s2")
+        )
+        depth = depth.join(dref, depth["skey"] == dref["k2"]).select(
+            "key", (F.col("d") + F.col("d2")).alias("d"), F.col("s2").alias("skey")
+        ).localCheckpoint(eager=True)
+        jumps.append(nxt)
+        if stable:
+            break
+    K = len(jumps)
+    term = jumps[-1].select("key", F.col("skey").alias("term"))
+    info = (
+        term.join(depth.select("key", "d"), "key")
+        .join(
+            dpl.select(_key(F.col("row"), F.col("col")).alias("key"), "dpl"), "key"
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    # cardinal pairs among cells WITH a flow direction
+    fdc = edges.select(_key(F.col("row"), F.col("col")).alias("key"))
+    right = edges.select(_key(F.col("row"), F.col("col") + 1).alias("key"))
+    down = edges.select(_key(F.col("row") + 1, F.col("col")).alias("key"))
+    pairs = (
+        edges.select(
+            _key(F.col("row"), F.col("col")).alias("ka"),
+            _key(F.col("row"), F.col("col") + 1).alias("kb"),
+        ).join(fdc.withColumnRenamed("key", "kb"), "kb")
+        .unionByName(
+            edges.select(
+                _key(F.col("row"), F.col("col")).alias("ka"),
+                _key(F.col("row") + 1, F.col("col")).alias("kb"),
+            ).join(fdc.withColumnRenamed("key", "kb"), "kb")
+        )
+    )
+    _ = (right, down)
+    ia = info.select(
+        F.col("key").alias("ka"), F.col("term").alias("ta"),
+        F.col("d").alias("da"), F.col("dpl").alias("pa"),
+    )
+    ib = info.select(
+        F.col("key").alias("kb"), F.col("term").alias("tb"),
+        F.col("d").alias("db"), F.col("dpl").alias("pb"),
+    )
+    p = pairs.join(ia, "ka").join(ib, "kb").localCheckpoint(eager=True)
+    disjoint = p.filter(F.col("ta") != F.col("tb")).select(
+        "ka", "kb", F.col("pa").alias("dist_a"), F.col("pb").alias("dist_b")
+    )
+    same = p.filter(F.col("ta") == F.col("tb")).select(
+        "ka", "kb", "pa", "pb",
+        F.col("ka").alias("a"), F.col("kb").alias("b"), "da", "db",
+    )
+
+    # phase 1: lift the deeper endpoint to equal depth (high bit first)
+    for k in range(K - 1, -1, -1):
+        jk = jumps[k]
+        step = 1 << k
+        same = (
+            same.join(
+                jk.select(F.col("key").alias("a"), F.col("skey").alias("ja")), "a", "left"
+            )
+            .join(
+                jk.select(F.col("key").alias("b"), F.col("skey").alias("jb")), "b", "left"
+            )
+            .select(
+                "ka", "kb", "pa", "pb",
+                F.when(F.col("da") - F.col("db") >= step, F.col("ja"))
+                .otherwise(F.col("a")).alias("a"),
+                F.when(F.col("db") - F.col("da") >= step, F.col("jb"))
+                .otherwise(F.col("b")).alias("b"),
+                F.when(F.col("da") - F.col("db") >= step, F.col("da") - step)
+                .otherwise(F.col("da")).alias("da"),
+                F.when(F.col("db") - F.col("da") >= step, F.col("db") - step)
+                .otherwise(F.col("db")).alias("db"),
+            )
+        )
+    same = same.localCheckpoint(eager=True)
+    # phase 2: co-descend while the 2^k ancestors differ
+    for k in range(K - 1, -1, -1):
+        jk = jumps[k]
+        same = (
+            same.join(
+                jk.select(F.col("key").alias("a"), F.col("skey").alias("ja")), "a", "left"
+            )
+            .join(
+                jk.select(F.col("key").alias("b"), F.col("skey").alias("jb")), "b", "left"
+            )
+            .select(
+                "ka", "kb", "pa", "pb", "da", "db",
+                F.when(
+                    (F.col("a") != F.col("b")) & (F.col("ja") != F.col("jb")),
+                    F.col("ja"),
+                ).otherwise(F.col("a")).alias("a"),
+                F.when(
+                    (F.col("a") != F.col("b")) & (F.col("ja") != F.col("jb")),
+                    F.col("jb"),
+                ).otherwise(F.col("b")).alias("b"),
+            )
+        )
+        if (k % 8) == 0:
+            same = same.localCheckpoint(eager=True)
+    lca = (
+        same.join(
+            j0.select(F.col("key").alias("a"), F.col("skey").alias("j1a")), "a", "left"
+        )
+        .select(
+            "ka", "kb", "pa", "pb",
+            F.when(F.col("a") == F.col("b"), F.col("a"))
+            .otherwise(F.col("j1a")).alias("lca"),
+        )
+    )
+    met = lca.join(
+        info.select(F.col("key").alias("lca"), F.col("dpl").alias("pl")), "lca"
+    ).select(
+        "ka", "kb",
+        (F.col("pa") - F.col("pl")).alias("dist_a"),
+        (F.col("pb") - F.col("pl")).alias("dist_b"),
+    )
+    alld = met.unionByName(disjoint)
+    per_cell = (
+        alld.select(F.col("ka").alias("key"), F.col("dist_a").alias("dist"))
+        .unionByName(alld.select(F.col("kb").alias("key"), F.col("dist_b").alias("dist")))
+        .groupBy("key")
+        .agg(F.max("dist").alias("value"))
+    )
+    return (
+        src.select(_key(F.col("row"), F.col("col")).alias("key"))
+        .join(per_cell, "key", "left")
+        .select(
+            F.floor(F.col("key") / _BIG).cast("long").alias("row"),
+            (F.col("key") % _BIG).alias("col"),
+            F.coalesce(F.col("value"), F.lit(0.0)).alias("value"),
+        )
+    )
+
+
+def max_branch_length_oracle_sql(source_sql: str, grid: GridSpec) -> str:
+    """Independent mirror: recursive distance walk; per cardinal pair the
+    meeting cell is the common path cell with the LARGEST remaining
+    flowpath length (dpl decreases strictly downstream, so that is the
+    FIRST common cell); Bmax = max over pairs of dpl(u) - dpl(meet),
+    dpl(u) when the paths never meet."""
+    from whitebox_tools_spark.operators.hydro import _fd_ctes
+
+    return f"""
+WITH RECURSIVE {_fd_ctes(source_sql, grid)},
+wd(orow, ocol, row, col, dist) AS (
+  SELECT row, col, row, col, CAST(0.0 AS DOUBLE) FROM cells
+  UNION
+  SELECT w.orow, w.ocol, f.trow, f.tcol, w.dist + d.len
+  FROM wd w
+  JOIN fd f ON f.row = w.row AND f.col = w.col
+  JOIN dirs d ON d.i = f.i
+),
+dpl AS MATERIALIZED (
+  SELECT orow AS row, ocol AS col, max(dist) AS dpl FROM wd GROUP BY 1, 2
+),
+fdc AS MATERIALIZED (SELECT row, col FROM fd),
+pairs AS MATERIALIZED (
+  SELECT a.row AS ar, a.col AS ac, a.row AS br, a.col + 1 AS bc
+  FROM fdc a JOIN fdc b ON b.row = a.row AND b.col = a.col + 1
+  UNION ALL
+  SELECT a.row, a.col, a.row + 1, a.col
+  FROM fdc a JOIN fdc b ON b.row = a.row + 1 AND b.col = a.col
+),
+meet AS (
+  SELECT p.ar, p.ac, p.br, p.bc, max(dc.dpl) AS meet_dpl
+  FROM pairs p
+  JOIN wd wa ON wa.orow = p.ar AND wa.ocol = p.ac
+  JOIN wd wb ON wb.orow = p.br AND wb.ocol = p.bc
+             AND wb.row = wa.row AND wb.col = wa.col
+  JOIN dpl dc ON dc.row = wa.row AND dc.col = wa.col
+  GROUP BY 1, 2, 3, 4
+),
+pd AS (
+  SELECT p.ar, p.ac, p.br, p.bc,
+         da.dpl - coalesce(m.meet_dpl, 0.0) AS dist_a,
+         db.dpl - coalesce(m.meet_dpl, 0.0) AS dist_b
+  FROM pairs p
+  LEFT JOIN meet m ON m.ar = p.ar AND m.ac = p.ac AND m.br = p.br AND m.bc = p.bc
+  JOIN dpl da ON da.row = p.ar AND da.col = p.ac
+  JOIN dpl db ON db.row = p.br AND db.col = p.bc
+),
+percell AS (
+  SELECT row, col, max(dist) AS value FROM (
+    SELECT ar AS row, ac AS col, dist_a AS dist FROM pd
+    UNION ALL
+    SELECT br, bc, dist_b FROM pd
+  ) GROUP BY 1, 2
+)
+SELECT c.row, c.col, round(coalesce(p.value, 0.0), 6) AS value
+FROM cells c LEFT JOIN percell p ON p.row = c.row AND p.col = c.col
+"""
