@@ -4102,12 +4102,25 @@ def q_dedup_exact(spark, sf_dir):
 
 
 def q_ngram_jaccard(spark, sf_dir):
-    # banded=True is the scale path (log-ratio length bands, 3x fan-out,
-    # never quadratic) — exact-complete, so the all-pairs DuckDB oracle
-    # certifies it directly.
+    # banded: log-ratio length bands, 3x key fan-out; exact-complete, so
+    # the all-pairs DuckDB oracle certifies it directly. Candidate volume
+    # is sum(|band|^2) — mid-scale path; 100-TB traffic goes to 'prefix'.
     return _r6(
         DD.ngram_jaccard_pairs(
             _t(spark, sf_dir, "documents"), threshold=0.5, banded=True
+        ),
+        ["jaccard"],
+    )
+
+
+def q_ngram_jaccard_prefix(spark, sf_dir):
+    """PPJoin prefix-filtered exact Jaccard (the 100-TB candidate path:
+    global df-ordered shingles, each doc indexes its |A|-ceil(t|A|)+1
+    rarest, candidates equi-join on indexed shingles only). Same exact
+    output as all-pairs, so the same DuckDB oracle certifies it."""
+    return _r6(
+        DD.ngram_jaccard_pairs(
+            _t(spark, sf_dir, "documents"), threshold=0.5, method="prefix"
         ),
         ["jaccard"],
     )
@@ -4820,6 +4833,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lidar_block_maximum": q_lidar_block_maximum,
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
+        "ngram_jaccard_prefix": q_ngram_jaccard_prefix,
         "minhash_lsh": q_minhash_lsh,
         "simhash_near_dup": q_simhash,
         "token_count": q_token_count,
@@ -5756,6 +5770,7 @@ FROM ({_cloud_ext_cte()}) t WHERE abs(scan_angle) <= 10.0
 SELECT min(doc_id) AS doc_id, text, count(*) AS n_dups FROM documents GROUP BY text
 """,
         "ngram_jaccard": _ngram_jaccard_sql(),
+        "ngram_jaccard_prefix": _ngram_jaccard_sql(),
         "token_count": """
 SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0
                     ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens

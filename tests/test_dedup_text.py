@@ -62,6 +62,47 @@ def test_ngram_jaccard_banded_equals_all_pairs(spark):
     assert any(a == 0 and b == 1 for a, b, _ in exact)  # sanity: dups found
 
 
+def test_ngram_jaccard_prefix_equals_all_pairs_skewed(spark):
+    """PPJoin prefix filtering must be exact-complete on the corpus shape
+    that breaks length banding: many docs concentrated in ONE length band
+    (same length, partially-overlapping content), plus templated near-dups
+    at several similarity levels and size-ratio boundary cases."""
+    import random
+
+    rng = random.Random(20260818)
+    vocab = [f"tok{v:03d}" for v in range(60)]
+    rows = []
+    did = 0
+    # 24 same-length docs, random 12-word samples of a 60-word vocab:
+    # all land in one band; pairwise jaccard spans 0..~0.6.
+    for _ in range(24):
+        rows.append((did, " ".join(rng.sample(vocab, 12))))
+        did += 1
+    # templated family: one base doc + single-word edits (high jaccard)
+    base = " ".join(vocab[:12])
+    for k in (0, 1, 2):
+        rows.append((did, base.replace(f"tok00{k}", f"xxx00{k}")))
+        did += 1
+    rows.append((did, base)); did += 1
+    rows.append((did, base)); did += 1  # exact dup -> a pair at t=1.0
+    # size-ratio boundary: 80% prefix of the base
+    rows.append((did, " ".join(vocab[:10]))); did += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for t in (0.5, 0.8, 1.0):
+        exact = {(r.doc_id_a, r.doc_id_b, round(r.jaccard, 9))
+                 for r in DD.ngram_jaccard_pairs(
+                     docs, threshold=t, method="allpairs").collect()}
+        prefix = {(r.doc_id_a, r.doc_id_b, round(r.jaccard, 9))
+                  for r in DD.ngram_jaccard_pairs(
+                      docs, threshold=t, method="prefix").collect()}
+        banded = {(r.doc_id_a, r.doc_id_b, round(r.jaccard, 9))
+                  for r in DD.ngram_jaccard_pairs(
+                      docs, threshold=t, method="banded").collect()}
+        assert prefix == exact, f"threshold={t}: prefix != all-pairs"
+        assert banded == exact, f"threshold={t}: banded != all-pairs"
+    assert exact  # t=1.0 still finds the exact-dup pair
+
+
 def test_simhash_pigeonhole_guard(spark):
     import pytest
 

@@ -72,25 +72,103 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
     banded: bool = True,
+    method: str | None = None,
 ) -> DataFrame:
     """Near-dup pairs by exact n-gram Jaccard >= threshold.
 
-    Candidate generation (banded=True, the scale path): J(A,B) >= t implies
-    t <= |A|/|B| <= 1/t, i.e. |log|A| - log|B|| <= log(1/t). Band each doc
-    on floor(log(sz)/log(1/t)); qualifying pairs then differ by at most one
-    band, so exploding ONE side to {band-1, band, band+1} and equi-joining
-    on the other side's single band is exact-complete with a constant 3x
-    fan-out (never quadratic). An exact size-ratio prefilter rejects most
-    candidates before the shingle-set intersection. banded=False is the
-    O(n^2) all-pairs oracle path. -> (doc_id_a, doc_id_b, jaccard).
+    method='prefix' (the 100-TB scale path): PPJoin-style prefix filtering
+    (Xiao, Wang, Lin & Yu, WWW'08 / Chaudhuri, Ganti & Kaushik, ICDE'06).
+    A global total order on shingles by (corpus document-frequency asc,
+    shingle asc) ranks rare shingles first; each doc indexes only its first
+    p = |A| - ceil(t*|A|) + 1 shingles in that order. Any pair with
+    J(A,B) >= t MUST share an indexed shingle: the required overlap is
+    alpha = ceil(t*max(|A|,|B|)), and the classic prefix lemma says records
+    with |A/\\B| >= alpha share a token inside prefixes of length
+    |X| - alpha + 1 <= p(X). Candidate volume is sum(df_p(w)^2) over
+    PREFIX-indexed tokens only — rare-token indexing makes this near-linear
+    on real corpora (the frequent shingles that would explode the join are
+    exactly the ones the prefix skips). Worst case remains quadratic (a
+    corpus of identical docs has quadratically many TRUE pairs — inherent
+    to exact output, not to the algorithm).
+
+    method='banded': length-banding — J >= t implies t <= |A|/|B| <= 1/t,
+    so banding on floor(log(sz)/log(1/t)) and exploding one side to
+    {band-1, band, band+1} is exact-complete with a 3x join-KEY fan-out.
+    NOTE the join OUTPUT is sum(|band|^2): real corpora concentrate doc
+    lengths into few bands, so this path degrades toward quadratic
+    candidates at scale. Kept as the simple mid-scale path and as a second
+    independent formulation for tests; route 100-TB traffic to 'prefix'
+    (or to minhash_lsh for approximate recall).
+
+    method='allpairs' is the O(n^2) oracle path. `banded` (bool) is the
+    legacy switch between 'banded' and 'allpairs'; `method` wins when set.
+    -> (doc_id_a, doc_id_b, jaccard).
     """
     import math
 
+    if method is None:
+        method = "banded" if banded else "allpairs"
+    if method not in ("prefix", "banded", "allpairs"):
+        raise ValueError(f"unknown method {method!r}")
     d = docs.select(
         F.col(doc_id).alias("id"),
         shingles_expr(F.col(text), n).alias("sh"),
     ).withColumn("sz", F.size("sh"))
-    if banded:
+    if method == "prefix":
+        tok = d.select("id", F.explode("sh").alias("tok"))
+        freq = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+        # Per-doc shingles in global (df asc, tok asc) order; index the
+        # first sz - ceil(t*sz) + 1 of them. array_sort on (df, tok)
+        # structs is the total order; all JVM-side.
+        plen = (
+            F.col("sz")
+            - F.ceil(F.lit(float(threshold)) * F.col("sz")).cast("int")
+            + F.lit(1)
+        )
+        prefix = (
+            tok.join(freq, "tok")
+            .groupBy("id")
+            .agg(F.array_sort(F.collect_list(F.struct("df", "tok"))).alias("ordered"))
+            .join(d.select("id", "sz"), "id")
+            .select(
+                "id",
+                F.explode(
+                    F.slice(
+                        F.transform("ordered", lambda s: s["tok"]), F.lit(1), plen
+                    )
+                ).alias("tok"),
+            )
+        )
+        cand = (
+            prefix.select(F.col("id").alias("doc_id_a"), "tok")
+            .join(prefix.select(F.col("id").alias("doc_id_b"), "tok"), "tok")
+            .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+            .select("doc_id_a", "doc_id_b")
+            .distinct()
+        )
+        pairs = (
+            cand.join(
+                d.select(
+                    F.col("id").alias("doc_id_a"),
+                    F.col("sh").alias("sh_a"),
+                    F.col("sz").alias("sz_a"),
+                ),
+                "doc_id_a",
+            )
+            .join(
+                d.select(
+                    F.col("id").alias("doc_id_b"),
+                    F.col("sh").alias("sh_b"),
+                    F.col("sz").alias("sz_b"),
+                ),
+                "doc_id_b",
+            )
+            .filter(
+                (F.col("sz_b") >= F.lit(threshold) * F.col("sz_a"))
+                & (F.col("sz_a") >= F.lit(threshold) * F.col("sz_b"))
+            )
+        )
+    elif method == "banded":
         if threshold >= 1.0:
             # J = 1 requires equal set sizes: band on the size itself
             band = F.col("sz").cast("double")
