@@ -4202,7 +4202,23 @@ def q_embed_ann_lsh(spark, sf_dir):
     queries = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    out = SIM.ann_topk_lsh(emb, queries, 5, n_planes=8, n_probes=4)
+    out = SIM.ann_topk_lsh(emb, queries, 5, n_planes=8, n_probes=4,
+                           probe_mode="fixed")
+    return out.select("query_id", "vec_id", F.round("cosine", 5).alias("cosine"),
+                      F.col("rank").cast("long").alias("rank"))
+
+
+def q_embed_ann_multiprobe(spark, sf_dir):
+    """Adaptive multi-probe ANN (Lv et al. VLDB'07: extra probes flip the
+    query's least-confident plane bits). The DuckDB mirror re-derives the
+    flip order via list_sort on (abs(dot), plane_idx) structs, so the whole
+    adaptive pipeline is value-checked."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = SIM.ann_topk_lsh(emb, queries, 5, n_planes=8, n_probes=4,
+                           probe_mode="adaptive")
     return out.select("query_id", "vec_id", F.round("cosine", 5).alias("cosine"),
                       F.col("rank").cast("long").alias("rank"))
 
@@ -4844,6 +4860,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embed_topk,
         "embedding_near_dup": q_embed_near_dup,
         "embedding_ann_lsh": q_embed_ann_lsh,
+        "embedding_ann_multiprobe": q_embed_ann_multiprobe,
         "clip_lines": q_clip_lines,
         "erase_lines": q_erase_lines,
         "polygon_overlay": q_polygon_overlay,
@@ -5786,6 +5803,7 @@ FROM documents
         "embedding_topk": _embed_topk_sql(),
         "embedding_near_dup": _embed_near_dup_sql(),
         "embedding_ann_lsh": _embed_ann_sql(),
+        "embedding_ann_multiprobe": _embed_ann_multiprobe_sql(),
         "minhash_lsh": DD.minhash_lsh_oracle_sql(
             "SELECT doc_id, text FROM documents",
             num_hashes=32, bands=8, verify_threshold=0.7,
@@ -7718,6 +7736,59 @@ q AS (SELECT query_id, qv, ({bucket('qv')}) AS bucket0 FROM q0),
 qp AS (
   SELECT query_id, qv, xor(bucket0, m.x) AS bucket
   FROM q CROSS JOIN (VALUES (0::BIGINT), (1), (2), (4)) m(x)
+),
+scored AS (
+  SELECT DISTINCT qp.query_id, c.vec_id, {cos} AS cos
+  FROM qp JOIN c USING (bucket)
+),
+rk AS (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, round(cos, 5) AS cosine, rank FROM rk WHERE rank <= 5
+"""
+
+
+def _embed_ann_multiprobe_sql() -> str:
+    """Adaptive multi-probe mirror: flip order = plane indices sorted by
+    (abs(dot(q, plane)), idx) asc — struct sort is lexicographic in both
+    engines, ties broken identically by idx."""
+    from whitebox_tools_spark.operators.similarity import _planes
+
+    planes = _planes(64, 8, 11)
+
+    def lit(p):
+        return "[" + ", ".join(repr(float(x)) for x in p) + "]::DOUBLE[]"
+
+    def bucket(v: str) -> str:
+        return " + ".join(
+            f"(CASE WHEN list_dot_product({v}, {lit(p)}) >= 0 "
+            f"THEN 1::BIGINT ELSE 0::BIGINT END << {i})"
+            for i, p in enumerate(planes)
+        )
+
+    dots = ", ".join(f"list_dot_product(qv, {lit(p)})" for p in planes)
+    cos = (
+        "list_dot_product(c.v, qp.qv) / "
+        "(sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(qp.qv, qp.qv)))"
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (SELECT vec_id, v, ({bucket('v')}) AS bucket FROM e),
+q0 AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+q AS (
+  SELECT query_id, qv, ({bucket('qv')}) AS bucket0,
+         list_transform(
+           list_sort([{', '.join(f"{{'a': abs(d[{i + 1}]), 'i': {i}}}" for i in range(8))}]),
+           s -> s.i) AS ord
+  FROM (SELECT query_id, qv, [{dots}] AS d FROM q0)
+),
+qp AS (
+  SELECT query_id, qv, bucket0 AS bucket FROM q
+  UNION ALL
+  SELECT query_id, qv, xor(bucket0, 1::BIGINT << ord[j])
+  FROM q CROSS JOIN (VALUES (1), (2), (3)) m(j)
 ),
 scored AS (
   SELECT DISTINCT qp.query_id, c.vec_id, {cos} AS cos

@@ -40,7 +40,45 @@ BENCH_QUERIES = [
     "quality_score",
     "fingerprint",
     "embedding_topk",
+    "embedding_ann_multiprobe",
 ]
+
+
+def ann_recall_at5(spark) -> dict:
+    """recall@5 + candidate fraction of the scale-default ANN (auto planes,
+    8 adaptive probes, salting) vs exact cosine_topk on a deterministic
+    CLUSTERED corpus (the sf embeddings are iid-random, where top-5
+    'neighbours' are noise-level and no sublinear method can recall them —
+    clustered data is the regime ANN exists for). 20k 32-d vectors,
+    400 clusters, 40 queries."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from whitebox_tools_spark.operators import similarity as SIM
+
+    rng = np.random.default_rng(20260818)
+    centers = rng.standard_normal((400, 32))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    pts = np.repeat(centers, 50, axis=0) + 0.05 * rng.standard_normal((20_000, 32))
+    corpus = spark.createDataFrame(
+        [(int(i), [float(v) for v in p]) for i, p in enumerate(pts)],
+        "vec_id long, embedding array<double>",
+    ).repartition(32).cache()
+    n = corpus.count()
+    q = corpus.filter(F.col("vec_id") % 500 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    nq = q.count()
+    exact = {(r.query_id, r.vec_id)
+             for r in SIM.cosine_topk(corpus, q, 5).collect()}
+    n_cand = SIM.ann_candidate_pairs(corpus, q, dim=32, seed=3).count()
+    ann = {(r.query_id, r.vec_id)
+           for r in SIM.ann_topk_lsh(corpus, q, 5, dim=32, seed=3).collect()}
+    corpus.unpersist()
+    return {
+        "recall_at5": round(len(ann & exact) / max(len(exact), 1), 4),
+        "candidate_frac": round(n_cand / (n * nq), 5),
+    }
 
 
 def geodoc_pipeline(spark, path: str):
@@ -101,6 +139,8 @@ def main():
         timings[name] = round(time.time() - t0, 3)
         _ = n
 
+    ann_stats = ann_recall_at5(spark)
+
     t0 = time.time()
     out_rows = geodoc_pipeline(spark, geodoc_path).count()
     geodoc_sec = time.time() - t0
@@ -116,6 +156,7 @@ def main():
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf),
+                "ann": ann_stats,
                 "geodocs": {
                     "n_docs": n_docs,
                     "sec": round(geodoc_sec, 3),

@@ -1,0 +1,82 @@
+"""ANN scale-default tests: auto plane count, multi-probe recall, and
+hot-bucket salting invariance (VERDICT r3 item 10).
+
+Reference parity note: the reference has no ANN operator — this is part of
+the LLM-data-pipeline suite. Public construction: Charikar 2002 random
+hyperplane LSH + multi-probe (Lv et al., VLDB'07) + standard skew salting.
+"""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from whitebox_tools_spark.operators import similarity as SIM
+
+
+def test_auto_n_planes_scales_with_corpus():
+    # mean bucket population pinned ~4096: fixed 8 planes up to ~1M docs,
+    # log-growth beyond (28 planes at 10^12 -> 2.7e8 buckets).
+    assert SIM.auto_n_planes(1_000) == 8
+    assert SIM.auto_n_planes(1_000_000) == 8
+    assert SIM.auto_n_planes(10**9) == 18
+    assert SIM.auto_n_planes(10**12) == 28
+
+
+def _clustered(spark, n_clusters=150, per_cluster=60, dim=16, seed=7):
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    pts = np.repeat(centers, per_cluster, axis=0) + 0.08 * rng.standard_normal(
+        (n_clusters * per_cluster, dim)
+    )
+    rows = [(int(i), [float(v) for v in p]) for i, p in enumerate(pts)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_ann_recall_and_candidate_volume(spark):
+    """On a clustered corpus (the shape where ANN is meaningful), the scale
+    defaults (auto planes, 2 probes) must reach recall@5 >= 0.9 while
+    scoring <10% of the exhaustive candidate volume."""
+    corpus = _clustered(spark)
+    n_corpus = corpus.count()
+    q = corpus.filter(F.col("vec_id") % 600 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    n_q = q.count()
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in SIM.cosine_topk(corpus, q, 5, corpus_vec="embedding").collect()
+    }
+    cand = SIM.ann_candidate_pairs(corpus, q, dim=16, seed=3)
+    n_cand = cand.count()
+    ann = {
+        (r.query_id, r.vec_id)
+        for r in SIM.ann_topk_lsh(corpus, q, 5, dim=16, seed=3).collect()
+    }
+    recall = len(ann & exact) / len(exact)
+    assert recall >= 0.9, f"recall@5 {recall:.3f} < 0.9"
+    assert n_cand < 0.1 * n_corpus * n_q, (
+        f"candidates {n_cand} not <10% of exhaustive {n_corpus * n_q}"
+    )
+
+
+def test_ann_salting_invariance(spark):
+    """Forcing hot-bucket salting (bucket_cap=7 splits every bucket many
+    ways) must not change the result set — identical candidate SET, only
+    the shuffle key layout differs."""
+    corpus = _clustered(spark, n_clusters=40, per_cluster=25)
+    q = corpus.filter(F.col("vec_id") % 200 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    base = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in SIM.ann_topk_lsh(
+            corpus, q, 5, dim=16, seed=3, bucket_cap=10**9
+        ).collect()
+    }
+    salted = {
+        (r.query_id, r.vec_id, r.rank)
+        for r in SIM.ann_topk_lsh(
+            corpus, q, 5, dim=16, seed=3, bucket_cap=7
+        ).collect()
+    }
+    assert salted == base

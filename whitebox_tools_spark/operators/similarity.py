@@ -80,6 +80,159 @@ def hyperplane_bucket_expr(vec, *, n_planes: int = 12, seed: int = 11, dim: int 
     return bucket
 
 
+def probe_subsets(n_probes: int, n_planes: int) -> list[tuple[int, ...]]:
+    """Multi-probe flip sequence: subsets of RANKED bit positions (0 = the
+    query's least-confident plane), ordered by flip cost sum(rank+1) then
+    subset size — the static skeleton of Lv et al.'s query-directed probing
+    ({}, {0}, {1}, {2}|{0,1}, ...). Returns the first n_probes subsets."""
+    import itertools
+
+    m = min(n_planes, 12)
+    subs = []
+    for r in (1, 2, 3):
+        for comb in itertools.combinations(range(m), r):
+            subs.append((sum(c + 1 for c in comb), r, comb))
+    subs.sort()
+    return ([()] + [c for _, _, c in subs])[:n_probes]
+
+
+def auto_n_planes(corpus_count: int, *, target_bucket: int = 4096) -> int:
+    """Scale plane count with the corpus so mean bucket population stays
+    ~target_bucket: n_planes = max(8, ceil(log2(N / target_bucket))).
+    8 planes (256 buckets) up to ~10^6 docs; 28 planes at 10^12."""
+    import math
+
+    n = max(int(corpus_count), 1)
+    return max(8, math.ceil(math.log2(max(n / target_bucket, 2.0))))
+
+
+def ann_candidate_pairs(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "embedding",
+    n_planes: int | None = None,
+    seed: int = 11,
+    n_probes: int = 8,
+    dim: int = 64,
+    bucket_cap: int = 100_000,
+    probe_mode: str = "adaptive",
+) -> DataFrame:
+    """Scored ANN candidate set (query_id, vec_id, cosine) — the bucket
+    equi-join stage of ann_topk_lsh, exposed so recall/candidate-volume
+    can be measured directly.
+
+    probe_mode='adaptive' (default) is true multi-probe LSH (Lv et al.,
+    VLDB'07): each extra probe flips the query's LEAST-CONFIDENT plane bit
+    (smallest |dot(q, plane)|) — the bucket most likely to hold neighbours
+    that landed just across a hyperplane. 'fixed' flips bit positions
+    0,1,2,... (the legacy pattern; far lower recall per probe, kept for
+    the SQL-mirror oracle of the original query).
+
+    Scale controls (all on by default):
+    - n_planes=None auto-scales with the corpus (one count() pass):
+      max(8, ceil(log2(N/4096))) keeps mean bucket population ~4096 —
+      fixed plane counts recreate the quadratic bucket join they exist
+      to avoid once N >> 2^planes * k.
+    - n_probes=8 adaptive probes (see probe_mode below) recover the
+      recall the extra planes cost at a small constant candidate factor.
+    - Hot buckets (population > bucket_cap) are salted: the corpus side
+      splits a hot bucket into ceil(pop/cap) sub-keys by xxhash64(id),
+      the query side fans its probe out over all sub-keys — identical
+      candidate SET, but no single reducer sees more than ~cap corpus
+      rows. The bucket->salt map is one tiny broadcast aggregate (at most
+      min(2^n_planes, N) rows), and the inner join on it prunes probes
+      into empty buckets for free.
+    """
+    if n_planes is None:
+        n_planes = auto_n_planes(corpus.count())
+    c = corpus.select(
+        F.col(corpus_id).alias("vec_id"), F.col(corpus_vec).cast("array<double>").alias("cv")
+    ).withColumn("bucket", hyperplane_bucket_expr(F.col("cv"), n_planes=n_planes, seed=seed, dim=dim))
+    if probe_mode not in ("adaptive", "fixed"):
+        raise ValueError(f"unknown probe_mode {probe_mode!r}")
+    planes = _planes(dim, n_planes, seed)
+    dots = F.array(
+        *[
+            dot_expr(F.col("qv"), F.array(*[F.lit(float(v)) for v in p]))
+            for p in planes
+        ]
+    )
+    q = (
+        queries.select(
+            F.col(query_id).alias("query_id"),
+            F.col(query_vec).cast("array<double>").alias("qv"),
+        )
+        .withColumn("dots", dots)
+        .withColumn(
+            "bucket0",
+            F.aggregate(
+                F.sequence(F.lit(0), F.lit(n_planes - 1)),
+                F.lit(0).cast("long"),
+                lambda acc, i: acc
+                + F.when(F.element_at("dots", i + 1) >= 0, F.pow(F.lit(2.0), i))
+                .otherwise(F.lit(0.0))
+                .cast("long"),
+            ),
+        )
+        .withColumn(
+            "fliporder",
+            F.transform(
+                F.array_sort(
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(n_planes - 1)),
+                        lambda i: F.struct(
+                            F.abs(F.element_at("dots", i + 1)).alias("a"),
+                            i.alias("i"),
+                        ),
+                    )
+                ),
+                lambda s: s["i"],
+            ),
+        )
+    )
+    if probe_mode == "adaptive":
+        probes = []
+        for subset in probe_subsets(n_probes, n_planes):
+            mask = F.lit(0).cast("long")
+            for rank in subset:
+                mask = mask + F.pow(
+                    F.lit(2.0), F.element_at("fliporder", rank + 1)
+                ).cast("long")
+            probes.append(F.col("bucket0").bitwiseXOR(mask))
+    else:
+        probes = [F.col("bucket0")]
+        for b in range(min(n_probes - 1, n_planes)):
+            probes.append(F.col("bucket0").bitwiseXOR(F.lit(1 << b)))
+    qp = q.withColumn("bucket", F.explode(F.array(*probes))).drop("dots", "fliporder")
+    smap = (
+        c.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("pop"))
+        .select(
+            "bucket",
+            F.greatest(
+                F.lit(1), F.ceil(F.col("pop") / F.lit(float(bucket_cap)))
+            ).cast("int").alias("nsalt"),
+        )
+    )
+    c2 = c.join(F.broadcast(smap), "bucket").withColumn(
+        "salt", F.pmod(F.xxhash64("vec_id"), F.col("nsalt")).cast("int")
+    )
+    qp2 = qp.join(F.broadcast(smap), "bucket").withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.col("nsalt") - 1))
+    )
+    return (
+        qp2.join(c2, ["bucket", "salt"])
+        .select(
+            "query_id", "vec_id", cosine_expr(F.col("cv"), F.col("qv")).alias("cosine")
+        )
+        .distinct()
+    )
+
+
 def ann_topk_lsh(
     corpus: DataFrame,
     queries: DataFrame,
@@ -89,27 +242,23 @@ def ann_topk_lsh(
     corpus_vec: str = "embedding",
     query_id: str = "query_id",
     query_vec: str = "embedding",
-    n_planes: int = 8,
+    n_planes: int | None = None,
     seed: int = 11,
-    n_probes: int = 1,
+    n_probes: int = 8,
     dim: int = 64,
+    bucket_cap: int = 100_000,
+    probe_mode: str = "adaptive",
 ) -> DataFrame:
-    """Approximate top-k: match query buckets (optionally probing neighbour
-    buckets by flipping one plane bit), exact cosine within candidates.
-    Recall grows with n_probes; shuffle is bucket-equi-join sized.
+    """Approximate top-k: hyperplane-LSH bucket equi-join (auto-scaled
+    plane count, least-confident-bit multi-probe, hot-bucket salting —
+    see ann_candidate_pairs), exact cosine within candidates.
     -> (query_id, vec_id, cosine, rank)."""
-    c = corpus.select(
-        F.col(corpus_id).alias("vec_id"), F.col(corpus_vec).cast("array<double>").alias("cv")
-    ).withColumn("bucket", hyperplane_bucket_expr(F.col("cv"), n_planes=n_planes, seed=seed, dim=dim))
-    q = queries.select(
-        F.col(query_id).alias("query_id"), F.col(query_vec).cast("array<double>").alias("qv")
-    ).withColumn("bucket0", hyperplane_bucket_expr(F.col("qv"), n_planes=n_planes, seed=seed, dim=dim))
-    probes = [F.col("bucket0")]
-    for b in range(min(n_probes - 1, n_planes)):
-        probes.append(F.col("bucket0").bitwiseXOR(F.lit(1 << b)))
-    qp = q.withColumn("bucket", F.explode(F.array(*probes)))
-    scored = qp.join(c, "bucket").select(
-        "query_id", "vec_id", cosine_expr(F.col("cv"), F.col("qv")).alias("cosine")
-    ).distinct()
+    scored = ann_candidate_pairs(
+        corpus, queries,
+        corpus_id=corpus_id, corpus_vec=corpus_vec,
+        query_id=query_id, query_vec=query_vec,
+        n_planes=n_planes, seed=seed, n_probes=n_probes, dim=dim,
+        bucket_cap=bucket_cap, probe_mode=probe_mode,
+    )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
