@@ -2688,6 +2688,32 @@ def _breach_oracle() -> str:
     return breach_oracle_sql(_NOISE_RASTER_SQL, EXTRACT_GRID)
 
 
+def q_breach_least_cost(spark, sf_dir):
+    """BreachDepressionsLeastCost (hydro_analysis/
+    breach_depressions_least_cost.rs:235+, Lindsay & Dhun 2015): raise pits
+    to min(nb)-s, per-pit bounded least-cost search, carve the cheapest
+    channel, fill the unbreached remainder. Per-pit Dijkstra is not
+    SQL-expressible -> rows-only driver check; the contract is pinned
+    bit-for-bit against an independent serial transcription in
+    tests/test_breach_least_cost.py (tile=64 exercises multi-tile halos)."""
+    from whitebox_tools_spark.operators.breach import breach_depressions_least_cost
+
+    # 20-column noise DEM (the 200-wide strip is 1 col wide at sf0.001 and
+    # would have no interior pits -> vacuous); dense 20 x N/20 grid.
+    p = _t(spark, sf_dir, "part")
+    dem = p.select(
+        (F.col("p_partkey") % 20).alias("row"),
+        F.floor(F.col("p_partkey") / F.lit(20.0)).cast("long").alias("col"),
+        (((F.col("p_partkey") * 48271) % 100000).cast("double") / 100.0).alias("value"),
+    )
+    return _r6(
+        breach_depressions_least_cost(
+            dem, EXTRACT_GRID, dist=5, max_cost=50.0, flat_increment=0.001, tile=16,
+        ),
+        ["value"],
+    )
+
+
 _PROFILE_SEEDS = [(1, 3, 3), (2, 15, 7)]
 
 
@@ -4633,6 +4659,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "buffer_raster": q_buffer_raster,
         "fill_depressions": q_fill_depressions,
         "breach_depressions": q_breach_depressions,
+        "breach_depressions_least_cost": q_breach_least_cost,
         "breach_single_cell_pits": q_breach_single_cell_pits,
         "long_profile_from_points": q_long_profile_from_points,
         "stochastic_depression_analysis": q_stochastic_depression_analysis,

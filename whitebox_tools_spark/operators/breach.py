@@ -296,3 +296,215 @@ JOIN cells cs ON cs.row = wk.srow AND cs.col = wk.scol
 CROSS JOIN smax sm
 GROUP BY wk.row, wk.col
 """
+
+
+# ---------------------------------------------------------------------------
+# BreachDepressionsLeastCost
+# (hydro_analysis/breach_depressions_least_cost.rs:235+, Lindsay & Dhun 2015)
+# ---------------------------------------------------------------------------
+# Reference semantics: (1) every interior pit (all 8 neighbors present and
+# none strictly lower) is raised to min(neighbors) - s, with
+# s = ceil(diag_res) / 10^(9 - digits(max_elev))
+# (breach_depressions_least_cost.rs:380-385,427); (2) for each pit, a
+# least-cost search radiates outward — the cost of entering a cell at path
+# length L is cost2 = z - (z_pit - L*s); with min_dist the edge weight is
+# (cost1+cost2)/2 * grid_dist, else cost2 alone
+# (rs:530-537) — until the first cell with z <= z_pit - L*s (or nodata) is
+# found (rs:546), whereupon the back path is carved down to the ramp
+# z_pit - L*s wherever it is higher (rs:550-560); pushes are gated at
+# path length <= dist, so targets may sit at Chebyshev radius dist+1;
+# (3) searches exceeding max_cost are abandoned and (with --fill) resolved
+# by depression filling (rs:601+).
+#
+# Documented deviations (deterministic, partition-invariant):
+#   * the reference processes pits serially lowest-to-highest so later pits
+#     may reuse earlier channels; this engine breaches every original pit
+#     INDEPENDENTLY against the pit-raised surface and min-combines the
+#     carves. Each carved path still descends strictly into its target
+#     under the min-combine (a path cell lowered further by another carve
+#     is followed by that carve's even lower continuation), so the combined
+#     surface is drainable wherever the serial one is.
+#   * heap ties pop in (cost, row, col) order (the reference's BinaryHeap
+#     tie order is unspecified); neighbor scan order is the reference's
+#     clockwise-from-NE order (rs:356-357).
+#   * --fill uses the engine's minimax priority-flood fill (flat fill, same
+#     contract as fill_depressions) over the breached surface, which raises
+#     exactly the cells of unbreached depressions.
+
+_DX_LC = [1, 1, 1, 0, -1, -1, -1, 0]
+_DY_LC = [-1, 0, 1, 1, 1, 0, -1, -1]
+
+
+def _small_num_lc(grid: GridSpec, max_elev: float) -> float:
+    diag = math.sqrt(grid.res_x * grid.res_x + grid.res_y * grid.res_y)
+    digits = len(str(int(max_elev)))
+    return math.ceil(diag) / (10.0 ** (9 - digits))
+
+
+def raise_pits(cells: DataFrame, s: float) -> DataFrame:
+    """-> (row, col, value, pit): interior no-lower-neighbor cells raised to
+    min(neighbor) - s (rs:393-433). One offset scatter + hash aggregate."""
+    spark = cells.sparkSession
+    src = cells.filter(F.col("value").isNotNull()).select("row", "col", "value")
+    offsets = spark.createDataFrame(list(zip(_DY_LC, _DX_LC)), "dy int, dx int")
+    nb = (
+        src.crossJoin(F.broadcast(offsets))
+        .select(
+            (F.col("row") + F.col("dy")).alias("row"),
+            (F.col("col") + F.col("dx")).alias("col"),
+            F.col("value").alias("zn"),
+        )
+        .groupBy("row", "col")
+        .agg(F.min("zn").alias("min_nb"), F.count(F.lit(1)).alias("__n"))
+    )
+    return (
+        src.join(nb, ["row", "col"], "left")
+        .withColumn(
+            "pit",
+            (F.coalesce(F.col("__n"), F.lit(0)) == 8)
+            & (F.col("min_nb") >= F.col("value")),
+        )
+        .select(
+            "row", "col",
+            F.when(F.col("pit"), F.col("min_nb") - F.lit(s))
+            .otherwise(F.col("value"))
+            .alias("value"),
+            "pit",
+        )
+    )
+
+
+def breach_depressions_least_cost(
+    cells: DataFrame,
+    grid: GridSpec,
+    *,
+    dist: int = 20,
+    max_cost: float | None = None,
+    min_dist: bool = True,
+    fill: bool = True,
+    flat_increment: float | None = None,
+    tile: int = 256,
+) -> DataFrame:
+    """-> (row, col, value): least-cost-breached DEM. See contract above.
+
+    Scale shape: pit raise = one scatter aggregate; the per-pit Dijkstra is
+    local to a (tile + dist+1 halo) dense block (search is bounded at
+    Chebyshev radius dist+1 by construction), shipped once per tile via
+    applyInPandas; carves min-combine in one hash aggregate; the optional
+    fill is the O(log n) tiled priority-flood. No driver-side iteration."""
+    from whitebox_tools_spark.operators.flow_stitch import fill_depressions_tiled
+
+    if flat_increment is None:
+        mx = cells.agg(F.max("value")).collect()[0][0]
+        s = _small_num_lc(grid, float(mx))
+    else:
+        s = float(flat_increment)
+    raised = raise_pits(cells, s).localCheckpoint(eager=True)
+
+    T, H = int(tile), int(dist) + 1
+    e1 = raised.select(
+        "row", "col", "value", "pit",
+        F.explode(
+            F.sequence(F.floor((F.col("row") - H) / T), F.floor((F.col("row") + H) / T))
+        ).alias("tr"),
+    )
+    e2 = e1.select(
+        "row", "col", "value", "pit", "tr",
+        F.explode(
+            F.sequence(F.floor((F.col("col") - H) / T), F.floor((F.col("col") + H) / T))
+        ).alias("tc"),
+    )
+
+    mc = float("inf") if max_cost is None else float(max_cost)
+    md = bool(min_dist)
+    rx, ry = float(grid.res_x), float(grid.res_y)
+    diag = math.sqrt(rx * rx + ry * ry)
+    cdist = [diag, rx, diag, ry, diag, rx, diag, ry]
+    max_len = int(dist)
+
+    def kernel(pdf):
+        import heapq
+
+        import numpy as np
+        import pandas as pd
+
+        t_r = int(pdf["tr"].iloc[0])
+        t_c = int(pdf["tc"].iloc[0])
+        r0, c0 = t_r * T - H, t_c * T - H
+        side = T + 2 * H
+        dense = np.full((side, side), np.nan)
+        rr = pdf["row"].to_numpy() - r0
+        cc = pdf["col"].to_numpy() - c0
+        dense[rr, cc] = pdf["value"].to_numpy()
+        core = (rr >= H) & (rr < T + H) & (cc >= H) & (cc < T + H)
+        pit_mask = pdf["pit"].to_numpy() & core
+        prs, pcs = rr[pit_mask], cc[pit_mask]
+        out_r, out_c, out_v = [], [], []
+        order = np.lexsort((pcs, prs))
+        for pr, pc in zip(prs[order], pcs[order]):
+            z = dense[pr, pc]
+            heap = [(0.0, int(pr), int(pc))]
+            enc = {(int(pr), int(pc))}
+            plen = {(int(pr), int(pc)): 0}
+            back: dict = {}
+            solved = False
+            while heap and not solved:
+                accum, r, c = heapq.heappop(heap)
+                if accum > mc:
+                    break
+                L = plen[(r, c)]
+                zc = dense[r, c] if 0 <= r < side and 0 <= c < side else np.nan
+                cost1 = zc - z + L * s
+                for n in range(8):
+                    rn, cn = r + _DY_LC[n], c + _DX_LC[n]
+                    if (rn, cn) in enc:
+                        continue
+                    Ln = L + 1
+                    plen[(rn, cn)] = Ln
+                    back[(rn, cn)] = (r, c)
+                    inb = 0 <= rn < side and 0 <= cn < side
+                    zn = dense[rn, cn] if inb else np.nan
+                    zout = z - Ln * s
+                    if not np.isnan(zn) and zn > zout:
+                        enc.add((rn, cn))
+                        cost2 = zn - zout
+                        if Ln <= max_len:
+                            w = (cost1 + cost2) / 2.0 * cdist[n] if md else cost2
+                            heapq.heappush(heap, (accum + w, rn, cn))
+                    else:
+                        # breach target found: carve the back path
+                        br, bc = rn, cn
+                        while (br, bc) in back:
+                            br, bc = back[(br, bc)]
+                            Lb = plen[(br, bc)]
+                            zb = z - Lb * s
+                            if dense[br, bc] > zb:
+                                out_r.append(br + r0)
+                                out_c.append(bc + c0)
+                                out_v.append(zb)
+                        solved = True
+                        break
+        return pd.DataFrame(
+            {"row": np.array(out_r, dtype="int64"),
+             "col": np.array(out_c, dtype="int64"),
+             "value": np.array(out_v, dtype="float64")}
+        )
+
+    carves = (
+        e2.groupBy("tr", "tc")
+        .applyInPandas(lambda key, pdf: kernel(pdf), "row long, col long, value double")
+        .groupBy("row", "col")
+        .agg(F.min("value").alias("carve"))
+    )
+    breached = (
+        raised.join(carves, ["row", "col"], "left")
+        .select(
+            "row", "col",
+            F.least(F.col("value"), F.coalesce(F.col("carve"), F.col("value"))).alias(
+                "value"
+            ),
+        )
+    )
+    if not fill:
+        return breached
+    return fill_depressions_tiled(breached, block=tile).select("row", "col", "value")
