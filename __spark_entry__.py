@@ -694,6 +694,22 @@ def q_max_diff_from_mean(spark, sf_dir):
     )
 
 
+def q_max_diff_from_mean_tiled(spark, sf_dir):
+    """MaxDifferenceFromMean at radius 9 via the tiled integral-image path
+    (multiscale.window_stats_tiled, tile=8 forces multi-tile halos): the
+    large-radius scale path — per-tile 2-D prefix sums answer each window in
+    O(1) instead of the (2r+1)^2 offset scatter. Oracle = the same literal
+    window-join SQL as max_diff_from_mean, at scale 9."""
+    from whitebox_tools_spark.operators.multiscale import max_difference_from_mean
+
+    return _r6(
+        max_difference_from_mean(
+            _valley_dem(spark, sf_dir), scales=(9,), tiled=True, tile=8
+        ),
+        ["magnitude"],
+    )
+
+
 def q_multiscale_elev_percentile(spark, sf_dir):
     """MultiscaleElevationPercentile (terrain_analysis/
     multiscale_elev_percentile.rs): EP across scales, argmax |EP-50|
@@ -4578,6 +4594,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "max_elev_deviation": q_max_elev_deviation,
         "geomorphons": q_geomorphons,
         "max_diff_from_mean": q_max_diff_from_mean,
+        "max_diff_from_mean_tiled": q_max_diff_from_mean_tiled,
         "multiscale_elev_percentile": q_multiscale_elev_percentile,
         "max_anisotropy_dev": q_max_anisotropy_dev,
         "multiscale_roughness": q_multiscale_roughness,
@@ -5185,6 +5202,7 @@ UNION ALL SELECT 'l_discount', 'l_tax',
             "ELSE value / 100.0 END, 6) AS value FROM (" + _PART_RASTER_SQL + ") t"
         ),
         "max_diff_from_mean": _ms.max_diff_from_mean_oracle_sql(_VALLEY_DEM_SQL, scales=(2, 3, 4)),
+        "max_diff_from_mean_tiled": _ms.max_diff_from_mean_oracle_sql(_VALLEY_DEM_SQL, scales=(9,)),
         "multiscale_elev_percentile": _ms.multiscale_ep_oracle_sql(_VALLEY_DEM_SQL, scales=(2, 3, 4)),
         "max_anisotropy_dev": _ms.max_anisotropy_dev_oracle_sql(_VALLEY_DEM_SQL, scales=(2, 3)),
         "multiscale_roughness": _ms.multiscale_roughness_oracle_sql(_VALLEY_DEM_SQL, STREAM_GRID, scales=(2, 3)),

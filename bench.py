@@ -81,6 +81,42 @@ def ann_recall_at5(spark) -> dict:
     }
 
 
+def multiscale_radius_sweep(spark) -> dict:
+    """Large-radius multiscale evidence: a dense 512x512 hash-noise DEM,
+    MaxDifferenceFromMean at one scale. The offset scatter shuffles
+    (2r+1)^2 rows/cell (quadratic in r: 441 at r=10 — already ~116M rows
+    here); the tiled integral-image path ships each cell to <= 4 tiles and
+    answers any radius in O(1)/cell, so its cost is ~flat from r=10 to
+    r=40 where the scatter would be 6561x."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from whitebox_tools_spark.operators.multiscale import max_difference_from_mean
+
+    dem = (
+        spark.range(512 * 512)
+        .select(
+            (F.col("id") % 512).alias("row"),
+            (F.col("id") / 512).cast("long").alias("col"),
+            ((F.xxhash64(F.col("id")) % 100000).cast("double") / 100.0).alias("value"),
+        )
+        .cache()
+    )
+    dem.count()
+    out = {}
+    for label, kw in [
+        ("scatter_r10", dict(scales=(10,), tiled=False)),
+        ("tiled_r10", dict(scales=(10,), tiled=True)),
+        ("tiled_r40", dict(scales=(40,), tiled=True)),
+    ]:
+        t0 = time.time()
+        max_difference_from_mean(dem, **kw).count()
+        out[label] = round(time.time() - t0, 3)
+    dem.unpersist()
+    return out
+
+
 def geodoc_pipeline(spark, path: str):
     """The throughput pipeline: documents -> decoded points -> PIP join ->
     tile assignment -> per-(tile, poly) counts."""
@@ -140,6 +176,7 @@ def main():
         _ = n
 
     ann_stats = ann_recall_at5(spark)
+    ms_stats = multiscale_radius_sweep(spark)
 
     t0 = time.time()
     out_rows = geodoc_pipeline(spark, geodoc_path).count()
@@ -157,6 +194,7 @@ def main():
                 "queries": timings,
                 "sf": float(sf),
                 "ann": ann_stats,
+                "multiscale_radius": ms_stats,
                 "geodocs": {
                     "n_docs": n_docs,
                     "sec": round(geodoc_sec, 3),

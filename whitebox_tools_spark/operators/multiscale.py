@@ -80,6 +80,132 @@ def _full_offsets(m: int):
     return [(dy, dx) for dy in range(-m, m + 1) for dx in range(-m, m + 1)]
 
 
+# ---------------------------------------------------------------------------
+# Tiled integral-image window stats (the large-radius scale path)
+# ---------------------------------------------------------------------------
+# The offset scatter shuffles (2r+1)^2 rows per cell per scale — correct and
+# one-shuffle at the fixture radii, but a 10^3-10^5x shuffle amplification at
+# the r = 50-500 the reference's own implementations target with integral
+# images / running histograms (multiscale_elev_percentile.rs:477-585).  Here
+# each cell ships to <= 4 (tile + r halo) blocks (duplication ~ (T+2r)^2/T^2),
+# and per-block 2-D prefix sums answer every axis-aligned-rectangle window in
+# O(1) per cell — flat in r.  Any offset set that decomposes into rectangles
+# (full windows, the 4 anisotropy panes) is supported.
+#
+# Precision note: prefix-sum accumulation orders float adds differently from
+# the hash aggregate (whose own order is partition-dependent), so sums agree
+# to ~1e-12 relative, not bitwise; counts are exact.  Downstream comparators
+# round to 6 dp, which absorbs this (pytest-pinned in
+# tests/test_multiscale_tiled.py).
+
+
+def _rects_full(m: int):
+    return [(-m, m, -m, m)]
+
+
+def _rects_panes(m: int):
+    """Rectangle decomposition of _pane_offsets (inclusive dy0,dy1,dx0,dx1)."""
+    mpr = (2 * m + 1) // 6
+    return {
+        "ns": [(-m, m, -mpr, mpr)],
+        "ew": [(-mpr, mpr, -m, m)],
+        "ne": [(-m, -mpr - 1, mpr + 1, m), (-mpr, mpr, -mpr, mpr),
+               (mpr + 1, m, -m, -mpr - 1)],
+        "nw": [(-m, -mpr - 1, -m, -mpr - 1), (-mpr, mpr, -mpr, mpr),
+               (mpr + 1, m, mpr + 1, m)],
+    }
+
+
+def window_stats_tiled(
+    cells: DataFrame, rect_sets: dict, *, tile: int = 256
+) -> DataFrame:
+    """(row, col, {p}n, {p}sum, {p}sumsq) for each prefix p in rect_sets
+    (prefix -> list of inclusive (dy0, dy1, dx0, dx1) rectangles), computed
+    with per-tile integral images. Emits one row per PRESENT cell (callers
+    join onto the source, so absent-target rows of the scatter variant are
+    irrelevant); empty windows emit n = 0 (the scatter's missing row /
+    null-stat behavior is equivalent under every downstream n-guard)."""
+    src = cells.filter(F.col("value").isNotNull()).select("row", "col", "value")
+    halo = max(
+        max(abs(v) for v in r) for rects in rect_sets.values() for r in rects
+    )
+    T, H = int(tile), int(halo)
+    e1 = src.select(
+        "row", "col", "value",
+        F.explode(
+            F.sequence(F.floor((F.col("row") - H) / T), F.floor((F.col("row") + H) / T))
+        ).alias("tr"),
+    )
+    e2 = e1.select(
+        "row", "col", "value", "tr",
+        F.explode(
+            F.sequence(F.floor((F.col("col") - H) / T), F.floor((F.col("col") + H) / T))
+        ).alias("tc"),
+    )
+    prefixes = list(rect_sets)
+
+    def kernel(pdf):
+        import numpy as np
+        import pandas as pd
+
+        t_r = int(pdf["tr"].iloc[0])
+        t_c = int(pdf["tc"].iloc[0])
+        r0, c0 = t_r * T - H, t_c * T - H
+        side = T + 2 * H
+        z = np.zeros((side, side))
+        mk = np.zeros((side, side))
+        rr = pdf["row"].to_numpy() - r0
+        cc = pdf["col"].to_numpy() - c0
+        vals = pdf["value"].to_numpy()
+        z[rr, cc] = vals
+        mk[rr, cc] = 1.0
+
+        def integral(a):
+            out = np.zeros((side + 1, side + 1))
+            np.cumsum(a, axis=0, out=out[1:, 1:])
+            np.cumsum(out[1:, 1:], axis=1, out=out[1:, 1:])
+            return out
+
+        iz, iz2, im = integral(z), integral(z * z), integral(mk)
+        core = (rr >= H) & (rr < T + H) & (cc >= H) & (cc < T + H)
+        crow, ccol = rr[core], cc[core]
+
+        def rect(a, dy0, dy1, dx0, dx1):
+            return (
+                a[crow + dy1 + 1, ccol + dx1 + 1]
+                - a[crow + dy0, ccol + dx1 + 1]
+                - a[crow + dy1 + 1, ccol + dx0]
+                + a[crow + dy0, ccol + dx0]
+            )
+
+        out = {"row": crow + r0, "col": ccol + c0}
+        for p, rects in rect_sets.items():
+            n = s = s2 = 0.0
+            for rc in rects:
+                n = n + rect(im, *rc)
+                s = s + rect(iz, *rc)
+                s2 = s2 + rect(iz2, *rc)
+            out[f"{p}n"] = np.rint(n).astype("int64")
+            out[f"{p}sum"] = s
+            out[f"{p}sumsq"] = s2
+        return pd.DataFrame(out)
+
+    schema = "row long, col long, " + ", ".join(
+        f"{p}n long, {p}sum double, {p}sumsq double" for p in prefixes
+    )
+    return e2.groupBy("tr", "tc").applyInPandas(
+        lambda key, pdf: kernel(pdf), schema=schema
+    )
+
+
+def _full_stats(cells, m, out_prefix, tiled, tile=256):
+    """Full-(2m+1)-window stats: offset scatter at small m, integral-image
+    tiles when tiled (tiled='auto' switches at m > 7)."""
+    if tiled is True or (tiled == "auto" and m > 7):
+        return window_stats_tiled(cells, {out_prefix: _rects_full(m)}, tile=tile)
+    return _window_stats(cells, _full_offsets(m), out_prefix=out_prefix)
+
+
 def _pane_offsets(m: int):
     """The 4 directional pane offset sets of max_anisotropy_dev.rs."""
     mpr = (2 * m + 1) // 6
@@ -112,12 +238,14 @@ def _dev_expr(prefix: str):
     )
 
 
-def max_difference_from_mean(cells: DataFrame, *, scales=(2, 3, 4)) -> DataFrame:
+def max_difference_from_mean(
+    cells: DataFrame, *, scales=(2, 3, 4), tiled="auto", tile=256
+) -> DataFrame:
     """-> (row, col, magnitude, scale): diff = z - window mean, argmax
     |diff| across (2m+1) windows, smallest scale on ties."""
     parts = []
     for m in scales:
-        st = _window_stats(cells, _full_offsets(m), out_prefix="w")
+        st = _full_stats(cells, m, "w", tiled, tile)
         src = cells.filter(F.col("value").isNotNull()).join(st, ["row", "col"])
         diff = F.col("value") - F.col("wsum") / F.col("wn")
         parts.append(
@@ -182,19 +310,33 @@ def multiscale_elev_percentile(cells: DataFrame, *, scales=(2, 3, 4)) -> DataFra
     )
 
 
-def _anisotropy_per_scale(cells: DataFrame, m: int) -> DataFrame:
+def _anisotropy_per_scale(
+    cells: DataFrame, m: int, tiled="auto", tile=256
+) -> DataFrame:
     src = cells.filter(F.col("value").isNotNull()).select("row", "col", "value")
     st = src.agg(
         F.min("row").alias("r0"), F.max("row").alias("r1"),
         F.min("col").alias("c0"), F.max("col").alias("c1"),
     ).collect()[0]
-    full = _window_stats(cells, _full_offsets(m), out_prefix="w")
-    j = src.join(full, ["row", "col"])
     panes = _pane_offsets(m)
-    for key, offs in panes.items():
-        j = j.join(
-            _window_stats(cells, offs, out_prefix=key), ["row", "col"], "left"
-        )
+    if tiled is True or (tiled == "auto" and m > 7):
+        # full window + all 4 panes from ONE tiling pass (5 stat triples)
+        rect_sets = {"w": _rects_full(m), **_rects_panes(m)}
+        j = src.join(window_stats_tiled(cells, rect_sets, tile=tile), ["row", "col"])
+        # n = 0 panes must read as "no stats" like the scatter's missing row
+        for key in panes:
+            for suffix in ("sum", "sumsq"):
+                j = j.withColumn(
+                    f"{key}{suffix}",
+                    F.when(F.col(f"{key}n") > 0, F.col(f"{key}{suffix}")),
+                )
+    else:
+        full = _window_stats(cells, _full_offsets(m), out_prefix="w")
+        j = src.join(full, ["row", "col"])
+        for key, offs in panes.items():
+            j = j.join(
+                _window_stats(cells, offs, out_prefix=key), ["row", "col"], "left"
+            )
     dev0, v0, n0 = _dev_expr("w")
     j = j.withColumn("dev0", dev0).filter(F.col("dev0").isNotNull())
     # the reference's edge restriction: full window inside the data extent
@@ -222,9 +364,11 @@ def _anisotropy_per_scale(cells: DataFrame, m: int) -> DataFrame:
     ).filter(F.col("aniso").isNotNull())
 
 
-def max_anisotropy_dev(cells: DataFrame, *, scales=(2, 3, 4)) -> DataFrame:
+def max_anisotropy_dev(
+    cells: DataFrame, *, scales=(2, 3, 4), tiled="auto", tile=256
+) -> DataFrame:
     """-> (row, col, magnitude, scale)."""
-    parts = [_anisotropy_per_scale(cells, m) for m in scales]
+    parts = [_anisotropy_per_scale(cells, m, tiled, tile) for m in scales]
     u = parts[0]
     for p in parts[1:]:
         u = u.unionByName(p)
@@ -272,10 +416,12 @@ def _normals(cells: DataFrame, grid: GridSpec) -> DataFrame:
     )
 
 
-def _roughness_per_scale(cells: DataFrame, grid: GridSpec, m: int) -> DataFrame:
+def _roughness_per_scale(
+    cells: DataFrame, grid: GridSpec, m: int, tiled="auto", tile=256
+) -> DataFrame:
     src = cells.filter(F.col("value").isNotNull()).select("row", "col", "value")
     # (2m+1) box mean smoothing over valid cells
-    st = _window_stats(cells, _full_offsets(m), out_prefix="w")
+    st = _full_stats(cells, m, "w", tiled, tile)
     smoothed = src.join(st, ["row", "col"]).select(
         "row", "col", (F.col("wsum") / F.col("wn")).alias("value")
     )
@@ -296,7 +442,7 @@ def _roughness_per_scale(cells: DataFrame, grid: GridSpec, m: int) -> DataFrame:
     diff = n_raw.join(n_sm, ["row", "col"]).select(
         "row", "col", (F.degrees(F.acos(cosang))).alias("value")
     )
-    rough = _window_stats(diff, _full_offsets(m), out_prefix="r")
+    rough = _full_stats(diff, m, "r", tiled, tile)
     return src.join(rough, ["row", "col"]).select(
         "row", "col",
         (F.col("rsum") / F.col("rn")).alias("rough"),
@@ -305,10 +451,10 @@ def _roughness_per_scale(cells: DataFrame, grid: GridSpec, m: int) -> DataFrame:
 
 
 def multiscale_roughness(
-    cells: DataFrame, grid: GridSpec, *, scales=(2, 3, 4)
+    cells: DataFrame, grid: GridSpec, *, scales=(2, 3, 4), tiled="auto", tile=256
 ) -> DataFrame:
     """-> (row, col, magnitude, scale)."""
-    parts = [_roughness_per_scale(cells, grid, m) for m in scales]
+    parts = [_roughness_per_scale(cells, grid, m, tiled, tile) for m in scales]
     u = parts[0]
     for p in parts[1:]:
         u = u.unionByName(p)
