@@ -41,6 +41,7 @@ from whitebox_tools_spark.operators import hydro as _hyd
 from whitebox_tools_spark.operators import streams as _str
 from whitebox_tools_spark.operators import viewshed as _vsh
 from whitebox_tools_spark.operators import multiscale as _ms
+from whitebox_tools_spark.operators import lidar as _lidar
 from whitebox_tools_spark.operators import lidar as _lid
 from whitebox_tools_spark.operators import image as _img
 from whitebox_tools_spark.operators import focal as _foc
@@ -1802,6 +1803,58 @@ SELECT c.row, c.col,
        round({a!r} + {b!r} * c.x + {c!r} * c.y, 6) AS value
 FROM centers c SEMI JOIN inside i ON c.point_id = i.point_id
 """
+
+
+def q_lidar_dsm(spark, sf_dir):
+    """LidarDigitalSurfaceModel (lidar_analysis/lidar_dsm.rs:440-640): the
+    off-terrain point filter (remove points > tan(60)*radius below a
+    neighbor within radius) + TIN gridding. Fixture: the deterministic TIN
+    plane cloud plus 50 points 300 units BELOW the plane — every outlier
+    has a plane neighbor within radius 100 (verified non-vacuously: the
+    TIN of survivors reproduces the plane), so the oracle is the plane
+    formula inside the keys-1..150 hull, identical to tin_gridding's."""
+    from whitebox_tools_spark.operators.lidar import lidar_dsm
+
+    a, b, c = _TIN_PLANE
+    x, y = synth.point_exprs(F.col("id"))
+    plane = F.lit(a) + F.lit(b) * F.col("x") + F.lit(c) * F.col("y")
+    base = (
+        spark.range(1, _TIN_KEYS + 1)
+        .select(F.col("id").alias("point_id"), x.alias("x"), y.alias("y"))
+        .withColumn("z", plane)
+    )
+    lows = (
+        spark.range(1001, 1051)
+        .select(F.col("id").alias("point_id"), x.alias("x"), y.alias("y"))
+        .withColumn("z", plane - F.lit(300.0))
+    )
+    out = lidar_dsm(base.unionByName(lows), NN_GRID, radius=100.0)
+    return _r6(out, ["value"])
+
+
+def q_lidar_tophat(spark, sf_dir):
+    """LidarTophatTransform (lidar_analysis/lidar_tophat_transform.rs):
+    white top-hat z - dilation(erosion) over the radius-60 disc on the
+    subsampled order cloud."""
+    from whitebox_tools_spark.operators.lidar import tophat_transform
+
+    cloud = _order_cloud(spark, sf_dir).filter(F.col("point_id") % 10 == 0)
+    out = tophat_transform(cloud, radius=60.0)
+    return out.select("point_id", "x", "y", F.round("z", 6).alias("z"))
+
+
+def q_lidar_hillshade(spark, sf_dir):
+    """LidarHillshade (lidar_analysis/lidar_hillshade.rs): least-squares
+    plane normal over the 3-D radius-60 ball, reference shade formula with
+    truncating byte cast; engine and oracle share the literal SQL
+    fragments (documented n<3 deviation in lidar.py)."""
+    from whitebox_tools_spark.operators.lidar import lidar_hillshade
+
+    cloud = _order_cloud(spark, sf_dir).filter(F.col("point_id") % 10 == 0)
+    # quantize: x,y carry exactly 3 decimals (synth hash /1000), z exactly
+    # 5 (o_totalprice/1000 with 2-decimal prices) -> scaled-integer moments
+    # are EXACT, making the shade partition- and engine-invariant
+    return lidar_hillshade(cloud, radius=60.0, quantize=(1e3, 1e3, 1e5))
 
 
 def q_buffer_raster(spark, sf_dir):
@@ -4765,6 +4818,9 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lines_to_raster": q_lines_to_raster,
         "singlepart_to_multipart": q_singlepart_to_multipart,
         "tin_gridding": q_tin_gridding,
+        "lidar_dsm": q_lidar_dsm,
+        "lidar_tophat": q_lidar_tophat,
+        "lidar_hillshade": q_lidar_hillshade,
         "natural_neighbour_gridding": q_natural_neighbour_gridding,
         "fill_missing_data": q_fill_missing_data,
         "construct_tin": q_construct_tin,
@@ -5764,6 +5820,16 @@ SELECT row, col, round((value - mn) / (mx - mn), 6) AS value FROM dem CROSS JOIN
         # SQL without exponential path states -> rows-only; Dijkstra pin in
         # pytest
         "tin_gridding": _tin_gridding_sql(),
+        # the DSM filter provably removes exactly the 50 below-plane points,
+        # so the DSM of the fixture IS the plane raster (same oracle)
+        "lidar_dsm": _tin_gridding_sql(),
+        "lidar_tophat": _lidar.tophat_oracle_sql(
+            _order_cloud_cte() + " WHERE o_orderkey % 10 = 0", radius=60.0
+        ),
+        "lidar_hillshade": _lidar.lidar_hillshade_oracle_sql(
+            _order_cloud_cte() + " WHERE o_orderkey % 10 = 0", radius=60.0,
+            quantize=(1e3, 1e3, 1e5),
+        ),
         "natural_neighbour_gridding": _tin_gridding_sql(),
         "fill_missing_data": _fill_missing_sql(),
         # construct_tin: a specific triangulation is not SQL-derivable ->

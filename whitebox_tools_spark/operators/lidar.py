@@ -584,3 +584,322 @@ FROM r
 WHERE cnt <= {thr!r}
    OR rnk % (CAST(floor(cnt / {thr!r}) AS BIGINT) + 1) = 0
 """
+
+
+# ---------------------------------------------------------------------------
+# LidarDigitalSurfaceModel / LidarTophatTransform / LidarHillshade
+# ---------------------------------------------------------------------------
+def lidar_dsm(
+    points: DataFrame,
+    grid: GridSpec,
+    *,
+    radius: float = 0.5,
+    minz: float | None = None,
+    maxz: float | None = None,
+    max_edge: float | None = None,
+    tile: int | None = None,
+    halo: float | None = None,
+) -> DataFrame:
+    """LidarDigitalSurfaceModel (lidar_analysis/lidar_dsm.rs:440-640):
+    drop noise classes 7/18 and out-of-[minz,maxz] points, remove every
+    point that sits more than tan(60deg)*radius BELOW some 2-D neighbor
+    within `radius` (under-canopy / under-overhang / ground-below-wire
+    returns, lidar_dsm.rs:519-545), then TIN the survivors and
+    plane-interpolate cell centers (triangles with edges > max_edge
+    skipped). -> (row, col, value).
+
+    Scale shape: the removal rule is the binned radius equi-join
+    (_radius_pairs, <=9 bins/point) + one anti-join; gridding is the tiled
+    Delaunay of tin.py."""
+    import math
+
+    from whitebox_tools_spark.operators.tin import tin_gridding
+
+    pts = points
+    if "classification" in pts.columns:
+        pts = pts.filter(~F.col("classification").isin(7, 18))
+    if minz is not None:
+        pts = pts.filter(F.col("z") >= float(minz))
+    if maxz is not None:
+        pts = pts.filter(F.col("z") <= float(maxz))
+    pts = pts.select("point_id", "x", "y", "z")
+    th = math.tan(math.radians(60.0)) * float(radius)
+    pairs = _radius_pairs(pts, float(radius), with_self=False)
+    removed = (
+        pairs.filter(F.col("nz") - F.col("z") > th).select("point_id").distinct()
+    )
+    keep = pts.join(removed, "point_id", "left_anti")
+    return tin_gridding(keep, grid, max_edge=max_edge, tile=tile, halo=halo)
+
+
+def tophat_transform(points: DataFrame, *, radius: float) -> DataFrame:
+    """LidarTophatTransform (lidar_analysis/lidar_tophat_transform.rs:
+    256-360): white top-hat = z - opening, opening = dilation(erosion)
+    over the 2-D `radius` disc (erosion = neighborhood min z, dilation =
+    neighborhood max of the erosion; both neighborhoods include the point
+    itself). -> (point_id, x, y, z) with z = the residual."""
+    src = points.select("point_id", "x", "y", "z")
+    ero = (
+        _radius_pairs(src, float(radius), with_self=True)
+        .groupBy("point_id")
+        .agg(F.min("nz").alias("emin"))
+    )
+    withe = src.join(ero, "point_id")
+    pairs2 = _radius_pairs(src, float(radius), with_self=True).select(
+        "point_id", F.col("nid").alias("eid")
+    )
+    dil = (
+        pairs2.join(withe.select(F.col("point_id").alias("eid"), "emin"), "eid")
+        .groupBy("point_id")
+        .agg(F.max("emin").alias("opening"))
+    )
+    return src.join(dil, "point_id").select(
+        "point_id", "x", "y", (F.col("z") - F.col("opening")).alias("z")
+    )
+
+
+def tophat_oracle_sql(cloud_sql: str, *, radius: float) -> str:
+    r = float(radius)
+    return f"""
+WITH pts AS ({cloud_sql}),
+pr AS (
+  -- sqrt form mirrors _radius_pairs' boundary arithmetic exactly
+  SELECT a.point_id AS pid, b.point_id AS nid, b.z AS nz
+  FROM pts a JOIN pts b
+    ON sqrt((a.x - b.x)*(a.x - b.x) + (a.y - b.y)*(a.y - b.y)) <= {r!r}
+),
+ero AS (SELECT pid, min(nz) AS emin FROM pr GROUP BY pid),
+dil AS (
+  SELECT pr.pid, max(ero.emin) AS opening
+  FROM pr JOIN ero ON ero.pid = pr.nid
+  GROUP BY pr.pid
+)
+SELECT p.point_id, p.x, p.y, round(p.z - d.opening, 6) AS z
+FROM pts p JOIN dil d ON d.pid = p.point_id
+"""
+
+
+# Shared engine/oracle SQL fragments for LidarHillshade: the least-squares
+# plane normal of lidar_hillshade.rs:400-455 (best-conditioned axis pick,
+# normalization skipped — the shade uses only component RATIOS) over the
+# centered second moments, then the reference's shade formula
+# (lidar_hillshade.rs:328-351). Documented deviation: points whose
+# neighborhood has < 3 points (or a zero normal z) shade to 0 — the
+# reference CARRIES THE PREVIOUS POINT'S value there (uninitialized-loop
+# quirk, order-dependent and not reproducible in parallel).
+_HS_MOMENTS = {
+    "xx": "sxx - sx * sx / n", "xy": "sxy - sx * sy / n",
+    "xz": "sxz - sx * sz / n", "yy": "syy - sy * sy / n",
+    "yz": "syz - sy * sz / n", "zz": "szz - sz * sz / n",
+}
+_HS_DETS = {
+    "det_x": "yy * zz - yz * yz",
+    "det_y": "xx * zz - xz * xz",
+    "det_z": "xx * yy - xy * xy",
+}
+_HS_ABC = {
+    "na": (
+        "CASE WHEN n < 3 THEN 0.0 "
+        "WHEN det_x >= det_y AND det_x >= det_z THEN 1.0 "
+        "WHEN det_y >= det_z THEN (yz * xz - xy * zz) / det_y "
+        "ELSE (yz * xy - xz * yy) / det_z END"
+    ),
+    "nb": (
+        "CASE WHEN n < 3 THEN 0.0 "
+        "WHEN det_x >= det_y AND det_x >= det_z THEN (xz * yz - xy * zz) / det_x "
+        "WHEN det_y >= det_z THEN 1.0 "
+        "ELSE (xz * xy - yz * xx) / det_z END"
+    ),
+    "nc": (
+        "CASE WHEN n < 3 THEN 0.0 "
+        "WHEN det_x >= det_y AND det_x >= det_z THEN (xy * yz - xz * yy) / det_x "
+        "WHEN det_y >= det_z THEN (xy * xz - yz * xx) / det_y "
+        "ELSE 1.0 END"
+    ),
+}
+
+
+def _hs_value_sql(azimuth: float, altitude: float) -> str:
+    import math
+
+    az = math.radians(float(azimuth) - 90.0)
+    st, ct = math.sin(math.radians(float(altitude))), math.cos(math.radians(float(altitude)))
+    return (
+        "CASE WHEN nc = 0.0 THEN 0 "
+        "WHEN -na / nc = 0.0 THEN 127 "
+        "ELSE CAST(floor(least(greatest("
+        "  (sqrt((na/nc)*(na/nc) + (nb/nc)*(nb/nc))"
+        "   / sqrt(1.0 + ((na/nc)*(na/nc) + (nb/nc)*(nb/nc))))"
+        f"  * ({st!r} / sqrt((na/nc)*(na/nc) + (nb/nc)*(nb/nc))"
+        f"     - {ct!r} * sin({az!r} - radians("
+        "        180.0 - degrees(atan((-nb/nc) / (-na/nc)))"
+        "        + 90.0 * ((-na/nc) / abs(-na/nc)))))"
+        "  * 255.0, 0.0), 65535.0)) AS BIGINT) END"
+    )
+
+
+def _hs_moments_q(sx: float, sy: float, sz: float) -> dict:
+    """Centered-moment expressions over EXACT integer delta sums (sd* are
+    sums of quantized neighbor-minus-point deltas): integer sums are
+    associative, so the moments are identical under every partitioning and
+    in every engine — the same scaled-integer trick that made
+    relative_topographic_position engine-invariant. Shift to the point
+    leaves second central moments unchanged algebraically."""
+    # CAST(... AS DOUBLE): Spark parses bare float literals as DECIMAL and
+    # long/DECIMAL division truncates (same pitfall as focal.py's {recip})
+    def d(v: float) -> str:
+        return f"CAST({v!r} AS DOUBLE)"
+
+    return {
+        "xx": f"sdxx / {d(sx * sx)} - (sdx / {d(sx)}) * (sdx / {d(sx)}) / n",
+        "xy": f"sdxy / {d(sx * sy)} - (sdx / {d(sx)}) * (sdy / {d(sy)}) / n",
+        "xz": f"sdxz / {d(sx * sz)} - (sdx / {d(sx)}) * (sdz / {d(sz)}) / n",
+        "yy": f"sdyy / {d(sy * sy)} - (sdy / {d(sy)}) * (sdy / {d(sy)}) / n",
+        "yz": f"sdyz / {d(sy * sz)} - (sdy / {d(sy)}) * (sdz / {d(sz)}) / n",
+        "zz": f"sdzz / {d(sz * sz)} - (sdz / {d(sz)}) * (sdz / {d(sz)}) / n",
+    }
+
+
+def lidar_hillshade(
+    points: DataFrame, *, radius: float, azimuth: float = 315.0,
+    altitude: float = 30.0, quantize: tuple | None = None,
+) -> DataFrame:
+    """LidarHillshade (lidar_analysis/lidar_hillshade.rs): per-point
+    least-squares plane normal over the 3-D `radius` neighborhood
+    (including the point), then the standard shade with the reference's
+    truncating byte cast. -> (point_id, hillshade). See the fragment-block
+    comment for the documented n<3 deviation.
+
+    quantize=(sx, sy, sz): accumulate the plane moments on exact scaled
+    integers (coordinates x scale must be integral, e.g. fixed-decimal
+    data) — float SUM order is partition-dependent and the covariance
+    cancellation is catastrophic for near-singular (n~3) neighborhoods, so
+    the raw path can flip shade branches between runs/engines; the
+    quantized path cannot (see _hs_moments_q)."""
+    r = float(radius)
+    src = points.select(
+        "point_id", "x", "y", "z",
+        F.floor(F.col("x") / r).cast("long").alias("bx"),
+        F.floor(F.col("y") / r).cast("long").alias("by"),
+    )
+    spark = points.sparkSession
+    offs = spark.createDataFrame(
+        [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)], "dx int, dy int"
+    )
+    probes = src.crossJoin(F.broadcast(offs)).select(
+        "point_id", "x", "y", "z",
+        (F.col("bx") + F.col("dx")).alias("bx"),
+        (F.col("by") + F.col("dy")).alias("by"),
+    )
+    # squared-distance 3-D ball, arithmetic mirrored literally in the
+    # oracle SQL so boundary pairs cannot diverge between engines
+    nb = probes.join(
+        src.select(
+            F.col("point_id").alias("nid"), F.col("x").alias("nx"),
+            F.col("y").alias("ny"), F.col("z").alias("nz"), "bx", "by",
+        ),
+        ["bx", "by"],
+    ).filter(
+        (F.col("x") - F.col("nx")) * (F.col("x") - F.col("nx"))
+        + (F.col("y") - F.col("ny")) * (F.col("y") - F.col("ny"))
+        + (F.col("z") - F.col("nz")) * (F.col("z") - F.col("nz"))
+        <= F.lit(r * r)
+    )
+    if quantize is not None:
+        qsx, qsy, qsz = (float(v) for v in quantize)
+
+        def qd(col, ncol, s):
+            return (
+                F.round(F.col(ncol) * s).cast("long")
+                - F.round(F.col(col) * s).cast("long")
+            )
+
+        d = nb.select(
+            "point_id",
+            qd("x", "nx", qsx).alias("dx"),
+            qd("y", "ny", qsy).alias("dy"),
+            qd("z", "nz", qsz).alias("dz"),
+        )
+        stats = d.groupBy("point_id").agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum("dx").alias("sdx"), F.sum("dy").alias("sdy"),
+            F.sum("dz").alias("sdz"),
+            F.sum(F.col("dx") * F.col("dx")).alias("sdxx"),
+            F.sum(F.col("dx") * F.col("dy")).alias("sdxy"),
+            F.sum(F.col("dx") * F.col("dz")).alias("sdxz"),
+            F.sum(F.col("dy") * F.col("dy")).alias("sdyy"),
+            F.sum(F.col("dy") * F.col("dz")).alias("sdyz"),
+            F.sum(F.col("dz") * F.col("dz")).alias("sdzz"),
+        )
+        moments = _hs_moments_q(qsx, qsy, qsz)
+    else:
+        stats = nb.groupBy("point_id").agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum("nx").alias("sx"), F.sum("ny").alias("sy"),
+            F.sum("nz").alias("sz"),
+            F.sum(F.col("nx") * F.col("nx")).alias("sxx"),
+            F.sum(F.col("nx") * F.col("ny")).alias("sxy"),
+            F.sum(F.col("nx") * F.col("nz")).alias("sxz"),
+            F.sum(F.col("ny") * F.col("ny")).alias("syy"),
+            F.sum(F.col("ny") * F.col("nz")).alias("syz"),
+            F.sum(F.col("nz") * F.col("nz")).alias("szz"),
+        )
+        moments = _HS_MOMENTS
+    for k, expr in moments.items():
+        stats = stats.withColumn(k, F.expr(expr))
+    for k, expr in _HS_DETS.items():
+        stats = stats.withColumn(k, F.expr(expr))
+    for k, expr in _HS_ABC.items():
+        stats = stats.withColumn(k, F.expr(expr))
+    return stats.select(
+        "point_id", F.expr(_hs_value_sql(azimuth, altitude)).alias("hillshade")
+    )
+
+
+def lidar_hillshade_oracle_sql(
+    cloud_sql: str, *, radius: float, azimuth: float = 315.0,
+    altitude: float = 30.0, quantize: tuple | None = None,
+) -> str:
+    r2 = float(radius) ** 2
+    if quantize is not None:
+        qsx, qsy, qsz = (float(v) for v in quantize)
+        pr_cols = (
+            f"CAST(round(b.x * {qsx!r}) AS BIGINT) - CAST(round(a.x * {qsx!r}) AS BIGINT) AS dx, "
+            f"CAST(round(b.y * {qsy!r}) AS BIGINT) - CAST(round(a.y * {qsy!r}) AS BIGINT) AS dy, "
+            f"CAST(round(b.z * {qsz!r}) AS BIGINT) - CAST(round(a.z * {qsz!r}) AS BIGINT) AS dz"
+        )
+        st0_aggs = (
+            "SUM(dx) AS sdx, SUM(dy) AS sdy, SUM(dz) AS sdz, "
+            "SUM(dx*dx) AS sdxx, SUM(dx*dy) AS sdxy, SUM(dx*dz) AS sdxz, "
+            "SUM(dy*dy) AS sdyy, SUM(dy*dz) AS sdyz, SUM(dz*dz) AS sdzz"
+        )
+        moments_d = _hs_moments_q(qsx, qsy, qsz)
+    else:
+        pr_cols = "b.x AS nx, b.y AS ny, b.z AS nz"
+        st0_aggs = (
+            "SUM(nx) AS sx, SUM(ny) AS sy, SUM(nz) AS sz, "
+            "SUM(nx*nx) AS sxx, SUM(nx*ny) AS sxy, SUM(nx*nz) AS sxz, "
+            "SUM(ny*ny) AS syy, SUM(ny*nz) AS syz, SUM(nz*nz) AS szz"
+        )
+        moments_d = _HS_MOMENTS
+    moments = ", ".join(f"{e} AS {k}" for k, e in moments_d.items())
+    dets = ", ".join(f"{e} AS {k}" for k, e in _HS_DETS.items())
+    abc = ", ".join(f"{e} AS {k}" for k, e in _HS_ABC.items())
+    return f"""
+WITH pts AS ({cloud_sql}),
+pr AS (
+  SELECT a.point_id AS pid, {pr_cols}
+  FROM pts a JOIN pts b
+    ON (a.x - b.x)*(a.x - b.x) + (a.y - b.y)*(a.y - b.y)
+       + (a.z - b.z)*(a.z - b.z) <= {r2!r}
+),
+st0 AS (
+  SELECT pid AS point_id, CAST(count(*) AS DOUBLE) AS n,
+         {st0_aggs}
+  FROM pr GROUP BY pid
+),
+st1 AS (SELECT *, {moments} FROM st0),
+st2 AS (SELECT *, {dets} FROM st1),
+st3 AS (SELECT *, {abc} FROM st2)
+SELECT point_id, {_hs_value_sql(azimuth, altitude)} AS hillshade FROM st3
+"""

@@ -387,10 +387,15 @@ def tin_gridding(
     z: str = "z",
     tile: int | None = None,
     halo: float | None = None,
+    max_edge: float | None = None,
 ) -> DataFrame:
     """TINGridding: grid cell centers linearly interpolated from the
     containing Delaunay triangle's plane; centers outside the hull are
     nodata (absent). -> (row, col, value).
+
+    max_edge (the reference's --max_triangle_edge_length, lidar_dsm.rs /
+    lidar_tin_gridding.rs): triangles with any edge longer than this are
+    skipped, leaving their cells nodata (long slivers across voids).
 
     tile=None triangulates globally in one group (correct, bounded by the
     point count); tile=k splits the grid into k x k CELL blocks whose
@@ -454,6 +459,12 @@ def tin_gridding(
             ax_, ay_, bx_, by_, cx_, cy_ = xs[a], ys[a], xs[b], ys[b], xs[c], ys[c]
             det = (by_ - cy_) * (ax_ - cx_) + (cx_ - bx_) * (ay_ - cy_)
             if det == 0.0:
+                continue
+            if max_edge is not None and (
+                (ax_ - bx_) ** 2 + (ay_ - by_) ** 2 > max_edge * max_edge
+                or (bx_ - cx_) ** 2 + (by_ - cy_) ** 2 > max_edge * max_edge
+                or (cx_ - ax_) ** 2 + (cy_ - ay_) ** 2 > max_edge * max_edge
+            ):
                 continue
             w1 = ((by_ - cy_) * (cxs - cx_) + (cx_ - bx_) * (cys - cy_)) / det
             w2 = ((cy_ - ay_) * (cxs - cx_) + (ax_ - cx_) * (cys - cy_)) / det
