@@ -2510,10 +2510,12 @@ def q_basins(spark, sf_dir):
 
 
 def q_cost_allocation(spark, sf_dir):
-    """CostAllocation (gis_analysis/cost_allocation.rs) — the cost_distance
-    supersteps carrying the claiming source (rows-only; pinned vs a
-    multi-source Dijkstra in pytest)."""
-    from whitebox_tools_spark.operators.hydro import cost_allocation
+    """CostAllocation (gis_analysis/cost_allocation.rs) — hierarchical
+    boundary-graph Dijkstra with the (dist, source_id) lexicographic
+    semiring (flow_stitch.shortest_path_hier; block=8/threshold=150 force
+    real contraction levels here). Rows-only; pinned vs the Bellman-Ford
+    supersteps AND a multi-source Dijkstra in pytest."""
+    from whitebox_tools_spark.operators.hydro import cost_allocation_tiled
 
     cost = spark.range(400).select(
         (F.col("id") / 20).cast("long").alias("row"),
@@ -2523,19 +2525,21 @@ def q_cost_allocation(spark, sf_dir):
     sources = spark.createDataFrame(
         [(0, 0, 1), (19, 19, 2)], "row long, col long, source_id long"
     )
-    return cost_allocation(
+    return cost_allocation_tiled(
         cost, sources,
         GridSpec(west=0.0, north=100.0, res_x=5.0, res_y=5.0, rows=20, cols=20),
+        block=8, direct_threshold=150,
     )
 
 
 def q_cost_distance(spark, sf_dir):
-    """CostDistance (gis_analysis/cost_distance.rs:332-340) — distributed
-    Bellman-Ford supersteps (rows-only; pinned vs python Dijkstra in
-    pytest). Superstep count = least-cost path hop count, so the query
-    runs on a compact 20x20 hash-noise surface (sf-independent) rather
-    than the 200-row column raster whose paths are 200 hops long."""
-    from whitebox_tools_spark.operators.hydro import cost_distance
+    """CostDistance (gis_analysis/cost_distance.rs:332-340) — hierarchical
+    boundary-graph Dijkstra (flow_stitch.shortest_path_hier: per-block
+    terminal-clique contraction + 8x recursion, O(log n) rounds; replaces
+    the O(least-cost-path-hops) Bellman-Ford supersteps flagged at 100-TB
+    scale). Rows-only; pinned vs the supersteps AND python Dijkstra in
+    pytest. block=8/threshold=200 force real contraction levels here."""
+    from whitebox_tools_spark.operators.hydro import cost_distance_tiled
 
     cost = spark.range(400).select(
         (F.col("id") / 20).cast("long").alias("row"),
@@ -2543,8 +2547,11 @@ def q_cost_distance(spark, sf_dir):
         (((F.col("id") * 48271 + 7) % 1000).cast("double") / 100.0 + 1.0).alias("value"),
     )
     sources = spark.createDataFrame([(0, 0), (19, 19)], "row long, col long")
-    out = cost_distance(cost, sources, GridSpec(west=0.0, north=100.0, res_x=5.0,
-                                                res_y=5.0, rows=20, cols=20))
+    out = cost_distance_tiled(
+        cost, sources,
+        GridSpec(west=0.0, north=100.0, res_x=5.0, res_y=5.0, rows=20, cols=20),
+        block=8, direct_threshold=200,
+    )
     return _r6(out, ["value"])
 
 

@@ -586,3 +586,66 @@ def test_isobasins_matches_serial(spark):
             ids_by_outlet[o] = got[k]
     # distinct outlets map to distinct ids
     assert len(set(ids_by_outlet.values())) == len(ids_by_outlet)
+
+
+def test_cost_distance_tiled_matches_bf_and_dijkstra(spark):
+    """Hierarchical boundary-graph solver == Bellman-Ford supersteps ==
+    independent python Dijkstra (block=8/threshold=200 forces >=1 real
+    contraction level on the 24x24 surface)."""
+    import heapq
+    import math
+
+    from whitebox_tools_spark.operators.hydro import (
+        D8_DX, D8_DY, cost_distance, cost_distance_tiled,
+    )
+
+    rng = np.random.default_rng(47)
+    n = 24
+    vals = rng.uniform(1, 10, (n, n))
+    cost = _dem(spark, vals)
+    g = GridSpec(west=0.0, north=n * 5.0, res_x=5.0, res_y=5.0, rows=n, cols=n)
+    sources = spark.createDataFrame([(0, 0), (23, 23), (3, 20)], "row long, col long")
+    tiled = {(r.row, r.col): r.value
+             for r in cost_distance_tiled(cost, sources, g, block=8,
+                                          direct_threshold=200).collect()}
+    bf = {(r.row, r.col): r.value for r in cost_distance(cost, sources, g).collect()}
+    assert set(tiled) == set(bf)
+    for k in bf:
+        assert tiled[k] == pytest.approx(bf[k], rel=1e-9), k
+
+    lens = [math.sqrt(50.0), 5.0, math.sqrt(50.0), 5.0] * 2
+    dist = {(0, 0): 0.0, (23, 23): 0.0, (3, 20): 0.0}
+    heap = [(0.0, r, c) for (r, c) in dist]
+    while heap:
+        d, r, c = heapq.heappop(heap)
+        if d > dist.get((r, c), float("inf")):
+            continue
+        for i in range(8):
+            rr, cc = r + D8_DY[i], c + D8_DX[i]
+            if 0 <= rr < n and 0 <= cc < n:
+                nd = d + (vals[r][c] + vals[rr][cc]) / 2.0 * lens[i]
+                if nd < dist.get((rr, cc), float("inf")):
+                    dist[(rr, cc)] = nd
+                    heapq.heappush(heap, (nd, rr, cc))
+    for k in dist:
+        assert tiled[k] == pytest.approx(dist[k], rel=1e-9), k
+
+
+def test_cost_allocation_tiled_matches_supersteps(spark):
+    from whitebox_tools_spark.operators.hydro import (
+        cost_allocation, cost_allocation_tiled,
+    )
+
+    rng = np.random.default_rng(53)
+    n = 20
+    vals = rng.uniform(1, 10, (n, n))
+    cost = _dem(spark, vals)
+    g = GridSpec(west=0.0, north=n * 5.0, res_x=5.0, res_y=5.0, rows=n, cols=n)
+    sources = spark.createDataFrame(
+        [(0, 0, 3), (19, 19, 1), (2, 17, 2)], "row long, col long, source_id long"
+    )
+    a = {(r.row, r.col): r.value
+         for r in cost_allocation_tiled(cost, sources, g, block=8,
+                                        direct_threshold=150).collect()}
+    b = {(r.row, r.col): r.value for r in cost_allocation(cost, sources, g).collect()}
+    assert a == b

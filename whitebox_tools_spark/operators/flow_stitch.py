@@ -1404,3 +1404,194 @@ def spill_minimax(
     # nodes only touched by cross edges are already solved in `sub`
     extra = sub.join(solved.select("seed"), "seed", "left_anti")
     return solved.unionByName(extra)
+
+
+# ---------------------------------------------------------------------------
+# Hierarchical ADDITIVE shortest path (cost_distance / cost_allocation scale
+# path). Same recursion shape as spill_minimax, with the minimax semiring
+# replaced by (+, lexicographic-min-(dist, source_id)):
+#   contract: per block, a Dijkstra from each boundary terminal over the
+#     block's real edges -> a terminal clique of exact through-block costs,
+#     plus one (-2 -> terminal) edge = the best (dist, sid) from any source
+#     seeded INSIDE the block;
+#   recurse on {clique + cross-block edges} with 8x coarser blocks until the
+#     graph fits direct_threshold (only that root graph touches the driver);
+#   unwind: per block, Dijkstra seeded by the solved terminals + the
+#     block's own source edges over the ORIGINAL block edges.
+# Virtual node -2 is never a transit node (a physical path cannot pass
+# through "any source"), which the kernels enforce by keeping source edges
+# out of the adjacency and using them only as Dijkstra seeds.
+# ---------------------------------------------------------------------------
+_SP_SCHEMA = "a long, b long, w double, sid long"
+_SP_OUT_SCHEMA = "seed long, dist double, sid long"
+_SP_NOSRC = 2**62
+
+
+def _sp_split(edge_rows):
+    """-> (adj dict over real edges, seeds dict node -> (w, sid) from -2
+    edges, lexicographic min)."""
+    adj: dict = {}
+    seeds: dict = {}
+    for a, b, w, sid in edge_rows:
+        if a == -2 or b == -2:
+            n = b if a == -2 else a
+            cand = (w, sid)
+            if cand < seeds.get(n, (float("inf"), _SP_NOSRC)):
+                seeds[n] = cand
+        else:
+            adj.setdefault(a, []).append((b, w))
+            adj.setdefault(b, []).append((a, w))
+    return adj, seeds
+
+
+def _sp_dijkstra(adj, init):
+    """init: {node: (dist, sid)}; returns {node: (dist, sid)},
+    lexicographic settle order (ties to the lowest sid, the engine-wide
+    cost_allocation tie rule)."""
+    best = dict(init)
+    pq = [(d, s, u) for u, (d, s) in init.items()]
+    heapq.heapify(pq)
+    while pq:
+        d, s, u = heapq.heappop(pq)
+        if (d, s) > best.get(u, (float("inf"), _SP_NOSRC)):
+            continue
+        for v, w in adj.get(u, ()):
+            cand = (d + w, s)
+            if cand < best.get(v, (float("inf"), _SP_NOSRC)):
+                best[v] = cand
+                heapq.heappush(pq, (cand[0], s, v))
+    return best
+
+
+def _sp_contract_kernel(nodes: pd.DataFrame, edges: pd.DataFrame) -> pd.DataFrame:
+    rows = list(zip(edges["a"].to_numpy(np.int64), edges["b"].to_numpy(np.int64),
+                    edges["w"].to_numpy(np.float64), edges["sid"].to_numpy(np.int64)))
+    adj, seeds = _sp_split(rows)
+    terms = sorted(int(r.a) for r in nodes.itertuples() if r.term)
+    oa, ob, ow, osid = [], [], [], []
+    for i, t in enumerate(terms):
+        best = _sp_dijkstra(adj, {t: (0.0, _SP_NOSRC)})
+        for u in terms[i + 1:]:
+            du = best.get(u)
+            if du is not None and du[0] < float("inf"):
+                oa.append(t); ob.append(u); ow.append(du[0]); osid.append(-1)
+    if seeds:
+        src_best = _sp_dijkstra(adj, dict(seeds))
+        for t in terms:
+            dt = src_best.get(t)
+            if dt is not None and dt[0] < float("inf"):
+                oa.append(-2); ob.append(t); ow.append(dt[0]); osid.append(dt[1])
+    return pd.DataFrame({"a": np.array(oa, np.int64), "b": np.array(ob, np.int64),
+                         "w": np.array(ow, np.float64), "sid": np.array(osid, np.int64)})
+
+
+def _sp_unwind_kernel(bound: pd.DataFrame, edges: pd.DataFrame) -> pd.DataFrame:
+    rows = list(zip(edges["a"].to_numpy(np.int64), edges["b"].to_numpy(np.int64),
+                    edges["w"].to_numpy(np.float64), edges["sid"].to_numpy(np.int64)))
+    adj, seeds = _sp_split(rows)
+    init = dict(seeds)
+    for r in bound.itertuples():
+        cand = (float(r.dist), int(r.sid))
+        if cand < init.get(int(r.a), (float("inf"), _SP_NOSRC)):
+            init[int(r.a)] = cand
+    best = _sp_dijkstra(adj, init)
+    items = [(k, v[0], v[1]) for k, v in best.items() if v[0] < float("inf")]
+    if not items:
+        return pd.DataFrame({"seed": [], "dist": [], "sid": []}).astype(
+            {"seed": np.int64, "dist": np.float64, "sid": np.int64})
+    ks, ds, ss = zip(*items)
+    return pd.DataFrame({"seed": np.array(ks, np.int64),
+                         "dist": np.array(ds, np.float64),
+                         "sid": np.array(ss, np.int64)})
+
+
+def shortest_path_hier(
+    edges: DataFrame,
+    width: int,
+    *,
+    block: int = 4096,
+    scale: int = 8,
+    direct_threshold: int = 2_000_000,
+    max_levels: int = 12,
+) -> DataFrame:
+    """edges: (a, b, w, sid) undirected over row-major node ids
+    (node = row * width + col); a = -2 marks a source edge (w = entry
+    cost, sid = the claiming source). Returns (seed, dist, sid) for every
+    reachable node."""
+    spark = edges.sparkSession
+    edges = edges.select("a", "b", "w", "sid").localCheckpoint(eager=True)
+    n_e = edges.count()
+    if n_e == 0:
+        return spark.createDataFrame([], _SP_OUT_SCHEMA)
+    if n_e <= direct_threshold:
+        rows = [(r.a, r.b, r.w, r.sid) for r in edges.collect()]
+        adj, seeds = _sp_split(rows)
+        best = _sp_dijkstra(adj, seeds)
+        out = [(int(k), float(v[0]), int(v[1])) for k, v in best.items()
+               if v[0] < float("inf")]
+        return spark.createDataFrame(out or [(-(10**9), 0.0, -1)], _SP_OUT_SCHEMA)
+    if max_levels <= 1:
+        raise RuntimeError("shortest_path_hier: recursion limit hit")
+
+    gb = block
+
+    def grp(c: str):
+        return F.struct(
+            F.expr(f"({c} DIV {width}) DIV {gb}").alias("gr"),
+            F.expr(f"({c} % {width}) DIV {gb}").alias("gc"),
+        )
+
+    e2 = edges.withColumn(
+        "ga", F.when(F.col("a") == -2, grp("b")).otherwise(grp("a"))
+    ).withColumn(
+        "gb_", F.when(F.col("b") == -2, grp("a")).otherwise(grp("b"))
+    )
+    ing = e2.filter(F.col("ga") == F.col("gb_"))
+    crossg = e2.filter(F.col("ga") != F.col("gb_")).select("a", "b", "w", "sid")
+
+    terms = (
+        crossg.select(F.col("a").alias("t"))
+        .unionAll(crossg.select(F.col("b").alias("t")))
+        .filter(F.col("t") != -2)
+        .distinct()
+        .withColumn("term", F.lit(True))
+    )
+    nd = (
+        ing.select(F.col("a").alias("node"), F.col("ga").alias("g"))
+        .unionAll(ing.select(F.col("b").alias("node"), F.col("ga").alias("g")))
+        .filter(F.col("node") != -2)
+        .distinct()
+        .join(terms, F.col("node") == F.col("t"), "left")
+        .select(F.col("node").alias("a"), F.col("g"),
+                F.coalesce("term", F.lit(False)).alias("term"))
+    )
+    ing_e = ing.select("a", "b", "w", "sid", F.col("ga").alias("g"))
+    reduced = (
+        nd.groupBy("g")
+        .cogroup(ing_e.groupBy("g"))
+        .applyInPandas(
+            lambda left, right: _sp_contract_kernel(left, right[["a", "b", "w", "sid"]]),
+            _SP_SCHEMA,
+        )
+    )
+    sub = shortest_path_hier(
+        reduced.unionByName(crossg), width,
+        block=block * scale, scale=scale,
+        direct_threshold=direct_threshold, max_levels=max_levels - 1,
+    )
+    tsolved = sub.join(terms.select(F.col("t").alias("seed")), "seed").select(
+        F.col("seed").alias("a"), "dist", "sid"
+    )
+    tg2 = tsolved.withColumn("g", grp("a"))
+    solved = (
+        tg2.groupBy("g")
+        .cogroup(ing_e.groupBy("g"))
+        .applyInPandas(
+            lambda left, right: _sp_unwind_kernel(
+                left[["a", "dist", "sid"]], right[["a", "b", "w", "sid"]]
+            ),
+            _SP_OUT_SCHEMA,
+        )
+    )
+    extra = sub.join(solved.select("seed"), "seed", "left_anti")
+    return solved.unionByName(extra)

@@ -2111,3 +2111,114 @@ def isobasins(
     return watershed(cells, grid, pour).select(
         "row", "col", F.col("pour_id").cast("double").alias("value")
     )
+
+
+def _cost_edges(cost: DataFrame, grid: GridSpec, width: int):
+    """Undirected 8-neighbor cost-surface edges (a, b, w, sid=-1) over
+    row-major node ids: each unordered pair emitted once (E/SE/S/SW half
+    set), w = cost_a * (len/2) + cost_b * (len/2) — the same association
+    as the Bellman-Ford relax, so the two paths agree to the ulp where
+    path shapes coincide."""
+    lens = _grid_lengths(grid)
+    spark = cost.sparkSession
+    # D8 index: 0=NE 1=E 2=SE 3=S ... use (dx, dy, len) half set
+    half = [(1, 0, lens[1]), (1, 1, lens[2]), (0, 1, lens[3]), (-1, 1, lens[4])]
+    offs = F.broadcast(spark.createDataFrame(half, "dx int, dy int, len double"))
+    c = cost.filter(F.col("value").isNotNull()).select(
+        "row", "col", F.col("value").alias("cost")
+    )
+    nb = c.crossJoin(offs).select(
+        (F.col("row") * width + F.col("col")).alias("a"),
+        (F.col("row") + F.col("dy")).alias("nrow"),
+        (F.col("col") + F.col("dx")).alias("ncol"),
+        (F.col("cost") * (F.col("len") * F.lit(0.5))).alias("wa"),
+        (F.col("len") * F.lit(0.5)).alias("hl"),
+    )
+    return nb.join(
+        c.select(F.col("row").alias("nrow"), F.col("col").alias("ncol"),
+                 F.col("cost").alias("ncost")),
+        ["nrow", "ncol"],
+    ).select(
+        "a",
+        (F.col("nrow") * width + F.col("ncol")).alias("b"),
+        (F.col("wa") + F.col("ncost") * F.col("hl")).alias("w"),
+        F.lit(-1).cast("long").alias("sid"),
+    )
+
+
+def cost_distance_tiled(
+    cost: DataFrame,
+    sources: DataFrame,
+    grid: GridSpec,
+    *,
+    block: int = 4096,
+    direct_threshold: int = 2_000_000,
+) -> DataFrame:
+    """CostDistance via the hierarchical boundary-graph Dijkstra
+    (flow_stitch.shortest_path_hier) instead of O(least-cost-path-hops)
+    Bellman-Ford supersteps: O(log n) rounds of per-block terminal-clique
+    contraction; only the sub-threshold root graph touches the driver.
+    Same metric and result as cost_distance (pytest: equal to 1e-9 rel —
+    segment sums re-associate float adds). -> (row, col, value)."""
+    from whitebox_tools_spark.operators.flow_stitch import shortest_path_hier
+
+    c = cost.filter(F.col("value").isNotNull())
+    width = int(c.agg(F.max("col")).collect()[0][0]) + 1
+    edges = _cost_edges(c, grid, width)
+    srcs = (
+        sources.select("row", "col")
+        .join(c.select("row", "col"), ["row", "col"])
+        .select(
+            F.lit(-2).cast("long").alias("a"),
+            (F.col("row") * width + F.col("col")).alias("b"),
+            F.lit(0.0).alias("w"),
+            F.lit(0).cast("long").alias("sid"),
+        )
+    )
+    out = shortest_path_hier(
+        edges.unionByName(srcs), width,
+        block=block, direct_threshold=direct_threshold,
+    )
+    return out.select(
+        F.expr(f"seed DIV {width}").alias("row"),
+        (F.col("seed") % width).alias("col"),
+        F.col("dist").alias("value"),
+    )
+
+
+def cost_allocation_tiled(
+    cost: DataFrame,
+    sources: DataFrame,
+    grid: GridSpec,
+    *,
+    block: int = 4096,
+    direct_threshold: int = 2_000_000,
+) -> DataFrame:
+    """CostAllocation on the same hierarchical solver: source ids ride the
+    lexicographic (dist, sid) semiring, so equal-cost ties break to the
+    LOWEST source id exactly like cost_allocation's superstep rule.
+    sources: (row, col, source_id) -> (row, col, value = source id)."""
+    from whitebox_tools_spark.operators.flow_stitch import shortest_path_hier
+
+    c = cost.filter(F.col("value").isNotNull())
+    width = int(c.agg(F.max("col")).collect()[0][0]) + 1
+    edges = _cost_edges(c, grid, width)
+    srcs = (
+        sources.select("row", "col", "source_id")
+        .join(c.select("row", "col"), ["row", "col"])
+        .select(
+            F.lit(-2).cast("long").alias("a"),
+            (F.col("row") * width + F.col("col")).alias("b"),
+            F.lit(0.0).alias("w"),
+            F.col("source_id").cast("long").alias("sid"),
+        )
+    )
+    out = shortest_path_hier(
+        edges.unionByName(srcs), width,
+        block=block, direct_threshold=direct_threshold,
+    )
+    return out.select(
+        F.expr(f"seed DIV {width}").alias("row"),
+        (F.col("seed") % width).alias("col"),
+        F.col("sid").cast("double").alias("value"),
+    )
