@@ -1857,6 +1857,40 @@ def q_lidar_hillshade(spark, sf_dir):
     return lidar_hillshade(cloud, radius=60.0, quantize=(1e3, 1e3, 1e5))
 
 
+def q_feature_preserving_smoothing(spark, sf_dir):
+    """FeaturePreservingSmoothing (terrain_analysis/
+    feature_preserving_smoothing.rs, Sun 2007 / Lindsay 2019): Horn
+    normals -> similarity-weighted normal smoothing -> 3 Jacobi elevation
+    updates (documented Gauss-Seidel deviation in fps.py); the oracle
+    splices the identical formula strings."""
+    from whitebox_tools_spark.operators.fps import feature_preserving_smoothing
+
+    return _r6(
+        feature_preserving_smoothing(
+            _valley_dem(spark, sf_dir), STREAM_GRID,
+            filter_size=7, norm_diff=15.0, num_iter=3,
+        ),
+        ["value"],
+    )
+
+
+def q_drainage_preserving_smoothing(spark, sf_dir):
+    """DrainagePreservingSmoothing (terrain_analysis/
+    drainage_preserving_smoothing.rs): FPS with the per-cell DFM-adjusted
+    threshold (binned-median topographic position; reference's histogram
+    rank rule incl. its n=1 quirk)."""
+    from whitebox_tools_spark.operators.fps import drainage_preserving_smoothing
+
+    return _r6(
+        drainage_preserving_smoothing(
+            _valley_dem(spark, sf_dir), STREAM_GRID,
+            filter_size=5, norm_diff=20.0, num_iter=2,
+            reduction=80.0, dfm_threshold=0.15,
+        ),
+        ["value"],
+    )
+
+
 def q_buffer_raster(spark, sf_dir):
     """BufferRaster (gis_analysis/buffer_raster.rs:210-221): 1.0 within the
     buffer distance of any non-background cell, exact nearest-source
@@ -4826,6 +4860,8 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "singlepart_to_multipart": q_singlepart_to_multipart,
         "tin_gridding": q_tin_gridding,
         "lidar_dsm": q_lidar_dsm,
+        "feature_preserving_smoothing": q_feature_preserving_smoothing,
+        "drainage_preserving_smoothing": q_drainage_preserving_smoothing,
         "lidar_tophat": q_lidar_tophat,
         "lidar_hillshade": q_lidar_hillshade,
         "natural_neighbour_gridding": q_natural_neighbour_gridding,
@@ -5827,6 +5863,17 @@ SELECT row, col, round((value - mn) / (mx - mn), 6) AS value FROM dem CROSS JOIN
         # SQL without exponential path states -> rows-only; Dijkstra pin in
         # pytest
         "tin_gridding": _tin_gridding_sql(),
+        "feature_preserving_smoothing": __import__(
+            "whitebox_tools_spark.operators.fps", fromlist=["fps_oracle_sql"]
+        ).fps_oracle_sql(
+            _VALLEY_DEM_SQL, STREAM_GRID, filter_size=7, norm_diff=15.0, num_iter=3
+        ),
+        "drainage_preserving_smoothing": __import__(
+            "whitebox_tools_spark.operators.fps", fromlist=["dps_oracle_sql"]
+        ).dps_oracle_sql(
+            _VALLEY_DEM_SQL, STREAM_GRID, filter_size=5, norm_diff=20.0,
+            num_iter=2, reduction=80.0, dfm_threshold=0.15,
+        ),
         # the DSM filter provably removes exactly the 50 below-plane points,
         # so the DSM of the fixture IS the plane raster (same oracle)
         "lidar_dsm": _tin_gridding_sql(),

@@ -230,3 +230,40 @@ def test_rtp_golden_integer_exact(fixture):
                 else:
                     want = 0.0
             assert got[(row, col)] == want, (row, col)
+
+
+def test_feature_preserving_smoothing_denoises_but_keeps_breaks(spark):
+    """FPS on a noisy tilted plane with a cliff: noise RMS drops sharply,
+    while the cliff magnitude survives (the defining property vs a mean
+    filter)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from whitebox_tools_spark.grid import GridSpec
+    from whitebox_tools_spark.operators.fps import feature_preserving_smoothing
+
+    rng = np.random.default_rng(4)
+    n = 24
+    plane = 0.2 * np.arange(n)[None, :] + 0.1 * np.arange(n)[:, None]
+    plane[:, n // 2:] += 50.0  # sharp break
+    noisy = plane + rng.normal(0, 0.05, (n, n))
+    df = spark.createDataFrame(
+        [(r, c, float(noisy[r, c])) for r in range(n) for c in range(n)],
+        "row long, col long, value double",
+    )
+    g = GridSpec(west=0.0, north=n * 1.0, res_x=1.0, res_y=1.0, rows=n, cols=n)
+    out = {(r.row, r.col): r.value
+           for r in feature_preserving_smoothing(
+               df, g, filter_size=7, norm_diff=20.0, num_iter=3).collect()}
+    assert len(out) == n * n
+    sm = np.array([[out[(r, c)] for c in range(n)] for r in range(n)])
+    core = (slice(3, n - 3), slice(3, n // 2 - 2))  # flat side, away from edges
+    rms_before = float(np.sqrt(np.mean((noisy - plane)[core] ** 2)))
+    rms_after = float(np.sqrt(np.mean((sm - plane)[core] ** 2)))
+    assert rms_after < 0.5 * rms_before
+    # the cliff is preserved within a 2-column span (the two face columns
+    # meet mid-cliff; a 7x7 mean filter would smear it across 7 columns)
+    jump = sm[:, n // 2 + 1] - sm[:, n // 2 - 2]
+    assert float(np.median(jump)) > 45.0
+    smear = sm[:, n // 2 + 3] - sm[:, n // 2 - 4]  # beyond the face columns
+    assert float(np.median(np.abs(smear - 50.0))) < 2.0
