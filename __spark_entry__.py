@@ -1891,6 +1891,186 @@ def q_drainage_preserving_smoothing(spark, sf_dir):
     )
 
 
+def q_voronoi_diagram(spark, sf_dir):
+    """VoronoiDiagram (gis_analysis/voronoi_diagram.rs): per-point Voronoi
+    cell clipped to the [0,1000]^2 extent (documented rectangle-clip
+    deviation from the ghost-point frame). Engine = Delaunay-neighbor
+    bisector clipping; oracle = INDEPENDENT all-pairs half-plane clip
+    (no Delaunay), literals embedded."""
+    from whitebox_tools_spark.operators.tin import voronoi_cell_areas
+
+    x, y = synth.point_exprs(F.col("id"))
+    pts = spark.range(1, _TIN_KEYS + 1).select(
+        F.col("id").alias("point_id"), x.alias("x"), y.alias("y")
+    )
+    out = voronoi_cell_areas(pts, extent=(0.0, 0.0, 1000.0, 1000.0))
+    return out.select("point_id", F.round("area", 6).alias("area"), "n_vertices")
+
+
+def _voronoi_sql() -> str:
+    import numpy as np
+
+    keys = np.arange(1, _TIN_KEYS + 1)
+    px, py = synth.point_np(keys)
+    rows = []
+    for i in range(len(keys)):
+        poly = [(0.0, 0.0), (1000.0, 0.0), (1000.0, 1000.0), (0.0, 1000.0)]
+        for j in range(len(keys)):
+            if j == i or not poly:
+                continue
+            nx, ny = px[j] - px[i], py[j] - py[i]
+            mx, my = (px[i] + px[j]) / 2.0, (py[i] + py[j]) / 2.0
+            nxt = []
+            for k in range(len(poly)):
+                p0, q0 = poly[k], poly[(k + 1) % len(poly)]
+                dp = (p0[0] - mx) * nx + (p0[1] - my) * ny
+                dq = (q0[0] - mx) * nx + (q0[1] - my) * ny
+                if dp <= 0.0:
+                    nxt.append(p0)
+                if (dp < 0.0) != (dq < 0.0) and dp != dq:
+                    t = dp / (dp - dq)
+                    nxt.append((p0[0] + t * (q0[0] - p0[0]),
+                                p0[1] + t * (q0[1] - p0[1])))
+            poly = nxt
+        area = 0.0
+        for k in range(len(poly)):
+            p0, q0 = poly[k], poly[(k + 1) % len(poly)]
+            area += p0[0] * q0[1] - q0[0] * p0[1]
+        rows.append((int(keys[i]), _round_half_up(abs(area) / 2.0), len(poly)))
+    vals = ", ".join(f"({i}, {a!r}, {n})" for i, a, n in rows)
+    return (
+        "SELECT CAST(point_id AS BIGINT) AS point_id, "
+        "CAST(area AS DOUBLE) AS area, CAST(n_vertices AS BIGINT) AS n_vertices "
+        f"FROM (VALUES {vals}) t(point_id, area, n_vertices)"
+    )
+
+
+_PROFILE_LINES = [
+    (1, [2.0, 61.0, 119.0], [97.0, 46.0, 81.0]),
+    (2, [3.5, 121.5], [3.0, 99.0]),
+]
+
+
+def q_profile(spark, sf_dir):
+    """Profile (terrain_analysis/profile.rs:258-305): DEM samples at
+    cell-size steps along two deterministic polylines over the part
+    raster; nodata samples advance the running distance but emit no row
+    (the part raster has holes wherever p_partkey is missing)."""
+    from whitebox_tools_spark.operators.terrain import profile
+
+    lines = spark.createDataFrame(
+        _PROFILE_LINES, "line_id long, xs array<double>, ys array<double>"
+    )
+    return _r6(profile(lines, _valley_dem(spark, sf_dir), STREAM_GRID),
+               ["dist", "z"])
+
+
+def _profile_sql() -> str:
+    from whitebox_tools_spark.operators.terrain import profile_oracle_sql
+
+    segs = []
+    for lid, xs, ys in _PROFILE_LINES:
+        for i in range(len(xs) - 1):
+            segs.append(
+                f"({lid}, {i}, {xs[i]!r}, {ys[i]!r}, {xs[i + 1]!r}, {ys[i + 1]!r})"
+            )
+    lines_sql = (
+        "SELECT CAST(line_id AS BIGINT) AS line_id, CAST(i AS BIGINT) AS i, "
+        "CAST(x0 AS DOUBLE) AS x0, CAST(y0 AS DOUBLE) AS y0, "
+        "CAST(x1 AS DOUBLE) AS x1, CAST(y1 AS DOUBLE) AS y1 "
+        "FROM (VALUES " + ", ".join(segs) + ") t(line_id, i, x0, y0, x1, y1)"
+    )
+    return profile_oracle_sql(lines_sql, _VALLEY_DEM_SQL, STREAM_GRID)
+
+
+def q_contours_from_points(spark, sf_dir):
+    """ContoursFromPoints (terrain_analysis/contours_from_points.rs):
+    TIN contour segments over the deterministic plane cloud, reported as
+    total contour length per level. A plane's level-L contour is the line
+    b*x + c*y = L - a clipped to the convex hull, and the per-triangle
+    chords tile it exactly — the oracle computes that clipped chord with
+    an INDEPENDENT hull + half-plane-interval clip (no triangulation)."""
+    from whitebox_tools_spark.operators.tin import contours_from_points
+
+    a, b, c = _TIN_PLANE
+    x, y = synth.point_exprs(F.col("id"))
+    pts = spark.range(1, _TIN_KEYS + 1).select(x.alias("x"), y.alias("y"))
+    pts = pts.withColumn("z", F.lit(a) + F.lit(b) * F.col("x") + F.lit(c) * F.col("y"))
+    segs = contours_from_points(pts, interval=5.0, base=0.0)
+    ln = F.sqrt((F.col("x2") - F.col("x1")) ** 2 + (F.col("y2") - F.col("y1")) ** 2)
+    return (
+        segs.groupBy("height")
+        .agg(F.round(F.sum(ln), 5).alias("total_len"))
+        .filter(F.col("total_len") > 0.0)
+    )
+
+
+def _contours_points_sql() -> str:
+    import math as _m
+
+    import numpy as np
+
+    a, b, c = _TIN_PLANE
+    keys = np.arange(1, _TIN_KEYS + 1)
+    px, py = synth.point_np(keys)
+    pts = sorted(zip(px.tolist(), py.tolist()))
+
+    def half(ps):
+        h = []
+        for p in ps:
+            while len(h) >= 2 and (
+                (h[-1][0] - h[-2][0]) * (p[1] - h[-2][1])
+                - (h[-1][1] - h[-2][1]) * (p[0] - h[-2][0])
+            ) <= 0:
+                h.pop()
+            h.append(p)
+        return h
+
+    lower = half(pts)
+    upper = half(list(reversed(pts)))
+    hull = lower[:-1] + upper[:-1]  # CCW
+    zs = [a + b * x + c * y for x, y in pts]
+    rows = []
+    k0 = _m.ceil(min(zs) / 5.0)
+    k1 = _m.floor(max(zs) / 5.0)
+    for k in range(k0, k1 + 1):
+        lvl = 5.0 * k
+        # line b*x + c*y = lvl - a; p0 on the line, direction (c, -b)
+        rhs = lvl - a
+        p0 = (rhs / (2.0 * b), rhs / (2.0 * c))  # b*p0x + c*p0y = rhs
+        dvec = (c, -b)
+        tmin, tmax = -1e18, 1e18
+        for i in range(len(hull)):
+            ux, uy = hull[i]
+            vx, vy = hull[(i + 1) % len(hull)]
+            ex, ey = vx - ux, vy - uy
+            # inside: cross(e, p - u) >= 0 ; p = p0 + t*d
+            c0 = ex * (p0[1] - uy) - ey * (p0[0] - ux)
+            cd = ex * dvec[1] - ey * dvec[0]
+            if cd == 0.0:
+                if c0 < 0.0:
+                    tmin, tmax = 1.0, 0.0
+                    break
+            elif cd > 0.0:
+                tmin = max(tmin, -c0 / cd)
+            else:
+                tmax = min(tmax, -c0 / cd)
+        if tmax > tmin:
+            length = (tmax - tmin) * _m.hypot(*dvec)
+            if length > 0.0:
+                from decimal import ROUND_HALF_UP, Decimal
+
+                r5 = float(Decimal(repr(length)).quantize(
+                    Decimal("0.00001"), rounding=ROUND_HALF_UP))
+                rows.append((lvl, r5))
+    vals = ", ".join(f"({h!r}, {v!r})" for h, v in rows)
+    return (
+        "SELECT CAST(height AS DOUBLE) AS height, "
+        "CAST(total_len AS DOUBLE) AS total_len "
+        f"FROM (VALUES {vals}) t(height, total_len)"
+    )
+
+
 def q_buffer_raster(spark, sf_dir):
     """BufferRaster (gis_analysis/buffer_raster.rs:210-221): 1.0 within the
     buffer distance of any non-background cell, exact nearest-source
@@ -4862,6 +5042,9 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lidar_dsm": q_lidar_dsm,
         "feature_preserving_smoothing": q_feature_preserving_smoothing,
         "drainage_preserving_smoothing": q_drainage_preserving_smoothing,
+        "voronoi_diagram": q_voronoi_diagram,
+        "profile": q_profile,
+        "contours_from_points": q_contours_from_points,
         "lidar_tophat": q_lidar_tophat,
         "lidar_hillshade": q_lidar_hillshade,
         "natural_neighbour_gridding": q_natural_neighbour_gridding,
@@ -5874,6 +6057,9 @@ SELECT row, col, round((value - mn) / (mx - mn), 6) AS value FROM dem CROSS JOIN
             _VALLEY_DEM_SQL, STREAM_GRID, filter_size=5, norm_diff=20.0,
             num_iter=2, reduction=80.0, dfm_threshold=0.15,
         ),
+        "voronoi_diagram": _voronoi_sql(),
+        "profile": _profile_sql(),
+        "contours_from_points": _contours_points_sql(),
         # the DSM filter provably removes exactly the 50 below-plane points,
         # so the DSM of the fixture IS the plane raster (same oracle)
         "lidar_dsm": _tin_gridding_sql(),

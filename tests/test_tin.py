@@ -120,3 +120,18 @@ def test_sibson_weights_match_pixel_voronoi():
         for i in range(len(xs)):
             if i not in w:
                 assert bw[i] < 0.02
+
+
+def test_voronoi_cells_partition_extent(spark):
+    import numpy as np
+
+    from whitebox_tools_spark.operators.tin import voronoi_cell_areas
+
+    rng = np.random.default_rng(12)
+    pts = [(i, float(x), float(y)) for i, (x, y) in
+           enumerate(rng.uniform(5, 95, (40, 2)))]
+    df = spark.createDataFrame(pts, "point_id long, x double, y double")
+    out = voronoi_cell_areas(df, extent=(0.0, 0.0, 100.0, 100.0)).collect()
+    assert len(out) == 40
+    assert sum(r.area for r in out) == pytest.approx(100.0 * 100.0, rel=1e-9)
+    assert all(r.area > 0 and r.n_vertices >= 3 for r in out)

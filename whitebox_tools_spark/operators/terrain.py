@@ -25,8 +25,10 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from whitebox_tools_spark.grid import GridSpec
 
 _OFFS8 = [(-1, -1), (0, -1), (1, -1), (-1, 0), (1, 0), (-1, 1), (0, 1), (1, 1)]
 
@@ -1203,3 +1205,121 @@ def contour_polylines(
         _stitch,
         schema="height double, part_idx int, xs array<double>, ys array<double>",
     )
+
+
+def profile(lines: DataFrame, dem: DataFrame, grid: GridSpec) -> DataFrame:
+    """Profile (terrain_analysis/profile.rs:258-305): sample the DEM along
+    each polyline at ~cell-size intervals. lines: (line_id, xs, ys) vertex
+    arrays. Per segment (reference arithmetic, transcribed exactly):
+    vertex cells (st/end row/col), path_dist in CELL units, num_steps =
+    ceil(path_dist), steps j = 1..num_steps-1 sample cell
+    (floor(st_col + j*dx), floor(st_row + j*dy)), distance advances by
+    dist_step = map_len / path_dist per step (so the running distance is
+    carried across segments); nodata samples advance distance but emit no
+    row. -> (line_id, dist, z). One explode + one equi-join; the cumsum is
+    a per-line window (lines are small; the DEM side stays distributed)."""
+    spark = lines.sparkSession
+    seg = lines.select(
+        "line_id",
+        F.posexplode(
+            F.zip_with(
+                F.slice(F.col("xs"), 1, F.size("xs") - 1),
+                F.slice(F.col("ys"), 1, F.size("ys") - 1),
+                lambda a, b: F.struct(a.alias("x0"), b.alias("y0")),
+            )
+        ).alias("i", "p0"),
+        F.col("xs"), F.col("ys"),
+    ).select(
+        "line_id", "i",
+        F.col("p0.x0").alias("x0"), F.col("p0.y0").alias("y0"),
+        F.element_at(F.col("xs"), F.col("i") + 2).alias("x1"),
+        F.element_at(F.col("ys"), F.col("i") + 2).alias("y1"),
+    )
+    seg = (
+        seg.withColumn("st_col", grid.col_expr(F.col("x0")))
+        .withColumn("st_row", grid.row_expr(F.col("y0")))
+        .withColumn("end_col", grid.col_expr(F.col("x1")))
+        .withColumn("end_row", grid.row_expr(F.col("y1")))
+        .withColumn("dxc", (F.col("end_col") - F.col("st_col")).cast("double"))
+        .withColumn("dyc", (F.col("end_row") - F.col("st_row")).cast("double"))
+        .withColumn("path", F.sqrt(F.col("dxc") ** 2 + F.col("dyc") ** 2))
+        .withColumn("nsteps", F.ceil("path"))
+        .withColumn(
+            "dist_step",
+            F.sqrt((F.col("x0") - F.col("x1")) ** 2 + (F.col("y0") - F.col("y1")) ** 2)
+            / F.col("path"),
+        )
+        .withColumn(
+            "contrib",
+            F.when(F.col("nsteps") > 0,
+                   (F.col("nsteps") - 1).cast("double") * F.col("dist_step"))
+            .otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "prefix",
+            F.coalesce(
+                F.sum("contrib").over(
+                    Window.partitionBy("line_id").orderBy("i")
+                    .rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0.0),
+            ),
+        )
+    )
+    steps = seg.filter(F.col("nsteps") > 1).select(
+        "line_id",
+        "i",
+        "st_col", "st_row", "dxc", "dyc", "path", "dist_step", "prefix",
+        F.explode(F.sequence(F.lit(1), F.col("nsteps") - 1)).alias("j"),
+    ).select(
+        "line_id", "i", "j",
+        F.floor(F.col("st_col") + F.col("j") * (F.col("dxc") / F.col("path"))).alias("col"),
+        F.floor(F.col("st_row") + F.col("j") * (F.col("dyc") / F.col("path"))).alias("row"),
+        (F.col("prefix") + F.col("j") * F.col("dist_step")).alias("dist"),
+    )
+    dem_v = dem.filter(F.col("value").isNotNull()).select("row", "col", F.col("value").alias("z"))
+    return steps.join(dem_v, ["row", "col"]).select("line_id", "i", "j", "dist", "z")
+
+
+def profile_oracle_sql(lines_sql: str, dem_sql: str, grid: GridSpec) -> str:
+    """lines_sql: SELECT line_id, i (0-based segment), x0, y0, x1, y1."""
+    return f"""
+WITH seg0 AS ({lines_sql}),
+seg AS (
+  SELECT line_id, i, x0, y0, x1, y1,
+         {grid.col_sql('x0')} AS st_col, {grid.row_sql('y0')} AS st_row,
+         {grid.col_sql('x1')} AS end_col, {grid.row_sql('y1')} AS end_row
+  FROM seg0
+),
+seg2 AS (
+  SELECT *, CAST(end_col - st_col AS DOUBLE) AS dxc,
+         CAST(end_row - st_row AS DOUBLE) AS dyc,
+         sqrt(CAST(end_col - st_col AS DOUBLE) * CAST(end_col - st_col AS DOUBLE)
+            + CAST(end_row - st_row AS DOUBLE) * CAST(end_row - st_row AS DOUBLE)) AS path,
+         sqrt((x0 - x1) * (x0 - x1) + (y0 - y1) * (y0 - y1)) AS map_len
+  FROM seg
+),
+seg3 AS (
+  SELECT *, CAST(ceil(path) AS BIGINT) AS nsteps, map_len / path AS dist_step,
+         CASE WHEN CAST(ceil(path) AS BIGINT) > 0
+              THEN CAST(CAST(ceil(path) AS BIGINT) - 1 AS DOUBLE) * (map_len / path)
+              ELSE 0.0 END AS contrib
+  FROM seg2
+),
+seg4 AS (
+  SELECT *, coalesce(SUM(contrib) OVER (PARTITION BY line_id ORDER BY i
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS prefix
+  FROM seg3
+),
+steps AS (
+  SELECT line_id, i, j,
+         CAST(floor(st_col + j * (dxc / path)) AS BIGINT) AS col,
+         CAST(floor(st_row + j * (dyc / path)) AS BIGINT) AS row,
+         prefix + j * dist_step AS dist
+  FROM seg4, LATERAL unnest(generate_series(1, nsteps - 1)) AS t(j)
+  WHERE nsteps > 1
+),
+dem AS (SELECT row, col, value AS z FROM ({dem_sql}) WHERE value IS NOT NULL)
+SELECT s.line_id, s.i, s.j, round(s.dist, 6) AS dist, round(d.z, 6) AS z
+FROM steps s JOIN dem d ON d.row = s.row AND d.col = s.col
+"""
