@@ -2071,6 +2071,92 @@ def _contours_points_sql() -> str:
     )
 
 
+def _merge_lines_fixture():
+    """Deterministic 2-point lines: chains P(k)->P(k+1) broken every 10th
+    key, plus 5 spur lines P(10m+5)->P(900+m) turning those nodes into
+    degree-3 bifurcations (merge must stop there)."""
+    import numpy as np
+
+    keys = np.arange(1, 101)
+    px, py = synth.point_np(keys)
+    spx, spy = synth.point_np(np.arange(901, 906))
+    rows = []
+    for k in range(1, 100):
+        if k % 10 != 0:
+            rows.append((k, [float(px[k - 1]), float(px[k])],
+                         [float(py[k - 1]), float(py[k])]))
+    for m in range(1, 6):
+        rows.append((100 + m, [float(px[10 * m + 4]), float(spx[m - 1])],
+                     [float(py[10 * m + 4]), float(spy[m - 1])]))
+    return rows
+
+
+def q_merge_line_segments(spark, sf_dir):
+    """MergeLineSegments (gis_analysis/merge_line_segments.rs): join lines
+    at coincident degree-2 end nodes, stop at bifurcations. Engine =
+    degree aggregate + pointer-doubled min-label components; oracle =
+    INDEPENDENT python union-find literals."""
+    from whitebox_tools_spark.operators.vector_ops import merge_line_segments
+
+    lines = spark.createDataFrame(
+        _merge_lines_fixture(), "line_id long, xs array<double>, ys array<double>"
+    )
+    return merge_line_segments(lines)
+
+
+def _merge_lines_sql() -> str:
+    import math as _m
+
+    rows = _merge_lines_fixture()
+    ends = {}
+    for lid, xs, ys in rows:
+        for px_, py_ in ((xs[0], ys[0]), (xs[-1], ys[-1])):
+            ends.setdefault((round(px_, 9), round(py_, 9)), []).append(lid)
+    parent = {lid: lid for lid, _, _ in rows}
+
+    def find(u):
+        while parent[u] != u:
+            parent[u] = parent[parent[u]]
+            u = parent[u]
+        return u
+
+    for node, mem in ends.items():
+        if len(mem) == 2 and mem[0] != mem[1]:
+            ra, rb = find(mem[0]), find(mem[1])
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    groups = {}
+    for lid, xs, ys in rows:
+        ln = sum(
+            _m.hypot(xs[i + 1] - xs[i], ys[i + 1] - ys[i]) for i in range(len(xs) - 1)
+        )
+        g = groups.setdefault(find(lid), [0, 0.0])
+        g[0] += 1
+        g[1] += ln
+    vals = ", ".join(
+        f"({gid}, {n}, {_round_half_up(tot)!r})" for gid, (n, tot) in sorted(groups.items())
+    )
+    return (
+        "SELECT CAST(merged_id AS BIGINT) AS merged_id, "
+        "CAST(n_lines AS BIGINT) AS n_lines, CAST(total_len AS DOUBLE) AS total_len "
+        f"FROM (VALUES {vals}) t(merged_id, n_lines, total_len)"
+    )
+
+
+def q_raster_to_vector_lines(spark, sf_dir):
+    """RasterToVectorLines (data_tools/raster_to_vector_lines.rs): trace
+    the valley stream raster into polylines (per-component faithful serial
+    walk; rows-only — pinned against an independent whole-raster global
+    transcription in tests/test_raster_lines.py)."""
+    from whitebox_tools_spark.operators.raster_vector import raster_to_vector_lines
+    from whitebox_tools_spark.operators.streams import extract_streams
+
+    streams = extract_streams(
+        _valley_dem(spark, sf_dir), STREAM_GRID, threshold=4.0, zero_background=False
+    )
+    return raster_to_vector_lines(streams, STREAM_GRID)
+
+
 def q_buffer_raster(spark, sf_dir):
     """BufferRaster (gis_analysis/buffer_raster.rs:210-221): 1.0 within the
     buffer distance of any non-background cell, exact nearest-source
@@ -5045,6 +5131,8 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "voronoi_diagram": q_voronoi_diagram,
         "profile": q_profile,
         "contours_from_points": q_contours_from_points,
+        "merge_line_segments": q_merge_line_segments,
+        "raster_to_vector_lines": q_raster_to_vector_lines,
         "lidar_tophat": q_lidar_tophat,
         "lidar_hillshade": q_lidar_hillshade,
         "natural_neighbour_gridding": q_natural_neighbour_gridding,
@@ -6060,6 +6148,7 @@ SELECT row, col, round((value - mn) / (mx - mn), 6) AS value FROM dem CROSS JOIN
         "voronoi_diagram": _voronoi_sql(),
         "profile": _profile_sql(),
         "contours_from_points": _contours_points_sql(),
+        "merge_line_segments": _merge_lines_sql(),
         # the DSM filter provably removes exactly the 50 below-plane points,
         # so the DSM of the fixture IS the plane raster (same oracle)
         "lidar_dsm": _tin_gridding_sql(),

@@ -662,3 +662,117 @@ ni AS (SELECT value, count(*) / ({math.pi!r} * max(d2)) AS ni FROM d2 GROUP BY v
 SELECT s.row, s.col, ni.ni
 FROM src s JOIN ni ON ni.value = s.value
 """
+
+
+def raster_to_vector_lines(cells: DataFrame, grid: GridSpec) -> DataFrame:
+    """RasterToVectorLines (data_tools/raster_to_vector_lines.rs:229-420):
+    trace raster line features (non-zero, non-nodata cells) into
+    polylines. Faithful per-component transcription of the reference's
+    serial walk: seed a FIFO with the component's line-end cells
+    (neighbor count == 1) in raster-scan order; each trace repeatedly
+    steps to the unvisited neighbor with the highest neighbor count
+    (first-in-dx-order on ties), queueing the other unvisited neighbors;
+    a final scan traces closed loops. Component-local queue order equals
+    the reference's global-FIFO subsequence (ends all enqueue before any
+    branch), so GEOMETRY is exact; line NUMBERING is the documented
+    deviation — ids order by the trace's first vertex scan position
+    rather than the reference's interleaved global pop order.
+    -> (line_id, value, n_vertices, length, x1, y1, x2, y2).
+
+    Scale shape: one clump (pointer-doubled CC, O(log n) rounds) + one
+    applyInPandas per component (components are 1-D features, tiny vs the
+    raster)."""
+    from collections import deque
+
+    from whitebox_tools_spark.operators.raster_vector import clump
+
+    src = cells.filter(F.col("value").isNotNull() & (F.col("value") != 0.0)).select(
+        "row", "col", "value"
+    )
+    comp = clump(src.withColumn("value", F.lit(1.0)), diagonals=True).select(
+        "row", "col", "clump_id"
+    )
+    j = src.join(comp, ["row", "col"])
+    gw, gn, rx, ry = grid.west, grid.north, grid.res_x, grid.res_y
+    dxs = [1, 1, 1, 0, -1, -1, -1, 0]
+    dys = [-1, 0, 1, 1, 1, 0, -1, -1]
+
+    def kernel(key, pdf):
+        import numpy as np
+        import pandas as pd
+
+        cellv = {
+            (int(r), int(c)): float(v)
+            for r, c, v in zip(pdf["row"], pdf["col"], pdf["value"])
+        }
+        cnt = {}
+        for (r, c) in cellv:
+            cnt[(r, c)] = sum(
+                (r + dys[i], c + dxs[i]) in cellv for i in range(8)
+            )
+        visited = set()
+        queue = deque(sorted([p for p, n in cnt.items() if n == 1]))
+        out = []
+
+        def trace(r, c):
+            pts = [(r, c)]
+            visited.add((r, c))
+            while True:
+                highest, best, others = 0, None, []
+                for i in range(8):
+                    p = (r + dys[i], c + dxs[i])
+                    if p in cellv and p not in visited:
+                        if cnt[p] > highest:
+                            if highest > 0:
+                                others.append(best)
+                            highest, best = cnt[p], p
+                        else:
+                            others.append(p)
+                if best is None:
+                    return pts
+                queue.extend(others)
+                r, c = best
+                pts.append((r, c))
+                visited.add((r, c))
+
+        def emit(pts, val):
+            if len(pts) < 2:
+                return
+            xs = [gw + rx / 2.0 + p[1] * rx for p in pts]
+            ys = [gn - ry / 2.0 - p[0] * ry for p in pts]
+            length = float(
+                sum(
+                    ((xs[i + 1] - xs[i]) ** 2 + (ys[i + 1] - ys[i]) ** 2) ** 0.5
+                    for i in range(len(pts) - 1)
+                )
+            )
+            out.append(
+                (pts[0][0], pts[0][1], len(out), val, len(pts), length,
+                 xs[0], ys[0], xs[-1], ys[-1])
+            )
+
+        while queue:
+            r, c = queue.popleft()
+            if (r, c) not in visited:
+                emit(trace(r, c), cellv[(r, c)])
+        for p in sorted(cellv):
+            if p not in visited:
+                emit(trace(*p), cellv[p])
+        return pd.DataFrame(
+            out,
+            columns=["srow", "scol", "lidx", "value", "n_vertices", "length",
+                     "x1", "y1", "x2", "y2"],
+        ).astype({"srow": np.int64, "scol": np.int64, "lidx": np.int64,
+                  "n_vertices": np.int64})
+
+    schema = ("srow long, scol long, lidx long, value double, n_vertices long, "
+              "length double, x1 double, y1 double, x2 double, y2 double")
+    traced = j.groupBy("clump_id").applyInPandas(kernel, schema)
+    from pyspark.sql import Window as _W
+
+    w = _W.orderBy("srow", "scol", "lidx")
+    return traced.withColumn("line_id", F.row_number().over(w).cast("long")).select(
+        "line_id", "value", "n_vertices", F.round("length", 6).alias("length"),
+        F.round("x1", 6).alias("x1"), F.round("y1", 6).alias("y1"),
+        F.round("x2", 6).alias("x2"), F.round("y2", 6).alias("y2"),
+    )

@@ -866,3 +866,104 @@ def layer_footprint(parts: DataFrame) -> DataFrame:
             F.min("y").alias("ymin"), F.max("y").alias("ymax")
         )
     ).select("xmin", "ymin", "xmax", "ymax")
+
+
+def merge_line_segments(lines: DataFrame, *, snap: float = 0.0) -> DataFrame:
+    """MergeLineSegments (gis_analysis/merge_line_segments.rs): join lines
+    whose end vertices coincide (within `snap`; 0 = exact at 9 dp) unless
+    the shared node touches a third feature (bifurcation). lines:
+    (line_id, xs, ys). -> (merged_id = min member line_id, n_lines,
+    total_len) per merged polyline.
+
+    Distributed shape: endpoint hash aggregate for node degrees, an
+    equi-join for degree-2 line pairs, then O(log n) min-label rounds for
+    the chain components (the same label-propagation idiom as clump)."""
+    from whitebox_tools_spark.distributed import loop_checkpoint
+
+    if snap > 0.0:
+        kx = F.floor(F.col("x") / F.lit(snap) + F.lit(0.5)).cast("long")
+        ky = F.floor(F.col("y") / F.lit(snap) + F.lit(0.5)).cast("long")
+    else:
+        kx = F.round(F.col("x"), 9)
+        ky = F.round(F.col("y"), 9)
+    # polyline length via lag over exploded vertices (mirrors the oracle)
+    verts = lines.select(
+        "line_id", F.posexplode(F.arrays_zip("xs", "ys")).alias("i", "v")
+    ).select("line_id", "i", F.col("v.xs").alias("x"), F.col("v.ys").alias("y"))
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy("line_id").orderBy("i")
+    seg = verts.withColumn("px", F.lag("x").over(w)).withColumn(
+        "py", F.lag("y").over(w)
+    )
+    lens = seg.groupBy("line_id").agg(
+        F.sum(
+            F.when(
+                F.col("px").isNotNull(),
+                F.sqrt((F.col("x") - F.col("px")) ** 2 + (F.col("y") - F.col("py")) ** 2),
+            ).otherwise(F.lit(0.0))
+        ).alias("len")
+    )
+    ends = lines.select(
+        "line_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.element_at("xs", 1).alias("x"), F.element_at("ys", 1).alias("y")
+                ),
+                F.struct(
+                    F.element_at("xs", -1).alias("x"), F.element_at("ys", -1).alias("y")
+                ),
+            )
+        ).alias("p"),
+    ).select("line_id", F.col("p.x").alias("x"), F.col("p.y").alias("y"))
+    keyed = ends.select("line_id", F.struct(kx.alias("kx"), ky.alias("ky")).alias("node"))
+    deg = keyed.groupBy("node").agg(
+        F.count(F.lit(1)).alias("deg"), F.collect_set("line_id").alias("members")
+    )
+    pairs = (
+        deg.filter((F.col("deg") == 2) & (F.size("members") == 2))
+        .select(
+            F.array_min("members").alias("a"), F.array_max("members").alias("b")
+        )
+        .distinct()
+    )
+    lab = lines.select("line_id", F.col("line_id").alias("lab")).localCheckpoint(
+        eager=True
+    )
+    und = pairs.unionByName(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    for _ in range(64):
+        prop = (
+            und.join(lab, und["a"] == lab["line_id"])
+            .select(F.col("b").alias("line_id"), "lab")
+            .groupBy("line_id")
+            .agg(F.min("lab").alias("nlab"))
+        )
+        relaxed = lab.join(prop, ["line_id"], "left").select(
+            "line_id",
+            F.least(F.col("lab"), F.coalesce("nlab", F.col("lab"))).alias("lab"),
+        )
+        # pointer-doubling shortcut: lab <- min(lab, lab[lab]) halves the
+        # remaining chain depth, so rounds are O(log diameter)
+        short = relaxed.alias("x").join(
+            relaxed.alias("y"), F.col("x.lab") == F.col("y.line_id"), "left"
+        ).select(
+            F.col("x.line_id").alias("line_id"),
+            F.least(F.col("x.lab"), F.coalesce(F.col("y.lab"), F.col("x.lab"))).alias("l2"),
+        )
+        nxt = lab.select("line_id", F.col("lab").alias("l1")).join(short, ["line_id"])
+        done = nxt.filter(F.col("l2") != F.col("l1")).limit(1).isEmpty()
+        lab = nxt.select("line_id", F.col("l2").alias("lab")).transform(loop_checkpoint)
+        if done:
+            break
+    return (
+        lab.join(lens, "line_id")
+        .groupBy("lab")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum("len"), 6).alias("total_len"),
+        )
+        .select(F.col("lab").alias("merged_id"), "n_lines", "total_len")
+    )
