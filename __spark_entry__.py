@@ -3064,6 +3064,45 @@ def _breach_oracle() -> str:
     return breach_oracle_sql(_NOISE_RASTER_SQL, EXTRACT_GRID)
 
 
+def _dense20_dem(spark, sf_dir):
+    """Dense 20 x N/20 hash-noise DEM (the 200-wide strip is 1 col wide at
+    sf0.001 -> no interior cells; this one has real depressions/flats)."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        (F.col("p_partkey") % 20).alias("row"),
+        F.floor(F.col("p_partkey") / F.lit(20.0)).cast("long").alias("col"),
+        (((F.col("p_partkey") * 48271) % 100000).cast("double") / 100.0).alias("value"),
+    )
+
+
+def q_upslope_depression_storage(spark, sf_dir):
+    """UpslopeDepressionStorage (hydro_analysis/
+    upslope_depression_storage.rs): FD8-accumulated depression depth /
+    upslope count over the deterministic epsilon-filled surface
+    (W + small_num * plateau-hops). Rows-only (FD8 fractions are not
+    SQL-derivable); pinned against an independent serial epsilon-fill +
+    topological FD8 transcription in tests/test_hydro_random.py."""
+    from whitebox_tools_spark.operators.hydro import upslope_depression_storage
+
+    return _r6(
+        upslope_depression_storage(
+            _dense20_dem(spark, sf_dir), EXTRACT_GRID,
+            flat_increment=0.001, block=16,
+        ),
+        ["value"],
+    )
+
+
+def q_flood_order(spark, sf_dir):
+    """FloodOrder (hydro_analysis/flood_order.rs, Wang-Liu 2006): the
+    priority-flood pop rank == rank by (filled elevation, row, col) —
+    proven monotone, so one tiled fill + one sort replaces the serial
+    flood; oracle = rank over the recursive-CTE fill."""
+    from whitebox_tools_spark.operators.hydro import flood_order
+
+    return flood_order(_noise_raster(spark, sf_dir), block=64)
+
+
 def q_breach_least_cost(spark, sf_dir):
     """BreachDepressionsLeastCost (hydro_analysis/
     breach_depressions_least_cost.rs:235+, Lindsay & Dhun 2015): raise pits
@@ -5037,6 +5076,8 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fill_depressions": q_fill_depressions,
         "breach_depressions": q_breach_depressions,
         "breach_depressions_least_cost": q_breach_least_cost,
+        "flood_order": q_flood_order,
+        "upslope_depression_storage": q_upslope_depression_storage,
         "breach_single_cell_pits": q_breach_single_cell_pits,
         "long_profile_from_points": q_long_profile_from_points,
         "stochastic_depression_analysis": q_stochastic_depression_analysis,
@@ -5906,6 +5947,7 @@ FROM ({_PART_RASTER_SQL}) WHERE value IS NOT NULL
         "singlepart_to_multipart": _sp_to_mp_sql(),
         "fill_depressions": _hyd.fill_depressions_oracle_sql(_NOISE_RASTER_SQL),
         "breach_depressions": _breach_oracle(),
+        "flood_order": _hyd.flood_order_oracle_sql(_NOISE_RASTER_SQL),
         "find_parallel_flow": _find_parallel_sql(),
         "raise_walls": _raise_walls_sql(),
         "downslope_index": (

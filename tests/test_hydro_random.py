@@ -649,3 +649,81 @@ def test_cost_allocation_tiled_matches_supersteps(spark):
                                         direct_threshold=150).collect()}
     b = {(r.row, r.col): r.value for r in cost_allocation(cost, sources, g).collect()}
     assert a == b
+
+
+def test_upslope_depression_storage_matches_serial(spark):
+    """Independent serial transcription: python minimax flat fill +
+    plateau BFS epsilon ramp + topological FD8 over dicts."""
+    import heapq
+    from collections import deque
+
+    from whitebox_tools_spark.operators.hydro import (
+        D8_DX, D8_DY, upslope_depression_storage,
+    )
+
+    rng = np.random.default_rng(61)
+    n = 14
+    vals = rng.uniform(10, 20, (n, n))
+    vals[4:7, 4:7] = 11.0       # flat-bottomed depression
+    vals[9:11, 2:5] = 12.5
+    cost = _dem(spark, vals)
+    g = GridSpec(west=0.0, north=n * 5.0, res_x=5.0, res_y=5.0, rows=n, cols=n)
+    s = 0.001
+    got = {(r.row, r.col): r.value for r in
+           upslope_depression_storage(cost, g, flat_increment=s, block=8,
+                                      direct_threshold=50).collect()}
+
+    # --- serial oracle ---
+    cells = {(r, c): float(vals[r][c]) for r in range(n) for c in range(n)}
+    # minimax flat fill (priority flood from border)
+    W = {}
+    pq = []
+    for (r, c), z in cells.items():
+        if r in (0, n - 1) or c in (0, n - 1):
+            heapq.heappush(pq, (z, r, c))
+    while pq:
+        w0, r, c = heapq.heappop(pq)
+        if (r, c) in W:
+            continue
+        W[(r, c)] = w0
+        for i in range(8):
+            p = (r + D8_DY[i], c + D8_DX[i])
+            if p in cells and p not in W:
+                heapq.heappush(pq, (max(w0, cells[p]), p[0], p[1]))
+    # plateau BFS hops to a lower-W (or border) cell
+    hops = {}
+    dq = deque()
+    for (r, c), w0 in W.items():
+        nbs = [(r + D8_DY[i], c + D8_DX[i]) for i in range(8)]
+        if (r in (0, n - 1) or c in (0, n - 1)
+                or any(p not in W for p in nbs)
+                or any(W.get(p, 1e18) < w0 for p in nbs)):
+            hops[(r, c)] = 0
+            dq.append((r, c))
+    while dq:
+        r, c = dq.popleft()
+        for i in range(8):
+            p = (r + D8_DY[i], c + D8_DX[i])
+            if p in W and p not in hops and W[p] == W[(r, c)]:
+                hops[p] = hops[(r, c)] + 1
+                dq.append(p)
+    eps = {p: W[p] + s * hops[p] for p in W}
+    depth = {p: eps[p] - cells[p] for p in W}
+    # topological FD8 (exponent 1.1) over eps
+    order = sorted(W, key=lambda p: (-eps[p], p))
+    acc_d = dict(depth)
+    acc_n = {p: 1.0 for p in W}
+    for p in order:
+        r, c = p
+        ws = []
+        for i in range(8):
+            q = (r + D8_DY[i], c + D8_DX[i])
+            if q in eps and eps[q] < eps[p]:
+                ws.append((q, (eps[p] - eps[q]) ** 1.1))
+        tot = sum(w for _, w in ws)
+        if tot > 0:
+            for q, w in ws:
+                acc_d[q] += acc_d[p] * (w / tot)
+                acc_n[q] += acc_n[p] * (w / tot)
+    for p in W:
+        assert got[p] == pytest.approx(round(acc_d[p] / acc_n[p], 6), abs=2e-6), p

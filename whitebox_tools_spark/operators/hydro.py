@@ -714,15 +714,23 @@ def _weighted_flow_accum(
     return acc.select("row", "col", F.col("fa").alias("value"))
 
 
-def fd8_edges(cells: DataFrame, grid: GridSpec, *, exponent: float = 1.1) -> DataFrame:
+def fd8_edges(
+    cells: DataFrame, grid: GridSpec, *, exponent: float = 1.1,
+    weight: str = "slope",
+) -> DataFrame:
     """FD8 fractional flow edges (hydro_analysis/fd8_flow_accum.rs:400-470):
     flow split among ALL strictly-lower valid neighbors proportional to
-    slope^exponent. -> (row, col, trow, tcol, frac), filtered to valid
-    targets (flow to off-grid/nodata vanishes, as in the reference)."""
+    slope^exponent — or to raw elevation DROP^exponent (weight="drop"),
+    the variant upslope_depression_storage.rs:507-520 uses.
+    -> (row, col, trow, tcol, frac), filtered to valid targets (flow to
+    off-grid/nodata vanishes, as in the reference)."""
     g = _neighbor_slopes(cells, grid)
+    lens = _grid_lengths(grid)
+    drop = weight == "drop"
     w = [
         F.when(F.col(f"s{i}").isNotNull() & (F.col(f"s{i}") > 0.0),
-               F.pow(F.col(f"s{i}"), F.lit(exponent))).otherwise(F.lit(0.0))
+               F.pow(F.col(f"s{i}") * (F.lit(lens[i]) if drop else F.lit(1.0)),
+                     F.lit(exponent))).otherwise(F.lit(0.0))
         for i in range(8)
     ]
     total = sum(w[1:], w[0])
@@ -2221,4 +2229,117 @@ def cost_allocation_tiled(
         F.expr(f"seed DIV {width}").alias("row"),
         (F.col("seed") % width).alias("col"),
         F.col("sid").cast("double").alias("value"),
+    )
+
+
+def flood_order(cells: DataFrame, *, block: int = 256) -> DataFrame:
+    """FloodOrder (hydro_analysis/flood_order.rs:244-340, Wang-Liu 2006):
+    the sequential pop order of the priority-flood fill, 1..n from the
+    lowest edge cell upward. Priority-flood pops are globally
+    NON-DECREASING in filled elevation (each push is raised to the popping
+    cell's level), so the order is exactly the rank of cells sorted by
+    (filled elevation W, tie). The reference's tie order is its
+    BinaryHeap's (unspecified); this engine's documented tie rule is
+    (W, row, col). -> (row, col, value = order). One O(log n) tiled fill
+    + one range-partitioned distributed rank (with_global_seq — no
+    single-partition window) — no sequential flood needed."""
+    from whitebox_tools_spark.distributed import with_global_seq
+    from whitebox_tools_spark.operators.flow_stitch import fill_depressions_tiled
+
+    filled = fill_depressions_tiled(cells, block=block)
+    return with_global_seq(
+        filled.select(F.col("value").alias("__w"), "row", "col"),
+        ["__w", "row", "col"],
+        out_col="__ord",
+    ).select("row", "col", F.col("__ord").cast("double").alias("value"))
+
+
+def flood_order_oracle_sql(source_sql: str) -> str:
+    """Rank over the recursive-CTE minimax fill, same tie rule."""
+    return f"""
+WITH RECURSIVE cells AS MATERIALIZED (
+  SELECT row, col, value FROM ({source_sql}) WHERE value IS NOT NULL
+),
+adj AS MATERIALIZED (
+  SELECT a.row AS ur, a.col AS uc, b.row AS vr, b.col AS vc, b.value AS vz
+  FROM cells a JOIN cells b
+    ON abs(b.row - a.row) <= 1 AND abs(b.col - a.col) <= 1
+   AND NOT (b.row = a.row AND b.col = a.col)
+),
+bounds AS (SELECT min(row) AS r0, max(row) AS r1, min(col) AS c0, max(col) AS c1 FROM cells),
+deg AS (SELECT ur AS row, uc AS col, count(*) AS n FROM adj GROUP BY 1, 2),
+outlets AS (
+  SELECT c.row, c.col, c.value
+  FROM cells c CROSS JOIN bounds b
+  LEFT JOIN deg d ON d.row = c.row AND d.col = c.col
+  WHERE c.row = b.r0 OR c.row = b.r1 OR c.col = b.c0 OR c.col = b.c1
+     OR coalesce(d.n, 0) < 8
+),
+f(row, col, w) AS (
+  SELECT row, col, value FROM outlets
+  UNION
+  SELECT e.vr, e.vc, greatest(e.vz, f.w)
+  FROM f JOIN adj e ON e.ur = f.row AND e.uc = f.col
+),
+wtab AS (SELECT row, col, min(w) AS w FROM f GROUP BY 1, 2)
+SELECT row, col,
+       CAST(row_number() OVER (ORDER BY w, row, col) AS DOUBLE) AS value
+FROM wtab
+"""
+
+
+def upslope_depression_storage(
+    cells: DataFrame,
+    grid: GridSpec,
+    *,
+    exponent: float = 1.1,
+    block: int = 256,
+    direct_threshold: int = 200_000,
+    flat_increment: float | None = None,
+) -> DataFrame:
+    """UpslopeDepressionStorage (hydro_analysis/
+    upslope_depression_storage.rs:240-560): average upslope depression
+    storage depth = FD8-accumulated depression depth / FD8-accumulated
+    upslope cell count, both over the EPSILON-filled surface (depth =
+    filled - original z). The reference epsilon-fills with a Wang-Liu
+    in-place flood (z + small_num per step, small_num = 10^-(9 - digits));
+    this engine's deterministic equivalent is
+    filled_eps = flat_fill_W + small_num * plateau_BFS_hops-to-pour —
+    the same ramp, heap-order-free. FD8 weights are f64 (the reference
+    degrades to f32). O(log n) rounds throughout (tiled fill, plateau BFS
+    bounded by flat diameter, weighted-semiring accumulation stitch).
+    -> (row, col, value)."""
+    from whitebox_tools_spark.operators.breach import plateau_hops
+    from whitebox_tools_spark.operators.flow_stitch import (
+        fill_depressions_tiled,
+        solve_wfa,
+    )
+
+    src = cells.filter(F.col("value").isNotNull()).select("row", "col", "value")
+    if flat_increment is None:
+        mx = src.agg(F.max("value")).collect()[0][0]
+        s = 1.0 / (10.0 ** (9 - len(str(int(float(mx))))))
+    else:
+        s = float(flat_increment)
+    w = fill_depressions_tiled(src, block=block).localCheckpoint(eager=True)
+    hops = plateau_hops(w)
+    eps = (
+        w.join(hops, ["row", "col"])
+        .select(
+            "row", "col",
+            (F.col("value") + F.lit(s) * F.col("hops").cast("double")).alias("value"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    depth = eps.alias("e").join(src.alias("s"), ["row", "col"]).select(
+        "row", "col", (F.col("e.value") - F.col("s.value")).alias("w")
+    )
+    edges = fd8_edges(eps, grid, exponent=exponent, weight="drop")
+    acc_d = solve_wfa(depth, edges, block=block, direct_threshold=direct_threshold)
+    ones = eps.select("row", "col", F.lit(1.0).alias("w"))
+    acc_n = solve_wfa(ones, edges, block=block, direct_threshold=direct_threshold)
+    return (
+        acc_d.select("row", "col", F.col("fa").alias("d"))
+        .join(acc_n.select("row", "col", F.col("fa").alias("n")), ["row", "col"])
+        .select("row", "col", (F.col("d") / F.col("n")).alias("value"))
     )
