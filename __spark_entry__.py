@@ -3075,6 +3075,13 @@ def _dense20_dem(spark, sf_dir):
     )
 
 
+_DENSE20_SQL = (
+    "SELECT p_partkey % 20 AS row, "
+    "CAST(floor(p_partkey / 20.0) AS BIGINT) AS col, "
+    "CAST((p_partkey * 48271) % 100000 AS DOUBLE) / 100.0 AS value FROM part"
+)
+
+
 def q_upslope_depression_storage(spark, sf_dir):
     """UpslopeDepressionStorage (hydro_analysis/
     upslope_depression_storage.rs): FD8-accumulated depression depth /
@@ -3091,6 +3098,90 @@ def q_upslope_depression_storage(spark, sf_dir):
         ),
         ["value"],
     )
+
+
+_DAM_POINTS = [(7, 13), (12, 40), (3, 77)]
+
+
+def q_impoundment_size_index(spark, sf_dir):
+    """ImpoundmentSizeIndex (hydro_analysis/impoundment_index.rs, Lindsay
+    2015): window-split dam crest + deterministic flow forest +
+    upstream-below-crest aggregate (cutoff filter proven redundant —
+    impoundment.py docstring). Full SQL oracle via the shared fill/ptr
+    CTEs + recursive walk closure."""
+    from whitebox_tools_spark.operators.impoundment import impoundment_size_index
+
+    out = impoundment_size_index(
+        _dense20_dem(spark, sf_dir), EXTRACT_GRID, dam_length=5.0, block=16
+    )
+    return _r6(out, ["dam_height", "area", "volume", "max_depth"])
+
+
+def q_insert_dams(spark, sf_dir):
+    """InsertDams (hydro_analysis/insert_dams.rs): raise the DEM along the
+    highest-crest profile through each dam point (first-direction tie
+    rule)."""
+    from whitebox_tools_spark.operators.impoundment import insert_dams
+
+    dams = spark.createDataFrame(_DAM_POINTS, "row long, col long")
+    return _r6(
+        insert_dams(_dense20_dem(spark, sf_dir), dams, dam_length=5.0), ["value"]
+    )
+
+
+def _insert_dams_sql() -> str:
+    import math as _m
+
+    h = 2
+    offs = []
+    from whitebox_tools_spark.operators.impoundment import _DIRS
+
+    for di, (_name, _key, (dr, dc)) in enumerate(_DIRS):
+        for k in range(-2 * h, 2 * h + 1):
+            offs.append(f"({di}, {k}, {k * dr}, {k * dc})")
+    steps = ", ".join(
+        f"({di}, {dr}, {dc})" for di, (_n, _k, (dr, dc)) in enumerate(_DIRS)
+    )
+    dams = ", ".join(f"({r}, {c})" for r, c in _DAM_POINTS)
+    splits = ", ".join(f"({s})" for s in range(0, 2 * h + 1))
+    series = ", ".join(f"({k})" for k in range(-h, h + 1))
+    return f"""
+WITH cells AS MATERIALIZED (
+  SELECT row, col, value FROM ({_DENSE20_SQL}) WHERE value IS NOT NULL
+),
+offs(dir, k, dr, dc) AS (VALUES {", ".join(offs)}),
+splits(s) AS (VALUES {splits}),
+mem AS (
+  SELECT c.row, c.col, o.dir, o.k, coalesce(b.value, -1e308) AS nz
+  FROM cells c CROSS JOIN offs o
+  LEFT JOIN cells b ON b.row = c.row + o.dr AND b.col = c.col + o.dc
+),
+arm AS (
+  SELECT m.row, m.col, m.dir, s.s,
+         max(CASE WHEN m.k BETWEEN -s.s AND 0 THEN m.nz END) AS l,
+         max(CASE WHEN m.k BETWEEN 0 AND {2 * h} - s.s THEN m.nz END) AS r
+  FROM mem m CROSS JOIN splits s
+  GROUP BY m.row, m.col, m.dir, s.s
+),
+crest_dir AS (SELECT row, col, dir, max(least(l, r)) AS cd FROM arm GROUP BY 1, 2, 3),
+crest AS (SELECT row, col, max(cd) AS crest FROM crest_dir GROUP BY 1, 2),
+dams(row, col) AS (VALUES {dams}),
+dpick AS (
+  SELECT d.row, d.col, c.crest,
+         (SELECT min(cd2.dir) FROM crest_dir cd2
+          WHERE cd2.row = d.row AND cd2.col = d.col AND cd2.cd = c.crest) AS dir
+  FROM dams d JOIN crest c ON c.row = d.row AND c.col = d.col
+),
+st(dir, sr, sc) AS (VALUES {steps}),
+ks(k) AS (VALUES {series}),
+lift0 AS (
+  SELECT p.row + ks.k * st.sr AS row, p.col + ks.k * st.sc AS col, p.crest
+  FROM dpick p JOIN st ON st.dir = p.dir CROSS JOIN ks
+),
+lift AS (SELECT row, col, max(crest) AS lift FROM lift0 GROUP BY 1, 2)
+SELECT c.row, c.col, round(greatest(c.value, coalesce(l.lift, c.value)), 6) AS value
+FROM cells c LEFT JOIN lift l ON l.row = c.row AND l.col = c.col
+"""
 
 
 def q_flood_order(spark, sf_dir):
@@ -5078,6 +5169,8 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "breach_depressions_least_cost": q_breach_least_cost,
         "flood_order": q_flood_order,
         "upslope_depression_storage": q_upslope_depression_storage,
+        "impoundment_size_index": q_impoundment_size_index,
+        "insert_dams": q_insert_dams,
         "breach_single_cell_pits": q_breach_single_cell_pits,
         "long_profile_from_points": q_long_profile_from_points,
         "stochastic_depression_analysis": q_stochastic_depression_analysis,
@@ -5948,6 +6041,10 @@ FROM ({_PART_RASTER_SQL}) WHERE value IS NOT NULL
         "fill_depressions": _hyd.fill_depressions_oracle_sql(_NOISE_RASTER_SQL),
         "breach_depressions": _breach_oracle(),
         "flood_order": _hyd.flood_order_oracle_sql(_NOISE_RASTER_SQL),
+        "impoundment_size_index": __import__(
+            "whitebox_tools_spark.operators.impoundment", fromlist=["isi_oracle_sql"]
+        ).isi_oracle_sql(_DENSE20_SQL, EXTRACT_GRID, dam_length=5.0),
+        "insert_dams": _insert_dams_sql(),
         "find_parallel_flow": _find_parallel_sql(),
         "raise_walls": _raise_walls_sql(),
         "downslope_index": (

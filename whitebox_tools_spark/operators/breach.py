@@ -212,6 +212,15 @@ def breach_depressions(
     return out.select("row", "col", F.col("fa").alias("value"))
 
 
+def fill_ptr_ctes(source_sql: str) -> str:
+    """Shared recursive-CTE text: minimax fill (wtab) -> plateau BFS (hmin)
+    -> lexicographic steepest-descent pointers (ptr) — the deterministic
+    flood forest used by breach_depressions AND impoundment_size_index.
+    Returns the CTE body from `cells` through `ptr` (caller supplies
+    WITH RECURSIVE and everything after)."""
+    return _FILL_PTR_CTES.format(source_sql=source_sql)
+
+
 def breach_oracle_sql(source_sql: str, grid: GridSpec) -> str:
     """Independent DuckDB mirror of the SAME deterministic contract:
     recursive-CTE minimax fill -> plateau BFS -> lexicographic steepest-
@@ -508,3 +517,66 @@ def breach_depressions_least_cost(
     if not fill:
         return breached
     return fill_depressions_tiled(breached, block=tile).select("row", "col", "value")
+
+
+_FILL_PTR_CTES = """cells AS MATERIALIZED (
+  SELECT row, col, value FROM ({source_sql}) WHERE value IS NOT NULL
+),
+adj AS MATERIALIZED (
+  SELECT a.row AS ur, a.col AS uc, b.row AS vr, b.col AS vc, b.value AS vz
+  FROM cells a JOIN cells b
+    ON abs(b.row - a.row) <= 1 AND abs(b.col - a.col) <= 1
+   AND NOT (b.row = a.row AND b.col = a.col)
+),
+bounds AS (SELECT min(row) AS r0, max(row) AS r1, min(col) AS c0, max(col) AS c1 FROM cells),
+deg AS (SELECT ur AS row, uc AS col, count(*) AS n FROM adj GROUP BY 1, 2),
+outlets AS (
+  SELECT c.row, c.col, c.value
+  FROM cells c CROSS JOIN bounds b
+  LEFT JOIN deg d ON d.row = c.row AND d.col = c.col
+  WHERE c.row = b.r0 OR c.row = b.r1 OR c.col = b.c0 OR c.col = b.c1
+     OR coalesce(d.n, 0) < 8
+),
+f(row, col, w) AS (
+  SELECT row, col, value FROM outlets
+  UNION
+  SELECT e.vr, e.vc, greatest(e.vz, f.w)
+  FROM f JOIN adj e ON e.ur = f.row AND e.uc = f.col
+),
+wtab AS MATERIALIZED (SELECT row, col, min(w) AS w FROM f GROUP BY 1, 2),
+nn AS (SELECT count(*) AS n FROM cells),
+h(row, col, hops) AS (
+  SELECT w1.row, w1.col, 0
+  FROM wtab w1
+  LEFT JOIN outlets o ON o.row = w1.row AND o.col = w1.col
+  WHERE o.row IS NOT NULL OR EXISTS (
+    SELECT 1 FROM adj a JOIN wtab w2 ON w2.row = a.vr AND w2.col = a.vc
+    WHERE a.ur = w1.row AND a.uc = w1.col AND w2.w < w1.w
+  )
+  UNION
+  SELECT a.vr, a.vc, h.hops + 1
+  FROM h
+  JOIN adj a ON a.ur = h.row AND a.uc = h.col
+  JOIN wtab w1 ON w1.row = h.row AND w1.col = h.col
+  JOIN wtab w2 ON w2.row = a.vr AND w2.col = a.vc
+  CROSS JOIN nn
+  WHERE w2.w = w1.w AND h.hops + 1 < nn.n
+),
+hmin AS MATERIALIZED (SELECT row, col, min(hops) AS hops FROM h GROUP BY 1, 2),
+k AS MATERIALIZED (
+  SELECT w.row, w.col, w.w, coalesce(hm.hops, 4611686018427387904) AS hops
+  FROM wtab w LEFT JOIN hmin hm ON hm.row = w.row AND hm.col = w.col
+),
+ptr AS MATERIALIZED (
+  SELECT row, col, trow, tcol FROM (
+    SELECT k1.row, k1.col, a.vr AS trow, a.vc AS tcol,
+           row_number() OVER (
+             PARTITION BY k1.row, k1.col
+             ORDER BY k2.w, k2.hops, a.vr, a.vc
+           ) AS rn
+    FROM k k1
+    JOIN adj a ON a.ur = k1.row AND a.uc = k1.col
+    JOIN k k2 ON k2.row = a.vr AND k2.col = a.vc
+    WHERE (k2.w, k2.hops, a.vr, a.vc) < (k1.w, k1.hops, k1.row, k1.col)
+  ) WHERE rn = 1
+)"""
