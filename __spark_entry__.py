@@ -3184,6 +3184,20 @@ FROM cells c LEFT JOIN lift l ON l.row = c.row AND l.col = c.col
 """
 
 
+def q_mdinf_flow_accumulation(spark, sf_dir):
+    """MDInfFlowAccumulation (hydro_analysis/mdinf_flow_accum.rs, Seibert
+    & McGlynn 2007): facet-split multi-direction accumulation via
+    mdinf_edges + the weighted-semiring tile stitch. Rows-only (fractions
+    not SQL-derivable); pinned vs an independent per-cell transcription in
+    tests/test_hydro_random.py."""
+    from whitebox_tools_spark.operators.hydro import mdinf_flow_accumulation
+
+    return _r6(
+        mdinf_flow_accumulation(_noise_raster(spark, sf_dir), EXTRACT_GRID, block=16),
+        ["value"],
+    )
+
+
 def q_flood_order(spark, sf_dir):
     """FloodOrder (hydro_analysis/flood_order.rs, Wang-Liu 2006): the
     priority-flood pop rank == rank by (filled elevation, row, col) —
@@ -5171,6 +5185,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "upslope_depression_storage": q_upslope_depression_storage,
         "impoundment_size_index": q_impoundment_size_index,
         "insert_dams": q_insert_dams,
+        "mdinf_flow_accumulation": q_mdinf_flow_accumulation,
         "breach_single_cell_pits": q_breach_single_cell_pits,
         "long_profile_from_points": q_long_profile_from_points,
         "stochastic_depression_analysis": q_stochastic_depression_analysis,

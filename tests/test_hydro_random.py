@@ -727,3 +727,86 @@ def test_upslope_depression_storage_matches_serial(spark):
                 acc_n[q] += acc_n[p] * (w / tot)
     for p in W:
         assert got[p] == pytest.approx(round(acc_d[p] / acc_n[p], 6), abs=2e-6), p
+
+
+def test_mdinf_matches_serial_transcription(spark):
+    """Pure-python per-cell MDInf facet/valley/weight transcription +
+    topological accumulation (independent of the numpy kernel)."""
+    import math
+
+    from whitebox_tools_spark.operators.hydro import (
+        _MDINF_DD, _MDINF_XD, _MDINF_YD, mdinf_flow_accumulation,
+    )
+
+    rng = np.random.default_rng(83)
+    n = 12
+    vals = rng.uniform(0, 100, (n, n))
+    df = _dem(spark, vals)
+    g = GridSpec(west=0.0, north=n * 5.0, res_x=5.0, res_y=5.0, rows=n, cols=n)
+    got = {(r.row, r.col): r.value
+           for r in mdinf_flow_accumulation(df, g, block=8).collect()}
+
+    gr, qpi = 5.0, math.pi / 4.0
+    xd, yd, dd = _MDINF_XD, _MDINF_YD, _MDINF_DD
+    cells = {(r, c): float(vals[r][c]) for r in range(n) for c in range(n)}
+
+    def weights_of(rc):
+        r0, c0 = rc
+        z = cells[rc]
+        P = [cells.get((r0 + yd[i], c0 + xd[i])) for i in range(8)]
+        rr = [0.0] * 8
+        ss = [0.0] * 8
+        valid = [False] * 8
+        down = [P[i] is not None and P[i] < z for i in range(8)]
+        for c in range(8):
+            i, ii = c, (c + 1) % 8
+            p1, p2 = P[i], P[ii]
+            if p1 is not None and p2 is not None:
+                z1, z2 = p1 - z, p2 - z
+                nx = (yd[i] * z2 - yd[ii] * z1) * gr
+                ny = (xd[ii] * z1 - xd[i] * z2) * gr
+                nzv = float(xd[i] * yd[ii] - xd[ii] * yd[i]) * gr * gr
+                if nx == 0.0:
+                    hr = 0.0 if ny >= 0.0 else math.pi
+                elif nx >= 0.0:
+                    hr = math.pi / 2.0 - math.atan(ny / nx)
+                else:
+                    hr = 3.0 * math.pi / 2.0 - math.atan(ny / nx)
+                hs = -math.tan(math.acos(nzv / math.sqrt(nx * nx + ny * ny + nzv * nzv)))
+                if hr < i * qpi or hr > (i + 1) * qpi:
+                    if p1 < p2:
+                        hr, hs = i * qpi, (z - p1) / (dd[i] * gr)
+                    else:
+                        hr, hs = ii * qpi, (z - p2) / (dd[ii] * gr)
+                rr[c], ss[c], valid[c] = hr, hs, True
+            elif p1 is not None and p1 < z:
+                rr[c], ss[c], valid[c] = (i / 4.0) * math.pi, (z - p1) / (dd[ii] * gr), True
+        valley = [0.0] * 8
+        for i in range(8):
+            ii, im = (i + 1) % 8, (i + 7) % 8
+            if valid[i] and ss[i] > 0.0:
+                if (i * qpi < rr[i] < (i + 1) * qpi) or rr[i] == rr[ii] \
+                        or (not valid[ii] and rr[i] == (i + 1) * qpi) \
+                        or (not valid[im] and rr[i] == i * qpi):
+                    valley[i] = ss[i]
+        valley = [v ** 1.1 for v in valley]
+        vs = sum(valley)
+        w = [0.0] * 8
+        if vs > 0.0:
+            valley = [v / vs for v in valley]
+            if rr[7] == 0.0:
+                rr[7] = 2.0 * math.pi
+            for i in range(8):
+                ii = (i + 1) % 8
+                if valley[i] > 0.0:
+                    w[i] += valley[i] * (((i + 1) * qpi - rr[i]) / qpi)
+                    w[ii] += valley[i] * ((rr[i] - i * qpi) / qpi)
+        return [(i, w[i]) for i in range(8) if down[i] and w[i] > 0.0]
+
+    fa = {p: 1.0 for p in cells}
+    for p in sorted(cells, key=lambda q: (-cells[q], q)):
+        for i, w in weights_of(p):
+            q = (p[0] + yd[i], p[1] + xd[i])
+            fa[q] += fa[p] * w
+    for p in cells:
+        assert got[p] == pytest.approx(fa[p], rel=1e-9), p

@@ -2343,3 +2343,169 @@ def upslope_depression_storage(
         .join(acc_n.select("row", "col", F.col("fa").alias("n")), ["row", "col"])
         .select("row", "col", (F.col("d") / F.col("n")).alias("value"))
     )
+
+
+# MDInf neighbor order (mdinf_flow_accum.rs:392-401): N, NW, W, SW, S, SE,
+# E, NE — counterclockwise from north; NOT the D8 order.
+_MDINF_XD = [0, -1, -1, -1, 0, 1, 1, 1]
+_MDINF_YD = [-1, -1, 0, 1, 1, 1, 0, -1]
+_MDINF_DD = [1.0, math.sqrt(2.0), 1.0, math.sqrt(2.0),
+             1.0, math.sqrt(2.0), 1.0, math.sqrt(2.0)]
+
+
+def mdinf_edges(
+    cells: DataFrame, grid: GridSpec, *, exponent: float = 1.1
+) -> DataFrame:
+    """MD-infinity fractional flow edges (hydro_analysis/
+    mdinf_flow_accum.rs:420-590, Seibert & McGlynn 2007): per triangular
+    facet, the normal-derived downslope direction/slope (clamped to the
+    facet's cardinal edges when it falls outside), the valley-angle
+    validity rules, slope^exponent weighting, and the angular split of
+    each facet's share between its two bounding neighbors. Weights to
+    non-downslope neighbors are dropped (the reference discards them,
+    mdinf_flow_accum.rs:588-600). Documented deviation: the reference's
+    r_facet array is NOT reset between cells (stale values leak into the
+    valley rules in raster-scan order); this engine treats uncomputed
+    facets as r = 0 per cell. -> (row, col, trow, tcol, frac)."""
+    import pandas as pd
+
+    spark = cells.sparkSession
+    src = cells.filter(F.col("value").isNotNull()).select("row", "col", "value")
+    offs = spark.createDataFrame(
+        [(i, _MDINF_XD[i], _MDINF_YD[i]) for i in range(8)], "i int, dx int, dy int"
+    )
+    sc = (
+        src.crossJoin(F.broadcast(offs))
+        .select(
+            (F.col("row") - F.col("dy")).alias("row"),
+            (F.col("col") - F.col("dx")).alias("col"),
+            "i",
+            F.col("value").alias("nz"),
+        )
+        .groupBy("row", "col")
+        .agg(*[F.max(F.when(F.col("i") == i, F.col("nz"))).alias(f"p{i}")
+               for i in range(8)])
+    )
+    g = src.join(sc, ["row", "col"], "left")
+    gr = (grid.res_x + grid.res_y) / 2.0
+    qpi = math.pi / 4.0
+    expo = float(exponent)
+    xd, yd, dd = _MDINF_XD, _MDINF_YD, _MDINF_DD
+
+    def kernel(batches):
+        import numpy as np
+
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            Z = pdf["value"].to_numpy(np.float64)
+            P = np.stack([
+                pdf[f"p{i}"].to_numpy(np.float64) for i in range(8)
+            ])
+            nanP = np.isnan(P)
+            downslope = (~nanP) & (P < Z)
+            r = np.zeros((8, n))
+            s = np.zeros((8, n))
+            valid = np.zeros((8, n), bool)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                for c in range(8):
+                    i, ii = c, (c + 1) % 8
+                    p1, p2 = P[i], P[ii]
+                    both = (~nanP[i]) & (~nanP[ii])
+                    z1, z2 = p1 - Z, p2 - Z
+                    nx = (yd[i] * z2 - yd[ii] * z1) * gr
+                    ny = (xd[ii] * z1 - xd[i] * z2) * gr
+                    nzv = float(xd[i] * yd[ii] - xd[ii] * yd[i]) * gr * gr
+                    hr = np.where(
+                        nx == 0.0,
+                        np.where(ny >= 0.0, 0.0, math.pi),
+                        np.where(nx >= 0.0,
+                                 math.pi / 2.0 - np.arctan(ny / nx),
+                                 3.0 * math.pi / 2.0 - np.arctan(ny / nx)),
+                    )
+                    hs = -np.tan(np.arccos(
+                        nzv / np.sqrt(nx * nx + ny * ny + nzv * nzv)))
+                    outside = (hr < i * qpi) | (hr > (i + 1) * qpi)
+                    use1 = p1 < p2
+                    hr = np.where(both & outside,
+                                  np.where(use1, i * qpi, ii * qpi), hr)
+                    hs = np.where(
+                        both & outside,
+                        np.where(use1, (Z - p1) / (dd[i] * gr),
+                                 (Z - p2) / (dd[ii] * gr)),
+                        hs,
+                    )
+                    only1 = (~nanP[i]) & nanP[ii] & (P[i] < Z)
+                    # reference quirk: the single-neighbor fallback divides
+                    # by dd[ii], not dd[i] (mdinf_flow_accum.rs:503)
+                    hr = np.where(only1, (i / 4.0) * math.pi, hr)
+                    hs = np.where(only1, (Z - p1) / (dd[ii] * gr), hs)
+                    v = both | only1
+                    valid[c] = v
+                    r[c] = np.where(v, hr, 0.0)
+                    s[c] = np.where(v, hs, 0.0)
+            valley = np.zeros((8, n))
+            for i in range(8):
+                ii, im = (i + 1) % 8, (i + 7) % 8
+                pos = valid[i] & (s[i] > 0.0)
+                inside = (r[i] > i * qpi) & (r[i] < (i + 1) * qpi)
+                same = r[i] == r[ii]
+                brd1 = (~valid[ii]) & (r[i] == (i + 1) * qpi)
+                brd2 = (~valid[im]) & (r[i] == i * qpi)
+                valley[i] = np.where(pos & (inside | same | brd1 | brd2), s[i], 0.0)
+            if expo != 1.0:
+                valley = np.power(valley, expo)
+            vsum = valley.sum(axis=0)
+            ok = vsum > 0.0
+            with np.errstate(invalid="ignore", divide="ignore"):
+                valley = np.where(ok, valley / vsum, 0.0)
+            r7 = np.where(r[7] == 0.0, 2.0 * math.pi, r[7])
+            r = np.concatenate([r[:7], r7[None, :]], axis=0)
+            w = np.zeros((8, n))
+            for i in range(8):
+                ii = (i + 1) % 8
+                contrib = valley[i] > 0.0
+                w[i] += np.where(contrib,
+                                 valley[i] * (((i + 1) * qpi - r[i]) / qpi), 0.0)
+                w[ii] += np.where(contrib,
+                                  valley[i] * ((r[i] - i * qpi) / qpi), 0.0)
+            rows = pdf["row"].to_numpy(np.int64)
+            cols = pdf["col"].to_numpy(np.int64)
+            out_r, out_c, out_tr, out_tc, out_f = [], [], [], [], []
+            for i in range(8):
+                m = downslope[i] & (w[i] > 0.0)
+                if m.any():
+                    out_r.append(rows[m]); out_c.append(cols[m])
+                    out_tr.append(rows[m] + yd[i]); out_tc.append(cols[m] + xd[i])
+                    out_f.append(w[i][m])
+            if out_r:
+                yield pd.DataFrame({
+                    "row": np.concatenate(out_r), "col": np.concatenate(out_c),
+                    "trow": np.concatenate(out_tr), "tcol": np.concatenate(out_tc),
+                    "frac": np.concatenate(out_f),
+                })
+
+    edges = g.mapInPandas(
+        kernel, schema="row long, col long, trow long, tcol long, frac double"
+    )
+    valid_t = src.select(F.col("row").alias("trow"), F.col("col").alias("tcol"))
+    return edges.join(valid_t, ["trow", "tcol"])
+
+
+def mdinf_flow_accumulation(
+    cells: DataFrame, grid: GridSpec, *, exponent: float = 1.1,
+    block: int = 256, direct_threshold: int = 200_000,
+) -> DataFrame:
+    """MDInfFlowAccumulation: mdinf_edges + the weighted-semiring tile
+    stitch (O(log n) rounds). -> (row, col, value) in upslope-cell units
+    (self included)."""
+    from whitebox_tools_spark.operators.flow_stitch import solve_wfa
+
+    nodes = cells.filter(F.col("value").isNotNull()).select(
+        "row", "col", F.lit(1.0).alias("w")
+    )
+    edges = mdinf_edges(cells, grid, exponent=exponent)
+    return solve_wfa(nodes, edges, block=block, direct_threshold=direct_threshold).select(
+        "row", "col", F.col("fa").alias("value")
+    )
