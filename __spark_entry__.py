@@ -1805,6 +1805,25 @@ FROM centers c SEMI JOIN inside i ON c.point_id = i.point_id
 """
 
 
+def q_lidar_info(spark, sf_dir):
+    """LidarInfo (lidar_analysis/lidar_info.rs): per-classification +
+    overall counts and coordinate extents of the cloud."""
+    from whitebox_tools_spark.operators.lidar import lidar_info
+
+    return lidar_info(_order_cloud(spark, sf_dir))
+
+
+def q_lidar_join(spark, sf_dir):
+    """LidarJoin (lidar_analysis/lidar_join.rs): concatenate two disjoint
+    sub-clouds with deterministic id re-sequencing; reported via
+    lidar_info so the oracle checks counts + extents of the union."""
+    from whitebox_tools_spark.operators.lidar import lidar_info, lidar_join
+
+    a = _order_cloud(spark, sf_dir).filter(F.col("point_id") % 3 == 0)
+    b = _order_cloud(spark, sf_dir).filter(F.col("point_id") % 3 == 1)
+    return lidar_info(lidar_join([a, b]))
+
+
 def q_lidar_dsm(spark, sf_dir):
     """LidarDigitalSurfaceModel (lidar_analysis/lidar_dsm.rs:440-640): the
     off-terrain point filter (remove points > tan(60)*radius below a
@@ -5275,6 +5294,8 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "singlepart_to_multipart": q_singlepart_to_multipart,
         "tin_gridding": q_tin_gridding,
         "lidar_dsm": q_lidar_dsm,
+        "lidar_info": q_lidar_info,
+        "lidar_join": q_lidar_join,
         "feature_preserving_smoothing": q_feature_preserving_smoothing,
         "drainage_preserving_smoothing": q_drainage_preserving_smoothing,
         "voronoi_diagram": q_voronoi_diagram,
@@ -6306,6 +6327,10 @@ SELECT row, col, round((value - mn) / (mx - mn), 6) AS value FROM dem CROSS JOIN
         # the DSM filter provably removes exactly the 50 below-plane points,
         # so the DSM of the fixture IS the plane raster (same oracle)
         "lidar_dsm": _tin_gridding_sql(),
+        "lidar_info": _lidar.lidar_info_oracle_sql(_order_cloud_cte()),
+        "lidar_join": _lidar.lidar_info_oracle_sql(
+            _order_cloud_cte() + " WHERE o_orderkey % 3 IN (0, 1)"
+        ),
         "lidar_tophat": _lidar.tophat_oracle_sql(
             _order_cloud_cte() + " WHERE o_orderkey % 10 = 0", radius=60.0
         ),

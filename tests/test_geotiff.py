@@ -74,3 +74,49 @@ def test_read_geotiff_dir_distributed(spark, tmp_path):
     for rid, rs in by_file.items():
         i = int(rid.split("tile_")[1][0])
         assert {r.value for r in rs} == {float(i * 100 + k) for k in range(9)}
+
+
+def test_print_geotiff_tags_and_convert(spark, tmp_path):
+    from whitebox_tools_spark.geotiff import (
+        convert_raster_format,
+        print_geotiff_tags,
+        read_geotiff,
+    )
+    from whitebox_tools_spark.geotiff import write_geotiff
+    from whitebox_tools_spark.grid import GridSpec
+    from whitebox_tools_spark.sources import read_ascii_grid
+
+    g = GridSpec(west=10.0, north=40.0, res_x=2.0, res_y=2.0, rows=5, cols=4)
+    cells = spark.createDataFrame(
+        [(r, c, float(r * 4 + c)) for r in range(5) for c in range(4)],
+        "row long, col long, value double",
+    )
+    tif = str(tmp_path / "a.tif")
+    write_geotiff(cells, g, tif)
+    tags = dict(print_geotiff_tags(tif))
+    assert tags[256] == "[4]" and tags[257] == "[5]"       # width, height
+    assert "2.0" in tags[33550]                              # pixel scale
+    # tif -> asc -> tif round trip preserves values
+    asc = str(tmp_path / "a.asc")
+    convert_raster_format(spark, tif, asc)
+    cells2, g2 = read_ascii_grid(spark, asc)
+    tif2 = str(tmp_path / "b.tif")
+    convert_raster_format(spark, asc, tif2)
+    cells3, g3 = read_geotiff(spark, tif2)
+    got = {(r.row, r.col): r.value for r in cells3.collect()}
+    assert got == {(r, c): float(r * 4 + c) for r in range(5) for c in range(4)}
+    assert (g3.west, g3.north, g3.res_x) == (10.0, 40.0, 2.0)
+
+
+def test_reclass_from_file(spark, tmp_path):
+    from whitebox_tools_spark.operators.raster_math import reclass_from_file
+
+    rules = tmp_path / "rules.csv"
+    rules.write_text("1.0,0.0,10.0\n2.0,10.0,20.0\n")
+    cells = spark.createDataFrame(
+        [(0, 0, 5.0), (0, 1, 10.0), (0, 2, 15.0), (0, 3, 25.0)],
+        "row long, col long, value double",
+    )
+    out = {(r.row, r.col): r.value
+           for r in reclass_from_file(cells, str(rules)).collect()}
+    assert out == {(0, 0): 1.0, (0, 1): 2.0, (0, 2): 2.0, (0, 3): 25.0}

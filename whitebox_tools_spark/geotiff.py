@@ -235,3 +235,51 @@ def write_geotiff(cells_df, grid: GridSpec, path: str, *, nodata: float = -32768
         for b in entries:
             fh.write(b)
         fh.write(struct.pack("<I", 0))
+
+
+def print_geotiff_tags(path: str) -> list[tuple[int, str]]:
+    """PrintGeoTiffTags (data_tools/print_geotiff_tags.rs): dump every IFD
+    tag of a GeoTIFF as (tag_id, rendered value) pairs — the tags are
+    already parsed by _read_ifd; this exposes them."""
+    with open(path, "rb") as f:
+        buf = f.read()
+    _e, tags = _read_ifd(buf)
+    out = []
+    for tag in sorted(tags):
+        v = tags[tag]
+        if isinstance(v, bytes):
+            v = v.hex()
+        out.append((int(tag), str(v)))
+    return out
+
+
+def convert_raster_format(spark, src: str, dst: str, grid: GridSpec | None = None) -> None:
+    """ConvertRasterFormat (data_tools/convert_raster_format.rs): read any
+    supported raster (GeoTIFF / ASCII grid / parquet cell table) and write
+    it in the format implied by the destination extension."""
+    from whitebox_tools_spark.sources import (
+        read_ascii_grid,
+        read_cells,
+        write_ascii_grid,
+        write_cells,
+    )
+
+    def ext(p):
+        return p.rsplit(".", 1)[-1].lower()
+
+    if ext(src) in ("tif", "tiff"):
+        cells, g = read_geotiff(spark, src)
+    elif ext(src) in ("asc", "txt"):
+        cells, g = read_ascii_grid(spark, src)
+    else:
+        cells, g = read_cells(spark, src), grid
+    if g is None:
+        g = grid
+    if g is None:
+        raise ValueError("grid metadata required for headerless sources")
+    if ext(dst) in ("tif", "tiff"):
+        write_geotiff(cells, g, dst)
+    elif ext(dst) in ("asc", "txt"):
+        write_ascii_grid(cells, g, dst)
+    else:
+        write_cells(cells, dst)

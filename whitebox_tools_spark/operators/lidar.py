@@ -903,3 +903,66 @@ st2 AS (SELECT *, {dets} FROM st1),
 st3 AS (SELECT *, {abc} FROM st2)
 SELECT point_id, {_hs_value_sql(azimuth, altitude)} AS hillshade FROM st3
 """
+
+
+def lidar_info(points: DataFrame) -> DataFrame:
+    """LidarInfo (lidar_analysis/lidar_info.rs): per-classification summary
+    of the cloud — counts plus coordinate/elevation extents (the header
+    block of the reference's report; VLR/raw-byte fields have no analogue
+    in a columnar cloud). -> one row per classification + an 'all' row
+    (classification = -1)."""
+    base = points.select("x", "y", "z", F.col("classification").cast("long").alias("classification")) \
+        if "classification" in points.columns else points.select(
+            "x", "y", "z", F.lit(0).cast("long").alias("classification"))
+    per = base.groupBy("classification").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.round(F.min("x"), 6).alias("min_x"), F.round(F.max("x"), 6).alias("max_x"),
+        F.round(F.min("y"), 6).alias("min_y"), F.round(F.max("y"), 6).alias("max_y"),
+        F.round(F.min("z"), 6).alias("min_z"), F.round(F.max("z"), 6).alias("max_z"),
+    )
+    allr = base.groupBy().agg(
+        F.lit(-1).cast("long").alias("classification"),
+        F.count(F.lit(1)).alias("n_points"),
+        F.round(F.min("x"), 6).alias("min_x"), F.round(F.max("x"), 6).alias("max_x"),
+        F.round(F.min("y"), 6).alias("min_y"), F.round(F.max("y"), 6).alias("max_y"),
+        F.round(F.min("z"), 6).alias("min_z"), F.round(F.max("z"), 6).alias("max_z"),
+    )
+    return per.unionByName(allr)
+
+
+def lidar_info_oracle_sql(cloud_sql: str) -> str:
+    return f"""
+WITH pts AS ({cloud_sql}),
+per AS (
+  SELECT CAST(classification AS BIGINT) AS classification,
+         count(*) AS n_points,
+         round(min(x), 6) AS min_x, round(max(x), 6) AS max_x,
+         round(min(y), 6) AS min_y, round(max(y), 6) AS max_y,
+         round(min(z), 6) AS min_z, round(max(z), 6) AS max_z
+  FROM pts GROUP BY classification
+),
+allr AS (
+  SELECT CAST(-1 AS BIGINT) AS classification, count(*) AS n_points,
+         round(min(x), 6) AS min_x, round(max(x), 6) AS max_x,
+         round(min(y), 6) AS min_y, round(max(y), 6) AS max_y,
+         round(min(z), 6) AS min_z, round(max(z), 6) AS max_z
+  FROM pts
+)
+SELECT * FROM per UNION ALL SELECT * FROM allr
+"""
+
+
+def lidar_join(clouds: list[DataFrame]) -> DataFrame:
+    """LidarJoin (lidar_analysis/lidar_join.rs): concatenate point clouds;
+    point ids are re-sequenced by (source index, original id) so the
+    result is deterministic regardless of input partitioning."""
+    tagged = []
+    for i, c in enumerate(clouds):
+        tagged.append(c.withColumn("__src", F.lit(i)))
+    u = tagged[0]
+    for t in tagged[1:]:
+        u = u.unionByName(t)
+    from whitebox_tools_spark.distributed import with_global_seq
+
+    out = with_global_seq(u, ["__src", "point_id"], out_col="__new_id")
+    return out.drop("point_id", "__src").withColumnRenamed("__new_id", "point_id")

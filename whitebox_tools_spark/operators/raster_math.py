@@ -784,3 +784,20 @@ def set_nodata_value(
     sentinel on a raster without one — matching cells become nodata
     (NULL rows are dropped from the cell table)."""
     return cells.filter(F.col(value) != F.lit(back_value))
+
+
+def reclass_from_file(
+    cells: DataFrame, rules_csv_path: str, *, value: str = "value"
+) -> DataFrame:
+    """ReclassFromFile (data_tools/reclass_from_file.rs): reclass using
+    (new, lower, upper) rows loaded from a text/CSV file (same range
+    semantics as reclass: [lower, upper) with pass-through for unmatched
+    values)."""
+    spark = cells.sparkSession
+    rules = spark.read.csv(rules_csv_path, header=False, inferSchema=True)
+    cols = rules.columns
+    rows = [
+        (float(r[cols[0]]), float(r[cols[1]]), float(r[cols[2]]))
+        for r in rules.collect()
+    ]
+    return reclass(cells, rows, value=value)
