@@ -155,15 +155,24 @@ def _apply_grid_op(cells: DataFrame, fn) -> DataFrame:
     )
 
 
-def line_thinning(cells: DataFrame) -> DataFrame:
+def line_thinning(cells: DataFrame, *, tiled: bool = True) -> DataFrame:
+    if tiled:
+        return _apply_grid_op_tiled(cells, thin_grid)
     return _apply_grid_op(cells, thin_grid)
 
 
-def remove_spurs(cells: DataFrame, *, max_iterations: int = 10) -> DataFrame:
-    return _apply_grid_op(cells, lambda g: remove_spurs_grid(g, max_iterations))
+def remove_spurs(
+    cells: DataFrame, *, max_iterations: int = 10, tiled: bool = True
+) -> DataFrame:
+    fn = lambda g: remove_spurs_grid(g, max_iterations)  # noqa: E731
+    if tiled:
+        return _apply_grid_op_tiled(cells, fn)
+    return _apply_grid_op(cells, fn)
 
 
-def thicken_raster_line(cells: DataFrame) -> DataFrame:
+def thicken_raster_line(cells: DataFrame, *, tiled: bool = True) -> DataFrame:
+    if tiled:
+        return _apply_grid_op_tiled(cells, thicken_grid, dilate=True)
     return _apply_grid_op(cells, thicken_grid)
 
 
@@ -241,3 +250,57 @@ SELECT c.row, c.col,
 FROM src c
 {joins}
 """
+
+
+def _apply_grid_op_tiled(cells: DataFrame, fn, *, dilate: bool = False) -> DataFrame:
+    """Distributed variant of _apply_grid_op with EXACT scan-order
+    semantics: the sequential masks only read 8-neighborhoods, so two
+    foreground structures in different 8-connected components can never
+    influence each other's decisions, and the per-pass scan order within a
+    component equals the global order restricted to it. Grouping by clump
+    therefore reproduces the whole-raster sweep bit-for-bit (pinned in
+    tests/test_morph_tiled.py). Ops that can turn background ON
+    (ThickenRasterLine) group by the 1-dilated clump (structures within
+    Chebyshev distance 2 share every contested background cell, and the
+    dilation connects them). The driver never sees the raster; each
+    component is one small Arrow task."""
+    from whitebox_tools_spark.operators.raster_vector import clump
+
+    src = cells.filter(F.col("value").isNotNull()).select("row", "col", "value")
+    fg = src.filter(F.col("value") != 0.0)
+    mask = fg.select("row", "col", F.lit(1.0).alias("value"))
+    if dilate:
+        spark = cells.sparkSession
+        offs = spark.createDataFrame(
+            [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1)], "dy int, dx int"
+        )
+        mask = (
+            mask.crossJoin(F.broadcast(offs))
+            .select(
+                (F.col("row") + F.col("dy")).alias("row"),
+                (F.col("col") + F.col("dx")).alias("col"),
+            )
+            .distinct()
+            .withColumn("value", F.lit(1.0))
+        )
+    comp = clump(mask, diagonals=True).select("row", "col", "clump_id")
+    # every cell the op may read or write lies in the component's mask
+    # footprint (for non-dilating ops the component itself; for thicken the
+    # dilated footprint) -> ship those cells (value 0 where background)
+    region = comp.join(src, ["row", "col"], "left").select(
+        "row", "col", F.coalesce("value", F.lit(0.0)).alias("value"), "clump_id"
+    )
+
+    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        g, r0, c0, rows, cols = _to_grid(pdf)
+        out = fn(g)
+        return pd.DataFrame(
+            {"row": rows, "col": cols, "value": out[rows - r0, cols - c0]}
+        )
+
+    updated = region.groupBy("clump_id").applyInPandas(
+        kernel, "row long, col long, value double"
+    )
+    return src.join(
+        updated.select("row", "col", F.col("value").alias("__v")), ["row", "col"], "left"
+    ).select("row", "col", F.coalesce("__v", F.col("value")).alias("value"))
