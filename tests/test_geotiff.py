@@ -120,3 +120,31 @@ def test_reclass_from_file(spark, tmp_path):
     out = {(r.row, r.col): r.value
            for r in reclass_from_file(cells, str(rules)).collect()}
     assert out == {(0, 0): 1.0, (0, 1): 2.0, (0, 2): 2.0, (0, 3): 25.0}
+
+
+def test_write_geotiff_tiles_roundtrip(spark, tmp_path):
+    """Distributed per-tile writer -> read_geotiff_dir mosaic recovers the
+    raster exactly (executor-side writes, no driver collect)."""
+    from whitebox_tools_spark.geotiff import read_geotiff_dir, write_geotiff_tiles
+    from whitebox_tools_spark.grid import GridSpec
+
+    g = GridSpec(west=100.0, north=500.0, res_x=5.0, res_y=5.0, rows=30, cols=30)
+    cells = spark.createDataFrame(
+        [(r, c, float(r * 100 + c)) for r in range(30) for c in range(30)
+         if (r + c) % 7 != 0],  # holes -> nodata
+        "row long, col long, value double",
+    )
+    out = str(tmp_path / "tiles")
+    paths = write_geotiff_tiles(cells, g, out, tile=16)
+    assert len(paths) == 4  # 2x2 tile grid
+    back = read_geotiff_dir(spark, out + "/*.tif")
+    got = {}
+    for r in back.collect():
+        # per-tile local coords + tiepoint -> global coords
+        gr = int(r.row + round((500.0 - r.north) / 5.0))
+        gc = int(r.col + round((r.west - 100.0) / 5.0))
+        if r.value != -32768.0:
+            got[(gr, gc)] = r.value
+    want = {(r, c): float(r * 100 + c) for r in range(30) for c in range(30)
+            if (r + c) % 7 != 0}
+    assert got == want

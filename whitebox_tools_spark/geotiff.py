@@ -30,6 +30,7 @@ import struct
 import zlib
 
 import numpy as np
+from pyspark.sql import functions as F
 
 from whitebox_tools_spark.grid import GridSpec
 
@@ -185,15 +186,12 @@ def read_geotiff_dir(spark, pattern: str):
     )
 
 
-def write_geotiff(cells_df, grid: GridSpec, path: str, *, nodata: float = -32768.0) -> None:
-    """Collect a (row, col, value) cell table (bounded: one output raster)
-    into a dense array and write a single-strip little-endian float64
-    DEFLATE GeoTIFF with ModelPixelScale/ModelTiepoint/GDAL_NODATA tags."""
-    data = np.full((grid.rows, grid.cols), nodata, dtype="<f8")
-    for r in cells_df.select("row", "col", "value").collect():
-        if r.value is not None:
-            data[int(r.row), int(r.col)] = float(r.value)
-    payload = zlib.compress(data.tobytes())
+def encode_geotiff(data: np.ndarray, grid: GridSpec, *, nodata: float = -32768.0) -> bytes:
+    """Encode a dense (rows, cols) float64 array as a single-strip
+    little-endian DEFLATE GeoTIFF with ModelPixelScale/ModelTiepoint/
+    GDAL_NODATA tags. Pure function of the array + grid — usable on
+    executors (write_geotiff_tiles)."""
+    payload = zlib.compress(np.ascontiguousarray(data, dtype="<f8").tobytes())
     nod_ascii = (repr(nodata) + "\x00").encode("ascii")
 
     tags = []  # (tag, type, count, value_bytes or int)
@@ -225,16 +223,76 @@ def write_geotiff(cells_df, grid: GridSpec, path: str, *, nodata: float = -32768
     ]
     entries.sort(key=lambda b: struct.unpack("<H", b[:2])[0])
     _ = tags
+    out = bytearray()
+    out += b"II*\x00" + struct.pack("<I", off_ifd)
+    out += payload
+    out += nod_ascii
+    out += struct.pack("<3d", grid.res_x, grid.res_y, 0.0)
+    out += struct.pack("<6d", 0.0, 0.0, 0.0, grid.west, grid.north, 0.0)
+    out += struct.pack("<H", len(entries))
+    for b in entries:
+        out += b
+    out += struct.pack("<I", 0)
+    return bytes(out)
+
+
+def write_geotiff(cells_df, grid: GridSpec, path: str, *, nodata: float = -32768.0) -> None:
+    """Collect a (row, col, value) cell table (bounded: ONE output raster;
+    the distributed path is write_geotiff_tiles) into a dense array and
+    write it via encode_geotiff."""
+    data = np.full((grid.rows, grid.cols), nodata, dtype="<f8")
+    for r in cells_df.select("row", "col", "value").collect():
+        if r.value is not None:
+            data[int(r.row), int(r.col)] = float(r.value)
     with open(path, "wb") as fh:
-        fh.write(b"II*\x00" + struct.pack("<I", off_ifd))
-        fh.write(payload)
-        fh.write(nod_ascii)
-        fh.write(struct.pack("<3d", grid.res_x, grid.res_y, 0.0))
-        fh.write(struct.pack("<6d", 0.0, 0.0, 0.0, grid.west, grid.north, 0.0))
-        fh.write(struct.pack("<H", len(entries)))
-        for b in entries:
-            fh.write(b)
-        fh.write(struct.pack("<I", 0))
+        fh.write(encode_geotiff(data, grid, nodata=nodata))
+
+
+def write_geotiff_tiles(
+    cells_df, grid: GridSpec, out_dir: str, *, tile: int = 1024,
+    nodata: float = -32768.0,
+) -> list[str]:
+    """Distributed GeoTIFF writer (removes write_geotiff's driver collect):
+    the raster is split into tile x tile blocks; each occupied block is
+    encoded and written BY ITS EXECUTOR as out_dir/tile_R_C.tif with
+    correct per-tile geotransform tags (the reference's own batch mode
+    emits one .tif per LAS tile for later mosaicking — read back with
+    read_geotiff_dir). Returns the written paths."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    T = int(tile)
+    west, north, rx, ry = grid.west, grid.north, grid.res_x, grid.res_y
+
+    src = cells_df.filter(F.col("value").isNotNull()).select(
+        "row", "col", "value",
+        (F.col("row") / T).cast("long").alias("tr"),
+        (F.col("col") / T).cast("long").alias("tc"),
+    )
+
+    def kernel(key, pdf):
+        import pandas as pd
+
+        tr, tc = int(key[0]), int(key[1])
+        data = np.full((T, T), nodata, dtype="<f8")
+        rr = pdf["row"].to_numpy() - tr * T
+        cc = pdf["col"].to_numpy() - tc * T
+        data[rr, cc] = pdf["value"].to_numpy()
+        g = GridSpec(
+            west=west + tc * T * rx, north=north - tr * T * ry,
+            res_x=rx, res_y=ry, rows=T, cols=T, nodata=nodata,
+        )
+        path = os.path.join(out_dir, f"tile_{tr}_{tc}.tif")
+        with open(path, "wb") as fh:
+            fh.write(encode_geotiff(data, g, nodata=nodata))
+        return pd.DataFrame({"path": [path]})
+
+    paths = (
+        src.groupBy("tr", "tc")
+        .applyInPandas(kernel, "path string")
+        .collect()
+    )
+    return sorted(r.path for r in paths)
 
 
 def print_geotiff_tags(path: str) -> list[tuple[int, str]]:
