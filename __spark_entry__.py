@@ -1876,6 +1876,35 @@ def q_lidar_hillshade(spark, sf_dir):
     return lidar_hillshade(cloud, radius=60.0, quantize=(1e3, 1e3, 1e5))
 
 
+def q_remove_off_terrain_objects(spark, sf_dir):
+    """RemoveOffTerrainObjects (terrain_analysis/
+    remove_off_terrain_objects.rs, Lindsay 2018): white top-hat + ground
+    reachability + inverse-d^2 hole fill over the valley DEM with
+    synthetic building/tree spikes (+80 every 37th key)."""
+    from whitebox_tools_spark.operators.terrain import remove_off_terrain_objects
+
+    dem = _valley_dem(spark, sf_dir).withColumn(
+        "value",
+        F.col("value")
+        + F.when((F.col("row") * 25 + F.col("col")) % 37 == 0, 80.0).otherwise(0.0),
+    )
+    return _r6(
+        remove_off_terrain_objects(dem, STREAM_GRID, filter_size=5,
+                                   slope_threshold=30.0),
+        ["value"],
+    )
+
+
+def _roto_sql() -> str:
+    from whitebox_tools_spark.operators.terrain import roto_oracle_sql
+
+    dem_sql = (
+        f"SELECT row, col, value + CASE WHEN (row * 25 + col) % 37 = 0 "
+        f"THEN 80.0 ELSE 0.0 END AS value FROM ({_VALLEY_DEM_SQL})"
+    )
+    return roto_oracle_sql(dem_sql, STREAM_GRID, filter_size=5, slope_threshold=30.0)
+
+
 def q_feature_preserving_smoothing(spark, sf_dir):
     """FeaturePreservingSmoothing (terrain_analysis/
     feature_preserving_smoothing.rs, Sun 2007 / Lindsay 2019): Horn
@@ -3213,6 +3242,29 @@ def q_mdinf_flow_accumulation(spark, sf_dir):
 
     return _r6(
         mdinf_flow_accumulation(_noise_raster(spark, sf_dir), EXTRACT_GRID, block=16),
+        ["value"],
+    )
+
+
+def q_quinn_flow_accumulation(spark, sf_dir):
+    """QuinnFlowAccumulation plugin (Quinn et al. 1995): contour-length x
+    slope MFD weights via the weighted-semiring stitch (rows-only; pinned
+    vs a serial topological transcription)."""
+    from whitebox_tools_spark.operators.hydro import quinn_flow_accumulation
+
+    return _r6(
+        quinn_flow_accumulation(_noise_raster(spark, sf_dir), EXTRACT_GRID, block=16),
+        ["value"],
+    )
+
+
+def q_qin_flow_accumulation(spark, sf_dir):
+    """QinFlowAccumulation plugin (Qin et al. 2007): per-cell adaptive
+    exponent MFD weights via the stitch (rows-only; serial-pinned)."""
+    from whitebox_tools_spark.operators.hydro import qin_flow_accumulation
+
+    return _r6(
+        qin_flow_accumulation(_noise_raster(spark, sf_dir), EXTRACT_GRID, block=16),
         ["value"],
     )
 
@@ -5205,6 +5257,8 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "impoundment_size_index": q_impoundment_size_index,
         "insert_dams": q_insert_dams,
         "mdinf_flow_accumulation": q_mdinf_flow_accumulation,
+        "quinn_flow_accumulation": q_quinn_flow_accumulation,
+        "qin_flow_accumulation": q_qin_flow_accumulation,
         "breach_single_cell_pits": q_breach_single_cell_pits,
         "long_profile_from_points": q_long_profile_from_points,
         "stochastic_depression_analysis": q_stochastic_depression_analysis,
@@ -5298,6 +5352,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lidar_join": q_lidar_join,
         "feature_preserving_smoothing": q_feature_preserving_smoothing,
         "drainage_preserving_smoothing": q_drainage_preserving_smoothing,
+        "remove_off_terrain_objects": q_remove_off_terrain_objects,
         "voronoi_diagram": q_voronoi_diagram,
         "profile": q_profile,
         "contours_from_points": q_contours_from_points,
@@ -6321,6 +6376,7 @@ SELECT row, col, round((value - mn) / (mx - mn), 6) AS value FROM dem CROSS JOIN
             num_iter=2, reduction=80.0, dfm_threshold=0.15,
         ),
         "voronoi_diagram": _voronoi_sql(),
+        "remove_off_terrain_objects": _roto_sql(),
         "profile": _profile_sql(),
         "contours_from_points": _contours_points_sql(),
         "merge_line_segments": _merge_lines_sql(),

@@ -810,3 +810,49 @@ def test_mdinf_matches_serial_transcription(spark):
             fa[q] += fa[p] * w
     for p in cells:
         assert got[p] == pytest.approx(fa[p], rel=1e-9), p
+
+
+@pytest.mark.parametrize("which", ["quinn", "qin"])
+def test_quinn_qin_match_serial(spark, which):
+    import math
+
+    from whitebox_tools_spark.operators.hydro import (
+        D8_DX, D8_DY, qin_flow_accumulation, quinn_flow_accumulation,
+    )
+
+    rng = np.random.default_rng(29)
+    n = 10
+    vals = rng.uniform(0, 100, (n, n))
+    df = _dem(spark, vals)
+    g = GridSpec(west=0.0, north=n * 5.0, res_x=5.0, res_y=5.0, rows=n, cols=n)
+    if which == "quinn":
+        got = {(r.row, r.col): r.value
+               for r in quinn_flow_accumulation(df, g, block=8).collect()}
+    else:
+        got = {(r.row, r.col): r.value
+               for r in qin_flow_accumulation(df, g, block=8).collect()}
+    lens = [math.sqrt(50.0), 5.0, math.sqrt(50.0), 5.0] * 2
+    cl = [0.354 * 5.0, 0.5 * 5.0] * 4
+    us = math.tan(math.radians(45.0))
+    cells = {(r, c): float(vals[r][c]) for r in range(n) for c in range(n)}
+    fa = {p: 1.0 for p in cells}
+    for p in sorted(cells, key=lambda q: (-cells[q], q)):
+        z = cells[p]
+        slopes = []
+        for i in range(8):
+            q = (p[0] + D8_DY[i], p[1] + D8_DX[i])
+            if q in cells and cells[q] < z:
+                slopes.append((i, q, (z - cells[q]) / lens[i]))
+        if not slopes:
+            continue
+        if which == "quinn":
+            ws = [(q, cl[i] * s) for i, q, s in slopes]
+        else:
+            smax = max(s for _, _, s in slopes)
+            f = min(smax, us) / us * (10.0 - 1.1) + 1.1
+            ws = [(q, cl[i] * s ** f) for i, q, s in slopes]
+        tot = sum(w for _, w in ws)
+        for q, w in ws:
+            fa[q] += fa[p] * (w / tot)
+    for p in cells:
+        assert got[p] == pytest.approx(fa[p], rel=1e-9), p

@@ -2509,3 +2509,94 @@ def mdinf_flow_accumulation(
     return solve_wfa(nodes, edges, block=block, direct_threshold=direct_threshold).select(
         "row", "col", F.col("fa").alias("value")
     )
+
+
+def _mfd_edges_from_weights(g: DataFrame, w: list, cells: DataFrame) -> DataFrame:
+    total = sum(w[1:], w[0])
+    g = g.withColumn("__tw", total).filter(F.col("__tw") > 0.0)
+    parts = []
+    for i in range(8):
+        parts.append(
+            g.filter(w[i] > 0.0).select(
+                "row", "col",
+                (F.col("row") + F.lit(D8_DY[i])).alias("trow"),
+                (F.col("col") + F.lit(D8_DX[i])).alias("tcol"),
+                (w[i] / F.col("__tw")).alias("frac"),
+            )
+        )
+    edges = parts[0]
+    for p in parts[1:]:
+        edges = edges.unionByName(p)
+    valid = cells.filter(F.col("value").isNotNull()).select(
+        F.col("row").alias("trow"), F.col("col").alias("tcol")
+    )
+    return edges.join(valid, ["trow", "tcol"])
+
+
+def quinn_flow_accumulation(
+    cells: DataFrame, grid: GridSpec, *, block: int = 256,
+    direct_threshold: int = 200_000,
+) -> DataFrame:
+    """QuinnFlowAccumulation (whitebox-plugins/src/quinn_flow_accumulation/
+    main.rs:385-470, Quinn et al. 1995): flow split over ALL downslope
+    neighbors with weight = contour_length * slope, contour lengths
+    0.5*res_x (cardinal) / 0.354*res_x (diagonal — the plugin uses res_x
+    for both, transcribed). At the default (disabled) convergence
+    threshold the exponent modulator (fa/threshold + 1)^e is identically
+    1, so the weights are static and the accumulation is the O(log n)
+    weighted-semiring stitch. -> (row, col, value) in upslope cells."""
+    from whitebox_tools_spark.operators.flow_stitch import solve_wfa
+
+    g = _neighbor_slopes(cells, grid)
+    cl = [0.354 * grid.res_x, 0.5 * grid.res_x] * 4
+    w = [
+        F.when(F.col(f"s{i}").isNotNull() & (F.col(f"s{i}") > 0.0),
+               F.lit(cl[i]) * F.col(f"s{i}")).otherwise(F.lit(0.0))
+        for i in range(8)
+    ]
+    edges = _mfd_edges_from_weights(g, w, cells)
+    nodes = cells.filter(F.col("value").isNotNull()).select(
+        "row", "col", F.lit(1.0).alias("w")
+    )
+    return solve_wfa(nodes, edges, block=block, direct_threshold=direct_threshold).select(
+        "row", "col", F.col("fa").alias("value")
+    )
+
+
+def qin_flow_accumulation(
+    cells: DataFrame, grid: GridSpec, *, exponent: float = 10.0,
+    max_slope: float = 45.0, block: int = 256, direct_threshold: int = 200_000,
+) -> DataFrame:
+    """QinFlowAccumulation (whitebox-plugins/src/qin_flow_accumulation/
+    main.rs:455-520, Qin et al. 2007): per-cell adaptive exponent
+    f = min(max_down_slope, eU)/eU * (pU - 1.1) + 1.1 (eU =
+    tan(max_slope deg)), weight = contour_length * slope^f over downslope
+    neighbors; static weights at the default disabled threshold ->
+    O(log n) stitch. -> (row, col, value)."""
+    import math as _math
+
+    from whitebox_tools_spark.operators.flow_stitch import solve_wfa
+
+    us = _math.tan(_math.radians(min(float(max_slope), 90.0)))
+    pU, pL = float(exponent), 1.1
+    g = _neighbor_slopes(cells, grid)
+    smax = F.greatest(*[F.coalesce(F.col(f"s{i}"), F.lit(float("-inf")))
+                        for i in range(8)])
+    if us > 0.0:
+        fexp = F.least(smax, F.lit(us)) / F.lit(us) * F.lit(pU - pL) + F.lit(pL)
+    else:
+        fexp = F.lit(pU)
+    g = g.withColumn("__f", fexp)
+    cl = [0.354 * grid.res_x, 0.5 * grid.res_x] * 4
+    w = [
+        F.when(F.col(f"s{i}").isNotNull() & (F.col(f"s{i}") > 0.0),
+               F.lit(cl[i]) * F.pow(F.col(f"s{i}"), F.col("__f"))).otherwise(F.lit(0.0))
+        for i in range(8)
+    ]
+    edges = _mfd_edges_from_weights(g, w, cells)
+    nodes = cells.filter(F.col("value").isNotNull()).select(
+        "row", "col", F.lit(1.0).alias("w")
+    )
+    return solve_wfa(nodes, edges, block=block, direct_threshold=direct_threshold).select(
+        "row", "col", F.col("fa").alias("value")
+    )

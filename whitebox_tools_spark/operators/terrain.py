@@ -1323,3 +1323,220 @@ dem AS (SELECT row, col, value AS z FROM ({dem_sql}) WHERE value IS NOT NULL)
 SELECT s.line_id, s.i, s.j, round(s.dist, 6) AS dist, round(d.z, 6) AS z
 FROM steps s JOIN dem d ON d.row = s.row AND d.col = s.col
 """
+
+
+def remove_off_terrain_objects(
+    cells: DataFrame,
+    grid: GridSpec,
+    *,
+    filter_size: int = 11,
+    slope_threshold: float = 15.0,
+    max_iterations: int = 10_000,
+) -> DataFrame:
+    """RemoveOffTerrainObjects (terrain_analysis/
+    remove_off_terrain_objects.rs:230-620, Lindsay 2018): white top-hat
+    (opening = dilation(erosion) over the filter_size^2 square, nodata
+    skipped), ground seeds = tophat <= tan(slope)*res_x, region-grow the
+    ground through edges where tophat_n - tophat_u < tan(slope)*dist(u,n)
+    (pure reachability — order-free), then fill the unreached OTO holes by
+    inverse-SQUARED-distance interpolation of the original z at OTO-edge
+    cells within filter_size/1.5 cells; holes with no edge in radius are
+    nodata (absent). f64 (the reference degrades to f32).
+    -> (row, col, value).
+
+    Spark shape: two window scatter-aggregates, an O(OTO radius)
+    reachability loop (ground is almost entirely seeded, so rounds track
+    the largest object, not the DEM), and one bounded-radius equi-join."""
+    import math as _math
+
+    from whitebox_tools_spark.distributed import loop_checkpoint
+
+    fs = int(filter_size)
+    if fs % 2 == 0:
+        fs += 1
+    mid = fs // 2
+    spark = cells.sparkSession
+    src = cells.filter(F.col("value").isNotNull()).select("row", "col", "value")
+    offs = spark.createDataFrame(
+        [(dy, dx) for dy in range(-mid, mid + 1) for dx in range(-mid, mid + 1)],
+        "dy int, dx int",
+    )
+
+    def win(df, agg, out):
+        sc = (
+            df.crossJoin(F.broadcast(offs))
+            .select(
+                (F.col("row") - F.col("dy")).alias("row"),
+                (F.col("col") - F.col("dx")).alias("col"),
+                F.col("value").alias("nz"),
+            )
+            .groupBy("row", "col")
+            .agg(agg(F.col("nz")).alias(out))
+        )
+        return sc
+
+    ero = src.join(win(src, F.min, "ero"), ["row", "col"]).select(
+        "row", "col", F.col("ero").alias("value")
+    )
+    opening = src.select("row", "col").join(
+        win(ero, F.max, "opening"), ["row", "col"]
+    )
+    th = src.join(opening, ["row", "col"]).select(
+        "row", "col", F.col("value").alias("z"),
+        (F.col("value") - F.col("opening")).alias("tophat"),
+    ).localCheckpoint(eager=True)
+
+    slope = _math.tan(_math.radians(float(slope_threshold)))
+    diag = _math.sqrt(grid.res_x**2 + grid.res_y**2)
+    dirs = [(1, -1, slope * diag), (1, 0, slope * grid.res_x),
+            (1, 1, slope * diag), (0, 1, slope * grid.res_y),
+            (-1, 1, slope * diag), (-1, 0, slope * grid.res_x),
+            (-1, -1, slope * diag), (0, -1, slope * grid.res_y)]
+    doffs = F.broadcast(spark.createDataFrame(dirs, "dx int, dy int, thr double"))
+    reached = th.select(
+        "row", "col", "tophat",
+        (F.col("tophat") <= F.lit(slope * grid.res_x)).alias("ok"),
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iterations):
+        grow = (
+            reached.filter(F.col("ok"))
+            .crossJoin(doffs)
+            .select(
+                (F.col("row") + F.col("dy")).alias("row"),
+                (F.col("col") + F.col("dx")).alias("col"),
+                (F.col("tophat") + F.col("thr")).alias("lim"),
+            )
+            .groupBy("row", "col")
+            .agg(F.max("lim").alias("lim"))
+        )
+        nxt = reached.join(grow, ["row", "col"], "left").select(
+            "row", "col", "tophat",
+            (F.col("ok") | (F.col("tophat") < F.coalesce("lim", F.lit(float("-inf")))))
+            .alias("ok2"),
+            F.col("ok").alias("ok1"),
+        )
+        done = nxt.filter(F.col("ok2") != F.col("ok1")).limit(1).isEmpty()
+        reached = nxt.select("row", "col", "tophat", F.col("ok2").alias("ok")).transform(
+            loop_checkpoint
+        )
+        if done:
+            break
+    state = th.join(reached.select("row", "col", "ok"), ["row", "col"])
+    ground = state.filter(F.col("ok"))
+    holes = state.filter(~F.col("ok")).select("row", "col")
+    # OTO edge cells: ground cells 8-adjacent to a hole
+    n8 = F.broadcast(spark.createDataFrame(
+        [(dy, dx) for dy in (-1, 0, 1) for dx in (-1, 0, 1) if (dy, dx) != (0, 0)],
+        "dy int, dx int",
+    ))
+    edge = (
+        holes.crossJoin(n8)
+        .select((F.col("row") + F.col("dy")).alias("row"),
+                (F.col("col") + F.col("dx")).alias("col"))
+        .distinct()
+        .join(ground.select("row", "col", F.col("z").alias("ez")), ["row", "col"])
+    )
+    R = fs / 1.5
+    ri = int(_math.floor(R))
+    roffs = F.broadcast(spark.createDataFrame(
+        [(dy, dx) for dy in range(-ri, ri + 1) for dx in range(-ri, ri + 1)
+         if 0 < dy * dy + dx * dx <= R * R],
+        "dy int, dx int",
+    ))
+    cand = (
+        edge.crossJoin(roffs)
+        .select(
+            (F.col("row") + F.col("dy")).alias("row"),
+            (F.col("col") + F.col("dx")).alias("col"),
+            "ez",
+            (F.col("dy") * F.col("dy") + F.col("dx") * F.col("dx"))
+            .cast("double").alias("d2"),
+        )
+        .join(holes, ["row", "col"])
+    )
+    filled = cand.groupBy("row", "col").agg(
+        (F.sum(F.col("ez") / F.col("d2")) / F.sum(F.lit(1.0) / F.col("d2"))).alias("value")
+    )
+    return ground.select("row", "col", F.col("z").alias("value")).unionByName(
+        filled.select("row", "col", "value")
+    )
+
+
+def roto_oracle_sql(
+    source_sql: str, grid: GridSpec, *, filter_size: int = 11,
+    slope_threshold: float = 15.0,
+) -> str:
+    import math as _math
+
+    fs = int(filter_size)
+    if fs % 2 == 0:
+        fs += 1
+    mid = fs // 2
+    slope = _math.tan(_math.radians(float(slope_threshold)))
+    diag = _math.sqrt(grid.res_x**2 + grid.res_y**2)
+    dirs = [(1, -1, slope * diag), (1, 0, slope * grid.res_x),
+            (1, 1, slope * diag), (0, 1, slope * grid.res_y),
+            (-1, 1, slope * diag), (-1, 0, slope * grid.res_x),
+            (-1, -1, slope * diag), (0, -1, slope * grid.res_y)]
+    dvals = ", ".join(f"({dx}, {dy}, {thr!r})" for dx, dy, thr in dirs)
+    R = fs / 1.5
+    ri = int(_math.floor(R))
+    rvals = ", ".join(
+        f"({dy}, {dx})" for dy in range(-ri, ri + 1) for dx in range(-ri, ri + 1)
+        if 0 < dy * dy + dx * dx <= R * R
+    )
+    seed_thr = slope * grid.res_x
+    return f"""
+WITH RECURSIVE cells AS MATERIALIZED (
+  SELECT row, col, value FROM ({source_sql}) WHERE value IS NOT NULL
+),
+ero AS (
+  SELECT a.row, a.col, min(b.value) AS v
+  FROM cells a JOIN cells b
+    ON b.row BETWEEN a.row - {mid} AND a.row + {mid}
+   AND b.col BETWEEN a.col - {mid} AND a.col + {mid}
+  GROUP BY a.row, a.col
+),
+op AS (
+  SELECT a.row, a.col, max(b.v) AS opening
+  FROM cells a JOIN ero b
+    ON b.row BETWEEN a.row - {mid} AND a.row + {mid}
+   AND b.col BETWEEN a.col - {mid} AND a.col + {mid}
+  GROUP BY a.row, a.col
+),
+th AS MATERIALIZED (
+  SELECT c.row, c.col, c.value AS z, c.value - op.opening AS tophat
+  FROM cells c JOIN op ON op.row = c.row AND op.col = c.col
+),
+dirs(dx, dy, thr) AS (VALUES {dvals}),
+reach(row, col) AS (
+  SELECT row, col FROM th WHERE tophat <= {seed_thr!r}
+  UNION
+  SELECT b.row, b.col
+  FROM reach r
+  JOIN th a ON a.row = r.row AND a.col = r.col
+  JOIN dirs d ON TRUE
+  JOIN th b ON b.row = a.row + d.dy AND b.col = a.col + d.dx
+  WHERE b.tophat - a.tophat < d.thr
+),
+ground AS MATERIALIZED (SELECT t.row, t.col, t.z FROM th t SEMI JOIN reach USING (row, col)),
+holes AS MATERIALIZED (SELECT t.row, t.col FROM th t ANTI JOIN reach USING (row, col)),
+edge AS (
+  SELECT DISTINCT g.row, g.col, g.z AS ez
+  FROM ground g JOIN holes h
+    ON abs(h.row - g.row) <= 1 AND abs(h.col - g.col) <= 1
+),
+roffs(dy, dx) AS (VALUES {rvals}),
+filled AS (
+  SELECT h.row, h.col,
+         SUM(e.ez / CAST(o.dy * o.dy + o.dx * o.dx AS DOUBLE))
+           / SUM(1.0 / CAST(o.dy * o.dy + o.dx * o.dx AS DOUBLE)) AS value
+  FROM holes h
+  JOIN roffs o ON TRUE
+  JOIN edge e ON e.row = h.row - o.dy AND e.col = h.col - o.dx
+  GROUP BY h.row, h.col
+)
+SELECT row, col, round(z, 6) AS value FROM ground
+UNION ALL
+SELECT row, col, round(value, 6) AS value FROM filled
+"""
