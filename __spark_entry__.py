@@ -3246,6 +3246,39 @@ def q_mdinf_flow_accumulation(spark, sf_dir):
     )
 
 
+def q_rho8_flow_accumulation(spark, sf_dir):
+    """Rho8FlowAccumulation plugin: accumulation over the deterministic
+    seeded rho8 pointer via the O(log n) tile stitch; oracle = recursive
+    path-walk count over the SAME pointer oracle SQL."""
+    from whitebox_tools_spark.operators.hydro import rho8_flow_accumulation
+
+    return rho8_flow_accumulation(_noise_raster(spark, sf_dir), EXTRACT_GRID,
+                                  seed=7, block=64)
+
+
+def _rho8_fa_sql() -> str:
+    ptr_sql = _hyd.rho8_pointer_oracle_sql(_NOISE_RASTER_SQL, EXTRACT_GRID, seed=7)
+    dirs = [(1, 1, -1), (2, 1, 0), (4, 1, 1), (8, 0, 1), (16, -1, 1),
+            (32, -1, 0), (64, -1, -1), (128, 0, -1)]
+    tr = "CASE pointer " + " ".join(
+        f"WHEN {v} THEN row + ({dy})" for v, _dx, dy in dirs
+    ) + " END"
+    tc = "CASE pointer " + " ".join(
+        f"WHEN {v} THEN col + ({dx})" for v, dx, _dy in dirs
+    ) + " END"
+    return f"""
+WITH RECURSIVE p0 AS MATERIALIZED ({ptr_sql}),
+ptr AS (SELECT row, col, {tr} AS trow, {tc} AS tcol FROM p0 WHERE pointer <> 0),
+walk(urow, ucol, row, col) AS (
+  SELECT row, col, row, col FROM p0
+  UNION
+  SELECT w.urow, w.ucol, p.trow, p.tcol
+  FROM walk w JOIN ptr p ON p.row = w.row AND p.col = w.col
+)
+SELECT row, col, CAST(count(*) AS DOUBLE) AS value FROM walk GROUP BY row, col
+"""
+
+
 def q_quinn_flow_accumulation(spark, sf_dir):
     """QuinnFlowAccumulation plugin (Quinn et al. 1995): contour-length x
     slope MFD weights via the weighted-semiring stitch (rows-only; pinned
@@ -5258,6 +5291,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "insert_dams": q_insert_dams,
         "mdinf_flow_accumulation": q_mdinf_flow_accumulation,
         "quinn_flow_accumulation": q_quinn_flow_accumulation,
+        "rho8_flow_accumulation": q_rho8_flow_accumulation,
         "qin_flow_accumulation": q_qin_flow_accumulation,
         "breach_single_cell_pits": q_breach_single_cell_pits,
         "long_profile_from_points": q_long_profile_from_points,
@@ -6058,6 +6092,7 @@ GROUP BY 1
         "rho8_pointer": _hyd.rho8_pointer_oracle_sql(
             _NOISE_RASTER_SQL, EXTRACT_GRID, seed=7
         ),
+        "rho8_flow_accumulation": _rho8_fa_sql(),
         "direct_decorrelation_stretch": _dds_sql(),
         "image_stack_profile": f"""
 WITH pts AS (

@@ -2600,3 +2600,33 @@ def qin_flow_accumulation(
     return solve_wfa(nodes, edges, block=block, direct_threshold=direct_threshold).select(
         "row", "col", F.col("fa").alias("value")
     )
+
+
+def rho8_flow_accumulation(
+    cells: DataFrame, grid: GridSpec, *, seed: int = 7, block: int = 256,
+    direct_threshold: int = 200_000,
+) -> DataFrame:
+    """Rho8FlowAccumulation (whitebox-plugins/src/rho8_flow_accumulation,
+    Fairfield & Leymarie 1991): accumulation over the rho8 pointer's
+    functional flow graph (deterministic seeded diagonal weighting — see
+    rho8_pointer) via the O(log n) tile stitch. -> (row, col, value) in
+    upslope-cell units."""
+    from whitebox_tools_spark.operators.flow_stitch import solve_fa
+
+    ptr = rho8_pointer(cells, grid, seed=seed)
+    vals = [1, 2, 4, 8, 16, 32, 64, 128]
+    tr = F.coalesce(
+        *[F.when(F.col("pointer") == vals[i], F.col("row") + F.lit(D8_DY[i]))
+          for i in range(8)]
+    )
+    tc = F.coalesce(
+        *[F.when(F.col("pointer") == vals[i], F.col("col") + F.lit(D8_DX[i]))
+          for i in range(8)]
+    )
+    nodes = ptr.select(
+        "row", "col", F.lit(1.0).alias("w"),
+        tr.alias("nrow"), tc.alias("ncol"),
+    )
+    return solve_fa(nodes, block=block, direct_threshold=direct_threshold).select(
+        "row", "col", F.col("fa").alias("value")
+    )
