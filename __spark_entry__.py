@@ -1824,6 +1824,32 @@ def q_lidar_join(spark, sf_dir):
     return lidar_info(lidar_join([a, b]))
 
 
+def q_lidar_ransac_planes(spark, sf_dir):
+    """LidarRansacPlanes (lidar_analysis/lidar_ransac_planes.rs): plane
+    fixture + 30 off-plane outliers; deterministic minstd RANSAC
+    (rows-only — behavior pinned in tests/test_lidar_dsm.py: plane points
+    detected, vegetation rejected, partition-invariant)."""
+    from whitebox_tools_spark.operators.lidar import lidar_ransac_planes
+
+    a, b, c = _TIN_PLANE
+    x, y = synth.point_exprs(F.col("id"))
+    plane = F.lit(a) + F.lit(b) * F.col("x") + F.lit(c) * F.col("y")
+    base = (
+        spark.range(1, _TIN_KEYS + 1)
+        .select(F.col("id").alias("point_id"), x.alias("x"), y.alias("y"))
+        .withColumn("z", plane)
+    )
+    outs = (
+        spark.range(1001, 1031)
+        .select(F.col("id").alias("point_id"), x.alias("x"), y.alias("y"))
+        .withColumn("z", plane + F.lit(50.0) + (F.col("point_id") % 7).cast("double") * 9.0)
+    )
+    return lidar_ransac_planes(
+        base.unionByName(outs), radius=400.0, num_iter=20, num_samples=5,
+        threshold=0.5, model_size=20, seed=3,
+    )
+
+
 def q_lidar_dsm(spark, sf_dir):
     """LidarDigitalSurfaceModel (lidar_analysis/lidar_dsm.rs:440-640): the
     off-terrain point filter (remove points > tan(60)*radius below a
@@ -5382,6 +5408,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "singlepart_to_multipart": q_singlepart_to_multipart,
         "tin_gridding": q_tin_gridding,
         "lidar_dsm": q_lidar_dsm,
+        "lidar_ransac_planes": q_lidar_ransac_planes,
         "lidar_info": q_lidar_info,
         "lidar_join": q_lidar_join,
         "feature_preserving_smoothing": q_feature_preserving_smoothing,

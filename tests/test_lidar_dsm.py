@@ -133,3 +133,38 @@ def test_hillshade_quantized_matches_bruteforce(spark):
                 hs = (ts / math.sqrt(1.0 + ts * ts)) * (st / ts - ct * math.sin(azr - aspect))
                 want = int(math.floor(min(max(hs * 255.0, 0.0), 65535.0)))
         assert got[i] == want, i
+
+
+def test_ransac_planes_separates_plane_from_noise(spark):
+    from whitebox_tools_spark.operators.lidar import lidar_ransac_planes
+
+    rng = np.random.default_rng(3)
+    rows = []
+    pid = 0
+    for _ in range(120):  # roof plane z = 10 + 0.02x + 0.01y (+tiny noise)
+        x, y = rng.uniform(0, 50, 2)
+        rows.append((pid, float(x), float(y),
+                     float(10 + 0.02 * x + 0.01 * y + rng.normal(0, 0.01))))
+        pid += 1
+    veg_ids = []
+    for _ in range(25):  # vegetation: random heights well off the plane
+        x, y = rng.uniform(0, 50, 2)
+        rows.append((pid, float(x), float(y), float(rng.uniform(13, 25))))
+        veg_ids.append(pid)
+        pid += 1
+    df = spark.createDataFrame(rows, "point_id long, x double, y double, z double")
+    out = lidar_ransac_planes(
+        df, radius=30.0, num_iter=30, num_samples=5, threshold=0.1,
+        model_size=20, max_slope=75.0, seed=4,
+    )
+    got = {r.point_id: r.is_planar for r in out.collect()}
+    plane_flags = [got[i] for i in range(120)]
+    assert sum(plane_flags) >= 110  # nearly all roof points planar
+    assert sum(got[i] for i in veg_ids) <= 3  # vegetation rejected
+    # determinism / partition invariance
+    out2 = lidar_ransac_planes(
+        df.repartition(7), radius=30.0, num_iter=30, num_samples=5,
+        threshold=0.1, model_size=20, max_slope=75.0, seed=4,
+    )
+    got2 = {r.point_id: r.is_planar for r in out2.collect()}
+    assert got == got2

@@ -966,3 +966,147 @@ def lidar_join(clouds: list[DataFrame]) -> DataFrame:
 
     out = with_global_seq(u, ["__src", "point_id"], out_col="__new_id")
     return out.drop("point_id", "__src").withColumnRenamed("__new_id", "point_id")
+
+
+def lidar_ransac_planes(
+    points: DataFrame,
+    *,
+    radius: float = 2.0,
+    num_iter: int = 50,
+    num_samples: int = 10,
+    threshold: float = 0.15,
+    model_size: int = 30,
+    max_slope: float = 75.0,
+    seed: int = 1,
+) -> DataFrame:
+    """LidarRansacPlanes (lidar_analysis/lidar_ransac_planes.rs:480-560 +
+    Plane impl :773-920, Fischler-Bolles 1981): per point, RANSAC over its
+    3-D radius neighborhood — num_iter random num_samples-subsets, least-
+    squares plane (best-conditioned covariance axis, unit normal), slope =
+    acos(|c|) < max_slope, inliers by reduced-major-axis residual <
+    threshold, refit on inliers, keep the lowest-RMSE model that contains
+    the center; every inlier of an accepted model is marked planar (the
+    reference's global model_points union — order-free). -> (point_id,
+    is_planar).
+
+    Documented deviation: the reference samples with an unseeded thread
+    RNG (non-reproducible); this engine uses a minstd stream keyed by
+    (point_id, iteration) over the nid-sorted neighbor list, so results
+    are deterministic and partition-invariant."""
+    r = float(radius)
+    src = points.select(
+        "point_id", "x", "y", "z",
+        F.floor(F.col("x") / r).cast("long").alias("bx"),
+        F.floor(F.col("y") / r).cast("long").alias("by"),
+    )
+    spark = points.sparkSession
+    offs = spark.createDataFrame(
+        [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)], "dx int, dy int"
+    )
+    probes = src.crossJoin(F.broadcast(offs)).select(
+        "point_id", "x", "y", "z",
+        (F.col("bx") + F.col("dx")).alias("bx"),
+        (F.col("by") + F.col("dy")).alias("by"),
+    )
+    nb = probes.join(
+        src.select(
+            F.col("point_id").alias("nid"), F.col("x").alias("nx"),
+            F.col("y").alias("ny"), F.col("z").alias("nz"), "bx", "by",
+        ),
+        ["bx", "by"],
+    ).filter(
+        (F.col("x") - F.col("nx")) * (F.col("x") - F.col("nx"))
+        + (F.col("y") - F.col("ny")) * (F.col("y") - F.col("ny"))
+        + (F.col("z") - F.col("nz")) * (F.col("z") - F.col("nz"))
+        <= F.lit(r * r)
+    ).select("point_id", "x", "y", "z", "nid", "nx", "ny", "nz")
+
+    larger = max(int(num_samples), int(model_size))
+    ms_cos = __import__("math").cos(__import__("math").radians(float(max_slope)))
+    thr, ni, ns, msz = float(threshold), int(num_iter), int(num_samples), int(model_size)
+    sd = int(seed)
+
+    def kernel(key, pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("nid")
+        n = len(pdf)
+        out: list = []
+        if n > larger:
+            P = np.stack([pdf["nx"].to_numpy(), pdf["ny"].to_numpy(),
+                          pdf["nz"].to_numpy()], axis=1)
+            ids = pdf["nid"].to_numpy(np.int64)
+            center = np.array([pdf["x"].iloc[0], pdf["y"].iloc[0], pdf["z"].iloc[0]])
+            pid = int(key[0])
+
+            def fit(pts):
+                if len(pts) < 3:
+                    return None
+                cen = pts.mean(axis=0)
+                q = pts - cen
+                xx = (q[:, 0] * q[:, 0]).sum(); xy = (q[:, 0] * q[:, 1]).sum()
+                xz = (q[:, 0] * q[:, 2]).sum(); yy = (q[:, 1] * q[:, 1]).sum()
+                yz = (q[:, 1] * q[:, 2]).sum(); zz = (q[:, 2] * q[:, 2]).sum()
+                dx_, dy_, dz_ = yy * zz - yz * yz, xx * zz - xz * xz, xx * yy - xy * xy
+                dm = max(dx_, dy_, dz_)
+                if dm <= 0.0:
+                    return None
+                if dm == dx_:
+                    a, b, c = 1.0, (xz * yz - xy * zz) / dx_, (xy * yz - xz * yy) / dx_
+                elif dm == dy_:
+                    a, b, c = (yz * xz - xy * zz) / dy_, 1.0, (xy * xz - yz * xx) / dy_
+                else:
+                    a, b, c = (yz * xy - xz * yy) / dz_, (xz * xy - yz * xx) / dz_, 1.0
+                nrm = (a * a + b * b + c * c) ** 0.5
+                a, b, c = a / nrm, b / nrm, c / nrm
+                d = -a * cen[0] - b * cen[1] - c * cen[2]
+                return a, b, c, d
+
+            def resid(m, pts):
+                a, b, c, d = m
+                nrm = (a * a + b * b + c * c) ** 0.5
+                return np.abs(pts @ np.array([a, b, c]) + d) / nrm
+
+            state = (pid * 2654435761 + sd * 97 + 1) % 2147483647 or 1
+            best = None
+            min_rmse = np.inf
+            for _k in range(ni):
+                # minstd partial Fisher-Yates sample without replacement
+                idx = np.arange(n)
+                for j in range(ns):
+                    state = (state * 48271) % 2147483647
+                    rdraw = j + state % (n - j)
+                    idx[j], idx[rdraw] = idx[rdraw], idx[j]
+                m = fit(P[idx[:ns]])
+                if m is None or abs(m[2]) < ms_cos:
+                    continue
+                res = resid(m, P)
+                inl = res < thr
+                if int(inl.sum()) >= msz:
+                    better = fit(P[inl])
+                    if better is None:
+                        continue
+                    res2 = resid(better, P[inl])
+                    rmse = float(np.sqrt((res2 * res2).mean()))
+                    cres = float(resid(better, center[None, :])[0])
+                    if rmse < min_rmse and cres < thr:
+                        min_rmse = rmse
+                        best = better
+                        if inl.sum() == n or min_rmse == 0.0:
+                            break
+            if best is not None:
+                res = resid(best, P)
+                out = [int(i) for i in ids[res <= thr]]
+        return pd.DataFrame({"nid": np.array(out, np.int64)})
+
+    marked = (
+        nb.groupBy("point_id")
+        .applyInPandas(kernel, "nid long")
+        .distinct()
+        .withColumnRenamed("nid", "point_id")
+        .withColumn("is_planar", F.lit(True))
+    )
+    return points.select("point_id").join(marked, ["point_id"], "left").select(
+        "point_id", F.coalesce("is_planar", F.lit(False)).alias("is_planar")
+    )
