@@ -1850,6 +1850,64 @@ def q_lidar_ransac_planes(spark, sf_dir):
     )
 
 
+def q_classify_buildings(spark, sf_dir):
+    """ClassifyBuildingsInLidar (lidar_analysis/classify_buildings.rs):
+    LAS class 6 for points inside the footprint polygons (cell-cover PIP
+    join); oracle = the repo's winding PIP SQL."""
+    from whitebox_tools_spark.operators.lidar import classify_buildings
+
+    out = classify_buildings(_order_cloud(spark, sf_dir), PARTS, IDX)
+    return out.select("point_id", F.col("classification").cast("long").alias("classification"))
+
+
+def _classify_buildings_sql() -> str:
+    pip = synth.pip_oracle_sql(
+        "SELECT point_id, x, y FROM cloud", POLYS
+    )
+    return f"""
+WITH cloud AS ({_order_cloud_cte()}),
+hits AS (SELECT DISTINCT point_id FROM ({pip}) t)
+SELECT c.point_id,
+       CAST(CASE WHEN h.point_id IS NOT NULL THEN 6 ELSE c.classification END AS BIGINT)
+         AS classification
+FROM cloud c LEFT JOIN hits h ON h.point_id = c.point_id
+"""
+
+
+def q_lidar_segmentation(spark, sf_dir):
+    """LidarSegmentation (lidar_analysis/lidar_segmentation.rs): RANSAC
+    plane per point + similarity-graph components (min-point-id segment
+    labels — documented id deviation). Fixture: two offset roof planes +
+    a vegetation blob; rows-only (pinned in tests/test_lidar_dsm.py:
+    facet separation, planar/volume split, partition invariance)."""
+    from whitebox_tools_spark.operators.lidar import lidar_segmentation
+
+    a, b, c = _TIN_PLANE
+    x, y = synth.point_exprs(F.col("id"))
+    plane = F.lit(a) + F.lit(b) * F.col("x") + F.lit(c) * F.col("y")
+    lower = (
+        spark.range(1, _TIN_KEYS + 1)
+        .select(F.col("id").alias("point_id"), x.alias("x"), y.alias("y"))
+        .withColumn("z", plane)
+    )
+    upper = (
+        spark.range(2001, 2001 + _TIN_KEYS)
+        .select(F.col("id").alias("point_id"), x.alias("x"), y.alias("y"))
+        .withColumn("z", plane + F.lit(200.0))
+    )
+    veg = (
+        spark.range(5001, 5041)
+        .select(F.col("id").alias("point_id"),
+                (x / 20.0).alias("x"), (y / 20.0).alias("y"))
+        .withColumn("z", (F.col("point_id") % 13).cast("double") * 37.0)
+    )
+    cloud = lower.unionByName(upper).unionByName(veg)
+    return lidar_segmentation(
+        cloud, radius=400.0, norm_diff=5.0, maxzdiff=150.0,
+        num_iter=20, num_samples=5, threshold=0.5, model_size=20, seed=3,
+    )
+
+
 def q_lidar_dsm(spark, sf_dir):
     """LidarDigitalSurfaceModel (lidar_analysis/lidar_dsm.rs:440-640): the
     off-terrain point filter (remove points > tan(60)*radius below a
@@ -5409,6 +5467,8 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tin_gridding": q_tin_gridding,
         "lidar_dsm": q_lidar_dsm,
         "lidar_ransac_planes": q_lidar_ransac_planes,
+        "lidar_segmentation": q_lidar_segmentation,
+        "classify_buildings": q_classify_buildings,
         "lidar_info": q_lidar_info,
         "lidar_join": q_lidar_join,
         "feature_preserving_smoothing": q_feature_preserving_smoothing,
@@ -6445,6 +6505,7 @@ SELECT row, col, round((value - mn) / (mx - mn), 6) AS value FROM dem CROSS JOIN
         # the DSM filter provably removes exactly the 50 below-plane points,
         # so the DSM of the fixture IS the plane raster (same oracle)
         "lidar_dsm": _tin_gridding_sql(),
+        "classify_buildings": _classify_buildings_sql(),
         "lidar_info": _lidar.lidar_info_oracle_sql(_order_cloud_cte()),
         "lidar_join": _lidar.lidar_info_oracle_sql(
             _order_cloud_cte() + " WHERE o_orderkey % 3 IN (0, 1)"

@@ -168,3 +168,42 @@ def test_ransac_planes_separates_plane_from_noise(spark):
     )
     got2 = {r.point_id: r.is_planar for r in out2.collect()}
     assert got == got2
+
+
+def test_lidar_segmentation_splits_facets_and_volume(spark):
+    from whitebox_tools_spark.operators.lidar import lidar_segmentation
+
+    rng = np.random.default_rng(21)
+    rows = []
+    pid = 0
+    for _ in range(80):  # facet A: z = 10 + 0.3x
+        x, y = rng.uniform(0, 30, 2)
+        rows.append((pid, float(x), float(y), float(10 + 0.3 * x))); pid += 1
+    for _ in range(80):  # facet B: z = 19 - 0.3(x-60), x in [30, 60] meets A near 30
+        x, y = rng.uniform(31, 60, 2)
+        rows.append((pid, float(x), float(y), float(10 + 0.3 * 30 - 0.3 * (x - 30)))); pid += 1
+    veg = []
+    for _ in range(40):  # vegetation blob: random heights
+        x, y = rng.uniform(80, 95, 2)
+        rows.append((pid, float(x), float(y), float(rng.uniform(0, 30)))); veg.append(pid); pid += 1
+    df = spark.createDataFrame(rows, "point_id long, x double, y double, z double")
+    out = lidar_segmentation(
+        df, radius=25.0, norm_diff=5.0, maxzdiff=100.0,
+        num_iter=30, num_samples=4, threshold=0.05, model_size=15, seed=2,
+    )
+    got = {r.point_id: (r.segment_id, r.is_planar) for r in out.collect()}
+    seg_a = {got[i][0] for i in range(80) if got[i][1]}
+    seg_b = {got[i][0] for i in range(80, 160) if got[i][1]}
+    # the two facets have ~33-degree normal difference -> distinct segments
+    assert seg_a.isdisjoint(seg_b) and len(seg_a) >= 1 and len(seg_b) >= 1
+    # vegetation is non-planar and in its own segment(s)
+    assert all(not got[i][1] for i in veg)
+    veg_segs = {got[i][0] for i in veg}
+    assert veg_segs.isdisjoint(seg_a | seg_b)
+    # partition invariance
+    out2 = lidar_segmentation(
+        df.repartition(9), radius=25.0, norm_diff=5.0, maxzdiff=100.0,
+        num_iter=30, num_samples=4, threshold=0.05, model_size=15, seed=2,
+    )
+    got2 = {r.point_id: (r.segment_id, r.is_planar) for r in out2.collect()}
+    assert got == got2

@@ -1110,3 +1110,230 @@ def lidar_ransac_planes(
     return points.select("point_id").join(marked, ["point_id"], "left").select(
         "point_id", F.coalesce("is_planar", F.lit(False)).alias("is_planar")
     )
+
+
+def _ransac_plane_per_point(
+    nb: DataFrame, *, num_iter: int, num_samples: int, threshold: float,
+    model_size: int, larger: int, seed: int,
+) -> DataFrame:
+    """-> (point_id, pa, pb, pc): each point's best RANSAC neighborhood
+    plane (unit normal), rows only where a model was found. Same
+    deterministic minstd sampling contract as lidar_ransac_planes."""
+    thr, ni, ns, msz, sd = float(threshold), int(num_iter), int(num_samples), int(model_size), int(seed)
+
+    def kernel(key, pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("nid")
+        n = len(pdf)
+        if n <= larger:
+            return pd.DataFrame({"point_id": [], "pa": [], "pb": [], "pc": []}).astype(
+                {"point_id": np.int64, "pa": np.float64, "pb": np.float64, "pc": np.float64})
+        P = np.stack([pdf["nx"].to_numpy(), pdf["ny"].to_numpy(),
+                      pdf["nz"].to_numpy()], axis=1)
+        center = np.array([pdf["x"].iloc[0], pdf["y"].iloc[0], pdf["z"].iloc[0]])
+        pid = int(key[0])
+
+        def fit(pts):
+            if len(pts) < 3:
+                return None
+            cen = pts.mean(axis=0)
+            q = pts - cen
+            xx = (q[:, 0] * q[:, 0]).sum(); xy = (q[:, 0] * q[:, 1]).sum()
+            xz = (q[:, 0] * q[:, 2]).sum(); yy = (q[:, 1] * q[:, 1]).sum()
+            yz = (q[:, 1] * q[:, 2]).sum(); zz = (q[:, 2] * q[:, 2]).sum()
+            dx_, dy_, dz_ = yy * zz - yz * yz, xx * zz - xz * xz, xx * yy - xy * xy
+            dm = max(dx_, dy_, dz_)
+            if dm <= 0.0:
+                return None
+            if dm == dx_:
+                a, b, c = 1.0, (xz * yz - xy * zz) / dx_, (xy * yz - xz * yy) / dx_
+            elif dm == dy_:
+                a, b, c = (yz * xz - xy * zz) / dy_, 1.0, (xy * xz - yz * xx) / dy_
+            else:
+                a, b, c = (yz * xy - xz * yy) / dz_, (xz * xy - yz * xx) / dz_, 1.0
+            nrm = (a * a + b * b + c * c) ** 0.5
+            a, b, c = a / nrm, b / nrm, c / nrm
+            d = -a * cen[0] - b * cen[1] - c * cen[2]
+            return a, b, c, d
+
+        def resid(m, pts):
+            a, b, c, d = m
+            nrm = (a * a + b * b + c * c) ** 0.5
+            return np.abs(pts @ np.array([a, b, c]) + d) / nrm
+
+        state = (pid * 2654435761 + sd * 97 + 1) % 2147483647 or 1
+        best = None
+        min_rmse = np.inf
+        for _k in range(ni):
+            idx = np.arange(n)
+            for j in range(ns):
+                state = (state * 48271) % 2147483647
+                rdraw = j + state % (n - j)
+                idx[j], idx[rdraw] = idx[rdraw], idx[j]
+            m = fit(P[idx[:ns]])
+            if m is None:
+                continue
+            res = resid(m, P)
+            inl = res < thr
+            if int(inl.sum()) >= msz:
+                better = fit(P[inl])
+                if better is None:
+                    continue
+                res2 = resid(better, P[inl])
+                rmse = float(np.sqrt((res2 * res2).mean()))
+                cres = float(resid(better, center[None, :])[0])
+                if rmse < min_rmse and cres < thr:
+                    min_rmse = rmse
+                    best = better
+                    if inl.sum() == n or min_rmse == 0.0:
+                        break
+        if best is None:
+            return pd.DataFrame({"point_id": [], "pa": [], "pb": [], "pc": []}).astype(
+                {"point_id": np.int64, "pa": np.float64, "pb": np.float64, "pc": np.float64})
+        return pd.DataFrame({"point_id": [pid], "pa": [best[0]], "pb": [best[1]],
+                             "pc": [best[2]]})
+
+    return nb.groupBy("point_id").applyInPandas(
+        kernel, "point_id long, pa double, pb double, pc double"
+    )
+
+
+def lidar_segmentation(
+    points: DataFrame,
+    *,
+    radius: float = 2.0,
+    norm_diff: float = 2.0,
+    maxzdiff: float = 1.0,
+    num_iter: int = 50,
+    num_samples: int = 10,
+    threshold: float = 0.15,
+    model_size: int = 30,
+    seed: int = 1,
+) -> DataFrame:
+    """LidarSegmentation (lidar_analysis/lidar_segmentation.rs:600-720):
+    per-point RANSAC plane, then segments = connected components of the
+    similarity graph — planar-planar edges need |dz| < maxzdiff and
+    acos(n1 . n2) < norm_diff deg within radius; volume-volume edges by
+    proximity alone; planar never joins volume. The reference's growth
+    order only renumbers segments (membership IS the component), so this
+    engine's pointer-doubled min-label components are the same partition
+    with segment_id = min member point_id (documented id deviation).
+    -> (point_id, segment_id, is_planar)."""
+    import math as _math
+
+    from whitebox_tools_spark.distributed import loop_checkpoint
+
+    r = float(radius)
+    src = points.select(
+        "point_id", "x", "y", "z",
+        F.floor(F.col("x") / r).cast("long").alias("bx"),
+        F.floor(F.col("y") / r).cast("long").alias("by"),
+    )
+    spark = points.sparkSession
+    offs = spark.createDataFrame(
+        [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)], "dx int, dy int"
+    )
+    probes = src.crossJoin(F.broadcast(offs)).select(
+        "point_id", "x", "y", "z",
+        (F.col("bx") + F.col("dx")).alias("bx"),
+        (F.col("by") + F.col("dy")).alias("by"),
+    )
+    nb = probes.join(
+        src.select(
+            F.col("point_id").alias("nid"), F.col("x").alias("nx"),
+            F.col("y").alias("ny"), F.col("z").alias("nz"), "bx", "by",
+        ),
+        ["bx", "by"],
+    ).filter(
+        (F.col("x") - F.col("nx")) * (F.col("x") - F.col("nx"))
+        + (F.col("y") - F.col("ny")) * (F.col("y") - F.col("ny"))
+        + (F.col("z") - F.col("nz")) * (F.col("z") - F.col("nz"))
+        <= F.lit(r * r)
+    ).select("point_id", "x", "y", "z", "nid", "nx", "ny", "nz").localCheckpoint(
+        eager=True
+    )
+    larger = max(int(num_samples), int(model_size))
+    planes = _ransac_plane_per_point(
+        nb, num_iter=num_iter, num_samples=num_samples, threshold=threshold,
+        model_size=model_size, larger=larger, seed=seed,
+    ).localCheckpoint(eager=True)
+
+    pr = nb.filter(F.col("point_id") != F.col("nid")).select("point_id", "z", "nid", "nz")
+    pl_a = planes.select(F.col("point_id"), F.col("pa").alias("a1"),
+                         F.col("pb").alias("b1"), F.col("pc").alias("c1"))
+    pl_b = planes.select(F.col("point_id").alias("nid"), F.col("pa").alias("a2"),
+                         F.col("pb").alias("b2"), F.col("pc").alias("c2"))
+    both = pr.join(pl_a, "point_id").join(pl_b, "nid")
+    nd = _math.radians(min(max(float(norm_diff), 0.0), 90.0))
+    ang_ok = F.acos(
+        F.least(F.greatest(
+            F.col("a1") * F.col("a2") + F.col("b1") * F.col("b2") + F.col("c1") * F.col("c2"),
+            F.lit(-1.0)), F.lit(1.0))
+    ) < F.lit(nd)
+    planar_edges = both.filter(
+        (F.abs(F.col("nz") - F.col("z")) < F.lit(float(maxzdiff))) & ang_ok
+    ).select(F.col("point_id").alias("a"), F.col("nid").alias("b"))
+    vol = src.select("point_id").join(planes.select("point_id"), "point_id", "left_anti")
+    vol_edges = (
+        pr.join(vol, "point_id")
+        .join(vol.select(F.col("point_id").alias("nid")), "nid")
+        .select(F.col("point_id").alias("a"), F.col("nid").alias("b"))
+    )
+    edges = planar_edges.unionByName(vol_edges)
+    und = edges.unionByName(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    lab = src.select("point_id", F.col("point_id").alias("lab")).localCheckpoint(
+        eager=True
+    )
+    for _ in range(64):
+        prop = (
+            und.join(lab, und["a"] == lab["point_id"])
+            .select(F.col("b").alias("point_id"), "lab")
+            .groupBy("point_id")
+            .agg(F.min("lab").alias("nlab"))
+        )
+        relaxed = lab.join(prop, ["point_id"], "left").select(
+            "point_id",
+            F.least(F.col("lab"), F.coalesce("nlab", F.col("lab"))).alias("lab"),
+        )
+        short = relaxed.alias("x").join(
+            relaxed.alias("y"), F.col("x.lab") == F.col("y.point_id"), "left"
+        ).select(
+            F.col("x.point_id").alias("point_id"),
+            F.least(F.col("x.lab"), F.coalesce(F.col("y.lab"), F.col("x.lab"))).alias("l2"),
+        )
+        nxt = lab.select("point_id", F.col("lab").alias("l1")).join(short, ["point_id"])
+        done = nxt.filter(F.col("l2") != F.col("l1")).limit(1).isEmpty()
+        lab = nxt.select("point_id", F.col("l2").alias("lab")).transform(loop_checkpoint)
+        if done:
+            break
+    return (
+        lab.join(planes.select("point_id").withColumn("__pl", F.lit(True)),
+                 ["point_id"], "left")
+        .select(
+            "point_id", F.col("lab").alias("segment_id"),
+            F.coalesce("__pl", F.lit(False)).alias("is_planar"),
+        )
+    )
+
+
+def classify_buildings(points: DataFrame, buildings, index) -> DataFrame:
+    """ClassifyBuildingsInLidar (lidar_analysis/classify_buildings.rs):
+    points inside a building-footprint polygon get LAS class 6; everything
+    else keeps its classification. buildings/index: the engine's polygon
+    list + CellIndex (points_in_polygons machinery)."""
+    from whitebox_tools_spark.operators.pip import points_in_polygons
+
+    hits = points_in_polygons(
+        points.select("point_id", "x", "y"), buildings, index
+    ).select("point_id").distinct().withColumn("__b", F.lit(True))
+    out = points.join(hits, ["point_id"], "left")
+    if "classification" in points.columns:
+        return out.withColumn(
+            "classification",
+            F.when(F.col("__b"), F.lit(6)).otherwise(F.col("classification")),
+        ).drop("__b")
+    return out.withColumn(
+        "classification", F.when(F.col("__b"), F.lit(6)).otherwise(F.lit(1))
+    ).drop("__b")
