@@ -1908,6 +1908,33 @@ def q_lidar_segmentation(spark, sf_dir):
     )
 
 
+def q_lidar_segmentation_based_filter(spark, sf_dir):
+    """LidarSegmentationBasedFilter (lidar_analysis/
+    lidar_segmentation_based_filter.rs): tophat residuals -> residual-space
+    normals -> ground reachability from residual==0 seeds. Fixture: plane
+    ground + elevated roof block (rows-only; ground/building separation +
+    partition invariance pinned in tests/test_lidar_dsm.py)."""
+    from whitebox_tools_spark.operators.lidar import segmentation_based_filter
+
+    a, b, c = _TIN_PLANE
+    x, y = synth.point_exprs(F.col("id"))
+    plane = F.lit(a) + F.lit(b) * F.col("x") + F.lit(c) * F.col("y")
+    ground = (
+        spark.range(1, _TIN_KEYS + 1)
+        .select(F.col("id").alias("point_id"), x.alias("x"), y.alias("y"))
+        .withColumn("z", plane)
+    )
+    roof = (
+        spark.range(3001, 3041)
+        .select(F.col("id").alias("point_id"),
+                (x / 3.0 + 100.0).alias("x"), (y / 3.0 + 100.0).alias("y"))
+        .withColumn("z", plane + F.lit(60.0))
+    )
+    return segmentation_based_filter(
+        ground.unionByName(roof), radius=250.0, norm_diff=10.0, maxzdiff=20.0
+    )
+
+
 def q_lidar_dsm(spark, sf_dir):
     """LidarDigitalSurfaceModel (lidar_analysis/lidar_dsm.rs:440-640): the
     off-terrain point filter (remove points > tan(60)*radius below a
@@ -5468,6 +5495,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lidar_dsm": q_lidar_dsm,
         "lidar_ransac_planes": q_lidar_ransac_planes,
         "lidar_segmentation": q_lidar_segmentation,
+        "lidar_segmentation_based_filter": q_lidar_segmentation_based_filter,
         "classify_buildings": q_classify_buildings,
         "lidar_info": q_lidar_info,
         "lidar_join": q_lidar_join,

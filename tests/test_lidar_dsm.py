@@ -207,3 +207,30 @@ def test_lidar_segmentation_splits_facets_and_volume(spark):
     )
     got2 = {r.point_id: (r.segment_id, r.is_planar) for r in out2.collect()}
     assert got == got2
+
+
+def test_segmentation_based_filter_ground_vs_buildings(spark):
+    from whitebox_tools_spark.operators.lidar import segmentation_based_filter
+
+    rng = np.random.default_rng(31)
+    rows = []
+    pid = 0
+    ground_ids, bld_ids = [], []
+    for _ in range(150):  # gently sloping ground
+        x, y = rng.uniform(0, 100, 2)
+        rows.append((pid, float(x), float(y), float(0.02 * x + 0.01 * y)))
+        ground_ids.append(pid); pid += 1
+    for _ in range(40):  # a building roof 8 m up, compact footprint
+        x, y = rng.uniform(40, 55, 2)
+        rows.append((pid, float(x), float(y), float(8.0 + 0.02 * x)))
+        bld_ids.append(pid); pid += 1
+    df = spark.createDataFrame(rows, "point_id long, x double, y double, z double")
+    out = segmentation_based_filter(df, radius=25.0, norm_diff=10.0, maxzdiff=1.5)
+    got = {r.point_id: r.is_ground for r in out.collect()}
+    assert sum(got[i] for i in ground_ids) >= 140
+    assert not any(got[i] for i in bld_ids)
+    # partition invariance (normals from nid-sorted kernel)
+    out2 = segmentation_based_filter(df.repartition(11), radius=25.0,
+                                     norm_diff=10.0, maxzdiff=1.5)
+    got2 = {r.point_id: r.is_ground for r in out2.collect()}
+    assert got == got2

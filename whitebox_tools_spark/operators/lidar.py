@@ -1337,3 +1337,138 @@ def classify_buildings(points: DataFrame, buildings, index) -> DataFrame:
     return out.withColumn(
         "classification", F.when(F.col("__b"), F.lit(6)).otherwise(F.lit(1))
     ).drop("__b")
+
+
+def segmentation_based_filter(
+    points: DataFrame,
+    *,
+    radius: float = 5.0,
+    norm_diff: float = 2.0,
+    maxzdiff: float = 1.0,
+    max_iterations: int = 10_000,
+) -> DataFrame:
+    """LidarSegmentationBasedFilter (lidar_analysis/
+    lidar_segmentation_based_filter.rs:380-530): white top-hat residuals
+    (tophat_transform), least-squares normals over the 3-D radius
+    neighborhood IN RESIDUAL SPACE (x, y, residual), then ground =
+    reachability from residual==0 seeds through edges where
+    |dresidual| < maxzdiff and angle(normals) < norm_diff — pure
+    reachability, so the grow order never matters. Normals are computed
+    in a per-point kernel over nid-SORTED neighbors, making the result
+    partition-invariant (raw Spark float SUMs are not).
+    -> (point_id, is_ground)."""
+    import math as _math
+
+    from whitebox_tools_spark.distributed import loop_checkpoint
+
+    res = tophat_transform(points, radius=radius).select(
+        "point_id", "x", "y", F.col("z").alias("resid")
+    ).localCheckpoint(eager=True)
+    r = float(radius)
+    src = res.select(
+        "point_id", "x", "y", "resid",
+        F.floor(F.col("x") / r).cast("long").alias("bx"),
+        F.floor(F.col("y") / r).cast("long").alias("by"),
+    )
+    spark = points.sparkSession
+    offs = spark.createDataFrame(
+        [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)], "dx int, dy int"
+    )
+    probes = src.crossJoin(F.broadcast(offs)).select(
+        "point_id", "x", "y", "resid",
+        (F.col("bx") + F.col("dx")).alias("bx"),
+        (F.col("by") + F.col("dy")).alias("by"),
+    )
+    nb = probes.join(
+        src.select(
+            F.col("point_id").alias("nid"), F.col("x").alias("nx"),
+            F.col("y").alias("ny"), F.col("resid").alias("nres"), "bx", "by",
+        ),
+        ["bx", "by"],
+    ).filter(
+        (F.col("x") - F.col("nx")) * (F.col("x") - F.col("nx"))
+        + (F.col("y") - F.col("ny")) * (F.col("y") - F.col("ny"))
+        + (F.col("resid") - F.col("nres")) * (F.col("resid") - F.col("nres"))
+        <= F.lit(r * r)
+    ).select("point_id", "resid", "nid", "nx", "ny", "nres").localCheckpoint(
+        eager=True
+    )
+
+    def kernel(key, pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("nid")
+        pts = np.stack([pdf["nx"].to_numpy(), pdf["ny"].to_numpy(),
+                        pdf["nres"].to_numpy()], axis=1)
+        n = len(pts)
+        if n < 3:
+            a = b = c = 0.0
+        else:
+            cen = pts.mean(axis=0)
+            q = pts - cen
+            xx = (q[:, 0] * q[:, 0]).sum(); xy = (q[:, 0] * q[:, 1]).sum()
+            xz = (q[:, 0] * q[:, 2]).sum(); yy = (q[:, 1] * q[:, 1]).sum()
+            yz = (q[:, 1] * q[:, 2]).sum(); zz = (q[:, 2] * q[:, 2]).sum()
+            dx_, dy_, dz_ = yy * zz - yz * yz, xx * zz - xz * xz, xx * yy - xy * xy
+            dm = max(dx_, dy_, dz_)
+            if dm <= 0.0:
+                a = b = c = 0.0
+            else:
+                if dm == dx_:
+                    a, b, c = 1.0, (xz * yz - xy * zz) / dx_, (xy * yz - xz * yy) / dx_
+                elif dm == dy_:
+                    a, b, c = (yz * xz - xy * zz) / dy_, 1.0, (xy * xz - yz * xx) / dy_
+                else:
+                    a, b, c = (yz * xy - xz * yy) / dz_, (xz * xy - yz * xx) / dz_, 1.0
+                nrm = (a * a + b * b + c * c) ** 0.5
+                a, b, c = a / nrm, b / nrm, c / nrm
+        return pd.DataFrame({"point_id": [int(key[0])], "na": [a], "nb": [b], "nc": [c]})
+
+    normals = nb.groupBy("point_id").applyInPandas(
+        kernel, "point_id long, na double, nb double, nc double"
+    ).localCheckpoint(eager=True)
+
+    nd = _math.radians(min(max(float(norm_diff), 0.0), 90.0))
+    n1 = normals.select("point_id", F.col("na").alias("a1"),
+                        F.col("nb").alias("b1"), F.col("nc").alias("c1"))
+    n2 = normals.select(F.col("point_id").alias("nid"), F.col("na").alias("a2"),
+                        F.col("nb").alias("b2"), F.col("nc").alias("c2"))
+    edges = (
+        nb.filter(F.col("point_id") != F.col("nid"))
+        .join(n1, "point_id").join(n2, "nid")
+        .filter(
+            (F.abs(F.col("nres") - F.col("resid")) < F.lit(float(maxzdiff)))
+            & (
+                F.acos(F.least(F.greatest(
+                    F.col("a1") * F.col("a2") + F.col("b1") * F.col("b2")
+                    + F.col("c1") * F.col("c2"), F.lit(-1.0)), F.lit(1.0)))
+                < F.lit(nd)
+            )
+        )
+        .select(F.col("point_id").alias("a"), F.col("nid").alias("b"))
+        .localCheckpoint(eager=True)
+    )
+    state = res.select(
+        "point_id", (F.col("resid") == 0.0).alias("ground")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iterations):
+        grow = (
+            state.filter(F.col("ground"))
+            .join(edges, state["point_id"] == edges["a"])
+            .select(F.col("b").alias("point_id"))
+            .distinct()
+            .withColumn("__g", F.lit(True))
+        )
+        nxt = state.join(grow, ["point_id"], "left").select(
+            "point_id",
+            (F.col("ground") | F.coalesce("__g", F.lit(False))).alias("g2"),
+            F.col("ground").alias("g1"),
+        )
+        done = nxt.filter(F.col("g2") != F.col("g1")).limit(1).isEmpty()
+        state = nxt.select("point_id", F.col("g2").alias("ground")).transform(
+            loop_checkpoint
+        )
+        if done:
+            break
+    return state.select("point_id", F.col("ground").alias("is_ground"))
