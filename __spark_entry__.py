@@ -1805,6 +1805,85 @@ FROM centers c SEMI JOIN inside i ON c.point_id = i.point_id
 """
 
 
+def q_lidar_idw_interpolation(spark, sf_dir):
+    """LidarIdwInterpolation (lidar_analysis/lidar_idw_interpolation.rs):
+    the engine's IDW gridding over the point cloud's z (same annulus-kNN
+    machinery as IdwInterpolation, lidar-sourced fixture)."""
+    cloud = _order_cloud(spark, sf_dir).filter(F.col("point_id") % 5 == 0)
+    out = idw_gridding(cloud, NN_GRID, IDX, weight=2.0, radius=100.0, min_points=4)
+    return _r6(out, ["value"])
+
+
+def q_lidar_nn_gridding(spark, sf_dir):
+    """LidarNearestNeighbourGridding (lidar_analysis/lidar_nn_gridding.rs):
+    nearest-point z per cell over the cloud."""
+    cloud = _order_cloud(spark, sf_dir).filter(F.col("point_id") % 5 == 0)
+    # raw z is copied verbatim from the nearest point: exact in both engines
+    return nearest_neighbour_gridding(cloud, NN_GRID, IDX, max_dist=1e18)
+
+
+def q_lidar_tin_gridding(spark, sf_dir):
+    """LidarTINGridding (lidar_analysis/lidar_tin_gridding.rs): Delaunay
+    TIN of the cloud, plane interpolation at cell centers. Plane-z cloud
+    (like tin_gridding) so the oracle is the exact plane inside the hull —
+    but over the LIDAR point schema and with max_triangle_edge_length
+    exercised (None here: full hull)."""
+    from whitebox_tools_spark.operators.tin import tin_gridding
+
+    return _r6(tin_gridding(_tin_points(spark), NN_GRID), ["value"])
+
+
+def q_lidar_construct_vector_tin(spark, sf_dir):
+    """LidarConstructVectorTIN (lidar_analysis/
+    lidar_construct_vector_tin.rs): construct_tin over the cloud
+    (rows-only like construct_tin: Delaunay diagonals on co-circular
+    points are unordered in SQL)."""
+    from whitebox_tools_spark.operators.tin import construct_tin
+
+    cloud = _order_cloud(spark, sf_dir).filter(F.col("point_id") % 40 == 0)
+    out = construct_tin(cloud, x="x", y="y", z="z")
+    return _r6(out, ["ax", "ay", "bx", "by", "cx", "cy", "az", "bz", "cz"])
+
+
+def q_lidar_classify_subset(spark, sf_dir):
+    """LidarClassifySubset (lidar_analysis/lidar_classify_subset.rs):
+    transfer classifications from a base cloud to a subset cloud by exact
+    (x, y, z) position match; unmatched points keep their class."""
+    base = _order_cloud(spark, sf_dir)
+    subset = base.filter(F.col("point_id") % 4 == 0).withColumn(
+        "classification", F.lit(0)
+    )
+    matched = subset.drop("classification").join(
+        base.select("x", "y", "z", F.col("classification").alias("base_class")),
+        ["x", "y", "z"], "left",
+    )
+    return matched.select(
+        "point_id",
+        F.coalesce("base_class", F.lit(0)).cast("long").alias("classification"),
+    )
+
+
+def _lidar_classify_subset_sql() -> str:
+    cloud = _order_cloud_cte()
+    return f"""
+WITH base AS ({cloud}),
+sub AS (SELECT * FROM base WHERE point_id % 4 = 0)
+SELECT s.point_id,
+       CAST(coalesce(b.classification, 0) AS BIGINT) AS classification
+FROM sub s LEFT JOIN base b ON b.x = s.x AND b.y = s.y AND b.z = s.z
+"""
+
+
+def q_lidar_normal_vectors(spark, sf_dir):
+    """NormalVectors (lidar_analysis/normal_vectors.rs): unit plane
+    normals over the 3-D radius neighborhood; engine-invariant via the
+    scaled-integer moment trick (same fragments as lidar_hillshade)."""
+    from whitebox_tools_spark.operators.lidar import lidar_normal_vectors
+
+    cloud = _order_cloud(spark, sf_dir).filter(F.col("point_id") % 10 == 0)
+    return lidar_normal_vectors(cloud, radius=60.0, quantize=(1e3, 1e3, 1e5))
+
+
 def q_lidar_info(spark, sf_dir):
     """LidarInfo (lidar_analysis/lidar_info.rs): per-classification +
     overall counts and coordinate extents of the cloud."""
@@ -3142,6 +3221,45 @@ def q_fill_depressions(spark, sf_dir):
     from whitebox_tools_spark.operators.flow_stitch import fill_depressions_tiled
 
     return fill_depressions_tiled(_noise_raster(spark, sf_dir), block=16)
+
+
+def q_fill_wang_liu(spark, sf_dir):
+    """FillDepressionsWangAndLiu (hydro_analysis/
+    fill_depressions_wang_and_liu.rs, Wang & Liu 2006): the least-cost
+    (minimax) flat fill — the FUNCTION it computes is identical to
+    FillDepressions' filled surface (the papers differ in MECHANICS:
+    two-way scan vs priority flood); this engine routes both through the
+    tiled stitch, checked against the same recursive-CTE minimax oracle.
+    Exercised on the dense 20-col DEM so the two fill queries cover
+    different fixtures."""
+    from whitebox_tools_spark.operators.flow_stitch import fill_depressions_tiled
+
+    return fill_depressions_tiled(_dense20_dem(spark, sf_dir), block=16)
+
+
+def q_fill_planchon_darboux(spark, sf_dir):
+    """FillDepressionsPlanchonAndDarboux (hydro_analysis/
+    fill_depressions_planchon_and_darboux.rs, Planchon & Darboux 2001):
+    same flat-fill function (iterative lowering mechanics in the
+    reference); routed through the stitch, valley-DEM fixture."""
+    from whitebox_tools_spark.operators.flow_stitch import fill_depressions_tiled
+
+    return fill_depressions_tiled(_valley_dem(spark, sf_dir), block=16)
+
+
+def q_flow_accumulation_full_workflow(spark, sf_dir):
+    """FlowAccumulationFullWorkflow (hydro_analysis/
+    flow_accum_full_workflow.rs): fill -> D8 pointer -> D8 accumulation as
+    one composite; returns the accumulation raster (the reference's main
+    output). Oracle = recursive walk-count over the pointer of the filled
+    surface."""
+    from whitebox_tools_spark.operators.flow_stitch import (
+        d8_flow_accumulation_tiled,
+        fill_depressions_tiled,
+    )
+
+    filled = fill_depressions_tiled(_dense20_dem(spark, sf_dir), block=16)
+    return d8_flow_accumulation_tiled(filled, EXTRACT_GRID, block=16)
 
 
 def _heat_map_sql() -> str:
@@ -5394,6 +5512,9 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dinf_flow_accumulation": q_dinf_flow_accum,
         "buffer_raster": q_buffer_raster,
         "fill_depressions": q_fill_depressions,
+        "fill_depressions_wang_liu": q_fill_wang_liu,
+        "fill_depressions_planchon_darboux": q_fill_planchon_darboux,
+        "flow_accumulation_full_workflow": q_flow_accumulation_full_workflow,
         "breach_depressions": q_breach_depressions,
         "breach_depressions_least_cost": q_breach_least_cost,
         "flood_order": q_flood_order,
@@ -5499,6 +5620,12 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classify_buildings": q_classify_buildings,
         "lidar_info": q_lidar_info,
         "lidar_join": q_lidar_join,
+        "lidar_idw_interpolation": q_lidar_idw_interpolation,
+        "lidar_nn_gridding": q_lidar_nn_gridding,
+        "lidar_tin_gridding": q_lidar_tin_gridding,
+        "lidar_construct_vector_tin": q_lidar_construct_vector_tin,
+        "lidar_classify_subset": q_lidar_classify_subset,
+        "lidar_normal_vectors": q_lidar_normal_vectors,
         "feature_preserving_smoothing": q_feature_preserving_smoothing,
         "drainage_preserving_smoothing": q_drainage_preserving_smoothing,
         "remove_off_terrain_objects": q_remove_off_terrain_objects,
@@ -5708,10 +5835,11 @@ t AS (SELECT point_id, {tcol} AS tile_col, {trow} AS tile_row, {tile} AS tile FR
     return base + "SELECT point_id, tile_col, tile_row, tile FROM t"
 
 
-def _nn_sql() -> str:
+def _nn_sql(points_cte: str | None = None) -> str:
     g = NN_GRID
+    pts = points_cte or _supp_points_cte()
     return f"""
-WITH p AS ({_supp_points_cte()}),
+WITH p AS ({pts}),
 g AS (SELECT CAST(r AS BIGINT) AS row, CAST(c AS BIGINT) AS col,
              {g.west!r} + (c + 0.5) * {g.res_x!r} AS x,
              {g.north!r} - (r + 0.5) * {g.res_y!r} AS y
@@ -5724,10 +5852,11 @@ SELECT row, col, z AS value FROM d WHERE rn = 1
 """
 
 
-def _idw_sql() -> str:
+def _idw_sql(points_cte: str | None = None) -> str:
     g = NN_GRID
+    pts = points_cte or _supp_points_cte()
     return f"""
-WITH p AS ({_supp_points_cte()}),
+WITH p AS ({pts}),
 g AS (SELECT CAST(r AS BIGINT) AS row, CAST(c AS BIGINT) AS col,
              {g.west!r} + (c + 0.5) * {g.res_x!r} AS x,
              {g.north!r} - (r + 0.5) * {g.res_y!r} AS y
@@ -6280,6 +6409,16 @@ FROM ({_PART_RASTER_SQL}) WHERE value IS NOT NULL
         "lines_to_raster": _lines_to_raster_sql(),
         "singlepart_to_multipart": _sp_to_mp_sql(),
         "fill_depressions": _hyd.fill_depressions_oracle_sql(_NOISE_RASTER_SQL),
+        "fill_depressions_wang_liu": _hyd.fill_depressions_oracle_sql(_DENSE20_SQL),
+        "fill_depressions_planchon_darboux": _hyd.fill_depressions_oracle_sql(
+            _VALLEY_DEM_SQL
+        ),
+        "flow_accumulation_full_workflow": _hyd.d8_flow_accum_oracle_sql(
+            "SELECT row, col, value FROM ("
+            + _hyd.fill_depressions_oracle_sql(_DENSE20_SQL)
+            + ") __filled",
+            EXTRACT_GRID,
+        ),
         "breach_depressions": _breach_oracle(),
         "flood_order": _hyd.flood_order_oracle_sql(_NOISE_RASTER_SQL),
         "impoundment_size_index": __import__(
@@ -6534,6 +6673,20 @@ SELECT row, col, round((value - mn) / (mx - mn), 6) AS value FROM dem CROSS JOIN
         # so the DSM of the fixture IS the plane raster (same oracle)
         "lidar_dsm": _tin_gridding_sql(),
         "classify_buildings": _classify_buildings_sql(),
+        "lidar_idw_interpolation": _idw_sql(
+            "SELECT point_id, x AS px, y AS py, z FROM ("
+            + _order_cloud_cte() + ") WHERE point_id % 5 = 0"
+        ),
+        "lidar_nn_gridding": _nn_sql(
+            "SELECT point_id, x AS px, y AS py, z FROM ("
+            + _order_cloud_cte() + ") WHERE point_id % 5 = 0"
+        ),
+        "lidar_tin_gridding": _tin_gridding_sql(),
+        "lidar_classify_subset": _lidar_classify_subset_sql(),
+        "lidar_normal_vectors": _lidar.lidar_normal_vectors_oracle_sql(
+            _order_cloud_cte() + " WHERE o_orderkey % 10 = 0",
+            radius=60.0, quantize=(1e3, 1e3, 1e5),
+        ),
         "lidar_info": _lidar.lidar_info_oracle_sql(_order_cloud_cte()),
         "lidar_join": _lidar.lidar_info_oracle_sql(
             _order_cloud_cte() + " WHERE o_orderkey % 3 IN (0, 1)"

@@ -1472,3 +1472,142 @@ def segmentation_based_filter(
         if done:
             break
     return state.select("point_id", F.col("ground").alias("is_ground"))
+
+
+_HS_UNIT = {
+    "ux": "na / sqrt(na * na + nb * nb + nc * nc)",
+    "uy": "nb / sqrt(na * na + nb * nb + nc * nc)",
+    "uz": "nc / sqrt(na * na + nb * nb + nc * nc)",
+}
+
+
+def lidar_normal_vectors(
+    points: DataFrame, *, radius: float, quantize: tuple | None = None,
+) -> DataFrame:
+    """NormalVectors (lidar_analysis/normal_vectors.rs): the unit
+    least-squares plane normal of each point's 3-D radius neighborhood
+    (plane_from_points — the same covariance fit as lidar_hillshade, which
+    this reuses; n<3 neighborhoods emit the reference's zero vector).
+    quantize as in lidar_hillshade for engine-invariant moments.
+    -> (point_id, ux, uy, uz)."""
+    # reuse lidar_hillshade's stats pipeline up to the na/nb/nc columns by
+    # replicating its neighbor join + moment aggregation
+    r = float(radius)
+    src = points.select(
+        "point_id", "x", "y", "z",
+        F.floor(F.col("x") / r).cast("long").alias("bx"),
+        F.floor(F.col("y") / r).cast("long").alias("by"),
+    )
+    spark = points.sparkSession
+    offs = spark.createDataFrame(
+        [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)], "dx int, dy int"
+    )
+    probes = src.crossJoin(F.broadcast(offs)).select(
+        "point_id", "x", "y", "z",
+        (F.col("bx") + F.col("dx")).alias("bx"),
+        (F.col("by") + F.col("dy")).alias("by"),
+    )
+    nb = probes.join(
+        src.select(
+            F.col("point_id").alias("nid"), F.col("x").alias("nx"),
+            F.col("y").alias("ny"), F.col("z").alias("nz"), "bx", "by",
+        ),
+        ["bx", "by"],
+    ).filter(
+        (F.col("x") - F.col("nx")) * (F.col("x") - F.col("nx"))
+        + (F.col("y") - F.col("ny")) * (F.col("y") - F.col("ny"))
+        + (F.col("z") - F.col("nz")) * (F.col("z") - F.col("nz"))
+        <= F.lit(r * r)
+    )
+    if quantize is not None:
+        qsx, qsy, qsz = (float(v) for v in quantize)
+
+        def qd(col, ncol, s):
+            return (
+                F.round(F.col(ncol) * s).cast("long")
+                - F.round(F.col(col) * s).cast("long")
+            )
+
+        d = nb.select(
+            "point_id",
+            qd("x", "nx", qsx).alias("dx"), qd("y", "ny", qsy).alias("dy"),
+            qd("z", "nz", qsz).alias("dz"),
+        )
+        stats = d.groupBy("point_id").agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum("dx").alias("sdx"), F.sum("dy").alias("sdy"),
+            F.sum("dz").alias("sdz"),
+            F.sum(F.col("dx") * F.col("dx")).alias("sdxx"),
+            F.sum(F.col("dx") * F.col("dy")).alias("sdxy"),
+            F.sum(F.col("dx") * F.col("dz")).alias("sdxz"),
+            F.sum(F.col("dy") * F.col("dy")).alias("sdyy"),
+            F.sum(F.col("dy") * F.col("dz")).alias("sdyz"),
+            F.sum(F.col("dz") * F.col("dz")).alias("sdzz"),
+        )
+        moments = _hs_moments_q(qsx, qsy, qsz)
+    else:
+        stats = nb.groupBy("point_id").agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum("nx").alias("sx"), F.sum("ny").alias("sy"), F.sum("nz").alias("sz"),
+            F.sum(F.col("nx") * F.col("nx")).alias("sxx"),
+            F.sum(F.col("nx") * F.col("ny")).alias("sxy"),
+            F.sum(F.col("nx") * F.col("nz")).alias("sxz"),
+            F.sum(F.col("ny") * F.col("ny")).alias("syy"),
+            F.sum(F.col("ny") * F.col("nz")).alias("syz"),
+            F.sum(F.col("nz") * F.col("nz")).alias("szz"),
+        )
+        moments = _HS_MOMENTS
+    for k, expr in moments.items():
+        stats = stats.withColumn(k, F.expr(expr))
+    for k, expr in _HS_DETS.items():
+        stats = stats.withColumn(k, F.expr(expr))
+    for k, expr in _HS_ABC.items():
+        stats = stats.withColumn(k, F.expr(expr))
+    zero = (F.col("na") == 0.0) & (F.col("nb") == 0.0) & (F.col("nc") == 0.0)
+    out = stats
+    for k, expr in _HS_UNIT.items():
+        out = out.withColumn(k, F.when(zero, F.lit(0.0)).otherwise(F.expr(expr)))
+    return out.select(
+        "point_id", F.round("ux", 9).alias("ux"), F.round("uy", 9).alias("uy"),
+        F.round("uz", 9).alias("uz"),
+    )
+
+
+def lidar_normal_vectors_oracle_sql(
+    cloud_sql: str, *, radius: float, quantize: tuple,
+) -> str:
+    qsx, qsy, qsz = (float(v) for v in quantize)
+    r2 = float(radius) ** 2
+    pr_cols = (
+        f"CAST(round(b.x * {qsx!r}) AS BIGINT) - CAST(round(a.x * {qsx!r}) AS BIGINT) AS dx, "
+        f"CAST(round(b.y * {qsy!r}) AS BIGINT) - CAST(round(a.y * {qsy!r}) AS BIGINT) AS dy, "
+        f"CAST(round(b.z * {qsz!r}) AS BIGINT) - CAST(round(a.z * {qsz!r}) AS BIGINT) AS dz"
+    )
+    moments = ", ".join(f"{e} AS {k}" for k, e in _hs_moments_q(qsx, qsy, qsz).items())
+    dets = ", ".join(f"{e} AS {k}" for k, e in _HS_DETS.items())
+    abc = ", ".join(f"{e} AS {k}" for k, e in _HS_ABC.items())
+    unit = ", ".join(
+        f"CASE WHEN na = 0.0 AND nb = 0.0 AND nc = 0.0 THEN 0.0 ELSE {e} END AS {k}"
+        for k, e in _HS_UNIT.items()
+    )
+    return f"""
+WITH pts AS ({cloud_sql}),
+pr AS (
+  SELECT a.point_id AS pid, {pr_cols}
+  FROM pts a JOIN pts b
+    ON (a.x - b.x)*(a.x - b.x) + (a.y - b.y)*(a.y - b.y)
+       + (a.z - b.z)*(a.z - b.z) <= {r2!r}
+),
+st0 AS (
+  SELECT pid AS point_id, CAST(count(*) AS DOUBLE) AS n,
+         SUM(dx) AS sdx, SUM(dy) AS sdy, SUM(dz) AS sdz,
+         SUM(dx*dx) AS sdxx, SUM(dx*dy) AS sdxy, SUM(dx*dz) AS sdxz,
+         SUM(dy*dy) AS sdyy, SUM(dy*dz) AS sdyz, SUM(dz*dz) AS sdzz
+  FROM pr GROUP BY pid
+),
+st1 AS (SELECT *, {moments} FROM st0),
+st2 AS (SELECT *, {dets} FROM st1),
+st3 AS (SELECT *, {abc} FROM st2)
+SELECT point_id, round(ux, 9) AS ux, round(uy, 9) AS uy, round(uz, 9) AS uz
+FROM (SELECT point_id, {unit} FROM st3) t
+"""
