@@ -2395,6 +2395,171 @@ def q_raster_to_vector_lines(spark, sf_dir):
     return raster_to_vector_lines(streams, STREAM_GRID)
 
 
+_ICNA_B_SQL = (
+    "SELECT row, col, value * 0.5 + CAST((row * 13 + col * 7) % 23 AS DOUBLE) * 9.0 "
+    f"AS value FROM ({_PART_RASTER_SQL})"
+)
+
+
+def q_image_correlation_neighbourhood(spark, sf_dir):
+    """ImageCorrelationNeighbourhoodAnalysis (math_stat_analysis/
+    image_correlation_neighbourhood_analysis.rs, pearson): windowed local
+    Pearson r + t statistic between the part raster and a correlated
+    derived raster (the p-value is a pure function of (r, t, df) — the
+    incomplete-beta conversion is the only omission, documented)."""
+    from whitebox_tools_spark.operators.stats import image_correlation_neighbourhood
+
+    a = _part_raster(spark, sf_dir)
+    b = a.select(
+        "row", "col",
+        (F.col("value") * 0.5
+         + ((F.col("row") * 13 + F.col("col") * 7) % 23).cast("double") * 9.0
+         ).alias("value"),
+    )
+    out = image_correlation_neighbourhood(a, b, filter_size=7)
+    return out.select(
+        "row", "col", F.round("r", 6).alias("r"),
+        F.round("tstat", 4).alias("tstat"), "df",
+    )
+
+
+def q_attribute_correlation_neighbourhood(spark, sf_dir):
+    """AttributeCorrelationNeighbourhoodAnalysis (math_stat_analysis/
+    attribute_correlation_neighbourhood_analysis.rs, pearson): per-point
+    Pearson r between two synthetic attributes over the radius-80
+    neighborhood of the customer points."""
+    from whitebox_tools_spark.operators.stats import (
+        attribute_correlation_neighbourhood,
+    )
+
+    x, y = synth.point_exprs(F.col("c_custkey"))
+    pts = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("point_id"), x.alias("x"), y.alias("y"),
+        F.col("c_acctbal").alias("f1"),
+        (F.col("c_custkey") % 97).cast("double").alias("f2"),
+    )
+    return attribute_correlation_neighbourhood(
+        pts, field1="f1", field2="f2", radius=80.0, min_points=3
+    ).select("point_id", F.round("r", 6).alias("r"), "n")
+
+
+def _acna_sql() -> str:
+    from whitebox_tools_spark.operators.stats import (
+        attribute_correlation_neighbourhood_oracle_sql,
+    )
+
+    x, y = synth.point_sql("c_custkey")
+    pts = (
+        f"SELECT c_custkey AS point_id, {x} AS x, {y} AS y, "
+        f"c_acctbal AS f1, CAST(c_custkey % 97 AS DOUBLE) AS f2 FROM customer"
+    )
+    return attribute_correlation_neighbourhood_oracle_sql(
+        pts, radius=80.0, min_points=3
+    )
+
+
+def q_attribute_scattergram(spark, sf_dir):
+    """AttributeScattergram (math_stat_analysis/attribute_scattergram.rs):
+    paired attribute values + the least-squares trendline row."""
+    from whitebox_tools_spark.operators.stats import attribute_scattergram
+
+    t = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("point_id"),
+        F.col("s_acctbal").alias("bal"),
+        (F.col("s_suppkey") % 53).cast("double").alias("k"),
+    )
+    return attribute_scattergram(t, fieldx="k", fieldy="bal")
+
+
+_SCATTER_SQL = """
+WITH t AS (SELECT s_suppkey AS point_id, CAST(s_suppkey % 53 AS DOUBLE) AS xval,
+                  s_acctbal AS yval FROM supplier),
+st AS (SELECT CAST(count(*) AS DOUBLE) AS n, SUM(xval) AS sx, SUM(yval) AS sy,
+              SUM(xval * yval) AS sxy, SUM(xval * xval) AS sxx FROM t)
+SELECT point_id, xval, yval FROM t
+UNION ALL
+SELECT CAST(-1 AS BIGINT),
+       round((sxy - sx * sy / n) / (sxx - sx * sx / n), 6),
+       round((sy - (sxy - sx * sy / n) / (sxx - sx * sx / n) * sx) / n, 6)
+FROM st
+"""
+
+
+def q_split_vector_lines(spark, sf_dir):
+    """split_vector_lines plugin: greedy max-length line splitting with
+    interpolated break vertices; oracle = independent python splitter
+    literals over the deterministic profile polylines."""
+    from whitebox_tools_spark.operators.vector_ops import split_vector_lines
+
+    lines = spark.createDataFrame(
+        _PROFILE_LINES, "line_id long, xs array<double>, ys array<double>"
+    )
+    out = split_vector_lines(lines, length=17.0)
+    return out.select("line_id", "part_idx", "n_vertices",
+                      F.round("seg_len", 6).alias("seg_len"))
+
+
+def _split_lines_sql() -> str:
+    import math as _m
+
+    rows = []
+    L = 17.0
+    for lid, xs, ys in _PROFILE_LINES:
+        pts = [(xs[0], ys[0])]
+        dist, part, i = 0.0, 0, 1
+        while i < len(xs):
+            x1, y1 = pts[-1]
+            x2, y2 = xs[i], ys[i]
+            d = _m.hypot(x2 - x1, y2 - y1)
+            if dist + d <= L and d > 0.0:
+                pts.append((x2, y2)); dist += d
+            elif d > 0.0:
+                ratio = (L - dist) / d
+                bx, by = x1 + ratio * (x2 - x1), y1 + ratio * (y2 - y1)
+                pts.append((bx, by))
+                rows.append((lid, part, len(pts), L))
+                part += 1; pts = [(bx, by)]; dist = 0.0; i -= 1
+            i += 1
+        if len(pts) > 1:
+            rows.append((lid, part, len(pts), _round_half_up(dist)))
+    vals = ", ".join(f"({a}, {b}, {c}, {d!r})" for a, b, c, d in rows)
+    return (
+        "SELECT CAST(line_id AS BIGINT) AS line_id, CAST(part_idx AS BIGINT) AS part_idx, "
+        "CAST(n_vertices AS BIGINT) AS n_vertices, CAST(seg_len AS DOUBLE) AS seg_len "
+        f"FROM (VALUES {vals}) t(line_id, part_idx, n_vertices, seg_len)"
+    )
+
+
+def q_centroid_vector(spark, sf_dir):
+    """CentroidVector (gis_analysis/centroid_vector.rs:235-280): the
+    vertex-mean centroid of each polygon feature (all parts' vertices)."""
+    parts = _parts_df(spark)
+    v = parts.select(
+        "poly_id", F.explode(F.arrays_zip("xs", "ys")).alias("p")
+    ).select("poly_id", F.col("p.xs").alias("x"), F.col("p.ys").alias("y"))
+    return v.groupBy("poly_id").agg(
+        F.round(F.avg("x"), 6).alias("cx"), F.round(F.avg("y"), 6).alias("cy")
+    )
+
+
+def _centroid_vector_sql() -> str:
+    rows = []
+    for pid, parts in PARTS:
+        xs, ys = [], []
+        for pxs, pys, _hole in parts:
+            xs.extend(float(v) for v in pxs)
+            ys.extend(float(v) for v in pys)
+        rows.append(
+            f"({pid}, {_round_half_up(sum(xs) / len(xs))!r}, "
+            f"{_round_half_up(sum(ys) / len(ys))!r})"
+        )
+    return (
+        "SELECT CAST(poly_id AS BIGINT) AS poly_id, CAST(cx AS DOUBLE) AS cx, "
+        "CAST(cy AS DOUBLE) AS cy FROM (VALUES " + ", ".join(rows)
+        + ") t(poly_id, cx, cy)"
+    )
+
+
 def q_buffer_raster(spark, sf_dir):
     """BufferRaster (gis_analysis/buffer_raster.rs:210-221): 1.0 within the
     buffer distance of any non-background cell, exact nearest-source
@@ -5629,6 +5794,11 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feature_preserving_smoothing": q_feature_preserving_smoothing,
         "drainage_preserving_smoothing": q_drainage_preserving_smoothing,
         "remove_off_terrain_objects": q_remove_off_terrain_objects,
+        "image_correlation_neighbourhood": q_image_correlation_neighbourhood,
+        "attribute_correlation_neighbourhood": q_attribute_correlation_neighbourhood,
+        "attribute_scattergram": q_attribute_scattergram,
+        "centroid_vector": q_centroid_vector,
+        "split_vector_lines": q_split_vector_lines,
         "voronoi_diagram": q_voronoi_diagram,
         "profile": q_profile,
         "contours_from_points": q_contours_from_points,
@@ -6666,6 +6836,13 @@ SELECT row, col, round((value - mn) / (mx - mn), 6) AS value FROM dem CROSS JOIN
         ),
         "voronoi_diagram": _voronoi_sql(),
         "remove_off_terrain_objects": _roto_sql(),
+        "image_correlation_neighbourhood": ST.image_correlation_neighbourhood_oracle_sql(
+            _PART_RASTER_SQL, _ICNA_B_SQL, filter_size=7
+        ),
+        "attribute_correlation_neighbourhood": _acna_sql(),
+        "attribute_scattergram": _SCATTER_SQL,
+        "centroid_vector": _centroid_vector_sql(),
+        "split_vector_lines": _split_lines_sql(),
         "profile": _profile_sql(),
         "contours_from_points": _contours_points_sql(),
         "merge_line_segments": _merge_lines_sql(),

@@ -156,3 +156,29 @@ def test_height_above_ground(spark):
         d2 = [(gx - x) ** 2 + (gy - y) ** 2 for gx, gy, _gz in ground]
         gz = ground[int(np.argmin(d2))][2]
         assert out[i] == pytest.approx(z - gz, abs=1e-9), i
+
+
+def test_las_ascii_roundtrip(spark, tmp_path):
+    from whitebox_tools_spark.lidar_io import (
+        ascii_to_las,
+        las_to_ascii,
+        read_las,
+        write_las,
+    )
+
+    pts = spark.createDataFrame(
+        [(i, 10.0 + i, 20.0 + 2 * i, 5.0 + 0.125 * i, 2 if i % 3 == 0 else 1)
+         for i in range(25)],
+        "point_id long, x double, y double, z double, classification int",
+    )
+    las1 = str(tmp_path / "a.las")
+    write_las(pts, las1)
+    asc = str(tmp_path / "a.csv")
+    las_to_ascii(spark, las1, asc)
+    las2 = str(tmp_path / "b.las")
+    ascii_to_las(spark, asc, las2)
+    a = sorted((round(r.x, 3), round(r.y, 3), round(r.z, 3), r.classification)
+               for r in read_las(spark, las1).collect())
+    b = sorted((round(r.x, 3), round(r.y, 3), round(r.z, 3), r.classification)
+               for r in read_las(spark, las2).collect())
+    assert a == b and len(a) == 25

@@ -148,3 +148,31 @@ def read_las(spark: SparkSession, path: str) -> DataFrame:
                 yield decode_las(bytes(r["content"]), id_base=base)
 
     return files.select("path", "content").mapInPandas(decode, POINT_SCHEMA)
+
+
+def las_to_ascii(spark, las_path: str, ascii_path: str) -> None:
+    """LasToAscii (lidar_analysis/las_to_ascii.rs): dump a LAS file as
+    comma-delimited text (X,Y,Z,intensity,class,return,num_returns header,
+    the reference's column set restricted to the fields this codec
+    carries)."""
+    df = read_las(spark, las_path).orderBy("point_id")
+    with open(ascii_path, "w") as fh:
+        fh.write("X,Y,Z,CLASS\n")
+        for r in df.collect():
+            fh.write(f"{r.x!r},{r.y!r},{r.z!r},{int(r.classification)}\n")
+
+
+def ascii_to_las(spark, ascii_path: str, las_path: str, *, scale: float = 0.001) -> None:
+    """AsciiToLas (lidar_analysis/ascii_to_las.rs): parse X,Y,Z[,CLASS]
+    delimited text into a LAS 1.2 format-0 file via the engine codec."""
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.read.csv(ascii_path, header=True, inferSchema=True)
+        .withColumnRenamed("X", "x").withColumnRenamed("Y", "y")
+        .withColumnRenamed("Z", "z").withColumnRenamed("CLASS", "classification")
+    )
+    if "classification" not in df.columns:
+        df = df.withColumn("classification", F.lit(1))
+    df = df.withColumn("point_id", F.monotonically_increasing_id())
+    write_las(df, las_path, scale=scale)

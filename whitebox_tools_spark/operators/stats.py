@@ -725,3 +725,205 @@ SELECT bin, round(rel_elev, 6) AS rel_elev,
        round(CASE WHEN bin = 100 THEN 0.0001 ELSE ra END, 6) AS rel_area
 FROM cum
 """
+
+
+def image_correlation_neighbourhood(
+    a: DataFrame, b: DataFrame, *, filter_size: int = 11
+) -> DataFrame:
+    """ImageCorrelationNeighbourhoodAnalysis (math_stat_analysis/
+    image_correlation_neighbourhood_analysis.rs, pearson mode): per-cell
+    Pearson r between two rasters over the filter window (cells valid in
+    BOTH rasters), plus the t statistic r*sqrt(df/(1-r^2)) with df = n-2
+    (the reference converts t to a p-value with the incomplete beta; the
+    deterministic (r, t, df) triple is exposed instead — the p-value is a
+    pure function of it). -> (row, col, r, tstat, df)."""
+    spark = a.sparkSession
+    mid = max(int(filter_size), 3) // 2
+    pair = (
+        a.filter(F.col("value").isNotNull())
+        .select("row", "col", F.col("value").alias("va"))
+        .join(
+            b.filter(F.col("value").isNotNull())
+            .select("row", "col", F.col("value").alias("vb")),
+            ["row", "col"],
+        )
+    )
+    offs = F.broadcast(spark.createDataFrame(
+        [(dy, dx) for dy in range(-mid, mid + 1) for dx in range(-mid, mid + 1)],
+        "dy int, dx int",
+    ))
+    sc = (
+        pair.crossJoin(offs)
+        .select(
+            (F.col("row") - F.col("dy")).alias("row"),
+            (F.col("col") - F.col("dx")).alias("col"),
+            "va", "vb",
+        )
+        .groupBy("row", "col")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum("va").alias("sa"), F.sum("vb").alias("sb"),
+            F.sum(F.col("va") * F.col("vb")).alias("sab"),
+            F.sum(F.col("va") * F.col("va")).alias("saa"),
+            F.sum(F.col("vb") * F.col("vb")).alias("sbb"),
+        )
+    )
+    num = F.col("sab") - F.col("sa") * F.col("sb") / F.col("n")
+    den = F.sqrt(
+        (F.col("saa") - F.col("sa") * F.col("sa") / F.col("n"))
+        * (F.col("sbb") - F.col("sb") * F.col("sb") / F.col("n"))
+    )
+    r = F.when((F.col("n") > 2.0) & (den > 0.0), num / den)
+    out = pair.select("row", "col").join(sc, ["row", "col"]).withColumn("r", r)
+    t = F.when(
+        F.col("r").isNotNull() & (F.abs(F.col("r")) < 1.0),
+        F.col("r") * F.sqrt((F.col("n") - 2.0) / (1.0 - F.col("r") * F.col("r"))),
+    )
+    return out.select(
+        "row", "col", "r", t.alias("tstat"), (F.col("n") - 2.0).alias("df")
+    )
+
+
+def image_correlation_neighbourhood_oracle_sql(
+    a_sql: str, b_sql: str, *, filter_size: int = 11
+) -> str:
+    mid = max(int(filter_size), 3) // 2
+    return f"""
+WITH pair AS MATERIALIZED (
+  SELECT a.row, a.col, a.value AS va, b.value AS vb
+  FROM ({a_sql}) a JOIN ({b_sql}) b ON b.row = a.row AND b.col = a.col
+  WHERE a.value IS NOT NULL AND b.value IS NOT NULL
+),
+st AS (
+  SELECT p.row, p.col, CAST(count(*) AS DOUBLE) AS n,
+         SUM(q.va) AS sa, SUM(q.vb) AS sb, SUM(q.va * q.vb) AS sab,
+         SUM(q.va * q.va) AS saa, SUM(q.vb * q.vb) AS sbb
+  FROM pair p JOIN pair q
+    ON q.row BETWEEN p.row - {mid} AND p.row + {mid}
+   AND q.col BETWEEN p.col - {mid} AND p.col + {mid}
+  GROUP BY p.row, p.col
+)
+SELECT row, col,
+       round(CASE WHEN n > 2.0 AND (saa - sa * sa / n) * (sbb - sb * sb / n) > 0.0
+             THEN (sab - sa * sb / n)
+                  / sqrt((saa - sa * sa / n) * (sbb - sb * sb / n)) END, 6) AS r,
+       round(CASE WHEN n > 2.0 AND (saa - sa * sa / n) * (sbb - sb * sb / n) > 0.0
+                   AND abs((sab - sa * sb / n)
+                       / sqrt((saa - sa * sa / n) * (sbb - sb * sb / n))) < 1.0
+             THEN ((sab - sa * sb / n) / sqrt((saa - sa * sa / n) * (sbb - sb * sb / n)))
+                  * sqrt((n - 2.0) / (1.0 - power((sab - sa * sb / n)
+                        / sqrt((saa - sa * sa / n) * (sbb - sb * sb / n)), 2))) END, 4)
+         AS tstat,
+       n - 2.0 AS df
+FROM st
+"""
+
+
+def attribute_correlation_neighbourhood(
+    points: DataFrame, *, field1: str, field2: str, radius: float,
+    min_points: int = 3,
+) -> DataFrame:
+    """AttributeCorrelationNeighbourhoodAnalysis (math_stat_analysis/
+    attribute_correlation_neighbourhood_analysis.rs, pearson mode): per
+    point feature, Pearson r between two attribute fields over the radius
+    neighborhood (self included; fewer than min_points neighbors -> null).
+    -> (point_id, r, n)."""
+    r = float(radius)
+    src = points.select(
+        "point_id", "x", "y",
+        F.col(field1).cast("double").alias("f1"),
+        F.col(field2).cast("double").alias("f2"),
+        F.floor(F.col("x") / r).cast("long").alias("bx"),
+        F.floor(F.col("y") / r).cast("long").alias("by"),
+    )
+    spark = points.sparkSession
+    offs = spark.createDataFrame(
+        [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)], "dx int, dy int"
+    )
+    probes = src.crossJoin(F.broadcast(offs)).select(
+        "point_id", "x", "y",
+        (F.col("bx") + F.col("dx")).alias("bx"),
+        (F.col("by") + F.col("dy")).alias("by"),
+    )
+    pairs = probes.join(
+        src.select(
+            F.col("x").alias("nx"), F.col("y").alias("ny"),
+            F.col("f1").alias("n1"), F.col("f2").alias("n2"), "bx", "by",
+        ),
+        ["bx", "by"],
+    ).filter(
+        (F.col("x") - F.col("nx")) * (F.col("x") - F.col("nx"))
+        + (F.col("y") - F.col("ny")) * (F.col("y") - F.col("ny"))
+        <= F.lit(r * r)
+    )
+    st = pairs.groupBy("point_id").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("n1").alias("s1"), F.sum("n2").alias("s2"),
+        F.sum(F.col("n1") * F.col("n2")).alias("s12"),
+        F.sum(F.col("n1") * F.col("n1")).alias("s11"),
+        F.sum(F.col("n2") * F.col("n2")).alias("s22"),
+    )
+    num = F.col("s12") - F.col("s1") * F.col("s2") / F.col("n")
+    den = F.sqrt(
+        (F.col("s11") - F.col("s1") * F.col("s1") / F.col("n"))
+        * (F.col("s22") - F.col("s2") * F.col("s2") / F.col("n"))
+    )
+    return st.select(
+        "point_id",
+        F.when((F.col("n") >= float(min_points)) & (den > 0.0), num / den).alias("r"),
+        F.col("n").cast("long").alias("n"),
+    )
+
+
+def attribute_correlation_neighbourhood_oracle_sql(
+    points_sql: str, *, radius: float, min_points: int = 3
+) -> str:
+    """points_sql must expose (point_id, x, y, f1, f2)."""
+    r2 = float(radius) ** 2
+    return f"""
+WITH pts AS ({points_sql}),
+st AS (
+  SELECT a.point_id, CAST(count(*) AS DOUBLE) AS n,
+         SUM(b.f1) AS s1, SUM(b.f2) AS s2, SUM(b.f1 * b.f2) AS s12,
+         SUM(b.f1 * b.f1) AS s11, SUM(b.f2 * b.f2) AS s22
+  FROM pts a JOIN pts b
+    ON (a.x - b.x)*(a.x - b.x) + (a.y - b.y)*(a.y - b.y) <= {r2!r}
+  GROUP BY a.point_id
+)
+SELECT point_id,
+       round(CASE WHEN n >= {float(min_points)!r}
+              AND (s11 - s1 * s1 / n) * (s22 - s2 * s2 / n) > 0.0
+             THEN (s12 - s1 * s2 / n)
+                  / sqrt((s11 - s1 * s1 / n) * (s22 - s2 * s2 / n)) END, 6) AS r,
+       CAST(n AS BIGINT) AS n
+FROM st
+"""
+
+
+def attribute_scattergram(
+    table: DataFrame, *, fieldx: str, fieldy: str
+) -> DataFrame:
+    """AttributeScattergram (math_stat_analysis/attribute_scattergram.rs):
+    the paired attribute values plus the least-squares trendline the tool
+    plots — one summary row (slope, intercept, pearson r) is appended with
+    point_id = -1. -> (point_id, xval, yval)."""
+    pts = table.select(
+        F.col("point_id"),
+        F.col(fieldx).cast("double").alias("xval"),
+        F.col(fieldy).cast("double").alias("yval"),
+    )
+    st = pts.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("xval").alias("sx"), F.sum("yval").alias("sy"),
+        F.sum(F.col("xval") * F.col("yval")).alias("sxy"),
+        F.sum(F.col("xval") * F.col("xval")).alias("sxx"),
+    )
+    slope = (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")) / (
+        F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")
+    )
+    trend = st.select(
+        F.lit(-1).cast("long").alias("point_id"),
+        F.round(slope, 6).alias("xval"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias("yval"),
+    )
+    return pts.unionByName(trend)
