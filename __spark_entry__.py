@@ -5028,6 +5028,22 @@ def q_clump(spark, sf_dir):
     return clump(cells)
 
 
+def q_modified_kmeans(spark, sf_dir):
+    """ModifiedKMeansClustering (image_analysis/
+    modified_k_means_clustering.rs): Lloyd with per-iteration merging of
+    centres closer than merge_dist (class count only shrinks). Rows-only;
+    the merge/assignment contract is pinned against a serial python
+    transcription in tests/test_operators.py."""
+    from whitebox_tools_spark.operators.ml import modified_kmeans
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", *[F.col("embedding")[i].cast("double").alias(f"f{i}") for i in range(4)]
+    )
+    out = modified_kmeans(emb, [f"f{i}" for i in range(4)], id_col="vec_id",
+                          start_clusters=12, merge_dist=0.5, iters=6)
+    return out.select("vec_id", F.col("cluster").cast("long").alias("cluster"))
+
+
 def q_kmeans(spark, sf_dir):
     """KMeansClustering (image_analysis/k_means_clustering.rs — plain Lloyd
     with fixed iterations): deterministic distributed Lloyd's with
@@ -5906,6 +5922,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shape_complexity_index_raster": q_shape_complexity_index_raster,
         "narrowness_index": q_narrowness_index,
         "kmeans_clustering": q_kmeans,
+        "modified_kmeans_clustering": q_modified_kmeans,
         "pca": q_pca,
         "lidar_point_stats": q_lidar_point_stats,
         "lidar_thin": q_lidar_thin,

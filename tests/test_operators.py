@@ -144,3 +144,75 @@ def test_minimum_bounding_box(spark):
     r = minimum_bounding_box_per_feature(parts).collect()[0]
     assert abs(r.mbb_area - 2.0) < 1e-9
     assert len(r.mbb_xs) == 4
+
+
+def test_modified_kmeans_matches_serial(spark):
+    """Serial python transcription of the same deterministic contract
+    (min-id seeding, 9-dp centroid rounding, lexicographic ties, union-find
+    merge of centres under merge_dist)."""
+    import numpy as np
+
+    from whitebox_tools_spark.operators.ml import modified_kmeans
+
+    rng = np.random.default_rng(13)
+    centers = np.array([[0.0, 0.0], [4.0, 4.0], [4.2, 4.2], [9.0, 0.0]])
+    pts = []
+    for i in range(120):
+        c = centers[i % 4]
+        pts.append((i, float(c[0] + rng.normal(0, 0.2)),
+                    float(c[1] + rng.normal(0, 0.2))))
+    df = spark.createDataFrame(pts, "vec_id long, f0 double, f1 double")
+    got = {r.vec_id: r.cluster for r in
+           modified_kmeans(df, ["f0", "f1"], id_col="vec_id",
+                           start_clusters=8, merge_dist=1.0, iters=5).collect()}
+
+    data = {i: (x, y) for i, x, y in pts}
+    cent = [(i, 1.0, *data[i]) for i in range(8)]
+
+    def merge(rows, md):
+        rows = sorted(rows)
+        parent = {r[0]: r[0] for r in rows}
+
+        def find(u):
+            while parent[u] != u:
+                parent[u] = parent[parent[u]]
+                u = parent[u]
+            return u
+
+        for i in range(len(rows)):
+            for j in range(i + 1, len(rows)):
+                if (rows[i][2] - rows[j][2]) ** 2 + (rows[i][3] - rows[j][3]) ** 2 < md * md:
+                    ra, rb = find(rows[i][0]), find(rows[j][0])
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+        groups = {}
+        for r in rows:
+            groups.setdefault(find(r[0]), []).append(r)
+        out = []
+        for gid in sorted(groups):
+            mem = groups[gid]
+            tot = sum(m[1] for m in mem)
+            out.append((min(m[0] for m in mem), tot,
+                        round(sum(m[1] * m[2] for m in mem) / tot, 9),
+                        round(sum(m[1] * m[3] for m in mem) / tot, 9)))
+        return out
+
+    for _ in range(5):
+        assign = {}
+        for i, (x, y) in data.items():
+            best = min(((x - cx) ** 2 + (y - cy) ** 2, cl) for cl, _n, cx, cy in cent)
+            assign[i] = best[1]
+        rows = []
+        for cl in sorted({v for v in assign.values()}):
+            mem = [data[i] for i in assign if assign[i] == cl]
+            rows.append((cl, float(len(mem)),
+                         round(sum(m[0] for m in mem) / len(mem), 9),
+                         round(sum(m[1] for m in mem) / len(mem), 9)))
+        cent = merge(rows, 1.0)
+    want = {}
+    for i, (x, y) in data.items():
+        best = min(((x - cx) ** 2 + (y - cy) ** 2, cl) for cl, _n, cx, cy in cent)
+        want[i] = best[1]
+    assert got == want
+    # clusters 4.0 and 4.2 merged -> exactly 3 final classes
+    assert len(set(got.values())) == 3

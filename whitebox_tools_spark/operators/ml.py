@@ -168,3 +168,98 @@ def lloyd_kmeans_oracle_sql(
         + ",\n".join(parts)
         + f"\nSELECT _id AS {id_col}, cluster FROM ({assign(prev, keep_features=False)})"
     )
+
+
+def modified_kmeans(
+    wide: DataFrame,
+    feature_cols: list[str],
+    *,
+    id_col: str,
+    start_clusters: int = 25,
+    merge_dist: float = 10.0,
+    iters: int = 8,
+) -> DataFrame:
+    """ModifiedKMeansClustering (image_analysis/
+    modified_k_means_clustering.rs): Lloyd's k-means that starts with an
+    overspecified cluster count and, after every centroid update, MERGES
+    clusters whose centres are closer than merge_dist (so the class count
+    only shrinks). Deterministic contract shared with lloyd_kmeans:
+    min-id seeding, 9-dp-rounded centroid updates, lexicographic
+    assignment ties; merging is a union-find over the tiny k x k centroid
+    table (driver-side — k rows, never data), merged labels take the
+    smallest member id and merged centres the count-weighted mean (9 dp).
+    -> (id, cluster)."""
+    d = wide.select(F.col(id_col).alias("_id"), *feature_cols).dropna()
+    seed_rows = d.orderBy("_id").limit(int(start_clusters))
+    spark = wide.sparkSession
+    cent_rows = [
+        (i, 1.0, *[float(r[c]) for c in feature_cols])
+        for i, r in enumerate(sorted(seed_rows.collect(), key=lambda r: r["_id"]))
+    ]
+    cent = spark.createDataFrame(
+        cent_rows, ["cluster", "_n"] + [f"_c_{c}" for c in feature_cols]
+    )
+
+    def merge_centroids(rows):
+        rows = sorted(rows, key=lambda r: r[0])
+        parent = {r[0]: r[0] for r in rows}
+
+        def find(u):
+            while parent[u] != u:
+                parent[u] = parent[parent[u]]
+                u = parent[u]
+            return u
+
+        md2 = float(merge_dist) ** 2
+        for i in range(len(rows)):
+            for j in range(i + 1, len(rows)):
+                d2 = sum((rows[i][2 + k] - rows[j][2 + k]) ** 2
+                         for k in range(len(feature_cols)))
+                if d2 < md2:
+                    ra, rb = find(rows[i][0]), find(rows[j][0])
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+        groups: dict = {}
+        for r in rows:
+            groups.setdefault(find(r[0]), []).append(r)
+        out = []
+        for gid in sorted(groups):
+            mem = groups[gid]
+            tot = sum(m[1] for m in mem)
+            c = [round(sum(m[1] * m[2 + k] for m in mem) / tot, 9)
+                 for k in range(len(feature_cols))]
+            out.append((min(m[0] for m in mem), float(tot), *c))
+        return out
+
+    for _ in range(int(iters)):
+        dist = sum(
+            (F.col(c) - F.col(f"_c_{c}")) * (F.col(c) - F.col(f"_c_{c}"))
+            for c in feature_cols
+        )
+        assigned = (
+            d.crossJoin(F.broadcast(cent.drop("_n")))
+            .withColumn("_dist", dist)
+            .groupBy("_id", *feature_cols)
+            .agg(F.expr("min_by(cluster, struct(_dist, cluster))").alias("cluster"))
+        )
+        newc = assigned.groupBy("cluster").agg(
+            F.count(F.lit(1)).cast("double").alias("_n"),
+            *[F.round(F.avg(c), 9).alias(f"_c_{c}") for c in feature_cols],
+        )
+        rows = [(int(r["cluster"]), float(r["_n"]),
+                 *[float(r[f"_c_{c}"]) for c in feature_cols])
+                for r in newc.collect()]
+        cent = spark.createDataFrame(
+            merge_centroids(rows), ["cluster", "_n"] + [f"_c_{c}" for c in feature_cols]
+        )
+    dist = sum(
+        (F.col(c) - F.col(f"_c_{c}")) * (F.col(c) - F.col(f"_c_{c}"))
+        for c in feature_cols
+    )
+    final = (
+        d.crossJoin(F.broadcast(cent.drop("_n")))
+        .withColumn("_dist", dist)
+        .groupBy("_id")
+        .agg(F.expr("min_by(cluster, struct(_dist, cluster))").alias("cluster"))
+    )
+    return final.select(F.col("_id").alias(id_col), "cluster")
