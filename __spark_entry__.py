@@ -3696,6 +3696,27 @@ def q_qin_flow_accumulation(spark, sf_dir):
     )
 
 
+def q_cost_pathway(spark, sf_dir):
+    """CostPathway (gis_analysis/cost_pathway.rs): least-cost paths from 3
+    destinations back to the sources over the 20x20 cost surface
+    (rows-only; pinned vs a python Dijkstra backtrace in pytest)."""
+    from whitebox_tools_spark.operators.hydro import cost_pathway
+
+    cost = spark.range(400).select(
+        (F.col("id") / 20).cast("long").alias("row"),
+        (F.col("id") % 20).alias("col"),
+        (((F.col("id") * 48271 + 7) % 1000).cast("double") / 100.0 + 1.0).alias("value"),
+    )
+    sources = spark.createDataFrame([(0, 0), (19, 19)], "row long, col long")
+    dests = spark.createDataFrame([(19, 0), (0, 19), (10, 10)], "row long, col long")
+    out = cost_pathway(
+        cost, sources, dests,
+        GridSpec(west=0.0, north=100.0, res_x=5.0, res_y=5.0, rows=20, cols=20),
+        block=8, direct_threshold=200,
+    )
+    return _r6(out, ["acc"])
+
+
 def q_flood_order(spark, sf_dir):
     """FloodOrder (hydro_analysis/flood_order.rs, Wang-Liu 2006): the
     priority-flood pop rank == rank by (filled elevation, row, col) —
@@ -5705,6 +5726,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mdinf_flow_accumulation": q_mdinf_flow_accumulation,
         "quinn_flow_accumulation": q_quinn_flow_accumulation,
         "rho8_flow_accumulation": q_rho8_flow_accumulation,
+        "cost_pathway": q_cost_pathway,
         "qin_flow_accumulation": q_qin_flow_accumulation,
         "breach_single_cell_pits": q_breach_single_cell_pits,
         "long_profile_from_points": q_long_profile_from_points,

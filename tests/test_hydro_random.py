@@ -856,3 +856,52 @@ def test_quinn_qin_match_serial(spark, which):
             fa[q] += fa[p] * (w / tot)
     for p in cells:
         assert got[p] == pytest.approx(fa[p], rel=1e-9), p
+
+
+def test_cost_pathway_matches_serial(spark):
+    import heapq
+    import math
+
+    from whitebox_tools_spark.operators.hydro import D8_DX, D8_DY, cost_pathway
+
+    rng = np.random.default_rng(71)
+    n = 12
+    vals = rng.uniform(1, 10, (n, n))
+    cost = _dem(spark, vals)
+    g = GridSpec(west=0.0, north=n * 5.0, res_x=5.0, res_y=5.0, rows=n, cols=n)
+    sources = spark.createDataFrame([(0, 0)], "row long, col long")
+    dests = spark.createDataFrame([(11, 11), (2, 10)], "row long, col long")
+    out = cost_pathway(cost, sources, dests, g, block=8, direct_threshold=100)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.dest_id, set()).add((r.row, r.col))
+
+    lens = [math.sqrt(50.0), 5.0, math.sqrt(50.0), 5.0] * 2
+    dist = {(0, 0): 0.0}
+    heap = [(0.0, 0, 0)]
+    while heap:
+        d, r, c = heapq.heappop(heap)
+        if d > dist.get((r, c), float("inf")):
+            continue
+        for i in range(8):
+            rr, cc = r + D8_DY[i], c + D8_DX[i]
+            if 0 <= rr < n and 0 <= cc < n:
+                nd = d + (vals[r][c] + vals[rr][cc]) / 2.0 * lens[i]
+                if nd < dist.get((rr, cc), float("inf")):
+                    dist[(rr, cc)] = nd
+                    heapq.heappush(heap, (nd, rr, cc))
+    for dest in [(11, 11), (2, 10)]:
+        path = [dest]
+        cur = dest
+        while dist[cur] > 0.0:
+            cands = []
+            for i in range(8):
+                p = (cur[0] + D8_DY[i], cur[1] + D8_DX[i])
+                if p in dist:
+                    w = (vals[p[0]][p[1]] + vals[cur[0]][cur[1]]) / 2.0 * lens[i]
+                    if abs(dist[p] + w - dist[cur]) <= 1e-9:
+                        cands.append(p)
+            cur = min(cands)
+            path.append(cur)
+        did = dest[0] * (1 << 31) + dest[1]
+        assert got[did] == set(path), dest

@@ -2630,3 +2630,88 @@ def rho8_flow_accumulation(
     return solve_fa(nodes, block=block, direct_threshold=direct_threshold).select(
         "row", "col", F.col("fa").alias("value")
     )
+
+
+def cost_pathway(
+    cost: DataFrame,
+    sources: DataFrame,
+    destinations: DataFrame,
+    grid: GridSpec,
+    *,
+    block: int = 4096,
+    direct_threshold: int = 2_000_000,
+    max_steps: int = 100_000,
+) -> DataFrame:
+    """CostPathway (gis_analysis/cost_pathway.rs): the least-cost path from
+    each destination cell back to the nearest source over the cost
+    surface. The accumulated-cost surface comes from the hierarchical
+    solver (cost_distance_tiled); the backtrace walks, per destination,
+    to the 8-neighbor satisfying acc(c) == acc(p) + w(p, c) (ties to the
+    lowest (row, col) — the reference follows its backlink raster, whose
+    heap order is unspecified). All destinations advance one step per
+    round, so rounds = longest path length while each round only touches
+    the active path heads. -> (dest_id, row, col, acc)."""
+    from whitebox_tools_spark.distributed import loop_checkpoint
+
+    spark = cost.sparkSession
+    acc = cost_distance_tiled(
+        cost, sources, grid, block=block, direct_threshold=direct_threshold
+    ).select("row", "col", F.col("value").alias("acc")).localCheckpoint(eager=True)
+    c = cost.filter(F.col("value").isNotNull()).select(
+        "row", "col", F.col("value").alias("cost")
+    )
+    lens = _grid_lengths(grid)
+    offsets = F.broadcast(spark.createDataFrame(
+        [(D8_DX[i], D8_DY[i], lens[i]) for i in range(8)], "dx int, dy int, len double"
+    ))
+    carrier = acc.join(c, ["row", "col"])
+    heads = (
+        destinations.select(
+            F.col("row").alias("hrow"), F.col("col").alias("hcol"),
+            (F.col("row") * (1 << 31) + F.col("col")).alias("dest_id"),
+        )
+        .join(carrier.select(F.col("row").alias("hrow"), F.col("col").alias("hcol"),
+                             F.col("acc").alias("hacc")), ["hrow", "hcol"])
+        .localCheckpoint(eager=True)
+    )
+    path = heads.select("dest_id", F.col("hrow").alias("row"),
+                        F.col("hcol").alias("col"), F.col("hacc").alias("acc"))
+    for _ in range(max_steps):
+        live = heads.filter(F.col("hacc") > 0.0)
+        if live.limit(1).isEmpty():
+            break
+        cand = (
+            live.crossJoin(offsets)
+            .select(
+                "dest_id", "hacc",
+                (F.col("hrow") + F.col("dy")).alias("row"),
+                (F.col("hcol") + F.col("dx")).alias("col"),
+                F.col("hrow").alias("crow"), F.col("hcol").alias("ccol"),
+                F.col("len").alias("len"),
+            )
+            .join(carrier, ["row", "col"])
+            .join(
+                c.select(F.col("row").alias("crow"), F.col("col").alias("ccol"),
+                         F.col("cost").alias("ccost")),
+                ["crow", "ccol"],
+            )
+            .filter(
+                F.abs(F.col("acc")
+                      + (F.col("cost") * (F.lit(0.5) * F.col("len"))
+                         + F.col("ccost") * (F.lit(0.5) * F.col("len")))
+                      - F.col("hacc")) <= F.lit(1e-9)
+            )
+            .groupBy("dest_id")
+            .agg(F.min(F.struct("row", "col", "acc")).alias("p"))
+        )
+        heads = cand.select(
+            "dest_id", F.col("p.row").alias("hrow"), F.col("p.col").alias("hcol"),
+            F.col("p.acc").alias("hacc"),
+        ).transform(loop_checkpoint)
+        if heads.limit(1).isEmpty():
+            break
+        path = path.unionByName(
+            heads.select("dest_id", F.col("hrow").alias("row"),
+                         F.col("hcol").alias("col"), F.col("hacc").alias("acc"))
+        ).transform(loop_checkpoint)
+    return path
