@@ -2066,6 +2066,19 @@ def q_lidar_hillshade(spark, sf_dir):
     return lidar_hillshade(cloud, radius=60.0, quantize=(1e3, 1e3, 1e5))
 
 
+def q_edge_density(spark, sf_dir):
+    """EdgeDensity (terrain_analysis/edge_density.rs): break-in-slope
+    density — proportion of cells in the filter window whose Horn normal
+    deviates > norm_diff from some neighbor."""
+    from whitebox_tools_spark.operators.fps import edge_density
+
+    return _r6(
+        edge_density(_valley_dem(spark, sf_dir), STREAM_GRID,
+                     filter_size=5, norm_diff=10.0),
+        ["value"],
+    )
+
+
 def q_remove_off_terrain_objects(spark, sf_dir):
     """RemoveOffTerrainObjects (terrain_analysis/
     remove_off_terrain_objects.rs, Lindsay 2018): white top-hat + ground
@@ -5832,6 +5845,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feature_preserving_smoothing": q_feature_preserving_smoothing,
         "drainage_preserving_smoothing": q_drainage_preserving_smoothing,
         "remove_off_terrain_objects": q_remove_off_terrain_objects,
+        "edge_density": q_edge_density,
         "image_correlation_neighbourhood": q_image_correlation_neighbourhood,
         "attribute_correlation_neighbourhood": q_attribute_correlation_neighbourhood,
         "attribute_scattergram": q_attribute_scattergram,
@@ -6875,6 +6889,11 @@ SELECT row, col, round((value - mn) / (mx - mn), 6) AS value FROM dem CROSS JOIN
         ),
         "voronoi_diagram": _voronoi_sql(),
         "remove_off_terrain_objects": _roto_sql(),
+        "edge_density": __import__(
+            "whitebox_tools_spark.operators.fps", fromlist=["edge_density_oracle_sql"]
+        ).edge_density_oracle_sql(
+            _VALLEY_DEM_SQL, STREAM_GRID, filter_size=5, norm_diff=10.0
+        ),
         "image_correlation_neighbourhood": ST.image_correlation_neighbourhood_oracle_sql(
             _PART_RASTER_SQL, _ICNA_B_SQL, filter_size=7
         ),

@@ -543,3 +543,106 @@ it0 AS (SELECT row, col, z0, z0 AS z, sa, sb, thr FROM sm),
 {", ".join(s.strip() for s in iters)}
 SELECT row, col, round(z, 6) AS value FROM {prev}
 """
+
+
+def edge_density(
+    cells: DataFrame,
+    grid: GridSpec,
+    *,
+    filter_size: int = 11,
+    norm_diff: float = 5.0,
+    z_factor: float = 1.0,
+) -> DataFrame:
+    """EdgeDensity (terrain_analysis/edge_density.rs:395-470): a cell is an
+    EDGE when any 8-neighbor's Horn normal deviates from its own by more
+    than norm_diff degrees (cosine similarity <= cos(norm_diff)); output =
+    proportion of edge cells within the filter_size^2 window (valid cells
+    only; the reference's integral images are the serial mechanics of the
+    same window mean). -> (row, col, value)."""
+    spark = cells.sparkSession
+    fs = max(int(filter_size), 3)
+    mid = fs // 2
+    threshold = math.cos(math.radians(min(float(norm_diff), 90.0)))
+    nv = _horn_normals(cells, grid, z_factor)
+    offs8 = F.broadcast(spark.createDataFrame(
+        [(i, _DX[i], _DY[i]) for i in range(8)], "i int, dx int, dy int"
+    ))
+    nb = nv.crossJoin(offs8).select(
+        (F.col("row") - F.col("dy")).alias("row"),
+        (F.col("col") - F.col("dx")).alias("col"),
+        F.col("na").alias("a2"), F.col("nb").alias("b2"),
+    )
+    cos = _COS.format(a1="na", a2="a2", b1="nb", b2="b2")
+    thr = f"CAST({float(threshold)!r} AS DOUBLE)"
+    flag = (
+        nv.join(nb, ["row", "col"])
+        .withColumn("cos", F.expr(cos))
+        .groupBy("row", "col")
+        .agg(
+            F.max(
+                F.expr(
+                    f"CASE WHEN cos <= {thr} THEN CAST(1.0 AS DOUBLE) "
+                    "ELSE CAST(0.0 AS DOUBLE) END"
+                )
+            ).alias("edge")
+        )
+    )
+    offs_w = F.broadcast(spark.createDataFrame(
+        [(dy, dx) for dy in range(-mid, mid + 1) for dx in range(-mid, mid + 1)],
+        "dy int, dx int",
+    ))
+    sc = (
+        flag.crossJoin(offs_w)
+        .select(
+            (F.col("row") - F.col("dy")).alias("row"),
+            (F.col("col") - F.col("dx")).alias("col"),
+            "edge",
+        )
+        .groupBy("row", "col")
+        .agg(F.sum("edge").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    return flag.select("row", "col").join(sc, ["row", "col"]).select(
+        "row", "col", (F.col("s") / F.col("n")).alias("value")
+    )
+
+
+def edge_density_oracle_sql(
+    source_sql: str, grid: GridSpec, *, filter_size: int = 11,
+    norm_diff: float = 5.0, z_factor: float = 1.0,
+) -> str:
+    fs = max(int(filter_size), 3)
+    mid = fs // 2
+    threshold = math.cos(math.radians(min(float(norm_diff), 90.0)))
+    thr = f"CAST({float(threshold)!r} AS DOUBLE)"
+    a_e, b_e = _normal_exprs(grid, z_factor)
+    dirs = ", ".join(f"({i}, {_DX[i]}, {_DY[i]})" for i in range(8))
+    vs = ",\n".join(
+        f"         max(CASE WHEN d.i = {i} THEN coalesce(n.value, c.value) END) AS v{i}"
+        for i in range(8)
+    )
+    cos = _COS.format(a1="a.na", a2="b.na", b1="a.nb", b2="b.nb")
+    return f"""
+WITH cells AS MATERIALIZED (SELECT row, col, value FROM ({source_sql}) WHERE value IS NOT NULL),
+nb AS (
+  SELECT c.row, c.col, any_value(c.value) AS value,
+{vs}
+  FROM cells c
+  CROSS JOIN (VALUES {dirs}) d(i, dx, dy)
+  LEFT JOIN cells n ON n.row = c.row + d.dy AND n.col = c.col + d.dx
+  GROUP BY c.row, c.col
+),
+nv AS MATERIALIZED (SELECT row, col, {a_e} AS na, {b_e} AS nb FROM nb),
+flag AS MATERIALIZED (
+  SELECT a.row, a.col,
+         max(CASE WHEN {cos} <= {thr} THEN 1.0 ELSE 0.0 END) AS edge
+  FROM nv a JOIN nv b
+    ON abs(b.row - a.row) <= 1 AND abs(b.col - a.col) <= 1
+   AND NOT (b.row = a.row AND b.col = a.col)
+  GROUP BY a.row, a.col
+)
+SELECT a.row, a.col, round(SUM(b.edge) / count(*), 6) AS value
+FROM flag a JOIN flag b
+  ON b.row BETWEEN a.row - {mid} AND a.row + {mid}
+ AND b.col BETWEEN a.col - {mid} AND a.col + {mid}
+GROUP BY a.row, a.col
+"""
