@@ -703,11 +703,14 @@ def q_max_diff_from_mean_tiled(spark, sf_dir):
     window-join SQL as max_diff_from_mean, at scale 9."""
     from whitebox_tools_spark.operators.multiscale import max_difference_from_mean
 
-    return _r6(
-        max_difference_from_mean(
-            _valley_dem(spark, sf_dir), scales=(9,), tiled=True, tile=8
-        ),
-        ["magnitude"],
+    out = max_difference_from_mean(
+        _valley_dem(spark, sf_dir), scales=(9,), tiled=True, tile=8
+    )
+    # 9dp pre-quantization: the valley DEM's decimal steps put window means
+    # EXACTLY on 6dp half-up boundaries, where the prefix-sum path sits
+    # 1 ulp below the join-sum oracle
+    return out.select(
+        "row", "col", F.round(F.round("magnitude", 9), 6).alias("magnitude"), "scale"
     )
 
 
@@ -3884,6 +3887,54 @@ def q_breach_single_cell_pits(spark, sf_dir):
     )
 
 
+_MSDN_SIG_CELLS = [(3, 4), (10, 12), (15, 20)]
+
+
+def q_msdn_signature(spark, sf_dir):
+    """MultiscaleStdDevNormalsSignature (terrain_analysis/
+    multiscale_std_dev_normals_signature.rs): the per-scale SSDN values
+    sampled at given points — one row per (point, filter scale)."""
+    from whitebox_tools_spark.operators.multiscale import (
+        spherical_std_dev_of_normals,
+    )
+
+    dem = _valley_dem(spark, sf_dir)
+    parts = []
+    for fs in (5, 7, 9):
+        parts.append(
+            spherical_std_dev_of_normals(dem, STREAM_GRID, filter_size=fs).select(
+                "row", "col", F.round("value", 6).alias("value"),
+                F.lit(int(fs)).alias("scale"),
+            )
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    pts = spark.createDataFrame(
+        [(i + 1, r, c) for i, (r, c) in enumerate(_MSDN_SIG_CELLS)],
+        "point_id long, row long, col long",
+    )
+    return pts.join(u, ["row", "col"]).select("point_id", "scale", "value")
+
+
+def _msdn_sig_sql() -> str:
+    from whitebox_tools_spark.operators.multiscale import ssdn_oracle_sql
+
+    unions = "\nUNION ALL\n".join(
+        f"SELECT row, col, round(value, 6) AS value, {fs} AS scale FROM ("
+        + ssdn_oracle_sql(_VALLEY_DEM_SQL, STREAM_GRID, filter_size=fs)
+        + ") t"
+        for fs in (5, 7, 9)
+    )
+    pts = ", ".join(f"({i + 1}, {r}, {c})" for i, (r, c) in enumerate(_MSDN_SIG_CELLS))
+    return f"""
+WITH u AS ({unions}),
+pts(point_id, row, col) AS (VALUES {pts})
+SELECT CAST(p.point_id AS BIGINT) AS point_id, CAST(u.scale AS BIGINT) AS scale, u.value
+FROM pts p JOIN u ON u.row = p.row AND u.col = p.col
+"""
+
+
 def q_multiscale_std_dev_normals(spark, sf_dir):
     """MultiscaleStdDevNormals (terrain_analysis/
     multiscale_std_dev_normals.rs), filters 5/7/9 (gaussian branch)."""
@@ -5766,6 +5817,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "max_upslope_value": q_max_upslope_value,
         "edge_contamination": q_edge_contamination,
         "multiscale_std_dev_normals": q_multiscale_std_dev_normals,
+        "msdn_signature": q_msdn_signature,
         "multiscale_roughness_signature": q_multiscale_roughness_signature,
         "max_anisotropy_dev_signature": q_max_anisotropy_dev_signature,
         "find_lowest_highest_points": q_find_lowest_highest_points,
@@ -6314,7 +6366,9 @@ UNION ALL SELECT 'l_discount', 'l_tax',
             "ELSE value / 100.0 END, 6) AS value FROM (" + _PART_RASTER_SQL + ") t"
         ),
         "max_diff_from_mean": _ms.max_diff_from_mean_oracle_sql(_VALLEY_DEM_SQL, scales=(2, 3, 4)),
-        "max_diff_from_mean_tiled": _ms.max_diff_from_mean_oracle_sql(_VALLEY_DEM_SQL, scales=(9,)),
+        "max_diff_from_mean_tiled": _ms.max_diff_from_mean_oracle_sql(
+            _VALLEY_DEM_SQL, scales=(9,)
+        ).replace("round((w).d, 6)", "round(round((w).d, 9), 6)"),
         "multiscale_elev_percentile": _ms.multiscale_ep_oracle_sql(_VALLEY_DEM_SQL, scales=(2, 3, 4)),
         "max_anisotropy_dev": _ms.max_anisotropy_dev_oracle_sql(_VALLEY_DEM_SQL, scales=(2, 3)),
         "multiscale_roughness": _ms.multiscale_roughness_oracle_sql(_VALLEY_DEM_SQL, STREAM_GRID, scales=(2, 3)),
@@ -6700,6 +6754,7 @@ FROM ({_PART_RASTER_SQL}) WHERE value IS NOT NULL
             + _hyd.breach_single_cell_pits_oracle_sql(_NOISE_RASTER_SQL, EXTRACT_GRID)
             + ") t"
         ),
+        "msdn_signature": _msdn_sig_sql(),
         "multiscale_std_dev_normals": _ms.msdn_oracle_sql(
             _VALLEY_DEM_SQL, STREAM_GRID, filters=(5, 7, 9)
         ),
