@@ -3754,6 +3754,33 @@ def q_cost_pathway(spark, sf_dir):
     return _r6(out, ["acc"])
 
 
+def q_fill_burn(spark, sf_dir):
+    """FillBurn (hydro_analysis/fill_burn.rs, Saunders 1999): burn the
+    extracted valley streams 10,000 down, deterministic epsilon fill
+    (W + s*plateau-hops), raise streams by min(dem - filled) - 1; oracle
+    reuses the shared fill/plateau CTEs over the burned surface."""
+    from whitebox_tools_spark.operators.hydro import fill_burn
+
+    # analytic stream mask (the valley's main stem + every 4th-column
+    # tributary below it) — keeps the oracle's recursive fill CTEs from
+    # nesting a second recursive stream-extraction query
+    dem = _valley_dem(spark, sf_dir)
+    streams = dem.filter(
+        (F.col("row") == 10) | ((F.col("col") % 4 == 0) & (F.col("row") < 10))
+    ).select("row", "col")
+    return _r6(fill_burn(dem, streams, block=16), ["value"])
+
+
+def _fill_burn_sql() -> str:
+    from whitebox_tools_spark.operators.hydro import fill_burn_oracle_sql
+
+    streams = (
+        f"SELECT row, col FROM ({_VALLEY_DEM_SQL}) "
+        "WHERE row = 10 OR (col % 4 = 0 AND row < 10)"
+    )
+    return fill_burn_oracle_sql(_VALLEY_DEM_SQL, streams)
+
+
 def q_flood_order(spark, sf_dir):
     """FloodOrder (hydro_analysis/flood_order.rs, Wang-Liu 2006): the
     priority-flood pop rank == rank by (filled elevation, row, col) —
@@ -5806,6 +5833,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quinn_flow_accumulation": q_quinn_flow_accumulation,
         "rho8_flow_accumulation": q_rho8_flow_accumulation,
         "cost_pathway": q_cost_pathway,
+        "fill_burn": q_fill_burn,
         "qin_flow_accumulation": q_qin_flow_accumulation,
         "breach_single_cell_pits": q_breach_single_cell_pits,
         "long_profile_from_points": q_long_profile_from_points,
@@ -6714,6 +6742,7 @@ FROM ({_PART_RASTER_SQL}) WHERE value IS NOT NULL
         ),
         "breach_depressions": _breach_oracle(),
         "flood_order": _hyd.flood_order_oracle_sql(_NOISE_RASTER_SQL),
+        "fill_burn": _fill_burn_sql(),
         "impoundment_size_index": __import__(
             "whitebox_tools_spark.operators.impoundment", fromlist=["isi_oracle_sql"]
         ).isi_oracle_sql(_DENSE20_SQL, EXTRACT_GRID, dam_length=5.0),

@@ -2715,3 +2715,96 @@ def cost_pathway(
                          F.col("hcol").alias("col"), F.col("hacc").alias("acc"))
         ).transform(loop_checkpoint)
     return path
+
+
+def fill_burn(
+    cells: DataFrame,
+    stream_cells: DataFrame,
+    *,
+    block: int = 256,
+) -> DataFrame:
+    """FillBurn (hydro_analysis/fill_burn.rs:436-640, Saunders 1999 /
+    Lindsay 2016): burn stream cells down by 10,000, epsilon-fill the
+    burned surface (small_num = 10^-(12 - digits(max dem)); this engine's
+    deterministic epsilon fill = flat minimax W + small_num * plateau-BFS
+    hops, the same heap-order-free contract as upslope_depression_storage),
+    then raise every stream cell by (min over stream cells of
+    dem - filled) - 1 so the burned channel sits 1 unit under the
+    surrounding terrain. stream_cells: (row, col). -> (row, col, value)."""
+    from whitebox_tools_spark.operators.breach import plateau_hops
+    from whitebox_tools_spark.operators.flow_stitch import fill_depressions_tiled
+
+    src = cells.filter(F.col("value").isNotNull()).select("row", "col", "value")
+    mask = stream_cells.select("row", "col").distinct().withColumn("__s", F.lit(True))
+    mx = src.agg(F.max("value")).collect()[0][0]
+    s = 1.0 / (10.0 ** (12 - len(str(int(float(mx))))))
+    burned = src.join(mask, ["row", "col"], "left").select(
+        "row", "col",
+        F.when(F.col("__s"), F.col("value") - 10000.0).otherwise(F.col("value"))
+        .alias("value"),
+        F.col("value").alias("orig"),
+        F.coalesce("__s", F.lit(False)).alias("is_stream"),
+    ).localCheckpoint(eager=True)
+    w = fill_depressions_tiled(
+        burned.select("row", "col", "value"), block=block
+    )
+    hops = plateau_hops(w)
+    hops_e = F.when(F.col("hops") == (1 << 62), F.lit(0)).otherwise(F.col("hops"))
+    eps = w.join(hops, ["row", "col"]).select(
+        "row", "col",
+        (F.col("value") + F.lit(s) * hops_e.cast("double")).alias("filled"),
+    )
+    j = burned.select("row", "col", "orig", "is_stream").join(eps, ["row", "col"])
+    min_diff = (
+        j.filter(F.col("is_stream"))
+        .agg(F.min(F.col("orig") - F.col("filled")))
+        .collect()[0][0]
+    )
+    lift = float(min_diff) - 1.0
+    return j.select(
+        "row", "col",
+        F.when(F.col("is_stream"), F.col("filled") + F.lit(lift))
+        .otherwise(F.col("filled"))
+        .alias("value"),
+    )
+
+
+def fill_burn_oracle_sql(source_sql: str, streams_sql: str) -> str:
+    """Full mirror over the shared fill/plateau CTEs: burn, minimax W +
+    s*hops epsilon fill, min-diff stream raise. streams_sql must yield
+    (row, col) stream cells."""
+    from whitebox_tools_spark.operators.breach import fill_ptr_ctes
+
+    burned = f"""
+SELECT c.row, c.col,
+       CASE WHEN s.row IS NOT NULL THEN c.value - 10000.0 ELSE c.value END AS value
+FROM ({source_sql}) c
+LEFT JOIN (SELECT DISTINCT row, col FROM ({streams_sql}) t) s
+  ON s.row = c.row AND s.col = c.col
+WHERE c.value IS NOT NULL
+"""
+    return f"""
+WITH RECURSIVE {fill_ptr_ctes(burned)},
+smax AS (
+  SELECT 1.0 / pow(10, 12 - length(CAST(CAST(max(value) AS BIGINT) AS VARCHAR))) AS s
+  FROM ({source_sql}) WHERE value IS NOT NULL
+),
+eps AS MATERIALIZED (
+  SELECT k.row, k.col,
+         k.w + sm.s * (CASE WHEN k.hops = 4611686018427387904 THEN 0 ELSE k.hops END) AS filled
+  FROM k CROSS JOIN smax sm
+),
+orig AS (SELECT row, col, value AS orig FROM ({source_sql}) WHERE value IS NOT NULL),
+sm2 AS (SELECT DISTINCT row, col FROM ({streams_sql}) t),
+md AS (
+  SELECT min(o.orig - e.filled) - 1.0 AS lift
+  FROM sm2 s JOIN orig o ON o.row = s.row AND o.col = s.col
+  JOIN eps e ON e.row = s.row AND e.col = s.col
+)
+SELECT e.row, e.col,
+       round(CASE WHEN s.row IS NOT NULL THEN e.filled + md.lift
+                  ELSE e.filled END, 6) AS value
+FROM eps e
+LEFT JOIN sm2 s ON s.row = e.row AND s.col = e.col
+CROSS JOIN md
+"""
