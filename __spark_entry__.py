@@ -5627,6 +5627,103 @@ def q_clip_polygons(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Radial basis function interpolation
+# ---------------------------------------------------------------------------
+_RBF_KEYS = 120
+_RBF_GRID = GridSpec(west=0.0, north=1000.0, res_x=50.0, res_y=50.0, rows=20, cols=20)
+
+
+def _rbf_points(spark):
+    """Deterministic fixture cloud: LCG x/y (synth.point_exprs) + an exact
+    rational z stream — identical integer arithmetic in any engine."""
+    x, y = synth.point_exprs(F.col("id"))
+    z = ((F.col("id") * F.lit(48271)) % F.lit(99991)).cast("double") / F.lit(1000.0)
+    return spark.range(1, _RBF_KEYS + 1).select(
+        F.col("id").alias("point_id"), x.alias("x"), y.alias("y"), z.alias("z")
+    )
+
+
+def _rbf_points_np():
+    import numpy as np
+
+    keys = np.arange(1, _RBF_KEYS + 1)
+    px, py = synth.point_np(keys)
+    pz = ((keys.astype(np.int64) * 48271) % 99991).astype(np.float64) / 1000.0
+    return keys, px, py, pz
+
+
+def q_rbf_interpolation(spark, sf_dir):
+    """RadialBasisFunctionInterpolation
+    (gis_analysis/radial_basis_function_interpolation.rs:560-596): thin
+    plate spline (default basis, weight 0.1, no polynomial term), radius
+    120 with min_points=5 kNN fallback, 10x-range outlier gate. Oracle =
+    INDEPENDENT pure-python Gaussian-elimination transcription (the engine
+    solves via SVD pseudo-inverse), literals embedded."""
+    from whitebox_tools_spark.operators.rbf import rbf_interpolation
+
+    out = rbf_interpolation(
+        _rbf_points(spark), _RBF_GRID, IDX, radius=120.0, min_points=5
+    )
+    return _r6(out, ["value"])
+
+
+def q_lidar_rbf_interpolation(spark, sf_dir):
+    """LidarRbfInterpolation
+    (lidar_analysis/lidar_radial_basis_function_interpolation.rs): the same
+    RBF scheme over a point cloud — multiquadric basis with the affine
+    polynomial augmentation (poly_order=2) to exercise the mean-centered
+    polynomial path (radial_basis_function.rs:97-107)."""
+    from whitebox_tools_spark.operators.rbf import rbf_interpolation
+
+    cloud = _rbf_points(spark).withColumn("z", F.col("z") / 2.0 + F.col("x") / 10.0)
+    out = rbf_interpolation(
+        cloud,
+        _RBF_GRID,
+        IDX,
+        radius=150.0,
+        min_points=6,
+        func_type="multiquadric",
+        weight=5.0,
+        poly_order=2,
+    )
+    return _r6(out, ["value"])
+
+
+def _rbf_sql(func_type, weight, poly_order, radius, min_points, z_transform) -> str:
+    """Literal oracle: neighbor rule + GE solve transcribed independently
+    (operators/rbf.py rbf_reference_cell) over the fixture cloud."""
+    from whitebox_tools_spark.operators.rbf import rbf_reference_cell
+
+    keys, px, py, pz = _rbf_points_np()
+    pz = z_transform(px, py, pz)
+    zmin, zmax = float(pz.min()), float(pz.max())
+    mid, rng = zmin + (zmax - zmin) / 2.0, zmax - zmin
+    g = _RBF_GRID
+    rows = []
+    for r in range(g.rows):
+        for c in range(g.cols):
+            tx = g.west + (c + 0.5) * g.res_x
+            ty = g.north - (r + 0.5) * g.res_y
+            d2 = (px - tx) ** 2 + (py - ty) ** 2
+            order = sorted(range(len(keys)), key=lambda i: (d2[i], keys[i]))
+            sel = [i for i in order if d2[i] <= radius * radius]
+            if len(sel) < min_points:
+                sel = order[:min_points]
+            if not sel:
+                rows.append((r, c, g.nodata))
+                continue
+            pts = [(float(px[i]), float(py[i]), float(pz[i])) for i in sel]
+            v = rbf_reference_cell(pts, tx, ty, func_type, weight, poly_order)
+            rows.append((r, c, _round_half_up(v) if abs(v - mid) < 10.0 * rng else g.nodata))
+    vals = ", ".join(f"({r}, {c}, {v!r})" for r, c, v in rows)
+    return (
+        "SELECT CAST(row AS BIGINT) AS row, CAST(col AS BIGINT) AS col, "
+        "CAST(value AS DOUBLE) AS value "
+        f"FROM (VALUES {vals}) AS t(row, col, value)"
+    )
+
+
 # The driver's correctness harness checks the FIRST 50 queries() entries each
 # round.  Rounds 1-3 certified 123 distinct queries; the round-4 window keeps
 # relative_topographic_position first (red in r01-r03; the scaled-integer
@@ -5834,6 +5931,8 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rho8_flow_accumulation": q_rho8_flow_accumulation,
         "cost_pathway": q_cost_pathway,
         "fill_burn": q_fill_burn,
+        "rbf_interpolation": q_rbf_interpolation,
+        "lidar_rbf_interpolation": q_lidar_rbf_interpolation,
         "qin_flow_accumulation": q_qin_flow_accumulation,
         "breach_single_cell_pits": q_breach_single_cell_pits,
         "long_profile_from_points": q_long_profile_from_points,
@@ -6743,6 +6842,13 @@ FROM ({_PART_RASTER_SQL}) WHERE value IS NOT NULL
         "breach_depressions": _breach_oracle(),
         "flood_order": _hyd.flood_order_oracle_sql(_NOISE_RASTER_SQL),
         "fill_burn": _fill_burn_sql(),
+        "rbf_interpolation": _rbf_sql(
+            "thin_plate_spline", 0.1, 0, 120.0, 5, lambda px, py, pz: pz
+        ),
+        "lidar_rbf_interpolation": _rbf_sql(
+            "multiquadric", 5.0, 2, 150.0, 6,
+            lambda px, py, pz: pz / 2.0 + px / 10.0,
+        ),
         "impoundment_size_index": __import__(
             "whitebox_tools_spark.operators.impoundment", fromlist=["isi_oracle_sql"]
         ).isi_oracle_sql(_DENSE20_SQL, EXTRACT_GRID, dam_length=5.0),
