@@ -5724,6 +5724,252 @@ def _rbf_sql(func_type, weight, poly_order, radius, min_points, z_transform) -> 
     )
 
 
+# ---------------------------------------------------------------------------
+# Vector stream network plugins
+# ---------------------------------------------------------------------------
+def _stream_net_polylines():
+    """Deterministic tree stream network: vertex lists directed downstream
+    (first = upstream child node, last = downstream parent node); 3-dp
+    coordinates shared exactly at junctions. Engine arc_id = index + 1."""
+    s = [12345]
+
+    def nx():
+        s[0] = (s[0] * 48271) % 2147483647
+        return s[0]
+
+    outlet = (500.0, 50.0)
+    arcs = []
+    used = {outlet}
+    stack = [(outlet, 0)]
+    while stack and len(arcs) < 34:
+        node, depth = stack.pop()
+        if depth == 0:
+            nch = 1
+        elif depth <= 2:
+            nch = 2
+        elif depth < 6:
+            r = nx() % 5
+            nch = 2 if r < 2 else (1 if r < 4 else 0)
+        else:
+            nch = 0
+        for c in range(nch):
+            dx = (nx() % 161) - 80 + c * 37.0
+            dy = 60 + nx() % 61
+            child = (round(node[0] + dx, 3), round(node[1] + dy, 3))
+            while child in used:
+                child = (round(child[0] + 0.013, 3), child[1])
+            used.add(child)
+            mx = round((node[0] + child[0]) / 2 + ((nx() % 21) - 10) / 10.0, 3)
+            my = round((node[1] + child[1]) / 2 + ((nx() % 21) - 10) / 10.0, 3)
+            arcs.append([child, (mx, my), node])
+            stack.append((child, depth + 1))
+    return arcs
+
+
+def _stream_net_df(spark, polylines):
+    rows = [
+        (i + 1, [float(p[0]) for p in pl], [float(p[1]) for p in pl])
+        for i, pl in enumerate(polylines)
+    ]
+    return spark.createDataFrame(rows, "arc_id long, xs array<double>, ys array<double>")
+
+
+def q_vector_stream_network_analysis(spark, sf_dir):
+    """vector_stream_network_analysis plugin
+    (whitebox-plugins/src/vector_stream_network_analysis/main.rs:360-846):
+    all 13 per-arc attributes. Lengths quantized at 1e-6 (integer-valued
+    double sums are associative — engine-invariant accumulations). The
+    reference writes TRIB_ID as the RAW 0-based fid while FID/DS_LINK_ID
+    are 1-based (main.rs:781 vs :778); the engine labels tributaries by
+    arc_id — the oracle maps the transcription's trib to arc ids."""
+    from whitebox_tools_spark.operators.vector_streams import (
+        vector_stream_network_analysis,
+    )
+
+    out = vector_stream_network_analysis(
+        _stream_net_df(spark, _stream_net_polylines()), length_scale=1e6
+    )
+    return _r6(out, ["tucl", "maxupsdist", "dist2mouth"]).orderBy("arc_id")
+
+
+def _vsna_sql() -> str:
+    from whitebox_tools_spark.operators.vector_streams import vsna_reference
+
+    polylines = _stream_net_polylines()
+    res = vsna_reference(polylines, length_scale=1e6)
+    rows = []
+    for r in res:
+        rows.append(
+            (
+                r["arc_id"] + 1,
+                _round_half_up(r["tucl"] / 1e6),
+                _round_half_up(r["maxupsdist"] / 1e6),
+                r["outlet"],
+                r["horton"],
+                r["strahler"],
+                r["shreve"],
+                r["hack"],
+                _round_half_up(r["dist2mouth"] / 1e6),
+                r["n_ds_nodes"],
+                r["is_outlet"],
+                r["ds_link_id"] if r["ds_link_id"] > 0 else -98,
+                r["mainstem"],
+                r["trib_id"] + 1,  # engine labels tribs by 1-based arc_id
+            )
+        )
+    vals = ", ".join("(" + ", ".join(repr(v) for v in row) + ")" for row in rows)
+    return (
+        "SELECT CAST(arc_id AS BIGINT) AS arc_id, CAST(tucl AS DOUBLE) AS tucl, "
+        "CAST(maxupsdist AS DOUBLE) AS maxupsdist, CAST(outlet AS INT) AS outlet, "
+        "CAST(horton AS BIGINT) AS horton, CAST(strahler AS BIGINT) AS strahler, "
+        "CAST(shreve AS BIGINT) AS shreve, CAST(hack AS BIGINT) AS hack, "
+        "CAST(dist2mouth AS DOUBLE) AS dist2mouth, CAST(n_ds_nodes AS BIGINT) AS n_ds_nodes, "
+        "CAST(is_outlet AS INT) AS is_outlet, CAST(ds_link_id AS BIGINT) AS ds_link_id, "
+        "CAST(mainstem AS INT) AS mainstem, CAST(trib_id AS BIGINT) AS trib_id "
+        f"FROM (VALUES {vals}) AS t(arc_id, tucl, maxupsdist, outlet, horton, "
+        "strahler, shreve, hack, dist2mouth, n_ds_nodes, is_outlet, ds_link_id, "
+        "mainstem, trib_id)"
+    )
+
+
+def q_correct_stream_vector_direction(spark, sf_dir):
+    """correct_stream_vector_direction plugin (whitebox-plugins/src/
+    correct_stream_vector_direction/main.rs:316-418): re-orient arcs to
+    point downstream from outlet-snapped seeds; fixture reverses every
+    third arc of the tree network first."""
+    from whitebox_tools_spark.operators.vector_streams import (
+        correct_stream_vector_direction,
+    )
+
+    polylines = [
+        list(reversed(pl)) if (i * 7) % 3 == 0 else pl
+        for i, pl in enumerate(_stream_net_polylines())
+    ]
+    outlets = spark.createDataFrame([(500.2, 49.8)], "x double, y double")
+    out = correct_stream_vector_direction(
+        _stream_net_df(spark, polylines), outlets, snap_dist=1.0
+    )
+    return out.select(
+        "arc_id",
+        "was_reversed",
+        F.col("xs")[0].alias("fx"),
+        F.col("ys")[0].alias("fy"),
+        F.element_at("xs", -1).alias("lx"),
+        F.element_at("ys", -1).alias("ly"),
+    )
+
+
+def _csvd_sql() -> str:
+    from whitebox_tools_spark.operators.vector_streams import csvd_reference
+
+    polylines = [
+        list(reversed(pl)) if (i * 7) % 3 == 0 else pl
+        for i, pl in enumerate(_stream_net_polylines())
+    ]
+    rev = csvd_reference(polylines, [(500.2, 49.8)], 1.0)
+    rows = []
+    for i, pl in enumerate(polylines):
+        out_pl = list(reversed(pl)) if rev[i] else pl
+        rows.append(
+            (i + 1, int(rev[i]), out_pl[0][0], out_pl[0][1], out_pl[-1][0], out_pl[-1][1])
+        )
+    vals = ", ".join("(" + ", ".join(repr(v) for v in row) + ")" for row in rows)
+    return (
+        "SELECT CAST(arc_id AS BIGINT) AS arc_id, CAST(was_reversed AS INT) AS was_reversed, "
+        "CAST(fx AS DOUBLE) AS fx, CAST(fy AS DOUBLE) AS fy, "
+        "CAST(lx AS DOUBLE) AS lx, CAST(ly AS DOUBLE) AS ly "
+        f"FROM (VALUES {vals}) AS t(arc_id, was_reversed, fx, fy, lx, ly)"
+    )
+
+
+_REPAIR_NET = [
+    # chain of 3 (middle reversed): non-confluence joins
+    (1, [(1.0, 10.0), (5.0, 10.0)]),
+    (2, [(9.0, 10.0), (5.0, 10.0)]),
+    (3, [(9.0, 10.0), (13.0, 10.0)]),
+    # target arc (vertical) + an undershoot and an overshoot dangle
+    (4, [(20.0, 0.0), (20.0, 20.0)]),
+    (5, [(15.0, 5.0), (19.6, 5.0)]),
+    (6, [(25.0, 8.0), (19.7, 8.0)]),
+    # clean 3-way confluence: must be untouched
+    (7, [(30.0, 0.0), (35.0, 5.0)]),
+    (8, [(40.0, 0.0), (35.0, 5.0)]),
+    (9, [(35.0, 5.0), (35.0, 12.0)]),
+    # isolated arc
+    (10, [(50.0, 50.0), (55.0, 55.0)]),
+]
+
+
+def _repair_rows(polylines):
+    """Orientation/id-insensitive signature rows: lexicographically ordered
+    endpoint pair + vertex count + scaled-integer length (sums of
+    round(seg*1e6) are associative and orientation-invariant)."""
+    rows = []
+    for pl in polylines:
+        a, b = pl[0], pl[-1]
+        if (b[0], b[1]) < (a[0], a[1]):
+            a, b = b, a
+        import math as _m
+
+        ln = sum(
+            round(_m.hypot(pl[i][0] - pl[i - 1][0], pl[i][1] - pl[i - 1][1]) * 1e6)
+            for i in range(1, len(pl))
+        )
+        rows.append((a[0], a[1], b[0], b[1], len(pl), ln / 1e6))
+    return rows
+
+
+def q_repair_stream_vector_topology(spark, sf_dir):
+    """repair_stream_vector_topology plugin (whitebox-plugins/src/
+    repair_stream_vector_topology/main.rs:390-745): non-confluence chain
+    joins + dangle snapping (undershoot extend / overshoot trim) + target
+    splits on a fixture exercising each case. Output = orientation/id-
+    insensitive arc signatures; oracle = independent serial transcription
+    of the reference passes, literals embedded."""
+    from whitebox_tools_spark.operators.vector_streams import (
+        repair_stream_vector_topology,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (i, [p[0] for p in pl], [p[1] for p in pl])
+            for i, pl in _REPAIR_NET
+        ],
+        "arc_id long, xs array<double>, ys array<double>",
+    )
+    out = repair_stream_vector_topology(df, snap_dist=0.5)
+    seglen = F.expr(
+        "aggregate(sequence(1, size(xs) - 1), cast(0.0 as double), "
+        "(acc, i) -> acc + round(sqrt((xs[i] - xs[i-1]) * (xs[i] - xs[i-1]) + "
+        "(ys[i] - ys[i-1]) * (ys[i] - ys[i-1])) * 1e6))"
+    )
+    fx, fy = F.col("xs")[0], F.col("ys")[0]
+    lx, ly = F.element_at("xs", -1), F.element_at("ys", -1)
+    first_is_lo = (fx < lx) | ((fx == lx) & (fy <= ly))
+    return out.select(
+        F.when(first_is_lo, fx).otherwise(lx).alias("ex0"),
+        F.when(first_is_lo, fy).otherwise(ly).alias("ey0"),
+        F.when(first_is_lo, lx).otherwise(fx).alias("ex1"),
+        F.when(first_is_lo, ly).otherwise(fy).alias("ey1"),
+        F.size("xs").alias("n_vertices"),
+        (seglen / 1e6).alias("length"),
+    )
+
+
+def _repair_sql() -> str:
+    from whitebox_tools_spark.operators.vector_streams import repair_reference
+
+    repaired = repair_reference([pl for _, pl in _REPAIR_NET], 0.5)
+    rows = _repair_rows(repaired)
+    vals = ", ".join("(" + ", ".join(repr(v) for v in row) + ")" for row in rows)
+    return (
+        "SELECT CAST(ex0 AS DOUBLE) AS ex0, CAST(ey0 AS DOUBLE) AS ey0, "
+        "CAST(ex1 AS DOUBLE) AS ex1, CAST(ey1 AS DOUBLE) AS ey1, "
+        "CAST(n_vertices AS INT) AS n_vertices, CAST(length AS DOUBLE) AS length "
+        f"FROM (VALUES {vals}) AS t(ex0, ey0, ex1, ey1, n_vertices, length)"
+    )
+
+
 # The driver's correctness harness checks the FIRST 50 queries() entries each
 # round.  Rounds 1-3 certified 123 distinct queries; the round-4 window keeps
 # relative_topographic_position first (red in r01-r03; the scaled-integer
@@ -5933,6 +6179,9 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fill_burn": q_fill_burn,
         "rbf_interpolation": q_rbf_interpolation,
         "lidar_rbf_interpolation": q_lidar_rbf_interpolation,
+        "vector_stream_network_analysis": q_vector_stream_network_analysis,
+        "correct_stream_vector_direction": q_correct_stream_vector_direction,
+        "repair_stream_vector_topology": q_repair_stream_vector_topology,
         "qin_flow_accumulation": q_qin_flow_accumulation,
         "breach_single_cell_pits": q_breach_single_cell_pits,
         "long_profile_from_points": q_long_profile_from_points,
@@ -6849,6 +7098,9 @@ FROM ({_PART_RASTER_SQL}) WHERE value IS NOT NULL
             "multiquadric", 5.0, 2, 150.0, 6,
             lambda px, py, pz: pz / 2.0 + px / 10.0,
         ),
+        "vector_stream_network_analysis": _vsna_sql(),
+        "correct_stream_vector_direction": _csvd_sql(),
+        "repair_stream_vector_topology": _repair_sql(),
         "impoundment_size_index": __import__(
             "whitebox_tools_spark.operators.impoundment", fromlist=["isi_oracle_sql"]
         ).isi_oracle_sql(_DENSE20_SQL, EXTRACT_GRID, dam_length=5.0),
