@@ -5970,6 +5970,46 @@ def _repair_sql() -> str:
     )
 
 
+def q_local_quadratic_regression(spark, sf_dir):
+    """local_quadratic_regression plugin (whitebox-plugins/src/
+    local_quadratic_regression/main.rs, Wood 1996): 8 per-cell surface
+    derivatives from a window-fit origin-constrained quadratic. DEM
+    scaled to exact integers (round(value*10)) so every window sum is an
+    integer-valued double — exact in both engines; atan outputs guarded
+    with the 9-dp libm pre-quantization."""
+    from whitebox_tools_spark.operators.plugins import local_quadratic_regression
+
+    dem = _valley_dem(spark, sf_dir).withColumn("value", F.round(F.col("value") * 10.0))
+    out = local_quadratic_regression(dem, STREAM_GRID, filter_size=5)
+    out = out.withColumn("slope", F.round("slope", 9)).withColumn(
+        "aspect", F.round("aspect", 9)
+    )
+    return _r6(
+        out,
+        ["slope", "aspect", "prof_c", "plan_c", "long_c", "cross_c",
+         "procmin_c", "goodness"],
+    )
+
+
+def _lqr_sql() -> str:
+    from whitebox_tools_spark.operators.plugins import (
+        local_quadratic_regression_oracle_sql,
+    )
+
+    dem = f"SELECT row, col, round(value * 10.0) AS value FROM ({_VALLEY_DEM_SQL})"
+    inner = local_quadratic_regression_oracle_sql(
+        dem, filter_size=5, resolution=STREAM_GRID.res_x
+    )
+    return f"""
+SELECT row, col, round(round(slope, 9), 6) AS slope,
+       round(round(aspect, 9), 6) AS aspect,
+       round(prof_c, 6) AS prof_c, round(plan_c, 6) AS plan_c,
+       round(long_c, 6) AS long_c, round(cross_c, 6) AS cross_c,
+       round(procmin_c, 6) AS procmin_c, round(goodness, 6) AS goodness
+FROM ({inner}) t
+"""
+
+
 # The driver's correctness harness checks the FIRST 50 queries() entries each
 # round.  Rounds 1-3 certified 123 distinct queries; the round-4 window keeps
 # relative_topographic_position first (red in r01-r03; the scaled-integer
@@ -6182,6 +6222,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vector_stream_network_analysis": q_vector_stream_network_analysis,
         "correct_stream_vector_direction": q_correct_stream_vector_direction,
         "repair_stream_vector_topology": q_repair_stream_vector_topology,
+        "local_quadratic_regression": q_local_quadratic_regression,
         "qin_flow_accumulation": q_qin_flow_accumulation,
         "breach_single_cell_pits": q_breach_single_cell_pits,
         "long_profile_from_points": q_long_profile_from_points,
@@ -7101,6 +7142,7 @@ FROM ({_PART_RASTER_SQL}) WHERE value IS NOT NULL
         "vector_stream_network_analysis": _vsna_sql(),
         "correct_stream_vector_direction": _csvd_sql(),
         "repair_stream_vector_topology": _repair_sql(),
+        "local_quadratic_regression": _lqr_sql(),
         "impoundment_size_index": __import__(
             "whitebox_tools_spark.operators.impoundment", fromlist=["isi_oracle_sql"]
         ).isi_oracle_sql(_DENSE20_SQL, EXTRACT_GRID, dam_length=5.0),

@@ -158,3 +158,61 @@ def test_repair_partition_invariance(spark):
     ka = sorted((r.arc_id, r.piece, tuple(r.xs), tuple(r.ys)) for r in a.collect())
     kb = sorted((r.arc_id, r.piece, tuple(r.xs), tuple(r.ys)) for r in b.collect())
     assert ka == kb
+
+
+def test_lqr_closed_form_matches_matrix_solve(spark):
+    """The engine's closed-form coefficients (2x2 Cramer + scalar
+    divisions) equal LU-solving the reference's 5x5 Matrix5 (main.rs:
+    312-323), and the expanded goodness-of-fit equals the reference's
+    second-pass loop — verified on a numpy transcription per cell."""
+    import numpy as np
+    from whitebox_tools_spark.grid import GridSpec
+    from whitebox_tools_spark.operators.plugins import local_quadratic_regression
+
+    rng = np.random.RandomState(3)
+    rows, cols, res = 9, 9, 5.0
+    zgrid = np.round(rng.uniform(0, 500, (rows, cols)))
+    cells = spark.createDataFrame(
+        [(r, c, float(zgrid[r, c])) for r in range(rows) for c in range(cols)],
+        "row long, col long, value double",
+    )
+    grid = GridSpec(west=0.0, north=45.0, res_x=res, res_y=res, rows=rows, cols=cols)
+    out = {
+        (r.row, r.col): r
+        for r in local_quadratic_regression(cells, grid, filter_size=5).collect()
+    }
+    half = 2
+    for (rr, cc) in [(4, 4), (2, 6), (0, 0)]:
+        xs, ys, zs = [], [], []
+        z0 = zgrid[rr, cc]
+        for dy in range(-half, half + 1):
+            for dx in range(-half, half + 1):
+                r2, c2 = rr + dy, cc + dx
+                if 0 <= r2 < rows and 0 <= c2 < cols:
+                    xs.append(dx * res)
+                    ys.append(dy * res)
+                    zs.append(zgrid[r2, c2] - z0)
+        xs, ys, zs = map(np.array, (xs, ys, zs))
+        x2, x2y2, x4 = (xs**2).sum(), (xs**2 * ys**2).sum(), (xs**4).sum()
+        A = np.array([
+            [x4, x2y2, 0, 0, 0],
+            [x2y2, x4, 0, 0, 0],
+            [0, 0, x2y2, 0, 0],
+            [0, 0, 0, x2, 0],
+            [0, 0, 0, 0, x2],
+        ])
+        b = np.array([
+            (zs * xs**2).sum(), (zs * ys**2).sum(), (zs * xs * ys).sum(),
+            (zs * xs).sum(), (zs * ys).sum(),
+        ])
+        a_, b_, c_, d_, e_ = np.linalg.solve(A, b)
+        g = out[(rr, cc)]
+        assert abs(g.slope - np.arctan(np.hypot(d_, e_))) < 1e-9
+        zp = a_ * xs**2 + b_ * ys**2 + c_ * xs * ys + d_ * xs + e_ * ys
+        n = len(zs)
+        noom = n * (zs * zp).sum() - zs.sum() * zp.sum()
+        den = np.sqrt(n * (zs * zs).sum() - zs.sum() ** 2) * np.sqrt(
+            n * (zp * zp).sum() - zp.sum() ** 2
+        )
+        r = 0.0 if noom == 0 or den == 0 else noom / den
+        assert abs(g.goodness - r * r) < 1e-9

@@ -302,3 +302,192 @@ SELECT row, col,
        CASE WHEN value >= thr.t THEN 1.0 ELSE 0.0 END AS value
 FROM src CROSS JOIN thr
 """
+
+
+# ---------------------------------------------------------------------------
+# local_quadratic_regression (Wood 1996)
+# ---------------------------------------------------------------------------
+_LQR_REL_SUMS = {
+    # z-moments are RELATIVE to the center elevation (main.rs:292 "zs.push(zi - z)")
+    "szx2": "sum((zi - z) * xx * xx)",
+    "szy2": "sum((zi - z) * yy * yy)",
+    "szxy": "sum((zi - z) * xx * yy)",
+    "szx": "sum((zi - z) * xx)",
+    "szy": "sum((zi - z) * yy)",
+    "sz": "sum(zi - z)",
+    "szz": "sum((zi - z) * (zi - z))",
+    # monomial sums for the normal matrix + goodness-of-fit expansion
+    "sx": "sum(xx)",
+    "sy": "sum(yy)",
+    "sxx": "sum(xx * xx)",
+    "syy": "sum(yy * yy)",
+    "sxy": "sum(xx * yy)",
+    "sx3": "sum(xx * xx * xx)",
+    "sy3": "sum(yy * yy * yy)",
+    "sx2y": "sum(xx * xx * yy)",
+    "sxy2": "sum(xx * yy * yy)",
+    "sx4": "sum(xx * xx * xx * xx)",
+    "sy4": "sum(yy * yy * yy * yy)",
+    "sx2y2": "sum(xx * xx * yy * yy)",
+    "sx3y": "sum(xx * xx * xx * yy)",
+    "sxy3": "sum(xx * yy * yy * yy)",
+    "nv": "count(*)",
+}
+
+# coefficient closed forms: the reference's Matrix5 (main.rs:312-321) is
+# block diagonal — LU-solving it equals a 2x2 Cramer solve for (a, b) plus
+# three scalar divisions; "invertible" = all pivots nonzero.
+_LQR_COEF = {
+    "det2": "(sx4 * sx4 - sx2y2 * sx2y2)",
+    "inv": "(CASE WHEN (sx4 * sx4 - sx2y2 * sx2y2) <> 0 AND sx2y2 <> 0 AND sxx <> 0 THEN 1 ELSE 0 END)",
+    "ca": "(CASE WHEN (sx4 * sx4 - sx2y2 * sx2y2) <> 0 AND sx2y2 <> 0 AND sxx <> 0 THEN (szx2 * sx4 - szy2 * sx2y2) / (sx4 * sx4 - sx2y2 * sx2y2) ELSE 0.0 END)",
+    "cb": "(CASE WHEN (sx4 * sx4 - sx2y2 * sx2y2) <> 0 AND sx2y2 <> 0 AND sxx <> 0 THEN (szy2 * sx4 - szx2 * sx2y2) / (sx4 * sx4 - sx2y2 * sx2y2) ELSE 0.0 END)",
+    "cc": "(CASE WHEN (sx4 * sx4 - sx2y2 * sx2y2) <> 0 AND sx2y2 <> 0 AND sxx <> 0 THEN szxy / sx2y2 ELSE 0.0 END)",
+    "cd": "(CASE WHEN (sx4 * sx4 - sx2y2 * sx2y2) <> 0 AND sx2y2 <> 0 AND sxx <> 0 THEN szx / sxx ELSE 0.0 END)",
+    "ce": "(CASE WHEN (sx4 * sx4 - sx2y2 * sx2y2) <> 0 AND sx2y2 <> 0 AND sxx <> 0 THEN szy / sxx ELSE 0.0 END)",
+}
+
+# derived outputs (Quadratic2d, main.rs:504-562). pow(t, 1.5) is written
+# t * sqrt(t): IEEE-deterministic in both engines (libm powf is not),
+# mathematically identical.
+_LQR_OUT = {
+    "slope": "atan(sqrt(cd * cd + ce * ce))",
+    "aspect": "(CASE WHEN ce = 0 OR cd = 0 THEN 0.0 ELSE atan(ce / cd) END)",
+    "prof_c": (
+        "(CASE WHEN (-200.0 * ((ca * cd * cd) + (cb * ce * ce) + (cc * cd * ce))) = 0 "
+        "OR (((ce * ce) + (cd * cd)) * ((1.0 + (cd * cd) + (ce * ce)) * sqrt(1.0 + (cd * cd) + (ce * ce)))) = 0 THEN 0.0 "
+        "ELSE (-200.0 * ((ca * cd * cd) + (cb * ce * ce) + (cc * cd * ce))) / "
+        "(((ce * ce) + (cd * cd)) * ((1.0 + (cd * cd) + (ce * ce)) * sqrt(1.0 + (cd * cd) + (ce * ce)))) END)"
+    ),
+    "plan_c": (
+        "(CASE WHEN (200.0 * ((cb * cd * cd) + (ca * ce * ce) - (cc * cd * ce))) = 0 "
+        "OR ((((ce * ce) + (cd * cd))) * sqrt((ce * ce) + (cd * cd))) = 0 THEN 0.0 "
+        "ELSE (200.0 * ((cb * cd * cd) + (ca * ce * ce) - (cc * cd * ce))) / "
+        "((((ce * ce) + (cd * cd))) * sqrt((ce * ce) + (cd * cd))) END)"
+    ),
+    "long_c": (
+        "(CASE WHEN ((ca * cd * cd) + (cb * ce * ce) + (cc * cd * ce)) = 0 "
+        "OR ((cd * cd) + (ce * ce)) = 0 THEN 0.0 "
+        "ELSE -2.0 * (((ca * cd * cd) + (cb * ce * ce) + (cc * cd * ce)) / ((cd * cd) + (ce * ce))) END)"
+    ),
+    "cross_c": (
+        "(CASE WHEN ((cb * cd * cd) + (ca * ce * ce) - (cc * cd * ce)) = 0 "
+        "OR ((cd * cd) + (ce * ce)) = 0 THEN 0.0 "
+        "ELSE -2.0 * (((cb * cd * cd) + (ca * ce * ce) - (cc * cd * ce)) / ((cd * cd) + (ce * ce))) END)"
+    ),
+    "procmin_c": "((ca * -1.0) - cb - sqrt((ca - cb) * (ca - cb) + (cc * cc)))",
+    "goodness": (
+        "(CASE WHEN (CAST(nv AS DOUBLE) * sum_xy - (sz * sum_y)) = 0 "
+        "OR (sqrt(CAST(nv AS DOUBLE) * szz - (sz * sz)) * sqrt(CAST(nv AS DOUBLE) * sum_yy - (sum_y * sum_y))) = 0 THEN 0.0 "
+        "ELSE ((CAST(nv AS DOUBLE) * sum_xy - (sz * sum_y)) / "
+        "(sqrt(CAST(nv AS DOUBLE) * szz - (sz * sz)) * sqrt(CAST(nv AS DOUBLE) * sum_yy - (sum_y * sum_y)))) "
+        "* ((CAST(nv AS DOUBLE) * sum_xy - (sz * sum_y)) / "
+        "(sqrt(CAST(nv AS DOUBLE) * szz - (sz * sz)) * sqrt(CAST(nv AS DOUBLE) * sum_yy - (sum_y * sum_y)))) END)"
+    ),
+}
+
+# goodness-of-fit intermediates: sum_y = sum(z_pred), sum_yy = sum(z_pred^2),
+# sum_xy = sum(z_act * z_pred) — expanded over the monomial sums so no second
+# pass over the window is needed (main.rs:325-345 does a second loop; the
+# expansion is algebraically identical)
+_LQR_GOF = {
+    "sum_y": "(ca * sxx + cb * syy + cc * sxy + cd * sx + ce * sy)",
+    "sum_yy": (
+        "(ca * ca * sx4 + cb * cb * sy4 + cc * cc * sx2y2 + cd * cd * sxx + ce * ce * syy "
+        "+ 2.0 * ca * cb * sx2y2 + 2.0 * ca * cc * sx3y + 2.0 * ca * cd * sx3 + 2.0 * ca * ce * sx2y "
+        "+ 2.0 * cb * cc * sxy3 + 2.0 * cb * cd * sxy2 + 2.0 * cb * ce * sy3 "
+        "+ 2.0 * cc * cd * sx2y + 2.0 * cc * ce * sxy2 + 2.0 * cd * ce * sxy)"
+    ),
+    "sum_xy": "(ca * szx2 + cb * szy2 + cc * szxy + cd * szx + ce * szy)",
+}
+
+
+def local_quadratic_regression(
+    cells: DataFrame, grid: GridSpec, *, filter_size: int = 3
+) -> DataFrame:
+    """local_quadratic_regression plugin (whitebox-plugins/src/
+    local_quadratic_regression/main.rs:232-420, Wood 1996): per-cell
+    quadratic fit z = ax^2 + by^2 + cxy + dx + ey over the window
+    (elevations relative to the center, constrained through the origin),
+    emitting slope, aspect, profile/plan convexity, longitudinal/cross-
+    sectional/min-profile curvature and r^2 goodness-of-fit.
+
+    One offset scatter + hash aggregate (the repo's focal idiom) computes
+    every monomial/z-moment sum; the block-diagonal normal system solves
+    in closed form (2x2 Cramer + scalar divisions — what the reference's
+    LU of its Matrix5 reduces to); the goodness-of-fit second pass is
+    algebraically expanded over the same sums. With integer-valued inputs
+    and integer cell offsets all window sums are exact, so the closed
+    forms are engine-invariant; atan outputs get the repo's 9-dp libm
+    guard at the query layer. Cells with fewer than 8 valid neighbors are
+    dropped (main.rs:297)."""
+    if filter_size % 2 == 0:
+        filter_size += 1
+    half = (filter_size - 1) // 2
+    res = grid.res_x
+    spark = cells.sparkSession
+    offs = spark.createDataFrame(
+        [(dx, dy) for dy in range(-half, half + 1) for dx in range(-half, half + 1)],
+        "dx int, dy int",
+    )
+    c = cells.select("row", "col", F.col("value").alias("z"))
+    nb = (
+        c.crossJoin(F.broadcast(offs))
+        .withColumn("nrow", F.col("row") + F.col("dy"))
+        .withColumn("ncol", F.col("col") + F.col("dx"))
+        .join(
+            cells.select(
+                F.col("row").alias("nrow"), F.col("col").alias("ncol"),
+                F.col("value").alias("zi"),
+            ),
+            ["nrow", "ncol"],
+        )
+        .withColumn("xx", F.col("dx").cast("double") * F.lit(res))
+        .withColumn("yy", F.col("dy").cast("double") * F.lit(res))
+    )
+    sums = nb.groupBy("row", "col", "z").agg(
+        *[F.expr(e).alias(k) for k, e in _LQR_REL_SUMS.items()]
+    ).filter(F.col("nv") >= 8)
+    coef = sums
+    for k in ("ca", "cb", "cc", "cd", "ce"):
+        coef = coef.withColumn(k, F.expr(_LQR_COEF[k]))
+    for k in ("sum_y", "sum_yy", "sum_xy"):
+        coef = coef.withColumn(k, F.expr(_LQR_GOF[k]))
+    return coef.select(
+        "row", "col", *[F.expr(e).alias(k) for k, e in _LQR_OUT.items()]
+    )
+
+
+def local_quadratic_regression_oracle_sql(
+    dem_sql: str, *, filter_size: int = 3, resolution: float
+) -> str:
+    """DuckDB mirror: identical formula strings over identical sums."""
+    if filter_size % 2 == 0:
+        filter_size += 1
+    half = (filter_size - 1) // 2
+    offs = ", ".join(
+        f"({dx}, {dy})"
+        for dy in range(-half, half + 1)
+        for dx in range(-half, half + 1)
+    )
+    sums = ", ".join(f"{e} AS {k}" for k, e in _LQR_REL_SUMS.items())
+    coefs = ", ".join(f"{_LQR_COEF[k]} AS {k}" for k in ("ca", "cb", "cc", "cd", "ce"))
+    gofs = ", ".join(f"{_LQR_GOF[k]} AS {k}" for k in ("sum_y", "sum_yy", "sum_xy"))
+    outs = ", ".join(f"{e} AS {k}" for k, e in _LQR_OUT.items())
+    return f"""
+WITH cells AS ({dem_sql}),
+offs AS (SELECT * FROM (VALUES {offs}) AS o(dx, dy)),
+nb AS (
+  SELECT c.row, c.col, c.value AS z,
+         CAST(o.dx AS DOUBLE) * {resolution!r} AS xx,
+         CAST(o.dy AS DOUBLE) * {resolution!r} AS yy,
+         n.value AS zi
+  FROM cells c CROSS JOIN offs o
+  JOIN cells n ON n.row = c.row + o.dy AND n.col = c.col + o.dx
+),
+sums0 AS (SELECT row, col, z, {sums} FROM nb GROUP BY row, col, z),
+sums AS (SELECT * FROM sums0 WHERE nv >= 8),
+coef AS (SELECT *, {coefs} FROM sums),
+gof AS (SELECT *, {gofs} FROM coef)
+SELECT row, col, {outs} FROM gof
+"""
