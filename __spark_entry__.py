@@ -6010,6 +6010,32 @@ FROM ({inner}) t
 """
 
 
+_TID_ARGS = dict(
+    lat=43.545, lon=-80.248, az_fraction=30.0, max_dist=60.0,
+    utc_offset=0.0, start_day=92, end_day=183,
+)
+
+
+def q_time_in_daylight(spark, sf_dir):
+    """TimeInDaylight (terrain_analysis/time_in_daylight.rs:430-1171):
+    1 - shadow-seconds/total-daylight over the valley DEM, day-of-year
+    window 92-183, 30-deg azimuth bins, suncalc almanac at 43.545N
+    80.248W. Engine = gated lattice-scan horizon angles (faithful
+    prefix-max gate + 80-deg early stop, window functions) + almanac
+    broadcast join; oracle = identical literals/window SQL in DuckDB."""
+    from whitebox_tools_spark.operators.daylight import time_in_daylight
+
+    out = time_in_daylight(_valley_dem(spark, sf_dir), STREAM_GRID, **_TID_ARGS)
+    return _r6(out, ["value"])
+
+
+def _time_in_daylight_sql() -> str:
+    from whitebox_tools_spark.operators.daylight import time_in_daylight_oracle_sql
+
+    inner = time_in_daylight_oracle_sql(_VALLEY_DEM_SQL, STREAM_GRID, **_TID_ARGS)
+    return f"SELECT row, col, round(value, 6) AS value FROM ({inner}) t"
+
+
 # The driver's correctness harness checks the FIRST 50 queries() entries each
 # round.  Rounds 1-3 certified 123 distinct queries; the round-4 window keeps
 # relative_topographic_position first (red in r01-r03; the scaled-integer
@@ -6223,6 +6249,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "correct_stream_vector_direction": q_correct_stream_vector_direction,
         "repair_stream_vector_topology": q_repair_stream_vector_topology,
         "local_quadratic_regression": q_local_quadratic_regression,
+        "time_in_daylight": q_time_in_daylight,
         "qin_flow_accumulation": q_qin_flow_accumulation,
         "breach_single_cell_pits": q_breach_single_cell_pits,
         "long_profile_from_points": q_long_profile_from_points,
@@ -7143,6 +7170,7 @@ FROM ({_PART_RASTER_SQL}) WHERE value IS NOT NULL
         "correct_stream_vector_direction": _csvd_sql(),
         "repair_stream_vector_topology": _repair_sql(),
         "local_quadratic_regression": _lqr_sql(),
+        "time_in_daylight": _time_in_daylight_sql(),
         "impoundment_size_index": __import__(
             "whitebox_tools_spark.operators.impoundment", fromlist=["isi_oracle_sql"]
         ).isi_oracle_sql(_DENSE20_SQL, EXTRACT_GRID, dam_length=5.0),
