@@ -6036,6 +6036,56 @@ def _time_in_daylight_sql() -> str:
     return f"SELECT row, col, round(value, 6) AS value FROM ({inner}) t"
 
 
+def q_map_off_terrain_objects(spark, sf_dir):
+    """MapOffTerrainObjects (terrain_analysis/map_otos.rs): slope-ratio
+    region growing (tan(60 deg) gate) over the spiked valley DEM; small
+    segments (<5 cells) collapse to background 1, kept segments numbered
+    in seed scan order (background shares id 1 — reference quirk)."""
+    from whitebox_tools_spark.operators.terrain import map_off_terrain_objects
+
+    dem = _valley_dem(spark, sf_dir).withColumn(
+        "value",
+        F.col("value")
+        + F.when((F.col("row") * 25 + F.col("col")) % 37 == 0, 80.0).otherwise(0.0),
+    )
+    return map_off_terrain_objects(dem, STREAM_GRID, max_slope=60.0, min_size=5)
+
+
+def _map_otos_sql() -> str:
+    from whitebox_tools_spark.operators.terrain import (
+        map_off_terrain_objects_oracle_sql,
+    )
+
+    dem = f"""
+SELECT row, col, value + CASE WHEN (row * 25 + col) % 37 = 0 THEN 80.0 ELSE 0.0 END AS value
+FROM ({_VALLEY_DEM_SQL})
+"""
+    return map_off_terrain_objects_oracle_sql(
+        dem, STREAM_GRID, max_slope=60.0, min_size=5
+    )
+
+
+def q_hypsometrically_tinted_hillshade(spark, sf_dir):
+    """HypsometricallyTintedHillshade (terrain_analysis/
+    hypsometrically_tinted_hillshade.rs): packed-RGBA hypsometric tint x
+    3x3-Horn multidirectional hillshade with percentile clips, over the
+    valley DEM (atlas palette, defaults; atmospheric=0 — the reference's
+    haze branch is entropy-seeded, skipped at the default)."""
+    from whitebox_tools_spark.operators.terrain import (
+        hypsometrically_tinted_hillshade,
+    )
+
+    return hypsometrically_tinted_hillshade(
+        _valley_dem(spark, sf_dir), STREAM_GRID
+    )
+
+
+def _hth_sql() -> str:
+    from whitebox_tools_spark.operators.terrain import hth_oracle_sql
+
+    return hth_oracle_sql(_VALLEY_DEM_SQL, STREAM_GRID)
+
+
 # The driver's correctness harness checks the FIRST 50 queries() entries each
 # round.  Rounds 1-3 certified 123 distinct queries; the round-4 window keeps
 # relative_topographic_position first (red in r01-r03; the scaled-integer
@@ -6250,6 +6300,8 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repair_stream_vector_topology": q_repair_stream_vector_topology,
         "local_quadratic_regression": q_local_quadratic_regression,
         "time_in_daylight": q_time_in_daylight,
+        "map_off_terrain_objects": q_map_off_terrain_objects,
+        "hypsometrically_tinted_hillshade": q_hypsometrically_tinted_hillshade,
         "qin_flow_accumulation": q_qin_flow_accumulation,
         "breach_single_cell_pits": q_breach_single_cell_pits,
         "long_profile_from_points": q_long_profile_from_points,
@@ -7171,6 +7223,8 @@ FROM ({_PART_RASTER_SQL}) WHERE value IS NOT NULL
         "repair_stream_vector_topology": _repair_sql(),
         "local_quadratic_regression": _lqr_sql(),
         "time_in_daylight": _time_in_daylight_sql(),
+        "map_off_terrain_objects": _map_otos_sql(),
+        "hypsometrically_tinted_hillshade": _hth_sql(),
         "impoundment_size_index": __import__(
             "whitebox_tools_spark.operators.impoundment", fromlist=["isi_oracle_sql"]
         ).isi_oracle_sql(_DENSE20_SQL, EXTRACT_GRID, dam_length=5.0),

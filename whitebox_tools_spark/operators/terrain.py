@@ -1751,3 +1751,447 @@ CROSS JOIN LATERAL (
               ELSE radians(abs({az!r} - sa.aspect)) END AS rel
 ) t
 """
+
+
+def map_off_terrain_objects(
+    cells: DataFrame,
+    grid: GridSpec,
+    *,
+    max_slope: float = 90.0,
+    min_size: int = 0,
+    max_iterations: int = 48,
+) -> DataFrame:
+    """MapOffTerrainObjects (terrain_analysis/map_otos.rs:250-360):
+    region-grow cells into segments wherever the cell-to-cell slope ratio
+    |z - zn| / cellsize_n is below tan(max_slope) (clamped to [1, 90]
+    degrees, rs:234-240); segments smaller than min_size collapse to the
+    background value 1; kept segments are numbered 1.. in seed scan order
+    (the reference increments its fid only for kept segments, so id 1 is
+    shared with the background — quirk transcribed).
+
+    Spark shape: the same pointer-doubling min-label rounds as clump
+    (O(log diameter)), with the slope predicate replacing value equality;
+    sizes/numbering are one aggregate + a rank over kept components.
+    -> (row, col, value) for valid cells."""
+    ms = math.tan(math.radians(min(90.0, max(1.0, max_slope))))
+    from whitebox_tools_spark.distributed import loop_checkpoint, with_global_seq
+
+    base = (
+        cells.filter(F.col("value").isNotNull())
+        .select("row", "col", F.col("value").alias("z"))
+        .withColumn("label", F.col("row") * (1 << 31) + F.col("col"))
+        .localCheckpoint(eager=True)
+    )
+    res_diag = math.hypot(grid.res_x, grid.res_y)
+    offsets = [
+        (-1, 0, grid.res_y), (1, 0, grid.res_y),
+        (0, -1, grid.res_x), (0, 1, grid.res_x),
+        (-1, -1, res_diag), (-1, 1, res_diag), (1, -1, res_diag), (1, 1, res_diag),
+    ]
+
+    def shortcut(df: DataFrame) -> DataFrame:
+        ref = df.select(
+            (F.col("row") * (1 << 31) + F.col("col")).alias("__key"),
+            F.col("label").alias("__l2"),
+        )
+        return (
+            df.join(ref, df["label"] == ref["__key"], "left")
+            .withColumn("label", F.least(F.col("label"), F.coalesce(F.col("__l2"), F.col("label"))))
+            .drop("__key", "__l2")
+        )
+
+    cur = base
+    for _ in range(max_iterations):
+        right = cur.select(
+            F.col("row").alias("r2"), F.col("col").alias("c2"),
+            F.col("z").alias("z2"), F.col("label").alias("l2"),
+        )
+        exploded = cur.withColumn(
+            "nbr",
+            F.explode(
+                F.array(*[F.struct(
+                    (F.col("row") + F.lit(dr)).alias("r2"),
+                    (F.col("col") + F.lit(dc)).alias("c2"),
+                    F.lit(cs).alias("cs"),
+                ) for dr, dc, cs in offsets])
+            ),
+        ).select(
+            "row", "col", "z", "label",
+            F.col("nbr.r2").alias("r2"), F.col("nbr.c2").alias("c2"),
+            F.col("nbr.cs").alias("cs"),
+        )
+        nb = (
+            exploded.join(right, ["r2", "c2"])
+            .filter(F.abs(F.col("z") - F.col("z2")) / F.col("cs") < F.lit(ms))
+            .groupBy("row", "col")
+            .agg(F.min("l2").alias("nbl"))
+        )
+        nxt = (
+            cur.join(nb, ["row", "col"], "left")
+            .withColumn("label", F.least(F.col("label"), F.coalesce(F.col("nbl"), F.col("label"))))
+            .drop("nbl")
+        )
+        nxt = shortcut(shortcut(nxt)).transform(loop_checkpoint)
+        changed = (
+            nxt.join(cur.select("row", "col", F.col("label").alias("old")), ["row", "col"])
+            .filter(F.col("label") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        cur = nxt
+        if changed == 0:
+            break
+
+    comp = cur.groupBy("label").agg(
+        F.min(F.col("row") * (1 << 31) + F.col("col")).alias("scan"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    kept = with_global_seq(
+        comp.filter(F.col("n") >= F.lit(min_size)), ["scan"], out_col="seg_id"
+    ).select("label", "seg_id")
+    ids = comp.select("label").join(kept, "label", "left").select(
+        "label", F.coalesce("seg_id", F.lit(1)).alias("seg_id")
+    )
+    return cur.join(F.broadcast(ids), "label").select(
+        "row", "col", F.col("seg_id").cast("double").alias("value")
+    )
+
+
+def map_off_terrain_objects_oracle_sql(
+    dem_sql: str, grid: GridSpec, *, max_slope: float = 90.0, min_size: int = 0
+) -> str:
+    """Recursive-CTE closure mirror (the clump oracle pattern with the
+    slope-ratio adjacency)."""
+    ms = math.tan(math.radians(min(90.0, max(1.0, max_slope))))
+    res_diag = math.hypot(grid.res_x, grid.res_y)
+    return f"""
+WITH RECURSIVE cells AS MATERIALIZED (
+  SELECT row, col, value FROM ({dem_sql}) WHERE value IS NOT NULL
+),
+adj AS MATERIALIZED (
+  SELECT a.row AS ur, a.col AS uc, b.row AS vr, b.col AS vc
+  FROM cells a JOIN cells b
+    ON abs(b.row - a.row) <= 1 AND abs(b.col - a.col) <= 1
+   AND NOT (b.row = a.row AND b.col = a.col)
+   AND abs(a.value - b.value) / (CASE
+        WHEN b.row <> a.row AND b.col <> a.col THEN {res_diag!r}
+        WHEN b.col <> a.col THEN {grid.res_x!r}
+        ELSE {grid.res_y!r} END) < {ms!r}
+),
+r(row, col, label) AS (
+  SELECT row, col, row * 2147483648 + col FROM cells
+  UNION
+  SELECT e.vr, e.vc, r.label
+  FROM r JOIN adj e ON e.ur = r.row AND e.uc = r.col
+),
+lab AS (SELECT row, col, min(label) AS lab FROM r GROUP BY 1, 2),
+comp AS (SELECT lab, min(row * 2147483648 + col) AS scan, count(*) AS n
+         FROM lab GROUP BY 1),
+ids AS (SELECT lab,
+               CASE WHEN n >= {min_size} THEN
+                 CAST(row_number() OVER (ORDER BY CASE WHEN n >= {min_size} THEN 0 ELSE 1 END, scan) AS BIGINT)
+               ELSE NULL END AS seg_id
+        FROM comp)
+SELECT l.row, l.col, CAST(COALESCE(i.seg_id, 1) AS DOUBLE) AS value
+FROM lab l JOIN ids i ON l.lab = i.lab
+"""
+
+
+# ---------------------------------------------------------------------------
+# HypsometricallyTintedHillshade
+# ---------------------------------------------------------------------------
+_HTH_PALETTES = {
+    "atlas": [(72.0, 135.0, 55.0), (226.0, 219.0, 171.0), (228.0, 180.0, 123.0)],
+    "high_relief": [
+        (72.0, 135.0, 55.0), (226.0, 219.0, 171.0), (228.0, 180.0, 123.0),
+        (182.0, 156.0, 144.0), (255.0, 255.0, 255.0),
+    ],
+    "arid": [(119.0, 101.0, 91.0), (254.0, 213.0, 132.0), (254.0, 252.0, 231.0)],
+    "soft": [(154.0, 206.0, 111.0), (255.0, 254.0, 211.0), (255.0, 160.0, 100.0)],
+    "muted": [
+        (72.0, 136.0, 184.0), (142.0, 199.0, 167.0), (255.0, 254.0, 198.0),
+        (228.0, 116.0, 79.0), (197.0, 74.0, 82.0),
+    ],
+}
+
+_HTH_AZ = [(225.0, 0.1), (270.0, 0.4), (315.0, 0.4), (360.0, 0.1)]
+_HTH_AZ_360 = [
+    (0.0, 0.15), (45.0, 0.125), (90.0, 0.1), (135.0, 0.05),
+    (180.0, 0.1), (225.0, 0.125), (270.0, 0.15), (315.0, 0.20),
+]
+
+
+def _hth_hs_expr(res: float, altitude: float, z_factor: float, full_360: bool) -> str:
+    """The tool's OWN 3x3 Horn hillshade (hypsometrically_tinted_hillshade
+    .rs:507-548) — NOT the standalone tool's 5x5 Florinsky stencil.
+    Neighbors n0..n7 = E-start clockwise ring scaled by z_factor with
+    nodata->center substitution."""
+    sin_t = math.sin(math.radians(altitude))
+    cos_t = math.cos(math.radians(altitude))
+    fy = f"((n6 - n4 + 2.0*(n7 - n3) + n0 - n2) / {res * 8.0!r})"
+    fx = f"((n2 - n4 + 2.0*(n1 - n5) + n0 - n6) / {res * 8.0!r})"
+    ts = f"greatest(sqrt({fx}*{fx} + {fy}*{fy}), 0.00017)"
+    asp = (
+        f"(CASE WHEN {fx} <> 0.0 THEN pi() - atan({fy}/{fx}) + (pi()/2.0)*({fx}/abs({fx})) "
+        "ELSE pi() END)"
+    )
+    azs = _HTH_AZ_360 if full_360 else _HTH_AZ
+    terms = " + ".join(
+        f"{w!r} * (({ts})/sqrt(1.0 + ({ts})*({ts}))) * "
+        f"({sin_t!r}/({ts}) - {cos_t!r}*sin({math.radians(az - 90.0)!r} - {asp}))"
+        for az, w in azs
+    )
+    _ = z_factor  # applied when building n0..n7/center
+    return f"CAST(round(greatest(({terms}) * 32767.0, 0.0)) AS BIGINT)"
+
+
+def _hth_palette_expr(palette: str, reverse: bool, prop: str) -> tuple:
+    """Per-channel floor'd linear interpolation over equal palette
+    segments (rs:1124-1199). Returns (r, g, b) SQL expressions over the
+    clipped elevation-proportion expression `prop`."""
+    colors = list(_HTH_PALETTES[palette])
+    if reverse:
+        colors.reverse()
+    n = len(colors)
+    step = 1.0 / (n - 1)
+    out = []
+    for ch in range(3):
+        branches = []
+        for i in range(n - 1):
+            lo = i * step
+            hi = (i + 1) * step
+            seg = (
+                f"CAST(floor({colors[i][ch]!r} + (({prop}) - {lo!r}) / {step!r} * "
+                f"({colors[i + 1][ch]!r} - {colors[i][ch]!r})) AS BIGINT)"
+            )
+            branches.append(f"WHEN ({prop}) <= {hi!r} THEN {seg}")
+        expr = (
+            f"(CASE WHEN ({prop}) <= 0.0 THEN {int(colors[0][ch])} "
+            f"WHEN ({prop}) >= 1.0 THEN {int(colors[-1][ch])} "
+            + " ".join(branches)
+            + f" ELSE {int(colors[-1][ch])} END)"
+        )
+        out.append(expr)
+    return tuple(out)
+
+
+def hypsometrically_tinted_hillshade(
+    cells: DataFrame,
+    grid: GridSpec,
+    *,
+    altitude: float = 45.0,
+    hs_weight: float = 0.5,
+    brightness: float = 0.5,
+    palette: str = "atlas",
+    reverse_palette: bool = False,
+    full_360: bool = False,
+    z_factor: float = 1.0,
+) -> DataFrame:
+    """HypsometricallyTintedHillshade (terrain_analysis/
+    hypsometrically_tinted_hillshade.rs:430-1275): 3x3-Horn multidirectional
+    hillshade (i16-scaled), percentile clips (0.5% shadow clip; highlight
+    clip at 10% x brightness; 0.5% elevation clips over 32768 bins),
+    palette hypsometric tint, hs/relief alpha blend over the (1,25,50)
+    base, packed RGBA output.
+
+    The atmospheric-haze branch (rs:1210-1237) mixes an ENTROPY-seeded
+    random term into the blend — irreproducible by design; this engine
+    implements atmospheric_alpha = 0 (the reference default), where the
+    branch is skipped entirely.
+
+    Distributed shape: one 3x3 scatter-aggregate for the hillshade, two
+    tiny histogram aggregates (<=32768 bins, single-partition window is
+    bounded) broadcast back, then pure per-cell expressions."""
+    spark = cells.sparkSession
+    relief_alpha = 1.0 - hs_weight
+    src = cells.filter(F.col("value").isNotNull()).select(
+        "row", "col", (F.col("value") * F.lit(z_factor)).alias("z")
+    )
+    # n0..n7: E-start clockwise (dx,dy) ring (rs:466-467)
+    ring = [(1, -1), (1, 0), (1, 1), (0, 1), (-1, 1), (-1, 0), (-1, -1), (0, -1)]
+    offs = spark.createDataFrame(
+        [(i, dx, dy) for i, (dx, dy) in enumerate(ring)], "n int, dx int, dy int"
+    )
+    gathered = (
+        src.crossJoin(F.broadcast(offs))
+        .select(
+            (F.col("row") - F.col("dy")).alias("row"),
+            (F.col("col") - F.col("dx")).alias("col"),
+            "n", F.col("z").alias("nz"),
+        )
+        .groupBy("row", "col")
+        .agg(*[F.max(F.when(F.col("n") == i, F.col("nz"))).alias(f"n{i}") for i in range(8)])
+    )
+    g = src.join(gathered, ["row", "col"], "left")
+    for i in range(8):
+        g = g.withColumn(f"n{i}", F.coalesce(F.col(f"n{i}"), F.col("z")))
+    hs = g.withColumn(
+        "hs", F.expr(_hth_hs_expr(grid.res_x, altitude, z_factor, full_360))
+    ).select("row", "col", F.col("z").alias("elev"), "hs").localCheckpoint(eager=True)
+
+    stats = hs.agg(
+        F.count(F.lit(1)).alias("ncells"),
+        F.min("elev").alias("emin"),
+        F.max("elev").alias("emax"),
+    )
+    # hs clip cutoffs (rs:579-600)
+    from pyspark.sql import Window as _W
+
+    hh = hs.groupBy("hs").agg(F.count(F.lit(1)).alias("cnt")).crossJoin(F.broadcast(stats))
+    asc = _W.orderBy("hs").rowsBetween(_W.unboundedPreceding, 0)
+    desc = _W.orderBy(F.desc("hs")).rowsBetween(_W.unboundedPreceding, 0)
+    cuts_hs = (
+        hh.withColumn("ca", F.sum("cnt").over(asc))
+        .withColumn("cd", F.sum("cnt").over(desc))
+        .agg(
+            F.min(F.when(F.col("ca") >= F.col("ncells") * 0.005, F.col("hs"))).alias("new_min"),
+            F.max(F.when(F.col("cd") >= F.col("ncells") * 0.10 * F.lit(float(brightness)), F.col("hs"))).alias("new_max"),
+        )
+    )
+    # elevation clip cutoffs over 32768 bins (rs:556-575, 602-625)
+    eb = (
+        hs.crossJoin(F.broadcast(stats))
+        .withColumn(
+            "bin",
+            F.round(((F.col("elev") - F.col("emin")) / (F.col("emax") - F.col("emin"))) * 32767.0).cast("long"),
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(stats))
+    )
+    asc_b = _W.orderBy("bin").rowsBetween(_W.unboundedPreceding, 0)
+    desc_b = _W.orderBy(F.desc("bin")).rowsBetween(_W.unboundedPreceding, 0)
+    cuts_e = (
+        eb.withColumn("ca", F.sum("cnt").over(asc_b))
+        .withColumn("cd", F.sum("cnt").over(desc_b))
+        .agg(
+            F.min(F.when(F.col("ca") >= F.col("ncells") * 0.005, F.col("bin"))).alias("bmin"),
+            F.max(F.when(F.col("cd") >= F.col("ncells") * 0.005, F.col("bin"))).alias("bmax"),
+        )
+    )
+    full = (
+        hs.crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(cuts_hs))
+        .crossJoin(F.broadcast(cuts_e))
+        .withColumn("new_emin", F.col("emin") + (F.col("bmin").cast("double") / 32768.0) * (F.col("emax") - F.col("emin")))
+        .withColumn("new_emax", F.col("emin") + (F.col("bmax").cast("double") / 32768.0) * (F.col("emax") - F.col("emin")))
+        .withColumn(
+            "eprop",
+            F.when(F.col("elev") <= F.col("new_emin"), F.lit(0.0))
+            .when(F.col("elev") >= F.col("new_emax"), F.lit(1.0))
+            .otherwise((F.col("elev") - F.col("new_emin")) / (F.col("new_emax") - F.col("new_emin"))),
+        )
+        .withColumn(
+            "hprop0",
+            F.when(F.col("hs") <= F.col("new_min"), F.lit(0.0))
+            .when(F.col("hs") >= F.col("new_max"), F.lit(1.0))
+            .otherwise((F.col("hs") - F.col("new_min")).cast("double") / (F.col("new_max") - F.col("new_min")).cast("double")),
+        )
+        .withColumn("hprop", F.lit(relief_alpha) + F.lit(float(hs_weight)) * F.col("hprop0"))
+    )
+    rr, gg, bb = _hth_palette_expr(palette, reverse_palette, "eprop")
+    full = (
+        full.withColumn("relr", F.expr(rr))
+        .withColumn("relg", F.expr(gg))
+        .withColumn("relb", F.expr(bb))
+        .withColumn("red", F.least(F.lit(255), (F.lit(1.0) * (1.0 - F.col("hprop")) + F.col("relr") * F.col("hprop")).cast("long")))
+        .withColumn("grn", F.least(F.lit(255), (F.lit(25.0) * (1.0 - F.col("hprop")) + F.col("relg") * F.col("hprop")).cast("long")))
+        .withColumn("blu", F.least(F.lit(255), (F.lit(50.0) * (1.0 - F.col("hprop")) + F.col("relb") * F.col("hprop")).cast("long")))
+    )
+    pack = (F.lit(255 << 24).cast("long") + F.col("blu") * 65536 + F.col("grn") * 256 + F.col("red")).cast("double")
+    return full.select("row", "col", pack.alias("value"))
+
+
+def hth_oracle_sql(
+    dem_sql: str,
+    grid: GridSpec,
+    *,
+    altitude: float = 45.0,
+    hs_weight: float = 0.5,
+    brightness: float = 0.5,
+    palette: str = "atlas",
+    reverse_palette: bool = False,
+    full_360: bool = False,
+    z_factor: float = 1.0,
+) -> str:
+    """DuckDB mirror with the identical formula strings."""
+    relief_alpha = 1.0 - hs_weight
+    hs_expr = _hth_hs_expr(grid.res_x, altitude, z_factor, full_360)
+    rr, gg, bb = _hth_palette_expr(palette, reverse_palette, "eprop")
+    ring = [(1, -1), (1, 0), (1, 1), (0, 1), (-1, 1), (-1, 0), (-1, -1), (0, -1)]
+    nbrs = ", ".join(
+        f"COALESCE(n{i}.value * {z_factor!r}, c.value * {z_factor!r}) AS n{i}"
+        for i in range(8)
+    )
+    joins = " ".join(
+        f"LEFT JOIN cells n{i} ON n{i}.row = c.row + {dy} AND n{i}.col = c.col + {dx}"
+        for i, (dx, dy) in enumerate(ring)
+    )
+    return f"""
+WITH cells AS MATERIALIZED (SELECT row, col, value FROM ({dem_sql}) WHERE value IS NOT NULL),
+g AS (
+  SELECT c.row, c.col, c.value * {z_factor!r} AS z, {nbrs}
+  FROM cells c {joins}
+),
+hsr AS (SELECT row, col, z AS elev, {hs_expr} AS hs FROM g),
+st AS (SELECT count(*) AS ncells, min(elev) AS emin, max(elev) AS emax FROM hsr),
+hh AS (SELECT hs, count(*) AS cnt FROM hsr GROUP BY hs),
+hcum AS (
+  SELECT hs, sum(cnt) OVER (ORDER BY hs) AS ca,
+         sum(cnt) OVER (ORDER BY hs DESC) AS cd
+  FROM hh
+),
+cuts_hs AS (
+  SELECT min(CASE WHEN ca >= st.ncells * 0.005 THEN hs END) AS new_min,
+         max(CASE WHEN cd >= st.ncells * 0.10 * {float(brightness)!r} THEN hs END) AS new_max
+  FROM hcum, st
+),
+ebin AS (
+  SELECT CAST(round(((elev - st.emin) / (st.emax - st.emin)) * 32767.0) AS BIGINT) AS bin,
+         count(*) AS cnt
+  FROM hsr, st GROUP BY 1
+),
+ecum AS (
+  SELECT bin, sum(cnt) OVER (ORDER BY bin) AS ca,
+         sum(cnt) OVER (ORDER BY bin DESC) AS cd
+  FROM ebin
+),
+cuts_e AS (
+  SELECT min(CASE WHEN ca >= st.ncells * 0.005 THEN bin END) AS bmin,
+         max(CASE WHEN cd >= st.ncells * 0.005 THEN bin END) AS bmax
+  FROM ecum, st
+),
+full0 AS (
+  SELECT h.row, h.col, h.elev, h.hs,
+         st.emin + (CAST(ce.bmin AS DOUBLE) / 32768.0) * (st.emax - st.emin) AS new_emin,
+         st.emin + (CAST(ce.bmax AS DOUBLE) / 32768.0) * (st.emax - st.emin) AS new_emax,
+         ch.new_min, ch.new_max
+  FROM hsr h, st, cuts_hs ch, cuts_e ce
+),
+full1 AS (
+  SELECT *,
+         CASE WHEN elev <= new_emin THEN 0.0
+              WHEN elev >= new_emax THEN 1.0
+              ELSE (elev - new_emin) / (new_emax - new_emin) END AS eprop,
+         {relief_alpha!r} + {float(hs_weight)!r} * (
+           CASE WHEN hs <= new_min THEN 0.0
+                WHEN hs >= new_max THEN 1.0
+                ELSE CAST(hs - new_min AS DOUBLE) / CAST(new_max - new_min AS DOUBLE) END
+         ) AS hprop
+  FROM full0
+),
+full2 AS (
+  SELECT row, col, hprop, {rr} AS relr, {gg} AS relg, {bb} AS relb FROM full1
+),
+full3 AS (
+  SELECT row, col,
+         -- trunc before CAST: DuckDB's double->int cast rounds, Spark's
+         -- (and rust's `as u32`) truncates
+         least(255, CAST(trunc(1.0 * (1.0 - hprop) + relr * hprop) AS BIGINT)) AS red,
+         least(255, CAST(trunc(25.0 * (1.0 - hprop) + relg * hprop) AS BIGINT)) AS grn,
+         least(255, CAST(trunc(50.0 * (1.0 - hprop) + relb * hprop) AS BIGINT)) AS blu
+  FROM full2
+)
+SELECT row, col, CAST({255 << 24} + blu * 65536 + grn * 256 + red AS DOUBLE) AS value
+FROM full3
+"""
