@@ -6086,6 +6086,155 @@ def _hth_sql() -> str:
     return hth_oracle_sql(_VALLEY_DEM_SQL, STREAM_GRID)
 
 
+def q_deviation_from_regional_direction(spark, sf_dir):
+    """DeviationFromRegionalDirection (gis_analysis/
+    deviation_from_regional_direction.rs): per-polygon RMA orientation vs
+    the elongation/long-axis-weighted axial mean; folded to [0, 90]."""
+    from whitebox_tools_spark.operators.vector_ops import (
+        deviation_from_regional_direction,
+    )
+
+    out = deviation_from_regional_direction(_parts_df(spark), elong_threshold=0.3)
+    return _r6(out, ["dev_dir"])
+
+
+def _dfrd_sql() -> str:
+    """Independent transcription: reference midpoint-shifted RMA sums +
+    rotating-calipers min-area box (not the engine's numpy kernel),
+    literals embedded."""
+    import math as _m
+
+    def hull(pts):
+        pts = sorted(set(pts))
+        if len(pts) < 3:
+            return pts
+
+        def half(points):
+            h = []
+            for p in points:
+                while len(h) >= 2 and (
+                    (h[-1][0] - h[-2][0]) * (p[1] - h[-2][1])
+                    - (h[-1][1] - h[-2][1]) * (p[0] - h[-2][0])
+                ) <= 0:
+                    h.pop()
+                h.append(p)
+            return h
+
+        lower = half(pts)
+        upper = half(list(reversed(pts)))
+        return lower[:-1] + upper[:-1]
+
+    def axes(pts):
+        h = hull(pts)
+        best = None
+        for i in range(len(h)):
+            x0, y0 = h[i]
+            x1, y1 = h[(i + 1) % len(h)]
+            ex, ey = x1 - x0, y1 - y0
+            n = _m.hypot(ex, ey)
+            if n == 0:
+                continue
+            ux, uy = ex / n, ey / n
+            pu = [p[0] * ux + p[1] * uy for p in h]
+            pv = [-p[0] * uy + p[1] * ux for p in h]
+            w = max(pu) - min(pu)
+            ht = max(pv) - min(pv)
+            if best is None or w * ht < best[0]:
+                best = (w * ht, max(w, ht), min(w, ht))
+        return best[1], best[2]
+
+    polys = []
+    for pid, parts in PARTS:
+        xs, ys, _hole = parts[0]
+        pts = list(zip(xs, ys))
+        # reference midpoint quirk: half-EXTENT of the record bbox
+        # (rs:257-258), a constant shift per polygon
+        mx = (max(xs) - min(xs)) / 2.0
+        my = (max(ys) - min(ys)) / 2.0
+        n = len(pts)
+        sx = sum(p[0] - mx for p in pts)
+        sy = sum(p[1] - my for p in pts)
+        sxy = sum((p[0] - mx) * (p[1] - my) for p in pts)
+        sxx_ = sum((p[0] - mx) ** 2 for p in pts)
+        syy_ = sum((p[1] - my) ** 2 for p in pts)
+        mean = sx / n
+        sxx = sxx_ / n - mean * mean
+        syy = syy_ / n - (sy / n) ** 2
+        slope = _m.sqrt(syy / sxx)
+        if (sxy - mean * sy) / (sxx_ - mean * sx) < 0.0:
+            slope = -slope
+        theta = _m.atan(slope)
+        la, sa = axes(pts)
+        elong = 1.0 - sa / la
+        polys.append((pid, theta, la, elong))
+
+    thr = 0.3
+    ss = sum(_m.sin(2 * t) * (la * e if e >= thr else 0.0) for _, t, la, e in polys)
+    sc = sum(_m.cos(2 * t) * (la * e if e >= thr else 0.0) for _, t, la, e in polys)
+    regional = -_m.degrees(_m.atan2(ss, sc) / 2.0) + 90.0
+    if regional < 0.0:
+        regional = 180.0 + regional
+    rows = []
+    for pid, t, la, e in polys:
+        sd = 90.0 - _m.degrees(t)
+        dev = sd - regional
+        if dev < 0.0:
+            dev += 180.0
+        if dev > 90.0:
+            dev = 180.0 - dev
+        rows.append((pid, _round_half_up(dev)))
+    vals = ", ".join(f"({p}, {v!r})" for p, v in rows)
+    return (
+        "SELECT CAST(poly_id AS BIGINT) AS poly_id, CAST(dev_dir AS DOUBLE) AS dev_dir "
+        f"FROM (VALUES {vals}) AS t(poly_id, dev_dir)"
+    )
+
+
+def q_find_flightline_edge_points(spark, sf_dir):
+    """FindFlightlineEdgePoints (lidar_analysis/
+    find_flightline_edge_points.rs): keep edge-of-flightline-flagged
+    points (fixture flag = minstd parity of point_id — the LAS flag bit
+    re-expressed as a column)."""
+    from whitebox_tools_spark.operators.lidar import find_flightline_edge_points
+
+    cloud = _order_cloud(spark, sf_dir).withColumn(
+        "edge_flag", ((F.col("point_id") * 48271) % 7 == 0).cast("int")
+    )
+    out = find_flightline_edge_points(cloud)
+    return out.select("point_id", F.round("x", 6).alias("x"),
+                      F.round("y", 6).alias("y"), F.round("z", 6).alias("z"))
+
+
+def _ffep_sql() -> str:
+    return f"""
+SELECT point_id, round(x, 6) AS x, round(y, 6) AS y, round(z, 6) AS z
+FROM ({_order_cloud_cte()}) c
+WHERE (point_id * 48271) % 7 = 0
+"""
+
+
+def q_turning_bands(spark, sf_dir):
+    """TurningBandsSimulation (math_stat_analysis/turning_bands.rs):
+    sum of moving-ramp-filtered normal bands projected along random
+    lines, 1/sqrt(n) scaled; deterministic minstd streams replace the
+    reference's entropy RNG (the repo's RND convention)."""
+    from whitebox_tools_spark.operators.random import turning_bands_simulation
+
+    out = turning_bands_simulation(
+        spark, STREAM_GRID, range_dist=40.0, iterations=8, seed=7
+    )
+    return _r6(out, ["value"])
+
+
+def _turning_bands_sql() -> str:
+    from whitebox_tools_spark.operators.random import turning_bands_oracle_sql
+
+    inner = turning_bands_oracle_sql(
+        STREAM_GRID, range_dist=40.0, iterations=8, seed=7
+    )
+    return f"SELECT row, col, round(value, 6) AS value FROM ({inner}) t"
+
+
 # The driver's correctness harness checks the FIRST 50 queries() entries each
 # round.  Rounds 1-3 certified 123 distinct queries; the round-4 window keeps
 # relative_topographic_position first (red in r01-r03; the scaled-integer
@@ -6302,6 +6451,9 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_in_daylight": q_time_in_daylight,
         "map_off_terrain_objects": q_map_off_terrain_objects,
         "hypsometrically_tinted_hillshade": q_hypsometrically_tinted_hillshade,
+        "deviation_from_regional_direction": q_deviation_from_regional_direction,
+        "find_flightline_edge_points": q_find_flightline_edge_points,
+        "turning_bands_simulation": q_turning_bands,
         "qin_flow_accumulation": q_qin_flow_accumulation,
         "breach_single_cell_pits": q_breach_single_cell_pits,
         "long_profile_from_points": q_long_profile_from_points,
@@ -7225,6 +7377,9 @@ FROM ({_PART_RASTER_SQL}) WHERE value IS NOT NULL
         "time_in_daylight": _time_in_daylight_sql(),
         "map_off_terrain_objects": _map_otos_sql(),
         "hypsometrically_tinted_hillshade": _hth_sql(),
+        "deviation_from_regional_direction": _dfrd_sql(),
+        "find_flightline_edge_points": _ffep_sql(),
+        "turning_bands_simulation": _turning_bands_sql(),
         "impoundment_size_index": __import__(
             "whitebox_tools_spark.operators.impoundment", fromlist=["isi_oracle_sql"]
         ).isi_oracle_sql(_DENSE20_SQL, EXTRACT_GRID, dam_length=5.0),

@@ -1611,3 +1611,10 @@ st3 AS (SELECT *, {abc} FROM st2)
 SELECT point_id, round(ux, 9) AS ux, round(uy, 9) AS uy, round(uz, 9) AS uz
 FROM (SELECT point_id, {unit} FROM st3) t
 """
+
+
+def find_flightline_edge_points(points: DataFrame, *, flag: str = "edge_flag") -> DataFrame:
+    """FindFlightlineEdgePoints (lidar_analysis/
+    find_flightline_edge_points.rs:190-196): keep points whose LAS
+    edge-of-flightline flag is set — a pushed-down filter."""
+    return points.filter(F.col(flag) != 0)

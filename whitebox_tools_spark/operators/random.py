@@ -102,3 +102,163 @@ ranked AS (
 SELECT row, col, CAST(row_number() OVER (ORDER BY u, row, col) AS BIGINT) AS sample_id
 FROM ranked
 """
+
+
+# ---------------------------------------------------------------------------
+# TurningBandsSimulation
+# ---------------------------------------------------------------------------
+def _tbs_setup(grid: GridSpec, *, range_dist: float, iterations: int, seed: int):
+    """Driver-side band/line generation (turning_bands.rs:270-415) with
+    the repo's deterministic minstd stream replacing the reference's
+    entropy thread_rng (reproducibility convention — see module doc).
+    Bands are 1-D O(diagonal) arrays: driver-scale by construction.
+    Returns (lines, bands, w): lines = per-iteration projection params,
+    bands = (iter, p, y) rows."""
+    rows, cols = grid.rows, grid.cols
+    diagonal_size = int(math.sqrt(rows * rows + cols * cols))
+    fhs = int(range_dist / (2.0 * grid.res_x))
+    filter_size = fhs * 2 + 1
+    w = math.sqrt(36.0 / (fhs * (fhs + 1) * filter_size))
+
+    state = [seed * 2654435 + 1]
+
+    def nxt() -> int:
+        state[0] = (state[0] * 48271) % 2147483647
+        return state[0]
+
+    def uniform() -> float:
+        return nxt() / 2147483647.0
+
+    def normal() -> float:
+        u1 = (nxt() + 1) / 2147483648.0
+        u2 = (nxt() + 1) / 2147483648.0
+        return math.sqrt(-2.0 * math.log(u1)) * math.cos(2.0 * math.pi * u2)
+
+    lines = []
+    bands = []
+    for it in range(iterations):
+        t = [0.0] * (diagonal_size + 2 * fhs)
+        for j in range(diagonal_size):
+            t[j] = normal()
+        y = [0.0] * diagonal_size
+        s = sq = 0.0
+        for j in range(diagonal_size):
+            z = 0.0
+            for k in range(filter_size):
+                m = k - fhs
+                z += m * t[j + fhs + m]
+            y[j] = w * z
+            s += y[j]
+            sq += y[j] * y[j]
+        mean = s / diagonal_size
+        stdev = math.sqrt(sq / diagonal_size - mean * mean)
+        y = [(v - mean) / stdev for v in y]
+
+        edge1 = nxt() % 4
+        edge2 = edge1
+        while edge2 == edge1:
+            edge2 = nxt() % 4
+
+        def pick(edge):
+            if edge == 0:
+                return 0.0, float(nxt() % rows)
+            if edge == 1:
+                return float(nxt() % cols), 0.0
+            if edge == 2:
+                return float(cols - 1), float(nxt() % rows)
+            return float(nxt() % cols), float(rows - 1)
+
+        p1x, p1y = pick(edge1)
+        p2x, p2y = pick(edge2)
+        while p1x == p2x or p1y == p2y:
+            p2x, p2y = pick(edge2)
+
+        line_slope = (p2y - p1y) / (p2x - p1x)
+        line_intercept = p1y - line_slope * p1x
+        perp = -1.0 / line_slope
+        slope_diff = line_slope - perp
+        corners = []
+        for (r, c) in [(0, 0), (0, cols), (rows, 0), (rows, cols)]:
+            pli = r - perp * c
+            cx = (pli - line_intercept) / slope_diff
+            cy = line_slope * cx - line_intercept
+            corners.append((cx, cy))
+        sx, sy = corners[0]
+        for cx, cy in corners[1:]:
+            if cy < sy:
+                sx, sy = cx, cy
+        lines.append((it, line_slope, line_intercept, perp, slope_diff, sx, sy))
+        bands.extend((it, p, y[p]) for p in range(diagonal_size))
+    return lines, bands, diagonal_size
+
+
+def turning_bands_simulation(
+    spark, grid: GridSpec, *, range_dist: float, iterations: int, seed: int = 1
+) -> DataFrame:
+    """TurningBandsSimulation (math_stat_analysis/turning_bands.rs:
+    250-505): sum of `iterations` 1-D moving-ramp-filtered normal bands
+    projected along random grid-crossing lines, scaled by 1/sqrt(n).
+    Bands/lines are tiny broadcasts; the per-cell projection (perpendicular
+    foot + truncated distance index, the reference's `as isize`) is pure
+    expressions. -> (row, col, value)."""
+    lines, bands, diag = _tbs_setup(
+        grid, range_dist=range_dist, iterations=iterations, seed=seed
+    )
+    n = grid.rows * grid.cols
+    cells = spark.range(n, numPartitions=max(1, n // 262144)).select(
+        (F.col("id") / grid.cols).cast("long").alias("row"),
+        (F.col("id") % grid.cols).alias("col"),
+    )
+    ldf = F.broadcast(spark.createDataFrame(
+        lines, "it int, ls double, li double, perp double, sd double, sx double, sy double"
+    ))
+    bdf = F.broadcast(spark.createDataFrame(bands, "it int, p long, y double"))
+    pli = F.col("row").cast("double") - F.col("perp") * F.col("col").cast("double")
+    ix = (pli - F.col("li")) / F.col("sd")
+    iy = F.col("ls") * ix - F.col("li")
+    p_raw = F.sqrt((ix - F.col("sx")) ** 2 + (iy - F.col("sy")) ** 2).cast("long")
+    p = F.greatest(F.lit(0), F.least(F.lit(diag - 1).cast("long"), p_raw))
+    return (
+        cells.crossJoin(ldf)
+        .withColumn("p", p)
+        .join(bdf, ["it", "p"])
+        .groupBy("row", "col")
+        .agg((F.sum("y") / F.lit(math.sqrt(float(iterations)))).alias("value"))
+    )
+
+
+def turning_bands_oracle_sql(
+    grid: GridSpec, *, range_dist: float, iterations: int, seed: int = 1
+) -> str:
+    """DuckDB mirror: identical band/line literals + identical projection
+    arithmetic (trunc before the BIGINT cast — DuckDB's cast rounds)."""
+    lines, bands, diag = _tbs_setup(
+        grid, range_dist=range_dist, iterations=iterations, seed=seed
+    )
+    lv = ", ".join(
+        f"({it}, {ls!r}, {li!r}, {pp!r}, {sd!r}, {sx!r}, {sy!r})"
+        for it, ls, li, pp, sd, sx, sy in lines
+    )
+    bv = ", ".join(f"({it}, {p}, {y!r})" for it, p, y in bands)
+    return f"""
+WITH cells AS (
+  SELECT CAST(floor(i / {grid.cols}) AS BIGINT) AS row,
+         CAST(i % {grid.cols} AS BIGINT) AS col
+  FROM range({grid.rows * grid.cols}) t(i)
+),
+lines AS (SELECT * FROM (VALUES {lv}) AS l(it, ls, li, perp, sd, sx, sy)),
+bands AS (SELECT * FROM (VALUES {bv}) AS b(it, p, y)),
+proj AS (
+  SELECT c.row, c.col, l.it,
+         greatest(0, least({diag - 1}, CAST(trunc(sqrt(
+           ((((CAST(c.row AS DOUBLE) - l.perp * CAST(c.col AS DOUBLE)) - l.li) / l.sd) - l.sx)
+           * ((((CAST(c.row AS DOUBLE) - l.perp * CAST(c.col AS DOUBLE)) - l.li) / l.sd) - l.sx)
+           + ((l.ls * (((CAST(c.row AS DOUBLE) - l.perp * CAST(c.col AS DOUBLE)) - l.li) / l.sd) - l.li) - l.sy)
+           * ((l.ls * (((CAST(c.row AS DOUBLE) - l.perp * CAST(c.col AS DOUBLE)) - l.li) / l.sd) - l.li) - l.sy)
+         )) AS BIGINT))) AS p
+  FROM cells c CROSS JOIN lines l
+)
+SELECT pr.row, pr.col, sum(b.y) / {math.sqrt(float(iterations))!r} AS value
+FROM proj pr JOIN bands b ON b.it = pr.it AND b.p = pr.p
+GROUP BY pr.row, pr.col
+"""

@@ -1016,3 +1016,63 @@ def split_vector_lines(lines: DataFrame, *, length: float) -> DataFrame:
     return lines.groupBy("line_id").applyInPandas(
         kernel, "line_id long, part_idx long, n_vertices long, seg_len double"
     )
+
+
+def deviation_from_regional_direction(
+    parts: DataFrame, *, elong_threshold: float = 0.75
+) -> DataFrame:
+    """DeviationFromRegionalDirection (gis_analysis/
+    deviation_from_regional_direction.rs:230-412): per-polygon RMA long-
+    axis orientation vs the elongation/length-weighted axial mean
+    direction of all polygons; deviations folded to [0, 90] degrees.
+    Orientation reuses the PatchOrientation RMA sums; axes reuse the
+    min-area MBB kernel; the regional direction is ONE weighted axial-sum
+    aggregate broadcast back. -> (poly_id, dev_dir)."""
+    v = _ring0_vertices(parts)
+    agg = v.groupBy("poly_id").agg(
+        F.avg("x").alias("mx"), F.avg("y").alias("my"),
+        F.avg(F.col("x") * F.col("y")).alias("mxy"),
+        F.avg(F.col("x") * F.col("x")).alias("mxx"),
+        F.avg(F.col("y") * F.col("y")).alias("myy"),
+    )
+    sxx = F.col("mxx") - F.col("mx") ** 2
+    syy = F.col("myy") - F.col("my") ** 2
+    sxy = F.col("mxy") - F.col("mx") * F.col("my")
+    slope = F.when(sxy < 0.0, -F.sqrt(syy / sxx)).otherwise(F.sqrt(syy / sxx))
+    ori = agg.select("poly_id", F.atan(slope).alias("theta"))
+
+    mbb = minimum_bounding_box_per_feature(parts)
+    d = lambda i, j: F.sqrt(  # noqa: E731
+        (F.element_at("mbb_xs", i) - F.element_at("mbb_xs", j)) ** 2
+        + (F.element_at("mbb_ys", i) - F.element_at("mbb_ys", j)) ** 2
+    )
+    s1, s2 = d(1, 2), d(2, 3)
+    axes = mbb.select(
+        "poly_id",
+        F.greatest(s1, s2).alias("long_axis"),
+        (F.lit(1.0) - F.least(s1, s2) / F.greatest(s1, s2)).alias("elong"),
+    )
+    per = ori.join(axes, "poly_id").withColumn(
+        "weight",
+        F.when(F.col("elong") >= F.lit(elong_threshold), F.col("long_axis") * F.col("elong")).otherwise(F.lit(0.0)),
+    )
+    reg = per.agg(
+        F.sum(F.sin(F.col("theta") * 2.0) * F.col("weight")).alias("ss"),
+        F.sum(F.cos(F.col("theta") * 2.0) * F.col("weight")).alias("sc"),
+    ).withColumn(
+        "regional",
+        -F.degrees(F.atan2(F.col("ss"), F.col("sc")) / 2.0) + F.lit(90.0),
+    ).withColumn(
+        "regional",
+        F.when(F.col("regional") < 0.0, F.lit(180.0) + F.col("regional")).otherwise(F.col("regional")),
+    )
+    out = per.crossJoin(F.broadcast(reg.select("regional"))).withColumn(
+        "slope_deg", F.lit(90.0) - F.degrees(F.col("theta"))
+    ).withColumn(
+        "dev", F.col("slope_deg") - F.col("regional")
+    ).withColumn(
+        "dev", F.when(F.col("dev") < 0.0, F.col("dev") + 180.0).otherwise(F.col("dev"))
+    ).withColumn(
+        "dev", F.when(F.col("dev") > 90.0, F.lit(180.0) - F.col("dev")).otherwise(F.col("dev"))
+    )
+    return out.select("poly_id", F.col("dev").alias("dev_dir"))
