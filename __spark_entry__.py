@@ -6235,6 +6235,217 @@ def _turning_bands_sql() -> str:
     return f"SELECT row, col, round(value, 6) AS value FROM ({inner}) t"
 
 
+_SWL_INPUT = [
+    (1, [(0.0, 0.0), (10.0, 0.3), (20.0, 0.1)]),
+    (2, [(0.0, 5.0), (20.0, 5.4)]),
+    (3, [(2.0, -3.0), (2.2, 8.0)]),       # crosses both 1 and 2
+    (4, [(30.0, 0.0), (30.0, 9.0)]),      # no intersections
+]
+_SWL_SPLIT = [
+    (11, [(5.0, -2.0), (5.3, 9.0)]),
+    (12, [(15.0, -2.0), (14.7, 9.0)]),
+    (13, [(-1.0, 2.0), (21.0, 2.3)]),     # crosses 3
+]
+
+
+def q_split_with_lines(spark, sf_dir):
+    """SplitWithLines, POLYLINE case (gis_analysis/split_with_lines.rs):
+    split input polylines at intersections with the split layer;
+    cell-cover candidate join + shared split kernel. Output = per-piece
+    signatures (endpoints + vertex count + 1e-6-scaled length)."""
+    from whitebox_tools_spark.operators.vector_streams import split_with_lines
+
+    lines = spark.createDataFrame(
+        [(i, [p[0] for p in pl], [p[1] for p in pl]) for i, pl in _SWL_INPUT],
+        "line_id long, xs array<double>, ys array<double>",
+    )
+    splits = spark.createDataFrame(
+        [(i, [p[0] for p in pl], [p[1] for p in pl]) for i, pl in _SWL_SPLIT],
+        "sid long, xs array<double>, ys array<double>",
+    )
+    out = split_with_lines(lines, splits)
+    seglen = F.expr(
+        "aggregate(sequence(1, size(xs) - 1), cast(0.0 as double), "
+        "(acc, i) -> acc + round(sqrt((xs[i] - xs[i-1]) * (xs[i] - xs[i-1]) + "
+        "(ys[i] - ys[i-1]) * (ys[i] - ys[i-1])) * 1e6))"
+    )
+    return out.select(
+        "line_id", "piece", F.size("xs").alias("n_vertices"),
+        (seglen / 1e6).alias("length"),
+        F.round(F.col("xs")[0], 6).alias("fx"), F.round(F.col("ys")[0], 6).alias("fy"),
+        F.round(F.element_at("xs", -1), 6).alias("lx"),
+        F.round(F.element_at("ys", -1), 6).alias("ly"),
+    )
+
+
+def _swl_sql() -> str:
+    """Independent serial transcription: brute-force pairwise segment
+    intersections + along-line-ordered cuts (no shared engine code)."""
+    import math as _m
+
+    def inters(pl, spl):
+        pts = []
+        for si in range(len(pl) - 1):
+            ax, ay = pl[si]
+            bx, by = pl[si + 1]
+            for q in spl:
+                for k in range(len(q) - 1):
+                    cx, cy = q[k]
+                    dx, dy = q[k + 1]
+                    den = (ax - bx) * (cy - dy) - (ay - by) * (cx - dx)
+                    if den == 0.0:
+                        continue
+                    t = ((ax - cx) * (cy - dy) - (ay - cy) * (cx - dx)) / den
+                    u = -((ax - bx) * (ay - cy) - (ay - by) * (ax - cx)) / den
+                    if 0.0 <= t <= 1.0 and 0.0 <= u <= 1.0:
+                        pts.append((si, t, (ax + t * (bx - ax), ay + t * (by - ay))))
+        return sorted(set(pts))
+
+    spl = [pl for _, pl in _SWL_SPLIT]
+    rows = []
+    for lid, pl in _SWL_INPUT:
+        cuts = inters(pl, spl)
+        pieces = []
+        cur = [pl[0]]
+        ci = 0
+        for si in range(len(pl) - 1):
+            while ci < len(cuts) and cuts[ci][0] == si:
+                cur.append(cuts[ci][2])
+                pieces.append(cur)
+                cur = [cuts[ci][2]]
+                ci += 1
+            cur.append(pl[si + 1])
+        if len(cur) > 1:
+            pieces.append(cur)
+        for pidx, piece in enumerate(pieces):
+            piece = [
+                p for i, p in enumerate(piece)
+                if i == 0 or _m.hypot(p[0] - piece[i - 1][0], p[1] - piece[i - 1][1]) > 1e-9
+            ]
+            if len(piece) < 2:
+                continue
+            ln = sum(
+                round(_m.hypot(piece[i][0] - piece[i - 1][0], piece[i][1] - piece[i - 1][1]) * 1e6)
+                for i in range(1, len(piece))
+            )
+            rows.append((
+                lid, pidx, len(piece), ln / 1e6,
+                _round_half_up(piece[0][0]), _round_half_up(piece[0][1]),
+                _round_half_up(piece[-1][0]), _round_half_up(piece[-1][1]),
+            ))
+    vals = ", ".join("(" + ", ".join(repr(v) for v in r) + ")" for r in rows)
+    return (
+        "SELECT CAST(line_id AS BIGINT) AS line_id, CAST(piece AS INT) AS piece, "
+        "CAST(n_vertices AS INT) AS n_vertices, CAST(length AS DOUBLE) AS length, "
+        "CAST(fx AS DOUBLE) AS fx, CAST(fy AS DOUBLE) AS fy, "
+        "CAST(lx AS DOUBLE) AS lx, CAST(ly AS DOUBLE) AS ly "
+        f"FROM (VALUES {vals}) AS t(line_id, piece, n_vertices, length, fx, fy, lx, ly)"
+    )
+
+
+_POLYGONIZE_LINES = [
+    (1, [(0.0, 1.0), (21.0, 1.6)]),
+    (2, [(0.0, 7.0), (21.0, 7.5)]),
+    (3, [(0.0, 13.0), (21.0, 13.2)]),
+    (4, [(1.0, -1.0), (1.8, 15.0)]),
+    (5, [(10.0, -1.0), (10.4, 15.0)]),
+    (6, [(19.0, -1.0), (19.5, 15.0)]),
+    (7, [(0.0, 0.0), (20.0, 14.0)]),   # diagonal: splits faces it crosses
+]
+
+
+def q_polygonize(spark, sf_dir):
+    """Polygonize (gis_analysis/polygonize.rs): enclosed faces of an
+    intersecting line set. Engine = distributed planar arrangement
+    (cell-cover noding, per-vertex rotation successor join, pointer-
+    doubled face cycles, associative-exact quantized shoelace); oracle =
+    independent serial half-edge polygonizer. The face AREA multiset of a
+    planar subdivision is implementation-invariant — the comparison key."""
+    from whitebox_tools_spark.operators.vector_streams import polygonize
+
+    lines = spark.createDataFrame(
+        [(i, [p[0] for p in pl], [p[1] for p in pl]) for i, pl in _POLYGONIZE_LINES],
+        "line_id long, xs array<double>, ys array<double>",
+    )
+    out = polygonize(lines)
+    return out.select(F.round("area", 6).alias("area"))
+
+
+def _polygonize_sql() -> str:
+    import math as _m
+
+    segs = []
+    for _, pl in _POLYGONIZE_LINES:
+        for i in range(len(pl) - 1):
+            segs.append((pl[i], pl[i + 1]))
+    # node every segment at its intersections with all others
+    edges = []
+    for si, (a, b) in enumerate(segs):
+        cuts = [0.0, 1.0]
+        for sj, (c, dpt) in enumerate(segs):
+            if sj == si:
+                continue
+            den = (a[0] - b[0]) * (c[1] - dpt[1]) - (a[1] - b[1]) * (c[0] - dpt[0])
+            if den == 0.0:
+                continue
+            t = ((a[0] - c[0]) * (c[1] - dpt[1]) - (a[1] - c[1]) * (c[0] - dpt[0])) / den
+            u = -((a[0] - b[0]) * (a[1] - c[1]) - (a[1] - b[1]) * (a[0] - c[0])) / den
+            if 0.0 <= t <= 1.0 and 0.0 <= u <= 1.0:
+                cuts.append(t)
+        cuts = sorted(set(cuts))
+        pts = [
+            (a[0] + t * (b[0] - a[0]), a[1] + t * (b[1] - a[1])) for t in cuts
+        ]
+        for i in range(len(pts) - 1):
+            if pts[i] != pts[i + 1]:
+                edges.append((pts[i], pts[i + 1]))
+
+    def k(p):
+        return (round(p[0], 9), round(p[1], 9))
+
+    # half-edge successor: rotate clockwise from the reversed incoming
+    out_at: dict = {}
+    hes = []
+    for ei, (p, q) in enumerate(edges):
+        hes.append((p, q))
+        hes.append((q, p))
+        out_at.setdefault(k(p), []).append(2 * ei)
+        out_at.setdefault(k(q), []).append(2 * ei + 1)
+
+    def ang(h):
+        p, q = hes[h]
+        return _m.atan2(q[1] - p[1], q[0] - p[0])
+
+    nxt = {}
+    for h in range(len(hes)):
+        p, q = hes[h]
+        rev_ang = _m.atan2(p[1] - q[1], p[0] - q[0])
+        outs = out_at[k(q)]
+        below = [o for o in outs if ang(o) < rev_ang]
+        pool = below if below else outs
+        nxt[h] = max(pool, key=ang)
+    seen = set()
+    areas = []
+    for h0 in range(len(hes)):
+        if h0 in seen:
+            continue
+        cyc = []
+        h = h0
+        while h not in seen:
+            seen.add(h)
+            cyc.append(h)
+            h = nxt[h]
+        s = 0.0
+        for hh in cyc:
+            p, q = hes[hh]
+            s += round((p[0] * q[1] - q[0] * p[1]) * 1e6)
+        area = s / 2e6
+        if area > 0.0:
+            areas.append(_round_half_up(area))
+    vals = ", ".join(f"({a!r})" for a in areas)
+    return f"SELECT CAST(area AS DOUBLE) AS area FROM (VALUES {vals}) AS t(area)"
+
+
 # The driver's correctness harness checks the FIRST 50 queries() entries each
 # round.  Rounds 1-3 certified 123 distinct queries; the round-4 window keeps
 # relative_topographic_position first (red in r01-r03; the scaled-integer
@@ -6454,6 +6665,8 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "deviation_from_regional_direction": q_deviation_from_regional_direction,
         "find_flightline_edge_points": q_find_flightline_edge_points,
         "turning_bands_simulation": q_turning_bands,
+        "split_with_lines": q_split_with_lines,
+        "polygonize": q_polygonize,
         "qin_flow_accumulation": q_qin_flow_accumulation,
         "breach_single_cell_pits": q_breach_single_cell_pits,
         "long_profile_from_points": q_long_profile_from_points,
@@ -7380,6 +7593,8 @@ FROM ({_PART_RASTER_SQL}) WHERE value IS NOT NULL
         "deviation_from_regional_direction": _dfrd_sql(),
         "find_flightline_edge_points": _ffep_sql(),
         "turning_bands_simulation": _turning_bands_sql(),
+        "split_with_lines": _swl_sql(),
+        "polygonize": _polygonize_sql(),
         "impoundment_size_index": __import__(
             "whitebox_tools_spark.operators.impoundment", fromlist=["isi_oracle_sql"]
         ).isi_oracle_sql(_DENSE20_SQL, EXTRACT_GRID, dam_length=5.0),

@@ -1168,32 +1168,7 @@ def repair_stream_vector_topology(
                         ((s["si"] + 1) if offset else s["si"], (s["sx"], s["sy"]))
                         for s in r.sp
                     ]
-                    sps = [s for k, s in enumerate(sps) if s not in sps[:k]]
-                if not sps:
-                    pieces = [pl]
-                else:
-                    cum = [0.0]
-                    for i in range(1, len(pl)):
-                        cum.append(cum[-1] + math.hypot(pl[i][0] - pl[i - 1][0], pl[i][1] - pl[i - 1][1]))
-                    sps = sorted(
-                        sps,
-                        key=lambda s: cum[s[0]] + math.hypot(pl[s[0]][0] - s[1][0], pl[s[0]][1] - s[1][1]),
-                    )
-                    pieces = []
-                    k = 0
-                    line = []
-                    for node in range(len(pl)):
-                        if k == len(sps) or node < sps[k][0]:
-                            line.append(pl[node])
-                        else:
-                            line.append(pl[node])
-                            while k < len(sps) and sps[k][0] == node:
-                                line.append(sps[k][1])
-                                pieces.append(line)
-                                line = [sps[k][1]]
-                                k += 1
-                    if len(line) > 1:
-                        pieces.append(line)
+                pieces = split_polyline_at(pl, sps)
                 for piece_idx, piece in enumerate(pieces):
                     piece = [
                         p for i, p in enumerate(piece)
@@ -1209,4 +1184,278 @@ def repair_stream_vector_topology(
 
     return todo.mapInPandas(
         _apply, "arc_id long, piece int, xs array<double>, ys array<double>"
+    )
+
+
+def split_polyline_at(pl: list, sps: list) -> list:
+    """Split a polyline at (segment_index, point) split points —
+    Polyline::split (repair_stream_vector_topology main.rs:1113-1180):
+    dedupe, sort by along-line distance, share the split vertex between
+    consecutive pieces."""
+    sps = [s for k, s in enumerate(sps) if s not in sps[:k]]
+    if not sps:
+        return [list(pl)]
+    cum = [0.0]
+    for i in range(1, len(pl)):
+        cum.append(cum[-1] + math.hypot(pl[i][0] - pl[i - 1][0], pl[i][1] - pl[i - 1][1]))
+    sps = sorted(
+        sps,
+        key=lambda s: cum[s[0]] + math.hypot(pl[s[0]][0] - s[1][0], pl[s[0]][1] - s[1][1]),
+    )
+    pieces = []
+    k = 0
+    line = []
+    for node in range(len(pl)):
+        if k == len(sps) or node < sps[k][0]:
+            line.append(pl[node])
+        else:
+            line.append(pl[node])
+            while k < len(sps) and sps[k][0] == node:
+                line.append(sps[k][1])
+                pieces.append(line)
+                line = [sps[k][1]]
+                k += 1
+    if len(line) > 1:
+        pieces.append(line)
+    return pieces
+
+
+def split_with_lines(
+    lines: DataFrame,
+    split_lines: DataFrame,
+    *,
+    precision: float = 1e-9,
+) -> DataFrame:
+    """SplitWithLines, POLYLINE input case (gis_analysis/
+    split_with_lines.rs): split each input polyline at its intersection
+    points with the split-layer polylines. Candidate segment pairs come
+    from a cell-cover equi-join (sized from a one-row segment-stats
+    aggregate — no all-pairs); splits apply per input line in an Arrow
+    kernel via the shared split_polyline_at. The POLYGON input case
+    (boundary split + face re-closure) is not implemented.
+    lines: (line_id, xs, ys); split_lines: (sid, xs, ys).
+    -> (line_id, piece, xs, ys)."""
+    import numpy as np
+    import pandas as pd
+
+    def segs_of(df, idc):
+        s = df.select(
+            F.col(idc).alias("gid"),
+            F.posexplode(F.arrays_zip("xs", "ys")).alias("si", "v"),
+        ).select("gid", "si", F.col("v.xs").alias("x0"), F.col("v.ys").alias("y0"))
+        return (
+            s.alias("a")
+            .join(
+                s.select(
+                    F.col("gid").alias("gid2"), (F.col("si") - 1).alias("si"),
+                    F.col("x0").alias("x1"), F.col("y0").alias("y1"),
+                ).alias("b"),
+                (F.col("a.gid") == F.col("gid2")) & (F.col("a.si") == F.col("b.si")),
+            )
+            .select("gid", F.col("a.si").alias("si"), "x0", "y0", "x1", "y1")
+        )
+    a = segs_of(lines, "line_id").localCheckpoint(eager=True)
+    b = segs_of(split_lines, "sid").localCheckpoint(eager=True)
+    stats = a.unionByName(b.withColumnRenamed("gid", "gid")).agg(
+        F.max(F.greatest(F.abs(F.col("x1") - F.col("x0")), F.abs(F.col("y1") - F.col("y0")))).alias("mx")
+    ).collect()[0]
+    cell = max(float(stats["mx"] or 1.0), 1e-9) * 1.001
+
+    def covered(df):
+        return df.select(
+            "*",
+            F.explode(
+                F.expr(
+                    f"flatten(transform(sequence(cast(floor(least(x0, x1)/{cell!r}) as bigint), "
+                    f"cast(floor(greatest(x0, x1)/{cell!r}) as bigint)), cx -> "
+                    f"transform(sequence(cast(floor(least(y0, y1)/{cell!r}) as bigint), "
+                    f"cast(floor(greatest(y0, y1)/{cell!r}) as bigint)), cy -> struct(cx, cy))))"
+                )
+            ).alias("c"),
+        )
+    den = (F.col("x0") - F.col("x1")) * (F.col("by0") - F.col("by1")) - (
+        F.col("y0") - F.col("y1")
+    ) * (F.col("bx0") - F.col("bx1"))
+    tt = (
+        (F.col("x0") - F.col("bx0")) * (F.col("by0") - F.col("by1"))
+        - (F.col("y0") - F.col("by0")) * (F.col("bx0") - F.col("bx1"))
+    ) / den
+    uu = -(
+        (F.col("x0") - F.col("x1")) * (F.col("y0") - F.col("by0"))
+        - (F.col("y0") - F.col("y1")) * (F.col("x0") - F.col("bx0"))
+    ) / den
+    inter = (
+        covered(a)
+        .join(
+            covered(
+                b.select(
+                    F.col("gid").alias("sgid"), F.col("si").alias("ssi"),
+                    F.col("x0").alias("bx0"), F.col("y0").alias("by0"),
+                    F.col("x1").alias("bx1"), F.col("y1").alias("by1"),
+                ).withColumnRenamed("bx0", "x0").withColumnRenamed("by0", "y0")
+                .withColumnRenamed("bx1", "x1").withColumnRenamed("by1", "y1")
+            ).withColumnRenamed("x0", "bx0").withColumnRenamed("y0", "by0")
+            .withColumnRenamed("x1", "bx1").withColumnRenamed("y1", "by1"),
+            "c",
+        )
+        .filter(den != 0.0)
+        .withColumn("t", tt)
+        .withColumn("u", uu)
+        .filter((F.col("t") >= 0.0) & (F.col("t") <= 1.0) & (F.col("u") >= 0.0) & (F.col("u") <= 1.0))
+        .select(
+            "gid", "si",
+            (F.col("x0") + F.col("t") * (F.col("x1") - F.col("x0"))).alias("sx"),
+            (F.col("y0") + F.col("t") * (F.col("y1") - F.col("y0"))).alias("sy"),
+        )
+        .distinct()
+    )
+    sp = inter.groupBy("gid").agg(
+        F.collect_list(F.struct("si", "sx", "sy")).alias("sp")
+    )
+    todo = lines.join(sp, lines["line_id"] == sp["gid"], "left").drop("gid")
+
+    def _apply(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                pl = list(zip(r.xs, r.ys))
+                sps = []
+                if isinstance(r.sp, (list, np.ndarray)) and len(r.sp):
+                    sps = sorted(
+                        ((s["si"], (s["sx"], s["sy"])) for s in r.sp),
+                        key=lambda s: (s[0], s[1]),
+                    )
+                for piece_idx, piece in enumerate(split_polyline_at(pl, sps)):
+                    piece = [
+                        p for i, p in enumerate(piece)
+                        if i == 0 or math.hypot(p[0] - piece[i - 1][0], p[1] - piece[i - 1][1]) > precision
+                    ]
+                    if len(piece) >= 2:
+                        out.append(
+                            (r.line_id, piece_idx, [p[0] for p in piece], [p[1] for p in piece])
+                        )
+            yield pd.DataFrame(out, columns=["line_id", "piece", "xs", "ys"])
+
+    return todo.mapInPandas(
+        _apply, "line_id long, piece int, xs array<double>, ys array<double>"
+    )
+
+
+def polygonize(
+    lines: DataFrame,
+    *,
+    key_decimals: int = 9,
+    area_scale: float = 1e6,
+    max_rounds: int = 48,
+) -> DataFrame:
+    """Polygonize (gis_analysis/polygonize.rs): polygons from every space
+    enclosed by an intersecting line set.
+
+    Spark-first planar arrangement:
+      1. node the lines at mutual intersections (the split_with_lines
+         machinery — cell-cover candidate join, shared split kernel);
+      2. two half-edges per noded piece; the face successor of an
+         incoming half-edge is the outgoing half-edge rotated clockwise
+         from the reversed incoming direction (one equi-join + max-angle
+         aggregate per vertex — no sequential trace);
+      3. faces = cycles of the successor permutation, labeled by
+         pointer-doubling min-id (O(log n) rounds — the clump idiom);
+      4. face area = sum of per-half-edge directed shoelace partials
+         (quantized at area_scale so the aggregate is associative-exact),
+         keep area > 0 (the unbounded face and dangling spurs net <= 0).
+
+    The FACE SET of a planar subdivision is implementation-independent,
+    so the area multiset is comparable against any correct serial
+    polygonizer. -> (face_id, area, n_half_edges)."""
+    from ..distributed import with_global_seq
+
+    pieces = split_with_lines(lines, lines.withColumnRenamed("line_id", "sid"))
+    pieces = with_global_seq(pieces, ["line_id", "piece"], out_col="eid").localCheckpoint(
+        eager=True
+    )
+    d = key_decimals
+
+    def key(xc, yc):
+        return F.struct(F.round(xc, d).alias("kx"), F.round(yc, d).alias("ky"))
+
+    # directed half-edges with origin/destination keys, first-segment
+    # departure angle, reversed-last-segment arrival angle, and the
+    # directed shoelace partial
+    shoe = F.expr(
+        "aggregate(sequence(1, size(xs) - 1), cast(0.0 as double), "
+        "(acc, i) -> acc + round((xs[i-1] * ys[i] - xs[i] * ys[i-1]) * "
+        f"{area_scale!r}))"
+    )
+    fwd = pieces.select(
+        (F.col("eid") * 2).alias("he"),
+        (F.col("eid") * 2 + 1).alias("twin"),
+        key(F.col("xs")[0], F.col("ys")[0]).alias("okey"),
+        key(F.element_at("xs", -1), F.element_at("ys", -1)).alias("dkey"),
+        F.atan2(F.col("ys")[1] - F.col("ys")[0], F.col("xs")[1] - F.col("xs")[0]).alias("dep"),
+        F.atan2(
+            F.element_at("ys", -2) - F.element_at("ys", -1),
+            F.element_at("xs", -2) - F.element_at("xs", -1),
+        ).alias("arr"),
+        shoe.alias("sh"),
+    )
+    rev = pieces.select(
+        (F.col("eid") * 2 + 1).alias("he"),
+        (F.col("eid") * 2).alias("twin"),
+        key(F.element_at("xs", -1), F.element_at("ys", -1)).alias("okey"),
+        key(F.col("xs")[0], F.col("ys")[0]).alias("dkey"),
+        F.atan2(
+            F.element_at("ys", -2) - F.element_at("ys", -1),
+            F.element_at("xs", -2) - F.element_at("xs", -1),
+        ).alias("dep"),
+        F.atan2(F.col("ys")[1] - F.col("ys")[0], F.col("xs")[1] - F.col("xs")[0]).alias("arr"),
+        (-shoe).alias("sh"),
+    )
+    hes = fwd.unionByName(rev).localCheckpoint(eager=True)
+
+    outgoing = hes.select(F.col("okey").alias("vk"), F.col("dep").alias("oang"), F.col("he").alias("ohe"))
+    incoming = hes.select("he", F.col("dkey").alias("vk"), F.col("arr").alias("iang"))
+    cand = incoming.join(outgoing, "vk")
+    # clockwise rotation from the reversed incoming direction: the
+    # outgoing edge with the greatest angle strictly below iang, else the
+    # global maximum (wrap)
+    below = (
+        cand.filter(F.col("oang") < F.col("iang"))
+        .groupBy("he")
+        .agg(F.max_by("ohe", "oang").alias("nxt_below"))
+    )
+    allmax = cand.groupBy("he").agg(F.max_by("ohe", "oang").alias("nxt_wrap"))
+    nxt = (
+        incoming.select("he")
+        .join(below, "he", "left")
+        .join(allmax, "he")
+        .select("he", F.coalesce("nxt_below", "nxt_wrap").alias("nxt"))
+        .localCheckpoint(eager=True)
+    )
+    # cycle labels: pointer doubling over the successor permutation
+    cur = nxt.select("he", "nxt", F.col("he").alias("lab"))
+    for _ in range(max_rounds):
+        b = cur.select(
+            F.col("he").alias("b_he"), F.col("nxt").alias("b_nxt"), F.col("lab").alias("b_lab")
+        )
+        stepped = cur.join(b, cur["nxt"] == b["b_he"]).select(
+            "he", F.col("b_nxt").alias("nxt"), F.least("lab", "b_lab").alias("lab")
+        )
+        done = (
+            stepped.join(cur.select("he", F.col("lab").alias("l0")), "he")
+            .filter(F.col("lab") != F.col("l0"))
+            .limit(1)
+            .isEmpty()
+        )
+        cur = stepped.transform(loop_checkpoint)
+        if done:
+            break
+    faces = (
+        cur.join(hes.select("he", "sh"), "he")
+        .groupBy("lab")
+        .agg(F.count(F.lit(1)).alias("n_half_edges"), F.sum("sh").alias("s2"))
+        .withColumn("area", F.col("s2") / F.lit(2.0 * area_scale))
+        .filter(F.col("area") > 0.0)
+    )
+    return with_global_seq(faces, ["lab"], out_col="face_id").select(
+        "face_id", "area", "n_half_edges"
     )
