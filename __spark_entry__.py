@@ -6446,6 +6446,261 @@ def _polygonize_sql() -> str:
     return f"SELECT CAST(area AS DOUBLE) AS area FROM (VALUES {vals}) AS t(area)"
 
 
+def _bsc_fixture():
+    """25x25 raster: 0 background + three well-separated polygons —
+    a solid square (simple), a plus-with-spurs (complex), an L."""
+    import numpy as np
+
+    g = np.zeros((25, 25), dtype=np.int64)
+    g[2:8, 2:8] = 1                      # solid square
+    g[12:14, 2:12] = 2                   # plus / comb
+    g[8:18, 6:8] = 2
+    g[15:17, 9:12] = 2
+    g[9:11, 9:11] = 2
+    g[20:24, 14:24] = 3                  # L
+    g[14:20, 20:24] = 3
+    return g
+
+
+def q_boundary_shape_complexity(spark, sf_dir):
+    """BoundaryShapeComplexity (gis_analysis/boundary_shape_complexity.rs):
+    per-polygon skeleton exterior-link percentage, written to each cell;
+    per-polygon Arrow kernels (polygons non-8-adjacent)."""
+    from whitebox_tools_spark.operators.binary_morph import (
+        boundary_shape_complexity,
+    )
+
+    g = _bsc_fixture()
+    cells = spark.createDataFrame(
+        [(r, c, float(g[r, c])) for r in range(g.shape[0]) for c in range(g.shape[1])],
+        "row long, col long, value double",
+    )
+    return _r6(boundary_shape_complexity(cells), ["value"])
+
+
+def _bsc_sql() -> str:
+    """Independent full-raster transcription (its own thinning masks and
+    walk loop over the whole grid, not the engine's per-poly kernel)."""
+    g = _bsc_fixture()
+    h, w = g.shape
+    dx1 = [1, 1, 1, 0, -1, -1, -1, 0]
+    dy1 = [-1, 0, 1, 1, 1, 0, -1, -1]
+    e1 = [[6, 7, 0, 4, 3, 2], [0, 1, 2, 4, 5, 6], [2, 3, 4, 6, 7, 0], [4, 5, 6, 0, 1, 2]]
+    e2 = [[7, 0, 1, 3, 5], [1, 2, 3, 5, 7], [3, 4, 5, 7, 1], [5, 6, 7, 1, 3]]
+    v1 = [0, 0, 0, 1, 1, 1]
+    v2 = [0, 0, 0, 1, 1]
+    sk = {(r, c): 1 for r in range(h) for c in range(w) if g[r, c] > 0}
+
+    def nb1(r, c, i):
+        return sk.get((r + dy1[i], c + dx1[i]), 0)
+
+    did = True
+    while did:
+        did = False
+        for a in range(4):
+            for r in range(h):
+                for c in range(w):
+                    if sk.get((r, c), 0) == 1:
+                        if all(nb1(r, c, e1[a][i]) == v1[i] for i in range(6)) or all(
+                            nb1(r, c, e2[a][i]) == v2[i] for i in range(5)
+                        ):
+                            sk[(r, c)] = 0
+                            did = True
+    dx = [-1, -1, 0, 1, 1, 1, 0, -1]
+    dy = [0, -1, -1, -1, 0, 1, 1, 1]
+    stats = {}
+    visited = set()
+    for r in range(h):
+        for c in range(w):
+            if sk.get((r, c), 0) == 1:
+                pid = int(g[r, c])
+                st = stats.setdefault(pid, [0, 0.0, 0, 0])  # cells, total, longest, second
+                st[0] += 1
+                n = sum(
+                    1 for a in range(8)
+                    if sk.get((r + dy[a], c + dx[a]), 0) == 1
+                    and g[min(max(r + dy[a], 0), h - 1), min(max(c + dx[a], 0), w - 1)] == pid
+                )
+                if n == 1:
+                    st[1] += 1.0
+                    rn, cn = r, c
+                    ll = 1
+                    while True:
+                        visited.add((rn, cn))
+                        n2 = 0
+                        nxt = None
+                        for a in range(8):
+                            rr, cc = rn + dy[a], cn + dx[a]
+                            if sk.get((rr, cc), 0) == 1 and g[rr, cc] == pid:
+                                n2 += 1
+                                if (rr, cc) not in visited:
+                                    nxt = a
+                        if n2 < 3 and nxt is not None:
+                            ll += 1
+                            rn += dy[nxt]
+                            cn += dx[nxt]
+                        else:
+                            break
+                    st[1] += ll
+                    if st[2] < ll:
+                        st[3] = st[2]
+                        st[2] = ll
+                    elif st[3] < ll:
+                        st[3] = ll
+    bsc = {
+        pid: (100.0 * (st[1] - st[2] - st[3]) / st[0] if st[0] else 0.0)
+        for pid, st in stats.items()
+    }
+    rows = []
+    for r in range(h):
+        for c in range(w):
+            pid = int(g[r, c])
+            v = 0.0 if pid == 0 else bsc.get(pid, 0.0)
+            rows.append((r, c, _round_half_up(v)))
+    vals = ", ".join(f"({r}, {c}, {v!r})" for r, c, v in rows)
+    return (
+        "SELECT CAST(row AS BIGINT) AS row, CAST(col AS BIGINT) AS col, "
+        "CAST(value AS DOUBLE) AS value "
+        f"FROM (VALUES {vals}) AS t(row, col, value)"
+    )
+
+
+_GSS_ARGS = dict(sigma=0.0, step=1.5, num_steps=4, lsp="slope")
+
+
+def _valley_dem_synthetic(spark):
+    """The valley DEM formula over spark.range(500) — sf-independent
+    (the part-table variant has only 200 rows at sf0.001, but the GSS
+    oracle embeds full-grid literals)."""
+    pk = F.col("id") + 1
+    r = (pk - 1) % 20
+    c = F.floor((pk - 1) / F.lit(20)).cast("long")
+    v = (
+        F.abs(r - 10).cast("double") * 50.0
+        + (25 - c).cast("double") * 2.0
+        + ((pk * 31) % 7).cast("double") * 0.1
+        + F.when((c % 4 == 1) & (r != 10), -45.0).otherwise(0.0)
+    )
+    return spark.range(500).select(r.alias("row"), c.alias("col"), v.alias("value"))
+
+
+def q_gaussian_scale_space(spark, sf_dir):
+    """gaussian_scale_space plugin (whitebox-plugins/src/
+    gaussian_scale_space/main.rs, Newman 2018): optimal-scale slope over
+    sigmas {0, 1.5, 3, 4.5} — identity, exact-gaussian and 6-box
+    fast-gaussian regimes all exercised; per-cell argmax |z-score| picks
+    (v_opt, z_opt, g_opt)."""
+    from whitebox_tools_spark.operators.multiscale import gaussian_scale_space
+
+    out = gaussian_scale_space(_valley_dem_synthetic(spark), STREAM_GRID, **_GSS_ARGS)
+    return out.select(
+        "row", "col",
+        F.round(F.round("v_opt", 9), 6).alias("v_opt"),
+        F.round(F.round("z_opt", 9), 6).alias("z_opt"),
+        F.round("g_opt", 6).alias("g_opt"),
+    )
+
+
+def _gss_sql() -> str:
+    """Independent serial numpy transcription of the whole pipeline
+    (kernel conv in row-major order, cumsum integrals, clamped rect sums,
+    per-scale z-scores, strict-greater argmax), literals embedded."""
+    import numpy as np
+
+    from whitebox_tools_spark.operators.multiscale import (
+        _gauss_weights,
+        _gss_scales,
+    )
+
+    g = STREAM_GRID
+    rows, cols, res = g.rows, g.cols, g.res_x
+    # rebuild the valley DEM values exactly (mirrors _VALLEY_DEM_SQL)
+    dem = np.zeros((rows, cols))
+    for pk in range(1, 501):
+        r = (pk - 1) % 20
+        c = (pk - 1) // 20
+        v = abs(r - 10) * 50.0 + (25 - c) * 2.0 + ((pk * 31) % 7) * 0.1
+        if c % 4 == 1 and r != 10:
+            v += -45.0
+        dem[r, c] = v
+
+    best = {}
+    for si, sc in enumerate(
+        _gss_scales(_GSS_ARGS["sigma"], _GSS_ARGS["step"], _GSS_ARGS["num_steps"])
+    ):
+        if sc["fast"] is None and sc["sigma"] == 0.0:
+            sm = dem.copy()
+        elif sc["fast"] is None:
+            ws = _gauss_weights(sc["sigma"])
+            sm = np.zeros_like(dem)
+            for r in range(rows):
+                for c in range(cols):
+                    s = z = 0.0
+                    for _, dx, dy, w in ws:
+                        rr, cc = r + dy, c + dx
+                        if 0 <= rr < rows and 0 <= cc < cols:
+                            s += w
+                            z += w * dem[rr, cc]
+                    sm[r, c] = z / s
+        else:
+            n_boxes, m, wl, wu = sc["fast"]
+            sm = dem.copy()
+            ninteg = np.cumsum(np.cumsum(np.ones_like(dem), axis=1), axis=0)
+            for it in range(n_boxes):
+                mid = int(np.floor((wl if it <= m else wu) / 2.0))
+                integ = np.cumsum(np.cumsum(sm, axis=1), axis=0)
+                nxt = np.zeros_like(sm)
+                for r in range(rows):
+                    y1 = max(r - mid - 1, 0)
+                    y2 = min(r + mid, rows - 1)
+                    for c in range(cols):
+                        x1 = max(c - mid - 1, 0)
+                        x2 = min(c + mid, cols - 1)
+                        s = integ[y2, x2] - integ[y1, x2] - integ[y2, x1] + integ[y1, x1]
+                        nn = ninteg[y2, x2] - ninteg[y1, x2] - ninteg[y2, x1] + ninteg[y1, x1]
+                        nxt[r, c] = s / nn
+                sm = nxt
+        buf = sc["buffer"]
+        ring = [(1, -1), (1, 0), (1, 1), (0, 1), (-1, 1), (-1, 0), (-1, -1), (0, -1)]
+        lspv = {}
+        s_sum = sq_sum = 0.0
+        nvals = 0
+        for r in range(buf, rows - buf):
+            for c in range(buf, cols - buf):
+                n8 = sm[r, c]
+                nb = []
+                for dx, dy in ring:
+                    rr, cc = r + dy, c + dx
+                    nb.append(sm[rr, cc] if 0 <= rr < rows and 0 <= cc < cols else n8)
+                fy = (nb[6] - nb[4] + 2.0 * (nb[7] - nb[3]) + nb[0] - nb[2]) / (8.0 * res)
+                fx = (nb[2] - nb[4] + 2.0 * (nb[1] - nb[5]) + nb[0] - nb[6]) / (8.0 * res)
+                v = np.sqrt(fx * fx + fy * fy) * 100.0
+                lspv[(r, c)] = v
+                s_sum += v
+                sq_sum += v * v
+                nvals += 1
+        mean = s_sum / nvals
+        sd = np.sqrt(sq_sum / nvals - mean * mean)
+        for (r, c), v in lspv.items():
+            z = (v - mean) / sd
+            cur = best.get((r, c))
+            if cur is None or abs(z) > abs(cur[1]):
+                best[(r, c)] = (v, z, sc["sigma_actual"])
+    rows_out = [
+        (r, c, _round_half_up(round(v, 9)), _round_half_up(round(z, 9)), _round_half_up(gg))
+        for (r, c), (v, z, gg) in best.items()
+    ]
+    vals = ", ".join(
+        f"({r}, {c}, {v!r}, {z!r}, {gg!r})" for r, c, v, z, gg in rows_out
+    )
+    return (
+        "SELECT CAST(row AS BIGINT) AS row, CAST(col AS BIGINT) AS col, "
+        "CAST(v_opt AS DOUBLE) AS v_opt, CAST(z_opt AS DOUBLE) AS z_opt, "
+        "CAST(g_opt AS DOUBLE) AS g_opt "
+        f"FROM (VALUES {vals}) AS t(row, col, v_opt, z_opt, g_opt)"
+    )
+
+
 # The driver's correctness harness checks the FIRST 50 queries() entries each
 # round.  Rounds 1-3 certified 123 distinct queries; the round-4 window keeps
 # relative_topographic_position first (red in r01-r03; the scaled-integer
@@ -6667,6 +6922,8 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "turning_bands_simulation": q_turning_bands,
         "split_with_lines": q_split_with_lines,
         "polygonize": q_polygonize,
+        "boundary_shape_complexity": q_boundary_shape_complexity,
+        "gaussian_scale_space": q_gaussian_scale_space,
         "qin_flow_accumulation": q_qin_flow_accumulation,
         "breach_single_cell_pits": q_breach_single_cell_pits,
         "long_profile_from_points": q_long_profile_from_points,
@@ -7595,6 +7852,8 @@ FROM ({_PART_RASTER_SQL}) WHERE value IS NOT NULL
         "turning_bands_simulation": _turning_bands_sql(),
         "split_with_lines": _swl_sql(),
         "polygonize": _polygonize_sql(),
+        "boundary_shape_complexity": _bsc_sql(),
+        "gaussian_scale_space": _gss_sql(),
         "impoundment_size_index": __import__(
             "whitebox_tools_spark.operators.impoundment", fromlist=["isi_oracle_sql"]
         ).isi_oracle_sql(_DENSE20_SQL, EXTRACT_GRID, dam_length=5.0),

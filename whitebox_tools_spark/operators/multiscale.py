@@ -994,3 +994,244 @@ pick AS (SELECT row, col,
 SELECT row, col, round((w).s, 6) AS magnitude, CAST((w).scale AS BIGINT) AS scale
 FROM pick
 """
+
+
+# ---------------------------------------------------------------------------
+# gaussian_scale_space plugin
+# ---------------------------------------------------------------------------
+def _gss_scales(sigma_i: float, step: float, num_steps: int):
+    """Admissible (sigma, sigma_actual, buffer, fast_params) per scale
+    (gaussian_scale_space main.rs:429-437, 565-586, 656-661): sigma < 0.5
+    collapses to 0; scales that discretize to the previous sigma_actual
+    are skipped; sigma >= 3 uses the 6-box fast-gaussian whose actual
+    sigma comes from the integer box widths."""
+    out = []
+    sigma_prev = -1.0
+    for s in range(num_steps):
+        sigma = sigma_i + step * s
+        if sigma < 0.5:
+            sigma = 0.0
+        sigma_actual = sigma
+        fast = None
+        buffer = 0
+        filter_size = 0
+        if sigma == 0.0:
+            pass
+        elif sigma < 3.0:
+            pass
+        else:
+            n = 6
+            w_ideal = math.sqrt(12.0 * sigma * sigma / n + 1.0)
+            wl = int(math.floor(w_ideal))
+            if wl % 2 == 0:
+                wl -= 1
+            wu = wl + 2
+            filter_size = wu
+            m = int(round(
+                (12.0 * sigma * sigma - n * wl * wl - 4 * n * wl - 3 * n)
+                / (-4.0 * wl - 4.0)
+            ))
+            sigma_actual = math.sqrt((m * wl * wl + (n - m) * wu * wu - n) / 12.0)
+            fast = (n, m, wl, wu)
+            buffer = filter_size + 1
+        if sigma_actual == sigma_prev:
+            continue
+        out.append(dict(sigma=sigma, sigma_actual=sigma_actual, fast=fast, buffer=buffer))
+        sigma_prev = sigma_actual
+    return out
+
+
+def _gauss_weights(sigma: float):
+    """Standard-gaussian kernel (main.rs:471-520): 0.001 cutoff radius,
+    row-major (dy, dx) order, normalized."""
+    rr = 1.0 / (math.sqrt(2.0 * math.pi) * sigma)
+    ts = 2.0 * sigma * sigma
+    filter_size = 0
+    for i in range(250):
+        if rr * math.exp(-(i * i) / ts) <= 0.001:
+            filter_size = i * 2 + 1
+            break
+    if filter_size % 2 == 0:
+        filter_size += 1
+    if filter_size < 3:
+        filter_size = 3
+    mid = int(math.floor(filter_size / 2.0))
+    ws = []
+    g_sum = 0.0
+    for r in range(filter_size):
+        for c in range(filter_size):
+            x, y = c - mid, r - mid
+            w = rr * math.exp(-(x * x + y * y) / ts)
+            ws.append((len(ws), x, y, w))
+            g_sum += w
+    return [(n, x, y, w / g_sum) for n, x, y, w in ws]
+
+
+_GSS_LSP = {
+    # n0..n7 = E-start clockwise ring, n8 = center (main.rs:1193-1198)
+    "slope": (
+        "sqrt(POWFY * POWFY + POWFX * POWFX) * 100.0"
+        .replace("POWFY", "((n6 - n4 + 2.0*(n7 - n3) + n0 - n2) / (8.0 * RES))")
+        .replace("POWFX", "((n2 - n4 + 2.0*(n1 - n5) + n0 - n6) / (8.0 * RES))")
+    ),
+    "total_curvature": (
+        "(ZXX * ZXX + 2.0 * ZXY * ZXY + ZYY * ZYY) * 100.0"
+        .replace("ZXX", "((n1 - 2.0*n8 + n5) / (RES * RES))")
+        .replace("ZYY", "((n7 - 2.0*n8 + n3) / (RES * RES))")
+        .replace("ZXY", "((-n6 + n0 + n4 - n2) / (4.0 * RES * RES))")
+    ),
+    "elevation": "n8",
+}
+
+
+def gaussian_scale_space(
+    cells: DataFrame,
+    grid: GridSpec,
+    *,
+    sigma: float = 0.5,
+    step: float = 0.5,
+    num_steps: int = 10,
+    lsp: str = "slope",
+    z_factor: float = 1.0,
+) -> DataFrame:
+    """gaussian_scale_space plugin (whitebox-plugins/src/
+    gaussian_scale_space/main.rs:429-830, Newman et al. 2018): per scale,
+    smooth the DEM (identity at sigma 0; exact gaussian kernel below
+    sigma 3 — a deterministic left-to-right HOF fold over the row-major
+    kernel order so the sum matches a serial transcription bit-for-bit;
+    the 6-box fast-gaussian above, as separable running-sum prefix scans
+    with the reference's clamped-index rect sums and per-iteration
+    integral rebuilds), compute the 3x3 LSP inside the edge buffer,
+    z-score it against the scale's own population, and keep per cell the
+    scale with the maximum |z| (strictly-greater updates keep the
+    earliest scale on ties). -> (row, col, v_opt, z_opt, g_opt).
+
+    Scale shape: smoothing is prefix scans/one scatter per scale; the
+    cross-scale argmax is a single union + aggregate. Scales are a small
+    driver-side list (the reference's own loop)."""
+    from pyspark.sql import Window as _W
+
+    spark = cells.sparkSession
+    res = grid.res_x
+    lsp_expr = _GSS_LSP[lsp].replace("RES", repr(res))
+    scales = _gss_scales(sigma, step, num_steps)
+    src = cells.filter(F.col("value").isNotNull()).select("row", "col", "value")
+    per_scale = []
+    for si, sc in enumerate(scales):
+        if sc["fast"] is None and sc["sigma"] == 0.0:
+            sm = src
+        elif sc["fast"] is None:
+            ws = _gauss_weights(sc["sigma"])
+            offs = spark.createDataFrame(ws, "n int, dx int, dy int, w double")
+            gathered = (
+                src.crossJoin(F.broadcast(offs))
+                .select(
+                    (F.col("row") - F.col("dy")).alias("row"),
+                    (F.col("col") - F.col("dx")).alias("col"),
+                    "n", "w", F.col("value").alias("zn"),
+                )
+                .groupBy("row", "col")
+                .agg(F.sort_array(F.collect_list(F.struct("n", "w", "zn"))).alias("nb"))
+            )
+            sm = src.join(gathered, ["row", "col"]).select(
+                "row", "col",
+                F.expr(
+                    "aggregate(nb, named_struct('s', cast(0.0 as double), 'z', cast(0.0 as double)), "
+                    "(acc, e) -> named_struct('s', acc.s + e.w, 'z', acc.z + e.w * e.zn), "
+                    "acc -> acc.z / acc.s)"
+                ).alias("value"),
+            )
+        else:
+            n_boxes, m, wl, wu = sc["fast"]
+            sm = src
+            for it in range(n_boxes):
+                mid = int(math.floor((wl if it <= m else wu) / 2.0))
+                wcol = _W.partitionBy("row").orderBy("col").rowsBetween(_W.unboundedPreceding, 0)
+                wrow = _W.partitionBy("col").orderBy("row").rowsBetween(_W.unboundedPreceding, 0)
+                integ = (
+                    sm.withColumn("rs", F.sum("value").over(wcol))
+                    .withColumn("I", F.sum("rs").over(wrow))
+                    .select("row", "col", "I")
+                )
+                ninteg = (
+                    src.withColumn("one", F.lit(1.0))
+                    .withColumn("rs", F.sum("one").over(wcol))
+                    .withColumn("In", F.sum("rs").over(wrow))
+                    .select("row", "col", "In")
+                )
+
+                def rect(df, valcol, outcol):
+                    y1 = F.greatest(F.col("row") - mid - 1, F.lit(0))
+                    y2 = F.least(F.col("row") + mid, F.lit(grid.rows - 1))
+                    x1 = F.greatest(F.col("col") - mid - 1, F.lit(0))
+                    x2 = F.least(F.col("col") + mid, F.lit(grid.cols - 1))
+                    base = src.select("row", "col").withColumn("y1", y1).withColumn("y2", y2).withColumn("x1", x1).withColumn("x2", x2)
+                    j = lambda yy, xx, alias: df.select(  # noqa: E731
+                        F.col("row").alias("jr"), F.col("col").alias("jc"),
+                        F.col(valcol).alias(alias),
+                    )
+                    return (
+                        base.join(j("y2", "x2", "a"), (F.col("y2") == F.col("jr")) & (F.col("x2") == F.col("jc"))).drop("jr", "jc")
+                        .join(j("y1", "x2", "b"), (F.col("y1") == F.col("jr")) & (F.col("x2") == F.col("jc"))).drop("jr", "jc")
+                        .join(j("y2", "x1", "c"), (F.col("y2") == F.col("jr")) & (F.col("x1") == F.col("jc"))).drop("jr", "jc")
+                        .join(j("y1", "x1", "d"), (F.col("y1") == F.col("jr")) & (F.col("x1") == F.col("jc"))).drop("jr", "jc")
+                        .select(
+                            "row", "col",
+                            (F.col("a") - F.col("b") - F.col("c") + F.col("d")).alias(outcol),
+                        )
+                    )
+
+                s_ = rect(integ, "I", "S")
+                n_ = rect(ninteg, "In", "N")
+                sm = s_.join(n_, ["row", "col"]).select(
+                    "row", "col", (F.col("S") / F.col("N")).alias("value")
+                ).localCheckpoint(eager=True)
+        buf = sc["buffer"]
+        inner = sm.filter(
+            (F.col("row") >= buf) & (F.col("row") < grid.rows - buf)
+            & (F.col("col") >= buf) & (F.col("col") < grid.cols - buf)
+        )
+        # 3x3 gather with center substitution for missing neighbors
+        ring = [(1, -1), (1, 0), (1, 1), (0, 1), (-1, 1), (-1, 0), (-1, -1), (0, -1)]
+        offs3 = spark.createDataFrame(
+            [(i, dx, dy) for i, (dx, dy) in enumerate(ring)], "n int, dx int, dy int"
+        )
+        g3 = (
+            sm.crossJoin(F.broadcast(offs3))
+            .select(
+                (F.col("row") - F.col("dy")).alias("row"),
+                (F.col("col") - F.col("dx")).alias("col"),
+                "n", F.col("value").alias("zn"),
+            )
+            .groupBy("row", "col")
+            .agg(*[F.max(F.when(F.col("n") == i, F.col("zn"))).alias(f"n{i}") for i in range(8)])
+        )
+        lspd = inner.withColumnRenamed("value", "n8").join(g3, ["row", "col"], "left")
+        for i in range(8):
+            lspd = lspd.withColumn(f"n{i}", F.coalesce(F.col(f"n{i}"), F.col("n8")) * F.lit(z_factor))
+        lspd = lspd.withColumn("n8", F.col("n8") * F.lit(z_factor))
+        lspd = lspd.select("row", "col", F.expr(lsp_expr).alias("lsp"))
+        st = lspd.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("lsp").alias("s"), F.sum(F.col("lsp") ** 2).alias("sq")
+        )
+        z = (
+            lspd.crossJoin(F.broadcast(st))
+            .withColumn("mean", F.col("s") / F.col("n"))
+            .withColumn("sd", F.sqrt(F.col("sq") / F.col("n") - F.col("mean") ** 2))
+            .select(
+                "row", "col", "lsp",
+                ((F.col("lsp") - F.col("mean")) / F.col("sd")).alias("z"),
+                F.lit(si).alias("si"),
+                F.lit(sc["sigma_actual"]).alias("g"),
+            )
+        )
+        per_scale.append(z.localCheckpoint(eager=True))
+    allz = per_scale[0]
+    for p in per_scale[1:]:
+        allz = allz.unionByName(p)
+    w = _W.partitionBy("row", "col").orderBy(F.desc(F.abs(F.col("z"))), F.asc("si"))
+    return (
+        allz.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("row", "col", F.col("lsp").alias("v_opt"), F.col("z").alias("z_opt"), F.col("g").alias("g_opt"))
+    )
