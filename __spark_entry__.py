@@ -6701,6 +6701,186 @@ def _gss_sql() -> str:
     )
 
 
+_TSP_KEYS = 36
+
+
+def q_travelling_salesman(spark, sf_dir):
+    """travelling_salesman_problem plugin: best NN+2-opt tour over
+    parallel deterministic restarts (fixture: 36 LCG points)."""
+    from whitebox_tools_spark.operators.plugins import travelling_salesman_problem
+
+    x, y = synth.point_exprs(F.col("id"))
+    pts = spark.range(1, _TSP_KEYS + 1).select(
+        F.col("id").alias("point_id"), x.alias("x"), y.alias("y")
+    )
+    return travelling_salesman_problem(pts)
+
+
+def _tsp_sql() -> str:
+    """Independent serial transcription of the restart sweep (its own
+    NN + 2-opt loop), literal best tour embedded."""
+    import math as _m
+
+    import numpy as np
+
+    keys = np.arange(1, _TSP_KEYS + 1)
+    px, py = synth.point_np(keys)
+
+    def dist(i, j):
+        return _m.hypot(px[i] - px[j], py[i] - py[j])
+
+    n = len(keys)
+    best = None
+    for start in range(n):
+        left = set(range(n))
+        left.remove(start)
+        tour = [start]
+        while left:
+            cur = tour[-1]
+            nxt = min(left, key=lambda j: ((px[j] - px[cur]) ** 2 + (py[j] - py[cur]) ** 2, j))
+            tour.append(nxt)
+            left.remove(nxt)
+        changed = True
+        while changed:
+            changed = False
+            for i in range(n - 1):
+                for k in range(i + 2, n):
+                    a, b = tour[i], tour[i + 1]
+                    c, e = tour[k], tour[(k + 1) % n]
+                    if a == e:
+                        continue
+                    if dist(a, c) + dist(b, e) < dist(a, b) + dist(c, e) - 1e-12:
+                        tour[i + 1 : k + 1] = reversed(tour[i + 1 : k + 1])
+                        changed = True
+        ln = sum(dist(tour[i], tour[(i + 1) % n]) for i in range(n))
+        if best is None or (ln, start) < best[:2]:
+            best = (ln, start, list(tour))
+    rows = [(seq, int(keys[idx])) for seq, idx in enumerate(best[2])]
+    vals = ", ".join(f"({s}, {p})" for s, p in rows)
+    return (
+        "SELECT CAST(seq AS INT) AS seq, CAST(point_id AS BIGINT) AS point_id "
+        f"FROM (VALUES {vals}) AS t(seq, point_id)"
+    )
+
+
+_CLHS_ARGS = dict(num_samples=12, max_iter=40, seed=5)
+
+
+def _clhs_raster2(spark):
+    pk = F.col("id") + 1
+    r = (pk - 1) % 20
+    c = F.floor((pk - 1) / F.lit(20)).cast("long")
+    v = ((pk * 7919) % 997).cast("double")
+    return spark.range(500).select(r.alias("row"), c.alias("col"), v.alias("value"))
+
+
+def q_conditioned_latin_hypercube(spark, sf_dir):
+    """conditioned_latin_hypercube plugin: annealed latin-hypercube
+    sampling over two integer-valued synthetic covariates (deterministic
+    minstd streams per the RND convention; the reference's seeded StdRng
+    is ChaCha-based and not practically bit-reproducible)."""
+    from whitebox_tools_spark.operators.plugins import conditioned_latin_hypercube
+
+    r1 = _valley_dem_synthetic(spark).withColumn("value", F.round("value"))
+    r2 = _clhs_raster2(spark)
+    out = conditioned_latin_hypercube(
+        [r1, r2], STREAM_GRID, **_CLHS_ARGS
+    )
+    return _r6(out, ["x", "y", "value"])
+
+
+def _clhs_sql() -> str:
+    """Serial mirror: numpy raster rebuilds + the same distributed-stat
+    algebra computed serially (exact with integer-valued inputs), same
+    anneal transcription."""
+    import numpy as np
+
+    from whitebox_tools_spark.operators.plugins import (
+        _clhs_hash,
+        _Minstd,
+        clhs_anneal,
+    )
+
+    g = STREAM_GRID
+    rows, cols = g.rows, g.cols
+    dem = np.zeros((rows, cols))
+    r2 = np.zeros((rows, cols))
+    for pk in range(1, 501):
+        r = (pk - 1) % 20
+        c = (pk - 1) // 20
+        v = abs(r - 10) * 50.0 + (25 - c) * 2.0 + ((pk * 31) % 7) * 0.1
+        if c % 4 == 1 and r != 10:
+            v += -45.0
+        dem[r, c] = round(v)
+        r2[r, c] = float((pk * 7919) % 997)
+    rasters = [dem, r2]
+    ns, mi, seed = _CLHS_ARGS["num_samples"], _CLHS_ARGS["max_iter"], _CLHS_ARGS["seed"]
+    num_bins = 25000
+    rng = _Minstd(seed)
+    kf = [rng.uniform() for _ in range(2)]
+    ksum = sum(kf)
+    k_pool = [int(np.ceil(v / ksum * mi)) for v in kf]
+    quantiles = []
+    pools = []
+    for k, ras in enumerate(rasters):
+        vals = ras.ravel()
+        mn, mx, n = float(vals.min()), float(vals.max()), len(vals)
+        binsize = (mx - mn) / num_bins
+        hvec = np.zeros(num_bins)
+        for v in vals:
+            b = int(np.floor((v - mn) / binsize))
+            b = min(b, num_bins - 1)
+            hvec[b] += 1
+        cdf = np.cumsum(hvec) / n
+        qs = []
+        for s in range(ns):
+            stratum = (s + 1) / ns
+            b = 0
+            for bb in range(num_bins):
+                if cdf[bb] <= stratum:
+                    b = bb
+                else:
+                    break
+            qs.append(mn + b * binsize)
+        quantiles.append(qs)
+        order = sorted(
+            range(rows * cols),
+            key=lambda i: (_clhs_hash(i, seed + k + 1), i),
+        )
+        for i in order[: ns + k_pool[k]]:
+            rr, cc = i // cols, i % cols
+            zs = float(ras[rr, cc])
+            qpos = next((j for j, q in enumerate(qs) if zs <= q), len(qs) - 1)
+            pools.append(
+                dict(k=k, x=g.x_center(cc), y=g.y_center(rr), q=qpos, v=zs)
+            )
+    cormat = [[1.0, 0.0], [0.0, 1.0]]
+    n = rows * cols
+    sa, sb = dem.sum(), r2.sum()
+    ma, mb = sa / n, sb / n
+    ta = (dem * dem).sum() - n * ma * ma
+    tb = (r2 * r2).sum() - n * mb * mb
+    tab = (dem * r2).sum() - n * ma * mb
+    cormat[0][1] = cormat[1][0] = tab / np.sqrt(ta * tb)
+    samples = clhs_anneal(
+        pools, quantiles, cormat, num_samples=ns, max_iter=mi, rng=rng,
+        temp=1.0, temp_decay=0.95, anneal_cycle=10, rs_prob=0.5,
+    )
+    rows_out = [
+        (i + 1, _round_half_up(s["x"]), _round_half_up(s["y"]), _round_half_up(s["v"]), s["k"])
+        for i, s in enumerate(samples)
+    ]
+    vals = ", ".join(
+        f"({f}, {x!r}, {y!r}, {v!r}, {src})" for f, x, y, v, src in rows_out
+    )
+    return (
+        "SELECT CAST(fid AS INT) AS fid, CAST(x AS DOUBLE) AS x, "
+        "CAST(y AS DOUBLE) AS y, CAST(value AS DOUBLE) AS value, "
+        "CAST(source AS INT) AS source "
+        f"FROM (VALUES {vals}) AS t(fid, x, y, value, source)"
+    )
+
+
 # The driver's correctness harness checks the FIRST 50 queries() entries each
 # round.  Rounds 1-3 certified 123 distinct queries; the round-4 window keeps
 # relative_topographic_position first (red in r01-r03; the scaled-integer
@@ -6924,6 +7104,8 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "polygonize": q_polygonize,
         "boundary_shape_complexity": q_boundary_shape_complexity,
         "gaussian_scale_space": q_gaussian_scale_space,
+        "travelling_salesman_problem": q_travelling_salesman,
+        "conditioned_latin_hypercube": q_conditioned_latin_hypercube,
         "qin_flow_accumulation": q_qin_flow_accumulation,
         "breach_single_cell_pits": q_breach_single_cell_pits,
         "long_profile_from_points": q_long_profile_from_points,
@@ -7854,6 +8036,8 @@ FROM ({_PART_RASTER_SQL}) WHERE value IS NOT NULL
         "polygonize": _polygonize_sql(),
         "boundary_shape_complexity": _bsc_sql(),
         "gaussian_scale_space": _gss_sql(),
+        "travelling_salesman_problem": _tsp_sql(),
+        "conditioned_latin_hypercube": _clhs_sql(),
         "impoundment_size_index": __import__(
             "whitebox_tools_spark.operators.impoundment", fromlist=["isi_oracle_sql"]
         ).isi_oracle_sql(_DENSE20_SQL, EXTRACT_GRID, dam_length=5.0),

@@ -491,3 +491,348 @@ coef AS (SELECT *, {coefs} FROM sums),
 gof AS (SELECT *, {gofs} FROM coef)
 SELECT row, col, {outs} FROM gof
 """
+
+
+# ---------------------------------------------------------------------------
+# travelling_salesman_problem
+# ---------------------------------------------------------------------------
+def _tsp_tour(px, py, start: int):
+    """Deterministic nearest-neighbour tour + first-improvement 2-opt
+    (the reference's 2-opt core, travelling_salesman_problem main.rs:
+    tour.optimize_kopt, with its wall-clock budget and entropy restarts
+    replaced by bounded deterministic restarts — the repo's RND/ITR
+    determinism convention)."""
+    import numpy as np
+
+    n = len(px)
+    unvisited = set(range(n))
+    tour = [start]
+    unvisited.remove(start)
+    cur = start
+    while unvisited:
+        best = min(
+            unvisited,
+            key=lambda j: ((px[j] - px[cur]) ** 2 + (py[j] - py[cur]) ** 2, j),
+        )
+        tour.append(best)
+        unvisited.remove(best)
+        cur = best
+
+    def d(i, j):
+        return math.hypot(px[i] - px[j], py[i] - py[j])
+
+    improved = True
+    while improved:
+        improved = False
+        for i in range(n - 1):
+            for k in range(i + 2, n):
+                a, b = tour[i], tour[i + 1]
+                c, e = tour[k], tour[(k + 1) % n]
+                if a == e:
+                    continue
+                if d(a, c) + d(b, e) < d(a, b) + d(c, e) - 1e-12:
+                    tour[i + 1 : k + 1] = reversed(tour[i + 1 : k + 1])
+                    improved = True
+    length = sum(d(tour[i], tour[(i + 1) % n]) for i in range(n))
+    return tour, length
+
+
+def travelling_salesman_problem(points: DataFrame, *, restarts: int | None = None) -> DataFrame:
+    """travelling_salesman_problem plugin (whitebox-plugins/src/
+    travelling_salesman_problem/main.rs): approximate shortest closed
+    tour. The reference spawns one optimizer per core with a wall-clock
+    budget (irreproducible); this engine runs DETERMINISTIC restarts (one
+    NN+2-opt per start node) in parallel across the cluster and keeps the
+    best by (length, start). Points are broadcast (a TSP instance is
+    small by nature — the tour itself is O(n) driver output).
+    points: (point_id, x, y) -> (seq, point_id) of the best tour."""
+    import pandas as pd
+
+    rows = points.select("point_id", "x", "y").orderBy("point_id").collect()
+    ids = [r.point_id for r in rows]
+    px = [float(r.x) for r in rows]
+    py = [float(r.y) for r in rows]
+    n = len(ids)
+    restarts = restarts or n
+    spark = points.sparkSession
+    starts = spark.range(min(restarts, n)).select(F.col("id").cast("int").alias("start"))
+
+    def _run(batches):
+        for pdf in batches:
+            out = []
+            for s in pdf["start"]:
+                tour, length = _tsp_tour(px, py, int(s))
+                out.append((int(s), length, tour))
+            yield pd.DataFrame(out, columns=["start", "length", "tour"])
+
+    res = starts.repartition(max(1, min(32, n))).mapInPandas(
+        _run, "start int, length double, tour array<int>"
+    )
+    best = res.orderBy("length", "start").limit(1)
+    ex = best.select(F.posexplode("tour").alias("seq", "idx"))
+    idmap = spark.createDataFrame(
+        [(i, int(ids[i])) for i in range(n)], "idx int, point_id long"
+    )
+    return ex.join(F.broadcast(idmap), "idx").select("seq", "point_id")
+
+
+# ---------------------------------------------------------------------------
+# conditioned_latin_hypercube
+# ---------------------------------------------------------------------------
+_CLHS_M = 2147483647
+_CLHS_A = 48271
+
+
+class _Minstd:
+    """Sequential minstd stream — the deterministic replacement for the
+    reference's StdRng (seeded ChaCha; bit-reproducing it is not
+    practical, so the repo's RND convention applies: same algorithm,
+    documented deterministic stream)."""
+
+    def __init__(self, seed: int):
+        self.s = (seed * 2654435 + 1) % _CLHS_M
+
+    def nxt(self) -> int:
+        self.s = (self.s * _CLHS_A) % _CLHS_M
+        return self.s
+
+    def uniform(self) -> float:
+        return self.nxt() / _CLHS_M
+
+    def range(self, n: int) -> int:
+        return self.nxt() % n
+
+
+def _clhs_hash(idx, seed):
+    s = (idx + seed * 2654435 + 1) % _CLHS_M
+    s = (s * _CLHS_A) % _CLHS_M
+    s = (s * _CLHS_A) % _CLHS_M
+    return s
+
+
+def clhs_anneal(
+    reservoir: list,
+    quantiles: list,
+    cormat: list,
+    *,
+    num_samples: int,
+    max_iter: int,
+    rng: "_Minstd",
+    temp: float,
+    temp_decay: float,
+    anneal_cycle: int,
+    rs_prob: float,
+    weights=(1.0, 1.0, 1.0),
+    o_thresh: float = -1e308,
+) -> list:
+    """The annealed resampling loop (conditioned_latin_hypercube
+    main.rs:664-725), transcribed exactly — including the reference's
+    worst-strata branch writing samples[ridx] with ridx drawn over the
+    worst-index COUNT rather than samples[worst_indices[ridx]] (a real
+    indexing bug, kept for parity). temp_decay is already (1 - decay)."""
+    reservoir = list(reservoir)
+    samples = reservoir[len(reservoir) - num_samples:]
+    del reservoir[len(reservoir) - num_samples:]
+    old_samples = list(samples)
+    obj_old = float("inf")
+    K = len(quantiles)
+    for it in range(max_iter):
+        counts = [[0] * len(q) for q in quantiles]
+        for s in samples:
+            counts[s["k"]][s["q"]] += 1
+        # sample correlation matrix (main.rs:836-872, loop order kept)
+        sc = [[1.0] * K for _ in range(K)]
+        for a in range(K):
+            a_s = [s for s in samples if s["k"] == a]
+            if not a_s:
+                for b in range(a + 1, K):
+                    sc[a][b] = sc[b][a] = 0.0
+                continue
+            am = sum(s["v"] for s in a_s) / len(a_s)
+            at = sum((s["v"] - am) ** 2 for s in a_s)
+            for b in range(a + 1, K):
+                b_s = [s for s in samples if s["k"] == b]
+                if not b_s:
+                    sc[a][b] = sc[b][a] = 0.0
+                    continue
+                bm = sum(s["v"] for s in b_s) / len(b_s)
+                bt = sum((s["v"] - bm) ** 2 for s in b_s)
+                pt = 0.0
+                for i in range(min(len(a_s), len(b_s))):
+                    pt += (a_s[i]["v"] - am) * (b_s[i]["v"] - bm)
+                # Rust float semantics: 0/0 -> NaN (propagates through the
+                # objective; every NaN comparison is false, so the
+                # iteration reverts) — python raises, so guard explicitly
+                den = math.sqrt(at * bt)
+                sc[a][b] = sc[b][a] = pt / den if den != 0.0 else float("nan")
+        o1 = sum(abs(c - 1) for k in range(K) for c in counts[k])
+        o3 = sum(abs(cormat[i][j] - sc[i][j]) for i in range(K) for j in range(K))
+        obj = weights[0] * o1 + weights[2] * o3
+        if obj <= o_thresh:
+            break
+        worst_k = worst_q = 0
+        mx = 0
+        for k in range(K):
+            for q in range(len(counts[k])):
+                if counts[k][q] >= mx:
+                    worst_k, worst_q, mx = k, q, counts[k][q]
+        rand1 = rng.uniform()
+        rand2 = rng.uniform()
+        o_delta = obj - obj_old
+        metro = math.exp(-o_delta / temp)
+        if it % anneal_cycle == anneal_cycle - 1:
+            temp *= temp_decay
+        if o_delta < 0.0 or rand1 < metro:
+            old_samples = list(samples)
+        else:
+            samples = list(old_samples)
+        obj_old = obj
+        if rand2 < rs_prob or mx <= 1:
+            ridx = rng.range(len(samples))
+            samples[ridx] = reservoir.pop()
+        else:
+            worst = [
+                i for i in range(len(samples))
+                if samples[i]["k"] == worst_k and samples[i]["q"] == worst_q
+            ]
+            ridx = rng.range(len(worst))
+            samples[ridx] = reservoir.pop()  # reference bug kept: not worst[ridx]
+    return samples
+
+
+def conditioned_latin_hypercube(
+    rasters: list,
+    grid: GridSpec,
+    *,
+    num_samples: int,
+    max_iter: int = 100,
+    seed: int = 1,
+    temp: float = 1.0,
+    temp_decay: float = 0.05,
+    anneal_cycle: int = 10,
+    rs_prob: float = 0.5,
+    num_bins: int = 25000,
+) -> DataFrame:
+    """conditioned_latin_hypercube plugin (whitebox-plugins/src/
+    conditioned_latin_hypercube/main.rs): multidimensional stratified
+    (latin hypercube) sampling by annealed resampling (continuous
+    covariates).
+
+    Distributed: per-raster 25000-bin histograms/min-max (one aggregate
+    each), the population correlation matrix (pairwise cell joins with
+    the algebraic Sxy - n*mx*my form: with integer-valued inputs every
+    sum is exact, so the matrix is partition-order invariant — the
+    reference's subtract-the-mean loop is mathematically identical), and
+    the candidate-pool ordering (minstd hash per cell — the shuffle
+    analog). Driver-side: quantile cutoffs from the collected histogram
+    and the O(num_samples * max_iter) anneal loop — tiny by construction
+    (n << N is the tool's own premise).
+
+    rasters: list of (row, col, value) DataFrames on the same grid.
+    -> (fid, x, y, value, source) sample points."""
+    import numpy as np
+
+    K = len(rasters)
+    rng = _Minstd(seed)
+    k_pool_f = [rng.uniform() for _ in range(K)]
+    ksum = sum(k_pool_f)
+    k_pool = [int(math.ceil(v / ksum * max_iter)) for v in k_pool_f]
+
+    # distributed stats per raster
+    quantiles = []
+    pools = []
+    stats = []
+    for k, df in enumerate(rasters):
+        v = df.filter(F.col("value").isNotNull())
+        st = v.agg(
+            F.min("value").alias("mn"), F.max("value").alias("mx"),
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+        mn, mx, n = float(st.mn), float(st.mx), int(st.n)
+        binsize = (mx - mn) / num_bins
+        hist = (
+            v.withColumn(
+                "bin",
+                F.least(
+                    F.lit(num_bins - 1),
+                    F.floor((F.col("value") - F.lit(mn)) / F.lit(binsize)).cast("long"),
+                ),
+            )
+            .groupBy("bin").agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        hvec = np.zeros(num_bins)
+        for r in hist:
+            hvec[int(r.bin)] += r.c
+        cdf = np.cumsum(hvec) / n
+        qs = []
+        for s in range(num_samples):
+            stratum = (s + 1) / num_samples
+            b = int(np.searchsorted(cdf, stratum, side="right") - 1)
+            b = max(b, 0)
+            # reference keeps the last bin with cdf <= stratum (rs:507-516)
+            while b + 1 < num_bins and cdf[b + 1] <= stratum:
+                b += 1
+            if cdf[b] > stratum:
+                b = 0
+            qs.append(mn + b * binsize)
+        quantiles.append(qs)
+        stats.append((mn, mx, n))
+        # candidate pool: minstd-hash order over valid cells
+        take = num_samples + k_pool[k]
+        pool = (
+            v.withColumn("idx", F.col("row") * F.lit(grid.cols) + F.col("col"))
+            .withColumn("h", _clhs_hash(F.col("idx"), F.lit(seed + k + 1)))
+            .orderBy("h", "idx")
+            .limit(take)
+            .collect()
+        )
+        for r in pool:
+            zs = float(r.value)
+            qpos = next((i for i, q in enumerate(qs) if zs <= q), len(qs) - 1)
+            pools.append(
+                dict(
+                    k=k,
+                    x=grid.x_center(int(r.col)),
+                    y=grid.y_center(int(r.row)),
+                    q=qpos,
+                    v=zs,
+                )
+            )
+
+    # population correlation matrix (algebraic exact form)
+    cormat = [[1.0] * K for _ in range(K)]
+    for a in range(K):
+        for b in range(a + 1, K):
+            j = (
+                rasters[a].select("row", "col", F.col("value").alias("va"))
+                .join(rasters[b].select("row", "col", F.col("value").alias("vb")), ["row", "col"])
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum("va").alias("sa"), F.sum("vb").alias("sb"),
+                    F.sum(F.col("va") * F.col("va")).alias("saa"),
+                    F.sum(F.col("vb") * F.col("vb")).alias("sbb"),
+                    F.sum(F.col("va") * F.col("vb")).alias("sab"),
+                )
+                .collect()[0]
+            )
+            n = float(j.n)
+            ma, mb = j.sa / n, j.sb / n
+            ta = j.saa - n * ma * ma
+            tb = j.sbb - n * mb * mb
+            tab = j.sab - n * ma * mb
+            cormat[a][b] = cormat[b][a] = tab / math.sqrt(ta * tb)
+
+    samples = clhs_anneal(
+        pools, quantiles, cormat,
+        num_samples=num_samples, max_iter=max_iter, rng=rng,
+        temp=temp, temp_decay=1.0 - temp_decay, anneal_cycle=anneal_cycle,
+        rs_prob=rs_prob,
+    )
+    spark = rasters[0].sparkSession
+    rows = [
+        (i + 1, s["x"], s["y"], s["v"], s["k"]) for i, s in enumerate(samples)
+    ]
+    return spark.createDataFrame(
+        rows, "fid int, x double, y double, value double, source int"
+    )
