@@ -6881,6 +6881,178 @@ def _clhs_sql() -> str:
     )
 
 
+def q_las_to_shapefile(spark, sf_dir):
+    """LasToShapefile (lidar_analysis/las_to_shapefile.rs): cloud ->
+    per-point vector features with LAS attributes."""
+    from whitebox_tools_spark.operators.lidar import las_to_shapefile_points
+
+    out = las_to_shapefile_points(_order_cloud(spark, sf_dir))
+    return out.select(
+        "fid", "point_id", F.round("x", 6).alias("x"), F.round("y", 6).alias("y"),
+        F.round("z_attr", 6).alias("z_attr"), "class",
+    )
+
+
+def _las_to_shapefile_sql() -> str:
+    return f"""
+SELECT CAST(row_number() OVER (ORDER BY point_id) AS BIGINT) AS fid,
+       point_id, round(x, 6) AS x, round(y, 6) AS y,
+       round(z, 6) AS z_attr, CAST(classification AS INT) AS class
+FROM ({_order_cloud_cte()}) c
+"""
+
+
+def q_las_to_multipoint(spark, sf_dir):
+    """LasToMultipointShapefile (lidar_analysis/
+    las_to_multipoint_shapefile.rs): one MultiPointZ feature per class
+    (the reference packs whole tiles; per-class grouping exercises the
+    group path)."""
+    from whitebox_tools_spark.operators.lidar import las_to_multipoint_features
+
+    out = las_to_multipoint_features(
+        _order_cloud(spark, sf_dir), group="classification"
+    )
+    return _r6(out, ["x_min", "x_max", "y_min", "y_max", "z_min", "z_max"])
+
+
+def _las_to_multipoint_sql() -> str:
+    return f"""
+SELECT CAST(classification AS BIGINT) AS feature_id, count(*) AS n_points,
+       round(min(x), 6) AS x_min, round(max(x), 6) AS x_max,
+       round(min(y), 6) AS y_min, round(max(y), 6) AS y_max,
+       round(min(z), 6) AS z_min, round(max(z), 6) AS z_max
+FROM ({_order_cloud_cte()}) c GROUP BY classification
+"""
+
+
+_BSAR_STREAMS = [
+    (1, [(22.6, 5.0), (22.4, 95.0)]),
+    (2, [(77.4, 5.0), (77.6, 95.0)]),
+]
+_BSAR_ROADS = [(11, [(2.0, 52.6), (123.0, 52.4)])]
+
+
+def q_burn_streams_at_roads(spark, sf_dir):
+    """BurnStreamsAtRoads (hydro_analysis/burn_streams_at_roads.rs,
+    Lindsay 2016): lower stream elevations through road embankments
+    (double-DFS walk per intersection, min-combined burns)."""
+    from whitebox_tools_spark.operators.hydro import burn_streams_at_roads
+
+    streams = spark.createDataFrame(
+        [(i, [p[0] for p in pl], [p[1] for p in pl]) for i, pl in _BSAR_STREAMS],
+        "line_id long, xs array<double>, ys array<double>",
+    )
+    roads = spark.createDataFrame(
+        [(i, [p[0] for p in pl], [p[1] for p in pl]) for i, pl in _BSAR_ROADS],
+        "line_id long, xs array<double>, ys array<double>",
+    )
+    out = burn_streams_at_roads(
+        _valley_dem_synthetic(spark), streams, roads, STREAM_GRID, road_width=30.0
+    )
+    return _r6(out, ["value"])
+
+
+def _bsar_sql() -> str:
+    """Independent serial transcription: scanline rasterization +
+    (row, col)-ordered downgrades + its own double-DFS walk."""
+    import math as _m
+
+    import numpy as np
+
+    g = STREAM_GRID
+    rows, cols = g.rows, g.cols
+    dem = np.zeros((rows, cols))
+    for pk in range(1, 501):
+        r = (pk - 1) % 20
+        c = (pk - 1) // 20
+        v = abs(r - 10) * 50.0 + (25 - c) * 2.0 + ((pk * 31) % 7) * 0.1
+        if c % 4 == 1 and r != 10:
+            v += -45.0
+        dem[r, c] = v
+
+    def rasterize(lines):
+        cells = set()
+        for _, pl in lines:
+            for (x, y) in (pl[0], pl[-1]):
+                cells.add((int(g.row_of(np.array([y]))[0]), int(g.col_of(np.array([x]))[0])))
+            for i in range(len(pl) - 1):
+                (x0, y0), (x1, y1) = pl[i], pl[i + 1]
+                rt = int(g.row_of(np.array([max(y0, y1)]))[0])
+                rb = int(g.row_of(np.array([min(y0, y1)]))[0])
+                for r in range(max(rt, 0), min(rb, rows - 1) + 1):
+                    yr = g.y_center(r)
+                    if min(y0, y1) <= yr <= max(y0, y1) and y1 != y0:
+                        xp = x0 + (yr - y0) / (y1 - y0) * (x1 - x0)
+                        cc = int(g.col_of(np.array([xp]))[0])
+                        if 0 <= cc < cols:
+                            cells.add((r, cc))
+                cl = int(g.col_of(np.array([min(x0, x1)]))[0])
+                cr = int(g.col_of(np.array([max(x0, x1)]))[0])
+                for c in range(max(cl, 0), min(cr, cols - 1) + 1):
+                    xc = g.x_center(c)
+                    if min(x0, x1) <= xc <= max(x0, x1) and x1 != x0:
+                        yp = y0 + (xc - x0) / (x1 - x0) * (y1 - y0)
+                        rr = int(g.row_of(np.array([yp]))[0])
+                        if 0 <= rr < rows:
+                            cells.add((rr, c))
+        return {c for c in cells if 0 <= c[0] < rows and 0 <= c[1] < cols}
+
+    sc = rasterize(_BSAR_STREAMS)
+    rc = rasterize(_BSAR_ROADS)
+    inters = sorted(sc & rc)
+    dx = [1, 1, 1, 0, -1, -1, -1, 0]
+    dy = [-1, 0, 1, 1, 1, 0, -1, -1]
+    iset = set(inters)
+    for (r, c) in inters:
+        if any((r + dy[d], c + dx[d]) in iset for d in range(8)):
+            iset.discard((r, c))
+    wic = int(_m.ceil(30.0 / 5.0)) // 2
+    max_elev = float(dem.max())
+    out = dem.copy()
+    for (ir, ic) in sorted(iset):
+        state = {cell: 1 for cell in sc if cell != (ir, ic)}
+        minz = max_elev
+        for e in range(8):
+            nb = (ir + dy[e], ic + dx[e])
+            if state.get(nb) == 1:
+                stack = [(nb[0], nb[1], 1)]
+                state[nb] = 3
+                while stack:
+                    r, c, dd = stack.pop()
+                    minz = min(minz, dem[r, c])
+                    if dd + 1 < wic:
+                        for d in range(8):
+                            n2 = (r + dy[d], c + dx[d])
+                            if state.get(n2) == 1:
+                                state[n2] = 3
+                                stack.append((n2[0], n2[1], dd + 1))
+        out[ir, ic] = minz
+        for e in range(8):
+            nb = (ir + dy[e], ic + dx[e])
+            if state.get(nb) == 3:
+                stack = [(nb[0], nb[1], 1)]
+                while stack:
+                    r, c, dd = stack.pop()
+                    if out[r, c] > minz:
+                        out[r, c] = minz
+                    if dd + 1 < wic:
+                        for d in range(8):
+                            n2 = (r + dy[d], c + dx[d])
+                            if state.get(n2) == 3:
+                                state[n2] = 1
+                                stack.append((n2[0], n2[1], dd + 1))
+    rows_out = [
+        (r, c, _round_half_up(float(out[r, c])))
+        for r in range(rows) for c in range(cols)
+    ]
+    vals = ", ".join(f"({r}, {c}, {v!r})" for r, c, v in rows_out)
+    return (
+        "SELECT CAST(row AS BIGINT) AS row, CAST(col AS BIGINT) AS col, "
+        "CAST(value AS DOUBLE) AS value "
+        f"FROM (VALUES {vals}) AS t(row, col, value)"
+    )
+
+
 # The driver's correctness harness checks the FIRST 50 queries() entries each
 # round.  Rounds 1-3 certified 123 distinct queries; the round-4 window keeps
 # relative_topographic_position first (red in r01-r03; the scaled-integer
@@ -7106,6 +7278,9 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gaussian_scale_space": q_gaussian_scale_space,
         "travelling_salesman_problem": q_travelling_salesman,
         "conditioned_latin_hypercube": q_conditioned_latin_hypercube,
+        "las_to_shapefile": q_las_to_shapefile,
+        "las_to_multipoint_shapefile": q_las_to_multipoint,
+        "burn_streams_at_roads": q_burn_streams_at_roads,
         "qin_flow_accumulation": q_qin_flow_accumulation,
         "breach_single_cell_pits": q_breach_single_cell_pits,
         "long_profile_from_points": q_long_profile_from_points,
@@ -8038,6 +8213,9 @@ FROM ({_PART_RASTER_SQL}) WHERE value IS NOT NULL
         "gaussian_scale_space": _gss_sql(),
         "travelling_salesman_problem": _tsp_sql(),
         "conditioned_latin_hypercube": _clhs_sql(),
+        "las_to_shapefile": _las_to_shapefile_sql(),
+        "las_to_multipoint_shapefile": _las_to_multipoint_sql(),
+        "burn_streams_at_roads": _bsar_sql(),
         "impoundment_size_index": __import__(
             "whitebox_tools_spark.operators.impoundment", fromlist=["isi_oracle_sql"]
         ).isi_oracle_sql(_DENSE20_SQL, EXTRACT_GRID, dam_length=5.0),

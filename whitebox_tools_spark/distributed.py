@@ -75,8 +75,16 @@ def with_global_seq(
     column passes through untouched.
     """
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(n, *[F.col(c) for c in order_cols]).withColumn(
-        _PID, F.spark_partition_id()
+    # localCheckpoint pins ONE physical range partitioning: the counts and
+    # numbering branches below both read `ranged`, and without
+    # materialization Spark may plan TWO range exchanges whose sampled
+    # boundaries differ (RangePartitioner samples with a per-exchange
+    # seed), silently corrupting the per-partition offsets (observed as
+    # flaky fids at 15k rows when exchange reuse didn't kick in)
+    ranged = (
+        df.repartitionByRange(n, *[F.col(c) for c in order_cols])
+        .withColumn(_PID, F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     w = Window.partitionBy(_PID).orderBy(*[F.col(c) for c in order_cols])
     numbered = ranged.withColumn(_RN, F.row_number().over(w))
@@ -112,8 +120,13 @@ def with_running_sum(
     must be unique per row (e.g. distinct values) so the prefix sum is
     well-defined."""
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(n, *[F.col(c) for c in order_cols]).withColumn(
-        _PID, F.spark_partition_id()
+    # same materialization as with_global_seq: one pinned range layout for
+    # both the per-partition windows and the offset totals (two separately
+    # sampled range exchanges would mis-split the running sums)
+    ranged = (
+        df.repartitionByRange(n, *[F.col(c) for c in order_cols])
+        .withColumn(_PID, F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     w = (
         Window.partitionBy(_PID)

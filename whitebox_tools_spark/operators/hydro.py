@@ -2808,3 +2808,169 @@ FROM eps e
 LEFT JOIN sm2 s ON s.row = e.row AND s.col = e.col
 CROSS JOIN md
 """
+
+
+# ---------------------------------------------------------------------------
+# BurnStreamsAtRoads
+# ---------------------------------------------------------------------------
+_BSAR_DX = [1, 1, 1, 0, -1, -1, -1, 0]
+_BSAR_DY = [-1, 0, 1, 1, 1, 0, -1, -1]
+
+
+def bsar_walk(stream_set: set, dem_val, inter, width_in_cells: int, max_elev: float):
+    """The per-intersection double DFS (burn_streams_at_roads.rs:604-676),
+    transcribed exactly: stack DFS over stream cells with a path-length
+    counter (NOT shortest-path — the reachable set depends on the
+    reference's push order, kept), first pass marks + min-search, second
+    pass lowers and unmarks. Returns (minz, burned_cells)."""
+    state = {c: 1 for c in stream_set}
+    row, col = inter
+    minz = max_elev
+    for e in range(8):
+        nb = (row + _BSAR_DY[e], col + _BSAR_DX[e])
+        if state.get(nb) == 1:
+            stack = [(nb[0], nb[1], 1)]
+            state[nb] = 3
+            while stack:
+                r, c, dd = stack.pop()
+                if minz > dem_val((r, c)):
+                    minz = dem_val((r, c))
+                if dd + 1 < width_in_cells:
+                    for d in range(8):
+                        n2 = (r + _BSAR_DY[d], c + _BSAR_DX[d])
+                        if state.get(n2) == 1:
+                            state[n2] = 3
+                            stack.append((n2[0], n2[1], dd + 1))
+    burned = {inter}
+    for e in range(8):
+        nb = (row + _BSAR_DY[e], col + _BSAR_DX[e])
+        if state.get(nb) == 3:
+            stack = [(nb[0], nb[1], 1)]
+            while stack:
+                r, c, dd = stack.pop()
+                burned.add((r, c))
+                if dd + 1 < width_in_cells:
+                    for d in range(8):
+                        n2 = (r + _BSAR_DY[d], c + _BSAR_DX[d])
+                        if state.get(n2) == 3:
+                            state[n2] = 1
+                            stack.append((n2[0], n2[1], dd + 1))
+    return minz, burned
+
+
+def burn_streams_at_roads(
+    dem: DataFrame,
+    streams: DataFrame,
+    roads: DataFrame,
+    grid: GridSpec,
+    *,
+    road_width: float,
+) -> DataFrame:
+    """BurnStreamsAtRoads (hydro_analysis/burn_streams_at_roads.rs,
+    Lindsay 2016): lower stream elevations through road embankments.
+    Streams/roads rasterize with the engine's scanline crossings
+    (vector_lines_to_raster semantics + part endpoints); intersections =
+    stream-cell AND road-cell (the reference's mid-scan corner heuristic
+    for near-miss diagonal crossings is state-order-dependent and not
+    reproduced — fixture/inputs should cross through shared cells);
+    adjacent-intersection downgrades apply the reference's sequential
+    first-removed rule over (row, col) order (the reference uses its
+    rasterization push order — documented deviation). Each surviving
+    intersection runs the exact double-DFS walk on its local stream
+    neighborhood (an Arrow kernel per intersection, neighborhoods
+    gathered by one bounded join); burns combine by min, exact when burn
+    zones do not overlap (the reference couples overlapping zones through
+    sequential output mutation).
+    -> (row, col, value) lowered DEM."""
+    import pandas as pd
+
+    from .raster_vector import vector_lines_to_raster
+
+    grid_res = (grid.res_x + grid.res_y) / 2.0
+    width_in_cells = int(math.ceil(road_width / grid_res)) // 2
+
+    def cells_of(lines):
+        ras = vector_lines_to_raster(lines, grid).select("row", "col")
+        eps = lines.select(
+            grid.row_expr(F.col("ys")[0]).alias("row"),
+            grid.col_expr(F.col("xs")[0]).alias("col"),
+        ).unionByName(
+            lines.select(
+                grid.row_expr(F.element_at("ys", -1)).alias("row"),
+                grid.col_expr(F.element_at("xs", -1)).alias("col"),
+            )
+        )
+        return ras.unionByName(eps).distinct()
+
+    sc = cells_of(streams).localCheckpoint(eager=True)
+    rc = cells_of(roads)
+    inter = sc.join(rc, ["row", "col"]).collect()
+    inters = sorted((r.row, r.col) for r in inter)
+    # sequential adjacency downgrade (rs:604-617)
+    iset = set(inters)
+    for (r, c) in inters:
+        if any(
+            (r + _BSAR_DY[d], c + _BSAR_DX[d]) in iset for d in range(8)
+        ):
+            iset.discard((r, c))
+    survivors = sorted(iset)
+    if not survivors:
+        return dem.select("row", "col", "value")
+    max_elev = dem.agg(F.max("value")).collect()[0][0]
+
+    spark = dem.sparkSession
+    idf = spark.createDataFrame(
+        [(i, r, c) for i, (r, c) in enumerate(survivors)], "iid int, ir long, ic long"
+    )
+    reach = width_in_cells + 1
+    local = (
+        sc.crossJoin(F.broadcast(idf))
+        .filter(
+            (F.abs(F.col("row") - F.col("ir")) <= reach)
+            & (F.abs(F.col("col") - F.col("ic")) <= reach)
+        )
+        .join(dem.select("row", "col", F.col("value").alias("z")), ["row", "col"], "left")
+        .groupBy("iid", "ir", "ic")
+        .agg(F.collect_list(F.struct("row", "col", "z")).alias("cells"))
+    )
+
+    def _burn(batches):
+        for pdf in batches:
+            out = []
+            for rr in pdf.itertuples(index=False):
+                stream_set = {(int(e["row"]), int(e["col"])) for e in rr.cells}
+                zmap = {(int(e["row"]), int(e["col"])): (float(e["z"]) if e["z"] is not None else max_elev) for e in rr.cells}
+                minz, burned = bsar_walk(
+                    stream_set - {(rr.ir, rr.ic)},
+                    lambda cc: zmap.get(cc, max_elev),
+                    (int(rr.ir), int(rr.ic)),
+                    width_in_cells,
+                    max_elev,
+                )
+                for (br, bc) in burned:
+                    # the reference SETS the intersection cell to minz
+                    # unconditionally (rs:653) — it can RAISE it; other
+                    # burned cells only lower (rs:661-663)
+                    out.append((br, bc, minz, (br, bc) == (rr.ir, rr.ic)))
+            yield pd.DataFrame(out, columns=["row", "col", "burn", "forced"])
+
+    burns = (
+        local.mapInPandas(_burn, "row long, col long, burn double, forced boolean")
+        .groupBy("row", "col")
+        .agg(
+            F.min("burn").alias("burn"),
+            F.min(F.when(F.col("forced"), F.col("burn"))).alias("forced_burn"),
+        )
+    )
+    return (
+        dem.join(burns, ["row", "col"], "left")
+        .select(
+            "row", "col",
+            F.when(F.col("forced_burn").isNotNull(), F.col("forced_burn"))
+            .when(
+                F.col("burn").isNotNull() & (F.col("value") > F.col("burn")),
+                F.col("burn"),
+            )
+            .otherwise(F.col("value")).alias("value"),
+        )
+    )

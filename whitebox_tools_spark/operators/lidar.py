@@ -1618,3 +1618,42 @@ def find_flightline_edge_points(points: DataFrame, *, flag: str = "edge_flag") -
     find_flightline_edge_points.rs:190-196): keep points whose LAS
     edge-of-flightline flag is set — a pushed-down filter."""
     return points.filter(F.col(flag) != 0)
+
+
+def las_to_shapefile_points(points: DataFrame) -> DataFrame:
+    """LasToShapefile (lidar_analysis/las_to_shapefile.rs:268-330): each
+    LAS point becomes a point feature with FID, Z, INTENSITY, CLASS,
+    RETURN, NUM_RTNS attributes — in this engine the vector layer IS the
+    attribute table. FIDs follow point order (1-based)."""
+    from whitebox_tools_spark.distributed import with_global_seq
+
+    cols = points.columns
+    out = points.select(
+        "point_id", "x", "y",
+        F.col("z").alias("z_attr"),
+        (F.col("intensity") if "intensity" in cols else F.lit(0)).cast("int").alias("intensity"),
+        (F.col("classification") if "classification" in cols else F.lit(0)).cast("int").alias("class"),
+        (F.col("return_number") if "return_number" in cols else F.lit(1)).cast("int").alias("rtn_num"),
+        (F.col("number_of_returns") if "number_of_returns" in cols else F.lit(1)).cast("int").alias("num_rtns"),
+    )
+    return with_global_seq(out, ["point_id"], out_col="fid")
+
+
+def las_to_multipoint_features(points: DataFrame, *, group: str | None = None) -> DataFrame:
+    """LasToMultipointShapefile (lidar_analysis/
+    las_to_multipoint_shapefile.rs:269-300): ALL points of a tile become
+    one MultiPointZ feature (optionally one per `group` column, e.g.
+    flightline) — here the feature row carries point count, bbox and z
+    range (the multipoint geometry lives in the cloud table itself)."""
+    g = [group] if group else []
+    agg = points.groupBy(*g).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.min("x").alias("x_min"), F.max("x").alias("x_max"),
+        F.min("y").alias("y_min"), F.max("y").alias("y_max"),
+        F.min("z").alias("z_min"), F.max("z").alias("z_max"),
+    )
+    if not group:
+        agg = agg.withColumn("feature_id", F.lit(1))
+    else:
+        agg = agg.withColumnRenamed(group, "feature_id")
+    return agg.select("feature_id", "n_points", "x_min", "x_max", "y_min", "y_max", "z_min", "z_max")
