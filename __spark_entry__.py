@@ -7053,6 +7053,154 @@ def _bsar_sql() -> str:
     )
 
 
+_EM_ROADS = [(1, [(4.0, 12.0), (60.0, 55.0), (121.0, 63.0)])]
+_EM_PARAMS = dict(
+    search_dist=10.0, min_road_width=6.0, typical_width=30.0,
+    max_height=20.0, max_width=60.0, max_increment=0.05, spillout_slope=4.0,
+)
+
+
+def q_embankment_mapping(spark, sf_dir):
+    """EmbankmentMapping (terrain_analysis/embankment_mapping.rs, mapping
+    mode): boolean embankment cells from seed-repositioned road cells +
+    distance-flood + rule-based region growth over the valley DEM."""
+    from whitebox_tools_spark.operators.terrain import embankment_mapping
+
+    roads = spark.createDataFrame(
+        [(i, [p[0] for p in pl], [p[1] for p in pl]) for i, pl in _EM_ROADS],
+        "line_id long, xs array<double>, ys array<double>",
+    )
+    return embankment_mapping(
+        _valley_dem_synthetic(spark), roads, STREAM_GRID, **_EM_PARAMS
+    )
+
+
+def _embankment_sql() -> str:
+    """Independent serial transcription: its own rasterization, seed
+    scan, heap flood and growth rules over the full raster."""
+    import heapq
+    import math as _m
+
+    import numpy as np
+
+    g = STREAM_GRID
+    rows, cols = g.rows, g.cols
+    dem = np.zeros((rows, cols))
+    for pk in range(1, 501):
+        r = (pk - 1) % 20
+        c = (pk - 1) // 20
+        v = abs(r - 10) * 50.0 + (25 - c) * 2.0 + ((pk * 31) % 7) * 0.1
+        if c % 4 == 1 and r != 10:
+            v += -45.0
+        dem[r, c] = v
+
+    # rasterize roads (scanline crossings + endpoints)
+    roads = set()
+    for _, pl in _EM_ROADS:
+        for (x, y) in (pl[0], pl[-1]):
+            roads.add((int(np.floor((g.north - y) / g.res_y)), int(np.floor((x - g.west) / g.res_x))))
+        for i in range(len(pl) - 1):
+            (x0, y0), (x1, y1) = pl[i], pl[i + 1]
+            rt = int(np.floor((g.north - max(y0, y1)) / g.res_y))
+            rb = int(np.floor((g.north - min(y0, y1)) / g.res_y))
+            for r in range(max(rt, 0), min(rb, rows - 1) + 1):
+                yr = g.y_center(r)
+                if min(y0, y1) <= yr <= max(y0, y1) and y1 != y0:
+                    xp = x0 + (yr - y0) / (y1 - y0) * (x1 - x0)
+                    cc = int(np.floor((xp - g.west) / g.res_x))
+                    if 0 <= cc < cols:
+                        roads.add((r, cc))
+            cl = int(np.floor((min(x0, x1) - g.west) / g.res_x))
+            cr = int(np.floor((max(x0, x1) - g.west) / g.res_x))
+            for c in range(max(cl, 0), min(cr, cols - 1) + 1):
+                xc = g.x_center(c)
+                if min(x0, x1) <= xc <= max(x0, x1) and x1 != x0:
+                    yp = y0 + (xc - x0) / (x1 - x0) * (y1 - y0)
+                    rr = int(np.floor((g.north - yp) / g.res_y))
+                    if 0 <= rr < rows:
+                        roads.add((rr, c))
+    roads = {c for c in roads if 0 <= c[0] < rows and 0 <= c[1] < cols}
+
+    p = dict(_EM_PARAMS)
+    mrw, tw, mw = p["min_road_width"] / 2, p["typical_width"] / 2, p["max_width"] / 2
+    dx = [1, 1, 1, 0, -1, -1, -1, 0]
+    dy = [-1, 0, 1, 1, 1, 0, -1, -1]
+    diag = _m.hypot(g.res_x, g.res_y)
+    darr = [diag, g.res_x, diag, g.res_y, diag, g.res_x, diag, g.res_y]
+    ss = p["search_dist"] / g.res_x
+    if int(ss) % 2 == 0:
+        ss += 1.0
+    mid = int(ss / 2.0)
+    offs = [(c - mid, r - mid) for r in range(int(ss)) for c in range(int(ss))]
+
+    out = {}
+    distance = {}
+    seed_elev = {}
+    mas = {}
+    pqd = []
+    pq = []
+    for (row, col) in sorted(roads):
+        maxval = dem[row, col]
+        mp = (row, col)
+        for (dc, dr) in offs:
+            nb = (row + dr, col + dc)
+            if 0 <= nb[0] < rows and 0 <= nb[1] < cols and nb not in roads:
+                if dem[nb] > maxval and out.get(nb) != 1.0:
+                    maxval = dem[nb]
+                    mp = nb
+        out[mp] = 1.0
+        heapq.heappush(pqd, (0.0, mp[0], mp[1]))
+        distance[mp] = 0.0
+        seed_elev[mp] = maxval
+        mas[mp] = 0.0
+        heapq.heappush(pq, (0.0, mp[0], mp[1]))
+    while pqd:
+        d0, r, c = heapq.heappop(pqd)
+        sz = seed_elev[(r, c)]
+        for n in range(8):
+            nb = (r + dy[n], c + dx[n])
+            if 0 <= nb[0] < rows and 0 <= nb[1] < cols and distance.get(nb, -1.0) < 0.0:
+                dist = d0 + darr[n]
+                if dist < mw:
+                    distance[nb] = dist
+                    seed_elev[nb] = sz
+                    es = _m.atan((sz - dem[nb]) / (d0 + darr[n]))
+                    mas[nb] = max(abs(_m.degrees(es)), mas.get((r, c), 0.0))
+                    heapq.heappush(pqd, (dist, nb[0], nb[1]))
+    while pq:
+        d0, r, c = heapq.heappop(pq)
+        zc = dem[r, c]
+        for n in range(8):
+            nb = (r + dy[n], c + dx[n])
+            if 0 <= nb[0] < rows and 0 <= nb[1] < cols and nb not in out:
+                dist = distance.get(nb, -1.0)
+                if dist >= 0.0:
+                    mark = False
+                    if dist <= mrw:
+                        mark = True
+                    elif dist <= mw:
+                        sz = seed_elev[nb]
+                        eh = sz - dem[nb]
+                        es = _m.degrees(_m.atan(eh / dist))
+                        if dist <= tw and zc - dem[nb] > -p["max_increment"] and eh <= p["max_height"]:
+                            if dem[nb] <= zc:
+                                mark = True
+                            elif mas.get(nb, 0.0) < p["spillout_slope"]:
+                                mark = True
+                        elif mas.get(nb, 0.0) - abs(es) <= 1.0 and es >= 0.0:
+                            mark = True
+                    if mark:
+                        out[nb] = 1.0
+                        heapq.heappush(pq, (dist, nb[0], nb[1]))
+    rows_out = sorted(cell for cell, v in out.items() if v == 1.0)
+    vals = ", ".join(f"({r}, {c}, 1.0)" for r, c in rows_out)
+    return (
+        "SELECT CAST(row AS BIGINT) AS row, CAST(col AS BIGINT) AS col, "
+        "CAST(value AS DOUBLE) AS value "
+        f"FROM (VALUES {vals}) AS t(row, col, value)"
+    )
+
+
 # The driver's correctness harness checks the FIRST 50 queries() entries each
 # round.  Rounds 1-3 certified 123 distinct queries; the round-4 window keeps
 # relative_topographic_position first (red in r01-r03; the scaled-integer
@@ -7281,6 +7429,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "las_to_shapefile": q_las_to_shapefile,
         "las_to_multipoint_shapefile": q_las_to_multipoint,
         "burn_streams_at_roads": q_burn_streams_at_roads,
+        "embankment_mapping": q_embankment_mapping,
         "qin_flow_accumulation": q_qin_flow_accumulation,
         "breach_single_cell_pits": q_breach_single_cell_pits,
         "long_profile_from_points": q_long_profile_from_points,
@@ -8216,6 +8365,7 @@ FROM ({_PART_RASTER_SQL}) WHERE value IS NOT NULL
         "las_to_shapefile": _las_to_shapefile_sql(),
         "las_to_multipoint_shapefile": _las_to_multipoint_sql(),
         "burn_streams_at_roads": _bsar_sql(),
+        "embankment_mapping": _embankment_sql(),
         "impoundment_size_index": __import__(
             "whitebox_tools_spark.operators.impoundment", fromlist=["isi_oracle_sql"]
         ).isi_oracle_sql(_DENSE20_SQL, EXTRACT_GRID, dam_length=5.0),

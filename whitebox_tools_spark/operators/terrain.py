@@ -2195,3 +2195,251 @@ full3 AS (
 SELECT row, col, CAST({255 << 24} + blu * 65536 + grn * 256 + red AS DOUBLE) AS value
 FROM full3
 """
+
+
+# ---------------------------------------------------------------------------
+# EmbankmentMapping
+# ---------------------------------------------------------------------------
+_EM_DX = [1, 1, 1, 0, -1, -1, -1, 0]
+_EM_DY = [-1, 0, 1, 1, 1, 0, -1, -1]
+
+
+def embankment_kernel(
+    z: dict,
+    road_cells: list,
+    grid: GridSpec,
+    *,
+    search_dist: float,
+    min_road_width: float,
+    typical_width: float,
+    max_height: float,
+    max_width: float,
+    max_increment: float,
+    spillout_slope: float,
+):
+    """EmbankmentMapping core (terrain_analysis/embankment_mapping.rs:
+    637-830) on a local neighborhood: seed repositioning to the highest
+    cell in the search window (row-major road-cell scan), min-distance
+    flood of (distance, seed elevation, max |slope|) out to max_width,
+    then the rule-based embankment region growth. Widths arrive ALREADY
+    halved (rs:419-421). Heap ties (equal distance) break by (row, col)
+    — the reference's BinaryHeap tie order is unspecified. Returns the
+    set of embankment cells."""
+    import heapq
+
+    diag = math.hypot(grid.res_x, grid.res_y)
+    dist_array = [diag, grid.res_x, diag, grid.res_y, diag, grid.res_x, diag, grid.res_y]
+    seed_search = search_dist / grid.res_x
+    if int(seed_search) % 2 == 0:
+        seed_search += 1.0
+    midpoint = int(seed_search / 2.0)
+    offs = [
+        (c - midpoint, r - midpoint)
+        for r in range(int(seed_search))
+        for c in range(int(seed_search))
+    ]
+    roads = set(road_cells)
+    out = {}
+    distance = {}
+    seed_elev = {}
+    max_abs_slope = {}
+    pq_dist = []
+    pq = []
+    for (row, col) in sorted(roads):
+        if (row, col) not in z:
+            continue
+        maxval = z[(row, col)]
+        mp = (row, col)
+        for (dc, dr) in offs:
+            nb = (row + dr, col + dc)
+            if nb in z and nb not in roads and z[nb] > maxval and out.get(nb) != 1.0:
+                maxval = z[nb]
+                mp = nb
+        out[mp] = 1.0
+        heapq.heappush(pq_dist, (0.0, mp[0], mp[1]))
+        distance[mp] = 0.0
+        seed_elev[mp] = maxval
+        max_abs_slope[mp] = 0.0
+        heapq.heappush(pq, (0.0, mp[0], mp[1]))
+
+    while pq_dist:
+        d0, r, c = heapq.heappop(pq_dist)
+        seed_z = seed_elev[(r, c)]
+        for n in range(8):
+            nb = (r + _EM_DY[n], c + _EM_DX[n])
+            if nb in z and distance.get(nb, -1.0) < 0.0:
+                dist = d0 + dist_array[n]
+                if dist < max_width:
+                    distance[nb] = dist
+                    seed_elev[nb] = seed_z
+                    eh = seed_z - z[nb]
+                    es = math.atan(eh / (d0 + dist_array[n]))
+                    max_abs_slope[nb] = max(
+                        abs(math.degrees(es)), max_abs_slope.get((r, c), 0.0)
+                    )
+                    heapq.heappush(pq_dist, (dist, nb[0], nb[1]))
+
+    while pq:
+        d0, r, c = heapq.heappop(pq)
+        zc = z[(r, c)]
+        for n in range(8):
+            nb = (r + _EM_DY[n], c + _EM_DX[n])
+            if nb in z and nb not in out:
+                dist = distance.get(nb, -1.0)
+                if dist >= 0.0:
+                    if dist <= min_road_width:
+                        out[nb] = 1.0
+                        heapq.heappush(pq, (dist, nb[0], nb[1]))
+                    elif dist <= max_width:
+                        seed_z = seed_elev[nb]
+                        eh = seed_z - z[nb]
+                        es = math.degrees(math.atan(eh / dist))
+                        if (
+                            dist <= typical_width
+                            and zc - z[nb] > -max_increment
+                            and eh <= max_height
+                        ):
+                            if z[nb] <= zc:
+                                out[nb] = 1.0
+                                heapq.heappush(pq, (dist, nb[0], nb[1]))
+                            elif max_abs_slope.get(nb, 0.0) < spillout_slope:
+                                out[nb] = 1.0
+                                heapq.heappush(pq, (dist, nb[0], nb[1]))
+                        elif max_abs_slope.get(nb, 0.0) - abs(es) <= 1.0 and es >= 0.0:
+                            out[nb] = 1.0
+                            heapq.heappush(pq, (dist, nb[0], nb[1]))
+    return {cell for cell, v in out.items() if v == 1.0}
+
+
+def embankment_mapping(
+    dem: DataFrame,
+    roads: DataFrame,
+    grid: GridSpec,
+    *,
+    search_dist: float = 2.5,
+    min_road_width: float = 6.0,
+    typical_width: float = 30.0,
+    max_height: float = 2.0,
+    max_width: float = 60.0,
+    max_increment: float = 0.05,
+    spillout_slope: float = 4.0,
+) -> DataFrame:
+    """EmbankmentMapping (terrain_analysis/embankment_mapping.rs:380-1026,
+    mapping mode): boolean embankment raster from a DEM + transportation
+    vector. Roads rasterize with the engine scanline; road cells cluster
+    conservatively by coarse buckets (bucket edge >= the full influence
+    radius, so clusters that could interact always merge), each cluster's
+    DEM neighborhood gathers through one bounded bucket join, and the
+    exact serial kernel runs per cluster in parallel (the per-clump Arrow
+    idiom — the reference is a single global serial pass; independent
+    clusters are bit-equivalent). remove_embankments interpolation mode
+    is not implemented. -> (row, col, value 1.0) embankment cells."""
+    import pandas as pd
+
+    from .raster_vector import vector_lines_to_raster
+
+    min_road_width = min_road_width / 2.0
+    typical_width = typical_width / 2.0
+    max_width = max_width / 2.0
+
+    ras = vector_lines_to_raster(roads, grid).select("row", "col")
+    eps = roads.select(
+        grid.row_expr(F.col("ys")[0]).alias("row"),
+        grid.col_expr(F.col("xs")[0]).alias("col"),
+    ).unionByName(
+        roads.select(
+            grid.row_expr(F.element_at("ys", -1)).alias("row"),
+            grid.col_expr(F.element_at("xs", -1)).alias("col"),
+        )
+    )
+    rc = ras.unionByName(eps).distinct().localCheckpoint(eager=True)
+
+    res_min = min(grid.res_x, grid.res_y)
+    reach = int(math.ceil((max_width + search_dist) / res_min)) + 2
+    L = max(reach * 2, 4)
+    rb = rc.withColumn(
+        "b",
+        F.struct(
+            F.floor(F.col("row") / F.lit(L)).alias("br"),
+            F.floor(F.col("col") / F.lit(L)).alias("bc"),
+        ),
+    )
+    # conservative bucket components (driver-side over the tiny bucket set)
+    buckets = sorted(
+        {(int(r.b.br), int(r.b.bc)) for r in rb.select("b").distinct().collect()}
+    )
+    parent = {b: b for b in buckets}
+
+    def find(b):
+        while parent[b] != b:
+            parent[b] = parent[parent[b]]
+            b = parent[b]
+        return b
+
+    bset = set(buckets)
+    for (br, bc) in buckets:
+        for dr in (-1, 0, 1):
+            for dc in (-1, 0, 1):
+                nb = (br + dr, bc + dc)
+                if nb in bset:
+                    ra, rn = find((br, bc)), find(nb)
+                    if ra != rn:
+                        parent[max(ra, rn)] = min(ra, rn)
+    comp = {b: find(b) for b in buckets}
+    spark = dem.sparkSession
+    bdf = F.broadcast(
+        spark.createDataFrame(
+            [(br, bc, f"{comp[(br, bc)][0]}_{comp[(br, bc)][1]}") for (br, bc) in buckets],
+            "br long, bc long, cluster string",
+        )
+    )
+    rcl = rb.select(
+        "row", "col", F.col("b.br").alias("br"), F.col("b.bc").alias("bc")
+    ).join(bdf, ["br", "bc"]).select("row", "col", "cluster")
+    # dem cells whose bucket is within 1 of any cluster bucket
+    dil = (
+        spark.createDataFrame(
+            [(br + dr, bc + dc, f"{comp[(br, bc)][0]}_{comp[(br, bc)][1]}")
+             for (br, bc) in buckets for dr in (-1, 0, 1) for dc in (-1, 0, 1)],
+            "br long, bc long, cluster string",
+        )
+        .distinct()
+    )
+    dcells = (
+        dem.filter(F.col("value").isNotNull())
+        .withColumn("br", F.floor(F.col("row") / F.lit(L)))
+        .withColumn("bc", F.floor(F.col("col") / F.lit(L)))
+        .join(F.broadcast(dil), ["br", "bc"])
+        .select("cluster", "row", "col", "value")
+    )
+    grouped = (
+        dcells.groupBy("cluster")
+        .agg(F.collect_list(F.struct("row", "col", "value")).alias("cells"))
+        .join(
+            rcl.groupBy("cluster").agg(
+                F.collect_list(F.struct("row", "col")).alias("rcells")
+            ),
+            "cluster",
+        )
+    )
+    params = dict(
+        search_dist=search_dist, min_road_width=min_road_width,
+        typical_width=typical_width, max_height=max_height,
+        max_width=max_width, max_increment=max_increment,
+        spillout_slope=spillout_slope,
+    )
+
+    def _run(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                z = {(int(e["row"]), int(e["col"])): float(e["value"]) for e in r.cells}
+                road_cells = [(int(e["row"]), int(e["col"])) for e in r.rcells]
+                emb = embankment_kernel(z, road_cells, grid, **params)
+                out.extend((rr, cc, 1.0) for (rr, cc) in emb)
+            yield pd.DataFrame(out, columns=["row", "col", "value"])
+
+    return (
+        grouped.mapInPandas(_run, "row long, col long, value double")
+        .distinct()
+    )
