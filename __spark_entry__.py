@@ -7201,6 +7201,44 @@ def _embankment_sql() -> str:
     )
 
 
+def q_lidar_rooftop_analysis(spark, sf_dir):
+    """LidarRooftopAnalysis (lidar_analysis/lidar_rooftop_analysis.rs):
+    roof facet segments inside building footprints — building PIP clip +
+    RANSAC-plane segmentation composition. Fixture: a deterministic
+    41x41 grid cloud (25-unit spacing, dense inside every footprint) at
+    two roof planes 200 apart (> maxzdiff=150, so no facet may span
+    both); rows-only (facet separation + partition invariance are
+    pytest-pinned in tests/test_rooftop.py)."""
+    from whitebox_tools_spark.operators.lidar import lidar_rooftop_analysis
+
+    cloud = _rooftop_cloud(spark)
+    out = lidar_rooftop_analysis(
+        cloud, PARTS, IDX,
+        radius=60.0, norm_diff=5.0, maxzdiff=150.0,
+        num_iter=20, num_samples=5, threshold=0.5, model_size=5, seed=3,
+    )
+    return out.orderBy("building_id", "segment_id")
+
+
+def _rooftop_cloud(spark):
+    """41x41 deterministic grid at two plane elevations 200 apart."""
+    a, b, c = _TIN_PLANE
+    x = (F.col("id") % 41).cast("double") * F.lit(25.0)
+    y = (F.col("id") / 41).cast("long").cast("double") * F.lit(25.0)
+    plane = F.lit(a) + F.lit(b) * F.col("x") + F.lit(c) * F.col("y")
+    lower = (
+        spark.range(0, 41 * 41)
+        .select((F.col("id") + 1).alias("point_id"), x.alias("x"), y.alias("y"))
+        .withColumn("z", plane)
+    )
+    upper = (
+        spark.range(0, 41 * 41)
+        .select((F.col("id") + 10001).alias("point_id"), x.alias("x"), y.alias("y"))
+        .withColumn("z", plane + F.lit(200.0))
+    )
+    return lower.unionByName(upper)
+
+
 # The driver's correctness harness checks the FIRST 50 queries() entries each
 # round.  Rounds 1-3 certified 123 distinct queries; the round-4 window keeps
 # relative_topographic_position first (red in r01-r03; the scaled-integer
@@ -7430,6 +7468,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "las_to_multipoint_shapefile": q_las_to_multipoint,
         "burn_streams_at_roads": q_burn_streams_at_roads,
         "embankment_mapping": q_embankment_mapping,
+        "lidar_rooftop_analysis": q_lidar_rooftop_analysis,
         "qin_flow_accumulation": q_qin_flow_accumulation,
         "breach_single_cell_pits": q_breach_single_cell_pits,
         "long_profile_from_points": q_long_profile_from_points,

@@ -1657,3 +1657,59 @@ def las_to_multipoint_features(points: DataFrame, *, group: str | None = None) -
     else:
         agg = agg.withColumnRenamed(group, "feature_id")
     return agg.select("feature_id", "n_points", "x_min", "x_max", "y_min", "y_max", "z_min", "z_max")
+
+
+def lidar_rooftop_analysis(
+    points: DataFrame,
+    buildings,
+    index,
+    *,
+    radius: float = 2.0,
+    norm_diff: float = 2.0,
+    maxzdiff: float = 1.0,
+    num_iter: int = 50,
+    num_samples: int = 10,
+    threshold: float = 0.15,
+    model_size: int = 30,
+    seed: int = 1,
+) -> DataFrame:
+    """LidarRooftopAnalysis (lidar_analysis/lidar_rooftop_analysis.rs:
+    800-1000): roof facet segments of the points inside building
+    footprints — a composition of the engine's building clip
+    (cell-cover PIP join), per-point RANSAC planes and normal-similarity
+    segmentation (lidar_segmentation machinery, deterministic minstd
+    protocol replacing the reference's thread RNG, min-label segment
+    ids). Deviation (documented): the reference segments each building's
+    clip separately; this engine segments the union of clipped points
+    once and intersects segments with buildings in the final grouping —
+    identical whenever footprints are farther apart than `radius`, and
+    one distributed job instead of a per-building loop at scale.
+    A point inside two overlapping footprints contributes to both
+    buildings (as in the reference's per-building clips) but enters the
+    segmentation graph once. -> per (building, segment): point count,
+    z range, centroid — the reference's per-facet polygon attributes
+    re-expressed on the repo's vector model."""
+    from whitebox_tools_spark.operators.pip import points_in_polygons
+
+    hits = points_in_polygons(points.select("point_id", "x", "y"), buildings, index)
+    roof_pts = points.join(
+        hits.select("point_id", F.col("poly_id").alias("building_id")), "point_id"
+    )
+    roof_distinct = points.join(hits.select("point_id").distinct(), "point_id")
+    segs = lidar_segmentation(
+        roof_distinct,
+        radius=radius, norm_diff=norm_diff, maxzdiff=maxzdiff,
+        num_iter=num_iter, num_samples=num_samples, threshold=threshold,
+        model_size=model_size, seed=seed,
+    ).filter(F.col("is_planar"))
+    return (
+        roof_pts.join(segs.select("point_id", "segment_id"), "point_id")
+        .groupBy("building_id", "segment_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.round(F.min("z"), 6).alias("z_min"),
+            F.round(F.max("z"), 6).alias("z_max"),
+            F.round(F.avg("x"), 6).alias("cx"),
+            F.round(F.avg("y"), 6).alias("cy"),
+        )
+    )
