@@ -4169,6 +4169,44 @@ def q_normalized_difference(spark, sf_dir):
     return _r6(out, ["value"])
 
 
+def q_normalized_difference_index(spark, sf_dir):
+    """NormalizedDifferenceIndex (image_analysis/normalized_difference_index.rs:
+    295-330): (a-b)/(a+b+correction) with correction=50 and the 1% percent
+    clip (Raster::clip_min_and_max_by_percent, whitebox-raster/src/lib.rs:
+    900-940)."""
+    a = _part_raster(spark, sf_dir)
+    b = _part_raster2(spark, sf_dir)
+    out = RM.normalized_difference_index(a, b, correction=50.0, clip_percent=1.0)
+    return _r6(out, ["value"])
+
+
+def q_inplace_ops_all(spark, sf_dir):
+    """InPlaceAdd/Subtract/Multiply/Divide (math_stat_analysis/
+    inplace_add.rs:212-257 + the _subtract/_multiply/_divide siblings):
+    every op over both the raster-raster and raster-constant paths, one
+    labeled block per case (nodata propagation = SQL NULL propagation)."""
+    a = _part_raster(spark, sf_dir)
+    b = _part_raster2(spark, sf_dir)
+    parts = []
+    for op in RM.INPLACE_OPS:
+        parts.append(
+            RM.inplace_op(a, b, op).select(
+                F.lit(op).alias("op"), F.lit("raster").alias("mode"),
+                "row", "col", F.round(F.col("value"), 6).alias("value"),
+            )
+        )
+        parts.append(
+            RM.inplace_op(a, 7.5, op).select(
+                F.lit(op).alias("op"), F.lit("const").alias("mode"),
+                "row", "col", F.round(F.col("value"), 6).alias("value"),
+            )
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return u
+
+
 def q_random_field(spark, sf_dir):
     """RandomField (math_stat_analysis/random_field.rs) — deterministic
     seeded hash variant (reference is entropy-seeded, irreproducible)."""
@@ -7593,6 +7631,8 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fill_missing_data": q_fill_missing_data,
         "construct_tin": q_construct_tin,
         "normalized_difference": q_normalized_difference,
+        "normalized_difference_index": q_normalized_difference_index,
+        "inplace_ops_all": q_inplace_ops_all,
         "random_field": q_random_field,
         "random_sample": q_random_sample,
         "sobel_filter": q_sobel,
@@ -8326,6 +8366,49 @@ SELECT a.row, a.col,
        round(CASE WHEN a.value + b.value <> 0.0
                   THEN (a.value - b.value) / (a.value + b.value) END, 6) AS value
 FROM a JOIN b ON a.row = b.row AND a.col = b.col
+""",
+        "normalized_difference_index": f"""
+WITH a AS ({_PART_RASTER_SQL}), b AS ({_PART_RASTER2_SQL}),
+nd AS (
+  SELECT a.row, a.col,
+         CASE WHEN a.value IS NULL OR b.value IS NULL THEN NULL
+              ELSE (a.value - b.value) / (a.value + b.value + 50.0) END AS value
+  FROM a JOIN b ON a.row = b.row AND a.col = b.col
+),
+stats AS (SELECT count(*) AS n_total, count(value) AS n_valid FROM nd),
+ranks AS (SELECT CAST(floor(1.0 / 100.0 * n_total) AS BIGINT) AS t, n_valid
+          FROM stats),
+ordered AS (SELECT value, row_number() OVER (ORDER BY value) AS rn,
+                   count(*) OVER () AS nv
+            FROM nd WHERE value IS NOT NULL),
+bounds AS (
+  SELECT
+    CASE WHEN (SELECT t FROM ranks) > (SELECT n_valid FROM ranks) THEN 0.0
+         ELSE max(CASE WHEN rn = (SELECT greatest(t, 1) FROM ranks)
+                       THEN value END) END AS lo,
+    CASE WHEN (SELECT t FROM ranks) > (SELECT n_valid FROM ranks) THEN 0.0
+         ELSE max(CASE WHEN rn = nv + 1 - (SELECT greatest(t, 1) FROM ranks)
+                       THEN value END) END AS hi
+  FROM ordered
+)
+SELECT row, col,
+       round(CASE WHEN value < (SELECT lo FROM bounds) THEN (SELECT lo FROM bounds)
+                  WHEN value > (SELECT hi FROM bounds) THEN (SELECT hi FROM bounds)
+                  ELSE value END, 6) AS value
+FROM nd
+""",
+        "inplace_ops_all": f"""
+WITH a AS ({_PART_RASTER_SQL}), b AS ({_PART_RASTER2_SQL}),
+j AS (SELECT a.row, a.col, a.value AS x, b.value AS y
+      FROM a JOIN b ON a.row = b.row AND a.col = b.col)
+SELECT 'add' AS op, 'raster' AS mode, row, col, round(x + y, 6) AS value FROM j
+UNION ALL SELECT 'add', 'const', row, col, round(x + 7.5, 6) FROM j
+UNION ALL SELECT 'subtract', 'raster', row, col, round(x - y, 6) FROM j
+UNION ALL SELECT 'subtract', 'const', row, col, round(x - 7.5, 6) FROM j
+UNION ALL SELECT 'multiply', 'raster', row, col, round(x * y, 6) FROM j
+UNION ALL SELECT 'multiply', 'const', row, col, round(x * 7.5, 6) FROM j
+UNION ALL SELECT 'divide', 'raster', row, col, round(x / y, 6) FROM j
+UNION ALL SELECT 'divide', 'const', row, col, round(x / 7.5, 6) FROM j
 """,
         "random_field": _rnd.random_field_oracle_sql(NN_GRID, seed=7),
         "random_sample": _rnd.random_sample_oracle_sql(_PART_RASTER_SQL, 100, seed=3),

@@ -115,6 +115,78 @@ def scalar_op(cells: DataFrame, op: str, const: float, *, value: str = "value") 
     return cells.withColumn(value, ZIP_OPS[op](F.col(value), F.lit(const)))
 
 
+INPLACE_OPS = ("add", "subtract", "multiply", "divide")
+
+
+def inplace_op(a: DataFrame, b, op: str, *, value: str = "value") -> DataFrame:
+    """InPlaceAdd / InPlaceSubtract / InPlaceMultiply / InPlaceDivide
+    (math_stat_analysis/inplace_add.rs:212-257 and the _subtract/_multiply/
+    _divide siblings): input1 (op)= input2. The reference writes nodata1
+    when EITHER side is nodata (inplace_add.rs:252-256) — SQL NULL
+    propagation through the arithmetic is exactly that, so the raster case
+    is the engine's cell-aligned ZIP `combine` and the constant case is
+    `scalar_op` (nodata cells stay NULL under op(NULL, c)). In a DataFrame
+    engine "in place" is simply the returned plan replacing the input
+    binding — no mutation exists to re-express."""
+    if isinstance(b, (int, float)):
+        return scalar_op(a, op, float(b), value=value)
+    return combine(a, b, op, value=value)
+
+
+def clip_min_max_by_percent(cells: DataFrame, percent: float, *, value: str = "value") -> DataFrame:
+    """Raster::clip_min_and_max_by_percent (whitebox-raster/src/lib.rs:
+    900-940): t = floor(percent/100 * num_cells) counting ALL cells
+    (nodata included — here: all table rows); clamp non-nodata values to
+    [t-th smallest, t-th largest] non-nodata value (t = 0 -> the extreme
+    value itself, a no-op clamp); t > n_valid -> the reference's 0.0
+    sentinel (its scan ends without a break), transcribed. The two rank
+    probes are distributed top-k (TakeOrdered), not full sorts."""
+    n_total = cells.count()
+    t = int(float(percent) / 100.0 * n_total)
+    rank = max(t, 1)
+    valid = cells.filter(F.col(value).isNotNull())
+    n_valid = valid.count()
+    if t > n_valid:
+        lo = hi = 0.0
+    else:
+        lo = valid.orderBy(F.col(value).asc()).limit(rank).agg(F.max(value)).first()[0]
+        hi = valid.orderBy(F.col(value).desc()).limit(rank).agg(F.min(value)).first()[0]
+    c = F.col(value)
+    return cells.withColumn(
+        value,
+        F.when(c < F.lit(lo), F.lit(lo)).when(c > F.lit(hi), F.lit(hi)).otherwise(c),
+    )
+
+
+def normalized_difference_index(
+    a: DataFrame,
+    b: DataFrame,
+    *,
+    correction: float = 0.0,
+    clip_percent: float = 0.0,
+    value: str = "value",
+) -> DataFrame:
+    """NormalizedDifferenceIndex (image_analysis/normalized_difference_index.rs:
+    295-330): (nir - red) / (nir + red + correction); when nir + red == 0
+    AND correction == 0 the reference writes 0.0 (not nodata); either input
+    nodata -> nodata; optional post-hoc percent clip
+    (clip_min_and_max_by_percent). a = nir table, b = red table."""
+    bb = b.select("row", "col", F.col(value).alias("__v2"))
+    s = F.col(value) + F.col("__v2")
+    nd = (
+        F.when(F.col(value).isNull() | F.col("__v2").isNull(), F.lit(None).cast("double"))
+        .when(
+            (s != 0.0) | F.lit(float(correction) > 0.0),
+            (F.col(value) - F.col("__v2")) / (s + F.lit(float(correction))),
+        )
+        .otherwise(F.lit(0.0))
+    )
+    out = a.join(bb, ["row", "col"]).withColumn(value, nd).drop("__v2")
+    if float(clip_percent) > 0.0:
+        out = clip_min_max_by_percent(out, clip_percent, value=value)
+    return out
+
+
 def reclass(
     cells: DataFrame,
     ranges: list[tuple[float, float, float]],
