@@ -4522,6 +4522,80 @@ def q_minimum_bounding_envelope(spark, sf_dir):
     )
 
 
+def q_minimum_convex_hull(spark, sf_dir):
+    """MinimumConvexHull (gis_analysis/minimum_convex_hull.rs:210-280):
+    per-feature hulls plus the pooled single-hull mode (Point-input path),
+    ring order clockwise from the lowest-then-rightmost vertex by angle
+    around the hull bbox center."""
+    from whitebox_tools_spark.operators.vector_ops import minimum_convex_hull
+
+    per = minimum_convex_hull(_parts_df(spark)).select(
+        F.lit("feature").alias("mode"), "poly_id", "seq",
+        F.round("x", 6).alias("x"), F.round("y", 6).alias("y"),
+    )
+    pooled = minimum_convex_hull(_parts_df(spark), per_feature=False).select(
+        F.lit("pooled").alias("mode"), "poly_id", "seq",
+        F.round("x", 6).alias("x"), F.round("y", 6).alias("y"),
+    )
+    return per.unionByName(pooled)
+
+
+def _convex_hull_sql() -> str:
+    """Independent extreme-point oracle: v is a hull vertex iff the largest
+    circular gap between directions to all other distinct vertices exceeds
+    pi (strictly — collinear mid-edge points sit at exactly pi and drop,
+    matching the reference's strict-Left Graham scan)."""
+    body = """
+dv AS (SELECT DISTINCT poly_id, x, y FROM pool),
+pairs AS (SELECT a.poly_id, a.x, a.y, atan2(b.y - a.y, b.x - a.x) AS ang
+          FROM dv a JOIN dv b ON a.poly_id = b.poly_id
+          WHERE a.x <> b.x OR a.y <> b.y),
+w AS (SELECT poly_id, x, y, ang,
+             lead(ang) OVER (PARTITION BY poly_id, x, y ORDER BY ang) AS nxt,
+             min(ang) OVER (PARTITION BY poly_id, x, y) AS mn,
+             max(ang) OVER (PARTITION BY poly_id, x, y) AS mx
+      FROM pairs),
+gaps AS (SELECT poly_id, x, y,
+                max(coalesce(nxt - ang, mn + 2 * pi() - mx)) AS gap
+         FROM w GROUP BY poly_id, x, y),
+hull AS (SELECT poly_id, x, y FROM gaps WHERE gap > pi() + 1e-9),
+ctr AS (SELECT poly_id, (min(x) + max(x)) / 2.0 AS cx,
+               (min(y) + max(y)) / 2.0 AS cy
+        FROM hull GROUP BY poly_id),
+aa AS (SELECT h.poly_id, h.x, h.y, atan2(h.y - c.cy, h.x - c.cx) AS ang
+       FROM hull h JOIN ctr c ON h.poly_id = c.poly_id),
+st AS (SELECT poly_id, ang AS a0 FROM (
+         SELECT poly_id, ang,
+                row_number() OVER (PARTITION BY poly_id
+                                   ORDER BY y ASC, x DESC) AS rk
+         FROM aa) WHERE rk = 1),
+sq AS (SELECT aa.poly_id, aa.x, aa.y,
+              row_number() OVER (
+                PARTITION BY aa.poly_id
+                ORDER BY fmod(st.a0 - aa.ang + 2 * pi(), 2 * pi()), aa.x, aa.y
+              ) AS seq
+       FROM aa JOIN st ON aa.poly_id = st.poly_id)
+"""
+    return f"""
+WITH {_vertices_values_cte()},
+feat AS (
+  WITH pool AS (SELECT poly_id, x, y FROM verts),
+  {body}
+  SELECT 'feature' AS mode, CAST(poly_id AS BIGINT) AS poly_id,
+         CAST(seq AS INT) AS seq, round(x, 6) AS x, round(y, 6) AS y
+  FROM sq
+),
+pooled AS (
+  WITH pool AS (SELECT 1 AS poly_id, x, y FROM verts),
+  {body}
+  SELECT 'pooled' AS mode, CAST(poly_id AS BIGINT) AS poly_id,
+         CAST(seq AS INT) AS seq, round(x, 6) AS x, round(y, 6) AS y
+  FROM sq
+)
+SELECT * FROM feat UNION ALL SELECT * FROM pooled
+"""
+
+
 def q_extract_nodes(spark, sf_dir):
     """ExtractNodes (gis_analysis/extract_nodes.rs)."""
     from whitebox_tools_spark.operators.vector_ops import extract_nodes
@@ -7655,6 +7729,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_intersections": q_line_intersections,
         "class_centroid": q_class_centroid,
         "minimum_bounding_envelope": q_minimum_bounding_envelope,
+        "minimum_convex_hull": q_minimum_convex_hull,
         "extract_nodes": q_extract_nodes,
         "smooth_vectors": q_smooth_vectors,
         "radius_of_gyration": q_radius_of_gyration,
@@ -8244,6 +8319,7 @@ GROUP BY 1
             + ") t"
         ),
         "minimum_bounding_envelope": _envelope_sql(),
+        "minimum_convex_hull": _convex_hull_sql(),
         "extract_nodes": _extract_nodes_sql(),
         "smooth_vectors": _smooth_vectors_sql(),
         "radius_of_gyration": (

@@ -1076,3 +1076,84 @@ def deviation_from_regional_direction(
         "dev", F.when(F.col("dev") > 90.0, F.lit(180.0) - F.col("dev")).otherwise(F.col("dev"))
     )
     return out.select("poly_id", F.col("dev").alias("dev_dir"))
+
+
+def minimum_convex_hull(parts: DataFrame, *, per_feature: bool = True) -> DataFrame:
+    """MinimumConvexHull (gis_analysis/minimum_convex_hull.rs:210-280; hull
+    algorithm whitebox-common/src/algorithms/convex_hull.rs:12-40 — a Graham
+    scan that keeps only strict Left turns, so collinear boundary points are
+    dropped and the vertex SET is exactly the extreme points of the feature,
+    algorithm-invariant). This engine computes the set with Andrew's monotone
+    chain per feature inside one Arrow batch (same set, O(n log n)), over ALL
+    parts of the record including holes (the reference pools record.points).
+    Ring order is re-expressed engine-invariantly: clockwise by angle around
+    the hull's bbox center ((min+max)/2, associative-exact), seq 1-based from
+    the reference's start vertex (lowest y, then rightmost x). Duplicate
+    coordinates are deduped first (a duplicate cannot be a distinct extreme
+    point). per_feature=False pools every vertex into one hull with
+    poly_id = 1 (the reference's Point-input mode).
+    -> (poly_id, seq, x, y)."""
+    from pyspark.sql import Window
+
+    v = parts.select(
+        "poly_id",
+        F.explode(F.arrays_zip(F.col("xs").alias("x"), F.col("ys").alias("y"))).alias("v"),
+    ).select("poly_id", F.col("v.x").alias("x"), F.col("v.y").alias("y"))
+    if not per_feature:
+        v = v.select(F.lit(1).cast("long").alias("poly_id"), "x", "y")
+    v = v.distinct()
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        out = []
+        for pid, g in pdf.groupby("poly_id"):
+            pts = sorted(set(zip(g["x"], g["y"])))
+            if len(pts) <= 2:
+                hull = pts
+            else:
+                def chain(seq):
+                    h = []
+                    for p in seq:
+                        while len(h) >= 2 and (
+                            (h[-1][0] - h[-2][0]) * (p[1] - h[-2][1])
+                            - (h[-1][1] - h[-2][1]) * (p[0] - h[-2][0])
+                        ) <= 0.0:
+                            h.pop()
+                        h.append(p)
+                    return h
+                lower = chain(pts)
+                upper = chain(reversed(pts))
+                hull = lower[:-1] + upper[:-1]
+            for x, y in hull:
+                out.append((pid, x, y))
+        return pd.DataFrame(out, columns=["poly_id", "x", "y"]).astype(
+            {"poly_id": "int64", "x": "float64", "y": "float64"}
+        )
+
+    hull = v.groupBy("poly_id").applyInPandas(kernel, "poly_id long, x double, y double")
+    ctr = hull.groupBy("poly_id").agg(
+        ((F.min("x") + F.max("x")) / 2.0).alias("cx"),
+        ((F.min("y") + F.max("y")) / 2.0).alias("cy"),
+    )
+    a = hull.join(ctr, "poly_id").withColumn(
+        "ang", F.atan2(F.col("y") - F.col("cy"), F.col("x") - F.col("cx"))
+    )
+    start = a.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("poly_id").orderBy(F.col("y").asc(), F.col("x").desc())
+        ),
+    ).filter(F.col("rk") == 1).select("poly_id", F.col("ang").alias("a0"))
+    two_pi = 2.0 * math.pi
+    seqd = (
+        a.join(start, "poly_id")
+        .withColumn("delta", (F.col("a0") - F.col("ang") + F.lit(two_pi)) % F.lit(two_pi))
+        .withColumn(
+            "seq",
+            F.row_number().over(
+                Window.partitionBy("poly_id").orderBy("delta", "x", "y")
+            ),
+        )
+    )
+    return seqd.select("poly_id", "seq", "x", "y")
