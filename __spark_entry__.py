@@ -4522,6 +4522,64 @@ def q_minimum_bounding_envelope(spark, sf_dir):
     )
 
 
+def q_print_geotiff_tags(spark, sf_dir):
+    """PrintGeoTiffTags (data_tools/print_geotiff_tags.rs): write a
+    deterministic 10x10 float64 GeoTIFF with the engine's own codec, dump
+    its IFD as (tag, value) rows. Strip layout tags 273/279 (offsets/byte
+    counts) are excluded — they are zlib-payload artifacts, not raster
+    metadata. sf-independent by construction; oracle is the pinned literal."""
+    import tempfile
+
+    from whitebox_tools_spark.geotiff import print_geotiff_tags, write_geotiff
+    from whitebox_tools_spark.grid import GridSpec
+
+    g = GridSpec(west=0.0, north=100.0, res_x=10.0, res_y=10.0, rows=10, cols=10)
+    cells = spark.range(100).select(
+        (F.col("id") / 10).cast("long").alias("row"),
+        (F.col("id") % 10).alias("col"),
+        ((F.col("id") * 7 % 13) + 1.0).cast("double").alias("value"),
+    )
+    path = tempfile.mktemp(suffix=".tif")
+    write_geotiff(cells, g, path)
+    rows = [(t, v) for t, v in print_geotiff_tags(path) if t not in (273, 279)]
+    return spark.createDataFrame(rows, "tag int, value string")
+
+
+def q_convert_raster_format(spark, sf_dir):
+    """ConvertRasterFormat (data_tools/convert_raster_format.rs): the part
+    raster round-trips ASCII grid -> GeoTIFF -> parquet cell table; output =
+    the re-read cells (non-nodata), which must equal the input exactly
+    (float64 end-to-end: repr() ASCII writer, <f8 GeoTIFF payload)."""
+    import tempfile
+
+    from whitebox_tools_spark.geotiff import convert_raster_format
+    from whitebox_tools_spark.sources import read_cells, write_ascii_grid
+
+    d = tempfile.mkdtemp()
+    cells = _part_raster(spark, sf_dir)
+    write_ascii_grid(cells, EXTRACT_GRID, f"{d}/a.asc")
+    convert_raster_format(spark, f"{d}/a.asc", f"{d}/b.tif")
+    convert_raster_format(spark, f"{d}/b.tif", f"{d}/c.parquet")
+    out = read_cells(spark, f"{d}/c.parquet")
+    return out.filter(F.col("value").isNotNull()).select("row", "col", "value")
+
+
+def q_reclass_from_file(spark, sf_dir):
+    """ReclassFromFile (data_tools/reclass_from_file.rs): (new, lower,
+    upper) rules loaded from a CSV file, then the shared reclass CASE
+    chain ([lower, upper), pass-through otherwise)."""
+    import tempfile
+
+    from whitebox_tools_spark.operators.raster_math import reclass_from_file
+
+    path = tempfile.mktemp(suffix=".csv")
+    with open(path, "w") as fh:
+        fh.write("1.0,900.0,1200.0\n2.0,1200.0,1600.0\n3.0,1600.0,2000.0\n")
+    return reclass_from_file(_part_raster(spark, sf_dir), path).select(
+        "row", "col", F.round("value", 6).alias("value")
+    )
+
+
 def q_minimum_convex_hull(spark, sf_dir):
     """MinimumConvexHull (gis_analysis/minimum_convex_hull.rs:210-280):
     per-feature hulls plus the pooled single-hull mode (Point-input path),
@@ -7730,6 +7788,9 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "class_centroid": q_class_centroid,
         "minimum_bounding_envelope": q_minimum_bounding_envelope,
         "minimum_convex_hull": q_minimum_convex_hull,
+        "print_geotiff_tags": q_print_geotiff_tags,
+        "convert_raster_format": q_convert_raster_format,
+        "reclass_from_file": q_reclass_from_file,
         "extract_nodes": q_extract_nodes,
         "smooth_vectors": q_smooth_vectors,
         "radius_of_gyration": q_radius_of_gyration,
@@ -8320,6 +8381,24 @@ GROUP BY 1
         ),
         "minimum_bounding_envelope": _envelope_sql(),
         "minimum_convex_hull": _convex_hull_sql(),
+        "print_geotiff_tags": """
+SELECT * FROM (VALUES
+  (256, '[10]'), (257, '[10]'), (258, '[64]'), (259, '[8]'),
+  (262, '[1]'), (277, '[1]'), (278, '[10]'), (339, '[3]'),
+  (33550, '[10.0, 10.0, 0.0]'),
+  (33922, '[0.0, 0.0, 0.0, 0.0, 100.0, 0.0]'),
+  (42113, '-32768.0')
+) AS t(tag, value)
+""",
+        "convert_raster_format": f"SELECT row, col, value FROM ({_PART_RASTER_SQL}) WHERE value IS NOT NULL",
+        "reclass_from_file": f"""
+SELECT row, col,
+       round(CASE WHEN value >= 900.0 AND value < 1200.0 THEN 1.0
+                  WHEN value >= 1200.0 AND value < 1600.0 THEN 2.0
+                  WHEN value >= 1600.0 AND value < 2000.0 THEN 3.0
+                  ELSE value END, 6) AS value
+FROM ({_PART_RASTER_SQL})
+""",
         "extract_nodes": _extract_nodes_sql(),
         "smooth_vectors": _smooth_vectors_sql(),
         "radius_of_gyration": (
