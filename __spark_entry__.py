@@ -7635,6 +7635,8 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "travelling_salesman_problem": q_travelling_salesman,
         "conditioned_latin_hypercube": q_conditioned_latin_hypercube,
         "las_to_shapefile": q_las_to_shapefile,
+        "las_to_zlidar": q_las_to_zlidar,
+        "zlidar_to_las": q_zlidar_to_las,
         "las_to_multipoint_shapefile": q_las_to_multipoint,
         "burn_streams_at_roads": q_burn_streams_at_roads,
         "embankment_mapping": q_embankment_mapping,
@@ -8640,6 +8642,16 @@ FROM ({_PART_RASTER_SQL}) WHERE value IS NOT NULL
         "travelling_salesman_problem": _tsp_sql(),
         "conditioned_latin_hypercube": _clhs_sql(),
         "las_to_shapefile": _las_to_shapefile_sql(),
+        "las_to_zlidar": f"""
+SELECT round(x, 6) AS x, round(y, 6) AS y, round(z, 6) AS z,
+       intensity, return_number, number_of_returns, classification
+FROM ({_ZLIDAR_CLOUD_SQL_BODY} FROM ({_order_cloud_cte()}) oc)
+""",
+        "zlidar_to_las": f"""
+SELECT round(x, 6) AS x, round(y, 6) AS y, round(z, 6) AS z,
+       intensity, return_number, number_of_returns, classification
+FROM ({_ZLIDAR_CLOUD_SQL_BODY} FROM ({_order_cloud_cte()}) oc)
+""",
         "las_to_multipoint_shapefile": _las_to_multipoint_sql(),
         "burn_streams_at_roads": _bsar_sql(),
         "embankment_mapping": _embankment_sql(),
@@ -9730,6 +9742,73 @@ def _order_cloud_cte() -> str:
         f"o_totalprice / 1000.0 AS z, "
         f"CASE WHEN o_orderstatus = 'F' THEN 2 ELSE 1 END AS classification "
         f"FROM orders"
+    )
+
+
+def _zlidar_cloud(spark, sf_dir):
+    """zLidar fixture: the order cloud at exactly 3 decimals (so the LAS/
+    zLidar 0.001 quantization is lossless to 6 dp) + intensity crossing
+    the u8/u16 split, multi-return context variety, class runs."""
+    c = _order_cloud(spark, sf_dir)
+    nr = (F.col("point_id") % 5) + 1
+    return c.select(
+        "point_id", "x", "y",
+        (F.floor(F.col("z") * 1000.0 + 0.5) / 1000.0).alias("z"),
+        (F.col("point_id") % 900).cast("int").alias("intensity"),
+        ((F.col("point_id") % nr) + 1).cast("int").alias("return_number"),
+        nr.cast("int").alias("number_of_returns"),
+        F.col("classification").cast("int").alias("classification"),
+    )
+
+
+_ZLIDAR_CLOUD_SQL_BODY = (
+    "SELECT point_id, x, y, floor(z * 1000.0 + 0.5) / 1000.0 AS z, "
+    "CAST(point_id % 900 AS INT) AS intensity, "
+    "CAST(point_id % (point_id % 5 + 1) + 1 AS INT) AS return_number, "
+    "CAST(point_id % 5 + 1 AS INT) AS number_of_returns, "
+    "CAST(classification AS INT) AS classification"
+)
+
+
+def q_las_to_zlidar(spark, sf_dir):
+    """LasToZlidar (lidar_analysis/las_to_zlidar.rs): LAS 1.2 file ->
+    zLidar v1.1 (DEFLATE), then the distributed zLidar reader; output =
+    the decoded cloud (coordinates re-derived through both quantizers)."""
+    import tempfile
+
+    from whitebox_tools_spark.lidar_io import write_las
+    from whitebox_tools_spark.zlidar_io import las_to_zlidar, read_zlidar
+
+    d = tempfile.mkdtemp()
+    write_las(_zlidar_cloud(spark, sf_dir), f"{d}/a.las")
+    las_to_zlidar(f"{d}/a.las", f"{d}/a.zlidar")
+    out = read_zlidar(spark, f"{d}/a.zlidar")
+    return out.select(
+        F.round("x", 6).alias("x"), F.round("y", 6).alias("y"),
+        F.round("z", 6).alias("z"), "intensity",
+        "return_number", "number_of_returns", "classification",
+    )
+
+
+def q_zlidar_to_las(spark, sf_dir):
+    """ZlidarToLas (lidar_analysis/zlidar_to_las.rs): the full
+    LAS -> zLidar -> LAS chain read back with the distributed LAS reader
+    (LAS format 0 clips returns at 7, preserved end-to-end: fixture
+    returns stay <= 5)."""
+    import tempfile
+
+    from whitebox_tools_spark.lidar_io import read_las, write_las
+    from whitebox_tools_spark.zlidar_io import las_to_zlidar, zlidar_to_las
+
+    d = tempfile.mkdtemp()
+    write_las(_zlidar_cloud(spark, sf_dir), f"{d}/a.las")
+    las_to_zlidar(f"{d}/a.las", f"{d}/a.zlidar")
+    zlidar_to_las(f"{d}/a.zlidar", f"{d}/b.las")
+    out = read_las(spark, f"{d}/b.las")
+    return out.select(
+        F.round("x", 6).alias("x"), F.round("y", 6).alias("y"),
+        F.round("z", 6).alias("z"), "intensity",
+        "return_number", "number_of_returns", "classification",
     )
 
 
