@@ -7409,6 +7409,943 @@ def _rooftop_cloud(spark):
     return lower.unionByName(upper)
 
 
+# --- oracle queries for the remaining library-only tools (each previously
+# pytest-only; surfacing them closes the correctness gate per tool) ---------
+
+
+def q_clean_vector(spark, sf_dir):
+    """CleanVector (data_tools/clean_vector.rs:120): drop null geometries
+    and sub-minimal rings; the fixture injects one null geometry and one
+    3-point (degenerate closed) ring that must both disappear."""
+    from whitebox_tools_spark.operators.vector_ops import clean_vector
+
+    bad = spark.createDataFrame(
+        [
+            (900, 0, False, None, None),
+            (901, 0, False, [0.0, 1.0, 0.0], [0.0, 1.0, 0.0]),
+        ],
+        "poly_id long, part_idx int, is_hole boolean, xs array<double>, ys array<double>",
+    )
+    out = clean_vector(_parts_df_b(spark).unionByName(bad))
+    return out.select(
+        "poly_id",
+        F.col("part_idx").cast("long").alias("part_idx"),
+        F.size("xs").cast("long").alias("n_vertices"),
+    )
+
+
+def _parts_enum_sql(cols: str, fid: bool = False) -> str:
+    rows = []
+    fid_n = 0
+    for pid, parts in sorted(PARTS, key=lambda t: t[0]):
+        for k in range(len(parts)):
+            fid_n += 1
+            rows.append((fid_n, pid, k, int(bool(parts[k][2])), len(parts[k][0])))
+    vals = ", ".join(f"({f}, {p}, {k}, {h}, {n})" for f, p, k, h, n in rows)
+    return f"SELECT {cols} FROM (VALUES {vals}) AS t(fid, poly_id, part_idx, is_hole, n_vertices)"
+
+
+def _clean_vector_sql() -> str:
+    return _parts_enum_sql("poly_id, part_idx, n_vertices") + " WHERE n_vertices >= 4"
+
+
+def q_multipart_to_singlepart(spark, sf_dir):
+    """MultiPartToSinglePart (data_tools/multipart_to_singlepart.rs:139):
+    each part becomes its own feature; fid = 1..n by (poly_id, part_idx)."""
+    from whitebox_tools_spark.operators.vector_ops import multipart_to_singlepart
+
+    out = multipart_to_singlepart(_parts_df_b(spark))
+    return out.select(
+        "fid", "poly_id",
+        F.col("part_idx").cast("long").alias("part_idx"),
+        F.size("xs").cast("long").alias("n_vertices"),
+    )
+
+
+def q_polygons_to_lines(spark, sf_dir):
+    """PolygonsToLines (data_tools/polygons_to_lines.rs:121): every ring
+    becomes a polyline feature, vertex order preserved."""
+    from whitebox_tools_spark.operators.vector_ops import polygons_to_lines
+
+    out = polygons_to_lines(_parts_df_b(spark))
+    return out.select(
+        "fid", F.col("src_id").alias("poly_id"),
+        F.col("part_idx").cast("long").alias("part_idx"),
+        F.size("xs").cast("long").alias("n_vertices"),
+    )
+
+
+def q_lines_to_polygons(spark, sf_dir):
+    """LinesToPolygons (data_tools/lines_to_polygons.rs:127): close each
+    polyline and emit as a polygon shell; the street fixture's open lines
+    gain exactly one closing vertex."""
+    from whitebox_tools_spark.operators.vector_ops import lines_to_polygons
+
+    lines = spark.createDataFrame(
+        _PROFILE_LINES, "fid long, xs array<double>, ys array<double>"
+    )
+    out = lines_to_polygons(lines)
+    return out.select(
+        "poly_id",
+        F.size("xs").cast("long").alias("n_vertices"),
+        (F.element_at("xs", 1) == F.element_at("xs", -1)).alias("closed_x"),
+        (F.element_at("ys", 1) == F.element_at("ys", -1)).alias("closed_y"),
+    )
+
+
+def _lines_to_polygons_sql() -> str:
+    rows = []
+    for lid, xs, ys in _PROFILE_LINES:
+        nv = len(xs) + (1 if (xs[0] != xs[-1] or ys[0] != ys[-1]) else 0)
+        rows.append(f"({lid}, {nv}, TRUE, TRUE)")
+    return (
+        "SELECT poly_id, n_vertices, closed_x, closed_y FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(poly_id, n_vertices, closed_x, closed_y)"
+    )
+
+
+def q_remove_polygon_holes(spark, sf_dir):
+    """RemovePolygonHoles (data_tools/remove_polygon_holes.rs:122)."""
+    from whitebox_tools_spark.operators.vector_ops import remove_polygon_holes
+
+    out = remove_polygon_holes(_parts_df_b(spark))
+    return out.select(
+        "poly_id",
+        F.col("part_idx").cast("long").alias("part_idx"),
+        F.size("xs").cast("long").alias("n_vertices"),
+    )
+
+
+def q_reinitialize_attribute_table(spark, sf_dir):
+    """ReinitializeAttributeTable (data_tools/reinitialize_attribute_table.rs:
+    108): attribute columns dropped, geometry + ids kept; n_cols certifies
+    the drop happened."""
+    from whitebox_tools_spark.operators.vector_ops import reinitialize_attribute_table
+
+    src = (
+        _parts_df_b(spark)
+        .withColumn("name", F.concat(F.lit("feat-"), F.col("poly_id")))
+        .withColumn("score", F.col("poly_id") * 1.5)
+    )
+    out = reinitialize_attribute_table(src, fid="poly_id")
+    n_cols = len(out.columns)
+    return out.select(
+        "poly_id",
+        F.col("part_idx").cast("long").alias("part_idx"),
+        F.lit(n_cols).cast("long").alias("n_cols"),
+    )
+
+
+def q_new_raster_from_base(spark, sf_dir):
+    """NewRasterFromBase (data_tools/new_raster.rs:145): dense constant
+    raster with the base grid's shape."""
+    from whitebox_tools_spark.operators.raster_math import new_raster_from_base
+
+    return new_raster_from_base(spark, P2R_GRID, 7.5)
+
+
+def q_convert_nodata_to_zero(spark, sf_dir):
+    """ConvertNodataToZero (data_tools/convert_nodata_to_zero.rs:119): nodata
+    (SQL NULL) cells become 0.0; fixture nulls every 13th part cell."""
+    from whitebox_tools_spark.operators.raster_math import convert_nodata_to_zero
+
+    p = _t(spark, sf_dir, "part")
+    src = p.select(
+        (F.col("p_partkey") % 200).alias("row"),
+        (F.floor(F.col("p_partkey") / F.lit(200.0)).cast("long") % 200).alias("col"),
+        F.when(F.col("p_partkey") % 13 == 0, None)
+        .otherwise(F.col("p_retailprice"))
+        .alias("value"),
+    )
+    return convert_nodata_to_zero(src)
+
+
+_CSV_PTS = [
+    (i, i * 2.5, ((i * i) % 97) / 3.0, f"L{i % 5}") for i in range(1, 41)
+]
+
+
+def q_csv_points_to_vector(spark, sf_dir):
+    """CsvPointsToVector (data_tools/csv_points_to_vector.rs:149): CSV text
+    -> point features with a distributed file-order sequence (single small
+    file here, so the order is the file order)."""
+    import tempfile
+
+    from whitebox_tools_spark.sources import csv_points_to_vector
+
+    d = tempfile.mkdtemp()
+    with open(f"{d}/pts.csv", "w") as fh:
+        fh.write("x,y,label\n")
+        for _i, x, y, lab in _CSV_PTS:
+            fh.write(f"{x!r},{y!r},{lab}\n")
+    out = csv_points_to_vector(spark, f"{d}/pts.csv")
+    return out.select(
+        "point_id",
+        F.round("x", 6).alias("x"),
+        F.round("y", 6).alias("y"),
+        "label",
+    )
+
+
+def _csv_points_sql() -> str:
+    vals = ", ".join(
+        f"({i}, {x!r}, {y!r}, '{lab}')" for i, x, y, lab in _CSV_PTS
+    )
+    return (
+        "SELECT point_id, ROUND(CAST(x AS DOUBLE), 6) AS x, "
+        "ROUND(CAST(y AS DOUBLE), 6) AS y, label "
+        f"FROM (VALUES {vals}) AS t(point_id, x, y, label)"
+    )
+
+
+def q_export_table_to_csv(spark, sf_dir):
+    """ExportTableToCsv (data_tools/export_table_to_csv.rs:129): table ->
+    CSV directory -> read back; identity vs the source table is the check."""
+    import tempfile
+
+    from whitebox_tools_spark.sources import export_table_to_csv
+
+    d = tempfile.mkdtemp()
+    src = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    export_table_to_csv(src, f"{d}/out")
+    back = spark.read.csv(f"{d}/out", header=True, inferSchema=False)
+    return back.select(F.col("n_nationkey").cast("long").alias("n_nationkey"), "n_name")
+
+
+def q_block_min_gridding(spark, sf_dir):
+    """BlockMinimumGridding (gis_analysis/block_minimum.rs:147)."""
+    pts = _cust_points(spark, sf_dir)
+    return block_gridding(pts, P2R_GRID, value="z", agg="min")
+
+
+def _block_min_sql() -> str:
+    x, y = synth.point_sql("c_custkey")
+    g = P2R_GRID
+    return f"""
+WITH pts AS (SELECT c_custkey AS point_id, {x} AS x, {y} AS y, c_acctbal AS z FROM customer)
+SELECT {g.row_sql('y')} AS row, {g.col_sql('x')} AS col, min(z) AS value
+FROM pts
+WHERE {g.in_grid_sql(g.row_sql('y'), g.col_sql('x'))}
+GROUP BY 1, 2
+"""
+
+
+def q_las_to_ascii(spark, sf_dir):
+    """LasToAscii (lidar_analysis/las_to_ascii.rs): LAS file -> delimited
+    text -> LAS again (AsciiToLas) -> distributed read; identity vs the
+    source cloud through both quantizer passes."""
+    import tempfile
+
+    from whitebox_tools_spark.lidar_io import ascii_to_las, las_to_ascii, read_las, write_las
+
+    d = tempfile.mkdtemp()
+    write_las(_zlidar_cloud(spark, sf_dir), f"{d}/a.las")
+    las_to_ascii(spark, f"{d}/a.las", f"{d}/a.csv")
+    ascii_to_las(spark, f"{d}/a.csv", f"{d}/b.las")
+    out = read_las(spark, f"{d}/b.las")
+    return out.select(
+        F.round("x", 6).alias("x"),
+        F.round("y", 6).alias("y"),
+        F.round("z", 6).alias("z"),
+        "classification",
+    )
+
+
+def q_construct_vector_tin_points(spark, sf_dir):
+    """ConstructVectorTIN (gis_analysis/construct_vector_tin.rs:170) over a
+    9x9 integer lattice: ANY full triangulation of the point set has exactly
+    2h - b - 2 = 128 triangles (h=81 points, b=32 on the hull) and its
+    triangle areas sum to the hull area 6400 — implementation-invariant
+    despite the lattice's cocircular quads (the tin_gridding query pins the
+    interpolated geometry)."""
+    from whitebox_tools_spark.operators.tin import construct_tin
+
+    pts = spark.range(1, 82).select(
+        F.col("id").alias("point_id"),
+        (((F.col("id") - 1) % 9) * 10).cast("double").alias("x"),
+        (F.floor((F.col("id") - 1) / 9) * 10).cast("double").alias("y"),
+        (F.col("id") % 7).cast("double").alias("z"),
+    )
+    tri = construct_tin(pts)
+    area = (
+        F.abs(
+            (F.col("bx") - F.col("ax")) * (F.col("cy") - F.col("ay"))
+            - (F.col("cx") - F.col("ax")) * (F.col("by") - F.col("ay"))
+        )
+        / 2.0
+    )
+    return tri.agg(
+        F.count("*").cast("long").alias("n_triangles"),
+        F.round(F.sum(area), 6).alias("total_area"),
+    )
+
+
+def _construct_tin_sql() -> str:
+    return (
+        "SELECT CAST(128 AS BIGINT) AS n_triangles, "
+        "CAST(6400.0 AS DOUBLE) AS total_area"
+    )
+
+
+HACH_GRID = GridSpec(west=0.0, north=208.0, res_x=8.0, res_y=8.0, rows=26, cols=26)
+_HACH_PARAMS = dict(
+    interval=8.0, base=0.0, filter_size=9, tolerance=10.0, separation=2.0,
+    distmin=0.5, distmax=2.0, discretization=0.5, turnmax=45.0, slopemin=0.5,
+    depth=16,
+)
+
+
+def _hachure_dem_rows():
+    """Deterministic smooth hill DEM (gaussian peak + tilted plane + integer
+    ripple) — sf-independent; closed contours around the peak so both
+    contour-tracing loops and both flowline directions are exercised.
+    Computed once in python so the engine DataFrame and the serial oracle
+    share bit-identical doubles."""
+    import math as _m
+
+    out = []
+    for r in range(26):
+        for c in range(26):
+            x = 4.0 + 8.0 * c
+            y = 208.0 - 4.0 - 8.0 * r
+            dx = x - 104.0
+            dy = y - 104.0
+            z = (
+                60.0 * _m.exp(-(dx * dx + dy * dy) / 8000.0)
+                + 0.02 * y
+                + 0.013 * x
+                + ((r * 31 + c * 17) % 7) * 0.05
+            )
+            out.append((r, c, z))
+    return out
+
+
+def q_topographic_hachures(spark, sf_dir):
+    """TopographicHachures (terrain_analysis/topographic_hachures.rs:274,
+    Samsonov 2014): downslope/upslope flowlines seeded along contours, per-
+    hachure HEIGHT/SLOPE/ASPECT + 8 illumination cosines. Engine: per-level
+    two-stage applyInPandas decomposition with a lag join shipping each
+    level's downslope flowlines to its successor (hachures.py). Fingerprint
+    output: per-hachure attributes + vertex count + endpoints + polyline
+    length (bit-exact vs the serial transcription; full vertex arrays pinned
+    in tests/test_hachures.py). Junction ties in the contour walk are broken
+    by segment creation order in BOTH engine and oracle (the reference's
+    kd-tree `within` traversal order is unspecified)."""
+    from whitebox_tools_spark.operators.hachures import hachures
+
+    dem = spark.createDataFrame(
+        _hachure_dem_rows(), "row long, col long, value double"
+    )
+    out = hachures(
+        dem,
+        HACH_GRID,
+        interval=_HACH_PARAMS["interval"],
+        base=_HACH_PARAMS["base"],
+        filter_size=_HACH_PARAMS["filter_size"],
+        tolerance=_HACH_PARAMS["tolerance"],
+        separation=_HACH_PARAMS["separation"],
+        distmin=_HACH_PARAMS["distmin"],
+        distmax=_HACH_PARAMS["distmax"],
+        discretization=_HACH_PARAMS["discretization"],
+        turnmax=_HACH_PARAMS["turnmax"],
+        slopemin=_HACH_PARAMS["slopemin"],
+        depth=_HACH_PARAMS["depth"],
+    )
+    length = F.expr(
+        "aggregate(sequence(2, size(xs)), cast(0.0 as double), (acc, i) -> "
+        "acc + sqrt((xs[i-1]-xs[i-2])*(xs[i-1]-xs[i-2]) + "
+        "(ys[i-1]-ys[i-2])*(ys[i-1]-ys[i-2])))"
+    )
+    return out.select(
+        "hid",
+        F.round("height", 6).alias("height"),
+        F.round("slope", 6).alias("slope"),
+        F.round("aspect", 6).alias("aspect"),
+        F.round("n", 6).alias("n"),
+        F.round("ne", 6).alias("ne"),
+        F.round("e", 6).alias("e"),
+        F.round("se", 6).alias("se"),
+        F.round("s", 6).alias("s"),
+        F.round("sw", 6).alias("sw"),
+        F.round("w", 6).alias("w"),
+        F.round("nw", 6).alias("nw"),
+        F.size("xs").cast("long").alias("nv"),
+        F.round(F.element_at("xs", 1), 6).alias("x_first"),
+        F.round(F.element_at("ys", 1), 6).alias("y_first"),
+        F.round(F.element_at("xs", -1), 6).alias("x_last"),
+        F.round(F.element_at("ys", -1), 6).alias("y_last"),
+        F.round(length, 6).alias("length"),
+    )
+
+
+def _hachures_serial():
+    """Independent serial transcription of topographic_hachures.rs run()
+    (274-1460) + helpers (1536-1838): ONE global row-major sweep exactly as
+    the Rust executes it (the engine path is the per-level distributed
+    decomposition — different structure, same semantics). Returns
+    (hid, height, slope, aspect, n, ne, e, se, s, sw, w, nw, points)."""
+    import math as _m
+
+    g = HACH_GRID
+    p = _HACH_PARAMS
+    rows, cols = g.rows, g.cols
+    nodata = -32768.0
+    dem = [[nodata] * cols for _ in range(rows)]
+    for r, c, v in _hachure_dem_rows():
+        dem[r][c] = v
+    base, interval = p["base"], p["interval"]
+    filter_size = p["filter_size"]
+    if filter_size % 2 == 0:
+        filter_size += 1
+    filter_radius = filter_size // 2
+    tol = _m.cos(_m.radians(p["tolerance"]))
+    turnmax = _m.cos(_m.radians(p["turnmax"]))
+    slopemin = _m.tan(_m.radians(p["slopemin"]))
+    separation, distmin, distmax = p["separation"], p["distmin"], p["distmax"]
+    discretization, depth_max = p["discretization"], p["depth"]
+    res_x, res_y = g.res_x, g.res_y
+    res_xy = 0.5 * (res_x + res_y)
+    half_x, half_y = res_x / 2.0, res_y / 2.0
+    west, north = g.west, g.north
+
+    def getv(r, c):
+        if 0 <= r < rows and 0 <= c < cols:
+            return dem[r][c]
+        return nodata
+
+    band = [
+        [
+            nodata if dem[r][c] == nodata else _m.floor((dem[r][c] - base) / interval)
+            for c in range(cols)
+        ]
+        for r in range(rows)
+    ]
+
+    def getb(r, c):
+        if 0 <= r < rows and 0 <= c < cols:
+            return band[r][c]
+        return nodata
+
+    # --- RasterCoverage (rs:1536-1671)
+    a00 = [[0.0] * cols for _ in range(rows)]
+    a10 = [[0.0] * cols for _ in range(rows)]
+    a01 = [[0.0] * cols for _ in range(rows)]
+    a11 = [[0.0] * cols for _ in range(rows)]
+    for r in range(rows):
+        for c in range(cols):
+            z00 = getv(r + 1, c)
+            z10 = getv(r + 1, c + 1)
+            z01 = getv(r, c)
+            z11 = getv(r, c + 1)
+            a00[r][c] = z00
+            a10[r][c] = z10 - z00
+            a01[r][c] = z01 - z00
+            a11[r][c] = z00 + z11 - z01 - z10
+
+    def cell_coords(x, y):
+        col = _m.floor((x - west - 0.5 * res_x) / res_x)
+        row = _m.floor((north - y - 0.5 * res_y) / res_y)
+        if row < 0 or col < 0 or row >= rows - 1 or col >= cols - 1:
+            return None
+        xcol = west + res_x / 2.0 + col * res_x
+        yrow = north - res_y / 2.0 - row * res_y
+        return row, col, (x - xcol) / res_x, 1.0 - (yrow - y) / res_y
+
+    def cov_value(x, y):
+        cc = cell_coords(x, y)
+        if cc is None:
+            return nodata
+        r, c, xc, yc = cc
+        return a00[r][c] + a10[r][c] * xc + a01[r][c] * yc + a11[r][c] * xc * yc
+
+    def cov_gradient(x, y):
+        cc = cell_coords(x, y)
+        if cc is None:  # unchecked (panic) in the Rust; clamp, shared rule
+            col = _m.floor((x - west - 0.5 * res_x) / res_x)
+            row = _m.floor((north - y - 0.5 * res_y) / res_y)
+            r = min(max(row, 0), rows - 2)
+            c = min(max(col, 0), cols - 2)
+            xc = yc = 0.0
+        else:
+            r, c, xc, yc = cc
+        return (
+            (a10[r][c] + a11[r][c] * yc) / res_x,
+            (a01[r][c] + a11[r][c] * xc) / res_y,
+        )
+
+    def cov_slope(x, y):
+        gx, gy = cov_gradient(x, y)
+        return _m.sqrt(gx * gx + gy * gy)
+
+    # --- segment creation (rs:640-712), row-major, n in 0..4, level ascending
+    dxs = [0, 1, 0, -1]
+    dys = [-1, 0, 1, 0]
+    e1x = [-half_x, half_x, half_x, -half_x]
+    e1y = [half_y, half_y, -half_y, -half_y]
+    e3x = [half_x, half_x, -half_x, -half_x]
+    e3y = [half_y, -half_y, -half_y, half_y]
+    segs = []
+    tree = {}
+
+    def addnode(pt, node):
+        tree.setdefault((round(pt[0], 6), round(pt[1], 6)), []).append(node)
+
+    for r in range(rows):
+        for c in range(cols):
+            z = getb(r, c)
+            if z == nodata:
+                continue
+            for n in range(4):
+                zn = getb(r + dys[n], c + dxs[n])
+                if z > zn and zn != nodata:
+                    x = west + half_x + c * res_x
+                    y = north - half_y - r * res_y
+                    for cv in range(int(zn) + 1, int(z) + 1):
+                        p1 = (x + e1x[n], y + e1y[n])
+                        addnode(p1, 2 * len(segs))
+                        p2 = (x + e3x[n], y + e3y[n])
+                        addnode(p2, 2 * len(segs) + 1)
+                        segs.append((p1, p2, float(cv)))
+
+    live = [True] * len(segs)
+
+    def node_pt(node):
+        s = segs[node // 2]
+        return s[0] if node % 2 == 0 else s[1]
+
+    def same_level_live(pt, z, exclude):
+        for node in tree.get((round(pt[0], 6), round(pt[1], 6)), ()):
+            if node != exclude and segs[node // 2][2] == z and live[node // 2]:
+                return True
+        return False
+
+    def heading(prev, cur, nxt):
+        ax, ay = cur[0] - prev[0], cur[1] - prev[1]
+        bx, by = nxt[0] - cur[0], nxt[1] - cur[1]
+        mag = _m.sqrt(ax * ax + ay * ay) * _m.sqrt(bx * bx + by * by)
+        # Rust f64 0/0 = NaN; NaN fails both clamp branches and acos(NaN)=NaN
+        ratio = (ax * bx + ay * by) / mag if mag != 0.0 else _m.nan
+        if ratio > 1.0:
+            ratio = 1.0
+        if ratio < -1.0:
+            ratio = -1.0
+        left = (nxt[0] - prev[0]) * (cur[1] - prev[1]) - (cur[0] - prev[0]) * (
+            nxt[1] - prev[1]
+        )
+        return _m.acos(ratio) if left >= 0.0 else -_m.acos(ratio)
+
+    def walk(start_node, z):
+        current = start_node
+        points = []
+        while True:
+            seg_i = current // 2
+            points.append(node_pt(current))
+            if live[seg_i]:
+                live[seg_i] = False
+                s = segs[seg_i]
+                points.append(((s[0][0] + s[1][0]) / 2.0, (s[0][1] + s[1][1]) / 2.0))
+                current = current + 1 if current % 2 == 0 else current - 1
+            else:
+                pt = node_pt(current)
+                connected = [
+                    node
+                    for node in tree.get((round(pt[0], 6), round(pt[1], 6)), ())
+                    if segs[node // 2][2] == z and live[node // 2]
+                ]
+                if not connected:
+                    return points
+                if len(connected) == 1:
+                    current = connected[0]
+                    continue
+                s = segs[seg_i]
+                if current % 2 == 0:
+                    p1h, p2h = s[1], s[0]
+                else:
+                    p1h, p2h = s[0], s[1]
+                max_h, best = 0.0, None
+                for node in connected:
+                    so = segs[node // 2]
+                    p3 = so[1] if node % 2 == 0 else so[0]
+                    h = abs(heading(p1h, p2h, p3))
+                    if h > max_h:
+                        max_h, best = h, node
+                if best is None:
+                    return points
+                current = best
+
+    def deflection(p1, p2, p3):
+        ax, ay = p2[0] - p1[0], p2[1] - p1[1]
+        bx, by = p3[0] - p2[0], p3[1] - p2[1]
+        mag = _m.sqrt(ax * ax + ay * ay) * _m.sqrt(bx * bx + by * by)
+        return abs((ax * bx + ay * by) / mag) if mag != 0.0 else _m.nan
+
+    def simplify(points):
+        for a in range(len(points) - 2, 0, -1):
+            if deflection(points[a - 1], points[a], points[a + 1]) > tol:
+                del points[a]
+        return points
+
+    contours = []
+    # loop 1 (rs:766-976): open chains from free endpoints
+    for i in range(len(segs)):
+        if not live[i]:
+            continue
+        z = segs[i][2]
+        start = None
+        if not same_level_live(segs[i][0], z, 2 * i):
+            start = 2 * i
+        elif not same_level_live(segs[i][1], z, 2 * i + 1):
+            start = 2 * i + 1
+        if start is None:
+            continue
+        points = walk(start, z)
+        if len(points) > 1:
+            npts = len(points)
+            if npts > filter_size and filter_size > 0:
+                for sweep in (0, 1):
+                    order = range(npts) if sweep == 0 else range(npts - 1, -1, -1)
+                    for a in order:
+                        sx = sy = 0.0
+                        for q in range(-filter_radius, filter_radius + 1):
+                            pid = a + q
+                            if pid < 0:
+                                pid = 0
+                            if pid >= npts:
+                                pid = npts - 1
+                            sx += points[pid][0]
+                            sy += points[pid][1]
+                        points[a] = (sx / filter_size, sy / filter_size)
+            if tol is not None and p["tolerance"] > 0:
+                points = simplify(points)
+            contours.append((points, base + z * interval, False))
+    # loop 2 (rs:978-1182): closed loops
+    for i in range(len(segs)):
+        if not live[i]:
+            continue
+        z = segs[i][2]
+        points = walk(2 * i, z)
+        npts = len(points)
+        if npts > 1:
+            if npts > filter_size and filter_size > 0:
+                for sweep in (0, 1):
+                    order = range(npts) if sweep == 0 else range(npts - 1, -1, -1)
+                    for a in order:
+                        sx = sy = 0.0
+                        for q in range(-filter_radius, filter_radius + 1):
+                            pid = a + q
+                            if pid < 0:
+                                pid += npts - 1
+                            if pid >= npts:
+                                pid -= npts - 1
+                            sx += points[pid][0]
+                            sy += points[pid][1]
+                        points[a] = (sx / filter_size, sy / filter_size)
+                    points[npts - 1] = points[0]
+            if p["tolerance"] > 0:
+                points = simplify(points)
+            xs = [q[0] for q in points]
+            ys = [q[1] for q in points]
+            if (max(xs) - min(xs)) > res_x or (max(ys) - min(ys)) > res_y:
+                contours.append((points, base + z * interval, True))
+
+    contours.sort(key=lambda cc: cc[1], reverse=True)  # stable, like Rust
+
+    # --- hachure sweep helpers (rs:1675-1838)
+    def dist(a, b):
+        dx = a[0] - b[0]
+        dy = a[1] - b[1]
+        return _m.sqrt(dx * dx + dy * dy)
+
+    def path_turn(p1, p2, p3):
+        ax, ay = p2[0] - p1[0], p2[1] - p1[1]
+        bx, by = p3[0] - p2[0], p3[1] - p2[1]
+        mag = _m.sqrt(ax * ax + ay * ay) * _m.sqrt(bx * bx + by * by)
+        return (ax * bx + ay * by) / mag if mag != 0.0 else _m.nan
+
+    def get_flowline(pt, discr, zlim, down):
+        points = []
+        sign = 1.0 if down else -1.0
+        p1 = pt
+        zprev = cov_value(p1[0], p1[1])
+        if zprev == zlim or zprev == nodata:
+            return points
+        points.append(p1)
+        while True:
+            slope = cov_slope(p1[0], p1[1])
+            if slope < slopemin:
+                break
+            gx, gy = cov_gradient(p1[0], p1[1])
+            p2 = (p1[0] - sign * discr * gx / slope, p1[1] - sign * discr * gy / slope)
+            zcur = cov_value(p2[0], p2[1])
+            if zcur == nodata:
+                break
+            g2x, g2y = cov_gradient(p2[0], p2[1])
+            gx = 0.5 * (gx + g2x)
+            gy = 0.5 * (gy + g2y)
+            gl = _m.sqrt(gx * gx + gy * gy)
+            p2 = (p1[0] - sign * discr * gx / gl, p1[1] - sign * discr * gy / gl)
+            zcur = cov_value(p2[0], p2[1])
+            if (down and zcur < zlim) or (not down and zcur > zlim):
+                t = (zprev - zlim) / (zprev - zcur)
+                points.append(
+                    ((1.0 - t) * p1[0] + t * p2[0], (1.0 - t) * p1[1] + t * p2[1])
+                )
+                break
+            elif (down and zcur < zprev) or (not down and zcur > zprev):
+                points.append(p2)
+                p1 = p2
+                zprev = zcur
+            else:
+                break
+            nn = len(points)
+            if nn >= 3 and path_turn(points[nn - 3], points[nn - 2], points[nn - 1]) < turnmax:
+                points.pop()
+                break
+        return points
+
+    def point_side(p1, p2, p3):
+        return (p3[0] - p1[0]) * (p2[1] - p1[1]) < (p3[1] - p1[1]) * (p2[0] - p1[0])
+
+    def is_intersection(p1, p2, p3, p4):
+        return (point_side(p1, p2, p3) != point_side(p1, p2, p4)) and (
+            point_side(p3, p4, p1) != point_side(p3, p4, p2)
+        )
+
+    def intersection_idx(newline, lines, d):
+        imin = len(newline)
+        d1 = dist(newline[0], newline[-1])
+        c1 = (
+            (newline[0][0] + newline[-1][0]) / 2.0,
+            (newline[0][1] + newline[-1][1]) / 2.0,
+        )
+        for line in reversed(lines):
+            d2 = dist(line[0], line[-1])
+            c2 = ((line[0][0] + line[-1][0]) / 2.0, (line[0][1] + line[-1][1]) / 2.0)
+            if dist(c1, c2) < (d1 + d2) / 2.0:
+                for i in range(1, len(newline)):
+                    for j in range(1, len(line)):
+                        if dist(newline[i], line[j]) < d:
+                            if i < imin:
+                                imin = i
+                            if imin == 1:
+                                return imin
+                        if is_intersection(
+                            newline[i - 1], newline[i], line[j - 1], line[j]
+                        ):
+                            if i < imin:
+                                imin = i
+                            if imin == 1:
+                                return imin
+        return imin
+
+    def insert_flowlines(flowlines, n1, n2, k1, k2, depth, dmin, dmax, discr, zlim, down):
+        if depth == 0:
+            return
+        nn = min(len(flowlines[n1]) - k1, len(flowlines[n2]) - k2)
+        for i in range(nn):
+            p1 = flowlines[n1][i + k1]
+            p2 = flowlines[n2][i + k2]
+            if dist(p1, p2) >= dmax:
+                p3 = ((p1[0] + p2[0]) / 2.0, (p1[1] + p2[1]) / 2.0)
+                fl = get_flowline(p3, discr, zlim, down)
+                if len(fl) > 1:
+                    idx = intersection_idx(fl, flowlines, dmin)
+                    fl = fl[:idx]
+                    if len(fl) > 1:
+                        flowlines.append(fl)
+                        nlast = len(flowlines) - 1
+                        insert_flowlines(flowlines, n1, nlast, i + k1, 0,
+                                         depth - 1, dmin, dmax, discr, zlim, down)
+                        insert_flowlines(flowlines, n2, nlast, i + k2, 0,
+                                         depth - 1, dmin, dmax, discr, zlim, down)
+                return
+
+    # --- the main sweep (rs:1190-1431)
+    out = []
+    hid = 1
+    ncont = len(contours)
+    flowlines_prev = []
+    flowlines = []
+    starts = set()
+    seed_starts = {0}
+    level_seeds = []
+    counter = 0
+    sqrt_05 = _m.sqrt(0.5)
+    new_step = separation * res_xy
+    new_distmin = distmin * new_step
+    new_distmax = distmax * new_step
+    discr = discretization * res_xy
+    zmin = zmax = 0.0
+    for points, val, _closed in contours:
+        npts = len(points)
+        perim = 0.0
+        accdist = [0.0] * npts
+        for i in range(1, npts):
+            perim += dist(points[i - 1], points[i])
+            accdist[i] = perim
+        step = separation * res_xy
+        num = perim / step
+        to_up = (_m.ceil(num) - num) < (num - _m.floor(num))
+        denom = _m.ceil(num) if to_up else _m.floor(num)
+        new_step = perim / denom if denom != 0 else _m.inf
+        num_seeds = int(perim / new_step) if new_step > 0 else 0
+        discr = discretization * res_xy
+        zmin = val - interval
+        zmax = val + interval
+        new_distmin = distmin * new_step
+        new_distmax = distmax * new_step
+        seeds = [points[0]]
+        j = 0
+        for i in range(1, num_seeds):
+            d = i * new_step
+            while d > accdist[j]:
+                j += 1
+            t = (d - accdist[j - 1]) / (accdist[j] - accdist[j - 1])
+            seed = (
+                (1.0 - t) * points[j - 1][0] + t * points[j][0],
+                (1.0 - t) * points[j - 1][1] + t * points[j][1],
+            )
+            seeds.append(seed)
+            level_seeds.append(seed)
+        seeds.append(points[npts - 1])
+        level_seeds.append(points[npts - 1])
+        starts.add(len(flowlines))
+        seed_starts.add(len(level_seeds))
+        for seed in seeds:
+            fl = get_flowline(seed, discr, zmin, True)
+            if len(fl) > 1:
+                idx = intersection_idx(fl, flowlines, new_distmin)
+                fl = fl[:idx]
+                if len(fl) > 1:
+                    flowlines.append(fl)
+        finished_level = (
+            counter == ncont - 1 or contours[counter + 1][1] != val
+        )
+        if finished_level:
+            nfl = len(flowlines)
+            if nfl > 1:
+                for i in range(nfl - 1):
+                    if (i + 1) not in starts:
+                        insert_flowlines(flowlines, i, i + 1, 0, 0, depth_max,
+                                         new_distmin, new_distmax, discr, zmin, True)
+            flowlines_up = []
+            idxs = []
+            for i, seed in enumerate(level_seeds):
+                fl = get_flowline(seed, discr, zmax, False)
+                if len(fl) > 1:
+                    idx1 = intersection_idx(fl, flowlines_prev, step)
+                    idx2 = intersection_idx(fl, flowlines_up, new_distmin)
+                    fl = fl[: min(idx1, idx2)]
+                    if len(fl) > 1:
+                        flowlines_up.append(fl)
+                        idxs.append(i)
+            nup = len(flowlines_up)
+            if nup > 1:
+                for i in range(nup - 1):
+                    if idxs[i + 1] not in seed_starts and idxs[i + 1] - idxs[i] == 1:
+                        insert_flowlines(flowlines_up, i, i + 1, 0, 0, depth_max,
+                                         new_distmin, new_distmax, discr, zmax, False)
+            level_seeds = []
+            flowlines_prev = [list(fl) for fl in flowlines]
+            flowlines = flowlines + flowlines_up
+            for fl in flowlines:
+                dxsum = dysum = 0.0
+                for (x, y) in fl:
+                    gx, gy = cov_gradient(x, y)
+                    dxsum += gx
+                    dysum += gy
+                dx = -dxsum / len(fl)
+                dy = -dysum / len(fl)
+                grad_len = _m.sqrt(dx * dx + dy * dy)
+                slope = _m.degrees(_m.atan(grad_len))
+                math_aspect = _m.degrees(_m.atan2(dy, dx))
+                aspect = (
+                    90.0 - math_aspect if math_aspect < 90.0 else 450.0 - math_aspect
+                )
+                dx1 = dx / grad_len
+                dy1 = dy / grad_len
+                out.append(
+                    (
+                        hid, val,
+                        slope, aspect,
+                        dy1,
+                        sqrt_05 * dx1 + sqrt_05 * dy1,
+                        dx1,
+                        sqrt_05 * dx1 - sqrt_05 * dy1,
+                        -dy1,
+                        -sqrt_05 * dx1 - sqrt_05 * dy1,
+                        -dx1,
+                        -sqrt_05 * dx1 + sqrt_05 * dy1,
+                        list(fl),
+                    )
+                )
+                hid += 1
+            flowlines = []
+            starts = set()
+            seed_starts = {0}
+        counter += 1
+    return out
+
+
+_HACH_EXPECTED = None
+
+
+def _hachures_expected():
+    global _HACH_EXPECTED
+    if _HACH_EXPECTED is None:
+        _HACH_EXPECTED = _hachures_serial()
+    return _HACH_EXPECTED
+
+
+def _hachures_sql() -> str:
+    """Literal fingerprint rows from the independent serial transcription
+    (the fixture is sf-independent, like the embankment/TSP oracles)."""
+    import math as _m
+
+    def lit(v):
+        if isinstance(v, float) and _m.isnan(v):
+            return "CAST('nan' AS DOUBLE)"
+        return repr(float(v))
+
+    rows = []
+    for rec in _hachures_expected():
+        hid, val = rec[0], rec[1]
+        attrs = rec[2:12]
+        pts = rec[12]
+        length = 0.0
+        for i in range(1, len(pts)):
+            dx = pts[i][0] - pts[i - 1][0]
+            dy = pts[i][1] - pts[i - 1][1]
+            length = length + _m.sqrt(dx * dx + dy * dy)
+        vals = (
+            [str(hid), lit(val)]
+            + [lit(a) for a in attrs]
+            + [str(len(pts)), lit(pts[0][0]), lit(pts[0][1]),
+               lit(pts[-1][0]), lit(pts[-1][1]), lit(length)]
+        )
+        rows.append("(" + ", ".join(vals) + ")")
+    values = ",\n".join(rows)
+    return f"""
+SELECT hid, ROUND(CAST(height AS DOUBLE), 6) AS height,
+       ROUND(CAST(slope AS DOUBLE), 6) AS slope,
+       ROUND(CAST(aspect AS DOUBLE), 6) AS aspect,
+       ROUND(CAST(n AS DOUBLE), 6) AS n, ROUND(CAST(ne AS DOUBLE), 6) AS ne,
+       ROUND(CAST(e AS DOUBLE), 6) AS e, ROUND(CAST(se AS DOUBLE), 6) AS se,
+       ROUND(CAST(s AS DOUBLE), 6) AS s, ROUND(CAST(sw AS DOUBLE), 6) AS sw,
+       ROUND(CAST(w AS DOUBLE), 6) AS w, ROUND(CAST(nw AS DOUBLE), 6) AS nw,
+       nv, ROUND(CAST(x_first AS DOUBLE), 6) AS x_first,
+       ROUND(CAST(y_first AS DOUBLE), 6) AS y_first,
+       ROUND(CAST(x_last AS DOUBLE), 6) AS x_last,
+       ROUND(CAST(y_last AS DOUBLE), 6) AS y_last,
+       ROUND(CAST(length AS DOUBLE), 6) AS length
+FROM (VALUES
+{values}
+) AS t(hid, height, slope, aspect, n, ne, e, se, s, sw, w, nw, nv,
+       x_first, y_first, x_last, y_last, length)
+"""
+
+
 # The driver's correctness harness checks the FIRST 50 queries() entries each
 # round.  Rounds 1-3 certified 123 distinct queries; the round-4 window keeps
 # relative_topographic_position first (red in r01-r03; the scaled-integer
@@ -7467,7 +8404,10 @@ _DRIVER_WINDOW: list[str] = [
     "qin_flow_accumulation",
     "lidar_ransac_planes",
     "lidar_segmentation",
-    "raster_to_vector_lines",
+    # closes the LAST registered-tool coverage gap; value-checked vs the
+    # independent serial-transcription literal oracle (raster_to_vector_lines
+    # rotated out: rows-only, pinned by tests/test_raster_lines.py)
+    "topographic_hachures",
 ]
 
 
@@ -7640,6 +8580,20 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "las_to_multipoint_shapefile": q_las_to_multipoint,
         "burn_streams_at_roads": q_burn_streams_at_roads,
         "embankment_mapping": q_embankment_mapping,
+        "topographic_hachures": q_topographic_hachures,
+        "clean_vector": q_clean_vector,
+        "multipart_to_singlepart": q_multipart_to_singlepart,
+        "polygons_to_lines": q_polygons_to_lines,
+        "lines_to_polygons": q_lines_to_polygons,
+        "remove_polygon_holes": q_remove_polygon_holes,
+        "reinitialize_attribute_table": q_reinitialize_attribute_table,
+        "new_raster_from_base": q_new_raster_from_base,
+        "convert_nodata_to_zero": q_convert_nodata_to_zero,
+        "csv_points_to_vector": q_csv_points_to_vector,
+        "export_table_to_csv": q_export_table_to_csv,
+        "block_min_gridding": q_block_min_gridding,
+        "las_to_ascii": q_las_to_ascii,
+        "construct_vector_tin_invariants": q_construct_vector_tin_points,
         "lidar_rooftop_analysis": q_lidar_rooftop_analysis,
         "qin_flow_accumulation": q_qin_flow_accumulation,
         "breach_single_cell_pits": q_breach_single_cell_pits,
@@ -8655,6 +9609,38 @@ FROM ({_ZLIDAR_CLOUD_SQL_BODY} FROM ({_order_cloud_cte()}) oc)
         "las_to_multipoint_shapefile": _las_to_multipoint_sql(),
         "burn_streams_at_roads": _bsar_sql(),
         "embankment_mapping": _embankment_sql(),
+        "topographic_hachures": _hachures_sql(),
+        "clean_vector": _clean_vector_sql(),
+        "multipart_to_singlepart": _parts_enum_sql(
+            "fid, poly_id, part_idx, n_vertices"
+        ),
+        "polygons_to_lines": _parts_enum_sql("fid, poly_id, part_idx, n_vertices"),
+        "lines_to_polygons": _lines_to_polygons_sql(),
+        "remove_polygon_holes": _parts_enum_sql("poly_id, part_idx, n_vertices")
+        + " WHERE is_hole = 0",
+        "reinitialize_attribute_table": _parts_enum_sql(
+            "poly_id, part_idx, CAST(5 AS BIGINT) AS n_cols"
+        ),
+        "new_raster_from_base": f"""
+SELECT CAST(floor(i / {P2R_GRID.cols}) AS BIGINT) AS row,
+       CAST(i % {P2R_GRID.cols} AS BIGINT) AS col,
+       CAST(7.5 AS DOUBLE) AS value
+FROM range({P2R_GRID.rows * P2R_GRID.cols}) AS t(i)
+""",
+        "convert_nodata_to_zero": (
+            "SELECT p_partkey % 200 AS row, "
+            "CAST(floor(p_partkey / 200.0) AS BIGINT) % 200 AS col, "
+            "CASE WHEN p_partkey % 13 = 0 THEN 0.0 "
+            "ELSE p_retailprice END AS value FROM part"
+        ),
+        "csv_points_to_vector": _csv_points_sql(),
+        "export_table_to_csv": "SELECT n_nationkey, n_name FROM nation",
+        "block_min_gridding": _block_min_sql(),
+        "las_to_ascii": f"""
+SELECT round(x, 6) AS x, round(y, 6) AS y, round(z, 6) AS z, classification
+FROM ({_ZLIDAR_CLOUD_SQL_BODY} FROM ({_order_cloud_cte()}) oc)
+""",
+        "construct_vector_tin_invariants": _construct_tin_sql(),
         "impoundment_size_index": __import__(
             "whitebox_tools_spark.operators.impoundment", fromlist=["isi_oracle_sql"]
         ).isi_oracle_sql(_DENSE20_SQL, EXTRACT_GRID, dam_length=5.0),
