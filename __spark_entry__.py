@@ -5226,6 +5226,8 @@ q_tangential_curvature = _q_curv("tangential")
 q_total_curvature = _q_curv("total")
 q_mean_curvature = _q_curv("mean")
 q_gaussian_curvature = _q_curv("gaussian")
+q_minimal_curvature = _q_curv("minimal")
+q_maximal_curvature = _q_curv("maximal")
 
 
 def q_clip_points(spark, sf_dir):
@@ -8813,6 +8815,8 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "total_curvature": q_total_curvature,
         "mean_curvature": q_mean_curvature,
         "gaussian_curvature": q_gaussian_curvature,
+        "minimal_curvature": q_minimal_curvature,
+        "maximal_curvature": q_maximal_curvature,
         "clip_points": q_clip_points,
         "erase_points": q_erase_points,
         "trend_surface": q_trend_surface,
@@ -9308,7 +9312,8 @@ GROUP BY 1
         "tophat_transform": _focal_r6_sql("tophat"),
         **{
             f"{w}_curvature": _curvature_sql(w)
-            for w in ("plan", "profile", "tangential", "total", "mean", "gaussian")
+            for w in ("plan", "profile", "tangential", "total", "mean",
+                      "gaussian", "minimal", "maximal")
         },
         "sobel_filter": _sobel_sql(),
         **{
