@@ -27,6 +27,13 @@ HEADLINE = [
     "line_intersections",
     "d8_flow_accumulation",
     "union_rings",
+    # round-4 scale paths
+    "fd8_flow_accumulation",
+    "cost_distance",
+    "max_diff_from_mean_tiled",
+    "embedding_ann_multiprobe",
+    "ngram_jaccard_prefix",
+    "topographic_hachures",
 ]
 
 
