@@ -7690,6 +7690,204 @@ def _construct_tin_sql() -> str:
     )
 
 
+# --- real multimodal decode (netpbm images + PCM WAVE audio; no codec libs
+# needed) ---------------------------------------------------------------------
+
+
+def _media_arrays():
+    """Deterministic source arrays for the media fixture: 6 P5 grayscale
+    images, 6 P6 RGB images, 6 stereo int16 WAV clips."""
+    import numpy as np
+
+    out = []
+    for i in range(6):
+        h, w = 8 + i, 10 + 2 * i
+        img = (
+            (np.arange(h)[:, None] * 31 + np.arange(w)[None, :] * 17 + i * 7) % 251
+        ).astype(np.uint8)
+        out.append((f"d{i}", f"img/p5/{i}", "image", img, None))
+    for i in range(6):
+        h, w = 6 + i, 9 + i
+        img = (
+            (
+                np.arange(h)[:, None, None] * 13
+                + np.arange(w)[None, :, None] * 29
+                + np.arange(3)[None, None, :] * 61
+                + i
+            )
+            % 241
+        ).astype(np.uint8)
+        out.append((f"d{6 + i}", f"img/p6/{i}", "image", img, None))
+    for i in range(6):
+        n = 50 + 10 * i
+        t = np.arange(n)
+        s = (np.round(3000 * np.sin(t * (0.1 + 0.01 * i))) + ((t * 37) % 11) - 5).astype(
+            np.int16
+        )
+        st = np.stack([s, (-(s // 2)).astype(np.int16)], axis=1)
+        out.append((f"d{12 + i}", f"aud/{i}", "audio", st, 8000 + i * 100))
+    return out
+
+
+def _media_df(spark):
+    from whitebox_tools_spark.operators.multimodal import encode_netpbm, encode_wav
+
+    rows = []
+    for doc_id, ref, kind, arr, rate in _media_arrays():
+        payload = encode_wav(arr, rate) if kind == "audio" else encode_netpbm(arr)
+        rows.append((doc_id, ref, kind, bytearray(payload)))
+    return spark.createDataFrame(
+        rows, "doc_id string, media_ref string, media_type string, payload binary"
+    )
+
+
+def _media_expected_features():
+    """INDEPENDENT feature computation from the construction arrays (never
+    touches the engine's decoders — a decode bug cannot cancel out)."""
+    import numpy as np
+
+    out = []
+    for doc_id, ref, kind, arr, rate in _media_arrays():
+        if kind == "image":
+            img = arr.astype(np.float64)
+            if img.ndim == 2:
+                img = img[:, :, None]
+            h, w, c = img.shape
+            if c == 3:
+                cm = [float(img[:, :, k].mean()) for k in range(3)]
+            else:
+                cm = [float(img[:, :, 0].mean()), 0.0, 0.0]
+            v = [
+                1.0, float(c), float(w), float(h),
+                float(img.mean()), float(img.std()),
+                float(img.min()), float(img.max()),
+                cm[0], cm[1], cm[2],
+                float(img[0, :, :].mean()), float(img[:, 0, :].mean()),
+                float(img[h // 2, w // 2, 0]), 0.0, 0.0,
+            ]
+        else:
+            x = arr.astype(np.float64)
+            mono = x.mean(axis=1)
+            zc = int(
+                np.count_nonzero(np.signbit(mono[1:]) != np.signbit(mono[:-1]))
+            )
+            v = [
+                2.0, float(arr.shape[1]), float(rate), float(arr.shape[0]),
+                float(x.mean()), float(x.std()), float(x.min()), float(x.max()),
+                float(mono[0]), float(mono[-1]), float(np.abs(mono).mean()),
+                float(zc), 0.0, 0.0, 0.0, 0.0,
+            ]
+        out.append((doc_id, ref, v))
+    return out
+
+
+_MEDIA_FCOLS = [f"f{i}" for i in range(16)]
+
+
+def q_media_features(spark, sf_dir):
+    """REAL media decode + feature extraction (beyond-reference training-data
+    op): netpbm P5/P6 images and PCM WAVE audio parsed in-task by Arrow-
+    batched mapInPandas (pure numpy/stdlib — the honest subset of formats
+    this container can decode; compressed codecs still raise). Value-checked
+    against features computed independently from the construction arrays."""
+    from whitebox_tools_spark.operators.multimodal import extract_media_features
+
+    out = extract_media_features(_media_df(spark), fake=False)
+    return out.select(
+        "doc_id",
+        "media_ref",
+        *[
+            F.round(F.element_at("features", i + 1), 6).alias(c)
+            for i, c in enumerate(_MEDIA_FCOLS)
+        ],
+    )
+
+
+def q_media_resize_features(spark, sf_dir):
+    """Nearest-neighbour image resize (decode -> index-sample -> re-encode)
+    chained into feature extraction; oracle resamples the construction
+    arrays directly."""
+    from whitebox_tools_spark.operators.multimodal import (
+        extract_media_features,
+        resize_image_nn,
+    )
+
+    imgs = _media_df(spark).filter(F.col("media_type") == "image")
+    small = resize_image_nn(imgs, out_w=7, out_h=6)
+    out = extract_media_features(
+        small.withColumn("media_type", F.lit("image")), fake=False
+    )
+    return out.select(
+        "doc_id",
+        *[
+            F.round(F.element_at("features", i + 1), 6).alias(c)
+            for i, c in enumerate(_MEDIA_FCOLS)
+        ],
+    )
+
+
+def _media_lit(v):
+    import math as _m
+
+    return "CAST('nan' AS DOUBLE)" if isinstance(v, float) and _m.isnan(v) else repr(
+        float(v)
+    )
+
+
+def _media_features_sql() -> str:
+    rows = []
+    for doc_id, ref, v in _media_expected_features():
+        rows.append(
+            f"('{doc_id}', '{ref}', " + ", ".join(_media_lit(x) for x in v) + ")"
+        )
+    cols = ", ".join(
+        f"ROUND(CAST({c} AS DOUBLE), 6) AS {c}" for c in _MEDIA_FCOLS
+    )
+    return (
+        f"SELECT doc_id, media_ref, {cols} FROM (VALUES "
+        + ", ".join(rows)
+        + f") AS t(doc_id, media_ref, {', '.join(_MEDIA_FCOLS)})"
+    )
+
+
+def _media_resize_sql() -> str:
+    import numpy as np
+
+    rows = []
+    out_h, out_w = 6, 7
+    for doc_id, ref, kind, arr, rate in _media_arrays():
+        if kind != "image":
+            continue
+        h, w = arr.shape[:2]
+        ri = (np.arange(out_h) * h) // out_h
+        ci = (np.arange(out_w) * w) // out_w
+        img = (arr[np.ix_(ri, ci)]).astype(np.float64)
+        if img.ndim == 2:
+            img = img[:, :, None]
+        hh, ww, c = img.shape
+        if c == 3:
+            cm = [float(img[:, :, k].mean()) for k in range(3)]
+        else:
+            cm = [float(img[:, :, 0].mean()), 0.0, 0.0]
+        v = [
+            1.0, float(c), float(ww), float(hh),
+            float(img.mean()), float(img.std()),
+            float(img.min()), float(img.max()),
+            cm[0], cm[1], cm[2],
+            float(img[0, :, :].mean()), float(img[:, 0, :].mean()),
+            float(img[hh // 2, ww // 2, 0]), 0.0, 0.0,
+        ]
+        rows.append(f"('{doc_id}', " + ", ".join(_media_lit(x) for x in v) + ")")
+    cols = ", ".join(
+        f"ROUND(CAST({c} AS DOUBLE), 6) AS {c}" for c in _MEDIA_FCOLS
+    )
+    return (
+        f"SELECT doc_id, {cols} FROM (VALUES "
+        + ", ".join(rows)
+        + f") AS t(doc_id, {', '.join(_MEDIA_FCOLS)})"
+    )
+
+
 HACH_GRID = GridSpec(west=0.0, north=208.0, res_x=8.0, res_y=8.0, rows=26, cols=26)
 _HACH_PARAMS = dict(
     interval=8.0, base=0.0, filter_size=9, tolerance=10.0, separation=2.0,
@@ -8595,6 +8793,8 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "export_table_to_csv": q_export_table_to_csv,
         "block_min_gridding": q_block_min_gridding,
         "las_to_ascii": q_las_to_ascii,
+        "media_features": q_media_features,
+        "media_resize_features": q_media_resize_features,
         "construct_vector_tin_invariants": q_construct_vector_tin_points,
         "lidar_rooftop_analysis": q_lidar_rooftop_analysis,
         "qin_flow_accumulation": q_qin_flow_accumulation,
@@ -9641,6 +9841,8 @@ FROM range({P2R_GRID.rows * P2R_GRID.cols}) AS t(i)
         "csv_points_to_vector": _csv_points_sql(),
         "export_table_to_csv": "SELECT n_nationkey, n_name FROM nation",
         "block_min_gridding": _block_min_sql(),
+        "media_features": _media_features_sql(),
+        "media_resize_features": _media_resize_sql(),
         "las_to_ascii": f"""
 SELECT round(x, 6) AS x, round(y, 6) AS y, round(z, 6) AS z, classification
 FROM ({_ZLIDAR_CLOUD_SQL_BODY} FROM ({_order_cloud_cte()}) oc)
