@@ -7784,6 +7784,47 @@ def _media_expected_features():
 _MEDIA_FCOLS = [f"f{i}" for i in range(16)]
 
 
+def q_las_rgb_gps_round_trip(spark, sf_dir):
+    """LAS 1.2 point formats 1-3 (whitebox-lidar/src/las.rs point records
+    with GPS time and RGB): cloud -> format-3 LAS file -> distributed
+    binaryFile read; identity through the 0.001 quantizer (gps_time uses an
+    exact-binary 2^-4 step so the f64 field round-trips bit-exactly)."""
+    import tempfile
+
+    from whitebox_tools_spark.lidar_io import read_las, write_las
+
+    d = tempfile.mkdtemp()
+    cloud = (
+        _zlidar_cloud(spark, sf_dir)
+        .withColumn("gps_time", F.col("point_id") * 0.0625 + 300000.0)
+        .withColumn("red", (F.col("point_id") * 97 % 65536).cast("int"))
+        .withColumn("green", (F.col("point_id") * 131 % 65536).cast("int"))
+        .withColumn("blue", (F.col("point_id") * 181 % 65536).cast("int"))
+    )
+    write_las(cloud, f"{d}/a.las")
+    out = read_las(spark, f"{d}/a.las")
+    return out.select(
+        F.round("x", 6).alias("x"),
+        F.round("y", 6).alias("y"),
+        F.round("z", 6).alias("z"),
+        "intensity", "return_number", "number_of_returns", "classification",
+        F.round("gps_time", 6).alias("gps_time"),
+        "red", "green", "blue",
+    )
+
+
+def _las_rgb_gps_sql() -> str:
+    return f"""
+SELECT round(x, 6) AS x, round(y, 6) AS y, round(z, 6) AS z,
+       intensity, return_number, number_of_returns, classification,
+       round(point_id * 0.0625 + 300000.0, 6) AS gps_time,
+       CAST(point_id * 97 % 65536 AS INT) AS red,
+       CAST(point_id * 131 % 65536 AS INT) AS green,
+       CAST(point_id * 181 % 65536 AS INT) AS blue
+FROM ({_ZLIDAR_CLOUD_SQL_BODY} FROM ({_order_cloud_cte()}) oc)
+"""
+
+
 def q_media_features(spark, sf_dir):
     """REAL media decode + feature extraction (beyond-reference training-data
     op): netpbm P5/P6 images and PCM WAVE audio parsed in-task by Arrow-
@@ -8795,6 +8836,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "las_to_ascii": q_las_to_ascii,
         "media_features": q_media_features,
         "media_resize_features": q_media_resize_features,
+        "las_rgb_gps_round_trip": q_las_rgb_gps_round_trip,
         "construct_vector_tin_invariants": q_construct_vector_tin_points,
         "lidar_rooftop_analysis": q_lidar_rooftop_analysis,
         "qin_flow_accumulation": q_qin_flow_accumulation,
@@ -9843,6 +9885,7 @@ FROM range({P2R_GRID.rows * P2R_GRID.cols}) AS t(i)
         "block_min_gridding": _block_min_sql(),
         "media_features": _media_features_sql(),
         "media_resize_features": _media_resize_sql(),
+        "las_rgb_gps_round_trip": _las_rgb_gps_sql(),
         "las_to_ascii": f"""
 SELECT round(x, 6) AS x, round(y, 6) AS y, round(z, 6) AS z, classification
 FROM ({_ZLIDAR_CLOUD_SQL_BODY} FROM ({_order_cloud_cte()}) oc)

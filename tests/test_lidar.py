@@ -182,3 +182,46 @@ def test_las_ascii_roundtrip(spark, tmp_path):
     b = sorted((round(r.x, 3), round(r.y, 3), round(r.z, 3), r.classification)
                for r in read_las(spark, las2).collect())
     assert a == b and len(a) == 25
+
+
+def test_las_point_formats_round_trip():
+    """LAS 1.2 formats 0-3: GPS time (f64, formats 1/3) and RGB (u16x3,
+    formats 2/3) survive encode->decode bit-exactly."""
+    import numpy as np
+    import pandas as pd
+
+    from whitebox_tools_spark.lidar_io import decode_las, encode_las
+
+    n = 100
+    base = pd.DataFrame(
+        {
+            "x": np.round(np.arange(n) * 1.5, 3),
+            "y": np.round(np.arange(n) * 0.25 + 7, 3),
+            "z": np.round(np.sin(np.arange(n)) * 3, 3),
+            "intensity": np.arange(n) % 1200,
+            "return_number": np.arange(n) % 3 + 1,
+            "number_of_returns": np.full(n, 3),
+            "classification": np.arange(n) % 5,
+        }
+    )
+    d0 = decode_las(encode_las(base))
+    assert np.allclose(d0.x, base.x) and (d0.gps_time == 0).all() and (d0.red == 0).all()
+
+    p1 = base.assign(gps_time=np.arange(n) * 0.123 + 400000.5)
+    d1 = decode_las(encode_las(p1))
+    assert np.array_equal(d1.gps_time, p1.gps_time)
+
+    p2 = base.assign(
+        red=np.arange(n) % 65535,
+        green=(np.arange(n) * 7) % 65535,
+        blue=(np.arange(n) * 13) % 65535,
+    )
+    d2 = decode_las(encode_las(p2))
+    assert np.array_equal(d2.red, p2.red) and np.array_equal(d2.blue, p2.blue)
+
+    p3 = p1.assign(red=p2.red, green=p2.green, blue=p2.blue)
+    d3 = decode_las(encode_las(p3))
+    assert np.array_equal(d3.gps_time, p3.gps_time)
+    assert np.array_equal(d3.green, p3.green)
+    assert np.array_equal(d3.intensity, base.intensity)
+    assert np.array_equal(d3.classification, base.classification)

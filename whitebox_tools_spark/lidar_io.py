@@ -1,10 +1,11 @@
 """LAS point-cloud codec (class SRC).
 
-Pure-python LAS 1.2 reader/writer for point record format 0 — the subset
-the reference's whitebox-lidar/src/las.rs reads for every analysis tool
-(x/y/z via scale+offset, intensity, return byte, classification). Layout
-follows the public ASPRS LAS 1.2 specification; no external lidar
-libraries exist in this environment.
+Pure-python LAS 1.2 reader/writer for point record formats 0-3 — the
+fields the reference's whitebox-lidar/src/las.rs reads for every analysis
+tool (x/y/z via scale+offset, intensity, return byte, classification, GPS
+time for formats 1/3, RGB for formats 2/3). Layout follows the public
+ASPRS LAS 1.2 specification; no external lidar libraries exist in this
+environment.
 
 Distribution shape mirrors geotiff.py: reads go through Spark's binaryFile
 source + mapInPandas so a directory of LAS tiles decodes in parallel, one
@@ -21,18 +22,20 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
 _HEADER_SIZE = 227
-_POINT_LEN = 20  # point data record format 0
+_POINT_LEN = {0: 20, 1: 28, 2: 26, 3: 34}  # record length per point format
 
 POINT_SCHEMA = (
     "point_id long, x double, y double, z double, intensity int, "
-    "return_number int, number_of_returns int, classification int"
+    "return_number int, number_of_returns int, classification int, "
+    "gps_time double, red int, green int, blue int"
 )
 
 
 def encode_las(points: pd.DataFrame, *, scale: float = 0.001) -> bytes:
-    """Point table -> LAS 1.2 / format-0 bytes. Columns: x, y, z and
-    optional intensity / return_number / number_of_returns /
-    classification."""
+    """Point table -> LAS 1.2 bytes. Columns: x, y, z and optional
+    intensity / return_number / number_of_returns / classification /
+    gps_time / red,green,blue. The point format is inferred from the
+    optional columns present: gps_time -> 1, rgb -> 2, both -> 3, else 0."""
     n = len(points)
     xs = points["x"].to_numpy(np.float64)
     ys = points["y"].to_numpy(np.float64)
@@ -63,8 +66,7 @@ def encode_las(points: pd.DataFrame, *, scale: float = 0.001) -> bytes:
     struct.pack_into("<H", header, 94, _HEADER_SIZE)   # header size
     struct.pack_into("<I", header, 96, _HEADER_SIZE)   # offset to points
     struct.pack_into("<I", header, 100, 0)             # number of VLRs
-    header[104] = 0                                    # point format
-    struct.pack_into("<H", header, 105, _POINT_LEN)
+    # point format + record length set below once optional columns are known
     struct.pack_into("<I", header, 107, n)
     struct.pack_into("<5I", header, 111, n, 0, 0, 0, 0)
     struct.pack_into("<3d", header, 131, scale, scale, scale)
@@ -87,7 +89,31 @@ def encode_las(points: pd.DataFrame, *, scale: float = 0.001) -> bytes:
     rec["intensity"] = inten
     rec["flags"] = (rn & 0x7) | ((nr & 0x7) << 3)
     rec["cls"] = cls
-    return bytes(header) + rec.tobytes()
+    base = rec.tobytes()
+
+    has_gps = "gps_time" in points.columns
+    has_rgb = all(c in points.columns for c in ("red", "green", "blue"))
+    fmt = (1 if has_gps else 0) | (2 if has_rgb else 0)
+    header[104] = fmt
+    rec_len = _POINT_LEN[fmt]
+    struct.pack_into("<H", header, 105, rec_len)
+    if fmt == 0:
+        return bytes(header) + base
+
+    out = np.zeros((n, rec_len), dtype=np.uint8)
+    out[:, :20] = np.frombuffer(base, dtype=np.uint8).reshape(n, 20)
+    pos = 20
+    if has_gps:
+        gps = points["gps_time"].to_numpy(np.float64)
+        out[:, pos:pos + 8] = gps.view(np.uint8).reshape(n, 8)
+        pos += 8
+    if has_rgb:
+        rgb = np.zeros(n, dtype=np.dtype([("r", "<u2"), ("g", "<u2"), ("b", "<u2")]))
+        rgb["r"] = points["red"].to_numpy(np.int64)
+        rgb["g"] = points["green"].to_numpy(np.int64)
+        rgb["b"] = points["blue"].to_numpy(np.int64)
+        out[:, pos:pos + 6] = np.frombuffer(rgb.tobytes(), dtype=np.uint8).reshape(n, 6)
+    return bytes(header) + out.tobytes()
 
 
 def decode_las(data: bytes, *, id_base: int = 0) -> pd.DataFrame:
@@ -111,6 +137,19 @@ def decode_las(data: bytes, *, id_base: int = 0) -> pd.DataFrame:
     inten = base[:, 12:14].copy().view("<u2").ravel()
     flags = base[:, 14]
     cls = base[:, 15]
+    # formats 1/3 carry GPS time at byte 20; 2/3 carry RGB after it
+    if fmt in (1, 3):
+        gps = base[:, 20:28].copy().view("<f8").ravel()
+        rgb_off = 28
+    else:
+        gps = np.zeros(n, np.float64)
+        rgb_off = 20
+    if fmt in (2, 3):
+        r = base[:, rgb_off:rgb_off + 2].copy().view("<u2").ravel()
+        g = base[:, rgb_off + 2:rgb_off + 4].copy().view("<u2").ravel()
+        b = base[:, rgb_off + 4:rgb_off + 6].copy().view("<u2").ravel()
+    else:
+        r = g = b = np.zeros(n, np.uint16)
     return pd.DataFrame(
         {
             "point_id": np.arange(id_base, id_base + n, dtype=np.int64),
@@ -121,6 +160,10 @@ def decode_las(data: bytes, *, id_base: int = 0) -> pd.DataFrame:
             "return_number": (flags & 0x7).astype(np.int32),
             "number_of_returns": ((flags >> 3) & 0x7).astype(np.int32),
             "classification": cls.astype(np.int32),
+            "gps_time": gps,
+            "red": r.astype(np.int32),
+            "green": g.astype(np.int32),
+            "blue": b.astype(np.int32),
         }
     )
 

@@ -47,7 +47,14 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
-from whitebox_tools_spark.lidar_io import POINT_SCHEMA
+# zLidar v1.1 carries no RGB stream in this codec subset; its read schema is
+# the classic LAS format-1 field set (the LAS reader's POINT_SCHEMA also adds
+# red/green/blue for formats 2/3)
+ZLIDAR_SCHEMA = (
+    "point_id long, x double, y double, z double, intensity int, "
+    "return_number int, number_of_returns int, classification int, "
+    "gps_time double"
+)
 
 _BLOCK = 50_000
 _HEADER_SIZE = 235
@@ -530,14 +537,9 @@ def read_zlidar(spark: SparkSession, path: str) -> DataFrame:
         for pdf in batches:
             for _, r in pdf.iterrows():
                 base = (hash(r["path"]) & 0xFFFFF) << 40
-                yield decode_zlidar(bytes(r["content"]), id_base=base)[
-                    [
-                        "point_id", "x", "y", "z", "intensity",
-                        "return_number", "number_of_returns", "classification",
-                    ]
-                ]
+                yield decode_zlidar(bytes(r["content"]), id_base=base)
 
-    return files.select("path", "content").mapInPandas(decode, POINT_SCHEMA)
+    return files.select("path", "content").mapInPandas(decode, ZLIDAR_SCHEMA)
 
 
 def las_to_zlidar(las_path: str, zlidar_path: str, *, level: int = 6) -> None:
