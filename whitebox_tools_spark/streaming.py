@@ -100,3 +100,48 @@ def event_window_counts(
     return df.groupBy(w.alias("win"), "event_type").agg(
         F.count(F.lit(1)).alias("n"), F.sum("value").alias("total")
     )
+
+
+def streaming_cell_stats(points, *, cell: float = 125.0):
+    """Custom STATEFUL streaming operator via applyInPandasWithState: per
+    grid cell, maintain running (n, sum_z, min_z, max_z) across micro-
+    batches and emit the updated row for every cell touched by a trigger.
+    This is the engine's template for stateful spatial operators the
+    built-in streaming aggregates can't express (e.g. evolving per-cell
+    sketches); state is Spark-managed (checkpointed, partition-local), so
+    the operator scales exactly like a shuffle-by-key. Works only on a
+    streaming DataFrame with columns (x, y, z)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    keyed = points.select(
+        F.floor(F.col("x") / F.lit(cell)).cast("long").alias("cx"),
+        F.floor(F.col("y") / F.lit(cell)).cast("long").alias("cy"),
+        "z",
+    )
+
+    out_schema = (
+        "cx long, cy long, n long, sum_z double, min_z double, max_z double"
+    )
+    state_schema = "n long, sum_z double, min_z double, max_z double"
+
+    def update(key, pdfs, state):
+        n, s, mn, mx = (state.get if state.exists else (0, 0.0, None, None))
+        for pdf in pdfs:
+            z = pdf["z"].astype(float)
+            if not len(z):
+                continue
+            n += int(len(z))
+            s += float(z.sum())
+            bmn, bmx = float(z.min()), float(z.max())
+            mn = bmn if mn is None else min(mn, bmn)
+            mx = bmx if mx is None else max(mx, bmx)
+        state.update((n, s, mn, mx))
+        yield pd.DataFrame(
+            [{"cx": key[0], "cy": key[1], "n": n, "sum_z": s,
+              "min_z": mn, "max_z": mx}]
+        )
+
+    return keyed.groupBy("cx", "cy").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
