@@ -7784,6 +7784,79 @@ def _media_expected_features():
 _MEDIA_FCOLS = [f"f{i}" for i in range(16)]
 
 
+def q_shapefile_round_trip(spark, sf_dir):
+    """ESRI Shapefile codec (whitebox-vector/src/shapefile/geometry.rs
+    ShapeType Polygon + dBase III attributes — the reference's native
+    vector format): polygon layer + attributes -> .shp/.shx/.dbf -> the
+    distributed binaryFile reader + .dbf attribute join. Fingerprint is
+    ring-orientation invariant (the writer normalizes shells CW / holes CCW
+    per the public spec; vertex sums and counts survive reversal)."""
+    import tempfile
+
+    import pandas as pd
+
+    from whitebox_tools_spark.shapefile_io import (
+        read_shapefile,
+        read_shapefile_attrs,
+        write_shapefile,
+    )
+
+    d = tempfile.mkdtemp()
+    feats = []
+    names, scores = [], []
+    for pid, parts in sorted(PARTS, key=lambda t: t[0]):
+        feats.append(
+            [([float(v) for v in xs], [float(v) for v in ys], bool(h))
+             for xs, ys, h in parts]
+        )
+        names.append(f"feat-{pid}")
+        scores.append(pid * 1.5)
+    attrs = pd.DataFrame({"name": names, "score": scores})
+    write_shapefile(feats, f"{d}/layer", attrs=attrs)
+    shapes = read_shapefile(spark, f"{d}/layer.shp", file_offset_ids=False)
+    table = read_shapefile_attrs(spark, f"{d}/layer.dbf")
+    out = shapes.join(table, "fid")
+    return out.select(
+        "fid",
+        F.col("part_idx").cast("long").alias("part_idx"),
+        "is_hole",
+        F.size("xs").cast("long").alias("n_vertices"),
+        # exact scaled-integer vertex sums: order-invariant, so the writer's
+        # ring-orientation normalization cannot perturb the fingerprint
+        F.aggregate(
+            "xs", F.lit(0).cast("long"),
+            lambda a, v: a + F.floor(v * 1e6 + F.lit(0.5)).cast("long"),
+        ).alias("sum_x6"),
+        F.aggregate(
+            "ys", F.lit(0).cast("long"),
+            lambda a, v: a + F.floor(v * 1e6 + F.lit(0.5)).cast("long"),
+        ).alias("sum_y6"),
+        "name",
+        F.round("score", 6).alias("score"),
+    )
+
+
+def _shapefile_sql() -> str:
+    import math as _m
+
+    rows = []
+    for rec, (pid, parts) in enumerate(sorted(PARTS, key=lambda t: t[0]), start=1):
+        for k, (xs, ys, h) in enumerate(parts):
+            sx = sum(_m.floor(float(v) * 1e6 + 0.5) for v in xs)
+            sy = sum(_m.floor(float(v) * 1e6 + 0.5) for v in ys)
+            rows.append(
+                f"({rec}, {k}, {str(bool(h)).upper()}, {len(xs)}, {sx}, "
+                f"{sy}, 'feat-{pid}', {pid * 1.5!r})"
+            )
+    return (
+        "SELECT fid, part_idx, is_hole, n_vertices, "
+        "CAST(sum_x6 AS BIGINT) AS sum_x6, CAST(sum_y6 AS BIGINT) AS sum_y6, "
+        "name, ROUND(CAST(score AS DOUBLE), 6) AS score FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(fid, part_idx, is_hole, n_vertices, sum_x6, sum_y6, name, score)"
+    )
+
+
 def q_las_rgb_gps_round_trip(spark, sf_dir):
     """LAS 1.2 point formats 1-3 (whitebox-lidar/src/las.rs point records
     with GPS time and RGB): cloud -> format-3 LAS file -> distributed
@@ -8837,6 +8910,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "media_resize_features": q_media_resize_features,
         "las_rgb_gps_round_trip": q_las_rgb_gps_round_trip,
+        "shapefile_round_trip": q_shapefile_round_trip,
         "construct_vector_tin_invariants": q_construct_vector_tin_points,
         "lidar_rooftop_analysis": q_lidar_rooftop_analysis,
         "qin_flow_accumulation": q_qin_flow_accumulation,
@@ -9886,6 +9960,7 @@ FROM range({P2R_GRID.rows * P2R_GRID.cols}) AS t(i)
         "media_features": _media_features_sql(),
         "media_resize_features": _media_resize_sql(),
         "las_rgb_gps_round_trip": _las_rgb_gps_sql(),
+        "shapefile_round_trip": _shapefile_sql(),
         "las_to_ascii": f"""
 SELECT round(x, 6) AS x, round(y, 6) AS y, round(z, 6) AS z, classification
 FROM ({_ZLIDAR_CLOUD_SQL_BODY} FROM ({_order_cloud_cte()}) oc)

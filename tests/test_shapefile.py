@@ -1,0 +1,78 @@
+"""ESRI Shapefile codec: .shp/.shx/.dbf round trips (public spec layout),
+winding-based hole recovery, distributed read."""
+
+import numpy as np
+import pandas as pd
+
+from whitebox_tools_spark.shapefile_io import (
+    SHAPE_MULTIPOINT,
+    SHAPE_POINT,
+    SHAPE_POLYGON,
+    SHAPE_POLYLINE,
+    decode_dbf,
+    decode_shp,
+    encode_dbf,
+    encode_shp,
+    read_shapefile,
+    read_shapefile_attrs,
+    write_shapefile,
+)
+
+
+def test_polygon_orientation_and_holes():
+    shell = ([0.0, 10.0, 10.0, 0.0, 0.0], [0.0, 0.0, 8.0, 8.0, 0.0])  # CCW input
+    hole = ([2.0, 4.0, 4.0, 2.0, 2.0], [2.0, 2.0, 4.0, 4.0, 2.0])
+    feats = [
+        [(shell[0], shell[1], False), (hole[0], hole[1], True)],
+        [([20.0, 25.0, 22.0, 20.0], [0.0, 0.0, 5.0, 0.0], False)],
+    ]
+    shp, shx = encode_shp(feats, SHAPE_POLYGON)
+    dec = decode_shp(shp)
+    assert list(dec["is_hole"]) == [False, True, False]
+    # winding normalized on write; vertex multiset preserved
+    assert sorted(dec["xs"].iloc[0]) == sorted(shell[0])
+    assert len(shx) == 100 + 8 * 2
+
+
+def test_polyline_point_multipoint_round_trip():
+    pl = [[([0.0, 1.0, 2.0], [0.0, 1.0, 0.0])],
+          [([5.0, 6.0], [5.0, 7.0]), ([8.0, 9.0], [8.0, 9.0])]]
+    d = decode_shp(encode_shp(pl, SHAPE_POLYLINE)[0])
+    assert len(d) == 3 and d["xs"].iloc[2] == [8.0, 9.0]
+    assert not d["is_hole"].any()
+
+    d = decode_shp(encode_shp([(1.5, 2.5), (3.5, 4.5)], SHAPE_POINT)[0])
+    assert d["xs"].iloc[1] == [3.5] and d["ys"].iloc[0] == [2.5]
+
+    d = decode_shp(encode_shp([([1.0, 2.0, 3.0], [4.0, 5.0, 6.0])], SHAPE_MULTIPOINT)[0])
+    assert d["xs"].iloc[0] == [1.0, 2.0, 3.0]
+
+
+def test_dbf_round_trip():
+    t = pd.DataFrame(
+        {
+            "name": ["a", "bb", "ccc"],
+            "score": [1.5, 2.25, 3.125],
+            "n": [1, 22, 333],
+            "ok": [True, False, True],
+        }
+    )
+    back = decode_dbf(encode_dbf(t))
+    assert list(back["name"]) == ["a", "bb", "ccc"]
+    assert list(back["n"]) == [1, 22, 333]
+    assert list(back["ok"]) == [True, False, True]
+    assert np.allclose(back["score"], t["score"])
+
+
+def test_distributed_read_with_attrs(spark, tmp_path):
+    feats = [
+        [(list(map(float, [0, 5, 5, 0, 0])), list(map(float, [0, 0, 5, 5, 0])), False)]
+        for _ in range(4)
+    ]
+    attrs = pd.DataFrame({"name": [f"f{i}" for i in range(4)], "v": [1.0, 2.0, 3.0, 4.0]})
+    write_shapefile(feats, str(tmp_path / "layer"), attrs=attrs)
+    shapes = read_shapefile(spark, str(tmp_path / "layer.shp"), file_offset_ids=False)
+    table = read_shapefile_attrs(spark, str(tmp_path / "layer.dbf"))
+    out = shapes.join(table, "fid").orderBy("fid").collect()
+    assert [r["name"] for r in out] == ["f0", "f1", "f2", "f3"]
+    assert all(len(r["xs"]) == 5 for r in out)

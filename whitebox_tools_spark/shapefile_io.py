@@ -1,0 +1,325 @@
+"""ESRI Shapefile codec (class SRC).
+
+Pure-python .shp/.shx/.dbf reader/writer for the shape types the reference
+engine reads and writes everywhere (whitebox-vector/src/shapefile/
+geometry.rs:480 ShapeType): Point(1), PolyLine(3), Polygon(5),
+MultiPoint(8); the Z/M variants (11/13/15/18/21/23/25/28) decode through
+the same XY parser (trailing Z/M arrays ignored). Attribute tables are
+dBase III (.dbf) with C/N/F/L fields. Layout follows the PUBLIC ESRI
+Shapefile Technical Description and dBase III specs — no vector libraries
+exist in this environment.
+
+Distribution shape mirrors lidar_io.py: reads go through Spark's
+binaryFile source + mapInPandas, one task per .shp file (shapefiles ship
+as per-tile/per-theme files at scale). The writer is a driver-side
+small-layer sink (one file set), labeled as such.
+
+Polygon convention (spec + reference parity): exterior rings are written
+CLOCKWISE and holes COUNTER-CLOCKWISE; on read, ring role is recovered
+from the winding (clockwise = shell), the same rule the reference's
+Shapefile::read applies and geometry.is_clockwise pins.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+SHAPE_NULL = 0
+SHAPE_POINT = 1
+SHAPE_POLYLINE = 3
+SHAPE_POLYGON = 5
+SHAPE_MULTIPOINT = 8
+
+PARTS_SCHEMA = (
+    "fid long, part_idx int, is_hole boolean, xs array<double>, ys array<double>"
+)
+
+
+def _signed_area2(xs, ys) -> float:
+    xs = np.asarray(xs, np.float64)
+    ys = np.asarray(ys, np.float64)
+    return float(np.sum(xs[:-1] * ys[1:] - xs[1:] * ys[:-1]))
+
+
+# ---------------------------------------------------------------------------
+# .shp / .shx
+
+
+def encode_shp(
+    features: list, shape_type: int
+) -> tuple[bytes, bytes]:
+    """features -> (.shp bytes, .shx bytes).
+
+    Per shape_type, each feature is:
+      Point       -> (x, y)
+      MultiPoint  -> (xs, ys)
+      PolyLine    -> [ (xs, ys), ... ]                (one tuple per part)
+      Polygon     -> [ (xs, ys, is_hole), ... ]       (rings; orientation
+                      normalized to CW shells / CCW holes on write)
+    """
+    records = []
+    all_x, all_y = [], []
+    for num, feat in enumerate(features, start=1):
+        if shape_type == SHAPE_POINT:
+            x, y = feat
+            content = struct.pack("<i2d", SHAPE_POINT, float(x), float(y))
+            all_x.append(x)
+            all_y.append(y)
+        elif shape_type == SHAPE_MULTIPOINT:
+            xs, ys = feat
+            xs = [float(v) for v in xs]
+            ys = [float(v) for v in ys]
+            content = struct.pack(
+                "<i4di", SHAPE_MULTIPOINT, min(xs), min(ys), max(xs), max(ys), len(xs)
+            ) + b"".join(struct.pack("<2d", x, y) for x, y in zip(xs, ys))
+            all_x += xs
+            all_y += ys
+        elif shape_type in (SHAPE_POLYLINE, SHAPE_POLYGON):
+            parts = []
+            for part in feat:
+                if shape_type == SHAPE_POLYGON:
+                    xs, ys, is_hole = part
+                    xs = [float(v) for v in xs]
+                    ys = [float(v) for v in ys]
+                    a2 = _signed_area2(xs, ys)  # >0 = counter-clockwise
+                    want_ccw = bool(is_hole)
+                    if (a2 > 0) != want_ccw:
+                        xs = xs[::-1]
+                        ys = ys[::-1]
+                else:
+                    xs, ys = part
+                    xs = [float(v) for v in xs]
+                    ys = [float(v) for v in ys]
+                parts.append((xs, ys))
+                all_x += xs
+                all_y += ys
+            npts = sum(len(p[0]) for p in parts)
+            fx = [v for p in parts for v in p[0]]
+            fy = [v for p in parts for v in p[1]]
+            offs, acc = [], 0
+            for p in parts:
+                offs.append(acc)
+                acc += len(p[0])
+            content = (
+                struct.pack(
+                    "<i4d2i", shape_type, min(fx), min(fy), max(fx), max(fy),
+                    len(parts), npts,
+                )
+                + struct.pack(f"<{len(parts)}i", *offs)
+                + b"".join(struct.pack("<2d", x, y) for x, y in zip(fx, fy))
+            )
+        else:
+            raise ValueError(f"unsupported shape type {shape_type}")
+        records.append(content)
+
+    def header(total_words: int) -> bytearray:
+        h = bytearray(100)
+        struct.pack_into(">i", h, 0, 9994)
+        struct.pack_into(">i", h, 24, total_words)
+        struct.pack_into("<2i", h, 28, 1000, shape_type)
+        struct.pack_into(
+            "<4d", h, 36,
+            min(all_x) if all_x else 0.0, min(all_y) if all_y else 0.0,
+            max(all_x) if all_x else 0.0, max(all_y) if all_y else 0.0,
+        )
+        return h
+
+    shp = bytearray()
+    shx = bytearray()
+    offset_words = 50
+    for num, content in enumerate(records, start=1):
+        clen_words = len(content) // 2
+        shp += struct.pack(">2i", num, clen_words) + content
+        shx += struct.pack(">2i", offset_words, clen_words)
+        offset_words += 4 + clen_words
+    shp_bytes = bytes(header((100 + len(shp)) // 2)) + bytes(shp)
+    shx_bytes = bytes(header((100 + len(shx)) // 2)) + bytes(shx)
+    return shp_bytes, shx_bytes
+
+
+def decode_shp(data: bytes) -> pd.DataFrame:
+    """.shp bytes -> parts table (fid, part_idx, is_hole, xs, ys).
+    Points/MultiPoints become one part per feature; polygon hole roles are
+    recovered from ring winding (clockwise = shell)."""
+    if struct.unpack_from(">i", data, 0)[0] != 9994:
+        raise ValueError("not a shapefile (bad file code)")
+    file_words = struct.unpack_from(">i", data, 24)[0]
+    end = file_words * 2
+    rows = []
+    pos = 100
+    while pos < end:
+        num, clen = struct.unpack_from(">2i", data, pos)
+        pos += 8
+        st = struct.unpack_from("<i", data, pos)[0]
+        base = st % 10  # PointZ(11)->1, PolyLineZ/M(13/23)->3, PolygonZ/M(15/25)->5
+        if st in (18, 28):
+            base = SHAPE_MULTIPOINT
+        if st == SHAPE_NULL:
+            pass
+        elif base == SHAPE_POINT:
+            x, y = struct.unpack_from("<2d", data, pos + 4)
+            rows.append((num, 0, False, [x], [y]))
+        elif base == SHAPE_MULTIPOINT:
+            n = struct.unpack_from("<i", data, pos + 36)[0]
+            pts = np.frombuffer(data, "<f8", count=2 * n, offset=pos + 40).reshape(n, 2)
+            rows.append((num, 0, False, pts[:, 0].tolist(), pts[:, 1].tolist()))
+        elif base in (SHAPE_POLYLINE, SHAPE_POLYGON):
+            nparts, npts = struct.unpack_from("<2i", data, pos + 36)
+            offs = list(struct.unpack_from(f"<{nparts}i", data, pos + 44))
+            pts = np.frombuffer(
+                data, "<f8", count=2 * npts, offset=pos + 44 + 4 * nparts
+            ).reshape(npts, 2)
+            bounds = offs + [npts]
+            for k in range(nparts):
+                xs = pts[bounds[k]:bounds[k + 1], 0].tolist()
+                ys = pts[bounds[k]:bounds[k + 1], 1].tolist()
+                hole = base == SHAPE_POLYGON and _signed_area2(xs, ys) > 0
+                rows.append((num, k, bool(hole), xs, ys))
+        else:
+            raise ValueError(f"unsupported shape type {st}")
+        pos += clen * 2
+    return pd.DataFrame(
+        rows, columns=["fid", "part_idx", "is_hole", "xs", "ys"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# .dbf (dBase III)
+
+
+def encode_dbf(table: pd.DataFrame) -> bytes:
+    """Attribute table -> dBase III bytes. Column dtypes map to C (object),
+    N (integers), F (floats, 6 decimals), L (bool)."""
+    fields = []
+    for name in table.columns:
+        s = table[name]
+        if s.dtype == bool:
+            fields.append((name, b"L", 1, 0))
+        elif np.issubdtype(s.dtype, np.integer):
+            fields.append((name, b"N", 18, 0))
+        elif np.issubdtype(s.dtype, np.floating):
+            fields.append((name, b"F", 19, 6))
+        else:
+            width = max([1] + [len(str(v)) for v in s])
+            fields.append((name, b"C", min(width, 254), 0))
+    rec_len = 1 + sum(f[2] for f in fields)
+    hdr_len = 32 + 32 * len(fields) + 1
+    out = bytearray()
+    out += struct.pack(
+        "<B3BIHH20x", 0x03, 126, 1, 1, len(table), hdr_len, rec_len
+    )
+    for name, ftype, width, dec in fields:
+        nm = name.encode()[:10].ljust(11, b"\x00")
+        out += nm + ftype + b"\x00" * 4 + bytes([width, dec]) + b"\x00" * 14
+    out += b"\x0d"
+    for _, row in table.iterrows():
+        out += b" "
+        for (name, ftype, width, dec) in fields:
+            v = row[name]
+            if ftype == b"L":
+                out += b"T" if v else b"F"
+            elif ftype == b"N":
+                out += str(int(v)).rjust(width).encode()[:width]
+            elif ftype == b"F":
+                out += f"{float(v):.{dec}f}".rjust(width).encode()[:width]
+            else:
+                out += str(v).encode()[:width].ljust(width)
+    out += b"\x1a"
+    return bytes(out)
+
+
+def decode_dbf(data: bytes) -> pd.DataFrame:
+    """dBase III bytes -> attribute table (C -> str, N -> int, F -> float,
+    L -> bool)."""
+    if data[0] not in (0x03, 0x83):
+        raise ValueError("not a dBase III file")
+    nrec = struct.unpack_from("<I", data, 4)[0]
+    hdr_len, rec_len = struct.unpack_from("<2H", data, 8)
+    fields = []
+    pos = 32
+    while data[pos] != 0x0D:
+        name = data[pos:pos + 11].split(b"\x00")[0].decode()
+        ftype = data[pos + 11:pos + 12]
+        width = data[pos + 16]
+        fields.append((name, ftype, width))
+        pos += 32
+    cols = {name: [] for name, _, _ in fields}
+    pos = hdr_len
+    for _ in range(nrec):
+        rec = data[pos:pos + rec_len]
+        p = 1  # skip deletion flag
+        for name, ftype, width in fields:
+            raw = rec[p:p + width]
+            p += width
+            if ftype == b"L":
+                cols[name].append(raw in (b"T", b"t", b"Y", b"y"))
+            elif ftype == b"N":
+                txt = raw.strip()
+                cols[name].append(int(txt) if txt else 0)
+            elif ftype == b"F":
+                txt = raw.strip()
+                cols[name].append(float(txt) if txt else 0.0)
+            else:
+                cols[name].append(raw.decode(errors="replace").rstrip())
+        pos += rec_len
+    return pd.DataFrame(cols)
+
+
+# ---------------------------------------------------------------------------
+# Spark-level read/write
+
+
+def write_shapefile(
+    parts: list, path_base: str, *, shape_type: int = SHAPE_POLYGON,
+    attrs: pd.DataFrame | None = None,
+) -> None:
+    """Driver-side small-layer sink: writes path_base + .shp/.shx (and .dbf
+    when attrs given). `parts` uses the encode_shp per-type feature shape.
+    Tile the layer upstream and call per tile for big outputs — the read
+    side is fully distributed."""
+    shp, shx = encode_shp(parts, shape_type)
+    with open(path_base + ".shp", "wb") as fh:
+        fh.write(shp)
+    with open(path_base + ".shx", "wb") as fh:
+        fh.write(shx)
+    if attrs is not None:
+        with open(path_base + ".dbf", "wb") as fh:
+            fh.write(encode_dbf(attrs))
+
+
+def read_shapefile(
+    spark: SparkSession, path: str, *, file_offset_ids: bool = True
+) -> DataFrame:
+    """Distributed shapefile read: binaryFile over *.shp -> per-file Arrow
+    decode into the engine's parts-table shape. With file_offset_ids, fid is
+    unique across files (file-ordinal hash << 40 + record number); pass
+    False for a single file whose record numbers must line up with its .dbf
+    rows."""
+    files = spark.read.format("binaryFile").load(path)
+
+    def decode(batches):
+        for pdf in batches:
+            for _, r in pdf.iterrows():
+                out = decode_shp(bytes(r["content"]))
+                if file_offset_ids:
+                    out["fid"] = out["fid"] + ((hash(r["path"]) & 0xFFFFF) << 40)
+                yield out
+
+    return files.select("path", "content").mapInPandas(decode, PARTS_SCHEMA)
+
+
+def read_shapefile_attrs(spark: SparkSession, path: str) -> DataFrame:
+    """Distributed .dbf read: one row per record with fid = record number
+    (1-based, matching the .shp record numbers within one file)."""
+    files = spark.read.format("binaryFile").load(path)
+    pdfs = [decode_dbf(bytes(r["content"])) for r in files.collect()]
+    out = []
+    for pdf in pdfs:
+        pdf = pdf.copy()
+        pdf.insert(0, "fid", np.arange(1, len(pdf) + 1, dtype=np.int64))
+        out.append(pdf)
+    return spark.createDataFrame(pd.concat(out, ignore_index=True))
