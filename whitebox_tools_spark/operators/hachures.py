@@ -767,9 +767,15 @@ def hachures(
         return pd.DataFrame(out, columns=cols)
 
     out = s2_in.groupBy("lev").applyInPandas(_stage2, s2_schema)
-    hid_w = Window.orderBy(F.col("lev").desc(), F.col("idx"))
-    return out.select(
-        F.row_number().over(hid_w).alias("hid"),
-        "height", "slope", "aspect", "n", "ne", "e", "se", "s", "sw", "w",
-        "nw", "xs", "ys",
+    # hid = 1..n in (level desc, within-level) order — distributed
+    # range-partitioned sequence, no single-partition global window
+    from whitebox_tools_spark.distributed import with_global_seq
+
+    seq = with_global_seq(
+        out.withColumn("neg_lev", -F.col("lev")), ["neg_lev", "idx"],
+        out_col="hid",
+    )
+    return seq.select(
+        "hid", "height", "slope", "aspect", "n", "ne", "e", "se", "s", "sw",
+        "w", "nw", "xs", "ys",
     )
