@@ -7719,7 +7719,7 @@ def _media_arrays():
         ).astype(np.uint8)
         out.append((f"d{6 + i}", f"img/p6/{i}", "image", img, None))
     for i in range(6):
-        n = 50 + 10 * i
+        n = 800 + 160 * i  # several 20 ms windows at 8 kHz
         t = np.arange(n)
         s = (np.round(3000 * np.sin(t * (0.1 + 0.01 * i))) + ((t * 37) % 11) - 5).astype(
             np.int16
@@ -7937,6 +7937,50 @@ def q_media_resize_features(spark, sf_dir):
             F.round(F.element_at("features", i + 1), 6).alias(c)
             for i, c in enumerate(_MEDIA_FCOLS)
         ],
+    )
+
+
+def q_audio_window_features(spark, sf_dir):
+    """Windowed audio features over REAL WAVE decode (training-data op):
+    per-clip 20 ms windows, one row per window with mean/rms/peak of the
+    mono mix; oracle windows the construction arrays independently."""
+    from whitebox_tools_spark.operators.multimodal import audio_window_features
+
+    aud = _media_df(spark).filter(F.col("media_type") == "audio")
+    out = audio_window_features(aud, window_ms=20)
+    return out.select(
+        "doc_id", "win_idx", "n",
+        F.round("mean", 6).alias("mean"),
+        F.round("rms", 6).alias("rms"),
+        F.round("peak", 6).alias("peak"),
+    )
+
+
+def _audio_windows_sql() -> str:
+    import numpy as np
+
+    rows = []
+    for doc_id, ref, kind, arr, rate in _media_arrays():
+        if kind != "audio":
+            continue
+        mono = arr.astype(np.float64).mean(axis=1)
+        wlen = max(1, (rate * 20) // 1000)
+        step = wlen
+        for wi, start in enumerate(range(0, len(mono), step)):
+            seg = mono[start : start + wlen]
+            if not len(seg):
+                break
+            rows.append(
+                f"('{doc_id}', {wi}, {len(seg)}, {float(seg.mean())!r}, "
+                f"{float(np.sqrt((seg * seg).mean()))!r}, "
+                f"{float(np.abs(seg).max())!r})"
+            )
+    return (
+        "SELECT doc_id, win_idx, n, ROUND(CAST(mean AS DOUBLE), 6) AS mean, "
+        "ROUND(CAST(rms AS DOUBLE), 6) AS rms, "
+        "ROUND(CAST(peak AS DOUBLE), 6) AS peak FROM (VALUES "
+        + ", ".join(rows)
+        + ") AS t(doc_id, win_idx, n, mean, rms, peak)"
     )
 
 
@@ -8911,6 +8955,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_resize_features": q_media_resize_features,
         "las_rgb_gps_round_trip": q_las_rgb_gps_round_trip,
         "shapefile_round_trip": q_shapefile_round_trip,
+        "audio_window_features": q_audio_window_features,
         "construct_vector_tin_invariants": q_construct_vector_tin_points,
         "lidar_rooftop_analysis": q_lidar_rooftop_analysis,
         "qin_flow_accumulation": q_qin_flow_accumulation,
@@ -9961,6 +10006,7 @@ FROM range({P2R_GRID.rows * P2R_GRID.cols}) AS t(i)
         "media_resize_features": _media_resize_sql(),
         "las_rgb_gps_round_trip": _las_rgb_gps_sql(),
         "shapefile_round_trip": _shapefile_sql(),
+        "audio_window_features": _audio_windows_sql(),
         "las_to_ascii": f"""
 SELECT round(x, 6) AS x, round(y, 6) AS y, round(z, 6) AS z, classification
 FROM ({_ZLIDAR_CLOUD_SQL_BODY} FROM ({_order_cloud_cte()}) oc)

@@ -214,6 +214,52 @@ def extract_media_features(
     )
 
 
+def audio_window_features(
+    media: DataFrame, *, window_ms: int = 20, hop_ms: int | None = None
+) -> DataFrame:
+    """Windowed audio features over REAL PCM WAVE decode: each clip is cut
+    into window_ms windows (hop_ms stride, default = window), one output
+    row per window with (n, mean, rms, peak) over the mono mix — the audio
+    analog of video frame sampling, fan-out happens inside the Arrow batch.
+    -> (doc_id, media_ref, win_idx, n, mean, rms, peak)."""
+    hop = hop_ms or window_ms
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, ref, payload in zip(
+                pdf["doc_id"], pdf["media_ref"], pdf["payload"]
+            ):
+                arr, rate = decode_wav(bytes(payload))
+                mono = arr.astype(np.float64).mean(axis=1)
+                wlen = max(1, (rate * window_ms) // 1000)
+                step = max(1, (rate * hop) // 1000)
+                for wi, start in enumerate(range(0, len(mono), step)):
+                    seg = mono[start : start + wlen]
+                    if not len(seg):
+                        break
+                    rows.append(
+                        (
+                            doc_id, ref, wi, int(len(seg)),
+                            float(seg.mean()),
+                            float(np.sqrt((seg * seg).mean())),
+                            float(np.abs(seg).max()),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "media_ref", "win_idx", "n", "mean", "rms", "peak"],
+            )
+
+    return media.select("doc_id", "media_ref", "payload").mapInPandas(
+        run,
+        schema=(
+            "doc_id string, media_ref string, win_idx int, n int, "
+            "mean double, rms double, peak double"
+        ),
+    )
+
+
 def frame_sample_plan(media: DataFrame, *, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling plumbing: explode per-media frame timestamps as
     rows (decode stubbed). Shows the fan-out schema a real sampler uses:
