@@ -117,6 +117,47 @@ def multiscale_radius_sweep(spark) -> dict:
     return out
 
 
+def media_decode_throughput(spark, n_clips: int = 4000) -> dict:
+    """Real media decode throughput: n_clips PCM WAVE payloads (1 s @ 8 kHz
+    stereo each) built once, then extract_media_features(fake=False) +
+    audio_window_features timed end-to-end (Arrow-batched mapInPandas)."""
+    import numpy as np
+    import pandas as pd
+
+    from whitebox_tools_spark.operators.multimodal import (
+        audio_window_features,
+        encode_wav,
+        extract_media_features,
+    )
+
+    t = np.arange(8000)
+    base = np.round(3000 * np.sin(t * 0.1)).astype(np.int16)
+    rows = []
+    for i in range(n_clips):
+        s = np.roll(base, i % 97)
+        rows.append(
+            (f"c{i}", f"aud/{i}", bytearray(encode_wav(np.stack([s, -s], axis=1), 8000)))
+        )
+    media = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "media_ref", "payload"])
+    ).repartition(32).cache()
+    media.count()
+    t0 = time.time()
+    n1 = extract_media_features(media, fake=False).count()
+    feat_sec = time.time() - t0
+    t0 = time.time()
+    n2 = audio_window_features(media, window_ms=50).count()
+    win_sec = time.time() - t0
+    media.unpersist()
+    return {
+        "n_clips": n_clips,
+        "feature_sec": round(feat_sec, 3),
+        "clips_per_sec": round(n_clips / feat_sec, 1),
+        "window_rows": n2,
+        "window_sec": round(win_sec, 3),
+    }
+
+
 def geodoc_pipeline(spark, path: str):
     """The throughput pipeline: documents -> decoded points -> PIP join ->
     tile assignment -> per-(tile, poly) counts."""
@@ -177,6 +218,7 @@ def main():
 
     ann_stats = ann_recall_at5(spark)
     ms_stats = multiscale_radius_sweep(spark)
+    media_stats = media_decode_throughput(spark)
 
     t0 = time.time()
     out_rows = geodoc_pipeline(spark, geodoc_path).count()
@@ -195,6 +237,7 @@ def main():
                 "sf": float(sf),
                 "ann": ann_stats,
                 "multiscale_radius": ms_stats,
+                "media": media_stats,
                 "geodocs": {
                     "n_docs": n_docs,
                     "sec": round(geodoc_sec, 3),
