@@ -40,8 +40,12 @@ BENCH_QUERIES = [
     "quality_score",
     "fingerprint",
     "embedding_topk",
-    "embedding_ann_multiprobe",
 ]
+
+# timed separately and reported inside the "ann" block: the headline suite
+# list is held fixed across rounds so the driver's BENCH_r{N} totals stay
+# like-for-like comparable (r1-r3 did not include the ANN path)
+ANN_BENCH_QUERY = "embedding_ann_multiprobe"
 
 
 def ann_recall_at5(spark) -> dict:
@@ -216,7 +220,12 @@ def main():
         timings[name] = round(time.time() - t0, 3)
         _ = n
 
+    t0 = time.time()
+    _ = qs[ANN_BENCH_QUERY](spark, sf_dir).count()
+    ann_sec = round(time.time() - t0, 3)
+
     ann_stats = ann_recall_at5(spark)
+    ann_stats["multiprobe_sf_sec"] = ann_sec
     ms_stats = multiscale_radius_sweep(spark)
     media_stats = media_decode_throughput(spark)
 
