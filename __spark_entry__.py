@@ -2769,10 +2769,14 @@ def q_unnest_basins(spark, sf_dir):
 
     dem = _valley_dem(spark, sf_dir)
     fa = d8_flow_accumulation(dem, STREAM_GRID)
+    # top-4 via global sort + limit = TakeOrderedAndProject (per-partition
+    # top-k, no single-partition window over the whole raster); the window
+    # then numbers only the 4 surviving rows
     w = Window.orderBy(F.desc("value"), "row", "col")
     pour = (
-        fa.withColumn("pour_id", F.row_number().over(w))
-        .filter(F.col("pour_id") <= 4)
+        fa.orderBy(F.desc("value"), "row", "col")
+        .limit(4)
+        .withColumn("pour_id", F.row_number().over(w))
         .select("row", "col", F.col("pour_id").cast("long").alias("pour_id"))
     )
     return unnest_basins(dem, STREAM_GRID, pour)

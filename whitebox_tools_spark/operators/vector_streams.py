@@ -50,7 +50,7 @@ from collections import deque
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..distributed import loop_checkpoint
+from ..distributed import loop_checkpoint, with_global_seq
 
 
 def _arc_base(arcs: DataFrame, key_decimals: int) -> DataFrame:
@@ -161,10 +161,11 @@ def vector_stream_network_analysis(
 
     paths = _path_sums(base, links, max_rounds=max_rounds)
 
-    # outlet numbering: outlet links in arc-id order (reference fid order)
+    # outlet numbering: outlet links in arc-id order (reference fid order).
+    # Outlets scale with basin count, so use the distributed range-
+    # partitioned sequence rather than a single-partition global window.
     roots = links.filter(F.col("ds").isNull()).select("arc_id")
-    w = Window.orderBy("arc_id")
-    outlet_ids = roots.withColumn("outlet_num", F.row_number().over(w)).select(
+    outlet_ids = with_global_seq(roots, ["arc_id"], out_col="outlet_num").select(
         F.col("arc_id").alias("root_id"), "outlet_num"
     )
 

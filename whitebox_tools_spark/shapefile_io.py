@@ -232,13 +232,10 @@ def encode_dbf(table: pd.DataFrame) -> bytes:
     return bytes(out)
 
 
-def decode_dbf(data: bytes) -> pd.DataFrame:
-    """dBase III bytes -> attribute table (C -> str, N -> int, F -> float,
-    L -> bool)."""
+def _dbf_fields(data: bytes) -> list[tuple[str, bytes, int]]:
+    """Field descriptors (name, type byte, width) from a dBase III header."""
     if data[0] not in (0x03, 0x83):
         raise ValueError("not a dBase III file")
-    nrec = struct.unpack_from("<I", data, 4)[0]
-    hdr_len, rec_len = struct.unpack_from("<2H", data, 8)
     fields = []
     pos = 32
     while data[pos] != 0x0D:
@@ -247,6 +244,15 @@ def decode_dbf(data: bytes) -> pd.DataFrame:
         width = data[pos + 16]
         fields.append((name, ftype, width))
         pos += 32
+    return fields
+
+
+def decode_dbf(data: bytes) -> pd.DataFrame:
+    """dBase III bytes -> attribute table (C -> str, N -> int, F -> float,
+    L -> bool)."""
+    nrec = struct.unpack_from("<I", data, 4)[0]
+    hdr_len, rec_len = struct.unpack_from("<2H", data, 8)
+    fields = _dbf_fields(data)
     cols = {name: [] for name, _, _ in fields}
     pos = hdr_len
     for _ in range(nrec):
@@ -312,14 +318,37 @@ def read_shapefile(
     return files.select("path", "content").mapInPandas(decode, PARTS_SCHEMA)
 
 
+_DBF_SPARK_TYPES = {b"C": "string", b"N": "long", b"F": "double", b"L": "boolean"}
+
+
 def read_shapefile_attrs(spark: SparkSession, path: str) -> DataFrame:
     """Distributed .dbf read: one row per record with fid = record number
-    (1-based, matching the .shp record numbers within one file)."""
+    (1-based, matching the .shp record numbers within one file).
+
+    The Spark schema comes from ONE file's field descriptors (a dBase
+    header is a few hundred bytes; all files of a layer share one schema —
+    mismatching files raise in the executor); record decoding runs
+    distributed via mapInPandas, so no whole-dataset driver collect."""
     files = spark.read.format("binaryFile").load(path)
-    pdfs = [decode_dbf(bytes(r["content"])) for r in files.collect()]
-    out = []
-    for pdf in pdfs:
-        pdf = pdf.copy()
-        pdf.insert(0, "fid", np.arange(1, len(pdf) + 1, dtype=np.int64))
-        out.append(pdf)
-    return spark.createDataFrame(pd.concat(out, ignore_index=True))
+    head = files.select("content").limit(1).collect()
+    if not head:
+        raise ValueError(f"no .dbf files at {path}")
+    fields = _dbf_fields(bytes(head[0]["content"]))
+    schema = "fid long, " + ", ".join(
+        f"`{name}` {_DBF_SPARK_TYPES.get(ftype, 'string')}"
+        for name, ftype, _ in fields
+    )
+    expect = [name for name, _, _ in fields]
+
+    def decode(batches):
+        for pdf in batches:
+            for _, r in pdf.iterrows():
+                out = decode_dbf(bytes(r["content"]))
+                if list(out.columns) != expect:
+                    raise ValueError(
+                        f".dbf schema mismatch: {list(out.columns)} != {expect}"
+                    )
+                out.insert(0, "fid", np.arange(1, len(out) + 1, dtype=np.int64))
+                yield out
+
+    return files.select("content").mapInPandas(decode, schema)
