@@ -76,3 +76,19 @@ def test_distributed_read_with_attrs(spark, tmp_path):
     out = shapes.join(table, "fid").orderBy("fid").collect()
     assert [r["name"] for r in out] == ["f0", "f1", "f2", "f3"]
     assert all(len(r["xs"]) == 5 for r in out)
+
+
+def test_multi_file_dbf_read_is_distributed(spark, tmp_path):
+    # two .dbf files of one layer schema read through the mapInPandas path:
+    # per-file 1-based fids, all records surfaced, dBase types preserved
+    for j in range(2):
+        attrs = pd.DataFrame(
+            {"name": [f"t{j}_{i}" for i in range(3)], "v": [float(j * 10 + i) for i in range(3)]}
+        )
+        with open(tmp_path / f"part{j}.dbf", "wb") as fh:
+            fh.write(encode_dbf(attrs))
+    table = read_shapefile_attrs(spark, str(tmp_path / "*.dbf"))
+    rows = table.orderBy("name").collect()
+    assert [r["name"] for r in rows] == ["t0_0", "t0_1", "t0_2", "t1_0", "t1_1", "t1_2"]
+    assert sorted(r["fid"] for r in rows) == [1, 1, 2, 2, 3, 3]
+    assert table.schema["v"].dataType.simpleString() == "double"
