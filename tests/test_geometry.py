@@ -94,3 +94,42 @@ def test_simplify_rdp():
     assert len(sx) == 2  # collinear-ish collapsed
     sx, sy = G.simplify_rdp(xs, ys, 0.0001)
     assert len(sx) == 5
+
+
+def test_line_intersections_long_segment_brute_force(spark):
+    # one globally-long segment among many short ones: the p99-sized grid
+    # must still report every crossing exactly once (the long row covers
+    # many cells; canonical-cell dedup keeps each pair unique)
+    import pandas as pd
+    from whitebox_tools_spark.operators.vector_ops import line_intersections
+
+    rng_a = []
+    for i in range(40):
+        x = float(i) * 2.5
+        rng_a.append((i, x, -1.0, x + 0.8, 1.0))           # short diagonals
+    rng_a.append((99, -5.0, 0.0, 120.0, 0.0))              # the long one
+    rng_b = [(200 + j, float(j) * 7.0, -2.0, float(j) * 7.0 + 0.5, 2.0)
+             for j in range(15)]
+
+    def brute(a_rows, b_rows):
+        out = set()
+        for (p1, ax0, ay0, ax1, ay1) in a_rows:
+            for (p2, bx0, by0, bx1, by1) in b_rows:
+                rx, ry = ax1 - ax0, ay1 - ay0
+                sx, sy = bx1 - bx0, by1 - by0
+                den = rx * sy - ry * sx
+                if den == 0.0:
+                    continue
+                t = ((bx0 - ax0) * sy - (by0 - ay0) * sx) / den
+                u = ((bx0 - ax0) * ry - (by0 - ay0) * rx) / den
+                if 0.0 <= t <= 1.0 and 0.0 <= u <= 1.0:
+                    out.add((p1, p2, round(ax0 + t * rx, 6), round(ay0 + t * ry, 6)))
+        return out
+
+    cols = ["poly_id", "x0", "y0", "x1", "y1"]
+    a_df = spark.createDataFrame(pd.DataFrame(rng_a, columns=cols))
+    b_df = spark.createDataFrame(pd.DataFrame(rng_b, columns=cols))
+    got = {(r.parent1, r.parent2, r.x, r.y)
+           for r in line_intersections(a_df, b_df).collect()}
+    want = brute(rng_a, rng_b)
+    assert got == want and len(want) > 10

@@ -453,9 +453,11 @@ def line_intersections(a_edges: DataFrame, b_edges: DataFrame) -> DataFrame:
     segment tables.
 
     Spark plan: grid-cell candidate EQUI-join (no cartesian). A shared
-    CellIndex is sized from one tiny driver-side stats row so the cell edge
-    is >= the longest segment bbox; every segment then covers at most 2x2
-    cells, giving a bounded-fan-out explode + shuffle equi-join on cell_id.
+    CellIndex is sized from one tiny driver-side stats row at the 99th
+    percentile of segment bbox extent: typical segments cover <= ~2x2
+    cells while the rare globally-long segment covers proportionally more
+    (a bounded explode on that row alone, not an inflated cell for all),
+    giving a bounded-fan-out explode + shuffle equi-join on cell_id.
     Each candidate pair is kept only in the one cell containing the min
     corner of its bbox intersection, so the exact segment-intersection
     arithmetic runs once per pair.
@@ -490,12 +492,17 @@ def line_intersections(a_edges: DataFrame, b_edges: DataFrame) -> DataFrame:
         .agg(
             F.min("mnx").alias("xmin"), F.max("mxx").alias("xmax"),
             F.min("mny").alias("ymin"), F.max("mxy").alias("ymax"),
-            F.max("dx").alias("maxdx"), F.max("dy").alias("maxdy"),
+            F.percentile_approx(F.greatest("dx", "dy"), F.lit(0.99)).alias("p99"),
         )
         .collect()[0]
     )
     extent = max(st.xmax - st.xmin, st.ymax - st.ymin, 1e-9) * (1.0 + 1e-9)
-    cell_target = max(st.maxdx, st.maxdy, extent / (1 << 12), 1e-12)
+    # size cells from the 99th-percentile segment extent, NOT the max: one
+    # globally-long segment then covers proportionally more cells (a bounded
+    # explode on that row alone) instead of inflating every segment's cell.
+    # Pair results are bit-identical — the intersection arithmetic still runs
+    # on full segment coordinates; only candidate routing changes.
+    cell_target = max(st.p99, extent / (1 << 12), 1e-12)
     zoom = max(0, min(12, int(math.floor(math.log2(extent / cell_target)))))
     index = CellIndex(origin_x=float(st.xmin), origin_y=float(st.ymin),
                       extent=float(extent), zoom=zoom)
