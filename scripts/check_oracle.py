@@ -22,13 +22,46 @@ TABLES = [
 
 
 def norm(v):
+    """Driver-faithful normalization: the driver's value hash is SENSITIVE to
+    the sign bit of 0.0 (round-4 root cause of the lidar_normal_vectors red
+    row), so -0.0 must NOT collapse to +0.0 here. Engine and oracle queries
+    normalize signed zero themselves (`round(...) + 0.0`)."""
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        if v == 0.0:
-            return 0.0
+        if v == 0.0 and math.copysign(1.0, v) < 0:
+            return "-0.0"
         return v
     return v
+
+
+def _row_key(t):
+    """Total order over norm()-ed tuples that may mix floats with the
+    "nan"/"-0.0" string markers (and None/str/bool cells)."""
+    key = []
+    for v in t:
+        if v is None:
+            key.append((0, 0.0, ""))
+        elif isinstance(v, bool):
+            key.append((1, float(v), ""))
+        elif isinstance(v, (int, float)):
+            key.append((2, float(v), ""))
+        elif isinstance(v, str):
+            key.append((3, 0.0, v))
+        else:
+            key.append((4, 0.0, str(v)))
+    return key
+
+
+def count_negzero(rows, cols):
+    """Count -0.0 cells; any hit is a latent driver hash failure."""
+    n = 0
+    for r in rows:
+        for c in cols:
+            v = r[c] if not isinstance(r, tuple) else r[cols.index(c)]
+            if isinstance(v, float) and v == 0.0 and math.copysign(1.0, v) < 0:
+                n += 1
+    return n
 
 
 def main():
@@ -56,10 +89,17 @@ def main():
             srows = sdf.collect()
             scols = sorted(sdf.columns)
             sset = sorted(
-                tuple(norm(r[c]) for c in scols) for r in srows
+                (tuple(norm(r[c]) for c in scols) for r in srows),
+                key=_row_key,
             )
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: spark error: {e}")
+            failures.append(name)
+            continue
+        nz = count_negzero(srows, sdf.columns)
+        if nz:
+            print(f"FAIL {name}: {nz} -0.0 cells in spark output "
+                  "(driver hash is sign-of-zero sensitive)")
             failures.append(name)
             continue
         if name not in oracles:
@@ -75,7 +115,9 @@ def main():
             continue
         dcols = sorted(dcols_raw)
         order = [dcols_raw.index(c) for c in dcols]
-        dset = sorted(tuple(norm(r[i]) for i in order) for r in drows)
+        dset = sorted(
+            (tuple(norm(r[i]) for i in order) for r in drows), key=_row_key
+        )
         if scols != dcols:
             print(f"FAIL {name}: columns {scols} vs {dcols}")
             failures.append(name)

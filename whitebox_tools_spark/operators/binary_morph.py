@@ -368,22 +368,138 @@ def bsc_metrics(fg: np.ndarray) -> float:
     return 100.0 * (total - longest - second) / num_cells
 
 
+def _bsc_partials(vals: np.ndarray) -> list:
+    """Per-VALUE partial BSC statistics for ONE union-mask connected
+    component (boundary_shape_complexity.rs:397-462): thin the component's
+    >0 mask, then for each skeleton end node (degree counted over SAME-value
+    thinned neighbours, :415-420) walk the exterior link (last-unvisited-
+    neighbour step, <3-degree gate, value gate on every step, :425-452).
+    Returns rows (value, skel_cells, endnode_total, longest, second) — the
+    per-bin accumulators of :403-406, restricted to this component. The
+    reference accumulates these per value over the WHOLE raster; summing
+    component partials (and taking the top-2 of the per-component top-2
+    link lengths) reproduces that exactly, because the thinned skeleton and
+    every link are confined to one connected component."""
+    sk = thin_grid((vals > 0).astype(np.float64))
+    h, w = sk.shape
+    visited = np.zeros((h, w), dtype=np.int8)
+    stats: dict = {}
+    for r in range(h):
+        for c in range(w):
+            if sk[r, c] > 0.0:
+                pid = vals[r, c]
+                st = stats.setdefault(pid, [0, 0.0, 0, 0])
+                n = 0
+                for a in range(8):
+                    rr, cc = r + _BSC_DY[a], c + _BSC_DX[a]
+                    if (0 <= rr < h and 0 <= cc < w and sk[rr, cc] == 1.0
+                            and vals[rr, cc] == pid):
+                        n += 1
+                st[0] += 1
+                if n == 1:
+                    st[1] += 1.0
+                    rn, cn = r, c
+                    link_length = 1
+                    while True:
+                        visited[rn, cn] = 1
+                        n2 = 0
+                        next_n = 8
+                        for a in range(8):
+                            rr, cc = rn + _BSC_DY[a], cn + _BSC_DX[a]
+                            if (0 <= rr < h and 0 <= cc < w
+                                    and sk[rr, cc] == 1.0
+                                    and vals[rr, cc] == pid):
+                                n2 += 1
+                                if visited[rr, cc] == 0:
+                                    next_n = a
+                        if n2 < 3 and next_n < 8:
+                            link_length += 1
+                            rn += _BSC_DY[next_n]
+                            cn += _BSC_DX[next_n]
+                        else:
+                            break
+                    st[1] += link_length
+                    if st[2] < link_length:
+                        st[3] = st[2]
+                        st[2] = link_length
+                    elif st[3] < link_length:
+                        st[3] = link_length
+    return [
+        (float(pid), int(s[0]), float(s[1]), int(s[2]), int(s[3]))
+        for pid, s in stats.items()
+    ]
+
+
 def boundary_shape_complexity(cells: DataFrame) -> DataFrame:
     """BoundaryShapeComplexity (gis_analysis/boundary_shape_complexity.rs):
-    per-polygon BSC written to every cell of the polygon; background 0.
-    Per-polygon Arrow kernels (the binary-morph per-clump idiom) — exact
-    for polygons that are not 8-adjacent (the reference thins the UNION
-    of all polygons, so touching polygons would interfere; same caveat as
-    the tiled morphology ops). cells: (row, col, value) with poly ids > 0
-    and 0 background."""
+    per-VALUE BSC written to every >0 cell; background 0. Scale shape:
+    one Arrow task per CONNECTED COMPONENT of the union (>0) mask — two
+    distant polygons land in different tasks even when they share a value —
+    then the reference's per-value accumulators (skeleton cells, end-node
+    link-length total, top-2 link lengths, :403-406, :516-519) are combined
+    JVM-side: sums for counts/totals, a two-pass max for the global top-2
+    (per-value top-2 = top-2 of the union of per-component top-2s). The
+    union-mask clump also preserves the reference's UNION thinning when
+    different-valued polygons touch. cells: (row, col, value), 0 background."""
+    from whitebox_tools_spark.operators.raster_vector import clump
+
     fg = cells.filter(F.col("value") > 0)
+    comp = clump(
+        fg.select("row", "col", F.lit(1.0).alias("value")), diagonals=True
+    ).select("row", "col", "clump_id")
+    region = comp.join(fg, ["row", "col"]).select(
+        "row", "col", "value", "clump_id"
+    )
 
-    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+    def kern(key, pdf: pd.DataFrame) -> pd.DataFrame:
         g, r0, c0, rows, cols = _to_grid(pdf)
-        bsc = bsc_metrics(g > 0)
-        return pd.DataFrame({"row": rows, "col": cols, "value": bsc})
+        part = _bsc_partials(g)
+        return pd.DataFrame(
+            part,
+            columns=["value", "skel_cells", "total", "longest", "second"],
+        )
 
-    out = fg.groupBy("value").applyInPandas(fn, "row long, col long, value double")
+    part = region.groupBy("clump_id").applyInPandas(
+        kern,
+        "value double, skel_cells long, total double, longest long, second long",
+    )
+    # two-pass global top-2 per value: L = max(longest); S = L when two
+    # components attain L, else max(all per-component seconds, runner-up
+    # longest) — avoids any collect_list of per-component rows.
+    lmax = part.groupBy("value").agg(F.max("longest").alias("L"))
+    stats = (
+        part.join(F.broadcast(lmax), "value")
+        .groupBy("value")
+        .agg(
+            F.sum("skel_cells").alias("n"),
+            F.sum("total").alias("tot"),
+            F.first("L").alias("L"),
+            F.sum(
+                F.when(F.col("longest") == F.col("L"), 1).otherwise(0)
+            ).alias("cntL"),
+            F.max(
+                F.when(F.col("longest") < F.col("L"), F.col("longest"))
+            ).alias("lsub"),
+            F.max("second").alias("smax"),
+        )
+        .withColumn(
+            "S",
+            F.when(F.col("cntL") >= 2, F.col("L")).otherwise(
+                F.greatest(F.coalesce("lsub", F.lit(0)), F.col("smax"))
+            ),
+        )
+        .select(
+            "value",
+            F.when(F.col("n") == 0, F.lit(0.0))
+            .otherwise(
+                100.0 * (F.col("tot") - F.col("L") - F.col("S")) / F.col("n")
+            )
+            .alias("bsc"),
+        )
+    )
+    out = fg.join(F.broadcast(stats), "value").select(
+        "row", "col", F.col("bsc").alias("value")
+    )
     bg = cells.filter(F.col("value") == 0).select(
         "row", "col", F.lit(0.0).alias("value")
     )

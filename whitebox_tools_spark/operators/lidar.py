@@ -1568,8 +1568,10 @@ def lidar_normal_vectors(
     for k, expr in _HS_UNIT.items():
         out = out.withColumn(k, F.when(zero, F.lit(0.0)).otherwise(F.expr(expr)))
     return out.select(
-        "point_id", F.round("ux", 9).alias("ux"), F.round("uy", 9).alias("uy"),
-        F.round("uz", 9).alias("uz"),
+        "point_id",
+        (F.round("ux", 9) + F.lit(0.0)).alias("ux"),
+        (F.round("uy", 9) + F.lit(0.0)).alias("uy"),
+        (F.round("uz", 9) + F.lit(0.0)).alias("uz"),
     )
 
 
@@ -1608,7 +1610,8 @@ st0 AS (
 st1 AS (SELECT *, {moments} FROM st0),
 st2 AS (SELECT *, {dets} FROM st1),
 st3 AS (SELECT *, {abc} FROM st2)
-SELECT point_id, round(ux, 9) AS ux, round(uy, 9) AS uy, round(uz, 9) AS uz
+SELECT point_id, round(ux, 9) + 0.0 AS ux, round(uy, 9) + 0.0 AS uy,
+       round(uz, 9) + 0.0 AS uz
 FROM (SELECT point_id, {unit} FROM st3) t
 """
 
