@@ -113,6 +113,10 @@ def multiscale_radius_sweep(spark) -> dict:
         ("scatter_r10", dict(scales=(10,), tiled=False)),
         ("tiled_r10", dict(scales=(10,), tiled=True)),
         ("tiled_r40", dict(scales=(40,), tiled=True)),
+        # the auto crossover (m > 12) must track min(scatter, tiled)
+        ("auto_r5", dict(scales=(5,), tiled="auto")),
+        ("auto_r10", dict(scales=(10,), tiled="auto")),
+        ("auto_r40", dict(scales=(40,), tiled="auto")),
     ]:
         t0 = time.time()
         max_difference_from_mean(dem, **kw).count()
@@ -125,26 +129,44 @@ def media_decode_throughput(spark, n_clips: int = 4000) -> dict:
     """Real media decode throughput: n_clips PCM WAVE payloads (1 s @ 8 kHz
     stereo each) built once, then extract_media_features(fake=False) +
     audio_window_features timed end-to-end (Arrow-batched mapInPandas)."""
-    import numpy as np
-    import pandas as pd
-
     from whitebox_tools_spark.operators.multimodal import (
         audio_window_features,
-        encode_wav,
         extract_media_features,
     )
 
-    t = np.arange(8000)
-    base = np.round(3000 * np.sin(t * 0.1)).astype(np.int16)
-    rows = []
-    for i in range(n_clips):
-        s = np.roll(base, i % 97)
-        rows.append(
-            (f"c{i}", f"aud/{i}", bytearray(encode_wav(np.stack([s, -s], axis=1), 8000)))
-        )
-    media = spark.createDataFrame(
-        pd.DataFrame(rows, columns=["doc_id", "media_ref", "payload"])
-    ).repartition(32).cache()
+    def gen(batches):
+        # runs on executors: each task synthesizes only its own clips, so
+        # no >1 MB task ships from the driver (round-4 WARN)
+        import numpy as np
+        import pandas as pd
+
+        from whitebox_tools_spark.operators.multimodal import encode_wav
+
+        t = np.arange(8000)
+        base = np.round(3000 * np.sin(t * 0.1)).astype(np.int16)
+        for pdf in batches:
+            ids = pdf["id"].tolist()
+            yield pd.DataFrame(
+                {
+                    "doc_id": [f"c{i}" for i in ids],
+                    "media_ref": [f"aud/{i}" for i in ids],
+                    "payload": [
+                        encode_wav(
+                            np.stack([np.roll(base, i % 97),
+                                      -np.roll(base, i % 97)], axis=1),
+                            8000,
+                        )
+                        for i in ids
+                    ],
+                }
+            )
+
+    media = (
+        spark.range(n_clips)
+        .repartition(32)
+        .mapInPandas(gen, "doc_id string, media_ref string, payload binary")
+        .cache()
+    )
     media.count()
     t0 = time.time()
     n1 = extract_media_features(media, fake=False).count()
@@ -159,6 +181,43 @@ def media_decode_throughput(spark, n_clips: int = 4000) -> dict:
         "clips_per_sec": round(n_clips / feat_sec, 1),
         "window_rows": n2,
         "window_sec": round(win_sec, 3),
+    }
+
+
+def hier_base_case_2m() -> dict:
+    """Driver-side base cases of the hierarchical solvers at the
+    direct_threshold scale (~2M edges, 1M-node grid): the Kruskal/DSU
+    minimax connect (spill_minimax) and the CSR lexicographic Dijkstra
+    (shortest_path_hier). No Spark involved — this is the one bounded
+    driver-local step of each recursion."""
+    import numpy as np
+
+    from whitebox_tools_spark.operators.flow_stitch import (
+        _minimax_connect,
+        _sp_dijkstra_csr,
+        _SpCsr,
+    )
+
+    side = 1000
+    ids = np.arange(side * side, dtype=np.int64).reshape(side, side)
+    a = np.concatenate([ids[:, :-1].ravel(), ids[:-1, :].ravel()])
+    b = np.concatenate([ids[:, 1:].ravel(), ids[1:, :].ravel()])
+    rng = np.random.default_rng(7)
+    w = rng.random(len(a)) + 0.01
+    t0 = time.time()
+    mm = _minimax_connect(
+        a, b, w, {-2: float("-inf"), 0: 0.5, 999_999: 0.25}
+    )
+    minimax_sec = time.time() - t0
+    t0 = time.time()
+    sp = _sp_dijkstra_csr(_SpCsr(a, b, w), {0: (0.0, 1), 999_999: (0.0, 2)})
+    sp_sec = time.time() - t0
+    return {
+        "n_edges": len(a),
+        "minimax_connect_sec": round(minimax_sec, 3),
+        "sp_dijkstra_sec": round(sp_sec, 3),
+        "nodes_settled": len(sp),
+        "_mm_nodes": len(mm),
     }
 
 
@@ -228,6 +287,7 @@ def main():
     ann_stats["multiprobe_sf_sec"] = ann_sec
     ms_stats = multiscale_radius_sweep(spark)
     media_stats = media_decode_throughput(spark)
+    hier_stats = hier_base_case_2m()
 
     t0 = time.time()
     out_rows = geodoc_pipeline(spark, geodoc_path).count()
@@ -247,6 +307,7 @@ def main():
                 "ann": ann_stats,
                 "multiscale_radius": ms_stats,
                 "media": media_stats,
+                "hier_base_2m": hier_stats,
                 "geodocs": {
                     "n_docs": n_docs,
                     "sec": round(geodoc_sec, 3),

@@ -7,6 +7,7 @@ Usage: python scripts/check_oracle.py [sf_dir] [query ...]
 
 from __future__ import annotations
 
+import decimal
 import math
 import os
 import sys
@@ -25,7 +26,11 @@ def norm(v):
     """Driver-faithful normalization: the driver's value hash is SENSITIVE to
     the sign bit of 0.0 (round-4 root cause of the lidar_normal_vectors red
     row), so -0.0 must NOT collapse to +0.0 here. Engine and oracle queries
-    normalize signed zero themselves (`round(...) + 0.0`)."""
+    normalize signed zero themselves (`round(...) + 0.0`). DuckDB DECIMAL
+    cells are cast to float so they sort/compare numerically against Spark
+    doubles (the driver compares values, not wire types)."""
+    if isinstance(v, decimal.Decimal):
+        v = float(v)
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"

@@ -1,0 +1,145 @@
+"""The literal serial-transcription oracles (serial_oracles.py) match the
+distributed engine on the FIXED fixtures, with rounding-boundary margins
+far above the observed engine-serial float delta — so the 6-dp literal
+VALUES oracles in __spark_entry__.oracle_sql() cannot flip a rounded
+digit. (scripts/calibrate_serial_oracles.py is the full sweep; this pins
+the contract in CI for one solver per family.)"""
+
+import math
+
+import pytest
+
+from whitebox_tools_spark import serial_oracles as so
+
+
+def _margin(vals, k):
+    """Min distance of |v|*10^k's fractional part from the 0.5 cliff."""
+    return min(abs(math.fmod(abs(v) * 10.0 ** k, 1.0) - 0.5) for v in vals)
+
+
+def _check(got, want, *, decimals, max_abs):
+    assert set(got) == set(want)
+    err = max(abs(got[p] - want[p]) for p in want)
+    assert err <= max_abs, f"engine-serial delta {err:.3e} > {max_abs:.0e}"
+    if decimals is not None:
+        m = _margin(want.values(), decimals) * 10.0 ** -decimals
+        assert m > 50 * max(err, 1e-300), (
+            f"rounding margin {m:.3e} too close to delta {err:.3e}"
+        )
+
+
+def _dict_of(df):
+    return {(r.row, r.col): r.value for r in df.collect()}
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from whitebox_tools_spark.session import get_spark
+
+    s = get_spark(app_name="serial-oracles", cores=4, shuffle_partitions=4)
+    yield s
+
+
+def test_cost_family_vs_serial(spark):
+    from pyspark.sql import functions as F
+
+    from whitebox_tools_spark.grid import GridSpec
+    from whitebox_tools_spark.operators.hydro import (
+        cost_allocation_tiled,
+        cost_distance_tiled,
+    )
+
+    g20 = GridSpec(west=0.0, north=100.0, res_x=5.0, res_y=5.0, rows=20, cols=20)
+    cost = spark.range(400).select(
+        (F.col("id") / 20).cast("long").alias("row"),
+        (F.col("id") % 20).alias("col"),
+        (((F.col("id") * 48271 + 7) % 1000).cast("double") / 100.0 + 1.0).alias(
+            "value"
+        ),
+    )
+    cvals = so.cost20_vals()
+
+    srcs = spark.createDataFrame([(0, 0), (19, 19)], "row long, col long")
+    got = _dict_of(
+        cost_distance_tiled(cost, srcs, g20, block=8, direct_threshold=200)
+    )
+    want = so.cost_distance_serial(cvals, 5.0, 5.0, [(0, 0), (19, 19)])
+    _check(got, want, decimals=6, max_abs=1e-12)
+
+    srcs2 = spark.createDataFrame(
+        [(0, 0, 1), (19, 19, 2)], "row long, col long, source_id long"
+    )
+    got = _dict_of(
+        cost_allocation_tiled(cost, srcs2, g20, block=8, direct_threshold=150)
+    )
+    want = {
+        k: float(v)
+        for k, v in so.cost_allocation_serial(
+            cvals, 5.0, 5.0, [(0, 0, 1), (19, 19, 2)]
+        ).items()
+    }
+    _check(got, want, decimals=None, max_abs=0.0)
+    # allocation is tie-safe: the two sources' cost fields never get close
+    d1 = so.cost_distance_serial(cvals, 5.0, 5.0, [(0, 0)])
+    d2 = so.cost_distance_serial(cvals, 5.0, 5.0, [(19, 19)])
+    assert min(abs(d1[p] - d2[p]) for p in d1) > 1.0
+
+
+def test_mdinf_vs_serial(spark):
+    from pyspark.sql import functions as F
+
+    from whitebox_tools_spark.grid import GridSpec
+    from whitebox_tools_spark.operators.hydro import mdinf_flow_accumulation
+
+    eg = GridSpec(west=0.0, north=1000.0, res_x=5.0, res_y=5.0, rows=200, cols=200)
+    noise = spark.range(1, 2001).select(
+        (F.col("id") % 200).alias("row"),
+        (F.floor(F.col("id") / F.lit(200.0)).cast("long") % 200).alias("col"),
+        (((F.col("id") * 48271) % 100000).cast("double") / 100.0).alias("value"),
+    )
+    got = _dict_of(mdinf_flow_accumulation(noise, eg, block=16))
+    want = so.mdinf_serial(so.noise_vals(), 5.0)
+    _check(got, want, decimals=6, max_abs=1e-12)
+
+
+def test_isobasins_vs_serial(spark):
+    from pyspark.sql import functions as F
+
+    from whitebox_tools_spark.grid import GridSpec
+    from whitebox_tools_spark.operators.hydro import isobasins
+
+    sg = GridSpec(west=0.0, north=100.0, res_x=5.0, res_y=5.0, rows=20, cols=25)
+    valley = spark.range(1, 501).select(
+        ((F.col("id") - 1) % 20).alias("row"),
+        F.floor((F.col("id") - 1) / F.lit(20)).cast("long").alias("col"),
+        (
+            F.abs((F.col("id") - 1) % 20 - 10).cast("double") * 50.0
+            + (25 - F.floor((F.col("id") - 1) / F.lit(20))).cast("double") * 2.0
+            + ((F.col("id") * 31) % 7).cast("double") * 0.1
+            + F.when(
+                (F.floor((F.col("id") - 1) / F.lit(20)) % 4 == 1)
+                & ((F.col("id") - 1) % 20 != 10),
+                F.lit(-45.0),
+            ).otherwise(F.lit(0.0))
+        ).alias("value"),
+    )
+    got = _dict_of(isobasins(valley, sg, size=12))
+    want = so.isobasins_serial(so.valley_vals(), 5.0, 5.0, 12)
+    _check(got, want, decimals=None, max_abs=0.0)
+
+
+def test_literal_values_sql_round_trips_duckdb():
+    """The VALUES emitter reproduces the serial dict exactly through
+    DuckDB (repr round-trip + 6-dp rounding + signed-zero normalize)."""
+    import duckdb
+
+    import __spark_entry__ as E
+
+    want = so.cost_distance_serial(
+        so.cost20_vals(), 5.0, 5.0, [(0, 0), (19, 19)]
+    )
+    sql = E._serial_values_sql(want, decimals=6)
+    got = {(r, c): v for r, c, v in duckdb.sql(sql).fetchall()}
+    assert set(got) == set(want)
+    for p, v in want.items():
+        assert got[p] == so.round_half_away(v, 6) + 0.0

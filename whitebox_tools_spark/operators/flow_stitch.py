@@ -1269,20 +1269,89 @@ def _minimax_dijkstra(edge_rows, seed_dist):
     return dist
 
 
+def _minimax_connect(a: np.ndarray, b: np.ndarray, lvl: np.ndarray, seed_dist):
+    """Exact vectorized replacement for the seeded minimax Dijkstra
+    (`_minimax_dijkstra`): Kruskal threshold-connect. Append one virtual
+    edge SUPER->seed at the seed's start level, sort ALL edges ascending by
+    level (one numpy argsort), and union-find; a node's minimax level to
+    the seed set is the level of the union step that first joins its
+    component to SUPER's (at that instant every already-processed edge has
+    level <= L, and every alternative connection must use an unprocessed
+    edge of level >= L, so the attach level IS the minimax distance; ties
+    between equal levels are therefore order-independent). Union-by-size
+    member lists give O(n log n) total assignment moves. Returns
+    dict node -> level for every node connected to a seed (seeds
+    included), same contract as _minimax_dijkstra."""
+    if not seed_dist:
+        return {}
+    sa = np.fromiter(seed_dist.keys(), np.int64, len(seed_dist))
+    sl = np.fromiter((float(v) for v in seed_dist.values()), np.float64,
+                     len(seed_dist))
+    ids = np.concatenate([a, b, sa])
+    uniq, inv = np.unique(ids, return_inverse=True)
+    n = len(uniq)
+    sup = n  # extra slot: the virtual super-source
+    ea = np.concatenate([inv[: len(a)], inv[len(a) + len(b):]])
+    eb = np.concatenate([inv[len(a): len(a) + len(b)],
+                         np.full(len(sa), sup, np.int64)])
+    el = np.concatenate([np.asarray(lvl, np.float64), sl])
+    order = np.argsort(el, kind="stable")
+    ea, eb, el = ea[order], eb[order], el[order]
+
+    parent = list(range(n + 1))
+    size = [1] * (n + 1)
+    members = [[i] for i in range(n)] + [None]  # None = attached (super)
+    out = np.full(n, np.nan)
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    ea_l, eb_l, el_l = ea.tolist(), eb.tolist(), el.tolist()
+    for i in range(len(el_l)):
+        rx, ry = find(ea_l[i]), find(eb_l[i])
+        if rx == ry:
+            continue
+        mx, my = members[rx], members[ry]
+        if mx is None and my is None:
+            merged = None  # both already attached
+        elif mx is None or my is None:
+            # one side attached: the other component attaches NOW
+            lv = el_l[i]
+            for u in (my if mx is None else mx):
+                out[u] = lv
+            merged = None
+        else:
+            if len(mx) < len(my):
+                mx, my = my, mx
+            mx.extend(my)
+            merged = mx
+        if size[rx] < size[ry]:
+            rx, ry = ry, rx
+        parent[ry] = rx
+        size[rx] += size[ry]
+        members[rx] = merged
+        members[ry] = None
+    keep = ~np.isnan(out)
+    nodes = uniq[keep]
+    vals = out[keep]
+    return {int(u): float(v) for u, v in zip(nodes.tolist(), vals.tolist())}
+
+
 def _unwind_kernel(bound: pd.DataFrame, edges: pd.DataFrame) -> pd.DataFrame:
     """Per-group final pass: minimax Dijkstra over the group's ORIGINAL
     edges from {solved boundary terminals} u {ocean}. bound: (a, lvl) =
     solved terminal levels (-2 rows may appear; ocean always level -inf)."""
     seeds = {int(r.a): float(r.lvl) for r in bound.itertuples()}
     seeds[-2] = float("-inf")
-    rows = list(
-        zip(
-            edges["a"].to_numpy(np.int64),
-            edges["b"].to_numpy(np.int64),
-            edges["lvl"].to_numpy(np.float64),
-        )
+    dist = _minimax_connect(
+        edges["a"].to_numpy(np.int64),
+        edges["b"].to_numpy(np.int64),
+        edges["lvl"].to_numpy(np.float64),
+        seeds,
     )
-    dist = _minimax_dijkstra(rows, seeds)
     items = [(int(k), float(v)) for k, v in dist.items() if k != -2]
     if not items:
         return pd.DataFrame({"a": [], "b": [], "lvl": []}).astype(
@@ -1317,8 +1386,12 @@ def spill_minimax(
     if n_e == 0:
         return spark.createDataFrame([], "seed long, ocean_lvl double")
     if n_e <= direct_threshold:
-        dist = _minimax_dijkstra(
-            [(r.a, r.b, r.lvl) for r in edges.collect()], {-2: float("-inf")}
+        pdf = edges.toPandas()
+        dist = _minimax_connect(
+            pdf["a"].to_numpy(np.int64),
+            pdf["b"].to_numpy(np.int64),
+            pdf["lvl"].to_numpy(np.float64),
+            {-2: float("-inf")},
         )
         rows = [(int(s), float(d)) for s, d in dist.items() if s != -2]
         return spark.createDataFrame(
@@ -1463,20 +1536,106 @@ def _sp_dijkstra(adj, init):
     return best
 
 
+class _SpCsr:
+    """Compacted CSR adjacency over an undirected (a, b, w) edge list —
+    built ONCE and reused across the per-terminal Dijkstras of
+    _sp_contract_kernel. idx_of maps original node id -> compact index."""
+
+    __slots__ = ("n", "indptr", "dst", "w", "uniq", "idx_of")
+
+    def __init__(self, a: np.ndarray, b: np.ndarray, w: np.ndarray):
+        ids = np.concatenate([a, b])
+        self.uniq, inv = np.unique(ids, return_inverse=True)
+        self.n = len(self.uniq)
+        ai, bi = inv[: len(a)], inv[len(a):]
+        src = np.concatenate([ai, bi])
+        dst = np.concatenate([bi, ai])
+        ww = np.concatenate([np.asarray(w, np.float64)] * 2)
+        order = np.argsort(src, kind="stable")
+        self.dst = dst[order].tolist()
+        self.w = ww[order].tolist()
+        counts = np.bincount(src, minlength=self.n)
+        self.indptr = np.concatenate(
+            [[0], np.cumsum(counts)]
+        ).astype(np.int64).tolist()
+        self.idx_of = {int(u): i for i, u in enumerate(self.uniq.tolist())}
+
+
+def _sp_dijkstra_csr(csr: _SpCsr, init):
+    """Array-backed lexicographic Dijkstra, same contract and identical
+    tie rule as _sp_dijkstra ((dist, sid) lexicographic; NOSRC = +inf sid):
+    dist/sid live in flat lists indexed by compact node id instead of a
+    dict of tuples. init: {original node id: (dist, sid)}; nodes absent
+    from the CSR (isolated seeds) pass through unchanged. Returns
+    {original node id: (dist, sid)} for every settled node."""
+    n = csr.n
+    dist = [float("inf")] * n
+    sid = [_SP_NOSRC] * n
+    pq = []
+    passthrough = {}
+    for u, (d, s) in init.items():
+        i = csr.idx_of.get(int(u))
+        if i is None:
+            passthrough[u] = (d, s)
+            continue
+        if (d, s) < (dist[i], sid[i]):
+            dist[i], sid[i] = d, s
+            pq.append((d, s, i))
+    heapq.heapify(pq)
+    indptr, dsts, ws = csr.indptr, csr.dst, csr.w
+    pop = heapq.heappop
+    push = heapq.heappush
+    while pq:
+        d, s, u = pop(pq)
+        if d > dist[u] or (d == dist[u] and s > sid[u]):
+            continue
+        for k in range(indptr[u], indptr[u + 1]):
+            v = dsts[k]
+            nd = d + ws[k]
+            dv = dist[v]
+            if nd < dv or (nd == dv and s < sid[v]):
+                dist[v] = nd
+                sid[v] = s
+                push(pq, (nd, s, v))
+    uniq = csr.uniq.tolist()
+    out = {
+        uniq[i]: (dist[i], sid[i]) for i in range(n) if dist[i] < float("inf")
+    }
+    out.update(passthrough)
+    return out
+
+
+def _sp_split_np(a, b, w, sid):
+    """numpy split of the (-2)-marked seed edges from real edges; seeds
+    keep the lexicographic-min (w, sid) per node (same rule as
+    _sp_split). Returns (real_a, real_b, real_w, seeds dict)."""
+    seed_mask = (a == -2) | (b == -2)
+    sn = np.where(a[seed_mask] == -2, b[seed_mask], a[seed_mask])
+    sw, ss = w[seed_mask], sid[seed_mask]
+    seeds: dict = {}
+    for n_, w_, s_ in zip(sn.tolist(), sw.tolist(), ss.tolist()):
+        cand = (w_, s_)
+        if cand < seeds.get(n_, (float("inf"), _SP_NOSRC)):
+            seeds[n_] = cand
+    keep = ~seed_mask
+    return a[keep], b[keep], w[keep], seeds
+
+
 def _sp_contract_kernel(nodes: pd.DataFrame, edges: pd.DataFrame) -> pd.DataFrame:
-    rows = list(zip(edges["a"].to_numpy(np.int64), edges["b"].to_numpy(np.int64),
-                    edges["w"].to_numpy(np.float64), edges["sid"].to_numpy(np.int64)))
-    adj, seeds = _sp_split(rows)
+    ra, rb, rw, seeds = _sp_split_np(
+        edges["a"].to_numpy(np.int64), edges["b"].to_numpy(np.int64),
+        edges["w"].to_numpy(np.float64), edges["sid"].to_numpy(np.int64))
+    csr = _SpCsr(ra, rb, rw)  # built once, shared by every terminal's run
     terms = sorted(int(r.a) for r in nodes.itertuples() if r.term)
     oa, ob, ow, osid = [], [], [], []
     for i, t in enumerate(terms):
-        best = _sp_dijkstra(adj, {t: (0.0, _SP_NOSRC)})
+        best = _sp_dijkstra_csr(csr, {t: (0.0, _SP_NOSRC)})
         for u in terms[i + 1:]:
             du = best.get(u)
             if du is not None and du[0] < float("inf"):
                 oa.append(t); ob.append(u); ow.append(du[0]); osid.append(-1)
     if seeds:
-        src_best = _sp_dijkstra(adj, dict(seeds))
+        src_best = _sp_dijkstra_csr(csr, dict(seeds))
         for t in terms:
             dt = src_best.get(t)
             if dt is not None and dt[0] < float("inf"):
@@ -1486,15 +1645,15 @@ def _sp_contract_kernel(nodes: pd.DataFrame, edges: pd.DataFrame) -> pd.DataFram
 
 
 def _sp_unwind_kernel(bound: pd.DataFrame, edges: pd.DataFrame) -> pd.DataFrame:
-    rows = list(zip(edges["a"].to_numpy(np.int64), edges["b"].to_numpy(np.int64),
-                    edges["w"].to_numpy(np.float64), edges["sid"].to_numpy(np.int64)))
-    adj, seeds = _sp_split(rows)
+    ra, rb, rw, seeds = _sp_split_np(
+        edges["a"].to_numpy(np.int64), edges["b"].to_numpy(np.int64),
+        edges["w"].to_numpy(np.float64), edges["sid"].to_numpy(np.int64))
     init = dict(seeds)
     for r in bound.itertuples():
         cand = (float(r.dist), int(r.sid))
         if cand < init.get(int(r.a), (float("inf"), _SP_NOSRC)):
             init[int(r.a)] = cand
-    best = _sp_dijkstra(adj, init)
+    best = _sp_dijkstra_csr(_SpCsr(ra, rb, rw), init)
     items = [(k, v[0], v[1]) for k, v in best.items() if v[0] < float("inf")]
     if not items:
         return pd.DataFrame({"seed": [], "dist": [], "sid": []}).astype(
@@ -1524,9 +1683,11 @@ def shortest_path_hier(
     if n_e == 0:
         return spark.createDataFrame([], _SP_OUT_SCHEMA)
     if n_e <= direct_threshold:
-        rows = [(r.a, r.b, r.w, r.sid) for r in edges.collect()]
-        adj, seeds = _sp_split(rows)
-        best = _sp_dijkstra(adj, seeds)
+        pdf = edges.toPandas()
+        ra, rb, rw, seeds = _sp_split_np(
+            pdf["a"].to_numpy(np.int64), pdf["b"].to_numpy(np.int64),
+            pdf["w"].to_numpy(np.float64), pdf["sid"].to_numpy(np.int64))
+        best = _sp_dijkstra_csr(_SpCsr(ra, rb, rw), seeds)
         out = [(int(k), float(v[0]), int(v[1])) for k, v in best.items()
                if v[0] < float("inf")]
         return spark.createDataFrame(out or [(-(10**9), 0.0, -1)], _SP_OUT_SCHEMA)

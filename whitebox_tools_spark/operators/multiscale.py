@@ -200,8 +200,15 @@ def window_stats_tiled(
 
 def _full_stats(cells, m, out_prefix, tiled, tile=256):
     """Full-(2m+1)-window stats: offset scatter at small m, integral-image
-    tiles when tiled (tiled='auto' switches at m > 7)."""
-    if tiled is True or (tiled == "auto" and m > 7):
+    tiles at large m. The 'auto' crossover is calibrated from the bench
+    radius sweep (512^2 cells, local[32]): scatter cost grows with the
+    (2m+1)^2 shuffled rows/cell (r10 = 441/cell = 1.5 s) while the tiled
+    path is ~flat (~2.5 s job overhead, r10 = 2.6 s, r40 = 1.2 s) — they
+    cross near m ~= 13 (~700 rows/cell). Larger grids amortize the tiled
+    overhead and move the crossover lower, so 'auto' at m > 12 is the
+    conservative choice for the small-grid end; callers at cluster scale
+    pass tiled=True explicitly."""
+    if tiled is True or (tiled == "auto" and m > 12):
         return window_stats_tiled(cells, {out_prefix: _rects_full(m)}, tile=tile)
     return _window_stats(cells, _full_offsets(m), out_prefix=out_prefix)
 

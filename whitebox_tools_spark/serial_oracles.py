@@ -1,0 +1,541 @@
+"""Independent serial transcriptions used as literal-VALUES oracles.
+
+Each function here re-implements a reference tool's documented semantics
+(whitebox-tools `*.rs` files cited per function) with pure-python dicts,
+heaps and loops — no Spark, no numpy blocks, no imports from the engine's
+operator modules — so a distribution/tiling/halo bug in the engine cannot
+also hide in the oracle.  `__spark_entry__.oracle_sql()` runs these over
+the same FIXED deterministic fixtures the queries use and embeds the
+result as a literal ``VALUES`` table; the driver then value-checks the
+distributed engine against them at any scale factor.
+
+Float policy: where an engine result is float-identical to the serial
+sweep (bit-matched pytests) the oracle emits full precision; where the
+distributed solver re-associates float adds (rel ~1e-9: the weighted-
+semiring stitch, the hierarchical Dijkstra), the query and oracle both
+round to a per-query decimal count whose rounding-boundary margin is
+pinned far above the observed error by tests/test_serial_oracles.py.
+"""
+
+from __future__ import annotations
+
+import heapq
+import math
+from collections import deque
+
+# D8 neighbor order shared by the reference's tools (dx/dy per index).
+DX = [1, 1, 1, 0, -1, -1, -1, 0]
+DY = [-1, 0, 1, 1, 1, 0, -1, -1]
+
+# MDInf neighbor order (mdinf_flow_accum.rs:392-401): counterclockwise
+# from north — NOT the D8 order.
+MDINF_XD = [0, -1, -1, -1, 0, 1, 1, 1]
+MDINF_YD = [-1, -1, 0, 1, 1, 1, 0, -1]
+MDINF_DD = [1.0, math.sqrt(2.0), 1.0, math.sqrt(2.0),
+            1.0, math.sqrt(2.0), 1.0, math.sqrt(2.0)]
+
+
+def grid_lengths(res_x: float, res_y: float) -> list[float]:
+    diag = math.sqrt(res_x * res_x + res_y * res_y)
+    return [diag, res_x, diag, res_y, diag, res_x, diag, res_y]
+
+
+def round_half_away(v: float, k: int) -> float:
+    """Spark/DuckDB ROUND: half away from zero (python round() banks)."""
+    s = 10.0 ** k
+    if v >= 0:
+        return math.floor(v * s + 0.5) / s
+    return -math.floor(-v * s + 0.5) / s
+
+
+# ---------------------------------------------------------------------------
+# fixed fixtures (mirror the __spark_entry__ range-based builders term for
+# term; integer-derived so python and Spark produce bit-identical doubles)
+# ---------------------------------------------------------------------------
+
+def cost20_vals() -> dict[tuple[int, int], float]:
+    """The 20x20 LCG cost surface of the cost_* queries."""
+    return {
+        (i // 20, i % 20): ((i * 48271 + 7) % 1000) / 100.0 + 1.0
+        for i in range(400)
+    }
+
+
+def dense20_vals(n: int = 2000) -> dict[tuple[int, int], float]:
+    """Fixed dense 20 x ~n/20 hash-noise DEM (keys 1..n)."""
+    return {
+        (k % 20, k // 20): ((k * 48271) % 100000) / 100.0
+        for k in range(1, n + 1)
+    }
+
+
+def noise_vals(n: int = 2000) -> dict[tuple[int, int], float]:
+    """Fixed 200-row hash-noise DEM (keys 1..n)."""
+    return {
+        (k % 200, (k // 200) % 200): ((k * 48271) % 100000) / 100.0
+        for k in range(1, n + 1)
+    }
+
+
+def valley_vals(n: int = 500) -> dict[tuple[int, int], float]:
+    """Fixed fishbone valley DEM (keys 1..n), mirrors _VALLEY_DEM_SQL."""
+    out = {}
+    for k in range(1, n + 1):
+        pk = k - 1
+        row, col = pk % 20, pk // 20
+        base = abs(row - 10) * 50.0 + (25 - col) * 2.0 + ((k * 31) % 7) * 0.1
+        trib = -45.0 if (col % 4 == 1 and row != 10) else 0.0
+        out[(row, col)] = base + trib
+    return out
+
+
+# ---------------------------------------------------------------------------
+# cost family (gis_analysis/cost_distance.rs, cost_allocation.rs)
+# ---------------------------------------------------------------------------
+
+def cost_distance_serial(
+    vals: dict[tuple[int, int], float],
+    res_x: float,
+    res_y: float,
+    sources: list[tuple[int, int]],
+) -> dict[tuple[int, int], float]:
+    """Multi-source Dijkstra, accumulated cost = sum over steps of
+    cost_a*(len/2) + cost_b*(len/2) (cost_distance.rs:332-340 metric;
+    same half-length association as the engine's edge builder so the two
+    agree to the ulp where path shapes coincide)."""
+    lens = grid_lengths(res_x, res_y)
+    dist = {s: 0.0 for s in sources if s in vals}
+    heap = [(0.0, r, c) for (r, c) in dist]
+    heapq.heapify(heap)
+    while heap:
+        d, r, c = heapq.heappop(heap)
+        if d > dist.get((r, c), math.inf):
+            continue
+        va = vals[(r, c)]
+        for i in range(8):
+            q = (r + DY[i], c + DX[i])
+            vb = vals.get(q)
+            if vb is None:
+                continue
+            hl = lens[i] * 0.5
+            nd = d + (va * hl + vb * hl)
+            if nd < dist.get(q, math.inf):
+                dist[q] = nd
+                heapq.heappush(heap, (nd, q[0], q[1]))
+    return dist
+
+
+def cost_allocation_serial(
+    vals: dict[tuple[int, int], float],
+    res_x: float,
+    res_y: float,
+    sources: list[tuple[int, int, int]],
+) -> dict[tuple[int, int], int]:
+    """Multi-source Dijkstra carrying the claiming source id; cost ties
+    break to the LOWEST source id ((dist, sid) lexicographic semiring)."""
+    lens = grid_lengths(res_x, res_y)
+    best: dict[tuple[int, int], tuple[float, int]] = {}
+    heap = []
+    for r, c, sid in sources:
+        if (r, c) in vals and (0.0, sid) < best.get((r, c), (math.inf, 1 << 62)):
+            best[(r, c)] = (0.0, sid)
+            heap.append((0.0, sid, r, c))
+    heapq.heapify(heap)
+    while heap:
+        d, sid, r, c = heapq.heappop(heap)
+        if (d, sid) > best.get((r, c), (math.inf, 1 << 62)):
+            continue
+        va = vals[(r, c)]
+        for i in range(8):
+            q = (r + DY[i], c + DX[i])
+            vb = vals.get(q)
+            if vb is None:
+                continue
+            hl = lens[i] * 0.5
+            nd = d + (va * hl + vb * hl)
+            if (nd, sid) < best.get(q, (math.inf, 1 << 62)):
+                best[q] = (nd, sid)
+                heapq.heappush(heap, (nd, sid, q[0], q[1]))
+    return {k: v[1] for k, v in best.items()}
+
+
+# ---------------------------------------------------------------------------
+# priority-flood fill + plateau epsilon ramp (shared by upslope storage)
+# ---------------------------------------------------------------------------
+
+def priority_flood_fill(
+    vals: dict[tuple[int, int], float]
+) -> dict[tuple[int, int], float]:
+    """Minimax flat fill: W(c) = min over paths to the border of the max
+    elevation along the path (Wang-Liu 2006 without the epsilon). Border =
+    any cell with fewer than 8 in-raster neighbors."""
+    pq = []
+    for (r, c), z in vals.items():
+        nbs = [(r + DY[i], c + DX[i]) for i in range(8)]
+        if any(p not in vals for p in nbs):
+            heapq.heappush(pq, (z, r, c))
+    W: dict[tuple[int, int], float] = {}
+    while pq:
+        w0, r, c = heapq.heappop(pq)
+        if (r, c) in W:
+            continue
+        W[(r, c)] = w0
+        for i in range(8):
+            p = (r + DY[i], c + DX[i])
+            if p in vals and p not in W:
+                heapq.heappush(pq, (max(w0, vals[p]), p[0], p[1]))
+    return W
+
+
+def plateau_hops_serial(W: dict[tuple[int, int], float]) -> dict[tuple[int, int], int]:
+    """BFS hop count within each flat (equal-W plateau) to the nearest
+    pour cell (border cell or cell with a strictly lower-W neighbor)."""
+    hops: dict[tuple[int, int], int] = {}
+    dq = deque()
+    for (r, c), w0 in W.items():
+        nbs = [(r + DY[i], c + DX[i]) for i in range(8)]
+        if any(p not in W for p in nbs) or any(W.get(p, math.inf) < w0 for p in nbs):
+            hops[(r, c)] = 0
+            dq.append((r, c))
+    while dq:
+        r, c = dq.popleft()
+        for i in range(8):
+            p = (r + DY[i], c + DX[i])
+            if p in W and p not in hops and W[p] == W[(r, c)]:
+                hops[p] = hops[(r, c)] + 1
+                dq.append(p)
+    return hops
+
+
+def upslope_depression_storage_serial(
+    vals: dict[tuple[int, int], float],
+    res_x: float,
+    res_y: float,
+    flat_increment: float,
+    exponent: float = 1.1,
+) -> dict[tuple[int, int], float]:
+    """upslope_depression_storage.rs:240-560: FD8-accumulated depression
+    depth / FD8-accumulated upslope count over the epsilon-filled surface
+    (eps = flat-fill W + flat_increment * plateau hops). FD8 drop weights
+    mirror the engine's (drop/len*len)^exp association so the only
+    engine-serial float divergence is the stitch's add re-association."""
+    W = priority_flood_fill(vals)
+    hops = plateau_hops_serial(W)
+    s = flat_increment
+    eps = {p: W[p] + s * hops[p] for p in W}
+    depth = {p: eps[p] - vals[p] for p in W}
+    lens = grid_lengths(res_x, res_y)
+    acc_d = dict(depth)
+    acc_n = {p: 1.0 for p in W}
+    for p in sorted(W, key=lambda q: (-eps[q], q)):
+        r, c = p
+        ws = []
+        for i in range(8):
+            q = (r + DY[i], c + DX[i])
+            if q in eps and eps[q] < eps[p]:
+                sl = (eps[p] - eps[q]) / lens[i]
+                ws.append((q, (sl * lens[i]) ** exponent))
+        tot = 0.0
+        for _, w in ws:
+            tot += w
+        if tot > 0.0:
+            for q, w in ws:
+                acc_d[q] += acc_d[p] * (w / tot)
+                acc_n[q] += acc_n[p] * (w / tot)
+    return {p: acc_d[p] / acc_n[p] for p in W}
+
+
+# ---------------------------------------------------------------------------
+# MFD accumulations (mdinf_flow_accum.rs; Quinn 1995 / Qin 2007 plugins)
+# ---------------------------------------------------------------------------
+
+def mdinf_serial(
+    vals: dict[tuple[int, int], float], res: float, exponent: float = 1.1
+) -> dict[tuple[int, int], float]:
+    """Seibert & McGlynn 2007 facet split (mdinf_flow_accum.rs:420-590):
+    per triangular facet the normal-derived direction/slope (clamped to
+    the facet's cardinal edges when outside), valley validity rules,
+    slope^exponent weighting, angular split between the bounding
+    neighbors; weights to non-downslope neighbors dropped."""
+    gr, qpi = res, math.pi / 4.0
+    xd, yd, dd = MDINF_XD, MDINF_YD, MDINF_DD
+
+    def weights_of(rc):
+        r0, c0 = rc
+        z = vals[rc]
+        P = [vals.get((r0 + yd[i], c0 + xd[i])) for i in range(8)]
+        rr = [0.0] * 8
+        ss = [0.0] * 8
+        valid = [False] * 8
+        down = [P[i] is not None and P[i] < z for i in range(8)]
+        for c in range(8):
+            i, ii = c, (c + 1) % 8
+            p1, p2 = P[i], P[ii]
+            if p1 is not None and p2 is not None:
+                z1, z2 = p1 - z, p2 - z
+                nx = (yd[i] * z2 - yd[ii] * z1) * gr
+                ny = (xd[ii] * z1 - xd[i] * z2) * gr
+                nzv = float(xd[i] * yd[ii] - xd[ii] * yd[i]) * gr * gr
+                if nx == 0.0:
+                    hr = 0.0 if ny >= 0.0 else math.pi
+                elif nx >= 0.0:
+                    hr = math.pi / 2.0 - math.atan(ny / nx)
+                else:
+                    hr = 3.0 * math.pi / 2.0 - math.atan(ny / nx)
+                hs = -math.tan(
+                    math.acos(nzv / math.sqrt(nx * nx + ny * ny + nzv * nzv))
+                )
+                if hr < i * qpi or hr > (i + 1) * qpi:
+                    if p1 < p2:
+                        hr, hs = i * qpi, (z - p1) / (dd[i] * gr)
+                    else:
+                        hr, hs = ii * qpi, (z - p2) / (dd[ii] * gr)
+                rr[c], ss[c], valid[c] = hr, hs, True
+            elif p1 is not None and p1 < z:
+                rr[c], ss[c], valid[c] = (
+                    (i / 4.0) * math.pi,
+                    (z - p1) / (dd[ii] * gr),
+                    True,
+                )
+        valley = [0.0] * 8
+        for i in range(8):
+            ii, im = (i + 1) % 8, (i + 7) % 8
+            if valid[i] and ss[i] > 0.0:
+                if (i * qpi < rr[i] < (i + 1) * qpi) or rr[i] == rr[ii] \
+                        or (not valid[ii] and rr[i] == (i + 1) * qpi) \
+                        or (not valid[im] and rr[i] == i * qpi):
+                    valley[i] = ss[i]
+        valley = [v ** exponent for v in valley]
+        vs = sum(valley)
+        w = [0.0] * 8
+        if vs > 0.0:
+            valley = [v / vs for v in valley]
+            if rr[7] == 0.0:
+                rr[7] = 2.0 * math.pi
+            for i in range(8):
+                ii = (i + 1) % 8
+                if valley[i] > 0.0:
+                    w[i] += valley[i] * (((i + 1) * qpi - rr[i]) / qpi)
+                    w[ii] += valley[i] * ((rr[i] - i * qpi) / qpi)
+        return [(i, w[i]) for i in range(8) if down[i] and w[i] > 0.0]
+
+    fa = {p: 1.0 for p in vals}
+    for p in sorted(vals, key=lambda q: (-vals[q], q)):
+        for i, w in weights_of(p):
+            q = (p[0] + yd[i], p[1] + xd[i])
+            fa[q] += fa[p] * w
+    return fa
+
+
+def quinn_qin_serial(
+    vals: dict[tuple[int, int], float],
+    res: float,
+    which: str,
+    *,
+    qin_upper: float = 45.0,
+    qin_max_exp: float = 10.0,
+    exponent: float = 1.1,
+) -> dict[tuple[int, int], float]:
+    """Quinn 1995 (contour-length x slope MFD) / Qin 2007 (adaptive
+    exponent from max downslope slope) fractional accumulations."""
+    lens = grid_lengths(res, res)
+    cl = [0.354 * res, 0.5 * res] * 4
+    us = math.tan(math.radians(qin_upper))
+    fa = {p: 1.0 for p in vals}
+    for p in sorted(vals, key=lambda q: (-vals[q], q)):
+        z = vals[p]
+        slopes = []
+        for i in range(8):
+            q = (p[0] + DY[i], p[1] + DX[i])
+            if q in vals and vals[q] < z:
+                slopes.append((i, q, (z - vals[q]) / lens[i]))
+        if not slopes:
+            continue
+        if which == "quinn":
+            ws = [(q, cl[i] * s) for i, q, s in slopes]
+        else:
+            smax = max(s for _, _, s in slopes)
+            f = min(smax, us) / us * (qin_max_exp - exponent) + exponent
+            ws = [(q, cl[i] * s ** f) for i, q, s in slopes]
+        tot = 0.0
+        for _, w in ws:
+            tot += w
+        for q, w in ws:
+            fa[q] += fa[p] * (w / tot)
+    return fa
+
+
+# ---------------------------------------------------------------------------
+# isobasins (hydro_analysis/isobasins.rs:392-470)
+# ---------------------------------------------------------------------------
+
+def d8_next_serial(
+    vals: dict[tuple[int, int], float], res_x: float, res_y: float
+) -> dict[tuple[int, int], tuple[int, int]]:
+    """Steepest-descent D8 target per cell (max positive slope, ties to
+    the lowest neighbor index)."""
+    lens = grid_lengths(res_x, res_y)
+    nxt = {}
+    for (r, c), z in vals.items():
+        best = None
+        for i in range(8):
+            q = (r + DY[i], c + DX[i])
+            if q in vals:
+                s = (z - vals[q]) / lens[i]
+                if s > 0 and (best is None or s > best[0]):
+                    best = (s, q)
+        if best:
+            nxt[(r, c)] = best[1]
+    return nxt
+
+
+def isobasins_serial(
+    vals: dict[tuple[int, int], float],
+    res_x: float,
+    res_y: float,
+    size: int,
+) -> dict[tuple[int, int], float]:
+    """Topological sweep down the D8 DAG: at a cell with residual
+    accumulation fa >= size, cut an outlet at the largest-inflow neighbor
+    (ties lowest i; only when 0 < inla <= size — the reference's usize
+    wrap guard — and (size - inla) < (fa - size)), else at the cell
+    itself; terminals always become outlets. Ids = raster-scan order of
+    outlet cells (the engine's documented deviation from the reference's
+    stack-order numbering); every cell labeled by the FIRST outlet on its
+    flow path. Accumulations are sums of 1.0s minus cut residuals —
+    integer-valued floats, so the result is exact."""
+    nxt = d8_next_serial(vals, res_x, res_y)
+    indeg = {p: 0 for p in vals}
+    for p, t in nxt.items():
+        indeg[t] += 1
+    order = [p for p in vals if indeg[p] == 0]
+    accum = {p: 1.0 for p in vals}
+    # inflow value per (target, direction index of SOURCE around target)
+    inflows: dict[tuple[int, int], list[tuple[float, int]]] = {}
+    outlets = set()
+    deg = dict(indeg)
+    qi = 0
+    while qi < len(order):
+        p = order[qi]
+        qi += 1
+        fa = accum[p]
+        if fa >= size:
+            # largest inflow, ties to lowest direction index i
+            inla, inla_q = 0.0, None
+            best = None
+            for (w, i, q) in inflows.get(p, []):
+                if best is None or (w, -i) > (best[0], -best[1]):
+                    best = (w, i, q)
+            if best is not None:
+                inla, inla_q = best[0], best[2]
+            if (
+                inla_q is not None
+                and 0.0 < inla <= size
+                and (size - inla) < (fa - size)
+            ):
+                fa -= inla
+                outlets.add(inla_q)
+            else:
+                fa = 1.0
+                outlets.add(p)
+        t = nxt.get(p)
+        if t is None:
+            outlets.add(p)
+        else:
+            # direction index of p around its target t
+            i = next(
+                j for j in range(8)
+                if (p[0] - t[0], p[1] - t[1]) == (DY[j], DX[j])
+            )
+            inflows.setdefault(t, []).append((fa, i, p))
+            accum[t] += fa
+            deg[t] -= 1
+            if deg[t] == 0:
+                order.append(t)
+    ids = {p: k + 1 for k, p in enumerate(sorted(outlets))}
+
+    label: dict[tuple[int, int], float] = {}
+
+    def first_outlet(p):
+        path = []
+        while p not in label:
+            if p in ids:
+                label[p] = float(ids[p])
+                break
+            path.append(p)
+            p = nxt[p]
+        v = label[p]
+        for q in path:
+            label[q] = v
+        return v
+
+    for p in vals:
+        first_outlet(p)
+    return label
+
+
+# ---------------------------------------------------------------------------
+# breach least cost (hydro_analysis/breach_depressions_least_cost.rs)
+# ---------------------------------------------------------------------------
+
+def breach_least_cost_serial(
+    vals: dict[tuple[int, int], float],
+    res_x: float,
+    res_y: float,
+    *,
+    dist: int,
+    max_cost: float,
+    min_dist: bool,
+    s: float,
+) -> dict[tuple[int, int], float]:
+    """Raise pits to min(neighbors) - s, per-pit bounded least-cost search
+    (deterministic (cost, row, col) heap order), carve the cheapest
+    channel, min-combine carves (Lindsay & Dhun 2015). Matches the engine
+    bit-for-bit (tests/test_breach_least_cost.py pins abs 1e-12)."""
+    raised = dict(vals)
+    pits = []
+    for (r, c), z in vals.items():
+        nbs = [vals.get((r + DY[n], c + DX[n])) for n in range(8)]
+        if all(v is not None for v in nbs) and min(nbs) >= z:
+            raised[(r, c)] = min(nbs) - s
+            pits.append((r, c))
+    lens = grid_lengths(res_x, res_y)
+    carve: dict[tuple[int, int], float] = {}
+    for pr, pc in sorted(pits):
+        z = raised[(pr, pc)]
+        heap = [(0.0, pr, pc)]
+        enc = {(pr, pc)}
+        plen = {(pr, pc): 0}
+        back: dict[tuple[int, int], tuple[int, int]] = {}
+        solved = False
+        while heap and not solved:
+            accum, r, c = heapq.heappop(heap)
+            if accum > max_cost:
+                break
+            L = plen[(r, c)]
+            cost1 = raised[(r, c)] - z + L * s
+            for n in range(8):
+                rn, cn = r + DY[n], c + DX[n]
+                if (rn, cn) in enc:
+                    continue
+                Ln = L + 1
+                plen[(rn, cn)] = Ln
+                back[(rn, cn)] = (r, c)
+                zn = raised.get((rn, cn))
+                zout = z - Ln * s
+                if zn is not None and zn > zout:
+                    enc.add((rn, cn))
+                    if Ln <= dist:
+                        w = (cost1 + (zn - zout)) / 2.0 * lens[n] if min_dist \
+                            else zn - zout
+                        heapq.heappush(heap, (accum + w, rn, cn))
+                else:
+                    br, bc = rn, cn
+                    while (br, bc) in back:
+                        br, bc = back[(br, bc)]
+                        zb = z - plen[(br, bc)] * s
+                        if raised[(br, bc)] > zb:
+                            carve[(br, bc)] = min(carve.get((br, bc), zb), zb)
+                    solved = True
+                    break
+    return {k: min(v, carve.get(k, v)) for k, v in raised.items()}
