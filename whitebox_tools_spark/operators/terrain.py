@@ -2323,17 +2323,31 @@ def embankment_mapping(
     max_width: float = 60.0,
     max_increment: float = 0.05,
     spillout_slope: float = 4.0,
+    cluster_cap: int = 64,
+    halo_buckets: int = 2,
 ) -> DataFrame:
     """EmbankmentMapping (terrain_analysis/embankment_mapping.rs:380-1026,
     mapping mode): boolean embankment raster from a DEM + transportation
     vector. Roads rasterize with the engine scanline; road cells cluster
-    conservatively by coarse buckets (bucket edge >= the full influence
-    radius, so clusters that could interact always merge), each cluster's
-    DEM neighborhood gathers through one bounded bucket join, and the
-    exact serial kernel runs per cluster in parallel (the per-clump Arrow
-    idiom — the reference is a single global serial pass; independent
-    clusters are bit-equivalent). remove_embankments interpolation mode
-    is not implemented. -> (row, col, value 1.0) embankment cells."""
+    conservatively by coarse buckets (bucket edge L >= 2x the full
+    influence radius reach = (max_width + search_dist)/res, so clusters
+    that could interact always merge), each cluster's DEM neighborhood
+    gathers through one bounded bucket join, and the exact serial kernel
+    runs per cluster in parallel (the per-clump Arrow idiom — the
+    reference is a single global serial pass; independent clusters are
+    bit-equivalent).
+
+    A globally connected road network (national scale) would merge into
+    ONE cluster, so merged components are capped at `cluster_cap` buckets:
+    each chunk's kernel sees roads/DEM from `halo_buckets` extra bucket
+    rings (halo_buckets * L cells >= 2 * halo_buckets * reach — the
+    reference's distance labels and growth gates never read beyond reach
+    of a seed, so a >= 2-ring halo covers every seed that can influence a
+    core cell plus the corridor chains through the inner ring) and only
+    core-bucket cells are emitted. Chunked == unsplit output is pinned by
+    tests/test_embankment_cap.py on a connected multi-bucket road grid.
+    remove_embankments interpolation mode is not implemented.
+    -> (row, col, value 1.0) embankment cells."""
     import pandas as pd
 
     from .raster_vector import vector_lines_to_raster
@@ -2385,25 +2399,62 @@ def embankment_mapping(
                     ra, rn = find((br, bc)), find(nb)
                     if ra != rn:
                         parent[max(ra, rn)] = min(ra, rn)
+    # capped chunks: split each merged component into sorted runs of
+    # <= cluster_cap buckets so one national-scale connected network
+    # fans out over many executors instead of one
     comp = {b: find(b) for b in buckets}
+    groups: dict = {}
+    for b in buckets:
+        groups.setdefault(comp[b], []).append(b)
+    cluster_of = {}
+    for root, bs in groups.items():
+        bs.sort()
+        for i, b in enumerate(bs):
+            cluster_of[b] = f"{root[0]}_{root[1]}_{i // max(cluster_cap, 1)}"
     spark = dem.sparkSession
+    h = max(int(halo_buckets), 1)
+    ring = range(-h, h + 1)
+    # emission map: a chunk owns its road buckets plus any roadless bucket
+    # in their 1-ring (kernel output reaches at most reach = L/2 past a
+    # seed, i.e. 1 ring past road buckets; roadless ring buckets shared by
+    # several chunks are computed identically by each — all seeds within
+    # reach of such a cell sit inside every neighbor chunk's >=2-ring seed
+    # halo — so .distinct() collapses them)
+    emit_rows = {(br, bc, cluster_of[(br, bc)]) for (br, bc) in buckets}
+    for (br, bc) in buckets:
+        for dr in (-1, 0, 1):
+            for dc in (-1, 0, 1):
+                nb = (br + dr, bc + dc)
+                if nb not in bset:
+                    emit_rows.add((nb[0], nb[1], cluster_of[(br, bc)]))
     bdf = F.broadcast(
         spark.createDataFrame(
-            [(br, bc, f"{comp[(br, bc)][0]}_{comp[(br, bc)][1]}") for (br, bc) in buckets],
+            sorted(emit_rows), "br long, bc long, cluster string"
+        )
+    )
+    # seed map: every chunk also gathers road cells from its halo rings
+    seed_map = F.broadcast(
+        spark.createDataFrame(
+            sorted({
+                (br + dr, bc + dc, cluster_of[(br, bc)])
+                for (br, bc) in buckets for dr in ring for dc in ring
+            }),
             "br long, bc long, cluster string",
         )
     )
     rcl = rb.select(
         "row", "col", F.col("b.br").alias("br"), F.col("b.bc").alias("bc")
-    ).join(bdf, ["br", "bc"]).select("row", "col", "cluster")
-    # dem cells whose bucket is within 1 of any cluster bucket
+    ).join(seed_map, ["br", "bc"]).select("row", "col", "cluster")
+    # dem cells: halo + 1 extra ring so halo seeds get their full reach
+    dring = range(-h - 1, h + 2)
     dil = (
         spark.createDataFrame(
-            [(br + dr, bc + dc, f"{comp[(br, bc)][0]}_{comp[(br, bc)][1]}")
-             for (br, bc) in buckets for dr in (-1, 0, 1) for dc in (-1, 0, 1)],
+            sorted({
+                (br + dr, bc + dc, cluster_of[(br, bc)])
+                for (br, bc) in buckets for dr in dring for dc in dring
+            }),
             "br long, bc long, cluster string",
         )
-        .distinct()
     )
     dcells = (
         dem.filter(F.col("value").isNotNull())
@@ -2436,10 +2487,18 @@ def embankment_mapping(
                 z = {(int(e["row"]), int(e["col"])): float(e["value"]) for e in r.cells}
                 road_cells = [(int(e["row"]), int(e["col"])) for e in r.rcells]
                 emb = embankment_kernel(z, road_cells, grid, **params)
-                out.extend((rr, cc, 1.0) for (rr, cc) in emb)
-            yield pd.DataFrame(out, columns=["row", "col", "value"])
+                out.extend((r.cluster, rr, cc, 1.0) for (rr, cc) in emb)
+            yield pd.DataFrame(out, columns=["cluster", "row", "col", "value"])
 
+    raw = grouped.mapInPandas(
+        _run, "cluster string, row long, col long, value double"
+    )
+    # keep only cells whose bucket this chunk OWNS (halo work is duplicated
+    # by construction; the core filter makes chunked == unsplit)
     return (
-        grouped.mapInPandas(_run, "row long, col long, value double")
+        raw.withColumn("br", F.floor(F.col("row") / F.lit(L)))
+        .withColumn("bc", F.floor(F.col("col") / F.lit(L)))
+        .join(bdf, ["br", "bc", "cluster"])
+        .select("row", "col", "value")
         .distinct()
     )
