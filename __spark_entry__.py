@@ -5003,6 +5003,114 @@ def q_mosaic_nn(spark, sf_dir):
     return mosaic_nn([(a, 100.0, 5.0), (b, 200.0, 5.0)])
 
 
+_MOSAIC_OUT = GridSpec(west=0.0, north=100.0, res_x=4.0, res_y=4.0, rows=25, cols=25)
+_MOSAIC_G1 = GridSpec(west=0.0, north=100.0, res_x=5.0, res_y=5.0, rows=20, cols=20)
+_MOSAIC_G2 = GridSpec(west=12.5, north=92.5, res_x=5.0, res_y=5.0, rows=20, cols=20)
+
+
+def _mosaic_imgs(spark):
+    """Fixed source images for the resampling mosaics: img2 (priority 0,
+    offset grid, nodata holes every 17th cell) over img1 (full cover)."""
+    img1 = spark.range(400).select(
+        (F.col("id") / 20).cast("long").alias("row"),
+        (F.col("id") % 20).alias("col"),
+        (((F.col("id") * 48271 + 11) % 1000).cast("double") / 10.0).alias("value"),
+    )
+    img2 = spark.range(400).select(
+        (F.col("id") / 20).cast("long").alias("row"),
+        (F.col("id") % 20).alias("col"),
+        F.when(F.col("id") % 17 == 0, F.lit(None).cast("double"))
+        .otherwise(((F.col("id") * 24847 + 3) % 1000).cast("double") / 10.0)
+        .alias("value"),
+    )
+    return img1, img2
+
+
+def _q_mosaic_resample(method):
+    def q(spark, sf_dir):
+        from whitebox_tools_spark.operators.image import mosaic_resample
+
+        img1, img2 = _mosaic_imgs(spark)
+        return _r6(
+            mosaic_resample(
+                [(img2, _MOSAIC_G2), (img1, _MOSAIC_G1)], _MOSAIC_OUT,
+                method=method,
+            ),
+            ["value"],
+        )
+
+    q.__doc__ = (
+        f"Mosaic, {method} resampling (image_analysis/mosaic.rs:516-700): "
+        "first-image-wins inverse-squared-stencil-distance gather; exact "
+        "grid hits return the source value (deterministic semantics — the "
+        "reference's stale-weight/thread-stride quirk is machine-dependent, "
+        "see operators/image.py docstring)."
+    )
+    return q
+
+
+q_mosaic_bilinear = _q_mosaic_resample("bilinear")
+q_mosaic_cc = _q_mosaic_resample("cc")
+
+
+def _mosaic_resample_sql(method: str) -> str:
+    stencil = (
+        [(sx, sy) for sy in (0, 1) for sx in (0, 1)]
+        if method == "bilinear"
+        else [(sx, sy) for sy in (-1, 0, 1, 2) for sx in (-1, 0, 1, 2)]
+    )
+    offs = ", ".join(f"({sx}, {sy})" for sx, sy in stencil)
+    img1 = (
+        "SELECT CAST(floor(i / 20) AS BIGINT) AS row, CAST(i % 20 AS BIGINT) AS col, "
+        "CAST((i * 48271 + 11) % 1000 AS DOUBLE) / 10.0 AS value FROM range(400) t(i)"
+    )
+    img2 = (
+        "SELECT CAST(floor(i / 20) AS BIGINT) AS row, CAST(i % 20 AS BIGINT) AS col, "
+        "CASE WHEN i % 17 = 0 THEN NULL "
+        "ELSE CAST((i * 24847 + 3) % 1000 AS DOUBLE) / 10.0 END AS value "
+        "FROM range(400) t(i)"
+    )
+
+    def cand(idx, img_cte, g):
+        cs = f"((c.x - {g.west!r}) / {g.res_x!r})"
+        rs = f"(({g.north!r} - c.y) / {g.res_y!r})"
+        dx = f"(CAST(s.nc AS DOUBLE) - s.cs)"
+        dy = f"(CAST(s.nr AS DOUBLE) - s.rs)"
+        exact = f"({dx} = 0.0 AND {dy} = 0.0)"
+        w = f"(1.0 / ({dx} * {dx} + {dy} * {dy}))"
+        return f"""
+  SELECT s.row, s.col, {idx} AS idx,
+         max(CASE WHEN {exact} THEN i.value END) AS ev,
+         sum(CASE WHEN NOT {exact} THEN i.value * {w} END)
+           / sum(CASE WHEN NOT {exact} THEN {w} END) AS wv
+  FROM (
+    SELECT c.row, c.col, {cs} AS cs, {rs} AS rs,
+           CAST(floor({rs}) AS BIGINT) + o.sy AS nr,
+           CAST(floor({cs}) AS BIGINT) + o.sx AS nc
+    FROM cells c CROSS JOIN offs o
+  ) s JOIN {img_cte} i ON i.row = s.nr AND i.col = s.nc AND i.value IS NOT NULL
+  GROUP BY s.row, s.col
+"""
+
+    og = _MOSAIC_OUT
+    return f"""
+WITH cells AS (
+  SELECT CAST(floor(i / {og.cols}) AS BIGINT) AS row,
+         CAST(i % {og.cols} AS BIGINT) AS col,
+         {og.x_center_sql(f"CAST(i % {og.cols} AS BIGINT)")} AS x,
+         {og.y_center_sql(f"CAST(floor(i / {og.cols}) AS BIGINT)")} AS y
+  FROM range({og.rows * og.cols}) t(i)
+),
+offs(sx, sy) AS (VALUES {offs}),
+img0 AS ({img2}), img1 AS ({img1}),
+cand0 AS ({cand(0, "img0", _MOSAIC_G2)}),
+cand1 AS ({cand(1, "img1", _MOSAIC_G1)})
+SELECT row, col, round(arg_min(coalesce(ev, wv), idx), 6) + 0.0 AS value
+FROM (SELECT * FROM cand0 UNION ALL SELECT * FROM cand1)
+GROUP BY row, col
+"""
+
+
 def q_rho8_pointer(spark, sf_dir):
     """Rho8Pointer (hydro_analysis/rho8_pointer.rs), deterministic minstd
     uniforms (documented deviation: the reference is unseeded)."""
@@ -5337,6 +5445,60 @@ def q_trend_surface(spark, sf_dir):
     )
     fitted, _ = trend_surface(cells, EXTRACT_GRID, order=1, x="x", y="y")
     return _r6(fitted, ["value"])
+
+
+def q_trend_surface_vector_points(spark, sf_dir):
+    """TrendSurfaceVectorPoints dedicated output shape (math_stat_analysis/
+    trend_surface_vector_points.rs:297-590): order-1 trend fitted to the
+    derived customer points, evaluated over the raster spanned by the point
+    extent (west=min_x, north=max_y, rows/cols=ceil(extent/cell_size),
+    rs:307-310) — not the fitted-at-source-rows shape q_trend_surface pins."""
+    from whitebox_tools_spark.operators.stats import trend_surface_vector_points
+
+    pts = _cust_points(spark, sf_dir)
+    out = trend_surface_vector_points(
+        pts, order=1, cell_size=50.0, x="x", y="y", value="z"
+    )
+    return _r6(out, ["value"])
+
+
+def _trend_surface_vector_points_sql() -> str:
+    """DuckDB mirror: the same centered Cramer 3x3 solve as
+    _trend_surface_sql, evaluated over the extent-derived grid
+    (trend_surface_vector_points.rs:307-310 grid, lib.rs:728-741 centers)."""
+    x, y = synth.point_sql("c_custkey")
+    d = "(n*(sxx*syy - sxy*sxy) - sx*(sx*syy - sxy*sy) + sy*(sx*sxy - sxx*sy))"
+    c0 = "(sz*(sxx*syy - sxy*sxy) - sx*(sxz*syy - sxy*syz) + sy*(sxz*sxy - sxx*syz))"
+    c1 = "(n*(sxz*syy - sxy*syz) - sz*(sx*syy - sxy*sy) + sy*(sx*syz - sxz*sy))"
+    c2 = "(n*(sxx*syz - sxz*sxy) - sx*(sx*syz - sxz*sy) + sz*(sx*sxy - sxx*sy))"
+    return f"""
+WITH src AS (SELECT {x} AS x, {y} AS y, c_acctbal AS value
+             FROM customer WHERE c_acctbal IS NOT NULL),
+m AS (SELECT avg(x) AS mx, avg(y) AS my, avg(value) AS mz,
+             min(x) AS xmin, max(x) AS xmax,
+             min(y) AS ymin, max(y) AS ymax FROM src),
+s AS (SELECT count(*) AS n,
+             sum(x - mx) AS sx, sum(y - my) AS sy, sum(value - mz) AS sz,
+             sum((x - mx)*(x - mx)) AS sxx, sum((x - mx)*(y - my)) AS sxy,
+             sum((y - my)*(y - my)) AS syy,
+             sum((x - mx)*(value - mz)) AS sxz, sum((y - my)*(value - mz)) AS syz
+      FROM src, m),
+c AS (SELECT {c0} / {d} AS c0, {c1} / {d} AS c1, {c2} / {d} AS c2 FROM s),
+g AS (SELECT xmin AS west, ymax AS north,
+             CAST(ceil((ymax - ymin) / 50.0) AS BIGINT) AS nrows,
+             CAST(ceil((xmax - xmin) / 50.0) AS BIGINT) AS ncols FROM m),
+cells AS (
+  SELECT CAST(floor(i / g.ncols) AS BIGINT) AS row,
+         CAST(i % g.ncols AS BIGINT) AS col,
+         g.west + 25.0 + CAST(i % g.ncols AS DOUBLE) * 50.0 AS xc,
+         g.north - 25.0 - CAST(floor(i / g.ncols) AS DOUBLE) * 50.0 AS yc
+  FROM range(2000) t(i), g WHERE i < g.nrows * g.ncols
+)
+SELECT cells.row, cells.col,
+       round(m.mz + c.c0 + c.c1*(cells.xc - m.mx) + c.c2*(cells.yc - m.my), 6)
+         + 0.0 AS value
+FROM cells, m, c
+"""
 
 
 def q_raster_to_polygons(spark, sf_dir):
@@ -9237,6 +9399,8 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fast_almost_gaussian_filter": q_fast_almost_gaussian,
         "highpass_bilateral_filter": q_highpass_bilateral,
         "mosaic_nn": q_mosaic_nn,
+        "mosaic_bilinear": q_mosaic_bilinear,
+        "mosaic_cc": q_mosaic_cc,
         "rho8_pointer": q_rho8_pointer,
         "direct_decorrelation_stretch": q_direct_decorrelation_stretch,
         "image_stack_profile": q_image_stack_profile,
@@ -9261,6 +9425,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clip_points": q_clip_points,
         "erase_points": q_erase_points,
         "trend_surface": q_trend_surface,
+        "trend_surface_vector_points": q_trend_surface_vector_points,
         "raster_to_polygons": q_raster_to_polygons,
         "clump": q_clump,
         "shape_complexity_index_raster": q_shape_complexity_index_raster,
@@ -9886,6 +10051,8 @@ FROM ({_PART_RASTER_SQL})
             + ") t"
         ),
         "mosaic_nn": _mosaic_nn_sql(),
+        "mosaic_bilinear": _mosaic_resample_sql("bilinear"),
+        "mosaic_cc": _mosaic_resample_sql("cc"),
         "rho8_pointer": _hyd.rho8_pointer_oracle_sql(
             _NOISE_RASTER_SQL, EXTRACT_GRID, seed=7
         ),
@@ -10434,6 +10601,7 @@ SELECT row, col, round((value - mn) / (mx - mn), 6) AS value FROM dem CROSS JOIN
         "clip_points": _clip_erase_sql(erase=False),
         "erase_points": _clip_erase_sql(erase=True),
         "trend_surface": _trend_surface_sql(),
+        "trend_surface_vector_points": _trend_surface_vector_points_sql(),
         "clump": _clump_sql(),
         "shape_complexity_index_raster": _scir_sql(),
         "narrowness_index": _narrowness_sql(),

@@ -235,6 +235,88 @@ def trend_surface(
     return out, [float(c) for c in raw]
 
 
+def trend_surface_vector_points(
+    points: DataFrame,
+    *,
+    order: int = 1,
+    cell_size: float,
+    x: str = "x",
+    y: str = "y",
+    value: str = "value",
+) -> DataFrame:
+    """TrendSurfaceVectorPoints (math_stat_analysis/
+    trend_surface_vector_points.rs:297-590): least-squares polynomial
+    trend fitted to vector points, EVALUATED over a raster spanning the
+    point extent — west = min_x, north = max_y, rows/cols =
+    ceil(extent / cell_size) (rs:307-310); every output cell gets the
+    fitted value (rs:566-581). This is the dedicated output shape the
+    shared trend_surface() (fitted-at-source-rows) does not produce.
+
+    Numerics parity note: the reference QR-solves in the min-shifted
+    basis (x - min_x, y - min_y, z - min_z); this engine solves the same
+    least-squares problem in the centered basis (x - mean, ...), whose
+    normal matrix is O(1)-conditioned — predictions are basis-invariant,
+    so fitted values agree to float noise and the DuckDB Cramer oracle
+    certifies them at 6 dp.
+
+    Spark plan: one extent aggregate + one moment aggregate over the
+    points (partial+final combine, only (terms x terms) scalars reach the
+    driver); the output raster is range -> pure column expression. Scales
+    to any point count and any raster size with no further shuffles."""
+    import numpy as np
+
+    spark = points.sparkSession
+    src = points.filter(F.col(value).isNotNull()).select(
+        F.col(x).alias("__x"), F.col(y).alias("__y"), F.col(value).alias("__z")
+    )
+    ext = src.agg(
+        F.min("__x").alias("xmin"), F.max("__x").alias("xmax"),
+        F.min("__y").alias("ymin"), F.max("__y").alias("ymax"),
+        F.avg("__x").alias("mx"), F.avg("__y").alias("my"),
+        F.avg("__z").alias("mz"),
+    ).collect()[0]
+    west, north = float(ext.xmin), float(ext.ymax)
+    rows = int(math.ceil((north - float(ext.ymin)) / cell_size))
+    cols = int(math.ceil((float(ext.xmax) - west) / cell_size))
+    mx, my, mz = float(ext.mx), float(ext.my), float(ext.mz)
+
+    terms = [(i, j) for j in range(order + 1) for i in range(order + 1 - j)]
+    cx, cy = F.col("__x") - F.lit(mx), F.col("__y") - F.lit(my)
+    term_cols = [
+        (F.pow(cx, F.lit(float(i))) * F.pow(cy, F.lit(float(j)))).alias(f"t{k}")
+        for k, (i, j) in enumerate(terms)
+    ]
+    t = src.select((F.col("__z") - F.lit(mz)).alias("z"), *term_cols)
+    aggs = []
+    for a in range(len(terms)):
+        for b in range(a, len(terms)):
+            aggs.append(F.sum(F.col(f"t{a}") * F.col(f"t{b}")).alias(f"xx_{a}_{b}"))
+        aggs.append(F.sum(F.col(f"t{a}") * F.col("z")).alias(f"xy_{a}"))
+    mrow = t.agg(*aggs).collect()[0]
+    n = len(terms)
+    xtx = np.zeros((n, n))
+    xty = np.zeros(n)
+    for a in range(n):
+        xty[a] = mrow[f"xy_{a}"]
+        for b in range(a, n):
+            xtx[a, b] = xtx[b, a] = mrow[f"xx_{a}_{b}"]
+    coef, *_ = np.linalg.lstsq(xtx, xty, rcond=None)
+
+    cells = spark.range(rows * cols).select(
+        (F.col("id") / cols).cast("long").alias("row"),
+        (F.col("id") % cols).alias("col"),
+    )
+    # reference center formula (lib.rs:728-741) over the derived grid
+    xc = F.lit(west) + F.lit(cell_size / 2.0) + F.col("col").cast("double") * F.lit(cell_size)
+    yc = F.lit(north) - F.lit(cell_size / 2.0) - F.col("row").cast("double") * F.lit(cell_size)
+    fitted = F.lit(mz)
+    for k, (i, j) in enumerate(terms):
+        fitted = fitted + F.lit(float(coef[k])) * F.pow(
+            xc - F.lit(mx), F.lit(float(i))
+        ) * F.pow(yc - F.lit(my), F.lit(float(j)))
+    return cells.select("row", "col", fitted.alias("value"))
+
+
 def image_correlation(a: DataFrame, b: DataFrame) -> DataFrame:
     """ImageCorrelation (math_stat_analysis/image_correlation.rs): sample
     Pearson r between two rasters over cells valid in BOTH.
