@@ -80,15 +80,84 @@ def test_distributed_read_with_attrs(spark, tmp_path):
 
 def test_multi_file_dbf_read_is_distributed(spark, tmp_path):
     # two .dbf files of one layer schema read through the mapInPandas path:
-    # per-file 1-based fids, all records surfaced, dBase types preserved
+    # all records surfaced, dBase types preserved; file_offset_ids=False
+    # gives raw per-file 1-based fids, the default gives collision-free
+    # sorted-stem ordinal offsets (part0 -> 0, part1 -> 1 << 40)
     for j in range(2):
         attrs = pd.DataFrame(
             {"name": [f"t{j}_{i}" for i in range(3)], "v": [float(j * 10 + i) for i in range(3)]}
         )
         with open(tmp_path / f"part{j}.dbf", "wb") as fh:
             fh.write(encode_dbf(attrs))
-    table = read_shapefile_attrs(spark, str(tmp_path / "*.dbf"))
+    table = read_shapefile_attrs(spark, str(tmp_path / "*.dbf"), file_offset_ids=False)
     rows = table.orderBy("name").collect()
     assert [r["name"] for r in rows] == ["t0_0", "t0_1", "t0_2", "t1_0", "t1_1", "t1_2"]
     assert sorted(r["fid"] for r in rows) == [1, 1, 2, 2, 3, 3]
     assert table.schema["v"].dataType.simpleString() == "double"
+
+    offset = read_shapefile_attrs(spark, str(tmp_path / "*.dbf"))
+    fids = sorted(r["fid"] for r in offset.collect())
+    assert fids == [1, 2, 3, (1 << 40) + 1, (1 << 40) + 2, (1 << 40) + 3]
+
+
+def test_multi_file_layer_join_lines_up_per_tile(spark, tmp_path):
+    # a two-tile layer: shapes and attrs read with DEFAULT offsets join on
+    # fid with every record matched to its own tile's attribute row (the
+    # round-4 20-bit path-hash scheme could silently collide across tiles)
+    for j in range(2):
+        feats = [
+            [(list(map(float, [j, j + 1, j + 1, j])), list(map(float, [0, 0, 1, 0])), False)]
+            for _ in range(2)
+        ]
+        attrs = pd.DataFrame({"name": [f"tile{j}_f{i}" for i in range(2)]})
+        write_shapefile(feats, str(tmp_path / f"tile{j}"), attrs=attrs)
+    shapes = read_shapefile(spark, str(tmp_path / "*.shp"))
+    table = read_shapefile_attrs(spark, str(tmp_path / "*.dbf"))
+    out = shapes.join(table, "fid").orderBy("name").collect()
+    assert [r["name"] for r in out] == [
+        "tile0_f0", "tile0_f1", "tile1_f0", "tile1_f1"
+    ]
+    # tile1's geometry (x in [1, 2]) must carry tile1's names
+    assert all(min(r["xs"]) >= 1.0 for r in out if r["name"].startswith("tile1"))
+    assert all(min(r["xs"]) <= 1.0 for r in out if r["name"].startswith("tile0"))
+
+
+def test_dbf_numeric_field_with_decimals_decodes_as_double(spark, tmp_path):
+    # externally produced .dbf: 'N' field with decimal_count > 0 must parse
+    # as float (not crash int()), and surface as Spark double
+    import struct
+
+    fields = [("id", b"N", 6, 0), ("score", b"N", 10, 3)]
+    rec_len = 1 + sum(w for _, _, w, _ in fields)
+    hdr_len = 32 + 32 * len(fields) + 1
+    out = bytearray()
+    out += struct.pack("<B3BIHH20x", 0x03, 126, 1, 1, 2, hdr_len, rec_len)
+    for name, ftype, width, dec in fields:
+        out += name.encode()[:10].ljust(11, b"\x00") + ftype + b"\x00" * 4
+        out += bytes([width, dec]) + b"\x00" * 14
+    out += b"\x0d"
+    for i, s in [(1, "12.500"), (2, "-3.250")]:
+        out += b" " + str(i).rjust(6).encode() + s.rjust(10).encode()
+    out += b"\x1a"
+    pdf = decode_dbf(bytes(out))
+    assert list(pdf["id"]) == [1, 2]
+    assert list(pdf["score"]) == [12.5, -3.25]
+    with open(tmp_path / "ext.dbf", "wb") as fh:
+        fh.write(bytes(out))
+    table = read_shapefile_attrs(spark, str(tmp_path / "ext.dbf"))
+    assert table.schema["score"].dataType.simpleString() == "double"
+    assert table.schema["id"].dataType.simpleString() == "bigint"
+    assert sorted(r["score"] for r in table.collect()) == [-3.25, 12.5]
+
+
+def test_unclosed_ring_winding_sign():
+    # rings not explicitly closed: the shoelace sum must include the
+    # wrap-around edge or the winding sign (hence shell/hole role) is wrong
+    from whitebox_tools_spark.shapefile_io import _signed_area2
+
+    ccw_closed = ([0.0, 4.0, 4.0, 0.0, 0.0], [0.0, 0.0, 3.0, 3.0, 0.0])
+    ccw_open = ([0.0, 4.0, 4.0, 0.0], [0.0, 0.0, 3.0, 3.0])
+    a_closed = _signed_area2(*ccw_closed)
+    a_open = _signed_area2(*ccw_open)
+    assert a_closed == a_open == 24.0  # 2 x area, positive = CCW
+    assert _signed_area2(*ccw_open[::-1]) == -24.0

@@ -40,9 +40,16 @@ PARTS_SCHEMA = (
 
 
 def _signed_area2(xs, ys) -> float:
+    """Twice the shoelace area, INCLUDING the wrap-around edge — zero for
+    explicitly closed rings (first == last vertex) but load-bearing for
+    unclosed input rings, whose winding sign would otherwise be wrong
+    (encode_shp derives ring orientation from this sign)."""
     xs = np.asarray(xs, np.float64)
     ys = np.asarray(ys, np.float64)
-    return float(np.sum(xs[:-1] * ys[1:] - xs[1:] * ys[:-1]))
+    return float(
+        np.sum(xs[:-1] * ys[1:] - xs[1:] * ys[:-1])
+        + xs[-1] * ys[0] - xs[0] * ys[-1]
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -232,8 +239,12 @@ def encode_dbf(table: pd.DataFrame) -> bytes:
     return bytes(out)
 
 
-def _dbf_fields(data: bytes) -> list[tuple[str, bytes, int]]:
-    """Field descriptors (name, type byte, width) from a dBase III header."""
+def _dbf_fields(data: bytes) -> list[tuple[str, bytes, int, int]]:
+    """Field descriptors (name, type byte, width, decimal_count) from a
+    dBase III header. decimal_count matters for 'N' fields: the reference
+    writes Real as 'F' (whitebox-vector attributes.rs:95-96), but
+    externally produced shapefiles commonly encode reals as N with
+    decimal_count > 0 — those must decode as floats, not ints."""
     if data[0] not in (0x03, 0x83):
         raise ValueError("not a dBase III file")
     fields = []
@@ -242,30 +253,40 @@ def _dbf_fields(data: bytes) -> list[tuple[str, bytes, int]]:
         name = data[pos:pos + 11].split(b"\x00")[0].decode()
         ftype = data[pos + 11:pos + 12]
         width = data[pos + 16]
-        fields.append((name, ftype, width))
+        dec = data[pos + 17]
+        fields.append((name, ftype, width, dec))
         pos += 32
     return fields
 
 
 def decode_dbf(data: bytes) -> pd.DataFrame:
-    """dBase III bytes -> attribute table (C -> str, N -> int, F -> float,
-    L -> bool)."""
+    """dBase III bytes -> attribute table (C -> str, N -> int when
+    decimal_count == 0 else float, F -> float, L -> bool). Integer-typed N
+    fields tolerate decimal content (truncated toward zero) so third-party
+    .dbf files never crash the distributed read."""
     nrec = struct.unpack_from("<I", data, 4)[0]
     hdr_len, rec_len = struct.unpack_from("<2H", data, 8)
     fields = _dbf_fields(data)
-    cols = {name: [] for name, _, _ in fields}
+    cols = {name: [] for name, _, _, _ in fields}
     pos = hdr_len
     for _ in range(nrec):
         rec = data[pos:pos + rec_len]
         p = 1  # skip deletion flag
-        for name, ftype, width in fields:
+        for name, ftype, width, dec in fields:
             raw = rec[p:p + width]
             p += width
             if ftype == b"L":
                 cols[name].append(raw in (b"T", b"t", b"Y", b"y"))
             elif ftype == b"N":
                 txt = raw.strip()
-                cols[name].append(int(txt) if txt else 0)
+                if dec > 0:
+                    cols[name].append(float(txt) if txt else 0.0)
+                elif not txt:
+                    cols[name].append(0)
+                else:
+                    cols[name].append(
+                        int(float(txt)) if b"." in txt else int(txt)
+                    )
             elif ftype == b"F":
                 txt = raw.strip()
                 cols[name].append(float(txt) if txt else 0.0)
@@ -297,22 +318,41 @@ def write_shapefile(
             fh.write(encode_dbf(attrs))
 
 
+def _file_fid_offsets(files: DataFrame) -> dict[str, int]:
+    """Dense, deterministic per-file fid offsets: sort the layer's file
+    STEMS (path minus extension, so layer.shp and layer.dbf of one tile get
+    the SAME offset) and shift each file's 1-based record numbers by
+    ordinal << 40. Dense ordinals cannot collide (the round-4 scheme hashed
+    the path into 20 bits — birthday-prone at ~1.2k files and dependent on
+    PYTHONHASHSEED); only the file LISTING (one short string per file)
+    reaches the driver, never file contents."""
+    paths = [r["path"] for r in files.select("path").distinct().collect()]
+    stems = sorted({p.rsplit(".", 1)[0] for p in paths})
+    if len(stems) >= (1 << 23):
+        raise ValueError(
+            f"{len(stems)} shapefile tiles exceed the 2^23 fid-offset space"
+        )
+    ordinal = {s: i << 40 for i, s in enumerate(stems)}
+    return {p: ordinal[p.rsplit(".", 1)[0]] for p in paths}
+
+
 def read_shapefile(
     spark: SparkSession, path: str, *, file_offset_ids: bool = True
 ) -> DataFrame:
     """Distributed shapefile read: binaryFile over *.shp -> per-file Arrow
     decode into the engine's parts-table shape. With file_offset_ids, fid is
-    unique across files (file-ordinal hash << 40 + record number); pass
-    False for a single file whose record numbers must line up with its .dbf
-    rows."""
+    unique across files (dense sorted-stem ordinal << 40 + record number,
+    see _file_fid_offsets — a single file keeps its plain record numbers);
+    pass False to always emit raw per-file record numbers."""
     files = spark.read.format("binaryFile").load(path)
+    offsets = _file_fid_offsets(files) if file_offset_ids else {}
+    boff = spark.sparkContext.broadcast(offsets)
 
     def decode(batches):
         for pdf in batches:
             for _, r in pdf.iterrows():
                 out = decode_shp(bytes(r["content"]))
-                if file_offset_ids:
-                    out["fid"] = out["fid"] + ((hash(r["path"]) & 0xFFFFF) << 40)
+                out["fid"] = out["fid"] + boff.value.get(r["path"], 0)
                 yield out
 
     return files.select("path", "content").mapInPandas(decode, PARTS_SCHEMA)
@@ -320,25 +360,45 @@ def read_shapefile(
 
 _DBF_SPARK_TYPES = {b"C": "string", b"N": "long", b"F": "double", b"L": "boolean"}
 
+# max dBase III header: 32-byte file header + 255 x 32-byte field
+# descriptors + 0x0D terminator
+_DBF_HEADER_MAX = 32 + 255 * 32 + 1
 
-def read_shapefile_attrs(spark: SparkSession, path: str) -> DataFrame:
-    """Distributed .dbf read: one row per record with fid = record number
-    (1-based, matching the .shp record numbers within one file).
 
-    The Spark schema comes from ONE file's field descriptors (a dBase
-    header is a few hundred bytes; all files of a layer share one schema —
-    mismatching files raise in the executor); record decoding runs
-    distributed via mapInPandas, so no whole-dataset driver collect."""
+def read_shapefile_attrs(
+    spark: SparkSession, path: str, *, file_offset_ids: bool = True
+) -> DataFrame:
+    """Distributed .dbf read: one row per record with fid = 1-based record
+    number, shifted (when file_offset_ids) by the SAME sorted-stem ordinal
+    offset read_shapefile applies — so joining a multi-file layer's shapes
+    to its attributes on fid lines up per tile (layer.shp and layer.dbf
+    share a stem, hence an offset).
+
+    The Spark schema comes from ONE file's field descriptors; only the
+    bounded header prefix (<= 8.2 KB) is collected, never a whole file.
+    All files of a layer share one schema — mismatching files raise in the
+    executor. Record decoding runs distributed via mapInPandas; 'N' fields
+    with decimal_count > 0 surface as double."""
+    from pyspark.sql import functions as F
+
     files = spark.read.format("binaryFile").load(path)
-    head = files.select("content").limit(1).collect()
+    head = (
+        files.select(F.substring("content", 1, _DBF_HEADER_MAX).alias("h"))
+        .limit(1)
+        .collect()
+    )
     if not head:
         raise ValueError(f"no .dbf files at {path}")
-    fields = _dbf_fields(bytes(head[0]["content"]))
+    fields = _dbf_fields(bytes(head[0]["h"]))
     schema = "fid long, " + ", ".join(
-        f"`{name}` {_DBF_SPARK_TYPES.get(ftype, 'string')}"
-        for name, ftype, _ in fields
+        f"`{name}` "
+        + ("double" if ftype == b"N" and dec > 0
+           else _DBF_SPARK_TYPES.get(ftype, "string"))
+        for name, ftype, _, dec in fields
     )
-    expect = [name for name, _, _ in fields]
+    expect = [name for name, _, _, _ in fields]
+    offsets = _file_fid_offsets(files) if file_offset_ids else {}
+    boff = spark.sparkContext.broadcast(offsets)
 
     def decode(batches):
         for pdf in batches:
@@ -348,7 +408,11 @@ def read_shapefile_attrs(spark: SparkSession, path: str) -> DataFrame:
                     raise ValueError(
                         f".dbf schema mismatch: {list(out.columns)} != {expect}"
                     )
-                out.insert(0, "fid", np.arange(1, len(out) + 1, dtype=np.int64))
+                out.insert(
+                    0, "fid",
+                    np.arange(1, len(out) + 1, dtype=np.int64)
+                    + boff.value.get(r["path"], 0),
+                )
                 yield out
 
-    return files.select("content").mapInPandas(decode, schema)
+    return files.select("path", "content").mapInPandas(decode, schema)
