@@ -398,14 +398,19 @@ def q_find_parallel_flow(spark, sf_dir):
 
 
 def q_dinf_mass_flux(spark, sf_dir):
-    """DInfMassFlux (hydro_analysis/dinf_mass_flux.rs); rows-only (weighted
-    transitive closure), numpy-pinned in tests."""
+    """DInfMassFlux (hydro_analysis/dinf_mass_flux.rs): mass accumulated
+    over the Tarboton fractional edges. Value-checked against
+    serial_oracles.dinf_mass_flux_serial as a literal VALUES oracle over
+    the fixed noise fixture (cells are either bit-identical to the serial
+    sweep — single-inflow chains — or carry a 6-dp rounding margin far
+    above the re-association delta; pinned in tests/test_serial_oracles.py)."""
     from whitebox_tools_spark.operators.hydro import dinf_mass_flux
 
-    dem = _noise_raster(spark, sf_dir)
-    loading = dem.withColumn("value", F.lit(1.0))
-    eff = dem.withColumn("value", F.lit(0.9))
-    ab = dem.withColumn("value", F.lit(0.05))
+    dem = _fixed_noise(spark)
+    # value-derived aux rasters (see dinf_mass_flux_serial docstring)
+    loading = dem.withColumn("value", F.lit(1.0) + F.col("value") / F.lit(500.0))
+    eff = dem.withColumn("value", F.lit(0.4) + F.col("value") / F.lit(2500.0))
+    ab = dem.withColumn("value", F.col("value") / F.lit(20000.0))
     return _r6(
         dinf_mass_flux(dem, EXTRACT_GRID, loading, eff, ab), ["value"]
     )
@@ -3205,15 +3210,16 @@ def q_fd8_flow_accum(spark, sf_dir):
     slope^1.1-proportioned multi-directional flow via the weighted-semiring
     tile stitch (flow_stitch.solve_wfa, O(log n) supersteps; block=16 +
     tiny direct_threshold so the multi-level stitch path is what runs).
-    No SQL oracle (weighted transitive closure enumerates paths); pinned
-    vs the reference's stack algorithm in numpy (tests/test_hydro_random.py,
-    peel) and vs an independent serial FD8 + the peel
-    (tests/test_flow_stitch.py, stitch)."""
+    Value-checked against serial_oracles.fd8_serial as a literal VALUES
+    oracle over the fixed noise fixture (delta 7.1e-15 vs 4.5e-9 margin at
+    6 dp); also pinned vs the reference's stack algorithm in numpy
+    (tests/test_hydro_random.py) and stitch-vs-serial in
+    tests/test_flow_stitch.py."""
     from whitebox_tools_spark.operators.flow_stitch import fd8_flow_accumulation_tiled
 
     return _r6(
         fd8_flow_accumulation_tiled(
-            _noise_raster(spark, sf_dir), EXTRACT_GRID, block=16,
+            _fixed_noise(spark), EXTRACT_GRID, block=16,
             direct_threshold=64,
         ),
         ["value"],
@@ -3224,16 +3230,19 @@ def q_dinf_flow_accum(spark, sf_dir):
     """DInfFlowAccumulation (hydro_analysis/dinf_flow_accum.rs:532-646,
     Tarboton 1997 two-neighbor split) via the weighted-semiring tile
     stitch (flow_stitch.solve_wfa, O(log n) supersteps; block=16 + tiny
-    direct_threshold certifies the multi-level path). Rows-only for the
-    driver; numpy-oracle pin in tests/test_hydro_random.py (peel) and
-    stitch-vs-peel agreement in tests/test_flow_stitch.py."""
+    direct_threshold certifies the multi-level path). Value-checked
+    against serial_oracles.dinf_serial — an independent pure-python
+    transcription of the 8-facet pointer + sector split — as a literal
+    VALUES oracle over the fixed noise fixture (engine bit-identical to
+    the serial sweep on it); numpy pin in tests/test_hydro_random.py and
+    stitch-vs-peel in tests/test_flow_stitch.py."""
     from whitebox_tools_spark.operators.flow_stitch import (
         dinf_flow_accumulation_tiled,
     )
 
     return _r6(
         dinf_flow_accumulation_tiled(
-            _noise_raster(spark, sf_dir), EXTRACT_GRID, block=16,
+            _fixed_noise(spark), EXTRACT_GRID, block=16,
             direct_threshold=64,
         ),
         ["value"],
@@ -3820,8 +3829,10 @@ def q_qin_flow_accumulation(spark, sf_dir):
 
 def q_cost_pathway(spark, sf_dir):
     """CostPathway (gis_analysis/cost_pathway.rs): least-cost paths from 3
-    destinations back to the sources over the 20x20 cost surface
-    (rows-only; pinned vs a python Dijkstra backtrace in pytest)."""
+    destinations back to the sources over the 20x20 cost surface.
+    Value-checked against serial_oracles.cost_pathway_serial (independent
+    Dijkstra + backtrace with the engine's documented min-(row,col) tie
+    rule) as a literal VALUES oracle."""
     from whitebox_tools_spark.operators.hydro import cost_pathway
 
     cost = spark.range(400).select(
@@ -3837,6 +3848,22 @@ def q_cost_pathway(spark, sf_dir):
         block=8, direct_threshold=200,
     )
     return _r6(out, ["acc"])
+
+
+def _cost_pathway_values_sql() -> str:
+    """Literal VALUES oracle for cost_pathway: (dest_id, row, col, acc)
+    rows from the independent serial Dijkstra + backtrace, acc rounded to
+    6 dp (+ 0.0 signed-zero normalize) to absorb the hierarchical solver's
+    re-association delta."""
+    rows = _so().cost_pathway_serial(
+        _so().cost20_vals(), 5.0, 5.0, [(0, 0), (19, 19)], [(19, 0), (0, 19), (10, 10)]
+    )
+    vals = ", ".join(f"({d}, {r}, {c}, {a!r})" for d, r, c, a in rows)
+    return (
+        "SELECT CAST(d AS BIGINT) AS dest_id, CAST(r AS BIGINT) AS row, "
+        "CAST(c AS BIGINT) AS col, round(CAST(a AS DOUBLE), 6) + 0.0 AS acc "
+        f"FROM (VALUES {vals}) AS t(d, r, c, a)"
+    )
 
 
 def q_fill_burn(spark, sf_dir):
@@ -10083,6 +10110,7 @@ FROM ({_PART_RASTER_SQL})
             },
             decimals=None,
         ),
+        "cost_pathway": _cost_pathway_values_sql(),
         "upslope_depression_storage": _serial_values_sql(
             _so().upslope_depression_storage_serial(
                 _so().dense20_vals(), 5.0, 5.0, 0.001
@@ -10098,6 +10126,21 @@ FROM ({_PART_RASTER_SQL})
         ),
         "mdinf_flow_accumulation": _serial_values_sql(
             _so().mdinf_serial(_so().noise_vals(), 5.0), decimals=6
+        ),
+        "fd8_flow_accumulation": _serial_values_sql(
+            _so().fd8_serial(_so().noise_vals(), 5.0), decimals=6
+        ),
+        "dinf_flow_accumulation": _serial_values_sql(
+            _so().dinf_serial(_so().noise_vals(), 5.0), decimals=6
+        ),
+        "dinf_mass_flux": _serial_values_sql(
+            _so().dinf_mass_flux_serial(
+                _so().noise_vals(), 5.0,
+                loading=lambda z: 1.0 + z / 500.0,
+                efficiency=lambda z: 0.4 + z / 2500.0,
+                absorption=lambda z: z / 20000.0,
+            ),
+            decimals=6,
         ),
         "quinn_flow_accumulation": _serial_values_sql(
             _so().quinn_qin_serial(_so().noise_vals(), 5.0, "quinn"), decimals=6

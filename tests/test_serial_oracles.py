@@ -102,6 +102,57 @@ def test_mdinf_vs_serial(spark):
     _check(got, want, decimals=6, max_abs=1e-12)
 
 
+def test_dinf_family_vs_serial(spark):
+    """FD8 / DInf accumulation and DInf mass flux vs the independent
+    pure-python transcriptions (round-5 conversions). Mass flux uses the
+    per-cell check: a cell is safe if bit-identical to the serial sweep
+    (single-inflow chains) or its 6-dp margin dwarfs the delta."""
+    from pyspark.sql import functions as F
+
+    from whitebox_tools_spark.grid import GridSpec
+    from whitebox_tools_spark.operators.flow_stitch import (
+        dinf_flow_accumulation_tiled,
+        fd8_flow_accumulation_tiled,
+    )
+    from whitebox_tools_spark.operators.hydro import dinf_mass_flux
+
+    eg = GridSpec(west=0.0, north=1000.0, res_x=5.0, res_y=5.0, rows=200, cols=200)
+    noise = spark.range(1, 2001).select(
+        (F.col("id") % 200).alias("row"),
+        (F.floor(F.col("id") / F.lit(200.0)).cast("long") % 200).alias("col"),
+        (((F.col("id") * 48271) % 100000).cast("double") / 100.0).alias("value"),
+    )
+    nv = so.noise_vals()
+
+    got = _dict_of(
+        fd8_flow_accumulation_tiled(noise, eg, block=16, direct_threshold=64)
+    )
+    _check(got, so.fd8_serial(nv, 5.0), decimals=6, max_abs=1e-13)
+
+    got = _dict_of(
+        dinf_flow_accumulation_tiled(noise, eg, block=16, direct_threshold=64)
+    )
+    _check(got, so.dinf_serial(nv, 5.0), decimals=6, max_abs=1e-13)
+
+    loading = noise.withColumn("value", F.lit(1.0) + F.col("value") / F.lit(500.0))
+    eff = noise.withColumn("value", F.lit(0.4) + F.col("value") / F.lit(2500.0))
+    ab = noise.withColumn("value", F.col("value") / F.lit(20000.0))
+    got = _dict_of(dinf_mass_flux(noise, eg, loading, eff, ab))
+    want = so.dinf_mass_flux_serial(
+        nv, 5.0,
+        loading=lambda z: 1.0 + z / 500.0,
+        efficiency=lambda z: 0.4 + z / 2500.0,
+        absorption=lambda z: z / 20000.0,
+    )
+    assert set(got) == set(want)
+    for p, w in want.items():
+        g = got[p]
+        if g == w:
+            continue
+        m = abs(math.fmod(abs(w) * 1e6, 1.0) - 0.5) * 1e-6
+        assert m > 50 * abs(g - w), (p, w, g, m)
+
+
 def test_isobasins_vs_serial(spark):
     from pyspark.sql import functions as F
 

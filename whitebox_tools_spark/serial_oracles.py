@@ -539,3 +539,214 @@ def breach_least_cost_serial(
                     solved = True
                     break
     return {k: min(v, carve.get(k, v)) for k, v in raised.items()}
+
+
+# ---------------------------------------------------------------------------
+# D-infinity pointer / accumulation / mass flux (hydro_analysis/
+# dinf_pointer.rs:225-320, dinf_flow_accum.rs:532-646, dinf_mass_flux.rs)
+# ---------------------------------------------------------------------------
+
+# Tarboton facet table: (angle_count ac, angle_factor af, neighbor1,
+# neighbor2) with neighbors as (dx, dy) — dinf_pointer.rs:236-250.
+DINF_FACETS = [
+    (0, 1, (1, 0), (1, -1)),
+    (1, -1, (0, -1), (1, -1)),
+    (1, 1, (0, -1), (-1, -1)),
+    (2, -1, (-1, 0), (-1, -1)),
+    (2, 1, (-1, 0), (-1, 1)),
+    (3, -1, (0, 1), (-1, 1)),
+    (3, 1, (0, 1), (1, 1)),
+    (4, -1, (1, 0), (1, 1)),
+]
+
+# 45-degree sector index -> bracketing neighbor (dx, dy), sector 0 = north
+# (dinf_flow_accum.rs:560-575).
+DINF_SECTOR = [
+    (0, -1), (1, -1), (1, 0), (1, 1), (0, 1), (-1, 1), (-1, 0), (-1, -1)
+]
+
+
+def dinf_pointer_serial(
+    vals: dict[tuple[int, int], float], res_x: float, res_y: float
+) -> dict[tuple[int, int], float]:
+    """Tarboton (1997) D-inf direction in degrees clockwise from north,
+    -1.0 for pits/flats. Transcribed from dinf_pointer.rs:225-320 with the
+    exact tie rule the engine SQL applies (equal-slope facets: the
+    highest-index facet wins) and the reference's skip of candidates whose
+    slope is exactly 0.00001."""
+    G = (res_x + res_y) / 2.0
+    D = math.sqrt(res_x * res_x + res_y * res_y)
+    qpi = math.atan(1.0)
+    out = {}
+    for (r0, c0), e0 in vals.items():
+        ss = []
+        dd = []
+        for ac, af, (dx1, dy1), (dx2, dy2) in DINF_FACETS:
+            e1 = vals.get((r0 + dy1, c0 + dx1))
+            e2 = vals.get((r0 + dy2, c0 + dx2))
+            if e1 is None or e2 is None:
+                ss.append(None)
+                dd.append(None)
+                continue
+            s1 = (e0 - e1) / G
+            s2 = (e1 - e2) / G
+            r0a = math.atan(s2 / s1) if s1 != 0.0 else math.pi / 2.0
+            rc = min(max(r0a, 0.0), qpi)
+            if e0 > e1 and e0 > e2:
+                if r0a < 0.0:
+                    s = s1
+                elif r0a > qpi:
+                    s = (e0 - e2) / D
+                else:
+                    s = math.sqrt(s1 * s1 + s2 * s2)
+                rr = rc
+            elif e0 > e1:
+                s, rr = s1, 0.0
+            elif e0 > e2:
+                s, rr = (e0 - e2) / D, qpi
+            else:
+                ss.append(None)
+                dd.append(None)
+                continue
+            if s == 0.00001:
+                ss.append(None)
+                dd.append(None)
+                continue
+            ss.append(s)
+            dd.append(af * rr + ac * math.pi / 2.0)
+        best = max((-1e308 if s is None else s) for s in ss)
+        if best > 0.0:
+            for i in range(7, -1, -1):
+                if (-1e308 if ss[i] is None else ss[i]) == best:
+                    ang = 360.0 - math.degrees(dd[i]) + 90.0
+                    out[(r0, c0)] = ang - 360.0 if ang > 360.0 else ang
+                    break
+        else:
+            out[(r0, c0)] = -1.0
+    return out
+
+
+def dinf_edges_serial(
+    vals: dict[tuple[int, int], float], res_x: float, res_y: float
+) -> dict[tuple[int, int], list[tuple[tuple[int, int], float]]]:
+    """Fractional D-inf edges: each cell's flow splits between the two
+    neighbors bracketing its angle, proportions linear in the 45-degree
+    offset (dinf_flow_accum.rs:545-603); edges to missing cells vanish."""
+    dirs = dinf_pointer_serial(vals, res_x, res_y)
+    edges = {}
+    for p, d in dirs.items():
+        if d < 0.0:
+            continue
+        k = min(int(d // 45.0), 7)
+        p2 = (d - k * 45.0) / 45.0
+        p1 = 1.0 - p2
+        outs = []
+        for kk, frac in ((k, p1), ((k + 1) % 8, p2)):
+            if frac <= 0.0:
+                continue
+            dx, dy = DINF_SECTOR[kk]
+            q = (p[0] + dy, p[1] + dx)
+            if q in vals:
+                outs.append((q, frac))
+        if outs:
+            edges[p] = outs
+    return edges
+
+
+def dinf_serial(
+    vals: dict[tuple[int, int], float], res: float
+) -> dict[tuple[int, int], float]:
+    """DInfFlowAccumulation in cell-count units: unit load accumulated over
+    the fractional edges in descending-elevation order (every edge with a
+    bracketing proportion > 0 requires both facet neighbors strictly lower,
+    so elevation-descending is a topological order of the flow DAG)."""
+    edges = dinf_edges_serial(vals, res, res)
+    fa = {p: 1.0 for p in vals}
+    for p in sorted(vals, key=lambda q: (-vals[q], q)):
+        for q, frac in edges.get(p, ()):
+            fa[q] += fa[p] * frac
+    return fa
+
+
+def fd8_serial(
+    vals: dict[tuple[int, int], float], res: float, exponent: float = 1.1
+) -> dict[tuple[int, int], float]:
+    """FD8FlowAccumulation (Freeman 1991; fd8_flow_accum.rs:424-470):
+    slope^exponent proportioning over the strictly-lower valid neighbors,
+    accumulated in descending-elevation order."""
+    lens = grid_lengths(res, res)
+    fa = {p: 1.0 for p in vals}
+    for p in sorted(vals, key=lambda q: (-vals[q], q)):
+        z = vals[p]
+        ws = []
+        for i in range(8):
+            q = (p[0] + DY[i], p[1] + DX[i])
+            if q in vals and vals[q] < z:
+                ws.append((q, ((z - vals[q]) / lens[i]) ** exponent))
+        tot = 0.0
+        for _, w in ws:
+            tot += w
+        if tot > 0.0:
+            for q, w in ws:
+                fa[q] += fa[p] * (w / tot)
+    return fa
+
+
+def dinf_mass_flux_serial(
+    vals: dict[tuple[int, int], float], res: float, *,
+    loading, efficiency, absorption,
+) -> dict[tuple[int, int], float]:
+    """DInfMassFlux (dinf_mass_flux.rs): out(c) = load(c) + sum over inflow
+    edges of (out(i) - absorption(i)) * efficiency(i) * frac(i), over the
+    same fractional D-inf edges, in descending-elevation order. loading /
+    efficiency / absorption are callables z -> per-cell value (the query
+    derives them from the DEM so single-inflow chains never land on a
+    6-dp rounding cliff; constants made short terminating decimals that
+    Spark's BigDecimal ROUND and DuckDB's float round split)."""
+    edges = dinf_edges_serial(vals, res, res)
+    m = {p: loading(vals[p]) for p in vals}
+    for p in sorted(vals, key=lambda q: (-vals[q], q)):
+        for q, frac in edges.get(p, ()):
+            m[q] += (m[p] - absorption(vals[p])) * efficiency(vals[p]) * frac
+    return m
+
+
+def cost_pathway_serial(
+    vals: dict[tuple[int, int], float],
+    res_x: float,
+    res_y: float,
+    sources: list[tuple[int, int]],
+    dests: list[tuple[int, int]],
+) -> list[tuple[int, int, int, float]]:
+    """CostPathway (gis_analysis/cost_pathway.rs): per destination, walk
+    the accumulated-cost surface back to a source, stepping to the
+    8-neighbor p with acc(p) + cost(p)*len/2 + cost(head)*len/2 == acc
+    (|delta| <= 1e-9, ties to the lowest (row, col) — the engine's
+    documented rule). -> [(dest_id, row, col, acc)] with dest_id =
+    row * 2^31 + col, one row per path cell including the endpoints."""
+    dist = cost_distance_serial(vals, res_x, res_y, sources)
+    lens = grid_lengths(res_x, res_y)
+    out = []
+    for (dr, dc) in dests:
+        if (dr, dc) not in dist:
+            continue
+        dest_id = dr * (1 << 31) + dc
+        r, c, acc = dr, dc, dist[(dr, dc)]
+        out.append((dest_id, r, c, acc))
+        while acc > 0.0:
+            best = None
+            vh = vals[(r, c)]
+            for i in range(8):
+                q = (r + DY[i], c + DX[i])
+                if q not in dist:
+                    continue
+                hl = lens[i] * 0.5
+                step = vals[q] * hl + vh * hl
+                if abs(dist[q] + step - acc) <= 1e-9:
+                    if best is None or (q[0], q[1]) < best[:2]:
+                        best = (q[0], q[1], dist[q])
+            if best is None:
+                break
+            r, c, acc = best
+            out.append((dest_id, r, c, acc))
+    return out
