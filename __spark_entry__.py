@@ -5614,7 +5614,7 @@ def q_modified_kmeans(spark, sf_dir):
         "vec_id", *[F.col("embedding")[i].cast("double").alias(f"f{i}") for i in range(4)]
     )
     out = modified_kmeans(emb, [f"f{i}" for i in range(4)], id_col="vec_id",
-                          start_clusters=12, merge_dist=0.5, iters=6)
+                          start_clusters=12, merge_dist=0.2, iters=6)
     return out.select("vec_id", F.col("cluster").cast("long").alias("cluster"))
 
 
@@ -5633,17 +5633,53 @@ def q_kmeans(spark, sf_dir):
     return out.select("vec_id", F.col("cluster").cast("long").alias("cluster"))
 
 
+def _pca_fixture(spark) -> DataFrame:
+    """Fixed synthetic feature table == serial_oracles.pca_vals(): two
+    latent LCG factors mixed per feature + per-feature LCG noise, so the
+    correlation matrix has two dominant well-separated eigenvalues."""
+    cols = [F.col("id").alias("vec_id")]
+    b1 = ((F.col("id") * 48271) % 100000).cast("double") / F.lit(100000.0)
+    b2 = ((F.col("id") * 69621 + 12345) % 100000).cast("double") / F.lit(100000.0)
+    for i in range(8):
+        noise = ((F.col("id") * (179 + 2 * i) + 31 * i) % 1000).cast(
+            "double"
+        ) / F.lit(10000.0)
+        cols.append(
+            (F.lit((i + 1) / 8.0) * b1 + F.lit((8 - i) / 8.0) * b2 + noise).alias(
+                f"f{i}"
+            )
+        )
+    return spark.range(1, 501).select(*cols)
+
+
 def q_pca(spark, sf_dir):
     """PrincipalComponentAnalysis (math_stat_analysis/
-    principal_component_analysis.rs) via Spark ML (rows-only: component
-    sign indeterminacy)."""
-    from whitebox_tools_spark.operators.ml import pca_components
+    principal_component_analysis.rs): correlation-matrix PCA with the
+    deterministic contract (descending eigenvalue order, largest-loading
+    sign canonicalization) — value-checked against serial_oracles.
+    pca_scores_serial, an independent pure-python cyclic-Jacobi
+    eigensolver, as a literal VALUES oracle over the fixed fixture."""
+    from whitebox_tools_spark.operators.ml import pca_scores_deterministic
 
-    emb = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", *[F.col("embedding")[i].alias(f"f{i}") for i in range(8)]
+    out = pca_scores_deterministic(
+        _pca_fixture(spark), [f"f{i}" for i in range(8)], 2, id_col="vec_id"
     )
-    scores, _ = pca_components(emb, [f"f{i}" for i in range(8)], 2)
-    return scores.select("vec_id", F.round("pc1", 4).alias("pc1"), F.round("pc2", 4).alias("pc2"))
+    return _r6(out, ["pc1", "pc2"])
+
+
+def _pca_values_sql() -> str:
+    """Literal VALUES oracle for q_pca: (vec_id, pc1, pc2) from the serial
+    Jacobi solve, rounded 6 dp (+ 0.0 signed-zero normalize)."""
+    scores = _so().pca_scores_serial(_so().pca_vals(), 2)
+    vals = ", ".join(
+        f"({i}, {v[0]!r}, {v[1]!r})" for i, v in sorted(scores.items())
+    )
+    return (
+        "SELECT CAST(i AS BIGINT) AS vec_id, "
+        "round(CAST(a AS DOUBLE), 6) + 0.0 AS pc1, "
+        "round(CAST(b AS DOUBLE), 6) + 0.0 AS pc2 "
+        f"FROM (VALUES {vals}) AS t(i, a, b)"
+    )
 
 
 def _order_cloud(spark, sf_dir):
@@ -10710,6 +10746,8 @@ FROM ({_cloud_ext_cte()}) t WHERE abs(scan_angle) <= 10.0
         # pca: model-based (eigenvector extraction is not SQL-derivable;
         # sign indeterminacy) -> rows-only driver check, pytest-pinned
         "kmeans_clustering": _kmeans_sql(),
+        "modified_kmeans_clustering": _modified_kmeans_sql(),
+        "pca": _pca_values_sql(),
         "dedup_exact": """
 SELECT min(doc_id) AS doc_id, text, count(*) AS n_dups FROM documents GROUP BY text
 """,
@@ -12695,6 +12733,21 @@ def _kmeans_sql() -> str:
         + " FROM embeddings"
     )
     inner = lloyd_kmeans_oracle_sql(src, fc, 4, id_col="vec_id", iters=8)
+    return f"SELECT vec_id, cluster::BIGINT AS cluster FROM ({inner})"
+
+
+def _modified_kmeans_sql() -> str:
+    from whitebox_tools_spark.operators.ml import modified_kmeans_oracle_sql
+
+    fc = [f"f{i}" for i in range(4)]
+    src = (
+        "SELECT vec_id, "
+        + ", ".join(f"embedding[{i + 1}]::DOUBLE AS f{i}" for i in range(4))
+        + " FROM embeddings"
+    )
+    inner = modified_kmeans_oracle_sql(
+        src, fc, id_col="vec_id", start_clusters=12, merge_dist=0.2, iters=6
+    )
     return f"SELECT vec_id, cluster::BIGINT AS cluster FROM ({inner})"
 
 

@@ -194,3 +194,25 @@ def test_literal_values_sql_round_trips_duckdb():
     assert set(got) == set(want)
     for p, v in want.items():
         assert got[p] == so.round_half_away(v, 6) + 0.0
+
+
+def test_pca_vs_serial_jacobi(spark):
+    """Deterministic correlation-PCA scores vs the independent pure-python
+    cyclic-Jacobi eigensolver (round-5 conversion): engine-serial delta at
+    float noise, 6-dp margins far above it."""
+    import __spark_entry__ as E
+    from whitebox_tools_spark.operators.ml import pca_scores_deterministic
+
+    out = pca_scores_deterministic(
+        E._pca_fixture(spark), [f"f{i}" for i in range(8)], 2, id_col="vec_id"
+    )
+    got = {r.vec_id: (r.pc1, r.pc2) for r in out.collect()}
+    want = so.pca_scores_serial(so.pca_vals(), 2)
+    assert set(got) == set(want)
+    err = max(
+        max(abs(got[i][j] - want[i][j]) for j in (0, 1)) for i in want
+    )
+    assert err < 1e-12
+    vals = [x for v in want.values() for x in v]
+    m = _margin(vals, 6) * 1e-6
+    assert m > 50 * max(err, 1e-300)

@@ -149,7 +149,7 @@ def lloyd_kmeans_oracle_sql(
         )
 
     parts = [
-        f"d AS (SELECT {id_col} AS _id, {', '.join(fc)} FROM ({source_sql}))",
+        f"d AS MATERIALIZED (SELECT {id_col} AS _id, {', '.join(fc)} FROM ({source_sql}))",
         "init AS (SELECT row_number() OVER (ORDER BY _id) - 1 AS cluster, "
         + ", ".join(f"{c} AS c_{c}" for c in fc)
         + f" FROM (SELECT * FROM d ORDER BY _id LIMIT {k}))",
@@ -263,3 +263,131 @@ def modified_kmeans(
         .agg(F.expr("min_by(cluster, struct(_dist, cluster))").alias("cluster"))
     )
     return final.select(F.col("_id").alias(id_col), "cluster")
+
+
+def modified_kmeans_oracle_sql(
+    source_sql: str,
+    feature_cols: list[str],
+    *,
+    id_col: str,
+    start_clusters: int = 25,
+    merge_dist: float = 10.0,
+    iters: int = 8,
+) -> str:
+    """DuckDB mirror of modified_kmeans: the lloyd_kmeans unrolled-CTE
+    trajectory plus, per iteration, the centre-merge as min-label
+    propagation over the < merge_dist centroid graph (start_clusters
+    steps >= the graph diameter, so the labels equal the union-find
+    components; merged centre = count-weighted mean rounded to 9 dp,
+    merged label = smallest member — the engine's documented rule)."""
+    fc = feature_cols
+    k = int(start_clusters)
+    dist = " + ".join(f"(d.{c} - c.c_{c}) * (d.{c} - c.c_{c})" for c in fc)
+
+    def assign(prev: str, keep_features: bool) -> str:
+        inner_feats = (", " + ", ".join("d." + c for c in fc)) if keep_features else ""
+        outer_feats = (", " + ", ".join(fc)) if keep_features else ""
+        return (
+            f"SELECT _id{outer_feats}, cluster FROM ("
+            f"SELECT d._id{inner_feats}, c.cluster, "
+            f"row_number() OVER (PARTITION BY d._id ORDER BY ({dist}) ASC, c.cluster ASC) AS _rk "
+            f"FROM d CROSS JOIN {prev} c) WHERE _rk = 1"
+        )
+
+    parts = [
+        f"d AS MATERIALIZED (SELECT {id_col} AS _id, {', '.join(fc)} FROM ({source_sql}))",
+        "init AS (SELECT row_number() OVER (ORDER BY _id) - 1 AS cluster, "
+        "CAST(1.0 AS DOUBLE) AS _n, "
+        + ", ".join(f"{c} AS c_{c}" for c in fc)
+        + f" FROM (SELECT * FROM d ORDER BY _id LIMIT {k}))",
+    ]
+    prev = "init"
+    md2 = float(merge_dist) ** 2
+    for t in range(int(iters)):
+        parts.append(f"a{t} AS MATERIALIZED ({assign(prev, keep_features=True)})")
+        parts.append(
+            f"n{t} AS MATERIALIZED (SELECT cluster, CAST(count(*) AS DOUBLE) AS _n, "
+            + ", ".join(f"round(avg({c}), 9) AS c_{c}" for c in fc)
+            + f" FROM a{t} GROUP BY cluster)"
+        )
+        d2 = " + ".join(f"(x.c_{c} - y.c_{c}) * (x.c_{c} - y.c_{c})" for c in fc)
+        parts.append(
+            f"e{t} AS MATERIALIZED (SELECT x.cluster AS u, y.cluster AS v FROM n{t} x JOIN n{t} y "
+            f"ON x.cluster = y.cluster OR ({d2}) < {md2!r})"
+        )
+        parts.append(f"l{t}_0 AS MATERIALIZED (SELECT cluster, cluster AS lbl FROM n{t})")
+        for s in range(k):
+            parts.append(
+                f"l{t}_{s + 1} AS MATERIALIZED (SELECT e.v AS cluster, min(l.lbl) AS lbl "
+                f"FROM e{t} e JOIN l{t}_{s} l ON l.cluster = e.u GROUP BY e.v)"
+            )
+        parts.append(
+            f"m{t} AS MATERIALIZED (SELECT l.lbl AS cluster, sum(n._n) AS _n, "
+            + ", ".join(
+                f"round(sum(n._n * n.c_{c}) / sum(n._n), 9) AS c_{c}" for c in fc
+            )
+            + f" FROM n{t} n JOIN l{t}_{k} l ON l.cluster = n.cluster GROUP BY l.lbl)"
+        )
+        prev = f"m{t}"
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT _id AS {id_col}, cluster FROM ({assign(prev, keep_features=False)})"
+    )
+
+
+def pca_scores_deterministic(
+    wide: DataFrame, feature_cols: list[str], k: int, *, id_col: str
+) -> DataFrame:
+    """PrincipalComponentAnalysis (math_stat_analysis/
+    principal_component_analysis.rs — the reference eigendecomposes the
+    correlation matrix and projects standardized data), made fully
+    deterministic so an independent solver reproduces it: components are
+    ordered by descending eigenvalue and SIGN-CANONICALIZED (the loading
+    with the largest magnitude — smallest index on ties — is made
+    positive), removing the eigenvector sign indeterminacy that kept the
+    Spark-ML path rows-only.
+
+    Scale shape: ONE aggregate computes means/stds + the p*(p+1)/2
+    standardized cross moments (partial+final combine — only p^2 scalars
+    reach the driver), numpy eigh solves the tiny p x p system on the
+    driver, and scores are pure column expressions. No data-sized collect,
+    no UDFs; scales to any row count unchanged. -> (id, pc1..pck)."""
+    import numpy as np
+
+    p = len(feature_cols)
+    d = wide.select(F.col(id_col).alias("_id"), *feature_cols).dropna()
+    st = d.agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[F.avg(c).alias(f"m_{c}") for c in feature_cols],
+        *[F.stddev_samp(c).alias(f"s_{c}") for c in feature_cols],
+    ).collect()[0]
+    n = int(st["_n"])
+    mu = {c: float(st[f"m_{c}"]) for c in feature_cols}
+    sd = {c: float(st[f"s_{c}"]) for c in feature_cols}
+    z = {c: (F.col(c) - F.lit(mu[c])) / F.lit(sd[c]) for c in feature_cols}
+    prods = []
+    for i in range(p):
+        for j in range(i, p):
+            prods.append(
+                F.sum(z[feature_cols[i]] * z[feature_cols[j]]).alias(f"x_{i}_{j}")
+            )
+    row = d.agg(*prods).collect()[0]
+    R = np.zeros((p, p))
+    for i in range(p):
+        for j in range(i, p):
+            R[i, j] = R[j, i] = row[f"x_{i}_{j}"] / (n - 1)
+    w, V = np.linalg.eigh(R)
+    order = np.argsort(-w)[:k]
+    cols = [F.col("_id").alias(id_col)]
+    for out_i, ev_i in enumerate(order):
+        v = V[:, ev_i]
+        pivot = int(np.argmax(np.abs(v)))
+        if v[pivot] < 0:
+            v = -v
+        expr = None
+        for ci, c in enumerate(feature_cols):
+            term = z[c] * F.lit(float(v[ci]))
+            expr = term if expr is None else expr + term
+        cols.append(expr.alias(f"pc{out_i + 1}"))
+    return d.select(*cols)

@@ -750,3 +750,100 @@ def cost_pathway_serial(
             r, c, acc = best
             out.append((dest_id, r, c, acc))
     return out
+
+
+# ---------------------------------------------------------------------------
+# PCA (math_stat_analysis/principal_component_analysis.rs)
+# ---------------------------------------------------------------------------
+
+def pca_vals(n: int = 500, p: int = 8) -> dict[int, list[float]]:
+    """Fixed synthetic feature table (ids 1..n): two latent LCG factors
+    mixed per feature + a per-feature LCG noise term — gives the
+    correlation matrix two dominant, well-separated eigenvalues so the
+    eigenvector sensitivity to float noise stays tiny. Mirrors the Spark
+    builder in __spark_entry__._pca_fixture term for term."""
+    out = {}
+    for k in range(1, n + 1):
+        b1 = ((k * 48271) % 100000) / 100000.0
+        b2 = ((k * 69621 + 12345) % 100000) / 100000.0
+        feats = []
+        for i in range(p):
+            noise = ((k * (179 + 2 * i) + 31 * i) % 1000) / 10000.0
+            feats.append(((i + 1) / 8.0) * b1 + ((8 - i) / 8.0) * b2 + noise)
+        out[k] = feats
+    return out
+
+
+def jacobi_eigh_serial(A: list[list[float]], sweeps: int = 30):
+    """Cyclic Jacobi eigensolver for a small symmetric matrix — pure
+    python, independent of numpy's LAPACK path. -> (eigenvalues list,
+    eigenvector columns list-of-lists), unordered."""
+    p = len(A)
+    a = [row[:] for row in A]
+    V = [[1.0 if i == j else 0.0 for j in range(p)] for i in range(p)]
+    for _ in range(sweeps):
+        off = math.sqrt(sum(a[i][j] ** 2 for i in range(p) for j in range(p) if i != j))
+        if off < 1e-15:
+            break
+        for q in range(p - 1):
+            for r in range(q + 1, p):
+                if a[q][r] == 0.0:
+                    continue
+                theta = (a[r][r] - a[q][q]) / (2.0 * a[q][r])
+                t = (1.0 if theta >= 0 else -1.0) / (
+                    abs(theta) + math.sqrt(theta * theta + 1.0)
+                )
+                c = 1.0 / math.sqrt(t * t + 1.0)
+                s = t * c
+                for i in range(p):
+                    aiq, air = a[i][q], a[i][r]
+                    a[i][q] = c * aiq - s * air
+                    a[i][r] = s * aiq + c * air
+                for i in range(p):
+                    aqi, ari = a[q][i], a[r][i]
+                    a[q][i] = c * aqi - s * ari
+                    a[r][i] = s * aqi + c * ari
+                for i in range(p):
+                    viq, vir = V[i][q], V[i][r]
+                    V[i][q] = c * viq - s * vir
+                    V[i][r] = s * viq + c * vir
+    evals = [a[i][i] for i in range(p)]
+    evecs = [[V[i][j] for i in range(p)] for j in range(p)]  # column j
+    return evals, evecs
+
+
+def pca_scores_serial(
+    rows: dict[int, list[float]], k: int
+) -> dict[int, list[float]]:
+    """Correlation-matrix PCA scores with the engine's deterministic
+    contract: components by descending eigenvalue, sign canonicalized so
+    the largest-magnitude loading (smallest index on ties) is positive.
+    -> {id: [pc1..pck]}."""
+    ids = sorted(rows)
+    p = len(rows[ids[0]])
+    n = len(ids)
+    mu = [sum(rows[i][c] for i in ids) / n for c in range(p)]
+    sd = [
+        math.sqrt(sum((rows[i][c] - mu[c]) ** 2 for i in ids) / (n - 1))
+        for c in range(p)
+    ]
+    z = {i: [(rows[i][c] - mu[c]) / sd[c] for c in range(p)] for i in ids}
+    R = [
+        [
+            sum(z[i][a] * z[i][b] for i in ids) / (n - 1)
+            for b in range(p)
+        ]
+        for a in range(p)
+    ]
+    evals, evecs = jacobi_eigh_serial(R)
+    order = sorted(range(p), key=lambda j: -evals[j])[:k]
+    comps = []
+    for j in order:
+        v = evecs[j][:]
+        pivot = max(range(p), key=lambda i: (abs(v[i]), -i))
+        if v[pivot] < 0:
+            v = [-x for x in v]
+        comps.append(v)
+    return {
+        i: [sum(z[i][c] * v[c] for c in range(p)) for v in comps] for i in ids
+    }
