@@ -1783,12 +1783,160 @@ def _fill_missing_sql() -> str:
 
 def q_construct_tin(spark, sf_dir):
     """ConstructVectorTIN (gis_analysis/construct_vector_tin.rs:170):
-    triangle features (rows-only: a specific Delaunay triangulation is not
-    SQL-derivable; Euler/circumcircle invariants pinned in pytest)."""
+    triangle features in CANONICAL form — each CCW triangle rotated to
+    start at its lexicographically-smallest (x, y) vertex, insertion-order
+    tri_idx dropped — so the row multiset is algorithm-independent (the
+    Delaunay triangulation of points with no cocircular quadruple is
+    unique). Value-checked against a brute-force empty-circumcircle
+    enumeration (_tin_brute_values_sql: every triple kept iff NO other
+    point lies strictly inside its circumcircle — a different algorithm
+    than the engine's Bowyer-Watson)."""
     from whitebox_tools_spark.operators.tin import construct_tin
 
     out = construct_tin(_tin_points(spark))
-    return _r6(out, ["ax", "ay", "bx", "by", "cx", "cy", "az", "bz", "cz"])
+    sa = F.struct(F.col("ax").alias("x"), F.col("ay").alias("y"))
+    sb = F.struct(F.col("bx").alias("x"), F.col("by").alias("y"))
+    sc = F.struct(F.col("cx").alias("x"), F.col("cy").alias("y"))
+    m = F.least(sa, sb, sc)
+    names = ["ax", "ay", "bx", "by", "cx", "cy", "az", "bz", "cz"]
+
+    def rot(order):
+        src = {
+            "a": ["ax", "ay", "az"], "b": ["bx", "by", "bz"],
+            "c": ["cx", "cy", "cz"],
+        }
+        flat = [src[v][0] for v in order] + [src[v][1] for v in order]
+        xy = [flat[0], flat[3], flat[1], flat[4], flat[2], flat[5]]
+        zs = [src[v][2] for v in order]
+        return [F.col(c) for c in xy + zs]
+
+    canon = out.select(
+        *[
+            F.when(m == sa, ra).when(m == sb, rb).otherwise(rc).alias(n)
+            for n, ra, rb, rc in zip(
+                names, rot(["a", "b", "c"]), rot(["b", "c", "a"]),
+                rot(["c", "a", "b"]),
+            )
+        ]
+    )
+    return _r6(canon, names)
+
+
+def _tin_brute_values_sql() -> str:
+    """Brute-force Delaunay oracle over the fixed TIN points: a triple is
+    a Delaunay triangle iff no other point lies STRICTLY inside its
+    circumcircle (checked vectorized with an exact-Fraction recheck for
+    near-ties, and cocircular quadruples asserted absent so the
+    triangulation is unique). Canonical row form mirrors q_construct_tin."""
+    import numpy as np
+
+    from fractions import Fraction
+
+    global _TIN_BRUTE_SQL
+    if _TIN_BRUTE_SQL is not None:
+        return _TIN_BRUTE_SQL
+    a0, b0, c0 = _TIN_PLANE
+    keys = np.arange(1, _TIN_KEYS + 1)
+    px, py = synth.point_np(keys)
+    n = len(px)
+    tris = []
+    for a in range(n):
+        ax, ay = px[a], py[a]
+        for b in range(a + 1, n):
+            bx, by = px[b], py[b]
+            cs = np.arange(b + 1, n)
+            if cs.size == 0:
+                continue
+            cx, cy = px[cs], py[cs]
+            d = 2.0 * (ax * (by - cy) + bx * (cy - ay) + cx * (ay - by))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                ux = (
+                    (ax * ax + ay * ay) * (by - cy)
+                    + (bx * bx + by * by) * (cy - ay)
+                    + (cx * cx + cy * cy) * (ay - by)
+                ) / d
+                uy = (
+                    (ax * ax + ay * ay) * (cx - bx)
+                    + (bx * bx + by * by) * (ax - cx)
+                    + (cx * cx + cy * cy) * (bx - ax)
+                ) / d
+            r2 = (ax - ux) ** 2 + (ay - uy) ** 2
+            d2 = (px[None, :] - ux[:, None]) ** 2 + (py[None, :] - uy[:, None]) ** 2
+            d2[:, a] = np.inf
+            d2[:, b] = np.inf
+            d2[np.arange(cs.size), cs] = np.inf
+            with np.errstate(invalid="ignore"):
+                margin = d2 - r2[:, None]
+                tol = (1e-9 * np.maximum(r2, 1.0))[:, None]
+                inside = margin < 0
+                close = np.abs(margin) <= tol
+            # float d != 0 does NOT prove non-degeneracy: exactly-collinear
+            # doubles can give a tiny nonzero float d. Exact-check every
+            # triple whose |d| is small relative to its term magnitudes.
+            dmag = 2.0 * (
+                np.abs(ax * (by - cy)) + np.abs(bx * (cy - ay))
+                + np.abs(cx * (ay - by))
+            )
+            suspect = np.abs(d) <= 1e-9 * np.maximum(dmag, 1.0)
+            degenerate = d == 0.0
+            Fx = Fraction
+            for ci in np.nonzero(suspect & ~degenerate)[0]:
+                c = int(cs[ci])
+                s_exact = (Fx(px[b]) - Fx(px[a])) * (Fx(py[c]) - Fx(py[a])) - (
+                    Fx(px[c]) - Fx(px[a])
+                ) * (Fx(py[b]) - Fx(py[a]))
+                if s_exact == 0:
+                    degenerate[ci] = True
+            close &= ~degenerate[:, None]
+            if np.any(close):
+                for ci, i in zip(*np.nonzero(close)):
+                    c = int(cs[ci])
+                    det = _incircle_exact(
+                        Fx(px[a]), Fx(py[a]), Fx(px[b]), Fx(py[b]),
+                        Fx(px[c]), Fx(py[c]), Fx(px[i]), Fx(py[i]),
+                    )
+                    assert det != 0, "cocircular quadruple breaks uniqueness"
+                    s = _ccw_sign(px[a], py[a], px[b], py[b], px[c], py[c])
+                    inside[ci, i] = det > 0 if s > 0 else det < 0
+            good = ~degenerate & ~inside.any(axis=1)
+            tris.extend((a, b, int(c)) for c in cs[good])
+    rows = []
+    for (a, b, c) in tris:
+        # orient CCW, then rotate to the lexicographically-smallest vertex
+        if _ccw_sign(px[a], py[a], px[b], py[b], px[c], py[c]) < 0:
+            a, b, c = a, c, b
+        order = [a, b, c]
+        start = min(range(3), key=lambda i: (px[order[i]], py[order[i]]))
+        order = order[start:] + order[:start]
+        xs = [px[i] for i in order]
+        ys = [py[i] for i in order]
+        zs = [a0 + b0 * px[i] + c0 * py[i] for i in order]
+        rows.append((*xs[0:1], *ys[0:1], *xs[1:2], *ys[1:2], *xs[2:3], *ys[2:3], *zs))
+    vals = ", ".join(
+        "(" + ", ".join(repr(float(v)) for v in r) + ")" for r in rows
+    )
+    cols = ["ax", "ay", "bx", "by", "cx", "cy", "az", "bz", "cz"]
+    sel = ", ".join(f"round(CAST({c} AS DOUBLE), 6) + 0.0 AS {c}" for c in cols)
+    _TIN_BRUTE_SQL = f"SELECT {sel} FROM (VALUES {vals}) AS t({', '.join(cols)})"
+    return _TIN_BRUTE_SQL
+
+
+_TIN_BRUTE_SQL: str | None = None
+
+
+def _incircle_exact(ax, ay, bx, by, cx, cy, dx, dy):
+    adx, ady = ax - dx, ay - dy
+    bdx, bdy = bx - dx, by - dy
+    cdx, cdy = cx - dx, cy - dy
+    return (
+        (adx * adx + ady * ady) * (bdx * cdy - cdx * bdy)
+        - (bdx * bdx + bdy * bdy) * (adx * cdy - cdx * ady)
+        + (cdx * cdx + cdy * cdy) * (adx * bdy - bdx * ady)
+    )
+
+
+def _ccw_sign(ax, ay, bx, by, cx, cy) -> float:
+    return (bx - ax) * (cy - ay) - (cx - ax) * (by - ay)
 
 
 def _tin_gridding_sql() -> str:
@@ -10390,6 +10538,7 @@ SELECT round(x, 6) AS x, round(y, 6) AS y, round(z, 6) AS z, classification
 FROM ({_ZLIDAR_CLOUD_SQL_BODY} FROM ({_order_cloud_cte()}) oc)
 """,
         "construct_vector_tin_invariants": _construct_tin_sql(),
+        "construct_tin": _tin_brute_values_sql(),
         "impoundment_size_index": __import__(
             "whitebox_tools_spark.operators.impoundment", fromlist=["isi_oracle_sql"]
         ).isi_oracle_sql(_DENSE20_SQL, EXTRACT_GRID, dam_length=5.0),

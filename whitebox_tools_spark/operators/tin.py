@@ -39,11 +39,15 @@ def delaunay(xs: np.ndarray, ys: np.ndarray) -> list[tuple[int, int, int]]:
     cx, cy = (xmin + xmax) / 2.0, (ymin + ymax) / 2.0
     # The super-triangle must enclose every CIRCUMCIRCLE of the final
     # triangulation, not just the points — near-collinear hull triples have
-    # circumradii ~ span^2 / height, so a merely "20x span" super-triangle
+    # circumradii ~ side^3 / (2 * area), so a merely "20x span" super-triangle
     # silently dropped hull slivers (observed: hull-interior cells falling
-    # through a coverage hole). 1e9x span covers any sliver these
-    # coordinates can produce.
-    big = 1e9 * span
+    # through a coverage hole), and even 1e9x span lost a hull sliver of
+    # area2 ~ 8.5e-12 (circumradius ~ 5e16; caught round 5 by the
+    # brute-force empty-circumcircle oracle). 1e18x span covers slivers
+    # down to area2 ~ 1e-13 at span ~ 1e3; the exact-rational predicate
+    # fallback keeps topology decisions correct at this scale (floats stay
+    # ~ 1e63 << DBL_MAX).
+    big = 1e18 * span
     sx = np.array([cx - 2.0 * big, cx + 2.0 * big, cx])
     sy = np.array([cy - big, cy - big, cy + 2.0 * big])
     px = np.concatenate([xs, sx]).astype(np.float64)
