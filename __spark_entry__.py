@@ -2574,18 +2574,57 @@ def _merge_lines_sql() -> str:
     )
 
 
-def q_raster_to_vector_lines(spark, sf_dir):
-    """RasterToVectorLines (data_tools/raster_to_vector_lines.rs): trace
-    the valley stream raster into polylines (per-component faithful serial
-    walk; rows-only — pinned against an independent whole-raster global
-    transcription in tests/test_raster_lines.py)."""
-    from whitebox_tools_spark.operators.raster_vector import raster_to_vector_lines
-    from whitebox_tools_spark.operators.streams import extract_streams
-
-    streams = extract_streams(
-        _valley_dem(spark, sf_dir), STREAM_GRID, threshold=4.0, zero_background=False
+def _line_raster(spark) -> DataFrame:
+    """Fixed analytic line raster == serial_oracles.line20_vals(): main
+    stem along row 10, six tributaries with confluences, a hollow square
+    loop (closed-trace path)."""
+    row = (F.col("id") / 25).cast("long")
+    col = F.col("id") % 25
+    stem = row == 10
+    trib = (row < 10) & col.isin(1, 5, 9, 13, 17, 21)
+    loop = (
+        (row.between(13, 17) & col.isin(15, 19))
+        | (row.isin(13, 17) & col.between(15, 19))
     )
-    return raster_to_vector_lines(streams, STREAM_GRID)
+    val = (
+        F.when(stem, F.lit(1.0))
+        .when(trib, col.cast("double"))
+        .when(loop, F.lit(9.0))
+    )
+    return (
+        spark.range(20 * 25)
+        .select(row.alias("row"), col.alias("col"), val.alias("value"))
+        .filter(F.col("value").isNotNull())
+    )
+
+
+def q_raster_to_vector_lines(spark, sf_dir):
+    """RasterToVectorLines (data_tools/raster_to_vector_lines.rs:229-420):
+    trace the fixed analytic line raster (stem + confluences + closed
+    loop) into polylines; line_id dropped so the geometry multiset is
+    engine-order-independent. Value-checked against serial_oracles.
+    raster_lines_serial — the reference's GLOBAL-FIFO control flow, vs the
+    engine's per-component equivalent — as a literal VALUES oracle; the
+    general random-walk case stays pinned by tests/test_raster_lines.py."""
+    from whitebox_tools_spark.operators.raster_vector import raster_to_vector_lines
+
+    out = raster_to_vector_lines(_line_raster(spark), STREAM_GRID)
+    return out.select("value", "n_vertices", "length", "x1", "y1", "x2", "y2")
+
+
+def _raster_lines_values_sql() -> str:
+    rows = _so().raster_lines_serial(_so().line20_vals(), 0.0, 100.0, 5.0, 5.0)
+    vals = ", ".join(
+        f"({v!r}, {n}, {ln!r}, {x1!r}, {y1!r}, {x2!r}, {y2!r})"
+        for v, n, ln, x1, y1, x2, y2 in rows
+    )
+    return (
+        "SELECT CAST(v AS DOUBLE) AS value, CAST(n AS BIGINT) AS n_vertices, "
+        "CAST(ln AS DOUBLE) + 0.0 AS length, "
+        "CAST(x1 AS DOUBLE) + 0.0 AS x1, CAST(y1 AS DOUBLE) + 0.0 AS y1, "
+        "CAST(x2 AS DOUBLE) + 0.0 AS x2, CAST(y2 AS DOUBLE) + 0.0 AS y2 "
+        f"FROM (VALUES {vals}) AS t(v, n, ln, x1, y1, x2, y2)"
+    )
 
 
 _ICNA_B_SQL = (
@@ -10539,6 +10578,7 @@ FROM ({_ZLIDAR_CLOUD_SQL_BODY} FROM ({_order_cloud_cte()}) oc)
 """,
         "construct_vector_tin_invariants": _construct_tin_sql(),
         "construct_tin": _tin_brute_values_sql(),
+        "raster_to_vector_lines": _raster_lines_values_sql(),
         "impoundment_size_index": __import__(
             "whitebox_tools_spark.operators.impoundment", fromlist=["isi_oracle_sql"]
         ).isi_oracle_sql(_DENSE20_SQL, EXTRACT_GRID, dam_length=5.0),

@@ -847,3 +847,85 @@ def pca_scores_serial(
     return {
         i: [sum(z[i][c] * v[c] for c in range(p)) for v in comps] for i in ids
     }
+
+
+# ---------------------------------------------------------------------------
+# RasterToVectorLines (data_tools/raster_to_vector_lines.rs:229-420)
+# ---------------------------------------------------------------------------
+
+def line20_vals() -> dict[tuple[int, int], float]:
+    """Fixed analytic line raster on the 20x25 STREAM_GRID: a main stem
+    along row 10, six tributaries joining from above (confluences), and a
+    hollow square loop below (closed-loop trace path). Mirrors
+    __spark_entry__._line_raster term for term."""
+    cells = {(10, c): 1.0 for c in range(25)}
+    for c in (1, 5, 9, 13, 17, 21):
+        for r in range(10):
+            cells[(r, c)] = float(c)
+    for c in range(15, 20):
+        cells[(13, c)] = 9.0
+        cells[(17, c)] = 9.0
+    for r in range(14, 17):
+        cells[(r, 15)] = 9.0
+        cells[(r, 19)] = 9.0
+    return cells
+
+
+def raster_lines_serial(
+    cellv: dict[tuple[int, int], float],
+    west: float, north: float, res_x: float, res_y: float,
+) -> list[tuple[float, int, float, float, float, float, float]]:
+    """Global-FIFO transcription of the reference's trace (the engine runs
+    the per-component equivalent; geometry multisets match — pinned by
+    tests/test_raster_lines.py). -> [(value, n_vertices, length, x1, y1,
+    x2, y2)] with length/coords rounded 6 dp."""
+    cnt = {p: sum((p[0] + DY[i], p[1] + DX[i]) in cellv for i in range(8))
+           for p in cellv}
+    visited = set()
+    queue = deque(sorted(p for p, n in cnt.items() if n == 1))
+    lines = []
+
+    def trace(r, c):
+        pts = [(r, c)]
+        visited.add((r, c))
+        while True:
+            highest, best, others = 0, None, []
+            for i in range(8):
+                p = (r + DY[i], c + DX[i])
+                if p in cellv and p not in visited:
+                    if cnt[p] > highest:
+                        if highest > 0:
+                            others.append(best)
+                        highest, best = cnt[p], p
+                    else:
+                        others.append(p)
+            if best is None:
+                return pts
+            queue.extend(others)
+            r, c = best
+            pts.append((r, c))
+            visited.add((r, c))
+
+    def emit(pts, val):
+        if len(pts) < 2:
+            return
+        xs = [west + res_x / 2.0 + c * res_x for _, c in pts]
+        ys = [north - res_y / 2.0 - r * res_y for r, _ in pts]
+        length = sum(
+            ((xs[i + 1] - xs[i]) ** 2 + (ys[i + 1] - ys[i]) ** 2) ** 0.5
+            for i in range(len(pts) - 1)
+        )
+        lines.append((
+            val, len(pts), round_half_away(length, 6),
+            round_half_away(xs[0], 6), round_half_away(ys[0], 6),
+            round_half_away(xs[-1], 6), round_half_away(ys[-1], 6),
+        ))
+
+    while queue:
+        p = queue.popleft()
+        if p not in visited:
+            emit(trace(*p), cellv[p])
+    for p in sorted(cellv):
+        if p not in visited:
+            emit(trace(*p), cellv[p])
+    return lines
