@@ -62,6 +62,41 @@ def bbox_cover_cells_expr(index: CellIndex, xmin, ymin, xmax, ymax):
     )
 
 
+def segment_cover_cells_expr(index: CellIndex, x0, y0, x1, y1):
+    """Array of cell ids covering a SEGMENT's traversed cells (padded one
+    cell on every side for float drift), as a pure column expression.
+    Linear in segment length — a long diagonal covers O(len/cell) cells
+    where its bbox cover is O((len/cell)^2), the ADVICE r04 heavy-tail
+    blowup. Any point ON the segment is guaranteed inside the cover, so
+    pairing on shared cells finds every true intersection."""
+    cs, ox, oy, n = index.cell_size, index.origin_x, index.origin_y, index.n
+    clamp = lambda c: F.greatest(  # noqa: E731
+        F.lit(0).cast("long"), F.least(F.lit(n - 1).cast("long"), c)
+    )
+    ix0 = clamp(index.ix_expr(F.least(x0, x1)) - 1)
+    ix1 = clamp(index.ix_expr(F.greatest(x0, x1)) + 1)
+    dx = x1 - x0
+    dy = y1 - y0
+
+    def yr_at(xq):
+        # y of the segment at clamped parameter t(xq)
+        t = F.greatest(F.lit(0.0), F.least(F.lit(1.0), (xq - x0) / dx))
+        return y0 + t * dy
+
+    def rows_of(ix):
+        xa = F.lit(ox) + ix.cast("double") * F.lit(cs)
+        xb = xa + F.lit(cs)
+        ya = F.when(dx == 0.0, F.least(y0, y1)).otherwise(yr_at(xa))
+        yb = F.when(dx == 0.0, F.greatest(y0, y1)).otherwise(yr_at(xb))
+        iy0 = clamp(index.iy_expr(F.least(ya, yb)) - 1)
+        iy1 = clamp(index.iy_expr(F.greatest(ya, yb)) + 1)
+        return F.transform(
+            F.sequence(iy0, iy1), lambda iy: index.cell_id_expr(ix, iy)
+        )
+
+    return F.flatten(F.transform(F.sequence(ix0, ix1), rows_of))
+
+
 def _poly_cover_rows(polys_parts, index: CellIndex):
     """(cell_id, poly_id, xmin, ymin, xmax, ymax) for the broadcast side."""
     rows = []

@@ -454,16 +454,16 @@ def line_intersections(a_edges: DataFrame, b_edges: DataFrame) -> DataFrame:
 
     Spark plan: grid-cell candidate EQUI-join (no cartesian). A shared
     CellIndex is sized from one tiny driver-side stats row at the 99th
-    percentile of segment bbox extent: typical segments cover <= ~2x2
-    cells while the rare globally-long segment covers proportionally more
-    (a bounded explode on that row alone, not an inflated cell for all),
-    giving a bounded-fan-out explode + shuffle equi-join on cell_id.
-    Each candidate pair is kept only in the one cell containing the min
-    corner of its bbox intersection, so the exact segment-intersection
-    arithmetic runs once per pair.
+    percentile of segment bbox extent; each segment covers its TRAVERSED
+    cells (padded 1 cell, overlay.segment_cover_cells_expr) — linear in
+    segment length even for the rare globally-long diagonal whose BBOX
+    cover would be quadratic (the round-4 ADVICE heavy-tail blowup).
+    Every true intersection point lies on both segments, so its cell is
+    in both covers; each surviving pair is kept only in the one cell
+    containing the intersection point, so the pair emits exactly once.
     -> distinct (parent1, parent2, x, y) with 6dp coordinates."""
     from whitebox_tools_spark.grid import CellIndex
-    from whitebox_tools_spark.operators.overlay import bbox_cover_cells_expr
+    from whitebox_tools_spark.operators.overlay import segment_cover_cells_expr
 
     a = a_edges.select(
         F.col("poly_id").alias("parent1"),
@@ -507,19 +507,17 @@ def line_intersections(a_edges: DataFrame, b_edges: DataFrame) -> DataFrame:
     index = CellIndex(origin_x=float(st.xmin), origin_y=float(st.ymin),
                       extent=float(extent), zoom=zoom)
 
-    def _covered(df, mnx, mny, mxx, mxy):
-        return df.withColumn(
-            "cell_id",
-            F.explode(bbox_cover_cells_expr(index, mnx, mny, mxx, mxy)),
-        )
-
-    ac = _covered(
-        a, F.least("ax0", "ax1"), F.least("ay0", "ay1"),
-        F.greatest("ax0", "ax1"), F.greatest("ay0", "ay1"),
+    ac = a.withColumn(
+        "cell_id",
+        F.explode(segment_cover_cells_expr(
+            index, F.col("ax0"), F.col("ay0"), F.col("ax1"), F.col("ay1")
+        )),
     )
-    bc = _covered(
-        b, F.least("bx0", "bx1"), F.least("by0", "by1"),
-        F.greatest("bx0", "bx1"), F.greatest("by0", "by1"),
+    bc = b.withColumn(
+        "cell_id",
+        F.explode(segment_cover_cells_expr(
+            index, F.col("bx0"), F.col("by0"), F.col("bx1"), F.col("by1")
+        )),
     )
     bbox = (
         (F.least("ax0", "ax1") <= F.greatest("bx0", "bx1"))
@@ -527,13 +525,7 @@ def line_intersections(a_edges: DataFrame, b_edges: DataFrame) -> DataFrame:
         & (F.least("ay0", "ay1") <= F.greatest("by0", "by1"))
         & (F.greatest("ay0", "ay1") >= F.least("by0", "by1"))
     )
-    # canonical cell of the pair = cell containing the min corner of the
-    # bbox intersection -> each surviving pair appears exactly once
-    canon = index.cell_of_xy_expr(
-        F.greatest(F.least("ax0", "ax1"), F.least("bx0", "bx1")),
-        F.greatest(F.least("ay0", "ay1"), F.least("by0", "by1")),
-    )
-    j = ac.join(bc, "cell_id").filter(bbox).filter(F.col("cell_id") == canon)
+    j = ac.join(bc, "cell_id").filter(bbox)
     rx = F.col("ax1") - F.col("ax0")
     ry = F.col("ay1") - F.col("ay0")
     sx = F.col("bx1") - F.col("bx0")
@@ -543,13 +535,19 @@ def line_intersections(a_edges: DataFrame, b_edges: DataFrame) -> DataFrame:
     qpy = F.col("by0") - F.col("ay0")
     t = (qpx * sy - qpy * sx) / den
     u = (qpx * ry - qpy * rx) / den
+    ix = F.col("ax0") + t * rx
+    iy = F.col("ay0") + t * ry
+    # keep each pair only in the cell containing its intersection point —
+    # that cell is in BOTH traversal covers (the point lies on both
+    # segments, pads absorb float drift), so the pair emits exactly once
     hit = j.filter(
         (den != 0.0) & (t >= 0.0) & (t <= 1.0) & (u >= 0.0) & (u <= 1.0)
+        & (F.col("cell_id") == index.cell_of_xy_expr(ix, iy))
     )
     return hit.select(
         "parent1", "parent2",
-        F.round(F.col("ax0") + t * rx, 6).alias("x"),
-        F.round(F.col("ay0") + t * ry, 6).alias("y"),
+        F.round(ix, 6).alias("x"),
+        F.round(iy, 6).alias("y"),
     ).distinct()
 
 
