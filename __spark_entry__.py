@@ -1,13065 +1,17 @@
-"""Driver contract: entry / queries / oracle_sql for the PySpark-native
-spatial-join + tiling engine (whitebox_tools_spark).
+"""Driver contract for the whitebox_tools_spark engine.
 
-Every query derives its geometry deterministically from the driver's parquet
-tables via integer-hash arithmetic (whitebox_tools_spark/synth.py) or from a
-fixed seeded polygon set embedded into the oracle SQL as a VALUES edge list,
-so the DuckDB oracle is fully independent of the engine code.
-
-Float-valued outputs are rounded to 6 decimals on BOTH sides: aggregation
-(sum) order is nondeterministic in any parallel engine, so raw doubles can
-differ in final ulps between Spark and DuckDB; 6dp is far above ulp noise
-and far below semantic differences.
+The engine's ~460 query bodies, fixtures, and DuckDB oracle builders live
+in the package (whitebox_tools_spark/queries/ — core fixtures, query-body
+families, oracle builders, flagship; operators own their domain oracles,
+e.g. operators/lidar.py, operators/ml.py). This module is the thin driver
+surface: entry(spark), queries(), oracle_sql(), re-exported verbatim, plus
+the full flat namespace for tests and tooling that address helpers by
+name (underscore names included, which `import *` would drop).
 """
 
-from __future__ import annotations
+import whitebox_tools_spark.queries as _q
 
-import os
-import sys
-from collections.abc import Callable
-
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-
-from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
-
-from whitebox_tools_spark import synth
-from whitebox_tools_spark.grid import CellIndex, GridSpec, lidar_tile_exprs, lidar_tile_sql
-from whitebox_tools_spark.operators import raster_math as RM
-from whitebox_tools_spark.operators import stats as ST
-from whitebox_tools_spark.operators import text as TX
-from whitebox_tools_spark.operators import dedup as DD
-from whitebox_tools_spark.operators import similarity as SIM
-from whitebox_tools_spark.operators.extract import extract_raster_values_at_points
-from whitebox_tools_spark.operators.knn import idw_gridding, nearest_neighbour_gridding
-from whitebox_tools_spark.operators.pip import points_in_polygons
-from whitebox_tools_spark.operators.raster_vector import polygons_to_raster
-from whitebox_tools_spark.operators.tiling import aggregate_raster, assign_tiles, block_gridding
-from whitebox_tools_spark.operators import overlay as _ovl
-from whitebox_tools_spark.operators import random as _rnd
-from whitebox_tools_spark.operators import hydro as _hyd
-from whitebox_tools_spark.operators import streams as _str
-from whitebox_tools_spark.operators import viewshed as _vsh
-from whitebox_tools_spark.operators import multiscale as _ms
-from whitebox_tools_spark.operators import lidar as _lidar
-from whitebox_tools_spark.operators import lidar as _lid
-from whitebox_tools_spark.operators import image as _img
-from whitebox_tools_spark.operators import focal as _foc
-from whitebox_tools_spark.operators import buffer as _buf
-from whitebox_tools_spark.operators.vector_ops import join_tables, merge_vectors
-from whitebox_tools_spark.operators.zonal import zonal_statistics
-
-# ---------------------------------------------------------------------------
-# shared deterministic config
-# ---------------------------------------------------------------------------
-IDX = CellIndex(0.0, 0.0, 1000.0, 5)          # 32x32 index cells
-POLYS = synth.make_polygons()                  # fixed seeded polygon set
-PARTS = synth.polygons_as_parts(POLYS)
-PARTS_A = synth.polygons_as_parts(synth.make_polygons(24, seed=13))  # overlay A side
-# maximal bbox-disjoint prefix of POLYS — valid clip layer for additive
-# per-feature clipped area (greedy, deterministic)
-def _disjoint_parts(parts_list):
-    import numpy as np
-
-    chosen, out = [], []
-    for pid, parts in parts_list:
-        xs = np.concatenate([p[0] for p in parts]); ys = np.concatenate([p[1] for p in parts])
-        bb = (xs.min(), ys.min(), xs.max(), ys.max())
-        if all(
-            not (bb[0] <= c[2] and bb[2] >= c[0] and bb[1] <= c[3] and bb[3] >= c[1])
-            for c in chosen
-        ):
-            chosen.append(bb)
-            out.append((pid, parts))
-    return out
-
-
-PARTS_DISJOINT = _disjoint_parts(PARTS)
-EXTRACT_GRID = GridSpec(west=0.0, north=1000.0, res_x=5.0, res_y=5.0, rows=200, cols=200)
-NN_GRID = GridSpec(west=0.0, north=1000.0, res_x=25.0, res_y=25.0, rows=40, cols=40)
-P2R_GRID = GridSpec(west=0.0, north=1000.0, res_x=20.0, res_y=20.0, rows=50, cols=50)
-TILE = dict(width=125.0, height=125.0, origin_x=0.0, origin_y=0.0,
-            min_x=0.0, min_y=0.0, max_x=1000.0, max_y=1000.0)
-HIST = dict(vmin=900.0, vmax=2100.0, bins=20)
-
-
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-
-
-def _cust_points(spark, sf_dir) -> DataFrame:
-    x, y = synth.point_exprs(F.col("c_custkey"))
-    return _t(spark, sf_dir, "customer").select(
-        F.col("c_custkey").alias("point_id"), x.alias("x"), y.alias("y"),
-        F.col("c_acctbal").alias("z"),
-    )
-
-
-def _cust_points_cte(sf_dir: str) -> str:
-    x, y = synth.point_sql("c_custkey")
-    return (
-        f"SELECT c_custkey AS point_id, {x} AS x, {y} AS y, c_acctbal AS z "
-        f"FROM customer"
-    )
-
-
-def _supp_points(spark, sf_dir) -> DataFrame:
-    x, y = synth.point_exprs(F.col("s_suppkey"))
-    return _t(spark, sf_dir, "supplier").select(
-        F.col("s_suppkey").alias("point_id"), x.alias("x"), y.alias("y"),
-        F.col("s_acctbal").alias("z"),
-    )
-
-
-def _supp_points_cte() -> str:
-    x, y = synth.point_sql("s_suppkey")
-    return f"SELECT s_suppkey AS point_id, {x} AS px, {y} AS py, s_acctbal AS z FROM supplier"
-
-
-def _part_raster(spark, sf_dir) -> DataFrame:
-    """Derived raster: row = p_partkey % 200, col = floor(p_partkey/200.) % 200."""
-    p = _t(spark, sf_dir, "part")
-    return p.select(
-        (F.col("p_partkey") % 200).alias("row"),
-        (F.floor(F.col("p_partkey") / F.lit(200.0)).cast("long") % 200).alias("col"),
-        F.col("p_retailprice").alias("value"),
-    )
-
-
-_PART_RASTER_SQL = (
-    "SELECT p_partkey % 200 AS row, "
-    "CAST(floor(p_partkey / 200.0) AS BIGINT) % 200 AS col, "
-    "p_retailprice AS value FROM part"
+globals().update(
+    {k: v for k, v in vars(_q).items() if not k.startswith("__")}
 )
-
-_PART_RASTER2_SQL = (
-    "SELECT p_partkey % 200 AS row, "
-    "CAST(floor(p_partkey / 200.0) AS BIGINT) % 200 AS col, "
-    "CAST(p_size AS DOUBLE) AS value FROM part"
-)
-
-
-def _part_raster2(spark, sf_dir) -> DataFrame:
-    p = _t(spark, sf_dir, "part")
-    return p.select(
-        (F.col("p_partkey") % 200).alias("row"),
-        (F.floor(F.col("p_partkey") / F.lit(200.0)).cast("long") % 200).alias("col"),
-        F.col("p_size").cast("double").alias("value"),
-    )
-
-
-_PART_RASTER3_SQL = (
-    "SELECT p_partkey % 200 AS row, "
-    "CAST(floor(p_partkey / 200.0) AS BIGINT) % 200 AS col, "
-    "CAST(p_partkey % 97 AS DOUBLE) AS value FROM part"
-)
-
-
-def _part_raster3(spark, sf_dir) -> DataFrame:
-    p = _t(spark, sf_dir, "part")
-    return p.select(
-        (F.col("p_partkey") % 200).alias("row"),
-        (F.floor(F.col("p_partkey") / F.lit(200.0)).cast("long") % 200).alias("col"),
-        (F.col("p_partkey") % 97).cast("double").alias("value"),
-    )
-
-
-def _zones(spark, sf_dir) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
-    return li.select(
-        (F.col("l_partkey") % 37 + 1).alias("zone_id"), F.col("l_quantity").alias("value")
-    )
-
-
-_ZONES_SQL = "SELECT l_partkey % 37 + 1 AS zone_id, l_quantity AS value FROM lineitem"
-
-
-def _r6(df: DataFrame, cols: list[str]) -> DataFrame:
-    """Round to 6 dp and normalize IEEE signed zero (+ 0.0 turns -0.0 into
-    +0.0; identity for every other float) — the driver's value hash is
-    sign-of-zero sensitive, so engine and oracle must agree on +0.0."""
-    for c in cols:
-        df = df.withColumn(c, F.round(F.col(c), 6) + F.lit(0.0))
-    return df
-
-
-def _grid_centers_cte(g: GridSpec) -> str:
-    """DuckDB CTE producing (point_id, row, col, x, y) cell centers with the
-    GridSpec center formula (whitebox-raster/src/lib.rs:728-741)."""
-    return (
-        f"SELECT CAST(r AS BIGINT) * {g.cols} + CAST(c AS BIGINT) AS point_id, "
-        f"CAST(r AS BIGINT) AS row, CAST(c AS BIGINT) AS col, "
-        f"{g.x_center_sql('c')} AS x, {g.y_center_sql('r')} AS y "
-        f"FROM generate_series(0, {g.rows - 1}) t1(r), generate_series(0, {g.cols - 1}) t2(c)"
-    )
-
-
-# ---------------------------------------------------------------------------
-# queries
-# ---------------------------------------------------------------------------
-def q_pip(spark, sf_dir):
-    """Clip point-case / VectorPointsInPolygon (gis_analysis/clip.rs:299-370)."""
-    return points_in_polygons(_cust_points(spark, sf_dir), PARTS, IDX)
-
-
-def q_extract(spark, sf_dir):
-    """ExtractRasterValuesAtPoints (extract_raster_values_at_points.rs:252-265)."""
-    out = extract_raster_values_at_points(
-        _cust_points(spark, sf_dir).drop("z"), _part_raster(spark, sf_dir), EXTRACT_GRID
-    )
-    return out.select("point_id", "value1")
-
-
-def q_zonal(spark, sf_dir):
-    """ZonalStatistics (zonal_statistics.rs:391-464)."""
-    return _r6(zonal_statistics(_zones(spark, sf_dir)),
-               ["total", "mean_v", "min_v", "max_v", "range_v", "sd", "median"])
-
-
-def q_tile_assign(spark, sf_dir):
-    """LidarTile tile ids (lidar_tile.rs:300-325)."""
-    return assign_tiles(_cust_points(spark, sf_dir).drop("z"), **TILE).select(
-        "point_id", "tile_col", "tile_row", "tile"
-    )
-
-
-def q_tile_counts(spark, sf_dir):
-    tiled = assign_tiles(_cust_points(spark, sf_dir).drop("z"), **TILE)
-    return tiled.groupBy("tile").agg(F.count(F.lit(1)).alias("n_points"))
-
-
-def q_nn_gridding(spark, sf_dir):
-    """NearestNeighbourGridding (nearest_neighbour_gridding.rs:452-454)."""
-    return nearest_neighbour_gridding(
-        _supp_points(spark, sf_dir), NN_GRID, IDX, max_dist=1e18
-    )
-
-
-def q_idw(spark, sf_dir):
-    """IdwInterpolation (idw_interpolation.rs:617-645), radius=100 min_points=4."""
-    out = idw_gridding(
-        _supp_points(spark, sf_dir), NN_GRID, IDX, weight=2.0, radius=100.0, min_points=4
-    )
-    return _r6(out, ["value"])
-
-
-def q_poly_to_raster(spark, sf_dir):
-    """VectorPolygonsToRaster (vector_polygons_to_raster.rs:476-573)."""
-    return polygons_to_raster(spark, PARTS, P2R_GRID, IDX)
-
-
-def q_block_max(spark, sf_dir):
-    """BlockMaximumGridding (gis_analysis/block_maximum.rs:147)."""
-    pts = _cust_points(spark, sf_dir)
-    return block_gridding(pts, P2R_GRID, value="z", agg="max")
-
-
-def q_aggregate_raster(spark, sf_dir):
-    """AggregateRaster (gis_analysis/aggregate_raster.rs:142), factor 4, mean."""
-    return _r6(aggregate_raster(_part_raster(spark, sf_dir), agg_factor=4, agg="mean"),
-               ["value"])
-
-
-def q_raster_map_chain(spark, sf_dir):
-    """MAP-class chain: sqrt(abs(v)) and ln(v) and square over one raster."""
-    r = _part_raster(spark, sf_dir)
-    r = RM.apply_map(r, "abs")
-    out = r.select(
-        "row", "col",
-        F.round(F.sqrt("value"), 6).alias("sqrt_v"),
-        F.round(F.log("value"), 6).alias("ln_v"),
-        F.round(F.col("value") * F.col("value"), 6).alias("square_v"),
-    )
-    return out
-
-
-def q_raster_zip(spark, sf_dir):
-    """ZIP-class: add / multiply / greater_than of two aligned rasters."""
-    a, b = _part_raster(spark, sf_dir), _part_raster2(spark, sf_dir)
-    add = RM.combine(a, b, "add").withColumnRenamed("value", "add_v")
-    mul = RM.combine(a, b, "multiply").select("row", "col", F.col("value").alias("mul_v"))
-    gt = RM.combine(a, b, "greater_than").select("row", "col", F.col("value").alias("gt_v"))
-    return _r6(add.join(mul, ["row", "col"]).join(gt, ["row", "col"]),
-               ["add_v", "mul_v", "gt_v"])
-
-
-def q_reclass(spark, sf_dir):
-    """Reclass (gis_analysis/reclass.rs): price bands."""
-    out = RM.reclass(
-        _part_raster(spark, sf_dir),
-        [(1.0, 0.0, 1200.0), (2.0, 1200.0, 1600.0), (3.0, 1600.0, 99999.0)],
-    )
-    return out
-
-
-def q_summary_stats(spark, sf_dir):
-    """RasterSummaryStats (raster_summary_stats.rs:134)."""
-    return _r6(ST.raster_summary_stats(_part_raster(spark, sf_dir)),
-               ["total", "mean_v", "min_v", "max_v", "sd"])
-
-
-def q_histogram(spark, sf_dir):
-    """RasterHistogram (raster_histogram.rs:128)."""
-    return ST.raster_histogram(_part_raster(spark, sf_dir), **HIST)
-
-
-def q_quantiles(spark, sf_dir):
-    """Quantiles (quantiles.rs:263-268) -> bin sizes."""
-    q = ST.quantiles(_part_raster(spark, sf_dir), 5)
-    return q.groupBy(F.col("quantile").cast("long").alias("quantile")).agg(
-        F.count(F.lit(1)).alias("n")
-    )
-
-
-def q_zscores(spark, sf_dir):
-    """ZScores (zscores.rs:130)."""
-    out = ST.zscores(_part_raster(spark, sf_dir))
-    return out.select("row", "col", F.round("zscore", 4).alias("zscore"))
-
-
-def q_rmse(spark, sf_dir):
-    """RootMeanSquareError (root_mean_square_error.rs:130)."""
-    return _r6(ST.rmse(_part_raster(spark, sf_dir), _part_raster2(spark, sf_dir)),
-               ["rmse", "mean_error"])
-
-
-def q_image_correlation(spark, sf_dir):
-    """ImageCorrelation (math_stat_analysis/image_correlation.rs)."""
-    return ST.image_correlation(_part_raster(spark, sf_dir), _part_raster2(spark, sf_dir))
-
-
-def q_image_regression(spark, sf_dir):
-    """ImageRegression (math_stat_analysis/image_regression.rs)."""
-    return ST.image_regression(_part_raster(spark, sf_dir), _part_raster2(spark, sf_dir))
-
-
-def q_image_autocorrelation(spark, sf_dir):
-    """ImageAutocorrelation (math_stat_analysis/image_autocorrelation.rs):
-    global Moran's I, rook contiguity."""
-    return ST.image_autocorrelation(_part_raster(spark, sf_dir), contiguity="rook")
-
-
-def q_cross_tabulation(spark, sf_dir):
-    """CrossTabulation (math_stat_analysis/cross_tabulation.rs): part-size
-    raster vs the price raster bucketed to 1000-wide classes."""
-    priced = _part_raster(spark, sf_dir).select(
-        "row", "col", F.floor(F.col("value") / 1000.0).alias("value")
-    )
-    return ST.cross_tabulation(_part_raster2(spark, sf_dir), priced)
-
-
-def q_cumulative_distribution(spark, sf_dir):
-    """CumulativeDistribution (math_stat_analysis/cumulative_dist.rs) via
-    the distributed running-sum pattern."""
-    return ST.cumulative_distribution(_part_raster(spark, sf_dir))
-
-
-def q_two_sample_ks(spark, sf_dir):
-    """TwoSampleKsTest (math_stat_analysis/two_sample_ks_test.rs): price
-    raster vs the price raster shifted by +50 (deterministic alternative
-    sample with a real distribution difference)."""
-    b = _part_raster(spark, sf_dir).select(
-        "row", "col", (F.col("value") * 1.02 + 50.0).alias("value")
-    )
-    return ST.two_sample_ks_test(_part_raster(spark, sf_dir), b)
-
-
-def q_attribute_correlation(spark, sf_dir):
-    """AttributeCorrelation (math_stat_analysis/attribute_correlation.rs)
-    over lineitem's numeric attributes."""
-    li = _t(spark, sf_dir, "lineitem")
-    return ST.attribute_correlation(
-        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
-    )
-
-
-def _slope_raster(spark, sf_dir):
-    """Slope raster input for the terrain indices, MATERIALIZED via
-    localCheckpoint — mirroring the reference, where WetnessIndex et al.
-    read a slope.tif previously written by the Slope tool. Composing the
-    unmaterialized Florinsky gather lazily inlines its expression into
-    every downstream use site and catalyst optimization time explodes
-    (observed >200 s for a 200-cell wetness plan vs 0.7 s checkpointed)."""
-    from whitebox_tools_spark.operators.focal import slope
-
-    return slope(_part_raster(spark, sf_dir), res=5.0).localCheckpoint()
-
-
-def q_find_parallel_flow(spark, sf_dir):
-    """FindParallelFlow (hydro_analysis/find_parallel_flow.rs) over the
-    valley DEM's D8 pointers + extracted streams."""
-    from whitebox_tools_spark.operators.hydro import d8_pointer, find_parallel_flow
-    from whitebox_tools_spark.operators.streams import extract_streams
-
-    dem = _valley_dem(spark, sf_dir)
-    ptr = d8_pointer(dem, STREAM_GRID)
-    streams = extract_streams(dem, STREAM_GRID, threshold=4.0)
-    return find_parallel_flow(ptr, streams)
-
-
-def q_dinf_mass_flux(spark, sf_dir):
-    """DInfMassFlux (hydro_analysis/dinf_mass_flux.rs): mass accumulated
-    over the Tarboton fractional edges. Value-checked against
-    serial_oracles.dinf_mass_flux_serial as a literal VALUES oracle over
-    the fixed noise fixture (cells are either bit-identical to the serial
-    sweep — single-inflow chains — or carry a 6-dp rounding margin far
-    above the re-association delta; pinned in tests/test_serial_oracles.py)."""
-    from whitebox_tools_spark.operators.hydro import dinf_mass_flux
-
-    dem = _fixed_noise(spark)
-    # value-derived aux rasters (see dinf_mass_flux_serial docstring)
-    loading = dem.withColumn("value", F.lit(1.0) + F.col("value") / F.lit(500.0))
-    eff = dem.withColumn("value", F.lit(0.4) + F.col("value") / F.lit(2500.0))
-    ab = dem.withColumn("value", F.col("value") / F.lit(20000.0))
-    return _r6(
-        dinf_mass_flux(dem, EXTRACT_GRID, loading, eff, ab), ["value"]
-    )
-
-
-def q_wetness_index(spark, sf_dir):
-    """WetnessIndex (terrain_analysis/wetness_index.rs): ln(sca/tan(slope))
-    with the price raster standing in as SCA."""
-    from whitebox_tools_spark.operators import terrain as TE
-
-    return _r6(
-        TE.wetness_index(_part_raster(spark, sf_dir), _slope_raster(spark, sf_dir)),
-        ["value"],
-    )
-
-
-def q_stream_power(spark, sf_dir):
-    """RelativeStreamPowerIndex (terrain_analysis/
-    relative_stream_power_index.rs)."""
-    from whitebox_tools_spark.operators import terrain as TE
-
-    return _r6(
-        TE.stream_power_index(
-            _part_raster(spark, sf_dir), _slope_raster(spark, sf_dir), exponent=1.1
-        ),
-        ["value"],
-    )
-
-
-def q_sediment_transport(spark, sf_dir):
-    """SedimentTransportIndex (terrain_analysis/
-    sediment_transport_index.rs:313-315)."""
-    from whitebox_tools_spark.operators import terrain as TE
-
-    return _r6(
-        TE.sediment_transport_index(
-            _part_raster(spark, sf_dir), _slope_raster(spark, sf_dir)
-        ),
-        ["value"],
-    )
-
-
-def q_num_downslope_nbrs(spark, sf_dir):
-    """NumDownslopeNeighbours (terrain_analysis/num_downslope_neighbours.rs)."""
-    from whitebox_tools_spark.operators import terrain as TE
-
-    return TE.num_downslope_neighbours(_part_raster(spark, sf_dir))
-
-
-def q_num_upslope_nbrs(spark, sf_dir):
-    """NumUpslopeNeighbours (terrain_analysis/num_upslope_neighbours.rs)."""
-    from whitebox_tools_spark.operators import terrain as TE
-
-    return TE.num_upslope_neighbours(_part_raster(spark, sf_dir))
-
-
-def q_max_downslope_change(spark, sf_dir):
-    """MaxDownslopeElevChange (terrain_analysis/max_downslope_elev_change.rs)."""
-    from whitebox_tools_spark.operators import terrain as TE
-
-    return _r6(TE.max_downslope_elev_change(_part_raster(spark, sf_dir), res=5.0), ["value"])
-
-
-def q_min_downslope_change(spark, sf_dir):
-    """MinDownslopeElevChange (terrain_analysis/min_downslope_elev_change.rs)."""
-    from whitebox_tools_spark.operators import terrain as TE
-
-    return _r6(TE.min_downslope_elev_change(_part_raster(spark, sf_dir), res=5.0), ["value"])
-
-
-def q_max_upslope_change(spark, sf_dir):
-    """MaxUpslopeElevChange (terrain_analysis/max_upslope_elev_change.rs)."""
-    from whitebox_tools_spark.operators import terrain as TE
-
-    return _r6(TE.max_upslope_elev_change(_part_raster(spark, sf_dir), res=5.0), ["value"])
-
-
-def q_multidirectional_hillshade(spark, sf_dir):
-    """MultidirectionalHillshade (terrain_analysis/
-    multidirectional_hillshade.rs, 4-azimuth weighted mode)."""
-    from whitebox_tools_spark.operators.focal import multidirectional_hillshade
-
-    return multidirectional_hillshade(_part_raster(spark, sf_dir), res=5.0)
-
-
-def q_stdev_of_slope(spark, sf_dir):
-    """StandardDeviationOfSlope (terrain_analysis/
-    standard_deviation_of_slope.rs): sd(n-1) filter over the slope raster."""
-    from whitebox_tools_spark.operators.focal import stat_filter
-
-    return _r6(stat_filter(_slope_raster(spark, sf_dir), "sd"), ["value"])
-
-
-# upsampling destination (2x finer) over the part raster's occupied corner
-RESAMPLE_DST = GridSpec(west=0.0, north=1000.0, res_x=2.5, res_y=2.5, rows=80, cols=16)
-
-
-def q_resample_nn(spark, sf_dir):
-    """Resample nearest-neighbour (image_analysis/resample.rs:397-430)."""
-    from whitebox_tools_spark.operators.image import resample
-
-    return resample(
-        _part_raster(spark, sf_dir), EXTRACT_GRID, RESAMPLE_DST, method="nn"
-    )
-
-
-def q_resample_bilinear(spark, sf_dir):
-    """Resample bilinear (image_analysis/resample.rs:459-510, 4-neighbor
-    inverse-square-distance blend)."""
-    from whitebox_tools_spark.operators.image import resample
-
-    return _r6(
-        resample(
-            _part_raster(spark, sf_dir), EXTRACT_GRID, RESAMPLE_DST, method="bilinear"
-        ),
-        ["value"],
-    )
-
-
-def q_gaussian_stretch(spark, sf_dir):
-    """GaussianContrastStretch (image_analysis/gaussian_contrast_stretch.rs)."""
-    from whitebox_tools_spark.operators.image import gaussian_contrast_stretch
-
-    return _r6(gaussian_contrast_stretch(_part_raster(spark, sf_dir)), ["value"])
-
-
-def q_correct_vignetting(spark, sf_dir):
-    """CorrectVignetting (image_analysis/correct_vignetting.rs), principal
-    point (100, 5), 10-column scale."""
-    from whitebox_tools_spark.operators.image import correct_vignetting
-
-    out = correct_vignetting(
-        _part_raster(spark, sf_dir), pp_row=100.0, pp_col=5.0, cols=10
-    )
-    # 4dp: the 1/cos^4 amplification (up to ~1e5x) puts 1-ulp libm cos/pow
-    # differences on the 6dp rounding cliff
-    return out.withColumn("value", F.round(F.col("value"), 4))
-
-
-def q_mosaic_with_feathering(spark, sf_dir):
-    """MosaicWithFeathering (image_analysis/mosaic_with_feathering.rs):
-    price raster blended with the size raster shifted (+3, +2)."""
-    from whitebox_tools_spark.operators.image import mosaic_with_feathering
-
-    b = _part_raster2(spark, sf_dir).select(
-        (F.col("row") + 3).alias("row"), (F.col("col") + 2).alias("col"), "value"
-    )
-    return _r6(
-        mosaic_with_feathering(_part_raster(spark, sf_dir), b), ["value"]
-    )
-
-
-def q_histogram_matching(spark, sf_dir):
-    """HistogramMatchingTwoImages (image_analysis/
-    histogram_matching_two_images.rs:285-440): price raster reshaped to
-    the size raster's distribution."""
-    from whitebox_tools_spark.operators.image import histogram_matching_two_images
-
-    return _r6(
-        histogram_matching_two_images(
-            _part_raster(spark, sf_dir), _part_raster2(spark, sf_dir)
-        ),
-        ["value"],
-    )
-
-
-def q_contours_from_raster(spark, sf_dir):
-    """ContoursFromRaster (terrain_analysis/contours_from_raster.rs:174):
-    contour segment multiset on cell cracks (band boundaries of
-    floor((z-base)/interval)), height = base + level*interval. Full SQL
-    oracle; the stitched polyline product is q_contour_polylines."""
-    from whitebox_tools_spark.operators.terrain import contour_segments
-
-    return contour_segments(
-        _part_raster(spark, sf_dir), EXTRACT_GRID, interval=1.0, base=0.0
-    )
-
-
-def q_contour_polylines(spark, sf_dir):
-    """ContoursFromRaster stitched polylines: per-height chained cracks.
-    Oracle checks per-height polyline/vertex conservation invariants that
-    SQL can derive from the segment multiset without stitching: segment
-    count (= sum of (vertices-1) over parts) and part endpoint parity;
-    vertex-exact stitching is pinned by tests/test_more_operators.py."""
-    from whitebox_tools_spark.operators.terrain import contour_polylines
-
-    out = contour_polylines(
-        _part_raster(spark, sf_dir), EXTRACT_GRID, interval=1.0, base=0.0
-    )
-    # SQL-derivable invariants of a correct stitch: every crack segment is
-    # used exactly once (n_segments = sum of vertices-1), and the open-
-    # chain count equals half the odd-degree vertex count of the segment
-    # graph (crack-corner degrees are even except at the raster border).
-    return out.groupBy("height").agg(
-        F.sum(F.size("xs") - 1).cast("long").alias("n_segments"),
-        F.sum(
-            F.when(
-                (F.col("xs")[0] != F.element_at("xs", -1))
-                | (F.col("ys")[0] != F.element_at("ys", -1)),
-                1,
-            ).otherwise(0)
-        ).cast("long").alias("n_open"),
-    )
-
-
-def q_surface_area_ratio(spark, sf_dir):
-    """SurfaceAreaRatio (terrain_analysis/surface_area_ratio.rs:215-330)."""
-    from whitebox_tools_spark.operators.terrain import surface_area_ratio
-
-    return _r6(
-        surface_area_ratio(_part_raster(spark, sf_dir), res_x=5.0, res_y=5.0),
-        ["value"],
-    )
-
-
-def q_rtp(spark, sf_dir):
-    """RelativeTopographicPosition (terrain_analysis/
-    relative_topographic_position.rs:390-415)."""
-    from whitebox_tools_spark.operators.terrain import relative_topographic_position
-
-    # No float re-round here: the operator's output is already exactly 6-dp
-    # quantized via integer round-half-away (terrain.py) — a further round()
-    # would be the only engine-dependent float op in the pipeline.
-    return relative_topographic_position(
-        _part_raster(spark, sf_dir), filterx=5, filtery=5
-    )
-
-
-def q_extract_valleys_lq(spark, sf_dir):
-    """ExtractValleys LQ (stream_network_analysis/extract_valleys.rs,
-    Lindsay 2006 lower-quartile method, square 5x5 window)."""
-    from whitebox_tools_spark.operators.terrain import extract_valleys_lq
-
-    return extract_valleys_lq(_part_raster(spark, sf_dir))
-
-
-def q_extract_valleys_jandr(spark, sf_dir):
-    """ExtractValleys JandR (stream_network_analysis/extract_valleys.rs)."""
-    from whitebox_tools_spark.operators.terrain import extract_valleys
-
-    return extract_valleys(_part_raster(spark, sf_dir), variant="JandR")
-
-
-def q_extract_valleys_pandd(spark, sf_dir):
-    """ExtractValleys PandD (stream_network_analysis/extract_valleys.rs:456-486)."""
-    from whitebox_tools_spark.operators.terrain import extract_valleys
-
-    return extract_valleys(_part_raster(spark, sf_dir), variant="PandD")
-
-
-def q_elev_above_pit(spark, sf_dir):
-    """ElevAbovePit (terrain_analysis/elev_above_pit.rs)."""
-    from whitebox_tools_spark.operators.hydro import elev_above_pit
-
-    return _r6(elev_above_pit(_noise_raster(spark, sf_dir), EXTRACT_GRID), ["value"])
-
-
-def _mass_flux_inputs(spark, sf_dir):
-    dem = _valley_dem(spark, sf_dir)
-    loading = dem.select("row", "col", (F.lit(1.0) + F.col("value") / 100.0).alias("value"))
-    eff = dem.select(
-        "row", "col", (F.lit(0.9) - (F.col("row") % 3).cast("double") * 0.1).alias("value")
-    )
-    ab = dem.select("row", "col", F.lit(0.05).alias("value"))
-    return dem, loading, eff, ab
-
-
-def q_d8_mass_flux(spark, sf_dir):
-    """D8MassFlux (hydro_analysis/d8_mass_flux.rs): deterministic loading/
-    efficiency/absorption rasters derived from the valley DEM."""
-    from whitebox_tools_spark.operators.hydro import d8_mass_flux
-
-    dem, loading, eff, ab = _mass_flux_inputs(spark, sf_dir)
-    return _r6(d8_mass_flux(dem, STREAM_GRID, loading, eff, ab), ["value"])
-
-
-def q_hypsometric(spark, sf_dir):
-    """HypsometricAnalysis (terrain_analysis/hypsometric_analysis.rs:265-306)."""
-    return ST.hypsometric_analysis(_part_raster(spark, sf_dir))
-
-
-def q_max_diff_from_mean(spark, sf_dir):
-    """MaxDifferenceFromMean (terrain_analysis/max_diff_from_mean.rs):
-    z - mean across window scales 5/7/9, argmax |diff| + winning scale."""
-    from whitebox_tools_spark.operators.multiscale import max_difference_from_mean
-
-    return _r6(
-        max_difference_from_mean(_valley_dem(spark, sf_dir), scales=(2, 3, 4)),
-        ["magnitude"],
-    )
-
-
-def q_max_diff_from_mean_tiled(spark, sf_dir):
-    """MaxDifferenceFromMean at radius 9 via the tiled integral-image path
-    (multiscale.window_stats_tiled, tile=8 forces multi-tile halos): the
-    large-radius scale path — per-tile 2-D prefix sums answer each window in
-    O(1) instead of the (2r+1)^2 offset scatter. Oracle = the same literal
-    window-join SQL as max_diff_from_mean, at scale 9."""
-    from whitebox_tools_spark.operators.multiscale import max_difference_from_mean
-
-    out = max_difference_from_mean(
-        _valley_dem(spark, sf_dir), scales=(9,), tiled=True, tile=8
-    )
-    # 9dp pre-quantization: the valley DEM's decimal steps put window means
-    # EXACTLY on 6dp half-up boundaries, where the prefix-sum path sits
-    # 1 ulp below the join-sum oracle
-    return out.select(
-        "row", "col", F.round(F.round("magnitude", 9), 6).alias("magnitude"), "scale"
-    )
-
-
-def q_multiscale_elev_percentile(spark, sf_dir):
-    """MultiscaleElevationPercentile (terrain_analysis/
-    multiscale_elev_percentile.rs): EP across scales, argmax |EP-50|
-    (exact values, not the reference's histogram quantization)."""
-    from whitebox_tools_spark.operators.multiscale import multiscale_elev_percentile
-
-    return _r6(
-        multiscale_elev_percentile(_valley_dem(spark, sf_dir), scales=(2, 3, 4)),
-        ["magnitude"],
-    )
-
-
-def q_max_anisotropy_dev(spark, sf_dir):
-    """MaxAnisotropyDev (terrain_analysis/max_anisotropy_dev.rs:370-620):
-    directional-pane DEV anisotropy across scales."""
-    from whitebox_tools_spark.operators.multiscale import max_anisotropy_dev
-
-    return _r6(
-        max_anisotropy_dev(_valley_dem(spark, sf_dir), scales=(2, 3)),
-        ["magnitude"],
-    )
-
-
-def q_multiscale_roughness(spark, sf_dir):
-    """MultiscaleRoughness (terrain_analysis/multiscale_roughness.rs):
-    normal-vector angular deviation vs the box-smoothed surface, box-
-    averaged, argmax across scales."""
-    from whitebox_tools_spark.operators.multiscale import multiscale_roughness
-
-    return _r6(
-        multiscale_roughness(
-            _valley_dem(spark, sf_dir), STREAM_GRID, scales=(2, 3)
-        ),
-        ["magnitude"],
-    )
-
-
-def q_mtpi_image(spark, sf_dir):
-    """MultiscaleTopographicPositionImage (terrain_analysis/
-    multiscale_topographic_position_image.rs:384-396): DEVmax at
-    local/meso/broad scales -> logistic byte composite."""
-    from whitebox_tools_spark.operators.focal import max_elev_deviation
-    from whitebox_tools_spark.operators.multiscale import mtpi_image
-
-    dem = _valley_dem(spark, sf_dir)
-    return mtpi_image(
-        max_elev_deviation(dem, scales=[3]).select("row", "col", "magnitude"),
-        max_elev_deviation(dem, scales=[5]).select("row", "col", "magnitude"),
-        max_elev_deviation(dem, scales=[9]).select("row", "col", "magnitude"),
-    )
-
-
-def q_max_elev_dev_signature(spark, sf_dir):
-    """MaxElevDevSignature (terrain_analysis/max_elev_dev_signature.rs):
-    DEV at each scale sampled at deterministic signature points."""
-    from whitebox_tools_spark.operators.focal import dev_from_mean
-    from whitebox_tools_spark.operators.multiscale import signature_at_points
-
-    dem = _valley_dem(spark, sf_dir)
-    pts = dem.filter((F.col("row") * 7 + F.col("col")) % 97 == 0).select(
-        (F.col("row") * 1000 + F.col("col")).alias("point_id"), "row", "col"
-    )
-    parts = []
-    for s in (3, 5, 9):
-        parts.append(
-            dev_from_mean(dem, filterx=s, filtery=s).select(
-                "row", "col", F.col("value"), F.lit(s).cast("long").alias("scale")
-            )
-        )
-    u = parts[0]
-    for p in parts[1:]:
-        u = u.unionByName(p)
-    return _r6(signature_at_points(u, pts), ["value"])
-
-
-def _mtpi_sql() -> str:
-    from whitebox_tools_spark.operators.focal import max_elev_deviation_oracle_sql
-
-    def dev(s):
-        return max_elev_deviation_oracle_sql(_VALLEY_DEM_SQL, scales=[s])
-
-    byte = (
-        "CAST(least(greatest(floor(512.0 / (1.0 + exp(-1.2 * abs({v})))) - 256.0,"
-        " 0.0), 255.0) AS BIGINT)"
-    )
-    return f"""
-WITH l AS ({dev(3)}), m AS ({dev(5)}), b AS ({dev(9)})
-SELECT l.row, l.col,
-       {byte.format(v='b.magnitude')} AS red,
-       {byte.format(v='m.magnitude')} AS green,
-       {byte.format(v='l.magnitude')} AS blue
-FROM l JOIN m ON m.row = l.row AND m.col = l.col
-JOIN b ON b.row = l.row AND b.col = l.col
-"""
-
-
-def _mes_signature_sql() -> str:
-    from whitebox_tools_spark.operators.focal import dev_from_mean_oracle_sql
-
-    unions = "\nUNION ALL\n".join(
-        f"SELECT row, col, value, CAST({s} AS BIGINT) AS scale FROM ("
-        + dev_from_mean_oracle_sql(_VALLEY_DEM_SQL, filterx=s, filtery=s)
-        + ") t"
-        for s in (3, 5, 9)
-    )
-    return f"""
-WITH u AS ({unions})
-SELECT row * 1000 + col AS point_id, scale, round(value, 6) AS value
-FROM u WHERE (row * 7 + col) % 97 = 0
-"""
-
-
-# Every MAP_OPS / ZIP_OPS registry entry, each with a domain-safe input
-# expression and its literal DuckDB mirror. u = value / 1000 (part raster
-# prices -> u in (0.9, 2.1)).
-_MAP_DOMAINS = {
-    # op: (spark input builder over u, sql input string over u)
-    "abs": (lambda u: -u, "-({u})"),
-    "negate": (lambda u: u, "{u}"),
-    "reciprocal": (lambda u: u, "{u}"),
-    "square": (lambda u: u, "{u}"),
-    "sqrt": (lambda u: u, "{u}"),
-    "ln": (lambda u: u, "{u}"),
-    "log10": (lambda u: u, "{u}"),
-    "log2": (lambda u: u, "{u}"),
-    "exp": (lambda u: u, "{u}"),
-    "exp2": (lambda u: u, "{u}"),
-    "sin": (lambda u: u, "{u}"),
-    "cos": (lambda u: u, "{u}"),
-    "tan": (lambda u: u, "{u}"),
-    "asin": (lambda u: F.sin(u) * 0.9, "sin({u}) * 0.9"),
-    "acos": (lambda u: F.sin(u) * 0.9, "sin({u}) * 0.9"),
-    "atan": (lambda u: u, "{u}"),
-    "sinh": (lambda u: u, "{u}"),
-    "cosh": (lambda u: u, "{u}"),
-    "tanh": (lambda u: u, "{u}"),
-    "ceil": (lambda u: u, "{u}"),
-    "floor": (lambda u: u, "{u}"),
-    "round": (lambda u: u, "{u}"),
-    "to_degrees": (lambda u: u, "{u}"),
-    "to_radians": (lambda u: u, "{u}"),
-    "is_nodata": (lambda u: u, "{u}"),
-    "arcosh": (lambda u: u + 1.0, "{u} + 1.0"),
-    "arsinh": (lambda u: u, "{u}"),
-    "artanh": (lambda u: F.sin(u) * 0.9, "sin({u}) * 0.9"),
-    "truncate": (lambda u: -u * 3.0, "-({u}) * 3.0"),
-    "increment": (lambda u: u, "{u}"),
-    "decrement": (lambda u: u, "{u}"),
-    "not": (lambda u: F.round(u, 0) - 1.0, "round({u}, 0) - 1.0"),
-}
-
-_MAP_SQL = {
-    "abs": "abs({x})",
-    "negate": "-({x})",
-    "reciprocal": "1.0 / ({x})",
-    "square": "({x}) * ({x})",
-    "sqrt": "sqrt({x})",
-    "ln": "ln({x})",
-    "log10": "log10({x})",
-    "log2": "log2({x})",
-    "exp": "exp({x})",
-    "exp2": "pow(2.0, {x})",
-    "sin": "sin({x})",
-    "cos": "cos({x})",
-    "tan": "tan({x})",
-    "asin": "asin({x})",
-    "acos": "acos({x})",
-    "atan": "atan({x})",
-    "sinh": "(exp({x}) - exp(-({x}))) / 2.0",
-    "cosh": "(exp({x}) + exp(-({x}))) / 2.0",
-    "tanh": "(exp(2.0 * ({x})) - 1.0) / (exp(2.0 * ({x})) + 1.0)",
-    "ceil": "CAST(ceil({x}) AS DOUBLE)",
-    "floor": "CAST(floor({x}) AS DOUBLE)",
-    "round": "round({x}, 0)",
-    "to_degrees": "degrees({x})",
-    "to_radians": "radians({x})",
-    "is_nodata": "CASE WHEN ({x}) IS NULL THEN 1.0 ELSE 0.0 END",
-    "arcosh": "ln(({x}) + sqrt(({x}) * ({x}) - 1.0))",
-    "arsinh": "ln(({x}) + sqrt(({x}) * ({x}) + 1.0))",
-    "artanh": "0.5 * ln((1.0 + ({x})) / (1.0 - ({x})))",
-    "truncate": "trunc({x})",
-    "increment": "({x}) + 1.0",
-    "decrement": "({x}) - 1.0",
-    "not": "CASE WHEN ({x}) = 0.0 THEN 1.0 ELSE 0.0 END",
-}
-
-_ZIP_SQL = {
-    "add": "(a) + (b)",
-    "subtract": "(a) - (b)",
-    "multiply": "(a) * (b)",
-    "divide": "(a) / (b)",
-    "min": "least(a, b)",
-    "max": "greatest(a, b)",
-    "modulo": "fmod(a, b)",
-    "power": "pow(a, b)",
-    "integer_division": "CAST(floor((a) / (b)) AS DOUBLE)",
-    "equal_to": "CASE WHEN a = b THEN 1.0 ELSE 0.0 END",
-    "not_equal_to": "CASE WHEN a <> b THEN 1.0 ELSE 0.0 END",
-    "greater_than": "CASE WHEN a > b THEN 1.0 ELSE 0.0 END",
-    "less_than": "CASE WHEN a < b THEN 1.0 ELSE 0.0 END",
-    "and": "CASE WHEN a <> 0 AND b <> 0 THEN 1.0 ELSE 0.0 END",
-    "or": "CASE WHEN a <> 0 OR b <> 0 THEN 1.0 ELSE 0.0 END",
-    "xor": "CASE WHEN (a <> 0) <> (b <> 0) THEN 1.0 ELSE 0.0 END",
-    "atan2": "atan2(a, b)",
-}
-
-
-def q_map_ops_all(spark, sf_dir):
-    """Every MAP_OPS registry entry (math_stat_analysis/{abs..not}.rs), one
-    per-cell result block per op over a domain-safe input — flips every
-    'indirect' registry row to individually oracle-checked."""
-    base = _part_raster(spark, sf_dir).withColumn("u", F.col("value") / 1000.0)
-    parts = []
-    for op, (dom, _sql) in _MAP_DOMAINS.items():
-        parts.append(
-            base.select(
-                F.lit(op).alias("op"), "row", "col",
-                F.round(RM.MAP_OPS[op](dom(F.col("u"))), 6).alias("value"),
-            )
-        )
-    u = parts[0]
-    for p in parts[1:]:
-        u = u.unionByName(p)
-    return u
-
-
-def q_zip_ops_all(spark, sf_dir):
-    """Every ZIP_OPS registry entry over two aligned rasters (a = u,
-    b = noise-derived, nonzero)."""
-    base = _part_raster(spark, sf_dir).select(
-        "row", "col",
-        (F.col("value") / 1000.0).alias("a"),
-        ((F.col("row") * 7 + F.col("col") * 3) % 5 + 1.0).cast("double").alias("b"),
-    )
-    parts = []
-    for op in RM.ZIP_OPS:
-        parts.append(
-            base.select(
-                F.lit(op).alias("op"), "row", "col",
-                F.round(RM.ZIP_OPS[op](F.col("a"), F.col("b")), 6).alias("value"),
-            )
-        )
-    u = parts[0]
-    for p in parts[1:]:
-        u = u.unionByName(p)
-    return u
-
-
-def q_weighted_overlay(spark, sf_dir):
-    """WeightedOverlay (gis_analysis/weighted_overlay.rs): two factors (one
-    cost) + one constraint, scale_max=100, weights auto-normalized."""
-    from whitebox_tools_spark.operators.raster_math import weighted_overlay
-
-    f1 = _part_raster(spark, sf_dir)
-    f2 = _part_raster2(spark, sf_dir)
-    con = _part_raster3(spark, sf_dir).withColumn(
-        "value", (F.col("value") > 5.0).cast("double")
-    )
-    return _r6(
-        weighted_overlay(
-            [(f1, 2.0, False), (f2, 1.0, True)], scale_max=100.0, constraints=[con]
-        ),
-        ["value"],
-    )
-
-
-def q_conditional_evaluation(spark, sf_dir):
-    """conditional_evaluation plugin: CASE WHEN value > 1500 THEN 1
-    ELSE value / 100 END."""
-    from whitebox_tools_spark.operators.raster_math import conditional_evaluation
-
-    out = conditional_evaluation(
-        _part_raster(spark, sf_dir).withColumn("value", F.col("value") / 100.0),
-        "value > 15.0",
-        true_value=1.0,
-    )
-    return _r6(out, ["value"])
-
-
-def _map_ops_all_sql() -> str:
-    blocks = []
-    for op, (_dom, dom_sql) in _MAP_DOMAINS.items():
-        x = dom_sql.format(u="(value / 1000.0)")
-        blocks.append(
-            f"SELECT '{op}' AS op, row, col, round({_MAP_SQL[op].format(x=x)}, 6) AS value\n"
-            f"FROM ({_PART_RASTER_SQL}) t"
-        )
-    return "\nUNION ALL\n".join(blocks)
-
-
-def _zip_ops_all_sql() -> str:
-    base = (
-        f"SELECT row, col, value / 1000.0 AS a, "
-        f"CAST((row * 7 + col * 3) % 5 + 1.0 AS DOUBLE) AS b "
-        f"FROM ({_PART_RASTER_SQL}) t"
-    )
-    blocks = []
-    for op, sql in _ZIP_SQL.items():
-        blocks.append(
-            f"SELECT '{op}' AS op, row, col, round({sql}, 6) AS value FROM ({base})"
-        )
-    return "\nUNION ALL\n".join(blocks)
-
-
-def _weighted_overlay_sql() -> str:
-    return f"""
-WITH f1 AS (SELECT row, col, value FROM ({_PART_RASTER_SQL}) WHERE value IS NOT NULL),
-f2 AS (SELECT row, col, value FROM ({_PART_RASTER2_SQL}) WHERE value IS NOT NULL),
-con AS (SELECT row, col, CASE WHEN value > 5.0 THEN 1.0 ELSE 0.0 END AS value
-        FROM ({_PART_RASTER3_SQL})),
-s1 AS (SELECT min(value) AS mn, max(value) AS mx FROM f1),
-s2 AS (SELECT min(value) AS mn, max(value) AS mx FROM f2),
-j AS (
-  SELECT f1.row, f1.col,
-         100.0 * ((f1.value - s1.mn) / (s1.mx - s1.mn)) * (2.0 / 3.0)
-       + 100.0 * (1.0 - (f2.value - s2.mn) / (s2.mx - s2.mn)) * (1.0 / 3.0) AS value
-  FROM f1 JOIN f2 ON f2.row = f1.row AND f2.col = f1.col
-  CROSS JOIN s1 CROSS JOIN s2
-)
-SELECT j.row, j.col,
-       round(CASE WHEN con.value <= 0.0 THEN 0.0 ELSE j.value END, 6) AS value
-FROM j JOIN con ON con.row = j.row AND con.col = j.col
-"""
-
-
-def q_anvad(spark, sf_dir):
-    """AverageNormalVectorAngularDeviation (terrain_analysis/
-    average_normal_vector_angular_deviation.rs, filter 9)."""
-    from whitebox_tools_spark.operators.multiscale import (
-        average_normal_vector_angular_deviation,
-    )
-
-    return _r6(
-        average_normal_vector_angular_deviation(
-            _valley_dem(spark, sf_dir), STREAM_GRID, filter_size=9
-        ),
-        ["value"],
-    )
-
-
-def q_ssdn(spark, sf_dir):
-    """SphericalStdDevOfNormals (terrain_analysis/
-    spherical_std_dev_of_normals.rs, filter 9)."""
-    from whitebox_tools_spark.operators.multiscale import spherical_std_dev_of_normals
-
-    return _r6(
-        spherical_std_dev_of_normals(
-            _valley_dem(spark, sf_dir), STREAM_GRID, filter_size=9
-        ),
-        ["value"],
-    )
-
-
-def _mrs_signature_sql() -> str:
-    import re as _re
-
-    parts = []
-    for m in (2, 3):
-        inner = _ms.multiscale_roughness_oracle_sql(
-            _VALLEY_DEM_SQL, STREAM_GRID, scales=[m]
-        )
-        parts.append(
-            f"SELECT row * 1000 + col AS point_id, CAST(scale AS BIGINT) AS scale, "
-            f"round(magnitude, 6) AS value FROM ({inner}) t "
-            f"WHERE (row * 7 + col) % 97 = 0"
-        )
-    return "\nUNION ALL\n".join(parts)
-
-
-def _mads_signature_sql() -> str:
-    parts = []
-    for m in (2, 3):
-        inner = _ms.max_anisotropy_dev_oracle_sql(_VALLEY_DEM_SQL, scales=[m])
-        parts.append(
-            f"SELECT row * 1000 + col AS point_id, CAST(scale AS BIGINT) AS scale, "
-            f"round(magnitude, 6) AS value FROM ({inner}) t "
-            f"WHERE (row * 7 + col) % 97 = 0"
-        )
-    return "\nUNION ALL\n".join(parts)
-
-
-def q_slope_vs_elevation_plot(spark, sf_dir):
-    """SlopeVsElevationPlot (terrain_analysis/slope_vs_elev_plot.rs): the
-    binned mean-slope-by-elevation data series behind the HTML plot."""
-    from whitebox_tools_spark.operators.terrain import slope_vs_elevation_plot
-
-    return _r6(
-        slope_vs_elevation_plot(_valley_dem(spark, sf_dir), STREAM_GRID),
-        ["elev", "mean_slope"],
-    )
-
-
-def q_geomorphons(spark, sf_dir):
-    """Geomorphons forms (terrain_analysis/geomorphons.rs:600-670): 8
-    line-of-sight profiles via banded self-joins, 10-landform lookup."""
-    from whitebox_tools_spark.operators.terrain import geomorphons
-
-    return geomorphons(_part_raster(spark, sf_dir), res=5.0, search_cells=8)
-
-
-def q_max_elev_deviation(spark, sf_dir):
-    """MaxElevationDeviation (terrain_analysis/max_elev_deviation.rs),
-    scales 3/5/9."""
-    from whitebox_tools_spark.operators.focal import max_elev_deviation
-
-    return _r6(max_elev_deviation(_part_raster(spark, sf_dir)), ["magnitude"])
-
-
-def q_pennock(spark, sf_dir):
-    """PennockLandformClass (terrain_analysis/pennock_landform_class.rs:
-    380-462)."""
-    from whitebox_tools_spark.operators.terrain import pennock_landform_class
-
-    return pennock_landform_class(_part_raster(spark, sf_dir), res=5.0)
-
-
-def q_circular_variance_aspect(spark, sf_dir):
-    """CircularVarianceOfAspect (terrain_analysis/
-    circular_variance_of_aspect.rs:512-640, no pre-smoothing)."""
-    from whitebox_tools_spark.operators.terrain import circular_variance_of_aspect
-
-    return _r6(
-        circular_variance_of_aspect(_part_raster(spark, sf_dir), res=5.0, filterx=5, filtery=5),
-        ["value"],
-    )
-
-
-def q_anova(spark, sf_dir):
-    """Anova (math_stat_analysis/anova.rs:400-446) of lineitem quantity
-    grouped into 37 zones."""
-    return ST.anova(_zones(spark, sf_dir))
-
-
-def q_paired_t(spark, sf_dir):
-    """PairedSampleTTest (math_stat_analysis/paired_sample_t_test.rs)."""
-    return ST.paired_sample_t_test(
-        _part_raster(spark, sf_dir), _part_raster2(spark, sf_dir)
-    )
-
-
-def q_wilcoxon(spark, sf_dir):
-    """WilcoxonSignedRankTest (math_stat_analysis/
-    wilcoxon_signed_rank_test.rs:382-432)."""
-    return ST.wilcoxon_signed_rank_test(
-        _part_raster(spark, sf_dir), _part_raster2(spark, sf_dir)
-    )
-
-
-def q_ks_normality(spark, sf_dir):
-    """KsTestForNormality (math_stat_analysis/ks_normality_test.rs:233-386)."""
-    return ST.ks_normality_test(_part_raster(spark, sf_dir))
-
-
-def q_list_unique(spark, sf_dir):
-    """ListUniqueValues (list_unique_values.rs:149)."""
-    return ST.list_unique_values(_t(spark, sf_dir, "customer"), "c_mktsegment")
-
-
-def q_list_unique_raster(spark, sf_dir):
-    """ListUniqueValuesRaster (math_stat_analysis/list_unique_values_raster.rs):
-    distinct cell values with counts over the integer-class raster."""
-    return ST.list_unique_values(_part_raster2(spark, sf_dir), "value")
-
-
-def q_kappa_index(spark, sf_dir):
-    """KappaIndex (math_stat_analysis/kappa_index.rs:141): p_size classes vs
-    1000-wide price classes."""
-    priced = _part_raster(spark, sf_dir).select(
-        "row", "col", F.floor(F.col("value") / 1000.0).cast("double").alias("value")
-    )
-    out = ST.kappa_index(_part_raster2(spark, sf_dir), priced)
-    return _r6(out, ["overall_accuracy", "chance_agreement", "kappa"])
-
-
-def q_crispness_index(spark, sf_dir):
-    """CrispnessIndex (math_stat_analysis/crispness_index.rs:271-340) on a
-    deterministic membership-probability raster in [0, 1)."""
-    unit = _part_raster(spark, sf_dir).select(
-        "row", "col", (F.col("value") % 1000.0 / 1000.0).alias("value")
-    )
-    return ST.crispness_index(unit)
-
-
-def q_stdev_stretch(spark, sf_dir):
-    """StandardDeviationContrastStretch (image_analysis/
-    stdev_contrast_stretch.rs:278-285,368-381)."""
-    from whitebox_tools_spark.operators import image as IM
-
-    return IM.stdev_contrast_stretch(_part_raster(spark, sf_dir), clip_stdev=1.5)
-
-
-def q_percentage_stretch(spark, sf_dir):
-    """PercentageContrastStretch (image_analysis/
-    percentage_contrast_stretch.rs:278-296)."""
-    from whitebox_tools_spark.operators import image as IM
-
-    return IM.percentage_contrast_stretch(_part_raster(spark, sf_dir), clip=2.0)
-
-
-def q_sigmoidal_stretch(spark, sf_dir):
-    """SigmoidalContrastStretch (image_analysis/
-    sigmoidal_contrast_stretch.rs:300-312)."""
-    from whitebox_tools_spark.operators import image as IM
-
-    return IM.sigmoidal_contrast_stretch(
-        _part_raster(spark, sf_dir), cutoff=0.4, gain=2.0
-    )
-
-
-def q_rescale_value_range(spark, sf_dir):
-    """RescaleValueRange (math_stat_analysis/rescale_value_range.rs:254-266)."""
-    from whitebox_tools_spark.operators import image as IM
-
-    return _r6(
-        IM.rescale_value_range(
-            _part_raster(spark, sf_dir), out_min=0.0, out_max=100.0,
-            clip_min=950.0, clip_max=1950.0,
-        ),
-        ["value"],
-    )
-
-
-def q_integral_image(spark, sf_dir):
-    """IntegralImage (image_analysis/integral_image.rs:196-211)."""
-    from whitebox_tools_spark.operators import image as IM
-
-    return _r6(IM.integral_image(_part_raster(spark, sf_dir)), ["value"])
-
-
-def q_modify_nodata_value(spark, sf_dir):
-    """ModifyNoDataValue (data_tools/modify_no_data_value.rs)."""
-    from whitebox_tools_spark.operators.raster_math import modify_nodata_value
-
-    # sentinel-carrying interchange raster: -32768 -> -9999
-    src = _part_raster(spark, sf_dir).withColumn(
-        "value",
-        F.when((F.col("row") * 3 + F.col("col")) % 11 == 0, F.lit(-32768.0)).otherwise(
-            F.col("value")
-        ),
-    )
-    return modify_nodata_value(src, old_value=-32768.0, new_value=-9999.0)
-
-
-def q_set_nodata_value(spark, sf_dir):
-    """SetNodataValue (data_tools/set_nodata_value.rs): background value
-    0 becomes nodata (row dropped)."""
-    from whitebox_tools_spark.operators.raster_math import set_nodata_value
-
-    src = _part_raster(spark, sf_dir).withColumn(
-        "value",
-        F.when((F.col("row") + F.col("col")) % 7 == 0, F.lit(0.0)).otherwise(
-            F.col("value")
-        ),
-    )
-    return set_nodata_value(src, back_value=0.0)
-
-
-def q_merge_table_with_csv(spark, sf_dir):
-    """MergeTableWithCsv (data_tools/merge_table_with_csv.rs): JoinTables
-    against a CSV-sourced attribute table (customer as the CSV side)."""
-    from whitebox_tools_spark.operators.vector_ops import merge_table_with_csv
-
-    orders = _t(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", "o_totalprice"
-    )
-    csv_side = _t(spark, sf_dir, "customer").select(
-        "c_custkey", "c_acctbal", "c_mktsegment"
-    )
-    return merge_table_with_csv(
-        orders, csv_side, "o_custkey", "c_custkey", ["c_acctbal", "c_mktsegment"]
-    ).select("o_orderkey", "o_custkey", F.round("o_totalprice", 6).alias("o_totalprice"),
-             F.round("c_acctbal", 6).alias("c_acctbal"), "c_mktsegment")
-
-
-def q_create_rectangular_grid(spark, sf_dir):
-    """CreateRectangularVectorGrid (gis_analysis/
-    create_rectangular_vector_grid.rs): 1000x1000 extent, 125-unit cells;
-    emitted as corner coordinates."""
-    from whitebox_tools_spark.operators.vector_ops import create_rectangular_vector_grid
-
-    g = create_rectangular_vector_grid(
-        spark, min_x=0.0, min_y=0.0, max_x=1000.0, max_y=1000.0,
-        width=125.0, height=125.0,
-    )
-    return g.select(
-        "fid", "col", "row",
-        F.element_at("xs", 1).alias("x0"), F.element_at("ys", 1).alias("y0"),
-        F.element_at("xs", 3).alias("x1"), F.element_at("ys", 3).alias("y1"),
-    )
-
-
-def q_create_hexagonal_grid(spark, sf_dir):
-    """CreateHexagonalVectorGrid (gis_analysis/
-    create_hexagonal_vector_grid.rs): pointy-top lattice; centers emitted."""
-    from whitebox_tools_spark.operators.vector_ops import create_hexagonal_vector_grid
-
-    g = create_hexagonal_vector_grid(
-        spark, min_x=0.0, min_y=0.0, max_x=1000.0, max_y=1000.0, width=125.0,
-    )
-    return g.select("fid", "col", "row", F.round("cx", 6).alias("cx"),
-                    F.round("cy", 6).alias("cy"))
-
-
-def _rect_grid_sql() -> str:
-    return """
-SELECT CAST(r.row * 8 + c.col + 1 AS BIGINT) AS fid,
-       c.col, r.row,
-       0.0 + c.col * 125.0 AS x0, 0.0 + r.row * 125.0 AS y0,
-       0.0 + c.col * 125.0 + 125.0 AS x1, 0.0 + r.row * 125.0 + 125.0 AS y1
-FROM (SELECT unnest(generate_series(0, 7)) AS row) r
-CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS col) c
-"""
-
-
-def _hex_grid_sql() -> str:
-    import math as _m
-
-    size = 125.0 / 2.0
-    half_w = _m.cos(_m.pi / 6.0) * size
-    ncols = int(_m.ceil(1000.0 / (2.0 * half_w))) + 1
-    nrows = int(_m.ceil(1000.0 / (1.5 * size))) + 1
-    return f"""
-SELECT CAST(r.row * {ncols} + c.col + 1 AS BIGINT) AS fid,
-       c.col, r.row,
-       CAST(round(0.0 + c.col * {2.0 * half_w!r} + (r.row % 2) * {half_w!r}, 6) AS DOUBLE) AS cx,
-       CAST(round(0.0 + r.row * {1.5 * size!r}, 6) AS DOUBLE) AS cy
-FROM (SELECT unnest(generate_series(0, {nrows - 1})) AS row) r
-CROSS JOIN (SELECT unnest(generate_series(0, {ncols - 1})) AS col) c
-"""
-
-
-def q_join_tables(spark, sf_dir):
-    """JoinTables (data_tools/join_tables.rs:282-330)."""
-    return join_tables(
-        _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey"),
-        _t(spark, sf_dir, "nation"),
-        "c_nationkey",
-        "n_nationkey",
-        ["n_name"],
-    ).select("c_custkey", "c_name", "n_name")
-
-
-def q_merge_vectors(spark, sf_dir):
-    """MergeVectors (data_tools/merge_vectors.rs:136)."""
-    a = _t(spark, sf_dir, "customer").select(
-        F.col("c_custkey").alias("fid"), F.col("c_name").alias("name")
-    )
-    b = _t(spark, sf_dir, "supplier").select(
-        (F.col("s_suppkey") + 10_000_000).alias("fid"), F.col("s_name").alias("name")
-    )
-    return merge_vectors([a, b])
-
-
-def q_polygon_metrics(spark, sf_dir):
-    """PolygonArea/Perimeter/CompactnessRatio/Centroid (poly_area.rs:12,
-    poly_perimeter.rs:12, compactness_ratio.rs:121, centroid_vector.rs:129)."""
-    from whitebox_tools_spark.operators.vector_ops import polygon_metrics
-
-    rows = []
-    for pid, parts in PARTS:
-        for k, (xs, ys, hole) in enumerate(parts):
-            rows.append((pid, k, hole, [float(v) for v in xs], [float(v) for v in ys]))
-    df = spark.createDataFrame(
-        rows, "poly_id long, part_idx int, is_hole boolean, xs array<double>, ys array<double>"
-    )
-    return _r6(polygon_metrics(df), ["area", "perimeter", "cx", "cy", "compactness"])
-
-
-def q_slope(spark, sf_dir):
-    """Slope (terrain_analysis/slope.rs:268-331, Florinsky 5x5 window)."""
-    from whitebox_tools_spark.operators import focal as FO
-
-    from pyspark.sql import functions as FF
-
-    g = FO._pq(FO.gather25(_part_raster(spark, sf_dir)), 5.0)
-    # p, q are pure arithmetic (bit-identical across engines); the atan/degrees
-    # output is transcendental, so it is checked at 3dp (libm differs by 1 ulp)
-    return g.select(
-        "row", "col",
-        FF.round("p", 9).alias("p"), FF.round("q", 9).alias("q"),
-        FF.round(FF.expr(FO.SLOPE_FORMULAS["degrees"]), 3).alias("value"),
-    )
-
-
-def q_aspect(spark, sf_dir):
-    """Aspect (terrain_analysis/aspect.rs:262-295)."""
-    from whitebox_tools_spark.operators import focal as FO
-
-    out = FO.aspect(_part_raster(spark, sf_dir), res=5.0)
-    return out.withColumn("value", F.round("value", 3))
-
-
-def q_hillshade(spark, sf_dir):
-    """Hillshade (terrain_analysis/hillshade.rs:293-381), az 315 alt 30."""
-    from whitebox_tools_spark.operators import focal as FO
-
-    return FO.hillshade(_part_raster(spark, sf_dir), res=5.0)
-
-
-def q_mean_filter(spark, sf_dir):
-    """MeanFilter (image_analysis/mean_filter.rs), 3x3."""
-    from whitebox_tools_spark.operators import focal as FO
-
-    return _r6(FO.mean_filter(_part_raster(spark, sf_dir)), ["value"])
-
-
-def q_hexbin(spark, sf_dir):
-    """VectorHexBinning (gis_analysis/vector_hex_bin.rs:157-190)."""
-    from whitebox_tools_spark.operators.tiling import hex_binning
-
-    return hex_binning(
-        _cust_points(spark, sf_dir).drop("z"),
-        width=80.0, min_x=0.0, max_x=1000.0, min_y=0.0, max_y=1000.0,
-    )
-
-
-def q_lidar_hex_bin(spark, sf_dir):
-    """LidarHexBinning (lidar_analysis/lidar_hex_bin.rs): the same hex
-    lattice machinery over the point cloud."""
-    from whitebox_tools_spark.operators.tiling import hex_binning
-
-    return hex_binning(
-        _order_cloud(spark, sf_dir).select("point_id", "x", "y"),
-        width=120.0, min_x=0.0, max_x=1000.0, min_y=0.0, max_y=1000.0,
-    )
-
-
-def q_lidar_tile_footprint(spark, sf_dir):
-    """LidarTileFootprint (lidar_analysis/lidar_tile_footprint.rs): per
-    tile, the point count and bounding box of its points."""
-    from whitebox_tools_spark.operators.tiling import assign_tiles
-
-    pts = assign_tiles(
-        _order_cloud(spark, sf_dir).select("point_id", "x", "y"),
-        width=250.0, height=250.0, origin_x=0.0, origin_y=0.0,
-        min_x=0.0, min_y=0.0, max_x=1000.0, max_y=1000.0,
-    )
-    return pts.groupBy("tile").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.round(F.min("x"), 6).alias("min_x"), F.round(F.max("x"), 6).alias("max_x"),
-        F.round(F.min("y"), 6).alias("min_y"), F.round(F.max("y"), 6).alias("max_y"),
-    )
-
-
-def q_find_ridges(spark, sf_dir):
-    """FindRidges (terrain_analysis/find_ridges.rs:225-245)."""
-    from whitebox_tools_spark.operators.terrain import find_ridges
-
-    return find_ridges(_part_raster(spark, sf_dir))
-
-
-def q_attribute_histogram(spark, sf_dir):
-    """AttributeHistogram (math_stat_analysis/attribute_histogram.rs):
-    equal-width bins over lineitem extended price."""
-    li = _t(spark, sf_dir, "lineitem").select(
-        F.lit(0).alias("row"), F.lit(0).alias("col"),
-        F.col("l_extendedprice").alias("value"),
-    )
-    return ST.raster_histogram(li, vmin=900.0, vmax=105000.0, bins=20)
-
-
-def q_median_filter(spark, sf_dir):
-    """MedianFilter (image_analysis/median_filter.rs; exact order statistic)."""
-    from whitebox_tools_spark.operators import focal as FO
-
-    return _r6(FO.stat_filter(_part_raster(spark, sf_dir), "median"), ["value"])
-
-
-def q_range_filter(spark, sf_dir):
-    """RangeFilter (image_analysis/range_filter.rs)."""
-    from whitebox_tools_spark.operators import focal as FO
-
-    return _r6(FO.stat_filter(_part_raster(spark, sf_dir), "range"), ["value"])
-
-
-def q_minimum_filter(spark, sf_dir):
-    """MinFilter (image_analysis/min_filter.rs)."""
-    from whitebox_tools_spark.operators import focal as FO
-
-    return _r6(FO.stat_filter(_part_raster(spark, sf_dir), "min"), ["value"])
-
-
-def q_maximum_filter(spark, sf_dir):
-    """MaxFilter (image_analysis/max_filter.rs)."""
-    from whitebox_tools_spark.operators import focal as FO
-
-    return _r6(FO.stat_filter(_part_raster(spark, sf_dir), "max"), ["value"])
-
-
-def q_total_filter(spark, sf_dir):
-    """TotalFilter (image_analysis/total_filter.rs)."""
-    from whitebox_tools_spark.operators import focal as FO
-
-    return _r6(FO.stat_filter(_part_raster(spark, sf_dir), "sum"), ["value"])
-
-
-def q_stdev_filter(spark, sf_dir):
-    """StandardDeviationFilter (image_analysis/stdev_filter.rs; sample sd)."""
-    from whitebox_tools_spark.operators import focal as FO
-
-    return _r6(FO.stat_filter(_part_raster(spark, sf_dir), "sd"), ["value"])
-
-
-def q_diversity_filter(spark, sf_dir):
-    """DiversityFilter (image_analysis/diversity_filter.rs): count of
-    distinct window values. Raster is coarsened to integer classes first
-    (diversity on continuous data is degenerate)."""
-    from whitebox_tools_spark.operators import focal as FO
-
-    classes = _part_raster(spark, sf_dir).select(
-        "row", "col", F.floor(F.col("value") / 500.0).cast("double").alias("value")
-    )
-    return FO.stat_filter(classes, "diversity")
-
-
-def q_majority_filter(spark, sf_dir):
-    """MajorityFilter (image_analysis/majority_filter.rs:329-366), on the
-    same coarsened classes; ties break toward the smallest value."""
-    from whitebox_tools_spark.operators import focal as FO
-
-    classes = _part_raster(spark, sf_dir).select(
-        "row", "col", F.floor(F.col("value") / 500.0).cast("double").alias("value")
-    )
-    return FO.majority_filter(classes)
-
-
-def q_elev_percentile(spark, sf_dir):
-    """ElevPercentile (terrain_analysis/elev_percentile.rs:450-470), exact
-    (the reference bins into a histogram first — approximate)."""
-    from whitebox_tools_spark.operators import focal as FO
-
-    return _r6(FO.elev_percentile(_part_raster(spark, sf_dir)), ["value"])
-
-
-def q_ruggedness_index(spark, sf_dir):
-    """RuggednessIndex (terrain_analysis/ruggedness_index.rs:270-281)."""
-    from whitebox_tools_spark.operators import focal as FO
-
-    return _r6(FO.ruggedness_index(_part_raster(spark, sf_dir)), ["value"])
-
-
-def q_diff_from_mean(spark, sf_dir):
-    """DiffFromMeanElev (terrain_analysis/diff_from_mean_elev.rs:440-445)."""
-    from whitebox_tools_spark.operators import focal as FO
-
-    return _r6(FO.diff_from_mean(_part_raster(spark, sf_dir)), ["value"])
-
-
-def q_dev_from_mean(spark, sf_dir):
-    """DevFromMeanElev (terrain_analysis/dev_from_mean_elev.rs:449-466)."""
-    from whitebox_tools_spark.operators import focal as FO
-
-    return _r6(FO.dev_from_mean(_part_raster(spark, sf_dir)), ["value"])
-
-
-def q_opening(spark, sf_dir):
-    """Opening (image_analysis/opening.rs): dilate(erode(x))."""
-    from whitebox_tools_spark.operators import focal as FO
-
-    return _r6(FO.morphology(_part_raster(spark, sf_dir), "opening"), ["value"])
-
-
-def q_closing(spark, sf_dir):
-    """Closing (image_analysis/closing.rs): erode(dilate(x))."""
-    from whitebox_tools_spark.operators import focal as FO
-
-    return _r6(FO.morphology(_part_raster(spark, sf_dir), "closing"), ["value"])
-
-
-def q_tophat(spark, sf_dir):
-    """TophatTransform (image_analysis/tophat.rs): x - opening(x)."""
-    from whitebox_tools_spark.operators import focal as FO
-
-    return _r6(FO.morphology(_part_raster(spark, sf_dir), "tophat"), ["value"])
-
-
-def q_lines_to_raster(spark, sf_dir):
-    """VectorLinesToRaster (data_tools/vector_lines_to_raster.rs:173):
-    scanline crossings at cell-center lines, FID values, last record wins."""
-    from whitebox_tools_spark.operators.raster_vector import vector_lines_to_raster
-
-    return vector_lines_to_raster(_cust_lines(spark, sf_dir), P2R_GRID)
-
-
-def _lines_to_raster_sql() -> str:
-    return _lines_raster_from_segs(_cust_segs_cte(), P2R_GRID)
-
-
-def _rasterize_streams_sql() -> str:
-    rsv = _str.streams_to_vector_oracle_sql(_VALLEY_DEM_SQL, STREAM_GRID, threshold=4.0)
-    segs = f"""
-SELECT a.link_id AS line_id, a.x AS px0, a.y AS py0, b.x AS px1, b.y AS py1
-FROM ({rsv}) a JOIN ({rsv}) b
-  ON b.link_id = a.link_id AND b.seq = a.seq + 1
-"""
-    return _lines_raster_from_segs(segs, STREAM_GRID)
-
-
-def _lines_raster_from_segs(segs: str, g) -> str:
-    yc = g.y_center_sql("row")
-    xc = g.x_center_sql("col")
-    xp = f"(px0 + (({yc}) - py0) / (py1 - py0) * (px1 - px0))"
-    yp = f"(py0 + (({xc}) - px0) / (px1 - px0) * (py1 - py0))"
-    return f"""
-WITH segs AS ({segs}),
-rr AS (
-  SELECT line_id, CAST(line_id + 1 AS DOUBLE) AS v, px0, py0, px1, py1,
-         unnest(generate_series(
-           greatest(0, least({g.rows - 1}, {g.row_sql('greatest(py0, py1)')})),
-           greatest(0, least({g.rows - 1}, {g.row_sql('least(py0, py1)')}))
-         )) AS row
-  FROM segs
-),
-rowx AS (
-  SELECT line_id, v, row, {g.col_sql(xp)} AS col
-  FROM rr
-  WHERE ({yc}) >= least(py0, py1) AND ({yc}) <= greatest(py0, py1) AND py1 <> py0
-),
-cc AS (
-  SELECT line_id, CAST(line_id + 1 AS DOUBLE) AS v, px0, py0, px1, py1,
-         unnest(generate_series(
-           greatest(0, least({g.cols - 1}, {g.col_sql('least(px0, px1)')})),
-           greatest(0, least({g.cols - 1}, {g.col_sql('greatest(px0, px1)')}))
-         )) AS col
-  FROM segs
-),
-colx AS (
-  SELECT line_id, v, {g.row_sql(yp)} AS row, col
-  FROM cc
-  WHERE ({xc}) >= least(px0, px1) AND ({xc}) <= greatest(px0, px1) AND px1 <> px0
-),
-marks AS (
-  SELECT * FROM rowx UNION ALL SELECT * FROM colx
-)
-SELECT row, col, arg_max(v, line_id) AS value
-FROM marks
-WHERE row >= 0 AND row <= {g.rows - 1} AND col >= 0 AND col <= {g.cols - 1}
-GROUP BY 1, 2
-"""
-
-
-def _parts_df_b(spark) -> DataFrame:
-    rows = []
-    for pid, parts in PARTS:
-        for k, (xs, ys, hole) in enumerate(parts):
-            rows.append((pid, k, bool(hole), [float(v) for v in xs], [float(v) for v in ys]))
-    return spark.createDataFrame(
-        rows, "poly_id long, part_idx int, is_hole boolean, xs array<double>, ys array<double>"
-    )
-
-
-def q_singlepart_to_multipart(spark, sf_dir):
-    """SinglePartToMultiPart (data_tools/singlepart_to_multipart.rs:151):
-    group the polygon set by poly_id % 5 into multi-part features."""
-    from whitebox_tools_spark.operators.vector_ops import singlepart_to_multipart
-
-    src = _parts_df_b(spark).withColumn("grp", (F.col("poly_id") % 5).cast("long"))
-    out = singlepart_to_multipart(src, "grp")
-    return out.select(
-        "poly_id", F.col("part_idx").cast("long").alias("part_idx"),
-        F.col("group_value").alias("grp"), F.size("xs").cast("long").alias("n_vertices"),
-    )
-
-
-def _sp_to_mp_sql() -> str:
-    vals = ", ".join(
-        f"({pid}, {k}, {len(parts[k][0])})"
-        for pid, parts in PARTS
-        for k in range(len(parts))
-    )
-    return f"""
-WITH p(src_id, part_idx, nv) AS (VALUES {vals}),
-g AS (SELECT *, src_id % 5 AS grp FROM p),
-ids AS (SELECT grp, CAST(row_number() OVER (ORDER BY grp) AS BIGINT) AS new_id
-        FROM (SELECT DISTINCT grp FROM g)),
-renum AS (
-  SELECT i.new_id AS poly_id,
-         CAST(row_number() OVER (PARTITION BY g.grp ORDER BY g.src_id, g.part_idx) - 1 AS BIGINT)
-           AS part_idx,
-         CAST(g.grp AS BIGINT) AS grp, CAST(g.nv AS BIGINT) AS n_vertices
-  FROM g JOIN ids i ON g.grp = i.grp
-)
-SELECT * FROM renum
-"""
-
-
-_TIN_KEYS = 150
-_TIN_PLANE = (2.0, 0.01, 0.02)  # z = a + b*x + c*y
-
-
-def _tin_points(spark) -> DataFrame:
-    """Deterministic sf-independent TIN points: synth hash points of keys
-    1..150 carrying an exact plane z (any correct triangulation
-    interpolates a plane exactly — the oracle needs no triangulation)."""
-    a, b, c = _TIN_PLANE
-    x, y = synth.point_exprs(F.col("id"))
-    return spark.range(1, _TIN_KEYS + 1).select(
-        x.alias("x"), y.alias("y")
-    ).withColumn("z", F.lit(a) + F.lit(b) * F.col("x") + F.lit(c) * F.col("y"))
-
-
-def q_tin_gridding(spark, sf_dir):
-    """TINGridding (gis_analysis/tin_gridding.rs): Delaunay TIN over the
-    deterministic plane points, barycentric interpolation at cell centers;
-    hash-checked against the direct plane formula inside the convex hull."""
-    from whitebox_tools_spark.operators.tin import tin_gridding
-
-    out = tin_gridding(_tin_points(spark), NN_GRID)
-    return _r6(out, ["value"])
-
-
-def q_natural_neighbour_gridding(spark, sf_dir):
-    """NaturalNeighbourInterpolation (gis_analysis/
-    natural_neighbour_interpolation.rs, Sibson 1981): area-stealing
-    weights from a virtual Bowyer-Watson insertion; Sibson coordinates
-    have linear precision, so the plane fixture is recovered exactly
-    inside the hull (weights themselves pinned in pytest against a
-    brute-force pixel-Voronoi estimate)."""
-    from whitebox_tools_spark.operators.tin import natural_neighbour_gridding
-
-    out = natural_neighbour_gridding(_tin_points(spark), NN_GRID)
-    return _r6(out, ["value"])
-
-
-def _holey_noise_raster(spark, sf_dir):
-    """Noise raster with deterministic punched gaps for FillMissingData."""
-    return _noise_raster(spark, sf_dir).filter(
-        (F.col("row") * 13 + F.col("col") * 7) % 29 != 0
-    )
-
-
-_HOLEY_NOISE_SQL = (
-    "SELECT row, col, value FROM ({src}) t "
-    "WHERE (row * 13 + col * 7) % 29 <> 0"
-)
-
-
-def q_fill_missing_data(spark, sf_dir):
-    """FillMissingData (terrain_analysis/fill_missing_data.rs): IDW gap
-    fill from the gap-edge cells, radius 11 cells, weight 2."""
-    from whitebox_tools_spark.operators.fill_missing import fill_missing_data
-
-    return _r6(
-        fill_missing_data(
-            _holey_noise_raster(spark, sf_dir), filter_size=11, weight=2.0
-        ),
-        ["value"],
-    )
-
-
-def _fill_missing_sql() -> str:
-    from whitebox_tools_spark.operators.fill_missing import fill_missing_data_oracle_sql
-
-    inner = fill_missing_data_oracle_sql(
-        _HOLEY_NOISE_SQL.format(src=_NOISE_RASTER_SQL), filter_size=11, weight=2.0
-    )
-    return f"SELECT row, col, round(value, 6) AS value FROM ({inner}) t"
-
-
-def q_construct_tin(spark, sf_dir):
-    """ConstructVectorTIN (gis_analysis/construct_vector_tin.rs:170):
-    triangle features in CANONICAL form — each CCW triangle rotated to
-    start at its lexicographically-smallest (x, y) vertex, insertion-order
-    tri_idx dropped — so the row multiset is algorithm-independent (the
-    Delaunay triangulation of points with no cocircular quadruple is
-    unique). Value-checked against a brute-force empty-circumcircle
-    enumeration (_tin_brute_values_sql: every triple kept iff NO other
-    point lies strictly inside its circumcircle — a different algorithm
-    than the engine's Bowyer-Watson)."""
-    from whitebox_tools_spark.operators.tin import construct_tin
-
-    out = construct_tin(_tin_points(spark))
-    sa = F.struct(F.col("ax").alias("x"), F.col("ay").alias("y"))
-    sb = F.struct(F.col("bx").alias("x"), F.col("by").alias("y"))
-    sc = F.struct(F.col("cx").alias("x"), F.col("cy").alias("y"))
-    m = F.least(sa, sb, sc)
-    names = ["ax", "ay", "bx", "by", "cx", "cy", "az", "bz", "cz"]
-
-    def rot(order):
-        src = {
-            "a": ["ax", "ay", "az"], "b": ["bx", "by", "bz"],
-            "c": ["cx", "cy", "cz"],
-        }
-        flat = [src[v][0] for v in order] + [src[v][1] for v in order]
-        xy = [flat[0], flat[3], flat[1], flat[4], flat[2], flat[5]]
-        zs = [src[v][2] for v in order]
-        return [F.col(c) for c in xy + zs]
-
-    canon = out.select(
-        *[
-            F.when(m == sa, ra).when(m == sb, rb).otherwise(rc).alias(n)
-            for n, ra, rb, rc in zip(
-                names, rot(["a", "b", "c"]), rot(["b", "c", "a"]),
-                rot(["c", "a", "b"]),
-            )
-        ]
-    )
-    return _r6(canon, names)
-
-
-def _tin_brute_values_sql() -> str:
-    """Brute-force Delaunay oracle over the fixed TIN points: a triple is
-    a Delaunay triangle iff no other point lies STRICTLY inside its
-    circumcircle (checked vectorized with an exact-Fraction recheck for
-    near-ties, and cocircular quadruples asserted absent so the
-    triangulation is unique). Canonical row form mirrors q_construct_tin."""
-    import numpy as np
-
-    from fractions import Fraction
-
-    global _TIN_BRUTE_SQL
-    if _TIN_BRUTE_SQL is not None:
-        return _TIN_BRUTE_SQL
-    a0, b0, c0 = _TIN_PLANE
-    keys = np.arange(1, _TIN_KEYS + 1)
-    px, py = synth.point_np(keys)
-    n = len(px)
-    tris = []
-    for a in range(n):
-        ax, ay = px[a], py[a]
-        for b in range(a + 1, n):
-            bx, by = px[b], py[b]
-            cs = np.arange(b + 1, n)
-            if cs.size == 0:
-                continue
-            cx, cy = px[cs], py[cs]
-            d = 2.0 * (ax * (by - cy) + bx * (cy - ay) + cx * (ay - by))
-            with np.errstate(divide="ignore", invalid="ignore"):
-                ux = (
-                    (ax * ax + ay * ay) * (by - cy)
-                    + (bx * bx + by * by) * (cy - ay)
-                    + (cx * cx + cy * cy) * (ay - by)
-                ) / d
-                uy = (
-                    (ax * ax + ay * ay) * (cx - bx)
-                    + (bx * bx + by * by) * (ax - cx)
-                    + (cx * cx + cy * cy) * (bx - ax)
-                ) / d
-            r2 = (ax - ux) ** 2 + (ay - uy) ** 2
-            d2 = (px[None, :] - ux[:, None]) ** 2 + (py[None, :] - uy[:, None]) ** 2
-            d2[:, a] = np.inf
-            d2[:, b] = np.inf
-            d2[np.arange(cs.size), cs] = np.inf
-            with np.errstate(invalid="ignore"):
-                margin = d2 - r2[:, None]
-                tol = (1e-9 * np.maximum(r2, 1.0))[:, None]
-                inside = margin < 0
-                close = np.abs(margin) <= tol
-            # float d != 0 does NOT prove non-degeneracy: exactly-collinear
-            # doubles can give a tiny nonzero float d. Exact-check every
-            # triple whose |d| is small relative to its term magnitudes.
-            dmag = 2.0 * (
-                np.abs(ax * (by - cy)) + np.abs(bx * (cy - ay))
-                + np.abs(cx * (ay - by))
-            )
-            suspect = np.abs(d) <= 1e-9 * np.maximum(dmag, 1.0)
-            degenerate = d == 0.0
-            Fx = Fraction
-            for ci in np.nonzero(suspect & ~degenerate)[0]:
-                c = int(cs[ci])
-                s_exact = (Fx(px[b]) - Fx(px[a])) * (Fx(py[c]) - Fx(py[a])) - (
-                    Fx(px[c]) - Fx(px[a])
-                ) * (Fx(py[b]) - Fx(py[a]))
-                if s_exact == 0:
-                    degenerate[ci] = True
-            close &= ~degenerate[:, None]
-            if np.any(close):
-                for ci, i in zip(*np.nonzero(close)):
-                    c = int(cs[ci])
-                    det = _incircle_exact(
-                        Fx(px[a]), Fx(py[a]), Fx(px[b]), Fx(py[b]),
-                        Fx(px[c]), Fx(py[c]), Fx(px[i]), Fx(py[i]),
-                    )
-                    assert det != 0, "cocircular quadruple breaks uniqueness"
-                    s = _ccw_sign(px[a], py[a], px[b], py[b], px[c], py[c])
-                    inside[ci, i] = det > 0 if s > 0 else det < 0
-            good = ~degenerate & ~inside.any(axis=1)
-            tris.extend((a, b, int(c)) for c in cs[good])
-    rows = []
-    for (a, b, c) in tris:
-        # orient CCW, then rotate to the lexicographically-smallest vertex
-        if _ccw_sign(px[a], py[a], px[b], py[b], px[c], py[c]) < 0:
-            a, b, c = a, c, b
-        order = [a, b, c]
-        start = min(range(3), key=lambda i: (px[order[i]], py[order[i]]))
-        order = order[start:] + order[:start]
-        xs = [px[i] for i in order]
-        ys = [py[i] for i in order]
-        zs = [a0 + b0 * px[i] + c0 * py[i] for i in order]
-        rows.append((*xs[0:1], *ys[0:1], *xs[1:2], *ys[1:2], *xs[2:3], *ys[2:3], *zs))
-    vals = ", ".join(
-        "(" + ", ".join(repr(float(v)) for v in r) + ")" for r in rows
-    )
-    cols = ["ax", "ay", "bx", "by", "cx", "cy", "az", "bz", "cz"]
-    sel = ", ".join(f"round(CAST({c} AS DOUBLE), 6) + 0.0 AS {c}" for c in cols)
-    _TIN_BRUTE_SQL = f"SELECT {sel} FROM (VALUES {vals}) AS t({', '.join(cols)})"
-    return _TIN_BRUTE_SQL
-
-
-_TIN_BRUTE_SQL: str | None = None
-
-
-def _incircle_exact(ax, ay, bx, by, cx, cy, dx, dy):
-    adx, ady = ax - dx, ay - dy
-    bdx, bdy = bx - dx, by - dy
-    cdx, cdy = cx - dx, cy - dy
-    return (
-        (adx * adx + ady * ady) * (bdx * cdy - cdx * bdy)
-        - (bdx * bdx + bdy * bdy) * (adx * cdy - cdx * ady)
-        + (cdx * cdx + cdy * cdy) * (adx * bdy - bdx * ady)
-    )
-
-
-def _ccw_sign(ax, ay, bx, by, cx, cy) -> float:
-    return (bx - ax) * (cy - ay) - (cx - ax) * (by - ay)
-
-
-def _tin_gridding_sql() -> str:
-    import numpy as np
-
-    from whitebox_tools_spark import geometry as G
-
-    a, b, c = _TIN_PLANE
-    keys = np.arange(1, _TIN_KEYS + 1)
-    px, py = synth.point_np(keys)
-    hx, hy = G.convex_hull(px, py)
-    hx = np.append(hx, hx[0])
-    hy = np.append(hy, hy[0])
-    g = NN_GRID
-    hull_poly = synth.Poly(
-        0, (synth.Part(tuple(float(v) for v in hx), tuple(float(v) for v in hy), False),)
-    )
-    pip = synth.pip_oracle_sql(_grid_centers_cte(g), [hull_poly])
-    return f"""
-WITH centers AS ({_grid_centers_cte(g)}),
-inside AS ({pip})
-SELECT c.row, c.col,
-       round({a!r} + {b!r} * c.x + {c!r} * c.y, 6) AS value
-FROM centers c SEMI JOIN inside i ON c.point_id = i.point_id
-"""
-
-
-def q_lidar_idw_interpolation(spark, sf_dir):
-    """LidarIdwInterpolation (lidar_analysis/lidar_idw_interpolation.rs):
-    the engine's IDW gridding over the point cloud's z (same annulus-kNN
-    machinery as IdwInterpolation, lidar-sourced fixture)."""
-    cloud = _order_cloud(spark, sf_dir).filter(F.col("point_id") % 5 == 0)
-    out = idw_gridding(cloud, NN_GRID, IDX, weight=2.0, radius=100.0, min_points=4)
-    return _r6(out, ["value"])
-
-
-def q_lidar_nn_gridding(spark, sf_dir):
-    """LidarNearestNeighbourGridding (lidar_analysis/lidar_nn_gridding.rs):
-    nearest-point z per cell over the cloud."""
-    cloud = _order_cloud(spark, sf_dir).filter(F.col("point_id") % 5 == 0)
-    # raw z is copied verbatim from the nearest point: exact in both engines
-    return nearest_neighbour_gridding(cloud, NN_GRID, IDX, max_dist=1e18)
-
-
-def q_lidar_tin_gridding(spark, sf_dir):
-    """LidarTINGridding (lidar_analysis/lidar_tin_gridding.rs): Delaunay
-    TIN of the cloud, plane interpolation at cell centers. Plane-z cloud
-    (like tin_gridding) so the oracle is the exact plane inside the hull —
-    but over the LIDAR point schema and with max_triangle_edge_length
-    exercised (None here: full hull)."""
-    from whitebox_tools_spark.operators.tin import tin_gridding
-
-    return _r6(tin_gridding(_tin_points(spark), NN_GRID), ["value"])
-
-
-def q_lidar_construct_vector_tin(spark, sf_dir):
-    """LidarConstructVectorTIN (lidar_analysis/
-    lidar_construct_vector_tin.rs): construct_tin over the cloud
-    (rows-only like construct_tin: Delaunay diagonals on co-circular
-    points are unordered in SQL)."""
-    from whitebox_tools_spark.operators.tin import construct_tin
-
-    cloud = _order_cloud(spark, sf_dir).filter(F.col("point_id") % 40 == 0)
-    out = construct_tin(cloud, x="x", y="y", z="z")
-    return _r6(out, ["ax", "ay", "bx", "by", "cx", "cy", "az", "bz", "cz"])
-
-
-def q_lidar_classify_subset(spark, sf_dir):
-    """LidarClassifySubset (lidar_analysis/lidar_classify_subset.rs):
-    transfer classifications from a base cloud to a subset cloud by exact
-    (x, y, z) position match; unmatched points keep their class."""
-    base = _order_cloud(spark, sf_dir)
-    subset = base.filter(F.col("point_id") % 4 == 0).withColumn(
-        "classification", F.lit(0)
-    )
-    matched = subset.drop("classification").join(
-        base.select("x", "y", "z", F.col("classification").alias("base_class")),
-        ["x", "y", "z"], "left",
-    )
-    return matched.select(
-        "point_id",
-        F.coalesce("base_class", F.lit(0)).cast("long").alias("classification"),
-    )
-
-
-def _lidar_classify_subset_sql() -> str:
-    cloud = _order_cloud_cte()
-    return f"""
-WITH base AS ({cloud}),
-sub AS (SELECT * FROM base WHERE point_id % 4 = 0)
-SELECT s.point_id,
-       CAST(coalesce(b.classification, 0) AS BIGINT) AS classification
-FROM sub s LEFT JOIN base b ON b.x = s.x AND b.y = s.y AND b.z = s.z
-"""
-
-
-def q_lidar_normal_vectors(spark, sf_dir):
-    """NormalVectors (lidar_analysis/normal_vectors.rs): unit plane
-    normals over the 3-D radius neighborhood; engine-invariant via the
-    scaled-integer moment trick (same fragments as lidar_hillshade)."""
-    from whitebox_tools_spark.operators.lidar import lidar_normal_vectors
-
-    cloud = _order_cloud(spark, sf_dir).filter(F.col("point_id") % 10 == 0)
-    return lidar_normal_vectors(cloud, radius=60.0, quantize=(1e3, 1e3, 1e5))
-
-
-def q_lidar_info(spark, sf_dir):
-    """LidarInfo (lidar_analysis/lidar_info.rs): per-classification +
-    overall counts and coordinate extents of the cloud."""
-    from whitebox_tools_spark.operators.lidar import lidar_info
-
-    return lidar_info(_order_cloud(spark, sf_dir))
-
-
-def q_lidar_join(spark, sf_dir):
-    """LidarJoin (lidar_analysis/lidar_join.rs): concatenate two disjoint
-    sub-clouds with deterministic id re-sequencing; reported via
-    lidar_info so the oracle checks counts + extents of the union."""
-    from whitebox_tools_spark.operators.lidar import lidar_info, lidar_join
-
-    a = _order_cloud(spark, sf_dir).filter(F.col("point_id") % 3 == 0)
-    b = _order_cloud(spark, sf_dir).filter(F.col("point_id") % 3 == 1)
-    return lidar_info(lidar_join([a, b]))
-
-
-def q_lidar_ransac_planes(spark, sf_dir):
-    """LidarRansacPlanes (lidar_analysis/lidar_ransac_planes.rs): plane
-    fixture + 30 off-plane outliers; deterministic minstd RANSAC
-    (rows-only — behavior pinned in tests/test_lidar_dsm.py: plane points
-    detected, vegetation rejected, partition-invariant)."""
-    from whitebox_tools_spark.operators.lidar import lidar_ransac_planes
-
-    a, b, c = _TIN_PLANE
-    x, y = synth.point_exprs(F.col("id"))
-    plane = F.lit(a) + F.lit(b) * F.col("x") + F.lit(c) * F.col("y")
-    base = (
-        spark.range(1, _TIN_KEYS + 1)
-        .select(F.col("id").alias("point_id"), x.alias("x"), y.alias("y"))
-        .withColumn("z", plane)
-    )
-    outs = (
-        spark.range(1001, 1031)
-        .select(F.col("id").alias("point_id"), x.alias("x"), y.alias("y"))
-        .withColumn("z", plane + F.lit(50.0) + (F.col("point_id") % 7).cast("double") * 9.0)
-    )
-    return lidar_ransac_planes(
-        base.unionByName(outs), radius=400.0, num_iter=20, num_samples=5,
-        threshold=0.5, model_size=20, seed=3,
-    )
-
-
-def q_classify_buildings(spark, sf_dir):
-    """ClassifyBuildingsInLidar (lidar_analysis/classify_buildings.rs):
-    LAS class 6 for points inside the footprint polygons (cell-cover PIP
-    join); oracle = the repo's winding PIP SQL."""
-    from whitebox_tools_spark.operators.lidar import classify_buildings
-
-    out = classify_buildings(_order_cloud(spark, sf_dir), PARTS, IDX)
-    return out.select("point_id", F.col("classification").cast("long").alias("classification"))
-
-
-def _classify_buildings_sql() -> str:
-    pip = synth.pip_oracle_sql(
-        "SELECT point_id, x, y FROM cloud", POLYS
-    )
-    return f"""
-WITH cloud AS ({_order_cloud_cte()}),
-hits AS (SELECT DISTINCT point_id FROM ({pip}) t)
-SELECT c.point_id,
-       CAST(CASE WHEN h.point_id IS NOT NULL THEN 6 ELSE c.classification END AS BIGINT)
-         AS classification
-FROM cloud c LEFT JOIN hits h ON h.point_id = c.point_id
-"""
-
-
-def q_lidar_segmentation(spark, sf_dir):
-    """LidarSegmentation (lidar_analysis/lidar_segmentation.rs): RANSAC
-    plane per point + similarity-graph components (min-point-id segment
-    labels — documented id deviation). Fixture: two offset roof planes +
-    a vegetation blob; rows-only (pinned in tests/test_lidar_dsm.py:
-    facet separation, planar/volume split, partition invariance)."""
-    from whitebox_tools_spark.operators.lidar import lidar_segmentation
-
-    a, b, c = _TIN_PLANE
-    x, y = synth.point_exprs(F.col("id"))
-    plane = F.lit(a) + F.lit(b) * F.col("x") + F.lit(c) * F.col("y")
-    lower = (
-        spark.range(1, _TIN_KEYS + 1)
-        .select(F.col("id").alias("point_id"), x.alias("x"), y.alias("y"))
-        .withColumn("z", plane)
-    )
-    upper = (
-        spark.range(2001, 2001 + _TIN_KEYS)
-        .select(F.col("id").alias("point_id"), x.alias("x"), y.alias("y"))
-        .withColumn("z", plane + F.lit(200.0))
-    )
-    veg = (
-        spark.range(5001, 5041)
-        .select(F.col("id").alias("point_id"),
-                (x / 20.0).alias("x"), (y / 20.0).alias("y"))
-        .withColumn("z", (F.col("point_id") % 13).cast("double") * 37.0)
-    )
-    cloud = lower.unionByName(upper).unionByName(veg)
-    return lidar_segmentation(
-        cloud, radius=400.0, norm_diff=5.0, maxzdiff=150.0,
-        num_iter=20, num_samples=5, threshold=0.5, model_size=20, seed=3,
-    )
-
-
-def q_lidar_segmentation_based_filter(spark, sf_dir):
-    """LidarSegmentationBasedFilter (lidar_analysis/
-    lidar_segmentation_based_filter.rs): tophat residuals -> residual-space
-    normals -> ground reachability from residual==0 seeds. Fixture: plane
-    ground + elevated roof block (rows-only; ground/building separation +
-    partition invariance pinned in tests/test_lidar_dsm.py)."""
-    from whitebox_tools_spark.operators.lidar import segmentation_based_filter
-
-    a, b, c = _TIN_PLANE
-    x, y = synth.point_exprs(F.col("id"))
-    plane = F.lit(a) + F.lit(b) * F.col("x") + F.lit(c) * F.col("y")
-    ground = (
-        spark.range(1, _TIN_KEYS + 1)
-        .select(F.col("id").alias("point_id"), x.alias("x"), y.alias("y"))
-        .withColumn("z", plane)
-    )
-    roof = (
-        spark.range(3001, 3041)
-        .select(F.col("id").alias("point_id"),
-                (x / 3.0 + 100.0).alias("x"), (y / 3.0 + 100.0).alias("y"))
-        .withColumn("z", plane + F.lit(60.0))
-    )
-    return segmentation_based_filter(
-        ground.unionByName(roof), radius=250.0, norm_diff=10.0, maxzdiff=20.0
-    )
-
-
-def q_lidar_dsm(spark, sf_dir):
-    """LidarDigitalSurfaceModel (lidar_analysis/lidar_dsm.rs:440-640): the
-    off-terrain point filter (remove points > tan(60)*radius below a
-    neighbor within radius) + TIN gridding. Fixture: the deterministic TIN
-    plane cloud plus 50 points 300 units BELOW the plane — every outlier
-    has a plane neighbor within radius 100 (verified non-vacuously: the
-    TIN of survivors reproduces the plane), so the oracle is the plane
-    formula inside the keys-1..150 hull, identical to tin_gridding's."""
-    from whitebox_tools_spark.operators.lidar import lidar_dsm
-
-    a, b, c = _TIN_PLANE
-    x, y = synth.point_exprs(F.col("id"))
-    plane = F.lit(a) + F.lit(b) * F.col("x") + F.lit(c) * F.col("y")
-    base = (
-        spark.range(1, _TIN_KEYS + 1)
-        .select(F.col("id").alias("point_id"), x.alias("x"), y.alias("y"))
-        .withColumn("z", plane)
-    )
-    lows = (
-        spark.range(1001, 1051)
-        .select(F.col("id").alias("point_id"), x.alias("x"), y.alias("y"))
-        .withColumn("z", plane - F.lit(300.0))
-    )
-    out = lidar_dsm(base.unionByName(lows), NN_GRID, radius=100.0)
-    return _r6(out, ["value"])
-
-
-def q_lidar_tophat(spark, sf_dir):
-    """LidarTophatTransform (lidar_analysis/lidar_tophat_transform.rs):
-    white top-hat z - dilation(erosion) over the radius-60 disc on the
-    subsampled order cloud."""
-    from whitebox_tools_spark.operators.lidar import tophat_transform
-
-    cloud = _order_cloud(spark, sf_dir).filter(F.col("point_id") % 10 == 0)
-    out = tophat_transform(cloud, radius=60.0)
-    return out.select("point_id", "x", "y", F.round("z", 6).alias("z"))
-
-
-def q_lidar_hillshade(spark, sf_dir):
-    """LidarHillshade (lidar_analysis/lidar_hillshade.rs): least-squares
-    plane normal over the 3-D radius-60 ball, reference shade formula with
-    truncating byte cast; engine and oracle share the literal SQL
-    fragments (documented n<3 deviation in lidar.py)."""
-    from whitebox_tools_spark.operators.lidar import lidar_hillshade
-
-    cloud = _order_cloud(spark, sf_dir).filter(F.col("point_id") % 10 == 0)
-    # quantize: x,y carry exactly 3 decimals (synth hash /1000), z exactly
-    # 5 (o_totalprice/1000 with 2-decimal prices) -> scaled-integer moments
-    # are EXACT, making the shade partition- and engine-invariant
-    return lidar_hillshade(cloud, radius=60.0, quantize=(1e3, 1e3, 1e5))
-
-
-def _ter_etwf_sql() -> str:
-    from whitebox_tools_spark.operators.terrain import etwf_oracle_sql
-
-    return etwf_oracle_sql(_VALLEY_DEM_SQL, STREAM_GRID, azimuth=240.0, max_dist=40.0)
-
-
-def q_exposure_towards_wind_flux(spark, sf_dir):
-    """exposure_towards_wind_flux plugin: cos(E) from finite-difference
-    slope/aspect + the exact maximum ray-slope horizon along the wind
-    azimuth (prefix-max gate proven redundant; >80-deg early-stop
-    heuristic not reproduced — documented in terrain.py)."""
-    from whitebox_tools_spark.operators.terrain import exposure_towards_wind_flux
-
-    return _r6(
-        exposure_towards_wind_flux(
-            _valley_dem(spark, sf_dir), STREAM_GRID, azimuth=240.0, max_dist=40.0
-        ),
-        ["value"],
-    )
-
-
-def q_edge_density(spark, sf_dir):
-    """EdgeDensity (terrain_analysis/edge_density.rs): break-in-slope
-    density — proportion of cells in the filter window whose Horn normal
-    deviates > norm_diff from some neighbor."""
-    from whitebox_tools_spark.operators.fps import edge_density
-
-    return _r6(
-        edge_density(_valley_dem(spark, sf_dir), STREAM_GRID,
-                     filter_size=5, norm_diff=10.0),
-        ["value"],
-    )
-
-
-def q_remove_off_terrain_objects(spark, sf_dir):
-    """RemoveOffTerrainObjects (terrain_analysis/
-    remove_off_terrain_objects.rs, Lindsay 2018): white top-hat + ground
-    reachability + inverse-d^2 hole fill over the valley DEM with
-    synthetic building/tree spikes (+80 every 37th key)."""
-    from whitebox_tools_spark.operators.terrain import remove_off_terrain_objects
-
-    dem = _valley_dem(spark, sf_dir).withColumn(
-        "value",
-        F.col("value")
-        + F.when((F.col("row") * 25 + F.col("col")) % 37 == 0, 80.0).otherwise(0.0),
-    )
-    return _r6(
-        remove_off_terrain_objects(dem, STREAM_GRID, filter_size=5,
-                                   slope_threshold=30.0),
-        ["value"],
-    )
-
-
-def _roto_sql() -> str:
-    from whitebox_tools_spark.operators.terrain import roto_oracle_sql
-
-    dem_sql = (
-        f"SELECT row, col, value + CASE WHEN (row * 25 + col) % 37 = 0 "
-        f"THEN 80.0 ELSE 0.0 END AS value FROM ({_VALLEY_DEM_SQL})"
-    )
-    return roto_oracle_sql(dem_sql, STREAM_GRID, filter_size=5, slope_threshold=30.0)
-
-
-def q_feature_preserving_smoothing(spark, sf_dir):
-    """FeaturePreservingSmoothing (terrain_analysis/
-    feature_preserving_smoothing.rs, Sun 2007 / Lindsay 2019): Horn
-    normals -> similarity-weighted normal smoothing -> 3 Jacobi elevation
-    updates (documented Gauss-Seidel deviation in fps.py); the oracle
-    splices the identical formula strings."""
-    from whitebox_tools_spark.operators.fps import feature_preserving_smoothing
-
-    return _r6(
-        feature_preserving_smoothing(
-            _valley_dem(spark, sf_dir), STREAM_GRID,
-            filter_size=7, norm_diff=15.0, num_iter=3,
-        ),
-        ["value"],
-    )
-
-
-def q_drainage_preserving_smoothing(spark, sf_dir):
-    """DrainagePreservingSmoothing (terrain_analysis/
-    drainage_preserving_smoothing.rs): FPS with the per-cell DFM-adjusted
-    threshold (binned-median topographic position; reference's histogram
-    rank rule incl. its n=1 quirk)."""
-    from whitebox_tools_spark.operators.fps import drainage_preserving_smoothing
-
-    return _r6(
-        drainage_preserving_smoothing(
-            _valley_dem(spark, sf_dir), STREAM_GRID,
-            filter_size=5, norm_diff=20.0, num_iter=2,
-            reduction=80.0, dfm_threshold=0.15,
-        ),
-        ["value"],
-    )
-
-
-def q_voronoi_diagram(spark, sf_dir):
-    """VoronoiDiagram (gis_analysis/voronoi_diagram.rs): per-point Voronoi
-    cell clipped to the [0,1000]^2 extent (documented rectangle-clip
-    deviation from the ghost-point frame). Engine = Delaunay-neighbor
-    bisector clipping; oracle = INDEPENDENT all-pairs half-plane clip
-    (no Delaunay), literals embedded."""
-    from whitebox_tools_spark.operators.tin import voronoi_cell_areas
-
-    x, y = synth.point_exprs(F.col("id"))
-    pts = spark.range(1, _TIN_KEYS + 1).select(
-        F.col("id").alias("point_id"), x.alias("x"), y.alias("y")
-    )
-    out = voronoi_cell_areas(pts, extent=(0.0, 0.0, 1000.0, 1000.0))
-    return out.select("point_id", F.round("area", 6).alias("area"), "n_vertices")
-
-
-def _voronoi_sql() -> str:
-    import numpy as np
-
-    keys = np.arange(1, _TIN_KEYS + 1)
-    px, py = synth.point_np(keys)
-    rows = []
-    for i in range(len(keys)):
-        poly = [(0.0, 0.0), (1000.0, 0.0), (1000.0, 1000.0), (0.0, 1000.0)]
-        for j in range(len(keys)):
-            if j == i or not poly:
-                continue
-            nx, ny = px[j] - px[i], py[j] - py[i]
-            mx, my = (px[i] + px[j]) / 2.0, (py[i] + py[j]) / 2.0
-            nxt = []
-            for k in range(len(poly)):
-                p0, q0 = poly[k], poly[(k + 1) % len(poly)]
-                dp = (p0[0] - mx) * nx + (p0[1] - my) * ny
-                dq = (q0[0] - mx) * nx + (q0[1] - my) * ny
-                if dp <= 0.0:
-                    nxt.append(p0)
-                if (dp < 0.0) != (dq < 0.0) and dp != dq:
-                    t = dp / (dp - dq)
-                    nxt.append((p0[0] + t * (q0[0] - p0[0]),
-                                p0[1] + t * (q0[1] - p0[1])))
-            poly = nxt
-        area = 0.0
-        for k in range(len(poly)):
-            p0, q0 = poly[k], poly[(k + 1) % len(poly)]
-            area += p0[0] * q0[1] - q0[0] * p0[1]
-        rows.append((int(keys[i]), _round_half_up(abs(area) / 2.0), len(poly)))
-    vals = ", ".join(f"({i}, {a!r}, {n})" for i, a, n in rows)
-    return (
-        "SELECT CAST(point_id AS BIGINT) AS point_id, "
-        "CAST(area AS DOUBLE) AS area, CAST(n_vertices AS BIGINT) AS n_vertices "
-        f"FROM (VALUES {vals}) t(point_id, area, n_vertices)"
-    )
-
-
-_PROFILE_LINES = [
-    (1, [2.0, 61.0, 119.0], [97.0, 46.0, 81.0]),
-    (2, [3.5, 121.5], [3.0, 99.0]),
-]
-
-
-def q_profile(spark, sf_dir):
-    """Profile (terrain_analysis/profile.rs:258-305): DEM samples at
-    cell-size steps along two deterministic polylines over the part
-    raster; nodata samples advance the running distance but emit no row
-    (the part raster has holes wherever p_partkey is missing)."""
-    from whitebox_tools_spark.operators.terrain import profile
-
-    lines = spark.createDataFrame(
-        _PROFILE_LINES, "line_id long, xs array<double>, ys array<double>"
-    )
-    return _r6(profile(lines, _valley_dem(spark, sf_dir), STREAM_GRID),
-               ["dist", "z"])
-
-
-def _profile_sql() -> str:
-    from whitebox_tools_spark.operators.terrain import profile_oracle_sql
-
-    segs = []
-    for lid, xs, ys in _PROFILE_LINES:
-        for i in range(len(xs) - 1):
-            segs.append(
-                f"({lid}, {i}, {xs[i]!r}, {ys[i]!r}, {xs[i + 1]!r}, {ys[i + 1]!r})"
-            )
-    lines_sql = (
-        "SELECT CAST(line_id AS BIGINT) AS line_id, CAST(i AS BIGINT) AS i, "
-        "CAST(x0 AS DOUBLE) AS x0, CAST(y0 AS DOUBLE) AS y0, "
-        "CAST(x1 AS DOUBLE) AS x1, CAST(y1 AS DOUBLE) AS y1 "
-        "FROM (VALUES " + ", ".join(segs) + ") t(line_id, i, x0, y0, x1, y1)"
-    )
-    return profile_oracle_sql(lines_sql, _VALLEY_DEM_SQL, STREAM_GRID)
-
-
-def q_contours_from_points(spark, sf_dir):
-    """ContoursFromPoints (terrain_analysis/contours_from_points.rs):
-    TIN contour segments over the deterministic plane cloud, reported as
-    total contour length per level. A plane's level-L contour is the line
-    b*x + c*y = L - a clipped to the convex hull, and the per-triangle
-    chords tile it exactly — the oracle computes that clipped chord with
-    an INDEPENDENT hull + half-plane-interval clip (no triangulation)."""
-    from whitebox_tools_spark.operators.tin import contours_from_points
-
-    a, b, c = _TIN_PLANE
-    x, y = synth.point_exprs(F.col("id"))
-    pts = spark.range(1, _TIN_KEYS + 1).select(x.alias("x"), y.alias("y"))
-    pts = pts.withColumn("z", F.lit(a) + F.lit(b) * F.col("x") + F.lit(c) * F.col("y"))
-    segs = contours_from_points(pts, interval=5.0, base=0.0)
-    ln = F.sqrt((F.col("x2") - F.col("x1")) ** 2 + (F.col("y2") - F.col("y1")) ** 2)
-    return (
-        segs.groupBy("height")
-        .agg(F.round(F.sum(ln), 5).alias("total_len"))
-        .filter(F.col("total_len") > 0.0)
-    )
-
-
-def _contours_points_sql() -> str:
-    import math as _m
-
-    import numpy as np
-
-    a, b, c = _TIN_PLANE
-    keys = np.arange(1, _TIN_KEYS + 1)
-    px, py = synth.point_np(keys)
-    pts = sorted(zip(px.tolist(), py.tolist()))
-
-    def half(ps):
-        h = []
-        for p in ps:
-            while len(h) >= 2 and (
-                (h[-1][0] - h[-2][0]) * (p[1] - h[-2][1])
-                - (h[-1][1] - h[-2][1]) * (p[0] - h[-2][0])
-            ) <= 0:
-                h.pop()
-            h.append(p)
-        return h
-
-    lower = half(pts)
-    upper = half(list(reversed(pts)))
-    hull = lower[:-1] + upper[:-1]  # CCW
-    zs = [a + b * x + c * y for x, y in pts]
-    rows = []
-    k0 = _m.ceil(min(zs) / 5.0)
-    k1 = _m.floor(max(zs) / 5.0)
-    for k in range(k0, k1 + 1):
-        lvl = 5.0 * k
-        # line b*x + c*y = lvl - a; p0 on the line, direction (c, -b)
-        rhs = lvl - a
-        p0 = (rhs / (2.0 * b), rhs / (2.0 * c))  # b*p0x + c*p0y = rhs
-        dvec = (c, -b)
-        tmin, tmax = -1e18, 1e18
-        for i in range(len(hull)):
-            ux, uy = hull[i]
-            vx, vy = hull[(i + 1) % len(hull)]
-            ex, ey = vx - ux, vy - uy
-            # inside: cross(e, p - u) >= 0 ; p = p0 + t*d
-            c0 = ex * (p0[1] - uy) - ey * (p0[0] - ux)
-            cd = ex * dvec[1] - ey * dvec[0]
-            if cd == 0.0:
-                if c0 < 0.0:
-                    tmin, tmax = 1.0, 0.0
-                    break
-            elif cd > 0.0:
-                tmin = max(tmin, -c0 / cd)
-            else:
-                tmax = min(tmax, -c0 / cd)
-        if tmax > tmin:
-            length = (tmax - tmin) * _m.hypot(*dvec)
-            if length > 0.0:
-                from decimal import ROUND_HALF_UP, Decimal
-
-                r5 = float(Decimal(repr(length)).quantize(
-                    Decimal("0.00001"), rounding=ROUND_HALF_UP))
-                rows.append((lvl, r5))
-    vals = ", ".join(f"({h!r}, {v!r})" for h, v in rows)
-    return (
-        "SELECT CAST(height AS DOUBLE) AS height, "
-        "CAST(total_len AS DOUBLE) AS total_len "
-        f"FROM (VALUES {vals}) t(height, total_len)"
-    )
-
-
-def _merge_lines_fixture():
-    """Deterministic 2-point lines: chains P(k)->P(k+1) broken every 10th
-    key, plus 5 spur lines P(10m+5)->P(900+m) turning those nodes into
-    degree-3 bifurcations (merge must stop there)."""
-    import numpy as np
-
-    keys = np.arange(1, 101)
-    px, py = synth.point_np(keys)
-    spx, spy = synth.point_np(np.arange(901, 906))
-    rows = []
-    for k in range(1, 100):
-        if k % 10 != 0:
-            rows.append((k, [float(px[k - 1]), float(px[k])],
-                         [float(py[k - 1]), float(py[k])]))
-    for m in range(1, 6):
-        rows.append((100 + m, [float(px[10 * m + 4]), float(spx[m - 1])],
-                     [float(py[10 * m + 4]), float(spy[m - 1])]))
-    return rows
-
-
-def q_merge_line_segments(spark, sf_dir):
-    """MergeLineSegments (gis_analysis/merge_line_segments.rs): join lines
-    at coincident degree-2 end nodes, stop at bifurcations. Engine =
-    degree aggregate + pointer-doubled min-label components; oracle =
-    INDEPENDENT python union-find literals."""
-    from whitebox_tools_spark.operators.vector_ops import merge_line_segments
-
-    lines = spark.createDataFrame(
-        _merge_lines_fixture(), "line_id long, xs array<double>, ys array<double>"
-    )
-    return merge_line_segments(lines)
-
-
-def _merge_lines_sql() -> str:
-    import math as _m
-
-    rows = _merge_lines_fixture()
-    ends = {}
-    for lid, xs, ys in rows:
-        for px_, py_ in ((xs[0], ys[0]), (xs[-1], ys[-1])):
-            ends.setdefault((round(px_, 9), round(py_, 9)), []).append(lid)
-    parent = {lid: lid for lid, _, _ in rows}
-
-    def find(u):
-        while parent[u] != u:
-            parent[u] = parent[parent[u]]
-            u = parent[u]
-        return u
-
-    for node, mem in ends.items():
-        if len(mem) == 2 and mem[0] != mem[1]:
-            ra, rb = find(mem[0]), find(mem[1])
-            if ra != rb:
-                parent[max(ra, rb)] = min(ra, rb)
-    groups = {}
-    for lid, xs, ys in rows:
-        ln = sum(
-            _m.hypot(xs[i + 1] - xs[i], ys[i + 1] - ys[i]) for i in range(len(xs) - 1)
-        )
-        g = groups.setdefault(find(lid), [0, 0.0])
-        g[0] += 1
-        g[1] += ln
-    vals = ", ".join(
-        f"({gid}, {n}, {_round_half_up(tot)!r})" for gid, (n, tot) in sorted(groups.items())
-    )
-    return (
-        "SELECT CAST(merged_id AS BIGINT) AS merged_id, "
-        "CAST(n_lines AS BIGINT) AS n_lines, CAST(total_len AS DOUBLE) AS total_len "
-        f"FROM (VALUES {vals}) t(merged_id, n_lines, total_len)"
-    )
-
-
-def _line_raster(spark) -> DataFrame:
-    """Fixed analytic line raster == serial_oracles.line20_vals(): main
-    stem along row 10, six tributaries with confluences, a hollow square
-    loop (closed-trace path)."""
-    row = (F.col("id") / 25).cast("long")
-    col = F.col("id") % 25
-    stem = row == 10
-    trib = (row < 10) & col.isin(1, 5, 9, 13, 17, 21)
-    loop = (
-        (row.between(13, 17) & col.isin(15, 19))
-        | (row.isin(13, 17) & col.between(15, 19))
-    )
-    val = (
-        F.when(stem, F.lit(1.0))
-        .when(trib, col.cast("double"))
-        .when(loop, F.lit(9.0))
-    )
-    return (
-        spark.range(20 * 25)
-        .select(row.alias("row"), col.alias("col"), val.alias("value"))
-        .filter(F.col("value").isNotNull())
-    )
-
-
-def q_raster_to_vector_lines(spark, sf_dir):
-    """RasterToVectorLines (data_tools/raster_to_vector_lines.rs:229-420):
-    trace the fixed analytic line raster (stem + confluences + closed
-    loop) into polylines; line_id dropped so the geometry multiset is
-    engine-order-independent. Value-checked against serial_oracles.
-    raster_lines_serial — the reference's GLOBAL-FIFO control flow, vs the
-    engine's per-component equivalent — as a literal VALUES oracle; the
-    general random-walk case stays pinned by tests/test_raster_lines.py."""
-    from whitebox_tools_spark.operators.raster_vector import raster_to_vector_lines
-
-    out = raster_to_vector_lines(_line_raster(spark), STREAM_GRID)
-    return out.select("value", "n_vertices", "length", "x1", "y1", "x2", "y2")
-
-
-def _raster_lines_values_sql() -> str:
-    rows = _so().raster_lines_serial(_so().line20_vals(), 0.0, 100.0, 5.0, 5.0)
-    vals = ", ".join(
-        f"({v!r}, {n}, {ln!r}, {x1!r}, {y1!r}, {x2!r}, {y2!r})"
-        for v, n, ln, x1, y1, x2, y2 in rows
-    )
-    return (
-        "SELECT CAST(v AS DOUBLE) AS value, CAST(n AS BIGINT) AS n_vertices, "
-        "CAST(ln AS DOUBLE) + 0.0 AS length, "
-        "CAST(x1 AS DOUBLE) + 0.0 AS x1, CAST(y1 AS DOUBLE) + 0.0 AS y1, "
-        "CAST(x2 AS DOUBLE) + 0.0 AS x2, CAST(y2 AS DOUBLE) + 0.0 AS y2 "
-        f"FROM (VALUES {vals}) AS t(v, n, ln, x1, y1, x2, y2)"
-    )
-
-
-_ICNA_B_SQL = (
-    "SELECT row, col, value * 0.5 + CAST((row * 13 + col * 7) % 23 AS DOUBLE) * 9.0 "
-    f"AS value FROM ({_PART_RASTER_SQL})"
-)
-
-
-def q_image_correlation_neighbourhood(spark, sf_dir):
-    """ImageCorrelationNeighbourhoodAnalysis (math_stat_analysis/
-    image_correlation_neighbourhood_analysis.rs, pearson): windowed local
-    Pearson r + t statistic between the part raster and a correlated
-    derived raster (the p-value is a pure function of (r, t, df) — the
-    incomplete-beta conversion is the only omission, documented)."""
-    from whitebox_tools_spark.operators.stats import image_correlation_neighbourhood
-
-    a = _part_raster(spark, sf_dir)
-    b = a.select(
-        "row", "col",
-        (F.col("value") * 0.5
-         + ((F.col("row") * 13 + F.col("col") * 7) % 23).cast("double") * 9.0
-         ).alias("value"),
-    )
-    out = image_correlation_neighbourhood(a, b, filter_size=7)
-    return out.select(
-        "row", "col", F.round("r", 6).alias("r"),
-        F.round("tstat", 4).alias("tstat"), "df",
-    )
-
-
-def q_attribute_correlation_neighbourhood(spark, sf_dir):
-    """AttributeCorrelationNeighbourhoodAnalysis (math_stat_analysis/
-    attribute_correlation_neighbourhood_analysis.rs, pearson): per-point
-    Pearson r between two synthetic attributes over the radius-80
-    neighborhood of the customer points."""
-    from whitebox_tools_spark.operators.stats import (
-        attribute_correlation_neighbourhood,
-    )
-
-    x, y = synth.point_exprs(F.col("c_custkey"))
-    pts = _t(spark, sf_dir, "customer").select(
-        F.col("c_custkey").alias("point_id"), x.alias("x"), y.alias("y"),
-        F.col("c_acctbal").alias("f1"),
-        (F.col("c_custkey") % 97).cast("double").alias("f2"),
-    )
-    return attribute_correlation_neighbourhood(
-        pts, field1="f1", field2="f2", radius=80.0, min_points=3
-    ).select("point_id", F.round("r", 6).alias("r"), "n")
-
-
-def _acna_sql() -> str:
-    from whitebox_tools_spark.operators.stats import (
-        attribute_correlation_neighbourhood_oracle_sql,
-    )
-
-    x, y = synth.point_sql("c_custkey")
-    pts = (
-        f"SELECT c_custkey AS point_id, {x} AS x, {y} AS y, "
-        f"c_acctbal AS f1, CAST(c_custkey % 97 AS DOUBLE) AS f2 FROM customer"
-    )
-    return attribute_correlation_neighbourhood_oracle_sql(
-        pts, radius=80.0, min_points=3
-    )
-
-
-def q_attribute_scattergram(spark, sf_dir):
-    """AttributeScattergram (math_stat_analysis/attribute_scattergram.rs):
-    paired attribute values + the least-squares trendline row."""
-    from whitebox_tools_spark.operators.stats import attribute_scattergram
-
-    t = _t(spark, sf_dir, "supplier").select(
-        F.col("s_suppkey").alias("point_id"),
-        F.col("s_acctbal").alias("bal"),
-        (F.col("s_suppkey") % 53).cast("double").alias("k"),
-    )
-    return attribute_scattergram(t, fieldx="k", fieldy="bal")
-
-
-_SCATTER_SQL = """
-WITH t AS (SELECT s_suppkey AS point_id, CAST(s_suppkey % 53 AS DOUBLE) AS xval,
-                  s_acctbal AS yval FROM supplier),
-st AS (SELECT CAST(count(*) AS DOUBLE) AS n, SUM(xval) AS sx, SUM(yval) AS sy,
-              SUM(xval * yval) AS sxy, SUM(xval * xval) AS sxx FROM t)
-SELECT point_id, xval, yval FROM t
-UNION ALL
-SELECT CAST(-1 AS BIGINT),
-       round((sxy - sx * sy / n) / (sxx - sx * sx / n), 6),
-       round((sy - (sxy - sx * sy / n) / (sxx - sx * sx / n) * sx) / n, 6)
-FROM st
-"""
-
-
-def q_split_vector_lines(spark, sf_dir):
-    """split_vector_lines plugin: greedy max-length line splitting with
-    interpolated break vertices; oracle = independent python splitter
-    literals over the deterministic profile polylines."""
-    from whitebox_tools_spark.operators.vector_ops import split_vector_lines
-
-    lines = spark.createDataFrame(
-        _PROFILE_LINES, "line_id long, xs array<double>, ys array<double>"
-    )
-    out = split_vector_lines(lines, length=17.0)
-    return out.select("line_id", "part_idx", "n_vertices",
-                      F.round("seg_len", 6).alias("seg_len"))
-
-
-def _split_lines_sql() -> str:
-    import math as _m
-
-    rows = []
-    L = 17.0
-    for lid, xs, ys in _PROFILE_LINES:
-        pts = [(xs[0], ys[0])]
-        dist, part, i = 0.0, 0, 1
-        while i < len(xs):
-            x1, y1 = pts[-1]
-            x2, y2 = xs[i], ys[i]
-            d = _m.hypot(x2 - x1, y2 - y1)
-            if dist + d <= L and d > 0.0:
-                pts.append((x2, y2)); dist += d
-            elif d > 0.0:
-                ratio = (L - dist) / d
-                bx, by = x1 + ratio * (x2 - x1), y1 + ratio * (y2 - y1)
-                pts.append((bx, by))
-                rows.append((lid, part, len(pts), L))
-                part += 1; pts = [(bx, by)]; dist = 0.0; i -= 1
-            i += 1
-        if len(pts) > 1:
-            rows.append((lid, part, len(pts), _round_half_up(dist)))
-    vals = ", ".join(f"({a}, {b}, {c}, {d!r})" for a, b, c, d in rows)
-    return (
-        "SELECT CAST(line_id AS BIGINT) AS line_id, CAST(part_idx AS BIGINT) AS part_idx, "
-        "CAST(n_vertices AS BIGINT) AS n_vertices, CAST(seg_len AS DOUBLE) AS seg_len "
-        f"FROM (VALUES {vals}) t(line_id, part_idx, n_vertices, seg_len)"
-    )
-
-
-def q_centroid_vector(spark, sf_dir):
-    """CentroidVector (gis_analysis/centroid_vector.rs:235-280): the
-    vertex-mean centroid of each polygon feature (all parts' vertices)."""
-    parts = _parts_df(spark)
-    v = parts.select(
-        "poly_id", F.explode(F.arrays_zip("xs", "ys")).alias("p")
-    ).select("poly_id", F.col("p.xs").alias("x"), F.col("p.ys").alias("y"))
-    return v.groupBy("poly_id").agg(
-        F.round(F.avg("x"), 6).alias("cx"), F.round(F.avg("y"), 6).alias("cy")
-    )
-
-
-def _centroid_vector_sql() -> str:
-    rows = []
-    for pid, parts in PARTS:
-        xs, ys = [], []
-        for pxs, pys, _hole in parts:
-            xs.extend(float(v) for v in pxs)
-            ys.extend(float(v) for v in pys)
-        rows.append(
-            f"({pid}, {_round_half_up(sum(xs) / len(xs))!r}, "
-            f"{_round_half_up(sum(ys) / len(ys))!r})"
-        )
-    return (
-        "SELECT CAST(poly_id AS BIGINT) AS poly_id, CAST(cx AS DOUBLE) AS cx, "
-        "CAST(cy AS DOUBLE) AS cy FROM (VALUES " + ", ".join(rows)
-        + ") t(poly_id, cx, cy)"
-    )
-
-
-def q_buffer_raster(spark, sf_dir):
-    """BufferRaster (gis_analysis/buffer_raster.rs:210-221): 1.0 within the
-    buffer distance of any non-background cell, exact nearest-source
-    distance in the reference's mean-cell-size metric."""
-    from whitebox_tools_spark.operators.buffer import buffer_raster
-
-    src = _part_raster(spark, sf_dir).withColumn(
-        "value", F.when((F.col("row") * 7 + F.col("col") * 3) % 17 == 0, F.lit(1.0)).otherwise(F.lit(0.0))
-    )
-    return buffer_raster(src, EXTRACT_GRID, size=12.0)
-
-
-_BUFFER_SRC_SQL = (
-    "SELECT row, col, CASE WHEN (row * 7 + col * 3) % 17 = 0 THEN 1.0 ELSE 0.0 END AS value "
-    f"FROM ({_PART_RASTER_SQL})"
-)
-
-_ALLOC_SRC_SQL = (
-    "SELECT row, col, CASE WHEN (row * 7 + col * 3) % 17 = 0 THEN value ELSE 0.0 END AS value "
-    f"FROM ({_PART_RASTER_SQL})"
-)
-
-
-def q_olympic_filter(spark, sf_dir):
-    """OlympicFilter (image_analysis/olympic_filter.rs:388-410)."""
-    return _r6(_foc.olympic_filter(_part_raster(spark, sf_dir)), ["value"])
-
-
-def q_highpass_filter(spark, sf_dir):
-    """HighPassFilter (image_analysis/highpass_filter.rs): z - window mean."""
-    return _r6(_foc.highpass_filter(_part_raster(spark, sf_dir)), ["value"])
-
-
-def q_conservative_smoothing(spark, sf_dir):
-    """ConservativeSmoothingFilter (image_analysis/
-    conservative_smoothing_filter.rs:380-400)."""
-    return _r6(_foc.conservative_smoothing(_part_raster(spark, sf_dir)), ["value"])
-
-
-def q_streams_to_vector(spark, sf_dir):
-    """RasterStreamsToVector (stream_network_analysis/
-    raster_streams_to_vector.rs): per-link polylines, vertices ordered
-    upstream->downstream by remaining chain distance."""
-    from whitebox_tools_spark.operators.streams import raster_streams_to_vector
-
-    out = raster_streams_to_vector(_valley_dem(spark, sf_dir), STREAM_GRID, threshold=4.0)
-    return out.select("link_id", "seq", F.round("x", 6).alias("x"), F.round("y", 6).alias("y"))
-
-
-def q_fd8_pointer(spark, sf_dir):
-    """FD8Pointer (hydro_analysis/fd8_pointer.rs:227-247): bitmask of all
-    strictly-downslope neighbors."""
-    from whitebox_tools_spark.operators.hydro import fd8_pointer
-
-    return fd8_pointer(_noise_raster(spark, sf_dir), EXTRACT_GRID)
-
-
-def q_percent_elev_range(spark, sf_dir):
-    """PercentElevRange (terrain_analysis/percent_elev_range.rs:375-385)."""
-    from whitebox_tools_spark.operators import focal as FO
-
-    return _r6(FO.percent_elev_range(_part_raster(spark, sf_dir)), ["value"])
-
-
-def q_relative_aspect(spark, sf_dir):
-    """RelativeAspect (terrain_analysis/relative_aspect.rs:330-333):
-    angular distance between aspect and azimuth 135, folded to [0, 180];
-    flat cells (aspect -1) are nodata."""
-    from whitebox_tools_spark.operators import focal as FO
-
-    asp = FO.aspect(_part_raster(spark, sf_dir), res=5.0)
-    ra = F.abs(F.col("value") - F.lit(135.0))
-    ra = F.when(ra > 180.0, F.lit(360.0) - ra).otherwise(ra)
-    return _r6(
-        asp.select(
-            "row", "col",
-            F.when(F.col("value") == -1.0, F.lit(None).cast("double"))
-            .otherwise(ra).alias("value"),
-        ),
-        ["value"],
-    )
-
-
-def q_max_upslope_flowpath(spark, sf_dir):
-    """MaxUpslopeFlowpathLength (hydro_analysis/max_upslope_flowpath.rs)."""
-    from whitebox_tools_spark.operators.streams import max_upslope_flowpath
-
-    return _r6(max_upslope_flowpath(_valley_dem(spark, sf_dir), STREAM_GRID), ["value"])
-
-
-_SNAP_POUR = [(8, 10, 1), (15, 18, 2)]
-
-
-def q_snap_pour_points(spark, sf_dir):
-    """SnapPourPoints (hydro_analysis/snap_pour_points.rs semantics over
-    accumulation): move each pour point to the highest-accumulation cell
-    within the snap window; ties to the smallest (row, col)."""
-    from whitebox_tools_spark.operators.streams import snap_pour_points
-
-    pour = spark.createDataFrame(_SNAP_POUR, "row long, col long, pour_id long")
-    return snap_pour_points(_valley_dem(spark, sf_dir), STREAM_GRID, pour, snap_cells=2)
-
-
-def q_flip_image(spark, sf_dir):
-    """FlipImage (image_analysis/flip_image.rs:229-250), both axes."""
-    from whitebox_tools_spark.operators.image import flip_image
-
-    return flip_image(_part_raster(spark, sf_dir), EXTRACT_GRID, direction="both")
-
-
-def q_gamma_correction(spark, sf_dir):
-    """GammaCorrection (image_analysis/gamma_correction.rs:279): z^gamma."""
-    from whitebox_tools_spark.operators.image import gamma_correction
-
-    return _r6(gamma_correction(_part_raster(spark, sf_dir), gamma=0.5), ["value"])
-
-
-def q_min_max_stretch(spark, sf_dir):
-    """MinMaxContrastStretch (image_analysis/min_max_contrast_stretch.rs:367-373)."""
-    from whitebox_tools_spark.operators.image import min_max_contrast_stretch
-
-    return min_max_contrast_stretch(
-        _part_raster(spark, sf_dir), min_val=900.0, max_val=1000.0, num_tones=256.0
-    )
-
-
-def q_hist_equalization(spark, sf_dir):
-    """HistogramEqualization (image_analysis/histogram_equalization.rs:272-387),
-    grayscale branch, 256 tones."""
-    from whitebox_tools_spark.operators.image import histogram_equalization
-
-    return histogram_equalization(_part_raster(spark, sf_dir), num_tones=256)
-
-
-def q_subbasins(spark, sf_dir):
-    """SubBasins (hydro_analysis/subbasins.rs): each cell labeled with the
-    link id of the first stream cell on its D8 flow path."""
-    from whitebox_tools_spark.operators.streams import subbasins
-
-    return subbasins(_valley_dem(spark, sf_dir), STREAM_GRID, threshold=4.0)
-
-
-def q_isobasins(spark, sf_dir):
-    """Isobasins (hydro_analysis/isobasins.rs): ~equal-area watershed
-    subdivision (size=12 cells). Value-checked against the independent
-    serial transcription serial_oracles.isobasins_serial emitted as a
-    literal VALUES oracle over the fixed valley fixture (exact integer
-    ids); also partition-pinned in tests/test_hydro_random.py."""
-    from whitebox_tools_spark.operators.hydro import isobasins
-
-    return isobasins(_fixed_valley(spark), STREAM_GRID, size=12)
-
-
-def q_max_branch_length(spark, sf_dir):
-    """MaxBranchLength (terrain_analysis/max_branch_length.rs, Gardner's
-    Bmax): batched binary-lifting LCA over the flow forest (O(log path)
-    equi-join rounds)."""
-    from whitebox_tools_spark.operators.streams import max_branch_length
-
-    return _r6(max_branch_length(_valley_dem(spark, sf_dir), STREAM_GRID), ["value"])
-
-
-def q_unnest_basins(spark, sf_dir):
-    """UnnestBasins (hydro_analysis/unnest_basins.rs): un-truncated
-    watershed per pour point + nesting level. Pour points = the 4
-    highest-accumulation cells of the valley DEM (deterministic and
-    nested along the main channel, exercising levels 1..4)."""
-    from whitebox_tools_spark.operators.hydro import d8_flow_accumulation
-    from whitebox_tools_spark.operators.streams import unnest_basins
-    from pyspark.sql import Window
-
-    dem = _valley_dem(spark, sf_dir)
-    fa = d8_flow_accumulation(dem, STREAM_GRID)
-    # top-4 via global sort + limit = TakeOrderedAndProject (per-partition
-    # top-k, no single-partition window over the whole raster); the window
-    # then numbers only the 4 surviving rows
-    w = Window.orderBy(F.desc("value"), "row", "col")
-    pour = (
-        fa.orderBy(F.desc("value"), "row", "col")
-        .limit(4)
-        .withColumn("pour_id", F.row_number().over(w))
-        .select("row", "col", F.col("pour_id").cast("long").alias("pour_id"))
-    )
-    return unnest_basins(dem, STREAM_GRID, pour)
-
-
-def q_hillslopes(spark, sf_dir):
-    """Hillslopes (hydro_analysis/hillslopes.rs:144): left-bank/right-bank/
-    channel-head catchments per stream link; stream cells 0; ids in scan
-    order of each hillslope's minimum cell."""
-    from whitebox_tools_spark.operators.streams import hillslopes
-
-    return hillslopes(_valley_dem(spark, sf_dir), STREAM_GRID, threshold=4.0)
-
-
-def q_strahler_order_basins(spark, sf_dir):
-    """StrahlerOrderBasins (hydro_analysis/strahler_order_basins.rs)."""
-    from whitebox_tools_spark.operators.streams import strahler_order_basins
-
-    return strahler_order_basins(_valley_dem(spark, sf_dir), STREAM_GRID, threshold=4.0)
-
-
-def q_longest_flowpath(spark, sf_dir):
-    """LongestFlowpath (hydro_analysis/longest_flowpath.rs, scalar form):
-    per-basin longest flow path length."""
-    from whitebox_tools_spark.operators.streams import longest_flowpath
-
-    return _r6(longest_flowpath(_noise_raster(spark, sf_dir), EXTRACT_GRID), ["value"])
-
-
-def q_average_flowpath_slope(spark, sf_dir):
-    """AverageFlowpathSlope (hydro_analysis/average_flowpath_slope.rs):
-    three flow_stitch.solve_fa accumulations + the atan combine."""
-    from whitebox_tools_spark.operators.hydro import average_flowpath_slope
-
-    return _r6(
-        average_flowpath_slope(_valley_dem(spark, sf_dir), STREAM_GRID), ["value"]
-    )
-
-
-def q_elev_above_stream(spark, sf_dir):
-    """ElevationAboveStream (hydro_analysis/elevation_above_stream.rs)."""
-    from whitebox_tools_spark.operators.streams import elevation_above_stream
-
-    return _r6(
-        elevation_above_stream(_valley_dem(spark, sf_dir), STREAM_GRID, threshold=4.0),
-        ["value"],
-    )
-
-
-def q_dist_to_stream(spark, sf_dir):
-    """DownslopeDistanceToStream (hydro_analysis/downslope_distance_to_stream.rs)."""
-    from whitebox_tools_spark.operators.streams import downslope_distance_to_stream
-
-    return _r6(
-        downslope_distance_to_stream(_valley_dem(spark, sf_dir), STREAM_GRID, threshold=4.0),
-        ["value"],
-    )
-
-
-def q_depth_in_sink(spark, sf_dir):
-    """DepthInSink (hydro_analysis/depth_in_sink.rs): fill - DEM."""
-    from whitebox_tools_spark.operators.streams import depth_in_sink
-
-    return _r6(depth_in_sink(_noise_raster(spark, sf_dir)), ["value"])
-
-
-def q_elev_rel_minmax(spark, sf_dir):
-    """ElevRelativeToMinMax (terrain_analysis/elev_relative_to_min_max.rs):
-    (z - min) / (max - min) over the whole raster."""
-    dem = _part_raster(spark, sf_dir).filter(F.col("value").isNotNull())
-    stats = dem.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
-    return _r6(
-        dem.crossJoin(F.broadcast(stats)).select(
-            "row", "col",
-            ((F.col("value") - F.col("mn")) / (F.col("mx") - F.col("mn"))).alias("value"),
-        ),
-        ["value"],
-    )
-
-
-def q_viewshed(spark, sf_dir):
-    """Viewshed (terrain_analysis/viewshed.rs:345-380): exact R3
-    line-of-sight (the reference's XDraw sweep approximates this); station
-    derived from the data (median populated cell, so the fixture is
-    non-vacuous at every SF), height 2.0, view-angle metric dz/dist*1000."""
-    from whitebox_tools_spark.operators.viewshed import median_station, viewshed
-
-    dem = _part_raster(spark, sf_dir)
-    sr, sc = median_station(dem)
-    return viewshed(
-        dem, EXTRACT_GRID, station_row=sr, station_col=sc, station_height=2.0
-    )
-
-
-def q_directional_relief(spark, sf_dir):
-    """DirectionalRelief (terrain_analysis/directional_relief.rs), east
-    azimuth."""
-    from whitebox_tools_spark.operators.viewshed import directional_relief_east
-
-    return _r6(
-        directional_relief_east(_part_raster(spark, sf_dir), EXTRACT_GRID),
-        ["value"],
-    )
-
-
-def q_fetch_analysis(spark, sf_dir):
-    """FetchAnalysis (terrain_analysis/fetch_analysis.rs:330-428), east
-    azimuth, height increment 0.05."""
-    from whitebox_tools_spark.operators.viewshed import fetch_analysis_east
-
-    return _r6(
-        fetch_analysis_east(_part_raster(spark, sf_dir), EXTRACT_GRID),
-        ["value"],
-    )
-
-
-def q_visibility_index(spark, sf_dir):
-    """VisibilityIndex (terrain_analysis/visibility_index.rs): proportion
-    of sampled stations (every 5th cell) seeing each cell."""
-    from whitebox_tools_spark.operators.viewshed import visibility_index
-
-    return _r6(
-        visibility_index(
-            _valley_dem(spark, sf_dir), STREAM_GRID, res_factor=5,
-        ),
-        ["value"],
-    )
-
-
-def q_horizon_angle(spark, sf_dir):
-    """HorizonAngle (terrain_analysis/horizon_angle.rs), east azimuth,
-    max search distance 100 map units."""
-    from whitebox_tools_spark.operators.viewshed import horizon_angle_east
-
-    return _r6(
-        horizon_angle_east(_part_raster(spark, sf_dir), EXTRACT_GRID, max_dist=100.0),
-        ["value"],
-    )
-
-
-def q_euclidean_distance(spark, sf_dir):
-    """EuclideanDistance (gis_analysis/euclidean_distance.rs): exact
-    nearest-source map-unit distance via the kNN annulus join."""
-    from whitebox_tools_spark.operators.buffer import euclidean_distance
-
-    src = _part_raster(spark, sf_dir).withColumn(
-        "value", F.when((F.col("row") * 7 + F.col("col") * 3) % 17 == 0, F.lit(1.0)).otherwise(F.lit(0.0))
-    )
-    return _r6(euclidean_distance(src, EXTRACT_GRID, IDX), ["value"])
-
-
-def q_euclidean_allocation(spark, sf_dir):
-    """EuclideanAllocation (gis_analysis/euclidean_allocation.rs): nearest
-    non-background cell's value, ties by (distance, scan order)."""
-    from whitebox_tools_spark.operators.buffer import euclidean_allocation
-
-    src = _part_raster(spark, sf_dir).withColumn(
-        "value", F.when((F.col("row") * 7 + F.col("col") * 3) % 17 == 0, F.col("value")).otherwise(F.lit(0.0))
-    )
-    return euclidean_allocation(src, EXTRACT_GRID, IDX)
-
-
-def q_raster_to_points(spark, sf_dir):
-    """RasterToVectorPoints (data_tools/raster_to_vector_points.rs): one
-    point per valid cell at its center, scan-order FIDs."""
-    g = EXTRACT_GRID
-    return _part_raster(spark, sf_dir).filter(F.col("value").isNotNull()).select(
-        (F.col("row") * g.cols + F.col("col")).alias("fid"),
-        (F.lit(g.west + g.res_x / 2.0) + F.col("col") * F.lit(g.res_x)).alias("x"),
-        (F.lit(g.north - g.res_y / 2.0) - F.col("row") * F.lit(g.res_y)).alias("y"),
-        "value",
-    )
-
-
-def _noise_raster(spark, sf_dir) -> DataFrame:
-    """Hash-noise DEM: the price raster is monotone within columns (flow
-    chains as long as the grid), so D8 uses a scrambled surface whose
-    drainage paths are short — the peel loop's round count is the DAG
-    depth, and noise keeps it O(10)."""
-    p = _t(spark, sf_dir, "part")
-    return p.select(
-        (F.col("p_partkey") % 200).alias("row"),
-        (F.floor(F.col("p_partkey") / F.lit(200.0)).cast("long") % 200).alias("col"),
-        (((F.col("p_partkey") * 48271) % 100000).cast("double") / 100.0).alias("value"),
-    )
-
-
-_NOISE_RASTER_SQL = (
-    "SELECT p_partkey % 200 AS row, "
-    "CAST(floor(p_partkey / 200.0) AS BIGINT) % 200 AS col, "
-    "CAST((p_partkey * 48271) % 100000 AS DOUBLE) / 100.0 AS value FROM part"
-)
-
-
-STREAM_GRID = GridSpec(west=0.0, north=100.0, res_x=5.0, res_y=5.0, rows=20, cols=25)
-
-
-def _valley_dem(spark, sf_dir) -> DataFrame:
-    """Fishbone valley DEM (dense 20x25 from the first 500 part keys): a
-    main stem along row 10 draining east, lowered tributary channels every
-    4th column — gives the stream suite real confluences (Strahler > 1)
-    while keeping the flow-DAG depth ~35 so the topological peel stays
-    fast. All arithmetic is integer-derived and mirrored term-for-term in
-    _VALLEY_DEM_SQL, so both engines build bit-identical elevations."""
-    p = _t(spark, sf_dir, "part").filter(
-        (F.col("p_partkey") >= 1) & (F.col("p_partkey") <= 500)
-    )
-    pk = F.col("p_partkey") - 1
-    row = pk % 20
-    col = F.floor(pk / F.lit(20)).cast("long")
-    base = (
-        F.abs(row - 10).cast("double") * 50.0
-        + (25 - col).cast("double") * 2.0
-        + ((F.col("p_partkey") * 31) % 7).cast("double") * 0.1
-    )
-    trib = F.when((col % 4 == 1) & (row != 10), F.lit(-45.0)).otherwise(F.lit(0.0))
-    return p.select(row.alias("row"), col.alias("col"), (base + trib).alias("value"))
-
-
-_VALLEY_DEM_SQL = """
-SELECT (p_partkey - 1) % 20 AS row,
-       CAST(floor((p_partkey - 1) / 20) AS BIGINT) AS col,
-       CAST(abs((p_partkey - 1) % 20 - 10) AS DOUBLE) * 50.0
-         + CAST(25 - CAST(floor((p_partkey - 1) / 20) AS BIGINT) AS DOUBLE) * 2.0
-         + CAST((p_partkey * 31) % 7 AS DOUBLE) * 0.1
-         + CASE WHEN CAST(floor((p_partkey - 1) / 20) AS BIGINT) % 4 = 1
-                     AND (p_partkey - 1) % 20 <> 10
-                THEN -45.0 ELSE 0.0 END AS value
-FROM part WHERE p_partkey BETWEEN 1 AND 500
-"""
-
-_POUR = [(10, 20, 1), (10, 12, 2)]
-
-
-def q_stream_slope_continuous(spark, sf_dir):
-    """StreamSlopeContinuous (stream_network_analysis/
-    stream_slope_continuous.rs:380-427)."""
-    from whitebox_tools_spark.operators.streams import stream_slope_continuous
-
-    return _r6(
-        stream_slope_continuous(_valley_dem(spark, sf_dir), STREAM_GRID, threshold=4.0),
-        ["value"],
-    )
-
-
-def q_extract_streams(spark, sf_dir):
-    """ExtractStreams (stream_network_analysis/extract_streams.rs:23-33)."""
-    from whitebox_tools_spark.operators.streams import extract_streams
-
-    return extract_streams(_valley_dem(spark, sf_dir), STREAM_GRID, threshold=4.0)
-
-
-def q_shreve(spark, sf_dir):
-    """ShreveStreamMagnitude (stream_network_analysis/shreve_magnitude.rs)."""
-    from whitebox_tools_spark.operators.streams import shreve_magnitude
-
-    return shreve_magnitude(_valley_dem(spark, sf_dir), STREAM_GRID, threshold=4.0)
-
-
-def q_strahler(spark, sf_dir):
-    """StrahlerStreamOrder (stream_network_analysis/strahler_order.rs)."""
-    from whitebox_tools_spark.operators.streams import strahler_order
-
-    return strahler_order(_valley_dem(spark, sf_dir), STREAM_GRID, threshold=4.0)
-
-
-def q_horton(spark, sf_dir):
-    """HortonStreamOrder (stream_network_analysis/horton_order.rs):
-    main-stem inheritance by longest channel-head flow distance."""
-    from whitebox_tools_spark.operators.streams import horton_order
-
-    return horton_order(_valley_dem(spark, sf_dir), STREAM_GRID, threshold=4.0)
-
-
-def q_hack(spark, sf_dir):
-    """HackStreamOrder: outlet tributary 1, side tributaries +1."""
-    from whitebox_tools_spark.operators.streams import hack_order
-
-    return hack_order(_valley_dem(spark, sf_dir), STREAM_GRID, threshold=4.0)
-
-
-def q_topological(spark, sf_dir):
-    """TopologicalStreamOrder: link count to the outlet."""
-    from whitebox_tools_spark.operators.streams import topological_stream_order
-
-    return topological_stream_order(_valley_dem(spark, sf_dir), STREAM_GRID, threshold=4.0)
-
-
-def q_tributary_id(spark, sf_dir):
-    """TributaryIdentifier: longest-path tributary identity, head-scan ids."""
-    from whitebox_tools_spark.operators.streams import tributary_id
-
-    return tributary_id(_valley_dem(spark, sf_dir), STREAM_GRID, threshold=4.0)
-
-
-def q_find_main_stem(spark, sf_dir):
-    """FindMainStem: 1.0 on the outlet's main channel."""
-    from whitebox_tools_spark.operators.streams import find_main_stem
-
-    return find_main_stem(_valley_dem(spark, sf_dir), STREAM_GRID, threshold=4.0)
-
-
-def q_farthest_head(spark, sf_dir):
-    """FarthestChannelHead: max upstream head distance per stream cell."""
-    from whitebox_tools_spark.operators.streams import farthest_channel_head
-
-    return farthest_channel_head(_valley_dem(spark, sf_dir), STREAM_GRID, threshold=4.0)
-
-
-def q_total_length_channels(spark, sf_dir):
-    """TotalLengthOfUpstreamChannels per stream cell."""
-    from whitebox_tools_spark.operators.streams import total_length_channels
-
-    return total_length_channels(_valley_dem(spark, sf_dir), STREAM_GRID, threshold=4.0)
-
-
-def q_stream_link_length(spark, sf_dir):
-    """StreamLinkLength: per-link out-edge length sum painted on cells."""
-    from whitebox_tools_spark.operators.streams import stream_link_length
-
-    return stream_link_length(_valley_dem(spark, sf_dir), STREAM_GRID, threshold=4.0)
-
-
-def q_stream_link_slope(spark, sf_dir):
-    """StreamLinkSlope: 100*(zmax-zmin)/length per link."""
-    from whitebox_tools_spark.operators.streams import stream_link_slope
-
-    return stream_link_slope(_valley_dem(spark, sf_dir), STREAM_GRID, threshold=4.0)
-
-
-def q_remove_short_streams(spark, sf_dir):
-    """RemoveShortStreams: prune tributaries with total length <= 25 map
-    units (5 cells at res 5.0)."""
-    from whitebox_tools_spark.operators.streams import remove_short_streams
-
-    return remove_short_streams(
-        _valley_dem(spark, sf_dir), STREAM_GRID, threshold=4.0, min_length=25.0
-    )
-
-
-def q_distance_to_outlet(spark, sf_dir):
-    """DistanceToOutlet: along-stream distance to the outlet cell."""
-    from whitebox_tools_spark.operators.streams import distance_to_outlet
-
-    return distance_to_outlet(_valley_dem(spark, sf_dir), STREAM_GRID, threshold=4.0)
-
-
-def q_long_profile(spark, sf_dir):
-    """LongProfile (stream_network_analysis/long_profile.rs): the plotted
-    (distance-to-outlet, elevation) pairs per stream cell."""
-    from whitebox_tools_spark.operators.streams import distance_to_outlet
-
-    d = distance_to_outlet(_valley_dem(spark, sf_dir), STREAM_GRID, threshold=4.0)
-    dem = _valley_dem(spark, sf_dir).select("row", "col", F.col("value").alias("z"))
-    return d.withColumnRenamed("value", "dist").join(dem, ["row", "col"]).select(
-        "row", "col", F.round("dist", 6).alias("dist"), F.round("z", 6).alias("z")
-    )
-
-
-def q_elev_rel_watershed(spark, sf_dir):
-    """ElevRelativeToWatershedMinMax (terrain_analysis/
-    elev_relative_to_watershed_min_max.rs:300-316)."""
-    from whitebox_tools_spark.operators.hydro import elev_relative_to_watershed_min_max
-
-    return _r6(
-        elev_relative_to_watershed_min_max(_noise_raster(spark, sf_dir), EXTRACT_GRID),
-        ["value"],
-    )
-
-
-def q_stream_link(spark, sf_dir):
-    """StreamLinkIdentifier (links renumbered by terminal scan order)."""
-    from whitebox_tools_spark.operators.streams import stream_link_identifier
-
-    return stream_link_identifier(_valley_dem(spark, sf_dir), STREAM_GRID, threshold=4.0)
-
-
-def q_watershed(spark, sf_dir):
-    """Watershed (hydro_analysis/watershed.rs): first-pour-point labels."""
-    from whitebox_tools_spark.operators.streams import watershed
-
-    pour = spark.createDataFrame(_POUR, "row long, col long, pour_id long")
-    return watershed(_valley_dem(spark, sf_dir), STREAM_GRID, pour)
-
-
-def q_flowpath_length(spark, sf_dir):
-    """DownslopeFlowpathLength (hydro_analysis/downslope_flowpath_length.rs)."""
-    from whitebox_tools_spark.operators.streams import downslope_flowpath_length
-
-    return _r6(downslope_flowpath_length(_valley_dem(spark, sf_dir), STREAM_GRID), ["value"])
-
-
-def q_num_inflowing(spark, sf_dir):
-    """NumInflowingNeighbours (hydro_analysis/num_inflowing_neighbours.rs)."""
-    from whitebox_tools_spark.operators.streams import num_inflowing_neighbours
-
-    return num_inflowing_neighbours(_valley_dem(spark, sf_dir), STREAM_GRID)
-
-
-def q_d8_pointer(spark, sf_dir):
-    """D8Pointer (hydro_analysis/d8_pointer.rs:268-296): steepest-descent
-    pointer grid, 2^dir encoding, 0 at pits/flats."""
-    from whitebox_tools_spark.operators.hydro import d8_pointer
-
-    return d8_pointer(_noise_raster(spark, sf_dir), EXTRACT_GRID)
-
-
-def q_d8_flow_accum(spark, sf_dir):
-    """D8FlowAccumulation (hydro_analysis/d8_flow_accum.rs:525-570) in
-    cell-count units via the hierarchical tile stitch (flow_stitch.solve_fa:
-    O(log n) supersteps; bit-matches the superstep peel — pytest-pinned).
-    block=16 so the multi-tile stitch path is what the oracle certifies."""
-    from whitebox_tools_spark.operators.flow_stitch import d8_flow_accumulation_tiled
-
-    return d8_flow_accumulation_tiled(
-        _noise_raster(spark, sf_dir), EXTRACT_GRID, block=16
-    )
-
-
-def q_fd8_flow_accum(spark, sf_dir):
-    """FD8FlowAccumulation (hydro_analysis/fd8_flow_accum.rs:400-470):
-    slope^1.1-proportioned multi-directional flow via the weighted-semiring
-    tile stitch (flow_stitch.solve_wfa, O(log n) supersteps; block=16 +
-    tiny direct_threshold so the multi-level stitch path is what runs).
-    Value-checked against serial_oracles.fd8_serial as a literal VALUES
-    oracle over the fixed noise fixture (delta 7.1e-15 vs 4.5e-9 margin at
-    6 dp); also pinned vs the reference's stack algorithm in numpy
-    (tests/test_hydro_random.py) and stitch-vs-serial in
-    tests/test_flow_stitch.py."""
-    from whitebox_tools_spark.operators.flow_stitch import fd8_flow_accumulation_tiled
-
-    return _r6(
-        fd8_flow_accumulation_tiled(
-            _fixed_noise(spark), EXTRACT_GRID, block=16,
-            direct_threshold=64,
-        ),
-        ["value"],
-    )
-
-
-def q_dinf_flow_accum(spark, sf_dir):
-    """DInfFlowAccumulation (hydro_analysis/dinf_flow_accum.rs:532-646,
-    Tarboton 1997 two-neighbor split) via the weighted-semiring tile
-    stitch (flow_stitch.solve_wfa, O(log n) supersteps; block=16 + tiny
-    direct_threshold certifies the multi-level path). Value-checked
-    against serial_oracles.dinf_serial — an independent pure-python
-    transcription of the 8-facet pointer + sector split — as a literal
-    VALUES oracle over the fixed noise fixture (engine bit-identical to
-    the serial sweep on it); numpy pin in tests/test_hydro_random.py and
-    stitch-vs-peel in tests/test_flow_stitch.py."""
-    from whitebox_tools_spark.operators.flow_stitch import (
-        dinf_flow_accumulation_tiled,
-    )
-
-    return _r6(
-        dinf_flow_accumulation_tiled(
-            _fixed_noise(spark), EXTRACT_GRID, block=16,
-            direct_threshold=64,
-        ),
-        ["value"],
-    )
-
-
-def q_dinf_pointer(spark, sf_dir):
-    """DInfPointer (hydro_analysis/dinf_pointer.rs:225-320, Tarboton 1997):
-    8-facet closed form; the facet formulas are one SQL text parsed by
-    both Spark and DuckDB, so the oracle is the same arithmetic."""
-    from whitebox_tools_spark.operators.hydro import dinf_pointer
-
-    return _r6(dinf_pointer(_noise_raster(spark, sf_dir), EXTRACT_GRID), ["value"])
-
-
-def q_basins(spark, sf_dir):
-    """Basins (hydro_analysis/basins.rs): terminal-cell drainage labeling
-    via successor pointer doubling; oracle = recursive pointer walk."""
-    from whitebox_tools_spark.operators.hydro import basins
-
-    return basins(_noise_raster(spark, sf_dir), EXTRACT_GRID)
-
-
-def q_cost_allocation(spark, sf_dir):
-    """CostAllocation (gis_analysis/cost_allocation.rs) — hierarchical
-    boundary-graph Dijkstra with the (dist, source_id) lexicographic
-    semiring (flow_stitch.shortest_path_hier; block=8/threshold=150 force
-    real contraction levels here). Rows-only; pinned vs the Bellman-Ford
-    supersteps AND a multi-source Dijkstra in pytest."""
-    from whitebox_tools_spark.operators.hydro import cost_allocation_tiled
-
-    cost = spark.range(400).select(
-        (F.col("id") / 20).cast("long").alias("row"),
-        (F.col("id") % 20).alias("col"),
-        (((F.col("id") * 48271 + 7) % 1000).cast("double") / 100.0 + 1.0).alias("value"),
-    )
-    sources = spark.createDataFrame(
-        [(0, 0, 1), (19, 19, 2)], "row long, col long, source_id long"
-    )
-    return cost_allocation_tiled(
-        cost, sources,
-        GridSpec(west=0.0, north=100.0, res_x=5.0, res_y=5.0, rows=20, cols=20),
-        block=8, direct_threshold=150,
-    )
-
-
-def q_cost_distance(spark, sf_dir):
-    """CostDistance (gis_analysis/cost_distance.rs:332-340) — hierarchical
-    boundary-graph Dijkstra (flow_stitch.shortest_path_hier: per-block
-    terminal-clique contraction + 8x recursion, O(log n) rounds; replaces
-    the O(least-cost-path-hops) Bellman-Ford supersteps flagged at 100-TB
-    scale). Rows-only; pinned vs the supersteps AND python Dijkstra in
-    pytest. block=8/threshold=200 force real contraction levels here."""
-    from whitebox_tools_spark.operators.hydro import cost_distance_tiled
-
-    cost = spark.range(400).select(
-        (F.col("id") / 20).cast("long").alias("row"),
-        (F.col("id") % 20).alias("col"),
-        (((F.col("id") * 48271 + 7) % 1000).cast("double") / 100.0 + 1.0).alias("value"),
-    )
-    sources = spark.createDataFrame([(0, 0), (19, 19)], "row long, col long")
-    out = cost_distance_tiled(
-        cost, sources,
-        GridSpec(west=0.0, north=100.0, res_x=5.0, res_y=5.0, rows=20, cols=20),
-        block=8, direct_threshold=200,
-    )
-    return _r6(out, ["value"])
-
-
-_TRACE_SEEDS = [(2, 3), (5, 18), (14, 9)]
-
-
-_JENSON_POUR = [(1, 3, 6), (2, 10, 14), (3, 17, 4)]
-
-
-def q_stream_link_class(spark, sf_dir):
-    """StreamLinkClass (stream_network_analysis/stream_link_class.rs:
-    289-402)."""
-    from whitebox_tools_spark.operators.streams import stream_link_class
-
-    return stream_link_class(_valley_dem(spark, sf_dir), STREAM_GRID, threshold=4.0)
-
-
-def q_rasterize_streams(spark, sf_dir):
-    """RasterizeStreams (stream_network_analysis/rasterize_streams.rs):
-    the vectorized stream links scan-converted back onto the grid (FID =
-    link_id + 1, later links win)."""
-    from whitebox_tools_spark.operators.raster_vector import vector_lines_to_raster
-    from whitebox_tools_spark.operators.streams import raster_streams_to_vector
-
-    v = raster_streams_to_vector(_valley_dem(spark, sf_dir), STREAM_GRID, threshold=4.0)
-    lines = (
-        v.groupBy("link_id")
-        .agg(F.sort_array(F.collect_list(F.struct("seq", "x", "y"))).alias("vs"))
-        .filter(F.size("vs") >= 2)  # single-vertex links have no segment
-        .select(
-            F.col("link_id").alias("line_id"),
-            F.transform("vs", lambda s: s.getField("x")).alias("xs"),
-            F.transform("vs", lambda s: s.getField("y")).alias("ys"),
-        )
-        .localCheckpoint()
-    )
-    return vector_lines_to_raster(lines, STREAM_GRID, line_id="line_id")
-
-
-def q_jenson_snap_pour(spark, sf_dir):
-    """JensonSnapPourPoints (hydro_analysis/jenson_snap_pour_points.rs):
-    snap to the nearest stream cell within 3 cells."""
-    from whitebox_tools_spark.operators.streams import jenson_snap_pour_points
-
-    pour = spark.createDataFrame(
-        [(r, c, pid) for pid, r, c in _JENSON_POUR], "row long, col long, pour_id long"
-    )
-    return jenson_snap_pour_points(
-        _valley_dem(spark, sf_dir), STREAM_GRID, pour, threshold=4.0
-    )
-
-
-def q_elev_above_stream_euclidean(spark, sf_dir):
-    """ElevationAboveStreamEuclidean (hydro_analysis/
-    elevation_above_stream_euclidean.rs)."""
-    from whitebox_tools_spark.grid import CellIndex
-    from whitebox_tools_spark.operators.streams import elevation_above_stream_euclidean
-
-    idx = CellIndex(0.0, 0.0, 130.0, 3)
-    return _r6(
-        elevation_above_stream_euclidean(
-            _valley_dem(spark, sf_dir), STREAM_GRID, idx, threshold=4.0
-        ),
-        ["value"],
-    )
-
-
-def q_trace_flowpaths(spark, sf_dir):
-    """TraceDownslopeFlowpaths (hydro_analysis/
-    trace_downslope_flowpaths.rs:365-390): three seeds on the valley DEM."""
-    from whitebox_tools_spark.operators.hydro import trace_downslope_flowpaths
-
-    seeds = spark.createDataFrame(_TRACE_SEEDS, "row long, col long")
-    return trace_downslope_flowpaths(_valley_dem(spark, sf_dir), STREAM_GRID, seeds)
-
-
-def q_avg_upslope_flowpath(spark, sf_dir):
-    """AverageUpslopeFlowpathLength (hydro_analysis/
-    average_upslope_flowpath_length.rs:349-391)."""
-    from whitebox_tools_spark.operators.hydro import average_upslope_flowpath_length
-
-    return _r6(
-        average_upslope_flowpath_length(_valley_dem(spark, sf_dir), STREAM_GRID),
-        ["value"],
-    )
-
-
-def q_fill_pits(spark, sf_dir):
-    """FillPits (hydro_analysis/fill_pits.rs:208-230)."""
-    from whitebox_tools_spark.operators.hydro import fill_pits
-
-    return fill_pits(_noise_raster(spark, sf_dir))
-
-
-def q_find_noflow(spark, sf_dir):
-    """FindNoFlowCells (hydro_analysis/find_noflow_cells.rs:205-224)."""
-    from whitebox_tools_spark.operators.hydro import find_noflow_cells
-
-    return find_noflow_cells(_noise_raster(spark, sf_dir))
-
-
-def q_flow_length_diff(spark, sf_dir):
-    """FlowLengthDiff (hydro_analysis/flow_length_diff.rs:325-346)."""
-    from whitebox_tools_spark.operators.hydro import flow_length_diff
-
-    return _r6(flow_length_diff(_valley_dem(spark, sf_dir), STREAM_GRID), ["value"])
-
-
-def q_points_to_raster(spark, sf_dir):
-    """VectorPointsToRaster (data_tools/vector_points_to_raster.rs),
-    assign=mean over the customer account-balance points."""
-    from whitebox_tools_spark.operators.raster_vector import points_to_raster
-
-    return _r6(
-        points_to_raster(
-            _cust_points(spark, sf_dir), NN_GRID, field="z", assign="mean"
-        ),
-        ["value"],
-    )
-
-
-def q_fill_depressions(spark, sf_dir):
-    """FillDepressions (hydro_analysis/fill_depressions.rs) via Barnes'
-    parallel priority-flood tile stitch (flow_stitch: O(1) tile passes +
-    spill-graph minimax instead of O(drainage path) fixpoint rounds;
-    bit-matches hydro.fill_depressions — pytest-pinned); oracle =
-    recursive-CTE minimax path cost to the outlets. block=16 so the
-    multi-tile stitch path is what the oracle certifies."""
-    from whitebox_tools_spark.operators.flow_stitch import fill_depressions_tiled
-
-    return fill_depressions_tiled(_noise_raster(spark, sf_dir), block=16)
-
-
-def q_fill_wang_liu(spark, sf_dir):
-    """FillDepressionsWangAndLiu (hydro_analysis/
-    fill_depressions_wang_and_liu.rs, Wang & Liu 2006): the least-cost
-    (minimax) flat fill — the FUNCTION it computes is identical to
-    FillDepressions' filled surface (the papers differ in MECHANICS:
-    two-way scan vs priority flood); this engine routes both through the
-    tiled stitch, checked against the same recursive-CTE minimax oracle.
-    Exercised on the dense 20-col DEM so the two fill queries cover
-    different fixtures."""
-    from whitebox_tools_spark.operators.flow_stitch import fill_depressions_tiled
-
-    return fill_depressions_tiled(_dense20_dem(spark, sf_dir), block=16)
-
-
-def q_fill_planchon_darboux(spark, sf_dir):
-    """FillDepressionsPlanchonAndDarboux (hydro_analysis/
-    fill_depressions_planchon_and_darboux.rs, Planchon & Darboux 2001):
-    same flat-fill function (iterative lowering mechanics in the
-    reference); routed through the stitch, valley-DEM fixture."""
-    from whitebox_tools_spark.operators.flow_stitch import fill_depressions_tiled
-
-    return fill_depressions_tiled(_valley_dem(spark, sf_dir), block=16)
-
-
-def q_flow_accumulation_full_workflow(spark, sf_dir):
-    """FlowAccumulationFullWorkflow (hydro_analysis/
-    flow_accum_full_workflow.rs): fill -> D8 pointer -> D8 accumulation as
-    one composite; returns the accumulation raster (the reference's main
-    output). Oracle = recursive walk-count over the pointer of the filled
-    surface."""
-    from whitebox_tools_spark.operators.flow_stitch import (
-        d8_flow_accumulation_tiled,
-        fill_depressions_tiled,
-    )
-
-    filled = fill_depressions_tiled(_dense20_dem(spark, sf_dir), block=16)
-    return d8_flow_accumulation_tiled(filled, EXTRACT_GRID, block=16)
-
-
-def _heat_map_sql() -> str:
-    from whitebox_tools_spark.operators.plugins import heat_map_oracle_sql
-
-    x, y = synth.point_sql("c_custkey")
-    pts = f"SELECT {x} AS x, {y} AS y FROM customer"
-    inner = heat_map_oracle_sql(pts, NN_GRID, radius=60.0)
-    return f"SELECT row, col, round(value, 6) AS value FROM ({inner}) t"
-
-
-def _otsu_sql() -> str:
-    from whitebox_tools_spark.operators.plugins import otsu_oracle_sql
-
-    return otsu_oracle_sql(_PART_RASTER_SQL)
-
-
-def _itd_sql() -> str:
-    from whitebox_tools_spark.operators.plugins import (
-        individual_tree_detection_oracle_sql,
-    )
-
-    inner = individual_tree_detection_oracle_sql(
-        _order_cloud_cte(), min_height=5.0, radius=40.0
-    )
-    return (
-        "SELECT point_id, round(x, 6) AS x, round(y, 6) AS y, round(z, 6) AS z "
-        f"FROM ({inner}) t"
-    )
-
-
-def _muv_sql() -> str:
-    from whitebox_tools_spark.operators.plugins import max_upslope_value_oracle_sql
-
-    vals = (
-        f"SELECT row, col, CAST((row * 13 + col * 7) % 101 AS DOUBLE) AS value "
-        f"FROM ({_NOISE_RASTER_SQL}) t WHERE value IS NOT NULL"
-    )
-    inner = max_upslope_value_oracle_sql(_NOISE_RASTER_SQL, vals, EXTRACT_GRID)
-    return f"SELECT row, col, round(value, 6) AS value FROM ({inner}) t"
-
-
-def _edge_contam_sql() -> str:
-    from whitebox_tools_spark.operators.plugins import edge_contamination_oracle_sql
-
-    inner = edge_contamination_oracle_sql(_NOISE_RASTER_SQL, EXTRACT_GRID)
-    return f"SELECT row, col, round(value, 6) AS value FROM ({inner}) t"
-
-
-def _find_parallel_sql() -> str:
-    from whitebox_tools_spark.operators.hydro import (
-        d8_pointer_oracle_sql,
-        find_parallel_flow_oracle_sql,
-    )
-    from whitebox_tools_spark.operators.streams import extract_streams_oracle_sql
-
-    ptr = d8_pointer_oracle_sql(_VALLEY_DEM_SQL, STREAM_GRID)
-    streams = extract_streams_oracle_sql(_VALLEY_DEM_SQL, STREAM_GRID, threshold=4.0)
-    return find_parallel_flow_oracle_sql(ptr, streams)
-
-
-def q_breach_depressions(spark, sf_dir):
-    """BreachDepressions (hydro_analysis/breach_depressions.rs, Lindsay 2016
-    unconstrained hybrid breach): carve trenches so every cell drains.
-    Deterministic (W, plateau-hops, lex) flood forest + canonical min-plus
-    carve via the flow_stitch hierarchy (block=16 exercises the multi-tile
-    stitch); oracle = recursive-CTE mirror of the same contract."""
-    from whitebox_tools_spark.operators.breach import breach_depressions
-
-    return _r6(
-        breach_depressions(_noise_raster(spark, sf_dir), EXTRACT_GRID, block=16),
-        ["value"],
-    )
-
-
-def _breach_oracle() -> str:
-    from whitebox_tools_spark.operators.breach import breach_oracle_sql
-
-    return breach_oracle_sql(_NOISE_RASTER_SQL, EXTRACT_GRID)
-
-
-def _dense20_dem(spark, sf_dir):
-    """Dense 20 x N/20 hash-noise DEM (the 200-wide strip is 1 col wide at
-    sf0.001 -> no interior cells; this one has real depressions/flats)."""
-    p = _t(spark, sf_dir, "part")
-    return p.select(
-        (F.col("p_partkey") % 20).alias("row"),
-        F.floor(F.col("p_partkey") / F.lit(20.0)).cast("long").alias("col"),
-        (((F.col("p_partkey") * 48271) % 100000).cast("double") / 100.0).alias("value"),
-    )
-
-
-_DENSE20_SQL = (
-    "SELECT p_partkey % 20 AS row, "
-    "CAST(floor(p_partkey / 20.0) AS BIGINT) AS col, "
-    "CAST((p_partkey * 48271) % 100000 AS DOUBLE) / 100.0 AS value FROM part"
-)
-
-
-# --- SF-independent fixtures for the literal serial-transcription oracles ---
-# (serial_oracles.py computes the SAME grids term-for-term in pure python, so
-# the driver can value-check order-dependent solvers at ANY scale factor; the
-# hachures/embankment queries pioneered this pattern.)
-
-
-def _fixed_dense20(spark) -> DataFrame:
-    """Fixed dense 20x100 hash-noise DEM (ids 1..2000) == serial_oracles.
-    dense20_vals(); integer-derived, bit-identical in python and Spark."""
-    return spark.range(1, 2001).select(
-        (F.col("id") % 20).alias("row"),
-        F.floor(F.col("id") / F.lit(20.0)).cast("long").alias("col"),
-        (((F.col("id") * 48271) % 100000).cast("double") / 100.0).alias("value"),
-    )
-
-
-def _fixed_noise(spark) -> DataFrame:
-    """Fixed 200-row hash-noise DEM (ids 1..2000) == serial_oracles.
-    noise_vals()."""
-    return spark.range(1, 2001).select(
-        (F.col("id") % 200).alias("row"),
-        (F.floor(F.col("id") / F.lit(200.0)).cast("long") % 200).alias("col"),
-        (((F.col("id") * 48271) % 100000).cast("double") / 100.0).alias("value"),
-    )
-
-
-def _fixed_valley(spark) -> DataFrame:
-    """Fixed 20x25 fishbone-valley DEM (ids 1..500) == serial_oracles.
-    valley_vals(); same formula as _valley_dem but SF-independent."""
-    pk = F.col("id") - 1
-    row = pk % 20
-    col = F.floor(pk / F.lit(20)).cast("long")
-    base = (
-        F.abs(row - 10).cast("double") * 50.0
-        + (25 - col).cast("double") * 2.0
-        + ((F.col("id") * 31) % 7).cast("double") * 0.1
-    )
-    trib = F.when((col % 4 == 1) & (row != 10), F.lit(-45.0)).otherwise(F.lit(0.0))
-    return spark.range(1, 501).select(
-        row.alias("row"), col.alias("col"), (base + trib).alias("value")
-    )
-
-
-def _so():
-    """Lazy import of the independent serial-transcription oracles."""
-    from whitebox_tools_spark import serial_oracles
-
-    return serial_oracles
-
-
-def _serial_values_sql(cells: dict, *, decimals: int | None) -> str:
-    """Literal VALUES oracle from a serial_oracles result dict
-    {(row, col): value}. decimals=None emits exact doubles (integer-valued
-    ids/counts); otherwise DuckDB rounds the full-precision serial value,
-    mirroring the engine query's _r6 (+ 0.0 normalizes signed zero). The
-    rounding-boundary margin vs the engine-serial float delta is pinned by
-    scripts/calibrate_serial_oracles.py + tests/test_serial_oracles.py."""
-    rows = ", ".join(
-        f"({r}, {c}, {v!r})" for (r, c), v in sorted(cells.items())
-    )
-    val = (
-        f"round(CAST(v AS DOUBLE), {decimals}) + 0.0"
-        if decimals is not None
-        else "CAST(v AS DOUBLE)"
-    )
-    return (
-        f"SELECT CAST(r AS BIGINT) AS row, CAST(c AS BIGINT) AS col, "
-        f"{val} AS value FROM (VALUES {rows}) AS t(r, c, v)"
-    )
-
-
-def q_upslope_depression_storage(spark, sf_dir):
-    """UpslopeDepressionStorage (hydro_analysis/
-    upslope_depression_storage.rs): FD8-accumulated depression depth /
-    upslope count over the deterministic epsilon-filled surface
-    (W + small_num * plateau-hops). Value-checked against serial_oracles.
-    upslope_depression_storage_serial as a literal VALUES oracle over the
-    fixed dense20 fixture (engine-serial delta 1.4e-14 vs 2.4e-9 rounding
-    margin at 6 dp — calibrate_serial_oracles.py); also pinned in
-    tests/test_hydro_random.py."""
-    from whitebox_tools_spark.operators.hydro import upslope_depression_storage
-
-    return _r6(
-        upslope_depression_storage(
-            _fixed_dense20(spark), EXTRACT_GRID,
-            flat_increment=0.001, block=16,
-        ),
-        ["value"],
-    )
-
-
-_DAM_POINTS = [(7, 13), (12, 40), (3, 77)]
-
-
-def q_impoundment_size_index(spark, sf_dir):
-    """ImpoundmentSizeIndex (hydro_analysis/impoundment_index.rs, Lindsay
-    2015): window-split dam crest + deterministic flow forest +
-    upstream-below-crest aggregate (cutoff filter proven redundant —
-    impoundment.py docstring). Full SQL oracle via the shared fill/ptr
-    CTEs + recursive walk closure."""
-    from whitebox_tools_spark.operators.impoundment import impoundment_size_index
-
-    out = impoundment_size_index(
-        _dense20_dem(spark, sf_dir), EXTRACT_GRID, dam_length=5.0, block=16
-    )
-    return _r6(out, ["dam_height", "area", "volume", "max_depth"])
-
-
-def q_insert_dams(spark, sf_dir):
-    """InsertDams (hydro_analysis/insert_dams.rs): raise the DEM along the
-    highest-crest profile through each dam point (first-direction tie
-    rule)."""
-    from whitebox_tools_spark.operators.impoundment import insert_dams
-
-    dams = spark.createDataFrame(_DAM_POINTS, "row long, col long")
-    return _r6(
-        insert_dams(_dense20_dem(spark, sf_dir), dams, dam_length=5.0), ["value"]
-    )
-
-
-def _insert_dams_sql() -> str:
-    import math as _m
-
-    h = 2
-    offs = []
-    from whitebox_tools_spark.operators.impoundment import _DIRS
-
-    for di, (_name, _key, (dr, dc)) in enumerate(_DIRS):
-        for k in range(-2 * h, 2 * h + 1):
-            offs.append(f"({di}, {k}, {k * dr}, {k * dc})")
-    steps = ", ".join(
-        f"({di}, {dr}, {dc})" for di, (_n, _k, (dr, dc)) in enumerate(_DIRS)
-    )
-    dams = ", ".join(f"({r}, {c})" for r, c in _DAM_POINTS)
-    splits = ", ".join(f"({s})" for s in range(0, 2 * h + 1))
-    series = ", ".join(f"({k})" for k in range(-h, h + 1))
-    return f"""
-WITH cells AS MATERIALIZED (
-  SELECT row, col, value FROM ({_DENSE20_SQL}) WHERE value IS NOT NULL
-),
-offs(dir, k, dr, dc) AS (VALUES {", ".join(offs)}),
-splits(s) AS (VALUES {splits}),
-mem AS (
-  SELECT c.row, c.col, o.dir, o.k, coalesce(b.value, -1e308) AS nz
-  FROM cells c CROSS JOIN offs o
-  LEFT JOIN cells b ON b.row = c.row + o.dr AND b.col = c.col + o.dc
-),
-arm AS (
-  SELECT m.row, m.col, m.dir, s.s,
-         max(CASE WHEN m.k BETWEEN -s.s AND 0 THEN m.nz END) AS l,
-         max(CASE WHEN m.k BETWEEN 0 AND {2 * h} - s.s THEN m.nz END) AS r
-  FROM mem m CROSS JOIN splits s
-  GROUP BY m.row, m.col, m.dir, s.s
-),
-crest_dir AS (SELECT row, col, dir, max(least(l, r)) AS cd FROM arm GROUP BY 1, 2, 3),
-crest AS (SELECT row, col, max(cd) AS crest FROM crest_dir GROUP BY 1, 2),
-dams(row, col) AS (VALUES {dams}),
-dpick AS (
-  SELECT d.row, d.col, c.crest,
-         (SELECT min(cd2.dir) FROM crest_dir cd2
-          WHERE cd2.row = d.row AND cd2.col = d.col AND cd2.cd = c.crest) AS dir
-  FROM dams d JOIN crest c ON c.row = d.row AND c.col = d.col
-),
-st(dir, sr, sc) AS (VALUES {steps}),
-ks(k) AS (VALUES {series}),
-lift0 AS (
-  SELECT p.row + ks.k * st.sr AS row, p.col + ks.k * st.sc AS col, p.crest
-  FROM dpick p JOIN st ON st.dir = p.dir CROSS JOIN ks
-),
-lift AS (SELECT row, col, max(crest) AS lift FROM lift0 GROUP BY 1, 2)
-SELECT c.row, c.col, round(greatest(c.value, coalesce(l.lift, c.value)), 6) AS value
-FROM cells c LEFT JOIN lift l ON l.row = c.row AND l.col = c.col
-"""
-
-
-def q_mdinf_flow_accumulation(spark, sf_dir):
-    """MDInfFlowAccumulation (hydro_analysis/mdinf_flow_accum.rs, Seibert
-    & McGlynn 2007): facet-split multi-direction accumulation via
-    mdinf_edges + the weighted-semiring tile stitch. Value-checked against
-    serial_oracles.mdinf_serial as a literal VALUES oracle over the fixed
-    noise fixture (delta 1.4e-14 vs 1.1e-10 margin at 6 dp); also pinned
-    in tests/test_hydro_random.py."""
-    from whitebox_tools_spark.operators.hydro import mdinf_flow_accumulation
-
-    return _r6(
-        mdinf_flow_accumulation(_fixed_noise(spark), EXTRACT_GRID, block=16),
-        ["value"],
-    )
-
-
-def q_rho8_flow_accumulation(spark, sf_dir):
-    """Rho8FlowAccumulation plugin: accumulation over the deterministic
-    seeded rho8 pointer via the O(log n) tile stitch; oracle = recursive
-    path-walk count over the SAME pointer oracle SQL."""
-    from whitebox_tools_spark.operators.hydro import rho8_flow_accumulation
-
-    return rho8_flow_accumulation(_noise_raster(spark, sf_dir), EXTRACT_GRID,
-                                  seed=7, block=64)
-
-
-def _rho8_fa_sql() -> str:
-    ptr_sql = _hyd.rho8_pointer_oracle_sql(_NOISE_RASTER_SQL, EXTRACT_GRID, seed=7)
-    dirs = [(1, 1, -1), (2, 1, 0), (4, 1, 1), (8, 0, 1), (16, -1, 1),
-            (32, -1, 0), (64, -1, -1), (128, 0, -1)]
-    tr = "CASE pointer " + " ".join(
-        f"WHEN {v} THEN row + ({dy})" for v, _dx, dy in dirs
-    ) + " END"
-    tc = "CASE pointer " + " ".join(
-        f"WHEN {v} THEN col + ({dx})" for v, dx, _dy in dirs
-    ) + " END"
-    return f"""
-WITH RECURSIVE p0 AS MATERIALIZED ({ptr_sql}),
-ptr AS (SELECT row, col, {tr} AS trow, {tc} AS tcol FROM p0 WHERE pointer <> 0),
-walk(urow, ucol, row, col) AS (
-  SELECT row, col, row, col FROM p0
-  UNION
-  SELECT w.urow, w.ucol, p.trow, p.tcol
-  FROM walk w JOIN ptr p ON p.row = w.row AND p.col = w.col
-)
-SELECT row, col, CAST(count(*) AS DOUBLE) AS value FROM walk GROUP BY row, col
-"""
-
-
-def q_quinn_flow_accumulation(spark, sf_dir):
-    """QuinnFlowAccumulation plugin (Quinn et al. 1995): contour-length x
-    slope MFD weights via the weighted-semiring stitch. Value-checked vs
-    serial_oracles.quinn_qin_serial as a literal VALUES oracle over the
-    fixed noise fixture (delta 3.6e-15 vs 2.7e-9 margin at 6 dp)."""
-    from whitebox_tools_spark.operators.hydro import quinn_flow_accumulation
-
-    return _r6(
-        quinn_flow_accumulation(_fixed_noise(spark), EXTRACT_GRID, block=16),
-        ["value"],
-    )
-
-
-def q_qin_flow_accumulation(spark, sf_dir):
-    """QinFlowAccumulation plugin (Qin et al. 2007): per-cell adaptive
-    exponent MFD weights via the stitch. Value-checked vs serial_oracles.
-    quinn_qin_serial('qin') as a literal VALUES oracle over the fixed
-    noise fixture (delta 3.6e-15 vs 6.9e-10 margin at 6 dp)."""
-    from whitebox_tools_spark.operators.hydro import qin_flow_accumulation
-
-    return _r6(
-        qin_flow_accumulation(_fixed_noise(spark), EXTRACT_GRID, block=16),
-        ["value"],
-    )
-
-
-def q_cost_pathway(spark, sf_dir):
-    """CostPathway (gis_analysis/cost_pathway.rs): least-cost paths from 3
-    destinations back to the sources over the 20x20 cost surface.
-    Value-checked against serial_oracles.cost_pathway_serial (independent
-    Dijkstra + backtrace with the engine's documented min-(row,col) tie
-    rule) as a literal VALUES oracle."""
-    from whitebox_tools_spark.operators.hydro import cost_pathway
-
-    cost = spark.range(400).select(
-        (F.col("id") / 20).cast("long").alias("row"),
-        (F.col("id") % 20).alias("col"),
-        (((F.col("id") * 48271 + 7) % 1000).cast("double") / 100.0 + 1.0).alias("value"),
-    )
-    sources = spark.createDataFrame([(0, 0), (19, 19)], "row long, col long")
-    dests = spark.createDataFrame([(19, 0), (0, 19), (10, 10)], "row long, col long")
-    out = cost_pathway(
-        cost, sources, dests,
-        GridSpec(west=0.0, north=100.0, res_x=5.0, res_y=5.0, rows=20, cols=20),
-        block=8, direct_threshold=200,
-    )
-    return _r6(out, ["acc"])
-
-
-def _cost_pathway_values_sql() -> str:
-    """Literal VALUES oracle for cost_pathway: (dest_id, row, col, acc)
-    rows from the independent serial Dijkstra + backtrace, acc rounded to
-    6 dp (+ 0.0 signed-zero normalize) to absorb the hierarchical solver's
-    re-association delta."""
-    rows = _so().cost_pathway_serial(
-        _so().cost20_vals(), 5.0, 5.0, [(0, 0), (19, 19)], [(19, 0), (0, 19), (10, 10)]
-    )
-    vals = ", ".join(f"({d}, {r}, {c}, {a!r})" for d, r, c, a in rows)
-    return (
-        "SELECT CAST(d AS BIGINT) AS dest_id, CAST(r AS BIGINT) AS row, "
-        "CAST(c AS BIGINT) AS col, round(CAST(a AS DOUBLE), 6) + 0.0 AS acc "
-        f"FROM (VALUES {vals}) AS t(d, r, c, a)"
-    )
-
-
-def q_fill_burn(spark, sf_dir):
-    """FillBurn (hydro_analysis/fill_burn.rs, Saunders 1999): burn the
-    extracted valley streams 10,000 down, deterministic epsilon fill
-    (W + s*plateau-hops), raise streams by min(dem - filled) - 1; oracle
-    reuses the shared fill/plateau CTEs over the burned surface."""
-    from whitebox_tools_spark.operators.hydro import fill_burn
-
-    # analytic stream mask (the valley's main stem + every 4th-column
-    # tributary below it) — keeps the oracle's recursive fill CTEs from
-    # nesting a second recursive stream-extraction query
-    dem = _valley_dem(spark, sf_dir)
-    streams = dem.filter(
-        (F.col("row") == 10) | ((F.col("col") % 4 == 0) & (F.col("row") < 10))
-    ).select("row", "col")
-    return _r6(fill_burn(dem, streams, block=16), ["value"])
-
-
-def _fill_burn_sql() -> str:
-    from whitebox_tools_spark.operators.hydro import fill_burn_oracle_sql
-
-    streams = (
-        f"SELECT row, col FROM ({_VALLEY_DEM_SQL}) "
-        "WHERE row = 10 OR (col % 4 = 0 AND row < 10)"
-    )
-    return fill_burn_oracle_sql(_VALLEY_DEM_SQL, streams)
-
-
-def q_flood_order(spark, sf_dir):
-    """FloodOrder (hydro_analysis/flood_order.rs, Wang-Liu 2006): the
-    priority-flood pop rank == rank by (filled elevation, row, col) —
-    proven monotone, so one tiled fill + one sort replaces the serial
-    flood; oracle = rank over the recursive-CTE fill."""
-    from whitebox_tools_spark.operators.hydro import flood_order
-
-    return flood_order(_noise_raster(spark, sf_dir), block=64)
-
-
-def q_breach_least_cost(spark, sf_dir):
-    """BreachDepressionsLeastCost (hydro_analysis/
-    breach_depressions_least_cost.rs:235+, Lindsay & Dhun 2015): raise pits
-    to min(nb)-s, per-pit bounded least-cost search, carve the cheapest
-    channel (fill=False: the carve stage alone — the optional fill pass is
-    certified by the green fill_depressions_* queries). Value-checked
-    against serial_oracles.breach_least_cost_serial as a literal VALUES
-    oracle over the fixed dense20 fixture (bit-exact engine-serial match;
-    also pinned in tests/test_breach_least_cost.py, tile=16 exercises
-    multi-tile halos)."""
-    from whitebox_tools_spark.operators.breach import breach_depressions_least_cost
-
-    return _r6(
-        breach_depressions_least_cost(
-            _fixed_dense20(spark), EXTRACT_GRID,
-            dist=5, max_cost=50.0, flat_increment=0.001, tile=16, fill=False,
-        ),
-        ["value"],
-    )
-
-
-_PROFILE_SEEDS = [(1, 3, 3), (2, 15, 7)]
-
-
-def q_long_profile_from_points(spark, sf_dir):
-    """LongProfileFromPoints (stream_network_analysis/
-    long_profile_from_points.rs): per-seed (distance, z) profile."""
-    from whitebox_tools_spark.operators.streams import long_profile_from_points
-
-    seeds = spark.createDataFrame(_PROFILE_SEEDS, "seed_id long, row long, col long")
-    out = long_profile_from_points(_valley_dem(spark, sf_dir), STREAM_GRID, seeds)
-    return _r6(out.select("seed_id", "seq", "dist", "z"), ["dist", "z"])
-
-
-def q_stochastic_depression_analysis(spark, sf_dir):
-    """StochasticDepressionAnalysis (hydro_analysis/
-    stochastic_depression_analysis.rs): pdep over 5 deterministic
-    minstd-noise realizations, rmse 5."""
-    from whitebox_tools_spark.operators.hydro import stochastic_depression_analysis
-
-    return _r6(
-        stochastic_depression_analysis(
-            _noise_raster(spark, sf_dir), rmse=5.0, n_iterations=5, block=64
-        ),
-        ["value"],
-    )
-
-
-def q_heat_map(spark, sf_dir):
-    """heat_map plugin: quartic KDE of customer points on NN_GRID,
-    radius 60."""
-    from whitebox_tools_spark.operators.plugins import heat_map
-
-    pts = _cust_points(spark, sf_dir).select("x", "y")
-    return _r6(heat_map(pts, NN_GRID, radius=60.0), ["value"])
-
-
-def q_otsu_thresholding(spark, sf_dir):
-    """otsu_thresholding plugin (Otsu 1979) over the part raster."""
-    from whitebox_tools_spark.operators.plugins import otsu_thresholding
-
-    return otsu_thresholding(_part_raster(spark, sf_dir))
-
-
-def q_extract_by_attribute(spark, sf_dir):
-    """extract_by_attribute plugin: SQL predicate filter."""
-    from whitebox_tools_spark.operators.plugins import extract_by_attribute
-
-    t = _t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal", "c_mktsegment")
-    out = extract_by_attribute(t, "c_acctbal > 5000.0 AND c_mktsegment = 'BUILDING'")
-    return out.select("c_custkey", F.round("c_acctbal", 6).alias("c_acctbal"), "c_mktsegment")
-
-
-def q_individual_tree_detection(spark, sf_dir):
-    """individual_tree_detection plugin: strict local maxima of the cloud
-    within 40 units, z >= 5."""
-    from whitebox_tools_spark.operators.plugins import individual_tree_detection
-
-    return _r6(
-        individual_tree_detection(
-            _order_cloud(spark, sf_dir), min_height=5.0, radius=40.0
-        ),
-        ["x", "y", "z"],
-    )
-
-
-def q_max_upslope_value(spark, sf_dir):
-    """max_upslope_value plugin: max of a value raster over upslope cells
-    (solve_fa, max semiring)."""
-    from whitebox_tools_spark.operators.plugins import max_upslope_value
-
-    dem = _noise_raster(spark, sf_dir)
-    vals = _noise_raster(spark, sf_dir).withColumn(
-        "value", ((F.col("row") * 13 + F.col("col") * 7) % 101).cast("double")
-    )
-    return _r6(max_upslope_value(dem, vals, EXTRACT_GRID, block=16), ["value"])
-
-
-def q_edge_contamination(spark, sf_dir):
-    """edge_contamination plugin: 1 where the upslope catchment touches
-    the data-extent edge."""
-    from whitebox_tools_spark.operators.plugins import edge_contamination
-
-    return _r6(
-        edge_contamination(_noise_raster(spark, sf_dir), EXTRACT_GRID, block=16),
-        ["value"],
-    )
-
-
-def q_breach_single_cell_pits(spark, sf_dir):
-    """BreachSingleCellPits (hydro_analysis/breach_pits.rs:199-235)."""
-    from whitebox_tools_spark.operators.hydro import breach_single_cell_pits
-
-    return _r6(
-        breach_single_cell_pits(_noise_raster(spark, sf_dir), EXTRACT_GRID), ["value"]
-    )
-
-
-_MSDN_SIG_CELLS = [(3, 4), (10, 12), (15, 20)]
-
-
-def q_msdn_signature(spark, sf_dir):
-    """MultiscaleStdDevNormalsSignature (terrain_analysis/
-    multiscale_std_dev_normals_signature.rs): the per-scale SSDN values
-    sampled at given points — one row per (point, filter scale)."""
-    from whitebox_tools_spark.operators.multiscale import (
-        spherical_std_dev_of_normals,
-    )
-
-    dem = _valley_dem(spark, sf_dir)
-    parts = []
-    for fs in (5, 7, 9):
-        parts.append(
-            spherical_std_dev_of_normals(dem, STREAM_GRID, filter_size=fs).select(
-                "row", "col", F.round("value", 6).alias("value"),
-                F.lit(int(fs)).alias("scale"),
-            )
-        )
-    u = parts[0]
-    for p in parts[1:]:
-        u = u.unionByName(p)
-    pts = spark.createDataFrame(
-        [(i + 1, r, c) for i, (r, c) in enumerate(_MSDN_SIG_CELLS)],
-        "point_id long, row long, col long",
-    )
-    return pts.join(u, ["row", "col"]).select("point_id", "scale", "value")
-
-
-def _msdn_sig_sql() -> str:
-    from whitebox_tools_spark.operators.multiscale import ssdn_oracle_sql
-
-    unions = "\nUNION ALL\n".join(
-        f"SELECT row, col, round(value, 6) AS value, {fs} AS scale FROM ("
-        + ssdn_oracle_sql(_VALLEY_DEM_SQL, STREAM_GRID, filter_size=fs)
-        + ") t"
-        for fs in (5, 7, 9)
-    )
-    pts = ", ".join(f"({i + 1}, {r}, {c})" for i, (r, c) in enumerate(_MSDN_SIG_CELLS))
-    return f"""
-WITH u AS ({unions}),
-pts(point_id, row, col) AS (VALUES {pts})
-SELECT CAST(p.point_id AS BIGINT) AS point_id, CAST(u.scale AS BIGINT) AS scale, u.value
-FROM pts p JOIN u ON u.row = p.row AND u.col = p.col
-"""
-
-
-def q_multiscale_std_dev_normals(spark, sf_dir):
-    """MultiscaleStdDevNormals (terrain_analysis/
-    multiscale_std_dev_normals.rs), filters 5/7/9 (gaussian branch)."""
-    from whitebox_tools_spark.operators.multiscale import multiscale_std_dev_normals
-
-    return _r6(
-        multiscale_std_dev_normals(
-            _valley_dem(spark, sf_dir), STREAM_GRID, filters=(5, 7, 9)
-        ),
-        ["magnitude"],
-    )
-
-
-def q_multiscale_roughness_signature(spark, sf_dir):
-    """MultiscaleRoughnessSignature (terrain_analysis/
-    multiscale_roughness_signature.rs): per-scale roughness at points."""
-    from whitebox_tools_spark.operators.multiscale import (
-        _roughness_per_scale,
-        signature_at_points,
-    )
-
-    dem = _valley_dem(spark, sf_dir)
-    pts = dem.filter((F.col("row") * 7 + F.col("col")) % 97 == 0).select(
-        (F.col("row") * 1000 + F.col("col")).alias("point_id"), "row", "col"
-    )
-    parts = []
-    for m in (2, 3):
-        parts.append(
-            _roughness_per_scale(dem, STREAM_GRID, m).select(
-                "row", "col", F.col("rough").alias("value"),
-                F.col("scale").cast("long").alias("scale"),
-            )
-        )
-    u = parts[0]
-    for p in parts[1:]:
-        u = u.unionByName(p)
-    return _r6(signature_at_points(u, pts), ["value"])
-
-
-def q_max_anisotropy_dev_signature(spark, sf_dir):
-    """MaxAnisotropyDevSignature (terrain_analysis/
-    max_anisotropy_dev_signature.rs): per-scale anisotropy at points."""
-    from whitebox_tools_spark.operators.multiscale import (
-        _anisotropy_per_scale,
-        signature_at_points,
-    )
-
-    dem = _valley_dem(spark, sf_dir)
-    pts = dem.filter((F.col("row") * 7 + F.col("col")) % 97 == 0).select(
-        (F.col("row") * 1000 + F.col("col")).alias("point_id"), "row", "col"
-    )
-    parts = []
-    for m in (2, 3):
-        parts.append(
-            _anisotropy_per_scale(dem, m).select(
-                "row", "col", F.col("aniso").alias("value"),
-                F.col("scale").cast("long").alias("scale"),
-            )
-        )
-    u = parts[0]
-    for p in parts[1:]:
-        u = u.unionByName(p)
-    return _r6(signature_at_points(u, pts), ["value"])
-
-
-def q_find_lowest_highest_points(spark, sf_dir):
-    """FindLowestOrHighestPoints (gis_analysis/
-    find_lowest_or_highest_points.rs): the raster's min and max cells as
-    points (out_type=both)."""
-    dem = _noise_raster(spark, sf_dir).filter(F.col("value").isNotNull())
-    st = dem.agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
-    j = dem.crossJoin(F.broadcast(st))
-    lo = j.filter(F.col("value") == F.col("mn")).select(
-        F.lit(1).alias("point_id"), "row", "col", "value"
-    )
-    hi = j.filter(F.col("value") == F.col("mx")).select(
-        F.lit(2).alias("point_id"), "row", "col", "value"
-    )
-    return lo.unionByName(hi)
-
-
-_WALL_LINES = [(0, [2.0, 48.0], [10.0, 990.0]), (1, [1.0, 49.0], [500.0, 520.0])]
-_LAKES = [
-    (0, [([1.0, 1.0, 45.0, 45.0, 1.0], [100.0, 300.0, 300.0, 100.0, 100.0], False)]),
-    (1, [([10.0, 10.0, 40.0, 40.0, 10.0], [600.0, 800.0, 800.0, 600.0, 600.0], False)]),
-]
-
-
-def q_downslope_index(spark, sf_dir):
-    """DownslopeIndex (terrain_analysis/downslope_index.rs, Hjerdt 2004),
-    drop=10, tangent output."""
-    from whitebox_tools_spark.operators.hydro import downslope_index
-
-    return _r6(
-        downslope_index(_valley_dem(spark, sf_dir), STREAM_GRID, drop=10.0),
-        ["value"],
-    )
-
-
-def q_raise_walls(spark, sf_dir):
-    """RaiseWalls (hydro_analysis/raise_walls.rs): +100 on wall-line cells."""
-    from whitebox_tools_spark.operators.raster_vector import raise_walls
-
-    walls = spark.createDataFrame(
-        _WALL_LINES, "line_id long, xs array<double>, ys array<double>"
-    )
-    return _r6(
-        raise_walls(_noise_raster(spark, sf_dir), walls, EXTRACT_GRID, height=100.0),
-        ["value"],
-    )
-
-
-def q_flatten_lakes(spark, sf_dir):
-    """FlattenLakes (hydro_analysis/flatten_lakes.rs): lake interiors set
-    to the minimum perimeter elevation."""
-    from whitebox_tools_spark.operators.raster_vector import flatten_lakes
-
-    return _r6(
-        flatten_lakes(_noise_raster(spark, sf_dir), EXTRACT_GRID, _LAKES, IDX),
-        ["value"],
-    )
-
-
-def _wall_segs_cte() -> str:
-    segs = []
-    for lid, xs, ys in _WALL_LINES:
-        for i in range(len(xs) - 1):
-            segs.append(
-                f"({lid}, {i}, {xs[i]!r}, {ys[i]!r}, {xs[i + 1]!r}, {ys[i + 1]!r})"
-            )
-    return (
-        "SELECT * FROM (VALUES " + ", ".join(segs)
-        + ") AS t(line_id, seg_idx, px0, py0, px1, py1)"
-    )
-
-
-def _raise_walls_sql() -> str:
-    wall_cells = _lines_raster_from_segs(_wall_segs_cte(), EXTRACT_GRID)
-    return f"""
-WITH dem AS (SELECT row, col, value FROM ({_NOISE_RASTER_SQL}) WHERE value IS NOT NULL),
-w AS (SELECT DISTINCT row, col FROM ({wall_cells}) t)
-SELECT d.row, d.col,
-       round(CASE WHEN w.row IS NOT NULL THEN d.value + 100.0 ELSE d.value END, 6) AS value
-FROM dem d LEFT JOIN w ON w.row = d.row AND w.col = d.col
-"""
-
-
-def _flatten_lakes_sql() -> str:
-    segs = []
-    for pid, parts in _LAKES:
-        for xs, ys, hole in parts:
-            for i in range(len(xs) - 1):
-                segs.append(
-                    f"({pid}, {i}, {xs[i]!r}, {ys[i]!r}, {xs[i + 1]!r}, {ys[i + 1]!r})"
-                )
-    seg_cte = (
-        "SELECT * FROM (VALUES " + ", ".join(segs)
-        + ") AS t(line_id, seg_idx, px0, py0, px1, py1)"
-    )
-    per_cells = _lines_raster_from_segs(seg_cte, EXTRACT_GRID)
-    lake_polys = [
-        synth.Poly(pid, tuple(
-            synth.Part(tuple(xs), tuple(ys), hole) for xs, ys, hole in parts
-        ))
-        for pid, parts in _LAKES
-    ]
-    pip = synth.pip_oracle_sql(_grid_centers_cte(EXTRACT_GRID), lake_polys)
-    g = EXTRACT_GRID
-    return f"""
-WITH dem AS (SELECT row, col, value FROM ({_NOISE_RASTER_SQL}) WHERE value IS NOT NULL),
-per AS (SELECT row, col, CAST(value - 1 AS BIGINT) AS lake FROM ({per_cells}) t),
-mn AS (SELECT per.lake, min(dem.value) AS lake_z
-       FROM per JOIN dem ON dem.row = per.row AND dem.col = per.col
-       GROUP BY per.lake),
-hits AS ({pip}),
-interior AS (
-  SELECT CAST(floor(point_id / {g.cols}.0) AS BIGINT) AS row,
-         point_id % {g.cols} AS col,
-         CAST(max(poly_id) AS BIGINT) AS lake
-  FROM hits GROUP BY point_id
-)
-SELECT d.row, d.col, round(coalesce(mn.lake_z, d.value), 6) AS value
-FROM dem d
-LEFT JOIN interior i ON i.row = d.row AND i.col = d.col
-LEFT JOIN mn ON mn.lake = i.lake
-"""
-
-
-def q_sink(spark, sf_dir):
-    """Sink (hydro_analysis/sink.rs): 8-connected components of the cells
-    raised by depression filling, scan-order ids (shared with the oracle's
-    min-label closure + dense renumbering)."""
-    from whitebox_tools_spark.operators.hydro import sink
-
-    return sink(_noise_raster(spark, sf_dir))
-
-
-def q_normalized_difference(spark, sf_dir):
-    """Multi-band cell table -> normalized difference index (a-b)/(a+b)
-    (image_analysis band composites; multi-band schema per SURVEY 1.1)."""
-    b1 = _part_raster(spark, sf_dir).withColumn("band", F.lit(1))
-    b2 = _part_raster2(spark, sf_dir).withColumn("band", F.lit(2))
-    banded = b1.unionByName(b2)
-    out = RM.normalized_difference(banded, 1, 2)
-    return _r6(out, ["value"])
-
-
-def q_normalized_difference_index(spark, sf_dir):
-    """NormalizedDifferenceIndex (image_analysis/normalized_difference_index.rs:
-    295-330): (a-b)/(a+b+correction) with correction=50 and the 1% percent
-    clip (Raster::clip_min_and_max_by_percent, whitebox-raster/src/lib.rs:
-    900-940)."""
-    a = _part_raster(spark, sf_dir)
-    b = _part_raster2(spark, sf_dir)
-    out = RM.normalized_difference_index(a, b, correction=50.0, clip_percent=1.0)
-    return _r6(out, ["value"])
-
-
-def q_inplace_ops_all(spark, sf_dir):
-    """InPlaceAdd/Subtract/Multiply/Divide (math_stat_analysis/
-    inplace_add.rs:212-257 + the _subtract/_multiply/_divide siblings):
-    every op over both the raster-raster and raster-constant paths, one
-    labeled block per case (nodata propagation = SQL NULL propagation)."""
-    a = _part_raster(spark, sf_dir)
-    b = _part_raster2(spark, sf_dir)
-    parts = []
-    for op in RM.INPLACE_OPS:
-        parts.append(
-            RM.inplace_op(a, b, op).select(
-                F.lit(op).alias("op"), F.lit("raster").alias("mode"),
-                "row", "col", F.round(F.col("value"), 6).alias("value"),
-            )
-        )
-        parts.append(
-            RM.inplace_op(a, 7.5, op).select(
-                F.lit(op).alias("op"), F.lit("const").alias("mode"),
-                "row", "col", F.round(F.col("value"), 6).alias("value"),
-            )
-        )
-    u = parts[0]
-    for p in parts[1:]:
-        u = u.unionByName(p)
-    return u
-
-
-def q_random_field(spark, sf_dir):
-    """RandomField (math_stat_analysis/random_field.rs) — deterministic
-    seeded hash variant (reference is entropy-seeded, irreproducible)."""
-    from whitebox_tools_spark.operators.random import random_field
-
-    return _r6(random_field(spark, NN_GRID, seed=7), ["value"])
-
-
-def q_random_sample(spark, sf_dir):
-    """RandomSample (math_stat_analysis/random_sample.rs): 100 cells with
-    unique sample ids, deterministic hash order."""
-    from whitebox_tools_spark.operators.random import random_sample
-
-    return random_sample(_part_raster(spark, sf_dir), 100, seed=3)
-
-
-def q_sobel(spark, sf_dir):
-    """SobelFilter (image_analysis/sobel_filter.rs:316-331)."""
-    from whitebox_tools_spark.operators.focal import sobel_filter
-
-    return _r6(sobel_filter(_part_raster(spark, sf_dir)), ["value"])
-
-
-def _q_conv(kernel_name):
-    def q(spark, sf_dir):
-        from whitebox_tools_spark.operators import focal as FO
-
-        k = _CONV_KERNELS[kernel_name]
-        return _r6(FO.conv_filter(_part_raster(spark, sf_dir), k), ["value"])
-
-    q.__doc__ = f"{kernel_name} convolution (image_analysis/{kernel_name}_filter.rs)"
-    return q
-
-
-def _conv_kernels():
-    from whitebox_tools_spark.operators import focal as FO
-
-    return {
-        "emboss": FO.EMBOSS,
-        "laplacian": FO.LAPLACIAN,
-        "gaussian": FO.gaussian_kernel(0.8),
-        "dog": FO.dog_kernel(0.8, 1.2),
-        "log": FO.log_kernel(0.8),
-        "line_v": FO.LINE_DETECTION_KERNELS["vertical"],
-    }
-
-
-_CONV_KERNELS = _conv_kernels()
-q_emboss = _q_conv("emboss")
-q_laplacian = _q_conv("laplacian")
-q_gaussian = _q_conv("gaussian")
-q_dog = _q_conv("dog")
-q_log = _q_conv("log")
-q_line_detection = _q_conv("line_v")
-
-
-def q_prewitt(spark, sf_dir):
-    """PrewittFilter (image_analysis/prewitt_filter.rs:287-309)."""
-    from whitebox_tools_spark.operators import focal as FO
-
-    return _r6(FO.prewitt_filter(_part_raster(spark, sf_dir)), ["value"])
-
-
-def q_scharr(spark, sf_dir):
-    """ScharrFilter (image_analysis/scharr_filter.rs:288-309)."""
-    from whitebox_tools_spark.operators import focal as FO
-
-    return _r6(FO.scharr_filter(_part_raster(spark, sf_dir)), ["value"])
-
-
-def q_roberts(spark, sf_dir):
-    """RobertsCrossFilter (image_analysis/roberts_filter.rs:295-316)."""
-    from whitebox_tools_spark.operators import focal as FO
-
-    return _r6(FO.roberts_filter(_part_raster(spark, sf_dir)), ["value"])
-
-
-def q_unsharp(spark, sf_dir):
-    """UnsharpMasking (image_analysis/unsharp_masking.rs:257,400-414)."""
-    from whitebox_tools_spark.operators import focal as FO
-
-    return _r6(
-        FO.unsharp_masking(_part_raster(spark, sf_dir), sigma=0.8, amount=50.0),
-        ["value"],
-    )
-
-
-def _stack3(spark, sf_dir) -> DataFrame:
-    """3-band stack: 1=price, 2=size, 3=partkey%97."""
-    return (
-        _part_raster(spark, sf_dir).withColumn("band", F.lit(1))
-        .unionByName(_part_raster2(spark, sf_dir).withColumn("band", F.lit(2)))
-        .unionByName(_part_raster3(spark, sf_dir).withColumn("band", F.lit(3)))
-    )
-
-
-_STACK3_SQL = (
-    f"SELECT 1 AS band, row, col, value FROM ({_PART_RASTER_SQL}) t1 "
-    f"UNION ALL SELECT 2, row, col, value FROM ({_PART_RASTER2_SQL}) t2 "
-    f"UNION ALL SELECT 3, row, col, value FROM ({_PART_RASTER3_SQL}) t3"
-)
-
-
-def _parts_df(spark):
-    rows = []
-    for pid, parts in PARTS:
-        for k, (xs, ys, hole) in enumerate(parts):
-            rows.append((pid, k, hole, [float(v) for v in xs], [float(v) for v in ys]))
-    return spark.createDataFrame(
-        rows, "poly_id long, part_idx int, is_hole boolean, xs array<double>, ys array<double>"
-    )
-
-
-def q_polygon_long_axis(spark, sf_dir):
-    """PolygonLongAxis (gis_analysis/polygon_long_axis.rs): longer MBB
-    axis length per feature (the reference draws it as a line)."""
-    from whitebox_tools_spark.operators.vector_ops import polygon_long_axis
-
-    return _r6(polygon_long_axis(_parts_df(spark)), ["length"])
-
-
-def q_polygon_short_axis(spark, sf_dir):
-    """PolygonShortAxis (gis_analysis/polygon_short_axis.rs)."""
-    from whitebox_tools_spark.operators.vector_ops import polygon_short_axis
-
-    return _r6(polygon_short_axis(_parts_df(spark)), ["length"])
-
-
-def q_minimum_bounding_circle(spark, sf_dir):
-    """MinimumBoundingCircle (gis_analysis/minimum_bounding_circle.rs):
-    smallest enclosing circle per feature."""
-    from whitebox_tools_spark.operators.vector_ops import minimum_bounding_circle
-
-    return _r6(minimum_bounding_circle(_parts_df(spark)), ["cx", "cy", "radius"])
-
-
-def q_related_circumscribing_circle(spark, sf_dir):
-    """RelatedCircumscribingCircle (gis_analysis/
-    related_circumscribing_circle.rs:220-240): 1 - area/circle area."""
-    from whitebox_tools_spark.operators.vector_ops import related_circumscribing_circle
-
-    return _r6(related_circumscribing_circle(_parts_df(spark)), ["value"])
-
-
-def q_extend_vector_lines(spark, sf_dir):
-    """ExtendVectorLines (gis_analysis/extend_vector_lines.rs), 15 units,
-    both ends; emitted as terminal coordinates per line."""
-    from whitebox_tools_spark.operators.vector_ops import extend_vector_lines
-
-    out = extend_vector_lines(_cust_lines(spark, sf_dir), dist=15.0)
-    return out.select(
-        "line_id",
-        F.round(F.element_at("xs", 1), 6).alias("sx"),
-        F.round(F.element_at("ys", 1), 6).alias("sy"),
-        F.round(F.element_at("xs", F.size("xs")), 6).alias("ex"),
-        F.round(F.element_at("ys", F.size("ys")), 6).alias("ey"),
-        F.size("xs").cast("long").alias("nv"),
-    )
-
-
-def q_layer_footprint(spark, sf_dir):
-    """LayerFootprint (gis_analysis/layer_footprint.rs): layer extent."""
-    from whitebox_tools_spark.operators.vector_ops import layer_footprint
-
-    return _r6(layer_footprint(_parts_df(spark)), ["xmin", "ymin", "xmax", "ymax"])
-
-
-def q_elongation_ratio(spark, sf_dir):
-    """ElongationRatio (gis_analysis/elongation_ratio.rs): 1 - S/L of the
-    minimum-area oriented bounding box."""
-    from whitebox_tools_spark.operators.vector_ops import elongation_ratio
-
-    return _r6(elongation_ratio(_parts_df(spark)), ["elongation"])
-
-
-def q_shape_complexity_index(spark, sf_dir):
-    """ShapeComplexityIndex (gis_analysis/shape_complexity_index.rs:218-245)."""
-    from whitebox_tools_spark.operators.vector_ops import shape_complexity_index
-
-    return _r6(shape_complexity_index(_parts_df(spark)), ["sci"])
-
-
-def q_perimeter_area_ratio(spark, sf_dir):
-    """PerimeterAreaRatio (gis_analysis/perimeter_area_ratio.rs)."""
-    from whitebox_tools_spark.operators.vector_ops import perimeter_area_ratio
-
-    return _r6(perimeter_area_ratio(_parts_df(spark)), ["ratio"])
-
-
-def q_hole_proportion(spark, sf_dir):
-    """HoleProportion (gis_analysis/hole_proportion.rs)."""
-    from whitebox_tools_spark.operators.vector_ops import hole_proportion
-
-    return _r6(hole_proportion(_parts_df(spark)), ["hole_prop"])
-
-
-def q_linearity_index(spark, sf_dir):
-    """LinearityIndex (gis_analysis/linearity_index.rs:225-260)."""
-    from whitebox_tools_spark.operators.vector_ops import linearity_index
-
-    return _r6(linearity_index(_parts_df(spark)), ["linearity"])
-
-
-def q_patch_orientation(spark, sf_dir):
-    """PatchOrientation (gis_analysis/patch_orientation.rs, RMA slope)."""
-    from whitebox_tools_spark.operators.vector_ops import patch_orientation
-
-    return _r6(patch_orientation(_parts_df(spark)), ["orientation"])
-
-
-def _edges_df(spark, parts_list):
-    rows = []
-    for pid, parts in parts_list:
-        for xs, ys, _hole in parts:
-            for i in range(len(xs) - 1):
-                rows.append(
-                    (pid, float(xs[i]), float(ys[i]), float(xs[i + 1]), float(ys[i + 1]))
-                )
-    return spark.createDataFrame(
-        rows, "poly_id long, x0 double, y0 double, x1 double, y1 double"
-    )
-
-
-def q_filter_features_by_area(spark, sf_dir):
-    """FilterRasterFeaturesByArea (gis_analysis/
-    filter_raster_features_by_area.rs): clumps under 5 cells to 0."""
-    from whitebox_tools_spark.operators.raster_vector import filter_features_by_area
-
-    cells = RM.reclass(
-        _part_raster(spark, sf_dir),
-        [(1.0, 0.0, 1500.0), (2.0, 1500.0, 99999.0)],
-    )
-    return filter_features_by_area(cells, min_cells=5)
-
-
-def q_create_plane(spark, sf_dir):
-    """CreatePlane (gis_analysis/create_plane.rs): gradient/aspect plane
-    over NN_GRID — z = z0 + tan(slope)*(cos(az')*dy_n + sin(az')*dx_e)
-    style; here the simple planar surface a + b*x + c*y at cell centers."""
-    g = NN_GRID
-    dense = (
-        spark.range(g.rows).select(F.col("id").alias("row"))
-        .crossJoin(spark.range(g.cols).select(F.col("id").alias("col")))
-    )
-    x = g.x_center_expr(F.col("col"))
-    y = g.y_center_expr(F.col("row"))
-    return _r6(
-        dense.select(
-            "row", "col", (F.lit(100.0) + 0.05 * x - 0.02 * y).alias("value")
-        ),
-        ["value"],
-    )
-
-
-def q_raster_cell_assignment(spark, sf_dir):
-    """RasterCellAssignment (gis_analysis/raster_cell_assignment.rs):
-    assign each cell its x-coordinate."""
-    r = _part_raster(spark, sf_dir)
-    return _r6(
-        r.select("row", "col", EXTRACT_GRID.x_center_expr(F.col("col")).alias("value")),
-        ["value"],
-    )
-
-
-def q_eliminate_coincident_points(spark, sf_dir):
-    """EliminateCoincidentPoints (gis_analysis/
-    eliminate_coincident_points.rs): one point kept per 25-unit snap cell
-    (lowest id; grid-snap stands in for the reference's radius search —
-    documented simplification)."""
-    p = _cust_points(spark, sf_dir).drop("z")
-    snapped = p.select(
-        "point_id", "x", "y",
-        F.floor(F.col("x") / 25.0).alias("sx"), F.floor(F.col("y") / 25.0).alias("sy"),
-    )
-    keep = snapped.groupBy("sx", "sy").agg(F.min("point_id").alias("point_id"))
-    return (
-        keep.join(p, "point_id")
-        .select("point_id", F.round("x", 6).alias("x"), F.round("y", 6).alias("y"))
-    )
-
-
-def q_medoid(spark, sf_dir):
-    """Medoid (gis_analysis/medoid.rs:230-280) of the customer points."""
-    from whitebox_tools_spark.operators.vector_ops import medoid
-
-    return _r6(medoid(_cust_points(spark, sf_dir).drop("z")), ["x", "y"])
-
-
-def q_line_intersections(spark, sf_dir):
-    """LineIntersections (gis_analysis/line_intersections.rs) between the
-    two seeded polygon layers' boundaries."""
-    from whitebox_tools_spark.operators.vector_ops import line_intersections
-
-    return line_intersections(
-        _edges_df(spark, PARTS_A), _edges_df(spark, PARTS)
-    )
-
-
-def q_class_centroid(spark, sf_dir):
-    """Centroid (gis_analysis/centroid.rs) of raster classes."""
-    return _r6(
-        RM.class_centroid(_part_raster2(spark, sf_dir), EXTRACT_GRID), ["cx", "cy"]
-    )
-
-
-def q_minimum_bounding_envelope(spark, sf_dir):
-    """MinimumBoundingEnvelope (gis_analysis/minimum_bounding_envelope.rs)."""
-    from whitebox_tools_spark.operators.vector_ops import minimum_bounding_envelope
-
-    return _r6(
-        minimum_bounding_envelope(_parts_df(spark)),
-        ["min_x", "max_x", "min_y", "max_y"],
-    )
-
-
-def q_print_geotiff_tags(spark, sf_dir):
-    """PrintGeoTiffTags (data_tools/print_geotiff_tags.rs): write a
-    deterministic 10x10 float64 GeoTIFF with the engine's own codec, dump
-    its IFD as (tag, value) rows. Strip layout tags 273/279 (offsets/byte
-    counts) are excluded — they are zlib-payload artifacts, not raster
-    metadata. sf-independent by construction; oracle is the pinned literal."""
-    import tempfile
-
-    from whitebox_tools_spark.geotiff import print_geotiff_tags, write_geotiff
-    from whitebox_tools_spark.grid import GridSpec
-
-    g = GridSpec(west=0.0, north=100.0, res_x=10.0, res_y=10.0, rows=10, cols=10)
-    cells = spark.range(100).select(
-        (F.col("id") / 10).cast("long").alias("row"),
-        (F.col("id") % 10).alias("col"),
-        ((F.col("id") * 7 % 13) + 1.0).cast("double").alias("value"),
-    )
-    path = tempfile.mktemp(suffix=".tif")
-    write_geotiff(cells, g, path)
-    rows = [(t, v) for t, v in print_geotiff_tags(path) if t not in (273, 279)]
-    return spark.createDataFrame(rows, "tag int, value string")
-
-
-def q_convert_raster_format(spark, sf_dir):
-    """ConvertRasterFormat (data_tools/convert_raster_format.rs): the part
-    raster round-trips ASCII grid -> GeoTIFF -> parquet cell table; output =
-    the re-read cells (non-nodata), which must equal the input exactly
-    (float64 end-to-end: repr() ASCII writer, <f8 GeoTIFF payload)."""
-    import tempfile
-
-    from whitebox_tools_spark.geotiff import convert_raster_format
-    from whitebox_tools_spark.sources import read_cells, write_ascii_grid
-
-    d = tempfile.mkdtemp()
-    cells = _part_raster(spark, sf_dir)
-    write_ascii_grid(cells, EXTRACT_GRID, f"{d}/a.asc")
-    convert_raster_format(spark, f"{d}/a.asc", f"{d}/b.tif")
-    convert_raster_format(spark, f"{d}/b.tif", f"{d}/c.parquet")
-    out = read_cells(spark, f"{d}/c.parquet")
-    return out.filter(F.col("value").isNotNull()).select("row", "col", "value")
-
-
-def q_reclass_from_file(spark, sf_dir):
-    """ReclassFromFile (data_tools/reclass_from_file.rs): (new, lower,
-    upper) rules loaded from a CSV file, then the shared reclass CASE
-    chain ([lower, upper), pass-through otherwise)."""
-    import tempfile
-
-    from whitebox_tools_spark.operators.raster_math import reclass_from_file
-
-    path = tempfile.mktemp(suffix=".csv")
-    with open(path, "w") as fh:
-        fh.write("1.0,900.0,1200.0\n2.0,1200.0,1600.0\n3.0,1600.0,2000.0\n")
-    return reclass_from_file(_part_raster(spark, sf_dir), path).select(
-        "row", "col", F.round("value", 6).alias("value")
-    )
-
-
-def q_minimum_convex_hull(spark, sf_dir):
-    """MinimumConvexHull (gis_analysis/minimum_convex_hull.rs:210-280):
-    per-feature hulls plus the pooled single-hull mode (Point-input path),
-    ring order clockwise from the lowest-then-rightmost vertex by angle
-    around the hull bbox center."""
-    from whitebox_tools_spark.operators.vector_ops import minimum_convex_hull
-
-    per = minimum_convex_hull(_parts_df(spark)).select(
-        F.lit("feature").alias("mode"), "poly_id", "seq",
-        F.round("x", 6).alias("x"), F.round("y", 6).alias("y"),
-    )
-    pooled = minimum_convex_hull(_parts_df(spark), per_feature=False).select(
-        F.lit("pooled").alias("mode"), "poly_id", "seq",
-        F.round("x", 6).alias("x"), F.round("y", 6).alias("y"),
-    )
-    return per.unionByName(pooled)
-
-
-def _convex_hull_sql() -> str:
-    """Independent extreme-point oracle: v is a hull vertex iff the largest
-    circular gap between directions to all other distinct vertices exceeds
-    pi (strictly — collinear mid-edge points sit at exactly pi and drop,
-    matching the reference's strict-Left Graham scan)."""
-    body = """
-dv AS (SELECT DISTINCT poly_id, x, y FROM pool),
-pairs AS (SELECT a.poly_id, a.x, a.y, atan2(b.y - a.y, b.x - a.x) AS ang
-          FROM dv a JOIN dv b ON a.poly_id = b.poly_id
-          WHERE a.x <> b.x OR a.y <> b.y),
-w AS (SELECT poly_id, x, y, ang,
-             lead(ang) OVER (PARTITION BY poly_id, x, y ORDER BY ang) AS nxt,
-             min(ang) OVER (PARTITION BY poly_id, x, y) AS mn,
-             max(ang) OVER (PARTITION BY poly_id, x, y) AS mx
-      FROM pairs),
-gaps AS (SELECT poly_id, x, y,
-                max(coalesce(nxt - ang, mn + 2 * pi() - mx)) AS gap
-         FROM w GROUP BY poly_id, x, y),
-hull AS (SELECT poly_id, x, y FROM gaps WHERE gap > pi() + 1e-9),
-ctr AS (SELECT poly_id, (min(x) + max(x)) / 2.0 AS cx,
-               (min(y) + max(y)) / 2.0 AS cy
-        FROM hull GROUP BY poly_id),
-aa AS (SELECT h.poly_id, h.x, h.y, atan2(h.y - c.cy, h.x - c.cx) AS ang
-       FROM hull h JOIN ctr c ON h.poly_id = c.poly_id),
-st AS (SELECT poly_id, ang AS a0 FROM (
-         SELECT poly_id, ang,
-                row_number() OVER (PARTITION BY poly_id
-                                   ORDER BY y ASC, x DESC) AS rk
-         FROM aa) WHERE rk = 1),
-sq AS (SELECT aa.poly_id, aa.x, aa.y,
-              row_number() OVER (
-                PARTITION BY aa.poly_id
-                ORDER BY fmod(st.a0 - aa.ang + 2 * pi(), 2 * pi()), aa.x, aa.y
-              ) AS seq
-       FROM aa JOIN st ON aa.poly_id = st.poly_id)
-"""
-    return f"""
-WITH {_vertices_values_cte()},
-feat AS (
-  WITH pool AS (SELECT poly_id, x, y FROM verts),
-  {body}
-  SELECT 'feature' AS mode, CAST(poly_id AS BIGINT) AS poly_id,
-         CAST(seq AS INT) AS seq, round(x, 6) AS x, round(y, 6) AS y
-  FROM sq
-),
-pooled AS (
-  WITH pool AS (SELECT 1 AS poly_id, x, y FROM verts),
-  {body}
-  SELECT 'pooled' AS mode, CAST(poly_id AS BIGINT) AS poly_id,
-         CAST(seq AS INT) AS seq, round(x, 6) AS x, round(y, 6) AS y
-  FROM sq
-)
-SELECT * FROM feat UNION ALL SELECT * FROM pooled
-"""
-
-
-def q_extract_nodes(spark, sf_dir):
-    """ExtractNodes (gis_analysis/extract_nodes.rs)."""
-    from whitebox_tools_spark.operators.vector_ops import extract_nodes
-
-    return _r6(extract_nodes(_parts_df(spark)), ["x", "y"])
-
-
-def q_smooth_vectors(spark, sf_dir):
-    """SmoothVectors (gis_analysis/smooth_vectors.rs:250-280, filter 3,
-    endpoints pinned)."""
-    from whitebox_tools_spark.operators.vector_ops import smooth_vectors
-
-    return _r6(smooth_vectors(_parts_df(spark), filter_size=3), ["x", "y"])
-
-
-def q_radius_of_gyration(spark, sf_dir):
-    """RadiusOfGyration (gis_analysis/radius_of_gyration.rs:230-330)."""
-    return _r6(
-        RM.radius_of_gyration(_part_raster2(spark, sf_dir), res_x=5.0, res_y=5.0),
-        ["rog"],
-    )
-
-
-def q_edge_proportion(spark, sf_dir):
-    """EdgeProportion (gis_analysis/edge_proportion.rs)."""
-    return _r6(RM.edge_proportion(_part_raster2(spark, sf_dir)), ["proportion"])
-
-
-def q_raster_area(spark, sf_dir):
-    """RasterArea (gis_analysis/raster_area.rs) over the size-class raster."""
-    return RM.raster_area(_part_raster2(spark, sf_dir), res_x=5.0, res_y=5.0)
-
-
-def q_raster_perimeter(spark, sf_dir):
-    """RasterPerimeter (gis_analysis/raster_perimeter.rs:517-600,
-    Prewitt-Mendelsohn LUT) over the size-class raster."""
-    return _r6(
-        RM.raster_perimeter(_part_raster2(spark, sf_dir), res_x=5.0, res_y=5.0),
-        ["perimeter"],
-    )
-
-
-def q_find_patch_edge_cells(spark, sf_dir):
-    """FindPatchOrClassEdgeCells (gis_analysis/find_patch_edge_cells.rs)."""
-    return RM.find_patch_edge_cells(_part_raster2(spark, sf_dir))
-
-
-def q_update_nodata_cells(spark, sf_dir):
-    """UpdateNodataCells (gis_analysis/update_nodata_cells.rs): the price
-    raster with odd rows nulled, filled from the size raster."""
-    a = _part_raster(spark, sf_dir).select(
-        "row", "col",
-        F.when(F.col("row") % 2 == 0, F.col("value")).alias("value"),
-    )
-    return RM.update_nodata_cells(a, _part_raster2(spark, sf_dir))
-
-
-def q_reclass_equal_interval(spark, sf_dir):
-    """ReclassEqualInterval (gis_analysis/reclass_equal_interval.rs)."""
-    return RM.reclass_equal_interval(_part_raster(spark, sf_dir), interval=250.0)
-
-
-def _q_stack(op):
-    def q(spark, sf_dir):
-        from whitebox_tools_spark.operators.raster_math import stack_overlay
-
-        return _r6(stack_overlay(_stack3(spark, sf_dir), op), ["value"])
-
-    q.__doc__ = f"{op} overlay (gis_analysis/{op}_overlay.rs) over the 3-band stack"
-    return q
-
-
-q_max_overlay = _q_stack("max")
-q_min_overlay = _q_stack("min")
-q_sum_overlay = _q_stack("sum")
-q_average_overlay = _q_stack("average")
-q_multiply_overlay = _q_stack("multiply")
-q_max_abs_overlay = _q_stack("max_abs")
-q_min_abs_overlay = _q_stack("min_abs")
-
-
-def q_highest_pos(spark, sf_dir):
-    """HighestPosition (gis_analysis/highest_pos.rs)."""
-    from whitebox_tools_spark.operators.raster_math import stack_position
-
-    return stack_position(_stack3(spark, sf_dir), highest=True)
-
-
-def q_lowest_pos(spark, sf_dir):
-    """LowestPosition (gis_analysis/lowest_pos.rs)."""
-    from whitebox_tools_spark.operators.raster_math import stack_position
-
-    return stack_position(_stack3(spark, sf_dir), highest=False)
-
-
-def q_count_if(spark, sf_dir):
-    """CountIf (gis_analysis/count_if.rs): bands equal to 5.0 per cell."""
-    from whitebox_tools_spark.operators.raster_math import count_if
-
-    return count_if(_stack3(spark, sf_dir), value=5.0)
-
-
-def q_percent_greater_than(spark, sf_dir):
-    """PercentGreaterThan (gis_analysis/percent_greater_than.rs): stack vs
-    the size raster."""
-    from whitebox_tools_spark.operators.raster_math import percent_compare
-
-    return _r6(
-        percent_compare(_stack3(spark, sf_dir), _part_raster2(spark, sf_dir), op="gt"),
-        ["value"],
-    )
-
-
-def q_percent_less_than(spark, sf_dir):
-    """PercentLessThan (gis_analysis/percent_less_than.rs)."""
-    from whitebox_tools_spark.operators.raster_math import percent_compare
-
-    return _r6(
-        percent_compare(_stack3(spark, sf_dir), _part_raster2(spark, sf_dir), op="lt"),
-        ["value"],
-    )
-
-
-def q_percent_equal_to(spark, sf_dir):
-    """PercentEqualTo (gis_analysis/percent_equal_to.rs)."""
-    from whitebox_tools_spark.operators.raster_math import percent_compare
-
-    return _r6(
-        percent_compare(_stack3(spark, sf_dir), _part_raster2(spark, sf_dir), op="eq"),
-        ["value"],
-    )
-
-
-def q_pick_from_list(spark, sf_dir):
-    """PickFromList (gis_analysis/pick_from_list.rs): position raster =
-    1 + (partkey % 3)."""
-    from whitebox_tools_spark.operators.raster_math import pick_from_list
-
-    pos = _part_raster3(spark, sf_dir).select(
-        "row", "col", (F.col("value") % 3 + 1).alias("value")
-    )
-    return pick_from_list(_stack3(spark, sf_dir), pos)
-
-
-def q_rgb_to_ihs(spark, sf_dir):
-    """RgbToIhs (image_analysis/rgb_to_ihs.rs:810-830)."""
-    from whitebox_tools_spark.operators import color as CO
-
-    out = CO.rgb_to_ihs(
-        _part_raster(spark, sf_dir), _part_raster2(spark, sf_dir),
-        _part_raster3(spark, sf_dir),
-    )
-    return _r6(out, ["intensity", "hue", "saturation"])
-
-
-def q_ihs_to_rgb(spark, sf_dir):
-    """IhsToRgb (image_analysis/ihs_to_rgb.rs:640-681): round-trip through
-    RgbToIhs."""
-    from whitebox_tools_spark.operators import color as CO
-
-    ihs = CO.rgb_to_ihs(
-        _part_raster(spark, sf_dir), _part_raster2(spark, sf_dir),
-        _part_raster3(spark, sf_dir),
-    )
-    return CO.ihs_to_rgb(ihs)
-
-
-def q_create_composite(spark, sf_dir):
-    """CreateColourComposite (image_analysis/create_colour_composite.rs:380-424)."""
-    from whitebox_tools_spark.operators import color as CO
-
-    return CO.create_colour_composite(
-        _part_raster(spark, sf_dir), _part_raster2(spark, sf_dir),
-        _part_raster3(spark, sf_dir),
-    )
-
-
-def q_split_composite(spark, sf_dir):
-    """SplitColourComposite: unpack of the packed composite (round-trip)."""
-    from whitebox_tools_spark.operators import color as CO
-
-    comp = CO.create_colour_composite(
-        _part_raster(spark, sf_dir), _part_raster2(spark, sf_dir),
-        _part_raster3(spark, sf_dir),
-    )
-    return CO.split_colour_composite(comp)
-
-
-def q_change_vector_analysis(spark, sf_dir):
-    """ChangeVectorAnalysis (image_analysis/change_vector_analysis.rs:266-365):
-    2-band dates; date2 shifts band 0 up and band 1 down."""
-    from whitebox_tools_spark.operators import color as CO
-
-    b0 = _part_raster(spark, sf_dir).withColumn("band", F.lit(0))
-    b1 = _part_raster2(spark, sf_dir).withColumn("band", F.lit(1))
-    d1 = b0.unionByName(b1)
-    d2 = d1.withColumn(
-        "value",
-        F.when(F.col("band") == 0, F.col("value") + 25.0)
-        .otherwise(F.col("value") - 3.0),
-    )
-    return _r6(CO.change_vector_analysis(d1, d2), ["magnitude", "direction"])
-
-
-_UDW_KERNEL = [[0.5, -1.0, 0.5], [2.0, 0.25, -2.0], [0.5, 1.0, -0.5]]
-
-
-def q_user_defined_weights_filter(spark, sf_dir):
-    """UserDefinedWeightsFilter (image_analysis/user_defined_weights_filter.rs):
-    the generic k x k convolution bank with a custom kernel."""
-    from whitebox_tools_spark.operators.focal import conv_filter
-
-    return _r6(conv_filter(_part_raster(spark, sf_dir), _UDW_KERNEL), ["value"])
-
-
-def q_balance_contrast_enhancement(spark, sf_dir):
-    """BalanceContrastEnhancement (image_analysis/
-    balance_contrast_enhancement.rs, Liu 1991 parabolic stretch, E=100)."""
-    from whitebox_tools_spark.operators import color as CO
-
-    comp = CO.create_colour_composite(
-        _part_raster(spark, sf_dir), _part_raster2(spark, sf_dir),
-        _part_raster3(spark, sf_dir),
-    )
-    return CO.balance_contrast_enhancement(comp, band_mean=100.0)
-
-
-def q_pan_sharpening_brovey(spark, sf_dir):
-    """PanchromaticSharpening, Brovey (image_analysis/pan_sharpening.rs)."""
-    from whitebox_tools_spark.operators import color as CO
-
-    comp = CO.create_colour_composite(
-        _part_raster(spark, sf_dir), _part_raster2(spark, sf_dir),
-        _part_raster3(spark, sf_dir),
-    )
-    return CO.pan_sharpening_brovey(comp, _noise_raster(spark, sf_dir))
-
-
-def q_fast_almost_gaussian(spark, sf_dir):
-    """FastAlmostGaussianFilter (image_analysis/fast_almost_gaussian_filter.rs),
-    sigma 2.0 -> five iterated box means."""
-    from whitebox_tools_spark.operators.image import fast_almost_gaussian_filter
-
-    return _r6(
-        fast_almost_gaussian_filter(_part_raster(spark, sf_dir), sigma=2.0), ["value"]
-    )
-
-
-def q_highpass_bilateral(spark, sf_dir):
-    """HighPassBilateralFilter (image_analysis/high_pass_bilateral_filter.rs)."""
-    from whitebox_tools_spark.operators.image import highpass_bilateral_filter
-
-    return _r6(
-        highpass_bilateral_filter(
-            _part_raster(spark, sf_dir), sigma_dist=0.75, sigma_int=50.0
-        ),
-        ["value"],
-    )
-
-
-def q_mosaic_nn(spark, sf_dir):
-    """Mosaic, nearest-image-center variant (image_analysis/mosaic.rs)."""
-    from whitebox_tools_spark.operators.image import mosaic_nn
-
-    a = _part_raster(spark, sf_dir)
-    b = _part_raster2(spark, sf_dir).withColumn("row", F.col("row") + 100)
-    return mosaic_nn([(a, 100.0, 5.0), (b, 200.0, 5.0)])
-
-
-_MOSAIC_OUT = GridSpec(west=0.0, north=100.0, res_x=4.0, res_y=4.0, rows=25, cols=25)
-_MOSAIC_G1 = GridSpec(west=0.0, north=100.0, res_x=5.0, res_y=5.0, rows=20, cols=20)
-_MOSAIC_G2 = GridSpec(west=12.5, north=92.5, res_x=5.0, res_y=5.0, rows=20, cols=20)
-
-
-def _mosaic_imgs(spark):
-    """Fixed source images for the resampling mosaics: img2 (priority 0,
-    offset grid, nodata holes every 17th cell) over img1 (full cover)."""
-    img1 = spark.range(400).select(
-        (F.col("id") / 20).cast("long").alias("row"),
-        (F.col("id") % 20).alias("col"),
-        (((F.col("id") * 48271 + 11) % 1000).cast("double") / 10.0).alias("value"),
-    )
-    img2 = spark.range(400).select(
-        (F.col("id") / 20).cast("long").alias("row"),
-        (F.col("id") % 20).alias("col"),
-        F.when(F.col("id") % 17 == 0, F.lit(None).cast("double"))
-        .otherwise(((F.col("id") * 24847 + 3) % 1000).cast("double") / 10.0)
-        .alias("value"),
-    )
-    return img1, img2
-
-
-def _q_mosaic_resample(method):
-    def q(spark, sf_dir):
-        from whitebox_tools_spark.operators.image import mosaic_resample
-
-        img1, img2 = _mosaic_imgs(spark)
-        return _r6(
-            mosaic_resample(
-                [(img2, _MOSAIC_G2), (img1, _MOSAIC_G1)], _MOSAIC_OUT,
-                method=method,
-            ),
-            ["value"],
-        )
-
-    q.__doc__ = (
-        f"Mosaic, {method} resampling (image_analysis/mosaic.rs:516-700): "
-        "first-image-wins inverse-squared-stencil-distance gather; exact "
-        "grid hits return the source value (deterministic semantics — the "
-        "reference's stale-weight/thread-stride quirk is machine-dependent, "
-        "see operators/image.py docstring)."
-    )
-    return q
-
-
-q_mosaic_bilinear = _q_mosaic_resample("bilinear")
-q_mosaic_cc = _q_mosaic_resample("cc")
-
-
-def _mosaic_resample_sql(method: str) -> str:
-    stencil = (
-        [(sx, sy) for sy in (0, 1) for sx in (0, 1)]
-        if method == "bilinear"
-        else [(sx, sy) for sy in (-1, 0, 1, 2) for sx in (-1, 0, 1, 2)]
-    )
-    offs = ", ".join(f"({sx}, {sy})" for sx, sy in stencil)
-    img1 = (
-        "SELECT CAST(floor(i / 20) AS BIGINT) AS row, CAST(i % 20 AS BIGINT) AS col, "
-        "CAST((i * 48271 + 11) % 1000 AS DOUBLE) / 10.0 AS value FROM range(400) t(i)"
-    )
-    img2 = (
-        "SELECT CAST(floor(i / 20) AS BIGINT) AS row, CAST(i % 20 AS BIGINT) AS col, "
-        "CASE WHEN i % 17 = 0 THEN NULL "
-        "ELSE CAST((i * 24847 + 3) % 1000 AS DOUBLE) / 10.0 END AS value "
-        "FROM range(400) t(i)"
-    )
-
-    def cand(idx, img_cte, g):
-        cs = f"((c.x - {g.west!r}) / {g.res_x!r})"
-        rs = f"(({g.north!r} - c.y) / {g.res_y!r})"
-        dx = f"(CAST(s.nc AS DOUBLE) - s.cs)"
-        dy = f"(CAST(s.nr AS DOUBLE) - s.rs)"
-        exact = f"({dx} = 0.0 AND {dy} = 0.0)"
-        w = f"(1.0 / ({dx} * {dx} + {dy} * {dy}))"
-        return f"""
-  SELECT s.row, s.col, {idx} AS idx,
-         max(CASE WHEN {exact} THEN i.value END) AS ev,
-         sum(CASE WHEN NOT {exact} THEN i.value * {w} END)
-           / sum(CASE WHEN NOT {exact} THEN {w} END) AS wv
-  FROM (
-    SELECT c.row, c.col, {cs} AS cs, {rs} AS rs,
-           CAST(floor({rs}) AS BIGINT) + o.sy AS nr,
-           CAST(floor({cs}) AS BIGINT) + o.sx AS nc
-    FROM cells c CROSS JOIN offs o
-  ) s JOIN {img_cte} i ON i.row = s.nr AND i.col = s.nc AND i.value IS NOT NULL
-  GROUP BY s.row, s.col
-"""
-
-    og = _MOSAIC_OUT
-    return f"""
-WITH cells AS (
-  SELECT CAST(floor(i / {og.cols}) AS BIGINT) AS row,
-         CAST(i % {og.cols} AS BIGINT) AS col,
-         {og.x_center_sql(f"CAST(i % {og.cols} AS BIGINT)")} AS x,
-         {og.y_center_sql(f"CAST(floor(i / {og.cols}) AS BIGINT)")} AS y
-  FROM range({og.rows * og.cols}) t(i)
-),
-offs(sx, sy) AS (VALUES {offs}),
-img0 AS ({img2}), img1 AS ({img1}),
-cand0 AS ({cand(0, "img0", _MOSAIC_G2)}),
-cand1 AS ({cand(1, "img1", _MOSAIC_G1)})
-SELECT row, col, round(arg_min(coalesce(ev, wv), idx), 6) + 0.0 AS value
-FROM (SELECT * FROM cand0 UNION ALL SELECT * FROM cand1)
-GROUP BY row, col
-"""
-
-
-def q_rho8_pointer(spark, sf_dir):
-    """Rho8Pointer (hydro_analysis/rho8_pointer.rs), deterministic minstd
-    uniforms (documented deviation: the reference is unseeded)."""
-    from whitebox_tools_spark.operators.hydro import rho8_pointer
-
-    return rho8_pointer(_noise_raster(spark, sf_dir), EXTRACT_GRID, seed=7)
-
-
-def q_direct_decorrelation_stretch(spark, sf_dir):
-    """DirectDecorrelationStretch (image_analysis/
-    direct_decorrelation_stretch.rs, Liu & Moore 1996), k=0.5, 1% clip."""
-    from whitebox_tools_spark.operators import color as CO
-
-    comp = CO.create_colour_composite(
-        _part_raster(spark, sf_dir), _part_raster2(spark, sf_dir),
-        _part_raster3(spark, sf_dir),
-    )
-    return CO.direct_decorrelation_stretch(comp, k=0.5, clip_percent=0.01)
-
-
-def q_image_stack_profile(spark, sf_dir):
-    """ImageStackProfile (image_analysis/image_stack_profile.rs): 3-image
-    stack sampled at deterministic point cells."""
-    from whitebox_tools_spark.operators import color as CO
-
-    pts = _part_raster(spark, sf_dir).filter(
-        (F.col("row") * 11 + F.col("col")) % 59 == 0
-    ).select((F.col("row") * 1000 + F.col("col")).alias("point_id"), "row", "col")
-    return _r6(
-        CO.image_stack_profile(
-            [_part_raster(spark, sf_dir), _part_raster2(spark, sf_dir),
-             _part_raster3(spark, sf_dir)],
-            pts,
-        ),
-        ["value"],
-    )
-
-
-def q_write_function_memory_insertion(spark, sf_dir):
-    """WriteFunctionMemoryInsertion (image_analysis/
-    write_function_memory_insertion.rs): two-date change composite
-    (blue = date 2)."""
-    from whitebox_tools_spark.operators import color as CO
-
-    return CO.write_function_memory_insertion(
-        _part_raster(spark, sf_dir), _part_raster2(spark, sf_dir)
-    )
-
-
-def _binary_grid(spark):
-    """sf-independent 40x40 binary fixture: thick crossing line bands."""
-    n = 40
-    g = spark.range(n * n).select(
-        (F.col("id") / n).cast("long").alias("row"),
-        (F.col("id") % n).alias("col"),
-    )
-    return g.withColumn(
-        "value",
-        F.when((F.col("row") % 7 < 2) | (F.col("col") % 9 < 2), 1.0).otherwise(0.0),
-    )
-
-
-def _binary_grid_np():
-    import numpy as np
-
-    n = 40
-    g = np.zeros((n, n))
-    for r in range(n):
-        for c in range(n):
-            if r % 7 < 2 or c % 9 < 2:
-                g[r, c] = 1.0
-    return g
-
-
-def _grid_literal_sql(out) -> str:
-    rows = []
-    n = out.shape[0]
-    for r in range(n):
-        for c in range(n):
-            rows.append(f"({r},{c},{float(out[r, c])!r})")
-    return (
-        "SELECT CAST(row AS BIGINT) AS row, CAST(col AS BIGINT) AS col, "
-        "CAST(value AS DOUBLE) AS value FROM (VALUES "
-        + ", ".join(rows) + ") AS t(row, col, value)"
-    )
-
-
-def _thin_oracle_py(g):
-    """Independent dict-based transcription of line_thin.rs (separate from
-    the engine's binary_morph kernel)."""
-    e1 = [[6, 7, 0, 4, 3, 2], [0, 1, 2, 4, 5, 6], [2, 3, 4, 6, 7, 0], [4, 5, 6, 0, 1, 2]]
-    e2 = [[7, 0, 1, 3, 5], [1, 2, 3, 5, 7], [3, 4, 5, 7, 1], [5, 6, 7, 1, 3]]
-    v1 = [0.0, 0.0, 0.0, 1.0, 1.0, 1.0]
-    v2 = [0.0, 0.0, 0.0, 1.0, 1.0]
-    dx = [1, 1, 1, 0, -1, -1, -1, 0]
-    dy = [-1, 0, 1, 1, 1, 0, -1, -1]
-    n = g.shape[0]
-    d = {(r, c): g[r, c] for r in range(n) for c in range(n)}
-    changed = True
-    while changed:
-        changed = False
-        for a in range(4):
-            for r in range(n):
-                for c in range(n):
-                    if d[(r, c)] > 0.0:
-                        nb = [d.get((r + dy[i], c + dx[i]), 0.0) for i in range(8)]
-                        m1 = all(nb[e1[a][i]] == v1[i] for i in range(6))
-                        m2 = all(nb[e2[a][i]] == v2[i] for i in range(5))
-                        if m1 or m2:
-                            d[(r, c)] = 0.0
-                            changed = True
-    import numpy as np
-
-    out = np.zeros_like(g)
-    for (r, c), v in d.items():
-        out[r, c] = v
-    return out
-
-
-def _spurs_oracle_py(g, max_iterations=10):
-    el = [
-        [0, 1, 4, 5, 6, 7], [0, 1, 2, 5, 6, 7], [0, 1, 2, 3, 6, 7],
-        [0, 1, 2, 3, 4, 7], [0, 1, 2, 3, 4, 5], [1, 2, 3, 4, 5, 6],
-        [2, 3, 4, 5, 6, 7], [0, 3, 4, 5, 6, 7],
-    ]
-    dx = [1, 1, 1, 0, -1, -1, -1, 0]
-    dy = [-1, 0, 1, 1, 1, 0, -1, -1]
-    n = g.shape[0]
-    d = {(r, c): g[r, c] for r in range(n) for c in range(n)}
-    for loop_num in range(max_iterations):
-        changed = False
-        rr = range(n) if loop_num % 2 == 1 else range(n - 1, -1, -1)
-        cc = list(range(n)) if loop_num % 2 == 1 else list(range(n - 1, -1, -1))
-        for a in range(8):
-            for r in rr:
-                for c in cc:
-                    if d[(r, c)] > 0.0:
-                        nb = [d.get((r + dy[i], c + dx[i]), 0.0) for i in range(8)]
-                        if all(nb[j] == 0.0 for j in el[a]):
-                            d[(r, c)] = 0.0
-                            changed = True
-        if not changed:
-            break
-    import numpy as np
-
-    out = np.zeros_like(g)
-    for (r, c), v in d.items():
-        out[r, c] = v
-    return out
-
-
-def _thicken_oracle_py(g):
-    n1 = [(0, -1), (1, 0), (0, 1), (-1, 0)]
-    n2 = [(1, -1), (1, 1), (-1, 1), (-1, -1)]
-    n3 = [(1, 0), (0, 1), (-1, 0), (0, -1)]
-    n = g.shape[0]
-    d = {(r, c): g[r, c] for r in range(n) for c in range(n)}
-    src = dict(d)
-    for r in range(n):
-        for c in range(n):
-            if src[(r, c)] == 0.0:
-                for i in range(4):
-                    z1 = d.get((r + n1[i][1], c + n1[i][0]), 0.0)
-                    z2 = d.get((r + n2[i][1], c + n2[i][0]), 0.0)
-                    z3 = d.get((r + n3[i][1], c + n3[i][0]), 0.0)
-                    if z1 > 0.0 and z3 > 0.0 and z2 == 0.0:
-                        d[(r, c)] = z1
-                        break
-    import numpy as np
-
-    out = np.zeros_like(g)
-    for (r, c), v in d.items():
-        out[r, c] = v
-    return out
-
-
-def q_line_thinning(spark, sf_dir):
-    """LineThinning (image_analysis/line_thin.rs): mask-pass skeleton of
-    the binary fixture."""
-    from whitebox_tools_spark.operators.binary_morph import line_thinning
-
-    return line_thinning(_binary_grid(spark))
-
-
-def q_remove_spurs(spark, sf_dir):
-    """RemoveSpurs (image_analysis/remove_spurs.rs), 10 iterations."""
-    from whitebox_tools_spark.operators.binary_morph import remove_spurs
-
-    return remove_spurs(_binary_grid(spark), max_iterations=10)
-
-
-def q_thicken_raster_line(spark, sf_dir):
-    """ThickenRasterLine (image_analysis/thicken_line.rs)."""
-    from whitebox_tools_spark.operators.binary_morph import thicken_raster_line
-
-    return thicken_raster_line(_binary_grid(spark))
-
-
-def q_corner_detection(spark, sf_dir):
-    """CornerDetection (image_analysis/corner_detection.rs): hit-and-miss
-    corner masks over the binary fixture."""
-    from whitebox_tools_spark.operators.binary_morph import corner_detection
-
-    return corner_detection(_binary_grid(spark))
-
-
-def _corner_sql() -> str:
-    from whitebox_tools_spark.operators.binary_morph import corner_detection_oracle_sql
-
-    n = 40
-    grid_sql = (
-        "SELECT CAST(r AS BIGINT) AS row, CAST(c AS BIGINT) AS col, "
-        "CASE WHEN r % 7 < 2 OR c % 9 < 2 THEN 1.0 ELSE 0.0 END AS value "
-        f"FROM generate_series(0, {n - 1}) t1(r), generate_series(0, {n - 1}) t2(c)"
-    )
-    return corner_detection_oracle_sql(grid_sql)
-
-
-def q_bilateral(spark, sf_dir):
-    """BilateralFilter (image_analysis/bilateral_filter.rs)."""
-    from whitebox_tools_spark.operators import focal as FO
-
-    return _r6(
-        FO.bilateral_filter(_part_raster(spark, sf_dir), sigma_dist=0.75, sigma_int=50.0),
-        ["value"],
-    )
-
-
-def q_adaptive_filter(spark, sf_dir):
-    """AdaptiveFilter (image_analysis/adaptive_filter.rs)."""
-    from whitebox_tools_spark.operators import focal as FO
-
-    return _r6(
-        FO.adaptive_filter(_part_raster(spark, sf_dir), threshold=1.5), ["value"]
-    )
-
-
-def q_lee_filter(spark, sf_dir):
-    """LeeSigmaFilter (image_analysis/lee_filter.rs:379-420)."""
-    from whitebox_tools_spark.operators import focal as FO
-
-    return _r6(
-        FO.lee_filter(_part_raster(spark, sf_dir), sigma=200.0, min_n=3.0), ["value"]
-    )
-
-
-def q_k_nearest_mean(spark, sf_dir):
-    """KNearestMeanFilter (image_analysis/k_nearest_mean_filter.rs)."""
-    from whitebox_tools_spark.operators import focal as FO
-
-    return _r6(
-        FO.k_nearest_mean_filter(_part_raster(spark, sf_dir), filterx=5, filtery=5, k=5),
-        ["value"],
-    )
-
-
-def q_edge_preserving_mean(spark, sf_dir):
-    """EdgePreservingMeanFilter (image_analysis/edge_preserving_mean_filter.rs)."""
-    from whitebox_tools_spark.operators import focal as FO
-
-    return _r6(
-        FO.edge_preserving_mean_filter(_part_raster(spark, sf_dir), threshold=300.0),
-        ["value"],
-    )
-
-
-def q_highpass_median(spark, sf_dir):
-    """HighPassMedianFilter (image_analysis/highpass_median_filter.rs)."""
-    from whitebox_tools_spark.operators import focal as FO
-
-    return _r6(
-        FO.highpass_median_filter(_part_raster(spark, sf_dir)), ["value"]
-    )
-
-
-def q_percentile_filter(spark, sf_dir):
-    """PercentileFilter (image_analysis/percentile_filter.rs:315-455)."""
-    from whitebox_tools_spark.operators import focal as FO
-
-    return _r6(
-        FO.percentile_filter(_part_raster(spark, sf_dir), filterx=5, filtery=5),
-        ["value"],
-    )
-
-
-def _q_curv(which):
-    def q(spark, sf_dir):
-        from whitebox_tools_spark.operators.focal import curvature
-
-        out = curvature(_part_raster(spark, sf_dir), which, res=5.0)
-        # + 0.0 canonicalizes IEEE -0.0 (flat cells) on both engines
-        return _r6(out, ["value"]).withColumn("value", F.col("value") + F.lit(0.0))
-
-    q.__doc__ = f"{which} curvature (terrain_analysis/*_curvature.rs, Florinsky r/s/t)"
-    return q
-
-
-q_plan_curvature = _q_curv("plan")
-q_profile_curvature = _q_curv("profile")
-q_tangential_curvature = _q_curv("tangential")
-q_total_curvature = _q_curv("total")
-q_mean_curvature = _q_curv("mean")
-q_gaussian_curvature = _q_curv("gaussian")
-q_minimal_curvature = _q_curv("minimal")
-q_maximal_curvature = _q_curv("maximal")
-
-
-def q_clip_points(spark, sf_dir):
-    """Clip point case (gis_analysis/clip.rs:299-370)."""
-    from whitebox_tools_spark.operators.pip import clip_points
-
-    return clip_points(_cust_points(spark, sf_dir).drop("z"), PARTS, IDX)
-
-
-def q_erase_points(spark, sf_dir):
-    """Erase point case (gis_analysis/erase.rs)."""
-    from whitebox_tools_spark.operators.pip import erase_points
-
-    return erase_points(_cust_points(spark, sf_dir).drop("z"), PARTS, IDX)
-
-
-def q_trend_surface(spark, sf_dir):
-    """TrendSurfaceVectorPoints (math_stat_analysis/
-    trend_surface_vector_points.rs:159) order 1 over derived points; fitted
-    values hash-checked against the DuckDB Cramer-rule oracle."""
-    from whitebox_tools_spark.operators.stats import trend_surface
-
-    pts = _cust_points(spark, sf_dir)
-    cells = pts.select(
-        F.col("point_id").alias("row"), F.lit(0).cast("long").alias("col"),
-        F.col("z").alias("value"), "x", "y",
-    )
-    fitted, _ = trend_surface(cells, EXTRACT_GRID, order=1, x="x", y="y")
-    return _r6(fitted, ["value"])
-
-
-def q_trend_surface_vector_points(spark, sf_dir):
-    """TrendSurfaceVectorPoints dedicated output shape (math_stat_analysis/
-    trend_surface_vector_points.rs:297-590): order-1 trend fitted to the
-    derived customer points, evaluated over the raster spanned by the point
-    extent (west=min_x, north=max_y, rows/cols=ceil(extent/cell_size),
-    rs:307-310) — not the fitted-at-source-rows shape q_trend_surface pins."""
-    from whitebox_tools_spark.operators.stats import trend_surface_vector_points
-
-    pts = _cust_points(spark, sf_dir)
-    out = trend_surface_vector_points(
-        pts, order=1, cell_size=50.0, x="x", y="y", value="z"
-    )
-    return _r6(out, ["value"])
-
-
-def _trend_surface_vector_points_sql() -> str:
-    """DuckDB mirror: the same centered Cramer 3x3 solve as
-    _trend_surface_sql, evaluated over the extent-derived grid
-    (trend_surface_vector_points.rs:307-310 grid, lib.rs:728-741 centers)."""
-    x, y = synth.point_sql("c_custkey")
-    d = "(n*(sxx*syy - sxy*sxy) - sx*(sx*syy - sxy*sy) + sy*(sx*sxy - sxx*sy))"
-    c0 = "(sz*(sxx*syy - sxy*sxy) - sx*(sxz*syy - sxy*syz) + sy*(sxz*sxy - sxx*syz))"
-    c1 = "(n*(sxz*syy - sxy*syz) - sz*(sx*syy - sxy*sy) + sy*(sx*syz - sxz*sy))"
-    c2 = "(n*(sxx*syz - sxz*sxy) - sx*(sx*syz - sxz*sy) + sz*(sx*sxy - sxx*sy))"
-    return f"""
-WITH src AS (SELECT {x} AS x, {y} AS y, c_acctbal AS value
-             FROM customer WHERE c_acctbal IS NOT NULL),
-m AS (SELECT avg(x) AS mx, avg(y) AS my, avg(value) AS mz,
-             min(x) AS xmin, max(x) AS xmax,
-             min(y) AS ymin, max(y) AS ymax FROM src),
-s AS (SELECT count(*) AS n,
-             sum(x - mx) AS sx, sum(y - my) AS sy, sum(value - mz) AS sz,
-             sum((x - mx)*(x - mx)) AS sxx, sum((x - mx)*(y - my)) AS sxy,
-             sum((y - my)*(y - my)) AS syy,
-             sum((x - mx)*(value - mz)) AS sxz, sum((y - my)*(value - mz)) AS syz
-      FROM src, m),
-c AS (SELECT {c0} / {d} AS c0, {c1} / {d} AS c1, {c2} / {d} AS c2 FROM s),
-g AS (SELECT xmin AS west, ymax AS north,
-             CAST(ceil((ymax - ymin) / 50.0) AS BIGINT) AS nrows,
-             CAST(ceil((xmax - xmin) / 50.0) AS BIGINT) AS ncols FROM m),
-cells AS (
-  SELECT CAST(floor(i / g.ncols) AS BIGINT) AS row,
-         CAST(i % g.ncols AS BIGINT) AS col,
-         g.west + 25.0 + CAST(i % g.ncols AS DOUBLE) * 50.0 AS xc,
-         g.north - 25.0 - CAST(floor(i / g.ncols) AS DOUBLE) * 50.0 AS yc
-  FROM range(2000) t(i), g WHERE i < g.nrows * g.ncols
-)
-SELECT cells.row, cells.col,
-       round(m.mz + c.c0 + c.c1*(cells.xc - m.mx) + c.c2*(cells.yc - m.my), 6)
-         + 0.0 AS value
-FROM cells, m, c
-"""
-
-
-def q_raster_to_polygons(spark, sf_dir):
-    """RasterToVectorPolygons (data_tools/raster_to_vector_polygons.rs:131).
-
-    Output: per-feature invariants that a SQL oracle can derive from the
-    cell table WITHOUT stitching — boundary segment count (each boundary
-    cell edge becomes exactly one ring segment) and net shoelace area of the
-    stitched rings (mathematically = clump cell count x cell area). A wrong
-    ring topology breaks either invariant; vertex-exact ring geometry is
-    additionally pinned by the pytest round-trip."""
-    from whitebox_tools_spark.operators.raster_vector import raster_to_vector_polygons
-
-    cells = RM.reclass(
-        _part_raster(spark, sf_dir),
-        [(1.0, 0.0, 1500.0), (2.0, 1500.0, 99999.0)],
-    )
-    rings = raster_to_vector_polygons(cells, EXTRACT_GRID)
-    seg_sa = F.aggregate(
-        F.sequence(F.lit(1), F.size("xs") - 1),
-        F.lit(0.0),
-        lambda acc, k: acc
-        + F.element_at("xs", k) * F.element_at("ys", k + 1)
-        - F.element_at("xs", k + 1) * F.element_at("ys", k),
-    )
-    per_ring = rings.select(
-        "fid", "value", (F.size("xs") - 1).alias("n_seg"), seg_sa.alias("sa")
-    )
-    return per_ring.groupBy("fid").agg(
-        F.first("value").alias("value"),
-        F.sum("n_seg").cast("long").alias("n_segments"),
-        F.round(F.lit(-0.5) * F.sum("sa"), 6).alias("area"),
-    )
-
-
-def _patch_raster(spark, sf_dir):
-    """Patch-id raster for the patch-shape tools: clump of the reclassed
-    part raster (ids > 0)."""
-    from whitebox_tools_spark.operators.raster_vector import clump
-
-    cells = RM.reclass(
-        _part_raster(spark, sf_dir),
-        [(1.0, 0.0, 1500.0), (2.0, 1500.0, 99999.0)],
-    )
-    return clump(cells).select("row", "col", F.col("clump_id").cast("double").alias("value"))
-
-
-def q_shape_complexity_index_raster(spark, sf_dir):
-    """ShapeComplexityIndexRaster (gis_analysis/shape_complexity_raster.rs):
-    transect run starts / (bbox h + w) per clump patch."""
-    from whitebox_tools_spark.operators.raster_vector import (
-        shape_complexity_index_raster,
-    )
-
-    return _r6(shape_complexity_index_raster(_patch_raster(spark, sf_dir)), ["sci"])
-
-
-def q_narrowness_index(spark, sf_dir):
-    """NarrownessIndex (gis_analysis/narrowness_index.rs): A/(pi*MD^2)
-    per clump patch."""
-    from whitebox_tools_spark.operators.raster_vector import narrowness_index
-
-    return _r6(narrowness_index(_patch_raster(spark, sf_dir)), ["ni"])
-
-
-def q_clump(spark, sf_dir):
-    """Clump (gis_analysis/clump.rs), 8-connectivity; scan-order ids."""
-    from whitebox_tools_spark.operators.raster_vector import clump
-
-    cells = RM.reclass(
-        _part_raster(spark, sf_dir),
-        [(1.0, 0.0, 1500.0), (2.0, 1500.0, 99999.0)],
-    )
-    return clump(cells)
-
-
-def q_modified_kmeans(spark, sf_dir):
-    """ModifiedKMeansClustering (image_analysis/
-    modified_k_means_clustering.rs): Lloyd with per-iteration merging of
-    centres closer than merge_dist (class count only shrinks). Rows-only;
-    the merge/assignment contract is pinned against a serial python
-    transcription in tests/test_operators.py."""
-    from whitebox_tools_spark.operators.ml import modified_kmeans
-
-    emb = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", *[F.col("embedding")[i].cast("double").alias(f"f{i}") for i in range(4)]
-    )
-    out = modified_kmeans(emb, [f"f{i}" for i in range(4)], id_col="vec_id",
-                          start_clusters=12, merge_dist=0.2, iters=6)
-    return out.select("vec_id", F.col("cluster").cast("long").alias("cluster"))
-
-
-def q_kmeans(spark, sf_dir):
-    """KMeansClustering (image_analysis/k_means_clustering.rs — plain Lloyd
-    with fixed iterations): deterministic distributed Lloyd's with
-    smallest-k-ids init and rounded-centroid trajectory, hash-checked
-    against an unrolled-CTE DuckDB mirror. (Spark ML KMeans remains in
-    ml.kmeans_clusters for seeded production use.)"""
-    from whitebox_tools_spark.operators.ml import lloyd_kmeans
-
-    emb = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", *[F.col("embedding")[i].cast("double").alias(f"f{i}") for i in range(8)]
-    )
-    out = lloyd_kmeans(emb, [f"f{i}" for i in range(8)], 4, id_col="vec_id", iters=8)
-    return out.select("vec_id", F.col("cluster").cast("long").alias("cluster"))
-
-
-def _pca_fixture(spark) -> DataFrame:
-    """Fixed synthetic feature table == serial_oracles.pca_vals(): two
-    latent LCG factors mixed per feature + per-feature LCG noise, so the
-    correlation matrix has two dominant well-separated eigenvalues."""
-    cols = [F.col("id").alias("vec_id")]
-    b1 = ((F.col("id") * 48271) % 100000).cast("double") / F.lit(100000.0)
-    b2 = ((F.col("id") * 69621 + 12345) % 100000).cast("double") / F.lit(100000.0)
-    for i in range(8):
-        noise = ((F.col("id") * (179 + 2 * i) + 31 * i) % 1000).cast(
-            "double"
-        ) / F.lit(10000.0)
-        cols.append(
-            (F.lit((i + 1) / 8.0) * b1 + F.lit((8 - i) / 8.0) * b2 + noise).alias(
-                f"f{i}"
-            )
-        )
-    return spark.range(1, 501).select(*cols)
-
-
-def q_pca(spark, sf_dir):
-    """PrincipalComponentAnalysis (math_stat_analysis/
-    principal_component_analysis.rs): correlation-matrix PCA with the
-    deterministic contract (descending eigenvalue order, largest-loading
-    sign canonicalization) — value-checked against serial_oracles.
-    pca_scores_serial, an independent pure-python cyclic-Jacobi
-    eigensolver, as a literal VALUES oracle over the fixed fixture."""
-    from whitebox_tools_spark.operators.ml import pca_scores_deterministic
-
-    out = pca_scores_deterministic(
-        _pca_fixture(spark), [f"f{i}" for i in range(8)], 2, id_col="vec_id"
-    )
-    return _r6(out, ["pc1", "pc2"])
-
-
-def _pca_values_sql() -> str:
-    """Literal VALUES oracle for q_pca: (vec_id, pc1, pc2) from the serial
-    Jacobi solve, rounded 6 dp (+ 0.0 signed-zero normalize)."""
-    scores = _so().pca_scores_serial(_so().pca_vals(), 2)
-    vals = ", ".join(
-        f"({i}, {v[0]!r}, {v[1]!r})" for i, v in sorted(scores.items())
-    )
-    return (
-        "SELECT CAST(i AS BIGINT) AS vec_id, "
-        "round(CAST(a AS DOUBLE), 6) + 0.0 AS pc1, "
-        "round(CAST(b AS DOUBLE), 6) + 0.0 AS pc2 "
-        f"FROM (VALUES {vals}) AS t(i, a, b)"
-    )
-
-
-def _order_cloud(spark, sf_dir):
-    """Derived point cloud: orders -> (point_id, x, y, z, classification)."""
-    x, y = synth.point_exprs(F.col("o_orderkey"))
-    return _t(spark, sf_dir, "orders").select(
-        F.col("o_orderkey").alias("point_id"), x.alias("x"), y.alias("y"),
-        (F.col("o_totalprice") / 1000.0).alias("z"),
-        F.when(F.col("o_orderstatus") == "F", 2).otherwise(1).alias("classification"),
-    )
-
-
-_ORDER_CLOUD_SQL = None  # built in oracle_sql()
-
-
-def q_lidar_point_stats(spark, sf_dir):
-    """LidarPointStats (lidar_analysis/lidar_point_stats.rs): per-cell
-    count/min/max/mean z."""
-    from whitebox_tools_spark.operators.lidar import point_stats
-
-    out = point_stats(_order_cloud(spark, sf_dir), EXTRACT_GRID)
-    return _r6(out, ["min_z", "max_z", "mean_z"])
-
-
-def q_lidar_thin(spark, sf_dir):
-    """LidarThin (lidar_analysis/lidar_thin.rs): lowest point per cell,
-    ties by point_id."""
-    from whitebox_tools_spark.operators.lidar import lidar_thin
-
-    out = lidar_thin(_order_cloud(spark, sf_dir), EXTRACT_GRID, method="lowest")
-    return out.select("point_id", "row", "col", F.round("z", 6).alias("z"))
-
-
-def q_elevation_slice(spark, sf_dir):
-    """LidarElevationSlice (lidar_analysis/lidar_elevation_slice.rs)."""
-    from whitebox_tools_spark.operators.lidar import elevation_slice
-
-    out = elevation_slice(_order_cloud(spark, sf_dir), minz=100.0, maxz=200.0)
-    return out.select("point_id", F.round("z", 6).alias("z"))
-
-
-# --- training-data suite ---------------------------------------------------
-def q_lidar_ground_filter(spark, sf_dir):
-    """LidarGroundPointFilter slope mode
-    (lidar_analysis/lidar_ground_point_filter.rs:513-538) on a thinned
-    cloud (radius pass + kNN fallback for sparse neighborhoods)."""
-    from whitebox_tools_spark.operators.lidar import ground_point_filter
-
-    cloud = _order_cloud(spark, sf_dir).filter(F.col("point_id") % 40 == 0)
-    return ground_point_filter(cloud, radius=30.0, slope_threshold=15.0,
-                               min_neighbours=4)
-
-
-def _lidar_ground_sql() -> str:
-    import math as _math
-
-    t = _math.tan(_math.radians(15.0))
-    cloud = _order_cloud_cte() + " WHERE o_orderkey % 40 = 0"
-    return f"""
-WITH pts AS ({cloud}),
-pr AS (
-  SELECT a.point_id AS pid, a.z AS pz, b.point_id AS nid, b.z AS nz,
-         (a.x - b.x)*(a.x - b.x) + (a.y - b.y)*(a.y - b.y) AS dsq,
-         sqrt((a.x - b.x)*(a.x - b.x) + (a.y - b.y)*(a.y - b.y)) AS d
-  FROM pts a CROSS JOIN pts b
-),
-inr AS (
-  SELECT pid, count(*) AS n,
-         max(CASE WHEN d > 0 THEN (pz - nz) / d END) AS ms
-  FROM pr WHERE d <= 30.0 GROUP BY 1
-),
-knn AS (
-  SELECT pid, max(CASE WHEN d > 0 THEN (pz - nz) / d END) AS ms
-  -- rank by SQUARED distance: sqrt can collapse 1-ulp-distinct dsq values
-  -- into an exact tie, flipping the tie-break vs the engine's dist_sq rank
-  FROM (SELECT pid, pz, nz, d,
-               row_number() OVER (PARTITION BY pid ORDER BY dsq, nid) AS rn
-        FROM pr) q
-  WHERE rn <= 4 GROUP BY 1
-)
-SELECT i.pid AS point_id,
-       CASE WHEN i.n >= 4 THEN coalesce(i.ms, -1e308) > {t!r}
-            ELSE coalesce(k.ms, -1e308) > {t!r} END AS is_off_terrain
-FROM inr i LEFT JOIN knn k ON k.pid = i.pid
-"""
-
-
-def q_dedup_exact(spark, sf_dir):
-    return DD.exact_dedup(_t(spark, sf_dir, "documents"))
-
-
-def q_ngram_jaccard(spark, sf_dir):
-    # banded: log-ratio length bands, 3x key fan-out; exact-complete, so
-    # the all-pairs DuckDB oracle certifies it directly. Candidate volume
-    # is sum(|band|^2) — mid-scale path; 100-TB traffic goes to 'prefix'.
-    return _r6(
-        DD.ngram_jaccard_pairs(
-            _t(spark, sf_dir, "documents"), threshold=0.5, banded=True
-        ),
-        ["jaccard"],
-    )
-
-
-def q_ngram_jaccard_prefix(spark, sf_dir):
-    """PPJoin prefix-filtered exact Jaccard (the 100-TB candidate path:
-    global df-ordered shingles, each doc indexes its |A|-ceil(t|A|)+1
-    rarest, candidates equi-join on indexed shingles only). Same exact
-    output as all-pairs, so the same DuckDB oracle certifies it."""
-    return _r6(
-        DD.ngram_jaccard_pairs(
-            _t(spark, sf_dir, "documents"), threshold=0.5, method="prefix"
-        ),
-        ["jaccard"],
-    )
-
-
-def q_minhash_lsh(spark, sf_dir):
-    """MinHash+LSH with the engine-portable md5 hash family — the full
-    pipeline (shingle hash, 32 universal-hash permutations, 8-band keys,
-    signature-agreement verify) is hash-checked against a DuckDB mirror.
-    The synthetic corpus is heavily templated (a third of all pairs sit
-    above jaccard 0.5), so the query uses a steep band curve (8 bands x
-    4 rows) with verify 0.7 — "find the strong dups in a sea of mild
-    similarity". bench.py separately times the xxhash64 production path."""
-    return DD.minhash_lsh_pairs(
-        _t(spark, sf_dir, "documents"),
-        num_hashes=32, bands=8, verify_threshold=0.7, hash_family="md5",
-    )
-
-
-def q_simhash(spark, sf_dir):
-    """SimHash near-dups with the portable md5 family (60-bit fingerprints,
-    7 pigeonhole bands for max_hamming=6) — hash-checked vs DuckDB."""
-    out = DD.simhash_near_dup_pairs(
-        _t(spark, sf_dir, "documents"), max_hamming=6, bits=60, hash_family="md5"
-    )
-    return out.select("doc_id_a", "doc_id_b", F.col("hamming").cast("long").alias("hamming"))
-
-
-def q_token_count(spark, sf_dir):
-    return TX.token_count(_t(spark, sf_dir, "documents"))
-
-
-def q_bpe_count(spark, sf_dir):
-    return TX.bpe_ish_token_count(_t(spark, sf_dir, "documents"))
-
-
-def q_quality(spark, sf_dir):
-    return _r6(TX.quality_score(_t(spark, sf_dir, "documents")),
-               ["mean_tok_len", "punct_ratio", "stop_ratio", "quality"])
-
-
-def q_langid(spark, sf_dir):
-    return _r6(TX.language_id(_t(spark, sf_dir, "documents")), ["stop_ratio"])
-
-
-def q_fingerprint(spark, sf_dir):
-    return TX.fingerprint(_t(spark, sf_dir, "documents"))
-
-
-def q_embed_topk(spark, sf_dir):
-    emb = _t(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
-    out = SIM.cosine_topk(emb, queries, 5)
-    return out.select("query_id", "vec_id", F.round("cosine", 5).alias("cosine"),
-                      F.col("rank").cast("long").alias("rank"))
-
-
-def q_embed_near_dup(spark, sf_dir):
-    """Exact pairwise cosine near-dup (brute force at oracle scale)."""
-    emb = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("v").alias("v_a"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("v").alias("v_b"))
-    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
-    cos = SIM.cosine_expr(F.col("v_a"), F.col("v_b"))
-    return (
-        pairs.withColumn("cosine", cos)
-        .filter(F.col("cosine") >= 0.45)
-        .select("id_a", "id_b", F.round("cosine", 5).alias("cosine"))
-    )
-
-
-def q_embed_ann_lsh(spark, sf_dir):
-    """LSH-bucketed ANN (approximate; rows-only check, recall tested in pytest)."""
-    emb = _t(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
-    out = SIM.ann_topk_lsh(emb, queries, 5, n_planes=8, n_probes=4,
-                           probe_mode="fixed")
-    return out.select("query_id", "vec_id", F.round("cosine", 5).alias("cosine"),
-                      F.col("rank").cast("long").alias("rank"))
-
-
-def q_embed_ann_multiprobe(spark, sf_dir):
-    """Adaptive multi-probe ANN (Lv et al. VLDB'07: extra probes flip the
-    query's least-confident plane bits). The DuckDB mirror re-derives the
-    flip order via list_sort on (abs(dot), plane_idx) structs, so the whole
-    adaptive pipeline is value-checked."""
-    emb = _t(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
-    out = SIM.ann_topk_lsh(emb, queries, 5, n_planes=8, n_probes=4,
-                           probe_mode="adaptive")
-    return out.select("query_id", "vec_id", F.round("cosine", 5).alias("cosine"),
-                      F.col("rank").cast("long").alias("rank"))
-
-
-# ---------------------------------------------------------------------------
-# OVL overlay queries (clip/erase polylines, polygon intersect/diff/union)
-# ---------------------------------------------------------------------------
-def _cust_lines(spark, sf_dir) -> DataFrame:
-    """Deterministic polylines: consecutive customer hash-points chained in
-    groups of 6 (line_id = floor(c_custkey/6), vertex order = c_custkey%6)."""
-    x, y = synth.point_exprs(F.col("c_custkey"))
-    pts = _t(spark, sf_dir, "customer").select(
-        F.col("c_custkey").alias("k"), x.alias("x"), y.alias("y")
-    )
-    v = pts.withColumn("line_id", F.floor(F.col("k") / 6).cast("long")).groupBy(
-        "line_id"
-    ).agg(
-        F.sort_array(F.collect_list(F.struct((F.col("k") % 6).alias("ord"), "x", "y"))).alias("v")
-    )
-    return v.filter(F.size("v") >= 2).select(
-        "line_id",
-        F.transform("v", lambda s: s["x"]).alias("xs"),
-        F.transform("v", lambda s: s["y"]).alias("ys"),
-    )
-
-
-def _cust_segs_cte() -> str:
-    """DuckDB mirror: the same lines as exploded segments
-    segs(line_id, seg_idx, px0, py0, px1, py1)."""
-    x, y = synth.point_sql("c_custkey")
-    return (
-        f"WITH p AS (SELECT c_custkey AS k, {x} AS x, {y} AS y, "
-        f"CAST(floor(c_custkey / 6) AS BIGINT) AS line_id FROM customer) "
-        f"SELECT p1.line_id, CAST(p1.k % 6 AS INT) AS seg_idx, "
-        f"p1.x AS px0, p1.y AS py0, p2.x AS px1, p2.y AS py1 "
-        f"FROM p p1 JOIN p p2 ON p2.k = p1.k + 1 AND p2.line_id = p1.line_id"
-    )
-
-
-def _lines_to_segments(out: DataFrame) -> DataFrame:
-    """Merged output polylines -> rounded segment rows (the oracle's shape)."""
-    i = F.explode(F.sequence(F.lit(1), F.size("xs") - 1)).alias("i")
-    e = out.select("line_id", "xs", "ys", i)
-    return e.select(
-        "line_id",
-        F.round(F.element_at("xs", F.col("i")), 6).alias("x0"),
-        F.round(F.element_at("ys", F.col("i")), 6).alias("y0"),
-        F.round(F.element_at("xs", F.col("i") + 1), 6).alias("x1"),
-        F.round(F.element_at("ys", F.col("i") + 1), 6).alias("y1"),
-    )
-
-
-def q_clip_lines(spark, sf_dir):
-    """Clip polyline case (gis_analysis/clip.rs:524, line_ops.rs:138)."""
-    from whitebox_tools_spark.operators.overlay import clip_lines
-
-    return _lines_to_segments(clip_lines(_cust_lines(spark, sf_dir), PARTS, IDX))
-
-
-def q_erase_lines(spark, sf_dir):
-    """Erase polyline case (gis_analysis/erase.rs) — midpoint-outside dual."""
-    from whitebox_tools_spark.operators.overlay import erase_lines
-
-    return _lines_to_segments(erase_lines(_cust_lines(spark, sf_dir), PARTS, IDX))
-
-
-def _parts_a_df(spark) -> DataFrame:
-    rows = []
-    for pid, parts in PARTS_A:
-        for k, (xs, ys, hole) in enumerate(parts):
-            rows.append((pid, k, bool(hole), [float(v) for v in xs], [float(v) for v in ys]))
-    return spark.createDataFrame(
-        rows, "poly_id long, part_idx int, is_hole boolean, xs array<double>, ys array<double>"
-    )
-
-
-def q_polygon_overlay(spark, sf_dir):
-    """Intersect/Difference/Union areas per candidate polygon pair
-    (gis_analysis/intersect.rs, difference.rs, union.rs) via the
-    split-boundary shoelace sum — no ring stitching, no cross join."""
-    from whitebox_tools_spark.operators.overlay import polygon_overlay_areas
-
-    out = polygon_overlay_areas(_parts_a_df(spark), PARTS, IDX)
-    return out.select(
-        "a_id", "b_id",
-        F.round("inter_area", 6).alias("inter_area"),
-        F.round(F.col("a_area") - F.col("inter_area"), 6).alias("diff_area"),
-        F.round(F.col("a_area") + F.col("b_area") - F.col("inter_area"), 6).alias("union_area"),
-    )
-
-
-def q_intersect_rings(spark, sf_dir):
-    """Intersect with RING geometry (gis_analysis/intersect.rs): net
-    shoelace area of the STITCHED rings per pair, checked against the
-    stitch-free boundary-sum oracle. Junction vertices keep one of two
-    per-side parametrization variants (~1e-7 apart), so the check rounds
-    to whole area units — a mis-stitched or dropped ring shifts the value
-    by >= the ring's area."""
-    from whitebox_tools_spark.operators.overlay import intersect_polygons_rings
-
-    rings = intersect_polygons_rings(_parts_a_df(spark), PARTS, IDX)
-    sa = F.aggregate(
-        F.sequence(F.lit(1), F.size("xs") - 1),
-        F.lit(0.0),
-        lambda acc, k: acc
-        + F.element_at("xs", k) * F.element_at("ys", k + 1)
-        - F.element_at("xs", k + 1) * F.element_at("ys", k),
-    )
-    per = rings.select("a_id", "b_id", sa.alias("sa"))
-    return per.groupBy("a_id", "b_id").agg(
-        F.round(F.lit(-0.5) * F.sum("sa"), 0).alias("area")
-    )
-
-
-def _ring_net_area(rings, ids):
-    sa = F.aggregate(
-        F.sequence(F.lit(1), F.size("xs") - 1),
-        F.lit(0.0),
-        lambda acc, k: acc
-        + F.element_at("xs", k) * F.element_at("ys", k + 1)
-        - F.element_at("xs", k + 1) * F.element_at("ys", k),
-    )
-    per = rings.select(*ids, sa.alias("sa"))
-    return per.groupBy(*ids).agg(
-        F.round(F.lit(-0.5) * F.sum("sa"), 0).alias("area")
-    )
-
-
-def _overlapping_pairs(spark):
-    """(a_id, b_id) pairs with a genuine intersection — the overlay tools'
-    working set (disjoint candidate pairs pass through unchanged)."""
-    from whitebox_tools_spark.operators.overlay import polygon_overlay_areas
-
-    return polygon_overlay_areas(_parts_a_df(spark), PARTS, IDX).select(
-        "a_id", "b_id"
-    )
-
-
-def q_union_rings(spark, sf_dir):
-    """Union with RING geometry (gis_analysis/union.rs): net shoelace area
-    of the stitched A∪B rings per intersecting pair vs the stitch-free
-    inclusion-exclusion oracle (a + b - inter), rounded to whole units."""
-    from whitebox_tools_spark.operators.overlay import overlay_polygons_rings
-
-    rings = overlay_polygons_rings(_parts_a_df(spark), PARTS, IDX, mode="union")
-    return _ring_net_area(rings, ["a_id", "b_id"]).join(
-        _overlapping_pairs(spark), ["a_id", "b_id"], "semi"
-    )
-
-
-def q_symmetric_difference_rings(spark, sf_dir):
-    """SymmetricalDifference rings (gis_analysis/symmetrical_difference.rs):
-    net stitched area per intersecting pair vs a + b - 2*inter."""
-    from whitebox_tools_spark.operators.overlay import overlay_polygons_rings
-
-    rings = overlay_polygons_rings(
-        _parts_a_df(spark), PARTS, IDX, mode="symmetric_difference"
-    )
-    return _ring_net_area(rings, ["a_id", "b_id"]).join(
-        _overlapping_pairs(spark), ["a_id", "b_id"], "semi"
-    )
-
-
-def q_difference_rings(spark, sf_dir):
-    """Difference rings (gis_analysis/difference.rs): net stitched area of
-    A - B per intersecting pair vs a - inter."""
-    from whitebox_tools_spark.operators.overlay import overlay_polygons_rings
-
-    rings = overlay_polygons_rings(
-        _parts_a_df(spark), PARTS, IDX, mode="difference"
-    )
-    return _ring_net_area(rings, ["a_id", "b_id"]).join(
-        _overlapping_pairs(spark), ["a_id", "b_id"], "semi"
-    )
-
-
-def _dissolve_groups():
-    """Deterministic grouping of the A-side synth layer for Dissolve:
-    gid = poly_id % 5."""
-    return [(pid % 5, pid, parts) for pid, parts in PARTS_A]
-
-
-def q_dissolve(spark, sf_dir):
-    """Dissolve (gis_analysis/dissolve.rs): per attribute group, stitched
-    union rings of the group's features; net shoelace area per group vs
-    the n-way stitch-free boundary-sum oracle."""
-    from whitebox_tools_spark.operators.overlay import dissolve_rings
-
-    rows = []
-    for gid, pid, parts in _dissolve_groups():
-        for k, (xs, ys, hole) in enumerate(parts):
-            rows.append(
-                (gid, pid, k, bool(hole),
-                 [float(v) for v in xs], [float(v) for v in ys])
-            )
-    parts_df = spark.createDataFrame(
-        rows,
-        "gid long, poly_id long, part_idx int, is_hole boolean, "
-        "xs array<double>, ys array<double>",
-    )
-    rings = dissolve_rings(parts_df, group_col="gid")
-    return _ring_net_area(rings, ["gid"])
-
-
-def q_clip_polygons(spark, sf_dir):
-    """Clip polygon case (gis_analysis/clip.rs:571+): area of each input
-    polygon clipped to a DISJOINT clip layer (areas add per clip feature)."""
-    from whitebox_tools_spark.operators.overlay import polygon_overlay_areas
-
-    out = polygon_overlay_areas(_parts_a_df(spark), PARTS_DISJOINT, IDX)
-    return out.groupBy("a_id").agg(
-        F.round(F.sum("inter_area"), 6).alias("clipped_area")
-    )
-
-
-# ---------------------------------------------------------------------------
-# Radial basis function interpolation
-# ---------------------------------------------------------------------------
-_RBF_KEYS = 120
-_RBF_GRID = GridSpec(west=0.0, north=1000.0, res_x=50.0, res_y=50.0, rows=20, cols=20)
-
-
-def _rbf_points(spark):
-    """Deterministic fixture cloud: LCG x/y (synth.point_exprs) + an exact
-    rational z stream — identical integer arithmetic in any engine."""
-    x, y = synth.point_exprs(F.col("id"))
-    z = ((F.col("id") * F.lit(48271)) % F.lit(99991)).cast("double") / F.lit(1000.0)
-    return spark.range(1, _RBF_KEYS + 1).select(
-        F.col("id").alias("point_id"), x.alias("x"), y.alias("y"), z.alias("z")
-    )
-
-
-def _rbf_points_np():
-    import numpy as np
-
-    keys = np.arange(1, _RBF_KEYS + 1)
-    px, py = synth.point_np(keys)
-    pz = ((keys.astype(np.int64) * 48271) % 99991).astype(np.float64) / 1000.0
-    return keys, px, py, pz
-
-
-def q_rbf_interpolation(spark, sf_dir):
-    """RadialBasisFunctionInterpolation
-    (gis_analysis/radial_basis_function_interpolation.rs:560-596): thin
-    plate spline (default basis, weight 0.1, no polynomial term), radius
-    120 with min_points=5 kNN fallback, 10x-range outlier gate. Oracle =
-    INDEPENDENT pure-python Gaussian-elimination transcription (the engine
-    solves via SVD pseudo-inverse), literals embedded."""
-    from whitebox_tools_spark.operators.rbf import rbf_interpolation
-
-    out = rbf_interpolation(
-        _rbf_points(spark), _RBF_GRID, IDX, radius=120.0, min_points=5
-    )
-    return _r6(out, ["value"])
-
-
-def q_lidar_rbf_interpolation(spark, sf_dir):
-    """LidarRbfInterpolation
-    (lidar_analysis/lidar_radial_basis_function_interpolation.rs): the same
-    RBF scheme over a point cloud — multiquadric basis with the affine
-    polynomial augmentation (poly_order=2) to exercise the mean-centered
-    polynomial path (radial_basis_function.rs:97-107)."""
-    from whitebox_tools_spark.operators.rbf import rbf_interpolation
-
-    cloud = _rbf_points(spark).withColumn("z", F.col("z") / 2.0 + F.col("x") / 10.0)
-    out = rbf_interpolation(
-        cloud,
-        _RBF_GRID,
-        IDX,
-        radius=150.0,
-        min_points=6,
-        func_type="multiquadric",
-        weight=5.0,
-        poly_order=2,
-    )
-    return _r6(out, ["value"])
-
-
-def _rbf_sql(func_type, weight, poly_order, radius, min_points, z_transform) -> str:
-    """Literal oracle: neighbor rule + GE solve transcribed independently
-    (operators/rbf.py rbf_reference_cell) over the fixture cloud."""
-    from whitebox_tools_spark.operators.rbf import rbf_reference_cell
-
-    keys, px, py, pz = _rbf_points_np()
-    pz = z_transform(px, py, pz)
-    zmin, zmax = float(pz.min()), float(pz.max())
-    mid, rng = zmin + (zmax - zmin) / 2.0, zmax - zmin
-    g = _RBF_GRID
-    rows = []
-    for r in range(g.rows):
-        for c in range(g.cols):
-            tx = g.west + (c + 0.5) * g.res_x
-            ty = g.north - (r + 0.5) * g.res_y
-            d2 = (px - tx) ** 2 + (py - ty) ** 2
-            order = sorted(range(len(keys)), key=lambda i: (d2[i], keys[i]))
-            sel = [i for i in order if d2[i] <= radius * radius]
-            if len(sel) < min_points:
-                sel = order[:min_points]
-            if not sel:
-                rows.append((r, c, g.nodata))
-                continue
-            pts = [(float(px[i]), float(py[i]), float(pz[i])) for i in sel]
-            v = rbf_reference_cell(pts, tx, ty, func_type, weight, poly_order)
-            rows.append((r, c, _round_half_up(v) if abs(v - mid) < 10.0 * rng else g.nodata))
-    vals = ", ".join(f"({r}, {c}, {v!r})" for r, c, v in rows)
-    return (
-        "SELECT CAST(row AS BIGINT) AS row, CAST(col AS BIGINT) AS col, "
-        "CAST(value AS DOUBLE) AS value "
-        f"FROM (VALUES {vals}) AS t(row, col, value)"
-    )
-
-
-# ---------------------------------------------------------------------------
-# Vector stream network plugins
-# ---------------------------------------------------------------------------
-def _stream_net_polylines():
-    """Deterministic tree stream network: vertex lists directed downstream
-    (first = upstream child node, last = downstream parent node); 3-dp
-    coordinates shared exactly at junctions. Engine arc_id = index + 1."""
-    s = [12345]
-
-    def nx():
-        s[0] = (s[0] * 48271) % 2147483647
-        return s[0]
-
-    outlet = (500.0, 50.0)
-    arcs = []
-    used = {outlet}
-    stack = [(outlet, 0)]
-    while stack and len(arcs) < 34:
-        node, depth = stack.pop()
-        if depth == 0:
-            nch = 1
-        elif depth <= 2:
-            nch = 2
-        elif depth < 6:
-            r = nx() % 5
-            nch = 2 if r < 2 else (1 if r < 4 else 0)
-        else:
-            nch = 0
-        for c in range(nch):
-            dx = (nx() % 161) - 80 + c * 37.0
-            dy = 60 + nx() % 61
-            child = (round(node[0] + dx, 3), round(node[1] + dy, 3))
-            while child in used:
-                child = (round(child[0] + 0.013, 3), child[1])
-            used.add(child)
-            mx = round((node[0] + child[0]) / 2 + ((nx() % 21) - 10) / 10.0, 3)
-            my = round((node[1] + child[1]) / 2 + ((nx() % 21) - 10) / 10.0, 3)
-            arcs.append([child, (mx, my), node])
-            stack.append((child, depth + 1))
-    return arcs
-
-
-def _stream_net_df(spark, polylines):
-    rows = [
-        (i + 1, [float(p[0]) for p in pl], [float(p[1]) for p in pl])
-        for i, pl in enumerate(polylines)
-    ]
-    return spark.createDataFrame(rows, "arc_id long, xs array<double>, ys array<double>")
-
-
-def q_vector_stream_network_analysis(spark, sf_dir):
-    """vector_stream_network_analysis plugin
-    (whitebox-plugins/src/vector_stream_network_analysis/main.rs:360-846):
-    all 13 per-arc attributes. Lengths quantized at 1e-6 (integer-valued
-    double sums are associative — engine-invariant accumulations). The
-    reference writes TRIB_ID as the RAW 0-based fid while FID/DS_LINK_ID
-    are 1-based (main.rs:781 vs :778); the engine labels tributaries by
-    arc_id — the oracle maps the transcription's trib to arc ids."""
-    from whitebox_tools_spark.operators.vector_streams import (
-        vector_stream_network_analysis,
-    )
-
-    out = vector_stream_network_analysis(
-        _stream_net_df(spark, _stream_net_polylines()), length_scale=1e6
-    )
-    return _r6(out, ["tucl", "maxupsdist", "dist2mouth"]).orderBy("arc_id")
-
-
-def _vsna_sql() -> str:
-    from whitebox_tools_spark.operators.vector_streams import vsna_reference
-
-    polylines = _stream_net_polylines()
-    res = vsna_reference(polylines, length_scale=1e6)
-    rows = []
-    for r in res:
-        rows.append(
-            (
-                r["arc_id"] + 1,
-                _round_half_up(r["tucl"] / 1e6),
-                _round_half_up(r["maxupsdist"] / 1e6),
-                r["outlet"],
-                r["horton"],
-                r["strahler"],
-                r["shreve"],
-                r["hack"],
-                _round_half_up(r["dist2mouth"] / 1e6),
-                r["n_ds_nodes"],
-                r["is_outlet"],
-                r["ds_link_id"] if r["ds_link_id"] > 0 else -98,
-                r["mainstem"],
-                r["trib_id"] + 1,  # engine labels tribs by 1-based arc_id
-            )
-        )
-    vals = ", ".join("(" + ", ".join(repr(v) for v in row) + ")" for row in rows)
-    return (
-        "SELECT CAST(arc_id AS BIGINT) AS arc_id, CAST(tucl AS DOUBLE) AS tucl, "
-        "CAST(maxupsdist AS DOUBLE) AS maxupsdist, CAST(outlet AS INT) AS outlet, "
-        "CAST(horton AS BIGINT) AS horton, CAST(strahler AS BIGINT) AS strahler, "
-        "CAST(shreve AS BIGINT) AS shreve, CAST(hack AS BIGINT) AS hack, "
-        "CAST(dist2mouth AS DOUBLE) AS dist2mouth, CAST(n_ds_nodes AS BIGINT) AS n_ds_nodes, "
-        "CAST(is_outlet AS INT) AS is_outlet, CAST(ds_link_id AS BIGINT) AS ds_link_id, "
-        "CAST(mainstem AS INT) AS mainstem, CAST(trib_id AS BIGINT) AS trib_id "
-        f"FROM (VALUES {vals}) AS t(arc_id, tucl, maxupsdist, outlet, horton, "
-        "strahler, shreve, hack, dist2mouth, n_ds_nodes, is_outlet, ds_link_id, "
-        "mainstem, trib_id)"
-    )
-
-
-def q_correct_stream_vector_direction(spark, sf_dir):
-    """correct_stream_vector_direction plugin (whitebox-plugins/src/
-    correct_stream_vector_direction/main.rs:316-418): re-orient arcs to
-    point downstream from outlet-snapped seeds; fixture reverses every
-    third arc of the tree network first."""
-    from whitebox_tools_spark.operators.vector_streams import (
-        correct_stream_vector_direction,
-    )
-
-    polylines = [
-        list(reversed(pl)) if (i * 7) % 3 == 0 else pl
-        for i, pl in enumerate(_stream_net_polylines())
-    ]
-    outlets = spark.createDataFrame([(500.2, 49.8)], "x double, y double")
-    out = correct_stream_vector_direction(
-        _stream_net_df(spark, polylines), outlets, snap_dist=1.0
-    )
-    return out.select(
-        "arc_id",
-        "was_reversed",
-        F.col("xs")[0].alias("fx"),
-        F.col("ys")[0].alias("fy"),
-        F.element_at("xs", -1).alias("lx"),
-        F.element_at("ys", -1).alias("ly"),
-    )
-
-
-def _csvd_sql() -> str:
-    from whitebox_tools_spark.operators.vector_streams import csvd_reference
-
-    polylines = [
-        list(reversed(pl)) if (i * 7) % 3 == 0 else pl
-        for i, pl in enumerate(_stream_net_polylines())
-    ]
-    rev = csvd_reference(polylines, [(500.2, 49.8)], 1.0)
-    rows = []
-    for i, pl in enumerate(polylines):
-        out_pl = list(reversed(pl)) if rev[i] else pl
-        rows.append(
-            (i + 1, int(rev[i]), out_pl[0][0], out_pl[0][1], out_pl[-1][0], out_pl[-1][1])
-        )
-    vals = ", ".join("(" + ", ".join(repr(v) for v in row) + ")" for row in rows)
-    return (
-        "SELECT CAST(arc_id AS BIGINT) AS arc_id, CAST(was_reversed AS INT) AS was_reversed, "
-        "CAST(fx AS DOUBLE) AS fx, CAST(fy AS DOUBLE) AS fy, "
-        "CAST(lx AS DOUBLE) AS lx, CAST(ly AS DOUBLE) AS ly "
-        f"FROM (VALUES {vals}) AS t(arc_id, was_reversed, fx, fy, lx, ly)"
-    )
-
-
-_REPAIR_NET = [
-    # chain of 3 (middle reversed): non-confluence joins
-    (1, [(1.0, 10.0), (5.0, 10.0)]),
-    (2, [(9.0, 10.0), (5.0, 10.0)]),
-    (3, [(9.0, 10.0), (13.0, 10.0)]),
-    # target arc (vertical) + an undershoot and an overshoot dangle
-    (4, [(20.0, 0.0), (20.0, 20.0)]),
-    (5, [(15.0, 5.0), (19.6, 5.0)]),
-    (6, [(25.0, 8.0), (19.7, 8.0)]),
-    # clean 3-way confluence: must be untouched
-    (7, [(30.0, 0.0), (35.0, 5.0)]),
-    (8, [(40.0, 0.0), (35.0, 5.0)]),
-    (9, [(35.0, 5.0), (35.0, 12.0)]),
-    # isolated arc
-    (10, [(50.0, 50.0), (55.0, 55.0)]),
-]
-
-
-def _repair_rows(polylines):
-    """Orientation/id-insensitive signature rows: lexicographically ordered
-    endpoint pair + vertex count + scaled-integer length (sums of
-    round(seg*1e6) are associative and orientation-invariant)."""
-    rows = []
-    for pl in polylines:
-        a, b = pl[0], pl[-1]
-        if (b[0], b[1]) < (a[0], a[1]):
-            a, b = b, a
-        import math as _m
-
-        ln = sum(
-            round(_m.hypot(pl[i][0] - pl[i - 1][0], pl[i][1] - pl[i - 1][1]) * 1e6)
-            for i in range(1, len(pl))
-        )
-        rows.append((a[0], a[1], b[0], b[1], len(pl), ln / 1e6))
-    return rows
-
-
-def q_repair_stream_vector_topology(spark, sf_dir):
-    """repair_stream_vector_topology plugin (whitebox-plugins/src/
-    repair_stream_vector_topology/main.rs:390-745): non-confluence chain
-    joins + dangle snapping (undershoot extend / overshoot trim) + target
-    splits on a fixture exercising each case. Output = orientation/id-
-    insensitive arc signatures; oracle = independent serial transcription
-    of the reference passes, literals embedded."""
-    from whitebox_tools_spark.operators.vector_streams import (
-        repair_stream_vector_topology,
-    )
-
-    df = spark.createDataFrame(
-        [
-            (i, [p[0] for p in pl], [p[1] for p in pl])
-            for i, pl in _REPAIR_NET
-        ],
-        "arc_id long, xs array<double>, ys array<double>",
-    )
-    out = repair_stream_vector_topology(df, snap_dist=0.5)
-    seglen = F.expr(
-        "aggregate(sequence(1, size(xs) - 1), cast(0.0 as double), "
-        "(acc, i) -> acc + round(sqrt((xs[i] - xs[i-1]) * (xs[i] - xs[i-1]) + "
-        "(ys[i] - ys[i-1]) * (ys[i] - ys[i-1])) * 1e6))"
-    )
-    fx, fy = F.col("xs")[0], F.col("ys")[0]
-    lx, ly = F.element_at("xs", -1), F.element_at("ys", -1)
-    first_is_lo = (fx < lx) | ((fx == lx) & (fy <= ly))
-    return out.select(
-        F.when(first_is_lo, fx).otherwise(lx).alias("ex0"),
-        F.when(first_is_lo, fy).otherwise(ly).alias("ey0"),
-        F.when(first_is_lo, lx).otherwise(fx).alias("ex1"),
-        F.when(first_is_lo, ly).otherwise(fy).alias("ey1"),
-        F.size("xs").alias("n_vertices"),
-        (seglen / 1e6).alias("length"),
-    )
-
-
-def _repair_sql() -> str:
-    from whitebox_tools_spark.operators.vector_streams import repair_reference
-
-    repaired = repair_reference([pl for _, pl in _REPAIR_NET], 0.5)
-    rows = _repair_rows(repaired)
-    vals = ", ".join("(" + ", ".join(repr(v) for v in row) + ")" for row in rows)
-    return (
-        "SELECT CAST(ex0 AS DOUBLE) AS ex0, CAST(ey0 AS DOUBLE) AS ey0, "
-        "CAST(ex1 AS DOUBLE) AS ex1, CAST(ey1 AS DOUBLE) AS ey1, "
-        "CAST(n_vertices AS INT) AS n_vertices, CAST(length AS DOUBLE) AS length "
-        f"FROM (VALUES {vals}) AS t(ex0, ey0, ex1, ey1, n_vertices, length)"
-    )
-
-
-def q_local_quadratic_regression(spark, sf_dir):
-    """local_quadratic_regression plugin (whitebox-plugins/src/
-    local_quadratic_regression/main.rs, Wood 1996): 8 per-cell surface
-    derivatives from a window-fit origin-constrained quadratic. DEM
-    scaled to exact integers (round(value*10)) so every window sum is an
-    integer-valued double — exact in both engines; atan outputs guarded
-    with the 9-dp libm pre-quantization."""
-    from whitebox_tools_spark.operators.plugins import local_quadratic_regression
-
-    dem = _valley_dem(spark, sf_dir).withColumn("value", F.round(F.col("value") * 10.0))
-    out = local_quadratic_regression(dem, STREAM_GRID, filter_size=5)
-    out = out.withColumn("slope", F.round("slope", 9)).withColumn(
-        "aspect", F.round("aspect", 9)
-    )
-    return _r6(
-        out,
-        ["slope", "aspect", "prof_c", "plan_c", "long_c", "cross_c",
-         "procmin_c", "goodness"],
-    )
-
-
-def _lqr_sql() -> str:
-    from whitebox_tools_spark.operators.plugins import (
-        local_quadratic_regression_oracle_sql,
-    )
-
-    dem = f"SELECT row, col, round(value * 10.0) AS value FROM ({_VALLEY_DEM_SQL})"
-    inner = local_quadratic_regression_oracle_sql(
-        dem, filter_size=5, resolution=STREAM_GRID.res_x
-    )
-    return f"""
-SELECT row, col, round(round(slope, 9), 6) AS slope,
-       round(round(aspect, 9), 6) AS aspect,
-       round(prof_c, 6) AS prof_c, round(plan_c, 6) AS plan_c,
-       round(long_c, 6) AS long_c, round(cross_c, 6) AS cross_c,
-       round(procmin_c, 6) AS procmin_c, round(goodness, 6) AS goodness
-FROM ({inner}) t
-"""
-
-
-_TID_ARGS = dict(
-    lat=43.545, lon=-80.248, az_fraction=30.0, max_dist=60.0,
-    utc_offset=0.0, start_day=92, end_day=183,
-)
-
-
-def q_time_in_daylight(spark, sf_dir):
-    """TimeInDaylight (terrain_analysis/time_in_daylight.rs:430-1171):
-    1 - shadow-seconds/total-daylight over the valley DEM, day-of-year
-    window 92-183, 30-deg azimuth bins, suncalc almanac at 43.545N
-    80.248W. Engine = gated lattice-scan horizon angles (faithful
-    prefix-max gate + 80-deg early stop, window functions) + almanac
-    broadcast join; oracle = identical literals/window SQL in DuckDB."""
-    from whitebox_tools_spark.operators.daylight import time_in_daylight
-
-    out = time_in_daylight(_valley_dem(spark, sf_dir), STREAM_GRID, **_TID_ARGS)
-    return _r6(out, ["value"])
-
-
-def _time_in_daylight_sql() -> str:
-    from whitebox_tools_spark.operators.daylight import time_in_daylight_oracle_sql
-
-    inner = time_in_daylight_oracle_sql(_VALLEY_DEM_SQL, STREAM_GRID, **_TID_ARGS)
-    return f"SELECT row, col, round(value, 6) AS value FROM ({inner}) t"
-
-
-def q_map_off_terrain_objects(spark, sf_dir):
-    """MapOffTerrainObjects (terrain_analysis/map_otos.rs): slope-ratio
-    region growing (tan(60 deg) gate) over the spiked valley DEM; small
-    segments (<5 cells) collapse to background 1, kept segments numbered
-    in seed scan order (background shares id 1 — reference quirk)."""
-    from whitebox_tools_spark.operators.terrain import map_off_terrain_objects
-
-    dem = _valley_dem(spark, sf_dir).withColumn(
-        "value",
-        F.col("value")
-        + F.when((F.col("row") * 25 + F.col("col")) % 37 == 0, 80.0).otherwise(0.0),
-    )
-    return map_off_terrain_objects(dem, STREAM_GRID, max_slope=60.0, min_size=5)
-
-
-def _map_otos_sql() -> str:
-    from whitebox_tools_spark.operators.terrain import (
-        map_off_terrain_objects_oracle_sql,
-    )
-
-    dem = f"""
-SELECT row, col, value + CASE WHEN (row * 25 + col) % 37 = 0 THEN 80.0 ELSE 0.0 END AS value
-FROM ({_VALLEY_DEM_SQL})
-"""
-    return map_off_terrain_objects_oracle_sql(
-        dem, STREAM_GRID, max_slope=60.0, min_size=5
-    )
-
-
-def q_hypsometrically_tinted_hillshade(spark, sf_dir):
-    """HypsometricallyTintedHillshade (terrain_analysis/
-    hypsometrically_tinted_hillshade.rs): packed-RGBA hypsometric tint x
-    3x3-Horn multidirectional hillshade with percentile clips, over the
-    valley DEM (atlas palette, defaults; atmospheric=0 — the reference's
-    haze branch is entropy-seeded, skipped at the default)."""
-    from whitebox_tools_spark.operators.terrain import (
-        hypsometrically_tinted_hillshade,
-    )
-
-    return hypsometrically_tinted_hillshade(
-        _valley_dem(spark, sf_dir), STREAM_GRID
-    )
-
-
-def _hth_sql() -> str:
-    from whitebox_tools_spark.operators.terrain import hth_oracle_sql
-
-    return hth_oracle_sql(_VALLEY_DEM_SQL, STREAM_GRID)
-
-
-def q_deviation_from_regional_direction(spark, sf_dir):
-    """DeviationFromRegionalDirection (gis_analysis/
-    deviation_from_regional_direction.rs): per-polygon RMA orientation vs
-    the elongation/long-axis-weighted axial mean; folded to [0, 90]."""
-    from whitebox_tools_spark.operators.vector_ops import (
-        deviation_from_regional_direction,
-    )
-
-    out = deviation_from_regional_direction(_parts_df(spark), elong_threshold=0.3)
-    return _r6(out, ["dev_dir"])
-
-
-def _dfrd_sql() -> str:
-    """Independent transcription: reference midpoint-shifted RMA sums +
-    rotating-calipers min-area box (not the engine's numpy kernel),
-    literals embedded."""
-    import math as _m
-
-    def hull(pts):
-        pts = sorted(set(pts))
-        if len(pts) < 3:
-            return pts
-
-        def half(points):
-            h = []
-            for p in points:
-                while len(h) >= 2 and (
-                    (h[-1][0] - h[-2][0]) * (p[1] - h[-2][1])
-                    - (h[-1][1] - h[-2][1]) * (p[0] - h[-2][0])
-                ) <= 0:
-                    h.pop()
-                h.append(p)
-            return h
-
-        lower = half(pts)
-        upper = half(list(reversed(pts)))
-        return lower[:-1] + upper[:-1]
-
-    def axes(pts):
-        h = hull(pts)
-        best = None
-        for i in range(len(h)):
-            x0, y0 = h[i]
-            x1, y1 = h[(i + 1) % len(h)]
-            ex, ey = x1 - x0, y1 - y0
-            n = _m.hypot(ex, ey)
-            if n == 0:
-                continue
-            ux, uy = ex / n, ey / n
-            pu = [p[0] * ux + p[1] * uy for p in h]
-            pv = [-p[0] * uy + p[1] * ux for p in h]
-            w = max(pu) - min(pu)
-            ht = max(pv) - min(pv)
-            if best is None or w * ht < best[0]:
-                best = (w * ht, max(w, ht), min(w, ht))
-        return best[1], best[2]
-
-    polys = []
-    for pid, parts in PARTS:
-        xs, ys, _hole = parts[0]
-        pts = list(zip(xs, ys))
-        # reference midpoint quirk: half-EXTENT of the record bbox
-        # (rs:257-258), a constant shift per polygon
-        mx = (max(xs) - min(xs)) / 2.0
-        my = (max(ys) - min(ys)) / 2.0
-        n = len(pts)
-        sx = sum(p[0] - mx for p in pts)
-        sy = sum(p[1] - my for p in pts)
-        sxy = sum((p[0] - mx) * (p[1] - my) for p in pts)
-        sxx_ = sum((p[0] - mx) ** 2 for p in pts)
-        syy_ = sum((p[1] - my) ** 2 for p in pts)
-        mean = sx / n
-        sxx = sxx_ / n - mean * mean
-        syy = syy_ / n - (sy / n) ** 2
-        slope = _m.sqrt(syy / sxx)
-        if (sxy - mean * sy) / (sxx_ - mean * sx) < 0.0:
-            slope = -slope
-        theta = _m.atan(slope)
-        la, sa = axes(pts)
-        elong = 1.0 - sa / la
-        polys.append((pid, theta, la, elong))
-
-    thr = 0.3
-    ss = sum(_m.sin(2 * t) * (la * e if e >= thr else 0.0) for _, t, la, e in polys)
-    sc = sum(_m.cos(2 * t) * (la * e if e >= thr else 0.0) for _, t, la, e in polys)
-    regional = -_m.degrees(_m.atan2(ss, sc) / 2.0) + 90.0
-    if regional < 0.0:
-        regional = 180.0 + regional
-    rows = []
-    for pid, t, la, e in polys:
-        sd = 90.0 - _m.degrees(t)
-        dev = sd - regional
-        if dev < 0.0:
-            dev += 180.0
-        if dev > 90.0:
-            dev = 180.0 - dev
-        rows.append((pid, _round_half_up(dev)))
-    vals = ", ".join(f"({p}, {v!r})" for p, v in rows)
-    return (
-        "SELECT CAST(poly_id AS BIGINT) AS poly_id, CAST(dev_dir AS DOUBLE) AS dev_dir "
-        f"FROM (VALUES {vals}) AS t(poly_id, dev_dir)"
-    )
-
-
-def q_find_flightline_edge_points(spark, sf_dir):
-    """FindFlightlineEdgePoints (lidar_analysis/
-    find_flightline_edge_points.rs): keep edge-of-flightline-flagged
-    points (fixture flag = minstd parity of point_id — the LAS flag bit
-    re-expressed as a column)."""
-    from whitebox_tools_spark.operators.lidar import find_flightline_edge_points
-
-    cloud = _order_cloud(spark, sf_dir).withColumn(
-        "edge_flag", ((F.col("point_id") * 48271) % 7 == 0).cast("int")
-    )
-    out = find_flightline_edge_points(cloud)
-    return out.select("point_id", F.round("x", 6).alias("x"),
-                      F.round("y", 6).alias("y"), F.round("z", 6).alias("z"))
-
-
-def _ffep_sql() -> str:
-    return f"""
-SELECT point_id, round(x, 6) AS x, round(y, 6) AS y, round(z, 6) AS z
-FROM ({_order_cloud_cte()}) c
-WHERE (point_id * 48271) % 7 = 0
-"""
-
-
-def q_turning_bands(spark, sf_dir):
-    """TurningBandsSimulation (math_stat_analysis/turning_bands.rs):
-    sum of moving-ramp-filtered normal bands projected along random
-    lines, 1/sqrt(n) scaled; deterministic minstd streams replace the
-    reference's entropy RNG (the repo's RND convention)."""
-    from whitebox_tools_spark.operators.random import turning_bands_simulation
-
-    out = turning_bands_simulation(
-        spark, STREAM_GRID, range_dist=40.0, iterations=8, seed=7
-    )
-    return _r6(out, ["value"])
-
-
-def _turning_bands_sql() -> str:
-    from whitebox_tools_spark.operators.random import turning_bands_oracle_sql
-
-    inner = turning_bands_oracle_sql(
-        STREAM_GRID, range_dist=40.0, iterations=8, seed=7
-    )
-    return f"SELECT row, col, round(value, 6) AS value FROM ({inner}) t"
-
-
-_SWL_INPUT = [
-    (1, [(0.0, 0.0), (10.0, 0.3), (20.0, 0.1)]),
-    (2, [(0.0, 5.0), (20.0, 5.4)]),
-    (3, [(2.0, -3.0), (2.2, 8.0)]),       # crosses both 1 and 2
-    (4, [(30.0, 0.0), (30.0, 9.0)]),      # no intersections
-]
-_SWL_SPLIT = [
-    (11, [(5.0, -2.0), (5.3, 9.0)]),
-    (12, [(15.0, -2.0), (14.7, 9.0)]),
-    (13, [(-1.0, 2.0), (21.0, 2.3)]),     # crosses 3
-]
-
-
-def q_split_with_lines(spark, sf_dir):
-    """SplitWithLines, POLYLINE case (gis_analysis/split_with_lines.rs):
-    split input polylines at intersections with the split layer;
-    cell-cover candidate join + shared split kernel. Output = per-piece
-    signatures (endpoints + vertex count + 1e-6-scaled length)."""
-    from whitebox_tools_spark.operators.vector_streams import split_with_lines
-
-    lines = spark.createDataFrame(
-        [(i, [p[0] for p in pl], [p[1] for p in pl]) for i, pl in _SWL_INPUT],
-        "line_id long, xs array<double>, ys array<double>",
-    )
-    splits = spark.createDataFrame(
-        [(i, [p[0] for p in pl], [p[1] for p in pl]) for i, pl in _SWL_SPLIT],
-        "sid long, xs array<double>, ys array<double>",
-    )
-    out = split_with_lines(lines, splits)
-    seglen = F.expr(
-        "aggregate(sequence(1, size(xs) - 1), cast(0.0 as double), "
-        "(acc, i) -> acc + round(sqrt((xs[i] - xs[i-1]) * (xs[i] - xs[i-1]) + "
-        "(ys[i] - ys[i-1]) * (ys[i] - ys[i-1])) * 1e6))"
-    )
-    return out.select(
-        "line_id", "piece", F.size("xs").alias("n_vertices"),
-        (seglen / 1e6).alias("length"),
-        F.round(F.col("xs")[0], 6).alias("fx"), F.round(F.col("ys")[0], 6).alias("fy"),
-        F.round(F.element_at("xs", -1), 6).alias("lx"),
-        F.round(F.element_at("ys", -1), 6).alias("ly"),
-    )
-
-
-def _swl_sql() -> str:
-    """Independent serial transcription: brute-force pairwise segment
-    intersections + along-line-ordered cuts (no shared engine code)."""
-    import math as _m
-
-    def inters(pl, spl):
-        pts = []
-        for si in range(len(pl) - 1):
-            ax, ay = pl[si]
-            bx, by = pl[si + 1]
-            for q in spl:
-                for k in range(len(q) - 1):
-                    cx, cy = q[k]
-                    dx, dy = q[k + 1]
-                    den = (ax - bx) * (cy - dy) - (ay - by) * (cx - dx)
-                    if den == 0.0:
-                        continue
-                    t = ((ax - cx) * (cy - dy) - (ay - cy) * (cx - dx)) / den
-                    u = -((ax - bx) * (ay - cy) - (ay - by) * (ax - cx)) / den
-                    if 0.0 <= t <= 1.0 and 0.0 <= u <= 1.0:
-                        pts.append((si, t, (ax + t * (bx - ax), ay + t * (by - ay))))
-        return sorted(set(pts))
-
-    spl = [pl for _, pl in _SWL_SPLIT]
-    rows = []
-    for lid, pl in _SWL_INPUT:
-        cuts = inters(pl, spl)
-        pieces = []
-        cur = [pl[0]]
-        ci = 0
-        for si in range(len(pl) - 1):
-            while ci < len(cuts) and cuts[ci][0] == si:
-                cur.append(cuts[ci][2])
-                pieces.append(cur)
-                cur = [cuts[ci][2]]
-                ci += 1
-            cur.append(pl[si + 1])
-        if len(cur) > 1:
-            pieces.append(cur)
-        for pidx, piece in enumerate(pieces):
-            piece = [
-                p for i, p in enumerate(piece)
-                if i == 0 or _m.hypot(p[0] - piece[i - 1][0], p[1] - piece[i - 1][1]) > 1e-9
-            ]
-            if len(piece) < 2:
-                continue
-            ln = sum(
-                round(_m.hypot(piece[i][0] - piece[i - 1][0], piece[i][1] - piece[i - 1][1]) * 1e6)
-                for i in range(1, len(piece))
-            )
-            rows.append((
-                lid, pidx, len(piece), ln / 1e6,
-                _round_half_up(piece[0][0]), _round_half_up(piece[0][1]),
-                _round_half_up(piece[-1][0]), _round_half_up(piece[-1][1]),
-            ))
-    vals = ", ".join("(" + ", ".join(repr(v) for v in r) + ")" for r in rows)
-    return (
-        "SELECT CAST(line_id AS BIGINT) AS line_id, CAST(piece AS INT) AS piece, "
-        "CAST(n_vertices AS INT) AS n_vertices, CAST(length AS DOUBLE) AS length, "
-        "CAST(fx AS DOUBLE) AS fx, CAST(fy AS DOUBLE) AS fy, "
-        "CAST(lx AS DOUBLE) AS lx, CAST(ly AS DOUBLE) AS ly "
-        f"FROM (VALUES {vals}) AS t(line_id, piece, n_vertices, length, fx, fy, lx, ly)"
-    )
-
-
-_POLYGONIZE_LINES = [
-    (1, [(0.0, 1.0), (21.0, 1.6)]),
-    (2, [(0.0, 7.0), (21.0, 7.5)]),
-    (3, [(0.0, 13.0), (21.0, 13.2)]),
-    (4, [(1.0, -1.0), (1.8, 15.0)]),
-    (5, [(10.0, -1.0), (10.4, 15.0)]),
-    (6, [(19.0, -1.0), (19.5, 15.0)]),
-    (7, [(0.0, 0.0), (20.0, 14.0)]),   # diagonal: splits faces it crosses
-]
-
-
-def q_polygonize(spark, sf_dir):
-    """Polygonize (gis_analysis/polygonize.rs): enclosed faces of an
-    intersecting line set. Engine = distributed planar arrangement
-    (cell-cover noding, per-vertex rotation successor join, pointer-
-    doubled face cycles, associative-exact quantized shoelace); oracle =
-    independent serial half-edge polygonizer. The face AREA multiset of a
-    planar subdivision is implementation-invariant — the comparison key."""
-    from whitebox_tools_spark.operators.vector_streams import polygonize
-
-    lines = spark.createDataFrame(
-        [(i, [p[0] for p in pl], [p[1] for p in pl]) for i, pl in _POLYGONIZE_LINES],
-        "line_id long, xs array<double>, ys array<double>",
-    )
-    out = polygonize(lines)
-    return out.select(F.round("area", 6).alias("area"))
-
-
-def _polygonize_sql() -> str:
-    import math as _m
-
-    segs = []
-    for _, pl in _POLYGONIZE_LINES:
-        for i in range(len(pl) - 1):
-            segs.append((pl[i], pl[i + 1]))
-    # node every segment at its intersections with all others
-    edges = []
-    for si, (a, b) in enumerate(segs):
-        cuts = [0.0, 1.0]
-        for sj, (c, dpt) in enumerate(segs):
-            if sj == si:
-                continue
-            den = (a[0] - b[0]) * (c[1] - dpt[1]) - (a[1] - b[1]) * (c[0] - dpt[0])
-            if den == 0.0:
-                continue
-            t = ((a[0] - c[0]) * (c[1] - dpt[1]) - (a[1] - c[1]) * (c[0] - dpt[0])) / den
-            u = -((a[0] - b[0]) * (a[1] - c[1]) - (a[1] - b[1]) * (a[0] - c[0])) / den
-            if 0.0 <= t <= 1.0 and 0.0 <= u <= 1.0:
-                cuts.append(t)
-        cuts = sorted(set(cuts))
-        pts = [
-            (a[0] + t * (b[0] - a[0]), a[1] + t * (b[1] - a[1])) for t in cuts
-        ]
-        for i in range(len(pts) - 1):
-            if pts[i] != pts[i + 1]:
-                edges.append((pts[i], pts[i + 1]))
-
-    def k(p):
-        return (round(p[0], 9), round(p[1], 9))
-
-    # half-edge successor: rotate clockwise from the reversed incoming
-    out_at: dict = {}
-    hes = []
-    for ei, (p, q) in enumerate(edges):
-        hes.append((p, q))
-        hes.append((q, p))
-        out_at.setdefault(k(p), []).append(2 * ei)
-        out_at.setdefault(k(q), []).append(2 * ei + 1)
-
-    def ang(h):
-        p, q = hes[h]
-        return _m.atan2(q[1] - p[1], q[0] - p[0])
-
-    nxt = {}
-    for h in range(len(hes)):
-        p, q = hes[h]
-        rev_ang = _m.atan2(p[1] - q[1], p[0] - q[0])
-        outs = out_at[k(q)]
-        below = [o for o in outs if ang(o) < rev_ang]
-        pool = below if below else outs
-        nxt[h] = max(pool, key=ang)
-    seen = set()
-    areas = []
-    for h0 in range(len(hes)):
-        if h0 in seen:
-            continue
-        cyc = []
-        h = h0
-        while h not in seen:
-            seen.add(h)
-            cyc.append(h)
-            h = nxt[h]
-        s = 0.0
-        for hh in cyc:
-            p, q = hes[hh]
-            s += round((p[0] * q[1] - q[0] * p[1]) * 1e6)
-        area = s / 2e6
-        if area > 0.0:
-            areas.append(_round_half_up(area))
-    vals = ", ".join(f"({a!r})" for a in areas)
-    return f"SELECT CAST(area AS DOUBLE) AS area FROM (VALUES {vals}) AS t(area)"
-
-
-def _bsc_fixture():
-    """25x25 raster: 0 background + three well-separated polygons —
-    a solid square (simple), a plus-with-spurs (complex), an L."""
-    import numpy as np
-
-    g = np.zeros((25, 25), dtype=np.int64)
-    g[2:8, 2:8] = 1                      # solid square
-    g[12:14, 2:12] = 2                   # plus / comb
-    g[8:18, 6:8] = 2
-    g[15:17, 9:12] = 2
-    g[9:11, 9:11] = 2
-    g[20:24, 14:24] = 3                  # L
-    g[14:20, 20:24] = 3
-    return g
-
-
-def q_boundary_shape_complexity(spark, sf_dir):
-    """BoundaryShapeComplexity (gis_analysis/boundary_shape_complexity.rs):
-    per-polygon skeleton exterior-link percentage, written to each cell;
-    per-polygon Arrow kernels (polygons non-8-adjacent)."""
-    from whitebox_tools_spark.operators.binary_morph import (
-        boundary_shape_complexity,
-    )
-
-    g = _bsc_fixture()
-    cells = spark.createDataFrame(
-        [(r, c, float(g[r, c])) for r in range(g.shape[0]) for c in range(g.shape[1])],
-        "row long, col long, value double",
-    )
-    return _r6(boundary_shape_complexity(cells), ["value"])
-
-
-def _bsc_sql() -> str:
-    """Independent full-raster transcription (its own thinning masks and
-    walk loop over the whole grid, not the engine's per-poly kernel)."""
-    g = _bsc_fixture()
-    h, w = g.shape
-    dx1 = [1, 1, 1, 0, -1, -1, -1, 0]
-    dy1 = [-1, 0, 1, 1, 1, 0, -1, -1]
-    e1 = [[6, 7, 0, 4, 3, 2], [0, 1, 2, 4, 5, 6], [2, 3, 4, 6, 7, 0], [4, 5, 6, 0, 1, 2]]
-    e2 = [[7, 0, 1, 3, 5], [1, 2, 3, 5, 7], [3, 4, 5, 7, 1], [5, 6, 7, 1, 3]]
-    v1 = [0, 0, 0, 1, 1, 1]
-    v2 = [0, 0, 0, 1, 1]
-    sk = {(r, c): 1 for r in range(h) for c in range(w) if g[r, c] > 0}
-
-    def nb1(r, c, i):
-        return sk.get((r + dy1[i], c + dx1[i]), 0)
-
-    did = True
-    while did:
-        did = False
-        for a in range(4):
-            for r in range(h):
-                for c in range(w):
-                    if sk.get((r, c), 0) == 1:
-                        if all(nb1(r, c, e1[a][i]) == v1[i] for i in range(6)) or all(
-                            nb1(r, c, e2[a][i]) == v2[i] for i in range(5)
-                        ):
-                            sk[(r, c)] = 0
-                            did = True
-    dx = [-1, -1, 0, 1, 1, 1, 0, -1]
-    dy = [0, -1, -1, -1, 0, 1, 1, 1]
-    stats = {}
-    visited = set()
-    for r in range(h):
-        for c in range(w):
-            if sk.get((r, c), 0) == 1:
-                pid = int(g[r, c])
-                st = stats.setdefault(pid, [0, 0.0, 0, 0])  # cells, total, longest, second
-                st[0] += 1
-                n = sum(
-                    1 for a in range(8)
-                    if sk.get((r + dy[a], c + dx[a]), 0) == 1
-                    and g[min(max(r + dy[a], 0), h - 1), min(max(c + dx[a], 0), w - 1)] == pid
-                )
-                if n == 1:
-                    st[1] += 1.0
-                    rn, cn = r, c
-                    ll = 1
-                    while True:
-                        visited.add((rn, cn))
-                        n2 = 0
-                        nxt = None
-                        for a in range(8):
-                            rr, cc = rn + dy[a], cn + dx[a]
-                            if sk.get((rr, cc), 0) == 1 and g[rr, cc] == pid:
-                                n2 += 1
-                                if (rr, cc) not in visited:
-                                    nxt = a
-                        if n2 < 3 and nxt is not None:
-                            ll += 1
-                            rn += dy[nxt]
-                            cn += dx[nxt]
-                        else:
-                            break
-                    st[1] += ll
-                    if st[2] < ll:
-                        st[3] = st[2]
-                        st[2] = ll
-                    elif st[3] < ll:
-                        st[3] = ll
-    bsc = {
-        pid: (100.0 * (st[1] - st[2] - st[3]) / st[0] if st[0] else 0.0)
-        for pid, st in stats.items()
-    }
-    rows = []
-    for r in range(h):
-        for c in range(w):
-            pid = int(g[r, c])
-            v = 0.0 if pid == 0 else bsc.get(pid, 0.0)
-            rows.append((r, c, _round_half_up(v)))
-    vals = ", ".join(f"({r}, {c}, {v!r})" for r, c, v in rows)
-    return (
-        "SELECT CAST(row AS BIGINT) AS row, CAST(col AS BIGINT) AS col, "
-        "CAST(value AS DOUBLE) AS value "
-        f"FROM (VALUES {vals}) AS t(row, col, value)"
-    )
-
-
-_GSS_ARGS = dict(sigma=0.0, step=1.5, num_steps=4, lsp="slope")
-
-
-def _valley_dem_synthetic(spark):
-    """The valley DEM formula over spark.range(500) — sf-independent
-    (the part-table variant has only 200 rows at sf0.001, but the GSS
-    oracle embeds full-grid literals)."""
-    pk = F.col("id") + 1
-    r = (pk - 1) % 20
-    c = F.floor((pk - 1) / F.lit(20)).cast("long")
-    v = (
-        F.abs(r - 10).cast("double") * 50.0
-        + (25 - c).cast("double") * 2.0
-        + ((pk * 31) % 7).cast("double") * 0.1
-        + F.when((c % 4 == 1) & (r != 10), -45.0).otherwise(0.0)
-    )
-    return spark.range(500).select(r.alias("row"), c.alias("col"), v.alias("value"))
-
-
-def q_gaussian_scale_space(spark, sf_dir):
-    """gaussian_scale_space plugin (whitebox-plugins/src/
-    gaussian_scale_space/main.rs, Newman 2018): optimal-scale slope over
-    sigmas {0, 1.5, 3, 4.5} — identity, exact-gaussian and 6-box
-    fast-gaussian regimes all exercised; per-cell argmax |z-score| picks
-    (v_opt, z_opt, g_opt)."""
-    from whitebox_tools_spark.operators.multiscale import gaussian_scale_space
-
-    out = gaussian_scale_space(_valley_dem_synthetic(spark), STREAM_GRID, **_GSS_ARGS)
-    return out.select(
-        "row", "col",
-        F.round(F.round("v_opt", 9), 6).alias("v_opt"),
-        F.round(F.round("z_opt", 9), 6).alias("z_opt"),
-        F.round("g_opt", 6).alias("g_opt"),
-    )
-
-
-def _gss_sql() -> str:
-    """Independent serial numpy transcription of the whole pipeline
-    (kernel conv in row-major order, cumsum integrals, clamped rect sums,
-    per-scale z-scores, strict-greater argmax), literals embedded."""
-    import numpy as np
-
-    from whitebox_tools_spark.operators.multiscale import (
-        _gauss_weights,
-        _gss_scales,
-    )
-
-    g = STREAM_GRID
-    rows, cols, res = g.rows, g.cols, g.res_x
-    # rebuild the valley DEM values exactly (mirrors _VALLEY_DEM_SQL)
-    dem = np.zeros((rows, cols))
-    for pk in range(1, 501):
-        r = (pk - 1) % 20
-        c = (pk - 1) // 20
-        v = abs(r - 10) * 50.0 + (25 - c) * 2.0 + ((pk * 31) % 7) * 0.1
-        if c % 4 == 1 and r != 10:
-            v += -45.0
-        dem[r, c] = v
-
-    best = {}
-    for si, sc in enumerate(
-        _gss_scales(_GSS_ARGS["sigma"], _GSS_ARGS["step"], _GSS_ARGS["num_steps"])
-    ):
-        if sc["fast"] is None and sc["sigma"] == 0.0:
-            sm = dem.copy()
-        elif sc["fast"] is None:
-            ws = _gauss_weights(sc["sigma"])
-            sm = np.zeros_like(dem)
-            for r in range(rows):
-                for c in range(cols):
-                    s = z = 0.0
-                    for _, dx, dy, w in ws:
-                        rr, cc = r + dy, c + dx
-                        if 0 <= rr < rows and 0 <= cc < cols:
-                            s += w
-                            z += w * dem[rr, cc]
-                    sm[r, c] = z / s
-        else:
-            n_boxes, m, wl, wu = sc["fast"]
-            sm = dem.copy()
-            ninteg = np.cumsum(np.cumsum(np.ones_like(dem), axis=1), axis=0)
-            for it in range(n_boxes):
-                mid = int(np.floor((wl if it <= m else wu) / 2.0))
-                integ = np.cumsum(np.cumsum(sm, axis=1), axis=0)
-                nxt = np.zeros_like(sm)
-                for r in range(rows):
-                    y1 = max(r - mid - 1, 0)
-                    y2 = min(r + mid, rows - 1)
-                    for c in range(cols):
-                        x1 = max(c - mid - 1, 0)
-                        x2 = min(c + mid, cols - 1)
-                        s = integ[y2, x2] - integ[y1, x2] - integ[y2, x1] + integ[y1, x1]
-                        nn = ninteg[y2, x2] - ninteg[y1, x2] - ninteg[y2, x1] + ninteg[y1, x1]
-                        nxt[r, c] = s / nn
-                sm = nxt
-        buf = sc["buffer"]
-        ring = [(1, -1), (1, 0), (1, 1), (0, 1), (-1, 1), (-1, 0), (-1, -1), (0, -1)]
-        lspv = {}
-        s_sum = sq_sum = 0.0
-        nvals = 0
-        for r in range(buf, rows - buf):
-            for c in range(buf, cols - buf):
-                n8 = sm[r, c]
-                nb = []
-                for dx, dy in ring:
-                    rr, cc = r + dy, c + dx
-                    nb.append(sm[rr, cc] if 0 <= rr < rows and 0 <= cc < cols else n8)
-                fy = (nb[6] - nb[4] + 2.0 * (nb[7] - nb[3]) + nb[0] - nb[2]) / (8.0 * res)
-                fx = (nb[2] - nb[4] + 2.0 * (nb[1] - nb[5]) + nb[0] - nb[6]) / (8.0 * res)
-                v = np.sqrt(fx * fx + fy * fy) * 100.0
-                lspv[(r, c)] = v
-                s_sum += v
-                sq_sum += v * v
-                nvals += 1
-        mean = s_sum / nvals
-        sd = np.sqrt(sq_sum / nvals - mean * mean)
-        for (r, c), v in lspv.items():
-            z = (v - mean) / sd
-            cur = best.get((r, c))
-            if cur is None or abs(z) > abs(cur[1]):
-                best[(r, c)] = (v, z, sc["sigma_actual"])
-    rows_out = [
-        (r, c, _round_half_up(round(v, 9)), _round_half_up(round(z, 9)), _round_half_up(gg))
-        for (r, c), (v, z, gg) in best.items()
-    ]
-    vals = ", ".join(
-        f"({r}, {c}, {v!r}, {z!r}, {gg!r})" for r, c, v, z, gg in rows_out
-    )
-    return (
-        "SELECT CAST(row AS BIGINT) AS row, CAST(col AS BIGINT) AS col, "
-        "CAST(v_opt AS DOUBLE) AS v_opt, CAST(z_opt AS DOUBLE) AS z_opt, "
-        "CAST(g_opt AS DOUBLE) AS g_opt "
-        f"FROM (VALUES {vals}) AS t(row, col, v_opt, z_opt, g_opt)"
-    )
-
-
-_TSP_KEYS = 36
-
-
-def q_travelling_salesman(spark, sf_dir):
-    """travelling_salesman_problem plugin: best NN+2-opt tour over
-    parallel deterministic restarts (fixture: 36 LCG points)."""
-    from whitebox_tools_spark.operators.plugins import travelling_salesman_problem
-
-    x, y = synth.point_exprs(F.col("id"))
-    pts = spark.range(1, _TSP_KEYS + 1).select(
-        F.col("id").alias("point_id"), x.alias("x"), y.alias("y")
-    )
-    return travelling_salesman_problem(pts)
-
-
-def _tsp_sql() -> str:
-    """Independent serial transcription of the restart sweep (its own
-    NN + 2-opt loop), literal best tour embedded."""
-    import math as _m
-
-    import numpy as np
-
-    keys = np.arange(1, _TSP_KEYS + 1)
-    px, py = synth.point_np(keys)
-
-    def dist(i, j):
-        return _m.hypot(px[i] - px[j], py[i] - py[j])
-
-    n = len(keys)
-    best = None
-    for start in range(n):
-        left = set(range(n))
-        left.remove(start)
-        tour = [start]
-        while left:
-            cur = tour[-1]
-            nxt = min(left, key=lambda j: ((px[j] - px[cur]) ** 2 + (py[j] - py[cur]) ** 2, j))
-            tour.append(nxt)
-            left.remove(nxt)
-        changed = True
-        while changed:
-            changed = False
-            for i in range(n - 1):
-                for k in range(i + 2, n):
-                    a, b = tour[i], tour[i + 1]
-                    c, e = tour[k], tour[(k + 1) % n]
-                    if a == e:
-                        continue
-                    if dist(a, c) + dist(b, e) < dist(a, b) + dist(c, e) - 1e-12:
-                        tour[i + 1 : k + 1] = reversed(tour[i + 1 : k + 1])
-                        changed = True
-        ln = sum(dist(tour[i], tour[(i + 1) % n]) for i in range(n))
-        if best is None or (ln, start) < best[:2]:
-            best = (ln, start, list(tour))
-    rows = [(seq, int(keys[idx])) for seq, idx in enumerate(best[2])]
-    vals = ", ".join(f"({s}, {p})" for s, p in rows)
-    return (
-        "SELECT CAST(seq AS INT) AS seq, CAST(point_id AS BIGINT) AS point_id "
-        f"FROM (VALUES {vals}) AS t(seq, point_id)"
-    )
-
-
-_CLHS_ARGS = dict(num_samples=12, max_iter=40, seed=5)
-
-
-def _clhs_raster2(spark):
-    pk = F.col("id") + 1
-    r = (pk - 1) % 20
-    c = F.floor((pk - 1) / F.lit(20)).cast("long")
-    v = ((pk * 7919) % 997).cast("double")
-    return spark.range(500).select(r.alias("row"), c.alias("col"), v.alias("value"))
-
-
-def q_conditioned_latin_hypercube(spark, sf_dir):
-    """conditioned_latin_hypercube plugin: annealed latin-hypercube
-    sampling over two integer-valued synthetic covariates (deterministic
-    minstd streams per the RND convention; the reference's seeded StdRng
-    is ChaCha-based and not practically bit-reproducible)."""
-    from whitebox_tools_spark.operators.plugins import conditioned_latin_hypercube
-
-    r1 = _valley_dem_synthetic(spark).withColumn("value", F.round("value"))
-    r2 = _clhs_raster2(spark)
-    out = conditioned_latin_hypercube(
-        [r1, r2], STREAM_GRID, **_CLHS_ARGS
-    )
-    return _r6(out, ["x", "y", "value"])
-
-
-def _clhs_sql() -> str:
-    """Serial mirror: numpy raster rebuilds + the same distributed-stat
-    algebra computed serially (exact with integer-valued inputs), same
-    anneal transcription."""
-    import numpy as np
-
-    from whitebox_tools_spark.operators.plugins import (
-        _clhs_hash,
-        _Minstd,
-        clhs_anneal,
-    )
-
-    g = STREAM_GRID
-    rows, cols = g.rows, g.cols
-    dem = np.zeros((rows, cols))
-    r2 = np.zeros((rows, cols))
-    for pk in range(1, 501):
-        r = (pk - 1) % 20
-        c = (pk - 1) // 20
-        v = abs(r - 10) * 50.0 + (25 - c) * 2.0 + ((pk * 31) % 7) * 0.1
-        if c % 4 == 1 and r != 10:
-            v += -45.0
-        dem[r, c] = round(v)
-        r2[r, c] = float((pk * 7919) % 997)
-    rasters = [dem, r2]
-    ns, mi, seed = _CLHS_ARGS["num_samples"], _CLHS_ARGS["max_iter"], _CLHS_ARGS["seed"]
-    num_bins = 25000
-    rng = _Minstd(seed)
-    kf = [rng.uniform() for _ in range(2)]
-    ksum = sum(kf)
-    k_pool = [int(np.ceil(v / ksum * mi)) for v in kf]
-    quantiles = []
-    pools = []
-    for k, ras in enumerate(rasters):
-        vals = ras.ravel()
-        mn, mx, n = float(vals.min()), float(vals.max()), len(vals)
-        binsize = (mx - mn) / num_bins
-        hvec = np.zeros(num_bins)
-        for v in vals:
-            b = int(np.floor((v - mn) / binsize))
-            b = min(b, num_bins - 1)
-            hvec[b] += 1
-        cdf = np.cumsum(hvec) / n
-        qs = []
-        for s in range(ns):
-            stratum = (s + 1) / ns
-            b = 0
-            for bb in range(num_bins):
-                if cdf[bb] <= stratum:
-                    b = bb
-                else:
-                    break
-            qs.append(mn + b * binsize)
-        quantiles.append(qs)
-        order = sorted(
-            range(rows * cols),
-            key=lambda i: (_clhs_hash(i, seed + k + 1), i),
-        )
-        for i in order[: ns + k_pool[k]]:
-            rr, cc = i // cols, i % cols
-            zs = float(ras[rr, cc])
-            qpos = next((j for j, q in enumerate(qs) if zs <= q), len(qs) - 1)
-            pools.append(
-                dict(k=k, x=g.x_center(cc), y=g.y_center(rr), q=qpos, v=zs)
-            )
-    cormat = [[1.0, 0.0], [0.0, 1.0]]
-    n = rows * cols
-    sa, sb = dem.sum(), r2.sum()
-    ma, mb = sa / n, sb / n
-    ta = (dem * dem).sum() - n * ma * ma
-    tb = (r2 * r2).sum() - n * mb * mb
-    tab = (dem * r2).sum() - n * ma * mb
-    cormat[0][1] = cormat[1][0] = tab / np.sqrt(ta * tb)
-    samples = clhs_anneal(
-        pools, quantiles, cormat, num_samples=ns, max_iter=mi, rng=rng,
-        temp=1.0, temp_decay=0.95, anneal_cycle=10, rs_prob=0.5,
-    )
-    rows_out = [
-        (i + 1, _round_half_up(s["x"]), _round_half_up(s["y"]), _round_half_up(s["v"]), s["k"])
-        for i, s in enumerate(samples)
-    ]
-    vals = ", ".join(
-        f"({f}, {x!r}, {y!r}, {v!r}, {src})" for f, x, y, v, src in rows_out
-    )
-    return (
-        "SELECT CAST(fid AS INT) AS fid, CAST(x AS DOUBLE) AS x, "
-        "CAST(y AS DOUBLE) AS y, CAST(value AS DOUBLE) AS value, "
-        "CAST(source AS INT) AS source "
-        f"FROM (VALUES {vals}) AS t(fid, x, y, value, source)"
-    )
-
-
-def q_las_to_shapefile(spark, sf_dir):
-    """LasToShapefile (lidar_analysis/las_to_shapefile.rs): cloud ->
-    per-point vector features with LAS attributes."""
-    from whitebox_tools_spark.operators.lidar import las_to_shapefile_points
-
-    out = las_to_shapefile_points(_order_cloud(spark, sf_dir))
-    return out.select(
-        "fid", "point_id", F.round("x", 6).alias("x"), F.round("y", 6).alias("y"),
-        F.round("z_attr", 6).alias("z_attr"), "class",
-    )
-
-
-def _las_to_shapefile_sql() -> str:
-    return f"""
-SELECT CAST(row_number() OVER (ORDER BY point_id) AS BIGINT) AS fid,
-       point_id, round(x, 6) AS x, round(y, 6) AS y,
-       round(z, 6) AS z_attr, CAST(classification AS INT) AS class
-FROM ({_order_cloud_cte()}) c
-"""
-
-
-def q_las_to_multipoint(spark, sf_dir):
-    """LasToMultipointShapefile (lidar_analysis/
-    las_to_multipoint_shapefile.rs): one MultiPointZ feature per class
-    (the reference packs whole tiles; per-class grouping exercises the
-    group path)."""
-    from whitebox_tools_spark.operators.lidar import las_to_multipoint_features
-
-    out = las_to_multipoint_features(
-        _order_cloud(spark, sf_dir), group="classification"
-    )
-    return _r6(out, ["x_min", "x_max", "y_min", "y_max", "z_min", "z_max"])
-
-
-def _las_to_multipoint_sql() -> str:
-    return f"""
-SELECT CAST(classification AS BIGINT) AS feature_id, count(*) AS n_points,
-       round(min(x), 6) AS x_min, round(max(x), 6) AS x_max,
-       round(min(y), 6) AS y_min, round(max(y), 6) AS y_max,
-       round(min(z), 6) AS z_min, round(max(z), 6) AS z_max
-FROM ({_order_cloud_cte()}) c GROUP BY classification
-"""
-
-
-_BSAR_STREAMS = [
-    (1, [(22.6, 5.0), (22.4, 95.0)]),
-    (2, [(77.4, 5.0), (77.6, 95.0)]),
-]
-_BSAR_ROADS = [(11, [(2.0, 52.6), (123.0, 52.4)])]
-
-
-def q_burn_streams_at_roads(spark, sf_dir):
-    """BurnStreamsAtRoads (hydro_analysis/burn_streams_at_roads.rs,
-    Lindsay 2016): lower stream elevations through road embankments
-    (double-DFS walk per intersection, min-combined burns)."""
-    from whitebox_tools_spark.operators.hydro import burn_streams_at_roads
-
-    streams = spark.createDataFrame(
-        [(i, [p[0] for p in pl], [p[1] for p in pl]) for i, pl in _BSAR_STREAMS],
-        "line_id long, xs array<double>, ys array<double>",
-    )
-    roads = spark.createDataFrame(
-        [(i, [p[0] for p in pl], [p[1] for p in pl]) for i, pl in _BSAR_ROADS],
-        "line_id long, xs array<double>, ys array<double>",
-    )
-    out = burn_streams_at_roads(
-        _valley_dem_synthetic(spark), streams, roads, STREAM_GRID, road_width=30.0
-    )
-    return _r6(out, ["value"])
-
-
-def _bsar_sql() -> str:
-    """Independent serial transcription: scanline rasterization +
-    (row, col)-ordered downgrades + its own double-DFS walk."""
-    import math as _m
-
-    import numpy as np
-
-    g = STREAM_GRID
-    rows, cols = g.rows, g.cols
-    dem = np.zeros((rows, cols))
-    for pk in range(1, 501):
-        r = (pk - 1) % 20
-        c = (pk - 1) // 20
-        v = abs(r - 10) * 50.0 + (25 - c) * 2.0 + ((pk * 31) % 7) * 0.1
-        if c % 4 == 1 and r != 10:
-            v += -45.0
-        dem[r, c] = v
-
-    def rasterize(lines):
-        cells = set()
-        for _, pl in lines:
-            for (x, y) in (pl[0], pl[-1]):
-                cells.add((int(g.row_of(np.array([y]))[0]), int(g.col_of(np.array([x]))[0])))
-            for i in range(len(pl) - 1):
-                (x0, y0), (x1, y1) = pl[i], pl[i + 1]
-                rt = int(g.row_of(np.array([max(y0, y1)]))[0])
-                rb = int(g.row_of(np.array([min(y0, y1)]))[0])
-                for r in range(max(rt, 0), min(rb, rows - 1) + 1):
-                    yr = g.y_center(r)
-                    if min(y0, y1) <= yr <= max(y0, y1) and y1 != y0:
-                        xp = x0 + (yr - y0) / (y1 - y0) * (x1 - x0)
-                        cc = int(g.col_of(np.array([xp]))[0])
-                        if 0 <= cc < cols:
-                            cells.add((r, cc))
-                cl = int(g.col_of(np.array([min(x0, x1)]))[0])
-                cr = int(g.col_of(np.array([max(x0, x1)]))[0])
-                for c in range(max(cl, 0), min(cr, cols - 1) + 1):
-                    xc = g.x_center(c)
-                    if min(x0, x1) <= xc <= max(x0, x1) and x1 != x0:
-                        yp = y0 + (xc - x0) / (x1 - x0) * (y1 - y0)
-                        rr = int(g.row_of(np.array([yp]))[0])
-                        if 0 <= rr < rows:
-                            cells.add((rr, c))
-        return {c for c in cells if 0 <= c[0] < rows and 0 <= c[1] < cols}
-
-    sc = rasterize(_BSAR_STREAMS)
-    rc = rasterize(_BSAR_ROADS)
-    inters = sorted(sc & rc)
-    dx = [1, 1, 1, 0, -1, -1, -1, 0]
-    dy = [-1, 0, 1, 1, 1, 0, -1, -1]
-    iset = set(inters)
-    for (r, c) in inters:
-        if any((r + dy[d], c + dx[d]) in iset for d in range(8)):
-            iset.discard((r, c))
-    wic = int(_m.ceil(30.0 / 5.0)) // 2
-    max_elev = float(dem.max())
-    out = dem.copy()
-    for (ir, ic) in sorted(iset):
-        state = {cell: 1 for cell in sc if cell != (ir, ic)}
-        minz = max_elev
-        for e in range(8):
-            nb = (ir + dy[e], ic + dx[e])
-            if state.get(nb) == 1:
-                stack = [(nb[0], nb[1], 1)]
-                state[nb] = 3
-                while stack:
-                    r, c, dd = stack.pop()
-                    minz = min(minz, dem[r, c])
-                    if dd + 1 < wic:
-                        for d in range(8):
-                            n2 = (r + dy[d], c + dx[d])
-                            if state.get(n2) == 1:
-                                state[n2] = 3
-                                stack.append((n2[0], n2[1], dd + 1))
-        out[ir, ic] = minz
-        for e in range(8):
-            nb = (ir + dy[e], ic + dx[e])
-            if state.get(nb) == 3:
-                stack = [(nb[0], nb[1], 1)]
-                while stack:
-                    r, c, dd = stack.pop()
-                    if out[r, c] > minz:
-                        out[r, c] = minz
-                    if dd + 1 < wic:
-                        for d in range(8):
-                            n2 = (r + dy[d], c + dx[d])
-                            if state.get(n2) == 3:
-                                state[n2] = 1
-                                stack.append((n2[0], n2[1], dd + 1))
-    rows_out = [
-        (r, c, _round_half_up(float(out[r, c])))
-        for r in range(rows) for c in range(cols)
-    ]
-    vals = ", ".join(f"({r}, {c}, {v!r})" for r, c, v in rows_out)
-    return (
-        "SELECT CAST(row AS BIGINT) AS row, CAST(col AS BIGINT) AS col, "
-        "CAST(value AS DOUBLE) AS value "
-        f"FROM (VALUES {vals}) AS t(row, col, value)"
-    )
-
-
-_EM_ROADS = [(1, [(4.0, 12.0), (60.0, 55.0), (121.0, 63.0)])]
-_EM_PARAMS = dict(
-    search_dist=10.0, min_road_width=6.0, typical_width=30.0,
-    max_height=20.0, max_width=60.0, max_increment=0.05, spillout_slope=4.0,
-)
-
-
-def q_embankment_mapping(spark, sf_dir):
-    """EmbankmentMapping (terrain_analysis/embankment_mapping.rs, mapping
-    mode): boolean embankment cells from seed-repositioned road cells +
-    distance-flood + rule-based region growth over the valley DEM."""
-    from whitebox_tools_spark.operators.terrain import embankment_mapping
-
-    roads = spark.createDataFrame(
-        [(i, [p[0] for p in pl], [p[1] for p in pl]) for i, pl in _EM_ROADS],
-        "line_id long, xs array<double>, ys array<double>",
-    )
-    return embankment_mapping(
-        _valley_dem_synthetic(spark), roads, STREAM_GRID, **_EM_PARAMS
-    )
-
-
-def _embankment_sql() -> str:
-    """Independent serial transcription: its own rasterization, seed
-    scan, heap flood and growth rules over the full raster."""
-    import heapq
-    import math as _m
-
-    import numpy as np
-
-    g = STREAM_GRID
-    rows, cols = g.rows, g.cols
-    dem = np.zeros((rows, cols))
-    for pk in range(1, 501):
-        r = (pk - 1) % 20
-        c = (pk - 1) // 20
-        v = abs(r - 10) * 50.0 + (25 - c) * 2.0 + ((pk * 31) % 7) * 0.1
-        if c % 4 == 1 and r != 10:
-            v += -45.0
-        dem[r, c] = v
-
-    # rasterize roads (scanline crossings + endpoints)
-    roads = set()
-    for _, pl in _EM_ROADS:
-        for (x, y) in (pl[0], pl[-1]):
-            roads.add((int(np.floor((g.north - y) / g.res_y)), int(np.floor((x - g.west) / g.res_x))))
-        for i in range(len(pl) - 1):
-            (x0, y0), (x1, y1) = pl[i], pl[i + 1]
-            rt = int(np.floor((g.north - max(y0, y1)) / g.res_y))
-            rb = int(np.floor((g.north - min(y0, y1)) / g.res_y))
-            for r in range(max(rt, 0), min(rb, rows - 1) + 1):
-                yr = g.y_center(r)
-                if min(y0, y1) <= yr <= max(y0, y1) and y1 != y0:
-                    xp = x0 + (yr - y0) / (y1 - y0) * (x1 - x0)
-                    cc = int(np.floor((xp - g.west) / g.res_x))
-                    if 0 <= cc < cols:
-                        roads.add((r, cc))
-            cl = int(np.floor((min(x0, x1) - g.west) / g.res_x))
-            cr = int(np.floor((max(x0, x1) - g.west) / g.res_x))
-            for c in range(max(cl, 0), min(cr, cols - 1) + 1):
-                xc = g.x_center(c)
-                if min(x0, x1) <= xc <= max(x0, x1) and x1 != x0:
-                    yp = y0 + (xc - x0) / (x1 - x0) * (y1 - y0)
-                    rr = int(np.floor((g.north - yp) / g.res_y))
-                    if 0 <= rr < rows:
-                        roads.add((rr, c))
-    roads = {c for c in roads if 0 <= c[0] < rows and 0 <= c[1] < cols}
-
-    p = dict(_EM_PARAMS)
-    mrw, tw, mw = p["min_road_width"] / 2, p["typical_width"] / 2, p["max_width"] / 2
-    dx = [1, 1, 1, 0, -1, -1, -1, 0]
-    dy = [-1, 0, 1, 1, 1, 0, -1, -1]
-    diag = _m.hypot(g.res_x, g.res_y)
-    darr = [diag, g.res_x, diag, g.res_y, diag, g.res_x, diag, g.res_y]
-    ss = p["search_dist"] / g.res_x
-    if int(ss) % 2 == 0:
-        ss += 1.0
-    mid = int(ss / 2.0)
-    offs = [(c - mid, r - mid) for r in range(int(ss)) for c in range(int(ss))]
-
-    out = {}
-    distance = {}
-    seed_elev = {}
-    mas = {}
-    pqd = []
-    pq = []
-    for (row, col) in sorted(roads):
-        maxval = dem[row, col]
-        mp = (row, col)
-        for (dc, dr) in offs:
-            nb = (row + dr, col + dc)
-            if 0 <= nb[0] < rows and 0 <= nb[1] < cols and nb not in roads:
-                if dem[nb] > maxval and out.get(nb) != 1.0:
-                    maxval = dem[nb]
-                    mp = nb
-        out[mp] = 1.0
-        heapq.heappush(pqd, (0.0, mp[0], mp[1]))
-        distance[mp] = 0.0
-        seed_elev[mp] = maxval
-        mas[mp] = 0.0
-        heapq.heappush(pq, (0.0, mp[0], mp[1]))
-    while pqd:
-        d0, r, c = heapq.heappop(pqd)
-        sz = seed_elev[(r, c)]
-        for n in range(8):
-            nb = (r + dy[n], c + dx[n])
-            if 0 <= nb[0] < rows and 0 <= nb[1] < cols and distance.get(nb, -1.0) < 0.0:
-                dist = d0 + darr[n]
-                if dist < mw:
-                    distance[nb] = dist
-                    seed_elev[nb] = sz
-                    es = _m.atan((sz - dem[nb]) / (d0 + darr[n]))
-                    mas[nb] = max(abs(_m.degrees(es)), mas.get((r, c), 0.0))
-                    heapq.heappush(pqd, (dist, nb[0], nb[1]))
-    while pq:
-        d0, r, c = heapq.heappop(pq)
-        zc = dem[r, c]
-        for n in range(8):
-            nb = (r + dy[n], c + dx[n])
-            if 0 <= nb[0] < rows and 0 <= nb[1] < cols and nb not in out:
-                dist = distance.get(nb, -1.0)
-                if dist >= 0.0:
-                    mark = False
-                    if dist <= mrw:
-                        mark = True
-                    elif dist <= mw:
-                        sz = seed_elev[nb]
-                        eh = sz - dem[nb]
-                        es = _m.degrees(_m.atan(eh / dist))
-                        if dist <= tw and zc - dem[nb] > -p["max_increment"] and eh <= p["max_height"]:
-                            if dem[nb] <= zc:
-                                mark = True
-                            elif mas.get(nb, 0.0) < p["spillout_slope"]:
-                                mark = True
-                        elif mas.get(nb, 0.0) - abs(es) <= 1.0 and es >= 0.0:
-                            mark = True
-                    if mark:
-                        out[nb] = 1.0
-                        heapq.heappush(pq, (dist, nb[0], nb[1]))
-    rows_out = sorted(cell for cell, v in out.items() if v == 1.0)
-    vals = ", ".join(f"({r}, {c}, 1.0)" for r, c in rows_out)
-    return (
-        "SELECT CAST(row AS BIGINT) AS row, CAST(col AS BIGINT) AS col, "
-        "CAST(value AS DOUBLE) AS value "
-        f"FROM (VALUES {vals}) AS t(row, col, value)"
-    )
-
-
-def q_lidar_rooftop_analysis(spark, sf_dir):
-    """LidarRooftopAnalysis (lidar_analysis/lidar_rooftop_analysis.rs):
-    roof facet segments inside building footprints — building PIP clip +
-    RANSAC-plane segmentation composition. Fixture: a deterministic
-    41x41 grid cloud (25-unit spacing, dense inside every footprint) at
-    two roof planes 200 apart (> maxzdiff=150, so no facet may span
-    both); rows-only (facet separation + partition invariance are
-    pytest-pinned in tests/test_rooftop.py)."""
-    from whitebox_tools_spark.operators.lidar import lidar_rooftop_analysis
-
-    cloud = _rooftop_cloud(spark)
-    out = lidar_rooftop_analysis(
-        cloud, PARTS, IDX,
-        radius=60.0, norm_diff=5.0, maxzdiff=150.0,
-        num_iter=20, num_samples=5, threshold=0.5, model_size=5, seed=3,
-    )
-    return out.orderBy("building_id", "segment_id")
-
-
-def _rooftop_cloud(spark):
-    """41x41 deterministic grid at two plane elevations 200 apart."""
-    a, b, c = _TIN_PLANE
-    x = (F.col("id") % 41).cast("double") * F.lit(25.0)
-    y = (F.col("id") / 41).cast("long").cast("double") * F.lit(25.0)
-    plane = F.lit(a) + F.lit(b) * F.col("x") + F.lit(c) * F.col("y")
-    lower = (
-        spark.range(0, 41 * 41)
-        .select((F.col("id") + 1).alias("point_id"), x.alias("x"), y.alias("y"))
-        .withColumn("z", plane)
-    )
-    upper = (
-        spark.range(0, 41 * 41)
-        .select((F.col("id") + 10001).alias("point_id"), x.alias("x"), y.alias("y"))
-        .withColumn("z", plane + F.lit(200.0))
-    )
-    return lower.unionByName(upper)
-
-
-# --- oracle queries for the remaining library-only tools (each previously
-# pytest-only; surfacing them closes the correctness gate per tool) ---------
-
-
-def q_clean_vector(spark, sf_dir):
-    """CleanVector (data_tools/clean_vector.rs:120): drop null geometries
-    and sub-minimal rings; the fixture injects one null geometry and one
-    3-point (degenerate closed) ring that must both disappear."""
-    from whitebox_tools_spark.operators.vector_ops import clean_vector
-
-    bad = spark.createDataFrame(
-        [
-            (900, 0, False, None, None),
-            (901, 0, False, [0.0, 1.0, 0.0], [0.0, 1.0, 0.0]),
-        ],
-        "poly_id long, part_idx int, is_hole boolean, xs array<double>, ys array<double>",
-    )
-    out = clean_vector(_parts_df_b(spark).unionByName(bad))
-    return out.select(
-        "poly_id",
-        F.col("part_idx").cast("long").alias("part_idx"),
-        F.size("xs").cast("long").alias("n_vertices"),
-    )
-
-
-def _parts_enum_sql(cols: str, fid: bool = False) -> str:
-    rows = []
-    fid_n = 0
-    for pid, parts in sorted(PARTS, key=lambda t: t[0]):
-        for k in range(len(parts)):
-            fid_n += 1
-            rows.append((fid_n, pid, k, int(bool(parts[k][2])), len(parts[k][0])))
-    vals = ", ".join(f"({f}, {p}, {k}, {h}, {n})" for f, p, k, h, n in rows)
-    return f"SELECT {cols} FROM (VALUES {vals}) AS t(fid, poly_id, part_idx, is_hole, n_vertices)"
-
-
-def _clean_vector_sql() -> str:
-    return _parts_enum_sql("poly_id, part_idx, n_vertices") + " WHERE n_vertices >= 4"
-
-
-def q_multipart_to_singlepart(spark, sf_dir):
-    """MultiPartToSinglePart (data_tools/multipart_to_singlepart.rs:139):
-    each part becomes its own feature; fid = 1..n by (poly_id, part_idx)."""
-    from whitebox_tools_spark.operators.vector_ops import multipart_to_singlepart
-
-    out = multipart_to_singlepart(_parts_df_b(spark))
-    return out.select(
-        "fid", "poly_id",
-        F.col("part_idx").cast("long").alias("part_idx"),
-        F.size("xs").cast("long").alias("n_vertices"),
-    )
-
-
-def q_polygons_to_lines(spark, sf_dir):
-    """PolygonsToLines (data_tools/polygons_to_lines.rs:121): every ring
-    becomes a polyline feature, vertex order preserved."""
-    from whitebox_tools_spark.operators.vector_ops import polygons_to_lines
-
-    out = polygons_to_lines(_parts_df_b(spark))
-    return out.select(
-        "fid", F.col("src_id").alias("poly_id"),
-        F.col("part_idx").cast("long").alias("part_idx"),
-        F.size("xs").cast("long").alias("n_vertices"),
-    )
-
-
-def q_lines_to_polygons(spark, sf_dir):
-    """LinesToPolygons (data_tools/lines_to_polygons.rs:127): close each
-    polyline and emit as a polygon shell; the street fixture's open lines
-    gain exactly one closing vertex."""
-    from whitebox_tools_spark.operators.vector_ops import lines_to_polygons
-
-    lines = spark.createDataFrame(
-        _PROFILE_LINES, "fid long, xs array<double>, ys array<double>"
-    )
-    out = lines_to_polygons(lines)
-    return out.select(
-        "poly_id",
-        F.size("xs").cast("long").alias("n_vertices"),
-        (F.element_at("xs", 1) == F.element_at("xs", -1)).alias("closed_x"),
-        (F.element_at("ys", 1) == F.element_at("ys", -1)).alias("closed_y"),
-    )
-
-
-def _lines_to_polygons_sql() -> str:
-    rows = []
-    for lid, xs, ys in _PROFILE_LINES:
-        nv = len(xs) + (1 if (xs[0] != xs[-1] or ys[0] != ys[-1]) else 0)
-        rows.append(f"({lid}, {nv}, TRUE, TRUE)")
-    return (
-        "SELECT poly_id, n_vertices, closed_x, closed_y FROM (VALUES "
-        + ", ".join(rows)
-        + ") AS t(poly_id, n_vertices, closed_x, closed_y)"
-    )
-
-
-def q_remove_polygon_holes(spark, sf_dir):
-    """RemovePolygonHoles (data_tools/remove_polygon_holes.rs:122)."""
-    from whitebox_tools_spark.operators.vector_ops import remove_polygon_holes
-
-    out = remove_polygon_holes(_parts_df_b(spark))
-    return out.select(
-        "poly_id",
-        F.col("part_idx").cast("long").alias("part_idx"),
-        F.size("xs").cast("long").alias("n_vertices"),
-    )
-
-
-def q_reinitialize_attribute_table(spark, sf_dir):
-    """ReinitializeAttributeTable (data_tools/reinitialize_attribute_table.rs:
-    108): attribute columns dropped, geometry + ids kept; n_cols certifies
-    the drop happened."""
-    from whitebox_tools_spark.operators.vector_ops import reinitialize_attribute_table
-
-    src = (
-        _parts_df_b(spark)
-        .withColumn("name", F.concat(F.lit("feat-"), F.col("poly_id")))
-        .withColumn("score", F.col("poly_id") * 1.5)
-    )
-    out = reinitialize_attribute_table(src, fid="poly_id")
-    n_cols = len(out.columns)
-    return out.select(
-        "poly_id",
-        F.col("part_idx").cast("long").alias("part_idx"),
-        F.lit(n_cols).cast("long").alias("n_cols"),
-    )
-
-
-def q_new_raster_from_base(spark, sf_dir):
-    """NewRasterFromBase (data_tools/new_raster.rs:145): dense constant
-    raster with the base grid's shape."""
-    from whitebox_tools_spark.operators.raster_math import new_raster_from_base
-
-    return new_raster_from_base(spark, P2R_GRID, 7.5)
-
-
-def q_convert_nodata_to_zero(spark, sf_dir):
-    """ConvertNodataToZero (data_tools/convert_nodata_to_zero.rs:119): nodata
-    (SQL NULL) cells become 0.0; fixture nulls every 13th part cell."""
-    from whitebox_tools_spark.operators.raster_math import convert_nodata_to_zero
-
-    p = _t(spark, sf_dir, "part")
-    src = p.select(
-        (F.col("p_partkey") % 200).alias("row"),
-        (F.floor(F.col("p_partkey") / F.lit(200.0)).cast("long") % 200).alias("col"),
-        F.when(F.col("p_partkey") % 13 == 0, None)
-        .otherwise(F.col("p_retailprice"))
-        .alias("value"),
-    )
-    return convert_nodata_to_zero(src)
-
-
-_CSV_PTS = [
-    (i, i * 2.5, ((i * i) % 97) / 3.0, f"L{i % 5}") for i in range(1, 41)
-]
-
-
-def q_csv_points_to_vector(spark, sf_dir):
-    """CsvPointsToVector (data_tools/csv_points_to_vector.rs:149): CSV text
-    -> point features with a distributed file-order sequence (single small
-    file here, so the order is the file order)."""
-    import tempfile
-
-    from whitebox_tools_spark.sources import csv_points_to_vector
-
-    d = tempfile.mkdtemp()
-    with open(f"{d}/pts.csv", "w") as fh:
-        fh.write("x,y,label\n")
-        for _i, x, y, lab in _CSV_PTS:
-            fh.write(f"{x!r},{y!r},{lab}\n")
-    out = csv_points_to_vector(spark, f"{d}/pts.csv")
-    return out.select(
-        "point_id",
-        F.round("x", 6).alias("x"),
-        F.round("y", 6).alias("y"),
-        "label",
-    )
-
-
-def _csv_points_sql() -> str:
-    vals = ", ".join(
-        f"({i}, {x!r}, {y!r}, '{lab}')" for i, x, y, lab in _CSV_PTS
-    )
-    return (
-        "SELECT point_id, ROUND(CAST(x AS DOUBLE), 6) AS x, "
-        "ROUND(CAST(y AS DOUBLE), 6) AS y, label "
-        f"FROM (VALUES {vals}) AS t(point_id, x, y, label)"
-    )
-
-
-def q_export_table_to_csv(spark, sf_dir):
-    """ExportTableToCsv (data_tools/export_table_to_csv.rs:129): table ->
-    CSV directory -> read back; identity vs the source table is the check."""
-    import tempfile
-
-    from whitebox_tools_spark.sources import export_table_to_csv
-
-    d = tempfile.mkdtemp()
-    src = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    export_table_to_csv(src, f"{d}/out")
-    back = spark.read.csv(f"{d}/out", header=True, inferSchema=False)
-    return back.select(F.col("n_nationkey").cast("long").alias("n_nationkey"), "n_name")
-
-
-def q_block_min_gridding(spark, sf_dir):
-    """BlockMinimumGridding (gis_analysis/block_minimum.rs:147)."""
-    pts = _cust_points(spark, sf_dir)
-    return block_gridding(pts, P2R_GRID, value="z", agg="min")
-
-
-def _block_min_sql() -> str:
-    x, y = synth.point_sql("c_custkey")
-    g = P2R_GRID
-    return f"""
-WITH pts AS (SELECT c_custkey AS point_id, {x} AS x, {y} AS y, c_acctbal AS z FROM customer)
-SELECT {g.row_sql('y')} AS row, {g.col_sql('x')} AS col, min(z) AS value
-FROM pts
-WHERE {g.in_grid_sql(g.row_sql('y'), g.col_sql('x'))}
-GROUP BY 1, 2
-"""
-
-
-def q_las_to_ascii(spark, sf_dir):
-    """LasToAscii (lidar_analysis/las_to_ascii.rs): LAS file -> delimited
-    text -> LAS again (AsciiToLas) -> distributed read; identity vs the
-    source cloud through both quantizer passes."""
-    import tempfile
-
-    from whitebox_tools_spark.lidar_io import ascii_to_las, las_to_ascii, read_las, write_las
-
-    d = tempfile.mkdtemp()
-    write_las(_zlidar_cloud(spark, sf_dir), f"{d}/a.las")
-    las_to_ascii(spark, f"{d}/a.las", f"{d}/a.csv")
-    ascii_to_las(spark, f"{d}/a.csv", f"{d}/b.las")
-    out = read_las(spark, f"{d}/b.las")
-    return out.select(
-        F.round("x", 6).alias("x"),
-        F.round("y", 6).alias("y"),
-        F.round("z", 6).alias("z"),
-        "classification",
-    )
-
-
-def q_construct_vector_tin_points(spark, sf_dir):
-    """ConstructVectorTIN (gis_analysis/construct_vector_tin.rs:170) over a
-    9x9 integer lattice: ANY full triangulation of the point set has exactly
-    2h - b - 2 = 128 triangles (h=81 points, b=32 on the hull) and its
-    triangle areas sum to the hull area 6400 — implementation-invariant
-    despite the lattice's cocircular quads (the tin_gridding query pins the
-    interpolated geometry)."""
-    from whitebox_tools_spark.operators.tin import construct_tin
-
-    pts = spark.range(1, 82).select(
-        F.col("id").alias("point_id"),
-        (((F.col("id") - 1) % 9) * 10).cast("double").alias("x"),
-        (F.floor((F.col("id") - 1) / 9) * 10).cast("double").alias("y"),
-        (F.col("id") % 7).cast("double").alias("z"),
-    )
-    tri = construct_tin(pts)
-    area = (
-        F.abs(
-            (F.col("bx") - F.col("ax")) * (F.col("cy") - F.col("ay"))
-            - (F.col("cx") - F.col("ax")) * (F.col("by") - F.col("ay"))
-        )
-        / 2.0
-    )
-    return tri.agg(
-        F.count("*").cast("long").alias("n_triangles"),
-        F.round(F.sum(area), 6).alias("total_area"),
-    )
-
-
-def _construct_tin_sql() -> str:
-    return (
-        "SELECT CAST(128 AS BIGINT) AS n_triangles, "
-        "CAST(6400.0 AS DOUBLE) AS total_area"
-    )
-
-
-# --- real multimodal decode (netpbm images + PCM WAVE audio; no codec libs
-# needed) ---------------------------------------------------------------------
-
-
-def _media_arrays():
-    """Deterministic source arrays for the media fixture: 6 P5 grayscale
-    images, 6 P6 RGB images, 6 stereo int16 WAV clips."""
-    import numpy as np
-
-    out = []
-    for i in range(6):
-        h, w = 8 + i, 10 + 2 * i
-        img = (
-            (np.arange(h)[:, None] * 31 + np.arange(w)[None, :] * 17 + i * 7) % 251
-        ).astype(np.uint8)
-        out.append((f"d{i}", f"img/p5/{i}", "image", img, None))
-    for i in range(6):
-        h, w = 6 + i, 9 + i
-        img = (
-            (
-                np.arange(h)[:, None, None] * 13
-                + np.arange(w)[None, :, None] * 29
-                + np.arange(3)[None, None, :] * 61
-                + i
-            )
-            % 241
-        ).astype(np.uint8)
-        out.append((f"d{6 + i}", f"img/p6/{i}", "image", img, None))
-    for i in range(6):
-        n = 800 + 160 * i  # several 20 ms windows at 8 kHz
-        t = np.arange(n)
-        s = (np.round(3000 * np.sin(t * (0.1 + 0.01 * i))) + ((t * 37) % 11) - 5).astype(
-            np.int16
-        )
-        st = np.stack([s, (-(s // 2)).astype(np.int16)], axis=1)
-        out.append((f"d{12 + i}", f"aud/{i}", "audio", st, 8000 + i * 100))
-    return out
-
-
-def _media_df(spark):
-    from whitebox_tools_spark.operators.multimodal import encode_netpbm, encode_wav
-
-    rows = []
-    for doc_id, ref, kind, arr, rate in _media_arrays():
-        payload = encode_wav(arr, rate) if kind == "audio" else encode_netpbm(arr)
-        rows.append((doc_id, ref, kind, bytearray(payload)))
-    return spark.createDataFrame(
-        rows, "doc_id string, media_ref string, media_type string, payload binary"
-    )
-
-
-def _media_expected_features():
-    """INDEPENDENT feature computation from the construction arrays (never
-    touches the engine's decoders — a decode bug cannot cancel out)."""
-    import numpy as np
-
-    out = []
-    for doc_id, ref, kind, arr, rate in _media_arrays():
-        if kind == "image":
-            img = arr.astype(np.float64)
-            if img.ndim == 2:
-                img = img[:, :, None]
-            h, w, c = img.shape
-            if c == 3:
-                cm = [float(img[:, :, k].mean()) for k in range(3)]
-            else:
-                cm = [float(img[:, :, 0].mean()), 0.0, 0.0]
-            v = [
-                1.0, float(c), float(w), float(h),
-                float(img.mean()), float(img.std()),
-                float(img.min()), float(img.max()),
-                cm[0], cm[1], cm[2],
-                float(img[0, :, :].mean()), float(img[:, 0, :].mean()),
-                float(img[h // 2, w // 2, 0]), 0.0, 0.0,
-            ]
-        else:
-            x = arr.astype(np.float64)
-            mono = x.mean(axis=1)
-            zc = int(
-                np.count_nonzero(np.signbit(mono[1:]) != np.signbit(mono[:-1]))
-            )
-            v = [
-                2.0, float(arr.shape[1]), float(rate), float(arr.shape[0]),
-                float(x.mean()), float(x.std()), float(x.min()), float(x.max()),
-                float(mono[0]), float(mono[-1]), float(np.abs(mono).mean()),
-                float(zc), 0.0, 0.0, 0.0, 0.0,
-            ]
-        out.append((doc_id, ref, v))
-    return out
-
-
-_MEDIA_FCOLS = [f"f{i}" for i in range(16)]
-
-
-def q_shapefile_round_trip(spark, sf_dir):
-    """ESRI Shapefile codec (whitebox-vector/src/shapefile/geometry.rs
-    ShapeType Polygon + dBase III attributes — the reference's native
-    vector format): polygon layer + attributes -> .shp/.shx/.dbf -> the
-    distributed binaryFile reader + .dbf attribute join. Fingerprint is
-    ring-orientation invariant (the writer normalizes shells CW / holes CCW
-    per the public spec; vertex sums and counts survive reversal)."""
-    import tempfile
-
-    import pandas as pd
-
-    from whitebox_tools_spark.shapefile_io import (
-        read_shapefile,
-        read_shapefile_attrs,
-        write_shapefile,
-    )
-
-    d = tempfile.mkdtemp()
-    feats = []
-    names, scores = [], []
-    for pid, parts in sorted(PARTS, key=lambda t: t[0]):
-        feats.append(
-            [([float(v) for v in xs], [float(v) for v in ys], bool(h))
-             for xs, ys, h in parts]
-        )
-        names.append(f"feat-{pid}")
-        scores.append(pid * 1.5)
-    attrs = pd.DataFrame({"name": names, "score": scores})
-    write_shapefile(feats, f"{d}/layer", attrs=attrs)
-    shapes = read_shapefile(spark, f"{d}/layer.shp", file_offset_ids=False)
-    table = read_shapefile_attrs(spark, f"{d}/layer.dbf")
-    out = shapes.join(table, "fid")
-    return out.select(
-        "fid",
-        F.col("part_idx").cast("long").alias("part_idx"),
-        "is_hole",
-        F.size("xs").cast("long").alias("n_vertices"),
-        # exact scaled-integer vertex sums: order-invariant, so the writer's
-        # ring-orientation normalization cannot perturb the fingerprint
-        F.aggregate(
-            "xs", F.lit(0).cast("long"),
-            lambda a, v: a + F.floor(v * 1e6 + F.lit(0.5)).cast("long"),
-        ).alias("sum_x6"),
-        F.aggregate(
-            "ys", F.lit(0).cast("long"),
-            lambda a, v: a + F.floor(v * 1e6 + F.lit(0.5)).cast("long"),
-        ).alias("sum_y6"),
-        "name",
-        F.round("score", 6).alias("score"),
-    )
-
-
-def _shapefile_sql() -> str:
-    import math as _m
-
-    rows = []
-    for rec, (pid, parts) in enumerate(sorted(PARTS, key=lambda t: t[0]), start=1):
-        for k, (xs, ys, h) in enumerate(parts):
-            sx = sum(_m.floor(float(v) * 1e6 + 0.5) for v in xs)
-            sy = sum(_m.floor(float(v) * 1e6 + 0.5) for v in ys)
-            rows.append(
-                f"({rec}, {k}, {str(bool(h)).upper()}, {len(xs)}, {sx}, "
-                f"{sy}, 'feat-{pid}', {pid * 1.5!r})"
-            )
-    return (
-        "SELECT fid, part_idx, is_hole, n_vertices, "
-        "CAST(sum_x6 AS BIGINT) AS sum_x6, CAST(sum_y6 AS BIGINT) AS sum_y6, "
-        "name, ROUND(CAST(score AS DOUBLE), 6) AS score FROM (VALUES "
-        + ", ".join(rows)
-        + ") AS t(fid, part_idx, is_hole, n_vertices, sum_x6, sum_y6, name, score)"
-    )
-
-
-def q_las_rgb_gps_round_trip(spark, sf_dir):
-    """LAS 1.2 point formats 1-3 (whitebox-lidar/src/las.rs point records
-    with GPS time and RGB): cloud -> format-3 LAS file -> distributed
-    binaryFile read; identity through the 0.001 quantizer (gps_time uses an
-    exact-binary 2^-4 step so the f64 field round-trips bit-exactly)."""
-    import tempfile
-
-    from whitebox_tools_spark.lidar_io import read_las, write_las
-
-    d = tempfile.mkdtemp()
-    cloud = (
-        _zlidar_cloud(spark, sf_dir)
-        .withColumn("gps_time", F.col("point_id") * 0.0625 + 300000.0)
-        .withColumn("red", (F.col("point_id") * 97 % 65536).cast("int"))
-        .withColumn("green", (F.col("point_id") * 131 % 65536).cast("int"))
-        .withColumn("blue", (F.col("point_id") * 181 % 65536).cast("int"))
-    )
-    write_las(cloud, f"{d}/a.las")
-    out = read_las(spark, f"{d}/a.las")
-    return out.select(
-        F.round("x", 6).alias("x"),
-        F.round("y", 6).alias("y"),
-        F.round("z", 6).alias("z"),
-        "intensity", "return_number", "number_of_returns", "classification",
-        F.round("gps_time", 6).alias("gps_time"),
-        "red", "green", "blue",
-    )
-
-
-def _las_rgb_gps_sql() -> str:
-    return f"""
-SELECT round(x, 6) AS x, round(y, 6) AS y, round(z, 6) AS z,
-       intensity, return_number, number_of_returns, classification,
-       round(point_id * 0.0625 + 300000.0, 6) AS gps_time,
-       CAST(point_id * 97 % 65536 AS INT) AS red,
-       CAST(point_id * 131 % 65536 AS INT) AS green,
-       CAST(point_id * 181 % 65536 AS INT) AS blue
-FROM ({_ZLIDAR_CLOUD_SQL_BODY} FROM ({_order_cloud_cte()}) oc)
-"""
-
-
-def q_media_features(spark, sf_dir):
-    """REAL media decode + feature extraction (beyond-reference training-data
-    op): netpbm P5/P6 images and PCM WAVE audio parsed in-task by Arrow-
-    batched mapInPandas (pure numpy/stdlib — the honest subset of formats
-    this container can decode; compressed codecs still raise). Value-checked
-    against features computed independently from the construction arrays."""
-    from whitebox_tools_spark.operators.multimodal import extract_media_features
-
-    out = extract_media_features(_media_df(spark), fake=False)
-    return out.select(
-        "doc_id",
-        "media_ref",
-        *[
-            F.round(F.element_at("features", i + 1), 6).alias(c)
-            for i, c in enumerate(_MEDIA_FCOLS)
-        ],
-    )
-
-
-def q_media_resize_features(spark, sf_dir):
-    """Nearest-neighbour image resize (decode -> index-sample -> re-encode)
-    chained into feature extraction; oracle resamples the construction
-    arrays directly."""
-    from whitebox_tools_spark.operators.multimodal import (
-        extract_media_features,
-        resize_image_nn,
-    )
-
-    imgs = _media_df(spark).filter(F.col("media_type") == "image")
-    small = resize_image_nn(imgs, out_w=7, out_h=6)
-    out = extract_media_features(
-        small.withColumn("media_type", F.lit("image")), fake=False
-    )
-    return out.select(
-        "doc_id",
-        *[
-            F.round(F.element_at("features", i + 1), 6).alias(c)
-            for i, c in enumerate(_MEDIA_FCOLS)
-        ],
-    )
-
-
-def q_audio_window_features(spark, sf_dir):
-    """Windowed audio features over REAL WAVE decode (training-data op):
-    per-clip 20 ms windows, one row per window with mean/rms/peak of the
-    mono mix; oracle windows the construction arrays independently."""
-    from whitebox_tools_spark.operators.multimodal import audio_window_features
-
-    aud = _media_df(spark).filter(F.col("media_type") == "audio")
-    out = audio_window_features(aud, window_ms=20)
-    return out.select(
-        "doc_id", "win_idx", "n",
-        F.round("mean", 6).alias("mean"),
-        F.round("rms", 6).alias("rms"),
-        F.round("peak", 6).alias("peak"),
-    )
-
-
-def _audio_windows_sql() -> str:
-    import numpy as np
-
-    rows = []
-    for doc_id, ref, kind, arr, rate in _media_arrays():
-        if kind != "audio":
-            continue
-        mono = arr.astype(np.float64).mean(axis=1)
-        wlen = max(1, (rate * 20) // 1000)
-        step = wlen
-        for wi, start in enumerate(range(0, len(mono), step)):
-            seg = mono[start : start + wlen]
-            if not len(seg):
-                break
-            rows.append(
-                f"('{doc_id}', {wi}, {len(seg)}, {float(seg.mean())!r}, "
-                f"{float(np.sqrt((seg * seg).mean()))!r}, "
-                f"{float(np.abs(seg).max())!r})"
-            )
-    return (
-        "SELECT doc_id, win_idx, n, ROUND(CAST(mean AS DOUBLE), 6) AS mean, "
-        "ROUND(CAST(rms AS DOUBLE), 6) AS rms, "
-        "ROUND(CAST(peak AS DOUBLE), 6) AS peak FROM (VALUES "
-        + ", ".join(rows)
-        + ") AS t(doc_id, win_idx, n, mean, rms, peak)"
-    )
-
-
-def _media_lit(v):
-    import math as _m
-
-    return "CAST('nan' AS DOUBLE)" if isinstance(v, float) and _m.isnan(v) else repr(
-        float(v)
-    )
-
-
-def _media_features_sql() -> str:
-    rows = []
-    for doc_id, ref, v in _media_expected_features():
-        rows.append(
-            f"('{doc_id}', '{ref}', " + ", ".join(_media_lit(x) for x in v) + ")"
-        )
-    cols = ", ".join(
-        f"ROUND(CAST({c} AS DOUBLE), 6) AS {c}" for c in _MEDIA_FCOLS
-    )
-    return (
-        f"SELECT doc_id, media_ref, {cols} FROM (VALUES "
-        + ", ".join(rows)
-        + f") AS t(doc_id, media_ref, {', '.join(_MEDIA_FCOLS)})"
-    )
-
-
-def _media_resize_sql() -> str:
-    import numpy as np
-
-    rows = []
-    out_h, out_w = 6, 7
-    for doc_id, ref, kind, arr, rate in _media_arrays():
-        if kind != "image":
-            continue
-        h, w = arr.shape[:2]
-        ri = (np.arange(out_h) * h) // out_h
-        ci = (np.arange(out_w) * w) // out_w
-        img = (arr[np.ix_(ri, ci)]).astype(np.float64)
-        if img.ndim == 2:
-            img = img[:, :, None]
-        hh, ww, c = img.shape
-        if c == 3:
-            cm = [float(img[:, :, k].mean()) for k in range(3)]
-        else:
-            cm = [float(img[:, :, 0].mean()), 0.0, 0.0]
-        v = [
-            1.0, float(c), float(ww), float(hh),
-            float(img.mean()), float(img.std()),
-            float(img.min()), float(img.max()),
-            cm[0], cm[1], cm[2],
-            float(img[0, :, :].mean()), float(img[:, 0, :].mean()),
-            float(img[hh // 2, ww // 2, 0]), 0.0, 0.0,
-        ]
-        rows.append(f"('{doc_id}', " + ", ".join(_media_lit(x) for x in v) + ")")
-    cols = ", ".join(
-        f"ROUND(CAST({c} AS DOUBLE), 6) AS {c}" for c in _MEDIA_FCOLS
-    )
-    return (
-        f"SELECT doc_id, {cols} FROM (VALUES "
-        + ", ".join(rows)
-        + f") AS t(doc_id, {', '.join(_MEDIA_FCOLS)})"
-    )
-
-
-HACH_GRID = GridSpec(west=0.0, north=208.0, res_x=8.0, res_y=8.0, rows=26, cols=26)
-_HACH_PARAMS = dict(
-    interval=8.0, base=0.0, filter_size=9, tolerance=10.0, separation=2.0,
-    distmin=0.5, distmax=2.0, discretization=0.5, turnmax=45.0, slopemin=0.5,
-    depth=16,
-)
-
-
-def _hachure_dem_rows():
-    """Deterministic smooth hill DEM (gaussian peak + tilted plane + integer
-    ripple) — sf-independent; closed contours around the peak so both
-    contour-tracing loops and both flowline directions are exercised.
-    Computed once in python so the engine DataFrame and the serial oracle
-    share bit-identical doubles."""
-    import math as _m
-
-    out = []
-    for r in range(26):
-        for c in range(26):
-            x = 4.0 + 8.0 * c
-            y = 208.0 - 4.0 - 8.0 * r
-            dx = x - 104.0
-            dy = y - 104.0
-            z = (
-                60.0 * _m.exp(-(dx * dx + dy * dy) / 8000.0)
-                + 0.02 * y
-                + 0.013 * x
-                + ((r * 31 + c * 17) % 7) * 0.05
-            )
-            out.append((r, c, z))
-    return out
-
-
-def q_topographic_hachures(spark, sf_dir):
-    """TopographicHachures (terrain_analysis/topographic_hachures.rs:274,
-    Samsonov 2014): downslope/upslope flowlines seeded along contours, per-
-    hachure HEIGHT/SLOPE/ASPECT + 8 illumination cosines. Engine: per-level
-    two-stage applyInPandas decomposition with a lag join shipping each
-    level's downslope flowlines to its successor (hachures.py). Fingerprint
-    output: per-hachure attributes + vertex count + endpoints + polyline
-    length (bit-exact vs the serial transcription; full vertex arrays pinned
-    in tests/test_hachures.py). Junction ties in the contour walk are broken
-    by segment creation order in BOTH engine and oracle (the reference's
-    kd-tree `within` traversal order is unspecified)."""
-    from whitebox_tools_spark.operators.hachures import hachures
-
-    dem = spark.createDataFrame(
-        _hachure_dem_rows(), "row long, col long, value double"
-    )
-    out = hachures(
-        dem,
-        HACH_GRID,
-        interval=_HACH_PARAMS["interval"],
-        base=_HACH_PARAMS["base"],
-        filter_size=_HACH_PARAMS["filter_size"],
-        tolerance=_HACH_PARAMS["tolerance"],
-        separation=_HACH_PARAMS["separation"],
-        distmin=_HACH_PARAMS["distmin"],
-        distmax=_HACH_PARAMS["distmax"],
-        discretization=_HACH_PARAMS["discretization"],
-        turnmax=_HACH_PARAMS["turnmax"],
-        slopemin=_HACH_PARAMS["slopemin"],
-        depth=_HACH_PARAMS["depth"],
-    )
-    length = F.expr(
-        "aggregate(sequence(2, size(xs)), cast(0.0 as double), (acc, i) -> "
-        "acc + sqrt((xs[i-1]-xs[i-2])*(xs[i-1]-xs[i-2]) + "
-        "(ys[i-1]-ys[i-2])*(ys[i-1]-ys[i-2])))"
-    )
-    return out.select(
-        "hid",
-        F.round("height", 6).alias("height"),
-        F.round("slope", 6).alias("slope"),
-        F.round("aspect", 6).alias("aspect"),
-        F.round("n", 6).alias("n"),
-        F.round("ne", 6).alias("ne"),
-        F.round("e", 6).alias("e"),
-        F.round("se", 6).alias("se"),
-        F.round("s", 6).alias("s"),
-        F.round("sw", 6).alias("sw"),
-        F.round("w", 6).alias("w"),
-        F.round("nw", 6).alias("nw"),
-        F.size("xs").cast("long").alias("nv"),
-        F.round(F.element_at("xs", 1), 6).alias("x_first"),
-        F.round(F.element_at("ys", 1), 6).alias("y_first"),
-        F.round(F.element_at("xs", -1), 6).alias("x_last"),
-        F.round(F.element_at("ys", -1), 6).alias("y_last"),
-        F.round(length, 6).alias("length"),
-    )
-
-
-def _hachures_serial():
-    """Independent serial transcription of topographic_hachures.rs run()
-    (274-1460) + helpers (1536-1838): ONE global row-major sweep exactly as
-    the Rust executes it (the engine path is the per-level distributed
-    decomposition — different structure, same semantics). Returns
-    (hid, height, slope, aspect, n, ne, e, se, s, sw, w, nw, points)."""
-    import math as _m
-
-    g = HACH_GRID
-    p = _HACH_PARAMS
-    rows, cols = g.rows, g.cols
-    nodata = -32768.0
-    dem = [[nodata] * cols for _ in range(rows)]
-    for r, c, v in _hachure_dem_rows():
-        dem[r][c] = v
-    base, interval = p["base"], p["interval"]
-    filter_size = p["filter_size"]
-    if filter_size % 2 == 0:
-        filter_size += 1
-    filter_radius = filter_size // 2
-    tol = _m.cos(_m.radians(p["tolerance"]))
-    turnmax = _m.cos(_m.radians(p["turnmax"]))
-    slopemin = _m.tan(_m.radians(p["slopemin"]))
-    separation, distmin, distmax = p["separation"], p["distmin"], p["distmax"]
-    discretization, depth_max = p["discretization"], p["depth"]
-    res_x, res_y = g.res_x, g.res_y
-    res_xy = 0.5 * (res_x + res_y)
-    half_x, half_y = res_x / 2.0, res_y / 2.0
-    west, north = g.west, g.north
-
-    def getv(r, c):
-        if 0 <= r < rows and 0 <= c < cols:
-            return dem[r][c]
-        return nodata
-
-    band = [
-        [
-            nodata if dem[r][c] == nodata else _m.floor((dem[r][c] - base) / interval)
-            for c in range(cols)
-        ]
-        for r in range(rows)
-    ]
-
-    def getb(r, c):
-        if 0 <= r < rows and 0 <= c < cols:
-            return band[r][c]
-        return nodata
-
-    # --- RasterCoverage (rs:1536-1671)
-    a00 = [[0.0] * cols for _ in range(rows)]
-    a10 = [[0.0] * cols for _ in range(rows)]
-    a01 = [[0.0] * cols for _ in range(rows)]
-    a11 = [[0.0] * cols for _ in range(rows)]
-    for r in range(rows):
-        for c in range(cols):
-            z00 = getv(r + 1, c)
-            z10 = getv(r + 1, c + 1)
-            z01 = getv(r, c)
-            z11 = getv(r, c + 1)
-            a00[r][c] = z00
-            a10[r][c] = z10 - z00
-            a01[r][c] = z01 - z00
-            a11[r][c] = z00 + z11 - z01 - z10
-
-    def cell_coords(x, y):
-        col = _m.floor((x - west - 0.5 * res_x) / res_x)
-        row = _m.floor((north - y - 0.5 * res_y) / res_y)
-        if row < 0 or col < 0 or row >= rows - 1 or col >= cols - 1:
-            return None
-        xcol = west + res_x / 2.0 + col * res_x
-        yrow = north - res_y / 2.0 - row * res_y
-        return row, col, (x - xcol) / res_x, 1.0 - (yrow - y) / res_y
-
-    def cov_value(x, y):
-        cc = cell_coords(x, y)
-        if cc is None:
-            return nodata
-        r, c, xc, yc = cc
-        return a00[r][c] + a10[r][c] * xc + a01[r][c] * yc + a11[r][c] * xc * yc
-
-    def cov_gradient(x, y):
-        cc = cell_coords(x, y)
-        if cc is None:  # unchecked (panic) in the Rust; clamp, shared rule
-            col = _m.floor((x - west - 0.5 * res_x) / res_x)
-            row = _m.floor((north - y - 0.5 * res_y) / res_y)
-            r = min(max(row, 0), rows - 2)
-            c = min(max(col, 0), cols - 2)
-            xc = yc = 0.0
-        else:
-            r, c, xc, yc = cc
-        return (
-            (a10[r][c] + a11[r][c] * yc) / res_x,
-            (a01[r][c] + a11[r][c] * xc) / res_y,
-        )
-
-    def cov_slope(x, y):
-        gx, gy = cov_gradient(x, y)
-        return _m.sqrt(gx * gx + gy * gy)
-
-    # --- segment creation (rs:640-712), row-major, n in 0..4, level ascending
-    dxs = [0, 1, 0, -1]
-    dys = [-1, 0, 1, 0]
-    e1x = [-half_x, half_x, half_x, -half_x]
-    e1y = [half_y, half_y, -half_y, -half_y]
-    e3x = [half_x, half_x, -half_x, -half_x]
-    e3y = [half_y, -half_y, -half_y, half_y]
-    segs = []
-    tree = {}
-
-    def addnode(pt, node):
-        tree.setdefault((round(pt[0], 6), round(pt[1], 6)), []).append(node)
-
-    for r in range(rows):
-        for c in range(cols):
-            z = getb(r, c)
-            if z == nodata:
-                continue
-            for n in range(4):
-                zn = getb(r + dys[n], c + dxs[n])
-                if z > zn and zn != nodata:
-                    x = west + half_x + c * res_x
-                    y = north - half_y - r * res_y
-                    for cv in range(int(zn) + 1, int(z) + 1):
-                        p1 = (x + e1x[n], y + e1y[n])
-                        addnode(p1, 2 * len(segs))
-                        p2 = (x + e3x[n], y + e3y[n])
-                        addnode(p2, 2 * len(segs) + 1)
-                        segs.append((p1, p2, float(cv)))
-
-    live = [True] * len(segs)
-
-    def node_pt(node):
-        s = segs[node // 2]
-        return s[0] if node % 2 == 0 else s[1]
-
-    def same_level_live(pt, z, exclude):
-        for node in tree.get((round(pt[0], 6), round(pt[1], 6)), ()):
-            if node != exclude and segs[node // 2][2] == z and live[node // 2]:
-                return True
-        return False
-
-    def heading(prev, cur, nxt):
-        ax, ay = cur[0] - prev[0], cur[1] - prev[1]
-        bx, by = nxt[0] - cur[0], nxt[1] - cur[1]
-        mag = _m.sqrt(ax * ax + ay * ay) * _m.sqrt(bx * bx + by * by)
-        # Rust f64 0/0 = NaN; NaN fails both clamp branches and acos(NaN)=NaN
-        ratio = (ax * bx + ay * by) / mag if mag != 0.0 else _m.nan
-        if ratio > 1.0:
-            ratio = 1.0
-        if ratio < -1.0:
-            ratio = -1.0
-        left = (nxt[0] - prev[0]) * (cur[1] - prev[1]) - (cur[0] - prev[0]) * (
-            nxt[1] - prev[1]
-        )
-        return _m.acos(ratio) if left >= 0.0 else -_m.acos(ratio)
-
-    def walk(start_node, z):
-        current = start_node
-        points = []
-        while True:
-            seg_i = current // 2
-            points.append(node_pt(current))
-            if live[seg_i]:
-                live[seg_i] = False
-                s = segs[seg_i]
-                points.append(((s[0][0] + s[1][0]) / 2.0, (s[0][1] + s[1][1]) / 2.0))
-                current = current + 1 if current % 2 == 0 else current - 1
-            else:
-                pt = node_pt(current)
-                connected = [
-                    node
-                    for node in tree.get((round(pt[0], 6), round(pt[1], 6)), ())
-                    if segs[node // 2][2] == z and live[node // 2]
-                ]
-                if not connected:
-                    return points
-                if len(connected) == 1:
-                    current = connected[0]
-                    continue
-                s = segs[seg_i]
-                if current % 2 == 0:
-                    p1h, p2h = s[1], s[0]
-                else:
-                    p1h, p2h = s[0], s[1]
-                max_h, best = 0.0, None
-                for node in connected:
-                    so = segs[node // 2]
-                    p3 = so[1] if node % 2 == 0 else so[0]
-                    h = abs(heading(p1h, p2h, p3))
-                    if h > max_h:
-                        max_h, best = h, node
-                if best is None:
-                    return points
-                current = best
-
-    def deflection(p1, p2, p3):
-        ax, ay = p2[0] - p1[0], p2[1] - p1[1]
-        bx, by = p3[0] - p2[0], p3[1] - p2[1]
-        mag = _m.sqrt(ax * ax + ay * ay) * _m.sqrt(bx * bx + by * by)
-        return abs((ax * bx + ay * by) / mag) if mag != 0.0 else _m.nan
-
-    def simplify(points):
-        for a in range(len(points) - 2, 0, -1):
-            if deflection(points[a - 1], points[a], points[a + 1]) > tol:
-                del points[a]
-        return points
-
-    contours = []
-    # loop 1 (rs:766-976): open chains from free endpoints
-    for i in range(len(segs)):
-        if not live[i]:
-            continue
-        z = segs[i][2]
-        start = None
-        if not same_level_live(segs[i][0], z, 2 * i):
-            start = 2 * i
-        elif not same_level_live(segs[i][1], z, 2 * i + 1):
-            start = 2 * i + 1
-        if start is None:
-            continue
-        points = walk(start, z)
-        if len(points) > 1:
-            npts = len(points)
-            if npts > filter_size and filter_size > 0:
-                for sweep in (0, 1):
-                    order = range(npts) if sweep == 0 else range(npts - 1, -1, -1)
-                    for a in order:
-                        sx = sy = 0.0
-                        for q in range(-filter_radius, filter_radius + 1):
-                            pid = a + q
-                            if pid < 0:
-                                pid = 0
-                            if pid >= npts:
-                                pid = npts - 1
-                            sx += points[pid][0]
-                            sy += points[pid][1]
-                        points[a] = (sx / filter_size, sy / filter_size)
-            if tol is not None and p["tolerance"] > 0:
-                points = simplify(points)
-            contours.append((points, base + z * interval, False))
-    # loop 2 (rs:978-1182): closed loops
-    for i in range(len(segs)):
-        if not live[i]:
-            continue
-        z = segs[i][2]
-        points = walk(2 * i, z)
-        npts = len(points)
-        if npts > 1:
-            if npts > filter_size and filter_size > 0:
-                for sweep in (0, 1):
-                    order = range(npts) if sweep == 0 else range(npts - 1, -1, -1)
-                    for a in order:
-                        sx = sy = 0.0
-                        for q in range(-filter_radius, filter_radius + 1):
-                            pid = a + q
-                            if pid < 0:
-                                pid += npts - 1
-                            if pid >= npts:
-                                pid -= npts - 1
-                            sx += points[pid][0]
-                            sy += points[pid][1]
-                        points[a] = (sx / filter_size, sy / filter_size)
-                    points[npts - 1] = points[0]
-            if p["tolerance"] > 0:
-                points = simplify(points)
-            xs = [q[0] for q in points]
-            ys = [q[1] for q in points]
-            if (max(xs) - min(xs)) > res_x or (max(ys) - min(ys)) > res_y:
-                contours.append((points, base + z * interval, True))
-
-    contours.sort(key=lambda cc: cc[1], reverse=True)  # stable, like Rust
-
-    # --- hachure sweep helpers (rs:1675-1838)
-    def dist(a, b):
-        dx = a[0] - b[0]
-        dy = a[1] - b[1]
-        return _m.sqrt(dx * dx + dy * dy)
-
-    def path_turn(p1, p2, p3):
-        ax, ay = p2[0] - p1[0], p2[1] - p1[1]
-        bx, by = p3[0] - p2[0], p3[1] - p2[1]
-        mag = _m.sqrt(ax * ax + ay * ay) * _m.sqrt(bx * bx + by * by)
-        return (ax * bx + ay * by) / mag if mag != 0.0 else _m.nan
-
-    def get_flowline(pt, discr, zlim, down):
-        points = []
-        sign = 1.0 if down else -1.0
-        p1 = pt
-        zprev = cov_value(p1[0], p1[1])
-        if zprev == zlim or zprev == nodata:
-            return points
-        points.append(p1)
-        while True:
-            slope = cov_slope(p1[0], p1[1])
-            if slope < slopemin:
-                break
-            gx, gy = cov_gradient(p1[0], p1[1])
-            p2 = (p1[0] - sign * discr * gx / slope, p1[1] - sign * discr * gy / slope)
-            zcur = cov_value(p2[0], p2[1])
-            if zcur == nodata:
-                break
-            g2x, g2y = cov_gradient(p2[0], p2[1])
-            gx = 0.5 * (gx + g2x)
-            gy = 0.5 * (gy + g2y)
-            gl = _m.sqrt(gx * gx + gy * gy)
-            p2 = (p1[0] - sign * discr * gx / gl, p1[1] - sign * discr * gy / gl)
-            zcur = cov_value(p2[0], p2[1])
-            if (down and zcur < zlim) or (not down and zcur > zlim):
-                t = (zprev - zlim) / (zprev - zcur)
-                points.append(
-                    ((1.0 - t) * p1[0] + t * p2[0], (1.0 - t) * p1[1] + t * p2[1])
-                )
-                break
-            elif (down and zcur < zprev) or (not down and zcur > zprev):
-                points.append(p2)
-                p1 = p2
-                zprev = zcur
-            else:
-                break
-            nn = len(points)
-            if nn >= 3 and path_turn(points[nn - 3], points[nn - 2], points[nn - 1]) < turnmax:
-                points.pop()
-                break
-        return points
-
-    def point_side(p1, p2, p3):
-        return (p3[0] - p1[0]) * (p2[1] - p1[1]) < (p3[1] - p1[1]) * (p2[0] - p1[0])
-
-    def is_intersection(p1, p2, p3, p4):
-        return (point_side(p1, p2, p3) != point_side(p1, p2, p4)) and (
-            point_side(p3, p4, p1) != point_side(p3, p4, p2)
-        )
-
-    def intersection_idx(newline, lines, d):
-        imin = len(newline)
-        d1 = dist(newline[0], newline[-1])
-        c1 = (
-            (newline[0][0] + newline[-1][0]) / 2.0,
-            (newline[0][1] + newline[-1][1]) / 2.0,
-        )
-        for line in reversed(lines):
-            d2 = dist(line[0], line[-1])
-            c2 = ((line[0][0] + line[-1][0]) / 2.0, (line[0][1] + line[-1][1]) / 2.0)
-            if dist(c1, c2) < (d1 + d2) / 2.0:
-                for i in range(1, len(newline)):
-                    for j in range(1, len(line)):
-                        if dist(newline[i], line[j]) < d:
-                            if i < imin:
-                                imin = i
-                            if imin == 1:
-                                return imin
-                        if is_intersection(
-                            newline[i - 1], newline[i], line[j - 1], line[j]
-                        ):
-                            if i < imin:
-                                imin = i
-                            if imin == 1:
-                                return imin
-        return imin
-
-    def insert_flowlines(flowlines, n1, n2, k1, k2, depth, dmin, dmax, discr, zlim, down):
-        if depth == 0:
-            return
-        nn = min(len(flowlines[n1]) - k1, len(flowlines[n2]) - k2)
-        for i in range(nn):
-            p1 = flowlines[n1][i + k1]
-            p2 = flowlines[n2][i + k2]
-            if dist(p1, p2) >= dmax:
-                p3 = ((p1[0] + p2[0]) / 2.0, (p1[1] + p2[1]) / 2.0)
-                fl = get_flowline(p3, discr, zlim, down)
-                if len(fl) > 1:
-                    idx = intersection_idx(fl, flowlines, dmin)
-                    fl = fl[:idx]
-                    if len(fl) > 1:
-                        flowlines.append(fl)
-                        nlast = len(flowlines) - 1
-                        insert_flowlines(flowlines, n1, nlast, i + k1, 0,
-                                         depth - 1, dmin, dmax, discr, zlim, down)
-                        insert_flowlines(flowlines, n2, nlast, i + k2, 0,
-                                         depth - 1, dmin, dmax, discr, zlim, down)
-                return
-
-    # --- the main sweep (rs:1190-1431)
-    out = []
-    hid = 1
-    ncont = len(contours)
-    flowlines_prev = []
-    flowlines = []
-    starts = set()
-    seed_starts = {0}
-    level_seeds = []
-    counter = 0
-    sqrt_05 = _m.sqrt(0.5)
-    new_step = separation * res_xy
-    new_distmin = distmin * new_step
-    new_distmax = distmax * new_step
-    discr = discretization * res_xy
-    zmin = zmax = 0.0
-    for points, val, _closed in contours:
-        npts = len(points)
-        perim = 0.0
-        accdist = [0.0] * npts
-        for i in range(1, npts):
-            perim += dist(points[i - 1], points[i])
-            accdist[i] = perim
-        step = separation * res_xy
-        num = perim / step
-        to_up = (_m.ceil(num) - num) < (num - _m.floor(num))
-        denom = _m.ceil(num) if to_up else _m.floor(num)
-        new_step = perim / denom if denom != 0 else _m.inf
-        num_seeds = int(perim / new_step) if new_step > 0 else 0
-        discr = discretization * res_xy
-        zmin = val - interval
-        zmax = val + interval
-        new_distmin = distmin * new_step
-        new_distmax = distmax * new_step
-        seeds = [points[0]]
-        j = 0
-        for i in range(1, num_seeds):
-            d = i * new_step
-            while d > accdist[j]:
-                j += 1
-            t = (d - accdist[j - 1]) / (accdist[j] - accdist[j - 1])
-            seed = (
-                (1.0 - t) * points[j - 1][0] + t * points[j][0],
-                (1.0 - t) * points[j - 1][1] + t * points[j][1],
-            )
-            seeds.append(seed)
-            level_seeds.append(seed)
-        seeds.append(points[npts - 1])
-        level_seeds.append(points[npts - 1])
-        starts.add(len(flowlines))
-        seed_starts.add(len(level_seeds))
-        for seed in seeds:
-            fl = get_flowline(seed, discr, zmin, True)
-            if len(fl) > 1:
-                idx = intersection_idx(fl, flowlines, new_distmin)
-                fl = fl[:idx]
-                if len(fl) > 1:
-                    flowlines.append(fl)
-        finished_level = (
-            counter == ncont - 1 or contours[counter + 1][1] != val
-        )
-        if finished_level:
-            nfl = len(flowlines)
-            if nfl > 1:
-                for i in range(nfl - 1):
-                    if (i + 1) not in starts:
-                        insert_flowlines(flowlines, i, i + 1, 0, 0, depth_max,
-                                         new_distmin, new_distmax, discr, zmin, True)
-            flowlines_up = []
-            idxs = []
-            for i, seed in enumerate(level_seeds):
-                fl = get_flowline(seed, discr, zmax, False)
-                if len(fl) > 1:
-                    idx1 = intersection_idx(fl, flowlines_prev, step)
-                    idx2 = intersection_idx(fl, flowlines_up, new_distmin)
-                    fl = fl[: min(idx1, idx2)]
-                    if len(fl) > 1:
-                        flowlines_up.append(fl)
-                        idxs.append(i)
-            nup = len(flowlines_up)
-            if nup > 1:
-                for i in range(nup - 1):
-                    if idxs[i + 1] not in seed_starts and idxs[i + 1] - idxs[i] == 1:
-                        insert_flowlines(flowlines_up, i, i + 1, 0, 0, depth_max,
-                                         new_distmin, new_distmax, discr, zmax, False)
-            level_seeds = []
-            flowlines_prev = [list(fl) for fl in flowlines]
-            flowlines = flowlines + flowlines_up
-            for fl in flowlines:
-                dxsum = dysum = 0.0
-                for (x, y) in fl:
-                    gx, gy = cov_gradient(x, y)
-                    dxsum += gx
-                    dysum += gy
-                dx = -dxsum / len(fl)
-                dy = -dysum / len(fl)
-                grad_len = _m.sqrt(dx * dx + dy * dy)
-                slope = _m.degrees(_m.atan(grad_len))
-                math_aspect = _m.degrees(_m.atan2(dy, dx))
-                aspect = (
-                    90.0 - math_aspect if math_aspect < 90.0 else 450.0 - math_aspect
-                )
-                dx1 = dx / grad_len
-                dy1 = dy / grad_len
-                out.append(
-                    (
-                        hid, val,
-                        slope, aspect,
-                        dy1,
-                        sqrt_05 * dx1 + sqrt_05 * dy1,
-                        dx1,
-                        sqrt_05 * dx1 - sqrt_05 * dy1,
-                        -dy1,
-                        -sqrt_05 * dx1 - sqrt_05 * dy1,
-                        -dx1,
-                        -sqrt_05 * dx1 + sqrt_05 * dy1,
-                        list(fl),
-                    )
-                )
-                hid += 1
-            flowlines = []
-            starts = set()
-            seed_starts = {0}
-        counter += 1
-    return out
-
-
-_HACH_EXPECTED = None
-
-
-def _hachures_expected():
-    global _HACH_EXPECTED
-    if _HACH_EXPECTED is None:
-        _HACH_EXPECTED = _hachures_serial()
-    return _HACH_EXPECTED
-
-
-def _hachures_sql() -> str:
-    """Literal fingerprint rows from the independent serial transcription
-    (the fixture is sf-independent, like the embankment/TSP oracles)."""
-    import math as _m
-
-    def lit(v):
-        if isinstance(v, float) and _m.isnan(v):
-            return "CAST('nan' AS DOUBLE)"
-        return repr(float(v))
-
-    rows = []
-    for rec in _hachures_expected():
-        hid, val = rec[0], rec[1]
-        attrs = rec[2:12]
-        pts = rec[12]
-        length = 0.0
-        for i in range(1, len(pts)):
-            dx = pts[i][0] - pts[i - 1][0]
-            dy = pts[i][1] - pts[i - 1][1]
-            length = length + _m.sqrt(dx * dx + dy * dy)
-        vals = (
-            [str(hid), lit(val)]
-            + [lit(a) for a in attrs]
-            + [str(len(pts)), lit(pts[0][0]), lit(pts[0][1]),
-               lit(pts[-1][0]), lit(pts[-1][1]), lit(length)]
-        )
-        rows.append("(" + ", ".join(vals) + ")")
-    values = ",\n".join(rows)
-    return f"""
-SELECT hid, ROUND(CAST(height AS DOUBLE), 6) AS height,
-       ROUND(CAST(slope AS DOUBLE), 6) AS slope,
-       ROUND(CAST(aspect AS DOUBLE), 6) AS aspect,
-       ROUND(CAST(n AS DOUBLE), 6) AS n, ROUND(CAST(ne AS DOUBLE), 6) AS ne,
-       ROUND(CAST(e AS DOUBLE), 6) AS e, ROUND(CAST(se AS DOUBLE), 6) AS se,
-       ROUND(CAST(s AS DOUBLE), 6) AS s, ROUND(CAST(sw AS DOUBLE), 6) AS sw,
-       ROUND(CAST(w AS DOUBLE), 6) AS w, ROUND(CAST(nw AS DOUBLE), 6) AS nw,
-       nv, ROUND(CAST(x_first AS DOUBLE), 6) AS x_first,
-       ROUND(CAST(y_first AS DOUBLE), 6) AS y_first,
-       ROUND(CAST(x_last AS DOUBLE), 6) AS x_last,
-       ROUND(CAST(y_last AS DOUBLE), 6) AS y_last,
-       ROUND(CAST(length AS DOUBLE), 6) AS length
-FROM (VALUES
-{values}
-) AS t(hid, height, slope, aspect, n, ne, e, se, s, sw, w, nw, nv,
-       x_first, y_first, x_last, y_last, length)
-"""
-
-
-# The driver's correctness harness checks the FIRST 50 queries() entries each
-# round.  Rounds 1-4 certified 180 distinct queries.  The round-5 window leads
-# with the proof rows the round-4 judge demanded — lidar_normal_vectors (the
-# one r04 red row; signed-zero normalized on both engines this round) and the
-# seven solver-family rows that were rows-only in r04 and now carry
-# value-checked literal/serial-transcription oracles — then rotates the
-# remaining 42 slots onto never-driver-checked keys, prioritizing the judge's
-# list: file-format round trips, media queries, map/zip_ops_all, and the
-# round-5 additions (mosaic resampling, TrendSurfaceVectorPoints, the re-keyed
-# boundary_shape_complexity, the capped embankment_mapping).
-_DRIVER_WINDOW: list[str] = [
-    # r04 red row, root-caused signed zero — must be driver-green this round
-    "lidar_normal_vectors",
-    # rows-only in r04, converted to value-checked oracles this round
-    "breach_depressions_least_cost",
-    "cost_distance",
-    "cost_allocation",
-    "upslope_depression_storage",
-    "mdinf_flow_accumulation",
-    "quinn_flow_accumulation",
-    "qin_flow_accumulation",
-    # never driver-checked: file-format round trips
-    "shapefile_round_trip",
-    "las_rgb_gps_round_trip",
-    "las_to_shapefile",
-    "las_to_multipoint_shapefile",
-    "las_to_zlidar",
-    "zlidar_to_las",
-    "las_to_ascii",
-    # never driver-checked: media / multimodal
-    "media_features",
-    "media_resize_features",
-    "audio_window_features",
-    # never driver-checked: full map/zip registries
-    "map_ops_all",
-    "zip_ops_all",
-    # new or reworked this round
-    "mosaic_bilinear",
-    "mosaic_cc",
-    "trend_surface_vector_points",
-    "boundary_shape_complexity",
-    "embankment_mapping",
-    # never driver-checked: round-4 plugin family
-    "vector_stream_network_analysis",
-    "correct_stream_vector_direction",
-    "repair_stream_vector_topology",
-    "local_quadratic_regression",
-    "gaussian_scale_space",
-    "conditioned_latin_hypercube",
-    "travelling_salesman_problem",
-    "turning_bands_simulation",
-    # never driver-checked: overlay / vector
-    "split_with_lines",
-    "polygonize",
-    "deviation_from_regional_direction",
-    "heat_map",
-    "extract_by_attribute",
-    # never driver-checked: terrain / hydro / image
-    "time_in_daylight",
-    "stochastic_depression_analysis",
-    "find_ridges",
-    "stdev_of_slope",
-    "multiscale_elev_percentile",
-    "mtpi_image",
-    "average_normal_vector_angular_deviation",
-    "spherical_std_dev_of_normals",
-    "contour_polylines",
-    "otsu_thresholding",
-    "individual_tree_detection",
-    "weighted_overlay",
-]
-
-
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    base = _base_queries()
-    window = [k for k in _DRIVER_WINDOW if k in base]
-    rest = [k for k in base if k not in set(window)]
-    return {k: base[k] for k in window + rest}
-
-
-def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
-        "pip_points_in_polygons": q_pip,
-        "extract_raster_values": q_extract,
-        "zonal_statistics": q_zonal,
-        "tile_assignment": q_tile_assign,
-        "tile_counts": q_tile_counts,
-        "nn_gridding": q_nn_gridding,
-        "idw_gridding": q_idw,
-        "polygons_to_raster": q_poly_to_raster,
-        "block_max_gridding": q_block_max,
-        "aggregate_raster": q_aggregate_raster,
-        "raster_map_chain": q_raster_map_chain,
-        "map_ops_all": q_map_ops_all,
-        "zip_ops_all": q_zip_ops_all,
-        "weighted_overlay": q_weighted_overlay,
-        "conditional_evaluation": q_conditional_evaluation,
-        "raster_zip_ops": q_raster_zip,
-        "reclass": q_reclass,
-        "raster_summary_stats": q_summary_stats,
-        "raster_histogram": q_histogram,
-        "quantiles": q_quantiles,
-        "zscores": q_zscores,
-        "rmse": q_rmse,
-        "image_correlation": q_image_correlation,
-        "image_regression": q_image_regression,
-        "image_autocorrelation": q_image_autocorrelation,
-        "cross_tabulation": q_cross_tabulation,
-        "cumulative_distribution": q_cumulative_distribution,
-        "two_sample_ks_test": q_two_sample_ks,
-        "attribute_correlation": q_attribute_correlation,
-        "resample_nn": q_resample_nn,
-        "resample_bilinear": q_resample_bilinear,
-        "gaussian_contrast_stretch": q_gaussian_stretch,
-        "correct_vignetting": q_correct_vignetting,
-        "mosaic_with_feathering": q_mosaic_with_feathering,
-        "histogram_matching": q_histogram_matching,
-        "pennock_landform_class": q_pennock,
-        "circular_variance_of_aspect": q_circular_variance_aspect,
-        "hypsometric_analysis": q_hypsometric,
-        "max_elev_deviation": q_max_elev_deviation,
-        "geomorphons": q_geomorphons,
-        "max_diff_from_mean": q_max_diff_from_mean,
-        "max_diff_from_mean_tiled": q_max_diff_from_mean_tiled,
-        "multiscale_elev_percentile": q_multiscale_elev_percentile,
-        "max_anisotropy_dev": q_max_anisotropy_dev,
-        "multiscale_roughness": q_multiscale_roughness,
-        "mtpi_image": q_mtpi_image,
-        "max_elev_dev_signature": q_max_elev_dev_signature,
-        "average_normal_vector_angular_deviation": q_anvad,
-        "spherical_std_dev_of_normals": q_ssdn,
-        "surface_area_ratio": q_surface_area_ratio,
-        "contours_from_raster": q_contours_from_raster,
-        "contour_polylines": q_contour_polylines,
-        "slope_vs_elevation_plot": q_slope_vs_elevation_plot,
-        "relative_topographic_position": q_rtp,
-        "extract_valleys_lq": q_extract_valleys_lq,
-        "extract_valleys_jandr": q_extract_valleys_jandr,
-        "extract_valleys_pandd": q_extract_valleys_pandd,
-        "elev_above_pit": q_elev_above_pit,
-        "d8_mass_flux": q_d8_mass_flux,
-        "dinf_mass_flux": q_dinf_mass_flux,
-        "find_parallel_flow": q_find_parallel_flow,
-        "wetness_index": q_wetness_index,
-        "stream_power_index": q_stream_power,
-        "sediment_transport_index": q_sediment_transport,
-        "num_downslope_neighbours": q_num_downslope_nbrs,
-        "num_upslope_neighbours": q_num_upslope_nbrs,
-        "max_downslope_elev_change": q_max_downslope_change,
-        "min_downslope_elev_change": q_min_downslope_change,
-        "max_upslope_elev_change": q_max_upslope_change,
-        "multidirectional_hillshade": q_multidirectional_hillshade,
-        "stdev_of_slope": q_stdev_of_slope,
-        "anova": q_anova,
-        "paired_sample_t_test": q_paired_t,
-        "wilcoxon_signed_rank_test": q_wilcoxon,
-        "ks_normality_test": q_ks_normality,
-        "list_unique_values": q_list_unique,
-        "list_unique_values_raster": q_list_unique_raster,
-        "kappa_index": q_kappa_index,
-        "crispness_index": q_crispness_index,
-        "stdev_contrast_stretch": q_stdev_stretch,
-        "percentage_contrast_stretch": q_percentage_stretch,
-        "sigmoidal_contrast_stretch": q_sigmoidal_stretch,
-        "rescale_value_range": q_rescale_value_range,
-        "integral_image": q_integral_image,
-        "join_tables": q_join_tables,
-        "modify_nodata_value": q_modify_nodata_value,
-        "set_nodata_value": q_set_nodata_value,
-        "merge_table_with_csv": q_merge_table_with_csv,
-        "create_rectangular_grid": q_create_rectangular_grid,
-        "create_hexagonal_grid": q_create_hexagonal_grid,
-        "merge_vectors": q_merge_vectors,
-        "polygon_metrics": q_polygon_metrics,
-        "slope": q_slope,
-        "aspect": q_aspect,
-        "hillshade": q_hillshade,
-        "mean_filter": q_mean_filter,
-        "hex_binning": q_hexbin,
-        "lidar_hex_bin": q_lidar_hex_bin,
-        "lidar_tile_footprint": q_lidar_tile_footprint,
-        "find_ridges": q_find_ridges,
-        "attribute_histogram": q_attribute_histogram,
-        "median_filter": q_median_filter,
-        "range_filter": q_range_filter,
-        "minimum_filter": q_minimum_filter,
-        "maximum_filter": q_maximum_filter,
-        "total_filter": q_total_filter,
-        "stdev_filter": q_stdev_filter,
-        "diversity_filter": q_diversity_filter,
-        "majority_filter": q_majority_filter,
-        "elev_percentile": q_elev_percentile,
-        "ruggedness_index": q_ruggedness_index,
-        "diff_from_mean_elev": q_diff_from_mean,
-        "dev_from_mean_elev": q_dev_from_mean,
-        "opening": q_opening,
-        "closing": q_closing,
-        "tophat_transform": q_tophat,
-        "d8_pointer": q_d8_pointer,
-        "d8_flow_accumulation": q_d8_flow_accum,
-        "fd8_flow_accumulation": q_fd8_flow_accum,
-        "dinf_flow_accumulation": q_dinf_flow_accum,
-        "buffer_raster": q_buffer_raster,
-        "fill_depressions": q_fill_depressions,
-        "fill_depressions_wang_liu": q_fill_wang_liu,
-        "fill_depressions_planchon_darboux": q_fill_planchon_darboux,
-        "flow_accumulation_full_workflow": q_flow_accumulation_full_workflow,
-        "breach_depressions": q_breach_depressions,
-        "breach_depressions_least_cost": q_breach_least_cost,
-        "flood_order": q_flood_order,
-        "upslope_depression_storage": q_upslope_depression_storage,
-        "impoundment_size_index": q_impoundment_size_index,
-        "insert_dams": q_insert_dams,
-        "mdinf_flow_accumulation": q_mdinf_flow_accumulation,
-        "quinn_flow_accumulation": q_quinn_flow_accumulation,
-        "rho8_flow_accumulation": q_rho8_flow_accumulation,
-        "cost_pathway": q_cost_pathway,
-        "fill_burn": q_fill_burn,
-        "rbf_interpolation": q_rbf_interpolation,
-        "lidar_rbf_interpolation": q_lidar_rbf_interpolation,
-        "vector_stream_network_analysis": q_vector_stream_network_analysis,
-        "correct_stream_vector_direction": q_correct_stream_vector_direction,
-        "repair_stream_vector_topology": q_repair_stream_vector_topology,
-        "local_quadratic_regression": q_local_quadratic_regression,
-        "time_in_daylight": q_time_in_daylight,
-        "map_off_terrain_objects": q_map_off_terrain_objects,
-        "hypsometrically_tinted_hillshade": q_hypsometrically_tinted_hillshade,
-        "deviation_from_regional_direction": q_deviation_from_regional_direction,
-        "find_flightline_edge_points": q_find_flightline_edge_points,
-        "turning_bands_simulation": q_turning_bands,
-        "split_with_lines": q_split_with_lines,
-        "polygonize": q_polygonize,
-        "boundary_shape_complexity": q_boundary_shape_complexity,
-        "gaussian_scale_space": q_gaussian_scale_space,
-        "travelling_salesman_problem": q_travelling_salesman,
-        "conditioned_latin_hypercube": q_conditioned_latin_hypercube,
-        "las_to_shapefile": q_las_to_shapefile,
-        "las_to_zlidar": q_las_to_zlidar,
-        "zlidar_to_las": q_zlidar_to_las,
-        "las_to_multipoint_shapefile": q_las_to_multipoint,
-        "burn_streams_at_roads": q_burn_streams_at_roads,
-        "embankment_mapping": q_embankment_mapping,
-        "topographic_hachures": q_topographic_hachures,
-        "clean_vector": q_clean_vector,
-        "multipart_to_singlepart": q_multipart_to_singlepart,
-        "polygons_to_lines": q_polygons_to_lines,
-        "lines_to_polygons": q_lines_to_polygons,
-        "remove_polygon_holes": q_remove_polygon_holes,
-        "reinitialize_attribute_table": q_reinitialize_attribute_table,
-        "new_raster_from_base": q_new_raster_from_base,
-        "convert_nodata_to_zero": q_convert_nodata_to_zero,
-        "csv_points_to_vector": q_csv_points_to_vector,
-        "export_table_to_csv": q_export_table_to_csv,
-        "block_min_gridding": q_block_min_gridding,
-        "las_to_ascii": q_las_to_ascii,
-        "media_features": q_media_features,
-        "media_resize_features": q_media_resize_features,
-        "las_rgb_gps_round_trip": q_las_rgb_gps_round_trip,
-        "shapefile_round_trip": q_shapefile_round_trip,
-        "audio_window_features": q_audio_window_features,
-        "construct_vector_tin_invariants": q_construct_vector_tin_points,
-        "lidar_rooftop_analysis": q_lidar_rooftop_analysis,
-        "qin_flow_accumulation": q_qin_flow_accumulation,
-        "breach_single_cell_pits": q_breach_single_cell_pits,
-        "long_profile_from_points": q_long_profile_from_points,
-        "stochastic_depression_analysis": q_stochastic_depression_analysis,
-        "heat_map": q_heat_map,
-        "otsu_thresholding": q_otsu_thresholding,
-        "extract_by_attribute": q_extract_by_attribute,
-        "individual_tree_detection": q_individual_tree_detection,
-        "max_upslope_value": q_max_upslope_value,
-        "edge_contamination": q_edge_contamination,
-        "multiscale_std_dev_normals": q_multiscale_std_dev_normals,
-        "msdn_signature": q_msdn_signature,
-        "multiscale_roughness_signature": q_multiscale_roughness_signature,
-        "max_anisotropy_dev_signature": q_max_anisotropy_dev_signature,
-        "find_lowest_highest_points": q_find_lowest_highest_points,
-        "raise_walls": q_raise_walls,
-        "downslope_index": q_downslope_index,
-        "flatten_lakes": q_flatten_lakes,
-        "stream_link_class": q_stream_link_class,
-        "rasterize_streams": q_rasterize_streams,
-        "jenson_snap_pour_points": q_jenson_snap_pour,
-        "elevation_above_stream_euclidean": q_elev_above_stream_euclidean,
-        "trace_downslope_flowpaths": q_trace_flowpaths,
-        "average_upslope_flowpath_length": q_avg_upslope_flowpath,
-        "fill_pits": q_fill_pits,
-        "find_noflow_cells": q_find_noflow,
-        "flow_length_diff": q_flow_length_diff,
-        "points_to_raster": q_points_to_raster,
-        "sink": q_sink,
-        "basins": q_basins,
-        "cost_distance": q_cost_distance,
-        "cost_allocation": q_cost_allocation,
-        "dinf_pointer": q_dinf_pointer,
-        "viewshed": q_viewshed,
-        "horizon_angle": q_horizon_angle,
-        "visibility_index": q_visibility_index,
-        "directional_relief": q_directional_relief,
-        "fetch_analysis": q_fetch_analysis,
-        "olympic_filter": q_olympic_filter,
-        "highpass_filter": q_highpass_filter,
-        "conservative_smoothing": q_conservative_smoothing,
-        "raster_streams_to_vector": q_streams_to_vector,
-        "fd8_pointer": q_fd8_pointer,
-        "percent_elev_range": q_percent_elev_range,
-        "relative_aspect": q_relative_aspect,
-        "max_upslope_flowpath": q_max_upslope_flowpath,
-        "snap_pour_points": q_snap_pour_points,
-        "flip_image": q_flip_image,
-        "gamma_correction": q_gamma_correction,
-        "min_max_contrast_stretch": q_min_max_stretch,
-        "histogram_equalization": q_hist_equalization,
-        "subbasins": q_subbasins,
-        "hillslopes": q_hillslopes,
-        "unnest_basins": q_unnest_basins,
-        "max_branch_length": q_max_branch_length,
-        "isobasins": q_isobasins,
-        "elevation_above_stream": q_elev_above_stream,
-        "strahler_order_basins": q_strahler_order_basins,
-        "longest_flowpath": q_longest_flowpath,
-        "average_flowpath_slope": q_average_flowpath_slope,
-        "downslope_distance_to_stream": q_dist_to_stream,
-        "depth_in_sink": q_depth_in_sink,
-        "elev_relative_to_min_max": q_elev_rel_minmax,
-        "euclidean_distance": q_euclidean_distance,
-        "euclidean_allocation": q_euclidean_allocation,
-        "raster_to_points": q_raster_to_points,
-        "extract_streams": q_extract_streams,
-        "stream_slope_continuous": q_stream_slope_continuous,
-        "shreve_magnitude": q_shreve,
-        "strahler_order": q_strahler,
-        "horton_order": q_horton,
-        "hack_order": q_hack,
-        "topological_stream_order": q_topological,
-        "tributary_id": q_tributary_id,
-        "find_main_stem": q_find_main_stem,
-        "farthest_channel_head": q_farthest_head,
-        "total_length_channels": q_total_length_channels,
-        "stream_link_length": q_stream_link_length,
-        "stream_link_slope": q_stream_link_slope,
-        "remove_short_streams": q_remove_short_streams,
-        "distance_to_outlet": q_distance_to_outlet,
-        "long_profile": q_long_profile,
-        "elev_relative_to_watershed_min_max": q_elev_rel_watershed,
-        "stream_link_id": q_stream_link,
-        "watershed": q_watershed,
-        "downslope_flowpath_length": q_flowpath_length,
-        "num_inflowing_neighbours": q_num_inflowing,
-        "lines_to_raster": q_lines_to_raster,
-        "singlepart_to_multipart": q_singlepart_to_multipart,
-        "tin_gridding": q_tin_gridding,
-        "lidar_dsm": q_lidar_dsm,
-        "lidar_ransac_planes": q_lidar_ransac_planes,
-        "lidar_segmentation": q_lidar_segmentation,
-        "lidar_segmentation_based_filter": q_lidar_segmentation_based_filter,
-        "classify_buildings": q_classify_buildings,
-        "lidar_info": q_lidar_info,
-        "lidar_join": q_lidar_join,
-        "lidar_idw_interpolation": q_lidar_idw_interpolation,
-        "lidar_nn_gridding": q_lidar_nn_gridding,
-        "lidar_tin_gridding": q_lidar_tin_gridding,
-        "lidar_construct_vector_tin": q_lidar_construct_vector_tin,
-        "lidar_classify_subset": q_lidar_classify_subset,
-        "lidar_normal_vectors": q_lidar_normal_vectors,
-        "feature_preserving_smoothing": q_feature_preserving_smoothing,
-        "drainage_preserving_smoothing": q_drainage_preserving_smoothing,
-        "remove_off_terrain_objects": q_remove_off_terrain_objects,
-        "edge_density": q_edge_density,
-        "exposure_towards_wind_flux": q_exposure_towards_wind_flux,
-        "image_correlation_neighbourhood": q_image_correlation_neighbourhood,
-        "attribute_correlation_neighbourhood": q_attribute_correlation_neighbourhood,
-        "attribute_scattergram": q_attribute_scattergram,
-        "centroid_vector": q_centroid_vector,
-        "split_vector_lines": q_split_vector_lines,
-        "voronoi_diagram": q_voronoi_diagram,
-        "profile": q_profile,
-        "contours_from_points": q_contours_from_points,
-        "merge_line_segments": q_merge_line_segments,
-        "raster_to_vector_lines": q_raster_to_vector_lines,
-        "lidar_tophat": q_lidar_tophat,
-        "lidar_hillshade": q_lidar_hillshade,
-        "natural_neighbour_gridding": q_natural_neighbour_gridding,
-        "fill_missing_data": q_fill_missing_data,
-        "construct_tin": q_construct_tin,
-        "normalized_difference": q_normalized_difference,
-        "normalized_difference_index": q_normalized_difference_index,
-        "inplace_ops_all": q_inplace_ops_all,
-        "random_field": q_random_field,
-        "random_sample": q_random_sample,
-        "sobel_filter": q_sobel,
-        "emboss_filter": q_emboss,
-        "laplacian_filter": q_laplacian,
-        "gaussian_filter": q_gaussian,
-        "dog_filter": q_dog,
-        "log_filter": q_log,
-        "line_detection_filter": q_line_detection,
-        "prewitt_filter": q_prewitt,
-        "scharr_filter": q_scharr,
-        "roberts_filter": q_roberts,
-        "unsharp_masking": q_unsharp,
-        "percentile_filter": q_percentile_filter,
-        "filter_features_by_area": q_filter_features_by_area,
-        "create_plane": q_create_plane,
-        "raster_cell_assignment": q_raster_cell_assignment,
-        "eliminate_coincident_points": q_eliminate_coincident_points,
-        "medoid": q_medoid,
-        "line_intersections": q_line_intersections,
-        "class_centroid": q_class_centroid,
-        "minimum_bounding_envelope": q_minimum_bounding_envelope,
-        "minimum_convex_hull": q_minimum_convex_hull,
-        "print_geotiff_tags": q_print_geotiff_tags,
-        "convert_raster_format": q_convert_raster_format,
-        "reclass_from_file": q_reclass_from_file,
-        "extract_nodes": q_extract_nodes,
-        "smooth_vectors": q_smooth_vectors,
-        "radius_of_gyration": q_radius_of_gyration,
-        "edge_proportion": q_edge_proportion,
-        "elongation_ratio": q_elongation_ratio,
-        "polygon_long_axis": q_polygon_long_axis,
-        "extend_vector_lines": q_extend_vector_lines,
-        "layer_footprint": q_layer_footprint,
-        "polygon_short_axis": q_polygon_short_axis,
-        "minimum_bounding_circle": q_minimum_bounding_circle,
-        "related_circumscribing_circle": q_related_circumscribing_circle,
-        "shape_complexity_index": q_shape_complexity_index,
-        "perimeter_area_ratio": q_perimeter_area_ratio,
-        "hole_proportion": q_hole_proportion,
-        "linearity_index": q_linearity_index,
-        "patch_orientation": q_patch_orientation,
-        "raster_area": q_raster_area,
-        "raster_perimeter": q_raster_perimeter,
-        "find_patch_edge_cells": q_find_patch_edge_cells,
-        "update_nodata_cells": q_update_nodata_cells,
-        "reclass_equal_interval": q_reclass_equal_interval,
-        "max_overlay": q_max_overlay,
-        "min_overlay": q_min_overlay,
-        "sum_overlay": q_sum_overlay,
-        "average_overlay": q_average_overlay,
-        "multiply_overlay": q_multiply_overlay,
-        "max_abs_overlay": q_max_abs_overlay,
-        "min_abs_overlay": q_min_abs_overlay,
-        "highest_position": q_highest_pos,
-        "lowest_position": q_lowest_pos,
-        "count_if": q_count_if,
-        "percent_greater_than": q_percent_greater_than,
-        "percent_less_than": q_percent_less_than,
-        "percent_equal_to": q_percent_equal_to,
-        "pick_from_list": q_pick_from_list,
-        "rgb_to_ihs": q_rgb_to_ihs,
-        "ihs_to_rgb": q_ihs_to_rgb,
-        "create_colour_composite": q_create_composite,
-        "split_colour_composite": q_split_composite,
-        "change_vector_analysis": q_change_vector_analysis,
-        "bilateral_filter": q_bilateral,
-        "user_defined_weights_filter": q_user_defined_weights_filter,
-        "balance_contrast_enhancement": q_balance_contrast_enhancement,
-        "pan_sharpening_brovey": q_pan_sharpening_brovey,
-        "fast_almost_gaussian_filter": q_fast_almost_gaussian,
-        "highpass_bilateral_filter": q_highpass_bilateral,
-        "mosaic_nn": q_mosaic_nn,
-        "mosaic_bilinear": q_mosaic_bilinear,
-        "mosaic_cc": q_mosaic_cc,
-        "rho8_pointer": q_rho8_pointer,
-        "direct_decorrelation_stretch": q_direct_decorrelation_stretch,
-        "image_stack_profile": q_image_stack_profile,
-        "write_function_memory_insertion": q_write_function_memory_insertion,
-        "line_thinning": q_line_thinning,
-        "corner_detection": q_corner_detection,
-        "remove_spurs": q_remove_spurs,
-        "thicken_raster_line": q_thicken_raster_line,
-        "adaptive_filter": q_adaptive_filter,
-        "lee_filter": q_lee_filter,
-        "k_nearest_mean_filter": q_k_nearest_mean,
-        "edge_preserving_mean_filter": q_edge_preserving_mean,
-        "highpass_median_filter": q_highpass_median,
-        "plan_curvature": q_plan_curvature,
-        "profile_curvature": q_profile_curvature,
-        "tangential_curvature": q_tangential_curvature,
-        "total_curvature": q_total_curvature,
-        "mean_curvature": q_mean_curvature,
-        "gaussian_curvature": q_gaussian_curvature,
-        "minimal_curvature": q_minimal_curvature,
-        "maximal_curvature": q_maximal_curvature,
-        "clip_points": q_clip_points,
-        "erase_points": q_erase_points,
-        "trend_surface": q_trend_surface,
-        "trend_surface_vector_points": q_trend_surface_vector_points,
-        "raster_to_polygons": q_raster_to_polygons,
-        "clump": q_clump,
-        "shape_complexity_index_raster": q_shape_complexity_index_raster,
-        "narrowness_index": q_narrowness_index,
-        "kmeans_clustering": q_kmeans,
-        "modified_kmeans_clustering": q_modified_kmeans,
-        "pca": q_pca,
-        "lidar_point_stats": q_lidar_point_stats,
-        "lidar_thin": q_lidar_thin,
-        "lidar_ground_filter": q_lidar_ground_filter,
-        "lidar_elevation_slice": q_elevation_slice,
-        "lidar_shift": q_lidar_shift,
-        "lidar_remove_duplicates": q_lidar_remove_duplicates,
-        "height_above_ground": q_height_above_ground,
-        "filter_lidar_scan_angles": q_filter_lidar_scan_angles,
-        "flightline_overlap": q_flightline_overlap,
-        "classify_overlap_points": q_classify_overlap_points,
-        "lidar_colourize": q_lidar_colourize,
-        "lidar_histogram": q_lidar_histogram,
-        "lidar_kappa_index": q_lidar_kappa_index,
-        "clip_lidar_to_polygon": q_clip_lidar_to_polygon,
-        "erase_polygon_from_lidar": q_erase_polygon_from_lidar,
-        "clip_raster_to_polygon": q_clip_raster_to_polygon,
-        "erase_polygon_from_raster": q_erase_polygon_from_raster,
-        "select_tiles_by_polygon": q_select_tiles_by_polygon,
-        "lidar_thin_high_density": q_lidar_thin_high_density,
-        "add_point_coordinates_to_table": q_add_point_coordinates,
-        "lidar_point_density": q_lidar_point_density,
-        "lidar_remove_outliers": q_lidar_remove_outliers,
-        "lidar_filter_classes": q_lidar_filter_classes,
-        "lidar_block_minimum": q_lidar_block_minimum,
-        "lidar_block_maximum": q_lidar_block_maximum,
-        "dedup_exact": q_dedup_exact,
-        "ngram_jaccard": q_ngram_jaccard,
-        "ngram_jaccard_prefix": q_ngram_jaccard_prefix,
-        "minhash_lsh": q_minhash_lsh,
-        "simhash_near_dup": q_simhash,
-        "token_count": q_token_count,
-        "bpe_token_count": q_bpe_count,
-        "quality_score": q_quality,
-        "language_id": q_langid,
-        "fingerprint": q_fingerprint,
-        "embedding_topk": q_embed_topk,
-        "embedding_near_dup": q_embed_near_dup,
-        "embedding_ann_lsh": q_embed_ann_lsh,
-        "embedding_ann_multiprobe": q_embed_ann_multiprobe,
-        "clip_lines": q_clip_lines,
-        "erase_lines": q_erase_lines,
-        "polygon_overlay": q_polygon_overlay,
-        "intersect_rings": q_intersect_rings,
-        "union_rings": q_union_rings,
-        "symmetric_difference_rings": q_symmetric_difference_rings,
-        "difference_rings": q_difference_rings,
-        "dissolve": q_dissolve,
-        "clip_polygons": q_clip_polygons,
-    }
-
-
-# ---------------------------------------------------------------------------
-# oracle SQL (DuckDB; views pre-registered for the parquet tables)
-# ---------------------------------------------------------------------------
-def _pip_sql() -> str:
-    x, y = synth.point_sql("c_custkey")
-    cte = f"SELECT c_custkey AS point_id, {x} AS x, {y} AS y FROM customer"
-    return synth.pip_oracle_sql(cte, POLYS)
-
-
-def _extract_sql() -> str:
-    x, y = synth.point_sql("c_custkey")
-    g = EXTRACT_GRID
-    return f"""
-WITH pts AS (SELECT c_custkey AS point_id, {x} AS x, {y} AS y FROM customer),
-cells AS ({_PART_RASTER_SQL})
-SELECT p.point_id,
-       coalesce(c.value, {g.nodata!r}) AS value1
-FROM pts p
-LEFT JOIN cells c
-  ON c.row = {g.row_sql('p.y')} AND c.col = {g.col_sql('p.x')}
-"""
-
-
-def _zonal_sql() -> str:
-    from whitebox_tools_spark.operators.zonal import zonal_statistics_oracle_sql
-
-    inner = zonal_statistics_oracle_sql(_ZONES_SQL, "zone_id", "value")
-    return f"""
-SELECT zone_id, n, round(total, 6) AS total, round(mean_v, 6) AS mean_v,
-       round(min_v, 6) AS min_v, round(max_v, 6) AS max_v,
-       round(range_v, 6) AS range_v, round(sd, 6) AS sd, round(median, 6) AS median
-FROM ({inner})
-"""
-
-
-def _tile_sql(counts: bool) -> str:
-    x, y = synth.point_sql("c_custkey")
-    tcol, trow, tile = lidar_tile_sql("x", "y", **TILE)
-    base = f"""
-WITH pts AS (SELECT c_custkey AS point_id, {x} AS x, {y} AS y FROM customer),
-t AS (SELECT point_id, {tcol} AS tile_col, {trow} AS tile_row, {tile} AS tile FROM pts)
-"""
-    if counts:
-        return base + "SELECT tile, count(*) AS n_points FROM t GROUP BY tile"
-    return base + "SELECT point_id, tile_col, tile_row, tile FROM t"
-
-
-def _nn_sql(points_cte: str | None = None) -> str:
-    g = NN_GRID
-    pts = points_cte or _supp_points_cte()
-    return f"""
-WITH p AS ({pts}),
-g AS (SELECT CAST(r AS BIGINT) AS row, CAST(c AS BIGINT) AS col,
-             {g.west!r} + (c + 0.5) * {g.res_x!r} AS x,
-             {g.north!r} - (r + 0.5) * {g.res_y!r} AS y
-      FROM generate_series(0, {g.rows - 1}) t1(r), generate_series(0, {g.cols - 1}) t2(c)),
-d AS (SELECT g.row, g.col, p.z,
-             row_number() OVER (PARTITION BY g.row, g.col
-               ORDER BY (p.px-g.x)*(p.px-g.x)+(p.py-g.y)*(p.py-g.y), p.point_id) AS rn
-      FROM g CROSS JOIN p)
-SELECT row, col, z AS value FROM d WHERE rn = 1
-"""
-
-
-def _idw_sql(points_cte: str | None = None) -> str:
-    g = NN_GRID
-    pts = points_cte or _supp_points_cte()
-    return f"""
-WITH p AS ({pts}),
-g AS (SELECT CAST(r AS BIGINT) AS row, CAST(c AS BIGINT) AS col,
-             {g.west!r} + (c + 0.5) * {g.res_x!r} AS x,
-             {g.north!r} - (r + 0.5) * {g.res_y!r} AS y
-      FROM generate_series(0, {g.rows - 1}) t1(r), generate_series(0, {g.cols - 1}) t2(c)),
-d AS (SELECT g.row, g.col, p.point_id, p.z,
-             sqrt((p.px-g.x)*(p.px-g.x)+(p.py-g.y)*(p.py-g.y)) AS dist,
-             row_number() OVER (PARTITION BY g.row, g.col
-               ORDER BY (p.px-g.x)*(p.px-g.x)+(p.py-g.y)*(p.py-g.y), p.point_id) AS rn,
-             count(*) FILTER (sqrt((p.px-g.x)*(p.px-g.x)+(p.py-g.y)*(p.py-g.y)) <= 100.0)
-               OVER (PARTITION BY g.row, g.col) AS n_in_radius
-      FROM g CROSS JOIN p),
-sel AS (SELECT * FROM d WHERE (n_in_radius >= 4 AND dist <= 100.0)
-                           OR (n_in_radius < 4 AND rn <= 4)),
-agg AS (SELECT row, col,
-               min(CASE WHEN dist = 0 THEN z END) AS zero_z,
-               sum(z / pow(dist, 2.0)) AS wz,
-               sum(1.0 / pow(dist, 2.0)) AS w
-        FROM sel GROUP BY row, col)
-SELECT row, col, round(coalesce(zero_z, wz / w), 6) AS value FROM agg
-"""
-
-
-def _poly_to_raster_sql() -> str:
-    g = P2R_GRID
-    pip = synth.pip_oracle_sql(_grid_centers_cte(g), POLYS)
-    return f"""
-WITH hits AS ({pip})
-SELECT CAST(floor(point_id / {g.cols}.0) AS BIGINT) AS row,
-       point_id % {g.cols} AS col,
-       CAST(max(poly_id) + 1 AS DOUBLE) AS value
-FROM hits GROUP BY point_id
-"""
-
-
-def _block_max_sql() -> str:
-    x, y = synth.point_sql("c_custkey")
-    g = P2R_GRID
-    return f"""
-WITH pts AS (SELECT c_custkey AS point_id, {x} AS x, {y} AS y, c_acctbal AS z FROM customer)
-SELECT {g.row_sql('y')} AS row, {g.col_sql('x')} AS col, max(z) AS value
-FROM pts
-WHERE {g.in_grid_sql(g.row_sql('y'), g.col_sql('x'))}
-GROUP BY 1, 2
-"""
-
-
-def oracle_sql() -> dict[str, str]:
-    x, y = synth.point_sql("c_custkey")
-    sq = {
-        "pip_points_in_polygons": _pip_sql(),
-        "extract_raster_values": _extract_sql(),
-        "zonal_statistics": _zonal_sql(),
-        "tile_assignment": _tile_sql(False),
-        "tile_counts": _tile_sql(True),
-        "nn_gridding": _nn_sql(),
-        "idw_gridding": _idw_sql(),
-        "polygons_to_raster": _poly_to_raster_sql(),
-        "block_max_gridding": _block_max_sql(),
-        "aggregate_raster": f"""
-SELECT CAST(floor(row / 4.0) AS BIGINT) AS row, CAST(floor(col / 4.0) AS BIGINT) AS col,
-       round(avg(value), 6) AS value
-FROM ({_PART_RASTER_SQL}) WHERE value IS NOT NULL GROUP BY 1, 2
-""",
-        "raster_map_chain": f"""
-SELECT row, col, round(sqrt(abs(value)), 6) AS sqrt_v, round(ln(abs(value)), 6) AS ln_v,
-       round(abs(value) * abs(value), 6) AS square_v
-FROM ({_PART_RASTER_SQL})
-""",
-        "raster_zip_ops": f"""
-WITH a AS ({_PART_RASTER_SQL}), b AS ({_PART_RASTER2_SQL})
-SELECT a.row, a.col, round(a.value + b.value, 6) AS add_v,
-       round(a.value * b.value, 6) AS mul_v,
-       round(CASE WHEN a.value > b.value THEN 1.0 ELSE 0.0 END, 6) AS gt_v
-FROM a JOIN b ON a.row = b.row AND a.col = b.col
-""",
-        "reclass": f"""
-SELECT row, col,
-       CASE WHEN value >= 0.0 AND value < 1200.0 THEN 1.0
-            WHEN value >= 1200.0 AND value < 1600.0 THEN 2.0
-            WHEN value >= 1600.0 AND value < 99999.0 THEN 3.0
-            ELSE value END AS value
-FROM ({_PART_RASTER_SQL})
-""",
-        "raster_summary_stats": f"""
-SELECT count(value) AS n, round(sum(value), 6) AS total, round(avg(value), 6) AS mean_v,
-       round(min(value), 6) AS min_v, round(max(value), 6) AS max_v,
-       round(stddev_samp(value), 6) AS sd
-FROM ({_PART_RASTER_SQL}) WHERE value IS NOT NULL
-""",
-        "raster_histogram": f"""
-SELECT least(CAST(floor((value - {HIST['vmin']!r}) / {(HIST['vmax'] - HIST['vmin']) / HIST['bins']!r}) AS BIGINT),
-             {HIST['bins'] - 1}) AS bin,
-       count(*) AS n
-FROM ({_PART_RASTER_SQL})
-WHERE value IS NOT NULL AND value >= {HIST['vmin']!r} AND value <= {HIST['vmax']!r}
-GROUP BY 1
-""",
-        "quantiles": f"""
-WITH q AS (SELECT ntile(5) OVER (ORDER BY value) AS quantile
-           FROM ({_PART_RASTER_SQL}) WHERE value IS NOT NULL)
-SELECT CAST(quantile AS BIGINT) AS quantile, count(*) AS n FROM q GROUP BY 1
-""",
-        "zscores": f"""
-WITH s AS (SELECT avg(value) AS m, stddev_samp(value) AS sd
-           FROM ({_PART_RASTER_SQL}) WHERE value IS NOT NULL)
-SELECT row, col, round((value - s.m) / s.sd, 4) AS zscore
-FROM ({_PART_RASTER_SQL}) r, s WHERE r.value IS NOT NULL
-""",
-        "rmse": f"""
-WITH a AS ({_PART_RASTER_SQL}), b AS ({_PART_RASTER2_SQL}),
-j AS (SELECT a.value AS v1, b.value AS v2 FROM a JOIN b ON a.row = b.row AND a.col = b.col)
-SELECT round(sqrt(avg((v1 - v2) * (v1 - v2))), 6) AS rmse,
-       round(avg(v1 - v2), 6) AS mean_error, count(*) AS n
-FROM j
-""",
-        "image_correlation": f"""
-WITH a AS ({_PART_RASTER_SQL}), b AS ({_PART_RASTER2_SQL})
-SELECT count(*) AS n, round(corr(a.value, b.value), 6) AS r
-FROM a JOIN b ON a.row = b.row AND a.col = b.col
-WHERE a.value IS NOT NULL AND b.value IS NOT NULL
-""",
-        "image_regression": f"""
-WITH a AS ({_PART_RASTER_SQL}), b AS ({_PART_RASTER2_SQL}),
-j AS (SELECT a.value AS x, b.value AS y FROM a JOIN b ON a.row = b.row AND a.col = b.col
-      WHERE a.value IS NOT NULL AND b.value IS NOT NULL)
-SELECT count(*) AS n,
-       round(covar_samp(x, y) / var_samp(x), 6) AS slope,
-       round(avg(y) - covar_samp(x, y) / var_samp(x) * avg(x), 6) AS intercept,
-       round(corr(x, y) * corr(x, y), 6) AS r_square
-FROM j
-""",
-        "image_autocorrelation": f"""
-WITH r AS (SELECT * FROM ({_PART_RASTER_SQL}) WHERE value IS NOT NULL),
-s AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(value) AS mu FROM r),
-td AS (SELECT sum((value - s.mu) * (value - s.mu)) AS t FROM r, s),
-offs(dy, dx) AS (VALUES (0, 1), (0, -1), (1, 0), (-1, 0)),
-nbr AS (SELECT a.value AS z, b.value AS zn
-        FROM r a CROSS JOIN offs o
-        JOIN r b ON b.row = a.row + o.dy AND b.col = a.col + o.dx),
-agg AS (SELECT CAST(count(*) AS DOUBLE) AS w,
-               sum((z - s.mu) * (zn - s.mu)) AS num FROM nbr, s)
-SELECT CAST(s.n AS BIGINT) AS n, CAST(agg.w AS BIGINT) AS w,
-       round(s.n * agg.num / (td.t * agg.w), 6) AS moran_i
-FROM s, td, agg
-""",
-        "cross_tabulation": f"""
-WITH a AS ({_PART_RASTER2_SQL}),
-b AS (SELECT row, col, CAST(floor(value / 1000.0) AS BIGINT) AS value
-      FROM ({_PART_RASTER_SQL}))
-SELECT a.value AS value_a, b.value AS value_b, count(*) AS n
-FROM a JOIN b ON a.row = b.row AND a.col = b.col
-WHERE a.value IS NOT NULL AND b.value IS NOT NULL
-GROUP BY 1, 2
-""",
-        "cumulative_distribution": f"""
-SELECT row, col, round(cume_dist() OVER (ORDER BY value), 6) AS value
-FROM ({_PART_RASTER_SQL}) WHERE value IS NOT NULL
-""",
-        "two_sample_ks_test": f"""
-WITH a AS (SELECT value FROM ({_PART_RASTER_SQL}) WHERE value IS NOT NULL),
-b AS (SELECT value * 1.02 + 50.0 AS value FROM ({_PART_RASTER_SQL})
-      WHERE value IS NOT NULL),
-ca AS (SELECT value, CAST(count(*) AS DOUBLE) AS c1 FROM a GROUP BY 1),
-cb AS (SELECT value, CAST(count(*) AS DOUBLE) AS c2 FROM b GROUP BY 1),
-pooled AS (SELECT coalesce(ca.value, cb.value) AS value,
-                  coalesce(c1, 0) AS c1, coalesce(c2, 0) AS c2
-           FROM ca FULL OUTER JOIN cb ON ca.value = cb.value),
-ns AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM a) AS n1,
-              (SELECT CAST(count(*) AS DOUBLE) FROM b) AS n2),
-cum AS (SELECT sum(c1) OVER (ORDER BY value) AS cc1,
-               sum(c2) OVER (ORDER BY value) AS cc2 FROM pooled),
-d AS (SELECT max(abs(cc1 / ns.n1 - cc2 / ns.n2)) AS d FROM cum, ns),
-lam AS (SELECT sqrt(ns.n1 * ns.n2 / (ns.n1 + ns.n2)) * d.d AS l FROM ns, d),
-p AS (SELECT 2.0 * sum((CASE WHEN j % 2 = 1 THEN 1.0 ELSE -1.0 END)
-                       * exp(-2.0 * j * j * lam.l * lam.l)) AS p
-      FROM generate_series(1, 100) t(j), lam)
-SELECT CAST(ns.n1 AS BIGINT) AS n1, CAST(ns.n2 AS BIGINT) AS n2,
-       round(d.d, 6) AS ks_d,
-       round(CASE WHEN lam.l < 0.05 THEN 1.0
-                  ELSE greatest(least(p.p, 1.0), 0.0) END, 6) AS p_value
-FROM ns, d, p, lam
-""",
-        "attribute_correlation": """
-SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
-       round(corr(l_quantity, l_extendedprice), 6) AS r FROM lineitem
-UNION ALL SELECT 'l_quantity', 'l_discount',
-       round(corr(l_quantity, l_discount), 6) FROM lineitem
-UNION ALL SELECT 'l_quantity', 'l_tax',
-       round(corr(l_quantity, l_tax), 6) FROM lineitem
-UNION ALL SELECT 'l_extendedprice', 'l_discount',
-       round(corr(l_extendedprice, l_discount), 6) FROM lineitem
-UNION ALL SELECT 'l_extendedprice', 'l_tax',
-       round(corr(l_extendedprice, l_tax), 6) FROM lineitem
-UNION ALL SELECT 'l_discount', 'l_tax',
-       round(corr(l_discount, l_tax), 6) FROM lineitem
-""",
-        "list_unique_values": (
-            "SELECT c_mktsegment AS value, count(*) AS n FROM customer GROUP BY 1"
-        ),
-        "resample_nn": _resample_sql("nn"),
-        "resample_bilinear": _resample_sql("bilinear"),
-        "gaussian_contrast_stretch": _gauss_stretch_sql(),
-        "correct_vignetting": _vignetting_sql(),
-        "mosaic_with_feathering": _mosaic_feather_sql(),
-        "histogram_matching": _hist_match_sql(),
-        "pennock_landform_class": _pennock_sql(),
-        "circular_variance_of_aspect": _cva_aspect_sql(),
-        "hypsometric_analysis": ST.hypsometric_oracle_sql(_PART_RASTER_SQL),
-        "max_elev_deviation": _max_elev_dev_sql(),
-        "geomorphons": _geomorphons_sql(),
-        "map_ops_all": _map_ops_all_sql(),
-        "zip_ops_all": _zip_ops_all_sql(),
-        "weighted_overlay": _weighted_overlay_sql(),
-        "conditional_evaluation": (
-            "SELECT row, col, round(CASE WHEN value / 100.0 > 15.0 THEN 1.0 "
-            "ELSE value / 100.0 END, 6) AS value FROM (" + _PART_RASTER_SQL + ") t"
-        ),
-        "max_diff_from_mean": _ms.max_diff_from_mean_oracle_sql(_VALLEY_DEM_SQL, scales=(2, 3, 4)),
-        "max_diff_from_mean_tiled": _ms.max_diff_from_mean_oracle_sql(
-            _VALLEY_DEM_SQL, scales=(9,)
-        ).replace("round((w).d, 6)", "round(round((w).d, 9), 6)"),
-        "multiscale_elev_percentile": _ms.multiscale_ep_oracle_sql(_VALLEY_DEM_SQL, scales=(2, 3, 4)),
-        "max_anisotropy_dev": _ms.max_anisotropy_dev_oracle_sql(_VALLEY_DEM_SQL, scales=(2, 3)),
-        "multiscale_roughness": _ms.multiscale_roughness_oracle_sql(_VALLEY_DEM_SQL, STREAM_GRID, scales=(2, 3)),
-        "mtpi_image": _mtpi_sql(),
-        "max_elev_dev_signature": _mes_signature_sql(),
-        "average_normal_vector_angular_deviation": (
-            "SELECT row, col, round(value, 6) AS value FROM ("
-            + _ms.anvad_oracle_sql(_VALLEY_DEM_SQL, STREAM_GRID, filter_size=9)
-            + ") t"
-        ),
-        "spherical_std_dev_of_normals": (
-            "SELECT row, col, round(value, 6) AS value FROM ("
-            + _ms.ssdn_oracle_sql(_VALLEY_DEM_SQL, STREAM_GRID, filter_size=9)
-            + ") t"
-        ),
-        "surface_area_ratio": _sar_sql(),
-        "contours_from_raster": _contours_sql(),
-        "contour_polylines": _contour_polylines_sql(),
-        "slope_vs_elevation_plot": _sve_sql(),
-        "relative_topographic_position": _rtp_sql(),
-        "extract_valleys_lq": _valleys_lq_sql(),
-        "extract_valleys_jandr": _valleys_sql("JandR"),
-        "extract_valleys_pandd": _valleys_sql("PandD"),
-        "elev_above_pit": (
-            "SELECT row, col, round(value, 6) AS value FROM ("
-            + _hyd.elev_above_pit_oracle_sql(_NOISE_RASTER_SQL, EXTRACT_GRID)
-            + ") t"
-        ),
-        "d8_mass_flux": _mass_flux_sql(),
-        "wetness_index": _terrain_zip_sql("wetness"),
-        "stream_power_index": _terrain_zip_sql("spi"),
-        "sediment_transport_index": _terrain_zip_sql("sti"),
-        "num_downslope_neighbours": _num_nbrs_sql("down"),
-        "num_upslope_neighbours": _num_nbrs_sql("up"),
-        "max_downslope_elev_change": _elev_change_sql("max_down"),
-        "min_downslope_elev_change": _elev_change_sql("min_down"),
-        "max_upslope_elev_change": _elev_change_sql("max_up"),
-        "multidirectional_hillshade": _multi_hs_sql(),
-        "stdev_of_slope": _stdev_slope_sql(),
-        "anova": _anova_sql(),
-        "paired_sample_t_test": _paired_t_sql(),
-        "wilcoxon_signed_rank_test": _wilcoxon_sql(),
-        "ks_normality_test": _ks_normality_sql(),
-        "list_unique_values_raster": f"""
-SELECT value, count(*) AS n FROM ({_PART_RASTER2_SQL})
-WHERE value IS NOT NULL GROUP BY 1
-""",
-        "kappa_index": f"""
-WITH a AS ({_PART_RASTER2_SQL}),
-b AS (SELECT row, col, CAST(floor(value / 1000.0) AS DOUBLE) AS value
-      FROM ({_PART_RASTER_SQL})),
-j AS (SELECT a.value AS c1, b.value AS c2
-      FROM a JOIN b ON a.row = b.row AND a.col = b.col
-      WHERE a.value IS NOT NULL AND b.value IS NOT NULL),
-n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM j),
-po AS (SELECT avg(CASE WHEN c1 = c2 THEN 1.0 ELSE 0.0 END) AS po FROM j),
-m1 AS (SELECT c1 AS c, CAST(count(*) AS DOUBLE) AS n1 FROM j GROUP BY 1),
-m2 AS (SELECT c2 AS c, CAST(count(*) AS DOUBLE) AS n2 FROM j GROUP BY 1),
-pe AS (SELECT coalesce(sum(n1 * n2 / (n.n * n.n)), 0.0) AS pe
-       FROM m1 JOIN m2 ON m1.c = m2.c, n)
-SELECT round(po.po, 6) AS overall_accuracy, round(pe.pe, 6) AS chance_agreement,
-       round((po.po - pe.pe) / (1.0 - pe.pe), 6) AS kappa,
-       CAST(n.n AS BIGINT) AS n
-FROM po, pe, n
-""",
-        "crispness_index": f"""
-WITH u AS (SELECT row, col, value % 1000.0 / 1000.0 AS value
-           FROM ({_PART_RASTER_SQL}) WHERE value IS NOT NULL),
-agg AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(value) AS s, avg(value) AS mu,
-               sum(value * value) AS ss FROM u)
-SELECT CAST(n AS BIGINT) AS n,
-       round((ss - n * mu * mu)
-             / (s * (1.0 - mu) * (1.0 - mu) + (n - s) * mu * mu), 6) AS crispness
-FROM agg
-""",
-        "stdev_contrast_stretch": _stdev_stretch_sql(),
-        "percentage_contrast_stretch": _percentage_stretch_sql(),
-        "sigmoidal_contrast_stretch": _sigmoidal_stretch_sql(),
-        "rescale_value_range": _rescale_sql(),
-        "integral_image": _integral_sql(),
-        "join_tables": """
-SELECT c.c_custkey, c.c_name, n.n_name
-FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
-""",
-        "merge_vectors": """
-SELECT c_custkey AS fid, c_name AS name FROM customer
-UNION ALL
-SELECT s_suppkey + 10000000 AS fid, s_name AS name FROM supplier
-""",
-        "modify_nodata_value": f"""
-SELECT row, col,
-       CASE WHEN v = -32768.0 THEN -9999.0 ELSE v END AS value
-FROM (SELECT row, col,
-             CASE WHEN (row * 3 + col) % 11 = 0 THEN -32768.0 ELSE value END AS v
-      FROM ({_PART_RASTER_SQL}) t) q
-""",
-        "set_nodata_value": f"""
-SELECT row, col, v AS value
-FROM (SELECT row, col,
-             CASE WHEN (row + col) % 7 = 0 THEN 0.0 ELSE value END AS v
-      FROM ({_PART_RASTER_SQL}) t) q
-WHERE v <> 0.0
-""",
-        "merge_table_with_csv": """
-SELECT o.o_orderkey, o.o_custkey, round(o.o_totalprice, 6) AS o_totalprice,
-       round(c.c_acctbal, 6) AS c_acctbal, c.c_mktsegment
-FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
-""",
-        "create_rectangular_grid": _rect_grid_sql(),
-        "create_hexagonal_grid": _hex_grid_sql(),
-        "polygon_metrics": _polygon_metrics_sql(),
-        "slope": _focal_sql("slope"),
-        "aspect": _focal_sql("aspect"),
-        "hillshade": _focal_sql("hillshade"),
-        "mean_filter": _focal_sql("mean_filter"),
-        "hex_binning": _hexbin_sql(),
-        "lidar_hex_bin": _lidar_hexbin_sql(),
-        "lidar_tile_footprint": _lidar_footprint_sql(),
-        "find_ridges": _find_ridges_sql(),
-        "attribute_histogram": """
-SELECT least(CAST(floor((l_extendedprice - 900.0) / 5205.0) AS BIGINT), 19) AS bin,
-       count(*) AS n
-FROM lineitem
-WHERE l_extendedprice IS NOT NULL
-  AND l_extendedprice >= 900.0 AND l_extendedprice <= 105000.0
-GROUP BY 1
-""",
-        "median_filter": _stat_filter_sql("median"),
-        "range_filter": _stat_filter_sql("range"),
-        "minimum_filter": _stat_filter_sql("min"),
-        "maximum_filter": _stat_filter_sql("max"),
-        "total_filter": _stat_filter_sql("sum"),
-        "stdev_filter": _stat_filter_sql("sd"),
-        "diversity_filter": _focal_cls_sql("diversity"),
-        "majority_filter": _focal_cls_sql("majority"),
-        "elev_percentile": _focal_r6_sql("elev_percentile"),
-        "ruggedness_index": _focal_r6_sql("ruggedness"),
-        "diff_from_mean_elev": _focal_r6_sql("diff_from_mean"),
-        "dev_from_mean_elev": _focal_r6_sql("dev_from_mean"),
-        "opening": _focal_r6_sql("opening"),
-        "closing": _focal_r6_sql("closing"),
-        "tophat_transform": _focal_r6_sql("tophat"),
-        **{
-            f"{w}_curvature": _curvature_sql(w)
-            for w in ("plan", "profile", "tangential", "total", "mean",
-                      "gaussian", "minimal", "maximal")
-        },
-        "sobel_filter": _sobel_sql(),
-        **{
-            f"{k}_filter": _conv_sql(k)
-            for k in ("emboss", "laplacian", "gaussian", "dog", "log")
-        },
-        "line_detection_filter": _conv_sql("line_v"),
-        "prewitt_filter": _gradient_sql("prewitt"),
-        "scharr_filter": _gradient_sql("scharr"),
-        "roberts_filter": _roberts_sql(),
-        "unsharp_masking": _unsharp_sql(),
-        "percentile_filter": _percentile_filter_sql(),
-        "filter_features_by_area": _filter_area_sql(),
-        "create_plane": _create_plane_sql(),
-        "raster_cell_assignment": (
-            f"SELECT row, col, round({EXTRACT_GRID.x_center_sql('col')}, 6) AS value "
-            f"FROM ({_PART_RASTER_SQL}) t WHERE value IS NOT NULL"
-        ),
-        "eliminate_coincident_points": _elim_coincident_sql(),
-        "medoid": _medoid_sql(),
-        "line_intersections": _line_intersections_sql(),
-        "class_centroid": (
-            "SELECT value, round(cx, 6) AS cx, round(cy, 6) AS cy FROM ("
-            + RM.class_centroid_oracle_sql(_PART_RASTER2_SQL, EXTRACT_GRID)
-            + ") t"
-        ),
-        "minimum_bounding_envelope": _envelope_sql(),
-        "minimum_convex_hull": _convex_hull_sql(),
-        "print_geotiff_tags": """
-SELECT * FROM (VALUES
-  (256, '[10]'), (257, '[10]'), (258, '[64]'), (259, '[8]'),
-  (262, '[1]'), (277, '[1]'), (278, '[10]'), (339, '[3]'),
-  (33550, '[10.0, 10.0, 0.0]'),
-  (33922, '[0.0, 0.0, 0.0, 0.0, 100.0, 0.0]'),
-  (42113, '-32768.0')
-) AS t(tag, value)
-""",
-        "convert_raster_format": f"SELECT row, col, value FROM ({_PART_RASTER_SQL}) WHERE value IS NOT NULL",
-        "reclass_from_file": f"""
-SELECT row, col,
-       round(CASE WHEN value >= 900.0 AND value < 1200.0 THEN 1.0
-                  WHEN value >= 1200.0 AND value < 1600.0 THEN 2.0
-                  WHEN value >= 1600.0 AND value < 2000.0 THEN 3.0
-                  ELSE value END, 6) AS value
-FROM ({_PART_RASTER_SQL})
-""",
-        "extract_nodes": _extract_nodes_sql(),
-        "smooth_vectors": _smooth_vectors_sql(),
-        "radius_of_gyration": (
-            "SELECT value, round(rog, 6) AS rog FROM ("
-            + RM.radius_of_gyration_oracle_sql(_PART_RASTER2_SQL, res_x=5.0, res_y=5.0)
-            + ") t"
-        ),
-        "edge_proportion": (
-            "SELECT value, round(proportion, 6) AS proportion FROM ("
-            + RM.edge_proportion_oracle_sql(_PART_RASTER2_SQL)
-            + ") t"
-        ),
-        "elongation_ratio": _elongation_sql(),
-        "polygon_long_axis": _axis_sql(long=True),
-        "extend_vector_lines": _extend_lines_sql(),
-        "layer_footprint": _layer_footprint_sql(),
-        "polygon_short_axis": _axis_sql(long=False),
-        "minimum_bounding_circle": _mbc_sql(),
-        "related_circumscribing_circle": _rcc_sql(),
-        "shape_complexity_index": _sci_sql(),
-        "perimeter_area_ratio": _par_ratio_sql(),
-        "hole_proportion": _hole_prop_sql(),
-        "linearity_index": _shape_idx_sql("linearity"),
-        "patch_orientation": _shape_idx_sql("orientation"),
-        "raster_area": RM.raster_area_oracle_sql(_PART_RASTER2_SQL, res_x=5.0, res_y=5.0),
-        "raster_perimeter": (
-            "SELECT value, CAST(round(perimeter, 6) AS DOUBLE) AS perimeter FROM ("
-            + RM.raster_perimeter_oracle_sql(_PART_RASTER2_SQL, res_x=5.0, res_y=5.0)
-            + ") t"
-        ),
-        "find_patch_edge_cells": RM.find_patch_edge_oracle_sql(_PART_RASTER2_SQL),
-        "update_nodata_cells": RM.update_nodata_oracle_sql(
-            f"SELECT row, col, CASE WHEN row % 2 = 0 THEN value END AS value "
-            f"FROM ({_PART_RASTER_SQL}) t",
-            _PART_RASTER2_SQL,
-        ),
-        "reclass_equal_interval": RM.reclass_equal_interval_oracle_sql(
-            _PART_RASTER_SQL, interval=250.0
-        ),
-        **{
-            f"{op}_overlay": (
-                "SELECT row, col, round(value, 6) AS value FROM ("
-                + RM.stack_overlay_oracle_sql(_STACK3_SQL, op)
-                + ") t"
-            )
-            for op in ("max", "min", "sum", "average", "multiply", "max_abs", "min_abs")
-        },
-        "highest_position": RM.stack_position_oracle_sql(_STACK3_SQL, highest=True),
-        "lowest_position": RM.stack_position_oracle_sql(_STACK3_SQL, highest=False),
-        "count_if": RM.count_if_oracle_sql(_STACK3_SQL, value=5.0),
-        **{
-            f"percent_{nm}": (
-                "SELECT row, col, round(value, 6) AS value FROM ("
-                + RM.percent_compare_oracle_sql(_STACK3_SQL, _PART_RASTER2_SQL, op=op)
-                + ") t"
-            )
-            for nm, op in (("greater_than", "gt"), ("less_than", "lt"), ("equal_to", "eq"))
-        },
-        "pick_from_list": RM.pick_from_list_oracle_sql(
-            _STACK3_SQL,
-            f"SELECT row, col, value % 3 + 1 AS value FROM ({_PART_RASTER3_SQL}) t",
-        ),
-        "rgb_to_ihs": _rgb_ihs_sql(),
-        "ihs_to_rgb": _ihs_rgb_sql(),
-        "create_colour_composite": _composite_sql(),
-        "user_defined_weights_filter": (
-            "SELECT row, col, round(value, 6) AS value FROM ("
-            + _foc.conv_filter_oracle_sql(_PART_RASTER_SQL, _UDW_KERNEL)
-            + ") t"
-        ),
-        "balance_contrast_enhancement": _bce_sql(),
-        "pan_sharpening_brovey": _pan_sharp_sql(),
-        "fast_almost_gaussian_filter": (
-            "SELECT row, col, round(value, 6) AS value FROM ("
-            + _img.fast_almost_gaussian_oracle_sql(_PART_RASTER_SQL, sigma=2.0)
-            + ") t"
-        ),
-        "highpass_bilateral_filter": (
-            "SELECT row, col, round(value, 6) + 0.0 AS value FROM ("
-            + _img.highpass_bilateral_oracle_sql(
-                _PART_RASTER_SQL, sigma_dist=0.75, sigma_int=50.0
-            )
-            + ") t"
-        ),
-        "mosaic_nn": _mosaic_nn_sql(),
-        "mosaic_bilinear": _mosaic_resample_sql("bilinear"),
-        "mosaic_cc": _mosaic_resample_sql("cc"),
-        "rho8_pointer": _hyd.rho8_pointer_oracle_sql(
-            _NOISE_RASTER_SQL, EXTRACT_GRID, seed=7
-        ),
-        "rho8_flow_accumulation": _rho8_fa_sql(),
-        # literal serial-transcription oracles (serial_oracles.py) over the
-        # fixed fixtures — converts the order-dependent-solver family from
-        # rows-only to value-checked (round-4 judge item 2)
-        "cost_distance": _serial_values_sql(
-            _so().cost_distance_serial(
-                _so().cost20_vals(), 5.0, 5.0, [(0, 0), (19, 19)]
-            ),
-            decimals=6,
-        ),
-        "cost_allocation": _serial_values_sql(
-            {
-                k: float(v)
-                for k, v in _so().cost_allocation_serial(
-                    _so().cost20_vals(), 5.0, 5.0, [(0, 0, 1), (19, 19, 2)]
-                ).items()
-            },
-            decimals=None,
-        ),
-        "cost_pathway": _cost_pathway_values_sql(),
-        "upslope_depression_storage": _serial_values_sql(
-            _so().upslope_depression_storage_serial(
-                _so().dense20_vals(), 5.0, 5.0, 0.001
-            ),
-            decimals=6,
-        ),
-        "breach_depressions_least_cost": _serial_values_sql(
-            _so().breach_least_cost_serial(
-                _so().dense20_vals(), 5.0, 5.0,
-                dist=5, max_cost=50.0, min_dist=True, s=0.001,
-            ),
-            decimals=6,
-        ),
-        "mdinf_flow_accumulation": _serial_values_sql(
-            _so().mdinf_serial(_so().noise_vals(), 5.0), decimals=6
-        ),
-        "fd8_flow_accumulation": _serial_values_sql(
-            _so().fd8_serial(_so().noise_vals(), 5.0), decimals=6
-        ),
-        "dinf_flow_accumulation": _serial_values_sql(
-            _so().dinf_serial(_so().noise_vals(), 5.0), decimals=6
-        ),
-        "dinf_mass_flux": _serial_values_sql(
-            _so().dinf_mass_flux_serial(
-                _so().noise_vals(), 5.0,
-                loading=lambda z: 1.0 + z / 500.0,
-                efficiency=lambda z: 0.4 + z / 2500.0,
-                absorption=lambda z: z / 20000.0,
-            ),
-            decimals=6,
-        ),
-        "quinn_flow_accumulation": _serial_values_sql(
-            _so().quinn_qin_serial(_so().noise_vals(), 5.0, "quinn"), decimals=6
-        ),
-        "qin_flow_accumulation": _serial_values_sql(
-            _so().quinn_qin_serial(_so().noise_vals(), 5.0, "qin"), decimals=6
-        ),
-        "isobasins": _serial_values_sql(
-            _so().isobasins_serial(_so().valley_vals(), 5.0, 5.0, 12),
-            decimals=None,
-        ),
-        "direct_decorrelation_stretch": _dds_sql(),
-        "image_stack_profile": f"""
-WITH pts AS (
-  SELECT row * 1000 + col AS point_id, row, col
-  FROM ({_PART_RASTER_SQL}) WHERE (row * 11 + col) % 59 = 0
-),
-r1 AS ({_PART_RASTER_SQL}), r2 AS ({_PART_RASTER2_SQL}), r3 AS ({_PART_RASTER3_SQL})
-SELECT p.point_id, 1 AS image_num, round(r1.value, 6) AS value
-FROM pts p JOIN r1 ON r1.row = p.row AND r1.col = p.col
-UNION ALL
-SELECT p.point_id, 2, round(r2.value, 6) FROM pts p JOIN r2 ON r2.row = p.row AND r2.col = p.col
-UNION ALL
-SELECT p.point_id, 3, round(r3.value, 6) FROM pts p JOIN r3 ON r3.row = p.row AND r3.col = p.col
-""",
-        "write_function_memory_insertion": _wfmi_sql(),
-        "line_thinning": _grid_literal_sql(_thin_oracle_py(_binary_grid_np())),
-        "corner_detection": _corner_sql(),
-        "remove_spurs": _grid_literal_sql(_spurs_oracle_py(_binary_grid_np())),
-        "thicken_raster_line": _grid_literal_sql(_thicken_oracle_py(_binary_grid_np())),
-        "split_colour_composite": _split_composite_sql(),
-        "change_vector_analysis": _cva_sql(),
-        "bilateral_filter": _weighted_focal_sql("bilateral"),
-        "adaptive_filter": _weighted_focal_sql("adaptive"),
-        "lee_filter": _weighted_focal_sql("lee"),
-        "k_nearest_mean_filter": _weighted_focal_sql("knm"),
-        "edge_preserving_mean_filter": _weighted_focal_sql("epm"),
-        "highpass_median_filter": _weighted_focal_sql("hpm"),
-        "normalized_difference": f"""
-WITH a AS ({_PART_RASTER_SQL}), b AS ({_PART_RASTER2_SQL})
-SELECT a.row, a.col,
-       round(CASE WHEN a.value + b.value <> 0.0
-                  THEN (a.value - b.value) / (a.value + b.value) END, 6) AS value
-FROM a JOIN b ON a.row = b.row AND a.col = b.col
-""",
-        "normalized_difference_index": f"""
-WITH a AS ({_PART_RASTER_SQL}), b AS ({_PART_RASTER2_SQL}),
-nd AS (
-  SELECT a.row, a.col,
-         CASE WHEN a.value IS NULL OR b.value IS NULL THEN NULL
-              ELSE (a.value - b.value) / (a.value + b.value + 50.0) END AS value
-  FROM a JOIN b ON a.row = b.row AND a.col = b.col
-),
-stats AS (SELECT count(*) AS n_total, count(value) AS n_valid FROM nd),
-ranks AS (SELECT CAST(floor(1.0 / 100.0 * n_total) AS BIGINT) AS t, n_valid
-          FROM stats),
-ordered AS (SELECT value, row_number() OVER (ORDER BY value) AS rn,
-                   count(*) OVER () AS nv
-            FROM nd WHERE value IS NOT NULL),
-bounds AS (
-  SELECT
-    CASE WHEN (SELECT t FROM ranks) > (SELECT n_valid FROM ranks) THEN 0.0
-         ELSE max(CASE WHEN rn = (SELECT greatest(t, 1) FROM ranks)
-                       THEN value END) END AS lo,
-    CASE WHEN (SELECT t FROM ranks) > (SELECT n_valid FROM ranks) THEN 0.0
-         ELSE max(CASE WHEN rn = nv + 1 - (SELECT greatest(t, 1) FROM ranks)
-                       THEN value END) END AS hi
-  FROM ordered
-)
-SELECT row, col,
-       round(CASE WHEN value < (SELECT lo FROM bounds) THEN (SELECT lo FROM bounds)
-                  WHEN value > (SELECT hi FROM bounds) THEN (SELECT hi FROM bounds)
-                  ELSE value END, 6) AS value
-FROM nd
-""",
-        "inplace_ops_all": f"""
-WITH a AS ({_PART_RASTER_SQL}), b AS ({_PART_RASTER2_SQL}),
-j AS (SELECT a.row, a.col, a.value AS x, b.value AS y
-      FROM a JOIN b ON a.row = b.row AND a.col = b.col)
-SELECT 'add' AS op, 'raster' AS mode, row, col, round(x + y, 6) AS value FROM j
-UNION ALL SELECT 'add', 'const', row, col, round(x + 7.5, 6) FROM j
-UNION ALL SELECT 'subtract', 'raster', row, col, round(x - y, 6) FROM j
-UNION ALL SELECT 'subtract', 'const', row, col, round(x - 7.5, 6) FROM j
-UNION ALL SELECT 'multiply', 'raster', row, col, round(x * y, 6) FROM j
-UNION ALL SELECT 'multiply', 'const', row, col, round(x * 7.5, 6) FROM j
-UNION ALL SELECT 'divide', 'raster', row, col, round(x / y, 6) FROM j
-UNION ALL SELECT 'divide', 'const', row, col, round(x / 7.5, 6) FROM j
-""",
-        "random_field": _rnd.random_field_oracle_sql(NN_GRID, seed=7),
-        "random_sample": _rnd.random_sample_oracle_sql(_PART_RASTER_SQL, 100, seed=3),
-        "d8_pointer": _hyd.d8_pointer_oracle_sql(_NOISE_RASTER_SQL, EXTRACT_GRID),
-        "d8_flow_accumulation": _hyd.d8_flow_accum_oracle_sql(_NOISE_RASTER_SQL, EXTRACT_GRID),
-        "buffer_raster": _buf.buffer_raster_oracle_sql(_BUFFER_SRC_SQL, EXTRACT_GRID, size=12.0),
-        "viewshed": _vsh.viewshed_oracle_sql(
-            _PART_RASTER_SQL, EXTRACT_GRID, station_height=2.0,
-        ),
-        "visibility_index": (
-            "SELECT row, col, round(value, 6) AS value FROM ("
-            + _vsh.visibility_index_oracle_sql(
-                _VALLEY_DEM_SQL, STREAM_GRID, res_factor=5
-            )
-            + ") t"
-        ),
-        "horizon_angle": "SELECT row, col, round(value, 6) AS value FROM ("
-        + _vsh.horizon_angle_east_oracle_sql(_PART_RASTER_SQL, EXTRACT_GRID, max_dist=100.0)
-        + ")",
-        "directional_relief": "SELECT row, col, round(value, 6) AS value FROM ("
-        + _vsh.directional_relief_east_oracle_sql(_PART_RASTER_SQL, EXTRACT_GRID)
-        + ")",
-        "fetch_analysis": "SELECT row, col, round(value, 6) + 0.0 AS value FROM ("
-        + _vsh.fetch_analysis_east_oracle_sql(_PART_RASTER_SQL, EXTRACT_GRID)
-        + ")",
-        "euclidean_distance": "SELECT row, col, value FROM ("
-        + _buf.euclidean_distance_oracle_sql(_BUFFER_SRC_SQL, EXTRACT_GRID)
-        + ")",
-        "euclidean_allocation": _buf.euclidean_allocation_oracle_sql(_ALLOC_SRC_SQL, EXTRACT_GRID),
-        "raster_to_points": f"""
-SELECT row * 200 + col AS fid,
-       0.0 + 2.5 + col * 5.0 AS x,
-       1000.0 - 2.5 - row * 5.0 AS y,
-       value
-FROM ({_PART_RASTER_SQL}) WHERE value IS NOT NULL
-""",
-        "lines_to_raster": _lines_to_raster_sql(),
-        "singlepart_to_multipart": _sp_to_mp_sql(),
-        "fill_depressions": _hyd.fill_depressions_oracle_sql(_NOISE_RASTER_SQL),
-        "fill_depressions_wang_liu": _hyd.fill_depressions_oracle_sql(_DENSE20_SQL),
-        "fill_depressions_planchon_darboux": _hyd.fill_depressions_oracle_sql(
-            _VALLEY_DEM_SQL
-        ),
-        "flow_accumulation_full_workflow": _hyd.d8_flow_accum_oracle_sql(
-            "SELECT row, col, value FROM ("
-            + _hyd.fill_depressions_oracle_sql(_DENSE20_SQL)
-            + ") __filled",
-            EXTRACT_GRID,
-        ),
-        "breach_depressions": _breach_oracle(),
-        "flood_order": _hyd.flood_order_oracle_sql(_NOISE_RASTER_SQL),
-        "fill_burn": _fill_burn_sql(),
-        "rbf_interpolation": _rbf_sql(
-            "thin_plate_spline", 0.1, 0, 120.0, 5, lambda px, py, pz: pz
-        ),
-        "lidar_rbf_interpolation": _rbf_sql(
-            "multiquadric", 5.0, 2, 150.0, 6,
-            lambda px, py, pz: pz / 2.0 + px / 10.0,
-        ),
-        "vector_stream_network_analysis": _vsna_sql(),
-        "correct_stream_vector_direction": _csvd_sql(),
-        "repair_stream_vector_topology": _repair_sql(),
-        "local_quadratic_regression": _lqr_sql(),
-        "time_in_daylight": _time_in_daylight_sql(),
-        "map_off_terrain_objects": _map_otos_sql(),
-        "hypsometrically_tinted_hillshade": _hth_sql(),
-        "deviation_from_regional_direction": _dfrd_sql(),
-        "find_flightline_edge_points": _ffep_sql(),
-        "turning_bands_simulation": _turning_bands_sql(),
-        "split_with_lines": _swl_sql(),
-        "polygonize": _polygonize_sql(),
-        "boundary_shape_complexity": _bsc_sql(),
-        "gaussian_scale_space": _gss_sql(),
-        "travelling_salesman_problem": _tsp_sql(),
-        "conditioned_latin_hypercube": _clhs_sql(),
-        "las_to_shapefile": _las_to_shapefile_sql(),
-        "las_to_zlidar": f"""
-SELECT round(x, 6) AS x, round(y, 6) AS y, round(z, 6) AS z,
-       intensity, return_number, number_of_returns, classification
-FROM ({_ZLIDAR_CLOUD_SQL_BODY} FROM ({_order_cloud_cte()}) oc)
-""",
-        "zlidar_to_las": f"""
-SELECT round(x, 6) AS x, round(y, 6) AS y, round(z, 6) AS z,
-       intensity, return_number, number_of_returns, classification
-FROM ({_ZLIDAR_CLOUD_SQL_BODY} FROM ({_order_cloud_cte()}) oc)
-""",
-        "las_to_multipoint_shapefile": _las_to_multipoint_sql(),
-        "burn_streams_at_roads": _bsar_sql(),
-        "embankment_mapping": _embankment_sql(),
-        "topographic_hachures": _hachures_sql(),
-        "clean_vector": _clean_vector_sql(),
-        "multipart_to_singlepart": _parts_enum_sql(
-            "fid, poly_id, part_idx, n_vertices"
-        ),
-        "polygons_to_lines": _parts_enum_sql("fid, poly_id, part_idx, n_vertices"),
-        "lines_to_polygons": _lines_to_polygons_sql(),
-        "remove_polygon_holes": _parts_enum_sql("poly_id, part_idx, n_vertices")
-        + " WHERE is_hole = 0",
-        "reinitialize_attribute_table": _parts_enum_sql(
-            "poly_id, part_idx, CAST(5 AS BIGINT) AS n_cols"
-        ),
-        "new_raster_from_base": f"""
-SELECT CAST(floor(i / {P2R_GRID.cols}) AS BIGINT) AS row,
-       CAST(i % {P2R_GRID.cols} AS BIGINT) AS col,
-       CAST(7.5 AS DOUBLE) AS value
-FROM range({P2R_GRID.rows * P2R_GRID.cols}) AS t(i)
-""",
-        "convert_nodata_to_zero": (
-            "SELECT p_partkey % 200 AS row, "
-            "CAST(floor(p_partkey / 200.0) AS BIGINT) % 200 AS col, "
-            "CASE WHEN p_partkey % 13 = 0 THEN 0.0 "
-            "ELSE p_retailprice END AS value FROM part"
-        ),
-        "csv_points_to_vector": _csv_points_sql(),
-        "export_table_to_csv": "SELECT n_nationkey, n_name FROM nation",
-        "block_min_gridding": _block_min_sql(),
-        "media_features": _media_features_sql(),
-        "media_resize_features": _media_resize_sql(),
-        "las_rgb_gps_round_trip": _las_rgb_gps_sql(),
-        "shapefile_round_trip": _shapefile_sql(),
-        "audio_window_features": _audio_windows_sql(),
-        "las_to_ascii": f"""
-SELECT round(x, 6) AS x, round(y, 6) AS y, round(z, 6) AS z, classification
-FROM ({_ZLIDAR_CLOUD_SQL_BODY} FROM ({_order_cloud_cte()}) oc)
-""",
-        "construct_vector_tin_invariants": _construct_tin_sql(),
-        "construct_tin": _tin_brute_values_sql(),
-        "raster_to_vector_lines": _raster_lines_values_sql(),
-        "impoundment_size_index": __import__(
-            "whitebox_tools_spark.operators.impoundment", fromlist=["isi_oracle_sql"]
-        ).isi_oracle_sql(_DENSE20_SQL, EXTRACT_GRID, dam_length=5.0),
-        "insert_dams": _insert_dams_sql(),
-        "find_parallel_flow": _find_parallel_sql(),
-        "raise_walls": _raise_walls_sql(),
-        "downslope_index": (
-            "SELECT row, col, round(value, 6) AS value FROM ("
-            + _hyd.downslope_index_oracle_sql(_VALLEY_DEM_SQL, STREAM_GRID, drop=10.0)
-            + ") t"
-        ),
-        "flatten_lakes": _flatten_lakes_sql(),
-        "heat_map": _heat_map_sql(),
-        "otsu_thresholding": _otsu_sql(),
-        "extract_by_attribute": (
-            "SELECT c_custkey, round(c_acctbal, 6) AS c_acctbal, c_mktsegment "
-            "FROM customer WHERE c_acctbal > 5000.0 AND c_mktsegment = 'BUILDING'"
-        ),
-        "individual_tree_detection": _itd_sql(),
-        "max_upslope_value": _muv_sql(),
-        "edge_contamination": _edge_contam_sql(),
-        "long_profile_from_points": (
-            "SELECT seed_id, seq, round(dist, 6) AS dist, round(z, 6) AS z FROM ("
-            + _str.long_profile_from_points_oracle_sql(
-                _VALLEY_DEM_SQL, STREAM_GRID, _PROFILE_SEEDS
-            )
-            + ") t"
-        ),
-        "stochastic_depression_analysis": (
-            "SELECT row, col, round(value, 6) AS value FROM ("
-            + _hyd.stochastic_depression_oracle_sql(
-                _NOISE_RASTER_SQL, rmse=5.0, n_iterations=5
-            )
-            + ") t"
-        ),
-        "breach_single_cell_pits": (
-            "SELECT row, col, round(value, 6) AS value FROM ("
-            + _hyd.breach_single_cell_pits_oracle_sql(_NOISE_RASTER_SQL, EXTRACT_GRID)
-            + ") t"
-        ),
-        "msdn_signature": _msdn_sig_sql(),
-        "multiscale_std_dev_normals": _ms.msdn_oracle_sql(
-            _VALLEY_DEM_SQL, STREAM_GRID, filters=(5, 7, 9)
-        ),
-        "multiscale_roughness_signature": _mrs_signature_sql(),
-        "max_anisotropy_dev_signature": _mads_signature_sql(),
-        "find_lowest_highest_points": f"""
-WITH dem AS (SELECT row, col, value FROM ({_NOISE_RASTER_SQL}) WHERE value IS NOT NULL),
-st AS (SELECT min(value) AS mn, max(value) AS mx FROM dem)
-SELECT 1 AS point_id, row, col, value FROM dem, st WHERE value = mn
-UNION ALL
-SELECT 2, row, col, value FROM dem, st WHERE value = mx
-""",
-        "stream_link_class": _str.stream_link_class_oracle_sql(
-            _VALLEY_DEM_SQL, STREAM_GRID, threshold=4.0
-        ),
-        "rasterize_streams": _rasterize_streams_sql(),
-        "jenson_snap_pour_points": _str.jenson_snap_oracle_sql(
-            _VALLEY_DEM_SQL, STREAM_GRID, _JENSON_POUR, threshold=4.0
-        ),
-        "elevation_above_stream_euclidean": (
-            "SELECT row, col, round(value, 6) AS value FROM ("
-            + _str.elev_above_stream_euclid_oracle_sql(
-                _VALLEY_DEM_SQL, STREAM_GRID, threshold=4.0
-            )
-            + ") t"
-        ),
-        "trace_downslope_flowpaths": _hyd.trace_flowpaths_oracle_sql(
-            _VALLEY_DEM_SQL, STREAM_GRID, _TRACE_SEEDS
-        ),
-        "average_upslope_flowpath_length": (
-            "SELECT row, col, round(value, 6) AS value FROM ("
-            + _hyd.avg_upslope_flowpath_oracle_sql(_VALLEY_DEM_SQL, STREAM_GRID)
-            + ") t"
-        ),
-        "fill_pits": _hyd.fill_pits_oracle_sql(_NOISE_RASTER_SQL),
-        "find_noflow_cells": _hyd.find_noflow_oracle_sql(_NOISE_RASTER_SQL),
-        "flow_length_diff": _fld_sql(),
-        "points_to_raster": _pts_to_raster_sql(),
-        "sink": _clump_ctes_for(
-            f"""
-WITH fill AS ({_hyd.fill_depressions_oracle_sql(_NOISE_RASTER_SQL)}),
-dem AS (SELECT row, col, value FROM ({_NOISE_RASTER_SQL}) WHERE value IS NOT NULL)
-SELECT d.row, d.col, 1.0 AS value
-FROM dem d JOIN fill f ON f.row = d.row AND f.col = d.col
-WHERE round(f.value - d.value, 6) > 0
-"""
-        )
-        + "SELECT row, col, clump_id AS sink_id FROM labeled",
-        "basins": _hyd.basins_oracle_sql(_NOISE_RASTER_SQL, EXTRACT_GRID),
-        "dinf_pointer": "SELECT row, col, round(value, 6) AS value FROM ("
-        + _hyd.dinf_pointer_oracle_sql(_NOISE_RASTER_SQL, EXTRACT_GRID)
-        + ")",
-        "extract_streams": _str.extract_streams_oracle_sql(
-            _VALLEY_DEM_SQL, STREAM_GRID, threshold=4.0
-        ),
-        "stream_slope_continuous": (
-            "SELECT row, col, round(value, 6) AS value FROM ("
-            + _str.stream_slope_continuous_oracle_sql(
-                _VALLEY_DEM_SQL, STREAM_GRID, threshold=4.0
-            )
-            + ") t"
-        ),
-        "shreve_magnitude": _str.shreve_oracle_sql(_VALLEY_DEM_SQL, STREAM_GRID, threshold=4.0),
-        "strahler_order": _str.strahler_oracle_sql(_VALLEY_DEM_SQL, STREAM_GRID, threshold=4.0),
-        "horton_order": _str.horton_oracle_sql(_VALLEY_DEM_SQL, STREAM_GRID, threshold=4.0),
-        "hack_order": _str.hack_oracle_sql(_VALLEY_DEM_SQL, STREAM_GRID, threshold=4.0),
-        "topological_stream_order": _str.topological_oracle_sql(
-            _VALLEY_DEM_SQL, STREAM_GRID, threshold=4.0
-        ),
-        "tributary_id": _str.tributary_id_oracle_sql(
-            _VALLEY_DEM_SQL, STREAM_GRID, threshold=4.0
-        ),
-        "find_main_stem": _str.find_main_stem_oracle_sql(
-            _VALLEY_DEM_SQL, STREAM_GRID, threshold=4.0
-        ),
-        "farthest_channel_head": _str.farthest_head_oracle_sql(
-            _VALLEY_DEM_SQL, STREAM_GRID, threshold=4.0
-        ),
-        "total_length_channels": _str.total_length_oracle_sql(
-            _VALLEY_DEM_SQL, STREAM_GRID, threshold=4.0
-        ),
-        "stream_link_length": _str.stream_link_length_oracle_sql(
-            _VALLEY_DEM_SQL, STREAM_GRID, threshold=4.0
-        ),
-        "stream_link_slope": _str.stream_link_slope_oracle_sql(
-            _VALLEY_DEM_SQL, STREAM_GRID, threshold=4.0
-        ),
-        "remove_short_streams": _str.remove_short_streams_oracle_sql(
-            _VALLEY_DEM_SQL, STREAM_GRID, threshold=4.0, min_length=25.0
-        ),
-        "distance_to_outlet": _str.dist_to_outlet_oracle_sql(
-            _VALLEY_DEM_SQL, STREAM_GRID, threshold=4.0
-        ),
-        "long_profile": (
-            "WITH d AS ("
-            + _str.dist_to_outlet_oracle_sql(_VALLEY_DEM_SQL, STREAM_GRID, threshold=4.0)
-            + f"), dem AS (SELECT row, col, value AS z FROM ({_VALLEY_DEM_SQL}) t "
-            "WHERE value IS NOT NULL) "
-            "SELECT d.row, d.col, round(d.value, 6) AS dist, round(dem.z, 6) AS z "
-            "FROM d JOIN dem ON dem.row = d.row AND dem.col = d.col"
-        ),
-        "elev_relative_to_watershed_min_max": (
-            "SELECT row, col, round(value, 6) AS value FROM ("
-            + _hyd.elev_rel_watershed_oracle_sql(_NOISE_RASTER_SQL, EXTRACT_GRID)
-            + ") t"
-        ),
-        "stream_link_id": _str.stream_link_oracle_sql(_VALLEY_DEM_SQL, STREAM_GRID, threshold=4.0),
-        "watershed": _str.watershed_oracle_sql(_VALLEY_DEM_SQL, STREAM_GRID, _POUR),
-        "downslope_flowpath_length": _str.flowpath_length_oracle_sql(_VALLEY_DEM_SQL, STREAM_GRID),
-        "num_inflowing_neighbours": _str.num_inflowing_oracle_sql(_VALLEY_DEM_SQL, STREAM_GRID),
-        "olympic_filter": "SELECT row, col, round(value, 6) AS value FROM ("
-        + _foc.olympic_oracle_sql(_PART_RASTER_SQL)
-        + ")",
-        "highpass_filter": "SELECT row, col, round(value, 6) + 0.0 AS value FROM ("
-        + _foc.highpass_oracle_sql(_PART_RASTER_SQL)
-        + ")",
-        "conservative_smoothing": "SELECT row, col, round(value, 6) AS value FROM ("
-        + _foc.conservative_smoothing_oracle_sql(_PART_RASTER_SQL)
-        + ")",
-        "raster_streams_to_vector": "SELECT link_id, seq, round(x, 6) AS x, round(y, 6) AS y FROM ("
-        + _str.streams_to_vector_oracle_sql(_VALLEY_DEM_SQL, STREAM_GRID, threshold=4.0)
-        + ")",
-        "fd8_pointer": _hyd.fd8_pointer_oracle_sql(_NOISE_RASTER_SQL),
-        "percent_elev_range": "SELECT row, col, round(value, 6) AS value FROM ("
-        + _foc.percent_elev_range_oracle_sql(_PART_RASTER_SQL)
-        + ")",
-        "relative_aspect": f"""
-WITH asp AS ({_foc.aspect_oracle_sql(_PART_RASTER_SQL, res=5.0)})
-SELECT row, col,
-       round(CASE WHEN value = -1.0 THEN NULL
-                  WHEN abs(value - 135.0) > 180.0 THEN 360.0 - abs(value - 135.0)
-                  ELSE abs(value - 135.0) END, 6) AS value
-FROM asp
-""",
-        "max_upslope_flowpath": _str.max_upslope_oracle_sql(_VALLEY_DEM_SQL, STREAM_GRID),
-        "snap_pour_points": _str.snap_pour_oracle_sql(
-            _VALLEY_DEM_SQL, STREAM_GRID, _SNAP_POUR, snap_cells=2
-        ),
-        "flip_image": _img.flip_image_oracle_sql(_PART_RASTER_SQL, EXTRACT_GRID, direction="both"),
-        "gamma_correction": f"""
-SELECT row, col, round(pow(value, 0.5), 6) AS value
-FROM ({_PART_RASTER_SQL}) WHERE value IS NOT NULL
-""",
-        "min_max_contrast_stretch": _img.min_max_stretch_oracle_sql(
-            _PART_RASTER_SQL, min_val=900.0, max_val=1000.0, num_tones=256.0
-        ),
-        "histogram_equalization": _img.histogram_equalization_oracle_sql(
-            _PART_RASTER_SQL, num_tones=256
-        ),
-        "subbasins": _str.subbasins_oracle_sql(_VALLEY_DEM_SQL, STREAM_GRID, threshold=4.0),
-        "hillslopes": _str.hillslopes_oracle_sql(_VALLEY_DEM_SQL, STREAM_GRID, threshold=4.0),
-        "max_branch_length": _str.max_branch_length_oracle_sql(_VALLEY_DEM_SQL, STREAM_GRID),
-        "unnest_basins": _str.unnest_basins_oracle_sql(
-            _VALLEY_DEM_SQL, STREAM_GRID,
-            "SELECT row AS prow, col AS pcol, "
-            "CAST(row_number() OVER (ORDER BY value DESC, row, col) AS BIGINT) AS pour_id "
-            "FROM fa ORDER BY value DESC, row, col LIMIT 4",
-        ),
-        "strahler_order_basins": _str.strahler_order_basins_oracle_sql(
-            _VALLEY_DEM_SQL, STREAM_GRID, threshold=4.0
-        ),
-        "longest_flowpath": (
-            "SELECT basin_id, round(value, 6) AS value FROM ("
-            + _str.longest_flowpath_oracle_sql(_NOISE_RASTER_SQL, EXTRACT_GRID)
-            + ") t"
-        ),
-        "average_flowpath_slope": (
-            "SELECT row, col, round(value, 6) AS value FROM ("
-            + _hyd.average_flowpath_slope_oracle_sql(_VALLEY_DEM_SQL, STREAM_GRID)
-            + ") t"
-        ),
-        "elevation_above_stream": "SELECT row, col, round(value, 6) AS value FROM ("
-        + _str.elevation_above_stream_oracle_sql(_VALLEY_DEM_SQL, STREAM_GRID, threshold=4.0)
-        + ")",
-        "downslope_distance_to_stream": _str.distance_to_stream_oracle_sql(
-            _VALLEY_DEM_SQL, STREAM_GRID, threshold=4.0
-        ),
-        "depth_in_sink": f"""
-WITH fill AS ({_hyd.fill_depressions_oracle_sql(_NOISE_RASTER_SQL)}),
-dem AS (SELECT row, col, value FROM ({_NOISE_RASTER_SQL}) WHERE value IS NOT NULL)
-SELECT d.row, d.col, round(f.value - d.value, 6) AS value
-FROM dem d JOIN fill f ON f.row = d.row AND f.col = d.col
-""",
-        "elev_relative_to_min_max": f"""
-WITH dem AS (SELECT row, col, value FROM ({_PART_RASTER_SQL}) WHERE value IS NOT NULL),
-s AS (SELECT min(value) AS mn, max(value) AS mx FROM dem)
-SELECT row, col, round((value - mn) / (mx - mn), 6) AS value FROM dem CROSS JOIN s
-""",
-        # cost_distance: least-cost paths are not recursively enumerable in
-        # SQL without exponential path states -> rows-only; Dijkstra pin in
-        # pytest
-        "tin_gridding": _tin_gridding_sql(),
-        "feature_preserving_smoothing": __import__(
-            "whitebox_tools_spark.operators.fps", fromlist=["fps_oracle_sql"]
-        ).fps_oracle_sql(
-            _VALLEY_DEM_SQL, STREAM_GRID, filter_size=7, norm_diff=15.0, num_iter=3
-        ),
-        "drainage_preserving_smoothing": __import__(
-            "whitebox_tools_spark.operators.fps", fromlist=["dps_oracle_sql"]
-        ).dps_oracle_sql(
-            _VALLEY_DEM_SQL, STREAM_GRID, filter_size=5, norm_diff=20.0,
-            num_iter=2, reduction=80.0, dfm_threshold=0.15,
-        ),
-        "voronoi_diagram": _voronoi_sql(),
-        "remove_off_terrain_objects": _roto_sql(),
-        "exposure_towards_wind_flux": _ter_etwf_sql(),
-        "edge_density": __import__(
-            "whitebox_tools_spark.operators.fps", fromlist=["edge_density_oracle_sql"]
-        ).edge_density_oracle_sql(
-            _VALLEY_DEM_SQL, STREAM_GRID, filter_size=5, norm_diff=10.0
-        ),
-        "image_correlation_neighbourhood": ST.image_correlation_neighbourhood_oracle_sql(
-            _PART_RASTER_SQL, _ICNA_B_SQL, filter_size=7
-        ),
-        "attribute_correlation_neighbourhood": _acna_sql(),
-        "attribute_scattergram": _SCATTER_SQL,
-        "centroid_vector": _centroid_vector_sql(),
-        "split_vector_lines": _split_lines_sql(),
-        "profile": _profile_sql(),
-        "contours_from_points": _contours_points_sql(),
-        "merge_line_segments": _merge_lines_sql(),
-        # the DSM filter provably removes exactly the 50 below-plane points,
-        # so the DSM of the fixture IS the plane raster (same oracle)
-        "lidar_dsm": _tin_gridding_sql(),
-        "classify_buildings": _classify_buildings_sql(),
-        "lidar_idw_interpolation": _idw_sql(
-            "SELECT point_id, x AS px, y AS py, z FROM ("
-            + _order_cloud_cte() + ") WHERE point_id % 5 = 0"
-        ),
-        "lidar_nn_gridding": _nn_sql(
-            "SELECT point_id, x AS px, y AS py, z FROM ("
-            + _order_cloud_cte() + ") WHERE point_id % 5 = 0"
-        ),
-        "lidar_tin_gridding": _tin_gridding_sql(),
-        "lidar_classify_subset": _lidar_classify_subset_sql(),
-        "lidar_normal_vectors": _lidar.lidar_normal_vectors_oracle_sql(
-            _order_cloud_cte() + " WHERE o_orderkey % 10 = 0",
-            radius=60.0, quantize=(1e3, 1e3, 1e5),
-        ),
-        "lidar_info": _lidar.lidar_info_oracle_sql(_order_cloud_cte()),
-        "lidar_join": _lidar.lidar_info_oracle_sql(
-            _order_cloud_cte() + " WHERE o_orderkey % 3 IN (0, 1)"
-        ),
-        "lidar_tophat": _lidar.tophat_oracle_sql(
-            _order_cloud_cte() + " WHERE o_orderkey % 10 = 0", radius=60.0
-        ),
-        "lidar_hillshade": _lidar.lidar_hillshade_oracle_sql(
-            _order_cloud_cte() + " WHERE o_orderkey % 10 = 0", radius=60.0,
-            quantize=(1e3, 1e3, 1e5),
-        ),
-        "natural_neighbour_gridding": _tin_gridding_sql(),
-        "fill_missing_data": _fill_missing_sql(),
-        # construct_tin: a specific triangulation is not SQL-derivable ->
-        # rows-only; Euler + empty-circumcircle invariants pinned in pytest
-        "clip_points": _clip_erase_sql(erase=False),
-        "erase_points": _clip_erase_sql(erase=True),
-        "trend_surface": _trend_surface_sql(),
-        "trend_surface_vector_points": _trend_surface_vector_points_sql(),
-        "clump": _clump_sql(),
-        "shape_complexity_index_raster": _scir_sql(),
-        "narrowness_index": _narrowness_sql(),
-        "raster_to_polygons": _raster_to_polygons_sql(),
-        "lidar_point_stats": _lidar_sql("stats"),
-        "lidar_thin": _lidar_sql("thin"),
-        "lidar_ground_filter": _lidar_ground_sql(),
-        "lidar_elevation_slice": _lidar_sql("slice"),
-        "lidar_shift": _lidar_sql("shift"),
-        "lidar_remove_duplicates": (
-            "WITH pts AS (" + _order_cloud_cte() + "), "
-            "doubled AS (SELECT * FROM pts UNION ALL "
-            "SELECT point_id + 10000000, x, y, z, classification FROM pts) "
-            "SELECT min(point_id) AS point_id, round(x, 6) AS x, round(y, 6) AS y, "
-            "round(min(z), 6) AS z, min(classification) AS classification "
-            "FROM doubled GROUP BY x, y"
-        ),
-        "add_point_coordinates_to_table": _add_coords_sql(),
-        "filter_lidar_scan_angles": f"""
-SELECT point_id, round(x, 6) AS x, round(y, 6) AS y, round(z, 6) AS z,
-       classification, scan_angle, point_source_id
-FROM ({_cloud_ext_cte()}) t WHERE abs(scan_angle) <= 10.0
-""",
-        "flightline_overlap": _flightline_overlap_sql(),
-        "classify_overlap_points": _classify_overlap_sql(),
-        "lidar_colourize": _lidar_colourize_sql(),
-        "lidar_histogram": _lidar_histogram_sql(),
-        "lidar_kappa_index": _lidar_kappa_sql(),
-        "clip_lidar_to_polygon": _clip_lidar_sql(erase=False),
-        "erase_polygon_from_lidar": _clip_lidar_sql(erase=True),
-        "clip_raster_to_polygon": _clip_raster_poly_sql(erase=False),
-        "erase_polygon_from_raster": _clip_raster_poly_sql(erase=True),
-        "select_tiles_by_polygon": _select_tiles_sql(),
-        "lidar_thin_high_density": (
-            "SELECT point_id, round(x, 6) AS x, round(y, 6) AS y, "
-            "round(z, 6) AS z, classification FROM ("
-            + _lid.thin_high_density_oracle_sql(
-                _order_cloud_cte(), resolution=100.0, density=0.0003
-            )
-            + ") t"
-        ),
-        "height_above_ground": (
-            "SELECT point_id, round(x, 6) AS x, round(y, 6) AS y, "
-            "round(z, 6) AS z, classification FROM ("
-            + _lid.height_above_ground_oracle_sql(
-                _order_cloud_cte() + " WHERE o_orderkey % 10 = 0"
-            )
-            + ") t"
-        ),
-        "lidar_point_density": _lidar_density_sql(),
-        "lidar_remove_outliers": _lidar_outliers_sql(),
-        "lidar_filter_classes": _lidar_sql("classes"),
-        "lidar_block_minimum": _lidar_sql("block_min"),
-        "lidar_block_maximum": _lidar_sql("block_max"),
-        # pca: model-based (eigenvector extraction is not SQL-derivable;
-        # sign indeterminacy) -> rows-only driver check, pytest-pinned
-        "kmeans_clustering": _kmeans_sql(),
-        "modified_kmeans_clustering": _modified_kmeans_sql(),
-        "pca": _pca_values_sql(),
-        "dedup_exact": """
-SELECT min(doc_id) AS doc_id, text, count(*) AS n_dups FROM documents GROUP BY text
-""",
-        "ngram_jaccard": _ngram_jaccard_sql(),
-        "ngram_jaccard_prefix": _ngram_jaccard_sql(),
-        "token_count": """
-SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0
-                    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
-FROM documents
-""",
-        "bpe_token_count": r"""
-SELECT doc_id, len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+')) AS n_pieces
-FROM documents
-""",
-        "quality_score": _quality_sql(),
-        "language_id": _langid_sql(),
-        "fingerprint": _fingerprint_sql(),
-        "embedding_topk": _embed_topk_sql(),
-        "embedding_near_dup": _embed_near_dup_sql(),
-        "embedding_ann_lsh": _embed_ann_sql(),
-        "embedding_ann_multiprobe": _embed_ann_multiprobe_sql(),
-        "minhash_lsh": DD.minhash_lsh_oracle_sql(
-            "SELECT doc_id, text FROM documents",
-            num_hashes=32, bands=8, verify_threshold=0.7,
-        ),
-        "simhash_near_dup": "SELECT doc_id_a, doc_id_b, hamming::BIGINT AS hamming FROM ("
-        + DD.simhash_near_dup_oracle_sql(
-            "SELECT doc_id, text FROM documents", max_hamming=6, bits=60
-        )
-        + ")",
-        "clip_lines": _ovl.clip_lines_oracle_sql(_cust_segs_cte(), PARTS, erase=False),
-        "erase_lines": _ovl.clip_lines_oracle_sql(_cust_segs_cte(), PARTS, erase=True),
-        "polygon_overlay": _ovl.overlay_oracle_sql(PARTS_A, PARTS),
-        "intersect_rings": f"""
-SELECT a_id, b_id, round(inter, 0) AS area
-FROM ({_ovl._overlay_core_sql(PARTS_A, PARTS)}) q
-""",
-        "clip_polygons": _ovl.clip_polygons_oracle_sql(PARTS_A, PARTS_DISJOINT),
-        "union_rings": _ovl.union_rings_oracle_sql(PARTS_A, PARTS),
-        "symmetric_difference_rings": _ovl.symmetric_difference_rings_oracle_sql(PARTS_A, PARTS),
-        "difference_rings": _ovl.difference_rings_oracle_sql(PARTS_A, PARTS),
-        "dissolve": _ovl.dissolve_oracle_sql(
-            [(g, p, parts) for g, p, parts in _dissolve_groups()]
-        ),
-    }
-    return sq
-
-
-_RECLASS2_SQL = (
-    "SELECT row, col, CASE WHEN value >= 0.0 AND value < 1500.0 THEN 1.0 "
-    "WHEN value >= 1500.0 AND value < 99999.0 THEN 2.0 ELSE value END AS value "
-    f"FROM ({_PART_RASTER_SQL})"
-)
-
-def _clump_ctes_for(source_sql: str) -> str:
-    """Min-label closure CC (8-connectivity, same-value flood) + dense
-    scan-order renumbering over an arbitrary cell source."""
-    return f"""
-WITH RECURSIVE cells AS MATERIALIZED (
-  SELECT row, col, value FROM ({source_sql}) WHERE value IS NOT NULL
-),
-adj AS MATERIALIZED (
-  SELECT a.row AS ur, a.col AS uc, b.row AS vr, b.col AS vc
-  FROM cells a JOIN cells b
-    ON abs(b.row - a.row) <= 1 AND abs(b.col - a.col) <= 1
-   AND NOT (b.row = a.row AND b.col = a.col) AND b.value = a.value
-),
-r(row, col, label) AS (
-  SELECT row, col, row * 2147483648 + col FROM cells
-  UNION
-  SELECT e.vr, e.vc, r.label
-  FROM r JOIN adj e ON e.ur = r.row AND e.uc = r.col
-),
-lab AS (SELECT r.row, r.col, any_value(c.value) AS value, min(r.label) AS lab
-        FROM r JOIN cells c ON c.row = r.row AND c.col = r.col GROUP BY 1, 2),
-comp AS (SELECT lab, min(row * 2147483648 + col) AS scan FROM lab GROUP BY 1),
-ids AS (SELECT lab, CAST(row_number() OVER (ORDER BY scan) AS BIGINT) AS clump_id FROM comp),
-labeled AS (SELECT l.row, l.col, l.value, i.clump_id FROM lab l JOIN ids i ON l.lab = i.lab)
-"""
-
-
-_CLUMP_CTES = f"""
-WITH RECURSIVE cells AS MATERIALIZED (
-  SELECT row, col, value FROM ({_RECLASS2_SQL}) WHERE value IS NOT NULL
-),
-adj AS MATERIALIZED (
-  -- 8-neighbor same-value adjacency, computed ONCE (the recursion below
-  -- then only equi-joins against it; re-evaluating the non-equi join per
-  -- iteration is ~100x slower)
-  SELECT a.row AS ur, a.col AS uc, b.row AS vr, b.col AS vc
-  FROM cells a JOIN cells b
-    ON abs(b.row - a.row) <= 1 AND abs(b.col - a.col) <= 1
-   AND NOT (b.row = a.row AND b.col = a.col) AND b.value = a.value
-),
-r(row, col, label) AS (
-  SELECT row, col, row * 2147483648 + col FROM cells
-  UNION
-  SELECT e.vr, e.vc, r.label
-  FROM r JOIN adj e ON e.ur = r.row AND e.uc = r.col
-),
-lab AS (SELECT r.row, r.col, any_value(c.value) AS value, min(r.label) AS lab
-        FROM r JOIN cells c ON c.row = r.row AND c.col = r.col GROUP BY 1, 2),
-comp AS (SELECT lab, min(row * 2147483648 + col) AS scan FROM lab GROUP BY 1),
-ids AS (SELECT lab, CAST(row_number() OVER (ORDER BY scan) AS BIGINT) AS clump_id FROM comp),
-labeled AS (SELECT l.row, l.col, l.value, i.clump_id FROM lab l JOIN ids i ON l.lab = i.lab)
-"""
-
-
-def _patch_sql() -> str:
-    return _CLUMP_CTES + "SELECT row, col, CAST(clump_id AS DOUBLE) AS value FROM labeled"
-
-
-def _scir_sql() -> str:
-    from whitebox_tools_spark.operators.raster_vector import (
-        shape_complexity_index_raster_oracle_sql,
-    )
-
-    inner = shape_complexity_index_raster_oracle_sql(_patch_sql())
-    return f"SELECT row, col, round(sci, 6) AS sci FROM ({inner}) t"
-
-
-def _narrowness_sql() -> str:
-    from whitebox_tools_spark.operators.raster_vector import narrowness_index_oracle_sql
-
-    inner = narrowness_index_oracle_sql(_patch_sql())
-    return f"SELECT row, col, round(ni, 6) AS ni FROM ({inner}) t"
-
-
-def _clump_sql() -> str:
-    """Clump oracle: min-label closure as a recursive CTE (8-connectivity,
-    same-value flood) + dense scan-order renumbering — mirrors
-    raster_vector.clump exactly."""
-    return _CLUMP_CTES + "SELECT row, col, value, clump_id FROM labeled"
-
-
-def _raster_to_polygons_sql() -> str:
-    """RasterToVectorPolygons oracle: the stitched rings' segment count and
-    net shoelace area equal the per-clump boundary-edge count and
-    n_cells x cell area, both derivable from the cell table alone."""
-    g = EXTRACT_GRID
-    return _CLUMP_CTES + f""",
-dirs(dr, dc) AS (VALUES (-1, 0), (1, 0), (0, -1), (0, 1)),
-bnd AS (
-  SELECT a.clump_id, count(*) AS n_segments
-  FROM labeled a CROSS JOIN dirs d
-  LEFT JOIN labeled b ON b.row = a.row + d.dr AND b.col = a.col + d.dc
-  WHERE b.row IS NULL OR b.clump_id <> a.clump_id
-  GROUP BY 1
-),
-cnt AS (SELECT clump_id, any_value(value) AS value, count(*) AS n_cells FROM labeled GROUP BY 1)
-SELECT c.clump_id AS fid, c.value, CAST(b.n_segments AS BIGINT) AS n_segments,
-       round(CAST(c.n_cells AS DOUBLE) * {g.res_x * g.res_y!r}, 6) AS area
-FROM cnt c JOIN bnd b USING (clump_id)
-"""
-
-
-def _trend_surface_sql() -> str:
-    """Order-1 trend surface: centered normal equations solved by Cramer's
-    rule — the same 3x3 system trend_surface() solves with numpy (centered
-    basis makes both solves agree to ~1e-12 relative, far under round-6)."""
-    x, y = synth.point_sql("c_custkey")
-    d = ("(n*(sxx*syy - sxy*sxy) - sx*(sx*syy - sxy*sy) + sy*(sx*sxy - sxx*sy))")
-    c0 = ("(sz*(sxx*syy - sxy*sxy) - sx*(sxz*syy - sxy*syz) + sy*(sxz*sxy - sxx*syz))")
-    c1 = ("(n*(sxz*syy - sxy*syz) - sz*(sx*syy - sxy*sy) + sy*(sx*syz - sxz*sy))")
-    c2 = ("(n*(sxx*syz - sxz*sxy) - sx*(sx*syz - sxz*sy) + sz*(sx*sxy - sxx*sy))")
-    return f"""
-WITH src AS (SELECT c_custkey AS row, CAST(0 AS BIGINT) AS col,
-                    c_acctbal AS value, {x} AS x, {y} AS y FROM customer),
-m AS (SELECT avg(x) AS mx, avg(y) AS my, avg(value) AS mz FROM src),
-s AS (SELECT count(*) AS n,
-             sum(x - mx) AS sx, sum(y - my) AS sy, sum(value - mz) AS sz,
-             sum((x - mx)*(x - mx)) AS sxx, sum((x - mx)*(y - my)) AS sxy,
-             sum((y - my)*(y - my)) AS syy,
-             sum((x - mx)*(value - mz)) AS sxz, sum((y - my)*(value - mz)) AS syz
-      FROM src, m),
-c AS (SELECT {c0} / {d} AS c0, {c1} / {d} AS c1, {c2} / {d} AS c2 FROM s)
-SELECT src.row, src.col,
-       round(m.mz + c.c0 + c.c1*(src.x - m.mx) + c.c2*(src.y - m.my), 6) AS value
-FROM src, m, c
-"""
-
-
-def _sobel_sql() -> str:
-    from whitebox_tools_spark.operators.focal import sobel_oracle_sql
-
-    inner = sobel_oracle_sql(_PART_RASTER_SQL)
-    return f"SELECT row, col, round(value, 6) AS value FROM ({inner}) t"
-
-
-def _gradient_sql(which: str) -> str:
-    from whitebox_tools_spark.operators import focal as FO
-
-    kx, ky = {
-        "prewitt": (FO.PREWITT_X, FO.PREWITT_Y),
-        "scharr": (FO.SCHARR_X, FO.SCHARR_Y),
-    }[which]
-    inner = FO.gradient_magnitude_oracle_sql(_PART_RASTER_SQL, kx, ky)
-    return f"SELECT row, col, round(value, 6) AS value FROM ({inner}) t"
-
-
-def _roberts_sql() -> str:
-    from whitebox_tools_spark.operators.focal import roberts_oracle_sql
-
-    inner = roberts_oracle_sql(_PART_RASTER_SQL)
-    return f"SELECT row, col, round(value, 6) AS value FROM ({inner}) t"
-
-
-def _unsharp_sql() -> str:
-    from whitebox_tools_spark.operators.focal import unsharp_oracle_sql
-
-    inner = unsharp_oracle_sql(_PART_RASTER_SQL, sigma=0.8, amount=50.0)
-    return f"SELECT row, col, round(value, 6) AS value FROM ({inner}) t"
-
-
-def _percentile_filter_sql() -> str:
-    from whitebox_tools_spark.operators.focal import percentile_filter_oracle_sql
-
-    inner = percentile_filter_oracle_sql(_PART_RASTER_SQL, filterx=5, filtery=5)
-    return f"SELECT row, col, round(value, 6) AS value FROM ({inner}) t"
-
-
-def _resample_sql(method: str) -> str:
-    from whitebox_tools_spark.operators.image import resample_oracle_sql
-
-    inner = resample_oracle_sql(
-        _PART_RASTER_SQL, EXTRACT_GRID, RESAMPLE_DST, method=method
-    )
-    if method == "nn":
-        return inner
-    return f"SELECT row, col, round(value, 6) AS value FROM ({inner}) t"
-
-
-def _gauss_stretch_sql() -> str:
-    from whitebox_tools_spark.operators.image import gaussian_stretch_oracle_sql
-
-    inner = gaussian_stretch_oracle_sql(_PART_RASTER_SQL)
-    return f"SELECT row, col, round(value, 6) AS value FROM ({inner}) t"
-
-
-def _vignetting_sql() -> str:
-    from whitebox_tools_spark.operators.image import correct_vignetting_oracle_sql
-
-    inner = correct_vignetting_oracle_sql(
-        _PART_RASTER_SQL, pp_row=100.0, pp_col=5.0, cols=10
-    )
-    return f"SELECT row, col, round(value, 4) AS value FROM ({inner}) t"
-
-
-def _mosaic_feather_sql() -> str:
-    from whitebox_tools_spark.operators.image import mosaic_feathering_oracle_sql
-
-    b = (
-        f"SELECT row + 3 AS row, col + 2 AS col, value FROM ({_PART_RASTER2_SQL}) t"
-    )
-    inner = mosaic_feathering_oracle_sql(_PART_RASTER_SQL, b)
-    return f"SELECT row, col, round(value, 6) AS value FROM ({inner}) t"
-
-
-def _hist_match_sql() -> str:
-    from whitebox_tools_spark.operators.image import histogram_matching_oracle_sql
-
-    inner = histogram_matching_oracle_sql(_PART_RASTER_SQL, _PART_RASTER2_SQL)
-    return f"SELECT row, col, round(value, 6) AS value FROM ({inner}) t"
-
-
-def _sve_sql() -> str:
-    from whitebox_tools_spark.operators.terrain import slope_vs_elevation_oracle_sql
-
-    inner = slope_vs_elevation_oracle_sql(_VALLEY_DEM_SQL, STREAM_GRID)
-    return (
-        "SELECT bin, round(elev, 6) AS elev, round(mean_slope, 6) AS mean_slope, n "
-        f"FROM ({inner}) t"
-    )
-
-
-def _sar_sql() -> str:
-    from whitebox_tools_spark.operators.terrain import surface_area_ratio_oracle_sql
-
-    inner = surface_area_ratio_oracle_sql(_PART_RASTER_SQL, res_x=5.0, res_y=5.0)
-    return f"SELECT row, col, round(value, 6) AS value FROM ({inner}) t"
-
-
-def _rtp_sql() -> str:
-    from whitebox_tools_spark.operators.terrain import rtp_oracle_sql
-
-    return rtp_oracle_sql(_PART_RASTER_SQL, filterx=5, filtery=5)
-
-
-def _contours_sql() -> str:
-    from whitebox_tools_spark.operators.terrain import contour_segments_oracle_sql
-
-    return contour_segments_oracle_sql(
-        _PART_RASTER_SQL, EXTRACT_GRID, interval=1.0, base=0.0
-    )
-
-
-def _contour_polylines_sql() -> str:
-    """Stitch invariants from the segment multiset: per height, segment
-    count + open-chain count = (odd-degree crack vertices) / 2 (interior
-    crack corners always have even degree — see q_contour_polylines)."""
-    seg = _contours_sql()
-    return f"""
-WITH seg AS ({seg}),
-verts AS (
-  SELECT height, x1 AS x, y1 AS y FROM seg
-  UNION ALL
-  SELECT height, x2 AS x, y2 AS y FROM seg
-),
-deg AS (SELECT height, x, y, count(*) AS d FROM verts GROUP BY 1, 2, 3),
-odd AS (
-  SELECT height, count(*) // 2 AS n_open FROM deg WHERE d % 2 = 1 GROUP BY height
-)
-SELECT s.height, s.n_segments, CAST(coalesce(o.n_open, 0) AS BIGINT) AS n_open
-FROM (SELECT height, count(*) AS n_segments FROM seg GROUP BY height) s
-LEFT JOIN odd o ON o.height = s.height
-"""
-
-
-def _valleys_lq_sql() -> str:
-    from whitebox_tools_spark.operators.terrain import extract_valleys_lq_oracle_sql
-
-    return extract_valleys_lq_oracle_sql(_PART_RASTER_SQL)
-
-
-def _valleys_sql(variant: str) -> str:
-    from whitebox_tools_spark.operators.terrain import extract_valleys_oracle_sql
-
-    return extract_valleys_oracle_sql(_PART_RASTER_SQL, variant=variant)
-
-
-def _mass_flux_sql() -> str:
-    from whitebox_tools_spark.operators import hydro as _h
-
-    loading = (
-        f"SELECT row, col, 1.0 + value / 100.0 AS value FROM ({_VALLEY_DEM_SQL}) t"
-    )
-    eff = (
-        f"SELECT row, col, 0.9 - CAST(row % 3 AS DOUBLE) * 0.1 AS value "
-        f"FROM ({_VALLEY_DEM_SQL}) t"
-    )
-    ab = f"SELECT row, col, 0.05 AS value FROM ({_VALLEY_DEM_SQL}) t"
-    inner = _h.d8_mass_flux_oracle_sql(_VALLEY_DEM_SQL, STREAM_GRID, loading, eff, ab)
-    return f"SELECT row, col, round(value, 6) AS value FROM ({inner}) t"
-
-
-def _geomorphons_sql() -> str:
-    from whitebox_tools_spark.operators.terrain import geomorphons_oracle_sql
-
-    return geomorphons_oracle_sql(_PART_RASTER_SQL, res=5.0, search_cells=8)
-
-
-def _max_elev_dev_sql() -> str:
-    from whitebox_tools_spark.operators.focal import max_elev_deviation_oracle_sql
-
-    inner = max_elev_deviation_oracle_sql(_PART_RASTER_SQL)
-    return (
-        f"SELECT row, col, round(magnitude, 6) + 0.0 AS magnitude, scale "
-        f"FROM ({inner}) t"
-    )
-
-
-def _pennock_sql() -> str:
-    from whitebox_tools_spark.operators.terrain import pennock_oracle_sql
-
-    return pennock_oracle_sql(_PART_RASTER_SQL, res=5.0)
-
-
-def _cva_aspect_sql() -> str:
-    from whitebox_tools_spark.operators.terrain import circular_variance_oracle_sql
-
-    inner = circular_variance_oracle_sql(_PART_RASTER_SQL, res=5.0, filterx=5, filtery=5)
-    return f"SELECT row, col, round(value, 6) AS value FROM ({inner}) t"
-
-
-def _slope_cte_sql() -> str:
-    from whitebox_tools_spark.operators.focal import slope_oracle_sql
-
-    return slope_oracle_sql(_PART_RASTER_SQL, res=5.0)
-
-
-def _terrain_zip_sql(which: str) -> str:
-    from whitebox_tools_spark.operators import terrain as TE
-
-    slope_sql = _slope_cte_sql()
-    if which == "wetness":
-        inner = TE.wetness_index_oracle_sql(_PART_RASTER_SQL, slope_sql)
-    elif which == "spi":
-        inner = TE.stream_power_oracle_sql(_PART_RASTER_SQL, slope_sql, exponent=1.1)
-    else:
-        inner = TE.sediment_transport_oracle_sql(_PART_RASTER_SQL, slope_sql)
-    return f"SELECT row, col, round(value, 6) AS value FROM ({inner}) t"
-
-
-def _num_nbrs_sql(direction: str) -> str:
-    from whitebox_tools_spark.operators import terrain as TE
-
-    return TE.num_neighbours_oracle_sql(_PART_RASTER_SQL, direction=direction)
-
-
-def _elev_change_sql(mode: str) -> str:
-    from whitebox_tools_spark.operators import terrain as TE
-
-    inner = TE.elev_change_oracle_sql(_PART_RASTER_SQL, res=5.0, mode=mode)
-    return f"SELECT row, col, round(value, 6) AS value FROM ({inner}) t"
-
-
-def _multi_hs_sql() -> str:
-    from whitebox_tools_spark.operators.focal import (
-        multidirectional_hillshade_oracle_sql,
-    )
-
-    return multidirectional_hillshade_oracle_sql(_PART_RASTER_SQL, res=5.0)
-
-
-def _stdev_slope_sql() -> str:
-    from whitebox_tools_spark.operators.focal import stat_filter_oracle_sql
-
-    inner = stat_filter_oracle_sql(_slope_cte_sql(), "sd")
-    return f"SELECT row, col, round(value, 6) AS value FROM ({inner}) t"
-
-
-def _fld_sql() -> str:
-    from whitebox_tools_spark.operators import hydro as _h
-    from whitebox_tools_spark.operators import streams as _s
-
-    inner = _h.flow_length_diff_oracle_sql(
-        _s.flowpath_length_oracle_sql(_VALLEY_DEM_SQL, STREAM_GRID)
-    )
-    return f"SELECT row, col, round(value, 6) AS value FROM ({inner}) t"
-
-
-def _pts_to_raster_sql() -> str:
-    from whitebox_tools_spark.operators.raster_vector import points_to_raster_oracle_sql
-
-    inner = points_to_raster_oracle_sql(
-        _cust_points_cte(""), NN_GRID, field="z", assign="mean"
-    )
-    return f"SELECT row, col, round(value, 6) AS value FROM ({inner}) t"
-
-
-def _anova_sql() -> str:
-    return f"""
-WITH src AS (SELECT zone_id, value FROM ({_ZONES_SQL})
-             WHERE value IS NOT NULL AND zone_id IS NOT NULL),
-per AS (SELECT zone_id, CAST(count(*) AS DOUBLE) AS cn, sum(value) AS cs,
-               sum(value * value) AS css FROM src GROUP BY 1),
-g AS (SELECT CAST(count(*) AS DOUBLE) AS k, sum(cn) AS n, sum(cs) AS s,
-             sum(css) AS ss, sum(cs * cs / cn) AS sb FROM per)
-SELECT CAST(k AS BIGINT) AS num_classes, CAST(n AS BIGINT) AS n,
-       round(sb - s * s / n, 6) AS ss_between,
-       CAST(k - 1 AS BIGINT) AS df_between,
-       round((sb - s * s / n) / (k - 1), 6) AS ms_between,
-       round(ss - sb, 6) AS ss_within,
-       CAST(n - k AS BIGINT) AS df_within,
-       round((ss - sb) / (n - k), 6) AS ms_within,
-       round(((sb - s * s / n) / (k - 1)) / ((ss - sb) / (n - k)), 6) AS f_stat
-FROM g
-"""
-
-
-def _paired_t_sql() -> str:
-    return f"""
-WITH a AS ({_PART_RASTER_SQL}), b AS ({_PART_RASTER2_SQL}),
-d AS (SELECT a.value - b.value AS d
-      FROM a JOIN b ON a.row = b.row AND a.col = b.col
-      WHERE a.value IS NOT NULL AND b.value IS NOT NULL),
-g AS (SELECT count(*) AS n, avg(d) AS md, stddev_samp(d) AS sd FROM d)
-SELECT n, round(md, 6) AS mean_diff, round(sd, 6) AS sd_diff,
-       round(md / (sd / sqrt(CAST(n AS DOUBLE))), 6) AS t_stat
-FROM g
-"""
-
-
-def _wilcoxon_sql() -> str:
-    from whitebox_tools_spark.operators.stats import _erfc_sql
-
-    return f"""
-WITH a AS ({_PART_RASTER_SQL}), b AS ({_PART_RASTER2_SQL}),
-d AS (SELECT a.value - b.value AS d
-      FROM a JOIN b ON a.row = b.row AND a.col = b.col
-      WHERE a.value IS NOT NULL AND b.value IS NOT NULL
-        AND a.value - b.value <> 0.0),
-per AS (SELECT abs(d) AS ad, CAST(count(*) AS DOUBLE) AS cnt,
-               CAST(sum(sign(d)) AS DOUBLE) AS net,
-               sum(CASE WHEN d > 0 THEN 1.0 ELSE 0.0 END) AS pos,
-               sum(CASE WHEN d < 0 THEN 1.0 ELSE 0.0 END) AS neg
-        FROM d GROUP BY 1),
-cum AS (SELECT *, sum(cnt) OVER (ORDER BY ad) AS cum_cnt FROM per),
-agg AS (SELECT sum(net * (cum_cnt - (cnt - 1.0) / 2.0)) AS w,
-               sum(pos * (cum_cnt - (cnt - 1.0) / 2.0)) AS w_plus,
-               sum(neg * (cum_cnt - (cnt - 1.0) / 2.0)) AS w_neg,
-               sum(cnt) AS nr FROM cum),
-zs AS (SELECT nr, w_plus, w_neg,
-              w / sqrt(nr * (nr + 1.0) * (2.0 * nr + 1.0) / 6.0) AS z FROM agg)
-SELECT CAST(nr AS BIGINT) AS nr, round(w_plus, 6) AS w_plus,
-       round(w_neg, 6) AS w_minus, round(z, 6) AS z_value,
-       round({_erfc_sql("abs(z) / sqrt(2.0)")}, 6) AS p_value
-FROM zs
-"""
-
-
-def _ks_normality_sql() -> str:
-    return f"""
-WITH src AS (SELECT value FROM ({_PART_RASTER_SQL}) WHERE value IS NOT NULL),
-st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(value) AS mu,
-              stddev_samp(value) AS sd, min(value) AS mn, max(value) AS mx
-       FROM src),
-hist AS (SELECT least(CAST(floor((value - st.mn) / ((st.mx - st.mn) / 10000.0)) AS BIGINT),
-                      9999) AS bin,
-                CAST(count(*) AS DOUBLE) AS h
-         FROM src, st GROUP BY 1),
-dense AS (SELECT b.bin, coalesce(h.h, 0.0) AS h,
-                 st.mn + b.bin * ((st.mx - st.mn) / 10000.0) AS z, st.n, st.mu, st.sd
-          FROM generate_series(0, 9999) b(bin)
-          LEFT JOIN hist h ON h.bin = b.bin CROSS JOIN st),
-cum AS (SELECT bin,
-               sum(h) OVER (ORDER BY bin) / any_value(n) OVER () AS ecdf,
-               sum(1.0 / (sd * sqrt(2.0 * pi()))
-                   * exp(-(z - mu) * (z - mu) / (2.0 * sd * sd)))
-                 OVER (ORDER BY bin) AS npcum
-        FROM dense),
-tot AS (SELECT max(npcum) AS last FROM cum),
-dm AS (SELECT max(abs(ecdf - CASE WHEN bin = 0 THEN npcum ELSE npcum / tot.last END)) AS dmax
-       FROM cum, tot)
-SELECT CAST(st.n AS BIGINT) AS n, round(dm.dmax, 6) AS dmax,
-       round(2.0 * exp(-(2.000071 + 0.331 / sqrt(st.n) + 1.409 / st.n)
-                       * st.n * dm.dmax * dm.dmax), 6) AS p_value
-FROM st, dm
-"""
-
-
-def _rgb_ihs_sql() -> str:
-    from whitebox_tools_spark.operators.color import rgb_to_ihs_oracle_sql
-
-    inner = rgb_to_ihs_oracle_sql(
-        _PART_RASTER_SQL, _PART_RASTER2_SQL, _PART_RASTER3_SQL
-    )
-    return (
-        f"SELECT row, col, round(intensity, 6) AS intensity, round(hue, 6) AS hue, "
-        f"round(saturation, 6) AS saturation FROM ({inner}) t"
-    )
-
-
-def _ihs_rgb_sql() -> str:
-    from whitebox_tools_spark.operators.color import (
-        ihs_to_rgb_oracle_sql,
-        rgb_to_ihs_oracle_sql,
-    )
-
-    ihs = rgb_to_ihs_oracle_sql(_PART_RASTER_SQL, _PART_RASTER2_SQL, _PART_RASTER3_SQL)
-    return ihs_to_rgb_oracle_sql(ihs)
-
-
-def _bce_sql() -> str:
-    from whitebox_tools_spark.operators.color import bce_oracle_sql, composite_oracle_sql
-
-    comp = composite_oracle_sql(_PART_RASTER_SQL, _PART_RASTER2_SQL, _PART_RASTER3_SQL)
-    return bce_oracle_sql(comp, band_mean=100.0)
-
-
-def _pan_sharp_sql() -> str:
-    from whitebox_tools_spark.operators.color import (
-        composite_oracle_sql,
-        pan_sharpening_brovey_oracle_sql,
-    )
-
-    comp = composite_oracle_sql(_PART_RASTER_SQL, _PART_RASTER2_SQL, _PART_RASTER3_SQL)
-    return pan_sharpening_brovey_oracle_sql(comp, _NOISE_RASTER_SQL)
-
-
-def _mosaic_nn_sql() -> str:
-    return f"""
-WITH a AS (SELECT row, col, value FROM ({_PART_RASTER_SQL}) WHERE value IS NOT NULL),
-b AS (SELECT row + 100 AS row, col, value FROM ({_PART_RASTER2_SQL}) WHERE value IS NOT NULL),
-u AS (
-  SELECT row, col, struct_pack(
-           d2 := (row - 100.0) * (row - 100.0) + (col - 5.0) * (col - 5.0),
-           idx := 0, v := value) AS w
-  FROM a
-  UNION ALL
-  SELECT row, col, struct_pack(
-           d2 := (row - 200.0) * (row - 200.0) + (col - 5.0) * (col - 5.0),
-           idx := 1, v := value) AS w
-  FROM b
-)
-SELECT row, col, (min(w)).v AS value FROM u GROUP BY row, col
-"""
-
-
-def _dds_sql() -> str:
-    from whitebox_tools_spark.operators.color import composite_oracle_sql, dds_oracle_sql
-
-    comp = composite_oracle_sql(_PART_RASTER_SQL, _PART_RASTER2_SQL, _PART_RASTER3_SQL)
-    return dds_oracle_sql(comp, k=0.5, clip_percent=0.01)
-
-
-def _wfmi_sql() -> str:
-    from whitebox_tools_spark.operators.color import composite_oracle_sql
-
-    return composite_oracle_sql(_PART_RASTER_SQL, _PART_RASTER2_SQL, _PART_RASTER2_SQL)
-
-
-def _composite_sql() -> str:
-    from whitebox_tools_spark.operators.color import composite_oracle_sql
-
-    return composite_oracle_sql(_PART_RASTER_SQL, _PART_RASTER2_SQL, _PART_RASTER3_SQL)
-
-
-def _split_composite_sql() -> str:
-    from whitebox_tools_spark.operators.color import (
-        composite_oracle_sql,
-        split_composite_oracle_sql,
-    )
-
-    comp = composite_oracle_sql(_PART_RASTER_SQL, _PART_RASTER2_SQL, _PART_RASTER3_SQL)
-    return split_composite_oracle_sql(comp)
-
-
-def _cva_sql() -> str:
-    from whitebox_tools_spark.operators.color import cva_oracle_sql
-
-    d1 = (
-        f"SELECT 0 AS band, row, col, value FROM ({_PART_RASTER_SQL}) "
-        f"UNION ALL SELECT 1 AS band, row, col, value FROM ({_PART_RASTER2_SQL})"
-    )
-    d2 = (
-        f"SELECT band, row, col, "
-        f"CASE WHEN band = 0 THEN value + 25.0 ELSE value - 3.0 END AS value "
-        f"FROM ({d1}) t"
-    )
-    inner = cva_oracle_sql(d1, d2)
-    return (
-        f"SELECT row, col, round(magnitude, 6) AS magnitude, "
-        f"round(direction, 6) AS direction FROM ({inner}) t"
-    )
-
-
-def _weighted_focal_sql(which: str) -> str:
-    from whitebox_tools_spark.operators import focal as FO
-
-    inner = {
-        "bilateral": lambda: FO.bilateral_oracle_sql(
-            _PART_RASTER_SQL, sigma_dist=0.75, sigma_int=50.0
-        ),
-        "adaptive": lambda: FO.adaptive_oracle_sql(_PART_RASTER_SQL, threshold=1.5),
-        "lee": lambda: FO.lee_oracle_sql(_PART_RASTER_SQL, sigma=200.0, min_n=3.0),
-        "knm": lambda: FO.k_nearest_mean_oracle_sql(
-            _PART_RASTER_SQL, filterx=5, filtery=5, k=5
-        ),
-        "epm": lambda: FO.edge_preserving_mean_oracle_sql(
-            _PART_RASTER_SQL, threshold=300.0
-        ),
-        "hpm": lambda: FO.highpass_median_oracle_sql(_PART_RASTER_SQL),
-    }[which]()
-    return f"SELECT row, col, round(value, 6) AS value FROM ({inner}) t"
-
-
-def _stdev_stretch_sql() -> str:
-    from whitebox_tools_spark.operators.image import stdev_stretch_oracle_sql
-
-    return stdev_stretch_oracle_sql(_PART_RASTER_SQL, clip_stdev=1.5)
-
-
-def _percentage_stretch_sql() -> str:
-    from whitebox_tools_spark.operators.image import percentage_stretch_oracle_sql
-
-    return percentage_stretch_oracle_sql(_PART_RASTER_SQL, clip=2.0)
-
-
-def _sigmoidal_stretch_sql() -> str:
-    from whitebox_tools_spark.operators.image import sigmoidal_stretch_oracle_sql
-
-    return sigmoidal_stretch_oracle_sql(_PART_RASTER_SQL, cutoff=0.4, gain=2.0)
-
-
-def _rescale_sql() -> str:
-    from whitebox_tools_spark.operators.image import rescale_oracle_sql
-
-    inner = rescale_oracle_sql(
-        _PART_RASTER_SQL, out_min=0.0, out_max=100.0, clip_min=950.0, clip_max=1950.0
-    )
-    return f"SELECT row, col, round(value, 6) AS value FROM ({inner}) t"
-
-
-def _integral_sql() -> str:
-    from whitebox_tools_spark.operators.image import integral_image_oracle_sql
-
-    inner = integral_image_oracle_sql(_PART_RASTER_SQL)
-    return f"SELECT row, col, round(value, 6) AS value FROM ({inner}) t"
-
-
-def _conv_sql(kernel_name: str) -> str:
-    from whitebox_tools_spark.operators.focal import conv_filter_oracle_sql
-
-    inner = conv_filter_oracle_sql(_PART_RASTER_SQL, _CONV_KERNELS[kernel_name])
-    return f"SELECT row, col, round(value, 6) + 0.0 AS value FROM ({inner}) t"
-
-
-def _curvature_sql(which: str) -> str:
-    from whitebox_tools_spark.operators.focal import curvature_oracle_sql
-
-    inner = curvature_oracle_sql(_PART_RASTER_SQL, which, res=5.0)
-    return f"SELECT row, col, round(value, 6) + 0.0 AS value FROM ({inner}) t"
-
-
-def _focal_sql(which: str) -> str:
-    from whitebox_tools_spark.operators import focal as FO
-
-    if which == "slope":
-        gather = FO._gather25_sql(_PART_RASTER_SQL)
-        pq = FO._pq_select_sql(5.0)
-        return (
-            gather
-            + f", pq AS ({pq}) SELECT row, col, round(p, 9) AS p, round(q, 9) AS q, "
-            + f"round({FO.SLOPE_FORMULAS['degrees']}, 3) AS value FROM pq"
-        )
-    if which == "aspect":
-        inner = FO.aspect_oracle_sql(_PART_RASTER_SQL, res=5.0)
-        return f"SELECT row, col, round(value, 3) AS value FROM ({inner})"
-    if which == "hillshade":
-        return FO.hillshade_oracle_sql(_PART_RASTER_SQL, res=5.0)
-    inner = FO.mean_filter_oracle_sql(_PART_RASTER_SQL)
-    return f"SELECT row, col, round(value, 6) AS value FROM ({inner})"
-
-
-def _order_cloud_cte() -> str:
-    x, y = synth.point_sql("o_orderkey")
-    return (
-        f"SELECT o_orderkey AS point_id, {x} AS x, {y} AS y, "
-        f"o_totalprice / 1000.0 AS z, "
-        f"CASE WHEN o_orderstatus = 'F' THEN 2 ELSE 1 END AS classification "
-        f"FROM orders"
-    )
-
-
-def _zlidar_cloud(spark, sf_dir):
-    """zLidar fixture: the order cloud at exactly 3 decimals (so the LAS/
-    zLidar 0.001 quantization is lossless to 6 dp) + intensity crossing
-    the u8/u16 split, multi-return context variety, class runs."""
-    c = _order_cloud(spark, sf_dir)
-    nr = (F.col("point_id") % 5) + 1
-    return c.select(
-        "point_id", "x", "y",
-        (F.floor(F.col("z") * 1000.0 + 0.5) / 1000.0).alias("z"),
-        (F.col("point_id") % 900).cast("int").alias("intensity"),
-        ((F.col("point_id") % nr) + 1).cast("int").alias("return_number"),
-        nr.cast("int").alias("number_of_returns"),
-        F.col("classification").cast("int").alias("classification"),
-    )
-
-
-_ZLIDAR_CLOUD_SQL_BODY = (
-    "SELECT point_id, x, y, floor(z * 1000.0 + 0.5) / 1000.0 AS z, "
-    "CAST(point_id % 900 AS INT) AS intensity, "
-    "CAST(point_id % (point_id % 5 + 1) + 1 AS INT) AS return_number, "
-    "CAST(point_id % 5 + 1 AS INT) AS number_of_returns, "
-    "CAST(classification AS INT) AS classification"
-)
-
-
-def q_las_to_zlidar(spark, sf_dir):
-    """LasToZlidar (lidar_analysis/las_to_zlidar.rs): LAS 1.2 file ->
-    zLidar v1.1 (DEFLATE), then the distributed zLidar reader; output =
-    the decoded cloud (coordinates re-derived through both quantizers)."""
-    import tempfile
-
-    from whitebox_tools_spark.lidar_io import write_las
-    from whitebox_tools_spark.zlidar_io import las_to_zlidar, read_zlidar
-
-    d = tempfile.mkdtemp()
-    write_las(_zlidar_cloud(spark, sf_dir), f"{d}/a.las")
-    las_to_zlidar(f"{d}/a.las", f"{d}/a.zlidar")
-    out = read_zlidar(spark, f"{d}/a.zlidar")
-    return out.select(
-        F.round("x", 6).alias("x"), F.round("y", 6).alias("y"),
-        F.round("z", 6).alias("z"), "intensity",
-        "return_number", "number_of_returns", "classification",
-    )
-
-
-def q_zlidar_to_las(spark, sf_dir):
-    """ZlidarToLas (lidar_analysis/zlidar_to_las.rs): the full
-    LAS -> zLidar -> LAS chain read back with the distributed LAS reader
-    (LAS format 0 clips returns at 7, preserved end-to-end: fixture
-    returns stay <= 5)."""
-    import tempfile
-
-    from whitebox_tools_spark.lidar_io import read_las, write_las
-    from whitebox_tools_spark.zlidar_io import las_to_zlidar, zlidar_to_las
-
-    d = tempfile.mkdtemp()
-    write_las(_zlidar_cloud(spark, sf_dir), f"{d}/a.las")
-    las_to_zlidar(f"{d}/a.las", f"{d}/a.zlidar")
-    zlidar_to_las(f"{d}/a.zlidar", f"{d}/b.las")
-    out = read_las(spark, f"{d}/b.las")
-    return out.select(
-        F.round("x", 6).alias("x"), F.round("y", 6).alias("y"),
-        F.round("z", 6).alias("z"), "intensity",
-        "return_number", "number_of_returns", "classification",
-    )
-
-
-def q_height_above_ground(spark, sf_dir):
-    """HeightAboveGround (lidar_analysis/height_above_ground.rs) /
-    normalize_lidar plugin: z -> height above the nearest ground-classified
-    point (exact kNN join; subsampled cloud keeps the oracle's cross join
-    tractable)."""
-    from whitebox_tools_spark.operators.lidar import height_above_ground
-
-    cloud = _order_cloud(spark, sf_dir).filter(F.col("point_id") % 10 == 0)
-    return _r6(height_above_ground(cloud, IDX), ["x", "y", "z"])
-
-
-def _cloud_ext(spark, sf_dir):
-    """Order cloud + derived scan_angle / point_source_id columns."""
-    return _order_cloud(spark, sf_dir).withColumn(
-        "scan_angle", (F.col("point_id") % 31 - 15).cast("int")
-    ).withColumn("point_source_id", (F.col("point_id") % 5).cast("int"))
-
-
-_CLOUD_EXT_SQL_SUFFIX = (
-    ", CAST(point_id % 31 - 15 AS INT) AS scan_angle, "
-    "CAST(point_id % 5 AS INT) AS point_source_id"
-)
-
-
-def _cloud_ext_cte() -> str:
-    inner = _order_cloud_cte()
-    return f"SELECT t.*{_CLOUD_EXT_SQL_SUFFIX} FROM ({inner}) t"
-
-
-def q_filter_lidar_scan_angles(spark, sf_dir):
-    """FilterLidarScanAngles (lidar_analysis/filter_lidar_scan_angles.rs),
-    threshold 10."""
-    from whitebox_tools_spark.operators.lidar import filter_scan_angles
-
-    return _r6(
-        filter_scan_angles(_cloud_ext(spark, sf_dir), threshold=10.0),
-        ["x", "y", "z"],
-    )
-
-
-def q_flightline_overlap(spark, sf_dir):
-    """FlightlineOverlap (lidar_analysis/flightline_overlap.rs): distinct
-    point-source count per NN_GRID cell."""
-    from whitebox_tools_spark.operators.lidar import flightline_overlap
-
-    return flightline_overlap(_cloud_ext(spark, sf_dir), NN_GRID)
-
-
-def q_classify_overlap_points(spark, sf_dir):
-    """ClassifyOverlapPoints (lidar_analysis/classify_overlap_points.rs):
-    class 12 where the cell holds > 1 flightline."""
-    from whitebox_tools_spark.operators.lidar import classify_overlap_points
-
-    out = classify_overlap_points(_cloud_ext(spark, sf_dir), NN_GRID)
-    return _r6(out.select("point_id", "x", "y", "z", "classification"), ["x", "y", "z"])
-
-
-def q_lidar_colourize(spark, sf_dir):
-    """LidarColourize (lidar_analysis/lidar_colourize.rs): RGB from the
-    packed composite at each point's EXTRACT_GRID cell (points off the
-    image drop, per the reference's coverage requirement)."""
-    from whitebox_tools_spark.operators import color as CO
-    from whitebox_tools_spark.operators.lidar import lidar_colourize
-
-    comp = CO.create_colour_composite(
-        _part_raster(spark, sf_dir), _part_raster2(spark, sf_dir),
-        _part_raster3(spark, sf_dir),
-    )
-    out = lidar_colourize(_order_cloud(spark, sf_dir), comp, EXTRACT_GRID)
-    return _r6(
-        out.select("point_id", "x", "y", "z", "red", "green", "blue"),
-        ["x", "y", "z"],
-    )
-
-
-def q_lidar_histogram(spark, sf_dir):
-    """LidarHistogram (lidar_analysis/lidar_histogram.rs), z, 20 bins."""
-    from whitebox_tools_spark.operators.lidar import lidar_histogram
-
-    return _r6(lidar_histogram(_order_cloud(spark, sf_dir), bins=20), ["lo", "hi"])
-
-
-def q_lidar_kappa_index(spark, sf_dir):
-    """LidarKappaIndex (lidar_analysis/lidar_kappa.rs): Cohen's kappa of
-    the cloud vs a deterministically perturbed reclassification."""
-    from whitebox_tools_spark.operators.lidar import lidar_kappa_index
-
-    a = _order_cloud(spark, sf_dir)
-    b = a.withColumn(
-        "classification",
-        F.when(F.col("point_id") % 7 == 0, F.lit(1)).otherwise(F.col("classification")),
-    )
-    return _r6(lidar_kappa_index(a, b), ["kappa", "overall_accuracy"])
-
-
-def q_clip_lidar_to_polygon(spark, sf_dir):
-    """ClipLidarToPolygon (lidar_analysis/clip_lidar_to_polygon.rs)."""
-    from whitebox_tools_spark.operators.pip import clip_lidar_to_polygon
-
-    return _r6(
-        clip_lidar_to_polygon(_order_cloud(spark, sf_dir), PARTS, IDX),
-        ["x", "y", "z"],
-    )
-
-
-def q_erase_polygon_from_lidar(spark, sf_dir):
-    """ErasePolygonFromLidar (lidar_analysis/erase_polygon_from_lidar.rs)."""
-    from whitebox_tools_spark.operators.pip import clip_lidar_to_polygon
-
-    return _r6(
-        clip_lidar_to_polygon(_order_cloud(spark, sf_dir), PARTS, IDX, erase=True),
-        ["x", "y", "z"],
-    )
-
-
-def q_clip_raster_to_polygon(spark, sf_dir):
-    """ClipRasterToPolygon (gis_analysis/clip_raster_to_polygon.rs):
-    noise raster clipped to the lake polygons (cell-center PIP)."""
-    from whitebox_tools_spark.operators.extract import clip_raster_to_polygon
-
-    return _r6(
-        clip_raster_to_polygon(
-            _noise_raster(spark, sf_dir), EXTRACT_GRID, _LAKES, IDX
-        ),
-        ["value"],
-    )
-
-
-def q_erase_polygon_from_raster(spark, sf_dir):
-    """ErasePolygonFromRaster (gis_analysis/erase_polygon_from_raster.rs)."""
-    from whitebox_tools_spark.operators.extract import clip_raster_to_polygon
-
-    return _r6(
-        clip_raster_to_polygon(
-            _noise_raster(spark, sf_dir), EXTRACT_GRID, _LAKES, IDX, erase=True
-        ),
-        ["value"],
-    )
-
-
-def q_select_tiles_by_polygon(spark, sf_dir):
-    """SelectTilesByPolygon (lidar_analysis/select_tiles_by_polygon.rs):
-    keep 125-unit tiles whose center lies in a synth polygon."""
-    from whitebox_tools_spark.operators.pip import select_tiles_by_polygon
-
-    tiles = spark.range(64).select(
-        F.col("id").alias("tile"),
-        (F.lit(62.5) + (F.col("id") % 8) * 125.0).alias("cx"),
-        (F.lit(62.5) + (F.col("id") / 8).cast("long") * 125.0).alias("cy"),
-    )
-    return select_tiles_by_polygon(tiles, PARTS, IDX).select(
-        "tile", F.round("cx", 6).alias("cx"), F.round("cy", 6).alias("cy")
-    )
-
-
-def _flightline_overlap_sql() -> str:
-    g = NN_GRID
-    return f"""
-WITH pts AS ({_cloud_ext_cte()}),
-k AS (SELECT {g.row_sql('y')} AS row, {g.col_sql('x')} AS col, point_source_id FROM pts)
-SELECT row, col, CAST(count(DISTINCT point_source_id) AS DOUBLE) AS value
-FROM k WHERE {g.in_grid_sql('row', 'col')}
-GROUP BY row, col
-"""
-
-
-def _classify_overlap_sql() -> str:
-    g = NN_GRID
-    return f"""
-WITH pts AS ({_cloud_ext_cte()}),
-k AS (SELECT pts.*, {g.row_sql('y')} AS grow, {g.col_sql('x')} AS gcol FROM pts),
-ov AS (
-  SELECT grow, gcol FROM k WHERE {g.in_grid_sql('grow', 'gcol')}
-  GROUP BY grow, gcol HAVING count(DISTINCT point_source_id) > 1
-)
-SELECT k.point_id, round(k.x, 6) AS x, round(k.y, 6) AS y, round(k.z, 6) AS z,
-       CASE WHEN ov.grow IS NOT NULL THEN 12 ELSE k.classification END AS classification
-FROM k LEFT JOIN ov ON ov.grow = k.grow AND ov.gcol = k.gcol
-"""
-
-
-def _lidar_colourize_sql() -> str:
-    from whitebox_tools_spark.operators.color import composite_oracle_sql
-
-    comp = composite_oracle_sql(_PART_RASTER_SQL, _PART_RASTER2_SQL, _PART_RASTER3_SQL)
-    g = EXTRACT_GRID
-    return f"""
-WITH pts AS ({_order_cloud_cte()}),
-comp AS ({comp}),
-rgb AS (SELECT row, col,
-               CAST(value AS BIGINT) % 256 AS red,
-               (CAST(value AS BIGINT) // 256) % 256 AS green,
-               (CAST(value AS BIGINT) // 65536) % 256 AS blue
-        FROM comp)
-SELECT p.point_id, round(p.x, 6) AS x, round(p.y, 6) AS y, round(p.z, 6) AS z,
-       rgb.red, rgb.green, rgb.blue
-FROM pts p JOIN rgb ON rgb.row = {g.row_sql('p.y')} AND rgb.col = {g.col_sql('p.x')}
-"""
-
-
-def _lidar_histogram_sql() -> str:
-    return f"""
-WITH pts AS ({_order_cloud_cte()}),
-st AS (SELECT min(z) AS mn, max(z) AS mx FROM pts),
-b AS (SELECT least(CAST(floor((z - mn) / ((mx - mn) / 20.0)) AS BIGINT), 19) AS bin,
-             mn, mx
-      FROM pts CROSS JOIN st)
-SELECT bin,
-       round(min(mn) + bin * (min(mx) - min(mn)) / 20, 6) AS lo,
-       round(min(mn) + (bin + 1) * (min(mx) - min(mn)) / 20, 6) AS hi,
-       count(*) AS n
-FROM b GROUP BY bin
-"""
-
-
-def _lidar_kappa_sql() -> str:
-    return f"""
-WITH a AS ({_order_cloud_cte()}),
-b AS (SELECT point_id,
-             CASE WHEN point_id % 7 = 0 THEN 1 ELSE classification END AS cb
-      FROM a),
-j AS (SELECT a.classification AS ca, b.cb FROM a JOIN b ON b.point_id = a.point_id),
-nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM j),
-pa AS (SELECT CAST(SUM(CASE WHEN ca = cb THEN 1 ELSE 0 END) AS DOUBLE) AS agree FROM j),
-marg AS (
-  SELECT SUM(CAST(na.cnt AS DOUBLE) * nb.cnt / (nn.n * nn.n)) AS pe
-  FROM (SELECT ca AS cls, count(*) AS cnt FROM j GROUP BY ca) na
-  JOIN (SELECT cb AS cls, count(*) AS cnt FROM j GROUP BY cb) nb ON nb.cls = na.cls
-  CROSS JOIN nn
-)
-SELECT round((pa.agree / nn.n - marg.pe) / (1.0 - marg.pe), 6) AS kappa,
-       round(pa.agree / nn.n, 6) AS overall_accuracy
-FROM pa CROSS JOIN nn CROSS JOIN marg
-"""
-
-
-def _clip_lidar_sql(*, erase: bool) -> str:
-    cte = _order_cloud_cte()
-    pip = synth.pip_oracle_sql(cte, POLYS)
-    op = "NOT IN" if erase else "IN"
-    return f"""
-WITH pts AS ({cte}),
-hits AS ({pip})
-SELECT point_id, round(x, 6) AS x, round(y, 6) AS y, round(z, 6) AS z, classification
-FROM pts WHERE point_id {op} (SELECT DISTINCT point_id FROM hits)
-"""
-
-
-def _clip_raster_poly_sql(*, erase: bool) -> str:
-    g = EXTRACT_GRID
-    lake_polys = [
-        synth.Poly(pid, tuple(
-            synth.Part(tuple(xs), tuple(ys), hole) for xs, ys, hole in parts
-        ))
-        for pid, parts in _LAKES
-    ]
-    pip = synth.pip_oracle_sql(_grid_centers_cte(g), lake_polys)
-    op = "NOT IN" if erase else "IN"
-    return f"""
-WITH dem AS (SELECT row, col, value FROM ({_NOISE_RASTER_SQL}) WHERE value IS NOT NULL),
-hits AS ({pip})
-SELECT row, col, round(value, 6) AS value
-FROM dem WHERE row * {g.cols} + col {op} (SELECT DISTINCT point_id FROM hits)
-"""
-
-
-def _select_tiles_sql() -> str:
-    cte = (
-        "SELECT CAST(i AS BIGINT) AS point_id, "
-        "62.5 + (i % 8) * 125.0 AS x, "
-        "62.5 + CAST(floor(i / 8) AS BIGINT) * 125.0 AS y "
-        "FROM generate_series(0, 63) t(i)"
-    )
-    pip = synth.pip_oracle_sql(cte, POLYS)
-    return f"""
-WITH tiles AS ({cte}),
-hits AS ({pip})
-SELECT point_id AS tile, round(x, 6) AS cx, round(y, 6) AS cy
-FROM tiles WHERE point_id IN (SELECT DISTINCT point_id FROM hits)
-"""
-
-
-def q_lidar_thin_high_density(spark, sf_dir):
-    """LidarThinHighDensity (lidar_analysis/lidar_thin_high_density.rs),
-    resolution 100, density 0.0003 (thins the densest xy/z bins)."""
-    from whitebox_tools_spark.operators.lidar import thin_high_density
-
-    out = thin_high_density(
-        _order_cloud(spark, sf_dir), resolution=100.0, density=0.0003
-    )
-    return _r6(out.select("point_id", "x", "y", "z", "classification"), ["x", "y", "z"])
-
-
-def q_lidar_remove_duplicates(spark, sf_dir):
-    """RemoveDuplicates (lidar_analysis/remove_duplicates.rs): the cloud
-    unioned with a re-keyed copy of itself collapses back to one point per
-    (x, y) with the lowest id."""
-    from whitebox_tools_spark.operators.lidar import remove_duplicates
-
-    c = _order_cloud(spark, sf_dir)
-    doubled = c.unionByName(
-        c.withColumn("point_id", F.col("point_id") + 10_000_000)
-    )
-    out = remove_duplicates(doubled)
-    return out.select(
-        "point_id", F.round("x", 6).alias("x"), F.round("y", 6).alias("y"),
-        F.round("z", 6).alias("z"), "classification",
-    )
-
-
-def q_add_point_coordinates(spark, sf_dir):
-    """AddPointCoordinatesToTable (data_tools/
-    add_point_coordinates_to_table.rs): append XCoord/YCoord fields."""
-    p = _cust_points(spark, sf_dir)
-    cust = _t(spark, sf_dir, "customer").select(
-        F.col("c_custkey").alias("point_id"), "c_name", "c_mktsegment"
-    )
-    return cust.join(p.select("point_id", "x", "y"), "point_id").select(
-        "point_id", "c_name", "c_mktsegment",
-        F.round("x", 6).alias("XCoord"), F.round("y", 6).alias("YCoord"),
-    )
-
-
-def q_lidar_point_density(spark, sf_dir):
-    """LidarPointDensity (lidar_analysis/lidar_point_density.rs): counts
-    within 50 units of each NN_GRID cell center over pi r^2."""
-    from whitebox_tools_spark.operators.lidar import lidar_point_density
-
-    return _r6(
-        lidar_point_density(_order_cloud(spark, sf_dir), NN_GRID, radius=50.0),
-        ["value"],
-    )
-
-
-def q_lidar_remove_outliers(spark, sf_dir):
-    """LidarRemoveOutliers (lidar_analysis/lidar_outliers.rs): mean-z
-    difference over a 60-unit radius, 50-unit threshold."""
-    from whitebox_tools_spark.operators.lidar import lidar_outliers
-
-    out = lidar_outliers(_order_cloud(spark, sf_dir), radius=60.0, elev_diff=50.0)
-    return out.select(
-        "point_id", F.round("x", 6).alias("x"), F.round("y", 6).alias("y"),
-        F.round("z", 6).alias("z"), "classification",
-    )
-
-
-def q_lidar_shift(spark, sf_dir):
-    """LidarShift (lidar_analysis/lidar_shift.rs): rigid x/y/z offset."""
-    from whitebox_tools_spark.operators.lidar import lidar_shift
-
-    out = lidar_shift(_order_cloud(spark, sf_dir), dx=12.5, dy=-3.25, dz=1.5)
-    return out.select(
-        "point_id", F.round("x", 6).alias("x"), F.round("y", 6).alias("y"),
-        F.round("z", 6).alias("z"),
-    )
-
-
-def q_lidar_filter_classes(spark, sf_dir):
-    """FilterLidarClasses (lidar_analysis/filter_lidar_classes.rs)."""
-    from whitebox_tools_spark.operators.lidar import filter_classes
-
-    return filter_classes(_order_cloud(spark, sf_dir), [2]).select(
-        "point_id", F.col("classification").cast("long").alias("classification")
-    )
-
-
-def q_lidar_block_minimum(spark, sf_dir):
-    """LidarBlockMinimum (lidar_analysis/block_minimum.rs): lowest return
-    per grid cell as a raster."""
-    cloud = _order_cloud(spark, sf_dir)
-    g = EXTRACT_GRID
-    return (
-        cloud.withColumn("col", g.col_expr(F.col("x")))
-        .withColumn("row", g.row_expr(F.col("y")))
-        .filter(g.in_grid_expr(F.col("row"), F.col("col")))
-        .groupBy("row", "col")
-        .agg(F.round(F.min("z"), 6).alias("value"))
-    )
-
-
-def q_lidar_block_maximum(spark, sf_dir):
-    """LidarBlockMaximum (lidar_analysis/block_maximum.rs)."""
-    cloud = _order_cloud(spark, sf_dir)
-    g = EXTRACT_GRID
-    return (
-        cloud.withColumn("col", g.col_expr(F.col("x")))
-        .withColumn("row", g.row_expr(F.col("y")))
-        .filter(g.in_grid_expr(F.col("row"), F.col("col")))
-        .groupBy("row", "col")
-        .agg(F.round(F.max("z"), 6).alias("value"))
-    )
-
-
-def _add_coords_sql() -> str:
-    x, y = synth.point_sql("c_custkey")
-    return (
-        f"SELECT c_custkey AS point_id, c_name, c_mktsegment, "
-        f"round({x}, 6) AS XCoord, round({y}, 6) AS YCoord FROM customer"
-    )
-
-
-def _lidar_density_sql() -> str:
-    from whitebox_tools_spark.operators.lidar import lidar_point_density_oracle_sql
-
-    inner = lidar_point_density_oracle_sql(_order_cloud_cte(), NN_GRID, radius=50.0)
-    return f"SELECT row, col, round(value, 6) AS value FROM ({inner}) t"
-
-
-def _lidar_outliers_sql() -> str:
-    from whitebox_tools_spark.operators.lidar import lidar_outliers_oracle_sql
-
-    inner = lidar_outliers_oracle_sql(_order_cloud_cte(), radius=60.0, elev_diff=50.0)
-    return (
-        f"SELECT point_id, round(x, 6) AS x, round(y, 6) AS y, round(z, 6) AS z, "
-        f"classification FROM ({inner}) t"
-    )
-
-
-def _lidar_sql(which: str) -> str:
-    g = EXTRACT_GRID
-    cloud = _order_cloud_cte()
-    rc = f"{g.row_sql('y')} AS row, {g.col_sql('x')} AS col"
-    if which == "stats":
-        return f"""
-WITH c AS (SELECT point_id, z, {rc} FROM ({cloud}))
-SELECT row, col, count(*) AS n_points, round(min(z), 6) AS min_z,
-       round(max(z), 6) AS max_z, round(avg(z), 6) AS mean_z
-FROM c WHERE {g.in_grid_sql('row', 'col')} GROUP BY row, col
-"""
-    if which == "thin":
-        return f"""
-WITH c AS (SELECT point_id, z, x, y, {rc} FROM ({cloud})),
-r AS (SELECT *, row_number() OVER (PARTITION BY row, col ORDER BY z, point_id) AS rn FROM c)
-SELECT point_id, row, col, round(z, 6) AS z FROM r WHERE rn = 1
-"""
-    if which == "shift":
-        return f"""
-SELECT point_id, round(x + 12.5, 6) AS x, round(y + -3.25, 6) AS y,
-       round(z + 1.5, 6) AS z
-FROM ({cloud})
-"""
-    if which == "classes":
-        return f"""
-SELECT point_id, CAST(classification AS BIGINT) AS classification
-FROM ({cloud}) WHERE classification IN (2)
-"""
-    if which in ("block_min", "block_max"):
-        fn = "min" if which == "block_min" else "max"
-        return f"""
-WITH c AS (SELECT z, {rc} FROM ({cloud}))
-SELECT row, col, round({fn}(z), 6) AS value
-FROM c WHERE {g.in_grid_sql('row', 'col')} GROUP BY row, col
-"""
-    return f"""
-SELECT point_id, round(z, 6) AS z FROM ({cloud}) WHERE z >= 100.0 AND z <= 200.0
-"""
-
-
-def _stat_filter_sql(stat: str) -> str:
-    from whitebox_tools_spark.operators.focal import stat_filter_oracle_sql
-
-    inner = stat_filter_oracle_sql(_PART_RASTER_SQL, stat)
-    return f"SELECT row, col, round(value, 6) AS value FROM ({inner})"
-
-
-_CLS_RASTER_SQL = (
-    "SELECT row, col, floor(value / 500.0)::DOUBLE AS value "
-    f"FROM ({_PART_RASTER_SQL})"
-)
-
-
-def _focal_cls_sql(which: str) -> str:
-    """Class-valued focal oracles (diversity / majority) on the coarsened
-    integer-class raster that the matching queries use."""
-    from whitebox_tools_spark.operators import focal as FO
-
-    if which == "diversity":
-        return FO.stat_filter_oracle_sql(_CLS_RASTER_SQL, "diversity")
-    return FO.majority_oracle_sql(_CLS_RASTER_SQL)
-
-
-def _focal_r6_sql(which: str) -> str:
-    from whitebox_tools_spark.operators import focal as FO
-
-    inner = {
-        "elev_percentile": lambda: FO.elev_percentile_oracle_sql(_PART_RASTER_SQL),
-        "ruggedness": lambda: FO.ruggedness_oracle_sql(_PART_RASTER_SQL),
-        "diff_from_mean": lambda: FO.diff_from_mean_oracle_sql(_PART_RASTER_SQL),
-        "dev_from_mean": lambda: FO.dev_from_mean_oracle_sql(_PART_RASTER_SQL),
-        "opening": lambda: FO.morphology_oracle_sql(_PART_RASTER_SQL, "opening"),
-        "closing": lambda: FO.morphology_oracle_sql(_PART_RASTER_SQL, "closing"),
-        "tophat": lambda: FO.morphology_oracle_sql(_PART_RASTER_SQL, "tophat"),
-    }[which]()
-    return f"SELECT row, col, round(value, 6) + 0.0 AS value FROM ({inner})"
-
-
-def _clip_erase_sql(*, erase: bool) -> str:
-    x, y = synth.point_sql("c_custkey")
-    cte = f"SELECT c_custkey AS point_id, {x} AS x, {y} AS y FROM customer"
-    pip = synth.pip_oracle_sql(cte, POLYS)
-    op = "NOT IN" if erase else "IN"
-    return f"""
-WITH pts AS ({cte}),
-hits AS ({pip})
-SELECT point_id, x, y,
-       CAST(row_number() OVER (ORDER BY point_id) AS BIGINT) AS FID
-FROM pts WHERE point_id {op} (SELECT DISTINCT point_id FROM hits)
-"""
-
-
-def _lidar_hexbin_sql() -> str:
-    from whitebox_tools_spark.operators.tiling import hex_binning_oracle_sql
-
-    cte = "SELECT point_id, x, y FROM (" + _order_cloud_cte() + ") t"
-    return hex_binning_oracle_sql(
-        cte, width=120.0, min_x=0.0, max_x=1000.0, min_y=0.0, max_y=1000.0
-    )
-
-
-def _lidar_footprint_sql() -> str:
-    tcol, trow, tile = lidar_tile_sql(
-        "x", "y", width=250.0, height=250.0, origin_x=0.0, origin_y=0.0,
-        min_x=0.0, min_y=0.0, max_x=1000.0, max_y=1000.0,
-    )
-    return f"""
-WITH pts AS ({_order_cloud_cte()}),
-t AS (SELECT point_id, x, y, {tile} AS tile FROM pts)
-SELECT tile, count(*) AS n,
-       round(min(x), 6) AS min_x, round(max(x), 6) AS max_x,
-       round(min(y), 6) AS min_y, round(max(y), 6) AS max_y
-FROM t GROUP BY tile
-"""
-
-
-def _find_ridges_sql() -> str:
-    from whitebox_tools_spark.operators.terrain import find_ridges_oracle_sql
-
-    return find_ridges_oracle_sql(_PART_RASTER_SQL)
-
-
-def _hexbin_sql() -> str:
-    from whitebox_tools_spark.operators.tiling import hex_binning_oracle_sql
-
-    x, y = synth.point_sql("c_custkey")
-    cte = f"SELECT c_custkey AS point_id, {x} AS x, {y} AS y FROM customer"
-    return hex_binning_oracle_sql(
-        cte, width=80.0, min_x=0.0, max_x=1000.0, min_y=0.0, max_y=1000.0
-    )
-
-
-def _edges_cte() -> str:
-    return (
-        "edges AS (SELECT * FROM (VALUES\n"
-        + synth.edges_sql_values(POLYS)
-        + f"\n) AS {synth.EDGES_SQL_COLS})"
-    )
-
-
-def _filter_area_sql() -> str:
-    return _CLUMP_CTES + """
-, sizes AS (SELECT clump_id, count(*) AS n FROM labeled GROUP BY clump_id)
-SELECT l.row, l.col,
-       CASE WHEN s.n >= 5 THEN l.value ELSE 0.0 END AS value
-FROM labeled l JOIN sizes s ON s.clump_id = l.clump_id
-"""
-
-
-def _create_plane_sql() -> str:
-    g = NN_GRID
-    return f"""
-WITH RECURSIVE
-dr(row) AS (SELECT CAST(0 AS BIGINT)
-            UNION ALL SELECT row + 1 FROM dr WHERE row < {g.rows - 1}),
-dc(col) AS (SELECT CAST(0 AS BIGINT)
-            UNION ALL SELECT col + 1 FROM dc WHERE col < {g.cols - 1})
-SELECT row, col,
-       round(100.0 + 0.05 * ({g.x_center_sql("col")})
-             - 0.02 * ({g.y_center_sql("row")}), 6) AS value
-FROM dr CROSS JOIN dc
-"""
-
-
-def _elim_coincident_sql() -> str:
-    pts = _cust_points_cte("")
-    return f"""
-WITH pts AS ({pts}),
-keep AS (
-  SELECT min(point_id) AS point_id
-  FROM pts GROUP BY floor(x / 25.0), floor(y / 25.0)
-)
-SELECT p.point_id, round(p.x, 6) AS x, round(p.y, 6) AS y
-FROM pts p JOIN keep k ON k.point_id = p.point_id
-"""
-
-
-def _medoid_sql() -> str:
-    from whitebox_tools_spark.operators.vector_ops import medoid_oracle_sql
-
-    pts = _cust_points_cte("")
-    inner = medoid_oracle_sql(pts)
-    return (
-        f"SELECT point_id, round(x, 6) AS x, round(y, 6) AS y FROM ({inner}) t"
-    )
-
-
-def _edges_values_sql(parts_list) -> str:
-    rows = []
-    for pid, parts in parts_list:
-        for xs, ys, _hole in parts:
-            for i in range(len(xs) - 1):
-                rows.append(
-                    f"({pid}, {float(xs[i])!r}, {float(ys[i])!r}, "
-                    f"{float(xs[i + 1])!r}, {float(ys[i + 1])!r})"
-                )
-    return (
-        "SELECT * FROM (VALUES\n" + ",\n".join(rows)
-        + "\n) AS t(poly_id, x0, y0, x1, y1)"
-    )
-
-
-def _line_intersections_sql() -> str:
-    from whitebox_tools_spark.operators.vector_ops import line_intersections_oracle_sql
-
-    return line_intersections_oracle_sql(
-        _edges_values_sql(PARTS_A), _edges_values_sql(PARTS)
-    )
-
-
-def _vertices_values_cte() -> str:
-    rows = []
-    for pid, parts in PARTS:
-        for k, (xs, ys, hole) in enumerate(parts):
-            for i, (x, y) in enumerate(zip(xs, ys)):
-                rows.append(
-                    f"({pid}, {k}, {str(bool(hole)).lower()}, {i}, {float(x)!r}, {float(y)!r})"
-                )
-    return (
-        "verts AS (SELECT * FROM (VALUES\n" + ",\n".join(rows)
-        + "\n) AS t(poly_id, part_idx, is_hole, idx, x, y))"
-    )
-
-
-def _envelope_sql() -> str:
-    return f"""
-WITH {_vertices_values_cte()}
-SELECT CAST(poly_id AS BIGINT) AS poly_id,
-       round(min(x), 6) AS min_x, round(max(x), 6) AS max_x,
-       round(min(y), 6) AS min_y, round(max(y), 6) AS max_y
-FROM verts WHERE NOT is_hole GROUP BY poly_id
-"""
-
-
-def _extract_nodes_sql() -> str:
-    return f"""
-WITH {_vertices_values_cte()}
-SELECT CAST(poly_id AS BIGINT) AS poly_id, part_idx,
-       CAST(idx AS BIGINT) AS idx, round(x, 6) AS x, round(y, 6) AS y
-FROM verts
-"""
-
-
-def _smooth_vectors_sql() -> str:
-    return f"""
-WITH {_vertices_values_cte()},
-cnt AS (SELECT poly_id, part_idx, max(idx) AS last FROM verts GROUP BY 1, 2),
-sm AS (
-  SELECT v.poly_id, v.part_idx, v.idx, v.x, v.y, c.last,
-         avg(v.x) OVER (PARTITION BY v.poly_id, v.part_idx ORDER BY v.idx
-                        ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS sx,
-         avg(v.y) OVER (PARTITION BY v.poly_id, v.part_idx ORDER BY v.idx
-                        ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS sy
-  FROM verts v JOIN cnt c ON c.poly_id = v.poly_id AND c.part_idx = v.part_idx
-)
-SELECT CAST(poly_id AS BIGINT) AS poly_id, part_idx, CAST(idx AS BIGINT) AS idx,
-       round(CASE WHEN idx > 0 AND idx < last AND last > 2 THEN sx ELSE x END, 6) AS x,
-       round(CASE WHEN idx > 0 AND idx < last AND last > 2 THEN sy ELSE y END, 6) AS y
-FROM sm
-"""
-
-
-def _elongation_sql() -> str:
-    """Independent rotating-calipers min-area box per feature (its own
-    hull + projection sweep, not the engine's numpy kernel), emitted as
-    literal elongation values."""
-    import math as _m
-
-    def hull(pts):
-        pts = sorted(set(pts))
-        if len(pts) < 3:
-            return pts
-
-        def half(points):
-            h = []
-            for p in points:
-                while len(h) >= 2 and (
-                    (h[-1][0] - h[-2][0]) * (p[1] - h[-2][1])
-                    - (h[-1][1] - h[-2][1]) * (p[0] - h[-2][0])
-                ) <= 0:
-                    h.pop()
-                h.append(p)
-            return h
-
-        lower = half(pts)
-        upper = half(list(reversed(pts)))
-        return lower[:-1] + upper[:-1]
-
-    def elong(pts):
-        h = hull(pts)
-        if len(h) < 3:
-            return 0.0
-        best = None
-        for i in range(len(h)):
-            x0, y0 = h[i]
-            x1, y1 = h[(i + 1) % len(h)]
-            ex, ey = x1 - x0, y1 - y0
-            n = _m.hypot(ex, ey)
-            if n == 0:
-                continue
-            ux, uy = ex / n, ey / n
-            proj_u = [p[0] * ux + p[1] * uy for p in h]
-            proj_v = [-p[0] * uy + p[1] * ux for p in h]
-            w = max(proj_u) - min(proj_u)
-            ht = max(proj_v) - min(proj_v)
-            if best is None or w * ht < best[0]:
-                best = (w * ht, w, ht)
-        _, w, ht = best
-        s, l = min(w, ht), max(w, ht)
-        return 1.0 - s / l
-
-    rows = []
-    for pid, parts in PARTS:
-        pts = []
-        for xs, ys, hole in parts:
-            if not hole:
-                pts.extend(zip([float(v) for v in xs], [float(v) for v in ys]))
-        rows.append(f"({pid}, {round(elong(pts), 6)!r})")
-    return (
-        "SELECT CAST(poly_id AS BIGINT) AS poly_id, CAST(elongation AS DOUBLE) AS elongation FROM (VALUES "
-        + ", ".join(rows) + ") AS t(poly_id, elongation)"
-    )
-
-
-def _mbb_axes(pts):
-    """Independent rotating-calipers min-area box axis lengths."""
-    import math as _m
-
-    def hull(pts):
-        pts = sorted(set(pts))
-        if len(pts) < 3:
-            return pts
-
-        def half(points):
-            h = []
-            for p in points:
-                while len(h) >= 2 and (
-                    (h[-1][0] - h[-2][0]) * (p[1] - h[-2][1])
-                    - (h[-1][1] - h[-2][1]) * (p[0] - h[-2][0])
-                ) <= 0:
-                    h.pop()
-                h.append(p)
-            return h
-
-        lower = half(pts)
-        upper = half(list(reversed(pts)))
-        return lower[:-1] + upper[:-1]
-
-    h = hull(pts)
-    best = None
-    for i in range(len(h)):
-        x0, y0 = h[i]
-        x1, y1 = h[(i + 1) % len(h)]
-        ex, ey = x1 - x0, y1 - y0
-        n = _m.hypot(ex, ey)
-        if n == 0:
-            continue
-        ux, uy = ex / n, ey / n
-        proj_u = [p[0] * ux + p[1] * uy for p in h]
-        proj_v = [-p[0] * uy + p[1] * ux for p in h]
-        w = max(proj_u) - min(proj_u)
-        ht = max(proj_v) - min(proj_v)
-        if best is None or w * ht < best[0]:
-            best = (w * ht, w, ht)
-    _, w, ht = best
-    return min(w, ht), max(w, ht)
-
-
-def _extend_lines_sql() -> str:
-    segs = _cust_segs_cte()
-    return f"""
-WITH segs AS ({segs}),
-ends AS (
-  SELECT line_id,
-         min_by(px0, seg_idx) AS x1, min_by(py0, seg_idx) AS y1,
-         min_by(px1, seg_idx) AS x2, min_by(py1, seg_idx) AS y2,
-         max_by(px1, seg_idx) AS xn, max_by(py1, seg_idx) AS yn,
-         max_by(px0, seg_idx) AS xm, max_by(py0, seg_idx) AS ym,
-         count(*) + 1 AS nv
-  FROM segs GROUP BY line_id
-)
-SELECT line_id,
-       round(x1 + 15.0 * (x1 - x2) / sqrt((x1 - x2) * (x1 - x2) + (y1 - y2) * (y1 - y2)), 6) AS sx,
-       round(y1 + 15.0 * (y1 - y2) / sqrt((x1 - x2) * (x1 - x2) + (y1 - y2) * (y1 - y2)), 6) AS sy,
-       round(xn + 15.0 * (xn - xm) / sqrt((xn - xm) * (xn - xm) + (yn - ym) * (yn - ym)), 6) AS ex,
-       round(yn + 15.0 * (yn - ym) / sqrt((xn - xm) * (xn - xm) + (yn - ym) * (yn - ym)), 6) AS ey,
-       CAST(nv AS BIGINT) AS nv
-FROM ends
-"""
-
-
-def _layer_footprint_sql() -> str:
-    vals = []
-    for pid, parts in PARTS:
-        for xs, ys, hole in parts:
-            for x, y in zip(xs, ys):
-                vals.append(f"({float(x)!r}, {float(y)!r})")
-    return (
-        "SELECT round(min(x), 6) AS xmin, round(min(y), 6) AS ymin, "
-        "round(max(x), 6) AS xmax, round(max(y), 6) AS ymax "
-        "FROM (VALUES " + ", ".join(vals) + ") AS t(x, y)"
-    )
-
-
-def _axis_sql(*, long: bool) -> str:
-    rows = []
-    for pid, parts in PARTS:
-        pts = []
-        for xs, ys, hole in parts:
-            if not hole:
-                pts.extend(zip([float(v) for v in xs], [float(v) for v in ys]))
-        s, l = _mbb_axes(pts)
-        rows.append(f"({pid}, {round(l if long else s, 6)!r})")
-    return (
-        "SELECT CAST(poly_id AS BIGINT) AS poly_id, CAST(length AS DOUBLE) AS length "
-        "FROM (VALUES " + ", ".join(rows) + ") AS t(poly_id, length)"
-    )
-
-
-def _indep_mbc(pts):
-    """Independent brute-force smallest enclosing circle (pairs+triples)."""
-    import math as _m
-
-    pts = sorted(set(pts))
-    if len(pts) == 1:
-        return pts[0][0], pts[0][1], 0.0
-    eps = 1e-9
-    best = None
-
-    def covers(cx, cy, r):
-        return all((x - cx) ** 2 + (y - cy) ** 2 <= (r + eps) ** 2 for x, y in pts)
-
-    n = len(pts)
-    for i in range(n):
-        for j in range(i + 1, n):
-            cx = (pts[i][0] + pts[j][0]) / 2.0
-            cy = (pts[i][1] + pts[j][1]) / 2.0
-            r = _m.hypot(pts[i][0] - cx, pts[i][1] - cy)
-            if (best is None or r < best[2]) and covers(cx, cy, r):
-                best = (cx, cy, r)
-    for i in range(n):
-        for j in range(i + 1, n):
-            for k in range(j + 1, n):
-                (ax, ay), (bx, by), (cx_, cy_) = pts[i], pts[j], pts[k]
-                d = 2.0 * (ax * (by - cy_) + bx * (cy_ - ay) + cx_ * (ay - by))
-                if d == 0.0:
-                    continue
-                ux = ((ax * ax + ay * ay) * (by - cy_) + (bx * bx + by * by) * (cy_ - ay)
-                      + (cx_ * cx_ + cy_ * cy_) * (ay - by)) / d
-                uy = ((ax * ax + ay * ay) * (cx_ - bx) + (bx * bx + by * by) * (ax - cx_)
-                      + (cx_ * cx_ + cy_ * cy_) * (bx - ax)) / d
-                r = _m.hypot(ax - ux, ay - uy)
-                if (best is None or r < best[2]) and covers(ux, uy, r):
-                    best = (ux, uy, r)
-    return best
-
-
-def _round_half_up(v, nd=6):
-    """Mirror Spark's ROUND (half away from zero) for literal oracles —
-    python round() is banker's and diverges on exact .5 boundaries."""
-    from decimal import ROUND_HALF_UP, Decimal
-
-    return float(Decimal(repr(v)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP))
-
-
-def _mbc_sql() -> str:
-    rows = []
-    for pid, parts in PARTS:
-        pts = []
-        for xs, ys, hole in parts:
-            if not hole:
-                pts.extend(zip([float(v) for v in xs], [float(v) for v in ys]))
-        cx, cy, r = _indep_mbc(pts)
-        rows.append(
-            f"({pid}, {_round_half_up(cx)!r}, {_round_half_up(cy)!r}, {_round_half_up(r)!r})"
-        )
-    return (
-        "SELECT CAST(poly_id AS BIGINT) AS poly_id, CAST(cx AS DOUBLE) AS cx, "
-        "CAST(cy AS DOUBLE) AS cy, CAST(radius AS DOUBLE) AS radius "
-        "FROM (VALUES " + ", ".join(rows) + ") AS t(poly_id, cx, cy, radius)"
-    )
-
-
-def _rcc_sql() -> str:
-    import math as _m
-
-    def sh_area(xs, ys):
-        s = 0.0
-        for i in range(len(xs) - 1):
-            s += xs[i] * ys[i + 1] - xs[i + 1] * ys[i]
-        return abs(s) / 2.0
-
-    rows = []
-    for pid, parts in PARTS:
-        area = 0.0
-        area_c = 0.0
-        for xs, ys, hole in parts:
-            a = sh_area([float(v) for v in xs], [float(v) for v in ys])
-            area += -a if hole else a
-            _cx, _cy, r = _indep_mbc(
-                list(zip([float(v) for v in xs], [float(v) for v in ys]))
-            )
-            area_c += _m.pi * r * r
-        rows.append(f"({pid}, {round(1.0 - area / area_c, 6)!r})")
-    return (
-        "SELECT CAST(poly_id AS BIGINT) AS poly_id, CAST(value AS DOUBLE) AS value "
-        "FROM (VALUES " + ", ".join(rows) + ") AS t(poly_id, value)"
-    )
-
-
-def _sci_sql() -> str:
-    """Hull areas precomputed by an INDEPENDENT monotone-chain + shoelace
-    implementation (not the engine's geometry kernel); shell areas from the
-    edges CTE in SQL."""
-    def hull_area(pts):
-        pts = sorted(set(pts))
-        if len(pts) < 3:
-            return 0.0
-
-        def half(points):
-            h = []
-            for p in points:
-                while len(h) >= 2 and (
-                    (h[-1][0] - h[-2][0]) * (p[1] - h[-2][1])
-                    - (h[-1][1] - h[-2][1]) * (p[0] - h[-2][0])
-                ) <= 0:
-                    h.pop()
-                h.append(p)
-            return h
-
-        lower = half(pts)
-        upper = half(list(reversed(pts)))
-        ring = lower[:-1] + upper[:-1]
-        a = 0.0
-        for i in range(len(ring)):
-            x0, y0 = ring[i]
-            x1, y1 = ring[(i + 1) % len(ring)]
-            a += x0 * y1 - x1 * y0
-        return abs(a) / 2.0
-
-    rows = []
-    for pid, parts in PARTS:
-        pts = []
-        for xs, ys, hole in parts:
-            if not hole:
-                pts.extend(zip([float(v) for v in xs], [float(v) for v in ys]))
-        rows.append(f"({pid}, {hull_area(pts)!r})")
-    hulls = "hulls(poly_id, hull_area) AS (VALUES " + ", ".join(rows) + ")"
-    return f"""
-WITH {_edges_cte()},
-{hulls},
-per_part AS (
-  SELECT poly_id, part_idx, any_value(is_hole) AS is_hole,
-         abs(sum(x0 * y1 - x1 * y0)) / 2.0 AS a
-  FROM edges GROUP BY poly_id, part_idx
-),
-feat AS (
-  SELECT poly_id, sum(CASE WHEN NOT is_hole THEN a ELSE 0.0 END) AS area
-  FROM per_part GROUP BY poly_id
-)
-SELECT CAST(f.poly_id AS BIGINT) AS poly_id,
-       round(1.0 - f.area / h.hull_area, 6) AS sci
-FROM feat f JOIN hulls h ON h.poly_id = f.poly_id
-"""
-
-
-def _par_ratio_sql() -> str:
-    return f"""
-WITH {_edges_cte()},
-per_part AS (
-  SELECT poly_id, part_idx, any_value(is_hole) AS is_hole,
-         abs(sum(x0 * y1 - x1 * y0)) / 2.0 AS a,
-         sum(sqrt((x1 - x0) * (x1 - x0) + (y1 - y0) * (y1 - y0))) AS p
-  FROM edges GROUP BY poly_id, part_idx
-),
-feat AS (
-  SELECT poly_id,
-         sum(CASE WHEN is_hole THEN -a ELSE a END) AS area,
-         sum(p) AS perimeter
-  FROM per_part GROUP BY poly_id
-)
-SELECT CAST(poly_id AS BIGINT) AS poly_id,
-       round(perimeter / area, 6) AS ratio
-FROM feat
-"""
-
-
-def _hole_prop_sql() -> str:
-    return f"""
-WITH {_edges_cte()},
-per_part AS (
-  SELECT poly_id, part_idx, any_value(is_hole) AS is_hole,
-         abs(sum(x0 * y1 - x1 * y0)) / 2.0 AS a
-  FROM edges GROUP BY poly_id, part_idx
-),
-feat AS (
-  SELECT poly_id,
-         sum(CASE WHEN is_hole THEN a ELSE 0.0 END) AS ha,
-         sum(CASE WHEN NOT is_hole THEN a ELSE 0.0 END) AS sa
-  FROM per_part GROUP BY poly_id
-)
-SELECT CAST(poly_id AS BIGINT) AS poly_id, round(ha / sa, 6) AS hole_prop
-FROM feat
-"""
-
-
-def _shape_idx_sql(which: str) -> str:
-    from whitebox_tools_spark.operators.vector_ops import shape_indices_oracle_sql
-
-    rows = []
-    for pid, parts in PARTS:
-        xs, ys, _hole = parts[0]
-        for x, y in zip(xs, ys):
-            rows.append(f"({pid}, {float(x)!r}, {float(y)!r})")
-    cte = (
-        "SELECT * FROM (VALUES\n" + ",\n".join(rows) + "\n) AS t(poly_id, x, y)"
-    )
-    inner = shape_indices_oracle_sql(cte, which)
-    col = "linearity" if which == "linearity" else "orientation"
-    return (
-        f"SELECT CAST(poly_id AS BIGINT) AS poly_id, round({col}, 6) AS {col} "
-        f"FROM ({inner}) t"
-    )
-
-
-def _polygon_metrics_sql() -> str:
-    return f"""
-WITH edges AS (SELECT * FROM (VALUES
-{synth.edges_sql_values(POLYS)}
-) AS {synth.EDGES_SQL_COLS}),
-per_part AS (
-  SELECT poly_id, part_idx, any_value(is_hole) AS is_hole,
-         abs(sum(x0 * y1 - x1 * y0)) / 2.0 AS a,
-         sum(sqrt((x1 - x0) * (x1 - x0) + (y1 - y0) * (y1 - y0))) AS p,
-         sum((x0 + x1) * (x0 * y1 - x1 * y0)) AS cxs,
-         sum((y0 + y1) * (x0 * y1 - x1 * y0)) AS cys,
-         sum(x0 * y1 - x1 * y0) AS a2
-  FROM edges GROUP BY poly_id, part_idx
-),
-feat AS (
-  SELECT poly_id,
-         sum(CASE WHEN is_hole THEN -a ELSE a END) AS area,
-         sum(p) AS perimeter,
-         min(CASE WHEN NOT is_hole THEN cxs / (3.0 * a2) END) AS cx,
-         min(CASE WHEN NOT is_hole THEN cys / (3.0 * a2) END) AS cy
-  FROM per_part GROUP BY poly_id
-)
-SELECT CAST(poly_id AS BIGINT) AS poly_id, round(area, 6) AS area, round(perimeter, 6) AS perimeter,
-       round(cx, 6) AS cx, round(cy, 6) AS cy,
-       round(perimeter / (2.0 * sqrt(pi()) * sqrt(abs(area))), 6) AS compactness
-FROM feat
-"""
-
-
-def _ngram_jaccard_sql() -> str:
-    return """
-WITH d AS (
-  SELECT doc_id,
-         list_distinct(list_transform(
-           generate_series(1, greatest(length(text) - 2, 1)),
-           i -> substr(text, CAST(i AS INTEGER), 3))) AS sh
-  FROM documents
-),
-pairs AS (
-  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, a.sh AS sa, b.sh AS sb
-  FROM d a CROSS JOIN d b WHERE a.doc_id < b.doc_id
-)
-SELECT doc_id_a, doc_id_b,
-       round(CAST(len(list_intersect(sa, sb)) AS DOUBLE)
-             / len(list_distinct(list_concat(sa, sb))), 6) AS jaccard
-FROM pairs
-WHERE CAST(len(list_intersect(sa, sb)) AS DOUBLE)
-      / len(list_distinct(list_concat(sa, sb))) >= 0.5
-"""
-
-
-_STOP_SQL = "(" + ",".join(f"'{w}'" for w in TX.EN_STOPWORDS) + ")"
-
-
-def _quality_sql() -> str:
-    return f"""
-WITH t AS (
-  SELECT doc_id, text, length(text) AS n_chars,
-         CASE WHEN length(trim(text)) = 0 THEN 0
-              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
-         length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct,
-         CASE WHEN length(trim(text)) = 0 THEN 0
-              ELSE len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
-                                   w -> lower(w) IN {_STOP_SQL})) END AS n_stop
-  FROM documents
-)
-SELECT doc_id, n_chars, n_tokens,
-       round(CASE WHEN n_tokens > 0 THEN CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens ELSE 0.0 END, 6) AS mean_tok_len,
-       round(CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END, 6) AS punct_ratio,
-       round(CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END, 6) AS stop_ratio,
-       round(CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 1.0 ELSE 0.0 END
-             * (1.0 - CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END)
-             * least(CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END * 4.0, 1.0), 6) AS quality
-FROM t
-"""
-
-
-def _langid_sql() -> str:
-    return f"""
-WITH t AS (
-  SELECT doc_id,
-         CASE WHEN length(trim(text)) = 0 THEN 0
-              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
-         CASE WHEN length(trim(text)) = 0 THEN 0
-              ELSE len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
-                                   w -> lower(w) IN {_STOP_SQL})) END AS n_stop
-  FROM documents
-)
-SELECT doc_id,
-       round(CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END, 6) AS stop_ratio,
-       CASE WHEN (CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END) >= 0.08
-            THEN 'en' ELSE 'unknown' END AS pred_lang
-FROM t
-"""
-
-
-def _fingerprint_sql() -> str:
-    return """
-WITH t AS (
-  SELECT doc_id,
-         CASE WHEN length(trim(text)) = 0 THEN []::BIGINT[]
-              ELSE list_transform(regexp_split_to_array(trim(text), '\\s+'),
-                                  tok -> CAST(length(tok) AS BIGINT) * 7919 + ascii(tok)) END AS codes
-  FROM documents
-)
-SELECT doc_id,
-       list_reduce(list_prepend(CAST(0 AS BIGINT), codes),
-                   (acc, c) -> (acc * 1000003 + c) % 2147483647) AS fp
-FROM t
-"""
-
-
-def _embed_topk_sql() -> str:
-    return """
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
-scored AS (
-  SELECT q.query_id, e.vec_id,
-         list_dot_product(e.v, q.qv)
-           / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS cos,
-         row_number() OVER (PARTITION BY q.query_id
-           ORDER BY list_dot_product(e.v, q.qv)
-             / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))) DESC,
-           e.vec_id) AS rank
-  FROM e CROSS JOIN q
-)
-SELECT query_id, vec_id, round(cos, 5) AS cosine, rank FROM scored WHERE rank <= 5
-"""
-
-
-def _kmeans_sql() -> str:
-    from whitebox_tools_spark.operators.ml import lloyd_kmeans_oracle_sql
-
-    fc = [f"f{i}" for i in range(8)]
-    src = (
-        "SELECT vec_id, "
-        + ", ".join(f"embedding[{i + 1}]::DOUBLE AS f{i}" for i in range(8))
-        + " FROM embeddings"
-    )
-    inner = lloyd_kmeans_oracle_sql(src, fc, 4, id_col="vec_id", iters=8)
-    return f"SELECT vec_id, cluster::BIGINT AS cluster FROM ({inner})"
-
-
-def _modified_kmeans_sql() -> str:
-    from whitebox_tools_spark.operators.ml import modified_kmeans_oracle_sql
-
-    fc = [f"f{i}" for i in range(4)]
-    src = (
-        "SELECT vec_id, "
-        + ", ".join(f"embedding[{i + 1}]::DOUBLE AS f{i}" for i in range(4))
-        + " FROM embeddings"
-    )
-    inner = modified_kmeans_oracle_sql(
-        src, fc, id_col="vec_id", start_clusters=12, merge_dist=0.2, iters=6
-    )
-    return f"SELECT vec_id, cluster::BIGINT AS cluster FROM ({inner})"
-
-
-def _embed_ann_sql() -> str:
-    """DuckDB mirror of q_embed_ann_lsh: the hyperplanes are Python-derived
-    literal constants (similarity._planes), so the same plane literals are
-    embedded here and the whole multi-probe LSH pipeline is SQL-expressible.
-    Sign decisions / tie orders depend on float summation only at the
-    ~1e-15 level — far below the 5-decimal comparison grain."""
-    from whitebox_tools_spark.operators.similarity import _planes
-
-    planes = _planes(64, 8, 11)
-
-    def bucket(v: str) -> str:
-        bits = []
-        for i, p in enumerate(planes):
-            lit = "[" + ", ".join(repr(float(x)) for x in p) + "]::DOUBLE[]"
-            bits.append(
-                f"(CASE WHEN list_dot_product({v}, {lit}) >= 0 "
-                f"THEN 1::BIGINT ELSE 0::BIGINT END << {i})"
-            )
-        return " + ".join(bits)
-
-    cos = (
-        "list_dot_product(c.v, qp.qv) / "
-        "(sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(qp.qv, qp.qv)))"
-    )
-    return f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-c AS (SELECT vec_id, v, ({bucket('v')}) AS bucket FROM e),
-q0 AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
-q AS (SELECT query_id, qv, ({bucket('qv')}) AS bucket0 FROM q0),
-qp AS (
-  SELECT query_id, qv, xor(bucket0, m.x) AS bucket
-  FROM q CROSS JOIN (VALUES (0::BIGINT), (1), (2), (4)) m(x)
-),
-scored AS (
-  SELECT DISTINCT qp.query_id, c.vec_id, {cos} AS cos
-  FROM qp JOIN c USING (bucket)
-),
-rk AS (
-  SELECT query_id, vec_id, cos,
-         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
-  FROM scored
-)
-SELECT query_id, vec_id, round(cos, 5) AS cosine, rank FROM rk WHERE rank <= 5
-"""
-
-
-def _embed_ann_multiprobe_sql() -> str:
-    """Adaptive multi-probe mirror: flip order = plane indices sorted by
-    (abs(dot(q, plane)), idx) asc — struct sort is lexicographic in both
-    engines, ties broken identically by idx."""
-    from whitebox_tools_spark.operators.similarity import _planes
-
-    planes = _planes(64, 8, 11)
-
-    def lit(p):
-        return "[" + ", ".join(repr(float(x)) for x in p) + "]::DOUBLE[]"
-
-    def bucket(v: str) -> str:
-        return " + ".join(
-            f"(CASE WHEN list_dot_product({v}, {lit(p)}) >= 0 "
-            f"THEN 1::BIGINT ELSE 0::BIGINT END << {i})"
-            for i, p in enumerate(planes)
-        )
-
-    dots = ", ".join(f"list_dot_product(qv, {lit(p)})" for p in planes)
-    cos = (
-        "list_dot_product(c.v, qp.qv) / "
-        "(sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(qp.qv, qp.qv)))"
-    )
-    return f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-c AS (SELECT vec_id, v, ({bucket('v')}) AS bucket FROM e),
-q0 AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
-q AS (
-  SELECT query_id, qv, ({bucket('qv')}) AS bucket0,
-         list_transform(
-           list_sort([{', '.join(f"{{'a': abs(d[{i + 1}]), 'i': {i}}}" for i in range(8))}]),
-           s -> s.i) AS ord
-  FROM (SELECT query_id, qv, [{dots}] AS d FROM q0)
-),
-qp AS (
-  SELECT query_id, qv, bucket0 AS bucket FROM q
-  UNION ALL
-  SELECT query_id, qv, xor(bucket0, 1::BIGINT << ord[j])
-  FROM q CROSS JOIN (VALUES (1), (2), (3)) m(j)
-),
-scored AS (
-  SELECT DISTINCT qp.query_id, c.vec_id, {cos} AS cos
-  FROM qp JOIN c USING (bucket)
-),
-rk AS (
-  SELECT query_id, vec_id, cos,
-         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
-  FROM scored
-)
-SELECT query_id, vec_id, round(cos, 5) AS cosine, rank FROM rk WHERE rank <= 5
-"""
-
-
-def _embed_near_dup_sql() -> str:
-    return """
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       round(list_dot_product(a.v, b.v)
-             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 5) AS cosine
-FROM e a CROSS JOIN e b
-WHERE a.vec_id < b.vec_id
-  AND list_dot_product(a.v, b.v)
-      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.45
-"""
-
-
-# ---------------------------------------------------------------------------
-# flagship entry
-# ---------------------------------------------------------------------------
-def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: spatial-join + tiling pipeline at sf0.001 — PIP containment
-    join of derived points against the polygon set, then deterministic tile
-    assignment, aggregated to (tile, poly_id, n_points)."""
-    sf_dir = "/root/testdata/sf0.001"
-    pts = assign_tiles(_cust_points(spark, sf_dir).drop("z"), **TILE)
-    hits = points_in_polygons(pts, PARTS, IDX, carry_cols=["tile"])
-    return hits.groupBy("tile", "poly_id").agg(F.count(F.lit(1)).alias("n_points"))
+del _q
