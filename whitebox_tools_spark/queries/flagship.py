@@ -85,15 +85,17 @@ _DRIVER_WINDOW: list[str] = [
     "time_in_daylight",
     "stochastic_depression_analysis",
     "find_ridges",
-    "stdev_of_slope",
     "multiscale_elev_percentile",
-    "mtpi_image",
     "average_normal_vector_angular_deviation",
     "spherical_std_dev_of_normals",
-    "contour_polylines",
-    "otsu_thresholding",
     "individual_tree_detection",
-    "weighted_overlay",
+    # no_oracle rows in r04, converted to value-checked literal
+    # serial-transcription oracles this round (serial_lidar.py)
+    "lidar_ransac_planes",
+    "lidar_segmentation",
+    "lidar_segmentation_based_filter",
+    "lidar_rooftop_analysis",
+    "lidar_construct_vector_tin",
 ]
 
 
@@ -1585,6 +1587,13 @@ SELECT row, col, round((value - mn) / (mx - mn), 6) AS value FROM dem CROSS JOIN
         ),
         "natural_neighbour_gridding": _tin_gridding_sql(),
         "fill_missing_data": _fill_missing_sql(),
+        # lidar RANSAC family: literal serial-transcription oracles
+        # (serial_lidar.py) — converted from rows-only in round 5
+        "lidar_ransac_planes": _lidar_ransac_planes_sql(),
+        "lidar_segmentation": _lidar_segmentation_sql(),
+        "lidar_segmentation_based_filter": _lidar_sbf_sql(),
+        "lidar_rooftop_analysis": _lidar_rooftop_sql(),
+        "lidar_construct_vector_tin": _lidar_tin_brute_sql(),
         # construct_tin: a specific triangulation is not SQL-derivable ->
         # rows-only; Euler + empty-circumcircle invariants pinned in pytest
         "clip_points": _clip_erase_sql(erase=False),

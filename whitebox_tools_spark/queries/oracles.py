@@ -2194,3 +2194,136 @@ WHERE a.vec_id < b.vec_id
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# lidar RANSAC-family literal oracles (serial_lidar.py transcriptions) —
+# converts the last rows-only queries to value-checked (round-5)
+# ---------------------------------------------------------------------------
+
+def _sl():
+    """Lazy import of the serial lidar RANSAC-family transcriptions."""
+    from whitebox_tools_spark import serial_lidar
+
+    return serial_lidar
+
+
+_LIDAR_ORACLE_MEMO: dict[str, str] = {}
+
+
+def _lidar_ransac_planes_sql() -> str:
+    """Literal VALUES oracle for q_lidar_ransac_planes: the independent
+    brute-force serial transcription's (point_id, is_planar) table."""
+    if "ransac" not in _LIDAR_ORACLE_MEMO:
+        sl = _sl()
+        vals = sl.ransac_planes_serial(
+            sl.ransac_cloud(), radius=400.0, num_iter=20, num_samples=5,
+            threshold=0.5, model_size=20, seed=3,
+        )
+        rows = ", ".join(
+            f"({p}, {'TRUE' if v else 'FALSE'})" for p, v in sorted(vals.items())
+        )
+        _LIDAR_ORACLE_MEMO["ransac"] = (
+            "SELECT CAST(p AS BIGINT) AS point_id, v AS is_planar "
+            f"FROM (VALUES {rows}) AS t(p, v)"
+        )
+    return _LIDAR_ORACLE_MEMO["ransac"]
+
+
+def _lidar_segmentation_sql() -> str:
+    """Literal VALUES oracle for q_lidar_segmentation: the serial union-find
+    transcription's (point_id, segment_id, is_planar) table."""
+    if "seg" not in _LIDAR_ORACLE_MEMO:
+        sl = _sl()
+        out = sl.segmentation_serial(
+            sl.seg_cloud(), radius=400.0, norm_diff=5.0, maxzdiff=150.0,
+            num_iter=20, num_samples=5, threshold=0.5, model_size=20, seed=3,
+        )
+        rows = ", ".join(
+            f"({p}, {lab}, {'TRUE' if pl else 'FALSE'})"
+            for p, (lab, pl) in sorted(out.items())
+        )
+        _LIDAR_ORACLE_MEMO["seg"] = (
+            "SELECT CAST(p AS BIGINT) AS point_id, CAST(s AS BIGINT) AS segment_id, "
+            f"v AS is_planar FROM (VALUES {rows}) AS t(p, s, v)"
+        )
+    return _LIDAR_ORACLE_MEMO["seg"]
+
+
+def _lidar_sbf_sql() -> str:
+    """Literal VALUES oracle for q_lidar_segmentation_based_filter: the
+    serial tophat + normals + BFS transcription's (point_id, is_ground)."""
+    if "sbf" not in _LIDAR_ORACLE_MEMO:
+        sl = _sl()
+        vals = sl.sbf_serial(
+            sl.sbf_cloud(), radius=250.0, norm_diff=10.0, maxzdiff=20.0
+        )
+        rows = ", ".join(
+            f"({p}, {'TRUE' if v else 'FALSE'})" for p, v in sorted(vals.items())
+        )
+        _LIDAR_ORACLE_MEMO["sbf"] = (
+            "SELECT CAST(p AS BIGINT) AS point_id, v AS is_ground "
+            f"FROM (VALUES {rows}) AS t(p, v)"
+        )
+    return _LIDAR_ORACLE_MEMO["sbf"]
+
+
+def _lidar_rooftop_sql() -> str:
+    """Hybrid literal oracle for q_lidar_rooftop_analysis: building
+    membership from the repo's proven winding-PIP oracle SQL (executed here
+    in DuckDB over the literal 41x41 cloud), facet labels from
+    serial_lidar.segmentation_serial over the clipped points, and the
+    per-(building, facet) aggregates computed serially — every input is an
+    exact dyadic double (grid coords are multiples of 25), so sums, mins
+    and averages are order-free and bit-identical to the engine's."""
+    if "rooftop" not in _LIDAR_ORACLE_MEMO:
+        import duckdb
+        import numpy as np
+
+        from whitebox_tools_spark.serial_oracles import round_half_away
+
+        sl = _sl()
+        pid, x, y, z = sl.rooftop_cloud()
+        pts_vals = ", ".join(
+            f"({int(p)}, {float(xv)!r}, {float(yv)!r})"
+            for p, xv, yv in zip(pid, x, y)
+        )
+        pip = synth.pip_oracle_sql(
+            f"SELECT * FROM (VALUES {pts_vals}) AS t(point_id, x, y)", POLYS
+        )
+        by_pt: dict[int, set[int]] = {}
+        for p, b in duckdb.sql(pip).fetchall():
+            by_pt.setdefault(int(p), set()).add(int(b))
+        mask = np.array([int(p) in by_pt for p in pid])
+        sub = (pid[mask], x[mask], y[mask], z[mask])
+        seg = sl.segmentation_serial(
+            sub, radius=60.0, norm_diff=5.0, maxzdiff=150.0,
+            num_iter=20, num_samples=5, threshold=0.5, model_size=5, seed=3,
+        )
+        groups: dict[tuple[int, int], list[int]] = {}
+        for i in np.nonzero(mask)[0]:
+            p = int(pid[i])
+            lab, planar = seg[p]
+            if not planar:
+                continue
+            for b in by_pt[p]:
+                groups.setdefault((b, lab), []).append(int(i))
+        rows = []
+        for (b, lab), idxs in sorted(groups.items()):
+            xs, ys, zs = x[idxs], y[idxs], z[idxs]
+            n = len(idxs)
+            rows.append(
+                f"({b}, {lab}, {n}, "
+                f"{round_half_away(float(zs.min()), 6)!r}, "
+                f"{round_half_away(float(zs.max()), 6)!r}, "
+                f"{round_half_away(float(xs.sum() / n), 6)!r}, "
+                f"{round_half_away(float(ys.sum() / n), 6)!r})"
+            )
+        _LIDAR_ORACLE_MEMO["rooftop"] = (
+            "SELECT CAST(b AS BIGINT) AS building_id, CAST(s AS BIGINT) AS segment_id, "
+            "CAST(n AS BIGINT) AS n_points, CAST(zmin AS DOUBLE) AS z_min, "
+            "CAST(zmax AS DOUBLE) AS z_max, CAST(cx AS DOUBLE) AS cx, "
+            "CAST(cy AS DOUBLE) AS cy "
+            f"FROM (VALUES {', '.join(rows)}) AS t(b, s, n, zmin, zmax, cx, cy)"
+        )
+    return _LIDAR_ORACLE_MEMO["rooftop"]

@@ -1609,7 +1609,13 @@ def q_construct_tin(spark, sf_dir):
     than the engine's Bowyer-Watson)."""
     from whitebox_tools_spark.operators.tin import construct_tin
 
-    out = construct_tin(_tin_points(spark))
+    return _canon_tin(construct_tin(_tin_points(spark)))
+
+
+def _canon_tin(out: DataFrame) -> DataFrame:
+    """Canonical triangle rows: each CCW triangle rotated to start at its
+    lexicographically-smallest (x, y) vertex (shared by q_construct_tin and
+    q_lidar_construct_vector_tin; mirrored by the brute oracles)."""
     sa = F.struct(F.col("ax").alias("x"), F.col("ay").alias("y"))
     sb = F.struct(F.col("bx").alias("x"), F.col("by").alias("y"))
     sc = F.struct(F.col("cx").alias("x"), F.col("cy").alias("y"))
@@ -1639,20 +1645,41 @@ def q_construct_tin(spark, sf_dir):
 
 
 def _tin_brute_values_sql() -> str:
-    """Brute-force Delaunay oracle over the fixed TIN points: a triple is
-    a Delaunay triangle iff no other point lies STRICTLY inside its
-    circumcircle (checked vectorized with an exact-Fraction recheck for
+    """Brute-force Delaunay oracle over the fixed TIN points (see
+    _tin_brute_sql_for)."""
+    import numpy as np
+
+    global _TIN_BRUTE_SQL
+    if _TIN_BRUTE_SQL is None:
+        _TIN_BRUTE_SQL = _tin_brute_sql_for(np.arange(1, _TIN_KEYS + 1))
+    return _TIN_BRUTE_SQL
+
+
+def _lidar_tin_brute_sql() -> str:
+    """Brute-force Delaunay oracle over q_lidar_construct_vector_tin's
+    deterministic cloud (keys 7i+3, i = 1..130)."""
+    import numpy as np
+
+    global _LTIN_BRUTE_SQL
+    if _LTIN_BRUTE_SQL is None:
+        _LTIN_BRUTE_SQL = _tin_brute_sql_for(np.arange(1, 131) * 7 + 3)
+    return _LTIN_BRUTE_SQL
+
+
+_LTIN_BRUTE_SQL: str | None = None
+
+
+def _tin_brute_sql_for(keys) -> str:
+    """Brute-force Delaunay oracle over synth hash points of `keys`: a
+    triple is a Delaunay triangle iff no other point lies STRICTLY inside
+    its circumcircle (checked vectorized with an exact-Fraction recheck for
     near-ties, and cocircular quadruples asserted absent so the
-    triangulation is unique). Canonical row form mirrors q_construct_tin."""
+    triangulation is unique). Canonical row form mirrors _canon_tin."""
     import numpy as np
 
     from fractions import Fraction
 
-    global _TIN_BRUTE_SQL
-    if _TIN_BRUTE_SQL is not None:
-        return _TIN_BRUTE_SQL
     a0, b0, c0 = _TIN_PLANE
-    keys = np.arange(1, _TIN_KEYS + 1)
     px, py = synth.point_np(keys)
     n = len(px)
     tris = []
@@ -1733,8 +1760,7 @@ def _tin_brute_values_sql() -> str:
     )
     cols = ["ax", "ay", "bx", "by", "cx", "cy", "az", "bz", "cz"]
     sel = ", ".join(f"round(CAST({c} AS DOUBLE), 6) + 0.0 AS {c}" for c in cols)
-    _TIN_BRUTE_SQL = f"SELECT {sel} FROM (VALUES {vals}) AS t({', '.join(cols)})"
-    return _TIN_BRUTE_SQL
+    return f"SELECT {sel} FROM (VALUES {vals}) AS t({', '.join(cols)})"
 
 
 _TIN_BRUTE_SQL: str | None = None
@@ -1810,14 +1836,22 @@ def q_lidar_tin_gridding(spark, sf_dir):
 
 def q_lidar_construct_vector_tin(spark, sf_dir):
     """LidarConstructVectorTIN (lidar_analysis/
-    lidar_construct_vector_tin.rs): construct_tin over the cloud
-    (rows-only like construct_tin: Delaunay diagonals on co-circular
-    points are unordered in SQL)."""
+    lidar_construct_vector_tin.rs): construct_tin over a LAS-style cloud.
+    Fixture: its own deterministic sf-independent cloud (synth hash points
+    of keys 7i+3, i = 1..130, exact plane z — disjoint positions from
+    q_construct_tin's key set) in canonical triangle form, value-checked
+    against the same independent brute-force empty-circumcircle oracle
+    (_lidar_tin_brute_sql)."""
     from whitebox_tools_spark.operators.tin import construct_tin
 
-    cloud = _order_cloud(spark, sf_dir).filter(F.col("point_id") % 40 == 0)
-    out = construct_tin(cloud, x="x", y="y", z="z")
-    return _r6(out, ["ax", "ay", "bx", "by", "cx", "cy", "az", "bz", "cz"])
+    a, b, c = _TIN_PLANE
+    x, y = synth.point_exprs(F.col("id") * 7 + 3)
+    cloud = (
+        spark.range(1, 131)
+        .select(x.alias("x"), y.alias("y"))
+        .withColumn("z", F.lit(a) + F.lit(b) * F.col("x") + F.lit(c) * F.col("y"))
+    )
+    return _canon_tin(construct_tin(cloud, x="x", y="y", z="z"))
 
 
 def q_lidar_classify_subset(spark, sf_dir):
@@ -1880,9 +1914,10 @@ def q_lidar_join(spark, sf_dir):
 
 def q_lidar_ransac_planes(spark, sf_dir):
     """LidarRansacPlanes (lidar_analysis/lidar_ransac_planes.rs): plane
-    fixture + 30 off-plane outliers; deterministic minstd RANSAC
-    (rows-only — behavior pinned in tests/test_lidar_dsm.py: plane points
-    detected, vegetation rejected, partition-invariant)."""
+    fixture + 30 off-plane outliers; deterministic minstd RANSAC.
+    Value-checked against serial_lidar.ransac_planes_serial (independent
+    brute-force-neighbor serial transcription) as a literal VALUES oracle;
+    also pinned in tests/test_lidar_dsm.py (partition invariance)."""
     from whitebox_tools_spark.operators.lidar import lidar_ransac_planes
 
     a, b, c = _TIN_PLANE
@@ -1932,8 +1967,10 @@ def q_lidar_segmentation(spark, sf_dir):
     """LidarSegmentation (lidar_analysis/lidar_segmentation.rs): RANSAC
     plane per point + similarity-graph components (min-point-id segment
     labels — documented id deviation). Fixture: two offset roof planes +
-    a vegetation blob; rows-only (pinned in tests/test_lidar_dsm.py:
-    facet separation, planar/volume split, partition invariance)."""
+    a vegetation blob. Value-checked against serial_lidar.
+    segmentation_serial (independent union-find serial transcription, acos
+    edge margins asserted) as a literal VALUES oracle; also pinned in
+    tests/test_lidar_dsm.py (facet separation, partition invariance)."""
     from whitebox_tools_spark.operators.lidar import lidar_segmentation
 
     a, b, c = _TIN_PLANE
@@ -1966,8 +2003,10 @@ def q_lidar_segmentation_based_filter(spark, sf_dir):
     """LidarSegmentationBasedFilter (lidar_analysis/
     lidar_segmentation_based_filter.rs): tophat residuals -> residual-space
     normals -> ground reachability from residual==0 seeds. Fixture: plane
-    ground + elevated roof block (rows-only; ground/building separation +
-    partition invariance pinned in tests/test_lidar_dsm.py)."""
+    ground + elevated roof block. Value-checked against serial_lidar.
+    sbf_serial (independent brute-force serial transcription, BFS
+    reachability) as a literal VALUES oracle; also pinned in
+    tests/test_lidar_dsm.py (ground/building separation)."""
     from whitebox_tools_spark.operators.lidar import segmentation_based_filter
 
     a, b, c = _TIN_PLANE

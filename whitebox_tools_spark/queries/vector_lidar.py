@@ -1801,8 +1801,13 @@ def q_lidar_rooftop_analysis(spark, sf_dir):
     RANSAC-plane segmentation composition. Fixture: a deterministic
     41x41 grid cloud (25-unit spacing, dense inside every footprint) at
     two roof planes 200 apart (> maxzdiff=150, so no facet may span
-    both); rows-only (facet separation + partition invariance are
-    pytest-pinned in tests/test_rooftop.py)."""
+    both). Value-checked against a hybrid literal oracle
+    (_lidar_rooftop_sql): PIP clip resolved by the repo's proven winding
+    PIP oracle SQL over the literal cloud, segmentation by serial_lidar.
+    segmentation_serial, per-(building, facet) aggregates computed
+    serially (all inputs exact dyadic doubles, so sums are order-free);
+    facet separation + partition invariance also pytest-pinned in
+    tests/test_rooftop.py."""
     from whitebox_tools_spark.operators.lidar import lidar_rooftop_analysis
 
     cloud = _rooftop_cloud(spark)
