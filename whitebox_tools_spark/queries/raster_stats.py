@@ -1677,72 +1677,96 @@ def _tin_brute_sql_for(keys) -> str:
     triangulation is unique). Canonical row form mirrors _canon_tin."""
     import numpy as np
 
-    from fractions import Fraction
-
     a0, b0, c0 = _TIN_PLANE
     px, py = synth.point_np(keys)
     n = len(px)
+    # exact integer coordinates: every double is a dyadic rational, so
+    # scaling by the common power-of-two denominator gives EXACT python
+    # ints — the incircle/orientation predicates below are then pure
+    # bigint arithmetic (~50x faster than Fraction; signs are invariant
+    # under the uniform scaling)
+    ratios = [v.as_integer_ratio() for v in px.tolist() + py.tolist()]
+    scale = max(d_ for _, d_ in ratios)
+    ipx = [num * (scale // den) for num, den in ratios[:n]]
+    ipy = [num * (scale // den) for num, den in ratios[n:]]
     tris = []
     for a in range(n):
         ax, ay = px[a], py[a]
-        for b in range(a + 1, n):
-            bx, by = px[b], py[b]
-            cs = np.arange(b + 1, n)
-            if cs.size == 0:
-                continue
-            cx, cy = px[cs], py[cs]
-            d = 2.0 * (ax * (by - cy) + bx * (cy - ay) + cx * (ay - by))
-            with np.errstate(divide="ignore", invalid="ignore"):
-                ux = (
-                    (ax * ax + ay * ay) * (by - cy)
-                    + (bx * bx + by * by) * (cy - ay)
-                    + (cx * cx + cy * cy) * (ay - by)
-                ) / d
-                uy = (
-                    (ax * ax + ay * ay) * (cx - bx)
-                    + (bx * bx + by * by) * (ax - cx)
-                    + (cx * cx + cy * cy) * (bx - ax)
-                ) / d
-            r2 = (ax - ux) ** 2 + (ay - uy) ** 2
-            d2 = (px[None, :] - ux[:, None]) ** 2 + (py[None, :] - uy[:, None]) ** 2
-            d2[:, a] = np.inf
-            d2[:, b] = np.inf
-            d2[np.arange(cs.size), cs] = np.inf
-            with np.errstate(invalid="ignore"):
-                margin = d2 - r2[:, None]
-                tol = (1e-9 * np.maximum(r2, 1.0))[:, None]
-                inside = margin < 0
-                close = np.abs(margin) <= tol
-            # float d != 0 does NOT prove non-degeneracy: exactly-collinear
-            # doubles can give a tiny nonzero float d. Exact-check every
-            # triple whose |d| is small relative to its term magnitudes.
-            dmag = 2.0 * (
-                np.abs(ax * (by - cy)) + np.abs(bx * (cy - ay))
-                + np.abs(cx * (ay - by))
-            )
-            suspect = np.abs(d) <= 1e-9 * np.maximum(dmag, 1.0)
-            degenerate = d == 0.0
-            Fx = Fraction
-            for ci in np.nonzero(suspect & ~degenerate)[0]:
-                c = int(cs[ci])
-                s_exact = (Fx(px[b]) - Fx(px[a])) * (Fx(py[c]) - Fx(py[a])) - (
-                    Fx(px[c]) - Fx(px[a])
-                ) * (Fx(py[b]) - Fx(py[a]))
-                if s_exact == 0:
-                    degenerate[ci] = True
-            close &= ~degenerate[:, None]
-            if np.any(close):
-                for ci, i in zip(*np.nonzero(close)):
-                    c = int(cs[ci])
-                    det = _incircle_exact(
-                        Fx(px[a]), Fx(py[a]), Fx(px[b]), Fx(py[b]),
-                        Fx(px[c]), Fx(py[c]), Fx(px[i]), Fx(py[i]),
-                    )
-                    assert det != 0, "cocircular quadruple breaks uniqueness"
-                    s = _ccw_sign(px[a], py[a], px[b], py[b], px[c], py[c])
-                    inside[ci, i] = det > 0 if s > 0 else det < 0
-            good = ~degenerate & ~inside.any(axis=1)
-            tris.extend((a, b, int(c)) for c in cs[good])
+        # vectorize over ALL (b, c) pairs with a < b < c at once (row-major
+        # b-then-c order, matching the previous per-b loop's emission order;
+        # every elementwise expression is unchanged, so results — and the
+        # emitted SQL — are bit-identical, ~7x fewer numpy dispatches)
+        m = n - a - 1
+        if m < 2:
+            continue
+        bi, ci_ = np.triu_indices(m, k=1)
+        bs = bi + a + 1
+        cs = ci_ + a + 1
+        bx, by = px[bs], py[bs]
+        cx, cy = px[cs], py[cs]
+        d = 2.0 * (ax * (by - cy) + bx * (cy - ay) + cx * (ay - by))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ux = (
+                (ax * ax + ay * ay) * (by - cy)
+                + (bx * bx + by * by) * (cy - ay)
+                + (cx * cx + cy * cy) * (ay - by)
+            ) / d
+            uy = (
+                (ax * ax + ay * ay) * (cx - bx)
+                + (bx * bx + by * by) * (ax - cx)
+                + (cx * cx + cy * cy) * (bx - ax)
+            ) / d
+        r2 = (ax - ux) ** 2 + (ay - uy) ** 2
+        p = len(bs)
+        rng = np.arange(p)
+        d2 = (px[None, :] - ux[:, None]) ** 2 + (py[None, :] - uy[:, None]) ** 2
+        d2[:, a] = np.inf
+        d2[rng, bs] = np.inf
+        d2[rng, cs] = np.inf
+        with np.errstate(invalid="ignore"):
+            margin = d2 - r2[:, None]
+            tol = (1e-9 * np.maximum(r2, 1.0))[:, None]
+            inside = margin < 0
+            close = np.abs(margin) <= tol
+        # float d != 0 does NOT prove non-degeneracy: exactly-collinear
+        # doubles can give a tiny nonzero float d. Exact-check every
+        # triple whose |d| is small relative to its term magnitudes.
+        dmag = 2.0 * (
+            np.abs(ax * (by - cy)) + np.abs(bx * (cy - ay))
+            + np.abs(cx * (ay - by))
+        )
+        suspect = np.abs(d) <= 1e-9 * np.maximum(dmag, 1.0)
+        degenerate = d == 0.0
+        for pi in np.nonzero(suspect & ~degenerate)[0]:
+            b = int(bs[pi])
+            c = int(cs[pi])
+            s_exact = (ipx[b] - ipx[a]) * (ipy[c] - ipy[a]) - (
+                ipx[c] - ipx[a]
+            ) * (ipy[b] - ipy[a])
+            if s_exact == 0:
+                degenerate[pi] = True
+        close &= ~degenerate[:, None]
+        if np.any(close):
+            # a triple already excluded by a STRICT (non-close) inside
+            # point is dead no matter how its near-ties resolve — only
+            # live triples need the exact predicate (the cocircular-
+            # uniqueness assertion only concerns surviving triangles)
+            dead = (inside & ~close).any(axis=1)
+            close &= ~dead[:, None]
+            for pi, i in zip(*np.nonzero(close)):
+                b = int(bs[pi])
+                c = int(cs[pi])
+                det = _incircle_exact(
+                    ipx[a], ipy[a], ipx[b], ipy[b],
+                    ipx[c], ipy[c], ipx[int(i)], ipy[int(i)],
+                )
+                assert det != 0, "cocircular quadruple breaks uniqueness"
+                s = _ccw_sign(px[a], py[a], px[b], py[b], px[c], py[c])
+                inside[pi, i] = det > 0 if s > 0 else det < 0
+        good = ~degenerate & ~inside.any(axis=1)
+        tris.extend(
+            (a, int(b_), int(c_)) for b_, c_ in zip(bs[good], cs[good])
+        )
     rows = []
     for (a, b, c) in tris:
         # orient CCW, then rotate to the lexicographically-smallest vertex
