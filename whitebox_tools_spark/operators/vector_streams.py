@@ -1382,7 +1382,7 @@ def polygonize(
     # directed half-edges with origin/destination keys, first-segment
     # departure angle, reversed-last-segment arrival angle, and the
     # directed shoelace partial
-    shoe = F.expr(
+    shoelace = F.expr(
         "aggregate(sequence(1, size(xs) - 1), cast(0.0 as double), "
         "(acc, i) -> acc + round((xs[i-1] * ys[i] - xs[i] * ys[i-1]) * "
         f"{area_scale!r}))"
@@ -1397,7 +1397,7 @@ def polygonize(
             F.element_at("ys", -2) - F.element_at("ys", -1),
             F.element_at("xs", -2) - F.element_at("xs", -1),
         ).alias("arr"),
-        shoe.alias("sh"),
+        shoelace.alias("shoelace2"),
     )
     rev = pieces.select(
         (F.col("eid") * 2 + 1).alias("he"),
@@ -1409,7 +1409,7 @@ def polygonize(
             F.element_at("xs", -2) - F.element_at("xs", -1),
         ).alias("dep"),
         F.atan2(F.col("ys")[1] - F.col("ys")[0], F.col("xs")[1] - F.col("xs")[0]).alias("arr"),
-        (-shoe).alias("sh"),
+        (-shoelace).alias("shoelace2"),
     )
     hes = fwd.unionByName(rev).localCheckpoint(eager=True)
 
@@ -1451,9 +1451,9 @@ def polygonize(
         if done:
             break
     faces = (
-        cur.join(hes.select("he", "sh"), "he")
+        cur.join(hes.select("he", "shoelace2"), "he")
         .groupBy("lab")
-        .agg(F.count(F.lit(1)).alias("n_half_edges"), F.sum("sh").alias("s2"))
+        .agg(F.count(F.lit(1)).alias("n_half_edges"), F.sum("shoelace2").alias("s2"))
         .withColumn("area", F.col("s2") / F.lit(2.0 * area_scale))
         .filter(F.col("area") > 0.0)
     )
