@@ -306,6 +306,13 @@ def minhash_lsh_pairs(
             return F.expr(f"md5(concat_ws(',', {parts}))")
         return F.xxhash64(*[F.col("sig")[i] for i in range(lo, hi)])
 
+    # band rows carry ONLY (doc_id, band key): the 64-element signature
+    # array (~520 B) stays out of the bucket self-join's exchange (~16x
+    # less shuffle at bands=16); candidate pairs resolve their signatures
+    # afterwards with two doc_id equi-joins against the docs-sized sig
+    # table (AQE picks broadcast when it fits). sigs is referenced three
+    # times — checkpoint it so the CPU-heavy shingle hashing runs once.
+    sigs = sigs.localCheckpoint(eager=False)
     banded = sigs.withColumn(
         "band",
         F.explode(
@@ -316,17 +323,23 @@ def minhash_lsh_pairs(
                 ]
             )
         ),
-    ).select("doc_id", "sig", "band.b", "band.h")
-    other = banded.select(
-        F.col("doc_id").alias("doc_id_b"), F.col("sig").alias("sig_b"), "b", "h"
+    ).select("doc_id", "band.b", "band.h")
+    cand = (
+        banded.select(F.col("doc_id").alias("doc_id_a"), "b", "h")
+        .join(banded.select(F.col("doc_id").alias("doc_id_b"), "b", "h"), ["b", "h"])
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        # dedupe multi-band collisions on the ids alone
+        .dropDuplicates(["doc_id_a", "doc_id_b"])
     )
     pairs = (
-        banded.select(F.col("doc_id").alias("doc_id_a"), F.col("sig").alias("sig_a"), "b", "h")
-        .join(other, ["b", "h"])
-        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
-        # dedupe multi-band collisions on the ids alone — hashing the two
-        # 64-element signature arrays through the exchange is pure waste
-        .dropDuplicates(["doc_id_a", "doc_id_b"])
+        cand.join(
+            sigs.select(F.col("doc_id").alias("doc_id_a"), F.col("sig").alias("sig_a")),
+            ["doc_id_a"],
+        )
+        .join(
+            sigs.select(F.col("doc_id").alias("doc_id_b"), F.col("sig").alias("sig_b")),
+            ["doc_id_b"],
+        )
         .select("doc_id_a", "doc_id_b", "sig_a", "sig_b")
     )
     est = (
