@@ -28,11 +28,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # round.  Rounds 1-4 certified 180 distinct queries.  The round-5 window leads
 # with the proof rows the round-4 judge demanded — lidar_normal_vectors (the
 # one r04 red row; signed-zero normalized on both engines this round) and the
-# seven solver-family rows that were rows-only in r04 and now carry
-# value-checked literal/serial-transcription oracles — then rotates the
-# remaining 42 slots onto never-driver-checked keys, prioritizing the judge's
-# list: file-format round trips, media queries, map/zip_ops_all, and the
-# round-5 additions (mosaic resampling, TrendSurfaceVectorPoints, the re-keyed
+# seven solver-family rows that were rows-only in r04 and the five lidar
+# RANSAC-family rows (r04's no_oracle rows) — all now carrying value-checked
+# literal/serial-transcription oracles — then rotates the remaining 37 slots
+# onto never-driver-checked keys, prioritizing the judge's list: file-format
+# round trips, media queries, map/zip_ops_all, and the round-5 additions
+# (mosaic resampling, TrendSurfaceVectorPoints, the re-keyed
 # boundary_shape_complexity, the capped embankment_mapping).
 _DRIVER_WINDOW: list[str] = [
     # r04 red row, root-caused signed zero — must be driver-green this round
