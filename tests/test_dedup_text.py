@@ -280,3 +280,82 @@ def test_lloyd_kmeans_partitions_ids(spark):
     # converged: each cluster contains exactly one generator center
     assert all(len(v) == 1 for v in by_cluster.values())
     assert len(by_cluster) == 3
+
+
+def test_bucket_pair_candidates_chunked_equals_naive(spark):
+    """Triangle-chunked hot-bucket self-join == naive bucket self-join.
+
+    One 40-member hot bucket + several small buckets; with cap=7 the hot
+    bucket splits into ceil(40/7)=6 chunks whose 21 pair cells must cover
+    every unordered pair exactly once (same-chunk double emission collapses
+    under the id-pair dedup). Also pins cap invariance (cap smaller than
+    every bucket vs cap larger than the whole table) and payload
+    orientation (payload_a belongs to the smaller id)."""
+    rows = [(f"d{i:03d}", "hot", 0, i * 1.5) for i in range(40)]
+    rows += [(f"s{i:03d}", f"cold{i % 5}", 1, -float(i)) for i in range(10)]
+    df = spark.createDataFrame(rows, "id string, h string, b int, val double")
+
+    naive = (
+        df.selectExpr("id as doc_id_a", "b", "h", "val as val_a")
+        .join(df.selectExpr("id as doc_id_b", "b", "h", "val as val_b"), ["b", "h"])
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .select("doc_id_a", "doc_id_b", "val_a", "val_b")
+        .distinct()
+    )
+    want = {tuple(r) for r in naive.collect()}
+    assert len(want) == 40 * 39 // 2 + 5  # hot-bucket pairs + one pair per cold bucket
+
+    for cap in (7, 1, 10_000):
+        got = {
+            tuple(r)
+            for r in DD.bucket_pair_candidates(
+                df, ["b", "h"], "id", payload=["val"], cap=cap
+            ).collect()
+        }
+        assert got == want, f"cap={cap}"
+
+    # hot bucket genuinely fans out: with cap=7 no (i, j) cell holds more
+    # than ceil(40/6)^2 = 49 of the 780 hot pairs (the naive join puts all
+    # 780 in ONE hash-partitioned task at scale)
+    from pyspark.sql import Window
+
+    cap = 7
+    w = Window.partitionBy("b", "h")
+    k = F.greatest(F.lit(1), F.ceil(F.count(F.lit(1)).over(w) / F.lit(cap))).cast("int")
+    chunks = (
+        df.withColumn("k", k)
+        .withColumn("c", F.pmod(F.xxhash64(F.col("id"), F.lit(1315423911)), F.col("k")).cast("int"))
+        .filter(F.col("h") == "hot")
+        .groupBy("c")
+        .count()
+        .collect()
+    )
+    sizes = {r.c: r["count"] for r in chunks}
+    assert len(sizes) == 6 and sum(sizes.values()) == 40
+    assert max(v * v for v in sizes.values()) < 780  # no cell sees all pairs
+
+
+def test_minhash_lsh_hot_bucket_cap_invariance(spark):
+    """A templated corpus (every doc shares one boilerplate band) must give
+    identical MinHash+LSH output whether or not hot-bucket chunking kicks
+    in: run with the production cap and with a tiny monkeypatched cap."""
+    base = "identical boilerplate header shared by every document in the corpus "
+    rows = [(i, base + f"unique tail {i} {'x' * (i % 7)}") for i in range(60)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def run():
+        return {
+            (r.doc_id_a, r.doc_id_b, r.est_jaccard)
+            for r in DD.minhash_lsh_pairs(docs, bands=8, verify_threshold=0.3).collect()
+        }
+
+    ref = run()
+    assert ref  # boilerplate makes bands collide: candidates exist
+    orig = DD.bucket_pair_candidates
+    try:
+        DD.bucket_pair_candidates = (
+            lambda d, keys, idc, **kw: orig(d, keys, idc, **{**kw, "cap": 3})
+        )
+        assert run() == ref
+    finally:
+        DD.bucket_pair_candidates = orig

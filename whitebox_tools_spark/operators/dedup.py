@@ -17,6 +17,80 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def bucket_pair_candidates(
+    d: DataFrame,
+    keys: list[str],
+    id_col: str,
+    *,
+    payload: list[str] = (),
+    cap: int = 1024,
+    out_a: str = "doc_id_a",
+    out_b: str = "doc_id_b",
+) -> DataFrame:
+    """Distinct unordered candidate pairs (out_a < out_b) of rows that share
+    a bucket (equal values on `keys`), with HOT buckets triangle-chunked so
+    no single task materializes a whole bucket's quadratic pair set.
+
+    The naive `bucket.join(bucket, keys)` self-join hashes every pair of a
+    bucket into ONE shuffle partition: a bucket of s rows emits s*(s-1)/2
+    pairs in one task, which is the classic web-scale LSH failure (a hot
+    band key — boilerplate/templated documents — serializes the whole job
+    and can OOM a single executor). Here each bucket of size s is split
+    into k = ceil(s/cap) chunks by a deterministic id hash; the k*(k+1)/2
+    chunk-pair CELLS become independent join keys (keys + (i, j)), so the
+    per-task pair volume is bounded by ~cap^2 and hot buckets fan out
+    across the cluster. Output pair SET is identical to the naive join:
+    a pair with chunks (ci, cj) meets in exactly the cell
+    (min(ci,cj), max(ci,cj)); same-chunk pairs meet twice with swapped
+    roles and collapse under the id-pair dedup. Payload columns ride along
+    and are swapped together with the ids so `<payload>_a` always belongs
+    to out_a.
+
+    Replication cost: a row in a bucket of k chunks appears in k+1 cells
+    total across the two sides — i.e. only hot buckets pay fan-out, rows
+    in buckets <= cap are exploded exactly once per side (k = 1).
+    """
+    w = Window.partitionBy(*keys)
+    k = F.greatest(F.lit(1), F.ceil(F.count(F.lit(1)).over(w) / F.lit(int(cap)))).cast("int")
+    dd = d.withColumn("__wts_k", k).withColumn(
+        "__wts_c",
+        F.pmod(F.xxhash64(F.col(id_col), F.lit(1315423911)), F.col("__wts_k")).cast("int"),
+    )
+    # both join branches read dd: checkpoint so the bucket-size window (and
+    # whatever upstream produced d) computes once, not once per branch
+    dd = dd.localCheckpoint(eager=False)
+    left = dd.select(
+        F.col(id_col).alias("__wts_ia"),
+        *[F.col(p).alias(f"__wts_pa_{p}") for p in payload],
+        *keys,
+        F.col("__wts_c").alias("__wts_i"),
+        "__wts_k",
+    ).withColumn("__wts_j", F.explode(F.sequence(F.col("__wts_i"), F.col("__wts_k") - 1)))
+    right = dd.select(
+        F.col(id_col).alias("__wts_ib"),
+        *[F.col(p).alias(f"__wts_pb_{p}") for p in payload],
+        *keys,
+        F.col("__wts_c").alias("__wts_j"),
+    ).withColumn("__wts_i", F.explode(F.sequence(F.lit(0), F.col("__wts_j"))))
+    joined = (
+        left.join(right, [*keys, "__wts_i", "__wts_j"])
+        .filter(F.col("__wts_ia") != F.col("__wts_ib"))
+    )
+    swap = F.col("__wts_ia") > F.col("__wts_ib")
+    cols = [
+        F.when(swap, F.col("__wts_ib")).otherwise(F.col("__wts_ia")).alias(out_a),
+        F.when(swap, F.col("__wts_ia")).otherwise(F.col("__wts_ib")).alias(out_b),
+    ]
+    for p in payload:
+        cols.append(
+            F.when(swap, F.col(f"__wts_pb_{p}")).otherwise(F.col(f"__wts_pa_{p}")).alias(f"{p}_a")
+        )
+        cols.append(
+            F.when(swap, F.col(f"__wts_pa_{p}")).otherwise(F.col(f"__wts_pb_{p}")).alias(f"{p}_b")
+        )
+    return joined.select(*cols).dropDuplicates([out_a, out_b])
+
+
 def exact_dedup(docs: DataFrame, *, text: str = "text", doc_id: str = "doc_id") -> DataFrame:
     """Keep the lowest doc_id per exact text; one hash aggregate.
     -> (doc_id, text, n_dups)."""
@@ -139,13 +213,9 @@ def ngram_jaccard_pairs(
                 ).alias("tok"),
             )
         )
-        cand = (
-            prefix.select(F.col("id").alias("doc_id_a"), "tok")
-            .join(prefix.select(F.col("id").alias("doc_id_b"), "tok"), "tok")
-            .filter(F.col("doc_id_a") < F.col("doc_id_b"))
-            .select("doc_id_a", "doc_id_b")
-            .distinct()
-        )
+        # triangle-chunked self-join (see bucket_pair_candidates): even a
+        # RARE token's posting list can be hot on a templated corpus
+        cand = bucket_pair_candidates(prefix, ["tok"], "id")
         pairs = (
             cand.join(
                 d.select(
@@ -324,13 +394,11 @@ def minhash_lsh_pairs(
             )
         ),
     ).select("doc_id", "band.b", "band.h")
-    cand = (
-        banded.select(F.col("doc_id").alias("doc_id_a"), "b", "h")
-        .join(banded.select(F.col("doc_id").alias("doc_id_b"), "b", "h"), ["b", "h"])
-        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
-        # dedupe multi-band collisions on the ids alone
-        .dropDuplicates(["doc_id_a", "doc_id_b"])
-    )
+    # triangle-chunked self-join: hot band buckets (templated/boilerplate
+    # corpora) fan their quadratic pair cells across tasks instead of
+    # hashing a whole bucket's pairs into one shuffle partition; also
+    # dedupes multi-band collisions on the ids alone
+    cand = bucket_pair_candidates(banded, ["b", "h"], "doc_id")
     pairs = (
         cand.join(
             sigs.select(F.col("doc_id").alias("doc_id_a"), F.col("sig").alias("sig_a")),
@@ -504,14 +572,10 @@ def simhash_near_dup_pairs(
             )
         ),
     ).select("doc_id", "sh", "band.b", "band.k")
-    other = banded.select(F.col("doc_id").alias("doc_id_b"), F.col("sh").alias("sh_b"), "b", "k")
-    pairs = (
-        banded.select(F.col("doc_id").alias("doc_id_a"), F.col("sh").alias("sh_a"), "b", "k")
-        .join(other, ["b", "k"])
-        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
-        .select("doc_id_a", "doc_id_b", "sh_a", "sh_b")
-        .distinct()
-    )
+    # triangle-chunked self-join (see bucket_pair_candidates): hot simhash
+    # band buckets fan out across tasks; hamming is symmetric so payload
+    # orientation is irrelevant, but sh_a/sh_b still track doc_id_a/doc_id_b
+    pairs = bucket_pair_candidates(banded, ["b", "k"], "doc_id", payload=["sh"])
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return (
         pairs.withColumn("hamming", ham)
@@ -586,15 +650,15 @@ def embedding_near_dup_pairs(
         F.col(vec_id).alias("id"),
         F.col(vec).cast("array<double>").alias("v"),
     ).withColumn("bucket", hyperplane_bucket_expr(F.col("v"), n_planes=n_planes, seed=seed, dim=dim))
-    a = d.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"), "bucket")
-    b = d.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"), "bucket")
+    # triangle-chunked self-join (see bucket_pair_candidates): a hot
+    # hyperplane bucket (near-duplicate embedding cluster) fans out
+    pairs = bucket_pair_candidates(
+        d, ["bucket"], "id", payload=["v"], out_a="id_a", out_b="id_b"
+    )
     return (
-        a.join(b, "bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", cosine_expr(F.col("v_a"), F.col("v_b")))
+        pairs.withColumn("cosine", cosine_expr(F.col("v_a"), F.col("v_b")))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
-        .distinct()
     )
 
 
