@@ -359,3 +359,40 @@ def test_minhash_lsh_hot_bucket_cap_invariance(spark):
         assert run() == ref
     finally:
         DD.bucket_pair_candidates = orig
+
+
+def test_near_dup_components_transitive(spark):
+    """Components close transitive chains that keep-first cannot: pairs
+    (A,C), (B,C) — one-hop keep_first drops only C (keeps A and B), but
+    A~C~B is ONE cluster, so keep-min-per-component keeps A alone. Also
+    pins the component labels, cluster sizes, and a second disjoint
+    cluster."""
+    pairs = spark.createDataFrame(
+        [(1, 3), (2, 3), (7, 8)], "doc_id_a long, doc_id_b long"
+    )
+    comp = {
+        (r.doc_id, r.component)
+        for r in DD.near_dup_components(pairs).collect()
+    }
+    assert comp == {(1, 1), (2, 1), (3, 1), (7, 7), (8, 7)}
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in (1, 2, 3, 7, 8, 9)], "doc_id long, text string"
+    )
+    kept_cc = {
+        r.doc_id for r in DD.dedup_keep_min_per_component(docs, pairs).collect()
+    }
+    assert kept_cc == {1, 7, 9}  # one per cluster + untouched 9
+    kept_hop = {r.doc_id for r in DD.dedup_keep_first(docs, pairs).collect()}
+    assert kept_hop == {1, 2, 7, 9}  # one-hop keeps 2: the transitive gap
+
+
+def test_near_dup_components_long_chain(spark):
+    """A 40-node path graph (worst-case diameter for the doubling loop)
+    converges to a single min-labeled component."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "doc_id_a long, doc_id_b long"
+    )
+    rows = DD.near_dup_components(pairs).collect()
+    assert len(rows) == 41
+    assert {r.component for r in rows} == {0}

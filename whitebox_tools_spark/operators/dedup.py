@@ -662,6 +662,102 @@ def embedding_near_dup_pairs(
     )
 
 
+def near_dup_components(pairs: DataFrame, *, a: str = "doc_id_a", b: str = "doc_id_b") -> DataFrame:
+    """Connected components over a near-dup pair graph: -> (doc_id,
+    component) for every doc that appears in at least one pair, where
+    `component` is the MINIMUM doc id reachable through pair edges
+    (including the doc itself) — the canonical cluster representative.
+
+    This is the transitive closure `dedup_keep_first` deliberately skips:
+    near-dup relations chain (A~B, B~C with A!~C), and keep-one-per-CLUSTER
+    is what production dedup needs, not keep-one-per-edge.
+
+    Spark shape: min-label propagation with a pointer-doubling shortcut
+    (lab <- min(lab, lab[lab])), the same O(log diameter) idiom as the
+    raster clump operator — every round is a pair of equi-joins on the
+    deduped edge list, no collect. Near-dup clusters are dense (band
+    collisions make them near-cliques), so convergence is typically 2-3
+    rounds regardless of cluster size."""
+    from whitebox_tools_spark.distributed import loop_checkpoint
+
+    e = pairs.select(F.col(a).alias("a"), F.col(b).alias("b")).distinct()
+    und = (
+        e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .localCheckpoint(eager=True)
+    )
+    lab = (
+        und.select(F.col("a").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("lab"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(64):
+        prop = (
+            und.join(lab, und["a"] == lab["node"])
+            .select(F.col("b").alias("node"), "lab")
+            .groupBy("node")
+            .agg(F.min("lab").alias("nlab"))
+        )
+        relaxed = lab.join(prop, "node", "left").select(
+            "node", F.least(F.col("lab"), F.coalesce("nlab", F.col("lab"))).alias("lab")
+        )
+        short = (
+            relaxed.alias("x")
+            .join(relaxed.alias("y"), F.col("x.lab") == F.col("y.node"), "left")
+            .select(
+                F.col("x.node").alias("node"),
+                F.least(
+                    F.col("x.lab"), F.coalesce(F.col("y.lab"), F.col("x.lab"))
+                ).alias("l2"),
+            )
+        )
+        nxt = lab.select("node", F.col("lab").alias("l1")).join(short, "node")
+        done = nxt.filter(F.col("l2") != F.col("l1")).limit(1).isEmpty()
+        lab = nxt.select("node", F.col("l2").alias("lab")).transform(loop_checkpoint)
+        if done:
+            break
+    return lab.select(F.col("node").alias("doc_id"), F.col("lab").alias("component"))
+
+
+def near_dup_components_oracle_sql(pairs_sql: str) -> str:
+    """DuckDB mirror of near_dup_components + component sizes over any pair
+    query exposing (doc_id_a, doc_id_b): recursive transitive closure,
+    component = min reachable id (including self).
+    -> (doc_id, component, csize)."""
+    return f"""
+WITH RECURSIVE p AS (SELECT doc_id_a, doc_id_b FROM ({pairs_sql})),
+und AS (
+  SELECT doc_id_a AS a, doc_id_b AS b FROM p
+  UNION
+  SELECT doc_id_b AS a, doc_id_a AS b FROM p
+),
+reach(n, m) AS (
+  SELECT a, b FROM und
+  UNION
+  SELECT r.n, u.b FROM reach r JOIN und u ON u.a = r.m
+),
+comp AS (
+  SELECT n AS doc_id, least(n, min(m)) AS component FROM reach GROUP BY n
+)
+SELECT c.doc_id, c.component, s.csize
+FROM comp c
+JOIN (SELECT component, count(*) AS csize FROM comp GROUP BY component) s
+  ON s.component = c.component
+"""
+
+
+def dedup_keep_min_per_component(
+    docs: DataFrame, pairs: DataFrame, *, doc_id: str = "doc_id"
+) -> DataFrame:
+    """Transitive near-dup dedup: keep exactly one doc (the minimum id) per
+    connected component of the pair graph; docs in no pair survive."""
+    comp = near_dup_components(pairs)
+    losers = comp.filter(F.col("doc_id") != F.col("component")).select(
+        F.col("doc_id").alias(doc_id)
+    )
+    return docs.join(losers, doc_id, "left_anti")
+
+
 def dedup_keep_first(docs: DataFrame, pairs: DataFrame, *, doc_id: str = "doc_id") -> DataFrame:
     """Given near-dup pairs, drop every doc that appears as the larger id of
     a pair (keep-lowest-id policy; transitive chains collapse to the

@@ -551,6 +551,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "ngram_jaccard_prefix": q_ngram_jaccard_prefix,
         "minhash_lsh": q_minhash_lsh,
+        "minhash_dedup_components": q_minhash_components,
         "simhash_near_dup": q_simhash,
         "token_count": q_token_count,
         "bpe_token_count": q_bpe_count,
@@ -1684,6 +1685,12 @@ FROM documents
         "minhash_lsh": DD.minhash_lsh_oracle_sql(
             "SELECT doc_id, text FROM documents",
             num_hashes=32, bands=8, verify_threshold=0.7,
+        ),
+        "minhash_dedup_components": DD.near_dup_components_oracle_sql(
+            DD.minhash_lsh_oracle_sql(
+                "SELECT doc_id, text FROM documents",
+                num_hashes=32, bands=8, verify_threshold=0.7,
+            )
         ),
         "simhash_near_dup": "SELECT doc_id_a, doc_id_b, hamming::BIGINT AS hamming FROM ("
         + DD.simhash_near_dup_oracle_sql(

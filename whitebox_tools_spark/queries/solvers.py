@@ -2251,6 +2251,21 @@ def q_simhash(spark, sf_dir):
     return out.select("doc_id_a", "doc_id_b", F.col("hamming").cast("long").alias("hamming"))
 
 
+def q_minhash_components(spark, sf_dir):
+    """Transitive near-dup clusters over the MinHash+LSH pair graph
+    (keep-one-per-CLUSTER dedup needs components, not edges): min-label +
+    pointer-doubling connected components, component = min reachable doc
+    id, plus the cluster size. Value-checked against a DuckDB recursive-CTE
+    transitive closure over the identical portable-md5 pair query."""
+    pairs = DD.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"),
+        num_hashes=32, bands=8, verify_threshold=0.7, hash_family="md5",
+    )
+    comp = DD.near_dup_components(pairs)
+    sz = comp.groupBy("component").agg(F.count(F.lit(1)).alias("csize"))
+    return comp.join(sz, "component").select("doc_id", "component", "csize")
+
+
 def q_token_count(spark, sf_dir):
     return TX.token_count(_t(spark, sf_dir, "documents"))
 
