@@ -80,3 +80,84 @@ def test_ann_salting_invariance(spark):
         ).collect()
     }
     assert salted == base
+
+
+def test_ivf_recall_and_probed_fraction(spark):
+    """IVF-Flat on the clustered corpus: with nlist=32 and n_probe=4 the
+    probed candidate volume is ~n_probe/nlist of exhaustive, and recall@5
+    must still reach 0.9 (clusters >> nlist, so true neighbours share the
+    query's coarse cell)."""
+    corpus = _clustered(spark)
+    n_corpus = corpus.count()
+    q = corpus.filter(F.col("vec_id") % 600 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    n_q = q.count()
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in SIM.cosine_topk(corpus, q, 5, corpus_vec="embedding").collect()
+    }
+    cent = SIM.ivf_centroids(corpus, 32, dim=16, iters=3)
+    inv = SIM.ivf_assign(corpus, cent)
+    probes_frac = 4 / 32
+    ivf = {
+        (r.query_id, r.vec_id)
+        for r in SIM.ivf_topk(
+            corpus, q, 5, nlist=32, n_probe=4, dim=16,
+            centroids=cent, inverted=inv,
+        ).collect()
+    }
+    recall = len(ivf & exact) / len(exact)
+    assert recall >= 0.9, f"recall@5 {recall:.3f} < 0.9"
+    # probed volume: candidates live in exactly the probed lists
+    cand = (
+        SIM.ivf_topk(
+            corpus, q, n_corpus, nlist=32, n_probe=4, dim=16,
+            centroids=cent, inverted=inv,
+        ).count()
+    )
+    assert cand < (probes_frac * 2.5) * n_corpus * n_q, (
+        f"candidates {cand} not bounded by ~{probes_frac:.2f} of exhaustive"
+    )
+
+
+def test_ivf_prebuilt_reuse_identical(spark):
+    """Building the quantizer/inverted lists once and reusing them (the
+    100-TB materialization pattern) must give bit-identical results to the
+    in-flight build."""
+    corpus = _clustered(spark, n_clusters=30, per_cluster=20)
+    q = corpus.filter(F.col("vec_id") % 150 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    inflight = sorted(
+        (r.query_id, r.vec_id, round(r.cosine, 9), r.rank)
+        for r in SIM.ivf_topk(corpus, q, 5, nlist=8, n_probe=3, dim=16).collect()
+    )
+    cent = SIM.ivf_centroids(corpus, 8, dim=16, iters=3)
+    inv = SIM.ivf_assign(corpus, cent)
+    reused = sorted(
+        (r.query_id, r.vec_id, round(r.cosine, 9), r.rank)
+        for r in SIM.ivf_topk(
+            corpus, q, 5, nlist=8, n_probe=3, dim=16, centroids=cent, inverted=inv
+        ).collect()
+    )
+    assert inflight == reused
+
+
+def test_ivf_lists_partition_corpus(spark):
+    """Every corpus vector lands in exactly one inverted list, and each
+    non-empty list's members are nearer (reduced score) to their own
+    centroid than to any other — the argmin invariant."""
+    corpus = _clustered(spark, n_clusters=12, per_cluster=15)
+    cent = SIM.ivf_centroids(corpus, 6, dim=16, iters=3)
+    inv = SIM.ivf_assign(corpus, cent)
+    assert inv.count() == corpus.count()
+    assert inv.select("vec_id").distinct().count() == corpus.count()
+    cents = {r.list_id: np.array(r.cv) for r in cent.collect()}
+    for r in inv.collect():
+        v = np.array(r.cv)
+        scores = {
+            lid: float(np.dot(c, c) - 2.0 * np.dot(v, c)) for lid, c in cents.items()
+        }
+        best = min(scores, key=lambda lid: (scores[lid], lid))
+        assert best == r.list_id

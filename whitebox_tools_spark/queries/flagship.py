@@ -562,6 +562,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embed_near_dup,
         "embedding_ann_lsh": q_embed_ann_lsh,
         "embedding_ann_multiprobe": q_embed_ann_multiprobe,
+        "embedding_ivf_topk": q_embed_ivf_topk,
         "clip_lines": q_clip_lines,
         "erase_lines": q_erase_lines,
         "polygon_overlay": q_polygon_overlay,
@@ -1682,6 +1683,7 @@ FROM documents
         "embedding_near_dup": _embed_near_dup_sql(),
         "embedding_ann_lsh": _embed_ann_sql(),
         "embedding_ann_multiprobe": _embed_ann_multiprobe_sql(),
+        "embedding_ivf_topk": _embed_ivf_sql(),
         "minhash_lsh": DD.minhash_lsh_oracle_sql(
             "SELECT doc_id, text FROM documents",
             num_hashes=32, bands=8, verify_threshold=0.7,

@@ -2327,3 +2327,9 @@ def _lidar_rooftop_sql() -> str:
             f"FROM (VALUES {', '.join(rows)}) AS t(b, s, n, zmin, zmax, cx, cy)"
         )
     return _LIDAR_ORACLE_MEMO["rooftop"]
+
+
+def _embed_ivf_sql() -> str:
+    from whitebox_tools_spark.operators.similarity import ivf_topk_oracle_sql
+
+    return ivf_topk_oracle_sql(5, nlist=8, n_probe=3, iters=3, dim=64)

@@ -2340,3 +2340,17 @@ def q_embed_ann_multiprobe(spark, sf_dir):
                       F.col("rank").cast("long").alias("rank"))
 
 
+
+
+def q_embed_ivf_topk(spark, sf_dir):
+    """IVF-Flat ANN (the task brief's 'IVF or LSH-bucketed' second scale
+    path): deterministic k-means coarse quantizer -> inverted lists ->
+    n_probe nearest lists per query -> exact cosine. Fully value-checked
+    against the unrolled-CTE DuckDB mirror (similarity.ivf_topk_oracle_sql)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = SIM.ivf_topk(emb, queries, 5, nlist=8, n_probe=3, iters=3)
+    return out.select("query_id", "vec_id", F.round("cosine", 5).alias("cosine"),
+                      F.col("rank").cast("long").alias("rank"))
