@@ -34,7 +34,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # onto never-driver-checked keys, prioritizing the judge's list: file-format
 # round trips, media queries, map/zip_ops_all, and the round-5 additions
 # (mosaic resampling, TrendSurfaceVectorPoints, the re-keyed
-# boundary_shape_complexity, the capped embankment_mapping).
+# boundary_shape_complexity, the capped embankment_mapping, IVF-Flat ANN,
+# transitive near-dup components).
 _DRIVER_WINDOW: list[str] = [
     # r04 red row, root-caused signed zero — must be driver-green this round
     "lidar_normal_vectors",
@@ -53,7 +54,6 @@ _DRIVER_WINDOW: list[str] = [
     "las_to_multipoint_shapefile",
     "las_to_zlidar",
     "zlidar_to_las",
-    "las_to_ascii",
     # never driver-checked: media / multimodal
     "media_features",
     "media_resize_features",
@@ -67,6 +67,8 @@ _DRIVER_WINDOW: list[str] = [
     "trend_surface_vector_points",
     "boundary_shape_complexity",
     "embankment_mapping",
+    "embedding_ivf_topk",
+    "minhash_dedup_components",
     # never driver-checked: round-4 plugin family
     "vector_stream_network_analysis",
     "correct_stream_vector_direction",
@@ -81,7 +83,6 @@ _DRIVER_WINDOW: list[str] = [
     "polygonize",
     "deviation_from_regional_direction",
     "heat_map",
-    "extract_by_attribute",
     # never driver-checked: terrain / hydro / image
     "time_in_daylight",
     "stochastic_depression_analysis",
