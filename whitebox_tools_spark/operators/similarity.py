@@ -469,5 +469,5 @@ def ivf_topk_oracle_sql(
     return (
         "WITH "
         + ",\n".join(parts)
-        + f"\nSELECT query_id, vec_id, round(cos, 5) AS cosine, rank FROM rk WHERE rank <= {k}"
+        + f"\nSELECT query_id, vec_id, round(cos, 5) + 0.0 AS cosine, rank FROM rk WHERE rank <= {k}"
     )

@@ -2050,7 +2050,7 @@ scored AS (
            e.vec_id) AS rank
   FROM e CROSS JOIN q
 )
-SELECT query_id, vec_id, round(cos, 5) AS cosine, rank FROM scored WHERE rank <= 5
+SELECT query_id, vec_id, round(cos, 5) + 0.0 AS cosine, rank FROM scored WHERE rank <= 5
 """
 
 
@@ -2124,7 +2124,7 @@ rk AS (
          row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
   FROM scored
 )
-SELECT query_id, vec_id, round(cos, 5) AS cosine, rank FROM rk WHERE rank <= 5
+SELECT query_id, vec_id, round(cos, 5) + 0.0 AS cosine, rank FROM rk WHERE rank <= 5
 """
 
 
@@ -2177,7 +2177,7 @@ rk AS (
          row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank
   FROM scored
 )
-SELECT query_id, vec_id, round(cos, 5) AS cosine, rank FROM rk WHERE rank <= 5
+SELECT query_id, vec_id, round(cos, 5) + 0.0 AS cosine, rank FROM rk WHERE rank <= 5
 """
 
 

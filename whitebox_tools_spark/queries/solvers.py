@@ -2293,7 +2293,7 @@ def q_embed_topk(spark, sf_dir):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     out = SIM.cosine_topk(emb, queries, 5)
-    return out.select("query_id", "vec_id", F.round("cosine", 5).alias("cosine"),
+    return out.select("query_id", "vec_id", (F.round("cosine", 5) + F.lit(0.0)).alias("cosine"),
                       F.col("rank").cast("long").alias("rank"))
 
 
@@ -2309,7 +2309,7 @@ def q_embed_near_dup(spark, sf_dir):
     return (
         pairs.withColumn("cosine", cos)
         .filter(F.col("cosine") >= 0.45)
-        .select("id_a", "id_b", F.round("cosine", 5).alias("cosine"))
+        .select("id_a", "id_b", (F.round("cosine", 5) + F.lit(0.0)).alias("cosine"))
     )
 
 
@@ -2321,7 +2321,7 @@ def q_embed_ann_lsh(spark, sf_dir):
     )
     out = SIM.ann_topk_lsh(emb, queries, 5, n_planes=8, n_probes=4,
                            probe_mode="fixed")
-    return out.select("query_id", "vec_id", F.round("cosine", 5).alias("cosine"),
+    return out.select("query_id", "vec_id", (F.round("cosine", 5) + F.lit(0.0)).alias("cosine"),
                       F.col("rank").cast("long").alias("rank"))
 
 
@@ -2336,7 +2336,7 @@ def q_embed_ann_multiprobe(spark, sf_dir):
     )
     out = SIM.ann_topk_lsh(emb, queries, 5, n_planes=8, n_probes=4,
                            probe_mode="adaptive")
-    return out.select("query_id", "vec_id", F.round("cosine", 5).alias("cosine"),
+    return out.select("query_id", "vec_id", (F.round("cosine", 5) + F.lit(0.0)).alias("cosine"),
                       F.col("rank").cast("long").alias("rank"))
 
 
@@ -2352,5 +2352,5 @@ def q_embed_ivf_topk(spark, sf_dir):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     out = SIM.ivf_topk(emb, queries, 5, nlist=8, n_probe=3, iters=3)
-    return out.select("query_id", "vec_id", F.round("cosine", 5).alias("cosine"),
+    return out.select("query_id", "vec_id", (F.round("cosine", 5) + F.lit(0.0)).alias("cosine"),
                       F.col("rank").cast("long").alias("rank"))
