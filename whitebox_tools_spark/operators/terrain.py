@@ -2346,7 +2346,8 @@ def embankment_mapping(
     core cell plus the corridor chains through the inner ring) and only
     core-bucket cells are emitted. Chunked == unsplit output is pinned by
     tests/test_embankment_cap.py on a connected multi-bucket road grid.
-    remove_embankments interpolation mode is not implemented.
+    The --remove_embankments interpolation mode is remove_embankments_dem
+    below (compose: remove_embankments_dem(dem, embankment_mapping(...))).
     -> (row, col, value 1.0) embankment cells."""
     import pandas as pd
 
@@ -2502,3 +2503,107 @@ def embankment_mapping(
         .select("row", "col", "value")
         .distinct()
     )
+
+
+def remove_embankments_dem(
+    dem: DataFrame,
+    emb: DataFrame,
+    grid: GridSpec,
+    *,
+    max_width: float = 60.0,
+) -> DataFrame:
+    """EmbankmentMapping --remove_embankments mode (terrain_analysis/
+    embankment_mapping.rs:858-960): interpolate a surface beneath the
+    mapped embankment cells, producing the embankment-less DEM.
+
+    Donor points: every 8-neighbor of an embankment cell that is NOT
+    itself an embankment cell and has a valid DEM value, inserted once
+    PER adjacent embankment cell — the reference's FixedRadiusSearch2D
+    keeps duplicate insertions (fixed_radius_search.rs:81-95), so a donor
+    touching k embankment cells carries k-fold IDW weight; preserved here
+    by keeping one donor ROW per (embankment cell, neighbor) pair. Each
+    embankment cell gathers donors with squared cell-center distance
+    <= r^2 (r = max_width/2 — the tool halves widths up front,
+    embankment_mapping.rs:430) and takes the inverse-SQUARED-distance
+    weighted mean (the FRS is built with DistanceMetric::SquaredEuclidean,
+    so search() returns squared distances and the 1/dist weight at
+    embankment_mapping.rs:913 is 1/d^2). Embankment cells with no donor
+    in range go nodata (dropped from the sparse output, matching the
+    reference's nodata write at :926); non-embankment cells pass the DEM
+    through unchanged.
+
+    Distribution: donors carry their floor(world/r) bucket; each target
+    explodes its 3x3 bucket neighborhood and equi-joins — any donor
+    within distance r of a target shares that neighborhood, so the join
+    is exact while shuffling O(donors + 9*targets) rows (donors scale
+    with embankment PERIMETER, not raster area). All-JVM column
+    expressions; no UDF.
+    -> (row, col, value) full embankment-less DEM, sparse over valid cells.
+    """
+    r = max_width / 2.0
+    emb_cells = emb.select("row", "col").distinct()
+
+    offs = [
+        (dr, dc)
+        for dr in (-1, 0, 1)
+        for dc in (-1, 0, 1)
+        if (dr, dc) != (0, 0)
+    ]
+    off_arr = F.array(*[
+        F.struct(F.lit(dr).alias("dr"), F.lit(dc).alias("dc"))
+        for dr, dc in offs
+    ])
+    nb = emb_cells.select(
+        "row", "col", F.explode(off_arr).alias("o")
+    ).select(
+        (F.col("row") + F.col("o.dr")).alias("row"),
+        (F.col("col") + F.col("o.dc")).alias("col"),
+    )
+    donors = (
+        nb.join(emb_cells, ["row", "col"], "left_anti")
+        .join(dem.select("row", "col", "value"), ["row", "col"])
+        .select(
+            grid.x_center_expr(F.col("col")).alias("dx"),
+            grid.y_center_expr(F.col("row")).alias("dy"),
+            F.col("value").alias("z"),
+        )
+        .withColumn("bx", F.floor(F.col("dx") / F.lit(r)))
+        .withColumn("by", F.floor(F.col("dy") / F.lit(r)))
+    )
+
+    tgt = emb_cells.select(
+        "row", "col",
+        grid.x_center_expr(F.col("col")).alias("tx"),
+        grid.y_center_expr(F.col("row")).alias("ty"),
+    )
+    bneigh = F.array(*[
+        F.struct(
+            (F.floor(F.col("tx") / F.lit(r)) + F.lit(ddx)).alias("bx"),
+            (F.floor(F.col("ty") / F.lit(r)) + F.lit(ddy)).alias("by"),
+        )
+        for ddx in (-1, 0, 1)
+        for ddy in (-1, 0, 1)
+    ])
+    tgt9 = tgt.select(
+        "row", "col", "tx", "ty", F.explode(bneigh).alias("b")
+    ).select("row", "col", "tx", "ty", F.col("b.bx").alias("bx"), F.col("b.by").alias("by"))
+
+    d2 = (
+        (F.col("tx") - F.col("dx")) * (F.col("tx") - F.col("dx"))
+        + (F.col("ty") - F.col("dy")) * (F.col("ty") - F.col("dy"))
+    )
+    interp = (
+        tgt9.join(donors, ["bx", "by"])
+        .filter(d2 <= F.lit(r * r))
+        .groupBy("row", "col")
+        .agg(
+            (
+                F.sum(F.col("z") / d2) / F.sum(F.lit(1.0) / d2)
+            ).alias("value")
+        )
+    )
+
+    passthrough = dem.select("row", "col", "value").join(
+        emb_cells, ["row", "col"], "left_anti"
+    )
+    return passthrough.unionByName(interp.select("row", "col", "value"))

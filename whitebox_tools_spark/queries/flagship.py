@@ -270,6 +270,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "las_to_multipoint_shapefile": q_las_to_multipoint,
         "burn_streams_at_roads": q_burn_streams_at_roads,
         "embankment_mapping": q_embankment_mapping,
+        "embankment_removal": q_embankment_removal,
         "topographic_hachures": q_topographic_hachures,
         "clean_vector": q_clean_vector,
         "multipart_to_singlepart": q_multipart_to_singlepart,
@@ -1259,6 +1260,7 @@ FROM ({_ZLIDAR_CLOUD_SQL_BODY} FROM ({_order_cloud_cte()}) oc)
         "las_to_multipoint_shapefile": _las_to_multipoint_sql(),
         "burn_streams_at_roads": _bsar_sql(),
         "embankment_mapping": _embankment_sql(),
+        "embankment_removal": _embankment_removal_sql(),
         "topographic_hachures": _hachures_sql(),
         "clean_vector": _clean_vector_sql(),
         "multipart_to_singlepart": _parts_enum_sql(

@@ -1669,9 +1669,11 @@ def q_embankment_mapping(spark, sf_dir):
     )
 
 
-def _embankment_sql() -> str:
+def _embankment_serial():
     """Independent serial transcription: its own rasterization, seed
-    scan, heap flood and growth rules over the full raster."""
+    scan, heap flood and growth rules over the full raster. Returns
+    (dem ndarray, out dict of embankment cells) so both the mapping
+    oracle and the remove-mode oracle share one transcription."""
     import heapq
     import math as _m
 
@@ -1786,8 +1788,92 @@ def _embankment_sql() -> str:
                     if mark:
                         out[nb] = 1.0
                         heapq.heappush(pq, (dist, nb[0], nb[1]))
+    return dem, out
+
+
+def _embankment_sql() -> str:
+    """Mapping-mode oracle: literal VALUES of the serial transcription's
+    embankment cells."""
+    _, out = _embankment_serial()
     rows_out = sorted(cell for cell, v in out.items() if v == 1.0)
     vals = ", ".join(f"({r}, {c}, 1.0)" for r, c in rows_out)
+    return (
+        "SELECT CAST(row AS BIGINT) AS row, CAST(col AS BIGINT) AS col, "
+        "CAST(value AS DOUBLE) AS value "
+        f"FROM (VALUES {vals}) AS t(row, col, value)"
+    )
+
+
+def q_embankment_removal(spark, sf_dir):
+    """EmbankmentMapping --remove_embankments mode (terrain_analysis/
+    embankment_mapping.rs:858-960): the embankment-less DEM — mapped
+    embankment cells replaced by the inverse-squared-distance weighted
+    mean of edge donor cells within max_width/2, donors weighted by how
+    many embankment cells they border (FRS duplicate insertions)."""
+    from whitebox_tools_spark.operators.terrain import (
+        embankment_mapping,
+        remove_embankments_dem,
+    )
+
+    roads = spark.createDataFrame(
+        [(i, [p[0] for p in pl], [p[1] for p in pl]) for i, pl in _EM_ROADS],
+        "line_id long, xs array<double>, ys array<double>",
+    )
+    dem = _valley_dem_synthetic(spark)
+    emb = embankment_mapping(dem, roads, STREAM_GRID, **_EM_PARAMS)
+    out = remove_embankments_dem(
+        dem, emb, STREAM_GRID, max_width=_EM_PARAMS["max_width"]
+    )
+    return out.select(
+        "row", "col", (F.round("value", 6) + F.lit(0.0)).alias("value")
+    )
+
+
+def _embankment_removal_sql() -> str:
+    """Remove-mode oracle: serial IDW transcription over the shared serial
+    mapping — donors re-collected with multiplicity (one insertion per
+    adjacent embankment cell, mirroring FixedRadiusSearch2D's duplicate
+    inserts), squared-distance radius test and 1/d^2 weights in the
+    reference's own accumulate order (sum_weights first, then the
+    normalized sum — embankment_mapping.rs:905-926)."""
+    g = STREAM_GRID
+    dem, out = _embankment_serial()
+    rows, cols = g.rows, g.cols
+    mw = _EM_PARAMS["max_width"] / 2.0
+    dx8 = [1, 1, 1, 0, -1, -1, -1, 0]
+    dy8 = [-1, 0, 1, 1, 1, 0, -1, -1]
+    emb = {cell for cell, v in out.items() if v == 1.0}
+    donors = []  # (x, y, z) with multiplicity
+    for (r, c) in sorted(emb):
+        for i in range(8):
+            nr, nc = r + dy8[i], c + dx8[i]
+            if 0 <= nr < rows and 0 <= nc < cols and (nr, nc) not in emb:
+                donors.append((g.x_center(nc), g.y_center(nr), dem[nr, nc]))
+    lines = []
+    for r in range(rows):
+        y = g.y_center(r)
+        for c in range(cols):
+            if (r, c) in emb:
+                x = g.x_center(c)
+                near = [
+                    (z, (x - px) * (x - px) + (y - py) * (y - py))
+                    for (px, py, z) in donors
+                    if (x - px) * (x - px) + (y - py) * (y - py) <= mw * mw
+                ]
+                sum_w = 0.0
+                for (_, d2) in near:
+                    if d2 > 0.0:
+                        sum_w += 1.0 / d2
+                if near:
+                    z = 0.0
+                    for (zj, d2) in near:
+                        if d2 > 0.0:
+                            z += zj * (1.0 / d2) / sum_w
+                    lines.append((r, c, round(z, 6) + 0.0))
+                # no donors in range -> nodata: cell dropped
+            else:
+                lines.append((r, c, round(float(dem[r, c]), 6) + 0.0))
+    vals = ", ".join(f"({r}, {c}, {v!r})" for r, c, v in lines)
     return (
         "SELECT CAST(row AS BIGINT) AS row, CAST(col AS BIGINT) AS col, "
         "CAST(value AS DOUBLE) AS value "
