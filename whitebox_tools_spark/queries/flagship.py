@@ -82,12 +82,13 @@ _DRIVER_WINDOW: list[str] = [
     "split_with_lines",
     "polygonize",
     "deviation_from_regional_direction",
-    "heat_map",
     # never driver-checked: terrain / hydro / image
     "time_in_daylight",
     "stochastic_depression_analysis",
     "find_ridges",
     "multiscale_elev_percentile",
+    # new this round: --remove_embankments mode (last embankment caveat)
+    "embankment_removal",
     "average_normal_vector_angular_deviation",
     "spherical_std_dev_of_normals",
     "individual_tree_detection",
