@@ -34,6 +34,9 @@ HEADLINE = [
     "embedding_ann_multiprobe",
     "ngram_jaccard_prefix",
     "topographic_hachures",
+    # round-5 additions
+    "embedding_ivf_topk",
+    "embankment_removal",
 ]
 
 
