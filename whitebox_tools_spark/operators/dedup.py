@@ -765,3 +765,121 @@ def dedup_keep_first(docs: DataFrame, pairs: DataFrame, *, doc_id: str = "doc_id
     operator's job)."""
     losers = pairs.select(F.col("doc_id_b").alias(doc_id)).distinct()
     return docs.join(losers, doc_id, "left_anti")
+
+
+def duplicate_text_spans(
+    docs: DataFrame,
+    *,
+    k: int = 8,
+    min_len: int = 10,
+    cap: int = 1024,
+    text: str = "text",
+    doc_id: str = "doc_id",
+) -> DataFrame:
+    """Exact duplicate-SPAN detection (substring-level dedup, the
+    suffix-array family of training-data cleaning — Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): maximal
+    runs of >= min_len consecutive tokens shared verbatim between two
+    documents, found without any suffix array.
+
+    Construction: tokenize on single spaces, emit every k-token gram with
+    its 1-based position, route the gram-equality self-join through
+    bucket_pair_candidates keyed on the gram STRING with per-OCCURRENCE
+    ids (hot grams — boilerplate — triangle-chunk instead of hashing a
+    whole gram's quadratic pair set into one task; the pair SET stays
+    exact). Matching occurrence pairs of docs a < b lie on diagonal
+    pos_a - pos_b; consecutive positions on one diagonal are one shared
+    run, merged by the island trick (pos_a - row_number over the diagonal)
+    and emitted as (a_start, b_start, span_len = max-min+k). A maximal
+    shared run of L >= k tokens yields exactly the L-k+1 consecutive gram
+    matches of its diagonal, so the island reconstructs L exactly; runs
+    shorter than k tokens produce no gram match and are (by design)
+    invisible — k is the detection floor, min_len the report floor.
+
+    Within-doc repeats are excluded (doc_id_a < doc_id_b strictly); a
+    span repeated at multiple offsets lands on multiple diagonals, one
+    output row each, which is the honest multiset answer.
+
+    100-TB shape: one shuffle to count gram populations (window in
+    bucket_pair_candidates), one chunked equi-join on the gram, one
+    window + aggregate per (pair, diagonal) — no all-pairs stage, no UDF,
+    no driver collect. Token positions are bounded to 2^22 per document
+    by the occurrence-id encoding (doc_id * 2^22 + pos must fit a long).
+    -> (doc_id_a, doc_id_b, a_start, b_start, span_len), positions and
+    lengths in 1-based token units."""
+    n = F.size(F.col("__t"))
+    toks = docs.select(
+        F.col(doc_id).alias("__d"), F.split(F.col(text), " ").alias("__t")
+    )
+    occ = (
+        toks.filter(n >= k)
+        .select(
+            "__d",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), n - F.lit(k - 1)),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.array_join(
+                            F.slice(F.col("__t"), i, k), " "
+                        ).alias("g"),
+                    ),
+                )
+            ).alias("o"),
+        )
+        .select(
+            "__d",
+            F.col("o.pos").alias("pos"),
+            F.col("o.g").alias("g"),
+            (F.col("__d") * F.lit(1 << 22) + F.col("o.pos")).alias("occ"),
+        )
+    )
+    pairs = bucket_pair_candidates(
+        occ, ["g"], "occ", payload=["__d", "pos"], cap=cap,
+        out_a="occ_a", out_b="occ_b",
+    ).filter(F.col("__d_a") < F.col("__d_b"))
+    diag = (F.col("pos_a") - F.col("pos_b")).alias("diag")
+    w = Window.partitionBy("doc_id_a", "doc_id_b", "diag").orderBy("pos_a")
+    isl = pairs.select(
+        F.col("__d_a").alias("doc_id_a"),
+        F.col("__d_b").alias("doc_id_b"),
+        "pos_a", "pos_b", diag,
+    ).withColumn("island", F.col("pos_a") - F.row_number().over(w))
+    return (
+        isl.groupBy("doc_id_a", "doc_id_b", "diag", "island")
+        .agg(
+            F.min("pos_a").alias("a_start"),
+            F.min("pos_b").alias("b_start"),
+            (F.max("pos_a") - F.min("pos_a") + F.lit(k)).alias("span_len"),
+        )
+        .filter(F.col("span_len") >= min_len)
+        .select("doc_id_a", "doc_id_b", "a_start", "b_start", "span_len")
+    )
+
+
+def duplicate_text_spans_oracle_sql(
+    docs_rel: str, *, k: int = 8, min_len: int = 10
+) -> str:
+    """DuckDB mirror of duplicate_text_spans: same tokenization
+    (string_split on a single space), same gram/diagonal/island
+    construction, naive pair join (the oracle does not need chunking)."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM {docs_rel}
+), grams AS (
+  SELECT doc_id, u.i AS pos, array_to_string(t[u.i:u.i+{k}-1], ' ') AS g
+  FROM toks, unnest(range(1, greatest(len(t) - {k} + 2, 1))) u(i)
+), pairs AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, a.pos AS pa, b.pos AS pb
+  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+), isl AS (
+  SELECT da, db, pa, pb, pa - pb AS diag,
+         pa - row_number() OVER (PARTITION BY da, db, pa - pb ORDER BY pa) AS island
+  FROM pairs
+)
+SELECT da AS doc_id_a, db AS doc_id_b,
+       CAST(min(pa) AS INT) AS a_start, CAST(min(pb) AS INT) AS b_start,
+       CAST(max(pa) - min(pa) + {k} AS INT) AS span_len
+FROM isl GROUP BY da, db, diag, island
+HAVING max(pa) - min(pa) + {k} >= {min_len}
+"""

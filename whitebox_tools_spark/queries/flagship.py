@@ -553,6 +553,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
         "ngram_jaccard_prefix": q_ngram_jaccard_prefix,
+        "duplicate_text_spans": q_duplicate_text_spans,
         "minhash_lsh": q_minhash_lsh,
         "minhash_dedup_components": q_minhash_components,
         "simhash_near_dup": q_simhash,
@@ -1671,6 +1672,9 @@ SELECT min(doc_id) AS doc_id, text, count(*) AS n_dups FROM documents GROUP BY t
 """,
         "ngram_jaccard": _ngram_jaccard_sql(),
         "ngram_jaccard_prefix": _ngram_jaccard_sql(),
+        "duplicate_text_spans": DD.duplicate_text_spans_oracle_sql(
+            "documents", k=8, min_len=10
+        ),
         "token_count": """
 SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0
                     ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens

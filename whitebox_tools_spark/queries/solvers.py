@@ -2228,6 +2228,19 @@ def q_ngram_jaccard_prefix(spark, sf_dir):
     )
 
 
+def q_duplicate_text_spans(spark, sf_dir):
+    """Exact duplicate-SPAN detection (substring dedup, Lee et al. 2022):
+    maximal runs of >= 10 consecutive tokens shared verbatim between two
+    documents — k=8 gram matches grouped by (pair, diagonal) and merged
+    by the island trick; the gram self-join rides the triangle-chunked
+    bucket_pair_candidates so boilerplate grams can't serialize a task.
+    Oracle: a naive-join DuckDB mirror of the same gram/diagonal/island
+    construction."""
+    return DD.duplicate_text_spans(
+        _t(spark, sf_dir, "documents"), k=8, min_len=10
+    )
+
+
 def q_minhash_lsh(spark, sf_dir):
     """MinHash+LSH with the engine-portable md5 hash family — the full
     pipeline (shingle hash, 32 universal-hash permutations, 8-band keys,
