@@ -883,3 +883,100 @@ SELECT da AS doc_id_a, db AS doc_id_b,
 FROM isl GROUP BY da, db, diag, island
 HAVING max(pa) - min(pa) + {k} >= {min_len}
 """
+
+
+def contamination_check(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    *,
+    k: int = 8,
+    broadcast_eval: bool = True,
+    text: str = "text",
+    doc_id: str = "doc_id",
+) -> DataFrame:
+    """Test-set contamination scan (the decontamination pass of LLM
+    training pipelines — GPT-3 appendix C / PaLM style): a training
+    document is contaminated to the degree its k-token grams appear
+    anywhere in the evaluation set.
+
+    Per train doc: the DISTINCT k-gram set, the subset also present in
+    the union of eval-doc k-grams (left-semi equi-join on the gram
+    string), and their ratio. Documents with fewer than k tokens have no
+    grams and are omitted. broadcast_eval=True broadcasts the distinct
+    eval gram set — eval suites are thousands of docs against billions of
+    train docs, so the map-side semi-join removes the train-side shuffle
+    entirely; flip it off if the eval side ever outgrows the broadcast
+    budget and the join falls back to a hash shuffle on the gram.
+    -> (doc_id, n_grams, n_contaminated, contamination) with
+    contamination rounded to 6 dp (signed-zero normalized)."""
+
+    def _grams(d):
+        t = F.split(F.col(text), " ")
+        n = F.size(t)
+        return d.filter(n >= k).select(
+            F.col(doc_id).alias("__d"),
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), n - F.lit(k - 1)),
+                        lambda i: F.array_join(F.slice(t, i, k), " "),
+                    )
+                )
+            ).alias("g"),
+        )
+
+    tg = _grams(train)
+    eg = _grams(eval_docs).select("g").distinct()
+    if broadcast_eval:
+        eg = F.broadcast(eg)
+    hits = tg.join(eg, "g", "left_semi").groupBy("__d").agg(
+        F.count(F.lit(1)).alias("n_contaminated")
+    )
+    return (
+        tg.groupBy("__d")
+        .agg(F.count(F.lit(1)).alias("n_grams"))
+        .join(hits, "__d", "left")
+        .select(
+            F.col("__d").alias(doc_id),
+            "n_grams",
+            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+            (
+                F.round(
+                    F.coalesce("n_contaminated", F.lit(0))
+                    / F.col("n_grams"),
+                    6,
+                )
+                + F.lit(0.0)
+            ).alias("contamination"),
+        )
+    )
+
+
+def contamination_check_oracle_sql(
+    train_rel: str, eval_rel: str, *, k: int = 8
+) -> str:
+    """DuckDB mirror of contamination_check (same tokenization, distinct
+    k-gram sets, semi-join on the gram string)."""
+    grams = (
+        "SELECT doc_id, DISTINCT_G.g FROM ({rel}) r, LATERAL ("
+        "  SELECT DISTINCT array_to_string(t[u.i:u.i+{k}-1], ' ') AS g"
+        "  FROM (SELECT string_split(r.text, ' ') AS t) s,"
+        "       unnest(range(1, greatest(len(t) - {k} + 2, 1))) u(i)"
+        ") DISTINCT_G"
+    )
+    tg = grams.format(rel=train_rel, k=k)
+    eg = grams.format(rel=eval_rel, k=k)
+    return f"""
+WITH tg AS ({tg}), eg AS (SELECT DISTINCT g FROM ({eg})),
+hits AS (
+  SELECT doc_id, count(*) AS n_contaminated
+  FROM tg WHERE g IN (SELECT g FROM eg) GROUP BY doc_id
+),
+tot AS (SELECT doc_id, count(*) AS n_grams FROM tg GROUP BY doc_id)
+SELECT tot.doc_id,
+       tot.n_grams,
+       coalesce(hits.n_contaminated, 0) AS n_contaminated,
+       round(CAST(coalesce(hits.n_contaminated, 0) AS DOUBLE) / tot.n_grams, 6) + 0.0
+         AS contamination
+FROM tot LEFT JOIN hits ON tot.doc_id = hits.doc_id
+"""

@@ -554,6 +554,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "ngram_jaccard_prefix": q_ngram_jaccard_prefix,
         "duplicate_text_spans": q_duplicate_text_spans,
+        "contamination_check": q_contamination_check,
         "minhash_lsh": q_minhash_lsh,
         "minhash_dedup_components": q_minhash_components,
         "simhash_near_dup": q_simhash,
@@ -1674,6 +1675,11 @@ SELECT min(doc_id) AS doc_id, text, count(*) AS n_dups FROM documents GROUP BY t
         "ngram_jaccard_prefix": _ngram_jaccard_sql(),
         "duplicate_text_spans": DD.duplicate_text_spans_oracle_sql(
             "documents", k=8, min_len=10
+        ),
+        "contamination_check": DD.contamination_check_oracle_sql(
+            "SELECT * FROM documents WHERE doc_id % 10 != 0",
+            "SELECT * FROM documents WHERE doc_id % 10 = 0",
+            k=8,
         ),
         "token_count": """
 SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0

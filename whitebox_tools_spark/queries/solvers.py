@@ -2241,6 +2241,20 @@ def q_duplicate_text_spans(spark, sf_dir):
     )
 
 
+def q_contamination_check(spark, sf_dir):
+    """Test-set contamination scan (decontamination pass): every tenth
+    doc_id is the held-out eval set; each remaining train doc reports how
+    many of its distinct 8-grams appear anywhere in the eval set. The
+    distinct eval-gram set is broadcast, so the train side never
+    shuffles."""
+    docs = _t(spark, sf_dir, "documents")
+    return DD.contamination_check(
+        docs.filter(F.col("doc_id") % 10 != 0),
+        docs.filter(F.col("doc_id") % 10 == 0),
+        k=8,
+    )
+
+
 def q_minhash_lsh(spark, sf_dir):
     """MinHash+LSH with the engine-portable md5 hash family — the full
     pipeline (shingle hash, 32 universal-hash permutations, 8-band keys,
