@@ -285,6 +285,21 @@ def main():
 
     ann_stats = ann_recall_at5(spark)
     ann_stats["multiprobe_sf_sec"] = ann_sec
+
+    # round-5 training-data additions, reported as their own block (the
+    # headline suite metric stays like-for-like across rounds)
+    dedup_extras = {}
+    t0 = time.time()
+    dedup_extras["duplicate_text_spans_rows"] = qs["duplicate_text_spans"](
+        spark, sf_dir
+    ).count()
+    dedup_extras["duplicate_text_spans_sec"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    dedup_extras["contamination_rows"] = qs["contamination_check"](
+        spark, sf_dir
+    ).count()
+    dedup_extras["contamination_sec"] = round(time.time() - t0, 3)
+
     ms_stats = multiscale_radius_sweep(spark)
     media_stats = media_decode_throughput(spark)
     hier_stats = hier_base_case_2m()
@@ -305,6 +320,7 @@ def main():
                 "queries": timings,
                 "sf": float(sf),
                 "ann": ann_stats,
+                "dedup_extras": dedup_extras,
                 "multiscale_radius": ms_stats,
                 "media": media_stats,
                 "hier_base_2m": hier_stats,

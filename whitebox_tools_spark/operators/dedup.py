@@ -980,3 +980,64 @@ SELECT tot.doc_id,
          AS contamination
 FROM tot LEFT JOIN hits ON tot.doc_id = hits.doc_id
 """
+
+
+def stratified_sample(
+    docs: DataFrame,
+    fractions: dict[str, float],
+    *,
+    strat: str = "source",
+    doc_id: str = "doc_id",
+    seed: int = 7,
+    default: float = 0.0,
+) -> DataFrame:
+    """Deterministic stratified (quota) sampling — the domain-mixing step
+    of training-data pipelines: keep a document iff
+    portable_hash60(doc_id, seed) < floor(fraction(stratum) * 2^60).
+
+    Selection is a pure function of (doc_id, seed): re-running the job, on
+    any cluster size or partitioning, picks the SAME documents (no RNG
+    state, unlike df.sample), so mixtures are auditable and resumable, and
+    raising a stratum's fraction strictly grows its sample (nested
+    samples: the kept set at 10% is a subset of the kept set at 20%) —
+    the property that lets mixture weights be tuned without re-shuffling
+    history. The fraction map compiles to a CASE literal (strata counts
+    are pipeline-config sized), so the whole operator is one map-side
+    filter: no join, no shuffle, no UDF. Strata absent from the map get
+    `default`. The 60-bit hash is the repo's engine-portable md5 prefix,
+    so the DuckDB oracle replays selection bit-exactly.
+    -> the sampled rows, original schema."""
+    thresholds = {k: int(float(v) * (1 << 60)) for k, v in fractions.items()}
+    thr = F.lit(int(float(default) * (1 << 60)))
+    for k, v in sorted(thresholds.items()):
+        thr = F.when(F.col(strat) == F.lit(k), F.lit(v)).otherwise(thr)
+    h = F.expr(
+        _PORTABLE64_SPARK.format(
+            x=f"concat(cast({doc_id} as string), ':', '{int(seed)}')"
+        )
+    )
+    return docs.filter(h < thr)
+
+
+def stratified_sample_oracle_sql(
+    docs_rel: str,
+    fractions: dict[str, float],
+    *,
+    strat: str = "source",
+    doc_id: str = "doc_id",
+    seed: int = 7,
+    default: float = 0.0,
+) -> str:
+    """DuckDB mirror of stratified_sample (same integer thresholds, same
+    portable 60-bit md5 hash)."""
+    cases = " ".join(
+        f"WHEN {strat} = '{k}' THEN {int(float(v) * (1 << 60))}"
+        for k, v in sorted(fractions.items())
+    )
+    h = _PORTABLE64_DUCK.format(
+        x=f"(CAST({doc_id} AS VARCHAR) || ':' || '{int(seed)}')"
+    )
+    return (
+        f"SELECT * FROM ({docs_rel}) WHERE {h} < "
+        f"(CASE {cases} ELSE {int(float(default) * (1 << 60))} END)"
+    )

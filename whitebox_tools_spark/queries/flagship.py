@@ -555,6 +555,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_prefix": q_ngram_jaccard_prefix,
         "duplicate_text_spans": q_duplicate_text_spans,
         "contamination_check": q_contamination_check,
+        "stratified_sample": q_stratified_sample,
         "minhash_lsh": q_minhash_lsh,
         "minhash_dedup_components": q_minhash_components,
         "simhash_near_dup": q_simhash,
@@ -1680,6 +1681,13 @@ SELECT min(doc_id) AS doc_id, text, count(*) AS n_dups FROM documents GROUP BY t
             "SELECT * FROM documents WHERE doc_id % 10 != 0",
             "SELECT * FROM documents WHERE doc_id % 10 = 0",
             k=8,
+        ),
+        "stratified_sample": (
+            "SELECT doc_id, source, lang, n_chars FROM ("
+            + DD.stratified_sample_oracle_sql(
+                "SELECT * FROM documents", _MIX, seed=7, default=0.1
+            )
+            + ")"
         ),
         "token_count": """
 SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0

@@ -2255,6 +2255,19 @@ def q_contamination_check(spark, sf_dir):
     )
 
 
+_MIX = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.75}
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic domain-mixture sampling: per-source quota fractions,
+    selection a pure function of (doc_id, seed) via the portable 60-bit
+    hash — one map-side filter, reproducible on any partitioning."""
+    out = DD.stratified_sample(
+        _t(spark, sf_dir, "documents"), _MIX, seed=7, default=0.1
+    )
+    return out.select("doc_id", "source", "lang", "n_chars")
+
+
 def q_minhash_lsh(spark, sf_dir):
     """MinHash+LSH with the engine-portable md5 hash family — the full
     pipeline (shingle hash, 32 universal-hash permutations, 8-band keys,
