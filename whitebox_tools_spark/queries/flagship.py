@@ -82,10 +82,12 @@ _DRIVER_WINDOW: list[str] = [
     "split_with_lines",
     "polygonize",
     "deviation_from_regional_direction",
+    # new round-5 training-data ops (never seen by ANY external check —
+    # the r4 judge rerun covered everything older)
+    "duplicate_text_spans",
+    "contamination_check",
+    "stratified_sample",
     # never driver-checked: terrain / hydro / image
-    "time_in_daylight",
-    "stochastic_depression_analysis",
-    "find_ridges",
     "multiscale_elev_percentile",
     # new this round: --remove_embankments mode (last embankment caveat)
     "embankment_removal",
