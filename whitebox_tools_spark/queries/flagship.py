@@ -571,6 +571,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ann_lsh": q_embed_ann_lsh,
         "embedding_ann_multiprobe": q_embed_ann_multiprobe,
         "embedding_ivf_topk": q_embed_ivf_topk,
+        "embedding_pq_topk": q_embed_pq_topk,
         "clip_lines": q_clip_lines,
         "erase_lines": q_erase_lines,
         "polygon_overlay": q_polygon_overlay,
@@ -1708,6 +1709,9 @@ FROM documents
         "embedding_ann_lsh": _embed_ann_sql(),
         "embedding_ann_multiprobe": _embed_ann_multiprobe_sql(),
         "embedding_ivf_topk": _embed_ivf_sql(),
+        "embedding_pq_topk": SIM.pq_topk_oracle_sql(
+            5, m=4, ksub=8, iters=2, rerank=4
+        ),
         "minhash_lsh": DD.minhash_lsh_oracle_sql(
             "SELECT doc_id, text FROM documents",
             num_hashes=32, bands=8, verify_threshold=0.7,

@@ -2394,3 +2394,20 @@ def q_embed_ivf_topk(spark, sf_dir):
     out = SIM.ivf_topk(emb, queries, 5, nlist=8, n_probe=3, iters=3)
     return out.select("query_id", "vec_id", (F.round("cosine", 5) + F.lit(0.0)).alias("cosine"),
                       F.col("rank").cast("long").alias("rank"))
+
+
+def q_embed_pq_topk(spark, sf_dir):
+    """Product-Quantization ANN with ADC + exact rerank (Jegou et al.
+    2011) — the memory-bound third ANN scale path (64-dim float64 ->
+    m=4 one-byte codes per vector): per-subspace deterministic k-means
+    codebooks, per-query LUT broadcast, fixed-order ADC fold rounded to
+    9 dp before the rerank cutoff, exact cosine on the top rerank*k.
+    Value-checked against the unrolled-CTE DuckDB mirror
+    (similarity.pq_topk_oracle_sql)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = SIM.pq_topk(emb, queries, 5, m=4, ksub=8, iters=2, rerank=4)
+    return out.select("query_id", "vec_id", (F.round("cosine", 5) + F.lit(0.0)).alias("cosine"),
+                      F.col("rank").cast("long").alias("rank"))
