@@ -285,6 +285,9 @@ def main():
 
     ann_stats = ann_recall_at5(spark)
     ann_stats["multiprobe_sf_sec"] = ann_sec
+    t0 = time.time()
+    _ = qs["embedding_pq_topk"](spark, sf_dir).count()
+    ann_stats["pq_sf_sec"] = round(time.time() - t0, 3)
 
     # round-5 training-data additions, reported as their own block (the
     # headline suite metric stays like-for-like across rounds)

@@ -87,8 +87,8 @@ _DRIVER_WINDOW: list[str] = [
     "duplicate_text_spans",
     "contamination_check",
     "stratified_sample",
+    "embedding_pq_topk",
     # never driver-checked: terrain / hydro / image
-    "multiscale_elev_percentile",
     # new this round: --remove_embankments mode (last embankment caveat)
     "embankment_removal",
     "average_normal_vector_angular_deviation",
