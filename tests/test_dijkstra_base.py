@@ -74,11 +74,13 @@ def test_minimax_connect_2m_edges_fast():
     # pin CPU time, not wall time, and with storm headroom: standalone this
     # reads ~5 s (bench block hier_base_2m records the true number), but
     # under the full concurrent suite the documented host memory-bandwidth
-    # storms inflate even process CPU ~3x (stall cycles count). The bound's
-    # job is to catch a regression to the old pure-Python dict/heap Dijkstra
-    # (minutes), so 30 s CPU still separates cleanly and never flakes.
+    # storms inflate even process CPU 3-6x (stall cycles count; 30.9 s CPU
+    # observed once while a full 467-query oracle sweep saturated all 32
+    # threads). The bound's job is to catch a regression to the old
+    # pure-Python dict/heap Dijkstra (MINUTES of CPU even standalone), so
+    # 90 s still separates by an order of magnitude and never flakes.
     t0 = time.process_time()
     dist = _minimax_connect(a, b, w, {-2: float("-inf"), 0: 0.5, 999_999: 0.25})
     dt = time.process_time() - t0
     assert len(dist) == side * side + 1  # all nodes + the -2 seed
-    assert dt < 30.0, f"2M-edge minimax base case took {dt:.1f}s CPU"
+    assert dt < 90.0, f"2M-edge minimax base case took {dt:.1f}s CPU"
