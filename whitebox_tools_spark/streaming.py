@@ -145,3 +145,49 @@ def streaming_cell_stats(points, *, cell: float = 125.0):
     return keyed.groupBy("cx", "cy").applyInPandasWithState(
         update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def streaming_exact_dedup(docs):
+    """STREAMING exact dedup against all history via applyInPandasWithState
+    (the stream-side complement of dedup.exact_dedup): documents group by
+    their text; per-group state carries (canonical_doc_id, n_seen) across
+    micro-batches, so every arriving document is labeled against EVERYTHING
+    the stream has ever seen, not just its own trigger. Within one
+    micro-batch ties resolve to the smallest doc_id (deterministic); across
+    batches the earlier arrival wins (stream order — the streaming
+    semantics). State is Spark-managed and checkpointed: a killed query
+    restarted on the same checkpoint resumes deduplicating against full
+    history, which is the property batch anti-joins cannot give a
+    continuous ingest pipeline.
+
+    Grouping on the raw text keeps the semantics exact at any content
+    length; a production 10^12-doc deployment would group on a 128-bit
+    content digest instead (state-store key size) with the same plan
+    shape — one shuffle by key, partition-local state.
+    Works only on a streaming DataFrame with columns (doc_id, text).
+    -> stream of (doc_id, canonical_id, is_dup, n_seen)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = "doc_id long, canonical_id long, is_dup boolean, n_seen long"
+    state_schema = "canon long, n long"
+
+    def update(key, pdfs, state):
+        canon, n = (state.get if state.exists else (None, 0))
+        rows = []
+        batch_ids = []
+        for pdf in pdfs:
+            batch_ids.extend(int(x) for x in pdf["doc_id"])
+        for did in sorted(batch_ids):
+            if canon is None:
+                canon = did
+            n += 1
+            rows.append((did, canon, did != canon, n))
+        state.update((int(canon), int(n)))
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "canonical_id", "is_dup", "n_seen"]
+        )
+
+    return docs.select("doc_id", "text").groupBy("text").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
