@@ -37,6 +37,10 @@ HEADLINE = [
     # round-5 additions
     "embedding_ivf_topk",
     "embankment_removal",
+    "embedding_pq_topk",
+    "duplicate_text_spans",
+    "contamination_check",
+    "stratified_sample",
 ]
 
 
