@@ -94,6 +94,148 @@ def language_id(docs: DataFrame, *, text: str = "text", doc_id: str = "doc_id") 
     )
 
 
+# Gopher's stop-word presence rule uses this fixed 8-word list
+# (Rae et al. 2021, "Scaling Language Models: ... Gopher", App. A1.1 —
+# public paper; the rule requires >= 2 of these to appear in the doc)
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality_filter(
+    docs: DataFrame,
+    *,
+    text: str = "text",
+    doc_id: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_len: float = 3.0,
+    max_mean_len: float = 10.0,
+    min_alpha_frac: float = 0.8,
+    max_symbol_ratio: float = 0.1,
+    min_stop_hits: int = 2,
+    max_dup_line_frac: float = 0.3,
+    max_top2_char_frac: float = 0.20,
+) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021, App. A1.1 —
+    defaults are the paper's published thresholds). One row per doc with the
+    rule inputs and a 0/1 `passes` flag:
+
+      1. min_words <= n_words <= max_words
+      2. min_mean_len <= mean word length <= max_mean_len
+      3. fraction of words containing an ASCII letter >= min_alpha_frac
+      4. (count('#') + count('...')) / n_words <= max_symbol_ratio
+      5. at least min_stop_hits DISTINCT Gopher stop words appear
+      6. fraction of duplicate lines (by count) <= max_dup_line_frac
+      7. char mass of the single most frequent word 2-gram / total word
+         chars <= max_top2_char_frac  (the paper's top-n-gram repetition
+         family, n=2; char mass of a 2-gram occurrence = len(w1)+len(w2))
+
+    Scale shape: rules 1-6 are pure per-row column expressions (one
+    whole-stage-codegen scan). Rule 7 is the only one needing cross-token
+    counting; it runs as explode -> partial-agg groupBy(doc, gram) ->
+    per-doc max -> join back on doc_id — never a per-row O(tokens^2) HOF,
+    so a 100k-word doc costs 100k gram rows, not 10^10 comparisons.
+    All arithmetic mirrors 1:1 into the DuckDB oracle.
+    """
+    t = F.col(text)
+    toks = tokens_expr(t)
+    n_words = F.size(toks).cast("long")
+    word_chars = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    mean_word_len = F.when(
+        n_words > 0, word_chars.cast("double") / n_words
+    ).otherwise(F.lit(0.0))
+    alpha_words = F.size(F.filter(toks, lambda w: w.rlike("[A-Za-z]"))).cast("long")
+    alpha_frac = F.when(
+        n_words > 0, alpha_words.cast("double") / n_words
+    ).otherwise(F.lit(0.0))
+    n_hash = F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+    n_ellipsis = (F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))) / 3
+    symbol_ratio = F.when(
+        n_words > 0, (n_hash + n_ellipsis).cast("double") / n_words
+    ).otherwise(F.lit(0.0))
+    ltoks = F.transform(toks, F.lower)
+    stop_hits = F.size(
+        F.filter(
+            F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
+            lambda s: F.array_contains(ltoks, s),
+        )
+    ).cast("long")
+    lines = F.split(t, "\n", -1)
+    n_lines = F.size(lines)
+    dup_line_frac = F.when(
+        n_lines > 0,
+        (n_lines - F.size(F.array_distinct(lines))).cast("double") / n_lines,
+    ).otherwise(F.lit(0.0))
+
+    base = docs.select(
+        F.col(doc_id).alias("doc_id"),
+        t.alias("_text"),
+        n_words.alias("n_words"),
+        word_chars.alias("word_chars"),
+        mean_word_len.alias("mean_word_len"),
+        alpha_frac.alias("alpha_frac"),
+        symbol_ratio.alias("symbol_ratio"),
+        stop_hits.alias("stop_hits"),
+        dup_line_frac.alias("dup_line_frac"),
+        toks.alias("_toks"),
+    )
+
+    # rule 7: distributed top-2-gram char mass (map-side combine on
+    # (doc_id, gram), then one per-doc max, then an equi-join back)
+    grams = (
+        base.filter(F.col("n_words") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("_toks"), 1, F.size(F.col("_toks")) - 1),
+                    F.slice(F.col("_toks"), 2, F.size(F.col("_toks")) - 1),
+                    lambda a, b: F.concat(a, F.lit(" "), b),
+                )
+            ).alias("gram"),
+        )
+    )
+    top2 = (
+        grams.groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.max(F.col("cnt") * (F.length(F.col("gram")) - 1)).alias("top2_mass")
+        )
+    )
+    out = base.join(top2, "doc_id", "left").withColumn(
+        "top2_char_frac",
+        F.when(
+            F.col("word_chars") > 0,
+            F.coalesce(F.col("top2_mass"), F.lit(0)).cast("double")
+            / F.col("word_chars"),
+        ).otherwise(F.lit(0.0)),
+    )
+    passes = (
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+        & (F.col("mean_word_len") >= min_mean_len)
+        & (F.col("mean_word_len") <= max_mean_len)
+        & (F.col("alpha_frac") >= min_alpha_frac)
+        & (F.col("symbol_ratio") <= max_symbol_ratio)
+        & (F.col("stop_hits") >= min_stop_hits)
+        & (F.col("dup_line_frac") <= max_dup_line_frac)
+        & (F.col("top2_char_frac") <= max_top2_char_frac)
+    )
+    return out.select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "alpha_frac",
+        "symbol_ratio",
+        "stop_hits",
+        "dup_line_frac",
+        "top2_char_frac",
+        passes.cast("long").alias("passes"),
+    )
+
+
 def fingerprint(docs: DataFrame, *, text: str = "text", doc_id: str = "doc_id") -> DataFrame:
     """Deterministic rolling document fingerprint over tokens:
         code(tok) = length(tok) * 7919 + ascii(first char)

@@ -564,6 +564,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count": q_token_count,
         "bpe_token_count": q_bpe_count,
         "quality_score": q_quality,
+        "gopher_rules": q_gopher_rules,
         "language_id": q_langid,
         "fingerprint": q_fingerprint,
         "embedding_topk": q_embed_topk,
@@ -1702,6 +1703,7 @@ SELECT doc_id, len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+')) 
 FROM documents
 """,
         "quality_score": _quality_sql(),
+        "gopher_rules": _gopher_rules_sql(min_words=30, min_stop_hits=1),
         "language_id": _langid_sql(),
         "fingerprint": _fingerprint_sql(),
         "embedding_topk": _embed_topk_sql(),

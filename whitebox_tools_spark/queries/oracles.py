@@ -2001,6 +2001,73 @@ FROM t
 """
 
 
+_GOPHER_STOP_LIST_SQL = "[" + ",".join(f"'{w}'" for w in TX.GOPHER_STOPWORDS) + "]"
+
+
+def _gopher_rules_sql(min_words: int = 50, min_stop_hits: int = 2) -> str:
+    """Independent DuckDB mirror of gopher_quality_filter. passes evaluates
+    on UNROUNDED values, exactly like the engine; output doubles round to
+    6 dp. min_words/min_stop_hits parameterized so the query can use
+    corpus-appropriate values (the synthetic vocab holds only one Gopher
+    stop word); the other thresholds are the paper's defaults."""
+    return f"""
+WITH t AS (
+  SELECT doc_id, text,
+         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_words,
+         COALESCE(list_sum(list_transform(toks, w -> CAST(length(w) AS BIGINT))), 0) AS word_chars,
+         CAST(len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS alpha_words,
+         length(text) - length(replace(text, '#', '')) AS n_hash,
+         (length(text) - length(replace(text, '...', ''))) / 3 AS n_ellipsis,
+         CAST(len(list_filter({_GOPHER_STOP_LIST_SQL},
+                              s -> list_contains(list_transform(toks, w -> lower(w)), s))) AS BIGINT) AS stop_hits,
+         len(string_split(text, chr(10))) AS n_lines,
+         len(string_split(text, chr(10))) - len(list_distinct(string_split(text, chr(10)))) AS n_dup_lines,
+         toks
+  FROM t
+),
+g AS (
+  SELECT doc_id, max(cnt * gchars) AS top2_mass
+  FROM (
+    SELECT doc_id, gram, count(*) AS cnt, CAST(length(gram) - 1 AS BIGINT) AS gchars
+    FROM (
+      SELECT m.doc_id, m.toks[i] || ' ' || m.toks[i + 1] AS gram
+      FROM m, unnest(generate_series(1, len(m.toks) - 1)) AS u(i)
+    )
+    GROUP BY doc_id, gram
+  )
+  GROUP BY doc_id
+),
+j AS (
+  SELECT m.*,
+         CASE WHEN m.n_words > 0 THEN CAST(m.word_chars AS DOUBLE) / m.n_words ELSE 0.0 END AS mean_word_len_u,
+         CASE WHEN m.n_words > 0 THEN CAST(m.alpha_words AS DOUBLE) / m.n_words ELSE 0.0 END AS alpha_frac_u,
+         CASE WHEN m.n_words > 0 THEN CAST(m.n_hash + m.n_ellipsis AS DOUBLE) / m.n_words ELSE 0.0 END AS symbol_ratio_u,
+         CASE WHEN m.n_lines > 0 THEN CAST(m.n_dup_lines AS DOUBLE) / m.n_lines ELSE 0.0 END AS dup_line_frac_u,
+         CASE WHEN m.word_chars > 0 THEN CAST(COALESCE(g.top2_mass, 0) AS DOUBLE) / m.word_chars ELSE 0.0 END AS top2_char_frac_u
+  FROM m LEFT JOIN g ON m.doc_id = g.doc_id
+)
+SELECT doc_id, n_words,
+       round(mean_word_len_u, 6) AS mean_word_len,
+       round(alpha_frac_u, 6) AS alpha_frac,
+       round(symbol_ratio_u, 6) AS symbol_ratio,
+       stop_hits,
+       round(dup_line_frac_u, 6) AS dup_line_frac,
+       round(top2_char_frac_u, 6) AS top2_char_frac,
+       CAST(n_words >= {min_words} AND n_words <= 100000
+            AND mean_word_len_u >= 3.0 AND mean_word_len_u <= 10.0
+            AND alpha_frac_u >= 0.8 AND symbol_ratio_u <= 0.1
+            AND stop_hits >= {min_stop_hits} AND dup_line_frac_u <= 0.3
+            AND top2_char_frac_u <= 0.20 AS BIGINT) AS passes
+FROM j
+"""
+
+
 def _langid_sql() -> str:
     return f"""
 WITH t AS (

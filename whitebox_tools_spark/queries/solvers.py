@@ -2319,6 +2319,20 @@ def q_quality(spark, sf_dir):
                ["mean_tok_len", "punct_ratio", "stop_ratio", "quality"])
 
 
+def q_gopher_rules(spark, sf_dir):
+    """Gopher quality-rule filter (Rae et al. 2021 App. A1.1, published
+    thresholds): per-doc rule inputs + 0/1 passes flag. Rules 1-6 are one
+    codegen'd scan; the top-2-gram repetition rule is the only aggregate
+    (explode -> map-side-combined count -> per-doc max -> equi-join).
+    min_words/min_stop_hits lowered to corpus-appropriate values (the
+    synthetic vocab holds a single Gopher stop word) so the flag splits;
+    all other thresholds are the paper's published defaults."""
+    out = TX.gopher_quality_filter(_t(spark, sf_dir, "documents"),
+                                   min_words=30, min_stop_hits=1)
+    return _r6(out, ["mean_word_len", "alpha_frac", "symbol_ratio",
+                     "dup_line_frac", "top2_char_frac"])
+
+
 def q_langid(spark, sf_dir):
     return _r6(TX.language_id(_t(spark, sf_dir, "documents")), ["stop_ratio"])
 
