@@ -81,9 +81,11 @@ _DRIVER_WINDOW: list[str] = [
     # never driver-checked: overlay / vector
     "split_with_lines",
     "polygonize",
-    "deviation_from_regional_direction",
     # new round-5 training-data ops (never seen by ANY external check —
-    # the r4 judge rerun covered everything older)
+    # the r4 judge rerun covered everything older;
+    # deviation_from_regional_direction yielded its slot: it passed the
+    # r4 judge rerun, gopher_rules has never had an external row)
+    "gopher_rules",
     "duplicate_text_spans",
     "contamination_check",
     "stratified_sample",
