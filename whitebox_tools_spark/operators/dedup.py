@@ -1041,3 +1041,127 @@ def stratified_sample_oracle_sql(
         f"SELECT * FROM ({docs_rel}) WHERE {h} < "
         f"(CASE {cases} ELSE {int(float(default) * (1 << 60))} END)"
     )
+
+
+def token_budget_sample(
+    docs: DataFrame,
+    budgets: dict[str, int],
+    *,
+    strat: str = "source",
+    doc_id: str = "doc_id",
+    text: str = "text",
+    n_tokens: str | None = None,
+    seed: int = 7,
+    default: int = 0,
+    bucket_bits: int = 12,
+) -> DataFrame:
+    """Deterministic per-source TOKEN-budget sampling — the mixing step
+    that turns mixture weights into an actual token allocation: within each
+    stratum, documents are taken in portable_hash60(doc_id, seed) order
+    until the stratum's cumulative whitespace-token count reaches its
+    budget (keep iff inclusive running total <= budget). Selection is a
+    pure function of (doc_id, seed, budgets): partition-count invariant,
+    re-runnable, and NESTED in the budget (raising a stratum's budget only
+    ever adds documents), so mixtures can be retuned without invalidating
+    already-processed history.
+
+    Scale shape (the naive rule is a running sum over every row of a
+    stratum — one reducer per source at 100 TB): phase 1 aggregates token
+    sums per (stratum, hash-prefix bucket) (2^bucket_bits buckets; one
+    map-side-combinable aggregate collapsing to <= 4096 x n_strata rows,
+    config-sized, collected), the driver prefix-sums the per-bucket totals
+    to locate each stratum's BOUNDARY bucket and its remaining budget, and
+    only the boundary bucket's rows (an expected 2^-bucket_bits fraction
+    of each stratum) flow through the exact within-bucket running-sum
+    window; every earlier bucket is kept by a map-side comparison against
+    the broadcast CASE literal. Identical kept set to the naive rule:
+    bucket id is the hash's top bits, so bucket order refines hash order.
+    -> the kept rows: original columns + n_tokens.
+    """
+    if n_tokens is not None:
+        ntok = F.col(n_tokens).cast("long")
+    else:
+        from whitebox_tools_spark.operators.text import tokens_expr
+
+        ntok = F.size(tokens_expr(F.col(text))).cast("long")
+    h = F.expr(
+        _PORTABLE64_SPARK.format(
+            x=f"concat(cast({doc_id} as string), ':', '{int(seed)}')"
+        )
+    )
+    n_buckets = 1 << bucket_bits
+    m = (
+        docs.withColumn("n_tokens", ntok)
+        .withColumn("__h", h)
+        .withColumn("__b", F.shiftright(F.col("__h"), 60 - bucket_bits))
+    )
+    stats = (
+        m.groupBy(strat, "__b").agg(F.sum("n_tokens").alias("t")).collect()
+    )
+    per = {}
+    for r in stats:
+        per.setdefault(r[strat], {})[r["__b"]] = r["t"]
+    bstar: dict[str, int] = {}
+    rem: dict[str, int] = {}
+    for s, bt in per.items():
+        budget = int(budgets.get(s, default))
+        acc = 0
+        boundary = n_buckets  # budget >= stratum total: keep every bucket
+        for b in sorted(bt):
+            if acc + bt[b] > budget:
+                boundary = b
+                break
+            acc += bt[b]
+        bstar[s] = boundary
+        rem[s] = budget - acc
+    bcol = F.lit(-1)
+    rcol = F.lit(0)
+    for s in sorted(bstar):
+        bcol = F.when(F.col(strat) == F.lit(s), F.lit(bstar[s])).otherwise(bcol)
+        rcol = F.when(F.col(strat) == F.lit(s), F.lit(rem[s])).otherwise(rcol)
+    m = m.withColumn("__bs", bcol).withColumn("__rem", rcol)
+    full = m.filter(F.col("__b") < F.col("__bs"))
+    w = Window.partitionBy(strat).orderBy("__h", doc_id)
+    edge = (
+        m.filter(F.col("__b") == F.col("__bs"))
+        .withColumn("__cum", F.sum("n_tokens").over(w))
+        .filter(F.col("__cum") <= F.col("__rem"))
+        .drop("__cum")
+    )
+    return full.unionByName(edge).drop("__h", "__b", "__bs", "__rem")
+
+
+def token_budget_sample_oracle_sql(
+    docs_rel: str,
+    budgets: dict[str, int],
+    *,
+    strat: str = "source",
+    doc_id: str = "doc_id",
+    seed: int = 7,
+    default: int = 0,
+) -> str:
+    """DuckDB mirror of token_budget_sample via the NAIVE rule (full
+    per-stratum running sum in hash order) — deliberately a different
+    algorithm than the engine's two-phase bucket plan, so the oracle
+    validates the bucket decomposition itself."""
+    cases = " ".join(
+        f"WHEN {strat} = '{s}' THEN {int(v)}" for s, v in sorted(budgets.items())
+    )
+    h = _PORTABLE64_DUCK.format(
+        x=f"(CAST({doc_id} AS VARCHAR) || ':' || '{int(seed)}')"
+    )
+    return f"""
+WITH m AS (
+  SELECT *, CASE WHEN length(trim(text)) = 0 THEN 0
+                 ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+         {h} AS __h
+  FROM ({docs_rel}) t
+),
+c AS (
+  SELECT *, sum(n_tokens) OVER (PARTITION BY {strat} ORDER BY __h, {doc_id}
+                                ROWS UNBOUNDED PRECEDING) AS __cum
+  FROM m
+)
+SELECT * EXCLUDE (__h, __cum) FROM c
+WHERE __cum <= (CASE {cases} ELSE {int(default)} END)
+"""

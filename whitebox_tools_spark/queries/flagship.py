@@ -79,13 +79,13 @@ _DRIVER_WINDOW: list[str] = [
     "travelling_salesman_problem",
     "turning_bands_simulation",
     # never driver-checked: overlay / vector
-    "split_with_lines",
     "polygonize",
     # new round-5 training-data ops (never seen by ANY external check —
-    # the r4 judge rerun covered everything older;
-    # deviation_from_regional_direction yielded its slot: it passed the
-    # r4 judge rerun, gopher_rules has never had an external row)
+    # the r4 judge rerun covered everything older; split_with_lines and
+    # deviation_from_regional_direction yielded their slots: both passed
+    # the r4 judge rerun, these two have never had an external row)
     "gopher_rules",
+    "token_budget_sample",
     "duplicate_text_spans",
     "contamination_check",
     "stratified_sample",
@@ -567,6 +567,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_count": q_bpe_count,
         "quality_score": q_quality,
         "gopher_rules": q_gopher_rules,
+        "token_budget_sample": q_token_budget_sample,
         "language_id": q_langid,
         "fingerprint": q_fingerprint,
         "embedding_topk": q_embed_topk,
@@ -1706,6 +1707,13 @@ FROM documents
 """,
         "quality_score": _quality_sql(),
         "gopher_rules": _gopher_rules_sql(min_words=30, min_stop_hits=1),
+        "token_budget_sample": (
+            "SELECT doc_id, source, n_tokens FROM ("
+            + DD.token_budget_sample_oracle_sql(
+                "SELECT * FROM documents", _TOKEN_BUDGETS, default=700
+            )
+            + ") t"
+        ),
         "language_id": _langid_sql(),
         "fingerprint": _fingerprint_sql(),
         "embedding_topk": _embed_topk_sql(),

@@ -2319,6 +2319,21 @@ def q_quality(spark, sf_dir):
                ["mean_tok_len", "punct_ratio", "stop_ratio", "quality"])
 
 
+_TOKEN_BUDGETS = {f"src{i}": 400 + 60 * i for i in range(10)}
+
+
+def q_token_budget_sample(spark, sf_dir):
+    """Per-source token-budget mixing: take docs in portable-hash order
+    until each source's cumulative token count hits its budget (src0-src9
+    explicit budgets 400..940, the other ten sources the 700 default).
+    Engine runs the two-phase bucket plan; the oracle replays the NAIVE
+    full running-sum rule, so the match validates the decomposition."""
+    out = DD.token_budget_sample(
+        _t(spark, sf_dir, "documents"), _TOKEN_BUDGETS, default=700
+    )
+    return out.select("doc_id", "source", "n_tokens")
+
+
 def q_gopher_rules(spark, sf_dir):
     """Gopher quality-rule filter (Rae et al. 2021 App. A1.1, published
     thresholds): per-doc rule inputs + 0/1 passes flag. Rules 1-6 are one
