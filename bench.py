@@ -302,6 +302,16 @@ def main():
         spark, sf_dir
     ).count()
     dedup_extras["contamination_sec"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    dedup_extras["gopher_pass_rows"] = (
+        qs["gopher_rules"](spark, sf_dir).filter("passes = 1").count()
+    )
+    dedup_extras["gopher_rules_sec"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    dedup_extras["token_budget_rows"] = qs["token_budget_sample"](
+        spark, sf_dir
+    ).count()
+    dedup_extras["token_budget_sec"] = round(time.time() - t0, 3)
 
     ms_stats = multiscale_radius_sweep(spark)
     media_stats = media_decode_throughput(spark)

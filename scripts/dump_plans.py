@@ -41,6 +41,8 @@ HEADLINE = [
     "duplicate_text_spans",
     "contamination_check",
     "stratified_sample",
+    "gopher_rules",
+    "token_budget_sample",
 ]
 
 
