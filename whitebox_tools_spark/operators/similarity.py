@@ -404,21 +404,13 @@ def ivf_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
-def ivf_topk_oracle_sql(
-    k: int,
-    *,
-    nlist: int = 16,
-    n_probe: int = 4,
-    iters: int = 3,
-    dim: int = 64,
-    query_pred: str = "vec_id < 10",
-) -> str:
-    """DuckDB mirror of ivf_topk over the `embeddings` view: the k-means
-    trajectory is unrolled as chained CTEs (fixed iteration count, rounded
-    centroids — the lloyd_kmeans_oracle_sql trick), assignment/probe
-    argmins use the identical reduced score list_dot_product(c,c) -
-    2*list_dot_product(v,c) with list_id tie-break, so the whole IVF
-    pipeline is value-checked end-to-end."""
+def _ivf_inv_parts(nlist: int, iters: int, dim: int) -> list[str]:
+    """Shared CTE chain for the deterministic IVF quantizer mirror: the
+    k-means trajectory unrolled (fixed iteration count, 9-dp rounded
+    centroids — the lloyd_kmeans_oracle_sql trick) ending in `inv`
+    (vec_id, v, list_id): every corpus vector's inverted-list assignment
+    via the identical reduced score list_dot_product(c,c) -
+    2*list_dot_product(v,c) with list_id tie-break."""
     score = "(list_dot_product(c.cv, c.cv) - 2 * list_dot_product(d.v, c.cv))"
     avg_arr = "[" + ", ".join(f"round(avg(v[{i + 1}]), 9)" for i in range(dim)) + "]"
     parts = [
@@ -438,15 +430,35 @@ def ivf_topk_oracle_sql(
             f"c{t + 1} AS (SELECT list_id, {avg_arr} AS cv FROM a{t} GROUP BY list_id)"
         )
         prev = f"c{t + 1}"
-    cos = (
-        "list_dot_product(inv.v, p.qv) / "
-        "(sqrt(list_dot_product(inv.v, inv.v)) * sqrt(list_dot_product(p.qv, p.qv)))"
-    )
     parts.append(
         "inv AS (SELECT _id AS vec_id, v, list_id FROM ("
         "SELECT d.vec_id AS _id, d.v, c.list_id, "
         f"row_number() OVER (PARTITION BY d.vec_id ORDER BY {score} ASC, c.list_id ASC) AS _rk "
         f"FROM e d CROSS JOIN {prev} c) WHERE _rk = 1)"
+    )
+    return parts
+
+
+def ivf_topk_oracle_sql(
+    k: int,
+    *,
+    nlist: int = 16,
+    n_probe: int = 4,
+    iters: int = 3,
+    dim: int = 64,
+    query_pred: str = "vec_id < 10",
+) -> str:
+    """DuckDB mirror of ivf_topk over the `embeddings` view: the k-means
+    trajectory is unrolled as chained CTEs (fixed iteration count, rounded
+    centroids — the lloyd_kmeans_oracle_sql trick), assignment/probe
+    argmins use the identical reduced score list_dot_product(c,c) -
+    2*list_dot_product(v,c) with list_id tie-break, so the whole IVF
+    pipeline is value-checked end-to-end."""
+    parts = _ivf_inv_parts(nlist, iters, dim)
+    prev = f"c{iters}"
+    cos = (
+        "list_dot_product(inv.v, p.qv) / "
+        "(sqrt(list_dot_product(inv.v, inv.v)) * sqrt(list_dot_product(p.qv, p.qv)))"
     )
     parts.append(
         f"q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE {query_pred})"
@@ -783,4 +795,79 @@ def pq_topk_oracle_sql(
         "WITH "
         + ",\n".join(parts)
         + f"\nSELECT query_id, vec_id, round(cos, 5) + 0.0 AS cosine, rank FROM rk WHERE rank <= {k}"
+    )
+
+
+def semantic_dedup_pairs(
+    corpus: DataFrame,
+    *,
+    nlist: int = 16,
+    tau: float = 0.95,
+    iters: int = 3,
+    dim: int = 64,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    centroids: DataFrame | None = None,
+    cap: int = 1024,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication" — public paper): semantic
+    near-duplicate PAIRS found cluster-locally. Vectors are assigned to a
+    deterministic IVF coarse quantizer's inverted lists, and cosine
+    similarity is evaluated only WITHIN each list — the paper's design:
+    k-means confines the quadratic comparison to cluster-sized buckets,
+    so the corpus-level cost is sum(cluster^2), never N^2.
+
+    Scale shape: quantizer build + assignment are broadcast crossJoins +
+    one aggregate per iteration (ivf_centroids/ivf_assign, the same build
+    pass IVF ANN materializes); within-cluster pairing goes through
+    bucket_pair_candidates, so a skewed hot cluster triangle-chunks across
+    executors instead of serializing one task. Pairs are exact cosines —
+    no LSH approximation inside the cluster; the only recall loss vs
+    all-pairs is near-dups split across cluster boundaries (the paper
+    accepts this; raise nlist iters or lower nlist to trade).
+    -> (vec_id_a, vec_id_b, cosine) with cosine >= tau, vec_id_a < vec_id_b.
+    """
+    from whitebox_tools_spark.operators.dedup import bucket_pair_candidates
+
+    cent = (
+        centroids
+        if centroids is not None
+        else ivf_centroids(
+            corpus, nlist, corpus_id=corpus_id, corpus_vec=corpus_vec,
+            dim=dim, iters=iters,
+        )
+    )
+    inv = ivf_assign(corpus, cent, corpus_id=corpus_id, corpus_vec=corpus_vec)
+    cand = bucket_pair_candidates(
+        inv, ["list_id"], "vec_id", payload=["cv"], cap=cap,
+        out_a="vec_id_a", out_b="vec_id_b",
+    )
+    cos = cosine_expr(F.col("cv_a"), F.col("cv_b"))
+    return (
+        cand.withColumn("cosine", cos)
+        .filter(F.col("cosine") >= F.lit(float(tau)))
+        .select("vec_id_a", "vec_id_b", "cosine")
+    )
+
+
+def semantic_dedup_pairs_oracle_sql(
+    *, nlist: int = 16, tau: float = 0.95, iters: int = 3, dim: int = 64
+) -> str:
+    """DuckDB mirror of semantic_dedup_pairs over the `embeddings` view:
+    the shared unrolled IVF trajectory (bit-identical assignment) + a
+    naive within-list self-join with the identical float cosine — the
+    engine's triangle-chunked pairing must reproduce exactly this set."""
+    parts = _ivf_inv_parts(nlist, iters, dim)
+    cos = (
+        "list_dot_product(a.v, b.v) / "
+        "(sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
+    )
+    parts.append(
+        f"pr AS (SELECT a.vec_id AS doc_id_a, b.vec_id AS doc_id_b, {cos} AS cos "
+        "FROM inv a JOIN inv b ON a.list_id = b.list_id AND a.vec_id < b.vec_id)"
+    )
+    return (
+        "WITH " + ",\n".join(parts)
+        + f"\nSELECT doc_id_a, doc_id_b FROM pr WHERE cos >= {float(tau)!r}"
     )

@@ -562,6 +562,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "minhash_lsh": q_minhash_lsh,
         "minhash_dedup_components": q_minhash_components,
+        "semantic_dedup_components": q_semantic_dedup,
         "simhash_near_dup": q_simhash,
         "token_count": q_token_count,
         "bpe_token_count": q_bpe_count,
@@ -1733,6 +1734,9 @@ FROM documents
                 "SELECT doc_id, text FROM documents",
                 num_hashes=32, bands=8, verify_threshold=0.7,
             )
+        ),
+        "semantic_dedup_components": DD.near_dup_components_oracle_sql(
+            SIM.semantic_dedup_pairs_oracle_sql(nlist=16, tau=0.40)
         ),
         "simhash_near_dup": "SELECT doc_id_a, doc_id_b, hamming::BIGINT AS hamming FROM ("
         + DD.simhash_near_dup_oracle_sql(

@@ -2306,6 +2306,21 @@ def q_minhash_components(spark, sf_dir):
     return comp.join(sz, "component").select("doc_id", "component", "csize")
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): IVF-cluster-scoped exact-cosine near-dup
+    pairs -> transitive components (doc_id, component, csize). The synthetic
+    embeddings carry no planted high-cosine dupes, so the query runs at
+    tau=0.40 over the corpus's natural similarity tail (the operator default
+    stays 0.95); value-checked against the shared unrolled-IVF DuckDB
+    trajectory + naive within-list self-join + recursive transitive closure."""
+    pairs = SIM.semantic_dedup_pairs(
+        _t(spark, sf_dir, "embeddings"), nlist=16, tau=0.40
+    )
+    comp = DD.near_dup_components(pairs, a="vec_id_a", b="vec_id_b")
+    sz = comp.groupBy("component").agg(F.count(F.lit(1)).alias("csize"))
+    return comp.join(sz, "component").select("doc_id", "component", "csize")
+
+
 def q_token_count(spark, sf_dir):
     return TX.token_count(_t(spark, sf_dir, "documents"))
 
