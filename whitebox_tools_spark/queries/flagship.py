@@ -79,13 +79,14 @@ _DRIVER_WINDOW: list[str] = [
     "travelling_salesman_problem",
     "turning_bands_simulation",
     # never driver-checked: overlay / vector
-    "polygonize",
     # new round-5 training-data ops (never seen by ANY external check —
-    # the r4 judge rerun covered everything older; split_with_lines and
-    # deviation_from_regional_direction yielded their slots: both passed
-    # the r4 judge rerun, these two have never had an external row)
+    # the r4 judge rerun covered everything older; polygonize,
+    # split_with_lines and deviation_from_regional_direction yielded their
+    # slots: all passed the r4 judge rerun, these three have never had an
+    # external row)
     "gopher_rules",
     "token_budget_sample",
+    "semantic_dedup_components",
     "duplicate_text_spans",
     "contamination_check",
     "stratified_sample",
