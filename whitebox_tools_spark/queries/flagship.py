@@ -77,7 +77,9 @@ _DRIVER_WINDOW: list[str] = [
     "gaussian_scale_space",
     "conditioned_latin_hypercube",
     "travelling_salesman_problem",
-    "turning_bands_simulation",
+    # turning_bands_simulation yielded its slot (r4 judge-rerun green) to
+    # the never-externally-checked end-to-end curation composition
+    "curation_pipeline",
     # never driver-checked: overlay / vector
     # new round-5 training-data ops (never seen by ANY external check —
     # the r4 judge rerun covered everything older; polygonize,
@@ -564,6 +566,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": q_minhash_lsh,
         "minhash_dedup_components": q_minhash_components,
         "semantic_dedup_components": q_semantic_dedup,
+        "curation_pipeline": q_curation_pipeline,
         "simhash_near_dup": q_simhash,
         "token_count": q_token_count,
         "bpe_token_count": q_bpe_count,
@@ -1738,6 +1741,22 @@ FROM documents
         ),
         "semantic_dedup_components": DD.near_dup_components_oracle_sql(
             SIM.semantic_dedup_pairs_oracle_sql(nlist=16, tau=0.40)
+        ),
+        "curation_pipeline": (
+            "WITH g AS ("
+            + _gopher_rules_sql(min_words=30, min_stop_hits=1)
+            + "), kept AS (SELECT d.* FROM documents d JOIN g "
+            "ON d.doc_id = g.doc_id AND g.passes = 1), "
+            "canon AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY text), "
+            "dd AS (SELECT k.* FROM kept k JOIN canon USING (doc_id)), "
+            "samp AS ("
+            + DD.stratified_sample_oracle_sql(
+                "SELECT * FROM dd", _CURATION_FRACTIONS, default=0.5, seed=13
+            )
+            + ") SELECT source, count(*) AS n_docs, "
+            "sum(CASE WHEN length(trim(text)) = 0 THEN 0 "
+            "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS n_tokens "
+            "FROM samp GROUP BY source"
         ),
         "simhash_near_dup": "SELECT doc_id_a, doc_id_b, hamming::BIGINT AS hamming FROM ("
         + DD.simhash_near_dup_oracle_sql(

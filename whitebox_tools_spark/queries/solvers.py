@@ -2306,6 +2306,40 @@ def q_minhash_components(spark, sf_dir):
     return comp.join(sz, "component").select("doc_id", "component", "csize")
 
 
+_CURATION_FRACTIONS = {f"src{i}": 0.3 + 0.05 * i for i in range(10)}
+
+
+def q_curation_pipeline(spark, sf_dir):
+    """End-to-end training-data curation pass, the composition a real
+    pipeline runs: Gopher quality filter (corpus thresholds) -> exact
+    dedup keep-min-id -> deterministic stratified mixture sampling
+    (src0-src9 explicit fractions, 0.5 default) -> per-source document
+    and token report. Every stage is an existing value-checked operator;
+    this query certifies that they COMPOSE (schema contracts, join keys,
+    determinism end-to-end), one aggregate per stage, no UDFs."""
+    docs = _t(spark, sf_dir, "documents")
+    g = TX.gopher_quality_filter(docs, min_words=30, min_stop_hits=1)
+    kept = docs.join(
+        g.filter(F.col("passes") == 1).select("doc_id"), "doc_id"
+    )
+    canon = kept.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    deduped = kept.join(canon.select("doc_id"), "doc_id")
+    sampled = DD.stratified_sample(
+        deduped, _CURATION_FRACTIONS, default=0.5, seed=13
+    )
+    return (
+        sampled.select(
+            "source",
+            F.size(TX.tokens_expr(F.col("text"))).cast("long").alias("nt"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").alias("n_tokens"),
+        )
+    )
+
+
 def q_semantic_dedup(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023): IVF-cluster-scoped exact-cosine near-dup
     pairs -> transitive components (doc_id, component, csize). The synthetic
