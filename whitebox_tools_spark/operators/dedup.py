@@ -289,10 +289,13 @@ def minhash_signatures(
     n: int = 3,
     num_hashes: int = 64,
     hash_family: str = "xxhash64",
+    repartition: bool = True,
 ) -> DataFrame:
     """MinHash signature per doc: for each of num_hashes seeded hash
     functions, the min hash over the shingle set. All JVM built-ins.
-    -> (doc_id, sig: array<bigint>).
+    -> (doc_id, sig: array<bigint>). repartition=False skips the
+    partition-count probe (required for streaming DataFrames, where .rdd
+    is unsupported and the micro-batch planner owns parallelism).
 
     hash_family:
       - "xxhash64" (default): fastest, JVM codegen — the production path.
@@ -316,12 +319,14 @@ def minhash_signatures(
     SQL-parsed form `expr("transform(hs, h -> xxhash64(h, i))")` is
     correct, so the seeded re-hash is built via F.expr; a regression test
     (test_minhash_signature_value_dependence) pins this."""
-    spark = docs.sparkSession
-    par = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < par:
-        # signature hashing is the CPU-heavy stage (shingles x num_hashes
-        # integer hashes per doc); a small file count must not serialize it
-        docs = docs.repartition(par)
+    if repartition:
+        spark = docs.sparkSession
+        par = spark.sparkContext.defaultParallelism
+        if docs.rdd.getNumPartitions() < par:
+            # signature hashing is the CPU-heavy stage (shingles x
+            # num_hashes integer hashes per doc); a small file count must
+            # not serialize it
+            docs = docs.repartition(par)
     if hash_family == "md5":
         d = docs.select(
             F.col(doc_id).alias("doc_id"), shingles_expr(F.col(text), n).alias("__mh_sh")
