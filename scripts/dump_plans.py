@@ -43,6 +43,8 @@ HEADLINE = [
     "stratified_sample",
     "gopher_rules",
     "token_budget_sample",
+    "semantic_dedup_components",
+    "curation_pipeline",
 ]
 
 
