@@ -250,3 +250,95 @@ def fingerprint(docs: DataFrame, *, text: str = "text", doc_id: str = "doc_id") 
         lambda acc, c: (acc * 1000003 + c) % 2147483647,
     )
     return docs.select(F.col(doc_id).alias("doc_id"), h.alias("fp"))
+
+
+def unigram_logprob_quality(
+    docs: DataFrame, *, text: str = "text", doc_id: str = "doc_id"
+) -> DataFrame:
+    """LM-based quality scoring, unigram proxy (the CCNet family — Wenzek
+    et al. 2020 score corpora by LM perplexity; a corpus-trained unigram
+    model is its exact, dependency-free core): per-doc mean token
+    log-probability under the corpus's own empirical unigram distribution.
+    Common-token prose scores high; rare-token noise (gibberish, codes,
+    OCR damage) scores low — rank / threshold downstream.
+
+    Determinism contract: a float sum over a groupBy is order-dependent,
+    so per-token log-probs are rounded to 9 dp and SCALED TO INTEGERS
+    (lpi = llround(round(ln(n/total), 9) * 1e9)); the per-doc sum is then
+    exact long arithmetic — partition- and engine-order invariant — and
+    only the final mean returns to float (6 dp). The DuckDB oracle replays
+    the identical quantization.
+
+    Scale shape: explode -> token-count aggregate (map-side combined; the
+    vocabulary table), one global total via a broadcast 1-row crossJoin,
+    (doc, token) occurrence aggregate, one equi-join on token (AQE
+    broadcasts the vocab when it fits), one per-doc aggregate. O(tokens)
+    rows through two shuffles; no windows, no UDFs, no collect.
+    Docs with zero tokens have no defined mean and are omitted (same
+    inner-join semantics in the oracle).
+    -> (doc_id, n_tokens, avg_logprob)."""
+    tok = docs.select(
+        F.col(doc_id).alias("doc_id"),
+        F.explode(tokens_expr(F.col(text))).alias("token"),
+    )
+    v = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    tot = v.agg(F.sum("n").alias("tot"))
+    lp = v.crossJoin(F.broadcast(tot)).select(
+        "token",
+        F.round(
+            F.round(F.log(F.col("n").cast("double") / F.col("tot")), 9)
+            * F.lit(1e9),
+            0,
+        )
+        .cast("long")
+        .alias("lpi"),
+    )
+    dt = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("m"))
+    agg = (
+        dt.join(lp, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("m") * F.col("lpi")).alias("s"),
+            F.sum("m").alias("n_tokens"),
+        )
+    )
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        (
+            F.round(
+                F.col("s").cast("double") / F.lit(1e9) / F.col("n_tokens"), 6
+            )
+            + F.lit(0.0)
+        ).alias("avg_logprob"),
+    )
+
+
+def unigram_logprob_quality_oracle_sql(
+    docs_rel: str = "SELECT * FROM documents",
+) -> str:
+    """DuckDB mirror of unigram_logprob_quality (identical tokenization,
+    identical 9-dp scaled-integer quantization of ln(n/total), exact long
+    sum, identical final rounding)."""
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                             ELSE regexp_split_to_array(trim(text), '\\s+') END) AS token
+  FROM ({docs_rel}) d
+),
+v AS (SELECT token, count(*) AS n FROM tok GROUP BY token),
+tot AS (SELECT sum(n) AS tot FROM v),
+lp AS (
+  SELECT token,
+         CAST(round(round(ln(CAST(n AS DOUBLE) / tot), 9) * 1e9, 0) AS BIGINT) AS lpi
+  FROM v, tot
+),
+dt AS (SELECT doc_id, token, count(*) AS m FROM tok GROUP BY doc_id, token),
+agg AS (
+  SELECT doc_id, sum(m * lpi) AS s, sum(m) AS n_tokens
+  FROM dt JOIN lp USING (token) GROUP BY doc_id
+)
+SELECT doc_id, n_tokens,
+       round(CAST(s AS DOUBLE) / 1e9 / n_tokens, 6) + 0.0 AS avg_logprob
+FROM agg
+"""

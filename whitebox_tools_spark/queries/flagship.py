@@ -76,9 +76,10 @@ _DRIVER_WINDOW: list[str] = [
     "local_quadratic_regression",
     "gaussian_scale_space",
     "conditioned_latin_hypercube",
-    "travelling_salesman_problem",
-    # turning_bands_simulation yielded its slot (r4 judge-rerun green) to
-    # the never-externally-checked end-to-end curation composition
+    # travelling_salesman_problem and turning_bands_simulation yielded
+    # their slots (both r4 judge-rerun green) to never-externally-checked
+    # round-5 additions
+    "unigram_logprob_quality",
     "curation_pipeline",
     # never driver-checked: overlay / vector
     # new round-5 training-data ops (never seen by ANY external check —
@@ -573,6 +574,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality,
         "gopher_rules": q_gopher_rules,
         "token_budget_sample": q_token_budget_sample,
+        "unigram_logprob_quality": q_unigram_logprob,
         "language_id": q_langid,
         "fingerprint": q_fingerprint,
         "embedding_topk": q_embed_topk,
@@ -1712,6 +1714,7 @@ FROM documents
 """,
         "quality_score": _quality_sql(),
         "gopher_rules": _gopher_rules_sql(min_words=30, min_stop_hits=1),
+        "unigram_logprob_quality": TX.unigram_logprob_quality_oracle_sql(),
         "token_budget_sample": (
             "SELECT doc_id, source, n_tokens FROM ("
             + DD.token_budget_sample_oracle_sql(

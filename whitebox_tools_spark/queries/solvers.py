@@ -2397,6 +2397,13 @@ def q_gopher_rules(spark, sf_dir):
                      "dup_line_frac", "top2_char_frac"])
 
 
+def q_unigram_logprob(spark, sf_dir):
+    """CCNet-family LM quality proxy: per-doc mean token log-prob under the
+    corpus's own unigram distribution (9-dp scaled-integer quantization
+    makes the float fold order- and engine-invariant)."""
+    return TX.unigram_logprob_quality(_t(spark, sf_dir, "documents"))
+
+
 def q_langid(spark, sf_dir):
     return _r6(TX.language_id(_t(spark, sf_dir, "documents")), ["stop_ratio"])
 
