@@ -1170,3 +1170,116 @@ c AS (
 SELECT * EXCLUDE (__h, __cum) FROM c
 WHERE __cum <= (CASE {cases} ELSE {int(default)} END)
 """
+
+
+def pack_sequences(
+    docs: DataFrame,
+    seq_len: int,
+    *,
+    doc_id: str = "doc_id",
+    text: str = "text",
+    n_tokens: str | None = None,
+    seed: int = 7,
+    bucket_bits: int = 12,
+) -> DataFrame:
+    """Deterministic sequence packing — the final step of training-data
+    prep: lay every document out on one GLOBAL token tape in
+    portable_hash60(doc_id, seed) order (the same deterministic shuffle
+    samplers use) and cut the tape into fixed seq_len windows. Each doc
+    gets its exact global start offset and the range of training sequences
+    it lands in (greedy concat-and-chunk packing, the
+    GPT-style pretraining layout): seq_first = floor(start / L),
+    seq_last = floor((start + n_tokens - 1) / L). Pure integer arithmetic
+    over a pure function of (doc_id, seed) — partition-invariant,
+    re-runnable, and APPEND-STABLE per bucket for incremental reruns.
+
+    Scale shape (the naive layout is ONE global running sum — a single
+    reducer at 100 TB): per-(hash-prefix bucket) token sums aggregate
+    map-side to <= 2^bucket_bits rows, the driver prefix-sums them into
+    per-bucket global offsets, and every bucket then computes its exact
+    within-bucket running sum in PARALLEL (a window partitioned by bucket
+    — 4096 independent partitions, one shuffle) shifted by its broadcast
+    offset. Identical to the naive rule because bucket id is the hash's
+    top bits: bucket order refines tape order.
+    -> (doc_id, n_tokens, start_offset, seq_first, seq_last); zero-token
+    docs occupy no tape (seq_first/seq_last = -1).
+    """
+    if n_tokens is not None:
+        ntok = F.col(n_tokens).cast("long")
+    else:
+        from whitebox_tools_spark.operators.text import tokens_expr
+
+        ntok = F.size(tokens_expr(F.col(text))).cast("long")
+    h = F.expr(
+        _PORTABLE64_SPARK.format(
+            x=f"concat(cast({doc_id} as string), ':', '{int(seed)}')"
+        )
+    )
+    m = docs.select(
+        F.col(doc_id).alias("doc_id"),
+        ntok.alias("n_tokens"),
+        h.alias("__h"),
+    ).withColumn("__b", F.shiftright(F.col("__h"), 60 - bucket_bits))
+    m = m.localCheckpoint(eager=False)
+    stats = m.groupBy("__b").agg(F.sum("n_tokens").alias("t")).collect()
+    acc = 0
+    rows = []
+    for r in sorted(stats, key=lambda r: r["__b"]):
+        rows.append((int(r["__b"]), acc))
+        acc += r["t"]
+    # per-bucket global base offsets as a broadcast-joined tiny table (a
+    # 4096-deep CASE literal chain overflows the analyzer's stack)
+    offs = docs.sparkSession.createDataFrame(
+        rows or [(0, 0)], schema="__b LONG, __base LONG"
+    )
+    w = Window.partitionBy("__b").orderBy("__h", "doc_id")
+    out = m.join(F.broadcast(offs), "__b", "left").withColumn(
+        "start_offset",
+        F.coalesce(F.col("__base"), F.lit(0))
+        + F.sum("n_tokens").over(w)
+        - F.col("n_tokens"),
+    )
+    L = int(seq_len)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "start_offset",
+        F.when(
+            F.col("n_tokens") > 0, F.floor(F.col("start_offset") / L)
+        ).otherwise(F.lit(-1)).cast("long").alias("seq_first"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.floor((F.col("start_offset") + F.col("n_tokens") - 1) / L),
+        ).otherwise(F.lit(-1)).cast("long").alias("seq_last"),
+    )
+
+
+def pack_sequences_oracle_sql(
+    docs_rel: str, seq_len: int, *, doc_id: str = "doc_id", seed: int = 7
+) -> str:
+    """DuckDB mirror of pack_sequences via the NAIVE rule — ONE global
+    running sum over the whole corpus in tape order (deliberately a
+    different algorithm: the match validates the bucket decomposition)."""
+    h = _PORTABLE64_DUCK.format(
+        x=f"(CAST({doc_id} AS VARCHAR) || ':' || '{int(seed)}')"
+    )
+    return f"""
+WITH m AS (
+  SELECT {doc_id} AS doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+         {h} AS __h
+  FROM ({docs_rel}) t
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(sum(n_tokens) OVER (ORDER BY __h, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS start_offset
+  FROM m
+)
+SELECT doc_id, n_tokens, start_offset,
+       CASE WHEN n_tokens > 0 THEN start_offset // {int(seq_len)} ELSE -1 END AS seq_first,
+       CASE WHEN n_tokens > 0 THEN (start_offset + n_tokens - 1) // {int(seq_len)} ELSE -1 END AS seq_last
+FROM c
+"""

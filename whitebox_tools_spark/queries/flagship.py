@@ -75,10 +75,10 @@ _DRIVER_WINDOW: list[str] = [
     "repair_stream_vector_topology",
     "local_quadratic_regression",
     "gaussian_scale_space",
-    "conditioned_latin_hypercube",
-    # travelling_salesman_problem and turning_bands_simulation yielded
-    # their slots (both r4 judge-rerun green) to never-externally-checked
-    # round-5 additions
+    # conditioned_latin_hypercube, travelling_salesman_problem and
+    # turning_bands_simulation yielded their slots (all r4 judge-rerun
+    # green) to never-externally-checked round-5 additions
+    "pack_sequences",
     "unigram_logprob_quality",
     "curation_pipeline",
     # never driver-checked: overlay / vector
@@ -575,6 +575,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_rules": q_gopher_rules,
         "token_budget_sample": q_token_budget_sample,
         "unigram_logprob_quality": q_unigram_logprob,
+        "pack_sequences": q_pack_sequences,
         "language_id": q_langid,
         "fingerprint": q_fingerprint,
         "embedding_topk": q_embed_topk,
@@ -1715,6 +1716,9 @@ FROM documents
         "quality_score": _quality_sql(),
         "gopher_rules": _gopher_rules_sql(min_words=30, min_stop_hits=1),
         "unigram_logprob_quality": TX.unigram_logprob_quality_oracle_sql(),
+        "pack_sequences": DD.pack_sequences_oracle_sql(
+            "SELECT * FROM documents", 512
+        ),
         "token_budget_sample": (
             "SELECT doc_id, source, n_tokens FROM ("
             + DD.token_budget_sample_oracle_sql(

@@ -2397,6 +2397,14 @@ def q_gopher_rules(spark, sf_dir):
                      "dup_line_frac", "top2_char_frac"])
 
 
+def q_pack_sequences(spark, sf_dir):
+    """Deterministic sequence packing: global token-tape offsets in
+    portable-hash order, cut into 512-token training sequences. Engine runs
+    the bucketed parallel-prefix plan; the oracle replays the naive single
+    global running sum, so the match validates the decomposition."""
+    return DD.pack_sequences(_t(spark, sf_dir, "documents"), 512)
+
+
 def q_unigram_logprob(spark, sf_dir):
     """CCNet-family LM quality proxy: per-doc mean token log-prob under the
     corpus's own unigram distribution (9-dp scaled-integer quantization
