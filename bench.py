@@ -312,6 +312,26 @@ def main():
         spark, sf_dir
     ).count()
     dedup_extras["token_budget_sec"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    dedup_extras["semantic_dedup_rows"] = qs["semantic_dedup_components"](
+        spark, sf_dir
+    ).count()
+    dedup_extras["semantic_dedup_sec"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    dedup_extras["unigram_lp_rows"] = qs["unigram_logprob_quality"](
+        spark, sf_dir
+    ).count()
+    dedup_extras["unigram_lp_sec"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    dedup_extras["pack_sequences_rows"] = qs["pack_sequences"](
+        spark, sf_dir
+    ).count()
+    dedup_extras["pack_sequences_sec"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    dedup_extras["curation_rows"] = qs["curation_pipeline"](
+        spark, sf_dir
+    ).count()
+    dedup_extras["curation_sec"] = round(time.time() - t0, 3)
 
     ms_stats = multiscale_radius_sweep(spark)
     media_stats = media_decode_throughput(spark)

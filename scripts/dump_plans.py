@@ -45,6 +45,8 @@ HEADLINE = [
     "token_budget_sample",
     "semantic_dedup_components",
     "curation_pipeline",
+    "unigram_logprob_quality",
+    "pack_sequences",
 ]
 
 
