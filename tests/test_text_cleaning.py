@@ -1,0 +1,232 @@
+"""c4_quality_filter / dedup_lines / pii_redact / dsir_importance: every
+metric must equal an independent pure-python recomputation on handcrafted
+docs that exercise each rule, plus partition-invariance pins for the two
+aggregate-bearing ops (line dedup, DSIR)."""
+
+import hashlib
+import math
+import re
+from collections import Counter
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from whitebox_tools_spark.session import get_spark
+
+    yield get_spark(app_name="text-cleaning", cores=4, shuffle_partitions=4)
+
+
+# ---------------------------------------------------------------------------
+# C4 rules
+# ---------------------------------------------------------------------------
+_C4_DOCS = [
+    # doc 1: three good lines -> kept
+    (1, "this line has exactly six words.\nshort line\n"
+        "another line with five words!\nand one more keeper line here?"),
+    # doc 2: only two good lines -> dropped (min_kept_lines)
+    (2, "one good line of five words.\ntiny.\nnope"),
+    # doc 3: javascript line is filtered, doc keeps 3 others
+    (3, "please enable javascript to continue now.\n"
+        "a first proper line with words.\n"
+        "b second proper line with words.\n"
+        "c third proper line with words."),
+    # doc 4: lorem ipsum -> dropped at doc level
+    (4, "a fine line with five words.\nmore lorem ipsum text here now.\n"
+        "third good line with words."),
+    # doc 5: brace -> dropped at doc level
+    (5, "function f() { return }\ngood line number one right here.\n"
+        "good line number two right here.\ngood line number three here now."),
+    # doc 6: no terminal punctuation anywhere -> zero kept
+    (6, "no punctuation in this line at all\nanother one missing the mark"),
+]
+
+
+def _py_c4(text, min_line_words=5, min_kept_lines=3):
+    lines = text.split("\n")
+    kept = []
+    for ln in lines:
+        tr = ln.strip()
+        words = re.split(r"\s+", tr) if tr else []
+        if (
+            re.search(r'[.!?"]$', tr)
+            and len(words) >= min_line_words
+            and "javascript" not in ln.lower()
+        ):
+            kept.append(ln)
+    lorem = "lorem ipsum" in text.lower()
+    brace = "{" in text
+    return {
+        "n_lines": len(lines),
+        "n_kept_lines": len(kept),
+        "has_lorem": int(lorem),
+        "has_brace": int(brace),
+        "keep_doc": int(len(kept) >= min_kept_lines and not lorem and not brace),
+        "cleaned": "\n".join(kept),
+    }
+
+
+def test_c4_rules_vs_python(spark):
+    from whitebox_tools_spark.operators.text import c4_quality_filter
+
+    df = spark.createDataFrame(_C4_DOCS, ["doc_id", "text"])
+    out = {r["doc_id"]: r.asDict() for r in c4_quality_filter(df).collect()}
+    assert set(out) == {d for d, _ in _C4_DOCS}
+    for did, text in _C4_DOCS:
+        exp = _py_c4(text)
+        got = {k: out[did][k] for k in exp}
+        assert got == exp, f"doc {did}: {got} != {exp}"
+    # the specific rule outcomes the fixture was built to pin
+    assert out[1]["keep_doc"] == 1 and out[1]["n_kept_lines"] == 3
+    assert out[2]["keep_doc"] == 0
+    assert out[3]["n_kept_lines"] == 3  # javascript line removed
+    assert out[4]["has_lorem"] == 1 and out[4]["keep_doc"] == 0
+    assert out[5]["has_brace"] == 1 and out[5]["keep_doc"] == 0
+    assert out[6]["n_kept_lines"] == 0
+
+
+# ---------------------------------------------------------------------------
+# corpus-level line dedup
+# ---------------------------------------------------------------------------
+_LD_DOCS = [
+    (1, "unique alpha\ncopyright footer\nunique beta"),
+    (2, "copyright footer\nunique gamma\n\nunique delta"),
+    (3, "unique epsilon\ncopyright footer"),
+    (4, "copyright footer"),  # every line removed -> cleaned == ''
+    (5, "\n\nunique zeta"),  # blank lines repeat but are never boilerplate
+]
+
+
+def _py_line_dedup(docs, min_count=2):
+    cnt = Counter()
+    for _, text in docs:
+        for ln in text.split("\n"):
+            if ln.strip():
+                cnt[ln.strip()] += 1
+    boiler = {k for k, c in cnt.items() if c >= min_count}
+    out = {}
+    for did, text in docs:
+        lines = text.split("\n")
+        kept = [ln for ln in lines if ln.strip() not in boiler or not ln.strip()]
+        out[did] = {
+            "n_lines": len(lines),
+            "n_removed": len(lines) - len(kept),
+            "cleaned": "\n".join(kept),
+        }
+    return out
+
+
+def test_line_dedup_vs_python_and_partition_invariance(spark):
+    from whitebox_tools_spark.operators.dedup import dedup_lines
+
+    exp = _py_line_dedup(_LD_DOCS)
+    for parts in (1, 7):
+        df = spark.createDataFrame(_LD_DOCS, ["doc_id", "text"]).repartition(parts)
+        got = {r["doc_id"]: r.asDict() for r in dedup_lines(df).collect()}
+        assert set(got) == set(exp)
+        for did in exp:
+            sub = {k: got[did][k] for k in exp[did]}
+            assert sub == exp[did], f"parts={parts} doc {did}: {sub} != {exp[did]}"
+    assert exp[4]["cleaned"] == "" and exp[4]["n_removed"] == 1
+    assert exp[5]["n_removed"] == 0  # blanks survive
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+def test_pii_redact_vs_python(spark):
+    from whitebox_tools_spark.operators.text import (
+        PII_EMAIL, PII_IPV4, PII_PHONE, pii_redact,
+    )
+
+    docs = [
+        (1, "mail a.user+tag@sub.example.co.uk and b@x.io now"),
+        (2, "server at 192.168.0.1 and 10.0.0.255."),
+        (3, "call +44 20 7946 0958 or +1-555-000-1111 today"),
+        (4, "mixed u@v.org on 8.8.8.8 phone +33 1 23 45 67 89 end"),
+        (5, "nothing sensitive here at all"),
+    ]
+    out = {r["doc_id"]: r.asDict() for r in pii_redact(
+        spark.createDataFrame(docs, ["doc_id", "text"])).collect()}
+    for did, text in docs:
+        n_e = len(re.findall(PII_EMAIL, text))
+        r1 = re.sub(PII_EMAIL, "<EMAIL>", text)
+        n_i = len(re.findall(PII_IPV4, r1))
+        r2 = re.sub(PII_IPV4, "<IP>", r1)
+        n_p = len(re.findall(PII_PHONE, r2))
+        r3 = re.sub(PII_PHONE, "<PHONE>", r2)
+        assert out[did]["n_emails"] == n_e, did
+        assert out[did]["n_ips"] == n_i, did
+        assert out[did]["n_phones"] == n_p, did
+        assert out[did]["redacted"] == r3, did
+    assert out[1]["n_emails"] == 2
+    assert out[2]["n_ips"] == 2
+    assert out[3]["n_phones"] == 2
+    assert out[4]["n_emails"] == out[4]["n_ips"] == out[4]["n_phones"] == 1
+    assert out[5]["redacted"] == docs[4][1]
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance
+# ---------------------------------------------------------------------------
+def _py_dsir(docs, target, n_buckets=16):
+    """Independent scalar DSIR: hashed-bigram add-1-smoothed log ratio,
+    replaying the engine's 9-dp scaled-integer quantization."""
+
+    def bucket(gram):
+        return int(hashlib.md5(gram.encode()).hexdigest()[:15], 16) % n_buckets
+
+    raw, tgt = Counter(), Counter()
+    per_doc = {}
+    for did, src, text in docs:
+        toks = re.split(r"\s+", text.strip()) if text.strip() else []
+        bs = [bucket(f"{a} {b}") for a, b in zip(toks, toks[1:])]
+        per_doc[did] = bs
+        for b in bs:
+            raw[b] += 1
+            if src in target:
+                tgt[b] += 1
+    raw_tot, tgt_tot = sum(raw.values()), sum(tgt.values())
+    lwi = {
+        b: round(
+            round(
+                math.log((tgt[b] + 1) / (tgt_tot + n_buckets))
+                - math.log((raw[b] + 1) / (raw_tot + n_buckets)),
+                9,
+            )
+            * 1e9
+        )
+        for b in raw
+    }
+    return {
+        did: round(sum(lwi[b] for b in bs) / 1e9 / len(bs), 6)
+        for did, bs in per_doc.items()
+        if bs
+    }
+
+
+def test_dsir_importance_vs_python_and_ranking(spark):
+    from whitebox_tools_spark.operators.text import dsir_importance
+
+    docs = [
+        (1, "wiki", "solar panels convert light into power"),
+        (2, "wiki", "solar panels store light as power"),
+        (3, "web", "solar panels convert light into power"),  # target-like
+        (4, "web", "buy cheap pills online casino bonus"),  # off-target
+        (5, "web", "x"),  # single token -> omitted
+    ]
+    exp = _py_dsir(docs, {"wiki"}, n_buckets=16)
+    df = spark.createDataFrame(docs, ["doc_id", "source", "text"])
+    for parts in (1, 5):
+        out = {
+            r["doc_id"]: r["dsir_logweight"]
+            for r in dsir_importance(
+                df.repartition(parts), target_sources=("wiki",), n_buckets=16
+            ).collect()
+        }
+        assert set(out) == set(exp)  # doc 5 omitted on both sides
+        for did in exp:
+            assert out[did] == pytest.approx(exp[did], abs=1e-9), (parts, did)
+    # the target-like web doc must outrank the off-target one
+    assert exp[3] > exp[4]

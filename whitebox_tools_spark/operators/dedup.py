@@ -1283,3 +1283,93 @@ SELECT doc_id, n_tokens, start_offset,
        CASE WHEN n_tokens > 0 THEN (start_offset + n_tokens - 1) // {int(seq_len)} ELSE -1 END AS seq_last
 FROM c
 """
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level line dedup (the CCNet preprocessing pass — Wenzek et al.
+# 2020 deduplicate paragraphs/lines ACROSS the whole corpus before LM
+# filtering; boilerplate like nav bars and footers repeats verbatim)
+# ---------------------------------------------------------------------------
+def dedup_lines(
+    docs: DataFrame,
+    *,
+    text: str = "text",
+    doc_id: str = "doc_id",
+    min_count: int = 2,
+) -> DataFrame:
+    """Remove every line whose trimmed text occurs >= min_count times
+    ACROSS THE CORPUS (boilerplate); blank lines never count as
+    boilerplate and are kept verbatim. Docs whose every line is removed
+    survive with cleaned = ''.
+
+    Scale shape: posexplode lines -> one corpus-wide line-count aggregate
+    (map-side combined; boilerplate set is tiny by definition — only
+    repeated lines survive the HAVING) -> left-anti equi-join on the
+    trimmed line (AQE broadcasts the boilerplate side) -> per-doc
+    reassembly via sort_array over (pos, line) structs, so output text is
+    exactly the kept lines in original order. O(lines) rows through two
+    shuffles; no windows, no UDFs.
+    -> (doc_id, n_lines, n_removed, cleaned)."""
+    base = docs.select(F.col(doc_id).alias("doc_id"), F.col(text).alias("_t"))
+    lines = base.select(
+        "doc_id", F.posexplode(F.split(F.col("_t"), "\n", -1)).alias("pos", "line")
+    ).withColumn("k", F.trim(F.col("line")))
+    boiler = (
+        lines.filter(F.length("k") > 0)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= min_count)
+        .select("k")
+    )
+    kept = lines.join(boiler, "k", "left_anti")
+    agg = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("cleaned"),
+    )
+    n_lines = base.select(
+        "doc_id", F.size(F.split(F.col("_t"), "\n", -1)).cast("long").alias("n_lines")
+    )
+    return n_lines.join(agg, "doc_id", "left").select(
+        "doc_id",
+        "n_lines",
+        (F.col("n_lines") - F.coalesce(F.col("n_kept"), F.lit(0))).alias("n_removed"),
+        F.coalesce(F.col("cleaned"), F.lit("")).alias("cleaned"),
+    )
+
+
+def dedup_lines_oracle_sql(
+    docs_rel: str = "SELECT * FROM documents", *, min_count: int = 2
+) -> str:
+    """DuckDB mirror of dedup_lines (identical split, trim-keyed corpus
+    count, order-preserving reassembly via string_agg ORDER BY pos)."""
+    return f"""
+WITH d AS ({docs_rel}),
+t AS (SELECT doc_id, string_split(text, chr(10)) AS lines FROM d),
+l AS (
+  SELECT doc_id, i AS pos, lines[i] AS line
+  FROM t, unnest(generate_series(1, len(lines))) AS u(i)
+),
+b AS (
+  SELECT trim(line) AS k FROM l WHERE length(trim(line)) > 0
+  GROUP BY 1 HAVING count(*) >= {min_count}
+),
+kept AS (
+  SELECT l.doc_id, l.pos, l.line
+  FROM l LEFT JOIN b ON trim(l.line) = b.k WHERE b.k IS NULL
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(line, chr(10) ORDER BY pos) AS cleaned
+  FROM kept GROUP BY doc_id
+)
+SELECT t.doc_id, CAST(len(t.lines) AS BIGINT) AS n_lines,
+       CAST(len(t.lines) - COALESCE(agg.n_kept, 0) AS BIGINT) AS n_removed,
+       COALESCE(agg.cleaned, '') AS cleaned
+FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id
+"""

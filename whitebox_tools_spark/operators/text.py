@@ -342,3 +342,289 @@ SELECT doc_id, n_tokens,
        round(CAST(s AS DOUBLE) / 1e9 / n_tokens, 6) + 0.0 AS avg_logprob
 FROM agg
 """
+
+
+# ---------------------------------------------------------------------------
+# C4-style line/document cleaning (Raffel et al. 2020, "Exploring the Limits
+# of Transfer Learning with a Unified Text-to-Text Transformer", §2.2 — the
+# public C4 cleaning heuristics)
+# ---------------------------------------------------------------------------
+def c4_quality_filter(
+    docs: DataFrame,
+    *,
+    text: str = "text",
+    doc_id: str = "doc_id",
+    min_line_words: int = 5,
+    min_kept_lines: int = 3,
+) -> DataFrame:
+    """C4 cleaning rules (Raffel et al. 2020 §2.2, published heuristics):
+
+      line level — keep a line only if it (a) ends in a terminal
+      punctuation mark (. ! ? "), (b) has >= min_line_words whitespace
+      words, and (c) does not contain the word 'javascript';
+      document level — drop the page if it has fewer than min_kept_lines
+      surviving lines, or contains 'lorem ipsum', or contains '{'.
+
+    Scale shape: every rule is a per-row higher-order-function column
+    expression — ONE whole-stage-codegen scan, zero shuffles, zero UDFs.
+    -> (doc_id, n_lines, n_kept_lines, has_lorem, has_brace, keep_doc,
+    cleaned) where cleaned is the surviving lines re-joined with \\n."""
+    t = F.col(text)
+    lines = F.split(t, "\n", -1)
+
+    def _nwords(ln):
+        tr = F.trim(ln)
+        return F.when(F.length(tr) == 0, F.lit(0)).otherwise(
+            F.size(F.split(tr, r"\s+"))
+        )
+
+    kept = F.filter(
+        lines,
+        lambda ln: F.trim(ln).rlike('[.!?"]$')
+        & (_nwords(ln) >= min_line_words)
+        & ~F.contains(F.lower(ln), F.lit("javascript")),
+    )
+    has_lorem = F.contains(F.lower(t), F.lit("lorem ipsum"))
+    has_brace = F.contains(t, F.lit("{"))
+    n_kept = F.size(kept)
+    keep_doc = (n_kept >= min_kept_lines) & ~has_lorem & ~has_brace
+    return docs.select(
+        F.col(doc_id).alias("doc_id"),
+        F.size(lines).cast("long").alias("n_lines"),
+        n_kept.cast("long").alias("n_kept_lines"),
+        has_lorem.cast("long").alias("has_lorem"),
+        has_brace.cast("long").alias("has_brace"),
+        keep_doc.cast("long").alias("keep_doc"),
+        F.array_join(kept, "\n").alias("cleaned"),
+    )
+
+
+def c4_rules_oracle_sql(
+    docs_rel: str = "SELECT * FROM documents",
+    *,
+    min_line_words: int = 5,
+    min_kept_lines: int = 3,
+) -> str:
+    """DuckDB mirror of c4_quality_filter (identical line split, word
+    count, terminal-punctuation / javascript / lorem-ipsum / brace rules)."""
+    keep = (
+        "regexp_matches(trim(ln), '[.!?\"]$') AND "
+        "(CASE WHEN length(trim(ln)) = 0 THEN 0 "
+        " ELSE len(regexp_split_to_array(trim(ln), '\\s+')) END)"
+        f" >= {min_line_words} AND NOT contains(lower(ln), 'javascript')"
+    )
+    return f"""
+WITH d AS ({docs_rel}),
+t AS (
+  SELECT doc_id, string_split(text, chr(10)) AS lines,
+         contains(lower(text), 'lorem ipsum') AS lorem,
+         contains(text, '{{') AS brace
+  FROM d
+),
+k AS (
+  SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_lines,
+         list_filter(lines, ln -> {keep}) AS kept, lorem, brace
+  FROM t
+)
+SELECT doc_id, n_lines,
+       CAST(len(kept) AS BIGINT) AS n_kept_lines,
+       CAST(lorem AS BIGINT) AS has_lorem,
+       CAST(brace AS BIGINT) AS has_brace,
+       CAST(len(kept) >= {min_kept_lines} AND NOT lorem AND NOT brace
+            AS BIGINT) AS keep_doc,
+       COALESCE(array_to_string(kept, chr(10)), '') AS cleaned
+FROM k
+"""
+
+
+# ---------------------------------------------------------------------------
+# PII detection + redaction (regex patterns are public knowledge; the scan
+# is a pure column expression — the standard pre-training scrub pass)
+# ---------------------------------------------------------------------------
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PII_PHONE = r"\+[0-9][0-9 -]{6,}[0-9]"
+
+
+def pii_redact(docs: DataFrame, *, text: str = "text", doc_id: str = "doc_id") -> DataFrame:
+    """PII scrub: count and redact emails, IPv4 addresses, and
+    international-format phone numbers, in that order (each count runs on
+    the text AFTER the previous class was replaced, so overlapping matches
+    are never double-counted and the output is order-deterministic).
+    Patterns avoid alternation so Java-regex (Spark) and RE2 (DuckDB)
+    agree on every match span. One codegen'd scan, zero shuffles.
+    -> (doc_id, n_emails, n_ips, n_phones, redacted)."""
+    t = F.col(text)
+    n_emails = F.size(F.regexp_extract_all(t, F.lit(PII_EMAIL), F.lit(0)))
+    r1 = F.regexp_replace(t, PII_EMAIL, "<EMAIL>")
+    n_ips = F.size(F.regexp_extract_all(r1, F.lit(PII_IPV4), F.lit(0)))
+    r2 = F.regexp_replace(r1, PII_IPV4, "<IP>")
+    n_phones = F.size(F.regexp_extract_all(r2, F.lit(PII_PHONE), F.lit(0)))
+    r3 = F.regexp_replace(r2, PII_PHONE, "<PHONE>")
+    return docs.select(
+        F.col(doc_id).alias("doc_id"),
+        n_emails.cast("long").alias("n_emails"),
+        n_ips.cast("long").alias("n_ips"),
+        n_phones.cast("long").alias("n_phones"),
+        r3.alias("redacted"),
+    )
+
+
+def pii_redact_oracle_sql(docs_rel: str = "SELECT * FROM documents") -> str:
+    """DuckDB mirror of pii_redact (same patterns, same email -> ip ->
+    phone redaction order, counts on the progressively redacted text)."""
+    em, ip, ph = PII_EMAIL, PII_IPV4, PII_PHONE
+    return f"""
+WITH d AS ({docs_rel}),
+s1 AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(text, '{em}')) AS BIGINT) AS n_emails,
+         regexp_replace(text, '{em}', '<EMAIL>', 'g') AS r1
+  FROM d
+),
+s2 AS (
+  SELECT doc_id, n_emails,
+         CAST(len(regexp_extract_all(r1, '{ip}')) AS BIGINT) AS n_ips,
+         regexp_replace(r1, '{ip}', '<IP>', 'g') AS r2
+  FROM s1
+)
+SELECT doc_id, n_emails, n_ips,
+       CAST(len(regexp_extract_all(r2, '{ph}')) AS BIGINT) AS n_phones,
+       regexp_replace(r2, '{ph}', '<PHONE>', 'g') AS redacted
+FROM s2
+"""
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights (Xie et al. 2023, "Data Selection for Language
+# Models via Importance Resampling" — public paper): hashed-bigram bag
+# features, importance weight = mean log( p_target(bucket) / p_raw(bucket) )
+# under add-1-smoothed empirical bucket distributions.
+# ---------------------------------------------------------------------------
+def dsir_importance(
+    docs: DataFrame,
+    *,
+    text: str = "text",
+    doc_id: str = "doc_id",
+    source: str = "source",
+    target_sources: tuple = ("src0", "src1", "src2", "src3", "src4"),
+    n_buckets: int = 256,
+) -> DataFrame:
+    """DSIR: score every raw document by how target-like its hashed-bigram
+    profile is. Word bigrams hash to `n_buckets` buckets via the repo's
+    engine-portable 60-bit md5 hash; p_raw comes from ALL docs, p_target
+    from docs whose `source` is in target_sources; both add-1 smoothed.
+
+    Determinism contract (same as unigram_logprob_quality): each bucket's
+    log-ratio is rounded to 9 dp and scaled to an integer, so the per-doc
+    fold is exact long arithmetic — partition- and engine-order invariant;
+    only the final mean returns to float (6 dp).
+
+    Scale shape: explode bigrams -> bucket via md5 prefix -> ONE global
+    bucket aggregate (map-side combined, <= n_buckets rows) -> broadcast
+    1-row totals crossJoin -> (doc, bucket) aggregate -> broadcast equi-join
+    on bucket -> one per-doc aggregate. No windows, no UDFs, no collect.
+    Docs with < 2 words have no bigrams and are omitted (inner-join
+    semantics, mirrored in the oracle).
+    -> (doc_id, n_grams, dsir_logweight)."""
+    toks = tokens_expr(F.col(text))
+    grams = F.zip_with(
+        F.slice(toks, 1, F.size(toks) - 1),
+        F.slice(toks, 2, F.size(toks) - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    tgt = F.col(source).isin(*target_sources).cast("long")
+    g = docs.filter(F.size(toks) >= 2).select(
+        F.col(doc_id).alias("doc_id"),
+        tgt.alias("is_tgt"),
+        F.explode(grams).alias("gram"),
+    )
+    bucket = F.pmod(
+        F.expr("cast(conv(substr(md5(gram),1,15),16,10) as bigint)"),
+        F.lit(n_buckets),
+    )
+    g = g.select("doc_id", "is_tgt", bucket.alias("b"))
+    h = g.groupBy("b").agg(
+        F.count(F.lit(1)).alias("n_raw"), F.sum("is_tgt").alias("n_tgt")
+    )
+    tot = h.agg(F.sum("n_raw").alias("raw_tot"), F.sum("n_tgt").alias("tgt_tot"))
+    lw = h.crossJoin(F.broadcast(tot)).select(
+        "b",
+        F.round(
+            F.round(
+                F.log(
+                    (F.col("n_tgt") + 1).cast("double")
+                    / (F.col("tgt_tot") + n_buckets)
+                )
+                - F.log(
+                    (F.col("n_raw") + 1).cast("double")
+                    / (F.col("raw_tot") + n_buckets)
+                ),
+                9,
+            )
+            * F.lit(1e9),
+            0,
+        )
+        .cast("long")
+        .alias("lwi"),
+    )
+    db = g.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("m"))
+    agg = (
+        db.join(lw, "b")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("m") * F.col("lwi")).alias("s"), F.sum("m").alias("n_grams"))
+    )
+    return agg.select(
+        "doc_id",
+        "n_grams",
+        (
+            F.round(F.col("s").cast("double") / F.lit(1e9) / F.col("n_grams"), 6)
+            + F.lit(0.0)
+        ).alias("dsir_logweight"),
+    )
+
+
+def dsir_importance_oracle_sql(
+    docs_rel: str = "SELECT * FROM documents",
+    *,
+    target_sources: tuple = ("src0", "src1", "src2", "src3", "src4"),
+    n_buckets: int = 256,
+) -> str:
+    """DuckDB mirror of dsir_importance (identical tokenization, identical
+    portable md5-prefix bucket hash, identical 9-dp scaled-integer
+    quantization and exact long fold)."""
+    tgt_list = ", ".join(f"'{s}'" for s in target_sources)
+    return f"""
+WITH d AS ({docs_rel}),
+t AS (
+  SELECT doc_id, CAST(source IN ({tgt_list}) AS BIGINT) AS is_tgt,
+         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+  FROM d
+),
+g AS (
+  SELECT doc_id, is_tgt,
+         ('0x'||substr(md5(toks[i] || ' ' || toks[i + 1]),1,15))::BIGINT
+           % {n_buckets} AS b
+  FROM t, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+  WHERE len(toks) >= 2
+),
+h AS (SELECT b, count(*) AS n_raw, sum(is_tgt) AS n_tgt FROM g GROUP BY b),
+tot AS (SELECT sum(n_raw) AS raw_tot, sum(n_tgt) AS tgt_tot FROM h),
+lw AS (
+  SELECT b,
+         CAST(round(round(
+             ln(CAST(n_tgt + 1 AS DOUBLE) / (tgt_tot + {n_buckets}))
+           - ln(CAST(n_raw + 1 AS DOUBLE) / (raw_tot + {n_buckets})), 9) * 1e9,
+           0) AS BIGINT) AS lwi
+  FROM h, tot
+),
+db AS (SELECT doc_id, b, count(*) AS m FROM g GROUP BY doc_id, b),
+agg AS (
+  SELECT doc_id, sum(m * lwi) AS s, sum(m) AS n_grams
+  FROM db JOIN lw USING (b) GROUP BY doc_id
+)
+SELECT doc_id, n_grams,
+       round(CAST(s AS DOUBLE) / 1e9 / n_grams, 6) + 0.0 AS dsir_logweight
+FROM agg
+"""

@@ -69,11 +69,15 @@ _DRIVER_WINDOW: list[str] = [
     "embankment_mapping",
     "embedding_ivf_topk",
     "minhash_dedup_components",
-    # never driver-checked: round-4 plugin family
-    "vector_stream_network_analysis",
-    "correct_stream_vector_direction",
-    "repair_stream_vector_topology",
-    "local_quadratic_regression",
+    # round-5 additions, never seen by ANY external check — the round-4
+    # plugin family (vector_stream_network_analysis,
+    # correct_stream_vector_direction, repair_stream_vector_topology,
+    # local_quadratic_regression) yielded these slots: all four passed the
+    # r4 judge's full rerun, these four have never had an external row
+    "c4_rules",
+    "line_dedup",
+    "pii_redaction",
+    "dsir_importance",
     "gaussian_scale_space",
     # conditioned_latin_hypercube, travelling_salesman_problem and
     # turning_bands_simulation yielded their slots (all r4 judge-rerun
@@ -576,6 +580,10 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_sample": q_token_budget_sample,
         "unigram_logprob_quality": q_unigram_logprob,
         "pack_sequences": q_pack_sequences,
+        "c4_rules": q_c4_rules,
+        "line_dedup": q_line_dedup,
+        "pii_redaction": q_pii_redaction,
+        "dsir_importance": q_dsir_importance,
         "language_id": q_langid,
         "fingerprint": q_fingerprint,
         "embedding_topk": q_embed_topk,
@@ -1719,6 +1727,10 @@ FROM documents
         "pack_sequences": DD.pack_sequences_oracle_sql(
             "SELECT * FROM documents", 512
         ),
+        "c4_rules": TX.c4_rules_oracle_sql(_LINED_SQL),
+        "line_dedup": DD.dedup_lines_oracle_sql(_LINED_SQL),
+        "pii_redaction": TX.pii_redact_oracle_sql(_PII_SQL),
+        "dsir_importance": TX.dsir_importance_oracle_sql(),
         "token_budget_sample": (
             "SELECT doc_id, source, n_tokens FROM ("
             + DD.token_budget_sample_oracle_sql(

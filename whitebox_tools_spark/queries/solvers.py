@@ -2504,3 +2504,130 @@ def q_embed_pq_topk(spark, sf_dir):
     out = SIM.pq_topk(emb, queries, 5, m=4, ksub=8, iters=2, rerank=4)
     return out.select("query_id", "vec_id", (F.round("cosine", 5) + F.lit(0.0)).alias("cosine"),
                       F.col("rank").cast("long").alias("rank"))
+
+
+# ---------------------------------------------------------------------------
+# round-5 additions: C4 cleaning, corpus line dedup, PII scrub, DSIR
+# ---------------------------------------------------------------------------
+def _lined_docs(docs: DataFrame) -> DataFrame:
+    """Deterministically rebuild each synthetic doc as a 6-line 'page'
+    (the corpus has no newlines/punctuation) so the line-level rules have
+    real structure to act on: sentence-like lines from token slices, a
+    too-short line, a rotating terminal-punct line, planted javascript /
+    lorem-ipsum / brace / boilerplate lines keyed on doc_id. Mirrored
+    byte-for-byte by _LINED_SQL."""
+    toks = TX.tokens_expr(F.col("text"))
+
+    def seg(a: int, b: int):
+        return F.array_join(F.slice(toks, a, b - a + 1), " ")
+
+    did = F.col("doc_id")
+    l1 = F.concat(seg(1, 8), F.lit("."))
+    l2 = seg(9, 11)
+    l3 = F.concat(
+        seg(12, 20), F.when(did % 3 == 0, F.lit("!")).otherwise(F.lit(""))
+    )
+    l4 = F.when(
+        did % 7 == 0,
+        F.lit("please enable javascript to view this page content now."),
+    ).otherwise(F.concat(seg(21, 27), F.lit("?")))
+    l5 = F.when(
+        did % 2 == 0, F.lit("subscribe to our newsletter today.")
+    ).otherwise(F.lit("thanks for reading this fine article."))
+    l6 = (
+        F.when(did % 11 == 0, F.lit("lorem ipsum dolor sit amet."))
+        .when(did % 13 == 0, F.lit("config { x }"))
+        .otherwise(F.concat(seg(1, 8), F.lit(".")))
+    )
+    return docs.select(
+        "doc_id", F.concat_ws("\n", l1, l2, l3, l4, l5, l6).alias("text")
+    )
+
+
+def _lined_seg_sql(a: int, b: int) -> str:
+    return f"COALESCE(array_to_string(toks[{a}:{b}], ' '), '')"
+
+
+_LINED_SQL = f"""
+SELECT doc_id,
+       {_lined_seg_sql(1, 8)} || '.' || chr(10)
+    || {_lined_seg_sql(9, 11)} || chr(10)
+    || {_lined_seg_sql(12, 20)}
+       || (CASE WHEN doc_id % 3 = 0 THEN '!' ELSE '' END) || chr(10)
+    || (CASE WHEN doc_id % 7 = 0
+             THEN 'please enable javascript to view this page content now.'
+             ELSE {_lined_seg_sql(21, 27)} || '?' END) || chr(10)
+    || (CASE WHEN doc_id % 2 = 0 THEN 'subscribe to our newsletter today.'
+             ELSE 'thanks for reading this fine article.' END) || chr(10)
+    || (CASE WHEN doc_id % 11 = 0 THEN 'lorem ipsum dolor sit amet.'
+             WHEN doc_id % 13 = 0 THEN 'config {{ x }}'
+             ELSE {_lined_seg_sql(1, 8)} || '.' END) AS text
+FROM (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+  FROM documents
+)
+"""
+
+
+def q_c4_rules(spark, sf_dir):
+    """C4 cleaning heuristics (Raffel et al. 2020 §2.2, published rules)
+    over deterministically line-structured pages: terminal-punctuation /
+    >= 5-word / no-javascript line filter, lorem-ipsum / brace / < 3-line
+    page filter. One whole-stage-codegen scan, zero shuffles; the cleaned
+    page text itself is value-checked against the DuckDB mirror."""
+    return TX.c4_quality_filter(_lined_docs(_t(spark, sf_dir, "documents")))
+
+
+def q_line_dedup(spark, sf_dir):
+    """CCNet-style corpus-level line dedup (Wenzek et al. 2020): lines
+    repeated verbatim across the corpus (planted boilerplate + natural
+    short-vocab collisions) are removed everywhere; per-doc text is
+    reassembled in original line order. One line-count aggregate + one
+    anti-join + one per-doc reassembly aggregate."""
+    return DD.dedup_lines(_lined_docs(_t(spark, sf_dir, "documents")))
+
+
+def _pii_docs(docs: DataFrame) -> DataFrame:
+    """Append deterministic synthetic PII (2 emails, 1 IPv4, 1 phone,
+    keyed on doc_id) to every doc — the corpus itself contains no digits
+    or @, so every match the scrubber finds is planted and exactly
+    mirrored by _PII_SQL."""
+    did = F.col("doc_id")
+    t2 = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), did.cast("string"),
+        F.lit("@example.com or admin"), (did % 50).cast("string"),
+        F.lit("@test.org visit 10."), (did % 256).cast("string"),
+        F.lit(".0.1 call +1 555 00"), (did % 10).cast("string"),
+        F.lit(" 12"), (did % 89).cast("string"), F.lit(" now"),
+    )
+    return docs.select("doc_id", t2.alias("text"))
+
+
+_PII_SQL = """
+SELECT doc_id,
+       text || ' contact user' || CAST(doc_id AS VARCHAR)
+            || '@example.com or admin' || CAST(doc_id % 50 AS VARCHAR)
+            || '@test.org visit 10.' || CAST(doc_id % 256 AS VARCHAR)
+            || '.0.1 call +1 555 00' || CAST(doc_id % 10 AS VARCHAR)
+            || ' 12' || CAST(doc_id % 89 AS VARCHAR) || ' now' AS text
+FROM documents
+"""
+
+
+def q_pii_redaction(spark, sf_dir):
+    """PII scrub over docs with planted emails/IPv4/phone: per-class
+    counts + the fully redacted text, value-checked byte-for-byte. Pure
+    regex column expressions — one codegen'd scan, zero shuffles."""
+    return TX.pii_redact(_pii_docs(_t(spark, sf_dir, "documents")))
+
+
+def q_dsir_importance(spark, sf_dir):
+    """DSIR importance weights (Xie et al. 2023): hashed-bigram bucket
+    log-ratio of target (source in src0..src4) vs raw distributions,
+    add-1 smoothed, 9-dp scaled-integer fold (exact long arithmetic,
+    partition-order invariant). Explode -> 256-row bucket aggregate ->
+    broadcast joins -> one per-doc aggregate."""
+    return TX.dsir_importance(_t(spark, sf_dir, "documents"))
