@@ -47,6 +47,10 @@ HEADLINE = [
     "curation_pipeline",
     "unigram_logprob_quality",
     "pack_sequences",
+    "c4_rules",
+    "line_dedup",
+    "pii_redaction",
+    "dsir_importance",
 ]
 
 
