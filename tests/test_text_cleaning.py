@@ -230,3 +230,99 @@ def test_dsir_importance_vs_python_and_ranking(spark):
             assert out[did] == pytest.approx(exp[did], abs=1e-9), (parts, did)
     # the target-like web doc must outrank the off-target one
     assert exp[3] > exp[4]
+
+
+# ---------------------------------------------------------------------------
+# full Gopher repetition family
+# ---------------------------------------------------------------------------
+def _py_gopher_rep(text):
+    """Independent scalar recomputation of all 13 repetition fractions."""
+    toks = re.split(r"\s+", text.strip()) if text.strip() else []
+    word_chars = sum(len(w) for w in toks)
+
+    def unit(units):
+        c = Counter(units)
+        n, d = len(units), len(c)
+        chars = sum(len(u) for u in units)
+        dchars = sum(len(u) * k for u, k in c.items() if k > 1)
+        return (
+            (n - d) / n if n else 0.0,
+            dchars / chars if chars else 0.0,
+        )
+
+    dl, dlc = unit(text.split("\n"))
+    dp, dpc = unit(text.split("\n\n"))
+
+    out = {
+        "dup_line_frac": dl, "dup_line_char_frac": dlc,
+        "dup_para_frac": dp, "dup_para_char_frac": dpc,
+    }
+    for n in (2, 3, 4):
+        grams = [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+        c = Counter(grams)
+        mass = max(
+            (k * (len(g) - (n - 1)) for g, k in c.items() if k >= 2), default=0
+        )
+        out[f"top{n}_char_frac"] = mass / word_chars if word_chars else 0.0
+    for n in range(5, 11):
+        grams = [(i, " ".join(toks[i:i + n])) for i in range(len(toks) - n + 1)]
+        c = Counter(g for _, g in grams)
+        covered = set()
+        for i, g in grams:
+            if c[g] > 1:
+                covered.update(range(i, i + n))
+        mass = sum(len(toks[i]) for i in covered)
+        out[f"dup{n}_char_frac"] = mass / word_chars if word_chars else 0.0
+    from whitebox_tools_spark.operators.text import GOPHER_REP_THRESHOLDS
+
+    out["passes"] = int(
+        all(out[k] <= thr for k, thr in GOPHER_REP_THRESHOLDS.items())
+    )
+    return {
+        k: (round(v, 6) if isinstance(v, float) else v) for k, v in out.items()
+    }
+
+
+_REP_DOCS = [
+    # clean: no repetition at all
+    (1, "alpha beta gamma delta\n\nepsilon zeta eta theta\n\niota kappa"),
+    # duplicate line (2 of 3) -> dup_line_frac 1/3
+    (2, "same line here\nsame line here\nunique tail line"),
+    # duplicate paragraph
+    (3, "para one text\n\npara one text\n\nother paragraph"),
+    # heavy 2-gram repetition: 'spam ham' x5
+    (4, "spam ham spam ham spam ham spam ham spam ham"),
+    # repeated 5-gram with overlap: 'a b c d e' twice
+    (5, "a b c d e x a b c d e y"),
+    # a doc whose repeated 6-gram overlaps itself (periodic text)
+    (6, "w1 w2 w3 w1 w2 w3 w1 w2 w3 w1 w2 w3"),
+    (7, ""),
+]
+
+
+def test_gopher_repetition_vs_python(spark):
+    from whitebox_tools_spark.operators.text import gopher_repetition
+
+    df = spark.createDataFrame(_REP_DOCS, ["doc_id", "text"])
+    for parts in (1, 5):
+        out = {
+            r["doc_id"]: r.asDict()
+            for r in gopher_repetition(df.repartition(parts)).collect()
+        }
+        assert set(out) == {d for d, _ in _REP_DOCS}
+        for did, text in _REP_DOCS:
+            exp = _py_gopher_rep(text)
+            got = {k: out[did][k] for k in exp}
+            for k in exp:
+                assert got[k] == pytest.approx(exp[k], abs=1e-9), (parts, did, k)
+    # pinned rule outcomes
+    e2 = _py_gopher_rep(_REP_DOCS[1][1])
+    assert e2["dup_line_frac"] == pytest.approx(1 / 3, abs=1e-6)
+    assert e2["passes"] == 0
+    e4 = _py_gopher_rep(_REP_DOCS[3][1])
+    assert e4["top2_char_frac"] > 0.5 and e4["passes"] == 0
+    e5 = _py_gopher_rep(_REP_DOCS[4][1])
+    assert e5["dup5_char_frac"] > 0 and e5["dup6_char_frac"] == 0.0
+    e6 = _py_gopher_rep(_REP_DOCS[5][1])
+    assert e6["dup6_char_frac"] > 0  # periodic overlap counted once per pos
+    assert _py_gopher_rep(_REP_DOCS[0][1])["passes"] == 1

@@ -628,3 +628,296 @@ SELECT doc_id, n_grams,
        round(CAST(s AS DOUBLE) / 1e9 / n_grams, 6) + 0.0 AS dsir_logweight
 FROM agg
 """
+
+
+# ---------------------------------------------------------------------------
+# Full Gopher repetition-removal family (Rae et al. 2021, App. A1.1,
+# Table A1 — the complete published rule set; gopher_quality_filter covers
+# the doc-quality rules + the n=2 top-gram, this completes the other 12)
+# ---------------------------------------------------------------------------
+GOPHER_REP_THRESHOLDS = {
+    # paper Table A1: remove the doc when the fraction EXCEEDS the threshold
+    "dup_line_frac": 0.30,
+    "dup_para_frac": 0.30,
+    "dup_line_char_frac": 0.20,
+    "dup_para_char_frac": 0.20,
+    "top2_char_frac": 0.20,
+    "top3_char_frac": 0.18,
+    "top4_char_frac": 0.16,
+    "dup5_char_frac": 0.15,
+    "dup6_char_frac": 0.14,
+    "dup7_char_frac": 0.13,
+    "dup8_char_frac": 0.12,
+    "dup9_char_frac": 0.11,
+    "dup10_char_frac": 0.10,
+}
+
+
+def _gram_structs(toks, n: int):
+    """Array of (n, i, gram) structs for every word n-gram start i
+    (1-based); empty when the doc has < n words. Guarded so F.sequence
+    never sees start > stop (it would generate a DESCENDING range)."""
+    sz = F.size(toks)
+    idx = F.sequence(F.lit(1), sz - (n - 1))
+    return F.when(
+        sz >= n,
+        F.transform(
+            idx,
+            lambda i: F.struct(
+                F.lit(n).alias("n"),
+                i.alias("i"),
+                F.array_join(F.slice(toks, i, n), " ").alias("gram"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<n:int,i:int,gram:string>>"))
+
+
+def gopher_repetition(
+    docs: DataFrame,
+    *,
+    text: str = "text",
+    doc_id: str = "doc_id",
+    thresholds: dict = GOPHER_REP_THRESHOLDS,
+) -> DataFrame:
+    """The complete Gopher repetition family (Rae et al. 2021 App. A1.1),
+    one row per doc with all 13 published fractions + a 0/1 `passes` flag
+    (pass = no fraction exceeds its Table-A1 threshold):
+
+      - dup line/paragraph fraction: repeated-occurrence share of lines
+        (split on \\n, empties included) / paragraphs (split on \\n\\n):
+        (occurrences - distinct) / occurrences.
+      - dup line/paragraph CHAR fraction: char mass of ALL occurrences of
+        duplicated lines/paragraphs over total line/paragraph char mass.
+      - top-{2,3,4}-gram char fraction: char mass (sum of word lengths =
+        len(gram) - (n-1) spaces, times count) of the most frequent word
+        n-gram over total word chars — counted only when it occurs >= 2
+        times (a single occurrence is not repetition).
+      - dup-{5..10}-gram char fraction: word-stream char mass of the
+        DISTINCT word positions covered by any duplicated n-gram, over
+        total word chars (overlapping covers count once — the
+        position-marking semantics of the public Gopher reproductions).
+
+    Scale shape: every rule is explode -> (doc, key) hash aggregate
+    (map-side combined) -> per-doc aggregate -> equi-join; the dup-n
+    family marks covered positions by exploding bounded sequence(i, i+n-1)
+    ranges and COUNT(DISTINCT position)-style aggregation — never an
+    O(words^2) HOF, never a window, never a UDF, so a 100k-word doc costs
+    O(6 * words) rows. All arithmetic mirrors 1:1 in the DuckDB oracle.
+    -> (doc_id, 13 fraction columns rounded to 6 dp, passes)."""
+    t = F.col(text)
+    toks = tokens_expr(t)
+    base = docs.select(
+        F.col(doc_id).alias("doc_id"),
+        t.alias("_t"),
+        toks.alias("_toks"),
+        F.size(toks).cast("long").alias("n_words"),
+        F.aggregate(toks, F.lit(0).cast("long"), lambda a, w: a + F.length(w))
+        .alias("word_chars"),
+    )
+
+    def unit_family(col_expr, prefix):
+        """dup fraction + dup char fraction for one split unit."""
+        u = base.select("doc_id", F.explode(col_expr).alias("u"))
+        per = u.groupBy("doc_id", "u").agg(F.count(F.lit(1)).alias("c"))
+        per = per.withColumn("ln", F.length("u"))
+        return per.groupBy("doc_id").agg(
+            F.sum("c").alias(f"{prefix}_n"),
+            F.count(F.lit(1)).alias(f"{prefix}_d"),
+            F.sum(F.col("c") * F.col("ln")).alias(f"{prefix}_chars"),
+            F.sum(
+                F.when(F.col("c") > 1, F.col("c") * F.col("ln")).otherwise(F.lit(0))
+            ).alias(f"{prefix}_dchars"),
+        )
+
+    lines = unit_family(F.split(F.col("_t"), "\n", -1), "l")
+    paras = unit_family(F.split(F.col("_t"), "\n\n", -1), "p")
+
+    # top-{2,3,4}: char mass of the most frequent n-gram (count >= 2)
+    tops = None
+    for n in (2, 3, 4):
+        g = base.select(
+            "doc_id", F.explode(_gram_structs(F.col("_toks"), n)).alias("g")
+        ).select("doc_id", F.col("g.gram").alias("gram"))
+        cnt = g.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("c"))
+        top = cnt.groupBy("doc_id").agg(
+            F.max(
+                F.when(
+                    F.col("c") >= 2,
+                    F.col("c") * (F.length("gram") - (n - 1)),
+                ).otherwise(F.lit(0))
+            ).alias(f"top{n}_mass")
+        )
+        tops = top if tops is None else tops.join(top, "doc_id", "outer")
+
+    # dup-{5..10}: distinct covered word positions of duplicated n-grams
+    occ = base.select(
+        "doc_id",
+        F.explode(
+            F.flatten(
+                F.array(*[_gram_structs(F.col("_toks"), n) for n in range(5, 11)])
+            )
+        ).alias("o"),
+    ).select("doc_id", F.col("o.n").alias("n"), F.col("o.i").alias("i"), F.col("o.gram").alias("gram"))
+    dup = (
+        occ.groupBy("doc_id", "n", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .select("doc_id", "n", "gram")
+    )
+    cov = (
+        occ.join(dup, ["doc_id", "n", "gram"])
+        .select("doc_id", "n", F.explode(F.sequence(F.col("i"), F.col("i") + F.col("n") - 1)).alias("idx"))
+        .distinct()
+    )
+    wl = base.select(
+        "doc_id", F.posexplode(F.col("_toks")).alias("p", "w")
+    ).select("doc_id", (F.col("p") + 1).alias("idx"), F.length("w").alias("wlen"))
+    dupn = (
+        cov.join(wl, ["doc_id", "idx"])
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.sum(F.when(F.col("n") == n, F.col("wlen")).otherwise(F.lit(0)))
+                .alias(f"dup{n}_mass")
+                for n in range(5, 11)
+            ]
+        )
+    )
+
+    out = (
+        base.select("doc_id", "n_words", "word_chars")
+        .join(lines, "doc_id", "left")
+        .join(paras, "doc_id", "left")
+        .join(tops, "doc_id", "left")
+        .join(dupn, "doc_id", "left")
+    )
+
+    def frac(num, den):
+        return F.when(
+            den > 0, F.coalesce(num, F.lit(0)).cast("double") / den
+        ).otherwise(F.lit(0.0))
+
+    fr = {
+        "dup_line_frac": frac(F.col("l_n") - F.col("l_d"), F.col("l_n")),
+        "dup_para_frac": frac(F.col("p_n") - F.col("p_d"), F.col("p_n")),
+        "dup_line_char_frac": frac(F.col("l_dchars"), F.col("l_chars")),
+        "dup_para_char_frac": frac(F.col("p_dchars"), F.col("p_chars")),
+        "top2_char_frac": frac(F.col("top2_mass"), F.col("word_chars")),
+        "top3_char_frac": frac(F.col("top3_mass"), F.col("word_chars")),
+        "top4_char_frac": frac(F.col("top4_mass"), F.col("word_chars")),
+    }
+    for n in range(5, 11):
+        fr[f"dup{n}_char_frac"] = frac(F.col(f"dup{n}_mass"), F.col("word_chars"))
+    passes = F.lit(True)
+    for k, thr in thresholds.items():
+        passes = passes & (fr[k] <= thr)
+    return out.select(
+        "doc_id",
+        *[(F.round(v, 6) + F.lit(0.0)).alias(k) for k, v in fr.items()],
+        passes.cast("long").alias("passes"),
+    )
+
+
+def gopher_repetition_oracle_sql(
+    docs_rel: str = "SELECT * FROM documents",
+    *,
+    thresholds: dict = GOPHER_REP_THRESHOLDS,
+) -> str:
+    """DuckDB mirror of gopher_repetition (identical splits, gram char
+    masses, distinct-covered-position marking, unrounded passes gate)."""
+    tp_cte, tp_join = [], []
+    for n in (2, 3, 4):
+        tp_cte.append(f"""
+g{n} AS (
+  SELECT doc_id, array_to_string(toks[i:i+{n - 1}], ' ') AS gram
+  FROM b, unnest(generate_series(1, len(toks) - {n - 1})) u(i)
+  WHERE len(toks) >= {n}
+),
+gc{n} AS (SELECT doc_id, gram, count(*) AS c FROM g{n} GROUP BY 1, 2),
+tp{n} AS (
+  SELECT doc_id,
+         max(CASE WHEN c >= 2 THEN c * (length(gram) - {n - 1}) ELSE 0 END)
+           AS top{n}_mass
+  FROM gc{n} GROUP BY doc_id
+)""")
+        tp_join.append(f"LEFT JOIN tp{n} USING (doc_id)")
+    dup_mass = ", ".join(
+        f"sum(CASE WHEN n = {n} THEN wlen ELSE 0 END) AS dup{n}_mass"
+        for n in range(5, 11)
+    )
+
+    def frac(num, den):
+        return (
+            f"CASE WHEN {den} > 0 THEN CAST(COALESCE({num}, 0) AS DOUBLE)"
+            f" / {den} ELSE 0.0 END"
+        )
+
+    fr = {
+        "dup_line_frac": frac("l_n - l_d", "l_n"),
+        "dup_para_frac": frac("p_n - p_d", "p_n"),
+        "dup_line_char_frac": frac("l_dchars", "l_chars"),
+        "dup_para_char_frac": frac("p_dchars", "p_chars"),
+        "top2_char_frac": frac("top2_mass", "word_chars"),
+        "top3_char_frac": frac("top3_mass", "word_chars"),
+        "top4_char_frac": frac("top4_mass", "word_chars"),
+    }
+    for n in range(5, 11):
+        fr[f"dup{n}_char_frac"] = frac(f"dup{n}_mass", "word_chars")
+    ufr = ", ".join(f"{e} AS {k}_u" for k, e in fr.items())
+    sel = ", ".join(f"round({k}_u, 6) + 0.0 AS {k}" for k in fr)
+    gate = " AND ".join(f"{k}_u <= {thr!r}" for k, thr in thresholds.items())
+    return f"""
+WITH d AS ({docs_rel}),
+b AS (
+  SELECT doc_id, text,
+         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+  FROM d
+),
+bb AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words,
+         COALESCE(list_sum(list_transform(toks,
+             w -> CAST(length(w) AS BIGINT))), 0) AS word_chars
+  FROM b
+),
+lu AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS u FROM d),
+lc AS (SELECT doc_id, u, count(*) AS c, length(u) AS ln FROM lu GROUP BY 1, 2),
+la AS (
+  SELECT doc_id, sum(c) AS l_n, count(*) AS l_d, sum(c * ln) AS l_chars,
+         sum(CASE WHEN c > 1 THEN c * ln ELSE 0 END) AS l_dchars
+  FROM lc GROUP BY doc_id
+),
+pu AS (SELECT doc_id, unnest(string_split(text, chr(10) || chr(10))) AS u FROM d),
+pc AS (SELECT doc_id, u, count(*) AS c, length(u) AS ln FROM pu GROUP BY 1, 2),
+pa AS (
+  SELECT doc_id, sum(c) AS p_n, count(*) AS p_d, sum(c * ln) AS p_chars,
+         sum(CASE WHEN c > 1 THEN c * ln ELSE 0 END) AS p_dchars
+  FROM pc GROUP BY doc_id
+),{",".join(tp_cte)},
+occ AS (
+  SELECT doc_id, n, i, array_to_string(toks[i:i+n-1], ' ') AS gram
+  FROM b, unnest(generate_series(5, 10)) nn(n),
+       unnest(generate_series(1, len(toks) - n + 1)) u(i)
+  WHERE len(toks) >= n
+),
+dup AS (SELECT doc_id, n, gram FROM occ GROUP BY 1, 2, 3 HAVING count(*) > 1),
+cov AS (
+  SELECT DISTINCT o.doc_id, o.n, c.idx
+  FROM occ o JOIN dup USING (doc_id, n, gram),
+       unnest(generate_series(o.i, o.i + o.n - 1)) c(idx)
+),
+wl AS (
+  SELECT doc_id, i AS idx, length(toks[i]) AS wlen
+  FROM b, unnest(generate_series(1, len(toks))) w(i)
+),
+dupn AS (
+  SELECT cov.doc_id, {dup_mass}
+  FROM cov JOIN wl USING (doc_id, idx) GROUP BY cov.doc_id
+),
+j AS (
+  SELECT bb.doc_id, {ufr}
+  FROM bb LEFT JOIN la USING (doc_id) LEFT JOIN pa USING (doc_id)
+  {" ".join(tp_join)} LEFT JOIN dupn USING (doc_id)
+)
+SELECT doc_id, {sel}, CAST({gate} AS BIGINT) AS passes FROM j
+"""

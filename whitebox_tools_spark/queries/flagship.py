@@ -78,7 +78,7 @@ _DRIVER_WINDOW: list[str] = [
     "line_dedup",
     "pii_redaction",
     "dsir_importance",
-    "gaussian_scale_space",
+    "gopher_repetition",
     # conditioned_latin_hypercube, travelling_salesman_problem and
     # turning_bands_simulation yielded their slots (all r4 judge-rerun
     # green) to never-externally-checked round-5 additions
@@ -581,6 +581,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob_quality": q_unigram_logprob,
         "pack_sequences": q_pack_sequences,
         "c4_rules": q_c4_rules,
+        "gopher_repetition": q_gopher_repetition,
         "line_dedup": q_line_dedup,
         "pii_redaction": q_pii_redaction,
         "dsir_importance": q_dsir_importance,
@@ -1728,6 +1729,7 @@ FROM documents
             "SELECT * FROM documents", 512
         ),
         "c4_rules": TX.c4_rules_oracle_sql(_LINED_SQL),
+        "gopher_repetition": TX.gopher_repetition_oracle_sql(_PAGED_SQL),
         "line_dedup": DD.dedup_lines_oracle_sql(_LINED_SQL),
         "pii_redaction": TX.pii_redact_oracle_sql(_PII_SQL),
         "dsir_importance": TX.dsir_importance_oracle_sql(),

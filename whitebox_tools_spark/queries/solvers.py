@@ -2631,3 +2631,65 @@ def q_dsir_importance(spark, sf_dir):
     partition-order invariant). Explode -> 256-row bucket aggregate ->
     broadcast joins -> one per-doc aggregate."""
     return TX.dsir_importance(_t(spark, sf_dir, "documents"))
+
+
+def _paged_docs(docs: DataFrame) -> DataFrame:
+    """Deterministically rebuild each doc as a 3-paragraph page (lines
+    inside paragraphs, blank line between paragraphs) with planted
+    repetition: doc_id % 4 duplicates a line, doc_id % 5 duplicates a
+    whole paragraph — so every branch of the Gopher repetition family
+    fires on a known subset. Mirrored byte-for-byte by _PAGED_SQL."""
+    toks = TX.tokens_expr(F.col("text"))
+
+    def seg(a: int, b: int):
+        return F.array_join(F.slice(toks, a, b - a + 1), " ")
+
+    did = F.col("doc_id")
+    lA, lB = seg(1, 6), seg(7, 12)
+    lC = F.when(did % 4 == 0, seg(1, 6)).otherwise(seg(13, 18))
+    lD = seg(19, 24)
+    p1 = F.concat_ws("\n", lA, lB)
+    p2 = F.when(did % 5 == 0, p1).otherwise(F.concat_ws("\n", lC, lD))
+    p3 = seg(25, 30)
+    return docs.select(
+        "doc_id", F.concat_ws("\n\n", p1, p2, p3).alias("text")
+    )
+
+
+_PAGED_SQL = """
+SELECT doc_id,
+       p1 || chr(10) || chr(10)
+    || (CASE WHEN doc_id % 5 = 0 THEN p1
+             ELSE lC || chr(10) || lD END) || chr(10) || chr(10)
+    || p3 AS text
+FROM (
+  SELECT doc_id,
+         lA || chr(10) || lB AS p1,
+         CASE WHEN doc_id % 4 = 0 THEN lA ELSE lX END AS lC,
+         lD, p3
+  FROM (
+    SELECT doc_id,
+           COALESCE(array_to_string(toks[1:6], ' '), '') AS lA,
+           COALESCE(array_to_string(toks[7:12], ' '), '') AS lB,
+           COALESCE(array_to_string(toks[13:18], ' '), '') AS lX,
+           COALESCE(array_to_string(toks[19:24], ' '), '') AS lD,
+           COALESCE(array_to_string(toks[25:30], ' '), '') AS p3
+    FROM (
+      SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+      FROM documents
+    )
+  )
+)
+"""
+
+
+def q_gopher_repetition(spark, sf_dir):
+    """The complete Gopher repetition family (Rae et al. 2021 Table A1:
+    dup line/para fractions + char fractions, top-{2,3,4}-gram char mass,
+    dup-{5..10}-gram distinct-covered-position char fractions, published
+    thresholds) over deterministically paged docs with planted duplicate
+    lines (doc_id%4) and paragraphs (doc_id%5). Every rule is an
+    explode -> keyed hash aggregate -> equi-join — no windows, no UDFs."""
+    return TX.gopher_repetition(_paged_docs(_t(spark, sf_dir, "documents")))
