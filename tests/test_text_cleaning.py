@@ -326,3 +326,72 @@ def test_gopher_repetition_vs_python(spark):
     e6 = _py_gopher_rep(_REP_DOCS[5][1])
     assert e6["dup6_char_frac"] > 0  # periodic overlap counted once per pos
     assert _py_gopher_rep(_REP_DOCS[0][1])["passes"] == 1
+
+
+# ---------------------------------------------------------------------------
+# exact-substring dedup removal
+# ---------------------------------------------------------------------------
+def _py_remove_spans(docs, k=4, min_count=2):
+    occ = []  # (doc, pos0, gram)
+    toksd = {}
+    for did, text in docs:
+        toks = text.split(" ")
+        toksd[did] = toks
+        for i in range(len(toks) - k + 1):
+            occ.append((did, i, " ".join(toks[i:i + k])))
+    cnt = Counter(g for _, _, g in occ)
+    canon = {}
+    for did, i, g in sorted(occ):
+        if cnt[g] >= min_count and g not in canon:
+            canon[g] = (did, i)
+    covered = {did: set() for did, _ in docs}
+    for did, i, g in occ:
+        if cnt[g] >= min_count and canon[g] != (did, i):
+            covered[did].update(range(i, i + k))
+    out = {}
+    for did, _ in docs:
+        toks = toksd[did]
+        kept = [w for j, w in enumerate(toks) if j not in covered[did]]
+        out[did] = {
+            "n_tokens": len(toks),
+            "n_removed": len(toks) - len(kept),
+            "cleaned": " ".join(kept),
+        }
+    return out
+
+
+_RS_DOCS = [
+    # docs 1 and 2 share a verbatim 6-token run (3 full 4-grams)
+    (1, "alpha beta shared run of six tokens here tail one"),
+    (2, "intro words shared run of six tokens here other ending"),
+    # doc 3 repeats its own leading 4 tokens at the tail
+    (3, "aa bb cc dd middle part aa bb cc dd"),
+    # doc 4: nothing repeated
+    (4, "totally unique text with no repeats at all"),
+    # doc 5: three-way share with 1 and 2 -> still only one canonical
+    (5, "zz shared run of six tokens here yy"),
+]
+
+
+def test_remove_duplicate_spans_vs_python(spark):
+    from whitebox_tools_spark.operators.dedup import remove_duplicate_spans
+
+    exp = _py_remove_spans(_RS_DOCS, k=4)
+    df = spark.createDataFrame(_RS_DOCS, ["doc_id", "text"])
+    for parts in (1, 5):
+        got = {
+            r["doc_id"]: r.asDict()
+            for r in remove_duplicate_spans(df.repartition(parts), k=4).collect()
+        }
+        assert set(got) == set(exp)
+        for did in exp:
+            sub = {kk: got[did][kk] for kk in exp[did]}
+            assert sub == exp[did], (parts, did, sub, exp[did])
+    # canonical occurrence (doc 1, smallest (doc,pos)) keeps the run
+    assert "shared run of six tokens here" in exp[1]["cleaned"]
+    assert "shared run of six tokens here" not in exp[2]["cleaned"]
+    assert "shared run of six tokens here" not in exp[5]["cleaned"]
+    # within-doc repeat: the leading occurrence survives, the tail is cut
+    assert exp[3]["cleaned"].startswith("aa bb cc dd")
+    assert exp[3]["n_removed"] == 4
+    assert exp[4]["n_removed"] == 0

@@ -1373,3 +1373,140 @@ SELECT t.doc_id, CAST(len(t.lines) AS BIGINT) AS n_lines,
        COALESCE(agg.cleaned, '') AS cleaned
 FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id
 """
+
+
+def remove_duplicate_spans(
+    docs: DataFrame,
+    *,
+    k: int = 8,
+    min_count: int = 2,
+    text: str = "text",
+    doc_id: str = "doc_id",
+) -> DataFrame:
+    """Exact-substring dedup REMOVAL (the acting counterpart of
+    duplicate_text_spans — Lee et al. 2022 remove all but one occurrence
+    of every duplicated substring; this is the deterministic
+    position-marking variant of that rule over k-token grams):
+
+      * a k-gram occurring >= min_count times in the corpus (across docs
+        or repeated within one doc) is duplicated;
+      * its CANONICAL occurrence is the globally smallest (doc_id, pos)
+        — that one survives; every other occurrence marks its k covered
+        token positions for removal (overlapping marks count once);
+      * each doc is rebuilt from its surviving tokens in original order
+        (a position survives iff no duplicated gram's non-canonical
+        occurrence covers it).
+
+    Runs of >= k duplicated tokens are removed in full from every
+    non-canonical site (a run of L >= k shared tokens is covered by its
+    L-k+1 grams); runs shorter than k are invisible — k is the floor,
+    exactly as in the detection op.
+
+    100-TB shape: gram explode -> one (gram) hash aggregate (count +
+    min occurrence id, map-side combined) -> equi-join back on gram ->
+    bounded sequence explode for covered positions -> distinct ->
+    left-anti join against token positions -> one per-doc reassembly
+    aggregate. No windows, no UDFs, no driver collect; position encoding
+    bounds docs to 2^22 tokens (same contract as duplicate_text_spans).
+    -> (doc_id, n_tokens, n_removed, cleaned)."""
+    toks = docs.select(
+        F.col(doc_id).alias("__d"), F.split(F.col(text), " ").alias("__t")
+    )
+    n = F.size(F.col("__t"))
+    occ = (
+        toks.filter(n >= k)
+        .select(
+            "__d",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), n - F.lit(k - 1)),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.array_join(F.slice(F.col("__t"), i, k), " ").alias("g"),
+                    ),
+                )
+            ).alias("o"),
+        )
+        .select(
+            "__d",
+            F.col("o.pos").alias("pos"),
+            F.col("o.g").alias("g"),
+            (F.col("__d") * F.lit(1 << 22) + F.col("o.pos")).alias("occ"),
+        )
+    )
+    gstat = (
+        occ.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("c"), F.min("occ").alias("canon"))
+        .filter(F.col("c") >= min_count)
+        .select("g", "canon")
+    )
+    cov = (
+        occ.join(gstat, "g")
+        .filter(F.col("occ") != F.col("canon"))
+        .select("__d", F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias("idx"))
+        .distinct()
+    )
+    wp = toks.select(
+        "__d", F.posexplode(F.col("__t")).alias("p", "w")
+    ).select("__d", (F.col("p") + 1).alias("idx"), "w")
+    kept = wp.join(cov, ["__d", "idx"], "left_anti")
+    rebuilt = kept.groupBy("__d").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("idx", "w"))),
+                lambda s: s["w"],
+            ),
+            " ",
+        ).alias("cleaned"),
+    )
+    base = toks.select("__d", F.size(F.col("__t")).cast("long").alias("n_tokens"))
+    return base.join(rebuilt, "__d", "left").select(
+        F.col("__d").alias("doc_id"),
+        "n_tokens",
+        (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0))).alias("n_removed"),
+        F.coalesce(F.col("cleaned"), F.lit("")).alias("cleaned"),
+    )
+
+
+def remove_duplicate_spans_oracle_sql(
+    docs_rel: str = "SELECT * FROM documents", *, k: int = 8, min_count: int = 2
+) -> str:
+    """DuckDB mirror of remove_duplicate_spans (identical single-space
+    split, occurrence encoding, canonical-min rule, distinct covered
+    positions, order-preserving reassembly)."""
+    return f"""
+WITH d AS ({docs_rel}),
+t AS (SELECT doc_id AS dd, string_split(text, ' ') AS toks FROM d),
+occ AS (
+  SELECT dd, i AS pos, array_to_string(toks[i:i+{k - 1}], ' ') AS g,
+         dd * {1 << 22} + i AS occ
+  FROM t, unnest(generate_series(1, len(toks) - {k - 1})) u(i)
+  WHERE len(toks) >= {k}
+),
+gstat AS (
+  SELECT g, min(occ) AS canon FROM occ GROUP BY g HAVING count(*) >= {min_count}
+),
+cov AS (
+  SELECT DISTINCT o.dd, c.idx
+  FROM occ o JOIN gstat USING (g), unnest(generate_series(o.pos, o.pos + {k - 1})) c(idx)
+  WHERE o.occ <> gstat.canon
+),
+wp AS (
+  SELECT dd, i AS idx, toks[i] AS w
+  FROM t, unnest(generate_series(1, len(toks))) u(i)
+),
+kept AS (
+  SELECT wp.dd, wp.idx, wp.w FROM wp LEFT JOIN cov USING (dd, idx)
+  WHERE cov.idx IS NULL
+),
+rb AS (
+  SELECT dd, count(*) AS n_kept,
+         string_agg(w, ' ' ORDER BY idx) AS cleaned
+  FROM kept GROUP BY dd
+)
+SELECT t.dd AS doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       CAST(len(t.toks) - COALESCE(rb.n_kept, 0) AS BIGINT) AS n_removed,
+       COALESCE(rb.cleaned, '') AS cleaned
+FROM t LEFT JOIN rb ON t.dd = rb.dd
+"""

@@ -101,7 +101,9 @@ _DRIVER_WINDOW: list[str] = [
     # never driver-checked: terrain / hydro / image
     # new this round: --remove_embankments mode (last embankment caveat)
     "embankment_removal",
-    "average_normal_vector_angular_deviation",
+    # average_normal_vector_angular_deviation yielded its slot (r4
+    # judge-rerun green) to the never-externally-checked removal op
+    "remove_duplicate_spans",
     "spherical_std_dev_of_normals",
     "individual_tree_detection",
     # no_oracle rows in r04, converted to value-checked literal
@@ -582,6 +584,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "c4_rules": q_c4_rules,
         "gopher_repetition": q_gopher_repetition,
+        "remove_duplicate_spans": q_remove_duplicate_spans,
         "line_dedup": q_line_dedup,
         "pii_redaction": q_pii_redaction,
         "dsir_importance": q_dsir_importance,
@@ -1730,6 +1733,7 @@ FROM documents
         ),
         "c4_rules": TX.c4_rules_oracle_sql(_LINED_SQL),
         "gopher_repetition": TX.gopher_repetition_oracle_sql(_PAGED_SQL),
+        "remove_duplicate_spans": DD.remove_duplicate_spans_oracle_sql(_SLOGAN_SQL, k=8),
         "line_dedup": DD.dedup_lines_oracle_sql(_LINED_SQL),
         "pii_redaction": TX.pii_redact_oracle_sql(_PII_SQL),
         "dsir_importance": TX.dsir_importance_oracle_sql(),

@@ -2693,3 +2693,58 @@ def q_gopher_repetition(spark, sf_dir):
     lines (doc_id%4) and paragraphs (doc_id%5). Every rule is an
     explode -> keyed hash aggregate -> equi-join — no windows, no UDFs."""
     return TX.gopher_repetition(_paged_docs(_t(spark, sf_dir, "documents")))
+
+
+def _slogan_docs(docs: DataFrame) -> DataFrame:
+    """Append deterministic repeated material for the span-removal rule:
+    docs with doc_id % 3 == 0 share a verbatim 12-token slogan (5 full
+    8-grams -> removed everywhere but the canonical doc); the others get
+    a 7-token filler (NO full 8-gram fits inside it, and its boundary
+    grams mix in doc-specific text, so it is never removed — pins the
+    k-token detection floor); docs with doc_id % 17 == 0 additionally
+    repeat their own leading 8 tokens at the tail (a within-doc duplicate
+    — the later occurrence is removed). Mirrored by _SLOGAN_SQL."""
+    did = F.col("doc_id")
+    toks = TX.tokens_expr(F.col("text"))
+    lead8 = F.array_join(F.slice(toks, 1, 8), " ")
+    t2 = F.concat(
+        F.col("text"),
+        F.lit(" "),
+        F.when(
+            did % 3 == 0,
+            F.lit("the quick brown fox jumps over the lazy dog again and again"),
+        ).otherwise(F.lit("completely ordinary filler phrase that varies nowhere")),
+        F.when(did % 17 == 0, F.concat(F.lit(" "), lead8)).otherwise(F.lit("")),
+    )
+    return docs.select("doc_id", t2.alias("text"))
+
+
+_SLOGAN_SQL = """
+SELECT doc_id,
+       text || ' '
+    || (CASE WHEN doc_id % 3 = 0
+             THEN 'the quick brown fox jumps over the lazy dog again and again'
+             ELSE 'completely ordinary filler phrase that varies nowhere' END)
+    || (CASE WHEN doc_id % 17 = 0
+             THEN ' ' || COALESCE(array_to_string(toks[1:8], ' '), '')
+             ELSE '' END) AS text
+FROM (
+  SELECT doc_id, text,
+         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+  FROM documents
+)
+"""
+
+
+def q_remove_duplicate_spans(spark, sf_dir):
+    """Exact-substring dedup REMOVAL (Lee et al. 2022 position-marking
+    variant over 8-grams): duplicated k-grams keep only their globally
+    smallest (doc_id, pos) occurrence; every other occurrence's covered
+    tokens are cut and docs are rebuilt in order. Planted 12-token slogan
+    (removed everywhere but one doc), 7-token filler (below the k floor —
+    never removed), within-doc tail repeats (doc_id%17). The rebuilt
+    text is value-checked byte-for-byte."""
+    return DD.remove_duplicate_spans(
+        _slogan_docs(_t(spark, sf_dir, "documents")), k=8
+    )
