@@ -63,3 +63,61 @@ def test_c4_and_pii_streaming_equals_batch(spark, tmp_path):
     assert c4[2]["keep_doc"] == 0 and c4[4]["has_brace"] == 1
     pii = {r["doc_id"]: r.asDict() for r in pii_redact(batch_df).collect()}
     assert pii[1]["n_emails"] == 1 and pii[3]["n_ips"] == 1 and pii[3]["n_phones"] == 1
+
+
+def test_redact_text_spans_preserves_interleaved_structure(spark, tmp_path):
+    """PII scrub on the interleaved span table: text spans redacted, every
+    non-text span byte-identical, kind/order sequence preserved, and the
+    geometry decoders see EXACTLY the same points before and after."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from whitebox_tools_spark.datagen import write_geodocs
+    from whitebox_tools_spark.ingest import decode_points, redact_text_spans
+    from whitebox_tools_spark.operators.text import PII_EMAIL
+
+    path = str(tmp_path / "geodocs")
+    write_geodocs(path, 300, seed=7)
+    docs = spark.read.parquet(path)
+    # plant an email in every text span so the scrub provably fires
+    planted = docs.withColumn(
+        "spans",
+        F.transform(
+            F.col("spans"),
+            lambda s: F.struct(
+                s.kind.alias("kind"),
+                F.when(
+                    s.kind == "text", F.concat(s.text, F.lit(" ping admin@site.org"))
+                ).otherwise(s.text).alias("text"),
+                s.media_ref.alias("media_ref"),
+                s.offset.alias("offset"),
+            ),
+        ),
+    )
+    red = redact_text_spans(planted)
+
+    before = planted.select("doc_id", F.explode("spans").alias("s")).select(
+        "doc_id", "s.kind", "s.text", "s.media_ref", "s.offset"
+    )
+    after = red.select("doc_id", F.explode("spans").alias("s")).select(
+        "doc_id", "s.kind", "s.text", "s.media_ref", "s.offset"
+    )
+    b = {(r.doc_id, r.offset): r for r in before.collect()}
+    a = {(r.doc_id, r.offset): r for r in after.collect()}
+    assert set(a) == set(b)  # span count + order slots identical
+    n_text = 0
+    for key, rb in b.items():
+        ra = a[key]
+        assert ra.kind == rb.kind and ra.media_ref == rb.media_ref
+        if rb.kind == "text":
+            n_text += 1
+            assert ra.text == re.sub(PII_EMAIL, "<EMAIL>", rb.text)
+            assert "admin@site.org" not in ra.text
+        else:
+            assert ra.text == rb.text  # non-text spans byte-identical
+    assert n_text > 0
+    # geometry decode is unaffected
+    pb = sorted(map(tuple, decode_points(planted).collect()))
+    pa = sorted(map(tuple, decode_points(red).collect()))
+    assert pa == pb
