@@ -332,6 +332,31 @@ def main():
         spark, sf_dir
     ).count()
     dedup_extras["curation_sec"] = round(time.time() - t0, 3)
+    # final-wave cleaning ops (each over the full documents table)
+    t0 = time.time()
+    dedup_extras["c4_keep_rows"] = (
+        qs["c4_rules"](spark, sf_dir).filter("keep_doc = 1").count()
+    )
+    dedup_extras["c4_rules_sec"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    dedup_extras["line_dedup_rows"] = qs["line_dedup"](spark, sf_dir).count()
+    dedup_extras["line_dedup_sec"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    dedup_extras["pii_rows"] = qs["pii_redaction"](spark, sf_dir).count()
+    dedup_extras["pii_redaction_sec"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    dedup_extras["dsir_rows"] = qs["dsir_importance"](spark, sf_dir).count()
+    dedup_extras["dsir_importance_sec"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    dedup_extras["gopher_rep_pass_rows"] = (
+        qs["gopher_repetition"](spark, sf_dir).filter("passes = 1").count()
+    )
+    dedup_extras["gopher_repetition_sec"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    dedup_extras["remove_spans_rows"] = qs["remove_duplicate_spans"](
+        spark, sf_dir
+    ).count()
+    dedup_extras["remove_spans_sec"] = round(time.time() - t0, 3)
 
     ms_stats = multiscale_radius_sweep(spark)
     media_stats = media_decode_throughput(spark)
