@@ -118,3 +118,56 @@ def test_frame_sample_plan(spark):
         per_doc.setdefault(r.doc_id, []).append(r.frame_ts_ms)
     assert sorted(per_doc["d0"]) == [0, 1000, 2000]
     assert per_doc["d1"] == [0]
+
+
+def test_media_exact_dedup_by_payload_digest(spark):
+    import numpy as np
+
+    from whitebox_tools_spark.operators.multimodal import (
+        encode_netpbm, encode_wav, media_exact_dedup,
+    )
+
+    img = (np.arange(64, dtype=np.float64).reshape(8, 8) * 3) % 251
+    img2 = (img + 1) % 251
+    wav = (np.sin(np.arange(800) * 0.05) * 10000).astype(np.int16).reshape(-1, 1)
+    rows = [
+        ("d0", "m/a", bytes(encode_netpbm(img))),
+        ("d1", "m/b", bytes(encode_netpbm(img))),   # byte-identical copy
+        ("d2", "m/c", bytes(encode_netpbm(img2))),  # one pixel off
+        ("d3", "m/d", bytes(encode_wav(wav, 16000))),
+        ("d4", "m/e", bytes(encode_wav(wav, 16000))),  # copy
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, media_ref string, payload binary")
+    out = {r.media_ref: r.asDict() for r in media_exact_dedup(df).collect()}
+    assert out["m/a"]["is_dup"] == 0 and out["m/b"]["is_dup"] == 1
+    assert out["m/b"]["canonical_ref"] == "m/a"
+    assert out["m/c"]["is_dup"] == 0  # different bytes, not a dup
+    assert out["m/d"]["is_dup"] == 0 and out["m/e"]["is_dup"] == 1
+    assert out["m/e"]["canonical_ref"] == "m/d"
+    assert out["m/a"]["digest"] == out["m/b"]["digest"] != out["m/c"]["digest"]
+
+
+def test_media_near_dup_catches_jittered_copies(spark):
+    import numpy as np
+
+    from whitebox_tools_spark.operators.multimodal import (
+        encode_netpbm, media_near_dup_pairs,
+    )
+
+    rng = np.random.RandomState(3)
+    base = rng.randint(0, 255, size=(16, 16)).astype(np.float64)
+    jitter = base.copy()
+    jitter[0, 0] = (jitter[0, 0] + 1) % 255  # one-pixel change: not byte-equal
+    far = rng.randint(0, 255, size=(16, 16)).astype(np.float64)
+    rows = [
+        ("d0", "m/base", bytes(encode_netpbm(base))),
+        ("d1", "m/jit", bytes(encode_netpbm(jitter))),
+        ("d2", "m/far", bytes(encode_netpbm(far))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, media_ref string, payload binary")
+    pairs = {
+        tuple(sorted((r.id_a, r.id_b))): r.cosine
+        for r in media_near_dup_pairs(df, threshold=0.999).collect()
+    }
+    assert ("m/base", "m/jit") in pairs  # perceptual dup survives the jitter
+    assert all("m/far" not in p for p in pairs)  # unrelated image excluded

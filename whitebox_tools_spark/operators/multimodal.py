@@ -270,3 +270,45 @@ def frame_sample_plan(media: DataFrame, *, every_ms: int = 1000) -> DataFrame:
         "media_ref",
         F.explode(F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)))).alias("frame_idx"),
     ).withColumn("frame_ts_ms", F.col("frame_idx") * every_ms)
+
+
+def media_exact_dedup(
+    media: DataFrame, *, payload: str = "payload", ref: str = "media_ref"
+) -> DataFrame:
+    """Exact media dedup by content digest — the binary twin of
+    dedup.exact_dedup: md5 over the raw payload bytes (codec-agnostic:
+    identical bytes are identical media, no decode needed), canonical =
+    smallest media_ref per digest. One hash aggregate + one equi-join
+    (AQE broadcasts the digest table when it fits); at 10^12 media rows
+    this is the same single-shuffle shape as text exact dedup.
+    -> (media_ref, digest, canonical_ref, is_dup)."""
+    d = media.select(
+        F.col(ref).alias("media_ref"), F.md5(F.col(payload)).alias("digest")
+    )
+    canon = d.groupBy("digest").agg(F.min("media_ref").alias("canonical_ref"))
+    return d.join(canon, "digest").select(
+        "media_ref",
+        "digest",
+        "canonical_ref",
+        (F.col("media_ref") != F.col("canonical_ref")).cast("long").alias("is_dup"),
+    )
+
+
+def media_near_dup_pairs(
+    media: DataFrame, *, threshold: float = 0.98, n_planes: int = 8, dim: int = 16
+) -> DataFrame:
+    """Perceptual media near-dup: REAL-decode 16-dim feature vectors
+    (extract_media_features fake=False: netpbm/WAVE stats) fed through the
+    SAME hyperplane-LSH + exact-cosine-verify machinery as text-embedding
+    near-dup — so re-encoded / slightly-jittered copies of one image or
+    clip that exact byte hashing cannot see land in one bucket and verify
+    by cosine. Scale shape inherited from embedding_near_dup_pairs
+    (bucketed candidates, never all-pairs). -> (id_a, id_b, cosine)."""
+    from whitebox_tools_spark.operators.dedup import embedding_near_dup_pairs
+
+    feats = extract_media_features(media, fake=False).select(
+        F.col("media_ref").alias("vec_id"), F.col("features").alias("embedding")
+    )
+    return embedding_near_dup_pairs(
+        feats, threshold=threshold, n_planes=n_planes, dim=dim
+    )
