@@ -585,6 +585,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_rules": q_c4_rules,
         "gopher_repetition": q_gopher_repetition,
         "remove_duplicate_spans": q_remove_duplicate_spans,
+        "media_dedup": q_media_dedup,
         "line_dedup": q_line_dedup,
         "pii_redaction": q_pii_redaction,
         "dsir_importance": q_dsir_importance,
@@ -1734,6 +1735,7 @@ FROM documents
         "c4_rules": TX.c4_rules_oracle_sql(_LINED_SQL),
         "gopher_repetition": TX.gopher_repetition_oracle_sql(_PAGED_SQL),
         "remove_duplicate_spans": DD.remove_duplicate_spans_oracle_sql(_SLOGAN_SQL, k=8),
+        "media_dedup": _MEDIA_DEDUP_SQL,
         "line_dedup": DD.dedup_lines_oracle_sql(_LINED_SQL),
         "pii_redaction": TX.pii_redact_oracle_sql(_PII_SQL),
         "dsir_importance": TX.dsir_importance_oracle_sql(),

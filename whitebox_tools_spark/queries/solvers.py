@@ -2748,3 +2748,39 @@ def q_remove_duplicate_spans(spark, sf_dir):
     return DD.remove_duplicate_spans(
         _slogan_docs(_t(spark, sf_dir, "documents")), k=8
     )
+
+
+def q_media_dedup(spark, sf_dir):
+    """Exact media dedup through the oracle gate: binary payloads
+    constructed deterministically so every group of 5 consecutive doc_ids
+    shares one payload (byte-identical clips under distinct media_refs);
+    media_exact_dedup digests them (md5 over raw bytes) and picks the
+    smallest media_ref as canonical. DuckDB mirrors md5(varchar) —
+    identical hex for identical UTF-8 bytes."""
+    from whitebox_tools_spark.operators.multimodal import media_exact_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.concat(F.lit("m/"), F.col("doc_id").cast("string")).alias("media_ref"),
+        F.encode(
+            F.concat(
+                F.lit("clip:"),
+                (F.col("doc_id") - F.col("doc_id") % 5).cast("string"),
+            ),
+            "UTF-8",
+        ).alias("payload"),
+    )
+    return media_exact_dedup(media)
+
+
+_MEDIA_DEDUP_SQL = """
+WITH m AS (
+  SELECT 'm/' || CAST(doc_id AS VARCHAR) AS media_ref,
+         md5('clip:' || CAST(doc_id - doc_id % 5 AS VARCHAR)) AS digest
+  FROM documents
+),
+c AS (SELECT digest, min(media_ref) AS canonical_ref FROM m GROUP BY digest)
+SELECT m.media_ref, m.digest, c.canonical_ref,
+       CAST(m.media_ref <> c.canonical_ref AS BIGINT) AS is_dup
+FROM m JOIN c USING (digest)
+"""
