@@ -714,6 +714,10 @@ def gopher_repetition(
         F.aggregate(toks, F.lit(0).cast("long"), lambda a, w: a + F.length(w))
         .alias("word_chars"),
     )
+    # seven downstream branches (lines, paras, top-n grams, dup-n
+    # occurrences, word lengths, final join) would each recompute the
+    # tokenization; checkpoint the tokenized base once
+    base = base.localCheckpoint(eager=False)
 
     def unit_family(col_expr, prefix):
         """dup fraction + dup char fraction for one split unit."""
@@ -732,22 +736,29 @@ def gopher_repetition(
     lines = unit_family(F.split(F.col("_t"), "\n", -1), "l")
     paras = unit_family(F.split(F.col("_t"), "\n\n", -1), "p")
 
-    # top-{2,3,4}: char mass of the most frequent n-gram (count >= 2)
-    tops = None
-    for n in (2, 3, 4):
-        g = base.select(
-            "doc_id", F.explode(_gram_structs(F.col("_toks"), n)).alias("g")
-        ).select("doc_id", F.col("g.gram").alias("gram"))
-        cnt = g.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("c"))
-        top = cnt.groupBy("doc_id").agg(
+    # top-{2,3,4}: char mass of the most frequent n-gram (count >= 2) —
+    # one fused explode over all three n, one keyed aggregate, one per-doc
+    # conditional-max aggregate (instead of three explode+join chains)
+    g234 = base.select(
+        "doc_id",
+        F.explode(
+            F.flatten(
+                F.array(*[_gram_structs(F.col("_toks"), n) for n in (2, 3, 4)])
+            )
+        ).alias("g"),
+    ).select("doc_id", F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
+    cnt234 = g234.groupBy("doc_id", "n", "gram").agg(F.count(F.lit(1)).alias("c"))
+    tops = cnt234.groupBy("doc_id").agg(
+        *[
             F.max(
                 F.when(
-                    F.col("c") >= 2,
+                    (F.col("n") == n) & (F.col("c") >= 2),
                     F.col("c") * (F.length("gram") - (n - 1)),
                 ).otherwise(F.lit(0))
             ).alias(f"top{n}_mass")
-        )
-        tops = top if tops is None else tops.join(top, "doc_id", "outer")
+            for n in (2, 3, 4)
+        ]
+    )
 
     # dup-{5..10}: distinct covered word positions of duplicated n-grams
     occ = base.select(
