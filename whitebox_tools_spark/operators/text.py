@@ -544,6 +544,9 @@ def dsir_importance(
         F.lit(n_buckets),
     )
     g = g.select("doc_id", "is_tgt", bucket.alias("b"))
+    # g feeds both the global bucket aggregate and the per-doc aggregate;
+    # checkpoint so the bigram explode + md5 bucketing runs once
+    g = g.localCheckpoint(eager=False)
     h = g.groupBy("b").agg(
         F.count(F.lit(1)).alias("n_raw"), F.sum("is_tgt").alias("n_tgt")
     )
