@@ -51,6 +51,9 @@ HEADLINE = [
     "line_dedup",
     "pii_redaction",
     "dsir_importance",
+    "gopher_repetition",
+    "remove_duplicate_spans",
+    "media_dedup",
 ]
 
 
