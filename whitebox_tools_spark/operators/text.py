@@ -544,9 +544,6 @@ def dsir_importance(
         F.lit(n_buckets),
     )
     g = g.select("doc_id", "is_tgt", bucket.alias("b"))
-    # g feeds both the global bucket aggregate and the per-doc aggregate;
-    # checkpoint so the bigram explode + md5 bucketing runs once
-    g = g.localCheckpoint(eager=False)
     h = g.groupBy("b").agg(
         F.count(F.lit(1)).alias("n_raw"), F.sum("is_tgt").alias("n_tgt")
     )
@@ -717,10 +714,6 @@ def gopher_repetition(
         F.aggregate(toks, F.lit(0).cast("long"), lambda a, w: a + F.length(w))
         .alias("word_chars"),
     )
-    # seven downstream branches (lines, paras, top-n grams, dup-n
-    # occurrences, word lengths, final join) would each recompute the
-    # tokenization; checkpoint the tokenized base once
-    base = base.localCheckpoint(eager=False)
 
     def unit_family(col_expr, prefix):
         """dup fraction + dup char fraction for one split unit."""
