@@ -395,3 +395,46 @@ def test_remove_duplicate_spans_vs_python(spark):
     assert exp[3]["cleaned"].startswith("aa bb cc dd")
     assert exp[3]["n_removed"] == 4
     assert exp[4]["n_removed"] == 0
+
+
+# ---------------------------------------------------------------------------
+# multi-language ID
+# ---------------------------------------------------------------------------
+def test_language_id_multi_vs_python(spark):
+    from whitebox_tools_spark.operators.text import LANG_STOPWORDS, language_id_multi
+
+    docs = [
+        (1, "the cat sat on the mat and it is happy"),
+        (2, "le chat dans la maison et les oiseaux sur le toit"),
+        (3, "der hund und die katze mit ein buch ist da"),
+        (4, "el perro y las aves en una casa que es grande"),
+        (5, "zzz qqq www rrr"),                       # no stopwords -> unknown
+        (6, ""),                                      # empty -> unknown
+        # tie: 'la' is only in fr's list here, 'en' only in es's — craft a
+        # genuine tie: one fr word + one es word + two fillers
+        (7, "le el foo bar"),
+    ]
+
+    def py(textv):
+        toks = textv.strip().split() if textv.strip() else []
+        n = len(toks)
+        r = {
+            lang: (sum(1 for w in toks if w.lower() in ws) / n if n else 0.0)
+            for lang, ws in LANG_STOPWORDS.items()
+        }
+        best = max(r.values())
+        if best < 0.05:
+            return r, "unknown"
+        return r, sorted(k for k, v in r.items() if v == best)[0]
+
+    out = {r["doc_id"]: r.asDict() for r in language_id_multi(
+        spark.createDataFrame(docs, ["doc_id", "text"])).collect()}
+    for did, textv in docs:
+        r, pred = py(textv)
+        assert out[did]["pred_lang"] == pred, (did, out[did], pred)
+        for lang in r:
+            assert out[did][f"ratio_{lang}"] == pytest.approx(round(r[lang], 6)), (did, lang)
+    assert [out[i]["pred_lang"] for i in (1, 2, 3, 4, 5, 6)] == [
+        "en", "fr", "de", "es", "unknown", "unknown",
+    ]
+    assert out[7]["pred_lang"] == "es"  # tie breaks alphabetically: es < fr

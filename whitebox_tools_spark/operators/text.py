@@ -928,3 +928,92 @@ j AS (
 )
 SELECT doc_id, {sel}, CAST({gate} AS BIGINT) AS passes FROM j
 """
+
+
+# ---------------------------------------------------------------------------
+# Multi-language ID (stopword-profile argmax — the dependency-free core of
+# the Cavnar-Trenkle / fastText-style profile classifiers; lists are public
+# knowledge, 10 high-frequency function words per language)
+# ---------------------------------------------------------------------------
+LANG_STOPWORDS = {
+    "de": ["der", "die", "das", "und", "ein", "eine", "mit", "von", "zu", "ist"],
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "with"],
+    "es": ["el", "los", "las", "y", "un", "una", "en", "que", "es", "por"],
+    "fr": ["le", "la", "les", "de", "des", "et", "dans", "au", "pour", "sur"],
+}
+
+
+def language_id_multi(
+    docs: DataFrame,
+    *,
+    text: str = "text",
+    doc_id: str = "doc_id",
+    min_ratio: float = 0.05,
+) -> DataFrame:
+    """Multi-language ID: per-language stopword-hit ratio, prediction =
+    argmax ratio (ties break to the alphabetically first language code —
+    deterministic), 'unknown' when the best ratio is under min_ratio.
+    One codegen'd scan, zero shuffles; each ratio is a per-row HOF count.
+    -> (doc_id, ratio_de, ratio_en, ratio_es, ratio_fr, pred_lang)."""
+    toks = tokens_expr(F.col(text))
+    n = F.size(toks)
+    ratios = {
+        lang: F.when(
+            n > 0,
+            F.size(F.filter(toks, lambda w: F.lower(w).isin(words))).cast("double")
+            / n,
+        ).otherwise(F.lit(0.0))
+        for lang, words in LANG_STOPWORDS.items()
+    }
+    best = F.greatest(*ratios.values())
+    pred = F.lit("unknown")
+    # build the when-chain in REVERSE alphabetical order so the final
+    # (outermost) match wins for the alphabetically first language on ties
+    for lang in sorted(ratios, reverse=True):
+        pred = F.when(ratios[lang] == best, F.lit(lang)).otherwise(pred)
+    pred = F.when(best < min_ratio, F.lit("unknown")).otherwise(pred)
+    return docs.select(
+        F.col(doc_id).alias("doc_id"),
+        *[
+            (F.round(ratios[lang], 6) + F.lit(0.0)).alias(f"ratio_{lang}")
+            for lang in sorted(ratios)
+        ],
+        pred.alias("pred_lang"),
+    )
+
+
+def language_id_multi_oracle_sql(
+    docs_rel: str = "SELECT * FROM documents", *, min_ratio: float = 0.05
+) -> str:
+    """DuckDB mirror of language_id_multi (identical lists, tie-break and
+    threshold; prediction evaluated on UNROUNDED ratios like the engine)."""
+    rat = {
+        lang: (
+            "CASE WHEN len(toks) > 0 THEN "
+            f"CAST(len(list_filter(toks, w -> lower(w) IN "
+            f"({', '.join(repr(w) for w in words)}))) AS DOUBLE) / len(toks) "
+            "ELSE 0.0 END"
+        )
+        for lang, words in LANG_STOPWORDS.items()
+    }
+    cols = ", ".join(f"{e} AS r_{lang}" for lang, e in rat.items())
+    langs = sorted(rat)
+    best = f"greatest({', '.join('r_' + x for x in langs)})"
+    pred = "'unknown'"
+    for lang in sorted(langs, reverse=True):
+        pred = f"CASE WHEN r_{lang} = best THEN '{lang}' ELSE {pred} END"
+    return f"""
+WITH d AS ({docs_rel}),
+t AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+              ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+  FROM d
+),
+r AS (SELECT doc_id, {cols} FROM t),
+rb AS (SELECT *, {best} AS best FROM r)
+SELECT doc_id,
+       {", ".join(f"round(r_{x}, 6) + 0.0 AS ratio_{x}" for x in langs)},
+       CASE WHEN best < {min_ratio!r} THEN 'unknown' ELSE {pred} END AS pred_lang
+FROM rb
+"""

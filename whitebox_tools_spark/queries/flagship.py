@@ -586,6 +586,7 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_repetition": q_gopher_repetition,
         "remove_duplicate_spans": q_remove_duplicate_spans,
         "media_dedup": q_media_dedup,
+        "language_id_multi": q_language_id_multi,
         "line_dedup": q_line_dedup,
         "pii_redaction": q_pii_redaction,
         "dsir_importance": q_dsir_importance,
@@ -1736,6 +1737,7 @@ FROM documents
         "gopher_repetition": TX.gopher_repetition_oracle_sql(_PAGED_SQL),
         "remove_duplicate_spans": DD.remove_duplicate_spans_oracle_sql(_SLOGAN_SQL, k=8),
         "media_dedup": _MEDIA_DEDUP_SQL,
+        "language_id_multi": TX.language_id_multi_oracle_sql(_MULTILANG_SQL),
         "line_dedup": DD.dedup_lines_oracle_sql(_LINED_SQL),
         "pii_redaction": TX.pii_redact_oracle_sql(_PII_SQL),
         "dsir_importance": TX.dsir_importance_oracle_sql(),

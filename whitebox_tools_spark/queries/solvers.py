@@ -2784,3 +2784,56 @@ SELECT m.media_ref, m.digest, c.canonical_ref,
        CAST(m.media_ref <> c.canonical_ref AS BIGINT) AS is_dup
 FROM m JOIN c USING (digest)
 """
+
+
+def _multilang_docs(docs: DataFrame) -> DataFrame:
+    """Rebuild a four-language corpus deterministically: doc_id % 4 picks
+    the language; non-English docs repeat a stopword-laden phrase
+    (doc_id % 3 + 1 times) so its function words dominate; English docs
+    keep the corpus text (its vocabulary contains 'the'). doc_id % 31 == 0
+    docs become stopword-free noise -> 'unknown'. Mirrored by
+    _MULTILANG_SQL."""
+    did = F.col("doc_id")
+    reps = (did % 3 + 1).cast("int")
+    fr = F.array_join(
+        F.array_repeat(F.lit("le chat et les oiseaux dans la maison pour sur"), reps), " "
+    )
+    de = F.array_join(
+        F.array_repeat(F.lit("der hund und die katze mit ein buch von zu"), reps), " "
+    )
+    es = F.array_join(
+        F.array_repeat(F.lit("el perro y las aves en que una casa por es"), reps), " "
+    )
+    t2 = (
+        F.when(did % 31 == 0, F.lit("zzz qqq www rrr ttt yyy uuu"))
+        .when(did % 4 == 1, fr)
+        .when(did % 4 == 2, de)
+        .when(did % 4 == 3, es)
+        .otherwise(F.col("text"))
+    )
+    return docs.select("doc_id", t2.alias("text"))
+
+
+_MULTILANG_SQL = """
+SELECT doc_id,
+       CASE WHEN doc_id % 31 = 0 THEN 'zzz qqq www rrr ttt yyy uuu'
+            WHEN doc_id % 4 = 1 THEN array_to_string(list_transform(
+                generate_series(1, CAST(doc_id % 3 + 1 AS INT)),
+                x -> 'le chat et les oiseaux dans la maison pour sur'), ' ')
+            WHEN doc_id % 4 = 2 THEN array_to_string(list_transform(
+                generate_series(1, CAST(doc_id % 3 + 1 AS INT)),
+                x -> 'der hund und die katze mit ein buch von zu'), ' ')
+            WHEN doc_id % 4 = 3 THEN array_to_string(list_transform(
+                generate_series(1, CAST(doc_id % 3 + 1 AS INT)),
+                x -> 'el perro y las aves en que una casa por es'), ' ')
+            ELSE text END AS text
+FROM documents
+"""
+
+
+def q_language_id_multi(spark, sf_dir):
+    """Multi-language ID (stopword-profile argmax over de/en/es/fr, the
+    dependency-free Cavnar-Trenkle core) on a deterministically rebuilt
+    four-language corpus + planted stopword-free noise docs ('unknown').
+    One codegen'd scan, zero shuffles; all four ratios value-checked."""
+    return TX.language_id_multi(_multilang_docs(_t(spark, sf_dir, "documents")))
