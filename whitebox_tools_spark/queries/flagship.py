@@ -104,8 +104,11 @@ _DRIVER_WINDOW: list[str] = [
     # average_normal_vector_angular_deviation yielded its slot (r4
     # judge-rerun green) to the never-externally-checked removal op
     "remove_duplicate_spans",
-    "spherical_std_dev_of_normals",
-    "individual_tree_detection",
+    # spherical_std_dev_of_normals and individual_tree_detection yielded
+    # their slots (both r4 judge-rerun green) to the two newest
+    # never-externally-checked queries
+    "media_dedup",
+    "language_id_multi",
     # no_oracle rows in r04, converted to value-checked literal
     # serial-transcription oracles this round (serial_lidar.py)
     "lidar_ransac_planes",
