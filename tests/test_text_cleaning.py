@@ -438,3 +438,58 @@ def test_language_id_multi_vs_python(spark):
         "en", "fr", "de", "es", "unknown", "unknown",
     ]
     assert out[7]["pred_lang"] == "es"  # tie breaks alphabetically: es < fr
+
+
+# ---------------------------------------------------------------------------
+# deterministic split + containment
+# ---------------------------------------------------------------------------
+def test_train_val_test_split_deterministic_and_stable(spark):
+    from whitebox_tools_spark.operators.dedup import train_val_test_split
+
+    docs = spark.createDataFrame([(i,) for i in range(2000)], ["doc_id"])
+    out = {r["doc_id"]: r.asDict() for r in train_val_test_split(docs).collect()}
+    # python replay of the portable hash
+    for did in (0, 1, 17, 1999):
+        u = int(hashlib.md5(f"13:{did}".encode()).hexdigest()[:15], 16) / float(1 << 60)
+        assert out[did]["u"] == pytest.approx(round(u, 9), abs=1e-12)
+        exp = "test" if u < 0.05 else ("val" if u < 0.10 else "train")
+        assert out[did]["split"] == exp, did
+    # growing the corpus never reassigns existing docs
+    grown = {
+        r["doc_id"]: r["split"]
+        for r in train_val_test_split(
+            spark.createDataFrame([(i,) for i in range(4000)], ["doc_id"])
+        ).collect()
+    }
+    assert all(grown[d] == out[d]["split"] for d in out)
+    # bands are roughly sized (hash uniformity)
+    from collections import Counter as C
+    c = C(v["split"] for v in out.values())
+    assert 40 <= c["test"] <= 160 and 40 <= c["val"] <= 160
+
+
+def test_doc_containment_flags_near_subsets(spark):
+    from whitebox_tools_spark.operators.dedup import doc_containment
+
+    filler_a = " ".join(f"fa{i}" for i in range(30))
+    filler_b = " ".join(f"fb{i}" for i in range(30))
+    shared = "s1 s2 s3 s4 s5 s6 s7 s8 s9 s10 s11 s12"
+    docs = [
+        (1, f"{filler_a} {shared}"),       # long doc containing the passage
+        (2, shared),                        # bare passage -> contained in 1
+        (3, f"{filler_b} {shared}"),       # another long doc sharing it
+        (4, "x1 x2 x3 x4 x5 x6 x7 x8 x9"),  # unrelated
+    ]
+    out = {
+        (r.doc_id_a, r.doc_id_b): r.asDict()
+        for r in doc_containment(
+            spark.createDataFrame(docs, ["doc_id", "text"]), k=4, min_len=10
+        ).collect()
+    }
+    assert set(out) == {(1, 2), (1, 3), (2, 3)}
+    # doc 2 (12 tokens, all shared) is contained in both partners
+    assert out[(1, 2)]["cov_b"] == 1.0 and out[(1, 2)]["contained"] == 1
+    assert out[(2, 3)]["cov_a"] == 1.0 and out[(2, 3)]["contained"] == 1
+    # two long docs share only 12/42 tokens -> not containment
+    assert out[(1, 3)]["contained"] == 0
+    assert out[(1, 3)]["cov_a"] == pytest.approx(round(12 / 42, 6))

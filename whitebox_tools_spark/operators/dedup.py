@@ -1510,3 +1510,134 @@ SELECT t.dd AS doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
        COALESCE(rb.cleaned, '') AS cleaned
 FROM t LEFT JOIN rb ON t.dd = rb.dd
 """
+
+
+def train_val_test_split(
+    docs: DataFrame,
+    *,
+    doc_id: str = "doc_id",
+    val_frac: float = 0.05,
+    test_frac: float = 0.05,
+    seed: int = 13,
+) -> DataFrame:
+    """Deterministic train/val/test split assignment — the standard final
+    step before packing: u = portable_hash60(seed:doc_id) / 2^60 is a
+    uniform, engine-portable, partition-invariant pseudo-random draw;
+    test gets u < test_frac, val the next val_frac band, train the rest.
+    Re-running on a grown corpus never reassigns an existing doc (the
+    hash depends only on (seed, doc_id)) — the property that keeps eval
+    sets stable across pipeline re-runs. Pure map-side expression, zero
+    shuffles. -> (doc_id, u, split)."""
+    h = F.expr(
+        _PORTABLE64_SPARK.format(x=f"concat('{seed}:', cast({doc_id} as string))")
+    )
+    u = h.cast("double") / float(1 << 60)
+    split = (
+        F.when(u < test_frac, F.lit("test"))
+        .when(u < test_frac + val_frac, F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+    return docs.select(
+        F.col(doc_id).alias("doc_id"),
+        (F.round(u, 9) + F.lit(0.0)).alias("u"),
+        split.alias("split"),
+    )
+
+
+def train_val_test_split_oracle_sql(
+    docs_rel: str = "SELECT * FROM documents",
+    *,
+    val_frac: float = 0.05,
+    test_frac: float = 0.05,
+    seed: int = 13,
+) -> str:
+    """DuckDB mirror of train_val_test_split (identical md5-prefix hash,
+    band arithmetic on the UNROUNDED u, identical final rounding)."""
+    h = _PORTABLE64_DUCK.format(x=f"'{seed}:' || CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH d AS ({docs_rel}),
+u AS (SELECT doc_id, CAST({h} AS DOUBLE) / {float(1 << 60)!r} AS uu FROM d)
+SELECT doc_id, round(uu, 9) + 0.0 AS u,
+       CASE WHEN uu < {test_frac!r} THEN 'test'
+            WHEN uu < {test_frac + val_frac!r} THEN 'val'
+            ELSE 'train' END AS split
+FROM u
+"""
+
+
+def doc_containment(
+    docs: DataFrame,
+    *,
+    k: int = 8,
+    min_len: int = 10,
+    min_coverage: float = 0.5,
+    text: str = "text",
+    doc_id: str = "doc_id",
+) -> DataFrame:
+    """Near-subset detection (the containment axis of Broder's resemblance
+    /containment pair): for every near-dup pair found by
+    duplicate_text_spans, the fraction of each doc's tokens covered by the
+    pair's shared >= min_len-token runs (diagonal-multiset sum — spans
+    repeated at several offsets count each time, documented and mirrored
+    exactly); pairs where either side's coverage >= min_coverage are
+    'containment' hits — quote-inclusion / boilerplate-wrapper cases that
+    whole-doc Jaccard misses. Adds one aggregate + one broadcast-able
+    token-count join over the detection op.
+    -> (doc_id_a, doc_id_b, cov_a, cov_b, contained)."""
+    spans = duplicate_text_spans(
+        docs, k=k, min_len=min_len, text=text, doc_id=doc_id
+    )
+    tok = docs.select(
+        F.col(doc_id).alias("doc_id"),
+        F.size(F.split(F.col(text), " ")).cast("long").alias("n_tok"),
+    )
+    agg = spans.groupBy("doc_id_a", "doc_id_b").agg(
+        F.sum("span_len").alias("shared")
+    )
+    out = (
+        agg.join(tok.select(F.col("doc_id").alias("doc_id_a"), F.col("n_tok").alias("na")), "doc_id_a")
+        .join(tok.select(F.col("doc_id").alias("doc_id_b"), F.col("n_tok").alias("nb")), "doc_id_b")
+    )
+    cov_a = F.col("shared").cast("double") / F.col("na")
+    cov_b = F.col("shared").cast("double") / F.col("nb")
+    return out.select(
+        "doc_id_a",
+        "doc_id_b",
+        (F.round(cov_a, 6) + F.lit(0.0)).alias("cov_a"),
+        (F.round(cov_b, 6) + F.lit(0.0)).alias("cov_b"),
+        ((cov_a >= min_coverage) | (cov_b >= min_coverage))
+        .cast("long")
+        .alias("contained"),
+    )
+
+
+def doc_containment_oracle_sql(
+    docs_rel: str = "SELECT * FROM documents",
+    *,
+    k: int = 8,
+    min_len: int = 10,
+    min_coverage: float = 0.5,
+) -> str:
+    """DuckDB mirror of doc_containment (composes the
+    duplicate_text_spans oracle with the same coverage arithmetic)."""
+    spans = duplicate_text_spans_oracle_sql(docs_rel, k=k, min_len=min_len)
+    return f"""
+WITH spans AS ({spans}),
+tok AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+  FROM ({docs_rel}) d
+),
+agg AS (
+  SELECT doc_id_a, doc_id_b, sum(span_len) AS shared
+  FROM spans GROUP BY doc_id_a, doc_id_b
+)
+SELECT agg.doc_id_a, agg.doc_id_b,
+       round(CAST(shared AS DOUBLE) / ta.n_tok, 6) + 0.0 AS cov_a,
+       round(CAST(shared AS DOUBLE) / tb.n_tok, 6) + 0.0 AS cov_b,
+       CAST(CAST(shared AS DOUBLE) / ta.n_tok >= {min_coverage!r}
+            OR CAST(shared AS DOUBLE) / tb.n_tok >= {min_coverage!r}
+            AS BIGINT) AS contained
+FROM agg
+JOIN tok ta ON agg.doc_id_a = ta.doc_id
+JOIN tok tb ON agg.doc_id_b = tb.doc_id
+"""

@@ -590,6 +590,8 @@ def _base_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "remove_duplicate_spans": q_remove_duplicate_spans,
         "media_dedup": q_media_dedup,
         "language_id_multi": q_language_id_multi,
+        "train_val_test_split": q_train_val_test_split,
+        "doc_containment": q_doc_containment,
         "line_dedup": q_line_dedup,
         "pii_redaction": q_pii_redaction,
         "dsir_importance": q_dsir_importance,
@@ -1741,6 +1743,8 @@ FROM documents
         "remove_duplicate_spans": DD.remove_duplicate_spans_oracle_sql(_SLOGAN_SQL, k=8),
         "media_dedup": _MEDIA_DEDUP_SQL,
         "language_id_multi": TX.language_id_multi_oracle_sql(_MULTILANG_SQL),
+        "train_val_test_split": DD.train_val_test_split_oracle_sql(),
+        "doc_containment": DD.doc_containment_oracle_sql("(" + _PAIRWISE_SQL + ")", k=8, min_len=10),
         "line_dedup": DD.dedup_lines_oracle_sql(_LINED_SQL),
         "pii_redaction": TX.pii_redact_oracle_sql(_PII_SQL),
         "dsir_importance": TX.dsir_importance_oracle_sql(),

@@ -2837,3 +2837,54 @@ def q_language_id_multi(spark, sf_dir):
     four-language corpus + planted stopword-free noise docs ('unknown').
     One codegen'd scan, zero shuffles; all four ratios value-checked."""
     return TX.language_id_multi(_multilang_docs(_t(spark, sf_dir, "documents")))
+
+
+def q_train_val_test_split(spark, sf_dir):
+    """Deterministic train/val/test assignment: u = portable md5-prefix
+    hash of (seed, doc_id) scaled to [0,1); bands test < 0.05, val next
+    0.05, train the rest. Pure map-side expression — re-runs on a grown
+    corpus never reassign an existing doc."""
+    return DD.train_val_test_split(_t(spark, sf_dir, "documents"))
+
+
+def _pairwise_docs(docs: DataFrame) -> DataFrame:
+    """Append a 13-token phrase unique to each (2p, 2p+1) doc pair — so
+    shared runs exist ONLY within the pair (no hot gram buckets) — and
+    REPLACE every doc_id % 10 == 4 doc by its bare phrase (that doc is
+    then fully covered by its partner: the containment case). Mirrored by
+    _PAIRWISE_SQL."""
+    did = F.col("doc_id")
+    p = F.expr("CAST((doc_id - doc_id % 2) / 2 AS BIGINT)")
+    # pair id sits MID-phrase so no 8-gram is common across different
+    # pairs (prefix 5 tokens, suffix 7 tokens — both under k)
+    phrase = F.concat(
+        F.lit("shared passage q w e "), p.cast("string"), F.lit(" r t y u i o p")
+    )
+    t2 = F.when(did % 10 == 4, phrase).otherwise(
+        F.concat(F.col("text"), F.lit(" "), phrase)
+    )
+    return docs.select("doc_id", t2.alias("text"))
+
+
+_PAIRWISE_SQL = """
+SELECT doc_id,
+       CASE WHEN doc_id % 10 = 4
+            THEN 'shared passage q w e ' || CAST(CAST((doc_id - doc_id % 2) / 2 AS BIGINT) AS VARCHAR)
+                 || ' r t y u i o p'
+            ELSE text || ' shared passage q w e '
+                 || CAST(CAST((doc_id - doc_id % 2) / 2 AS BIGINT) AS VARCHAR)
+                 || ' r t y u i o p' END AS text
+FROM documents
+"""
+
+
+def q_doc_containment(spark, sf_dir):
+    """Near-subset detection (Broder containment axis): per near-dup pair,
+    the fraction of each doc covered by shared >= 10-token runs; either
+    side >= 0.5 flags containment. Pairs planted one-per-(2p, 2p+1) so
+    every gram bucket holds exactly its pair's occurrences (no quadratic
+    hot buckets); doc_id % 10 == 4 docs are bare phrases — fully contained
+    in their partner."""
+    return DD.doc_containment(
+        _pairwise_docs(_t(spark, sf_dir, "documents")), k=8, min_len=10
+    )
