@@ -50,8 +50,10 @@ _DRIVER_WINDOW: list[str] = [
     # never driver-checked: file-format round trips
     "shapefile_round_trip",
     "las_rgb_gps_round_trip",
-    "las_to_shapefile",
-    "las_to_multipoint_shapefile",
+    # las_to_shapefile / las_to_multipoint_shapefile yielded their slots
+    # (both r4 judge-rerun green) to the never-externally-checked pair
+    "train_val_test_split",
+    "doc_containment",
     "las_to_zlidar",
     "zlidar_to_las",
     # never driver-checked: media / multimodal
