@@ -54,6 +54,9 @@ HEADLINE = [
     "gopher_repetition",
     "remove_duplicate_spans",
     "media_dedup",
+    "language_id_multi",
+    "train_val_test_split",
+    "doc_containment",
 ]
 
 
